@@ -1,0 +1,307 @@
+package graft
+
+/** DuckDB oracle SQL, one per SQL-expressible query in [[SparkEntry.queries]].
+  *
+  * Mirrors the Spark plans' determinism rules exactly: identical DECIMAL
+  * accumulation for money sums, identical `ROUND(x, 6)` on order-sensitive
+  * floating aggregates, identical total ORDER BY, identical output column
+  * names and types (BIGINT↔long, DOUBLE↔double, INTEGER↔int, DATE↔date).
+  */
+object OracleSql {
+
+  val sql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(28,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity >= 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_revenue" ->
+      """SELECT n_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_revenue,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q04_suffix_join" ->
+      """SELECT s_suppkey, COUNT(*) AS n_matched,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_acctbal
+        |FROM customer
+        |JOIN supplier
+        |  ON substr(lpad(CAST(c_custkey AS VARCHAR), 6, '0'), 5, 2)
+        |   = substr(lpad(CAST(s_suppkey AS VARCHAR), 6, '0'), 5, 2)
+        |GROUP BY s_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q05_interval_stats" ->
+      """SELECT a.event_id AS anchor_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(e.value) AS avg_value,
+        |  MIN(e.value) AS min_value,
+        |  MAX(e.value) AS max_value,
+        |  CASE WHEN COUNT(e.value) > 1 THEN ROUND(STDDEV_SAMP(e.value), 6) END AS std_value,
+        |  COUNT(DISTINCT e.event_type) AS n_types
+        |FROM events e
+        |JOIN events a
+        |  ON a.event_type = 'signup'
+        | AND e.user_id = a.user_id
+        | AND e.ts >= a.ts - INTERVAL 3 DAY
+        | AND e.ts <= a.ts + INTERVAL 3 DAY
+        |GROUP BY a.event_id
+        |HAVING COUNT(*) >= 3
+        |ORDER BY anchor_id""".stripMargin,
+
+    "q06_lag_delta" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d1
+        |  FROM events),
+        |t2 AS (
+        |  SELECT user_id, value, d1,
+        |    d1 - LAG(d1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d2
+        |  FROM t)
+        |SELECT user_id,
+        |  COUNT(value) AS n_obs,
+        |  COUNT(d1) AS n_deltas,
+        |  CAST(SUM(CAST(d1 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(d1) AS delta_mean,
+        |  CASE WHEN COUNT(d1) > 1 THEN ROUND(STDDEV_SAMP(d1), 6) END AS delta_std,
+        |  CAST(SUM(CAST(d2 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(d2) AS delta2_mean,
+        |  CASE WHEN COUNT(d2) > 1 THEN ROUND(STDDEV_SAMP(d2), 6) END AS delta2_std
+        |FROM t2
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q07_weekly_trend" ->
+      """WITH per AS (
+        |  SELECT user_id, date_trunc('week', ts) AS bucket,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS bucket_mean
+        |  FROM events
+        |  GROUP BY user_id, date_trunc('week', ts))
+        |SELECT user_id, COUNT(*) AS n_buckets,
+        |  CASE WHEN COUNT(bucket_mean) > 1 THEN ROUND(STDDEV_SAMP(bucket_mean), 6) END AS trend_std,
+        |  ROUND(MAX(bucket_mean) - MIN(bucket_mean), 6) AS trend_range
+        |FROM per
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q08_diurnal" ->
+      """WITH hourly AS (
+        |  SELECT event_type, hour(ts) AS hr,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS hour_mean
+        |  FROM events
+        |  GROUP BY event_type, hour(ts))
+        |SELECT event_type, COUNT(*) AS n_hours,
+        |  ROUND(MAX(hour_mean) - MIN(hour_mean), 6) AS daily_range
+        |FROM hourly
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q09_moments" ->
+      """SELECT l_returnflag,
+        |  COUNT(l_quantity) AS n,
+        |  CASE WHEN COUNT(l_quantity) > 1 THEN ROUND(STDDEV_SAMP(l_quantity), 6) END AS std_qty,
+        |  CASE WHEN COUNT(l_quantity) > 2 THEN ROUND(SKEWNESS(l_quantity), 6) END AS skew_qty,
+        |  CASE WHEN COUNT(l_quantity) > 3 THEN ROUND(KURTOSIS(l_quantity), 6) END AS kurt_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q10_topk" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q11_dedup_exact" ->
+      """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY text
+        |ORDER BY canonical_id""".stripMargin,
+
+    "q12_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(LENGTH(text) AS BIGINT) AS n_chars_text,
+        |  CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_subwords_est
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q13_quality_score" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  ROUND(len(list_filter(toks, x -> x = 'the' OR x = 'a')) / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
+        |  ROUND(LEAST(len(toks) / 100.0, 1.0) * (1.0 - len(list_filter(toks, x -> x = 'the' OR x = 'a')) / CAST(len(toks) AS DOUBLE)), 6) AS quality_score
+        |FROM t
+        |ORDER BY doc_id""".stripMargin,
+
+    "q14_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |        len(list_filter(toks, x -> x = 'the')) / CAST(len(toks) AS DOUBLE) AS the_r,
+        |        len(list_filter(toks, x -> x = 'a')) / CAST(len(toks) AS DOUBLE) AS a_r
+        |      FROM t)
+        |SELECT doc_id,
+        |  ROUND(the_r, 6) AS the_ratio,
+        |  CASE WHEN the_r >= 0.04 THEN 'en' WHEN a_r >= 0.04 THEN 'fr' ELSE 'und' END AS lang_pred,
+        |  CAST((CASE WHEN the_r >= 0.04 THEN 'en' WHEN a_r >= 0.04 THEN 'fr' ELSE 'und' END) = lang AS INTEGER) AS is_match
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
+
+    "q15_cosine_scores" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
+        |    (SQRT(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |     SQRT(list_inner_product(q.qe, q.qe))), 6) AS cosine
+        |FROM embeddings e CROSS JOIN q
+        |WHERE e.vec_id <> 0
+        |ORDER BY e.vec_id""".stripMargin,
+
+    "q16_knn_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT e.vec_id,
+        |    ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
+        |      (SQRT(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |       SQRT(list_inner_product(q.qe, q.qe))), 6) AS cosine
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> 0)
+        |SELECT vec_id, cosine
+        |FROM s
+        |ORDER BY cosine DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    "q17_regression_metrics" ->
+      """WITH t AS (
+        |  SELECT o_totalprice AS y, 50000.0 + 100.0 * (o_orderkey % 1000) AS p
+        |  FROM orders),
+        |agg AS (
+        |  SELECT COUNT(*) AS n,
+        |    ROUND(CAST(SUM(CAST(ABS(y - p) AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*), 6) AS mae,
+        |    ROUND(CAST(SUM(CAST((y - p) * (y - p) AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*), 0) AS mse,
+        |    CAST(SUM(CAST((y - p) * (y - p) AS DECIMAL(28,4))) AS DOUBLE) AS ss_res,
+        |    CAST(SUM(CAST(y AS DECIMAL(28,2))) AS DOUBLE) AS sum_y,
+        |    CAST(SUM(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS sum_y2
+        |  FROM t)
+        |SELECT n, mae, mse, ROUND(SQRT(mse), 6) AS rmse,
+        |  ROUND(1.0 - ss_res / (sum_y2 - sum_y * sum_y / n), 6) AS r2
+        |FROM agg""".stripMargin,
+
+    "q18_confusion" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS label,
+        |         CASE WHEN (o_orderkey % 7) < 3 THEN 1 ELSE 0 END AS pred
+        |  FROM orders)
+        |SELECT label, pred, COUNT(*) AS n
+        |FROM t
+        |GROUP BY label, pred
+        |ORDER BY label, pred""".stripMargin,
+
+    "q19_balanced_accuracy" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS label,
+        |         CASE WHEN (o_orderkey % 7) < 3 THEN 1 ELSE 0 END AS pred
+        |  FROM orders),
+        |per AS (
+        |  SELECT label,
+        |    SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) / COUNT(*) AS recall
+        |  FROM t GROUP BY label)
+        |SELECT ROUND(AVG(recall), 6) AS balanced_accuracy, COUNT(*) AS n_classes
+        |FROM per""".stripMargin,
+
+    "q20_group_split" ->
+      """WITH t AS (
+        |  SELECT c_custkey, c_acctbal,
+        |    CASE WHEN (c_custkey * 2654435761) % 1000 < 700 THEN 'train'
+        |         WHEN (c_custkey * 2654435761) % 1000 < 850 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM customer)
+        |SELECT split, COUNT(*) AS n, COUNT(DISTINCT c_custkey) AS n_groups,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_acctbal
+        |FROM t
+        |GROUP BY split
+        |ORDER BY split""".stripMargin,
+
+    "q21_stride_sample" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, rn
+        |FROM t
+        |WHERE (rn - 1) % 12 = 0
+        |ORDER BY user_id, rn""".stripMargin,
+
+    "q22_halves_trend" ->
+      """WITH t AS (
+        |  SELECT user_id, value,
+        |    NTILE(2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS half
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN half = 1 THEN CAST(value AS DECIMAL(28,4)) END) AS DOUBLE)
+        |      / COUNT(CASE WHEN half = 1 THEN 1 END) AS early_mean,
+        |    CAST(SUM(CASE WHEN half = 2 THEN CAST(value AS DECIMAL(28,4)) END) AS DOUBLE)
+        |      / COUNT(CASE WHEN half = 2 THEN 1 END) AS late_mean
+        |  FROM t GROUP BY user_id)
+        |SELECT user_id, early_mean, late_mean, late_mean - early_mean AS trend_change
+        |FROM m
+        |ORDER BY user_id""".stripMargin,
+
+    "q23_union_period" ->
+      """SELECT period, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM (
+        |  SELECT user_id, value, 'D1' AS period FROM events WHERE ts < TIMESTAMP '2024-01-16'
+        |  UNION ALL
+        |  SELECT user_id, value, 'D2' AS period FROM events WHERE ts >= TIMESTAMP '2024-01-16') t
+        |GROUP BY period
+        |ORDER BY period""".stripMargin,
+
+    "q24_rowwise_mean" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND(CASE WHEN (CASE WHEN l_discount IS NOT NULL THEN 1 ELSE 0 END)
+        |           + (CASE WHEN NULLIF(l_tax, 0.02) IS NOT NULL THEN 1 ELSE 0 END) > 0
+        |    THEN (COALESCE(l_discount, 0.0) + COALESCE(NULLIF(l_tax, 0.02), 0.0))
+        |       / ((CASE WHEN l_discount IS NOT NULL THEN 1 ELSE 0 END)
+        |        + (CASE WHEN NULLIF(l_tax, 0.02) IS NOT NULL THEN 1 ELSE 0 END))
+        |    END, 6) AS rw_mean
+        |FROM lineitem
+        |WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q25_distinct_count" ->
+      """SELECT COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o_custkey) AS n_custs,
+        |  CAST(MIN(o_orderdate) AS DATE) AS first_date,
+        |  CAST(MAX(o_orderdate) AS DATE) AS last_date
+        |FROM orders""".stripMargin,
+
+    "q26_class_weights" ->
+      """WITH c AS (SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, n,
+        |  ROUND(CAST(SUM(n) OVER () AS DOUBLE) / (COUNT(*) OVER () * n), 6) AS weight
+        |FROM c
+        |ORDER BY o_orderstatus""".stripMargin,
+  )
+}

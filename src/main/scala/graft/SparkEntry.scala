@@ -1,13 +1,367 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Stats._
+import graft.metrics.MetricQueries
+import graft.ml.MlPipelines
+import graft.operators._
+
+/** Driver contract: one named query per operator of SURVEY.md §2, plus the
+  * DuckDB oracle SQL that must hash-match it on the same parquet tables.
+  *
+  * Determinism rules applied uniformly (so Spark and DuckDB agree
+  * bit-for-bit): money-like sums go through exact DECIMAL accumulation
+  * ([[graft.functions.Stats.dsum]]); order-sensitive floating aggregates
+  * (stddev/skew/kurt/cosine) are rounded to 6 decimals; every query ends in a
+  * total ORDER BY; timestamps are never emitted raw (cast to date).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    q01(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- q01
+  // TPC-H Q1-shaped pricing summary: scan → filter (pushed to parquet) →
+  // hash aggregate with exact decimal sums. SURVEY §2: S1, P4, A1, A4.
+  def q01(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+        davg(col("l_quantity"), 2).as("avg_qty"),
+        davg(col("l_extendedprice"), 2).as("avg_price"),
+        davg(col("l_discount"), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // ---------------------------------------------------------------- q02
+  // Projection + predicate pushdown (SURVEY §2: P2/P3/P4).
+  def q02(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 45 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  // ---------------------------------------------------------------- q03
+  // Star join with broadcast dims (SURVEY §2: J1-family equi-join; Catalyst
+  // picks BroadcastHashJoin — nation/customer are provably small dims).
+  def q03(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val o = t(spark, dir, "orders")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice"), 2).as("total_revenue"),
+        davg(col("o_totalprice"), 2).as("avg_revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  // ---------------------------------------------------------------- q04
+  // Fuzzy suffix-match join normalized to an equi-join (reference J1:
+  // sensor id 202056 ↔ annotation id 2056 via suffix).
+  def q04(spark: SparkSession, dir: String): DataFrame =
+    FuzzyJoins.suffixJoin(
+      t(spark, dir, "customer"), t(spark, dir, "supplier"),
+      "c_custkey", "s_suppkey")
+      .groupBy(col("s_suppkey"))
+      .agg(
+        count(lit(1)).as("n_matched"),
+        davg(col("c_acctbal"), 2).as("avg_acctbal"))
+      .orderBy(col("s_suppkey"))
+
+  // ---------------------------------------------------------------- q05
+  // Point-in-interval broadcast join + per-window stats + min-support
+  // HAVING (the heart of the reference: J2 + A1/A4 + P7,
+  // preprocessing.py:142-200).
+  def q05(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val anchors = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("anchor_id"), col("user_id").as("a_user"),
+        col("ts").as("anchor_ts"))
+    FuzzyJoins.intervalJoin(e, anchors, "user_id", "a_user", "ts", "anchor_ts",
+      "3 DAYS", "3 DAYS")
+      .groupBy(col("anchor_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value"), 4).as("sum_value"),
+        davg(col("value"), 4).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        stdRounded(col("value")).as("std_value"),
+        countDistinct(col("event_type")).as("n_types"))
+      .filter(col("n_events") >= 3)
+      .orderBy(col("anchor_id"))
+  }
+
+  // ---------------------------------------------------------------- q06
+  // Lag-based first/second-order delta stats (reference A3/W2).
+  def q06(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.deltaStats(t(spark, dir, "events"), "user_id", "ts",
+      "event_id", "value")
+      .orderBy(col("user_id"))
+
+  // ---------------------------------------------------------------- q07
+  // Two-level weekly trend aggregation (reference A5).
+  def q07(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.periodTrend(t(spark, dir, "events"), "user_id", "ts",
+      "value", "week")
+      .orderBy(col("user_id"))
+
+  // ---------------------------------------------------------------- q08
+  // Diurnal profile: hourly means then daily range (reference A7).
+  def q08(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.diurnalRange(t(spark, dir, "events"), "event_type", "ts",
+      "value")
+      .orderBy(col("event_type"))
+
+  // ---------------------------------------------------------------- q09
+  // Bias-corrected sample moments, pandas/DuckDB parity (reference A2).
+  def q09(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(col("l_quantity")).as("n"),
+        stdRounded(col("l_quantity")).as("std_qty"),
+        round(skewSample(col("l_quantity")), 6).as("skew_qty"),
+        round(kurtSample(col("l_quantity")), 6).as("kurt_qty"))
+      .orderBy(col("l_returnflag"))
+
+  // ---------------------------------------------------------------- q10
+  // Top-k with deterministic tiebreak (SURVEY §2.6).
+  def q10(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  // ---------------------------------------------------------------- q11
+  // Exact deduplication by content (north-star dedup #1).
+  def q11(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.exactGroups(t(spark, dir, "documents"), "text", "doc_id")
+      .orderBy(col("canonical_id"))
+
+  // ---------------------------------------------------------------- q12
+  // Token counting (north-star text analysis).
+  def q12(spark: SparkSession, dir: String): DataFrame =
+    TextOps.withTokenStats(t(spark, dir, "documents"), "text")
+      .select("doc_id", "n_tokens", "n_chars_text", "n_subwords_est")
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- q13
+  // Quality scoring: stopword ratio + composite score.
+  def q13(spark: SparkSession, dir: String): DataFrame =
+    TextOps.withQuality(t(spark, dir, "documents"), "text", Seq("the", "a"))
+      .select("doc_id", "n_tokens", "stop_ratio", "quality_score")
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- q14
+  // Heuristic language ID with accuracy flag against the labeled column.
+  def q14(spark: SparkSession, dir: String): DataFrame =
+    TextOps.withLangId(t(spark, dir, "documents"), "text")
+      .select(col("doc_id"), col("the_ratio"), col("lang_pred"),
+        (col("lang_pred") === col("lang")).cast("int").as("is_match"))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- q15
+  // Brute-force cosine against one query vector (ANN baseline).
+  def q15(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.cosineScores(t(spark, dir, "embeddings"), "vec_id",
+      "embedding", 0L)
+      .orderBy(col("vec_id"))
+
+  // ---------------------------------------------------------------- q16
+  // Top-10 nearest neighbours by rounded cosine (portable ordering).
+  def q16(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.topK(
+      SimilarityOps.cosineScores(t(spark, dir, "embeddings"), "vec_id",
+        "embedding", 0L),
+      "vec_id", 10)
+
+  // ---------------------------------------------------------------- q17
+  // Regression metric suite in one pass (reference X5/X7) against a
+  // deterministic synthetic predictor.
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .withColumn("p", lit(50000.0) + lit(100.0) * (col("o_orderkey") % 1000))
+    MetricQueries.regressionMetrics(o, "o_totalprice", "p")
+  }
+
+  // ---------------------------------------------------------------- q18
+  // Confusion matrix (reference X6) over deterministic label/pred.
+  private def labeledOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("label", (col("o_totalprice") > 150000).cast("int"))
+      .withColumn("pred", ((col("o_orderkey") % 7) < 3).cast("int"))
+
+  def q18(spark: SparkSession, dir: String): DataFrame =
+    MetricQueries.confusion(labeledOrders(spark, dir), "label", "pred")
+      .orderBy(col("label"), col("pred"))
+
+  // ---------------------------------------------------------------- q19
+  // Balanced accuracy (reference X2) — composed two-level aggregate.
+  def q19(spark: SparkSession, dir: String): DataFrame =
+    MetricQueries.balancedAccuracy(labeledOrders(spark, dir), "label", "pred")
+
+  // ---------------------------------------------------------------- q20
+  // Deterministic leakage-safe group split (reference M2).
+  def q20(spark: SparkSession, dir: String): DataFrame =
+    SplitOps.withSplit(t(spark, dir, "customer"), "c_custkey")
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("c_custkey")).as("n_groups"),
+        davg(col("c_acctbal"), 2).as("avg_acctbal"))
+      .orderBy(col("split"))
+
+  // ---------------------------------------------------------------- q21
+  // Stride subsampling within keyed total order (reference W3).
+  def q21(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.strideSample(t(spark, dir, "events"), "user_id", "ts",
+      "event_id", 12)
+      .select(col("user_id"), col("event_id"), col("rn").cast("long").as("rn"))
+      .orderBy(col("user_id"), col("rn"))
+
+  // ---------------------------------------------------------------- q22
+  // Early-vs-late halves trend (reference A6/W5).
+  def q22(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.halvesTrend(t(spark, dir, "events"), "user_id", "ts",
+      "event_id", "value")
+      .orderBy(col("user_id"))
+
+  // ---------------------------------------------------------------- q23
+  // Bag union with literal period tagging (reference J5/S2).
+  def q23(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val cut = lit("2024-01-16").cast("timestamp")
+    val d1 = e.filter(col("ts") < cut).withColumn("period", lit("D1"))
+    val d2 = e.filter(col("ts") >= cut).withColumn("period", lit("D2"))
+    d1.unionByName(d2)
+      .groupBy(col("period"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("value"), 4).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("period"))
+  }
+
+  // ---------------------------------------------------------------- q24
+  // Null-skipping row-wise mean (reference A8) with a constructed null.
+  def q24(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(rowMean(col("l_discount"), nullif(col("l_tax"), lit(0.02))), 6)
+          .as("rw_mean"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  // ---------------------------------------------------------------- q25
+  // Distinct counting + timestamp extrema (reference A9/F7); dates cast so
+  // the comparison is tz-free.
+  def q25(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_custs"),
+        min(col("o_orderdate")).cast("date").as("first_date"),
+        max(col("o_orderdate")).cast("date").as("last_date"))
+
+  // ---------------------------------------------------------------- q26
+  // Inverse-frequency class weights (reference A11/M11).
+  def q26(spark: SparkSession, dir: String): DataFrame =
+    MetricQueries.classWeights(t(spark, dir, "orders"), "o_orderstatus")
+      .orderBy(col("o_orderstatus"))
+
+  // ------------------------------------------------- rows-only queries
+  // (not SQL-expressible identically in DuckDB — hash-dependent or MLlib)
+
+  // MinHash+LSH near-dup candidate profile per doc (north-star dedup #2).
+  def q27(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val sigs = DedupOps.minhashSignatures(docs, "doc_id", "text", 3, 32)
+    val bands = DedupOps.lshBands(sigs, "doc_id", 32, 4)
+    val pairs = DedupOps.candidatePairs(bands, "doc_id")
+    val perDoc = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_candidates"))
+      .orderBy(col("doc_id"))
+  }
+
+  // SimHash fingerprints + hamming distance to doc 0 (north-star dedup #3).
+  def q28(spark: SparkSession, dir: String): DataFrame = {
+    val fp = DedupOps.simhash64(t(spark, dir, "documents"), "doc_id", "text")
+    val ref = fp.filter(col("doc_id") === 0)
+      .select(col("simhash").as("ref_hash"))
+    fp.crossJoin(broadcast(ref))
+      .select(col("doc_id"), col("simhash"),
+        DedupOps.hamming64(col("simhash"), col("ref_hash")).as("hamming_to_0"))
+      .orderBy(col("doc_id"))
+  }
+
+  // MLlib classification on embeddings (reference M1/M2/M4 surface).
+  def q29(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.logRegOnEmbeddings(t(spark, dir, "embeddings"), "vec_id",
+      "embedding", "label")
+      .orderBy(col("label"))
+
+  // K-fold out-of-fold regression (reference M7/M8 surface).
+  def q30(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.kfoldOOFLinReg(
+      t(spark, dir, "lineitem").filter(col("l_orderkey") < 500),
+      "l_orderkey", Seq("l_quantity", "l_discount"), "l_extendedprice", 5)
+      .orderBy(col("fold"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_filter_project" -> (q02 _),
+    "q03_join_revenue" -> (q03 _),
+    "q04_suffix_join" -> (q04 _),
+    "q05_interval_stats" -> (q05 _),
+    "q06_lag_delta" -> (q06 _),
+    "q07_weekly_trend" -> (q07 _),
+    "q08_diurnal" -> (q08 _),
+    "q09_moments" -> (q09 _),
+    "q10_topk" -> (q10 _),
+    "q11_dedup_exact" -> (q11 _),
+    "q12_token_count" -> (q12 _),
+    "q13_quality_score" -> (q13 _),
+    "q14_lang_id" -> (q14 _),
+    "q15_cosine_scores" -> (q15 _),
+    "q16_knn_topk" -> (q16 _),
+    "q17_regression_metrics" -> (q17 _),
+    "q18_confusion" -> (q18 _),
+    "q19_balanced_accuracy" -> (q19 _),
+    "q20_group_split" -> (q20 _),
+    "q21_stride_sample" -> (q21 _),
+    "q22_halves_trend" -> (q22 _),
+    "q23_union_period" -> (q23 _),
+    "q24_rowwise_mean" -> (q24 _),
+    "q25_distinct_count" -> (q25 _),
+    "q26_class_weights" -> (q26 _),
+    "q27_minhash_dedup" -> (q27 _),
+    "q28_simhash" -> (q28 _),
+    "q29_ml_logreg" -> (q29 _),
+    "q30_ml_kfold_oof" -> (q30 _),
+  )
+
+  /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →
+    * driver records a weaker rows-only check).
+    */
+  def oracleSql: Map[String, String] = OracleSql.sql
 }

@@ -1,0 +1,73 @@
+package graft.metrics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Stats._
+
+/** Classification/regression metrics as DataFrame queries (reference
+  * `/root/reference/src/training/metrics.py:44-154`) — each metric is one
+  * aggregation pass, all-deterministic: counts are exact, error sums go
+  * through exact decimal accumulation, and final ratios are single double
+  * divisions.
+  */
+object MetricQueries {
+
+  /** Confusion counts (reference X6, `metrics.py:116-154`). */
+  def confusion(df: DataFrame, label: String, pred: String): DataFrame =
+    df.groupBy(col(label), col(pred)).agg(count(lit(1)).as("n"))
+
+  /** Accuracy over (label, pred). */
+  def accuracy(df: DataFrame, label: String, pred: String): Column =
+    sum(when(col(label) === col(pred), 1).otherwise(0)) / count(lit(1))
+
+  /** Balanced accuracy = mean per-class recall (reference X2,
+    * `metrics.py:45`): inner per-class aggregation, then a tiny mean.
+    */
+  def balancedAccuracy(df: DataFrame, label: String, pred: String): DataFrame = {
+    val perClass = df.groupBy(col(label)).agg(
+      (sum(when(col(pred) === col(label), 1).otherwise(0)) / count(lit(1)))
+        .as("recall"))
+    perClass.agg(round(avg(col("recall")), 6).as("balanced_accuracy"),
+      count(lit(1)).as("n_classes"))
+  }
+
+  /** Regression metrics in one pass (reference X5/X7, `metrics.py:92-111`):
+    * MAE, MSE, RMSE, R², all from exact decimal error sums so results are
+    * bit-identical across engines and partitionings. R² uses the algebraic
+    * identity ss_tot = Σy² − (Σy)²/n to stay single-pass.
+    */
+  def regressionMetrics(df: DataFrame, y: String, p: String): DataFrame = {
+    val err = col(y) - col(p)
+    // The squared-error decimal sums overflow double's exact 2^53 range, so
+    // their final decimal→double cast carries one engine-dependent ulp;
+    // rounding mse to integers (and r2 to 6) makes that noise unobservable,
+    // while mae's smaller sum stays bit-exact.
+    df.agg(
+      count(lit(1)).as("n"),
+      round(dsum(abs(err), 4) / count(lit(1)), 6).as("mae"),
+      round(dsum(err * err, 4) / count(lit(1)), 0).as("mse"),
+      dsum(err * err, 4).as("ss_res"),
+      dsum(col(y), 2).as("sum_y"),
+      dsum(col(y) * col(y), 4).as("sum_y2"))
+      .select(
+        col("n"),
+        col("mae"),
+        col("mse"),
+        round(sqrt(col("mse")), 6).as("rmse"),
+        round(lit(1.0) - col("ss_res") /
+          (col("sum_y2") - col("sum_y") * col("sum_y") / col("n")), 6).as("r2"))
+  }
+
+  /** Inverse-frequency class weights, normalized so they average 1
+    * (reference M11/A11, `/root/reference/src/training/trainer.py:352-366`).
+    */
+  def classWeights(df: DataFrame, label: String): DataFrame = {
+    val counts = df.groupBy(col(label)).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    counts
+      .withColumn("total", sum(col("n")).over(w))
+      .withColumn("n_classes", count(lit(1)).over(w))
+      .withColumn("weight", round(col("total") / (col("n_classes") * col("n")), 6))
+      .select(label, "n", "weight")
+  }
+}

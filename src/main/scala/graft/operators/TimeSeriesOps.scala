@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Stats._
+
+/** Time-ordered analytics: the reference's per-window statistical feature
+  * extraction, multi-scale trends, temporal deltas and subsampling
+  * (`/root/reference/src/data/preprocessing.py:101-273,345-358`,
+  * `/root/reference/src/data/dataset.py:233-298`), each as one or two
+  * shuffle-bounded Spark passes instead of per-group Python loops.
+  *
+  * Every window below partitions by the series key — on a cluster that means
+  * state for one key never crosses executors, and the number of shuffles is
+  * fixed (≤ 2) regardless of group count.
+  */
+object TimeSeriesOps {
+
+  /** First- and second-order delta statistics (reference A3: `np.diff` then
+    * mean/std — `/root/reference/src/data/preprocessing.py:122-131`).
+    * One window pass computes lag-1 deltas and deltas-of-deltas; one
+    * aggregation computes their stats. `tiebreak` makes ordering total, so
+    * results are deterministic under any partitioning.
+    */
+  def deltaStats(df: DataFrame, key: String, ts: String, tiebreak: String,
+      value: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+    val d1 = df.withColumn("d1", col(value) - lag(col(value), 1).over(w))
+    val d2 = d1.withColumn("d2", col("d1") - lag(col("d1"), 1).over(w))
+    d2.groupBy(col(key)).agg(
+      count(col(value)).as("n_obs"),
+      count(col("d1")).as("n_deltas"),
+      (dsum(col("d1"), 6) / count(col("d1"))).as("delta_mean"),
+      stdRounded(col("d1")).as("delta_std"),
+      (dsum(col("d2"), 6) / count(col("d2"))).as("delta2_mean"),
+      stdRounded(col("d2")).as("delta2_std"))
+  }
+
+  /** Two-level trend aggregation (reference A5: per-week means, then
+    * dispersion across the weekly means —
+    * `/root/reference/src/data/preprocessing.py:229-261`). Two hash
+    * aggregations; the second input is already tiny.
+    */
+  def periodTrend(df: DataFrame, key: String, ts: String, value: String,
+      truncUnit: String): DataFrame = {
+    val per = df
+      .groupBy(col(key), date_trunc(truncUnit, col(ts)).as("bucket"))
+      .agg((dsum(col(value), 4) / count(lit(1))).as("bucket_mean"))
+    per.groupBy(col(key)).agg(
+      count(lit(1)).as("n_buckets"),
+      stdRounded(col("bucket_mean")).as("trend_std"),
+      round(max(col("bucket_mean")) - min(col("bucket_mean")), 6).as("trend_range"))
+  }
+
+  /** Diurnal profile (reference A7: hourly means then daily range —
+    * `/root/reference/src/data/preprocessing.py:352-358`). The reference
+    * recomputes the hour column per feature (22× redundant); here all
+    * features of a key flow through one pair of aggregations.
+    */
+  def diurnalRange(df: DataFrame, key: String, ts: String, value: String): DataFrame = {
+    val hourly = df
+      .groupBy(col(key), hour(col(ts)).as("hr"))
+      .agg((dsum(col(value), 4) / count(lit(1))).as("hour_mean"))
+    hourly.groupBy(col(key)).agg(
+      count(lit(1)).as("n_hours"),
+      round(max(col("hour_mean")) - min(col("hour_mean")), 6).as("daily_range"))
+  }
+
+  /** Early-vs-late split trend (reference A6: halve each series at the median
+    * index, compare half means — `/root/reference/src/data/preprocessing.py:232,263-273`).
+    * `ntile(2)` reproduces the "first half gets the extra element" semantics
+    * of `len//2` splitting.
+    */
+  def halvesTrend(df: DataFrame, key: String, ts: String, tiebreak: String,
+      value: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+    val withHalf = df.withColumn("half", ntile(2).over(w))
+    withHalf.groupBy(col(key)).agg(
+      (dsum(when(col("half") === 1, col(value)), 4) /
+        count(when(col("half") === 1, lit(1)))).as("early_mean"),
+      (dsum(when(col("half") === 2, col(value)), 4) /
+        count(when(col("half") === 2, lit(1)))).as("late_mean"))
+      .withColumn("trend_change", col("late_mean") - col("early_mean"))
+  }
+
+  /** Stride subsampling (reference W3: every 12th reading → hourly cadence —
+    * `/root/reference/src/data/dataset.py:237-238`). Keeps rows where
+    * row_number ≡ 1 (mod stride) within each key's total order.
+    */
+  def strideSample(df: DataFrame, key: String, ts: String, tiebreak: String,
+      stride: Int): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+    df.withColumn("rn", row_number().over(w))
+      .filter((col("rn") - 1) % stride === 0)
+  }
+
+  /** Last-N truncation (reference W4: keep the most recent `maxLen` rows per
+    * key — `/root/reference/src/data/dataset.py:289-291`).
+    */
+  def lastN(df: DataFrame, key: String, ts: String, tiebreak: String,
+      maxLen: Int): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts).desc, col(tiebreak).desc)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxLen)
+      .drop("rn")
+  }
+}
