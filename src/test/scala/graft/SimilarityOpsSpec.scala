@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SimilarityOps
+
+class SimilarityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot / l2norm / cosine on known vectors") {
+    val df = Seq((Seq(1.0, 2.0, 2.0), Seq(2.0, 0.0, 0.0))).toDF("a", "b")
+    assert(df.select(SimilarityOps.dot($"a", $"b")).head.getDouble(0) == 2.0)
+    assert(df.select(SimilarityOps.l2norm($"a")).head.getDouble(0) == 3.0)
+    assert(approx(df.select(SimilarityOps.cosine($"a", $"b")).head.getDouble(0),
+      2.0 / (3.0 * 2.0)))
+  }
+
+  test("cosineScores: self excluded, parallel vector scores 1") {
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(2.0f, 0.0f)),  // parallel to query → cosine 1
+      (2L, Seq(0.0f, 1.0f)),  // orthogonal → 0
+      (3L, Seq(-1.0f, 0.0f)), // opposite → -1
+    ).toDF("vec_id", "embedding")
+    val s = SimilarityOps.cosineScores(e, "vec_id", "embedding", 0L)
+      .orderBy("vec_id").as[(Long, Double)].collect().toMap
+    assert(!s.contains(0L))
+    assert(s(1L) == 1.0 && s(2L) == 0.0 && s(3L) == -1.0)
+  }
+
+  test("topK orders by cosine desc with id tiebreak") {
+    val scores = Seq((5L, 0.9), (2L, 0.9), (7L, 0.5)).toDF("vec_id", "cosine")
+    val r = SimilarityOps.topK(scores, "vec_id", 2).as[(Long, Double)].collect()
+    assert(r.toSeq == Seq((2L, 0.9), (5L, 0.9)))
+  }
+
+  test("lshCandidates buckets identical vectors together") {
+    val e = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f)),
+      (2L, Seq(1.0f, 2.0f, 3.0f)),   // identical → same signature
+      (3L, Seq(-9.0f, 4.0f, -7.0f)),
+    ).toDF("vec_id", "embedding")
+    val pairs = SimilarityOps.lshCandidates(e, "vec_id", "embedding", 3, 16)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens splits on single spaces after trim") {
+    val df = Seq("  the cat sat  ").toDF("t")
+    assert(df.select(TextOps.tokens($"t")).head.getSeq[String](0) ==
+      Seq("the", "cat", "sat"))
+  }
+
+  test("withTokenStats counts tokens/chars/subword estimate") {
+    val df = Seq(("a", "one two three")).toDF("id", "text")
+    val r = TextOps.withTokenStats(df, "text").head
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    assert(r.getAs[Long]("n_chars_text") == 13L)
+    assert(r.getAs[Long]("n_subwords_est") == 4L) // ceil(13/4)
+  }
+
+  test("withQuality computes stopword ratio and composite score") {
+    val df = Seq(("a", "the cat the dog")).toDF("id", "text")
+    val r = TextOps.withQuality(df, "text", Seq("the", "a")).head
+    assert(r.getAs[Double]("stop_ratio") == 0.5)
+    // quality = min(4/100,1) * (1 - 0.5) = 0.02
+    assert(r.getAs[Double]("quality_score") == 0.02)
+  }
+
+  test("withLangId applies threshold decision order") {
+    val df = Seq(
+      (1L, "the the cat dog runs far away home now then"), // the_ratio 0.2
+      (2L, "a a chat chien court loin maison vite alors donc"), // a_ratio 0.2
+      (3L, "uno dos tres cuatro cinco seis siete ocho nueve diez"),
+    ).toDF("doc_id", "text")
+    val r = TextOps.withLangId(df, "text").orderBy("doc_id")
+      .select("lang_pred").as[String].collect()
+    assert(r.toSeq == Seq("en", "fr", "und"))
+  }
+
+  test("wordShingles produces n-grams; short docs yield whole-text shingle") {
+    val df = Seq("w1 w2 w3 w4").toDF("t")
+    assert(df.select(TextOps.wordShingles($"t", 3)).head.getSeq[String](0) ==
+      Seq("w1 w2 w3", "w2 w3 w4"))
+    val short = Seq("w1 w2").toDF("t")
+    assert(short.select(TextOps.wordShingles($"t", 3)).head.getSeq[String](0) ==
+      Seq("w1 w2"))
+  }
+
+  test("fingerprint is order-independent over shingle multiset and deterministic") {
+    val df = Seq("x y z", "x y z").toDF("t")
+    val fps = df.select(TextOps.fingerprint($"t", 2)).as[Long].collect()
+    assert(fps(0) == fps(1))
+  }
+}

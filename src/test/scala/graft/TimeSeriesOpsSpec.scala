@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.TimeSeriesOps
+
+class TimeSeriesOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // one key, strictly increasing values 1,2,4,8 at hourly cadence
+  private val series = Seq(
+    (1L, ts("2024-01-01 00:00:00"), 10L, 1.0),
+    (1L, ts("2024-01-01 01:00:00"), 11L, 2.0),
+    (1L, ts("2024-01-01 02:00:00"), 12L, 4.0),
+    (1L, ts("2024-01-01 03:00:00"), 13L, 8.0),
+  ).toDF("k", "ts", "id", "v")
+
+  test("deltaStats: lag-1 deltas and deltas-of-deltas") {
+    val r = TimeSeriesOps.deltaStats(series, "k", "ts", "id", "v").head
+    // deltas: 1,2,4 → mean 7/3; d2: 1,2 → mean 1.5
+    assert(r.getAs[Long]("n_obs") == 4L)
+    assert(r.getAs[Long]("n_deltas") == 3L)
+    assert(approx(r.getAs[Double]("delta_mean"), 7.0 / 3))
+    assert(approx(r.getAs[Double]("delta2_mean"), 1.5))
+  }
+
+  test("periodTrend: dispersion across per-bucket means") {
+    val two = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.0), // week of 2024-01-01
+      (1L, ts("2024-01-02 00:00:00"), 3.0), // same ISO week → mean 2
+      (1L, ts("2024-01-10 00:00:00"), 6.0), // next week → mean 6
+    ).toDF("k", "ts", "v")
+    val r = TimeSeriesOps.periodTrend(two, "k", "ts", "v", "week").head
+    assert(r.getAs[Long]("n_buckets") == 2L)
+    assert(r.getAs[Double]("trend_range") == 4.0)
+  }
+
+  test("diurnalRange: range over hourly means") {
+    val r = TimeSeriesOps.diurnalRange(series, "k", "ts", "v").head
+    assert(r.getAs[Long]("n_hours") == 4L)
+    assert(r.getAs[Double]("daily_range") == 7.0) // 8 - 1
+  }
+
+  test("halvesTrend: ntile(2) halves, late minus early") {
+    val r = TimeSeriesOps.halvesTrend(series, "k", "ts", "id", "v").head
+    assert(approx(r.getAs[Double]("early_mean"), 1.5))
+    assert(approx(r.getAs[Double]("late_mean"), 6.0))
+    assert(approx(r.getAs[Double]("trend_change"), 4.5))
+  }
+
+  test("halvesTrend: odd length gives first half the extra element (len//2)") {
+    val odd = series.union(
+      Seq((1L, ts("2024-01-01 04:00:00"), 14L, 16.0)).toDF("k", "ts", "id", "v"))
+    val r = TimeSeriesOps.halvesTrend(odd, "k", "ts", "id", "v").head
+    assert(approx(r.getAs[Double]("early_mean"), 7.0 / 3)) // 1,2,4
+    assert(approx(r.getAs[Double]("late_mean"), 12.0)) // 8,16
+  }
+
+  test("strideSample keeps rows 1, 1+s, 1+2s of each key's order") {
+    val r = TimeSeriesOps.strideSample(series, "k", "ts", "id", 2)
+      .select("id").as[Long].collect().sorted
+    assert(r.toSeq == Seq(10L, 12L))
+  }
+
+  test("lastN keeps most recent rows") {
+    val r = TimeSeriesOps.lastN(series, "k", "ts", "id", 2)
+      .select("id").as[Long].collect().sorted
+    assert(r.toSeq == Seq(12L, 13L))
+  }
+
+  test("deltaStats is invariant under input row permutation") {
+    val shuffled = series.orderBy(rand(7))
+    val a = TimeSeriesOps.deltaStats(series, "k", "ts", "id", "v").head
+    val b = TimeSeriesOps.deltaStats(shuffled, "k", "ts", "id", "v").head
+    assert(a.toSeq == b.toSeq)
+  }
+}
