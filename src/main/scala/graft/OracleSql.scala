@@ -303,5 +303,152 @@ object OracleSql {
         |  ROUND(CAST(SUM(n) OVER () AS DOUBLE) / (COUNT(*) OVER () * n), 6) AS weight
         |FROM c
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q31_semi_anti_join" ->
+      """WITH f AS (
+        |  SELECT c_mktsegment,
+        |    EXISTS(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |           AND o.o_totalprice > 200000) AS has
+        |  FROM customer c)
+        |SELECT c_mktsegment,
+        |  COUNT(*) FILTER (WHERE has) AS n_with,
+        |  COUNT(*) FILTER (WHERE NOT has) AS n_without
+        |FROM f
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q32_scalar_funcs" ->
+      """SELECT p_partkey,
+        |  TRIM(p_name) AS name_trim,
+        |  UPPER(p_brand) AS brand_upper,
+        |  substr(p_type, 1, 5) AS type_prefix,
+        |  CAST(starts_with(p_name, 'a') AS INTEGER) AS starts_a,
+        |  TRY_CAST(regexp_replace(lpad(CAST(p_partkey AS VARCHAR), 8, '0'), '^0+', '') AS BIGINT) AS key_restored,
+        |  TRY_CAST(p_brand AS DOUBLE) AS brand_as_num
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q33_json_extract" ->
+      """WITH t AS (
+        |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type,
+        |  COUNT(k) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  MIN(k) AS min_k,
+        |  MAX(k) AS max_k
+        |FROM t
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q34_sequence_assembly" ->
+      """WITH s AS (
+        |  SELECT user_id, list(event_id ORDER BY ts, event_id) AS ids
+        |  FROM events GROUP BY user_id),
+        |t AS (
+        |  SELECT user_id,
+        |    CASE WHEN len(ids) >= 8 THEN ids[len(ids)-7:] ELSE ids END AS last_n
+        |  FROM s)
+        |SELECT user_id,
+        |  array_to_string(list_concat(
+        |    list_transform(range(8 - len(last_n)), x -> 0), last_n), ',') AS seq_str,
+        |  len(last_n) AS seq_len
+        |FROM t
+        |ORDER BY user_id""".stripMargin,
+
+    "q35_monthly_trend" ->
+      """WITH per AS (
+        |  SELECT l_suppkey AS k, date_trunc('month', l_shipdate) AS bucket,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS bucket_mean
+        |  FROM lineitem
+        |  GROUP BY l_suppkey, date_trunc('month', l_shipdate))
+        |SELECT k, COUNT(*) AS n_buckets,
+        |  CASE WHEN COUNT(bucket_mean) > 1 THEN ROUND(STDDEV_SAMP(bucket_mean), 6) END AS trend_std,
+        |  ROUND(MAX(bucket_mean) - MIN(bucket_mean), 6) AS trend_range
+        |FROM per
+        |GROUP BY k
+        |ORDER BY k""".stripMargin,
+
+    "q36_rolling_range_frame" ->
+      """SELECT user_id, event_id,
+        |  ROUND(AVG(value) OVER w, 6) AS rolling_avg_3d,
+        |  COUNT(*) OVER w AS n_in_window
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |  RANGE BETWEEN 259200 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q37_cosine_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id < 200)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_inner_product(a.emb, b.emb) /
+        |    (SQRT(list_inner_product(a.emb, a.emb)) *
+        |     SQRT(list_inner_product(b.emb, b.emb))), 6) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_inner_product(a.emb, b.emb) /
+        |    (SQRT(list_inner_product(a.emb, a.emb)) *
+        |     SQRT(list_inner_product(b.emb, b.emb))), 6) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q38_stream_windowed" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "q39_jaccard_neardup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+        |      THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+        |      ELSE [array_to_string(tk, ' ')] END) AS sh
+        |    FROM toks)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  ROUND(n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6) AS jaccard
+        |FROM shared
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE ROUND(n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q41_confusion_pivot" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS label,
+        |         CASE WHEN (o_orderkey % 7) < 3 THEN 1 ELSE 0 END AS pred
+        |  FROM orders),
+        |a AS (
+        |  SELECT label AS cls, COUNT(*) AS support,
+        |    COUNT(*) FILTER (WHERE pred = label) AS tp
+        |  FROM t GROUP BY label),
+        |b AS (SELECT pred AS cls, COUNT(*) AS pred_n FROM t GROUP BY pred),
+        |tot AS (SELECT COUNT(*) AS n FROM t)
+        |SELECT cls, support,
+        |  ROUND(tp / CAST(pred_n AS DOUBLE), 6) AS precision,
+        |  ROUND(tp / CAST(support AS DOUBLE), 6) AS recall,
+        |  ROUND((n - support - (pred_n - tp)) / CAST(n - support AS DOUBLE), 6) AS specificity
+        |FROM a JOIN b USING (cls) CROSS JOIN tot
+        |ORDER BY cls""".stripMargin,
+
+    "q43_stream_static_join" ->
+      """WITH u AS (
+        |  SELECT user_id, COUNT(*) AS n_total FROM events
+        |  GROUP BY user_id HAVING COUNT(*) >= 50)
+        |SELECT e.user_id, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(e.value AS DECIMAL(28,4))) AS DOUBLE), 4) AS sum_value
+        |FROM events e JOIN u USING (user_id)
+        |GROUP BY e.user_id
+        |ORDER BY e.user_id""".stripMargin,
   )
 }

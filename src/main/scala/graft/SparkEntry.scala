@@ -326,6 +326,198 @@ object SparkEntry {
       "l_orderkey", Seq("l_quantity", "l_discount"), "l_extendedprice", 5)
       .orderBy(col("fold"))
 
+  // ---------------------------------------------------------------- q31
+  // Semi/anti joins (reference J4 set-membership splits): per market
+  // segment, customers with vs without orders above a price threshold.
+  def q31(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val bigOrders = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 200000).select("o_custkey")
+    val withO = c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with"))
+    val withoutO = c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_without"))
+    withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
+      .na.fill(0L, Seq("n_with", "n_without"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  // ---------------------------------------------------------------- q32
+  // Scalar-function suite (reference F8–F12): trim, strip leading zeros +
+  // try_cast, startswith, substring, case conversion — over part names.
+  def q32(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        trim(col("p_name")).as("name_trim"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        col("p_name").startsWith("a").cast("int").as("starts_a"),
+        expr("try_cast(regexp_replace(lpad(CAST(p_partkey AS STRING), 8, '0'), '^0+', '') AS BIGINT)")
+          .as("key_restored"),
+        expr("try_cast(p_brand AS DOUBLE)").as("brand_as_num"))
+      .orderBy(col("p_partkey"))
+
+  // ---------------------------------------------------------------- q33
+  // JSON path extraction (events.props is a JSON document) + aggregation
+  // over the extracted field.
+  def q33(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  // ---------------------------------------------------------------- q34
+  // Sequence assembly: ordered per-user id sequence, last-8 truncation,
+  // zero-padding (reference W1–W4 + dataset.py:287-298 pad/truncate).
+  def q34(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.sequenceAssembly(t(spark, dir, "events"), "user_id", "ts",
+      "event_id", 8)
+      .select("user_id", "seq_str", "seq_len")
+      .orderBy(col("user_id"))
+
+  // ---------------------------------------------------------------- q35
+  // Monthly variant of the two-level trend aggregation (reference A5).
+  def q35(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.periodTrend(t(spark, dir, "lineitem")
+        .select(col("l_suppkey").as("k"), col("l_shipdate").as("ts"),
+          col("l_extendedprice").as("v")),
+      "k", "ts", "v", "month")
+      .orderBy(col("k"))
+
+  // ---------------------------------------------------------------- q36
+  // Rolling 3-day trailing mean via an explicit range frame — the frame-
+  // spec formulation of the reference's window stats (SURVEY §2.5 note).
+  def q36(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").cast("long"))
+      .rangeBetween(-3 * 86400, 0)
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(avg(col("value")).over(w), 6).as("rolling_avg_3d"),
+        count(lit(1)).over(w).as("n_in_window"))
+      .select("user_id", "event_id", "rolling_avg_3d", "n_in_window")
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  // ---------------------------------------------------------------- q37
+  // Embedding-cosine near-duplicate pairs (north-star dedup #5): exact
+  // brute force on an id-bounded block so the oracle stays cheap; the
+  // unbounded path goes through SimilarityOps.lshCandidates.
+  def q37(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val l = e.select(col("vec_id").as("id_a"), col("emb").as("ea"))
+    val r = e.select(col("vec_id").as("id_b"), col("emb").as("eb"))
+    l.join(r, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(SimilarityOps.cosine(col("ea"), col("eb")), 6).as("cosine"))
+      .filter(col("cosine") >= 0.2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ---------------------------------------------------------------- q38
+  // Structured Streaming: tumbling 1-day event-time windows with watermark,
+  // availableNow replay over the events parquet (SURVEY §2.11).
+  def q38(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.streaming.StreamingOps.windowedEventStats(
+      spark, dir, "events.parquet", "ts", "event_type", "value",
+      "1 day", "1 day", s"q38_sink_${System.nanoTime()}",
+      prepare = df => {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      })
+    out.withColumn("sum_value", round(col("sum_value"), 4))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  // ---------------------------------------------------------------- q39
+  // Exact n-gram Jaccard near-dup pairs via shingle inverted index
+  // (north-star dedup #4) — exact recall, one equi-join shuffle.
+  def q39(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.jaccardPairsExact(t(spark, dir, "documents"), "doc_id", "text",
+      3, 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ---------------------------------------------------------------- q40
+  // Multimodal binary plumbing: opaque payload column → per-partition
+  // batched metadata decode (stubbed codec), aggregated per source.
+  def q40(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val meta = MultimodalOps.decodeMeta(spark,
+      MultimodalOps.withPayload(docs, "text"), "doc_id").toDF()
+    meta.join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        dsum(col("n_bytes").cast("double"), 0).cast("long").as("total_bytes"),
+        davg(col("width").cast("double"), 0).as("avg_width"),
+        davg(col("height").cast("double"), 0).as("avg_height"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------- q41
+  // Pivoted per-class confusion stats: precision/recall/specificity per
+  // class from one conditional aggregation (reference X6 full surface).
+  def q41(spark: SparkSession, dir: String): DataFrame = {
+    val d = labeledOrders(spark, dir)
+    val tot = d.count()
+    d.groupBy(col("label").as("cls"))
+      .agg(
+        count(lit(1)).as("support"),
+        sum(when(col("pred") === col("label"), 1).otherwise(0)).as("tp"))
+      .join(
+        d.groupBy(col("pred").as("cls"))
+          .agg(count(lit(1)).as("pred_n")),
+        Seq("cls"), "full_outer")
+      .na.fill(0L, Seq("support", "tp", "pred_n"))
+      .select(
+        col("cls"),
+        col("support"),
+        round(col("tp") / col("pred_n"), 6).as("precision"),
+        round(col("tp") / col("support"), 6).as("recall"),
+        round((lit(tot) - col("support") - (col("pred_n") - col("tp"))) /
+          (lit(tot) - col("support")), 6).as("specificity"))
+      .orderBy(col("cls"))
+  }
+
+  // ---------------------------------------------------------------- q42
+  // MLlib regressor ensemble: ridge/lasso/RF/GBT + prediction average
+  // (reference M7/M9) — rows-only (model fits are not SQL-expressible).
+  def q42(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.ensembleRegressors(
+      t(spark, dir, "lineitem").filter(col("l_orderkey") < 2000),
+      "l_orderkey", Seq("l_quantity", "l_discount", "l_tax"),
+      "l_extendedprice")
+      .orderBy(col("model"))
+
+  // ---------------------------------------------------------------- q43
+  // Stream-static broadcast join + aggregation (SURVEY §2.11): the events
+  // stream joined to the static top-value user dimension.
+  def q43(spark: SparkSession, dir: String): DataFrame = {
+    val users = t(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_total"))
+      .filter(col("n_total") >= 50)
+      .select(col("user_id").as("dim_user"), col("n_total"))
+    val out = graft.streaming.StreamingOps.streamStaticJoinStats(
+      spark, dir, "events.parquet", users, "user_id", "dim_user",
+      "ts", "value", "1 day", s"q43_sink_${System.nanoTime()}",
+      prepare = df => {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      })
+    out.withColumn("sum_value", round(col("sum_value"), 4))
+      .select(col("dim_user").as("user_id"), col("n"), col("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -358,6 +550,19 @@ object SparkEntry {
     "q28_simhash" -> (q28 _),
     "q29_ml_logreg" -> (q29 _),
     "q30_ml_kfold_oof" -> (q30 _),
+    "q31_semi_anti_join" -> (q31 _),
+    "q32_scalar_funcs" -> (q32 _),
+    "q33_json_extract" -> (q33 _),
+    "q34_sequence_assembly" -> (q34 _),
+    "q35_monthly_trend" -> (q35 _),
+    "q36_rolling_range_frame" -> (q36 _),
+    "q37_cosine_neardup" -> (q37 _),
+    "q38_stream_windowed" -> (q38 _),
+    "q39_jaccard_neardup" -> (q39 _),
+    "q40_multimodal_meta" -> (q40 _),
+    "q41_confusion_pivot" -> (q41 _),
+    "q42_ml_ensemble" -> (q42 _),
+    "q43_stream_static_join" -> (q43 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

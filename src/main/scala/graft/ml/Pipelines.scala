@@ -68,4 +68,52 @@ object MlPipelines {
       count(lit(1)).as("n"),
       round(sqrt(avg(pow(col("label") - col("prediction"), 2))), 4).as("rmse"))
   }
+
+  /** Regressor ensemble (reference M7/M9,
+    * `/root/reference/scripts/train_ensemble.py:134-197`): ridge, lasso,
+    * random forest and GBT trained on the train split, scored on test, plus
+    * the unweighted prediction average — one row of RMSE per model and for
+    * the ensemble. Mirrors the reference's model zoo with MLlib estimators
+    * (`LinearRegression` elasticNet 0/1 = ridge/lasso, `RandomForestRegressor`
+    * n=100 depth=5, `GBTRegressor` iter=50 depth=3).
+    */
+  def ensembleRegressors(df: DataFrame, idCol: String,
+      featureCols: Seq[String], labelCol: String): DataFrame = {
+    import org.apache.spark.ml.regression.{GBTRegressor, RandomForestRegressor}
+    val data = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+      .transform(SplitOps.withSplit(df, idCol))
+      .withColumn("label", col(labelCol).cast("double"))
+    val train = data.filter(col("split") === "train").cache()
+    val test = data.filter(col("split") === "test")
+
+    val models = Seq(
+      "ridge" -> new LinearRegression().setMaxIter(50).setRegParam(1.0)
+        .setElasticNetParam(0.0).fit(train),
+      "lasso" -> new LinearRegression().setMaxIter(50).setRegParam(0.1)
+        .setElasticNetParam(1.0).fit(train),
+      "random_forest" -> new RandomForestRegressor().setNumTrees(100)
+        .setMaxDepth(5).setMinInstancesPerNode(3).setSeed(42).fit(train),
+      "gradient_boosting" -> new GBTRegressor().setMaxIter(50).setMaxDepth(3)
+        .setSeed(42).fit(train),
+    )
+    // one pass over test accumulating every model's prediction column
+    val scored = models.zipWithIndex.foldLeft(test) { case (d, ((_, m), i)) =>
+      m.setPredictionCol(s"p_$i").transform(d)
+    }
+    val withEns = scored.withColumn("p_ens",
+      (0 until models.size).map(i => col(s"p_$i")).reduce(_ + _) / models.size)
+    val perModel = models.zipWithIndex.map { case ((name, _), i) =>
+      withEns.agg(
+        lit(name).as("model"),
+        count(lit(1)).as("n_test"),
+        round(sqrt(avg(pow(col("label") - col(s"p_$i"), 2))), 4).as("rmse"))
+    }
+    val ens = withEns.agg(
+      lit("ensemble_avg").as("model"),
+      count(lit(1)).as("n_test"),
+      round(sqrt(avg(pow(col("label") - col("p_ens"), 2))), 4).as("rmse"))
+    train.unpersist()
+    (perModel :+ ens).reduce(_.unionByName(_))
+  }
 }

@@ -105,4 +105,30 @@ object TimeSeriesOps {
       .filter(col("rn") <= maxLen)
       .drop("rn")
   }
+
+  /** Sequence assembly (reference W1–W4 + pad/truncate,
+    * `/root/reference/src/data/dataset.py:233-298`): per key, the
+    * time-ordered id sequence truncated to the most recent `maxLen`
+    * elements and left-zero-padded to exactly `maxLen`. One hash
+    * aggregation; sorting happens on the collected per-key array (bounded by
+    * maxLen after slice), never as a global sort. Emitted as a joined
+    * string so the contract is engine-portable (array formatting is not).
+    */
+  def sequenceAssembly(df: DataFrame, key: String, ts: String,
+      idCol: String, maxLen: Int): DataFrame = {
+    val collected = df
+      .groupBy(col(key))
+      .agg(sort_array(collect_list(struct(col(ts), col(idCol)))).as("s"))
+      .withColumn("ids", transform(col("s"), x => x.getField(idCol)))
+    val truncated = collected.withColumn("last_n",
+      when(size(col("ids")) >= maxLen, slice(col("ids"), -maxLen, maxLen))
+        .otherwise(col("ids")))
+    truncated
+      .withColumn("padded",
+        concat(array_repeat(lit(0L), lit(maxLen) - size(col("last_n"))),
+          col("last_n")))
+      .select(col(key), col("padded"),
+        concat_ws(",", col("padded")).as("seq_str"),
+        size(col("last_n")).cast("long").as("seq_len"))
+  }
 }
