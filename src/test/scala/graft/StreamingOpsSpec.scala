@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+
+/** Streaming queries must agree with their batch formulation — the same
+  * contract the driver's oracle checks on the real tables, here on a
+  * self-written fixture so the spec is hermetic.
+  */
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_stream_spec").toString
+    val df = Seq(
+      ("2024-01-01 01:00:00", 1L, "a", 1.5),
+      ("2024-01-01 02:00:00", 1L, "a", 2.5),
+      ("2024-01-02 01:00:00", 2L, "b", 4.0),
+      ("2024-01-03 01:00:00", 1L, "a", 8.0),
+    ).toDF("ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    df.coalesce(1).write.mode("overwrite").parquet(s"$d/fixture.parquet")
+    d
+  }
+
+  test("windowedEventStats equals the batch groupBy(date_trunc) result") {
+    val out = StreamingOps.windowedEventStats(spark, s"$dir/fixture.parquet",
+      "*.parquet", "ts", "event_type", "value", "1 day", "1 day",
+      s"spec_sink_${System.nanoTime()}")
+      .orderBy("window_start", "event_type")
+      .collect()
+    assert(out.length == 3)
+    val day1 = out.head
+    assert(day1.getAs[String]("event_type") == "a")
+    assert(day1.getAs[Long]("n") == 2L)
+    assert(day1.getAs[Double]("sum_value") == 4.0)
+  }
+
+  test("streamStaticJoinStats joins the static dim and aggregates per key") {
+    val static = Seq((1L, "gold")).toDF("dim_user", "tier")
+    val out = StreamingOps.streamStaticJoinStats(spark, s"$dir/fixture.parquet",
+      "*.parquet", static, "user_id", "dim_user", "ts", "value", "1 day",
+      s"spec_join_sink_${System.nanoTime()}")
+      .collect()
+    // only user 1 is in the dim: 3 events, sum 12.0
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n") == 3L)
+    assert(out.head.getAs[Double]("sum_value") == 12.0)
+  }
+}
