@@ -418,7 +418,7 @@ object SparkEntry {
     val r = e.select(col("vec_id").as("id_b"), col("emb").as("eb"))
     l.join(r, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(SimilarityOps.cosine(col("ea"), col("eb")), 6).as("cosine"))
+        round(SimilarityOps.cosineNative(col("ea"), col("eb")), 6).as("cosine"))
       .filter(col("cosine") >= 0.2)
       .orderBy(col("id_a"), col("id_b"))
   }

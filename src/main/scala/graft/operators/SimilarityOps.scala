@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Deterministic double-precision dot product of two array columns. */
+  /** Deterministic double-precision dot product of two array columns —
+    * composable `functions._` formulation.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
@@ -23,6 +25,21 @@ object SimilarityOps {
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Native fused single-pass cosine ([[graft.functions.CosineSim]]) —
+    * bit-identical to [[cosine]], one array scan instead of three, stays in
+    * whole-stage codegen. The hot-path choice for corpus-scale ANN.
+    */
+  def cosineNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(graft.functions.CosineSim(expression(a), expression(b)))
+  }
+
+  /** Native fused dot product ([[graft.functions.DotProduct]]). */
+  def dotNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(graft.functions.DotProduct(expression(a), expression(b)))
+  }
 
   /** Cosine of every corpus vector against the single query vector
     * `queryId`. Output: (idCol, cosine rounded to 6) — the rounding makes
@@ -34,7 +51,8 @@ object SimilarityOps {
     val q = e.filter(col(idCol) === queryId).select(col("emb_d").as("q_emb"))
     e.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
-      .select(col(idCol), round(cosine(col("emb_d"), col("q_emb")), 6).as("cosine"))
+      .select(col(idCol),
+        round(cosineNative(col("emb_d"), col("q_emb")), 6).as("cosine"))
   }
 
   /** Brute-force top-k by (rounded) cosine, deterministic tiebreak on id. */
