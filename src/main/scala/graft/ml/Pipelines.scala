@@ -53,10 +53,15 @@ object MlPipelines {
     */
   def kfoldOOFLinReg(df: DataFrame, idCol: String, featureCols: Seq[String],
       labelCol: String, k: Int): DataFrame = {
+    // OOF CV input is small by construction (the reference's datasets are
+    // tens-to-thousands of rows); one partition removes per-iteration
+    // scheduling overhead from the k sequential fits.
     val assembled = new org.apache.spark.ml.feature.VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("features")
       .transform(SplitOps.withFold(df, idCol, k))
       .withColumn("label", col(labelCol).cast("double"))
+      .coalesce(1).cache()
+    assembled.count()
     val folds = (0 until k).map { f =>
       val model = new LinearRegression().setMaxIter(50).setRegParam(0.0)
         .fit(assembled.filter(col("fold") =!= f))
@@ -64,9 +69,13 @@ object MlPipelines {
         .select(lit(f).as("fold"), col("label"), col("prediction"))
     }
     val oof = folds.reduce(_.unionByName(_))
-    oof.groupBy(col("fold")).agg(
+    val out = oof.groupBy(col("fold")).agg(
       count(lit(1)).as("n"),
       round(sqrt(avg(pow(col("label") - col("prediction"), 2))), 4).as("rmse"))
+    val materialized = out.cache()
+    materialized.count()
+    assembled.unpersist()
+    materialized
   }
 
   /** Regressor ensemble (reference M7/M9,
@@ -80,12 +89,17 @@ object MlPipelines {
   def ensembleRegressors(df: DataFrame, idCol: String,
       featureCols: Seq[String], labelCol: String): DataFrame = {
     import org.apache.spark.ml.regression.{GBTRegressor, RandomForestRegressor}
+    // ensemble training data is id-bounded small; a few partitions keep
+    // tree building parallel while avoiding 32-task scheduling per
+    // boosting iteration
     val data = new org.apache.spark.ml.feature.VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("features")
       .transform(SplitOps.withSplit(df, idCol))
       .withColumn("label", col(labelCol).cast("double"))
+      .coalesce(2)
     val train = data.filter(col("split") === "train").cache()
-    val test = data.filter(col("split") === "test")
+    val test = data.filter(col("split") === "test").cache()
+    train.count(); test.count()
 
     val models = Seq(
       "ridge" -> new LinearRegression().setMaxIter(50).setRegParam(1.0)
@@ -113,7 +127,9 @@ object MlPipelines {
       lit("ensemble_avg").as("model"),
       count(lit(1)).as("n_test"),
       round(sqrt(avg(pow(col("label") - col("p_ens"), 2))), 4).as("rmse"))
-    train.unpersist()
-    (perModel :+ ens).reduce(_.unionByName(_))
+    val out = (perModel :+ ens).reduce(_.unionByName(_)).cache()
+    out.count()
+    train.unpersist(); test.unpersist()
+    out
   }
 }
