@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan audit: the properties that make these queries survive a
+  * 100× scale-up are asserted here, not just eyeballed — filters reach the
+  * parquet scan, projections prune the read schema, provably-small join
+  * sides broadcast instead of shuffling, and the per-row operators stay
+  * inside whole-stage codegen.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** AQE finalizes (and wraps stages in WholeStageCodegen) only after an
+    * action — execute first, then read the final plan.
+    */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: predicate and projection are pushed into the parquet scan") {
+    val p = plan(SparkEntry.q02(spark, dir))
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,45.0)"), p)
+    // (the full PushedFilters list is truncated in toString; the DataFilters
+    // mirror confirms the returnflag predicate reached the scan)
+    assert(p.contains("(l_returnflag#") && p.contains("= R)"), p)
+    // read schema must carry only the 4 projected + 2 filtered columns
+    assert(!p.contains("l_shipdate"), "scan reads columns the query never uses")
+    assert(!p.contains("l_tax"), "scan reads columns the query never uses")
+  }
+
+  test("q01: ship-date filter reaches the scan; aggregate is partial+final") {
+    val p = plan(SparkEntry.q01(spark, dir))
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q03: small dimensions broadcast — no sort-merge shuffle join") {
+    val p = plan(SparkEntry.q03(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "dim join must broadcast, not shuffle")
+  }
+
+  test("q05: interval join broadcasts the anchor side") {
+    val p = plan(SparkEntry.q05(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  // in a finalized AQE plan, whole-stage-codegen stages print as "*(n) Op"
+  private def hasCodegenStage(p: String): Boolean =
+    p.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r.findFirstIn(p).isDefined
+
+  test("q12/q13: text ops are pure per-row projections inside codegen") {
+    val p12 = finalPlan(SparkEntry.q12(spark, dir))
+    assert(hasCodegenStage(p12), p12)
+    assert(!p12.contains("Exchange hashpartitioning"),
+      "token stats must not shuffle")
+    val p13 = plan(SparkEntry.q13(spark, dir))
+    assert(!p13.contains("Exchange hashpartitioning"),
+      "quality scoring must not shuffle")
+  }
+
+  test("q15: native cosine runs inside whole-stage codegen") {
+    val p = finalPlan(SparkEntry.q15(spark, dir))
+    assert(p.contains("vec_cosine"), p)
+    // the projection containing vec_cosine must be inside a codegen stage
+    assert("\\*\\(\\d+\\) Project \\[vec_id".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q31: semi and anti joins broadcast the filter side") {
+    val p = plan(SparkEntry.q31(spark, dir))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+  }
+}
