@@ -441,6 +441,64 @@ object OracleSql {
         |FROM a JOIN b USING (cls) CROSS JOIN tot
         |ORDER BY cls""".stripMargin,
 
+    "q44_feature_matrix" ->
+      """WITH j AS (
+        |  SELECT a.event_id AS anchor_id, e.value, e.ts, e.event_id
+        |  FROM events e
+        |  JOIN events a ON a.event_type = 'signup'
+        |    AND e.user_id = a.user_id
+        |    AND e.ts >= a.ts - INTERVAL 3 DAY
+        |    AND e.ts <= a.ts + INTERVAL 3 DAY),
+        |d AS (
+        |  SELECT anchor_id, value, ts, event_id,
+        |    value - LAG(value) OVER (PARTITION BY anchor_id ORDER BY ts, event_id) AS d1
+        |  FROM j)
+        |SELECT anchor_id,
+        |  COUNT(*) AS n_samples,
+        |  ROUND(COUNT(*) / (6.0 * 24 * 4), 6) AS window_coverage,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(value) AS v_mean,
+        |  CASE WHEN COUNT(value) > 1 THEN ROUND(STDDEV_SAMP(value), 6) END AS v_std,
+        |  MIN(value) AS v_min,
+        |  MAX(value) AS v_max,
+        |  ROUND(MAX(value) - MIN(value), 6) AS v_range,
+        |  CASE WHEN COUNT(value) > 2 THEN ROUND(SKEWNESS(value), 6) END AS v_skew,
+        |  CASE WHEN COUNT(value) > 3 THEN ROUND(KURTOSIS(value), 6) END AS v_kurt,
+        |  CAST(SUM(CAST(d1 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(d1) AS v_delta_mean,
+        |  CASE WHEN COUNT(d1) > 1 THEN ROUND(STDDEV_SAMP(d1), 6) END AS v_delta_std
+        |FROM d
+        |GROUP BY anchor_id
+        |HAVING COUNT(*) >= 10
+        |ORDER BY anchor_id""".stripMargin,
+
+    "q45_period_agg" ->
+      """SELECT l_suppkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(l_quantity) AS qty_mean,
+        |  CASE WHEN COUNT(l_quantity) > 1 THEN ROUND(STDDEV_SAMP(l_quantity), 6) END AS qty_std,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(l_extendedprice) AS price_mean,
+        |  ROUND(MAX(l_extendedprice) - MIN(l_extendedprice), 6) AS price_range
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_suppkey
+        |HAVING COUNT(*) >= 100
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "q46_auc_rank" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS label,
+        |    (o_orderkey % 1000) / 1000.0 + o_totalprice / 1e6 AS score
+        |  FROM orders),
+        |r AS (
+        |  SELECT label, score, RANK() OVER (ORDER BY score) AS rk FROM d),
+        |rr AS (
+        |  SELECT label, AVG(rk) OVER (PARTITION BY score) AS arank FROM r)
+        |SELECT COUNT(*) AS n,
+        |  CAST(SUM(label) AS BIGINT) AS n_pos,
+        |  ROUND(
+        |    (CAST(SUM(CASE WHEN label = 1 THEN CAST(arank AS DECIMAL(28,6)) END) AS DOUBLE)
+        |      - (SUM(label) * (SUM(label) + 1) / 2.0)) /
+        |    (SUM(label) * (COUNT(*) - SUM(label))), 6) AS auc
+        |FROM rr""".stripMargin,
+
     "q43_stream_static_join" ->
       """WITH u AS (
         |  SELECT user_id, COUNT(*) AS n_total FROM events

@@ -518,6 +518,95 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  // ---------------------------------------------------------------- q44
+  // The reference's core feature matrix in one pass (A1–A4 over the J2
+  // interval join): per anchor window, mean/std/min/max/range + bias-
+  // corrected skew/kurt + lag-delta stats + count/coverage, with the
+  // min-support HAVING (preprocessing.py:101-137,96).
+  def q44(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(spark, dir, "events")
+    val anchors = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("anchor_id"), col("user_id").as("a_user"),
+        col("ts").as("anchor_ts"))
+    val joined = FuzzyJoins.intervalJoin(e, anchors, "user_id", "a_user",
+      "ts", "anchor_ts", "3 DAYS", "3 DAYS")
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("ts"), col("event_id"))
+    joined
+      .withColumn("d1", col("value") - lag(col("value"), 1).over(w))
+      .groupBy(col("anchor_id"))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        round(count(lit(1)) / lit(6.0 * 24 * 4), 6).as("window_coverage"),
+        davg(col("value"), 4).as("v_mean"),
+        stdRounded(col("value")).as("v_std"),
+        min(col("value")).as("v_min"),
+        max(col("value")).as("v_max"),
+        round(max(col("value")) - min(col("value")), 6).as("v_range"),
+        round(skewSample(col("value")), 6).as("v_skew"),
+        round(kurtSample(col("value")), 6).as("v_kurt"),
+        (dsum(col("d1"), 6) / count(col("d1"))).as("v_delta_mean"),
+        stdRounded(col("d1")).as("v_delta_std"))
+      .filter(col("n_samples") >= 10)
+      .orderBy(col("anchor_id"))
+  }
+
+  // ---------------------------------------------------------------- q45
+  // Fixed-period aggregation (reference J3/P5: summer filter + per-key
+  // stats + min-support ≥ 100, preprocessing.py:306-335).
+  def q45(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(
+        count(lit(1)).as("n"),
+        davg(col("l_quantity"), 2).as("qty_mean"),
+        stdRounded(col("l_quantity")).as("qty_std"),
+        davg(col("l_extendedprice"), 2).as("price_mean"),
+        round(max(col("l_extendedprice")) - min(col("l_extendedprice")), 6)
+          .as("price_range"))
+      .filter(col("n") >= 100)
+      .orderBy(col("l_suppkey"))
+
+  // ---------------------------------------------------------------- q46
+  // ROC-AUC via the Mann–Whitney rank statistic (reference X4) — exact,
+  // one window pass + one aggregate, tie-corrected through average ranks.
+  def q46(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(spark, dir, "orders")
+      .withColumn("label", (col("o_totalprice") > 150000).cast("int"))
+      .withColumn("score",
+        (col("o_orderkey") % 1000) / lit(1000.0) + col("o_totalprice") / lit(1e6))
+    // average rank over score ties keeps the statistic exact under ties
+    val ranked = d.withColumn("r", rank().over(Window.orderBy(col("score"))))
+      .withColumn("rr", avg(col("r")).over(Window.partitionBy(col("score"))))
+    ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("label")).cast("long").as("n_pos"),
+      round(
+        (dsum(when(col("label") === 1, col("rr")), 6) -
+          (sum(col("label")) * (sum(col("label")) + 1) / 2.0)) /
+          (sum(col("label")) * (count(lit(1)) - sum(col("label")))), 6)
+        .as("auc"))
+  }
+
+  // ---------------------------------------------------------------- q47
+  // End-to-end population-pipeline slice (SURVEY §3.1 / §7.2 milestone):
+  // interval-join feature build → threshold label → leakage-safe split →
+  // scale-on-train → logistic regression → test accuracy/balanced-acc.
+  // Rows-only (model fit is not SQL-expressible).
+  def q47(spark: SparkSession, dir: String): DataFrame = {
+    val feats = q44(spark, dir)
+      .withColumn("label_bin", (col("v_mean") >= 3.0).cast("double"))
+      .na.fill(0.0, Seq("v_std", "v_skew", "v_kurt", "v_delta_mean", "v_delta_std"))
+    MlPipelines.classifyAndEvaluate(feats, "anchor_id",
+      Seq("n_samples", "v_std", "v_range", "v_skew", "v_kurt",
+        "v_delta_mean", "v_delta_std"),
+      "label_bin")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -563,6 +652,10 @@ object SparkEntry {
     "q41_confusion_pivot" -> (q41 _),
     "q42_ml_ensemble" -> (q42 _),
     "q43_stream_static_join" -> (q43 _),
+    "q44_feature_matrix" -> (q44 _),
+    "q45_period_agg" -> (q45 _),
+    "q46_auc_rank" -> (q46 _),
+    "q47_population_pipeline" -> (q47 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

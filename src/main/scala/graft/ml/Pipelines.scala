@@ -47,6 +47,48 @@ object MlPipelines {
       .withColumn("recall", round(col("n_correct") / col("n"), 6))
   }
 
+  /** The reference's full §3.1 training-query shape on an arbitrary feature
+    * frame: leakage-safe group split, standardize fitted on train only,
+    * logistic regression, test-set accuracy + balanced accuracy
+    * (reference M1/M2/M4 + X1/X2). One summary row.
+    */
+  def classifyAndEvaluate(features: DataFrame, idCol: String,
+      featureCols: Seq[String], labelCol: String): DataFrame = {
+    val data = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features_raw")
+      .transform(SplitOps.withSplit(features, idCol))
+      .withColumn("label", col(labelCol).cast("double"))
+      .coalesce(2)
+    val train = data.filter(col("split") === "train").cache()
+    val test = data.filter(col("split") === "test")
+    train.count()
+
+    val scaler = new StandardScaler()
+      .setInputCol("features_raw").setOutputCol("features")
+      .setWithMean(true).setWithStd(true).fit(train)
+    val lr = new LogisticRegression()
+      .setMaxIter(50).setRegParam(0.01).setFeaturesCol("features")
+      .fit(scaler.transform(train))
+    val pred = lr.transform(scaler.transform(test))
+      .select(col("label"), col("prediction")).cache()
+    pred.count()
+    train.unpersist()
+
+    val perClass = pred.groupBy(col("label")).agg(
+      (sum(when(col("prediction") === col("label"), 1).otherwise(0)) /
+        count(lit(1))).as("recall"))
+    val out = pred.agg(
+      count(lit(1)).as("n_test"),
+      round(sum(when(col("prediction") === col("label"), 1).otherwise(0)) /
+        count(lit(1)), 6).as("accuracy"))
+      .crossJoin(perClass.agg(
+        round(avg(col("recall")), 6).as("balanced_accuracy")))
+      .cache()
+    out.count()
+    pred.unpersist()
+    out
+  }
+
   /** K-fold out-of-fold linear regression: per fold, train on the other
     * folds and score the held-out fold (the reference's
     * `cross_val_predict`). Returns per-fold RMSE/R² rows.
