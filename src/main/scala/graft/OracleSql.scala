@@ -200,10 +200,15 @@ object OracleSql {
         |    ROUND(CAST(SUM(CAST((y - p) * (y - p) AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*), 0) AS mse,
         |    CAST(SUM(CAST((y - p) * (y - p) AS DECIMAL(28,4))) AS DOUBLE) AS ss_res,
         |    CAST(SUM(CAST(y AS DECIMAL(28,2))) AS DOUBLE) AS sum_y,
-        |    CAST(SUM(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS sum_y2
+        |    CAST(SUM(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS sum_y2,
+        |    ROUND(MAX(y) - MIN(y), 6) AS y_range,
+        |    ROUND(CAST(SUM(CASE WHEN y <> 0 THEN CAST(ABS((y - p) / y) AS DECIMAL(28,6)) END) AS DOUBLE)
+        |      / COUNT(CASE WHEN y <> 0 THEN 1 END), 6) AS mape
         |  FROM t)
         |SELECT n, mae, mse, ROUND(SQRT(mse), 6) AS rmse,
-        |  ROUND(1.0 - ss_res / (sum_y2 - sum_y * sum_y / n), 6) AS r2
+        |  ROUND(1.0 - ss_res / (sum_y2 - sum_y * sum_y / n), 6) AS r2,
+        |  ROUND(SQRT(mse) / y_range, 6) AS nrmse,
+        |  mape
         |FROM agg""".stripMargin,
 
     "q18_confusion" ->
@@ -437,6 +442,7 @@ object OracleSql {
         |SELECT cls, support,
         |  ROUND(tp / CAST(pred_n AS DOUBLE), 6) AS precision,
         |  ROUND(tp / CAST(support AS DOUBLE), 6) AS recall,
+        |  ROUND(2 * tp / CAST(pred_n + support AS DOUBLE), 6) AS f1,
         |  ROUND((n - support - (pred_n - tp)) / CAST(n - support AS DOUBLE), 6) AS specificity
         |FROM a JOIN b USING (cls) CROSS JOIN tot
         |ORDER BY cls""".stripMargin,
@@ -498,6 +504,24 @@ object OracleSql {
         |      - (SUM(label) * (SUM(label) + 1) / 2.0)) /
         |    (SUM(label) * (COUNT(*) - SUM(label))), 6) AS auc
         |FROM rr""".stripMargin,
+
+    "q48_multitask_mask" ->
+      """WITH d AS (
+        |  SELECT l_returnflag,
+        |    NULLIF(l_tax, 0.0) AS task_a,
+        |    NULLIF(l_discount, 0.0) AS task_b
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  COUNT(*) AS n,
+        |  COUNT(task_a) AS n_valid_a,
+        |  CAST(SUM(CAST(task_a AS DECIMAL(28,2))) AS DOUBLE) / COUNT(task_a) AS mean_a,
+        |  COUNT(task_b) AS n_valid_b,
+        |  CAST(SUM(CAST(task_b AS DECIMAL(28,2))) AS DOUBLE) / COUNT(task_b) AS mean_b,
+        |  CAST(SUM(CAST(COALESCE(task_a, -1.0) AS DECIMAL(28,2))) AS DOUBLE) AS masked_sum_a,
+        |  ROUND(COUNT(task_a) / CAST(COUNT(*) AS DOUBLE), 6) AS coverage_a
+        |FROM d
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q43_stream_static_join" ->
       """WITH u AS (

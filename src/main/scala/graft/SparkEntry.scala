@@ -483,6 +483,7 @@ object SparkEntry {
         col("support"),
         round(col("tp") / col("pred_n"), 6).as("precision"),
         round(col("tp") / col("support"), 6).as("recall"),
+        round(lit(2) * col("tp") / (col("pred_n") + col("support")), 6).as("f1"),
         round((lit(tot) - col("support") - (col("pred_n") - col("tp"))) /
           (lit(tot) - col("support")), 6).as("specificity"))
       .orderBy(col("cls"))
@@ -607,6 +608,44 @@ object SparkEntry {
       "label_bin")
   }
 
+  // ---------------------------------------------------------------- q48
+  // Multi-task masking (reference M13/F14: NaN targets masked, not
+  // dropped — dataset.py:411-430): per group, per-task validity counts,
+  // null-skipping means, and the conditional-mask fill value.
+  def q48(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "lineitem")
+      .withColumn("task_a", nullif(col("l_tax"), lit(0.0)))
+      .withColumn("task_b", nullif(col("l_discount"), lit(0.0)))
+    d.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("task_a")).as("n_valid_a"),
+        davg(col("task_a"), 2).as("mean_a"),
+        count(col("task_b")).as("n_valid_b"),
+        davg(col("task_b"), 2).as("mean_b"),
+        dsum(when(col("task_a").isNotNull, col("task_a")).otherwise(lit(-1.0)), 2)
+          .as("masked_sum_a"),
+        round(count(col("task_a")) / count(lit(1)).cast("double"), 6)
+          .as("coverage_a"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // ---------------------------------------------------------------- q49
+  // Class-weighted logistic regression (reference M11: inverse-frequency
+  // weights fed to weightCol) — rows-only.
+  def q49(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.weightedLogReg(t(spark, dir, "embeddings"), "vec_id",
+      "embedding", "label")
+      .orderBy(col("label"))
+
+  // ---------------------------------------------------------------- q50
+  // MLP classifier (reference M4: MultilayerPerceptronClassifier as the
+  // MLlib analog of the reference's MLP) — rows-only.
+  def q50(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.mlpOnEmbeddings(t(spark, dir, "embeddings"), "vec_id",
+      "embedding", "label", hidden = Seq(16))
+      .orderBy(col("label"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -656,6 +695,9 @@ object SparkEntry {
     "q45_period_agg" -> (q45 _),
     "q46_auc_rank" -> (q46 _),
     "q47_population_pipeline" -> (q47 _),
+    "q48_multitask_mask" -> (q48 _),
+    "q49_weighted_logreg" -> (q49 _),
+    "q50_mlp_classifier" -> (q50 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -32,9 +32,10 @@ object MetricQueries {
   }
 
   /** Regression metrics in one pass (reference X5/X7, `metrics.py:92-111`):
-    * MAE, MSE, RMSE, R², all from exact decimal error sums so results are
-    * bit-identical across engines and partitionings. R² uses the algebraic
-    * identity ss_tot = Σy² − (Σy)²/n to stay single-pass.
+    * MAE, MSE, RMSE, R², NRMSE (rmse / label range) and null-guarded MAPE,
+    * all from exact decimal error sums so results are bit-identical across
+    * engines and partitionings. R² uses the algebraic identity
+    * ss_tot = Σy² − (Σy)²/n to stay single-pass.
     */
   def regressionMetrics(df: DataFrame, y: String, p: String): DataFrame = {
     val err = col(y) - col(p)
@@ -48,14 +49,20 @@ object MetricQueries {
       round(dsum(err * err, 4) / count(lit(1)), 0).as("mse"),
       dsum(err * err, 4).as("ss_res"),
       dsum(col(y), 2).as("sum_y"),
-      dsum(col(y) * col(y), 4).as("sum_y2"))
+      dsum(col(y) * col(y), 4).as("sum_y2"),
+      round(max(col(y)) - min(col(y)), 6).as("y_range"),
+      // MAPE guard: rows with y = 0 are excluded (reference metrics.py:107)
+      round(dsum(when(col(y) =!= 0, abs(err / col(y))), 6) /
+        count(when(col(y) =!= 0, lit(1))), 6).as("mape"))
       .select(
         col("n"),
         col("mae"),
         col("mse"),
         round(sqrt(col("mse")), 6).as("rmse"),
         round(lit(1.0) - col("ss_res") /
-          (col("sum_y2") - col("sum_y") * col("sum_y") / col("n")), 6).as("r2"))
+          (col("sum_y2") - col("sum_y") * col("sum_y") / col("n")), 6).as("r2"),
+        round(sqrt(col("mse")) / col("y_range"), 6).as("nrmse"),
+        col("mape"))
   }
 
   /** Inverse-frequency class weights, normalized so they average 1

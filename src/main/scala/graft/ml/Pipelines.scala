@@ -47,6 +47,68 @@ object MlPipelines {
       .withColumn("recall", round(col("n_correct") / col("n"), 6))
   }
 
+  /** Class-weighted logistic regression (reference M11/A11: inverse-
+    * frequency weights — `/root/reference/src/training/trainer.py:352-366`
+    * — fed to the estimator's weightCol). Returns per-class recall so the
+    * minority-class lift is visible.
+    */
+  def weightedLogReg(embeddings: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val data = SplitOps.withSplit(embeddings, idCol)
+      .withColumn("features", array_to_vector(col(vecCol)))
+      .withColumn("label", col(labelCol).cast("double"))
+    val train = data.filter(col("split") === "train")
+    val test = data.filter(col("split") === "test")
+    // weight = total / (n_classes * class_count), computed distributed and
+    // joined back — never collected
+    val counts = train.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val weights = counts
+      .withColumn("weight",
+        sum(col("cnt")).over(w) / (count(lit(1)).over(w) * col("cnt")))
+      .select("label", "weight")
+    val trainW = train.join(broadcast(weights), "label")
+    val lr = new LogisticRegression()
+      .setMaxIter(50).setRegParam(0.01).setWeightCol("weight")
+      .fit(trainW)
+    lr.transform(test)
+      .groupBy(col("label")).agg(
+        count(lit(1)).as("n"),
+        round(sum(when(col("prediction") === col("label"), 1).otherwise(0)) /
+          count(lit(1)).cast("double"), 6).as("recall"))
+  }
+
+  /** MLP classifier (reference M4 — the MLlib analog of the reference's
+    * residual MLP; layer sizes input→hidden…→classes, no
+    * LayerNorm/residual, divergence documented in SURVEY §2.9).
+    */
+  def mlpOnEmbeddings(embeddings: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, hidden: Seq[Int]): DataFrame = {
+    import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
+    val data = SplitOps.withSplit(embeddings, idCol)
+      .withColumn("features", array_to_vector(col(vecCol)))
+      .withColumn("label", col(labelCol).cast("double"))
+      .coalesce(2)
+    val train = data.filter(col("split") === "train").cache()
+    val test = data.filter(col("split") === "test")
+    train.count()
+    val dim = train.select(col(vecCol)).head.getSeq[Float](0).size
+    val nClasses = train.agg(countDistinct(col("label"))).head.getLong(0).toInt
+    val mlp = new MultilayerPerceptronClassifier()
+      .setLayers((dim +: hidden :+ nClasses).toArray)
+      .setMaxIter(60).setSeed(42)
+      .fit(train)
+    val out = mlp.transform(test)
+      .groupBy(col("label")).agg(
+        count(lit(1)).as("n"),
+        round(sum(when(col("prediction") === col("label"), 1).otherwise(0)) /
+          count(lit(1)).cast("double"), 6).as("recall"))
+      .cache()
+    out.count()
+    train.unpersist()
+    out
+  }
+
   /** The reference's full §3.1 training-query shape on an arbitrary feature
     * frame: leakage-safe group split, standardize fitted on train only,
     * logistic regression, test-set accuracy + balanced accuracy
