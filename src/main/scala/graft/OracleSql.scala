@@ -523,6 +523,33 @@ object OracleSql {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
+    "q51_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, value)) > 86400
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, value
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x),
+        |g AS (
+        |  SELECT user_id, sid,
+        |    CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_epoch,
+        |    CAST(floor(epoch(MAX(ts))) AS BIGINT) AS end_epoch,
+        |    epoch_ms(MAX(ts)) AS end_ms,
+        |    COUNT(*) AS n_events,
+        |    ROUND(SUM(value), 4) AS sum_value
+        |  FROM s GROUP BY user_id, sid),
+        |m AS (SELECT user_id, MAX(sid) AS last_sid FROM g GROUP BY user_id),
+        |wm AS (SELECT epoch_ms(MAX(ts)) AS max_ms FROM events)
+        |SELECT g.user_id, start_epoch, end_epoch, n_events, sum_value
+        |FROM g JOIN m ON g.user_id = m.user_id CROSS JOIN wm
+        |WHERE g.sid < m.last_sid
+        |   OR g.end_ms + 86400000 < wm.max_ms
+        |ORDER BY g.user_id, start_epoch""".stripMargin,
+
     "q43_stream_static_join" ->
       """WITH u AS (
         |  SELECT user_id, COUNT(*) AS n_total FROM events

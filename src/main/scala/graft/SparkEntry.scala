@@ -646,6 +646,28 @@ object SparkEntry {
       "embedding", "label", hidden = Seq(16))
       .orderBy(col("label"))
 
+  // ---------------------------------------------------------------- q51
+  // Stateful-streaming sessionization (flatMapGroupsWithState custom
+  // state): gap-closed sessions per user; the batch oracle reproduces the
+  // same semantics with a window cumulative-break sweep, excluding each
+  // user's still-open trailing session.
+  def q51(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.streaming.StreamingOps.sessionize(
+      spark, dir, "events.parquet", gapSeconds = 86400, watermark = "0 seconds",
+      s"q51_sink_${System.nanoTime()}",
+      prepare = df => {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      })
+    out.select(
+      col("user_id"),
+      col("session_start").cast("long").as("start_epoch"),
+      col("session_end").cast("long").as("end_epoch"),
+      col("n_events"),
+      round(col("sum_value"), 4).as("sum_value"))
+      .orderBy(col("user_id"), col("start_epoch"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -698,6 +720,7 @@ object SparkEntry {
     "q48_multitask_mask" -> (q48 _),
     "q49_weighted_logreg" -> (q49 _),
     "q50_mlp_classifier" -> (q50 _),
+    "q51_sessionize" -> (q51 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

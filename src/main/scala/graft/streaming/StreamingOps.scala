@@ -2,7 +2,17 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** One input event for sessionization. */
+case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** Open-session state carried between micro-batches. */
+case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+
+/** One closed session. */
+case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
 /** Structured Streaming surface (SURVEY §2.11). The reference is strictly
   * batch, but its sensor table is naturally a stream; the engine exposes the
@@ -56,6 +66,75 @@ object StreamingOps {
         col(keyCol),
         col("n"),
         col("sum_dec").cast("double").as("sum_value"))
+  }
+
+  /** Gap-based sessionization with custom state
+    * (`flatMapGroupsWithState`, SURVEY §2.11 extension): consecutive events
+    * of a user belong to one session while inter-event gaps stay within
+    * `gapSeconds`. Sessions are emitted when a later event closes them or
+    * when the event-time timeout fires after the watermark passes the gap.
+    *
+    * Scale shape: state is one small record per open session, keyed by
+    * user — it shards across executors and is bounded by the watermark, so
+    * a year-long stream with millions of users holds only live sessions in
+    * memory.
+    */
+  def sessionize(spark: SparkSession, dir: String, fileName: String,
+      gapSeconds: Long, watermark: String, queryName: String,
+      prepare: DataFrame => DataFrame = identity): DataFrame = {
+    import spark.implicits._
+    val stream = prepare(fileStream(spark, dir, fileName))
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+      .as[SessionEvent]
+
+    val gapMs = gapSeconds * 1000L
+    def close(u: Long, s: SessionState): SessionOut =
+      SessionOut(u, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+        s.n, s.sum)
+
+    val sessions = stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, events: Iterator[SessionEvent],
+            state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close(user, _)).toList
+            state.remove()
+            out.iterator
+          } else {
+            // batch events arrive unordered — sort before the gap sweep
+            val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed += close(user, s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.last + gapMs)
+              case None => state.remove()
+            }
+            closed.iterator
+          }
+        })
+
+    val q = sessions.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
   }
 
   /** Stream-static broadcast join + windowed aggregation: the streaming side

@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.sources.Sources
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_sources_spec").toString
+    val hz = (1 to 16).map(_ => "0.1").mkString(",")
+    Files.writeString(Paths.get(s"$d/d1.csv"),
+      s"""published_at,tag_number,temperature,humidity,hive_power,audio_density,audio_density_ratio,density_variation,${(1 to 16).map(i => s"hz_$i").mkString(",")}
+         |2020-06-01T00:00:00.000Z,202056,34.5,60.2,1.5,0.3,0.4,0.1,$hz
+         |2020-06-01T00:15:00.000Z,202056,oops,61.0,1.6,0.3,0.4,0.1,$hz
+         |""".stripMargin)
+    Files.writeString(Paths.get(s"$d/d2.csv"),
+      s"""published_at,tag_number,temperature,humidity,hive_power,audio_density,audio_density_ratio,density_variation,${(1 to 16).map(i => s"hz_$i").mkString(",")}
+         |2020-07-01T00:00:00.000Z,202057,30.0,55.0,1.2,0.2,0.3,0.1,$hz
+         |""".stripMargin)
+    d
+  }
+
+  test("readSensorCsv: explicit schema, renames, period tag, malformed→null") {
+    val df = Sources.readSensorCsv(spark, s"$dir/d1.csv", "D1")
+    assert(df.columns.contains("timestamp") && df.columns.contains("hive_id"))
+    assert(!df.columns.contains("published_at"))
+    assert(df.schema("temperature").dataType.typeName == "double")
+    val rows = df.orderBy("timestamp").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Double]("temperature") == 34.5)
+    // "oops" is not a double → PERMISSIVE nulls it (the _safe_float path)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("temperature")))
+    assert(rows.forall(_.getAs[String]("period") == "D1"))
+  }
+
+  test("readSensorPeriods unions both periods by name") {
+    val df = Sources.readSensorPeriods(spark, s"$dir/d1.csv", s"$dir/d2.csv")
+    val periods = df.groupBy("period").count().as[(String, Long)].collect().toMap
+    assert(periods == Map("D1" -> 2L, "D2" -> 1L))
+  }
+
+  test("writeJson round-trips") {
+    val out = s"$dir/json_out"
+    Sources.writeJson(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), out)
+    val back = spark.read.json(out)
+    assert(back.count() == 2)
+  }
+
+  test("numericFeatureColumns reflects schema, honors exclude set") {
+    val df = Seq((1L, "x", 2.5, 3)).toDF("id", "name", "temp", "cnt")
+    assert(Sources.numericFeatureColumns(df, Set("id")) == Seq("temp", "cnt"))
+  }
+}
