@@ -668,6 +668,22 @@ object SparkEntry {
       .orderBy(col("user_id"), col("start_epoch"))
   }
 
+  // ---------------------------------------------------------------- q52
+  // IVF approximate nearest neighbours (scale path for q15/q16): coarse
+  // quantize → assign → probe 4 of 16 lists → exact cosine inside probes.
+  // Rows-only (the index build is not SQL-expressible).
+  def q52(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val cents = SimilarityOps.ivfCentroids(e, "vec_id", "embedding", 16)
+    val assigned = SimilarityOps.ivfAssign(e, "vec_id", "embedding", cents)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head.getSeq[Double](0)
+    SimilarityOps.ivfSearch(
+      assigned.filter(col("vec_id") =!= 0), "vec_id", qv, cents,
+      nprobe = 4, k = 10)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -721,6 +737,7 @@ object SparkEntry {
     "q49_weighted_logreg" -> (q49 _),
     "q50_mlp_classifier" -> (q50 _),
     "q51_sessionize" -> (q51 _),
+    "q52_ivf_ann" -> (q52 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

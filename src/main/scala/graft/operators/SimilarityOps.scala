@@ -85,4 +85,65 @@ object SimilarityOps {
     val r = sig.select(col("sig"), col(idCol).as("id_b"))
     l.join(r, "sig").filter(col("id_a") < col("id_b")).select("id_a", "id_b")
   }
+
+  // ------------------------------------------------------------------ IVF
+
+  /** Deterministic coarse quantizer: `nlist` centroids drawn from the
+    * corpus itself by stable id hash (a k-means fit is the quality upgrade;
+    * the index layout and query path are identical). Returns the broadcast-
+    * sized centroid table (centroid_id, centroid).
+    */
+  def ivfCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // orderBy+limit compiles to TakeOrdered (per-partition top-k, no full
+    // shuffle); the numbering window then runs on just nlist rows.
+    val sampled = embeddings
+      .withColumn("h", xxhash64(col(idCol)))
+      .select(col("h"), col(idCol), col(vecCol).cast("array<double>").as("centroid"))
+      .orderBy(col("h"), col(idCol))
+      .limit(nlist)
+    sampled
+      .withColumn("rn", row_number().over(Window.orderBy(col("h"), col(idCol))))
+      .select((col("rn") - 1).as("centroid_id"), col("centroid"))
+  }
+
+  /** IVF assignment: every vector to its nearest centroid by cosine — a
+    * broadcast join + one argmax, no shuffle of the corpus. At 100 TB this
+    * is the partitioning step that makes ANN queries touch 1/nlist of the
+    * data per probe.
+    */
+  def ivfAssign(embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = embeddings
+      .select(col(idCol), col(vecCol).cast("array<double>").as("emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", cosineNative(col("emb"), col("centroid")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("sim").desc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("emb"), col("centroid_id"))
+  }
+
+  /** IVF top-k search: score the query against centroids, keep the best
+    * `nprobe` lists, and run exact cosine only inside those lists. The
+    * scan is pruned to the probed partitions; everything else is untouched.
+    */
+  def ivfSearch(assigned: DataFrame, idCol: String, queryVec: Seq[Double],
+      centroids: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val qCol = typedLit(queryVec)
+    val probed = centroids
+      .withColumn("q_sim", cosineNative(typedLit(queryVec), col("centroid")))
+      .orderBy(col("q_sim").desc, col("centroid_id"))
+      .limit(nprobe)
+      .select("centroid_id")
+    assigned
+      .join(broadcast(probed), "centroid_id")
+      .select(col(idCol),
+        round(cosineNative(col("emb"), qCol), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
 }
