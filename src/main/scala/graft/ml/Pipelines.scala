@@ -6,6 +6,7 @@ import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.ml.regression.LinearRegression
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import scala.collection.parallel.CollectionConverters._
 import graft.operators.SplitOps
 
 /** MLlib pipeline builders mirroring the reference's training surface:
@@ -166,12 +167,13 @@ object MlPipelines {
       .withColumn("label", col(labelCol).cast("double"))
       .coalesce(1).cache()
     assembled.count()
-    val folds = (0 until k).map { f =>
+    // independent fold fits run as concurrent jobs on the shared session
+    val folds = (0 until k).par.map { f =>
       val model = new LinearRegression().setMaxIter(50).setRegParam(0.0)
         .fit(assembled.filter(col("fold") =!= f))
       model.transform(assembled.filter(col("fold") === f))
         .select(lit(f).as("fold"), col("label"), col("prediction"))
-    }
+    }.toList
     val oof = folds.reduce(_.unionByName(_))
     val out = oof.groupBy(col("fold")).agg(
       count(lit(1)).as("n"),
@@ -205,20 +207,34 @@ object MlPipelines {
     val test = data.filter(col("split") === "test").cache()
     train.count(); test.count()
 
-    val models = Seq(
-      "ridge" -> new LinearRegression().setMaxIter(50).setRegParam(1.0)
-        .setElasticNetParam(0.0).fit(train),
-      "lasso" -> new LinearRegression().setMaxIter(50).setRegParam(0.1)
-        .setElasticNetParam(1.0).fit(train),
-      "random_forest" -> new RandomForestRegressor().setNumTrees(100)
-        .setMaxDepth(5).setMinInstancesPerNode(3).setSeed(42).fit(train),
-      "gradient_boosting" -> new GBTRegressor().setMaxIter(50).setMaxDepth(3)
-        .setSeed(42).fit(train),
-    )
+    // the four estimators are independent — fit them as concurrent jobs
+    // (wall time = slowest model, not the sum); each returns its scorer
+    val fitters: Seq[(String, Int) => (String, DataFrame => DataFrame)] = Seq(
+      (name, i) => {
+        val m = new LinearRegression().setMaxIter(50).setRegParam(1.0)
+          .setElasticNetParam(0.0).setPredictionCol(s"p_$i").fit(train)
+        (name, m.transform(_))
+      },
+      (name, i) => {
+        val m = new LinearRegression().setMaxIter(50).setRegParam(0.1)
+          .setElasticNetParam(1.0).setPredictionCol(s"p_$i").fit(train)
+        (name, m.transform(_))
+      },
+      (name, i) => {
+        val m = new RandomForestRegressor().setNumTrees(100).setMaxDepth(5)
+          .setMinInstancesPerNode(3).setSeed(42).setPredictionCol(s"p_$i").fit(train)
+        (name, m.transform(_))
+      },
+      (name, i) => {
+        val m = new GBTRegressor().setMaxIter(50).setMaxDepth(3)
+          .setSeed(42).setPredictionCol(s"p_$i").fit(train)
+        (name, m.transform(_))
+      })
+    val names = Seq("ridge", "lasso", "random_forest", "gradient_boosting")
+    val models = fitters.zip(names).zipWithIndex.par
+      .map { case ((fit, name), i) => fit(name, i) }.toList
     // one pass over test accumulating every model's prediction column
-    val scored = models.zipWithIndex.foldLeft(test) { case (d, ((_, m), i)) =>
-      m.setPredictionCol(s"p_$i").transform(d)
-    }
+    val scored = models.foldLeft(test) { case (d, (_, score)) => score(d) }
     val withEns = scored.withColumn("p_ens",
       (0 until models.size).map(i => col(s"p_$i")).reduce(_ + _) / models.size)
     val perModel = models.zipWithIndex.map { case ((name, _), i) =>
