@@ -1,0 +1,133 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Stats._
+import graft.operators.{FuzzyJoins, SplitOps}
+
+/** The reference's end-to-end dataset builders (§3.1/§3.2 of SURVEY.md) as
+  * one declarative plan each — the user-facing API a
+  * `hive-population-ml` user switches to.
+  *
+  * Reference shape (`/root/reference/src/data/preprocessing.py:142-200`):
+  * for every population annotation, find the sensor hive whose ID suffix
+  * matches, take its readings in a ±windowDays/2 interval around the
+  * annotation date, and compute per-feature window statistics; keep windows
+  * with ≥ minRows readings; label = frames_of_bees ≥ 20. The reference does
+  * this as an O(annotations × sensor-rows) Python loop; here it is ONE
+  * broadcast interval join + ONE hash aggregation regardless of annotation
+  * count — the sensor table streams through once, which is what survives
+  * 100 TB.
+  */
+object HivePipelines {
+
+  /** The 22 sensor feature columns (`preprocessing.py:21-47`). */
+  val sensorFeatures: Seq[String] =
+    Seq("temperature", "humidity", "hive_power", "audio_density",
+      "audio_density_ratio", "density_variation") ++ (1 to 16).map(i => s"hz_$i")
+
+  private def windowStatExprs(features: Seq[String]): Seq[Column] =
+    features.flatMap { f =>
+      Seq(
+        davg(col(f), 6).as(s"${f}_mean"),
+        stdRounded(col(f)).as(s"${f}_std"),
+        min(col(f)).as(s"${f}_min"),
+        max(col(f)).as(s"${f}_max"),
+        round(max(col(f)) - min(col(f)), 6).as(s"${f}_range"),
+        round(skewSample(col(f)), 6).as(s"${f}_skew"),
+        round(kurtSample(col(f)), 6).as(s"${f}_kurt"),
+        (dsum(col(s"__d_$f"), 6) / count(col(s"__d_$f"))).as(s"${f}_delta_mean"),
+        stdRounded(col(s"__d_$f")).as(s"${f}_delta_std"))
+    }
+
+  /** Population feature matrix (reference `create_population_dataset`):
+    * one row per (annotation, matched hive window) with
+    * {mean,std,min,max,range,skew,kurt,delta_mean,delta_std} per feature,
+    * count/coverage, and the binary population label (FoB ≥ 20,
+    * `preprocessing.py:200`).
+    */
+  def populationFeatures(sensor: DataFrame, population: DataFrame,
+      features: Seq[String] = sensorFeatures, windowDays: Int = 7,
+      minRows: Int = 10): DataFrame = {
+    val half = windowDays / 2
+    // J1: suffix-normalized hive key on both sides
+    val s = sensor.withColumn("hive_key",
+      FuzzyJoins.suffixKey(col("hive_id"), 10, 4))
+    val p = population
+      .withColumn("hive_key", FuzzyJoins.suffixKey(col("hive_id"), 10, 4))
+      .select(col("hive_key"), col("hive_id").as("annot_hive_id"),
+        col("date"), col("frames_of_bees"))
+    // J2: broadcast interval join — annotations are tiny
+    val joined = s.join(broadcast(p),
+      s("hive_key") === p("hive_key") &&
+        col("timestamp") >= col("date") - expr(s"INTERVAL $half DAYS") &&
+        col("timestamp") <= col("date") + expr(s"INTERVAL $half DAYS"))
+      .drop(p("hive_key"))
+    // W2/A3: per-window lag deltas for every feature in one window pass
+    val w = Window.partitionBy(col("annot_hive_id"), col("date"))
+      .orderBy(col("timestamp"), col("hive_id"))
+    val withDeltas = features.foldLeft(joined)((d, f) =>
+      d.withColumn(s"__d_$f", col(f) - lag(col(f), 1).over(w)))
+    // A1–A4 + P7 + F15
+    withDeltas
+      .groupBy(col("annot_hive_id").as("hive_id"), col("date"))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        (windowStatExprs(features) :+
+          round(count(lit(1)) / lit(windowDays * 24.0 * 4), 6)
+            .as("window_coverage") :+
+          first(col("frames_of_bees")).as("frames_of_bees")): _*)
+      .filter(col("n_samples") >= minRows)
+      .withColumn("population_class",
+        when(col("frames_of_bees") >= 20, 1).otherwise(0))
+  }
+
+  /** Summer/phenotypic per-hive aggregate (reference
+    * `create_phenotypic_dataset`, `preprocessing.py:278-358`): fixed-period
+    * filter, per-hive basic stats, plus the diurnal daily range (A7) and
+    * weekly-trend dispersion (A5) per feature — all features in one pass
+    * per aggregation level (the reference recomputes per feature, 22×).
+    */
+  def summerAggregates(sensor: DataFrame, features: Seq[String] = sensorFeatures,
+      start: String = "2020-05-01", end: String = "2020-10-01",
+      minRows: Int = 100): DataFrame = {
+    val summer = sensor.filter(
+      col("timestamp") >= lit(start).cast("timestamp") &&
+        col("timestamp") < lit(end).cast("timestamp"))
+    val base = summer.groupBy(col("hive_id"))
+      .agg(count(lit(1)).as("n_samples"),
+        features.flatMap(f => Seq(
+          davg(col(f), 6).as(s"${f}_mean"),
+          stdRounded(col(f)).as(s"${f}_std"),
+          min(col(f)).as(s"${f}_min"),
+          max(col(f)).as(s"${f}_max"))): _*)
+      .filter(col("n_samples") >= minRows)
+    // A7: hourly means → daily range, every feature in one pass
+    val hourly = summer.groupBy(col("hive_id"), hour(col("timestamp")).as("hr"))
+      .agg(features.map(f => davg(col(f), 6).as(s"${f}_hm")).head,
+        features.map(f => davg(col(f), 6).as(s"${f}_hm")).tail: _*)
+    val diurnal = hourly.groupBy(col("hive_id"))
+      .agg(features.map(f =>
+          round(max(col(s"${f}_hm")) - min(col(s"${f}_hm")), 6)
+            .as(s"${f}_daily_range")).head,
+        features.map(f =>
+          round(max(col(s"${f}_hm")) - min(col(s"${f}_hm")), 6)
+            .as(s"${f}_daily_range")).tail: _*)
+    // A5: weekly means → dispersion across weeks
+    val weekly = summer
+      .groupBy(col("hive_id"), date_trunc("week", col("timestamp")).as("wk"))
+      .agg(features.map(f => davg(col(f), 6).as(s"${f}_wm")).head,
+        features.map(f => davg(col(f), 6).as(s"${f}_wm")).tail: _*)
+    val trend = weekly.groupBy(col("hive_id"))
+      .agg(features.map(f => stdRounded(col(s"${f}_wm")).as(s"${f}_weekly_std")).head,
+        features.map(f => stdRounded(col(s"${f}_wm")).as(s"${f}_weekly_std")).tail: _*)
+    base.join(diurnal, Seq("hive_id"), "left")
+      .join(trend, Seq("hive_id"), "left")
+  }
+
+  /** Leakage-safe split tag (reference `split_by_hive`, M2). */
+  def withHiveSplit(features: DataFrame): DataFrame =
+    SplitOps.withSplit(features, "hive_id")
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.pipelines.HivePipelines
+
+/** Golden end-to-end test of the reference's §3.1 plan on an MSPB-shaped
+  * fixture: long sensor IDs vs short annotation IDs (202056 ↔ 2056),
+  * ±3-day windows, min-support, FoB-threshold label — hand-checked values.
+  */
+class HivePipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val feats = Seq("temperature", "humidity")
+
+  // hive 202056: 12 readings around 2020-06-10 (qualifies, minRows=10);
+  // hive 202099: 3 readings (fails min support)
+  private lazy val sensor = (
+    (0 until 12).map(i =>
+      (202056L, ts(f"2020-06-${8 + i / 4}%02d 0${i % 4}:00:00"),
+        20.0 + i, 50.0 + i)) ++
+      (0 until 3).map(i =>
+        (202099L, ts(f"2020-06-${9 + i}%02d 00:00:00"), 30.0, 60.0))
+    ).toDF("hive_id", "timestamp", "temperature", "humidity")
+
+  private lazy val population = Seq(
+    (2056L, ts("2020-06-10 00:00:00"), 25.0), // label 1 (FoB ≥ 20)
+    (2099L, ts("2020-06-10 00:00:00"), 10.0), // matched but under min support
+    (7777L, ts("2020-06-10 00:00:00"), 30.0), // no sensor hive matches
+  ).toDF("hive_id", "date", "frames_of_bees")
+
+  test("populationFeatures: fuzzy match + window + stats + label, golden values") {
+    val out = HivePipelines.populationFeatures(sensor, population,
+      features = feats, windowDays = 7, minRows = 10)
+    val rows = out.collect()
+    assert(rows.length == 1) // only 2056 survives
+    val r = rows.head
+    assert(r.getAs[Long]("hive_id") == 2056L)
+    assert(r.getAs[Long]("n_samples") == 12L)
+    // temperature 20..31: mean 25.5, range 11, deltas all 1 → delta std 0
+    assert(r.getAs[Double]("temperature_mean") == 25.5)
+    assert(r.getAs[Double]("temperature_range") == 11.0)
+    assert(r.getAs[Double]("temperature_delta_mean") == 1.0)
+    assert(r.getAs[Double]("temperature_delta_std") == 0.0)
+    assert(r.getAs[Int]("population_class") == 1)
+    // schema: 9 stats × 2 features + hive_id/date/n_samples/coverage/FoB/label
+    assert(out.columns.length == 9 * 2 + 6)
+  }
+
+  test("populationFeatures is deterministic under input permutation") {
+    val shuffled = sensor.orderBy(rand(3))
+    val a = HivePipelines.populationFeatures(sensor, population, feats, 7, 10)
+      .collect().map(_.toSeq)
+    val b = HivePipelines.populationFeatures(shuffled, population, feats, 7, 10)
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("summerAggregates: per-hive stats + diurnal range + weekly trend") {
+    val out = HivePipelines.summerAggregates(sensor, feats, minRows = 10)
+    val rows = out.collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("hive_id") == 202056L)
+    assert(r.getAs[Double]("temperature_mean") == 25.5)
+    // hours 0..3 have means (20+24+28)/3=24, 25, 26, 27 → daily range 3
+    assert(r.getAs[Double]("temperature_daily_range") == 3.0)
+    // readings span 2 ISO weeks (Jun 8-10 2020 are Mon-Wed of one week) —
+    // all inside one week → weekly_std null
+    assert(r.isNullAt(r.fieldIndex("temperature_weekly_std")))
+  }
+
+  test("withHiveSplit keeps every hive in exactly one split") {
+    val f = HivePipelines.populationFeatures(sensor, population, feats, 7, 1)
+    val s = HivePipelines.withHiveSplit(f)
+    assert(s.groupBy("hive_id").agg(countDistinct("split").as("n"))
+      .filter(col("n") =!= 1).count() == 0)
+  }
+}
