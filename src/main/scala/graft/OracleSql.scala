@@ -236,8 +236,8 @@ object OracleSql {
     "q20_group_split" ->
       """WITH t AS (
         |  SELECT c_custkey, c_acctbal,
-        |    CASE WHEN (c_custkey * 2654435761) % 1000 < 700 THEN 'train'
-        |         WHEN (c_custkey * 2654435761) % 1000 < 850 THEN 'val'
+        |    CASE WHEN ((c_custkey % 1000003) * 2654435761) % 1000 < 700 THEN 'train'
+        |         WHEN ((c_custkey % 1000003) * 2654435761) % 1000 < 850 THEN 'val'
         |         ELSE 'test' END AS split
         |  FROM customer)
         |SELECT split, COUNT(*) AS n, COUNT(DISTINCT c_custkey) AS n_groups,

@@ -17,9 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object SplitOps {
 
-  /** Knuth-style multiplicative bucket in [0, buckets) for an integral key. */
+  /** Knuth-style multiplicative bucket in [0, buckets) for an integral key.
+    * The key is first reduced mod a prime so the product stays below 2⁶³ —
+    * no ANSI long overflow for any input key, and bit-identical to the
+    * plain multiply for keys under the prime (engine-portable SQL:
+    * `((key % 1000003) * 2654435761) % buckets`).
+    */
   def hashBucket(key: Column, buckets: Int): Column =
-    pmod(key.cast("long") * lit(2654435761L), lit(buckets.toLong))
+    pmod(pmod(key.cast("long"), lit(1000003L)) * lit(2654435761L),
+      lit(buckets.toLong))
 
   /** Split label from per-mille bucket thresholds: [0,train) → "train",
     * [train, train+val) → "val", rest → "test".

@@ -130,4 +130,31 @@ object HivePipelines {
   /** Leakage-safe split tag (reference `split_by_hive`, M2). */
   def withHiveSplit(features: DataFrame): DataFrame =
     SplitOps.withSplit(features, "hive_id")
+
+  /** Phenotypic derived averages (reference `loader.py:252-254`): row-wise
+    * null-skipping means over measurement pairs (A8).
+    */
+  def withDerivedAverages(phenotypic: DataFrame): DataFrame =
+    phenotypic
+      .withColumn("varroa_avg", rowMean(col("varroa_may"), col("varroa_aug")))
+      .withColumn("defensive_avg", rowMean(col("defensive_1"), col("defensive_2")))
+      .withColumn("hygienic_avg", rowMean(col("hygienic_1"), col("hygienic_2")))
+
+  /** Winter-mortality dataset (reference `load_winter_mortality` +
+    * `create_winter_dataset`, `loader.py:259-295` /
+    * `preprocessing.py:403-435`): survival defined BY nullness of the
+    * mortality cause (F19), joined to pre-winter sensor aggregates.
+    */
+  def winterFeatures(sensor: DataFrame, winter: DataFrame,
+      features: Seq[String] = sensorFeatures,
+      start: String = "2020-09-01", end: String = "2020-11-14",
+      minRows: Int = 100): DataFrame = {
+    val agg = summerAggregates(sensor, features, start, end, minRows)
+      .withColumn("hive_key", FuzzyJoins.suffixKey(col("hive_id"), 10, 4))
+    val w = winter
+      .withColumn("survived", col("mortality_cause").isNull)
+      .withColumn("hive_key", FuzzyJoins.suffixKey(col("hive_id"), 10, 4))
+      .drop("hive_id")
+    agg.join(broadcast(w), "hive_key").drop("hive_key")
+  }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.Stats._
+import graft.operators.{DedupOps, SplitOps}
+
+/** Property tests (SURVEY §5): invariants that must hold for any input,
+  * not just the golden fixtures. Raw ScalaCheck generators sampled with
+  * fixed seeds (the scalatest bridge artifact is not in the offline cache).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val doubles = Gen.listOfN(12,
+    Gen.chooseNum(-1000.0, 1000.0).map(v => math.rint(v * 100) / 100))
+
+  test("moments match direct pandas-formula computation for any data") {
+    samples(doubles, 10).filter(xs => xs.distinct.size > 1).foreach { xs =>
+      val df = xs.toDF("v")
+      val r = df.agg(skewSample($"v").as("s"), kurtSample($"v").as("k")).head
+      val n = xs.size.toDouble
+      val m = xs.sum / n
+      val m2 = xs.map(x => math.pow(x - m, 2)).sum / n
+      val m3 = xs.map(x => math.pow(x - m, 3)).sum / n
+      val m4 = xs.map(x => math.pow(x - m, 4)).sum / n
+      val g1 = m3 / math.pow(m2, 1.5)
+      val expSkew = g1 * math.sqrt(n * (n - 1)) / (n - 2)
+      val g2 = m4 / (m2 * m2) - 3
+      val expKurt = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+      assert(approx(r.getDouble(0), expSkew, 1e-6), s"skew for $xs")
+      assert(approx(r.getDouble(1), expKurt, 1e-6), s"kurt for $xs")
+    }
+  }
+
+  test("dsum equals BigDecimal reference sum for any money values") {
+    samples(doubles, 10).foreach { xs =>
+      val got = xs.toDF("v").agg(dsum($"v", 2)).head.getDouble(0)
+      val exp = xs.map(BigDecimal(_).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      assert(got == exp, s"dsum for $xs")
+    }
+  }
+
+  test("split buckets partition any key set: exclusive and exhaustive") {
+    val keys = Gen.listOfN(50, Gen.chooseNum(Long.MinValue / 4, Long.MaxValue / 4))
+    samples(keys, 5).foreach { ks =>
+      val df = ks.distinct.toDF("k")
+      val s = SplitOps.withSplit(df, "k")
+      assert(s.count() == ks.distinct.size)
+      assert(s.filter(!col("split").isin("train", "val", "test")).count() == 0)
+    }
+  }
+
+  test("jaccard is symmetric, bounded [0,1], and 1 on self") {
+    val words = Gen.listOfN(6, Gen.oneOf("a", "b", "c", "d", "e", "f", "g"))
+    samples(Gen.zip(words, words), 10).foreach { case (x, y) =>
+      val df = Seq((x.distinct, y.distinct)).toDF("x", "y")
+      val row = df.select(
+        DedupOps.jaccard($"x", $"y"), DedupOps.jaccard($"y", $"x"),
+        DedupOps.jaccard($"x", $"x")).head
+      val (j1, j2, js) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+      assert(j1 == j2, s"symmetry for $x / $y")
+      assert(j1 >= 0.0 && j1 <= 1.0)
+      assert(x.isEmpty || js == 1.0)
+    }
+  }
+}
