@@ -684,6 +684,22 @@ object SparkEntry {
       nprobe = 4, k = 10)
   }
 
+  // ---------------------------------------------------------------- q53
+  // Approximate sketches — the 100 TB path for A9/quantiles: HLL++ distinct
+  // count and approximate percentiles in one pass. Rows-only (sketch
+  // internals are engine-specific); the spec bounds them against exact.
+  def q53(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000))
+          .as("p99_price"))
+      .orderBy(col("l_returnflag"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -738,6 +754,7 @@ object SparkEntry {
     "q50_mlp_classifier" -> (q50 _),
     "q51_sessionize" -> (q51 _),
     "q52_ivf_ann" -> (q52 _),
+    "q53_approx_sketches" -> (q53 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →
