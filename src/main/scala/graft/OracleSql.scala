@@ -259,7 +259,9 @@ object OracleSql {
     "q22_halves_trend" ->
       """WITH t AS (
         |  SELECT user_id, value,
-        |    NTILE(2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS half
+        |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           <= COUNT(*) OVER (PARTITION BY user_id) // 2
+        |      THEN 1 ELSE 2 END AS half
         |  FROM events),
         |m AS (
         |  SELECT user_id,
@@ -399,11 +401,13 @@ object OracleSql {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q38_stream_windowed" ->
-      """SELECT CAST(date_trunc('day', ts) AS DATE) AS window_start, event_type,
+      """WITH wm AS (SELECT MAX(ts) - INTERVAL 1 DAY AS w FROM events)
+        |SELECT CAST(date_trunc('day', ts) AS DATE) AS window_start, event_type,
         |  COUNT(*) AS n,
         |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4) AS sum_value
-        |FROM events
-        |GROUP BY 1, 2
+        |FROM events CROSS JOIN wm
+        |GROUP BY 1, 2, wm.w
+        |HAVING date_trunc('day', MIN(ts)) + INTERVAL 1 DAY <= wm.w
         |ORDER BY window_start, event_type""".stripMargin,
 
     "q39_jaccard_neardup" ->
@@ -461,7 +465,7 @@ object OracleSql {
         |  FROM j)
         |SELECT anchor_id,
         |  COUNT(*) AS n_samples,
-        |  ROUND(COUNT(*) / (6.0 * 24 * 4), 6) AS window_coverage,
+        |  ROUND(COUNT(*) / (7.0 * 24 * 4), 6) AS window_coverage,
         |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(value) AS v_mean,
         |  CASE WHEN COUNT(value) > 1 THEN ROUND(STDDEV_SAMP(value), 6) END AS v_std,
         |  MIN(value) AS v_min,

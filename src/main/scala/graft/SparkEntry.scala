@@ -427,13 +427,13 @@ object SparkEntry {
   // Structured Streaming: tumbling 1-day event-time windows with watermark,
   // availableNow replay over the events parquet (SURVEY §2.11).
   def q38(spark: SparkSession, dir: String): DataFrame = {
+    // the schema probe inside the streaming op reads the nanos-timestamp
+    // parquet — the legacy conf must be set BEFORE the op is invoked
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val out = graft.streaming.StreamingOps.windowedEventStats(
       spark, dir, "events.parquet", "ts", "event_type", "value",
       "1 day", "1 day", s"q38_sink_${System.nanoTime()}",
-      prepare = df => {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      })
+      prepare = df => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
     out.withColumn("sum_value", round(col("sum_value"), 4))
       .orderBy(col("window_start"), col("event_type"))
   }
@@ -468,7 +468,7 @@ object SparkEntry {
   // class from one conditional aggregation (reference X6 full surface).
   def q41(spark: SparkSession, dir: String): DataFrame = {
     val d = labeledOrders(spark, dir)
-    val tot = d.count()
+    val tot = d.agg(count(lit(1)).as("tot")) // lazy total, like the oracle CTE
     d.groupBy(col("label").as("cls"))
       .agg(
         count(lit(1)).as("support"),
@@ -478,14 +478,15 @@ object SparkEntry {
           .agg(count(lit(1)).as("pred_n")),
         Seq("cls"), "full_outer")
       .na.fill(0L, Seq("support", "tp", "pred_n"))
+      .crossJoin(tot)
       .select(
         col("cls"),
         col("support"),
         round(col("tp") / col("pred_n"), 6).as("precision"),
         round(col("tp") / col("support"), 6).as("recall"),
         round(lit(2) * col("tp") / (col("pred_n") + col("support")), 6).as("f1"),
-        round((lit(tot) - col("support") - (col("pred_n") - col("tp"))) /
-          (lit(tot) - col("support")), 6).as("specificity"))
+        round((col("tot") - col("support") - (col("pred_n") - col("tp"))) /
+          (col("tot") - col("support")), 6).as("specificity"))
       .orderBy(col("cls"))
   }
 
@@ -507,13 +508,11 @@ object SparkEntry {
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_total"))
       .filter(col("n_total") >= 50)
       .select(col("user_id").as("dim_user"), col("n_total"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val out = graft.streaming.StreamingOps.streamStaticJoinStats(
       spark, dir, "events.parquet", users, "user_id", "dim_user",
       "ts", "value", "1 day", s"q43_sink_${System.nanoTime()}",
-      prepare = df => {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      })
+      prepare = df => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
     out.withColumn("sum_value", round(col("sum_value"), 4))
       .select(col("dim_user").as("user_id"), col("n"), col("sum_value"))
       .orderBy(col("user_id"))
@@ -539,7 +538,9 @@ object SparkEntry {
       .groupBy(col("anchor_id"))
       .agg(
         count(lit(1)).as("n_samples"),
-        round(count(lit(1)) / lit(6.0 * 24 * 4), 6).as("window_coverage"),
+        // denominator = windowDays(=7)·24·4 like the reference
+        // (preprocessing.py:136) and HivePipelines.populationFeatures
+        round(count(lit(1)) / lit(7.0 * 24 * 4), 6).as("window_coverage"),
         davg(col("value"), 4).as("v_mean"),
         stdRounded(col("value")).as("v_std"),
         min(col("value")).as("v_min"),
@@ -652,13 +653,11 @@ object SparkEntry {
   // same semantics with a window cumulative-break sweep, excluding each
   // user's still-open trailing session.
   def q51(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val out = graft.streaming.StreamingOps.sessionize(
       spark, dir, "events.parquet", gapSeconds = 86400, watermark = "0 seconds",
       s"q51_sink_${System.nanoTime()}",
-      prepare = df => {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      })
+      prepare = df => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
     out.select(
       col("user_id"),
       col("session_start").cast("long").as("start_epoch"),

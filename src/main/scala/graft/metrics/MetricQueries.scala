@@ -65,16 +65,23 @@ object MetricQueries {
         col("mape"))
   }
 
-  /** Inverse-frequency class weights, normalized so they average 1
+  /** Inverse-frequency class weights — weight = total / (n_classes · count)
     * (reference M11/A11, `/root/reference/src/training/trainer.py:352-366`).
+    * Unrounded (label, n, weight) rows; the single source of the weight
+    * definition for both the metric query and estimator weightCol feeds.
     */
-  def classWeights(df: DataFrame, label: String): DataFrame = {
+  def inverseFrequencyWeights(df: DataFrame, label: String): DataFrame = {
     val counts = df.groupBy(col(label)).agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
     counts
       .withColumn("total", sum(col("n")).over(w))
       .withColumn("n_classes", count(lit(1)).over(w))
-      .withColumn("weight", round(col("total") / (col("n_classes") * col("n")), 6))
+      .withColumn("weight", col("total") / (col("n_classes") * col("n")))
       .select(label, "n", "weight")
   }
+
+  /** Rounded presentation of [[inverseFrequencyWeights]]. */
+  def classWeights(df: DataFrame, label: String): DataFrame =
+    inverseFrequencyWeights(df, label)
+      .withColumn("weight", round(col("weight"), 6))
 }

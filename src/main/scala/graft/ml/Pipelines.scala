@@ -60,13 +60,10 @@ object MlPipelines {
       .withColumn("label", col(labelCol).cast("double"))
     val train = data.filter(col("split") === "train")
     val test = data.filter(col("split") === "test")
-    // weight = total / (n_classes * class_count), computed distributed and
-    // joined back — never collected
-    val counts = train.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy()
-    val weights = counts
-      .withColumn("weight",
-        sum(col("cnt")).over(w) / (count(lit(1)).over(w) * col("cnt")))
+    // the shared M11 weight definition, computed distributed and joined
+    // back — never collected
+    val weights = graft.metrics.MetricQueries
+      .inverseFrequencyWeights(train, "label")
       .select("label", "weight")
     val trainW = train.join(broadcast(weights), "label")
     val lr = new LogisticRegression()

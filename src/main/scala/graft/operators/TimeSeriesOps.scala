@@ -69,13 +69,20 @@ object TimeSeriesOps {
 
   /** Early-vs-late split trend (reference A6: halve each series at the median
     * index, compare half means — `/root/reference/src/data/preprocessing.py:232,263-273`).
-    * `ntile(2)` reproduces the "first half gets the extra element" semantics
-    * of `len//2` splitting.
+    * The reference splits at `mid = len//2` with `early = [:mid]`,
+    * `late = [mid:]` — for odd lengths the LATE half gets the extra
+    * element (ntile(2) would give it to the early half), so the half is
+    * assigned explicitly from row_number vs the partition count.
     */
   def halvesTrend(df: DataFrame, key: String, ts: String, tiebreak: String,
       value: String): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
-    val withHalf = df.withColumn("half", ntile(2).over(w))
+    val wAll = Window.partitionBy(col(key))
+    val withHalf = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("half",
+        when(col("__rn") <= expr("__n div 2"), 1).otherwise(2))
     withHalf.groupBy(col(key)).agg(
       (dsum(when(col("half") === 1, col(value)), 4) /
         count(when(col("half") === 1, lit(1)))).as("early_mean"),

@@ -26,9 +26,11 @@ object StreamingOps {
 
   /** Tumbling event-time window aggregation over a parquet directory read as
     * a stream, executed to completion with `Trigger.AvailableNow` and a
-    * memory sink, then returned as a finite DataFrame. Semantically
-    * identical to the batch `groupBy(date_trunc(...))` — the driver's
-    * oracle checks exactly that equivalence.
+    * memory sink, then returned as a finite DataFrame. Append output mode:
+    * only windows the watermark has passed are emitted and their state is
+    * dropped — the bounded-state contract a continuous ingest needs. The
+    * batch equivalent is `groupBy(date_trunc(...))` restricted to
+    * finalized windows; the driver's oracle checks exactly that.
     */
   /** File-source streams need a directory; `fileName` narrows the scan to
     * one table's parquet via pathGlobFilter.
@@ -56,7 +58,7 @@ object StreamingOps {
     val q = agged.writeStream
       .format("memory")
       .queryName(queryName)
-      .outputMode("complete")
+      .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -137,10 +139,14 @@ object StreamingOps {
     spark.table(queryName)
   }
 
-  /** Stream-static broadcast join + windowed aggregation: the streaming side
+  /** Stream-static broadcast join + per-key aggregation: the streaming side
     * joins a small static dimension (reference J2 as a stream-static join —
     * annotations are static, sensor readings stream). The static side is
-    * broadcast so the stream never shuffles before aggregation.
+    * broadcast so the stream never shuffles before aggregation. NOTE: the
+    * aggregate is keyed by the static key, not an event-time window, so
+    * append mode cannot finalize it — this runs in complete mode and its
+    * state is proportional to the (small, broadcast) dimension, not to the
+    * stream; the watermark only bounds the join buffer.
     */
   def streamStaticJoinStats(spark: SparkSession, dir: String, fileName: String,
       static: DataFrame, streamKey: String, staticKey: String,

@@ -24,17 +24,31 @@ class StreamingOpsSpec extends SparkSpec {
     d
   }
 
-  test("windowedEventStats equals the batch groupBy(date_trunc) result") {
+  test("windowedEventStats emits exactly the watermark-finalized windows") {
+    // max ts = Jan 3 01:00, delay 1 day → watermark Jan 2 01:00: only the
+    // Jan 1 window (end Jan 2 00:00) is finalized; Jan 2/3 stay in state
     val out = StreamingOps.windowedEventStats(spark, s"$dir/fixture.parquet",
       "*.parquet", "ts", "event_type", "value", "1 day", "1 day",
       s"spec_sink_${System.nanoTime()}")
       .orderBy("window_start", "event_type")
       .collect()
-    assert(out.length == 3)
+    assert(out.length == 1)
     val day1 = out.head
     assert(day1.getAs[String]("event_type") == "a")
     assert(day1.getAs[Long]("n") == 2L)
     assert(day1.getAs[Double]("sum_value") == 4.0)
+  }
+
+  test("windowedEventStats with zero delay finalizes all complete windows") {
+    val out = StreamingOps.windowedEventStats(spark, s"$dir/fixture.parquet",
+      "*.parquet", "ts", "event_type", "value", "1 day", "0 seconds",
+      s"spec_sink0_${System.nanoTime()}")
+      .orderBy("window_start", "event_type")
+      .collect()
+    // watermark = Jan 3 01:00 → Jan 1 and Jan 2 windows finalized,
+    // Jan 3's window (end Jan 4) still open
+    assert(out.map(_.getAs[java.sql.Date]("window_start").toString).toSeq ==
+      Seq("2024-01-01", "2024-01-02"))
   }
 
   test("streamStaticJoinStats joins the static dim and aggregates per key") {

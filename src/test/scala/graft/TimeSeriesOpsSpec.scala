@@ -50,12 +50,13 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(approx(r.getAs[Double]("trend_change"), 4.5))
   }
 
-  test("halvesTrend: odd length gives first half the extra element (len//2)") {
+  test("halvesTrend: odd length gives the LATE half the extra element (len//2)") {
+    // reference: mid = 5//2 = 2 → early [1,2], late [4,8,16]
     val odd = series.union(
       Seq((1L, ts("2024-01-01 04:00:00"), 14L, 16.0)).toDF("k", "ts", "id", "v"))
     val r = TimeSeriesOps.halvesTrend(odd, "k", "ts", "id", "v").head
-    assert(approx(r.getAs[Double]("early_mean"), 7.0 / 3)) // 1,2,4
-    assert(approx(r.getAs[Double]("late_mean"), 12.0)) // 8,16
+    assert(approx(r.getAs[Double]("early_mean"), 1.5)) // 1,2
+    assert(approx(r.getAs[Double]("late_mean"), 28.0 / 3)) // 4,8,16
   }
 
   test("strideSample keeps rows 1, 1+s, 1+2s of each key's order") {
