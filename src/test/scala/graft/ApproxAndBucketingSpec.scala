@@ -47,4 +47,21 @@ class ApproxAndBucketingSpec extends SparkSpec {
       s.sql("DROP TABLE IF EXISTS bspec_b")
     }
   }
+
+  test("date-partitioned writes prune partitions at scan time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune_spec").toString
+    val df = (0 until 90).map(i => (i.toLong, f"2024-${1 + i / 30}%02d-${1 + i % 30}%02d", i * 1.0))
+      .toDF("id", "dt", "v")
+    df.write.mode("overwrite").partitionBy("dt").parquet(s"$dir/t")
+
+    val q = spark.read.parquet(s"$dir/t").filter(col("dt") === "2024-02-15")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(dt"), plan)
+    // the scan must touch exactly one of the 90 date partitions
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(scanned == Seq(1), s"expected 1 partition scanned, got $scanned")
+  }
 }
