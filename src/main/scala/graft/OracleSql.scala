@@ -554,6 +554,47 @@ object OracleSql {
         |   OR g.end_ms + 86400000 < wm.max_ms
         |ORDER BY g.user_id, start_epoch""".stripMargin,
 
+    "q54_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q55_pivot" ->
+      """SELECT user_id,
+        |  COALESCE(CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(28,4)) END) AS DOUBLE), 0.0) AS click,
+        |  COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(28,4)) END) AS DOUBLE), 0.0) AS purchase,
+        |  COALESCE(CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(28,4)) END) AS DOUBLE), 0.0) AS signup,
+        |  COALESCE(CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(28,4)) END) AS DOUBLE), 0.0) AS view,
+        |  COALESCE(CAST(SUM(CASE WHEN event_type = 'share' THEN CAST(value AS DECIMAL(28,4)) END) AS DOUBLE), 0.0) AS share
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q56_ranking" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |  rnk, drnk, prnk
+        |FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    CAST(RANK() OVER w AS BIGINT) AS rnk,
+        |    CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+        |    ROUND(PERCENT_RANK() OVER w, 6) AS prnk
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey))
+        |WHERE rnk <= 3
+        |ORDER BY c_nationkey, rnk, c_custkey""".stripMargin,
+
+    "q57_posexplode" ->
+      """WITH t AS (SELECT doc_id, (string_split(trim(text), ' '))[1:5] AS tk5 FROM documents),
+        |u AS (SELECT doc_id,
+        |        unnest(list_transform(tk5, (w, i) -> struct_pack(pos := i - 1, word := w))) AS s
+        |      FROM t)
+        |SELECT CAST(s.pos AS BIGINT) AS pos, COUNT(*) AS n,
+        |  COUNT(DISTINCT s.word) AS n_distinct, MIN(s.word) AS first_word
+        |FROM u GROUP BY 1
+        |ORDER BY pos""".stripMargin,
+
     "q43_stream_static_join" ->
       """WITH u AS (
         |  SELECT user_id, COUNT(*) AS n_total FROM events

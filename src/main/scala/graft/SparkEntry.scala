@@ -699,6 +699,58 @@ object SparkEntry {
           .as("p99_price"))
       .orderBy(col("l_returnflag"))
 
+  // ---------------------------------------------------------------- q54
+  // Rollup hierarchy totals (relational-surface completion): per
+  // (returnflag, linestatus) with subtotals and grand total.
+  def q54(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  // ---------------------------------------------------------------- q55
+  // Static pivot: event_type values to columns, decimal-exact sums.
+  def q55(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "purchase", "signup", "view", "share")
+    t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(dsum(col("value"), 4))
+      .na.fill(0.0, types)
+      .orderBy(col("user_id"))
+  }
+
+  // ---------------------------------------------------------------- q56
+  // Ranking family: top-3 customers per nation by account balance with
+  // rank + dense_rank + percent_rank.
+  def q56(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("c_nationkey"), col("rnk"), col("c_custkey"))
+  }
+
+  // ---------------------------------------------------------------- q57
+  // Generator (explode with position): positional word expansion + global
+  // term frequency over the first 5 tokens of each document.
+  def q57(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(slice(TextOps.tokens(col("text")), 1, 5))
+          .as(Seq("pos", "word")))
+      .groupBy(col("pos").cast("long").as("pos"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("word")).as("n_distinct"),
+        min(col("word")).as("first_word"))
+      .orderBy(col("pos"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -754,6 +806,10 @@ object SparkEntry {
     "q51_sessionize" -> (q51 _),
     "q52_ivf_ann" -> (q52 _),
     "q53_approx_sketches" -> (q53 _),
+    "q54_rollup" -> (q54 _),
+    "q55_pivot" -> (q55 _),
+    "q56_ranking" -> (q56 _),
+    "q57_posexplode" -> (q57 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →
