@@ -94,7 +94,7 @@ object MlPipelines {
     val nClasses = train.agg(countDistinct(col("label"))).head.getLong(0).toInt
     val mlp = new MultilayerPerceptronClassifier()
       .setLayers((dim +: hidden :+ nClasses).toArray)
-      .setMaxIter(60).setSeed(42)
+      .setMaxIter(40).setSeed(42)
       .fit(train)
     val out = mlp.transform(test)
       .groupBy(col("label")).agg(
