@@ -48,9 +48,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "dim join must broadcast, not shuffle")
   }
 
-  test("q05: interval join broadcasts the anchor side") {
+  test("q05: interval join is a broadcast HASH join on the equi-key") {
+    // the range condition must ride as a residual on the user_id hash join —
+    // a nested-loop join here would be O(|fact|·|anchors|) at scale
     val p = plan(SparkEntry.q05(spark, dir))
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   // in a finalized AQE plan, whole-stage-codegen stages print as "*(n) Op"
