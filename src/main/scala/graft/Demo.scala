@@ -59,7 +59,10 @@ object Demo {
 
     // --- the §3.1 plan through the public API
     val sensor = Sources.readSensorPeriods(spark, d1, d2)
-    val features = HivePipelines.populationFeatures(sensor, annots)
+    // fixture cadence is 6 readings/day (vs the reference's ~96), so the
+    // coverage floor scales down accordingly
+    val features = HivePipelines.populationFeatures(sensor, annots,
+      minCoverage = 0.01)
     println(s"[demo] feature matrix: ${features.count()} rows x " +
       s"${features.columns.length} cols")
 

@@ -82,9 +82,9 @@ object OracleSql {
         |  COUNT(value) AS n_obs,
         |  COUNT(d1) AS n_deltas,
         |  CAST(SUM(CAST(d1 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(d1) AS delta_mean,
-        |  CASE WHEN COUNT(d1) > 1 THEN ROUND(STDDEV_SAMP(d1), 6) END AS delta_std,
+        |  CASE WHEN COUNT(d1) > 0 THEN ROUND(STDDEV_POP(d1), 6) END AS delta_std,
         |  CAST(SUM(CAST(d2 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(d2) AS delta2_mean,
-        |  CASE WHEN COUNT(d2) > 1 THEN ROUND(STDDEV_SAMP(d2), 6) END AS delta2_std
+        |  CASE WHEN COUNT(d2) > 0 THEN ROUND(STDDEV_POP(d2), 6) END AS delta2_std
         |FROM t2
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
@@ -205,9 +205,9 @@ object OracleSql {
         |    ROUND(CAST(SUM(CASE WHEN y <> 0 THEN CAST(ABS((y - p) / y) AS DECIMAL(28,6)) END) AS DOUBLE)
         |      / COUNT(CASE WHEN y <> 0 THEN 1 END), 6) AS mape
         |  FROM t)
-        |SELECT n, mae, mse, ROUND(SQRT(mse), 6) AS rmse,
+        |SELECT n, mae, mse, ROUND(SQRT(ss_res / n), 6) AS rmse,
         |  ROUND(1.0 - ss_res / (sum_y2 - sum_y * sum_y / n), 6) AS r2,
-        |  ROUND(SQRT(mse) / y_range, 6) AS nrmse,
+        |  ROUND(SQRT(ss_res / n) / y_range, 6) AS nrmse,
         |  mape
         |FROM agg""".stripMargin,
 
@@ -474,7 +474,7 @@ object OracleSql {
         |  CASE WHEN COUNT(value) > 2 THEN ROUND(SKEWNESS(value), 6) END AS v_skew,
         |  CASE WHEN COUNT(value) > 3 THEN ROUND(KURTOSIS(value), 6) END AS v_kurt,
         |  CAST(SUM(CAST(d1 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(d1) AS v_delta_mean,
-        |  CASE WHEN COUNT(d1) > 1 THEN ROUND(STDDEV_SAMP(d1), 6) END AS v_delta_std
+        |  CASE WHEN COUNT(d1) > 0 THEN ROUND(STDDEV_POP(d1), 6) END AS v_delta_std
         |FROM d
         |GROUP BY anchor_id
         |HAVING COUNT(*) >= 10
@@ -498,7 +498,7 @@ object OracleSql {
         |    (o_orderkey % 1000) / 1000.0 + o_totalprice / 1e6 AS score
         |  FROM orders),
         |r AS (
-        |  SELECT label, score, RANK() OVER (ORDER BY score) AS rk FROM d),
+        |  SELECT label, score, ROW_NUMBER() OVER (ORDER BY score) AS rk FROM d),
         |rr AS (
         |  SELECT label, AVG(rk) OVER (PARTITION BY score) AS arank FROM r)
         |SELECT COUNT(*) AS n,

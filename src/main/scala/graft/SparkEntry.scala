@@ -549,7 +549,7 @@ object SparkEntry {
         round(skewSample(col("value")), 6).as("v_skew"),
         round(kurtSample(col("value")), 6).as("v_kurt"),
         (dsum(col("d1"), 6) / count(col("d1"))).as("v_delta_mean"),
-        stdRounded(col("d1")).as("v_delta_std"))
+        stdPopRounded(col("d1")).as("v_delta_std"))
       .filter(col("n_samples") >= 10)
       .orderBy(col("anchor_id"))
   }
@@ -581,8 +581,10 @@ object SparkEntry {
       .withColumn("label", (col("o_totalprice") > 150000).cast("int"))
       .withColumn("score",
         (col("o_orderkey") % 1000) / lit(1000.0) + col("o_totalprice") / lit(1e6))
-    // average rank over score ties keeps the statistic exact under ties
-    val ranked = d.withColumn("r", rank().over(Window.orderBy(col("score"))))
+    // midranks: average ROW_NUMBER over each tie group (rank() would give
+    // every tied row the minimum rank and the average would be a no-op)
+    val ranked = d.withColumn("r",
+        row_number().over(Window.orderBy(col("score"))))
       .withColumn("rr", avg(col("r")).over(Window.partitionBy(col("score"))))
     ranked.agg(
       count(lit(1)).as("n"),

@@ -52,6 +52,15 @@ object Stats {
   def stdRounded(c: Column): Column =
     when(count(c) > 1, round(stddev_samp(c), 6))
 
+  /** Population standard deviation (ddof=0), rounded; 0.0 for singleton
+    * groups like numpy, null only when the group is empty. The reference's
+    * temporal-delta stats are numpy `ndarray.std()` — population, unlike
+    * the pandas `Series.std()` (sample) used for the raw values
+    * (`/root/reference/src/data/preprocessing.py:111,125,130`).
+    */
+  def stdPopRounded(c: Column): Column =
+    when(count(c) > 0, round(stddev_pop(c), 6))
+
   /** Bias-corrected sample skewness G1 = g1 * sqrt(n(n-1))/(n-2)
     * (pandas `skew`, DuckDB `skewness`). Null for n < 3.
     */

@@ -58,10 +58,13 @@ object MetricQueries {
         col("n"),
         col("mae"),
         col("mse"),
-        round(sqrt(col("mse")), 6).as("rmse"),
+        // rmse/nrmse derive from the UNROUNDED ss_res/n — the integer
+        // rounding on the reported mse is an output quantization only
+        // (rounding first would zero rmse whenever mse < 0.5)
+        round(sqrt(col("ss_res") / col("n")), 6).as("rmse"),
         round(lit(1.0) - col("ss_res") /
           (col("sum_y2") - col("sum_y") * col("sum_y") / col("n")), 6).as("r2"),
-        round(sqrt(col("mse")) / col("y_range"), 6).as("nrmse"),
+        round(sqrt(col("ss_res") / col("n")) / col("y_range"), 6).as("nrmse"),
         col("mape"))
   }
 

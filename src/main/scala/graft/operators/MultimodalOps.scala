@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * real production shape.
   */
 case class MediaMeta(doc_id: Long, n_bytes: Long, content_hash: Long,
-    width: Int, height: Int, partition_batches: Int)
+    width: Int, height: Int, batch_index: Int)
 
 /** Multimodal-column plumbing: media as opaque `BinaryType` columns with
   * typed metadata extraction. On a real cluster the decode callback would
@@ -61,7 +61,8 @@ object MultimodalOps {
     df.select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // batched so a real decoder could vectorize / reuse buffers
+        // batched so a real decoder could vectorize / reuse buffers;
+        // batch_index is the row's 1-based batch ordinal within its partition
         it.grouped(batchSize).zipWithIndex.flatMap { case (batch, bi) =>
           batch.map { case (id, payload) =>
             val h = fnv64(payload)

@@ -61,14 +61,17 @@ object SimilarityOps {
 
   /** Random-hyperplane LSH signature: sign bits of dot products with
     * `numPlanes` pseudo-random hyperplanes derived deterministically from
-    * xxhash64(planeIdx, dimIdx). Vectors in the same bucket are ANN
-    * candidates; at 100 TB the all-pairs search becomes a bucket equi-join.
+    * xxhash64(planeIdx, dimIdx). The plane components are generated per
+    * element of the vector itself (no external dim parameter — a mismatch
+    * would null-pad through zip_with and silently zero the signature).
+    * Vectors in the same bucket are ANN candidates; at 100 TB the
+    * all-pairs search becomes a bucket equi-join.
     */
-  def hyperplaneSignature(vec: Column, dim: Int, numPlanes: Int): Column = {
+  def hyperplaneSignature(vec: Column, numPlanes: Int): Column = {
     val bits = (0 until numPlanes).map { p =>
       // plane component for dim i: hash → uniform in [-1, 1)
       val contrib = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)),
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
           (v, i) => v * (pmod(xxhash64(lit(p), i), lit(2000001L)) / 1000000.0 - 1.0)),
         lit(0.0), (acc, v) => acc + v)
       when(contrib >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
@@ -78,9 +81,9 @@ object SimilarityOps {
 
   /** ANN candidate pairs via hyperplane-signature buckets. */
   def lshCandidates(embeddings: DataFrame, idCol: String, vecCol: String,
-      dim: Int, numPlanes: Int): DataFrame = {
+      numPlanes: Int): DataFrame = {
     val sig = embeddings.select(col(idCol),
-      hyperplaneSignature(col(vecCol).cast("array<double>"), dim, numPlanes).as("sig"))
+      hyperplaneSignature(col(vecCol).cast("array<double>"), numPlanes).as("sig"))
     val l = sig.select(col("sig"), col(idCol).as("id_a"))
     val r = sig.select(col("sig"), col(idCol).as("id_b"))
     l.join(r, "sig").filter(col("id_a") < col("id_b")).select("id_a", "id_b")

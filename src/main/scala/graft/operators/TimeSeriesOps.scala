@@ -32,9 +32,9 @@ object TimeSeriesOps {
       count(col(value)).as("n_obs"),
       count(col("d1")).as("n_deltas"),
       (dsum(col("d1"), 6) / count(col("d1"))).as("delta_mean"),
-      stdRounded(col("d1")).as("delta_std"),
+      stdPopRounded(col("d1")).as("delta_std"),
       (dsum(col("d2"), 6) / count(col("d2"))).as("delta2_mean"),
-      stdRounded(col("d2")).as("delta2_std"))
+      stdPopRounded(col("d2")).as("delta2_std"))
   }
 
   /** Two-level trend aggregation (reference A5: per-week means, then

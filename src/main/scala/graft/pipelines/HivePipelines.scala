@@ -36,10 +36,13 @@ object HivePipelines {
         min(col(f)).as(s"${f}_min"),
         max(col(f)).as(s"${f}_max"),
         round(max(col(f)) - min(col(f)), 6).as(s"${f}_range"),
-        round(skewSample(col(f)), 6).as(s"${f}_skew"),
-        round(kurtSample(col(f)), 6).as(s"${f}_kurt"),
+        // the reference emits higher moments only for n ≥ 4
+        // (preprocessing.py:117)
+        when(count(col(f)) >= 4, round(skewSample(col(f)), 6)).as(s"${f}_skew"),
+        when(count(col(f)) >= 4, round(kurtSample(col(f)), 6)).as(s"${f}_kurt"),
         (dsum(col(s"__d_$f"), 6) / count(col(s"__d_$f"))).as(s"${f}_delta_mean"),
-        stdRounded(col(s"__d_$f")).as(s"${f}_delta_std"))
+        // numpy population std, not the pandas sample std of the raw values
+        stdPopRounded(col(s"__d_$f")).as(s"${f}_delta_std"))
     }
 
   /** Population feature matrix (reference `create_population_dataset`):
@@ -50,18 +53,25 @@ object HivePipelines {
     */
   def populationFeatures(sensor: DataFrame, population: DataFrame,
       features: Seq[String] = sensorFeatures, windowDays: Int = 7,
-      minRows: Int = 10): DataFrame = {
+      minRows: Int = 10, minCoverage: Double = 0.3): DataFrame = {
     val half = windowDays / 2
-    // J1: suffix-normalized hive key on both sides
+    // J1: each annotation matches exactly ONE sensor hive. The reference
+    // takes the first suffix match from set iteration (nondeterministic
+    // order, preprocessing.py:168-174); the engine pins the choice to the
+    // minimum matching sensor id — deterministic, and it prevents two
+    // suffix-colliding physical hives from merging into one window.
     val s = sensor.withColumn("hive_key",
       FuzzyJoins.suffixKey(col("hive_id"), 10, 4))
+    val hiveForKey = s.select(col("hive_id"), col("hive_key")).distinct()
+      .groupBy(col("hive_key")).agg(min(col("hive_id")).as("matched_hive"))
     val p = population
       .withColumn("hive_key", FuzzyJoins.suffixKey(col("hive_id"), 10, 4))
       .select(col("hive_key"), col("hive_id").as("annot_hive_id"),
         col("date"), col("frames_of_bees"))
+      .join(broadcast(hiveForKey), "hive_key")
     // J2: broadcast interval join — annotations are tiny
     val joined = s.join(broadcast(p),
-      s("hive_key") === p("hive_key") &&
+      s("hive_id") === p("matched_hive") &&
         col("timestamp") >= col("date") - expr(s"INTERVAL $half DAYS") &&
         col("timestamp") <= col("date") + expr(s"INTERVAL $half DAYS"))
       .drop(p("hive_key"))
@@ -79,7 +89,8 @@ object HivePipelines {
           round(count(lit(1)) / lit(windowDays * 24.0 * 4), 6)
             .as("window_coverage") :+
           first(col("frames_of_bees")).as("frames_of_bees")): _*)
-      .filter(col("n_samples") >= minRows)
+      .filter(col("n_samples") >= minRows &&
+        col("window_coverage") >= minCoverage) // preprocessing.py:188
       .withColumn("population_class",
         when(col("frames_of_bees") >= 20, 1).otherwise(0))
   }

@@ -33,7 +33,7 @@ class HivePipelinesSpec extends SparkSpec {
 
   test("populationFeatures: fuzzy match + window + stats + label, golden values") {
     val out = HivePipelines.populationFeatures(sensor, population,
-      features = feats, windowDays = 7, minRows = 10)
+      features = feats, windowDays = 7, minRows = 10, minCoverage = 0.0)
     val rows = out.collect()
     assert(rows.length == 1) // only 2056 survives
     val r = rows.head
@@ -51,9 +51,9 @@ class HivePipelinesSpec extends SparkSpec {
 
   test("populationFeatures is deterministic under input permutation") {
     val shuffled = sensor.orderBy(rand(3))
-    val a = HivePipelines.populationFeatures(sensor, population, feats, 7, 10)
+    val a = HivePipelines.populationFeatures(sensor, population, feats, 7, 10, 0.0)
       .collect().map(_.toSeq)
-    val b = HivePipelines.populationFeatures(shuffled, population, feats, 7, 10)
+    val b = HivePipelines.populationFeatures(shuffled, population, feats, 7, 10, 0.0)
       .collect().map(_.toSeq)
     assert(a.toSeq == b.toSeq)
   }
@@ -72,8 +72,29 @@ class HivePipelinesSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("temperature_weekly_std")))
   }
 
+  test("populationFeatures: coverage filter excludes sparse windows (preprocessing.py:188)") {
+    // coverage = 12 / 672 ≈ 0.018 — the reference's default 0.3 floor
+    // rejects the window entirely
+    assert(HivePipelines.populationFeatures(sensor, population, feats, 7, 10)
+      .count() == 0)
+  }
+
+  test("populationFeatures: one sensor hive per annotation under suffix collision") {
+    // 302056 collides with 202056 on the 4-digit suffix; only the minimum
+    // matching hive's readings may enter the window (no interleaving)
+    val collided = sensor.union(
+      (0 until 12).map(i =>
+        (302056L, ts(f"2020-06-${8 + i / 4}%02d 0${i % 4}:30:00"),
+          100.0, 100.0)).toDF("hive_id", "timestamp", "temperature", "humidity"))
+    val out = HivePipelines.populationFeatures(collided, population, feats, 7, 10, 0.0)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_samples") == 12L) // not 24
+    assert(out.head.getAs[Double]("temperature_mean") == 25.5) // 202056 only
+  }
+
   test("withHiveSplit keeps every hive in exactly one split") {
-    val f = HivePipelines.populationFeatures(sensor, population, feats, 7, 1)
+    val f = HivePipelines.populationFeatures(sensor, population, feats, 7, 1, 0.0)
     val s = HivePipelines.withHiveSplit(f)
     assert(s.groupBy("hive_id").agg(countDistinct("split").as("n"))
       .filter(col("n") =!= 1).count() == 0)

@@ -37,7 +37,7 @@ class MultimodalOpsSpec extends SparkSpec {
     val meta = MultimodalOps.decodeMeta(spark,
       MultimodalOps.withPayload(many, "text"), "doc_id", batchSize = 64)
     // 150 rows in one partition at batch 64 → batch indices 1,2,3
-    assert(meta.select("partition_batches").distinct().as[Int].collect().sorted
+    assert(meta.select("batch_index").distinct().as[Int].collect().sorted
       .toSeq == Seq(1, 2, 3))
   }
 }

@@ -39,7 +39,7 @@ class SimilarityOpsSpec extends SparkSpec {
       (2L, Seq(1.0f, 2.0f, 3.0f)),   // identical → same signature
       (3L, Seq(-9.0f, 4.0f, -7.0f)),
     ).toDF("vec_id", "embedding")
-    val pairs = SimilarityOps.lshCandidates(e, "vec_id", "embedding", 3, 16)
+    val pairs = SimilarityOps.lshCandidates(e, "vec_id", "embedding", 16)
       .as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
   }

@@ -12,6 +12,7 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.shuffle.partitions", 5)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -5,8 +5,10 @@ Usage: python3 tools/check_oracle.py <sf_dir> <verify_out_dir>
 
 For each query in <verify_out_dir>/oracle_sql.json: run the SQL in DuckDB
 (tables = parquet files of <sf_dir>), load the Spark parquet result, sort
-columns by name, compare row-by-row exactly (doubles: exact or 1e-9 rel
-fallback reported separately).
+columns by name, compare row-by-row. Doubles must match EXACTLY — any
+non-exact double fails the query (stricter than a tolerance check, so a
+local PASS can't hide noise the driver might flag); mismatches under 1e-9
+relative are tagged "close" in the failure detail for triage.
 """
 import json
 import math
@@ -17,12 +19,6 @@ import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
-
-
-def norm(v):
-    if isinstance(v, float):
-        return v
-    return v
 
 
 def main(sf_dir, out_dir):
