@@ -126,17 +126,118 @@ object HivePipelines {
         features.map(f =>
           round(max(col(s"${f}_hm")) - min(col(s"${f}_hm")), 6)
             .as(s"${f}_daily_range")).tail: _*)
-    // A5: weekly means → dispersion across weeks
-    val weekly = summer
-      .groupBy(col("hive_id"), date_trunc("week", col("timestamp")).as("wk"))
-      .agg(features.map(f => davg(col(f), 6).as(s"${f}_wm")).head,
-        features.map(f => davg(col(f), 6).as(s"${f}_wm")).tail: _*)
-    val trend = weekly.groupBy(col("hive_id"))
-      .agg(features.map(f => stdRounded(col(s"${f}_wm")).as(s"${f}_weekly_std")).head,
-        features.map(f => stdRounded(col(s"${f}_wm")).as(s"${f}_weekly_std")).tail: _*)
+    // A5 multiscale: per-bucket means → dispersion across bucket means,
+    // emitted only when >1 bucket exists (preprocessing.py:247-261)
+    def bucketTrend(unit: String, tag: String): DataFrame = {
+      val per = summer
+        .groupBy(col("hive_id"), date_trunc(unit, col("timestamp")).as("bk"))
+        .agg(features.map(f => davg(col(f), 6).as(s"${f}_bm")).head,
+          features.map(f => davg(col(f), 6).as(s"${f}_bm")).tail: _*)
+      per.groupBy(col("hive_id"))
+        .agg(
+          features.flatMap(f => Seq(
+            stdRounded(col(s"${f}_bm")).as(s"${f}_${tag}_trend_std"),
+            when(count(col(s"${f}_bm")) > 1,
+              round(max(col(s"${f}_bm")) - min(col(s"${f}_bm")), 6))
+              .as(s"${f}_${tag}_trend_range"))).head,
+          features.flatMap(f => Seq(
+            stdRounded(col(s"${f}_bm")).as(s"${f}_${tag}_trend_std"),
+            when(count(col(s"${f}_bm")) > 1,
+              round(max(col(s"${f}_bm")) - min(col(s"${f}_bm")), 6))
+              .as(s"${f}_${tag}_trend_range"))).tail: _*)
+    }
+    // A6 early/late: halves at mid = len//2 in time order (the late half
+    // gets the extra element), per-feature null-skipping means
+    val w = Window.partitionBy(col("hive_id"))
+      .orderBy(col("timestamp"))
+    val wAll = Window.partitionBy(col("hive_id"))
+    val halves = summer
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__half", when(col("__rn") <= expr("__n div 2"), 1).otherwise(2))
+      .groupBy(col("hive_id"))
+      .agg(
+        features.flatMap(f => Seq(
+          davg(when(col("__half") === 1, col(f)), 6).as(s"${f}_early_mean"),
+          davg(when(col("__half") === 2, col(f)), 6).as(s"${f}_late_mean"))).head,
+        features.flatMap(f => Seq(
+          davg(when(col("__half") === 1, col(f)), 6).as(s"${f}_early_mean"),
+          davg(when(col("__half") === 2, col(f)), 6).as(s"${f}_late_mean"))).tail: _*)
+    val halvesWithChange = features.foldLeft(halves)((d, f) =>
+      d.withColumn(s"${f}_trend_change",
+        round(col(s"${f}_late_mean") - col(s"${f}_early_mean"), 6)))
     base.join(diurnal, Seq("hive_id"), "left")
-      .join(trend, Seq("hive_id"), "left")
+      .join(bucketTrend("week", "weekly"), Seq("hive_id"), "left")
+      .join(bucketTrend("month", "monthly"), Seq("hive_id"), "left")
+      .join(halvesWithChange, Seq("hive_id"), "left")
   }
+
+  /** Per-annotation sequence dataset (reference `SequenceDataset`,
+    * `/root/reference/src/data/dataset.py:233-298`): the matched hive's
+    * window readings as a time-ordered sequence of feature vectors —
+    * NaN→0, stride-subsampled from the first element (`seq[::stride]`),
+    * truncated to the most recent `maxLen`, front-padded with zero
+    * vectors, plus the binary label. The deep models that consume this are
+    * out of engine scope; the data surface is complete and typed
+    * (`array<array<double>>`).
+    */
+  def windowSequences(sensor: DataFrame, population: DataFrame,
+      features: Seq[String] = sensorFeatures, windowDays: Int = 7,
+      stride: Int = 12, maxLen: Int = 168): DataFrame = {
+    val half = windowDays / 2
+    val s = sensor.withColumn("hive_key",
+      FuzzyJoins.suffixKey(col("hive_id"), 10, 4))
+    val hiveForKey = s.select(col("hive_id"), col("hive_key")).distinct()
+      .groupBy(col("hive_key")).agg(min(col("hive_id")).as("matched_hive"))
+    val p = population
+      .withColumn("hive_key", FuzzyJoins.suffixKey(col("hive_id"), 10, 4))
+      .select(col("hive_key"), col("hive_id").as("annot_hive_id"),
+        col("date"), col("frames_of_bees"))
+      .join(broadcast(hiveForKey), "hive_key")
+    val joined = s.join(broadcast(p),
+      s("hive_id") === p("matched_hive") &&
+        col("timestamp") >= col("date") - expr(s"INTERVAL $half DAYS") &&
+        col("timestamp") <= col("date") + expr(s"INTERVAL $half DAYS"))
+      .drop(p("hive_key"))
+    val vec = array(features.map(f => coalesce(col(f), lit(0.0))): _*)
+    val collected = joined
+      .groupBy(col("annot_hive_id").as("hive_id"), col("date"),
+        col("frames_of_bees"))
+      .agg(sort_array(collect_list(struct(col("timestamp").as("ts"),
+        vec.as("v")))).as("s"))
+      .withColumn("vecs", transform(col("s"), x => x.getField("v")))
+      // seq[::stride] — positions 0, stride, 2·stride, …
+      .withColumn("strided",
+        filter(col("vecs"), (_, i) => i % stride === 0))
+    val zeroVec = array_repeat(lit(0.0), features.size)
+    collected
+      .withColumn("lastN",
+        when(size(col("strided")) >= maxLen,
+          slice(col("strided"), -maxLen, maxLen))
+          .otherwise(col("strided")))
+      .select(col("hive_id"), col("date"),
+        concat(array_repeat(zeroVec, lit(maxLen) - size(col("lastN"))),
+          col("lastN")).as("seq"),
+        // unpadded variant: scaler fitting happens BEFORE padding in the
+        // reference (dataset.py:269-278), so zero-pad steps must not
+        // contaminate the feature moments
+        col("lastN").as("seq_raw"),
+        size(col("lastN")).cast("long").as("seq_len"),
+        when(col("frames_of_bees") >= 20, 1).otherwise(0)
+          .as("population_class"))
+  }
+
+  /** Sequence-scaler fit (reference A13: `np.vstack(all sequences)` then
+    * per-feature mean/std — `dataset.py:269-275`): explode every sequence
+    * step and aggregate, fully distributed. Returns one row per feature
+    * index with (mean, std).
+    */
+  def sequenceScalerStats(sequences: DataFrame, seqCol: String): DataFrame =
+    sequences
+      .select(explode(col(seqCol)).as("step"))
+      .select(posexplode(col("step")).as(Seq("feature_idx", "v")))
+      .groupBy(col("feature_idx").cast("long").as("feature_idx"))
+      .agg(davg(col("v"), 6).as("mean"), stdRounded(col("v")).as("std"))
 
   /** Leakage-safe split tag (reference `split_by_hive`, M2). */
   def withHiveSplit(features: DataFrame): DataFrame =

@@ -68,8 +68,41 @@ class HivePipelinesSpec extends SparkSpec {
     // hours 0..3 have means (20+24+28)/3=24, 25, 26, 27 → daily range 3
     assert(r.getAs[Double]("temperature_daily_range") == 3.0)
     // readings span 2 ISO weeks (Jun 8-10 2020 are Mon-Wed of one week) —
-    // all inside one week → weekly_std null
-    assert(r.isNullAt(r.fieldIndex("temperature_weekly_std")))
+    // all inside one week → weekly trend absent like the reference's
+    // len(weekly_means) > 1 guard
+    assert(r.isNullAt(r.fieldIndex("temperature_weekly_trend_std")))
+    assert(r.isNullAt(r.fieldIndex("temperature_monthly_trend_std")))
+    // early/late: 12 readings, mid=6 → early 20..25 (mean 22.5),
+    // late 26..31 (mean 28.5), change +6
+    assert(r.getAs[Double]("temperature_early_mean") == 22.5)
+    assert(r.getAs[Double]("temperature_late_mean") == 28.5)
+    assert(r.getAs[Double]("temperature_trend_change") == 6.0)
+  }
+
+  test("windowSequences: ordered vectors, stride from first, pad/truncate, label") {
+    val out = HivePipelines.windowSequences(sensor, population,
+      features = feats, windowDays = 7, stride = 4, maxLen = 5)
+    val rows = out.collect()
+    assert(rows.length == 2) // 2056 and 2099 (no min-support on sequences)
+    val r = rows.find(_.getAs[Long]("hive_id") == 2056L).get
+    // 12 readings, stride 4 → positions 0,4,8 → temps 20,24,28; padded to 5
+    assert(r.getAs[Long]("seq_len") == 3L)
+    val seq = r.getSeq[scala.collection.Seq[Double]](r.fieldIndex("seq"))
+      .map(_.toList).toList
+    assert(seq.length == 5)
+    assert(seq(0) == List(0.0, 0.0) && seq(1) == List(0.0, 0.0)) // front pad
+    assert(seq.drop(2).map(_.head) == List(20.0, 24.0, 28.0))
+    assert(r.getAs[Int]("population_class") == 1)
+  }
+
+  test("sequenceScalerStats: vstack-equivalent per-feature moments, pre-padding") {
+    val seqs = HivePipelines.windowSequences(sensor, population,
+      features = feats, windowDays = 7, stride = 1, maxLen = 100)
+      .filter(col("hive_id") === 2056L)
+    val stats = HivePipelines.sequenceScalerStats(seqs, "seq_raw")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // hive 2056 unpadded: temps 20..31 → mean 25.5 (padded seq would skew)
+    assert(stats(0L) == 25.5)
   }
 
   test("populationFeatures: coverage filter excludes sparse windows (preprocessing.py:188)") {
