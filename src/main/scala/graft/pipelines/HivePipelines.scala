@@ -51,15 +51,17 @@ object HivePipelines {
     * count/coverage, and the binary population label (FoB ≥ 20,
     * `preprocessing.py:200`).
     */
-  def populationFeatures(sensor: DataFrame, population: DataFrame,
-      features: Seq[String] = sensorFeatures, windowDays: Int = 7,
-      minRows: Int = 10, minCoverage: Double = 0.3): DataFrame = {
+  /** J1+J2 shared by the feature and sequence builders: each annotation
+    * matches exactly ONE sensor hive. The reference takes the first suffix
+    * match from set iteration (nondeterministic order,
+    * preprocessing.py:168-174); the engine pins the choice to the minimum
+    * matching sensor id — deterministic, and it prevents two
+    * suffix-colliding physical hives from merging into one window. The
+    * annotation side is broadcast; the sensor table streams through once.
+    */
+  private def matchedWindowJoin(sensor: DataFrame, population: DataFrame,
+      windowDays: Int): DataFrame = {
     val half = windowDays / 2
-    // J1: each annotation matches exactly ONE sensor hive. The reference
-    // takes the first suffix match from set iteration (nondeterministic
-    // order, preprocessing.py:168-174); the engine pins the choice to the
-    // minimum matching sensor id — deterministic, and it prevents two
-    // suffix-colliding physical hives from merging into one window.
     val s = sensor.withColumn("hive_key",
       FuzzyJoins.suffixKey(col("hive_id"), 10, 4))
     val hiveForKey = s.select(col("hive_id"), col("hive_key")).distinct()
@@ -69,12 +71,17 @@ object HivePipelines {
       .select(col("hive_key"), col("hive_id").as("annot_hive_id"),
         col("date"), col("frames_of_bees"))
       .join(broadcast(hiveForKey), "hive_key")
-    // J2: broadcast interval join — annotations are tiny
-    val joined = s.join(broadcast(p),
+    s.join(broadcast(p),
       s("hive_id") === p("matched_hive") &&
         col("timestamp") >= col("date") - expr(s"INTERVAL $half DAYS") &&
         col("timestamp") <= col("date") + expr(s"INTERVAL $half DAYS"))
       .drop(p("hive_key"))
+  }
+
+  def populationFeatures(sensor: DataFrame, population: DataFrame,
+      features: Seq[String] = sensorFeatures, windowDays: Int = 7,
+      minRows: Int = 10, minCoverage: Double = 0.3): DataFrame = {
+    val joined = matchedWindowJoin(sensor, population, windowDays)
     // W2/A3: per-window lag deltas for every feature in one window pass
     val w = Window.partitionBy(col("annot_hive_id"), col("date"))
       .orderBy(col("timestamp"), col("hive_id"))
@@ -183,32 +190,25 @@ object HivePipelines {
     */
   def windowSequences(sensor: DataFrame, population: DataFrame,
       features: Seq[String] = sensorFeatures, windowDays: Int = 7,
-      stride: Int = 12, maxLen: Int = 168): DataFrame = {
-    val half = windowDays / 2
-    val s = sensor.withColumn("hive_key",
-      FuzzyJoins.suffixKey(col("hive_id"), 10, 4))
-    val hiveForKey = s.select(col("hive_id"), col("hive_key")).distinct()
-      .groupBy(col("hive_key")).agg(min(col("hive_id")).as("matched_hive"))
-    val p = population
-      .withColumn("hive_key", FuzzyJoins.suffixKey(col("hive_id"), 10, 4))
-      .select(col("hive_key"), col("hive_id").as("annot_hive_id"),
-        col("date"), col("frames_of_bees"))
-      .join(broadcast(hiveForKey), "hive_key")
-    val joined = s.join(broadcast(p),
-      s("hive_id") === p("matched_hive") &&
-        col("timestamp") >= col("date") - expr(s"INTERVAL $half DAYS") &&
-        col("timestamp") <= col("date") + expr(s"INTERVAL $half DAYS"))
-      .drop(p("hive_key"))
+      stride: Int = 12, maxLen: Int = 168, minRows: Int = 10): DataFrame = {
+    val joined = matchedWindowJoin(sensor, population, windowDays)
     val vec = array(features.map(f => coalesce(col(f), lit(0.0))): _*)
     val collected = joined
+      // unlabeled annotations are dropped, not negatives (dataset.py:242-244)
+      .filter(col("frames_of_bees").isNotNull)
       .groupBy(col("annot_hive_id").as("hive_id"), col("date"),
         col("frames_of_bees"))
       .agg(sort_array(collect_list(struct(col("timestamp").as("ts"),
         vec.as("v")))).as("s"))
+      // min-support on the raw window (dataset.py:229-230)
+      .filter(size(col("s")) >= minRows)
       .withColumn("vecs", transform(col("s"), x => x.getField("v")))
-      // seq[::stride] — positions 0, stride, 2·stride, …
+      // seq[::stride] — positions 0, stride, 2·stride, … — but only when
+      // the sequence is longer than the stride (dataset.py:237)
       .withColumn("strided",
-        filter(col("vecs"), (_, i) => i % stride === 0))
+        when(lit(stride) > 1 && size(col("vecs")) > stride,
+          filter(col("vecs"), (_, i) => i % stride === 0))
+          .otherwise(col("vecs")))
     val zeroVec = array_repeat(lit(0.0), features.size)
     collected
       .withColumn("lastN",
@@ -237,7 +237,8 @@ object HivePipelines {
       .select(explode(col(seqCol)).as("step"))
       .select(posexplode(col("step")).as(Seq("feature_idx", "v")))
       .groupBy(col("feature_idx").cast("long").as("feature_idx"))
-      .agg(davg(col("v"), 6).as("mean"), stdRounded(col("v")).as("std"))
+      // sklearn StandardScaler scale_ is population std (ddof=0)
+      .agg(davg(col("v"), 6).as("mean"), stdPopRounded(col("v")).as("std"))
 
   /** Leakage-safe split tag (reference `split_by_hive`, M2). */
   def withHiveSplit(features: DataFrame): DataFrame =

@@ -83,7 +83,8 @@ class HivePipelinesSpec extends SparkSpec {
     val out = HivePipelines.windowSequences(sensor, population,
       features = feats, windowDays = 7, stride = 4, maxLen = 5)
     val rows = out.collect()
-    assert(rows.length == 2) // 2056 and 2099 (no min-support on sequences)
+    // 2099 has 3 readings < minRows=10 → dropped (dataset.py:229-230)
+    assert(rows.length == 1)
     val r = rows.find(_.getAs[Long]("hive_id") == 2056L).get
     // 12 readings, stride 4 → positions 0,4,8 → temps 20,24,28; padded to 5
     assert(r.getAs[Long]("seq_len") == 3L)
