@@ -595,6 +595,12 @@ object OracleSql {
         |FROM u GROUP BY 1
         |ORDER BY pos""".stripMargin,
 
+    "q58_stream_dedup" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     "q43_stream_static_join" ->
       """WITH u AS (
         |  SELECT user_id, COUNT(*) AS n_total FROM events

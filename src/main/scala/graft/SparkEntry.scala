@@ -753,6 +753,21 @@ object SparkEntry {
         min(col("word")).as("first_word"))
       .orderBy(col("pos"))
 
+  // ---------------------------------------------------------------- q58
+  // Streaming exact dedup (dropDuplicatesWithinWatermark): with the
+  // watermark spanning the whole replay, it equals batch DISTINCT — which
+  // is precisely what the oracle checks.
+  def q58(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val deduped = graft.streaming.StreamingOps.dedupStream(
+      spark, dir, "events.parquet", Seq("user_id", "event_type"), "ts",
+      "90 days", s"q58_sink_${System.nanoTime()}",
+      prepare = df => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    deduped.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_distinct_users"))
+      .orderBy(col("event_type"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -812,6 +827,7 @@ object SparkEntry {
     "q55_pivot" -> (q55 _),
     "q56_ranking" -> (q56 _),
     "q57_posexplode" -> (q57 _),
+    "q58_stream_dedup" -> (q58 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -70,6 +70,27 @@ object StreamingOps {
         col("sum_dec").cast("double").as("sum_value"))
   }
 
+  /** Streaming deduplication with watermark-bounded state
+    * (`dropDuplicatesWithinWatermark`): exact-key dedup at ingest, the
+    * streaming counterpart of [[graft.operators.DedupOps.exactGroups]].
+    * State holds only keys younger than the watermark — bounded memory on
+    * an unbounded stream, the shape a 100 TB continuous ingest needs.
+    */
+  def dedupStream(spark: SparkSession, dir: String, fileName: String,
+      keyCols: Seq[String], tsCol: String, watermark: String,
+      queryName: String, prepare: DataFrame => DataFrame = identity): DataFrame = {
+    val stream = prepare(fileStream(spark, dir, fileName))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+    val q = stream.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Gap-based sessionization with custom state
     * (`flatMapGroupsWithState`, SURVEY §2.11 extension): consecutive events
     * of a user belong to one session while inter-event gaps stay within

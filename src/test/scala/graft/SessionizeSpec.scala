@@ -7,6 +7,24 @@ import graft.streaming.StreamingOps
 class SessionizeSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dedupStream drops in-watermark duplicate keys, keeps distinct ones") {
+    val d = Files.createTempDirectory("graft_dedup_stream").toString
+    val df = Seq(
+      ("2024-01-01 00:00:00", 1L, "a"),
+      ("2024-01-01 00:10:00", 1L, "a"), // duplicate key within watermark
+      ("2024-01-01 00:20:00", 2L, "b"),
+      ("2024-01-01 00:30:00", 1L, "c"), // same user, different payload key
+    ).toDF("ts_s", "user_id", "payload")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    df.coalesce(1).write.mode("overwrite").parquet(s"$d/ev.parquet")
+
+    val out = StreamingOps.dedupStream(spark, s"$d/ev.parquet", "*.parquet",
+      Seq("user_id", "payload"), "ts", "1 hour",
+      s"dedup_sink_${System.nanoTime()}")
+      .select("user_id", "payload").as[(Long, String)].collect().sorted
+    assert(out.toSeq == Seq((1L, "a"), (1L, "c"), (2L, "b")))
+  }
+
   test("sessionize splits on gap, aggregates per session") {
     val d = Files.createTempDirectory("graft_session_spec").toString
     // user 1: events at 0min, 5min (one session), 120min (second session),
