@@ -81,4 +81,29 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(SparkEntry.q31(spark, dir))
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
   }
+
+  test("populationFeatures: sensor table shuffles at most twice, joins broadcast") {
+    import spark.implicits._
+    val sensor = (0 until 200).map(i =>
+      (202050L + i % 4, java.sql.Timestamp.valueOf(
+        f"2020-06-${1 + i % 28}%02d 00:00:00"), i * 1.0, 50.0 + i))
+      .toDF("hive_id", "timestamp", "temperature", "humidity")
+    val annots = Seq((2050L,
+      java.sql.Timestamp.valueOf("2020-06-10 00:00:00"), 25.0))
+      .toDF("hive_id", "date", "frames_of_bees")
+    val df = graft.pipelines.HivePipelines.populationFeatures(
+      sensor, annots, Seq("temperature", "humidity"), 7, 1, 0.0)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // exchanges: one tiny dedup for the hive-key pin, one partitioning for
+    // the window+aggregate (reused, not repeated) — the fact table itself
+    // streams through the broadcast joins without shuffling.
+    // (AQE's toString appends the pre-adaptive "Initial Plan" — count only
+    // the executed final section)
+    val finalSection = p.split("== Initial Plan ==").head
+    val nShuffles = "Exchange hashpartitioning".r.findAllIn(finalSection).length
+    assert(nShuffles <= 2, s"expected <=2 shuffles, got $nShuffles:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
