@@ -72,4 +72,48 @@ object MultimodalOps {
         }
       }
   }
+
+  /** STUB feature extraction: a fixed-dimension embedding derived from the
+    * payload bytes (a real pipeline calls an encoder here). Pure per-row
+    * column expressions — codegen'd, no shuffle, linear to corpus size.
+    */
+  def withPayloadEmbedding(df: DataFrame, dim: Int): DataFrame =
+    df.withColumn("payload_embedding",
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => pmod(xxhash64(col("payload"), i), lit(1000L)).cast("double") / 500.0 - 1.0))
+
+  /** Resize planning: target dims preserving aspect ratio under a max edge.
+    * Metadata-only arithmetic (the pixel work happens inside the decode
+    * callback on a real cluster); demonstrates the typed transform layer.
+    */
+  def withResizePlan(meta: DataFrame, maxEdge: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxEdge) / greatest(col("width"), col("height")).cast("double"))
+    meta
+      .withColumn("resize_scale", round(scale, 6))
+      .withColumn("out_width", floor(col("width") * scale).cast("int"))
+      .withColumn("out_height", floor(col("height") * scale).cast("int"))
+  }
+
+  /** STUB frame sampling for video-like payloads: treat the payload as
+    * `frameSize`-byte frames and keep every `stride`-th — one row per kept
+    * frame with its offset and a content hash. The explode shape (one
+    * input row → bounded frame rows) is the real pipeline's; only the
+    * frame parse is fake.
+    */
+  def sampleFrames(spark: SparkSession, df: DataFrame, idCol: String,
+      frameSize: Int, stride: Int): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val nFrames = math.max(1, payload.length / frameSize)
+        (0 until nFrames by stride).map { f =>
+          val from = f * frameSize
+          val until = math.min(payload.length, from + frameSize)
+          (id, f, from, fnv64(java.util.Arrays.copyOfRange(payload, from, until)))
+        }
+      }
+      .toDF(idCol, "frame_idx", "byte_offset", "frame_hash")
+  }
 }
