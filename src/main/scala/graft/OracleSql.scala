@@ -601,6 +601,35 @@ object OracleSql {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
+    "q61_ovr_multiclass_auc" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN o_orderstatus = 'F' THEN 0
+        |              WHEN o_orderstatus = 'O' THEN 1 ELSE 2 END AS label3,
+        |         o_orderkey, o_totalprice
+        |  FROM orders),
+        |x AS (
+        |  SELECT c.cls,
+        |    CASE WHEN d.label3 = c.cls THEN 1 ELSE 0 END AS bin_label,
+        |    ((d.o_orderkey * (c.cls + 3)) % 1000) / 1000.0 + d.o_totalprice / 1e6 AS score
+        |  FROM d CROSS JOIN (VALUES (0), (1), (2)) AS c(cls)),
+        |r AS (
+        |  SELECT cls, bin_label, score,
+        |    ROW_NUMBER() OVER (PARTITION BY cls ORDER BY score) AS rk
+        |  FROM x),
+        |rr AS (
+        |  SELECT cls, bin_label, AVG(rk) OVER (PARTITION BY cls, score) AS arank
+        |  FROM r),
+        |a AS (
+        |  SELECT cls, COUNT(*) AS n, CAST(SUM(bin_label) AS BIGINT) AS n_pos,
+        |    ROUND(
+        |      (CAST(SUM(CASE WHEN bin_label = 1 THEN CAST(arank AS DECIMAL(28,6)) END) AS DOUBLE)
+        |        - (SUM(bin_label) * (SUM(bin_label) + 1) / 2.0)) /
+        |      (SUM(bin_label) * (COUNT(*) - SUM(bin_label))), 6) AS auc
+        |  FROM rr GROUP BY cls)
+        |SELECT cls, n, n_pos, auc, ROUND(AVG(auc) OVER (), 6) AS macro_auc
+        |FROM a
+        |ORDER BY cls""".stripMargin,
+
     "q43_stream_static_join" ->
       """WITH u AS (
         |  SELECT user_id, COUNT(*) AS n_total FROM events

@@ -573,27 +573,17 @@ object SparkEntry {
       .orderBy(col("l_suppkey"))
 
   // ---------------------------------------------------------------- q46
-  // ROC-AUC via the Mann–Whitney rank statistic (reference X4) — exact,
-  // one window pass + one aggregate, tie-corrected through average ranks.
+  // ROC-AUC via the Mann–Whitney rank statistic (reference X4) — exact and
+  // tie-corrected, computed with DISTRIBUTED midranks (RankMetrics): the
+  // only full-data pass is a hash aggregate to distinct scores; no global
+  // single-partition window anywhere (PlanAuditSpec asserts it).
   def q46(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = t(spark, dir, "orders")
       .withColumn("label", (col("o_totalprice") > 150000).cast("int"))
       .withColumn("score",
         (col("o_orderkey") % 1000) / lit(1000.0) + col("o_totalprice") / lit(1e6))
-    // midranks: average ROW_NUMBER over each tie group (rank() would give
-    // every tied row the minimum rank and the average would be a no-op)
-    val ranked = d.withColumn("r",
-        row_number().over(Window.orderBy(col("score"))))
-      .withColumn("rr", avg(col("r")).over(Window.partitionBy(col("score"))))
-    ranked.agg(
-      count(lit(1)).as("n"),
-      sum(col("label")).cast("long").as("n_pos"),
-      round(
-        (dsum(when(col("label") === 1, col("rr")), 6) -
-          (sum(col("label")) * (sum(col("label")) + 1) / 2.0)) /
-          (sum(col("label")) * (count(lit(1)) - sum(col("label")))), 6)
-        .as("auc"))
+    graft.metrics.RankMetrics.binaryAuc(d, "score", "label")
+      .select(col("n"), col("n_pos").cast("long").as("n_pos"), col("auc"))
   }
 
   // ---------------------------------------------------------------- q47
@@ -768,6 +758,25 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  // ---------------------------------------------------------------- q61
+  // One-vs-rest multiclass AUC (reference X4 multiclass,
+  // `/root/reference/src/training/metrics.py:59-72`): per-class binary
+  // midrank AUC via the distributed q46 mechanism + macro average, over the
+  // 3-class order-status label with per-class deterministic scores.
+  def q61(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "orders")
+      .withColumn("label3",
+        when(col("o_orderstatus") === "F", 0)
+          .when(col("o_orderstatus") === "O", 1)
+          .otherwise(2))
+    val classScores = Seq(0, 1, 2).map { c =>
+      c -> ((col("o_orderkey") * (c + 3) % 1000) / lit(1000.0) +
+        col("o_totalprice") / lit(1e6))
+    }
+    graft.metrics.RankMetrics.ovrMacroAuc(d, "label3", classScores)
+      .orderBy(col("cls"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -828,6 +837,7 @@ object SparkEntry {
     "q56_ranking" -> (q56 _),
     "q57_posexplode" -> (q57 _),
     "q58_stream_dedup" -> (q58 _),
+    "q61_ovr_multiclass_auc" -> (q61 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -1,0 +1,146 @@
+package graft.metrics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Stats._
+
+/** Distributed rank statistics: Mann–Whitney midrank AUC without a global
+  * single-partition window (reference X4,
+  * `/root/reference/src/training/metrics.py:49-72`).
+  *
+  * The naive formulation — `row_number().over(Window.orderBy(score))` —
+  * funnels the whole table through ONE task and dies at scale. This one never
+  * materializes per-row ranks at all:
+  *
+  *   1. collapse to one row per (group, score) with a hash aggregate
+  *      (`cnt`, `pos` — the only pass over the full data);
+  *   2. assign each distinct score a DETERMINISTIC order-preserving bucket —
+  *      a linear bin between the exact global min/max of the score (NOT
+  *      `repartitionByRange`: its sampled bounds and `spark_partition_id`
+  *      change between re-executions of the same subtree, which silently
+  *      corrupts any plan that references the bucketed frame twice) — and
+  *      compute per-bucket cumulative counts with a window PARTITIONED by
+  *      (bucket, group): every task ranks only its slice;
+  *   3. compute per-bucket rank offsets from the tiny (bucket, group)
+  *      bucket-total frame via a broadcast triangular join — no
+  *      single-partition exchange anywhere;
+  *   4. midrank of a tie group of size c starting after b rows is
+  *      b + (c+1)/2, so Σ ranks of positives = Σ pos·midrank, all exact
+  *      (counts are longs, midranks are exact halves accumulated in decimal).
+  *
+  * Work per step is O(distinct scores) after step 1; the only full-data
+  * shuffles are the initial hash aggregate and the min/max pass. Linear
+  * binning keys bucket load to the score distribution — heavily skewed score
+  * ranges concentrate buckets (an equi-depth quantile binning can be plugged
+  * in here if that ever bites); ranks stay exact regardless.
+  */
+object RankMetrics {
+
+  /** One row per (groupCols..., score) with `cnt`, `pos` (count of label=1),
+    * and the exact Mann–Whitney `midrank` of that tie group within its group
+    * partition. `buckets` bounds the bin fan-out of the distinct-score frame.
+    */
+  def midranks(df: DataFrame, scoreCol: String, labelCol: String,
+      groupCols: Seq[String], buckets: Int = 32): DataFrame = {
+    val g = groupCols.map(col)
+    val byScore = df.groupBy(g :+ col(scoreCol): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(labelCol).cast("long")).as("pos"))
+    // deterministic order-preserving binning: exact min/max (no sampling),
+    // so every re-execution of this subtree assigns identical buckets
+    val bounds = df.agg(
+      min(col(scoreCol)).as("s_min"), max(col(scoreCol)).as("s_max"))
+    val bucketed = byScore.crossJoin(broadcast(bounds))
+      .withColumn("bkt",
+        when(col("s_max") <= col("s_min"), lit(0))
+          .otherwise(least(lit(buckets - 1),
+            floor((col(scoreCol) - col("s_min")) /
+              (col("s_max") - col("s_min")) * buckets).cast("int"))))
+      .drop("s_min", "s_max")
+    val wLocal = Window.partitionBy(col("bkt") +: g: _*)
+      .orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val localRanked = bucketed.withColumn("below_local",
+      coalesce(sum(col("cnt")).over(wLocal), lit(0L)))
+    // per-(bucket, group) totals — one tiny row per bucket
+    val totals = bucketed.groupBy(col("bkt") +: g: _*)
+      .agg(sum(col("cnt")).as("bucket_cnt"))
+    // offset(bkt, group) = Σ bucket_cnt over same-group buckets with lower
+    // bkt: a broadcast triangular self-join over the bucket-total frame
+    // (≤ buckets·|groups| rows) — never a single-partition exchange
+    val tHi = totals.select(
+      col("bkt") +: groupCols.map(c => col(c).as(s"hi_$c")): _*)
+    val tLo = totals.select(
+      col("bkt").as("lo_bkt") +:
+        groupCols.map(c => col(c).as(s"lo_$c")) :+
+        col("bucket_cnt").as("lo_cnt"): _*)
+    val cond = groupCols
+      .map(c => col(s"hi_$c") === col(s"lo_$c"))
+      .foldLeft(col("lo_bkt") < col("bkt"))(_ && _)
+    val offsets = tHi.join(broadcast(tLo), cond, "left")
+      .groupBy(col("bkt") +: groupCols.map(c => col(s"hi_$c")): _*)
+      .agg(coalesce(sum(col("lo_cnt")), lit(0L)).as("offset"))
+    val offsetsNamed = offsets.select(
+      col("bkt") +:
+        groupCols.map(c => col(s"hi_$c").as(c)) :+
+        col("offset"): _*)
+    localRanked
+      .join(broadcast(offsetsNamed), "bkt" +: groupCols)
+      .withColumn("midrank",
+        (col("offset") + col("below_local")).cast("double") +
+          (col("cnt") + lit(1)) / lit(2.0))
+      .select((g :+ col(scoreCol)) ++
+        Seq(col("cnt"), col("pos"), col("midrank")): _*)
+  }
+
+  /** Binary ROC-AUC per group (or globally when `groupCols` is empty) via
+    * distributed midranks: AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻).
+    * Output: groupCols..., n, n_pos, auc (rounded to 6; null when a group
+    * has no positives or no negatives).
+    */
+  def binaryAuc(df: DataFrame, scoreCol: String, labelCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val ranked = midranks(df, scoreCol, labelCol, groupCols)
+    val aggs = Seq(
+      sum(col("cnt")).as("n"),
+      sum(col("pos")).as("n_pos"),
+      // pos·midrank is exact at one decimal (midranks are integer halves)
+      dsum(col("pos") * col("midrank"), 1).as("pos_rank_sum"))
+    val base =
+      if (groupCols.isEmpty) ranked.agg(aggs.head, aggs.tail: _*)
+      else ranked.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    base.select(groupCols.map(col) ++ Seq(
+      col("n"),
+      col("n_pos"),
+      // undefined (null, ANSI-safe) when a class is absent: n⁺·n⁻ = 0
+      when(col("n_pos") > 0 && col("n_pos") < col("n"),
+        round(
+          (col("pos_rank_sum") - col("n_pos") * (col("n_pos") + 1) / 2.0) /
+            (col("n_pos") * (col("n") - col("n_pos"))), 6)).as("auc")): _*)
+  }
+
+  /** One-vs-rest multiclass AUC (reference `metrics.py:59-72`): expand each
+    * row into one binary problem per class (label = [cls == labelCol],
+    * score = the class's score column), compute per-class binary AUC
+    * distributed, and append the macro average. The expansion is a single
+    * generate over one scan — |classes|·n rows, never |classes| re-reads.
+    * Output: one row per class (cls, n, n_pos, auc, macro_auc) with the
+    * macro value repeated.
+    */
+  def ovrMacroAuc(df: DataFrame, labelCol: String,
+      classScores: Seq[(Int, org.apache.spark.sql.Column)]): DataFrame = {
+    val pairs = classScores.map { case (cls, score) =>
+      struct(lit(cls).as("cls"), score.cast("double").as("score"))
+    }
+    val expanded = df
+      .select(col(labelCol), explode(array(pairs: _*)).as("cs"))
+      .select(col("cs.cls").as("cls"),
+        (col(labelCol) === col("cs.cls")).cast("int").as("bin_label"),
+        col("cs.score").as("score"))
+    val aucs = binaryAuc(expanded, "score", "bin_label", Seq("cls"))
+    val macroAvg = aucs.agg(round(avg(col("auc")), 6).as("macro_auc"))
+    aucs.crossJoin(broadcast(macroAvg))
+  }
+}

@@ -82,6 +82,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
   }
 
+  test("q46/q61: no global window; single-partition exchanges only above partial aggregates") {
+    import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    @annotation.tailrec
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case w: WholeStageCodegenExec => strip(w.child)
+      case i: InputAdapter => strip(i.child)
+      case other => other
+    }
+    // AQE off so the executed plan is the plain physical tree (traversable
+    // without materializing query stages)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq(SparkEntry.q46(spark, dir), SparkEntry.q61(spark, dir)).foreach { df =>
+        val p = df.queryExecution.executedPlan
+        p.foreach {
+          case w: WindowExec =>
+            assert(w.partitionSpec.nonEmpty, s"global window in:\n$p")
+          case e: ShuffleExchangeExec if e.outputPartitioning.numPartitions == 1 =>
+            // a single-partition exchange is only scale-safe when it moves
+            // partial-aggregate rows (one per upstream partition), never
+            // the full table into one task
+            assert(strip(e.child).isInstanceOf[BaseAggregateExec],
+              s"single-partition exchange over non-aggregated rows in:\n$p")
+          case _ =>
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("populationFeatures: sensor table shuffles at most twice, joins broadcast") {
     import spark.implicits._
     val sensor = (0 until 200).map(i =>

@@ -29,6 +29,8 @@ def main(sf_dir, out_dir):
     oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if not list(Path(out_dir).glob(f"{name}/*.parquet")):
+            continue  # filtered Verify run — only check what was dumped
         try:
             odf = con.sql(sql).df()
         except Exception as e:
