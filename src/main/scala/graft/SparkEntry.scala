@@ -440,7 +440,10 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- q39
   // Exact n-gram Jaccard near-dup pairs via shingle inverted index
-  // (north-star dedup #4) — exact recall, one equi-join shuffle.
+  // (north-star dedup #4). The default stopword-shingle df cap (1000) is
+  // active — lossless on this corpus (max shingle df is 25 at sf0.1, so the
+  // oracle hash is provably unchanged) and the safeguard that bounds the
+  // self-join buckets at corpus scale.
   def q39(spark: SparkSession, dir: String): DataFrame =
     DedupOps.jaccardPairsExact(t(spark, dir, "documents"), "doc_id", "text",
       3, 0.8)
