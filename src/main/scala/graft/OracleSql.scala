@@ -601,6 +601,53 @@ object OracleSql {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
+    "q60_oof_closed_form" ->
+      """WITH d AS (
+        |  SELECT ((l_orderkey % 1000003) * 2654435761) % 5 AS fold,
+        |         CAST(l_quantity AS DOUBLE) AS x,
+        |         CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem WHERE l_orderkey < 500),
+        |pf AS (
+        |  SELECT fold, COUNT(*) AS n_f,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,2))) AS DOUBLE) AS sx_f,
+        |    CAST(SUM(CAST(y AS DECIMAL(28,2))) AS DOUBLE) AS sy_f,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy_f,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx_f
+        |  FROM d GROUP BY fold),
+        |g AS (
+        |  SELECT COUNT(*) AS n_g,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,2))) AS DOUBLE) AS sx_g,
+        |    CAST(SUM(CAST(y AS DECIMAL(28,2))) AS DOUBLE) AS sy_g,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy_g,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx_g
+        |  FROM d),
+        |p AS (
+        |  SELECT fold, n_f, (n_g - n_f) AS n_tr,
+        |    (sx_g - sx_f) AS sx, (sy_g - sy_f) AS sy,
+        |    (sxy_g - sxy_f) AS sxy, (sxx_g - sxx_f) AS sxx
+        |  FROM pf CROSS JOIN g),
+        |ps AS (
+        |  SELECT fold, n_f, n_tr, sx, sy,
+        |    (n_tr * sxy - sx * sy) / (n_tr * sxx - sx * sx) AS slope
+        |  FROM p),
+        |p2 AS (
+        |  SELECT fold, n_f, n_tr, slope,
+        |    (sy - slope * sx) / n_tr AS intercept
+        |  FROM ps),
+        |e AS (
+        |  SELECT d.fold, d.y - (p2.intercept + p2.slope * d.x) AS err
+        |  FROM d JOIN p2 USING (fold)),
+        |er AS (
+        |  SELECT fold,
+        |    ROUND(SQRT(CAST(SUM(CAST(err * err AS DECIMAL(28,4))) AS DOUBLE)
+        |      / COUNT(*)), 6) AS rmse_oof
+        |  FROM e GROUP BY fold)
+        |SELECT p2.fold, p2.n_tr AS n_train, p2.n_f AS n_test,
+        |  ROUND(p2.slope, 6) AS slope, ROUND(p2.intercept, 6) AS intercept,
+        |  er.rmse_oof
+        |FROM p2 JOIN er USING (fold)
+        |ORDER BY fold""".stripMargin,
+
     "q61_ovr_multiclass_auc" ->
       """WITH d AS (
         |  SELECT CASE WHEN o_orderstatus = 'F' THEN 0

@@ -761,6 +761,29 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  // ---------------------------------------------------------------- q59
+  // The reference's FULL ensemble query (train_ensemble.py:150-197): per-
+  // model cross_val_predict OOF predictions, metrics on the OOF frame,
+  // unweighted average, and the R²-weighted average (weights =
+  // max(0.01, r2+1) normalized). Rows-only (MLlib fits).
+  def q59(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.ensembleOOFWeighted(
+      t(spark, dir, "lineitem").filter(col("l_orderkey") < 500),
+      "l_orderkey",
+      Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice", 5)
+      .orderBy(col("model"))
+
+  // ---------------------------------------------------------------- q60
+  // Closed-form OOF simple linear regression (reference M8 made oracle-
+  // checkable): per-fold OLS slope/intercept derived analytically from
+  // exact decimal sums over each fold's complement, per-sample OOF errors
+  // aggregated back per fold — DuckDB reproduces the identical doubles.
+  def q60(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.oofClosedFormOLS(
+      t(spark, dir, "lineitem").filter(col("l_orderkey") < 500),
+      "l_orderkey", "l_quantity", "l_extendedprice", 5)
+      .orderBy(col("fold"))
+
   // ---------------------------------------------------------------- q61
   // One-vs-rest multiclass AUC (reference X4 multiclass,
   // `/root/reference/src/training/metrics.py:59-72`): per-class binary
@@ -840,6 +863,8 @@ object SparkEntry {
     "q56_ranking" -> (q56 _),
     "q57_posexplode" -> (q57 _),
     "q58_stream_dedup" -> (q58 _),
+    "q59_ensemble_weighted" -> (q59 _),
+    "q60_oof_closed_form" -> (q60 _),
     "q61_ovr_multiclass_auc" -> (q61 _),
   )
 

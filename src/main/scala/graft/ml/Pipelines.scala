@@ -152,36 +152,57 @@ object MlPipelines {
     out
   }
 
-  /** K-fold out-of-fold linear regression: per fold, train on the other
-    * folds and score the held-out fold (the reference's
-    * `cross_val_predict`). Returns per-fold RMSE/R² rows.
+  /** Per-sample K-fold out-of-fold predictions — the reference's
+    * `cross_val_predict` contract (`train_ensemble.py:150-158`): for each
+    * fold, fit on the complement and score the held-out fold; the union
+    * carries exactly ONE prediction per input row, which downstream
+    * consumers (ensembles, metrics) aggregate or combine.
+    *
+    * `fitter(train)` returns the scoring function of the fitted model.
+    * `partitions` controls the small-data coalesce (default 1 removes
+    * per-iteration scheduling overhead from k tiny fits; pass 0 to keep the
+    * input partitioning for cluster-scale frames).
     */
-  def kfoldOOFLinReg(df: DataFrame, idCol: String, featureCols: Seq[String],
-      labelCol: String, k: Int): DataFrame = {
-    // OOF CV input is small by construction (the reference's datasets are
-    // tens-to-thousands of rows); one partition removes per-iteration
-    // scheduling overhead from the k sequential fits.
-    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+  def kfoldOOFPredictions(df: DataFrame, idCol: String,
+      featureCols: Seq[String], labelCol: String, k: Int,
+      fitter: DataFrame => DataFrame => DataFrame = defaultLinRegFitter,
+      partitions: Int = 1): DataFrame = {
+    val base = new org.apache.spark.ml.feature.VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("features")
       .transform(SplitOps.withFold(df, idCol, k))
       .withColumn("label", col(labelCol).cast("double"))
-      .coalesce(1).cache()
+    val assembled =
+      (if (partitions > 0) base.coalesce(partitions) else base).cache()
     assembled.count()
     // independent fold fits run as concurrent jobs on the shared session
     val folds = (0 until k).par.map { f =>
-      val model = new LinearRegression().setMaxIter(50).setRegParam(0.0)
-        .fit(assembled.filter(col("fold") =!= f))
-      model.transform(assembled.filter(col("fold") === f))
-        .select(lit(f).as("fold"), col("label"), col("prediction"))
+      val score = fitter(assembled.filter(col("fold") =!= f))
+      score(assembled.filter(col("fold") === f))
+        .select(col(idCol), col("fold").cast("int").as("fold"),
+          col("label"), col("prediction"))
     }.toList
-    val oof = folds.reduce(_.unionByName(_))
+    val oof = folds.reduce(_.unionByName(_)).cache()
+    oof.count()
+    assembled.unpersist()
+    oof
+  }
+
+  private def defaultLinRegFitter(train: DataFrame): DataFrame => DataFrame =
+    new LinearRegression().setMaxIter(50).setRegParam(0.0).fit(train).transform(_)
+
+  /** K-fold out-of-fold linear regression: per-fold RMSE rows derived from
+    * the per-sample OOF prediction frame (reference M8).
+    */
+  def kfoldOOFLinReg(df: DataFrame, idCol: String, featureCols: Seq[String],
+      labelCol: String, k: Int): DataFrame = {
+    val oof = kfoldOOFPredictions(df, idCol, featureCols, labelCol, k)
     val out = oof.groupBy(col("fold")).agg(
       count(lit(1)).as("n"),
       round(sqrt(avg(pow(col("label") - col("prediction"), 2))), 4).as("rmse"))
-    val materialized = out.cache()
-    materialized.count()
-    assembled.unpersist()
-    materialized
+      .cache()
+    out.count()
+    oof.unpersist()
+    out
   }
 
   /** Regressor ensemble (reference M7/M9,
@@ -251,5 +272,168 @@ object MlPipelines {
     out.count()
     train.unpersist(); test.unpersist()
     out
+  }
+
+  /** The reference's R² weighting rule (`train_ensemble.py:183-184`):
+    * raw weight = max(0.01, r2 + 1), normalized to sum 1. Input: (model, r2)
+    * rows; output adds `weight`. Kept tiny and separate so the formula is
+    * spec-checkable against hand-computed values.
+    */
+  def r2Weights(stats: DataFrame): DataFrame = {
+    val raw = stats.withColumn("w_raw", greatest(lit(0.01), col("r2") + 1))
+    raw.crossJoin(broadcast(raw.agg(sum(col("w_raw")).as("w_sum"))))
+      .withColumn("weight", col("w_raw") / col("w_sum"))
+      .drop("w_raw", "w_sum")
+  }
+
+  /** The reference's FULL ensemble query (`train_ensemble.py:150-197`):
+    * per-model `cross_val_predict` OOF predictions, per-model metrics on the
+    * OOF frame, the unweighted prediction average, and the R²-weighted
+    * average (weights = max(0.01, r2+1) normalized). One row per model plus
+    * `ensemble_avg` and `ensemble_weighted`.
+    *
+    * `groupCol` drives the leakage-safe fold hash. Per-model predictions
+    * are recombined by an equi-join on a synthetic unique row id minted on
+    * the shared CACHED assembled frame (input rows need not be unique on
+    * any natural key; the cache pins the id↔row mapping for every model
+    * branch — joining on a non-unique key would cross-product the OOF
+    * frames).
+    *
+    * Scale shape: the 4·k fits run as concurrent Spark jobs over one cached
+    * assembled frame; predictions are combined by a row-key equi-join (tiny
+    * here, but broadcast-free and scalable); weights travel as a broadcast
+    * 1-row frame, never a collect.
+    */
+  def ensembleOOFWeighted(df: DataFrame, groupCol: String,
+      featureCols: Seq[String], labelCol: String,
+      k: Int, partitions: Int = 2): DataFrame = {
+    import org.apache.spark.ml.regression.{GBTRegressor, RandomForestRegressor}
+    val names = Seq("ridge", "lasso", "random_forest", "gradient_boosting")
+    val fitters: Seq[DataFrame => DataFrame => DataFrame] = Seq(
+      tr => new LinearRegression().setMaxIter(50).setRegParam(1.0)
+        .setElasticNetParam(0.0).fit(tr).transform(_),
+      tr => new LinearRegression().setMaxIter(50).setRegParam(0.1)
+        .setElasticNetParam(1.0).fit(tr).transform(_),
+      tr => new RandomForestRegressor().setNumTrees(100).setMaxDepth(5)
+        .setMinInstancesPerNode(3).setSeed(42).fit(tr).transform(_),
+      tr => new GBTRegressor().setMaxIter(50).setMaxDepth(3)
+        .setSeed(42).fit(tr).transform(_))
+    val base = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+      .transform(SplitOps.withFold(df, groupCol, k))
+      .withColumn("label", col(labelCol).cast("double"))
+    // the row id is minted BEFORE the cache, so the materialized partitions
+    // pin one consistent id per row for every model branch
+    val assembled = {
+      val b = if (partitions > 0) base.coalesce(partitions) else base
+      b.withColumn("__row_id", monotonically_increasing_id())
+    }.cache()
+    assembled.count()
+    // per-model OOF frames over the ONE cached assembled frame (4·k
+    // concurrent fits; shared fold hash, so every model predicts the same
+    // held-out rows)
+    val oofs = names.zip(fitters).par.map { case (name, fit) =>
+      (0 until k).par.map { f =>
+        val score = fit(assembled.filter(col("fold") =!= f))
+        score(assembled.filter(col("fold") === f))
+          .select(col("__row_id"), col("label"),
+            col("prediction").as(s"p_$name"))
+      }.toList.reduce(_.unionByName(_))
+    }.toList
+    // wide frame: (__row_id, label, p_ridge, ..., p_gradient_boosting)
+    val wide = oofs
+      .reduce { (a, b) => a.join(b.drop("label"), Seq("__row_id")) }.cache()
+    wide.count()
+    assembled.unpersist()
+
+    def metricRow(pred: org.apache.spark.sql.Column, name: String) =
+      wide.agg(
+        lit(name).as("model"),
+        count(lit(1)).as("n"),
+        round(sqrt(avg(pow(col("label") - pred, 2))), 4).as("rmse"),
+        round(lit(1.0) -
+          (graft.functions.Stats.dsum(pow(col("label") - pred, 2), 4) /
+            (graft.functions.Stats.dsum(col("label") * col("label"), 4) -
+              graft.functions.Stats.dsum(col("label"), 2) *
+                graft.functions.Stats.dsum(col("label"), 2) / count(lit(1)))),
+          6).as("r2"))
+
+    val perModel = names.map(n => metricRow(col(s"p_$n"), n))
+      .reduce(_.unionByName(_))
+    val weighted = r2Weights(perModel.select(col("model"), col("r2")))
+      .withColumn("weight", round(col("weight"), 6))
+    // weights to columns (tiny pivot) → broadcast onto the wide frame
+    val wRow = weighted.groupBy().pivot("model", names).agg(first(col("weight")))
+    val withW = wide.crossJoin(broadcast(wRow))
+    val pAvg = names.map(n => col(s"p_$n")).reduce(_ + _) / names.size
+    val pW = names.map(n => col(n) * col(s"p_$n")).reduce(_ + _)
+    val ensembles =
+      metricRow(pAvg, "ensemble_avg").unionByName(
+        withW.agg(
+          lit("ensemble_weighted").as("model"),
+          count(lit(1)).as("n"),
+          round(sqrt(avg(pow(col("label") - pW, 2))), 4).as("rmse"),
+          round(lit(1.0) -
+            (graft.functions.Stats.dsum(pow(col("label") - pW, 2), 4) /
+              (graft.functions.Stats.dsum(col("label") * col("label"), 4) -
+                graft.functions.Stats.dsum(col("label"), 2) *
+                  graft.functions.Stats.dsum(col("label"), 2) / count(lit(1)))),
+            6).as("r2")))
+    val out = perModel
+      .join(weighted.select(col("model"), col("weight")), Seq("model"), "left")
+      .unionByName(ensembles.withColumn("weight", lit(null).cast("double")))
+      .cache()
+    out.count()
+    wide.unpersist()
+    out
+  }
+
+  /** Closed-form OOF simple linear regression (reference M8 made
+    * oracle-checkable): per fold, the OLS slope/intercept of y~x are
+    * computed ANALYTICALLY from exact decimal sums over the fold's
+    * complement (slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²)) — no iterative
+    * solver, so DuckDB reproduces the identical doubles from the identical
+    * sums. Returns per-fold (n_train, n_test, slope, intercept, rmse_oof).
+    *
+    * Scale shape: two aggregation passes (per-fold + global) and one
+    * broadcast join of k parameter rows back onto the data — no collect, no
+    * per-fold scan.
+    */
+  def oofClosedFormOLS(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, k: Int): DataFrame = {
+    import graft.functions.Stats.dsum
+    val d = SplitOps.withFold(df, idCol, k)
+      .select(col("fold"), col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"))
+    def sums(g: org.apache.spark.sql.RelationalGroupedDataset, suf: String) =
+      g.agg(
+        count(lit(1)).as(s"n$suf"),
+        dsum(col("x"), 2).as(s"sx$suf"),
+        dsum(col("y"), 2).as(s"sy$suf"),
+        dsum(col("x") * col("y"), 4).as(s"sxy$suf"),
+        dsum(col("x") * col("x"), 4).as(s"sxx$suf"))
+    val perFold = sums(d.groupBy(col("fold")), "_f")
+    val global = sums(d.groupBy(), "_g")
+    val params = perFold.crossJoin(broadcast(global))
+      .withColumn("n_tr", col("n_g") - col("n_f"))
+      .withColumn("sx", col("sx_g") - col("sx_f"))
+      .withColumn("sy", col("sy_g") - col("sy_f"))
+      .withColumn("sxy", col("sxy_g") - col("sxy_f"))
+      .withColumn("sxx", col("sxx_g") - col("sxx_f"))
+      .withColumn("slope",
+        (col("n_tr") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_tr") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept", (col("sy") - col("slope") * col("sx")) / col("n_tr"))
+      .select(col("fold"), col("n_tr"), col("n_f"), col("slope"), col("intercept"))
+    val errs = d.join(broadcast(params), "fold")
+      .withColumn("err", col("y") - (col("intercept") + col("slope") * col("x")))
+      .groupBy(col("fold"))
+      .agg(round(sqrt(dsum(col("err") * col("err"), 4) / count(lit(1))), 6)
+        .as("rmse_oof"))
+    params.join(errs, "fold")
+      .select(col("fold"), col("n_tr").as("n_train"), col("n_f").as("n_test"),
+        round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"),
+        col("rmse_oof"))
   }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ml.MlPipelines
+
+class MlPipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val lineitem = Tables
+    .load(spark, "/root/testdata/sf0.001", "lineitem")
+    .filter(col("l_orderkey") < 300)
+
+  test("kfoldOOFPredictions yields exactly one prediction per input row") {
+    val oof = MlPipelines.kfoldOOFPredictions(lineitem, "l_orderkey",
+      Seq("l_quantity", "l_discount"), "l_extendedprice", 4)
+    val n = lineitem.count()
+    assert(oof.count() == n)
+    // one row per (orderkey, ...) input — no dup/dropped ids across folds
+    assert(oof.select("l_orderkey").count() == n)
+    assert(oof.select("fold").distinct().count() == 4)
+    // every row predicted by the model that did NOT see its fold: fold
+    // column must match the group hash of the id
+    val bad = oof.filter(
+      graft.operators.SplitOps.hashBucket(col("l_orderkey"), 4) =!= col("fold"))
+    assert(bad.count() == 0)
+    oof.unpersist()
+  }
+
+  test("r2Weights reproduces the reference weighting rule by hand") {
+    // raw = max(0.01, r2+1): 1.5, 0.01, 1.0 → sum 2.51
+    val stats = Seq(("a", 0.5), ("b", -1.7), ("c", 0.0)).toDF("model", "r2")
+    val w = MlPipelines.r2Weights(stats).orderBy("model")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("weight")).toMap
+    assert(approx(w("a"), 1.5 / 2.51))
+    assert(approx(w("b"), 0.01 / 2.51))
+    assert(approx(w("c"), 1.0 / 2.51))
+  }
+
+  test("ensembleOOFWeighted: per-model + both ensemble rows, weights sum to 1") {
+    val out = MlPipelines.ensembleOOFWeighted(lineitem, "l_orderkey",
+      Seq("l_quantity", "l_discount"), "l_extendedprice", 3)
+    val rows = out.collect()
+    assert(rows.length == 6)
+    // the row-key join must be 1:1 — n equals the input row count
+    assert(rows.head.getLong(1) == lineitem.count())
+    val models = rows.map(_.getString(0)).toSet
+    assert(models == Set("ridge", "lasso", "random_forest",
+      "gradient_boosting", "ensemble_avg", "ensemble_weighted"))
+    val weights = rows.filter(r => !r.isNullAt(4)).map(_.getDouble(4))
+    assert(weights.length == 4)
+    assert(approx(weights.sum, 1.0, 1e-5))
+    rows.foreach(r => assert(!r.isNullAt(2), s"missing rmse: $r"))
+    out.unpersist()
+  }
+
+  test("oofClosedFormOLS matches an in-test exact computation per fold") {
+    val d = lineitem.select(
+      graft.operators.SplitOps.hashBucket(col("l_orderkey"), 3).as("fold"),
+      col("l_quantity").cast("double").as("x"),
+      col("l_extendedprice").cast("double").as("y")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val got = MlPipelines.oofClosedFormOLS(lineitem, "l_orderkey",
+      "l_quantity", "l_extendedprice", 3).orderBy("fold").collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      val f = r.getLong(0)
+      val tr = d.filter(_._1 != f)
+      val te = d.filter(_._1 == f)
+      val n = tr.length.toDouble
+      val (sx, sy) = (tr.map(_._2).sum, tr.map(_._3).sum)
+      val sxy = tr.map(t => t._2 * t._3).sum
+      val sxx = tr.map(t => t._2 * t._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val intercept = (sy - slope * sx) / n
+      assert(r.getLong(1) == tr.length, "n_train")
+      assert(r.getLong(2) == te.length, "n_test")
+      assert(approx(r.getDouble(3), slope, 1e-6), s"slope $f")
+      assert(approx(r.getDouble(4), intercept, 1e-6), s"intercept $f")
+      val rmse = math.sqrt(
+        te.map(t => math.pow(t._3 - (intercept + slope * t._2), 2)).sum / te.length)
+      assert(approx(r.getDouble(5), rmse, 1e-5), s"rmse $f")
+    }
+  }
+}
