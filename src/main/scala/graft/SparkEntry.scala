@@ -432,7 +432,8 @@ object SparkEntry {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val out = graft.streaming.StreamingOps.windowedEventStats(
       spark, dir, "events.parquet", "ts", "event_type", "value",
-      "1 day", "1 day", s"q38_sink_${System.nanoTime()}",
+      "1 day", "1 day",
+      graft.streaming.StreamSink.Memory(s"q38_sink_${System.nanoTime()}"),
       prepare = df => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
     out.withColumn("sum_value", round(col("sum_value"), 4))
       .orderBy(col("window_start"), col("event_type"))
@@ -514,7 +515,8 @@ object SparkEntry {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val out = graft.streaming.StreamingOps.streamStaticJoinStats(
       spark, dir, "events.parquet", users, "user_id", "dim_user",
-      "ts", "value", "1 day", s"q43_sink_${System.nanoTime()}",
+      "ts", "value", "1 day",
+      graft.streaming.StreamSink.Memory(s"q43_sink_${System.nanoTime()}"),
       prepare = df => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
     out.withColumn("sum_value", round(col("sum_value"), 4))
       .select(col("dim_user").as("user_id"), col("n"), col("sum_value"))
@@ -651,7 +653,7 @@ object SparkEntry {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val out = graft.streaming.StreamingOps.sessionize(
       spark, dir, "events.parquet", gapSeconds = 86400, watermark = "0 seconds",
-      s"q51_sink_${System.nanoTime()}",
+      graft.streaming.StreamSink.Memory(s"q51_sink_${System.nanoTime()}"),
       prepare = df => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
     out.select(
       col("user_id"),
@@ -754,7 +756,8 @@ object SparkEntry {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val deduped = graft.streaming.StreamingOps.dedupStream(
       spark, dir, "events.parquet", Seq("user_id", "event_type"), "ts",
-      "90 days", s"q58_sink_${System.nanoTime()}",
+      "90 days",
+      graft.streaming.StreamSink.Memory(s"q58_sink_${System.nanoTime()}"),
       prepare = df => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
     deduped.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_distinct_users"))

@@ -81,12 +81,12 @@ object MlPipelines {
     * LayerNorm/residual, divergence documented in SURVEY §2.9).
     */
   def mlpOnEmbeddings(embeddings: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, hidden: Seq[Int]): DataFrame = {
+      labelCol: String, hidden: Seq[Int], partitions: Int = 2): DataFrame = {
     import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
-    val data = SplitOps.withSplit(embeddings, idCol)
+    val base = SplitOps.withSplit(embeddings, idCol)
       .withColumn("features", array_to_vector(col(vecCol)))
       .withColumn("label", col(labelCol).cast("double"))
-      .coalesce(2)
+    val data = if (partitions > 0) base.coalesce(partitions) else base
     val train = data.filter(col("split") === "train").cache()
     val test = data.filter(col("split") === "test")
     train.count()
@@ -116,12 +116,13 @@ object MlPipelines {
     * (reference M1/M2/M4 + X1/X2). One summary row.
     */
   def classifyAndEvaluate(features: DataFrame, idCol: String,
-      featureCols: Seq[String], labelCol: String): DataFrame = {
-    val data = new org.apache.spark.ml.feature.VectorAssembler()
+      featureCols: Seq[String], labelCol: String,
+      partitions: Int = 2): DataFrame = {
+    val base = new org.apache.spark.ml.feature.VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("features_raw")
       .transform(SplitOps.withSplit(features, idCol))
       .withColumn("label", col(labelCol).cast("double"))
-      .coalesce(2)
+    val data = if (partitions > 0) base.coalesce(partitions) else base
     val train = data.filter(col("split") === "train").cache()
     val test = data.filter(col("split") === "test")
     train.count()
@@ -150,6 +151,33 @@ object MlPipelines {
     out.count()
     pred.unpersist()
     out
+  }
+
+  /** The q47 pipeline as a persistable `Pipeline` (assembler → scale-on-
+    * train → logistic regression): the reference checkpoints its best model
+    * and reloads it for inference
+    * (`/root/reference/src/training/trainer.py:322-336`,
+    * `evaluate.py:231-233`); the MLlib analog is `PipelineModel.save`/
+    * `.load`, spec-verified to reproduce bit-identical predictions.
+    * Returns (fitted model, test split).
+    */
+  def fitClassifierPipeline(features: DataFrame, idCol: String,
+      featureCols: Seq[String], labelCol: String,
+      partitions: Int = 2): (org.apache.spark.ml.PipelineModel, DataFrame) = {
+    val base = SplitOps.withSplit(features, idCol)
+      .withColumn("label", col(labelCol).cast("double"))
+    val data = if (partitions > 0) base.coalesce(partitions) else base
+    val train = data.filter(col("split") === "train")
+    val test = data.filter(col("split") === "test")
+    val pipeline = new org.apache.spark.ml.Pipeline().setStages(Array(
+      new org.apache.spark.ml.feature.VectorAssembler()
+        .setInputCols(featureCols.toArray).setOutputCol("features_raw"),
+      new StandardScaler()
+        .setInputCol("features_raw").setOutputCol("features")
+        .setWithMean(true).setWithStd(true),
+      new LogisticRegression()
+        .setMaxIter(50).setRegParam(0.01).setFeaturesCol("features")))
+    (pipeline.fit(train), test)
   }
 
   /** Per-sample K-fold out-of-fold predictions — the reference's
@@ -214,16 +242,18 @@ object MlPipelines {
     * n=100 depth=5, `GBTRegressor` iter=50 depth=3).
     */
   def ensembleRegressors(df: DataFrame, idCol: String,
-      featureCols: Seq[String], labelCol: String): DataFrame = {
+      featureCols: Seq[String], labelCol: String,
+      partitions: Int = 2): DataFrame = {
     import org.apache.spark.ml.regression.{GBTRegressor, RandomForestRegressor}
-    // ensemble training data is id-bounded small; a few partitions keep
-    // tree building parallel while avoiding 32-task scheduling per
-    // boosting iteration
-    val data = new org.apache.spark.ml.feature.VectorAssembler()
+    // ensemble training data is id-bounded small; a few partitions (the
+    // default) keep tree building parallel while avoiding 32-task
+    // scheduling per boosting iteration. Pass 0 to keep the input
+    // partitioning for cluster-scale frames.
+    val base = new org.apache.spark.ml.feature.VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("features")
       .transform(SplitOps.withSplit(df, idCol))
       .withColumn("label", col(labelCol).cast("double"))
-      .coalesce(2)
+    val data = if (partitions > 0) base.coalesce(partitions) else base
     val train = data.filter(col("split") === "train").cache()
     val test = data.filter(col("split") === "test").cache()
     train.count(); test.count()

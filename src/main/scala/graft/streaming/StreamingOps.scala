@@ -14,6 +14,18 @@ case class SessionState(start: Long, last: Long, n: Long, sum: Double)
 case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
+/** Where a streaming op lands its result. `Memory` buffers on the driver —
+  * the right default for the finite oracle/test replays, NOT a production
+  * path. `Parquet` is the production shape: distributed append-mode writes
+  * with a checkpoint for exactly-once restart.
+  */
+sealed trait StreamSink
+object StreamSink {
+  final case class Memory(queryName: String) extends StreamSink
+  final case class Parquet(path: String, checkpointDir: String,
+      queryName: String) extends StreamSink
+}
+
 /** Structured Streaming surface (SURVEY §2.11). The reference is strictly
   * batch, but its sensor table is naturally a stream; the engine exposes the
   * windowed-stats operators over `readStream` with event-time windows and
@@ -43,9 +55,31 @@ object StreamingOps {
       .parquet(dir)
   }
 
+  /** Execute `df` to the sink with `Trigger.AvailableNow` and return the
+    * finite result. Parquet sinks require append mode (Structured Streaming
+    * has no complete-mode file sink) — complete-mode ops stay on memory.
+    */
+  private def runToSink(spark: SparkSession, df: DataFrame, sink: StreamSink,
+      outputMode: String): DataFrame = sink match {
+    case StreamSink.Memory(name) =>
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name)
+    case StreamSink.Parquet(path, ckpt, name) =>
+      require(outputMode == "append",
+        s"parquet sink supports append mode only, got $outputMode")
+      val q = df.writeStream.format("parquet")
+        .option("path", path).option("checkpointLocation", ckpt)
+        .queryName(name)
+        .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(path)
+  }
+
   def windowedEventStats(spark: SparkSession, dir: String, fileName: String,
       tsCol: String, keyCol: String, valueCol: String,
-      window: String, watermark: String, queryName: String,
+      window: String, watermark: String, sink: StreamSink,
       prepare: DataFrame => DataFrame = identity): DataFrame = {
     val stream = prepare(fileStream(spark, dir, fileName))
     val agged = stream
@@ -55,14 +89,7 @@ object StreamingOps {
       .agg(
         count(lit(1)).as("n"),
         sum(col(valueCol).cast("decimal(28,4)")).as("sum_dec"))
-    val q = agged.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+    runToSink(spark, agged, sink, "append")
       .select(
         col("window.start").cast("date").as("window_start"),
         col(keyCol),
@@ -78,17 +105,11 @@ object StreamingOps {
     */
   def dedupStream(spark: SparkSession, dir: String, fileName: String,
       keyCols: Seq[String], tsCol: String, watermark: String,
-      queryName: String, prepare: DataFrame => DataFrame = identity): DataFrame = {
+      sink: StreamSink, prepare: DataFrame => DataFrame = identity): DataFrame = {
     val stream = prepare(fileStream(spark, dir, fileName))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
-    val q = stream.writeStream
-      .format("memory").queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+    runToSink(spark, stream, sink, "append")
   }
 
   /** Gap-based sessionization with custom state
@@ -103,7 +124,7 @@ object StreamingOps {
     * memory.
     */
   def sessionize(spark: SparkSession, dir: String, fileName: String,
-      gapSeconds: Long, watermark: String, queryName: String,
+      gapSeconds: Long, watermark: String, sink: StreamSink,
       prepare: DataFrame => DataFrame = identity): DataFrame = {
     import spark.implicits._
     val stream = prepare(fileStream(spark, dir, fileName))
@@ -151,13 +172,7 @@ object StreamingOps {
           }
         })
 
-    val q = sessions.writeStream
-      .format("memory").queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+    runToSink(spark, sessions.toDF(), sink, "append")
   }
 
   /** Stream-static broadcast join + per-key aggregation: the streaming side
@@ -172,7 +187,7 @@ object StreamingOps {
   def streamStaticJoinStats(spark: SparkSession, dir: String, fileName: String,
       static: DataFrame, streamKey: String, staticKey: String,
       tsCol: String, valueCol: String, watermark: String,
-      queryName: String, prepare: DataFrame => DataFrame = identity): DataFrame = {
+      sink: StreamSink, prepare: DataFrame => DataFrame = identity): DataFrame = {
     val stream = prepare(fileStream(spark, dir, fileName))
     val joined = stream
       .withWatermark(tsCol, watermark)
@@ -181,13 +196,8 @@ object StreamingOps {
       .groupBy(col(staticKey))
       .agg(count(lit(1)).as("n"),
         sum(col(valueCol).cast("decimal(28,4)")).as("sum_dec"))
-    val q = agged.writeStream
-      .format("memory").queryName(queryName)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+    // complete output mode → memory sink only (see runToSink)
+    runToSink(spark, agged, sink, "complete")
       .select(col(staticKey), col("n"),
         col("sum_dec").cast("double").as("sum_value"))
   }

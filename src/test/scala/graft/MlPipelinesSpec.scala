@@ -54,6 +54,45 @@ class MlPipelinesSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("classifyAndEvaluate without coalesce at 32 shuffle partitions matches") {
+    val feats = lineitem.select(
+      col("l_orderkey"), col("l_quantity"), col("l_discount"),
+      (col("l_extendedprice") > 30000).cast("double").as("y"))
+    val coalesced = MlPipelines.classifyAndEvaluate(
+      feats, "l_orderkey", Seq("l_quantity", "l_discount"), "y").collect().toSeq
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val wide = MlPipelines.classifyAndEvaluate(
+        feats, "l_orderkey", Seq("l_quantity", "l_discount"), "y",
+        partitions = 0).collect().toSeq
+      assert(wide == coalesced)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
+  test("pipeline model save → load → re-score is bit-identical") {
+    val feats = lineitem.select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity"), col("l_discount"),
+      (col("l_extendedprice") > 30000).cast("double").as("y"))
+    val (model, test) = MlPipelines.fitClassifierPipeline(
+      feats, "l_orderkey", Seq("l_quantity", "l_discount"), "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_model").toString
+    model.write.overwrite().save(s"$dir/m")
+    val reloaded = org.apache.spark.ml.PipelineModel.load(s"$dir/m")
+
+    def score(m: org.apache.spark.ml.PipelineModel) =
+      m.transform(test)
+        .select(col("l_orderkey"), col("l_linenumber"), col("prediction"),
+          col("probability").cast("string").as("prob"))
+        .orderBy("l_orderkey", "l_linenumber", "prob")
+        .collect().toSeq
+    val a = score(model)
+    val b = score(reloaded)
+    assert(a.nonEmpty)
+    assert(a == b, "reloaded model must reproduce identical predictions")
+  }
+
   test("oofClosedFormOLS matches an in-test exact computation per fold") {
     val d = lineitem.select(
       graft.operators.SplitOps.hashBucket(col("l_orderkey"), 3).as("fold"),

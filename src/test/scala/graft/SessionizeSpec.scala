@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.streaming.StreamingOps
+import graft.streaming.{StreamingOps, StreamSink}
 
 class SessionizeSpec extends SparkSpec {
   import spark.implicits._
@@ -20,7 +20,7 @@ class SessionizeSpec extends SparkSpec {
 
     val out = StreamingOps.dedupStream(spark, s"$d/ev.parquet", "*.parquet",
       Seq("user_id", "payload"), "ts", "1 hour",
-      s"dedup_sink_${System.nanoTime()}")
+      StreamSink.Memory(s"dedup_sink_${System.nanoTime()}"))
       .select("user_id", "payload").as[(Long, String)].collect().sorted
     assert(out.toSeq == Seq((1L, "a"), (1L, "c"), (2L, "b")))
   }
@@ -42,7 +42,7 @@ class SessionizeSpec extends SparkSpec {
 
     val out = StreamingOps.sessionize(spark, s"$d/ev.parquet", "*.parquet",
       gapSeconds = 1800, watermark = "0 seconds",
-      s"session_sink_${System.nanoTime()}")
+      StreamSink.Memory(s"session_sink_${System.nanoTime()}"))
       .orderBy("user_id", "session_start")
       .collect()
 

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.streaming.StreamingOps
+import graft.streaming.{StreamingOps, StreamSink}
 
 /** Streaming queries must agree with their batch formulation — the same
   * contract the driver's oracle checks on the real tables, here on a
@@ -29,7 +29,7 @@ class StreamingOpsSpec extends SparkSpec {
     // Jan 1 window (end Jan 2 00:00) is finalized; Jan 2/3 stay in state
     val out = StreamingOps.windowedEventStats(spark, s"$dir/fixture.parquet",
       "*.parquet", "ts", "event_type", "value", "1 day", "1 day",
-      s"spec_sink_${System.nanoTime()}")
+      StreamSink.Memory(s"spec_sink_${System.nanoTime()}"))
       .orderBy("window_start", "event_type")
       .collect()
     assert(out.length == 1)
@@ -42,7 +42,7 @@ class StreamingOpsSpec extends SparkSpec {
   test("windowedEventStats with zero delay finalizes all complete windows") {
     val out = StreamingOps.windowedEventStats(spark, s"$dir/fixture.parquet",
       "*.parquet", "ts", "event_type", "value", "1 day", "0 seconds",
-      s"spec_sink0_${System.nanoTime()}")
+      StreamSink.Memory(s"spec_sink0_${System.nanoTime()}"))
       .orderBy("window_start", "event_type")
       .collect()
     // watermark = Jan 3 01:00 → Jan 1 and Jan 2 windows finalized,
@@ -51,11 +51,27 @@ class StreamingOpsSpec extends SparkSpec {
       Seq("2024-01-01", "2024-01-02"))
   }
 
+  test("parquet sink with checkpoint produces the same rows as memory sink") {
+    val mem = StreamingOps.windowedEventStats(spark, s"$dir/fixture.parquet",
+      "*.parquet", "ts", "event_type", "value", "1 day", "0 seconds",
+      StreamSink.Memory(s"spec_mem_${System.nanoTime()}"))
+      .orderBy("window_start", "event_type").collect().toSeq
+    val base = Files.createTempDirectory("graft_pq_sink").toString
+    val pq = StreamingOps.windowedEventStats(spark, s"$dir/fixture.parquet",
+      "*.parquet", "ts", "event_type", "value", "1 day", "0 seconds",
+      StreamSink.Parquet(s"$base/out", s"$base/ckpt",
+        s"spec_pq_${System.nanoTime()}"))
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(pq == mem)
+    // the checkpoint exists — the exactly-once restart contract is real
+    assert(new java.io.File(s"$base/ckpt").exists())
+  }
+
   test("streamStaticJoinStats joins the static dim and aggregates per key") {
     val static = Seq((1L, "gold")).toDF("dim_user", "tier")
     val out = StreamingOps.streamStaticJoinStats(spark, s"$dir/fixture.parquet",
       "*.parquet", static, "user_id", "dim_user", "ts", "value", "1 day",
-      s"spec_join_sink_${System.nanoTime()}")
+      StreamSink.Memory(s"spec_join_sink_${System.nanoTime()}"))
       .collect()
     // only user 1 is in the dim: 3 events, sum 12.0
     assert(out.length == 1)
