@@ -3,20 +3,22 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Extracted metadata for one opaque media payload. The decode step itself
-  * is STUBBED (no media codecs in this environment): `fakeDecodeDims`
-  * derives deterministic pseudo-dimensions from the payload hash, standing
-  * in for a real image/audio header parse. Everything around it — binary
-  * column handling, typed Dataset plumbing, per-partition batching — is the
-  * real production shape.
+/** Extracted metadata for one opaque media payload. `format` is the real
+  * container sniffed from magic bytes (png/gif/jpeg/wav) with true header
+  * dimensions; unrecognized payloads fall back to the documented
+  * deterministic stub (`format = "unknown"`). For images (width, height)
+  * are pixels; for wav they carry (sample_rate, n_channels).
   */
 case class MediaMeta(doc_id: Long, n_bytes: Long, content_hash: Long,
-    width: Int, height: Int, batch_index: Int)
+    format: String, width: Int, height: Int, batch_index: Int)
 
 /** Multimodal-column plumbing: media as opaque `BinaryType` columns with
-  * typed metadata extraction. On a real cluster the decode callback would
-  * call into a codec (per-partition, batched, so library init amortizes);
-  * here the codec is a deterministic stub, clearly marked.
+  * typed metadata extraction. The header decode is a REAL pure-JVM parse of
+  * the common container formats (PNG/GIF/JPEG/WAV magic bytes +
+  * dimensions); full pixel/sample decode would call a codec library here
+  * (per-partition, batched, so library init amortizes) — payloads in
+  * formats this parser doesn't know get deterministic stub dimensions,
+  * clearly tagged `format = "unknown"`.
   *
   * Scale shape: per-row map work, no shuffle; partitions process payloads in
   * fixed-size batches so peak memory is bounded by batch size × payload
@@ -30,11 +32,58 @@ object MultimodalOps {
   def withPayload(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("payload", encode(col(textCol), "UTF-8"))
 
-  /** STUB decode: pseudo width/height from a stable 64-bit content hash.
-    * A real implementation parses the media header here; the signature and
-    * batching are what production code keeps.
+  private def beShort(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def beInt(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def leShort(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def leInt(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  /** Real header parse from magic bytes: PNG (IHDR big-endian dims), GIF
+    * (logical-screen little-endian dims), JPEG (scan segments to the first
+    * SOFn frame header), WAV (RIFF/WAVE fmt chunk → (sample_rate,
+    * channels)). Returns (format, width-like, height-like); None for
+    * unrecognized bytes.
     */
-  private def fakeDecodeDims(hash: Long): (Int, Int) = {
+  def parseHeader(b: Array[Byte]): Option[(String, Int, Int)] =
+    if (b.length >= 24 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+        b(2) == 'N' && b(3) == 'G')
+      Some(("png", beInt(b, 16), beInt(b, 20)))
+    else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      Some(("gif", leShort(b, 6), leShort(b, 8)))
+    else if (b.length >= 28 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+        b(11) == 'E')
+      Some(("wav", leInt(b, 24), leShort(b, 22)))
+    else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+      jpegDims(b)
+    else None
+
+  /** Walk JPEG segments to the first start-of-frame marker (SOF0–SOF15
+    * minus DHT/JPG/DAC) and read its [precision][height:2][width:2].
+    */
+  private def jpegDims(b: Array[Byte]): Option[(String, Int, Int)] = {
+    var i = 2
+    while (i + 9 < b.length && (b(i) & 0xff) == 0xff) {
+      val marker = b(i + 1) & 0xff
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) i += 2
+      else if (marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+        return Some(("jpeg", beShort(b, i + 7), beShort(b, i + 5)))
+      else i += 2 + beShort(b, i + 2)
+    }
+    None
+  }
+
+  /** Stub dims for UNRECOGNIZED payloads only: deterministic pseudo
+    * width/height from the stable 64-bit content hash, in [64, 1088).
+    */
+  private def stubDims(hash: Long): (Int, Int) = {
     val w = 64 + (math.floorMod(hash, 1024L)).toInt
     val h = 64 + (math.floorMod(hash >>> 10, 1024L)).toInt
     (w, h)
@@ -53,7 +102,8 @@ object MultimodalOps {
 
   /** Decode metadata per payload via per-partition batched iteration —
     * the Spark-side plumbing (schema, partitioning, batch shape) a real
-    * media pipeline needs; only the innermost dims call is the stub.
+    * media pipeline needs. Known containers get a REAL header parse; only
+    * unrecognized bytes fall back to stub dims.
     */
   def decodeMeta(spark: SparkSession, df: DataFrame, idCol: String,
       batchSize: Int = 64): Dataset[MediaMeta] = {
@@ -61,13 +111,16 @@ object MultimodalOps {
     df.select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // batched so a real decoder could vectorize / reuse buffers;
+        // batched so a full pixel decoder could vectorize / reuse buffers;
         // batch_index is the row's 1-based batch ordinal within its partition
         it.grouped(batchSize).zipWithIndex.flatMap { case (batch, bi) =>
           batch.map { case (id, payload) =>
             val h = fnv64(payload)
-            val (w, ht) = fakeDecodeDims(h)
-            MediaMeta(id, payload.length.toLong, h, w, ht, bi + 1)
+            val (fmt, w, ht) = parseHeader(payload).getOrElse {
+              val (sw, sh) = stubDims(h)
+              ("unknown", sw, sh)
+            }
+            MediaMeta(id, payload.length.toLong, h, fmt, w, ht, bi + 1)
           }
         }
       }

@@ -61,6 +61,56 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(frames.map(_.getAs[Int]("byte_offset")).toSeq == Seq(0, 8))
   }
 
+  private def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, baos), s"no $fmt writer")
+    baos.toByteArray
+  }
+
+  private def wavBytes(sampleRate: Int, channels: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(0)
+    bb.array()
+  }
+
+  test("parseHeader reads true dimensions from genuinely-encoded files") {
+    // fixtures produced by the JDK's own encoders, not handcrafted headers
+    assert(MultimodalOps.parseHeader(imageBytes("png", 123, 45))
+      .contains(("png", 123, 45)))
+    assert(MultimodalOps.parseHeader(imageBytes("gif", 64, 17))
+      .contains(("gif", 64, 17)))
+    assert(MultimodalOps.parseHeader(imageBytes("jpg", 200, 99))
+      .contains(("jpeg", 200, 99)))
+    assert(MultimodalOps.parseHeader(wavBytes(44100, 2))
+      .contains(("wav", 44100, 2)))
+    assert(MultimodalOps.parseHeader("plain text".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("decodeMeta: real containers get real dims, unknown payloads the stub") {
+    val rows = Seq(
+      (1L, imageBytes("png", 321, 77)),
+      (2L, wavBytes(16000, 1)),
+      (3L, "just text".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val meta = MultimodalOps.decodeMeta(spark, rows, "doc_id")
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).format == "png")
+    assert(meta(1L).width == 321 && meta(1L).height == 77)
+    assert(meta(2L).format == "wav")
+    assert(meta(2L).width == 16000 && meta(2L).height == 1)
+    assert(meta(3L).format == "unknown")
+    assert(meta(3L).width >= 64 && meta(3L).width < 1088)
+  }
+
   test("decodeMeta batches per partition (batch index populated)") {
     val many = (1L to 150L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
       .repartition(1)
