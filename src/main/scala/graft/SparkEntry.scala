@@ -665,12 +665,13 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------- q52
-  // IVF approximate nearest neighbours (scale path for q15/q16): coarse
-  // quantize → assign → probe 4 of 16 lists → exact cosine inside probes.
-  // Rows-only (the index build is not SQL-expressible).
+  // IVF approximate nearest neighbours (scale path for q15/q16): k-means
+  // coarse quantizer (MLlib fit) → assign → probe 4 of 16 lists → exact
+  // cosine inside probes. Rows-only (the index build is not
+  // SQL-expressible).
   def q52(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
-    val cents = SimilarityOps.ivfCentroids(e, "vec_id", "embedding", 16)
+    val cents = SimilarityOps.ivfCentroidsKMeans(e, "embedding", 16)
     val assigned = SimilarityOps.ivfAssign(e, "vec_id", "embedding", cents)
     val qv = e.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))

@@ -111,6 +111,32 @@ object SimilarityOps {
       .select((col("rn") - 1).as("centroid_id"), col("centroid"))
   }
 
+  /** Fitted coarse quantizer: MLlib k-means centroids (the quality upgrade
+    * over [[ivfCentroids]]' hash sampling — same (centroid_id, centroid)
+    * contract, so the assign/search path is untouched). Vectors are
+    * L2-normalized before the fit so Euclidean k-means approximates
+    * spherical clustering, matching the cosine metric the IVF lists are
+    * probed with. The centroid table is model parameters (nlist rows), not
+    * data — materializing it driver-side is the normal MLlib contract.
+    */
+  def ivfCentroidsKMeans(embeddings: DataFrame, vecCol: String, nlist: Int,
+      maxIter: Int = 20, seed: Long = 42): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val unit = {
+      val v = col(vecCol).cast("array<double>")
+      transform(v, x => x / sqrt(aggregate(v, lit(0.0), (a, e) => a + e * e)))
+    }
+    val feats = embeddings.select(array_to_vector(unit).as("features"))
+    val model = new KMeans().setK(nlist).setMaxIter(maxIter).setSeed(seed)
+      .fit(feats)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.toSeq) }
+      .toDF("centroid_id", "centroid")
+  }
+
   /** IVF assignment: every vector to its nearest centroid by cosine — a
     * broadcast join + one argmax, no shuffle of the corpus. At 100 TB this
     * is the partitioning step that makes ANN queries touch 1/nlist of the
