@@ -473,6 +473,12 @@ object SparkEntry {
   def q41(spark: SparkSession, dir: String): DataFrame = {
     val d = labeledOrders(spark, dir)
     val tot = d.agg(count(lit(1)).as("tot")) // lazy total, like the oracle CTE
+    // INNER join on the class, exactly like the oracle's JOIN a/b USING
+    // (cls): a class present only in pred or only in label is out of scope
+    // for both engines, so the semantics can never diverge. Surviving rows
+    // have support ≥ 1 and pred_n ≥ 1 by construction; the specificity
+    // denominator can still hit 0 (single-class data) → null, not an ANSI
+    // divide-by-zero error.
     d.groupBy(col("label").as("cls"))
       .agg(
         count(lit(1)).as("support"),
@@ -480,8 +486,7 @@ object SparkEntry {
       .join(
         d.groupBy(col("pred").as("cls"))
           .agg(count(lit(1)).as("pred_n")),
-        Seq("cls"), "full_outer")
-      .na.fill(0L, Seq("support", "tp", "pred_n"))
+        Seq("cls"))
       .crossJoin(tot)
       .select(
         col("cls"),
@@ -489,8 +494,9 @@ object SparkEntry {
         round(col("tp") / col("pred_n"), 6).as("precision"),
         round(col("tp") / col("support"), 6).as("recall"),
         round(lit(2) * col("tp") / (col("pred_n") + col("support")), 6).as("f1"),
-        round((col("tot") - col("support") - (col("pred_n") - col("tp"))) /
-          (col("tot") - col("support")), 6).as("specificity"))
+        when(col("tot") > col("support"),
+          round((col("tot") - col("support") - (col("pred_n") - col("tp"))) /
+            (col("tot") - col("support")), 6)).as("specificity"))
       .orderBy(col("cls"))
   }
 
@@ -752,12 +758,20 @@ object SparkEntry {
   // ---------------------------------------------------------------- q58
   // Streaming exact dedup (dropDuplicatesWithinWatermark): with the
   // watermark spanning the whole replay, it equals batch DISTINCT — which
-  // is precisely what the oracle checks.
+  // is precisely what the oracle checks. The watermark is DERIVED from the
+  // dataset span (max ts − min ts, +1 day slack) so the batch-DISTINCT
+  // oracle contract cannot silently break when another scale factor spans
+  // longer than a hard-coded delay: keys would recur after state eviction
+  // and the streaming count would quietly exceed DISTINCT.
   def q58(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val spanDays = t(spark, dir, "events")
+      .agg(ceil((max(col("ts")).cast("long") - min(col("ts")).cast("long")) /
+        lit(86400.0)).cast("long"))
+      .head.getLong(0) + 1
     val deduped = graft.streaming.StreamingOps.dedupStream(
       spark, dir, "events.parquet", Seq("user_id", "event_type"), "ts",
-      "90 days",
+      s"$spanDays days",
       graft.streaming.StreamSink.Memory(s"q58_sink_${System.nanoTime()}"),
       prepare = df => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
     deduped.groupBy(col("event_type"))

@@ -90,7 +90,13 @@ object MlPipelines {
     val train = data.filter(col("split") === "train").cache()
     val test = data.filter(col("split") === "test")
     train.count()
-    val dim = train.select(col(vecCol)).head.getSeq[Float](0).size
+    // element-type-agnostic dim probe (array<float> and array<double> both
+    // read as array<double>); an empty train split fails with a clear
+    // message instead of NoSuchElementException
+    val probe = train.select(col(vecCol).cast("array<double>")).head(1)
+    require(probe.nonEmpty,
+      s"train split is empty — cannot derive MLP input dimension from '$vecCol'")
+    val dim = probe.head.getSeq[Double](0).size
     // output layer sized by max label over the FULL frame — distinct-count
     // over train alone breaks for non-contiguous labels or classes the
     // split left out of train (MLP requires labels in [0, numClasses))

@@ -23,6 +23,17 @@ object FuzzyJoins {
   /** Normalize an ID to its fixed-width decimal suffix so a fuzzy
     * "endswith" match (reference J1) becomes a plain equi-join key.
     * Zero-padding makes short and long IDs comparable deterministically.
+    *
+    * DOCUMENTED DIVERGENCE for ids shorter than `suffix` digits: the
+    * reference's `str(sensor).endswith(str(annot)[-suffix:])`
+    * (`preprocessing.py:168-174`) degrades to a SHORTER suffix there —
+    * annotation id 56 at suffix 4 matches any sensor ending in "56" — while
+    * this key zero-pads ("0056") and matches only sensors whose last 4
+    * digits are literally 0056. The padded form is the sound join contract
+    * (equi-joinable, no one-to-many suffix ambiguity) and every real MSPB
+    * id has ≥ suffix digits, so the divergence is unreachable on the
+    * reference's own data; replicating endswith would need a variable-
+    * length key explode on the big side.
     */
   def suffixKey(id: Column, width: Int, suffix: Int): Column =
     substring(lpad(id.cast("string"), width, "0"), width - suffix + 1, suffix)
