@@ -821,6 +821,25 @@ object SparkEntry {
       .orderBy(col("cls"))
   }
 
+  // ---------------------------------------------------------------- q62
+  // Per-task training over masked targets (reference M13 training loop,
+  // dataset.py:411-430: each task head sees only rows where its own target
+  // is non-null). Two tasks with different masks over one shared split-
+  // tagged frame: tax regression (masked where l_tax = 0) and a discount
+  // classification (masked on the complementary rows). Rows-only (MLlib
+  // fits).
+  def q62(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "lineitem").filter(col("l_orderkey") < 2000)
+      .withColumn("tax_target", nullif(col("l_tax"), lit(0.0)))
+      .withColumn("disc_target", // a DIFFERENT mask than tax_target's
+        when(col("l_partkey") % 3 =!= 0, (col("l_discount") >= 0.05).cast("double")))
+    MlPipelines.multiTaskMasked(d, "l_orderkey",
+      Seq("l_quantity", "l_extendedprice"),
+      Seq(MlPipelines.TaskSpec("tax_reg", "tax_target", classification = false),
+        MlPipelines.TaskSpec("disc_cls", "disc_target", classification = true)))
+      .orderBy(col("task"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -884,6 +903,7 @@ object SparkEntry {
     "q59_ensemble_weighted" -> (q59 _),
     "q60_oof_closed_form" -> (q60 _),
     "q61_ovr_multiclass_auc" -> (q61 _),
+    "q62_multitask_train" -> (q62 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

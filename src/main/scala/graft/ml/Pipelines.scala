@@ -424,6 +424,75 @@ object MlPipelines {
     out
   }
 
+  /** One prediction task in a multi-task masked training run: `labelCol`
+    * may be null on any subset of rows (the mask); `classification` picks
+    * the estimator and the reported metric.
+    */
+  case class TaskSpec(name: String, labelCol: String, classification: Boolean)
+
+  /** Per-task training over masked targets (reference M13,
+    * `/root/reference/src/data/dataset.py:411-430` +
+    * `/root/reference/src/models/lstm.py` masked per-task losses): each task
+    * trains only on rows where ITS target is non-null. For independent
+    * per-task heads a NaN-masked loss term contributes zero gradient, so
+    * filtering the masked rows per task is the exact dataflow analog of the
+    * reference's `loss * mask` — no fill value ever reaches an estimator.
+    *
+    * All tasks share ONE assembled, split-tagged, cached frame, so the
+    * leakage-safe group split is consistent across tasks (a group lands in
+    * the same split for every task, like the reference's single dataset
+    * split); the per-task fits then run as concurrent Spark jobs. Returns
+    * one row per task: (task, task_type, n_train, n_test, coverage, metric,
+    * value) where coverage is the non-masked fraction of the full frame and
+    * metric/value is rmse (regression) or accuracy (classification).
+    *
+    * Scale shape: one shuffle-free scan tags splits; each task's filter is
+    * a cached-partition predicate; metrics come back as 1-row aggregates.
+    */
+  def multiTaskMasked(df: DataFrame, groupCol: String,
+      featureCols: Seq[String], tasks: Seq[TaskSpec],
+      partitions: Int = 2): DataFrame = {
+    val base = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+      .transform(SplitOps.withSplit(df, groupCol))
+    val data = (if (partitions > 0) base.coalesce(partitions) else base).cache()
+    val total = data.count()
+    val rows = tasks.par.map { task =>
+      val masked = data.filter(col(task.labelCol).isNotNull)
+        .withColumn("label", col(task.labelCol).cast("double"))
+      val train = masked.filter(col("split") === "train")
+      val test = masked.filter(col("split") === "test")
+      val nTrain = train.count()
+      require(nTrain > 0, s"task '${task.name}': train split is empty after masking")
+      val scored =
+        if (task.classification)
+          new LogisticRegression().setMaxIter(50).setRegParam(0.01)
+            .fit(train).transform(test)
+        else
+          new LinearRegression().setMaxIter(50).setRegParam(0.0)
+            .fit(train).transform(test)
+      val metric =
+        if (task.classification)
+          round(sum(when(col("prediction") === col("label"), 1).otherwise(0)) /
+            count(lit(1)).cast("double"), 6)
+        else
+          round(sqrt(avg(pow(col("label") - col("prediction"), 2))), 6)
+      scored.agg(
+        lit(task.name).as("task"),
+        lit(if (task.classification) "classification" else "regression")
+          .as("task_type"),
+        lit(nTrain).as("n_train"),
+        count(lit(1)).as("n_test"),
+        round(lit(masked.count() / total.toDouble), 6).as("coverage"),
+        lit(if (task.classification) "accuracy" else "rmse").as("metric"),
+        metric.as("value"))
+    }.toList
+    val out = rows.reduce(_.unionByName(_)).cache()
+    out.count()
+    data.unpersist()
+    out
+  }
+
   /** Closed-form OOF simple linear regression (reference M8 made
     * oracle-checkable): per fold, the OLS slope/intercept of y~x are
     * computed ANALYTICALLY from exact decimal sums over the fold's

@@ -121,4 +121,41 @@ class MlPipelinesSpec extends SparkSpec {
       assert(approx(r.getDouble(5), rmse, 1e-5), s"rmse $f")
     }
   }
+
+  test("multiTaskMasked trains each task only on its own non-null rows") {
+    // two tasks with complementary masks over one frame: t_reg is non-null
+    // on even keys, t_cls on odd keys — so the per-task train/test counts
+    // must equal the split counts of each task's OWN mask, proving masked
+    // rows never reach an estimator
+    val d = lineitem.select(
+      col("l_orderkey"), col("l_quantity"), col("l_discount"),
+      when(col("l_orderkey") % 2 === 0, col("l_extendedprice")).as("t_reg"),
+      when(col("l_orderkey") % 2 === 1,
+        (col("l_discount") >= 0.05).cast("double")).as("t_cls"))
+    val out = MlPipelines.multiTaskMasked(d, "l_orderkey",
+      Seq("l_quantity", "l_discount"),
+      Seq(MlPipelines.TaskSpec("t_reg", "t_reg", classification = false),
+        MlPipelines.TaskSpec("t_cls", "t_cls", classification = true)))
+      .orderBy("task").collect()
+    assert(out.length == 2)
+
+    def splitCounts(maskCol: String) = {
+      val m = graft.operators.SplitOps.withSplit(
+        d.filter(col(maskCol).isNotNull), "l_orderkey")
+      (m.filter(col("split") === "train").count(),
+        m.filter(col("split") === "test").count())
+    }
+    val Array(cls, reg) = out
+    assert(reg.getString(0) == "t_reg" && reg.getString(1) == "regression")
+    assert(cls.getString(0) == "t_cls" && cls.getString(1) == "classification")
+    val (regTrain, regTest) = splitCounts("t_reg")
+    val (clsTrain, clsTest) = splitCounts("t_cls")
+    assert(reg.getLong(2) == regTrain && reg.getLong(3) == regTest)
+    assert(cls.getLong(2) == clsTrain && cls.getLong(3) == clsTest)
+    // complementary masks: coverages sum to 1 over the shared frame
+    assert(approx(reg.getDouble(4) + cls.getDouble(4), 1.0, 1e-6))
+    assert(reg.getString(5) == "rmse" && reg.getDouble(6) >= 0.0)
+    val acc = cls.getDouble(6)
+    assert(cls.getString(5) == "accuracy" && acc >= 0.0 && acc <= 1.0)
+  }
 }
