@@ -686,5 +686,47 @@ object OracleSql {
         |FROM events e JOIN u USING (user_id)
         |GROUP BY e.user_id
         |ORDER BY e.user_id""".stripMargin,
+
+    "q63_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts,
+        |        epoch_us(ts) AS click_ts_us, value AS click_value
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  c.click_id, c.click_ts_us, c.click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q64_corpus_clean" ->
+      """WITH s AS (
+        |  SELECT doc_id, source, text, string_split(trim(text), ' ') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    ROUND(LEAST(len(toks) / 100.0, 1.0) *
+        |      (1.0 - len(list_filter(toks, x -> x = 'the' OR x = 'a')) /
+        |        CAST(len(toks) AS DOUBLE)), 6) AS quality_score,
+        |    len(list_filter(toks, x -> x = 'the')) /
+        |      CAST(len(toks) AS DOUBLE) AS the_r
+        |  FROM s),
+        |kept AS (
+        |  SELECT doc_id, source, n_tokens, quality_score, md5(text) AS h
+        |  FROM q WHERE quality_score >= 0.5 AND the_r >= 0.04),
+        |g AS (
+        |  SELECT h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |  FROM kept GROUP BY h)
+        |SELECT kept.source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(g.n_copies - 1) AS BIGINT) AS n_dups_removed,
+        |  ROUND(CAST(SUM(CAST(kept.quality_score AS DECIMAL(28,6))) AS DOUBLE)
+        |    / COUNT(kept.quality_score), 6) AS avg_quality,
+        |  CAST(SUM(kept.n_tokens) AS BIGINT) AS sum_tokens
+        |FROM kept JOIN g USING (h)
+        |WHERE kept.doc_id = g.keep_id
+        |GROUP BY kept.source
+        |ORDER BY kept.source""".stripMargin,
   )
 }

@@ -840,6 +840,54 @@ object SparkEntry {
       .orderBy(col("task"))
   }
 
+  // ---------------------------------------------------------------- q63
+  // As-of join (temporal alignment primitive): each purchase picks up the
+  // latest prior click of the same user — tagged-union + one per-user
+  // ordered window, one shuffle, no candidate-pair blow-up. The DuckDB
+  // oracle states the identical operator natively (ASOF LEFT JOIN).
+  def q63(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("click_ts_us"),
+        col("value").as("click_value"))
+    graft.operators.FuzzyJoins.asofJoin(purchases, clicks,
+      Seq("user_id"), "ts", Seq("click_id", "click_ts_us", "click_value"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("click_id"), col("click_ts_us"), col("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---------------------------------------------------------------- q64
+  // End-to-end corpus cleaning (north-star composition): token/quality
+  // stats + language ID → keep high-quality English docs → exact content
+  // dedup (min doc_id per md5, portable across engines) → per-source
+  // corpus stats. The whole LLM-data hygiene path as ONE declarative plan:
+  // a per-row codegen'd projection, one dedup shuffle, one aggregation.
+  def q64(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val scored = graft.operators.TextOps.withLangId(
+      graft.operators.TextOps.withQuality(d, "text", Seq("the", "a")), "text")
+    val kept = scored
+      .filter(col("quality_score") >= 0.5 && col("lang_pred") === "en")
+      .withColumn("h", md5(col("text")))
+    val groups = kept.groupBy(col("h")).agg(
+      min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    kept.join(groups, "h")
+      .filter(col("doc_id") === col("keep_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_copies") - 1).as("n_dups_removed"),
+        round(davg(col("quality_score"), 6), 6).as("avg_quality"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -904,6 +952,8 @@ object SparkEntry {
     "q60_oof_closed_form" -> (q60 _),
     "q61_ovr_multiclass_auc" -> (q61 _),
     "q62_multitask_train" -> (q62 _),
+    "q63_asof_join" -> (q63 _),
+    "q64_corpus_clean" -> (q64 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -66,4 +66,49 @@ object FuzzyJoins {
         fact(factTs) >= a(anchorTs) - expr(s"INTERVAL $before") &&
         fact(factTs) <= a(anchorTs) + expr(s"INTERVAL $after"))
   }
+
+  /** As-of join: each left row picks up the `payload` columns of the LATEST
+    * right row of the same key with `right.ts <= left.ts` (a right row at
+    * the exact left timestamp matches). The temporal-alignment primitive
+    * Spark lacks natively — the reference's windowed alignment
+    * (`preprocessing.py:93-94`) is the interval flavor of the same need.
+    *
+    * NOT a range join: a tagged union of both sides plus ONE per-key
+    * ordered window with `last(ignoreNulls)` carries the most recent right
+    * payload forward onto each left row. One shuffle on the key, a
+    * per-partition sort, zero candidate-pair blow-up — O(n log n) per key
+    * where a range join is O(left × right) per key. Left rows with no
+    * prior right row keep null payloads (left-outer semantics). DuckDB
+    * expresses the identical operator natively (`ASOF LEFT JOIN`), which
+    * the oracle uses.
+    *
+    * `payload` names must not collide with left columns. Ties between
+    * right rows at one (key, ts) are resolved by window order — give right
+    * rows a unique `tsCol` per key (true for any event stream with unique
+    * event timestamps) for fully deterministic output.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, payload: Seq[String]): DataFrame = {
+    require(payload.intersect(left.columns).isEmpty,
+      s"payload columns ${payload.intersect(left.columns).mkString(",")} collide with left columns")
+    import org.apache.spark.sql.expressions.Window
+    val leftOnly = left.columns.filterNot(c => keys.contains(c) || c == tsCol)
+    val l = payload.foldLeft(left.withColumn("__is_left", lit(1))) { (d, c) =>
+      d.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    }
+    val r = leftOnly.foldLeft(
+      right.select((keys ++ Seq(tsCol) ++ payload).map(col): _*)
+        .withColumn("__is_left", lit(0))) { (d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    // at equal ts the right row sorts FIRST so it is visible to the left row
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    payload.foldLeft(l.unionByName(r)) { (d, c) =>
+        d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
+      .filter(col("__is_left") === 1)
+      .drop("__is_left")
+  }
 }

@@ -34,4 +34,29 @@ class FuzzyJoinsSpec extends SparkSpec {
       "3 DAYS", "3 DAYS")
     assert(j.select("v").as[Double].collect().sorted.toSeq == Seq(1.0, 2.0))
   }
+
+  test("asofJoin carries the latest right payload at or before each left ts") {
+    val left = Seq(
+      (1L, ts("2024-01-05 00:00:00"), 100L), // after r2 → picks r2
+      (1L, ts("2024-01-02 00:00:00"), 101L), // exact tie with r1 → picks r1
+      (1L, ts("2024-01-01 00:00:00"), 102L), // before all right rows → null
+      (2L, ts("2024-01-09 00:00:00"), 103L), // other key → only r3 visible
+      (3L, ts("2024-01-09 00:00:00"), 104L), // key with no right rows → null
+    ).toDF("k", "ts", "left_id")
+    val right = Seq(
+      (1L, ts("2024-01-02 00:00:00"), 7.0),  // r1
+      (1L, ts("2024-01-04 00:00:00"), 8.0),  // r2
+      (2L, ts("2024-01-03 00:00:00"), 9.0),  // r3
+    ).toDF("k", "ts", "payload")
+    val out = FuzzyJoins.asofJoin(left, right, Seq("k"), "ts", Seq("payload"))
+      .orderBy("left_id")
+      .select("left_id", "payload")
+      .as[(Long, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      100L -> Some(8.0), 101L -> Some(7.0), 102L -> None,
+      103L -> Some(9.0), 104L -> None))
+    // left-outer semantics: every left row survives exactly once
+    assert(FuzzyJoins.asofJoin(left, right, Seq("k"), "ts", Seq("payload"))
+      .count() == left.count())
+  }
 }

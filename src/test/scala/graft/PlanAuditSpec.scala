@@ -114,6 +114,19 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q63 as-of join: one key shuffle, no join operator, no pair blow-up") {
+    val df = SparkEntry.q63(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // the tagged-union window form: the only data movement is ONE hash
+    // partitioning on the key (the final orderBy adds a range exchange);
+    // a range-join formulation would show a join node and candidate blow-up
+    val nHash = "Exchange hashpartitioning".r.findAllIn(finalSection).length
+    assert(nHash == 1, s"expected exactly 1 key shuffle, got $nHash:\n$p")
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+  }
+
   test("populationFeatures: sensor table shuffles at most twice, joins broadcast") {
     import spark.implicits._
     val sensor = (0 until 200).map(i =>
