@@ -87,6 +87,72 @@ object FuzzyJoins {
     * rows a unique `tsCol` per key (true for any event stream with unique
     * event timestamps) for fully deterministic output.
     */
+  /** Skew-safe as-of join: identical semantics to [[asofJoin]], but the
+    * window partitions on (key, time bucket) instead of key alone, so ONE
+    * hot key no longer serializes its entire history into a single task —
+    * per-task work is bounded by `bucketMicros`, the partition count grows
+    * with data, and the plan stays one wide shuffle.
+    *
+    * Cross-bucket continuity comes from carry-in seeds: each bucket's
+    * last-right-payload summary (one row per key × bucket, a tiny frame) is
+    * as-of joined — recursively, at summary granularity, where the plain
+    * window form is safe — onto the buckets the left side occupies, and
+    * injected as a synthetic row at bucket start that sorts before every
+    * real row of its bucket. Use the plain [[asofJoin]] unless a key's
+    * per-bucket row count is the scale risk.
+    */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, payload: Seq[String], bucketMicros: Long): DataFrame = {
+    require(payload.intersect(left.columns).isEmpty,
+      s"payload columns ${payload.intersect(left.columns).mkString(",")} collide with left columns")
+    import org.apache.spark.sql.expressions.Window
+    def bucketStart(ts: Column): Column =
+      timestamp_micros(floor(unix_micros(ts) / bucketMicros).cast("long") * bucketMicros)
+
+    // per-(key, bucket) summary: the LAST right payload in the bucket,
+    // stamped at bucket END so an as-of match at a later bucket's START
+    // admits exactly the strictly-earlier buckets
+    val summary = right.withColumn("__b", bucketStart(col(tsCol)))
+      .groupBy((keys.map(col) :+ col("__b")): _*)
+      .agg(max_by(struct(payload.map(col): _*), col(tsCol)).as("__p"))
+      .withColumn("__bts", timestamp_micros(unix_micros(col("__b")) + bucketMicros))
+      .select((keys.map(col) :+ col("__bts") :+ col("__p")): _*)
+    val leftBuckets = left
+      .select((keys.map(col) :+ bucketStart(col(tsCol)).as("__b")): _*)
+      .distinct()
+      .withColumn("__bts", col("__b"))
+    val seeds = asofJoin(leftBuckets, summary, keys, "__bts", Seq("__p"))
+      .filter(col("__p").isNotNull)
+
+    val leftOnly = left.columns.filterNot(c => keys.contains(c) || c == tsCol)
+    def withNullLeftCols(d: DataFrame): DataFrame =
+      leftOnly.foldLeft(d)((acc, c) =>
+        acc.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val lTag = payload.foldLeft(
+      left.withColumn("__b", bucketStart(col(tsCol))).withColumn("__rank", lit(1))) {
+      (d, c) => d.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    }
+    val rTag = withNullLeftCols(
+      right.select((keys ++ Seq(tsCol) ++ payload).map(col): _*)
+        .withColumn("__b", bucketStart(col(tsCol)))
+        .withColumn("__rank", lit(0)))
+    val seedTag = withNullLeftCols(
+      payload.foldLeft(
+        seeds.select((keys.map(col) ++ Seq(col("__b"),
+          col("__b").as(tsCol), lit(-1).as("__rank"), col("__p"))): _*)) {
+        (d, c) => d.withColumn(c, col("__p").getField(c))
+      }.drop("__p"))
+
+    val w = Window.partitionBy((keys :+ "__b").map(col): _*)
+      .orderBy(col(tsCol).asc, col("__rank").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    payload.foldLeft(lTag.unionByName(rTag).unionByName(seedTag)) { (d, c) =>
+        d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
+      .filter(col("__rank") === 1)
+      .drop("__rank", "__b")
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, payload: Seq[String]): DataFrame = {
     require(payload.intersect(left.columns).isEmpty,

@@ -59,4 +59,27 @@ class FuzzyJoinsSpec extends SparkSpec {
     assert(FuzzyJoins.asofJoin(left, right, Seq("k"), "ts", Seq("payload"))
       .count() == left.count())
   }
+
+  test("asofJoinBucketed equals asofJoin for any bucket width (real events)") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+    def sorted(d: org.apache.spark.sql.DataFrame) =
+      d.select("event_id", "click_id", "click_value").orderBy("event_id")
+        .collect().toSeq
+    val plain = sorted(FuzzyJoins.asofJoin(
+      purchases, clicks, Seq("user_id"), "ts", Seq("click_id", "click_value")))
+    assert(plain.nonEmpty)
+    // hour-wide buckets (many empty gaps to carry across) and week-wide
+    // buckets (many rows per bucket) must both reproduce the plain result
+    for (micros <- Seq(3600L * 1000000, 7L * 86400 * 1000000)) {
+      val bucketed = sorted(FuzzyJoins.asofJoinBucketed(
+        purchases, clicks, Seq("user_id"), "ts",
+        Seq("click_id", "click_value"), micros))
+      assert(bucketed == plain, s"bucket width $micros diverges")
+    }
+  }
 }

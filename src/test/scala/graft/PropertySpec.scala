@@ -1,5 +1,6 @@
 package graft
 
+import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -53,6 +54,33 @@ class PropertySpec extends SparkSpec {
       val s = SplitOps.withSplit(df, "k")
       assert(s.count() == ks.distinct.size)
       assert(s.filter(!col("split").isin("train", "val", "test")).count() == 0)
+    }
+  }
+
+  test("asofJoin equals the brute-force argmax definition for any frames") {
+    import graft.operators.FuzzyJoins
+    // random keys, random micros timestamps; right ts are per-key unique by
+    // construction (distinct) so the operator's determinism contract holds
+    val rows = Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 1000L)))
+    samples(Gen.zip(rows, rows), 6).foreach { case (ls, rs) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (k, new Timestamp(t), i.toLong) }
+        .toDF("k", "ts", "left_id")
+      val rdis = rs.distinct
+      val right = rdis.zipWithIndex
+        .map { case ((k, t), i) => (k, new Timestamp(t), i.toDouble) }
+        .toDF("k", "ts", "payload")
+      val got = FuzzyJoins.asofJoin(left, right, Seq("k"), "ts", Seq("payload"))
+        .select("left_id", "payload")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      val byRow = rdis.zipWithIndex
+      ls.zipWithIndex.foreach { case ((k, t), i) =>
+        val exp = byRow.filter { case ((rk, rt), _) => rk == k && rt <= t }
+          .sortBy { case ((_, rt), _) => rt }.lastOption.map(_._2.toDouble)
+        assert(got(i.toLong) == exp, s"left ($k,$t): got ${got(i.toLong)}, want $exp")
+      }
     }
   }
 
