@@ -728,5 +728,17 @@ object OracleSql {
         |WHERE kept.doc_id = g.keep_id
         |GROUP BY kept.source
         |ORDER BY kept.source""".stripMargin,
+
+    "q65_stream_stream_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id, ts AS c_ts, value AS c_value
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.p_id, c.c_id, p.user_id,
+        |  epoch_us(p.p_ts) AS p_ts_us, epoch_us(c.c_ts) AS c_ts_us, c.c_value
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.c_ts <= p.p_ts
+        |  AND c.c_ts >= p.p_ts - INTERVAL 1 DAY
+        |ORDER BY p.p_id, c.c_id""".stripMargin,
   )
 }

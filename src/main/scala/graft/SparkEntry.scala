@@ -888,6 +888,29 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  // ---------------------------------------------------------------- q65
+  // Stream-stream watermarked range join (attribution): purchases pair
+  // with same-user clicks in the day before the purchase; both sides are
+  // streams with bounded join state. Inner-join emission is watermark-
+  // independent, so the finite replay hash-matches the batch self-join
+  // oracle.
+  def q65(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val joined = graft.streaming.StreamingOps.streamStreamRangeJoin(
+      spark, dir, "events.parquet", "user_id", "ts",
+      col("event_type") === "purchase", col("event_type") === "click",
+      rangeSeconds = 86400, "2 days",
+      graft.streaming.StreamSink.Memory(s"q65_sink_${System.nanoTime()}"),
+      prepare = df => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    joined.select(
+      col("event_id").as("p_id"), col("event_id_r").as("c_id"),
+      col("user_id"),
+      unix_micros(col("ts")).as("p_ts_us"),
+      unix_micros(col("ts_r")).as("c_ts_us"),
+      col("value_r").as("c_value"))
+      .orderBy(col("p_id"), col("c_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -954,6 +977,7 @@ object SparkEntry {
     "q62_multitask_train" -> (q62 _),
     "q63_asof_join" -> (q63 _),
     "q64_corpus_clean" -> (q64 _),
+    "q65_stream_stream_join" -> (q65 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -184,6 +184,36 @@ object StreamingOps {
     * state is proportional to the (small, broadcast) dimension, not to the
     * stream; the watermark only bounds the join buffer.
     */
+  /** Stream-stream inner join with a watermarked time-range condition — the
+    * attribution shape: each left event (e.g. purchase) pairs with the right
+    * events (e.g. clicks) of the same key in the `rangeSeconds` window ending
+    * at the left event. BOTH sides are unbounded streams; the watermarks plus
+    * the range bound tell Spark exactly how long each side's rows must stay
+    * in join state, so state is bounded on unbounded input — the property
+    * that makes this run forever at ingest scale. Inner join: matches are
+    * emitted as they form (the watermark governs eviction, not emission), so
+    * the finite replay equals the batch join the oracle runs.
+    *
+    * Right-side columns come back suffixed `_r` (the two sides may share a
+    * schema, as in a self-join on one event stream).
+    */
+  def streamStreamRangeJoin(spark: SparkSession, dir: String, fileName: String,
+      keyCol: String, tsCol: String,
+      leftPred: org.apache.spark.sql.Column, rightPred: org.apache.spark.sql.Column,
+      rangeSeconds: Long, watermark: String, sink: StreamSink,
+      prepare: DataFrame => DataFrame = identity): DataFrame = {
+    val l = prepare(fileStream(spark, dir, fileName))
+      .filter(leftPred).withWatermark(tsCol, watermark)
+    val rBase = prepare(fileStream(spark, dir, fileName)).filter(rightPred)
+    val r = rBase.columns.foldLeft(rBase)(
+        (d, c) => d.withColumnRenamed(c, c + "_r"))
+      .withWatermark(tsCol + "_r", watermark)
+    val cond = col(keyCol) === col(keyCol + "_r") &&
+      col(tsCol + "_r") <= col(tsCol) &&
+      col(tsCol + "_r") >= col(tsCol) - expr(s"INTERVAL $rangeSeconds SECONDS")
+    runToSink(spark, l.join(r, cond), sink, "append")
+  }
+
   def streamStaticJoinStats(spark: SparkSession, dir: String, fileName: String,
       static: DataFrame, streamKey: String, staticKey: String,
       tsCol: String, valueCol: String, watermark: String,

@@ -67,6 +67,30 @@ class StreamingOpsSpec extends SparkSpec {
     assert(new java.io.File(s"$base/ckpt").exists())
   }
 
+  test("streamStreamRangeJoin equals the batch range self-join") {
+    val out = StreamingOps.streamStreamRangeJoin(spark, s"$dir/fixture.parquet",
+      "*.parquet", "user_id", "ts",
+      col("event_type") === "a", col("event_type") === "a",
+      rangeSeconds = 3600 * 24, "1 day",
+      StreamSink.Memory(s"spec_ss_${System.nanoTime()}"))
+      .select(col("ts"), col("ts_r"), col("value"), col("value_r"))
+      .collect().map(_.toSeq).toSet
+    val batch = {
+      val e = spark.read.parquet(s"$dir/fixture.parquet")
+        .filter(col("event_type") === "a")
+      val r = e.columns.foldLeft(e)((d, c) => d.withColumnRenamed(c, c + "_r"))
+      e.join(r, col("user_id") === col("user_id_r") &&
+          col("ts_r") <= col("ts") &&
+          col("ts_r") >= col("ts") - expr("INTERVAL 24 HOURS"))
+        .select(col("ts"), col("ts_r"), col("value"), col("value_r"))
+        .collect().map(_.toSeq).toSet
+    }
+    // self-pairs (ts = ts_r) prove the inclusive bound; the Jan 3 event
+    // pairs only with itself (Jan 1 events are outside the 24 h range)
+    assert(batch.nonEmpty)
+    assert(out == batch)
+  }
+
   test("streamStaticJoinStats joins the static dim and aggregates per key") {
     val static = Seq((1L, "gold")).toDF("dim_user", "tier")
     val out = StreamingOps.streamStaticJoinStats(spark, s"$dir/fixture.parquet",
