@@ -127,6 +127,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
   }
 
+  test("q64 corpus clean: bounded shuffles, text scoring stays in the scan pass") {
+    val df = SparkEntry.q64(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // per-row scoring (tokens/quality/langid/md5) is projection work before
+    // the first exchange; the dedup groupBy + join on the content hash and
+    // the per-source aggregate are the only hash shuffles
+    val nHash = "Exchange hashpartitioning".r.findAllIn(finalSection).length
+    assert(nHash <= 3, s"expected <=3 hash shuffles, got $nHash:\n$p")
+    // the dedup join is an equi-join on the content hash — never a
+    // cartesian pair explosion (SortMergeJoin on h is fine at scale)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("populationFeatures: sensor table shuffles at most twice, joins broadcast") {
     import spark.implicits._
     val sensor = (0 until 200).map(i =>
