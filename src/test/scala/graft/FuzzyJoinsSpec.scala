@@ -60,6 +60,21 @@ class FuzzyJoinsSpec extends SparkSpec {
       .count() == left.count())
   }
 
+  test("asofJoin and asofJoinBucketed keep all left rows on an empty right side") {
+    val left = Seq((1L, ts("2024-01-05 00:00:00"), 100L))
+      .toDF("k", "ts", "left_id")
+    val right = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("k", "ts", "payload")
+    for (out <- Seq(
+        FuzzyJoins.asofJoin(left, right, Seq("k"), "ts", Seq("payload")),
+        FuzzyJoins.asofJoinBucketed(left, right, Seq("k"), "ts",
+          Seq("payload"), 86400L * 1000000))) {
+      val rows = out.select("left_id", "payload").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(100L))
+      assert(rows.forall(_.isNullAt(1)))
+    }
+  }
+
   test("asofJoinBucketed equals asofJoin for any bucket width (real events)") {
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val purchases = ev.filter(col("event_type") === "purchase")

@@ -122,6 +122,19 @@ class MlPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("multiTaskMasked fails with a clear message when a mask empties train") {
+    val d = lineitem.select(
+      col("l_orderkey"), col("l_quantity"), col("l_discount"),
+      lit(null).cast("double").as("all_masked"))
+    val e = intercept[IllegalArgumentException] {
+      MlPipelines.multiTaskMasked(d, "l_orderkey",
+        Seq("l_quantity", "l_discount"),
+        Seq(MlPipelines.TaskSpec("dead", "all_masked", classification = false)))
+    }
+    assert(e.getMessage.contains("dead"))
+    assert(e.getMessage.contains("train split is empty"))
+  }
+
   test("multiTaskMasked trains each task only on its own non-null rows") {
     // two tasks with complementary masks over one frame: t_reg is non-null
     // on even keys, t_cls on odd keys — so the per-task train/test counts
