@@ -740,5 +740,17 @@ object OracleSql {
         |  AND c.c_ts <= p.p_ts
         |  AND c.c_ts >= p.p_ts - INTERVAL 1 DAY
         |ORDER BY p.p_id, c.c_id""".stripMargin,
+
+    "q66_corpus_mix" ->
+      """SELECT source,
+        |  COUNT(*) AS n_kept,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE ((doc_id % 1000003) * 2654435761) % 1000 <
+        |  CASE WHEN source IN ('src10','src11','src12','src13','src14',
+        |                       'src15','src16','src17','src18','src19')
+        |       THEN 300 ELSE 1000 END
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
   )
 }

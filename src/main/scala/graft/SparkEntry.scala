@@ -911,6 +911,20 @@ object SparkEntry {
       .orderBy(col("p_id"), col("c_id"))
   }
 
+  // ---------------------------------------------------------------- q66
+  // Deterministic corpus source-mixing (stratified sampling): crawl-ish
+  // sources downsampled to 30%, curated sources kept whole, via the
+  // engine-portable multiplicative hash — per-row filter, no shuffle, no
+  // RNG state. The oracle reproduces the identical arithmetic in SQL.
+  def q66(spark: SparkSession, dir: String): DataFrame = {
+    val down = (10 to 19).map(i => s"src$i" -> 300).toMap
+    SplitOps.stratifiedSample(t(spark, dir, "documents"),
+      "doc_id", "source", down)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -978,6 +992,7 @@ object SparkEntry {
     "q63_asof_join" -> (q63 _),
     "q64_corpus_clean" -> (q64 _),
     "q65_stream_stream_join" -> (q65 _),
+    "q66_corpus_mix" -> (q66 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -49,4 +49,22 @@ object SplitOps {
     */
   def withFold(df: DataFrame, groupKey: String, k: Int): DataFrame =
     df.withColumn("fold", hashBucket(col(groupKey), k))
+
+  /** Deterministic stratified sampling: keep a row iff its id's hash bucket
+    * falls below its stratum's per-mille rate — the corpus source-mixing
+    * primitive of a training-data pipeline (downweight a crawl source, keep
+    * curated sources whole). Same engine-portable multiplicative hash as
+    * the splits: per-row, shuffle-free, reproducible under any partitioning
+    * at any scale, and REFERENTIALLY stable — a document keeps or loses its
+    * place independent of what else is in the corpus, so incremental
+    * ingests sample consistently.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      ratesPerMille: Map[String, Int],
+      defaultPerMille: Int = 1000): DataFrame = {
+    val threshold = ratesPerMille.foldLeft(lit(defaultPerMille): Column) {
+      case (acc, (s, r)) => when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), 1000) < threshold)
+  }
 }

@@ -35,4 +35,21 @@ class SplitOpsSpec extends SparkSpec {
       .filter($"n" =!= 1).count()
     assert(bad == 0L)
   }
+
+  test("stratifiedSample: per-stratum rates, referential stability") {
+    val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) "web" else "books"))
+      .toDF("id", "src")
+    val kept = SplitOps.stratifiedSample(docs, "id", "src",
+      Map("web" -> 250), defaultPerMille = 1000)
+    val counts = kept.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(counts("books") == 1000L, "default rate keeps the stratum whole")
+    assert(math.abs(counts("web") - 250.0) / 1000.0 < 0.05)
+    // referential stability: sampling a pre-filtered corpus keeps exactly
+    // the same ids — membership depends only on the row itself
+    val subset = SplitOps.stratifiedSample(docs.filter($"id" < 500), "id", "src",
+      Map("web" -> 250), defaultPerMille = 1000)
+      .select("id").as[Long].collect().toSet
+    val fromFull = kept.filter($"id" < 500).select("id").as[Long].collect().toSet
+    assert(subset == fromFull)
+  }
 }
