@@ -752,5 +752,25 @@ object OracleSql {
         |       THEN 300 ELSE 1000 END
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "q67_dup_clusters" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id < 200),
+        |pairs AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE ROUND(list_inner_product(a.emb, b.emb) /
+        |      (SQRT(list_inner_product(a.emb, a.emb)) *
+        |       SQRT(list_inner_product(b.emb, b.emb))), 6) >= 0.2),
+        |sym AS (
+        |  SELECT src, dst FROM pairs
+        |  UNION SELECT dst, src FROM pairs),
+        |reach(v, c) AS (
+        |  SELECT vec_id, vec_id FROM e
+        |  UNION
+        |  SELECT sym.dst, reach.c FROM reach JOIN sym ON sym.src = reach.v)
+        |SELECT v AS vec_id, MIN(c) AS component
+        |FROM reach GROUP BY v ORDER BY vec_id""".stripMargin,
   )
 }

@@ -925,6 +925,28 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  // ---------------------------------------------------------------- q67
+  // Duplicate-cluster resolution: cosine near-dup pairs (the q37 edge set)
+  // → connected components by distributed min-label propagation → one
+  // canonical component id per vector. The composition step that turns
+  // pairwise near-dup detection into an actionable dedup pass. The oracle
+  // computes the identical transitive closure with a recursive CTE.
+  def q67(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val l = e.select(col("vec_id").as("id_a"), col("emb").as("ea"))
+    val r = e.select(col("vec_id").as("id_b"), col("emb").as("eb"))
+    val edges = l.join(r, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(SimilarityOps.cosineNative(col("ea"), col("eb")), 6).as("cosine"))
+      .filter(col("cosine") >= 0.2)
+    GraphOps.connectedComponents(edges, "id_a", "id_b",
+        nodes = Some(e.select(col("vec_id"))))
+      .select(col("v").as("vec_id"), col("component"))
+      .orderBy(col("vec_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -993,6 +1015,7 @@ object SparkEntry {
     "q64_corpus_clean" -> (q64 _),
     "q65_stream_stream_join" -> (q65 _),
     "q66_corpus_mix" -> (q66 _),
+    "q67_dup_clusters" -> (q67 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →
