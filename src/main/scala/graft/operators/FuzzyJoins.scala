@@ -67,6 +67,36 @@ object FuzzyJoins {
         fact(factTs) <= a(anchorTs) + expr(s"INTERVAL $after"))
   }
 
+  /** Shuffle-bounded point-in-interval join for when the anchor side is TOO
+    * BIG to broadcast (the scale regime [[intervalJoin]] can't serve: at
+    * corpus scale both the fact stream and the anchor set can be huge).
+    * Time is discretized into `bucketMicros` buckets: each fact row belongs
+    * to exactly ONE bucket, each anchor row is replicated onto the
+    * ⌈window/bucket⌉+1 buckets its interval overlaps, and the join becomes a
+    * plain EQUI-join on (key, bucket) + the exact range residual — one
+    * bounded shuffle, no broadcast, no BroadcastNestedLoopJoin fallback,
+    * and no dedup pass (single-bucket fact membership makes matches unique).
+    *
+    * Anchor replication factor = (beforeMicros+afterMicros)/bucketMicros + 1,
+    * so pick the bucket near the window width (replication ≈ 2-3×). Output
+    * rows are identical to [[intervalJoin]] on the same inputs.
+    */
+  def intervalJoinBucketed(fact: DataFrame, anchors: DataFrame,
+      factKey: String, anchorKey: String, factTs: String, anchorTs: String,
+      beforeMicros: Long, afterMicros: Long, bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0, "bucketMicros must be positive")
+    val fb = fact.withColumn("__b",
+      floor(unix_micros(col(factTs)) / bucketMicros))
+    val ab = anchors.withColumn("__b", explode(sequence(
+      floor((unix_micros(col(anchorTs)) - beforeMicros) / bucketMicros),
+      floor((unix_micros(col(anchorTs)) + afterMicros) / bucketMicros))))
+    fb.join(ab,
+        fb(factKey) === ab(anchorKey) && fb("__b") === ab("__b") &&
+          unix_micros(fb(factTs)) >= unix_micros(ab(anchorTs)) - beforeMicros &&
+          unix_micros(fb(factTs)) <= unix_micros(ab(anchorTs)) + afterMicros)
+      .drop(fb("__b")).drop(ab("__b"))
+  }
+
   /** As-of join: each left row picks up the `payload` columns of the LATEST
     * right row of the same key with `right.ts <= left.ts` (a right row at
     * the exact left timestamp matches). The temporal-alignment primitive

@@ -35,6 +35,28 @@ class FuzzyJoinsSpec extends SparkSpec {
     assert(j.select("v").as[Double].collect().sorted.toSeq == Seq(1.0, 2.0))
   }
 
+  test("intervalJoinBucketed equals intervalJoin for any bucket width") {
+    val rnd = new scala.util.Random(11)
+    val fact = Seq.fill(400)((rnd.nextInt(5).toLong,
+      ts(f"2024-01-${1 + rnd.nextInt(20)}%02d ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"),
+      rnd.nextDouble())).toDF("k", "ts", "v")
+    val anchors = Seq.fill(30)((rnd.nextInt(5).toLong,
+      ts(f"2024-01-${1 + rnd.nextInt(20)}%02d ${rnd.nextInt(24)}%02d:00:00")))
+      .toDF("ak", "ats")
+    val dayMicros = 86400000000L
+    val broadcastPath = FuzzyJoins.intervalJoin(fact, anchors, "k", "ak",
+        "ts", "ats", "2 DAYS", "1 DAY")
+      .select("k", "ts", "v", "ak", "ats").collect().toSet
+    // bucket widths smaller than, equal to, and larger than the window
+    for (b <- Seq(dayMicros / 4, dayMicros, 3 * dayMicros)) {
+      val bucketed = FuzzyJoins.intervalJoinBucketed(fact, anchors, "k", "ak",
+          "ts", "ats", beforeMicros = 2 * dayMicros, afterMicros = dayMicros,
+          bucketMicros = b)
+        .select("k", "ts", "v", "ak", "ats").collect().toSet
+      assert(bucketed == broadcastPath, s"bucket=$b")
+    }
+  }
+
   test("asofJoin carries the latest right payload at or before each left ts") {
     val left = Seq(
       (1L, ts("2024-01-05 00:00:00"), 100L), // after r2 → picks r2

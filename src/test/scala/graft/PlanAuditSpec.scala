@@ -114,6 +114,15 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q68 bucketed interval join: equi-join shuffle, no broadcast-nested-loop") {
+    val p = finalPlan(SparkEntry.q68(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the join must be a hash/sort-merge EQUI-join on (key, bucket) — the
+    // shape that survives an un-broadcastable anchor side
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("q63 as-of join: one key shuffle, no join operator, no pair blow-up") {
     val df = SparkEntry.q63(spark, dir)
     df.collect()
