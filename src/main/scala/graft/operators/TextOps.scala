@@ -74,6 +74,35 @@ object TextOps {
     aggregate(transform(sh, s => xxhash64(s)), lit(0L), (acc, h) => acc.bitwiseXOR(h))
   }
 
+  /** Top-`topK` TF-IDF terms per document (keyword extraction): term
+    * frequencies and document frequencies by two hash aggregations, idf via
+    * the smoothed sklearn formula ln((N+1)/(df+1))+1, ranked per document.
+    *
+    * Scale posture: the doc-count is a 1-row aggregate broadcast into the
+    * scoring join (never a driver-side `count()` baked into the plan); the
+    * df join shuffles on the term, the only unbounded key, and the ranking
+    * window partitions BY DOCUMENT — no global ordering anywhere. Scores are
+    * rounded to 6 decimals BEFORE ranking so tie order (score desc, term
+    * asc) is total and engine-portable.
+    */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") *
+        (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("term"), col("tf"), col("tfidf"), col("rank"))
+  }
+
   /** Word n-gram shingles as space-joined strings. Documents shorter than
     * `n` tokens yield a single shingle of the whole text.
     */

@@ -53,4 +53,23 @@ class TextOpsSpec extends SparkSpec {
     val fps = df.select(TextOps.fingerprint($"t", 2)).as[Long].collect()
     assert(fps(0) == fps(1))
   }
+
+  test("tfIdfTopTerms: hand-computed scores, rare term outranks common term") {
+    // 3 docs; "apple" appears in 1 doc, "the" in all 3
+    val docs = Seq(
+      (1L, "the apple the"),
+      (2L, "the pear"),
+      (3L, "the plum")).toDF("doc_id", "text")
+    val r = TextOps.tfIdfTopTerms(docs, "doc_id", "text", 2)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "term", "tf", "tfidf")
+      .as[(Long, String, Long, Double)].collect()
+    def idf(df: Int) = math.log(4.0 / (df + 1.0)) + 1.0
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // doc 1: "the" wins on tf (2·idf(3)=2.0 > 1·idf(1)=1.693)
+    assert(r(0) == ((1L, "the", 2L, r6(2 * idf(3)))))
+    assert(r(1) == ((1L, "apple", 1L, r6(idf(1)))))
+    // doc 2: pear (rare) above the (ubiquitous)
+    assert(r(2)._2 == "pear" && r(3)._2 == "the")
+  }
 }
