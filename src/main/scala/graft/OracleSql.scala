@@ -772,5 +772,47 @@ object OracleSql {
         |  SELECT sym.dst, reach.c FROM reach JOIN sym ON sym.src = reach.v)
         |SELECT v AS vec_id, MIN(c) AS component
         |FROM reach GROUP BY v ORDER BY vec_id""".stripMargin,
+
+    "q68_interval_bucketed" ->
+      """SELECT a.event_id AS anchor_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        |FROM events e
+        |JOIN events a
+        |  ON a.event_type = 'signup'
+        | AND e.user_id = a.user_id
+        | AND e.ts >= a.ts - INTERVAL 1 HOUR
+        | AND e.ts <= a.ts + INTERVAL 1 HOUR
+        |GROUP BY a.event_id
+        |ORDER BY anchor_id""".stripMargin,
+
+    "q69_tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    ROUND(tf.tf * (LN((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6)
+        |      AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, tfidf, rank FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    "q70_cdc_compact" ->
+      """SELECT user_id, last_event_id, last_type, last_value FROM (
+        |  SELECT user_id, event_id AS last_event_id,
+        |    event_type AS last_type, value AS last_value,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 AND last_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
   )
 }

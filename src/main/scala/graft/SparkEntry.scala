@@ -947,6 +947,50 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  // ---------------------------------------------------------------- q68
+  // Point-in-interval join WITHOUT broadcast: the bucketed equi-join path
+  // for the regime where the anchor set itself is corpus-sized (q05's
+  // broadcast shape capsizes there). Same join semantics as q05, ±1 hour
+  // window over 1-hour buckets — anchors replicate ≤3×, one bounded
+  // shuffle, and the physical plan must contain no broadcast-nested-loop
+  // (PlanAuditSpec asserts this).
+  def q68(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val anchors = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("anchor_id"), col("user_id").as("a_user"),
+        col("ts").as("anchor_ts"))
+    val h = 3600000000L // 1 hour in micros
+    FuzzyJoins.intervalJoinBucketed(e, anchors, "user_id", "a_user",
+        "ts", "anchor_ts", beforeMicros = h, afterMicros = h, bucketMicros = h)
+      .groupBy(col("anchor_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 4).as("sum_value"))
+      .orderBy(col("anchor_id"))
+  }
+
+  // ---------------------------------------------------------------- q69
+  // Keyword extraction: top-3 TF-IDF terms per document. Two hash
+  // aggregations + a term-keyed join + a per-document ranking window —
+  // no global ordering, doc-count broadcast from a 1-row aggregate.
+  def q69(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tfIdfTopTerms(t(spark, dir, "documents"), "doc_id", "text", 3)
+      .orderBy(col("doc_id"), col("rank"))
+
+  // ---------------------------------------------------------------- q70
+  // CDC compaction: latest state per user from the event change stream
+  // (ts + event_id as the version tuple), rows whose latest change is an
+  // 'error' tombstone dropped. One max_by hash aggregation — map-side
+  // combining, no window sort-shuffle.
+  def q70(spark: SparkSession, dir: String): DataFrame =
+    CdcOps.compactWithDeletes(
+        t(spark, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value")),
+        keys = Seq("user_id"), ordCols = Seq("ts", "event_id"),
+        isDelete = d => d("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+      .orderBy(col("user_id"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1016,6 +1060,9 @@ object SparkEntry {
     "q65_stream_stream_join" -> (q65 _),
     "q66_corpus_mix" -> (q66 _),
     "q67_dup_clusters" -> (q67 _),
+    "q68_interval_bucketed" -> (q68 _),
+    "q69_tfidf_topterms" -> (q69 _),
+    "q70_cdc_compact" -> (q70 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →
