@@ -814,5 +814,55 @@ object OracleSql {
         |  FROM events)
         |WHERE rn = 1 AND last_type <> 'error'
         |ORDER BY user_id""".stripMargin,
+
+    "q71_repetition_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    ROUND(CAST(1 AS DOUBLE) -
+        |      len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE), 6)
+        |      AS dup_token_frac
+        |  FROM t),
+        |bg AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+        |    THEN list_transform(range(1, len(tk)),
+        |           i -> array_to_string(tk[i:i+1], ' '))
+        |    ELSE [array_to_string(tk, ' ')] END) AS bg
+        |  FROM t),
+        |cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |rep AS (
+        |  SELECT doc_id, ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6)
+        |    AS top_bigram_frac
+        |  FROM cnt GROUP BY 1)
+        |SELECT base.doc_id, n_tokens, dup_token_frac, top_bigram_frac
+        |FROM base JOIN rep USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q72_dedup_pipeline" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id < 200),
+        |pairs AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE ROUND(list_inner_product(a.emb, b.emb) /
+        |      (SQRT(list_inner_product(a.emb, a.emb)) *
+        |       SQRT(list_inner_product(b.emb, b.emb))), 6) >= 0.4),
+        |sym AS (
+        |  SELECT src, dst FROM pairs
+        |  UNION SELECT dst, src FROM pairs),
+        |reach(v, c) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT sym.dst, reach.c FROM reach JOIN sym ON sym.src = reach.v),
+        |dropped AS (
+        |  SELECT v FROM reach GROUP BY v HAVING v <> MIN(c))
+        |SELECT source, COUNT(*) AS n_kept,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id < 200 AND doc_id NOT IN (SELECT v FROM dropped)
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
   )
 }

@@ -991,6 +991,39 @@ object SparkEntry {
         col("event_type").as("last_type"), col("value").as("last_value"))
       .orderBy(col("user_id"))
 
+  // ---------------------------------------------------------------- q71
+  // Gopher-style repetition quality metrics: duplicate-token fraction and
+  // top-bigram share per document — the filter rules a pre-training corpus
+  // runs to drop boilerplate/spam. One explode + two doc-keyed hash
+  // aggregations; linear at corpus scale.
+  def q71(spark: SparkSession, dir: String): DataFrame =
+    TextOps.withRepetitionStats(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- q72
+  // End-to-end near-dup REMOVAL: embedding-cosine pairs → connected
+  // components → drop every non-canonical cluster member from the documents
+  // table (anti-join) → per-source corpus stats. The full composition a
+  // pre-training dedup pass runs; the oracle replays it as recursive-CTE
+  // closure + NOT IN + aggregate.
+  def q72(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val l = e.select(col("vec_id").as("id_a"), col("emb").as("ea"))
+    val r = e.select(col("vec_id").as("id_b"), col("emb").as("eb"))
+    val edges = l.join(r, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(SimilarityOps.cosineNative(col("ea"), col("eb")), 6).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+    GraphOps.keepCanonical(
+        t(spark, dir, "documents").filter(col("doc_id") < 200),
+        "doc_id", edges, "id_a", "id_b")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1063,6 +1096,8 @@ object SparkEntry {
     "q68_interval_bucketed" -> (q68 _),
     "q69_tfidf_topterms" -> (q69 _),
     "q70_cdc_compact" -> (q70 _),
+    "q71_repetition_quality" -> (q71 _),
+    "q72_dedup_pipeline" -> (q72 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -74,6 +74,30 @@ object TextOps {
     aggregate(transform(sh, s => xxhash64(s)), lit(0L), (acc, h) => acc.bitwiseXOR(h))
   }
 
+  /** Repetition quality metrics (the Gopher-rules family): per document,
+    * the duplicate-token fraction (1 − distinct/total, a pure projection)
+    * and the top-bigram fraction (most frequent bigram's share of all
+    * bigrams — boilerplate and spam pages score high). The bigram mode
+    * needs a per-(doc, bigram) count: one explode + two hash aggregations,
+    * both keyed by document — shuffle-bounded, no global state, linear at
+    * corpus scale.
+    */
+  def withRepetitionStats(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = df.select(col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      round(lit(1.0) - size(array_distinct(toks)) / size(toks).cast("double"), 6)
+        .as("dup_token_frac"))
+    val rep = df
+      .select(col(idCol), explode(wordShingles(col(textCol), 2)).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(round(max(col("c")) / sum(col("c")).cast("double"), 6)
+        .as("top_bigram_frac"))
+    base.join(rep, idCol)
+  }
+
   /** Top-`topK` TF-IDF terms per document (keyword extraction): term
     * frequencies and document frequencies by two hash aggregations, idf via
     * the smoothed sklearn formula ln((N+1)/(df+1))+1, ranked per document.

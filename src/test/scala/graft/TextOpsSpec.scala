@@ -54,6 +54,20 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(0) == fps(1))
   }
 
+  test("withRepetitionStats: hand-computed duplicate and bigram fractions") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // 6 tokens, 2 distinct; bigrams: a·b ×3, b·a ×2
+      (2L, "w x y z"),       // all distinct; 3 distinct bigrams of 3
+      (3L, "solo")).toDF("doc_id", "text")
+    val r = TextOps.withRepetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("n_tokens", "dup_token_frac", "top_bigram_frac")
+      .as[(Long, Double, Double)].collect()
+    assert(r(0) == ((6L, 0.666667, 0.6)))     // 1-2/6; 3 of 5 bigrams
+    assert(r(1) == ((4L, 0.0, 0.333333)))
+    assert(r(2) == ((1L, 0.0, 1.0)))          // single whole-text shingle
+  }
+
   test("tfIdfTopTerms: hand-computed scores, rare term outranks common term") {
     // 3 docs; "apple" appears in 1 doc, "the" in all 3
     val docs = Seq(
