@@ -123,6 +123,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("q69 tf-idf: ranking window is per-document, never single-partition") {
+    import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    @annotation.tailrec
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case w: WholeStageCodegenExec => strip(w.child)
+      case i: InputAdapter => strip(i.child)
+      case other => other
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.q69(spark, dir).queryExecution.executedPlan
+      var sawWindow = false
+      p.foreach {
+        case w: WindowExec =>
+          sawWindow = true
+          assert(w.partitionSpec.nonEmpty, s"global window in:\n$p")
+        case e: ShuffleExchangeExec if e.outputPartitioning.numPartitions == 1 =>
+          // only the 1-row doc-count aggregate may move to one task
+          assert(strip(e.child).isInstanceOf[BaseAggregateExec],
+            s"single-partition exchange over non-aggregated rows in:\n$p")
+        case _ =>
+      }
+      assert(sawWindow, s"expected a per-doc ranking window in:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q70 cdc compact: one max_by hash aggregation, no window sort path") {
+    val p = finalPlan(SparkEntry.q70(spark, dir))
+    // the scale claim: compaction is an aggregation with map-side partial
+    // combine, NOT a row_number window (full sort shuffle of every version)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("max_by") || p.contains("MaxBy"), p)
+    assert(p.contains("partial_max_by") || p.contains("partial"), p)
+  }
+
   test("q63 as-of join: one key shuffle, no join operator, no pair blow-up") {
     val df = SparkEntry.q63(spark, dir)
     df.collect()
