@@ -864,5 +864,17 @@ object OracleSql {
         |WHERE doc_id < 200 AND doc_id NOT IN (SELECT v FROM dropped)
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    // identical to q70 — the streaming view must converge to the batch
+    // compaction's exact table
+    "q73_stream_cdc" ->
+      """SELECT user_id, last_event_id, last_type, last_value FROM (
+        |  SELECT user_id, event_id AS last_event_id,
+        |    event_type AS last_type, value AS last_value,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 AND last_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
   )
 }

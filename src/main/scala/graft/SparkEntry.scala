@@ -1024,6 +1024,26 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  // ---------------------------------------------------------------- q73
+  // Streaming CDC compaction: the continuously-maintained latest-state view
+  // of the event change stream — identical answer (and identical oracle) to
+  // the batch q70, proving replay/live convergence of the upsert view.
+  def q73(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val latest = graft.streaming.StreamingOps.compactLatestStream(
+      spark, dir, "events.parquet",
+      keys = Seq("user_id"), ordCols = Seq("ts", "event_id"),
+      graft.streaming.StreamSink.Memory(s"q73_sink_${System.nanoTime()}"),
+      prepare = df => df
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    latest.filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1098,6 +1118,7 @@ object SparkEntry {
     "q70_cdc_compact" -> (q70 _),
     "q71_repetition_quality" -> (q71 _),
     "q72_dedup_pipeline" -> (q72 _),
+    "q73_stream_cdc" -> (q73 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -112,6 +112,31 @@ object StreamingOps {
     runToSink(spark, stream, sink, "append")
   }
 
+  /** Streaming CDC compaction: a continuously-maintained latest-state-per-key
+    * view of a change stream — the streaming counterpart of
+    * [[graft.operators.CdcOps.compactLatest]]. One `max_by` aggregation over
+    * the lexicographic version tuple, complete-mode output (an upsert VIEW
+    * is by nature a full-table result; parquet/append cannot express it).
+    *
+    * State is one row per live key — the same footprint as the materialized
+    * upsert view itself, sharded across executors by key; per-batch work is
+    * map-side-combined like the batch operator. Late or out-of-order changes
+    * are handled by the version tuple, not arrival order, so replay and
+    * live tailing converge to the identical table.
+    */
+  def compactLatestStream(spark: SparkSession, dir: String, fileName: String,
+      keys: Seq[String], ordCols: Seq[String], sink: StreamSink,
+      prepare: DataFrame => DataFrame = identity): DataFrame = {
+    val stream = prepare(fileStream(spark, dir, fileName))
+    val payload = stream.columns.filterNot(keys.contains)
+    val agged = stream
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(ordCols.map(col): _*)).as("__r"))
+      .select(keys.map(col) ++ payload.map(c => col(s"__r.$c").as(c)): _*)
+    runToSink(spark, agged, sink, "complete")
+  }
+
   /** Gap-based sessionization with custom state
     * (`flatMapGroupsWithState`, SURVEY §2.11 extension): consecutive events
     * of a user belong to one session while inter-event gaps stay within

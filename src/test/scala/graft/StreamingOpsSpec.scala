@@ -91,6 +91,13 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out == batch)
   }
 
+  test("compactLatestStream converges to the batch CDC compaction (q73 == q70)") {
+    val d = "/root/testdata/sf0.001"
+    val stream = SparkEntry.q73(spark, d).collect().toSeq
+    val batch = SparkEntry.q70(spark, d).collect().toSeq
+    assert(stream == batch)
+  }
+
   test("streamStaticJoinStats joins the static dim and aggregates per key") {
     val static = Seq((1L, "gold")).toDF("dim_user", "tier")
     val out = StreamingOps.streamStaticJoinStats(spark, s"$dir/fixture.parquet",
