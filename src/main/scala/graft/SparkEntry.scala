@@ -1044,6 +1044,19 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  // ---------------------------------------------------------------- q74
+  // Semantic dedup (SemDeDup): k-means clusters → within-cluster cosine
+  // pairs → connected components → keep canonical. Per-label survivor
+  // counts. Rows-only (k-means centroids aren't SQL-replicable); the
+  // operator's correctness is spec'd with planted duplicates.
+  def q74(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.semanticDedup(
+        t(spark, dir, "embeddings"), "vec_id", "embedding",
+        nlist = 8, minCosine = 0.4)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("label"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1119,6 +1132,7 @@ object SparkEntry {
     "q71_repetition_quality" -> (q71 _),
     "q72_dedup_pipeline" -> (q72 _),
     "q73_stream_cdc" -> (q73 _),
+    "q74_semantic_dedup" -> (q74 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -156,6 +156,32 @@ object SimilarityOps {
       .select(col(idCol), col("emb"), col("centroid_id"))
   }
 
+  /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, compare pairs
+    * ONLY within a cluster, and keep one canonical member per transitively-
+    * connected near-dup group. The cluster equi-join makes the pair
+    * generation O(Σ cluster²) instead of O(n²) — pick `nlist` ≈ n / desired
+    * cluster size and the within-cluster work stays bounded while cross-
+    * cluster pairs (which SemDeDup argues are never near-dups at tight
+    * thresholds) cost nothing. One shuffle for the cluster join, then the
+    * [[GraphOps.connectedComponents]] rounds; everything else is broadcast.
+    */
+  def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, minCosine: Double): DataFrame = {
+    val centroids = ivfCentroidsKMeans(embeddings, vecCol, nlist)
+    val assigned = ivfAssign(embeddings, idCol, vecCol, centroids)
+    val l = assigned.select(col("centroid_id"), col(idCol).as("id_a"),
+      col("emb").as("ea"))
+    val r = assigned.select(col("centroid_id"), col(idCol).as("id_b"),
+      col("emb").as("eb"))
+    val edges = l.join(r, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b") &&
+        cosineNative(col("ea"), col("eb")) >= minCosine)
+      .select("id_a", "id_b")
+    graft.operators.GraphOps.keepCanonical(embeddings, idCol, edges,
+      "id_a", "id_b")
+  }
+
   /** IVF top-k search: score the query against centroids, keep the best
     * `nprobe` lists, and run exact cosine only inside those lists. The
     * scan is pruned to the probed partitions; everything else is untouched.

@@ -52,6 +52,16 @@ object Sources {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** ORC round-trip (S7 binary-sink family): the columnar alternative to
+    * parquet for interchange with ORC-native warehouses. Spark's built-in
+    * vectorized ORC reader keeps pushdown/pruning parity with parquet.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Numeric feature auto-detection by schema reflection (reference
     * P9/M3: select numeric dtypes minus an exclude set —
     * `/root/reference/src/data/preprocessing.py:483-511`). Pure driver-side

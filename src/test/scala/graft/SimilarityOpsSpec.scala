@@ -33,6 +33,24 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(r.toSeq == Seq((2L, 0.9), (5L, 0.9)))
   }
 
+  test("semanticDedup removes planted duplicates, keeps min-id canonical") {
+    val rnd = new scala.util.Random(3)
+    // 40 well-separated random vectors + exact duplicates of two of them
+    val uniques = (0L until 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat), i.toInt % 3))
+    val dups = Seq(
+      (100L, uniques(5)._2, 99),   // duplicate of id 5
+      (101L, uniques(5)._2, 99),   // second duplicate of id 5
+      (102L, uniques(17)._2, 99))  // duplicate of id 17
+    val e = (uniques ++ dups).toDF("vec_id", "embedding", "label")
+    val kept = SimilarityOps.semanticDedup(e, "vec_id", "embedding",
+        nlist = 5, minCosine = 0.999999)
+      .select("vec_id").as[Long].collect().toSet
+    // identical vectors always share a cluster and have cosine 1 → only the
+    // minimum id of each duplicate group survives
+    assert(kept == (0L until 40L).toSet)
+  }
+
   test("lshCandidates buckets identical vectors together") {
     val e = Seq(
       (1L, Seq(1.0f, 2.0f, 3.0f)),

@@ -48,6 +48,17 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == 2)
   }
 
+  test("ORC sink round-trips schema and data exactly") {
+    val out = s"$dir/orc_out"
+    val df = Seq((1L, "a", 2.5), (2L, "b", -0.5)).toDF("id", "v", "x")
+    Sources.writeOrc(df, out)
+    val back = Sources.readOrc(spark, out)
+    // file sources re-read as nullable — compare names and types
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
   test("numericFeatureColumns reflects schema, honors exclude set") {
     val df = Seq((1L, "x", 2.5, 3)).toDF("id", "name", "temp", "cnt")
     assert(Sources.numericFeatureColumns(df, Set("id")) == Seq("temp", "cnt"))
