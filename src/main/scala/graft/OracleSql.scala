@@ -876,5 +876,36 @@ object OracleSql {
         |  FROM events)
         |WHERE rn = 1 AND last_type <> 'error'
         |ORDER BY user_id""".stripMargin,
+
+    "q75_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM t)
+        |SELECT source, CAST(FLOOR(prior / 512.0) AS BIGINT) AS pack_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+        |FROM c GROUP BY 1, 2
+        |ORDER BY source, pack_id""".stripMargin,
+
+    "q76_decontamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(trim(text), ' ') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source, sh FROM (
+        |    SELECT doc_id, source, unnest(CASE WHEN len(tk) >= 3
+        |      THEN list_transform(range(1, len(tk) - 1),
+        |             i -> array_to_string(tk[i:i+2], ' '))
+        |      ELSE [array_to_string(tk, ' ')] END) AS sh
+        |    FROM toks)),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0')
+        |SELECT DISTINCT doc_id FROM sh
+        |WHERE source <> 'src0' AND sh IN (SELECT sh FROM bench)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

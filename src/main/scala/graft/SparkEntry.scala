@@ -1057,6 +1057,33 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_kept"))
       .orderBy(col("label"))
 
+  // ---------------------------------------------------------------- q75
+  // Sequence packing: greedy contiguous token-budget packs per source
+  // (budget 512), reported per pack. The window partitions by source —
+  // no global ordering anywhere.
+  def q75(spark: SparkSession, dir: String): DataFrame =
+    SplitOps.packSequences(
+        TextOps.withTokenStats(t(spark, dir, "documents"), "text")
+          .select(col("doc_id"), col("source"), col("n_tokens")),
+        orderCol = "doc_id", partitionCol = "source",
+        nTokensCol = "n_tokens", budget = 512L)
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+      .orderBy(col("source"), col("pack_id"))
+
+  // ---------------------------------------------------------------- q76
+  // Benchmark decontamination: train docs (sources != src0) sharing any
+  // word trigram with the src0 "benchmark" set. One semi-join on distinct
+  // shingle hashes; existence, not counting.
+  def q76(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    DedupOps.contaminatedIds(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", shingleSize = 3)
+      .orderBy(col("doc_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1133,6 +1160,8 @@ object SparkEntry {
     "q72_dedup_pipeline" -> (q72 _),
     "q73_stream_cdc" -> (q73 _),
     "q74_semantic_dedup" -> (q74 _),
+    "q75_sequence_packing" -> (q75 _),
+    "q76_decontamination" -> (q76 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

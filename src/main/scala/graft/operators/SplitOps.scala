@@ -59,6 +59,31 @@ object SplitOps {
     * place independent of what else is in the corpus, so incremental
     * ingests sample consistently.
     */
+  /** Greedy contiguous sequence packing: assign documents to fixed
+    * token-budget packs (the training-batch assembly step — ~8k-token packed
+    * sequences). A document lands in the pack where its PRIOR cumulative
+    * token count (exclusive prefix sum) crosses into: contiguous,
+    * deterministic, one window pass.
+    *
+    * Scale posture: the running sum partitions by `partitionCol` (source,
+    * shard, date — any bounded-cardinality stream key), so no global
+    * ordering exists anywhere; each partition packs independently, exactly
+    * how a sharded corpus is packed in practice. Packing quality depends on
+    * document order within the partition — `orderCol` asc is reproducible;
+    * sorting by length descending would pack tighter but bias batch
+    * composition.
+    */
+  def packSequences(df: DataFrame, orderCol: String, partitionCol: String,
+      nTokensCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(partitionCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__prior",
+        coalesce(sum(col(nTokensCol)).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("__prior") / lit(budget.toDouble)))
+      .drop("__prior")
+  }
+
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
       ratesPerMille: Map[String, Int],
       defaultPerMille: Int = 1000): DataFrame = {

@@ -60,4 +60,15 @@ class DedupOpsSpec extends SparkSpec {
     val df = Seq((5L, 6L)).toDF("a", "b") // 101 ^ 110 = 011 → 2
     assert(df.select(DedupOps.hamming64($"a", $"b")).head.getInt(0) == 2)
   }
+
+  test("contaminatedIds flags exactly the docs sharing a shingle with bench") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),   // shares "alpha beta gamma"
+      (2L, "one two three four"),       // clean
+      (3L, "x y alpha beta gamma")).toDF("doc_id", "text")
+    val bench = Seq((99L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val got = DedupOps.contaminatedIds(corpus, bench, "doc_id", "text", 3)
+      .as[Long].collect().toSet
+    assert(got == Set(1L, 3L))
+  }
 }

@@ -36,6 +36,18 @@ class SplitOpsSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("packSequences: contiguous packs split at the token budget") {
+    val docs = Seq(
+      // source A: token counts 300, 300, 300 with budget 512
+      (1L, "A", 300L), (2L, "A", 300L), (3L, "A", 300L),
+      // source B packs independently
+      (10L, "B", 600L), (11L, "B", 10L)).toDF("id", "src", "n_tok")
+    val got = SplitOps.packSequences(docs, "id", "src", "n_tok", 512L)
+      .select("id", "pack_id").as[(Long, Long)].collect().toMap
+    // A: priors 0,300,600 → packs 0,0,1 ; B: priors 0,600 → packs 0,1
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 10L -> 0L, 11L -> 1L))
+  }
+
   test("stratifiedSample: per-stratum rates, referential stability") {
     val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) "web" else "books"))
       .toDF("id", "src")
