@@ -907,5 +907,16 @@ object OracleSql {
         |SELECT DISTINCT doc_id FROM sh
         |WHERE source <> 'src0' AND sh IN (SELECT sh FROM bench)
         |ORDER BY doc_id""".stripMargin,
+
+    "q77_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT)
+        |    AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin,
   )
 }

@@ -1084,6 +1084,18 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q77
+  // CUBE over (returnflag, linestatus) with grouping_id: all 4 grouping
+  // sets in one pass (partial-aggregated like any hash aggregate) — the
+  // missing member of the q54 rollup / q55 pivot family.
+  def q77(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        dsum(col("l_quantity"), 2).as("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1162,6 +1174,7 @@ object SparkEntry {
     "q74_semantic_dedup" -> (q74 _),
     "q75_sequence_packing" -> (q75 _),
     "q76_decontamination" -> (q76 _),
+    "q77_cube" -> (q77 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

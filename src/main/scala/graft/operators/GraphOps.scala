@@ -42,11 +42,21 @@ object GraphOps {
       .distinct()
       .localCheckpoint() // materialize once: iterations must not re-derive
                          // the (possibly expensive) candidate-pair plan
-    val seed = nodes
-      .map(n => n.toDF("v").union(sym.select(col("__src").as("v"))))
-      .getOrElse(sym.select(col("__src").as("v")))
-      .distinct()
-    var labels = seed.withColumn("component", col("v")).localCheckpoint()
+    // seed each vertex with min(self, neighbors) — the first propagation
+    // round folded into one aggregation (no join), which on near-clique
+    // dedup graphs lands most vertices on their final label immediately
+    val neighborMin = sym.groupBy(col("__src"))
+      .agg(least(min(col("__dst")), col("__src")).as("component"))
+      .withColumnRenamed("__src", "v")
+    val seed = nodes match {
+      case Some(n) =>
+        val singletons = n.toDF("v")
+          .join(neighborMin.select("v"), Seq("v"), "left_anti")
+          .withColumn("component", col("v"))
+        neighborMin.unionByName(singletons)
+      case None => neighborMin
+    }
+    var labels = seed.localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {

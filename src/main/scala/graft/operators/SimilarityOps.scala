@@ -167,8 +167,11 @@ object SimilarityOps {
     * [[GraphOps.connectedComponents]] rounds; everything else is broadcast.
     */
   def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, minCosine: Double): DataFrame = {
-    val centroids = ivfCentroidsKMeans(embeddings, vecCol, nlist)
+      nlist: Int, minCosine: Double, kmeansIter: Int = 10): DataFrame = {
+    // few k-means rounds suffice: clusters only BUCKET the pair search, so
+    // centroid quality affects cost, not correctness, and near-dups stay
+    // co-clustered long before convergence
+    val centroids = ivfCentroidsKMeans(embeddings, vecCol, nlist, kmeansIter)
     val assigned = ivfAssign(embeddings, idCol, vecCol, centroids)
     val l = assigned.select(col("centroid_id"), col(idCol).as("id_a"),
       col("emb").as("ea"))

@@ -1,0 +1,30 @@
+package graft
+
+/** Partitioning-independence for the round-2 operators: the answer must be
+  * bit-identical whether the plan runs in 1 task or many — the property that
+  * lets the same code run at sf0.001 and at 100 TB. (Round-1 queries carry
+  * the same guarantee via the Verify determinism probe at
+  * SPARK_GRAFT_CPUS ∈ {4, 8, 32}.)
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val queries = Seq("q66_corpus_mix", "q67_dup_clusters",
+    "q68_interval_bucketed", "q69_tfidf_topterms", "q70_cdc_compact",
+    "q71_repetition_quality", "q72_dedup_pipeline", "q75_sequence_packing",
+    "q76_decontamination", "q77_cube")
+
+  test("round-2 queries are bit-identical at shuffle.partitions 1 and 7") {
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      queries.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        val one = fn(spark, dir).collect().map(_.toSeq).toSeq
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        val many = fn(spark, dir).collect().map(_.toSeq).toSeq
+        assert(one == many, s"$name differs across partitionings")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+}
