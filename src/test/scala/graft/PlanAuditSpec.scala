@@ -114,6 +114,18 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("minhash signatures + LSH banding are a pure projection: zero exchanges") {
+    import graft.operators.DedupOps
+    val docs = Tables.load(spark, dir, "documents")
+    val p = plan(DedupOps.lshBands(
+      DedupOps.minhashSignatures(docs, "doc_id", "text", 3, 16), "doc_id", 16, 4))
+    // the WHOLE signature+banding stage must reach the candidate equi-join
+    // without shuffling anything — signatures are per-row arithmetic
+    assert(!p.contains("Exchange"), p)
+    val p2 = plan(DedupOps.simhash64(docs, "doc_id", "text"))
+    assert(!p2.contains("Exchange"), p2)
+  }
+
   test("q68 bucketed interval join: equi-join shuffle, no broadcast-nested-loop") {
     val p = finalPlan(SparkEntry.q68(spark, dir))
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
