@@ -918,5 +918,32 @@ object OracleSql {
         |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag ASC NULLS FIRST,
         |  l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q78_knn_join" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id < 200),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |    ROUND(list_inner_product(e.emb, q.emb) /
+        |      (SQRT(list_inner_product(e.emb, e.emb)) *
+        |       SQRT(list_inner_product(q.emb, q.emb))), 6) AS cosine
+        |  FROM e JOIN e q ON q.vec_id < 20 AND q.vec_id <> e.vec_id)
+        |SELECT q_id, n_id, cosine, rank FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "q79_percentile_truncation" ->
+      """WITH thr AS (SELECT quantile_cont(n_chars, 0.95) AS thr
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_kept,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents, thr
+        |WHERE n_chars <= thr.thr
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
   )
 }

@@ -1096,6 +1096,30 @@ object SparkEntry {
       .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  // ---------------------------------------------------------------- q78
+  // Batched kNN join: top-3 neighbors for each of the first 20 vectors.
+  // Query side broadcast, one corpus scan, per-query ranking window.
+  def q78(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings").filter(col("vec_id") < 200)
+    SimilarityOps.knnJoin(e, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", "vec_id", "embedding", k = 3)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------- q79
+  // Outlier truncation by exact percentile: drop documents above the 95th
+  // length percentile. The threshold is a 1-row aggregate broadcast into
+  // the filter — no driver round-trip, no second scan config.
+  def q79(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val thr = d.agg(expr("percentile(n_chars, 0.95)").as("thr"))
+    d.crossJoin(broadcast(thr))
+      .filter(col("n_chars") <= col("thr"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1175,6 +1199,8 @@ object SparkEntry {
     "q75_sequence_packing" -> (q75 _),
     "q76_decontamination" -> (q76 _),
     "q77_cube" -> (q77 _),
+    "q78_knn_join" -> (q78 _),
+    "q79_percentile_truncation" -> (q79 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -156,6 +156,32 @@ object SimilarityOps {
       .select(col(idCol), col("emb"), col("centroid_id"))
   }
 
+  /** Batched exact kNN join: top-`k` corpus neighbors for EVERY query row —
+    * the set-valued generalization of the single-vector [[cosineScores]]+
+    * [[topK]] path. The query side broadcasts (queries ≪ corpus), cosine
+    * runs in the fused codegen expression, and the ranking window partitions
+    * BY QUERY — per-query state only, no global ordering, one corpus scan
+    * regardless of query count. Ties broken by neighbor id; scores rounded
+    * before ranking so the order is engine-portable.
+    */
+  def knnJoin(corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(corpusId).as("n_id"),
+      col(corpusVec).cast("array<double>").as("ne"))
+    val q = queries.select(col(queryId).as("q_id"),
+      col(queryVec).cast("array<double>").as("qe"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosineNative(col("ne"), col("qe")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embedding space, compare pairs
     * ONLY within a cluster, and keep one canonical member per transitively-

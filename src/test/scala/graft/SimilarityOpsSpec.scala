@@ -33,6 +33,19 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(r.toSeq == Seq((2L, 0.9), (5L, 0.9)))
   }
 
+  test("knnJoin: per-query top-k with id tiebreak, self excluded") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f)),    // cosine 1 with q1
+      (3L, Seq(0.0f, 1.0f)),    // orthogonal to q1
+      (4L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = SimilarityOps.knnJoin(e, e.filter($"vec_id" === 1L),
+        "vec_id", "embedding", "vec_id", "embedding", k = 2)
+      .select("q_id", "n_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(r == Seq((1L, 2L, 1.0, 1L), (1L, 3L, 0.0, 2L)))
+  }
+
   test("semanticDedup removes planted duplicates, keeps min-id canonical") {
     val rnd = new scala.util.Random(3)
     // 40 well-separated random vectors + exact duplicates of two of them
