@@ -1120,6 +1120,22 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  // ---------------------------------------------------------------- q80
+  // Batched IVF ANN: the serving-shape query — one plan answers a whole
+  // query table, each query scanning only its nprobe k-means lists.
+  // Rows-only (k-means centroids aren't SQL-replicable); recall vs the
+  // exact q78 kNN join is spec-asserted.
+  def q80(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings").filter(col("vec_id") < 200)
+    val centroids = SimilarityOps.ivfCentroidsKMeans(e, "embedding", nlist = 8)
+    val assigned = SimilarityOps.ivfAssign(e, "vec_id", "embedding", centroids)
+    SimilarityOps.ivfSearchBatch(assigned, "vec_id",
+        e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        centroids, nprobe = 3, k = 4)
+      .filter(col("q_id") =!= col("vec_id"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1201,6 +1217,7 @@ object SparkEntry {
     "q77_cube" -> (q77 _),
     "q78_knn_join" -> (q78 _),
     "q79_percentile_truncation" -> (q79 _),
+    "q80_ivf_batch" -> (q80 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -182,6 +182,38 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Batched IVF search: [[ivfSearch]] for a whole QUERY TABLE in one plan.
+    * Per-query probe lists come from ranking the (queries × centroids)
+    * product — both broadcast-sized, so probe selection never touches the
+    * corpus. The corpus joins the probe table on `centroid_id` (pruning each
+    * query's scan to its nprobe lists), exact cosine runs only inside probed
+    * lists, and the final top-k window partitions by query. At 100 TB this
+    * is the ANN serving shape: query batches amortize the corpus scan, and
+    * per-query work stays nprobe/nlist of the data.
+    */
+  def ivfSearchBatch(assigned: DataFrame, idCol: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      centroids: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(queryId).as("q_id"),
+      col(queryVec).cast("array<double>").as("qe"))
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_sim").desc, col("centroid_id").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", cosineNative(col("qe"), col("centroid")))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nprobe)
+      .select(col("centroid_id"), col("q_id"), col("qe"))
+    val wk = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    assigned
+      .join(broadcast(probes), Seq("centroid_id"))
+      .select(col("q_id"), col(idCol),
+        round(cosineNative(col("emb"), col("qe")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(wk).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embedding space, compare pairs
     * ONLY within a cluster, and keep one canonical member per transitively-

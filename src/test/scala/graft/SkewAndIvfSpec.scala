@@ -65,6 +65,35 @@ class SkewAndIvfSpec extends SparkSpec {
     truth.intersect(got).size / 10.0
   }
 
+  test("ivfSearchBatch: exact when probing every list, positive recall at nprobe<nlist") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter($"vec_id" < 150)
+    val queries = e.filter($"vec_id" < 10)
+    val cents = SimilarityOps.ivfCentroidsKMeans(e, "embedding", 6)
+    val assigned = SimilarityOps.ivfAssign(e, "vec_id", "embedding", cents)
+    val exact = SimilarityOps.knnJoin(e, queries,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    // probing ALL lists makes IVF exhaustive → must equal the exact join
+    val full = SimilarityOps.ivfSearchBatch(assigned, "vec_id", queries,
+        "vec_id", "embedding", cents, nprobe = 6, k = 4)
+      .filter($"q_id" =!= $"vec_id")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"q_id")
+          .orderBy($"cosine".desc, $"vec_id")))
+      .filter($"rk" <= 3)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(full == exact, "exhaustive IVF differs from exact kNN")
+    // pruned probing keeps useful recall on near-random synthetic vectors
+    val pruned = SimilarityOps.ivfSearchBatch(assigned, "vec_id", queries,
+        "vec_id", "embedding", cents, nprobe = 2, k = 4)
+      .filter($"q_id" =!= $"vec_id")
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(pruned.contains) / exact.size.toDouble
+    info(s"batch recall@3 at nprobe 2/6: $recall")
+    assert(recall >= 0.3, s"batch recall too low: $recall")
+  }
+
   test("k-means centroids: recall@10 at least matches hash-sampled centroids") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val hashed = SimilarityOps.ivfCentroids(e, "vec_id", "embedding", 16)
