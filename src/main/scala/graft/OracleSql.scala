@@ -945,5 +945,16 @@ object OracleSql {
         |WHERE n_chars <= thr.thr
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "q81_set_ops" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |  GROUP BY 1 HAVING COUNT(*) >= 6
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'view'
+        |  GROUP BY 1 HAVING COUNT(*) >= 6
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  GROUP BY 1 HAVING COUNT(*) >= 6
+        |ORDER BY user_id""".stripMargin,
   )
 }

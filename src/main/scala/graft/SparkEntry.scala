@@ -1136,6 +1136,19 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- q81
+  // Set operations beyond union (§2.7): distinct INTERSECT and EXCEPT —
+  // heavy clickers who are also heavy viewers but not heavy purchasers.
+  // Spark plans these as hash semi/anti joins on the aggregated key.
+  def q81(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    def heavy(tpe: String) = e.filter(col("event_type") === tpe)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 6).select(col("user_id"))
+    heavy("click").intersect(heavy("view")).except(heavy("purchase"))
+      .orderBy(col("user_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1218,6 +1231,7 @@ object SparkEntry {
     "q78_knn_join" -> (q78 _),
     "q79_percentile_truncation" -> (q79 _),
     "q80_ivf_batch" -> (q80 _),
+    "q81_set_ops" -> (q81 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →
