@@ -956,5 +956,41 @@ object OracleSql {
         |SELECT user_id FROM events WHERE event_type = 'purchase'
         |  GROUP BY 1 HAVING COUNT(*) >= 6
         |ORDER BY user_id""".stripMargin,
+
+    "q82_zscore_outliers" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(value)
+        |      AS mu,
+        |    CASE WHEN COUNT(value) > 1 THEN ROUND(STDDEV_SAMP(value), 6) END
+        |      AS sd
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, e.value,
+        |  ROUND(ABS(e.value - s.mu) / s.sd, 6) AS z
+        |FROM events e JOIN s ON e.user_id = s.user_id AND s.sd > 0
+        |WHERE ROUND(ABS(e.value - s.mu) / s.sd, 6) >= 3.0
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q83_batch_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT) -
+        |      CAST(FLOOR(epoch(LAG(ts) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+        |        > 86400
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM x)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_epoch,
+        |  CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) -
+        |    CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_sec,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
   )
 }

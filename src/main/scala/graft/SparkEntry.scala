@@ -1149,6 +1149,48 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  // ---------------------------------------------------------------- q82
+  // Per-key z-score outlier flagging: per-user mean/std (exact decimal
+  // mean, rounded sample std) joined back onto the stream, |z| ≥ 3 rows
+  // flagged. Aggregate-then-join — two hash shuffles on the key, no
+  // window sort.
+  def q82(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val stats = e.groupBy(col("user_id"))
+      .agg(davg(col("value"), 4).as("mu"), stdRounded(col("value")).as("sd"))
+      .filter(col("sd") > 0)
+    e.join(stats, "user_id")
+      .withColumn("z", round(abs(col("value") - col("mu")) / col("sd"), 6))
+      .filter(col("z") >= 3.0)
+      .select(col("event_id"), col("user_id"), col("value"), col("z"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---------------------------------------------------------------- q83
+  // BATCH sessionization: lag-gap flags cumulatively summed into session
+  // ids inside one per-user window pass — the batch twin of the streaming
+  // q51 (flatMapGroupsWithState). Same 1-day gap; per-session stats.
+  def q83(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapped = t(spark, dir, "events")
+      .withColumn("new_sess",
+        when(col("ts").cast("long") -
+          lag(col("ts").cast("long"), 1).over(wOrd) > 86400L, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(wOrd.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    gapped.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).cast("long").as("start_epoch"),
+        (max(col("ts")).cast("long") - min(col("ts")).cast("long"))
+          .as("duration_sec"),
+        dsum(col("value"), 4).as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1232,6 +1274,8 @@ object SparkEntry {
     "q79_percentile_truncation" -> (q79 _),
     "q80_ivf_batch" -> (q80 _),
     "q81_set_ops" -> (q81 _),
+    "q82_zscore_outliers" -> (q82 _),
+    "q83_batch_sessionize" -> (q83 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →
