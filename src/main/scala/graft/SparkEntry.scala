@@ -410,18 +410,8 @@ object SparkEntry {
   // Embedding-cosine near-duplicate pairs (north-star dedup #5): exact
   // brute force on an id-bounded block so the oracle stays cheap; the
   // unbounded path goes through SimilarityOps.lshCandidates.
-  def q37(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-      .filter(col("vec_id") < 200)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val l = e.select(col("vec_id").as("id_a"), col("emb").as("ea"))
-    val r = e.select(col("vec_id").as("id_b"), col("emb").as("eb"))
-    l.join(r, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(SimilarityOps.cosineNative(col("ea"), col("eb")), 6).as("cosine"))
-      .filter(col("cosine") >= 0.2)
-      .orderBy(col("id_a"), col("id_b"))
-  }
+  def q37(spark: SparkSession, dir: String): DataFrame =
+    cosineEdges(spark, dir, 0.2).orderBy(col("id_a"), col("id_b"))
 
   // ---------------------------------------------------------------- q38
   // Structured Streaming: tumbling 1-day event-time windows with watermark,
@@ -925,6 +915,24 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Blocked cosine near-dup pair generation shared by q37/q67/q72 (the
+    * vec_id < 200 block bounds the all-pairs oracle; their DuckDB oracles
+    * reproduce this recipe verbatim, so any change here must touch all
+    * three oracle strings too).
+    */
+  private def cosineEdges(spark: SparkSession, dir: String,
+      minCosine: Double): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val l = e.select(col("vec_id").as("id_a"), col("emb").as("ea"))
+    val r = e.select(col("vec_id").as("id_b"), col("emb").as("eb"))
+    l.join(r, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(SimilarityOps.cosineNative(col("ea"), col("eb")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   // ---------------------------------------------------------------- q67
   // Duplicate-cluster resolution: cosine near-dup pairs (the q37 edge set)
   // → connected components by distributed min-label propagation → one
@@ -932,17 +940,10 @@ object SparkEntry {
   // pairwise near-dup detection into an actionable dedup pass. The oracle
   // computes the identical transitive closure with a recursive CTE.
   def q67(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-      .filter(col("vec_id") < 200)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val l = e.select(col("vec_id").as("id_a"), col("emb").as("ea"))
-    val r = e.select(col("vec_id").as("id_b"), col("emb").as("eb"))
-    val edges = l.join(r, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(SimilarityOps.cosineNative(col("ea"), col("eb")), 6).as("cosine"))
-      .filter(col("cosine") >= 0.2)
-    GraphOps.connectedComponents(edges, "id_a", "id_b",
-        nodes = Some(e.select(col("vec_id"))))
+    val nodes = t(spark, dir, "embeddings")
+      .filter(col("vec_id") < 200).select(col("vec_id"))
+    GraphOps.connectedComponents(cosineEdges(spark, dir, 0.2), "id_a", "id_b",
+        nodes = Some(nodes))
       .select(col("v").as("vec_id"), col("component"))
       .orderBy(col("vec_id"))
   }
@@ -1007,15 +1008,7 @@ object SparkEntry {
   // pre-training dedup pass runs; the oracle replays it as recursive-CTE
   // closure + NOT IN + aggregate.
   def q72(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-      .filter(col("vec_id") < 200)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val l = e.select(col("vec_id").as("id_a"), col("emb").as("ea"))
-    val r = e.select(col("vec_id").as("id_b"), col("emb").as("eb"))
-    val edges = l.join(r, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(SimilarityOps.cosineNative(col("ea"), col("eb")), 6).as("cosine"))
-      .filter(col("cosine") >= 0.4)
+    val edges = cosineEdges(spark, dir, 0.4)
     GraphOps.keepCanonical(
         t(spark, dir, "documents").filter(col("doc_id") < 200),
         "doc_id", edges, "id_a", "id_b")
@@ -1131,8 +1124,7 @@ object SparkEntry {
     val assigned = SimilarityOps.ivfAssign(e, "vec_id", "embedding", centroids)
     SimilarityOps.ivfSearchBatch(assigned, "vec_id",
         e.filter(col("vec_id") < 20), "vec_id", "embedding",
-        centroids, nprobe = 3, k = 4)
-      .filter(col("q_id") =!= col("vec_id"))
+        centroids, nprobe = 3, k = 3, excludeSameId = true)
       .orderBy(col("q_id"), col("rank"))
   }
 

@@ -19,6 +19,9 @@ object CdcOps {
 
   /** Latest row per `keys`, ordered by the lexicographic tuple of `ordCols`
     * (highest wins). All non-key columns are returned from the winning row.
+    * Shared by the batch path and [[graft.streaming.StreamingOps
+    * .compactLatestStream]] — the stream's convergence-to-batch guarantee
+    * depends on both running this exact aggregation.
     */
   def compactLatest(df: DataFrame, keys: Seq[String],
       ordCols: Seq[String]): DataFrame = {

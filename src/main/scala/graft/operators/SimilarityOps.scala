@@ -163,10 +163,17 @@ object SimilarityOps {
     * BY QUERY — per-query state only, no global ordering, one corpus scan
     * regardless of query count. Ties broken by neighbor id; scores rounded
     * before ranking so the order is engine-portable.
+    *
+    * `excludeSameId` (default true) drops the corpus row whose id equals
+    * the query's id before ranking — correct for self-queries over ONE id
+    * space (each query gets k true neighbors, not itself at cosine 1).
+    * Pass false when query ids are unrelated to corpus ids, or a
+    * legitimate neighbor sharing the query's id number would be lost.
     */
   def knnJoin(corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String,
-      queryId: String, queryVec: String, k: Int): DataFrame = {
+      queryId: String, queryVec: String, k: Int,
+      excludeSameId: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col(corpusId).as("n_id"),
       col(corpusVec).cast("array<double>").as("ne"))
@@ -174,8 +181,8 @@ object SimilarityOps {
       col(queryVec).cast("array<double>").as("qe"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("n_id").asc)
-    c.crossJoin(broadcast(q))
-      .filter(col("q_id") =!= col("n_id"))
+    val paired = c.crossJoin(broadcast(q))
+    (if (excludeSameId) paired.filter(col("q_id") =!= col("n_id")) else paired)
       .select(col("q_id"), col("n_id"),
         round(cosineNative(col("ne"), col("qe")), 6).as("cosine"))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -190,10 +197,16 @@ object SimilarityOps {
     * lists, and the final top-k window partitions by query. At 100 TB this
     * is the ANN serving shape: query batches amortize the corpus scan, and
     * per-query work stays nprobe/nlist of the data.
+    *
+    * `excludeSameId=true` drops corpus rows whose id equals the query's id
+    * BEFORE ranking (for self-queries over one id space, so each query gets
+    * exactly `k` true neighbors); leave it false when query ids live in a
+    * different id space than the corpus.
     */
   def ivfSearchBatch(assigned: DataFrame, idCol: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      centroids: DataFrame, nprobe: Int, k: Int): DataFrame = {
+      centroids: DataFrame, nprobe: Int, k: Int,
+      excludeSameId: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(queryId).as("q_id"),
       col(queryVec).cast("array<double>").as("qe"))
@@ -206,8 +219,12 @@ object SimilarityOps {
       .select(col("centroid_id"), col("q_id"), col("qe"))
     val wk = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col(idCol).asc)
-    assigned
+    val candidates = assigned
       .join(broadcast(probes), Seq("centroid_id"))
+    val filtered =
+      if (excludeSameId) candidates.filter(col("q_id") =!= col(idCol))
+      else candidates
+    filtered
       .select(col("q_id"), col(idCol),
         round(cosineNative(col("emb"), col("qe")), 6).as("cosine"))
       .withColumn("rank", row_number().over(wk).cast("long"))

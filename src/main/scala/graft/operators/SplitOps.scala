@@ -50,15 +50,6 @@ object SplitOps {
   def withFold(df: DataFrame, groupKey: String, k: Int): DataFrame =
     df.withColumn("fold", hashBucket(col(groupKey), k))
 
-  /** Deterministic stratified sampling: keep a row iff its id's hash bucket
-    * falls below its stratum's per-mille rate — the corpus source-mixing
-    * primitive of a training-data pipeline (downweight a crawl source, keep
-    * curated sources whole). Same engine-portable multiplicative hash as
-    * the splits: per-row, shuffle-free, reproducible under any partitioning
-    * at any scale, and REFERENTIALLY stable — a document keeps or loses its
-    * place independent of what else is in the corpus, so incremental
-    * ingests sample consistently.
-    */
   /** Greedy contiguous sequence packing: assign documents to fixed
     * token-budget packs (the training-batch assembly step — ~8k-token packed
     * sequences). A document lands in the pack where its PRIOR cumulative
@@ -84,6 +75,15 @@ object SplitOps {
       .drop("__prior")
   }
 
+  /** Deterministic stratified sampling: keep a row iff its id's hash bucket
+    * falls below its stratum's per-mille rate — the corpus source-mixing
+    * primitive of a training-data pipeline (downweight a crawl source, keep
+    * curated sources whole). Same engine-portable multiplicative hash as
+    * the splits: per-row, shuffle-free, reproducible under any partitioning
+    * at any scale, and REFERENTIALLY stable — a document keeps or loses its
+    * place independent of what else is in the corpus, so incremental
+    * ingests sample consistently.
+    */
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
       ratesPerMille: Map[String, Int],
       defaultPerMille: Int = 1000): DataFrame = {

@@ -128,12 +128,9 @@ object StreamingOps {
       keys: Seq[String], ordCols: Seq[String], sink: StreamSink,
       prepare: DataFrame => DataFrame = identity): DataFrame = {
     val stream = prepare(fileStream(spark, dir, fileName))
-    val payload = stream.columns.filterNot(keys.contains)
-    val agged = stream
-      .groupBy(keys.map(col): _*)
-      .agg(max_by(struct(payload.map(col): _*),
-        struct(ordCols.map(col): _*)).as("__r"))
-      .select(keys.map(col) ++ payload.map(c => col(s"__r.$c").as(c)): _*)
+    // the SAME aggregation as the batch operator — convergence to the batch
+    // answer is the contract (q73 ≡ q70), so don't re-implement it here
+    val agged = graft.operators.CdcOps.compactLatest(stream, keys, ordCols)
     runToSink(spark, agged, sink, "complete")
   }
 

@@ -12,7 +12,12 @@ class DeterminismSpec extends SparkSpec {
   private val queries = Seq("q66_corpus_mix", "q67_dup_clusters",
     "q68_interval_bucketed", "q69_tfidf_topterms", "q70_cdc_compact",
     "q71_repetition_quality", "q72_dedup_pipeline", "q75_sequence_packing",
-    "q76_decontamination", "q77_cube")
+    "q76_decontamination", "q77_cube", "q78_knn_join",
+    "q79_percentile_truncation", "q81_set_ops", "q82_zscore_outliers",
+    "q83_batch_sessionize")
+  // q74/q80 are excluded: k-means initialization samples per-partition, so
+  // their (seeded) result is deterministic per partitioning, not across
+  // partitionings — the documented contract for MLlib-backed queries
 
   test("round-2 queries are bit-identical at shuffle.partitions 1 and 7") {
     val old = spark.conf.get("spark.sql.shuffle.partitions")

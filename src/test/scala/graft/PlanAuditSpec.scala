@@ -179,8 +179,7 @@ class PlanAuditSpec extends SparkSpec {
     // the scale claim: compaction is an aggregation with map-side partial
     // combine, NOT a row_number window (full sort shuffle of every version)
     assert(!p.contains("Window"), p)
-    assert(p.contains("max_by") || p.contains("MaxBy"), p)
-    assert(p.contains("partial_max_by") || p.contains("partial"), p)
+    assert(p.contains("partial_max_by"), p)
   }
 
   test("q63 as-of join: one key shuffle, no join operator, no pair blow-up") {
