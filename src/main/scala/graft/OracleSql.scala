@@ -992,5 +992,20 @@ object OracleSql {
         |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q84_calibration" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS label,
+        |    (o_orderkey * 7 % 1000) / CAST(1000.0 AS DOUBLE) AS score
+        |  FROM orders)
+        |SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(score AS DECIMAL(28,3))) AS DOUBLE) / COUNT(*)
+        |    AS avg_score,
+        |  CAST(SUM(label) AS DOUBLE) / COUNT(*) AS pos_rate,
+        |  CAST(SUM(CAST((score - label) * (score - label) AS DECIMAL(28,6)))
+        |    AS DOUBLE) / COUNT(*) AS brier
+        |FROM d GROUP BY 1
+        |ORDER BY bin""".stripMargin,
   )
 }

@@ -1183,6 +1183,17 @@ object SparkEntry {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  // ---------------------------------------------------------------- q84
+  // Probability calibration (reliability bins + per-bin Brier): decile
+  // bins over a deterministic 3-decimal score, exact decimal sums — the
+  // calibration check the reference's metric surface lacks.
+  def q84(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "orders")
+      .withColumn("label", (col("o_totalprice") > 150000).cast("int"))
+      .withColumn("score", (col("o_orderkey") * 7 % 1000) / lit(1000.0))
+    MetricQueries.calibrationBins(d, "score", "label", bins = 10)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1268,6 +1279,7 @@ object SparkEntry {
     "q81_set_ops" -> (q81 _),
     "q82_zscore_outliers" -> (q82 _),
     "q83_batch_sessionize" -> (q83 _),
+    "q84_calibration" -> (q84 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

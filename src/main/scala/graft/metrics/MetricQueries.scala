@@ -20,6 +20,27 @@ object MetricQueries {
   def accuracy(df: DataFrame, label: String, pred: String): Column =
     sum(when(col(label) === col(pred), 1).otherwise(0)) / count(lit(1))
 
+  /** Probability-calibration bins (reliability-diagram data): scores bucket
+    * into `bins` equal-width bins; per bin the count, exact-decimal mean
+    * score, positive rate, and Brier contribution. One hash aggregation —
+    * the post-training calibration check every classifier report needs,
+    * extending the reference's metric surface (metrics.py stops at AUC).
+    * `scoreScale` = decimal places of the score column (for exact sums).
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int, scoreScale: Int = 3): DataFrame = {
+    val s = col(scoreCol)
+    val y = col(labelCol).cast("double")
+    df.withColumn("bin", least(floor(s * bins).cast("long"), lit(bins - 1L)))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        (dsum(s, scoreScale) / count(lit(1))).as("avg_score"),
+        (sum(col(labelCol)).cast("double") / count(lit(1))).as("pos_rate"),
+        (dsum((s - y) * (s - y), 2 * scoreScale) / count(lit(1))).as("brier"))
+      .orderBy(col("bin"))
+  }
+
   /** Balanced accuracy = mean per-class recall (reference X2,
     * `metrics.py:45`): inner per-class aggregation, then a tiny mean.
     */

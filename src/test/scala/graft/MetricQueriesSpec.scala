@@ -36,6 +36,20 @@ class MetricQueriesSpec extends SparkSpec {
     assert(approx(r.getAs[Double]("r2"), 0.948608, 1e-5))
   }
 
+  test("calibrationBins: hand-computed reliability bins with Brier") {
+    // scores 0.05,0.15,0.15,0.95 with labels 0,0,1,1 and 10 bins
+    val df = Seq((0.05, 0), (0.15, 0), (0.15, 1), (0.95, 1), (1.0, 1))
+      .toDF("score", "label")
+    val r = MetricQueries.calibrationBins(df, "score", "label", 10, 2)
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getDouble(2),
+        x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r.keySet == Set(0L, 1L, 9L))
+    assert(r(0L) == ((1L, 0.05, 0.0, 0.0025)))           // (0.05-0)^2
+    assert(r(1L) == ((2L, 0.15, 0.5, (0.0225 + 0.7225) / 2)))
+    // score 1.0 clamps into the top bin with 0.95
+    assert(r(9L) == ((2L, 0.975, 1.0, (0.0025 + 0.0) / 2)))
+  }
+
   test("classWeights: inverse frequency, averaging to 1") {
     val df = Seq("a", "a", "a", "b").toDF("cls")
     val w = MetricQueries.classWeights(df, "cls")
