@@ -1007,5 +1007,18 @@ object OracleSql {
         |    AS DOUBLE) / COUNT(*) AS brier
         |FROM d GROUP BY 1
         |ORDER BY bin""".stripMargin,
+
+    "q85_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(LENGTH(text) AS BIGINT) AS n_chars_raw,
+        |  CAST(LENGTH(norm) AS BIGINT) AS n_chars_norm,
+        |  CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens_norm
+        |FROM n
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1194,6 +1194,19 @@ object SparkEntry {
     MetricQueries.calibrationBins(d, "score", "label", bins = 10)
   }
 
+  // ---------------------------------------------------------------- q85
+  // Text normalization scrub: canonical lowercase/strip/collapse form with
+  // before/after sizes — pure codegen'd regex projections.
+  def q85(spark: SparkSession, dir: String): DataFrame = {
+    val norm = TextOps.normalizeText(col("text"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(norm).cast("long").as("n_chars_norm"),
+        size(split(norm, " ")).cast("long").as("n_tokens_norm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1280,6 +1293,7 @@ object SparkEntry {
     "q82_zscore_outliers" -> (q82 _),
     "q83_batch_sessionize" -> (q83 _),
     "q84_calibration" -> (q84 _),
+    "q85_normalize" -> (q85 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

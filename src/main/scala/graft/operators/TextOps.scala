@@ -74,6 +74,33 @@ object TextOps {
     aggregate(transform(sh, s => xxhash64(s)), lit(0L), (acc, h) => acc.bitwiseXOR(h))
   }
 
+  /** Canonical text normalization (the pre-tokenization scrub): lowercase,
+    * strip every non-alphanumeric-space character, collapse whitespace
+    * runs, trim. Pure codegen'd string expressions, engine-portable regex
+    * (no lookarounds/classes that differ between Java regex and RE2).
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** PII redaction for a training corpus: emails and phone-shaped numbers
+    * replaced by typed placeholder tokens, plus match counts for audit. The
+    * patterns are deliberately simple and portable; a production pass would
+    * swap in jurisdiction-specific pattern packs behind the same shape.
+    */
+  private val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val phoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  def redactPii(df: DataFrame, textCol: String): DataFrame = df
+    .withColumn("n_emails",
+      size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))))
+    .withColumn("n_phones",
+      size(regexp_extract_all(
+        regexp_replace(col(textCol), emailRe, "<EMAIL>"), lit(phoneRe), lit(0))))
+    .withColumn("text_redacted",
+      regexp_replace(
+        regexp_replace(col(textCol), emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"))
+
   /** Repetition quality metrics (the Gopher-rules family): per document,
     * the duplicate-token fraction (1 − distinct/total, a pure projection)
     * and the top-bigram fraction (most frequent bigram's share of all

@@ -54,6 +54,25 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(0) == fps(1))
   }
 
+  test("normalizeText lowercases, strips symbols, collapses whitespace") {
+    val df = Seq("  Hello,   WORLD!! 42&x  ").toDF("t")
+    assert(df.select(TextOps.normalizeText($"t")).head.getString(0) ==
+      "hello world 42x")
+  }
+
+  test("redactPii replaces emails and phones, counts matches") {
+    val df = Seq(
+      "contact a.b+c@ex-ample.org or call +1 (555) 123-4567 now",
+      "clean text with no pii at all").toDF("text")
+    val r = TextOps.redactPii(df, "text").collect()
+    assert(r(0).getAs[Int]("n_emails") == 1)
+    assert(r(0).getAs[Int]("n_phones") == 1)
+    assert(r(0).getAs[String]("text_redacted") ==
+      "contact <EMAIL> or call <PHONE> now")
+    assert(r(1).getAs[Int]("n_emails") == 0 && r(1).getAs[Int]("n_phones") == 0)
+    assert(r(1).getAs[String]("text_redacted") == "clean text with no pii at all")
+  }
+
   test("withRepetitionStats: hand-computed duplicate and bigram fractions") {
     val docs = Seq(
       (1L, "a b a b a b"),   // 6 tokens, 2 distinct; bigrams: a·b ×3, b·a ×2
