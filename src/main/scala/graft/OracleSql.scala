@@ -1020,5 +1020,17 @@ object OracleSql {
         |  CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens_norm
         |FROM n
         |ORDER BY doc_id""".stripMargin,
+
+    // identical to q38 — the materialized partition-overwrite table must
+    // contain exactly the memory-sink result
+    "q86_materialize" ->
+      """WITH wm AS (SELECT MAX(ts) - INTERVAL 1 DAY AS w FROM events)
+        |SELECT CAST(date_trunc('day', ts) AS DATE) AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4) AS sum_value
+        |FROM events CROSS JOIN wm
+        |GROUP BY 1, 2, wm.w
+        |HAVING date_trunc('day', MIN(ts)) + INTERVAL 1 DAY <= wm.w
+        |ORDER BY window_start, event_type""".stripMargin,
   )
 }

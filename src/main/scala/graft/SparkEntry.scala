@@ -1207,6 +1207,24 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q86
+  // Idempotent materialization: q38's windowed aggregate written through
+  // foreachBatch + dynamic partition overwrite into a date-partitioned
+  // parquet table, read back. Identical rows (and identical oracle) to the
+  // memory-sink q38 — proving the production write path, not just the
+  // test sink.
+  def q86(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tag = System.nanoTime()
+    val out = graft.streaming.StreamingOps.materializeWindowedStats(
+      spark, dir, "events.parquet", "ts", "event_type", "value",
+      "1 day", "1 day",
+      s"/tmp/graft_q86_$tag/table", s"/tmp/graft_q86_$tag/ckpt",
+      prepare = df => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    out.withColumn("sum_value", round(col("sum_value"), 4))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1294,6 +1312,7 @@ object SparkEntry {
     "q83_batch_sessionize" -> (q83 _),
     "q84_calibration" -> (q84 _),
     "q85_normalize" -> (q85 _),
+    "q86_materialize" -> (q86 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -112,6 +112,45 @@ object StreamingOps {
     runToSink(spark, stream, sink, "append")
   }
 
+  /** Idempotent incremental materialization: finalized event-time windows
+    * re-written into a DATE-PARTITIONED parquet table through `foreachBatch`
+    * with dynamic partition overwrite — the production sink pattern for a
+    * continuously-refreshed aggregate table. Each batch rewrites ONLY the
+    * date partitions it contains rows for; partitions outside the batch are
+    * untouched, so replays and backfills converge to the same table instead
+    * of appending duplicates. (Append sinks duplicate on replay; memory
+    * sinks don't persist — this is the shape that survives production.)
+    */
+  def materializeWindowedStats(spark: SparkSession, dir: String,
+      fileName: String, tsCol: String, keyCol: String, valueCol: String,
+      window: String, watermark: String, outPath: String, checkpointDir: String,
+      prepare: DataFrame => DataFrame = identity): DataFrame = {
+    val stream = prepare(fileStream(spark, dir, fileName))
+    val agged = stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(28,4)")).as("sum_dec"))
+      .select(col("window.start").cast("date").as("window_start"),
+        col(keyCol), col("n"),
+        col("sum_dec").cast("double").as("sum_value"))
+    val writer: (DataFrame, Long) => Unit = (batch, _) =>
+      batch.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("window_start")
+        .parquet(outPath)
+    val q = agged.writeStream
+      .outputMode("append")
+      .foreachBatch(writer)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(outPath)
+      .select(col("window_start").cast("date").as("window_start"),
+        col(keyCol), col("n"), col("sum_value"))
+  }
+
   /** Streaming CDC compaction: a continuously-maintained latest-state-per-key
     * view of a change stream — the streaming counterpart of
     * [[graft.operators.CdcOps.compactLatest]]. One `max_by` aggregation over

@@ -91,6 +91,30 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out == batch)
   }
 
+  test("materializeWindowedStats: replay converges, untouched partitions survive") {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    val d = "/root/testdata/sf0.001"
+    val base = s"/tmp/graft_mat_spec_${System.nanoTime()}"
+    val prep = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def run(ckpt: String) = StreamingOps.materializeWindowedStats(
+        spark, d, "events.parquet", "ts", "event_type", "value",
+        "1 day", "1 day", s"$base/table", s"$base/$ckpt", prep)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val first = run("ckpt1")
+    assert(first.nonEmpty)
+    // pre-seed an unrelated partition between runs: dynamic overwrite must
+    // rewrite only the partitions the replay touches
+    spark.createDataFrame(Seq(("seeded", 1L, 2.0)))
+      .toDF("event_type", "n", "sum_value")
+      .write.parquet(s"$base/table/window_start=1999-01-01")
+    val second = run("ckpt2") // fresh checkpoint → full replay
+    val seeded = second.filter(_.toString.contains("seeded"))
+    assert(seeded.length == 1, "unrelated partition was clobbered")
+    assert(second.filterNot(_.toString.contains("seeded")).toSeq ==
+      first.toSeq, "replay did not converge to the same table")
+  }
+
   test("compactLatestStream converges to the batch CDC compaction (q73 == q70)") {
     val d = "/root/testdata/sf0.001"
     val stream = SparkEntry.q73(spark, d).collect().toSeq
