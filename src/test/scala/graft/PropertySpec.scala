@@ -84,6 +84,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("compactLatest equals brute-force latest-per-key for any change stream") {
+    val row = Gen.zip(Gen.chooseNum(0L, 7L), Gen.chooseNum(0L, 100L),
+      Gen.oneOf("a", "b", "c"))
+    samples(Gen.listOfN(40, row), 8).foreach { rows =>
+      // make versions unique per key so "latest" is well-defined
+      val versioned = rows.zipWithIndex.map { case ((k, v, p), i) =>
+        (k, v * 1000 + i, p)
+      }
+      val got = graft.operators.CdcOps
+        .compactLatest(versioned.toDF("k", "v", "p"), Seq("k"), Seq("v"))
+        .as[(Long, Long, String)].collect().toSet
+      val expect = versioned.groupBy(_._1).values.map(_.maxBy(_._2)).toSet
+      assert(got == expect)
+    }
+  }
+
+  test("packSequences matches the driver-side exclusive-prefix-sum definition") {
+    val doc = Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(1L, 400L))
+    samples(Gen.listOfN(30, doc), 8).foreach { docs =>
+      val idd = docs.zipWithIndex.map { case ((src, n), i) => (i.toLong, src, n) }
+      val got = graft.operators.SplitOps
+        .packSequences(idd.toDF("id", "src", "n_tok"), "id", "src", "n_tok", 512L)
+        .select("id", "pack_id").as[(Long, Long)].collect().toMap
+      idd.groupBy(_._2).foreach { case (_, grp) =>
+        var prior = 0L
+        grp.sortBy(_._1).foreach { case (id, _, n) =>
+          assert(got(id) == prior / 512L, s"doc $id: got ${got(id)}")
+          prior += n
+        }
+      }
+    }
+  }
+
   test("jaccard is symmetric, bounded [0,1], and 1 on self") {
     val words = Gen.listOfN(6, Gen.oneOf("a", "b", "c", "d", "e", "f", "g"))
     samples(Gen.zip(words, words), 10).foreach { case (x, y) =>
