@@ -1032,5 +1032,16 @@ object OracleSql {
         |GROUP BY 1, 2, wm.w
         |HAVING date_trunc('day', MIN(ts)) + INTERVAL 1 DAY <= wm.w
         |ORDER BY window_start, event_type""".stripMargin,
+
+    "q87_sql_surface" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id < 50)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_inner_product(a.emb, b.emb) /
+        |    (SQRT(list_inner_product(a.emb, a.emb)) *
+        |     SQRT(list_inner_product(b.emb, b.emb))), 6) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

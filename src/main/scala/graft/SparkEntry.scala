@@ -1225,6 +1225,21 @@ object SparkEntry {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  // ---------------------------------------------------------------- q87
+  // The SQL entry point: the same engine through `spark.sql`, including
+  // the GraftExtensions-registered native `vec_cosine` — proving a SQL
+  // user of the library sees the identical operator surface and plans.
+  def q87(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "embeddings").filter(col("vec_id") < 50)
+      .createOrReplaceTempView("emb_q87")
+    spark.sql(
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(vec_cosine(CAST(a.embedding AS ARRAY<DOUBLE>),
+        |                   CAST(b.embedding AS ARRAY<DOUBLE>)), 6) AS cosine
+        |FROM emb_q87 a JOIN emb_q87 b ON a.vec_id < b.vec_id
+        |ORDER BY id_a, id_b""".stripMargin)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1313,6 +1328,7 @@ object SparkEntry {
     "q84_calibration" -> (q84 _),
     "q85_normalize" -> (q85 _),
     "q86_materialize" -> (q86 _),
+    "q87_sql_surface" -> (q87 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →
