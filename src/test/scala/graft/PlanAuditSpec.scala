@@ -136,6 +136,11 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q76 decontamination: benchmark side broadcasts, corpus never shuffles for the join") {
+    val p = finalPlan(SparkEntry.q76(spark, dir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
   test("q68 bucketed interval join: equi-join shuffle, no broadcast-nested-loop") {
     val p = finalPlan(SparkEntry.q68(spark, dir))
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
