@@ -1043,5 +1043,19 @@ object OracleSql {
         |     SQRT(list_inner_product(b.emb, b.emb))), 6) AS cosine
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q88_decile_binning" ->
+      """WITH d AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    CAST(NTILE(10) OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
+        |  FROM orders)
+        |SELECT o_orderstatus, decile, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price
+        |FROM d GROUP BY 1, 2
+        |ORDER BY o_orderstatus, decile""".stripMargin,
   )
 }

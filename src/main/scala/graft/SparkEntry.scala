@@ -1240,6 +1240,25 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q88
+  // Equal-frequency binning (ntile deciles) per status partition with
+  // per-bin stats — the feature-binning step of a tabular pipeline, and
+  // the remaining ranking-window family member (rank/dense_rank live in
+  // q56). Deterministic tie order via the unique order key.
+  def q88(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("o_orderstatus"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice"), 2).as("sum_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("o_orderstatus"), col("decile"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1329,6 +1348,7 @@ object SparkEntry {
     "q85_normalize" -> (q85 _),
     "q86_materialize" -> (q86 _),
     "q87_sql_surface" -> (q87 _),
+    "q88_decile_binning" -> (q88 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →
