@@ -1057,5 +1057,31 @@ object OracleSql {
         |  MAX(o_totalprice) AS max_price
         |FROM d GROUP BY 1, 2
         |ORDER BY o_orderstatus, decile""".stripMargin,
+
+    "q89_integrity_audit" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE o.o_orderkey = l.l_orderkey))
+        |    AS n_orphan_lineitems,
+        |  (SELECT COUNT(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                     WHERE l.l_orderkey = o.o_orderkey))
+        |    AS n_childless_orders,
+        |  (SELECT COUNT(*) FROM customer c
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE o.o_custkey = c.c_custkey))
+        |    AS n_orderless_customers""".stripMargin,
+
+    // the salt must be result-invisible: plain join reproduces it
+    "q90_salted_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, COUNT(*) AS n_total FROM events
+        |  GROUP BY user_id HAVING COUNT(*) >= 50)
+        |SELECT e.user_id, d.n_total, COUNT(*) AS n_joined,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |GROUP BY e.user_id, d.n_total
+        |ORDER BY e.user_id""".stripMargin,
   )
 }

@@ -1259,6 +1259,44 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"), col("decile"))
   }
 
+  // ---------------------------------------------------------------- q89
+  // Referential-integrity audit (the ingest data-quality gate): orphan
+  // facts and childless dimensions counted via three anti-join aggregates
+  // folded into one row — each anti-join is a broadcast/shuffle semi-join,
+  // no row ever leaves the executors.
+  def q89(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as(name))
+    val orphanLines = t(spark, dir, "lineitem").join(
+      t(spark, dir, "orders").select(col("o_orderkey")),
+      col("l_orderkey") === col("o_orderkey"), "left_anti")
+    val childlessOrders = t(spark, dir, "orders").join(
+      t(spark, dir, "lineitem").select(col("l_orderkey")),
+      col("o_orderkey") === col("l_orderkey"), "left_anti")
+    val orderlessCustomers = t(spark, dir, "customer").join(
+      t(spark, dir, "orders").select(col("o_custkey")),
+      col("c_custkey") === col("o_custkey"), "left_anti")
+    cnt(orphanLines, "n_orphan_lineitems")
+      .crossJoin(cnt(childlessOrders, "n_childless_orders"))
+      .crossJoin(cnt(orderlessCustomers, "n_orderless_customers"))
+  }
+
+  // ---------------------------------------------------------------- q90
+  // Skew-salted join, oracle-proven: the salted physical shape must be
+  // RESULT-invisible — identical rows to the plain join the oracle runs.
+  // Events (fact, salted on unique event_id) joined to the top-user
+  // dimension, aggregated per user.
+  def q90(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val dim = e.groupBy(col("user_id")).agg(count(lit(1)).as("n_total"))
+      .filter(col("n_total") >= 50)
+    SkewOps.saltedJoin(e, dim, "user_id", buckets = 8,
+        factIdentity = Seq("event_id"))
+      .groupBy(col("user_id"), col("n_total"))
+      .agg(count(lit(1)).as("n_joined"), dsum(col("value"), 4).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1349,6 +1387,8 @@ object SparkEntry {
     "q86_materialize" -> (q86 _),
     "q87_sql_surface" -> (q87 _),
     "q88_decile_binning" -> (q88 _),
+    "q89_integrity_audit" -> (q89 _),
+    "q90_salted_join" -> (q90 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →
