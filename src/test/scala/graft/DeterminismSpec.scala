@@ -14,7 +14,9 @@ class DeterminismSpec extends SparkSpec {
     "q71_repetition_quality", "q72_dedup_pipeline", "q75_sequence_packing",
     "q76_decontamination", "q77_cube", "q78_knn_join",
     "q79_percentile_truncation", "q81_set_ops", "q82_zscore_outliers",
-    "q83_batch_sessionize")
+    "q83_batch_sessionize", "q84_calibration", "q85_normalize",
+    "q87_sql_surface", "q88_decile_binning", "q89_integrity_audit",
+    "q90_salted_join")
   // q74/q80 are excluded: k-means initialization samples per-partition, so
   // their (seeded) result is deterministic per partitioning, not across
   // partitionings — the documented contract for MLlib-backed queries
