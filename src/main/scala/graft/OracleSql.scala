@@ -1083,5 +1083,42 @@ object OracleSql {
         |FROM events e JOIN dim d ON e.user_id = d.user_id
         |GROUP BY e.user_id, d.n_total
         |ORDER BY e.user_id""".stripMargin,
+
+    "q91_time_weighted_avg" ->
+      """WITH x AS (
+        |  SELECT user_id, value,
+        |    LEAD(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) - epoch_us(ts)
+        |      AS dur_us
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_intervals,
+        |  CAST(SUM(dur_us) AS BIGINT) AS total_us,
+        |  ROUND(CAST(SUM(CAST(value * dur_us AS DECIMAL(28,4))) AS DOUBLE) /
+        |    SUM(dur_us), 6) AS twa
+        |FROM x WHERE dur_us IS NOT NULL
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q92_resample_ffill" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, value, event_id FROM events WHERE user_id < 30),
+        |obs AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value, ROW_NUMBER() OVER (
+        |      PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM ev) WHERE rn = 1),
+        |b AS (
+        |  SELECT user_id,
+        |    CAST(FLOOR(epoch_us(MIN(ts)) / 3600000000) AS BIGINT) AS mn,
+        |    CAST(FLOOR(epoch_us(MAX(ts)) / 3600000000) AS BIGINT) AS mx
+        |  FROM ev GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, unnest(range(mn, mx + 1)) AS h FROM b),
+        |g2 AS (
+        |  SELECT user_id, h, make_timestamp(h * 3600000000) AS ts FROM grid)
+        |SELECT g2.user_id, g2.h AS hour_idx, o.value AS ffill_value
+        |FROM g2 ASOF LEFT JOIN obs o
+        |  ON g2.user_id = o.user_id AND g2.ts >= o.ts
+        |ORDER BY g2.user_id, hour_idx""".stripMargin,
   )
 }

@@ -1297,6 +1297,52 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  // ---------------------------------------------------------------- q91
+  // Time-weighted average for irregularly-sampled series: each reading
+  // weighted by its holding duration (lead-ts − ts). The estimator the
+  // reference's plain mean approximates badly on uneven sensor gaps; one
+  // per-key window + one aggregation, exact decimal value·duration sums.
+  def q91(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    t(spark, dir, "events")
+      .withColumn("tse", unix_micros(col("ts")))
+      .withColumn("dur_us", lead(col("tse"), 1).over(w) - col("tse"))
+      .filter(col("dur_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur_us")).as("total_us"),
+        round(dsum(col("value") * col("dur_us"), 4) / sum(col("dur_us")), 6)
+          .as("twa"))
+      .orderBy(col("user_id"))
+  }
+
+  // ---------------------------------------------------------------- q92
+  // Resampling to a regular hourly grid with forward fill: per-key hour
+  // grid (sequence+explode) as-of joined to the last observation at or
+  // before each grid point — the reference's hourly resampling
+  // (dataset.py) as a distributed operator. DuckDB replays it with a
+  // native ASOF LEFT JOIN.
+  def q92(spark: SparkSession, dir: String): DataFrame = {
+    val H = 3600000000L
+    val ev = t(spark, dir, "events").filter(col("user_id") < 30)
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+    // one deterministic observation per (user, ts): highest event_id wins
+    val obs = ev.groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("value"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx"))
+      .select(col("user_id"),
+        explode(sequence(floor(col("mn") / H), floor(col("mx") / H))).as("h"))
+      .withColumn("ts", timestamp_micros(col("h") * H))
+    FuzzyJoins.asofJoin(grid, obs, Seq("user_id"), "ts", Seq("value"))
+      .select(col("user_id"), col("h").as("hour_idx"),
+        col("value").as("ffill_value"))
+      .orderBy(col("user_id"), col("hour_idx"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1389,6 +1435,8 @@ object SparkEntry {
     "q88_decile_binning" -> (q88 _),
     "q89_integrity_audit" -> (q89 _),
     "q90_salted_join" -> (q90 _),
+    "q91_time_weighted_avg" -> (q91 _),
+    "q92_resample_ffill" -> (q92 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →
