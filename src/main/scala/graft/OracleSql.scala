@@ -1120,5 +1120,30 @@ object OracleSql {
         |FROM g2 ASOF LEFT JOIN obs o
         |  ON g2.user_id = o.user_id AND g2.ts >= o.ts
         |ORDER BY g2.user_id, hour_idx""".stripMargin,
+
+    "q93_star_join" ->
+      """SELECT l.l_orderkey,
+        |  CAST(o.o_orderdate AS DATE) AS orderdate,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l.l_orderkey, orderdate
+        |ORDER BY revenue DESC, l.l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q94_unpivot" ->
+      """WITH m AS (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem)
+        |SELECT measure, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+        |FROM m GROUP BY measure
+        |ORDER BY measure""".stripMargin,
   )
 }

@@ -1343,6 +1343,44 @@ object SparkEntry {
       .orderBy(col("user_id"), col("hour_idx"))
   }
 
+  // ---------------------------------------------------------------- q93
+  // Three-way star join (TPC-H Q3 shape): selective dimension filters
+  // reach both scans, the join chain shuffles on the fact keys once each,
+  // revenue ranked with a top-k.
+  def q93(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------- q94
+  // Unpivot (wide→long melt, the reshaping twin of q55's pivot): two
+  // lineitem measures melted to (measure, value) rows, aggregated per
+  // measure. Spark's native unpivot operator; the oracle reproduces the
+  // melt with UNION ALL arms.
+  def q94(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice")),
+        "measure", "value")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+      .orderBy(col("measure"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1437,6 +1475,8 @@ object SparkEntry {
     "q90_salted_join" -> (q90 _),
     "q91_time_weighted_avg" -> (q91 _),
     "q92_resample_ffill" -> (q92 _),
+    "q93_star_join" -> (q93 _),
+    "q94_unpivot" -> (q94 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →
