@@ -1145,5 +1145,23 @@ object OracleSql {
         |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
         |FROM m GROUP BY measure
         |ORDER BY measure""".stripMargin,
+
+    "q95_feature_corr" ->
+      """SELECT pair, n, pearson_r, covar FROM (
+        |  SELECT 'l_quantity~l_extendedprice' AS pair, COUNT(*) AS n,
+        |    ROUND(CORR(l_quantity, l_extendedprice), 6) AS pearson_r,
+        |    ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 6) AS covar
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity~l_discount', COUNT(*),
+        |    ROUND(CORR(l_quantity, l_discount), 6),
+        |    ROUND(COVAR_SAMP(l_quantity, l_discount), 6)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice~l_tax', COUNT(*),
+        |    ROUND(CORR(l_extendedprice, l_tax), 6),
+        |    ROUND(COVAR_SAMP(l_extendedprice, l_tax), 6)
+        |  FROM lineitem)
+        |ORDER BY pair""".stripMargin,
   )
 }

@@ -1381,6 +1381,26 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
       .orderBy(col("measure"))
 
+  // ---------------------------------------------------------------- q95
+  // Feature correlation screen (the feature-selection precursor):
+  // pairwise Pearson r and sample covariance for the numeric lineitem
+  // measures, one aggregation pass per pair, rounded like every
+  // order-sensitive floating aggregate.
+  def q95(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val pairs = Seq(
+      ("l_quantity", "l_extendedprice"),
+      ("l_quantity", "l_discount"),
+      ("l_extendedprice", "l_tax"))
+    pairs.map { case (a, b) =>
+      li.agg(
+        lit(s"$a~$b").as("pair"),
+        count(lit(1)).as("n"),
+        round(corr(col(a), col(b)), 6).as("pearson_r"),
+        round(covar_samp(col(a), col(b)), 6).as("covar"))
+    }.reduce(_.unionByName(_)).orderBy(col("pair"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1477,6 +1497,7 @@ object SparkEntry {
     "q92_resample_ffill" -> (q92 _),
     "q93_star_join" -> (q93 _),
     "q94_unpivot" -> (q94 _),
+    "q95_feature_corr" -> (q95 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →
