@@ -16,7 +16,8 @@ class DeterminismSpec extends SparkSpec {
     "q79_percentile_truncation", "q81_set_ops", "q82_zscore_outliers",
     "q83_batch_sessionize", "q84_calibration", "q85_normalize",
     "q87_sql_surface", "q88_decile_binning", "q89_integrity_audit",
-    "q90_salted_join")
+    "q90_salted_join", "q91_time_weighted_avg", "q92_resample_ffill",
+    "q93_star_join", "q94_unpivot", "q95_feature_corr")
   // q74/q80 are excluded: k-means initialization samples per-partition, so
   // their (seeded) result is deterministic per partitioning, not across
   // partitionings — the documented contract for MLlib-backed queries
