@@ -1163,5 +1163,16 @@ object OracleSql {
         |    ROUND(COVAR_SAMP(l_extendedprice, l_tax), 6)
         |  FROM lineitem)
         |ORDER BY pair""".stripMargin,
+
+    "q96_fuzzy_match" ->
+      """WITH n AS (
+        |  SELECT DISTINCT p_name,
+        |    string_split(p_name, ' ')[-1] AS noun
+        |  FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM n a JOIN n b ON a.noun = b.noun AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4
+        |ORDER BY name_a, name_b""".stripMargin,
   )
 }

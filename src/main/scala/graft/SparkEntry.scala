@@ -1401,6 +1401,24 @@ object SparkEntry {
     }.reduce(_.unionByName(_)).orderBy(col("pair"))
   }
 
+  // ---------------------------------------------------------------- q96
+  // Blocked fuzzy string matching (entity resolution): distinct part
+  // names paired within a BLOCK (shared final token) and filtered by edit
+  // distance — the blocked-join shape that keeps fuzzy matching off the
+  // all-pairs cliff at catalog scale.
+  def q96(spark: SparkSession, dir: String): DataFrame = {
+    val names = t(spark, dir, "part").select(col("p_name")).distinct()
+      .withColumn("noun", element_at(split(col("p_name"), " "), -1))
+    val l = names.select(col("noun"), col("p_name").as("name_a"))
+    val r = names.select(col("noun"), col("p_name").as("name_b"))
+    l.join(r, Seq("noun"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 4)
+      .select(col("name_a"), col("name_b"), col("dist"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1498,6 +1516,7 @@ object SparkEntry {
     "q93_star_join" -> (q93 _),
     "q94_unpivot" -> (q94 _),
     "q95_feature_corr" -> (q95 _),
+    "q96_fuzzy_match" -> (q96 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →
