@@ -17,7 +17,7 @@ class DeterminismSpec extends SparkSpec {
     "q83_batch_sessionize", "q84_calibration", "q85_normalize",
     "q87_sql_surface", "q88_decile_binning", "q89_integrity_audit",
     "q90_salted_join", "q91_time_weighted_avg", "q92_resample_ffill",
-    "q93_star_join", "q94_unpivot", "q95_feature_corr")
+    "q93_star_join", "q94_unpivot", "q95_feature_corr", "q96_fuzzy_match")
   // q74/q80 are excluded: k-means initialization samples per-partition, so
   // their (seeded) result is deterministic per partitioning, not across
   // partitionings — the documented contract for MLlib-backed queries
