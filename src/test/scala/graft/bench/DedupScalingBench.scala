@@ -64,4 +64,33 @@ class DedupScalingBench extends SparkSpec {
     }
     small.unpersist(); big.unpersist()
   }
+
+  test("connected components: time bounded by edge count, not its square") {
+    import graft.operators.GraphOps
+    // near-clique duplicate clusters (the dedup workload): C clusters of
+    // size 6 wired as rings + chords — diameter stays small at any scale
+    def edges(clusters: Int) = spark.range(clusters).selectExpr("id as c")
+      .selectExpr("explode(sequence(0, 5)) as i", "c")
+      .selectExpr("c * 6 + i as a",
+        "c * 6 + (cast(i + 1 as int) % 6) as b")
+      .union(spark.range(clusters).selectExpr("id * 6 as a", "id * 6 + 3 as b"))
+      .cache()
+    val (e1, e8) = (edges(500), edges(4000))
+    e1.count(); e8.count()
+    def timedCc(e: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val t0 = System.nanoTime()
+      val n = GraphOps.connectedComponents(e, "a", "b")
+        .groupBy("component").count().count()
+      ((System.nanoTime() - t0) / 1000000, n)
+    }
+    timedCc(e1) // warm
+    val (t1, n1) = timedCc(e1); val (t8, n8) = timedCc(e8)
+    assert(n1 == 500L && n8 == 4000L)
+    val ratio = t8.toDouble / math.max(1, t1)
+    info(f"cc 1x=${t1}ms ($n1 clusters) 8x=${t8}ms ($n8 clusters) ratio=$ratio%.1f")
+    // rounds are diameter-bound (constant here), per-round work edge-bound:
+    // 8× edges must not cost anywhere near 64×
+    assert(ratio < 30.0, s"connected components scale super-linearly: $ratio")
+    e1.unpersist(); e8.unpersist()
+  }
 }
