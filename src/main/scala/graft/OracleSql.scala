@@ -420,9 +420,14 @@ object OracleSql {
         |      ELSE [array_to_string(tk, ' ')] END) AS sh
         |    FROM toks)),
         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |-- mirror the Spark side's explicit shingle-df cap (1000): hot
+        |-- shingles are excluded from candidate generation AND the shared
+        |-- count, while n_sh stays the full set size
+        |cold AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 1000),
         |shared AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  FROM sh a JOIN cold USING (sh)
+        |  JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b,
         |  ROUND(n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6) AS jaccard
@@ -690,9 +695,11 @@ object OracleSql {
     "q63_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events
         |           WHERE event_type = 'purchase'),
-        |c AS (SELECT event_id AS click_id, user_id, ts,
-        |        epoch_us(ts) AS click_ts_us, value AS click_value
-        |      FROM events WHERE event_type = 'click')
+        |c AS (SELECT user_id, ts, MAX(event_id) AS click_id,
+        |        epoch_us(ts) AS click_ts_us,
+        |        arg_max(value, event_id) AS click_value
+        |      FROM events WHERE event_type = 'click'
+        |      GROUP BY user_id, ts)
         |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
         |  c.click_id, c.click_ts_us, c.click_value
         |FROM p ASOF LEFT JOIN c

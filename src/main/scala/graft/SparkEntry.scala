@@ -431,13 +431,13 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- q39
   // Exact n-gram Jaccard near-dup pairs via shingle inverted index
-  // (north-star dedup #4). The default stopword-shingle df cap (1000) is
-  // active — lossless on this corpus (max shingle df is 25 at sf0.1, so the
-  // oracle hash is provably unchanged) and the safeguard that bounds the
-  // self-join buckets at corpus scale.
+  // (north-star dedup #4). The stopword-shingle df cap (1000) is opted into
+  // EXPLICITLY — it bounds every posting-list bucket at corpus scale — and
+  // the oracle SQL models the same cap, so parity holds at any scale
+  // factor, not just ones where the cap happens to be lossless.
   def q39(spark: SparkSession, dir: String): DataFrame =
     DedupOps.jaccardPairsExact(t(spark, dir, "documents"), "doc_id", "text",
-      3, 0.8)
+      3, 0.8, maxShingleDf = Some(1000))
       .orderBy(col("id_a"), col("id_b"))
 
   // ---------------------------------------------------------------- q40
@@ -835,6 +835,10 @@ object SparkEntry {
   // latest prior click of the same user — tagged-union + one per-user
   // ordered window, one shuffle, no candidate-pair blow-up. The DuckDB
   // oracle states the identical operator natively (ASOF LEFT JOIN).
+  // Two clicks at the same instant would tie arbitrarily in BOTH engines,
+  // so ties are broken deterministically on max click_id — resolved inside
+  // the window sort (rightTieBreak, zero extra shuffle); the oracle
+  // pre-aggregates per (user_id, ts) with arg_max, the same winner.
   def q63(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -845,7 +849,8 @@ object SparkEntry {
         unix_micros(col("ts")).as("click_ts_us"),
         col("value").as("click_value"))
     graft.operators.FuzzyJoins.asofJoin(purchases, clicks,
-      Seq("user_id"), "ts", Seq("click_id", "click_ts_us", "click_value"))
+      Seq("user_id"), "ts", Seq("click_id", "click_ts_us", "click_value"),
+      rightTieBreak = Seq("click_id"))
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("ts_us"),
         col("click_id"), col("click_ts_us"), col("click_value"))
@@ -1215,14 +1220,32 @@ object SparkEntry {
   // test sink.
   def q86(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tag = System.nanoTime()
-    val out = graft.streaming.StreamingOps.materializeWindowedStats(
-      spark, dir, "events.parquet", "ts", "event_type", "value",
-      "1 day", "1 day",
-      s"/tmp/graft_q86_$tag/table", s"/tmp/graft_q86_$tag/ckpt",
-      prepare = df => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
-    out.withColumn("sum_value", round(col("sum_value"), 4))
-      .orderBy(col("window_start"), col("event_type"))
+    // Scratch root under java.io.tmpdir (GRAFT_TMP_ROOT overrides), removed
+    // after the read-back — repeated bench/verify runs leak nothing.
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_TMP_ROOT", System.getProperty("java.io.tmpdir"))),
+      "graft_q86_")
+    try {
+      val out = graft.streaming.StreamingOps.materializeWindowedStats(
+        spark, dir, "events.parquet", "ts", "event_type", "value",
+        "1 day", "1 day",
+        s"$root/table", s"$root/ckpt",
+        prepare = df => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      val res = out.withColumn("sum_value", round(col("sum_value"), 4))
+        .orderBy(col("window_start"), col("event_type"))
+      // Pin the result locally before deleting its backing files: it is a
+      // tiny post-aggregation frame (days × event types), so this is a
+      // harness materialization, not a distributed-path collect.
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      res.collect().foreach(rows.add)
+      spark.createDataFrame(rows, res.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   // ---------------------------------------------------------------- q87

@@ -132,7 +132,8 @@ object FuzzyJoins {
     * per-bucket row count is the scale risk.
     */
   def asofJoinBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
-      tsCol: String, payload: Seq[String], bucketMicros: Long): DataFrame = {
+      tsCol: String, payload: Seq[String], bucketMicros: Long,
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
     require(payload.intersect(left.columns).isEmpty,
       s"payload columns ${payload.intersect(left.columns).mkString(",")} collide with left columns")
     import org.apache.spark.sql.expressions.Window
@@ -141,10 +142,13 @@ object FuzzyJoins {
 
     // per-(key, bucket) summary: the LAST right payload in the bucket,
     // stamped at bucket END so an as-of match at a later bucket's START
-    // admits exactly the strictly-earlier buckets
+    // admits exactly the strictly-earlier buckets; max_by orders by the
+    // same (ts, tiebreak…) tuple as the in-bucket window so the summary
+    // picks the identical winning row
     val summary = right.withColumn("__b", bucketStart(col(tsCol)))
       .groupBy((keys.map(col) :+ col("__b")): _*)
-      .agg(max_by(struct(payload.map(col): _*), col(tsCol)).as("__p"))
+      .agg(max_by(struct(payload.map(col): _*),
+        struct((col(tsCol) +: rightTieBreak.map(col)): _*)).as("__p"))
       .withColumn("__bts", timestamp_micros(unix_micros(col("__b")) + bucketMicros))
       .select((keys.map(col) :+ col("__bts") :+ col("__p")): _*)
     val leftBuckets = left
@@ -158,53 +162,92 @@ object FuzzyJoins {
     def withNullLeftCols(d: DataFrame): DataFrame =
       leftOnly.foldLeft(d)((acc, c) =>
         acc.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-    val lTag = payload.foldLeft(
-      left.withColumn("__b", bucketStart(col(tsCol))).withColumn("__rank", lit(1))) {
-      (d, c) => d.withColumn(c, lit(null).cast(right.schema(c).dataType))
-    }
+    // Row-atomic payload struct — same contract as [[asofJoin]]: the matched
+    // right row's fields travel together, nulls included.
+    val pType = org.apache.spark.sql.types.StructType(payload.map(c =>
+      org.apache.spark.sql.types.StructField(c, right.schema(c).dataType,
+        nullable = true)))
+    val tbCols = rightTieBreak.zipWithIndex.map { case (_, i) => s"__tb$i" }
+    def withNullTbCols(d: DataFrame): DataFrame =
+      rightTieBreak.zipWithIndex.foldLeft(d) { case (acc, (c, i)) =>
+        acc.withColumn(s"__tb$i", lit(null).cast(right.schema(c).dataType))
+      }
+    val lTag = withNullTbCols(left.withColumn("__b", bucketStart(col(tsCol)))
+      .withColumn("__rank", lit(1))
+      .withColumn("__ap", lit(null).cast(pType)))
     val rTag = withNullLeftCols(
-      right.select((keys ++ Seq(tsCol) ++ payload).map(col): _*)
+      right.select((keys :+ tsCol).map(col) ++
+          (struct(payload.map(col): _*).cast(pType).as("__ap") +:
+            rightTieBreak.zipWithIndex.map { case (c, i) =>
+              col(c).as(s"__tb$i") }): _*)
         .withColumn("__b", bucketStart(col(tsCol)))
         .withColumn("__rank", lit(0)))
-    val seedTag = withNullLeftCols(
-      payload.foldLeft(
-        seeds.select((keys.map(col) ++ Seq(col("__b"),
-          col("__b").as(tsCol), lit(-1).as("__rank"), col("__p"))): _*)) {
-        (d, c) => d.withColumn(c, col("__p").getField(c))
-      }.drop("__p"))
+    val seedTag = withNullTbCols(withNullLeftCols(
+      seeds.select((keys.map(col) ++ Seq(col("__b"), col("__b").as(tsCol),
+        lit(-1).as("__rank"), col("__p").cast(pType).as("__ap"))): _*)))
 
     val w = Window.partitionBy((keys :+ "__b").map(col): _*)
-      .orderBy(col(tsCol).asc, col("__rank").asc)
+      .orderBy(col(tsCol).asc +: col("__rank").asc +:
+        tbCols.map(col(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    payload.foldLeft(lTag.unionByName(rTag).unionByName(seedTag)) { (d, c) =>
-        d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    payload.foldLeft(
+        lTag.unionByName(rTag).unionByName(seedTag)
+          .withColumn("__ap", last(col("__ap"), ignoreNulls = true).over(w))
+          .filter(col("__rank") === 1)) { (d, c) =>
+        d.withColumn(c, col("__ap").getField(c))
       }
-      .filter(col("__rank") === 1)
-      .drop("__rank", "__b")
+      .drop("__rank" +: "__b" +: "__ap" +: tbCols: _*)
   }
 
+  /** @param rightTieBreak right-side columns that order right rows sharing
+    *   one (key, ts) — the LARGEST tuple wins, i.e. `arg_max` semantics,
+    *   resolved inside the window sort at zero extra shuffle (a pre-dedup
+    *   `groupBy(key, ts)` would cost a second wide shuffle of the right
+    *   stream). Without it, tie order among same-ts right rows is
+    *   arbitrary — fine only when `tsCol` is unique per key.
+    */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-      tsCol: String, payload: Seq[String]): DataFrame = {
+      tsCol: String, payload: Seq[String],
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
     require(payload.intersect(left.columns).isEmpty,
       s"payload columns ${payload.intersect(left.columns).mkString(",")} collide with left columns")
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{StructField, StructType}
     val leftOnly = left.columns.filterNot(c => keys.contains(c) || c == tsCol)
-    val l = payload.foldLeft(left.withColumn("__is_left", lit(1))) { (d, c) =>
-      d.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    // Carry the payload as ONE struct so the matched right row stays atomic:
+    // per-column last(ignoreNulls) would backfill a null field of the
+    // matched row from an OLDER right row, unlike a true as-of join (and
+    // unlike DuckDB's ASOF), which returns the whole matched row nulls
+    // included.
+    val pType = StructType(payload.map(c =>
+      StructField(c, right.schema(c).dataType, nullable = true)))
+    val tbCols = rightTieBreak.zipWithIndex.map { case (_, i) => s"__tb$i" }
+    val l = rightTieBreak.zipWithIndex.foldLeft(
+      left.withColumn("__is_left", lit(1))
+        .withColumn("__ap", lit(null).cast(pType))) { case (d, (c, i)) =>
+      d.withColumn(s"__tb$i", lit(null).cast(right.schema(c).dataType))
     }
     val r = leftOnly.foldLeft(
-      right.select((keys ++ Seq(tsCol) ++ payload).map(col): _*)
+      right.select((keys :+ tsCol).map(col) ++
+          (struct(payload.map(col): _*).cast(pType).as("__ap") +:
+            rightTieBreak.zipWithIndex.map { case (c, i) =>
+              col(c).as(s"__tb$i") }): _*)
         .withColumn("__is_left", lit(0))) { (d, c) =>
       d.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
-    // at equal ts the right row sorts FIRST so it is visible to the left row
+    // at equal ts the right row sorts FIRST so it is visible to the left
+    // row; among tied right rows the largest tiebreak sorts LAST, so
+    // last(ignoreNulls) carries exactly the arg_max row
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__is_left").asc)
+      .orderBy(col(tsCol).asc +: col("__is_left").asc +:
+        tbCols.map(col(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    payload.foldLeft(l.unionByName(r)) { (d, c) =>
-        d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    payload.foldLeft(
+        l.unionByName(r)
+          .withColumn("__ap", last(col("__ap"), ignoreNulls = true).over(w))
+          .filter(col("__is_left") === 1)) { (d, c) =>
+        d.withColumn(c, col("__ap").getField(c))
       }
-      .filter(col("__is_left") === 1)
-      .drop("__is_left")
+      .drop("__is_left" +: "__ap" +: tbCols: _*)
   }
 }

@@ -66,12 +66,16 @@ object MultimodalOps {
 
   /** Walk JPEG segments to the first start-of-frame marker (SOF0–SOF15
     * minus DHT/JPG/DAC) and read its [precision][height:2][width:2].
+    * A 0xFF at the marker position is a fill/padding byte (the spec allows
+    * any number between segments) — consume it one byte at a time rather
+    * than misreading it as a length-prefixed segment.
     */
   private def jpegDims(b: Array[Byte]): Option[(String, Int, Int)] = {
     var i = 2
     while (i + 9 < b.length && (b(i) & 0xff) == 0xff) {
       val marker = b(i + 1) & 0xff
-      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) i += 2
+      if (marker == 0xff) i += 1
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) i += 2
       else if (marker >= 0xc0 && marker <= 0xcf &&
           marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
         return Some(("jpeg", beShort(b, i + 7), beShort(b, i + 5)))

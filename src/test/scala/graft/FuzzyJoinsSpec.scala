@@ -82,6 +82,48 @@ class FuzzyJoinsSpec extends SparkSpec {
       .count() == left.count())
   }
 
+  test("asofJoin payload is row-atomic: null fields of the matched row stay null") {
+    val left = Seq((1L, ts("2024-01-05 00:00:00"), 100L))
+      .toDF("k", "ts", "left_id")
+    // the MATCHED right row (01-04) holds a null v; an older row (01-02)
+    // holds a real v — per-column carry would wrongly mix 7.0 into the match
+    val right = Seq(
+      (1L, ts("2024-01-02 00:00:00"), Some(7.0), "a"),
+      (1L, ts("2024-01-04 00:00:00"), None: Option[Double], "b"),
+    ).toDF("k", "ts", "v", "tag")
+    for (out <- Seq(
+        FuzzyJoins.asofJoin(left, right, Seq("k"), "ts", Seq("v", "tag")),
+        FuzzyJoins.asofJoinBucketed(left, right, Seq("k"), "ts",
+          Seq("v", "tag"), 86400L * 1000000))) {
+      val r = out.select("v", "tag").collect()
+      assert(r.length == 1)
+      assert(r.head.isNullAt(0),
+        "null field of the matched right row must not backfill from an older row")
+      assert(r.head.getString(1) == "b")
+    }
+  }
+
+  test("asofJoin rightTieBreak: tied right rows resolve to the arg_max row") {
+    val left = Seq((1L, ts("2024-01-05 00:00:00"), 100L))
+      .toDF("k", "ts", "left_id")
+    // three clicks at the SAME instant — without a tiebreak the winner is
+    // arbitrary; with rightTieBreak=id the max-id row must win atomically
+    val right = Seq(
+      (1L, ts("2024-01-02 00:00:00"), 11L, "low"),
+      (1L, ts("2024-01-02 00:00:00"), 33L, "high"),
+      (1L, ts("2024-01-02 00:00:00"), 22L, "mid"),
+    ).toDF("k", "ts", "rid", "tag")
+    for (out <- Seq(
+        FuzzyJoins.asofJoin(left, right, Seq("k"), "ts",
+          Seq("rid", "tag"), rightTieBreak = Seq("rid")),
+        FuzzyJoins.asofJoinBucketed(left, right, Seq("k"), "ts",
+          Seq("rid", "tag"), 86400L * 1000000, rightTieBreak = Seq("rid")))) {
+      val r = out.select("rid", "tag").collect()
+      assert(r.length == 1)
+      assert(r.head.getLong(0) == 33L && r.head.getString(1) == "high")
+    }
+  }
+
   test("asofJoin and asofJoinBucketed keep all left rows on an empty right side") {
     val left = Seq((1L, ts("2024-01-05 00:00:00"), 100L))
       .toDF("k", "ts", "left_id")

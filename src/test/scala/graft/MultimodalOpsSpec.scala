@@ -95,6 +95,15 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(MultimodalOps.parseHeader("plain text".getBytes("UTF-8")).isEmpty)
   }
 
+  test("parseHeader: JPEG 0xFF fill bytes between segments are skipped") {
+    // the JPEG spec allows any number of 0xFF padding bytes before a
+    // marker; inject two right after SOI — a parser that treats the pad as
+    // a length-prefixed segment misadvances and loses the real dimensions
+    val clean = imageBytes("jpg", 200, 99)
+    val padded = clean.take(2) ++ Array(0xff.toByte, 0xff.toByte) ++ clean.drop(2)
+    assert(MultimodalOps.parseHeader(padded).contains(("jpeg", 200, 99)))
+  }
+
   test("decodeMeta: real containers get real dims, unknown payloads the stub") {
     val rows = Seq(
       (1L, imageBytes("png", 321, 77)),
