@@ -17,10 +17,18 @@ object Bench {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings")
       .foreach(t => Tables.load(spark, sfDir, t).count())
+    // optional comma-separated query filter for load-controlled A/B runs
+    // (SPARK_GRAFT_BENCH_QUERIES unset → the full contract bench)
+    val wanted = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = wanted match {
+      case Some(ws) => SparkEntry.queries.filter { case (n, _) => ws(n) }
+      case None => SparkEntry.queries
+    }
     // a throwing query must be VISIBLE in the bench JSON: its time is
     // reported as -1 and its name lands in "failed" (a swallowed catch
     // would disguise a broken query as a normal timing entry)
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val results = selected.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
