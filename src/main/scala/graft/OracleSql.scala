@@ -1181,5 +1181,178 @@ object OracleSql {
         |FROM n a JOIN n b ON a.noun = b.noun AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 4
         |ORDER BY name_a, name_b""".stripMargin,
+
+    "q97_token_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        |  FROM documents),
+        |lm AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        |d AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens, SUM(c) AS sum_c,
+        |    COUNT(*) FILTER (WHERE c < 3) AS n_rare
+        |  FROM toks JOIN lm USING (tok)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  ROUND(sum_c / CAST(n_tokens AS DOUBLE), 6) AS avg_token_freq,
+        |  ROUND(n_rare / CAST(n_tokens AS DOUBLE), 6) AS rare_frac
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q98_char_diversity" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |hist AS (
+        |  SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch),
+        |d AS (
+        |  SELECT doc_id, SUM(c) AS n_chars, COUNT(*) AS n_distinct_chars,
+        |    MAX(c) AS max_c, SUM(c * c) AS sum_sq,
+        |    SUM(CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(28,10))) AS sum_clnc
+        |  FROM hist GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+        |  ROUND(1.0 - sum_sq / CAST(n_chars * n_chars AS DOUBLE), 6) AS simpson,
+        |  ROUND(max_c / CAST(n_chars AS DOUBLE), 6) AS top_char_share,
+        |  ROUND(ln(CAST(n_chars AS DOUBLE)) -
+        |    CAST(sum_clnc AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS entropy_nats
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q99_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS m
+        |  FROM events GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, abs(e.value - m.m) AS ad, m.m
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(ad, 0.5) AS md
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, COUNT(*) AS n,
+        |  ROUND(ANY_VALUE(d.m), 6) AS median,
+        |  ROUND(ANY_VALUE(ma.md), 6) AS mad,
+        |  COUNT(*) FILTER (WHERE d.ad > 3.0 * ma.md) AS n_outliers
+        |FROM dev d JOIN mad ma USING (event_type)
+        |GROUP BY d.event_type
+        |ORDER BY d.event_type""".stripMargin,
+
+    "q100_chi_square" ->
+      """WITH t AS (
+        |  SELECT event_type AS r,
+        |    CASE WHEN value >= 50 THEN 1 ELSE 0 END AS c FROM events),
+        |cells AS (SELECT r, c, COUNT(*) AS o FROM t GROUP BY r, c),
+        |rm AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rmv FROM cells GROUP BY r),
+        |cm AS (SELECT c, CAST(SUM(o) AS BIGINT) AS cmv FROM cells GROUP BY c),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |  COUNT(DISTINCT r) AS nr, COUNT(DISTINCT c) AS nc FROM cells),
+        |contrib AS (
+        |  SELECT CAST((o - e) * (o - e) / e AS DECIMAL(28,10)) AS ct,
+        |    n, nr, nc
+        |  FROM (SELECT cells.o,
+        |          (rmv * cmv) / CAST(n AS DOUBLE) AS e, n, nr, nc
+        |        FROM cells JOIN rm USING (r) JOIN cm USING (c)
+        |        CROSS JOIN tot))
+        |SELECT ANY_VALUE(n) AS n,
+        |  CAST((ANY_VALUE(nr) - 1) * (ANY_VALUE(nc) - 1) AS BIGINT) AS dof,
+        |  ROUND(CAST(SUM(ct) AS DOUBLE), 6) AS chi2
+        |FROM contrib""".stripMargin,
+
+    "q101_weighted_median" ->
+      """WITH byval AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    SUM(CAST(l_quantity AS DECIMAL(28,4))) AS w
+        |  FROM lineitem GROUP BY l_returnflag, l_extendedprice),
+        |cum AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+        |  FROM byval),
+        |tot AS (SELECT l_returnflag, SUM(w) AS tw FROM byval
+        |        GROUP BY l_returnflag)
+        |SELECT c.l_returnflag, MIN(c.l_extendedprice) AS weighted_median
+        |FROM cum c JOIN tot t USING (l_returnflag)
+        |WHERE c.cw * 2 >= t.tw
+        |GROUP BY c.l_returnflag
+        |ORDER BY c.l_returnflag""".stripMargin,
+
+    "q102_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |  GROUP BY e.user_id),
+        |n AS (
+        |  SELECT 1 AS stage_idx, 'view' AS stage,
+        |    (SELECT COUNT(*) FROM v) AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM p))
+        |SELECT stage_idx, stage, n_users,
+        |  ROUND(n_users /
+        |    CAST(LAG(n_users) OVER (ORDER BY stage_idx) AS DOUBLE), 6)
+        |    AS conv_from_prev
+        |FROM n ORDER BY stage_idx""".stripMargin,
+
+    "q103_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT e.user_id, f.cw,
+        |    (epoch_us(date_trunc('week', e.ts)) - epoch_us(f.cw))
+        |      // 604800000000 AS week_offset
+        |  FROM events e JOIN f USING (user_id))
+        |SELECT CAST(cw AS DATE) AS cohort_week,
+        |  CAST(week_offset AS BIGINT) AS week_offset,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM a WHERE week_offset <= 3
+        |GROUP BY cw, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q104_column_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'event_id' AS "column", COUNT(*) AS n_rows,
+        |    COUNT(*) FILTER (WHERE event_id IS NULL) AS n_null,
+        |    ROUND(COUNT(*) FILTER (WHERE event_id IS NULL) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS null_frac,
+        |    COUNT(DISTINCT event_id) AS n_distinct
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'ts', COUNT(*), COUNT(*) FILTER (WHERE ts IS NULL),
+        |    ROUND(COUNT(*) FILTER (WHERE ts IS NULL) /
+        |      CAST(COUNT(*) AS DOUBLE), 6),
+        |    COUNT(DISTINCT epoch_us(ts))
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', COUNT(*), COUNT(*) FILTER (WHERE user_id IS NULL),
+        |    ROUND(COUNT(*) FILTER (WHERE user_id IS NULL) /
+        |      CAST(COUNT(*) AS DOUBLE), 6),
+        |    COUNT(DISTINCT user_id)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'event_type', COUNT(*),
+        |    COUNT(*) FILTER (WHERE event_type IS NULL),
+        |    ROUND(COUNT(*) FILTER (WHERE event_type IS NULL) /
+        |      CAST(COUNT(*) AS DOUBLE), 6),
+        |    COUNT(DISTINCT event_type)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'value', COUNT(*), COUNT(*) FILTER (WHERE value IS NULL),
+        |    ROUND(COUNT(*) FILTER (WHERE value IS NULL) /
+        |      CAST(COUNT(*) AS DOUBLE), 6),
+        |    COUNT(DISTINCT value)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'props', COUNT(*), COUNT(*) FILTER (WHERE props IS NULL),
+        |    ROUND(COUNT(*) FILTER (WHERE props IS NULL) /
+        |      CAST(COUNT(*) AS DOUBLE), 6),
+        |    COUNT(DISTINCT props)
+        |  FROM events)
+        |ORDER BY "column"""".stripMargin,
   )
 }

@@ -1442,6 +1442,140 @@ object SparkEntry {
       .orderBy(col("name_a"), col("name_b"))
   }
 
+  // ---------------------------------------------------------------- q97
+  // Unigram-LM corpus statistics (text-quality family): per-document mean
+  // corpus term frequency and rare-token fraction — the "how ordinary is
+  // this document's vocabulary" signal an LM-data pipeline filters on.
+  // Exact integer numerators, so the oracle matches at full hash parity.
+  def q97(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tokenLmStats(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- q98
+  // Character-distribution quality: Shannon entropy, Simpson diversity,
+  // and top-char share per document — the low-entropy/padding detector of
+  // the Gopher-rule family (complements q71's token-repetition rules).
+  def q98(spark: SparkSession, dir: String): DataFrame =
+    TextOps.withCharDiversity(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- q99
+  // Robust outlier flagging: per-event-type median, MAD, and |x−med| >
+  // 3·MAD counts — the outlier rule that survives a corrupted ingest
+  // window where q82's mean/std z-score saturates. Exact type-7 medians
+  // match DuckDB's quantile_cont bit-for-bit.
+  def q99(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.RobustStats.madOutliers(
+        t(spark, dir, "events"), "event_type", "value")
+      .orderBy(col("event_type"))
+
+  // ---------------------------------------------------------------- q100
+  // Chi-square test of independence: is event type associated with
+  // high-value activity? Contingency counts + margin joins, each cell's
+  // (o−e)²/e accumulated as an exact decimal — the feature-vs-label
+  // association screen of a tabular pipeline (complements q95's Pearson
+  // correlations with a categorical test).
+  def q100(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.RobustStats.chiSquare(
+      t(spark, dir, "events"),
+      col("event_type"),
+      when(col("value") >= 50, 1).otherwise(0))
+
+  // ---------------------------------------------------------------- q101
+  // Lower weighted median: quantity-weighted median extended price per
+  // return flag — the importance-weighted quantile a corpus-mixing pass
+  // uses ("median document quality weighted by token count"). Exact
+  // decimal cumulative weights, no-division threshold rule, value-level
+  // pre-aggregation → total-order deterministic in any engine.
+  def q101(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.RobustStats.weightedMedianLower(
+        t(spark, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice", "l_quantity")
+      .orderBy(col("l_returnflag"))
+
+  // ---------------------------------------------------------------- q102
+  // Ordered conversion funnel (view → click → purchase, first-touch,
+  // strictly increasing timestamps): per-stage user counts and conversion
+  // rates — the behavioral-analytics staple, as a chain of user-keyed
+  // min-aggregations with no pair blow-up.
+  def q102(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.FunnelOps.funnel(
+        t(spark, dir, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy(col("stage_idx"))
+
+  // ---------------------------------------------------------------- q103
+  // Weekly cohort retention: users bucketed by first-event week, counted
+  // in each later week they stay active — the engagement matrix behind
+  // every retention dashboard. Integer epoch-week arithmetic end to end.
+  def q103(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.FunnelOps.cohortRetention(
+        t(spark, dir, "events"), "user_id", "ts", maxOffsetWeeks = 3)
+      .orderBy(col("cohort_week"), col("week_offset"))
+
+  // ---------------------------------------------------------------- q104
+  // Column profile of the events table: row/null/distinct audit per
+  // column — the ingest gate of a data lake. Timestamps are profiled at
+  // epoch-micros so the count is precision-portable across engines.
+  def q104(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ProfileOps.columnProfile(
+        t(spark, dir, "events"),
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+        keyExpr = Map("ts" -> unix_micros(col("ts"))))
+      .orderBy(col("column"))
+
+  // ---------------------------------------------------------------- q105
+  // PCA explained variance over the embeddings table: the dimensionality
+  // screen before building an ANN index. Rows-only (eigendecomposition is
+  // not SQL-replicable); the operator is spec'd against orthonormality and
+  // variance-ordering invariants.
+  def q105(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.pcaExplainedVariance(
+        t(spark, dir, "embeddings"), "embedding", k = 8)
+      .orderBy(col("component"))
+
+  // ---------------------------------------------------------------- q106
+  // Grid-search cross-validation (hyperparameter selection, the reference's
+  // training-loop companion): logistic-regression regularization grid over
+  // deterministic hash folds, pooled held-out accuracy per grid point,
+  // best flagged. Rows-only (MLlib fits); fold determinism is the same
+  // SplitOps surface q20/q30 oracle-prove.
+  def q106(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.gridSearchLogReg(
+        withReturnFlagBin(
+          t(spark, dir, "lineitem").filter(col("l_orderkey") < 500)),
+        "l_orderkey",
+        Seq("l_quantity", "l_extendedprice", "l_tax"),
+        "l_returnflag_bin", Seq(0.01, 0.1, 1.0), k = 5)
+
+  // lineitem has no binary label; derive one deterministically for q106
+  private def withReturnFlagBin(df: DataFrame): DataFrame =
+    df.withColumn("l_returnflag_bin",
+      (col("l_returnflag") =!= "N").cast("double"))
+
+  // ---------------------------------------------------------------- q107
+  // Mergeable-sketch distinct counting: per-day HLL sketches of active
+  // users, unioned per event type — THE 100 TB pattern for distinct
+  // metrics (daily sketches persist; any date range is a cheap union,
+  // never a rescan). Estimates are engine-specific → rows-only; the spec
+  // bounds the estimate against the exact count.
+  def q107(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val daily = ev.groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, "event_type")
+      .select(col("event_type"), col("n_days"), col("est_users"),
+        col("exact_users"),
+        round(abs(col("est_users") - col("exact_users")) /
+          col("exact_users").cast("double"), 6).as("rel_err"))
+      .orderBy(col("event_type"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1540,6 +1674,17 @@ object SparkEntry {
     "q94_unpivot" -> (q94 _),
     "q95_feature_corr" -> (q95 _),
     "q96_fuzzy_match" -> (q96 _),
+    "q97_token_lm" -> (q97 _),
+    "q98_char_diversity" -> (q98 _),
+    "q99_mad_outliers" -> (q99 _),
+    "q100_chi_square" -> (q100 _),
+    "q101_weighted_median" -> (q101 _),
+    "q102_funnel" -> (q102 _),
+    "q103_cohort_retention" -> (q103 _),
+    "q104_column_profile" -> (q104 _),
+    "q105_pca" -> (q105 _),
+    "q106_grid_search" -> (q106 _),
+    "q107_hll_union" -> (q107 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

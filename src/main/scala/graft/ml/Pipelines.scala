@@ -541,4 +541,78 @@ object MlPipelines {
         round(col("intercept"), 6).as("intercept"),
         col("rmse_oof"))
   }
+
+  /** PCA over an array-embedding column: fit k components, report each
+    * component's explained-variance share and the total captured — the
+    * dimensionality screen run before an ANN index or a probe classifier.
+    * The fit is one distributed covariance pass (MLlib aggregates
+    * per-partition Gram matrices; only the d×d summary reaches the
+    * driver), so it scales to any row count at fixed dimension.
+    */
+  def pcaExplainedVariance(embeddings: DataFrame, vecCol: String,
+      k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val data = embeddings
+      .withColumn("__features", array_to_vector(col(vecCol)))
+    val model = new org.apache.spark.ml.feature.PCA()
+      .setK(k).setInputCol("__features").setOutputCol("__pca")
+      .fit(data)
+    val ev = model.explainedVariance.toArray
+    ev.zipWithIndex.map { case (v, i) =>
+      (i + 1, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    }.toSeq.toDF("component", "explained_var_ratio")
+      .withColumn("cum_explained",
+        round(sum(col("explained_var_ratio")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("component"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)), 6))
+  }
+
+  /** Grid-search cross-validation: k-fold CV of a logistic-regression
+    * regularization grid using the same deterministic hash folds as every
+    * other split here (leakage-safe, engine-reproducible — NOT MLlib's
+    * random CrossValidator folds). Returns one row per grid point with the
+    * mean held-out accuracy and the selected-best flag; ties break to the
+    * strongest regularization, the conventional one-standard-error-style
+    * rule. Fits run fold-parallel like [[ensembleOOFWeighted]].
+    */
+  def gridSearchLogReg(df: DataFrame, idCol: String,
+      featureCols: Seq[String], labelCol: String,
+      regGrid: Seq[Double], k: Int,
+      partitions: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+      .transform(SplitOps.withFold(df, idCol, k))
+      .withColumn("label", col(labelCol).cast("double"))
+    val assembled =
+      (if (partitions > 0) base.coalesce(partitions) else base).cache()
+    assembled.count()
+    val scores = regGrid.par.flatMap { reg =>
+      (0 until k).par.map { f =>
+        val m = new LogisticRegression().setMaxIter(50).setRegParam(reg)
+          .fit(assembled.filter(col("fold") =!= f))
+        val pred = m.transform(assembled.filter(col("fold") === f))
+        val (hit, n) = pred.agg(
+          sum(when(col("prediction") === col("label"), 1L).otherwise(0L)),
+          count(lit(1))).as[(Long, Long)].head()
+        (reg, hit, n)
+      }.toList
+    }.toList
+    assembled.unpersist()
+    // mean accuracy = pooled over folds (every row is held out exactly once)
+    val perReg = scores.groupBy(_._1).map { case (reg, xs) =>
+      (reg, xs.map(_._2).sum.toDouble / xs.map(_._3).sum)
+    }.toSeq
+    val best = perReg.maxBy { case (reg, acc) => (acc, reg) }._1
+    perReg.sortBy(_._1)
+      .map { case (reg, acc) =>
+        (reg, BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, reg == best)
+      }
+      .toDF("reg_param", "cv_accuracy", "is_best")
+  }
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Robust (outlier-insensitive) statistics: median/MAD flagging and
+  * weighted medians. The reference screens features with mean/std z-scores
+  * (`/root/reference/src/data/preprocessing.py:101-137` summary stats);
+  * robust variants are the production-hardened siblings a 100 TB corpus
+  * needs — one multi-day ingest glitch saturates a mean, not a median.
+  *
+  * All medians are exact (`percentile`, type-7 linear interpolation — the
+  * same definition as DuckDB's `quantile_cont`, so results are oracle-
+  * comparable bit-for-bit on IEEE doubles). Exact medians sort within each
+  * key's aggregation buffer; for the billion-rows-per-key regime switch the
+  * call sites to `approx_percentile`, which is mergeable and bounded-memory
+  * (q53 proves that path).
+  */
+object RobustStats {
+
+  /** Per-key median, MAD (median absolute deviation), and the count of
+    * rows outside `med ± k·MAD` — the robust z-score outlier rule (the
+    * robust twin of q82's mean/std z-score). Two aggregation passes over
+    * the keyed data (the median must exist before deviations do) plus
+    * broadcast joins of the tiny per-key statistic frames.
+    */
+  def madOutliers(df: DataFrame, keyCol: String, valCol: String,
+      k: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(keyCol))
+      .agg(expr(s"percentile($valCol, 0.5)").as("__med"))
+    val dev = df.join(broadcast(med), keyCol)
+      .withColumn("__ad", abs(col(valCol) - col("__med")))
+    val mad = dev.groupBy(col(keyCol))
+      .agg(expr("percentile(__ad, 0.5)").as("__mad"))
+    dev.join(broadcast(mad), keyCol)
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        round(first(col("__med")), 6).as("median"),
+        round(first(col("__mad")), 6).as("mad"),
+        sum(when(col("__ad") > lit(k) * col("__mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  /** Lower weighted median per key: the smallest value whose cumulative
+    * weight reaches half the key's total. Weights accumulate as exact
+    * decimals (order-free), the comparison is `2·cum ≥ total` (no division,
+    * no float drift), and ties collapse by pre-aggregating weight per
+    * (key, value) — the window then orders a strictly increasing value
+    * sequence, so the pick is total-order deterministic in any engine.
+    */
+  def weightedMedianLower(df: DataFrame, keyCol: String, valCol: String,
+      weightCol: String, weightScale: Int = 4): DataFrame = {
+    val byVal = df.groupBy(col(keyCol), col(valCol))
+      .agg(sum(col(weightCol).cast(s"decimal(28,$weightScale)")).as("w"))
+    val cum = byVal.withColumn("cw",
+      sum(col("w")).over(Window.partitionBy(col(keyCol))
+        .orderBy(col(valCol).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = byVal.groupBy(col(keyCol)).agg(sum(col("w")).as("tw"))
+    cum.join(broadcast(tot), keyCol)
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy(col(keyCol))
+      .agg(min(col(valCol)).as("weighted_median"))
+  }
+
+  /** Pearson chi-square test of independence over a two-way contingency
+    * table: `rowExpr` × `colExpr` observed counts, expected counts from the
+    * margins, χ² = Σ (o−e)²/e. Everything is one count aggregation plus
+    * broadcast joins of the tiny margin frames; each cell's contribution is
+    * cast to an exact decimal before the final sum so χ² is partition-
+    * order-free and engine-portable.
+    */
+  def chiSquare(df: DataFrame, rowExpr: Column, colExpr: Column): DataFrame = {
+    val cells = df.select(rowExpr.as("r"), colExpr.as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("o"))
+    val rowM = cells.groupBy(col("r")).agg(sum(col("o")).as("rm"))
+    val colM = cells.groupBy(col("c")).agg(sum(col("o")).as("cm"))
+    val n = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("r")).as("nr"), countDistinct(col("c")).as("nc"))
+    cells.join(broadcast(rowM), "r").join(broadcast(colM), "c")
+      .crossJoin(broadcast(n))
+      .withColumn("e", (col("rm") * col("cm")) / col("n").cast("double"))
+      .withColumn("contrib",
+        ((col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+          .cast("decimal(28,10)"))
+      .agg(
+        first(col("n")).as("n"),
+        ((first(col("nr")) - 1) * (first(col("nc")) - 1)).as("dof"),
+        round(sum(col("contrib")).cast("double"), 6).as("chi2"))
+  }
+}

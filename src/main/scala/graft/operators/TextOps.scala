@@ -154,6 +154,71 @@ object TextOps {
       .select(col(idCol), col("term"), col("tf"), col("tfidf"), col("rank"))
   }
 
+  /** Unigram language-model corpus statistics per document: how "ordinary"
+    * a document's vocabulary is relative to the corpus it lives in. For
+    * each document: `avg_token_freq` (mean corpus term frequency of its
+    * tokens — boilerplate scores high, novel text low) and `rare_frac`
+    * (share of token occurrences whose corpus frequency is below
+    * `rareBelow` — OCR noise and codey junk score high). The per-doc
+    * numerator is an exact BIGINT sum, so results are partition-order-free.
+    *
+    * Scale posture: one explode, one term-keyed aggregation for the corpus
+    * LM (the only unbounded-key shuffle), one join back, one doc-keyed
+    * aggregation — the same linear shape as [[tfIdfTopTerms]].
+    */
+  def tokenLmStats(df: DataFrame, idCol: String, textCol: String,
+      rareBelow: Long = 3): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val lm = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    toks.join(lm, "tok")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("c")).as("sum_c"),
+        sum(when(col("c") < rareBelow, 1L).otherwise(0L)).as("n_rare"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("sum_c") / col("n_tokens").cast("double"), 6)
+          .as("avg_token_freq"),
+        round(col("n_rare") / col("n_tokens").cast("double"), 6)
+          .as("rare_frac"))
+  }
+
+  /** Character-distribution quality metrics per document: Shannon entropy
+    * (nats) and Simpson diversity (1 − Σp²) of the character histogram,
+    * plus the top character's share. Low-entropy documents are padding/
+    * repetition; extreme top-char share flags separator junk. One explode +
+    * two doc-keyed hash aggregations — linear, no unbounded key (the
+    * histogram key is (doc, char)).
+    *
+    * Simpson and top-share are pure rational arithmetic over integer
+    * counts; entropy uses `ln` (the same engine-portable-at-6-decimals
+    * surface [[tfIdfTopTerms]]' idf already relies on).
+    */
+  def withCharDiversity(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      .groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("c")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        max(col("c")).as("max_c"),
+        sum(col("c") * col("c")).as("sum_sq"),
+        // -Σ c·ln(c) accumulated exactly in decimal; folded into the
+        // entropy identity below so the per-doc result is order-free
+        sum((col("c") * log(col("c").cast("double")))
+          .cast("decimal(28,10)")).as("sum_clnc"))
+      .select(col(idCol), col("n_chars"), col("n_distinct_chars"),
+        round(lit(1.0) -
+          col("sum_sq") / (col("n_chars") * col("n_chars")).cast("double"), 6)
+          .as("simpson"),
+        round(col("max_c") / col("n_chars").cast("double"), 6)
+          .as("top_char_share"),
+        // H = ln(n) − (Σ c·ln c)/n
+        round(log(col("n_chars").cast("double")) -
+          col("sum_clnc").cast("double") / col("n_chars").cast("double"), 6)
+          .as("entropy_nats"))
+
   /** Word n-gram shingles as space-joined strings. Documents shorter than
     * `n` tokens yield a single shingle of the whole text.
     */
