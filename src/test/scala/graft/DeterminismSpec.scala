@@ -17,12 +17,16 @@ class DeterminismSpec extends SparkSpec {
     "q83_batch_sessionize", "q84_calibration", "q85_normalize",
     "q87_sql_surface", "q88_decile_binning", "q89_integrity_audit",
     "q90_salted_join", "q91_time_weighted_avg", "q92_resample_ffill",
-    "q93_star_join", "q94_unpivot", "q95_feature_corr", "q96_fuzzy_match")
+    "q93_star_join", "q94_unpivot", "q95_feature_corr", "q96_fuzzy_match",
+    "q97_token_lm", "q98_char_diversity", "q99_mad_outliers",
+    "q100_chi_square", "q101_weighted_median", "q102_funnel",
+    "q103_cohort_retention", "q104_column_profile")
   // q74/q80 are excluded: k-means initialization samples per-partition, so
   // their (seeded) result is deterministic per partitioning, not across
   // partitionings — the documented contract for MLlib-backed queries
+  // (q105-q107 likewise: MLlib fits / HLL sketch estimates)
 
-  test("round-2 queries are bit-identical at shuffle.partitions 1 and 7") {
+  test("round-2+ queries are bit-identical at shuffle.partitions 1 and 7") {
     val old = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       queries.foreach { name =>

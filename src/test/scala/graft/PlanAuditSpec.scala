@@ -215,6 +215,56 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q97 token LM: term shuffle + doc aggregate only, no window, no BNLJ") {
+    val df = SparkEntry.q97(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // corpus LM (term key), join-back, doc aggregate — the term hash is the
+    // only unbounded key; a window formulation would sort the whole explode
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"expected map-side partial aggregation:\n$p")
+    val nHash = "Exchange hashpartitioning".r.findAllIn(finalSection).length
+    assert(nHash <= 3, s"expected <=3 hash shuffles, got $nHash:\n$p")
+  }
+
+  test("q101 weighted median: per-key window, never a single-partition sort") {
+    val df = SparkEntry.q101(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // the cumulative-weight window partitions BY KEY; a global orderBy-based
+    // median would funnel the table through one task
+    assert(!finalSection.contains("Exchange SinglePartition"),
+      s"weighted median must not single-partition the data:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"totals must broadcast:\n$p")
+  }
+
+  test("q102 funnel: stage frontiers join on the user hash, no pair blow-up") {
+    val df = SparkEntry.q102(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q104 profile: each column pass prunes its read schema") {
+    val p = plan(SparkEntry.q104(spark, dir))
+    // six per-column aggregation branches; every FileScan must read at most
+    // one data column (plus none for the pure-count branch) — a profile
+    // that rescans all columns per branch reads 6× the bytes at 100 TB
+    val reads = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(reads.nonEmpty, p)
+    reads.foreach { r =>
+      val nCols = if (r.trim.isEmpty) 0 else r.split(",").length
+      assert(nCols <= 1, s"profile branch reads $nCols columns ($r):\n$p")
+    }
+  }
+
   test("populationFeatures: sensor table shuffles at most twice, joins broadcast") {
     import spark.implicits._
     val sensor = (0 until 200).map(i =>
