@@ -1293,8 +1293,8 @@ object OracleSql {
         |  UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM c)
         |  UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM p))
         |SELECT stage_idx, stage, n_users,
-        |  ROUND(n_users /
-        |    CAST(LAG(n_users) OVER (ORDER BY stage_idx) AS DOUBLE), 6)
+        |  ROUND(n_users / CAST(NULLIF(
+        |    LAG(n_users) OVER (ORDER BY stage_idx), 0) AS DOUBLE), 6)
         |    AS conv_from_prev
         |FROM n ORDER BY stage_idx""".stripMargin,
 
@@ -1313,6 +1313,25 @@ object OracleSql {
         |FROM a WHERE week_offset <= 3
         |GROUP BY cw, week_offset
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q108_stream_outer_join" ->
+      """WITH h AS (
+        |  SELECT MAX(epoch_us(ts)) - CAST(172800 AS BIGINT)*1000000 AS hz
+        |  FROM events),
+        |p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id, ts AS c_ts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.p_id, p.user_id, epoch_us(p.p_ts) AS p_ts_us,
+        |  c.c_id IS NOT NULL AS attributed,
+        |  COALESCE(c.c_id, -1) AS c_id,
+        |  COALESCE(epoch_us(c.c_ts), -1) AS c_ts_us
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |  AND c.c_ts <= p.p_ts
+        |  AND c.c_ts >= p.p_ts - INTERVAL 1 DAY
+        |CROSS JOIN h
+        |WHERE epoch_us(p.p_ts) < h.hz
+        |ORDER BY p_id, c_id""".stripMargin,
 
     "q104_column_profile" ->
       """SELECT * FROM (

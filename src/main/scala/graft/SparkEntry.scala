@@ -1576,6 +1576,40 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  // ---------------------------------------------------------------- q108
+  // LEFT-OUTER stream-stream range join: q65's attribution join keeping
+  // UNATTRIBUTED purchases (null-click rows), the production question
+  // "which conversions had no preceding touchpoint". Null emission is
+  // watermark-driven, so both engines restrict to the matured horizon
+  // (max event time − watermark delay) — inside it, streaming replay and
+  // the batch left join are provably identical. The unmatched flag and
+  // sentinel click columns keep the sort total (no null-ordering
+  // divergence between engines).
+  def q108(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val delayUs = 2L * 86400 * 1000000
+    val joined = graft.streaming.StreamingOps.streamStreamRangeJoinOuter(
+      spark, dir, "events.parquet", "user_id", "ts",
+      col("event_type") === "purchase", col("event_type") === "click",
+      rangeSeconds = 86400, "2 days",
+      graft.streaming.StreamSink.Memory(s"q108_sink_${System.nanoTime()}"),
+      prepare = df => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    // matured horizon from the static table (harness determinism filter —
+    // a 1-row aggregate, broadcast into the predicate)
+    val horizon = t(spark, dir, "events")
+      .agg((max(unix_micros(col("ts"))) - delayUs).as("__h"))
+    joined
+      .crossJoin(broadcast(horizon))
+      .filter(unix_micros(col("ts")) < col("__h"))
+      .select(
+        col("event_id").as("p_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_ts_us"),
+        col("event_id_r").isNotNull.as("attributed"),
+        coalesce(col("event_id_r"), lit(-1L)).as("c_id"),
+        coalesce(unix_micros(col("ts_r")), lit(-1L)).as("c_ts_us"))
+      .orderBy(col("p_id"), col("c_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1685,6 +1719,7 @@ object SparkEntry {
     "q105_pca" -> (q105 _),
     "q106_grid_search" -> (q106 _),
     "q107_hll_union" -> (q107 _),
+    "q108_stream_outer_join" -> (q108 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

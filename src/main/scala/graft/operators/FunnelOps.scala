@@ -51,7 +51,10 @@ object FunnelOps {
       (col("stage_idx") + 1).as("stage_idx"), col("n_users").as("__prev_n"))
     counts.join(broadcast(prev), Seq("stage_idx"), "left")
       .select(col("stage_idx"), col("stage"), col("n_users"),
-        round(col("n_users") / col("__prev_n").cast("double"), 6)
+        // null for the first stage AND for an empty previous stage (ANSI
+        // division would throw on 0; SQL engines yield NULL — match that)
+        when(col("__prev_n") > 0,
+          round(col("n_users") / col("__prev_n").cast("double"), 6))
           .as("conv_from_prev"))
   }
 

@@ -275,6 +275,33 @@ object StreamingOps {
     runToSink(spark, l.join(r, cond), sink, "append")
   }
 
+  /** LEFT-OUTER stream-stream range join: same shape as
+    * [[streamStreamRangeJoin]], but unmatched left rows survive with null
+    * right columns. Null emission is WATERMARK-DRIVEN: a left row is
+    * released as unmatched only once the watermark proves no qualifying
+    * right row can still arrive, so rows younger than (max event time −
+    * watermark delay) are withheld at end-of-input — callers comparing
+    * against a batch oracle must restrict both sides to that matured
+    * horizon. State stays bounded exactly as in the inner variant: the
+    * range condition lets Spark evict both sides as the watermark moves.
+    */
+  def streamStreamRangeJoinOuter(spark: SparkSession, dir: String,
+      fileName: String, keyCol: String, tsCol: String,
+      leftPred: org.apache.spark.sql.Column, rightPred: org.apache.spark.sql.Column,
+      rangeSeconds: Long, watermark: String, sink: StreamSink,
+      prepare: DataFrame => DataFrame = identity): DataFrame = {
+    val l = prepare(fileStream(spark, dir, fileName))
+      .filter(leftPred).withWatermark(tsCol, watermark)
+    val rBase = prepare(fileStream(spark, dir, fileName)).filter(rightPred)
+    val r = rBase.columns.foldLeft(rBase)(
+        (d, c) => d.withColumnRenamed(c, c + "_r"))
+      .withWatermark(tsCol + "_r", watermark)
+    val cond = col(keyCol) === col(keyCol + "_r") &&
+      col(tsCol + "_r") <= col(tsCol) &&
+      col(tsCol + "_r") >= col(tsCol) - expr(s"INTERVAL $rangeSeconds SECONDS")
+    runToSink(spark, l.join(r, cond, "leftOuter"), sink, "append")
+  }
+
   def streamStaticJoinStats(spark: SparkSession, dir: String, fileName: String,
       static: DataFrame, streamKey: String, staticKey: String,
       tsCol: String, valueCol: String, watermark: String,

@@ -91,6 +91,28 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out == batch)
   }
 
+  test("streamStreamRangeJoinOuter: matured unmatched rows emit with nulls") {
+    // fixture: user 1 'a' events act as left; 'b' (user 2, Jan 2) never has
+    // a same-user right 'a' row → must surface as an unmatched null row
+    // once matured. Delay 0 → watermark reaches max ts; all left rows with
+    // ts < max ts are matured.
+    val out = StreamingOps.streamStreamRangeJoinOuter(spark,
+      s"$dir/fixture.parquet", "*.parquet", "user_id", "ts",
+      col("event_type").isin("a", "b"), col("event_type") === "a",
+      rangeSeconds = 3600 * 24, "0 seconds",
+      StreamSink.Memory(s"spec_sso_${System.nanoTime()}"))
+    val matured = out.filter(col("ts") < to_timestamp(lit("2024-01-03 01:00:00")))
+      .select(col("user_id"), col("ts"), col("value_r"))
+      .collect()
+    // user 2's Jan 2 'b' row has no matching 'a' click → null right side
+    val unmatched = matured.filter(_.getAs[Long]("user_id") == 2L)
+    assert(unmatched.length == 1)
+    assert(unmatched.head.isNullAt(2), "unmatched left row must carry nulls")
+    // user 1's matured rows all match (self/same-day pairs)
+    assert(matured.filter(_.getAs[Long]("user_id") == 1L)
+      .forall(!_.isNullAt(2)))
+  }
+
   test("materializeWindowedStats: replay converges, untouched partitions survive") {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     val d = "/root/testdata/sf0.001"
