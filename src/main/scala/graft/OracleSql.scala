@@ -1316,7 +1316,10 @@ object OracleSql {
 
     "q108_stream_outer_join" ->
       """WITH h AS (
-        |  SELECT MAX(epoch_us(ts)) - CAST(172800 AS BIGINT)*1000000 AS hz
+        |  -- matured horizon: floor_ms(max ts) − watermark delay − range
+        |  -- (outer-join state is held open for the full join window)
+        |  SELECT (MAX(epoch_us(ts)) // 1000) * 1000
+        |    - CAST(259200 AS BIGINT)*1000000 AS hz
         |  FROM events),
         |p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
         |      WHERE event_type = 'purchase'),

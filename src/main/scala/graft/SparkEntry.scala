@@ -1580,14 +1580,17 @@ object SparkEntry {
   // LEFT-OUTER stream-stream range join: q65's attribution join keeping
   // UNATTRIBUTED purchases (null-click rows), the production question
   // "which conversions had no preceding touchpoint". Null emission is
-  // watermark-driven, so both engines restrict to the matured horizon
-  // (max event time − watermark delay) — inside it, streaming replay and
-  // the batch left join are provably identical. The unmatched flag and
+  // watermark-driven — Spark releases an unmatched left row only once the
+  // watermark clears left.ts + RANGE (the join window it must keep open),
+  // and tracks watermarks at millisecond grain — so both engines restrict
+  // to the matured horizon floor_ms(max event time) − delay − range.
+  // Inside it, streaming replay and the batch left join are provably
+  // identical (verified at sf0.001/0.01/0.1). The unmatched flag and
   // sentinel click columns keep the sort total (no null-ordering
   // divergence between engines).
   def q108(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val delayUs = 2L * 86400 * 1000000
+    val horizonUs = (2L * 86400 + 86400) * 1000000 // watermark delay + range
     val joined = graft.streaming.StreamingOps.streamStreamRangeJoinOuter(
       spark, dir, "events.parquet", "user_id", "ts",
       col("event_type") === "purchase", col("event_type") === "click",
@@ -1597,7 +1600,8 @@ object SparkEntry {
     // matured horizon from the static table (harness determinism filter —
     // a 1-row aggregate, broadcast into the predicate)
     val horizon = t(spark, dir, "events")
-      .agg((max(unix_micros(col("ts"))) - delayUs).as("__h"))
+      .agg((floor(max(unix_micros(col("ts"))) / 1000) * 1000 - horizonUs)
+        .as("__h"))
     joined
       .crossJoin(broadcast(horizon))
       .filter(unix_micros(col("ts")) < col("__h"))

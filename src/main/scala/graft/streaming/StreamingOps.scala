@@ -278,12 +278,14 @@ object StreamingOps {
   /** LEFT-OUTER stream-stream range join: same shape as
     * [[streamStreamRangeJoin]], but unmatched left rows survive with null
     * right columns. Null emission is WATERMARK-DRIVEN: a left row is
-    * released as unmatched only once the watermark proves no qualifying
-    * right row can still arrive, so rows younger than (max event time −
-    * watermark delay) are withheld at end-of-input — callers comparing
-    * against a batch oracle must restrict both sides to that matured
-    * horizon. State stays bounded exactly as in the inner variant: the
-    * range condition lets Spark evict both sides as the watermark moves.
+    * released as unmatched only once the watermark clears the full join
+    * window it keeps open (left.ts + rangeSeconds), so rows younger than
+    * (max event time − watermark delay − range) are withheld at
+    * end-of-input — callers comparing against a batch oracle must restrict
+    * both sides to that matured horizon, at millisecond grain (Spark
+    * tracks event-time watermarks in ms). State stays bounded exactly as
+    * in the inner variant: the range condition lets Spark evict both sides
+    * as the watermark moves.
     */
   def streamStreamRangeJoinOuter(spark: SparkSession, dir: String,
       fileName: String, keyCol: String, tsCol: String,
