@@ -1336,6 +1336,80 @@ object OracleSql {
         |WHERE epoch_us(p.p_ts) < h.hz
         |ORDER BY p_id, c_id""".stripMargin,
 
+    "q109_token_budget_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT source, COUNT(*) AS n_docs_kept,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+        |FROM c WHERE cum <= 2000
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q110_gap_detect" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_obs,
+        |  COUNT(*) FILTER (WHERE gap > 21600000000) AS n_gaps,
+        |  MAX(gap) AS max_gap_us
+        |FROM g GROUP BY user_id
+        |HAVING COUNT(*) FILTER (WHERE gap > 21600000000) > 0
+        |ORDER BY user_id""".stripMargin,
+
+    "q111_ar1_forecast" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    LAG(value) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS x,
+        |    CAST(value AS DOUBLE) AS y
+        |  FROM events),
+        |pp AS (SELECT event_type, x, y FROM p WHERE x IS NOT NULL),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS n_pairs,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(28,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx
+        |  FROM pp GROUP BY event_type),
+        |prm AS (
+        |  SELECT event_type, n_pairs,
+        |    (n_pairs * sxy - sx * sy) / (n_pairs * sxx - sx * sx) AS slope,
+        |    (sy - (n_pairs * sxy - sx * sy) / (n_pairs * sxx - sx * sx) * sx)
+        |      / n_pairs AS intercept
+        |  FROM s),
+        |e AS (
+        |  SELECT pp.event_type,
+        |    ROUND(SQRT(CAST(SUM(CAST(
+        |      (pp.y - (prm.intercept + prm.slope * pp.x)) *
+        |      (pp.y - (prm.intercept + prm.slope * pp.x))
+        |      AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)), 6) AS rmse
+        |  FROM pp JOIN prm USING (event_type)
+        |  GROUP BY pp.event_type)
+        |SELECT prm.event_type, CAST(prm.n_pairs AS BIGINT) AS n_pairs,
+        |  ROUND(prm.slope, 6) AS slope,
+        |  ROUND(prm.intercept, 6) AS intercept, e.rmse
+        |FROM prm JOIN e USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    "q112_skew_report" ->
+      """WITH c AS (
+        |  SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id)
+        |SELECT CAST(SUM(c) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+        |  ROUND(SUM(c) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_per_key,
+        |  ROUND(quantile_cont(c, 0.99), 6) AS p99_per_key,
+        |  CAST(MAX(c) AS BIGINT) AS max_per_key,
+        |  ROUND(MAX(c) / ROUND(SUM(c) / CAST(COUNT(*) AS DOUBLE), 6), 6)
+        |    AS skew_ratio
+        |FROM c""".stripMargin,
+
     "q104_column_profile" ->
       """SELECT * FROM (
         |  SELECT 'event_id' AS "column", COUNT(*) AS n_rows,

@@ -1614,6 +1614,53 @@ object SparkEntry {
       .orderBy(col("p_id"), col("c_id"))
   }
 
+  // ---------------------------------------------------------------- q109
+  // Corpus composition under a TOKEN budget: each source contributes
+  // documents (in id order) until its cumulative token count hits 2000 —
+  // the by-tokens sibling of q66's by-rate source mixing. Exact BIGINT
+  // running sums, one stratum-keyed window.
+  def q109(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .withColumn("n_tokens",
+        size(split(trim(col("text")), " ")).cast("long"))
+    graft.operators.SplitOps.takeUntilTokenBudget(
+        d, "doc_id", "source", "n_tokens", budget = 2000)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("n_tokens")).as("tokens_kept"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------- q110
+  // Temporal gap detection (the monitoring complement of q92's resample +
+  // forward-fill): per-user consecutive-event gaps over 6 hours — outage
+  // and dead-tenant reporting before windowed features are trusted.
+  // Integer microsecond arithmetic end to end.
+  def q110(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeriesOps.gapStats(
+        t(spark, dir, "events"), "user_id", "ts", "event_id",
+        thresholdUs = 6L * 3600 * 1000000)
+      .orderBy(col("user_id"))
+
+  // ---------------------------------------------------------------- q111
+  // AR(1) sequence model fit in closed form, per event type: the classical
+  // autoregressive ancestor of the reference's LSTM forecaster, as one
+  // ordered lag window + exact-decimal normal equations — the ONLY kind of
+  // model fit an SQL oracle can replicate bit-for-bit (q60's mechanism
+  // extended to the sequence domain).
+  def q111(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.ar1ClosedForm(
+        t(spark, dir, "events"), "event_type", "ts", "event_id", "value")
+      .orderBy(col("event_type"))
+
+  // ---------------------------------------------------------------- q112
+  // Join-key skew report: per-key row-count distribution (mean, p99, max,
+  // max/mean ratio) — the diagnostic that decides between a plain join
+  // and the salted join (q90) BEFORE the job runs, over the per-key count
+  // frame rather than the data.
+  def q112(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SkewOps.keyDistribution(t(spark, dir, "events"), "user_id")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1724,6 +1771,10 @@ object SparkEntry {
     "q106_grid_search" -> (q106 _),
     "q107_hll_union" -> (q107 _),
     "q108_stream_outer_join" -> (q108 _),
+    "q109_token_budget_mix" -> (q109 _),
+    "q110_gap_detect" -> (q110 _),
+    "q111_ar1_forecast" -> (q111 _),
+    "q112_skew_report" -> (q112 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

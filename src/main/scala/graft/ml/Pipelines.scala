@@ -542,6 +542,52 @@ object MlPipelines {
         col("rmse_oof"))
   }
 
+  /** Per-key AR(1) fit in closed form: y_t = intercept + slope·y_{t−1} over
+    * consecutive observations, the classical sequence model (the linear
+    * ancestor of the reference's LSTM forecasting surface) — expressed as
+    * ONE ordered window pass for the lag pairs plus exact-decimal normal
+    * equations, the same engine-portable arithmetic as [[oofClosedFormOLS]],
+    * so the fit itself is oracle-checkable (which no iterative fit is).
+    * In-sample RMSE comes from a second pass against the broadcast
+    * per-key parameters. `scale` is the measure's true decimal precision
+    * (the [[graft.functions.Stats.dsum]] contract): per-row casts must be
+    * exact recovery, never a rounding decision.
+    */
+  def ar1ClosedForm(df: DataFrame, keyCol: String, tsCol: String,
+      tiebreakCol: String, valueCol: String, scale: Int = 2): DataFrame = {
+    import graft.functions.Stats.dsum
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val pairs = df
+      .withColumn("__x", lag(col(valueCol), 1).over(w))
+      .filter(col("__x").isNotNull)
+      .select(col(keyCol), col("__x").as("x"),
+        col(valueCol).cast("double").as("y"))
+    val params = pairs.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        dsum(col("x"), scale).as("sx"),
+        dsum(col("y"), scale).as("sy"),
+        dsum(col("x") * col("y"), 2 * scale).as("sxy"),
+        dsum(col("x") * col("x"), 2 * scale).as("sxx"))
+      .withColumn("slope",
+        (col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_pairs") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept",
+        (col("sy") - col("slope") * col("sx")) / col("n_pairs"))
+    val errs = pairs.join(broadcast(params), keyCol)
+      .withColumn("err", col("y") - (col("intercept") + col("slope") * col("x")))
+      .groupBy(col(keyCol))
+      .agg(round(sqrt(dsum(col("err") * col("err"), 2 * scale) / count(lit(1))), 6)
+        .as("rmse"))
+    params.join(errs, keyCol)
+      .select(col(keyCol), col("n_pairs"),
+        round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"),
+        col("rmse"))
+  }
+
   /** PCA over an array-embedding column: fit k components, report each
     * component's explained-variance share and the total captured — the
     * dimensionality screen run before an ANN index or a probe classifier.

@@ -33,4 +33,23 @@ object SkewOps {
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(exploded, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Key-distribution skew report: the diagnostic run BEFORE choosing
+    * between a plain join and [[saltedJoin]]. One count aggregation keyed
+    * by the join key, then one tiny aggregate over the per-key counts —
+    * mean/p99/max rows per key and the max/mean skew ratio. The exact p99
+    * (type-7, matching DuckDB's quantile_cont) sorts only the per-key
+    * count frame, which is orders of magnitude smaller than the data.
+    */
+  def keyDistribution(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("__c"))
+      .agg(
+        sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        round(sum(col("__c")) / count(lit(1)).cast("double"), 6)
+          .as("avg_per_key"),
+        round(expr("percentile(__c, 0.99)"), 6).as("p99_per_key"),
+        max(col("__c")).as("max_per_key"))
+      .withColumn("skew_ratio",
+        round(col("max_per_key") / col("avg_per_key"), 6))
 }

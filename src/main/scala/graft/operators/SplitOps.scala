@@ -75,6 +75,23 @@ object SplitOps {
       .drop("__prior")
   }
 
+  /** Corpus composition under a TOKEN budget: keep each stratum's documents
+    * in `orderCol` order until the stratum's cumulative token count exceeds
+    * `budget` — how a training mix caps a source by tokens rather than by
+    * document count ([[stratifiedSample]]'s rate-based sibling). One
+    * per-stratum window over an exact BIGINT running sum; deterministic,
+    * referentially ordered, and a single shuffle on the stratum key.
+    */
+  def takeUntilTokenBudget(df: DataFrame, orderCol: String,
+      stratumCol: String, nTokensCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(nTokensCol)).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
   /** Deterministic stratified sampling: keep a row iff its id's hash bucket
     * falls below its stratum's per-mille rate — the corpus source-mixing
     * primitive of a training-data pipeline (downweight a crawl source, keep

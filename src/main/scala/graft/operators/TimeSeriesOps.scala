@@ -37,6 +37,26 @@ object TimeSeriesOps {
       stdPopRounded(col("d2")).as("delta2_std"))
   }
 
+  /** Temporal gap detection (the complement of resample+forward-fill):
+    * per-key consecutive-timestamp deltas exceeding `thresholdUs` — the
+    * sensor-outage / dead-tenant report a monitoring pass runs before
+    * trusting windowed features. One window pass (same ordered-lag shape
+    * as [[deltaStats]]), integer microsecond arithmetic throughout, keys
+    * with no gaps filtered out.
+    */
+  def gapStats(df: DataFrame, key: String, ts: String, tiebreak: String,
+      thresholdUs: Long): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+    df.withColumn("__gap",
+        unix_micros(col(ts)) - lag(unix_micros(col(ts)), 1).over(w))
+      .groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(when(col("__gap") > thresholdUs, 1L).otherwise(0L)).as("n_gaps"),
+        max(col("__gap")).as("max_gap_us"))
+      .filter(col("n_gaps") > 0)
+  }
+
   /** Two-level trend aggregation (reference A5: per-week means, then
     * dispersion across the weekly means —
     * `/root/reference/src/data/preprocessing.py:229-261`). Two hash

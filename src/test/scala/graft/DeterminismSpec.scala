@@ -20,7 +20,9 @@ class DeterminismSpec extends SparkSpec {
     "q93_star_join", "q94_unpivot", "q95_feature_corr", "q96_fuzzy_match",
     "q97_token_lm", "q98_char_diversity", "q99_mad_outliers",
     "q100_chi_square", "q101_weighted_median", "q102_funnel",
-    "q103_cohort_retention", "q104_column_profile")
+    "q103_cohort_retention", "q104_column_profile",
+    "q109_token_budget_mix", "q110_gap_detect", "q111_ar1_forecast",
+    "q112_skew_report")
   // q74/q80 are excluded: k-means initialization samples per-partition, so
   // their (seeded) result is deterministic per partitioning, not across
   // partitionings — the documented contract for MLlib-backed queries

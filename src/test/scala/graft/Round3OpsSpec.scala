@@ -162,6 +162,62 @@ class Round3OpsSpec extends SparkSpec {
       best.getAs[Double]("cv_accuracy")))
   }
 
+  test("takeUntilTokenBudget: per-stratum cutoff at the exact budget") {
+    val docs = Seq(
+      (1L, "a", 500L), (2L, "a", 400L), (3L, "a", 200L), // cum 900, 1100 > 1000 at doc 3
+      (4L, "b", 1000L), (5L, "b", 1L),                   // b: exactly at budget, then over
+    ).toDF("doc_id", "source", "n_tokens")
+    val kept = graft.operators.SplitOps.takeUntilTokenBudget(
+        docs, "doc_id", "source", "n_tokens", 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L)) // doc 3 overflows a, doc 5 overflows b
+  }
+
+  test("gapStats: counts gaps over threshold, keys without gaps drop out") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L),
+      (1L, ts("2024-01-01 01:00:00"), 2L), // 1 h — no gap
+      (1L, ts("2024-01-01 09:00:00"), 3L), // 8 h — gap
+      (2L, ts("2024-01-01 00:00:00"), 4L),
+      (2L, ts("2024-01-01 02:00:00"), 5L), // 2 h — no gap
+    ).toDF("user_id", "ts", "event_id")
+    val got = graft.operators.TimeSeriesOps.gapStats(
+        ev, "user_id", "ts", "event_id", 6L * 3600 * 1000000)
+      .collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("user_id") == 1L)
+    assert(got.head.getAs[Long]("n_gaps") == 1L)
+    assert(got.head.getAs[Long]("max_gap_us") == 8L * 3600 * 1000000)
+  }
+
+  test("ar1ClosedForm: exact fit on a noiseless AR(1) series") {
+    // y_t = 2 + 0.5·y_{t−1}, y_0 = 8 → 6, 5, 4.5, 4.25: closed form must
+    // recover slope/intercept exactly (to the 6-decimal rounding)
+    val ys = Iterator.iterate(8.0)(y => 2.0 + 0.5 * y).take(6).toSeq
+    val ev = ys.zipWithIndex.map { case (y, i) =>
+      ("k", ts(f"2024-01-01 ${i}%02d:00:00"), i.toLong, y)
+    }.toDF("k", "ts", "event_id", "value")
+    // scale 6: the series (8, 6, 5, 4.5, 4.25, 4.125) needs 3 decimals —
+    // the dsum contract requires exact per-row recovery
+    val r = graft.ml.MlPipelines.ar1ClosedForm(ev, "k", "ts", "event_id",
+      "value", scale = 6).collect().head
+    assert(r.getAs[Long]("n_pairs") == 5L)
+    assert(r.getAs[Double]("slope") == 0.5)
+    assert(r.getAs[Double]("intercept") == 2.0)
+    assert(r.getAs[Double]("rmse") == 0.0)
+  }
+
+  test("keyDistribution: skew report on a known distribution") {
+    val df = (Seq.fill(8)(1L) ++ Seq.fill(1)(2L) ++ Seq.fill(1)(3L))
+      .toDF("k")
+    val r = graft.operators.SkewOps.keyDistribution(df, "k").collect().head
+    assert(r.getAs[Long]("n_rows") == 10L)
+    assert(r.getAs[Long]("n_keys") == 3L)
+    assert(r.getAs[Double]("avg_per_key") == 3.333333)
+    assert(r.getAs[Long]("max_per_key") == 8L)
+    assert(r.getAs[Double]("skew_ratio") == 2.4) // 8 / 3.333333 rounded
+  }
+
   test("hll sketch union estimates track the exact distinct count") {
     val n = 20000L
     val ids = spark.range(n)
