@@ -265,6 +265,44 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q109/q110: stratum/key windows partition by the key, no global sort") {
+    for ((name, q) <- Seq("q109" -> SparkEntry.q109 _, "q110" -> SparkEntry.q110 _)) {
+      val df = q(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val finalSection = p.split("== Initial Plan ==").head
+      // the window must partition on the stratum/user key; a global
+      // (single-partition) window here would serialize the corpus
+      val globalExchanges = "Exchange SinglePartition".r
+        .findAllIn(finalSection).length
+      assert(globalExchanges == 0,
+        s"$name funnels data through one task:\n$p")
+    }
+  }
+
+  test("q111 AR(1): one ordered key window + broadcast of per-key params") {
+    val df = SparkEntry.q111(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!finalSection.contains("Exchange SinglePartition"),
+      s"AR(1) must not single-partition the events:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-key params must broadcast into the RMSE pass:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q112 skew report: aggregates the per-key count frame, not the data") {
+    val df = SparkEntry.q112(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // two stacked aggregations (per-key counts, then the tiny summary) —
+    // map-side partial combine on the big first one
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("Window"),
+      s"the report needs no window pass over the data:\n$p")
+  }
+
   test("populationFeatures: sensor table shuffles at most twice, joins broadcast") {
     import spark.implicits._
     val sensor = (0 until 200).map(i =>
