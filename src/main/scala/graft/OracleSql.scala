@@ -1450,5 +1450,239 @@ object OracleSql {
         |    COUNT(DISTINCT props)
         |  FROM events)
         |ORDER BY "column"""".stripMargin,
+
+    "q113_psi_drift" ->
+      """WITH rng AS (
+        |  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, value, epoch_us(ts) * 2 < mn + mx AS is_ref
+        |  FROM events, rng),
+        |b AS (
+        |  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+        |  FROM w WHERE is_ref GROUP BY event_type),
+        |binned AS (
+        |  SELECT w.event_type, is_ref,
+        |    CASE WHEN (hi - lo) / 10.0 = 0 THEN 0
+        |         ELSE LEAST(9, GREATEST(0, CAST(FLOOR(
+        |           (value - lo) / ((hi - lo) / 10.0)) AS INTEGER))) END AS bin
+        |  FROM w JOIN b ON w.event_type = b.event_type),
+        |cells AS (
+        |  SELECT event_type, bin,
+        |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS r,
+        |    SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS c
+        |  FROM binned GROUP BY event_type, bin),
+        |tot AS (
+        |  SELECT event_type, SUM(r) AS nref, SUM(c) AS ncur
+        |  FROM cells GROUP BY event_type)
+        |SELECT cells.event_type, CAST(MAX(nref) AS BIGINT) AS n_ref,
+        |  CAST(MAX(ncur) AS BIGINT) AS n_cur,
+        |  ROUND(CAST(SUM(CAST(
+        |    ((c + 0.5) / (ncur + 5.0) - (r + 0.5) / (nref + 5.0)) *
+        |    LN(((c + 0.5) / (ncur + 5.0)) / ((r + 0.5) / (nref + 5.0)))
+        |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi
+        |FROM cells JOIN tot ON cells.event_type = tot.event_type
+        |GROUP BY cells.event_type
+        |ORDER BY cells.event_type""".stripMargin,
+
+    "q114_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    LAG(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |pairs AS (
+        |  SELECT prev AS prev_state, event_type AS next_state,
+        |    COUNT(*) AS n
+        |  FROM seq WHERE prev IS NOT NULL
+        |  GROUP BY prev, event_type),
+        |m AS (SELECT prev_state, SUM(n) AS tot FROM pairs GROUP BY prev_state)
+        |SELECT pairs.prev_state, next_state, n,
+        |  ROUND(CAST(n AS DOUBLE) / tot, 6) AS p
+        |FROM pairs JOIN m ON pairs.prev_state = m.prev_state
+        |ORDER BY pairs.prev_state, next_state""".stripMargin,
+
+    "q115_ks_two_sample" ->
+      """WITH v AS (
+        |  SELECT value AS v, event_type = 'click' AS is_a
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |g AS (
+        |  SELECT v,
+        |    SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+        |  FROM v GROUP BY v),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |             CAST(SUM(cb) AS BIGINT) AS n_b FROM g),
+        |c AS (
+        |  SELECT SUM(ca) OVER (ORDER BY v) AS cum_a,
+        |         SUM(cb) OVER (ORDER BY v) AS cum_b
+        |  FROM g)
+        |SELECT n_a, n_b,
+        |  ROUND(MAX(ABS(CAST(cum_a AS DOUBLE) / n_a -
+        |                CAST(cum_b AS DOUBLE) / n_b)), 6) AS ks_stat
+        |FROM c, t GROUP BY n_a, n_b""".stripMargin,
+
+    "q116_cohen_kappa" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(trim(text), ' '), x -> x = 'the')) /
+        |      CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS the_r,
+        |    len(list_filter(string_split(trim(text), ' '), x -> x = 'a')) /
+        |      CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS a_r
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang AS r1,
+        |    CASE WHEN the_r >= 0.04 THEN 'en'
+        |         WHEN a_r >= 0.04 THEN 'fr' ELSE 'und' END AS r2
+        |  FROM s),
+        |cells AS (SELECT r1, r2, COUNT(*) AS o FROM r GROUP BY r1, r2),
+        |m1 AS (SELECT r1, SUM(o) AS n1 FROM cells GROUP BY r1),
+        |m2 AS (SELECT r2, SUM(o) AS n2 FROM cells GROUP BY r2),
+        |pe AS (SELECT CAST(SUM(n1 * n2) AS BIGINT) AS pe_num
+        |       FROM m1 JOIN m2 ON m1.r1 = m2.r2),
+        |a AS (
+        |  SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN r1 = r2 THEN o ELSE 0 END) AS BIGINT) AS agree
+        |  FROM cells)
+        |SELECT n, agree AS n_agree,
+        |  ROUND(CAST(agree AS DOUBLE) / n, 6) AS p_o,
+        |  ROUND(CAST(pe_num AS DOUBLE) / (n * n), 6) AS p_e,
+        |  ROUND((CAST(agree AS DOUBLE) / n -
+        |         CAST(pe_num AS DOUBLE) / (n * n)) /
+        |        (1.0 - CAST(pe_num AS DOUBLE) / (n * n)), 6) AS kappa
+        |FROM a, pe""".stripMargin,
+
+    "q117_bloom_semijoin" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q118_pagerank" -> pageRankSql(iterations = 10),
+
+    "q119_rolling_backtest" ->
+      """WITH rng AS (
+        |  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+        |  FROM events),
+        |b AS (
+        |  SELECT
+        |    CAST((epoch_us(ts) - mn) // 1000000 AS DOUBLE) AS x,
+        |    LEAST(5, CAST(((epoch_us(ts) - mn) * 6) // (mx - mn + 1)
+        |      AS INTEGER)) AS slice,
+        |    CAST(value AS DOUBLE) AS y
+        |  FROM events, rng),
+        |suff AS (
+        |  SELECT slice, COUNT(*) AS n,
+        |    SUM(CAST(x AS DECIMAL(28,0))) AS sx,
+        |    SUM(CAST(y AS DECIMAL(28,2))) AS sy,
+        |    SUM(CAST(x * y AS DECIMAL(28,2))) AS sxy,
+        |    SUM(CAST(x * x AS DECIMAL(28,0))) AS sxx
+        |  FROM b GROUP BY slice),
+        |acc AS (
+        |  SELECT slice,
+        |    SUM(n) OVER w AS tn,
+        |    CAST(SUM(sx) OVER w AS DOUBLE) AS tsx,
+        |    CAST(SUM(sy) OVER w AS DOUBLE) AS tsy,
+        |    CAST(SUM(sxy) OVER w AS DOUBLE) AS tsxy,
+        |    CAST(SUM(sxx) OVER w AS DOUBLE) AS tsxx
+        |  FROM suff
+        |  WINDOW w AS (ORDER BY slice
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |params AS (
+        |  SELECT slice, tn,
+        |    (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx) AS slope,
+        |    (tsy - (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx) * tsx)
+        |      / tn AS intercept
+        |  FROM acc WHERE tn IS NOT NULL AND tn > 1)
+        |SELECT b.slice AS fold, CAST(MAX(tn) AS BIGINT) AS n_train,
+        |  COUNT(*) AS n_test,
+        |  ROUND(MAX(slope), 6) AS slope,
+        |  ROUND(MAX(intercept), 6) AS intercept,
+        |  ROUND(SQRT(CAST(SUM(CAST(
+        |    (y - (intercept + slope * x)) * (y - (intercept + slope * x))
+        |    AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)), 6) AS rmse_test
+        |FROM b JOIN params ON b.slice = params.slice
+        |GROUP BY b.slice
+        |ORDER BY fold""".stripMargin,
+
+    "q120_benford_audit" ->
+      """WITH d AS (
+        |  SELECT CASE
+        |    WHEN o_orderkey < 10 THEN o_orderkey
+        |    WHEN o_orderkey < 100 THEN o_orderkey // 10
+        |    WHEN o_orderkey < 1000 THEN o_orderkey // 100
+        |    WHEN o_orderkey < 10000 THEN o_orderkey // 1000
+        |    WHEN o_orderkey < 100000 THEN o_orderkey // 10000
+        |    WHEN o_orderkey < 1000000 THEN o_orderkey // 100000
+        |    WHEN o_orderkey < 10000000 THEN o_orderkey // 1000000
+        |    WHEN o_orderkey < 100000000 THEN o_orderkey // 10000000
+        |    WHEN o_orderkey < 1000000000 THEN o_orderkey // 100000000
+        |    WHEN o_orderkey < 10000000000 THEN o_orderkey // 1000000000
+        |    WHEN o_orderkey < 100000000000 THEN o_orderkey // 10000000000
+        |    WHEN o_orderkey < 1000000000000 THEN o_orderkey // 100000000000
+        |    ELSE o_orderkey // 1000000000000 END AS digit
+        |  FROM orders WHERE o_orderkey >= 1),
+        |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+        |t AS (SELECT SUM(n) AS tot FROM c),
+        |e AS (
+        |  SELECT digit, n,
+        |    ROUND(CAST(n AS DOUBLE) / tot, 6) AS obs_p,
+        |    CAST(CASE digit
+        |      WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
+        |      WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910
+        |      WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+        |      WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+        |      WHEN 9 THEN 0.045757 END AS DOUBLE) AS exp_p
+        |  FROM c, t)
+        |SELECT digit, n, obs_p, exp_p,
+        |  ROUND(ABS(obs_p - exp_p), 6) AS abs_dev
+        |FROM e ORDER BY digit""".stripMargin,
   )
+
+  /** q118's oracle: the identical fixed-point BIGINT PageRank, the
+    * `iterations` rounds UNROLLED as chained CTEs (standard SQL forbids
+    * aggregation inside a recursive CTE member, and unrolling needs no
+    * recursion at all). Every arithmetic step — `* 85 // 100`, `// deg`,
+    * the `150000000000` teleport base — matches
+    * [[graft.operators.GraphOps.pageRankFixedPoint]] literally; integer
+    * math is associative, so the two engines cannot drift.
+    */
+  private def pageRankSql(iterations: Int): String = {
+    val base =
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id < 200),
+        |pairs AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE ROUND(list_inner_product(a.emb, b.emb) /
+        |      (SQRT(list_inner_product(a.emb, a.emb)) *
+        |       SQRT(list_inner_product(b.emb, b.emb))), 6) >= 0.2),
+        |sym AS (
+        |  SELECT src, dst FROM pairs
+        |  UNION SELECT dst, src FROM pairs),
+        |deg AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY src),
+        |pr0 AS (SELECT v, CAST(1000000000000 AS BIGINT) AS rank_fp FROM deg)
+        |""".stripMargin
+    val iters = (1 to iterations).map { k =>
+      s""",pr$k AS (
+         |  SELECT sym.dst AS v,
+         |    150000000000 + SUM(pr${k - 1}.rank_fp * 85 // 100 // deg.d)
+         |      AS rank_fp
+         |  FROM pr${k - 1}
+         |  JOIN sym ON sym.src = pr${k - 1}.v
+         |  JOIN deg ON deg.v = pr${k - 1}.v
+         |  GROUP BY sym.dst)
+         |""".stripMargin
+    }.mkString
+    val fin =
+      s"""SELECT v AS vec_id, CAST(rank_fp AS BIGINT) AS rank_fp,
+         |  ROUND(CAST(rank_fp AS DOUBLE) / 1000000000000.0, 6) AS rank
+         |FROM pr$iterations ORDER BY vec_id""".stripMargin
+    base + iters + fin
+  }
 }

@@ -1661,6 +1661,91 @@ object SparkEntry {
   def q112(spark: SparkSession, dir: String): DataFrame =
     graft.operators.SkewOps.keyDistribution(t(spark, dir, "events"), "user_id")
 
+  // ---------------------------------------------------------------- q113
+  // Distribution drift (PSI) per event type between the first and second
+  // half of the time range — the production guard on q47's frozen scaler
+  // assumption. Pure integer window split, equal-width bins over the
+  // reference window's bounds, decimal-exact contribution sum.
+  def q113(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.psiDrift(
+        t(spark, dir, "events"), "event_type", "ts", "value", nBins = 10)
+      .orderBy(col("event_type"))
+
+  // ---------------------------------------------------------------- q114
+  // First-order Markov transition matrix of per-user event sequences:
+  // the behavioral summary underneath the reference's sequence models.
+  // One tiebroken keyed window + one (prev, next) count aggregation.
+  def q114(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeriesOps.markovTransitions(
+        t(spark, dir, "events"), "user_id", "ts", "event_id", "event_type")
+      .orderBy(col("prev_state"), col("next_state"))
+
+  // ---------------------------------------------------------------- q115
+  // Two-sample Kolmogorov–Smirnov statistic (click vs view values) with a
+  // DISTRIBUTED prefix sum: deterministic range buckets + per-bucket keyed
+  // windows + a buckets-row offset frame — the scale-safe ECDF shape (the
+  // q46 midrank lesson applied to cumulative distributions).
+  def q115(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.ksTwoSample(
+      t(spark, dir, "events"), "value", "event_type", "click", "view")
+
+  // ---------------------------------------------------------------- q116
+  // Cohen's kappa between the stored document language and the q14
+  // heuristic's prediction — chance-corrected label-audit agreement,
+  // exact-integer contingency ratios.
+  def q116(spark: SparkSession, dir: String): DataFrame =
+    graft.metrics.MetricQueries.cohenKappa(
+      graft.operators.TextOps.withLangId(t(spark, dir, "documents"), "text"),
+      "lang", "lang_pred")
+
+  // ---------------------------------------------------------------- q117
+  // Bloom-prefiltered semi-join: lineitem rows of high-value orders. The
+  // bloom build/probe prunes the big side before its shuffle; the exact
+  // semi-join wipes false positives, so the result (and the oracle) is a
+  // plain semi-join — q90's "optimization must be invisible" contract.
+  def q117(spark: SparkSession, dir: String): DataFrame = {
+    val keys = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 300000.0)
+      .select(col("o_orderkey"))
+    graft.operators.SkewOps.bloomSemiJoin(
+        t(spark, dir, "lineitem"), keys, "l_orderkey", "o_orderkey",
+        expectedItems = 100000L, numBits = 1048576L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_extendedprice").cast("decimal(28,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // ---------------------------------------------------------------- q118
+  // PageRank centrality over the q67 duplicate graph in exact fixed-point
+  // BIGINT arithmetic (10 unrolled iterations, d=0.85): rank-the-canonical
+  // inside dup clusters. Integer math end to end, so the oracle replays
+  // the identical iterations bit-for-bit — a PageRank an SQL engine can
+  // actually check, not just eyeball.
+  def q118(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.GraphOps.pageRankFixedPoint(
+        cosineEdges(spark, dir, 0.2), "id_a", "id_b", iterations = 10)
+      .select(col("v").as("vec_id"), col("rank_fp"), col("rank"))
+      .orderBy(col("vec_id"))
+
+  // ---------------------------------------------------------------- q119
+  // Rolling-origin backtest: expanding-window temporal CV with closed-form
+  // OLS per fold — the leakage-free evaluation protocol for forecasting,
+  // collapsed to sufficient statistics so folds cost one shuffle total.
+  def q119(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.rollingOriginBacktest(
+        t(spark, dir, "events"), "ts", "value", nSlices = 6)
+      .orderBy(col("fold"))
+
+  // ---------------------------------------------------------------- q120
+  // Benford first-digit audit over order keys: the fraud/synthetic-data
+  // screen. First digits by pure BIGINT comparisons (no log, no string
+  // formatting), Benford expectations as shared literals.
+  def q120(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.benfordAudit(t(spark, dir, "orders"), "o_orderkey")
+      .orderBy(col("digit"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1775,6 +1860,14 @@ object SparkEntry {
     "q110_gap_detect" -> (q110 _),
     "q111_ar1_forecast" -> (q111 _),
     "q112_skew_report" -> (q112 _),
+    "q113_psi_drift" -> (q113 _),
+    "q114_markov_transitions" -> (q114 _),
+    "q115_ks_two_sample" -> (q115 _),
+    "q116_cohen_kappa" -> (q116 _),
+    "q117_bloom_semijoin" -> (q117 _),
+    "q118_pagerank" -> (q118 _),
+    "q119_rolling_backtest" -> (q119 _),
+    "q120_benford_audit" -> (q120 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -108,4 +108,39 @@ object MetricQueries {
   def classWeights(df: DataFrame, label: String): DataFrame =
     inverseFrequencyWeights(df, label)
       .withColumn("weight", round(col("weight"), 6))
+
+  /** Cohen's kappa: chance-corrected agreement between two categorical
+    * raters, κ = (p_o − p_e)/(1 − p_e) with p_e from the rater marginals.
+    * The inter-annotator-agreement metric a labeling pipeline reports before
+    * trusting its labels (the reference takes its phenotype labels on faith,
+    * `/root/reference/src/data/dataset.py:300-341`; at corpus scale one
+    * audits first). One count aggregation over the (r1, r2) grid; every
+    * probability is an exact-integer ratio divided once at the end.
+    */
+  def cohenKappa(df: DataFrame, rater1: String, rater2: String): DataFrame = {
+    val cells = df.groupBy(col(rater1).as("r1"), col(rater2).as("r2"))
+      .agg(count(lit(1)).as("o"))
+    val m1 = cells.groupBy(col("r1")).agg(sum(col("o")).as("n1"))
+    val m2 = cells.groupBy(col("r2")).agg(sum(col("o")).as("n2"))
+    // expected-agreement numerator: Σ_k n1_k·n2_k over the shared label set
+    val pe = m1.join(m2, col("r1") === col("r2"))
+      .agg(sum(col("n1") * col("n2")).as("__pe_num"))
+    val agg = cells.agg(
+      sum(col("o")).as("__n"),
+      sum(when(col("r1") === col("r2"), col("o")).otherwise(0L))
+        .as("__agree"))
+    agg.crossJoin(broadcast(pe))
+      .select(
+        col("__n").as("n"),
+        col("__agree").as("n_agree"),
+        round(col("__agree").cast("double") / col("__n"), 6).as("p_o"),
+        round(col("__pe_num").cast("double") / (col("__n") * col("__n")), 6)
+          .as("p_e"),
+        round(
+          (col("__agree").cast("double") / col("__n") -
+            col("__pe_num").cast("double") / (col("__n") * col("__n"))) /
+          (lit(1.0) -
+            col("__pe_num").cast("double") / (col("__n") * col("__n"))), 6)
+          .as("kappa"))
+  }
 }

@@ -661,4 +661,75 @@ object MlPipelines {
       }
       .toDF("reg_param", "cv_accuracy", "is_best")
   }
+
+  /** Rolling-origin (expanding-window) backtest: the time-series analog of
+    * k-fold CV, and the evaluation protocol the reference's forecaster
+    * should have used instead of a random split
+    * (`/root/reference/scripts/train.py:72-84` splits users, not time —
+    * fine for population models, leakage for forecasting). The time range
+    * divides into `nSlices` equal slices by pure integer-microsecond math;
+    * fold k trains a closed-form OLS of `valueCol` on elapsed-seconds over
+    * slices [0, k) and reports test RMSE on slice k.
+    *
+    * Everything is [[graft.functions.Stats.dsum]] exact-decimal sufficient
+    * statistics: one aggregation collapses the data to `nSlices` rows of
+    * (n, Σx, Σy, Σxy, Σx²); the expanding-window accumulation then runs on
+    * that tiny frame under an ordered window (never on the data); and the
+    * test pass joins 5 broadcast parameter rows. Two data shuffles total,
+    * both keyed — no global sort at any size.
+    */
+  def rollingOriginBacktest(df: DataFrame, tsCol: String, valueCol: String,
+      nSlices: Int = 6, scale: Int = 2): DataFrame = {
+    import graft.functions.Stats.dsum
+    import org.apache.spark.sql.expressions.Window
+    val us = unix_micros(col(tsCol))
+    val range = df.agg(min(us).as("__mn"), max(us).as("__mx"))
+    val based = df.crossJoin(broadcast(range))
+      .withColumn("__x",
+        expr(s"(unix_micros($tsCol) - __mn) div 1000000").cast("double"))
+      .withColumn("__slice",
+        least(lit(nSlices - 1),
+          expr(s"((unix_micros($tsCol) - __mn) * $nSlices) div (__mx - __mn + 1)")
+            .cast("int")))
+      .select(col("__slice"), col("__x"), col(valueCol).cast("double").as("__y"))
+    // sufficient statistics stay DECIMAL through the expanding window so
+    // the accumulation is associative-exact in every engine; one cast to
+    // double happens after, for the closed-form arithmetic
+    val suff = based.groupBy(col("__slice"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(28,0)")).as("sx"),
+        sum(col("__y").cast(s"decimal(28,$scale)")).as("sy"),
+        sum((col("__x") * col("__y")).cast(s"decimal(28,$scale)")).as("sxy"),
+        sum((col("__x") * col("__x")).cast("decimal(28,0)")).as("sxx"))
+    // expanding accumulation over the ≤ nSlices-row sufficient-stat frame
+    val wTrain = Window.orderBy(col("__slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val params = suff
+      .withColumn("tn", sum(col("n")).over(wTrain))
+      .withColumn("tsx", sum(col("sx")).over(wTrain).cast("double"))
+      .withColumn("tsy", sum(col("sy")).over(wTrain).cast("double"))
+      .withColumn("tsxy", sum(col("sxy")).over(wTrain).cast("double"))
+      .withColumn("tsxx", sum(col("sxx")).over(wTrain).cast("double"))
+      .filter(col("tn").isNotNull && col("tn") > 1)
+      .withColumn("slope",
+        (col("tn") * col("tsxy") - col("tsx") * col("tsy")) /
+          (col("tn") * col("tsxx") - col("tsx") * col("tsx")))
+      .withColumn("intercept",
+        (col("tsy") - col("slope") * col("tsx")) / col("tn"))
+      .select(col("__slice"), col("tn").as("n_train"),
+        col("slope"), col("intercept"))
+    based.join(broadcast(params), "__slice")
+      .withColumn("__err",
+        col("__y") - (col("intercept") + col("slope") * col("__x")))
+      .groupBy(col("__slice"))
+      .agg(
+        first(col("n_train")).as("n_train"),
+        count(lit(1)).as("n_test"),
+        round(first(col("slope")), 6).as("slope"),
+        round(first(col("intercept")), 6).as("intercept"),
+        round(sqrt(dsum(col("__err") * col("__err"), 2 * scale) /
+          count(lit(1))), 6).as("rmse_test"))
+      .withColumnRenamed("__slice", "fold")
+  }
 }

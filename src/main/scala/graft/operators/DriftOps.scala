@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Distribution-drift and distribution-audit operators: PSI between two time
+  * windows, the two-sample Kolmogorov–Smirnov statistic, and a Benford
+  * first-digit audit. The reference freezes its feature scalers on the train
+  * window and applies them unchanged at inference
+  * (`/root/reference/src/data/preprocessing.py:139-163`) — drift detection is
+  * the production guard that says when that frozen assumption has expired.
+  *
+  * All three are pure aggregation pipelines: exact integer bin/rank counts,
+  * one keyed shuffle each, broadcast joins for the tiny statistic frames, and
+  * decimal-cast contribution sums so the reported statistics are partition-
+  * order-free and engine-portable.
+  */
+object DriftOps {
+
+  /** Population Stability Index per key between a reference window (first
+    * half of the time range: `2·ts < min+max`, integer microseconds, no
+    * division) and the current window (second half). Values bin into
+    * `nBins` equal-width bins over the reference window's per-key [min, max]
+    * (current-window stragglers clamp into the edge bins); proportions are
+    * Laplace-smoothed by 0.5 per bin so empty bins stay finite; and
+    * PSI = Σ (p_cur − p_ref)·ln(p_cur / p_ref).
+    *
+    * Scale shape: one scan for the per-key bounds (broadcast back), one
+    * (key, bin) count aggregation, broadcast totals — the events table
+    * shuffles once, on the (key, bin) grid.
+    */
+  def psiDrift(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+      nBins: Int = 10): DataFrame = {
+    val usCol = unix_micros(col(tsCol))
+    val range = df.agg(
+      min(usCol).as("__mn_us"), max(usCol).as("__mx_us"))
+    val withWin = df
+      .crossJoin(broadcast(range))
+      .withColumn("__is_ref",
+        usCol * 2 < col("__mn_us") + col("__mx_us"))
+    val bounds = withWin.filter(col("__is_ref"))
+      .groupBy(col(keyCol))
+      .agg(min(col(valCol)).as("__lo"), max(col(valCol)).as("__hi"))
+    val binned = withWin
+      .join(broadcast(bounds), keyCol)
+      .withColumn("__w", (col("__hi") - col("__lo")) / lit(nBins.toDouble))
+      .withColumn("__bin",
+        when(col("__w") === 0.0, lit(0))
+          .otherwise(least(lit(nBins - 1), greatest(lit(0),
+            floor((col(valCol) - col("__lo")) / col("__w")).cast("int")))))
+    val cells = binned.groupBy(col(keyCol), col("__bin"))
+      .agg(
+        sum(when(col("__is_ref"), 1L).otherwise(0L)).as("__ref"),
+        sum(when(!col("__is_ref"), 1L).otherwise(0L)).as("__cur"))
+    val totals = cells.groupBy(col(keyCol))
+      .agg(sum(col("__ref")).as("__nref"), sum(col("__cur")).as("__ncur"))
+    val smooth = lit(0.5 * nBins)
+    cells.join(broadcast(totals), keyCol)
+      .withColumn("__pr",
+        (col("__ref") + 0.5) / (col("__nref") + smooth))
+      .withColumn("__pc",
+        (col("__cur") + 0.5) / (col("__ncur") + smooth))
+      .withColumn("__contrib",
+        ((col("__pc") - col("__pr")) * log(col("__pc") / col("__pr")))
+          .cast("decimal(28,12)"))
+      .groupBy(col(keyCol))
+      .agg(
+        first(col("__nref")).as("n_ref"),
+        first(col("__ncur")).as("n_cur"),
+        round(sum(col("__contrib")).cast("double"), 6).as("psi"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic: max |F_a(v) − F_b(v)| over the
+    * observed support, where F are the empirical CDFs of `valCol` within the
+    * two `groupCol` populations.
+    *
+    * The ECDF needs a global running count over sorted values — the naive
+    * single-partition `Window.orderBy` is exactly the scale bug the q46 AUC
+    * review flagged. Here the prefix sum is distributed: values bucket by a
+    * deterministic range split (from the broadcast global [min, max], not
+    * sampling, so the bucket id is a pure function of the value), prefix
+    * sums run per-bucket under a keyed window, and only the per-bucket
+    * subtotal frame (`buckets` rows) crosses a global window to produce each
+    * bucket's starting offset. No full-table single-partition stage exists
+    * at any size.
+    */
+  def ksTwoSample(df: DataFrame, valCol: String, groupCol: String,
+      groupA: String, groupB: String, buckets: Int = 32): DataFrame = {
+    val v = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .select(col(valCol).cast("double").as("v"),
+        (col(groupCol) === groupA).as("__is_a"))
+    // collapse ties first: the grid the ECDF is evaluated on
+    val byVal = v.groupBy(col("v"))
+      .agg(
+        sum(when(col("__is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("__is_a"), 1L).otherwise(0L)).as("cb"))
+    val bounds = byVal.agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
+    val bucketed = byVal.crossJoin(broadcast(bounds))
+      .withColumn("__bkt",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(lit(buckets - 1),
+            floor((col("v") - col("__lo")) / (col("__hi") - col("__lo"))
+              * buckets).cast("int"))))
+    val wIn = Window.partitionBy(col("__bkt")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bucketed
+      .withColumn("__cum_a", sum(col("ca")).over(wIn))
+      .withColumn("__cum_b", sum(col("cb")).over(wIn))
+    // per-bucket subtotals: tiny (≤ `buckets` rows), so the global ordered
+    // window below is a driver-scale frame, never the data
+    val wOff = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("__bkt"))
+      .agg(sum(col("ca")).as("__ta"), sum(col("cb")).as("__tb"))
+      .withColumn("__off_a", coalesce(sum(col("__ta")).over(wOff), lit(0L)))
+      .withColumn("__off_b", coalesce(sum(col("__tb")).over(wOff), lit(0L)))
+      .select(col("__bkt"), col("__off_a"), col("__off_b"))
+    val totals = byVal.agg(
+      sum(col("ca")).as("__na"), sum(col("cb")).as("__nb"))
+    cum.join(broadcast(offsets), "__bkt")
+      .crossJoin(broadcast(totals))
+      .select(
+        col("__na"), col("__nb"),
+        abs(
+          (col("__off_a") + col("__cum_a")).cast("double") / col("__na") -
+          (col("__off_b") + col("__cum_b")).cast("double") / col("__nb"))
+          .as("__d"))
+      .groupBy(col("__na"), col("__nb"))
+      .agg(round(max(col("__d")), 6).as("ks_stat"))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"), col("ks_stat"))
+  }
+
+  /** First significant digit of a positive BIGINT column, purely by integer
+    * comparisons (no log/string round-trip, so every engine agrees bit-for-
+    * bit), with observed shares against the Benford expectation
+    * log10(1 + 1/d) — supplied as fixed literals so the report never depends
+    * on a libm. One count aggregation over 9 digits.
+    */
+  def benfordAudit(df: DataFrame, valCol: String): DataFrame = {
+    val k = col(valCol).cast("long")
+    // positive values below 10^13 (beyond any key domain here); each branch
+    // is an exact integer floor-divide down to one digit
+    val firstDigit = Seq(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L,
+      10000000L, 100000000L, 1000000000L, 10000000000L, 100000000000L,
+      1000000000000L)
+      .foldLeft(lit(null).cast("long")) { (acc, p) =>
+        when(k >= p && k < p * 10, (k / p).cast("long")).otherwise(acc)
+      }
+    val expected = Map(
+      1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.096910,
+      5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
+      9 -> 0.045757)
+    val expCol = expected.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("double")) { case (acc, (d, p)) =>
+        when(col("digit") === d, lit(p)).otherwise(acc)
+      }
+    val counts = df
+      .filter(k >= 1L)
+      .select(firstDigit.as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("__tot"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("obs_p",
+        round(col("n").cast("double") / col("__tot"), 6))
+      .withColumn("exp_p", expCol)
+      .withColumn("abs_dev", round(abs(col("obs_p") - col("exp_p")), 6))
+      .select(col("digit"), col("n"), col("obs_p"), col("exp_p"),
+        col("abs_dev"))
+  }
+}

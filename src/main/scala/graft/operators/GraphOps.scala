@@ -90,4 +90,51 @@ object GraphOps {
       .select(col("v").as("__drop_id"))
     df.join(comp, df(idCol) === comp("__drop_id"), "left_anti")
   }
+
+  /** PageRank over the undirected graph of `edges`, run for a FIXED number
+    * of iterations in exact fixed-point integer arithmetic: ranks are
+    * BIGINTs scaled by `scale` (1.0 ≡ `scale`), each iteration is
+    * rank' = (1−d)·scale + d·Σ_in rank/outdeg with d = dampNum/dampDen and
+    * every division an integer floor-divide. Because the math is pure
+    * BIGINT, the result is bit-identical in ANY engine — an SQL oracle can
+    * replay the same unrolled iterations — and partition-order-free (integer
+    * sums commute exactly; float PageRank does not).
+    *
+    * The centrality score ranks canonical representatives inside duplicate
+    * clusters (the most-linked member is usually the original; the mirrors
+    * rank lower) and weights corpus sources. Each iteration is one equi-join
+    * of the rank frame onto the edge list plus one hash aggregation — the
+    * standard distributed PageRank shape; `localCheckpoint` keeps the
+    * unrolled plan shallow.
+    */
+  def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 10, dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = 1000000000000L): DataFrame = {
+    val fwd = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    val sym = fwd
+      .union(fwd.select(col("__dst").as("__src"), col("__src").as("__dst")))
+      .distinct()
+      .localCheckpoint()
+    val outdeg = sym.groupBy(col("__src"))
+      .agg(count(lit(1)).as("__deg"))
+    val base = lit(scale * (dampDen - dampNum) / dampDen)
+    var ranks = outdeg.select(col("__src").as("v"),
+      lit(scale).as("rank_fp"), col("__deg"))
+    for (_ <- 1 to iterations) {
+      // per-edge contribution: floor(floor(rank·d) / outdeg); summed as
+      // exact BIGINTs, so no accumulation-order sensitivity exists
+      val contrib = sym
+        .join(ranks, sym("__src") === ranks("v"))
+        .select(col("__dst").as("v"),
+          // `div` (not `/`): Spark's `/` promotes to double; the contract
+          // here is exact BIGINT floor division, replayable by the oracle
+          expr(s"rank_fp * $dampNum div $dampDen div __deg").as("__c"))
+      ranks = contrib.groupBy(col("v"))
+        .agg((base + sum(col("__c"))).as("rank_fp"))
+        .join(outdeg.withColumnRenamed("__src", "v"), "v")
+        .localCheckpoint()
+    }
+    ranks.select(col("v"), col("rank_fp"),
+      round(col("rank_fp").cast("double") / scale.toDouble, 6).as("rank"))
+  }
 }

@@ -52,4 +52,35 @@ object SkewOps {
         max(col("__c")).as("max_per_key"))
       .withColumn("skew_ratio",
         round(col("max_per_key") / col("avg_per_key"), 6))
+
+  /** Bloom-prefiltered semi-join: keep `big` rows whose key appears in
+    * `keys`, pruning the big side with a broadcast Bloom filter BEFORE any
+    * shuffle, then finishing with the exact semi-join (which removes the
+    * filter's false positives — the result is bit-identical to a plain
+    * semi-join, the bloom is invisible except in the plan).
+    *
+    * The 100 TB rationale: a keys side of tens of millions of rows is too
+    * big for a broadcast hash relation but its Bloom filter is a few MB —
+    * so the big side drops non-matching rows at the scan, and only
+    * survivors pay the semi-join shuffle. Keys hash through xxhash64 so the
+    * aggregate accepts any key type. Build: one aggregation on the keys
+    * side; probe: a codegen'd filter, no extra shuffle.
+    */
+  def bloomSemiJoin(big: DataFrame, keys: DataFrame, bigKey: String,
+      keysKey: String, expectedItems: Long = 1000000L,
+      numBits: Long = 8388608L): DataFrame = {
+    // The build is one distributed aggregation over the keys side; only the
+    // finished filter (a few MB of bits — the 1-row-aggregate exception to
+    // the no-collect rule) reaches the driver, exactly like Spark's own
+    // InjectRuntimeFilter, because might_contain requires a CONSTANT bloom.
+    val bloomBytes = keys
+      .agg(expr(s"bloom_filter_agg(xxhash64($keysKey), " +
+        s"CAST($expectedItems AS BIGINT), CAST($numBits AS BIGINT))")
+        .as("__bf"))
+      .head().getAs[Array[Byte]](0)
+    big.filter(call_function("bloom_might_contain",
+        lit(bloomBytes), xxhash64(col(bigKey))))
+      .join(keys.select(col(keysKey).as(bigKey)).distinct(),
+        Seq(bigKey), "leftsemi")
+  }
 }

@@ -158,4 +158,30 @@ object TimeSeriesOps {
         concat_ws(",", col("padded")).as("seq_str"),
         size(col("last_n")).cast("long").as("seq_len"))
   }
+
+  /** First-order Markov transition matrix over per-key event sequences: for
+    * every ordered consecutive pair of states within a key, the transition
+    * count and the row-stochastic probability P(next | prev). The behavioral
+    * summary a sequence model (the reference's LSTM input,
+    * `/root/reference/src/data/dataset.py:233-298`) starts from.
+    *
+    * One keyed ordered window for the lag (tiebroken to a total order, so
+    * the pairing is deterministic), one (prev, next) count aggregation, and
+    * a broadcast join of the tiny per-prev marginal. Probabilities are
+    * exact-integer ratios divided once — partition-order-free.
+    */
+  def markovTransitions(df: DataFrame, key: String, ts: String,
+      tiebreak: String, state: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+    val pairs = df
+      .withColumn("__prev", lag(col(state), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_state"), col(state).as("next_state"))
+      .agg(count(lit(1)).as("n"))
+    val marginal = pairs.groupBy(col("prev_state"))
+      .agg(sum(col("n")).as("__tot"))
+    pairs.join(broadcast(marginal), "prev_state")
+      .withColumn("p", round(col("n").cast("double") / col("__tot"), 6))
+      .select(col("prev_state"), col("next_state"), col("n"), col("p"))
+  }
 }

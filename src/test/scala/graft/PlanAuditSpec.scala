@@ -303,6 +303,50 @@ class PlanAuditSpec extends SparkSpec {
       s"the report needs no window pass over the data:\n$p")
   }
 
+  test("q113/q115/q119: global windows/exchanges only above aggregated frames") {
+    import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def containsAgg(p: SparkPlan): Boolean = p.collectFirst {
+      case a: BaseAggregateExec => a
+    }.nonEmpty
+    // the drift/KS/backtest shape: the DATA only ever crosses keyed
+    // exchanges; anything global (ordered offset windows, closing
+    // single-row aggregates) must sit above an aggregation that already
+    // collapsed the data to a statistic frame — q46's midrank rule
+    // generalized to cumulative-distribution operators
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq(SparkEntry.q113(spark, dir), SparkEntry.q115(spark, dir),
+          SparkEntry.q119(spark, dir)).foreach { df =>
+        val p = df.queryExecution.executedPlan
+        p.foreach {
+          case w: WindowExec if w.partitionSpec.isEmpty =>
+            assert(containsAgg(w.child),
+              s"global window directly over data in:\n$p")
+          case e: ShuffleExchangeExec if e.outputPartitioning.numPartitions == 1 =>
+            assert(containsAgg(e.child),
+              s"single-partition exchange over non-aggregated rows in:\n$p")
+          case _ =>
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q117 bloom semi-join: constant bloom probe filters below a semi-join") {
+    val df = SparkEntry.q117(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // the probe is a plain Filter on the big side (pre-shuffle row pruning
+    // with a constant bloom), then the exact LeftSemi wipes false positives
+    assert(finalSection.contains("might_contain"),
+      s"bloom probe missing from the physical plan:\n$p")
+    assert(finalSection.contains("LeftSemi"),
+      s"exact semi-join missing (false positives would survive):\n$p")
+  }
+
   test("populationFeatures: sensor table shuffles at most twice, joins broadcast") {
     import spark.implicits._
     val sensor = (0 until 200).map(i =>
