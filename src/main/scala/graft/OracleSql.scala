@@ -1564,6 +1564,98 @@ object OracleSql {
 
     "q118_pagerank" -> pageRankSql(iterations = 10),
 
+    "q121_ab_ztest" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15
+        |      AS converted
+        |  FROM events GROUP BY user_id),
+        |v AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS variant,
+        |    converted
+        |  FROM u),
+        |a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN variant = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(SUM(CASE WHEN variant = 'a' AND converted THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x_a,
+        |    CAST(SUM(CASE WHEN variant = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(SUM(CASE WHEN variant = 'b' AND converted THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x_b
+        |  FROM v)
+        |SELECT n_a, x_a, n_b, x_b,
+        |  ROUND(CAST(x_a AS DOUBLE) / n_a, 6) AS p_a,
+        |  ROUND(CAST(x_b AS DOUBLE) / n_b, 6) AS p_b,
+        |  ROUND((CAST(x_b AS DOUBLE) / n_b - CAST(x_a AS DOUBLE) / n_a) /
+        |    SQRT((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+        |         (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+        |         (1.0 / n_a + 1.0 / n_b)), 6) AS z
+        |FROM a""".stripMargin,
+
+    "q122_kaplan_meier" ->
+      """WITH h AS (SELECT MAX(epoch_us(ts)) AS hz FROM events),
+        |s AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS su
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS pu
+        |  FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.su
+        |  GROUP BY e.user_id),
+        |d AS (
+        |  SELECT (COALESCE(p.pu, h.hz) - s.su) // 86400000000 AS t,
+        |    p.pu IS NOT NULL AS ev
+        |  FROM s LEFT JOIN p ON s.user_id = p.user_id, h),
+        |byt AS (
+        |  SELECT t,
+        |    SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS n_event,
+        |    SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS n_censored
+        |  FROM d GROUP BY t),
+        |km AS (
+        |  SELECT t, n_event, n_censored,
+        |    SUM(n_event + n_censored) OVER (ORDER BY t
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+        |  FROM byt)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(n_event AS BIGINT) AS n_event,
+        |  CAST(n_censored AS BIGINT) AS n_censored,
+        |  CASE WHEN n_event = n_risk THEN 0.0
+        |    ELSE ROUND(EXP(SUM(CASE WHEN n_event < n_risk
+        |      THEN LN(1.0 - CAST(n_event AS DOUBLE) / n_risk)
+        |      ELSE 0.0 END)
+        |    OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) END
+        |    AS survival
+        |FROM km ORDER BY t""".stripMargin,
+
+    "q124_int8_quantization" ->
+      """WITH f AS (
+        |  SELECT unnest(list_transform(CAST(embedding AS DOUBLE[]),
+        |    (x, i) -> struct_pack(dim := i - 1, v := x))) AS s
+        |  FROM embeddings),
+        |vals AS (SELECT CAST(s.dim AS INTEGER) AS dim, s.v AS v FROM f),
+        |b AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM vals GROUP BY dim),
+        |q AS (
+        |  SELECT vals.dim, v, mn, mx,
+        |    CASE WHEN mx = mn THEN 0
+        |         ELSE CAST(ROUND((v - mn) / (mx - mn) * 255) - 128
+        |           AS INTEGER) END AS qq
+        |  FROM vals JOIN b ON vals.dim = b.dim),
+        |r AS (
+        |  SELECT dim, mn, mx,
+        |    ABS(v - (CASE WHEN mx = mn THEN mn
+        |      ELSE mn + CAST(qq + 128 AS DOUBLE) / 255.0 * (mx - mn) END))
+        |      AS err
+        |  FROM q)
+        |SELECT dim, COUNT(*) AS n,
+        |  ROUND(MAX(mx) - MAX(mn), 6) AS range,
+        |  ROUND(MAX(err), 6) AS max_abs_err,
+        |  ROUND(SQRT(CAST(SUM(CAST(err * err AS DECIMAL(28,16))) AS DOUBLE)
+        |    / COUNT(*)), 6) AS rmse
+        |FROM r GROUP BY dim ORDER BY dim""".stripMargin,
+
     "q119_rolling_backtest" ->
       """WITH rng AS (
         |  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx

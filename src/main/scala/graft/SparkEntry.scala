@@ -1746,6 +1746,69 @@ object SparkEntry {
     graft.operators.DriftOps.benfordAudit(t(spark, dir, "orders"), "o_orderkey")
       .orderBy(col("digit"))
 
+  // ---------------------------------------------------------------- q121
+  // Two-proportion z-test: deterministic user split (even/odd id), success
+  // = heavy purchaser (≥15 purchases; every user purchases at least once,
+  // which would make the pooled rate degenerate) — the A/B-experiment
+  // readout over the behavioral table.
+  def q121(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        >= 15L).as("converted"))
+      .withColumn("variant",
+        when(pmod(col("user_id"), lit(2)) === 0, "a").otherwise("b"))
+    graft.metrics.MetricQueries.twoProportionZTest(
+      perUser, "variant", "converted", "a", "b")
+  }
+
+  // ---------------------------------------------------------------- q122
+  // Kaplan–Meier survival: days from each user's first signup to their
+  // first subsequent purchase, right-censored at the corpus horizon. The
+  // product-limit curve runs over the per-day aggregate only (q115's
+  // aggregate-before-global rule).
+  def q122(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val horizon = ev.agg(max(unix_micros(col("ts"))).as("__h"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("__s"))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(signup), "user_id")
+      .filter(unix_micros(col("ts")) >= col("__s"))
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("__p"))
+    val durations = signup
+      .join(firstPurchase, Seq("user_id"), "left")
+      .crossJoin(broadcast(horizon))
+      .select(
+        expr("coalesce(__p, __h) - __s").as("__dur_us"),
+        col("__p").isNotNull.as("__event"))
+      .select(expr("__dur_us div 86400000000").as("dur_days"), col("__event"))
+    graft.operators.SurvivalOps.kaplanMeier(durations, "dur_days", "__event")
+      .orderBy(col("t"))
+  }
+
+  // ---------------------------------------------------------------- q123
+  // Count-min-sketch heavy hitters over the corpus vocabulary: exact
+  // top-20 terms with their CMS estimates and collision overcounts. The
+  // sketch itself is one (depth, bucket)-keyed exact-BIGINT aggregation —
+  // mergeable by addition. Hash-seed-dependent → rows-only; the spec
+  // asserts the one-sided CMS error bound.
+  def q123(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SketchOps.cmsHeavyHitters(
+      t(spark, dir, "documents"), "doc_id", "text",
+      depth = 4, width = 256, k = 20)
+
+  // ---------------------------------------------------------------- q124
+  // Scalar int8 quantization report for the embedding table: per-dimension
+  // reconstruction error of the 4× memory cut an ANN index takes before
+  // sharding. Affine integer codes, decimal-exact error sums.
+  def q124(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SimilarityOps.int8QuantizationReport(
+        t(spark, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy(col("dim"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1868,6 +1931,10 @@ object SparkEntry {
     "q118_pagerank" -> (q118 _),
     "q119_rolling_backtest" -> (q119 _),
     "q120_benford_audit" -> (q120 _),
+    "q121_ab_ztest" -> (q121 _),
+    "q122_kaplan_meier" -> (q122 _),
+    "q123_cms_heavy_hitters" -> (q123 _),
+    "q124_int8_quantization" -> (q124 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

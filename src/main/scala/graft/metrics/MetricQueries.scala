@@ -143,4 +143,34 @@ object MetricQueries {
             col("__pe_num").cast("double") / (col("__n") * col("__n"))), 6)
           .as("kappa"))
   }
+
+  /** Two-proportion pooled z-test — the A/B-experiment readout. `df` is one
+    * row per subject with a two-valued `variantCol` and a boolean
+    * `successCol`; the output is one row of per-variant counts/rates and
+    * z = (p_b − p_a) / √(p̂(1−p̂)(1/n_a + 1/n_b)) with p̂ pooled.
+    * One count aggregation; every rate is an exact-integer ratio divided
+    * once, √ is IEEE-deterministic, so the statistic is engine-portable.
+    */
+  def twoProportionZTest(df: DataFrame, variantCol: String,
+      successCol: String, variantA: String, variantB: String): DataFrame = {
+    val agg = df.filter(col(variantCol).isin(variantA, variantB))
+      .agg(
+        sum(when(col(variantCol) === variantA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(variantCol) === variantA && col(successCol), 1L)
+          .otherwise(0L)).as("x_a"),
+        sum(when(col(variantCol) === variantB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col(variantCol) === variantB && col(successCol), 1L)
+          .otherwise(0L)).as("x_b"))
+    val pa = col("x_a").cast("double") / col("n_a")
+    val pb = col("x_b").cast("double") / col("n_b")
+    val pooled = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    agg.select(
+      col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      round(pa, 6).as("p_a"),
+      round(pb, 6).as("p_b"),
+      round((pb - pa) /
+        sqrt(pooled * (lit(1.0) - pooled) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6).as("z"))
+  }
 }

@@ -279,4 +279,65 @@ object SimilarityOps {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
+
+  /** Scalar int8 quantization of an embedding column: per-dimension affine
+    * codes q = round((v − mn)/(mx − mn)·255) − 128 — the 4× memory cut
+    * (float32 → int8) that decides whether an ANN index fits in executor
+    * memory at corpus scale. Returns the per-dimension reconstruction-error
+    * report (max |v − v̂| and RMSE); the code/decode columns themselves come
+    * from [[quantizeCodes]].
+    *
+    * One posexplode pass + a 64-row broadcast of the per-dimension bounds;
+    * the error aggregation is decimal-exact. Max abs error is bounded by
+    * half a step ((mx − mn)/510) by construction — the spec asserts it.
+    */
+  def int8QuantizationReport(embeddings: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val vals = embeddings.select(col(idCol),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
+    val bounds = vals.groupBy(col("dim"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    vals.join(broadcast(bounds), "dim")
+      .withColumn("__q",
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise((round((col("v") - col("mn")) /
+            (col("mx") - col("mn")) * 255) - 128).cast("int")))
+      .withColumn("__recon",
+        when(col("mx") === col("mn"), col("mn"))
+          .otherwise(col("mn") + (col("__q") + 128).cast("double") / 255.0 *
+            (col("mx") - col("mn"))))
+      .withColumn("__err", abs(col("v") - col("__recon")))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(first(col("mx")) - first(col("mn")), 6).as("range"),
+        round(max(col("__err")), 6).as("max_abs_err"),
+        round(sqrt(sum((col("__err") * col("__err"))
+          .cast("decimal(28,16)")).cast("double") / count(lit(1))), 6)
+          .as("rmse"))
+  }
+
+  /** (id, int8 code array) + decoded reconstruction, for recall probes. */
+  def quantizeCodes(embeddings: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val vals = embeddings.select(col(idCol),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
+    val bounds = vals.groupBy(col("dim"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    vals.join(broadcast(bounds), "dim")
+      .withColumn("__q",
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise((round((col("v") - col("mn")) /
+            (col("mx") - col("mn")) * 255) - 128).cast("int")))
+      .withColumn("__recon",
+        when(col("mx") === col("mn"), col("mn"))
+          .otherwise(col("mn") + (col("__q") + 128).cast("double") / 255.0 *
+            (col("mx") - col("mn"))))
+      .groupBy(col(idCol))
+      .agg(
+        transform(sort_array(collect_list(struct(col("dim"), col("__q")))),
+          x => x.getField("__q")).as("codes"),
+        transform(sort_array(collect_list(struct(col("dim"), col("__recon")))),
+          x => x.getField("__recon")).as("recon"))
+  }
 }

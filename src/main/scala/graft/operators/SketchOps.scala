@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count–min sketch heavy hitters (Cormode & Muthukrishnan, "An improved
+  * data stream summary: the count-min sketch and its applications"). The
+  * HLL/quantile sketches (q53/q107) answer "how many distinct / what
+  * quantile"; the CMS answers "how often does THIS item occur" in fixed
+  * memory — the heavy-hitter primitive for vocabulary pruning and stopword
+  * discovery over a corpus too large for an exact term dictionary.
+  *
+  * Scale shape: the sketch is depth×width counters built with ONE
+  * aggregation keyed by (depth, bucket) — `depth` copies of the term
+  * stream, each hashed with a different seed. Counters are exact BIGINT
+  * sums, so the sketch is mergeable across partitions/days by addition,
+  * and the one-sided error bound (estimate ≥ truth, overshoot ≤ N/width
+  * with probability 1 − 2^−depth) holds deterministically given the seeds.
+  */
+object SketchOps {
+
+  /** Per-(depth, bucket) CMS counters for `termCol` weighted by `cntCol`
+    * (pre-aggregated term counts fold in exactly — the sketch of the raw
+    * stream and of the exact term frame are identical by linearity).
+    */
+  def cmsCounters(terms: DataFrame, termCol: String, cntCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val perDepth = (0 until depth).map { d =>
+      terms.select(
+        lit(d).as("depth"),
+        pmod(xxhash64(concat(lit(d.toString), lit("#"), col(termCol))),
+          lit(width.toLong)).as("bucket"),
+        col(cntCol).as("__c"))
+    }
+    perDepth.reduce(_.unionByName(_))
+      .groupBy(col("depth"), col("bucket"))
+      .agg(sum(col("__c")).as("counter"))
+  }
+
+  /** Heavy hitters with CMS estimates: the exact top-`k` terms (for the
+    * ground truth this query also carries) joined against their
+    * min-over-depths sketch estimate. `overcount = estimate − exact ≥ 0`
+    * is the collision error the width bounds.
+    */
+  def cmsHeavyHitters(df: DataFrame, idCol: String, textCol: String,
+      depth: Int = 4, width: Int = 256, k: Int = 20): DataFrame = {
+    val terms = df
+      .select(explode(split(trim(col(textCol)), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+    val counters = cmsCounters(terms, "term", "n_exact", depth, width)
+    val top = terms
+      .orderBy(col("n_exact").desc, col("term"))
+      .limit(k)
+    val probes = (0 until depth).map { d =>
+      top.select(col("term"), col("n_exact"),
+        lit(d).as("depth"),
+        pmod(xxhash64(concat(lit(d.toString), lit("#"), col("term"))),
+          lit(width.toLong)).as("bucket"))
+    }.reduce(_.unionByName(_))
+    probes.join(broadcast(counters), Seq("depth", "bucket"))
+      .groupBy(col("term"))
+      .agg(
+        first(col("n_exact")).as("n_exact"),
+        min(col("counter")).as("n_estimate"))
+      .withColumn("overcount", col("n_estimate") - col("n_exact"))
+      .orderBy(col("n_exact").desc, col("term"))
+  }
+}

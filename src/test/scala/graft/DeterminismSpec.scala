@@ -24,7 +24,9 @@ class DeterminismSpec extends SparkSpec {
     "q109_token_budget_mix", "q110_gap_detect", "q111_ar1_forecast",
     "q112_skew_report", "q113_psi_drift", "q114_markov_transitions",
     "q115_ks_two_sample", "q116_cohen_kappa", "q117_bloom_semijoin",
-    "q118_pagerank", "q119_rolling_backtest", "q120_benford_audit")
+    "q118_pagerank", "q119_rolling_backtest", "q120_benford_audit",
+    "q121_ab_ztest", "q122_kaplan_meier", "q123_cms_heavy_hitters",
+    "q124_int8_quantization")
   // q74/q80 are excluded: k-means initialization samples per-partition, so
   // their (seeded) result is deterministic per partitioning, not across
   // partitionings — the documented contract for MLlib-backed queries

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{SketchOps, SimilarityOps, SurvivalOps}
+import graft.metrics.MetricQueries
+
+/** Hand-computed values for the experimentation/survival/sketch/quantization
+  * operators (q121–q124).
+  */
+class SurvivalAndSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kaplanMeier: textbook curve with censoring") {
+    // durations: events at t=1 (2 of 5 at risk), censor at t=2,
+    // event at t=3 (1 of 2 at risk), censor at t=4
+    // S(1) = 1 - 2/5 = 0.6; S(3) = 0.6 * (1 - 1/2) = 0.3
+    val df = Seq(
+      (1, true), (1, true), (2, false), (3, true), (4, false))
+      .toDF("d", "ev")
+    val out = SurvivalOps.kaplanMeier(df, "d", "ev")
+      .orderBy("t").collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(out(1) == ((5L, 2L, 0L, 0.6)))
+    assert(out(2) == ((3L, 0L, 1L, 0.6)))
+    assert(out(3) == ((2L, 1L, 0L, 0.3)))
+    assert(out(4) == ((1L, 0L, 1L, 0.3)))
+  }
+
+  test("kaplanMeier: full depletion ends at exactly 0, monotone curve") {
+    val df = Seq((1, true), (2, true), (3, true)).toDF("d", "ev")
+    val out = SurvivalOps.kaplanMeier(df, "d", "ev")
+      .orderBy("t").collect().map(_.getDouble(4))
+    assert(out.last == 0.0)
+    assert(out.zip(out.tail).forall { case (a, b) => b <= a })
+  }
+
+  test("twoProportionZTest: hand-computed z") {
+    // a: 8/20 = 0.4, b: 14/20 = 0.7; pooled 22/40 = 0.55
+    // z = 0.3 / sqrt(.55*.45*(0.1)) = 0.3/0.157321... = 1.906925
+    val rows = Seq.fill(8)(("a", true)) ++ Seq.fill(12)(("a", false)) ++
+      Seq.fill(14)(("b", true)) ++ Seq.fill(6)(("b", false))
+    val out = MetricQueries.twoProportionZTest(
+      rows.toDF("v", "s"), "v", "s", "a", "b").collect().head
+    assert(out.getLong(0) == 20L && out.getLong(1) == 8L)
+    assert(out.getLong(2) == 20L && out.getLong(3) == 14L)
+    assert(out.getDouble(4) == 0.4 && out.getDouble(5) == 0.7)
+    val expZ = BigDecimal(0.3 / math.sqrt(0.55 * 0.45 * (1.0 / 20 + 1.0 / 20)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getDouble(6) == expZ)
+    // symmetric direction flips the sign
+    val flipped = MetricQueries.twoProportionZTest(
+      rows.toDF("v", "s"), "v", "s", "b", "a").collect().head
+    assert(flipped.getDouble(6) == -expZ)
+  }
+
+  test("cmsHeavyHitters: estimates are one-sided and within the width bound") {
+    // skewed corpus: term "hot" dominates; narrow sketch forces collisions
+    val docs = (0 until 200).map { i =>
+      (i.toLong, ("hot " * 5 + s"cold$i rare${i % 7}").trim)
+    }.toDF("doc_id", "text")
+    val out = SketchOps.cmsHeavyHitters(docs, "doc_id", "text",
+      depth = 3, width = 16, k = 10).collect()
+    val total = 200L * 7L // 7 tokens per doc
+    out.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS must never undercount: $r")
+      assert(est - exact <= total, s"overshoot above any bound: $r")
+    }
+    // top term is exact-rank-1 and its estimate dominates
+    assert(out.head.getString(0) == "hot" && out.head.getLong(1) == 1000L)
+    // with 200+ distinct terms in 16 buckets, collisions must exist
+    assert(out.map(_.getLong(3)).sum > 0L,
+      "narrow sketch produced zero collisions — bucketing is broken")
+  }
+
+  test("cmsHeavyHitters: wide sketch reproduces exact counts") {
+    val docs = Seq((1L, "a a b c"), (2L, "a b d e")).toDF("doc_id", "text")
+    val out = SketchOps.cmsHeavyHitters(docs, "doc_id", "text",
+      depth = 4, width = 4096, k = 5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+    out.foreach { case (t, (exact, est)) =>
+      assert(exact == est, s"term $t: $est != $exact at width 4096")
+    }
+  }
+
+  test("int8 quantization: error bounded by half a step, exact on constants") {
+    val emb = Seq(
+      (1L, Seq(0.0f, 1.0f, 5.0f)),
+      (2L, Seq(1.0f, 1.0f, -5.0f)),
+      (3L, Seq(0.5f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val rep = SimilarityOps.int8QuantizationReport(emb, "vec_id", "embedding")
+      .orderBy("dim").collect()
+    rep.foreach { r =>
+      val (range, maxErr) = (r.getDouble(2), r.getDouble(3))
+      // half-step bound: range/510 (+ rounding slack at the 6th decimal)
+      assert(maxErr <= range / 510.0 + 1e-6, s"err above half-step: $r")
+    }
+    // constant dimension (all 1.0): range 0, zero error
+    assert(rep(1).getDouble(2) == 0.0 && rep(1).getDouble(3) == 0.0)
+  }
+
+  test("int8 quantization: codes preserve neighborhood (recall@10 vs exact)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val recon = SimilarityOps.quantizeCodes(emb, "vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0)
+    def top10(df: org.apache.spark.sql.DataFrame, vecCol: String) = df
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        SimilarityOps.cosineNative(typedLit(q), col(vecCol)).as("c"))
+      .orderBy(col("c").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val exact = top10(emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v")), "v")
+    val viaCodes = top10(recon.select(col("vec_id"), col("recon")), "recon")
+    val recall = exact.intersect(viaCodes).size / 10.0
+    assert(recall >= 0.8, s"int8 recall@10 too low: $recall")
+  }
+}
