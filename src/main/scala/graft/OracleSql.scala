@@ -1630,6 +1630,14 @@ object OracleSql {
         |    AS survival
         |FROM km ORDER BY t""".stripMargin,
 
+    "q125_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "q124_int8_quantization" ->
       """WITH f AS (
         |  SELECT unnest(list_transform(CAST(embedding AS DOUBLE[]),

@@ -1809,6 +1809,62 @@ object SparkEntry {
         t(spark, dir, "embeddings"), "vec_id", "embedding")
       .orderBy(col("dim"))
 
+  // ---------------------------------------------------------------- q125
+  // Co-located bucketed join: lineitem ⋈ orders with BOTH sides written
+  // bucketed by the order key — the zero-exchange fact-fact join layout
+  // (broadcast is off for the join so the bucketing, not the dimension
+  // trick, carries it; the plan audit asserts no Exchange). Result must be
+  // bit-identical to the plain join — layout is invisible in the answer.
+  def q125(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_TMP_ROOT", System.getProperty("java.io.tmpdir"))),
+      "graft_q125_")
+    val oldThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = graft.operators.LayoutOps.bucketedEquiJoin(
+        spark,
+        t(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        t(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        "l_orderkey", "o_orderkey", buckets = 8,
+        root.toString, "graft_q125")
+      val res = joined
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(28,6)")).cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
+      // pin the tiny aggregate before dropping the backing tables
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      res.collect().foreach(rows.add)
+      spark.createDataFrame(rows, res.schema)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
+      graft.operators.LayoutOps.dropBucketed(spark, "graft_q125")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  // ---------------------------------------------------------------- q126
+  // Isotonic calibration (pool-adjacent-violators): the FIX for the
+  // miscalibration q84's reliability bins diagnose — a monotone map from
+  // raw score to calibrated probability. MLlib's distributed PAV
+  // (per-partition pooling, driver-side final merge over the pooled
+  // boundary frame, never the data). Model-produced boundaries →
+  // rows-only; the spec hand-computes PAV on a fixture.
+  def q126(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.isotonicCalibration(
+      t(spark, dir, "events")
+        .select(col("value").as("score"),
+          (col("event_type") === "purchase").cast("double").as("label")))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1935,6 +1991,8 @@ object SparkEntry {
     "q122_kaplan_meier" -> (q122 _),
     "q123_cms_heavy_hitters" -> (q123 _),
     "q124_int8_quantization" -> (q124 _),
+    "q125_bucketed_join" -> (q125 _),
+    "q126_isotonic_calibration" -> (q126 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -662,6 +662,31 @@ object MlPipelines {
       .toDF("reg_param", "cv_accuracy", "is_best")
   }
 
+  /** Isotonic calibration: fit the pool-adjacent-violators monotone map
+    * from a raw score to a calibrated probability — the repair step for
+    * the miscalibration q84's reliability bins diagnose (the reference
+    * reports raw sigmoid outputs as probabilities,
+    * `/root/reference/scripts/evaluate.py:150-176`, which PAV corrects
+    * without re-training). MLlib's IsotonicRegression pools violators per
+    * partition and merges ONLY the pooled boundary frame on the driver —
+    * the data itself never leaves the executors, so the fit scales in the
+    * row count. Returns the fitted step function as (boundary, fitted)
+    * rows, monotone non-decreasing by construction.
+    */
+  def isotonicCalibration(scored: DataFrame, scoreCol: String = "score",
+      labelCol: String = "label"): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val model = new org.apache.spark.ml.regression.IsotonicRegression()
+      .setFeaturesCol("__f").setLabelCol(labelCol)
+      .fit(scored.withColumn("__f",
+        array_to_vector(array(col(scoreCol).cast("double")))))
+    model.boundaries.toArray.zip(model.predictions.toArray).toSeq
+      .toDF("boundary", "fitted")
+      .select(round(col("boundary"), 6).as("boundary"),
+        round(col("fitted"), 6).as("fitted"))
+  }
+
   /** Rolling-origin (expanding-window) backtest: the time-series analog of
     * k-fold CV, and the evaluation protocol the reference's forecaster
     * should have used instead of a random split

@@ -26,7 +26,9 @@ class DeterminismSpec extends SparkSpec {
     "q115_ks_two_sample", "q116_cohen_kappa", "q117_bloom_semijoin",
     "q118_pagerank", "q119_rolling_backtest", "q120_benford_audit",
     "q121_ab_ztest", "q122_kaplan_meier", "q123_cms_heavy_hitters",
-    "q124_int8_quantization")
+    "q124_int8_quantization", "q125_bucketed_join")
+  // q126 isotonic joins the MLlib exclusion list (q74/q80/q105-q107):
+  // the fit is an MLlib estimator, deterministic per partitioning only
   // q74/q80 are excluded: k-means initialization samples per-partition, so
   // their (seeded) result is deterministic per partitioning, not across
   // partitionings — the documented contract for MLlib-backed queries

@@ -347,6 +347,36 @@ class PlanAuditSpec extends SparkSpec {
       s"exact semi-join missing (false positives would survive):\n$p")
   }
 
+  test("bucketed equi-join: ZERO exchanges — the co-located fact-fact join") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_bucket_audit")
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = (1L to 500L).map(i => (i % 50, i)).toDF("k", "a")
+      val right = (1L to 200L).map(i => (i % 50, i * 10)).toDF("kk", "b")
+      val joined = graft.operators.LayoutOps.bucketedEquiJoin(
+        spark, left, right, "k", "kk", buckets = 4, root.toString,
+        "graft_audit_bkt")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      val finalSection = p.split("== Initial Plan ==").head
+      assert(!finalSection.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$p")
+      // and the layout is invisible: same rows as the plain join
+      val plain = left.join(right, left("k") === right("kk"))
+        .collect().map(_.toSeq).toSet
+      assert(joined.collect().map(_.toSeq).toSet == plain)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      graft.operators.LayoutOps.dropBucketed(spark, "graft_audit_bkt")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("populationFeatures: sensor table shuffles at most twice, joins broadcast") {
     import spark.implicits._
     val sensor = (0 until 200).map(i =>

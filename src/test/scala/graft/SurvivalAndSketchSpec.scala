@@ -100,6 +100,25 @@ class SurvivalAndSketchSpec extends SparkSpec {
     assert(rep(1).getDouble(2) == 0.0 && rep(1).getDouble(3) == 0.0)
   }
 
+  test("isotonicCalibration: hand-computed PAV pooling, monotone output") {
+    // scores 1..4 with labels 0,1,0,1 — PAV pools the (2,1),(3,0) violation
+    // into 0.5; fitted sequence is [0, 0.5, 0.5, 1]
+    val df = Seq((1.0, 0.0), (2.0, 1.0), (3.0, 0.0), (4.0, 1.0))
+      .toDF("score", "label")
+    val out = graft.ml.MlPipelines.isotonicCalibration(df)
+      .orderBy("boundary").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(out.map(_._1).sameElements(Array(1.0, 2.0, 3.0, 4.0)))
+    assert(out.map(_._2).sameElements(Array(0.0, 0.5, 0.5, 1.0)))
+    // events-shaped input stays monotone non-decreasing
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("value").as("score"),
+        (col("event_type") === "purchase").cast("double").as("label"))
+    val fitted = graft.ml.MlPipelines.isotonicCalibration(ev)
+      .orderBy("boundary").collect().map(_.getDouble(1))
+    assert(fitted.zip(fitted.tail).forall { case (a, b) => b >= a })
+  }
+
   test("int8 quantization: codes preserve neighborhood (recall@10 vs exact)") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val recon = SimilarityOps.quantizeCodes(emb, "vec_id", "embedding")
