@@ -1630,6 +1630,58 @@ object OracleSql {
         |    AS survival
         |FROM km ORDER BY t""".stripMargin,
 
+    "q127_cooccurrence" ->
+      """WITH it AS (SELECT DISTINCT user_id AS b, event_type AS i
+        |  FROM events),
+        |n AS (SELECT COUNT(DISTINCT b) AS nb FROM it),
+        |s AS (SELECT i, COUNT(*) AS su FROM it GROUP BY i),
+        |p AS (
+        |  SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_both
+        |  FROM it a JOIN it b ON a.b = b.b AND a.i < b.i
+        |  GROUP BY a.i, b.i)
+        |SELECT item_a, item_b, n_both,
+        |  CAST(sa.su AS BIGINT) AS n_a, CAST(sb.su AS BIGINT) AS n_b,
+        |  ROUND(CAST(n_both * nb AS DOUBLE) / (sa.su * sb.su), 6) AS lift
+        |FROM p JOIN s sa ON p.item_a = sa.i JOIN s sb ON p.item_b = sb.i, n
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    "q128_record_linkage" ->
+      """WITH scored AS (
+        |  SELECT c_custkey, s_suppkey, ROUND(
+        |    (CASE WHEN right(c_name, 1) = right(s_name, 1)
+        |          THEN 3.169925 ELSE -3.169925 END) +
+        |    (CASE WHEN ABS(c_acctbal - s_acctbal) <= 500.0
+        |          THEN 3.169925 ELSE -3.169925 END), 6) AS score
+        |  FROM customer JOIN supplier ON c_nationkey = s_nationkey)
+        |SELECT c_custkey, s_suppkey, score
+        |FROM scored WHERE score >= 0.0
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
+
+    "q129_median_no_sort" ->
+      """WITH v AS (
+        |  SELECT CAST(ROUND(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM v),
+        |n AS (SELECT COUNT(*) AS n FROM v)
+        |SELECT MAX(n.n) AS n,
+        |  MAX(CASE WHEN rn = (n.n + 1) // 2 THEN c END) AS k_lo,
+        |  MAX(CASE WHEN rn = n.n // 2 + 1 THEN c END) AS k_hi,
+        |  (MAX(CASE WHEN rn = (n.n + 1) // 2 THEN c END) +
+        |   MAX(CASE WHEN rn = n.n // 2 + 1 THEN c END)) / 2.0 AS median
+        |FROM r, n""".stripMargin,
+
+    "q130_top_paths" ->
+      """WITH rr AS (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM rr WHERE rn <= 5 GROUP BY user_id)
+        |SELECT path, COUNT(*) AS n_keys FROM p GROUP BY path
+        |ORDER BY n_keys DESC, path LIMIT 20""".stripMargin,
+
     "q125_bucketed_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)

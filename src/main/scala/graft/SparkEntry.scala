@@ -1865,6 +1865,62 @@ object SparkEntry {
         .select(col("value").as("score"),
           (col("event_type") === "purchase").cast("double").as("label")))
 
+  // ---------------------------------------------------------------- q127
+  // Pairwise event-type co-occurrence (level-2 a-priori): which actions
+  // appear in the same user's history, with support counts and lift —
+  // the correlated-behavior table. Pair fan-out bounded by distinct items
+  // per basket, never raw rows.
+  def q127(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PatternOps.pairCooccurrence(
+        t(spark, dir, "events"), "user_id", "event_type")
+      .orderBy(col("item_a"), col("item_b"))
+
+  // ---------------------------------------------------------------- q128
+  // Fellegi–Sunter record linkage: customer × supplier rosters blocked on
+  // nation, scored by log2(m/u) agreement weights on the name-suffix and
+  // account-balance fields. Blocked candidate generation + pure codegen
+  // scoring — entity resolution with calibrated weights (q96's
+  // levenshtein blocking is the string-distance sibling).
+  def q128(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"))
+      .join(t(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal")),
+        col("c_nationkey") === col("s_nationkey"))
+    graft.operators.FuzzyJoins.fellegiSunterScore(pairs, Seq(
+        (substring(col("c_name"), -1, 1) === substring(col("s_name"), -1, 1),
+          3.169925, -3.169925),
+        (abs(col("c_acctbal") - col("s_acctbal")) <= 500.0,
+          3.169925, -3.169925)),
+        threshold = 0.0)
+      .select(col("c_custkey"), col("s_suppkey"), col("score"))
+      .orderBy(col("c_custkey"), col("s_suppkey"))
+  }
+
+  // ---------------------------------------------------------------- q129
+  // Exact median WITHOUT sorting: binary search on the integer cent grid
+  // with one count-aggregate scan per step — the distributed-selection
+  // answer to "exact quantile at 100 TB" (q53's approx sketch is the
+  // cheap path; this is the exact one, ~34 scans instead of a global
+  // sort). Driver loop controls the search only.
+  def q129(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.RobustStats.exactMedianByCounting(
+      t(spark, dir, "events")
+        .filter(col("event_type") === "click")
+        .select(round(col("value") * 100).cast("long").as("cents")),
+      "cents")
+
+  // ---------------------------------------------------------------- q130
+  // Top user journeys: the 20 most common 5-event path prefixes — the
+  // dominant-flows query of clickstream analytics. One tiebroken keyed
+  // window + hash aggregations; only the bounded top-k sorts globally.
+  def q130(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PatternOps.topPaths(
+      t(spark, dir, "events"), "user_id", "ts", "event_id", "event_type",
+      pathLen = 5, k = 20)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1993,6 +2049,10 @@ object SparkEntry {
     "q124_int8_quantization" -> (q124 _),
     "q125_bucketed_join" -> (q125 _),
     "q126_isotonic_calibration" -> (q126 _),
+    "q127_cooccurrence" -> (q127 _),
+    "q128_record_linkage" -> (q128 _),
+    "q129_median_no_sort" -> (q129 _),
+    "q130_top_paths" -> (q130 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

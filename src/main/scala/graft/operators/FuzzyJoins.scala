@@ -250,4 +250,23 @@ object FuzzyJoins {
       }
       .drop("__is_left" +: "__ap" +: tbCols: _*)
   }
+
+  /** Fellegi–Sunter probabilistic record-linkage scoring over an
+    * already-BLOCKED pair frame (never all-pairs — the block key bounds
+    * candidate fan-out, q96's rule): each field contributes its
+    * log₂(m/u) agreement weight when `agree` holds, its
+    * log₂((1−m)/(1−u)) disagreement weight otherwise; the match score is
+    * the sum. Weights arrive as precomputed literals (from labeled data
+    * or EM in practice), so the score is pure column arithmetic — codegen
+    * all the way, no shuffle beyond whatever produced the pairs.
+    */
+  def fellegiSunterScore(pairs: DataFrame,
+      fields: Seq[(org.apache.spark.sql.Column, Double, Double)],
+      threshold: Double): DataFrame = {
+    val score = fields.map { case (agree, wAgree, wDisagree) =>
+      when(agree, lit(wAgree)).otherwise(lit(wDisagree))
+    }.reduce(_ + _)
+    pairs.withColumn("score", round(score, 6))
+      .filter(col("score") >= threshold)
+  }
 }

@@ -65,6 +65,47 @@ object RobustStats {
       .agg(min(col(valCol)).as("weighted_median"))
   }
 
+  /** k-th smallest value of an integer column by iterative counting —
+    * distributed selection WITHOUT sorting: binary search on the value
+    * domain, one `count(x ≤ mid)` full-scan aggregate per step (~log₂ of
+    * the value range), no shuffle beyond partial-count merge and no
+    * single-partition stage at any size. The driver loop only CONTROLS
+    * the search (the [[GraphOps.connectedComponents]] precedent); the
+    * 100 TB play is exactly this: ~34 cheap scans beat one global sort.
+    * Caller should cache/persist the projected column when issuing
+    * several probes.
+    */
+  def kthSmallestByCounting(df: DataFrame, colName: String, k: Long): Long = {
+    val Array(mn, mx) = df.agg(min(col(colName)), max(col(colName)))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    var lo = mn; var hi = mx
+    while (lo < hi) {
+      val mid = Math.floorDiv(lo + hi, 2)
+      val c = df.filter(col(colName) <= mid).count()
+      if (c >= k) hi = mid else lo = mid + 1
+    }
+    lo
+  }
+
+  /** Exact median of an integer column via [[kthSmallestByCounting]]
+    * (type-7: mean of the two middle order statistics for even n) —
+    * returned as a 1-row frame (n, lower/upper order stats, median).
+    */
+  def exactMedianByCounting(df: DataFrame, colName: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val slim = df.select(col(colName)).persist()
+    try {
+      val n = slim.count()
+      // (n+1)/2 and n/2+1 collapse to the same index for odd n — one
+      // branch-free formula both engines share
+      val (loK, hiK) = ((n + 1) / 2, n / 2 + 1)
+      val a = kthSmallestByCounting(slim, colName, loK)
+      val b = if (hiK == loK) a else kthSmallestByCounting(slim, colName, hiK)
+      Seq((n, a, b, (a + b) / 2.0)).toDF("n", "k_lo", "k_hi", "median")
+    } finally { slim.unpersist(); () }
+  }
+
   /** Pearson chi-square test of independence over a two-way contingency
     * table: `rowExpr` × `colExpr` observed counts, expected counts from the
     * margins, χ² = Σ (o−e)²/e. Everything is one count aggregation plus

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{FuzzyJoins, PatternOps, RobustStats}
+
+/** Hand-computed values for the pattern-mining / record-linkage /
+  * distributed-selection operators (q127–q130).
+  */
+class PatternAndSelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pairCooccurrence: supports and lift on a three-basket fixture") {
+    // baskets: 1={a,b}, 2={a,b,c}, 3={a}; duplicates must not inflate
+    val df = Seq((1, "a"), (1, "b"), (1, "b"), (2, "a"), (2, "b"), (2, "c"),
+      (3, "a")).toDF("u", "item")
+    val out = PatternOps.pairCooccurrence(df, "u", "item")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(("a", "b")) == ((2L, 3L, 2L, 1.0)))   // 3·2/(3·2)
+    assert(out(("a", "c")) == ((1L, 3L, 1L, 1.0)))   // 3·1/(3·1)
+    assert(out(("b", "c")) == ((1L, 2L, 1L, 1.5)))   // 3·1/(2·1)
+  }
+
+  test("fellegiSunterScore: weights sum per agreement pattern, threshold cuts") {
+    val pairs = Seq(
+      (1L, true, true), (2L, true, false), (3L, false, true),
+      (4L, false, false)).toDF("id", "f1", "f2")
+    val out = FuzzyJoins.fellegiSunterScore(pairs, Seq(
+        (col("f1"), 2.0, -1.0), (col("f2"), 3.0, -2.0)),
+        threshold = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out == Map(1L -> 5.0, 2L -> 0.0, 3L -> 2.0)) // 4 scores -3, cut
+  }
+
+  test("kthSmallestByCounting: every rank matches the sorted truth, with ties") {
+    val xs = Seq(5L, 3L, 9L, 3L, 7L, 1L, 9L, 9L, 2L, 4L)
+    val df = xs.toDF("x")
+    val sorted = xs.sorted
+    (1 to xs.size).foreach { k =>
+      assert(RobustStats.kthSmallestByCounting(df, "x", k.toLong)
+        == sorted(k - 1), s"rank $k")
+    }
+  }
+
+  test("exactMedianByCounting: odd and even parities") {
+    val odd = RobustStats.exactMedianByCounting(
+      Seq(9L, 1L, 5L).toDF("x"), "x").collect().head
+    assert(odd.getLong(0) == 3L && odd.getDouble(3) == 5.0)
+    val even = RobustStats.exactMedianByCounting(
+      Seq(1L, 2L, 3L, 10L).toDF("x"), "x").collect().head
+    assert(even.getLong(1) == 2L && even.getLong(2) == 3L
+      && even.getDouble(3) == 2.5)
+  }
+
+  test("topPaths: prefix assembly, tie order, truncation") {
+    // user 1: a b c d e f (prefix a>b>c>d>e), user 2: a b (a>b), user 3: a b
+    val rows = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "d"),
+      (1L, 5L, "e"), (1L, 6L, "f"),
+      (2L, 1L, "a"), (2L, 2L, "b"),
+      (3L, 1L, "a"), (3L, 2L, "b"))
+    val df = rows.toDF("u", "us", "it")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withColumn("id", col("us"))
+    val out = PatternOps.topPaths(df, "u", "ts", "id", "it", 5, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.head == (("a>b", 2L)))
+    assert(out(1) == (("a>b>c>d>e", 1L))) // 6th event truncated away
+  }
+}
