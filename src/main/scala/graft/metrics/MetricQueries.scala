@@ -122,9 +122,11 @@ object MetricQueries {
       .agg(count(lit(1)).as("o"))
     val m1 = cells.groupBy(col("r1")).agg(sum(col("o")).as("n1"))
     val m2 = cells.groupBy(col("r2")).agg(sum(col("o")).as("n2"))
-    // expected-agreement numerator: Σ_k n1_k·n2_k over the shared label set
+    // expected-agreement numerator: Σ_k n1_k·n2_k over the shared label
+    // set; coalesce — DISJOINT label spaces make the join empty and the
+    // sum NULL, but pe is genuinely 0 there, not undefined
     val pe = m1.join(m2, col("r1") === col("r2"))
-      .agg(sum(col("n1") * col("n2")).as("__pe_num"))
+      .agg(coalesce(sum(col("n1") * col("n2")), lit(0L)).as("__pe_num"))
     val agg = cells.agg(
       sum(col("o")).as("__n"),
       sum(when(col("r1") === col("r2"), col("o")).otherwise(0L))

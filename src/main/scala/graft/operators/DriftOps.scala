@@ -121,6 +121,9 @@ object DriftOps {
       sum(col("ca")).as("__na"), sum(col("cb")).as("__nb"))
     cum.join(broadcast(offsets), "__bkt")
       .crossJoin(broadcast(totals))
+      // an absent population makes the ECDF undefined — return an empty
+      // frame instead of dividing by a zero count
+      .filter(col("__na") > 0 && col("__nb") > 0)
       .select(
         col("__na"), col("__nb"),
         abs(

@@ -130,4 +130,57 @@ class PropertySpec extends SparkSpec {
       assert(x.isEmpty || js == 1.0)
     }
   }
+
+  test("kthSmallestByCounting equals sorted-order truth for any multiset") {
+    val lists = Gen.listOfN(25, Gen.chooseNum(-500L, 500L))
+    samples(lists, 8).foreach { xs =>
+      val df = xs.toDF("x")
+      val sorted = xs.sorted
+      Seq(1, xs.size / 2, xs.size).distinct.foreach { k =>
+        val got = graft.operators.RobustStats
+          .kthSmallestByCounting(df, "x", k.toLong)
+        assert(got == sorted(k - 1), s"rank $k of $xs")
+      }
+    }
+  }
+
+  test("ksTwoSample equals the brute-force ECDF-sup definition") {
+    val vals = Gen.listOfN(15,
+      Gen.chooseNum(0.0, 30.0).map(v => math.rint(v * 4) / 4)) // forced ties
+    samples(Gen.zip(vals, vals), 8).foreach { case (as, bs) =>
+      val df = (as.map(("a", _)) ++ bs.map(("b", _))).toDF("g", "v")
+      val got = graft.operators.DriftOps
+        .ksTwoSample(df, "v", "g", "a", "b")
+        .head().getDouble(2)
+      val grid = (as ++ bs).distinct.sorted
+      val exp = grid.map { x =>
+        math.abs(as.count(_ <= x).toDouble / as.size -
+          bs.count(_ <= x).toDouble / bs.size)
+      }.max
+      assert(approx(got,
+        BigDecimal(exp).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        1e-9), s"KS for $as vs $bs")
+    }
+  }
+
+  test("kaplanMeier equals the brute-force product-limit for any durations") {
+    val subj = Gen.zip(Gen.chooseNum(0, 6), Gen.oneOf(true, false))
+    samples(Gen.listOfN(20, subj), 8).foreach { subjects =>
+      val got = graft.operators.SurvivalOps
+        .kaplanMeier(subjects.toDF("d", "ev"), "d", "ev")
+        .collect().map(r => r.getInt(0) -> r.getDouble(4)).toMap
+      val ts = subjects.map(_._1).distinct.sorted
+      var s = 1.0
+      ts.foreach { t =>
+        val atRisk = subjects.count(_._1 >= t)
+        val events = subjects.count(x => x._1 == t && x._2)
+        s = s * (1.0 - events.toDouble / atRisk)
+        val expected =
+          if (events == atRisk) 0.0
+          else BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble
+        assert(approx(got(t), expected, 1e-5), s"S($t) for $subjects")
+      }
+    }
+  }
 }
