@@ -1451,39 +1451,55 @@ object OracleSql {
         |  FROM events)
         |ORDER BY "column"""".stripMargin,
 
-    "q113_psi_drift" ->
-      """WITH rng AS (
-        |  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
-        |  FROM events),
-        |w AS (
-        |  SELECT event_type, value, epoch_us(ts) * 2 < mn + mx AS is_ref
-        |  FROM events, rng),
-        |b AS (
-        |  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
-        |  FROM w WHERE is_ref GROUP BY event_type),
-        |binned AS (
-        |  SELECT w.event_type, is_ref,
-        |    CASE WHEN (hi - lo) / 10.0 = 0 THEN 0
-        |         ELSE LEAST(9, GREATEST(0, CAST(FLOOR(
-        |           (value - lo) / ((hi - lo) / 10.0)) AS INTEGER))) END AS bin
-        |  FROM w JOIN b ON w.event_type = b.event_type),
-        |cells AS (
-        |  SELECT event_type, bin,
-        |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS r,
-        |    SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS c
-        |  FROM binned GROUP BY event_type, bin),
-        |tot AS (
-        |  SELECT event_type, SUM(r) AS nref, SUM(c) AS ncur
-        |  FROM cells GROUP BY event_type)
-        |SELECT cells.event_type, CAST(MAX(nref) AS BIGINT) AS n_ref,
-        |  CAST(MAX(ncur) AS BIGINT) AS n_cur,
-        |  ROUND(CAST(SUM(CAST(
-        |    ((c + 0.5) / (ncur + 5.0) - (r + 0.5) / (nref + 5.0)) *
-        |    LN(((c + 0.5) / (ncur + 5.0)) / ((r + 0.5) / (nref + 5.0)))
-        |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi
-        |FROM cells JOIN tot ON cells.event_type = tot.event_type
-        |GROUP BY cells.event_type
-        |ORDER BY cells.event_type""".stripMargin,
+    "q113_psi_drift" -> psiSql,
+
+    // the streaming monitor CONVERGES to the batch PSI on a bounded
+    // replay — its oracle is the batch query itself (q70/q73 pattern)
+    "q131_stream_psi" -> psiSql,
+
+    "q132_zorder_skipping" ->
+      """WITH raw AS (
+        |  SELECT CAST(l_partkey AS BIGINT) AS x,
+        |         CAST(l_suppkey AS BIGINT) AS y
+        |  FROM lineitem),
+        |dm AS (SELECT MAX(x) AS dmx, MAX(y) AS dmy FROM raw),
+        |s0 AS (
+        |  SELECT x, y,
+        |    (((x * 256) // (dmx + 1)) & 255) AS x0,
+        |    (((y * 256) // (dmy + 1)) & 255) AS y0
+        |  FROM raw, dm),
+        |s1 AS (SELECT x, y,
+        |  ((x0 | (x0 << 4)) & 3855) AS x1,
+        |  ((y0 | (y0 << 4)) & 3855) AS y1 FROM s0),
+        |s2 AS (SELECT x, y,
+        |  ((x1 | (x1 << 2)) & 13107) AS x2,
+        |  ((y1 | (y1 << 2)) & 13107) AS y2 FROM s1),
+        |b AS (SELECT x, y,
+        |  (((x2 | (x2 << 1)) & 21845) |
+        |   (((y2 | (y2 << 1)) & 21845) << 1)) AS z FROM s2),
+        |mx AS (SELECT MAX(x) AS mxx, MAX(z) AS mxz FROM b),
+        |fx AS (
+        |  SELECT x // (mxx // 64 + 1) AS f, COUNT(*) AS n,
+        |    MIN(x) AS minx, MAX(x) AS maxx, MIN(y) AS miny, MAX(y) AS maxy
+        |  FROM b, mx GROUP BY f),
+        |fz AS (
+        |  SELECT z // (mxz // 64 + 1) AS f, COUNT(*) AS n,
+        |    MIN(x) AS minx, MAX(x) AS maxx, MIN(y) AS miny, MAX(y) AS maxy
+        |  FROM b, mx GROUP BY f)
+        |SELECT 'x_sorted' AS layout, COUNT(*) AS n_files,
+        |  CAST(SUM(CASE WHEN minx <= 1500 AND maxx >= 100 AND miny <= 5
+        |    AND maxy >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_files_hit,
+        |  CAST(SUM(CASE WHEN minx <= 1500 AND maxx >= 100 AND miny <= 5
+        |    AND maxy >= 2 THEN n ELSE 0 END) AS BIGINT) AS rows_read
+        |FROM fx
+        |UNION ALL
+        |SELECT 'z_order', COUNT(*),
+        |  CAST(SUM(CASE WHEN minx <= 1500 AND maxx >= 100 AND miny <= 5
+        |    AND maxy >= 2 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(CASE WHEN minx <= 1500 AND maxx >= 100 AND miny <= 5
+        |    AND maxy >= 2 THEN n ELSE 0 END) AS BIGINT)
+        |FROM fz
+        |ORDER BY layout""".stripMargin,
 
     "q114_markov_transitions" ->
       """WITH seq AS (
@@ -1794,6 +1810,43 @@ object OracleSql {
         |  ROUND(ABS(obs_p - exp_p), 6) AS abs_dev
         |FROM e ORDER BY digit""".stripMargin,
   )
+
+  /** Shared by q113 (batch PSI) and q131 (its streaming twin, which
+    * CONVERGES to the batch answer on a bounded replay).
+    */
+  private def psiSql: String =
+    """WITH rng AS (
+      |  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+      |  FROM events),
+      |w AS (
+      |  SELECT event_type, value, epoch_us(ts) * 2 < mn + mx AS is_ref
+      |  FROM events, rng),
+      |b AS (
+      |  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+      |  FROM w WHERE is_ref GROUP BY event_type),
+      |binned AS (
+      |  SELECT w.event_type, is_ref,
+      |    CASE WHEN (hi - lo) / 10.0 = 0 THEN 0
+      |         ELSE LEAST(9, GREATEST(0, CAST(FLOOR(
+      |           (value - lo) / ((hi - lo) / 10.0)) AS INTEGER))) END AS bin
+      |  FROM w JOIN b ON w.event_type = b.event_type),
+      |cells AS (
+      |  SELECT event_type, bin,
+      |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS r,
+      |    SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS c
+      |  FROM binned GROUP BY event_type, bin),
+      |tot AS (
+      |  SELECT event_type, SUM(r) AS nref, SUM(c) AS ncur
+      |  FROM cells GROUP BY event_type)
+      |SELECT cells.event_type, CAST(MAX(nref) AS BIGINT) AS n_ref,
+      |  CAST(MAX(ncur) AS BIGINT) AS n_cur,
+      |  ROUND(CAST(SUM(CAST(
+      |    ((c + 0.5) / (ncur + 5.0) - (r + 0.5) / (nref + 5.0)) *
+      |    LN(((c + 0.5) / (ncur + 5.0)) / ((r + 0.5) / (nref + 5.0)))
+      |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi
+      |FROM cells JOIN tot ON cells.event_type = tot.event_type
+      |GROUP BY cells.event_type
+      |ORDER BY cells.event_type""".stripMargin
 
   /** q118's oracle: the identical fixed-point BIGINT PageRank, the
     * `iterations` rounds UNROLLED as chained CTEs (standard SQL forbids

@@ -1921,6 +1921,35 @@ object SparkEntry {
       t(spark, dir, "events"), "user_id", "ts", "event_id", "event_type",
       pathLen = 5, k = 20)
 
+  // ---------------------------------------------------------------- q131
+  // STREAMING drift monitor: q113's PSI counters maintained incrementally
+  // over the event stream (pure additive state, frozen reference bins from
+  // one static scan) — a bounded replay must land on exactly the batch
+  // PSI, so the oracle is q113's own SQL (the q70/q73 CDC convergence
+  // pattern applied to monitoring).
+  def q131(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.streaming.StreamingOps.streamingPsiDrift(
+        spark, dir, "events.parquet", "event_type", "ts", "value", nBins = 10,
+        graft.streaming.StreamSink.Memory("q131_psi"),
+        prepare = df => df.withColumn("ts",
+          timestamp_micros(expr("ts div 1000"))))
+      .orderBy(col("event_type"))
+  }
+
+  // ---------------------------------------------------------------- q132
+  // Z-order zone-map skipping: normalize (l_partkey, l_suppkey) onto the
+  // 8-bit grid, Morton-interleave, chunk the table 64 ways under the Z
+  // layout vs a plain partkey sort, and count which chunks a 2-D range
+  // query (wide in x, narrow in y — the case a 1-D sort cannot skip) must
+  // read — the multi-dimension data-skipping layout decision, as an
+  // exact-integer report (the pure-layout sibling of q125's bucketing).
+  def q132(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LayoutOps.zoneMapSkipping(
+      t(spark, dir, "lineitem"), "l_partkey", "l_suppkey",
+      files = 64, xLo = 100L, xHi = 1500L, yLo = 2L, yHi = 5L)
+      .orderBy(col("layout"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -2053,6 +2082,8 @@ object SparkEntry {
     "q128_record_linkage" -> (q128 _),
     "q129_median_no_sort" -> (q129 _),
     "q130_top_paths" -> (q130 _),
+    "q131_stream_psi" -> (q131 _),
+    "q132_zorder_skipping" -> (q132 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -53,6 +53,17 @@ object DriftOps {
       .agg(
         sum(when(col("__is_ref"), 1L).otherwise(0L)).as("__ref"),
         sum(when(!col("__is_ref"), 1L).otherwise(0L)).as("__cur"))
+    psiFromCells(cells, keyCol, nBins)
+  }
+
+  /** PSI finishing arithmetic over a (key, bin, __ref, __cur) counter
+    * frame — shared by the batch operator above and the STREAMING drift
+    * monitor ([[graft.streaming.StreamingOps.streamingPsiDrift]]), whose
+    * counters are maintained incrementally: the counts are pure additive
+    * state, so a micro-batch engine can keep them forever-fresh and this
+    * step turns any snapshot into the PSI report.
+    */
+  def psiFromCells(cells: DataFrame, keyCol: String, nBins: Int): DataFrame = {
     val totals = cells.groupBy(col(keyCol))
       .agg(sum(col("__ref")).as("__nref"), sum(col("__cur")).as("__ncur"))
     val smooth = lit(0.5 * nBins)

@@ -45,4 +45,69 @@ object LayoutOps {
     spark.sql(s"DROP TABLE IF EXISTS ${tag}_l")
     spark.sql(s"DROP TABLE IF EXISTS ${tag}_r")
   }
+
+  import org.apache.spark.sql.Column
+
+  /** Bit-spread of an 8-bit value into the even bit positions (the classic
+    * magic-mask cascade) — half of a Morton/Z-order interleave. Pure
+    * BIGINT bitwise arithmetic, so any engine reproduces it bit-for-bit.
+    */
+  def spreadBits8(c: Column): Column = {
+    val v0 = c.cast("bigint").bitwiseAND(lit(0xFFL))
+    val v1 = v0.bitwiseOR(shiftleft(v0, 4)).bitwiseAND(lit(0x0F0FL))
+    val v2 = v1.bitwiseOR(shiftleft(v1, 2)).bitwiseAND(lit(0x3333L))
+    v2.bitwiseOR(shiftleft(v2, 1)).bitwiseAND(lit(0x5555L))
+  }
+
+  /** Z-order (Morton) code of two 8-bit dimensions: interleaved bits, so
+    * rows close in BOTH dimensions get close codes — the multi-dimension
+    * data-clustering key a lakehouse sorts files by when queries filter on
+    * more than one column. Feed NORMALIZED coordinates (each dimension
+    * rescaled onto the 0–255 grid): raw keys of unequal magnitude
+    * degenerate the interleave toward the wider dimension's plain sort.
+    */
+  def morton8(x: Column, y: Column): Column =
+    spreadBits8(x).bitwiseOR(shiftleft(spreadBits8(y), 1))
+
+  /** Zone-map file-skipping comparison: split the table into `files`
+    * equal-width chunks under (a) a Z-order layout (both dimensions
+    * normalized to the 8-bit grid, then Morton-interleaved — the chunks
+    * are square quadtree tiles) and (b) a single-column sort layout, build
+    * each chunk's (min, max) zone map for both dimensions, and count how
+    * many chunks a 2-D range query must read. The Z-layout bounds BOTH
+    * dimensions per chunk, so its zone maps skip in both; the 1-D layout
+    * leaves the second dimension unbounded per chunk. Everything is exact
+    * integer arithmetic over one aggregation per layout — engine-portable.
+    */
+  def zoneMapSkipping(df: DataFrame, xCol: String, yCol: String,
+      files: Int, xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {
+    val raw = df.select(
+      col(xCol).cast("bigint").as("__x"), col(yCol).cast("bigint").as("__y"))
+    val dimMax = raw.agg(max(col("__x")).as("__dmx"), max(col("__y")).as("__dmy"))
+    val base = raw.crossJoin(broadcast(dimMax))
+      .withColumn("__z", morton8(
+        expr("__x * 256 div (__dmx + 1)"),
+        expr("__y * 256 div (__dmy + 1)")))
+      .select(col("__x"), col("__y"), col("__z"))
+    def report(layout: String, keyCol: String): DataFrame = {
+      val mx = base.agg(max(col(keyCol)).as("__max"))
+      val zones = base.crossJoin(broadcast(mx))
+        .withColumn("__file",
+          expr(s"$keyCol div (__max div $files + 1)"))
+        .groupBy(col("__file"))
+        .agg(count(lit(1)).as("__n"),
+          min(col("__x")).as("__minx"), max(col("__x")).as("__maxx"),
+          min(col("__y")).as("__miny"), max(col("__y")).as("__maxy"))
+      zones.agg(
+        lit(layout).as("layout"),
+        count(lit(1)).as("n_files"),
+        sum(when(col("__minx") <= xHi && col("__maxx") >= xLo &&
+          col("__miny") <= yHi && col("__maxy") >= yLo, 1L).otherwise(0L))
+          .as("n_files_hit"),
+        sum(when(col("__minx") <= xHi && col("__maxx") >= xLo &&
+          col("__miny") <= yHi && col("__maxy") >= yLo, col("__n"))
+          .otherwise(0L)).as("rows_read"))
+    }
+    report("x_sorted", "__x").unionByName(report("z_order", "__z"))
+  }
 }

@@ -321,4 +321,53 @@ object StreamingOps {
       .select(col(staticKey), col("n"),
         col("sum_dec").cast("double").as("sum_value"))
   }
+
+  /** STREAMING drift monitor: the q113 PSI maintained incrementally. The
+    * reference window's bounds come from one static scan (bin edges must
+    * be frozen before monitoring starts — same contract as a frozen
+    * scaler); the stream then keeps per-(key, bin) reference/current
+    * counters as a complete-mode keyed aggregation — counts are pure
+    * additive state, so the counter frame (keys × bins rows, tiny) is
+    * forever-fresh and ANY snapshot of it finishes into the PSI report
+    * via [[graft.operators.DriftOps.psiFromCells]]. Run over a bounded
+    * replay it lands on exactly the batch q113 answer — the convergence
+    * contract the oracle checks (the q73/q70 CDC pattern applied to
+    * drift).
+    */
+  def streamingPsiDrift(spark: SparkSession, dir: String, fileName: String,
+      keyCol: String, tsCol: String, valCol: String, nBins: Int,
+      sink: StreamSink, prepare: DataFrame => DataFrame = identity): DataFrame = {
+    val static = prepare(spark.read.parquet(s"$dir/$fileName"))
+    val usCol = unix_micros(col(tsCol))
+    val range = static.agg(min(usCol).as("__mn_us"), max(usCol).as("__mx_us"))
+    val bounds = static
+      .crossJoin(broadcast(range))
+      .filter(usCol * 2 < col("__mn_us") + col("__mx_us"))
+      .groupBy(col(keyCol))
+      .agg(min(col(valCol)).as("__lo"), max(col(valCol)).as("__hi"))
+      .crossJoin(broadcast(range))
+    val stream = prepare(fileStream(spark, dir, fileName))
+    val counters = stream
+      .join(broadcast(bounds), keyCol)
+      .withColumn("__is_ref",
+        usCol * 2 < col("__mn_us") + col("__mx_us"))
+      .withColumn("__w", (col("__hi") - col("__lo")) / lit(nBins.toDouble))
+      .withColumn("__bin",
+        when(col("__w") === 0.0, lit(0))
+          .otherwise(least(lit(nBins - 1), greatest(lit(0),
+            floor((col(valCol) - col("__lo")) / col("__w")).cast("int")))))
+      .groupBy(col(keyCol), col("__bin"))
+      .agg(
+        sum(when(col("__is_ref"), 1L).otherwise(0L)).as("__ref"),
+        sum(when(!col("__is_ref"), 1L).otherwise(0L)).as("__cur"))
+    val sunk = runToSink(spark, counters, sink, "complete")
+    // pin the counter snapshot (keys × bins rows — tiny, and a memory-sink
+    // table anyway): psiFromCells self-joins the frame, and joining a
+    // memory-sink VIEW against its own aggregate trips conflicting
+    // attribute resolution
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    sunk.collect().foreach(rows.add)
+    val cells = spark.createDataFrame(rows, sunk.schema)
+    graft.operators.DriftOps.psiFromCells(cells, keyCol, nBins)
+  }
 }

@@ -27,7 +27,10 @@ class DeterminismSpec extends SparkSpec {
     "q118_pagerank", "q119_rolling_backtest", "q120_benford_audit",
     "q121_ab_ztest", "q122_kaplan_meier", "q123_cms_heavy_hitters",
     "q124_int8_quantization", "q125_bucketed_join", "q127_cooccurrence",
-    "q128_record_linkage", "q129_median_no_sort", "q130_top_paths")
+    "q128_record_linkage", "q129_median_no_sort", "q130_top_paths",
+    "q132_zorder_skipping")
+  // q131 is streaming (the streaming family stays under its own
+  // convergence specs, like q38/q73)
   // q126 isotonic joins the MLlib exclusion list (q74/q80/q105-q107):
   // the fit is an MLlib estimator, deterministic per partitioning only
   // q74/q80 are excluded: k-means initialization samples per-partition, so

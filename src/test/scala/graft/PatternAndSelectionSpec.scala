@@ -52,6 +52,39 @@ class PatternAndSelectionSpec extends SparkSpec {
       && even.getDouble(3) == 2.5)
   }
 
+  test("morton8: hand-computed interleaves and locality ordering") {
+    val df = Seq((3L, 5L), (0L, 0L), (255L, 255L), (255L, 0L))
+      .toDF("x", "y")
+    val z = df.select(graft.operators.LayoutOps.morton8(col("x"), col("y")))
+      .collect().map(_.getLong(0))
+    // interleave(011, 101) = 100111₂ = 39; corners pin the code range
+    assert(z(0) == 39L)
+    assert(z(1) == 0L && z(2) == 65535L)
+    assert(z(3) == 0x5555L) // x bits occupy exactly the even positions
+  }
+
+  test("zoneMapSkipping: z-order reads fewer rows for a 2-D box than 1-D sort") {
+    // uniform 200×200 grid; box wide in x, narrow in y
+    val grid = for (x <- 0 until 200; y <- 0 until 200) yield (x.toLong, y.toLong)
+    val df = grid.toDF("x", "y")
+    val rep = graft.operators.LayoutOps
+      .zoneMapSkipping(df, "x", "y", 64, 10L, 190L, 5L, 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(rep("z_order") < rep("x_sorted"),
+      s"z-order must beat the 1-D sort on a 2-D box: $rep")
+    // and the skipping is sound: every matching row lives in a read chunk
+    val matching = grid.count { case (x, y) =>
+      x >= 10 && x <= 190 && y >= 5 && y <= 10 }
+    assert(rep.values.forall(_ >= matching))
+  }
+
+  test("streamingPsiDrift converges to the batch PSI (q131 == q113)") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = SparkEntry.q113(spark, dir).collect().map(_.toSeq).toSeq
+    val stream = SparkEntry.q131(spark, dir).collect().map(_.toSeq).toSeq
+    assert(stream == batch)
+  }
+
   test("topPaths: prefix assembly, tie order, truncation") {
     // user 1: a b c d e f (prefix a>b>c>d>e), user 2: a b (a>b), user 3: a b
     val rows = Seq(
