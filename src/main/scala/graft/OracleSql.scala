@@ -1501,6 +1501,56 @@ object OracleSql {
         |FROM fz
         |ORDER BY layout""".stripMargin,
 
+    "q133_bigram_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+        |bg AS (
+        |  SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bg
+        |  FROM toks, unnest(range(1, GREATEST(len(tk), 1))) AS t(i)),
+        |c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+        |c1 AS (
+        |  SELECT string_split(bg, ' ')[1] AS w1, SUM(c2) AS c1
+        |  FROM c2 GROUP BY 1),
+        |pr AS (
+        |  SELECT bg, LN(CAST(c2 AS DOUBLE) / c1) AS logp
+        |  FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1),
+        |d AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(CAST(logp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+        |      AS avg_raw
+        |  FROM bg JOIN pr ON bg.bg = pr.bg
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  ROUND(avg_raw, 6) AS avg_logp,
+        |  ROUND(EXP(-avg_raw), 6) AS ppl
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q134_snapshot_diff" ->
+      """WITH rng AS (
+        |  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+        |  FROM events),
+        |e AS (
+        |  SELECT user_id, value, epoch_us(ts) * 2 < mn + mx AS is_a
+        |  FROM events, rng),
+        |a AS (
+        |  SELECT user_id, COUNT(*) AS na,
+        |    SUM(CAST(value AS DECIMAL(28,2))) AS sa
+        |  FROM e WHERE is_a GROUP BY user_id),
+        |b AS (
+        |  SELECT user_id, COUNT(*) AS nb,
+        |    SUM(CAST(value AS DECIMAL(28,2))) AS sb
+        |  FROM e WHERE NOT is_a GROUP BY user_id),
+        |j AS (
+        |  SELECT COALESCE(a.user_id, b.user_id) AS u,
+        |    CASE WHEN b.user_id IS NULL THEN 'removed'
+        |         WHEN a.user_id IS NULL THEN 'added'
+        |         WHEN na IS DISTINCT FROM nb OR sa IS DISTINCT FROM sb
+        |           THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM a FULL OUTER JOIN b ON a.user_id = b.user_id)
+        |SELECT status, COUNT(*) AS n_keys FROM j
+        |GROUP BY status ORDER BY status""".stripMargin,
+
     "q114_markov_transitions" ->
       """WITH seq AS (
         |  SELECT event_type,

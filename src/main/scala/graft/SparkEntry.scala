@@ -1950,6 +1950,39 @@ object SparkEntry {
       files = 64, xLo = 100L, xHi = 1500L, yLo = 2L, yHi = 5L)
       .orderBy(col("layout"))
 
+  // ---------------------------------------------------------------- q133
+  // Bigram-LM perplexity per document: the LM-based quality filter of a
+  // training-data pipeline (boilerplate → low ppl, gibberish → high;
+  // percentile cuts on this column are the classic cleaning step). Exact
+  // corpus-count probabilities, decimal ln sums — fully oracle-checkable,
+  // unlike a neural LM score.
+  def q133(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bigramPerplexity(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- q134
+  // Keyed snapshot diff: per-user activity state (count + exact value
+  // sum) in the first half of the time range vs the second, classified
+  // added/removed/changed/unchanged — the backfill/replication audit,
+  // reported as per-status key counts.
+  def q134(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val usCol = unix_micros(col("ts"))
+    val range = ev.agg(min(usCol).as("__mn"), max(usCol).as("__mx"))
+    val based = ev.crossJoin(broadcast(range))
+      .withColumn("__is_a", usCol * 2 < col("__mn") + col("__mx"))
+    def snap(cond: org.apache.spark.sql.Column) = based.filter(cond)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,2)")).as("sum_value"))
+    graft.operators.CdcOps.snapshotDiff(
+        snap(col("__is_a")), snap(!col("__is_a")),
+        "user_id", Seq("n_events", "sum_value"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy(col("status"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -2084,6 +2117,8 @@ object SparkEntry {
     "q130_top_paths" -> (q130 _),
     "q131_stream_psi" -> (q131 _),
     "q132_zorder_skipping" -> (q132 _),
+    "q133_bigram_perplexity" -> (q133 _),
+    "q134_snapshot_diff" -> (q134 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

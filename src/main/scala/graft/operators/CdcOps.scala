@@ -35,6 +35,38 @@ object CdcOps {
   /** Compact, then drop keys whose LATEST change is a tombstone — delete
     * semantics: a delete only wins if nothing newer re-inserts the key.
     */
+  /** Keyed snapshot diff: classify every key as added / removed / changed /
+    * unchanged between two table versions, comparing the given state
+    * columns — the cross-snapshot audit a warehouse runs after a backfill
+    * or replication pass (the batch complement of [[compactLatest]]'s
+    * within-stream view). One full-outer equi-join on the key; state
+    * columns must already be 1-row-per-key aggregates.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, key: String,
+      compareCols: Seq[String]): DataFrame = {
+    // presence markers, not null-checks on state columns — a legitimately
+    // NULL state value must not read as an absent key
+    val l = compareCols.foldLeft(
+        a.select(col(key) +: compareCols.map(col): _*)
+          .withColumn("__in_a", lit(1))) {
+      (d, c) => d.withColumnRenamed(c, s"${c}_a")
+    }
+    val r = compareCols.foldLeft(
+        b.select(col(key) +: compareCols.map(col): _*)
+          .withColumn("__in_b", lit(1))) {
+      (d, c) => d.withColumnRenamed(c, s"${c}_b")
+    }
+    val joined = l.join(r, Seq(key), "full_outer")
+    val differs = compareCols.map(c =>
+      !(col(s"${c}_a") <=> col(s"${c}_b"))).reduce(_ || _)
+    joined.withColumn("status",
+      when(col("__in_b").isNull, "removed")
+        .when(col("__in_a").isNull, "added")
+        .when(differs, "changed")
+        .otherwise("unchanged"))
+      .drop("__in_a", "__in_b")
+  }
+
   def compactWithDeletes(df: DataFrame, keys: Seq[String],
       ordCols: Seq[String], isDelete: DataFrame => org.apache.spark.sql.Column): DataFrame = {
     val latest = compactLatest(df, keys, ordCols)

@@ -228,4 +228,49 @@ object TextOps {
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(n))))
   }
+
+  /** Per-document bigram log-probability under the corpus's own bigram LM
+    * (P(w₂|w₁) = corpus count(w₁ w₂) / corpus count(w₁·) as bigram
+    * *context*) and the resulting perplexity — the LM-based quality
+    * filter of an LLM data pipeline: boilerplate scores low perplexity,
+    * gibberish high, and percentile cuts on this column are the classic
+    * corpus-cleaning step (the bigram upgrade of [[tokenLmStats]]'s
+    * unigram signal).
+    *
+    * Every probability is a ratio of exact corpus counts (no smoothing
+    * needed: a document's own bigrams always have corpus count ≥ 1);
+    * ln terms accumulate as exact decimals per document. Shuffles: one
+    * bigram-keyed count, one bigram-keyed join, one doc-keyed aggregate.
+    */
+  def bigramPerplexity(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bigrams = df.select(col(idCol),
+        explode(transform(
+          sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+          i => concat_ws(" ", slice(toks, i, lit(2))))).as("bg"))
+      // a 1-token document yields its lone token as a degenerate "bigram";
+      // drop anything without a space (no transition to score)
+      .filter(col("bg").contains(" "))
+    val bgCount = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("__c2"))
+    val ctxCount = bgCount
+      .groupBy(substring_index(col("bg"), " ", 1).as("__w1"))
+      .agg(sum(col("__c2")).as("__c1"))
+    // context join stays a plain equi-join: the context table is the
+    // corpus VOCABULARY, which at real scale is too large to assert
+    // broadcastable — Catalyst/AQE picks broadcast when it actually fits
+    val probs = bgCount.join(ctxCount,
+        substring_index(col("bg"), " ", 1) === col("__w1"))
+      .select(col("bg"),
+        log(col("__c2").cast("double") / col("__c1")).as("__logp"))
+    bigrams.join(probs, "bg")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(col("__logp").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("__avg"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__avg"), 6).as("avg_logp"),
+        round(exp(-col("__avg")), 6).as("ppl"))
+  }
 }

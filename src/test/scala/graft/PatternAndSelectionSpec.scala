@@ -85,6 +85,43 @@ class PatternAndSelectionSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("bigramPerplexity: hand-computed corpus-LM scores") {
+    // corpus bigrams: "a b"×2, "b a"×1, "a c"×1 → contexts a:3, b:1
+    // d1 = a b a c → (ln(2/3) + ln(1) + ln(1/3)) / 3 ; d2 = a b → ln(2/3)
+    val docs = Seq((1L, "a b a c"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.bigramPerplexity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    def dec(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val avg1 = ((dec(math.log(2.0 / 3)) + dec(math.log(1.0)) +
+      dec(math.log(1.0 / 3))).toDouble / 3)
+    assert(out(1L)._1 == 3L)
+    assert(out(1L)._2 == BigDecimal(avg1)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(1L)._3 == BigDecimal(math.exp(-avg1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val avg2 = dec(math.log(2.0 / 3)).toDouble / 1
+    assert(out(2L)._2 == BigDecimal(avg2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // a single-token document has no transitions to score
+    assert(!out.contains(3L))
+  }
+
+  test("snapshotDiff: added/removed/changed/unchanged, null-safe compare") {
+    val a = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None),
+      (4L, Some(40.0))).toDF("k", "v")
+    val b = Seq((1L, Some(10.0)), (2L, Some(25.0)), (3L, None),
+      (5L, Some(50.0))).toDF("k", "v")
+    val out = graft.operators.CdcOps.snapshotDiff(a, b, "k", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(r.fieldIndex("status")))
+      .toMap
+    // NULL == NULL must read as unchanged (null-safe compare), and a NULL
+    // state value must not be mistaken for an absent key
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "unchanged",
+      4L -> "removed", 5L -> "added"))
+  }
+
   test("topPaths: prefix assembly, tie order, truncation") {
     // user 1: a b c d e f (prefix a>b>c>d>e), user 2: a b (a>b), user 3: a b
     val rows = Seq(
