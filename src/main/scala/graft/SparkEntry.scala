@@ -1983,6 +1983,46 @@ object SparkEntry {
       .orderBy(col("status"))
   }
 
+  // ---------------------------------------------------------------- q135
+  // Deterministic weighted sampling (exponential-race priorities): 50
+  // documents drawn with odds ∝ n_chars, reproducible with no RNG state —
+  // the corpus-curation sampler (upweight quality, keep the pipeline
+  // replayable). Hash-dependent → rows-only; specs pin determinism,
+  // scale-invariance and weight dominance.
+  def q135(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SplitOps.prioritySample(
+        t(spark, dir, "documents").select(
+          col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "n_chars", k = 50)
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- q136
+  // Sketch-based join-cardinality estimate: the CMS inner product over
+  // (l_orderkey, o_orderkey) counters vs the exact join size — what a
+  // planner consults before choosing broadcast/shuffle/salt, for the
+  // price of depth×width integers. Estimate is hash-dependent →
+  // rows-only; the spec proves the one-sided bound.
+  def q136(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SketchOps
+    val li = t(spark, dir, "lineitem").groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"))
+    val ord = t(spark, dir, "orders").groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n"))
+    // width must track the distinct-key count for a tight inner product
+    // (error ~ nA·nB/width): 65536 buckets ≈ 2 MB of counters — still
+    // nothing next to the join it prices
+    val est = SketchOps.cmsJoinCardinality(
+      SketchOps.cmsCounters(li, "l_orderkey", "n", depth = 4, width = 65536),
+      SketchOps.cmsCounters(ord, "o_orderkey", "n", depth = 4, width = 65536))
+    val exact = li.join(ord.withColumnRenamed("o_orderkey", "l_orderkey")
+        .withColumnRenamed("n", "nb"), "l_orderkey")
+      .agg(coalesce(sum(col("n") * col("nb")), lit(0L)).as("exact_join_rows"))
+    est.crossJoin(broadcast(exact))
+      .withColumn("over_ratio",
+        round(col("est_join_rows").cast("double") /
+          col("exact_join_rows"), 6))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -2119,6 +2159,8 @@ object SparkEntry {
     "q132_zorder_skipping" -> (q132 _),
     "q133_bigram_perplexity" -> (q133 _),
     "q134_snapshot_diff" -> (q134 _),
+    "q135_priority_sample" -> (q135 _),
+    "q136_join_cardinality" -> (q136 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

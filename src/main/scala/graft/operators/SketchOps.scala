@@ -65,4 +65,24 @@ object SketchOps {
       .withColumn("overcount", col("n_estimate") - col("n_exact"))
       .orderBy(col("n_exact").desc, col("term"))
   }
+
+  /** Equi-join cardinality estimate from two CMS counter frames: the true
+    * size is Σ_k cA(k)·cB(k); the sketch estimate is min over depths of
+    * Σ_b ctrA(d,b)·ctrB(d,b) — the classic sketch inner product, an upper
+    * bound that a planner consults BEFORE paying for the join (choose
+    * broadcast vs shuffle vs salt from depth×width integers instead of a
+    * dry run). Exact BIGINT arithmetic throughout; the error bound is
+    * nA·nB/width with probability 1 − 2^−depth.
+    */
+  def cmsJoinCardinality(aCounters: DataFrame,
+      bCounters: DataFrame): DataFrame = {
+    val a = aCounters.select(col("depth"), col("bucket"),
+      col("counter").as("__ca"))
+    val b = bCounters.select(col("depth"), col("bucket"),
+      col("counter").as("__cb"))
+    a.join(b, Seq("depth", "bucket"))
+      .groupBy(col("depth"))
+      .agg(sum(col("__ca") * col("__cb")).as("__dot"))
+      .agg(min(col("__dot")).as("est_join_rows"))
+  }
 }

@@ -101,6 +101,28 @@ object SplitOps {
     * place independent of what else is in the corpus, so incremental
     * ingests sample consistently.
     */
+  /** Deterministic weighted sampling without replacement (exponential-race
+    * priority sampling, Efraimidis & Spirakis): each row draws a
+    * pseudo-uniform u from its id hash and races with clock
+    * −ln(u)/weight; the k smallest clocks win. Inclusion odds scale with
+    * weight, the draw is a pure function of (id, salt) — reproducible
+    * across runs, engines and partitionings, with NO RNG state — and the
+    * selection is one top-k (TakeOrdered, never a global sort). This is
+    * the corpus-curation sampler: upweight high-quality sources, keep the
+    * pipeline replayable.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = ""): DataFrame = {
+    // u ∈ (0, 1]: (hash mod M + 1) / M over a large modulus
+    val m = 1L << 40
+    val u = (pmod(xxhash64(col(idCol), lit(salt)), lit(m)) + 1).cast("double") /
+      lit(m.toDouble)
+    df.withColumn("__clock", -log(u) / col(weightCol).cast("double"))
+      .orderBy(col("__clock"), col(idCol))
+      .limit(k)
+      .drop("__clock")
+  }
+
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
       ratesPerMille: Map[String, Int],
       defaultPerMille: Int = 1000): DataFrame = {

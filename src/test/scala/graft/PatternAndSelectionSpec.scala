@@ -122,6 +122,42 @@ class PatternAndSelectionSpec extends SparkSpec {
       4L -> "removed", 5L -> "added"))
   }
 
+  test("prioritySample: deterministic, scale-invariant, weight-dominant") {
+    val df = (1L to 200L).map(i => (i, if (i == 7L) 10000.0 else 1.0))
+      .toDF("id", "w")
+    val s1 = graft.operators.SplitOps.prioritySample(df, "id", "w", 20)
+      .collect().map(_.getLong(0)).toSet
+    val s2 = graft.operators.SplitOps.prioritySample(df, "id", "w", 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.size == 20)
+    // scaling every weight by the same factor changes nothing
+    // (exponential-race invariance)
+    val scaled = graft.operators.SplitOps.prioritySample(
+      df.withColumn("w", col("w") * 7.0), "id", "w", 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(scaled == s1)
+    // a 10000× weight races ~10000× faster — it must be in the sample
+    assert(s1.contains(7L))
+    // a different salt draws a different (still deterministic) sample
+    val other = graft.operators.SplitOps.prioritySample(
+      df, "id", "w", 20, salt = "B").collect().map(_.getLong(0)).toSet
+    assert(other != s1 && other.size == 20)
+  }
+
+  test("cmsJoinCardinality: one-sided bound, exact at generous width") {
+    import graft.operators.SketchOps
+    val a = (1L to 100L).map(k => (k, k % 5 + 1)).toDF("k", "n")
+    val b = (1L to 50L).map(k => (k, 2L)).toDF("k", "n")
+    val exact = a.join(b.withColumnRenamed("n", "nb"), "k")
+      .agg(sum(col("n") * col("nb"))).head().getLong(0)
+    def est(width: Int): Long = SketchOps.cmsJoinCardinality(
+      SketchOps.cmsCounters(a, "k", "n", 4, width),
+      SketchOps.cmsCounters(b, "k", "n", 4, width))
+      .head().getLong(0)
+    assert(est(8192) == exact)  // no collisions at generous width
+    assert(est(16) >= exact)    // collisions only ever overestimate
+  }
+
   test("topPaths: prefix assembly, tie order, truncation") {
     // user 1: a b c d e f (prefix a>b>c>d>e), user 2: a b (a>b), user 3: a b
     val rows = Seq(

@@ -68,6 +68,48 @@ class DriftScalingBench extends SparkSpec {
     small.unpersist(); big.unpersist()
   }
 
+  test("cooccurrence, paths, snapshot-diff, bigram-ppl scale near-linearly") {
+    val small = events(1); val big = events(8)
+    val docsSmall = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("text")).cache()
+    val docsBig = (0 until 8).map { k =>
+      docsSmall.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+        col("text"))
+    }.reduce(_.unionByName(_)).cache()
+
+    def snapDiff(df: DataFrame): Long = {
+      val usCol = unix_micros(col("ts"))
+      val range = df.agg(min(usCol).as("__mn"), max(usCol).as("__mx"))
+      val based = df.crossJoin(broadcast(range))
+        .withColumn("__is_a", usCol * 2 < col("__mn") + col("__mx"))
+      def snap(c: org.apache.spark.sql.Column) = based.filter(c)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      graft.operators.CdcOps
+        .snapshotDiff(snap(col("__is_a")), snap(!col("__is_a")),
+          "user_id", Seq("n")).count()
+    }
+    def suite(ev: DataFrame, docs: DataFrame): Map[String, (Long, Long)] = Map(
+      "cooccur" -> timed(graft.operators.PatternOps
+        .pairCooccurrence(ev, "user_id", "event_type").count()),
+      "paths" -> timed(graft.operators.PatternOps
+        .topPaths(ev, "user_id", "ts", "event_id", "event_type", 5, 20)
+        .count()),
+      "snapdiff" -> timed(snapDiff(ev)),
+      "bigram_ppl" -> timed(graft.operators.TextOps
+        .bigramPerplexity(docs, "doc_id", "text").count()))
+
+    suite(small, docsSmall) // warm codegen
+    val s = suite(small, docsSmall); val b = suite(big, docsBig)
+    s.keys.toSeq.sorted.foreach { k =>
+      val ratio = b(k)._1.toDouble / math.max(1, s(k)._1)
+      info(f"$k%-12s 1x=${s(k)._1}%5d ms (${s(k)._2}%7d rows)  " +
+        f"8x=${b(k)._1}%5d ms (${b(k)._2}%7d rows)  time-ratio=$ratio%.1f")
+      assert(ratio < 24.0, f"$k scaled super-linearly: $ratio%.1f× at 8× data")
+    }
+    small.unpersist(); big.unpersist()
+    docsSmall.unpersist(); docsBig.unpersist()
+  }
+
   test("fixed-point pagerank scales in edges (8 disjoint graph copies)") {
     val base = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .filter(col("vec_id") < 100)
