@@ -1551,6 +1551,47 @@ object OracleSql {
         |SELECT status, COUNT(*) AS n_keys FROM j
         |GROUP BY status ORDER BY status""".stripMargin,
 
+    "q137_changepoint" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(28,2))) AS s,
+        |    SUM(CAST(value * value AS DECIMAL(28,4))) AS s2
+        |  FROM events GROUP BY event_type, h),
+        |t AS (
+        |  SELECT event_type, SUM(n) AS tn, SUM(s) AS tsum,
+        |    SUM(s2) AS tsum2
+        |  FROM b GROUP BY event_type),
+        |c AS (
+        |  SELECT event_type, h,
+        |    SUM(n) OVER w AS cn,
+        |    CAST(SUM(s) OVER w AS DOUBLE) AS cs,
+        |    CAST(SUM(s2) OVER w AS DOUBLE) AS cs2
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |sp AS (
+        |  SELECT c.event_type, h, cn, tn, tsum, tsum2,
+        |    (cs2 - cs * cs / CAST(cn AS DOUBLE)) +
+        |    (CAST(tsum2 AS DOUBLE) - cs2 -
+        |     (CAST(tsum AS DOUBLE) - cs) * (CAST(tsum AS DOUBLE) - cs) /
+        |       CAST(tn - cn AS DOUBLE)) AS sse
+        |  FROM c JOIN t ON c.event_type = t.event_type
+        |  WHERE cn < tn),
+        |best AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY event_type ORDER BY sse, h) AS rn
+        |  FROM sp)
+        |SELECT event_type, h AS split_after_hour,
+        |  CAST(cn AS BIGINT) AS n_before,
+        |  CAST(tn - cn AS BIGINT) AS n_after,
+        |  ROUND(sse, 4) AS sse_split,
+        |  ROUND(CAST(tsum2 AS DOUBLE) -
+        |    CAST(tsum AS DOUBLE) * CAST(tsum AS DOUBLE) /
+        |      CAST(tn AS DOUBLE), 4) AS sse_nosplit
+        |FROM best WHERE rn = 1
+        |ORDER BY event_type""".stripMargin,
+
     "q114_markov_transitions" ->
       """WITH seq AS (
         |  SELECT event_type,

@@ -2023,6 +2023,46 @@ object SparkEntry {
           col("exact_join_rows"), 6))
   }
 
+  // ---------------------------------------------------------------- q137
+  // Exact mean-shift changepoint per event type: "did this metric's level
+  // change, and when" — one keyed aggregation collapses the data to
+  // hourly sufficient statistics, every candidate split is scored on
+  // that tiny frame with prefix sums, and the argmin tie-breaks on the
+  // earliest split. Monitoring's segmentation primitive, no iteration.
+  def q137(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeriesOps.changepointMeanShift(
+        t(spark, dir, "events"), "event_type", "ts", "value")
+      .orderBy(col("event_type"))
+
+  // ---------------------------------------------------------------- q138
+  // HLL sketch INTERSECTION by inclusion-exclusion (the union-only
+  // algebra of q107 completed): users who both clicked and purchased,
+  // estimated from three mergeable sketches vs the exact overlap.
+  // Sketch-valued → rows-only; the spec bounds the relative error.
+  def q138(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    def sketch(tpe: String) = ev.filter(col("event_type") === tpe)
+      .agg(hll_sketch_agg(col("user_id")).as(s"sk_$tpe"),
+        countDistinct(col("user_id")).as(s"n_$tpe"))
+    val a = sketch("click"); val b = sketch("purchase")
+    val exact = ev.filter(col("event_type") === "click")
+      .select(col("user_id")).intersect(
+        ev.filter(col("event_type") === "purchase").select(col("user_id")))
+      .agg(count(lit(1)).as("exact_both"))
+    a.crossJoin(b)
+      .select(
+        hll_sketch_estimate(col("sk_click")).as("est_click"),
+        hll_sketch_estimate(col("sk_purchase")).as("est_purchase"),
+        (hll_sketch_estimate(col("sk_click")) +
+          hll_sketch_estimate(col("sk_purchase")) -
+          hll_sketch_estimate(hll_union(col("sk_click"), col("sk_purchase"))))
+          .as("est_both"))
+      .crossJoin(broadcast(exact))
+      .withColumn("rel_err",
+        round(abs(col("est_both") - col("exact_both")) /
+          col("exact_both").cast("double"), 6))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -2161,6 +2201,8 @@ object SparkEntry {
     "q134_snapshot_diff" -> (q134 _),
     "q135_priority_sample" -> (q135 _),
     "q136_join_cardinality" -> (q136 _),
+    "q137_changepoint" -> (q137 _),
+    "q138_hll_intersection" -> (q138 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

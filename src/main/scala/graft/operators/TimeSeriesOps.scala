@@ -184,4 +184,61 @@ object TimeSeriesOps {
       .withColumn("p", round(col("n").cast("double") / col("__tot"), 6))
       .select(col("prev_state"), col("next_state"), col("n"), col("p"))
   }
+
+  /** Single mean-shift changepoint per key, exact: bucket time into
+    * integer hours, reduce each key to per-bucket sufficient statistics
+    * (n, Σy, Σy²) — ONE keyed aggregation over the data — then evaluate
+    * every candidate split on the tiny per-key bucket frame with ordered
+    * prefix sums and pick the split minimizing two-segment SSE. The
+    * monitoring question "did this metric's level change, and when" with
+    * no iteration and no approximation; candidate count = bucket count,
+    * so the search is O(hours), never O(rows).
+    *
+    * Sums accumulate as exact decimals; the SSE arithmetic happens in
+    * doubles after one cast, and the argmin tie-breaks on the earliest
+    * split — engine-portable end to end.
+    */
+  def changepointMeanShift(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, scale: Int = 2): DataFrame = {
+    val buckets = df
+      .groupBy(col(keyCol),
+        expr(s"unix_micros($tsCol) div 3600000000").as("__h"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col(valCol).cast(s"decimal(28,$scale)")).as("__s"),
+        sum((col(valCol) * col(valCol)).cast(s"decimal(28,${2 * scale})"))
+          .as("__s2"))
+    val wCum = Window.partitionBy(col(keyCol)).orderBy(col("__h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = buckets.groupBy(col(keyCol))
+      .agg(sum(col("__n")).as("__tn"),
+        sum(col("__s")).as("__ts"), sum(col("__s2")).as("__ts2"))
+    def sse(n: Column, s: Column, s2: Column): Column =
+      s2 - (s * s) / n // all doubles; caller guards n > 0
+    val splits = buckets
+      .withColumn("__cn", sum(col("__n")).over(wCum))
+      .withColumn("__cs", sum(col("__s")).over(wCum).cast("double"))
+      .withColumn("__cs2", sum(col("__s2")).over(wCum).cast("double"))
+      .join(broadcast(totals), keyCol)
+      // a split AFTER the last bucket is the no-split model; exclude it
+      .filter(col("__cn") < col("__tn"))
+      .withColumn("__sse",
+        sse(col("__cn").cast("double"), col("__cs"), col("__cs2")) +
+        sse((col("__tn") - col("__cn")).cast("double"),
+          col("__ts").cast("double") - col("__cs"),
+          col("__ts2").cast("double") - col("__cs2")))
+    val best = splits.groupBy(col(keyCol))
+      .agg(min(struct(col("__sse"), col("__h"), col("__cn"))).as("__b"))
+    best.join(broadcast(totals), keyCol)
+      .select(col(keyCol),
+        col("__b.__h").as("split_after_hour"),
+        col("__b.__cn").as("n_before"),
+        (col("__tn") - col("__b.__cn")).as("n_after"),
+        round(col("__b.__sse"), 4).as("sse_split"),
+        // decimal→double BEFORE squaring: decimal·decimal precision rules
+        // differ between engines, doubles do not
+        round(col("__ts2").cast("double") -
+          col("__ts").cast("double") * col("__ts").cast("double") /
+            col("__tn").cast("double"), 4).as("sse_nosplit"))
+  }
 }

@@ -158,6 +158,50 @@ class PatternAndSelectionSpec extends SparkSpec {
     assert(est(16) >= exact)    // collisions only ever overestimate
   }
 
+  test("changepointMeanShift: finds a planted level shift exactly") {
+    // key A: hours 0-9 at value 5.0, hours 10-19 at 25.0 — the best split
+    // is after hour 9 with zero within-segment variance
+    val rows = (0 until 20).flatMap { h =>
+      Seq.fill(3)(("A", h.toLong * 3600000000L,
+        if (h < 10) 5.0 else 25.0))
+    }
+    val df = rows.toDF("k", "us", "v")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = graft.operators.TimeSeriesOps
+      .changepointMeanShift(df, "k", "ts", "v").collect().head
+    assert(out.getLong(1) == 9L, s"split hour ${out.getLong(1)}")
+    assert(out.getLong(2) == 30L && out.getLong(3) == 30L)
+    assert(out.getDouble(4) == 0.0) // perfect two-segment fit
+    // the no-split model pays the full between-segment variance:
+    // 60 · (10)² · ... = Σ(v−15)² = 60 · 100
+    assert(out.getDouble(5) == 6000.0)
+  }
+
+  test("changepointMeanShift: constant series ties break to earliest split") {
+    val rows = (0 until 5).map(h => ("C", h.toLong * 3600000000L, 4.0))
+    val df = rows.toDF("k", "us", "v")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = graft.operators.TimeSeriesOps
+      .changepointMeanShift(df, "k", "ts", "v").collect().head
+    assert(out.getLong(1) == 0L) // all splits score 0 — earliest wins
+    assert(out.getDouble(4) == 0.0 && out.getDouble(5) == 0.0)
+  }
+
+  test("hll inclusion-exclusion intersection stays within sketch tolerance") {
+    // |A| = 3000, |B| = 2000, |A∩B| = 1000 (ids 2000-2999 shared)
+    val ev = ((0L until 3000L).map(("click", _)) ++
+      (2000L until 4000L).map(("purchase", _)))
+      .toDF("event_type", "user_id")
+    def est(tpe: String) = ev.filter(col("event_type") === tpe)
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val got = est("click").crossJoin(est("purchase").withColumnRenamed("sk", "sk2"))
+      .select((hll_sketch_estimate(col("sk")) +
+        hll_sketch_estimate(col("sk2")) -
+        hll_sketch_estimate(hll_union(col("sk"), col("sk2")))).as("e"))
+      .head().getLong(0)
+    assert(math.abs(got - 1000L) <= 150L, s"intersection estimate $got")
+  }
+
   test("topPaths: prefix assembly, tie order, truncation") {
     // user 1: a b c d e f (prefix a>b>c>d>e), user 2: a b (a>b), user 3: a b
     val rows = Seq(
