@@ -319,7 +319,7 @@ class PlanAuditSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       Seq(SparkEntry.q113(spark, dir), SparkEntry.q115(spark, dir),
-          SparkEntry.q119(spark, dir)).foreach { df =>
+          SparkEntry.q119(spark, dir), SparkEntry.q137(spark, dir)).foreach { df =>
         val p = df.queryExecution.executedPlan
         p.foreach {
           case w: WindowExec if w.partitionSpec.isEmpty =>
