@@ -1551,6 +1551,88 @@ object OracleSql {
         |SELECT status, COUNT(*) AS n_keys FROM j
         |GROUP BY status ORDER BY status""".stripMargin,
 
+    "q139_triangle_census" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id < 200),
+        |pairs AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE ROUND(list_inner_product(a.emb, b.emb) /
+        |      (SQRT(list_inner_product(a.emb, a.emb)) *
+        |       SQRT(list_inner_product(b.emb, b.emb))), 6) >= 0.2),
+        |tri AS (
+        |  SELECT p1.src AS a, p1.dst AS b, p2.dst AS c
+        |  FROM pairs p1 JOIN pairs p2 ON p1.dst = p2.src
+        |  WHERE EXISTS (SELECT 1 FROM pairs p3
+        |                WHERE p3.src = p1.src AND p3.dst = p2.dst)),
+        |tv AS (
+        |  SELECT v, COUNT(*) AS t FROM (
+        |    SELECT a AS v FROM tri UNION ALL
+        |    SELECT b FROM tri UNION ALL
+        |    SELECT c FROM tri) GROUP BY v),
+        |deg AS (
+        |  SELECT v, COUNT(*) AS d FROM (
+        |    SELECT src AS v FROM pairs UNION ALL
+        |    SELECT dst FROM pairs) GROUP BY v),
+        |cc AS (
+        |  SELECT deg.v, deg.d,
+        |    CASE WHEN d >= 2 THEN
+        |      COALESCE(t, 0) * 2.0 / CAST(d * (d - 1) AS DOUBLE) END AS cc
+        |  FROM deg LEFT JOIN tv ON deg.v = tv.v),
+        |tn AS (SELECT COUNT(*) AS n_triangles FROM tri)
+        |SELECT COUNT(*) AS n_nodes,
+        |  CAST(SUM(d) // 2 AS BIGINT) AS n_edges,
+        |  (SELECT n_triangles FROM tn) AS n_triangles,
+        |  ROUND(CAST(SUM(CAST(cc AS DECIMAL(28,12))) AS DOUBLE)
+        |    / COUNT(cc), 6) AS avg_clustering
+        |FROM cc""".stripMargin,
+
+    "q140_zipf_fit" ->
+      """WITH f AS (
+        |  SELECT term, COUNT(*) AS f FROM (
+        |    SELECT unnest(string_split(trim(text), ' ')) AS term
+        |    FROM documents) GROUP BY term),
+        |r AS (
+        |  SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY f DESC, term)
+        |      AS DOUBLE)) AS x,
+        |    LN(CAST(f AS DOUBLE)) AS y
+        |  FROM f),
+        |s AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+        |  FROM r)
+        |SELECT n AS n_terms,
+        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+        |  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+        |    / n, 6) AS intercept
+        |FROM s""".stripMargin,
+
+    "q141_quantile_norm" ->
+      """WITH g AS (
+        |  SELECT source, quantile_cont(n_chars,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+        |  FROM documents GROUP BY source),
+        |gg AS (
+        |  SELECT quantile_cont(n_chars,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+        |  FROM documents),
+        |ge AS (
+        |  SELECT source, unnest(list_transform(q,
+        |    (x, i) -> struct_pack(i := i, v := x))) AS s FROM g),
+        |gge AS (
+        |  SELECT unnest(list_transform(q,
+        |    (x, i) -> struct_pack(i := i, v := x))) AS s FROM gg)
+        |SELECT ge.source, CAST(ge.s.i AS INTEGER) AS decile,
+        |  ROUND(ge.s.v, 6) AS group_q,
+        |  ROUND(gge.s.v, 6) AS global_q,
+        |  ROUND(gge.s.v - ge.s.v, 6) AS shift
+        |FROM ge JOIN gge ON ge.s.i = gge.s.i
+        |ORDER BY source, decile""".stripMargin,
+
     "q137_changepoint" ->
       """WITH b AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,

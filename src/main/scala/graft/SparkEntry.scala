@@ -2063,6 +2063,34 @@ object SparkEntry {
           col("exact_both").cast("double"), 6))
   }
 
+  // ---------------------------------------------------------------- q139
+  // Triangle census of the near-dup graph: triangle count + average local
+  // clustering coefficient — the structural quality check on q67's
+  // clusters (true duplicate groups are near-cliques; LSH chaining
+  // artifacts are not). Oriented wedge join, fan-out bounded by oriented
+  // out-degree.
+  def q139(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.GraphOps.triangleStats(
+      cosineEdges(spark, dir, 0.2), "id_a", "id_b")
+
+  // ---------------------------------------------------------------- q140
+  // Zipf-law fit of the corpus vocabulary: closed-form OLS of ln(freq) on
+  // ln(rank) — the one-number authenticity screen (natural text slopes
+  // ≈ −1; template-stamped corpora deviate hard). Rank window runs over
+  // the aggregated vocabulary frame only.
+  def q140(spark: SparkSession, dir: String): DataFrame =
+    TextOps.zipfFit(t(spark, dir, "documents"), "text")
+
+  // ---------------------------------------------------------------- q141
+  // Quantile-normalization map: per-source deciles of document length
+  // against the corpus deciles, with the aligning shift — the
+  // batch-effect correction table applied before thresholding quality
+  // scores across heterogeneous sources.
+  def q141(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.RobustStats.quantileNormalizationMap(
+        t(spark, dir, "documents"), "source", "n_chars")
+      .orderBy(col("source"), col("decile"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -2203,6 +2231,9 @@ object SparkEntry {
     "q136_join_cardinality" -> (q136 _),
     "q137_changepoint" -> (q137 _),
     "q138_hll_intersection" -> (q138 _),
+    "q139_triangle_census" -> (q139 _),
+    "q140_zipf_fit" -> (q140 _),
+    "q141_quantile_norm" -> (q141 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -91,6 +91,55 @@ object GraphOps {
     df.join(comp, df(idCol) === comp("__drop_id"), "left_anti")
   }
 
+  /** Global triangle census of the undirected graph: triangle count and
+    * the average local clustering coefficient (2·t_v / deg_v(deg_v−1),
+    * averaged over nodes of degree ≥ 2). The density diagnostic of a
+    * near-dup graph — duplicate clusters are near-cliques (coefficient
+    * → 1), spurious LSH chains are not — so this is the quality check on
+    * the q67 component structure.
+    *
+    * The classic two-join shape: orient edges by id (a < b kills both the
+    * 6× triangle multiplicity and the wedge blow-up from high-degree
+    * hubs), join wedges on the middle vertex, close them with a semi-join
+    * back onto the oriented edge list. Wedge fan-out is bounded by the
+    * oriented out-degree — the standard distributed-triangle bound.
+    */
+  def triangleStats(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val fwd = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+    val oriented = fwd
+      .select(least(col("__a"), col("__b")).as("a"),
+        greatest(col("__a"), col("__b")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val wedges = oriented
+      .join(oriented.select(col("a").as("b"), col("b").as("c")), "b")
+      .select(col("a"), col("b"), col("c"))
+    val triangles = wedges
+      .join(oriented.select(col("a"), col("b").as("c")), Seq("a", "c"),
+        "leftsemi")
+    val triPerNode = triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("__t"))
+    val sym = oriented.select(col("a").as("v"))
+      .union(oriented.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("__d"))
+    val cc = sym.join(triPerNode, Seq("v"), "left")
+      .withColumn("__cc",
+        when(col("__d") >= 2,
+          coalesce(col("__t"), lit(0L)).cast("double") * 2.0 /
+            (col("__d") * (col("__d") - 1)).cast("double")))
+    val tri = triangles.agg(count(lit(1)).as("n_triangles"))
+    cc.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(col("__d")).as("__sumdeg"),
+        round(sum(col("__cc").cast("decimal(28,12)")).cast("double") /
+          count(col("__cc")), 6).as("avg_clustering"))
+      .withColumn("n_edges", expr("__sumdeg div 2"))
+      .crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        col("avg_clustering"))
+  }
+
   /** PageRank over the undirected graph of `edges`, run for a FIXED number
     * of iterations in exact fixed-point integer arithmetic: ranks are
     * BIGINTs scaled by `scale` (1.0 ≡ `scale`), each iteration is

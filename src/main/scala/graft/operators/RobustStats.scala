@@ -65,6 +65,30 @@ object RobustStats {
       .agg(min(col(valCol)).as("weighted_median"))
   }
 
+  /** Quantile-normalization map: per (group, decile) the group's exact
+    * type-7 quantile against the global one, with the additive shift that
+    * would align them — the batch-effect correction table (map each
+    * source's score distribution onto the corpus distribution before
+    * thresholding across sources). One grouped and one global exact
+    * percentile aggregation; both collapse to (groups × 9) + 9 rows.
+    */
+  def quantileNormalizationMap(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val deciles = (1 to 9).map(_ / 10.0)
+    val decArr = deciles.mkString("array(", ", ", ")")
+    val perGroup = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valCol, $decArr)").as("__gq"))
+      .select(col(groupCol), posexplode(col("__gq")).as(Seq("__i", "group_q")))
+    val global = df
+      .agg(expr(s"percentile($valCol, $decArr)").as("__q"))
+      .select(posexplode(col("__q")).as(Seq("__i", "global_q")))
+    perGroup.join(broadcast(global), "__i")
+      .select(col(groupCol), (col("__i") + 1).as("decile"),
+        round(col("group_q"), 6).as("group_q"),
+        round(col("global_q"), 6).as("global_q"),
+        round(col("global_q") - col("group_q"), 6).as("shift"))
+  }
+
   /** k-th smallest value of an integer column by iterative counting —
     * distributed selection WITHOUT sorting: binary search on the value
     * domain, one `count(x ≤ mid)` full-scan aggregate per step (~log₂ of

@@ -242,6 +242,41 @@ object TextOps {
     * ln terms accumulate as exact decimals per document. Shuffles: one
     * bigram-keyed count, one bigram-keyed join, one doc-keyed aggregate.
     */
+  /** Zipf-law fit of the corpus vocabulary: closed-form OLS of ln(freq)
+    * on ln(rank) over the term-frequency table. Natural corpora slope
+    * ≈ −1; a synthetic or template-stamped corpus deviates hard, so the
+    * slope is a one-number corpus-authenticity screen. The rank window
+    * orders the VOCABULARY frame (already aggregated — the q46 rule), and
+    * the regression is exact-decimal sufficient statistics.
+    */
+  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = df
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("f"))
+    val ranked = freq.withColumn("r",
+      row_number().over(Window.orderBy(col("f").desc, col("term"))))
+    val pts = ranked.select(log(col("r").cast("double")).as("x"),
+      log(col("f").cast("double")).as("y"))
+    pts.agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("x").cast("decimal(28,12)")).cast("double").as("__sx"),
+        sum(col("y").cast("decimal(28,12)")).cast("double").as("__sy"),
+        sum((col("x") * col("y")).cast("decimal(28,12)")).cast("double")
+          .as("__sxy"),
+        sum((col("x") * col("x")).cast("decimal(28,12)")).cast("double")
+          .as("__sxx"))
+      .withColumn("zipf_slope",
+        round((col("n_terms") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("n_terms") * col("__sxx") - col("__sx") * col("__sx")), 6))
+      .withColumn("intercept",
+        round((col("__sy") -
+          ((col("n_terms") * col("__sxy") - col("__sx") * col("__sy")) /
+           (col("n_terms") * col("__sxx") - col("__sx") * col("__sx"))) *
+          col("__sx")) / col("n_terms"), 6))
+      .select(col("n_terms"), col("zipf_slope"), col("intercept"))
+  }
+
   def bigramPerplexity(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val toks = tokens(col(textCol))

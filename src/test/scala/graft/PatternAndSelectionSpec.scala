@@ -202,6 +202,52 @@ class PatternAndSelectionSpec extends SparkSpec {
     assert(math.abs(got - 1000L) <= 150L, s"intersection estimate $got")
   }
 
+  test("triangleStats: hand-computed census on a triangle with a pendant") {
+    // triangle 1-2-3 plus pendant edge 3-4: T=1; cc = (1, 1, 1/3, null)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("s", "d")
+    val out = graft.operators.GraphOps.triangleStats(edges, "s", "d")
+      .collect().head
+    assert(out.getLong(0) == 4L && out.getLong(1) == 4L
+      && out.getLong(2) == 1L)
+    val expected = BigDecimal((1.0 + 1.0 + 1.0 / 3) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out.getDouble(3) - expected) < 2e-6,
+      s"avg clustering ${out.getDouble(3)}")
+    // triangle-free graph: zero triangles, zero clustering
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val p = graft.operators.GraphOps.triangleStats(path, "s", "d")
+      .collect().head
+    assert(p.getLong(2) == 0L && p.getDouble(3) == 0.0)
+  }
+
+  test("zipfFit: an exact power law recovers slope -1") {
+    // frequencies 12/r for ranks 1..4 → ln f = ln 12 − ln r exactly
+    val text = ("a " * 12 + "b " * 6 + "c " * 4 + "d " * 3).trim
+    val out = graft.operators.TextOps.zipfFit(
+      Seq(Tuple1(text)).toDF("text"), "text").collect().head
+    assert(out.getLong(0) == 4L)
+    assert(math.abs(out.getDouble(1) - (-1.0)) < 1e-5,
+      s"slope ${out.getDouble(1)}")
+    assert(math.abs(out.getDouble(2) - math.log(12.0)) < 1e-5)
+  }
+
+  test("quantileNormalizationMap: shifted groups get the aligning shift") {
+    val df = ((1 to 100).map(v => ("A", v.toLong)) ++
+      (101 to 200).map(v => ("B", v.toLong))).toDF("g", "v")
+    val out = graft.operators.RobustStats
+      .quantileNormalizationMap(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // median of A = 50.5, of B = 150.5, global = 100.5 (type-7 exact)
+    assert(out(("A", 5)) == ((50.5, 100.5, 50.0)))
+    assert(out(("B", 5)) == ((150.5, 100.5, -50.0)))
+    // B is A translated by exactly +100, so at every decile the two
+    // shifts differ by exactly that translation
+    (1 to 9).foreach { d =>
+      assert(out(("A", d))._3 - out(("B", d))._3 == 100.0, s"decile $d")
+    }
+  }
+
   test("topPaths: prefix assembly, tie order, truncation") {
     // user 1: a b c d e f (prefix a>b>c>d>e), user 2: a b (a>b), user 3: a b
     val rows = Seq(
