@@ -1633,6 +1633,12 @@ object OracleSql {
         |FROM ge JOIN gge ON ge.s.i = gge.s.i
         |ORDER BY source, decile""".stripMargin,
 
+    "q142_incremental_agg" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
     "q137_changepoint" ->
       """WITH b AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,

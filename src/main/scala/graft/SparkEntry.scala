@@ -2091,6 +2091,53 @@ object SparkEntry {
         t(spark, dir, "documents"), "source", "n_chars")
       .orderBy(col("source"), col("decile"))
 
+  // ---------------------------------------------------------------- q142
+  // Incremental aggregate maintenance: per-user (count, exact sum) state
+  // built from the first half of the stream, MERGED with the second
+  // half's partial aggregate — never recomputing history. Counts and
+  // decimal sums form a commutative monoid, so the merge is bit-identical
+  // to the full recompute the oracle performs.
+  def q142(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val usCol = unix_micros(col("ts"))
+    val range = ev.agg(min(usCol).as("__mn"), max(usCol).as("__mx"))
+    val based = ev.crossJoin(broadcast(range))
+      .withColumn("__is_a", usCol * 2 < col("__mn") + col("__mx"))
+    def agg(cond: org.apache.spark.sql.Column) = based.filter(cond)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,2)")).as("sum_value"))
+    graft.operators.CdcOps.mergeAggState(
+        agg(col("__is_a")), agg(!col("__is_a")),
+        "user_id", "n_events", "sum_value")
+      .select(col("user_id"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
+  // ---------------------------------------------------------------- q143
+  // Product quantization for ANN: 64-dim float vectors → 8 codes of 4
+  // bits each (32 bits/vector, a 64× cut over float32) via per-subspace
+  // k-means; report per-vector reconstruction error stats. MLlib-seeded →
+  // rows-only; the spec holds recall@10 against exact search.
+  def q143(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val pq = graft.operators.SimilarityOps.productQuantize(
+      emb, "vec_id", "embedding", m = 8, k = 16)
+    emb.select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .join(pq.select(col("vec_id"),
+        posexplode(col("recon")).as(Seq("dim", "rv"))), Seq("vec_id", "dim"))
+      .groupBy(col("vec_id"))
+      .agg(round(sqrt(sum((col("v") - col("rv")) * (col("v") - col("rv")))
+        / count(lit(1))), 6).as("recon_rmse"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(min(col("recon_rmse")), 6).as("min_rmse"),
+        round(avg(col("recon_rmse")), 6).as("avg_rmse"),
+        round(max(col("recon_rmse")), 6).as("max_rmse"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -2234,6 +2281,8 @@ object SparkEntry {
     "q139_triangle_census" -> (q139 _),
     "q140_zipf_fit" -> (q140 _),
     "q141_quantile_norm" -> (q141 _),
+    "q142_incremental_agg" -> (q142 _),
+    "q143_product_quantization" -> (q143 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

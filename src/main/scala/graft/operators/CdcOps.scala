@@ -67,6 +67,21 @@ object CdcOps {
       .drop("__in_a", "__in_b")
   }
 
+  /** Incremental aggregate maintenance: merge an existing per-key state
+    * (n, decimal sum) with a new batch's partial aggregate WITHOUT
+    * touching historical data — the materialized-view update step. Sums
+    * are exact decimals and counts are integers, i.e. a commutative
+    * monoid, so merge-of-partials is BIT-IDENTICAL to a full recompute —
+    * the property the oracle checks (it recomputes from scratch) and the
+    * reason incremental pipelines can be trusted at 100 TB, where
+    * recomputation is not an option.
+    */
+  def mergeAggState(state: DataFrame, delta: DataFrame, key: String,
+      nCol: String, sumCol: String): DataFrame =
+    state.unionByName(delta)
+      .groupBy(col(key))
+      .agg(sum(col(nCol)).as(nCol), sum(col(sumCol)).as(sumCol))
+
   def compactWithDeletes(df: DataFrame, keys: Seq[String],
       ordCols: Seq[String], isDelete: DataFrame => org.apache.spark.sql.Column): DataFrame = {
     val latest = compactLatest(df, keys, ordCols)

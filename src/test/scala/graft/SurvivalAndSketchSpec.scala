@@ -119,6 +119,46 @@ class SurvivalAndSketchSpec extends SparkSpec {
     assert(fitted.zip(fitted.tail).forall { case (a, b) => b >= a })
   }
 
+  test("mergeAggState: merged partials equal the full recompute exactly") {
+    val h1 = Seq((1L, 2L, BigDecimal("10.50")), (2L, 1L, BigDecimal("3.25")))
+      .toDF("k", "n", "s")
+    val h2 = Seq((1L, 3L, BigDecimal("0.75")), (3L, 1L, BigDecimal("8.00")))
+      .toDF("k", "n", "s")
+    val merged = graft.operators.CdcOps.mergeAggState(h1, h2, "k", "n", "s")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDecimal(2).doubleValue)).toMap
+    assert(merged == Map(1L -> ((5L, 11.25)), 2L -> ((1L, 3.25)),
+      3L -> ((1L, 8.0))))
+  }
+
+  test("productQuantize: codes in range, recall@10 vs exact search") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // finer grid than q143's 64×-compression report: recall is a
+    // fidelity-config property, code-shape invariants are not
+    val pq = graft.operators.SimilarityOps.productQuantize(
+      emb, "vec_id", "embedding", m = 16, k = 32)
+    val codes = pq.select(col("vec_id"), col("codes")).collect()
+    assert(codes.forall(_.getSeq[Int](1).size == 16))
+    assert(codes.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 32)))
+    // deployment contract: PQ shortlists, exact re-ranks — so the test is
+    // "does the exact top-10 survive into the PQ top-50 shortlist", not
+    // rank stability under quantization noise (these synthetic embeddings
+    // are near-random, the hardest case for any codebook)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    def topK(df: org.apache.spark.sql.DataFrame, vecCol: String, k: Int) = df
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), graft.operators.SimilarityOps
+        .cosineNative(typedLit(q), col(vecCol)).as("c"))
+      .orderBy(col("c").desc, col("vec_id")).limit(k)
+      .collect().map(_.getLong(0)).toSet
+    val exact = topK(emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v")), "v", 10)
+    val shortlist = topK(pq.select(col("vec_id"), col("recon")), "recon", 50)
+    val recall = exact.intersect(shortlist).size / 10.0
+    assert(recall >= 0.7, s"exact top-10 recall in PQ top-50: $recall")
+  }
+
   test("int8 quantization: codes preserve neighborhood (recall@10 vs exact)") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val recon = SimilarityOps.quantizeCodes(emb, "vec_id", "embedding")
