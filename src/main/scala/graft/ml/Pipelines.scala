@@ -525,10 +525,16 @@ object MlPipelines {
       .withColumn("sy", col("sy_g") - col("sy_f"))
       .withColumn("sxy", col("sxy_g") - col("sxy_f"))
       .withColumn("sxx", col("sxx_g") - col("sxx_f"))
+      // zero x-variance in a training fold → undefined fit (null), not an
+      // ANSI divide-by-zero
+      .withColumn("__den",
+        col("n_tr") * col("sxx") - col("sx") * col("sx"))
       .withColumn("slope",
-        (col("n_tr") * col("sxy") - col("sx") * col("sy")) /
-          (col("n_tr") * col("sxx") - col("sx") * col("sx")))
-      .withColumn("intercept", (col("sy") - col("slope") * col("sx")) / col("n_tr"))
+        when(col("__den") =!= 0.0,
+          (col("n_tr") * col("sxy") - col("sx") * col("sy")) / col("__den")))
+      .withColumn("intercept",
+        when(col("__den") =!= 0.0,
+          (col("sy") - col("slope") * col("sx")) / col("n_tr")))
       .select(col("fold"), col("n_tr"), col("n_f"), col("slope"), col("intercept"))
     val errs = d.join(broadcast(params), "fold")
       .withColumn("err", col("y") - (col("intercept") + col("slope") * col("x")))
@@ -571,11 +577,16 @@ object MlPipelines {
         dsum(col("y"), scale).as("sy"),
         dsum(col("x") * col("y"), 2 * scale).as("sxy"),
         dsum(col("x") * col("x"), 2 * scale).as("sxx"))
+      // constant lag series → undefined AR(1) fit (null), never a throw
+      .withColumn("__den",
+        col("n_pairs") * col("sxx") - col("sx") * col("sx"))
       .withColumn("slope",
-        (col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
-          (col("n_pairs") * col("sxx") - col("sx") * col("sx")))
+        when(col("__den") =!= 0.0,
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
+            col("__den")))
       .withColumn("intercept",
-        (col("sy") - col("slope") * col("sx")) / col("n_pairs"))
+        when(col("__den") =!= 0.0,
+          (col("sy") - col("slope") * col("sx")) / col("n_pairs")))
     val errs = pairs.join(broadcast(params), keyCol)
       .withColumn("err", col("y") - (col("intercept") + col("slope") * col("x")))
       .groupBy(col(keyCol))
@@ -737,9 +748,13 @@ object MlPipelines {
       .withColumn("tsxy", sum(col("sxy")).over(wTrain).cast("double"))
       .withColumn("tsxx", sum(col("sxx")).over(wTrain).cast("double"))
       .filter(col("tn").isNotNull && col("tn") > 1)
+      // all training rows at one time point → undefined fit: drop the fold
+      // instead of dividing by zero
+      .withColumn("__den",
+        col("tn") * col("tsxx") - col("tsx") * col("tsx"))
+      .filter(col("__den") =!= 0.0)
       .withColumn("slope",
-        (col("tn") * col("tsxy") - col("tsx") * col("tsy")) /
-          (col("tn") * col("tsxx") - col("tsx") * col("tsx")))
+        (col("tn") * col("tsxy") - col("tsx") * col("tsy")) / col("__den"))
       .withColumn("intercept",
         (col("tsy") - col("slope") * col("tsx")) / col("tn"))
       .select(col("__slice"), col("tn").as("n_train"),

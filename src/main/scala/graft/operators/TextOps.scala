@@ -266,14 +266,19 @@ object TextOps {
           .as("__sxy"),
         sum((col("x") * col("x")).cast("decimal(28,12)")).cast("double")
           .as("__sxx"))
+      // a single-term vocabulary has zero rank variance — the fit is
+      // undefined (null), not a divide-by-zero (ANSI throws on 0/0)
+      .withColumn("__den",
+        col("n_terms") * col("__sxx") - col("__sx") * col("__sx"))
       .withColumn("zipf_slope",
-        round((col("n_terms") * col("__sxy") - col("__sx") * col("__sy")) /
-          (col("n_terms") * col("__sxx") - col("__sx") * col("__sx")), 6))
+        when(col("__den") =!= 0.0,
+          round((col("n_terms") * col("__sxy") - col("__sx") * col("__sy")) /
+            col("__den"), 6)))
       .withColumn("intercept",
-        round((col("__sy") -
-          ((col("n_terms") * col("__sxy") - col("__sx") * col("__sy")) /
-           (col("n_terms") * col("__sxx") - col("__sx") * col("__sx"))) *
-          col("__sx")) / col("n_terms"), 6))
+        when(col("__den") =!= 0.0,
+          round((col("__sy") -
+            ((col("n_terms") * col("__sxy") - col("__sx") * col("__sy")) /
+             col("__den")) * col("__sx")) / col("n_terms"), 6)))
       .select(col("n_terms"), col("zipf_slope"), col("intercept"))
   }
 
