@@ -334,6 +334,42 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q127/q133/q139: self-join shapes stay equi-joins, no pair blow-up") {
+    // co-occurrence, bigram LM and the triangle wedge all self-join — the
+    // plan must key every join (hash/broadcast on an equi-condition);
+    // a CartesianProduct or BroadcastNestedLoopJoin here is the
+    // all-pairs cliff that kills these at corpus scale
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    def containsAgg(p: SparkPlan): Boolean = p.collectFirst {
+      case a: BaseAggregateExec => a
+    }.nonEmpty
+    for ((name, df) <- Seq(
+        "q127" -> SparkEntry.q127(spark, dir),
+        "q133" -> SparkEntry.q133(spark, dir),
+        "q139" -> SparkEntry.q139(spark, dir))) {
+      df.collect()
+      val executed = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      val p = executed.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans an all-pairs cartesian:\n$p")
+      // the ONLY admissible nested-loop join is the 1-row-aggregate cross
+      // join (broadcasting a global count/bound frame) — a data-sized
+      // nested loop is the all-pairs cliff
+      executed.foreach {
+        case b: BroadcastNestedLoopJoinExec =>
+          assert(containsAgg(b.right) || containsAgg(b.left),
+            s"$name nested-loops over non-aggregated data:\n$p")
+        case _ =>
+      }
+    }
+  }
+
   test("q117 bloom semi-join: constant bloom probe filters below a semi-join") {
     val df = SparkEntry.q117(spark, dir)
     df.collect()
