@@ -1633,6 +1633,23 @@ object OracleSql {
         |FROM ge JOIN gge ON ge.s.i = gge.s.i
         |ORDER BY source, decile""".stripMargin,
 
+    "q144_frequent_motifs" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type AS i0,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS i1,
+        |    LEAD(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS i2
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, i0 || '>' || i1 || '>' || i2 AS motif
+        |  FROM s WHERE i1 IS NOT NULL AND i2 IS NOT NULL)
+        |SELECT motif, COUNT(*) AS n_occurrences,
+        |  COUNT(DISTINCT user_id) AS n_keys
+        |FROM m GROUP BY motif
+        |HAVING COUNT(DISTINCT user_id) >= 50
+        |ORDER BY motif""".stripMargin,
+
     "q142_incremental_agg" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value

@@ -2138,6 +2138,17 @@ object SparkEntry {
         round(max(col("recon_rmse")), 6).as("max_rmse"))
   }
 
+  // ---------------------------------------------------------------- q144
+  // Frequent trigram motifs anywhere in user event sequences — the
+  // generalization of q130's prefix paths and q114's bigram transitions;
+  // completes the sequence-mining ladder (1-gram freq → transitions →
+  // prefixes → motifs). One lag chain + one motif-keyed aggregation.
+  def q144(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PatternOps.frequentMotifs(
+        t(spark, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        n = 3, minKeys = 50L)
+      .orderBy(col("motif"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -2283,6 +2294,7 @@ object SparkEntry {
     "q141_quantile_norm" -> (q141 _),
     "q142_incremental_agg" -> (q142 _),
     "q143_product_quantization" -> (q143 _),
+    "q144_frequent_motifs" -> (q144 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

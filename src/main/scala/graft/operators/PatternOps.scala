@@ -68,4 +68,32 @@ object PatternOps {
       .orderBy(col("n_keys").desc, col("path"))
       .limit(k)
   }
+
+  /** Frequent k-gram motifs: every length-`n` window of consecutive items
+    * ANYWHERE in a key's ordered sequence (not just the prefix —
+    * [[topPaths]]'s generalization), with occurrence counts and the count
+    * of distinct keys exhibiting the motif; `minKeys` prunes the tail.
+    * One tiebroken keyed window chain of lags + one motif-keyed
+    * aggregation — the same cost shape as a bigram count regardless of n.
+    */
+  def frequentMotifs(df: DataFrame, keyCol: String, tsCol: String,
+      tiebreakCol: String, itemCol: String, n: Int,
+      minKeys: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val withLags = (1 until n).foldLeft(
+        df.select(col(keyCol), col(tsCol), col(tiebreakCol),
+          col(itemCol).as("__i0"))) { (d, j) =>
+      d.withColumn(s"__i$j", lead(col("__i0"), j).over(w))
+    }
+    val motifs = withLags
+      .filter((1 until n).map(j => col(s"__i$j").isNotNull)
+        .reduceOption(_ && _).getOrElse(lit(true)))
+      .select(col(keyCol),
+        concat_ws(">", (0 until n).map(j => col(s"__i$j")): _*).as("motif"))
+    motifs.groupBy(col("motif"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(keyCol)).as("n_keys"))
+      .filter(col("n_keys") >= minKeys)
+  }
 }

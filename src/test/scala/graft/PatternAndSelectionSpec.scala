@@ -248,6 +248,27 @@ class PatternAndSelectionSpec extends SparkSpec {
     }
   }
 
+  test("frequentMotifs: anywhere-in-sequence windows, support pruning") {
+    // user 1: a b a b a → trigrams a>b>a ×2, b>a>b ×1
+    // user 2: a b a     → a>b>a ×1
+    val rows = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"), (1L, 5L, "a"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "a"))
+    val df = rows.toDF("u", "us", "it")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withColumn("id", col("us"))
+    val all = graft.operators.PatternOps
+      .frequentMotifs(df, "u", "ts", "id", "it", n = 3, minKeys = 1L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(all == Map("a>b>a" -> ((3L, 2L)), "b>a>b" -> ((1L, 1L))))
+    // support pruning: minKeys = 2 keeps only the cross-user motif
+    val pruned = graft.operators.PatternOps
+      .frequentMotifs(df, "u", "ts", "id", "it", n = 3, minKeys = 2L)
+      .collect().map(_.getString(0))
+    assert(pruned.toSeq == Seq("a>b>a"))
+  }
+
   test("topPaths: prefix assembly, tie order, truncation") {
     // user 1: a b c d e f (prefix a>b>c>d>e), user 2: a b (a>b), user 3: a b
     val rows = Seq(
