@@ -1961,7 +1961,8 @@ object OracleSql {
         |    (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx) AS slope,
         |    (tsy - (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx) * tsx)
         |      / tn AS intercept
-        |  FROM acc WHERE tn IS NOT NULL AND tn > 1)
+        |  FROM acc WHERE tn IS NOT NULL AND tn > 1
+        |    AND (tn * tsxx - tsx * tsx) <> 0)
         |SELECT b.slice AS fold, CAST(MAX(tn) AS BIGINT) AS n_train,
         |  COUNT(*) AS n_test,
         |  ROUND(MAX(slope), 6) AS slope,

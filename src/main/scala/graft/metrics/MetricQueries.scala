@@ -131,19 +131,17 @@ object MetricQueries {
       sum(col("o")).as("__n"),
       sum(when(col("r1") === col("r2"), col("o")).otherwise(0L))
         .as("__agree"))
+    // p_e = 1 (both raters emit one identical label) makes kappa 0/0 —
+    // return null like every other hardened closed-form fit, never throw
+    val pO = col("__agree").cast("double") / col("__n")
+    val pE = col("__pe_num").cast("double") / (col("__n") * col("__n"))
     agg.crossJoin(broadcast(pe))
       .select(
         col("__n").as("n"),
         col("__agree").as("n_agree"),
-        round(col("__agree").cast("double") / col("__n"), 6).as("p_o"),
-        round(col("__pe_num").cast("double") / (col("__n") * col("__n")), 6)
-          .as("p_e"),
-        round(
-          (col("__agree").cast("double") / col("__n") -
-            col("__pe_num").cast("double") / (col("__n") * col("__n"))) /
-          (lit(1.0) -
-            col("__pe_num").cast("double") / (col("__n") * col("__n"))), 6)
-          .as("kappa"))
+        round(pO, 6).as("p_o"),
+        round(pE, 6).as("p_e"),
+        round(when(pE =!= 1.0, (pO - pE) / (lit(1.0) - pE)), 6).as("kappa"))
   }
 
   /** Two-proportion pooled z-test — the A/B-experiment readout. `df` is one

@@ -121,12 +121,21 @@ object RobustStats {
     val slim = df.select(col(colName)).persist()
     try {
       val n = slim.count()
-      // (n+1)/2 and n/2+1 collapse to the same index for odd n — one
-      // branch-free formula both engines share
-      val (loK, hiK) = ((n + 1) / 2, n / 2 + 1)
-      val a = kthSmallestByCounting(slim, colName, loK)
-      val b = if (hiK == loK) a else kthSmallestByCounting(slim, colName, hiK)
-      Seq((n, a, b, (a + b) / 2.0)).toDF("n", "k_lo", "k_hi", "median")
+      if (n == 0L) {
+        // Empty frame: min/max are NULL and the unboxed binary search would
+        // silently report median=0.0; the SQL answer is a NULL median.
+        Seq((0L, Option.empty[Long], Option.empty[Long], Option.empty[Double]))
+          .toDF("n", "k_lo", "k_hi", "median")
+      } else {
+        // (n+1)/2 and n/2+1 collapse to the same index for odd n — one
+        // branch-free formula both engines share
+        val (loK, hiK) = ((n + 1) / 2, n / 2 + 1)
+        val a = kthSmallestByCounting(slim, colName, loK)
+        val b = if (hiK == loK) a
+          else kthSmallestByCounting(slim, colName, hiK)
+        Seq((n, Some(a), Some(b), Some((a + b) / 2.0)))
+          .toDF("n", "k_lo", "k_hi", "median")
+      }
     } finally { slim.unpersist(); () }
   }
 

@@ -117,7 +117,13 @@ object SplitOps {
     val m = 1L << 40
     val u = (pmod(xxhash64(col(idCol), lit(salt)), lit(m)) + 1).cast("double") /
       lit(m.toDouble)
-    df.withColumn("__clock", -log(u) / col(weightCol).cast("double"))
+    // Non-positive weights get an infinite clock (rank last, never crash):
+    // an unguarded divide throws under ANSI on weight = 0, and under
+    // non-ANSI a NULL clock would sort FIRST ascending — preferentially
+    // selecting exactly the rows the weight says to avoid.
+    val w = col(weightCol).cast("double")
+    df.withColumn("__clock",
+        when(w > 0d, -log(u) / w).otherwise(lit(Double.PositiveInfinity)))
       .orderBy(col("__clock"), col(idCol))
       .limit(k)
       .drop("__clock")
