@@ -1593,11 +1593,12 @@ object OracleSql {
         |  SELECT term, COUNT(*) AS f FROM (
         |    SELECT unnest(string_split(trim(text), ' ')) AS term
         |    FROM documents) GROUP BY term),
+        |h AS (SELECT term, f FROM f ORDER BY f DESC, term LIMIT 100000),
         |r AS (
         |  SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY f DESC, term)
         |      AS DOUBLE)) AS x,
         |    LN(CAST(f AS DOUBLE)) AS y
-        |  FROM f),
+        |  FROM h),
         |s AS (
         |  SELECT COUNT(*) AS n,
         |    CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,

@@ -2074,10 +2074,11 @@ object SparkEntry {
       cosineEdges(spark, dir, 0.2), "id_a", "id_b")
 
   // ---------------------------------------------------------------- q140
-  // Zipf-law fit of the corpus vocabulary: closed-form OLS of ln(freq) on
-  // ln(rank) — the one-number authenticity screen (natural text slopes
-  // ≈ −1; template-stamped corpora deviate hard). Rank window runs over
-  // the aggregated vocabulary frame only.
+  // Zipf-law fit of the corpus head vocabulary: closed-form OLS of
+  // ln(freq) on ln(rank) — the one-number authenticity screen (natural
+  // text slopes ≈ −1; template-stamped corpora deviate hard). The top-N
+  // head cap (TakeOrdered, mirrored in the oracle SQL) bounds the rank
+  // window: the vocabulary itself is unbounded at corpus scale.
   def q140(spark: SparkSession, dir: String): DataFrame =
     TextOps.zipfFit(t(spark, dir, "documents"), "text")
 

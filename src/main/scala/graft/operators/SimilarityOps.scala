@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.ml.functions.array_to_vector
 
+import scala.collection.parallel.CollectionConverters._
+
 /** Embedding similarity search: brute-force cosine as the exact baseline and
   * random-hyperplane LSH bucketing as the scale path.
   *
@@ -331,17 +333,24 @@ object SimilarityOps {
   def productQuantize(embeddings: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, k: Int = 16, seed: Long = 42L): DataFrame = {
     val spark = embeddings.sparkSession
-    val dims = embeddings.select(col(idCol),
-        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
-    val d = dims.agg(max(col("dim"))).head().getInt(0) + 1
+    // dimension comes from ONE row's array length (vectors are fixed-width
+    // by contract) — not a full-scan max(dim) aggregate job
+    val d = embeddings.select(size(col(vecCol))).head().getInt(0)
     require(d % m == 0, s"dim $d not divisible by m=$m")
     val sub = d / m
+    val dims = embeddings.select(col(idCol),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
     val subVecs = dims
       .withColumn("s", expr(s"dim div $sub"))
       .groupBy(col(idCol), col("s"))
       .agg(transform(sort_array(collect_list(struct(col("dim"), col("v")))),
         x => x.getField("v")).as("sv"))
-    val fitted = (0 until m).map { s =>
+      .cache()
+    subVecs.count()
+    // the m subspace fits are independent distributed jobs — run them
+    // concurrently from the driver (the gridSearchLogReg pattern) so the
+    // cluster pipelines them instead of idling between sequential fits
+    val fitted = (0 until m).par.map { s =>
       val part = subVecs.filter(col("s") === s)
         .withColumn("__features", array_to_vector(col("sv")))
       val model = new org.apache.spark.ml.clustering.KMeans()
@@ -356,7 +365,7 @@ object SimilarityOps {
       model.transform(part)
         .select(col(idCol), col("s"), col("code"))
         .join(broadcast(cdf), "code")
-    }.reduce(_.unionByName(_))
+    }.toList.reduce(_.unionByName(_))
     fitted
       .select(col(idCol), col("s"), col("code"),
         posexplode(col("centroid")).as(Seq("__sd", "__cv")))

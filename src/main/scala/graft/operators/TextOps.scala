@@ -242,19 +242,29 @@ object TextOps {
     * ln terms accumulate as exact decimals per document. Shuffles: one
     * bigram-keyed count, one bigram-keyed join, one doc-keyed aggregate.
     */
-  /** Zipf-law fit of the corpus vocabulary: closed-form OLS of ln(freq)
-    * on ln(rank) over the term-frequency table. Natural corpora slope
-    * ≈ −1; a synthetic or template-stamped corpus deviates hard, so the
-    * slope is a one-number corpus-authenticity screen. The rank window
-    * orders the VOCABULARY frame (already aggregated — the q46 rule), and
-    * the regression is exact-decimal sufficient statistics.
+  /** Zipf-law fit of the corpus head vocabulary: closed-form OLS of
+    * ln(freq) on ln(rank) over the `maxRank` most frequent terms. Natural
+    * corpora slope ≈ −1; a synthetic or template-stamped corpus deviates
+    * hard, so the slope is a one-number corpus-authenticity screen.
+    *
+    * The head cap is the scale contract: a 100 TB corpus has 10⁸–10⁹
+    * distinct terms, and ranking ALL of them needs a global sort through
+    * one task. Fitting over the top-N head is the standard Zipf
+    * methodology anyway (the hapax-legomena tail flattens the log-log
+    * line), and `orderBy.limit` plans as TakeOrderedAndProject —
+    * per-partition top-N, merge of N rows — never a full-vocabulary
+    * single-partition exchange. The rank window then runs over the capped
+    * (≤ maxRank rows) frame, and the regression is exact-decimal
+    * sufficient statistics.
     */
-  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+  def zipfFit(df: DataFrame, textCol: String,
+      maxRank: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val freq = df
       .select(explode(tokens(col(textCol))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("f"))
-    val ranked = freq.withColumn("r",
+    val head = freq.orderBy(col("f").desc, col("term")).limit(maxRank)
+    val ranked = head.withColumn("r",
       row_number().over(Window.orderBy(col("f").desc, col("term"))))
     val pts = ranked.select(log(col("r").cast("double")).as("x"),
       log(col("f").cast("double")).as("y"))

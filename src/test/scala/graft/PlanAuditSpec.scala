@@ -413,6 +413,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q140 zipf: rank window sits above a top-N cap, never the unbounded vocabulary") {
+    import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.q140(spark, dir).queryExecution.executedPlan
+      // the head cap must survive into the physical plan as a distributed
+      // per-partition top-N (TakeOrderedAndProject), not a global sort
+      assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+        s"no TakeOrderedAndProject cap in:\n$p")
+      def bounded(n: SparkPlan): Boolean =
+        n.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty
+      p.foreach {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          // a global rank window is only scale-safe over a capped frame
+          assert(bounded(w.child), s"global window over unbounded frame:\n$p")
+        case e: ShuffleExchangeExec if e.outputPartitioning.numPartitions == 1 =>
+          assert(bounded(e.child),
+            s"single-partition exchange over unbounded frame:\n$p")
+        case _ =>
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("populationFeatures: sensor table shuffles at most twice, joins broadcast") {
     import spark.implicits._
     val sensor = (0 until 200).map(i =>
