@@ -43,7 +43,18 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout line gets scraped (and sometimes truncated) by harnesses —
+    // also write the full record as a machine-readable artifact so bench
+    // runs diff cleanly round over round
+    val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_results.json")
+    val cfg = s"""{"cpus":$cpus,"shuffle_partitions":$cpus,""" +
+      s""""spark_version":"${spark.version}","n_queries":${results.size}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","config":$cfg,"failed":$failed,"queries":$qs}""".stripMargin
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

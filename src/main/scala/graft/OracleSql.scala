@@ -1551,6 +1551,23 @@ object OracleSql {
         |SELECT status, COUNT(*) AS n_keys FROM j
         |GROUP BY status ORDER BY status""".stripMargin,
 
+    // exponential-race priority sampling: the draw is the engine-portable
+    // multiplicative hash ((id % p) * 2654435761) % p over prime p, so
+    // DuckDB replays the exact clock -ln(u)/w; non-positive weights rank
+    // last (infinite clock)
+    "q135_priority_sample" ->
+      """WITH c AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CASE WHEN n_chars > 0 THEN
+        |      -LN((((doc_id % 1000003) * 2654435761) % 1000003 + 1)
+        |        / 1000003.0) / n_chars
+        |    ELSE 'infinity'::DOUBLE END AS clock
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, n_chars FROM c
+        |  ORDER BY clock, doc_id LIMIT 50)
+        |SELECT doc_id, source, n_chars FROM s ORDER BY doc_id""".stripMargin,
+
     "q139_triangle_census" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb

@@ -1987,7 +1987,8 @@ object SparkEntry {
   // Deterministic weighted sampling (exponential-race priorities): 50
   // documents drawn with odds ∝ n_chars, reproducible with no RNG state —
   // the corpus-curation sampler (upweight quality, keep the pipeline
-  // replayable). Hash-dependent → rows-only; specs pin determinism,
+  // replayable). The draw is the engine-portable multiplicative hash, so
+  // the oracle replays it exactly; specs additionally pin determinism,
   // scale-invariance and weight dominance.
   def q135(spark: SparkSession, dir: String): DataFrame =
     graft.operators.SplitOps.prioritySample(
@@ -2150,6 +2151,25 @@ object SparkEntry {
         n = 3, minKeys = 50L)
       .orderBy(col("motif"))
 
+  // ---------------------------------------------------------------- q145
+  // Training-history surface: the per-iteration L-BFGS objective of the
+  // q47 classifier pipeline as a queryable frame — the reference dumps
+  // per-epoch loss history to results.json (train.py:277-296,
+  // trainer.py:262-320); here it's a frame any sink can materialize.
+  // MLlib-internal trajectory → rows-only; the spec pins monotone
+  // non-increase and the JSON artifact round-trip.
+  def q145(spark: SparkSession, dir: String): DataFrame = {
+    val feats = q44(spark, dir)
+      .withColumn("label_bin", (col("v_mean") >= 3.0).cast("double"))
+      .na.fill(0.0, Seq("v_std", "v_skew", "v_kurt", "v_delta_mean",
+        "v_delta_std"))
+    val (model, _) = MlPipelines.fitClassifierPipeline(feats, "anchor_id",
+      Seq("n_samples", "v_std", "v_range", "v_skew", "v_kurt",
+        "v_delta_mean", "v_delta_std"),
+      "label_bin")
+    MlPipelines.trainingHistory(model).orderBy(col("iteration"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -2296,6 +2316,7 @@ object SparkEntry {
     "q142_incremental_agg" -> (q142 _),
     "q143_product_quantization" -> (q143 _),
     "q144_frequent_motifs" -> (q144 _),
+    "q145_training_history" -> (q145 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

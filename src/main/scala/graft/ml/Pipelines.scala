@@ -186,6 +186,31 @@ object MlPipelines {
     (pipeline.fit(train), test)
   }
 
+  /** Per-iteration objective history of a fitted pipeline's logistic-
+    * regression stage as a queryable frame (iteration, objective) — the
+    * reference records per-epoch loss/metric history and dumps it to JSON
+    * (`/root/reference/scripts/train.py:277-296`, `trainer.py:262-320`);
+    * the MLlib L-BFGS training summary is the analog, surfaced here
+    * instead of left buried on the model object. The frame is
+    * driver-tiny (≤ maxIter rows) by construction; dump it with
+    * [[graft.sources.Sources.writeJson]] for the results.json parity.
+    */
+  def trainingHistory(model: org.apache.spark.ml.PipelineModel): DataFrame = {
+    val lr = model.stages.collectFirst {
+      case m: org.apache.spark.ml.classification.LogisticRegressionModel => m
+    }.getOrElse(throw new IllegalArgumentException(
+      "pipeline has no LogisticRegressionModel stage"))
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    lr.summary.objectiveHistory.toSeq.zipWithIndex
+      .map { case (o, i) =>
+        (i.toLong,
+          BigDecimal(o).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+      }
+      .toDF("iteration", "objective")
+  }
+
   /** Per-sample K-fold out-of-fold predictions — the reference's
     * `cross_val_predict` contract (`train_ensemble.py:150-158`): for each
     * fold, fit on the complement and score the held-out fold; the union

@@ -112,11 +112,18 @@ object SplitOps {
     * pipeline replayable.
     */
   def prioritySample(df: DataFrame, idCol: String, weightCol: String,
-      k: Int, salt: String = ""): DataFrame = {
-    // u ∈ (0, 1]: (hash mod M + 1) / M over a large modulus
-    val m = 1L << 40
-    val u = (pmod(xxhash64(col(idCol), lit(salt)), lit(m)) + 1).cast("double") /
-      lit(m.toDouble)
+      k: Int, salt: Long = 0L): DataFrame = {
+    // u ∈ (0, 1]: a Lehmer-style congruential draw from the same
+    // engine-portable multiplicative hash family as [[hashBucket]] (NOT
+    // xxhash64 — no other engine reproduces that), replayable in plain SQL:
+    //   u = ((((id + salt) % p) * 2654435761) % p + 1) / p,  p = 1000003
+    // Reducing mod the PRIME (not a power of two larger than the product)
+    // is what makes consecutive ids wrap ~427799/p of the range apart —
+    // a power-of-two modulus above id*C never wraps for small ids and
+    // degenerates into "sample the largest ids".
+    val p = 1000003L
+    val u = (pmod(pmod(col(idCol).cast("long") + lit(salt), lit(p)) *
+      lit(2654435761L), lit(p)) + 1).cast("double") / lit(p.toDouble)
     // Non-positive weights get an infinite clock (rank last, never crash):
     // an unguarded divide throws under ANSI on weight = 0, and under
     // non-ANSI a NULL clock would sort FIRST ascending — preferentially

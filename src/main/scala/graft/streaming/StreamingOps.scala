@@ -36,6 +36,30 @@ object StreamSink {
   */
 object StreamingOps {
 
+  /** Fully-qualified class name of Spark's RocksDB state store provider. */
+  val RocksDBProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` with the streaming state store backed by RocksDB instead of
+    * the default in-memory HDFS-backed provider, restoring the prior
+    * setting afterwards. At 100 TB the in-memory store is the first thing
+    * to fall over — streaming state (dedup keys, open sessions, join
+    * buffers) must not be bounded by executor heap. Every StreamingOps
+    * operator picks the provider up from the session conf at query start,
+    * so no per-operator parameter is needed; results are
+    * provider-invariant (spec-pinned against the default provider).
+    */
+  def withRocksDBStateStore[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, RocksDBProvider)
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Tumbling event-time window aggregation over a parquet directory read as
     * a stream, executed to completion with `Trigger.AvailableNow` and a
     * memory sink, then returned as a finite DataFrame. Append output mode:

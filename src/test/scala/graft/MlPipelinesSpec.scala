@@ -93,6 +93,31 @@ class MlPipelinesSpec extends SparkSpec {
     assert(a == b, "reloaded model must reproduce identical predictions")
   }
 
+  test("trainingHistory: monotone non-increasing objective + JSON artifact") {
+    val feats = lineitem.select(
+      col("l_orderkey"), col("l_quantity"), col("l_discount"),
+      (col("l_extendedprice") > 30000).cast("double").as("y"))
+    val (model, _) = MlPipelines.fitClassifierPipeline(
+      feats, "l_orderkey", Seq("l_quantity", "l_discount"), "y")
+    val hist = MlPipelines.trainingHistory(model).orderBy("iteration")
+    val rows = hist.collect()
+    assert(rows.length > 1, "expected more than one L-BFGS iteration")
+    assert(rows.head.getLong(0) == 0L)
+    val objs = rows.map(_.getDouble(1))
+    // L-BFGS line search guarantees descent: each iteration's recorded
+    // objective must not exceed its predecessor's (ties allowed)
+    objs.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-12, s"objective rose: $a -> $b")
+    }
+    // results.json parity (reference train.py:277-296): the frame round-
+    // trips through the JSON sink
+    val dir = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    graft.sources.Sources.writeJson(hist, s"$dir/history")
+    val back = spark.read.json(s"$dir/history")
+    assert(back.count() == rows.length)
+    assert(back.columns.toSet == Set("iteration", "objective"))
+  }
+
   test("oofClosedFormOLS matches an in-test exact computation per fold") {
     val d = lineitem.select(
       graft.operators.SplitOps.hashBucket(col("l_orderkey"), 3).as("fold"),

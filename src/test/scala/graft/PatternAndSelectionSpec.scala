@@ -140,7 +140,7 @@ class PatternAndSelectionSpec extends SparkSpec {
     assert(s1.contains(7L))
     // a different salt draws a different (still deterministic) sample
     val other = graft.operators.SplitOps.prioritySample(
-      df, "id", "w", 20, salt = "B").collect().map(_.getLong(0)).toSet
+      df, "id", "w", 20, salt = 99991L).collect().map(_.getLong(0)).toSet
     assert(other != s1 && other.size == 20)
   }
 

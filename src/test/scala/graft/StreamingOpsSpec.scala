@@ -24,6 +24,25 @@ class StreamingOpsSpec extends SparkSpec {
     d
   }
 
+  test("RocksDB state store: q58/q131 match the default provider exactly") {
+    val sf = "/root/testdata/sf0.001"
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val d58 = canon(SparkEntry.q58(spark, sf))
+    val d131 = canon(SparkEntry.q131(spark, sf))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val (r58, r131) = StreamingOps.withRocksDBStateStore(spark) {
+      assert(spark.conf.get(key) == StreamingOps.RocksDBProvider)
+      (canon(SparkEntry.q58(spark, sf)), canon(SparkEntry.q131(spark, sf)))
+    }
+    // getOption surfaces the built-in default, so "restored" means
+    // "no longer RocksDB", not "unset"
+    assert(spark.conf.get(key) != StreamingOps.RocksDBProvider,
+      "provider conf must restore")
+    assert(r58.nonEmpty && r58 == d58)
+    assert(r131.nonEmpty && r131 == d131)
+  }
+
   test("windowedEventStats emits exactly the watermark-finalized windows") {
     // max ts = Jan 3 01:00, delay 1 day → watermark Jan 2 01:00: only the
     // Jan 1 window (end Jan 2 00:00) is finalized; Jan 2/3 stay in state
