@@ -130,11 +130,8 @@ object OracleSql {
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 10""".stripMargin,
 
-    "q11_dedup_exact" ->
-      """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
-        |FROM documents
-        |GROUP BY text
-        |ORDER BY canonical_id""".stripMargin,
+    // portable text shared with the q146 SQL-surface twin
+    "q11_dedup_exact" -> SqlText.dedup,
 
     "q12_token_count" ->
       """SELECT doc_id,
@@ -978,27 +975,9 @@ object OracleSql {
         |WHERE ROUND(ABS(e.value - s.mu) / s.sd, 6) >= 3.0
         |ORDER BY e.event_id""".stripMargin,
 
-    "q83_batch_sessionize" ->
-      """WITH x AS (
-        |  SELECT user_id, ts, event_id, value,
-        |    CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT) -
-        |      CAST(FLOOR(epoch(LAG(ts) OVER (
-        |        PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
-        |        > 86400
-        |      THEN 1 ELSE 0 END AS brk
-        |  FROM events),
-        |s AS (
-        |  SELECT user_id, ts, value,
-        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-        |  FROM x)
-        |SELECT user_id, session_id, COUNT(*) AS n_events,
-        |  CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_epoch,
-        |  CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) -
-        |    CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_sec,
-        |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
-        |FROM s GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin,
+    // DuckDB twin of SqlText.sessionize, shared with the q149 SQL-surface
+    // query (floor(epoch) is the DuckDB spelling of unix_seconds)
+    "q83_batch_sessionize" -> sessionizeSql,
 
     "q84_calibration" ->
       """WITH d AS (
@@ -1273,30 +1252,8 @@ object OracleSql {
         |GROUP BY c.l_returnflag
         |ORDER BY c.l_returnflag""".stripMargin,
 
-    "q102_funnel" ->
-      """WITH v AS (
-        |  SELECT user_id, MIN(ts) AS t1 FROM events
-        |  WHERE event_type = 'view' GROUP BY user_id),
-        |c AS (
-        |  SELECT e.user_id, MIN(e.ts) AS t2
-        |  FROM events e JOIN v USING (user_id)
-        |  WHERE e.event_type = 'click' AND e.ts > v.t1
-        |  GROUP BY e.user_id),
-        |p AS (
-        |  SELECT e.user_id, MIN(e.ts) AS t3
-        |  FROM events e JOIN c USING (user_id)
-        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2
-        |  GROUP BY e.user_id),
-        |n AS (
-        |  SELECT 1 AS stage_idx, 'view' AS stage,
-        |    (SELECT COUNT(*) FROM v) AS n_users
-        |  UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM c)
-        |  UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM p))
-        |SELECT stage_idx, stage, n_users,
-        |  ROUND(n_users / CAST(NULLIF(
-        |    LAG(n_users) OVER (ORDER BY stage_idx), 0) AS DOUBLE), 6)
-        |    AS conv_from_prev
-        |FROM n ORDER BY stage_idx""".stripMargin,
+    // portable text shared with the q147 SQL-surface twin
+    "q102_funnel" -> SqlText.funnel,
 
     "q103_cohort_retention" ->
       """WITH f AS (
@@ -2024,11 +1981,44 @@ object OracleSql {
         |SELECT digit, n, obs_p, exp_p,
         |  ROUND(ABS(obs_p - exp_p), 6) AS abs_dev
         |FROM e ORDER BY digit""".stripMargin,
-  )
+  ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which
     * CONVERGES to the batch answer on a bounded replay).
     */
+  /** q146–q149: the Spark side IS SQL text ([[SqlText]]). `dedup` and
+    * `funnel` are engine-portable, so the oracle is the identical string;
+    * the drift/sessionize oracles are the proven q113/q83 DuckDB twins
+    * (same semantics, epoch-function dialect only).
+    */
+  private def sqlSurface: Map[String, String] = Map(
+    "q146_sql_dedup" -> SqlText.dedup,
+    "q147_sql_funnel" -> SqlText.funnel,
+    "q148_sql_drift" -> psiSql,
+    "q149_sql_sessionize" -> sessionizeSql)
+
+  private def sessionizeSql: String =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT) -
+      |      CAST(FLOOR(epoch(LAG(ts) OVER (
+      |        PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+      |        > 86400
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM x)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_epoch,
+      |  CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) -
+      |    CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_sec,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   private def psiSql: String =
     """WITH rng AS (
       |  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx

@@ -2170,6 +2170,42 @@ object SparkEntry {
     MlPipelines.trainingHistory(model).orderBy(col("iteration"))
   }
 
+  // ------------------------------------------------- q146–q149: SQL text
+  // The SQL-first surface the north star names ("Spark SQL over Hive
+  // tables"): every testdata table is registered as a temp view and the
+  // Spark side of each query is PURE SQL TEXT — the same declarative
+  // string an analyst would type — exercising dedup, funnel, drift and
+  // sessionization through the SQL parser instead of the DataFrame DSL.
+  // Catalyst plans both shapes identically, so the scan pruning/pushdown
+  // posture is unchanged; the oracle twin proves value parity.
+
+  // Exact-dedup canonicalization in SQL (the q11 semantics; the SQL text
+  // is engine-portable and doubles as its own oracle).
+  def q146(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(SqlText.dedup)
+  }
+
+  // Three-stage ordered funnel in SQL (the q102 semantics; portable text).
+  def q147(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(SqlText.funnel)
+  }
+
+  // PSI drift monitor in SQL (the q113 semantics; Spark dialect differs
+  // from the DuckDB oracle only in unix_micros vs epoch_us).
+  def q148(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(SqlText.psiDrift)
+  }
+
+  // Gap-based sessionization in SQL (the q83 semantics; Spark dialect
+  // differs from the oracle only in unix_seconds vs floor(epoch)).
+  def q149(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(SqlText.sessionize)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -2317,6 +2353,10 @@ object SparkEntry {
     "q143_product_quantization" -> (q143 _),
     "q144_frequent_motifs" -> (q144 _),
     "q145_training_history" -> (q145 _),
+    "q146_sql_dedup" -> (q146 _),
+    "q147_sql_funnel" -> (q147 _),
+    "q148_sql_drift" -> (q148 _),
+    "q149_sql_sessionize" -> (q149 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -1,0 +1,117 @@
+package graft
+
+/** Spark-dialect SQL text for the q146–q149 SQL-first surface.
+  *
+  * These strings are what a SQL analyst would type against the registered
+  * views ([[Tables.registerViews]]). `dedup` and `funnel` are fully
+  * engine-portable and serve verbatim as their own DuckDB oracles;
+  * `psiDrift` and `sessionize` differ from their oracles only in the
+  * epoch-extraction function (Spark `unix_micros`/`unix_seconds` vs DuckDB
+  * `epoch_us`/`floor(epoch)`) — every aggregation, guard, decimal
+  * accumulation and rounding step is textually identical, so the engines
+  * cannot drift.
+  */
+object SqlText {
+
+  /** Exact dedup: canonical (minimum) id + copy count per distinct text —
+    * q11's semantics through the SQL parser. At scale the GROUP BY text
+    * shuffles on the text hash exactly like the DataFrame path.
+    */
+  val dedup: String =
+    """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY text
+      |ORDER BY canonical_id""".stripMargin
+
+  /** Ordered three-stage funnel (view → click → purchase) with
+    * stage-over-stage conversion — q102's semantics. Stage frontiers are
+    * per-user MIN aggregates joined user-keyed; the LAG window runs over
+    * the 3-row stage frame.
+    */
+  val funnel: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2
+      |  FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > v.t1
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3
+      |  FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      |  GROUP BY e.user_id),
+      |n AS (
+      |  SELECT 1 AS stage_idx, 'view' AS stage,
+      |    (SELECT COUNT(*) FROM v) AS n_users
+      |  UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+      |  UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM p))
+      |SELECT stage_idx, stage, n_users,
+      |  ROUND(n_users / CAST(NULLIF(
+      |    LAG(n_users) OVER (ORDER BY stage_idx), 0) AS DOUBLE), 6)
+      |    AS conv_from_prev
+      |FROM n ORDER BY stage_idx""".stripMargin
+
+  /** Population-stability-index drift per event_type: reference = first
+    * time half, current = second half, 10 equal-width bins fitted on the
+    * reference, Laplace-smoothed PSI — q113's semantics. The zero-width
+    * guard lives in the matched CASE branch so ANSI never divides by zero.
+    */
+  val psiDrift: String =
+    """WITH rng AS (
+      |  SELECT MIN(unix_micros(ts)) AS mn, MAX(unix_micros(ts)) AS mx
+      |  FROM events),
+      |w AS (
+      |  SELECT event_type, value, unix_micros(ts) * 2 < mn + mx AS is_ref
+      |  FROM events, rng),
+      |b AS (
+      |  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+      |  FROM w WHERE is_ref GROUP BY event_type),
+      |binned AS (
+      |  SELECT w.event_type, is_ref,
+      |    CASE WHEN (hi - lo) / 10.0 = 0 THEN 0
+      |         ELSE LEAST(9, GREATEST(0, CAST(FLOOR(
+      |           (value - lo) / ((hi - lo) / 10.0)) AS INTEGER))) END AS bin
+      |  FROM w JOIN b ON w.event_type = b.event_type),
+      |cells AS (
+      |  SELECT event_type, bin,
+      |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS r,
+      |    SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS c
+      |  FROM binned GROUP BY event_type, bin),
+      |tot AS (
+      |  SELECT event_type, SUM(r) AS nref, SUM(c) AS ncur
+      |  FROM cells GROUP BY event_type)
+      |SELECT cells.event_type, CAST(MAX(nref) AS BIGINT) AS n_ref,
+      |  CAST(MAX(ncur) AS BIGINT) AS n_cur,
+      |  ROUND(CAST(SUM(CAST(
+      |    ((c + 0.5) / (ncur + 5.0) - (r + 0.5) / (nref + 5.0)) *
+      |    LN(((c + 0.5) / (ncur + 5.0)) / ((r + 0.5) / (nref + 5.0)))
+      |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi
+      |FROM cells JOIN tot ON cells.event_type = tot.event_type
+      |GROUP BY cells.event_type
+      |ORDER BY cells.event_type""".stripMargin
+
+  /** Gap-based sessionization (24 h inactivity closes a session) with
+    * per-session stats — q83's semantics. Windows are per-user; the
+    * decimal sum keeps sum_value partition-order-free.
+    */
+  val sessionize: String =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN unix_seconds(ts) - unix_seconds(LAG(ts) OVER (
+      |        PARTITION BY user_id ORDER BY ts, event_id)) > 86400
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM x)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  unix_seconds(MIN(ts)) AS start_epoch,
+      |  unix_seconds(MAX(ts)) - unix_seconds(MIN(ts)) AS duration_sec,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+}

@@ -39,4 +39,17 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Every table of the star schema, in load order. */
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a session temp view under its own name so
+    * plain SQL text (`spark.sql("... FROM lineitem ...")`) runs against
+    * the full schema — the "Spark SQL over registered tables" surface.
+    * Idempotent; views stay lazy parquet scans, so SQL queries get the
+    * same pushdown/pruning as the DataFrame API.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }
