@@ -1995,7 +1995,16 @@ object OracleSql {
     "q146_sql_dedup" -> SqlText.dedup,
     "q147_sql_funnel" -> SqlText.funnel,
     "q148_sql_drift" -> psiSql,
-    "q149_sql_sessionize" -> sessionizeSql)
+    "q149_sql_sessionize" -> sessionizeSql,
+    // the layout is invisible in the answer: the oracle is the same
+    // date-window aggregate over the unpartitioned table
+    "q150_partition_pruning" ->
+      """SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
+        |  AND DATE '2024-01-14'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 
   private def sessionizeSql: String =
     """WITH x AS (

@@ -2206,6 +2206,41 @@ object SparkEntry {
     spark.sql(SqlText.sessionize)
   }
 
+  // ---------------------------------------------------------------- q150
+  // Partition pruning on a date-partitioned layout: events written
+  // hive-partitioned by day, then a one-week window aggregated. The date
+  // predicate becomes PartitionFilters at the scan (plan-audited) — the
+  // layout that makes a week-window query on a years-deep 100 TB history
+  // read 7 directories instead of all of them. Like q125/q132, the write
+  // is the amortized layout cost; the answer is layout-invisible.
+  def q150(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_TMP_ROOT", System.getProperty("java.io.tmpdir"))),
+      "graft_q150_")
+    try {
+      val byDay = graft.operators.LayoutOps.writeDatePartitioned(
+        t(spark, dir, "events"), "ts", "event_date",
+        s"$root/events_by_day")
+      val res = byDay
+        .filter(col("event_date").between(lit("2024-01-08"), lit("2024-01-14")))
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(28,4)")).cast("double")
+            .as("sum_value"))
+        .orderBy(col("event_date"))
+      // pin the tiny aggregate before dropping the backing layout
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      res.collect().foreach(rows.add)
+      spark.createDataFrame(rows, res.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -2357,6 +2392,7 @@ object SparkEntry {
     "q147_sql_funnel" -> (q147 _),
     "q148_sql_drift" -> (q148 _),
     "q149_sql_sessionize" -> (q149 _),
+    "q150_partition_pruning" -> (q150 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

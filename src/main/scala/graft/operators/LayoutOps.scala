@@ -13,6 +13,22 @@ import org.apache.spark.sql.functions._
   */
 object LayoutOps {
 
+  /** Write `df` hive-partitioned by the calendar date of `tsCol`
+    * (`.../date_col=YYYY-MM-DD/part-*.parquet`) — SURVEY §4.2's "built-in
+    * if we partition sensor data by date", made concrete. A date-bounded
+    * query over the result touches only the matching directories: Spark
+    * turns the date predicate into PartitionFilters at the scan, so the
+    * 100 TB history read for a one-week window lists and reads 7
+    * partitions, not 3650. Returns the partitioned reader frame.
+    */
+  def writeDatePartitioned(df: DataFrame, tsCol: String, dateCol: String,
+      path: String): DataFrame = {
+    df.withColumn(dateCol, to_date(col(tsCol)))
+      .write.partitionBy(dateCol).mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+      .withColumn(dateCol, col(dateCol).cast("date"))
+  }
+
   /** Write `left` and `right` bucketed by their join keys into `buckets`
     * buckets under `root` (registered as tables `<tag>_l` / `<tag>_r` in
     * the session catalog, parquet at a caller-owned path), then equi-join

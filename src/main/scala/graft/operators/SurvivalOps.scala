@@ -29,10 +29,21 @@ object SurvivalOps {
     * The product accumulates in log space (Σ ln(1 − dᵢ/nᵢ), exponentiated
     * once); every dᵢ/nᵢ is an exact-integer ratio divided once, and the
     * final estimate rounds to 6 so the curve is engine-portable.
+    *
+    * SCALE CONTRACT: the ordered windows run over the per-duration frame,
+    * so the duration column must be a COARSE time grid (days/weeks —
+    * thousands of distinct values). For fine-grained durations (seconds
+    * at corpus scale → millions of distinct values through one window
+    * task), pass `bucketWidth > 1` to floor durations onto a bounded grid
+    * first; the curve is then evaluated at bucket lower edges, which is
+    * the standard life-table coarsening.
     */
   def kaplanMeier(df: DataFrame, durationCol: String,
-      eventCol: String): DataFrame = {
-    val byT = df.groupBy(col(durationCol).as("t"))
+      eventCol: String, bucketWidth: Long = 1L): DataFrame = {
+    val tExpr =
+      if (bucketWidth <= 1L) col(durationCol)
+      else floor(col(durationCol).cast("long") / bucketWidth) * bucketWidth
+    val byT = df.groupBy(tExpr.as("t"))
       .agg(
         sum(when(col(eventCol), 1L).otherwise(0L)).as("n_event"),
         sum(when(col(eventCol), 0L).otherwise(1L)).as("n_censored"))

@@ -438,6 +438,43 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q150 layout: date predicate prunes partitions at the scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val root = java.nio.file.Files.createTempDirectory("graft_prune_audit")
+    try {
+      val byDay = graft.operators.LayoutOps.writeDatePartitioned(
+        Tables.load(spark, dir, "events"), "ts", "event_date",
+        s"$root/events_by_day")
+      val q = byDay
+        .filter(col("event_date").between(lit("2024-01-08"), lit("2024-01-14")))
+        .groupBy(col("event_date")).agg(count(lit(1)).as("n"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val scans = q.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec => f
+        }
+        assert(scans.nonEmpty, "no file scan in plan")
+        val scan = scans.head
+        // the date predicate must reach the scan as PartitionFilters —
+        // a dataFilter would still read every directory
+        assert(scan.partitionFilters.nonEmpty,
+          s"no PartitionFilters in:\n${q.queryExecution.executedPlan}")
+        val selected = scan.relation.location
+          .listFiles(scan.partitionFilters, Nil).size
+        val total = scan.relation.location.listFiles(Nil, Nil).size
+        assert(total == 30, s"expected 30 day partitions, got $total")
+        assert(selected == 7,
+          s"expected 7 pruned partitions, got $selected of $total")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("populationFeatures: sensor table shuffles at most twice, joins broadcast") {
     import spark.implicits._
     val sensor = (0 until 200).map(i =>

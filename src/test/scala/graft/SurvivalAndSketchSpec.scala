@@ -35,6 +35,22 @@ class SurvivalAndSketchSpec extends SparkSpec {
     assert(out.zip(out.tail).forall { case (a, b) => b <= a })
   }
 
+  test("kaplanMeier: bucketWidth coarsens onto the life-table grid") {
+    import org.apache.spark.sql.functions.{col, floor}
+    val df = Seq((0L, true), (3L, true), (8L, false), (13L, true),
+      (20L, true), (25L, false)).toDF("d", "ev")
+    val bucketed = SurvivalOps.kaplanMeier(df, "d", "ev", bucketWidth = 7L)
+      .orderBy("t").collect()
+    // bucketing inside must equal pre-flooring outside
+    val manual = SurvivalOps.kaplanMeier(
+      df.select((floor(col("d") / 7) * 7).as("d"), col("ev")), "d", "ev")
+      .orderBy("t").collect()
+    assert(bucketed.map(_.toSeq.toList).toList ==
+      manual.map(_.toSeq.toList).toList)
+    assert(bucketed.map(_.getLong(0)).forall(t => t % 7 == 0))
+    assert(bucketed.length == 4)
+  }
+
   test("twoProportionZTest: hand-computed z") {
     // a: 8/20 = 0.4, b: 14/20 = 0.7; pooled 22/40 = 0.55
     // z = 0.3 / sqrt(.55*.45*(0.1)) = 0.3/0.157321... = 1.906925
