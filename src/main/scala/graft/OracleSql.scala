@@ -2004,7 +2004,65 @@ object OracleSql {
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
         |  AND DATE '2024-01-14'
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // tie-corrected Spearman: midrank per distinct value = AVG of the
+    // row_numbers in its tie group — identical to the bucketed-rank
+    // midrank formula b + (c+1)/2; sufficient stats in exact decimals
+    "q151_spearman" ->
+      """WITH d AS (
+        |  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+        |rxv AS (
+        |  SELECT x, AVG(rn) AS r FROM (
+        |    SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x) AS DOUBLE) AS rn
+        |    FROM d) GROUP BY x),
+        |ryv AS (
+        |  SELECT y, AVG(rn) AS r FROM (
+        |    SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY y) AS DOUBLE) AS rn
+        |    FROM d) GROUP BY y),
+        |j AS (
+        |  SELECT rxv.r AS rx, ryv.r AS ry
+        |  FROM d JOIN rxv USING (x) JOIN ryv USING (y)),
+        |s AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(rx AS DECIMAL(28,1))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ry AS DECIMAL(28,1))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(rx * ry AS DECIMAL(28,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(rx * rx AS DECIMAL(28,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(ry * ry AS DECIMAL(28,2))) AS DOUBLE) AS syy
+        |  FROM j)
+        |SELECT n, ROUND(CASE
+        |  WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+        |  THEN (n * sxy - sx * sy) /
+        |    SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS rho
+        |FROM s""".stripMargin,
+
+    "q152_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT o_orderstatus AS r, o_orderpriority AS c, COUNT(*) AS o
+        |  FROM orders GROUP BY 1, 2),
+        |rm AS (SELECT r, SUM(o) AS rm FROM cells GROUP BY r),
+        |cm AS (SELECT c, SUM(o) AS cm FROM cells GROUP BY c),
+        |nn AS (SELECT SUM(o) AS n FROM cells),
+        |mi AS (
+        |  SELECT MAX(n) AS n, CAST(SUM(CAST(
+        |    (CAST(o AS DOUBLE) / n) *
+        |    LN((CAST(o AS DOUBLE) * n) / (rm * cm))
+        |    AS DECIMAL(28,12))) AS DOUBLE) AS mi
+        |  FROM cells JOIN rm USING (r) JOIN cm USING (c), nn),
+        |hx AS (
+        |  SELECT CAST(SUM(CAST(
+        |    -(CAST(rm AS DOUBLE) / n) * LN(CAST(rm AS DOUBLE) / n)
+        |    AS DECIMAL(28,12))) AS DOUBLE) AS hx FROM rm, nn),
+        |hy AS (
+        |  SELECT CAST(SUM(CAST(
+        |    -(CAST(cm AS DOUBLE) / n) * LN(CAST(cm AS DOUBLE) / n)
+        |    AS DECIMAL(28,12))) AS DOUBLE) AS hy FROM cm, nn)
+        |SELECT CAST(n AS BIGINT) AS n, ROUND(mi, 6) AS mi_nats,
+        |  ROUND(hx, 6) AS h_row, ROUND(hy, 6) AS h_col,
+        |  ROUND(CASE WHEN hx * hy > 0 THEN mi / SQRT(hx * hy) END, 6)
+        |    AS nmi
+        |FROM mi, hx, hy""".stripMargin)
 
   private def sessionizeSql: String =
     """WITH x AS (

@@ -2241,6 +2241,25 @@ object SparkEntry {
     }
   }
 
+  // ---------------------------------------------------------------- q151
+  // Spearman rank correlation (tie-corrected, midranks) of quantity vs
+  // extended price: the monotone-association screen run before fitting
+  // anything. Both rank transforms reuse the q46 bucketed distributed
+  // midrank — the machinery that keeps rank statistics off the
+  // single-partition path at any cardinality.
+  def q151(spark: SparkSession, dir: String): DataFrame =
+    graft.metrics.RankMetrics.spearman(
+      t(spark, dir, "lineitem"), "l_quantity", "l_extendedprice")
+
+  // ---------------------------------------------------------------- q152
+  // Mutual information between order status and priority: the feature-
+  // redundancy screen (χ² q100 asks "dependent?", MI answers "by how
+  // much"). One contingency aggregation + broadcast margins, exact-
+  // decimal accumulation of the cell terms.
+  def q152(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.RobustStats.mutualInformation(
+      t(spark, dir, "orders"), col("o_orderstatus"), col("o_orderpriority"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -2393,6 +2412,8 @@ object SparkEntry {
     "q148_sql_drift" -> (q148 _),
     "q149_sql_sessionize" -> (q149 _),
     "q150_partition_pruning" -> (q150 _),
+    "q151_spearman" -> (q151 _),
+    "q152_mutual_info" -> (q152 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

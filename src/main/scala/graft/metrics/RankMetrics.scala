@@ -121,6 +121,51 @@ object RankMetrics {
             (col("n_pos") * (col("n") - col("n_pos"))), 6)).as("auc")): _*)
   }
 
+  /** (value, midrank) lookup for one column via the bucketed distributed
+    * rank — one row per distinct value, never a global per-row sort.
+    */
+  private def midrankLookup(df: DataFrame, valueCol: String): DataFrame =
+    midranks(df.select(col(valueCol).as("__v"))
+        .withColumn("__l", lit(0)), "__v", "__l", Nil)
+      .select(col("__v"), col("midrank"))
+
+  /** Spearman rank correlation of two numeric columns, ties handled by
+    * midranks (the standard tie-corrected estimator ρ = Pearson on the
+    * rank transforms). Both rank transforms reuse the bucketed
+    * distributed midrank machinery above — no single-partition sort at
+    * any cardinality — and rows recover their ranks through two
+    * distinct-value equi-joins. Sufficient statistics accumulate in
+    * exact decimals (midranks are integer halves), one divide + sqrt at
+    * the end; zero-variance columns yield null, never 0/0.
+    * Output: one row (n, rho).
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val rx = midrankLookup(df, xCol)
+      .select(col("__v").as("__vx"), col("midrank").as("__rx"))
+    val ry = midrankLookup(df, yCol)
+      .select(col("__v").as("__vy"), col("midrank").as("__ry"))
+    val ranked = df.select(col(xCol).as("__vx"), col(yCol).as("__vy"))
+      .join(rx, "__vx").join(ry, "__vy")
+    ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("__rx").cast("decimal(28,1)")).cast("double").as("__sx"),
+        sum(col("__ry").cast("decimal(28,1)")).cast("double").as("__sy"),
+        sum((col("__rx") * col("__ry")).cast("decimal(28,2)"))
+          .cast("double").as("__sxy"),
+        sum((col("__rx") * col("__rx")).cast("decimal(28,2)"))
+          .cast("double").as("__sxx"),
+        sum((col("__ry") * col("__ry")).cast("decimal(28,2)"))
+          .cast("double").as("__syy"))
+      .select(col("n"),
+        round(
+          when((col("n") * col("__sxx") - col("__sx") * col("__sx")) *
+               (col("n") * col("__syy") - col("__sy") * col("__sy")) > 0d,
+            (col("n") * col("__sxy") - col("__sx") * col("__sy")) /
+              sqrt((col("n") * col("__sxx") - col("__sx") * col("__sx")) *
+                   (col("n") * col("__syy") - col("__sy") * col("__sy")))),
+          6).as("rho"))
+  }
+
   /** One-vs-rest multiclass AUC (reference `metrics.py:59-72`): expand each
     * row into one binary problem per class (label = [cls == labelCol],
     * score = the class's score column), compute per-class binary AUC

@@ -164,4 +164,47 @@ object RobustStats {
         ((first(col("nr")) - 1) * (first(col("nc")) - 1)).as("dof"),
         round(sum(col("contrib")).cast("double"), 6).as("chi2"))
   }
+
+  /** Mutual information (nats) between two categorical columns, with the
+    * marginal entropies and the normalized MI / sqrt(H_x·H_y) — the
+    * feature-redundancy screen of a training-data pipeline (χ² asks "are
+    * they dependent", MI answers "by how many bits"). Same scale shape as
+    * [[chiSquare]]: one contingency count, broadcast margins, every cell
+    * term an exact-integer ratio logged once and summed in decimal.
+    * Degenerate single-level columns have zero entropy → NMI is null
+    * (never 0/0).
+    */
+  def mutualInformation(df: DataFrame, rowExpr: Column,
+      colExpr: Column): DataFrame = {
+    val cells = df.select(rowExpr.as("r"), colExpr.as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("o"))
+    val rowM = cells.groupBy(col("r")).agg(sum(col("o")).as("rm"))
+    val colM = cells.groupBy(col("c")).agg(sum(col("o")).as("cm"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    val joint = cells.join(broadcast(rowM), "r").join(broadcast(colM), "c")
+      .crossJoin(broadcast(n))
+      // p_xy·ln(p_xy·n² / (rm·cm)) accumulated exactly; counts are ≥ 1 so
+      // every log argument is positive
+      .withColumn("mi_term",
+        ((col("o").cast("double") / col("n")) *
+          log((col("o").cast("double") * col("n")) /
+            (col("rm") * col("cm")))).cast("decimal(28,12)"))
+      .agg(first(col("n")).as("n"),
+        sum(col("mi_term")).cast("double").as("__mi"))
+    val hx = rowM.crossJoin(broadcast(n))
+      .agg(sum((-(col("rm").cast("double") / col("n")) *
+        log(col("rm").cast("double") / col("n"))).cast("decimal(28,12)"))
+        .cast("double").as("__hx"))
+    val hy = colM.crossJoin(broadcast(n))
+      .agg(sum((-(col("cm").cast("double") / col("n")) *
+        log(col("cm").cast("double") / col("n"))).cast("decimal(28,12)"))
+        .cast("double").as("__hy"))
+    joint.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select(col("n"),
+        round(col("__mi"), 6).as("mi_nats"),
+        round(col("__hx"), 6).as("h_row"),
+        round(col("__hy"), 6).as("h_col"),
+        round(when(col("__hx") * col("__hy") > 0d,
+          col("__mi") / sqrt(col("__hx") * col("__hy"))), 6).as("nmi"))
+  }
 }
