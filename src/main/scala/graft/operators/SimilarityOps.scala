@@ -338,20 +338,16 @@ object SimilarityOps {
     val d = embeddings.select(size(col(vecCol))).head().getInt(0)
     require(d % m == 0, s"dim $d not divisible by m=$m")
     val sub = d / m
-    val dims = embeddings.select(col(idCol),
-        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
-    val subVecs = dims
-      .withColumn("s", expr(s"dim div $sub"))
-      .groupBy(col(idCol), col("s"))
-      .agg(transform(sort_array(collect_list(struct(col("dim"), col("v")))),
-        x => x.getField("v")).as("sv"))
-      .cache()
-    subVecs.count()
+    // each subspace's input is a SLICE of the vector column — a pure
+    // codegen projection per fit, no explode/groupBy shuffle and no cache
+    // to build subvectors
+    val vec = col(vecCol).cast("array<double>")
     // the m subspace fits are independent distributed jobs — run them
     // concurrently from the driver (the gridSearchLogReg pattern) so the
     // cluster pipelines them instead of idling between sequential fits
     val fitted = (0 until m).par.map { s =>
-      val part = subVecs.filter(col("s") === s)
+      val part = embeddings.select(col(idCol),
+          lit(s).as("s"), slice(vec, s * sub + 1, sub).as("sv"))
         .withColumn("__features", array_to_vector(col("sv")))
       val model = new org.apache.spark.ml.clustering.KMeans()
         .setK(k).setSeed(seed + s).setFeaturesCol("__features")
