@@ -173,19 +173,7 @@ object OracleSql {
         |WHERE e.vec_id <> 0
         |ORDER BY e.vec_id""".stripMargin,
 
-    "q16_knn_topk" ->
-      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
-        |s AS (
-        |  SELECT e.vec_id,
-        |    ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
-        |      (SQRT(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
-        |       SQRT(list_inner_product(q.qe, q.qe))), 6) AS cosine
-        |  FROM embeddings e CROSS JOIN q
-        |  WHERE e.vec_id <> 0)
-        |SELECT vec_id, cosine
-        |FROM s
-        |ORDER BY cosine DESC, vec_id
-        |LIMIT 10""".stripMargin,
+    "q16_knn_topk" -> knnTopkSql,
 
     "q17_regression_metrics" ->
       """WITH t AS (
@@ -2062,7 +2050,29 @@ object OracleSql {
         |  ROUND(hx, 6) AS h_row, ROUND(hy, 6) AS h_col,
         |  ROUND(CASE WHEN hx * hy > 0 THEN mi / SQRT(hx * hy) END, 6)
         |    AS nmi
-        |FROM mi, hx, hy""".stripMargin)
+        |FROM mi, hx, hy""".stripMargin,
+
+    // SQL-text twin of q16 exercising the REGISTERED native expression
+    // (GraftExtensions vec_cosine) from the SQL parser
+    "q153_sql_ann" -> knnTopkSql)
+
+  /** Shared by q16 (DataFrame side) and q153 (SQL-text side): brute-force
+    * cosine top-10 of query vector 0, DuckDB's list_inner_product playing
+    * the role of the native vec_cosine expression.
+    */
+  private def knnTopkSql: String =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+      |s AS (
+      |  SELECT e.vec_id,
+      |    ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
+      |      (SQRT(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+      |       SQRT(list_inner_product(q.qe, q.qe))), 6) AS cosine
+      |  FROM embeddings e CROSS JOIN q
+      |  WHERE e.vec_id <> 0)
+      |SELECT vec_id, cosine
+      |FROM s
+      |ORDER BY cosine DESC, vec_id
+      |LIMIT 10""".stripMargin
 
   private def sessionizeSql: String =
     """WITH x AS (

@@ -2260,6 +2260,16 @@ object SparkEntry {
     graft.operators.RobustStats.mutualInformation(
       t(spark, dir, "orders"), col("o_orderstatus"), col("o_orderpriority"))
 
+  // ---------------------------------------------------------------- q153
+  // ANN top-k in SQL: the brute-force cosine shortlist of q16, typed as
+  // SQL text against the registered views, with the NATIVE codegen
+  // vec_cosine expression reached through the SQL parser (GraftExtensions
+  // function registry) — the extension-function half of the SQL surface.
+  def q153(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(SqlText.annTopK)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -2414,6 +2424,7 @@ object SparkEntry {
     "q150_partition_pruning" -> (q150 _),
     "q151_spearman" -> (q151 _),
     "q152_mutual_info" -> (q152 _),
+    "q153_sql_ann" -> (q153 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -92,6 +92,26 @@ object SqlText {
       |GROUP BY cells.event_type
       |ORDER BY cells.event_type""".stripMargin
 
+  /** Brute-force cosine top-10 of query vector 0 — q16's semantics with
+    * the native codegen `vec_cosine` expression called FROM SQL (it is in
+    * the session function registry via GraftExtensions). The oracle
+    * spells the same arithmetic with DuckDB's list_inner_product.
+    */
+  val annTopK: String =
+    """WITH q AS (
+      |  SELECT CAST(embedding AS ARRAY<DOUBLE>) AS qe
+      |  FROM embeddings WHERE vec_id = 0),
+      |s AS (
+      |  SELECT e.vec_id,
+      |    ROUND(vec_cosine(CAST(e.embedding AS ARRAY<DOUBLE>), q.qe), 6)
+      |      AS cosine
+      |  FROM embeddings e CROSS JOIN q
+      |  WHERE e.vec_id <> 0)
+      |SELECT vec_id, cosine
+      |FROM s
+      |ORDER BY cosine DESC, vec_id
+      |LIMIT 10""".stripMargin
+
   /** Gap-based sessionization (24 h inactivity closes a session) with
     * per-session stats — q83's semantics. Windows are per-user; the
     * decimal sum keeps sum_value partition-order-free.
