@@ -82,7 +82,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
   }
 
-  test("q46/q61: no global window; single-partition exchanges only above partial aggregates") {
+  test("q46/q61/q151: no global window; single-partition exchanges only above partial aggregates") {
     import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -97,7 +97,8 @@ class PlanAuditSpec extends SparkSpec {
     // without materializing query stages)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      Seq(SparkEntry.q46(spark, dir), SparkEntry.q61(spark, dir)).foreach { df =>
+      Seq(SparkEntry.q46(spark, dir), SparkEntry.q61(spark, dir),
+          SparkEntry.q151(spark, dir)).foreach { df =>
         val p = df.queryExecution.executedPlan
         p.foreach {
           case w: WindowExec =>
