@@ -31,7 +31,12 @@ class DeterminismSpec extends SparkSpec {
     "q132_zorder_skipping", "q133_bigram_perplexity", "q134_snapshot_diff",
     "q135_priority_sample", "q136_join_cardinality", "q137_changepoint",
     "q139_triangle_census", "q140_zipf_fit", "q141_quantile_norm",
-    "q142_incremental_agg", "q144_frequent_motifs")
+    "q142_incremental_agg", "q144_frequent_motifs",
+    "q146_sql_dedup", "q147_sql_funnel", "q148_sql_drift",
+    "q149_sql_sessionize", "q150_partition_pruning", "q151_spearman",
+    "q152_mutual_info", "q153_sql_ann")
+  // q145 joins the MLlib exclusion list (L-BFGS trajectory depends on the
+  // coalesced treeAggregate order, like q29/q47)
   // q143 PQ joins the MLlib exclusion list (seeded k-means codebooks)
   // q138 joins the sketch exclusion list (HLL estimates, like q53/q107)
   // q131 is streaming (the streaming family stays under its own
