@@ -671,7 +671,7 @@ object SparkEntry {
     val assigned = SimilarityOps.ivfAssign(e, "vec_id", "embedding", cents)
     val qv = e.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))
-      .head.getSeq[Double](0)
+      .head().getSeq[Double](0)
     SimilarityOps.ivfSearch(
       assigned.filter(col("vec_id") =!= 0), "vec_id", qv, cents,
       nprobe = 4, k = 10)
@@ -758,7 +758,7 @@ object SparkEntry {
     val spanDays = t(spark, dir, "events")
       .agg(ceil((max(col("ts")).cast("long") - min(col("ts")).cast("long")) /
         lit(86400.0)).cast("long"))
-      .head.getLong(0) + 1
+      .head().getLong(0) + 1
     val deduped = graft.streaming.StreamingOps.dedupStream(
       spark, dir, "events.parquet", Seq("user_id", "event_type"), "ts",
       s"$spanDays days",

@@ -100,7 +100,7 @@ object MlPipelines {
     // output layer sized by max label over the FULL frame — distinct-count
     // over train alone breaks for non-contiguous labels or classes the
     // split left out of train (MLP requires labels in [0, numClasses))
-    val nClasses = data.agg(max(col("label"))).head.getDouble(0).toInt + 1
+    val nClasses = data.agg(max(col("label"))).head().getDouble(0).toInt + 1
     val mlp = new MultilayerPerceptronClassifier()
       .setLayers((dim +: hidden :+ nClasses).toArray)
       .setMaxIter(40).setSeed(42)

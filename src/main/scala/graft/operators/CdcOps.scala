@@ -25,7 +25,7 @@ object CdcOps {
     */
   def compactLatest(df: DataFrame, keys: Seq[String],
       ordCols: Seq[String]): DataFrame = {
-    val payload = df.columns.filterNot(keys.contains)
+    val payload = df.columns.toSeq.filterNot(keys.contains)
     df.groupBy(keys.map(col): _*)
       .agg(max_by(struct(payload.map(col): _*),
         struct(ordCols.map(col): _*)).as("__r"))
