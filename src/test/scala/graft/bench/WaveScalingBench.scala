@@ -49,6 +49,27 @@ class WaveScalingBench extends SparkSpec {
     small.unpersist(); big.unpersist()
   }
 
+  test("spearman scales near-linearly in distinct values") {
+    // near-all-distinct x and y: the bucketed-midrank frame grows with the
+    // data, the worst case for a rank statistic — a global per-row sort
+    // would be the q46 bug
+    def pts(mult: Int) =
+      spark.range(0L, 100000L * mult).select(
+        ((col("id") * 2654435761L) % 1000003L).cast("double").as("x"),
+        ((col("id") * 40503L + 7L) % 999983L).cast("double").as("y"))
+        .cache()
+    val small = pts(1); val big = pts(8)
+    assert(small.count() * 8 == big.count())
+    def run(df: org.apache.spark.sql.DataFrame) =
+      timed(graft.metrics.RankMetrics.spearman(df, "x", "y").count())
+    run(small) // warm codegen
+    val s = run(small); val b = run(big)
+    val ratio = b._1.toDouble / math.max(1, s._1)
+    info(f"spearman 1x=${s._1}%5d ms  8x=${b._1}%5d ms  ratio=$ratio%.1f")
+    assert(ratio < 24.0, f"spearman super-linear: $ratio%.1f×")
+    small.unpersist(); big.unpersist()
+  }
+
   test("quantile-norm, motifs, Kaplan-Meier scale near-linearly in keys") {
     val base = Tables.load(spark, "/root/testdata/sf0.01", "events")
       .select(col("event_id"), col("ts"), col("user_id"),
