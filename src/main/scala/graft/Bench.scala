@@ -3,11 +3,13 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // parse once so both the master URL and the JSON artifact are validated
+    // (an unquoted non-numeric value would emit invalid JSON)
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.trim.toInt).getOrElse(4)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -53,7 +55,7 @@ object Bench {
     val cfg = s"""{"cpus":$cpus,"shuffle_partitions":$cpus,""" +
       s""""spark_version":"${spark.version}","n_queries":${results.size}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","config":$cfg,"failed":$failed,"queries":$qs}""".stripMargin
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","config":$cfg,"failed":$failed,"queries":$qs}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

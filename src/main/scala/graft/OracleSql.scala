@@ -1497,17 +1497,25 @@ object OracleSql {
         |GROUP BY status ORDER BY status""".stripMargin,
 
     // exponential-race priority sampling: the draw is the engine-portable
-    // multiplicative hash ((id % p) * 2654435761) % p over prime p, so
-    // DuckDB replays the exact clock -ln(u)/w; non-positive weights rank
-    // last (infinite clock)
+    // TWO-ROUND multiplicative hash over distinct primes (round 2 folds
+    // id div p1 back in so ids differing by p1 never alias), so DuckDB
+    // replays the exact clock -ln(u)/w; non-positive weights rank last
+    // (infinite clock)
     "q135_priority_sample" ->
-      """WITH c AS (
+      """WITH x AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ((doc_id % 1000003) * 2654435761) % 1000003 AS x1
+        |  FROM documents),
+        |x2 AS (
+        |  SELECT doc_id, source, n_chars,
+        |    (((x1 + doc_id // 1000003) % 9999991) * 22695477) % 9999991 AS x2
+        |  FROM x),
+        |c AS (
         |  SELECT doc_id, source, n_chars,
         |    CASE WHEN n_chars > 0 THEN
-        |      -LN((((doc_id % 1000003) * 2654435761) % 1000003 + 1)
-        |        / 1000003.0) / n_chars
+        |      -LN((x2 + 1) / 9999991.0) / n_chars
         |    ELSE 'infinity'::DOUBLE END AS clock
-        |  FROM documents),
+        |  FROM x2),
         |s AS (
         |  SELECT doc_id, source, n_chars FROM c
         |  ORDER BY clock, doc_id LIMIT 50)

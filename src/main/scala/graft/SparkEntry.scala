@@ -1241,10 +1241,7 @@ object SparkEntry {
       res.collect().foreach(rows.add)
       spark.createDataFrame(rows, res.schema)
     } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      graft.tools.FsUtils.deleteRecursively(root)
     }
   }
 
@@ -1845,10 +1842,7 @@ object SparkEntry {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
       graft.operators.LayoutOps.dropBucketed(spark, "graft_q125")
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      graft.tools.FsUtils.deleteRecursively(root)
     }
   }
 
@@ -2234,10 +2228,7 @@ object SparkEntry {
       res.collect().foreach(rows.add)
       spark.createDataFrame(rows, res.schema)
     } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      graft.tools.FsUtils.deleteRecursively(root)
     }
   }
 

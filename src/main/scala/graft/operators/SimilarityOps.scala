@@ -334,9 +334,14 @@ object SimilarityOps {
       m: Int = 8, k: Int = 16, seed: Long = 42L): DataFrame = {
     val spark = embeddings.sparkSession
     // dimension comes from ONE row's array length (vectors are fixed-width
-    // by contract) — not a full-scan max(dim) aggregate job
+    // by contract) — then the contract is ENFORCED with a cheap existence
+    // probe: a ragged vector would otherwise be silently sliced into wrong
+    // subvectors (slice past the end truncates) and mis-coded with no error
     val d = embeddings.select(size(col(vecCol))).head().getInt(0)
     require(d % m == 0, s"dim $d not divisible by m=$m")
+    require(embeddings.filter(size(col(vecCol)) =!= d).isEmpty,
+      s"ragged input: found a vector whose length differs from $d " +
+        s"(productQuantize requires fixed-width vectors)")
     val sub = d / m
     // each subspace's input is a SLICE of the vector column — a pure
     // codegen projection per fit, no explode/groupBy shuffle and no cache

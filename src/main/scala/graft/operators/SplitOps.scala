@@ -113,17 +113,30 @@ object SplitOps {
     */
   def prioritySample(df: DataFrame, idCol: String, weightCol: String,
       k: Int, salt: Long = 0L): DataFrame = {
-    // u ∈ (0, 1]: a Lehmer-style congruential draw from the same
+    // u ∈ (0, 1]: a TWO-ROUND Lehmer-style congruential draw from the same
     // engine-portable multiplicative hash family as [[hashBucket]] (NOT
     // xxhash64 — no other engine reproduces that), replayable in plain SQL:
-    //   u = ((((id + salt) % p) * 2654435761) % p + 1) / p,  p = 1000003
-    // Reducing mod the PRIME (not a power of two larger than the product)
+    //   x1 = (((id + salt) % p1) * 2654435761) % p1        p1 = 1000003
+    //   x2 = (((x1 + id div p1) % p2) * 22695477) % p2     p2 = 9999991
+    //   u  = (x2 + 1) / p2
+    // Reducing mod a PRIME (not a power of two larger than the product)
     // is what makes consecutive ids wrap ~427799/p of the range apart —
     // a power-of-two modulus above id*C never wraps for small ids and
-    // degenerates into "sample the largest ids".
-    val p = 1000003L
-    val u = (pmod(pmod(col(idCol).cast("long") + lit(salt), lit(p)) *
-      lit(2654435761L), lit(p)) + 1).cast("double") / lit(p.toDouble)
+    // degenerates into "sample the largest ids". The second round folds
+    // `id div p1` back in: a single round collapses to id mod p1, so any
+    // two ids differing by p1 would share one draw (at ≥10⁸-doc corpus
+    // scale ~100 rows per residue class), and widens the draw space from
+    // ~10⁶ to ~10⁷ distinct values. All intermediates stay below 2⁶³:
+    // (p1−1)·2654435761 and (p2−1)·22695477 both fit a signed long.
+    val p1 = 1000003L
+    val p2 = 9999991L
+    val id = col(idCol).cast("long")
+    // exact integer division (decimal, not double — a double quotient can
+    // floor one off for ids above 2⁵³); DuckDB replays it as `id // p1`
+    val idDiv = (id.cast("decimal(38,0)") / lit(p1)).cast("long")
+    val x1 = pmod(pmod(id + lit(salt), lit(p1)) * lit(2654435761L), lit(p1))
+    val x2 = pmod(pmod(x1 + idDiv, lit(p2)) * lit(22695477L), lit(p2))
+    val u = (x2 + 1).cast("double") / lit(p2.toDouble)
     // Non-positive weights get an infinite clock (rank last, never crash):
     // an unguarded divide throws under ANSI on weight = 0, and under
     // non-ANSI a NULL clock would sort FIRST ascending — preferentially

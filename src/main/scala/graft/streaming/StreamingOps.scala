@@ -40,24 +40,28 @@ object StreamingOps {
   val RocksDBProvider: String =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-  /** Run `body` with the streaming state store backed by RocksDB instead of
-    * the default in-memory HDFS-backed provider, restoring the prior
-    * setting afterwards. At 100 TB the in-memory store is the first thing
-    * to fall over — streaming state (dedup keys, open sessions, join
-    * buffers) must not be bounded by executor heap. Every StreamingOps
-    * operator picks the provider up from the session conf at query start,
-    * so no per-operator parameter is needed; results are
-    * provider-invariant (spec-pinned against the default provider).
+  /** Run `body` against a session whose streaming state store is backed by
+    * RocksDB instead of the default in-memory HDFS-backed provider. At
+    * 100 TB the in-memory store is the first thing to fall over — streaming
+    * state (dedup keys, open sessions, join buffers) must not be bounded by
+    * executor heap. Every StreamingOps operator picks the provider up from
+    * the session conf at query start, so no per-operator parameter is
+    * needed; results are provider-invariant (spec-pinned against the
+    * default provider).
+    *
+    * The provider is set on a CLONE (`spark.newSession()` — same
+    * SparkContext and extensions, isolated SQLConf), never on the shared
+    * session: the provider class is captured when a query STARTS, so
+    * toggling shared conf would race any streaming query started
+    * concurrently elsewhere on the session, silently running it against
+    * the wrong state store. The clone's conf is discarded with it — no
+    * restore step, no failure window.
     */
-  def withRocksDBStateStore[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key, RocksDBProvider)
-    try body
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+  def withRocksDBStateStore[T](spark: SparkSession)(body: SparkSession => T): T = {
+    val cloned = spark.newSession()
+    cloned.conf.set("spark.sql.streaming.stateStore.providerClass",
+      RocksDBProvider)
+    body(cloned)
   }
 
   /** Tumbling event-time window aggregation over a parquet directory read as

@@ -407,10 +407,7 @@ class PlanAuditSpec extends SparkSpec {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
       graft.operators.LayoutOps.dropBucketed(spark, "graft_audit_bkt")
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.tools.FsUtils.deleteRecursively(root)
     }
   }
 
@@ -469,10 +466,7 @@ class PlanAuditSpec extends SparkSpec {
           s"expected 7 pruned partitions, got $selected of $total")
       } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      graft.tools.FsUtils.deleteRecursively(root)
     }
   }
 

@@ -31,14 +31,14 @@ class StreamingOpsSpec extends SparkSpec {
     val d58 = canon(SparkEntry.q58(spark, sf))
     val d131 = canon(SparkEntry.q131(spark, sf))
     val key = "spark.sql.streaming.stateStore.providerClass"
-    val (r58, r131) = StreamingOps.withRocksDBStateStore(spark) {
-      assert(spark.conf.get(key) == StreamingOps.RocksDBProvider)
-      (canon(SparkEntry.q58(spark, sf)), canon(SparkEntry.q131(spark, sf)))
+    val (r58, r131) = StreamingOps.withRocksDBStateStore(spark) { s =>
+      assert(s.conf.get(key) == StreamingOps.RocksDBProvider)
+      (canon(SparkEntry.q58(s, sf)), canon(SparkEntry.q131(s, sf)))
     }
-    // getOption surfaces the built-in default, so "restored" means
-    // "no longer RocksDB", not "unset"
+    // the provider lives on a cloned session — the shared session's conf
+    // is never touched (no restore step to race)
     assert(spark.conf.get(key) != StreamingOps.RocksDBProvider,
-      "provider conf must restore")
+      "shared-session provider conf must be untouched")
     assert(r58.nonEmpty && r58 == d58)
     assert(r131.nonEmpty && r131 == d131)
   }
