@@ -296,6 +296,18 @@ object OracleSql {
         |FROM c
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // MinHash+LSH candidate profile: the portable-hash draw (seeded MD5 over
+    // shingles, MD5 band hash) lets DuckDB replay the EXACT signatures,
+    // buckets, and candidate pairs — the q135 precedent applied to the
+    // flagship dedup sketch
+    "q27_minhash_dedup" -> q27MinhashSql,
+
+    // SimHash-64: per-token bits from the first 16 hex digits of md5(token)
+    // (digit b/4, bit b%4), fingerprint packed as signed BIGINT with bit 63
+    // as a min-long addition — DuckDB replays fingerprints and Hamming
+    // distances exactly
+    "q28_simhash" -> q28SimhashSql,
+
     "q31_semi_anti_join" ->
       """WITH f AS (
         |  SELECT c_mktsegment,
@@ -1873,6 +1885,12 @@ object OracleSql {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // count-min sketch pair: portable MD5 bucket draws make the counter
+    // matrix exact replayable integer arithmetic (the q135 precedent
+    // applied to sketches); error-bound specs are retained alongside
+    "q123_cms_heavy_hitters" -> q123CmsSql,
+    "q136_join_cardinality" -> q136CmsSql,
+
     "q124_int8_quantization" ->
       """WITH f AS (
         |  SELECT unnest(list_transform(CAST(embedding AS DOUBLE[]),
@@ -1987,6 +2005,167 @@ object OracleSql {
     * the drift/sessionize oracles are the proven q113/q83 DuckDB twins
     * (same semantics, epoch-function dialect only).
     */
+  /** 60-bit BIGINT from a hex column's first 15 digits — the DuckDB replay
+    * of SketchOps' `conv(substring(md5(x), 1, 15), 16, 10)`.
+    */
+  private def hexPoly15(hcol: String): String =
+    (1 to 15).map(i =>
+      s"(STRPOS('0123456789abcdef', SUBSTRING($hcol, $i, 1)) - 1) * ${BigInt(16).pow(15 - i)}")
+      .mkString("(", "\n      + ", ")")
+
+  /** CMS counter CTE arms: `depth` copies of the term frame, each row
+    * hashed to its (depth, bucket) with the portable MD5 polynomial.
+    * `termExpr` must already be a VARCHAR expression.
+    */
+  private def cmsBucketArms(src: String, termExpr: String, cntCol: String,
+      depth: Int, width: Int): String =
+    (0 until depth).map { d =>
+      s"""SELECT depth, ${hexPoly15("h")} % $width AS bucket, __c FROM (
+         |    SELECT $d AS depth, MD5('$d#' || $termExpr) AS h, $cntCol AS __c
+         |    FROM $src)""".stripMargin
+    }.mkString("\n  UNION ALL ")
+
+  /** q123 oracle: replay the count-min sketch verbatim — portable MD5
+    * bucket draws, exact BIGINT counter sums, min-over-depths estimates
+    * for the exact top-20 terms.
+    */
+  private def q123CmsSql: String = {
+    val arms = cmsBucketArms("tc", "term", "n_exact", depth = 4, width = 256)
+    s"""WITH terms AS (
+       |  SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents),
+       |tc AS (SELECT term, COUNT(*) AS n_exact FROM terms GROUP BY term),
+       |buckets AS (
+       |  $arms),
+       |counters AS (
+       |  SELECT depth, bucket, CAST(SUM(__c) AS BIGINT) AS counter
+       |  FROM buckets GROUP BY depth, bucket),
+       |top AS (
+       |  SELECT term, n_exact FROM tc ORDER BY n_exact DESC, term LIMIT 20),
+       |probes AS (
+       |  ${(0 until 4).map(d =>
+            s"SELECT term, n_exact, $d AS depth, ${hexPoly15(s"MD5('$d#' || term)")} % 256 AS bucket FROM top")
+            .mkString("\n  UNION ALL ")}),
+       |est AS (
+       |  SELECT p.term, MIN(p.n_exact) AS n_exact, MIN(c.counter) AS n_estimate
+       |  FROM probes p JOIN counters c USING (depth, bucket)
+       |  GROUP BY p.term)
+       |SELECT term, n_exact, n_estimate, n_estimate - n_exact AS overcount
+       |FROM est
+       |ORDER BY n_exact DESC, term""".stripMargin
+  }
+
+  /** q136 oracle: CMS join-cardinality estimate — both counter matrices
+    * replayed with the portable draw, inner product per depth, min over
+    * depths, against the exact join size.
+    */
+  private def q136CmsSql: String = {
+    val aArms = cmsBucketArms("li", "CAST(k AS VARCHAR)", "n",
+      depth = 4, width = 65536)
+    val bArms = cmsBucketArms("ord", "CAST(k AS VARCHAR)", "n",
+      depth = 4, width = 65536)
+    s"""WITH li AS (
+       |  SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1),
+       |ord AS (
+       |  SELECT o_orderkey AS k, COUNT(*) AS n FROM orders GROUP BY 1),
+       |ba AS (
+       |  $aArms),
+       |bb AS (
+       |  $bArms),
+       |ca AS (SELECT depth, bucket, CAST(SUM(__c) AS BIGINT) AS counter
+       |  FROM ba GROUP BY 1, 2),
+       |cb AS (SELECT depth, bucket, CAST(SUM(__c) AS BIGINT) AS counter
+       |  FROM bb GROUP BY 1, 2),
+       |dots AS (
+       |  SELECT ca.depth, CAST(SUM(ca.counter * cb.counter) AS BIGINT) AS dot
+       |  FROM ca JOIN cb USING (depth, bucket) GROUP BY ca.depth),
+       |est AS (SELECT MIN(dot) AS est_join_rows FROM dots),
+       |exact AS (
+       |  SELECT CAST(COALESCE(SUM(li.n * ord.n), 0) AS BIGINT) AS exact_join_rows
+       |  FROM li JOIN ord USING (k))
+       |SELECT est_join_rows, exact_join_rows,
+       |  ROUND(CAST(est_join_rows AS DOUBLE) / exact_join_rows, 6) AS over_ratio
+       |FROM est CROSS JOIN exact""".stripMargin
+  }
+
+  /** q27 oracle: replay MinHash signatures (32 seeded-MD5 mins over word
+    * 3-shingles), 8×4 LSH bands, distinct candidate pairs, and the per-doc
+    * candidate count. Generated: 32 MIN arms + 8 band arms.
+    */
+  private def q27MinhashSql: String = {
+    val mhs = (0 until 32)
+      .map(s => s"MIN(MD5('$s#' || sh)) AS mh_$s").mkString(",\n    ")
+    val bandArms = (0 until 8).map { b =>
+      val cols = (b * 4 until b * 4 + 4).map(i => s"mh_$i")
+        .mkString(" || '#' || ")
+      s"SELECT doc_id, $b AS band, MD5($cols) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+       |    THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+       |    ELSE [array_to_string(tk, ' ')] END) AS sh
+       |  FROM toks),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mhs
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandArms),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS n_candidates FROM (
+       |    SELECT id_a AS doc_id FROM pairs
+       |    UNION ALL SELECT id_b AS doc_id FROM pairs)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(p.n_candidates, 0) AS n_candidates
+       |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** q28 oracle: replay SimHash-64 — 16 hex-digit decodes per token hash,
+    * 64 vote sums, fingerprint packed as signed BIGINT (bit 63 = min-long
+    * addition), Hamming to doc 0 via bit_count(xor). Generated: 16 digit
+    * decodes + 64 vote arms + 63 fingerprint terms.
+    */
+  private def q28SimhashSql: String = {
+    val digits = (0 until 16).map(i =>
+      s"STRPOS('0123456789abcdef', SUBSTRING(h, ${i + 1}, 1)) - 1 AS d_$i")
+      .mkString(",\n    ")
+    val votes = (0 until 64).map { b =>
+      s"SUM(CASE WHEN (d_${b / 4} & ${1 << (b % 4)}) != 0 THEN 1 ELSE -1 END) AS v_$b"
+    }.mkString(",\n    ")
+    val low = (0 until 63)
+      .map(b => s"CASE WHEN v_$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" +\n      ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, MD5(tok) AS h FROM toks),
+       |d AS (
+       |  SELECT doc_id,
+       |    $digits
+       |  FROM h),
+       |v AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM d GROUP BY doc_id),
+       |fp AS (
+       |  SELECT doc_id, CAST(
+       |      $low +
+       |      CASE WHEN v_63 > 0 THEN -9223372036854775807 - 1 ELSE 0 END
+       |    AS BIGINT) AS simhash
+       |  FROM v),
+       |ref AS (SELECT simhash AS ref_hash FROM fp WHERE doc_id = 0)
+       |SELECT f.doc_id, f.simhash,
+       |  CAST(bit_count(xor(f.simhash, r.ref_hash)) AS INTEGER) AS hamming_to_0
+       |FROM fp f CROSS JOIN ref r
+       |ORDER BY f.doc_id""".stripMargin
+  }
+
   private def sqlSurface: Map[String, String] = Map(
     "q146_sql_dedup" -> SqlText.dedup,
     "q147_sql_funnel" -> SqlText.funnel,

@@ -284,10 +284,9 @@ object SparkEntry {
     MetricQueries.classWeights(t(spark, dir, "orders"), "o_orderstatus")
       .orderBy(col("o_orderstatus"))
 
-  // ------------------------------------------------- rows-only queries
-  // (not SQL-expressible identically in DuckDB — hash-dependent or MLlib)
-
   // MinHash+LSH near-dup candidate profile per doc (north-star dedup #2).
+  // Oracle-backed since the portable-hash switch: seeded-MD5 signature
+  // draws and MD5 band hashes replay identically in DuckDB.
   def q27(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val sigs = DedupOps.minhashSignatures(docs, "doc_id", "text", 3, 32)
@@ -303,6 +302,7 @@ object SparkEntry {
   }
 
   // SimHash fingerprints + hamming distance to doc 0 (north-star dedup #3).
+  // Oracle-backed: md5(token) hex-digit bits replay identically in DuckDB.
   def q28(spark: SparkSession, dir: String): DataFrame = {
     val fp = DedupOps.simhash64(t(spark, dir, "documents"), "doc_id", "text")
     val ref = fp.filter(col("doc_id") === 0)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Count–min sketch heavy hitters (Cormode & Muthukrishnan, "An improved
@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object SketchOps {
 
+  /** Portable 60-bit hash: the first 15 hex digits of MD5, as a BIGINT.
+    * Standard MD5 over UTF-8 bytes means any engine reproduces the value
+    * (the DuckDB oracle decodes the same 15 digits with a strpos
+    * polynomial) — so the sketch's counter matrix is exact integer
+    * arithmetic REPLAYABLE end-to-end, not just bounded. 60 bits keeps the
+    * value inside a signed long with no wraparound ambiguity.
+    */
+  private def md5Long60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Per-(depth, bucket) CMS counters for `termCol` weighted by `cntCol`
     * (pre-aggregated term counts fold in exactly — the sketch of the raw
     * stream and of the exact term frame are identical by linearity).
@@ -28,8 +38,8 @@ object SketchOps {
     val perDepth = (0 until depth).map { d =>
       terms.select(
         lit(d).as("depth"),
-        pmod(xxhash64(concat(lit(d.toString), lit("#"), col(termCol))),
-          lit(width.toLong)).as("bucket"),
+        pmod(md5Long60(concat(lit(d.toString), lit("#"),
+          col(termCol).cast("string"))), lit(width.toLong)).as("bucket"),
         col(cntCol).as("__c"))
     }
     perDepth.reduce(_.unionByName(_))
@@ -54,8 +64,8 @@ object SketchOps {
     val probes = (0 until depth).map { d =>
       top.select(col("term"), col("n_exact"),
         lit(d).as("depth"),
-        pmod(xxhash64(concat(lit(d.toString), lit("#"), col("term"))),
-          lit(width.toLong)).as("bucket"))
+        pmod(md5Long60(concat(lit(d.toString), lit("#"),
+          col("term").cast("string"))), lit(width.toLong)).as("bucket"))
     }.reduce(_.unionByName(_))
     probes.join(broadcast(counters), Seq("depth", "bucket"))
       .groupBy(col("term"))
