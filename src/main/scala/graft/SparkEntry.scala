@@ -2261,6 +2261,27 @@ object SparkEntry {
     spark.sql(SqlText.annTopK)
   }
 
+  // ---------------------------------------------------------------- q155
+  // Validated early stopping (the M10 control half): GBT stops adding
+  // trees when the hash-held-out improvement drops below tol — the Spark
+  // analog of trainer.py:262-320's patience / best-checkpoint loop. The
+  // label is the quantity×(1−discount) revenue surface (an exact
+  // interaction of the two features, the q41 synthetic-target precedent),
+  // so the trace descends for several iterations and then the stop fires
+  // — both behaviors visible in the result itself: fewer rows than
+  // max_iter IS the stop. (On noise-dominated raw price the stop fires at
+  // iteration 1, also correct but not demonstrative — measured in the
+  // spec's scaladoc.) MLlib fit internals → rows-only; the spec plants an
+  // overfit fixture and pins stop-before-maxIter plus the recorded trace.
+  def q155(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.gbtEarlyStopTrace(
+      t(spark, dir, "lineitem")
+        .withColumn("target_revenue",
+          col("l_quantity") * (lit(1.0) - col("l_discount")) * lit(1000.0)),
+      "l_orderkey", Seq("l_quantity", "l_discount"), "target_revenue",
+      maxIter = 60, tol = 0.02)
+      .orderBy(col("iteration"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -2416,6 +2437,7 @@ object SparkEntry {
     "q151_spearman" -> (q151 _),
     "q152_mutual_info" -> (q152 _),
     "q153_sql_ann" -> (q153 _),
+    "q155_early_stop" -> (q155 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

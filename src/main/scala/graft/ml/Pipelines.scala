@@ -797,4 +797,64 @@ object MlPipelines {
           count(lit(1))), 6).as("rmse_test"))
       .withColumnRenamed("__slice", "fold")
   }
+
+  /** Validated early stopping — the Spark analog of the reference trainer's
+    * patience/best-checkpoint loop
+    * (`/root/reference/src/training/trainer.py:262-320`): gradient-boosted
+    * trees stop adding iterations once the held-out improvement drops
+    * below `tol`, via MLlib's `validationIndicatorCol`/`validationTol`
+    * (each boosting step IS an "epoch", and stopping the additive series
+    * at the best validation point is the boosting equivalent of
+    * restore-best-checkpoint — trees past the stop are never built).
+    *
+    * The held-out set is the engine's leakage-safe hash split (never a
+    * random split — reproducible across runs/engines/partitionings), and
+    * the per-iteration validation trace comes back as a queryable frame
+    * (iteration, val_loss) via `evaluateEachIteration`, the observability
+    * half that [[trainingHistory]] provides for L-BFGS. Returns exactly
+    * `model.getNumTrees` rows: fewer than `maxIter` rows IS the early
+    * stop, visible in the result itself.
+    *
+    * Scale shape: one distributed fit (each boosting iteration is a
+    * distributed tree build over the train partition), one distributed
+    * scoring pass per built tree for the trace; the returned frame is
+    * ≤ maxIter rows — driver-sized by definition.
+    */
+  def gbtEarlyStopTrace(df: DataFrame, idCol: String,
+      featureCols: Seq[String], labelCol: String,
+      maxIter: Int = 60, tol: Double = 0.01, valPerMille: Int = 200,
+      seed: Long = 42L, partitions: Int = 2, maxBins: Int = 32): DataFrame = {
+    import org.apache.spark.ml.regression.GBTRegressor
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+      .transform(df)
+      .withColumn("label", col(labelCol).cast("double"))
+      .withColumn("is_val",
+        SplitOps.hashBucket(col(idCol), 1000) < valPerMille)
+    val data =
+      (if (partitions > 0) base.coalesce(partitions) else base).cache()
+    data.count()
+    try {
+      val gbt = new GBTRegressor()
+        .setMaxIter(maxIter).setMaxDepth(5).setStepSize(0.5)
+        .setMaxBins(maxBins)
+        .setValidationIndicatorCol("is_val")
+        .setSeed(seed)
+      // validationTol has no fluent setter on GBTRegressor — set the
+      // Param directly
+      val model = gbt.set(gbt.validationTol, tol).fit(data)
+      val losses = model.evaluateEachIteration(
+        data.filter(col("is_val")), "squared")
+      losses.toSeq.zipWithIndex
+        .map { case (l, i) =>
+          (i.toLong,
+            BigDecimal(l).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble,
+            maxIter.toLong)
+        }
+        .toDF("iteration", "val_loss", "max_iter")
+    } finally data.unpersist()
+  }
 }

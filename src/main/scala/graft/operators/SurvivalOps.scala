@@ -37,12 +37,27 @@ object SurvivalOps {
     * task), pass `bucketWidth > 1` to floor durations onto a bounded grid
     * first; the curve is then evaluated at bucket lower edges, which is
     * the standard life-table coarsening.
+    *
+    * The contract is ENFORCED, not just documented: a cheap
+    * `approx_count_distinct` pre-pass fails fast (with the fix in the
+    * message) when the post-bucket grid would exceed `maxGridSize` — the
+    * alternative is a silent single-task window over millions of rows,
+    * the exact failure mode this operator's shape exists to avoid.
     */
   def kaplanMeier(df: DataFrame, durationCol: String,
-      eventCol: String, bucketWidth: Long = 1L): DataFrame = {
+      eventCol: String, bucketWidth: Long = 1L,
+      maxGridSize: Long = 10000L): DataFrame = {
     val tExpr =
       if (bucketWidth <= 1L) col(durationCol)
       else floor(col(durationCol).cast("long") / bucketWidth) * bucketWidth
+    val approxGrid =
+      df.agg(approx_count_distinct(tExpr).as("n")).head().getLong(0)
+    require(approxGrid <= maxGridSize,
+      s"kaplanMeier time grid too fine: ~$approxGrid distinct " +
+        s"(bucketed) durations exceed maxGridSize=$maxGridSize, so the " +
+        "product-limit window would funnel them through one task. Pass a " +
+        "larger bucketWidth (life-table coarsening) or raise maxGridSize " +
+        "deliberately.")
     val byT = df.groupBy(tExpr.as("t"))
       .agg(
         sum(when(col(eventCol), 1L).otherwise(0L)).as("n_event"),

@@ -37,6 +37,7 @@ class DeterminismSpec extends SparkSpec {
     "q152_mutual_info", "q153_sql_ann")
   // q145 joins the MLlib exclusion list (L-BFGS trajectory depends on the
   // coalesced treeAggregate order, like q29/q47)
+  // q155 joins the MLlib exclusion list (GBT tree builds, like q42/q59)
   // q143 PQ joins the MLlib exclusion list (seeded k-means codebooks)
   // q138 joins the sketch exclusion list (HLL estimates, like q53/q107)
   // q131 is streaming (the streaming family stays under its own

@@ -51,6 +51,27 @@ class SurvivalAndSketchSpec extends SparkSpec {
     assert(bucketed.length == 4)
   }
 
+  test("kaplanMeier: second-grain durations fail fast unless bucketed") {
+    // 50k distinct second-grain durations — the fine-grid regime where an
+    // unguarded run would funnel every distinct duration through ONE
+    // ordered-window task
+    val fine = (1L to 50000L).map(s => (s, s % 3 != 0L)).toDF("d", "ev")
+    val ex = intercept[IllegalArgumentException] {
+      SurvivalOps.kaplanMeier(fine, "d", "ev")
+    }
+    assert(ex.getMessage.contains("bucketWidth"))
+    // day-width bucketing bounds the grid and the same call succeeds —
+    // the window never sees more than ceil(50000/86400)+1 rows; here the
+    // durations span less than a day so the whole curve is one bucket
+    val daily = SurvivalOps.kaplanMeier(fine, "d", "ev",
+      bucketWidth = 86400L).collect()
+    assert(daily.length == 1 && daily.head.getLong(1) == 50000L)
+    // an explicit maxGridSize override is honored (caller takes the risk
+    // deliberately, nothing silent)
+    assert(SurvivalOps.kaplanMeier(fine, "d", "ev",
+      maxGridSize = 100000L).count() == 50000L)
+  }
+
   test("twoProportionZTest: hand-computed z") {
     // a: 8/20 = 0.4, b: 14/20 = 0.7; pooled 22/40 = 0.55
     // z = 0.3 / sqrt(.55*.45*(0.1)) = 0.3/0.157321... = 1.906925
