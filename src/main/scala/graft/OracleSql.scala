@@ -2169,6 +2169,7 @@ object OracleSql {
   private def sqlSurface: Map[String, String] = Map(
     "q146_sql_dedup" -> SqlText.dedup,
     "q147_sql_funnel" -> SqlText.funnel,
+    "q154_sql_star_join" -> SqlText.starJoin,
     "q148_sql_drift" -> psiSql,
     "q149_sql_sessionize" -> sessionizeSql,
     // the layout is invisible in the answer: the oracle is the same
@@ -2179,6 +2180,14 @@ object OracleSql {
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
         |  AND DATE '2024-01-14'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // compaction is content-invisible: the per-day profile of the
+    // compacted copy must equal the profile derived from the source table
+    "q156_compaction" ->
+      """SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // tie-corrected Spearman: midrank per distinct value = AVG of the

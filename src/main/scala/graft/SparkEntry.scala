@@ -2261,6 +2261,54 @@ object SparkEntry {
     spark.sql(SqlText.annTopK)
   }
 
+  // ---------------------------------------------------------------- q154
+  // The join-family SQL twin: TPC-H Q3 (q93's semantics) as SQL text over
+  // the registered views — the SQL surface's proof that a join-heavy
+  // analyst query plans identically through the parser (SqlSurfaceSpec
+  // pins row equivalence vs q93). Portable text = its own oracle.
+  def q154(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(SqlText.starJoin)
+  }
+
+  // ---------------------------------------------------------------- q156
+  // Small-file compaction (the OPTIMIZE half of the layout story): plant
+  // a fragmented day-partitioned copy of events (12-way write per day —
+  // the shape streaming/CDC ingest leaves behind), bin-pack it with
+  // compactDatePartitioned, and aggregate the COMPACTED copy. The oracle
+  // re-derives the same per-day profile from the source table, proving
+  // compaction is content-invisible; the spec audits the file counts
+  // (fewer, larger) and read-back row identity.
+  def q156(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_TMP_ROOT", System.getProperty("java.io.tmpdir"))),
+      "graft_q156_")
+    try {
+      t(spark, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        .repartition(12)
+        .write.partitionBy("event_date").mode("overwrite")
+        .parquet(s"$root/frag")
+      graft.operators.LayoutOps.compactDatePartitioned(spark,
+        s"$root/frag", s"$root/compact", "event_date",
+        targetBytes = 512L * 1024 * 1024).count()
+      val res = spark.read.parquet(s"$root/compact")
+        .withColumn("event_date", col("event_date").cast("date"))
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(28,4)")).cast("double")
+            .as("sum_value"))
+        .orderBy(col("event_date"))
+      // pin the tiny per-day aggregate before dropping the backing layout
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      res.collect().foreach(rows.add)
+      spark.createDataFrame(rows, res.schema)
+    } finally {
+      graft.tools.FsUtils.deleteRecursively(root)
+    }
+  }
+
   // ---------------------------------------------------------------- q155
   // Validated early stopping (the M10 control half): GBT stops adding
   // trees when the hash-held-out improvement drops below tol — the Spark
@@ -2437,7 +2485,9 @@ object SparkEntry {
     "q151_spearman" -> (q151 _),
     "q152_mutual_info" -> (q152 _),
     "q153_sql_ann" -> (q153 _),
+    "q154_sql_star_join" -> (q154 _),
     "q155_early_stop" -> (q155 _),
+    "q156_compaction" -> (q156 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -112,6 +112,30 @@ object SqlText {
       |ORDER BY cosine DESC, vec_id
       |LIMIT 10""".stripMargin
 
+  /** TPC-H Q3 star join — q93's semantics as SQL text: a selective
+    * dimension filter, the orders/lineitem fact chain, decimal-exact
+    * revenue, top-10. The join-heavy shape of the SQL surface (the other
+    * twins cover dedup/funnel/drift/sessionize/ANN). Fully
+    * engine-portable; serves verbatim as its own DuckDB oracle. Catalyst
+    * plans the text identically to the DataFrame chain — including the
+    * broadcast of the filtered customer side — so the SQL door pays no
+    * plan penalty.
+    */
+  val starJoin: String =
+    """SELECT l.l_orderkey,
+      |  CAST(o.o_orderdate AS DATE) AS orderdate,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+      |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      |  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+      |GROUP BY l.l_orderkey, orderdate
+      |ORDER BY revenue DESC, l.l_orderkey
+      |LIMIT 10""".stripMargin
+
   /** Gap-based sessionization (24 h inactivity closes a session) with
     * per-session stats — q83's semantics. Windows are per-user; the
     * decimal sum keeps sum_value partition-order-free.

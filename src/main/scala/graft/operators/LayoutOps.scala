@@ -62,6 +62,57 @@ object LayoutOps {
     spark.sql(s"DROP TABLE IF EXISTS ${tag}_r")
   }
 
+  /** OPTIMIZE-style small-file compaction for a date-partitioned parquet
+    * table: bin-pack each partition's files into
+    * `ceil(partitionBytes / targetBytes)` output files, preserving the
+    * partition values, into a NEW root (copy-compact — the source stays
+    * readable throughout; the final swap is the caller's atomic rename).
+    * The missing half of the layout story next to bucketing
+    * ([[bucketedEquiJoin]]), Z-order ([[zoneMapSkipping]]) and pruning
+    * ([[writeDatePartitioned]]): streaming/CDC ingest (q86/q150) drips
+    * small files into each day directory, and scan cost at 100 TB is
+    * dominated by file COUNT (open/footer/seek per file) long before
+    * bytes.
+    *
+    * Scale shape: the driver only LISTS the bounded date grid (Hadoop FS
+    * API — works on any store); each partition compacts as its own
+    * distributed read → coalesce(n) → write job, and the independent
+    * jobs run concurrently via `.par` (the ensemble-fit pattern).
+    * `coalesce`, not `repartition`: bin-packing needs no shuffle — file
+    * reads stream straight into the n writers.
+    *
+    * Returns the per-partition report (partition value, files and bytes
+    * before, files after); row identity of the compacted copy is the
+    * caller's read-back check (spec-pinned, and q156's oracle re-derives
+    * the content from the source table).
+    */
+  def compactDatePartitioned(spark: SparkSession, srcPath: String,
+      dstPath: String, dateCol: String, targetBytes: Long): DataFrame = {
+    import scala.collection.parallel.CollectionConverters._
+    val hadoopPath = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(hadoopPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$dateCol="))
+    val report = parts.toSeq.par.map { p =>
+      val files = fs.listStatus(p.getPath)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      val bytes = files.map(_.getLen).sum
+      val n = math.max(1L, (bytes + targetBytes - 1L) / targetBytes).toInt
+      val dst = s"$dstPath/${p.getPath.getName}"
+      spark.read.parquet(p.getPath.toString)
+        .coalesce(n)
+        .write.mode("overwrite").parquet(dst)
+      // report what was WRITTEN, not what was requested (coalesce caps at
+      // the read's partition count, so tiny inputs can pack tighter than n)
+      val written = fs.listStatus(new org.apache.hadoop.fs.Path(dst))
+        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      (p.getPath.getName.stripPrefix(s"$dateCol="),
+        files.length.toLong, bytes, written.toLong)
+    }.toList.sortBy(_._1)
+    import spark.implicits._
+    report.toDF(dateCol, "n_files_before", "bytes_before", "n_files_after")
+  }
+
   import org.apache.spark.sql.Column
 
   /** Bit-spread of an 8-bit value into the even bit positions (the classic

@@ -30,4 +30,8 @@ class SqlSurfaceSpec extends SparkSpec {
   test("q153 SQL ANN ≡ q16 DataFrame top-k") {
     assert(rows(SparkEntry.q153(spark, dir)) == rows(SparkEntry.q16(spark, dir)))
   }
+
+  test("q154 SQL star join ≡ q93 DataFrame star join") {
+    assert(rows(SparkEntry.q154(spark, dir)) == rows(SparkEntry.q93(spark, dir)))
+  }
 }
