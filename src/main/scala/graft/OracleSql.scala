@@ -1891,6 +1891,54 @@ object OracleSql {
     "q123_cms_heavy_hitters" -> q123CmsSql,
     "q136_join_cardinality" -> q136CmsSql,
 
+    // isotonic calibration: the PAV fixpoint is the UNIQUE isotonic L2
+    // solution, so DuckDB reaches it by repeatedly pooling maximal
+    // violating chains (window-grouped, aggregate-merged) inside a
+    // recursive CTE until monotone — the q67 recursive-CTE precedent.
+    // Tied scores pre-aggregate to their mean (MLlib makeUnique); the
+    // model's compression emits first+last point of each equal-prediction
+    // run (one row when the run is a single point). All block values are
+    // exact integer-sum ratios divided once, so doubles match bit-for-bit.
+    "q126_isotonic_calibration" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT value AS x,
+        |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM events),
+        |uniq AS (
+        |  SELECT x, SUM(y) AS s, CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM pts GROUP BY x),
+        |pav(r, ord, lo, hi, s, n) AS (
+        |  SELECT 0, ROW_NUMBER() OVER (ORDER BY x), x, x, s, n FROM uniq
+        |  UNION ALL
+        |  SELECT r + 1, MIN(ord), MIN(lo), MAX(hi), SUM(s), SUM(n)
+        |  FROM (
+        |    SELECT r, ord, lo, hi, s, n,
+        |      SUM(stp) OVER (ORDER BY ord) AS grp,
+        |      MAX(1 - stp) OVER () AS any_viol
+        |    FROM (
+        |      SELECT r, ord, lo, hi, s, n,
+        |        CASE WHEN LAG(s / n) OVER (ORDER BY ord) > s / n
+        |          THEN 0 ELSE 1 END AS stp
+        |      FROM pav))
+        |  WHERE any_viol = 1
+        |  GROUP BY r, grp),
+        |fin AS (
+        |  SELECT lo, hi, s / n AS v FROM pav
+        |  WHERE r = (SELECT MAX(r) FROM pav)),
+        |runs AS (
+        |  SELECT lo, hi, v,
+        |    SUM(CASE WHEN pv IS NULL OR pv <> v THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY lo) AS run_id
+        |  FROM (SELECT lo, hi, v, LAG(v) OVER (ORDER BY lo) AS pv FROM fin)),
+        |comp AS (
+        |  SELECT MIN(lo) AS lo, MAX(hi) AS hi, MIN(v) AS v
+        |  FROM runs GROUP BY run_id)
+        |SELECT boundary, fitted FROM (
+        |  SELECT ROUND(lo, 6) AS boundary, ROUND(v, 6) AS fitted FROM comp
+        |  UNION ALL
+        |  SELECT ROUND(hi, 6), ROUND(v, 6) FROM comp WHERE hi <> lo)
+        |ORDER BY boundary, fitted""".stripMargin,
+
     "q124_int8_quantization" ->
       """WITH f AS (
         |  SELECT unnest(list_transform(CAST(embedding AS DOUBLE[]),

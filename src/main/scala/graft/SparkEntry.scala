@@ -1851,8 +1851,10 @@ object SparkEntry {
   // miscalibration q84's reliability bins diagnose — a monotone map from
   // raw score to calibrated probability. MLlib's distributed PAV
   // (per-partition pooling, driver-side final merge over the pooled
-  // boundary frame, never the data). Model-produced boundaries →
-  // rows-only; the spec hand-computes PAV on a fixture.
+  // boundary frame, never the data). Oracle-backed: the PAV fixpoint is
+  // the unique isotonic solution, so a DuckDB recursive CTE reaches the
+  // identical boundary/prediction frame (exact integer-sum ratios); the
+  // spec additionally hand-computes PAV on a fixture.
   def q126(spark: SparkSession, dir: String): DataFrame =
     MlPipelines.isotonicCalibration(
       t(spark, dir, "events")

@@ -26,7 +26,8 @@ class DeterminismSpec extends SparkSpec {
     "q115_ks_two_sample", "q116_cohen_kappa", "q117_bloom_semijoin",
     "q118_pagerank", "q119_rolling_backtest", "q120_benford_audit",
     "q121_ab_ztest", "q122_kaplan_meier", "q123_cms_heavy_hitters",
-    "q124_int8_quantization", "q125_bucketed_join", "q127_cooccurrence",
+    "q124_int8_quantization", "q125_bucketed_join", "q126_isotonic_calibration",
+    "q127_cooccurrence",
     "q128_record_linkage", "q129_median_no_sort", "q130_top_paths",
     "q132_zorder_skipping", "q133_bigram_perplexity", "q134_snapshot_diff",
     "q135_priority_sample", "q136_join_cardinality", "q137_changepoint",
@@ -34,7 +35,8 @@ class DeterminismSpec extends SparkSpec {
     "q142_incremental_agg", "q144_frequent_motifs",
     "q146_sql_dedup", "q147_sql_funnel", "q148_sql_drift",
     "q149_sql_sessionize", "q150_partition_pruning", "q151_spearman",
-    "q152_mutual_info", "q153_sql_ann")
+    "q152_mutual_info", "q153_sql_ann", "q154_sql_star_join",
+    "q156_compaction")
   // q145 joins the MLlib exclusion list (L-BFGS trajectory depends on the
   // coalesced treeAggregate order, like q29/q47)
   // q155 joins the MLlib exclusion list (GBT tree builds, like q42/q59)
@@ -42,8 +44,9 @@ class DeterminismSpec extends SparkSpec {
   // q138 joins the sketch exclusion list (HLL estimates, like q53/q107)
   // q131 is streaming (the streaming family stays under its own
   // convergence specs, like q38/q73)
-  // q126 isotonic joins the MLlib exclusion list (q74/q80/q105-q107):
-  // the fit is an MLlib estimator, deterministic per partitioning only
+  // q126 isotonic is INCLUDED despite being an MLlib fit: the PAV
+  // fixpoint is the unique isotonic solution, so per-partition pooling +
+  // driver merge lands on the same boundaries under any partitioning
   // q74/q80 are excluded: k-means initialization samples per-partition, so
   // their (seeded) result is deterministic per partitioning, not across
   // partitionings — the documented contract for MLlib-backed queries
