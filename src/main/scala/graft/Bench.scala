@@ -1,6 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Bench main: the sequential per-query contract bench plus a 4-stream
+  * concurrency section (a shared engine serves concurrent analysts; solo
+  * timings hide driver-side contention from `.par` fits, control loops,
+  * and scheduler queueing — the TPC-DS throughput-test idea at mini
+  * scale).
+  */
 object Bench {
+
+  /** Quick, shape-diverse queries for the concurrency streams: scans,
+    * broadcast + shuffle joins, rollup/cube, dedup, text scoring, funnel,
+    * drift, rank stats, SQL text. Each is sub-second solo, so 4 streams ×
+    * the set bounds the added bench time while still mixing plan shapes.
+    */
+  private val streamSet: Seq[String] = Seq(
+    "q01_pricing_summary", "q02_filter_project", "q03_join_revenue",
+    "q11_dedup_exact", "q13_quality_score", "q25_distinct_count",
+    "q54_rollup", "q77_cube", "q93_star_join", "q102_funnel",
+    "q113_psi_drift", "q151_spearman", "q154_sql_star_join")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // parse once so both the master URL and the JSON artifact are validated
@@ -11,6 +29,10 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // FAIR scheduling so the concurrency section's streams share the
+      // cores instead of FIFO-starving late submitters (no effect on the
+      // single-threaded sequential section)
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -45,6 +67,54 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+
+    // ---- concurrency section: 4 streams over the mixed set -------------
+    // Baseline = the same set once, single-threaded; each stream runs a
+    // deterministic rotation of the set (TPC-DS throughput style) so the
+    // streams never line up on the same query at once. Ratio ≈ n_streams
+    // × one_stream / aggregate — how much of the solo throughput a shared
+    // engine keeps under concurrency.
+    // skipped on filtered A/B runs (SPARK_GRAFT_BENCH_QUERIES set) or
+    // SPARK_GRAFT_BENCH_STREAMS=0
+    val nStreams =
+      if (wanted.isDefined) 0
+      else sys.env.get("SPARK_GRAFT_BENCH_STREAMS")
+        .map(_.trim.toInt).getOrElse(4)
+    val streamFns = streamSet.flatMap(n =>
+      SparkEntry.queries.get(n).map(n -> _))
+    val concFailed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def runStream(tag: String, fns: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Double = {
+      // each stream gets its own on-demand FAIR pool: the default pool
+      // schedules FIFO internally, which would starve late streams
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", tag)
+      val t0 = System.nanoTime()
+      fns.foreach { case (name, fn) =>
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $tag/$name failed: ${e.getMessage}")
+          concFailed.add(s"$tag/$name")
+        }
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val concJson = if (nStreams <= 0) "null" else {
+      val oneStream = runStream("solo", streamFns)
+      val t0c = System.nanoTime()
+      import scala.collection.parallel.CollectionConverters._
+      val streamTimes = (0 until nStreams).par.map { s =>
+        val rotated = streamFns.drop(s % streamFns.size) ++
+          streamFns.take(s % streamFns.size)
+        runStream(s"stream$s", rotated)
+      }.toList
+      val aggregate = (System.nanoTime() - t0c) / 1e9
+      val ratio = nStreams * oneStream / aggregate
+      s"""{"n_streams":$nStreams,"stream_queries":${streamFns.size},""" +
+      s""""one_stream_sec":$oneStream,""" +
+      s""""streams_sec":${streamTimes.mkString("[", ",", "]")},""" +
+      s""""aggregate_sec":$aggregate,"throughput_ratio":$ratio,""" +
+      s""""failed":${concFailed.toArray.map(f => "\"" + f + "\"").mkString("[", ",", "]")}}"""
+    }
+
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // the stdout line gets scraped (and sometimes truncated) by harnesses —
@@ -55,7 +125,7 @@ object Bench {
     val cfg = s"""{"cpus":$cpus,"shuffle_partitions":$cpus,""" +
       s""""spark_version":"${spark.version}","n_queries":${results.size}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","config":$cfg,"failed":$failed,"queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","config":$cfg,"failed":$failed,"concurrency":$concJson,"queries":$qs}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
