@@ -434,6 +434,41 @@ object OracleSql {
         |WHERE ROUND(n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // multimodal metadata: the payload is the text's UTF-8 bytes (no real
+    // media in the harness), so every row takes the stub-dims path — a
+    // deterministic FNV-1 64 content hash, replayed here as a HUGEINT
+    // fold over the hex-decoded payload bytes (wrapping multiply = mod
+    // 2^64; the unsigned hash makes floorMod/>>> plain % and //)
+    "q40_multimodal_meta" ->
+      """WITH b AS (
+        |  SELECT doc_id, source, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n_bytes
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id, source, n_bytes,
+        |    list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(range(1, n_bytes + 1),
+        |          i -> CAST(
+        |            (STRPOS('0123456789ABCDEF', SUBSTRING(hx, 2*i - 1, 1)) - 1) * 16 +
+        |            STRPOS('0123456789ABCDEF', SUBSTRING(hx, 2*i, 1)) - 1
+        |            AS HUGEINT))),
+        |      (acc, x) -> ((acc - acc % 256 +
+        |          CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
+        |        * CAST(1099511628211 AS HUGEINT))
+        |        % CAST(18446744073709551616 AS HUGEINT)) AS h
+        |  FROM b),
+        |dims AS (
+        |  SELECT source, n_bytes,
+        |    64 + CAST(h % 1024 AS BIGINT) AS w,
+        |    64 + CAST((h // 1024) % 1024 AS BIGINT) AS ht
+        |  FROM hashed)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(n_bytes AS DECIMAL(28,0))) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(CAST(w AS DECIMAL(28,0))) AS DOUBLE) / COUNT(*) AS avg_width,
+        |  CAST(SUM(CAST(ht AS DECIMAL(28,0))) AS DOUBLE) / COUNT(*) AS avg_height
+        |FROM dims GROUP BY source ORDER BY source""".stripMargin,
+
     "q41_confusion_pivot" ->
       """WITH t AS (
         |  SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS label,

@@ -443,6 +443,8 @@ object SparkEntry {
   // ---------------------------------------------------------------- q40
   // Multimodal binary plumbing: opaque payload column → per-partition
   // batched metadata decode (stubbed codec), aggregated per source.
+  // Oracle-backed: the stub path's FNV-1 64 content hash replays in
+  // DuckDB as a HUGEINT fold over the payload bytes.
   def q40(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val meta = MultimodalOps.decodeMeta(spark,
