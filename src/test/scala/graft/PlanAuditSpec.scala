@@ -470,6 +470,36 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q154 SQL star join: text plans with a broadcast customer side, like q93") {
+    val p = finalPlan(SparkEntry.q154(spark, dir))
+    // the SQL door pays no plan penalty: the filtered dimension broadcasts
+    // and the fact chain never broadcast-inverts
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the top-10 survives as a distributed TakeOrderedAndProject, not a
+    // global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("compaction: each partition rewrite is coalesce-shaped (no Exchange)") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_compact_audit")
+    try {
+      Tables.load(spark, dir, "events")
+        .withColumn("event_date", org.apache.spark.sql.functions.to_date(col("ts")))
+        .repartition(6)
+        .write.partitionBy("event_date").parquet(s"$root/frag")
+      // the rewrite a single partition runs: read -> coalesce(n) -> write.
+      // Audit the read+coalesce plan: bin-packing must be shuffle-free
+      // (a repartition would pay a full shuffle per partition for nothing)
+      val day = new java.io.File(s"$root/frag").listFiles()
+        .filter(_.getName.startsWith("event_date=")).head
+      val p = spark.read.parquet(day.getAbsolutePath).coalesce(1)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("Coalesce"), p)
+      assert(!p.contains("Exchange"), s"compaction rewrite shuffles:\n$p")
+    } finally graft.tools.FsUtils.deleteRecursively(root)
+  }
+
   test("populationFeatures: sensor table shuffles at most twice, joins broadcast") {
     import spark.implicits._
     val sensor = (0 until 200).map(i =>
