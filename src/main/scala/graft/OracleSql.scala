@@ -2273,6 +2273,33 @@ object OracleSql {
         |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // schema evolution is content-invisible: the mergeSchema read's
+    // per-day profile equals the profile derived from the source table
+    // (quality exists only from Jan 16 on)
+    "q157_schema_evolution" ->
+      """SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value,
+        |  COUNT(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+        |    THEN 1 END) AS n_quality,
+        |  CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+        |    THEN CAST(value * 0.5 AS DECIMAL(28,4))
+        |    ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) AS sum_quality
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // dead-letter quarantine: the payload is deterministic string concat,
+    // so the good/bad split and totals re-derive arithmetically (every
+    // 13th id truncated -> unparseable)
+    "q158_dead_letter" ->
+      """SELECT
+        |  CASE WHEN doc_id % 13 = 0 THEN 'quarantined'
+        |       ELSE 'parsed' END AS status,
+        |  COUNT(*) AS n_rows,
+        |  CAST(COALESCE(SUM(CASE WHEN doc_id % 13 != 0 THEN n_chars END), 0)
+        |    AS BIGINT) AS total_n
+        |FROM documents
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // tie-corrected Spearman: midrank per distinct value = AVG of the
     // row_numbers in its tie group — identical to the bucketed-rank
     // midrank formula b + (c+1)/2; sufficient stats in exact decimals

@@ -2313,6 +2313,76 @@ object SparkEntry {
     }
   }
 
+  // ---------------------------------------------------------------- q157
+  // Schema evolution across partitions: a long-lived 100 TB table gains
+  // columns over time (here `quality` appears mid-month). The early days
+  // are written without it, the late days with it, and ONE mergeSchema
+  // read serves both — old rows surface null, aggregates stay exact. The
+  // oracle re-derives the same per-day profile from the source table, so
+  // the evolution plumbing is proven content-invisible.
+  def q157(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_TMP_ROOT", System.getProperty("java.io.tmpdir"))),
+      "graft_q157_")
+    try {
+      val ev = t(spark, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+      ev.filter(col("event_date") < lit("2024-01-16"))
+        .select(col("event_date"), col("user_id"), col("value"))
+        .write.partitionBy("event_date").parquet(s"$root/t")
+      ev.filter(col("event_date") >= lit("2024-01-16"))
+        .select(col("event_date"), col("user_id"), col("value"),
+          (col("value") * 0.5).as("quality"))
+        .write.mode("append").partitionBy("event_date").parquet(s"$root/t")
+      val merged = spark.read.option("mergeSchema", "true")
+        .parquet(s"$root/t")
+      val res = merged
+        .groupBy(col("event_date").cast("date").as("event_date"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          dsum(col("value"), 4).as("sum_value"),
+          count(col("quality")).as("n_quality"),
+          dsum(coalesce(col("quality"), lit(0.0)), 4).as("sum_quality"))
+        .orderBy(col("event_date"))
+      // pin the tiny per-day aggregate before dropping the backing layout
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      res.collect().foreach(rows.add)
+      spark.createDataFrame(rows, res.schema)
+    } finally {
+      graft.tools.FsUtils.deleteRecursively(root)
+    }
+  }
+
+  // ---------------------------------------------------------------- q158
+  // Dead-letter quarantine: ingest a JSON payload column where every 13th
+  // record is corrupt (truncated), parse with from_json, and route parse
+  // failures to a quarantine bucket instead of failing the batch — the
+  // malformed-record contract every 100 TB ingest needs. The payload is
+  // built with pure string concat (NOT to_json) so the oracle derives the
+  // identical good/bad split and totals arithmetically.
+  def q158(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val json0 = concat(lit("{\"id\":"), col("doc_id"),
+      lit(",\"n\":"), col("n_chars"),
+      lit(",\"src\":\""), col("source"), lit("\"}"))
+    val payload = when(pmod(col("doc_id"), lit(13)) === 0,
+      substring(json0, 1, 10)).otherwise(json0)
+    docs.select(col("doc_id"), payload.as("payload"))
+      .withColumn("rec",
+        from_json(col("payload"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "id BIGINT, n BIGINT, src STRING")))
+      .withColumn("status",
+        when(col("rec.id").isNotNull, lit("parsed"))
+          .otherwise(lit("quarantined")))
+      .groupBy(col("status"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        coalesce(sum(col("rec.n")), lit(0L)).as("total_n"))
+      .orderBy(col("status"))
+  }
+
   // ---------------------------------------------------------------- q155
   // Validated early stopping (the M10 control half): GBT stops adding
   // trees when the hash-held-out improvement drops below tol — the Spark
@@ -2492,6 +2562,8 @@ object SparkEntry {
     "q154_sql_star_join" -> (q154 _),
     "q155_early_stop" -> (q155 _),
     "q156_compaction" -> (q156 _),
+    "q157_schema_evolution" -> (q157 _),
+    "q158_dead_letter" -> (q158 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →
