@@ -1925,6 +1925,7 @@ object OracleSql {
     // applied to sketches); error-bound specs are retained alongside
     "q123_cms_heavy_hitters" -> q123CmsSql,
     "q136_join_cardinality" -> q136CmsSql,
+    "q159_content_fingerprint" -> q159FingerprintSql,
 
     // isotonic calibration: the PAV fixpoint is the UNIQUE isotonic L2
     // solution, so DuckDB reaches it by repeatedly pooling maximal
@@ -2168,6 +2169,23 @@ object OracleSql {
        |SELECT est_join_rows, exact_join_rows,
        |  ROUND(CAST(est_join_rows AS DOUBLE) / exact_join_rows, 6) AS over_ratio
        |FROM est CROSS JOIN exact""".stripMargin
+  }
+
+  /** q159 oracle: the order-invariant content fingerprint — portable
+    * 60-bit MD5 row hash summed exactly (HUGEINT; no wraparound
+    * convention to match), emitted as a string.
+    */
+  private def q159FingerprintSql: String = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_returnflag", "l_linestatus")
+    val kw = cols.map(c => s"COALESCE(CAST($c AS VARCHAR), 'null')")
+      .mkString("CONCAT_WS('|', ", ", ", ")")
+    s"""WITH k AS (SELECT $kw AS k FROM lineitem),
+       |h AS (SELECT MD5(k) AS hx FROM k)
+       |SELECT COUNT(*) AS n_rows,
+       |  CAST(CAST(SUM(${hexPoly15("hx")}) AS HUGEINT) AS VARCHAR)
+       |    AS fingerprint
+       |FROM h""".stripMargin
   }
 
   /** q27 oracle: replay MinHash signatures (32 seeded-MD5 mins over word

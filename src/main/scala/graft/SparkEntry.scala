@@ -2383,6 +2383,18 @@ object SparkEntry {
       .orderBy(col("status"))
   }
 
+  // ---------------------------------------------------------------- q159
+  // Order-invariant content fingerprint of lineitem's key columns — the
+  // replica/migration verification primitive: two copies of a 100 TB
+  // table compare by exchanging one (count, fingerprint) row each,
+  // independent of partitioning and row order. Portable row hash →
+  // oracle replays the exact fingerprint.
+  def q159(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ProfileOps.contentFingerprint(
+      t(spark, dir, "lineitem"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus"))
+
   // ---------------------------------------------------------------- q155
   // Validated early stopping (the M10 control half): GBT stops adding
   // trees when the hash-held-out improvement drops below tol — the Spark
@@ -2564,6 +2576,7 @@ object SparkEntry {
     "q156_compaction" -> (q156 _),
     "q157_schema_evolution" -> (q157 _),
     "q158_dead_letter" -> (q158 _),
+    "q159_content_fingerprint" -> (q159 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -35,6 +35,28 @@ class EdgeCasesWave6Spec extends SparkSpec {
     } finally graft.tools.FsUtils.deleteRecursively(root)
   }
 
+  test("contentFingerprint: layout-invariant, row-change-sensitive, null-safe") {
+    import graft.operators.ProfileOps
+    val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+    def fp(d: org.apache.spark.sql.DataFrame) =
+      ProfileOps.contentFingerprint(d, Seq("id", "v")).head()
+    val base = fp(df)
+    assert(base.getLong(0) == 1000L)
+    // partitioning and row order are invisible — the replica-compare
+    // property
+    assert(fp(df.repartition(7)) == base)
+    assert(fp(df.orderBy(col("v").desc)) == base)
+    // any single-row difference changes the fingerprint
+    val tampered = df.withColumn("v",
+      when(col("id") === 500L, lit("vX")).otherwise(col("v")))
+    assert(fp(tampered).getString(1) != base.getString(1))
+    assert(fp(df.limit(999)).getString(1) != base.getString(1))
+    // nulls hash via the sentinel, no crash, and differ from absence
+    val withNull = (1L to 3L).map(i =>
+      (i, if (i == 2L) null else s"v$i")).toDF("id", "v")
+    assert(fp(withNull).getLong(0) == 3L)
+  }
+
   test("gbtEarlyStopTrace: tiny input still yields a usable trace") {
     val df = (1L to 20L).map(i => (i, (i % 4).toDouble, (i % 4) * 2.0))
       .toDF("id", "x", "y")
