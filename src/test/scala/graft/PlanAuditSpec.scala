@@ -500,6 +500,18 @@ class PlanAuditSpec extends SparkSpec {
     } finally graft.tools.FsUtils.deleteRecursively(root)
   }
 
+  test("q160 curation pipeline: benchmark side broadcasts, sample is TakeOrdered") {
+    val p = finalPlan(SparkEntry.q160(spark, dir))
+    // decontamination: the benchmark shingle set must broadcast so the
+    // corpus side never shuffles for the semi-join
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    // the priority sample must plan as a distributed top-k, not a global
+    // sort of the clean corpus
+    assert(p.contains("TakeOrderedAndProject"), s"sample is not top-k:\n$p")
+    // nothing in the chain degenerates to a cartesian product
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("populationFeatures: sensor table shuffles at most twice, joins broadcast") {
     import spark.implicits._
     val sensor = (0 until 200).map(i =>
