@@ -88,16 +88,19 @@ object Bench {
       // schedules FIFO internally, which would starve late streams
       spark.sparkContext.setLocalProperty("spark.scheduler.pool", tag)
       val t0 = System.nanoTime()
-      fns.foreach { case (name, fn) =>
+      try fns.foreach { case (name, fn) =>
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $tag/$name failed: ${e.getMessage}")
           concFailed.add(s"$tag/$name")
         }
       }
+      // clear the inheritable thread-local so a reused worker thread
+      // doesn't silently keep running in this stream's pool
+      finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
       (System.nanoTime() - t0) / 1e9
     }
-    val concJson = if (nStreams <= 0) "null" else {
+    val concJson = if (nStreams <= 0 || streamFns.isEmpty) "null" else {
       val oneStream = runStream("solo", streamFns)
       val t0c = System.nanoTime()
       import scala.collection.parallel.CollectionConverters._

@@ -849,10 +849,12 @@ object MlPipelines {
         data.filter(col("is_val")), "squared")
       losses.toSeq.zipWithIndex
         .map { case (l, i) =>
-          (i.toLong,
-            BigDecimal(l).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-              .toDouble,
-            maxIter.toLong)
+          // an empty validation split yields NaN losses — surface them
+          // rather than crash in BigDecimal
+          val r = if (l.isNaN || l.isInfinite) l
+            else BigDecimal(l).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble
+          (i.toLong, r, maxIter.toLong)
         }
         .toDF("iteration", "val_loss", "max_iter")
     } finally data.unpersist()

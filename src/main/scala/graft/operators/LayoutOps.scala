@@ -89,6 +89,7 @@ object LayoutOps {
   def compactDatePartitioned(spark: SparkSession, srcPath: String,
       dstPath: String, dateCol: String, targetBytes: Long): DataFrame = {
     import scala.collection.parallel.CollectionConverters._
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val hadoopPath = new org.apache.hadoop.fs.Path(srcPath)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = fs.listStatus(hadoopPath)
@@ -97,7 +98,10 @@ object LayoutOps {
       val files = fs.listStatus(p.getPath)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       val bytes = files.map(_.getLen).sum
-      val n = math.max(1L, (bytes + targetBytes - 1L) / targetBytes).toInt
+      // Int-capped: a degenerate tiny targetBytes must not overflow the
+      // coalesce partition count
+      val n = math.min(math.max(1L, (bytes + targetBytes - 1L) / targetBytes),
+        Int.MaxValue.toLong).toInt
       val dst = s"$dstPath/${p.getPath.getName}"
       spark.read.parquet(p.getPath.toString)
         .coalesce(n)

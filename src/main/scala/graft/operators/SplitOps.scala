@@ -133,6 +133,7 @@ object SplitOps {
     val id = col(idCol).cast("long")
     // exact integer division (decimal, not double — a double quotient can
     // floor one off for ids above 2⁵³); DuckDB replays it as `id // p1`
+    // (ids are non-negative by contract — truncation ≡ floor there)
     val idDiv = (id.cast("decimal(38,0)") / lit(p1)).cast("long")
     val x1 = pmod(pmod(id + lit(salt), lit(p1)) * lit(2654435761L), lit(p1))
     val x2 = pmod(pmod(x1 + idDiv, lit(p2)) * lit(22695477L), lit(p2))
