@@ -42,9 +42,9 @@ class DedupOpsSpec extends SparkSpec {
 
   test("jaccard: exact similarity of shingle arrays") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
-    assert(df.select(DedupOps.jaccard($"x", $"y")).head.getDouble(0) == 0.5)
+    assert(df.select(DedupOps.jaccard($"x", $"y")).head().getDouble(0) == 0.5)
     val empty = Seq((Seq.empty[String], Seq.empty[String])).toDF("x", "y")
-    assert(empty.select(DedupOps.jaccard($"x", $"y")).head.getDouble(0) == 0.0)
+    assert(empty.select(DedupOps.jaccard($"x", $"y")).head().getDouble(0) == 0.0)
   }
 
   test("simhash: equal fingerprints for dups; hamming small for near-dups") {
@@ -58,7 +58,7 @@ class DedupOpsSpec extends SparkSpec {
 
   test("hamming64 column expression matches bitCount") {
     val df = Seq((5L, 6L)).toDF("a", "b") // 101 ^ 110 = 011 → 2
-    assert(df.select(DedupOps.hamming64($"a", $"b")).head.getInt(0) == 2)
+    assert(df.select(DedupOps.hamming64($"a", $"b")).head().getInt(0) == 2)
   }
 
   test("contaminatedIds flags exactly the docs sharing a shingle with bench") {

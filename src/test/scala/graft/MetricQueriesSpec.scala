@@ -16,11 +16,11 @@ class MetricQueriesSpec extends SparkSpec {
   }
 
   test("accuracy") {
-    assert(lp.agg(MetricQueries.accuracy(lp, "label", "pred")).head.getDouble(0) == 0.75)
+    assert(lp.agg(MetricQueries.accuracy(lp, "label", "pred")).head().getDouble(0) == 0.75)
   }
 
   test("balancedAccuracy = mean per-class recall") {
-    val r = MetricQueries.balancedAccuracy(lp, "label", "pred").head
+    val r = MetricQueries.balancedAccuracy(lp, "label", "pred").head()
     assert(approx(r.getAs[Double]("balanced_accuracy"), 0.833333))
     assert(r.getAs[Long]("n_classes") == 2L)
   }
@@ -28,7 +28,7 @@ class MetricQueriesSpec extends SparkSpec {
   test("regressionMetrics: mae/mse/rmse/r2 against sklearn-checked values") {
     // y=[3,-0.5,2,7], p=[2.5,0,2,8] → mae=0.5, mse=0.375, r2=0.9486081...
     val df = Seq((3.0, 2.5), (-0.5, 0.0), (2.0, 2.0), (7.0, 8.0)).toDF("y", "p")
-    val r = MetricQueries.regressionMetrics(df, "y", "p").head
+    val r = MetricQueries.regressionMetrics(df, "y", "p").head()
     assert(r.getAs[Long]("n") == 4L)
     assert(r.getAs[Double]("mae") == 0.5)
     // NB the engine rounds mse to integers for cross-engine stability on

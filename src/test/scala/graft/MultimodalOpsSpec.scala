@@ -13,7 +13,7 @@ class MultimodalOpsSpec extends SparkSpec {
     val p = MultimodalOps.withPayload(docs, "text")
     assert(p.schema("payload").dataType.typeName == "binary")
     val bytes = p.filter($"doc_id" === 2L).select("payload")
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     assert(new String(bytes, "UTF-8") == "abc")
   }
 

@@ -23,7 +23,7 @@ class PropertySpec extends SparkSpec {
   test("moments match direct pandas-formula computation for any data") {
     samples(doubles, 10).filter(xs => xs.distinct.size > 1).foreach { xs =>
       val df = xs.toDF("v")
-      val r = df.agg(skewSample($"v").as("s"), kurtSample($"v").as("k")).head
+      val r = df.agg(skewSample($"v").as("s"), kurtSample($"v").as("k")).head()
       val n = xs.size.toDouble
       val m = xs.sum / n
       val m2 = xs.map(x => math.pow(x - m, 2)).sum / n
@@ -40,7 +40,7 @@ class PropertySpec extends SparkSpec {
 
   test("dsum equals BigDecimal reference sum for any money values") {
     samples(doubles, 10).foreach { xs =>
-      val got = xs.toDF("v").agg(dsum($"v", 2)).head.getDouble(0)
+      val got = xs.toDF("v").agg(dsum($"v", 2)).head().getDouble(0)
       val exp = xs.map(BigDecimal(_).setScale(2, BigDecimal.RoundingMode.HALF_UP))
         .sum.toDouble
       assert(got == exp, s"dsum for $xs")
@@ -123,7 +123,7 @@ class PropertySpec extends SparkSpec {
       val df = Seq((x.distinct, y.distinct)).toDF("x", "y")
       val row = df.select(
         DedupOps.jaccard($"x", $"y"), DedupOps.jaccard($"y", $"x"),
-        DedupOps.jaccard($"x", $"x")).head
+        DedupOps.jaccard($"x", $"x")).head()
       val (j1, j2, js) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
       assert(j1 == j2, s"symmetry for $x / $y")
       assert(j1 >= 0.0 && j1 <= 1.0)

@@ -12,7 +12,7 @@ class RankMetricsSpec extends SparkSpec {
     // scores 0.1,0.2,0.2,0.3 → midranks 1, 2.5, 2.5, 4
     // Σ ranks⁺ = 2.5 + 4 = 6.5; U = 6.5 − 2·3/2 = 3.5; AUC = 3.5/(2·2)
     val df = Seq((0.1, 0), (0.2, 1), (0.2, 0), (0.3, 1)).toDF("score", "label")
-    val row = RankMetrics.binaryAuc(df, "score", "label").head
+    val row = RankMetrics.binaryAuc(df, "score", "label").head()
     assert(row.getLong(0) == 4L)
     assert(row.getLong(1) == 2L)
     assert(row.getDouble(2) == 0.875)
@@ -57,7 +57,7 @@ class RankMetricsSpec extends SparkSpec {
 
   test("binaryAuc is null when a class is absent") {
     val allPos = Seq((0.1, 1), (0.2, 1)).toDF("score", "label")
-    assert(RankMetrics.binaryAuc(allPos, "score", "label").head.isNullAt(2))
+    assert(RankMetrics.binaryAuc(allPos, "score", "label").head().isNullAt(2))
   }
 
   test("ovrMacroAuc: per-class AUCs and macro average") {

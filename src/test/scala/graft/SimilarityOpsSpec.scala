@@ -8,9 +8,9 @@ class SimilarityOpsSpec extends SparkSpec {
 
   test("dot / l2norm / cosine on known vectors") {
     val df = Seq((Seq(1.0, 2.0, 2.0), Seq(2.0, 0.0, 0.0))).toDF("a", "b")
-    assert(df.select(SimilarityOps.dot($"a", $"b")).head.getDouble(0) == 2.0)
-    assert(df.select(SimilarityOps.l2norm($"a")).head.getDouble(0) == 3.0)
-    assert(approx(df.select(SimilarityOps.cosine($"a", $"b")).head.getDouble(0),
+    assert(df.select(SimilarityOps.dot($"a", $"b")).head().getDouble(0) == 2.0)
+    assert(df.select(SimilarityOps.l2norm($"a")).head().getDouble(0) == 3.0)
+    assert(approx(df.select(SimilarityOps.cosine($"a", $"b")).head().getDouble(0),
       2.0 / (3.0 * 2.0)))
   }
 

@@ -57,7 +57,7 @@ class SkewAndIvfSpec extends SparkSpec {
     val assigned = SimilarityOps.ivfAssign(e, "vec_id", "embedding", cents)
     val qv = e.filter($"vec_id" === 0L)
       .select(col("embedding").cast("array<double>"))
-      .head.getSeq[Double](0)
+      .head().getSeq[Double](0)
     val got = SimilarityOps.ivfSearch(
       assigned.filter($"vec_id" =!= 0L), "vec_id", qv, cents,
       nprobe = 4, k = 10)

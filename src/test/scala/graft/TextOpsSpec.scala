@@ -8,13 +8,13 @@ class TextOpsSpec extends SparkSpec {
 
   test("tokens splits on single spaces after trim") {
     val df = Seq("  the cat sat  ").toDF("t")
-    assert(df.select(TextOps.tokens($"t")).head.getSeq[String](0) ==
+    assert(df.select(TextOps.tokens($"t")).head().getSeq[String](0) ==
       Seq("the", "cat", "sat"))
   }
 
   test("withTokenStats counts tokens/chars/subword estimate") {
     val df = Seq(("a", "one two three")).toDF("id", "text")
-    val r = TextOps.withTokenStats(df, "text").head
+    val r = TextOps.withTokenStats(df, "text").head()
     assert(r.getAs[Long]("n_tokens") == 3L)
     assert(r.getAs[Long]("n_chars_text") == 13L)
     assert(r.getAs[Long]("n_subwords_est") == 4L) // ceil(13/4)
@@ -22,7 +22,7 @@ class TextOpsSpec extends SparkSpec {
 
   test("withQuality computes stopword ratio and composite score") {
     val df = Seq(("a", "the cat the dog")).toDF("id", "text")
-    val r = TextOps.withQuality(df, "text", Seq("the", "a")).head
+    val r = TextOps.withQuality(df, "text", Seq("the", "a")).head()
     assert(r.getAs[Double]("stop_ratio") == 0.5)
     // quality = min(4/100,1) * (1 - 0.5) = 0.02
     assert(r.getAs[Double]("quality_score") == 0.02)
@@ -41,10 +41,10 @@ class TextOpsSpec extends SparkSpec {
 
   test("wordShingles produces n-grams; short docs yield whole-text shingle") {
     val df = Seq("w1 w2 w3 w4").toDF("t")
-    assert(df.select(TextOps.wordShingles($"t", 3)).head.getSeq[String](0) ==
+    assert(df.select(TextOps.wordShingles($"t", 3)).head().getSeq[String](0) ==
       Seq("w1 w2 w3", "w2 w3 w4"))
     val short = Seq("w1 w2").toDF("t")
-    assert(short.select(TextOps.wordShingles($"t", 3)).head.getSeq[String](0) ==
+    assert(short.select(TextOps.wordShingles($"t", 3)).head().getSeq[String](0) ==
       Seq("w1 w2"))
   }
 
@@ -56,7 +56,7 @@ class TextOpsSpec extends SparkSpec {
 
   test("normalizeText lowercases, strips symbols, collapses whitespace") {
     val df = Seq("  Hello,   WORLD!! 42&x  ").toDF("t")
-    assert(df.select(TextOps.normalizeText($"t")).head.getString(0) ==
+    assert(df.select(TextOps.normalizeText($"t")).head().getString(0) ==
       "hello world 42x")
   }
 

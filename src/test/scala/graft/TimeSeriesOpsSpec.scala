@@ -18,7 +18,7 @@ class TimeSeriesOpsSpec extends SparkSpec {
   ).toDF("k", "ts", "id", "v")
 
   test("deltaStats: lag-1 deltas and deltas-of-deltas") {
-    val r = TimeSeriesOps.deltaStats(series, "k", "ts", "id", "v").head
+    val r = TimeSeriesOps.deltaStats(series, "k", "ts", "id", "v").head()
     // deltas: 1,2,4 → mean 7/3; d2: 1,2 → mean 1.5
     assert(r.getAs[Long]("n_obs") == 4L)
     assert(r.getAs[Long]("n_deltas") == 3L)
@@ -32,19 +32,19 @@ class TimeSeriesOpsSpec extends SparkSpec {
       (1L, ts("2024-01-02 00:00:00"), 3.0), // same ISO week → mean 2
       (1L, ts("2024-01-10 00:00:00"), 6.0), // next week → mean 6
     ).toDF("k", "ts", "v")
-    val r = TimeSeriesOps.periodTrend(two, "k", "ts", "v", "week").head
+    val r = TimeSeriesOps.periodTrend(two, "k", "ts", "v", "week").head()
     assert(r.getAs[Long]("n_buckets") == 2L)
     assert(r.getAs[Double]("trend_range") == 4.0)
   }
 
   test("diurnalRange: range over hourly means") {
-    val r = TimeSeriesOps.diurnalRange(series, "k", "ts", "v").head
+    val r = TimeSeriesOps.diurnalRange(series, "k", "ts", "v").head()
     assert(r.getAs[Long]("n_hours") == 4L)
     assert(r.getAs[Double]("daily_range") == 7.0) // 8 - 1
   }
 
   test("halvesTrend: ntile(2) halves, late minus early") {
-    val r = TimeSeriesOps.halvesTrend(series, "k", "ts", "id", "v").head
+    val r = TimeSeriesOps.halvesTrend(series, "k", "ts", "id", "v").head()
     assert(approx(r.getAs[Double]("early_mean"), 1.5))
     assert(approx(r.getAs[Double]("late_mean"), 6.0))
     assert(approx(r.getAs[Double]("trend_change"), 4.5))
@@ -54,7 +54,7 @@ class TimeSeriesOpsSpec extends SparkSpec {
     // reference: mid = 5//2 = 2 → early [1,2], late [4,8,16]
     val odd = series.union(
       Seq((1L, ts("2024-01-01 04:00:00"), 14L, 16.0)).toDF("k", "ts", "id", "v"))
-    val r = TimeSeriesOps.halvesTrend(odd, "k", "ts", "id", "v").head
+    val r = TimeSeriesOps.halvesTrend(odd, "k", "ts", "id", "v").head()
     assert(approx(r.getAs[Double]("early_mean"), 1.5)) // 1,2
     assert(approx(r.getAs[Double]("late_mean"), 28.0 / 3)) // 4,8,16
   }
@@ -73,8 +73,8 @@ class TimeSeriesOpsSpec extends SparkSpec {
 
   test("deltaStats is invariant under input row permutation") {
     val shuffled = series.orderBy(rand(7))
-    val a = TimeSeriesOps.deltaStats(series, "k", "ts", "id", "v").head
-    val b = TimeSeriesOps.deltaStats(shuffled, "k", "ts", "id", "v").head
+    val a = TimeSeriesOps.deltaStats(series, "k", "ts", "id", "v").head()
+    val b = TimeSeriesOps.deltaStats(shuffled, "k", "ts", "id", "v").head()
     assert(a.toSeq == b.toSeq)
   }
 }

@@ -26,20 +26,20 @@ class VectorSimilaritySpec extends SparkSpec {
 
   test("float arrays widen per element like cast to array<double>") {
     val f = Seq((Seq(1.1f, 2.2f), Seq(3.3f, 4.4f))).toDF("a", "b")
-    val nat = f.select(SimilarityOps.dotNative($"a", $"b")).head.getDouble(0)
+    val nat = f.select(SimilarityOps.dotNative($"a", $"b")).head().getDouble(0)
     val ref = f.select(SimilarityOps.dot(
-      $"a".cast("array<double>"), $"b".cast("array<double>"))).head.getDouble(0)
+      $"a".cast("array<double>"), $"b".cast("array<double>"))).head().getDouble(0)
     assert(nat == ref)
   }
 
   test("zero-norm side yields null cosine, not NaN") {
     val z = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
-    assert(z.select(SimilarityOps.cosineNative($"a", $"b")).head.isNullAt(0))
+    assert(z.select(SimilarityOps.cosineNative($"a", $"b")).head().isNullAt(0))
   }
 
   test("null input yields null") {
     val n = Seq((None: Option[Seq[Double]], Some(Seq(1.0)))).toDF("a", "b")
-    assert(n.select(SimilarityOps.cosineNative($"a", $"b")).head.isNullAt(0))
+    assert(n.select(SimilarityOps.cosineNative($"a", $"b")).head().isNullAt(0))
   }
 
   test("interpreted eval matches codegen (eval path exercised directly)") {
@@ -56,7 +56,7 @@ class VectorSimilaritySpec extends SparkSpec {
     val df = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0))).toDF("a", "b")
     df.createOrReplaceTempView("vs_spec")
     val r = spark.sql(
-      "SELECT vec_cosine(a, b) AS c, vec_dot(a, b) AS d FROM vs_spec").head
+      "SELECT vec_cosine(a, b) AS c, vec_dot(a, b) AS d FROM vs_spec").head()
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 1.0)
   }
 }
