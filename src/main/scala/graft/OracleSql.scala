@@ -1927,6 +1927,11 @@ object OracleSql {
     "q136_join_cardinality" -> q136CmsSql,
     "q159_content_fingerprint" -> q159FingerprintSql,
     "q160_curation_pipeline" -> q160CurationSql,
+    "q161_bm25_retrieval" -> q161Bm25Sql,
+    "q162_portable_hll" -> q162HllSql,
+    "q163_lsh_buckets" -> q163LshSql,
+    "q164_ewma" -> q164EwmaSql,
+    "q165_token_chunks" -> q165ChunkSql,
 
     // isotonic calibration: the PAV fixpoint is the UNIQUE isotonic L2
     // solution, so DuckDB reaches it by repeatedly pooling maximal
@@ -2195,6 +2200,213 @@ object OracleSql {
     * the sampled corpus's fingerprint. Assembled from the q13/q14/q64/
     * q76/q135/q159 oracle fragments.
     */
+  /** q161 oracle: BM25 replayed on exact corpus counts. Float constants
+    * are CAST to DOUBLE so DuckDB's decimal-literal typing never triggers
+    * decimal division (the construction mirrors the Spark expression
+    * operation-for-operation); per-term contributions round to 6 and sum
+    * as exact decimals, so doc scores are addition-order-free.
+    */
+  private def q161Bm25Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+      |corpus AS (
+      |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+      |  FROM dl),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      |  WHERE term IN ('spark', 'vector', 'hash') GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id, COUNT(*) AS n_terms_hit,
+      |    CAST(SUM(CAST(ROUND(
+      |      LN(CAST(1.0 AS DOUBLE) +
+      |        ((n.n_docs - dfreq.df) + CAST(0.5 AS DOUBLE)) /
+      |        (dfreq.df + CAST(0.5 AS DOUBLE))) *
+      |      (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+      |      (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+      |        CAST(0.75 AS DOUBLE) *
+      |        (CAST(dl.dl * n.n_docs AS DOUBLE) /
+      |         CAST(n.sum_dl AS DOUBLE)))),
+      |    6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+      |  FROM tf
+      |  JOIN dfreq USING (term)
+      |  JOIN dl USING (doc_id)
+      |  CROSS JOIN corpus n
+      |  GROUP BY tf.doc_id)
+      |SELECT doc_id, n_terms_hit, bm25 FROM scored
+      |ORDER BY bm25 DESC, doc_id
+      |LIMIT 15""".stripMargin
+
+  /** q162 oracle: the portable HLL replayed register-for-register — MD5
+    * 60-bit hash, low 6 bits → register, leading-zero rank via binary
+    * string length (exact, no float log), merge = max, and the scaled
+    * register sum as exact BIGINT (64·2⁵⁵ < 2⁶³). The ALL row is built
+    * from the GROUP registers, mirroring the Spark side's merge path.
+    */
+  private def q162HllSql: String = {
+    val h = hexPoly15("MD5('hll#' || CAST(k AS VARCHAR))")
+    s"""WITH keyed AS (
+       |  SELECT l_returnflag AS grp, l_orderkey AS k FROM lineitem),
+       |hashed AS (SELECT grp, $h AS h FROM keyed),
+       |rho AS (
+       |  SELECT grp, h % 64 AS j,
+       |    CASE WHEN (h >> 6) = 0 THEN 55
+       |      ELSE 55 - length(to_base(h >> 6, 2)) END AS rho
+       |  FROM hashed),
+       |regs0 AS (SELECT grp, j, MAX(rho) AS m_j FROM rho GROUP BY 1, 2),
+       |regs AS (
+       |  SELECT grp, j, m_j FROM regs0
+       |  UNION ALL
+       |  SELECT 'ALL' AS grp, j, MAX(m_j) AS m_j FROM regs0 GROUP BY j),
+       |agg AS (
+       |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_registers_hit,
+       |    CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - m_j AS INT)) AS BIGINT)
+       |      AS sum_hit
+       |  FROM regs GROUP BY 1),
+       |est AS (
+       |  SELECT grp, n_registers_hit,
+       |    64 - n_registers_hit AS zeros,
+       |    CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE) *
+       |      CAST(36028797018963968 AS DOUBLE) /
+       |      CAST(sum_hit +
+       |        (64 - n_registers_hit) * (CAST(1 AS BIGINT) << 55)
+       |        AS DOUBLE) AS raw
+       |  FROM agg),
+       |final AS (
+       |  SELECT grp, n_registers_hit,
+       |    ROUND(CASE WHEN raw <= CAST(160.0 AS DOUBLE) AND zeros > 0
+       |      THEN CAST(64.0 AS DOUBLE) *
+       |        LN(CAST(64.0 AS DOUBLE) / CAST(zeros AS DOUBLE))
+       |      ELSE raw END, 6) AS hll_estimate
+       |  FROM est),
+       |exact AS (
+       |  SELECT grp, CAST(COUNT(DISTINCT k) AS BIGINT) AS n_exact FROM (
+       |    SELECT grp, k FROM keyed
+       |    UNION ALL
+       |    SELECT 'ALL' AS grp, k FROM keyed)
+       |  GROUP BY 1)
+       |SELECT f.grp, n_registers_hit, hll_estimate, n_exact,
+       |  ROUND((hll_estimate - n_exact) / CAST(n_exact AS DOUBLE), 6)
+       |    AS rel_err
+       |FROM final f JOIN exact USING (grp)
+       |ORDER BY grp""".stripMargin
+  }
+
+  /** q163 oracle: sign-random-projection signatures replayed with the
+    * same MD5-parity planes over floor-scaled integer vectors (projection
+    * = exact integer sum), then the bucket-keyed pair join with
+    * `list_inner_product` cosines — the proven q37 surface — averaged
+    * through exact decimals.
+    */
+  private def q163LshSql: String =
+    """WITH signs AS (
+      |  SELECT b, i,
+      |    CASE WHEN (STRPOS('0123456789abcdef',
+      |        SUBSTRING(MD5('hp' || b || '_' || i), 1, 1)) - 1) % 2 = 0
+      |      THEN 1 ELSE -1 END AS s
+      |  FROM range(0, 8) t(b), range(0, 64) u(i)),
+      |scaled AS (
+      |  SELECT vec_id, u.i AS i,
+      |    CAST(FLOOR(CAST(embedding[u.i + 1] AS DOUBLE) *
+      |      CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS sv
+      |  FROM embeddings, range(0, 64) u(i)),
+      |proj AS (
+      |  SELECT vec_id, b, SUM(s * sv) AS p
+      |  FROM scaled JOIN signs USING (i) GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT vec_id, CAST(SUM(
+      |      CASE WHEN p >= 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+      |        ELSE 0 END) AS BIGINT) AS signature
+      |  FROM proj GROUP BY 1),
+      |e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |pairs AS (
+      |  SELECT sa.signature,
+      |    ROUND(list_inner_product(a.emb, b.emb) /
+      |      (SQRT(list_inner_product(a.emb, a.emb)) *
+      |       SQRT(list_inner_product(b.emb, b.emb))), 6) AS c
+      |  FROM sig sa
+      |  JOIN sig sb ON sa.signature = sb.signature AND sa.vec_id < sb.vec_id
+      |  JOIN e a ON a.vec_id = sa.vec_id
+      |  JOIN e b ON b.vec_id = sb.vec_id),
+      |pa AS (
+      |  SELECT signature, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    ROUND(CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+      |      AS avg_cosine
+      |  FROM pairs GROUP BY 1),
+      |bkt AS (
+      |  SELECT signature, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |    MIN(vec_id) AS min_vec_id
+      |  FROM sig GROUP BY 1)
+      |SELECT bkt.signature, n_vecs, min_vec_id,
+      |  CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs, avg_cosine
+      |FROM bkt LEFT JOIN pa USING (signature)
+      |ORDER BY signature""".stripMargin
+
+  /** q164 oracle: the bounded-window EWMA replayed lag-for-lag in EXACT
+    * INTEGER arithmetic — value×10⁴ and weight×10⁷ integers, BIGINT
+    * sums, one `//` floor division (values non-negative, so it equals
+    * Spark's truncating `div`). No float touches `ewma_micro`; the
+    * display `ewma` is one deterministic IEEE division by 10⁶.
+    */
+  private def q164EwmaSql: String = {
+    val weights = (0 until 8)
+      .map(j => (BigDecimal("0.8").pow(j) * BigDecimal(10).pow(7)).toLongExact)
+    val lagged = (1 until 8)
+      .map(j => s"LAG(x, $j) OVER w AS x$j").mkString(",\n      |    ")
+    val num = weights.zipWithIndex.map { case (w, j) =>
+      val xj = if (j == 0) "x" else s"x$j"
+      s"COALESCE($xj * $w, 0)"
+    }.mkString(" +\n      |      ")
+    val den = weights.zipWithIndex.map { case (w, j) =>
+      val xj = if (j == 0) "x" else s"x$j"
+      s"COALESCE(CASE WHEN $xj IS NOT NULL THEN $w END, 0)"
+    }.mkString(" +\n      |      ")
+    s"""WITH e AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CAST(CAST(value AS DECIMAL(28,4)) * 10000 AS BIGINT) AS x
+       |  FROM events),
+       |l AS (
+       |  SELECT user_id, ts, event_id, value, x,
+       |    $lagged
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CAST(($num) AS BIGINT) AS num,
+       |    CAST(($den) AS BIGINT) AS den
+       |  FROM l)
+       |SELECT user_id, ts, event_id, value,
+       |  CAST((num * 100) // den AS BIGINT) AS ewma_micro,
+       |  CAST((num * 100) // den AS BIGINT) / CAST(1000000.0 AS DOUBLE)
+       |    AS ewma
+       |FROM s
+       |ORDER BY user_id, ts, event_id""".stripMargin
+  }
+
+  /** q165 oracle: sliding token-window chunking replayed with DuckDB list
+    * slicing (1-based inclusive, clamping — the q71 bigram surface) and
+    * the same MD5 content address.
+    */
+  private def q165ChunkSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+      |st AS (
+      |  SELECT doc_id, tk,
+      |    unnest(range(0, (len(tk) - 1) // 24 + 1)) AS i
+      |  FROM t),
+      |ch AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+      |    CAST(1 + 24 * i AS BIGINT) AS start_token,
+      |    tk[(1 + 24 * i):(24 * i + 32)] AS chunk
+      |  FROM st)
+      |SELECT doc_id, chunk_idx, start_token,
+      |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+      |  MD5(array_to_string(chunk, ' ')) AS chunk_hash
+      |FROM ch
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   private def q160CurationSql: String = {
     val fpPoly = hexPoly15("MD5(COALESCE(CAST(doc_id AS VARCHAR), 'null'))")
     s"""WITH s AS (

@@ -2457,6 +2457,75 @@ object SparkEntry {
       maxIter = 60, tol = 0.02)
       .orderBy(col("iteration"))
 
+  // ---------------------------------------------------------------- q161
+  // BM25 top-k retrieval for a fixed query-term bag — the lexical
+  // (sparse) retrieval flagship next to the dense ANN family (q15/q16/
+  // q52): idf·saturated-tf·length-norm, per-term contributions rounded
+  // then summed exactly, top-k as TakeOrdered. Every input to the score
+  // is an exact corpus count, so the oracle replays it verbatim.
+  def q161(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bm25TopDocs(t(spark, dir, "documents"), "doc_id", "text",
+      Seq("spark", "vector", "hash"), topK = 15)
+
+  // ---------------------------------------------------------------- q162
+  // PORTABLE HyperLogLog distinct-count sketch: per-returnflag order-key
+  // sketches (64 exact-integer MD5-derived registers) plus an ALL row
+  // built by MERGING the group registers (element-wise max — the
+  // mergeability that makes HLL the 100 TB distinct path), estimates vs
+  // exact counts side by side. Unlike q53/q107's built-in HLL++ (opaque
+  // internals → rows-only), every register and the estimate replay in
+  // DuckDB end-to-end.
+  def q162(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("grp"), col("l_orderkey").as("k"))
+    val regs = SketchOps.hllRegisters(keyed, Seq("grp"), col("k"))
+    val regsAll = regs.groupBy(col("j")).agg(max(col("m_j")).as("m_j"))
+      .withColumn("grp", lit("ALL"))
+      .select(col("grp"), col("j"), col("m_j"))
+    val est = SketchOps.hllEstimate(regs.unionByName(regsAll), Seq("grp"))
+    val exact = keyed
+      .unionByName(keyed.withColumn("grp", lit("ALL")))
+      .groupBy(col("grp")).agg(countDistinct(col("k")).as("n_exact"))
+    est.join(exact, "grp")
+      .withColumn("rel_err",
+        round((col("hll_estimate") - col("n_exact")) /
+          col("n_exact").cast("double"), 6))
+      .orderBy(col("grp"))
+  }
+
+  // ---------------------------------------------------------------- q163
+  // Cosine-LSH bucket profile over the embeddings: engine-portable
+  // sign-random-projection signatures (±1 MD5-parity planes × floor-
+  // scaled integer vectors — exact integer projections, no float
+  // accumulation), then per-bucket size and mean exact in-bucket cosine.
+  // The pair join is bucket-keyed — the LSH contract that replaces
+  // all-pairs at scale — and the whole thing hash-matches DuckDB.
+  def q163(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.lshBucketProfile(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", numPlanes = 8)
+      .orderBy(col("signature"))
+
+  // ---------------------------------------------------------------- q164
+  // Bounded-window EWMA per user over the event stream — the smoothing
+  // primitive of monitoring/trend surfaces. Exact decimal weights ×
+  // exact decimal values, one double division at the end; the bounded
+  // lag-chain (not the sequential textbook recurrence) is the shape that
+  // survives a 100 TB key history.
+  def q164(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.ewma(t(spark, dir, "events"),
+      "user_id", "ts", "event_id", "value")
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+
+  // ---------------------------------------------------------------- q165
+  // Sliding token-window chunking (context-window builder): 32-token
+  // chunks every 24 tokens per document with MD5 content addresses —
+  // pure per-row array arithmetic, no shuffle; chunk hashes feed q11's
+  // exact dedup grain downstream.
+  def q165(spark: SparkSession, dir: String): DataFrame =
+    TextOps.slidingTokenChunks(t(spark, dir, "documents"),
+      "doc_id", "text", chunkSize = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -2619,6 +2688,11 @@ object SparkEntry {
     "q158_dead_letter" -> (q158 _),
     "q159_content_fingerprint" -> (q159 _),
     "q160_curation_pipeline" -> (q160 _),
+    "q161_bm25_retrieval" -> (q161 _),
+    "q162_portable_hll" -> (q162 _),
+    "q163_lsh_buckets" -> (q163 _),
+    "q164_ewma" -> (q164 _),
+    "q165_token_chunks" -> (q165 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

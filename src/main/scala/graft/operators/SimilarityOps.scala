@@ -92,6 +92,67 @@ object SimilarityOps {
     l.join(r, "sig").filter(col("id_a") < col("id_b")).select("id_a", "id_b")
   }
 
+  /** Engine-PORTABLE sign-random-projection signature (the cosine-LSH
+    * dual of [[hyperplaneSignature]], which draws real-valued planes from
+    * xxhash64 that no other engine reproduces): hyperplane components are
+    * ±1 signs from the parity of MD5's first hex digit over ("hp" + plane
+    * + "_" + dim), and the vector is floor-scaled to exact integers
+    * (⌊v·10⁶⌋ — float→double is exact, one IEEE multiply, floor; every
+    * engine lands on the same integer), so each projection is an EXACT
+    * integer sum whose sign bit is unambiguous — no float-accumulation
+    * order anywhere, and a DuckDB oracle replays the signature verbatim.
+    *
+    * Pure per-row expression: no shuffle, no dim parameter (components
+    * derive per element). ±1-sign projections are the standard SimHash-
+    * for-cosine construction — collision probability 1 − θ/π per bit.
+    */
+  def portableHyperplaneSignature(vec: Column, numPlanes: Int): Column = {
+    val scaled = transform(vec,
+      v => floor(v.cast("double") * lit(1000000.0)).cast("long"))
+    val bits = (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(scaled, sequence(lit(0), size(vec) - 1), (sv, i) =>
+          sv * when(pmod(conv(substring(md5(concat(lit(s"hp${p}_"),
+                i.cast("string"))), 1, 1), 16, 10).cast("long"),
+              lit(2L)) === 0L, lit(1L))
+            .otherwise(lit(-1L))),
+        lit(0L), (acc, v) => acc + v)
+      when(proj >= 0L, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH bucket profile with in-bucket verification: every vector lands in
+    * its [[portableHyperplaneSignature]] bucket; buckets report size and
+    * the mean exact cosine over their internal pairs — the quality report
+    * that tells an ANN operator whether its banding is tight enough
+    * before it commits to a bucket-join search. The pair join is BUCKET-
+    * keyed (the whole point of LSH — never all-pairs), and the mean
+    * accumulates rounded-decimal cosines so it is addition-order-free.
+    */
+  def lshBucketProfile(embeddings: DataFrame, idCol: String, vecCol: String,
+      numPlanes: Int): DataFrame = {
+    val sig = embeddings.select(col(idCol),
+      col(vecCol).cast("array<double>").as("__emb"),
+      portableHyperplaneSignature(col(vecCol), numPlanes).as("signature"))
+    val a = sig.select(col("signature"), col(idCol).as("id_a"),
+      col("__emb").as("__ea"))
+    val b = sig.select(col("signature"), col(idCol).as("id_b"),
+      col("__emb").as("__eb"))
+    val pairAgg = a.join(b, "signature").filter(col("id_a") < col("id_b"))
+      .select(col("signature"),
+        round(cosineNative(col("__ea"), col("__eb")), 6).as("__cos"))
+      .groupBy(col("signature"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("__cos").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_cosine"))
+    sig.groupBy(col("signature"))
+      .agg(count(lit(1)).as("n_vecs"), min(col(idCol)).as("min_vec_id"))
+      .join(pairAgg, Seq("signature"), "left")
+      .select(col("signature"), col("n_vecs"), col("min_vec_id"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("avg_cosine"))
+  }
+
   // ------------------------------------------------------------------ IVF
 
   /** Deterministic coarse quantizer: `nlist` centroids drawn from the

@@ -323,4 +323,79 @@ object TextOps {
         round(col("__avg"), 6).as("avg_logp"),
         round(exp(-col("__avg")), 6).as("ppl"))
   }
+
+  /** BM25 top-`topK` document retrieval for a fixed bag of query terms —
+    * the lexical-retrieval half of a RAG / data-curation stack (the dense
+    * half is the ANN family, q15/q16/q52). Standard Robertson/Sparck-Jones
+    * BM25: idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)), the tf component
+    * saturating with `k1` and length-normalized with `b` against the mean
+    * document length.
+    *
+    * Scale posture: the per-term explode is filtered to the QUERY terms
+    * before any shuffle (a handful of postings rows per matching doc, not
+    * the full inverted index); doc lengths are a doc-keyed aggregate;
+    * corpus stats are a 1-row broadcast; the final top-k is `orderBy.limit`
+    * → TakeOrderedAndProject, never a global sort. Per-term contributions
+    * round to 6 decimals and accumulate as exact decimals, so the doc
+    * score is addition-order-free; ln/division portability at 6 decimals
+    * is the proven [[tfIdfTopTerms]] surface.
+    */
+  def bm25TopDocs(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    // dl·N/Σdl: exact integer numerator, one IEEE division — identical
+    // operation order on the oracle side
+    val relLen = (col("dl") * col("n_docs")).cast("double") /
+      col("sum_dl").cast("double")
+    val contrib = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * relLen))
+    tf.join(dfreq, "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(corpus))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_terms_hit"),
+        sum(round(contrib, 6).cast("decimal(18,6)")).cast("double")
+          .as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** Sliding token-window chunking — the context-window builder of an LLM
+    * pre-training pipeline: each document becomes ⌈len/stride⌉-ish chunks
+    * of `chunkSize` tokens starting every `stride` tokens (overlapping
+    * when stride < chunkSize; the final chunk keeps the tail and may be
+    * short). Emits one row per chunk with its token span and an MD5
+    * content address (chunk-level dedup plugs straight into q11's exact
+    * dedup on that column).
+    *
+    * Pure per-row array arithmetic (sequence/slice/posexplode) — no
+    * shuffle at all; output size is input tokens × (chunkSize/stride),
+    * the same linear blow-up any chunker pays.
+    */
+  def slidingTokenChunks(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be > 0")
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    // starts 1, 1+stride, … while start ≤ len — covers every token,
+    // yields exactly one chunk for docs shorter than chunkSize
+    val starts = sequence(lit(1), nTok, lit(stride))
+    df.select(col(idCol), toks.as("__toks"),
+        posexplode(starts).as(Seq("chunk_idx", "start_token")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_token").cast("long").as("start_token"),
+        slice(col("__toks"), col("start_token"), lit(chunkSize)).as("__chunk"))
+      .select(col(idCol), col("chunk_idx"), col("start_token"),
+        size(col("__chunk")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("__chunk"))).as("chunk_hash"))
+  }
 }

@@ -241,4 +241,64 @@ object TimeSeriesOps {
           col("__ts").cast("double") * col("__ts").cast("double") /
             col("__tn").cast("double"), 4).as("sse_nosplit"))
   }
+
+  /** Bounded-window exponentially weighted moving average per key: for
+    * each row, the weighted mean of its last `window` observations with
+    * geometric weights (1−α)^j, normalized over the weights actually
+    * present (the adjust=True EWM convention, truncated to the window).
+    *
+    * The truncation IS the scale contract: the textbook recurrence
+    * y_t = αx_t + (1−α)y_{t−1} is inherently sequential per key (a 100 TB
+    * key's whole history through one task, and one lost row reshapes
+    * every later value), while the bounded window is a fixed chain of
+    * per-key `lag`s — shuffle-free beyond the keying, restart-safe, and
+    * with weights ≤ (1−α)^{w−1} the tail it drops is below measurement
+    * noise for any sane (α, window). Weights and values scale to EXACT
+    * integers and the result (`ewma_micro`, micro-units) is one integral
+    * floor division — no floating-point op touches the value, because the
+    * all-2·5-factor weights make the quotient's decimal expansion
+    * terminate and a round-at-tie is engine-ambiguous. `ewma` is the
+    * micro value over 10⁶, for display. Values are assumed non-negative
+    * (integral `div` truncates toward zero; floor ≠ truncate below zero).
+    */
+  def ewma(df: DataFrame, keyCol: String, tsCol: String, tiebreak: String,
+      valCol: String, alpha: BigDecimal = BigDecimal("0.2"),
+      window: Int = 8): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
+    require(window >= 1, "window must be >= 1")
+    // exactness bound: the largest weight scale is (window−1)·scale(α);
+    // x(28,4) × w(p,s) must keep precision ≤ 38 on both engines
+    require((window - 1) * alpha.scale <= 9,
+      s"(window-1)*scale(alpha) must be <= 9 to stay decimal-exact; " +
+        s"got window=$window, scale=${alpha.scale}")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tiebreak))
+    // EXACT INTEGER arithmetic end to end: because the geometric weights
+    // only carry prime factors 2·5, the weighted-mean quotient has a
+    // TERMINATING decimal expansion — round-to-6-at-a-tie then differs
+    // between engines' double rounding, so no float may touch the value.
+    // x scales to 10⁻⁴ integers (value×10⁴ is integer-valued in
+    // decimal(34,4), cast exact), weights to 10^(−ws) integers, and the
+    // result is one integral floor division — unambiguous everywhere.
+    val x = (col(valCol).cast("decimal(28,4)") * lit(10000L)).cast("long")
+    val beta = BigDecimal(1) - alpha
+    val ws = (window - 1) * alpha.scale
+    val weights = (0 until window)
+      .map(j => (beta.pow(j) * BigDecimal(10).pow(ws)).toLongExact)
+    val terms = weights.zipWithIndex.map { case (wj, j) =>
+      val xj = if (j == 0) x else lag(x, j).over(w)
+      (when(xj.isNotNull, lit(wj)).otherwise(lit(null)), xj * lit(wj))
+    }
+    val num = terms.map { case (_, t) => coalesce(t, lit(0L)) }.reduce(_ + _)
+    val den = terms.map { case (wc, _) => coalesce(wc, lit(0L)) }.reduce(_ + _)
+    df.select(col(keyCol), col(tsCol), col(tiebreak), col(valCol),
+        num.as("__num"), den.as("__den"))
+      // num = Σwx·10^(4+ws), den = Σw·10^ws → ewma·10⁶ = num·10²/den;
+      // values are non-negative (weights > 0, caller's value domain), so
+      // `div`'s truncation is floor on both engines
+      .withColumn("ewma_micro", expr("(__num * 100) div __den"))
+      .withColumn("ewma",
+        col("ewma_micro").cast("double") / lit(1000000.0))
+      .drop("__num", "__den")
+  }
 }

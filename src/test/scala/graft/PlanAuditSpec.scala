@@ -500,6 +500,37 @@ class PlanAuditSpec extends SparkSpec {
     } finally graft.tools.FsUtils.deleteRecursively(root)
   }
 
+  test("q161 BM25: top-k is TakeOrdered, corpus stats broadcast") {
+    val p = finalPlan(SparkEntry.q161(spark, dir))
+    // never a global sort of the scored docs
+    assert(p.contains("TakeOrderedAndProject"), s"top-k is not TakeOrdered:\n$p")
+    // the 1-row corpus-stats frame joins by broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q163 LSH buckets: pair join is bucket-keyed, never cartesian") {
+    val p = finalPlan(SparkEntry.q163(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q165 chunking: pure per-row generate — no exchange at all") {
+    val df = graft.operators.TextOps.slidingTokenChunks(
+      Tables.load(spark, dir, "documents"), "doc_id", "text", 32, 24)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"chunking should not shuffle:\n$p")
+    assert(p.contains("Generate"), p)
+  }
+
+  test("q164 EWMA: one hash-partition exchange on the key, one window, no sort beyond it") {
+    val p = finalPlan(SparkEntry.q164(spark, dir))
+    // the per-key lag chain needs exactly one hashpartitioning exchange
+    // (plus the output presentation sort's range exchange)
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges >= 1 && p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), s"EWMA must never globalize:\n$p")
+  }
+
   test("q160 curation pipeline: benchmark side broadcasts, sample is TakeOrdered") {
     val p = finalPlan(SparkEntry.q160(spark, dir))
     // decontamination: the benchmark shingle set must broadcast so the

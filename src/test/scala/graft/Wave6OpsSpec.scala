@@ -1,0 +1,210 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{SimilarityOps, SketchOps, TextOps, TimeSeriesOps}
+
+/** Round-5 session-2 operators: BM25 retrieval, portable HLL, portable
+  * hyperplane LSH, integer-exact EWMA, token-window chunking. Fixtures are
+  * hand-computed; the DuckDB oracles (q161–q165) check the full-table
+  * behavior, these specs pin the semantics on adversarial small cases.
+  */
+class Wave6OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- BM25
+
+  test("bm25TopDocs: hand-computed score, non-matching docs excluded") {
+    val docs = Seq(
+      (1L, "spark spark spark"),          // tf=3, dl=3
+      (2L, "spark data data data data"),  // tf=1, dl=5
+      (3L, "data data data")              // no query term
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25TopDocs(docs, "doc_id", "text",
+      Seq("spark"), topK = 10).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L)) // doc 3 excluded
+    // N=3, df=2 → idf = ln(1 + 1.5/2.5); avgdl = 11/3
+    val idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    def s(tf: Long, dl: Long): Double = {
+      val rel = (dl * 3).toDouble / 11.0
+      val c = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * rel))
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byId = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(approx(byId(1L), s(3, 3), 1e-12), byId)
+    assert(approx(byId(2L), s(1, 5), 1e-12), byId)
+    // higher-tf shorter doc must rank first
+    assert(out.head.getLong(0) == 1L)
+  }
+
+  test("bm25TopDocs: topK caps and tiebreak is doc_id") {
+    val docs = (1L to 10L).map(i => (i, "spark data")).toDF("doc_id", "text")
+    val out = TextOps.bm25TopDocs(docs, "doc_id", "text",
+      Seq("spark"), topK = 4).collect()
+    // identical docs → identical scores → id-ascending tiebreak
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  // ------------------------------------------------------------- HLL
+
+  test("hllRegisters: merge of group sketches == sketch of the union") {
+    val df = (1 to 500).map(i => (if (i % 2 == 0) "a" else "b", i.toLong))
+      .toDF("grp", "k")
+    val grouped = SketchOps.hllRegisters(df, Seq("grp"), col("k"))
+    val merged = grouped.groupBy(col("j")).agg(max(col("m_j")).as("m_j"))
+    val direct = SketchOps.hllRegisters(
+      df.withColumn("grp", lit("all")), Seq("grp"), col("k"))
+      .select(col("j"), col("m_j"))
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+  }
+
+  test("hllRegisters: duplicates leave the sketch unchanged") {
+    val once = (1 to 100).map(i => ("g", i.toLong)).toDF("grp", "k")
+    val thrice = (1 to 100).flatMap(i => Seq.fill(3)(("g", i.toLong)))
+      .toDF("grp", "k")
+    val a = SketchOps.hllRegisters(once, Seq("grp"), col("k"))
+    val b = SketchOps.hllRegisters(thrice, Seq("grp"), col("k"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("hllEstimate: within HLL error bounds at m=64 (rse ~13%)") {
+    val n = 2000
+    val df = (1 to n).map(i => ("g", i.toLong)).toDF("grp", "k")
+    val est = SketchOps.hllEstimate(
+      SketchOps.hllRegisters(df, Seq("grp"), col("k")), Seq("grp"))
+      .collect().head.getAs[Double]("hll_estimate")
+    // 3σ at rse = 1.04/√64 = 0.13 → ±39%
+    assert(math.abs(est - n) / n.toDouble <= 0.39, s"est=$est exact=$n")
+  }
+
+  test("hllEstimate: small-range linear counting path") {
+    // 3 distinct values hit ≤3 registers → raw ≤ 2.5m fires linear count
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L)).toDF("grp", "k")
+    val regs = SketchOps.hllRegisters(df, Seq("grp"), col("k"))
+    val hit = regs.count()
+    val est = SketchOps.hllEstimate(regs, Seq("grp"))
+      .collect().head.getAs[Double]("hll_estimate")
+    val expected = BigDecimal(64.0 * math.log(64.0 / (64 - hit)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(est == expected, s"est=$est expected=$expected")
+  }
+
+  // ------------------------------------------------------------- LSH
+
+  test("portableHyperplaneSignature: deterministic, negation flips bits") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f, -3.0f, 0.5f)),
+      (2L, Array(1.0f, 2.0f, -3.0f, 0.5f)),   // identical → same sig
+      (3L, Array(-1.0f, -2.0f, 3.0f, -0.5f))  // negated
+    ).toDF("vec_id", "embedding")
+    val sig = vecs.select(col("vec_id"),
+      SimilarityOps.portableHyperplaneSignature(col("embedding"), 8)
+        .as("sig")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    // negation flips every strictly-nonzero projection; with these values
+    // no projection is exactly 0, so signatures are bitwise complements
+    assert((sig(1L) ^ sig(3L)) == 255L, s"${sig(1L)} vs ${sig(3L)}")
+  }
+
+  test("lshBucketProfile: bucket pair counts and in-bucket cosine") {
+    // two exact duplicate pairs land in the same bucket with cosine 1
+    val vecs = Seq(
+      (1L, Array.fill(8)(1.0f)),
+      (2L, Array.fill(8)(1.0f)),
+      (3L, Array.tabulate(8)(i => if (i % 2 == 0) 5.0f else -5.0f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.lshBucketProfile(vecs, "vec_id", "embedding", 8)
+      .collect()
+    val withPair = out.filter(_.getAs[Long]("n_pairs") > 0)
+    assert(withPair.length == 1)
+    assert(withPair.head.getAs[Long]("n_vecs") == 2L)
+    assert(withPair.head.getAs[Double]("avg_cosine") == 1.0)
+    assert(out.map(_.getAs[Long]("n_vecs")).sum == 3L)
+  }
+
+  // ------------------------------------------------------------- EWMA
+
+  test("ewma: hand-computed micro values, exact integer division") {
+    val df = Seq(
+      (1L, 1, 10L, 1.0),
+      (1L, 2, 11L, 2.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeriesOps.ewma(df, "user_id", "ts", "event_id", "value")
+      .orderBy("ts").collect()
+    assert(out(0).getAs[Long]("ewma_micro") == 1000000L) // first row = x
+    // (2 + 0.8·1)/1.8 = 1.5555… → floor at micro = 1555555
+    assert(out(1).getAs[Long]("ewma_micro") == 1555555L)
+    assert(out(1).getAs[Double]("ewma") == 1.555555)
+  }
+
+  test("ewma: window truncation drops the 9th-oldest observation") {
+    // 8 leading zeros then a constant tail: once the zeros age out of the
+    // window the ewma must be exactly the constant
+    val rows = (1 to 8).map(i => (1L, i, i.toLong, 0.0)) ++
+      (9 to 20).map(i => (1L, i, i.toLong, 7.0))
+    val out = TimeSeriesOps.ewma(rows.toDF("user_id", "ts", "event_id", "value"),
+      "user_id", "ts", "event_id", "value")
+      .orderBy("ts").collect()
+    assert(out(15).getAs[Long]("ewma_micro") == 7000000L) // ts=16: window all 7s
+    assert(out(8).getAs[Long]("ewma_micro") < 7000000L)   // ts=9: zeros still in
+  }
+
+  test("ewma: per-key independence and tiebreak ordering") {
+    val df = Seq(
+      (1L, 1, 1L, 5.0), (2L, 1, 2L, 100.0),
+      // same ts, tiebreak on event_id orders 3 before 4
+      (1L, 2, 3L, 1.0), (1L, 2, 4L, 3.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeriesOps.ewma(df, "user_id", "ts", "event_id", "value")
+      .orderBy("user_id", "ts", "event_id").collect()
+    // user 2's huge value must not leak into user 1
+    assert(out.filter(_.getLong(0) == 1L).forall(_.getAs[Double]("ewma") < 6.0))
+    // row (1,2,4): window = [3.0, 1.0, 5.0] → (3 + 0.8 + 5·0.64)/2.44
+    val expected = ((BigDecimal(3) + BigDecimal("0.8") * 1 + BigDecimal("0.64") * 5) * 1000000 /
+      (BigDecimal(1) + BigDecimal("0.8") + BigDecimal("0.64")))
+      .setScale(0, BigDecimal.RoundingMode.FLOOR).toLongExact
+    // ordered (1,1,1),(1,2,3),(1,2,4),(2,1,2) → row (1,2,4) is index 2
+    assert(out(2).getAs[Long]("ewma_micro") == expected)
+  }
+
+  // ------------------------------------------------------------- chunking
+
+  test("slidingTokenChunks: spans, tail chunk, full coverage") {
+    val text = (1 to 40).map(i => s"t$i").mkString(" ")
+    val out = TextOps.slidingTokenChunks(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", 32, 24)
+      .orderBy("chunk_idx").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("start_token") == 1L)
+    assert(out(0).getAs[Long]("n_chunk_tokens") == 32L)
+    assert(out(1).getAs[Long]("start_token") == 25L)
+    assert(out(1).getAs[Long]("n_chunk_tokens") == 16L) // clamped tail
+    // chunk hash is the md5 of the exact token span
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest((25 to 40).map(i => s"t$i").mkString(" ")
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1).getAs[String]("chunk_hash") == expect)
+  }
+
+  test("slidingTokenChunks: short and empty docs yield one chunk") {
+    val out = TextOps.slidingTokenChunks(
+      Seq((1L, "a b c"), (2L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", 32, 24).collect()
+    assert(out.count(_.getLong(0) == 1L) == 1)
+    assert(out.count(_.getLong(0) == 2L) == 1)
+    val c1 = out.find(_.getLong(0) == 1L).get
+    assert(c1.getAs[Long]("n_chunk_tokens") == 3L)
+  }
+
+  test("slidingTokenChunks: overlap region hashes consistently for dedup") {
+    // identical docs produce identical chunk hash sequences
+    val text = (1 to 100).map(i => s"w${i % 7}").mkString(" ")
+    val df = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val out = TextOps.slidingTokenChunks(df, "doc_id", "text", 32, 24)
+    val h1 = out.filter(col("doc_id") === 1L).orderBy("chunk_idx")
+      .select("chunk_hash").collect().map(_.getString(0)).toSeq
+    val h2 = out.filter(col("doc_id") === 2L).orderBy("chunk_idx")
+      .select("chunk_hash").collect().map(_.getString(0)).toSeq
+    assert(h1 == h2 && h1.nonEmpty)
+  }
+}
