@@ -1932,6 +1932,7 @@ object OracleSql {
     "q163_lsh_buckets" -> q163LshSql,
     "q164_ewma" -> q164EwmaSql,
     "q165_token_chunks" -> q165ChunkSql,
+    "q166_hybrid_rrf" -> q166RrfSql,
 
     // isotonic calibration: the PAV fixpoint is the UNIQUE isotonic L2
     // solution, so DuckDB reaches it by repeatedly pooling maximal
@@ -2384,6 +2385,76 @@ object OracleSql {
        |FROM s
        |ORDER BY user_id, ts, event_id""".stripMargin
   }
+
+  /** q166 oracle: hybrid retrieval replayed ranker-for-ranker — the q161
+    * BM25 candidates and the q37-surface cosine candidates (each top-50,
+    * rounded scores + id tiebreak → deterministic ranks), fused with the
+    * same fixed-order RRF sum and one final top-k.
+    */
+  private def q166RrfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+      |corpus AS (
+      |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+      |  FROM dl),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      |  WHERE term IN ('spark', 'vector', 'hash') GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    CAST(SUM(CAST(ROUND(
+      |      LN(CAST(1.0 AS DOUBLE) +
+      |        ((n.n_docs - dfreq.df) + CAST(0.5 AS DOUBLE)) /
+      |        (dfreq.df + CAST(0.5 AS DOUBLE))) *
+      |      (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+      |      (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+      |        CAST(0.75 AS DOUBLE) *
+      |        (CAST(dl.dl * n.n_docs AS DOUBLE) /
+      |         CAST(n.sum_dl AS DOUBLE)))),
+      |    6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+      |  FROM tf
+      |  JOIN dfreq USING (term)
+      |  JOIN dl USING (doc_id)
+      |  CROSS JOIN corpus n
+      |  GROUP BY tf.doc_id),
+      |lex AS (
+      |  SELECT doc_id,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+      |      AS lex_rank
+      |  FROM (SELECT doc_id, bm25 FROM scored
+      |        ORDER BY bm25 DESC, doc_id LIMIT 50)),
+      |e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |q AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
+      |cos AS (
+      |  SELECT e.vec_id AS doc_id,
+      |    ROUND(list_inner_product(e.emb, q.qemb) /
+      |      (SQRT(list_inner_product(e.emb, e.emb)) *
+      |       SQRT(list_inner_product(q.qemb, q.qemb))), 6) AS cosine
+      |  FROM e CROSS JOIN q WHERE e.vec_id <> 0),
+      |dense AS (
+      |  SELECT doc_id,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT)
+      |      AS dense_rank
+      |  FROM (SELECT doc_id, cosine FROM cos
+      |        ORDER BY cosine DESC, doc_id LIMIT 50)),
+      |fused AS (
+      |  SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+      |    ROUND(
+      |      COALESCE(CAST(1.0 AS DOUBLE) /
+      |        (CAST(60.0 AS DOUBLE) + CAST(lex_rank AS DOUBLE)),
+      |        CAST(0.0 AS DOUBLE)) +
+      |      COALESCE(CAST(1.0 AS DOUBLE) /
+      |        (CAST(60.0 AS DOUBLE) + CAST(dense_rank AS DOUBLE)),
+      |        CAST(0.0 AS DOUBLE)), 6) AS rrf_score,
+      |    lex_rank, dense_rank
+      |  FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id)
+      |SELECT doc_id, rrf_score, lex_rank, dense_rank FROM fused
+      |ORDER BY rrf_score DESC, doc_id
+      |LIMIT 15""".stripMargin
 
   /** q165 oracle: sliding token-window chunking replayed with DuckDB list
     * slicing (1-based inclusive, clamping — the q71 bigram surface) and

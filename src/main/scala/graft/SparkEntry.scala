@@ -2526,6 +2526,32 @@ object SparkEntry {
       "doc_id", "text", chunkSize = 32, stride = 24)
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  // ---------------------------------------------------------------- q166
+  // Hybrid retrieval: BM25 lexical candidates (q161's surface) and dense
+  // cosine candidates against doc 0's embedding (q15's surface), fused
+  // by reciprocal-rank fusion — the standard two-tower RAG retrieval
+  // stack as one plan. Both candidate sets are top-50 bounded, so the
+  // fusion join and final top-k are k-sized regardless of corpus scale;
+  // ranks are deterministic (rounded scores, id tiebreak) and the fused
+  // score is a fixed-order sum of two IEEE divisions — oracle-replayable.
+  def q166(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = TextOps.bm25TopDocs(t(spark, dir, "documents"),
+        "doc_id", "text", Seq("spark", "vector", "hash"), topK = 50)
+      // rank window over the 50-row candidate frame (bounded by the limit)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+    val dense = SimilarityOps.topK(
+        SimilarityOps.cosineScores(t(spark, dir, "embeddings"),
+          "vec_id", "embedding", queryId = 0L), "vec_id", 50)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id"))))
+      .withColumnRenamed("vec_id", "doc_id")
+    SimilarityOps.rrfFuse(Seq(lex, dense), "doc_id", "rank", topK = 15)
+      .withColumnRenamed("rank_0", "lex_rank")
+      .withColumnRenamed("rank_1", "dense_rank")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -2693,6 +2719,7 @@ object SparkEntry {
     "q163_lsh_buckets" -> (q163 _),
     "q164_ewma" -> (q164 _),
     "q165_token_chunks" -> (q165 _),
+    "q166_hybrid_rrf" -> (q166 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

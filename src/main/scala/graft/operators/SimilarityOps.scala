@@ -62,6 +62,38 @@ object SimilarityOps {
   def topK(scores: DataFrame, idCol: String, k: Int): DataFrame =
     scores.orderBy(col("cosine").desc, col(idCol)).limit(k)
 
+  /** Reciprocal-rank fusion of candidate rankings (the standard hybrid-
+    * retrieval combiner: lexical BM25 + dense ANN, each contributing
+    * 1/(k₀ + rank)): candidates appearing in any ranking fuse over the
+    * union, missing rankers contribute 0. Ranks must already be
+    * deterministic (rounded scores + id tiebreak — the [[topK]] /
+    * bm25 discipline); the fused score is a fixed-order sum of one
+    * IEEE division per ranker, rounded to 6 before the final top-k, so
+    * the result replays on any engine.
+    *
+    * Scale posture: rankings are top-N candidate frames (bounded by
+    * construction), so the full-outer fusion join and final TakeOrdered
+    * run on k-sized inputs no matter the corpus size.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+      topK: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val tagged = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol),
+        (lit(1.0) / (lit(k0.toDouble) + col(rankCol).cast("double")))
+          .as(s"__rrf$i"),
+        col(rankCol).cast("long").as(s"rank_$i"))
+    }
+    val joined = tagged.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = tagged.indices
+      .map(i => coalesce(col(s"__rrf$i"), lit(0.0))).reduce(_ + _)
+    joined
+      .select((col(idCol) +: round(score, 6).as("rrf_score") +:
+        tagged.indices.map(i => col(s"rank_$i"))): _*)
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Random-hyperplane LSH signature: sign bits of dot products with
     * `numPlanes` pseudo-random hyperplanes derived deterministically from
     * xxhash64(planeIdx, dimIdx). The plane components are generated per

@@ -122,6 +122,37 @@ class Wave6OpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_vecs")).sum == 3L)
   }
 
+  // ------------------------------------------------------------- RRF
+
+  test("rrfFuse: hand-computed fusion over partially overlapping rankings") {
+    val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val dense = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")
+    val out = SimilarityOps.rrfFuse(Seq(lex, dense), "doc_id", "rank",
+      topK = 10).collect()
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byId = out.map(r =>
+      r.getLong(0) -> r.getAs[Double]("rrf_score")).toMap
+    // doc 20 in both rankings: lex rank 2, dense rank 1 → 1/62 + 1/61
+    assert(byId(20L) == r6(1.0 / 62 + 1.0 / 61), byId)
+    // doc 10 lexical-only rank 1; doc 40 dense-only rank 2
+    assert(byId(10L) == r6(1.0 / 61))
+    assert(byId(40L) == r6(1.0 / 62))
+    // overlap outranks any single-ranker candidate
+    assert(out.head.getLong(0) == 20L)
+    // equal scores (doc 10 vs a hypothetical) tie-break on id: doc 10
+    // (1/61) sorts before doc 30 (1/63) naturally; ranks survive as cols
+    val row40 = out.find(_.getLong(0) == 40L).get
+    assert(row40.isNullAt(row40.fieldIndex("rank_0")))
+    assert(row40.getAs[Long]("rank_1") == 2L)
+  }
+
+  test("rrfFuse: topK caps the fused list") {
+    val a = (1L to 30L).map(i => (i, i)).toDF("doc_id", "rank")
+    val out = SimilarityOps.rrfFuse(Seq(a), "doc_id", "rank", topK = 5)
+    assert(out.count() == 5)
+  }
+
   // ------------------------------------------------------------- EWMA
 
   test("ewma: hand-computed micro values, exact integer division") {
