@@ -1933,6 +1933,9 @@ object OracleSql {
     "q164_ewma" -> q164EwmaSql,
     "q165_token_chunks" -> q165ChunkSql,
     "q166_hybrid_rrf" -> q166RrfSql,
+    // the SQL-text BM25 twin shares q161's oracle (identical aggregation
+    // text modulo the token-explode idiom)
+    "q167_sql_bm25" -> q161Bm25Sql,
 
     // isotonic calibration: the PAV fixpoint is the UNIQUE isotonic L2
     // solution, so DuckDB reaches it by repeatedly pooling maximal

@@ -2552,6 +2552,16 @@ object SparkEntry {
       .withColumnRenamed("rank_1", "dense_rank")
   }
 
+  // ---------------------------------------------------------------- q167
+  // BM25 through the SQL parser over the registered views — the
+  // retrieval-family SQL twin (value-equivalence to q161 proven in
+  // SqlSurfaceSpec; same physical shape: filtered postings, broadcast
+  // corpus stats, TakeOrdered top-k).
+  def q167(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(SqlText.bm25)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -2720,6 +2730,7 @@ object SparkEntry {
     "q164_ewma" -> (q164 _),
     "q165_token_chunks" -> (q165 _),
     "q166_hybrid_rrf" -> (q166 _),
+    "q167_sql_bm25" -> (q167 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

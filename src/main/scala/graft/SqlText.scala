@@ -158,4 +158,42 @@ object SqlText {
       |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
       |FROM s GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
+
+  /** BM25 top-k retrieval — q161's semantics through the SQL parser (the
+    * retrieval-family twin). Differs from the DuckDB oracle only in the
+    * token-explode idiom (Spark `explode(split(...))` vs DuckDB
+    * `unnest(string_split(...))`); every count, float cast, rounding and
+    * the exact-decimal score accumulation are textually identical.
+    */
+  val bm25: String =
+    """WITH toks AS (
+      |  SELECT doc_id, explode(split(trim(text), ' ')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+      |corpus AS (
+      |  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      |  WHERE term IN ('spark', 'vector', 'hash') GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id, COUNT(*) AS n_terms_hit,
+      |    CAST(SUM(CAST(ROUND(
+      |      LN(CAST(1.0 AS DOUBLE) +
+      |        ((n.n_docs - dfreq.df) + CAST(0.5 AS DOUBLE)) /
+      |        (dfreq.df + CAST(0.5 AS DOUBLE))) *
+      |      (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+      |      (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+      |        CAST(0.75 AS DOUBLE) *
+      |        (CAST(dl.dl * n.n_docs AS DOUBLE) /
+      |         CAST(n.sum_dl AS DOUBLE)))),
+      |    6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+      |  FROM tf
+      |  JOIN dfreq USING (term)
+      |  JOIN dl USING (doc_id)
+      |  CROSS JOIN corpus n
+      |  GROUP BY tf.doc_id)
+      |SELECT doc_id, n_terms_hit, bm25 FROM scored
+      |ORDER BY bm25 DESC, doc_id
+      |LIMIT 15""".stripMargin
 }

@@ -31,6 +31,10 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(rows(SparkEntry.q153(spark, dir)) == rows(SparkEntry.q16(spark, dir)))
   }
 
+  test("q167 SQL BM25 ≡ q161 DataFrame BM25") {
+    assert(rows(SparkEntry.q167(spark, dir)) == rows(SparkEntry.q161(spark, dir)))
+  }
+
   test("q154 SQL star join ≡ q93 DataFrame star join") {
     assert(rows(SparkEntry.q154(spark, dir)) == rows(SparkEntry.q93(spark, dir)))
   }
