@@ -2382,9 +2382,11 @@ object OracleSql {
        |    CAST(($den) AS BIGINT) AS den
        |  FROM l)
        |SELECT user_id, ts, event_id, value,
-       |  CAST((num * 100) // den AS BIGINT) AS ewma_micro,
-       |  CAST((num * 100) // den AS BIGINT) / CAST(1000000.0 AS DOUBLE)
-       |    AS ewma
+       |  CASE WHEN den = 0 THEN NULL
+       |    ELSE CAST((num * 100) // den AS BIGINT) END AS ewma_micro,
+       |  CASE WHEN den = 0 THEN NULL
+       |    ELSE CAST((num * 100) // den AS BIGINT) END /
+       |    CAST(1000000.0 AS DOUBLE) AS ewma
        |FROM s
        |ORDER BY user_id, ts, event_id""".stripMargin
   }

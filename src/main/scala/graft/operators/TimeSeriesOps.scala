@@ -295,8 +295,11 @@ object TimeSeriesOps {
         num.as("__num"), den.as("__den"))
       // num = Σwx·10^(4+ws), den = Σw·10^ws → ewma·10⁶ = num·10²/den;
       // values are non-negative (weights > 0, caller's value domain), so
-      // `div`'s truncation is floor on both engines
-      .withColumn("ewma_micro", expr("(__num * 100) div __den"))
+      // `div`'s truncation is floor on both engines. den = 0 only when
+      // every window value is null — emit null, never an ANSI
+      // divide-by-zero (oracle mirrors the CASE)
+      .withColumn("ewma_micro",
+        expr("CASE WHEN __den = 0 THEN NULL ELSE (__num * 100) div __den END"))
       .withColumn("ewma",
         col("ewma_micro").cast("double") / lit(1000000.0))
       .drop("__num", "__den")

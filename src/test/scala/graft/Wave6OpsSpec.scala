@@ -180,6 +180,18 @@ class Wave6OpsSpec extends SparkSpec {
     assert(out(8).getAs[Long]("ewma_micro") < 7000000L)   // ts=9: zeros still in
   }
 
+  test("ewma: all-null window yields null, not a divide-by-zero") {
+    val df = Seq(
+      (1L, 1, 1L, None: Option[Double]),
+      (1L, 2, 2L, Some(4.0))
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeriesOps.ewma(df, "user_id", "ts", "event_id", "value")
+      .orderBy("ts").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("ewma_micro")))
+    // the null observation contributes nothing to the next row's window
+    assert(out(1).getAs[Long]("ewma_micro") == 4000000L)
+  }
+
   test("ewma: per-key independence and tiebreak ordering") {
     val df = Seq(
       (1L, 1, 1L, 5.0), (2L, 1, 2L, 100.0),
