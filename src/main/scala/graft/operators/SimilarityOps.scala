@@ -139,6 +139,9 @@ object SimilarityOps {
     * for-cosine construction — collision probability 1 − θ/π per bit.
     */
   def portableHyperplaneSignature(vec: Column, numPlanes: Int): Column = {
+    // signature bits pack into one signed long; 62 keeps 1L << p positive
+    require(numPlanes >= 1 && numPlanes <= 62,
+      s"numPlanes must be in [1,62], got $numPlanes")
     val scaled = transform(vec,
       v => floor(v.cast("double") * lit(1000000.0)).cast("long"))
     val bits = (0 until numPlanes).map { p =>

@@ -343,6 +343,8 @@ object TextOps {
   def bm25TopDocs(df: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], topK: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(topK >= 1, "topK must be >= 1")
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
