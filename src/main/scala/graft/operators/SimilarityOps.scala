@@ -164,12 +164,47 @@ object SimilarityOps {
     * before it commits to a bucket-join search. The pair join is BUCKET-
     * keyed (the whole point of LSH — never all-pairs), and the mean
     * accumulates rounded-decimal cosines so it is addition-order-free.
+    *
+    * Scale note: the ±1 sign matrix is hoisted into a broadcast ONE-ROW
+    * frame (planes × dim MD5 parities evaluated once per plan), so the
+    * per-row work is just multiply-add over exact integers — the
+    * per-element [[portableHyperplaneSignature]] form re-derives each
+    * sign per row, which is dim-free but wasted CPU at corpus scale.
+    * Same draws, same signatures, same oracle. Fixed-width vectors are
+    * the contract, enforced with the [[productQuantize]] existence probe
+    * (a ragged vector would silently zip into a null signature).
     */
   def lshBucketProfile(embeddings: DataFrame, idCol: String, vecCol: String,
       numPlanes: Int): DataFrame = {
-    val sig = embeddings.select(col(idCol),
-      col(vecCol).cast("array<double>").as("__emb"),
-      portableHyperplaneSignature(col(vecCol), numPlanes).as("signature"))
+    require(numPlanes >= 1 && numPlanes <= 62,
+      s"numPlanes must be in [1,62], got $numPlanes")
+    val d = embeddings.select(size(col(vecCol))).head().getInt(0)
+    require(embeddings.filter(size(col(vecCol)) =!= d).isEmpty,
+      s"ragged input: found a vector whose length differs from $d " +
+        s"(lshBucketProfile requires fixed-width vectors)")
+    // planes × dim ±1 matrix from the same MD5-parity draw as
+    // [[portableHyperplaneSignature]] ("hp<plane>_<dim>"), evaluated on a
+    // one-row frame and broadcast
+    val signsRow = embeddings.sparkSession.range(1).select(
+      transform(sequence(lit(0), lit(numPlanes - 1)), b =>
+        transform(sequence(lit(0), lit(d - 1)), i =>
+          when(pmod(conv(substring(md5(concat(lit("hp"),
+                b.cast("string"), lit("_"), i.cast("string"))), 1, 1),
+              16, 10).cast("long"), lit(2L)) === 0L, lit(1L))
+            .otherwise(lit(-1L)))).as("__signs"))
+    val scaled = transform(col(vecCol),
+      v => floor(v.cast("double") * lit(1000000.0)).cast("long"))
+    val signature = (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(scaled, element_at(col("__signs"), p + 1),
+          (sv, s) => sv * s),
+        lit(0L), (acc, v) => acc + v)
+      when(proj >= 0L, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sig = embeddings.crossJoin(broadcast(signsRow))
+      .select(col(idCol),
+        col(vecCol).cast("array<double>").as("__emb"),
+        signature.as("signature"))
     val a = sig.select(col("signature"), col(idCol).as("id_a"),
       col("__emb").as("__ea"))
     val b = sig.select(col("signature"), col(idCol).as("id_b"),

