@@ -106,6 +106,22 @@ class Wave6OpsSpec extends SparkSpec {
     assert((sig(1L) ^ sig(3L)) == 255L, s"${sig(1L)} vs ${sig(3L)}")
   }
 
+  test("lshBucketProfile: broadcast sign-matrix path ≡ per-element signature") {
+    // the profile hoists the sign matrix; it must bucket exactly like the
+    // per-element reference form (same MD5 draws)
+    val vecs = (1L to 64L).map(i =>
+      (i, Array.tabulate(16)(j => ((i * 31 + j * 17) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    val profile = SimilarityOps.lshBucketProfile(vecs, "vec_id", "embedding", 8)
+      .select("signature", "n_vecs")
+    val reference = vecs.select(
+        SimilarityOps.portableHyperplaneSignature(col("embedding"), 8)
+          .as("signature"))
+      .groupBy("signature").agg(count(lit(1)).as("n_vecs"))
+    assert(profile.exceptAll(reference).isEmpty &&
+      reference.exceptAll(profile).isEmpty)
+  }
+
   test("lshBucketProfile: bucket pair counts and in-bucket cosine") {
     // two exact duplicate pairs land in the same bucket with cosine 1
     val vecs = Seq(
