@@ -1937,6 +1937,34 @@ object OracleSql {
     // text modulo the token-explode idiom)
     "q167_sql_bm25" -> q161Bm25Sql,
 
+    // containment: the q39 postings replay with the asymmetric
+    // |A∩B|/|A| ratios (df cap mirrored; filter on ROUNDED values)
+    "q168_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+        |      THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+        |      ELSE [array_to_string(tk, ' ')] END) AS sh
+        |    FROM toks)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |cold AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 1000),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        |  FROM sh a JOIN cold USING (sh)
+        |  JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  ROUND(n_shared / CAST(sa.n_sh AS DOUBLE), 6) AS containment_a_in_b,
+        |  ROUND(n_shared / CAST(sb.n_sh AS DOUBLE), 6) AS containment_b_in_a
+        |FROM shared
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE GREATEST(ROUND(n_shared / CAST(sa.n_sh AS DOUBLE), 6),
+        |               ROUND(n_shared / CAST(sb.n_sh AS DOUBLE), 6)) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // isotonic calibration: the PAV fixpoint is the UNIQUE isotonic L2
     // solution, so DuckDB reaches it by repeatedly pooling maximal
     // violating chains (window-grouped, aggregate-merged) inside a

@@ -2562,6 +2562,16 @@ object SparkEntry {
     spark.sql(SqlText.bm25)
   }
 
+  // ---------------------------------------------------------------- q168
+  // Exact n-gram containment pairs — the asymmetric dedup relation
+  // (doc-inside-doc: quotes, page-in-page scrapes) that symmetric
+  // Jaccard (q39) misses under size imbalance. Same capped postings
+  // machinery as q39; both directions reported.
+  def q168(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.containmentPairs(t(spark, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, minContainment = 0.8, maxShingleDf = Some(1000))
+      .orderBy(col("id_a"), col("id_b"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -2731,6 +2741,7 @@ object SparkEntry {
     "q165_token_chunks" -> (q165 _),
     "q166_hybrid_rrf" -> (q166 _),
     "q167_sql_bm25" -> (q167 _),
+    "q168_containment" -> (q168 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -138,6 +138,25 @@ class Wave6OpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_vecs")).sum == 3L)
   }
 
+  // ------------------------------------------------------------- containment
+
+  test("containmentPairs: catches doc-inside-doc that Jaccard misses") {
+    import graft.operators.DedupOps
+    val small = (1 to 5).map(i => s"u$i").mkString(" ")     // 3 trigrams
+    val big = (1 to 40).map(i => s"u$i").mkString(" ")      // superset
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, small), (2L, big), (3L, other)).toDF("doc_id", "text")
+    val cont = DedupOps.containmentPairs(df, "doc_id", "text", 3, 0.8)
+      .collect()
+    assert(cont.length == 1)
+    val r = cont.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getAs[Double]("containment_a_in_b") == 1.0) // small ⊆ big
+    assert(r.getAs[Double]("containment_b_in_a") < 0.1)
+    // symmetric Jaccard at the same threshold sees nothing
+    assert(DedupOps.jaccardPairsExact(df, "doc_id", "text", 3, 0.8).isEmpty)
+  }
+
   // ------------------------------------------------------------- RRF
 
   test("rrfFuse: hand-computed fusion over partially overlapping rankings") {
