@@ -1937,6 +1937,17 @@ object OracleSql {
     // text modulo the token-explode idiom)
     "q167_sql_bm25" -> q161Bm25Sql,
 
+    // streaming EWMA: the per-user recurrence replayed as an ORDERED
+    // list_reduce — identical IEEE fold (αx + (1−α)acc, acc₀ = x₀), so
+    // raw doubles match bit-for-bit with no rounding
+    "q169_stream_ewma" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  list_reduce(list(value ORDER BY ts, event_id),
+        |    (acc, x) -> CAST(0.2 AS DOUBLE) * x +
+        |      CAST(0.8 AS DOUBLE) * acc) AS ewma_last
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
     // containment: the q39 postings replay with the asymmetric
     // |A∩B|/|A| ratios (df cap mirrored; filter on ROUNDED values)
     "q168_containment" ->

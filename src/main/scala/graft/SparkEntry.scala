@@ -2562,6 +2562,21 @@ object SparkEntry {
     spark.sql(SqlText.bm25)
   }
 
+  // ---------------------------------------------------------------- q169
+  // Stateful streaming EWMA (mapGroupsWithState): the true recurrence
+  // y ← αx + (1−α)y carried as one record per user — the streaming twin
+  // of q164's bounded-window batch form. The ordered fold is a fixed
+  // IEEE sequence, so the emitted doubles hash-match the oracle's
+  // ordered list_reduce replay with NO rounding (q118 precedent).
+  def q169(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val out = graft.streaming.StreamingOps.streamingEwma(
+      spark, dir, "events.parquet", alpha = 0.2,
+      graft.streaming.StreamSink.Memory(s"q169_sink_${System.nanoTime()}"),
+      prepare = df => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    out.orderBy(col("user_id"))
+  }
+
   // ---------------------------------------------------------------- q168
   // Exact n-gram containment pairs — the asymmetric dedup relation
   // (doc-inside-doc: quotes, page-in-page scrapes) that symmetric
@@ -2742,6 +2757,7 @@ object SparkEntry {
     "q166_hybrid_rrf" -> (q166 _),
     "q167_sql_bm25" -> (q167 _),
     "q168_containment" -> (q168 _),
+    "q169_stream_ewma" -> (q169 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -11,6 +11,16 @@ case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 case class SessionState(start: Long, last: Long, n: Long, sum: Double)
 
 /** One closed session. */
+case class EwmaEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+  value: Double)
+
+/** Running EWMA per key: the carried smoothed value plus the observation
+  * count — O(1) state per key, the whole point of the streaming form.
+  */
+case class EwmaRunning(y: Double, n: Long)
+
+case class EwmaOut(user_id: Long, n_events: Long, ewma_last: Double)
+
 case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
@@ -262,6 +272,52 @@ object StreamingOps {
         })
 
     runToSink(spark, sessions.toDF(), sink, "append")
+  }
+
+  /** Stateful running EWMA per key (`mapGroupsWithState` — the recurrence
+    * y ← αx + (1−α)y carried as ONE (double, count) record per key): the
+    * true sequential exponential smoothing that the batch operator
+    * ([[graft.operators.TimeSeriesOps.ewma]]) deliberately truncates to a
+    * bounded window. Streaming is where the recurrence belongs — state is
+    * O(keys), each micro-batch folds its (sorted) slice into the carried
+    * value, and no key ever re-reads history.
+    *
+    * Determinism contract: within a batch, events fold in (ts, event_id)
+    * order; the fold is a fixed IEEE sequence (αx + (1−α)y, y₀ = x₀), so
+    * the emitted doubles are BIT-IDENTICAL to any engine replaying the
+    * same ordered fold — the oracle needs no rounding at all (the q118
+    * PageRank bit-identity precedent). Update mode: each batch re-emits
+    * the keys it touched; with AvailableNow replay the final table is one
+    * row per key.
+    */
+  def streamingEwma(spark: SparkSession, dir: String, fileName: String,
+      alpha: Double, sink: StreamSink,
+      prepare: DataFrame => DataFrame = identity): DataFrame = {
+    import spark.implicits._
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val stream = prepare(fileStream(spark, dir, fileName))
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[EwmaEvent]
+    val beta = 1.0 - alpha
+    val smoothed = stream.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (user: Long, events: Iterator[EwmaEvent],
+            state: GroupState[EwmaRunning]) => {
+          // batch events arrive unordered — sort before the fold; getTime
+          // is millis only, so getNanos (equal millis ⇒ equal second ⇒
+          // comparable) restores full sub-millisecond order
+          val sorted = events.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          val next = sorted.foldLeft(
+              state.getOption.getOrElse(EwmaRunning(0.0, 0L))) { (s, e) =>
+            if (s.n == 0L) EwmaRunning(e.value, 1L)
+            else EwmaRunning(alpha * e.value + beta * s.y, s.n + 1L)
+          }
+          state.update(next)
+          EwmaOut(user, next.n, next.y)
+        })
+    runToSink(spark, smoothed.toDF(), sink, "update")
   }
 
   /** Stream-static broadcast join + per-key aggregation: the streaming side

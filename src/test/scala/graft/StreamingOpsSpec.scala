@@ -43,6 +43,30 @@ class StreamingOpsSpec extends SparkSpec {
     assert(r131.nonEmpty && r131 == d131)
   }
 
+  test("streamingEwma: recurrence per key, id tiebreak, bit-exact fold") {
+    val d = Files.createTempDirectory("graft_stream_ewma").toString
+    Seq(
+      ("2024-01-01 01:00:00", 1L, 1L, 1.0),
+      ("2024-01-01 02:00:00", 1L, 2L, 2.0),
+      // same timestamp: event_id 4 folds AFTER event_id 3
+      ("2024-01-01 03:00:00", 1L, 3L, 4.0),
+      ("2024-01-01 03:00:00", 1L, 4L, 8.0),
+      ("2024-01-01 01:00:00", 2L, 5L, 10.0),
+    ).toDF("ts_s", "user_id", "event_id", "value")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/ev.parquet")
+    val out = StreamingOps.streamingEwma(spark, s"$d/ev.parquet", "*.parquet",
+        alpha = 0.2, StreamSink.Memory(s"ewma_spec_${System.nanoTime()}"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // replicate the exact IEEE fold
+    val y2 = 0.2 * 2.0 + 0.8 * 1.0
+    val y3 = 0.2 * 4.0 + 0.8 * y2
+    val y4 = 0.2 * 8.0 + 0.8 * y3
+    assert(out(1L) == ((4L, y4)), out)
+    assert(out(2L) == ((1L, 10.0)), out)
+    graft.tools.FsUtils.deleteRecursively(java.nio.file.Paths.get(d))
+  }
+
   test("windowedEventStats emits exactly the watermark-finalized windows") {
     // max ts = Jan 3 01:00, delay 1 day → watermark Jan 2 01:00: only the
     // Jan 1 window (end Jan 2 00:00) is finalized; Jan 2/3 stay in state
