@@ -1937,6 +1937,30 @@ object OracleSql {
     // text modulo the token-explode idiom)
     "q167_sql_bm25" -> q161Bm25Sql,
 
+    // vocabulary build: count/rank/cumsum replay; the coverage
+    // denominator is the FULL token total, mirrored
+    "q170_vocab_build" ->
+      """WITH counts AS (
+        |  SELECT term, COUNT(*) AS n FROM (
+        |    SELECT unnest(string_split(trim(text), ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY term),
+        |total AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM counts),
+        |head AS (
+        |  SELECT term, n FROM counts WHERE n >= 2
+        |  ORDER BY n DESC, term LIMIT 40),
+        |ranked AS (
+        |  SELECT term, n,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS BIGINT) - 1
+        |      AS token_id,
+        |    CAST(SUM(n) OVER (ORDER BY n DESC, term
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM head)
+        |SELECT token_id, term, n,
+        |  ROUND(cum / CAST(t.n_total AS DOUBLE), 6) AS cum_coverage
+        |FROM ranked CROSS JOIN total t
+        |ORDER BY token_id""".stripMargin,
+
     // streaming EWMA: the per-user recurrence replayed as an ORDERED
     // list_reduce — identical IEEE fold (αx + (1−α)acc, acc₀ = x₀), so
     // raw doubles match bit-for-bit with no rounding

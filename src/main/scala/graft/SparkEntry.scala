@@ -2562,6 +2562,16 @@ object SparkEntry {
     spark.sql(SqlText.bm25)
   }
 
+  // ---------------------------------------------------------------- q170
+  // Vocabulary construction (tokenizer-vocab builder): top-40 terms with
+  // min-count 2, dense ids in (count desc, term) order, cumulative
+  // token-coverage curve against the FULL corpus total. Head cap is
+  // TakeOrdered (q140 contract); windows run over the capped frame.
+  def q170(spark: SparkSession, dir: String): DataFrame =
+    TextOps.buildVocabulary(t(spark, dir, "documents"), "text",
+      maxVocab = 40, minCount = 2L)
+      .orderBy(col("token_id"))
+
   // ---------------------------------------------------------------- q169
   // Stateful streaming EWMA (mapGroupsWithState): the true recurrence
   // y ← αx + (1−α)y carried as one record per user — the streaming twin
@@ -2758,6 +2768,7 @@ object SparkEntry {
     "q167_sql_bm25" -> (q167 _),
     "q168_containment" -> (q168 _),
     "q169_stream_ewma" -> (q169 _),
+    "q170_vocab_build" -> (q170 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -371,6 +371,39 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Vocabulary construction — the tokenizer-vocab builder of a training
+    * pipeline: the `maxVocab` most frequent terms (with at least
+    * `minCount` occurrences) get dense ids in (count desc, term asc)
+    * order, each carrying its cumulative token-coverage fraction — the
+    * curve that tells you what OOV rate a vocab size buys.
+    *
+    * Scale posture: the term count is the one unbounded-key shuffle; the
+    * head cap plans as TakeOrderedAndProject (the q140 Zipf contract —
+    * never a full-vocabulary single-task sort) and the rank/cumsum
+    * windows run over the ≤ maxVocab frame. The coverage denominator is
+    * the TOTAL token count (a 1-row broadcast), so dropped-tail mass is
+    * visible as the gap below 1.0, not silently renormalized away.
+    */
+  def buildVocabulary(df: DataFrame, textCol: String, maxVocab: Int,
+      minCount: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxVocab >= 1, "maxVocab must be >= 1")
+    val counts = df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("n_total"))
+    val head = counts.filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("term")).limit(maxVocab)
+    val w = Window.orderBy(col("n").desc, col("term"))
+    head
+      .withColumn("token_id", row_number().over(w).cast("long") - 1L)
+      .withColumn("__cum", sum(col("n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("token_id"), col("term"), col("n"),
+        round(col("__cum") / col("n_total").cast("double"), 6)
+          .as("cum_coverage"))
+  }
+
   /** Sliding token-window chunking — the context-window builder of an LLM
     * pre-training pipeline: each document becomes ⌈len/stride⌉-ish chunks
     * of `chunkSize` tokens starting every `stride` tokens (overlapping

@@ -534,6 +534,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"EWMA must never globalize:\n$p")
   }
 
+  test("q170 vocab build: head cap is TakeOrdered, never a full-vocab sort") {
+    val p = finalPlan(SparkEntry.q170(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"vocab head is not top-k:\n$p")
+  }
+
   test("q160 curation pipeline: benchmark side broadcasts, sample is TakeOrdered") {
     val p = finalPlan(SparkEntry.q160(spark, dir))
     // decontamination: the benchmark shingle set must broadcast so the

@@ -138,6 +138,36 @@ class Wave6OpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_vecs")).sum == 3L)
   }
 
+  // ------------------------------------------------------------- vocab
+
+  test("buildVocabulary: ids, min-count filter, coverage vs FULL total") {
+    val df = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b d")
+    ).toDF("doc_id", "text")
+    val out = TextOps.buildVocabulary(df, "text", maxVocab = 10,
+      minCount = 2L).orderBy("token_id").collect()
+    // counts: a=4, b=3, c=1, d=1 → vocab = [a, b]; total tokens = 9
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((0L, "a", 4L), (1L, "b", 3L)))
+    assert(out(0).getAs[Double]("cum_coverage") ==
+      BigDecimal(4.0 / 9.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    assert(out(1).getAs[Double]("cum_coverage") ==
+      BigDecimal(7.0 / 9.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    // coverage gap below 1.0 shows the dropped tail (c, d)
+    assert(out.last.getAs[Double]("cum_coverage") < 1.0)
+  }
+
+  test("buildVocabulary: maxVocab caps; ties break on term") {
+    val df = Seq((1L, "z y x z y x")).toDF("doc_id", "text")
+    val out = TextOps.buildVocabulary(df, "text", maxVocab = 2, minCount = 1L)
+      .orderBy("token_id").collect()
+    // all counts 2 → lexicographic: x, y
+    assert(out.map(_.getString(1)).toSeq == Seq("x", "y"))
+  }
+
   // ------------------------------------------------------------- containment
 
   test("containmentPairs: catches doc-inside-doc that Jaccard misses") {
