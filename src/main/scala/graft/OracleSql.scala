@@ -1937,6 +1937,38 @@ object OracleSql {
     // text modulo the token-explode idiom)
     "q167_sql_bm25" -> q161Bm25Sql,
 
+    // n-gram language ID: trigram profiles + overlap argmax replayed on
+    // exact integers; argmax = rank-1 row over (matches desc, lang)
+    "q171_ngram_langid" ->
+      """WITH tris AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(
+        |      range(1, GREATEST(length(text) - 2, 1) + 1),
+        |      i -> substring(text, CAST(i AS INT), 3))) AS tri
+        |  FROM documents),
+        |profiles AS (
+        |  SELECT lang AS plang, tri FROM (
+        |    SELECT lang, tri, ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY COUNT(*) DESC, tri) AS r
+        |    FROM tris GROUP BY lang, tri)
+        |  WHERE r <= 20),
+        |doctris AS (SELECT DISTINCT doc_id, tri FROM tris),
+        |matches AS (
+        |  SELECT d.doc_id, p.plang, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM doctris d JOIN profiles p USING (tri)
+        |  GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, plang, n FROM (
+        |    SELECT doc_id, plang, n, ROW_NUMBER() OVER (
+        |      PARTITION BY doc_id ORDER BY n DESC, plang) AS r
+        |    FROM matches)
+        |  WHERE r = 1)
+        |SELECT d.doc_id, d.lang,
+        |  COALESCE(b.plang, 'und') AS lang_pred_ngram,
+        |  COALESCE(b.n, 0) AS n_profile_matches
+        |FROM documents d LEFT JOIN best b USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // vocabulary build: count/rank/cumsum replay; the coverage
     // denominator is the FULL token total, mirrored
     "q170_vocab_build" ->

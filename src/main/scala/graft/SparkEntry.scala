@@ -2562,6 +2562,19 @@ object SparkEntry {
     spark.sql(SqlText.bm25)
   }
 
+  // ---------------------------------------------------------------- q171
+  // Character n-gram profile language ID (Cavnar–Trenkle; the scale-up
+  // path q14's heuristic scaladoc promises): self-trained per-language
+  // trigram profiles (bounded |charset|³ keyspace → bounded rank
+  // window), broadcast profile join, per-doc argmax with lang tiebreak.
+  // (The synthetic fixture's lang labels are random word soup, so
+  // accuracy is chance — the operator's semantics, not the fixture's
+  // separability, are what the oracle checks.)
+  def q171(spark: SparkSession, dir: String): DataFrame =
+    TextOps.charNgramLangId(t(spark, dir, "documents"),
+      "doc_id", "lang", "text", topK = 20)
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- q170
   // Vocabulary construction (tokenizer-vocab builder): top-40 terms with
   // min-count 2, dense ids in (count desc, term) order, cumulative
@@ -2769,6 +2782,7 @@ object SparkEntry {
     "q168_containment" -> (q168 _),
     "q169_stream_ewma" -> (q169 _),
     "q170_vocab_build" -> (q170 _),
+    "q171_ngram_langid" -> (q171 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

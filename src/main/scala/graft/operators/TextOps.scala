@@ -371,6 +371,52 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Character n-gram profile language ID — the scale-up path
+    * [[withLangId]]'s scaladoc promises (Cavnar–Trenkle): per-language
+    * profiles = the `topK` most frequent character trigrams of the
+    * labeled corpus; a document's prediction is the language whose
+    * profile overlaps most of its distinct trigrams (ties break on the
+    * language code). Self-trained on the input's own label column and
+    * reported per document next to the truth label — the confusion feed.
+    *
+    * Scale posture: the char-trigram keyspace is bounded by |charset|³
+    * (unlike word vocabularies), so the per-language rank window runs
+    * over a BOUNDED frame; profiles are langs×topK rows — broadcast —
+    * and scoring is one distinct-trigram explode + a broadcast join +
+    * one doc-keyed argmax (min over the (−matches, lang) struct). All
+    * counts exact integers; fully oracle-replayable.
+    */
+  def charNgramLangId(df: DataFrame, idCol: String, langCol: String,
+      textCol: String, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tris = transform(
+      sequence(lit(1), greatest(length(col(textCol)) - 2, lit(1))),
+      i => col(textCol).substr(i, lit(3)))
+    val profiles = df
+      .select(col(langCol).as("__lang"), explode(tris).as("tri"))
+      .groupBy(col("__lang"), col("tri")).agg(count(lit(1)).as("__c"))
+      .withColumn("__r", row_number().over(Window.partitionBy(col("__lang"))
+        .orderBy(col("__c").desc, col("tri"))))
+      .filter(col("__r") <= topK)
+      .select(col("__lang"), col("tri"))
+    val docTris = df
+      .select(col(idCol), array_distinct(tris).as("__ts"))
+      .select(col(idCol), explode(col("__ts")).as("tri"))
+    val scored = docTris.join(broadcast(profiles), "tri")
+      .groupBy(col(idCol), col("__lang"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("__n")).as("__neg"), col("__lang").as("__l")))
+        .as("__best"))
+      .select(col(idCol), col("__best.__l").as("lang_pred_ngram"),
+        (-col("__best.__neg")).as("n_profile_matches"))
+    df.select(col(idCol), col(langCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), col(langCol),
+        coalesce(col("lang_pred_ngram"), lit("und")).as("lang_pred_ngram"),
+        coalesce(col("n_profile_matches"), lit(0L)).as("n_profile_matches"))
+  }
+
   /** Vocabulary construction — the tokenizer-vocab builder of a training
     * pipeline: the `maxVocab` most frequent terms (with at least
     * `minCount` occurrences) get dense ids in (count desc, term asc)
