@@ -1937,6 +1937,33 @@ object OracleSql {
     // text modulo the token-explode idiom)
     "q167_sql_bm25" -> q161Bm25Sql,
 
+    // mixture weights: n^tau as explicit exp(tau ln n), rounded powers
+    // summed through exact decimals (order-free denominator)
+    "q172_mixture_weights" ->
+      """WITH d AS (
+        |  SELECT source, len(string_split(trim(text), ' ')) AS n_tok
+        |  FROM documents),
+        |per AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY 1),
+        |pw AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    ROUND(EXP(CAST(0.7 AS DOUBLE) *
+        |      LN(CAST(n_tokens AS DOUBLE))), 6) AS p6
+        |  FROM per),
+        |tot AS (
+        |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
+        |    SUM(CAST(p6 AS DECIMAL(28,6))) AS tot_pow
+        |  FROM pw)
+        |SELECT source, n_docs, n_tokens,
+        |  ROUND(n_tokens / CAST(tot AS DOUBLE), 6) AS p_raw,
+        |  ROUND(p6 / CAST(tot_pow AS DOUBLE), 6) AS mix_weight,
+        |  ROUND(CAST(1000000.0 AS DOUBLE) * (p6 / CAST(tot_pow AS DOUBLE)) /
+        |    CAST(n_tokens AS DOUBLE), 6) AS epochs_at_budget
+        |FROM pw CROSS JOIN tot
+        |ORDER BY source""".stripMargin,
+
     // n-gram language ID: trigram profiles + overlap argmax replayed on
     // exact integers; argmax = rank-1 row over (matches desc, lang)
     "q171_ngram_langid" ->

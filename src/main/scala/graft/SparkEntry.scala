@@ -2562,6 +2562,18 @@ object SparkEntry {
     spark.sql(SqlText.bm25)
   }
 
+  // ---------------------------------------------------------------- q172
+  // Temperature-scaled mixture weights (the data-mixture card):
+  // per-source token mass → w = n^0.7/Σn^0.7 (flattened toward uniform)
+  // + epochs-at-budget, the overfit-risk column. n^τ = exp(τ·ln n)
+  // explicitly on both engines; the denominator sums rounded powers
+  // through exact decimals.
+  def q172(spark: SparkSession, dir: String): DataFrame =
+    SplitOps.mixtureWeights(
+      TextOps.withTokenStats(t(spark, dir, "documents"), "text"),
+      "source", "n_tokens", temperature = 0.7, tokenBudget = 1000000L)
+      .orderBy(col("source"))
+
   // ---------------------------------------------------------------- q171
   // Character n-gram profile language ID (Cavnar–Trenkle; the scale-up
   // path q14's heuristic scaladoc promises): self-trained per-language
@@ -2783,6 +2795,7 @@ object SparkEntry {
     "q169_stream_ewma" -> (q169 _),
     "q170_vocab_build" -> (q170 _),
     "q171_ngram_langid" -> (q171 _),
+    "q172_mixture_weights" -> (q172 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -158,4 +158,37 @@ object SplitOps {
     }
     df.filter(hashBucket(col(idCol), 1000) < threshold)
   }
+
+  /** Temperature-scaled corpus mixture weights — the data-mixture card of
+    * a pre-training run: source s gets sampling weight
+    * wₛ = nₛ^τ / Σₜ nₜ^τ over its token mass, flattening the natural
+    * distribution toward uniform as τ → 0 (the multilingual-sampling
+    * temperature trick). Also reports each source's epochs at a token
+    * budget (budget·wₛ / nₛ — how many passes over a small source the
+    * mixture implies, the overfit-risk column reviewers read first).
+    *
+    * Portability: n^τ is exp(τ·ln n) explicitly on both engines; the
+    * denominator sums the ROUNDED powers through exact decimals so it is
+    * addition-order-free. One aggregation over the per-source frame
+    * (sources are few by construction — the frame is broadcast-sized).
+    */
+  def mixtureWeights(df: DataFrame, sourceCol: String, tokenCol: String,
+      temperature: Double, tokenBudget: Long): DataFrame = {
+    require(temperature > 0 && temperature <= 1,
+      s"temperature must be in (0,1], got $temperature")
+    val perSource = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokenCol)).as("n_tokens"))
+    val powT = round(
+      exp(lit(temperature) * log(col("n_tokens").cast("double"))), 6)
+    val totals = perSource
+      .agg(sum(col("n_tokens")).as("__tot"),
+        sum(powT.cast("decimal(28,6)")).as("__tot_pow"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("__tot").cast("double"), 6).as("p_raw"),
+        round(powT / col("__tot_pow").cast("double"), 6).as("mix_weight"),
+        round(lit(tokenBudget.toDouble) *
+          (powT / col("__tot_pow").cast("double")) /
+          col("n_tokens").cast("double"), 6).as("epochs_at_budget"))
+  }
 }

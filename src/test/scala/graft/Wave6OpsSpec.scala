@@ -138,6 +138,32 @@ class Wave6OpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_vecs")).sum == 3L)
   }
 
+  // ------------------------------------------------------------- mixture
+
+  test("mixtureWeights: temperature flattens toward uniform; τ=1 is raw") {
+    import graft.operators.SplitOps
+    // source a: 9 tokens across docs; source b: 1 token
+    val df = Seq(
+      ("a", 4L), ("a", 5L), ("b", 1L)
+    ).toDF("source", "n_tokens")
+    def weights(tau: Double) =
+      SplitOps.mixtureWeights(df, "source", "n_tokens", tau, 100L)
+        .orderBy("source").collect()
+        .map(r => r.getString(0) -> r.getAs[Double]("mix_weight")).toMap
+    val w1 = weights(1.0)
+    assert(approx(w1("a"), 0.9, 1e-5) && approx(w1("b"), 0.1, 1e-5), w1)
+    val wLow = weights(0.3)
+    // flattening: the dominant source's share shrinks, the rare one grows
+    assert(wLow("a") < w1("a") && wLow("b") > w1("b"), (w1, wLow))
+    // epochs at budget: a 100-token budget over source b (1 token) at
+    // weight w means w·100 passes over it
+    val rows = SplitOps.mixtureWeights(df, "source", "n_tokens", 1.0, 100L)
+      .orderBy("source").collect()
+    val b = rows.find(_.getString(0) == "b").get
+    assert(approx(b.getAs[Double]("epochs_at_budget"),
+      b.getAs[Double]("mix_weight") * 100.0, 1e-4), b)
+  }
+
   // ------------------------------------------------------------- lang ID
 
   test("charNgramLangId: separable alphabets predict correctly") {
