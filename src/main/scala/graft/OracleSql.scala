@@ -1937,6 +1937,31 @@ object OracleSql {
     // text modulo the token-explode idiom)
     "q167_sql_bm25" -> q161Bm25Sql,
 
+    // source overlap: distinct (source, shingle) self-join at source
+    // grain (n_sources² output), exact counts
+    "q173_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, string_split(trim(text), ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source AS src, sh FROM (
+        |    SELECT source, unnest(CASE WHEN len(tk) >= 3
+        |      THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+        |      ELSE [array_to_string(tk, ' ')] END) AS sh
+        |    FROM toks)),
+        |sizes AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+        |shared AS (
+        |  SELECT a.src AS src_a, b.src AS src_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.src < b.src
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_shared,
+        |  ROUND(n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6)
+        |    AS src_jaccard
+        |FROM shared
+        |JOIN sizes sa ON sa.src = src_a
+        |JOIN sizes sb ON sb.src = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
+
     // mixture weights: n^tau as explicit exp(tau ln n), rounded powers
     // summed through exact decimals (order-free denominator)
     "q172_mixture_weights" ->

@@ -2562,6 +2562,16 @@ object SparkEntry {
     spark.sql(SqlText.bm25)
   }
 
+  // ---------------------------------------------------------------- q173
+  // Cross-source overlap matrix: which sources mirror each other, at
+  // shingle grain, BEFORE any per-document dedup — shingles collapse to
+  // their (bounded, small) source set, pairs explode from that set,
+  // output ≤ n_sources² rows.
+  def q173(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.sourceOverlapMatrix(t(spark, dir, "documents"),
+      "source", "text", shingleSize = 3)
+      .orderBy(col("src_a"), col("src_b"))
+
   // ---------------------------------------------------------------- q172
   // Temperature-scaled mixture weights (the data-mixture card):
   // per-source token mass → w = n^0.7/Σn^0.7 (flattened toward uniform)
@@ -2796,6 +2806,7 @@ object SparkEntry {
     "q170_vocab_build" -> (q170 _),
     "q171_ngram_langid" -> (q171 _),
     "q172_mixture_weights" -> (q172 _),
+    "q173_source_overlap" -> (q173 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -138,6 +138,23 @@ class Wave6OpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_vecs")).sum == 3L)
   }
 
+  // ------------------------------------------------------------- source overlap
+
+  test("sourceOverlapMatrix: mirrors score 1.0, disjoint pairs absent") {
+    import graft.operators.DedupOps
+    val mirrorText = (1 to 30).map(i => s"m$i").mkString(" ")
+    val df = Seq(
+      ("a", mirrorText), ("b", mirrorText),              // a mirrors b
+      ("c", (100 to 130).map(i => s"c$i").mkString(" ")) // disjoint
+    ).toDF("source", "text")
+    val out = DedupOps.sourceOverlapMatrix(df, "source", "text", 3)
+      .collect()
+    assert(out.length == 1) // only (a,b) share anything
+    val r = out.head
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getAs[Double]("src_jaccard") == 1.0)
+  }
+
   // ------------------------------------------------------------- mixture
 
   test("mixtureWeights: temperature flattens toward uniform; τ=1 is raw") {
