@@ -1937,6 +1937,32 @@ object OracleSql {
     // text modulo the token-explode idiom)
     "q167_sql_bm25" -> q161Bm25Sql,
 
+    // rolling z-score: exact decimal window sums, double variance after
+    // one cast; CASE mirrors the null-below-2-priors / zero-variance path
+    "q174_rolling_zscore" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    COUNT(CAST(value AS DECIMAL(28,4))) OVER w AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER w AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(38,8))) OVER w AS DOUBLE)
+        |      AS s2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN n >= 2 AND
+        |        (n * s2 - s1 * s1) / (n * (n - CAST(1.0 AS DOUBLE))) > 0
+        |      THEN ROUND((value - s1 / n) /
+        |        SQRT((n * s2 - s1 * s1) / (n * (n - CAST(1.0 AS DOUBLE)))),
+        |        6) END AS z_score
+        |  FROM s)
+        |SELECT user_id, ts, event_id, value, z_score,
+        |  CASE WHEN z_score IS NOT NULL THEN ABS(z_score) > 3.0 END
+        |    AS is_anomaly
+        |FROM z
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
     // source overlap: distinct (source, shingle) self-join at source
     // grain (n_sources² output), exact counts
     "q173_source_overlap" ->

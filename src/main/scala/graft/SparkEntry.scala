@@ -2562,6 +2562,16 @@ object SparkEntry {
     spark.sql(SqlText.bm25)
   }
 
+  // ---------------------------------------------------------------- q174
+  // Rolling z-score anomaly flags per user over the event stream —
+  // self-exclusive 20-row lookback, |z| > 3 flags. Exact decimal sums
+  // over the bounded ROWS frame; null z (never divide-by-zero) below 2
+  // priors or at zero variance.
+  def q174(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.rollingZScore(t(spark, dir, "events"),
+      "user_id", "ts", "event_id", "value", window = 20, threshold = 3.0)
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+
   // ---------------------------------------------------------------- q173
   // Cross-source overlap matrix: which sources mirror each other, at
   // shingle grain, BEFORE any per-document dedup — shingles collapse to
@@ -2807,6 +2817,7 @@ object SparkEntry {
     "q171_ngram_langid" -> (q171 _),
     "q172_mixture_weights" -> (q172 _),
     "q173_source_overlap" -> (q173 _),
+    "q174_rolling_zscore" -> (q174 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

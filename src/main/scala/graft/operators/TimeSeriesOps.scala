@@ -242,6 +242,42 @@ object TimeSeriesOps {
             col("__tn").cast("double"), 4).as("sse_nosplit"))
   }
 
+  /** Rolling z-score anomaly flags per key: each observation scored
+    * against the mean/stddev of the `window` observations strictly BEFORE
+    * it (self-exclusive — a spike must not mask itself), flagged when
+    * |z| exceeds `threshold`. Sums accumulate as exact decimals over the
+    * bounded ROWS frame, so the statistics are partition-order-free; the
+    * variance uses the (n·Σx² − (Σx)²)/(n·(n−1)) sample form computed in
+    * doubles AFTER the exact accumulation. Rows with fewer than 2 prior
+    * observations (or zero variance) emit a null z — never a
+    * divide-by-zero.
+    */
+  def rollingZScore(df: DataFrame, keyCol: String, tsCol: String,
+      tiebreak: String, valCol: String, window: Int,
+      threshold: Double): DataFrame = {
+    require(window >= 2, "window must be >= 2")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tiebreak))
+      .rowsBetween(-window, -1)
+    val x = col(valCol).cast("decimal(28,4)")
+    val n = count(x).over(w)
+    val s1 = sum(x).over(w).cast("double")
+    // square in DOUBLE first (IEEE, engine-identical), then accumulate
+    // exactly — a decimal×decimal square overflows precision 38 and the
+    // two engines' overflow rules differ (the changepoint precedent)
+    val s2 = sum((col(valCol) * col(valCol)).cast("decimal(38,8)"))
+      .over(w).cast("double")
+    val nD = n.cast("double")
+    val mean = s1 / nD
+    val varS = (nD * s2 - s1 * s1) / (nD * (nD - lit(1.0)))
+    val z = when(n >= 2 && varS > 0.0,
+      round((col(valCol) - mean) / sqrt(varS), 6))
+    df.select(col(keyCol), col(tsCol), col(tiebreak), col(valCol),
+        z.as("z_score"))
+      .withColumn("is_anomaly",
+        when(col("z_score").isNotNull, abs(col("z_score")) > threshold))
+  }
+
   /** Bounded-window exponentially weighted moving average per key: for
     * each row, the weighted mean of its last `window` observations with
     * geometric weights (1−α)^j, normalized over the weights actually

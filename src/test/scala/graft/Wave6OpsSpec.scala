@@ -138,6 +138,38 @@ class Wave6OpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_vecs")).sum == 3L)
   }
 
+  // ------------------------------------------------------------- rolling z
+
+  test("rollingZScore: self-exclusive window flags the spike, not itself") {
+    val rows = (1 to 10).map(i => (1L, i, i.toLong, 10.0)) :+
+      (1L, 11, 11L, 100.0) // spike
+    val out = TimeSeriesOps.rollingZScore(
+      rows.toDF("user_id", "ts", "event_id", "value"),
+      "user_id", "ts", "event_id", "value", window = 5, threshold = 3.0)
+      .orderBy("ts").collect()
+    // constant history → zero variance → null z until the spike arrives
+    assert(out.take(10).forall(_.isNullAt(out.head.fieldIndex("z_score"))))
+    // the spike itself is scored against the CONSTANT prior window —
+    // zero variance there too → null (the spike can't mask itself, and
+    // zero-variance never divides)
+    assert(out(10).isNullAt(out(10).fieldIndex("z_score")))
+    // now a noisy history: the spike gets a huge positive z
+    val noisy = Seq(
+      (2L, 1, 1L, 9.0), (2L, 2, 2L, 10.0), (2L, 3, 3L, 11.0),
+      (2L, 4, 4L, 10.0), (2L, 5, 5L, 9.5),
+      (2L, 6, 6L, 100.0))
+    val out2 = TimeSeriesOps.rollingZScore(
+      noisy.toDF("user_id", "ts", "event_id", "value"),
+      "user_id", "ts", "event_id", "value", window = 5, threshold = 3.0)
+      .orderBy("ts").collect()
+    val spike = out2.last
+    assert(spike.getAs[Boolean]("is_anomaly"))
+    assert(spike.getAs[Double]("z_score") > 50.0)
+    // first two rows: fewer than 2 priors → null
+    assert(out2(0).isNullAt(out2(0).fieldIndex("z_score")))
+    assert(out2(1).isNullAt(out2(1).fieldIndex("z_score")))
+  }
+
   // ------------------------------------------------------------- source overlap
 
   test("sourceOverlapMatrix: mirrors score 1.0, disjoint pairs absent") {
