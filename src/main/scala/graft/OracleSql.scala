@@ -1937,6 +1937,38 @@ object OracleSql {
     // text modulo the token-explode idiom)
     "q167_sql_bm25" -> q161Bm25Sql,
 
+    // quality gate: kth-smallest = ORDER BY LIMIT/OFFSET on the same
+    // micro-integer scores; k = ceil(n/10) lower-convention percentiles
+    "q175_quality_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, CAST(ROUND(
+        |    ROUND(LEAST(len(toks) / 100.0, 1.0) *
+        |      (1.0 - len(list_filter(toks, x -> x = 'the' OR x = 'a')) /
+        |        CAST(len(toks) AS DOUBLE)), 6) * 1000000.0, 0) AS BIGINT)
+        |    AS q_micro
+        |  FROM t),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM q),
+        |ranked AS (
+        |  SELECT q_micro, ROW_NUMBER() OVER (ORDER BY q_micro) AS r FROM q),
+        |p10 AS (
+        |  SELECT q_micro AS p10_micro FROM ranked, n
+        |  WHERE r = (n_docs + 9) // 10),
+        |p90 AS (
+        |  SELECT q_micro AS p90_micro FROM ranked, n
+        |  WHERE r = (9 * n_docs + 9) // 10)
+        |SELECT n.n_docs, p10.p10_micro, p90.p90_micro,
+        |  CAST(SUM(CASE WHEN q_micro < p10_micro THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_below,
+        |  CAST(SUM(CASE WHEN q_micro >= p10_micro AND q_micro <= p90_micro
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_core,
+        |  CAST(SUM(CASE WHEN q_micro > p90_micro THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_above
+        |FROM q CROSS JOIN n CROSS JOIN p10 CROSS JOIN p90
+        |GROUP BY 1, 2, 3""".stripMargin,
+
     // rolling z-score: exact decimal window sums, double variance after
     // one cast; CASE mirrors the null-below-2-priors / zero-variance path
     "q174_rolling_zscore" ->

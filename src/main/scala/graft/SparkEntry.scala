@@ -2562,6 +2562,36 @@ object SparkEntry {
     spark.sql(SqlText.bm25)
   }
 
+  // ---------------------------------------------------------------- q175
+  // Percentile quality gate — THE corpus-curation cut: exact p10/p90 of
+  // the quality score found by counting binary search (q129's no-sort
+  // machinery; ~34 cheap scans, never a global sort), then the corpus
+  // banded below/core/above. Scores scale to micro-integers first so
+  // the search runs on exact longs. Output is one driver-sized card.
+  def q175(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = TextOps.withQuality(
+        t(spark, dir, "documents"), "text", Seq("the", "a"))
+      .select(col("doc_id"),
+        round(col("quality_score") * 1000000.0, 0).cast("long").as("q_micro"))
+      .persist()
+    try {
+      val n = scored.count()
+      val k10 = (n + 9) / 10
+      val k90 = (9 * n + 9) / 10
+      val p10 = RobustStats.kthSmallestByCounting(scored, "q_micro", k10)
+      val p90 = RobustStats.kthSmallestByCounting(scored, "q_micro", k90)
+      val bands = scored.agg(
+        sum(when(col("q_micro") < p10, 1L).otherwise(0L)),
+        sum(when(col("q_micro") >= p10 && col("q_micro") <= p90, 1L)
+          .otherwise(0L)),
+        sum(when(col("q_micro") > p90, 1L).otherwise(0L))).head()
+      Seq((n, p10, p90, bands.getLong(0), bands.getLong(1), bands.getLong(2)))
+        .toDF("n_docs", "p10_micro", "p90_micro",
+          "n_below", "n_core", "n_above")
+    } finally { scored.unpersist(); () }
+  }
+
   // ---------------------------------------------------------------- q174
   // Rolling z-score anomaly flags per user over the event stream —
   // self-exclusive 20-row lookback, |z| > 3 flags. Exact decimal sums
@@ -2818,6 +2848,7 @@ object SparkEntry {
     "q172_mixture_weights" -> (q172 _),
     "q173_source_overlap" -> (q173 _),
     "q174_rolling_zscore" -> (q174 _),
+    "q175_quality_gate" -> (q175 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

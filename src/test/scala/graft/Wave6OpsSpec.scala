@@ -138,6 +138,19 @@ class Wave6OpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_vecs")).sum == 3L)
   }
 
+  // ------------------------------------------------------------- quality gate
+
+  test("q175 bands partition the corpus and respect the percentile cuts") {
+    val out = SparkEntry.q175(spark, "/root/testdata/sf0.001").collect().head
+    val n = out.getAs[Long]("n_docs")
+    assert(n == 500L)
+    assert(out.getAs[Long]("n_below") + out.getAs[Long]("n_core") +
+      out.getAs[Long]("n_above") == n)
+    // lower-convention percentiles: at most k-1 strictly below the kth
+    assert(out.getAs[Long]("n_below") <= (n + 9) / 10 - 1)
+    assert(out.getAs[Long]("p10_micro") <= out.getAs[Long]("p90_micro"))
+  }
+
   // ------------------------------------------------------------- rolling z
 
   test("rollingZScore: self-exclusive window flags the spike, not itself") {
