@@ -1937,6 +1937,36 @@ object OracleSql {
     // text modulo the token-explode idiom)
     "q167_sql_bm25" -> q161Bm25Sql,
 
+    // seasonal strength: the ANOVA identity on per-(user,hour)
+    // exact-decimal sufficient statistics; per-hour terms rounded then
+    // summed exactly (order-free)
+    "q176_seasonal_strength" ->
+      """WITH byh AS (
+        |  SELECT user_id, date_part('hour', ts) AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS n_h,
+        |    SUM(CAST(value AS DECIMAL(28,4))) AS s_h,
+        |    SUM(CAST(value * value AS DECIMAL(38,8))) AS q_h
+        |  FROM events GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT user_id,
+        |    CAST(SUM(n_h) AS BIGINT) AS n_events,
+        |    CAST(COUNT(*) AS BIGINT) AS n_hours_active,
+        |    CAST(SUM(s_h) AS DOUBLE) AS s,
+        |    CAST(SUM(q_h) AS DOUBLE) AS q,
+        |    CAST(SUM(CAST(ROUND(
+        |      (CAST(s_h AS DOUBLE) * CAST(s_h AS DOUBLE)) /
+        |        CAST(n_h AS DOUBLE), 6) AS DECIMAL(28,6))) AS DOUBLE) AS w
+        |  FROM byh GROUP BY 1)
+        |SELECT user_id, n_events, n_hours_active,
+        |  ROUND(q - s * s / CAST(n_events AS DOUBLE), 4) AS sse_total,
+        |  ROUND(q - w, 4) AS sse_within,
+        |  CASE WHEN ROUND(q - s * s / CAST(n_events AS DOUBLE), 4) > 0
+        |    THEN ROUND(CAST(1.0 AS DOUBLE) -
+        |      (q - w) / (q - s * s / CAST(n_events AS DOUBLE)), 6) END
+        |    AS seasonal_strength
+        |FROM agg
+        |ORDER BY user_id""".stripMargin,
+
     // quality gate: kth-smallest = ORDER BY LIMIT/OFFSET on the same
     // micro-integer scores; k = ceil(n/10) lower-convention percentiles
     "q175_quality_gate" ->

@@ -2562,6 +2562,16 @@ object SparkEntry {
     spark.sql(SqlText.bm25)
   }
 
+  // ---------------------------------------------------------------- q176
+  // Seasonality strength per user: does the hour-of-day profile explain
+  // the value variance (1 − SSE_within/SSE_total on the seasonal-naive
+  // model)? Pure sufficient-statistics ANOVA — two hash aggregations,
+  // no windows, no per-event residual frame.
+  def q176(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.seasonalStrength(t(spark, dir, "events"),
+      "user_id", "ts", "value")
+      .orderBy(col("user_id"))
+
   // ---------------------------------------------------------------- q175
   // Percentile quality gate — THE corpus-curation cut: exact p10/p90 of
   // the quality score found by counting binary search (q129's no-sort
@@ -2849,6 +2859,7 @@ object SparkEntry {
     "q173_source_overlap" -> (q173 _),
     "q174_rolling_zscore" -> (q174 _),
     "q175_quality_gate" -> (q175 _),
+    "q176_seasonal_strength" -> (q176 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

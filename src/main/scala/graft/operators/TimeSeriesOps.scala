@@ -242,6 +242,53 @@ object TimeSeriesOps {
             col("__tn").cast("double"), 4).as("sse_nosplit"))
   }
 
+  /** Seasonal-naive decomposition strength per key: how much of a key's
+    * variance the hour-of-day profile explains —
+    * strength = 1 − SSE_within / SSE_total, where SSE_within pools the
+    * per-(key, hour) residual sum of squares and SSE_total is the key's
+    * plain sum of squares (the forecasting-literature "strength of
+    * seasonality" on the seasonal-naive model). strength ≈ 0 ⇒ the
+    * diurnal profile is noise; ≈ 1 ⇒ the key is pure clockwork.
+    *
+    * No per-event residual is ever materialized: the ANOVA identity
+    * SSE_within = Σx² − Σ_h S_h²/n_h turns the whole decomposition into
+    * per-(key, hour) exact-decimal sufficient statistics — two hash
+    * aggregations, zero windows, zero joins beyond the hour rollup. The
+    * ≤ 24 per-hour terms accumulate as rounded decimals (order-free);
+    * zero-variance keys emit a null strength.
+    */
+  def seasonalStrength(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val byHour = df
+      .groupBy(col(keyCol), hour(col(tsCol)).as("__h"))
+      .agg(
+        count(lit(1)).as("__n_h"),
+        sum(col(valCol).cast("decimal(28,4)")).as("__s_h"),
+        sum((col(valCol) * col(valCol)).cast("decimal(38,8)")).as("__q_h"))
+    byHour
+      .groupBy(col(keyCol))
+      .agg(
+        sum(col("__n_h")).as("n_events"),
+        count(lit(1)).as("n_hours_active"),
+        sum(col("__s_h")).cast("double").as("__s"),
+        sum(col("__q_h")).cast("double").as("__q"),
+        // Σ_h S_h²/n_h: each hour's term rounded then summed exactly
+        sum(round((col("__s_h").cast("double") * col("__s_h").cast("double"))
+            / col("__n_h").cast("double"), 6).cast("decimal(28,6)"))
+          .cast("double").as("__w"))
+      .withColumn("sse_total",
+        round(col("__q") - col("__s") * col("__s") /
+          col("n_events").cast("double"), 4))
+      .withColumn("sse_within", round(col("__q") - col("__w"), 4))
+      .withColumn("seasonal_strength",
+        when(col("sse_total") > 0.0,
+          round(lit(1.0) - (col("__q") - col("__w")) /
+            (col("__q") - col("__s") * col("__s") /
+              col("n_events").cast("double")), 6)))
+      .select(col(keyCol), col("n_events"), col("n_hours_active"),
+        col("sse_total"), col("sse_within"), col("seasonal_strength"))
+  }
+
   /** Rolling z-score anomaly flags per key: each observation scored
     * against the mean/stddev of the `window` observations strictly BEFORE
     * it (self-exclusive — a spike must not mask itself), flagged when

@@ -138,6 +138,39 @@ class Wave6OpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_vecs")).sum == 3L)
   }
 
+  // ------------------------------------------------------------- seasonality
+
+  test("seasonalStrength: clockwork ≈ 1, hour-independent noise ≈ 0") {
+    import java.sql.Timestamp
+    // user 1: value is a pure function of hour → within-hour SSE = 0
+    val clockwork = for (d <- 1 to 5; h <- 0 until 24)
+      yield (1L, Timestamp.valueOf(f"2024-01-0$d $h%02d:00:00"),
+        (h % 4) * 10.0)
+    // user 2: value varies within every hour identically → no seasonal
+    // signal (each hour has the same {0, 8} spread)
+    val noise = for (d <- 1 to 5; h <- 0 until 24)
+      yield (2L, Timestamp.valueOf(f"2024-01-0$d $h%02d:${d % 2}0:00"),
+        if (d % 2 == 0) 8.0 else 0.0)
+    val df = (clockwork ++ noise).toDF("user_id", "ts", "value")
+    val out = TimeSeriesOps.seasonalStrength(df, "user_id", "ts", "value")
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[Double]("seasonal_strength")).toMap
+    assert(out(1L) == 1.0, out)
+    assert(math.abs(out(2L)) < 0.2, out) // ≈ 0 (small-sample wobble only)
+  }
+
+  test("seasonalStrength: zero-variance key emits null, not a division") {
+    import java.sql.Timestamp
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 01:00:00"), 5.0),
+      (1L, Timestamp.valueOf("2024-01-01 02:00:00"), 5.0)
+    ).toDF("user_id", "ts", "value")
+    val out = TimeSeriesOps.seasonalStrength(df, "user_id", "ts", "value")
+      .collect().head
+    assert(out.isNullAt(out.fieldIndex("seasonal_strength")))
+    assert(out.getAs[Double]("sse_total") == 0.0)
+  }
+
   // ------------------------------------------------------------- quality gate
 
   test("q175 bands partition the corpus and respect the percentile cuts") {
