@@ -1445,6 +1445,56 @@ object OracleSql {
 
     "q113_psi_drift" -> psiSql,
 
+    // Jensen–Shannon drift: same time-split cells and smoothing as PSI,
+    // symmetric bounded divergence; ln2 as an explicit shared double
+    // literal (libm ln(2) parity across engines is not a given)
+    "q177_js_divergence" ->
+      """WITH rng AS (
+        |  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, value, epoch_us(ts) * 2 < mn + mx AS is_ref
+        |  FROM events, rng),
+        |b AS (
+        |  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+        |  FROM w WHERE is_ref GROUP BY event_type),
+        |binned AS (
+        |  SELECT w.event_type, is_ref,
+        |    CASE WHEN (hi - lo) / 10.0 = 0 THEN 0
+        |         ELSE LEAST(9, GREATEST(0, CAST(FLOOR(
+        |           (value - lo) / ((hi - lo) / 10.0)) AS INTEGER))) END AS bin
+        |  FROM w JOIN b ON w.event_type = b.event_type),
+        |cells AS (
+        |  SELECT event_type, bin,
+        |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS r,
+        |    SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS c
+        |  FROM binned GROUP BY event_type, bin),
+        |tot AS (
+        |  SELECT event_type, SUM(r) AS nref, SUM(c) AS ncur
+        |  FROM cells GROUP BY event_type),
+        |js AS (
+        |  SELECT cells.event_type,
+        |    CAST(MAX(nref) AS BIGINT) AS n_ref,
+        |    CAST(MAX(ncur) AS BIGINT) AS n_cur,
+        |    ROUND(GREATEST(CAST(SUM(CAST(
+        |      0.5 * (
+        |        ((r + 0.5) / (nref + 5.0)) *
+        |          LN(((r + 0.5) / (nref + 5.0)) /
+        |            ((((r + 0.5) / (nref + 5.0)) +
+        |              ((c + 0.5) / (ncur + 5.0))) / 2.0)) +
+        |        ((c + 0.5) / (ncur + 5.0)) *
+        |          LN(((c + 0.5) / (ncur + 5.0)) /
+        |            ((((r + 0.5) / (nref + 5.0)) +
+        |              ((c + 0.5) / (ncur + 5.0))) / 2.0)))
+        |      AS DECIMAL(28,12))) AS DOUBLE), CAST(0.0 AS DOUBLE)), 6)
+        |      AS js_nats
+        |  FROM cells JOIN tot ON cells.event_type = tot.event_type
+        |  GROUP BY cells.event_type)
+        |SELECT event_type, n_ref, n_cur, js_nats,
+        |  ROUND(SQRT(js_nats / 0.6931471805599453), 6) AS js_distance
+        |FROM js
+        |ORDER BY event_type""".stripMargin,
+
     // the streaming monitor CONVERGES to the batch PSI on a bounded
     // replay — its oracle is the batch query itself (q70/q73 pattern)
     "q131_stream_psi" -> psiSql,

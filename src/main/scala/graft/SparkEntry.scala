@@ -2562,6 +2562,16 @@ object SparkEntry {
     spark.sql(SqlText.bm25)
   }
 
+  // ---------------------------------------------------------------- q177
+  // Jensen–Shannon drift per event_type — the symmetric, bounded (≤ln 2)
+  // member of the drift battery next to PSI (q113), KS (q115) and chi²
+  // (q100); js_distance = √(JS/ln 2) ∈ [0,1]. Same time-split binning
+  // and Laplace smoothing as PSI, same one-bin-keyed-aggregation shape.
+  def q177(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.jsDivergence(t(spark, dir, "events"),
+      "event_type", "ts", "value")
+      .orderBy(col("event_type"))
+
   // ---------------------------------------------------------------- q176
   // Seasonality strength per user: does the hour-of-day profile explain
   // the value variance (1 − SSE_within/SSE_total on the seasonal-naive
@@ -2860,6 +2870,7 @@ object SparkEntry {
     "q174_rolling_zscore" -> (q174 _),
     "q175_quality_gate" -> (q175 _),
     "q176_seasonal_strength" -> (q176 _),
+    "q177_js_divergence" -> (q177 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -31,7 +31,16 @@ object DriftOps {
     * shuffles once, on the (key, bin) grid.
     */
   def psiDrift(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
-      nBins: Int = 10): DataFrame = {
+      nBins: Int = 10): DataFrame =
+    psiFromCells(timeSplitCells(df, keyCol, tsCol, valCol, nBins),
+      keyCol, nBins)
+
+  /** First-half-vs-second-half binned counters per key — the shared
+    * front end of the drift battery ([[psiDrift]], [[jsDivergence]]):
+    * reference = first time half, bins fitted on the reference range.
+    */
+  private def timeSplitCells(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, nBins: Int): DataFrame = {
     val usCol = unix_micros(col(tsCol))
     val range = df.agg(
       min(usCol).as("__mn_us"), max(usCol).as("__mx_us"))
@@ -42,18 +51,48 @@ object DriftOps {
     val bounds = withWin.filter(col("__is_ref"))
       .groupBy(col(keyCol))
       .agg(min(col(valCol)).as("__lo"), max(col(valCol)).as("__hi"))
-    val binned = withWin
+    withWin
       .join(broadcast(bounds), keyCol)
       .withColumn("__w", (col("__hi") - col("__lo")) / lit(nBins.toDouble))
       .withColumn("__bin",
         when(col("__w") === 0.0, lit(0))
           .otherwise(least(lit(nBins - 1), greatest(lit(0),
             floor((col(valCol) - col("__lo")) / col("__w")).cast("int")))))
-    val cells = binned.groupBy(col(keyCol), col("__bin"))
+      .groupBy(col(keyCol), col("__bin"))
       .agg(
         sum(when(col("__is_ref"), 1L).otherwise(0L)).as("__ref"),
         sum(when(!col("__is_ref"), 1L).otherwise(0L)).as("__cur"))
-    psiFromCells(cells, keyCol, nBins)
+  }
+
+  /** Jensen–Shannon divergence per key over the same time-split binned
+    * cells as [[psiDrift]] — the symmetric, BOUNDED (≤ ln 2) member of
+    * the drift battery, preferable when either window can be empty in a
+    * bin (KL/PSI explode, JS does not). Laplace smoothing identical to
+    * PSI's; per-bin contributions round-trip through exact decimals
+    * (order-free); `js_distance` = √(JS/ln 2) ∈ [0,1] is the metric
+    * form. Same scale shape as PSI: one bin-keyed aggregation, tiny
+    * broadcast totals.
+    */
+  def jsDivergence(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, nBins: Int = 10): DataFrame = {
+    val cells = timeSplitCells(df, keyCol, tsCol, valCol, nBins)
+    val totals = cells.groupBy(col(keyCol))
+      .agg(sum(col("__ref")).as("__nref"), sum(col("__cur")).as("__ncur"))
+    val smooth = lit(0.5 * nBins)
+    val pr = (col("__ref") + 0.5) / (col("__nref") + smooth)
+    val pc = (col("__cur") + 0.5) / (col("__ncur") + smooth)
+    val m = (pr + pc) / lit(2.0)
+    val contrib = lit(0.5) * (pr * log(pr / m) + pc * log(pc / m))
+    cells.join(broadcast(totals), keyCol)
+      .withColumn("__contrib", contrib.cast("decimal(28,12)"))
+      .groupBy(col(keyCol))
+      .agg(
+        sum(col("__ref")).as("n_ref"),
+        sum(col("__cur")).as("n_cur"),
+        round(greatest(sum(col("__contrib")).cast("double"), lit(0.0)), 6)
+          .as("js_nats"))
+      .withColumn("js_distance",
+        round(sqrt(col("js_nats") / lit(math.log(2.0))), 6))
   }
 
   /** PSI finishing arithmetic over a (key, bin, __ref, __cur) counter

@@ -138,6 +138,30 @@ class Wave6OpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_vecs")).sum == 3L)
   }
 
+  // ------------------------------------------------------------- JS drift
+
+  test("jsDivergence: identical halves ≈ 0, disjoint halves near ln 2, bounded") {
+    import java.sql.Timestamp
+    import graft.operators.DriftOps
+    def ts(day: Int, i: Int) =
+      Timestamp.valueOf(f"2024-01-$day%02d ${i % 24}%02d:00:00")
+    // key "same": both halves uniform over the same values
+    val same = (0 until 48).map(i =>
+      ("same", ts(1 + i / 24, i), (i % 10).toDouble))
+    // key "shift": first half in [0,10), second half at 9.99 (one bin,
+    // disjoint from most reference mass)
+    val shift = (0 until 24).map(i => ("shift", ts(1, i), (i % 10).toDouble)) ++
+      (0 until 24).map(i => ("shift", ts(2, i), 9.99))
+    val out = DriftOps.jsDivergence(
+      (same ++ shift).toDF("event_type", "ts", "value"),
+      "event_type", "ts", "value")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("js_nats"), r.getAs[Double]("js_distance"))).toMap
+    assert(out("same")._1 < 0.02, out)
+    assert(out("shift")._1 > 0.3 && out("shift")._1 <= 0.6931472, out)
+    assert(out.values.forall(v => v._2 >= 0.0 && v._2 <= 1.0), out)
+  }
+
   // ------------------------------------------------------------- seasonality
 
   test("seasonalStrength: clockwork ≈ 1, hour-independent noise ≈ 0") {
