@@ -1445,6 +1445,61 @@ object OracleSql {
 
     "q113_psi_drift" -> psiSql,
 
+    // CUPED: per-user half means, portable hash variants, pooled theta
+    // and rho^2 from exact-decimal cross-moments — closed form, no
+    // per-unit adjusted frame
+    "q178_cuped_ab" ->
+      """WITH rng AS (
+        |  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, value, epoch_us(ts) * 2 < mn + mx AS pre
+        |  FROM events, rng),
+        |xh AS (
+        |  SELECT user_id, ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4)))
+        |    AS DOUBLE) / COUNT(*), 6) AS x
+        |  FROM w WHERE pre GROUP BY 1),
+        |yh AS (
+        |  SELECT user_id, ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4)))
+        |    AS DOUBLE) / COUNT(*), 6) AS y
+        |  FROM w WHERE NOT pre GROUP BY 1),
+        |units AS (
+        |  SELECT CASE WHEN ((user_id % 1000003) * 2654435761) % 2 = 0
+        |      THEN 'A' ELSE 'B' END AS variant, x, y
+        |  FROM xh JOIN yh USING (user_id)),
+        |pv AS (
+        |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS DECIMAL(28,12))) AS sx,
+        |    SUM(CAST(y AS DECIMAL(28,12))) AS sy,
+        |    SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,12))) AS sxx,
+        |    SUM(CAST(ROUND(x * y, 6) AS DECIMAL(28,12))) AS sxy,
+        |    SUM(CAST(ROUND(y * y, 6) AS DECIMAL(28,12))) AS syy
+        |  FROM units GROUP BY 1),
+        |pool AS (
+        |  SELECT CAST(SUM(n) AS DOUBLE) AS np,
+        |    CAST(SUM(sx) AS DOUBLE) AS sxp, CAST(SUM(sy) AS DOUBLE) AS syp,
+        |    CAST(SUM(sxx) AS DOUBLE) AS sxxp,
+        |    CAST(SUM(sxy) AS DOUBLE) AS sxyp,
+        |    CAST(SUM(syy) AS DOUBLE) AS syyp
+        |  FROM pv)
+        |SELECT variant, n,
+        |  ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_y,
+        |  CASE WHEN np * sxxp - sxp * sxp > 0 THEN
+        |    ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) -
+        |      ((np * sxyp - sxp * syp) / (np * sxxp - sxp * sxp)) *
+        |      (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - sxp / np), 6) END
+        |    AS mean_y_adj,
+        |  CASE WHEN np * sxxp - sxp * sxp > 0 THEN
+        |    ROUND((np * sxyp - sxp * syp) / (np * sxxp - sxp * sxp), 6) END
+        |    AS theta,
+        |  CASE WHEN np * sxxp - sxp * sxp > 0
+        |      AND np * syyp - syp * syp > 0 THEN
+        |    ROUND((np * sxyp - sxp * syp) * (np * sxyp - sxp * syp) /
+        |      ((np * sxxp - sxp * sxp) * (np * syyp - syp * syp)), 6) END
+        |    AS var_reduction
+        |FROM pv CROSS JOIN pool
+        |ORDER BY variant""".stripMargin,
+
     // Jensen–Shannon drift: same time-split cells and smoothing as PSI,
     // symmetric bounded divergence; ln2 as an explicit shared double
     // literal (libm ln(2) parity across engines is not a given)

@@ -2562,6 +2562,32 @@ object SparkEntry {
     spark.sql(SqlText.bm25)
   }
 
+  // ---------------------------------------------------------------- q178
+  // CUPED variance-reduced A/B: per-user pre-period mean (first time
+  // half) absorbs the user's level; the pooled theta adjusts the
+  // experiment metric (second half) and variance shrinks by rho^2 —
+  // the experimentation upgrade over q121's plain z-test. Variants from
+  // the portable hash split (q20's draw).
+  def q178(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val us = unix_micros(col("ts"))
+    val rng = ev.agg(min(us).as("__mn"), max(us).as("__mx"))
+    val w = ev.crossJoin(broadcast(rng))
+      .withColumn("__pre", us * 2 < col("__mn") + col("__mx"))
+    def halfMean(pre: Boolean, name: String) =
+      w.filter(col("__pre") === pre)
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("value").cast("decimal(28,4)")).cast("double") /
+          count(lit(1)), 6).as(name))
+    val units = halfMean(pre = true, "x_pre")
+      .join(halfMean(pre = false, "y_post"), "user_id")
+      .withColumn("variant",
+        when(SplitOps.hashBucket(col("user_id"), 2) === 0L, "A")
+          .otherwise("B"))
+    MetricQueries.cupedAb(units, "variant", "x_pre", "y_post")
+      .orderBy(col("variant"))
+  }
+
   // ---------------------------------------------------------------- q177
   // Jensen–Shannon drift per event_type — the symmetric, bounded (≤ln 2)
   // member of the drift battery next to PSI (q113), KS (q115) and chi²
@@ -2871,6 +2897,7 @@ object SparkEntry {
     "q175_quality_gate" -> (q175 _),
     "q176_seasonal_strength" -> (q176 _),
     "q177_js_divergence" -> (q177 _),
+    "q178_cuped_ab" -> (q178 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

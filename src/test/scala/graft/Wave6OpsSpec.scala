@@ -138,6 +138,38 @@ class Wave6OpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_vecs")).sum == 3L)
   }
 
+  // ------------------------------------------------------------- CUPED
+
+  test("cupedAb: y = x exactly → theta 1, full variance reduction, adjusted means converge") {
+    import graft.metrics.MetricQueries
+    // y = x with NO treatment effect: cov = var(x) → θ = 1, ρ² = 1, and
+    // both variants' adjusted means collapse to the pooled x mean even
+    // though their RAW means differ (odd/even units see different x) —
+    // exactly the imbalance CUPED exists to remove
+    val units = (1 to 40).map { i =>
+      val x = (i % 7).toDouble
+      (if (i % 2 == 0) "A" else "B", x, x)
+    }.toDF("variant", "x_pre", "y_post")
+    val out = MetricQueries.cupedAb(units, "variant", "x_pre", "y_post")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx(out("A").getAs[Double]("var_reduction"), 1.0, 1e-4), out)
+    assert(approx(out("A").getAs[Double]("theta"), 1.0, 1e-4))
+    val adjA = out("A").getAs[Double]("mean_y_adj")
+    val adjB = out("B").getAs[Double]("mean_y_adj")
+    assert(out("A").getAs[Double]("mean_y") != out("B").getAs[Double]("mean_y"))
+    assert(approx(adjA, adjB, 1e-4), (adjA, adjB))
+  }
+
+  test("cupedAb: zero pre-period variance emits nulls, not a division") {
+    import graft.metrics.MetricQueries
+    val units = Seq(("A", 5.0, 1.0), ("A", 5.0, 2.0),
+      ("B", 5.0, 3.0), ("B", 5.0, 4.0)).toDF("variant", "x_pre", "y_post")
+    val out = MetricQueries.cupedAb(units, "variant", "x_pre", "y_post")
+      .collect()
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("theta"))))
+    assert(out.forall(r => !r.isNullAt(r.fieldIndex("mean_y"))))
+  }
+
   // ------------------------------------------------------------- JS drift
 
   test("jsDivergence: identical halves ≈ 0, disjoint halves near ln 2, bounded") {
