@@ -1445,6 +1445,26 @@ object OracleSql {
 
     "q113_psi_drift" -> psiSql,
 
+    // negative sampling: the two-round portable draw replayed per
+    // (anchor, rank); self-draws shift by one mod n
+    "q179_negative_samples" ->
+      """WITH a AS (
+        |  SELECT doc_id, unnest(range(1, 5)) AS neg_rank FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(neg_rank AS INT) AS neg_rank,
+        |    doc_id + neg_rank * 7919 AS seed
+        |  FROM a),
+        |d AS (
+        |  SELECT doc_id, neg_rank,
+        |    ((((seed % 1000003) * 2654435761) % 1000003 + seed // 1000003)
+        |      % 9999991 * 22695477) % 9999991 % 500 AS draw
+        |  FROM s)
+        |SELECT doc_id, neg_rank,
+        |  CASE WHEN draw = doc_id THEN (draw + 1) % 500 ELSE draw END
+        |    AS neg_id
+        |FROM d
+        |ORDER BY doc_id, neg_rank""".stripMargin,
+
     // CUPED: per-user half means, portable hash variants, pooled theta
     // and rho^2 from exact-decimal cross-moments — closed form, no
     // per-unit adjusted frame

@@ -2562,6 +2562,16 @@ object SparkEntry {
     spark.sql(SqlText.bm25)
   }
 
+  // ---------------------------------------------------------------- q179
+  // Deterministic negative sampling (contrastive-training primitive):
+  // 4 portable pseudo-random negatives per document anchor over the
+  // dense [0, 500) id space, self-draws shifted by one. Pure per-row
+  // projection — no shuffle until the caller joins payloads.
+  def q179(spark: SparkSession, dir: String): DataFrame =
+    SplitOps.negativeSamples(t(spark, dir, "documents"),
+      "doc_id", n = 500L, k = 4)
+      .orderBy(col("doc_id"), col("neg_rank"))
+
   // ---------------------------------------------------------------- q178
   // CUPED variance-reduced A/B: per-user pre-period mean (first time
   // half) absorbs the user's level; the pooled theta adjusts the
@@ -2898,6 +2908,7 @@ object SparkEntry {
     "q176_seasonal_strength" -> (q176 _),
     "q177_js_divergence" -> (q177 _),
     "q178_cuped_ab" -> (q178 _),
+    "q179_negative_samples" -> (q179 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

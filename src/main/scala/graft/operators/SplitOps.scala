@@ -159,6 +159,37 @@ object SplitOps {
     df.filter(hashBucket(col(idCol), 1000) < threshold)
   }
 
+  /** Deterministic negative sampling for contrastive training: each
+    * anchor id draws `k` pseudo-random negatives from a DENSE id space
+    * [0, n) via the engine-portable two-round congruential draw (the
+    * [[prioritySample]] family) — reproducible across runs, engines and
+    * partitionings, with no RNG state and no candidate shuffle (the
+    * draw is a pure per-row projection; pairing with payloads is then
+    * one equi-join on the dense id). A draw that lands on the anchor
+    * itself shifts deterministically by one (mod n), so anchors never
+    * pair with themselves and both engines agree on the shift.
+    *
+    * `n` is the dense-id-space size — the caller's contract (ids 0..n−1
+    * with no holes), same as any embedding-table negative sampler.
+    */
+  def negativeSamples(df: DataFrame, idCol: String, n: Long,
+      k: Int, salt: Long = 0L): DataFrame = {
+    require(n >= 2, "need at least 2 ids to draw negatives")
+    require(k >= 1, "k must be >= 1")
+    val p1 = 1000003L
+    val p2 = 9999991L
+    val id = col(idCol).cast("long")
+    val anchors = df.select(id.as(idCol))
+      .withColumn("neg_rank", explode(sequence(lit(1), lit(k))))
+    val seed = id + col("neg_rank").cast("long") * lit(7919L) + lit(salt)
+    val x1 = pmod(pmod(seed, lit(p1)) * lit(2654435761L), lit(p1))
+    val x2 = pmod(pmod(x1 + (seed.cast("decimal(38,0)") / lit(p1))
+        .cast("long"), lit(p2)) * lit(22695477L), lit(p2))
+    val draw = pmod(x2, lit(n))
+    anchors.withColumn("neg_id",
+      when(draw === id, pmod(draw + 1L, lit(n))).otherwise(draw))
+  }
+
   /** Temperature-scaled corpus mixture weights — the data-mixture card of
     * a pre-training run: source s gets sampling weight
     * wₛ = nₛ^τ / Σₜ nₜ^τ over its token mass, flattening the natural

@@ -138,6 +138,25 @@ class Wave6OpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_vecs")).sum == 3L)
   }
 
+  // ------------------------------------------------------------- negatives
+
+  test("negativeSamples: k per anchor, never self, referentially stable") {
+    import graft.operators.SplitOps
+    val df = (0L until 50L).toDF("doc_id")
+    val out = SplitOps.negativeSamples(df, "doc_id", n = 50L, k = 3).collect()
+    assert(out.length == 150)
+    assert(out.forall(r => r.getLong(2) != r.getLong(0)), "self-pair leaked")
+    assert(out.forall(r => r.getLong(2) >= 0L && r.getLong(2) < 50L))
+    // referential stability: a subset of anchors draws the same negatives
+    val sub = SplitOps.negativeSamples(
+      df.filter(col("doc_id") < 10L), "doc_id", n = 50L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val full = out.map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(sub.forall { case (k2, v) => full(k2) == v })
+    // draws spread: at least half the id space gets hit across all draws
+    assert(out.map(_.getLong(2)).distinct.length > 25)
+  }
+
   // ------------------------------------------------------------- CUPED
 
   test("cupedAb: y = x exactly → theta 1, full variance reduction, adjusted means converge") {
