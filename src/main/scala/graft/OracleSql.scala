@@ -1445,6 +1445,46 @@ object OracleSql {
 
     "q113_psi_drift" -> psiSql,
 
+    // conformal intervals: quartile time split, per-user train means,
+    // kth calibration residual by ROW_NUMBER, integer-exact ceil
+    "q180_conformal" ->
+      """WITH rng AS (
+        |  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, value,
+        |    CASE WHEN epoch_us(ts) * 2 < mn + mx THEN 'train'
+        |         WHEN epoch_us(ts) * 4 < mn + 3 * mx THEN 'cal'
+        |         ELSE 'test' END AS q
+        |  FROM events, rng),
+        |mu AS (
+        |  SELECT user_id, ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4)))
+        |    AS DOUBLE) / COUNT(*), 6) AS mu
+        |  FROM w WHERE q = 'train' GROUP BY 1),
+        |sc AS (
+        |  SELECT q, CAST(ROUND(ABS(value - mu) * 1000000.0, 0) AS BIGINT)
+        |    AS r
+        |  FROM w JOIN mu USING (user_id) WHERE q <> 'train'),
+        |ntrain AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM w
+        |  WHERE q = 'train'),
+        |ncal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM sc
+        |  WHERE q = 'cal'),
+        |k AS (SELECT (9 * (n_cal + 1) + 9) // 10 AS k FROM ncal),
+        |qh AS (
+        |  SELECT r AS qhat_micro FROM (
+        |    SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn
+        |    FROM sc WHERE q = 'cal'), k
+        |  WHERE rn = k),
+        |tst AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+        |    CAST(SUM(CASE WHEN r <= qhat_micro THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cov
+        |  FROM sc, qh WHERE q = 'test')
+        |SELECT n_train, n_cal, n_test, qhat_micro,
+        |  ROUND(cov / CAST(n_test AS DOUBLE), 6) AS coverage
+        |FROM ntrain, ncal, tst, qh""".stripMargin,
+
     // negative sampling: the two-round portable draw replayed per
     // (anchor, rank); self-draws shift by one mod n
     "q179_negative_samples" ->

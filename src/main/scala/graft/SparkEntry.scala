@@ -2562,6 +2562,55 @@ object SparkEntry {
     spark.sql(SqlText.bm25)
   }
 
+  // ---------------------------------------------------------------- q180
+  // Split-conformal prediction intervals: per-user mean fitted on the
+  // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
+  // calibration residual (third quarter; counting binary search — no
+  // sort), empirical coverage measured on the held-out last quarter.
+  // The conformal guarantee (coverage ≥ 0.9 in expectation) becomes a
+  // measurable one-row card. Residuals scale to micro-integers so the
+  // quantile search runs on exact longs.
+  def q180(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = t(spark, dir, "events")
+    val us = unix_micros(col("ts"))
+    val rng = ev.agg(min(us).as("__mn"), max(us).as("__mx"))
+    val w = ev.crossJoin(broadcast(rng))
+      .withColumn("__q",
+        when(us * 2 < col("__mn") + col("__mx"), "train")
+          .when(us * 4 < col("__mn") + lit(3L) * col("__mx"), "cal")
+          .otherwise("test"))
+    val mu = w.filter(col("__q") === "train")
+      .groupBy(col("user_id"))
+      .agg(round(sum(col("value").cast("decimal(28,4)")).cast("double") /
+        count(lit(1)), 6).as("__mu"))
+    val scored = w.filter(col("__q") =!= "train")
+      .join(mu, "user_id")
+      .withColumn("__r",
+        round(abs(col("value") - col("__mu")) * 1000000.0, 0).cast("long"))
+    val cal = scored.filter(col("__q") === "cal")
+      .select(col("__r")).persist()
+    try {
+      val nCal = cal.count()
+      val nTrain = w.filter(col("__q") === "train").count()
+      // ⌈0.9(n+1)⌉ in INTEGER arithmetic — double 0.9·(n+1) over-ceils
+      // when n+1 is a multiple of 10 (0.9 is not exact in binary)
+      val k = (9L * (nCal + 1) + 9L) / 10L
+      val qhat =
+        if (k > nCal) Long.MaxValue
+        else RobustStats.kthSmallestByCounting(cal, "__r", k)
+      val test = scored.filter(col("__q") === "test")
+        .agg(count(lit(1)).as("__n"),
+          sum(when(col("__r") <= qhat, 1L).otherwise(0L)).as("__cov"))
+        .head()
+      val nTest = test.getLong(0)
+      val coverage = BigDecimal(test.getLong(1).toDouble / nTest.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((nTrain, nCal, nTest, qhat, coverage))
+        .toDF("n_train", "n_cal", "n_test", "qhat_micro", "coverage")
+    } finally { cal.unpersist(); () }
+  }
+
   // ---------------------------------------------------------------- q179
   // Deterministic negative sampling (contrastive-training primitive):
   // 4 portable pseudo-random negatives per document anchor over the
@@ -2909,6 +2958,7 @@ object SparkEntry {
     "q177_js_divergence" -> (q177 _),
     "q178_cuped_ab" -> (q178 _),
     "q179_negative_samples" -> (q179 _),
+    "q180_conformal" -> (q180 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -138,6 +138,21 @@ class Wave6OpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_vecs")).sum == 3L)
   }
 
+  // ------------------------------------------------------------- conformal
+
+  test("q180 conformal: coverage lands near the 0.9 target, splits partition") {
+    val out = SparkEntry.q180(spark, "/root/testdata/sf0.001").collect().head
+    val cov = out.getAs[Double]("coverage")
+    // split-conformal guarantees E[coverage] ≥ 0.9; finite-sample wobble
+    // stays well inside ±0.05 at n_test ≈ 250
+    assert(cov >= 0.85 && cov <= 1.0, cov)
+    assert(out.getAs[Long]("qhat_micro") > 0L)
+    val total = out.getAs[Long]("n_train") + out.getAs[Long]("n_cal") +
+      out.getAs[Long]("n_test")
+    // cal/test rows require a train-fitted user — never more than the table
+    assert(total <= 1000L && out.getAs[Long]("n_train") > 0L)
+  }
+
   // ------------------------------------------------------------- negatives
 
   test("negativeSamples: k per anchor, never self, referentially stable") {
