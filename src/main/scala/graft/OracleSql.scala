@@ -1445,6 +1445,49 @@ object OracleSql {
 
     "q113_psi_drift" -> psiSql,
 
+    // canonical-by-quality: the q67 reachability CTE + the q13 quality
+    // expression, per-component argmax via rank-1 row
+    "q181_canonical_by_quality" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id < 200),
+        |pairs AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE ROUND(list_inner_product(a.emb, b.emb) /
+        |      (SQRT(list_inner_product(a.emb, a.emb)) *
+        |       SQRT(list_inner_product(b.emb, b.emb))), 6) >= 0.3),
+        |sym AS (
+        |  SELECT src, dst FROM pairs
+        |  UNION SELECT dst, src FROM pairs),
+        |reach(v, c) AS (
+        |  SELECT vec_id, vec_id FROM e
+        |  UNION
+        |  SELECT sym.dst, reach.c FROM reach JOIN sym ON sym.src = reach.v),
+        |comp AS (SELECT v, MIN(c) AS component FROM reach GROUP BY v),
+        |t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |  FROM documents WHERE doc_id < 200),
+        |q AS (
+        |  SELECT doc_id,
+        |    ROUND(LEAST(len(toks) / 100.0, 1.0) *
+        |      (1.0 - len(list_filter(toks, x -> x = 'the' OR x = 'a')) /
+        |        CAST(len(toks) AS DOUBLE)), 6) AS quality_score
+        |  FROM t),
+        |m AS (
+        |  SELECT component, doc_id, quality_score,
+        |    ROW_NUMBER() OVER (PARTITION BY component
+        |      ORDER BY quality_score DESC, doc_id) AS rn
+        |  FROM comp JOIN q ON q.doc_id = comp.v)
+        |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  MIN(CASE WHEN rn = 1 THEN doc_id END) AS canonical_id,
+        |  MIN(CASE WHEN rn = 1 THEN quality_score END) AS canonical_quality,
+        |  ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) /
+        |    COUNT(*), 6) AS mean_quality
+        |FROM m
+        |GROUP BY component
+        |ORDER BY component""".stripMargin,
+
     // conformal intervals: quartile time split, per-user train means,
     // kth calibration residual by ROW_NUMBER, integer-exact ceil
     "q180_conformal" ->

@@ -2562,6 +2562,39 @@ object SparkEntry {
     spark.sql(SqlText.bm25)
   }
 
+  // ---------------------------------------------------------------- q181
+  // Quality-aware canonical selection per near-dup cluster — the keep
+  // policy real pipelines want (keep the BEST copy, not the min-id
+  // copy): q67's components × q13's quality scores, per-cluster argmax
+  // with id tiebreak, plus member count and mean quality. One
+  // cluster-keyed aggregation above proven fragments.
+  def q181(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = t(spark, dir, "embeddings")
+      .filter(col("vec_id") < 200).select(col("vec_id"))
+    // 0.3 (vs q67's 0.2) keeps the graph from collapsing into one
+    // giant component — 61 clusters at sf0.01, mixing groups and
+    // singletons, so the keep policy is actually exercised
+    val comp = GraphOps.connectedComponents(
+      cosineEdges(spark, dir, 0.3), "id_a", "id_b", nodes = Some(nodes))
+    val quality = TextOps.withQuality(
+        t(spark, dir, "documents").filter(col("doc_id") < 200),
+        "text", Seq("the", "a"))
+      .select(col("doc_id"), col("quality_score"))
+    comp.join(quality, col("v") === col("doc_id"))
+      .groupBy(col("component"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("quality_score").as("__q"),
+          (-col("doc_id")).as("__negid"))).as("__best"),
+        round(sum(col("quality_score").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_quality"))
+      .select(col("component"), col("n_members"),
+        (-col("__best.__negid")).as("canonical_id"),
+        col("__best.__q").as("canonical_quality"),
+        col("mean_quality"))
+      .orderBy(col("component"))
+  }
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -2959,6 +2992,7 @@ object SparkEntry {
     "q178_cuped_ab" -> (q178 _),
     "q179_negative_samples" -> (q179 _),
     "q180_conformal" -> (q180 _),
+    "q181_canonical_by_quality" -> (q181 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

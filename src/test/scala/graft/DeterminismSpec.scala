@@ -43,7 +43,8 @@ class DeterminismSpec extends SparkSpec {
     "q168_containment", "q170_vocab_build", "q171_ngram_langid",
     "q172_mixture_weights", "q173_source_overlap", "q174_rolling_zscore",
     "q175_quality_gate", "q176_seasonal_strength", "q177_js_divergence",
-    "q178_cuped_ab", "q179_negative_samples", "q180_conformal")
+    "q178_cuped_ab", "q179_negative_samples", "q180_conformal",
+    "q181_canonical_by_quality")
   // q145 joins the MLlib exclusion list (L-BFGS trajectory depends on the
   // coalesced treeAggregate order, like q29/q47)
   // q155 joins the MLlib exclusion list (GBT tree builds, like q42/q59)

@@ -138,6 +138,20 @@ class Wave6OpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_vecs")).sum == 3L)
   }
 
+  // ------------------------------------------------------------- canonical
+
+  test("q181: canonical member maximizes quality within its cluster") {
+    val out = SparkEntry.q181(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length > 1, "needs multiple clusters to exercise the policy")
+    out.foreach { r =>
+      assert(r.getAs[Double]("canonical_quality") >=
+        r.getAs[Double]("mean_quality") - 1e-9, r)
+      assert(r.getAs[Long]("n_members") >= 1L)
+    }
+    // members sum back to the block size
+    assert(out.map(_.getAs[Long]("n_members")).sum == 200L)
+  }
+
   // ------------------------------------------------------------- conformal
 
   test("q180 conformal: coverage lands near the 0.9 target, splits partition") {
