@@ -37,10 +37,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: touch every table once so first-scan + codegen setup cost
-    // is not attributed to whichever query happens to run first
+    // is not attributed to whichever query happens to run first. Per-table
+    // try/catch: one unreadable table must not zero the whole artifact —
+    // its queries report -1 below, everything else still gets timed.
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings")
-      .foreach(t => Tables.load(spark, sfDir, t).count())
+      .foreach { t =>
+        try Tables.load(spark, sfDir, t).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warm-up $t failed: ${e.getMessage}")
+        }
+      }
     // optional comma-separated query filter for load-controlled A/B runs
     // (SPARK_GRAFT_BENCH_QUERIES unset → the full contract bench)
     val wanted = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")

@@ -638,6 +638,68 @@ object OracleSql {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
+    // closed-form OOF ridge: q60's surface + the λI term under MLlib's
+    // WLS standardization convention (population moments of BOTH feature
+    // and label) — slope = Sxy_c / (Sxx_c · (1 + λ/sdₚ(y))), λ = 1.0.
+    // Identical exact-decimal sums, identical IEEE expression order.
+    "q183_ridge_closed_form" ->
+      """WITH d AS (
+        |  SELECT ((l_orderkey % 1000003) * 2654435761) % 5 AS fold,
+        |         CAST(l_quantity AS DOUBLE) AS x,
+        |         CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem WHERE l_orderkey < 500),
+        |pf AS (
+        |  SELECT fold, COUNT(*) AS n_f,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,2))) AS DOUBLE) AS sx_f,
+        |    CAST(SUM(CAST(y AS DECIMAL(28,2))) AS DOUBLE) AS sy_f,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy_f,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx_f,
+        |    CAST(SUM(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS syy_f
+        |  FROM d GROUP BY fold),
+        |g AS (
+        |  SELECT COUNT(*) AS n_g,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,2))) AS DOUBLE) AS sx_g,
+        |    CAST(SUM(CAST(y AS DECIMAL(28,2))) AS DOUBLE) AS sy_g,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy_g,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx_g,
+        |    CAST(SUM(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS syy_g
+        |  FROM d),
+        |p AS (
+        |  SELECT fold, n_f, (n_g - n_f) AS n_tr,
+        |    (sx_g - sx_f) AS sx, (sy_g - sy_f) AS sy,
+        |    (sxy_g - sxy_f) AS sxy, (sxx_g - sxx_f) AS sxx,
+        |    (syy_g - syy_f) AS syy
+        |  FROM pf CROSS JOIN g),
+        |pd AS (
+        |  SELECT fold, n_f, n_tr, sx, sy, sxy, sxx,
+        |    (n_tr * sxx - sx * sx) AS den0,
+        |    (syy - sy * sy / n_tr) AS syyc
+        |  FROM p),
+        |ps AS (
+        |  SELECT fold, n_f, n_tr, sx, sy,
+        |    CASE WHEN den0 <> 0 AND syyc > 0 THEN
+        |      (n_tr * sxy - sx * sy) /
+        |        (den0 * (1.0 + 1.0 / SQRT(syyc / n_tr)))
+        |    END AS slope
+        |  FROM pd),
+        |p2 AS (
+        |  SELECT fold, n_f, n_tr, slope,
+        |    (sy - slope * sx) / n_tr AS intercept
+        |  FROM ps),
+        |e AS (
+        |  SELECT d.fold, d.y - (p2.intercept + p2.slope * d.x) AS err
+        |  FROM d JOIN p2 USING (fold)),
+        |er AS (
+        |  SELECT fold,
+        |    ROUND(SQRT(CAST(SUM(CAST(err * err AS DECIMAL(28,4))) AS DOUBLE)
+        |      / COUNT(*)), 6) AS rmse_oof
+        |  FROM e GROUP BY fold)
+        |SELECT p2.fold, p2.n_tr AS n_train, p2.n_f AS n_test,
+        |  ROUND(p2.slope, 6) AS slope, ROUND(p2.intercept, 6) AS intercept,
+        |  er.rmse_oof
+        |FROM p2 JOIN er USING (fold)
+        |ORDER BY fold""".stripMargin,
+
     "q60_oof_closed_form" ->
       """WITH d AS (
         |  SELECT ((l_orderkey % 1000003) * 2654435761) % 5 AS fold,
@@ -1447,6 +1509,62 @@ object OracleSql {
 
     // canonical-by-quality: the q67 reachability CTE + the q13 quality
     // expression, per-component argmax via rank-1 row
+    // portable-centroid IVF: the two-round congruential draw picks the 8
+    // centroids, every ordering-deciding cosine is rounded to 6 before its
+    // ROW_NUMBER (assignment argmax, probe top-3, final top-k) — the whole
+    // index build + batched search replayed relationally
+    "q182_ivf_portable" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id < 200),
+        |drawn AS (
+        |  SELECT vec_id, emb,
+        |    ((((((vec_id % 1000003) * 2654435761) % 1000003)
+        |        + (vec_id // 1000003)) % 9999991) * 22695477) % 9999991 AS d
+        |  FROM e),
+        |cent AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY d, vec_id) - 1 AS INT)
+        |      AS centroid_id,
+        |    emb AS centroid
+        |  FROM (SELECT * FROM drawn ORDER BY d, vec_id LIMIT 8)),
+        |assign AS (
+        |  SELECT vec_id, emb, centroid_id FROM (
+        |    SELECT e.vec_id, e.emb, c.centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |        ROUND(list_inner_product(e.emb, c.centroid) /
+        |          (SQRT(list_inner_product(e.emb, e.emb)) *
+        |           SQRT(list_inner_product(c.centroid, c.centroid))), 6)
+        |          DESC,
+        |        c.centroid_id) AS rn
+        |    FROM e, cent c)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 20),
+        |probes AS (
+        |  SELECT q_id, qe, centroid_id FROM (
+        |    SELECT q.q_id, q.qe, c.centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+        |        ROUND(list_inner_product(q.qe, c.centroid) /
+        |          (SQRT(list_inner_product(q.qe, q.qe)) *
+        |           SQRT(list_inner_product(c.centroid, c.centroid))), 6)
+        |          DESC,
+        |        c.centroid_id) AS pr
+        |    FROM q, cent c)
+        |  WHERE pr <= 3),
+        |cand AS (
+        |  SELECT p.q_id, a.vec_id,
+        |    ROUND(list_inner_product(a.emb, p.qe) /
+        |      (SQRT(list_inner_product(a.emb, a.emb)) *
+        |       SQRT(list_inner_product(p.qe, p.qe))), 6) AS cosine
+        |  FROM assign a JOIN probes p USING (centroid_id)
+        |  WHERE p.q_id <> a.vec_id)
+        |SELECT q_id, vec_id, cosine, rank FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT)
+        |    AS rank
+        |  FROM cand)
+        |WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin,
+
     "q181_canonical_by_quality" ->
       """WITH RECURSIVE e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
@@ -1515,7 +1633,10 @@ object OracleSql {
         |  WHERE q = 'cal'),
         |k AS (SELECT (9 * (n_cal + 1) + 9) // 10 AS k FROM ncal),
         |qh AS (
-        |  SELECT r AS qhat_micro FROM (
+        |  -- k > n_cal (tiny calibration set): the rank lookup is empty and
+        |  -- the Spark side falls back to Long.MaxValue — mirror it so the
+        |  -- oracle still emits one row on degenerate inputs
+        |  SELECT COALESCE(MAX(r), 9223372036854775807) AS qhat_micro FROM (
         |    SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn
         |    FROM sc WHERE q = 'cal'), k
         |  WHERE rn = k),

@@ -424,7 +424,7 @@ object SparkEntry {
       spark, dir, "events.parquet", "ts", "event_type", "value",
       "1 day", "1 day",
       graft.streaming.StreamSink.Memory(s"q38_sink_${System.nanoTime()}"),
-      prepare = df => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      prepare = Tables.normalizeEventTs)
     out.withColumn("sum_value", round(col("sum_value"), 4))
       .orderBy(col("window_start"), col("event_type"))
   }
@@ -515,7 +515,7 @@ object SparkEntry {
       spark, dir, "events.parquet", users, "user_id", "dim_user",
       "ts", "value", "1 day",
       graft.streaming.StreamSink.Memory(s"q43_sink_${System.nanoTime()}"),
-      prepare = df => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      prepare = Tables.normalizeEventTs)
     out.withColumn("sum_value", round(col("sum_value"), 4))
       .select(col("dim_user").as("user_id"), col("n"), col("sum_value"))
       .orderBy(col("user_id"))
@@ -652,7 +652,7 @@ object SparkEntry {
     val out = graft.streaming.StreamingOps.sessionize(
       spark, dir, "events.parquet", gapSeconds = 86400, watermark = "0 seconds",
       graft.streaming.StreamSink.Memory(s"q51_sink_${System.nanoTime()}"),
-      prepare = df => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      prepare = Tables.normalizeEventTs)
     out.select(
       col("user_id"),
       col("session_start").cast("long").as("start_epoch"),
@@ -765,7 +765,7 @@ object SparkEntry {
       spark, dir, "events.parquet", Seq("user_id", "event_type"), "ts",
       s"$spanDays days",
       graft.streaming.StreamSink.Memory(s"q58_sink_${System.nanoTime()}"),
-      prepare = df => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      prepare = Tables.normalizeEventTs)
     deduped.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_distinct_users"))
       .orderBy(col("event_type"))
@@ -898,7 +898,7 @@ object SparkEntry {
       col("event_type") === "purchase", col("event_type") === "click",
       rangeSeconds = 86400, "2 days",
       graft.streaming.StreamSink.Memory(s"q65_sink_${System.nanoTime()}"),
-      prepare = df => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      prepare = Tables.normalizeEventTs)
     joined.select(
       col("event_id").as("p_id"), col("event_id_r").as("c_id"),
       col("user_id"),
@@ -1034,10 +1034,9 @@ object SparkEntry {
       spark, dir, "events.parquet",
       keys = Seq("user_id"), ordCols = Seq("ts", "event_id"),
       graft.streaming.StreamSink.Memory(s"q73_sink_${System.nanoTime()}"),
-      prepare = df => df
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type"), col("value"))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      prepare = df => Tables.normalizeEventTs(
+        df.select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))))
     latest.filter(col("event_type") =!= "error")
       .select(col("user_id"), col("event_id").as("last_event_id"),
         col("event_type").as("last_type"), col("value").as("last_value"))
@@ -1233,7 +1232,7 @@ object SparkEntry {
         spark, dir, "events.parquet", "ts", "event_type", "value",
         "1 day", "1 day",
         s"$root/table", s"$root/ckpt",
-        prepare = df => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+        prepare = Tables.normalizeEventTs)
       val res = out.withColumn("sum_value", round(col("sum_value"), 4))
         .orderBy(col("window_start"), col("event_type"))
       // Pin the result locally before deleting its backing files: it is a
@@ -1595,7 +1594,7 @@ object SparkEntry {
       col("event_type") === "purchase", col("event_type") === "click",
       rangeSeconds = 86400, "2 days",
       graft.streaming.StreamSink.Memory(s"q108_sink_${System.nanoTime()}"),
-      prepare = df => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      prepare = Tables.normalizeEventTs)
     // matured horizon from the static table (harness determinism filter —
     // a 1-row aggregate, broadcast into the predicate)
     val horizon = t(spark, dir, "events")
@@ -1930,8 +1929,7 @@ object SparkEntry {
     graft.streaming.StreamingOps.streamingPsiDrift(
         spark, dir, "events.parquet", "event_type", "ts", "value", nBins = 10,
         graft.streaming.StreamSink.Memory("q131_psi"),
-        prepare = df => df.withColumn("ts",
-          timestamp_micros(expr("ts div 1000"))))
+        prepare = Tables.normalizeEventTs)
       .orderBy(col("event_type"))
   }
 
@@ -2356,18 +2354,21 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- q158
   // Dead-letter quarantine: ingest a JSON payload column where every 13th
-  // record is corrupt (truncated), parse with from_json, and route parse
-  // failures to a quarantine bucket instead of failing the batch — the
-  // malformed-record contract every 100 TB ingest needs. The payload is
-  // built with pure string concat (NOT to_json) so the oracle derives the
-  // identical good/bad split and totals arithmetically.
+  // record is corrupt, parse with from_json, and route parse failures to a
+  // quarantine bucket instead of failing the batch — the malformed-record
+  // contract every 100 TB ingest needs. The payload is built with pure
+  // string concat (NOT to_json) so the oracle derives the identical
+  // good/bad split and totals arithmetically. The corrupt variant is made
+  // unparseable FROM THE FIRST TOKEN (leading `!`): a merely-truncated
+  // `{"id":123,` prefix is exactly what PERMISSIVE from_json may partially
+  // parse on some Spark versions, which would silently flip the split.
   def q158(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val json0 = concat(lit("{\"id\":"), col("doc_id"),
       lit(",\"n\":"), col("n_chars"),
       lit(",\"src\":\""), col("source"), lit("\"}"))
     val payload = when(pmod(col("doc_id"), lit(13)) === 0,
-      substring(json0, 1, 10)).otherwise(json0)
+      concat(lit("!corrupt!"), substring(json0, 1, 10))).otherwise(json0)
     docs.select(col("doc_id"), payload.as("payload"))
       .withColumn("rec",
         from_json(col("payload"),
@@ -2595,6 +2596,38 @@ object SparkEntry {
       .orderBy(col("component"))
   }
 
+  // ---------------------------------------------------------------- q182
+  // Portable-centroid IVF twin of q80: centroids come from the two-round
+  // congruential draw instead of an MLlib k-means fit, and every cosine
+  // that decides an ordering (assignment argmax, probe selection, final
+  // ranking) is rounded to 6 before ranking — so the ENTIRE index build +
+  // batched search replays in plain SQL and the oracle hash-checks the
+  // IVF plumbing end-to-end (assignment, probe pruning, list-local top-k).
+  // q80's k-means path stays the production-quality default.
+  def q182(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings").filter(col("vec_id") < 200)
+    val cents = SimilarityOps.ivfCentroidsPortable(
+      e, "vec_id", "embedding", nlist = 8)
+    val assigned = SimilarityOps.ivfAssign(
+      e, "vec_id", "embedding", cents, simRound = Some(6))
+    SimilarityOps.ivfSearchBatch(assigned, "vec_id",
+        e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        cents, nprobe = 3, k = 3, excludeSameId = true, simRound = Some(6))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------- q183
+  // Closed-form OOF ridge (reference Ridge(alpha=1.0),
+  // train_ensemble.py:134-136): the q60 normal-equations surface plus the
+  // λI term under MLlib's WLS standardization convention — one of
+  // q42/q59's four ensemble members made hash-checkable end-to-end. The
+  // spec additionally pins the closed form against a real MLlib ridge fit.
+  def q183(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.oofClosedFormRidge(
+      t(spark, dir, "lineitem").filter(col("l_orderkey") < 500),
+      "l_orderkey", "l_quantity", "l_extendedprice", 5, lambda = 1.0)
+      .orderBy(col("fold"))
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -2637,8 +2670,13 @@ object SparkEntry {
           sum(when(col("__r") <= qhat, 1L).otherwise(0L)).as("__cov"))
         .head()
       val nTest = test.getLong(0)
-      val coverage = BigDecimal(test.getLong(1).toDouble / nTest.toDouble)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // n_test = 0 (degenerate split): SUM is null and the ratio would be
+      // NaN — emit null coverage, matching the oracle's NULL from an
+      // empty-aggregate numerator
+      val coverage: Option[Double] =
+        if (nTest == 0L) None
+        else Some(BigDecimal(test.getLong(1).toDouble / nTest.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       Seq((nTrain, nCal, nTest, qhat, coverage))
         .toDF("n_train", "n_cal", "n_test", "qhat_micro", "coverage")
     } finally { cal.unpersist(); () }
@@ -2796,7 +2834,7 @@ object SparkEntry {
     val out = graft.streaming.StreamingOps.streamingEwma(
       spark, dir, "events.parquet", alpha = 0.2,
       graft.streaming.StreamSink.Memory(s"q169_sink_${System.nanoTime()}"),
-      prepare = df => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      prepare = Tables.normalizeEventTs)
     out.orderBy(col("user_id"))
   }
 
@@ -2993,6 +3031,8 @@ object SparkEntry {
     "q179_negative_samples" -> (q179 _),
     "q180_conformal" -> (q180 _),
     "q181_canonical_by_quality" -> (q181 _),
+    "q182_ivf_portable" -> (q182 _),
+    "q183_ridge_closed_form" -> (q183 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -15,14 +15,42 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark's vectorized reader rejects. Read them as raw nanos and floor to
-    * microseconds — exactly what DuckDB/pyarrow do when narrowing ns → µs —
-    * so timestamps agree across engines.
+  /** The events table has shipped with two parquet physical types for `ts`
+    * across testdata generations: TIMESTAMP(NANOS) — which Spark's
+    * vectorized reader rejects, so we read it as raw BIGINT nanos under
+    * `nanosAsLong` — and TIMESTAMP(MICROS), which Spark 4 reads as
+    * TIMESTAMP_NTZ. Keeping the legacy conf on is harmless for the µs
+    * format; [[normalizeEventTs]] then adapts on the *decoded* schema.
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
+  }
+
+  /** Normalize the `ts` column to session-TZ TIMESTAMP regardless of the
+    * physical type the parquet carried:
+    *
+    *   - `BIGINT` (nanos read under `nanosAsLong`) → floor-divide to µs,
+    *     exactly what DuckDB/pyarrow do when narrowing ns → µs;
+    *   - `TIMESTAMP_NTZ` (µs-typed parquet) → cast to TIMESTAMP —
+    *     value-preserving under the UTC session TZ every entrypoint sets,
+    *     and DuckDB's `epoch_us` reads the same wall-clock, so oracle
+    *     parity holds;
+    *   - already TIMESTAMP (or anything else) → pass through.
+    *
+    * One shared decode site: a testdata-format shift must never again be a
+    * 12-file fix.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(_: TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
@@ -32,11 +60,8 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    eventsRaw(spark, dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(eventsRaw(spark, dir))
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

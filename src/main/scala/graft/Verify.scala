@@ -15,14 +15,21 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
-      // events.parquet carries TIMESTAMP(NANOS); decode as raw nanos
-      // session-wide instead of relying on loader side effects
+      // older testdata generations carried TIMESTAMP(NANOS) events; keep
+      // the legacy conf on session-wide (harmless for µs-typed parquet —
+      // Tables.normalizeEventTs adapts on the decoded schema either way)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A failing query must be VISIBLE as a failure, not a missing row: it
+    // gets an `_ERROR` marker inside its output dir (so a parquet read of
+    // the dir errs rather than silently yielding nothing) and a line in
+    // errors.json — round 6's denominator quietly shrank 181→108 because
+    // failures wrote nothing at all.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -30,6 +37,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val d = new java.io.File(s"$outDir/$name")
+        d.mkdirs()
+        // wipe any stale parquet from a previous attempt so the marker
+        // is the only content and the dir cannot read as a clean result
+        d.listFiles().foreach(f => if (f.isFile) f.delete())
+        Files.writeString(Paths.get(s"$outDir/$name/_ERROR"),
+          s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}")
+        errors(name) = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,6 +62,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -573,6 +573,76 @@ object MlPipelines {
         col("rmse_oof"))
   }
 
+  /** Closed-form OOF RIDGE — the oracle-checkable twin of the MLlib ridge
+    * member of [[ensembleOOFWeighted]] (`LinearRegression(regParam = λ,
+    * elasticNet = 0)`; reference `train_ensemble.py:134-136`
+    * `Ridge(alpha=1.0)`). Single-feature normal equations + the λI term
+    * under MLlib's WLS standardization convention: features AND label are
+    * standardized internally (population moments), which makes the
+    * effective penalty n·λ·varₚ(x)/sdₚ(y) — i.e.
+    *
+    *   slope = Sxy_c / (Sxx_c · (1 + λ/sdₚ(y))),  intercept = ȳ − slope·x̄.
+    *
+    * The convention is pinned against a real MLlib fit in the spec
+    * (tolerance ~1e-6 relative — the solver is iterative-free WLS but
+    * Cholesky round-off differs from the scalar closed form), while the
+    * query itself replays EXACTLY in SQL: every sum is an exact decimal,
+    * and the slope is one fixed IEEE expression both engines evaluate
+    * identically. Degenerate training folds (zero x-variance or zero
+    * label variance, where the standardized objective is undefined)
+    * yield null parameters, never a throw.
+    */
+  def oofClosedFormRidge(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, k: Int, lambda: Double): DataFrame = {
+    import graft.functions.Stats.dsum
+    require(lambda >= 0, s"lambda must be >= 0, got $lambda")
+    val d = SplitOps.withFold(df, idCol, k)
+      .select(col("fold"), col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"))
+    def sums(g: org.apache.spark.sql.RelationalGroupedDataset, suf: String) =
+      g.agg(
+        count(lit(1)).as(s"n$suf"),
+        dsum(col("x"), 2).as(s"sx$suf"),
+        dsum(col("y"), 2).as(s"sy$suf"),
+        dsum(col("x") * col("y"), 4).as(s"sxy$suf"),
+        dsum(col("x") * col("x"), 4).as(s"sxx$suf"),
+        dsum(col("y") * col("y"), 4).as(s"syy$suf"))
+    val perFold = sums(d.groupBy(col("fold")), "_f")
+    val global = sums(d.groupBy(), "_g")
+    val params = perFold.crossJoin(broadcast(global))
+      .withColumn("n_tr", col("n_g") - col("n_f"))
+      .withColumn("sx", col("sx_g") - col("sx_f"))
+      .withColumn("sy", col("sy_g") - col("sy_f"))
+      .withColumn("sxy", col("sxy_g") - col("sxy_f"))
+      .withColumn("sxx", col("sxx_g") - col("sxx_f"))
+      .withColumn("syy", col("syy_g") - col("syy_f"))
+      .withColumn("__den0",
+        col("n_tr") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("__syyc",
+        col("syy") - col("sy") * col("sy") / col("n_tr"))
+      .withColumn("slope",
+        when(col("__den0") =!= 0.0 && col("__syyc") > 0.0,
+          (col("n_tr") * col("sxy") - col("sx") * col("sy")) /
+            (col("__den0") *
+              (lit(1.0) + lit(lambda) /
+                sqrt(col("__syyc") / col("n_tr"))))))
+      .withColumn("intercept",
+        when(col("slope").isNotNull,
+          (col("sy") - col("slope") * col("sx")) / col("n_tr")))
+      .select(col("fold"), col("n_tr"), col("n_f"),
+        col("slope"), col("intercept"))
+    val errs = d.join(broadcast(params), "fold")
+      .withColumn("err", col("y") - (col("intercept") + col("slope") * col("x")))
+      .groupBy(col("fold"))
+      .agg(round(sqrt(dsum(col("err") * col("err"), 4) / count(lit(1))), 6)
+        .as("rmse_oof"))
+    params.join(errs, "fold")
+      .select(col("fold"), col("n_tr").as("n_train"), col("n_f").as("n_test"),
+        round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"),
+        col("rmse_oof"))
+  }
+
   /** Per-key AR(1) fit in closed form: y_t = intercept + slope·y_{t−1} over
     * consecutive observations, the classical sequence model (the linear
     * ancestor of the reference's LSTM forecasting surface) — expressed as

@@ -178,9 +178,15 @@ object SimilarityOps {
       numPlanes: Int): DataFrame = {
     require(numPlanes >= 1 && numPlanes <= 62,
       s"numPlanes must be in [1,62], got $numPlanes")
-    val d = embeddings.select(size(col(vecCol))).head().getInt(0)
-    require(embeddings.filter(size(col(vecCol)) =!= d).isEmpty,
-      s"ragged input: found a vector whose length differs from $d " +
+    // ONE aggregate job proves the fixed-width contract AND yields the
+    // dimension: min(size)==max(size) over the pruned vec column — not a
+    // head() plus a separate full-scan isEmpty probe (an extra corpus
+    // pass per call at this operator's scale posture)
+    val dims = embeddings
+      .agg(min(size(col(vecCol))), max(size(col(vecCol)))).head()
+    val d = dims.getInt(0)
+    require(d == dims.getInt(1),
+      s"ragged input: vector lengths range [${d}, ${dims.getInt(1)}] " +
         s"(lshBucketProfile requires fixed-width vectors)")
     // planes × dim ±1 matrix from the same MD5-parity draw as
     // [[portableHyperplaneSignature]] ("hp<plane>_<dim>"), evaluated on a
@@ -245,6 +251,35 @@ object SimilarityOps {
       .select((col("rn") - 1).as("centroid_id"), col("centroid"))
   }
 
+  /** Engine-portable coarse quantizer twin of [[ivfCentroids]]: the nlist
+    * centroid rows are drawn by the two-round congruential hash (the
+    * [[SplitOps.prioritySample]] draw family — NOT xxhash64, which no
+    * other engine reproduces), so a plain-SQL oracle replays centroid
+    * selection, assignment, and probe pruning end-to-end. Same
+    * (centroid_id, centroid) contract; [[ivfCentroidsKMeans]] stays the
+    * production-quality default — this twin pins the IVF plumbing's
+    * arithmetic under an exact cross-engine check.
+    */
+  def ivfCentroidsPortable(embeddings: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, salt: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p1 = 1000003L
+    val p2 = 9999991L
+    val id = col(idCol).cast("long")
+    val idDiv = (id.cast("decimal(38,0)") / lit(p1)).cast("long")
+    val x1 = pmod(pmod(id + lit(salt), lit(p1)) * lit(2654435761L), lit(p1))
+    val x2 = pmod(pmod(x1 + idDiv, lit(p2)) * lit(22695477L), lit(p2))
+    val sampled = embeddings
+      .select(x2.as("__draw"), id.as("__id"),
+        col(vecCol).cast("array<double>").as("centroid"))
+      .orderBy(col("__draw"), col("__id"))
+      .limit(nlist)
+    sampled
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("__draw"), col("__id"))))
+      .select((col("rn") - 1).cast("int").as("centroid_id"), col("centroid"))
+  }
+
   /** Fitted coarse quantizer: MLlib k-means centroids (the quality upgrade
     * over [[ivfCentroids]]' hash sampling — same (centroid_id, centroid)
     * contract, so the assign/search path is untouched). Vectors are
@@ -277,12 +312,17 @@ object SimilarityOps {
     * data per probe.
     */
   def ivfAssign(embeddings: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame): DataFrame = {
+      centroids: DataFrame, simRound: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // simRound: round the cosine BEFORE the argmax so another engine
+    // ranking the same rounded values picks the same centroid (raw-double
+    // ordering is the default — rounding costs a hair of assignment
+    // quality and only the oracle twin needs the portability)
+    val rawSim = cosineNative(col("emb"), col("centroid"))
     val scored = embeddings
       .select(col(idCol), col(vecCol).cast("array<double>").as("emb"))
       .crossJoin(broadcast(centroids))
-      .withColumn("sim", cosineNative(col("emb"), col("centroid")))
+      .withColumn("sim", simRound.fold(rawSim)(d => round(rawSim, d)))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("sim").desc, col("centroid_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -340,14 +380,19 @@ object SimilarityOps {
   def ivfSearchBatch(assigned: DataFrame, idCol: String,
       queries: DataFrame, queryId: String, queryVec: String,
       centroids: DataFrame, nprobe: Int, k: Int,
-      excludeSameId: Boolean = false): DataFrame = {
+      excludeSameId: Boolean = false,
+      simRound: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(queryId).as("q_id"),
       col(queryVec).cast("array<double>").as("qe"))
     val wp = Window.partitionBy(col("q_id"))
       .orderBy(col("c_sim").desc, col("centroid_id").asc)
+    // simRound: round probe-selection cosines so another engine picks the
+    // same nprobe lists (see ivfAssign) — the final candidate cosine is
+    // always rounded to 6 below, this only affects WHICH lists are probed
+    val rawCSim = cosineNative(col("qe"), col("centroid"))
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("c_sim", cosineNative(col("qe"), col("centroid")))
+      .withColumn("c_sim", simRound.fold(rawCSim)(d => round(rawCSim, d)))
       .withColumn("pr", row_number().over(wp))
       .filter(col("pr") <= nprobe)
       .select(col("centroid_id"), col("q_id"), col("qe"))
@@ -464,15 +509,19 @@ object SimilarityOps {
   def productQuantize(embeddings: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, k: Int = 16, seed: Long = 42L): DataFrame = {
     val spark = embeddings.sparkSession
-    // dimension comes from ONE row's array length (vectors are fixed-width
-    // by contract) — then the contract is ENFORCED with a cheap existence
-    // probe: a ragged vector would otherwise be silently sliced into wrong
-    // subvectors (slice past the end truncates) and mis-coded with no error
-    val d = embeddings.select(size(col(vecCol))).head().getInt(0)
-    require(d % m == 0, s"dim $d not divisible by m=$m")
-    require(embeddings.filter(size(col(vecCol)) =!= d).isEmpty,
-      s"ragged input: found a vector whose length differs from $d " +
+    // ONE aggregate job proves the fixed-width contract AND yields the
+    // dimension (min(size)==max(size) over the pruned vec column): a
+    // ragged vector would otherwise be silently sliced into wrong
+    // subvectors (slice past the end truncates) and mis-coded with no
+    // error — and a separate full-scan isEmpty probe would cost an extra
+    // corpus pass per call
+    val dims = embeddings
+      .agg(min(size(col(vecCol))), max(size(col(vecCol)))).head()
+    val d = dims.getInt(0)
+    require(d == dims.getInt(1),
+      s"ragged input: vector lengths range [${d}, ${dims.getInt(1)}] " +
         s"(productQuantize requires fixed-width vectors)")
+    require(d % m == 0, s"dim $d not divisible by m=$m")
     val sub = d / m
     // each subspace's input is a SLICE of the vector column — a pure
     // codegen projection per fit, no explode/groupBy shuffle and no cache

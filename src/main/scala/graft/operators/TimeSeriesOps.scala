@@ -356,10 +356,12 @@ object TimeSeriesOps {
         s"got window=$window, scale=${alpha.scale}")
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(tiebreak))
-    // EXACT INTEGER arithmetic end to end: because the geometric weights
-    // only carry prime factors 2·5, the weighted-mean quotient has a
-    // TERMINATING decimal expansion — round-to-6-at-a-tie then differs
-    // between engines' double rounding, so no float may touch the value.
+    // EXACT INTEGER arithmetic end to end: the portability guarantee is
+    // that both engines compute the SAME integer floor division of the
+    // same exact integer sums — not that the quotient terminates (the
+    // weight SUM in the denominator can carry arbitrary prime factors).
+    // Rounding a non-terminating quotient would differ between engines'
+    // double rounding, so no float may touch the value.
     // x scales to 10⁻⁴ integers (value×10⁴ is integer-valued in
     // decimal(34,4), cast exact), weights to 10^(−ws) integers, and the
     // result is one integral floor division — unambiguous everywhere.

@@ -317,7 +317,16 @@ object StreamingOps {
           state.update(next)
           EwmaOut(user, next.n, next.y)
         })
+    // Batch-count invariance: the memory sink in update mode APPENDS each
+    // micro-batch's re-emission of the keys it touched, so a multi-file
+    // input (or maxFilesPerTrigger) would leave one row per (key, batch).
+    // Keep only the LAST emission per key — n is strictly increasing per
+    // key, so max_by(·, n) is exact and deterministic.
     runToSink(spark, smoothed.toDF(), sink, "update")
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("n_events")).as("n_events"),
+        max_by(col("ewma_last"), col("n_events")).as("ewma_last"))
   }
 
   /** Stream-static broadcast join + per-key aggregation: the streaming side

@@ -147,6 +147,41 @@ class MlPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("oofClosedFormRidge pins MLlib's ridge convention per fold") {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.regression.LinearRegression
+    val lam = 1.0
+    val got = MlPipelines.oofClosedFormRidge(lineitem, "l_orderkey",
+      "l_quantity", "l_extendedprice", 3, lam).orderBy("fold").collect()
+    assert(got.length == 3)
+    val folded = graft.operators.SplitOps.withFold(lineitem, "l_orderkey", 3)
+      .select(col("fold"), col("l_quantity").cast("double").as("x"),
+        col("l_extendedprice").cast("double").as("label"))
+    got.foreach { r =>
+      val f = r.getLong(0)
+      // the real MLlib ridge on the same training complement: the closed
+      // form must land within solver round-off of its coefficients
+      val tr = new VectorAssembler().setInputCols(Array("x"))
+        .setOutputCol("features")
+        .transform(folded.filter(col("fold") =!= f))
+      val m = new LinearRegression().setMaxIter(50).setRegParam(lam)
+        .setElasticNetParam(0.0).fit(tr)
+      assert(approx(r.getDouble(3), m.coefficients(0), 1e-5),
+        s"fold $f slope: closed=${r.getDouble(3)} mllib=${m.coefficients(0)}")
+      assert(approx(r.getDouble(4), m.intercept, 1e-5),
+        s"fold $f intercept: closed=${r.getDouble(4)} mllib=${m.intercept}")
+    }
+    // λ = 0 degenerates to the OLS twin exactly
+    val ols = MlPipelines.oofClosedFormOLS(lineitem, "l_orderkey",
+      "l_quantity", "l_extendedprice", 3).orderBy("fold").collect()
+    val ridge0 = MlPipelines.oofClosedFormRidge(lineitem, "l_orderkey",
+      "l_quantity", "l_extendedprice", 3, 0.0).orderBy("fold").collect()
+    ols.zip(ridge0).foreach { case (a, b) =>
+      assert(approx(a.getDouble(3), b.getDouble(3), 1e-9), "λ=0 slope ≡ OLS")
+      assert(approx(a.getDouble(4), b.getDouble(4), 1e-9), "λ=0 intercept ≡ OLS")
+    }
+  }
+
   test("multiTaskMasked fails with a clear message when a mask empties train") {
     val d = lineitem.select(
       col("l_orderkey"), col("l_quantity"), col("l_discount"),

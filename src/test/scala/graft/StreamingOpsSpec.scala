@@ -157,11 +157,11 @@ class StreamingOpsSpec extends SparkSpec {
   }
 
   test("materializeWindowedStats: replay converges, untouched partitions survive") {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.functions.col
     val d = "/root/testdata/sf0.001"
     val base = s"/tmp/graft_mat_spec_${System.nanoTime()}"
     val prep = (df: org.apache.spark.sql.DataFrame) =>
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      Tables.normalizeEventTs(df)
     def run(ckpt: String) = StreamingOps.materializeWindowedStats(
         spark, d, "events.parquet", "ts", "event_type", "value",
         "1 day", "1 day", s"$base/table", s"$base/$ckpt", prep)
