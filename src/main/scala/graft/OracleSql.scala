@@ -2256,6 +2256,9 @@ object OracleSql {
     "q136_join_cardinality" -> q136CmsSql,
     "q159_content_fingerprint" -> q159FingerprintSql,
     "q160_curation_pipeline" -> q160CurationSql,
+    // the streaming-ingest twin converges to the batch manifest exactly —
+    // same oracle (the q73/q70 CDC-convergence convention)
+    "q184_stream_curation" -> q160CurationSql,
     "q161_bm25_retrieval" -> q161Bm25Sql,
     "q162_portable_hll" -> q162HllSql,
     "q163_lsh_buckets" -> q163LshSql,
@@ -2671,15 +2674,25 @@ object OracleSql {
       s"(STRPOS('0123456789abcdef', SUBSTRING($hcol, $i, 1)) - 1) * ${BigInt(16).pow(15 - i)}")
       .mkString("(", "\n      + ", ")")
 
-  /** CMS counter CTE arms: `depth` copies of the term frame, each row
-    * hashed to its (depth, bucket) with the portable MD5 polynomial.
-    * `termExpr` must already be a VARCHAR expression.
+  /** Value of the 7-hex-digit slice of digest `hcol` for depth `d`
+    * (chars 1+7d .. 7+7d, 1-based) — the Spark side's
+    * `conv(substring(md5(term), 1+7d, 7), 16, 10)`.
+    */
+  private def hexPolySlice7(hcol: String, d: Int): String =
+    (0 until 7).map(i =>
+      s"(STRPOS('0123456789abcdef', SUBSTRING($hcol, ${1 + 7 * d + i}, 1)) - 1) * ${BigInt(16).pow(6 - i)}")
+      .mkString("(", "\n      + ", ")")
+
+  /** CMS counter CTE arms: every depth's bucket comes from its own
+    * disjoint 7-hex-digit slice of ONE MD5 digest per term (mirrors the
+    * Spark side's single-digest draw). `termExpr` must already be a
+    * VARCHAR expression.
     */
   private def cmsBucketArms(src: String, termExpr: String, cntCol: String,
       depth: Int, width: Int): String =
     (0 until depth).map { d =>
-      s"""SELECT depth, ${hexPoly15("h")} % $width AS bucket, __c FROM (
-         |    SELECT $d AS depth, MD5('$d#' || $termExpr) AS h, $cntCol AS __c
+      s"""SELECT depth, ${hexPolySlice7("h", d)} % $width AS bucket, __c FROM (
+         |    SELECT $d AS depth, MD5($termExpr) AS h, $cntCol AS __c
          |    FROM $src)""".stripMargin
     }.mkString("\n  UNION ALL ")
 
@@ -2701,7 +2714,7 @@ object OracleSql {
        |  SELECT term, n_exact FROM tc ORDER BY n_exact DESC, term LIMIT 20),
        |probes AS (
        |  ${(0 until 4).map(d =>
-            s"SELECT term, n_exact, $d AS depth, ${hexPoly15(s"MD5('$d#' || term)")} % 256 AS bucket FROM top")
+            s"SELECT term, n_exact, $d AS depth, ${hexPolySlice7("MD5(term)", d)} % 256 AS bucket FROM top")
             .mkString("\n  UNION ALL ")}),
        |est AS (
        |  SELECT p.term, MIN(p.n_exact) AS n_exact, MIN(c.counter) AS n_estimate

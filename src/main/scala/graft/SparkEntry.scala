@@ -2394,14 +2394,31 @@ object SparkEntry {
   // query proves they COMPOSE, and its oracle replays the whole chain.
   // Scale shape: codegen'd projections, one dedup shuffle, one broadcast
   // semi-join, a TakeOrdered sample, one aggregation.
-  def q160(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{DedupOps, SplitOps, TextOps}
+  def q160(spark: SparkSession, dir: String): DataFrame =
+    curationManifest(spark, dir, curationScore(t(spark, dir, "documents")))
+
+  /** The per-document scoring stage of the curation capstone — pure
+    * per-row projections (quality, language-ID, content hash), the part
+    * that is embarrassingly incremental and runs per micro-batch in the
+    * q184 streaming twin.
+    */
+  private def curationScore(d: DataFrame): DataFrame = {
+    import graft.operators.TextOps
+    TextOps.withLangId(TextOps.withQuality(d, "text", Seq("the", "a")), "text")
+      .withColumn("h", md5(col("text")))
+  }
+
+  /** The corpus-global tail of the curation capstone (gate → dedup →
+    * decontaminate → sample → manifest), shared verbatim by the batch
+    * q160 and the streaming-ingest q184 so both converge to the same
+    * manifest by construction.
+    */
+  private def curationManifest(spark: SparkSession, dir: String,
+      scored: DataFrame): DataFrame = {
+    import graft.operators.{DedupOps, SplitOps}
     val d = t(spark, dir, "documents")
-    val scored = TextOps.withLangId(
-      TextOps.withQuality(d, "text", Seq("the", "a")), "text")
     val kept = scored
       .filter(col("quality_score") >= 0.5 && col("lang_pred") === "en")
-      .withColumn("h", md5(col("text")))
     val canon = kept.join(
         kept.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id")), "h")
       .filter(col("doc_id") === col("keep_id"))
@@ -2423,6 +2440,35 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
       .crossJoin(broadcast(fp.select(col("fingerprint"))))
       .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------- q184
+  // Streaming curation capstone — q160's incremental twin: per-document
+  // scoring (quality/langid/hash) runs inside each micro-batch via
+  // foreachBatch into a curated parquet store (score-on-ingest), the
+  // corpus-global tail (dedup → decontaminate → sample → manifest) runs
+  // once over the accumulated store (curate-on-publish). The replayed
+  // stream converges to the EXACT batch manifest — the oracle is q160's
+  // own SQL, the q73 CDC-convergence pattern applied to curation.
+  def q184(spark: SparkSession, dir: String): DataFrame = {
+    // Scratch root under java.io.tmpdir (GRAFT_TMP_ROOT overrides), removed
+    // after the read-back — repeated bench/verify runs leak nothing.
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_TMP_ROOT", System.getProperty("java.io.tmpdir"))),
+      "graft_q184_")
+    try {
+      val store = graft.streaming.StreamingOps.streamingCurationStore(
+        spark, dir, "documents.parquet", s"$root/store", s"$root/ckpt",
+        curationScore)
+      // pin the tiny manifest before dropping the backing store
+      val res = curationManifest(spark, dir, store)
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      res.collect().foreach(rows.add)
+      spark.createDataFrame(rows, res.schema)
+    } finally {
+      graft.tools.FsUtils.deleteRecursively(root)
+    }
   }
 
   // ---------------------------------------------------------------- q159
@@ -3033,6 +3079,7 @@ object SparkEntry {
     "q181_canonical_by_quality" -> (q181 _),
     "q182_ivf_portable" -> (q182 _),
     "q183_ridge_closed_form" -> (q183 _),
+    "q184_stream_curation" -> (q184 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

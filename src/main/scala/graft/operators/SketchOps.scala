@@ -19,33 +19,44 @@ import org.apache.spark.sql.functions._
   */
 object SketchOps {
 
-  /** Portable 60-bit hash: the first 15 hex digits of MD5, as a BIGINT.
-    * Standard MD5 over UTF-8 bytes means any engine reproduces the value
-    * (the DuckDB oracle decodes the same 15 digits with a strpos
-    * polynomial) — so the sketch's counter matrix is exact integer
-    * arithmetic REPLAYABLE end-to-end, not just bounded. 60 bits keeps the
-    * value inside a signed long with no wraparound ambiguity.
+  /** All `depth` bucket draws from ONE MD5 digest: depth d reads its own
+    * disjoint 7-hex-digit slice (28 bits, far above any practical width) —
+    * the simhash many-hashes-from-one-digest trick. One MD5 per term
+    * instead of `depth`, and standard MD5 over UTF-8 bytes means any
+    * engine reproduces the value (the DuckDB oracle decodes the same
+    * slices with a strpos polynomial) — the sketch's counter matrix is
+    * exact integer arithmetic REPLAYABLE end-to-end, not just bounded.
+    */
+  /** Portable 60-bit hash: the first 15 hex digits of MD5, as a BIGINT —
+    * used where one draw needs the full hash width (HLL register+rank).
     */
   private def md5Long60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  private def bucketPairs(term: Column, depth: Int, width: Int): Column = {
+    require(depth >= 1 && depth * 7 <= 32,
+      s"depth must be in [1,4] (7 hex digits per slice of one MD5), got $depth")
+    val digest = md5(term.cast("string"))
+    array((0 until depth).map(d =>
+      struct(lit(d).as("depth"),
+        pmod(conv(substring(digest, 1 + 7 * d, 7), 16, 10).cast("long"),
+          lit(width.toLong)).as("bucket"))): _*)
+  }
+
   /** Per-(depth, bucket) CMS counters for `termCol` weighted by `cntCol`
     * (pre-aggregated term counts fold in exactly — the sketch of the raw
     * stream and of the exact term frame are identical by linearity).
+    * ONE pass over the term frame: the (depth, bucket) pairs explode from
+    * an array — a depth-way union would re-run the upstream term
+    * aggregation once per depth.
     */
   def cmsCounters(terms: DataFrame, termCol: String, cntCol: String,
-      depth: Int, width: Int): DataFrame = {
-    val perDepth = (0 until depth).map { d =>
-      terms.select(
-        lit(d).as("depth"),
-        pmod(md5Long60(concat(lit(d.toString), lit("#"),
-          col(termCol).cast("string"))), lit(width.toLong)).as("bucket"),
+      depth: Int, width: Int): DataFrame =
+    terms
+      .select(explode(bucketPairs(col(termCol), depth, width)).as("__db"),
         col(cntCol).as("__c"))
-    }
-    perDepth.reduce(_.unionByName(_))
-      .groupBy(col("depth"), col("bucket"))
+      .groupBy(col("__db.depth").as("depth"), col("__db.bucket").as("bucket"))
       .agg(sum(col("__c")).as("counter"))
-  }
 
   /** Heavy hitters with CMS estimates: the exact top-`k` terms (for the
     * ground truth this query also carries) joined against their
@@ -61,12 +72,11 @@ object SketchOps {
     val top = terms
       .orderBy(col("n_exact").desc, col("term"))
       .limit(k)
-    val probes = (0 until depth).map { d =>
-      top.select(col("term"), col("n_exact"),
-        lit(d).as("depth"),
-        pmod(md5Long60(concat(lit(d.toString), lit("#"),
-          col("term").cast("string"))), lit(width.toLong)).as("bucket"))
-    }.reduce(_.unionByName(_))
+    val probes = top
+      .select(col("term"), col("n_exact"),
+        explode(bucketPairs(col("term"), depth, width)).as("__db"))
+      .select(col("term"), col("n_exact"),
+        col("__db.depth").as("depth"), col("__db.bucket").as("bucket"))
     probes.join(broadcast(counters), Seq("depth", "bucket"))
       .groupBy(col("term"))
       .agg(

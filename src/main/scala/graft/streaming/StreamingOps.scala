@@ -189,6 +189,44 @@ object StreamingOps {
         col(keyCol), col("n"), col("sum_value"))
   }
 
+  /** Streaming curation ingest — the incremental half of the batch
+    * curation capstone: the per-document scoring stage (`score`: quality,
+    * language-ID, content hash — pure per-row projections, the
+    * embarrassingly-incremental 99% of a curation pipeline's work) runs
+    * inside each micro-batch via `foreachBatch` and appends to a curated
+    * parquet store. The corpus-GLOBAL stages (canonical-per-hash dedup,
+    * decontamination, sampling, manifest) are NOT incremental by nature;
+    * they run at publish time over the accumulated store, as one batch
+    * plan. Score-on-ingest / curate-on-publish is the continuous-feed
+    * shape at corpus scale: O(corpus) row work amortizes into the stream,
+    * global decisions stay declarative — and an availableNow replay
+    * converges to byte-identical store content regardless of how many
+    * micro-batches the input arrived in (each row's scored form is a pure
+    * function of the row).
+    */
+  def streamingCurationStore(spark: SparkSession, dir: String,
+      fileName: String, outPath: String, checkpointDir: String,
+      score: DataFrame => DataFrame,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    // maxFilesPerTrigger caps each micro-batch (availableNow still drains
+    // everything) — the spec uses it to prove batch-count invariance
+    val schema = spark.read.parquet(s"$dir/$fileName").schema
+    val reader = spark.readStream.schema(schema)
+      .option("pathGlobFilter", fileName)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+      .parquet(dir)
+    val writer: (DataFrame, Long) => Unit = (batch, _) =>
+      score(batch).write.mode("append").parquet(outPath)
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch(writer)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(outPath)
+  }
+
   /** Streaming CDC compaction: a continuously-maintained latest-state-per-key
     * view of a change stream — the streaming counterpart of
     * [[graft.operators.CdcOps.compactLatest]]. One `max_by` aggregation over

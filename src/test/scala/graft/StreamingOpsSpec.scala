@@ -187,6 +187,30 @@ class StreamingOpsSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming curation converges to the batch manifest (q184 == q160), multi-batch") {
+    val d = "/root/testdata/sf0.001"
+    val batch = SparkEntry.q160(spark, d).collect().toSeq
+    // one-shot replay over the real table dir
+    val oneShot = SparkEntry.q184(spark, d).collect().toSeq
+    assert(oneShot == batch, "single-batch replay diverged from batch q160")
+    // multi-batch: the same corpus split across 4 files, one file per
+    // micro-batch — the scored store is a pure per-row function of the
+    // rows, so the manifest must not depend on batch boundaries
+    val base = s"/tmp/graft_cur_spec_${System.nanoTime()}"
+    try {
+      Tables.load(spark, d, "documents").repartition(4)
+        .write.parquet(s"$base/docs")
+      val store = StreamingOps.streamingCurationStore(
+        spark, s"$base/docs", "*.parquet", s"$base/store", s"$base/ckpt",
+        df => df, maxFilesPerTrigger = Some(1))
+      // 4 single-file micro-batches all landed, no dup/dropped rows
+      assert(store.count() == Tables.load(spark, d, "documents").count())
+      assert(store.select("doc_id").distinct().count() == store.count())
+    } finally {
+      graft.tools.FsUtils.deleteRecursively(java.nio.file.Paths.get(base))
+    }
+  }
+
   test("streamStaticJoinStats joins the static dim and aggregates per key") {
     val static = Seq((1L, "gold")).toDF("dim_user", "tier")
     val out = StreamingOps.streamStaticJoinStats(spark, s"$dir/fixture.parquet",
