@@ -2801,8 +2801,12 @@ object SparkEntry {
       val n = scored.count()
       val k10 = (n + 9) / 10
       val k90 = (9 * n + 9) / 10
-      val p10 = RobustStats.kthSmallestByCounting(scored, "q_micro", k10)
-      val p90 = RobustStats.kthSmallestByCounting(scored, "q_micro", k90)
+      // q_micro lives in the BOUNDED domain [0, 10⁶] — both percentiles
+      // from one histogram pass instead of two counting binary searches
+      // (~40 jobs); same kth-smallest definition, oracle unchanged
+      val os = RobustStats.orderStatsBounded(scored, "q_micro", Seq(k10, k90))
+      val p10 = os(k10)
+      val p90 = os(k90)
       val bands = scored.agg(
         sum(when(col("q_micro") < p10, 1L).otherwise(0L)),
         sum(when(col("q_micro") >= p10 && col("q_micro") <= p90, 1L)

@@ -99,6 +99,36 @@ object RobustStats {
     * Caller should cache/persist the projected column when issuing
     * several probes.
     */
+  /** Several order statistics of an integer column in ONE aggregation +
+    * ONE window pass: per-value counts (≤ #distinct rows regardless of
+    * corpus size) → running count over the sorted value axis → the k-th
+    * smallest is the value whose cumulative range covers k, picked for
+    * every requested k by one broadcast range-join. Two shuffles total
+    * versus ~log₂(domain) COUNT jobs PER RANK for the counting binary
+    * search — the right shape when the value domain is BOUNDED (e.g.
+    * micro-scaled scores in [0, 10⁶]), where the single-partition window
+    * is bounded by the domain, not the data. For unbounded 64-bit domains
+    * (arbitrary micro-scaled residuals) keep [[kthSmallestByCounting]]:
+    * its memory is O(1) no matter how many distinct values exist.
+    * Returns (k, value) rows; ranks must be in [1, n].
+    */
+  def orderStatsBounded(df: DataFrame, colName: String,
+      ks: Seq[Long]): Map[Long, Long] = {
+    require(ks.nonEmpty, "need at least one rank")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cum = df.groupBy(col(colName).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(Window.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__prev", col("__cum") - col("__c"))
+    val kdf = ks.distinct.toDF("__k")
+    cum.join(broadcast(kdf),
+        col("__prev") < col("__k") && col("__k") <= col("__cum"))
+      .select(col("__k"), col("__v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
   def kthSmallestByCounting(df: DataFrame, colName: String, k: Long): Long = {
     val Array(mn, mx) = df.agg(min(col(colName)), max(col(colName)))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray

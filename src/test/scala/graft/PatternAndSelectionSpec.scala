@@ -42,6 +42,17 @@ class PatternAndSelectionSpec extends SparkSpec {
     }
   }
 
+  test("orderStatsBounded: every rank matches the counting search, with ties") {
+    val xs = Seq(5L, 3L, 9L, 3L, 7L, 1L, 9L, 9L, 2L, 4L)
+    val df = xs.toDF("x")
+    val ks = (1 to xs.size).map(_.toLong)
+    val got = RobustStats.orderStatsBounded(df, "x", ks)
+    ks.foreach { k =>
+      assert(got(k) == RobustStats.kthSmallestByCounting(df, "x", k),
+        s"rank $k")
+    }
+  }
+
   test("exactMedianByCounting: odd and even parities") {
     val odd = RobustStats.exactMedianByCounting(
       Seq(9L, 1L, 5L).toDF("x"), "x").collect().head

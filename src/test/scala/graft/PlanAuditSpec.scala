@@ -551,6 +551,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q182 portable IVF: centroids broadcast everywhere, corpus joins stay keyed") {
+    val p = finalPlan(SparkEntry.q182(spark, dir))
+    // both the assignment argmax and the probe pruning join the tiny
+    // centroid table by broadcast — the corpus never shuffles for them
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // the probed-list join (candidates) is an equi-join on centroid_id,
+    // never a cartesian pair blow-up
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q183 closed-form ridge: global sums broadcast onto folds, errors re-join broadcast") {
+    val p = finalPlan(SparkEntry.q183(spark, dir))
+    // the 1-row global-sums frame and the k-row params frame both ride as
+    // broadcasts — the data side shuffles only for its fold aggregation
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("populationFeatures: sensor table shuffles at most twice, joins broadcast") {
     import spark.implicits._
     val sensor = (0 until 200).map(i =>
