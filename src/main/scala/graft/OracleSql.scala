@@ -1565,6 +1565,61 @@ object OracleSql {
         |WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin,
 
+    // cross-doc boilerplate trigrams: per-(ngram, doc) counts → totals +
+    // document frequency, deterministic full tie-break before the cut
+    "q185_boilerplate_ngrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' ')
+        |      AS ngram
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(greatest(len(toks) - 2, 0))) AS i
+        |        FROM t)),
+        |d AS (
+        |  SELECT ngram, doc_id, COUNT(*) AS c FROM g GROUP BY 1, 2),
+        |a AS (
+        |  SELECT ngram, CAST(SUM(c) AS BIGINT) AS n_occurrences,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM d GROUP BY 1)
+        |SELECT ngram, n_occurrences, n_docs FROM a
+        |WHERE n_docs >= 2
+        |ORDER BY n_occurrences DESC, n_docs DESC, ngram
+        |LIMIT 25""".stripMargin,
+
+    // embedding-diversity card: per-dimension exact decimal sums, the
+    // (s/n)² terms rounded to 8 then summed exactly (q176's ANOVA trick),
+    // E||x-y||² = 2(E||x||² - ||mean||²) with one IEEE op sequence both
+    // engines share
+    "q186_embedding_diversity" ->
+      """WITH x AS (
+        |  SELECT vec_id, CAST(unnest(range(len(emb))) AS BIGINT) AS dim,
+        |    CAST(unnest(emb) AS DOUBLE) AS v
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |        FROM embeddings)),
+        |pd AS (
+        |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(v AS DECIMAL(28,6))) AS s,
+        |    SUM(CAST(v * v AS DECIMAL(38,8))) AS q
+        |  FROM x GROUP BY 1),
+        |pt AS (
+        |  SELECT dim, n, q,
+        |    CAST(ROUND((CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+        |      8) AS DECIMAL(28,8)) AS term
+        |  FROM pd),
+        |agg AS (
+        |  SELECT MAX(n) AS n_vecs, CAST(COUNT(*) AS BIGINT) AS n_dims,
+        |    CAST(SUM(q) AS DOUBLE) / MAX(n) AS msq,
+        |    CAST(SUM(term) AS DOUBLE) AS nms
+        |  FROM pt)
+        |SELECT n_vecs, n_dims,
+        |  ROUND(msq, 6) AS mean_sq_norm,
+        |  ROUND(nms, 6) AS sq_norm_of_mean,
+        |  ROUND(2.0 * (msq - nms), 6) AS mean_pair_sq_dist
+        |FROM agg""".stripMargin,
+
     "q181_canonical_by_quality" ->
       """WITH RECURSIVE e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb

@@ -2674,6 +2674,24 @@ object SparkEntry {
       "l_orderkey", "l_quantity", "l_extendedprice", 5, lambda = 1.0)
       .orderBy(col("fold"))
 
+  // ---------------------------------------------------------------- q185
+  // Cross-document boilerplate mining: top word trigrams by corpus-wide
+  // occurrences with document frequency (the across-doc sibling of q71's
+  // within-doc repetition) — the repeated-header/footer detector of a
+  // curation pass. One explode + two-level aggregation + TakeOrdered.
+  def q185(spark: SparkSession, dir: String): DataFrame =
+    TextOps.boilerplateNgrams(t(spark, dir, "documents"),
+      "doc_id", "text", n = 3, k = 25, minDf = 2)
+
+  // ---------------------------------------------------------------- q186
+  // Embedding-diversity card: E‖x‖², ‖x̄‖², and the mean pairwise squared
+  // distance via E‖x−y‖² = 2(E‖x‖² − ‖x̄‖²) — the corpus-coverage audit
+  // computed in ONE linear pass (no pair join), exact decimal sums per
+  // dimension.
+  def q186(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ProfileOps.embeddingDiversity(
+      t(spark, dir, "embeddings"), "embedding")
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3084,6 +3102,8 @@ object SparkEntry {
     "q182_ivf_portable" -> (q182 _),
     "q183_ridge_closed_form" -> (q183 _),
     "q184_stream_curation" -> (q184 _),
+    "q185_boilerplate_ngrams" -> (q185 _),
+    "q186_embedding_diversity" -> (q186 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

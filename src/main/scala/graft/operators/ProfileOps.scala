@@ -50,6 +50,48 @@ object ProfileOps {
     * (integers/strings/dates) — double→string formatting differs across
     * engines, so hash the key columns, not the measures.
     */
+  /** One-pass embedding-diversity card: mean squared norm E‖x‖², squared
+    * norm of the mean vector ‖x̄‖², and the mean pairwise squared
+    * Euclidean distance via the identity E‖x−y‖² = 2·(E‖x‖² − ‖x̄‖²)
+    * (independent draws) — the corpus-diversity audit behind "is this
+    * source adding coverage or repeating itself", computed WITHOUT any
+    * pair join: one posexplode + one per-dimension aggregation of exact
+    * decimal sums (≤ dim rows out), then one combine. At corpus scale
+    * this is a single linear pass where the naive pairwise estimate is
+    * O(n²); the per-dim (s/n)² terms round to 8 decimals then sum
+    * exactly, so the card replays bit-for-bit in SQL.
+    */
+  def embeddingDiversity(df: DataFrame, vecCol: String): DataFrame = {
+    // decimal sums stay DECIMAL through both aggregation levels (one
+    // cast to double only at the point of an IEEE division) — a
+    // double→decimal round-trip between levels would expose the two
+    // engines' cast-rounding conventions
+    val perDim = df
+      .select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("dim", "__v")))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col("__v").cast("decimal(28,6)")).as("__s"),
+        sum((col("__v") * col("__v")).cast("decimal(38,8)")).as("__q"))
+      // (s/n)² rounded to a fixed grid per dimension, summed exactly —
+      // addition-order-free on both engines (the q176 ANOVA trick)
+      .withColumn("__term",
+        round((col("__s").cast("double") / col("__n")) *
+            (col("__s").cast("double") / col("__n")), 8)
+          .cast("decimal(28,8)"))
+    perDim.agg(
+        max(col("__n")).as("n_vecs"),
+        count(lit(1)).as("n_dims"),
+        (sum(col("__q")).cast("double") / max(col("__n"))).as("__msq"),
+        sum(col("__term")).cast("double").as("__nms"))
+      .select(col("n_vecs"), col("n_dims"),
+        round(col("__msq"), 6).as("mean_sq_norm"),
+        round(col("__nms"), 6).as("sq_norm_of_mean"),
+        round(lit(2.0) * (col("__msq") - col("__nms")), 6)
+          .as("mean_pair_sq_dist"))
+  }
+
   def contentFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "contentFingerprint needs at least one column")
     val parts = cols.map(c =>

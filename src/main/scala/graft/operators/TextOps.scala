@@ -462,6 +462,39 @@ object TextOps {
     * shuffle at all; output size is input tokens × (chunkSize/stride),
     * the same linear blow-up any chunker pays.
     */
+  /** Cross-document boilerplate mining: the `k` most frequent word
+    * `n`-grams corpus-wide with total occurrences and document frequency —
+    * the detector for repeated headers/footers/license blocks that
+    * pre-training curation strips (within-doc repetition is
+    * [[withRepetitionStats]]; this is the ACROSS-doc sibling). Shape: one
+    * Generate (per-row n-gram array explode), a two-level aggregation
+    * ((ngram, doc) counts → per-ngram totals, so document frequency
+    * needs no count-distinct expand), a `minDf` tail cut at aggregation
+    * time, and one TakeOrdered — no joins, no global sort, safe at any
+    * corpus size. Full (count desc, df desc, ngram) tie-break keeps the
+    * cut deterministic and engine-portable.
+    */
+  def boilerplateNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, minDf: Int = 2): DataFrame = {
+    require(n >= 1 && k >= 1 && minDf >= 1, "n, k, minDf must be >= 1")
+    val toks = tokens(col(textCol))
+    // docs shorter than n tokens contribute nothing (a bare sequence(1,
+    // size-n+1) would run DOWNWARD for short docs and fabricate grams)
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("__id"), explode(grams).as("ngram"))
+      .groupBy(col("ngram"), col("__id"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("ngram"))
+      .agg(sum(col("__c")).as("n_occurrences"),
+        count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDf)
+      .orderBy(col("n_occurrences").desc, col("n_docs").desc, col("ngram"))
+      .limit(k)
+  }
+
   def slidingTokenChunks(df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be > 0")

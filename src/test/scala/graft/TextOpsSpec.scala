@@ -73,6 +73,46 @@ class TextOpsSpec extends SparkSpec {
     assert(r(1).getAs[String]("text_redacted") == "clean text with no pii at all")
   }
 
+  test("boilerplateNgrams: hand-computed counts, df cut, short docs contribute nothing") {
+    val df = Seq(
+      (1L, "all rights reserved by acme"),   // "all rights reserved" + 2 more
+      (2L, "all rights reserved forever"),
+      (3L, "all rights reserved"),
+      (4L, "unique text entirely here"),
+      (5L, "too short")                       // < 3 tokens → no grams
+    ).toDF("doc_id", "text")
+    val out = TextOps.boilerplateNgrams(df, "doc_id", "text", n = 3, k = 10,
+      minDf = 2).collect()
+    // only the shared trigram survives the df >= 2 cut
+    assert(out.length == 1, out.mkString(";"))
+    assert(out.head.getString(0) == "all rights reserved")
+    assert(out.head.getLong(1) == 3L, "occurrences")
+    assert(out.head.getLong(2) == 3L, "doc frequency")
+    // within-doc repeats count every occurrence but one document
+    val rep = Seq((1L, "ha ha ha ha"), (2L, "ha ha ha")).toDF("doc_id", "text")
+    val r = TextOps.boilerplateNgrams(rep, "doc_id", "text", 2, 5, 2)
+      .filter(col("ngram") === "ha ha").head()
+    assert(r.getLong(1) == 5L && r.getLong(2) == 2L)
+  }
+
+  test("embeddingDiversity equals the brute-force pair mean on a small set") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(1.0, 1.0)), (4L, Seq(-1.0, 0.5)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val r = graft.operators.ProfileOps.embeddingDiversity(df, "embedding")
+      .head()
+    assert(r.getAs[Long]("n_vecs") == 4L && r.getAs[Long]("n_dims") == 2L)
+    // brute force over ALL ordered pairs incl. self (the i.i.d. identity):
+    // E||x-y||^2 with x,y independent uniform draws = 2(E||x||^2-||mean||^2)
+    val vs = vecs.map(_._2)
+    val all = for (a <- vs; b <- vs) yield
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expected = all.sum / all.size
+    assert(approx(r.getAs[Double]("mean_pair_sq_dist"), expected, 1e-6),
+      s"got ${r.getAs[Double]("mean_pair_sq_dist")} want $expected")
+  }
+
   test("withRepetitionStats: hand-computed duplicate and bigram fractions") {
     val docs = Seq(
       (1L, "a b a b a b"),   // 6 tokens, 2 distinct; bigrams: a·b ×3, b·a ×2
