@@ -44,14 +44,17 @@ class DeterminismSpec extends SparkSpec {
     "q172_mixture_weights", "q173_source_overlap", "q174_rolling_zscore",
     "q175_quality_gate", "q176_seasonal_strength", "q177_js_divergence",
     "q178_cuped_ab", "q179_negative_samples", "q180_conformal",
-    "q181_canonical_by_quality")
+    "q181_canonical_by_quality", "q182_ivf_portable",
+    "q183_ridge_closed_form", "q185_boilerplate_ngrams",
+    "q186_embedding_diversity")
   // q145 joins the MLlib exclusion list (L-BFGS trajectory depends on the
   // coalesced treeAggregate order, like q29/q47)
   // q155 joins the MLlib exclusion list (GBT tree builds, like q42/q59)
   // q143 PQ joins the MLlib exclusion list (seeded k-means codebooks)
   // q138 joins the sketch exclusion list (HLL estimates, like q53/q107)
   // q131 is streaming (the streaming family stays under its own
-  // convergence specs, like q38/q73)
+  // convergence specs, like q38/q73); q184 likewise (its convergence spec
+  // additionally pins multi-batch invariance)
   // q126 isotonic is INCLUDED despite being an MLlib fit: the PAV
   // fixpoint is the unique isotonic solution, so per-partition pooling +
   // driver merge lands on the same boundaries under any partitioning
