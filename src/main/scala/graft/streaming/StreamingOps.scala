@@ -216,8 +216,13 @@ object StreamingOps {
     val stream = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
       .parquet(dir)
-    val writer: (DataFrame, Long) => Unit = (batch, _) =>
-      score(batch).write.mode("append").parquet(outPath)
+    // IDEMPOTENT ingest: each micro-batch owns the directory keyed by its
+    // batchId and OVERWRITES it — a batch retried after a partial write
+    // replaces its own output instead of appending duplicates (foreachBatch
+    // is at-least-once; blind append would double rows under retry)
+    val writer: (DataFrame, Long) => Unit = (batch, batchId) =>
+      score(batch).write.mode("overwrite")
+        .parquet(s"$outPath/batch=$batchId")
     val q = stream.writeStream
       .outputMode("append")
       .foreachBatch(writer)
