@@ -29,6 +29,11 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // UTC like every other entrypoint: the TIMESTAMP_NTZ → timestamp
+      // cast in Tables.normalizeEventTs is session-TZ-dependent, so an
+      // unpinned bench on a non-UTC host would bucket day-granularity
+      // windows differently than the gated Verify/spec sessions
+      .config("spark.sql.session.timeZone", "UTC")
       // FAIR scheduling so the concurrency section's streams share the
       // cores instead of FIFO-starving late submitters (no effect on the
       // single-threaded sequential section)

@@ -1507,8 +1507,6 @@ object OracleSql {
 
     "q113_psi_drift" -> psiSql,
 
-    // canonical-by-quality: the q67 reachability CTE + the q13 quality
-    // expression, per-component argmax via rank-1 row
     // portable-centroid IVF: the two-round congruential draw picks the 8
     // centroids, every ordering-deciding cosine is rounded to 6 before its
     // ROW_NUMBER (assignment argmax, probe top-3, final top-k) — the whole
@@ -1620,6 +1618,8 @@ object OracleSql {
         |  ROUND(2.0 * (msq - nms), 6) AS mean_pair_sq_dist
         |FROM agg""".stripMargin,
 
+    // canonical-by-quality: the q67 reachability CTE + the q13 quality
+    // expression, per-component argmax via rank-1 row
     "q181_canonical_by_quality" ->
       """WITH RECURSIVE e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb

@@ -38,10 +38,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         val d = new java.io.File(s"$outDir/$name")
+        if (d.isFile) d.delete() // stale regular file would block mkdirs
         d.mkdirs()
         // wipe any stale parquet from a previous attempt so the marker
-        // is the only content and the dir cannot read as a clean result
-        d.listFiles().foreach(f => if (f.isFile) f.delete())
+        // is the only content and the dir cannot read as a clean result.
+        // listFiles is null when the path is not a listable directory —
+        // the marker handler must never itself throw and kill the run
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .foreach(f => if (f.isFile) f.delete())
         Files.writeString(Paths.get(s"$outDir/$name/_ERROR"),
           s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}")
         errors(name) = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"

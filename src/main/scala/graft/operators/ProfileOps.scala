@@ -36,20 +36,6 @@ object ProfileOps {
     }.reduce(_.unionByName(_))
   }
 
-  /** Order-invariant table content fingerprint: the exact-decimal SUM of a
-    * portable 60-bit MD5 row hash over `cols`, plus the row count — the
-    * replica/migration verification primitive. Two copies of a 100 TB
-    * table compare by exchanging ONE (count, fingerprint) row each,
-    * independent of partitioning, file layout, and row order (sum is
-    * commutative; decimal(38,0) holds 2⁶⁰ × 10¹⁸ rows without overflow,
-    * so no wraparound convention needs to match between engines). Nulls
-    * hash as an explicit sentinel so ('a', null) ≠ ('anull').
-    *
-    * The fingerprint returns as a STRING so it survives any client's
-    * numeric layer unchanged. Columns should be cast-stable types
-    * (integers/strings/dates) — double→string formatting differs across
-    * engines, so hash the key columns, not the measures.
-    */
   /** One-pass embedding-diversity card: mean squared norm E‖x‖², squared
     * norm of the mean vector ‖x̄‖², and the mean pairwise squared
     * Euclidean distance via the identity E‖x−y‖² = 2·(E‖x‖² − ‖x̄‖²)
@@ -92,6 +78,20 @@ object ProfileOps {
           .as("mean_pair_sq_dist"))
   }
 
+  /** Order-invariant table content fingerprint: the exact-decimal SUM of a
+    * portable 60-bit MD5 row hash over `cols`, plus the row count — the
+    * replica/migration verification primitive. Two copies of a 100 TB
+    * table compare by exchanging ONE (count, fingerprint) row each,
+    * independent of partitioning, file layout, and row order (sum is
+    * commutative; decimal(38,0) holds 2⁶⁰ × 10¹⁸ rows without overflow,
+    * so no wraparound convention needs to match between engines). Nulls
+    * hash as an explicit sentinel so ('a', null) ≠ ('anull').
+    *
+    * The fingerprint returns as a STRING so it survives any client's
+    * numeric layer unchanged. Columns should be cast-stable types
+    * (integers/strings/dates) — double→string formatting differs across
+    * engines, so hash the key columns, not the measures.
+    */
   def contentFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "contentFingerprint needs at least one column")
     val parts = cols.map(c =>

@@ -89,16 +89,6 @@ object RobustStats {
         round(col("global_q") - col("group_q"), 6).as("shift"))
   }
 
-  /** k-th smallest value of an integer column by iterative counting —
-    * distributed selection WITHOUT sorting: binary search on the value
-    * domain, one `count(x ≤ mid)` full-scan aggregate per step (~log₂ of
-    * the value range), no shuffle beyond partial-count merge and no
-    * single-partition stage at any size. The driver loop only CONTROLS
-    * the search (the [[GraphOps.connectedComponents]] precedent); the
-    * 100 TB play is exactly this: ~34 cheap scans beat one global sort.
-    * Caller should cache/persist the projected column when issuing
-    * several probes.
-    */
   /** Several order statistics of an integer column in ONE aggregation +
     * ONE window pass: per-value counts (≤ #distinct rows regardless of
     * corpus size) → running count over the sorted value axis → the k-th
@@ -129,6 +119,16 @@ object RobustStats {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  /** k-th smallest value of an integer column by iterative counting —
+    * distributed selection WITHOUT sorting: binary search on the value
+    * domain, one `count(x ≤ mid)` full-scan aggregate per step (~log₂ of
+    * the value range), no shuffle beyond partial-count merge and no
+    * single-partition stage at any size. The driver loop only CONTROLS
+    * the search (the [[GraphOps.connectedComponents]] precedent); the
+    * 100 TB play is exactly this: ~34 cheap scans beat one global sort.
+    * Caller should cache/persist the projected column when issuing
+    * several probes.
+    */
   def kthSmallestByCounting(df: DataFrame, colName: String, k: Long): Long = {
     val Array(mn, mx) = df.agg(min(col(colName)), max(col(colName)))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray

@@ -184,6 +184,8 @@ object SimilarityOps {
     // pass per call at this operator's scale posture)
     val dims = embeddings
       .agg(min(size(col(vecCol))), max(size(col(vecCol)))).head()
+    require(!dims.isNullAt(0),
+      "lshBucketProfile needs at least one non-null vector")
     val d = dims.getInt(0)
     require(d == dims.getInt(1),
       s"ragged input: vector lengths range [${d}, ${dims.getInt(1)}] " +
@@ -517,6 +519,8 @@ object SimilarityOps {
     // corpus pass per call
     val dims = embeddings
       .agg(min(size(col(vecCol))), max(size(col(vecCol)))).head()
+    require(!dims.isNullAt(0),
+      "productQuantize needs at least one non-null vector")
     val d = dims.getInt(0)
     require(d == dims.getInt(1),
       s"ragged input: vector lengths range [${d}, ${dims.getInt(1)}] " +

@@ -11,13 +11,20 @@ import org.apache.spark.sql.functions._
   * discovery over a corpus too large for an exact term dictionary.
   *
   * Scale shape: the sketch is depth×width counters built with ONE
-  * aggregation keyed by (depth, bucket) — `depth` copies of the term
-  * stream, each hashed with a different seed. Counters are exact BIGINT
-  * sums, so the sketch is mergeable across partitions/days by addition,
-  * and the one-sided error bound (estimate ≥ truth, overshoot ≤ N/width
-  * with probability 1 − 2^−depth) holds deterministically given the seeds.
+  * aggregation keyed by (depth, bucket) over ONE pass of the term stream —
+  * each term's `depth` bucket draws come from disjoint slices of a single
+  * MD5 digest. Counters are exact BIGINT sums, so the sketch is mergeable
+  * across partitions/days by addition, and the one-sided error bound
+  * (estimate ≥ truth, overshoot ≤ N/width with probability 1 − 2^−depth)
+  * holds deterministically given the hash.
   */
 object SketchOps {
+
+  /** Portable 60-bit hash: the first 15 hex digits of MD5, as a BIGINT —
+    * used where one draw needs the full hash width (HLL register+rank).
+    */
+  private def md5Long60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** All `depth` bucket draws from ONE MD5 digest: depth d reads its own
     * disjoint 7-hex-digit slice (28 bits, far above any practical width) —
@@ -27,12 +34,6 @@ object SketchOps {
     * slices with a strpos polynomial) — the sketch's counter matrix is
     * exact integer arithmetic REPLAYABLE end-to-end, not just bounded.
     */
-  /** Portable 60-bit hash: the first 15 hex digits of MD5, as a BIGINT —
-    * used where one draw needs the full hash width (HLL register+rank).
-    */
-  private def md5Long60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-
   private def bucketPairs(term: Column, depth: Int, width: Int): Column = {
     require(depth >= 1 && depth * 7 <= 32,
       s"depth must be in [1,4] (7 hex digits per slice of one MD5), got $depth")

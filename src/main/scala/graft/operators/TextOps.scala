@@ -450,18 +450,6 @@ object TextOps {
           .as("cum_coverage"))
   }
 
-  /** Sliding token-window chunking — the context-window builder of an LLM
-    * pre-training pipeline: each document becomes ⌈len/stride⌉-ish chunks
-    * of `chunkSize` tokens starting every `stride` tokens (overlapping
-    * when stride < chunkSize; the final chunk keeps the tail and may be
-    * short). Emits one row per chunk with its token span and an MD5
-    * content address (chunk-level dedup plugs straight into q11's exact
-    * dedup on that column).
-    *
-    * Pure per-row array arithmetic (sequence/slice/posexplode) — no
-    * shuffle at all; output size is input tokens × (chunkSize/stride),
-    * the same linear blow-up any chunker pays.
-    */
   /** Cross-document boilerplate mining: the `k` most frequent word
     * `n`-grams corpus-wide with total occurrences and document frequency —
     * the detector for repeated headers/footers/license blocks that
@@ -495,6 +483,18 @@ object TextOps {
       .limit(k)
   }
 
+  /** Sliding token-window chunking — the context-window builder of an LLM
+    * pre-training pipeline: each document becomes ⌈len/stride⌉-ish chunks
+    * of `chunkSize` tokens starting every `stride` tokens (overlapping
+    * when stride < chunkSize; the final chunk keeps the tail and may be
+    * short). Emits one row per chunk with its token span and an MD5
+    * content address (chunk-level dedup plugs straight into q11's exact
+    * dedup on that column).
+    *
+    * Pure per-row array arithmetic (sequence/slice/posexplode) — no
+    * shuffle at all; output size is input tokens × (chunkSize/stride),
+    * the same linear blow-up any chunker pays.
+    */
   def slidingTokenChunks(df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be > 0")

@@ -86,10 +86,12 @@ object StreamingOps {
     * one table's parquet via pathGlobFilter.
     */
   private def fileStream(spark: SparkSession, dir: String,
-      fileName: String): DataFrame = {
+      fileName: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val schema = spark.read.parquet(s"$dir/$fileName").schema
-    spark.readStream.schema(schema)
+    val reader = spark.readStream.schema(schema)
       .option("pathGlobFilter", fileName)
+    maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
       .parquet(dir)
   }
 
@@ -210,12 +212,7 @@ object StreamingOps {
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     // maxFilesPerTrigger caps each micro-batch (availableNow still drains
     // everything) — the spec uses it to prove batch-count invariance
-    val schema = spark.read.parquet(s"$dir/$fileName").schema
-    val reader = spark.readStream.schema(schema)
-      .option("pathGlobFilter", fileName)
-    val stream = maxFilesPerTrigger
-      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
-      .parquet(dir)
+    val stream = fileStream(spark, dir, fileName, maxFilesPerTrigger)
     // IDEMPOTENT ingest: each micro-batch owns the directory keyed by its
     // batchId and OVERWRITES it — a batch retried after a partial write
     // replaces its own output instead of appending duplicates (foreachBatch
@@ -229,7 +226,11 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(outPath)
+    // zero micro-batches (empty source) → outPath was never created; an
+    // empty store with the scored schema is the correct result, not a
+    // PATH_NOT_FOUND crash
+    if (new java.io.File(outPath).exists()) spark.read.parquet(outPath)
+    else score(spark.read.parquet(s"$dir/$fileName")).limit(0)
   }
 
   /** Streaming CDC compaction: a continuously-maintained latest-state-per-key
