@@ -57,6 +57,29 @@ class EdgeCasesWave6Spec extends SparkSpec {
     assert(fp(withNull).getLong(0) == 3L)
   }
 
+  test("boilerplateNgrams: empty corpus and all-short corpus yield empty results") {
+    import graft.operators.TextOps
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.boilerplateNgrams(empty, "doc_id", "text", 3, 10).count() == 0)
+    val short = Seq((1L, "just two"), (2L, "also two")).toDF("doc_id", "text")
+    assert(TextOps.boilerplateNgrams(short, "doc_id", "text", 3, 10).count() == 0)
+  }
+
+  test("embeddingDiversity: empty input yields one all-null card, single vector zero diversity") {
+    import graft.operators.ProfileOps
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    val r0 = ProfileOps.embeddingDiversity(empty, "embedding").head()
+    // global aggregate over zero dimension rows: one row, null stats —
+    // never a crash (the SQL oracle convention for empty aggregates)
+    assert(r0.isNullAt(0) && r0.getLong(1) == 0L)
+    val one = Seq((1L, Seq(3.0, 4.0))).toDF("vec_id", "embedding")
+    val r1 = ProfileOps.embeddingDiversity(one, "embedding").head()
+    assert(r1.getAs[Long]("n_vecs") == 1L)
+    assert(approx(r1.getAs[Double]("mean_sq_norm"), 25.0))
+    // a single vector IS the mean: zero diversity
+    assert(math.abs(r1.getAs[Double]("mean_pair_sq_dist")) < 1e-9)
+  }
+
   test("gbtEarlyStopTrace: tiny input still yields a usable trace") {
     val df = (1L to 20L).map(i => (i, (i % 4).toDouble, (i % 4) * 2.0))
       .toDF("id", "x", "y")
