@@ -22,6 +22,30 @@ class SourcesSpec extends SparkSpec {
     d
   }
 
+  test("normalizeEventTs: identical wall-clock from nanos-long, NTZ, and TZ inputs") {
+    import org.apache.spark.sql.types._
+    // 2024-03-01 12:34:56.789012 UTC, expressed three ways
+    val micros = 1709296496789012L
+    val nanos = micros * 1000L + 345L // sub-µs residue must floor away
+    val asLong = Seq(nanos).toDF("ts") // the old TIMESTAMP(NANOS) shape
+    val rLong = Tables.normalizeEventTs(asLong).head().getTimestamp(0)
+    val asTz = Seq(new java.sql.Timestamp(micros / 1000)).toDF("ts")
+      .withColumn("ts", timestamp_micros(lit(micros)))
+    val rTz = Tables.normalizeEventTs(asTz).head().getTimestamp(0)
+    val asNtz = asTz.withColumn("ts", col("ts").cast(TimestampNTZType))
+    assert(asNtz.schema("ts").dataType == TimestampNTZType)
+    val norm = Tables.normalizeEventTs(asNtz)
+    assert(norm.schema("ts").dataType == TimestampType,
+      "NTZ must normalize to session-TZ timestamp")
+    val rNtz = norm.head().getTimestamp(0)
+    assert(rLong == rTz && rTz == rNtz,
+      s"decodes disagree: long=$rLong tz=$rTz ntz=$rNtz")
+    // frames without a ts column pass through untouched
+    val other = Seq((1L, "x")).toDF("id", "name")
+    assert(Tables.normalizeEventTs(other).collect().toSeq ==
+      other.collect().toSeq)
+  }
+
   test("readSensorCsv: explicit schema, renames, period tag, malformed→null") {
     val df = Sources.readSensorCsv(spark, s"$dir/d1.csv", "D1")
     assert(df.columns.contains("timestamp") && df.columns.contains("hive_id"))
