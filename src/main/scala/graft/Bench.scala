@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 
 /** Bench main: the sequential per-query contract bench plus a 4-stream
   * concurrency section (a shared engine serves concurrent analysts; solo
@@ -45,11 +46,13 @@ object Bench {
     // is not attributed to whichever query happens to run first. Per-table
     // try/catch: one unreadable table must not zero the whole artifact —
     // its queries report -1 below, everything else still gets timed.
+    // NonFatal only: an OutOfMemoryError means the JVM is compromised and
+    // any timings after it would be fiction — let it kill the run.
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings")
       .foreach { t =>
         try Tables.load(spark, sfDir, t).count()
-        catch { case e: Throwable =>
+        catch { case NonFatal(e) =>
           System.err.println(s"[bench] warm-up $t failed: ${e.getMessage}")
         }
       }
@@ -68,7 +71,7 @@ object Bench {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
+        catch { case NonFatal(e) =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
@@ -102,7 +105,7 @@ object Bench {
       val t0 = System.nanoTime()
       try fns.foreach { case (name, fn) =>
         try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
+        catch { case NonFatal(e) =>
           System.err.println(s"[bench] $tag/$name failed: ${e.getMessage}")
           concFailed.add(s"$tag/$name")
         }

@@ -2817,6 +2817,12 @@ object SparkEntry {
       .persist()
     try {
       val n = scored.count()
+      // empty corpus: no percentile is answerable — the degenerate
+      // all-zero card, not a missing-rank crash
+      if (n == 0L)
+        return Seq((0L, 0L, 0L, 0L, 0L, 0L))
+          .toDF("n_docs", "p10_micro", "p90_micro",
+            "n_below", "n_core", "n_above")
       val k10 = (n + 9) / 10
       val k90 = (9 * n + 9) / 10
       // q_micro lives in the BOUNDED domain [0, 10⁶] — both percentiles

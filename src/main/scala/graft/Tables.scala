@@ -11,20 +11,126 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * use.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+  import org.apache.spark.sql.types._
 
-  /** The events table has shipped with two parquet physical types for `ts`
-    * across testdata generations: TIMESTAMP(NANOS) — which Spark's
-    * vectorized reader rejects, so we read it as raw BIGINT nanos under
-    * `nanosAsLong` — and TIMESTAMP(MICROS), which Spark 4 reads as
-    * TIMESTAMP_NTZ. Keeping the legacy conf on is harmless for the µs
-    * format; [[normalizeEventTs]] then adapts on the *decoded* schema.
+  /** Thrown when a testdata parquet's decoded type cannot be adapted to the
+    * contract type without risking value loss. One loud, named failure beats
+    * 73 silently-wrong queries (the round-6 `events.ts` incident).
     */
-  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+  final class SchemaDriftException(table: String, column: String,
+      expected: String, actual: String)
+    extends RuntimeException(
+      s"graft schema contract violation: table=$table column=$column " +
+      s"expected=$expected actual=$actual — no value-preserving adaptation " +
+      s"known; fix the testdata or extend Tables.conform")
+
+  /** Expected LOGICAL type of every contract column, per table — what all
+    * downstream operators assume after [[load]]. These pin the types the
+    * current testdata decodes to (events.ts post-[[normalizeEventTs]]), so
+    * on undrifted data [[conform]] is an exact no-op. Physical drift that is
+    * value-preserving (integral width changes, decimal→double, the ts
+    * variants of [[normalizeEventTs]]) is adapted silently; anything else
+    * raises [[SchemaDriftException]] naming table/column/types.
+    */
+  val contract: Map[String, Seq[(String, DataType)]] = Map(
+    "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType),
+    "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType),
+    "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+    "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType),
+    "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> TimestampNTZType),
+    "events" -> Seq("event_id" -> LongType, "ts" -> TimestampType,
+      "user_id" -> LongType, "event_type" -> StringType,
+      "value" -> DoubleType, "props" -> StringType),
+    "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+      "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+    "embeddings" -> Seq("vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType), "label" -> IntegerType)
+  )
+
+  /** Validate `df` against [[contract]]`(table)` and adapt every drifted
+    * column whose change is value-preserving:
+    *
+    *   - integral ↔ integral: cast to the contract type (key/flag domains
+    *     are far below 2³¹, so narrowing is value-preserving here);
+    *   - decimal / float → double: widen-cast;
+    *   - timestamp drift: `BIGINT` nanos (decoded under `nanosAsLong`) →
+    *     floor-divide to µs; TIMESTAMP ↔ TIMESTAMP_NTZ: cast, which is
+    *     wall-clock-preserving under the UTC session TZ every entrypoint
+    *     sets — the [[normalizeEventTs]] pattern generalized;
+    *   - array element drift: conform element type by the same rules.
+    *
+    * A missing contract column or a non-adaptable type raises
+    * [[SchemaDriftException]]. Extra (non-contract) columns pass through.
+    * Column order and nullability are untouched; `withColumn` adapts in
+    * place, so the scan's pushdown/pruning behavior is unchanged.
+    */
+  def conform(table: String, df: DataFrame): DataFrame =
+    contract.get(table).fold(df) { cols =>
+      cols.foldLeft(df) { case (acc, (name, expected)) =>
+        acc.schema.find(_.name == name) match {
+          case None =>
+            throw new SchemaDriftException(table, name, expected.sql, "MISSING")
+          case Some(f) if f.dataType == expected => acc
+          case Some(f) =>
+            acc.withColumn(name,
+              adapt(table, name, f.dataType, expected,
+                org.apache.spark.sql.functions.col(name)))
+        }
+      }
+    }
+
+  private def adapt(table: String, colName: String, actual: DataType,
+      expected: DataType, c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    def fail() = throw new SchemaDriftException(table, colName, expected.sql, actual.sql)
+    def isIntegral(t: DataType) = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    // Integer `div` (floor for the non-negative epoch domain), not Column./
+    // which is true division — exactly the decode normalizeEventTs uses.
+    def nsToMicros = timestamp_micros(expr(s"`$colName` div 1000"))
+    (actual, expected) match {
+      // nanos decoded as BIGINT under nanosAsLong → µs-precision timestamp;
+      // floor-divide exactly as DuckDB/pyarrow narrow ns → µs.
+      case (LongType, TimestampType) => nsToMicros
+      case (LongType, _: TimestampNTZType) => nsToMicros.cast(expected)
+      // NTZ ↔ TZ casts are wall-clock-preserving under the UTC session TZ.
+      case (_: TimestampNTZType, TimestampType) => c.cast(expected)
+      case (TimestampType, _: TimestampNTZType) => c.cast(expected)
+      case (a, e) if isIntegral(a) && isIntegral(e) => c.cast(e)
+      case (a, DoubleType) if a.isInstanceOf[DecimalType] || a == FloatType =>
+        c.cast(expected)
+      case (ArrayType(ae, _), ArrayType(ee, _))
+          if (isIntegral(ae) || ae == FloatType || ae == DoubleType || ae.isInstanceOf[DecimalType]) &&
+             (isIntegral(ee) || ee == FloatType || ee == DoubleType) => c.cast(expected)
+      case _ => fail()
+    }
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Session-wide legacy conf so ns-typed parquet decodes as BIGINT (then
+    // conformed) instead of failing in the vectorized reader; harmless for
+    // µs-typed files. Applies to every table — round 6 proved any table can
+    // drift, not just events.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    conform(name, spark.read.parquet(s"$dir/$name.parquet"))
   }
 
   /** Normalize the `ts` column to session-TZ TIMESTAMP regardless of the
@@ -60,8 +166,7 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
-  def events(spark: SparkSession, dir: String): DataFrame =
-    normalizeEventTs(eventsRaw(spark, dir))
+  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

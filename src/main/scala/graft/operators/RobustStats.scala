@@ -100,23 +100,50 @@ object RobustStats {
     * is bounded by the domain, not the data. For unbounded 64-bit domains
     * (arbitrary micro-scaled residuals) keep [[kthSmallestByCounting]]:
     * its memory is O(1) no matter how many distinct values exist.
-    * Returns (k, value) rows; ranks must be in [1, n].
+    *
+    * The bounded-domain contract is ENFORCED, not just documented: one
+    * precheck aggregation counts non-null rows and distinct values, and a
+    * domain wider than `maxDistinct` falls back to per-rank counting
+    * binary search — so a future caller with arbitrary 64-bit values gets
+    * the O(1)-memory path instead of a silent single-partition window
+    * bottleneck. Nulls are ignored (SQL rank semantics, same as the
+    * counting path); a rank outside [1, n] fails fast with a named error;
+    * empty input returns an empty map (no answerable rank — callers own
+    * their degenerate row).
     */
   def orderStatsBounded(df: DataFrame, colName: String,
-      ks: Seq[Long]): Map[Long, Long] = {
+      ks: Seq[Long], maxDistinct: Long = 2000000L): Map[Long, Long] = {
     require(ks.nonEmpty, "need at least one rank")
     val spark = df.sparkSession
     import spark.implicits._
-    val cum = df.groupBy(col(colName).cast("long").as("__v"))
-      .agg(count(lit(1)).as("__c"))
-      .withColumn("__cum", sum(col("__c")).over(Window.orderBy(col("__v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__prev", col("__cum") - col("__c"))
-    val kdf = ks.distinct.toDF("__k")
-    cum.join(broadcast(kdf),
-        col("__prev") < col("__k") && col("__k") <= col("__cum"))
-      .select(col("__k"), col("__v"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vals = df.filter(col(colName).isNotNull)
+      .select(col(colName).cast("long").as("__v"))
+    val pre = vals.agg(count(lit(1)).as("n"),
+      countDistinct(col("__v")).as("nd")).head()
+    val (n, nd) = (pre.getLong(0), pre.getLong(1))
+    if (n == 0L) return Map.empty
+    val bad = ks.filter(k => k < 1L || k > n)
+    require(bad.isEmpty,
+      s"orderStatsBounded($colName): ranks ${bad.mkString(",")} outside [1, $n]")
+    if (nd > maxDistinct) {
+      // unbounded domain: the distinct-value window would funnel nd rows
+      // through one partition — take the O(1)-memory counting search per
+      // rank over the cached projection instead
+      vals.persist()
+      try ks.distinct.map(k => k -> kthSmallestByCounting(vals, "__v", k)).toMap
+      finally { vals.unpersist(); () }
+    } else {
+      val cum = vals.groupBy(col("__v"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(Window.orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("__prev", col("__cum") - col("__c"))
+      val kdf = ks.distinct.toDF("__k")
+      cum.join(broadcast(kdf),
+          col("__prev") < col("__k") && col("__k") <= col("__cum"))
+        .select(col("__k"), col("__v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
   }
 
   /** k-th smallest value of an integer column by iterative counting —

@@ -33,6 +33,15 @@ object SketchOps {
     * engine reproduces the value (the DuckDB oracle decodes the same
     * slices with a strpos polynomial) — the sketch's counter matrix is
     * exact integer arithmetic REPLAYABLE end-to-end, not just bounded.
+    *
+    * FORMAT BREAK (round 7): this single-digest layout replaced the
+    * earlier per-depth-seeded hash, which changed every counter value and
+    * narrowed the API to depth ≤ 4. All in-repo call sites and oracles
+    * moved in lockstep; CMS counter matrices persisted under the OLD
+    * scheme cannot be merged with or compared to new ones. 28 bits per
+    * slice bounds width at 2²⁸ — far above the ≤ 2¹⁶ widths the heavy-
+    * hitter use cases here need; a future depth > 4 needs a second digest
+    * (e.g. md5(term || 'x')), not narrower slices.
     */
   private def bucketPairs(term: Column, depth: Int, width: Int): Column = {
     require(depth >= 1 && depth * 7 <= 32,

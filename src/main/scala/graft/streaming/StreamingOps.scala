@@ -202,9 +202,11 @@ object StreamingOps {
     * plan. Score-on-ingest / curate-on-publish is the continuous-feed
     * shape at corpus scale: O(corpus) row work amortizes into the stream,
     * global decisions stay declarative — and an availableNow replay
-    * converges to byte-identical store content regardless of how many
-    * micro-batches the input arrived in (each row's scored form is a pure
-    * function of the row).
+    * converges to the same scored ROWS and the same publish-time manifest
+    * regardless of how many micro-batches the input arrived in (each row's
+    * scored form is a pure function of the row; only the physical
+    * batch=<id> layout under the store differs, and the read-back drops
+    * that column).
     */
   def streamingCurationStore(spark: SparkSession, dir: String,
       fileName: String, outPath: String, checkpointDir: String,
@@ -228,8 +230,12 @@ object StreamingOps {
     q.awaitTermination()
     // zero micro-batches (empty source) → outPath was never created; an
     // empty store with the scored schema is the correct result, not a
-    // PATH_NOT_FOUND crash
-    if (new java.io.File(outPath).exists()) spark.read.parquet(outPath)
+    // PATH_NOT_FOUND crash. On the non-empty path, DROP the inferred
+    // `batch` partition column (an ingest-layout artifact of the batch=<id>
+    // subdirectories) so both branches return the same scored schema and
+    // the store reads batch-count-invariant.
+    if (new java.io.File(outPath).exists())
+      spark.read.parquet(outPath).drop("batch")
     else score(spark.read.parquet(s"$dir/$fileName")).limit(0)
   }
 

@@ -53,6 +53,46 @@ class PatternAndSelectionSpec extends SparkSpec {
     }
   }
 
+  test("orderStatsBounded: nulls are ignored, out-of-range ranks fail fast, empty → empty map") {
+    val withNulls = Seq(Some(5L), None, Some(1L), Some(3L), None)
+      .toDF("x")
+    // nulls occupy no rank: n=3, rank 1 → 1, rank 3 → 5
+    val got = RobustStats.orderStatsBounded(withNulls, "x", Seq(1L, 3L))
+    assert(got == Map(1L -> 1L, 3L -> 5L))
+    // rank 4 > n=3: a named error, never a silently-missing map key
+    val e = intercept[IllegalArgumentException](
+      RobustStats.orderStatsBounded(withNulls, "x", Seq(4L)))
+    assert(e.getMessage.contains("outside [1, 3]"))
+    assert(e.getMessage.contains("x"))
+    // rank 0 (the q175 empty-corpus shape) fails the same way on non-empty
+    val e0 = intercept[IllegalArgumentException](
+      RobustStats.orderStatsBounded(withNulls, "x", Seq(0L)))
+    assert(e0.getMessage.contains("outside"))
+    // truly empty input: no rank is answerable — empty map, no crash
+    assert(RobustStats.orderStatsBounded(
+      Seq.empty[Long].toDF("x"), "x", Seq(1L)) == Map.empty)
+  }
+
+  test("orderStatsBounded: wide domains fall back to the counting search, same answers") {
+    val xs = Seq(5L, 3L, 9L, 3L, 7L, 1L, 9L, 9L, 2L, 4L)
+    val df = xs.toDF("x")
+    val ks = (1 to xs.size).map(_.toLong)
+    // maxDistinct=2 forces the unbounded-domain path (7 distinct values):
+    // the enforced contract routes to kthSmallestByCounting per rank
+    // instead of a single-partition window over the distinct-value axis
+    val got = RobustStats.orderStatsBounded(df, "x", ks, maxDistinct = 2L)
+    val sorted = xs.sorted
+    ks.foreach(k => assert(got(k) == sorted(k.toInt - 1), s"rank $k"))
+  }
+
+  test("q175 on an empty corpus returns the degenerate all-zero card") {
+    val dir = java.nio.file.Files.createTempDirectory("q175empty").toString
+    Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(0).write.parquet(s"$dir/documents.parquet")
+    val row = SparkEntry.q175(spark, dir).collect().head
+    assert(row.toSeq == Seq(0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
   test("exactMedianByCounting: odd and even parities") {
     val odd = RobustStats.exactMedianByCounting(
       Seq(9L, 1L, 5L).toDF("x"), "x").collect().head

@@ -206,6 +206,12 @@ class StreamingOpsSpec extends SparkSpec {
       // 4 single-file micro-batches all landed, no dup/dropped rows
       assert(store.count() == Tables.load(spark, d, "documents").count())
       assert(store.select("doc_id").distinct().count() == store.count())
+      // the batch=<id> ingest layout must not leak into the store schema —
+      // the read-back drops it so empty- and non-empty-source branches
+      // return the identical scored schema
+      assert(!store.columns.contains("batch"))
+      assert(store.columns.sorted.toSeq ==
+        Tables.load(spark, d, "documents").columns.sorted.toSeq)
     } finally {
       graft.tools.FsUtils.deleteRecursively(java.nio.file.Paths.get(base))
     }
