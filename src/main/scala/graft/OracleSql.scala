@@ -700,6 +700,70 @@ object OracleSql {
         |FROM p2 JOIN er USING (fold)
         |ORDER BY fold""".stripMargin,
 
+    // q183's closed form per grid λ; pooled RMSE per λ, argmin flagged —
+    // DuckDB decimal literals CAST to DOUBLE so λ arithmetic matches
+    // Spark's double grid exactly
+    "q187_ridge_grid_portable" ->
+      """WITH d AS (
+        |  SELECT ((l_orderkey % 1000003) * 2654435761) % 5 AS fold,
+        |         CAST(l_quantity AS DOUBLE) AS x,
+        |         CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem WHERE l_orderkey < 500),
+        |pf AS (
+        |  SELECT fold, COUNT(*) AS n_f,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,2))) AS DOUBLE) AS sx_f,
+        |    CAST(SUM(CAST(y AS DECIMAL(28,2))) AS DOUBLE) AS sy_f,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy_f,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx_f,
+        |    CAST(SUM(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS syy_f
+        |  FROM d GROUP BY fold),
+        |g AS (
+        |  SELECT COUNT(*) AS n_g,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,2))) AS DOUBLE) AS sx_g,
+        |    CAST(SUM(CAST(y AS DECIMAL(28,2))) AS DOUBLE) AS sy_g,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy_g,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx_g,
+        |    CAST(SUM(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS syy_g
+        |  FROM d),
+        |grid AS (
+        |  SELECT CAST(lambda AS DOUBLE) AS lambda
+        |  FROM (VALUES (0.01), (0.1), (1.0), (10.0)) t(lambda)),
+        |p AS (
+        |  SELECT lambda, fold, n_f, (n_g - n_f) AS n_tr,
+        |    (sx_g - sx_f) AS sx, (sy_g - sy_f) AS sy,
+        |    (sxy_g - sxy_f) AS sxy, (sxx_g - sxx_f) AS sxx,
+        |    (syy_g - syy_f) AS syy
+        |  FROM pf CROSS JOIN g CROSS JOIN grid),
+        |pd AS (
+        |  SELECT lambda, fold, n_tr, sx, sy, sxy, sxx,
+        |    (n_tr * sxx - sx * sx) AS den0,
+        |    (syy - sy * sy / n_tr) AS syyc
+        |  FROM p),
+        |ps AS (
+        |  SELECT lambda, fold, n_tr, sx, sy,
+        |    CASE WHEN den0 <> 0 AND syyc > 0 THEN
+        |      (n_tr * sxy - sx * sy) /
+        |        (den0 * (1.0 + lambda / SQRT(syyc / n_tr)))
+        |    END AS slope
+        |  FROM pd),
+        |p2 AS (
+        |  SELECT lambda, fold, slope,
+        |    (sy - slope * sx) / n_tr AS intercept
+        |  FROM ps),
+        |e AS (
+        |  SELECT p2.lambda, d.y - (p2.intercept + p2.slope * d.x) AS err
+        |  FROM d JOIN p2 USING (fold)),
+        |er AS (
+        |  SELECT lambda,
+        |    SQRT(CAST(SUM(CAST(err * err AS DECIMAL(28,4))) AS DOUBLE)
+        |      / COUNT(*)) AS rmse_raw
+        |  FROM e GROUP BY lambda)
+        |SELECT lambda, ROUND(rmse_raw, 6) AS rmse_oof_pooled,
+        |  CASE WHEN ROW_NUMBER() OVER (ORDER BY rmse_raw ASC, lambda ASC) = 1
+        |    THEN 1 ELSE 0 END AS is_best
+        |FROM er
+        |ORDER BY lambda""".stripMargin,
+
     "q60_oof_closed_form" ->
       """WITH d AS (
         |  SELECT ((l_orderkey % 1000003) * 2654435761) % 5 AS fold,
@@ -1511,6 +1575,54 @@ object OracleSql {
     // centroids, every ordering-deciding cosine is rounded to 6 before its
     // ROW_NUMBER (assignment argmax, probe top-3, final top-k) — the whole
     // index build + batched search replayed relationally
+    // q182's portable draw + rounded-cosine assignment, q67's recursive
+    // reach, canonical keep — the whole SemDeDup pipeline replayed
+    "q188_semdedup_portable" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |drawn AS (
+        |  SELECT vec_id, emb,
+        |    ((((((vec_id % 1000003) * 2654435761) % 1000003)
+        |        + (vec_id // 1000003)) % 9999991) * 22695477) % 9999991 AS d
+        |  FROM e),
+        |cent AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY d, vec_id) - 1 AS INT)
+        |      AS centroid_id,
+        |    emb AS centroid
+        |  FROM (SELECT * FROM drawn ORDER BY d, vec_id LIMIT 8)),
+        |assign AS (
+        |  SELECT vec_id, emb, centroid_id FROM (
+        |    SELECT e.vec_id, e.emb, c.centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |        ROUND(list_inner_product(e.emb, c.centroid) /
+        |          (SQRT(list_inner_product(e.emb, e.emb)) *
+        |           SQRT(list_inner_product(c.centroid, c.centroid))), 6)
+        |          DESC,
+        |        c.centroid_id) AS rn
+        |    FROM e, cent c)
+        |  WHERE rn = 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM assign a JOIN assign b
+        |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        |  WHERE ROUND(list_inner_product(a.emb, b.emb) /
+        |      (SQRT(list_inner_product(a.emb, a.emb)) *
+        |       SQRT(list_inner_product(b.emb, b.emb))), 6) >= 0.4),
+        |sym AS (
+        |  SELECT src, dst FROM pairs
+        |  UNION SELECT dst, src FROM pairs),
+        |reach(v, c) AS (
+        |  SELECT vec_id, vec_id FROM e
+        |  UNION
+        |  SELECT sym.dst, reach.c FROM reach JOIN sym ON sym.src = reach.v),
+        |comp AS (SELECT v, MIN(c) AS component FROM reach GROUP BY v)
+        |SELECT e.label, COUNT(*) AS n_kept
+        |FROM e JOIN comp ON comp.v = e.vec_id
+        |WHERE comp.v = comp.component
+        |GROUP BY e.label
+        |ORDER BY e.label""".stripMargin,
+
     "q182_ivf_portable" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb

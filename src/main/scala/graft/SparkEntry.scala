@@ -2692,6 +2692,33 @@ object SparkEntry {
     graft.operators.ProfileOps.embeddingDiversity(
       t(spark, dir, "embeddings"), "embedding")
 
+  // ---------------------------------------------------------------- q187
+  // Portable ridge-λ grid search — q106's model-selection surface made
+  // hash-checkable (reference train_ensemble.py:150-158): q183's closed
+  // form evaluated per grid λ on the same hash folds, pooled OOF RMSE per
+  // λ, argmin flagged. Sufficient statistics computed once for the whole
+  // grid; MLlib's CrossValidator would refit k·|λ| times.
+  def q187(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.ridgeGridClosedForm(
+      t(spark, dir, "lineitem").filter(col("l_orderkey") < 500),
+      "l_orderkey", "l_quantity", "l_extendedprice", 5,
+      Seq(0.01, 0.1, 1.0, 10.0))
+      .orderBy(col("lambda"))
+
+  // ---------------------------------------------------------------- q188
+  // Portable SemDeDup — q74's pipeline made hash-checkable end-to-end:
+  // hash-drawn centroids (q182's draw), rounded-cosine assignment and
+  // edge threshold, q67's recursive-CTE component replay, canonical keep.
+  // Same survivor-count-per-label report as q74; the MLlib-centroid
+  // default stays the quality path.
+  def q188(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.semanticDedupPortable(
+        t(spark, dir, "embeddings"), "vec_id", "embedding",
+        nlist = 8, minCosine = 0.4)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("label"))
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3110,6 +3137,8 @@ object SparkEntry {
     "q184_stream_curation" -> (q184 _),
     "q185_boilerplate_ngrams" -> (q185 _),
     "q186_embedding_diversity" -> (q186 _),
+    "q187_ridge_grid_portable" -> (q187 _),
+    "q188_semdedup_portable" -> (q188 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

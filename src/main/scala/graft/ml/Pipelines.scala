@@ -643,6 +643,83 @@ object MlPipelines {
         col("rmse_oof"))
   }
 
+  /** Portable ridge-λ GRID SEARCH — the hash-checkable twin of the MLlib
+    * CV grid (q106 / reference `train_ensemble.py:150-158`): the
+    * [[oofClosedFormRidge]] closed form evaluated for EVERY λ of the grid
+    * on the SAME deterministic hash folds, pooled OOF RMSE per λ, argmin
+    * flagged. Model selection made SQL-replayable end-to-end: every slope,
+    * intercept, error and the winner flag are exact expressions both
+    * engines evaluate identically — no seeded optimizer anywhere.
+    *
+    * Scale shape: the per-fold/global sufficient statistics are computed
+    * ONCE for the whole grid (two aggregations over the data, independent
+    * of |λ|); the grid enters as a broadcast cross join of |folds|·|λ|
+    * parameter rows, and the single error pass fans each data row out to
+    * its |λ| per-λ residuals map-side — so grid width multiplies only the
+    * O(1)-per-row arithmetic, never the number of data scans (MLlib's
+    * CrossValidator refits k·|λ| times, rescanning every time).
+    */
+  def ridgeGridClosedForm(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, k: Int, lambdas: Seq[Double]): DataFrame = {
+    import graft.functions.Stats.dsum
+    import org.apache.spark.sql.expressions.Window
+    require(lambdas.nonEmpty, "need at least one lambda")
+    require(lambdas.forall(_ >= 0), s"lambdas must be >= 0, got $lambdas")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = SplitOps.withFold(df, idCol, k)
+      .select(col("fold"), col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"))
+    def sums(g: org.apache.spark.sql.RelationalGroupedDataset, suf: String) =
+      g.agg(
+        count(lit(1)).as(s"n$suf"),
+        dsum(col("x"), 2).as(s"sx$suf"),
+        dsum(col("y"), 2).as(s"sy$suf"),
+        dsum(col("x") * col("y"), 4).as(s"sxy$suf"),
+        dsum(col("x") * col("x"), 4).as(s"sxx$suf"),
+        dsum(col("y") * col("y"), 4).as(s"syy$suf"))
+    val perFold = sums(d.groupBy(col("fold")), "_f")
+    val global = sums(d.groupBy(), "_g")
+    val grid = lambdas.distinct.toDF("lambda")
+    val params = perFold.crossJoin(broadcast(global))
+      .crossJoin(broadcast(grid))
+      .withColumn("n_tr", col("n_g") - col("n_f"))
+      .withColumn("sx", col("sx_g") - col("sx_f"))
+      .withColumn("sy", col("sy_g") - col("sy_f"))
+      .withColumn("sxy", col("sxy_g") - col("sxy_f"))
+      .withColumn("sxx", col("sxx_g") - col("sxx_f"))
+      .withColumn("syy", col("syy_g") - col("syy_f"))
+      .withColumn("__den0",
+        col("n_tr") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("__syyc",
+        col("syy") - col("sy") * col("sy") / col("n_tr"))
+      // the oofClosedFormRidge slope with λ as a COLUMN from the grid
+      .withColumn("slope",
+        when(col("__den0") =!= 0.0 && col("__syyc") > 0.0,
+          (col("n_tr") * col("sxy") - col("sx") * col("sy")) /
+            (col("__den0") *
+              (lit(1.0) + col("lambda") /
+                sqrt(col("__syyc") / col("n_tr"))))))
+      .withColumn("intercept",
+        when(col("slope").isNotNull,
+          (col("sy") - col("slope") * col("sx")) / col("n_tr")))
+      .select(col("lambda"), col("fold"), col("slope"), col("intercept"))
+    val pooled = d.join(broadcast(params), "fold")
+      .withColumn("err", col("y") - (col("intercept") + col("slope") * col("x")))
+      .groupBy(col("lambda"))
+      .agg((sqrt(dsum(col("err") * col("err"), 4) / count(lit(1))))
+        .as("__rmse_raw"))
+    // argmin over the |λ|-row frame; λ asc breaks exact ties — a window
+    // over a broadcast-sized frame, not a data-sized one
+    pooled
+      .withColumn("is_best",
+        when(row_number().over(
+          Window.orderBy(col("__rmse_raw").asc, col("lambda").asc)) === 1, 1)
+          .otherwise(0))
+      .select(col("lambda"), round(col("__rmse_raw"), 6).as("rmse_oof_pooled"),
+        col("is_best"))
+  }
+
   /** Per-key AR(1) fit in closed form: y_t = intercept + slope·y_{t−1} over
     * consecutive observations, the classical sequence model (the linear
     * ancestor of the reference's LSTM forecasting surface) — expressed as

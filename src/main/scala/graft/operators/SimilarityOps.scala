@@ -441,6 +441,39 @@ object SimilarityOps {
       "id_a", "id_b")
   }
 
+  /** Engine-portable SemDeDup twin of [[semanticDedup]]: identical
+    * bucket → pair → component → keep-canonical pipeline, but the coarse
+    * clusters come from [[ivfCentroidsPortable]]'s two-round congruential
+    * draw and every cosine is rounded to 6 decimals BEFORE the argmax /
+    * threshold decisions — so centroid selection, assignment, the edge
+    * set, and the surviving canonical ids all replay exactly in plain SQL
+    * (the q182 recipe applied to dedup; reach/min-component replays as the
+    * q67 recursive CTE). [[semanticDedup]] with fitted k-means centroids
+    * stays the quality default; this twin pins the WHOLE dedup pipeline's
+    * arithmetic under an exact cross-engine hash, not just a recall spec.
+    *
+    * Same scale posture as the default: clusters only bucket the pair
+    * search (n²/nlist pair work, corpus never globally shuffled), the
+    * component step is the distributed label propagation of
+    * [[GraphOps.connectedComponents]].
+    */
+  def semanticDedupPortable(embeddings: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, minCosine: Double): DataFrame = {
+    val centroids = ivfCentroidsPortable(embeddings, idCol, vecCol, nlist)
+    val assigned = ivfAssign(embeddings, idCol, vecCol, centroids,
+      simRound = Some(6))
+    val l = assigned.select(col("centroid_id"), col(idCol).as("id_a"),
+      col("emb").as("ea"))
+    val r = assigned.select(col("centroid_id"), col(idCol).as("id_b"),
+      col("emb").as("eb"))
+    val edges = l.join(r, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b") &&
+        round(cosineNative(col("ea"), col("eb")), 6) >= minCosine)
+      .select("id_a", "id_b")
+    graft.operators.GraphOps.keepCanonical(embeddings, idCol, edges,
+      "id_a", "id_b")
+  }
+
   /** IVF top-k search: score the query against centroids, keep the best
     * `nprobe` lists, and run exact cosine only inside those lists. The
     * scan is pruned to the probed partitions; everything else is untouched.

@@ -182,6 +182,44 @@ class MlPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("ridgeGridClosedForm: pooled RMSE consistent with per-fold ridge, one argmin flag") {
+    val lambdas = Seq(0.01, 0.1, 1.0, 10.0)
+    val grid = MlPipelines.ridgeGridClosedForm(lineitem, "l_orderkey",
+      "l_quantity", "l_extendedprice", 3, lambdas).orderBy("lambda").collect()
+    assert(grid.map(_.getDouble(0)).toSeq == lambdas)
+    // exactly one winner, and it is the minimum pooled RMSE (λ asc tiebreak)
+    assert(grid.map(_.getInt(2)).sum == 1)
+    val best = grid.filter(_.getInt(2) == 1).head
+    assert(best.getDouble(1) == grid.map(_.getDouble(1)).min)
+    // each λ's pooled RMSE re-derives from oofClosedFormRidge's per-fold
+    // rows: pooled² · Σn_f == Σ rmse_f² · n_f (same residuals, two
+    // groupings; fold-level round-6 → loose relative tolerance)
+    lambdas.foreach { lam =>
+      val perFold = MlPipelines.oofClosedFormRidge(lineitem, "l_orderkey",
+        "l_quantity", "l_extendedprice", 3, lam).collect()
+      val nTot = perFold.map(_.getLong(2)).sum
+      val pooled = math.sqrt(
+        perFold.map(r => r.getDouble(5) * r.getDouble(5) * r.getLong(2)).sum / nTot)
+      val got = grid.find(_.getDouble(0) == lam).get.getDouble(1)
+      assert(approx(got, pooled, 1e-6), s"λ=$lam pooled=$got perFold=$pooled")
+    }
+  }
+
+  test("ridgeGridClosedForm: a perfect linear target makes λ=0 exact and shrinkage monotone") {
+    import spark.implicits._
+    val d = (1L to 300L).map(i => (i, i.toDouble % 37, 3.0 * (i.toDouble % 37)))
+      .toDF("id", "x", "y")
+    val grid = MlPipelines.ridgeGridClosedForm(d, "id", "x", "y", 3,
+      Seq(0.0, 0.5, 2.0, 8.0)).orderBy("lambda").collect()
+    // y = 3x exactly: the unpenalized fit reproduces it → zero OOF error
+    assert(grid.head.getDouble(1) <= 1e-6)
+    assert(grid.head.getInt(2) == 1)
+    // shrinking a perfect fit can only hurt, monotonically in λ
+    val rmses = grid.map(_.getDouble(1)).toSeq
+    assert(rmses == rmses.sorted)
+    assert(rmses.distinct.size == rmses.size)
+  }
+
   test("multiTaskMasked fails with a clear message when a mask empties train") {
     val d = lineitem.select(
       col("l_orderkey"), col("l_quantity"), col("l_discount"),

@@ -64,6 +64,24 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(kept == (0L until 40L).toSet)
   }
 
+  test("semanticDedupPortable removes planted duplicates like the k-means default") {
+    val rnd = new scala.util.Random(3)
+    val uniques = (0L until 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat), i.toInt % 3))
+    val dups = Seq(
+      (100L, uniques(5)._2, 99),
+      (101L, uniques(5)._2, 99),
+      (102L, uniques(17)._2, 99))
+    val e = (uniques ++ dups).toDF("vec_id", "embedding", "label")
+    // identical vectors share a cluster under ANY centroid set (argmax of
+    // the same rounded cosines) and have cosine 1 → exactly the min-id
+    // canonical of each duplicate group survives, same as the MLlib path
+    val kept = SimilarityOps.semanticDedupPortable(e, "vec_id", "embedding",
+        nlist = 5, minCosine = 0.999999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == (0L until 40L).toSet)
+  }
+
   test("lshCandidates buckets identical vectors together") {
     val e = Seq(
       (1L, Seq(1.0f, 2.0f, 3.0f)),
