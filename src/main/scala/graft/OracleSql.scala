@@ -1575,6 +1575,45 @@ object OracleSql {
     // centroids, every ordering-deciding cosine is rounded to 6 before its
     // ROW_NUMBER (assignment argmax, probe top-3, final top-k) — the whole
     // index build + batched search replayed relationally
+    // 6 IRLS Newton steps replayed in a recursive CTE: per-row terms cast
+    // to DECIMAL(28,12) before summing and params re-rounded to 9 decimals
+    // per step, so JVM-vs-libm exp/ln ulp drift cannot accumulate
+    "q189_irls_logistic" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |    CASE WHEN l_returnflag <> 'N' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM lineitem WHERE l_orderkey < 500),
+        |it(i, b0, b1, ll) AS (
+        |  SELECT 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+        |    CAST(NULL AS DOUBLE)
+        |  UNION ALL
+        |  SELECT i + 1,
+        |    ROUND(b0 + (swxx * g0 - swx * g1) / (sw * swxx - swx * swx), 9),
+        |    ROUND(b1 + (sw * g1 - swx * g0) / (sw * swxx - swx * swx), 9),
+        |    llm
+        |  FROM (
+        |    SELECT i, b0, b1,
+        |      CAST(SUM(CAST(y - p AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+        |      CAST(SUM(CAST((y - p) * x AS DECIMAL(28,12))) AS DOUBLE) AS g1,
+        |      CAST(SUM(CAST(p * (1.0 - p) AS DECIMAL(28,12))) AS DOUBLE)
+        |        AS sw,
+        |      CAST(SUM(CAST(p * (1.0 - p) * x AS DECIMAL(28,12))) AS DOUBLE)
+        |        AS swx,
+        |      CAST(SUM(CAST(p * (1.0 - p) * x * x AS DECIMAL(28,12)))
+        |        AS DOUBLE) AS swxx,
+        |      ROUND(CAST(SUM(CAST(y * LN(p) + (1.0 - y) * LN(1.0 - p)
+        |          AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS llm
+        |    FROM (
+        |      SELECT it.i AS i, it.b0 AS b0, it.b1 AS b1, d.x AS x, d.y AS y,
+        |        1.0 / (1.0 + EXP(-(it.b0 + it.b1 * d.x))) AS p
+        |      FROM it, d
+        |      WHERE it.i < 6)
+        |    GROUP BY i, b0, b1))
+        |SELECT i AS iter, ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1,
+        |  ll AS log_loss
+        |FROM it WHERE i >= 1
+        |ORDER BY iter""".stripMargin,
+
     // q182's portable draw + rounded-cosine assignment, q67's recursive
     // reach, canonical keep — the whole SemDeDup pipeline replayed
     "q188_semdedup_portable" ->
@@ -2428,6 +2467,7 @@ object OracleSql {
     "q184_stream_curation" -> q160CurationSql,
     "q161_bm25_retrieval" -> q161Bm25Sql,
     "q162_portable_hll" -> q162HllSql,
+    "q190_hll_intersection" -> q190HllIntersectSql,
     "q163_lsh_buckets" -> q163LshSql,
     "q164_ewma" -> q164EwmaSql,
     "q165_token_chunks" -> q165ChunkSql,
@@ -3040,6 +3080,69 @@ object OracleSql {
        |    AS rel_err
        |FROM final f JOIN exact USING (grp)
        |ORDER BY grp""".stripMargin
+  }
+
+  /** q190 oracle: the q162 register pipeline over click/purchase user
+    * sets, union = element-wise register max, inclusion-exclusion card —
+    * every register and both estimates exact-integer replayed.
+    */
+  private def q190HllIntersectSql: String = {
+    val h = hexPoly15("MD5('hll#' || CAST(k AS VARCHAR))")
+    s"""WITH keyed AS (
+       |  SELECT event_type AS grp, user_id AS k FROM events
+       |  WHERE event_type IN ('click', 'purchase')),
+       |hashed AS (SELECT grp, $h AS h FROM keyed),
+       |rho AS (
+       |  SELECT grp, h % 64 AS j,
+       |    CASE WHEN (h >> 6) = 0 THEN 55
+       |      ELSE 55 - length(to_base(h >> 6, 2)) END AS rho
+       |  FROM hashed),
+       |regs0 AS (SELECT grp, j, MAX(rho) AS m_j FROM rho GROUP BY 1, 2),
+       |regs AS (
+       |  SELECT grp, j, m_j FROM regs0
+       |  UNION ALL
+       |  SELECT 'UNION' AS grp, j, MAX(m_j) AS m_j FROM regs0 GROUP BY j),
+       |agg AS (
+       |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_registers_hit,
+       |    CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - m_j AS INT)) AS BIGINT)
+       |      AS sum_hit
+       |  FROM regs GROUP BY 1),
+       |est AS (
+       |  SELECT grp, n_registers_hit,
+       |    64 - n_registers_hit AS zeros,
+       |    CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE) *
+       |      CAST(36028797018963968 AS DOUBLE) /
+       |      CAST(sum_hit +
+       |        (64 - n_registers_hit) * (CAST(1 AS BIGINT) << 55)
+       |        AS DOUBLE) AS raw
+       |  FROM agg),
+       |final AS (
+       |  SELECT grp,
+       |    ROUND(CASE WHEN raw <= CAST(160.0 AS DOUBLE) AND zeros > 0
+       |      THEN CAST(64.0 AS DOUBLE) *
+       |        LN(CAST(64.0 AS DOUBLE) / CAST(zeros AS DOUBLE))
+       |      ELSE raw END, 6) AS hll_estimate
+       |  FROM est),
+       |wide AS (
+       |  SELECT
+       |    MAX(CASE WHEN grp = 'click' THEN hll_estimate END) AS est_click,
+       |    MAX(CASE WHEN grp = 'purchase' THEN hll_estimate END)
+       |      AS est_purchase,
+       |    MAX(CASE WHEN grp = 'UNION' THEN hll_estimate END) AS est_union
+       |  FROM final),
+       |wide2 AS (
+       |  SELECT est_click, est_purchase, est_union,
+       |    ROUND(est_click + est_purchase - est_union, 6) AS est_both
+       |  FROM wide),
+       |exact AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_both FROM (
+       |    SELECT k FROM keyed WHERE grp = 'click'
+       |    INTERSECT
+       |    SELECT k FROM keyed WHERE grp = 'purchase'))
+       |SELECT est_click, est_purchase, est_union, est_both, exact_both,
+       |  ROUND(ABS(est_both - exact_both) / CAST(exact_both AS DOUBLE), 6)
+       |    AS rel_err
+       |FROM wide2 CROSS JOIN exact""".stripMargin
   }
 
   /** q163 oracle: sign-random-projection signatures replayed with the

@@ -2719,6 +2719,54 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_kept"))
       .orderBy(col("label"))
 
+  // ---------------------------------------------------------------- q189
+  // Fixed-iteration IRLS logistic twin — the q29-family classification
+  // path pinned end-to-end (reference train.py:170-296): 6 Newton steps
+  // on quantity → returnflag-bin, per-iteration (b0, b1, log-loss) trace,
+  // exact-decimal sums + per-step round-9 params so the iterative fit
+  // replays in a DuckDB recursive CTE (the q126 precedent).
+  def q189(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.irlsLogisticPortable(
+      withReturnFlagBin(
+        t(spark, dir, "lineitem").filter(col("l_orderkey") < 500)),
+      "l_quantity", "l_returnflag_bin", iters = 6)
+      .orderBy(col("iter"))
+
+  // ---------------------------------------------------------------- q190
+  // Portable HLL INTERSECTION — q138's inclusion-exclusion card rebuilt on
+  // q162's exact-integer registers: click/purchase user sketches, union by
+  // element-wise register max, est_both = est_a + est_b − est_union, all
+  // replayed register-for-register in DuckDB (retires the sketch-opacity
+  // excuse for the intersection algebra; the built-in HLL++ q138 stays the
+  // production default).
+  def q190(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val keyed = ev.filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type").as("grp"), col("user_id").as("k"))
+    val regs = SketchOps.hllRegisters(keyed, Seq("grp"), col("k"))
+    val regsU = regs.groupBy(col("j")).agg(max(col("m_j")).as("m_j"))
+      .withColumn("grp", lit("UNION"))
+      .select(col("grp"), col("j"), col("m_j"))
+    val est = SketchOps.hllEstimate(regs.unionByName(regsU), Seq("grp"))
+    val wide = est.groupBy().agg(
+        max(when(col("grp") === "click", col("hll_estimate")))
+          .as("est_click"),
+        max(when(col("grp") === "purchase", col("hll_estimate")))
+          .as("est_purchase"),
+        max(when(col("grp") === "UNION", col("hll_estimate")))
+          .as("est_union"))
+      .withColumn("est_both",
+        round(col("est_click") + col("est_purchase") - col("est_union"), 6))
+    val exact = ev.filter(col("event_type") === "click")
+      .select(col("user_id")).intersect(
+        ev.filter(col("event_type") === "purchase").select(col("user_id")))
+      .agg(count(lit(1)).as("exact_both"))
+    wide.crossJoin(broadcast(exact))
+      .withColumn("rel_err",
+        round(abs(col("est_both") - col("exact_both")) /
+          col("exact_both").cast("double"), 6))
+  }
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3139,6 +3187,8 @@ object SparkEntry {
     "q186_embedding_diversity" -> (q186 _),
     "q187_ridge_grid_portable" -> (q187 _),
     "q188_semdedup_portable" -> (q188 _),
+    "q189_irls_logistic" -> (q189 _),
+    "q190_hll_intersection" -> (q190 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -720,6 +720,70 @@ object MlPipelines {
         col("is_best"))
   }
 
+  /** Fixed-iteration IRLS (Newton) LOGISTIC regression on one feature —
+    * the hash-checkable twin of the MLlib classification path (q29 family;
+    * reference `train.py:170-296` LogisticRegression): exactly `iters`
+    * Newton steps from (0, 0), each step ONE exact-decimal aggregation
+    * over the data plus a 2×2 solve, emitted as a per-iteration trace
+    * (params + the mean log-loss each step saw).
+    *
+    * Engine portability of an ITERATIVE fit: the only non-exact per-row
+    * math is exp/ln, where JVM and libm can disagree by an ulp. Every
+    * per-row term is therefore cast to DECIMAL(28,12) before summing
+    * (which absorbs sub-1e-12 per-row drift deterministically) and the
+    * updated parameters are re-rounded to 9 decimals each step — so both
+    * engines re-enter every iteration with IDENTICAL doubles and the trace
+    * replays exactly in a DuckDB recursive CTE (the q126 PAV precedent for
+    * iterative replay, applied to a Newton loop). The driver loop only
+    * CONTROLS iteration (the [[graft.operators.GraphOps]] convention);
+    * each step's data pass is fully distributed and map-side combined.
+    *
+    * Newton is affine-invariant, so no feature standardization is needed;
+    * the spec pins the converged params against a real MLlib
+    * `LogisticRegression(regParam=0)` fit.
+    */
+  def irlsLogisticPortable(df: DataFrame, xCol: String, yCol: String,
+      iters: Int = 6): DataFrame = {
+    import graft.functions.Stats.dsum
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def r9(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val d = df.select(col(xCol).cast("double").as("x"),
+      col(yCol).cast("double").as("y")).persist()
+    try {
+      var b0 = 0.0
+      var b1 = 0.0
+      val trace = (1 to iters).map { i =>
+        val p = lit(1.0) / (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("x"))))
+        val w = p * (lit(1.0) - p)
+        val r = d.agg(
+          count(lit(1)).as("n"),
+          dsum(col("y") - p, 12).as("g0"),
+          dsum((col("y") - p) * col("x"), 12).as("g1"),
+          dsum(w, 12).as("sw"),
+          dsum(w * col("x"), 12).as("swx"),
+          dsum(w * col("x") * col("x"), 12).as("swxx"),
+          dsum(col("y") * log(p) + (lit(1.0) - col("y")) * log(lit(1.0) - p),
+            12).as("ll")).head()
+        val n = r.getLong(0)
+        val (g0, g1, sw, swx, swxx, ll) = (r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+        val det = sw * swxx - swx * swx
+        b0 = r9(b0 + (swxx * g0 - swx * g1) / det)
+        b1 = r9(b1 + (sw * g1 - swx * g0) / det)
+        val llMean = new java.math.BigDecimal(ll / n)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        (i, b0, b1, llMean)
+      }
+      trace.toDF("iter", "__b0", "__b1", "log_loss")
+        .select(col("iter"), round(col("__b0"), 6).as("b0"),
+          round(col("__b1"), 6).as("b1"), col("log_loss"))
+    } finally { d.unpersist(); () }
+  }
+
   /** Per-key AR(1) fit in closed form: y_t = intercept + slope·y_{t−1} over
     * consecutive observations, the classical sequence model (the linear
     * ancestor of the reference's LSTM forecasting surface) — expressed as

@@ -46,7 +46,9 @@ class DeterminismSpec extends SparkSpec {
     "q178_cuped_ab", "q179_negative_samples", "q180_conformal",
     "q181_canonical_by_quality", "q182_ivf_portable",
     "q183_ridge_closed_form", "q185_boilerplate_ngrams",
-    "q186_embedding_diversity")
+    "q186_embedding_diversity", "q187_ridge_grid_portable",
+    "q188_semdedup_portable", "q189_irls_logistic",
+    "q190_hll_intersection")
   // q145 joins the MLlib exclusion list (L-BFGS trajectory depends on the
   // coalesced treeAggregate order, like q29/q47)
   // q155 joins the MLlib exclusion list (GBT tree builds, like q42/q59)

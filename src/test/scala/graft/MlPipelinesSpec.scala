@@ -220,6 +220,36 @@ class MlPipelinesSpec extends SparkSpec {
     assert(rmses.distinct.size == rmses.size)
   }
 
+  test("irlsLogisticPortable converges to MLlib's LogisticRegression") {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.VectorAssembler
+    val d = lineitem.withColumn("bin",
+      (col("l_returnflag") =!= "N").cast("double"))
+    val trace = MlPipelines.irlsLogisticPortable(d, "l_quantity", "bin",
+      iters = 8).orderBy("iter").collect()
+    assert(trace.length == 8)
+    // the first step's loss is exactly the (0,0)-params loss, ln 2
+    assert(approx(trace.head.getDouble(3), -math.log(2.0), 1e-4))
+    // log-loss non-decreasing toward 0 along the trace (Newton ascent on
+    // the concave log-likelihood from a cold start on non-separable data)
+    val lls = trace.map(_.getDouble(3)).toSeq
+    assert(lls == lls.sorted, s"log-loss not monotone: $lls")
+    // converged: the last two steps agree to well past output rounding
+    assert(math.abs(trace(7).getDouble(1) - trace(6).getDouble(1)) <= 1e-6)
+    assert(math.abs(trace(7).getDouble(2) - trace(6).getDouble(2)) <= 1e-6)
+    // and the fixed point is MLlib's unregularized logistic fit
+    val tr = new VectorAssembler().setInputCols(Array("l_quantity"))
+      .setOutputCol("features")
+      .transform(d.select(col("l_quantity").cast("double"),
+        col("bin").as("label")))
+    val m = new LogisticRegression().setRegParam(0.0).setMaxIter(200)
+      .setTol(1e-9).fit(tr)
+    assert(approx(trace(7).getDouble(1), m.intercept, 1e-4),
+      s"b0 irls=${trace(7).getDouble(1)} mllib=${m.intercept}")
+    assert(approx(trace(7).getDouble(2), m.coefficients(0), 1e-4),
+      s"b1 irls=${trace(7).getDouble(2)} mllib=${m.coefficients(0)}")
+  }
+
   test("multiTaskMasked fails with a clear message when a mask empties train") {
     val d = lineitem.select(
       col("l_orderkey"), col("l_quantity"), col("l_discount"),

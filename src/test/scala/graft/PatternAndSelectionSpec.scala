@@ -253,6 +253,24 @@ class PatternAndSelectionSpec extends SparkSpec {
     assert(math.abs(got - 1000L) <= 150L, s"intersection estimate $got")
   }
 
+  test("portable HLL intersection (q190) bounds the planted overlap") {
+    // the portable-register twin of the built-in-sketch test above, run
+    // through the actual q190 card on real testdata: estimates positive,
+    // union no larger than the sum, and the inclusion-exclusion estimate
+    // within the m=64 tolerance of the exact overlap
+    val row = SparkEntry.q190(spark, "/root/testdata/sf0.001").collect().head
+    val (ec, ep, eu, eb) = (row.getDouble(0), row.getDouble(1),
+      row.getDouble(2), row.getDouble(3))
+    val exact = row.getLong(4)
+    assert(ec > 0 && ep > 0 && eu > 0)
+    assert(eu <= ec + ep + 1e-9)
+    assert(exact > 0, "fixture should have a real click∩purchase overlap")
+    // 64 registers → ~13% rse per sketch; inclusion-exclusion compounds
+    // three of them — generous 60% tolerance still catches sign/algebra bugs
+    assert(math.abs(eb - exact) <= 0.6 * exact + 64.0,
+      s"est_both=$eb exact=$exact")
+  }
+
   test("triangleStats: hand-computed census on a triangle with a pendant") {
     // triangle 1-2-3 plus pendant edge 3-4: T=1; cc = (1, 1, 1/3, null)
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("s", "d")
