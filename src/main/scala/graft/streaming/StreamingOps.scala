@@ -88,11 +88,21 @@ object StreamingOps {
   private def fileStream(spark: SparkSession, dir: String,
       fileName: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val schema = spark.read.parquet(s"$dir/$fileName").schema
+    // `$dir/$fileName` ships in two physical shapes: a single parquet FILE
+    // (the testdata convention — glob-filter it out of the directory) or a
+    // Spark-written DIRECTORY of part files (any materialized table — the
+    // production shape). A glob filter on the directory name would match
+    // no part files and the stream would silently process ZERO rows, so
+    // adapt on the actual shape instead.
+    val target = new java.io.File(s"$dir/$fileName")
+    val (root, glob) =
+      if (target.isDirectory) (s"$dir/$fileName", "*.parquet")
+      else (dir, fileName)
     val reader = spark.readStream.schema(schema)
-      .option("pathGlobFilter", fileName)
+      .option("pathGlobFilter", glob)
     maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
-      .parquet(dir)
+      .parquet(root)
   }
 
   /** Execute `df` to the sink with `Trigger.AvailableNow` and return the
@@ -186,9 +196,27 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(outPath)
-      .select(col("window_start").cast("date").as("window_start"),
-        col(keyCol), col("n"), col("sum_value"))
+    // zero micro-batches (empty source, or every window still open under
+    // the watermark) → outPath was never created, or holds only _SUCCESS
+    // from an all-empty batch write; the correct result is an empty table
+    // with the materialized schema, not PATH_NOT_FOUND / schema-inference
+    // failure — the streamingCurationStore convention. Data exists iff at
+    // least one window_start= partition directory was written.
+    def hasPartitions = Option(new java.io.File(outPath).listFiles())
+      .exists(_.exists(f => f.isDirectory && f.getName.startsWith("window_start=")))
+    if (hasPartitions)
+      spark.read.parquet(outPath)
+        .select(col("window_start").cast("date").as("window_start"),
+          col(keyCol), col("n"), col("sum_value"))
+    else
+      prepare(spark.read.parquet(s"$dir/$fileName")).limit(0)
+        .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+          col(keyCol))
+        .agg(count(lit(1)).as("n"),
+          sum(col(valueCol).cast("decimal(28,4)")).as("sum_dec"))
+        .select(col("window.start").cast("date").as("window_start"),
+          col(keyCol), col("n"),
+          col("sum_dec").cast("double").as("sum_value"))
   }
 
   /** Streaming curation ingest — the incremental half of the batch

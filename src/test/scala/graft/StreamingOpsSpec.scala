@@ -217,6 +217,48 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("directory-shaped source (materialized table) streams the same rows as a file") {
+    // production tables are Spark-written DIRECTORIES; the sf1 bench
+    // exposed that a glob filter on the directory NAME can list zero part
+    // files — fileStream must adapt on the physical shape
+    val base = s"/tmp/graft_dirstream_${System.nanoTime()}"
+    try {
+      val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      ev.repartition(3).write.parquet(s"$base/events.parquet")
+      def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toString).sorted.toSeq
+      val viaDir = canon(StreamingOps.windowedEventStats(
+        spark, base, "events.parquet", "ts", "event_type", "value",
+        "1 day", "1 day",
+        StreamSink.Memory(s"spec_dirshape_${System.nanoTime()}")))
+      val viaFile = canon(StreamingOps.windowedEventStats(
+        spark, "/root/testdata/sf0.001", "events.parquet", "ts",
+        "event_type", "value", "1 day", "1 day",
+        StreamSink.Memory(s"spec_fileshape_${System.nanoTime()}"),
+        prepare = Tables.normalizeEventTs))
+      assert(viaDir.nonEmpty, "directory-shaped source streamed zero rows")
+      assert(viaDir == viaFile)
+    } finally {
+      graft.tools.FsUtils.deleteRecursively(java.nio.file.Paths.get(base))
+    }
+  }
+
+  test("materializeWindowedStats on an empty source returns an empty frame, not a crash") {
+    val base = s"/tmp/graft_emptymat_${System.nanoTime()}"
+    try {
+      Tables.events(spark, "/root/testdata/sf0.001").limit(0)
+        .coalesce(1).write.parquet(s"$base/events.parquet")
+      val out = StreamingOps.materializeWindowedStats(
+        spark, base, "events.parquet", "ts", "event_type", "value",
+        "1 day", "1 day", s"$base/table", s"$base/ckpt")
+      assert(out.count() == 0)
+      assert(out.columns.toSeq ==
+        Seq("window_start", "event_type", "n", "sum_value"))
+    } finally {
+      graft.tools.FsUtils.deleteRecursively(java.nio.file.Paths.get(base))
+    }
+  }
+
   test("streamStaticJoinStats joins the static dim and aggregates per key") {
     val static = Seq((1L, "gold")).toDF("dim_user", "tier")
     val out = StreamingOps.streamStaticJoinStats(spark, s"$dir/fixture.parquet",
