@@ -1575,6 +1575,52 @@ object OracleSql {
     // centroids, every ordering-deciding cosine is rounded to 6 before its
     // ROW_NUMBER (assignment argmax, probe top-3, final top-k) — the whole
     // index build + batched search replayed relationally
+    // 12 power-method steps over the exact-decimal covariance, replayed in
+    // a recursive CTE: products to DECIMAL(38,18) before order-free sums,
+    // the normalized vector re-rounded to 9 decimals per step (the q189
+    // portability recipe applied to an eigen-iteration)
+    "q191_power_iteration_pca" ->
+      """WITH RECURSIVE vals AS (
+        |  SELECT vec_id, u.i AS i, CAST(embedding[u.i + 1] AS DOUBLE) AS v
+        |  FROM embeddings, range(0, 64) u(i)),
+        |nrows AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+        |mu AS (
+        |  SELECT i, CAST(SUM(CAST(v AS DECIMAL(28,8))) AS DOUBLE) / n AS mu
+        |  FROM vals CROSS JOIN nrows GROUP BY i, n),
+        |sp AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |    CAST(SUM(CAST(a.v * b.v AS DECIMAL(28,12))) AS DOUBLE) AS sp
+        |  FROM vals a JOIN vals b USING (vec_id) GROUP BY 1, 2),
+        |cov AS (
+        |  SELECT sp.i AS i, sp.j AS j,
+        |    ROUND(sp.sp / n - mi.mu * mj.mu, 12) AS c
+        |  FROM sp CROSS JOIN nrows
+        |  JOIN mu mi ON mi.i = sp.i
+        |  JOIN mu mj ON mj.i = sp.j),
+        |tr AS (
+        |  SELECT CAST(SUM(CAST(c AS DECIMAL(38,18))) AS DOUBLE) AS trace
+        |  FROM cov WHERE i = j),
+        |pv(t, i, v, lam) AS (
+        |  SELECT 0, r.i, ROUND(1.0 / SQRT(64.0), 9), CAST(NULL AS DOUBLE)
+        |  FROM range(0, 64) r(i)
+        |  UNION ALL
+        |  SELECT t + 1, i, ROUND(w / nrm, 9), nrm FROM (
+        |    SELECT t, i, w,
+        |      SQRT(CAST(SUM(CAST(w * w AS DECIMAL(38,18))) OVER ()
+        |        AS DOUBLE)) AS nrm
+        |    FROM (
+        |      SELECT pv.t AS t, cov.i AS i,
+        |        CAST(SUM(CAST(cov.c * pv.v AS DECIMAL(38,18))) AS DOUBLE)
+        |          AS w
+        |      FROM pv JOIN cov ON cov.j = pv.i
+        |      WHERE pv.t < 12
+        |      GROUP BY 1, 2)))
+        |SELECT t AS iter, ROUND(lam, 6) AS lambda1,
+        |  ROUND(lam / trace, 6) AS pc1_share
+        |FROM (SELECT DISTINCT t, lam FROM pv WHERE t >= 1)
+        |CROSS JOIN tr
+        |ORDER BY iter""".stripMargin,
+
     // 6 IRLS Newton steps replayed in a recursive CTE: per-row terms cast
     // to DECIMAL(28,12) before summing and params re-rounded to 9 decimals
     // per step, so JVM-vs-libm exp/ln ulp drift cannot accumulate

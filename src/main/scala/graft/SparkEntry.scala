@@ -2767,6 +2767,22 @@ object SparkEntry {
           col("exact_both").cast("double"), 6))
   }
 
+  // ---------------------------------------------------------------- q191
+  // Portable power-iteration PCA — the q105 family pinned: distributed
+  // exact-decimal covariance of the embedding dims (rounded to 12), then
+  // 12 driver-side power steps with round-18 products and round-9 vector
+  // renormalization (the q189 recipe applied to an eigen-iteration), so
+  // the whole (iter, λ₁, λ₁/trace) trace replays in a DuckDB recursive
+  // CTE. MLlib PCA (q105) stays the full-spectrum default. On this
+  // near-isotropic synthetic corpus (λ₂/λ₁ ≈ 1) twelve steps report a
+  // still-converging estimate — the TRACE is the deterministic contract;
+  // the spec pins convergence-to-MLlib on a spectrally-gapped fixture.
+  def q191(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.powerIterationPC1(
+      t(spark, dir, "embeddings"), "vec_id", "embedding",
+      dim = 64, iters = 12)
+      .orderBy(col("iter"))
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3189,6 +3205,7 @@ object SparkEntry {
     "q188_semdedup_portable" -> (q188 _),
     "q189_irls_logistic" -> (q189 _),
     "q190_hll_intersection" -> (q190 _),
+    "q191_power_iteration_pca" -> (q191 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

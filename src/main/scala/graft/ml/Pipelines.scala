@@ -863,6 +863,75 @@ object MlPipelines {
               .unboundedPreceding, 0)), 6))
   }
 
+  /** Fixed-iteration POWER-METHOD top principal component — the
+    * hash-checkable twin of [[pcaExplainedVariance]]'s MLlib PCA (q105):
+    * the population covariance of the embedding dimensions is built in ONE
+    * distributed pass (per-row dim-pair products from the array itself —
+    * no self-join of the exploded frame — exact-decimal sums, entries
+    * rounded to 12 decimals), then exactly `iters` power steps
+    * v ← C·v/‖C·v‖ run on the collected d×d matrix, emitting the
+    * per-iteration eigenvalue estimate ‖C·v‖ and its share of the trace.
+    *
+    * Collecting C driver-side is the MLlib contract itself (PCA gathers
+    * the Gramian to the driver to eigendecompose); the data-sized work —
+    * the covariance pass — stays distributed and map-side combined.
+    * Every driver step mirrors the SQL replay digit-for-digit: products
+    * round to DECIMAL(38,18) before the order-free exact sums, the
+    * normalized vector re-rounds to 9 decimals per step, trace sums
+    * exactly — the q189 IRLS portability recipe applied to an
+    * eigen-iteration, so a DuckDB recursive CTE replays the whole trace.
+    * The eigenvalue SHARE λ₁/tr(C) is scaling-convention-free (population
+    * vs MLlib's sample covariance cancels), which is what the spec pins
+    * against a real MLlib PCA fit.
+    */
+  def powerIterationPC1(embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, iters: Int = 12): DataFrame = {
+    import graft.functions.Stats.dsum
+    require(iters >= 1 && dim >= 1)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val arr = col(vecCol).cast("array<double>")
+    val n = embeddings.count()
+    val vals = embeddings.select(posexplode(arr).as(Seq("i", "v")))
+    val mu = vals.groupBy(col("i"))
+      .agg((dsum(col("v"), 8) / lit(n.toDouble)).as("mu"))
+    // all d² pair products generated per ROW from the array (nested
+    // transform + flatten) — n·d² rows straight into one map-side-combined
+    // aggregation, never a self-join of the exploded frame
+    val pairs = embeddings
+      .select(explode(flatten(transform(arr, (x, i) =>
+        transform(arr, (y, j) =>
+          struct(i.as("i"), j.as("j"), (x * y).as("p")))))).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
+    val cov = pairs.groupBy(col("i"), col("j"))
+      .agg(dsum(col("p"), 12).as("sp"))
+      .join(broadcast(mu.select(col("i"), col("mu").as("mu_i"))), "i")
+      .join(broadcast(mu.select(col("i").as("j"), col("mu").as("mu_j"))), "j")
+      .select(col("i"), col("j"),
+        round(col("sp") / lit(n.toDouble) - col("mu_i") * col("mu_j"), 12)
+          .as("c"))
+    val entries = cov.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    def c(i: Int, j: Int): Double = entries.getOrElse((i, j), 0.0)
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def r(v: Double, s: Int): Double =
+      new JBD(v).setScale(s, RoundingMode.HALF_UP).doubleValue()
+    // exact order-free sum of round-18 terms — the SUM(CAST(.. AS
+    // DECIMAL(38,18))) both engines run
+    def dsum18(ts: Seq[Double]): Double =
+      ts.map(t => new JBD(t).setScale(18, RoundingMode.HALF_UP))
+        .foldLeft(JBD.ZERO)(_.add(_)).doubleValue()
+    val trace = dsum18((0 until dim).map(i => c(i, i)))
+    var v = Array.fill(dim)(r(1.0 / math.sqrt(dim.toDouble), 9))
+    val out = (1 to iters).map { t =>
+      val w = (0 until dim).map(i => dsum18((0 until dim).map(j => c(i, j) * v(j))))
+      val norm = math.sqrt(dsum18(w.map(x => x * x)))
+      v = w.map(x => r(x / norm, 9)).toArray
+      (t, r(norm, 6), r(norm / trace, 6))
+    }
+    out.toDF("iter", "lambda1", "pc1_share")
+  }
+
   /** Grid-search cross-validation: k-fold CV of a logistic-regression
     * regularization grid using the same deterministic hash folds as every
     * other split here (leakage-safe, engine-reproducible — NOT MLlib's

@@ -250,6 +250,53 @@ class MlPipelinesSpec extends SparkSpec {
       s"b1 irls=${trace(7).getDouble(2)} mllib=${m.coefficients(0)}")
   }
 
+  test("powerIterationPC1: planted single-direction data recovers share 1 and the exact variance") {
+    import spark.implicits._
+    // all variance lives on dim 0: λ₁ = population var of x, share = 1
+    val xs = (1 to 200).map(_.toDouble)
+    val e = xs.zipWithIndex
+      .map { case (x, i) => (i.toLong, Seq(x.toFloat, 0f, 0f, 0f)) }
+      .toDF("vec_id", "embedding")
+    val trace = MlPipelines.powerIterationPC1(e, "vec_id", "embedding",
+      dim = 4, iters = 5).orderBy("iter").collect()
+    val n = xs.size
+    val mean = xs.sum / n
+    val popVar = xs.map(x => (x - mean) * (x - mean)).sum / n
+    assert(approx(trace.last.getDouble(1), popVar, 1e-6),
+      s"λ1=${trace.last.getDouble(1)} popVar=$popVar")
+    assert(math.abs(trace.last.getDouble(2) - 1.0) <= 1e-6)
+  }
+
+  test("powerIterationPC1 converges to MLlib PCA's top explained-variance share") {
+    import spark.implicits._
+    // a SPECTRALLY-GAPPED fixture: strong signal along one fixed direction
+    // plus small isotropic noise — λ₁ ≫ λ₂, so 30 power steps converge.
+    // (The real synthetic embeddings are near-isotropic — λ₂/λ₁ ≈ 1 —
+    // where power iteration legitimately needs hundreds of steps; the
+    // q191 trace is still deterministic and oracle-green there, but an
+    // MLlib comparison belongs on a gapped spectrum.)
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val u = Array.tabulate(dim)(i => math.cos(i * 0.7))
+    val e = (0 until 300).map { r =>
+      val s = rnd.nextGaussian() * 5.0
+      (r.toLong, Array.tabulate(dim)(i =>
+        (s * u(i) + rnd.nextGaussian() * 0.3).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val trace = MlPipelines.powerIterationPC1(e, "vec_id", "embedding",
+      dim = dim, iters = 30).orderBy("iter").collect()
+    val last = trace(29).getDouble(1)
+    val prev = trace(28).getDouble(1)
+    assert(math.abs(last - prev) <= 1e-6 * math.max(1.0, last),
+      s"not converged: $prev -> $last")
+    // share of trace == MLlib's top explained-variance ratio (population
+    // vs sample covariance scaling cancels in the ratio)
+    val mllib = MlPipelines.pcaExplainedVariance(e, "embedding", 3)
+      .orderBy("component").collect()
+    assert(approx(trace(29).getDouble(2), mllib.head.getDouble(1), 1e-3),
+      s"share=${trace(29).getDouble(2)} mllib=${mllib.head.getDouble(1)}")
+  }
+
   test("multiTaskMasked fails with a clear message when a mask empties train") {
     val d = lineitem.select(
       col("l_orderkey"), col("l_quantity"), col("l_discount"),

@@ -570,6 +570,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q187 ridge grid: grid and params ride as broadcasts, data scans stay keyed") {
+    val p = finalPlan(SparkEntry.q187(spark, dir))
+    // the |folds|x|grid| parameter frame joins the data by BROADCAST on
+    // fold — the data side never shuffles for the grid fan-out, so grid
+    // width multiplies per-row arithmetic only, not exchanges
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q188 portable SemDeDup: pair stage is centroid-keyed, never cartesian") {
+    val p = finalPlan(SparkEntry.q188(spark, dir))
+    // centroids broadcast for assignment; the within-cluster pair join is
+    // an equi-join on centroid_id (n^2/nlist bounded), and the canonical
+    // keep is an anti join — no cartesian blow-up anywhere
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q189 IRLS trace: each step is one partial+final aggregate, no window, no sort") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // audit ONE Newton step's aggregation plan (the trace assembly is a
+    // driver-side tiny frame): the sufficient statistics must map-side
+    // combine — a single-partition window or a global sort here would
+    // serialize the 100 TB pass
+    val d = Tables.load(spark, dir, "lineitem")
+      .select(col("l_quantity").cast("double").as("x"),
+        (col("l_returnflag") =!= "N").cast("double").as("y"))
+    val p2 = lit(1.0) / (lit(1.0) +
+      org.apache.spark.sql.functions.exp(-(lit(0.1) + lit(0.2) * col("x"))))
+    val step = d.agg(
+      graft.functions.Stats.dsum(col("y") - p2, 12).as("g0"),
+      graft.functions.Stats.dsum(p2 * (lit(1.0) - p2) * col("x"), 12).as("swx"))
+    val p = finalPlan(step)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Sort "), p)
+  }
+
   test("populationFeatures: sensor table shuffles at most twice, joins broadcast") {
     import spark.implicits._
     val sensor = (0 until 200).map(i =>
