@@ -1621,6 +1621,53 @@ object OracleSql {
         |CROSS JOIN tr
         |ORDER BY iter""".stripMargin,
 
+    // the q189 Newton replay with the exact n/(2·n_class) balanced weight
+    // folded into every per-row term
+    "q192_irls_weighted" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |    CASE WHEN l_returnflag <> 'N' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM lineitem WHERE l_orderkey < 500),
+        |cw AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS npos
+        |  FROM d),
+        |it(i, b0, b1, ll) AS (
+        |  SELECT 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+        |    CAST(NULL AS DOUBLE)
+        |  UNION ALL
+        |  SELECT i + 1,
+        |    ROUND(b0 + (swxx * g0 - swx * g1) / (sw * swxx - swx * swx), 9),
+        |    ROUND(b1 + (sw * g1 - swx * g0) / (sw * swxx - swx * swx), 9),
+        |    llm
+        |  FROM (
+        |    SELECT i, b0, b1,
+        |      CAST(SUM(CAST(w * (y - p) AS DECIMAL(28,12))) AS DOUBLE)
+        |        AS g0,
+        |      CAST(SUM(CAST(w * (y - p) * x AS DECIMAL(28,12))) AS DOUBLE)
+        |        AS g1,
+        |      CAST(SUM(CAST(w * p * (1.0 - p) AS DECIMAL(28,12)))
+        |        AS DOUBLE) AS sw,
+        |      CAST(SUM(CAST(w * p * (1.0 - p) * x AS DECIMAL(28,12)))
+        |        AS DOUBLE) AS swx,
+        |      CAST(SUM(CAST(w * p * (1.0 - p) * x * x AS DECIMAL(28,12)))
+        |        AS DOUBLE) AS swxx,
+        |      ROUND(CAST(SUM(CAST(w * (y * LN(p) + (1.0 - y) * LN(1.0 - p))
+        |          AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS llm
+        |    FROM (
+        |      SELECT it.i AS i, it.b0 AS b0, it.b1 AS b1, d.x AS x, d.y AS y,
+        |        1.0 / (1.0 + EXP(-(it.b0 + it.b1 * d.x))) AS p,
+        |        CASE WHEN d.y = 1.0 THEN cw.n / (2.0 * cw.npos)
+        |          ELSE cw.n / (2.0 * (cw.n - cw.npos)) END AS w
+        |      FROM it, d, cw
+        |      WHERE it.i < 6)
+        |    GROUP BY i, b0, b1))
+        |SELECT i AS iter, ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1,
+        |  ll AS log_loss
+        |FROM it WHERE i >= 1
+        |ORDER BY iter""".stripMargin,
+
     // 6 IRLS Newton steps replayed in a recursive CTE: per-row terms cast
     // to DECIMAL(28,12) before summing and params re-rounded to 9 decimals
     // per step, so JVM-vs-libm exp/ln ulp drift cannot accumulate

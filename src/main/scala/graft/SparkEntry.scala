@@ -2783,6 +2783,19 @@ object SparkEntry {
       dim = 64, iters = 12)
       .orderBy(col("iter"))
 
+  // ---------------------------------------------------------------- q192
+  // Class-weighted IRLS logistic — the q49 balanced-training path pinned
+  // (reference train.py:238-252 class_weight='balanced'): q189's Newton
+  // trace with the exact n/(2·n_class) per-row weight folded into
+  // gradient/Hessian/loss; the weights are exact integer ratios, so the
+  // whole weighted fit replays in the same recursive CTE.
+  def q192(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.irlsLogisticWeightedPortable(
+      withReturnFlagBin(
+        t(spark, dir, "lineitem").filter(col("l_orderkey") < 500)),
+      "l_quantity", "l_returnflag_bin", iters = 6)
+      .orderBy(col("iter"))
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3206,6 +3219,7 @@ object SparkEntry {
     "q189_irls_logistic" -> (q189 _),
     "q190_hll_intersection" -> (q190 _),
     "q191_power_iteration_pca" -> (q191 _),
+    "q192_irls_weighted" -> (q192 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -743,7 +743,43 @@ object MlPipelines {
     * `LogisticRegression(regParam=0)` fit.
     */
   def irlsLogisticPortable(df: DataFrame, xCol: String, yCol: String,
+      iters: Int = 6): DataFrame =
+    irlsCore(df, xCol, yCol, lit(1.0), iters)
+
+  /** Class-WEIGHTED fixed-iteration IRLS logistic — the hash-checkable
+    * twin of the q49 weighted-logistic family (reference
+    * `train.py:238-252` `class_weight='balanced'`): per-row weight
+    * n/(2·n_class) folds into gradient, Hessian, and loss, and every
+    * weight is an exact integer ratio both engines compute identically —
+    * so the balanced-training path replays in SQL exactly like the
+    * unweighted [[irlsLogisticPortable]]. The spec pins the fixed point
+    * against MLlib `LogisticRegression.setWeightCol` on the same weights.
+    */
+  def irlsLogisticWeightedPortable(df: DataFrame, xCol: String, yCol: String,
       iters: Int = 6): DataFrame = {
+    val d0 = df.select(col(xCol).cast("double").as("x"),
+      col(yCol).cast("double").as("y"))
+    val cnt = d0.agg(count(lit(1)).as("n"),
+      sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("npos")).head()
+    val (n, npos) = (cnt.getLong(0), cnt.getLong(1))
+    val nneg = n - npos
+    require(npos > 0 && nneg > 0,
+      s"balanced weights need both classes, got npos=$npos nneg=$nneg")
+    // sklearn's 'balanced' rule n/(k·n_c): one exact double division per
+    // class — both engines evaluate the identical literal ratio
+    val wpos = n.toDouble / (2.0 * npos)
+    val wneg = n.toDouble / (2.0 * nneg)
+    val w = when(col("y") === 1.0, lit(wpos)).otherwise(lit(wneg))
+    irlsCore(df, xCol, yCol, w, iters)
+  }
+
+  /** Shared Newton loop of the IRLS twins: `rowW` scales gradient,
+    * Hessian, and loss per row (lit(1.0) — an exact IEEE no-op multiply —
+    * recovers the unweighted fit). The portability contract lives here:
+    * DECIMAL(28,12) per-row sums, round-9 params per step.
+    */
+  private def irlsCore(df: DataFrame, xCol: String, yCol: String,
+      rowW: org.apache.spark.sql.Column, iters: Int): DataFrame = {
     import graft.functions.Stats.dsum
     require(iters >= 1, s"need at least one iteration, got $iters")
     val spark = df.sparkSession
@@ -758,16 +794,16 @@ object MlPipelines {
       var b1 = 0.0
       val trace = (1 to iters).map { i =>
         val p = lit(1.0) / (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("x"))))
-        val w = p * (lit(1.0) - p)
+        val w = rowW * p * (lit(1.0) - p)
         val r = d.agg(
           count(lit(1)).as("n"),
-          dsum(col("y") - p, 12).as("g0"),
-          dsum((col("y") - p) * col("x"), 12).as("g1"),
+          dsum(rowW * (col("y") - p), 12).as("g0"),
+          dsum(rowW * (col("y") - p) * col("x"), 12).as("g1"),
           dsum(w, 12).as("sw"),
           dsum(w * col("x"), 12).as("swx"),
           dsum(w * col("x") * col("x"), 12).as("swxx"),
-          dsum(col("y") * log(p) + (lit(1.0) - col("y")) * log(lit(1.0) - p),
-            12).as("ll")).head()
+          dsum(rowW * (col("y") * log(p) +
+            (lit(1.0) - col("y")) * log(lit(1.0) - p)), 12).as("ll")).head()
         val n = r.getLong(0)
         val (g0, g1, sw, swx, swxx, ll) = (r.getDouble(1), r.getDouble(2),
           r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
@@ -895,13 +931,17 @@ object MlPipelines {
     val vals = embeddings.select(posexplode(arr).as(Seq("i", "v")))
     val mu = vals.groupBy(col("i"))
       .agg((dsum(col("v"), 8) / lit(n.toDouble)).as("mu"))
-    // all d² pair products generated per ROW from the array (nested
-    // transform + flatten) — n·d² rows straight into one map-side-combined
-    // aggregation, never a self-join of the exploded frame
+    // pair products generated per ROW from the array (nested transform +
+    // flatten) — rows go straight into one map-side-combined aggregation,
+    // never a self-join of the exploded frame. C is symmetric, so only
+    // the UPPER triangle (j ≥ i) is generated — half the n·d² explode —
+    // and the driver mirrors the entries; the triangle's sums are
+    // numerically identical to the full matrix's, so the SQL replay
+    // (which computes both triangles) lands on the same rounded values.
     val pairs = embeddings
       .select(explode(flatten(transform(arr, (x, i) =>
-        transform(arr, (y, j) =>
-          struct(i.as("i"), j.as("j"), (x * y).as("p")))))).as("t"))
+        transform(slice(arr, i + lit(1), lit(dim) - i), (y, k) =>
+          struct(i.as("i"), (i + k).as("j"), (x * y).as("p")))))).as("t"))
       .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
     val cov = pairs.groupBy(col("i"), col("j"))
       .agg(dsum(col("p"), 12).as("sp"))
@@ -912,7 +952,8 @@ object MlPipelines {
           .as("c"))
     val entries = cov.collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
-    def c(i: Int, j: Int): Double = entries.getOrElse((i, j), 0.0)
+    def c(i: Int, j: Int): Double =
+      entries.getOrElse((i, j), entries.getOrElse((j, i), 0.0))
     import java.math.{BigDecimal => JBD, RoundingMode}
     def r(v: Double, s: Int): Double =
       new JBD(v).setScale(s, RoundingMode.HALF_UP).doubleValue()

@@ -48,7 +48,8 @@ class DeterminismSpec extends SparkSpec {
     "q183_ridge_closed_form", "q185_boilerplate_ngrams",
     "q186_embedding_diversity", "q187_ridge_grid_portable",
     "q188_semdedup_portable", "q189_irls_logistic",
-    "q190_hll_intersection", "q191_power_iteration_pca")
+    "q190_hll_intersection", "q191_power_iteration_pca",
+    "q192_irls_weighted")
   // q145 joins the MLlib exclusion list (L-BFGS trajectory depends on the
   // coalesced treeAggregate order, like q29/q47)
   // q155 joins the MLlib exclusion list (GBT tree builds, like q42/q59)

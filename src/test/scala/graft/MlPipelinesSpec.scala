@@ -297,6 +297,39 @@ class MlPipelinesSpec extends SparkSpec {
       s"share=${trace(29).getDouble(2)} mllib=${mllib.head.getDouble(1)}")
   }
 
+  test("irlsLogisticWeightedPortable matches MLlib's weighted logistic fit") {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.VectorAssembler
+    val d = lineitem.withColumn("bin",
+      (col("l_returnflag") =!= "N").cast("double"))
+    val trace = MlPipelines.irlsLogisticWeightedPortable(d, "l_quantity",
+      "bin", iters = 8).orderBy("iter").collect()
+    assert(trace.length == 8)
+    // converged fixed point
+    assert(math.abs(trace(7).getDouble(1) - trace(6).getDouble(1)) <= 1e-6)
+    // MLlib on the SAME balanced weights via weightCol
+    val base = d.select(col("l_quantity").cast("double"),
+      col("bin").as("label"))
+    val n = base.count()
+    val npos = base.filter(col("label") === 1.0).count()
+    val (wpos, wneg) = (n.toDouble / (2.0 * npos),
+      n.toDouble / (2.0 * (n - npos)))
+    val tr = new VectorAssembler().setInputCols(Array("l_quantity"))
+      .setOutputCol("features")
+      .transform(base.withColumn("w",
+        when(col("label") === 1.0, wpos).otherwise(wneg)))
+    val m = new LogisticRegression().setRegParam(0.0).setWeightCol("w")
+      .setMaxIter(200).setTol(1e-9).fit(tr)
+    assert(approx(trace(7).getDouble(1), m.intercept, 1e-4),
+      s"b0 irls=${trace(7).getDouble(1)} mllib=${m.intercept}")
+    assert(approx(trace(7).getDouble(2), m.coefficients(0), 1e-4),
+      s"b1 irls=${trace(7).getDouble(2)} mllib=${m.coefficients(0)}")
+    // balanced weighting must actually CHANGE the fit vs the unweighted twin
+    val unw = MlPipelines.irlsLogisticPortable(d, "l_quantity", "bin",
+      iters = 8).orderBy("iter").collect()
+    assert(math.abs(unw(7).getDouble(2) - trace(7).getDouble(2)) > 1e-9)
+  }
+
   test("multiTaskMasked fails with a clear message when a mask empties train") {
     val d = lineitem.select(
       col("l_orderkey"), col("l_quantity"), col("l_discount"),

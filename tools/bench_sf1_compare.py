@@ -6,7 +6,10 @@ threshold), with the known output-size explanations inlined.
 Usage: python3 tools/bench_sf1_compare.py [BENCH_SF1_FULL.json] [bench_results.json]
 """
 import json
+import signal
 import sys
+
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)
 
 # queries whose OUTPUT (or fit work) legitimately grows super-linearly at
 # 10x input - the ratio is explained by result size, not plan shape
@@ -18,6 +21,13 @@ EXPLAINED = {
     "q155_early_stop":
         "MLlib GBT validated fits: tree count x per-tree pass both grow "
         "with data - fit cost, not plan cost (q42/q59 family)",
+    "q188_semdedup_portable":
+        "within-cluster pair stage: 10x corpus -> ~100x candidate pairs "
+        "(n^2/nlist by SemDeDup semantics, q74 family); ~5x wall for "
+        "~100x pairs is sub-linear in output - nlist is the scale knob",
+    "q74_semantic_dedup":
+        "same n^2/nlist pair semantics as q188 (balanced k-means "
+        "clusters keep the constant lower)",
     "q69_tfidf_topterms":
         "output rows ~ corpus vocabulary x docs: grows ~10x with unique "
         "Caesar-shifted copies (the round-7 TF-IDF precedent)",
