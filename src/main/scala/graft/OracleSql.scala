@@ -1807,6 +1807,52 @@ object OracleSql {
         |WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin,
 
+    // q182's congruential anchor draw sliced per subspace; round-6
+    // squared-L2 argmin assignment; decimal-sum distortion profile
+    "q193_pq_portable" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |drawn AS (
+        |  SELECT vec_id, emb,
+        |    ((((((vec_id % 1000003) * 2654435761) % 1000003)
+        |        + (vec_id // 1000003)) % 9999991) * 22695477) % 9999991 AS d
+        |  FROM e),
+        |cb AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY d, vec_id) - 1 AS INT)
+        |      AS code,
+        |    emb AS anchor
+        |  FROM (SELECT * FROM drawn ORDER BY d, vec_id LIMIT 4)),
+        |sv AS (
+        |  SELECT vec_id, CAST(s AS INT) AS subspace,
+        |    emb[CAST(s * 8 + 1 AS INT):CAST(s * 8 + 8 AS INT)] AS sv
+        |  FROM e, range(0, 8) t(s)),
+        |scored AS (
+        |  SELECT sv.vec_id, sv.subspace, cb.code,
+        |    ROUND(
+        |      list_inner_product(sv.sv, sv.sv)
+        |      - 2.0 * list_inner_product(sv.sv,
+        |          cb.anchor[CAST(sv.subspace * 8 + 1 AS INT):
+        |                    CAST(sv.subspace * 8 + 8 AS INT)])
+        |      + list_inner_product(
+        |          cb.anchor[CAST(sv.subspace * 8 + 1 AS INT):
+        |                    CAST(sv.subspace * 8 + 8 AS INT)],
+        |          cb.anchor[CAST(sv.subspace * 8 + 1 AS INT):
+        |                    CAST(sv.subspace * 8 + 8 AS INT)]), 6) AS d2
+        |  FROM sv, cb),
+        |asg AS (
+        |  SELECT subspace, code, d2 FROM (
+        |    SELECT subspace, code, d2,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+        |        ORDER BY d2 ASC, code ASC) AS rn
+        |    FROM scored)
+        |  WHERE rn = 1)
+        |SELECT subspace, code, COUNT(*) AS n_assigned,
+        |  ROUND(CAST(SUM(CAST(d2 AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*),
+        |    6) AS avg_sqdist
+        |FROM asg GROUP BY subspace, code
+        |ORDER BY subspace, code""".stripMargin,
+
     // cross-doc boilerplate trigrams: per-(ngram, doc) counts → totals +
     // document frequency, deterministic full tie-break before the cut
     "q185_boilerplate_ngrams" ->
@@ -2561,6 +2607,81 @@ object OracleSql {
     "q161_bm25_retrieval" -> q161Bm25Sql,
     "q162_portable_hll" -> q162HllSql,
     "q190_hll_intersection" -> q190HllIntersectSql,
+    "q194_boosted_stumps" -> q194BoostedStumpsSql,
+
+    // q62's two masks; OLS closed form for the regression head, the q189
+    // recursive-CTE Newton replay for the classification head
+    "q195_multitask_portable" ->
+      """WITH RECURSIVE src AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |    NULLIF(l_tax, 0.0) AS tax_target,
+        |    CASE WHEN l_partkey % 3 <> 0 THEN
+        |      CASE WHEN l_discount >= 0.05 THEN 1.0 ELSE 0.0 END
+        |    END AS disc_target
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |reg AS (
+        |  SELECT x, CAST(tax_target AS DOUBLE) AS y FROM src
+        |  WHERE tax_target IS NOT NULL),
+        |rs AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(28,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx
+        |  FROM reg),
+        |rp AS (
+        |  SELECT n, coef_raw, (sy - coef_raw * sx) / n AS intercept_raw
+        |  FROM (
+        |    SELECT *, CASE WHEN n * sxx - sx * sx <> 0.0
+        |      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS coef_raw
+        |    FROM rs)),
+        |rrow AS (
+        |  SELECT 'reg' AS task, rp.n AS n_rows,
+        |    ROUND(rp.intercept_raw, 6) AS intercept,
+        |    ROUND(rp.coef_raw, 6) AS coef,
+        |    ROUND(SQRT(CAST(SUM(CAST(
+        |        (reg.y - (rp.intercept_raw + rp.coef_raw * reg.x)) *
+        |        (reg.y - (rp.intercept_raw + rp.coef_raw * reg.x))
+        |      AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)), 6) AS metric
+        |  FROM reg, rp
+        |  GROUP BY rp.n, rp.intercept_raw, rp.coef_raw),
+        |clsd AS (
+        |  SELECT x, CAST(disc_target AS DOUBLE) AS y FROM src
+        |  WHERE disc_target IS NOT NULL),
+        |it(i, b0, b1, ll) AS (
+        |  SELECT 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+        |    CAST(NULL AS DOUBLE)
+        |  UNION ALL
+        |  SELECT i + 1,
+        |    ROUND(b0 + (swxx * g0 - swx * g1) / (sw * swxx - swx * swx), 9),
+        |    ROUND(b1 + (sw * g1 - swx * g0) / (sw * swxx - swx * swx), 9),
+        |    llm
+        |  FROM (
+        |    SELECT i, b0, b1,
+        |      CAST(SUM(CAST(y - p AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+        |      CAST(SUM(CAST((y - p) * x AS DECIMAL(28,12))) AS DOUBLE) AS g1,
+        |      CAST(SUM(CAST(p * (1.0 - p) AS DECIMAL(28,12))) AS DOUBLE)
+        |        AS sw,
+        |      CAST(SUM(CAST(p * (1.0 - p) * x AS DECIMAL(28,12))) AS DOUBLE)
+        |        AS swx,
+        |      CAST(SUM(CAST(p * (1.0 - p) * x * x AS DECIMAL(28,12)))
+        |        AS DOUBLE) AS swxx,
+        |      ROUND(CAST(SUM(CAST(y * LN(p) + (1.0 - y) * LN(1.0 - p)
+        |          AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS llm
+        |    FROM (
+        |      SELECT it.i AS i, it.b0 AS b0, it.b1 AS b1,
+        |        clsd.x AS x, clsd.y AS y,
+        |        1.0 / (1.0 + EXP(-(it.b0 + it.b1 * clsd.x))) AS p
+        |      FROM it, clsd
+        |      WHERE it.i < 6)
+        |    GROUP BY i, b0, b1)),
+        |crow AS (
+        |  SELECT 'cls' AS task,
+        |    (SELECT COUNT(*) FROM clsd) AS n_rows,
+        |    ROUND(b0, 6) AS intercept, ROUND(b1, 6) AS coef, ll AS metric
+        |  FROM it WHERE i = 6)
+        |SELECT * FROM rrow UNION ALL SELECT * FROM crow
+        |ORDER BY task""".stripMargin,
     "q163_lsh_buckets" -> q163LshSql,
     "q164_ewma" -> q164EwmaSql,
     "q165_token_chunks" -> q165ChunkSql,
@@ -3799,5 +3920,108 @@ object OracleSql {
          |  ROUND(CAST(rank_fp AS DOUBLE) / 1000000000000.0, 6) AS rank
          |FROM pr$iterations ORDER BY vec_id""".stripMargin
     base + iters + fin
+  }
+
+  /** q194 oracle: the boosted-stumps loop UNROLLED — per round t, a
+    * residual CTE (model after t−1 rounds as a chain of CASE stumps over
+    * the 1-row best-split CTEs), decimal candidate sums, the round-6
+    * gain argmax (ties → lowest candidate index), round-9 leaf means, and
+    * the post-update train/holdout RMSE — exactly the driver loop of
+    * `MlPipelines.boostedStumpsPortable`, digit for digit.
+    */
+  private def q194BoostedStumpsSql: String = {
+    val iters = 6
+    val cands = Seq(("l_quantity", "10.0"), ("l_quantity", "20.0"),
+      ("l_quantity", "30.0"), ("l_quantity", "40.0"),
+      ("l_discount", "0.02"), ("l_discount", "0.04"),
+      ("l_discount", "0.06"), ("l_discount", "0.08"))
+    val candVals = cands.zipWithIndex
+      .map { case ((f, v), i) => s"($i, '$f', $v)" }.mkString(", ")
+    // the chosen stump of round j, applied to a row of d
+    def stump(j: Int): String =
+      s"0.5 * (CASE WHEN (b$j.feat = 'l_quantity' AND d.x1 <= b$j.thr)" +
+        s" OR (b$j.feat = 'l_discount' AND d.x2 <= b$j.thr)" +
+        s" THEN b$j.m_left ELSE b$j.m_right END)"
+    def predAfter(t: Int): String =
+      (Seq("s0.b0") ++ (1 to t).map(stump)).mkString(" + ")
+    def residualCte(t: Int): String = {
+      val joins = (Seq("d", "s0") ++ (1 until t).map(j => s"b$j"))
+        .mkString(", ")
+      s""",r$t AS (
+         |  SELECT d.*, d.y - (${predAfter(t - 1)}) AS r FROM $joins)
+         |""".stripMargin
+    }
+    val base =
+      s"""WITH d AS (
+         |  SELECT ((l_orderkey % 1000003) * 2654435761) % 5 <> 0
+         |      AS is_train,
+         |    CAST(l_quantity AS DOUBLE) AS x1,
+         |    CAST(l_discount AS DOUBLE) AS x2,
+         |    CAST(l_quantity AS DOUBLE) *
+         |      (1.0 - CAST(l_discount AS DOUBLE)) * 1000.0 AS y
+         |  FROM lineitem WHERE l_orderkey < 2000),
+         |cands AS (
+         |  SELECT idx, feat, CAST(thr AS DOUBLE) AS thr
+         |  FROM (VALUES $candVals) c(idx, feat, thr)),
+         |s0 AS (
+         |  SELECT ROUND(CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE)
+         |    / COUNT(*), 9) AS b0
+         |  FROM d WHERE is_train)
+         |""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      residualCte(t) +
+      s""",tot$t AS (
+         |  SELECT CAST(SUM(CAST(r AS DECIMAL(28,12))) AS DOUBLE) AS s,
+         |    COUNT(*) AS n
+         |  FROM r$t WHERE is_train),
+         |c$t AS (
+         |  SELECT c.idx, c.feat, c.thr,
+         |    CAST(SUM(CAST(CASE WHEN (c.feat = 'l_quantity' AND r.x1 <= c.thr)
+         |        OR (c.feat = 'l_discount' AND r.x2 <= c.thr)
+         |      THEN r.r END AS DECIMAL(28,12))) AS DOUBLE) AS sl,
+         |    COUNT(CASE WHEN (c.feat = 'l_quantity' AND r.x1 <= c.thr)
+         |        OR (c.feat = 'l_discount' AND r.x2 <= c.thr)
+         |      THEN 1 END) AS nl
+         |  FROM (SELECT * FROM r$t WHERE is_train) r, cands c
+         |  GROUP BY c.idx, c.feat, c.thr),
+         |b$t AS (
+         |  SELECT * FROM (
+         |    SELECT idx, feat, thr,
+         |      ROUND(sl / nl, 9) AS m_left,
+         |      ROUND((s - sl) / (n - nl), 9) AS m_right,
+         |      CASE WHEN nl > 0 AND n - nl > 0
+         |        THEN ROUND((sl * sl / nl + (s - sl) * (s - sl) / (n - nl))
+         |          / n, 2)
+         |      END AS gain
+         |    FROM c$t, tot$t)
+         |  ORDER BY gain DESC NULLS LAST, idx LIMIT 1)
+         |""".stripMargin
+    }.mkString
+    val lastResidual = residualCte(iters + 1)
+    val rmses = (1 to iters).map { t =>
+      s""",m$t AS (
+         |  SELECT is_train,
+         |    ROUND(SQRT(CAST(SUM(CAST(r * r AS DECIMAL(28,12))) AS DOUBLE)
+         |      / COUNT(*)), 6) AS rmse
+         |  FROM r${t + 1} GROUP BY is_train)
+         |""".stripMargin
+    }.mkString
+    val traceRows = (1 to iters).map { t =>
+      s"""  SELECT $t AS iter, feat AS feature, thr AS threshold,
+         |    ROUND(m_left, 6) AS m_left, ROUND(m_right, 6) AS m_right,
+         |    gain,
+         |    (SELECT rmse FROM m$t WHERE is_train) AS train_rmse,
+         |    (SELECT rmse FROM m$t WHERE NOT is_train) AS valid_rmse
+         |  FROM b$t""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val fin =
+      s""",trace AS (
+         |$traceRows)
+         |SELECT iter, feature, threshold, m_left, m_right, gain,
+         |  train_rmse, valid_rmse,
+         |  CASE WHEN ROW_NUMBER() OVER (ORDER BY valid_rmse ASC, iter ASC)
+         |    = 1 THEN 1 ELSE 0 END AS is_best
+         |FROM trace ORDER BY iter""".stripMargin
+    base + rounds + lastResidual + rmses + fin
   }
 }

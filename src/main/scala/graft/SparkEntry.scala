@@ -2796,6 +2796,56 @@ object SparkEntry {
       "l_quantity", "l_returnflag_bin", iters = 6)
       .orderBy(col("iter"))
 
+  // ---------------------------------------------------------------- q193
+  // Portable product-quantization twin of q143: per-subspace codebooks
+  // are slices of 4 hash-drawn anchor rows (the q182 congruential draw),
+  // assignment is argmin of the round-6 squared L2 distance, and the
+  // (subspace, code) balance/distortion profile replays exactly in SQL —
+  // codebook build, assignment, and distortion all hash-checked. q143's
+  // per-subspace k-means stays the production-quality default.
+  def q193(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.productQuantizePortable(
+        t(spark, dir, "embeddings"), "vec_id", "embedding", m = 8, k = 4)
+      .orderBy(col("subspace"), col("code"))
+
+  // ---------------------------------------------------------------- q194
+  // Portable boosted-stumps training trace — the q145/q155 GBT loop made
+  // hash-checkable (reference trainer.py:262-320): 6 rounds of depth-1
+  // residual stumps over a fixed 8-candidate grid on the q155 revenue
+  // surface, per-round train/holdout RMSE, best-checkpoint flag; leaf
+  // means round-9, sums exact decimal, so the whole boosting loop replays
+  // in unrolled SQL. MLlib GBT (q145/q155) stays the production default.
+  def q194(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.boostedStumpsPortable(
+        t(spark, dir, "lineitem").filter(col("l_orderkey") < 2000),
+        "l_orderkey", "l_quantity", "l_discount",
+        col("l_quantity").cast("double") *
+          (lit(1.0) - col("l_discount").cast("double")) * lit(1000.0),
+        cands = Seq(("l_quantity", 10.0), ("l_quantity", 20.0),
+          ("l_quantity", 30.0), ("l_quantity", 40.0),
+          ("l_discount", 0.02), ("l_discount", 0.04),
+          ("l_discount", 0.06), ("l_discount", 0.08)),
+        iters = 6)
+      .orderBy(col("iter"))
+
+  // ---------------------------------------------------------------- q195
+  // Portable multitask masked-training twin of q62 (reference M13,
+  // dataset.py:411-430): the same two per-task masks over one shared
+  // frame — tax regression as exact closed-form OLS, discount
+  // classification as the q189 fixed-iteration IRLS — one row per task
+  // head, the whole masked-multi-task surface hash-checked. q62's MLlib
+  // estimators stay the production default.
+  def q195(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "lineitem").filter(col("l_orderkey") < 2000)
+      .withColumn("tax_target", nullif(col("l_tax"), lit(0.0)))
+      .withColumn("disc_target",
+        when(col("l_partkey") % 3 =!= 0,
+          (col("l_discount") >= 0.05).cast("double")))
+    MlPipelines.multiTaskMaskedPortable(d, "l_quantity",
+        "tax_target", "disc_target", iters = 6)
+      .orderBy(col("task"))
+  }
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3220,6 +3270,9 @@ object SparkEntry {
     "q190_hll_intersection" -> (q190 _),
     "q191_power_iteration_pca" -> (q191 _),
     "q192_irls_weighted" -> (q192 _),
+    "q193_pq_portable" -> (q193 _),
+    "q194_boosted_stumps" -> (q194 _),
+    "q195_multitask_portable" -> (q195 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -1180,4 +1180,167 @@ object MlPipelines {
         .toDF("iteration", "val_loss", "max_iter")
     } finally data.unpersist()
   }
+
+  /** Engine-portable MULTI-TASK masked training twin of
+    * [[multiTaskMasked]] (q62 / reference M13, `dataset.py:411-430`): two
+    * task heads over ONE shared input frame, each seeing only the rows
+    * where its own target is non-null — the regression head as exact
+    * closed-form OLS (the [[ar1ClosedForm]] normal-equations arithmetic),
+    * the classification head as the fixed-iteration IRLS Newton fit (the
+    * q189 recipe) — so the whole masked-multi-task surface replays in SQL
+    * (one plain SELECT + one recursive CTE). The MLlib estimator path
+    * (q62) stays the production default.
+    *
+    * Output, one row per task: (task, n_rows, intercept, coef, metric) —
+    * metric is in-sample RMSE for the regression head and final-iteration
+    * mean log-loss for the classification head.
+    */
+  def multiTaskMaskedPortable(df: DataFrame, xCol: String,
+      regTarget: String, clsTarget: String, iters: Int = 6): DataFrame = {
+    import graft.functions.Stats.dsum
+    val reg = df.filter(col(regTarget).isNotNull)
+      .select(col(xCol).cast("double").as("x"),
+        col(regTarget).cast("double").as("y"))
+    val params = reg.agg(
+        count(lit(1)).as("n"),
+        dsum(col("x"), 2).as("sx"),
+        dsum(col("y"), 2).as("sy"),
+        dsum(col("x") * col("y"), 4).as("sxy"),
+        dsum(col("x") * col("x"), 4).as("sxx"))
+      .withColumn("__den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("coef",
+        when(col("__den") =!= 0.0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) / col("__den")))
+      .withColumn("intercept",
+        when(col("coef").isNotNull,
+          (col("sy") - col("coef") * col("sx")) / col("n")))
+    val regRow = reg.crossJoin(broadcast(params))
+      .withColumn("err",
+        col("y") - (col("intercept") + col("coef") * col("x")))
+      .groupBy()
+      .agg(round(sqrt(dsum(col("err") * col("err"), 4) / count(lit(1))), 6)
+        .as("metric"),
+        max(col("n")).as("n_rows"),
+        round(max(col("intercept")), 6).as("intercept"),
+        round(max(col("coef")), 6).as("coef"))
+      .select(lit("reg").as("task"), col("n_rows"), col("intercept"),
+        col("coef"), col("metric"))
+    val clsIn = df.filter(col(clsTarget).isNotNull)
+    val clsN = clsIn.agg(count(lit(1)).as("n_rows"))
+    val clsRow = irlsLogisticPortable(clsIn, xCol, clsTarget, iters)
+      .filter(col("iter") === iters)
+      .crossJoin(broadcast(clsN))
+      .select(lit("cls").as("task"), col("n_rows"),
+        col("b0").as("intercept"), col("b1").as("coef"),
+        col("log_loss").as("metric"))
+    regRow.unionByName(clsRow)
+  }
+
+  /** Fixed-iteration gradient-boosted STUMPS with a fixed candidate-split
+    * grid — the hash-checkable twin of the MLlib GBT training loop
+    * (q145/q155 family; reference `trainer.py:262-320`'s descend-and-
+    * checkpoint loop): each round fits one depth-1 regression stump on the
+    * residual, chosen by the round-2 PER-ROW variance-reduction gain over
+    * the candidate grid (ties → lowest candidate index), leaf means round to 9
+    * decimals, and both the per-round train/holdout RMSE trace and the
+    * best-checkpoint flag replay exactly in unrolled SQL.
+    *
+    * Portability contract (the q189 recipe applied to boosting): the
+    * holdout is the deterministic congruential hash split, every data-pass
+    * sum is DECIMAL(28,12), leaf means re-round to 9 before they enter the
+    * model, and the per-row prediction is a chain of comparisons against
+    * round-9 constants — so both engines re-enter every round with
+    * IDENTICAL doubles. The driver only CONTROLS the loop (argmax over
+    * |cands| numbers, the GraphOps convention); each round's passes are
+    * fully distributed, map-side combined, and candidate-grid width
+    * multiplies per-row arithmetic, never data scans.
+    *
+    * Early-stop surface: `is_best` flags the round with the lowest holdout
+    * RMSE (earliest on ties) — MLlib's best-checkpoint selection
+    * (`validationTol`) expressed as a queryable column instead of a hidden
+    * fit internal.
+    */
+  def boostedStumpsPortable(df: DataFrame, keyCol: String,
+      f1: String, f2: String, yExpr: org.apache.spark.sql.Column,
+      cands: Seq[(String, Double)], iters: Int = 6, lr: Double = 0.5,
+      kSplit: Int = 5, holdBucket: Int = 0): DataFrame = {
+    import graft.functions.Stats.dsum
+    import org.apache.spark.sql.expressions.Window
+    require(iters >= 1, s"need at least one round, got $iters")
+    require(cands.nonEmpty, "need at least one candidate split")
+    require(cands.forall(c => c._1 == f1 || c._1 == f2),
+      s"candidate features must be $f1 or $f2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def r9(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val d = df.select(
+        (SplitOps.hashBucket(col(keyCol), kSplit) =!= holdBucket)
+          .as("is_train"),
+        col(f1).cast("double").as("x1"),
+        col(f2).cast("double").as("x2"),
+        yExpr.cast("double").as("y"))
+      .persist()
+    try {
+      def leftOf(c: (String, Double)): org.apache.spark.sql.Column =
+        (if (c._1 == f1) col("x1") else col("x2")) <= lit(c._2)
+      val base = d.filter(col("is_train"))
+        .agg(dsum(col("y"), 12).as("s"), count(lit(1)).as("n")).head()
+      require(base.getLong(1) > 0, "empty train split")
+      val b0 = r9(base.getDouble(0) / base.getLong(1))
+      var pred: org.apache.spark.sql.Column = lit(b0)
+      val trace = (1 to iters).map { t =>
+        val r = col("y") - pred
+        // ONE pass: train residual total + per-candidate left sums/counts
+        val aggs =
+          Seq(dsum(when(col("is_train"), r), 12).as("s"),
+            sum(when(col("is_train"), 1L)).as("n")) ++
+          cands.zipWithIndex.flatMap { case (c, i) =>
+            Seq(dsum(when(col("is_train") && leftOf(c), r), 12).as(s"sl$i"),
+              sum(when(col("is_train") && leftOf(c), 1L)).as(s"nl$i"))
+          }
+        val row = d.agg(aggs.head, aggs.tail: _*).head()
+        val s = row.getDouble(0)
+        val n = row.getLong(1)
+        val scored = cands.zipWithIndex.map { case (c, i) =>
+          val sL = if (row.isNullAt(2 + 2 * i)) 0.0
+            else row.getDouble(2 + 2 * i)
+          val nL = if (row.isNullAt(3 + 2 * i)) 0L
+            else row.getLong(3 + 2 * i)
+          val nR = n - nL
+          val sR = s - sL
+          // PER-ROW gain (÷ n): keeps the magnitude low enough that the
+          // round-2 grid is exactly representable in BOTH engines —
+          // ROUND(x, s) on x·10^s beyond 2^53 is engine-dependent noise
+          val gain = if (nL > 0 && nR > 0)
+            Some(new java.math.BigDecimal((sL * sL / nL + sR * sR / nR) / n)
+              .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
+          else None
+          (i, c, sL, nL, sR, nR, gain)
+        }
+        val best = scored.filter(_._7.isDefined)
+          .sortBy { case (i, _, _, _, _, _, g) => (-g.get, i) }.head
+        val (_, c, sL, nL, sR, nR, gain) = best
+        val mL = r9(sL / nL)
+        val mR = r9(sR / nR)
+        pred = pred + lit(lr) * when(leftOf(c), lit(mL)).otherwise(lit(mR))
+        val r2 = col("y") - pred
+        val rm = d.groupBy(col("is_train"))
+          .agg(round(sqrt(dsum(r2 * r2, 12) / count(lit(1))), 6).as("rmse"))
+          .collect().map(x => x.getBoolean(0) -> x.getDouble(1)).toMap
+        (t, c._1, c._2, mL, mR, gain.get, rm(true), rm(false))
+      }
+      trace.toDF("iter", "feature", "threshold", "__ml", "__mr", "gain",
+          "train_rmse", "valid_rmse")
+        .withColumn("is_best",
+          when(row_number().over(
+            Window.orderBy(col("valid_rmse").asc, col("iter").asc)) === 1, 1)
+            .otherwise(0))
+        .select(col("iter"), col("feature"), col("threshold"),
+          round(col("__ml"), 6).as("m_left"), round(col("__mr"), 6)
+            .as("m_right"),
+          col("gain"), col("train_rmse"), col("valid_rmse"), col("is_best"))
+    } finally { d.unpersist(); () }
+  }
 }

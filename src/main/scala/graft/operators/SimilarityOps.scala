@@ -622,4 +622,76 @@ object SimilarityOps {
         transform(sort_array(collect_list(struct(col("dim"), col("__recon")))),
           x => x.getField("__recon")).as("recon"))
   }
+
+  /** Engine-portable product-quantization twin of [[productQuantize]]
+    * (q143 family; reference ANN indexing surface): the per-subspace
+    * codebooks are the SLICES of `k` hash-drawn anchor rows (the
+    * [[ivfCentroidsPortable]] two-round congruential draw — one draw, all
+    * m subspaces slice the same anchors), and code assignment is the
+    * argmin of the ROUND-6 squared L2 distance (ties → lowest code) — so
+    * codebook build, assignment, and the balance/distortion report replay
+    * exactly in plain SQL. The squared distance is composed as
+    * ‖x‖² − 2⟨x,c⟩ + ‖c‖² from sequential-fold dot products (the same
+    * accumulation DuckDB's `list_inner_product` runs — the q182 parity
+    * contract). MLlib-k-means [[productQuantize]] stays the
+    * production-quality default; this twin pins the PQ plumbing under an
+    * exact cross-engine hash.
+    *
+    * Output: one row per (subspace, code) — assignment count and round-6
+    * mean squared distance, the codebook-balance profile an ANN index
+    * operator monitors for dead/overloaded codes.
+    *
+    * 100 TB posture: the k-row codebook broadcasts; the corpus is scanned
+    * once, exploded ×m (a pure projection, no shuffle), and aggregated
+    * into m·k groups with map-side combine — no corpus shuffle at all.
+    */
+  def productQuantizePortable(embeddings: DataFrame, idCol: String,
+      vecCol: String, m: Int = 8, k: Int = 4, salt: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Stats.dsum
+    val dims = embeddings
+      .agg(min(size(col(vecCol))), max(size(col(vecCol)))).head()
+    require(!dims.isNullAt(0),
+      "productQuantizePortable needs at least one non-null vector")
+    val d = dims.getInt(0)
+    require(d == dims.getInt(1),
+      s"ragged input: vector lengths range [${d}, ${dims.getInt(1)}] " +
+        s"(productQuantizePortable requires fixed-width vectors)")
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val sub = d / m
+    val vec = col(vecCol).cast("array<double>")
+    // k anchors by the congruential draw; code = dense rank over the draw
+    val p1 = 1000003L
+    val p2 = 9999991L
+    val id = col(idCol).cast("long")
+    val idDiv = (id.cast("decimal(38,0)") / lit(p1)).cast("long")
+    val x1 = pmod(pmod(id + lit(salt), lit(p1)) * lit(2654435761L), lit(p1))
+    val x2 = pmod(pmod(x1 + idDiv, lit(p2)) * lit(22695477L), lit(p2))
+    val anchors = embeddings
+      .select(x2.as("__draw"), id.as("__id"), vec.as("anchor"))
+      .orderBy(col("__draw"), col("__id"))
+      .limit(k)
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col("__draw"), col("__id"))) - 1)
+          .cast("int"))
+      .select(col("code"), col("anchor"))
+    // one row per (vector, subspace): a pure projection explode, no shuffle
+    val subvecs = embeddings
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(vec, s * sub + 1, lit(sub)))).as(Seq("subspace", "sv")))
+    val cv = slice(col("anchor"), col("subspace") * sub + 1, lit(sub))
+    val d2 = round(
+      dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), cv) +
+        dot(cv, cv), 6)
+    val w = Window.partitionBy(col(idCol), col("subspace"))
+      .orderBy(col("d2").asc, col("code").asc)
+    subvecs.crossJoin(broadcast(anchors))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("subspace"), col("code"))
+      .agg(count(lit(1)).as("n_assigned"),
+        round(dsum(col("d2"), 12) / count(lit(1)), 6).as("avg_sqdist"))
+  }
 }

@@ -379,4 +379,69 @@ class MlPipelinesSpec extends SparkSpec {
     val acc = cls.getDouble(6)
     assert(cls.getString(5) == "accuracy" && acc >= 0.0 && acc <= 1.0)
   }
+
+  test("boostedStumpsPortable recovers a planted stump and descends monotonically") {
+    val cands = Seq(("l_quantity", 10.0), ("l_quantity", 20.0),
+      ("l_quantity", 30.0), ("l_discount", 0.05))
+    // exact stump target: y = 100 left of quantity<=20, 500 right — the
+    // grid contains the true split, so round 1 must choose it and each
+    // 0.5-shrinkage round then halves the residual on BOTH sides
+    val trace = MlPipelines.boostedStumpsPortable(lineitem, "l_orderkey",
+      "l_quantity", "l_discount",
+      when(col("l_quantity") <= 20.0, 100.0).otherwise(500.0),
+      cands, iters = 5).orderBy("iter").collect()
+    assert(trace.length == 5)
+    assert(trace.head.getString(1) == "l_quantity")
+    assert(trace.head.getDouble(2) == 20.0)
+    val trainRmse = trace.map(_.getAs[Double]("train_rmse")).toSeq
+    assert(trainRmse == trainRmse.sorted.reverse,
+      s"train rmse not non-increasing: $trainRmse")
+    // geometric descent on a perfectly-separable target
+    assert(trainRmse.last < trainRmse.head / 4.0,
+      s"no real descent: $trainRmse")
+    // exactly one best checkpoint
+    assert(trace.map(_.getAs[Int]("is_best")).sum == 1)
+    // chosen splits always come from the candidate grid
+    trace.foreach { r =>
+      assert(cands.contains((r.getString(1), r.getDouble(2))))
+    }
+  }
+
+  test("multiTaskMaskedPortable: masks honored, heads match single-task MLlib fits") {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.regression.LinearRegression
+    val d = lineitem
+      .withColumn("t_reg",
+        when(col("l_orderkey") % 2 === 0, col("l_extendedprice")))
+      .withColumn("t_cls",
+        when(col("l_orderkey") % 2 === 1,
+          (col("l_discount") >= 0.05).cast("double")))
+    val out = MlPipelines.multiTaskMaskedPortable(d, "l_quantity",
+      "t_reg", "t_cls", iters = 8).orderBy("task").collect()
+    assert(out.length == 2)
+    val Array(cls, reg) = out
+    assert(reg.getString(0) == "reg" && cls.getString(0) == "cls")
+    // each head saw exactly its own mask's rows
+    assert(reg.getLong(1) == d.filter(col("t_reg").isNotNull).count())
+    assert(cls.getLong(1) == d.filter(col("t_cls").isNotNull).count())
+    // regression head IS the OLS fit of the masked rows — pin vs MLlib
+    val tr = new VectorAssembler().setInputCols(Array("x"))
+      .setOutputCol("features")
+      .transform(d.filter(col("t_reg").isNotNull)
+        .select(col("l_quantity").cast("double").as("x"),
+          col("t_reg").cast("double").as("label")))
+    val m = new LinearRegression().setRegParam(0.0).setMaxIter(200)
+      .setTol(1e-10).fit(tr)
+    assert(approx(reg.getDouble(2), m.intercept, 1e-3),
+      s"intercept ols=${reg.getDouble(2)} mllib=${m.intercept}")
+    assert(approx(reg.getDouble(3), m.coefficients(0), 1e-3),
+      s"coef ols=${reg.getDouble(3)} mllib=${m.coefficients(0)}")
+    // classification head is the converged IRLS fixed point of ITS mask
+    val irls = MlPipelines.irlsLogisticPortable(
+      d.filter(col("t_cls").isNotNull), "l_quantity", "t_cls", iters = 8)
+      .orderBy("iter").collect()
+    assert(cls.getDouble(2) == irls(7).getDouble(1))
+    assert(cls.getDouble(3) == irls(7).getDouble(2))
+    assert(cls.getDouble(4) == irls(7).getDouble(3))
+  }
 }

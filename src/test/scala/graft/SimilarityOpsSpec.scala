@@ -92,4 +92,34 @@ class SimilarityOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("productQuantizePortable: every (vector, subspace) coded once; identical corpus collapses to code 0 at distance 0") {
+    val rnd = new scala.util.Random(7)
+    val e = (0L until 30L)
+      .map(i => (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val prof = SimilarityOps.productQuantizePortable(
+      e, "vec_id", "embedding", m = 4, k = 3)
+    val rows = prof.collect()
+    // full coverage: each subspace's assignments partition the corpus
+    val bySub = rows.groupBy(_.getInt(0))
+    assert(bySub.keySet == Set(0, 1, 2, 3))
+    bySub.values.foreach(g => assert(g.map(_.getLong(2)).sum == 30L))
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0))
+    rows.foreach(r => assert(r.getInt(1) >= 0 && r.getInt(1) < 3))
+    // determinism: a re-run is bit-identical (hash draw, no seeds)
+    val again = SimilarityOps.productQuantizePortable(
+      e, "vec_id", "embedding", m = 4, k = 3).collect()
+    assert(rows.map(_.toString).sorted.toSeq ==
+      again.map(_.toString).sorted.toSeq)
+    // an identical corpus: every anchor is the same point, so the d2 tie
+    // breaks to code 0 everywhere and distortion is exactly zero
+    val same = (0L until 10L).map(i => (i, Seq.fill(8)(1.5f)))
+      .toDF("vec_id", "embedding")
+    val flat = SimilarityOps.productQuantizePortable(
+      same, "vec_id", "embedding", m = 4, k = 3).collect()
+    assert(flat.forall(_.getInt(1) == 0))
+    assert(flat.forall(_.getDouble(3) == 0.0))
+    assert(flat.forall(_.getLong(2) == 10L))
+  }
 }
