@@ -2609,6 +2609,67 @@ object OracleSql {
     "q190_hll_intersection" -> q190HllIntersectSql,
     "q194_boosted_stumps" -> q194BoostedStumpsSql,
 
+    // one exact-decimal stats pass, then 8 scalar soft-threshold CD
+    // sweeps replayed over a 1-row stats frame in a recursive CTE
+    "q196_lasso_cd" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS x1,
+        |    CAST(l_discount AS DOUBLE) AS x2,
+        |    CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |s AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(x1 AS DECIMAL(28,2))) AS DOUBLE) AS sx1,
+        |    CAST(SUM(CAST(x2 AS DECIMAL(28,2))) AS DOUBLE) AS sx2,
+        |    CAST(SUM(CAST(y AS DECIMAL(28,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x1 * x1 AS DECIMAL(28,4))) AS DOUBLE) AS s11,
+        |    CAST(SUM(CAST(x2 * x2 AS DECIMAL(28,4))) AS DOUBLE) AS s22,
+        |    CAST(SUM(CAST(x1 * x2 AS DECIMAL(28,4))) AS DOUBLE) AS s12,
+        |    CAST(SUM(CAST(x1 * y AS DECIMAL(28,4))) AS DOUBLE) AS s1y,
+        |    CAST(SUM(CAST(x2 * y AS DECIMAL(28,4))) AS DOUBLE) AS s2y,
+        |    CAST(SUM(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS syy
+        |  FROM d),
+        |c0 AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM s),
+        |c AS (
+        |  SELECT nd, sx1, sx2, sy,
+        |    s11 - sx1 * sx1 / nd AS s11c,
+        |    s22 - sx2 * sx2 / nd AS s22c,
+        |    s12 - sx1 * sx2 / nd AS s12c,
+        |    s1y - sx1 * sy / nd AS s1yc,
+        |    s2y - sx2 * sy / nd AS s2yc,
+        |    syy - sy * sy / nd AS syyc
+        |  FROM c0),
+        |it(i, b1, b2) AS (
+        |  SELECT 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+        |  UNION ALL
+        |  SELECT i + 1, nb1,
+        |    ROUND((CASE WHEN rho2 > 100.0 THEN rho2 - 100.0
+        |      WHEN rho2 < -100.0 THEN rho2 + 100.0
+        |      ELSE 0.0 END) * nd / s22c, 9)
+        |  FROM (
+        |    SELECT i, nb1, (s2yc - nb1 * s12c) / nd AS rho2, nd, s22c
+        |    FROM (
+        |      SELECT i,
+        |        ROUND((CASE WHEN rho1 > 100.0 THEN rho1 - 100.0
+        |          WHEN rho1 < -100.0 THEN rho1 + 100.0
+        |          ELSE 0.0 END) * nd / s11c, 9) AS nb1,
+        |        nd, s11c, s22c, s12c, s2yc
+        |      FROM (
+        |        SELECT it.i AS i,
+        |          (c.s1yc - it.b2 * c.s12c) / c.nd AS rho1,
+        |          c.nd AS nd, c.s11c AS s11c, c.s22c AS s22c,
+        |          c.s12c AS s12c, c.s2yc AS s2yc
+        |        FROM it, c WHERE it.i < 8))))
+        |SELECT i AS sweep, ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2,
+        |  ROUND(sy / nd - b1 * (sx1 / nd) - b2 * (sx2 / nd), 6)
+        |    AS intercept,
+        |  ROUND((syyc - 2.0 * (b1 * s1yc + b2 * s2yc) +
+        |      (b1 * b1 * s11c + 2.0 * b1 * b2 * s12c +
+        |       b2 * b2 * s22c)) / (2.0 * nd) +
+        |    100.0 * (ABS(b1) + ABS(b2)), 2) AS objective
+        |FROM it, c WHERE i >= 1
+        |ORDER BY sweep""".stripMargin,
+
     // q62's two masks; OLS closed form for the regression head, the q189
     // recursive-CTE Newton replay for the classification head
     "q195_multitask_portable" ->

@@ -2846,6 +2846,21 @@ object SparkEntry {
       .orderBy(col("task"))
   }
 
+  // ---------------------------------------------------------------- q196
+  // Fixed-sweep lasso by coordinate descent — q42/q59's lasso ensemble
+  // member made hash-checkable (reference train_ensemble.py:134-143):
+  // ONE exact-decimal pass for the 9 sufficient statistics, then 8 scalar
+  // soft-threshold sweeps (round-9 per sweep) whose trace — including the
+  // per-sweep penalized objective — replays in a recursive CTE. λ=100 on
+  // this surface drives the discount coefficient to exactly 0: the
+  // sparsity event itself is part of the hash-checked result.
+  def q196(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.lassoCDPortable(
+        t(spark, dir, "lineitem").filter(col("l_orderkey") < 2000),
+        "l_quantity", "l_discount", "l_extendedprice",
+        lambda = 100.0, sweeps = 8)
+      .orderBy(col("sweep"))
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3273,6 +3288,7 @@ object SparkEntry {
     "q193_pq_portable" -> (q193 _),
     "q194_boosted_stumps" -> (q194 _),
     "q195_multitask_portable" -> (q195 _),
+    "q196_lasso_cd" -> (q196 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -1236,6 +1236,87 @@ object MlPipelines {
     regRow.unionByName(clsRow)
   }
 
+  /** Fixed-sweep LASSO by coordinate descent on two features — the
+    * hash-checkable twin of q42/q59's lasso ensemble member (reference
+    * `train_ensemble.py:134-143` `Lasso(alpha=...)`): minimizes
+    * (1/2n)·SSE + λ‖b‖₁ on mean-centered features (intercept recovered
+    * from the means), with exactly `sweeps` cyclic soft-threshold updates.
+    *
+    * The engine-portability recipe (q189/q196 family): ONE distributed
+    * exact-decimal pass collects the 9 sufficient statistics (n, Σx, Σy,
+    * Σx², Σxy, Σy² for both features); every CD sweep is then pure scalar
+    * arithmetic on those 9 numbers — zero further data passes, and the
+    * whole trace replays in a recursive CTE over a 1-row stats frame.
+    * Coefficients re-round to 9 per sweep so both engines re-enter every
+    * sweep with identical doubles; the per-sweep penalized objective
+    * (round-6) exposes the descent the reference logs per epoch.
+    *
+    * At 100 TB the single stats pass is the only data-sized work — the
+    * textbook "sufficient statistics beat iterative scans" shape for
+    * linear models on columnar stores.
+    */
+  def lassoCDPortable(df: DataFrame, x1Col: String, x2Col: String,
+      yCol: String, lambda: Double, sweeps: Int = 8): DataFrame = {
+    import graft.functions.Stats.dsum
+    require(sweeps >= 1, s"need at least one sweep, got $sweeps")
+    require(lambda >= 0, s"lambda must be >= 0, got $lambda")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def r9(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    def r6(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def r2(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+    val d = df.select(col(x1Col).cast("double").as("x1"),
+      col(x2Col).cast("double").as("x2"), col(yCol).cast("double").as("y"))
+    val r = d.agg(
+      count(lit(1)).as("n"),
+      dsum(col("x1"), 2).as("sx1"),
+      dsum(col("x2"), 2).as("sx2"),
+      dsum(col("y"), 2).as("sy"),
+      dsum(col("x1") * col("x1"), 4).as("s11"),
+      dsum(col("x2") * col("x2"), 4).as("s22"),
+      dsum(col("x1") * col("x2"), 4).as("s12"),
+      dsum(col("x1") * col("y"), 4).as("s1y"),
+      dsum(col("x2") * col("y"), 4).as("s2y"),
+      dsum(col("y") * col("y"), 4).as("syy")).head()
+    val n = r.getLong(0).toDouble
+    require(n > 0, "empty input")
+    val (sx1, sx2, sy) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    // centered (population) moments — the same formulas the SQL replay runs
+    val s11c = r.getDouble(4) - sx1 * sx1 / n
+    val s22c = r.getDouble(5) - sx2 * sx2 / n
+    val s12c = r.getDouble(6) - sx1 * sx2 / n
+    val s1yc = r.getDouble(7) - sx1 * sy / n
+    val s2yc = r.getDouble(8) - sx2 * sy / n
+    val syyc = r.getDouble(9) - sy * sy / n
+    require(s11c > 0.0 && s22c > 0.0,
+      "constant feature: lasso CD needs non-degenerate x1 and x2")
+    def soft(rho: Double): Double =
+      if (rho > lambda) rho - lambda
+      else if (rho < -lambda) rho + lambda
+      else 0.0
+    var b1 = 0.0
+    var b2 = 0.0
+    val trace = (1 to sweeps).map { i =>
+      b1 = r9(soft((s1yc - b2 * s12c) / n) * n / s11c)
+      b2 = r9(soft((s2yc - b1 * s12c) / n) * n / s22c)
+      // round-2: the objective's magnitude is mean(y²)-scale, where a
+      // round-6 grid is not exactly representable in a double and the
+      // engines' rounding algorithms diverge at the ulp
+      val obj = r2((syyc - 2.0 * (b1 * s1yc + b2 * s2yc) +
+        (b1 * b1 * s11c + 2.0 * b1 * b2 * s12c + b2 * b2 * s22c)) /
+        (2.0 * n) + lambda * (math.abs(b1) + math.abs(b2)))
+      val b0 = r6(sy / n - b1 * (sx1 / n) - b2 * (sx2 / n))
+      (i, r6(b1), r6(b2), b0, obj)
+    }
+    trace.toDF("sweep", "b1", "b2", "intercept", "objective")
+  }
+
   /** Fixed-iteration gradient-boosted STUMPS with a fixed candidate-split
     * grid — the hash-checkable twin of the MLlib GBT training loop
     * (q145/q155 family; reference `trainer.py:262-320`'s descend-and-

@@ -444,4 +444,39 @@ class MlPipelinesSpec extends SparkSpec {
     assert(cls.getDouble(3) == irls(7).getDouble(2))
     assert(cls.getDouble(4) == irls(7).getDouble(3))
   }
+
+  test("lassoCDPortable: objective descends, weak feature zeroed, fixed point is MLlib's lasso") {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.regression.LinearRegression
+    val trace = MlPipelines.lassoCDPortable(lineitem,
+      "l_quantity", "l_discount", "l_extendedprice",
+      lambda = 100.0, sweeps = 12).orderBy("sweep").collect()
+    assert(trace.length == 12)
+    val objs = trace.map(_.getAs[Double]("objective")).toSeq
+    assert(objs == objs.sorted.reverse, s"objective not non-increasing: $objs")
+    // λ=100 prices out the near-uncorrelated discount coefficient exactly
+    assert(trace.last.getAs[Double]("b2") == 0.0)
+    assert(trace.last.getAs[Double]("b1") != 0.0)
+    // fixed point: the same (1/2n)·SSE + λ‖b‖₁ objective MLlib minimizes
+    // with elasticNetParam=1 and standardization off
+    val tr = new VectorAssembler().setInputCols(Array("x1", "x2"))
+      .setOutputCol("features")
+      .transform(lineitem.select(
+        col("l_quantity").cast("double").as("x1"),
+        col("l_discount").cast("double").as("x2"),
+        col("l_extendedprice").cast("double").as("label")))
+    val m = new LinearRegression().setElasticNetParam(1.0)
+      .setRegParam(100.0).setStandardization(false)
+      .setMaxIter(500).setTol(1e-10).fit(tr)
+    val b1 = trace.last.getAs[Double]("b1")
+    val b0 = trace.last.getAs[Double]("intercept")
+    assert(math.abs(b1 - m.coefficients(0)) <=
+      math.max(1e-3, math.abs(m.coefficients(0)) * 1e-3),
+      s"b1 cd=$b1 mllib=${m.coefficients(0)}")
+    assert(math.abs(m.coefficients(1)) <= 1e-6,
+      s"mllib kept the weak feature: ${m.coefficients(1)}")
+    assert(math.abs(b0 - m.intercept) <=
+      math.max(1e-2, math.abs(m.intercept) * 1e-3),
+      s"b0 cd=$b0 mllib=${m.intercept}")
+  }
 }
