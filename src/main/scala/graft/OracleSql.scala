@@ -2609,6 +2609,82 @@ object OracleSql {
     "q190_hll_intersection" -> q190HllIntersectSql,
     "q194_boosted_stumps" -> q194BoostedStumpsSql,
 
+    // q84's reliability bins aggregated to the ECE/MCE/Brier card
+    "q197_calibration_card" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS label,
+        |    (o_orderkey * 7 % 1000) / CAST(1000.0 AS DOUBLE) AS score
+        |  FROM orders),
+        |b AS (
+        |  SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(score AS DECIMAL(28,3))) AS DOUBLE) / COUNT(*)
+        |      AS avg_score,
+        |    CAST(SUM(label) AS DOUBLE) / COUNT(*) AS pos_rate,
+        |    CAST(SUM(CAST((score - label) * (score - label)
+        |      AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS brier
+        |  FROM d GROUP BY 1)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n,
+        |  ROUND(CAST(SUM(CAST(ABS(pos_rate - avg_score) * n
+        |    AS DECIMAL(28,12))) AS DOUBLE) / SUM(n), 6) AS ece,
+        |  ROUND(MAX(ABS(pos_rate - avg_score)), 6) AS mce,
+        |  ROUND(CAST(SUM(CAST(brier * n AS DECIMAL(28,12))) AS DOUBLE)
+        |    / SUM(n), 6) AS brier
+        |FROM b""".stripMargin,
+
+    "q198_winnowing_neardup" -> q198WinnowingSql,
+
+    // the q189 recursive Newton replay supplies the probe model; scoring,
+    // margin ranking, and the entropy card are plain expressions over it
+    "q199_active_selection" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |    CASE WHEN l_returnflag <> 'N' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM lineitem WHERE l_orderkey < 500),
+        |it(i, b0, b1, ll) AS (
+        |  SELECT 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+        |    CAST(NULL AS DOUBLE)
+        |  UNION ALL
+        |  SELECT i + 1,
+        |    ROUND(b0 + (swxx * g0 - swx * g1) / (sw * swxx - swx * swx), 9),
+        |    ROUND(b1 + (sw * g1 - swx * g0) / (sw * swxx - swx * swx), 9),
+        |    llm
+        |  FROM (
+        |    SELECT i, b0, b1,
+        |      CAST(SUM(CAST(y - p AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+        |      CAST(SUM(CAST((y - p) * x AS DECIMAL(28,12))) AS DOUBLE) AS g1,
+        |      CAST(SUM(CAST(p * (1.0 - p) AS DECIMAL(28,12))) AS DOUBLE)
+        |        AS sw,
+        |      CAST(SUM(CAST(p * (1.0 - p) * x AS DECIMAL(28,12))) AS DOUBLE)
+        |        AS swx,
+        |      CAST(SUM(CAST(p * (1.0 - p) * x * x AS DECIMAL(28,12)))
+        |        AS DOUBLE) AS swxx,
+        |      ROUND(CAST(SUM(CAST(y * LN(p) + (1.0 - y) * LN(1.0 - p)
+        |          AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS llm
+        |    FROM (
+        |      SELECT it.i AS i, it.b0 AS b0, it.b1 AS b1, d.x AS x, d.y AS y,
+        |        1.0 / (1.0 + EXP(-(it.b0 + it.b1 * d.x))) AS p
+        |      FROM it, d
+        |      WHERE it.i < 6)
+        |    GROUP BY i, b0, b1)),
+        |prm AS (SELECT ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1
+        |  FROM it WHERE i = 6),
+        |grp AS (SELECT x AS l_quantity, COUNT(*) AS n_rows FROM d
+        |  GROUP BY 1),
+        |sc AS (
+        |  SELECT l_quantity, n_rows,
+        |    ROUND(1.0 / (1.0 + EXP(-(b0 + b1 * l_quantity))), 6) AS p
+        |  FROM grp, prm),
+        |sc2 AS (
+        |  SELECT l_quantity, n_rows, p,
+        |    ROUND(ABS(p - 0.5), 6) AS margin,
+        |    LEAST(GREATEST(p, 0.000001), 0.999999) AS pc
+        |  FROM sc)
+        |SELECT l_quantity, n_rows, p, margin,
+        |  ROUND(-(pc * LN(pc) + (1.0 - pc) * LN(1.0 - pc)), 6) AS entropy
+        |FROM sc2
+        |ORDER BY margin ASC, l_quantity ASC LIMIT 10""".stripMargin,
+
     // one exact-decimal stats pass, then 8 scalar soft-threshold CD
     // sweeps replayed over a 1-row stats frame in a recursive CTE
     "q196_lasso_cd" ->
@@ -3151,6 +3227,15 @@ object OracleSql {
   /** 60-bit BIGINT from a hex column's first 15 digits — the DuckDB replay
     * of SketchOps' `conv(substring(md5(x), 1, 15), 16, 10)`.
     */
+  /** 40-bit BIGINT from a hex column's first 10 digits — the DuckDB
+    * replay of `conv(substring(md5(x), 1, 10), 16, 10)` (winnowing
+    * fingerprint hash).
+    */
+  private def hexPoly10(hcol: String): String =
+    (1 to 10).map(i =>
+      s"(STRPOS('0123456789abcdef', SUBSTRING($hcol, $i, 1)) - 1) * ${BigInt(16).pow(10 - i)}")
+      .mkString("(", "\n      + ", ")")
+
   private def hexPoly15(hcol: String): String =
     (1 to 15).map(i =>
       s"(STRPOS('0123456789abcdef', SUBSTRING($hcol, $i, 1)) - 1) * ${BigInt(16).pow(15 - i)}")
@@ -3981,6 +4066,51 @@ object OracleSql {
          |  ROUND(CAST(rank_fp AS DOUBLE) / 1000000000000.0, 6) AS rank
          |FROM pr$iterations ORDER BY vec_id""".stripMargin
     base + iters + fin
+  }
+
+  /** q198 oracle: robust winnowing replayed — word trigram 40-bit hashes,
+    * the `hash·2²⁰ + (2²⁰−1−pos)` encoded windowed MIN (rightmost-tie
+    * selection for free), distinct per-doc fingerprints, capped postings,
+    * pair join, deterministic top-50.
+    */
+  private def q198WinnowingSql: String = {
+    val h = hexPoly10("MD5(ng)")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS toks
+       |  FROM documents
+       |  WHERE len(string_split(trim(text), ' ')) >= 3),
+       |g AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' ')
+       |      AS ng
+       |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS i
+       |        FROM t)
+       |  WHERE i < 1048576),
+       |e AS (
+       |  SELECT doc_id, pos,
+       |    $h * 1048576 + (1048575 - pos) AS enc
+       |  FROM g),
+       |m AS (
+       |  SELECT doc_id, pos,
+       |    MIN(enc) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+       |  FROM e),
+       |f AS (
+       |  SELECT DISTINCT doc_id, fp // 1048576 AS fp_hash
+       |  FROM m WHERE pos >= 3),
+       |dfreq AS (
+       |  SELECT fp_hash, COUNT(*) AS dfc FROM f GROUP BY 1
+       |  HAVING COUNT(*) <= 50 AND COUNT(*) >= 2),
+       |kept AS (SELECT f.doc_id, f.fp_hash FROM f JOIN dfreq
+       |  USING (fp_hash)),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shared
+       |  FROM kept a JOIN kept b
+       |    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+       |SELECT doc_a, doc_b, n_shared
+       |FROM pairs ORDER BY n_shared DESC, doc_a, doc_b LIMIT 50""".stripMargin
   }
 
   /** q194 oracle: the boosted-stumps loop UNROLLED — per round t, a

@@ -2861,6 +2861,61 @@ object SparkEntry {
         lambda = 100.0, sweeps = 8)
       .orderBy(col("sweep"))
 
+  // ---------------------------------------------------------------- q197
+  // One-number calibration card: ECE / MCE / Brier over q84's reliability
+  // bins — the summary a model report quotes next to AUC, and the target
+  // a recalibration step (q126 isotonic) is judged by. Tiny bin frame →
+  // decimal-exact aggregation, fully oracle-checked.
+  def q197(spark: SparkSession, dir: String): DataFrame =
+    MetricQueries.calibrationErrorCard(
+      t(spark, dir, "orders")
+        .withColumn("label", (col("o_totalprice") > 150000).cast("int"))
+        .withColumn("score", (col("o_orderkey") * 7 % 1000) / lit(1000.0)),
+      "score", "label", bins = 10)
+
+  // ---------------------------------------------------------------- q198
+  // Robust-winnowing fingerprint near-dup candidates (MOSS): substring-
+  // granular dedup between MinHash (q27, whole-doc) and containment
+  // (q168) — any shared ≥ w+k−1 token run leaves a shared fingerprint.
+  // Windowed-min selection per doc, boilerplate buckets capped, pair join
+  // on fingerprint hash, TakeOrdered top-50.
+  def q198(spark: SparkSession, dir: String): DataFrame =
+    TextOps.winnowingNearDupPairs(t(spark, dir, "documents"),
+      "doc_id", "text", k = 3, w = 4, maxDf = 50L, minShared = 2L,
+      topK = 50)
+
+  // ---------------------------------------------------------------- q199
+  // Active-learning batch selection under the q189 probe model: score
+  // every quantity value with the converged IRLS logistic, rank by
+  // decision-margin (|p−½| ascending = most uncertain first), report the
+  // top-10 with predictive entropy — the "what to label next" query of a
+  // data-curation loop, end-to-end hash-checkable because the probe
+  // model itself is the portable q189 fit.
+  def q199(spark: SparkSession, dir: String): DataFrame = {
+    val li = withReturnFlagBin(
+      t(spark, dir, "lineitem").filter(col("l_orderkey") < 500))
+    val params = MlPipelines.irlsLogisticPortable(
+        li, "l_quantity", "l_returnflag_bin", iters = 6)
+      .filter(col("iter") === 6).select(col("b0"), col("b1"))
+    val p = round(lit(1.0) /
+      (lit(1.0) + exp(-(col("b0") + col("b1") * col("l_quantity")))), 6)
+    li.groupBy(col("l_quantity")).agg(count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(params))
+      .withColumn("p", p)
+      .withColumn("margin", round(abs(col("p") - lit(0.5)), 6))
+      // clamp before the logs: a saturated probe (p rounding to 0/1)
+      // would otherwise emit 0·ln 0 = NaN, which no oracle can hash
+      .withColumn("__pc",
+        least(greatest(col("p"), lit(0.000001)), lit(0.999999)))
+      .withColumn("entropy",
+        round(-(col("__pc") * log(col("__pc")) +
+          (lit(1.0) - col("__pc")) * log(lit(1.0) - col("__pc"))), 6))
+      .select(col("l_quantity"), col("n_rows"), col("p"), col("margin"),
+        col("entropy"))
+      .orderBy(col("margin").asc, col("l_quantity").asc)
+      .limit(10)
+  }
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3289,6 +3344,9 @@ object SparkEntry {
     "q194_boosted_stumps" -> (q194 _),
     "q195_multitask_portable" -> (q195 _),
     "q196_lasso_cd" -> (q196 _),
+    "q197_calibration_card" -> (q197 _),
+    "q198_winnowing_neardup" -> (q198 _),
+    "q199_active_selection" -> (q199 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

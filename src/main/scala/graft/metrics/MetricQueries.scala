@@ -41,6 +41,26 @@ object MetricQueries {
       .orderBy(col("bin"))
   }
 
+  /** One-number calibration card over the [[calibrationBins]] reliability
+    * diagram: ECE (bin-weight-averaged |pos_rate − avg_score|), MCE (the
+    * worst bin's gap), and the corpus Brier score — the summary a model
+    * report quotes next to AUC, and the quantity a recalibration step
+    * (q126's isotonic fit) is judged by. The bin frame is tiny (`bins`
+    * rows), so the card aggregates decimal-exact sums over it — fully
+    * engine-portable, no accumulation-order noise.
+    */
+  def calibrationErrorCard(df: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int, scoreScale: Int = 3): DataFrame = {
+    val b = calibrationBins(df, scoreCol, labelCol, bins, scoreScale)
+    val gap = abs(col("pos_rate") - col("avg_score"))
+    b.agg(
+      sum(col("n")).as("n"),
+      round(dsum(gap * col("n"), 12) / sum(col("n")), 6).as("ece"),
+      round(max(gap), 6).as("mce"),
+      round(dsum(col("brier") * col("n"), 12) / sum(col("n")), 6)
+        .as("brier"))
+  }
+
   /** Balanced accuracy = mean per-class recall (reference X2,
     * `metrics.py:45`): inner per-class aggregation, then a tiny mean.
     */

@@ -512,4 +512,77 @@ object TextOps {
         size(col("__chunk")).cast("long").as("n_chunk_tokens"),
         md5(concat_ws(" ", col("__chunk"))).as("chunk_hash"))
   }
+
+  /** Robust-winnowing document fingerprints (the MOSS algorithm,
+    * Schleimer–Wilkerson–Aiken SIGMOD'03): hash every word `k`-gram with
+    * a portable 40-bit MD5-prefix hash, slide a `w`-window over
+    * consecutive k-gram hashes, and keep each window's MINIMUM hash
+    * (ties → rightmost position). Guarantee: two documents sharing any
+    * token run of length ≥ w + k − 1 share at least one fingerprint —
+    * the substring-granular sibling of document-level MinHash (q27).
+    *
+    * The min-with-tiebreak is ONE windowed `min` of a single BIGINT:
+    * `hash · 2²⁰ + (2²⁰ − 1 − pos)` — low bits invert the position so the
+    * smallest encoded value is the smallest hash at its RIGHTMOST
+    * occurrence; both halves decode exactly (hash < 2⁴⁰, so the encoding
+    * stays under 2⁶⁰ with no overflow). Documents are fingerprinted over
+    * their first 2²⁰ k-grams (the bounded-state contract; a corpus doc
+    * beyond ~1M tokens is chunked upstream by [[slidingTokenChunks]]).
+    *
+    * Scale shape: per-document projection + ONE bounded window pass
+    * partitioned by document — no corpus-wide state, no shuffle beyond
+    * the per-doc repartition, linear in corpus size.
+    */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val posCap = 1048576L // 2^20
+    val toks = tokens(col(textCol))
+    val grams = df
+      .filter(size(toks) >= k)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(k))))).as(Seq("pos", "ng")))
+      .filter(col("pos") < posCap)
+    val h = conv(substring(md5(col("ng")), 1, 10), 16, 10).cast("long")
+    val enc = h * lit(posCap) + (lit(posCap - 1) - col("pos"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    grams
+      .withColumn("__fp", min(enc).over(win))
+      .filter(col("pos") >= w - 1) // only FULL windows select
+      .select(col(idCol),
+        (col("__fp").cast("decimal(38,0)") / lit(posCap)).cast("long")
+          .as("fp_hash"),
+        (lit(posCap - 1) - pmod(col("__fp"), lit(posCap))).as("fp_pos"))
+      .distinct()
+  }
+
+  /** Substring-level near-duplicate CANDIDATE PAIRS from shared winnowing
+    * fingerprints: distinct per-doc fingerprint hashes, boilerplate
+    * buckets dropped (hashes appearing in more than `maxDf` docs — the
+    * q39 capped-postings contract, which also bounds the join fan-out at
+    * corpus scale), equi-join on the hash, pairs ranked by shared count.
+    * `orderBy.limit` plans as TakeOrdered — no global sort.
+    */
+  def winnowingNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, maxDf: Long = 50L, minShared: Long = 2L,
+      topK: Int = 50): DataFrame = {
+    val fps = winnowingFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol), col("fp_hash")).distinct()
+    val dfreq = fps.groupBy(col("fp_hash"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf && col("__df") >= 2)
+    val keep = fps.join(dfreq, "fp_hash")
+    val a = keep.select(col("fp_hash"), col(idCol).as("doc_a"))
+    val b = keep.select(col("fp_hash"), col(idCol).as("doc_b"))
+    a.join(b, "fp_hash")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+      .limit(topK)
+  }
 }

@@ -58,4 +58,39 @@ class MetricQueriesSpec extends SparkSpec {
     assert(approx(w("a"), 0.666667, 1e-6))
     assert(w("b") == 2.0)
   }
+
+  test("calibrationErrorCard: exact on perfect and worst-case fixtures") {
+    import spark.implicits._
+    // perfectly calibrated: every score 0.5, half positive
+    val good = Seq((0.5, 1), (0.5, 0)).toDF("score", "label")
+    val g = MetricQueries.calibrationErrorCard(good, "score", "label", 2)
+      .collect().head
+    assert(g.getLong(0) == 2L)
+    assert(g.getDouble(1) == 0.0) // ece
+    assert(g.getDouble(2) == 0.0) // mce
+    assert(g.getDouble(3) == 0.25) // brier of p=.5 on balanced labels
+    // maximally overconfident: score 0.9, all negative
+    val bad = Seq((0.9, 0), (0.9, 0)).toDF("score", "label")
+    val b = MetricQueries.calibrationErrorCard(bad, "score", "label", 2)
+      .collect().head
+    assert(b.getDouble(1) == 0.9)
+    assert(b.getDouble(2) == 0.9)
+    assert(b.getDouble(3) == 0.81)
+  }
+
+  test("q199 active selection: most-uncertain-first ordering with bounded entropy") {
+    val rows = SparkEntry.q199(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 10)
+    val margins = rows.map(_.getAs[Double]("margin")).toSeq
+    assert(margins == margins.sorted, s"margin not ascending: $margins")
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p")
+      val e = r.getAs[Double]("entropy")
+      assert(p > 0.0 && p < 1.0)
+      // binary entropy is bounded by ln 2 and maximal at the margin
+      assert(e >= 0.0 && e <= math.log(2.0) + 1e-9)
+      assert(math.abs(r.getAs[Double]("margin") -
+        math.rint(math.abs(p - 0.5) * 1e6) / 1e6) <= 1e-9)
+    }
+  }
 }

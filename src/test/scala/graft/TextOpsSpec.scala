@@ -145,4 +145,37 @@ class TextOpsSpec extends SparkSpec {
     // doc 2: pear (rare) above the (ubiquitous)
     assert(r(2)._2 == "pear" && r(3)._2 == "the")
   }
+
+  test("winnowing: shared runs of w+k-1 tokens always share a fingerprint; repetition collapses") {
+    import spark.implicits._
+    // k=3, w=4 → guarantee threshold is any shared 6-token run
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y z z c d e f g h w v"), // shares "c d e f g h" with doc 1
+      (3L, "p q r s t u v w x")        // disjoint
+    ).toDF("doc_id", "text")
+    val fps = TextOps.winnowingFingerprints(docs, "doc_id", "text",
+      k = 3, w = 4)
+    // fingerprints are a SUBSET of k-gram positions, deduped
+    val perDoc = fps.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc(1L) >= 1 && perDoc(1L) <= 6) // doc 1 has 6 k-grams
+    val shared = fps.filter(col("doc_id") === 1L)
+      .select("fp_hash").intersect(
+        fps.filter(col("doc_id") === 2L).select("fp_hash"))
+    assert(shared.count() >= 1, "winnowing guarantee violated")
+    val pairs = TextOps.winnowingNearDupPairs(docs, "doc_id", "text",
+      k = 3, w = 4, maxDf = 50L, minShared = 1L, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // a pure repetition doc yields exactly ONE distinct fingerprint hash
+    val rep = Seq((9L, "a a a a a a a a")).toDF("doc_id", "text")
+    val repFps = TextOps.winnowingFingerprints(rep, "doc_id", "text",
+      k = 3, w = 4)
+    assert(repFps.select("fp_hash").distinct().count() == 1L)
+    // ties select the RIGHTMOST position in each window (robust
+    // winnowing): the first full window [0..3] of equal hashes → pos 3
+    assert(repFps.agg(min(col("fp_pos"))).head().getLong(0) == 3L)
+  }
 }
