@@ -2633,6 +2633,7 @@ object OracleSql {
         |FROM b""".stripMargin,
 
     "q198_winnowing_neardup" -> q198WinnowingSql,
+    "q200_mlp_forward" -> q200MlpForwardSql,
 
     // the q189 recursive Newton replay supplies the probe model; scoring,
     // margin ranking, and the entropy card are plain expressions over it
@@ -4111,6 +4112,56 @@ object OracleSql {
        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
        |SELECT doc_a, doc_b, n_shared
        |FROM pairs ORDER BY n_shared DESC, doc_a, doc_b LIMIT 50""".stripMargin
+  }
+
+  /** q200 oracle: the portable MLP forward pass replayed — closed-form
+    * scaler from decimal sums, the fixed 3-decimal hash-drawn weights
+    * inlined as literals (model parameters), round-9 activations, round-6
+    * scores, decile histogram.
+    */
+  private def q200MlpForwardSql: String = {
+    import graft.ml.MlPipelines.mlpPortableWeight
+    def w(tag: String): String = f"(${mlpPortableWeight(tag)}%.3f)"
+    val hidden = 4
+    val hCols = (0 until hidden).map { j =>
+      val zj = s"${w(s"b1_$j")} + ${w(s"w1_${j}_0")} * z1 + " +
+        s"${w(s"w1_${j}_1")} * z2"
+      s"ROUND(1.0 - 2.0 / (EXP(2.0 * ($zj)) + 1.0), 9) AS h$j"
+    }.mkString(",\n       |    ")
+    val outExpr = (0 until hidden).foldLeft(w("b2")) {
+      (acc, j) => s"$acc + ${w(s"v_$j")} * h$j"
+    }
+    s"""WITH d AS (
+       |  SELECT CAST(l_quantity AS DOUBLE) AS x1,
+       |    CAST(l_discount AS DOUBLE) AS x2
+       |  FROM lineitem),
+       |s AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(SUM(CAST(x1 AS DECIMAL(28,2))) AS DOUBLE) AS sx1,
+       |    CAST(SUM(CAST(x1 * x1 AS DECIMAL(28,4))) AS DOUBLE) AS s11,
+       |    CAST(SUM(CAST(x2 AS DECIMAL(28,2))) AS DOUBLE) AS sx2,
+       |    CAST(SUM(CAST(x2 * x2 AS DECIMAL(28,4))) AS DOUBLE) AS s22
+       |  FROM d),
+       |c AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM s),
+       |st AS (
+       |  SELECT sx1 / nd AS mu1, SQRT((s11 - sx1 * sx1 / nd) / nd) AS sd1,
+       |    sx2 / nd AS mu2, SQRT((s22 - sx2 * sx2 / nd) / nd) AS sd2
+       |  FROM c),
+       |z AS (
+       |  SELECT ROUND((x1 - mu1) / sd1, 9) AS z1,
+       |    ROUND((x2 - mu2) / sd2, 9) AS z2
+       |  FROM d, st),
+       |h AS (
+       |  SELECT z1, z2,
+       |    $hCols
+       |  FROM z),
+       |sc AS (
+       |  SELECT ROUND(1.0 / (1.0 + EXP(-($outExpr))), 6) AS p FROM h)
+       |SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS decile,
+       |  COUNT(*) AS n,
+       |  ROUND(CAST(SUM(CAST(p AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+       |    AS avg_p
+       |FROM sc GROUP BY 1 ORDER BY decile""".stripMargin
   }
 
   /** q194 oracle: the boosted-stumps loop UNROLLED — per round t, a

@@ -2916,6 +2916,18 @@ object SparkEntry {
       .limit(10)
   }
 
+  // ---------------------------------------------------------------- q200
+  // Portable MLP forward inference — the q47/q50 batched-inference path
+  // made hash-checkable: exact closed-form scaler (A13), a fixed
+  // hash-drawn 2→4→1 tanh/sigmoid network, and the score-decile histogram
+  // (A15) over the FULL lineitem — one stats pass + one pure-projection
+  // scoring scan into a 10-group aggregate. Training stays MLlib (q50);
+  // this pins the inference arithmetic end-to-end.
+  def q200(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.mlpForwardPortable(
+        t(spark, dir, "lineitem"), "l_quantity", "l_discount")
+      .orderBy(col("decile"))
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3347,6 +3359,7 @@ object SparkEntry {
     "q197_calibration_card" -> (q197 _),
     "q198_winnowing_neardup" -> (q198 _),
     "q199_active_selection" -> (q199 _),
+    "q200_mlp_forward" -> (q200 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

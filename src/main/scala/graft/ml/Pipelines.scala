@@ -1236,6 +1236,84 @@ object MlPipelines {
     regRow.unionByName(clsRow)
   }
 
+  /** Hash-drawn weights for the portable MLP twin: MD5 of a fixed tag
+    * mapped to [−1, 1] with exactly 3 decimals — model parameters any
+    * engine can re-derive (or inline as literals, as the oracle does).
+    */
+  def mlpPortableWeight(tag: String): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(tag.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(6)
+    ((BigInt(hex, 16) % 2001).toLong - 1000L).toDouble / 1000.0
+  }
+
+  /** Engine-portable MLP FORWARD pass — the batched-inference twin of the
+    * q47/q50 classifier pipeline (reference M4/M12, `train.py:170-296` +
+    * `dataset.py:117-123`): standardize two features with the exact
+    * closed-form scaler (decimal sums → population std, the A13 surface),
+    * run a fixed 2→`hidden`→1 tanh/sigmoid network whose weights are the
+    * deterministic [[mlpPortableWeight]] draw, and report the score
+    * HISTOGRAM (decile, n, avg_p) — the score-distribution card of a
+    * quality-classifier inference sweep (A15).
+    *
+    * Portability: standardized inputs and hidden activations re-round to
+    * 9 (absorbing libm tanh/exp ulp drift), scores to 6; weights are
+    * 3-decimal literals — so the whole forward pass replays in plain SQL.
+    * TRAINING stays MLlib's (q50); what this pins is the inference
+    * arithmetic, the scaler, and the score-distribution report.
+    *
+    * Scale shape: one stats pass (exact decimal sums), then a single
+    * pure-projection scoring scan into a 10-group aggregate — no shuffle
+    * of the corpus, no per-row state; exactly how a 100 TB scoring sweep
+    * should look.
+    */
+  def mlpForwardPortable(df: DataFrame, x1Col: String, x2Col: String,
+      hidden: Int = 4): DataFrame = {
+    import graft.functions.Stats.dsum
+    require(hidden >= 1 && hidden <= 16, s"hidden must be in [1,16]")
+    val d = df.select(col(x1Col).cast("double").as("x1"),
+      col(x2Col).cast("double").as("x2"))
+    val r = d.agg(
+      count(lit(1)).as("n"),
+      dsum(col("x1"), 2).as("sx1"),
+      dsum(col("x1") * col("x1"), 4).as("s11"),
+      dsum(col("x2"), 2).as("sx2"),
+      dsum(col("x2") * col("x2"), 4).as("s22")).head()
+    val n = r.getLong(0).toDouble
+    require(n > 0, "empty input")
+    val (sx1, s11, sx2, s22) = (r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4))
+    val mu1 = sx1 / n
+    val mu2 = sx2 / n
+    val sd1 = math.sqrt((s11 - sx1 * sx1 / n) / n)
+    val sd2 = math.sqrt((s22 - sx2 * sx2 / n) / n)
+    require(sd1 > 0.0 && sd2 > 0.0,
+      "constant feature: the portable scaler needs variance in x1 and x2")
+    val z1 = round((col("x1") - lit(mu1)) / lit(sd1), 9)
+    val z2 = round((col("x2") - lit(mu2)) / lit(sd2), 9)
+    val hs = (0 until hidden).map { j =>
+      val zj = lit(mlpPortableWeight(s"b1_$j")) +
+        lit(mlpPortableWeight(s"w1_${j}_0")) * col("z1") +
+        lit(mlpPortableWeight(s"w1_${j}_1")) * col("z2")
+      // tanh via the logistic identity so BOTH engines run the same
+      // exp-based expression (no native TANH in the oracle dialect)
+      val th = lit(1.0) - lit(2.0) / (exp(lit(2.0) * zj) + lit(1.0))
+      round(th, 9).as(s"h$j")
+    }
+    val out = (0 until hidden).foldLeft(
+        lit(mlpPortableWeight("b2")): org.apache.spark.sql.Column) {
+      (acc, j) => acc + lit(mlpPortableWeight(s"v_$j")) * col(s"h$j")
+    }
+    val p = round(lit(1.0) / (lit(1.0) + exp(-out)), 6)
+    d.withColumn("z1", z1).withColumn("z2", z2)
+      .select((Seq(col("z1"), col("z2")) ++ hs): _*)
+      .withColumn("p", p)
+      .withColumn("decile", least(floor(col("p") * 10).cast("long"), lit(9L)))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        round(dsum(col("p"), 6) / count(lit(1)), 6).as("avg_p"))
+  }
+
   /** Fixed-sweep LASSO by coordinate descent on two features — the
     * hash-checkable twin of q42/q59's lasso ensemble member (reference
     * `train_ensemble.py:134-143` `Lasso(alpha=...)`): minimizes

@@ -445,6 +445,40 @@ class MlPipelinesSpec extends SparkSpec {
     assert(cls.getDouble(4) == irls(7).getDouble(3))
   }
 
+  test("mlpForwardPortable: hand-computed forward pass; deciles partition the corpus") {
+    import spark.implicits._
+    import graft.ml.MlPipelines.mlpPortableWeight
+    // two-point fixture: mu=(1,2), sd=(1,2) → z rows (−1,−1) and (1,1)
+    val d = Seq((0.0, 0.0), (2.0, 4.0)).toDF("x1", "x2")
+    def r(v: Double, s: Int) = BigDecimal(v)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def fwd(z1: Double, z2: Double): Double = {
+      val h = (0 until 4).map { j =>
+        val z = mlpPortableWeight(s"b1_$j") +
+          mlpPortableWeight(s"w1_${j}_0") * z1 +
+          mlpPortableWeight(s"w1_${j}_1") * z2
+        r(1.0 - 2.0 / (math.exp(2.0 * z) + 1.0), 9)
+      }
+      val o = (0 until 4).foldLeft(mlpPortableWeight("b2")) {
+        (a, j) => a + mlpPortableWeight(s"v_$j") * h(j)
+      }
+      r(1.0 / (1.0 + math.exp(-o)), 6)
+    }
+    val expected = Seq(fwd(-1.0, -1.0), fwd(1.0, 1.0))
+      .groupBy(p => math.min(math.floor(p * 10).toLong, 9L))
+      .map { case (dec, ps) =>
+        (dec, ps.length.toLong, r(ps.sum / ps.length, 6)) }.toSet
+    val got = MlPipelines.mlpForwardPortable(d, "x1", "x2").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(got == expected, s"got $got expected $expected")
+    // the weights draw is fixed and bounded
+    assert(math.abs(mlpPortableWeight("b2")) <= 1.0)
+    // corpus sweep: the decile histogram partitions every input row
+    val full = MlPipelines.mlpForwardPortable(lineitem,
+      "l_quantity", "l_discount")
+    assert(full.agg(sum("n")).head().getLong(0) == lineitem.count())
+  }
+
   test("lassoCDPortable: objective descends, weak feature zeroed, fixed point is MLlib's lasso") {
     import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.ml.regression.LinearRegression

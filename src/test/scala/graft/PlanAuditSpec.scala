@@ -608,6 +608,56 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Sort "), p)
   }
 
+  test("q193 portable PQ: codebook broadcasts, corpus never shuffles before the tiny profile agg") {
+    val p = finalPlan(SparkEntry.q193(spark, dir))
+    // the k-row codebook rides as a broadcast onto the exploded corpus;
+    // the only exchanges are the per-(vector,subspace) argmin window key
+    // and the m·k-group profile aggregation
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q194 boosted stumps: one candidate-stat aggregate per round, map-side combined") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // audit ONE round's candidate-stat pass (the trace frame is tiny):
+    // all 8 candidates' left-sums ride in a SINGLE HashAggregate — no
+    // window, no sort, no per-candidate rescan
+    val d = Tables.load(spark, dir, "lineitem")
+      .select(col("l_quantity").cast("double").as("x1"),
+        col("l_extendedprice").cast("double").as("y"))
+    val r = col("y") - lit(100.0)
+    val step = d.agg(
+      graft.functions.Stats.dsum(when(col("x1") <= 10.0, r), 12).as("sl0"),
+      graft.functions.Stats.dsum(when(col("x1") <= 20.0, r), 12).as("sl1"),
+      graft.functions.Stats.dsum(r, 12).as("s"))
+    val p = finalPlan(step)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Sort "), p)
+  }
+
+  test("q198 winnowing: per-doc window + hash-keyed pair join, never cartesian") {
+    val p = finalPlan(SparkEntry.q198(spark, dir))
+    // fingerprint selection is a doc-partitioned window; the pair stage
+    // is an equi-join on fp_hash with capped postings; top-k is
+    // TakeOrdered, not a global sort
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrdered"), p)
+  }
+
+  test("q200 MLP forward: scoring scan is one projection into a 10-group aggregate") {
+    val p = finalPlan(SparkEntry.q200(spark, dir))
+    // the stats pass ran at build time (driver literals); the scoring
+    // query itself must be scan → project → partial/final HashAggregate,
+    // with no join, window, or sort anywhere
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(hasCodegenStage(p), p)
+  }
+
   test("populationFeatures: sensor table shuffles at most twice, joins broadcast") {
     import spark.implicits._
     val sensor = (0 until 200).map(i =>
