@@ -2634,6 +2634,10 @@ object OracleSql {
 
     "q198_winnowing_neardup" -> q198WinnowingSql,
     "q200_mlp_forward" -> q200MlpForwardSql,
+    "q201_quantile_sketch" -> logBinQuantileSql,
+    // the streaming path converges to the batch sketch exactly
+    // (additive counters commute with micro-batching) — same oracle
+    "q202_stream_quantiles" -> logBinQuantileSql,
 
     // the q189 recursive Newton replay supplies the probe model; scoring,
     // margin ranking, and the entropy card are plain expressions over it
@@ -4113,6 +4117,56 @@ object OracleSql {
        |SELECT doc_a, doc_b, n_shared
        |FROM pairs ORDER BY n_shared DESC, doc_a, doc_b LIMIT 50""".stripMargin
   }
+
+  /** q201/q202 oracle: the log-bin quantile sketch replayed — exact
+    * digit-count + one correctly-rounded IEEE division per value (no
+    * libm), additive counters, ALL-merge by summing, rank selection over
+    * the cumulative bins.
+    */
+  private def logBinQuantileSql: String =
+    """WITH d AS (
+      |  SELECT l_returnflag AS grp, CAST(l_extendedprice AS DOUBLE) AS v
+      |  FROM lineitem WHERE CAST(l_extendedprice AS DOUBLE) >= 1.0),
+      |b0 AS (
+      |  SELECT grp,
+      |    CAST(LENGTH(CAST(CAST(FLOOR(v) AS BIGINT) AS VARCHAR)) AS INT)
+      |      AS e,
+      |    v
+      |  FROM d),
+      |b1 AS (
+      |  SELECT grp, e,
+      |    CAST(CASE WHEN e >= 2
+      |        THEN FLOOR(v / POWER(10.0, CAST(e - 2 AS DOUBLE)))
+      |      ELSE FLOOR(v * 10) END AS BIGINT) AS m
+      |  FROM b0),
+      |bins AS (SELECT grp, e, m, COUNT(*) AS n FROM b1 GROUP BY 1, 2, 3),
+      |binsall AS (
+      |  SELECT grp, e, m, CAST(n AS BIGINT) AS n FROM bins
+      |  UNION ALL
+      |  SELECT 'ALL' AS grp, e, m, CAST(SUM(n) AS BIGINT) AS n
+      |  FROM bins GROUP BY 2, 3),
+      |cum AS (
+      |  SELECT grp, e, m, n,
+      |    SUM(n) OVER (PARTITION BY grp ORDER BY e, m) AS cum
+      |  FROM binsall),
+      |tot AS (SELECT grp, SUM(n) AS total FROM binsall GROUP BY 1),
+      |ranks AS (
+      |  SELECT grp, CAST(q AS DOUBLE) AS quantile,
+      |    GREATEST(CAST(CEIL(CAST(q AS DOUBLE) * total) AS BIGINT),
+      |      CAST(1 AS BIGINT)) AS rank
+      |  FROM tot, (VALUES (0.5), (0.9), (0.99)) qs(q)),
+      |sel AS (
+      |  SELECT grp, quantile, rank, e, m,
+      |    ROW_NUMBER() OVER (PARTITION BY grp, quantile ORDER BY e, m)
+      |      AS rn
+      |  FROM cum JOIN ranks USING (grp)
+      |  WHERE cum >= rank)
+      |SELECT grp, quantile, rank, e AS bin_e, m AS bin_m,
+      |  CASE WHEN e >= 2
+      |      THEN CAST(m AS DOUBLE) * POWER(10.0, CAST(e - 2 AS DOUBLE))
+      |    ELSE CAST(m AS DOUBLE) / 10.0 END AS est
+      |FROM sel WHERE rn = 1
+      |ORDER BY grp, quantile""".stripMargin
 
   /** q200 oracle: the portable MLP forward pass replayed — closed-form
     * scaler from decimal sums, the fixed 3-decimal hash-drawn weights

@@ -2928,6 +2928,43 @@ object SparkEntry {
         t(spark, dir, "lineitem"), "l_quantity", "l_discount")
       .orderBy(col("decile"))
 
+  // ---------------------------------------------------------------- q201
+  // Mergeable log-bin quantile sketch — the quantile member of the sketch
+  // family (CMS q123, HLL q162, Bloom q117): additive (digit-count,
+  // 2-significant-digit) counters per returnflag, merged into an ALL
+  // sketch by summing, p50/p90/p99 read off the cumulative bins with
+  // ≤ 10% relative error by construction. Bin boundaries use only exact
+  // string length + one correctly-rounded IEEE division — deterministic
+  // across engines where ln-based log bins are not — so the whole sketch
+  // AND the merge identity are hash-checked.
+  def q201(spark: SparkSession, dir: String): DataFrame = {
+    val bins = SketchOps.logBins(
+      t(spark, dir, "lineitem")
+        .select(col("l_returnflag").as("grp"), col("l_extendedprice")),
+      "grp", "l_extendedprice")
+    val all = bins.groupBy(col("e"), col("m")).agg(sum(col("n")).as("n"))
+      .withColumn("grp", lit("ALL"))
+      .select(col("grp"), col("e"), col("m"), col("n"))
+    SketchOps.quantilesFromBins(bins.unionByName(all), "grp",
+        Seq(0.5, 0.9, 0.99))
+      .orderBy(col("grp"), col("quantile"))
+  }
+
+  // ---------------------------------------------------------------- q202
+  // Streaming twin of q201: the additive sketch maintained across
+  // micro-batches in complete mode, finished with the same bin-cumsum
+  // read — converges to the batch sketch EXACTLY (additive counters
+  // commute with batching), the q113/q131 batch≡stream contract for
+  // quantiles. State = the sketch itself, bounded forever.
+  def q202(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.streamingLogBinQuantiles(
+        spark, dir, "lineitem.parquet", "grp", "l_extendedprice",
+        Seq(0.5, 0.9, 0.99),
+        graft.streaming.StreamSink.Memory("q202_quantiles"),
+        prepare = _.select(col("l_returnflag").as("grp"),
+          col("l_extendedprice")))
+      .orderBy(col("grp"), col("quantile"))
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3360,6 +3397,8 @@ object SparkEntry {
     "q198_winnowing_neardup" -> (q198 _),
     "q199_active_selection" -> (q199 _),
     "q200_mlp_forward" -> (q200 _),
+    "q201_quantile_sketch" -> (q201 _),
+    "q202_stream_quantiles" -> (q202 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

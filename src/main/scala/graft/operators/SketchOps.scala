@@ -171,4 +171,66 @@ object SketchOps {
           .otherwise(col("__raw")), 6))
       .select((gs :+ col("n_registers_hit") :+ col("hll_estimate")): _*)
   }
+
+  /** MERGEABLE log-bin quantile sketch, build phase: every value ≥ 1
+    * lands in its (decimal-digit-count, two-leading-significant-digits)
+    * bin — ≤ 90 bins per order of magnitude, counts are plain additive
+    * integers, so per-shard sketches merge by summing (the CMS/HLL
+    * mergeability contract, completed for quantiles). Relative rank-value
+    * error is bounded by the bin width: ≤ 1/m ≤ 10% (two significant
+    * digits).
+    *
+    * Determinism across engines is by construction: the digit count is
+    * exact string length of the integer part, and the mantissa uses ONE
+    * IEEE division by a power of ten — correctly rounded by the standard,
+    * so identical on every engine (unlike ln-based log bins, where libm
+    * ulp drift could flip a boundary).
+    */
+  def logBins(df: DataFrame, grpCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.filter(v >= 1.0)
+      .withColumn("e", length(floor(v).cast("long").cast("string")))
+      .withColumn("m",
+        when(col("e") >= 2,
+          floor(v / pow(lit(10.0), (col("e") - 2).cast("double"))))
+        .otherwise(floor(v * 10)).cast("long"))
+      .groupBy(col(grpCol), col("e"), col("m"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Quantile estimates from [[logBins]] counters: per group, the
+    * cumulative count over (e, m)-ordered bins selects the first bin
+    * whose cumsum reaches rank ⌈q·n⌉; the estimate is the bin's lower
+    * bound m·10^(e−2). The window runs over the SKETCH (≤ 90·digits rows
+    * per group), never the data — the finishing step of a 100 TB
+    * quantile job is a few hundred rows per group regardless of input
+    * size.
+    */
+  def quantilesFromBins(bins: DataFrame, grpCol: String,
+      quantiles: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0, 1], got $quantiles")
+    val spark = bins.sparkSession
+    import spark.implicits._
+    val cum = bins.withColumn("cum",
+      sum(col("n")).over(Window.partitionBy(col(grpCol))
+        .orderBy(col("e"), col("m"))))
+    val ranks = bins.groupBy(col(grpCol)).agg(sum(col("n")).as("total"))
+      .crossJoin(broadcast(quantiles.toDF("quantile")))
+      .withColumn("rank",
+        greatest(ceil(col("quantile") * col("total")), lit(1L)))
+    val w = Window.partitionBy(col(grpCol), col("quantile"))
+      .orderBy(col("e"), col("m"))
+    cum.join(broadcast(ranks), grpCol)
+      .filter(col("cum") >= col("rank"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(grpCol), col("quantile"), col("rank"),
+        col("e").as("bin_e"), col("m").as("bin_m"),
+        when(col("e") >= 2,
+          col("m").cast("double") *
+            pow(lit(10.0), (col("e") - 2).cast("double")))
+          .otherwise(col("m").cast("double") / 10.0).as("est"))
+  }
 }

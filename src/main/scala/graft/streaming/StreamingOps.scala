@@ -541,4 +541,34 @@ object StreamingOps {
     val cells = spark.createDataFrame(rows, sunk.schema)
     graft.operators.DriftOps.psiFromCells(cells, keyCol, nBins)
   }
+
+  /** Streaming log-bin quantile sketch: the [[graft.operators.SketchOps]]
+    * additive (digit-count, two-significant-digit) counters maintained in
+    * complete-mode across micro-batches, finished with the SAME
+    * `quantilesFromBins` step as the batch path — so the streaming
+    * estimate converges to the batch sketch's EXACT output on the same
+    * data regardless of micro-batch boundaries (additive counters commute
+    * with batching; the q113/q131 batch≡stream contract applied to
+    * quantiles). State is the sketch itself: ≤ 90·digits rows per group,
+    * bounded forever, no watermark needed.
+    */
+  def streamingLogBinQuantiles(spark: SparkSession, dir: String,
+      fileName: String, grpCol: String, valueCol: String,
+      quantiles: Seq[Double], sink: StreamSink,
+      prepare: DataFrame => DataFrame = identity): DataFrame = {
+    // the batch build runs unchanged on the unbounded frame — complete
+    // mode keeps the counters additive across micro-batches
+    val counters = graft.operators.SketchOps.logBins(
+      prepare(fileStream(spark, dir, fileName)), grpCol, valueCol)
+    val sunk = runToSink(spark, counters, sink, "complete")
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    sunk.collect().foreach(rows.add)
+    val bins = spark.createDataFrame(rows, sunk.schema)
+    val all = bins.groupBy(col("e"), col("m"))
+      .agg(sum(col("n")).as("n"))
+      .withColumn(grpCol, lit("ALL"))
+      .select(col(grpCol), col("e"), col("m"), col("n"))
+    graft.operators.SketchOps.quantilesFromBins(
+      bins.unionByName(all), grpCol, quantiles)
+  }
 }

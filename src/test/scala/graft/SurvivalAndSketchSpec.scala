@@ -214,4 +214,46 @@ class SurvivalAndSketchSpec extends SparkSpec {
     val recall = exact.intersect(viaCodes).size / 10.0
     assert(recall >= 0.8, s"int8 recall@10 too low: $recall")
   }
+
+  test("logBins quantiles: 10% one-sided error bound holds on a uniform fixture") {
+    // values 1..5000: exact q-quantile of rank r is r itself, so the
+    // sketch's lower-bound estimate must satisfy est <= exact < est·(1+1/m)
+    val d = (1 to 5000).map(v => ("a", v.toDouble)).toDF("grp", "x")
+    val bins = SketchOps.logBins(d, "grp", "x")
+    val out = SketchOps.quantilesFromBins(bins, "grp",
+      Seq(0.25, 0.5, 0.9, 0.99)).collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      val rank = r.getAs[Long]("rank")
+      val est = r.getAs[Double]("est")
+      val m = r.getAs[Long]("bin_m")
+      val exact = rank.toDouble
+      assert(est <= exact, s"estimate above the true quantile: $r")
+      assert(exact < est * (1.0 + 1.0 / m),
+        s"true quantile beyond the bin's upper bound: $r")
+    }
+  }
+
+  test("logBins sketches merge by summing: per-shard union equals direct build") {
+    val shard1 = (1 to 700).map(v => ("s", v * 3.0)).toDF("grp", "x")
+    val shard2 = (1 to 900).map(v => ("s", v * 7.0 + 1.0)).toDF("grp", "x")
+    val direct = SketchOps.logBins(shard1.unionByName(shard2), "grp", "x")
+    val merged = SketchOps.logBins(shard1, "grp", "x")
+      .unionByName(SketchOps.logBins(shard2, "grp", "x"))
+      .groupBy(col("grp"), col("e"), col("m"))
+      .agg(sum(col("n")).as("n"))
+    assert(direct.collect().map(_.toString).sorted.toSeq ==
+      merged.collect().map(_.toString).sorted.toSeq)
+    val qd = SketchOps.quantilesFromBins(direct, "grp", Seq(0.5, 0.95))
+    val qm = SketchOps.quantilesFromBins(merged, "grp", Seq(0.5, 0.95))
+    assert(qd.collect().map(_.toString).sorted.toSeq ==
+      qm.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("q202 streaming quantile sketch equals the batch q201 exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = SparkEntry.q201(spark, dir).collect().map(_.toString).toSeq
+    val stream = SparkEntry.q202(spark, dir).collect().map(_.toString).toSeq
+    assert(batch == stream, s"batch=$batch\nstream=$stream")
+  }
 }
