@@ -2634,6 +2634,96 @@ object OracleSql {
 
     "q198_winnowing_neardup" -> q198WinnowingSql,
     "q200_mlp_forward" -> q200MlpForwardSql,
+
+    // closed-form NB: round-9 params from exact decimal sums, fixed-shape
+    // log-posterior rounded to 6, argmax tie-broken toward the smallest
+    // class (ORDER BY sc DESC, cand ASC ≡ the strict-greater fold)
+    "q203_gaussian_nb" ->
+      """WITH d AS (
+        |  SELECT l_returnflag AS cls, CAST(l_quantity AS DOUBLE) AS x1,
+        |    CAST(l_discount AS DOUBLE) AS x2,
+        |    ((l_orderkey % 1000003) * 2654435761) % 10 AS b
+        |  FROM lineitem),
+        |tr AS (SELECT * FROM d WHERE b < 7),
+        |nt AS (SELECT COUNT(*) AS n FROM tr),
+        |p AS (
+        |  SELECT cls, COUNT(*) AS nc,
+        |    CAST(SUM(CAST(x1 AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(x1 * x1 AS DECIMAL(28,12))) AS DOUBLE) AS q1,
+        |    CAST(SUM(CAST(x2 AS DECIMAL(28,12))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(x2 * x2 AS DECIMAL(28,12))) AS DOUBLE) AS q2
+        |  FROM tr GROUP BY cls),
+        |pp AS (
+        |  SELECT cls,
+        |    ROUND(CAST(nc AS DOUBLE) / (SELECT n FROM nt), 9) AS prior,
+        |    ROUND(s1 / nc, 9) AS mu1,
+        |    ROUND(GREATEST((q1 - s1 * s1 / nc) / (nc - 1),
+        |      0.000000001), 9) AS v1,
+        |    ROUND(s2 / nc, 9) AS mu2,
+        |    ROUND(GREATEST((q2 - s2 * s2 / nc) / (nc - 1),
+        |      0.000000001), 9) AS v2
+        |  FROM p),
+        |g AS (
+        |  SELECT cls, x1, x2, COUNT(*) AS n
+        |  FROM d WHERE b >= 7 GROUP BY cls, x1, x2),
+        |s AS (
+        |  SELECT g.cls AS actual, g.x1 AS x1, g.x2 AS x2, g.n AS n,
+        |    pp.cls AS cand,
+        |    ROUND(LN(pp.prior)
+        |      - 0.5 * (LN(6.283185307179586 * pp.v1)
+        |        + ((g.x1 - pp.mu1) * (g.x1 - pp.mu1)) / pp.v1)
+        |      - 0.5 * (LN(6.283185307179586 * pp.v2)
+        |        + ((g.x2 - pp.mu2) * (g.x2 - pp.mu2)) / pp.v2), 6) AS sc
+        |  FROM g, pp),
+        |pick AS (
+        |  SELECT actual, n, cand,
+        |    ROW_NUMBER() OVER (PARTITION BY actual, x1, x2
+        |      ORDER BY sc DESC, cand ASC) AS rn
+        |  FROM s)
+        |SELECT actual, cand AS predicted, CAST(SUM(n) AS BIGINT) AS n_rows
+        |FROM pick WHERE rn = 1
+        |GROUP BY actual, cand
+        |ORDER BY actual, predicted""".stripMargin,
+
+    // exact-integer contingency per observed (token, class); χ² in double
+    // with the same fixed parenthesization as the Spark expression
+    "q204_chi2_tokens" ->
+      """WITH pres AS (
+        |  SELECT d.lang AS cls, u.token
+        |  FROM documents d,
+        |    UNNEST(list_distinct(string_split(TRIM(d.text), ' ')))
+        |      AS u(token)
+        |  WHERE u.token <> ''),
+        |nd AS (SELECT COUNT(*) AS n FROM documents),
+        |pc AS (SELECT lang AS cls, COUNT(*) AS nc FROM documents
+        |  GROUP BY lang),
+        |pa AS (SELECT token, cls, COUNT(*) AS na FROM pres
+        |  GROUP BY token, cls),
+        |tt AS (SELECT token, CAST(SUM(na) AS BIGINT) AS ntok FROM pa
+        |  GROUP BY token HAVING SUM(na) >= 5),
+        |ctg AS (
+        |  SELECT pa.cls, pa.token, pa.na, tt.ntok, nd.n,
+        |    CAST(pa.na AS DOUBLE) AS ad,
+        |    CAST(tt.ntok - pa.na AS DOUBLE) AS bd,
+        |    CAST(pc.nc - pa.na AS DOUBLE) AS cd,
+        |    CAST(nd.n - pc.nc - (tt.ntok - pa.na) AS DOUBLE) AS dd
+        |  FROM pa JOIN tt USING (token) JOIN pc USING (cls), nd),
+        |sc AS (
+        |  SELECT cls, token, na, ntok,
+        |    ROUND((CAST(n AS DOUBLE) *
+        |        ((ad * dd - bd * cd) * (ad * dd - bd * cd))) /
+        |      (((ad + bd) * (cd + dd)) * ((ad + cd) * (bd + dd))), 6)
+        |      AS chi2
+        |  FROM ctg),
+        |rk AS (
+        |  SELECT cls, token, na, ntok, chi2,
+        |    ROW_NUMBER() OVER (PARTITION BY cls
+        |      ORDER BY chi2 DESC, token ASC) AS rank
+        |  FROM sc)
+        |SELECT cls, rank, token, na AS n_docs_in_class,
+        |  ntok AS n_docs_total, chi2
+        |FROM rk WHERE rank <= 10
+        |ORDER BY cls, rank""".stripMargin,
     "q201_quantile_sketch" -> logBinQuantileSql,
     // the streaming path converges to the batch sketch exactly
     // (additive counters commute with micro-batching) — same oracle

@@ -2965,6 +2965,29 @@ object SparkEntry {
           col("l_extendedprice")))
       .orderBy(col("grp"), col("quantile"))
 
+  // ---------------------------------------------------------------- q203
+  // Portable Gaussian Naive Bayes — the third hash-proven classifier
+  // family (after q189's IRLS logistic and q194's boosted stumps),
+  // mirroring the reference's classical-baseline sweep
+  // (train_ensemble.py:134-143): closed-form per-class priors/means/
+  // variances from ONE exact-decimal pass over the hash-split train rows,
+  // round-9 params folded back as literals, join-free scoring scan into
+  // the test confusion matrix.
+  def q203(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.gaussianNbPortable(
+      t(spark, dir, "lineitem"), "l_orderkey", "l_returnflag",
+      "l_quantity", "l_discount")
+
+  // ---------------------------------------------------------------- q204
+  // χ² token–class association (Yang & Pedersen 1997 feature selection):
+  // which tokens identify a language — per-doc presence via
+  // array_distinct INSIDE the explode (no distinct shuffle), two
+  // vocabulary-level aggregations, broadcast class totals, exact-count
+  // contingency per observed (token, class), top-10 per class.
+  def q204(spark: SparkSession, dir: String): DataFrame =
+    TextOps.chiSquareTokens(t(spark, dir, "documents"),
+      "doc_id", "text", "lang", k = 10, minDf = 5L)
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3399,6 +3422,8 @@ object SparkEntry {
     "q200_mlp_forward" -> (q200 _),
     "q201_quantile_sketch" -> (q201 _),
     "q202_stream_quantiles" -> (q202 _),
+    "q203_gaussian_nb" -> (q203 _),
+    "q204_chi2_tokens" -> (q204 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -1502,4 +1502,82 @@ object MlPipelines {
           col("gain"), col("train_rmse"), col("valid_rmse"), col("is_best"))
     } finally { d.unpersist(); () }
   }
+
+  /** Portable Gaussian Naive Bayes — a third hash-proven classifier family
+    * next to the IRLS logistic (q189) and the boosted stumps (q194),
+    * mirroring the reference's classical-baseline sweep
+    * (`/root/reference/scripts/train_ensemble.py:134-143`). Fully closed
+    * form, so unlike every iterative fit it needs no Newton replay:
+    * per-class priors, means, and sample variances from ONE exact-decimal
+    * aggregation over the hash-split train rows (leakage-safe M2 split on
+    * `keyCol`), parameters rounded to 9 decimals, then one pure-projection
+    * scoring scan over the test rows — log-posteriors evaluated with a
+    * fixed parenthesization both engines execute identically on the
+    * round-9 parameters (the q189 exp/ln portability contract), rounded to
+    * 6 before the argmax so 1-ulp drift cannot flip a prediction. Argmax
+    * ties break toward the lexicographically smallest class.
+    *
+    * Scale shape: params are |classes| rows collected at the driver (a
+    * bounded model, exactly what a fitted estimator is) and folded back in
+    * as literals — the scoring scan carries NO join, NO shuffle before the
+    * tiny confusion-matrix aggregate. Returns (actual, predicted, n_rows).
+    *
+    * Variances get a 1e-9 floor so a degenerate (constant) feature yields
+    * a finite likelihood instead of a division by zero — documented, not
+    * hidden: the floor is itself part of the replayed arithmetic.
+    */
+  def gaussianNbPortable(df: DataFrame, keyCol: String, classCol: String,
+      f1: String, f2: String, trainBuckets: Int = 7): DataFrame = {
+    import graft.functions.Stats.dsum
+    val spark = df.sparkSession
+    def r9(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val d = df.select(col(classCol).cast("string").as("cls"),
+      col(f1).cast("double").as("x1"), col(f2).cast("double").as("x2"),
+      SplitOps.hashBucket(col(keyCol), 10).as("__b"))
+    val train = d.filter(col("__b") < trainBuckets)
+    val test = d.filter(col("__b") >= trainBuckets)
+    // ONE aggregation → |classes| parameter rows; sums are exact decimals
+    // so the closed-form fit is independent of accumulation order
+    val params = train.groupBy(col("cls")).agg(
+        count(lit(1)).as("nc"),
+        dsum(col("x1"), 12).as("s1"), dsum(col("x1") * col("x1"), 12).as("q1"),
+        dsum(col("x2"), 12).as("s2"), dsum(col("x2") * col("x2"), 12).as("q2"))
+      .orderBy(col("cls")).collect()
+    val nTrain = params.map(_.getLong(1)).sum
+    require(nTrain > 0, "gaussianNbPortable: empty training split")
+    case class P(cls: String, prior: Double, mu1: Double, v1: Double,
+      mu2: Double, v2: Double)
+    val ps = params.map { r =>
+      val (nc, s1, q1, s2, q2) = (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      require(nc > 1, s"class ${r.getString(0)} needs >1 train rows")
+      val mu1 = r9(s1 / nc); val mu2 = r9(s2 / nc)
+      // sample variance from the exact sums, then the 1e-9 floor
+      val v1 = r9(math.max((q1 - s1 * s1 / nc) / (nc - 1), 1e-9))
+      val v2 = r9(math.max((q2 - s2 * s2 / nc) / (nc - 1), 1e-9))
+      P(r.getString(0), r9(nc.toDouble / nTrain), mu1, v1, mu2, v2)
+    }
+    // fixed-shape log-posterior; 6.283185307179586 is 2π as the literal
+    // BOTH engines parse, so no π builtin can differ
+    def score(p: P): org.apache.spark.sql.Column =
+      round(log(lit(p.prior))
+        - lit(0.5) * (log(lit(6.283185307179586) * lit(p.v1))
+          + ((col("x1") - lit(p.mu1)) * (col("x1") - lit(p.mu1))) / lit(p.v1))
+        - lit(0.5) * (log(lit(6.283185307179586) * lit(p.v2))
+          + ((col("x2") - lit(p.mu2)) * (col("x2") - lit(p.mu2))) / lit(p.v2)),
+        6)
+    // argmax with smallest-class tie-break: strictly-greater fold over the
+    // class-sorted parameter rows
+    val pred = ps.tail.foldLeft(
+        (lit(ps.head.cls), score(ps.head))) { case ((bc, bs), p) =>
+      val s = score(p)
+      (when(s > bs, lit(p.cls)).otherwise(bc), when(s > bs, s).otherwise(bs))
+    }._1
+    test.withColumn("predicted", pred)
+      .groupBy(col("cls").as("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("actual"), col("predicted"))
+  }
 }

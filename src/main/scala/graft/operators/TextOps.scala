@@ -585,4 +585,63 @@ object TextOps {
       .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
       .limit(topK)
   }
+
+  /** χ² token–class association (the classic feature-selection statistic,
+    * Yang & Pedersen 1997): for each observed (token, class) pair, the
+    * 2×2 document-presence contingency A/B/C/D and
+    * χ² = N·(AD−BC)² / ((A+B)(C+D)(A+C)(B+D)) — which tokens *identify* a
+    * class (language markers, domain jargon, template artifacts) before
+    * any model is trained. Top `k` tokens per class by χ² among tokens
+    * with document frequency ≥ `minDf`.
+    *
+    * Scale shape: per-doc token presence comes from `array_distinct`
+    * INSIDE the explode (no separate distinct shuffle over the token
+    * stream); then two vocabulary-sized aggregations and one broadcast of
+    * the |classes|-row totals. The per-class ranking window runs over the
+    * vocabulary frame (≪ corpus). Only observed pairs are scored — a
+    * token's χ² against a class it never appears in is the
+    * negative-association tail feature selection ignores.
+    *
+    * All counts are exact integers cast to double with a FIXED
+    * parenthesization, so both engines run the identical IEEE ops
+    * (determinism, not exactness, is the contract beyond 2⁵³), rounded to
+    * 6.
+    */
+  def chiSquareTokens(docs: DataFrame, idCol: String, textCol: String,
+      classCol: String, k: Int = 10, minDf: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val present = docs.select(col(classCol).as("cls"),
+        explode(array_distinct(split(trim(col(textCol)), " "))).as("token"))
+      .filter(col("token") =!= "")
+    val nDocs = docs.select(count(lit(1)).as("__n"))
+    val perClass = docs.groupBy(col(classCol).as("cls"))
+      .agg(count(lit(1)).as("__nc"))
+    val pairCnt = present.groupBy(col("token"), col("cls"))
+      .agg(count(lit(1)).as("__a"))
+    val tokCnt = pairCnt.groupBy(col("token"))
+      .agg(sum(col("__a")).as("__t"))
+      .filter(col("__t") >= minDf)
+    val d = pairCnt.join(tokCnt, "token")
+      .join(broadcast(perClass), "cls")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("__ad", col("__a").cast("double"))
+      .withColumn("__bd", (col("__t") - col("__a")).cast("double"))
+      .withColumn("__cd", (col("__nc") - col("__a")).cast("double"))
+      .withColumn("__dd",
+        (col("__n") - col("__nc") - (col("__t") - col("__a"))).cast("double"))
+      .withColumn("chi2", round(
+        (col("__n").cast("double") *
+          ((col("__ad") * col("__dd") - col("__bd") * col("__cd")) *
+           (col("__ad") * col("__dd") - col("__bd") * col("__cd")))) /
+        (((col("__ad") + col("__bd")) * (col("__cd") + col("__dd"))) *
+         ((col("__ad") + col("__cd")) * (col("__bd") + col("__dd")))), 6))
+    val w = Window.partitionBy(col("cls"))
+      .orderBy(col("chi2").desc, col("token").asc)
+    d.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("cls"), col("rank"), col("token"),
+        col("__a").as("n_docs_in_class"), col("__t").as("n_docs_total"),
+        col("chi2"))
+      .orderBy(col("cls"), col("rank"))
+  }
 }

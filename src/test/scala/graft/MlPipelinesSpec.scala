@@ -479,6 +479,42 @@ class MlPipelinesSpec extends SparkSpec {
     assert(full.agg(sum("n")).head().getLong(0) == lineitem.count())
   }
 
+  test("gaussianNbPortable: separable planted classes are classified perfectly") {
+    // class "lo" ~ x1 in [0,9], class "hi" ~ x1 in [100,109]; x2 is noise
+    // shared by both — NB must recover the split from x1 alone
+    val rows = (0L until 200L).map { k =>
+      val cls = if (k % 2 == 0) "lo" else "hi"
+      val base = if (cls == "lo") 0.0 else 100.0
+      (k, cls, base + (k % 10).toDouble, (k % 7).toDouble)
+    }
+    val df = rows.toDF("k", "cls", "x1", "x2")
+    val cm = MlPipelines.gaussianNbPortable(df, "k", "cls", "x1", "x2")
+      .collect()
+    assert(cm.forall(r =>
+      r.getAs[String]("actual") == r.getAs[String]("predicted")),
+      s"misclassifications: ${cm.mkString(";")}")
+    // the confusion matrix partitions the test split exactly
+    val nTest = df.filter(
+      graft.operators.SplitOps.hashBucket(col("k"), 10) >= 7).count()
+    assert(cm.map(_.getAs[Long]("n_rows")).sum == nTest)
+  }
+
+  test("gaussianNbPortable on lineitem: test-split partition and class closure") {
+    val cm = MlPipelines.gaussianNbPortable(lineitem,
+      "l_orderkey", "l_returnflag", "l_quantity", "l_discount").collect()
+    val classes = lineitem.select("l_returnflag").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(cm.map(_.getAs[String]("predicted")).toSet.subsetOf(classes))
+    assert(cm.map(_.getAs[String]("actual")).toSet.subsetOf(classes))
+    val nTest = lineitem.filter(
+      graft.operators.SplitOps.hashBucket(col("l_orderkey"), 10) >= 7).count()
+    assert(cm.map(_.getAs[Long]("n_rows")).sum == nTest)
+    // determinism: the closed form has no seed to drift
+    val again = MlPipelines.gaussianNbPortable(lineitem,
+      "l_orderkey", "l_returnflag", "l_quantity", "l_discount").collect()
+    assert(again.map(_.toString).toSeq == cm.map(_.toString).toSeq)
+  }
+
   test("lassoCDPortable: objective descends, weak feature zeroed, fixed point is MLlib's lasso") {
     import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.ml.regression.LinearRegression

@@ -6,6 +6,46 @@ import graft.operators.TextOps
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("chiSquareTokens: hand-computed 2x2 contingency on a planted marker token") {
+    // 6 docs, classes en(4)/fr(2); "marker" in 3 of the 4 en docs only:
+    // A=3 B=0 C=1 D=2, N=6 → χ² = 6·(3·2−0·1)²/((3)(3)(4)(2)) = 216/72 = 3
+    val docs = Seq(
+      (1L, "marker one", "en"), (2L, "marker two", "en"),
+      (3L, "marker three", "en"), (4L, "plain four", "en"),
+      (5L, "autre cinq", "fr"), (6L, "autre six", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextOps.chiSquareTokens(docs, "doc_id", "text", "lang",
+      k = 20, minDf = 1L).collect()
+    val m = r.filter(x => x.getAs[String]("cls") == "en" &&
+      x.getAs[String]("token") == "marker")
+    assert(m.length == 1)
+    assert(m.head.getAs[Double]("chi2") == 3.0)
+    assert(m.head.getAs[Long]("n_docs_in_class") == 3L)
+    assert(m.head.getAs[Long]("n_docs_total") == 3L)
+    // the class-exclusive "autre" token dominates fr: χ² = 6·(2·4)²/(2·4·2·4) = 6
+    val fr = r.filter(x => x.getAs[String]("cls") == "fr")
+    assert(fr.head.getAs[String]("token") == "autre" &&
+      fr.head.getAs[Long]("rank") == 1L &&
+      fr.head.getAs[Double]("chi2") == 6.0)
+    // per-doc presence, not term frequency: repeating the token in one doc
+    // must not change any count
+    val rep = docs.withColumn("text",
+      when(col("doc_id") === 1L, lit("marker marker one")).otherwise(col("text")))
+    val r2 = TextOps.chiSquareTokens(rep, "doc_id", "text", "lang",
+      k = 20, minDf = 1L).collect()
+    assert(r2.map(_.toString).sorted.toSeq == r.map(_.toString).sorted.toSeq)
+  }
+
+  test("chiSquareTokens: ranks bounded by k and chi2 non-negative on real docs") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val r = TextOps.chiSquareTokens(docs, "doc_id", "text", "lang").collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Long]("rank") <= 10L))
+    assert(r.forall(_.getAs[Double]("chi2") >= 0.0))
+    val perClass = r.groupBy(_.getAs[String]("cls")).view.mapValues(_.length)
+    assert(perClass.values.forall(_ <= 10))
+  }
+
   test("tokens splits on single spaces after trim") {
     val df = Seq("  the cat sat  ").toDF("t")
     assert(df.select(TextOps.tokens($"t")).head().getSeq[String](0) ==
