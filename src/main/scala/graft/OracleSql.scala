@@ -2635,6 +2635,106 @@ object OracleSql {
     "q198_winnowing_neardup" -> q198WinnowingSql,
     "q200_mlp_forward" -> q200MlpForwardSql,
 
+    "q206_bloom_fp_card" -> q206BloomSql,
+
+    // q182's draw/assign/probe over the train split, then the 5-NN label
+    // vote (votes desc, label asc) and the confusion matrix
+    "q205_knn_classify" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+        |    ((vec_id % 1000003) * 2654435761) % 10 AS b
+        |  FROM embeddings),
+        |tr AS (SELECT * FROM e WHERE b < 7),
+        |te AS (SELECT * FROM e WHERE b >= 7),
+        |drawn AS (
+        |  SELECT vec_id, emb,
+        |    ((((((vec_id % 1000003) * 2654435761) % 1000003)
+        |        + (vec_id // 1000003)) % 9999991) * 22695477) % 9999991 AS d
+        |  FROM tr),
+        |cent AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY d, vec_id) - 1 AS INT)
+        |      AS centroid_id,
+        |    emb AS centroid
+        |  FROM (SELECT * FROM drawn ORDER BY d, vec_id LIMIT 8)),
+        |assign AS (
+        |  SELECT vec_id, emb, centroid_id FROM (
+        |    SELECT t.vec_id, t.emb, c.centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+        |        ROUND(list_inner_product(t.emb, c.centroid) /
+        |          (SQRT(list_inner_product(t.emb, t.emb)) *
+        |           SQRT(list_inner_product(c.centroid, c.centroid))), 6)
+        |          DESC,
+        |        c.centroid_id) AS rn
+        |    FROM tr t, cent c)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT q_id, qe, centroid_id FROM (
+        |    SELECT t.vec_id AS q_id, t.emb AS qe, c.centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+        |        ROUND(list_inner_product(t.emb, c.centroid) /
+        |          (SQRT(list_inner_product(t.emb, t.emb)) *
+        |           SQRT(list_inner_product(c.centroid, c.centroid))), 6)
+        |          DESC,
+        |        c.centroid_id) AS pr
+        |    FROM te t, cent c)
+        |  WHERE pr <= 3),
+        |cand AS (
+        |  SELECT p.q_id, a.vec_id,
+        |    ROUND(list_inner_product(a.emb, p.qe) /
+        |      (SQRT(list_inner_product(a.emb, a.emb)) *
+        |       SQRT(list_inner_product(p.qe, p.qe))), 6) AS cosine
+        |  FROM assign a JOIN probes p USING (centroid_id)
+        |  WHERE p.q_id <> a.vec_id),
+        |nn AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+        |    FROM cand)
+        |  WHERE rank <= 5),
+        |votes AS (
+        |  SELECT nn.q_id, l.label AS nlabel, COUNT(*) AS v
+        |  FROM nn JOIN e l ON l.vec_id = nn.vec_id
+        |  GROUP BY nn.q_id, l.label),
+        |pred AS (
+        |  SELECT q_id, nlabel AS predicted FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY q_id ORDER BY v DESC, nlabel ASC) AS rn
+        |    FROM votes)
+        |  WHERE rn = 1)
+        |SELECT te.label AS actual, pred.predicted, COUNT(*) AS n_rows
+        |FROM te LEFT JOIN pred ON pred.q_id = te.vec_id
+        |GROUP BY te.label, pred.predicted
+        |ORDER BY actual, predicted""".stripMargin,
+
+    // both medians replayed as k-th order statistics (lower median), the
+    // outlier verdict in the same exact-integer inequality
+    "q208_mad_outliers" ->
+      """WITH d AS (
+        |  SELECT event_type AS s,
+        |    CAST(ROUND(value * 1000000.0, 0) AS BIGINT) AS v
+        |  FROM events),
+        |nn AS (SELECT COUNT(*) AS n, (COUNT(*) + 1) // 2 AS k FROM d),
+        |med AS (
+        |  SELECT v AS m FROM (
+        |    SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM d), nn
+        |  WHERE rn = nn.k),
+        |dev AS (
+        |  SELECT s, ABS(v - (SELECT m FROM med)) AS dd FROM d),
+        |mad AS (
+        |  SELECT dd AS m FROM (
+        |    SELECT dd, ROW_NUMBER() OVER (ORDER BY dd) AS rn FROM dev), nn
+        |  WHERE rn = nn.k)
+        |SELECT s AS event_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN dd * 6745 > 35000 * (SELECT m FROM mad)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  ROUND(CAST(SUM(CASE WHEN dd * 6745 > 35000 * (SELECT m FROM mad)
+        |      THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 6) AS outlier_rate,
+        |  (SELECT m FROM med) AS median_micro,
+        |  (SELECT m FROM mad) AS mad_micro
+        |FROM dev GROUP BY s
+        |ORDER BY event_type""".stripMargin,
+
     // closed-form NB: round-9 params from exact decimal sums, fixed-shape
     // log-posterior rounded to 6, argmax tie-broken toward the smallest
     // class (ORDER BY sc DESC, cand ASC ≡ the strict-greater fold)
@@ -3344,6 +3444,57 @@ object OracleSql {
     (0 until 7).map(i =>
       s"(STRPOS('0123456789abcdef', SUBSTRING($hcol, ${1 + 7 * d + i}, 1)) - 1) * ${BigInt(16).pow(6 - i)}")
       .mkString("(", "\n      + ", ")")
+
+  /** q206 oracle: the portable Bloom filter replayed — per-key bit
+    * positions from the same 7-hex MD5 slices, filter = DISTINCT position
+    * set of the build keys, pass = all distinct probe positions present,
+    * card vs exact membership.
+    */
+  private def q206BloomSql: String = {
+    def posArms(src: String): String =
+      (0 until 3).map(d =>
+        s"SELECT k, ${hexPolySlice7("MD5(k)", d)} % 4096 AS pos FROM $src")
+        .mkString("\n    UNION ALL ")
+    s"""WITH bk AS (
+       |  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k FROM orders
+       |  WHERE o_totalprice > 150000.0),
+       |bp AS (SELECT DISTINCT pos FROM (
+       |    ${posArms("bk")})),
+       |pk AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
+       |  FROM customer),
+       |pp AS (SELECT DISTINCT k, pos FROM (
+       |    ${posArms("pk")})),
+       |need AS (SELECT k, COUNT(*) AS need FROM pp GROUP BY k),
+       |got AS (
+       |  SELECT pp.k, COUNT(bp.pos) AS got
+       |  FROM pp LEFT JOIN bp USING (pos) GROUP BY pp.k),
+       |hits AS (
+       |  SELECT need.k,
+       |    CASE WHEN got.got = need.need THEN 1 ELSE 0 END AS pass
+       |  FROM need JOIN got USING (k)),
+       |j AS (
+       |  SELECT h.k, h.pass, m.member
+       |  FROM hits h LEFT JOIN (SELECT k, 1 AS member FROM bk) m USING (k)),
+       |card AS (
+       |  SELECT COUNT(*) AS n_probe_keys,
+       |    CAST(SUM(pass) AS BIGINT) AS n_bloom_pass,
+       |    CAST(SUM(COALESCE(member, 0)) AS BIGINT) AS n_true_members,
+       |    CAST(SUM(CASE WHEN pass = 1 AND member IS NULL THEN 1 ELSE 0
+       |      END) AS BIGINT) AS n_false_pos,
+       |    CAST(SUM(CASE WHEN member IS NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS nn
+       |  FROM j),
+       |sz AS (
+       |  SELECT (SELECT COUNT(*) FROM bk) AS n_build_keys,
+       |    (SELECT COUNT(*) FROM bp) AS n_bits_set)
+       |SELECT n_build_keys, n_bits_set,
+       |  ROUND(CAST(n_bits_set AS DOUBLE) / 4096.0, 6) AS load,
+       |  n_probe_keys, n_bloom_pass, n_true_members, n_false_pos,
+       |  CASE WHEN nn > 0 THEN
+       |    ROUND(CAST(n_false_pos AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+       |  END AS fp_rate
+       |FROM card, sz""".stripMargin
+  }
 
   /** CMS counter CTE arms: every depth's bucket comes from its own
     * disjoint 7-hex-digit slice of ONE MD5 digest per term (mirrors the

@@ -2988,6 +2988,38 @@ object SparkEntry {
     TextOps.chiSquareTokens(t(spark, dir, "documents"),
       "doc_id", "text", "lang", k = 10, minDf = 5L)
 
+  // ---------------------------------------------------------------- q205
+  // Portable kNN classification over the IVF index: hash-split holdout
+  // vectors classified by majority label of their 5 nearest train
+  // neighbors (q182's broadcast-centroid probe pruning — the corpus is
+  // never shuffled), vote ties toward the smallest label, confusion
+  // matrix out. The label-propagation use of similarity search.
+  def q205(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.knnClassifyPortable(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", "label")
+
+  // ---------------------------------------------------------------- q206
+  // Portable Bloom-filter false-positive card: high-value order customers
+  // build the ≤4096-row bit-position set (per-shard filters OR together —
+  // the CMS/HLL mergeability contract), every customer key probes it, and
+  // the card measures FP count/rate against exact membership plus the
+  // filter load. The oracle-checkable twin of q117's opaque
+  // bloom_filter_agg prefilter.
+  def q206(spark: SparkSession, dir: String): DataFrame =
+    SketchOps.bloomFpCard(
+      t(spark, dir, "orders").filter(col("o_totalprice") > 150000.0),
+      "o_custkey", t(spark, dir, "customer"), "c_custkey")
+
+  // ---------------------------------------------------------------- q208
+  // Robust outlier gate on event values: global median + MAD via the
+  // counting binary search (no sort at any size), modified z-score > 3.5
+  // flags in exact integer arithmetic, per-event-type outlier rates —
+  // the heavy-tail slice report a curation pass runs before trusting
+  // mean-based stats.
+  def q208(spark: SparkSession, dir: String): DataFrame =
+    RobustStats.madOutlierCard(t(spark, dir, "events"),
+      "event_type", "value")
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3424,6 +3456,9 @@ object SparkEntry {
     "q202_stream_quantiles" -> (q202 _),
     "q203_gaussian_nb" -> (q203 _),
     "q204_chi2_tokens" -> (q204 _),
+    "q205_knn_classify" -> (q205 _),
+    "q206_bloom_fp_card" -> (q206 _),
+    "q208_mad_outliers" -> (q208 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

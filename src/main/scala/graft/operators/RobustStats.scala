@@ -196,6 +196,45 @@ object RobustStats {
     } finally { slim.unpersist(); () }
   }
 
+  /** Robust outlier gate: global median and MAD of `valueCol` (micro-scaled
+    * to exact longs, both medians via [[kthSmallestByCounting]] — ~log₂ of
+    * the value range cheap count-scans, NO sort at any size), then the
+    * modified z-score flag |0.6745·(x−med)/MAD| > 3.5 (Iglewicz & Hoaglin
+    * 1993) evaluated in EXACT INTEGER arithmetic
+    * (6745·|x−med| > 35000·MAD — no float division can drift a verdict),
+    * reported per `sliceCol` against the global thresholds. Lower median
+    * for even n (both order statistics stay integers; documented bias is
+    * ≤ one value gap). MAD = 0 (a majority-constant column) flags every
+    * non-median value — the standard degenerate reading, not an error.
+    */
+  def madOutlierCard(df: DataFrame, sliceCol: String,
+      valueCol: String): DataFrame = {
+    val slim = df.select(col(sliceCol).as("__s"),
+        round(col(valueCol).cast("double") * 1000000.0, 0)
+          .cast("long").as("__v"))
+      .persist()
+    try {
+      val n = slim.count()
+      require(n > 0, "madOutlierCard: empty input")
+      val k = (n + 1) / 2
+      val med = kthSmallestByCounting(slim, "__v", k)
+      val dev = slim.withColumn("__d", abs(col("__v") - lit(med)))
+      val mad = kthSmallestByCounting(dev, "__d", k)
+      dev
+        .withColumn("__out",
+          when(col("__d") * 6745L > lit(35000L * mad), 1L).otherwise(0L))
+        .groupBy(col("__s").as(sliceCol))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("__out")).as("n_outliers"))
+        .withColumn("outlier_rate",
+          round(col("n_outliers").cast("double") /
+            col("n_rows").cast("double"), 6))
+        .withColumn("median_micro", lit(med))
+        .withColumn("mad_micro", lit(mad))
+        .orderBy(col(sliceCol))
+    } finally { slim.unpersist(); () }
+  }
+
   /** Pearson chi-square test of independence over a two-way contingency
     * table: `rowExpr` × `colExpr` observed counts, expected counts from the
     * margins, χ² = Σ (o−e)²/e. Everything is one count aggregation plus

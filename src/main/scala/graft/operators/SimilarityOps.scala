@@ -694,4 +694,47 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n_assigned"),
         round(dsum(col("d2"), 12) / count(lit(1)), 6).as("avg_sqdist"))
   }
+
+  /** Portable kNN classification over the IVF index — the label-propagation
+    * use of similarity search (weak supervision, label densification,
+    * eval-set auditing): hash-split holdout queries are classified by the
+    * majority label of their `k` nearest train neighbors, retrieved
+    * through [[ivfCentroidsPortable]]/[[ivfAssign]]/[[ivfSearchBatch]], so
+    * the ENTIRE pipeline — split, index build, probe pruning, top-k,
+    * vote, confusion matrix — replays in plain SQL.
+    *
+    * Vote ties break by (more votes, then smallest label). Scale shape is
+    * q182's: broadcast centroids and probes, the corpus is never shuffled
+    * for the search; the neighbor-label join keys on the tiny
+    * |test|·k frame (AQE broadcasts it), and the confusion matrix is a
+    * |labels|² aggregate.
+    */
+  def knnClassifyPortable(embeddings: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, nlist: Int = 8, nprobe: Int = 3,
+      k: Int = 5, trainBuckets: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = SplitOps.hashBucket(col(idCol), 10)
+    val train = embeddings.filter(b < trainBuckets)
+    val test = embeddings.filter(b >= trainBuckets)
+    val cents = ivfCentroidsPortable(train, idCol, vecCol, nlist)
+    val assigned = ivfAssign(train, idCol, vecCol, cents, simRound = Some(6))
+    val nn = ivfSearchBatch(assigned, idCol, test, idCol, vecCol, cents,
+      nprobe, k, excludeSameId = false, simRound = Some(6))
+    val nbrLabels = embeddings
+      .select(col(idCol).as("__nid"), col(labelCol).as("__nlabel"))
+    val votes = nn.join(nbrLabels, nn(idCol) === col("__nid"))
+      .groupBy(col("q_id"), col("__nlabel"))
+      .agg(count(lit(1)).as("__votes"))
+    val wv = Window.partitionBy(col("q_id"))
+      .orderBy(col("__votes").desc, col("__nlabel").asc)
+    val predicted = votes.withColumn("__rn", row_number().over(wv))
+      .filter(col("__rn") === 1)
+      .select(col("q_id"), col("__nlabel").as("predicted"))
+    val actual = test.select(col(idCol).as("q_id"),
+      col(labelCol).as("actual"))
+    actual.join(predicted, Seq("q_id"), "left")
+      .groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("actual"), col("predicted"))
+  }
 }

@@ -172,6 +172,81 @@ object SketchOps {
       .select((gs :+ col("n_registers_hit") :+ col("hll_estimate")): _*)
   }
 
+  /** Fully PORTABLE Bloom-filter bit positions for one key: `kHashes`
+    * disjoint 7-hex-digit slices of ONE MD5 digest, each mod `mBits`,
+    * deduplicated (two slices may collide into one bit — membership then
+    * requires matching the DISTINCT positions, not `kHashes` of them).
+    * Unlike the built-in `bloom_filter_agg` (q117 — whose serialized
+    * format no other engine reads), every position here is exact integer
+    * arithmetic any engine reproduces, so filter CONTENT and the
+    * false-positive behavior are oracle-checkable.
+    */
+  def bloomPositions(key: Column, kHashes: Int, mBits: Int): Column = {
+    require(kHashes >= 1 && kHashes * 7 <= 32,
+      s"kHashes must be in [1,4] (7 hex digits per slice of one MD5), got $kHashes")
+    require(mBits >= 2 && mBits <= (1 << 28),
+      s"mBits must be in [2, 2^28], got $mBits")
+    val digest = md5(key.cast("string"))
+    array_distinct(array((0 until kHashes).map(d =>
+      pmod(conv(substring(digest, 1 + 7 * d, 7), 16, 10).cast("long"),
+        lit(mBits.toLong))): _*))
+  }
+
+  /** Bloom-filter build + probe with a measured false-positive card: the
+    * filter is the DISTINCT bit-position set of the build keys (set union
+    * is associative/commutative — per-shard filters OR together exactly,
+    * the same mergeability contract as the CMS/HLL/quantile sketches);
+    * a probe key passes iff ALL its distinct positions are set. The card
+    * compares bloom passes against exact membership: false positives,
+    * measured FP rate among true non-members, and the filter load
+    * (n_bits_set / mBits governs the theoretical rate (load)^k).
+    *
+    * Scale shape: the filter is ≤ `mBits` rows — broadcast to the probe
+    * side (this is how a 100 TB semi-join prunes its big side before the
+    * shuffle, cf. q117); exact membership for the card is one equi-join
+    * on the distinct key frames. No sort anywhere; one row out.
+    */
+  def bloomFpCard(build: DataFrame, buildKey: String,
+      probe: DataFrame, probeKey: String,
+      kHashes: Int = 3, mBits: Int = 4096): DataFrame = {
+    val bKeys = build.select(col(buildKey).cast("string").as("k")).distinct()
+    val bits = bKeys
+      .select(explode(bloomPositions(col("k"), kHashes, mBits)).as("pos"))
+      .distinct()
+    val pKeys = probe.select(col(probeKey).cast("string").as("k")).distinct()
+      .withColumn("__ps", bloomPositions(col("k"), kHashes, mBits))
+    val hits = pKeys
+      .select(col("k"), size(col("__ps")).as("__need"),
+        explode(col("__ps")).as("pos"))
+      .join(broadcast(bits.withColumn("__hit", lit(1L))), Seq("pos"), "left")
+      .groupBy(col("k"), col("__need"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("__got"))
+      .withColumn("__pass",
+        when(col("__got") === col("__need"), 1L).otherwise(0L))
+    val card = hits
+      .join(bKeys.withColumn("__member", lit(1L)), Seq("k"), "left")
+      .agg(
+        count(lit(1)).as("n_probe_keys"),
+        sum(col("__pass")).as("n_bloom_pass"),
+        sum(coalesce(col("__member"), lit(0L))).as("n_true_members"),
+        sum(when(col("__pass") === 1L && col("__member").isNull, 1L)
+          .otherwise(0L)).as("n_false_pos"),
+        sum(when(col("__member").isNull, 1L).otherwise(0L))
+          .as("__n_nonmembers"))
+    val sizes = bKeys.agg(count(lit(1)).as("n_build_keys"))
+      .crossJoin(broadcast(bits.agg(count(lit(1)).as("n_bits_set"))))
+    card.crossJoin(broadcast(sizes))
+      .withColumn("fp_rate",
+        when(col("__n_nonmembers") > 0L,
+          round(col("n_false_pos").cast("double") /
+            col("__n_nonmembers").cast("double"), 6)))
+      .withColumn("load",
+        round(col("n_bits_set").cast("double") / lit(mBits.toDouble), 6))
+      .select(col("n_build_keys"), col("n_bits_set"), col("load"),
+        col("n_probe_keys"), col("n_bloom_pass"), col("n_true_members"),
+        col("n_false_pos"), col("fp_rate"))
+  }
+
   /** MERGEABLE log-bin quantile sketch, build phase: every value ≥ 1
     * lands in its (decimal-digit-count, two-leading-significant-digits)
     * bin — ≤ 90 bins per order of magnitude, counts are plain additive

@@ -122,4 +122,26 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(flat.forall(_.getDouble(3) == 0.0))
     assert(flat.forall(_.getLong(2) == 10L))
   }
+
+  test("knnClassifyPortable: planted orthogonal clusters classify perfectly") {
+    import SparkSpec.spark.implicits._
+    // two well-separated directions in R^4; labels follow the direction
+    val rows = (0L until 120L).map { i =>
+      val lbl = (i % 2).toInt
+      val base = if (lbl == 0) Seq(1.0f, 0.0f, 0.0f, 0.0f)
+        else Seq(0.0f, 0.0f, 1.0f, 0.0f)
+      // tiny per-id jitter on an off-axis dim keeps vectors distinct
+      (i, base.updated(1 + 2 * lbl, 0.01f * (i % 7)), lbl)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val cm = SimilarityOps.knnClassifyPortable(df, "vec_id", "embedding",
+      "label", nlist = 4, nprobe = 2, k = 3).collect()
+    assert(cm.nonEmpty)
+    assert(cm.forall(r => r.getAs[Int]("actual") == r.getAs[Int]("predicted")),
+      s"misclassified: ${cm.mkString(";")}")
+    // the confusion matrix partitions the holdout exactly
+    val nTest = df.filter(
+      graft.operators.SplitOps.hashBucket(col("vec_id"), 10) >= 7).count()
+    assert(cm.map(_.getAs[Long]("n_rows")).sum == nTest)
+  }
 }

@@ -256,4 +256,48 @@ class SurvivalAndSketchSpec extends SparkSpec {
     val stream = SparkEntry.q202(spark, dir).collect().map(_.toString).toSeq
     assert(batch == stream, s"batch=$batch\nstream=$stream")
   }
+
+  test("bloomFpCard: no false negatives, bounded positions, shard-merge identity") {
+    import SparkSpec.spark.implicits._
+    val build = (1L to 300L).map(i => i * 7L).toDF("k")
+    val probe = (1L to 3000L).toDF("k")
+    val card = SketchOps.bloomFpCard(build, "k", probe, "k",
+      kHashes = 3, mBits = 1024).head()
+    // every true member passes (Bloom's one guarantee)
+    assert(card.getAs[Long]("n_bloom_pass") >=
+      card.getAs[Long]("n_true_members"))
+    assert(card.getAs[Long]("n_true_members") == 300L)
+    assert(card.getAs[Long]("n_build_keys") == 300L)
+    assert(card.getAs[Long]("n_bits_set") <= 1024L)
+    assert(card.getAs[Long]("n_false_pos") ==
+      card.getAs[Long]("n_bloom_pass") - card.getAs[Long]("n_true_members"))
+    // mergeability: bits(A ∪ B) == bits(A) ∪ bits(B) — per-shard filters
+    // OR together exactly
+    def bits(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(SketchOps.bloomPositions(col("k"), 3, 1024)).as("pos"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val a = (1L to 150L).map(_ * 7L).toDF("k")
+    val b = (151L to 300L).map(_ * 7L).toDF("k")
+    assert(bits(build) == (bits(a) ++ bits(b)))
+  }
+
+  test("madOutlierCard: planted heavy tail flagged, constant column degenerate") {
+    import SparkSpec.spark.implicits._
+    // 95 inliers near 10.0, 5 planted spikes at 1000.0
+    val rows = (1 to 95).map(i => ("a", 10.0 + (i % 5) * 0.001)) ++
+      (1 to 5).map(_ => ("b", 1000.0))
+    val r = graft.operators.RobustStats
+      .madOutlierCard(rows.toDF("s", "v"), "s", "v").collect()
+    val byS = r.map(x => x.getString(0) -> x).toMap
+    assert(byS("b").getAs[Long]("n_outliers") == 5L)
+    assert(byS("a").getAs[Long]("n_outliers") == 0L)
+    assert(r.head.getAs[Long]("median_micro") / 1000000.0 >= 10.0)
+    // MAD = 0 on a majority-constant column: every non-median value flags
+    val const = ((1 to 10).map(_ => ("x", 5.0)) :+ (("y", 5.1)))
+      .toDF("s", "v")
+    val rc = graft.operators.RobustStats.madOutlierCard(const, "s", "v")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(rc("y").getAs[Long]("n_outliers") == 1L)
+    assert(rc("x").getAs[Long]("n_outliers") == 0L)
+  }
 }
