@@ -2636,6 +2636,26 @@ object OracleSql {
     "q200_mlp_forward" -> q200MlpForwardSql,
 
     "q206_bloom_fp_card" -> q206BloomSql,
+    "q207_contamination" -> q207ContaminationSql,
+    "q210_correlation_matrix" -> q210CorrSql,
+
+    // draw replayed; "smallest draws, ties by key, exactly ⌈n_s/50⌉" is
+    // rank-by-(draw, key) ≤ ceil-target per stratum
+    "q209_stratified_sample" ->
+      """WITH d AS (
+        |  SELECT o_orderpriority AS s, o_orderkey AS k,
+        |    ((((((o_orderkey % 1000003) * 2654435761) % 1000003)
+        |        + (o_orderkey // 1000003)) % 9999991) * 22695477)
+        |      % 9999991 AS draw
+        |  FROM orders),
+        |t AS (SELECT s, (COUNT(*) + 49) // 50 AS target FROM d GROUP BY s),
+        |r AS (
+        |  SELECT d.*, ROW_NUMBER() OVER (PARTITION BY s ORDER BY draw, k)
+        |    AS rn
+        |  FROM d)
+        |SELECT r.s AS o_orderpriority, r.k AS o_orderkey, r.draw
+        |FROM r JOIN t USING (s) WHERE r.rn <= t.target
+        |ORDER BY o_orderpriority, draw, o_orderkey""".stripMargin,
 
     // q182's draw/assign/probe over the train split, then the 5-NN label
     // vote (votes desc, label asc) and the confusion matrix
@@ -3494,6 +3514,78 @@ object OracleSql {
        |    ROUND(CAST(n_false_pos AS DOUBLE) / CAST(nn AS DOUBLE), 6)
        |  END AS fp_rate
        |FROM card, sz""".stripMargin
+  }
+
+  /** q207 oracle: the contamination audit replayed — DuckDB builds the
+    * same 5-gram strings (1-based inclusive list slices ≡ Spark's
+    * slice(toks, i+1, n)), hashes them with the 15-hex MD5 polynomial,
+    * and re-runs the distinct-set probe.
+    */
+  private def q207ContaminationSql: String =
+    s"""WITH dt AS (
+       |  SELECT doc_id, string_split(TRIM(text), ' ') AS toks,
+       |    ((doc_id % 1000003) * 2654435761) % 20 AS b
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, b,
+       |    MD5(array_to_string(toks[g.i:g.i + 4], ' ')) AS h
+       |  FROM dt, UNNEST(range(1, len(toks) - 3)) AS g(i)
+       |  WHERE len(toks) >= 5),
+       |hg AS (
+       |  SELECT doc_id, b,
+       |    ${hexPoly15("h")} AS g
+       |  FROM grams),
+       |tg AS (SELECT DISTINCT g FROM hg WHERE b >= 1),
+       |eg AS (SELECT DISTINCT doc_id, g FROM hg WHERE b < 1),
+       |hits AS (
+       |  SELECT eg.doc_id, COUNT(*) AS n_grams,
+       |    CAST(SUM(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hit
+       |  FROM eg LEFT JOIN tg ON tg.g = eg.g
+       |  GROUP BY eg.doc_id),
+       |ev AS (SELECT doc_id FROM dt WHERE b < 1)
+       |SELECT ev.doc_id, COALESCE(hits.n_grams, 0) AS n_grams,
+       |  COALESCE(hits.n_hit, 0) AS n_hit,
+       |  CASE WHEN COALESCE(hits.n_grams, 0) > 0 THEN
+       |    ROUND(CAST(hits.n_hit AS DOUBLE) /
+       |      CAST(hits.n_grams AS DOUBLE), 6)
+       |  END AS overlap_frac,
+       |  CASE WHEN (CASE WHEN COALESCE(hits.n_grams, 0) > 0 THEN
+       |      ROUND(CAST(hits.n_hit AS DOUBLE) /
+       |        CAST(hits.n_grams AS DOUBLE), 6) END) >= 0.2
+       |    THEN 1 ELSE 0 END AS contaminated
+       |FROM ev LEFT JOIN hits USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** q210 oracle: the one-pass sufficient statistics and the identical
+    * fixed-parenthesization correlation arithmetic, one UNION arm per
+    * column pair.
+    */
+  private def q210CorrSql: String = {
+    val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def d28(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(28,6))) AS DOUBLE)"
+    val sums = cs.map(c => s"${d28(c)} AS s_$c") ++
+      cs.map(c => s"${d28(s"$c * $c")} AS q_$c") ++
+      (for { i <- cs.indices; j <- cs.indices if i < j }
+        yield s"${d28(s"${cs(i)} * ${cs(j)}")} AS p_${cs(i)}_${cs(j)}")
+    val arms = (for { i <- cs.indices; j <- cs.indices if i < j } yield {
+      val (a, b) = (cs(i), cs(j))
+      s"""  SELECT '$a' AS col_a, '$b' AS col_b, n,
+         |    CASE WHEN (n * q_$a - s_$a * s_$a) > 0.0
+         |        AND (n * q_$b - s_$b * s_$b) > 0.0 THEN
+         |      ROUND((n * p_${a}_$b - s_$a * s_$b) /
+         |        (SQRT(n * q_$a - s_$a * s_$a) *
+         |         SQRT(n * q_$b - s_$b * s_$b)), 6)
+         |    END AS corr
+         |  FROM s""".stripMargin
+    }).mkString("\n  UNION ALL\n")
+    s"""WITH s AS (
+       |  SELECT COUNT(*) AS n,
+       |    ${sums.mkString(",\n    ")}
+       |  FROM lineitem)
+       |SELECT col_a, col_b, n, corr FROM (
+       |$arms)
+       |ORDER BY col_a, col_b""".stripMargin
   }
 
   /** CMS counter CTE arms: every depth's bucket comes from its own

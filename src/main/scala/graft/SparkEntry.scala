@@ -3020,6 +3020,35 @@ object SparkEntry {
     RobustStats.madOutlierCard(t(spark, dir, "events"),
       "event_type", "value")
 
+  // ---------------------------------------------------------------- q207
+  // Train–eval contamination audit: the hash-held-out 5% eval slice's
+  // distinct word 5-grams probe the train slice's distinct gram set
+  // (60-bit hash join keys — fixed width, never gram strings); per-doc
+  // overlap fraction + contaminated verdict. The collision check run
+  // before trusting any benchmark number.
+  def q207(spark: SparkSession, dir: String): DataFrame =
+    TextOps.contaminationOverlap(t(spark, dir, "documents"),
+      "doc_id", "text", n = 5, evalBuckets = 1, threshold = 0.2)
+
+  // ---------------------------------------------------------------- q209
+  // Exact-allocation stratified sampling: each order priority yields
+  // exactly ⌈n_s/50⌉ rows with the stratum's smallest portable draws —
+  // rank thresholds from a SIMULTANEOUS per-stratum counting binary
+  // search (one conditional-count scan per step for ALL strata, ~24
+  // steps), no sort of the data at any size.
+  def q209(spark: SparkSession, dir: String): DataFrame =
+    SplitOps.stratifiedExactSample(t(spark, dir, "orders"),
+      "o_orderpriority", "o_orderkey", 1, 50)
+
+  // ---------------------------------------------------------------- q210
+  // Pearson correlation matrix of the four lineitem measures in ONE
+  // aggregation pass — all sums/squares/cross-products as exact decimals
+  // in a single scan, correlations as driver arithmetic on the
+  // sufficient-statistics row. The feature-redundancy screen.
+  def q210(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ProfileOps.correlationMatrix(t(spark, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3458,7 +3487,10 @@ object SparkEntry {
     "q204_chi2_tokens" -> (q204 _),
     "q205_knn_classify" -> (q205 _),
     "q206_bloom_fp_card" -> (q206 _),
+    "q207_contamination" -> (q207 _),
     "q208_mad_outliers" -> (q208 _),
+    "q209_stratified_sample" -> (q209 _),
+    "q210_correlation_matrix" -> (q210 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

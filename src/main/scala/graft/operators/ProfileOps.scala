@@ -103,4 +103,51 @@ object ProfileOps {
         count(lit(1)).as("n_rows"),
         sum(col("__h")).cast("string").as("fingerprint"))
   }
+
+  /** Pearson correlation matrix over the named numeric columns — the
+    * feature-redundancy screen (which measures move together, which are
+    * safe to drop) — in ONE aggregation pass: all per-column sums,
+    * squares, and pairwise cross-products accumulate as exact decimals in
+    * a single scan (k columns → k(k+1)/2 + k accumulators, never a second
+    * read), then the m(m−1)/2 correlations are pure driver arithmetic on
+    * the one sufficient-statistics row. r computed with the fixed
+    * parenthesization (n·Σxy − ΣxΣy)/(√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)),
+    * rounded to 6. Squares/products accumulate at decimal scale 6 — a
+    * deterministic cast both engines share (the q197 convention); a
+    * constant column yields a NULL correlation (zero variance), never
+    * NaN.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import graft.functions.Stats.dsum
+    require(cols.size >= 2, "need at least two columns")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs =
+      cols.map(c => dsum(col(c), 6).as(s"s_$c")) ++
+      cols.map(c => dsum(col(c) * col(c), 6).as(s"q_$c")) ++
+      pairs.map { case (a, b) => dsum(col(a) * col(b), 6).as(s"p_${a}_$b") }
+    val r = d.agg(count(lit(1)).as("n"), aggs: _*).head()
+    val n = r.getLong(0).toDouble
+    def g(name: String): Double = r.getDouble(r.fieldIndex(name))
+    val out = pairs.map { case (a, b) =>
+      val (sx, sy) = (g(s"s_$a"), g(s"s_$b"))
+      val (qx, qy) = (g(s"q_$a"), g(s"q_$b"))
+      val pxy = g(s"p_${a}_$b")
+      val vx = n * qx - sx * sx
+      val vy = n * qy - sy * sy
+      val corr: Option[Double] =
+        if (vx > 0.0 && vy > 0.0)
+          Some(new java.math.BigDecimal(
+            (n * pxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy)))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+        else None
+      (a, b, r.getLong(0), corr)
+    }
+    out.toDF("col_a", "col_b", "n", "corr")
+      .orderBy(col("col_a"), col("col_b"))
+  }
 }

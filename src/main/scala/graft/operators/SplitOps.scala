@@ -159,6 +159,84 @@ object SplitOps {
     df.filter(hashBucket(col(idCol), 1000) < threshold)
   }
 
+  /** EXACT-allocation stratified sampling: stratum s yields exactly
+    * ⌈n_s·num/den⌉ rows — the rows with the stratum's smallest
+    * congruential draws ([[prioritySample]]'s engine-portable two-round
+    * family), ties on the draw broken by smallest key. Equivalent to
+    * "rank by (draw, key) within stratum, keep rank ≤ target", but
+    * SORT-FREE at any size: per-stratum rank thresholds come from a
+    * SIMULTANEOUS binary search over the draw domain — ONE
+    * conditional-count scan per step covers ALL strata (~24 steps for the
+    * 10⁷ draw space), then one tiny pass ranks only threshold-tied rows.
+    * A per-stratum sort would shuffle the full table; this never does.
+    *
+    * Strata cardinality is bounded by contract (the thresholds live in a
+    * driver map, the [[graft.operators.RobustStats.kthSmallestByCounting]]
+    * convention); keys must be unique per row and non-negative.
+    * Returns (stratum, key, draw) for the sampled rows.
+    */
+  def stratifiedExactSample(df: DataFrame, stratumCol: String,
+      keyCol: String, num: Int, den: Int, salt: Long = 0L): DataFrame = {
+    require(num >= 1 && den >= num,
+      s"need 1 <= num <= den, got num=$num den=$den")
+    import org.apache.spark.sql.expressions.Window
+    val p1 = 1000003L
+    val p2 = 9999991L
+    val id = col(keyCol).cast("long")
+    val idDiv = (id.cast("decimal(38,0)") / lit(p1)).cast("long")
+    val x1 = pmod(pmod(id + lit(salt), lit(p1)) * lit(2654435761L), lit(p1))
+    val x2 = pmod(pmod(x1 + idDiv, lit(p2)) * lit(22695477L), lit(p2))
+    val d = df.select(col(stratumCol).cast("string").as("__s"),
+      id.as("__k"), x2.as("__d")).persist()
+    try {
+      val targets = d.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1) * num + den - 1) / den)
+        .toMap
+      def chain(m: Map[String, Long]): Column =
+        m.foldLeft(lit(Long.MaxValue)) { case (acc, (s, v)) =>
+          when(col("__s") === s, lit(v)).otherwise(acc)
+        }
+      // simultaneous binary search for the target-th smallest draw per
+      // stratum: every step is ONE scan with a per-stratum mid literal
+      var lo = targets.map { case (s, _) => s -> 0L }
+      var hi = targets.map { case (s, _) => s -> (p2 - 1) }
+      while (lo.exists { case (s, l) => l < hi(s) }) {
+        val mid = targets.keys.map(s =>
+          s -> Math.floorDiv(lo(s) + hi(s), 2)).toMap
+        val cnt = d.groupBy(col("__s"))
+          .agg(sum(when(col("__d") <= chain(mid), 1L).otherwise(0L))
+            .as("__c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val (nlo, nhi) = targets.keys.map { s =>
+          if (lo(s) >= hi(s)) (s -> lo(s), s -> hi(s))
+          else if (cnt(s) >= targets(s)) (s -> lo(s), s -> mid(s))
+          else (s -> (mid(s) + 1), s -> hi(s))
+        }.toList.unzip
+        lo = nlo.toMap; hi = nhi.toMap
+      }
+      val thr = lo
+      val below = d.filter(col("__d") < chain(thr))
+      val nBelow = below.groupBy(col("__s")).agg(count(lit(1)).as("__c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val extra = targets.map { case (s, t) =>
+        s -> (t - nBelow.getOrElse(s, 0L))
+      }
+      // only threshold-tied rows get ranked — a frame of ≤ ties per
+      // stratum, never the data
+      val tied = d.filter(col("__d") === chain(thr))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("__s")).orderBy(col("__k"))))
+        .filter(col("__rn") <= chain(extra).cast("int"))
+        .drop("__rn")
+      below.unionByName(tied)
+        .select(col("__s").as(stratumCol), col("__k").as(keyCol),
+          col("__d").as("draw"))
+        .orderBy(col(stratumCol), col("draw"), col(keyCol))
+    } finally { d.unpersist(); () }
+  }
+
   /** Deterministic negative sampling for contrastive training: each
     * anchor id draws `k` pseudo-random negatives from a DENSE id space
     * [0, n) via the engine-portable two-round congruential draw (the

@@ -586,6 +586,52 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Train–eval contamination audit — the n-gram collision check run
+    * before trusting a held-out benchmark (the GPT-3 appendix-C /
+    * C4-audit recipe): the hash-held-out eval slice's DISTINCT word
+    * n-grams probe the train slice's distinct n-gram set; every eval doc
+    * reports its overlap fraction and a contaminated verdict at
+    * `threshold`.
+    *
+    * Scale shape: grams join on a 60-bit MD5 hash (fixed-width shuffle
+    * keys, never the gram strings); the train side is a distinct hash
+    * SET; eval docs are a small hash slice, so the probe side broadcasts.
+    * Docs shorter than n tokens carry zero grams and report a NULL
+    * fraction (no fabricated 0/0).
+    */
+  def contaminationOverlap(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, evalBuckets: Int = 1, threshold: Double = 0.2): DataFrame = {
+    require(n >= 1 && evalBuckets >= 1 && evalBuckets < 20,
+      "need n >= 1 and evalBuckets in [1, 20)")
+    val isEval = SplitOps.hashBucket(col(idCol), 20) < evalBuckets
+    val toks = tokens(col(textCol))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => conv(substring(md5(concat_ws(" ", slice(toks, i + 1, lit(n)))),
+          1, 15), 16, 10).cast("long")))
+      .otherwise(array().cast("array<long>"))
+    val trainGrams = docs.filter(!isEval)
+      .select(explode(grams).as("g")).distinct()
+    val evalGrams = docs.filter(isEval)
+      .select(col(idCol).as("doc_id"), explode(array_distinct(grams)).as("g"))
+    val hits = evalGrams
+      .join(trainGrams.withColumn("__hit", lit(1L)), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+    docs.filter(isEval).select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("overlap_frac",
+        when(col("n_grams") > 0L,
+          round(col("n_hit").cast("double") /
+            col("n_grams").cast("double"), 6)))
+      .withColumn("contaminated",
+        when(col("overlap_frac") >= threshold, 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
   /** χ² token–class association (the classic feature-selection statistic,
     * Yang & Pedersen 1997): for each observed (token, class) pair, the
     * 2×2 document-presence contingency A/B/C/D and

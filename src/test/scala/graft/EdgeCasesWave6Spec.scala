@@ -89,4 +89,22 @@ class EdgeCasesWave6Spec extends SparkSpec {
     assert(rows.nonEmpty && rows.length <= 5)
     assert(rows.forall(r => !r.getDouble(1).isNaN))
   }
+
+  test("correlationMatrix: exact ±1 on linear columns, null on constant") {
+    import spark.implicits._
+    val df = (1 to 50).map { i =>
+      (i.toDouble, 2.0 * i + 3.0, -1.5 * i + 10.0, 7.0)
+    }.toDF("x", "y2x", "yneg", "konst")
+    val r = graft.operators.ProfileOps
+      .correlationMatrix(df, Seq("x", "y2x", "yneg", "konst"))
+      .collect()
+      .map(row => (row.getString(0), row.getString(1)) -> row).toMap
+    assert(r(("x", "y2x")).getAs[Double]("corr") == 1.0)
+    assert(r(("x", "yneg")).getAs[Double]("corr") == -1.0)
+    assert(r(("y2x", "yneg")).getAs[Double]("corr") == -1.0)
+    // zero-variance column: correlation undefined → null, never NaN
+    val kr = r(("x", "konst"))
+    assert(kr.isNullAt(kr.fieldIndex("corr")))
+    assert(r.values.forall(_.getAs[Long]("n") == 50L))
+  }
 }

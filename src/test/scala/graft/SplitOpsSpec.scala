@@ -64,4 +64,36 @@ class SplitOpsSpec extends SparkSpec {
     val fromFull = kept.filter($"id" < 500).select("id").as[Long].collect().toSet
     assert(subset == fromFull)
   }
+
+  test("stratifiedExactSample: exact ceil allocation, equals rank-by-(draw,key)") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1L to 997L).map(i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+    val df = rows.toDF("k", "s")
+    val sample = SplitOps.stratifiedExactSample(df, "s", "k", 1, 10)
+    val got = sample.groupBy("s").count().as[(String, Long)].collect().toMap
+    val ns = df.groupBy("s").count().as[(String, Long)].collect().toMap
+    ns.foreach { case (s, n) =>
+      assert(got(s) == (n + 9) / 10, s"stratum $s: ${got(s)} vs n=$n") }
+    // the sort-free selection must equal the naive windowed reference
+    val p1 = 1000003L; val p2 = 9999991L
+    val id = col("k").cast("long")
+    val x1 = pmod(pmod(id, lit(p1)) * lit(2654435761L), lit(p1))
+    val x2 = pmod(pmod(x1 + (id.cast("decimal(38,0)") / lit(p1))
+      .cast("long"), lit(p2)) * lit(22695477L), lit(p2))
+    val ref = df.withColumn("draw", x2)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"s").orderBy($"draw", $"k")))
+      .filter($"rn" <=
+        when($"s" === "a", lit((ns("a") + 9) / 10))
+          .when($"s" === "b", lit((ns("b") + 9) / 10))
+          .otherwise(lit((ns("c") + 9) / 10)))
+      .select($"s", $"k").as[(String, Long)].collect().toSet
+    val mine = sample.select($"s", $"k").as[(String, Long)].collect().toSet
+    assert(mine == ref)
+    // determinism across repartitionings
+    val again = SplitOps.stratifiedExactSample(df.repartition(7), "s", "k",
+      1, 10).select($"s", $"k").as[(String, Long)].collect().toSet
+    assert(again == mine)
+  }
 }

@@ -46,6 +46,28 @@ class TextOpsSpec extends SparkSpec {
     assert(perClass.values.forall(_ <= 10))
   }
 
+  test("contaminationOverlap: planted leak flagged, clean and short docs handled") {
+    // hashBucket(id, 20) reduces to id % 20 here — ids 20/40/60 are eval
+    val leak = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, leak), (2L, "totally different training words here now"),
+      (20L, leak),                       // eval: full leak → overlap 1.0
+      (40L, "unique eval only text that matches nothing at all"),
+      (60L, "too short"))                // < 5 tokens → no grams
+      .toDF("doc_id", "text")
+    val r = TextOps.contaminationOverlap(docs, "doc_id", "text",
+      n = 5, evalBuckets = 1, threshold = 0.2)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(20L, 40L, 60L))
+    assert(r(20L).getAs[Double]("overlap_frac") == 1.0)
+    assert(r(20L).getAs[Long]("contaminated") == 1L)
+    assert(r(40L).getAs[Double]("overlap_frac") == 0.0)
+    assert(r(40L).getAs[Long]("contaminated") == 0L)
+    assert(r(60L).getAs[Long]("n_grams") == 0L)
+    assert(r(60L).isNullAt(r(60L).fieldIndex("overlap_frac")))
+    assert(r(60L).getAs[Long]("contaminated") == 0L)
+  }
+
   test("tokens splits on single spaces after trim") {
     val df = Seq("  the cat sat  ").toDF("t")
     assert(df.select(TextOps.tokens($"t")).head().getSeq[String](0) ==
