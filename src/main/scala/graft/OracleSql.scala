@@ -2636,8 +2636,44 @@ object OracleSql {
     "q200_mlp_forward" -> q200MlpForwardSql,
 
     "q206_bloom_fp_card" -> q206BloomSql,
+    // the streamed filter equals the batch filter exactly (bit-set union
+    // commutes with micro-batching) — same oracle
+    "q213_stream_bloom" -> q206BloomSql,
     "q207_contamination" -> q207ContaminationSql,
     "q210_correlation_matrix" -> q210CorrSql,
+    "q212_unigram_perplexity" -> q212PerplexitySql,
+
+    // Laplace-adjusted WOE/IV with the identical smoothing arithmetic;
+    // IV accumulated in decimal so bin order cannot move the total
+    "q211_woe_iv" ->
+      """WITH d AS (
+        |  SELECT CAST(FLOOR((l_quantity - 1) / 5) AS BIGINT) AS bin,
+        |    CASE WHEN l_returnflag <> 'N' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |cells AS (
+        |  SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    COUNT(*) - CAST(SUM(y) AS BIGINT) AS n_neg
+        |  FROM d GROUP BY bin),
+        |tot AS (
+        |  SELECT CAST(SUM(n_pos) AS BIGINT) AS tp,
+        |    CAST(SUM(n_neg) AS BIGINT) AS tn, COUNT(*) AS nb
+        |  FROM cells),
+        |sc AS (
+        |  SELECT bin, n, n_pos, n_neg,
+        |    (CAST(n_pos AS DOUBLE) + 0.5) /
+        |      (CAST(tp AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE)) AS dp,
+        |    (CAST(n_neg AS DOUBLE) + 0.5) /
+        |      (CAST(tn AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE)) AS dn
+        |  FROM cells, tot),
+        |sc2 AS (SELECT *, LN(dp / dn) AS woe0 FROM sc),
+        |iv AS (
+        |  SELECT CAST(SUM(CAST((dp - dn) * woe0 AS DECIMAL(28,12)))
+        |    AS DOUBLE) AS ivt
+        |  FROM sc2)
+        |SELECT bin, n, n_pos, n_neg, ROUND(woe0, 6) AS woe,
+        |  ROUND((dp - dn) * woe0, 6) AS iv_contrib,
+        |  ROUND(ivt, 6) AS iv_total
+        |FROM sc2, iv ORDER BY bin""".stripMargin,
 
     // draw replayed; "smallest draws, ties by key, exactly ⌈n_s/50⌉" is
     // rank-by-(draw, key) ≤ ceil-target per stratum
@@ -3587,6 +3623,48 @@ object OracleSql {
        |$arms)
        |ORDER BY col_a, col_b""".stripMargin
   }
+
+  /** q212 oracle: the add-one unigram LM replayed — same train/eval hash
+    * slices, ln p per vocab row, per-doc decimal log-likelihood sums,
+    * perplexity exponentiated from the ROUNDED cross-entropy.
+    */
+  private def q212PerplexitySql: String =
+    """WITH dt AS (
+      |  SELECT doc_id, string_split(TRIM(text), ' ') AS toks,
+      |    ((doc_id % 1000003) * 2654435761) % 20 AS b
+      |  FROM documents),
+      |train AS (
+      |  SELECT u.token, COUNT(*) AS c
+      |  FROM dt, UNNEST(toks) AS u(token)
+      |  WHERE b >= 1 AND u.token <> ''
+      |  GROUP BY u.token),
+      |scal AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM train),
+      |lm AS (
+      |  SELECT token,
+      |    LN((CAST(c AS DOUBLE) + 1.0) /
+      |      (CAST(n AS DOUBLE) + CAST(v AS DOUBLE))) AS lnp
+      |  FROM train, scal),
+      |et AS (
+      |  SELECT doc_id, u.token, COUNT(*) AS cnt
+      |  FROM dt, UNNEST(toks) AS u(token)
+      |  WHERE b < 1 AND u.token <> ''
+      |  GROUP BY doc_id, u.token),
+      |sc AS (
+      |  SELECT et.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(CAST(
+      |      COALESCE(lm.lnp,
+      |        LN(1.0 / (CAST(scal.n AS DOUBLE) + CAST(scal.v AS DOUBLE))))
+      |      * CAST(cnt AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS ll
+      |  FROM et LEFT JOIN lm USING (token), scal
+      |  GROUP BY et.doc_id),
+      |ev AS (SELECT doc_id FROM dt WHERE b < 1)
+      |SELECT ev.doc_id, COALESCE(sc.n_tokens, 0) AS n_tokens,
+      |  ROUND(-ll / CAST(sc.n_tokens AS DOUBLE), 6) AS cross_entropy,
+      |  ROUND(EXP(ROUND(-ll / CAST(sc.n_tokens AS DOUBLE), 6)), 6)
+      |    AS perplexity
+      |FROM ev LEFT JOIN sc USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   /** CMS counter CTE arms: every depth's bucket comes from its own
     * disjoint 7-hex-digit slice of ONE MD5 digest per term (mirrors the

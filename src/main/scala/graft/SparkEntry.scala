@@ -3049,6 +3049,39 @@ object SparkEntry {
     graft.operators.ProfileOps.correlationMatrix(t(spark, dir, "lineitem"),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
 
+  // ---------------------------------------------------------------- q211
+  // Weight-of-evidence / information-value binning of quantity against
+  // the return outcome — the univariate predictive-power screen (credit-
+  // scoring lineage) run before committing a feature to a model. One
+  // (bin, target) count aggregation + broadcast totals; IV accumulated in
+  // exact decimal.
+  def q211(spark: SparkSession, dir: String): DataFrame =
+    MetricQueries.woeIv(t(spark, dir, "lineitem"),
+      floor((col("l_quantity") - 1) / 5),
+      (col("l_returnflag") =!= "N"))
+
+  // ---------------------------------------------------------------- q212
+  // Unigram-LM perplexity filter (the CCNet-style quality gate): add-one
+  // unigram model from the train slice's token counts, per-eval-doc
+  // cross-entropy and perplexity — ln p computed once per vocab row, one
+  // equi-join, per-doc decimal sums. High-perplexity docs are the
+  // curation drop candidates.
+  def q212(spark: SparkSession, dir: String): DataFrame =
+    TextOps.unigramPerplexity(t(spark, dir, "documents"), "doc_id", "text")
+
+  // ---------------------------------------------------------------- q213
+  // Streaming Bloom build ≡ batch: the filter is a streaming groupBy over
+  // bit positions — state bounded at mBits rows FOREVER — and set union
+  // commutes with micro-batching, so the streamed filter equals q206's
+  // batch filter exactly; same card, same oracle (the q201/q202 sketch
+  // convention).
+  def q213(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.streamingBloomFpCard(
+      spark, dir, "orders.parquet", "customer.parquet",
+      "o_custkey", "c_custkey", kHashes = 3, mBits = 4096,
+      graft.streaming.StreamSink.Memory("q213_bloom"),
+      prepareBuild = _.filter(col("o_totalprice") > 150000.0))
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3491,6 +3524,9 @@ object SparkEntry {
     "q208_mad_outliers" -> (q208 _),
     "q209_stratified_sample" -> (q209 _),
     "q210_correlation_matrix" -> (q210 _),
+    "q211_woe_iv" -> (q211 _),
+    "q212_unigram_perplexity" -> (q212 _),
+    "q213_stream_bloom" -> (q213 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

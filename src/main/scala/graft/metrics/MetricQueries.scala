@@ -252,4 +252,48 @@ object MetricQueries {
       .select(col(variantCol), col("n"), col("mean_y"), col("mean_y_adj"),
         col("theta"), col("var_reduction"))
   }
+
+  /** Weight-of-evidence / information-value binning — the classic
+    * univariate predictive-power screen (credit-scoring lineage; the
+    * question a feature-selection pass asks before committing a column to
+    * a model): per bin, WOE = ln(distr_pos/distr_neg) with a 0.5 Laplace
+    * adjustment per cell (distr_x = (n_x + 0.5)/(total_x + 0.5·n_bins) —
+    * a zero cell shrinks instead of exploding to ±∞), and
+    * IV = Σ (distr_pos − distr_neg)·WOE with the sum accumulated in
+    * exact decimal (bin order cannot move the total).
+    *
+    * One count aggregation over (bin, target), a broadcast totals row,
+    * and a |bins|-row result carrying the repeated iv_total — no second
+    * data scan. `binExpr` must be deterministic; `targetExpr` must be
+    * 0/1.
+    */
+  def woeIv(df: DataFrame, binExpr: Column, targetExpr: Column): DataFrame = {
+    val cells = df.select(binExpr.as("bin"),
+        targetExpr.cast("long").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__y")).as("n_pos"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+    val totals = cells.agg(
+      sum(col("n_pos")).as("__tp"),
+      sum(col("n_neg")).as("__tn"),
+      count(lit(1)).as("__nb"))
+    val scored = cells.crossJoin(broadcast(totals))
+      .withColumn("__dp",
+        (col("n_pos").cast("double") + lit(0.5)) /
+          (col("__tp").cast("double") + lit(0.5) * col("__nb").cast("double")))
+      .withColumn("__dn",
+        (col("n_neg").cast("double") + lit(0.5)) /
+          (col("__tn").cast("double") + lit(0.5) * col("__nb").cast("double")))
+      .withColumn("__woe", log(col("__dp") / col("__dn")))
+    val iv = scored
+      .agg(sum(((col("__dp") - col("__dn")) * col("__woe"))
+        .cast("decimal(28,12)")).cast("double").as("__iv"))
+    scored.crossJoin(broadcast(iv))
+      .select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
+        round(col("__woe"), 6).as("woe"),
+        round((col("__dp") - col("__dn")) * col("__woe"), 6).as("iv_contrib"),
+        round(col("__iv"), 6).as("iv_total"))
+      .orderBy(col("bin"))
+  }
 }

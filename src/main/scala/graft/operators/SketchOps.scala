@@ -213,6 +213,18 @@ object SketchOps {
     val bits = bKeys
       .select(explode(bloomPositions(col("k"), kHashes, mBits)).as("pos"))
       .distinct()
+    bloomCardFromBits(bKeys, bits, probe, probeKey, kHashes, mBits)
+  }
+
+  /** Card finishing step given an already-built filter: `bits` is the
+    * distinct bit-position frame (however produced — one batch pass, a
+    * union of per-shard filters, or a streaming aggregation whose state IS
+    * the filter); `bKeys` supplies the exact-membership ground truth the
+    * card is audited against.
+    */
+  def bloomCardFromBits(bKeys: DataFrame, bits: DataFrame,
+      probe: DataFrame, probeKey: String,
+      kHashes: Int, mBits: Int): DataFrame = {
     val pKeys = probe.select(col(probeKey).cast("string").as("k")).distinct()
       .withColumn("__ps", bloomPositions(col("k"), kHashes, mBits))
     val hits = pKeys

@@ -632,6 +632,62 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram-LM perplexity filter — the CCNet-style quality gate: a
+    * unigram language model with add-one smoothing is "trained" on the
+    * hash-majority train slice (token counts — ONE aggregation), and each
+    * eval-slice document is scored with its cross-entropy
+    * H = −Σ ln p(tok)/n and perplexity e^H. Unseen tokens score as the
+    * UNK mass 1/(N+V). High-perplexity documents are the gibberish /
+    * wrong-language / boilerplate candidates a curation pass drops.
+    *
+    * Scale shape: the "model" is the train vocabulary count frame keyed
+    * by token — ln p computed ONCE per vocab row, then one equi-join
+    * against the eval token stream and a per-doc decimal-sum aggregation.
+    * No driver-side model, no sort; perplexity is computed from the
+    * ROUNDED cross-entropy so both engines exponentiate the same double.
+    */
+  def unigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      evalBuckets: Int = 1): DataFrame = {
+    require(evalBuckets >= 1 && evalBuckets < 20,
+      "evalBuckets must be in [1, 20)")
+    val isEval = SplitOps.hashBucket(col(idCol), 20) < evalBuckets
+    val toks = tokens(col(textCol))
+    val train = docs.filter(!isEval)
+      .select(explode(toks).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val scal = train.agg(sum(col("c")).as("__n"), count(lit(1)).as("__v"))
+    // ln p per VOCAB row (not per occurrence): p = (c+1)/(N+V)
+    val lm = train.crossJoin(broadcast(scal))
+      .select(col("token"),
+        log((col("c").cast("double") + lit(1.0)) /
+          (col("__n").cast("double") + col("__v").cast("double")))
+          .as("__lnp"))
+    val evalToks = docs.filter(isEval)
+      .select(col(idCol).as("doc_id"), explode(toks).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("__cnt"))
+    val unkLnp = log(lit(1.0) /
+      (col("__n").cast("double") + col("__v").cast("double")))
+    val scored = evalToks
+      .join(lm, Seq("token"), "left")
+      .crossJoin(broadcast(scal))
+      .withColumn("__lnp", coalesce(col("__lnp"), unkLnp))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__cnt")).as("n_tokens"),
+        sum((col("__lnp") * col("__cnt").cast("double"))
+          .cast("decimal(28,12)")).cast("double").as("__ll"))
+      .withColumn("cross_entropy",
+        round(-col("__ll") / col("n_tokens").cast("double"), 6))
+      .withColumn("perplexity", round(exp(col("cross_entropy")), 6))
+    docs.filter(isEval).select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("cross_entropy"), col("perplexity"))
+      .orderBy(col("doc_id"))
+  }
+
   /** χ² token–class association (the classic feature-selection statistic,
     * Yang & Pedersen 1997): for each observed (token, class) pair, the
     * 2×2 document-presence contingency A/B/C/D and

@@ -571,4 +571,40 @@ object StreamingOps {
     graft.operators.SketchOps.quantilesFromBins(
       bins.unionByName(all), grpCol, quantiles)
   }
+
+  /** Streaming Bloom-filter build ≡ batch (q206's twin, the q201/q202
+    * convention for the Bloom member of the sketch family): the filter is
+    * maintained as a streaming `groupBy(pos)` whose state is AT MOST
+    * `mBits` rows — bounded forever, the whole point of a Bloom ingest
+    * gate — and because bit-set union is associative/commutative, the
+    * final position set equals the batch filter EXACTLY regardless of
+    * micro-batching. The probe/audit finishing step then runs in batch on
+    * the streamed bits; ground-truth fields (n_build_keys, exact
+    * membership) come from the batch side by construction — they are the
+    * card's reference columns, not filter state.
+    */
+  def streamingBloomFpCard(spark: SparkSession, dir: String,
+      buildFile: String, probeFile: String,
+      buildKey: String, probeKey: String,
+      kHashes: Int, mBits: Int, sink: StreamSink,
+      prepareBuild: DataFrame => DataFrame = identity): DataFrame = {
+    import graft.operators.SketchOps
+    val keyed = prepareBuild(fileStream(spark, dir, buildFile))
+      .select(col(buildKey).cast("string").as("k"))
+    val posCounts = keyed
+      .select(explode(SketchOps.bloomPositions(col("k"), kHashes, mBits))
+        .as("pos"))
+      .groupBy(col("pos")).count()
+    val sunk = runToSink(spark, posCounts, sink, "complete")
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    sunk.select(col("pos")).collect().foreach(rows.add)
+    val bits = spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.LongType))))
+    val bKeys = prepareBuild(spark.read.parquet(s"$dir/$buildFile"))
+      .select(col(buildKey).cast("string").as("k")).distinct()
+    SketchOps.bloomCardFromBits(bKeys, bits,
+      spark.read.parquet(s"$dir/$probeFile"), probeKey, kHashes, mBits)
+  }
 }

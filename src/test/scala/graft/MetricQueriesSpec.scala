@@ -93,4 +93,29 @@ class MetricQueriesSpec extends SparkSpec {
         math.rint(math.abs(p - 0.5) * 1e6) / 1e6) <= 1e-9)
     }
   }
+
+  test("woeIv: hand-computed two-bin card with Laplace adjustment") {
+    import spark.implicits._
+    // bin 0: 4 pos / 0 neg; bin 1: 0 pos / 4 neg; tp=tn=4, nb=2
+    // dp0 = 4.5/5 = .9, dn0 = .5/5 = .1 → woe0 = ln 9; bin 1 mirrors
+    val df = ((1 to 4).map(i => (0L, 1)) ++ (1 to 4).map(i => (1L, 0)))
+      .toDF("b", "y")
+    val r = MetricQueries.woeIv(df, col("b"), col("y") === 1)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val ln9 = math.rint(math.log(9.0) * 1e6) / 1e6
+    assert(r(0L).getAs[Double]("woe") == ln9)
+    assert(r(1L).getAs[Double]("woe") == -ln9)
+    assert(r(0L).getAs[Long]("n_pos") == 4L &&
+      r(0L).getAs[Long]("n_neg") == 0L)
+    val contrib = math.rint(0.8 * math.log(9.0) * 1e6) / 1e6
+    assert(r(0L).getAs[Double]("iv_contrib") == contrib)
+    assert(r(1L).getAs[Double]("iv_contrib") == contrib)
+    val ivTotal = math.rint(2 * 0.8 * math.log(9.0) * 1e6) / 1e6
+    assert(r(0L).getAs[Double]("iv_total") == ivTotal)
+    // a non-informative bin layout scores near zero IV
+    val flat = ((1 to 4).map(i => (i.toLong % 2, 1)) ++
+      (1 to 4).map(i => (i.toLong % 2, 0))).toDF("b", "y")
+    val fr = MetricQueries.woeIv(flat, col("b"), col("y") === 1).collect()
+    assert(fr.forall(_.getAs[Double]("iv_total") == 0.0))
+  }
 }

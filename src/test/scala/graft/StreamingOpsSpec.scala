@@ -270,4 +270,11 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n") == 3L)
     assert(out.head.getAs[Double]("sum_value") == 12.0)
   }
+
+  test("q213 streaming Bloom filter card equals the batch q206 exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = SparkEntry.q206(spark, dir).collect().map(_.toString).toSeq
+    val stream = SparkEntry.q213(spark, dir).collect().map(_.toString).toSeq
+    assert(batch == stream, s"batch=$batch\nstream=$stream")
+  }
 }

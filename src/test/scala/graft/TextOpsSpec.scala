@@ -68,6 +68,27 @@ class TextOpsSpec extends SparkSpec {
     assert(r(60L).getAs[Long]("contaminated") == 0L)
   }
 
+  test("unigramPerplexity: hand-computed add-one LM with UNK mass") {
+    // train (ids 1,2): counts a=2, b=2, c=1 → N=5, V=3, denom=8
+    // eval (id 20): "a c d" → ce = −(ln .375 + ln .25 + ln .125)/3
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (20L, "a c d"))
+      .toDF("doc_id", "text")
+    val r = TextOps.unigramPerplexity(docs, "doc_id", "text").collect()
+    assert(r.length == 1 && r.head.getLong(0) == 20L)
+    assert(r.head.getAs[Long]("n_tokens") == 3L)
+    val ce = math.rint(-(math.log(0.375) + math.log(0.25) +
+      math.log(0.125)) / 3.0 * 1e6) / 1e6
+    assert(r.head.getAs[Double]("cross_entropy") == ce)
+    assert(r.head.getAs[Double]("perplexity") ==
+      math.rint(math.exp(ce) * 1e6) / 1e6)
+    // a pure-UNK eval doc scores the flat 1/(N+V) mass: ce = ln 8
+    val docs2 = Seq((1L, "a a b"), (2L, "b c"), (20L, "zz yy"))
+      .toDF("doc_id", "text")
+    val r2 = TextOps.unigramPerplexity(docs2, "doc_id", "text").head()
+    assert(r2.getAs[Double]("cross_entropy") ==
+      math.rint(math.log(8.0) * 1e6) / 1e6)
+  }
+
   test("tokens splits on single spaces after trim") {
     val df = Seq("  the cat sat  ").toDF("t")
     assert(df.select(TextOps.tokens($"t")).head().getSeq[String](0) ==
