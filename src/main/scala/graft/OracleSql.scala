@@ -2642,6 +2642,46 @@ object OracleSql {
     "q207_contamination" -> q207ContaminationSql,
     "q210_correlation_matrix" -> q210CorrSql,
     "q212_unigram_perplexity" -> q212PerplexitySql,
+    "q214_label_propagation" -> q214LabelPropSql,
+    "q216_incremental_dedup" -> q216IncrementalDedupSql,
+
+    // decimal sums carried through the (cat, fold) rollup; leave-one-fold
+    // -out means with the global-OOF fallback
+    "q215_target_encoding" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS cat,
+        |    ((o_custkey % 1000003) * 2654435761) % 5 AS fold,
+        |    COUNT(*) AS n_rows,
+        |    SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS s
+        |  FROM orders GROUP BY cat, fold),
+        |ct AS (SELECT cat, CAST(SUM(n_rows) AS BIGINT) AS nc,
+        |    SUM(s) AS sc FROM cells GROUP BY cat),
+        |ft AS (SELECT fold, CAST(SUM(n_rows) AS BIGINT) AS nf,
+        |    SUM(s) AS sf FROM cells GROUP BY fold),
+        |g AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n, SUM(s) AS st
+        |  FROM cells)
+        |SELECT cells.cat, cells.fold, cells.n_rows,
+        |  CASE WHEN ct.nc - cells.n_rows > 0 THEN
+        |    ROUND(CAST(ct.sc - cells.s AS DOUBLE) /
+        |      CAST(ct.nc - cells.n_rows AS DOUBLE), 6)
+        |  ELSE
+        |    ROUND(CAST(g.st - ft.sf AS DOUBLE) /
+        |      CAST(g.n - ft.nf AS DOUBLE), 6)
+        |  END AS enc
+        |FROM cells JOIN ct USING (cat) JOIN ft USING (fold), g
+        |ORDER BY cat, fold""".stripMargin,
+
+    "q217_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment)
+        |SELECT CAST(5 AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  COUNT(*) AS n_groups, CAST(MIN(n) AS BIGINT) AS min_group_size,
+        |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_rows_below_k,
+        |  ROUND(CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE) /
+        |    CAST(SUM(n) AS DOUBLE), 6) AS frac_below_k
+        |FROM g""".stripMargin,
 
     // Laplace-adjusted WOE/IV with the identical smoothing arithmetic;
     // IV accumulated in decimal so bin order cannot move the total
@@ -3622,6 +3662,142 @@ object OracleSql {
        |SELECT col_a, col_b, n, corr FROM (
        |$arms)
        |ORDER BY col_a, col_b""".stripMargin
+  }
+
+  /** q214 oracle: the full label-propagation pipeline replayed — q205's
+    * IVF graph over ALL nodes (k=5, self excluded, non-negative weights),
+    * then `rounds` unrolled mass rounds (decimal sums, windowed decimal
+    * per-node totals, round-9 normalization, train clamp) and the final
+    * holdout argmax confusion.
+    */
+  private def q214LabelPropSql: String = {
+    val rounds = 3
+    val roundCtes = (1 to rounds).map { r =>
+      s"""r$r AS (
+         |  SELECT q_id AS id, lbl, ROUND(raw / tot, 9) AS m FROM (
+         |    SELECT q_id, lbl, raw,
+         |      CAST(SUM(CAST(raw AS DECIMAL(28,12)))
+         |        OVER (PARTITION BY q_id) AS DOUBLE) AS tot
+         |    FROM (
+         |      SELECT e.q_id, m.lbl,
+         |        CAST(SUM(CAST(e.w * m.m AS DECIMAL(28,12))) AS DOUBLE)
+         |          AS raw
+         |      FROM edges e JOIN m${r - 1} m ON m.id = e.nbr
+         |      GROUP BY e.q_id, m.lbl))
+         |  WHERE tot > 0),
+         |m$r AS (
+         |  SELECT id, lbl, m FROM r$r
+         |  WHERE id NOT IN (SELECT id FROM m0)
+         |  UNION ALL SELECT id, lbl, m FROM m0),""".stripMargin
+    }.mkString("\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+       |    ((vec_id % 1000003) * 2654435761) % 10 AS b
+       |  FROM embeddings),
+       |drawn AS (
+       |  SELECT vec_id, emb,
+       |    ((((((vec_id % 1000003) * 2654435761) % 1000003)
+       |        + (vec_id // 1000003)) % 9999991) * 22695477) % 9999991 AS d
+       |  FROM e),
+       |cent AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY d, vec_id) - 1 AS INT)
+       |      AS centroid_id,
+       |    emb AS centroid
+       |  FROM (SELECT * FROM drawn ORDER BY d, vec_id LIMIT 8)),
+       |assign AS (
+       |  SELECT vec_id, emb, centroid_id FROM (
+       |    SELECT t.vec_id, t.emb, c.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+       |        ROUND(list_inner_product(t.emb, c.centroid) /
+       |          (SQRT(list_inner_product(t.emb, t.emb)) *
+       |           SQRT(list_inner_product(c.centroid, c.centroid))), 6)
+       |          DESC,
+       |        c.centroid_id) AS rn
+       |    FROM e t, cent c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_id, qe, centroid_id FROM (
+       |    SELECT t.vec_id AS q_id, t.emb AS qe, c.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+       |        ROUND(list_inner_product(t.emb, c.centroid) /
+       |          (SQRT(list_inner_product(t.emb, t.emb)) *
+       |           SQRT(list_inner_product(c.centroid, c.centroid))), 6)
+       |          DESC,
+       |        c.centroid_id) AS pr
+       |    FROM e t, cent c)
+       |  WHERE pr <= 3),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    ROUND(list_inner_product(a.emb, p.qe) /
+       |      (SQRT(list_inner_product(a.emb, a.emb)) *
+       |       SQRT(list_inner_product(p.qe, p.qe))), 6) AS cosine
+       |  FROM assign a JOIN probes p USING (centroid_id)
+       |  WHERE p.q_id <> a.vec_id),
+       |edges AS (
+       |  SELECT q_id, vec_id AS nbr, GREATEST(cosine, 0.0) AS w FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |    FROM cand)
+       |  WHERE rank <= 5),
+       |m0 AS (
+       |  SELECT vec_id AS id, label AS lbl, 1.0 AS m FROM e WHERE b < 7),
+       |$roundCtes
+       |pred AS (
+       |  SELECT id, lbl AS predicted FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY id ORDER BY m DESC, lbl ASC) AS rn
+       |    FROM m$rounds WHERE id NOT IN (SELECT id FROM m0))
+       |  WHERE rn = 1)
+       |SELECT te.label AS actual, pred.predicted, COUNT(*) AS n_rows
+       |FROM (SELECT vec_id, label FROM e WHERE b >= 7) te
+       |LEFT JOIN pred ON pred.id = te.vec_id
+       |GROUP BY te.label, pred.predicted
+       |ORDER BY actual, predicted""".stripMargin
+  }
+
+  /** q216 oracle: the q27 MinHash/LSH replay split into kept (buckets
+    * 0-6) and new (7-9) sides, the kept side's distinct band store
+    * left-joined onto the new side's band rows.
+    */
+  private def q216IncrementalDedupSql: String = {
+    val mhs = (0 until 32)
+      .map(s => s"MIN(MD5('$s#' || sh)) AS mh_$s").mkString(",\n    ")
+    val bandArms = (0 until 8).map { b =>
+      val cols = (b * 4 until b * 4 + 4).map(i => s"mh_$i")
+        .mkString(" || '#' || ")
+      s"SELECT doc_id, b, $b AS band, MD5($cols) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS tk,
+       |    ((doc_id % 1000003) * 2654435761) % 10 AS b
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, b, unnest(CASE WHEN len(tk) >= 3
+       |    THEN list_transform(range(1, len(tk) - 1),
+       |      i -> array_to_string(tk[i:i+2], ' '))
+       |    ELSE [array_to_string(tk, ' ')] END) AS sh
+       |  FROM toks),
+       |sig AS (
+       |  SELECT doc_id, b,
+       |    $mhs
+       |  FROM sh GROUP BY doc_id, b),
+       |bands AS (
+       |  $bandArms),
+       |kb AS (SELECT DISTINCT band, bh FROM bands WHERE b < 7),
+       |nb AS (SELECT doc_id, band, bh FROM bands WHERE b >= 7),
+       |coll AS (
+       |  SELECT nb.doc_id,
+       |    CAST(SUM(CASE WHEN kb.band IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_band_collisions
+       |  FROM nb LEFT JOIN kb ON kb.band = nb.band AND kb.bh = nb.bh
+       |  GROUP BY nb.doc_id)
+       |SELECT nd.doc_id,
+       |  COALESCE(coll.n_band_collisions, 0) AS n_band_collisions,
+       |  CASE WHEN COALESCE(coll.n_band_collisions, 0) = 0 THEN 1 ELSE 0
+       |    END AS admitted
+       |FROM (SELECT doc_id FROM toks WHERE b >= 7) nd
+       |LEFT JOIN coll USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** q212 oracle: the add-one unigram LM replayed — same train/eval hash

@@ -3011,11 +3011,12 @@ object SparkEntry {
       "o_custkey", t(spark, dir, "customer"), "c_custkey")
 
   // ---------------------------------------------------------------- q208
-  // Robust outlier gate on event values: global median + MAD via the
-  // counting binary search (no sort at any size), modified z-score > 3.5
-  // flags in exact integer arithmetic, per-event-type outlier rates —
-  // the heavy-tail slice report a curation pass runs before trusting
-  // mean-based stats.
+  // Robust outlier gate on event values — the SORT-FREE sibling of q99
+  // (whose per-group `percentile` sorts within groups): GLOBAL median +
+  // MAD via the counting binary search (~log₂(domain) count-scans, no
+  // sort at any size), Iglewicz–Hoaglin modified z-score > 3.5 decided in
+  // exact integer arithmetic, per-event-type rates against the global
+  // thresholds.
   def q208(spark: SparkSession, dir: String): DataFrame =
     RobustStats.madOutlierCard(t(spark, dir, "events"),
       "event_type", "value")
@@ -3042,9 +3043,10 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- q210
   // Pearson correlation matrix of the four lineitem measures in ONE
-  // aggregation pass — all sums/squares/cross-products as exact decimals
-  // in a single scan, correlations as driver arithmetic on the
-  // sufficient-statistics row. The feature-redundancy screen.
+  // aggregation pass — the scale upgrade of q95, which scans once PER
+  // PAIR: all sums/squares/cross-products accumulate as exact decimals in
+  // a single scan (k(k+3)/2 accumulators), correlations as driver
+  // arithmetic on the sufficient-statistics row.
   def q210(spark: SparkSession, dir: String): DataFrame =
     graft.operators.ProfileOps.correlationMatrix(t(spark, dir, "lineitem"),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
@@ -3081,6 +3083,46 @@ object SparkEntry {
       "o_custkey", "c_custkey", kHashes = 3, mBits = 4096,
       graft.streaming.StreamSink.Memory("q213_bloom"),
       prepareBuild = _.filter(col("o_totalprice") > 150000.0))
+
+  // ---------------------------------------------------------------- q214
+  // Semi-supervised label propagation over the IVF neighbor graph: train
+  // one-hot masses clamped each of 3 rounds, cosine-weighted absorption
+  // with round-9 per-node normalization, holdout argmax — the multi-hop
+  // label densification upgrade of q205's single vote, hash-checked
+  // end-to-end.
+  def q214(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.labelPropagationPortable(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", "label")
+
+  // ---------------------------------------------------------------- q215
+  // K-fold out-of-fold target encoding of order priority against order
+  // value, folds hashed on the customer (group-leakage-safe): the
+  // encoder table enc(c,f) = mean of the OTHER folds, with global-OOF
+  // fallback — one (cat, fold) aggregation with decimal rollups.
+  def q215(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.oofTargetEncoding(t(spark, dir, "orders"),
+      "o_orderpriority", "o_totalprice", "o_custkey", k = 5)
+
+  // ---------------------------------------------------------------- q216
+  // Incremental dedup admission: the new batch (hash buckets 7-9) is
+  // admitted doc-by-doc against the kept corpus's persisted LSH band
+  // store (buckets 0-6) — band rows are additive cross-run state; one
+  // equi-join decides every admission. The daily-ingest form of q27.
+  def q216(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val b = SplitOps.hashBucket(col("doc_id"), 10)
+    DedupOps.incrementalAdmission(
+      docs.filter(b < 7), docs.filter(b >= 7), "doc_id", "text")
+  }
+
+  // ---------------------------------------------------------------- q217
+  // k-anonymity audit of the customer quasi-identifiers (nation, market
+  // segment): group sizes, minimum, and the re-identifiable row fraction
+  // below k=5 — the privacy gate before user-adjacent data enters a
+  // training corpus. One group aggregation + one card row.
+  def q217(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ProfileOps.kAnonymityCard(
+      t(spark, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), 5L)
 
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
@@ -3527,6 +3569,10 @@ object SparkEntry {
     "q211_woe_iv" -> (q211 _),
     "q212_unigram_perplexity" -> (q212 _),
     "q213_stream_bloom" -> (q213 _),
+    "q214_label_propagation" -> (q214 _),
+    "q215_target_encoding" -> (q215 _),
+    "q216_incremental_dedup" -> (q216 _),
+    "q217_k_anonymity" -> (q217 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -1503,6 +1503,51 @@ object MlPipelines {
     } finally { d.unpersist(); () }
   }
 
+  /** K-fold OUT-OF-FOLD target encoding — the leakage-safe categorical
+    * encoder (the high-cardinality-feature workhorse): a row in fold f is
+    * encoded with its category's target mean computed from the OTHER
+    * folds only, enc(c, f) = (S_c − S_{c,f}) / (n_c − n_{c,f}); a
+    * category entirely inside one fold falls back to the global
+    * out-of-fold mean. Folds hash on `groupKey` (M2 — group-leakage-safe,
+    * not row-random). Everything is ONE (category, fold) aggregation with
+    * DECIMAL sums carried through the rollup, so the encoder replays in
+    * SQL exactly; `scale` is the target's true decimal precision (the
+    * dsum contract).
+    *
+    * Returns one row per (category, fold): the encoder table a scoring
+    * join consumes — model state, not data.
+    */
+  def oofTargetEncoding(df: DataFrame, catCol: String, targetCol: String,
+      groupKey: String, k: Int = 5, scale: Int = 2): DataFrame = {
+    require(k >= 2, s"need k >= 2 folds, got $k")
+    val cells = df
+      .select(col(catCol).as("cat"),
+        SplitOps.hashBucket(col(groupKey), k).as("fold"),
+        col(targetCol).cast("double").as("__y"))
+      .groupBy(col("cat"), col("fold"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__y").cast(s"decimal(28,$scale)")).as("__s"))
+    val catTot = cells.groupBy(col("cat"))
+      .agg(sum(col("n_rows")).as("__nc"), sum(col("__s")).as("__sc"))
+    val foldTot = cells.groupBy(col("fold"))
+      .agg(sum(col("n_rows")).as("__nf"), sum(col("__s")).as("__sf"))
+    val grand = cells.agg(sum(col("n_rows")).as("__n"),
+      sum(col("__s")).as("__stot"))
+    cells
+      .join(broadcast(catTot), "cat")
+      .join(broadcast(foldTot), "fold")
+      .crossJoin(broadcast(grand))
+      .withColumn("enc",
+        when(col("__nc") - col("n_rows") > 0L,
+          round((col("__sc") - col("__s")).cast("double") /
+            (col("__nc") - col("n_rows")).cast("double"), 6))
+        .otherwise(
+          round((col("__stot") - col("__sf")).cast("double") /
+            (col("__n") - col("__nf")).cast("double"), 6)))
+      .select(col("cat"), col("fold"), col("n_rows"), col("enc"))
+      .orderBy(col("cat"), col("fold"))
+  }
+
   /** Portable Gaussian Naive Bayes — a third hash-proven classifier family
     * next to the IRLS logistic (q189) and the boosted stumps (q194),
     * mirroring the reference's classical-baseline sweep

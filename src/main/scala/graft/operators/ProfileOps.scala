@@ -104,6 +104,33 @@ object ProfileOps {
         sum(col("__h")).cast("string").as("fingerprint"))
   }
 
+  /** k-anonymity audit over a quasi-identifier column set — the privacy
+    * gate run before releasing or training on user-adjacent data: every
+    * row whose quasi-identifier combination is shared by fewer than `k`
+    * rows is re-identifiable at that granularity. ONE group-size
+    * aggregation plus one card aggregation — no joins, no sort; the card
+    * is a single row (n_rows, n_groups, min_group_size, rows below k,
+    * fraction).
+    */
+  def kAnonymityCard(df: DataFrame, quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2, "need quasi columns and k >= 2")
+    val groups = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    groups.agg(
+        sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("__n")).as("min_group_size"),
+        sum(when(col("__n") < k, col("__n")).otherwise(0L))
+          .as("n_rows_below_k"))
+      .withColumn("k", lit(k))
+      .withColumn("frac_below_k",
+        round(col("n_rows_below_k").cast("double") /
+          col("n_rows").cast("double"), 6))
+      .select(col("k"), col("n_rows"), col("n_groups"),
+        col("min_group_size"), col("n_rows_below_k"), col("frac_below_k"))
+  }
+
   /** Pearson correlation matrix over the named numeric columns — the
     * feature-redundancy screen (which measures move together, which are
     * safe to drop) — in ONE aggregation pass: all per-column sums,

@@ -709,6 +709,79 @@ object SimilarityOps {
     * |test|·k frame (AQE broadcasts it), and the confusion matrix is a
     * |labels|² aggregate.
     */
+  /** Portable semi-supervised LABEL PROPAGATION (Zhu & Ghahramani 2002)
+    * over the IVF neighbor graph — the multi-hop upgrade of
+    * [[knnClassifyPortable]]'s single-hop vote, and the label-densification
+    * pass of a weak-supervision pipeline: train nodes hold their one-hot
+    * mass (clamped every round), every node repeatedly absorbs its
+    * out-neighbors' label masses weighted by the non-negative rounded
+    * cosine, normalized per node, `rounds` times; holdout nodes are then
+    * classified by their final argmax mass. Everything — graph build
+    * (q182's broadcast-centroid probe pruning), per-round mass sums
+    * (exact decimal), round-9 normalization, argmax tie-break — replays
+    * in SQL.
+    *
+    * Scale shape: the edge frame is |V|·k rows built without shuffling
+    * the corpus; each round is ONE equi-join of masses onto edges plus
+    * two bounded aggregations. Masses are ≤ |V|·|labels| rows.
+    */
+  def labelPropagationPortable(embeddings: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, nlist: Int = 8, nprobe: Int = 3,
+      kNbrs: Int = 5, rounds: Int = 3, trainBuckets: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Stats.dsum
+    require(rounds >= 1, s"need at least one round, got $rounds")
+    val b = SplitOps.hashBucket(col(idCol), 10)
+    val all = embeddings.withColumn("__train", b < trainBuckets)
+    val cents = ivfCentroidsPortable(all, idCol, vecCol, nlist)
+    val assigned = ivfAssign(all, idCol, vecCol, cents, simRound = Some(6))
+    val edges = ivfSearchBatch(assigned, idCol, all, idCol, vecCol, cents,
+        nprobe, kNbrs, excludeSameId = true, simRound = Some(6))
+      .select(col("q_id"), col(idCol).as("__nbr"),
+        greatest(col("cosine"), lit(0.0)).as("__w"))
+      .persist()
+    val seed = all.filter(col("__train"))
+      .select(col(idCol).as("__id"), col(labelCol).as("__lbl"),
+        lit(1.0).as("__m"))
+    try {
+      edges.count()
+      var mass = seed
+      for (_ <- 1 to rounds) {
+        val raw = edges
+          .join(mass, edges("__nbr") === mass("__id"))
+          .groupBy(col("q_id"), col("__lbl"))
+          .agg(dsum(col("__w") * col("__m"), 12).as("__raw"))
+        // per-node total in exact decimal so normalization is
+        // accumulation-order-free; zero-mass nodes simply emit no rows
+        val tot = Window.partitionBy(col("q_id"))
+        val next = raw
+          .withColumn("__tot",
+            sum(col("__raw").cast("decimal(28,12)")).over(tot)
+              .cast("double"))
+          .filter(col("__tot") > 0.0)
+          .select(col("q_id").as("__id"), col("__lbl"),
+            round(col("__raw") / col("__tot"), 9).as("__m"))
+        // clamp: train nodes snap back to their one-hot mass
+        val trainIds = seed.select(col("__id"))
+        mass = next.join(trainIds, Seq("__id"), "left_anti")
+          .unionByName(seed)
+      }
+      val wv = Window.partitionBy(col("__id"))
+        .orderBy(col("__m").desc, col("__lbl").asc)
+      val predicted = mass
+        .join(seed.select(col("__id")), Seq("__id"), "left_anti")
+        .withColumn("__rn", row_number().over(wv))
+        .filter(col("__rn") === 1)
+        .select(col("__id"), col("__lbl").as("predicted"))
+      all.filter(!col("__train"))
+        .select(col(idCol).as("__id"), col(labelCol).as("actual"))
+        .join(predicted, Seq("__id"), "left")
+        .groupBy(col("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("actual"), col("predicted"))
+    } finally { edges.unpersist(); () }
+  }
+
   def knnClassifyPortable(embeddings: DataFrame, idCol: String,
       vecCol: String, labelCol: String, nlist: Int = 8, nprobe: Int = 3,
       k: Int = 5, trainBuckets: Int = 7): DataFrame = {

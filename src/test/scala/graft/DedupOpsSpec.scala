@@ -71,4 +71,27 @@ class DedupOpsSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(got == Set(1L, 3L))
   }
+
+  test("incrementalAdmission: exact dup rejected, novel admitted, batch-internal dups pass") {
+    val kept = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // = kept 1
+      (11L, "sphinx of black quartz judge my vow today"),   // novel
+      (12L, "completely original content nothing shared here at all"),
+      (13L, "completely original content nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val r = DedupOps.incrementalAdmission(kept, batch, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(10L).getAs[Long]("admitted") == 0L,
+      "an exact copy of a kept doc must be rejected")
+    assert(r(10L).getAs[Long]("n_band_collisions") > 0L)
+    assert(r(11L).getAs[Long]("admitted") == 1L)
+    assert(r(12L).getAs[Long]("admitted") == 1L)
+    // batch-internal duplicates are NOT this gate's job (q27 handles them)
+    assert(r(13L).getAs[Long]("admitted") == 1L)
+    assert(r.keySet == Set(10L, 11L, 12L, 13L))
+  }
 }

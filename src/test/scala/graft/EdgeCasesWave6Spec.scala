@@ -90,6 +90,25 @@ class EdgeCasesWave6Spec extends SparkSpec {
     assert(rows.forall(r => !r.getDouble(1).isNaN))
   }
 
+  test("kAnonymityCard: hand-computed group sizes and below-k fraction") {
+    import spark.implicits._
+    // groups: (a,x)=3 rows, (a,y)=1, (b,x)=2 → below k=3: 1+2=3 of 6
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"),
+      ("b", "x"), ("b", "x")).toDF("q1", "q2")
+    val r = graft.operators.ProfileOps
+      .kAnonymityCard(df, Seq("q1", "q2"), 3L).head()
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("n_groups") == 3L)
+    assert(r.getAs[Long]("min_group_size") == 1L)
+    assert(r.getAs[Long]("n_rows_below_k") == 3L)
+    assert(r.getAs[Double]("frac_below_k") == 0.5)
+    assert(r.getAs[Long]("k") == 3L)
+    // fully k-anonymous data reports zero exposure
+    val safe = graft.operators.ProfileOps
+      .kAnonymityCard(df, Seq("q1"), 3L).head()
+    assert(safe.getAs[Long]("n_rows_below_k") == 2L) // b has only 2 rows
+  }
+
   test("correlationMatrix: exact ±1 on linear columns, null on constant") {
     import spark.implicits._
     val df = (1 to 50).map { i =>

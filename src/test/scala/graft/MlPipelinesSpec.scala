@@ -479,6 +479,26 @@ class MlPipelinesSpec extends SparkSpec {
     assert(full.agg(sum("n")).head().getLong(0) == lineitem.count())
   }
 
+  test("oofTargetEncoding: hand-computed leave-one-fold-out means with fallback") {
+    import spark.implicits._
+    // hashBucket(key, 2) reduces to key % 2 here; cat A spans both folds,
+    // cat B sits entirely in fold 0 → global-OOF fallback
+    val df = Seq(
+      (2L, "A", 1.0), (4L, "A", 3.0),    // A fold 0: n=2 s=4
+      (1L, "A", 5.0),                    // A fold 1: n=1 s=5
+      (6L, "B", 10.0), (8L, "B", 20.0))  // B fold 0 only: n=2 s=30
+      .toDF("k", "cat", "y")
+    val r = MlPipelines.oofTargetEncoding(df, "cat", "y", "k", k = 2)
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x).toMap
+    assert(r(("A", 0L)).getAs[Double]("enc") == 5.0)   // (9-4)/(3-2)
+    assert(r(("A", 1L)).getAs[Double]("enc") == 2.0)   // (9-5)/(3-1)
+    // B fold 0: no other fold has B → global OOF over fold!=0:
+    // (39 - 34) / (5 - 4) = 5.0
+    assert(r(("B", 0L)).getAs[Double]("enc") == 5.0)
+    assert(r(("A", 0L)).getAs[Long]("n_rows") == 2L)
+    assert(r.size == 3)
+  }
+
   test("gaussianNbPortable: separable planted classes are classified perfectly") {
     // class "lo" ~ x1 in [0,9], class "hi" ~ x1 in [100,109]; x2 is noise
     // shared by both — NB must recover the split from x1 alone

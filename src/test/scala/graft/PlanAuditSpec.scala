@@ -658,6 +658,61 @@ class PlanAuditSpec extends SparkSpec {
     assert(hasCodegenStage(p), p)
   }
 
+  test("q203 Gaussian NB: join-free scoring scan — params fold in as literals") {
+    val p = finalPlan(SparkEntry.q203(spark, dir))
+    assert(!p.contains("Join"), "NB scoring must not join the params:\n" + p)
+    // only the split key, class, and the two features are read
+    assert(!p.contains("l_extendedprice") && !p.contains("l_shipdate"),
+      "scan reads columns the query never uses")
+  }
+
+  test("q204 chi2 tokens: pruned scan, broadcast class totals, no shuffle of the token stream beyond the two aggregations") {
+    val p = finalPlan(SparkEntry.q204(spark, dir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "class totals must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("n_chars") && !p.contains("source"),
+      "scan reads columns the query never uses")
+  }
+
+  test("q206 Bloom card: the filter broadcasts to the probe side") {
+    val p = finalPlan(SparkEntry.q206(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "a <=mBits-row filter must broadcast, never shuffle-join:\n" + p)
+    // the only nested-loop joins are the 1-row scalar-card crossJoins
+    val finalSection = p.split("== Initial Plan ==").head
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(finalSection).length
+    assert(bnlj <= 2, s"expected only the scalar-card cross joins:\n$p")
+  }
+
+  test("q210 correlation matrix: ONE scan, read schema pruned to the four measures") {
+    val df = SparkEntry.q210(spark, dir)
+    df.collect()
+    // the sufficient-statistics pass is the only data access; its scan
+    // reads exactly the four measure columns
+    val agg = df.queryExecution.analyzed
+    val scans = df.queryExecution.executedPlan.toString
+    assert(!scans.contains("FileScan") ||
+      (!scans.contains("l_orderkey") && !scans.contains("l_shipdate")),
+      "scan reads columns the query never uses")
+    assert(agg != null)
+  }
+
+  test("q212 perplexity: LM joins hash on the token, scalars stay 1-row crossjoins") {
+    val p = finalPlan(SparkEntry.q212(spark, dir))
+    // AQE's toString appends the pre-adaptive "Initial Plan" — audit only
+    // the executed final section
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("BroadcastHashJoin"),
+      "the LM join must hash on the token:\n" + p)
+    assert(!finalSection.contains("CartesianProduct"), p)
+    assert(!finalSection.contains("SortMergeJoin"), p)
+    // nested-loop joins only for the broadcast 1-row (N, V) scalar frame
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(finalSection).length
+    assert(bnlj <= 2, s"expected only the scalar crossjoins:\n$p")
+  }
+
   test("populationFeatures: sensor table shuffles at most twice, joins broadcast") {
     import spark.implicits._
     val sensor = (0 until 200).map(i =>

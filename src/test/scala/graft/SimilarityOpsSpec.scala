@@ -123,6 +123,31 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(flat.forall(_.getLong(2) == 10L))
   }
 
+  test("labelPropagationPortable: planted clusters converge, test set partitions") {
+    import SparkSpec.spark.implicits._
+    val rows = (0L until 120L).map { i =>
+      val lbl = (i % 2).toInt
+      val base = if (lbl == 0) Seq(1.0f, 0.0f, 0.0f, 0.0f)
+        else Seq(0.0f, 0.0f, 1.0f, 0.0f)
+      (i, base.updated(1 + 2 * lbl, 0.01f * (i % 7)), lbl)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val cm = SimilarityOps.labelPropagationPortable(df, "vec_id",
+      "embedding", "label", nlist = 4, nprobe = 2, kNbrs = 3, rounds = 3)
+      .collect()
+    assert(cm.nonEmpty)
+    assert(cm.forall(r => r.getAs[Int]("actual") == r.getAs[Int]("predicted")),
+      s"misclassified after propagation: ${cm.mkString(";")}")
+    val nTest = df.filter(
+      graft.operators.SplitOps.hashBucket(col("vec_id"), 10) >= 7).count()
+    assert(cm.map(_.getAs[Long]("n_rows")).sum == nTest)
+    // determinism: hash draw + fixed rounds, no seeds to drift
+    val again = SimilarityOps.labelPropagationPortable(df, "vec_id",
+      "embedding", "label", nlist = 4, nprobe = 2, kNbrs = 3, rounds = 3)
+      .collect()
+    assert(again.map(_.toString).toSeq == cm.map(_.toString).toSeq)
+  }
+
   test("knnClassifyPortable: planted orthogonal clusters classify perfectly") {
     import SparkSpec.spark.implicits._
     // two well-separated directions in R^4; labels follow the direction
