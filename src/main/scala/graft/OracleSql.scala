@@ -2644,6 +2644,59 @@ object OracleSql {
     "q212_unigram_perplexity" -> q212PerplexitySql,
     "q214_label_propagation" -> q214LabelPropSql,
     "q216_incremental_dedup" -> q216IncrementalDedupSql,
+    "q219_kcenter_coreset" -> q219KCenterSql,
+
+    // 64 salted congruential relabelings in one pass, add-one p-value;
+    // degenerate (one-sided) relabelings count as extreme
+    "q218_rerandomization" ->
+      """WITH d AS (
+        |  SELECT event_id AS k,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+        |    value AS v
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |obs AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CAST(CASE WHEN g = 1 THEN v ELSE 0.0 END
+        |      AS DECIMAL(28,4))) AS DOUBLE) AS sa,
+        |    CAST(SUM(CAST(v AS DECIMAL(28,4))) AS DOUBLE) AS s
+        |  FROM d),
+        |obs3 AS (
+        |  SELECT n, mean_a, mean_b,
+        |    ROUND(ABS(mean_a - mean_b), 9) AS delta_obs
+        |  FROM (
+        |    SELECT n, ROUND(sa / CAST(na AS DOUBLE), 9) AS mean_a,
+        |      ROUND((s - sa) / CAST(n - na AS DOUBLE), 9) AS mean_b
+        |    FROM obs)),
+        |perms AS (
+        |  SELECT pp, COUNT(*) AS pn,
+        |    CAST(SUM(CASE WHEN gp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CAST(CASE WHEN gp = 1 THEN v ELSE 0.0 END
+        |      AS DECIMAL(28,4))) AS DOUBLE) AS sa,
+        |    CAST(SUM(CAST(v AS DECIMAL(28,4))) AS DOUBLE) AS s
+        |  FROM (
+        |    SELECT d.v, p.p AS pp,
+        |      ((((((d.k + p.p * 104729) % 1000003) * 2654435761) % 1000003
+        |          + (d.k + p.p * 104729) // 1000003) % 9999991)
+        |        * 22695477) % 9999991 % 2 AS gp
+        |    FROM d, UNNEST(range(1, 65)) AS p(p))
+        |  GROUP BY pp),
+        |pd AS (
+        |  SELECT pp, CASE WHEN na > 0 AND na < pn THEN
+        |    ROUND(ABS(ROUND(sa / CAST(na AS DOUBLE), 9) -
+        |      ROUND((s - sa) / CAST(pn - na AS DOUBLE), 9)), 9)
+        |  END AS delta FROM perms),
+        |ex AS (
+        |  SELECT COUNT(*) AS n_perms,
+        |    CAST(SUM(CASE WHEN delta IS NULL OR
+        |      delta >= (SELECT delta_obs FROM obs3) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_ge
+        |  FROM pd)
+        |SELECT obs3.n, obs3.mean_a, obs3.mean_b, obs3.delta_obs,
+        |  ex.n_perms, ex.n_ge,
+        |  ROUND((CAST(ex.n_ge AS DOUBLE) + 1.0) /
+        |    (CAST(ex.n_perms AS DOUBLE) + 1.0), 6) AS p_value
+        |FROM obs3, ex""".stripMargin,
 
     // decimal sums carried through the (cat, fold) rollup; leave-one-fold
     // -out means with the global-OOF fallback
@@ -3798,6 +3851,51 @@ object OracleSql {
        |FROM (SELECT doc_id FROM toks WHERE b >= 7) nd
        |LEFT JOIN coll USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q219 oracle: farthest-point traversal unrolled (the q194 chained-CTE
+    * convention) — portable-draw seed, per-step argmax by (mind DESC, id),
+    * LEAST min-distance update with the identical rounded-cosine
+    * distance.
+    */
+  private def q219KCenterSql: String = {
+    val k = 8
+    def cosDist(a: String, b: String) =
+      s"""1.0 - ROUND(list_inner_product($a, $b) /
+         |      (SQRT(list_inner_product($a, $a)) *
+         |       SQRT(list_inner_product($b, $b))), 6)""".stripMargin
+    val steps = (2 to k).map { t =>
+      s"""c$t AS (
+         |  SELECT id AS cid, emb AS cemb, mind AS radius
+         |  FROM s${t - 1} ORDER BY mind DESC, id LIMIT 1),
+         |s$t AS (
+         |  SELECT s.id, s.emb,
+         |    LEAST(s.mind, ${cosDist("s.emb", "c.cemb")}) AS mind
+         |  FROM s${t - 1} s, c$t c),""".stripMargin
+    }.mkString("\n")
+    val out = (2 to k).map(t =>
+      s"""  UNION ALL SELECT $t AS step, (SELECT cid FROM c$t) AS center_id,
+         |    ROUND((SELECT radius FROM c$t), 6) AS radius""".stripMargin)
+      .mkString("\n")
+    s"""WITH e AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |seed AS (
+       |  SELECT id, emb FROM (
+       |    SELECT id, emb,
+       |      ((((((id % 1000003) * 2654435761) % 1000003)
+       |          + (id // 1000003)) % 9999991) * 22695477) % 9999991 AS d
+       |    FROM e)
+       |  ORDER BY d, id LIMIT 1),
+       |s1 AS (
+       |  SELECT e.id, e.emb, ${cosDist("e.emb", "seed.emb")} AS mind
+       |  FROM e, seed),
+       |$steps
+       |fin AS (
+       |  SELECT 1 AS step, (SELECT id FROM seed) AS center_id,
+       |    CAST(NULL AS DOUBLE) AS radius
+       |$out)
+       |SELECT step, center_id, radius FROM fin ORDER BY step""".stripMargin
   }
 
   /** q212 oracle: the add-one unigram LM replayed — same train/eval hash

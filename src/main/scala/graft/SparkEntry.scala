@@ -3124,6 +3124,26 @@ object SparkEntry {
     graft.operators.ProfileOps.kAnonymityCard(
       t(spark, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), 5L)
 
+  // ---------------------------------------------------------------- q218
+  // Fisher re-randomization test: click-vs-purchase value difference
+  // against 64 portable pseudo-random relabelings in ONE pass (map-side
+  // partial aggregation collapses the 64× explode before the shuffle) —
+  // the assumption-free sibling of q121's z-test.
+  def q218(spark: SparkSession, dir: String): DataFrame =
+    MetricQueries.rerandomizationTest(
+      t(spark, dir, "events")
+        .filter(col("event_type").isin("click", "purchase")),
+      "event_id", col("event_type") === "purchase", "value")
+
+  // ---------------------------------------------------------------- q219
+  // Greedy k-center coreset (farthest-point traversal): 8 maximally-
+  // diverse exemplars with their coverage-radius curve — the data-pruning
+  // selection core. k linear scans, argmax as one max-struct aggregate,
+  // centers are the driver-side model; every selection replays in SQL.
+  def q219(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.kCenterCoreset(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", k = 8)
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3573,6 +3593,8 @@ object SparkEntry {
     "q215_target_encoding" -> (q215 _),
     "q216_incremental_dedup" -> (q216 _),
     "q217_k_anonymity" -> (q217 _),
+    "q218_rerandomization" -> (q218 _),
+    "q219_kcenter_coreset" -> (q219 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -253,6 +253,77 @@ object MetricQueries {
         col("theta"), col("var_reduction"))
   }
 
+  /** Fisher RE-RANDOMIZATION test (the permutation test's Bernoulli
+    * variant): the observed |Δmean| between two groups is compared
+    * against `b` pseudo-random relabelings of the rows, each drawn by the
+    * engine-portable congruential hash with a distinct salt — no RNG
+    * state, reproducible across engines and partitionings. p-value with
+    * the standard add-one correction (n_ge + 1)/(b + 1). Unlike the
+    * classic z-test (q121) this makes NO normality assumption.
+    *
+    * Scale shape: all `b` relabelings are ONE pass — the row explodes
+    * into its `b` (perm, group') assignments, and map-side partial
+    * aggregation collapses the blow-up to 2·b rows per partition before
+    * the shuffle. Means are exact-decimal; every Δ rounds to 9 before
+    * the ≥ comparison so 1-ulp drift cannot flip a count.
+    */
+  def rerandomizationTest(df: DataFrame, keyCol: String, groupExpr: Column,
+      valueCol: String, b: Int = 64, scale: Int = 4): DataFrame = {
+    require(b >= 1, s"need b >= 1 permutations, got $b")
+    val d = df.select(col(keyCol).cast("long").as("__k"),
+      groupExpr.cast("long").as("__g"),
+      col(valueCol).cast("double").as("__v"))
+    def r9(c: Column): Column = round(c, 9)
+    val obs = d.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__g") === 1L, 1L).otherwise(0L)).as("__na"),
+        dsum(when(col("__g") === 1L, col("__v")).otherwise(lit(0.0)), scale)
+          .as("__sa"),
+        dsum(col("__v"), scale).as("__s"))
+      .withColumn("mean_a", r9(col("__sa") / col("__na").cast("double")))
+      .withColumn("mean_b", r9((col("__s") - col("__sa")) /
+        (col("n") - col("__na")).cast("double")))
+      .withColumn("delta_obs", r9(abs(col("mean_a") - col("mean_b"))))
+    // relabeling draw: the TWO-ROUND congruential hash (prioritySample's
+    // family), NOT hashBucket(·, 2) — a single multiplicative round mod 2
+    // reduces to key parity over any small key range (every "relabeling"
+    // would be the same split); the intermediate odd-prime reductions are
+    // what mix the low bit
+    val p1 = 1000003L; val p2 = 9999991L
+    val s = col("__k") + col("__p") * lit(104729L)
+    val x1 = pmod(pmod(s, lit(p1)) * lit(2654435761L), lit(p1))
+    val x2 = pmod(pmod(x1 + (s.cast("decimal(38,0)") / lit(p1))
+      .cast("long"), lit(p2)) * lit(22695477L), lit(p2))
+    val perms = d
+      .select(col("__k"), col("__v"),
+        explode(sequence(lit(1), lit(b))).as("__p"))
+      .withColumn("__gp", pmod(x2, lit(2L)))
+      .groupBy(col("__p"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__gp") === 1L, 1L).otherwise(0L)).as("__na"),
+        dsum(when(col("__gp") === 1L, col("__v")).otherwise(lit(0.0)), scale)
+          .as("__sa"),
+        dsum(col("__v"), scale).as("__s"))
+      // a degenerate relabeling (all rows one side) carries no Δ — count
+      // it as extreme (≥ anything), the conservative reading
+      .withColumn("__delta",
+        when(col("__na") > 0L && col("__na") < col("__n"),
+          r9(abs(r9(col("__sa") / col("__na").cast("double")) -
+            r9((col("__s") - col("__sa")) /
+              (col("__n") - col("__na")).cast("double"))))))
+    val exceed = perms.crossJoin(broadcast(obs.select(col("delta_obs"))))
+      .agg(count(lit(1)).as("n_perms"),
+        sum(when(col("__delta").isNull ||
+          col("__delta") >= col("delta_obs"), 1L).otherwise(0L))
+          .as("n_ge"))
+    obs.crossJoin(broadcast(exceed))
+      .withColumn("p_value",
+        round((col("n_ge").cast("double") + lit(1.0)) /
+          (col("n_perms").cast("double") + lit(1.0)), 6))
+      .select(col("n"), col("mean_a"), col("mean_b"), col("delta_obs"),
+        col("n_perms"), col("n_ge"), col("p_value"))
+  }
+
   /** Weight-of-evidence / information-value binning — the classic
     * univariate predictive-power screen (credit-scoring lineage; the
     * question a feature-selection pass asks before committing a column to

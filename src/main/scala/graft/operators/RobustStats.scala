@@ -160,10 +160,29 @@ object RobustStats {
     val Array(mn, mx) = df.agg(min(col(colName)), max(col(colName)))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
     var lo = mn; var hi = mx
+    // 8-ary search: ONE scan counts 7 midpoints (7 conditional-sum
+    // aggregates fused in the same pass), so the range shrinks 8× per
+    // scan — ~log₈ of the value range jobs instead of log₂. Same result
+    // as the binary search, a third of the scans.
     while (lo < hi) {
-      val mid = Math.floorDiv(lo + hi, 2)
-      val c = df.filter(col(colName) <= mid).count()
-      if (c >= k) hi = mid else lo = mid + 1
+      val width = hi - lo
+      val mids = (1 to 7).map(i => lo + Math.floorDiv(width * i, 8))
+        .distinct.filter(m => m >= lo && m < hi)
+      val counts = df.agg(
+        sum(when(col(colName) <= mids.head, 1L).otherwise(0L)),
+        mids.tail.map(m =>
+          sum(when(col(colName) <= m, 1L).otherwise(0L))): _*)
+        .head().toSeq.map(_.asInstanceOf[Long])
+      // smallest probed midpoint whose count reaches k bounds the value
+      // above; the previous midpoint bounds it below
+      mids.zip(counts).find { case (_, c) => c >= k } match {
+        case Some((m, _)) =>
+          hi = m
+          val idx = mids.indexOf(m)
+          if (idx > 0) lo = mids(idx - 1) + 1
+        case None =>
+          lo = mids.last + 1
+      }
     }
     lo
   }

@@ -709,6 +709,69 @@ object SimilarityOps {
     * |test|·k frame (AQE broadcasts it), and the confusion matrix is a
     * |labels|² aggregate.
     */
+  /** Greedy k-CENTER coreset selection (farthest-point traversal — the
+    * Sener & Savarese active-learning / data-pruning core): starting from
+    * the portable-draw seed, repeatedly select the point FARTHEST (max
+    * min-cosine-distance) from the chosen set, tie toward the smallest
+    * id, and report each selection with its coverage radius (the max-min
+    * distance at that step — the 2-approximation certificate of k-center).
+    * The radius sequence is the "how much diversity does one more sample
+    * buy" curve a pruning pass reads.
+    *
+    * Scale shape: the chosen set is the MODEL (k vectors at the driver —
+    * the MLlib centroid contract); each step is ONE linear scan updating
+    * the per-point min-distance (no pair join, no sort — argmax via
+    * max-struct aggregation), so the full selection is k scans.
+    * Distances are rounded cosines (engine-portable), so selection
+    * replays in SQL exactly.
+    */
+  def kCenterCoreset(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings.select(col(idCol).cast("long").as("__id"),
+      col(vecCol).cast("array<double>").as("__emb")).persist()
+    try {
+      // seed: rank-1 of the two-round congruential draw (q182's family)
+      val p1 = 1000003L; val p2 = 9999991L
+      val id = col("__id")
+      val idDiv = (id.cast("decimal(38,0)") / lit(p1)).cast("long")
+      val x1 = pmod(pmod(id, lit(p1)) * lit(2654435761L), lit(p1))
+      val x2 = pmod(pmod(x1 + idDiv, lit(p2)) * lit(22695477L), lit(p2))
+      val seedRow = e.withColumn("__d", x2)
+        .orderBy(col("__d"), col("__id")).limit(1)
+        .select(col("__id"), col("__emb")).head()
+      def distTo(center: Seq[Double]): org.apache.spark.sql.Column =
+        lit(1.0) - round(cosineNative(col("__emb"),
+          array(center.map(lit): _*)), 6)
+      var centers = Vector((seedRow.getLong(0),
+        seedRow.getSeq[Double](1), Option.empty[Double]))
+      var state = e.withColumn("__mind", distTo(centers.head._2))
+      for (_ <- 2 to k) {
+        // argmax(mind, tie smallest id) as ONE max-struct aggregate —
+        // no sort, no limit stage
+        val top = state
+          .agg(max(struct(col("__mind").as("m"), (-col("__id")).as("negid")))
+            .as("__t"))
+          .select(col("__t.m"), (-col("__t.negid")).as("__id"))
+          .head()
+        val radius = top.getDouble(0)
+        val cid = top.getLong(1)
+        val cEmb = e.filter(col("__id") === cid).head().getSeq[Double](1)
+        centers = centers :+ ((cid, cEmb: Seq[Double], Some(radius)))
+        state = state.withColumn("__mind",
+          least(col("__mind"), distTo(cEmb)))
+      }
+      centers.zipWithIndex.map { case ((cid, _, rad), i) =>
+        (i + 1, cid, rad)
+      }.toDF("step", "center_id", "radius")
+        .select(col("step"), col("center_id"), round(col("radius"), 6)
+          .as("radius"))
+        .orderBy(col("step"))
+    } finally { e.unpersist(); () }
+  }
+
   /** Portable semi-supervised LABEL PROPAGATION (Zhu & Ghahramani 2002)
     * over the IVF neighbor graph — the multi-hop upgrade of
     * [[knnClassifyPortable]]'s single-hop vote, and the label-densification
@@ -761,10 +824,15 @@ object SimilarityOps {
           .filter(col("__tot") > 0.0)
           .select(col("q_id").as("__id"), col("__lbl"),
             round(col("__raw") / col("__tot"), 9).as("__m"))
-        // clamp: train nodes snap back to their one-hot mass
+        // clamp: train nodes snap back to their one-hot mass.
+        // localCheckpoint flattens the per-round lineage — without it the
+        // round-3 plan nests three join+window rounds and Catalyst
+        // re-plans the whole tower (the GraphOps.connectedComponents
+        // convention)
         val trainIds = seed.select(col("__id"))
         mass = next.join(trainIds, Seq("__id"), "left_anti")
           .unionByName(seed)
+          .localCheckpoint()
       }
       val wv = Window.partitionBy(col("__id"))
         .orderBy(col("__m").desc, col("__lbl").asc)

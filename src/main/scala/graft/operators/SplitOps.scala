@@ -198,21 +198,46 @@ object SplitOps {
         m.foldLeft(lit(Long.MaxValue)) { case (acc, (s, v)) =>
           when(col("__s") === s, lit(v)).otherwise(acc)
         }
-      // simultaneous binary search for the target-th smallest draw per
-      // stratum: every step is ONE scan with a per-stratum mid literal
+      // simultaneous 8-ary search for the target-th smallest draw per
+      // stratum: every step is ONE scan counting SEVEN per-stratum
+      // midpoints (7 conditional-sum aggregates fused in the pass), so
+      // each stratum's range shrinks 8× per scan — ~log₈(10⁷) ≈ 8 scans
       var lo = targets.map { case (s, _) => s -> 0L }
       var hi = targets.map { case (s, _) => s -> (p2 - 1) }
       while (lo.exists { case (s, l) => l < hi(s) }) {
-        val mid = targets.keys.map(s =>
-          s -> Math.floorDiv(lo(s) + hi(s), 2)).toMap
-        val cnt = d.groupBy(col("__s"))
-          .agg(sum(when(col("__d") <= chain(mid), 1L).otherwise(0L))
-            .as("__c"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val mids: Map[String, IndexedSeq[Long]] = targets.keys.map { s =>
+          val w = hi(s) - lo(s)
+          s -> (1 to 7).map(i => lo(s) + Math.floorDiv(w * i, 8))
+            .distinct.filter(m => m >= lo(s) && m < hi(s))
+        }.toMap
+        // probe j uses each stratum's j-th midpoint (clamped to its last —
+        // a duplicate probe costs nothing and keeps the agg shape fixed)
+        def midChain(j: Int): Column =
+          mids.foldLeft(lit(Long.MaxValue)) { case (acc, (s, ms)) =>
+            val m = if (ms.isEmpty) Long.MaxValue
+              else ms(math.min(j, ms.length - 1))
+            when(col("__s") === s, lit(m)).otherwise(acc)
+          }
+        val aggs = (0 until 7).map(j =>
+          sum(when(col("__d") <= midChain(j), 1L).otherwise(0L))
+            .as(s"__c$j"))
+        val cnt = d.groupBy(col("__s")).agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map(r => r.getString(0) ->
+            (0 until 7).map(j => r.getLong(1 + j)))
+          .toMap
         val (nlo, nhi) = targets.keys.map { s =>
-          if (lo(s) >= hi(s)) (s -> lo(s), s -> hi(s))
-          else if (cnt(s) >= targets(s)) (s -> lo(s), s -> mid(s))
-          else (s -> (mid(s) + 1), s -> hi(s))
+          if (lo(s) >= hi(s) || mids(s).isEmpty) (s -> lo(s), s -> hi(s))
+          else {
+            val ms = mids(s)
+            val cs = ms.indices.map(j => cnt(s)(math.min(j, 6)))
+            ms.zip(cs).find { case (_, c) => c >= targets(s) } match {
+              case Some((m, _)) =>
+                val idx = ms.indexOf(m)
+                (s -> (if (idx > 0) ms(idx - 1) + 1 else lo(s)), s -> m)
+              case None => (s -> (ms.last + 1), s -> hi(s))
+            }
+          }
         }.toList.unzip
         lo = nlo.toMap; hi = nhi.toMap
       }

@@ -94,6 +94,33 @@ class MetricQueriesSpec extends SparkSpec {
     }
   }
 
+  test("rerandomizationTest: planted effect significant, independent noise is not") {
+    import spark.implicits._
+    // value 100 iff group 1 — the observed Δ=100 is unreachable by any
+    // mixed relabeling
+    val planted = (1L to 60L).map(k =>
+      (k, if (k % 3 == 0) 1 else 0, if (k % 3 == 0) 100.0 else 0.0))
+      .toDF("k", "g", "v")
+    val r = MetricQueries.rerandomizationTest(planted, "k",
+      col("g") === 1, "v").head()
+    assert(r.getAs[Double]("delta_obs") == 100.0)
+    assert(r.getAs[Double]("mean_a") == 100.0)
+    assert(r.getAs[Double]("mean_b") == 0.0)
+    assert(r.getAs[Long]("n_perms") == 64L)
+    assert(r.getAs[Double]("p_value") <= 3.0 / 65.0,
+      s"planted effect not detected: $r")
+    // value independent of the grouping → the observed Δ is ordinary
+    val noise = (1L to 60L).map(k =>
+      (k, if (k % 3 == 0) 1 else 0, (k % 7).toDouble)).toDF("k", "g", "v")
+    val r2 = MetricQueries.rerandomizationTest(noise, "k",
+      col("g") === 1, "v").head()
+    assert(r2.getAs[Double]("p_value") > 0.05, s"false positive: $r2")
+    // determinism: fixed salts, no RNG
+    val again = MetricQueries.rerandomizationTest(planted, "k",
+      col("g") === 1, "v").head()
+    assert(again.toString == r.toString)
+  }
+
   test("woeIv: hand-computed two-bin card with Laplace adjustment") {
     import spark.implicits._
     // bin 0: 4 pos / 0 neg; bin 1: 0 pos / 4 neg; tp=tn=4, nb=2

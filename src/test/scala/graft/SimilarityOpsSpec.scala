@@ -123,6 +123,32 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(flat.forall(_.getLong(2) == 10L))
   }
 
+  test("kCenterCoreset: covers planted orthogonal clusters, radius non-increasing") {
+    import SparkSpec.spark.implicits._
+    // three orthogonal directions; farthest-point traversal must visit
+    // all three clusters within the first three selections
+    val rows = (0L until 90L).map { i =>
+      val c = (i % 3).toInt
+      val base = Seq.fill(6)(0.0f).updated(2 * c, 1.0f)
+      (i, base.updated(2 * c + 1, 0.001f * (i % 5)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val sel = graft.operators.SimilarityOps
+      .kCenterCoreset(df, "vec_id", "embedding", k = 5)
+      .orderBy("step").collect()
+    assert(sel.length == 5)
+    assert(sel.map(_.getAs[Long]("center_id")).distinct.length == 5)
+    val clusters = sel.take(3).map(_.getAs[Long]("center_id") % 3).toSet
+    assert(clusters.size == 3,
+      s"first three centers must span the three clusters: ${sel.mkString(";")}")
+    val radii = sel.drop(1).map(_.getAs[Double]("radius"))
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"coverage radius must be non-increasing: ${radii.toSeq}")
+    // once all clusters are covered the radius collapses to the jitter
+    assert(radii.last < 0.01, s"radius after coverage: ${radii.toSeq}")
+    assert(sel.head.isNullAt(sel.head.fieldIndex("radius")))
+  }
+
   test("labelPropagationPortable: planted clusters converge, test set partitions") {
     import SparkSpec.spark.implicits._
     val rows = (0L until 120L).map { i =>
