@@ -22,6 +22,17 @@ object SplitOps {
     * no ANSI long overflow for any input key, and bit-identical to the
     * plain multiply for keys under the prime (engine-portable SQL:
     * `((key % 1000003) * 2654435761) % buckets`).
+    *
+    * CONTRACT: this is a SPLITTER, not an inference-grade randomizer. A
+    * single multiplicative round mod `buckets` keys the low bits of the
+    * product, so for buckets sharing factors with 2 (2, 8, 1000…) the
+    * assignment over a small key range is a function of the key's low
+    * bits (buckets=2 ≡ key parity). Deterministic splits and fold
+    * assignment are exactly what that is fine for; anything that needs
+    * the DRAWS to look independent across salts (permutation tests,
+    * sampling priorities) must use the two-round draw
+    * ([[prioritySample]]'s family) whose intermediate odd-prime
+    * reductions mix the low bit — the q218 relabeling does this.
     */
   def hashBucket(key: Column, buckets: Int): Column =
     pmod(pmod(key.cast("long"), lit(1000003L)) * lit(2654435761L),

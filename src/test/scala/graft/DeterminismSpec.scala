@@ -49,7 +49,17 @@ class DeterminismSpec extends SparkSpec {
     "q186_embedding_diversity", "q187_ridge_grid_portable",
     "q188_semdedup_portable", "q189_irls_logistic",
     "q190_hll_intersection", "q191_power_iteration_pca",
-    "q192_irls_weighted")
+    "q192_irls_weighted", "q193_pq_portable", "q194_boosted_stumps",
+    "q195_multitask_portable", "q196_lasso_cd", "q197_calibration_card",
+    "q198_winnowing_neardup", "q199_active_selection", "q200_mlp_forward",
+    "q201_quantile_sketch", "q203_gaussian_nb", "q204_chi2_tokens",
+    "q205_knn_classify", "q206_bloom_fp_card", "q207_contamination",
+    "q208_mad_outliers", "q209_stratified_sample",
+    "q210_correlation_matrix", "q211_woe_iv", "q212_unigram_perplexity",
+    "q214_label_propagation", "q215_target_encoding",
+    "q216_incremental_dedup", "q217_k_anonymity", "q218_rerandomization",
+    "q219_kcenter_coreset")
+  // q202/q213 are streaming (batch≡stream convergence specs cover them)
   // q145 joins the MLlib exclusion list (L-BFGS trajectory depends on the
   // coalesced treeAggregate order, like q29/q47)
   // q155 joins the MLlib exclusion list (GBT tree builds, like q42/q59)
