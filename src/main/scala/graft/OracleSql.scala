@@ -2598,6 +2598,9 @@ object OracleSql {
     // matrix exact replayable integer arithmetic (the q135 precedent
     // applied to sketches); error-bound specs are retained alongside
     "q123_cms_heavy_hitters" -> q123CmsSql,
+    // the streamed CMS counters equal the batch sketch exactly (additive
+    // counters commute with micro-batching) — same oracle
+    "q221_stream_cms" -> q123CmsSql,
     "q136_join_cardinality" -> q136CmsSql,
     "q159_content_fingerprint" -> q159FingerprintSql,
     "q160_curation_pipeline" -> q160CurationSql,
@@ -2606,6 +2609,9 @@ object OracleSql {
     "q184_stream_curation" -> q160CurationSql,
     "q161_bm25_retrieval" -> q161Bm25Sql,
     "q162_portable_hll" -> q162HllSql,
+    // the streamed registers equal the batch sketch exactly (MAX-merge is
+    // associative, commutative, and idempotent) — same oracle
+    "q222_stream_hll" -> q162HllSql,
     "q190_hll_intersection" -> q190HllIntersectSql,
     "q194_boosted_stumps" -> q194BoostedStumpsSql,
 
@@ -2645,6 +2651,76 @@ object OracleSql {
     "q214_label_propagation" -> q214LabelPropSql,
     "q216_incremental_dedup" -> q216IncrementalDedupSql,
     "q219_kcenter_coreset" -> q219KCenterSql,
+
+    // exact brute-force top-5 vs the q182 IVF probe path, recall per query
+    "q220_ann_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 20),
+        |exact AS (
+        |  SELECT q_id, vec_id AS n_id FROM (
+        |    SELECT q.q_id, e.vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+        |        ROUND(list_inner_product(e.emb, q.qe) /
+        |          (SQRT(list_inner_product(e.emb, e.emb)) *
+        |           SQRT(list_inner_product(q.qe, q.qe))), 6) DESC,
+        |        e.vec_id) AS rank
+        |    FROM e, q WHERE e.vec_id <> q.q_id)
+        |  WHERE rank <= 5),
+        |drawn AS (
+        |  SELECT vec_id, emb,
+        |    ((((((vec_id % 1000003) * 2654435761) % 1000003)
+        |        + (vec_id // 1000003)) % 9999991) * 22695477) % 9999991 AS d
+        |  FROM e),
+        |cent AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY d, vec_id) - 1 AS INT)
+        |      AS centroid_id,
+        |    emb AS centroid
+        |  FROM (SELECT * FROM drawn ORDER BY d, vec_id LIMIT 8)),
+        |assign AS (
+        |  SELECT vec_id, emb, centroid_id FROM (
+        |    SELECT t.vec_id, t.emb, c.centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+        |        ROUND(list_inner_product(t.emb, c.centroid) /
+        |          (SQRT(list_inner_product(t.emb, t.emb)) *
+        |           SQRT(list_inner_product(c.centroid, c.centroid))), 6)
+        |          DESC,
+        |        c.centroid_id) AS rn
+        |    FROM e t, cent c)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT q_id, qe, centroid_id FROM (
+        |    SELECT q.q_id, q.qe, c.centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+        |        ROUND(list_inner_product(q.qe, c.centroid) /
+        |          (SQRT(list_inner_product(q.qe, q.qe)) *
+        |           SQRT(list_inner_product(c.centroid, c.centroid))), 6)
+        |          DESC,
+        |        c.centroid_id) AS pr
+        |    FROM q, cent c)
+        |  WHERE pr <= 3),
+        |cand AS (
+        |  SELECT p.q_id, a.vec_id,
+        |    ROUND(list_inner_product(a.emb, p.qe) /
+        |      (SQRT(list_inner_product(a.emb, a.emb)) *
+        |       SQRT(list_inner_product(p.qe, p.qe))), 6) AS cosine
+        |  FROM assign a JOIN probes p USING (centroid_id)
+        |  WHERE p.q_id <> a.vec_id),
+        |approx AS (
+        |  SELECT q_id, vec_id AS n_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+        |    FROM cand)
+        |  WHERE rank <= 5)
+        |SELECT exact.q_id, COUNT(*) AS n_exact,
+        |  CAST(SUM(CASE WHEN approx.n_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_found,
+        |  ROUND(CAST(SUM(CASE WHEN approx.n_id IS NOT NULL THEN 1 ELSE 0
+        |      END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+        |FROM exact LEFT JOIN approx USING (q_id, n_id)
+        |GROUP BY exact.q_id
+        |ORDER BY q_id""".stripMargin,
 
     // 64 salted congruential relabelings in one pass, add-one p-value;
     // degenerate (one-sided) relabelings count as extreme
@@ -2804,7 +2880,9 @@ object OracleSql {
         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY d, vec_id) - 1 AS INT)
         |      AS centroid_id,
         |    emb AS centroid
-        |  FROM (SELECT * FROM drawn ORDER BY d, vec_id LIMIT 8)),
+        |  FROM drawn
+        |  QUALIFY ROW_NUMBER() OVER (ORDER BY d, vec_id) <=
+        |    GREATEST(8, CAST(CEIL(COUNT(*) OVER () / 640.0) AS BIGINT))),
         |assign AS (
         |  SELECT vec_id, emb, centroid_id FROM (
         |    SELECT t.vec_id, t.emb, c.centroid_id,
@@ -3756,7 +3834,9 @@ object OracleSql {
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY d, vec_id) - 1 AS INT)
        |      AS centroid_id,
        |    emb AS centroid
-       |  FROM (SELECT * FROM drawn ORDER BY d, vec_id LIMIT 8)),
+       |  FROM drawn
+       |  QUALIFY ROW_NUMBER() OVER (ORDER BY d, vec_id) <=
+       |    GREATEST(8, CAST(CEIL(COUNT(*) OVER () / 640.0) AS BIGINT))),
        |assign AS (
        |  SELECT vec_id, emb, centroid_id FROM (
        |    SELECT t.vec_id, t.emb, c.centroid_id,

@@ -3144,6 +3144,42 @@ object SparkEntry {
     SimilarityOps.kCenterCoreset(
       t(spark, dir, "embeddings"), "vec_id", "embedding", k = 8)
 
+  // ---------------------------------------------------------------- q220
+  // ANN recall@5 card: the portable IVF (nprobe 3 of 8 lists) measured
+  // per query against the exact brute-force top-5 — the acceptance test
+  // that prices probe pruning in recall. Both sides rounded-cosine
+  // deterministic, so the card is hash-checked.
+  def q220(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    SimilarityOps.annRecallCard(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 20))
+  }
+
+  // ---------------------------------------------------------------- q221
+  // Streaming count-min build ≡ batch: the sketch is a streaming
+  // groupBy(depth, bucket) sum — state bounded at depth×width counters
+  // forever, no term dictionary — and additivity makes the streamed
+  // counters equal q123's batch sketch exactly; same card, same oracle
+  // (the q202/q213 streaming-sketch convention).
+  def q221(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.streamingCmsHeavyHitters(
+      spark, dir, "documents.parquet", "text",
+      depth = 4, width = 256, k = 20,
+      graft.streaming.StreamSink.Memory("q221_cms"))
+
+  // ---------------------------------------------------------------- q222
+  // Streaming HyperLogLog build ≡ batch: register state is 64 rows per
+  // group forever and MAX-merge is idempotent (replays cannot
+  // double-count, unlike any sum) — the streamed registers equal q162's
+  // batch sketch exactly; same card, same oracle. Completes the
+  // streaming-sketch family (q202 quantiles, q213 Bloom, q221 CMS).
+  def q222(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.streamingHllDistinct(
+      spark, dir, "lineitem.parquet",
+      graft.streaming.StreamSink.Memory("q222_hll"),
+      prepare = _.select(col("l_returnflag").as("grp"),
+        col("l_orderkey").as("k")))
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3595,6 +3631,9 @@ object SparkEntry {
     "q217_k_anonymity" -> (q217 _),
     "q218_rerandomization" -> (q218 _),
     "q219_kcenter_coreset" -> (q219 _),
+    "q220_ann_recall" -> (q220 _),
+    "q221_stream_cms" -> (q221 _),
+    "q222_stream_hll" -> (q222 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

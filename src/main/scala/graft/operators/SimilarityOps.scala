@@ -709,6 +709,40 @@ object SimilarityOps {
     * |test|·k frame (AQE broadcasts it), and the confusion matrix is a
     * |labels|² aggregate.
     */
+  /** ANN quality evaluation card — recall@k of the portable IVF index
+    * against the exact brute-force ground truth, per query: the
+    * acceptance test every ANN deployment runs before trusting its
+    * retrieval (recall trades off against the nprobe/nlist scan
+    * fraction, and this measures the actual price). Both sides are
+    * rounded-cosine deterministic, so the card replays in SQL.
+    *
+    * Scale shape: the exact side broadcasts the query batch and scans
+    * the corpus once ([[knnJoin]]); the IVF side is q182's probe-pruned
+    * search; the comparison joins two |queries|·k frames.
+    */
+  def annRecallCard(embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, nlist: Int = 8, nprobe: Int = 3,
+      k: Int = 5): DataFrame = {
+    val exact = knnJoin(embeddings, queries, idCol, vecCol, idCol, vecCol,
+        k, excludeSameId = true)
+      .select(col("q_id"), col("n_id"))
+    val cents = ivfCentroidsPortable(embeddings, idCol, vecCol, nlist)
+    val assigned = ivfAssign(embeddings, idCol, vecCol, cents,
+      simRound = Some(6))
+    val approx = ivfSearchBatch(assigned, idCol, queries, idCol, vecCol,
+        cents, nprobe, k, excludeSameId = true, simRound = Some(6))
+      .select(col("q_id"), col(idCol).as("n_id"),
+        lit(1L).as("__found"))
+    exact.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__found"), lit(0L))).as("n_found"))
+      .withColumn("recall",
+        round(col("n_found").cast("double") /
+          col("n_exact").cast("double"), 6))
+      .orderBy(col("q_id"))
+  }
+
   /** Greedy k-CENTER coreset selection (farthest-point traversal — the
     * Sener & Savarese active-learning / data-pruning core): starting from
     * the portable-draw seed, repeatedly select the point FARTHEST (max
@@ -789,14 +823,22 @@ object SimilarityOps {
     * two bounded aggregations. Masses are ≤ |V|·|labels| rows.
     */
   def labelPropagationPortable(embeddings: DataFrame, idCol: String,
-      vecCol: String, labelCol: String, nlist: Int = 8, nprobe: Int = 3,
+      vecCol: String, labelCol: String, nlist: Int = 0, nprobe: Int = 3,
       kNbrs: Int = 5, rounds: Int = 3, trainBuckets: Int = 7): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Stats.dsum
     require(rounds >= 1, s"need at least one round, got $rounds")
     val b = SplitOps.hashBucket(col(idCol), 10)
     val all = embeddings.withColumn("__train", b < trainBuckets)
-    val cents = ivfCentroidsPortable(all, idCol, vecCol, nlist)
+    // nlist = 0 → adaptive max(8, ⌈n/640⌉): an ALL-NODES kNN graph joins
+    // every node against its nprobe lists, so a FIXED nlist makes the
+    // candidate count n·nprobe·(n/nlist) — quadratic (the sf1 bench
+    // measured 14× at 10× data). Growing nlist with n pins the per-list
+    // size and keeps the build linear; at the gate SFs (n ≤ 5120) the
+    // formula reproduces the old nlist = 8 exactly
+    val effNlist = if (nlist > 0) nlist
+      else math.max(8, math.ceil(all.count() / 640.0).toInt)
+    val cents = ivfCentroidsPortable(all, idCol, vecCol, effNlist)
     val assigned = ivfAssign(all, idCol, vecCol, cents, simRound = Some(6))
     val edges = ivfSearchBatch(assigned, idCol, all, idCol, vecCol, cents,
         nprobe, kNbrs, excludeSameId = true, simRound = Some(6))
@@ -851,13 +893,19 @@ object SimilarityOps {
   }
 
   def knnClassifyPortable(embeddings: DataFrame, idCol: String,
-      vecCol: String, labelCol: String, nlist: Int = 8, nprobe: Int = 3,
+      vecCol: String, labelCol: String, nlist: Int = 0, nprobe: Int = 3,
       k: Int = 5, trainBuckets: Int = 7): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val b = SplitOps.hashBucket(col(idCol), 10)
     val train = embeddings.filter(b < trainBuckets)
     val test = embeddings.filter(b >= trainBuckets)
-    val cents = ivfCentroidsPortable(train, idCol, vecCol, nlist)
+    // nlist = 0 → adaptive max(8, ⌈n_train/640⌉): the query side is a
+    // constant FRACTION of the corpus here, so a fixed nlist is quadratic
+    // (see labelPropagationPortable); the formula reproduces nlist = 8 at
+    // the gate SFs
+    val effNlist = if (nlist > 0) nlist
+      else math.max(8, math.ceil(train.count() / 640.0).toInt)
+    val cents = ivfCentroidsPortable(train, idCol, vecCol, effNlist)
     val assigned = ivfAssign(train, idCol, vecCol, cents, simRound = Some(6))
     val nn = ivfSearchBatch(assigned, idCol, test, idCol, vecCol, cents,
       nprobe, k, excludeSameId = false, simRound = Some(6))

@@ -78,7 +78,29 @@ object SketchOps {
     val terms = df
       .select(explode(split(trim(col(textCol)), " ")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
-    val counters = cmsCounters(terms, "term", "n_exact", depth, width)
+    cmsFinishHeavyHitters(terms,
+      cmsCounters(terms, "term", "n_exact", depth, width), depth, width, k)
+  }
+
+  /** CMS counters straight from a raw token stream (weight 1 per
+    * occurrence) — by linearity identical to [[cmsCounters]] over the
+    * exact term frame, but needing NO term-level aggregation state, so a
+    * STREAMING build can maintain the sketch with depth×width bounded
+    * state forever (the additive-counter contract q202's quantile sketch
+    * follows).
+    */
+  def cmsCountersFromTokens(tokens: DataFrame, termCol: String,
+      depth: Int, width: Int): DataFrame =
+    cmsCounters(tokens.withColumn("__one", lit(1L)), termCol, "__one",
+      depth, width)
+
+  /** Heavy-hitter finishing step against an already-built counter frame
+    * (one batch pass, a merge of per-shard sketches, or a streaming
+    * aggregation whose state IS the sketch): exact top-`k` terms probed
+    * for their min-over-depths estimates.
+    */
+  def cmsFinishHeavyHitters(terms: DataFrame, counters: DataFrame,
+      depth: Int, width: Int, k: Int): DataFrame = {
     val top = terms
       .orderBy(col("n_exact").desc, col("term"))
       .limit(k)

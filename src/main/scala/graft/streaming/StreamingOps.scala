@@ -572,6 +572,70 @@ object StreamingOps {
       bins.unionByName(all), grpCol, quantiles)
   }
 
+  /** Streaming HYPERLOGLOG build ≡ batch (q162's twin — completing the
+    * streaming-sketch family: quantile log-bins q202, Bloom bits q213,
+    * count-min q221, and now distinct-count registers): the register
+    * frame is a streaming `groupBy(grp, j) MAX(rho)` whose state is
+    * 64 registers per group forever, and MAX is associative/commutative/
+    * idempotent, so the streamed registers equal the batch sketch
+    * EXACTLY under any micro-batching (even replays — max is idempotent
+    * where a sum would double-count). The estimate finishing step and
+    * exact ground truth run in batch on the streamed registers.
+    */
+  def streamingHllDistinct(spark: SparkSession, dir: String,
+      fileName: String, sink: StreamSink,
+      prepare: DataFrame => DataFrame): DataFrame = {
+    import graft.operators.SketchOps
+    val keyed = prepare(fileStream(spark, dir, fileName))
+    val regs = SketchOps.hllRegisters(keyed, Seq("grp"), col("k"))
+    val sunk = runToSink(spark, regs, sink, "complete")
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    sunk.collect().foreach(rows.add)
+    val streamed = spark.createDataFrame(rows, sunk.schema)
+    val regsAll = streamed.groupBy(col("j")).agg(max(col("m_j")).as("m_j"))
+      .withColumn("grp", lit("ALL"))
+      .select(col("grp"), col("j"), col("m_j"))
+    val est = SketchOps.hllEstimate(
+      streamed.unionByName(regsAll), Seq("grp"))
+    val keyedBatch = prepare(spark.read.parquet(s"$dir/$fileName"))
+    val exact = keyedBatch
+      .unionByName(keyedBatch.withColumn("grp", lit("ALL")))
+      .groupBy(col("grp")).agg(countDistinct(col("k")).as("n_exact"))
+    est.join(exact, "grp")
+      .withColumn("rel_err",
+        round((col("hll_estimate") - col("n_exact")) /
+          col("n_exact").cast("double"), 6))
+      .orderBy(col("grp"))
+  }
+
+  /** Streaming COUNT-MIN build ≡ batch (q123's twin — the third member
+    * of the streaming-sketch family after the quantile log-bins q202 and
+    * the Bloom bits q213): the sketch is maintained as a streaming
+    * `groupBy(depth, bucket)` SUM whose state is depth×width counters
+    * forever — no term dictionary, no per-key state — and because
+    * counters are additive, the streamed sketch equals the batch sketch
+    * EXACTLY regardless of micro-batching. The exact top-k ground truth
+    * for the card comes from the batch side (it is the card's reference
+    * column, not sketch state).
+    */
+  def streamingCmsHeavyHitters(spark: SparkSession, dir: String,
+      fileName: String, textCol: String, depth: Int, width: Int, k: Int,
+      sink: StreamSink): DataFrame = {
+    import graft.operators.SketchOps
+    val toks = fileStream(spark, dir, fileName)
+      .select(explode(split(trim(col(textCol)), " ")).as("term"))
+    val counters = SketchOps.cmsCountersFromTokens(toks, "term",
+      depth, width)
+    val sunk = runToSink(spark, counters, sink, "complete")
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    sunk.collect().foreach(rows.add)
+    val streamed = spark.createDataFrame(rows, sunk.schema)
+    val terms = spark.read.parquet(s"$dir/$fileName")
+      .select(explode(split(trim(col(textCol)), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+    SketchOps.cmsFinishHeavyHitters(terms, streamed, depth, width, k)
+  }
+
   /** Streaming Bloom-filter build ≡ batch (q206's twin, the q201/q202
     * convention for the Bloom member of the sketch family): the filter is
     * maintained as a streaming `groupBy(pos)` whose state is AT MOST

@@ -123,6 +123,28 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(flat.forall(_.getLong(2) == 10L))
   }
 
+  test("annRecallCard: full probing recovers recall 1.0, pruning bounds it") {
+    import SparkSpec.spark.implicits._
+    val rows = (0L until 100L).map { i =>
+      (i, Seq.tabulate(8)(d => ((i * 31 + d * 7) % 13).toFloat / 13.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 10)
+    // nprobe == nlist probes every list — the candidate set IS the corpus,
+    // so recall must be exactly 1.0 for every query
+    val full = graft.operators.SimilarityOps.annRecallCard(
+      df, "vec_id", "embedding", q, nlist = 4, nprobe = 4, k = 5).collect()
+    assert(full.length == 10)
+    assert(full.forall(_.getAs[Double]("recall") == 1.0),
+      s"full probing must be exact: ${full.mkString(";")}")
+    // pruned probing can only lose neighbors
+    val pruned = graft.operators.SimilarityOps.annRecallCard(
+      df, "vec_id", "embedding", q, nlist = 4, nprobe = 1, k = 5).collect()
+    assert(pruned.forall(r => r.getAs[Double]("recall") <= 1.0 &&
+      r.getAs[Double]("recall") >= 0.0))
+    assert(pruned.forall(_.getAs[Long]("n_exact") == 5L))
+  }
+
   test("kCenterCoreset: covers planted orthogonal clusters, radius non-increasing") {
     import SparkSpec.spark.implicits._
     // three orthogonal directions; farthest-point traversal must visit

@@ -257,6 +257,20 @@ class SurvivalAndSketchSpec extends SparkSpec {
     assert(batch == stream, s"batch=$batch\nstream=$stream")
   }
 
+  test("q221 streaming CMS heavy hitters equals the batch q123 exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = SparkEntry.q123(spark, dir).collect().map(_.toString).toSeq
+    val stream = SparkEntry.q221(spark, dir).collect().map(_.toString).toSeq
+    assert(batch == stream, s"batch=$batch\nstream=$stream")
+  }
+
+  test("q222 streaming HLL registers equal the batch q162 exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = SparkEntry.q162(spark, dir).collect().map(_.toString).toSeq
+    val stream = SparkEntry.q222(spark, dir).collect().map(_.toString).toSeq
+    assert(batch == stream, s"batch=$batch\nstream=$stream")
+  }
+
   test("bloomFpCard: no false negatives, bounded positions, shard-merge identity") {
     import SparkSpec.spark.implicits._
     val build = (1L to 300L).map(i => i * 7L).toDF("k")
