@@ -2652,6 +2652,68 @@ object OracleSql {
     "q216_incremental_dedup" -> q216IncrementalDedupSql,
     "q219_kcenter_coreset" -> q219KCenterSql,
 
+    // exact top-10 cosine retrieval, label-match relevance, macro
+    // nDCG/MRR/MAP with the identical ln-based log2 and decimal sums
+    "q223_retrieval_eval" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS ql, emb AS qe FROM e
+        |  WHERE vec_id < 30),
+        |nn AS (
+        |  SELECT q_id, ql, n_id, nl, rank FROM (
+        |    SELECT q.q_id, q.ql, e.vec_id AS n_id, e.label AS nl,
+        |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+        |        ROUND(list_inner_product(e.emb, q.qe) /
+        |          (SQRT(list_inner_product(e.emb, e.emb)) *
+        |           SQRT(list_inner_product(q.qe, q.qe))), 6) DESC,
+        |        e.vec_id) AS rank
+        |    FROM e, q WHERE e.vec_id <> q.q_id)
+        |  WHERE rank <= 10),
+        |d AS (
+        |  SELECT q_id AS q, rank,
+        |    CASE WHEN ql = nl THEN 1.0 ELSE 0.0 END AS rel
+        |  FROM nn),
+        |sc AS (
+        |  SELECT q, rank, rel,
+        |    ROW_NUMBER() OVER (PARTITION BY q ORDER BY rel DESC, rank ASC)
+        |      AS ipos,
+        |    SUM(rel) OVER (PARTITION BY q ORDER BY rank
+        |      ROWS UNBOUNDED PRECEDING) AS cumrel
+        |  FROM d),
+        |perq AS (
+        |  SELECT q,
+        |    CAST(SUM(CAST(rel / (LN(CAST(rank AS DOUBLE) + 1.0) /
+        |      0.6931471805599453) AS DECIMAL(28,12))) AS DOUBLE) AS dcg,
+        |    CAST(SUM(CAST(rel / (LN(CAST(ipos AS DOUBLE) + 1.0) /
+        |      0.6931471805599453) AS DECIMAL(28,12))) AS DOUBLE) AS idcg,
+        |    MIN(CASE WHEN rel > 0.0 THEN rank END) AS firstrel,
+        |    CAST(SUM(CAST(COALESCE(CASE WHEN rel > 0.0 THEN
+        |        cumrel / CAST(rank AS DOUBLE) END, 0.0)
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS sumprec,
+        |    CAST(SUM(CASE WHEN rel > 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nrel
+        |  FROM sc GROUP BY q),
+        |m AS (
+        |  SELECT q,
+        |    CASE WHEN idcg > 0.0 THEN ROUND(dcg / idcg, 9)
+        |      ELSE 0.0 END AS ndcg,
+        |    CASE WHEN firstrel IS NOT NULL THEN
+        |      ROUND(1.0 / CAST(firstrel AS DOUBLE), 9)
+        |      ELSE 0.0 END AS rr,
+        |    CASE WHEN nrel > 0 THEN
+        |      ROUND(sumprec / CAST(nrel AS DOUBLE), 9)
+        |      ELSE 0.0 END AS ap
+        |  FROM perq)
+        |SELECT COUNT(*) AS n_queries,
+        |  ROUND(CAST(SUM(CAST(ndcg AS DECIMAL(28,12))) AS DOUBLE)
+        |    / COUNT(*), 6) AS mean_ndcg_at_10,
+        |  ROUND(CAST(SUM(CAST(rr AS DECIMAL(28,12))) AS DOUBLE)
+        |    / COUNT(*), 6) AS mrr,
+        |  ROUND(CAST(SUM(CAST(ap AS DECIMAL(28,12))) AS DOUBLE)
+        |    / COUNT(*), 6) AS mean_ap
+        |FROM m""".stripMargin,
+
     // exact brute-force top-5 vs the q182 IVF probe path, recall per query
     "q220_ann_recall" ->
       """WITH e AS (

@@ -188,4 +188,67 @@ object RankMetrics {
     val macroAvg = aucs.agg(round(avg(col("auc")), 6).as("macro_auc"))
     aucs.crossJoin(broadcast(macroAvg))
   }
+
+  /** Retrieval-quality card over a ranked result frame — the IR eval
+    * every retrieval stack (BM25 q161, ANN q16/q182, RRF q166) is judged
+    * by: per query, nDCG@k (graded gains rel/log₂(rank+1) against the
+    * ideal reordering), reciprocal rank of the first relevant hit, and
+    * average precision within the top k; macro-averaged into one row.
+    *
+    * Input: (`qCol`, `rankCol` 1-based dense per query, `relCol` graded
+    * relevance ≥ 0). All per-query arithmetic is fixed-parenthesization
+    * doubles on exact ranks (log₂ via ln(x)/ln2 with the ln 2 literal
+    * both engines parse), per-query values rounded to 9, the macro means
+    * decimal-accumulated and rounded to 6 — fully oracle-replayable.
+    * The running-relevance window sum is exact (hence engine-portable)
+    * for INTEGER-valued grades; fractional grades would be at the mercy
+    * of each engine's windowed-sum accumulation order.
+    * Queries with NO relevant hit in the top k score 0 on all three
+    * (the honest macro convention: absent relevance counts, not skips).
+    */
+  def retrievalEvalCard(ranked: DataFrame, qCol: String, rankCol: String,
+      relCol: String, k: Int): DataFrame = {
+    val ln2 = 0.6931471805599453
+    def r9(c: org.apache.spark.sql.Column) = round(c, 9)
+    val d = ranked.filter(col(rankCol) <= k)
+      .select(col(qCol).as("q"), col(rankCol).cast("long").as("rank"),
+        col(relCol).cast("double").as("rel"))
+    val wIdeal = Window.partitionBy(col("q"))
+      .orderBy(col("rel").desc, col("rank").asc)
+    val wCum = Window.partitionBy(col("q")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = d
+      .withColumn("__ipos", row_number().over(wIdeal).cast("long"))
+      .withColumn("__gain",
+        col("rel") / (log(col("rank").cast("double") + 1.0) / lit(ln2)))
+      .withColumn("__igain",
+        col("rel") / (log(col("__ipos").cast("double") + 1.0) / lit(ln2)))
+      .withColumn("__cumrel", sum(col("rel")).over(wCum))
+      .withColumn("__prec",
+        when(col("rel") > 0.0,
+          col("__cumrel") / col("rank").cast("double")))
+    val perQ = scored.groupBy(col("q")).agg(
+        dsum(col("__gain"), 12).as("__dcg"),
+        dsum(col("__igain"), 12).as("__idcg"),
+        min(when(col("rel") > 0.0, col("rank"))).as("__firstrel"),
+        dsum(coalesce(col("__prec"), lit(0.0)), 12).as("__sumprec"),
+        sum(when(col("rel") > 0.0, 1L).otherwise(0L)).as("__nrel"))
+      .withColumn("ndcg",
+        when(col("__idcg") > 0.0, r9(col("__dcg") / col("__idcg")))
+          .otherwise(lit(0.0)))
+      .withColumn("rr",
+        when(col("__firstrel").isNotNull,
+          r9(lit(1.0) / col("__firstrel").cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("ap",
+        when(col("__nrel") > 0L,
+          r9(col("__sumprec") / col("__nrel").cast("double")))
+          .otherwise(lit(0.0)))
+    perQ.agg(
+      count(lit(1)).as("n_queries"),
+      round(dsum(col("ndcg"), 12) / count(lit(1)), 6)
+        .as(s"mean_ndcg_at_$k"),
+      round(dsum(col("rr"), 12) / count(lit(1)), 6).as("mrr"),
+      round(dsum(col("ap"), 12) / count(lit(1)), 6).as("mean_ap"))
+  }
 }

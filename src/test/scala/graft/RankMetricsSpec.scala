@@ -73,4 +73,29 @@ class RankMetricsSpec extends SparkSpec {
       assert(r.getAs[Double]("macro_auc") == 1.0, r.toString)
     }
   }
+
+  test("retrievalEvalCard: hand-computed nDCG/MRR/AP on a two-query fixture") {
+    import SparkSpec.spark.implicits._
+    // q1: rel (1,0,1) at ranks 1..3; q2: all irrelevant
+    val ranked = Seq(
+      ("q1", 1L, 1.0), ("q1", 2L, 0.0), ("q1", 3L, 1.0),
+      ("q2", 1L, 0.0), ("q2", 2L, 0.0))
+      .toDF("q", "rank", "rel")
+    val r = RankMetrics.retrievalEvalCard(ranked, "q", "rank", "rel", 10)
+      .head()
+    def r9(v: Double) = BigDecimal(v)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln2 = 0.6931471805599453
+    def log2(x: Double) = math.log(x) / ln2
+    val dcg = 1.0 / log2(2.0) + 1.0 / log2(4.0)       // = 1.5
+    val idcg = 1.0 / log2(2.0) + 1.0 / log2(3.0)      // ideal: rel 1,1,0
+    val ndcg1 = r9(dcg / idcg)
+    val ap1 = r9((1.0 / 1.0 + 2.0 / 3.0) / 2.0)
+    assert(r.getAs[Long]("n_queries") == 2L)
+    assert(r.getAs[Double]("mean_ndcg_at_10") == r6(ndcg1 / 2.0))
+    assert(r.getAs[Double]("mrr") == r6(1.0 / 2.0))   // q1 rr=1, q2 rr=0
+    assert(r.getAs[Double]("mean_ap") == r6(ap1 / 2.0))
+  }
 }

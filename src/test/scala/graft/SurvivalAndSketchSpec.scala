@@ -295,6 +295,20 @@ class SurvivalAndSketchSpec extends SparkSpec {
     assert(bits(build) == (bits(a) ++ bits(b)))
   }
 
+  test("bloomFpCard: empty build side passes nothing, card stays well-formed") {
+    import SparkSpec.spark.implicits._
+    val build = Seq.empty[Long].toDF("k")
+    val probe = (1L to 50L).toDF("k")
+    val card = SketchOps.bloomFpCard(build, "k", probe, "k",
+      kHashes = 3, mBits = 256).head()
+    assert(card.getAs[Long]("n_build_keys") == 0L)
+    assert(card.getAs[Long]("n_bits_set") == 0L)
+    assert(card.getAs[Long]("n_bloom_pass") == 0L)
+    assert(card.getAs[Long]("n_false_pos") == 0L)
+    assert(card.getAs[Double]("fp_rate") == 0.0)
+    assert(card.getAs[Long]("n_probe_keys") == 50L)
+  }
+
   test("madOutlierCard: planted heavy tail flagged, constant column degenerate") {
     import SparkSpec.spark.implicits._
     // 95 inliers near 10.0, 5 planted spikes at 1000.0

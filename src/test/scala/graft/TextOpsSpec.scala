@@ -89,6 +89,18 @@ class TextOpsSpec extends SparkSpec {
       math.rint(math.log(8.0) * 1e6) / 1e6)
   }
 
+  test("unigramPerplexity: empty train slice yields null scores, never a crash") {
+    // only eval-bucket docs (ids % 20 == 0) → the LM has no training mass
+    val docs = Seq((20L, "some eval words"), (40L, "more eval text"))
+      .toDF("doc_id", "text")
+    val r = TextOps.unigramPerplexity(docs, "doc_id", "text").collect()
+    assert(r.length == 2)
+    r.foreach { row =>
+      assert(row.isNullAt(row.fieldIndex("cross_entropy")))
+      assert(row.isNullAt(row.fieldIndex("perplexity")))
+    }
+  }
+
   test("tokens splits on single spaces after trim") {
     val df = Seq("  the cat sat  ").toDF("t")
     assert(df.select(TextOps.tokens($"t")).head().getSeq[String](0) ==
