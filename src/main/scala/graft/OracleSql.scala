@@ -3024,6 +3024,65 @@ object OracleSql {
         |FROM dev GROUP BY s
         |ORDER BY event_type""".stripMargin,
 
+    // the q189 Newton replay on the (score, label) frame, then plain
+    // binned-reliability expressions over the round-9 fixed point
+    "q224_platt_calibration" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT (o_orderkey * 7 % 1000) / CAST(1000.0 AS DOUBLE) AS x,
+        |    CASE WHEN o_totalprice > 150000 THEN 1.0 ELSE 0.0 END AS y
+        |  FROM orders),
+        |it(i, b0, b1) AS (
+        |  SELECT 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+        |  UNION ALL
+        |  SELECT i + 1,
+        |    ROUND(b0 + (swxx * g0 - swx * g1) / (sw * swxx - swx * swx), 9),
+        |    ROUND(b1 + (sw * g1 - swx * g0) / (sw * swxx - swx * swx), 9)
+        |  FROM (
+        |    SELECT i, b0, b1,
+        |      CAST(SUM(CAST(y - p AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+        |      CAST(SUM(CAST((y - p) * x AS DECIMAL(28,12))) AS DOUBLE)
+        |        AS g1,
+        |      CAST(SUM(CAST(p * (1.0 - p) AS DECIMAL(28,12))) AS DOUBLE)
+        |        AS sw,
+        |      CAST(SUM(CAST(p * (1.0 - p) * x AS DECIMAL(28,12)))
+        |        AS DOUBLE) AS swx,
+        |      CAST(SUM(CAST(p * (1.0 - p) * x * x AS DECIMAL(28,12)))
+        |        AS DOUBLE) AS swxx
+        |    FROM (
+        |      SELECT it.i AS i, it.b0 AS b0, it.b1 AS b1, d.x AS x,
+        |        d.y AS y,
+        |        1.0 / (1.0 + EXP(-(it.b0 + it.b1 * d.x))) AS p
+        |      FROM it, d
+        |      WHERE it.i < 6)
+        |    GROUP BY i, b0, b1)),
+        |fin AS (SELECT b0, b1 FROM it WHERE i = 6),
+        |sc AS (
+        |  SELECT x, y,
+        |    ROUND(1.0 / (1.0 + EXP(-(fin.b0 + fin.b1 * x))), 6) AS pc
+        |  FROM d, fin),
+        |b AS (
+        |  SELECT LEAST(CAST(FLOOR(x * 10) AS BIGINT), 9) AS bin,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,3))) AS DOUBLE) / COUNT(*)
+        |      AS avg_raw,
+        |    CAST(SUM(CAST(pc AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+        |      AS avg_cal,
+        |    CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) / COUNT(*) AS pos_rate
+        |  FROM sc GROUP BY bin),
+        |e AS (
+        |  SELECT
+        |    ROUND(CAST(SUM(CAST(ABS(pos_rate - avg_raw) *
+        |      CAST(n AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+        |      / SUM(n), 6) AS ece_raw,
+        |    ROUND(CAST(SUM(CAST(ABS(pos_rate - avg_cal) *
+        |      CAST(n AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+        |      / SUM(n), 6) AS ece_cal
+        |  FROM b)
+        |SELECT b.bin, b.n, ROUND(b.avg_raw, 6) AS avg_raw,
+        |  ROUND(b.avg_cal, 6) AS avg_cal,
+        |  ROUND(b.pos_rate, 6) AS pos_rate, e.ece_raw, e.ece_cal
+        |FROM b, e ORDER BY bin""".stripMargin,
+
     // closed-form NB: round-9 params from exact decimal sums, fixed-shape
     // log-posterior rounded to 6, argmax tie-broken toward the smallest
     // class (ORDER BY sc DESC, cand ASC ≡ the strict-greater fold)

@@ -3202,6 +3202,20 @@ object SparkEntry {
       ranked, "q_id", "rank", "rel", k = 10)
   }
 
+  // ---------------------------------------------------------------- q224
+  // Platt-scaling calibration card — the parametric sibling of isotonic
+  // q126 and the FIX for what the ECE card q197 measures: the q189
+  // round-9 Newton fixed point maps raw scores to calibrated
+  // probabilities; per-bin raw-vs-calibrated reliability plus both ECEs
+  // (ece_cal < ece_raw is the measurable win on this uninformative
+  // scorer, whose calibrated output collapses to the base rate).
+  def q224(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.plattCalibrationCard(
+      t(spark, dir, "orders")
+        .withColumn("label", (col("o_totalprice") > 150000).cast("int"))
+        .withColumn("score", (col("o_orderkey") * 7 % 1000) / lit(1000.0)),
+      "score", "label")
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3657,6 +3671,7 @@ object SparkEntry {
     "q221_stream_cms" -> (q221 _),
     "q222_stream_hll" -> (q222 _),
     "q223_retrieval_eval" -> (q223 _),
+    "q224_platt_calibration" -> (q224 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -780,10 +780,24 @@ object MlPipelines {
     */
   private def irlsCore(df: DataFrame, xCol: String, yCol: String,
       rowW: org.apache.spark.sql.Column, iters: Int): DataFrame = {
-    import graft.functions.Stats.dsum
-    require(iters >= 1, s"need at least one iteration, got $iters")
     val spark = df.sparkSession
     import spark.implicits._
+    val (trace, _, _) = irlsLoop(df, xCol, yCol, rowW, iters)
+    trace.toDF("iter", "__b0", "__b1", "log_loss")
+      .select(col("iter"), round(col("__b0"), 6).as("b0"),
+        round(col("__b1"), 6).as("b1"), col("log_loss"))
+  }
+
+  /** The Newton loop itself, returning the per-iteration trace AND the
+    * final round-9 parameters (the trace frame display-rounds to 6;
+    * downstream scoring — Platt calibration, the q199 probe — needs the
+    * exact round-9 fixed point the oracle's recursive CTE carries).
+    */
+  private[ml] def irlsLoop(df: DataFrame, xCol: String, yCol: String,
+      rowW: org.apache.spark.sql.Column, iters: Int)
+      : (Seq[(Int, Double, Double, Double)], Double, Double) = {
+    import graft.functions.Stats.dsum
+    require(iters >= 1, s"need at least one iteration, got $iters")
     def r9(v: Double): Double =
       new java.math.BigDecimal(v)
         .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
@@ -814,10 +828,48 @@ object MlPipelines {
           .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
         (i, b0, b1, llMean)
       }
-      trace.toDF("iter", "__b0", "__b1", "log_loss")
-        .select(col("iter"), round(col("__b0"), 6).as("b0"),
-          round(col("__b1"), 6).as("b1"), col("log_loss"))
+      (trace, b0, b1)
     } finally { d.unpersist(); () }
+  }
+
+  /** PLATT-SCALING calibration card — the parametric sibling of isotonic
+    * calibration (q126) and the fix the ECE card (q197) calls for: a
+    * 1-feature logistic (the [[irlsLoop]] fixed point — same round-9
+    * Newton replay as q189) maps raw scores to calibrated probabilities,
+    * and the card reports per-bin raw-vs-calibrated reliability plus both
+    * ECEs. On a miscalibrated scorer ece_cal < ece_raw is the measurable
+    * win. One fit pass + one binned aggregation; everything replays in
+    * SQL (recursive-CTE fit, plain expressions after).
+    */
+  def plattCalibrationCard(df: DataFrame, scoreCol: String,
+      labelCol: String, iters: Int = 6, bins: Int = 10): DataFrame = {
+    import graft.functions.Stats.dsum
+    require(bins >= 2, s"need >= 2 bins, got $bins")
+    val d = df.select(col(scoreCol).cast("double").as("x"),
+      col(labelCol).cast("double").as("y"))
+    val (_, b0, b1) = irlsLoop(d, "x", "y", lit(1.0), iters)
+    val scored = d.withColumn("__pc",
+      round(lit(1.0) / (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("x")))), 6))
+    val binned = scored
+      .withColumn("bin",
+        least(floor(col("x") * bins).cast("long"), lit(bins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        (dsum(col("x"), 3) / count(lit(1))).as("avg_raw"),
+        (dsum(col("__pc"), 6) / count(lit(1))).as("avg_cal"),
+        (sum(col("y").cast("long")).cast("double") / count(lit(1)))
+          .as("pos_rate"))
+    val eces = binned.agg(
+      round(dsum(abs(col("pos_rate") - col("avg_raw")) *
+        col("n").cast("double"), 12) / sum(col("n")), 6).as("ece_raw"),
+      round(dsum(abs(col("pos_rate") - col("avg_cal")) *
+        col("n").cast("double"), 12) / sum(col("n")), 6).as("ece_cal"))
+    binned.crossJoin(broadcast(eces))
+      .select(col("bin"), col("n"), round(col("avg_raw"), 6).as("avg_raw"),
+        round(col("avg_cal"), 6).as("avg_cal"),
+        round(col("pos_rate"), 6).as("pos_rate"),
+        col("ece_raw"), col("ece_cal"))
+      .orderBy(col("bin"))
   }
 
   /** Per-key AR(1) fit in closed form: y_t = intercept + slope·y_{t−1} over

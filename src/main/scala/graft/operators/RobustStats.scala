@@ -166,8 +166,12 @@ object RobustStats {
     // as the binary search, a third of the scans.
     while (lo < hi) {
       val width = hi - lo
-      val mids = (1 to 7).map(i => lo + Math.floorDiv(width * i, 8))
-        .distinct.filter(m => m >= lo && m < hi)
+      // width*7 must not overflow; a (contract-violating) near-full-range
+      // domain degrades to plain binary probing instead of going wrong
+      val mids =
+        if (width > Long.MaxValue / 8) IndexedSeq(lo + width / 2)
+        else (1 to 7).map(i => lo + Math.floorDiv(width * i, 8))
+          .distinct.filter(m => m >= lo && m < hi)
       val counts = df.agg(
         sum(when(col(colName) <= mids.head, 1L).otherwise(0L)),
         mids.tail.map(m =>

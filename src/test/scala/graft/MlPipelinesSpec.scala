@@ -479,6 +479,28 @@ class MlPipelinesSpec extends SparkSpec {
     assert(full.agg(sum("n")).head().getLong(0) == lineitem.count())
   }
 
+  test("plattCalibrationCard: overconfident scorer repaired, ECE drops") {
+    import spark.implicits._
+    // scores cluster in [0.8, 1.0) while only half the labels are
+    // positive — raw ECE ~0.4; the fitted sigmoid collapses toward the
+    // base rate and calibrated ECE must shrink
+    val rows = (0 until 400).map(k =>
+      (0.8 + (k % 20) * 0.01, k % 2))
+    val df = rows.toDF("score", "label")
+    val card = MlPipelines.plattCalibrationCard(df, "score", "label")
+      .collect()
+    assert(card.nonEmpty)
+    val eceRaw = card.head.getAs[Double]("ece_raw")
+    val eceCal = card.head.getAs[Double]("ece_cal")
+    assert(eceRaw > 0.25, s"fixture should be badly calibrated: $eceRaw")
+    assert(eceCal < eceRaw / 4.0,
+      s"Platt must repair the overconfidence: raw=$eceRaw cal=$eceCal")
+    // calibrated means sit near the 0.5 base rate in every occupied bin
+    card.foreach { r =>
+      assert(math.abs(r.getAs[Double]("avg_cal") - 0.5) < 0.05, r.toString)
+    }
+  }
+
   test("oofTargetEncoding: hand-computed leave-one-fold-out means with fallback") {
     import spark.implicits._
     // hashBucket(key, 2) reduces to key % 2 here; cat A spans both folds,
