@@ -171,6 +171,36 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(sel.head.isNullAt(sel.head.fieldIndex("radius")))
   }
 
+  test("labelPropagationPortable: genuinely multi-hop — no direct train mass reaches the chain tail") {
+    import SparkSpec.spark.implicits._
+    def v(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // train anchors: id 0 (label 0) at 0°, id 1 (label 1) at 270°;
+    // test chain (ids ≡ 7 mod 10) walks 25°→50°→75°→100°
+    val rows = Seq(
+      (0L, v(0.0), 0), (1L, v(270.0), 1),
+      (7L, v(25.0), 0), (17L, v(50.0), 0),
+      (27L, v(75.0), 0), (37L, v(100.0), 0))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    // precondition making the test meaningful: the chain tail has NO
+    // non-negative cosine to ANY train vector — zero direct mass
+    val tail = v(100.0).map(_.toDouble)
+    for (anchor <- Seq(v(0.0), v(270.0))) {
+      val cos = tail.zip(anchor.map(_.toDouble)).map { case (a, b) => a * b }.sum
+      assert(cos <= 0.0, s"tail must be invisible to anchors, got $cos")
+    }
+    val cm = SimilarityOps.labelPropagationPortable(df, "vec_id",
+      "embedding", "label", nlist = 1, nprobe = 1, kNbrs = 2, rounds = 4)
+      .collect()
+    // every chain node — including the 3-hop tail — resolves to label 0
+    assert(cm.map(_.getAs[Long]("n_rows")).sum == 4L)
+    assert(cm.forall(r => r.getAs[Int]("actual") == 0 &&
+      r.getAs[Int]("predicted") == 0),
+      s"mass must flow down the chain: ${cm.mkString(";")}")
+  }
+
   test("labelPropagationPortable: planted clusters converge, test set partitions") {
     import SparkSpec.spark.implicits._
     val rows = (0L until 120L).map { i =>
