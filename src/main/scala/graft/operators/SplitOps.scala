@@ -263,8 +263,8 @@ object SplitOps {
       // stratum, never the data
       val tied = d.filter(col("__d") === chain(thr))
         .withColumn("__rn", row_number().over(
-          Window.partitionBy(col("__s")).orderBy(col("__k"))))
-        .filter(col("__rn") <= chain(extra).cast("int"))
+          Window.partitionBy(col("__s")).orderBy(col("__k"))).cast("long"))
+        .filter(col("__rn") <= chain(extra))
         .drop("__rn")
       below.unionByName(tied)
         .select(col("__s").as(stratumCol), col("__k").as(keyCol),
