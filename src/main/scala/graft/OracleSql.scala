@@ -2650,6 +2650,7 @@ object OracleSql {
     "q212_unigram_perplexity" -> q212PerplexitySql,
     "q214_label_propagation" -> q214LabelPropSql,
     "q216_incremental_dedup" -> q216IncrementalDedupSql,
+    "q225_verified_pairs" -> q225VerifiedPairsSql,
     "q219_kcenter_coreset" -> q219KCenterSql,
 
     // exact top-10 cosine retrieval, label-match relevance, macro
@@ -4097,6 +4098,55 @@ object OracleSql {
        |    CAST(NULL AS DOUBLE) AS radius
        |$out)
        |SELECT step, center_id, radius FROM fin ORDER BY step""".stripMargin
+  }
+
+  /** q225 oracle: q27's MinHash/LSH candidate generation, then the exact
+    * Levenshtein verification on 200-char prefixes — integer distances,
+    * one rounded division for the verdict.
+    */
+  private def q225VerifiedPairsSql: String = {
+    val mhs = (0 until 32)
+      .map(s => s"MIN(MD5('$s#' || sh)) AS mh_$s").mkString(",\n    ")
+    val bandArms = (0 until 8).map { b =>
+      val cols = (b * 4 until b * 4 + 4).map(i => s"mh_$i")
+        .mkString(" || '#' || ")
+      s"SELECT doc_id, $b AS band, MD5($cols) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val sim = """CASE WHEN GREATEST(LENGTH(ta.t), LENGTH(tb.t)) > 0 THEN
+                |    ROUND(1.0 - CAST(levenshtein(ta.t, tb.t) AS DOUBLE) /
+                |      CAST(GREATEST(LENGTH(ta.t), LENGTH(tb.t)) AS DOUBLE),
+                |      6)
+                |  ELSE 1.0 END""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+       |    THEN list_transform(range(1, len(tk) - 1),
+       |      i -> array_to_string(tk[i:i+2], ' '))
+       |    ELSE [array_to_string(tk, ' ')] END) AS sh
+       |  FROM toks),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mhs
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandArms),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |txt AS (
+       |  SELECT doc_id, SUBSTRING(TRIM(text), 1, 200) AS t
+       |  FROM documents)
+       |SELECT p.id_a, p.id_b,
+       |  CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS prefix_lev,
+       |  $sim AS prefix_sim,
+       |  CASE WHEN ($sim) >= 0.8 THEN 1 ELSE 0 END AS verified
+       |FROM pairs p
+       |JOIN txt ta ON ta.doc_id = p.id_a
+       |JOIN txt tb ON tb.doc_id = p.id_b
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** q212 oracle: the add-one unigram LM replayed — same train/eval hash

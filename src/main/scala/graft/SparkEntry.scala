@@ -3216,6 +3216,22 @@ object SparkEntry {
         .withColumn("score", (col("o_orderkey") * 7 % 1000) / lit(1000.0)),
       "score", "label")
 
+  // ---------------------------------------------------------------- q225
+  // Candidate-then-VERIFY dedup: q27's MinHash/LSH candidates confirmed
+  // by exact Levenshtein similarity on 200-char prefixes — edit distance
+  // is O(L²) per pair, so it runs only on the banded candidate set (the
+  // production two-stage shape). Integer-exact distances in both
+  // engines; one rounded division decides the verdict.
+  def q225(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = DedupOps.candidatePairs(
+      DedupOps.lshBands(
+        DedupOps.minhashSignatures(docs, "doc_id", "text", 3, 32),
+        "doc_id", 32, 4),
+      "doc_id")
+    DedupOps.verifyCandidatePairs(docs, pairs, "doc_id", "text")
+  }
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3672,6 +3688,7 @@ object SparkEntry {
     "q222_stream_hll" -> (q222 _),
     "q223_retrieval_eval" -> (q223 _),
     "q224_platt_calibration" -> (q224 _),
+    "q225_verified_pairs" -> (q225 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

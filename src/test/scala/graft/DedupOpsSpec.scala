@@ -72,6 +72,30 @@ class DedupOpsSpec extends SparkSpec {
     assert(got == Set(1L, 3L))
   }
 
+  test("verifyCandidatePairs: hand-computed Levenshtein verdicts") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "the quick brown box"),
+      (3L, "completely different content"), (4L, "nothing alike at all"),
+      (5L, ""), (6L, "   "))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val r = DedupOps.verifyCandidatePairs(docs, pairs, "doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x).toMap
+    // one substituted char over 19: sim = 1 - 1/19
+    val p12 = r((1L, 2L))
+    assert(p12.getAs[Long]("prefix_lev") == 1L)
+    assert(p12.getAs[Double]("prefix_sim") ==
+      math.rint((1.0 - 1.0 / 19.0) * 1e6) / 1e6)
+    assert(p12.getAs[Long]("verified") == 1L)
+    assert(r((3L, 4L)).getAs[Long]("verified") == 0L)
+    // both prefixes empty after trim: distance 0, similarity defined as 1
+    val p56 = r((5L, 6L))
+    assert(p56.getAs[Long]("prefix_lev") == 0L)
+    assert(p56.getAs[Double]("prefix_sim") == 1.0)
+    assert(p56.getAs[Long]("verified") == 1L)
+  }
+
   test("incrementalAdmission: exact dup rejected, novel admitted, batch-internal dups pass") {
     val kept = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
