@@ -713,6 +713,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(bnlj <= 2, s"expected only the scalar crossjoins:\n$p")
   }
 
+  test("q216 incremental admission: band-store equi-join, no cartesian anywhere") {
+    val p = finalPlan(SparkEntry.q216(spark, dir))
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!finalSection.contains("CartesianProduct"), p)
+    assert(!finalSection.contains("BroadcastNestedLoopJoin"),
+      "admission must decide on the (band, band_hash) equi-join:\n" + p)
+  }
+
+  test("q218 re-randomization: the 64x explode collapses map-side before one shuffle") {
+    val p = finalPlan(SparkEntry.q218(spark, dir))
+    val finalSection = p.split("== Initial Plan ==").head
+    // partial_sum aggregates must appear below the exchange — the 64x
+    // blow-up never crosses the wire
+    assert(finalSection.contains("partial_count")
+      || finalSection.contains("partial_sum"), p)
+    assert(!finalSection.contains("CartesianProduct"), p)
+  }
+
+  test("q225 pair verification: hash joins only, distance stage after candidate pruning") {
+    val p = finalPlan(SparkEntry.q225(spark, dir))
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!finalSection.contains("CartesianProduct"), p)
+    assert(!finalSection.contains("BroadcastNestedLoopJoin"),
+      "text payloads must join the candidate frame by id:\n" + p)
+    assert(finalSection.contains("levenshtein"),
+      "the verification expression must be in the plan:\n" + p)
+  }
+
   test("populationFeatures: sensor table shuffles at most twice, joins broadcast") {
     import spark.implicits._
     val sensor = (0 until 200).map(i =>
