@@ -58,7 +58,8 @@ class DeterminismSpec extends SparkSpec {
     "q210_correlation_matrix", "q211_woe_iv", "q212_unigram_perplexity",
     "q214_label_propagation", "q215_target_encoding",
     "q216_incremental_dedup", "q217_k_anonymity", "q218_rerandomization",
-    "q219_kcenter_coreset", "q220_ann_recall", "q223_retrieval_eval")
+    "q219_kcenter_coreset", "q220_ann_recall", "q223_retrieval_eval",
+    "q224_platt_calibration", "q225_verified_pairs")
   // q202/q213/q221/q222 are streaming (batch≡stream convergence specs
   // cover them)
   // q145 joins the MLlib exclusion list (L-BFGS trajectory depends on the
