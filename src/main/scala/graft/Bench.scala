@@ -66,8 +66,13 @@ object Bench {
     }
     // a throwing query must be VISIBLE in the bench JSON: its time is
     // reported as -1 and its name lands in "failed" (a swallowed catch
-    // would disguise a broken query as a normal timing entry)
-    val results = selected.toSeq.map { case (name, fn) =>
+    // would disguise a broken query as a normal timing entry).
+    // Each entry also records its run index and start offset from bench
+    // start: cross-round per-query comparisons need to distinguish a code
+    // regression from a transient host-load window, and that diagnosis
+    // requires knowing WHEN in the run each query executed.
+    val seqStart = System.nanoTime()
+    val results = selected.toSeq.zipWithIndex.map { case ((name, fn), i) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -75,13 +80,17 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok,
+        i, (t0 - seqStart) / 1e9)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val order = results.map { case (k, v, _, i, off) =>
+      s"""{"q":"$k","run_index":$i,"start_offset_sec":${math.round(off * 1000) / 1000.0},"sec":$v}"""
+    }.mkString("[", ",", "]")
+    val failed = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, v, true, _, _) => v }.sum
 
     // ---- concurrency section: 4 streams over the mixed set -------------
     // Baseline = the same set once, single-threaded; each stream runs a
@@ -143,7 +152,7 @@ object Bench {
     val cfg = s"""{"cpus":$cpus,"shuffle_partitions":$cpus,""" +
       s""""spark_version":"${spark.version}","n_queries":${results.size}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","config":$cfg,"failed":$failed,"concurrency":$concJson,"queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","config":$cfg,"failed":$failed,"concurrency":$concJson,"order":$order,"queries":$qs}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

@@ -3062,7 +3062,8 @@ object OracleSql {
         |    ROUND(1.0 / (1.0 + EXP(-(fin.b0 + fin.b1 * x))), 6) AS pc
         |  FROM d, fin),
         |b AS (
-        |  SELECT LEAST(CAST(FLOOR(x * 10) AS BIGINT), 9) AS bin,
+        |  SELECT GREATEST(CAST(0 AS BIGINT),
+        |      LEAST(CAST(FLOOR(x * 10) AS BIGINT), 9)) AS bin,
         |    COUNT(*) AS n,
         |    CAST(SUM(CAST(x AS DECIMAL(28,3))) AS DOUBLE) / COUNT(*)
         |      AS avg_raw,
@@ -3159,10 +3160,11 @@ object OracleSql {
         |  FROM pa JOIN tt USING (token) JOIN pc USING (cls), nd),
         |sc AS (
         |  SELECT cls, token, na, ntok,
-        |    ROUND((CAST(n AS DOUBLE) *
-        |        ((ad * dd - bd * cd) * (ad * dd - bd * cd))) /
-        |      (((ad + bd) * (cd + dd)) * ((ad + cd) * (bd + dd))), 6)
-        |      AS chi2
+        |    CASE WHEN ((ad + bd) * (cd + dd)) * ((ad + cd) * (bd + dd)) > 0
+        |      THEN ROUND((CAST(n AS DOUBLE) *
+        |          ((ad * dd - bd * cd) * (ad * dd - bd * cd))) /
+        |        (((ad + bd) * (cd + dd)) * ((ad + cd) * (bd + dd))), 6)
+        |      END AS chi2
         |  FROM ctg),
         |rk AS (
         |  SELECT cls, token, na, ntok, chi2,

@@ -842,7 +842,8 @@ object MlPipelines {
     * SQL (recursive-CTE fit, plain expressions after).
     */
   def plattCalibrationCard(df: DataFrame, scoreCol: String,
-      labelCol: String, iters: Int = 6, bins: Int = 10): DataFrame = {
+      labelCol: String, iters: Int = 6, bins: Int = 10,
+      rawScale: Int = 3): DataFrame = {
     import graft.functions.Stats.dsum
     require(bins >= 2, s"need >= 2 bins, got $bins")
     val d = df.select(col(scoreCol).cast("double").as("x"),
@@ -851,11 +852,17 @@ object MlPipelines {
     val scored = d.withColumn("__pc",
       round(lit(1.0) / (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("x")))), 6))
     val binned = scored
+      // Platt inputs need not live in [0,1] (margins are common) — clamp
+      // BOTH ends so out-of-range raw scores land in the edge bins instead
+      // of producing negative bin ids. `rawScale` is the raw score's true
+      // decimal precision (the dsum contract: exact recovery, never a
+      // rounding decision) — raise it for general-precision scores.
       .withColumn("bin",
-        least(floor(col("x") * bins).cast("long"), lit(bins - 1L)))
+        greatest(lit(0L),
+          least(floor(col("x") * bins).cast("long"), lit(bins - 1L))))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
-        (dsum(col("x"), 3) / count(lit(1))).as("avg_raw"),
+        (dsum(col("x"), rawScale) / count(lit(1))).as("avg_raw"),
         (dsum(col("__pc"), 6) / count(lit(1))).as("avg_cal"),
         (sum(col("y").cast("long")).cast("double") / count(lit(1)))
           .as("pos_rate"))

@@ -165,13 +165,19 @@ object RobustStats {
     // scan — ~log₈ of the value range jobs instead of log₂. Same result
     // as the binary search, a third of the scans.
     while (lo < hi) {
-      val width = hi - lo
-      // width*7 must not overflow; a (contract-violating) near-full-range
-      // domain degrades to plain binary probing instead of going wrong
+      // hi - lo itself overflows Long when min and max sit at opposite
+      // extremes, so the width (and the overflow guard) are computed in
+      // BigInt; a (contract-violating) near-full-range domain degrades to
+      // plain binary probing (floor midpoint, also BigInt-exact) instead
+      // of going wrong
+      val widthB = BigInt(hi) - BigInt(lo)
       val mids =
-        if (width > Long.MaxValue / 8) IndexedSeq(lo + width / 2)
-        else (1 to 7).map(i => lo + Math.floorDiv(width * i, 8))
-          .distinct.filter(m => m >= lo && m < hi)
+        if (widthB > Long.MaxValue / 8) IndexedSeq(lo + (widthB / 2).toLong)
+        else {
+          val width = widthB.toLong
+          (1 to 7).map(i => lo + Math.floorDiv(width * i, 8))
+            .distinct.filter(m => m >= lo && m < hi)
+        }
       val counts = df.agg(
         sum(when(col(colName) <= mids.head, 1L).otherwise(0L)),
         mids.tail.map(m =>
@@ -239,13 +245,29 @@ object RobustStats {
     try {
       val n = slim.count()
       require(n > 0, "madOutlierCard: empty input")
+      // micro-scaling contract, ENFORCED: |value| beyond the bound would
+      // wrap in the long cast above (with ANSI off the wrap is silent and
+      // flips verdicts) — check the RAW double magnitude, since a wrapped
+      // long is indistinguishable from a legitimate one, and fail loudly.
+      val rawMax = df.agg(max(abs(col(valueCol).cast("double")))).head()
+        .getDouble(0)
+      // 4e12 (not 9.2e12): the deviation |__v − med| can reach TWICE the
+      // micro magnitude, and 2·4e18 still fits a Long
+      require(rawMax <= 4.0e12,
+        s"madOutlierCard($valueCol): |value| up to $rawMax exceeds the " +
+          "4e12 micro-scaling contract (long overflow); rescale upstream")
       val k = (n + 1) / 2
       val med = kthSmallestByCounting(slim, "__v", k)
       val dev = slim.withColumn("__d", abs(col("__v") - lit(med)))
       val mad = kthSmallestByCounting(dev, "__d", k)
       dev
         .withColumn("__out",
-          when(col("__d") * 6745L > lit(35000L * mad), 1L).otherwise(0L))
+          // exact DECIMAL(38,0) arithmetic: 6745·d vs 35000·MAD can exceed
+          // Long even inside the enforced domain, and with ANSI off a Long
+          // product would wrap silently and flip verdicts
+          when(col("__d").cast("decimal(38,0)") * lit(6745L) >
+              lit(BigDecimal(35000L) * BigDecimal(mad)).cast("decimal(38,0)"),
+            1L).otherwise(0L))
         .groupBy(col("__s").as(sliceCol))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("__out")).as("n_outliers"))

@@ -185,12 +185,23 @@ object SplitOps {
     * driver map, the [[graft.operators.RobustStats.kthSmallestByCounting]]
     * convention); keys must be unique per row and non-negative.
     * Returns (stratum, key, draw) for the sampled rows.
+    *
+    * Per-stratum search constants reach the rows two ways, SAME results:
+    * up to `literalStrataMax` strata they fold into a literal `when`
+    * chain (fewest plan nodes, fully codegen'd); above it each probe's
+    * constants ship as a broadcast-joined bounds frame instead — a
+    * literal fold over thousands of strata would blow codegen's 64 KB
+    * method limit into interpreted fallback and bloat every task's plan,
+    * while a broadcast hash join of a |strata|-row frame stays flat.
     */
   def stratifiedExactSample(df: DataFrame, stratumCol: String,
-      keyCol: String, num: Int, den: Int, salt: Long = 0L): DataFrame = {
+      keyCol: String, num: Int, den: Int, salt: Long = 0L,
+      literalStrataMax: Int = 100): DataFrame = {
     require(num >= 1 && den >= num,
       s"need 1 <= num <= den, got num=$num den=$den")
     import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
     val p1 = 1000003L
     val p2 = 9999991L
     val id = col(keyCol).cast("long")
@@ -205,10 +216,17 @@ object SplitOps {
         .map(r => r.getString(0) ->
           (r.getLong(1) * num + den - 1) / den)
         .toMap
+      val useLiteral = targets.size <= literalStrataMax
       def chain(m: Map[String, Long]): Column =
         m.foldLeft(lit(Long.MaxValue)) { case (acc, (s, v)) =>
           when(col("__s") === s, lit(v)).otherwise(acc)
         }
+      // attach one per-stratum constant as column `cName`: literal chain
+      // below the strata threshold, broadcast-joined frame above it
+      def withVal(base: DataFrame, m: Map[String, Long],
+          cName: String): DataFrame =
+        if (useLiteral) base.withColumn(cName, chain(m))
+        else base.join(broadcast(m.toSeq.toDF("__s", cName)), "__s")
       // simultaneous 8-ary search for the target-th smallest draw per
       // stratum: every step is ONE scan counting SEVEN per-stratum
       // midpoints (7 conditional-sum aggregates fused in the pass), so
@@ -223,16 +241,31 @@ object SplitOps {
         }.toMap
         // probe j uses each stratum's j-th midpoint (clamped to its last —
         // a duplicate probe costs nothing and keeps the agg shape fixed)
-        def midChain(j: Int): Column =
-          mids.foldLeft(lit(Long.MaxValue)) { case (acc, (s, ms)) =>
-            val m = if (ms.isEmpty) Long.MaxValue
-              else ms(math.min(j, ms.length - 1))
-            when(col("__s") === s, lit(m)).otherwise(acc)
+        def midAt(s: String, j: Int): Long = {
+          val ms = mids(s)
+          if (ms.isEmpty) Long.MaxValue else ms(math.min(j, ms.length - 1))
+        }
+        val probed =
+          if (useLiteral) {
+            def midChain(j: Int): Column =
+              mids.keys.foldLeft(lit(Long.MaxValue)) { case (acc, s) =>
+                when(col("__s") === s, lit(midAt(s, j))).otherwise(acc)
+              }
+            (0 until 7).foldLeft(d) { case (acc, j) =>
+              acc.withColumn(s"__m$j", midChain(j))
+            }
+          } else {
+            val mf = targets.keys.toSeq
+              .map(s => (s, midAt(s, 0), midAt(s, 1), midAt(s, 2),
+                midAt(s, 3), midAt(s, 4), midAt(s, 5), midAt(s, 6)))
+              .toDF("__s", "__m0", "__m1", "__m2", "__m3", "__m4",
+                "__m5", "__m6")
+            d.join(broadcast(mf), "__s")
           }
         val aggs = (0 until 7).map(j =>
-          sum(when(col("__d") <= midChain(j), 1L).otherwise(0L))
+          sum(when(col("__d") <= col(s"__m$j"), 1L).otherwise(0L))
             .as(s"__c$j"))
-        val cnt = d.groupBy(col("__s")).agg(aggs.head, aggs.tail: _*)
+        val cnt = probed.groupBy(col("__s")).agg(aggs.head, aggs.tail: _*)
           .collect()
           .map(r => r.getString(0) ->
             (0 until 7).map(j => r.getLong(1 + j)))
@@ -253,7 +286,9 @@ object SplitOps {
         lo = nlo.toMap; hi = nhi.toMap
       }
       val thr = lo
-      val below = d.filter(col("__d") < chain(thr))
+      val below = withVal(d, thr, "__thr")
+        .filter(col("__d") < col("__thr"))
+        .select(col("__s"), col("__k"), col("__d"))
       val nBelow = below.groupBy(col("__s")).agg(count(lit(1)).as("__c"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val extra = targets.map { case (s, t) =>
@@ -261,11 +296,13 @@ object SplitOps {
       }
       // only threshold-tied rows get ranked — a frame of ≤ ties per
       // stratum, never the data
-      val tied = d.filter(col("__d") === chain(thr))
+      val tied = withVal(
+          withVal(d, thr, "__thr").filter(col("__d") === col("__thr")),
+          extra, "__extra")
         .withColumn("__rn", row_number().over(
           Window.partitionBy(col("__s")).orderBy(col("__k"))).cast("long"))
-        .filter(col("__rn") <= chain(extra))
-        .drop("__rn")
+        .filter(col("__rn") <= col("__extra"))
+        .select(col("__s"), col("__k"), col("__d"))
       below.unionByName(tied)
         .select(col("__s").as(stratumCol), col("__k").as(keyCol),
           col("__d").as("draw"))

@@ -731,12 +731,18 @@ object TextOps {
       .withColumn("__cd", (col("__nc") - col("__a")).cast("double"))
       .withColumn("__dd",
         (col("__n") - col("__nc") - (col("__t") - col("__a"))).cast("double"))
-      .withColumn("chi2", round(
+      .withColumn("__den",
+        ((col("__ad") + col("__bd")) * (col("__cd") + col("__dd"))) *
+         ((col("__ad") + col("__cd")) * (col("__bd") + col("__dd"))))
+      // degenerate margins (e.g. a token present in EVERY document makes
+      // C+D = 0) would give 0/0 = NaN, and NaN sorts above every number in
+      // a descending Spark window — guard to null, which sorts last in
+      // both engines
+      .withColumn("chi2", when(col("__den") > 0.0, round(
         (col("__n").cast("double") *
           ((col("__ad") * col("__dd") - col("__bd") * col("__cd")) *
            (col("__ad") * col("__dd") - col("__bd") * col("__cd")))) /
-        (((col("__ad") + col("__bd")) * (col("__cd") + col("__dd"))) *
-         ((col("__ad") + col("__cd")) * (col("__bd") + col("__dd")))), 6))
+        col("__den"), 6)))
     val w = Window.partitionBy(col("cls"))
       .orderBy(col("chi2").desc, col("token").asc)
     d.withColumn("rank", row_number().over(w).cast("long"))

@@ -501,6 +501,28 @@ class MlPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("plattCalibrationCard: negative margins clamp into bin 0, never negative bins") {
+    import spark.implicits._
+    // raw Platt inputs are often margins, not probabilities — scores in
+    // [-2, 2] must land in [0, bins) (the unclamped floor gave bin -20
+    // for score -2), and the monotone margin still calibrates
+    val rows = (0 until 400).map { k =>
+      val margin = -2.0 + (k % 40) * 0.1
+      (margin, if (margin > 0.0) 1 else 0)
+    }
+    val card = MlPipelines.plattCalibrationCard(
+      rows.toDF("score", "label"), "score", "label", rawScale = 6)
+      .collect()
+    val binIds = card.map(_.getAs[Long]("bin"))
+    assert(binIds.forall(b => b >= 0L && b <= 9L), binIds.mkString(","))
+    assert(binIds.min == 0L && binIds.max == 9L)
+    // everything below 0 pools into bin 0; its calibrated mean must sit
+    // well under the positive tail's
+    val byBin = card.map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(byBin(0L).getAs[Double]("avg_cal") <
+      byBin(9L).getAs[Double]("avg_cal"))
+  }
+
   test("oofTargetEncoding: hand-computed leave-one-fold-out means with fallback") {
     import spark.implicits._
     // hashBucket(key, 2) reduces to key % 2 here; cat A spans both folds,

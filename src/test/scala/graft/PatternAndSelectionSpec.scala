@@ -42,6 +42,18 @@ class PatternAndSelectionSpec extends SparkSpec {
     }
   }
 
+  test("kthSmallestByCounting: opposite-extreme values don't overflow the width") {
+    // hi − lo overflows Long here; the BigInt width/midpoint keeps the
+    // search correct instead of producing negative midpoints
+    val xs = Seq(Long.MinValue + 3, -5L, 0L, 7L, Long.MaxValue - 3)
+    val df = xs.toDF("x")
+    val sorted = xs.sorted
+    (1 to xs.size).foreach { k =>
+      assert(RobustStats.kthSmallestByCounting(df, "x", k.toLong)
+        == sorted(k - 1), s"rank $k")
+    }
+  }
+
   test("orderStatsBounded: every rank matches the counting search, with ties") {
     val xs = Seq(5L, 3L, 9L, 3L, 7L, 1L, 9L, 9L, 2L, 4L)
     val df = xs.toDF("x")

@@ -96,4 +96,42 @@ class SplitOpsSpec extends SparkSpec {
       1, 10).select($"s", $"k").as[(String, Long)].collect().toSet
     assert(again == mine)
   }
+
+  test("stratifiedExactSample: 1200 strata take the broadcast-join path, exact allocation") {
+    val rows = (0 until 1200).flatMap { s =>
+      (0 until s % 5 + 1).map(j => (s.toLong * 10 + j, f"s$s%04d"))
+    }
+    val df = rows.toDF("k", "s")
+    // a codegen compile failure (e.g. a when-fold blowing the 64 KB method
+    // limit) must THROW here, not silently fall back to interpreted mode
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val sample = SplitOps.stratifiedExactSample(df, "s", "k", 1, 2)
+      // plan audit: above literalStrataMax the per-stratum constants reach
+      // the rows via a broadcast hash join, not a literal when chain
+      assert(sample.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "expected the bounds-frame broadcast join in the executed plan")
+      val got = sample.groupBy("s").count().as[(String, Long)]
+        .collect().toMap
+      (0 until 1200).foreach { s =>
+        val n = (s % 5 + 1).toLong
+        assert(got(f"s$s%04d") == (n + 1) / 2,
+          s"stratum s$s: ${got(f"s$s%04d")} vs ceil($n/2)")
+      }
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
+  test("stratifiedExactSample: literal and broadcast-join paths select identical rows") {
+    val rows = (1L to 900L).map(i => (i, s"g${i % 150}"))
+    val df = rows.toDF("k", "s")
+    val viaLiteral = SplitOps.stratifiedExactSample(df, "s", "k", 1, 3,
+        literalStrataMax = 1000)
+      .select($"s", $"k").as[(String, Long)].collect().toSet
+    val viaJoin = SplitOps.stratifiedExactSample(df, "s", "k", 1, 3,
+        literalStrataMax = 10)
+      .select($"s", $"k").as[(String, Long)].collect().toSet
+    assert(viaLiteral == viaJoin)
+    assert(viaLiteral.nonEmpty)
+  }
 }

@@ -328,4 +328,24 @@ class SurvivalAndSketchSpec extends SparkSpec {
     assert(rc("y").getAs[Long]("n_outliers") == 1L)
     assert(rc("x").getAs[Long]("n_outliers") == 0L)
   }
+
+  test("madOutlierCard: out-of-contract magnitudes fail loudly, in-contract extremes stay exact") {
+    import SparkSpec.spark.implicits._
+    // beyond the 4e12 micro-scaling contract the long cast would wrap and
+    // silently flip verdicts — the guard must throw instead
+    val tooBig = Seq(("a", 5.0e12), ("a", 1.0), ("a", 2.0)).toDF("s", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.RobustStats.madOutlierCard(tooBig, "s", "v").collect()
+    }
+    assert(e.getMessage.contains("micro-scaling contract"))
+    // inside the contract, a deviation of ~6e18 micro-units exceeds what
+    // the old Long verdict product (6745·d) could hold — the decimal
+    // arithmetic must still flag the planted extreme and nothing else
+    val rows = (1 to 20).map(i => ("in", 3.0e12 + i)) :+ (("out", -3.0e12))
+    val r = graft.operators.RobustStats
+      .madOutlierCard(rows.toDF("s", "v"), "s", "v")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("out").getAs[Long]("n_outliers") == 1L)
+    assert(r("in").getAs[Long]("n_outliers") == 0L)
+  }
 }

@@ -36,6 +36,27 @@ class TextOpsSpec extends SparkSpec {
     assert(r2.map(_.toString).sorted.toSeq == r.map(_.toString).sorted.toSeq)
   }
 
+  test("chiSquareTokens: a token in EVERY document gets null chi2, never rank 1") {
+    // (C+D) = 0 for the ubiquitous token — the unguarded ratio would be
+    // 0/0 = NaN, which sorts ABOVE every number in a descending window
+    // and would steal rank 1 in every class
+    val docs = Seq(
+      (1L, "the marker one", "en"), (2L, "the marker two", "en"),
+      (3L, "the plain three", "en"),
+      (4L, "the autre quatre", "fr"), (5L, "the autre cinq", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextOps.chiSquareTokens(docs, "doc_id", "text", "lang",
+      k = 20, minDf = 1L).collect()
+    val ubiquitous = r.filter(_.getAs[String]("token") == "the")
+    assert(ubiquitous.nonEmpty)
+    assert(ubiquitous.forall(x => x.isNullAt(x.fieldIndex("chi2"))))
+    assert(ubiquitous.forall(_.getAs[Long]("rank") > 1L))
+    // real discriminative tokens still take rank 1
+    val en1 = r.filter(x => x.getAs[String]("cls") == "en" &&
+      x.getAs[Long]("rank") == 1L).head
+    assert(en1.getAs[String]("token") == "marker")
+  }
+
   test("chiSquareTokens: ranks bounded by k and chi2 non-negative on real docs") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val r = TextOps.chiSquareTokens(docs, "doc_id", "text", "lang").collect()
