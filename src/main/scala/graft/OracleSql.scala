@@ -1755,57 +1755,11 @@ object OracleSql {
         |GROUP BY e.label
         |ORDER BY e.label""".stripMargin,
 
-    "q182_ivf_portable" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-        |  FROM embeddings WHERE vec_id < 200),
-        |drawn AS (
-        |  SELECT vec_id, emb,
-        |    ((((((vec_id % 1000003) * 2654435761) % 1000003)
-        |        + (vec_id // 1000003)) % 9999991) * 22695477) % 9999991 AS d
-        |  FROM e),
-        |cent AS (
-        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY d, vec_id) - 1 AS INT)
-        |      AS centroid_id,
-        |    emb AS centroid
-        |  FROM (SELECT * FROM drawn ORDER BY d, vec_id LIMIT 8)),
-        |assign AS (
-        |  SELECT vec_id, emb, centroid_id FROM (
-        |    SELECT e.vec_id, e.emb, c.centroid_id,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-        |        ROUND(list_inner_product(e.emb, c.centroid) /
-        |          (SQRT(list_inner_product(e.emb, e.emb)) *
-        |           SQRT(list_inner_product(c.centroid, c.centroid))), 6)
-        |          DESC,
-        |        c.centroid_id) AS rn
-        |    FROM e, cent c)
-        |  WHERE rn = 1),
-        |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 20),
-        |probes AS (
-        |  SELECT q_id, qe, centroid_id FROM (
-        |    SELECT q.q_id, q.qe, c.centroid_id,
-        |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
-        |        ROUND(list_inner_product(q.qe, c.centroid) /
-        |          (SQRT(list_inner_product(q.qe, q.qe)) *
-        |           SQRT(list_inner_product(c.centroid, c.centroid))), 6)
-        |          DESC,
-        |        c.centroid_id) AS pr
-        |    FROM q, cent c)
-        |  WHERE pr <= 3),
-        |cand AS (
-        |  SELECT p.q_id, a.vec_id,
-        |    ROUND(list_inner_product(a.emb, p.qe) /
-        |      (SQRT(list_inner_product(a.emb, a.emb)) *
-        |       SQRT(list_inner_product(p.qe, p.qe))), 6) AS cosine
-        |  FROM assign a JOIN probes p USING (centroid_id)
-        |  WHERE p.q_id <> a.vec_id)
-        |SELECT q_id, vec_id, cosine, rank FROM (
-        |  SELECT *, CAST(ROW_NUMBER() OVER (
-        |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT)
-        |    AS rank
-        |  FROM cand)
-        |WHERE rank <= 3
-        |ORDER BY q_id, rank""".stripMargin,
+    "q182_ivf_portable" -> ivfPortableSql,
+    // the persisted-index search consumes the identical pipeline's
+    // written artifact — layout must be invisible in the answer, so the
+    // oracle is shared verbatim
+    "q226_ivf_persisted" -> ivfPortableSql,
 
     // q182's congruential anchor draw sliced per subspace; round-6
     // squared-L2 argmin assignment; decimal-sum distortion profile
@@ -5061,6 +5015,62 @@ object OracleSql {
     * libm), additive counters, ALL-merge by summing, rank selection over
     * the cumulative bins.
     */
+  /** Shared by q182 (in-memory IVF) and q226 (persisted-index IVF): the
+    * index layout on disk must be invisible in the answer, so both replay
+    * the same draw → assign → probe → rank pipeline.
+    */
+  private def ivfPortableSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings WHERE vec_id < 200),
+      |drawn AS (
+      |  SELECT vec_id, emb,
+      |    ((((((vec_id % 1000003) * 2654435761) % 1000003)
+      |        + (vec_id // 1000003)) % 9999991) * 22695477) % 9999991 AS d
+      |  FROM e),
+      |cent AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY d, vec_id) - 1 AS INT)
+      |      AS centroid_id,
+      |    emb AS centroid
+      |  FROM (SELECT * FROM drawn ORDER BY d, vec_id LIMIT 8)),
+      |assign AS (
+      |  SELECT vec_id, emb, centroid_id FROM (
+      |    SELECT e.vec_id, e.emb, c.centroid_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |        ROUND(list_inner_product(e.emb, c.centroid) /
+      |          (SQRT(list_inner_product(e.emb, e.emb)) *
+      |           SQRT(list_inner_product(c.centroid, c.centroid))), 6)
+      |          DESC,
+      |        c.centroid_id) AS rn
+      |    FROM e, cent c)
+      |  WHERE rn = 1),
+      |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 20),
+      |probes AS (
+      |  SELECT q_id, qe, centroid_id FROM (
+      |    SELECT q.q_id, q.qe, c.centroid_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+      |        ROUND(list_inner_product(q.qe, c.centroid) /
+      |          (SQRT(list_inner_product(q.qe, q.qe)) *
+      |           SQRT(list_inner_product(c.centroid, c.centroid))), 6)
+      |          DESC,
+      |        c.centroid_id) AS pr
+      |    FROM q, cent c)
+      |  WHERE pr <= 3),
+      |cand AS (
+      |  SELECT p.q_id, a.vec_id,
+      |    ROUND(list_inner_product(a.emb, p.qe) /
+      |      (SQRT(list_inner_product(a.emb, a.emb)) *
+      |       SQRT(list_inner_product(p.qe, p.qe))), 6) AS cosine
+      |  FROM assign a JOIN probes p USING (centroid_id)
+      |  WHERE p.q_id <> a.vec_id)
+      |SELECT q_id, vec_id, cosine, rank FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT)
+      |    AS rank
+      |  FROM cand)
+      |WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin
+
   private def logBinQuantileSql: String =
     """WITH d AS (
       |  SELECT l_returnflag AS grp, CAST(l_extendedprice AS DOUBLE) AS v

@@ -3232,6 +3232,31 @@ object SparkEntry {
     DedupOps.verifyCandidatePairs(docs, pairs, "doc_id", "text")
   }
 
+  // ---------------------------------------------------------------- q226
+  // Persisted-IVF-index search: q182's exact pipeline, but the index is
+  // written to disk (centroids parquet + assignments PARTITIONED BY list
+  // id) and the search runs over the READ-BACK artifact with the probed
+  // list ids pushed as a literal filter — the scan statically prunes to
+  // the probed directories (IvfIndexSpec audits the PartitionFilters).
+  // At 100 TB the index is built once and consumed by every ANN query;
+  // this query proves the persisted path is hash-identical to the
+  // in-memory build (shared q182 oracle).
+  def q226(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings").filter(col("vec_id") < 200)
+    val cents = SimilarityOps.ivfCentroidsPortable(
+      e, "vec_id", "embedding", nlist = 8)
+    val assigned = SimilarityOps.ivfAssign(
+      e, "vec_id", "embedding", cents, simRound = Some(6))
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index"
+    SimilarityOps.writeIvfIndex(assigned, cents, root)
+    val (idxAssigned, idxCents) = SimilarityOps.readIvfIndex(spark, root)
+    SimilarityOps.ivfSearchBatch(idxAssigned, "vec_id",
+        e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        idxCents, nprobe = 3, k = 3, excludeSameId = true,
+        simRound = Some(6), pruneByList = true)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3689,6 +3714,7 @@ object SparkEntry {
     "q223_retrieval_eval" -> (q223 _),
     "q224_platt_calibration" -> (q224 _),
     "q225_verified_pairs" -> (q225 _),
+    "q226_ivf_persisted" -> (q226 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

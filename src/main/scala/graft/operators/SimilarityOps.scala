@@ -383,7 +383,8 @@ object SimilarityOps {
       queries: DataFrame, queryId: String, queryVec: String,
       centroids: DataFrame, nprobe: Int, k: Int,
       excludeSameId: Boolean = false,
-      simRound: Option[Int] = None): DataFrame = {
+      simRound: Option[Int] = None,
+      pruneByList: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(queryId).as("q_id"),
       col(queryVec).cast("array<double>").as("qe"))
@@ -400,7 +401,20 @@ object SimilarityOps {
       .select(col("centroid_id"), col("q_id"), col("qe"))
     val wk = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col(idCol).asc)
-    val candidates = assigned
+    // pruneByList: over a PERSISTED index ([[writeIvfIndex]] lays the
+    // assignments out partitioned by list id) the union of probed list ids
+    // — at most nlist driver-bounded values, the counting-search
+    // convention — is pushed as a LITERAL filter, so the scan statically
+    // prunes to the probed directories instead of reading every list and
+    // joining it away. Identical rows either way (the probe join already
+    // restricts per query; the literal filter is its list-union superset).
+    val scanned =
+      if (pruneByList) {
+        val listIds = probes.select(col("centroid_id")).distinct()
+          .collect().map(_.get(0)).toSeq
+        assigned.filter(col("centroid_id").isInCollection(listIds))
+      } else assigned
+    val candidates = scanned
       .join(broadcast(probes), Seq("centroid_id"))
     val filtered =
       if (excludeSameId) candidates.filter(col("q_id") =!= col(idCol))
@@ -492,6 +506,59 @@ object SimilarityOps {
         round(cosineNative(col("emb"), qCol), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Persist an IVF index as a reusable ARTIFACT — at corpus scale the
+    * index IS the deliverable, rebuilt never, consumed by every ANN query:
+    *
+    *   - `root/centroids`: the coarse quantizer (nlist rows, plain
+    *     parquet) — model parameters, broadcast-sized by construction;
+    *   - `root/assigned`: the corpus assignments written PARTITIONED BY
+    *     list id, so a probe of the persisted index prunes the scan to
+    *     the probed directories (1/nlist of the data per probe) instead
+    *     of reading everything and joining it away.
+    *
+    * Append convention (the q216 additive-state shape): centroids are
+    * FROZEN at build time; [[appendIvfIndex]] assigns each new batch
+    * against the frozen quantizer (one broadcast join per ingest, no
+    * recluster, no touch of existing list files) and appends its rows
+    * into the same partition layout. Re-clustering is an explicit
+    * rebuild, never an implicit side effect of ingest.
+    */
+  def writeIvfIndex(assigned: DataFrame, centroids: DataFrame,
+      root: String): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$root/centroids")
+    assigned.write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$root/assigned")
+  }
+
+  /** Read a persisted IVF index back: (assignments, centroids). The
+    * assignment frame restores [[ivfAssign]]'s column order and list-id
+    * type (partition-column read-back infers int and reorders columns
+    * last — callers must see the exact frame [[writeIvfIndex]] was given).
+    */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String): (DataFrame, DataFrame) = {
+    val cents = spark.read.parquet(s"$root/centroids")
+    val assignedRaw = spark.read.parquet(s"$root/assigned")
+    val others = assignedRaw.columns.toIndexedSeq.filter(_ != "centroid_id")
+    val assigned = assignedRaw.select(
+      others.map(col) :+ col("centroid_id").cast("int"): _*)
+    (assigned, cents)
+  }
+
+  /** Incremental ingest into a persisted IVF index: assign `newVectors`
+    * against the index's FROZEN centroids and append into the partitioned
+    * layout. One broadcast join per batch — the daily-ingest cost is
+    * O(batch), independent of index size.
+    */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      newVectors: DataFrame, idCol: String, vecCol: String, root: String,
+      simRound: Option[Int] = None): Unit = {
+    val cents = spark.read.parquet(s"$root/centroids")
+    ivfAssign(newVectors, idCol, vecCol, cents, simRound)
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$root/assigned")
   }
 
   /** Scalar int8 quantization of an embedding column: per-dimension affine

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SimilarityOps
+
+/** Persisted IVF index (q226): the index artifact round-trips losslessly,
+  * the persisted search is row-identical to the in-memory path, the scan
+  * statically prunes to the probed list directories, and incremental
+  * appends against the frozen quantizer converge to the full build.
+  */
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def emb = Tables.load(spark, dir, "embeddings")
+    .filter(col("vec_id") < 120)
+
+  test("persisted search is row-identical to the in-memory path and prunes partitions") {
+    val cents = SimilarityOps.ivfCentroidsPortable(
+      emb, "vec_id", "embedding", nlist = 8)
+    val assigned = SimilarityOps.ivfAssign(
+      emb, "vec_id", "embedding", cents, simRound = Some(6))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivf_spec").toString
+    SimilarityOps.writeIvfIndex(assigned, cents, root)
+    val (ia, ic) = SimilarityOps.readIvfIndex(spark, root)
+    // lossless round-trip of the assignment frame itself
+    assert(ia.columns.toSeq == assigned.columns.toSeq)
+    assert(ia.count() == assigned.count())
+
+    val queries = emb.filter(col("vec_id") < 10)
+    def run(a: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame, prune: Boolean) =
+      SimilarityOps.ivfSearchBatch(a, "vec_id", queries, "vec_id",
+        "embedding", c, nprobe = 3, k = 3, excludeSameId = true,
+        simRound = Some(6), pruneByList = prune)
+    val mem = run(assigned, cents, prune = false)
+      .collect().map(_.toString).sorted.toSeq
+    val per = run(ia, ic, prune = true)
+    val got = per.collect().map(_.toString).sorted.toSeq
+    assert(got == mem)
+
+    // plan audit: the probed list ids reach the scan as STATIC partition
+    // filters (the index layout pays off as directory pruning), and the
+    // persisted path never re-draws centroids (no congruential __draw)
+    val plan = per.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("assigned"))
+      .orElse(plan.linesIterator.find(_.contains("PartitionFilters: [")))
+    assert(scanLine.exists(_.contains("centroid_id")),
+      s"expected centroid_id partition filters on the index scan:\n$plan")
+    assert(!plan.contains("__draw"),
+      "persisted path must not re-derive centroids from the corpus")
+  }
+
+  test("appendIvfIndex: incremental batches equal the frozen-centroid full build") {
+    val batch1 = emb.filter(col("vec_id") < 60)
+    val batch2 = emb.filter(col("vec_id") >= 60)
+    val cents = SimilarityOps.ivfCentroidsPortable(
+      batch1, "vec_id", "embedding", nlist = 8)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivf_append").toString
+    SimilarityOps.writeIvfIndex(
+      SimilarityOps.ivfAssign(batch1, "vec_id", "embedding", cents,
+        simRound = Some(6)),
+      cents, root)
+    SimilarityOps.appendIvfIndex(spark, batch2, "vec_id", "embedding",
+      root, simRound = Some(6))
+    val (ia, _) = SimilarityOps.readIvfIndex(spark, root)
+    // the incremental index must equal assigning the FULL corpus against
+    // the frozen batch-1 quantizer (appends never recluster)
+    val full = SimilarityOps.ivfAssign(emb, "vec_id", "embedding", cents,
+      simRound = Some(6))
+      .select(col("vec_id"), col("centroid_id"))
+      .as[(Long, Int)].collect().toSet
+    val got = ia.select(col("vec_id"), col("centroid_id"))
+      .as[(Long, Int)].collect().toSet
+    assert(got == full)
+    assert(got.size == emb.count())
+  }
+}
