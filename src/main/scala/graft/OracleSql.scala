@@ -2605,6 +2605,7 @@ object OracleSql {
     "q214_label_propagation" -> q214LabelPropSql,
     "q216_incremental_dedup" -> q216IncrementalDedupSql,
     "q225_verified_pairs" -> q225VerifiedPairsSql,
+    "q227_ingest_dedup" -> q227IngestDedupSql,
     "q219_kcenter_coreset" -> q219KCenterSql,
 
     // exact top-10 cosine retrieval, label-match relevance, macro
@@ -4008,6 +4009,102 @@ object OracleSql {
        |    END AS admitted
        |FROM (SELECT doc_id FROM toks WHERE b >= 7) nd
        |LEFT JOIN coll USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q227 oracle: the three-wave admit-and-verify ingest replayed — the
+    * q216 minhash/band machinery with the hash-bucket wave split, q225's
+    * exact Levenshtein arithmetic run only on each wave's banded
+    * collisions against the PREVIOUSLY-ADMITTED store, admitted sets
+    * chained wave over wave.
+    */
+  private def q227IngestDedupSql: String = {
+    val mhs = (0 until 32)
+      .map(s => s"MIN(MD5('$s#' || sh)) AS mh_$s").mkString(",\n    ")
+    val bandArms = (0 until 8).map { b =>
+      val cols = (b * 4 until b * 4 + 4).map(i => s"mh_$i")
+        .mkString(" || '#' || ")
+      s"SELECT doc_id, w, $b AS band, MD5($cols) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val sim = """CASE WHEN GREATEST(LENGTH(ta.t), LENGTH(tb.t)) > 0 THEN
+                |      ROUND(1.0 - CAST(levenshtein(ta.t, tb.t) AS DOUBLE) /
+                |        CAST(GREATEST(LENGTH(ta.t), LENGTH(tb.t)) AS DOUBLE),
+                |        6)
+                |    ELSE 1.0 END""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS tk,
+       |    CASE WHEN ((doc_id % 1000003) * 2654435761) % 10 < 4 THEN 0
+       |         WHEN ((doc_id % 1000003) * 2654435761) % 10 < 7 THEN 1
+       |         ELSE 2 END AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, w, unnest(CASE WHEN len(tk) >= 3
+       |    THEN list_transform(range(1, len(tk) - 1),
+       |      i -> array_to_string(tk[i:i+2], ' '))
+       |    ELSE [array_to_string(tk, ' ')] END) AS sh
+       |  FROM toks),
+       |sig AS (
+       |  SELECT doc_id, w,
+       |    $mhs
+       |  FROM sh GROUP BY doc_id, w),
+       |bands AS (
+       |  $bandArms),
+       |txt AS (
+       |  SELECT doc_id, SUBSTRING(TRIM(text), 1, 200) AS t
+       |  FROM documents),
+       |adm0 AS (SELECT doc_id FROM toks WHERE w = 0),
+       |c1 AS (
+       |  SELECT DISTINCT k.doc_id AS kept, n.doc_id AS doc_id
+       |  FROM bands n JOIN bands k ON k.band = n.band AND k.bh = n.bh
+       |  WHERE n.w = 1 AND k.w = 0),
+       |v1 AS (
+       |  SELECT c1.doc_id, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       |    CAST(SUM(CASE WHEN ($sim) >= 0.8 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_verified
+       |  FROM c1 JOIN txt ta ON ta.doc_id = c1.kept
+       |    JOIN txt tb ON tb.doc_id = c1.doc_id
+       |  GROUP BY c1.doc_id),
+       |r1 AS (
+       |  SELECT t.doc_id,
+       |    CAST(COALESCE(v1.n_candidates, 0) AS BIGINT) AS n_candidates,
+       |    CAST(COALESCE(v1.n_verified, 0) AS BIGINT) AS n_verified,
+       |    CASE WHEN COALESCE(v1.n_verified, 0) = 0
+       |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS admitted
+       |  FROM (SELECT doc_id FROM toks WHERE w = 1) t
+       |  LEFT JOIN v1 USING (doc_id)),
+       |keep2 AS (
+       |  SELECT doc_id FROM adm0
+       |  UNION ALL SELECT doc_id FROM r1 WHERE admitted = 1),
+       |c2 AS (
+       |  SELECT DISTINCT k.doc_id AS kept, n.doc_id AS doc_id
+       |  FROM bands n JOIN bands k ON k.band = n.band AND k.bh = n.bh
+       |  JOIN keep2 ON keep2.doc_id = k.doc_id
+       |  WHERE n.w = 2),
+       |v2 AS (
+       |  SELECT c2.doc_id, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       |    CAST(SUM(CASE WHEN ($sim) >= 0.8 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_verified
+       |  FROM c2 JOIN txt ta ON ta.doc_id = c2.kept
+       |    JOIN txt tb ON tb.doc_id = c2.doc_id
+       |  GROUP BY c2.doc_id),
+       |r2 AS (
+       |  SELECT t.doc_id,
+       |    CAST(COALESCE(v2.n_candidates, 0) AS BIGINT) AS n_candidates,
+       |    CAST(COALESCE(v2.n_verified, 0) AS BIGINT) AS n_verified,
+       |    CASE WHEN COALESCE(v2.n_verified, 0) = 0
+       |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS admitted
+       |  FROM (SELECT doc_id FROM toks WHERE w = 2) t
+       |  LEFT JOIN v2 USING (doc_id))
+       |SELECT doc_id, wave, n_candidates, n_verified, admitted FROM (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS wave,
+       |    CAST(0 AS BIGINT) AS n_candidates,
+       |    CAST(0 AS BIGINT) AS n_verified,
+       |    CAST(1 AS BIGINT) AS admitted
+       |  FROM adm0
+       |  UNION ALL SELECT doc_id, CAST(1 AS BIGINT) AS wave,
+       |    n_candidates, n_verified, admitted FROM r1
+       |  UNION ALL SELECT doc_id, CAST(2 AS BIGINT) AS wave,
+       |    n_candidates, n_verified, admitted FROM r2)
        |ORDER BY doc_id""".stripMargin
   }
 

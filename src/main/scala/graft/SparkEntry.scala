@@ -3257,6 +3257,23 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- q227
+  // Dedup-on-ingest capstone: q216's persisted band-store admission and
+  // q225's Levenshtein verification composed into one ingest stage — a
+  // band collision alone no longer rejects; edit distance runs on exactly
+  // the banded (kept, new) pairs and only a verified near-dup blocks
+  // admission. Three deterministic hash-bucket waves replay the admission
+  // history (wave 0 seeds the store); the streaming foreachBatch form is
+  // proven row-identical in IngestDedupSpec. Per-ingest cost is
+  // O(batch + collisions), independent of corpus size.
+  def q227(spark: SparkSession, dir: String): DataFrame = {
+    val b = SplitOps.hashBucket(col("doc_id"), 10)
+    DedupOps.dedupIngestWaves(
+      t(spark, dir, "documents"),
+      when(b < 4, 0).when(b < 7, 1).otherwise(2),
+      "doc_id", "text", waves = 3)
+  }
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3715,6 +3732,7 @@ object SparkEntry {
     "q224_platt_calibration" -> (q224 _),
     "q225_verified_pairs" -> (q225 _),
     "q226_ivf_persisted" -> (q226 _),
+    "q227_ingest_dedup" -> (q227 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -608,6 +608,90 @@ object StreamingOps {
       .orderBy(col("grp"))
   }
 
+  /** Streaming dedup-on-ingest — the production shape of the WHOLE dedup
+    * family in one stage, chaining q216's persisted band-store admission
+    * with q225's Levenshtein verification inside `foreachBatch`: each
+    * micro-batch reads the store the previous batches admitted, bands its
+    * docs, verifies ONLY the banded collisions with exact edit distance,
+    * writes its verdicts, and appends the admitted docs' bands + prefixes
+    * back into the store ([[graft.operators.DedupOps.admitVerifyBatch]]).
+    * Per-ingest cost is O(batch + collisions), independent of corpus size
+    * — the store is additive state, never recomputed.
+    *
+    * Convergence contract (the q213/q221/q222 convention, but for an
+    * ORDER-DEPENDENT operator): admission history depends on batch
+    * boundaries, so the stream is pinned to deterministic boundaries —
+    * one parquet file per wave under `wavesDir`, `maxFilesPerTrigger=1`,
+    * ascending modification time — and then converges row-for-row to
+    * [[graft.operators.DedupOps.dedupIngestWaves]] replaying the same
+    * waves as one batch plan (IngestDedupSpec pins it). The verdict write
+    * is keyed by batchId and OVERWRITES its own directory (the
+    * streamingCurationStore idempotence convention: foreachBatch is
+    * at-least-once; a blind append would double verdicts under retry).
+    */
+  def streamingDedupIngest(spark: SparkSession, wavesDir: String,
+      idCol: String, textCol: String, storeRoot: String,
+      shingleSize: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 4,
+      prefixLen: Int = 200, minSim: Double = 0.8): DataFrame = {
+    import graft.operators.DedupOps
+    val schema = spark.read.parquet(wavesDir).schema
+    // every store write is keyed by batchId and OVERWRITES its own
+    // batch=<id> directory — a retried micro-batch replaces its own state
+    // instead of appending duplicates (foreachBatch is at-least-once).
+    // Read-back drops the inferred `batch` layout column.
+    def storePart(name: String, like: DataFrame): DataFrame = {
+      val d = new java.io.File(s"$storeRoot/$name")
+      val hasData = d.isDirectory && d.listFiles()
+        .exists(f => f.isDirectory && f.getName.startsWith("batch="))
+      if (hasData)
+        spark.read.parquet(d.toString)
+          .select(like.columns.toIndexedSeq.map(col): _*)
+      else like.limit(0)
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(wavesDir)
+    val writer: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val likeBands = DedupOps.lshBands(DedupOps.minhashSignatures(
+        batch.limit(0), idCol, textCol, shingleSize, numHashes),
+        idCol, numHashes, rowsPerBand)
+      val likeTexts = batch.limit(0).select(col(idCol),
+        substring(trim(col(textCol)), 1, prefixLen).as("prefix"))
+      val bands = storePart("bands", likeBands)
+      val texts = storePart("texts", likeTexts)
+      val (verdicts, _, _) = DedupOps.admitVerifyBatch(
+        bands, texts, batch, idCol, textCol, shingleSize, numHashes,
+        rowsPerBand, prefixLen, minSim)
+      // verdicts reflect the PRE-batch store; write them FIRST, then
+      // derive the admitted set from the WRITTEN file — the state appends
+      // below mutate the store, and a lazily recomputed verdict plan
+      // would re-read it mid-mutation
+      verdicts.withColumn("wave", lit(batchId))
+        .write.mode("overwrite").parquet(s"$storeRoot/verdicts/batch=$batchId")
+      val admitted = spark.read
+        .parquet(s"$storeRoot/verdicts/batch=$batchId")
+        .filter(col("admitted") === 1L).select(col(idCol))
+      DedupOps.lshBands(DedupOps.minhashSignatures(
+          batch, idCol, textCol, shingleSize, numHashes),
+          idCol, numHashes, rowsPerBand)
+        .join(admitted, Seq(idCol))
+        .write.mode("overwrite").parquet(s"$storeRoot/bands/batch=$batchId")
+      batch.select(col(idCol),
+          substring(trim(col(textCol)), 1, prefixLen).as("prefix"))
+        .join(admitted, Seq(idCol))
+        .write.mode("overwrite").parquet(s"$storeRoot/texts/batch=$batchId")
+    }
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch(writer)
+      .option("checkpointLocation", s"$storeRoot/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(s"$storeRoot/verdicts")
+      .select(col(idCol), col("wave").cast("long").as("wave"),
+        col("n_candidates"), col("n_verified"), col("admitted"))
+      .orderBy(col(idCol))
+  }
+
   /** Streaming COUNT-MIN build ≡ batch (q123's twin — the third member
     * of the streaming-sketch family after the quantile log-bins q202 and
     * the Bloom bits q213): the sketch is maintained as a streaming
