@@ -43,15 +43,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: touch every table once so first-scan + codegen setup cost
-    // is not attributed to whichever query happens to run first. Per-table
-    // try/catch: one unreadable table must not zero the whole artifact —
-    // its queries report -1 below, everything else still gets timed.
-    // NonFatal only: an OutOfMemoryError means the JVM is compromised and
-    // any timings after it would be fiction — let it kill the run.
+    // is not attributed to whichever query happens to run first. A bare
+    // count() is NOT enough — parquet count pushdown answers it from
+    // footers without reading a single data page, so whichever query
+    // first scanned a cold table paid its full disk read (measured: q134
+    // at 5.8 s cold vs 0.76 s warm — the round-8 "regression" cluster was
+    // exactly this). Hashing every column forces the data pages through
+    // the OS cache, making per-query timings comparable across rounds.
+    // Per-table try/catch: one unreadable table must not zero the whole
+    // artifact — its queries report -1 below, everything else still gets
+    // timed. NonFatal only: an OutOfMemoryError means the JVM is
+    // compromised and any timings after it would be fiction.
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings")
       .foreach { t =>
-        try Tables.load(spark, sfDir, t).count()
+        try {
+          val df = Tables.load(spark, sfDir, t)
+          df.select(org.apache.spark.sql.functions.xxhash64(
+              df.columns.map(org.apache.spark.sql.functions.col): _*).as("h"))
+            .agg(org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.col("h"))).head()
+          ()
+        }
         catch { case NonFatal(e) =>
           System.err.println(s"[bench] warm-up $t failed: ${e.getMessage}")
         }
