@@ -2606,6 +2606,7 @@ object OracleSql {
     "q216_incremental_dedup" -> q216IncrementalDedupSql,
     "q225_verified_pairs" -> q225VerifiedPairsSql,
     "q227_ingest_dedup" -> q227IngestDedupSql,
+    "q228_ivfadc" -> q228IvfAdcSql,
     "q219_kcenter_coreset" -> q219KCenterSql,
 
     // exact top-10 cosine retrieval, label-match relevance, macro
@@ -4106,6 +4107,108 @@ object OracleSql {
        |  UNION ALL SELECT doc_id, CAST(2 AS BIGINT) AS wave,
        |    n_candidates, n_verified, admitted FROM r2)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q228 oracle: IVFADC replayed — q182's coarse draw/assignment/probes,
+    * q193's salt-shifted anchor draw and subspace slices, per-(vector,
+    * subspace) argmin coding, the asymmetric query-to-anchor lookup
+    * table, and the decimal lookup-sum ranking.
+    */
+  private def q228IvfAdcSql: String = {
+    def lip(a: String, b: String) = s"list_inner_product($a, $b)"
+    def sliceA =
+      "cb.anchor[CAST(sv.subspace * 8 + 1 AS INT):" +
+        "CAST(sv.subspace * 8 + 8 AS INT)]"
+    def sliceQ =
+      "cb.anchor[CAST(qs.subspace * 8 + 1 AS INT):" +
+        "CAST(qs.subspace * 8 + 8 AS INT)]"
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings WHERE vec_id < 200),
+       |drawn AS (
+       |  SELECT vec_id, emb,
+       |    ((((((vec_id % 1000003) * 2654435761) % 1000003)
+       |        + (vec_id // 1000003)) % 9999991) * 22695477) % 9999991 AS d
+       |  FROM e),
+       |cent AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY d, vec_id) - 1 AS INT)
+       |      AS centroid_id,
+       |    emb AS centroid
+       |  FROM (SELECT * FROM drawn ORDER BY d, vec_id LIMIT 8)),
+       |assign AS (
+       |  SELECT vec_id, emb, centroid_id FROM (
+       |    SELECT e.vec_id, e.emb, c.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ROUND(${lip("e.emb", "c.centroid")} /
+       |          (SQRT(${lip("e.emb", "e.emb")}) *
+       |           SQRT(${lip("c.centroid", "c.centroid")})), 6)
+       |          DESC,
+       |        c.centroid_id) AS rn
+       |    FROM e, cent c)
+       |  WHERE rn = 1),
+       |drawn2 AS (
+       |  SELECT vec_id, emb,
+       |    (((((((vec_id + 1) % 1000003) * 2654435761) % 1000003)
+       |        + (vec_id // 1000003)) % 9999991) * 22695477) % 9999991 AS d
+       |  FROM e),
+       |cb AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY d, vec_id) - 1 AS INT)
+       |      AS code,
+       |    emb AS anchor
+       |  FROM (SELECT * FROM drawn2 ORDER BY d, vec_id LIMIT 4)),
+       |sv AS (
+       |  SELECT a.vec_id, a.centroid_id, CAST(s AS INT) AS subspace,
+       |    a.emb[CAST(s * 8 + 1 AS INT):CAST(s * 8 + 8 AS INT)] AS sv
+       |  FROM assign a, range(0, 8) t(s)),
+       |codes AS (
+       |  SELECT vec_id, centroid_id, subspace, code FROM (
+       |    SELECT sv.vec_id, sv.centroid_id, sv.subspace, cb.code,
+       |      ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.subspace
+       |        ORDER BY
+       |          ROUND(${lip("sv.sv", "sv.sv")} -
+       |            2.0 * ${lip("sv.sv", sliceA)} +
+       |            ${lip(sliceA, sliceA)}, 6) ASC,
+       |          cb.code ASC) AS rn
+       |    FROM sv, cb)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 20),
+       |probes AS (
+       |  SELECT q_id, centroid_id FROM (
+       |    SELECT q.q_id, c.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+       |        ROUND(${lip("q.qe", "c.centroid")} /
+       |          (SQRT(${lip("q.qe", "q.qe")}) *
+       |           SQRT(${lip("c.centroid", "c.centroid")})), 6)
+       |          DESC,
+       |        c.centroid_id) AS pr
+       |    FROM q, cent c)
+       |  WHERE pr <= 3),
+       |qs AS (
+       |  SELECT q_id, CAST(s AS INT) AS subspace,
+       |    qe[CAST(s * 8 + 1 AS INT):CAST(s * 8 + 8 AS INT)] AS qs
+       |  FROM q, range(0, 8) t(s)),
+       |adc AS (
+       |  SELECT qs.q_id, qs.subspace, cb.code,
+       |    ROUND(${lip("qs.qs", "qs.qs")} -
+       |      2.0 * ${lip("qs.qs", sliceQ)} +
+       |      ${lip(sliceQ, sliceQ)}, 6) AS d2q
+       |  FROM qs, cb),
+       |cand AS (
+       |  SELECT p.q_id, c.vec_id,
+       |    ROUND(CAST(SUM(CAST(a.d2q AS DECIMAL(28,6))) AS DOUBLE), 6)
+       |      AS adc_dist
+       |  FROM codes c JOIN probes p USING (centroid_id)
+       |  JOIN adc a ON a.q_id = p.q_id AND a.subspace = c.subspace
+       |    AND a.code = c.code
+       |  WHERE p.q_id <> c.vec_id
+       |  GROUP BY p.q_id, c.vec_id)
+       |SELECT q_id, vec_id, adc_dist, rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY adc_dist ASC, vec_id) AS BIGINT)
+       |    AS rank
+       |  FROM cand)
+       |WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
   }
 
   /** q219 oracle: farthest-point traversal unrolled (the q194 chained-CTE

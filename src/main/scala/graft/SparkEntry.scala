@@ -3274,6 +3274,21 @@ object SparkEntry {
       "doc_id", "text", waves = 3)
   }
 
+  // ---------------------------------------------------------------- q228
+  // IVFADC asymmetric-distance ANN search (Jégou et al. 2011): q182's
+  // coarse quantizer + q193's PQ codebook composed into the production
+  // index shape — candidates in the probed lists are scored by an
+  // m-lookup table sum over their stored codes, never their raw vectors
+  // (the 64x read cut that makes corpus-scale ANN probeable). Entire
+  // pipeline (draws, assignment, coding, probe pruning, lookup table,
+  // ranking) replays in plain SQL.
+  def q228(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings").filter(col("vec_id") < 200)
+    SimilarityOps.ivfAdcSearch(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      nlist = 8, nprobe = 3, m = 8, kAnchors = 4, topK = 3)
+  }
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3733,6 +3748,7 @@ object SparkEntry {
     "q225_verified_pairs" -> (q225 _),
     "q226_ivf_persisted" -> (q226 _),
     "q227_ingest_dedup" -> (q227 _),
+    "q228_ivfadc" -> (q228 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

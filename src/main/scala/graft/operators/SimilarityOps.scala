@@ -762,6 +762,118 @@ object SimilarityOps {
         round(dsum(col("d2"), 12) / count(lit(1)), 6).as("avg_sqdist"))
   }
 
+  /** IVFADC — IVF-probed, PQ-coded asymmetric-distance ANN search
+    * (Jégou, Douze, Schmid 2011, "Product Quantization for Nearest
+    * Neighbor Search"): the production composition of the coarse
+    * quantizer ([[ivfCentroidsPortable]]/[[ivfAssign]] — q182) and the
+    * product-quantization codebook ([[productQuantizePortable]]'s
+    * congruential anchor draw — q193). Each corpus vector is stored as m
+    * sub-space CODES; a query probes its `nprobe` best lists, builds a
+    * per-(subspace, code) lookup table of exact squared distances to the
+    * codebook (|q|·m·k tiny rows), and every candidate is scored by ONE
+    * table-lookup sum instead of a full-vector distance.
+    *
+    * THE memory story at corpus scale: the search scans the m-byte code
+    * table, never the raw vectors — with d=64 doubles → m=8 codes that
+    * is a 64× read cut on top of the nprobe/nlist scan cut, which is
+    * what makes a 100 TB ANN corpus probeable at all.
+    *
+    * Portability: every distance term is rounded to 6 before the exact
+    * decimal sum (addition-order-free), argmins/rankings tie-break on
+    * (code, id) — the whole pipeline (draw, assign, code, probe, table,
+    * rank) replays in plain SQL. Distances are ADC approximations by
+    * construction; [[annRecallCard]] is the quality gauge, this is the
+    * cost shape.
+    */
+  def ivfAdcSearch(embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      nlist: Int, nprobe: Int, m: Int = 8, kAnchors: Int = 4,
+      topK: Int = 3, excludeSameId: Boolean = true,
+      salt: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Stats.dsum
+    val dims = embeddings
+      .agg(min(size(col(vecCol))), max(size(col(vecCol)))).head()
+    require(!dims.isNullAt(0), "ivfAdcSearch needs at least one vector")
+    val d = dims.getInt(0)
+    require(d == dims.getInt(1), s"ragged vectors [${d}, ${dims.getInt(1)}]")
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val sub = d / m
+    val cents = ivfCentroidsPortable(embeddings, idCol, vecCol, nlist, salt)
+    val assigned = ivfAssign(embeddings, idCol, vecCol, cents,
+      simRound = Some(6))
+    // PQ codebook: kAnchors rows by the same congruential draw as
+    // productQuantizePortable (salt-shifted so codebook != coarse draw)
+    val p1 = 1000003L
+    val p2 = 9999991L
+    val id = col(idCol).cast("long")
+    val idDiv = (id.cast("decimal(38,0)") / lit(p1)).cast("long")
+    val x1 = pmod(pmod(id + lit(salt + 1), lit(p1)) * lit(2654435761L),
+      lit(p1))
+    val x2 = pmod(pmod(x1 + idDiv, lit(p2)) * lit(22695477L), lit(p2))
+    val anchors = embeddings
+      .select(x2.as("__draw"), id.as("__id"),
+        col(vecCol).cast("array<double>").as("anchor"))
+      .orderBy(col("__draw"), col("__id"))
+      .limit(kAnchors)
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col("__draw"), col("__id"))) - 1)
+          .cast("int"))
+      .select(col("code"), col("anchor"))
+    def slices(v: Column): Column =
+      transform(sequence(lit(0), lit(m - 1)), s => slice(v, s * sub + 1,
+        lit(sub)))
+    val av = slice(col("anchor"), col("subspace") * sub + 1, lit(sub))
+    def adcDist(qs: Column): Column = round(
+      dot(qs, qs) - lit(2.0) * dot(qs, av) + dot(av, av), 6)
+    // per-(vector, subspace) code over the ASSIGNED frame — the stored
+    // index is (id, list, subspace, code), m ints per vector
+    val wCode = Window.partitionBy(col(idCol), col("subspace"))
+      .orderBy(col("__d2").asc, col("code").asc)
+    val codes = assigned
+      .select(col(idCol), col("centroid_id"),
+        posexplode(slices(col("emb"))).as(Seq("subspace", "sv")))
+      .crossJoin(broadcast(anchors))
+      .withColumn("__d2", adcDist(col("sv")))
+      .withColumn("__rn", row_number().over(wCode))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("centroid_id"), col("subspace"), col("code"))
+    // probe selection: q182's rounded-cosine top-nprobe lists per query
+    val q = queries.select(col(queryId).as("q_id"),
+      col(queryVec).cast("array<double>").as("qe"))
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_sim").desc, col("centroid_id").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("c_sim",
+        round(cosineNative(col("qe"), col("centroid")), 6))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nprobe)
+      .select(col("centroid_id"), col("q_id"))
+    // asymmetric lookup table: exact query-to-anchor distances per
+    // subspace — |queries|·m·kAnchors rows, broadcast-sized
+    val adc = q
+      .select(col("q_id"), posexplode(slices(col("qe")))
+        .as(Seq("subspace", "qs")))
+      .crossJoin(broadcast(anchors))
+      .withColumn("d2q", adcDist(col("qs")))
+      .select(col("q_id"), col("subspace"), col("code"), col("d2q"))
+    // score = Σ_subspace table[code] — one lookup-sum per candidate, the
+    // codes scan never touches raw vectors
+    val wk = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+    val restricted = codes.join(broadcast(probes), Seq("centroid_id"))
+    val filtered =
+      if (excludeSameId) restricted.filter(col("q_id") =!= col(idCol))
+      else restricted
+    filtered
+      .join(broadcast(adc), Seq("q_id", "subspace", "code"))
+      .groupBy(col("q_id"), col(idCol))
+      .agg(round(dsum(col("d2q"), 6), 6).as("adc_dist"))
+      .withColumn("rank", row_number().over(wk).cast("long"))
+      .filter(col("rank") <= topK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Portable kNN classification over the IVF index — the label-propagation
     * use of similarity search (weak supervision, label densification,
     * eval-set auditing): hash-split holdout queries are classified by the
