@@ -2607,6 +2607,7 @@ object OracleSql {
     "q225_verified_pairs" -> q225VerifiedPairsSql,
     "q227_ingest_dedup" -> q227IngestDedupSql,
     "q228_ivfadc" -> q228IvfAdcSql,
+    "q229_ivfadc_rerank" -> q229IvfAdcRerankSql,
     "q219_kcenter_coreset" -> q219KCenterSql,
 
     // exact top-10 cosine retrieval, label-match relevance, macro
@@ -4114,7 +4115,50 @@ object OracleSql {
     * subspace) argmin coding, the asymmetric query-to-anchor lookup
     * table, and the decimal lookup-sum ranking.
     */
-  private def q228IvfAdcSql: String = {
+  private def q228IvfAdcSql: String =
+    s"""WITH $ivfAdcCoreCtes
+       |SELECT q_id, vec_id, adc_dist, rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY adc_dist ASC, vec_id) AS BIGINT)
+       |    AS rank
+       |  FROM cand)
+       |WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** q229 oracle: q228's ADC candidate chain, shortlist depth 10, then
+    * EXACT rounded-cosine re-rank over only the shortlisted rows.
+    */
+  private def q229IvfAdcRerankSql: String = {
+    def lip(a: String, b: String) = s"list_inner_product($a, $b)"
+    s"""WITH $ivfAdcCoreCtes,
+       |shortlist AS (
+       |  SELECT q_id, vec_id, adc_dist FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY adc_dist ASC, vec_id) AS sr
+       |    FROM cand)
+       |  WHERE sr <= 10),
+       |rer AS (
+       |  SELECT s.q_id, s.vec_id, s.adc_dist,
+       |    ROUND(${lip("ce.emb", "qq.qe")} /
+       |      (SQRT(${lip("ce.emb", "ce.emb")}) *
+       |       SQRT(${lip("qq.qe", "qq.qe")})), 6) AS cosine
+       |  FROM shortlist s
+       |  JOIN e ce ON ce.vec_id = s.vec_id
+       |  JOIN q qq ON qq.q_id = s.q_id)
+       |SELECT q_id, vec_id, cosine, adc_dist, rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT)
+       |    AS rank
+       |  FROM rer)
+       |WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Shared CTE chain of q228/q229: draws, coarse assignment, PQ coding,
+    * probe pruning, the asymmetric lookup table, and the per-candidate
+    * decimal lookup sum (`cand`).
+    */
+  private def ivfAdcCoreCtes: String = {
     def lip(a: String, b: String) = s"list_inner_product($a, $b)"
     def sliceA =
       "cb.anchor[CAST(sv.subspace * 8 + 1 AS INT):" +
@@ -4122,7 +4166,7 @@ object OracleSql {
     def sliceQ =
       "cb.anchor[CAST(qs.subspace * 8 + 1 AS INT):" +
         "CAST(qs.subspace * 8 + 8 AS INT)]"
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
        |  FROM embeddings WHERE vec_id < 200),
        |drawn AS (
@@ -4201,14 +4245,7 @@ object OracleSql {
        |  JOIN adc a ON a.q_id = p.q_id AND a.subspace = c.subspace
        |    AND a.code = c.code
        |  WHERE p.q_id <> c.vec_id
-       |  GROUP BY p.q_id, c.vec_id)
-       |SELECT q_id, vec_id, adc_dist, rank FROM (
-       |  SELECT *, CAST(ROW_NUMBER() OVER (
-       |    PARTITION BY q_id ORDER BY adc_dist ASC, vec_id) AS BIGINT)
-       |    AS rank
-       |  FROM cand)
-       |WHERE rank <= 3
-       |ORDER BY q_id, rank""".stripMargin
+       |  GROUP BY p.q_id, c.vec_id)""".stripMargin
   }
 
   /** q219 oracle: farthest-point traversal unrolled (the q194 chained-CTE

@@ -3289,6 +3289,20 @@ object SparkEntry {
       nlist = 8, nprobe = 3, m = 8, kAnchors = 4, topK = 3)
   }
 
+  // ---------------------------------------------------------------- q229
+  // Two-stage retrieval: q228's IVFADC shortlist (depth 10 from the code
+  // table) re-ranked by EXACT rounded cosine — raw vectors are fetched
+  // for only |queries|x10 rows, so the exact distance cost is constant
+  // in corpus size (the FAISS refine stage). ADC decides the shortlist,
+  // never the final order.
+  def q229(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings").filter(col("vec_id") < 200)
+    SimilarityOps.ivfAdcRerank(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      nlist = 8, nprobe = 3, m = 8, kAnchors = 4,
+      shortlist = 10, topK = 3)
+  }
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3749,6 +3763,7 @@ object SparkEntry {
     "q226_ivf_persisted" -> (q226 _),
     "q227_ingest_dedup" -> (q227 _),
     "q228_ivfadc" -> (q228 _),
+    "q229_ivfadc_rerank" -> (q229 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -874,6 +874,46 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Two-stage retrieval: IVFADC shortlist → EXACT re-rank — the standard
+    * production refinement (FAISS's `refine` stage): [[ivfAdcSearch]]
+    * produces a cheap `shortlist`-deep candidate set from the code table,
+    * then raw vectors are fetched for ONLY those |queries|·shortlist
+    * rows and re-scored with exact rounded cosine. The expensive exact
+    * distance runs on a constant-size frame regardless of corpus size —
+    * the quantization error of ADC decides the SHORTLIST, never the
+    * final ranking.
+    *
+    * Output: (q_id, id, cosine, adc_dist, rank) — top `topK` by exact
+    * cosine (desc, id tiebreak), carrying the ADC distance that
+    * shortlisted each row for auditability.
+    */
+  def ivfAdcRerank(embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      nlist: Int, nprobe: Int, m: Int = 8, kAnchors: Int = 4,
+      shortlist: Int = 10, topK: Int = 3,
+      excludeSameId: Boolean = true, salt: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shortlist >= topK,
+      s"shortlist $shortlist must cover topK $topK")
+    val short = ivfAdcSearch(embeddings, idCol, vecCol, queries, queryId,
+      queryVec, nlist, nprobe, m, kAnchors, shortlist, excludeSameId, salt)
+      .select(col("q_id"), col(idCol), col("adc_dist"))
+    val q = queries.select(col(queryId).as("q_id"),
+      col(queryVec).cast("array<double>").as("__qe"))
+    val corpus = embeddings.select(col(idCol),
+      col(vecCol).cast("array<double>").as("__e"))
+    val wk = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    short
+      .join(broadcast(q), Seq("q_id"))
+      .join(corpus, Seq(idCol))
+      .withColumn("cosine", round(cosineNative(col("__e"), col("__qe")), 6))
+      .select(col("q_id"), col(idCol), col("cosine"), col("adc_dist"))
+      .withColumn("rank", row_number().over(wk).cast("long"))
+      .filter(col("rank") <= topK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Portable kNN classification over the IVF index — the label-propagation
     * use of similarity search (weak supervision, label densification,
     * eval-set auditing): hash-split holdout queries are classified by the

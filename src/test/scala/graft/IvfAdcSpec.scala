@@ -103,4 +103,25 @@ class IvfAdcSpec extends SparkSpec {
         s"adc_dist must be non-decreasing with rank for query $q")
     }
   }
+
+  test("ivfAdcRerank at full probing + full shortlist equals exact kNN") {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < 80)
+    val n = emb.count().toInt
+    val queries = emb.filter(col("vec_id") < 8)
+    // every list probed and every candidate shortlisted → the ADC stage
+    // prunes nothing; the exact re-rank must reproduce brute-force kNN
+    val reranked = SimilarityOps.ivfAdcRerank(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding",
+        nlist = 8, nprobe = 8, m = 8, kAnchors = 4,
+        shortlist = n, topK = 3)
+      .select(col("q_id"), col("vec_id"), col("cosine"), col("rank"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val exact = SimilarityOps.knnJoin(emb, queries, "vec_id", "embedding",
+        "vec_id", "embedding", k = 3)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rank"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(reranked == exact)
+    assert(reranked.nonEmpty)
+  }
 }
