@@ -2608,6 +2608,62 @@ object OracleSql {
     "q227_ingest_dedup" -> q227IngestDedupSql,
     "q228_ivfadc" -> q228IvfAdcSql,
     "q229_ivfadc_rerank" -> q229IvfAdcRerankSql,
+
+    // the streamed index's quantizer is drawn from (and frozen at) the
+    // wave-0 subset; assignment covers the full corpus — otherwise q182's
+    // exact chain. The streamed artifact must be invisible in the answer.
+    "q230_stream_ivf_ingest" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id < 200),
+        |drawn AS (
+        |  SELECT vec_id, emb,
+        |    ((((((vec_id % 1000003) * 2654435761) % 1000003)
+        |        + (vec_id // 1000003)) % 9999991) * 22695477) % 9999991 AS d
+        |  FROM e
+        |  WHERE ((vec_id % 1000003) * 2654435761) % 10 < 4),
+        |cent AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY d, vec_id) - 1 AS INT)
+        |      AS centroid_id,
+        |    emb AS centroid
+        |  FROM (SELECT * FROM drawn ORDER BY d, vec_id LIMIT 8)),
+        |assign AS (
+        |  SELECT vec_id, emb, centroid_id FROM (
+        |    SELECT e.vec_id, e.emb, c.centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |        ROUND(list_inner_product(e.emb, c.centroid) /
+        |          (SQRT(list_inner_product(e.emb, e.emb)) *
+        |           SQRT(list_inner_product(c.centroid, c.centroid))), 6)
+        |          DESC,
+        |        c.centroid_id) AS rn
+        |    FROM e, cent c)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 20),
+        |probes AS (
+        |  SELECT q_id, qe, centroid_id FROM (
+        |    SELECT q.q_id, q.qe, c.centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+        |        ROUND(list_inner_product(q.qe, c.centroid) /
+        |          (SQRT(list_inner_product(q.qe, q.qe)) *
+        |           SQRT(list_inner_product(c.centroid, c.centroid))), 6)
+        |          DESC,
+        |        c.centroid_id) AS pr
+        |    FROM q, cent c)
+        |  WHERE pr <= 3),
+        |cand AS (
+        |  SELECT p.q_id, a.vec_id,
+        |    ROUND(list_inner_product(a.emb, p.qe) /
+        |      (SQRT(list_inner_product(a.emb, a.emb)) *
+        |       SQRT(list_inner_product(p.qe, p.qe))), 6) AS cosine
+        |  FROM assign a JOIN probes p USING (centroid_id)
+        |  WHERE p.q_id <> a.vec_id)
+        |SELECT q_id, vec_id, cosine, rank FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT)
+        |    AS rank
+        |  FROM cand)
+        |WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin,
     "q219_kcenter_coreset" -> q219KCenterSql,
 
     // exact top-10 cosine retrieval, label-match relevance, macro

@@ -3303,6 +3303,60 @@ object SparkEntry {
       shortlist = 10, topK = 3)
   }
 
+  // ---------------------------------------------------------------- q230
+  // Streaming IVF index maintenance, END TO END under the oracle: three
+  // deterministic hash-bucket waves of embeddings stream through
+  // foreachBatch — wave 0 draws and FREEZES the portable quantizer and
+  // seeds the list-partitioned index, later waves assign-and-append
+  // (O(batch) per ingest, never a recluster) — then the q182-style
+  // search runs over the READ-BACK persisted index with static list
+  // pruning. The DuckDB oracle replays the whole thing (centroids drawn
+  // from the wave-0 subset, assignment over the full corpus), so the
+  // streamed artifact itself is hash-checked, not just spec-compared.
+  def q230(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_TMP_ROOT",
+          System.getProperty("java.io.tmpdir"))),
+      "graft_q230_")
+    try {
+      val e = t(spark, dir, "embeddings").filter(col("vec_id") < 200)
+      val b = SplitOps.hashBucket(col("vec_id"), 10)
+      val tagged = e.withColumn("__w",
+        when(b < 4, 0).when(b < 7, 1).otherwise(2))
+      val wavesDir = s"$root/waves"
+      new java.io.File(wavesDir).mkdirs()
+      (0 until 3).foreach { w =>
+        val tmp = s"$root/w$w"
+        tagged.filter(col("__w") === w).drop("__w")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(wavesDir, f"wave$w%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // distinct ascending mtimes pin micro-batch order = wave order
+        require(dst.setLastModified(1000000L * (w + 1)),
+          s"could not stamp $dst")
+      }
+      val idxRoot = s"$root/index"
+      graft.streaming.StreamingOps.streamingIvfIngest(
+        spark, wavesDir, "vec_id", "embedding", idxRoot, nlist = 8)
+      val (assigned, cents) = graft.streaming.StreamingOps
+        .readStreamedIvfIndex(spark, idxRoot, "vec_id")
+      val res = SimilarityOps.ivfSearchBatch(assigned, "vec_id",
+          e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          cents, nprobe = 3, k = 3, excludeSameId = true,
+          simRound = Some(6), pruneByList = true)
+        .orderBy(col("q_id"), col("rank"))
+      // pin before deleting the backing files (tiny |q|·k frame)
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      res.collect().foreach(rows.add)
+      spark.createDataFrame(rows, res.schema)
+    } finally {
+      graft.tools.FsUtils.deleteRecursively(root)
+    }
+  }
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3764,6 +3818,7 @@ object SparkEntry {
     "q227_ingest_dedup" -> (q227 _),
     "q228_ivfadc" -> (q228 _),
     "q229_ivfadc_rerank" -> (q229 _),
+    "q230_stream_ivf_ingest" -> (q230 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -692,6 +692,59 @@ object StreamingOps {
       .orderBy(col(idCol))
   }
 
+  /** Streaming IVF index maintenance — the persisted-index sibling of
+    * [[streamingDedupIngest]]: the FIRST micro-batch draws the portable
+    * coarse quantizer from its own vectors and freezes it (the
+    * [[graft.operators.SimilarityOps.writeIvfIndex]] append convention);
+    * every later batch assigns against the frozen centroids and lands in
+    * the list-partitioned layout — one broadcast join per ingest, no
+    * recluster, O(batch) forever. Batch boundaries only decide WHICH
+    * rows seed the quantizer; given the same deterministic wave split
+    * the streamed index equals the batch build exactly (q230's oracle
+    * hash-checks the search over it; IvfIndexSpec pins assignment-set
+    * equality). Writes are batchId-keyed and overwrite their own
+    * directory — the at-least-once retry convention.
+    */
+  def streamingIvfIngest(spark: SparkSession, wavesDir: String,
+      idCol: String, vecCol: String, indexRoot: String, nlist: Int,
+      simRound: Option[Int] = Some(6)): Unit = {
+    import graft.operators.SimilarityOps
+    val schema = spark.read.parquet(wavesDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(wavesDir)
+    val writer: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val cents =
+        if (batchId == 0L) {
+          val c = SimilarityOps.ivfCentroidsPortable(
+            batch, idCol, vecCol, nlist)
+          c.write.mode("overwrite").parquet(s"$indexRoot/centroids")
+          spark.read.parquet(s"$indexRoot/centroids")
+        } else spark.read.parquet(s"$indexRoot/centroids")
+      SimilarityOps.ivfAssign(batch, idCol, vecCol, cents, simRound)
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$indexRoot/assigned/batch=$batchId")
+    }
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch(writer)
+      .option("checkpointLocation", s"$indexRoot/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  /** Read the streamed IVF index back as ([[graft.operators.SimilarityOps
+    * .ivfAssign]]-shaped assignments, centroids) — the `batch` layout
+    * column is dropped, list ids restored to int.
+    */
+  def readStreamedIvfIndex(spark: SparkSession, indexRoot: String,
+      idCol: String): (DataFrame, DataFrame) = {
+    val cents = spark.read.parquet(s"$indexRoot/centroids")
+    val assigned = spark.read.parquet(s"$indexRoot/assigned")
+      .select(col(idCol), col("emb"),
+        col("centroid_id").cast("int").as("centroid_id"))
+    (assigned, cents)
+  }
+
   /** Streaming COUNT-MIN build ≡ batch (q123's twin — the third member
     * of the streaming-sketch family after the quantile log-bins q202 and
     * the Bloom bits q213): the sketch is maintained as a streaming

@@ -54,6 +54,45 @@ class IvfIndexSpec extends SparkSpec {
       "persisted path must not re-derive centroids from the corpus")
   }
 
+  test("streamingIvfIngest: streamed index equals the frozen-wave-0 batch build") {
+    val b = graft.operators.SplitOps.hashBucket(col("vec_id"), 10)
+    val tagged = emb.withColumn("__w",
+      when(b < 4, 0).when(b < 7, 1).otherwise(2))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivf_stream").toString
+    val wavesDir = s"$root/waves"
+    new java.io.File(wavesDir).mkdirs()
+    (0 until 3).foreach { w =>
+      val tmp = s"$root/w$w"
+      tagged.filter(col("__w") === w).drop("__w")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(wavesDir, f"wave$w%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1000000L * (w + 1)))
+    }
+    graft.streaming.StreamingOps.streamingIvfIngest(
+      spark, wavesDir, "vec_id", "embedding", s"$root/index", nlist = 8)
+    val (streamed, cents) = graft.streaming.StreamingOps
+      .readStreamedIvfIndex(spark, s"$root/index", "vec_id")
+    // batch reference: quantizer drawn from wave 0 only, frozen, full
+    // corpus assigned against it
+    val w0cents = SimilarityOps.ivfCentroidsPortable(
+      tagged.filter(col("__w") === 0), "vec_id", "embedding", nlist = 8)
+    val ref = SimilarityOps.ivfAssign(emb, "vec_id", "embedding",
+        w0cents, simRound = Some(6))
+      .select(col("vec_id"), col("centroid_id"))
+      .as[(Long, Int)].collect().toSet
+    val got = streamed.select(col("vec_id"), col("centroid_id"))
+      .as[(Long, Int)].collect().toSet
+    assert(got == ref)
+    assert(got.size == emb.count())
+    // the frozen quantizer round-trips exactly
+    assert(cents.select("centroid_id").as[Int].collect().sorted.toSeq ==
+      (0 until 8))
+  }
+
   test("appendIvfIndex: incremental batches equal the frozen-centroid full build") {
     val batch1 = emb.filter(col("vec_id") < 60)
     val batch2 = emb.filter(col("vec_id") >= 60)
