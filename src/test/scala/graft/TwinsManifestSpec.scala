@@ -68,6 +68,21 @@ class TwinsManifestSpec extends AnyFunSuite {
     assert(empty.isEmpty, empty.mkString("; "))
   }
 
+  test("COVERAGE_TABLE.md is regenerated for the current query set") {
+    val f = new java.io.File("COVERAGE_TABLE.md")
+    assert(f.isFile, "COVERAGE_TABLE.md missing — run " +
+      """sbt "runMain graft.tools.CoverageTable"""")
+    val rows = java.nio.file.Files.readAllLines(f.toPath).asScala
+      .filter(_.startsWith("| `q"))
+      .map(_.split("`")(1)).toSet
+    val queries = SparkEntry.queries.keySet
+    val missing = (queries -- rows).toSeq.sorted.mkString(",")
+    val extra = (rows -- queries).toSeq.sorted.mkString(",")
+    assert(rows == queries,
+      s"stale COVERAGE_TABLE.md (missing: $missing; extra: $extra) — " +
+        "regenerate with sbt \"runMain graft.tools.CoverageTable\"")
+  }
+
   test("pinning specs reference real suites (and real test titles)") {
     val srcDir = new java.io.File("src/test/scala/graft")
     manifest.foreach { case (q, (_, specs)) =>
