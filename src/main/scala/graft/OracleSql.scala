@@ -2608,6 +2608,12 @@ object OracleSql {
     "q227_ingest_dedup" -> q227IngestDedupSql,
     "q228_ivfadc" -> q228IvfAdcSql,
     "q229_ivfadc_rerank" -> q229IvfAdcRerankSql,
+    "q231_pii_redaction" -> piiCardSql,
+    "q232_nb_lang_classify" -> q232NbLangSql,
+    // q233 is the streaming build of the SAME card — additive sums over
+    // stateless projections commute with micro-batching (q202/q213
+    // convention), so it shares q231's oracle verbatim.
+    "q233_stream_pii" -> piiCardSql,
 
     // the streamed index's quantizer is drawn from (and frozen at) the
     // wave-0 subset; assignment covers the full corpus — otherwise q182's
@@ -5561,4 +5567,137 @@ object OracleSql {
          |FROM trace ORDER BY iter""".stripMargin
     base + rounds + lastResidual + rmses + fin
   }
+
+  /** q231/q233 shared oracle: the identical doc_id-arithmetic PII
+    * planting, the same ASCII regex set (RE2 executes these identically
+    * to Java regex — `\d`/`\b`/bounded quantifiers, no engine-specific
+    * syntax), counts on the RAW text, redaction in inventory order with
+    * the 'g' flag (Spark's regexp_replace is global), and the 60-bit MD5
+    * polynomial fingerprint of every redacted text summed per source.
+    */
+  private def piiCardSql: String =
+    s"""WITH aug AS (
+       |  SELECT source, text ||
+       |    CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id ||
+       |      '@mail.example.com ok' ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0 THEN ' dial ' ||
+       |      (100 + doc_id % 900) || '-' || (1000 + doc_id % 9000)
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 13 = 0 THEN ' node 10.' ||
+       |      (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.' ||
+       |      ((doc_id * 13) % 256) || ' up' ELSE '' END ||
+       |    CASE WHEN doc_id % 17 = 0 THEN ' id ' ||
+       |      (100 + doc_id % 900) || '-' || (10 + doc_id % 90) || '-' ||
+       |      (1000 + doc_id % 9000) || ' end' ELSE '' END
+       |    AS t
+       |  FROM documents),
+       |det AS (
+       |  SELECT source, LENGTH(t) AS len_raw,
+       |    len(regexp_extract_all(t,
+       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+       |      AS n_email,
+       |    len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))
+       |      AS n_ssn,
+       |    len(regexp_extract_all(t,
+       |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+       |    len(regexp_extract_all(t, '\\b\\d{3}-\\d{4}\\b')) AS n_phone,
+       |    MD5(regexp_replace(regexp_replace(regexp_replace(
+       |      regexp_replace(t,
+       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+       |      '<EMAIL>', 'g'),
+       |      '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+       |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+       |      '<IP>', 'g'),
+       |      '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) AS h,
+       |    LENGTH(regexp_replace(regexp_replace(regexp_replace(
+       |      regexp_replace(t,
+       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+       |      '<EMAIL>', 'g'),
+       |      '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+       |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+       |      '<IP>', 'g'),
+       |      '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) AS len_red
+       |  FROM aug)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_email) AS BIGINT) AS n_email,
+       |  CAST(SUM(n_ssn) AS BIGINT) AS n_ssn,
+       |  CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4,
+       |  CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+       |  CAST(SUM(CASE WHEN n_email + n_ssn + n_ipv4 + n_phone > 0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       |  CAST(SUM(len_raw - len_red) AS BIGINT) AS char_delta,
+       |  CAST(SUM(${hexPoly15("h")} % 1000000007) AS BIGINT) AS redact_fp
+       |FROM det
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  /** q232 oracle: the full hashed-vocabulary multinomial NB replay —
+    * 60-bit MD5 polynomial token hash mod 512 (the q207 convention),
+    * add-one smoothing over the CONSTANT bucket space (V = 512), exact
+    * DECIMAL(28,12) score sums plus one double add of the log prior,
+    * argmax with class tiebreak, prior-argmax fallback for token-empty
+    * eval docs, truth x prediction confusion.
+    */
+  private def q232NbLangSql: String =
+    s"""WITH dt AS (
+       |  SELECT doc_id, lang, string_split(TRIM(text), ' ') AS toks,
+       |    ((doc_id % 1000003) * 2654435761) % 20 AS sb
+       |  FROM documents),
+       |tok0 AS (
+       |  SELECT doc_id, lang, sb, MD5(u.token) AS h
+       |  FROM dt, UNNEST(toks) AS u(token)
+       |  WHERE u.token <> ''),
+       |tok AS (
+       |  SELECT doc_id, lang, sb, ${hexPoly15("h")} % 512 AS b
+       |  FROM tok0),
+       |tc AS (
+       |  SELECT lang AS cls, b, COUNT(*) AS c
+       |  FROM tok WHERE sb >= 4 GROUP BY lang, b),
+       |lt AS (
+       |  SELECT cls, CAST(SUM(c) AS BIGINT) AS n_tok FROM tc GROUP BY cls),
+       |ntr AS (SELECT COUNT(*) AS n FROM dt WHERE sb >= 4),
+       |pr AS (
+       |  SELECT lang AS cls, COUNT(*) AS n_docs_l
+       |  FROM dt WHERE sb >= 4 GROUP BY lang),
+       |classes AS (
+       |  SELECT pr.cls,
+       |    LN(CAST(pr.n_docs_l AS DOUBLE) / CAST(ntr.n AS DOUBLE))
+       |      AS ln_prior,
+       |    LN(1.0 / (CAST(COALESCE(lt.n_tok, 0) AS DOUBLE) + 512.0))
+       |      AS ln_unseen
+       |  FROM pr LEFT JOIN lt USING (cls), ntr),
+       |model AS (
+       |  SELECT tc.cls, tc.b,
+       |    LN((CAST(tc.c AS DOUBLE) + 1.0) /
+       |      (CAST(lt.n_tok AS DOUBLE) + 512.0)) AS ln_p
+       |  FROM tc JOIN lt USING (cls)),
+       |ec AS (
+       |  SELECT doc_id, b, COUNT(*) AS cnt
+       |  FROM tok WHERE sb < 4 GROUP BY doc_id, b),
+       |sc AS (
+       |  SELECT ec.doc_id, classes.cls,
+       |    classes.ln_prior + CAST(SUM(CAST(
+       |      COALESCE(model.ln_p, classes.ln_unseen) *
+       |      CAST(cnt AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS score
+       |  FROM ec CROSS JOIN classes
+       |  LEFT JOIN model ON model.cls = classes.cls AND model.b = ec.b
+       |  GROUP BY ec.doc_id, classes.cls, classes.ln_prior,
+       |    classes.ln_unseen),
+       |pk AS (
+       |  SELECT doc_id, cls AS pred_lang,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, cls ASC) AS rn
+       |  FROM sc),
+       |ed AS (SELECT doc_id, lang FROM dt WHERE sb < 4),
+       |pp AS (
+       |  SELECT cls AS prior_pred FROM classes
+       |  ORDER BY ln_prior DESC, cls ASC LIMIT 1)
+       |SELECT ed.lang,
+       |  COALESCE(pk1.pred_lang, pp.prior_pred) AS pred_lang,
+       |  COUNT(*) AS n_docs
+       |FROM ed
+       |LEFT JOIN (SELECT doc_id, pred_lang FROM pk WHERE rn = 1) pk1
+       |  USING (doc_id), pp
+       |GROUP BY ed.lang, COALESCE(pk1.pred_lang, pp.prior_pred)
+       |ORDER BY lang, pred_lang""".stripMargin
 }

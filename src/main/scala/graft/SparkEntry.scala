@@ -3357,6 +3357,90 @@ object SparkEntry {
     }
   }
 
+  /** Deterministic PII planting for q231/q233: the synthetic corpus is
+    * PII-free word soup, so both engines graft identical synthetic
+    * identifiers from doc_id arithmetic (the q40 constructed-column
+    * convention) — detection then has real positives to find and the
+    * redaction fingerprint checks the exact scrubbed text.
+    */
+  private def piiAugment(docs: DataFrame): DataFrame =
+    docs.withColumn("aug_text", concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com ok"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" dial "), lit(100L) + col("doc_id") % 900,
+          lit("-"), lit(1000L) + col("doc_id") % 9000))
+        .otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        concat(lit(" node 10."), col("doc_id") % 256, lit("."),
+          (col("doc_id") * 7) % 256, lit("."),
+          (col("doc_id") * 13) % 256, lit(" up"))).otherwise(lit("")),
+      when(col("doc_id") % 17 === 0,
+        concat(lit(" id "), lit(100L) + col("doc_id") % 900, lit("-"),
+          lit(10L) + col("doc_id") % 90, lit("-"),
+          lit(1000L) + col("doc_id") % 9000, lit(" end")))
+        .otherwise(lit(""))))
+
+  /** The q231/q233 shared card plan: plant → detect/redact → per-source
+    * additive sums (counts per kind, docs-with-PII, char delta, and a
+    * 60-bit-hash fingerprint of every redacted text — so the oracle
+    * checks the exact scrub output, not just match counts). Runs
+    * unchanged on a batch frame or an unbounded stream.
+    */
+  private def piiCard(docs: DataFrame): DataFrame = {
+    val det = TextOps.piiRedact(piiAugment(docs), "aug_text")
+    det.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_email")).as("n_email"),
+        sum(col("n_ssn")).as("n_ssn"),
+        sum(col("n_ipv4")).as("n_ipv4"),
+        sum(col("n_phone")).as("n_phone"),
+        sum(when(col("n_email") + col("n_ssn") + col("n_ipv4") +
+          col("n_phone") > 0, 1L).otherwise(0L)).as("docs_with_pii"),
+        sum(length(col("aug_text")).cast("long") -
+          length(col("redacted")).cast("long")).as("char_delta"),
+        sum(conv(substring(md5(col("redacted")), 1, 15), 16, 10)
+          .cast("long") % lit(1000000007L)).as("redact_fp"))
+  }
+
+  // ---------------------------------------------------------------- q231
+  // PII detection + redaction card (the pre-training scrub pass):
+  // email/SSN/IPv4/phone patterns — the ASCII subset Java and RE2
+  // execute identically — counted on the raw text and replaced in
+  // inventory order; the per-source card fingerprints every redacted
+  // document with the 60-bit MD5 polynomial, so the oracle hash-checks
+  // the exact scrubbed output. Stateless per-row regexps, zero shuffle
+  // before the |sources|-row aggregate.
+  def q231(spark: SparkSession, dir: String): DataFrame =
+    piiCard(t(spark, dir, "documents")).orderBy(col("source"))
+
+  // ---------------------------------------------------------------- q232
+  // Hashed-vocabulary multinomial Naive Bayes language classifier (the
+  // trainable fastText-era routing baseline): tokens hash into 512
+  // fixed slots, so model state is |classes|x512 REGARDLESS of corpus
+  // vocabulary; add-one smoothing over the constant bucket space, exact
+  // decimal score sums, argmax with class tiebreak, truth x prediction
+  // confusion. (Word-soup fixture: accuracy is chance — the operator's
+  // semantics, not the fixture's separability, are what the oracle
+  // checks; q171's note.)
+  def q232(spark: SparkSession, dir: String): DataFrame =
+    TextOps.naiveBayesLangClassify(t(spark, dir, "documents"),
+      "doc_id", "lang", "text", buckets = 512, evalBuckets = 4)
+
+  // ---------------------------------------------------------------- q233
+  // Streaming PII scrub card ≡ batch (q231's twin, the q202/q213/q221/
+  // q222 sketch-twin convention): detection/redaction are stateless
+  // per-row projections and every card column is an additive sum, so the
+  // streaming groupBy — state bounded at one row per source forever —
+  // equals the batch card under any micro-batching; same oracle.
+  def q233(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.streamingPiiCard(
+      spark, dir, "documents.parquet",
+      graft.streaming.StreamSink.Memory(s"q233_pii_${System.nanoTime()}"),
+      piiCard)
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3819,6 +3903,9 @@ object SparkEntry {
     "q228_ivfadc" -> (q228 _),
     "q229_ivfadc_rerank" -> (q229 _),
     "q230_stream_ivf_ingest" -> (q230 _),
+    "q231_pii_redaction" -> (q231 _),
+    "q232_nb_lang_classify" -> (q232 _),
+    "q233_stream_pii" -> (q233 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -752,4 +752,127 @@ object TextOps {
         col("chi2"))
       .orderBy(col("cls"), col("rank"))
   }
+
+  /** PII pattern inventory: (kind, regex, replacement token), in
+    * REDACTION order — email before SSN before IPv4 before phone, so the
+    * narrower numeric patterns never fire inside an already-redacted
+    * wider match. The set is deliberately ASCII-only (`\d`, `\b`,
+    * bounded quantifiers, literal classes): Java regex (Spark codegen)
+    * and RE2 (DuckDB) execute these identically, which is what makes the
+    * scrub oracle-checkable.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}-\\d{4}\\b", "<PHONE>"))
+
+  /** Per-document PII detection + redaction — the pre-training scrub
+    * pass every 100 TB corpus gets before tokenization. Adds one
+    * `n_<kind>` count column per [[piiPatterns]] entry (non-overlapping
+    * matches against the RAW text, so counts are per-kind evidence
+    * independent of redaction order) and a `redacted` column with the
+    * patterns replaced in inventory order.
+    *
+    * Scale shape: pure codegen'd `regexp_extract_all`/`regexp_replace`
+    * projections — per-row, zero shuffle, embarrassingly parallel; the
+    * pattern set is a compile-time constant so every executor compiles
+    * each regex once.
+    */
+  def piiRedact(df: DataFrame, textCol: String): DataFrame = {
+    val counted = piiPatterns.foldLeft(df) { case (d, (kind, pat, _)) =>
+      d.withColumn(s"n_$kind",
+        size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+          .cast("long"))
+    }
+    val red = piiPatterns.foldLeft(col(textCol)) { case (c, (_, pat, tok)) =>
+      regexp_replace(c, pat, tok)
+    }
+    counted.withColumn("redacted", red)
+  }
+
+  /** Multinomial Naive Bayes text classifier over a HASHED vocabulary
+    * (the hashing trick: McCallum & Nigam 1998 NB on Weinberger et al.
+    * 2009 feature hashing) — the supervised upgrade of q171's
+    * self-trained profile ranking and the trainable-classifier shape
+    * (fastText-era baseline) a curation pipeline uses for
+    * language/quality routing. Tokens hash into `buckets` fixed slots
+    * (60-bit MD5 polynomial, the q207 convention), so the model is
+    * |classes|·`buckets` rows REGARDLESS of corpus vocabulary — bounded
+    * state at 100 TB where a token-keyed model would grow with the
+    * crawl. Add-one smoothing runs over the fixed bucket space
+    * (V = `buckets`, a portable constant); the hash-minority slice
+    * (`hashBucket(id, 20) < evalBuckets`) is scored by
+    * ln prior + Σ cnt·ln p(bucket|class) with exact DECIMAL(28,12) sums
+    * and argmax (score desc, class asc), and the confusion matrix of
+    * truth × prediction comes back.
+    *
+    * Scale shape: training is ONE (class, bucket) aggregation over the
+    * token stream; the model and the |classes|-row prior frame broadcast
+    * to the eval side (no shuffle of eval tokens beyond the per-doc
+    * bucket-count aggregation); the ×|classes| scoring fan-out is a
+    * bounded multiplier on the (small) eval slice. Token-empty eval docs
+    * fall back to the prior argmax rather than dropping out.
+    */
+  def naiveBayesLangClassify(docs: DataFrame, idCol: String,
+      labelCol: String, textCol: String, buckets: Int = 512,
+      evalBuckets: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2 && evalBuckets >= 1 && evalBuckets < 20,
+      "need buckets >= 2 and evalBuckets in [1, 20)")
+    val isEval = SplitOps.hashBucket(col(idCol), 20) < evalBuckets
+    val toks = tokens(col(textCol))
+    def bucketed(slice: DataFrame, keep: Column*): DataFrame =
+      slice.select(keep :+ explode(toks).as("token"): _*)
+        .filter(col("token") =!= "")
+        .withColumn("b", pmod(
+          conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+    val trainCnt = bucketed(docs.filter(!isEval), col(labelCol).as("cls"))
+      .groupBy(col("cls"), col("b")).agg(count(lit(1)).as("c"))
+    val labelTok = trainCnt.groupBy(col("cls"))
+      .agg(sum(col("c")).as("n_tok"))
+    val nTrain = docs.filter(!isEval).select(count(lit(1)).as("__n"))
+    val classes = docs.filter(!isEval)
+      .groupBy(col(labelCol).as("cls")).agg(count(lit(1)).as("n_docs_l"))
+      .join(labelTok, Seq("cls"), "left")
+      .withColumn("n_tok", coalesce(col("n_tok"), lit(0L)))
+      .crossJoin(broadcast(nTrain))
+      .select(col("cls"),
+        log(col("n_docs_l").cast("double") /
+          col("__n").cast("double")).as("ln_prior"),
+        log(lit(1.0) / (col("n_tok").cast("double") +
+          lit(buckets.toDouble))).as("ln_unseen"))
+    val model = trainCnt.join(labelTok, "cls")
+      .select(col("cls"), col("b"),
+        log((col("c").cast("double") + lit(1.0)) /
+          (col("n_tok").cast("double") + lit(buckets.toDouble))).as("ln_p"))
+    val evalDocs = docs.filter(isEval)
+      .select(col(idCol).as("doc_id"), col(labelCol).as("lang"))
+    val evalCnt = bucketed(docs.filter(isEval), col(idCol).as("doc_id"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+    val scored = evalCnt.crossJoin(broadcast(classes))
+      .join(broadcast(model), Seq("cls", "b"), "left")
+      .groupBy(col("doc_id"), col("cls"), col("ln_prior"))
+      .agg(sum((coalesce(col("ln_p"), col("ln_unseen")) *
+        col("cnt").cast("double")).cast("decimal(28,12)"))
+        .cast("double").as("__ll"))
+      .withColumn("score", col("ln_prior") + col("__ll"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cls").asc)
+    val preds = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("cls").as("pred_lang"))
+    // token-empty eval docs: argmax over priors alone (one-row broadcast)
+    val priorPick = classes
+      .orderBy(col("ln_prior").desc, col("cls").asc).limit(1)
+      .select(col("cls").as("__prior_pred"))
+    evalDocs.join(preds, Seq("doc_id"), "left")
+      .crossJoin(broadcast(priorPick))
+      .withColumn("pred_lang",
+        coalesce(col("pred_lang"), col("__prior_pred")))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
 }

@@ -808,4 +808,20 @@ object StreamingOps {
     SketchOps.bloomCardFromBits(bKeys, bits,
       spark.read.parquet(s"$dir/$probeFile"), probeKey, kHashes, mBits)
   }
+
+  /** Streaming PII scrub card ≡ batch (q231's twin — the continuous-
+    * ingest shape of the scrub pass): detection and redaction are
+    * STATELESS per-row regexp projections, and every card column is an
+    * additive SUM/COUNT over them, so the streaming groupBy(source) —
+    * state bounded at one row per source forever — equals the batch card
+    * under any micro-batching. The whole card plan is passed in and runs
+    * unchanged on the unbounded frame (the q202/q213/q221/q222
+    * sketch-twin convention: same columns, same oracle as the batch
+    * query).
+    */
+  def streamingPiiCard(spark: SparkSession, dir: String, fileName: String,
+      sink: StreamSink, card: DataFrame => DataFrame): DataFrame =
+    runToSink(spark, card(fileStream(spark, dir, fileName)),
+      sink, "complete")
+      .orderBy(col("source"))
 }
