@@ -2614,6 +2614,8 @@ object OracleSql {
     // stateless projections commute with micro-batching (q202/q213
     // convention), so it shares q231's oracle verbatim.
     "q233_stream_pii" -> piiCardSql,
+    "q234_bpe_train" -> q234BpeTrainSql,
+    "q235_bpe_encode" -> q235BpeEncodeSql,
 
     // the streamed index's quantizer is drawn from (and frozen at) the
     // wave-0 subset; assignment covers the full corpus — otherwise q182's
@@ -5700,4 +5702,104 @@ object OracleSql {
        |  USING (doc_id), pp
        |GROUP BY ed.lang, COALESCE(pk1.pred_lang, pp.prior_pred)
        |ORDER BY lang, pred_lang""".stripMargin
+
+  /** Shared q234/q235 CTE chain: the word-frequency table as
+    * chr(31)-delimited symbol strings (chars + a '</w>' marker), then
+    * `rounds` unrolled BPE rounds — pair counts from adjacent symbols
+    * (overlaps included), argmax with (count desc, left, right)
+    * tiebreak, and the greedy left-to-right merge as a list_reduce fold
+    * (merge fires only when the accumulated string's LAST token equals
+    * the winning left and the next symbol equals the winning right —
+    * token-exact because the separator cannot occur inside symbols).
+    * Mirrors the Spark side's `aggregate` fold element-for-element.
+    */
+  private def bpeRoundsCte(rounds: Int): String = {
+    val base =
+      """WITH dt AS (
+        |  SELECT doc_id, string_split(TRIM(text), ' ') AS toks
+        |  FROM documents),
+        |wc AS (
+        |  SELECT u.token AS w, COUNT(*) AS cnt
+        |  FROM dt, UNNEST(toks) AS u(token)
+        |  WHERE u.token <> '' GROUP BY u.token),
+        |w0 AS (
+        |  SELECT cnt, array_to_string(list_transform(range(1, len(w) + 1),
+        |    i -> substring(w, i, 1)), chr(31)) || chr(31) || '</w>' AS s
+        |  FROM wc)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s""",p$i AS (
+         |  SELECT u.p.l AS l, u.p.r AS r, CAST(SUM(cnt) AS BIGINT) AS c
+         |  FROM w${i - 1}, UNNEST(list_transform(
+         |    range(1, len(string_split(s, chr(31)))), j ->
+         |    struct_pack(l := string_split(s, chr(31))[j],
+         |      r := string_split(s, chr(31))[j + 1]))) AS u(p)
+         |  GROUP BY u.p.l, u.p.r),
+         |b$i AS (
+         |  SELECT l AS bl, r AS br, c FROM p$i
+         |  ORDER BY c DESC, l, r LIMIT 1),
+         |w$i AS (
+         |  SELECT cnt, list_reduce(string_split(s, chr(31)), (acc, x) ->
+         |    CASE WHEN x = b.br AND (acc = b.bl OR
+         |      ends_with(acc, chr(31) || b.bl))
+         |    THEN acc || b.br ELSE acc || chr(31) || x END) AS s
+         |  FROM w${i - 1}, b$i b),
+         |n$i AS (
+         |  SELECT CAST(SUM(cnt * len(string_split(s, chr(31)))) AS BIGINT)
+         |    AS n FROM w$i)""".stripMargin
+    }.mkString
+    base + steps
+  }
+
+  /** q234 oracle: the merge table — one UNION arm per unrolled round. */
+  private def q234BpeTrainSql: String = {
+    val rounds = 8
+    val arms = (1 to rounds).map { i =>
+      s"""  SELECT $i AS merge_round, bl AS left_sym, br AS right_sym,
+         |    bl || br AS merged, c AS pair_count,
+         |    (SELECT n FROM n$i) AS n_symbols_after
+         |  FROM b$i""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""${bpeRoundsCte(rounds)}
+       |SELECT CAST(merge_round AS BIGINT) AS merge_round, left_sym,
+       |  right_sym, merged, pair_count, n_symbols_after
+       |FROM (
+       |$arms)
+       |ORDER BY merge_round""".stripMargin
+  }
+
+  /** q235 oracle: q234's trained rounds, then every document's words
+    * encoded by replaying the 8 folds in merge order; the per-word
+    * delimited subword string IS the fingerprint input (the Spark side
+    * joins with the same separator).
+    */
+  private def q235BpeEncodeSql: String = {
+    val rounds = 8
+    val base =
+      s"""${bpeRoundsCte(rounds)},
+         |e0 AS (
+         |  SELECT doc_id, array_to_string(list_transform(
+         |    range(1, len(u.token) + 1),
+         |    i -> substring(u.token, i, 1)), chr(31)) ||
+         |    chr(31) || '</w>' AS s
+         |  FROM dt, UNNEST(toks) AS u(token)
+         |  WHERE u.token <> '')""".stripMargin
+    val folds = (1 to rounds).map { i =>
+      s""",e$i AS (
+         |  SELECT doc_id, list_reduce(string_split(s, chr(31)), (acc, x) ->
+         |    CASE WHEN x = b.br AND (acc = b.bl OR
+         |      ends_with(acc, chr(31) || b.bl))
+         |    THEN acc || b.br ELSE acc || chr(31) || x END) AS s
+         |  FROM e${i - 1}, b$i b)""".stripMargin
+    }.mkString
+    base + folds +
+      s"""
+         |SELECT doc_id AS id, COUNT(*) AS n_words,
+         |  CAST(SUM(len(string_split(s, chr(31)))) AS BIGINT)
+         |    AS n_subwords,
+         |  CAST(SUM(${hexPoly15("MD5(s)")} % 1000000007) AS BIGINT)
+         |    AS encoding_fp
+         |FROM e$rounds
+         |GROUP BY doc_id
+         |ORDER BY id""".stripMargin
+  }
 }

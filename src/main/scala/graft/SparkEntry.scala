@@ -3441,6 +3441,32 @@ object SparkEntry {
       graft.streaming.StreamSink.Memory(s"q233_pii_${System.nanoTime()}"),
       piiCard)
 
+  // ---------------------------------------------------------------- q234
+  // BPE tokenizer training (Sennrich et al. 2016): 8 merge rounds over
+  // the corpus word-frequency table — the real-trainer factorization
+  // (one corpus shuffle, then |vocab|-row rounds). The merge table is
+  // exact longs + binary string tiebreaks, replayed round-for-round in
+  // DuckDB (list_reduce fold ≡ the Spark aggregate fold);
+  // n_symbols_after pins the greedy left-to-right merge application,
+  // not just the argmax.
+  def q234(spark: SparkSession, dir: String): DataFrame =
+    BpeOps.bpeMerges(t(spark, dir, "documents"), "text", rounds = 8)
+
+  // ---------------------------------------------------------------- q235
+  // BPE encode with the trained vocabulary (the apply side of q234):
+  // replay the 8 learned merges over every document and emit per-doc
+  // subword stats + a 60-bit fingerprint of each word's FULL subword
+  // sequence — the exact segmentation is hash-checked, content and
+  // order. Encoding is 8 stateless codegen'd fold projections; the
+  // merge table rides along as literals (BPE's artifact is small by
+  // design).
+  def q235(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val merges = BpeOps.bpeMerges(docs, "text", rounds = 8)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    BpeOps.bpeEncode(docs, "doc_id", "text", merges)
+  }
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3906,6 +3932,8 @@ object SparkEntry {
     "q231_pii_redaction" -> (q231 _),
     "q232_nb_lang_classify" -> (q232 _),
     "q233_stream_pii" -> (q233 _),
+    "q234_bpe_train" -> (q234 _),
+    "q235_bpe_encode" -> (q235 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

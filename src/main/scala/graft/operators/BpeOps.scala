@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Byte-pair-encoding tokenizer training (Sennrich, Haddow & Birch 2016,
+  * the subword-vocabulary construction every LLM data pipeline runs
+  * before tokenization): repeatedly count adjacent symbol pairs across
+  * the corpus and merge the most frequent one.
+  *
+  * The reference has no tokenizer surface; this extends the engine's
+  * §2.13 text family with the missing trainer piece (token COUNTING —
+  * q12 — assumes a tokenizer; this builds one).
+  */
+object BpeOps {
+
+  private val EOW = "</w>"
+
+  /** Train `rounds` BPE merges and return the merge table, one row per
+    * round: (merge_round, left_sym, right_sym, merged, pair_count,
+    * n_symbols_after) — pair_count is the weighted adjacent-pair count
+    * that won the round (ALL occurrences, overlaps included — the
+    * reference `get_stats` convention), n_symbols_after the weighted
+    * corpus symbol total after applying the merge (which is NOT
+    * n_before − pair_count when occurrences overlap: "aaa" counts
+    * (a,a) twice but merges once — so this column pins the greedy
+    * left-to-right application itself, not just the argmax).
+    *
+    * Scale shape — the real-trainer factorization: ONE corpus-wide
+    * shuffle builds the distinct-word frequency table; every merge
+    * round then runs on that table (|vocab| rows — millions at web
+    * scale, ≪ corpus), materialized per round so round r+1 reads
+    * round r's cached symbols, not an r-deep expression tree. The
+    * winning pair is a 1-row collect per round (the documented
+    * driver-search control-loop pattern). Words end in a multi-char
+    * `</w>` marker (can never equal a single-char symbol), merges
+    * apply greedy left-to-right per word via an `aggregate` fold —
+    * a merged token never re-merges as `left` within its round
+    * (left||right = left would need an empty right). Exact long
+    * counts and binary-string tiebreaks (count desc, left, right):
+    * no floats anywhere, so the table replays exactly in DuckDB.
+    */
+  def bpeMerges(docs: DataFrame, textCol: String,
+      rounds: Int = 8): DataFrame = {
+    require(rounds >= 1 && rounds <= 30, "rounds must be in [1, 30]")
+    val spark = docs.sparkSession
+    var words = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        concat(split(col("w"), ""), array(lit(EOW))).as("syms"))
+      .persist()
+    words.count()
+
+    val out = new java.util.ArrayList[Row]()
+    (1 to rounds).foreach { r =>
+      val best = words.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      require(best.nonEmpty,
+        s"BPE round $r: no adjacent pairs left (corpus fully merged)")
+      val (bl, br, bc) =
+        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      val merged = words.withColumn("syms",
+        aggregate(
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          array(element_at(col("syms"), 1)),
+          (acc, x) => when(
+            x === lit(br) && element_at(acc, -1) === lit(bl),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(bl + br))))
+            .otherwise(concat(acc, array(x)))))
+        .persist()
+      val nAfter = merged
+        .agg(sum(col("cnt") * size(col("syms")).cast("long")))
+        .head().getLong(0)
+      words.unpersist()
+      words = merged
+      out.add(Row(r.toLong, bl, br, bl + br, bc, nAfter))
+    }
+    words.unpersist()
+    spark.createDataFrame(out, StructType(Seq(
+        StructField("merge_round", LongType, nullable = false),
+        StructField("left_sym", StringType, nullable = false),
+        StructField("right_sym", StringType, nullable = false),
+        StructField("merged", StringType, nullable = false),
+        StructField("pair_count", LongType, nullable = false),
+        StructField("n_symbols_after", LongType, nullable = false))))
+      .orderBy(col("merge_round"))
+  }
+
+  /** Encode documents with a trained merge table: replay the merges in
+    * training order over each document's words and return per-doc
+    * subword stats — the apply-side of [[bpeMerges]] (tokenize with the
+    * learned vocabulary). Output: (id, n_words, n_subwords,
+    * encoding_fp) — n_subwords is the post-merge symbol count (the
+    * compression the vocabulary buys) and encoding_fp sums a 60-bit MD5
+    * fingerprint of every word's FULL subword sequence (unit-separator
+    * joined), so the exact segmentation — content AND order — is what a
+    * checker verifies, not just counts.
+    *
+    * Scale shape: the merge table is a driver-side Seq (`rounds` rows
+    * by construction — a SMALL artifact is the point of BPE); each
+    * merge is one codegen'd fold projection, so encoding is `rounds`
+    * stateless per-row passes — zero shuffle beyond the final per-doc
+    * aggregation, linear to 100 TB.
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col(idCol).as("id"),
+        explode(TextOps.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("syms", concat(split(col("w"), ""), array(lit(EOW))))
+    val encoded = merges.foldLeft(words) { case (d, (bl, br)) =>
+      d.withColumn("syms",
+        aggregate(
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          array(element_at(col("syms"), 1)),
+          (acc, x) => when(
+            x === lit(br) && element_at(acc, -1) === lit(bl),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(bl + br))))
+            .otherwise(concat(acc, array(x)))))
+    }
+    encoded.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("syms")).cast("long")).as("n_subwords"),
+        sum(conv(substring(md5(concat_ws("\u001F", col("syms"))), 1, 15),
+          16, 10).cast("long") % lit(1000000007L)).as("encoding_fp"))
+      .orderBy(col("id"))
+  }
+}
