@@ -2616,6 +2616,8 @@ object OracleSql {
     "q233_stream_pii" -> piiCardSql,
     "q234_bpe_train" -> q234BpeTrainSql,
     "q235_bpe_encode" -> q235BpeEncodeSql,
+    "q236_l_diversity" -> q236LDiversitySql,
+    "q237_dp_histogram" -> q237DpHistogramSql,
 
     // the streamed index's quantizer is drawn from (and frozen at) the
     // wave-0 subset; assignment covers the full corpus — otherwise q182's
@@ -5802,4 +5804,67 @@ object OracleSql {
          |GROUP BY doc_id
          |ORDER BY id""".stripMargin
   }
+
+  /** q236 oracle: the two stacked aggregations and the identical
+    * double-division disclosure arithmetic (round AFTER max).
+    */
+  private def q236LDiversitySql: String =
+    """WITH gs AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS s,
+      |    COUNT(*) AS c
+      |  FROM customer
+      |  GROUP BY c_nationkey, c_mktsegment, 3),
+      |gg AS (
+      |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS d,
+      |    CAST(SUM(c) AS BIGINT) AS n, CAST(MAX(c) AS BIGINT) AS mx
+      |  FROM gs GROUP BY c_nationkey, c_mktsegment)
+      |SELECT CAST(3 AS BIGINT) AS l,
+      |  CAST(SUM(n) AS BIGINT) AS n_rows,
+      |  COUNT(*) AS n_groups,
+      |  CAST(MIN(d) AS BIGINT) AS min_distinct_sensitive,
+      |  CAST(SUM(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_groups_below_l,
+      |  CAST(SUM(CASE WHEN d < 3 THEN n ELSE 0 END) AS BIGINT)
+      |    AS n_rows_below_l,
+      |  ROUND(CAST(SUM(CASE WHEN d < 3 THEN n ELSE 0 END) AS DOUBLE) /
+      |    CAST(SUM(n) AS DOUBLE), 6) AS frac_rows_below_l,
+      |  ROUND(MAX(CAST(mx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+      |    AS worst_disclosure
+      |FROM gg""".stripMargin
+
+  /** q237 oracle: seeded Laplace noise replayed — the 60-bit MD5
+    * polynomial of the group key through the two-round congruential
+    * generator (q135 convention), u = (x2 + 0.5)/p2 strictly inside
+    * (0,1), inverse-CDF noise with the identical parenthesization.
+    */
+  private def q237DpHistogramSql: String =
+    s"""WITH h AS (
+       |  SELECT o_orderpriority, COUNT(*) AS n_true
+       |  FROM orders GROUP BY o_orderpriority),
+       |hx AS (
+       |  SELECT o_orderpriority, n_true,
+       |    ${hexPoly15("MD5(o_orderpriority)")} AS x
+       |  FROM h),
+       |d1 AS (
+       |  SELECT o_orderpriority, n_true,
+       |    ((x % 1000003) * 2654435761) % 1000003 AS x1,
+       |    x // 1000003 AS hdiv
+       |  FROM hx),
+       |d2 AS (
+       |  SELECT o_orderpriority, n_true,
+       |    (((x1 + hdiv) % 9999991) * 22695477) % 9999991 AS x2
+       |  FROM d1),
+       |nz AS (
+       |  SELECT o_orderpriority, n_true,
+       |    ROUND((CASE WHEN ((CAST(x2 AS DOUBLE) + 0.5) / 9999991.0
+       |        - 0.5) >= 0.0 THEN -1.0 ELSE 1.0 END *
+       |      LN(1.0 - 2.0 * ABS((CAST(x2 AS DOUBLE) + 0.5) / 9999991.0
+       |        - 0.5))) / 1.0, 6) AS noise
+       |  FROM d2)
+       |SELECT o_orderpriority, n_true, noise,
+       |  ROUND(CAST(n_true AS DOUBLE) + noise, 6) AS n_noisy,
+       |  1.0 AS eps
+       |FROM nz
+       |ORDER BY o_orderpriority""".stripMargin
 }

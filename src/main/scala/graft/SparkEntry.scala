@@ -3467,6 +3467,28 @@ object SparkEntry {
     BpeOps.bpeEncode(docs, "doc_id", "text", merges)
   }
 
+  // ---------------------------------------------------------------- q236
+  // l-diversity audit (the q217 upgrade): a big quasi-group is still
+  // disclosive when everyone shares the same sensitive value — per
+  // (nation, segment) group, distinct account-balance bands (1000-wide),
+  // groups/rows below l=3, and the worst modal-value disclosure
+  // probability. Two stacked aggregations, one card row.
+  def q236(spark: SparkSession, dir: String): DataFrame =
+    ProfileOps.lDiversityCard(t(spark, dir, "customer"),
+      Seq("c_nationkey", "c_mktsegment"),
+      floor(col("c_acctbal") / lit(1000)).cast("long"), l = 3L)
+
+  // ---------------------------------------------------------------- q237
+  // Differentially-private histogram of order priorities: Laplace noise
+  // b=1/ε from SEEDED portable draws (60-bit MD5 of the group key
+  // through the two-round congruential generator — the q135 family), so
+  // the released noisy counts replay exactly in DuckDB. Disjoint groups
+  // → parallel composition: the histogram costs ε=1 total. The card is
+  // the calibration view (true vs noisy vs ε).
+  def q237(spark: SparkSession, dir: String): DataFrame =
+    ProfileOps.dpNoisyHistogram(t(spark, dir, "orders"),
+      "o_orderpriority", eps = 1.0)
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3934,6 +3956,8 @@ object SparkEntry {
     "q233_stream_pii" -> (q233 _),
     "q234_bpe_train" -> (q234 _),
     "q235_bpe_encode" -> (q235 _),
+    "q236_l_diversity" -> (q236 _),
+    "q237_dp_histogram" -> (q237 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -177,4 +177,84 @@ object ProfileOps {
     out.toDF("col_a", "col_b", "n", "corr")
       .orderBy(col("col_a"), col("col_b"))
   }
+
+  /** l-diversity audit (Machanavajjhala et al. 2007 — the upgrade of
+    * [[kAnonymityCard]] the privacy literature demands: a large
+    * quasi-group is still disclosive when everyone in it shares the
+    * SAME sensitive value): per quasi-identifier group, the count of
+    * distinct sensitive values; the card reports groups/rows below `l`
+    * and the worst single-value disclosure probability
+    * max over groups of (modal sensitive count / group size).
+    *
+    * Scale shape: two stacked aggregations — (quasi, sensitive) counts,
+    * then per-quasi distinct/total/modal — and a one-row card; no
+    * joins, no sort, no distinct shuffle beyond the first groupBy.
+    */
+  def lDiversityCard(df: DataFrame, quasiCols: Seq[String],
+      sensitive: Column, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty && l >= 2, "need quasi columns and l >= 2")
+    val qs = quasiCols.map(col)
+    val gs = df.groupBy(qs :+ sensitive.as("__s"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val gg = gs.groupBy(qs: _*)
+      .agg(count(lit(1)).as("__d"), sum(col("__c")).as("__n"),
+        max(col("__c")).as("__mx"))
+    gg.agg(
+        sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("__d")).as("min_distinct_sensitive"),
+        sum(when(col("__d") < l, 1L).otherwise(0L)).as("n_groups_below_l"),
+        sum(when(col("__d") < l, col("__n")).otherwise(0L))
+          .as("n_rows_below_l"),
+        round(max(col("__mx").cast("double") / col("__n").cast("double")),
+          6).as("worst_disclosure"))
+      .withColumn("l", lit(l))
+      .withColumn("frac_rows_below_l",
+        round(col("n_rows_below_l").cast("double") /
+          col("n_rows").cast("double"), 6))
+      .select(col("l"), col("n_rows"), col("n_groups"),
+        col("min_distinct_sensitive"), col("n_groups_below_l"),
+        col("n_rows_below_l"), col("frac_rows_below_l"),
+        col("worst_disclosure"))
+  }
+
+  /** Differentially-private histogram release (Dwork et al. 2006
+    * Laplace mechanism) with SEEDED portable noise: each group's draw
+    * comes from the 60-bit MD5 polynomial of its key pushed through the
+    * engine-portable two-round congruential generator (the
+    * [[SplitOps.prioritySample]] family — replayable in plain SQL), and
+    * Laplace noise b = 1/ε via the inverse CDF
+    * X = −b·sgn(v)·ln(1−2|v|), v = u − ½ ∈ (−½, ½) strictly
+    * (u = (x₂ + 0.5)/p₂ keeps the log argument positive). Disjoint
+    * groups → parallel composition: the whole histogram costs ε, not
+    * |groups|·ε. The card carries the true counts alongside the noisy
+    * release — it is the CALIBRATION view (what error did ε buy);
+    * the releasable projection is (group, n_noisy, eps).
+    *
+    * Scale shape: one count aggregation over the data; noise is a
+    * per-group stateless projection on the |groups|-row frame.
+    */
+  def dpNoisyHistogram(df: DataFrame, groupCol: String,
+      eps: Double = 1.0): DataFrame = {
+    require(eps > 0.0, "eps must be positive")
+    val p1 = 1000003L
+    val p2 = 9999991L
+    val h = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_true"))
+    val hx = conv(substring(md5(col(groupCol)), 1, 15), 16, 10)
+      .cast("long")
+    val hdiv = (hx.cast("decimal(38,0)") / lit(p1)).cast("long")
+    val x1 = pmod(pmod(hx, lit(p1)) * lit(2654435761L), lit(p1))
+    val x2 = pmod(pmod(x1 + hdiv, lit(p2)) * lit(22695477L), lit(p2))
+    val u = (x2.cast("double") + lit(0.5)) / lit(p2.toDouble)
+    val v = u - lit(0.5)
+    val lnArg = lit(1.0) - lit(2.0) * abs(v)
+    val noise = round(
+      (when(v >= 0.0, lit(-1.0)).otherwise(lit(1.0)) * log(lnArg)) /
+        lit(eps), 6)
+    h.withColumn("noise", noise)
+      .withColumn("n_noisy",
+        round(col("n_true").cast("double") + col("noise"), 6))
+      .withColumn("eps", lit(eps))
+      .orderBy(col(groupCol))
+  }
 }
