@@ -765,4 +765,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q231 PII card: join-free, one aggregation shuffle, pruned scan") {
+    val p = finalPlan(SparkEntry.q231(spark, dir))
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!finalSection.contains("Join"),
+      "the scrub is per-row + one aggregate; no join belongs here:\n" + p)
+    val nShuffles =
+      "Exchange hashpartitioning".r.findAllIn(finalSection).length
+    assert(nShuffles <= 1,
+      s"detection/redaction must be map-side; got $nShuffles shuffles:\n$p")
+    assert(!p.contains("n_chars") && !p.contains("lang"),
+      "scan reads columns the scrub never uses:\n" + p)
+  }
+
+  test("q232 NB classify: model joins broadcast, eval tokens shuffle only for the per-doc aggregate") {
+    val p = finalPlan(SparkEntry.q232(spark, dir))
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("BroadcastHashJoin"),
+      "the bounded |classes|x buckets model must broadcast:\n" + p)
+    assert(!finalSection.contains("SortMergeJoin"),
+      "no sort-merge join belongs in the scoring path:\n" + p)
+    assert(!finalSection.contains("CartesianProduct"), p)
+  }
+
+  test("q235 BPE encode: scoring scan is join-free up to the per-doc aggregate") {
+    // encode with a FIXED merge table (the apply side alone — q235
+    // itself trains first, which adds the q234 control-loop jobs)
+    val df = graft.operators.BpeOps.bpeEncode(
+      Tables.load(spark, dir, "documents"), "doc_id", "text",
+      Seq(("e", "</w>"), ("s", "t")))
+    val p = finalPlan(df)
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!finalSection.contains("Join"),
+      "merge literals must fold into projections, never join:\n" + p)
+    val nShuffles =
+      "Exchange hashpartitioning".r.findAllIn(finalSection).length
+    assert(nShuffles <= 1,
+      s"encoding is stateless per-row; got $nShuffles shuffles:\n$p")
+    assert(!p.contains("n_chars") && !p.contains("source"),
+      "scan reads columns the encoder never uses:\n" + p)
+  }
 }
