@@ -2618,6 +2618,7 @@ object OracleSql {
     "q235_bpe_encode" -> q235BpeEncodeSql,
     "q236_l_diversity" -> q236LDiversitySql,
     "q237_dp_histogram" -> q237DpHistogramSql,
+    "q238_span_scrub" -> q238SpanScrubSql,
 
     // the streamed index's quantizer is drawn from (and frozen at) the
     // wave-0 subset; assignment covers the full corpus — otherwise q182's
@@ -5867,4 +5868,57 @@ object OracleSql {
        |  1.0 AS eps
        |FROM nz
        |ORDER BY o_orderpriority""".stripMargin
+
+  /** q238 oracle: the span scrub replayed — 60-bit gram hashes (q207
+    * convention), the ≥2 duplicated-gram set, covered positions from
+    * duplicated starts ×5 offsets, and the cleaned text re-assembled
+    * with an ordered string_agg and fingerprinted.
+    */
+  private def q238SpanScrubSql: String =
+    s"""WITH dt AS (
+       |  SELECT doc_id, string_split(TRIM(text), ' ') AS toks
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, u.s.i AS i, u.s.tok AS tok
+       |  FROM dt, UNNEST(list_transform(toks,
+       |    (t, k) -> struct_pack(tok := t, i := k - 1))) AS u(s)
+       |  WHERE u.s.tok <> ''),
+       |g0 AS (
+       |  SELECT doc_id, g.i - 1 AS j,
+       |    MD5(array_to_string(toks[g.i:g.i + 4], ' ')) AS h
+       |  FROM dt, UNNEST(range(1, len(toks) - 3)) AS g(i)
+       |  WHERE len(toks) >= 5),
+       |st AS (
+       |  SELECT doc_id, j, ${hexPoly15("h")} AS gh
+       |  FROM g0),
+       |dup AS (
+       |  SELECT gh FROM st GROUP BY gh HAVING COUNT(*) >= 2),
+       |ds AS (SELECT st.doc_id, st.j FROM st JOIN dup USING (gh)),
+       |cov AS (
+       |  SELECT DISTINCT ds.doc_id, ds.j + o.k AS i
+       |  FROM ds, UNNEST(range(0, 5)) AS o(k)),
+       |kept AS (
+       |  SELECT pos.doc_id, pos.i, pos.tok,
+       |    CASE WHEN cov.i IS NOT NULL THEN 1 ELSE 0 END AS cv
+       |  FROM pos LEFT JOIN cov
+       |    ON cov.doc_id = pos.doc_id AND cov.i = pos.i),
+       |card AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens,
+       |    CAST(SUM(cv) AS BIGINT) AS n_removed,
+       |    COALESCE(string_agg(tok, ' ' ORDER BY i)
+       |      FILTER (WHERE cv = 0), '') AS clean
+       |  FROM kept GROUP BY doc_id),
+       |nds AS (
+       |  SELECT doc_id, COUNT(*) AS n_dup_spans FROM ds GROUP BY doc_id),
+       |ids AS (SELECT doc_id FROM dt)
+       |SELECT ids.doc_id,
+       |  COALESCE(card.n_tokens, 0) AS n_tokens,
+       |  COALESCE(card.n_removed, 0) AS n_removed,
+       |  COALESCE(nds.n_dup_spans, 0) AS n_dup_spans,
+       |  ${hexPoly15("MD5(COALESCE(card.clean, ''))")} % 1000000007
+       |    AS clean_fp
+       |FROM ids
+       |LEFT JOIN card USING (doc_id)
+       |LEFT JOIN nds USING (doc_id)
+       |ORDER BY ids.doc_id""".stripMargin
 }

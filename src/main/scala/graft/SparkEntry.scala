@@ -3489,6 +3489,17 @@ object SparkEntry {
     ProfileOps.dpNoisyHistogram(t(spark, dir, "orders"),
       "o_orderpriority", eps = 1.0)
 
+  // ---------------------------------------------------------------- q238
+  // Exact-substring span scrub (Lee et al. 2021): every 5-gram occurring
+  // ≥2 times anywhere in the corpus marks its token span; covered tokens
+  // are REMOVED and the cleaned text re-assembled — span-level dedup
+  // where q11/q27/q74 drop whole documents. The cleaned string itself is
+  // fingerprinted, so the oracle checks the exact scrub. Only duplicated
+  // starts explode (cost follows duplication mass, not corpus size).
+  def q238(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.duplicateSpanScrub(t(spark, dir, "documents"),
+      "doc_id", "text", n = 5, minCount = 2L)
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3958,6 +3969,7 @@ object SparkEntry {
     "q235_bpe_encode" -> (q235 _),
     "q236_l_diversity" -> (q236 _),
     "q237_dp_histogram" -> (q237 _),
+    "q238_span_scrub" -> (q238 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →
