@@ -2619,6 +2619,7 @@ object OracleSql {
     "q236_l_diversity" -> q236LDiversitySql,
     "q237_dp_histogram" -> q237DpHistogramSql,
     "q238_span_scrub" -> q238SpanScrubSql,
+    "q239_dsir_selection" -> q239DsirSql,
 
     // the streamed index's quantizer is drawn from (and frozen at) the
     // wave-0 subset; assignment covers the full corpus — otherwise q182's
@@ -5920,5 +5921,56 @@ object OracleSql {
        |FROM ids
        |LEFT JOIN card USING (doc_id)
        |LEFT JOIN nds USING (doc_id)
+       |ORDER BY ids.doc_id""".stripMargin
+
+  /** q239 oracle: DSIR replayed — hashed-bucket LMs for target (src0)
+    * and raw with add-one smoothing over the constant 1024-bucket
+    * space, per-bucket log ratio, exact decimal weight sums, top-50 by
+    * UNROUNDED weight with doc_id tiebreak.
+    */
+  private def q239DsirSql: String =
+    s"""WITH dt AS (
+       |  SELECT doc_id, source, string_split(TRIM(text), ' ') AS toks
+       |  FROM documents),
+       |tok0 AS (
+       |  SELECT doc_id, source, MD5(u.token) AS h
+       |  FROM dt, UNNEST(toks) AS u(token)
+       |  WHERE u.token <> ''),
+       |tok AS (
+       |  SELECT doc_id, source, ${hexPoly15("h")} % 1024 AS b
+       |  FROM tok0),
+       |tb AS (
+       |  SELECT b, COUNT(*) AS c_t FROM tok
+       |  WHERE source = 'src0' GROUP BY b),
+       |rb AS (
+       |  SELECT b, COUNT(*) AS c_r FROM tok
+       |  WHERE source <> 'src0' GROUP BY b),
+       |nt AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM tb),
+       |nr AS (SELECT CAST(SUM(c_r) AS BIGINT) AS n FROM rb),
+       |delta AS (
+       |  SELECT rb.b,
+       |    LN((CAST(COALESCE(tb.c_t, 0) AS DOUBLE) + 1.0) /
+       |      (CAST(nt.n AS DOUBLE) + 1024.0)) -
+       |    LN((CAST(rb.c_r AS DOUBLE) + 1.0) /
+       |      (CAST(nr.n AS DOUBLE) + 1024.0)) AS delta
+       |  FROM rb LEFT JOIN tb USING (b), nt, nr),
+       |db AS (
+       |  SELECT doc_id, b, COUNT(*) AS cnt FROM tok
+       |  WHERE source <> 'src0' GROUP BY doc_id, b),
+       |lw AS (
+       |  SELECT db.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(CAST(delta.delta * CAST(cnt AS DOUBLE)
+       |      AS DECIMAL(28,12))) AS DOUBLE) AS lw
+       |  FROM db JOIN delta USING (b) GROUP BY db.doc_id),
+       |pk AS (SELECT doc_id FROM lw ORDER BY lw DESC, doc_id LIMIT 50),
+       |ids AS (SELECT doc_id FROM dt WHERE source <> 'src0')
+       |SELECT ids.doc_id,
+       |  CAST(COALESCE(lw.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  ROUND(lw.lw, 6) AS log_ratio,
+       |  CAST(CASE WHEN pk.doc_id IS NOT NULL THEN 1 ELSE 0 END
+       |    AS BIGINT) AS selected
+       |FROM ids
+       |LEFT JOIN lw USING (doc_id)
+       |LEFT JOIN pk USING (doc_id)
        |ORDER BY ids.doc_id""".stripMargin
 }

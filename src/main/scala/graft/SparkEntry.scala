@@ -3500,6 +3500,17 @@ object SparkEntry {
     DedupOps.duplicateSpanScrub(t(spark, dir, "documents"),
       "doc_id", "text", n = 5, minCount = 2L)
 
+  // ---------------------------------------------------------------- q239
+  // DSIR data selection (Xie et al. 2023): make the crawl look like the
+  // target — src0 is the target distribution, every other doc scores
+  // log w = Σ cnt_b·(ln p_target(b) − ln p_raw(b)) over 1024 hashed
+  // buckets (constant LM state), top-50 selected via TakeOrdered and
+  // broadcast back. Exact decimal weight sums; the whole scoring chain
+  // replays in DuckDB.
+  def q239(spark: SparkSession, dir: String): DataFrame =
+    TextOps.dsirSelection(t(spark, dir, "documents"), "doc_id", "text",
+      col("source") === "src0", buckets = 1024, k = 50)
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3970,6 +3981,7 @@ object SparkEntry {
     "q236_l_diversity" -> (q236 _),
     "q237_dp_histogram" -> (q237 _),
     "q238_span_scrub" -> (q238 _),
+    "q239_dsir_selection" -> (q239 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

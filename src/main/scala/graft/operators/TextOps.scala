@@ -791,6 +791,68 @@ object TextOps {
     counted.withColumn("redacted", red)
   }
 
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): score every raw document by its
+    * hashed-n-gram importance weight toward a TARGET distribution —
+    * log w(d) = Σ_b cnt_b · (ln p_target(b) − ln p_raw(b)) with add-one
+    * smoothing over a FIXED bucket space — and flag the top-k. The
+    * modern "make the crawl look like the benchmark" selection pass;
+    * composes the hashed-LM machinery (q212/q232) with the TakeOrdered
+    * top-k contract (q140).
+    *
+    * Scale shape: both LMs are `buckets`-row frames (constant state
+    * regardless of vocabulary — the hashing trick); the per-bucket
+    * log-ratio is computed ONCE per bucket and broadcast; raw documents
+    * shuffle only for their per-doc bucket-count aggregation; selection
+    * is a TakeOrdered limit-k (never a global sort), broadcast back as
+    * an id set. Decimal(28,12) weight sums — exact, order-independent.
+    */
+  def dsirSelection(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 1024, k: Int = 50): DataFrame = {
+    require(buckets >= 2 && k >= 1, "need buckets >= 2 and k >= 1")
+    val toks = tokens(col(textCol))
+    val bucket = pmod(
+      conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long"),
+      lit(buckets.toLong))
+    def bucketCounts(slice: DataFrame): DataFrame = slice
+      .select(explode(toks).as("token")).filter(col("token") =!= "")
+      .withColumn("b", bucket)
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+    val tb = bucketCounts(docs.filter(isTarget))
+    val rb = bucketCounts(docs.filter(!isTarget))
+    val nt = tb.agg(sum(col("c")).as("__nt"))
+    val nr = rb.agg(sum(col("c")).as("__nr"))
+    val v = lit(buckets.toDouble)
+    val delta = rb.select(col("b"), col("c").as("c_r"))
+      .join(tb.select(col("b"), col("c").as("c_t")), Seq("b"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("b"),
+        (log((coalesce(col("c_t"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("__nt").cast("double") + v)) -
+         log((col("c_r").cast("double") + lit(1.0)) /
+          (col("__nr").cast("double") + v))).as("delta"))
+    val docBk = docs.filter(!isTarget)
+      .select(col(idCol).as("doc_id"), explode(toks).as("token"))
+      .filter(col("token") =!= "")
+      .withColumn("b", bucket)
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+    val lw = docBk.join(broadcast(delta), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum((col("delta") * col("cnt").cast("double"))
+          .cast("decimal(28,12)")).cast("double").as("__lw"))
+    val picked = lw.orderBy(col("__lw").desc, col("doc_id"))
+      .limit(k).select(col("doc_id"), lit(1L).as("selected"))
+    docs.filter(!isTarget).select(col(idCol).as("doc_id"))
+      .join(lw, Seq("doc_id"), "left")
+      .join(broadcast(picked), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(col("__lw"), 6).as("log_ratio"),
+        coalesce(col("selected"), lit(0L)).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multinomial Naive Bayes text classifier over a HASHED vocabulary
     * (the hashing trick: McCallum & Nigam 1998 NB on Weinberger et al.
     * 2009 feature hashing) — the supervised upgrade of q171's
