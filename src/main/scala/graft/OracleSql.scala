@@ -2620,6 +2620,7 @@ object OracleSql {
     "q237_dp_histogram" -> q237DpHistogramSql,
     "q238_span_scrub" -> q238SpanScrubSql,
     "q239_dsir_selection" -> q239DsirSql,
+    "q240_matryoshka_recall" -> q240MatryoshkaSql,
 
     // the streamed index's quantizer is drawn from (and frozen at) the
     // wave-0 subset; assignment covers the full corpus — otherwise q182's
@@ -5973,4 +5974,46 @@ object OracleSql {
        |LEFT JOIN lw USING (doc_id)
        |LEFT JOIN pk USING (doc_id)
        |ORDER BY ids.doc_id""".stripMargin
+
+  /** q240 oracle: the full-dim exact top-5 (q220's exact CTE) compared
+    * against per-prefix truncated top-5 — truncation is a list slice on
+    * the same DOUBLE[] cast, rounded cosine + id tiebreak as everywhere.
+    */
+  private def q240MatryoshkaSql: String = {
+    val dims = Seq(8, 16, 64)
+    def topK(name: String, vec: String => String): String =
+      s"""$name AS (
+         |  SELECT q_id, vec_id AS n_id FROM (
+         |    SELECT q.q_id, e.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |        ROUND(list_inner_product(${vec("e.emb")}, ${vec("q.qe")}) /
+         |          (SQRT(list_inner_product(${vec("e.emb")},
+         |            ${vec("e.emb")})) *
+         |           SQRT(list_inner_product(${vec("q.qe")},
+         |            ${vec("q.qe")}))), 6) DESC,
+         |        e.vec_id) AS rank
+         |    FROM e, q WHERE e.vec_id <> q.q_id)
+         |  WHERE rank <= 5)""".stripMargin
+    val truncs = dims.map(d =>
+      topK(s"t$d", v => s"$v[1:$d]")).mkString(",\n", ",\n", "")
+    val arms = dims.map { d =>
+      s"""  SELECT CAST($d AS BIGINT) AS dim,
+         |    COUNT(DISTINCT exact.q_id) AS n_queries,
+         |    COUNT(*) AS n_exact,
+         |    CAST(SUM(CASE WHEN t$d.n_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_found,
+         |    ROUND(CAST(SUM(CASE WHEN t$d.n_id IS NOT NULL THEN 1
+         |        ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |      AS recall
+         |  FROM exact LEFT JOIN t$d USING (q_id, n_id)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 20),
+       |${topK("exact", identity)}$truncs
+       |SELECT dim, n_queries, n_exact, n_found, recall FROM (
+       |$arms)
+       |ORDER BY dim""".stripMargin
+  }
 }

@@ -3511,6 +3511,18 @@ object SparkEntry {
     TextOps.dsirSelection(t(spark, dir, "documents"), "doc_id", "text",
       col("source") === "src0", buckets = 1024, k = 50)
 
+  // ---------------------------------------------------------------- q240
+  // Matryoshka truncation-recall card (Kusupati et al. 2022): exact
+  // top-5 retrieval over 8/16/64-dim prefixes vs the full 64-dim truth —
+  // the "how many dims does the index need" decision card (d=64 is the
+  // 1.0-recall sanity row). Truncation is a slice projection; one
+  // broadcast kNN join per prefix.
+  def q240(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    SimilarityOps.matryoshkaRecallCard(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 20), dims = Seq(8, 16, 64), k = 5)
+  }
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3982,6 +3994,7 @@ object SparkEntry {
     "q237_dp_histogram" -> (q237 _),
     "q238_span_scrub" -> (q238 _),
     "q239_dsir_selection" -> (q239 _),
+    "q240_matryoshka_recall" -> (q240 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -1145,4 +1145,43 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n_rows"))
       .orderBy(col("actual"), col("predicted"))
   }
+
+  /** Matryoshka truncation-recall card (Kusupati et al. 2022 MRL — the
+    * "how many dimensions does retrieval actually need" read): for each
+    * prefix length in `dims`, exact top-k by cosine over the TRUNCATED
+    * embeddings is compared against full-dimension exact top-k, and the
+    * card reports micro recall@k per prefix. The decision input for
+    * shrinking a 100 TB vector corpus: if recall@5 holds at d=16 of 64,
+    * the index shrinks 4× before any quantization (q143/q228's PQ
+    * composes on top).
+    *
+    * Scale shape: one [[knnJoin]] per dim over the SAME broadcast query
+    * set (queries stay tiny by contract); truncation is a zero-copy
+    * `slice` projection — no re-embedding, no extra shuffle; each card
+    * row is a global aggregate of |q|·k join hits.
+    */
+  def matryoshkaRecallCard(embeddings: DataFrame, idCol: String,
+      vecCol: String, queries: DataFrame, dims: Seq[Int],
+      k: Int = 5): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), "need positive dims")
+    val exact = knnJoin(embeddings, queries, idCol, vecCol, idCol, vecCol,
+        k, excludeSameId = true)
+      .select(col("q_id"), col("n_id"))
+    val cards = dims.map { d =>
+      def trunc(df: DataFrame): DataFrame =
+        df.withColumn("__t", slice(col(vecCol), 1, d))
+      val approx = knnJoin(trunc(embeddings), trunc(queries),
+          idCol, "__t", idCol, "__t", k, excludeSameId = true)
+        .select(col("q_id"), col("n_id"), lit(1L).as("__found"))
+      exact.join(approx, Seq("q_id", "n_id"), "left")
+        .agg(countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_exact"),
+          sum(coalesce(col("__found"), lit(0L))).as("n_found"))
+        .select(lit(d.toLong).as("dim"), col("n_queries"), col("n_exact"),
+          col("n_found"),
+          round(col("n_found").cast("double") /
+            col("n_exact").cast("double"), 6).as("recall"))
+    }
+    cards.reduce(_.unionByName(_)).orderBy(col("dim"))
+  }
 }

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SimilarityOps
+
+/** Matryoshka truncation-recall card (q240): a fixture where the short
+  * prefix provably inverts the ranking, and the full-dim sanity row.
+  */
+class MatryoshkaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matryoshkaRecallCard: misleading prefix scores 0, full dim 1") {
+    // query 0 = (1,0,0,10); n1's 2-dim prefix matches perfectly but its
+    // full vector points away; n2 is the true full-dim neighbor with an
+    // orthogonal prefix
+    val e = Seq(
+      (0L, Seq(1f, 0f, 0f, 10f)),
+      (1L, Seq(1f, 0f, 0f, -10f)),
+      (2L, Seq(0f, 1f, 0f, 10f))
+    ).toDF("vec_id", "embedding")
+    val card = SimilarityOps.matryoshkaRecallCard(e, "vec_id", "embedding",
+        e.filter(col("vec_id") === 0L), dims = Seq(2, 4), k = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(card(2L) == ((1L, 0L, 0.0)), s"prefix must mislead: $card")
+    assert(card(4L) == ((1L, 1L, 1.0)), s"full dim is the truth: $card")
+  }
+
+  test("q240 card: full-dimension row is exact recall 1.0") {
+    val rows = SparkEntry.queries("q240_matryoshka_recall")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(rows(64L) == 1.0)
+    assert(rows.keySet == Set(8L, 16L, 64L))
+  }
+}
