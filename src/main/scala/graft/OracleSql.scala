@@ -2621,6 +2621,7 @@ object OracleSql {
     "q238_span_scrub" -> q238SpanScrubSql,
     "q239_dsir_selection" -> q239DsirSql,
     "q240_matryoshka_recall" -> q240MatryoshkaSql,
+    "q241_cluster_sample" -> q241ClusterSampleSql,
 
     // the streamed index's quantizer is drawn from (and frozen at) the
     // wave-0 subset; assignment covers the full corpus — otherwise q182's
@@ -6016,4 +6017,46 @@ object OracleSql {
        |$arms)
        |ORDER BY dim""".stripMargin
   }
+
+  /** q241 oracle: q182's portable centroids/assignment over the full
+    * table, then the per-cluster quota by the SAME two-round draw
+    * (the centroid draw and the sampling clock share the generator —
+    * both keyed on vec_id, salt 0) with id tiebreak.
+    */
+  private def q241ClusterSampleSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings),
+      |drawn AS (
+      |  SELECT vec_id, emb,
+      |    ((((((vec_id % 1000003) * 2654435761) % 1000003)
+      |        + (vec_id // 1000003)) % 9999991) * 22695477) % 9999991 AS d
+      |  FROM e),
+      |cent AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY d, vec_id) - 1 AS INT)
+      |      AS centroid_id,
+      |    emb AS centroid
+      |  FROM (SELECT * FROM drawn ORDER BY d, vec_id LIMIT 8)),
+      |assign AS (
+      |  SELECT vec_id, centroid_id FROM (
+      |    SELECT t.vec_id, c.centroid_id,
+      |      ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+      |        ROUND(list_inner_product(t.emb, c.centroid) /
+      |          (SQRT(list_inner_product(t.emb, t.emb)) *
+      |           SQRT(list_inner_product(c.centroid, c.centroid))), 6)
+      |          DESC,
+      |        c.centroid_id) AS rn
+      |    FROM e t, cent c)
+      |  WHERE rn = 1),
+      |sized AS (
+      |  SELECT a.centroid_id, a.vec_id, drawn.d,
+      |    COUNT(*) OVER (PARTITION BY a.centroid_id) AS n_list,
+      |    ROW_NUMBER() OVER (PARTITION BY a.centroid_id
+      |      ORDER BY drawn.d, a.vec_id) AS rank
+      |  FROM assign a JOIN drawn USING (vec_id))
+      |SELECT CAST(centroid_id AS BIGINT) AS centroid_id,
+      |  CAST(rank AS BIGINT) AS rank, vec_id,
+      |  CAST(n_list AS BIGINT) AS n_list
+      |FROM sized WHERE rank <= 8
+      |ORDER BY centroid_id, rank""".stripMargin
 }

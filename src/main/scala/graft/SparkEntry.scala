@@ -3523,6 +3523,16 @@ object SparkEntry {
       e.filter(col("vec_id") < 20), dims = Seq(8, 16, 64), k = 5)
   }
 
+  // ---------------------------------------------------------------- q241
+  // Cluster-balanced diversity sample: portable-IVF clusters (q182) ×
+  // EQUAL per-cluster quotas by portable priority draw — dominant
+  // content modes can't drown the tail (q209 is the proportional
+  // variant; this is the diversity one). Centroids broadcast, one
+  // assignment scan, bounded-k per-cluster selection.
+  def q241(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.clusterBalancedSample(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", nlist = 8, perList = 8)
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -3995,6 +4005,7 @@ object SparkEntry {
     "q238_span_scrub" -> (q238 _),
     "q239_dsir_selection" -> (q239 _),
     "q240_matryoshka_recall" -> (q240 _),
+    "q241_cluster_sample" -> (q241 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -1184,4 +1184,46 @@ object SimilarityOps {
     }
     cards.reduce(_.unionByName(_)).orderBy(col("dim"))
   }
+
+  /** Cluster-balanced diversity sample: assign every vector to its
+    * portable-IVF cluster (q182 machinery), then take an EQUAL quota of
+    * `perList` per cluster by engine-portable priority draw — the
+    * semantic-diversity selection a curation pass runs so dominant
+    * content modes don't drown the tail (the cluster-then-sample shape
+    * of SemDeDup-era pipelines; proportional allocation is q209's job,
+    * EQUAL allocation is the diversity variant). Output: one row per
+    * selected vector (cluster, rank, id, cluster size).
+    *
+    * Scale shape: centroids are the bounded model (nlist rows,
+    * broadcast); assignment is one scan; the per-cluster quota is a
+    * bounded-k window selection shuffled on cluster id (k·nlist output
+    * rows). Draws are the two-round congruential generator keyed on the
+    * vector id — partitioning-invariant and replayable in SQL.
+    */
+  def clusterBalancedSample(embeddings: DataFrame, idCol: String,
+      vecCol: String, nlist: Int = 8, perList: Int = 8,
+      salt: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nlist >= 1 && perList >= 1, "need nlist >= 1 and perList >= 1")
+    val cents = ivfCentroidsPortable(embeddings, idCol, vecCol, nlist)
+    val assigned = ivfAssign(embeddings, idCol, vecCol, cents,
+      simRound = Some(6))
+    val p1 = 1000003L
+    val p2 = 9999991L
+    val id = col(idCol).cast("long")
+    val idDiv = (id.cast("decimal(38,0)") / lit(p1)).cast("long")
+    val x1 = pmod(pmod(id + lit(salt), lit(p1)) * lit(2654435761L),
+      lit(p1))
+    val x2 = pmod(pmod(x1 + idDiv, lit(p2)) * lit(22695477L), lit(p2))
+    val w = Window.partitionBy(col("centroid_id"))
+      .orderBy(col("__d"), col(idCol))
+    val sizes = Window.partitionBy(col("centroid_id"))
+    assigned.select(col("centroid_id"), col(idCol), x2.as("__d"))
+      .withColumn("n_list", count(lit(1)).over(sizes))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= perList)
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        col("rank"), col(idCol), col("n_list"))
+      .orderBy(col("centroid_id"), col("rank"))
+  }
 }

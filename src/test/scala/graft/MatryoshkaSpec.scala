@@ -33,4 +33,22 @@ class MatryoshkaSpec extends SparkSpec {
     assert(rows(64L) == 1.0)
     assert(rows.keySet == Set(8L, 16L, 64L))
   }
+
+  test("clusterBalancedSample: equal quotas, partitioning-invariant") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val a = SimilarityOps.clusterBalancedSample(
+      e, "vec_id", "embedding", nlist = 8, perList = 8).collect()
+    a.groupBy(_.getLong(0)).foreach { case (c, rows) =>
+      val nList = rows.head.getLong(3)
+      assert(rows.length.toLong == math.min(8L, nList),
+        s"cluster $c quota violated")
+      assert(rows.map(_.getLong(1)).sorted.toSeq ==
+        (1L to rows.length.toLong).toSeq, s"cluster $c ranks not dense")
+    }
+    // draws key on the id, never the layout: identical under repartition
+    val b = SimilarityOps.clusterBalancedSample(
+      e.repartition(13), "vec_id", "embedding",
+      nlist = 8, perList = 8).collect()
+    assert(a.toSeq == b.toSeq)
+  }
 }
