@@ -2622,6 +2622,8 @@ object OracleSql {
     "q239_dsir_selection" -> q239DsirSql,
     "q240_matryoshka_recall" -> q240MatryoshkaSql,
     "q241_cluster_sample" -> q241ClusterSampleSql,
+    "q242_epoch_shards" -> q242EpochShardsSql,
+    "q243_bpe_fertility" -> q243BpeFertilitySql,
 
     // the streamed index's quantizer is drawn from (and frozen at) the
     // wave-0 subset; assignment covers the full corpus — otherwise q182's
@@ -5773,13 +5775,12 @@ object OracleSql {
        |ORDER BY merge_round""".stripMargin
   }
 
-  /** q235 oracle: q234's trained rounds, then every document's words
-    * encoded by replaying the 8 folds in merge order; the per-word
-    * delimited subword string IS the fingerprint input (the Spark side
-    * joins with the same separator).
+  /** Shared q235/q243 encode chain: q234's trained rounds, then every
+    * document's words encoded by replaying the folds in merge order —
+    * the per-word delimited subword string is what finishing selects
+    * aggregate (the Spark side joins with the same separator).
     */
-  private def q235BpeEncodeSql: String = {
-    val rounds = 8
+  private def bpeEncodeCtes(rounds: Int): String = {
     val base =
       s"""${bpeRoundsCte(rounds)},
          |e0 AS (
@@ -5797,17 +5798,68 @@ object OracleSql {
          |    THEN acc || b.br ELSE acc || chr(31) || x END) AS s
          |  FROM e${i - 1}, b$i b)""".stripMargin
     }.mkString
-    base + folds +
-      s"""
-         |SELECT doc_id AS id, COUNT(*) AS n_words,
-         |  CAST(SUM(len(string_split(s, chr(31)))) AS BIGINT)
-         |    AS n_subwords,
-         |  CAST(SUM(${hexPoly15("MD5(s)")} % 1000000007) AS BIGINT)
-         |    AS encoding_fp
-         |FROM e$rounds
-         |GROUP BY doc_id
-         |ORDER BY id""".stripMargin
+    base + folds
   }
+
+  private def q235BpeEncodeSql: String =
+    s"""${bpeEncodeCtes(8)}
+       |SELECT doc_id AS id, COUNT(*) AS n_words,
+       |  CAST(SUM(len(string_split(s, chr(31)))) AS BIGINT)
+       |    AS n_subwords,
+       |  CAST(SUM(${hexPoly15("MD5(s)")} % 1000000007) AS BIGINT)
+       |    AS encoding_fp
+       |FROM e8
+       |GROUP BY doc_id
+       |ORDER BY id""".stripMargin
+
+  /** q243 oracle: the shared encode chain aggregated per LANGUAGE —
+    * subwords-per-word fertility with the fixed double division.
+    */
+  private def q243BpeFertilitySql: String =
+    s"""${bpeEncodeCtes(8)},
+       |pd AS (
+       |  SELECT doc_id, COUNT(*) AS n_words,
+       |    CAST(SUM(len(string_split(s, chr(31)))) AS BIGINT)
+       |      AS n_subwords
+       |  FROM e8 GROUP BY doc_id)
+       |SELECT d.lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(pd.n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(pd.n_subwords) AS BIGINT) AS n_subwords,
+       |  ROUND(CAST(SUM(pd.n_subwords) AS DOUBLE) /
+       |    CAST(SUM(pd.n_words) AS DOUBLE), 6) AS fertility
+       |FROM pd JOIN documents d USING (doc_id)
+       |GROUP BY d.lang
+       |ORDER BY d.lang""".stripMargin
+
+  /** q242 oracle: the epoch permutation replayed — two-round draw with
+    * salt = epoch, shard by clock, within-shard rank by (clock, id),
+    * position-weighted 60-bit hash sum as the order fingerprint.
+    */
+  private def q242EpochShardsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(TRIM(text), ' ')) AS BIGINT) AS tok
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, tok,
+       |    (((((((doc_id + 1) % 1000003) * 2654435761) % 1000003)
+       |      + (doc_id // 1000003)) % 9999991) * 22695477) % 9999991
+       |      AS clock,
+       |    ${hexPoly15("MD5(CAST(doc_id AS VARCHAR))")} % 1000000007 AS h
+       |  FROM t),
+       |p AS (
+       |  SELECT doc_id, tok, clock % 8 AS shard, h,
+       |    ROW_NUMBER() OVER (PARTITION BY clock % 8
+       |      ORDER BY clock, doc_id) AS pos
+       |  FROM d)
+       |SELECT CAST(1 AS BIGINT) AS epoch, shard,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CAST(pos * h AS DECIMAL(38,0))) AS VARCHAR)
+       |    AS order_fp
+       |FROM p
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
 
   /** q236 oracle: the two stacked aggregations and the identical
     * double-division disclosure arithmetic (round AFTER max).

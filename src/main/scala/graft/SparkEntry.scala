@@ -3533,6 +3533,40 @@ object SparkEntry {
     SimilarityOps.clusterBalancedSample(t(spark, dir, "embeddings"),
       "vec_id", "embedding", nlist = 8, perList = 8)
 
+  // ---------------------------------------------------------------- q242
+  // Epoch shard manifest — reproducible training data order: each epoch
+  // is a different deterministic permutation (two-round draw, salt =
+  // epoch), shard by clock, order within shard by (clock, id), and
+  // fingerprint THE ORDER (position-weighted hash sum, exact decimal) so
+  // "same data order" is hash-checkable, never trusted. One shuffle.
+  def q242(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    SplitOps.epochShardManifest(docs, "doc_id",
+      size(TextOps.tokens(col("text"))), nShards = 8, epoch = 1L)
+  }
+
+  // ---------------------------------------------------------------- q243
+  // Tokenizer fertility card: encode the corpus with q234's trained BPE
+  // vocabulary and report subwords-per-word BY LANGUAGE — the fertility
+  // audit run before committing a tokenizer (languages the vocabulary
+  // under-serves pay more compute per word). Composes q234 train +
+  // q235 encode + a per-language aggregate.
+  def q243(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val merges = BpeOps.bpeMerges(docs, "text", rounds = 8)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    BpeOps.bpeEncode(docs, "doc_id", "text", merges)
+      .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_subwords")).as("n_subwords"))
+      .withColumn("fertility",
+        round(col("n_subwords").cast("double") /
+          col("n_words").cast("double"), 6))
+      .orderBy(col("lang"))
+  }
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -4006,6 +4040,8 @@ object SparkEntry {
     "q239_dsir_selection" -> (q239 _),
     "q240_matryoshka_recall" -> (q240 _),
     "q241_cluster_sample" -> (q241 _),
+    "q242_epoch_shards" -> (q242 _),
+    "q243_bpe_fertility" -> (q243 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -194,6 +194,49 @@ object SplitOps {
     * method limit into interpreted fallback and bloat every task's plan,
     * while a broadcast hash join of a |strata|-row frame stays flat.
     */
+  /** Epoch shard manifest — the reproducible-data-order contract of a
+    * training run: every document draws its epoch-specific clock from
+    * the two-round congruential generator (salt = epoch, so each epoch
+    * is a DIFFERENT deterministic permutation), shards by clock, and
+    * orders within the shard by (clock, id). The manifest fingerprints
+    * the ORDER itself — a position-weighted 60-bit hash sum, exact
+    * decimal accumulation — so two runs (or two engines) claiming "the
+    * same data order" can be hash-compared, not trusted.
+    *
+    * Scale shape: one shuffle on the shard id; the within-shard
+    * position is a bounded window sort per shard (shards are sized to
+    * fit a worker by choosing nShards); the manifest is nShards rows.
+    */
+  def epochShardManifest(df: DataFrame, idCol: String, tokenCount: Column,
+      nShards: Int, epoch: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards >= 1, "nShards must be positive")
+    val p1 = 1000003L
+    val p2 = 9999991L
+    val id = col(idCol).cast("long")
+    val idDiv = (id.cast("decimal(38,0)") / lit(p1)).cast("long")
+    val x1 = pmod(pmod(id + lit(epoch), lit(p1)) * lit(2654435761L),
+      lit(p1))
+    val x2 = pmod(pmod(x1 + idDiv, lit(p2)) * lit(22695477L), lit(p2))
+    val docHash = conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+      .cast("long") % lit(1000000007L)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__clock"), col("__id"))
+    df.select(id.as("__id"), tokenCount.cast("long").as("__tok"),
+        x2.as("__clock"), pmod(x2, lit(nShards.toLong)).as("shard"),
+        docHash.as("__h"))
+      .withColumn("__pos", row_number().over(w).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        sum((col("__pos") * col("__h")).cast("decimal(38,0)"))
+          .cast("string").as("order_fp"))
+      .withColumn("epoch", lit(epoch))
+      .select(col("epoch"), col("shard"), col("n_docs"), col("n_tokens"),
+        col("order_fp"))
+      .orderBy(col("shard"))
+  }
+
   def stratifiedExactSample(df: DataFrame, stratumCol: String,
       keyCol: String, num: Int, den: Int, salt: Long = 0L,
       literalStrataMax: Int = 100): DataFrame = {
