@@ -2624,6 +2624,7 @@ object OracleSql {
     "q241_cluster_sample" -> q241ClusterSampleSql,
     "q242_epoch_shards" -> q242EpochShardsSql,
     "q243_bpe_fertility" -> q243BpeFertilitySql,
+    "q244_waterfill" -> q244WaterfillSql,
 
     // the streamed index's quantizer is drawn from (and frozen at) the
     // wave-0 subset; assignment covers the full corpus — otherwise q182's
@@ -5860,6 +5861,63 @@ object OracleSql {
        |FROM p
        |GROUP BY shard
        |ORDER BY shard""".stripMargin
+
+  /** q244 oracle: the closed-form water-fill replayed — avail-sorted
+    * prefix sums, the unique valid saturation point (prevAvail ≤ λ <
+    * avail under budget < total), integer level + remainder dealt in
+    * sorted order, sentinel pick when the budget covers everything.
+    */
+  private def q244WaterfillSql: String =
+    """WITH a AS (
+      |  SELECT source,
+      |    CAST(SUM(len(string_split(TRIM(text), ' '))) AS BIGINT)
+      |      AS avail
+      |  FROM documents GROUP BY source),
+      |t AS (
+      |  SELECT CAST(SUM(avail) AS BIGINT) AS total, COUNT(*) AS n
+      |  FROM a),
+      |b AS (SELECT (total * 6) // 10 AS budget, total, n FROM t),
+      |s AS (
+      |  SELECT source, avail,
+      |    ROW_NUMBER() OVER (ORDER BY avail, source) AS pos,
+      |    SUM(avail) OVER (ORDER BY avail, source
+      |      ROWS UNBOUNDED PRECEDING) AS prefix,
+      |    COALESCE(LAG(avail) OVER (ORDER BY avail, source), 0)
+      |      AS prevavail
+      |  FROM a),
+      |g AS (
+      |  SELECT s.*, b.budget, b.total, b.n - s.pos + 1 AS m,
+      |    b.budget - (s.prefix - s.avail) AS x
+      |  FROM s, b),
+      |c AS (
+      |  SELECT *,
+      |    CASE WHEN x >= 0 THEN x // m ELSE -1 END AS level,
+      |    CASE WHEN x >= 0 THEN x % m ELSE 0 END AS rem
+      |  FROM g),
+      |v AS (
+      |  SELECT pos AS ppos, level AS plevel, rem AS prem FROM c
+      |  WHERE budget < total AND prevavail <= level AND level < avail
+      |  ORDER BY pos LIMIT 1),
+      |p AS (
+      |  SELECT
+      |    COALESCE((SELECT ppos FROM v), 9223372036854775807) AS ppos,
+      |    COALESCE((SELECT plevel FROM v), 9223372036854775807)
+      |      AS plevel,
+      |    COALESCE((SELECT prem FROM v), 0) AS prem),
+      |al AS (
+      |  SELECT c.source, c.avail, c.budget,
+      |    CASE WHEN c.pos < p.ppos THEN c.avail
+      |      ELSE p.plevel +
+      |        CASE WHEN c.pos - p.ppos < p.prem THEN 1 ELSE 0 END
+      |    END AS alloc
+      |  FROM c, p)
+      |SELECT source, avail AS avail_tokens,
+      |  CAST(alloc AS BIGINT) AS alloc_tokens,
+      |  CAST(CASE WHEN alloc = avail THEN 1 ELSE 0 END AS BIGINT)
+      |    AS saturated,
+      |  CAST(budget AS BIGINT) AS budget_tokens
+      |FROM al
+      |ORDER BY source""".stripMargin
 
   /** q236 oracle: the two stacked aggregations and the identical
     * double-division disclosure arithmetic (round AFTER max).

@@ -3567,6 +3567,17 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  // ---------------------------------------------------------------- q244
+  // Water-filling token allocation: a 60% global token budget split
+  // max-min fair across sources — every source gets level λ except the
+  // ones with less available, which saturate; λ found in CLOSED FORM on
+  // avail-sorted prefix sums, remainder tokens dealt one-each in sorted
+  // order, Σ alloc ≡ budget exactly (all BIGINT). q109 fixes a
+  // per-source budget; this solves for the fair one.
+  def q244(spark: SparkSession, dir: String): DataFrame =
+    SplitOps.tokenBudgetWaterfill(t(spark, dir, "documents"), "source",
+      size(TextOps.tokens(col("text"))), budgetNum = 6L, budgetDen = 10L)
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -4042,6 +4053,7 @@ object SparkEntry {
     "q241_cluster_sample" -> (q241 _),
     "q242_epoch_shards" -> (q242 _),
     "q243_bpe_fertility" -> (q243 _),
+    "q244_waterfill" -> (q244 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

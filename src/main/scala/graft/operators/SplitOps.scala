@@ -237,6 +237,76 @@ object SplitOps {
       .orderBy(col("shard"))
   }
 
+  /** Exact-integer water-filling token allocation: split a GLOBAL token
+    * budget (num/den of the corpus total) across sources so every
+    * source gets an equal level λ except those with less than λ
+    * available, which saturate — the classic max-min fair allocation a
+    * mixture designer uses when no source may dominate and small
+    * sources must not be starved (q109 is the fixed-per-source-budget
+    * sibling; this one solves for the level). All arithmetic is exact
+    * BIGINT: the saturation point is found in closed form on the
+    * avail-sorted prefix sums (no iteration), and the division
+    * remainder goes one token each to the first `rem` unsaturated
+    * sources in sorted order — Σ alloc ≡ min(budget, total) EXACTLY.
+    *
+    * Scale shape: the per-source avail frame is the model (|sources|
+    * rows — bounded); the corpus-wide work is ONE token-count
+    * aggregation. Windows run over the tiny model frame only.
+    */
+  def tokenBudgetWaterfill(df: DataFrame, srcCol: String,
+      tokenCount: Column, budgetNum: Long, budgetDen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetNum >= 0 && budgetDen >= 1, "need num >= 0, den >= 1")
+    val avail = df.groupBy(col(srcCol).as("source"))
+      .agg(sum(tokenCount.cast("long")).as("avail_tokens"))
+    val wAll = Window.partitionBy(lit(1))
+    val wSort = Window.partitionBy(lit(1))
+      .orderBy(col("avail_tokens"), col("source"))
+    val s = avail
+      .withColumn("__total", sum(col("avail_tokens")).over(wAll))
+      .withColumn("__budget",
+        (col("__total") * lit(budgetNum) - pmod(
+          col("__total") * lit(budgetNum), lit(budgetDen))) /
+          lit(budgetDen))
+      .withColumn("__budget", col("__budget").cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__pos", row_number().over(wSort).cast("long"))
+      .withColumn("__prefix", sum(col("avail_tokens")).over(
+        wSort.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__prevAvail",
+        coalesce(lag(col("avail_tokens"), 1).over(wSort), lit(0L)))
+    val m = col("__n") - col("__pos") + lit(1L)
+    val x = col("__budget") - (col("__prefix") - col("avail_tokens"))
+    val level = when(x >= 0L, (x - pmod(x, m)) / m).otherwise(lit(-1L))
+      .cast("long")
+    val rem = when(x >= 0L, pmod(x, m)).otherwise(lit(0L))
+    val g = s.withColumn("__level", level).withColumn("__rem", rem)
+      .withColumn("__valid",
+        col("__budget") < col("__total") &&
+        col("__prevAvail") <= col("__level") &&
+        col("__level") < col("avail_tokens"))
+    val pick = g.filter(col("__valid"))
+      .select(col("__pos").as("__ppos"), col("__level").as("__plevel"),
+        col("__rem").as("__prem"))
+      .orderBy(col("__ppos")).limit(1)
+    g.crossJoin(broadcast(pick.unionByName(
+        // budget >= total: sentinel pick saturating every source
+        g.sparkSession.range(1).select(lit(Long.MaxValue).as("__ppos"),
+          lit(Long.MaxValue).as("__plevel"), lit(0L).as("__prem")),
+        allowMissingColumns = false).orderBy(col("__ppos")).limit(1)))
+      .withColumn("alloc_tokens",
+        when(col("__pos") < col("__ppos"), col("avail_tokens"))
+          .otherwise(col("__plevel") +
+            when(col("__pos") - col("__ppos") < col("__prem"), 1L)
+              .otherwise(0L)))
+      .withColumn("saturated",
+        when(col("alloc_tokens") === col("avail_tokens"), 1L)
+          .otherwise(0L))
+      .select(col("source"), col("avail_tokens"), col("alloc_tokens"),
+        col("saturated"), col("__budget").as("budget_tokens"))
+      .orderBy(col("source"))
+  }
+
   def stratifiedExactSample(df: DataFrame, stratumCol: String,
       keyCol: String, num: Int, den: Int, salt: Long = 0L,
       literalStrataMax: Int = 100): DataFrame = {
