@@ -2626,6 +2626,40 @@ object OracleSql {
     "q243_bpe_fertility" -> q243BpeFertilitySql,
     "q244_waterfill" -> q244WaterfillSql,
 
+    // q245: the Snorkel LFAnalysis card — votes as a UNION of filtered
+    // projections, per-doc vote/label stats, per-LF diagnostics.
+    "q245_weak_labels" ->
+      """WITH dt AS (
+        |  SELECT doc_id, string_split(TRIM(text), ' ') AS toks
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, 'lf_spark' AS lf, 'tech' AS label
+        |  FROM dt WHERE list_contains(toks, 'spark')
+        |  UNION ALL
+        |  SELECT doc_id, 'lf_customer', 'retail'
+        |  FROM dt WHERE list_contains(toks, 'customer')
+        |  UNION ALL
+        |  SELECT doc_id, 'lf_window_table', 'tech'
+        |  FROM dt WHERE list_contains(toks, 'window')
+        |    AND list_contains(toks, 'table')
+        |  UNION ALL
+        |  SELECT doc_id, 'lf_vector', 'retail'
+        |  FROM dt WHERE list_contains(toks, 'vector')),
+        |pd AS (
+        |  SELECT doc_id, COUNT(*) AS nv, COUNT(DISTINCT label) AS nl
+        |  FROM v GROUP BY doc_id),
+        |n AS (SELECT COUNT(*) AS n FROM dt)
+        |SELECT v.lf, COUNT(*) AS n_votes,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(n.n AS DOUBLE), 6)
+        |    AS coverage,
+        |  CAST(SUM(CASE WHEN pd.nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_overlap,
+        |  CAST(SUM(CASE WHEN pd.nl > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_conflict
+        |FROM v JOIN pd USING (doc_id), n
+        |GROUP BY v.lf, n.n
+        |ORDER BY v.lf""".stripMargin,
+
     // the streamed index's quantizer is drawn from (and frozen at) the
     // wave-0 subset; assignment covers the full corpus — otherwise q182's
     // exact chain. The streamed artifact must be invisible in the answer.

@@ -3578,6 +3578,24 @@ object SparkEntry {
     SplitOps.tokenBudgetWaterfill(t(spark, dir, "documents"), "source",
       size(TextOps.tokens(col("text"))), budgetNum = 6L, budgetDen = 10L)
 
+  // ---------------------------------------------------------------- q245
+  // Weak-supervision LF diagnostics (the Snorkel LFAnalysis card): four
+  // keyword labeling functions with abstention — per LF, votes,
+  // coverage, overlap with other voters, and conflicts (different
+  // labels on the same doc). The triage that decides which rules
+  // survive before any label model is fit. One shared scan, |LF|
+  // filtered projections, two aggregations.
+  def q245(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    TextOps.weakLabelDiagnostics(t(spark, dir, "documents"), "doc_id",
+      Seq(
+        ("lf_spark", array_contains(toks, "spark"), "tech"),
+        ("lf_customer", array_contains(toks, "customer"), "retail"),
+        ("lf_window_table", array_contains(toks, "window") &&
+          array_contains(toks, "table"), "tech"),
+        ("lf_vector", array_contains(toks, "vector"), "retail")))
+  }
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -4054,6 +4072,7 @@ object SparkEntry {
     "q242_epoch_shards" -> (q242 _),
     "q243_bpe_fertility" -> (q243 _),
     "q244_waterfill" -> (q244 _),
+    "q245_weak_labels" -> (q245 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -791,6 +791,45 @@ object TextOps {
     counted.withColumn("redacted", red)
   }
 
+  /** Weak-supervision labeling-function diagnostics (the Snorkel
+    * LFAnalysis card, Ratner et al. 2017): each labeling function is a
+    * deterministic predicate → label rule with abstention; the card
+    * reports, per LF, its vote count, coverage, overlap (votes on docs
+    * where ANOTHER LF also voted) and conflict (votes where another LF
+    * voted a DIFFERENT label) — the triage view that decides which
+    * rules are worth keeping before any label model is fit.
+    *
+    * Scale shape: the votes frame is a union of |LF| filtered
+    * projections over ONE shared scan; per-doc distinct-label stats are
+    * one aggregation; the final card is |LF| rows. No joins wider than
+    * votes × per-doc stats (broadcast-sized per-doc frame never
+    * materializes driver-side — the join is on doc id).
+    */
+  def weakLabelDiagnostics(docs: DataFrame, idCol: String,
+      lfs: Seq[(String, Column, String)]): DataFrame = {
+    require(lfs.nonEmpty, "need at least one labeling function")
+    val votes = lfs.map { case (name, pred, label) =>
+      docs.filter(pred).select(col(idCol).as("doc_id"),
+        lit(name).as("lf"), lit(label).as("label"))
+    }.reduce(_.unionByName(_))
+    val perDoc = votes.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__nv"),
+        countDistinct(col("label")).as("__nl"))
+    val nDocs = docs.select(count(lit(1)).as("__n"))
+    votes.join(perDoc, "doc_id")
+      .groupBy(col("lf"))
+      .agg(count(lit(1)).as("n_votes"),
+        sum(when(col("__nv") > 1L, 1L).otherwise(0L)).as("n_overlap"),
+        sum(when(col("__nl") > 1L, 1L).otherwise(0L)).as("n_conflict"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("coverage",
+        round(col("n_votes").cast("double") / col("__n").cast("double"),
+          6))
+      .select(col("lf"), col("n_votes"), col("coverage"),
+        col("n_overlap"), col("n_conflict"))
+      .orderBy(col("lf"))
+  }
+
   /** DSIR data selection (Xie et al. 2023, "Data Selection for Language
     * Models via Importance Resampling"): score every raw document by its
     * hashed-n-gram importance weight toward a TARGET distribution —
