@@ -2625,6 +2625,7 @@ object OracleSql {
     "q242_epoch_shards" -> q242EpochShardsSql,
     "q243_bpe_fertility" -> q243BpeFertilitySql,
     "q244_waterfill" -> q244WaterfillSql,
+    "q246_lsh_quality" -> q246LshQualitySql,
 
     // q245: the Snorkel LFAnalysis card — votes as a UNION of filtered
     // projections, per-doc vote/label stats, per-LF diagnostics.
@@ -5895,6 +5896,76 @@ object OracleSql {
        |FROM p
        |GROUP BY shard
        |ORDER BY shard""".stripMargin
+
+  /** q246 oracle: q27's banded-candidate chain and q39's capped exact
+    * Jaccard chain (threshold 0.8) joined into the one-row
+    * precision/recall/pruning card.
+    */
+  private def q246LshQualitySql: String = {
+    val mhs = (0 until 32)
+      .map(s => s"MIN(MD5('$s#' || sh)) AS mh_$s").mkString(",\n    ")
+    val bandArms = (0 until 8).map { b =>
+      val cols = (b * 4 until b * 4 + 4).map(i => s"mh_$i")
+        .mkString(" || '#' || ")
+      s"SELECT doc_id, $b AS band, MD5($cols) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS tk
+       |  FROM documents),
+       |shx AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+       |    THEN list_transform(range(1, len(tk) - 1),
+       |      i -> array_to_string(tk[i:i+2], ' '))
+       |    ELSE [array_to_string(tk, ' ')] END) AS sh
+       |  FROM toks),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mhs
+       |  FROM shx GROUP BY doc_id),
+       |bands AS (
+       |  $bandArms),
+       |det AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |shd AS (SELECT DISTINCT doc_id, sh FROM shx),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+       |cold AS (SELECT sh FROM shd GROUP BY sh HAVING COUNT(*) <= 1000),
+       |shared AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+       |  FROM shd a JOIN cold USING (sh)
+       |  JOIN shd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT id_a, id_b FROM shared
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE ROUND(n_shared /
+       |    CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6) >= 0.8),
+       |nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+       |nd AS (SELECT COUNT(*) AS n_detected FROM det),
+       |nh AS (
+       |  SELECT CAST(SUM(CASE WHEN dm.d IS NOT NULL THEN 1 ELSE 0
+       |    END) AS BIGINT) AS n_hit
+       |  FROM truth LEFT JOIN
+       |    (SELECT id_a, id_b, 1 AS d FROM det) dm USING (id_a, id_b))
+       |SELECT nn.n_docs,
+       |  CAST(nn.n_docs * (nn.n_docs - 1) // 2 AS BIGINT)
+       |    AS n_possible_pairs,
+       |  nd.n_detected, nt.n_truth, COALESCE(nh.n_hit, 0) AS n_hit,
+       |  CASE WHEN nd.n_detected > 0 THEN
+       |    ROUND(CAST(COALESCE(nh.n_hit, 0) AS DOUBLE) /
+       |      CAST(nd.n_detected AS DOUBLE), 6) END AS precision,
+       |  CASE WHEN nt.n_truth > 0 THEN
+       |    ROUND(CAST(COALESCE(nh.n_hit, 0) AS DOUBLE) /
+       |      CAST(nt.n_truth AS DOUBLE), 6) END AS recall,
+       |  CASE WHEN nn.n_docs > 1 THEN
+       |    ROUND(CAST(nd.n_detected AS DOUBLE) /
+       |      CAST(nn.n_docs * (nn.n_docs - 1) // 2 AS DOUBLE), 6)
+       |    END AS candidate_frac
+       |FROM nn, nt, nd, nh""".stripMargin
+  }
 
   /** q244 oracle: the closed-form water-fill replayed — avail-sorted
     * prefix sums, the unique valid saturation point (prevAvail ≤ λ <

@@ -3596,6 +3596,15 @@ object SparkEntry {
         ("lf_vector", array_contains(toks, "vector"), "retail")))
   }
 
+  // ---------------------------------------------------------------- q246
+  // LSH quality card (the dedup analog of q220's ANN recall card):
+  // banded MinHash candidates vs exact-Jaccard ≥ 0.8 truth — precision
+  // (wasted verification), recall (missed near-dups), and the candidate
+  // fraction vs all n(n−1)/2 pairs (the pruning win to watch when
+  // tuning bands). Both chains are the proven q27/q39 machinery.
+  def q246(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.lshQualityCard(t(spark, dir, "documents"), "doc_id", "text")
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -4073,6 +4082,7 @@ object SparkEntry {
     "q243_bpe_fertility" -> (q243 _),
     "q244_waterfill" -> (q244 _),
     "q245_weak_labels" -> (q245 _),
+    "q246_lsh_quality" -> (q246 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.DedupOps
+
+/** LSH quality card (q246): identical docs are guaranteed detected AND
+  * true, card invariants hold, and disjoint corpora yield empty sets
+  * with null rates.
+  */
+class LshQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lshQualityCard: planted exact dup is detected and true") {
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, dup), (2L, dup),
+      (3L, "one two three four five six seven"),
+      (4L, "red green blue cyan magenta yellow black")
+    ).toDF("doc_id", "text")
+    val r = DedupOps.lshQualityCard(docs, "doc_id", "text").head()
+    // identical texts share every band -> always a candidate; J = 1.0
+    // -> always truth; so both sets contain (1,2) and the hit matches
+    assert(r.getLong(3) >= 1L && r.getLong(2) >= 1L && r.getLong(4) >= 1L)
+    assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)))
+    assert(r.getLong(1) == 6L) // 4 docs -> 6 possible pairs
+    val (p, rec) = (r.getDouble(5), r.getDouble(6))
+    assert(p >= 0.0 && p <= 1.0 && rec >= 0.0 && rec <= 1.0)
+  }
+
+  test("lshQualityCard: disjoint corpus has empty truth, null recall") {
+    val docs = Seq(
+      (1L, "aa bb cc dd ee"), (2L, "ff gg hh ii jj"),
+      (3L, "kk ll mm nn oo")).toDF("doc_id", "text")
+    val r = DedupOps.lshQualityCard(docs, "doc_id", "text").head()
+    assert(r.getLong(3) == 0L)            // no truth pairs
+    assert(r.isNullAt(6), "recall must be null, not NaN, on 0 truth")
+  }
+}
