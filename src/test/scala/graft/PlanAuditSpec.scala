@@ -789,6 +789,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(!finalSection.contains("CartesianProduct"), p)
   }
 
+  test("q238 span scrub: hash equi-joins only, coverage explodes dup starts not the corpus") {
+    val p = finalPlan(SparkEntry.q238(spark, dir))
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!finalSection.contains("CartesianProduct"), p)
+    assert(!finalSection.contains("BroadcastNestedLoopJoin"),
+      "every join keys on gram hash or (doc, position):\n" + p)
+  }
+
+  test("q239 DSIR: the bucket log-ratio model broadcasts to the doc stream") {
+    val p = finalPlan(SparkEntry.q239(spark, dir))
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("BroadcastHashJoin"),
+      "the bounded bucket-delta frame must broadcast:\n" + p)
+    assert(!finalSection.contains("CartesianProduct"), p)
+    // only the two 1-row LM-total scalar frames ride nested-loop joins
+    val bnlj =
+      "BroadcastNestedLoopJoin".r.findAllIn(finalSection).length
+    assert(bnlj <= 2, s"expected only the scalar crossJoins:\n$p")
+  }
+
+  test("q246 LSH quality: candidate and truth chains stay equi-joins") {
+    val p = finalPlan(SparkEntry.q246(spark, dir))
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!finalSection.contains("CartesianProduct"),
+      "no all-pairs stage may exist in either chain:\n" + p)
+    // 1-row card aggregates combine via nested-loop crossJoins only
+    val bnlj =
+      "BroadcastNestedLoopJoin".r.findAllIn(finalSection).length
+    assert(bnlj <= 3, s"expected only the card crossJoins:\n$p")
+  }
+
   test("q235 BPE encode: scoring scan is join-free up to the per-doc aggregate") {
     // encode with a FIXED merge table (the apply side alone — q235
     // itself trains first, which adds the q234 control-loop jobs)
