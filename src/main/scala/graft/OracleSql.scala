@@ -2627,6 +2627,54 @@ object OracleSql {
     "q244_waterfill" -> q244WaterfillSql,
     "q246_lsh_quality" -> q246LshQualitySql,
 
+    // q247: embedding drift replayed — hash-half slices, per-dim exact
+    // decimal means, decimal reductions over dims (order-free), rounded
+    // cosine/L2/top-shift finishing.
+    "q247_embedding_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    ((vec_id % 1000003) * 2654435761) % 20 >= 10 AS b
+        |  FROM embeddings),
+        |dv AS (
+        |  SELECT b, u.s.d AS d, u.s.v AS v
+        |  FROM e, UNNEST(list_transform(emb,
+        |    (x, i) -> struct_pack(d := i - 1, v := x))) AS u(s)),
+        |d0 AS (
+        |  SELECT d,
+        |    CAST(SUM(CASE WHEN NOT b
+        |      THEN CAST(v AS DECIMAL(28,12)) END) AS DOUBLE) AS sa,
+        |    COUNT(CASE WHEN NOT b THEN 1 END) AS n_a,
+        |    CAST(SUM(CASE WHEN b
+        |      THEN CAST(v AS DECIMAL(28,12)) END) AS DOUBLE) AS sb,
+        |    COUNT(CASE WHEN b THEN 1 END) AS n_b
+        |  FROM dv GROUP BY d),
+        |m AS (
+        |  SELECT d, n_a, n_b,
+        |    sa / CAST(n_a AS DOUBLE) AS ma,
+        |    sb / CAST(n_b AS DOUBLE) AS mb
+        |  FROM d0),
+        |m2 AS (SELECT *, ABS(ma - mb) AS shift FROM m),
+        |ag AS (
+        |  SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+        |    CAST(MAX(n_b) AS BIGINT) AS n_b,
+        |    CAST(SUM(CAST(ma * mb AS DECIMAL(28,18))) AS DOUBLE) AS dot,
+        |    CAST(SUM(CAST(ma * ma AS DECIMAL(28,18))) AS DOUBLE) AS qa,
+        |    CAST(SUM(CAST(mb * mb AS DECIMAL(28,18))) AS DOUBLE) AS qb,
+        |    CAST(SUM(CAST((ma - mb) * (ma - mb) AS DECIMAL(28,18)))
+        |      AS DOUBLE) AS sq
+        |  FROM m2),
+        |top AS (
+        |  SELECT CAST(d AS BIGINT) AS top_dim, ROUND(shift, 6)
+        |    AS top_shift
+        |  FROM m2 ORDER BY shift DESC, d LIMIT 1)
+        |SELECT ag.n_a, ag.n_b,
+        |  CASE WHEN ag.qa > 0.0 AND ag.qb > 0.0 THEN
+        |    ROUND(ag.dot / (SQRT(ag.qa) * SQRT(ag.qb)), 6)
+        |  END AS cosine_means,
+        |  ROUND(SQRT(ag.sq), 6) AS l2_shift,
+        |  top.top_dim, top.top_shift
+        |FROM ag, top""".stripMargin,
+
     // q245: the Snorkel LFAnalysis card — votes as a UNION of filtered
     // projections, per-doc vote/label stats, per-LF diagnostics.
     "q245_weak_labels" ->

@@ -3605,6 +3605,17 @@ object SparkEntry {
   def q246(spark: SparkSession, dir: String): DataFrame =
     DedupOps.lshQualityCard(t(spark, dir, "documents"), "doc_id", "text")
 
+  // ---------------------------------------------------------------- q247
+  // Embedding distribution drift: hash-half slices' mean vectors
+  // compared as cosine-of-means, L2 shift, and the most-shifted
+  // dimension — the vector-space sibling of the PSI family (q113/q131),
+  // the early-warning read that the embedding model or content mix
+  // changed between ingests. One pass, 2·d decimal accumulators.
+  def q247(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.embeddingDriftCard(t(spark, dir, "embeddings"),
+      "vec_id", "embedding",
+      SplitOps.hashBucket(col("vec_id"), 20) >= 10)
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -4083,6 +4094,7 @@ object SparkEntry {
     "q244_waterfill" -> (q244 _),
     "q245_weak_labels" -> (q245 _),
     "q246_lsh_quality" -> (q246 _),
+    "q247_embedding_drift" -> (q247 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -1185,6 +1185,63 @@ object SimilarityOps {
     cards.reduce(_.unionByName(_)).orderBy(col("dim"))
   }
 
+  /** Embedding distribution drift card — the vector-space sibling of
+    * the tabular PSI drift family (q113/q131): two corpus slices'
+    * per-dimension mean vectors compared as (a) cosine of the means,
+    * (b) L2 shift of the means, and (c) the single most-shifted
+    * dimension — the cheap early-warning read that an embedding model
+    * or upstream content mix changed between two ingests. (Means are a
+    * first-moment summary — the MMD-style witness for mean shift; the
+    * per-dim view localizes WHICH directions moved.)
+    *
+    * Scale shape: ONE pass over the exploded (dim, value) stream with
+    * per-dim exact DECIMAL sums for both slices (2·d accumulators);
+    * everything after runs on the d-row frame. Final reductions over
+    * dims accumulate in DECIMAL too — dimension order can never change
+    * the card.
+    */
+  def embeddingDriftCard(embeddings: DataFrame, idCol: String,
+      vecCol: String, sliceB: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dims = embeddings
+      .select(sliceB.as("__b"), posexplode(col(vecCol)).as(Seq("d", "v")))
+      .withColumn("v", col("v").cast("double"))
+      .groupBy(col("d"))
+      .agg(
+        sum(when(!col("__b"), col("v")).cast("decimal(28,12)"))
+          .cast("double").as("__sa"),
+        count(when(!col("__b"), lit(1))).as("n_a"),
+        sum(when(col("__b"), col("v")).cast("decimal(28,12)"))
+          .cast("double").as("__sb"),
+        count(when(col("__b"), lit(1))).as("n_b"))
+      .withColumn("ma", col("__sa") / col("n_a").cast("double"))
+      .withColumn("mb", col("__sb") / col("n_b").cast("double"))
+      .withColumn("shift", abs(col("ma") - col("mb")))
+    val agg = dims.agg(
+      max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+      sum((col("ma") * col("mb")).cast("decimal(28,18)"))
+        .cast("double").as("__dot"),
+      sum((col("ma") * col("ma")).cast("decimal(28,18)"))
+        .cast("double").as("__qa"),
+      sum((col("mb") * col("mb")).cast("decimal(28,18)"))
+        .cast("double").as("__qb"),
+      sum(((col("ma") - col("mb")) * (col("ma") - col("mb")))
+        .cast("decimal(28,18)")).cast("double").as("__sq"))
+    val w = Window.partitionBy(lit(1))
+      .orderBy(col("shift").desc, col("d").asc)
+    val top = dims.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("d").cast("long").as("top_dim"),
+        round(col("shift"), 6).as("top_shift"))
+    agg.crossJoin(broadcast(top))
+      .select(col("n_a"), col("n_b"),
+        when(col("__qa") > 0.0 && col("__qb") > 0.0,
+          round(col("__dot") / (sqrt(col("__qa")) * sqrt(col("__qb"))),
+            6)).as("cosine_means"),
+        round(sqrt(col("__sq")), 6).as("l2_shift"),
+        col("top_dim"), col("top_shift"))
+  }
+
   /** Cluster-balanced diversity sample: assign every vector to its
     * portable-IVF cluster (q182 machinery), then take an EQUAL quota of
     * `perList` per cluster by engine-portable priority draw — the

@@ -34,6 +34,28 @@ class MatryoshkaSpec extends SparkSpec {
     assert(rows.keySet == Set(8L, 16L, 64L))
   }
 
+  test("embeddingDriftCard: identical halves score zero drift") {
+    val e = Seq((1L, "a", Seq(1f, 0f)), (2L, "b", Seq(1f, 0f)),
+        (3L, "a", Seq(0f, 1f)), (4L, "b", Seq(0f, 1f)))
+      .toDF("vec_id", "grp", "embedding")
+    val r = SimilarityOps.embeddingDriftCard(e, "vec_id", "embedding",
+      col("grp") === "b").head()
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 0.0)
+    assert(r.getDouble(5) == 0.0)
+  }
+
+  test("embeddingDriftCard: hand-computed shift localizes the moved dim") {
+    // means: A = (2,0), B = (2,1) -> cos 0.894427, L2 1, top dim 1
+    val e = Seq((1L, "a", Seq(2f, 0f)), (2L, "b", Seq(2f, 1f)))
+      .toDF("vec_id", "grp", "embedding")
+    val r = SimilarityOps.embeddingDriftCard(e, "vec_id", "embedding",
+      col("grp") === "b").head()
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 1L)))
+    assert(r.getDouble(2) == 0.894427)
+    assert(r.getDouble(3) == 1.0)
+    assert((r.getLong(4), r.getDouble(5)) == ((1L, 1.0)))
+  }
+
   test("clusterBalancedSample: equal quotas, partitioning-invariant") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val a = SimilarityOps.clusterBalancedSample(
