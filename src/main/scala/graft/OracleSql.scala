@@ -2666,7 +2666,7 @@ object OracleSql {
         |top AS (
         |  SELECT CAST(d AS BIGINT) AS top_dim, ROUND(shift, 6)
         |    AS top_shift
-        |  FROM m2 ORDER BY shift DESC, d LIMIT 1)
+        |  FROM m2 ORDER BY shift DESC NULLS LAST, d LIMIT 1)
         |SELECT ag.n_a, ag.n_b,
         |  CASE WHEN ag.qa > 0.0 AND ag.qb > 0.0 THEN
         |    ROUND(ag.dot / (SQRT(ag.qa) * SQRT(ag.qb)), 6)
@@ -5862,8 +5862,15 @@ object OracleSql {
   /** Shared q235/q243 encode chain: q234's trained rounds, then every
     * document's words encoded by replaying the folds in merge order —
     * the per-word delimited subword string is what finishing selects
-    * aggregate (the Spark side joins with the same separator).
+    * aggregate (the Spark side joins with the same separator). Callers
+    * must select FROM the final fold relation [[bpeEncodeFinal]] — the
+    * name is derived from the same rounds count so the two can't drift.
     */
+  // defs, not vals: the oracles map is a val declared earlier in this
+  // object and evaluates these during object init — a val here would
+  // still be 0 at that point (init order), silently emitting 0 rounds
+  private def bpeEncodeRounds: Int = 8
+  private def bpeEncodeFinal: String = s"e$bpeEncodeRounds"
   private def bpeEncodeCtes(rounds: Int): String = {
     val base =
       s"""${bpeRoundsCte(rounds)},
@@ -5886,13 +5893,13 @@ object OracleSql {
   }
 
   private def q235BpeEncodeSql: String =
-    s"""${bpeEncodeCtes(8)}
+    s"""${bpeEncodeCtes(bpeEncodeRounds)}
        |SELECT doc_id AS id, COUNT(*) AS n_words,
        |  CAST(SUM(len(string_split(s, chr(31)))) AS BIGINT)
        |    AS n_subwords,
        |  CAST(SUM(${hexPoly15("MD5(s)")} % 1000000007) AS BIGINT)
        |    AS encoding_fp
-       |FROM e8
+       |FROM $bpeEncodeFinal
        |GROUP BY doc_id
        |ORDER BY id""".stripMargin
 
@@ -5900,12 +5907,12 @@ object OracleSql {
     * subwords-per-word fertility with the fixed double division.
     */
   private def q243BpeFertilitySql: String =
-    s"""${bpeEncodeCtes(8)},
+    s"""${bpeEncodeCtes(bpeEncodeRounds)},
        |pd AS (
        |  SELECT doc_id, COUNT(*) AS n_words,
        |    CAST(SUM(len(string_split(s, chr(31)))) AS BIGINT)
        |      AS n_subwords
-       |  FROM e8 GROUP BY doc_id)
+       |  FROM $bpeEncodeFinal GROUP BY doc_id)
        |SELECT d.lang, COUNT(*) AS n_docs,
        |  CAST(SUM(pd.n_words) AS BIGINT) AS n_words,
        |  CAST(SUM(pd.n_subwords) AS BIGINT) AS n_subwords,

@@ -1227,8 +1227,10 @@ object SimilarityOps {
         .cast("double").as("__qb"),
       sum(((col("ma") - col("mb")) * (col("ma") - col("mb")))
         .cast("decimal(28,18)")).cast("double").as("__sq"))
+    // explicit NULLS LAST on both engines: a dim whose values land
+    // entirely in one slice has NULL shift and must never win top_dim
     val w = Window.partitionBy(lit(1))
-      .orderBy(col("shift").desc, col("d").asc)
+      .orderBy(col("shift").desc_nulls_last, col("d").asc)
     val top = dims.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("d").cast("long").as("top_dim"),

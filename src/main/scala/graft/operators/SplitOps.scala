@@ -262,13 +262,16 @@ object SplitOps {
     val wAll = Window.partitionBy(lit(1))
     val wSort = Window.partitionBy(lit(1))
       .orderBy(col("avail_tokens"), col("source"))
+    // exact floor division: long `/` in Spark is DOUBLE division, which
+    // rounds past 2^53 — decimal(38,0) keeps total*num and the quotient
+    // exact at any token scale (numerator − pmod is exactly divisible,
+    // so the truncating cast IS the floor quotient)
+    val totNum = col("__total").cast("decimal(38,0)") * lit(budgetNum)
     val s = avail
       .withColumn("__total", sum(col("avail_tokens")).over(wAll))
       .withColumn("__budget",
-        (col("__total") * lit(budgetNum) - pmod(
-          col("__total") * lit(budgetNum), lit(budgetDen))) /
-          lit(budgetDen))
-      .withColumn("__budget", col("__budget").cast("long"))
+        ((totNum - pmod(totNum, lit(budgetDen))) / lit(budgetDen))
+          .cast("long"))
       .withColumn("__n", count(lit(1)).over(wAll))
       .withColumn("__pos", row_number().over(wSort).cast("long"))
       .withColumn("__prefix", sum(col("avail_tokens")).over(
@@ -277,8 +280,9 @@ object SplitOps {
         coalesce(lag(col("avail_tokens"), 1).over(wSort), lit(0L)))
     val m = col("__n") - col("__pos") + lit(1L)
     val x = col("__budget") - (col("__prefix") - col("avail_tokens"))
-    val level = when(x >= 0L, (x - pmod(x, m)) / m).otherwise(lit(-1L))
-      .cast("long")
+    val level = when(x >= 0L,
+        ((x - pmod(x, m)).cast("decimal(38,0)") / m).cast("long"))
+      .otherwise(lit(-1L)).cast("long")
     val rem = when(x >= 0L, pmod(x, m)).otherwise(lit(0L))
     val g = s.withColumn("__level", level).withColumn("__rem", rem)
       .withColumn("__valid",

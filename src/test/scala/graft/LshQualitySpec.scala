@@ -26,6 +26,25 @@ class LshQualitySpec extends SparkSpec {
     assert(p >= 0.0 && p <= 1.0 && rec >= 0.0 && rec <= 1.0)
   }
 
+  test("lshQualityCard: empty truth with detected pairs gives 0 hits, " +
+      "0.0 precision (not null)") {
+    // identical docs are ALWAYS banded candidates; an unreachable
+    // threshold empties the truth set while detection stays non-empty —
+    // the oracle coalesces n_hit to 0, so the Spark side must too
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq((1L, dup), (2L, dup),
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val r = DedupOps.lshQualityCard(docs, "doc_id", "text",
+      jaccardThreshold = 1.1).head()
+    assert(r.getLong(2) >= 1L)  // n_detected: the (1,2) candidate
+    assert(r.getLong(3) == 0L)  // n_truth empty
+    assert(!r.isNullAt(4) && r.getLong(4) == 0L,
+      "n_hit must coalesce to 0 on empty truth")
+    assert(!r.isNullAt(5) && r.getDouble(5) == 0.0,
+      "precision must be 0.0, not null, when candidates exist")
+    assert(r.isNullAt(6), "recall stays null on 0 truth")
+  }
+
   test("lshQualityCard: disjoint corpus has empty truth, null recall") {
     val docs = Seq(
       (1L, "aa bb cc dd ee"), (2L, "ff gg hh ii jj"),
