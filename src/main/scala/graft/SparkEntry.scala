@@ -3616,6 +3616,16 @@ object SparkEntry {
       "vec_id", "embedding",
       SplitOps.hashBucket(col("vec_id"), 20) >= 10)
 
+  // ---------------------------------------------------------------- q248
+  // Sequence-packing card: the corpus concatenated in doc order and cut
+  // into 512-token contexts — contexts, boundary-split docs, fragment
+  // count, tail waste. The global running offset is the two-level
+  // prefix sum (per-bucket totals broadcast as offsets, wide window per
+  // bucket) — never a single-partition global window.
+  def q248(spark: SparkSession, dir: String): DataFrame =
+    SplitOps.packingCard(t(spark, dir, "documents"), "doc_id", "text",
+      contextLen = 512, bucketWidth = 100)
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -4095,6 +4105,7 @@ object SparkEntry {
     "q245_weak_labels" -> (q245 _),
     "q246_lsh_quality" -> (q246 _),
     "q247_embedding_drift" -> (q247 _),
+    "q248_packing_card" -> (q248 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

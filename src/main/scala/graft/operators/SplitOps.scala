@@ -490,4 +490,68 @@ object SplitOps {
           (powT / col("__tot_pow").cast("double")) /
           col("n_tokens").cast("double"), 6).as("epochs_at_budget"))
   }
+
+  /** Sequence-packing card: documents concatenated in id order and cut
+    * into fixed `contextLen`-token training contexts (the standard
+    * concat-and-split packing of LM pretraining). The card reports what
+    * that packing does to the corpus — how many contexts, how many
+    * documents get split across a context boundary, total fragment
+    * count, and the tail padding waste — the numbers that decide
+    * context length and whether boundary-respecting packing is worth
+    * its cost.
+    *
+    * Scale shape: a GLOBAL running token offset is a prefix sum, and a
+    * naive `Window.orderBy(id)` moves the corpus to one partition. This
+    * computes it two-level: per-bucket token totals (a bounded frame —
+    * pick `bucketWidth` so corpus/bucketWidth stays broadcast-sized)
+    * carry the global offsets; the wide window then runs PER BUCKET.
+    * Floor divisions use exact decimal arithmetic (long `/` is double
+    * division and rounds past 2^53 — a real token count at corpus
+    * scale).
+    */
+  def packingCard(docs: DataFrame, idCol: String, textCol: String,
+      contextLen: Int = 512, bucketWidth: Int = 1000): DataFrame = {
+    require(contextLen >= 1 && bucketWidth >= 1,
+      "need contextLen >= 1 and bucketWidth >= 1")
+    import org.apache.spark.sql.expressions.Window
+    def fdiv(x: Column, m: Column): Column =
+      ((x - pmod(x, m)).cast("decimal(38,0)") / m).cast("long")
+    val L = lit(contextLen.toLong)
+    val perDoc = docs.select(col(idCol).as("__id"),
+        size(split(trim(col(textCol)), " ")).cast("long").as("__tok"))
+      .withColumn("__bkt", fdiv(col("__id"), lit(bucketWidth.toLong)))
+    val wB = Window.partitionBy(lit(1)).orderBy(col("__bkt"))
+    val offsets = perDoc.groupBy(col("__bkt"))
+      .agg(sum(col("__tok")).as("__bsum"))
+      .withColumn("__off", coalesce(sum(col("__bsum")).over(
+        wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    val wD = Window.partitionBy(col("__bkt")).orderBy(col("__id"))
+    val cum = perDoc.join(broadcast(offsets), Seq("__bkt"))
+      .withColumn("__cumEnd", col("__off") + sum(col("__tok")).over(
+        wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // a doc spanning tokens (cumPrev, cumEnd] occupies contexts
+      // floor(cumPrev/L) .. floor((cumEnd-1)/L) — fragment count is the
+      // context-index span + 1
+      .withColumn("__frag", when(col("__tok") > 0L,
+        fdiv(col("__cumEnd") - 1L, L) -
+          fdiv(col("__cumEnd") - col("__tok"), L) + 1L).otherwise(0L))
+    cum.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("total_tokens"),
+        sum(when(col("__frag") >= 2L, 1L).otherwise(0L))
+          .as("n_docs_split"),
+        sum(col("__frag")).as("n_fragments"))
+      .withColumn("context_len", L)
+      .withColumn("n_contexts",
+        fdiv(col("total_tokens") + L - 1L, L))
+      .withColumn("tail_waste_tokens",
+        col("n_contexts") * L - col("total_tokens"))
+      .withColumn("split_frac", round(
+        col("n_docs_split").cast("double") / col("n_docs").cast("double"),
+        6))
+      .select(col("n_docs"), col("total_tokens"), col("context_len"),
+        col("n_contexts"), col("n_docs_split"), col("n_fragments"),
+        col("tail_waste_tokens"), col("split_frac"))
+  }
 }
