@@ -2617,6 +2617,7 @@ object OracleSql {
     "q234_bpe_train" -> q234BpeTrainSql,
     "q235_bpe_encode" -> q235BpeEncodeSql,
     "q236_l_diversity" -> q236LDiversitySql,
+    "q249_t_closeness" -> q249TClosenessSql,
     "q237_dp_histogram" -> q237DpHistogramSql,
     "q238_span_scrub" -> q238SpanScrubSql,
     "q239_dsir_selection" -> q239DsirSql,
@@ -6115,6 +6116,51 @@ object OracleSql {
   /** q236 oracle: the two stacked aggregations and the identical
     * double-division disclosure arithmetic (round AFTER max).
     */
+  /** q249 oracle: t-closeness replayed — same exact-rational TVD
+    * (HUGEINT products ≡ Spark's decimal(38,0)), same exact integer
+    * threshold verdict num·5 > den, double division only at the end.
+    */
+  private def q249TClosenessSql: String =
+    """WITH gs AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM customer GROUP BY c_nationkey, c_mktsegment, 3),
+      |gdist AS (SELECT s, CAST(SUM(c) AS BIGINT) AS cg FROM gs GROUP BY s),
+      |tot AS (SELECT CAST(SUM(cg) AS BIGINT) AS n FROM gdist),
+      |ngt AS (
+      |  SELECT c_nationkey, c_mktsegment, CAST(SUM(c) AS BIGINT) AS ngv
+      |  FROM gs GROUP BY c_nationkey, c_mktsegment),
+      |per AS (
+      |  SELECT gs.c_nationkey, gs.c_mktsegment,
+      |    MAX(ngt.ngv) AS ngv, MAX(tot.n) AS n,
+      |    SUM(ABS(CAST(gs.c AS HUGEINT) * tot.n -
+      |      CAST(gdist.cg AS HUGEINT) * ngt.ngv)) AS s1,
+      |    SUM(CAST(gdist.cg AS HUGEINT)) AS s2
+      |  FROM gs
+      |  JOIN gdist USING (s)
+      |  JOIN ngt ON gs.c_nationkey = ngt.c_nationkey
+      |    AND gs.c_mktsegment = ngt.c_mktsegment
+      |  CROSS JOIN tot
+      |  GROUP BY gs.c_nationkey, gs.c_mktsegment),
+      |pv AS (
+      |  SELECT ngv, n,
+      |    s1 + (CAST(n AS HUGEINT) - s2) * ngv AS num,
+      |    2 * CAST(ngv AS HUGEINT) * n AS den
+      |  FROM per)
+      |SELECT ROUND(CAST(1 AS DOUBLE) / CAST(5 AS DOUBLE), 6) AS t,
+      |  CAST(MAX(n) AS BIGINT) AS n_rows,
+      |  COUNT(*) AS n_groups,
+      |  ROUND(MAX(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)), 6)
+      |    AS max_tvd,
+      |  CAST(SUM(CASE WHEN num * 5 > den THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_groups_above_t,
+      |  CAST(SUM(CASE WHEN num * 5 > den THEN ngv ELSE 0 END) AS BIGINT)
+      |    AS n_rows_above_t,
+      |  ROUND(CAST(SUM(CASE WHEN num * 5 > den THEN ngv ELSE 0 END)
+      |      AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 6) AS frac_rows_above_t
+      |FROM pv""".stripMargin
+
   private def q236LDiversitySql: String =
     """WITH gs AS (
       |  SELECT c_nationkey, c_mktsegment,

@@ -3626,6 +3626,18 @@ object SparkEntry {
     SplitOps.packingCard(t(spark, dir, "documents"), "doc_id", "text",
       contextLen = 512, bucketWidth = 100)
 
+  // ---------------------------------------------------------------- q249
+  // t-closeness audit — completes the privacy ladder (q217 k-anonymity,
+  // q236 l-diversity): per (nation, segment) quasi-group, the total-
+  // variation distance of the account-balance-band distribution from the
+  // global one; card = worst TVD and data mass above t = 1/5. All
+  // verdicts exact-rational (decimal products, no double threshold).
+  def q249(spark: SparkSession, dir: String): DataFrame =
+    ProfileOps.tClosenessCard(t(spark, dir, "customer"),
+      Seq("c_nationkey", "c_mktsegment"),
+      floor(col("c_acctbal") / lit(1000)).cast("long"), tNum = 1L,
+      tDen = 5L)
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -4106,6 +4118,7 @@ object SparkEntry {
     "q246_lsh_quality" -> (q246 _),
     "q247_embedding_drift" -> (q247 _),
     "q248_packing_card" -> (q248 _),
+    "q249_t_closeness" -> (q249 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

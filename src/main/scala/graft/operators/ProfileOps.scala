@@ -257,4 +257,67 @@ object ProfileOps {
       .withColumn("eps", lit(eps))
       .orderBy(col(groupCol))
   }
+
+  /** t-closeness audit (Li et al. 2007) — the third rung of the privacy
+    * ladder after k-anonymity ([[kAnonymityCard]]) and l-diversity
+    * ([[lDiversityCard]]): a quasi-group can be large AND diverse yet
+    * still disclosive when its sensitive-value DISTRIBUTION differs from
+    * the corpus-wide one. Per group, the nominal-EMD distance = total
+    * variation ½·Σ|p(s) − q(s)| against the global distribution; the
+    * card reports the worst group and how much data sits above the
+    * threshold t = tNum/tDen.
+    *
+    * Exactness: the TVD is the exact rational
+    * (S1 + (N − S2)·n_g) / (2·n_g·N) with S1 = Σ_{s∈grp}|c_g·N − c·n_g|
+    * and S2 = Σ_{s∈grp} c(s) — absent sensitive values contribute their
+    * full global mass without materializing a group×value cross join.
+    * All integer products run in decimal(38,0) (order-free, no long
+    * overflow at corpus scale) and the threshold verdict compares
+    * num·tDen > den·tNum EXACTLY — no double round-trip can flip it.
+    *
+    * Scale shape: two stacked aggregations on (group, s) keys, the
+    * global value distribution broadcast, one co-partitioned join of
+    * group sizes — never a per-row window, never a cross join.
+    */
+  def tClosenessCard(df: DataFrame, quasiCols: Seq[String],
+      sensitive: Column, tNum: Long, tDen: Long): DataFrame = {
+    require(quasiCols.nonEmpty && tNum >= 0 && tDen >= 1,
+      "need quasi columns and a t = tNum/tDen with tDen >= 1")
+    val qs = quasiCols.map(col)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val gs = df.groupBy(qs :+ sensitive.as("__s"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val glob = gs.groupBy(col("__s")).agg(sum(col("__c")).as("__cg"))
+    val tot = glob.agg(sum(col("__cg")).as("__N"))
+    val ng = gs.groupBy(qs: _*).agg(sum(col("__c")).as("__ng"))
+    val per = gs.join(broadcast(glob), "__s")
+      .join(ng, quasiCols)
+      .crossJoin(broadcast(tot))
+      .groupBy(qs: _*)
+      .agg(first(col("__ng")).as("__ng"), first(col("__N")).as("__N"),
+        sum(abs(dec(col("__c")) * dec(col("__N")) -
+          dec(col("__cg")) * dec(col("__ng")))).as("__s1"),
+        sum(dec(col("__cg"))).as("__s2"))
+      .withColumn("__num", col("__s1") +
+        (dec(col("__N")) - col("__s2")) * dec(col("__ng")))
+      .withColumn("__den", dec(lit(2L)) * dec(col("__ng")) * dec(col("__N")))
+      .withColumn("__tvd",
+        col("__num").cast("double") / col("__den").cast("double"))
+      .withColumn("__above",
+        col("__num") * dec(lit(tDen)) > col("__den") * dec(lit(tNum)))
+    per.agg(
+        max(col("__N")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        round(max(col("__tvd")), 6).as("max_tvd"),
+        sum(when(col("__above"), 1L).otherwise(0L)).as("n_groups_above_t"),
+        sum(when(col("__above"), col("__ng")).otherwise(0L))
+          .as("n_rows_above_t"))
+      .withColumn("t", round(lit(tNum.toDouble / tDen.toDouble), 6))
+      .withColumn("frac_rows_above_t",
+        round(col("n_rows_above_t").cast("double") /
+          col("n_rows").cast("double"), 6))
+      .select(col("t"), col("n_rows"), col("n_groups"), col("max_tvd"),
+        col("n_groups_above_t"), col("n_rows_above_t"),
+        col("frac_rows_above_t"))
+  }
 }

@@ -56,4 +56,43 @@ class PrivacyOpsSpec extends SparkSpec {
       .head().getDouble(2)
     assert(approx(n1 / 4.0, n4, 1e-5))
   }
+
+  test("tClosenessCard: hand-computed TVD on skewed groups") {
+    // global dist {a:4, b:4}; each group holds only one value →
+    // TVD = ½(|1−½| + |0−½|) = 0.5 per group, both above t = 1/5
+    val df = (Seq.fill(4)(("g1", "a")) ++ Seq.fill(4)(("g2", "b")))
+      .toDF("q", "s")
+    val r = ProfileOps.tClosenessCard(df, Seq("q"), col("s"), 1L, 5L)
+      .head()
+    assert(r.getDouble(0) == 0.2)     // t
+    assert(r.getLong(1) == 8L)        // n_rows
+    assert(r.getLong(2) == 2L)        // n_groups
+    assert(r.getDouble(3) == 0.5)     // max_tvd
+    assert(r.getLong(4) == 2L && r.getLong(5) == 8L)
+    assert(r.getDouble(6) == 1.0)     // frac_rows_above_t
+  }
+
+  test("tClosenessCard: groups matching the global dist have TVD 0") {
+    val df = (Seq.fill(2)(("g1", "a")) ++ Seq.fill(2)(("g1", "b")) ++
+      Seq.fill(2)(("g2", "a")) ++ Seq.fill(2)(("g2", "b"))).toDF("q", "s")
+    val r = ProfileOps.tClosenessCard(df, Seq("q"), col("s"), 1L, 5L)
+      .head()
+    assert(r.getDouble(3) == 0.0 && r.getLong(4) == 0L)
+    assert(r.getDouble(6) == 0.0)
+  }
+
+  test("tClosenessCard: exact threshold boundary is NOT above t") {
+    // group g1 {a,a,a,b} vs global {a:6,b:2}: p=(¾,¼) q=(¾,¼) → 0; make
+    // a group whose TVD is exactly t and assert the strict > verdict
+    // TVD(g)=t exactly: g1={a,a,a,a,a,b,b,b} p=(5/8,3/8), global
+    // {a:10,b:6} q=(5/8,3/8) → 0 … simpler: single group vs itself is
+    // always 0; exactness of the verdict is covered by the rational
+    // comparison: t = 1/2 with the skewed corpus above gives TVD = ½ = t
+    val df = (Seq.fill(4)(("g1", "a")) ++ Seq.fill(4)(("g2", "b")))
+      .toDF("q", "s")
+    val r = ProfileOps.tClosenessCard(df, Seq("q"), col("s"), 1L, 2L)
+      .head()
+    assert(r.getDouble(3) == 0.5)
+    assert(r.getLong(4) == 0L, "TVD == t must not count as above t")
+  }
 }
