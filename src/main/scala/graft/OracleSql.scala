@@ -2618,6 +2618,69 @@ object OracleSql {
     "q235_bpe_encode" -> q235BpeEncodeSql,
     "q236_l_diversity" -> q236LDiversitySql,
     "q249_t_closeness" -> q249TClosenessSql,
+
+    // q250: Heaps growth replayed — same exact integer ceil-division
+    // checkpoint cutoffs, same min-checkpoint vocab counting, LN ratios
+    // on identical doubles.
+    "q250_heaps_growth" ->
+      """WITH b AS (
+        |  SELECT CAST(MIN(doc_id) AS BIGINT) AS mn,
+        |    CAST(MAX(doc_id) AS BIGINT) AS mx FROM documents),
+        |d AS (
+        |  SELECT doc_id, text,
+        |    CASE
+        |      WHEN doc_id <= mn - 1 + ((mx - mn + 1) * 10 + 99) // 100
+        |        THEN 10
+        |      WHEN doc_id <= mn - 1 + ((mx - mn + 1) * 25 + 99) // 100
+        |        THEN 25
+        |      WHEN doc_id <= mn - 1 + ((mx - mn + 1) * 50 + 99) // 100
+        |        THEN 50
+        |      ELSE 100 END AS cb
+        |  FROM documents, b),
+        |tc AS (
+        |  SELECT u.tok AS tok, cb, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM d, UNNEST(string_split(trim(text), ' ')) AS u(tok)
+        |  GROUP BY u.tok, cb),
+        |vn AS (
+        |  SELECT minb AS pct, CAST(COUNT(*) AS BIGINT) AS vnew
+        |  FROM (SELECT tok, MIN(cb) AS minb FROM tc GROUP BY tok)
+        |  GROUP BY minb),
+        |tn AS (
+        |  SELECT cb AS pct, CAST(SUM(c) AS BIGINT) AS tnew
+        |  FROM tc GROUP BY cb),
+        |dn AS (
+        |  SELECT cb AS pct, CAST(COUNT(*) AS BIGINT) AS dnew
+        |  FROM d GROUP BY cb),
+        |cp AS (
+        |  SELECT CAST(u.p AS BIGINT) AS pct
+        |  FROM UNNEST([10, 25, 50, 100]) AS u(p)),
+        |g AS (
+        |  SELECT cp.pct,
+        |    CAST(SUM(COALESCE(dn.dnew, 0)) OVER (ORDER BY cp.pct
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_docs,
+        |    CAST(SUM(COALESCE(tn.tnew, 0)) OVER (ORDER BY cp.pct
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_tokens,
+        |    CAST(SUM(COALESCE(vn.vnew, 0)) OVER (ORDER BY cp.pct
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_vocab
+        |  FROM cp
+        |  LEFT JOIN vn ON vn.pct = cp.pct
+        |  LEFT JOIN tn ON tn.pct = cp.pct
+        |  LEFT JOIN dn ON dn.pct = cp.pct)
+        |SELECT pct, n_docs, n_tokens, n_vocab,
+        |  CASE WHEN LAG(n_vocab) OVER (ORDER BY pct) > 0
+        |    AND LAG(n_tokens) OVER (ORDER BY pct) > 0
+        |    AND n_tokens > LAG(n_tokens) OVER (ORDER BY pct)
+        |  THEN ROUND(
+        |    LN(CAST(n_vocab AS DOUBLE) /
+        |      CAST(LAG(n_vocab) OVER (ORDER BY pct) AS DOUBLE)) /
+        |    LN(CAST(n_tokens AS DOUBLE) /
+        |      CAST(LAG(n_tokens) OVER (ORDER BY pct) AS DOUBLE)), 6)
+        |  END AS heaps_beta
+        |FROM g
+        |ORDER BY pct""".stripMargin,
     "q237_dp_histogram" -> q237DpHistogramSql,
     "q238_span_scrub" -> q238SpanScrubSql,
     "q239_dsir_selection" -> q239DsirSql,

@@ -3638,6 +3638,14 @@ object SparkEntry {
       floor(col("c_acctbal") / lit(1000)).cast("long"), tNum = 1L,
       tDen = 5L)
 
+  // ---------------------------------------------------------------- q250
+  // Heaps'-law vocabulary growth: V(N) at id-order prefix checkpoints
+  // (10/25/50/100%) with the empirical exponent β between checkpoints —
+  // the read that predicts vocab size at 10× data. One token explosion;
+  // cumulative counting runs on the vocab-bounded aggregate.
+  def q250(spark: SparkSession, dir: String): DataFrame =
+    TextOps.heapsGrowthCard(t(spark, dir, "documents"), "doc_id", "text")
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -4119,6 +4127,7 @@ object SparkEntry {
     "q247_embedding_drift" -> (q247 _),
     "q248_packing_card" -> (q248 _),
     "q249_t_closeness" -> (q249 _),
+    "q250_heaps_growth" -> (q250 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -976,4 +976,78 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("pred_lang"))
   }
+
+  /** Heaps'-law vocabulary-growth card: distinct-token count V(N) as the
+    * corpus grows through id-order checkpoints (prefix percentiles of
+    * the doc-id range), with the empirical Heaps exponent
+    * β = ln(V₂/V₁)/ln(N₂/N₁) between consecutive checkpoints — the
+    * curve a tokenizer/vocab designer reads to predict vocabulary size
+    * at 10× data (V ∝ N^β, β ≈ 0.4–0.6 for natural text; a β near 1
+    * flags id-like token pollution).
+    *
+    * Scale shape: ONE token explosion; each token row carries the
+    * EARLIEST checkpoint containing its doc, so "vocab at checkpoint c"
+    * = count of tokens whose min-checkpoint ≤ c — cumulative counting on
+    * the |vocab|-bounded (token, checkpoint) aggregate, never a distinct
+    * per checkpoint over the corpus. Checkpoint cutoffs are exact
+    * integer ceil-divisions of the id span (no double rounding).
+    */
+  def heapsGrowthCard(docs: DataFrame, idCol: String, textCol: String,
+      checkpoints: Seq[Int] = Seq(10, 25, 50, 100)): DataFrame = {
+    require(checkpoints.nonEmpty && checkpoints.forall(p => p >= 1 && p <= 100)
+      && checkpoints == checkpoints.sorted && checkpoints.last == 100,
+      "checkpoints must be sorted percents ending at 100")
+    import org.apache.spark.sql.expressions.Window
+    def fdiv(x: Column, m: Column): Column =
+      ((x - pmod(x, m)).cast("decimal(38,0)") / m).cast("long")
+    val bounds = docs.agg(min(col(idCol)).cast("long").as("__mn"),
+      max(col(idCol)).cast("long").as("__mx"))
+    val span = col("__mx") - col("__mn") + 1L
+    def cutoff(p: Int): Column = // mn − 1 + ceil(span·p/100)
+      col("__mn") - 1L + fdiv(span * lit(p.toLong) + 99L, lit(100L))
+    val cb = checkpoints.init.foldRight(
+        lit(100L): Column) { (p, rest) =>
+      when(col(idCol).cast("long") <= cutoff(p), lit(p.toLong))
+        .otherwise(rest)
+    }
+    val tagged = docs.crossJoin(broadcast(bounds))
+      .withColumn("__cb", cb)
+    val tokCb = tagged.select(col("__cb"),
+        explode(split(trim(col(textCol)), " ")).as("__tok"))
+      .groupBy(col("__tok"), col("__cb"))
+      .agg(count(lit(1)).as("__c"))
+    val vocabNew = tokCb.groupBy(col("__tok"))
+      .agg(min(col("__cb")).as("__minb"))
+      .groupBy(col("__minb")).agg(count(lit(1)).as("__vnew"))
+    val tokensAt = tokCb.groupBy(col("__cb"))
+      .agg(sum(col("__c")).as("__tnew"))
+    val docsAt = tagged.groupBy(col("__cb"))
+      .agg(count(lit(1)).as("__dnew"))
+    val spark = docs.sparkSession
+    val cps = spark.range(1).select(explode(
+      array(checkpoints.map(p => lit(p.toLong)): _*)).as("pct"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("pct"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grown = cps
+      .join(vocabNew.withColumnRenamed("__minb", "pct"), Seq("pct"), "left")
+      .join(tokensAt.withColumnRenamed("__cb", "pct"), Seq("pct"), "left")
+      .join(docsAt.withColumnRenamed("__cb", "pct"), Seq("pct"), "left")
+      .withColumn("n_docs", sum(coalesce(col("__dnew"), lit(0L))).over(w))
+      .withColumn("n_tokens", sum(coalesce(col("__tnew"), lit(0L))).over(w))
+      .withColumn("n_vocab", sum(coalesce(col("__vnew"), lit(0L))).over(w))
+    val wl = Window.partitionBy(lit(1)).orderBy(col("pct"))
+    grown
+      .withColumn("__pv", lag(col("n_vocab"), 1).over(wl))
+      .withColumn("__pn", lag(col("n_tokens"), 1).over(wl))
+      .withColumn("heaps_beta",
+        when(col("__pv") > 0L && col("__pn") > 0L &&
+            col("n_tokens") > col("__pn"),
+          round(log(col("n_vocab").cast("double") /
+              col("__pv").cast("double")) /
+            log(col("n_tokens").cast("double") /
+              col("__pn").cast("double")), 6)))
+      .select(col("pct"), col("n_docs"), col("n_tokens"), col("n_vocab"),
+        col("heaps_beta"))
+      .orderBy(col("pct"))
+  }
 }
