@@ -2686,6 +2686,7 @@ object OracleSql {
     "q239_dsir_selection" -> q239DsirSql,
     "q240_matryoshka_recall" -> q240MatryoshkaSql,
     "q241_cluster_sample" -> q241ClusterSampleSql,
+    "q251_cluster_drift" -> q251ClusterDriftSql,
     "q242_epoch_shards" -> q242EpochShardsSql,
     "q243_bpe_fertility" -> q243BpeFertilitySql,
     "q244_waterfill" -> q244WaterfillSql,
@@ -6471,4 +6472,67 @@ object OracleSql {
       |  CAST(n_list AS BIGINT) AS n_list
       |FROM sized WHERE rank <= 8
       |ORDER BY centroid_id, rank""".stripMargin
+
+  /** q251 oracle: cluster-occupancy drift replayed — q241's full-corpus
+    * portable draw/assignment, q247's hash-half slices, Laplace-smoothed
+    * per-cluster JS contributions with the identical double expression
+    * shape, total row accumulated through DECIMAL(28,6).
+    */
+  private def q251ClusterDriftSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |    ((vec_id % 1000003) * 2654435761) % 20 >= 10 AS b
+      |  FROM embeddings),
+      |drawn AS (
+      |  SELECT vec_id, emb,
+      |    ((((((vec_id % 1000003) * 2654435761) % 1000003)
+      |        + (vec_id // 1000003)) % 9999991) * 22695477) % 9999991 AS d
+      |  FROM e),
+      |cent AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY d, vec_id) - 1 AS INT)
+      |      AS centroid_id,
+      |    emb AS centroid
+      |  FROM (SELECT * FROM drawn ORDER BY d, vec_id LIMIT 8)),
+      |assign AS (
+      |  SELECT vec_id, b, centroid_id FROM (
+      |    SELECT t.vec_id, t.b, c.centroid_id,
+      |      ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+      |        ROUND(list_inner_product(t.emb, c.centroid) /
+      |          (SQRT(list_inner_product(t.emb, t.emb)) *
+      |           SQRT(list_inner_product(c.centroid, c.centroid))), 6)
+      |          DESC,
+      |        c.centroid_id) AS rn
+      |    FROM e t, cent c)
+      |  WHERE rn = 1),
+      |occ AS (
+      |  SELECT centroid_id,
+      |    CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM assign GROUP BY centroid_id),
+      |f AS (
+      |  SELECT c.centroid_id, COALESCE(o.n_a, 0) AS n_a,
+      |    COALESCE(o.n_b, 0) AS n_b
+      |  FROM cent c LEFT JOIN occ o USING (centroid_id)),
+      |tot AS (
+      |  SELECT CAST(SUM(n_a) AS BIGINT) AS na,
+      |    CAST(SUM(n_b) AS BIGINT) AS nb FROM f),
+      |sm AS (
+      |  SELECT f.centroid_id, f.n_a, f.n_b,
+      |    CAST(f.n_a + 1 AS DOUBLE) / CAST(t.na + 8 AS DOUBLE) AS pa,
+      |    CAST(f.n_b + 1 AS DOUBLE) / CAST(t.nb + 8 AS DOUBLE) AS pb
+      |  FROM f CROSS JOIN tot t),
+      |jc AS (
+      |  SELECT centroid_id, n_a, n_b, pa, pb,
+      |    ROUND(0.5 * (pa * LN(pa / ((pa + pb) / 2.0)) +
+      |                 pb * LN(pb / ((pa + pb) / 2.0))), 6) AS js_contrib
+      |  FROM sm)
+      |SELECT CAST(centroid_id AS BIGINT) AS centroid_id, n_a, n_b,
+      |  ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b, js_contrib
+      |FROM jc
+      |UNION ALL
+      |SELECT CAST(-1 AS BIGINT), t.na, t.nb,
+      |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      |  CAST(SUM(CAST(js_contrib AS DECIMAL(28,6))) AS DOUBLE)
+      |FROM jc CROSS JOIN tot t GROUP BY t.na, t.nb
+      |ORDER BY centroid_id""".stripMargin
 }

@@ -3646,6 +3646,16 @@ object SparkEntry {
   def q250(spark: SparkSession, dir: String): DataFrame =
     TextOps.heapsGrowthCard(t(spark, dir, "documents"), "doc_id", "text")
 
+  // ---------------------------------------------------------------- q251
+  // Cluster-occupancy drift (MAUVE-lite): hash-half slices quantized
+  // against shared portable-IVF clusters, per-cluster smoothed JS
+  // contributions + decimal-accumulated total — the distribution-SHAPE
+  // drift read next to q247's mean shift (same slices).
+  def q251(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.clusterOccupancyDrift(t(spark, dir, "embeddings"),
+      "vec_id", "embedding",
+      SplitOps.hashBucket(col("vec_id"), 20) >= 10)
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -4128,6 +4138,7 @@ object SparkEntry {
     "q248_packing_card" -> (q248 _),
     "q249_t_closeness" -> (q249 _),
     "q250_heaps_growth" -> (q250 _),
+    "q251_cluster_drift" -> (q251 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

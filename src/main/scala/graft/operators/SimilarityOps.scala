@@ -1244,6 +1244,60 @@ object SimilarityOps {
         col("top_dim"), col("top_shift"))
   }
 
+  /** Cluster-occupancy drift between two corpus slices (MAUVE-style,
+    * first-order): both slices quantized against the SAME portable-IVF
+    * coarse clusters, then their cluster-occupancy histograms compared
+    * per cluster with Laplace smoothing and a Jensen–Shannon
+    * contribution — the distribution-SHAPE drift read that complements
+    * [[embeddingDriftCard]]'s mean-shift view (two corpora can share a
+    * mean while occupying disjoint modes). Output: one row per cluster
+    * (counts, smoothed probabilities, JS contribution) plus a TOTAL row
+    * (centroid_id −1) whose js value accumulates the rounded per-cluster
+    * contributions through decimals — addition-order-free.
+    *
+    * Scale shape: centroids are the bounded broadcast model fit on the
+    * FULL corpus (shared vocabulary — drift is measured in one cluster
+    * space); occupancy is ONE count aggregation over the assignment
+    * scan; everything after runs on the nlist-row frame.
+    */
+  def clusterOccupancyDrift(embeddings: DataFrame, idCol: String,
+      vecCol: String, sliceB: Column, nlist: Int = 8): DataFrame = {
+    val cents = ivfCentroidsPortable(embeddings, idCol, vecCol, nlist)
+    val assigned = ivfAssign(embeddings, idCol, vecCol, cents,
+      simRound = Some(6))
+    val occ = assigned
+      .join(embeddings.select(col(idCol), sliceB.as("__b")), idCol)
+      .groupBy(col("centroid_id"))
+      .agg(sum(when(!col("__b"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"))
+    val full = cents.select(col("centroid_id"))
+      .join(occ, Seq("centroid_id"), "left")
+      .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+      .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+    val tot = full.agg(sum(col("n_a")).as("__na"),
+      sum(col("n_b")).as("__nb"))
+    val sm = full.crossJoin(broadcast(tot))
+      .withColumn("p_a", (col("n_a") + 1L).cast("double") /
+        (col("__na") + lit(nlist.toLong)).cast("double"))
+      .withColumn("p_b", (col("n_b") + 1L).cast("double") /
+        (col("__nb") + lit(nlist.toLong)).cast("double"))
+      .withColumn("__m", (col("p_a") + col("p_b")) / lit(2.0))
+      .withColumn("js_contrib", round(lit(0.5) *
+        (col("p_a") * log(col("p_a") / col("__m")) +
+         col("p_b") * log(col("p_b") / col("__m"))), 6))
+    val perCluster = sm.select(col("centroid_id").cast("long"),
+      col("n_a"), col("n_b"), round(col("p_a"), 6).as("p_a"),
+      round(col("p_b"), 6).as("p_b"), col("js_contrib"))
+    val total = sm
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        sum(col("js_contrib").cast("decimal(28,6)")).cast("double")
+          .as("js_contrib"))
+      .select(lit(-1L).as("centroid_id"), col("n_a"), col("n_b"),
+        lit(null).cast("double").as("p_a"),
+        lit(null).cast("double").as("p_b"), col("js_contrib"))
+    perCluster.unionByName(total).orderBy(col("centroid_id"))
+  }
+
   /** Cluster-balanced diversity sample: assign every vector to its
     * portable-IVF cluster (q182 machinery), then take an EQUAL quota of
     * `perList` per cluster by engine-portable priority draw — the

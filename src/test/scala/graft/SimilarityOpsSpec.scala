@@ -247,4 +247,40 @@ class SimilarityOpsSpec extends SparkSpec {
       graft.operators.SplitOps.hashBucket(col("vec_id"), 10) >= 7).count()
     assert(cm.map(_.getAs[Long]("n_rows")).sum == nTest)
   }
+
+  test("clusterOccupancyDrift: identical slice distributions give JS 0") {
+    // pairs (2i, 2i+1) share a vector; even ids slice A, odd slice B →
+    // per-cluster occupancy identical → every contribution exactly 0
+    val vecs = (0L until 32L).map { i =>
+      val base = (i / 2).toInt % 4
+      (i, Seq.tabulate(4)(d => if (d == base) 1.0f else 0.1f))
+    }.toDF("vec_id", "embedding")
+    val rows = SimilarityOps.clusterOccupancyDrift(vecs, "vec_id",
+      "embedding", col("vec_id") % 2 === 1, nlist = 4).collect()
+    val total = rows.find(_.getLong(0) == -1L).get
+    assert(total.getDouble(5) == 0.0)
+    rows.filter(_.getLong(0) >= 0L).foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), "equal per-cluster counts")
+      assert(r.getDouble(5) == 0.0)
+    }
+  }
+
+  test("clusterOccupancyDrift: disjoint modes drift, total sums rounded " +
+      "contributions, counts partition the corpus") {
+    val vecs = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, Seq(1.0f, 0.0f, 0.0f, 0.0f))
+      else (i, Seq(0.0f, 1.0f, 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val rows = SimilarityOps.clusterOccupancyDrift(vecs, "vec_id",
+      "embedding", col("vec_id") % 2 === 1, nlist = 4).collect()
+    val total = rows.find(_.getLong(0) == -1L).get
+    val per = rows.filter(_.getLong(0) >= 0L)
+    assert(total.getDouble(5) > 0.1, "disjoint modes must register drift")
+    val sumContrib = per.map(r => BigDecimal(r.getDouble(5)))
+      .sum.toDouble
+    assert(math.abs(total.getDouble(5) - sumContrib) < 1e-9)
+    assert(per.map(_.getLong(1)).sum == 20L &&
+      per.map(_.getLong(2)).sum == 20L)
+    assert(total.getLong(1) == 20L && total.getLong(2) == 20L)
+  }
 }
