@@ -2687,6 +2687,7 @@ object OracleSql {
     "q240_matryoshka_recall" -> q240MatryoshkaSql,
     "q241_cluster_sample" -> q241ClusterSampleSql,
     "q251_cluster_drift" -> q251ClusterDriftSql,
+    "q252_cluster_cohesion" -> q252ClusterCohesionSql,
     "q242_epoch_shards" -> q242EpochShardsSql,
     "q243_bpe_fertility" -> q243BpeFertilitySql,
     "q244_waterfill" -> q244WaterfillSql,
@@ -6534,5 +6535,56 @@ object OracleSql {
       |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
       |  CAST(SUM(CAST(js_contrib AS DECIMAL(28,6))) AS DOUBLE)
       |FROM jc CROSS JOIN tot t GROUP BY t.na, t.nb
+      |ORDER BY centroid_id""".stripMargin
+
+  /** q252 oracle: cohesion margins replayed — portable draw, round-6
+    * cosines ranked per vector (top-2), DECIMAL(28,6) mean
+    * accumulation.
+    */
+  private def q252ClusterCohesionSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings),
+      |drawn AS (
+      |  SELECT vec_id, emb,
+      |    ((((((vec_id % 1000003) * 2654435761) % 1000003)
+      |        + (vec_id // 1000003)) % 9999991) * 22695477) % 9999991 AS d
+      |  FROM e),
+      |cent AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY d, vec_id) - 1 AS INT)
+      |      AS centroid_id,
+      |    emb AS centroid
+      |  FROM (SELECT * FROM drawn ORDER BY d, vec_id LIMIT 8)),
+      |scored AS (
+      |  SELECT t.vec_id, c.centroid_id,
+      |    ROUND(list_inner_product(t.emb, c.centroid) /
+      |      (SQRT(list_inner_product(t.emb, t.emb)) *
+      |       SQRT(list_inner_product(c.centroid, c.centroid))), 6)
+      |      AS sim,
+      |    ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+      |      ROUND(list_inner_product(t.emb, c.centroid) /
+      |        (SQRT(list_inner_product(t.emb, t.emb)) *
+      |         SQRT(list_inner_product(c.centroid, c.centroid))), 6)
+      |        DESC,
+      |      c.centroid_id) AS rn
+      |  FROM e t, cent c),
+      |top2 AS (
+      |  SELECT vec_id,
+      |    MAX(CASE WHEN rn = 1 THEN centroid_id END) AS own_cid,
+      |    MAX(CASE WHEN rn = 1 THEN sim END) AS own_sim,
+      |    MAX(CASE WHEN rn = 2 THEN sim END) AS next_sim
+      |  FROM scored WHERE rn <= 2 GROUP BY vec_id)
+      |SELECT CAST(own_cid AS BIGINT) AS centroid_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  ROUND(CAST(SUM(CAST(own_sim AS DECIMAL(28,6))) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE), 6) AS mean_own_cos,
+      |  ROUND(CAST(SUM(CAST(next_sim AS DECIMAL(28,6))) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE), 6) AS mean_next_cos,
+      |  ROUND(ROUND(CAST(SUM(CAST(own_sim AS DECIMAL(28,6))) AS DOUBLE) /
+      |      CAST(COUNT(*) AS DOUBLE), 6) -
+      |    ROUND(CAST(SUM(CAST(next_sim AS DECIMAL(28,6))) AS DOUBLE) /
+      |      CAST(COUNT(*) AS DOUBLE), 6), 6) AS margin
+      |FROM top2
+      |GROUP BY own_cid
       |ORDER BY centroid_id""".stripMargin
 }

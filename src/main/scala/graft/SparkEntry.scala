@@ -3656,6 +3656,15 @@ object SparkEntry {
       "vec_id", "embedding",
       SplitOps.hashBucket(col("vec_id"), 20) >= 10)
 
+  // ---------------------------------------------------------------- q252
+  // Cluster-cohesion card: per portable-IVF cluster, mean cosine to the
+  // own centroid vs the runner-up centroid — the quantizer-separation
+  // margin behind q220's recall symptom. One broadcast scan + top-2
+  // window; decimal-accumulated means.
+  def q252(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.clusterCohesionCard(t(spark, dir, "embeddings"),
+      "vec_id", "embedding")
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -4139,6 +4148,7 @@ object SparkEntry {
     "q249_t_closeness" -> (q249 _),
     "q250_heaps_growth" -> (q250 _),
     "q251_cluster_drift" -> (q251 _),
+    "q252_cluster_cohesion" -> (q252 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

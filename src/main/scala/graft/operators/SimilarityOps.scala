@@ -1298,6 +1298,51 @@ object SimilarityOps {
     perCluster.unionByName(total).orderBy(col("centroid_id"))
   }
 
+  /** Cluster-cohesion card (silhouette-lite, cosine form): per portable
+    * IVF cluster, the mean cosine to the OWN centroid vs the mean cosine
+    * to the runner-up centroid — the margin that says whether the coarse
+    * quantizer actually separates the corpus (margin ≈ 0 → probes spill,
+    * ANN recall degrades; the tuning read behind [[annRecallCard]]'s
+    * symptom). Classic silhouette needs all pairwise distances (O(n²));
+    * against centroids it is ONE broadcast scan — the same cost as
+    * assignment itself.
+    *
+    * Scale shape: one corpus × broadcast-centroids scan, per-vector
+    * top-2 window (partitioned by vector), one aggregation on cluster
+    * id. Cosines are rounded before ranking and summed through
+    * DECIMAL(28,6) — engine-portable and addition-order-free.
+    */
+  def clusterCohesionCard(embeddings: DataFrame, idCol: String,
+      vecCol: String, nlist: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = ivfCentroidsPortable(embeddings, idCol, vecCol, nlist)
+    val scored = embeddings
+      .select(col(idCol), col(vecCol).cast("array<double>").as("emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", round(cosineNative(col("emb"), col("centroid")), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("sim").desc, col("centroid_id"))
+    val top2 = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col(idCol))
+      .agg(max(when(col("rn") === 1, col("centroid_id"))).as("own_cid"),
+        max(when(col("rn") === 1, col("sim"))).as("own_sim"),
+        max(when(col("rn") === 2, col("sim"))).as("next_sim"))
+    top2.groupBy(col("own_cid").cast("long").as("centroid_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("own_sim").cast("decimal(28,6)")).as("__so"),
+        sum(col("next_sim").cast("decimal(28,6)")).as("__sn"))
+      .withColumn("mean_own_cos", round(
+        col("__so").cast("double") / col("n_vecs").cast("double"), 6))
+      .withColumn("mean_next_cos", round(
+        col("__sn").cast("double") / col("n_vecs").cast("double"), 6))
+      .withColumn("margin",
+        round(col("mean_own_cos") - col("mean_next_cos"), 6))
+      .select(col("centroid_id"), col("n_vecs"), col("mean_own_cos"),
+        col("mean_next_cos"), col("margin"))
+      .orderBy(col("centroid_id"))
+  }
+
   /** Cluster-balanced diversity sample: assign every vector to its
     * portable-IVF cluster (q182 machinery), then take an EQUAL quota of
     * `perList` per cluster by engine-portable priority draw — the

@@ -248,6 +248,32 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(cm.map(_.getAs[Long]("n_rows")).sum == nTest)
   }
 
+  test("clusterCohesionCard: one-hot axis clusters give margin 1") {
+    // n == nlist → the portable draw takes every vector as a centroid:
+    // own cosine 1.0, runner-up 0.0 (orthogonal axes), margin 1.0
+    val vecs = (0L until 4L).map { i =>
+      (i, Seq.tabulate(4)(d => if (d == i.toInt) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val rows = SimilarityOps.clusterCohesionCard(vecs, "vec_id",
+      "embedding", nlist = 4).collect()
+    assert(rows.map(_.getLong(1)).sum == 4L)
+    rows.foreach { r =>
+      assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 0.0)
+      assert(r.getDouble(4) == 1.0)
+    }
+  }
+
+  test("clusterCohesionCard: overlapping clusters shrink the margin") {
+    // all vectors nearly parallel → own and runner-up cosines both ~1
+    val vecs = (0L until 24L).map { i =>
+      (i, Seq(1.0f, 0.01f * (i % 4), 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val rows = SimilarityOps.clusterCohesionCard(vecs, "vec_id",
+      "embedding", nlist = 4).collect()
+    rows.foreach(r => assert(r.getDouble(4) < 0.01,
+      s"near-parallel corpus must have tiny margin, got ${r.getDouble(4)}"))
+  }
+
   test("clusterOccupancyDrift: identical slice distributions give JS 0") {
     // pairs (2i, 2i+1) share a vector; even ids slice A, odd slice B →
     // per-cluster occupancy identical → every contribution exactly 0
