@@ -2688,6 +2688,38 @@ object OracleSql {
     "q241_cluster_sample" -> q241ClusterSampleSql,
     "q251_cluster_drift" -> q251ClusterDriftSql,
     "q252_cluster_cohesion" -> q252ClusterCohesionSql,
+
+    // q253: domain cap replayed — q13's quality expression, per-source
+    // rank on (rounded score desc, id), kept/dropped aggregation.
+    "q253_source_cap" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    string_split(trim(text), ' ') AS toks FROM documents),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    ROUND(LEAST(len(toks) / 100.0, 1.0) *
+        |      (1.0 - len(list_filter(toks, x -> x = 'the' OR x = 'a')) /
+        |        CAST(len(toks) AS DOUBLE)), 6) AS quality_score
+        |  FROM t),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY quality_score DESC, doc_id) <= 10 AS keep
+        |  FROM q)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_dropped,
+        |  CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+        |    AS kept_tokens,
+        |  CAST(SUM(CASE WHEN keep THEN 0 ELSE n_tokens END) AS BIGINT)
+        |    AS dropped_tokens,
+        |  MIN(CASE WHEN keep THEN quality_score END) AS min_kept_quality
+        |FROM r
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     "q242_epoch_shards" -> q242EpochShardsSql,
     "q243_bpe_fertility" -> q243BpeFertilitySql,
     "q244_waterfill" -> q244WaterfillSql,

@@ -3665,6 +3665,15 @@ object SparkEntry {
     SimilarityOps.clusterCohesionCard(t(spark, dir, "embeddings"),
       "vec_id", "embedding")
 
+  // ---------------------------------------------------------------- q253
+  // Per-source frequency cap (domain cap): ≤10 docs per source, best
+  // q13-quality first, id tiebreak — kept/dropped counts and token
+  // mass per source, plus the quality bar the cap imposed. Bounded-k
+  // window per source; no domain can dominate the mix.
+  def q253(spark: SparkSession, dir: String): DataFrame =
+    TextOps.sourceCapCard(t(spark, dir, "documents"), "source",
+      "doc_id", "text", cap = 10)
+
   // ---------------------------------------------------------------- q180
   // Split-conformal prediction intervals: per-user mean fitted on the
   // first time half, |residual| quantile q̂ = ⌈0.9(n_cal+1)⌉-th smallest
@@ -4149,6 +4158,7 @@ object SparkEntry {
     "q250_heaps_growth" -> (q250 _),
     "q251_cluster_drift" -> (q251 _),
     "q252_cluster_cohesion" -> (q252 _),
+    "q253_source_cap" -> (q253 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -977,6 +977,42 @@ object TextOps {
       .orderBy(col("lang"), col("pred_lang"))
   }
 
+  /** Per-source frequency cap (the Common-Crawl-style domain cap): each
+    * source keeps at most `cap` documents, highest [[withQuality]] score
+    * first (doc-id tiebreak — the rounded score makes the order
+    * engine-portable), so no single domain dominates the training mix.
+    * Returns the per-source curation card: kept/dropped counts, token
+    * mass each way, and the quality bar the cap imposed (min kept
+    * score).
+    *
+    * Scale shape: one quality-scoring scan (pure per-row expressions),
+    * one per-source bounded-k window (shuffle keyed on source; the cap
+    * bounds retained state per key — a skewed mega-domain is a k-select
+    * within its partition, not a sort of it), one aggregation.
+    */
+  def sourceCapCard(docs: DataFrame, srcCol: String, idCol: String,
+      textCol: String, cap: Int,
+      stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(col("quality_score").desc, col(idCol))
+    val ranked = withQuality(docs, textCol, stopwords)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__keep", col("__rn") <= cap)
+    ranked.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("__keep"), col("n_tokens")).otherwise(0L))
+          .as("kept_tokens"),
+        sum(when(!col("__keep"), col("n_tokens")).otherwise(0L))
+          .as("dropped_tokens"),
+        min(when(col("__keep"), col("quality_score")))
+          .as("min_kept_quality"))
+      .orderBy(col("source"))
+  }
+
   /** Heaps'-law vocabulary-growth card: distinct-token count V(N) as the
     * corpus grows through id-order checkpoints (prefix percentiles of
     * the doc-id range), with the empirical Heaps exponent

@@ -294,4 +294,28 @@ class TextOpsSpec extends SparkSpec {
     // winnowing): the first full window [0..3] of equal hashes → pos 3
     assert(repFps.agg(min(col("fp_pos"))).head().getLong(0) == 3L)
   }
+
+  test("sourceCapCard: cap keeps the best-quality docs per source") {
+    // s1: 3 docs — long no-stopword text scores higher than stopword-y
+    // text; cap 2 drops exactly the worst. s2: 1 doc — under cap.
+    val docs = Seq(
+      (1L, "s1", "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "s1", "the a the a the a"),
+      (3L, "s1", "iota kappa lambda mu nu xi omicron pi rho sigma"),
+      (4L, "s2", "tau upsilon phi")).toDF("doc_id", "source", "text")
+    val rows = TextOps.sourceCapCard(docs, "source", "doc_id", "text",
+      cap = 2).collect()
+    val s1 = rows.find(_.getString(0) == "s1").get
+    val s2 = rows.find(_.getString(0) == "s2").get
+    assert(s1.getLong(1) == 3L && s1.getLong(2) == 2L &&
+      s1.getLong(3) == 1L)
+    assert(s1.getLong(4) == 18L, "kept tokens = docs 1 (8) + 3 (10)")
+    assert(s1.getLong(5) == 6L, "dropped tokens = doc 2's 6")
+    assert(s1.getDouble(6) > 0.0, "kept docs all have positive quality")
+    assert(s2.getLong(2) == 1L && s2.getLong(3) == 0L)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= 2L && r.getLong(1) ==
+        r.getLong(2) + r.getLong(3))
+    }
+  }
 }
