@@ -2687,6 +2687,10 @@ object OracleSql {
     "q240_matryoshka_recall" -> q240MatryoshkaSql,
     "q241_cluster_sample" -> q241ClusterSampleSql,
     "q251_cluster_drift" -> q251ClusterDriftSql,
+    // q254 shares q251's oracle verbatim: the streamed min-k centroid
+    // store + additive occupancy counts converge to the batch card
+    // exactly (stream ≡ batch is the streaming contract under test).
+    "q254_stream_cluster_drift" -> q251ClusterDriftSql,
     "q252_cluster_cohesion" -> q252ClusterCohesionSql,
 
     // q253: domain cap replayed — q13's quality expression, per-source

@@ -3665,6 +3665,49 @@ object SparkEntry {
     SimilarityOps.clusterCohesionCard(t(spark, dir, "embeddings"),
       "vec_id", "embedding")
 
+  // ---------------------------------------------------------------- q254
+  // Streaming twin of q251 (SHARED oracle): the corpus streamed in 3
+  // hash waves; pass 1 maintains the portable centroid draw as a
+  // persisted min-k store (monotone merge, nlist rows forever), pass 2
+  // accumulates additive per-slice occupancy counts batchId-keyed; the
+  // shared finishing lands on the identical drift card.
+  def q254(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_TMP_ROOT",
+          System.getProperty("java.io.tmpdir"))),
+      "graft_q254_")
+    try {
+      val e = t(spark, dir, "embeddings")
+      val b = SplitOps.hashBucket(col("vec_id"), 10)
+      val tagged = e.withColumn("__w",
+        when(b < 4, 0).when(b < 7, 1).otherwise(2))
+      val wavesDir = s"$root/waves"
+      new java.io.File(wavesDir).mkdirs()
+      (0 until 3).foreach { w =>
+        val tmp = s"$root/w$w"
+        tagged.filter(col("__w") === w).drop("__w")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(wavesDir, f"wave$w%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        require(dst.setLastModified(1000000L * (w + 1)),
+          s"could not stamp $dst")
+      }
+      val res = graft.streaming.StreamingOps.streamingClusterDrift(
+          spark, wavesDir, "vec_id", "embedding",
+          SplitOps.hashBucket(col("vec_id"), 20) >= 10,
+          s"$root/store", nlist = 8)
+        .orderBy(col("centroid_id"))
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      res.collect().foreach(rows.add)
+      spark.createDataFrame(rows, res.schema)
+    } finally {
+      graft.tools.FsUtils.deleteRecursively(root)
+    }
+  }
+
   // ---------------------------------------------------------------- q253
   // Per-source frequency cap (domain cap): ≤10 docs per source, best
   // q13-quality first, id tiebreak — kept/dropped counts and token
@@ -4159,6 +4202,7 @@ object SparkEntry {
     "q251_cluster_drift" -> (q251 _),
     "q252_cluster_cohesion" -> (q252 _),
     "q253_source_cap" -> (q253 _),
+    "q254_stream_cluster_drift" -> (q254 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

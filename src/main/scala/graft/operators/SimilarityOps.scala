@@ -1270,6 +1270,16 @@ object SimilarityOps {
       .groupBy(col("centroid_id"))
       .agg(sum(when(!col("__b"), 1L).otherwise(0L)).as("n_a"),
         sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"))
+    occupancyDriftFinish(cents, occ, nlist)
+  }
+
+  /** Finishing for [[clusterOccupancyDrift]] from raw per-cluster
+    * occupancy counts — factored out so a streaming accumulation of the
+    * SAME (additive) counts lands on the identical card (the shared-
+    * oracle convention: counts are the state, this is the projection).
+    */
+  def occupancyDriftFinish(cents: DataFrame, occ: DataFrame,
+      nlist: Int): DataFrame = {
     val full = cents.select(col("centroid_id"))
       .join(occ, Seq("centroid_id"), "left")
       .withColumn("n_a", coalesce(col("n_a"), lit(0L)))

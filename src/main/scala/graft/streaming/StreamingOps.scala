@@ -824,4 +824,94 @@ object StreamingOps {
     runToSink(spark, card(fileStream(spark, dir, fileName)),
       sink, "complete")
       .orderBy(col("source"))
+
+  /** Streaming cluster-occupancy drift ≡ batch (q251's twin) in the
+    * TWO-PASS streaming shape a corpus-wide portable quantizer needs:
+    *
+    *   1. **Centroid pass** — the portable centroid set is the nlist
+    *      SMALLEST two-round-draw keys over the whole corpus, a min-k
+    *      that is monotone under union: each micro-batch merges its
+    *      local min-k into a persisted nlist-row candidate store
+    *      (min-k(store ∪ batch) — idempotent under at-least-once
+    *      replay, the q216 additive-state convention; state is nlist
+    *      rows FOREVER).
+    *   2. **Occupancy pass** — with centroids frozen, per-slice cluster
+    *      counts are ADDITIVE: each micro-batch assigns against the
+    *      broadcast store and writes its own batchId-keyed count
+    *      partition (overwrite-own-directory retry safety); the final
+    *      counts are one SUM over partitions.
+    *
+    * Finishing runs [[graft.operators.SimilarityOps.occupancyDriftFinish]]
+    * on the summed counts — the streamed card equals the batch card
+    * EXACTLY under any micro-batching, so it shares q251's oracle.
+    */
+  def streamingClusterDrift(spark: SparkSession, wavesDir: String,
+      idCol: String, vecCol: String, sliceB: org.apache.spark.sql.Column,
+      storeRoot: String, nlist: Int): DataFrame = {
+    import graft.operators.SimilarityOps
+    val schema = spark.read.parquet(wavesDir).schema
+    val candPath = s"$storeRoot/cand"
+    val p1 = 1000003L
+    val p2 = 9999991L
+    def drawn(df: DataFrame): DataFrame = {
+      val id = col(idCol).cast("long")
+      val idDiv = (id.cast("decimal(38,0)") / lit(p1)).cast("long")
+      val x1 = pmod(pmod(id, lit(p1)) * lit(2654435761L), lit(p1))
+      val x2 = pmod(pmod(x1 + idDiv, lit(p2)) * lit(22695477L), lit(p2))
+      df.select(x2.as("__draw"), id.as("__id"),
+        col(vecCol).cast("array<double>").as("centroid"))
+    }
+    def minK(df: DataFrame): Array[org.apache.spark.sql.Row] =
+      df.orderBy(col("__draw"), col("__id")).limit(nlist).collect()
+    val candSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__draw",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val pass1: (DataFrame, Long) => Unit = (batch, _) => {
+      // bounded-state merge: nlist rows collected, nlist rows written
+      val local = minK(drawn(batch))
+      val prior =
+        if (new java.io.File(candPath).exists())
+          spark.read.parquet(candPath).collect()
+        else Array.empty[org.apache.spark.sql.Row]
+      val merged = minK(spark.createDataFrame(
+        java.util.Arrays.asList(prior ++ local: _*), candSchema))
+      spark.createDataFrame(
+          java.util.Arrays.asList(merged: _*), candSchema)
+        .coalesce(1).write.mode("overwrite").parquet(candPath)
+    }
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(wavesDir)
+      .writeStream.outputMode("append").foreachBatch(pass1)
+      .option("checkpointLocation", s"$storeRoot/ckpt1")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    import org.apache.spark.sql.expressions.Window
+    val cents = spark.read.parquet(candPath)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("__draw"), col("__id"))))
+      .select((col("rn") - 1).cast("int").as("centroid_id"),
+        col("centroid"))
+    val pass2: (DataFrame, Long) => Unit = (batch, batchId) => {
+      SimilarityOps.ivfAssign(batch, idCol, vecCol, cents, Some(6))
+        .join(batch.select(col(idCol), sliceB.as("__b")), idCol)
+        .groupBy(col("centroid_id"))
+        .agg(sum(when(!col("__b"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$storeRoot/occ/batch=$batchId")
+    }
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(wavesDir)
+      .writeStream.outputMode("append").foreachBatch(pass2)
+      .option("checkpointLocation", s"$storeRoot/ckpt2")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val occ = spark.read.parquet(s"$storeRoot/occ")
+      .groupBy(col("centroid_id").cast("int").as("centroid_id"))
+      .agg(sum(col("n_a")).as("n_a"), sum(col("n_b")).as("n_b"))
+    SimilarityOps.occupancyDriftFinish(cents, occ, nlist)
+  }
 }
