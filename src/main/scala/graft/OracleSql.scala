@@ -2693,6 +2693,36 @@ object OracleSql {
     "q254_stream_cluster_drift" -> q251ClusterDriftSql,
     "q252_cluster_cohesion" -> q252ClusterCohesionSql,
 
+    // q255: PMI collocations replayed — direct adjacent pairs (the same
+    // pair set as Spark's slice-and-join bigrams), identical double
+    // expression shape inside LN, rank on (rounded pmi, w1, w2).
+    "q255_pmi_collocations" ->
+      """WITH t AS (
+        |  SELECT string_split(trim(text), ' ') AS toks FROM documents),
+        |w AS (SELECT u.w AS w FROM t, UNNEST(toks) AS u(w)),
+        |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY w),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w),
+        |bgl AS (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM t, UNNEST(range(1, len(toks))) AS r(i)),
+        |bg AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        |  FROM bgl GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+        |scored AS (
+        |  SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+        |    ROUND(LN(CAST(b.c12 AS DOUBLE) * CAST(tot.n AS DOUBLE) /
+        |      (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6) AS pmi
+        |  FROM bg b
+        |  JOIN uni u1 ON b.w1 = u1.w
+        |  JOIN uni u2 ON b.w2 = u2.w
+        |  CROSS JOIN tot)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2)
+        |    AS BIGINT) AS rank,
+        |  w1, w2, c12, c1, c2, pmi
+        |FROM scored
+        |ORDER BY pmi DESC, w1, w2
+        |LIMIT 30""".stripMargin,
+
     // q253: domain cap replayed — q13's quality expression, per-source
     // rank on (rounded score desc, id), kept/dropped aggregation.
     "q253_source_cap" ->

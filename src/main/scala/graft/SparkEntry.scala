@@ -3708,6 +3708,15 @@ object SparkEntry {
     }
   }
 
+  // ---------------------------------------------------------------- q255
+  // PMI collocations: adjacent-token bigrams (count ≥ 5) scored
+  // ln(c12·N/(c1·c2)) against unigrams, top-30 — the multi-word-unit
+  // mining behind tokenizer-vocab design. Two count aggregations, two
+  // vocab joins, TakeOrdered head.
+  def q255(spark: SparkSession, dir: String): DataFrame =
+    TextOps.pmiCollocations(t(spark, dir, "documents"), "text",
+      minCount = 5L, k = 30)
+
   // ---------------------------------------------------------------- q253
   // Per-source frequency cap (domain cap): ≤10 docs per source, best
   // q13-quality first, id tiebreak — kept/dropped counts and token
@@ -4203,6 +4212,7 @@ object SparkEntry {
     "q252_cluster_cohesion" -> (q252 _),
     "q253_source_cap" -> (q253 _),
     "q254_stream_cluster_drift" -> (q254 _),
+    "q255_pmi_collocations" -> (q255 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -977,6 +977,54 @@ object TextOps {
       .orderBy(col("lang"), col("pred_lang"))
   }
 
+  /** PMI collocation extraction (Church & Hanks 1990): adjacent-token
+    * bigrams with corpus count ≥ `minCount`, scored
+    * PMI = ln(c₁₂·N / (c₁·c₂)) against unigram counts, top-k — the
+    * multi-word-expression mining a tokenizer-vocab or quality pass
+    * runs to find units that should be single tokens ("new york") and
+    * boilerplate collocations. The min-count filter is what keeps PMI
+    * from degenerating to rare-pair noise (its classic failure mode).
+    *
+    * Scale shape: one token explosion for unigrams, one bigram
+    * explosion ([[bigramPerplexity]]'s machinery), two count
+    * aggregations, two vocabulary equi-joins (Catalyst broadcasts when
+    * the vocab fits), TakeOrdered top-k — never a global sort of the
+    * bigram table.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+      minCount: Long = 5L, k: Int = 30): DataFrame = {
+    require(minCount >= 1 && k >= 1, "need minCount >= 1 and k >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col(textCol))
+    val words = docs.select(explode(toks).as("w"))
+    val uni = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = words.agg(count(lit(1)).as("n"))
+    val bg = docs.select(
+        explode(transform(
+          sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+          i => concat_ws(" ", slice(toks, i, lit(2))))).as("bg"))
+      .filter(col("bg").contains(" "))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val scored = bg
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi", round(log(
+        col("c12").cast("double") * col("n").cast("double") /
+          (col("c1").cast("double") * col("c2").cast("double"))), 6))
+    scored
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi").desc, col("w1"), col("w2"))).cast("long"))
+      .select(col("rank"), col("w1"), col("w2"), col("c12"), col("c1"),
+        col("c2"), col("pmi"))
+      .orderBy(col("rank"))
+  }
+
   /** Per-source frequency cap (the Common-Crawl-style domain cap): each
     * source keeps at most `cap` documents, highest [[withQuality]] score
     * first (doc-id tiebreak — the rounded score makes the order

@@ -295,6 +295,30 @@ class TextOpsSpec extends SparkSpec {
     assert(repFps.agg(min(col("fp_pos"))).head().getLong(0) == 3L)
   }
 
+  test("pmiCollocations: a planted exclusive pair wins over a frequent " +
+      "independent pair") {
+    // "aa bb" always and only together (c12=c1=c2=5); "xx" pairs with
+    // many different partners, so (xx, y*) has high c1 and low PMI
+    val docs = (
+      Seq.fill(5)("aa bb") ++
+      (0 until 5).flatMap(i => Seq.fill(5)(s"xx y$i"))
+    ).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+    val rows = graft.operators.TextOps.pmiCollocations(docs, "text",
+      minCount = 5L, k = 10).collect()
+    val top = rows.head
+    assert(top.getLong(0) == 1L)
+    assert(top.getString(1) == "aa" && top.getString(2) == "bb")
+    val n = 60.0 // 5*2 + 25*2 tokens
+    val expected = math.rint(math.log(5.0 * n / (5.0 * 5.0)) * 1e6) / 1e6
+    assert(top.getDouble(6) == expected)
+    // every (xx, y_i) pair scores strictly lower: c1 = 25
+    rows.tail.foreach { r =>
+      assert(r.getDouble(6) < expected)
+      assert(r.getString(1) == "xx" && r.getLong(4) == 25L)
+    }
+  }
+
   test("sourceCapCard: cap keeps the best-quality docs per source") {
     // s1: 3 docs — long no-stopword text scores higher than stopword-y
     // text; cap 2 drops exactly the worst. s2: 1 doc — under cap.
