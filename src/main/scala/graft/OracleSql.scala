@@ -2692,6 +2692,7 @@ object OracleSql {
     // exactly (stream ≡ batch is the streaming contract under test).
     "q254_stream_cluster_drift" -> q251ClusterDriftSql,
     "q252_cluster_cohesion" -> q252ClusterCohesionSql,
+    "q256_cluster_label_nmi" -> q256ClusterLabelSql,
 
     // q255: PMI collocations replayed — direct adjacent pairs (the same
     // pair set as Spark's slice-and-join bigrams), identical double
@@ -6653,4 +6654,83 @@ object OracleSql {
       |FROM top2
       |GROUP BY own_cid
       |ORDER BY centroid_id""".stripMargin
+
+  /** q256 oracle: purity/NMI replayed — portable draw/assignment, the
+    * bounded contingency table, every entropy/MI term accumulated
+    * through DECIMAL(28,18) (q247's reduction convention), nmi computed
+    * from the RAW sums and rounded last.
+    */
+  private def q256ClusterLabelSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |    CAST(label AS BIGINT) AS l
+      |  FROM embeddings),
+      |drawn AS (
+      |  SELECT vec_id, emb,
+      |    ((((((vec_id % 1000003) * 2654435761) % 1000003)
+      |        + (vec_id // 1000003)) % 9999991) * 22695477) % 9999991 AS d
+      |  FROM e),
+      |cent AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY d, vec_id) - 1 AS INT)
+      |      AS centroid_id,
+      |    emb AS centroid
+      |  FROM (SELECT * FROM drawn ORDER BY d, vec_id LIMIT 8)),
+      |assign AS (
+      |  SELECT vec_id, l, centroid_id FROM (
+      |    SELECT t.vec_id, t.l, c.centroid_id,
+      |      ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+      |        ROUND(list_inner_product(t.emb, c.centroid) /
+      |          (SQRT(list_inner_product(t.emb, t.emb)) *
+      |           SQRT(list_inner_product(c.centroid, c.centroid))), 6)
+      |          DESC,
+      |        c.centroid_id) AS rn
+      |    FROM e t, cent c)
+      |  WHERE rn = 1),
+      |cont AS (
+      |  SELECT centroid_id, l, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM assign GROUP BY centroid_id, l),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cont),
+      |byc AS (
+      |  SELECT centroid_id, CAST(SUM(n) AS BIGINT) AS nc,
+      |    CAST(MAX(n) AS BIGINT) AS maxl
+      |  FROM cont GROUP BY centroid_id),
+      |byl AS (
+      |  SELECT l, CAST(SUM(n) AS BIGINT) AS nl FROM cont GROUP BY l),
+      |hc AS (
+      |  SELECT CAST(SUM(CAST(
+      |      (-(CAST(nc AS DOUBLE) / CAST(t.nn AS DOUBLE))) *
+      |      LN(CAST(nc AS DOUBLE) / CAST(t.nn AS DOUBLE))
+      |    AS DECIMAL(28,18))) AS DOUBLE) AS h_cluster
+      |  FROM byc CROSS JOIN tot t),
+      |hl AS (
+      |  SELECT CAST(SUM(CAST(
+      |      (-(CAST(nl AS DOUBLE) / CAST(t.nn AS DOUBLE))) *
+      |      LN(CAST(nl AS DOUBLE) / CAST(t.nn AS DOUBLE))
+      |    AS DECIMAL(28,18))) AS DOUBLE) AS h_label
+      |  FROM byl CROSS JOIN tot t),
+      |mi AS (
+      |  SELECT CAST(SUM(CAST(
+      |      (CAST(c.n AS DOUBLE) / CAST(t.nn AS DOUBLE)) *
+      |      LN(CAST(c.n AS DOUBLE) * CAST(t.nn AS DOUBLE) /
+      |        (CAST(b.nc AS DOUBLE) * CAST(y.nl AS DOUBLE)))
+      |    AS DECIMAL(28,18))) AS DOUBLE) AS mi
+      |  FROM cont c
+      |  JOIN byc b USING (centroid_id)
+      |  JOIN byl y USING (l)
+      |  CROSS JOIN tot t),
+      |pur AS (
+      |  SELECT CAST(MAX(t.nn) AS BIGINT) AS n_vecs,
+      |    COUNT(*) AS n_clusters,
+      |    CAST(SUM(maxl) AS BIGINT) AS pure
+      |  FROM byc CROSS JOIN tot t),
+      |nl2 AS (SELECT COUNT(*) AS n_labels FROM byl)
+      |SELECT p.n_vecs, p.n_clusters, nl2.n_labels,
+      |  ROUND(CAST(p.pure AS DOUBLE) / CAST(p.n_vecs AS DOUBLE), 6)
+      |    AS purity,
+      |  ROUND(hc.h_cluster, 6) AS h_cluster,
+      |  ROUND(hl.h_label, 6) AS h_label,
+      |  ROUND(mi.mi, 6) AS mi,
+      |  CASE WHEN hc.h_cluster > 0.0 AND hl.h_label > 0.0 THEN
+      |    ROUND(mi.mi / SQRT(hc.h_cluster * hl.h_label), 6) END AS nmi
+      |FROM pur p, nl2, hc, hl, mi""".stripMargin
 }

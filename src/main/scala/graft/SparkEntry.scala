@@ -3708,6 +3708,15 @@ object SparkEntry {
     }
   }
 
+  // ---------------------------------------------------------------- q256
+  // Cluster-vs-label agreement: portable-IVF clusters scored against
+  // the embeddings' label column — purity and NMI, every entropy/MI
+  // term decimal-accumulated. Says whether unsupervised clusters track
+  // the curator's taxonomy (q241's sampling premise, measured).
+  def q256(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.clusterLabelCard(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", "label")
+
   // ---------------------------------------------------------------- q255
   // PMI collocations: adjacent-token bigrams (count ≥ 5) scored
   // ln(c12·N/(c1·c2)) against unigrams, top-30 — the multi-word-unit
@@ -4213,6 +4222,7 @@ object SparkEntry {
     "q253_source_cap" -> (q253 _),
     "q254_stream_cluster_drift" -> (q254 _),
     "q255_pmi_collocations" -> (q255 _),
+    "q256_cluster_label_nmi" -> (q256 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

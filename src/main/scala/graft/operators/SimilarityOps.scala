@@ -1353,6 +1353,70 @@ object SimilarityOps {
       .orderBy(col("centroid_id"))
   }
 
+  /** Cluster-vs-label agreement card: the portable-IVF clustering
+    * scored against a ground-truth label column with purity and NMI —
+    * the external-validity eval that says whether unsupervised corpus
+    * clusters track the taxonomy a curator cares about (high NMI →
+    * cluster-balanced sampling ≈ label-stratified sampling; low →
+    * clusters encode something else entirely).
+    *
+    *   purity = Σ_c max_l n(c,l) / N
+    *   NMI    = I(C;L) / √(H(C)·H(L))
+    *
+    * Scale shape: one assignment scan into a (nlist × |labels|)-bounded
+    * contingency aggregation; every entropy/MI term is computed on that
+    * tiny frame and accumulated through DECIMAL(28,18) — addition-order
+    * free, engine-portable (the q247 reduction convention).
+    */
+  def clusterLabelCard(embeddings: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, nlist: Int = 8): DataFrame = {
+    val cents = ivfCentroidsPortable(embeddings, idCol, vecCol, nlist)
+    val assigned = ivfAssign(embeddings, idCol, vecCol, cents,
+      simRound = Some(6))
+    val cont = assigned
+      .join(embeddings.select(col(idCol),
+        col(labelCol).cast("long").as("__l")), idCol)
+      .groupBy(col("centroid_id"), col("__l"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cont.agg(sum(col("n")).as("__N"))
+    val byC = cont.groupBy(col("centroid_id"))
+      .agg(sum(col("n")).as("nc"), max(col("n")).as("maxl"))
+    val byL = cont.groupBy(col("__l")).agg(sum(col("n")).as("nl"))
+    def entropy(df: DataFrame, cnt: String, out: String): DataFrame = {
+      val p = col(cnt).cast("double") / col("__N").cast("double")
+      df.crossJoin(broadcast(tot))
+        .agg(sum((-p * log(p)).cast("decimal(28,18)")).cast("double")
+          .as(out))
+    }
+    val hC = entropy(byC, "nc", "h_cluster")
+    val hL = entropy(byL, "nl", "h_label")
+    val mi = cont
+      .join(byC.select(col("centroid_id"), col("nc")), "centroid_id")
+      .join(byL, "__l")
+      .crossJoin(broadcast(tot))
+      .agg(sum(((col("n").cast("double") / col("__N").cast("double")) *
+        log(col("n").cast("double") * col("__N").cast("double") /
+          (col("nc").cast("double") * col("nl").cast("double"))))
+        .cast("decimal(28,18)")).cast("double").as("mi"))
+    val purity = byC.crossJoin(broadcast(tot))
+      .agg(max(col("__N")).as("n_vecs"),
+        count(lit(1)).as("n_clusters"),
+        sum(col("maxl")).as("__pure"))
+      .withColumn("purity", round(
+        col("__pure").cast("double") / col("n_vecs").cast("double"), 6))
+    purity
+      .crossJoin(broadcast(byL.agg(count(lit(1)).as("n_labels"))))
+      .crossJoin(broadcast(hC)).crossJoin(broadcast(hL))
+      .crossJoin(broadcast(mi))
+      .withColumn("nmi",
+        when(col("h_cluster") > 0.0 && col("h_label") > 0.0,
+          round(col("mi") / sqrt(col("h_cluster") * col("h_label")), 6)))
+      .select(col("n_vecs"), col("n_clusters"), col("n_labels"),
+        col("purity"), round(col("h_cluster"), 6).as("h_cluster"),
+        round(col("h_label"), 6).as("h_label"),
+        round(col("mi"), 6).as("mi"), col("nmi"))
+  }
+
   /** Cluster-balanced diversity sample: assign every vector to its
     * portable-IVF cluster (q182 machinery), then take an EQUAL quota of
     * `perList` per cluster by engine-portable priority draw — the

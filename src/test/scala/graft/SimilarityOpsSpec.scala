@@ -274,6 +274,40 @@ class SimilarityOpsSpec extends SparkSpec {
       s"near-parallel corpus must have tiny margin, got ${r.getDouble(4)}"))
   }
 
+  test("clusterLabelCard: labels equal to the clustering give purity 1 " +
+      "and NMI 1") {
+    val vecs = (0L until 40L).map { i =>
+      val axis = (i % 4).toInt
+      (i, Seq.tabulate(4)(d => if (d == axis) 1.0f else 0.05f * axis))
+    }.toDF("vec_id", "embedding")
+    // ground truth = the operator's own assignment → perfect agreement
+    val cents = SimilarityOps.ivfCentroidsPortable(vecs, "vec_id",
+      "embedding", 4)
+    val labeled = SimilarityOps.ivfAssign(vecs, "vec_id", "embedding",
+        cents, Some(6))
+      .select(col("vec_id"), col("emb").as("embedding"),
+        col("centroid_id").cast("int").as("label"))
+    val r = SimilarityOps.clusterLabelCard(labeled, "vec_id",
+      "embedding", "label", nlist = 4).head()
+    assert(r.getLong(0) == 40L)
+    assert(r.getDouble(3) == 1.0)                  // purity
+    assert(approx(r.getDouble(7), 1.0, 1e-5))      // nmi
+  }
+
+  test("clusterLabelCard: label independent of geometry scores low NMI") {
+    val vecs = (0L until 40L).map { i =>
+      val axis = (i % 4).toInt
+      (i, Seq.tabulate(4)(d => if (d == axis) 1.0f else 0.0f),
+        ((i / 4) % 2).toInt) // label cycles independently of axis
+    }.toDF("vec_id", "embedding", "label")
+    val r = SimilarityOps.clusterLabelCard(vecs, "vec_id", "embedding",
+      "label", nlist = 4).head()
+    assert(r.getDouble(4) > 0.0 && r.getDouble(5) > 0.0) // entropies
+    assert(r.getDouble(6) >= -1e-9, "MI is non-negative")
+    assert(r.isNullAt(7) || r.getDouble(7) < 0.3,
+      s"independent labels must score low NMI, got ${r.getDouble(7)}")
+  }
+
   test("clusterOccupancyDrift: identical slice distributions give JS 0") {
     // pairs (2i, 2i+1) share a vector; even ids slice A, odd slice B →
     // per-cluster occupancy identical → every contribution exactly 0
