@@ -2759,6 +2759,7 @@ object OracleSql {
     "q243_bpe_fertility" -> q243BpeFertilitySql,
     "q244_waterfill" -> q244WaterfillSql,
     "q246_lsh_quality" -> q246LshQualitySql,
+    "q257_lsh_band_sweep" -> q257LshBandSweepSql,
 
     // q248: packing card replayed — same whitespace token count, plain
     // global window prefix sum (DuckDB side; the Spark side's two-level
@@ -6122,6 +6123,87 @@ object OracleSql {
     * Jaccard chain (threshold 0.8) joined into the one-row
     * precision/recall/pruning card.
     */
+  /** q257 oracle: the band sweep replayed — ONE signature/truth build
+    * (q246's CTEs), then per configuration its own banding, candidate
+    * join and counters, one UNION arm per rowsPerBand.
+    */
+  private def q257LshBandSweepSql: String = {
+    val mhs = (0 until 32)
+      .map(s => s"MIN(MD5('$s#' || sh)) AS mh_$s").mkString(",\n    ")
+    def bandCte(r: Int): String = {
+      val arms = (0 until 32 / r).map { b =>
+        val cols = (b * r until b * r + r).map(i => s"mh_$i")
+          .mkString(" || '#' || ")
+        s"SELECT doc_id, $b AS band, MD5($cols) AS bh FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""bands_$r AS (
+         |  $arms),
+         |det_$r AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands_$r a JOIN bands_$r b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |nd_$r AS (SELECT COUNT(*) AS n_detected FROM det_$r),
+         |nh_$r AS (
+         |  SELECT CAST(SUM(CASE WHEN dm.d IS NOT NULL THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_hit
+         |  FROM truth LEFT JOIN
+         |    (SELECT id_a, id_b, 1 AS d FROM det_$r) dm
+         |    USING (id_a, id_b))""".stripMargin
+    }
+    def arm(r: Int): String =
+      s"""SELECT CAST($r AS BIGINT) AS rows_per_band,
+         |  CAST(${32 / r} AS BIGINT) AS n_bands,
+         |  nn.n_docs,
+         |  CAST(nn.n_docs * (nn.n_docs - 1) // 2 AS BIGINT)
+         |    AS n_possible_pairs,
+         |  nd_$r.n_detected, nt.n_truth,
+         |  COALESCE(nh_$r.n_hit, 0) AS n_hit,
+         |  CASE WHEN nd_$r.n_detected > 0 THEN
+         |    ROUND(CAST(COALESCE(nh_$r.n_hit, 0) AS DOUBLE) /
+         |      CAST(nd_$r.n_detected AS DOUBLE), 6) END AS precision,
+         |  CASE WHEN nt.n_truth > 0 THEN
+         |    ROUND(CAST(COALESCE(nh_$r.n_hit, 0) AS DOUBLE) /
+         |      CAST(nt.n_truth AS DOUBLE), 6) END AS recall,
+         |  CASE WHEN nn.n_docs > 1 THEN
+         |    ROUND(CAST(nd_$r.n_detected AS DOUBLE) /
+         |      CAST(nn.n_docs * (nn.n_docs - 1) // 2 AS DOUBLE), 6)
+         |    END AS candidate_frac
+         |FROM nn, nt, nd_$r, nh_$r""".stripMargin
+    val rs = Seq(2, 4, 8)
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS tk
+       |  FROM documents),
+       |shx AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+       |    THEN list_transform(range(1, len(tk) - 1),
+       |      i -> array_to_string(tk[i:i+2], ' '))
+       |    ELSE [array_to_string(tk, ' ')] END) AS sh
+       |  FROM toks),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mhs
+       |  FROM shx GROUP BY doc_id),
+       |shd AS (SELECT DISTINCT doc_id, sh FROM shx),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+       |cold AS (SELECT sh FROM shd GROUP BY sh HAVING COUNT(*) <= 1000),
+       |shared AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+       |  FROM shd a JOIN cold USING (sh)
+       |  JOIN shd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT id_a, id_b FROM shared
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE ROUND(n_shared /
+       |    CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6) >= 0.8),
+       |nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+       |${rs.map(bandCte).mkString(",\n")}
+       |${rs.map(arm).mkString("\nUNION ALL\n")}
+       |ORDER BY rows_per_band""".stripMargin
+  }
+
   private def q246LshQualitySql: String = {
     val mhs = (0 until 32)
       .map(s => s"MIN(MD5('$s#' || sh)) AS mh_$s").mkString(",\n    ")

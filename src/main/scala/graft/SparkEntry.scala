@@ -3717,6 +3717,14 @@ object SparkEntry {
     SimilarityOps.clusterLabelCard(t(spark, dir, "embeddings"),
       "vec_id", "embedding", "label")
 
+  // ---------------------------------------------------------------- q257
+  // LSH band-config sweep: q246's quality card across rowsPerBand ∈
+  // {2,4,8} splits of ONE persisted signature matrix against ONE truth
+  // set — the measured S-curve (recall vs candidate volume) that fixes
+  // the banding before a corpus-scale dedup run.
+  def q257(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.lshBandSweep(t(spark, dir, "documents"), "doc_id", "text")
+
   // ---------------------------------------------------------------- q255
   // PMI collocations: adjacent-token bigrams (count ≥ 5) scored
   // ln(c12·N/(c1·c2)) against unigrams, top-30 — the multi-word-unit
@@ -4223,6 +4231,7 @@ object SparkEntry {
     "q254_stream_cluster_drift" -> (q254 _),
     "q255_pmi_collocations" -> (q255 _),
     "q256_cluster_label_nmi" -> (q256 _),
+    "q257_lsh_band_sweep" -> (q257 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -45,6 +45,30 @@ class LshQualitySpec extends SparkSpec {
     assert(r.isNullAt(6), "recall stays null on 0 truth")
   }
 
+  test("lshBandSweep: configs are nested — candidates shrink as rows " +
+      "per band grow; exact dups survive every config") {
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, dup), (2L, dup),
+      (3L, "one two three four five six seven"),
+      (4L, "red green blue cyan magenta yellow black"),
+      (5L, "one two three four five six eight")
+    ).toDF("doc_id", "text")
+    val rows = DedupOps.lshBandSweep(docs, "doc_id", "text").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 4L, 8L))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(16L, 8L, 4L))
+    // an 8-row band collision implies both 4-row halves collide →
+    // det(8) ⊆ det(4) ⊆ det(2): counts must be non-increasing
+    val det = rows.map(_.getLong(4)).toSeq
+    assert(det == det.sorted.reverse, s"candidates must nest: $det")
+    val hits = rows.map(_.getLong(6)).toSeq
+    assert(hits == hits.sorted.reverse)
+    // identical docs share EVERY band in every config
+    rows.foreach(r => assert(r.getLong(4) >= 1L && r.getLong(6) >= 1L))
+    // shared truth set across configs
+    assert(rows.map(_.getLong(5)).distinct.length == 1)
+  }
+
   test("lshQualityCard: disjoint corpus has empty truth, null recall") {
     val docs = Seq(
       (1L, "aa bb cc dd ee"), (2L, "ff gg hh ii jj"),
