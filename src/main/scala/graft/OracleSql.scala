@@ -2761,6 +2761,46 @@ object OracleSql {
     "q246_lsh_quality" -> q246LshQualitySql,
     "q257_lsh_band_sweep" -> q257LshBandSweepSql,
 
+    // q258: trimmed/winsorized means replayed — same micro-scaling
+    // round, rank boundaries by window (toy scale; the Spark side's
+    // counting search returns the identical order statistics), HUGEINT
+    // tail-mass arithmetic, identical division shape.
+    "q258_trimmed_mean" ->
+      """WITH v AS (
+        |  SELECT CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 1000000.0,
+        |    0) AS BIGINT) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |nk AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(*) * 1 // 20 AS BIGINT) AS k FROM v),
+        |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM v),
+        |lo AS (SELECT r.v AS lo FROM r, nk WHERE r.rn = nk.k + 1),
+        |hi AS (SELECT r.v AS hi FROM r, nk WHERE r.rn = nk.n - nk.k),
+        |s AS (
+        |  SELECT CAST(SUM(CAST(v.v AS HUGEINT)) AS HUGEINT) AS s,
+        |    CAST(SUM(CASE WHEN v.v < lo.lo THEN CAST(v.v AS HUGEINT)
+        |      ELSE 0 END) AS HUGEINT) AS sb,
+        |    CAST(SUM(CASE WHEN v.v < lo.lo THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb,
+        |    CAST(SUM(CASE WHEN v.v > hi.hi THEN CAST(v.v AS HUGEINT)
+        |      ELSE 0 END) AS HUGEINT) AS sa,
+        |    CAST(SUM(CASE WHEN v.v > hi.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca
+        |  FROM v, lo, hi)
+        |SELECT nk.n AS n_rows, nk.k AS k_each_side,
+        |  lo.lo AS lo_micro, hi.hi AS hi_micro,
+        |  ROUND(CAST(s.s AS DOUBLE) / CAST(nk.n AS DOUBLE) / 1000000.0,
+        |    6) AS raw_mean,
+        |  ROUND(CAST(s.s - (s.sb + (nk.k - s.cb) * lo.lo)
+        |      - (s.sa + (nk.k - s.ca) * hi.hi) AS DOUBLE) /
+        |    CAST(nk.n - 2 * nk.k AS DOUBLE) / 1000000.0, 6)
+        |    AS trimmed_mean,
+        |  ROUND(CAST(s.s - (s.sb + (nk.k - s.cb) * lo.lo)
+        |      - (s.sa + (nk.k - s.ca) * hi.hi)
+        |      + nk.k * lo.lo + nk.k * hi.hi AS DOUBLE) /
+        |    CAST(nk.n AS DOUBLE) / 1000000.0, 6) AS winsorized_mean
+        |FROM nk, lo, hi, s""".stripMargin,
+
     // q248: packing card replayed — same whitespace token count, plain
     // global window prefix sum (DuckDB side; the Spark side's two-level
     // bucket sum is the scale path, same values), exact `//` floor divs.

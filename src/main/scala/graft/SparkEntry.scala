@@ -3717,6 +3717,16 @@ object SparkEntry {
     SimilarityOps.clusterLabelCard(t(spark, dir, "embeddings"),
       "vec_id", "embedding", "label")
 
+  // ---------------------------------------------------------------- q258
+  // Trimmed & winsorized means of l_extendedprice at 5% per side — the
+  // robust-location card next to q208's MAD gate: boundaries by
+  // counting search (no sort), tail mass by rank arithmetic, exact
+  // micro-integer sums; raw-vs-trimmed spread = tail contamination.
+  def q258(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.RobustStats.trimmedMeanCard(
+      t(spark, dir, "lineitem"), "l_extendedprice", trimNum = 1L,
+      trimDen = 20L)
+
   // ---------------------------------------------------------------- q257
   // LSH band-config sweep: q246's quality card across rowsPerBand ∈
   // {2,4,8} splits of ONE persisted signature matrix against ONE truth
@@ -4232,6 +4242,7 @@ object SparkEntry {
     "q255_pmi_collocations" -> (q255 _),
     "q256_cluster_label_nmi" -> (q256 _),
     "q257_lsh_band_sweep" -> (q257 _),
+    "q258_trimmed_mean" -> (q258 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -280,6 +280,64 @@ object RobustStats {
     } finally { slim.unpersist(); () }
   }
 
+  /** Trimmed & winsorized mean card — the robust location estimates next
+    * to [[madOutlierCard]]'s outlier gate: drop (trimmed) or clamp
+    * (winsorized) the k = ⌊n·trimNum/trimDen⌋ smallest and largest
+    * values and report all three means side by side — the spread between
+    * raw and trimmed IS the tail-contamination read.
+    *
+    * No sort at any size: the two boundary order statistics come from
+    * [[kthSmallestByCounting]] (~log₂(range) cheap count-scans on the
+    * micro-scaled longs), and the tail sums are ONE aggregation with the
+    * boundaries as literals — tie mass at a boundary is assigned by rank
+    * arithmetic (k − count(v < lo) boundary copies), exactly the
+    * classical definition. All integer arithmetic is exact (micro-longs,
+    * DECIMAL(38,0) sums, enforced 4e12 magnitude contract); doubles
+    * appear only in the final three divisions.
+    */
+  def trimmedMeanCard(df: DataFrame, valueCol: String,
+      trimNum: Long, trimDen: Long): DataFrame = {
+    require(trimNum >= 0 && trimDen >= 1 && 2 * trimNum < trimDen,
+      "need 0 <= trimNum/trimDen < 1/2")
+    val slim = df.filter(col(valueCol).isNotNull)
+      .select(round(col(valueCol).cast("double") * 1000000.0, 0)
+        .cast("long").as("__v")).persist()
+    try {
+      val n = slim.count()
+      require(n > 0, "trimmedMeanCard: empty input")
+      val rawMax = df.agg(max(abs(col(valueCol).cast("double")))).head()
+        .getDouble(0)
+      require(rawMax <= 4.0e12,
+        s"trimmedMeanCard($valueCol): |value| up to $rawMax exceeds the " +
+          "4e12 micro-scaling contract (long overflow); rescale upstream")
+      val k = (BigInt(n) * trimNum / trimDen).toLong
+      val lo = kthSmallestByCounting(slim, "__v", k + 1)
+      val hi = kthSmallestByCounting(slim, "__v", n - k)
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val agg = slim.agg(
+        sum(dec(col("__v"))).as("__S"),
+        sum(dec(when(col("__v") < lo, col("__v")).otherwise(0L)))
+          .as("__Sb"),
+        sum(when(col("__v") < lo, 1L).otherwise(0L)).as("__cb"),
+        sum(dec(when(col("__v") > hi, col("__v")).otherwise(0L)))
+          .as("__Sa"),
+        sum(when(col("__v") > hi, 1L).otherwise(0L)).as("__ca"))
+      val sLow = col("__Sb") + (dec(lit(k)) - dec(col("__cb"))) * dec(lit(lo))
+      val sHigh = col("__Sa") + (dec(lit(k)) - dec(col("__ca"))) * dec(lit(hi))
+      val tSum = col("__S") - sLow - sHigh
+      val wSum = tSum + dec(lit(k)) * dec(lit(lo)) + dec(lit(k)) * dec(lit(hi))
+      agg.select(
+        lit(n).as("n_rows"), lit(k).as("k_each_side"),
+        lit(lo).as("lo_micro"), lit(hi).as("hi_micro"),
+        round(col("__S").cast("double") / lit(n.toDouble) /
+          lit(1000000.0), 6).as("raw_mean"),
+        round(tSum.cast("double") / lit((n - 2 * k).toDouble) /
+          lit(1000000.0), 6).as("trimmed_mean"),
+        round(wSum.cast("double") / lit(n.toDouble) /
+          lit(1000000.0), 6).as("winsorized_mean"))
+    } finally { slim.unpersist(); () }
+  }
+
   /** Pearson chi-square test of independence over a two-way contingency
     * table: `rowExpr` × `colExpr` observed counts, expected counts from the
     * margins, χ² = Σ (o−e)²/e. Everything is one count aggregation plus
