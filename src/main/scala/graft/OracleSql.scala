@@ -2761,6 +2761,60 @@ object OracleSql {
     "q246_lsh_quality" -> q246LshQualitySql,
     "q257_lsh_band_sweep" -> q257LshBandSweepSql,
 
+    // q259: Mann–Whitney replayed — tie-collapsed values, doubled
+    // midranks in HUGEINT (≡ Spark's decimal(38,0)), identical double
+    // expression shapes for u/μ/σ/z/effect.
+    "q259_mann_whitney" ->
+      """WITH v AS (
+        |  SELECT CAST(value AS DOUBLE) AS v,
+        |    event_type = 'click' AS is_a
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |bv AS (
+        |  SELECT v,
+        |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb,
+        |    CAST(COUNT(*) AS BIGINT) AS t
+        |  FROM v GROUP BY v),
+        |c AS (
+        |  SELECT *,
+        |    CAST(SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) - t AS prev
+        |  FROM bv),
+        |a AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) AS BIGINT) AS n_b,
+        |    CAST(SUM(CAST(cb AS HUGEINT) *
+        |      (CAST(prev AS HUGEINT) * 2 + t + 1)) AS HUGEINT) AS r2b,
+        |    CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS ties,
+        |    CAST(SUM(CASE WHEN t > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_tied
+        |  FROM c)
+        |SELECT n_a, n_b, n_tied AS n_tied_values,
+        |  ROUND((CAST(r2b AS DOUBLE) - CAST(n_b AS DOUBLE) *
+        |    (CAST(n_b AS DOUBLE) + 1.0)) / 2.0, 6) AS u_b,
+        |  ROUND(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0, 6)
+        |    AS mu_u,
+        |  ROUND(SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+        |    ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
+        |      CAST(ties AS DOUBLE) /
+        |      ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+        |       (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))), 6)
+        |    AS sigma_u,
+        |  ROUND(((CAST(r2b AS DOUBLE) - CAST(n_b AS DOUBLE) *
+        |      (CAST(n_b AS DOUBLE) + 1.0)) / 2.0 -
+        |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
+        |    SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+        |    ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
+        |      CAST(ties AS DOUBLE) /
+        |      ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+        |       (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))), 6)
+        |    AS z,
+        |  ROUND((CAST(r2b AS DOUBLE) - CAST(n_b AS DOUBLE) *
+        |      (CAST(n_b AS DOUBLE) + 1.0)) / 2.0 * 2.0 /
+        |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) - 1.0, 6)
+        |    AS rank_biserial
+        |FROM a WHERE n_a > 0 AND n_b > 0""".stripMargin,
+
     // q258: trimmed/winsorized means replayed — same micro-scaling
     // round, rank boundaries by window (toy scale; the Spark side's
     // counting search returns the identical order statistics), HUGEINT

@@ -3717,6 +3717,15 @@ object SparkEntry {
     SimilarityOps.clusterLabelCard(t(spark, dir, "embeddings"),
       "vec_id", "embedding", "label")
 
+  // ---------------------------------------------------------------- q259
+  // Mann–Whitney U (click vs view): the nonparametric LOCATION member
+  // of the drift battery next to q115's KS shape test — exact doubled
+  // midranks + tie correction in decimals, q115's two-level prefix-sum
+  // shape, z and rank-biserial effect at the end.
+  def q259(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.mannWhitneyU(
+      t(spark, dir, "events"), "value", "event_type", "click", "view")
+
   // ---------------------------------------------------------------- q258
   // Trimmed & winsorized means of l_extendedprice at 5% per side — the
   // robust-location card next to q208's MAD gate: boundaries by
@@ -4243,6 +4252,7 @@ object SparkEntry {
     "q256_cluster_label_nmi" -> (q256 _),
     "q257_lsh_band_sweep" -> (q257 _),
     "q258_trimmed_mean" -> (q258 _),
+    "q259_mann_whitney" -> (q259 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

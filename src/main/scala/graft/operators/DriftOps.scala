@@ -223,4 +223,79 @@ object DriftOps {
       .select(col("digit"), col("n"), col("obs_p"), col("exp_p"),
         col("abs_dev"))
   }
+
+  /** Two-sample Mann–Whitney U (Wilcoxon rank-sum) — the nonparametric
+    * location test next to [[ksTwoSample]]'s shape test in the drift
+    * battery: midrank sums with exact tie handling, the tie-corrected
+    * normal approximation z, and the rank-biserial effect size
+    * r = 2U_B/(n_A·n_B) − 1 (positive → B stochastically larger).
+    *
+    * Exactness: ranks never materialize per row. On the tie-collapsed
+    * value frame, a value's doubled midrank is the INTEGER
+    * 2·prev_total + t + 1, so the doubled rank sum 2R_B accumulates in
+    * DECIMAL(38,0) exactly (Σ(t³−t) for the tie correction likewise);
+    * doubles appear only in μ, σ, z, r at the end.
+    *
+    * Scale shape: the prefix sums over distinct values run the q115
+    * two-level shape — deterministic range buckets, per-bucket keyed
+    * windows, a ≤`buckets`-row offset frame — never a global ordered
+    * window over the data.
+    */
+  def mannWhitneyU(df: DataFrame, valCol: String, groupCol: String,
+      groupA: String, groupB: String, buckets: Int = 32): DataFrame = {
+    val v = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .select(col(valCol).cast("double").as("v"),
+        (col(groupCol) === groupA).as("__is_a"))
+    val byVal = v.groupBy(col("v"))
+      .agg(
+        sum(when(col("__is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("__is_a"), 1L).otherwise(0L)).as("cb"))
+      .withColumn("t", col("ca") + col("cb"))
+    val bounds = byVal.agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
+    val bucketed = byVal.crossJoin(broadcast(bounds))
+      .withColumn("__bkt",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(lit(buckets - 1),
+            floor((col("v") - col("__lo")) / (col("__hi") - col("__lo"))
+              * buckets).cast("int"))))
+    val wIn = Window.partitionBy(col("__bkt")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bucketed.withColumn("__cum_t", sum(col("t")).over(wIn))
+    val wOff = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("__bkt"))
+      .agg(sum(col("t")).as("__tt"))
+      .withColumn("__off", coalesce(sum(col("__tt")).over(wOff), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val prev = col("__off") + col("__cum_t") - col("t")
+    val agg = cum.join(broadcast(offsets), "__bkt")
+      .agg(
+        sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        // 2·R_B = Σ c_B·(2·prev + t + 1): exact doubled midrank mass
+        sum(dec(col("cb")) * (dec(prev) * lit(2) + dec(col("t")) + lit(1)))
+          .as("__r2b"),
+        sum(dec(col("t")) * dec(col("t")) * dec(col("t")) - dec(col("t")))
+          .as("__ties"),
+        sum(when(col("t") > 1L, 1L).otherwise(0L)).as("n_tied_values"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val n = na + nb
+    // U_B = R_B − n_B(n_B+1)/2, kept doubled-exact until this division
+    val ub = (col("__r2b").cast("double") -
+      nb * (nb + lit(1.0))) / lit(2.0)
+    val mu = na * nb / lit(2.0)
+    val sigma = sqrt(na * nb / lit(12.0) *
+      ((n + lit(1.0)) - col("__ties").cast("double") /
+        (n * (n - lit(1.0)))))
+    agg.select(
+      col("n_a"), col("n_b"), col("n_tied_values"),
+      round(ub, 6).as("u_b"),
+      round(mu, 6).as("mu_u"),
+      round(sigma, 6).as("sigma_u"),
+      round((ub - mu) / sigma, 6).as("z"),
+      round(ub * lit(2.0) / (na * nb) - lit(1.0), 6).as("rank_biserial"))
+  }
 }
