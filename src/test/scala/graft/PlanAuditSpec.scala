@@ -820,6 +820,54 @@ class PlanAuditSpec extends SparkSpec {
     assert(bnlj <= 3, s"expected only the card crossJoins:\n$p")
   }
 
+  test("q248 packing card: the corpus window partitions by bucket — no " +
+      "global single-partition window over the data") {
+    val df = SparkEntry.q248(spark, dir)
+    val p = finalPlan(df)
+    val finalSection = p.split("== Initial Plan ==").head
+    // the wide per-doc running sum must be keyed on the bucket column;
+    // the only SinglePartition exchange allowed is for the tiny
+    // per-bucket offsets frame + final card aggregate
+    assert(finalSection.contains("Window"), p)
+    val winLines = finalSection.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.exists(_.contains("__bkt")),
+      "per-doc cumsum must partition by __bkt:\n" + p)
+    assert(!finalSection.contains("CartesianProduct"), p)
+  }
+
+  test("q251/q256 cluster cards: centroids broadcast onto the corpus " +
+      "scan, no sort-merge join of the embeddings") {
+    for (q <- Seq(SparkEntry.q251(spark, dir),
+        SparkEntry.q256(spark, dir))) {
+      val p = finalPlan(q)
+      val finalSection = p.split("== Initial Plan ==").head
+      assert(finalSection.contains("BroadcastNestedLoopJoin") ||
+        finalSection.contains("BroadcastHashJoin"),
+        "the nlist-row centroid frame must broadcast:\n" + p)
+      assert(!finalSection.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("q257 band sweep: every config chain is equi-join only (no " +
+      "all-pairs anywhere)") {
+    val p = finalPlan(SparkEntry.q257(spark, dir))
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!finalSection.contains("CartesianProduct"),
+      "no all-pairs stage may exist in any config chain:\n" + p)
+  }
+
+  test("q259 Mann-Whitney: prefix sums run per range-bucket, never one " +
+      "global ordered window over distinct values") {
+    val p = finalPlan(SparkEntry.q259(spark, dir))
+    val finalSection = p.split("== Initial Plan ==").head
+    val winLines = finalSection.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.exists(_.contains("__bkt")),
+      "value cumsum must partition by __bkt:\n" + p)
+    assert(!finalSection.contains("CartesianProduct"), p)
+  }
+
   test("q235 BPE encode: scoring scan is join-free up to the per-doc aggregate") {
     // encode with a FIXED merge table (the apply side alone — q235
     // itself trains first, which adds the q234 control-loop jobs)
