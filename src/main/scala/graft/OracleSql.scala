@@ -2761,6 +2761,66 @@ object OracleSql {
     "q246_lsh_quality" -> q246LshQualitySql,
     "q257_lsh_band_sweep" -> q257LshBandSweepSql,
 
+    // q260: learning curve replayed — two-level DECIMAL bucket sums,
+    // q183's slope/intercept expressions per fraction, holdout errors
+    // fanned across the three parameter rows.
+    "q260_learning_curve" ->
+      """WITH d AS (
+        |  SELECT ((l_orderkey % 1000003) * 2654435761) % 20 AS b,
+        |    CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem),
+        |bs AS (
+        |  SELECT b, COUNT(*) AS n,
+        |    SUM(CAST(x AS DECIMAL(28,2))) AS sx,
+        |    SUM(CAST(y AS DECIMAL(28,2))) AS sy,
+        |    SUM(CAST(x * y AS DECIMAL(28,4))) AS sxy,
+        |    SUM(CAST(x * x AS DECIMAL(28,4))) AS sxx,
+        |    SUM(CAST(y * y AS DECIMAL(28,4))) AS syy
+        |  FROM d WHERE b % 5 <> 4 GROUP BY b),
+        |fr AS (
+        |  SELECT CAST(25 AS BIGINT) AS pct, 5 AS th
+        |  UNION ALL SELECT 50, 10 UNION ALL SELECT 100, 20),
+        |ps AS (
+        |  SELECT fr.pct AS fraction_pct,
+        |    CAST(SUM(n) AS BIGINT) AS n_tr,
+        |    CAST(SUM(sx) AS DOUBLE) AS sx,
+        |    CAST(SUM(sy) AS DOUBLE) AS sy,
+        |    CAST(SUM(sxy) AS DOUBLE) AS sxy,
+        |    CAST(SUM(sxx) AS DOUBLE) AS sxx,
+        |    CAST(SUM(syy) AS DOUBLE) AS syy
+        |  FROM fr JOIN bs ON bs.b < fr.th GROUP BY fr.pct),
+        |pd AS (
+        |  SELECT fraction_pct, n_tr, sx, sy, sxy, sxx,
+        |    (n_tr * sxx - sx * sx) AS den0,
+        |    (syy - sy * sy / n_tr) AS syyc
+        |  FROM ps),
+        |p1 AS (
+        |  SELECT fraction_pct, n_tr, sx, sy,
+        |    CASE WHEN den0 <> 0 AND syyc > 0 THEN
+        |      (n_tr * sxy - sx * sy) /
+        |        (den0 * (1.0 + 1.0 / SQRT(syyc / n_tr)))
+        |    END AS slope
+        |  FROM pd),
+        |p2 AS (
+        |  SELECT fraction_pct, n_tr, slope,
+        |    (sy - slope * sx) / n_tr AS intercept
+        |  FROM p1),
+        |e AS (
+        |  SELECT p2.fraction_pct,
+        |    d.y - (p2.intercept + p2.slope * d.x) AS err
+        |  FROM d, p2 WHERE d.b % 5 = 4),
+        |er AS (
+        |  SELECT fraction_pct, CAST(COUNT(*) AS BIGINT) AS n_test,
+        |    ROUND(SQRT(CAST(SUM(CAST(err * err AS DECIMAL(28,4)))
+        |      AS DOUBLE) / COUNT(*)), 6) AS rmse_holdout
+        |  FROM e GROUP BY fraction_pct)
+        |SELECT p2.fraction_pct, p2.n_tr AS n_train, er.n_test,
+        |  ROUND(p2.slope, 6) AS slope,
+        |  ROUND(p2.intercept, 6) AS intercept, er.rmse_holdout
+        |FROM p2 JOIN er USING (fraction_pct)
+        |ORDER BY fraction_pct""".stripMargin,
+
     // q259: Mann–Whitney replayed — tie-collapsed values, doubled
     // midranks in HUGEINT (≡ Spark's decimal(38,0)), identical double
     // expression shapes for u/μ/σ/z/effect.

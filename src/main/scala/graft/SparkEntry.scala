@@ -3717,6 +3717,16 @@ object SparkEntry {
     SimilarityOps.clusterLabelCard(t(spark, dir, "embeddings"),
       "vec_id", "embedding", "label")
 
+  // ---------------------------------------------------------------- q260
+  // Learning-curve card: q183's closed-form ridge fitted on NESTED
+  // 25/50/100% hash-bucket fractions of the train pool, scored on one
+  // fixed holdout — "is more data still buying accuracy?" measured.
+  // Bucket sufficient stats aggregated once; fractions are conditional
+  // reductions over the 20-row frame.
+  def q260(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.learningCurveRidge(t(spark, dir, "lineitem"),
+      "l_orderkey", "l_quantity", "l_extendedprice", lambda = 1.0)
+
   // ---------------------------------------------------------------- q259
   // Mann–Whitney U (click vs view): the nonparametric LOCATION member
   // of the drift battery next to q115's KS shape test — exact doubled
@@ -4253,6 +4263,7 @@ object SparkEntry {
     "q257_lsh_band_sweep" -> (q257 _),
     "q258_trimmed_mean" -> (q258 _),
     "q259_mann_whitney" -> (q259 _),
+    "q260_learning_curve" -> (q260 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

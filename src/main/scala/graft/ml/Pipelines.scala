@@ -643,6 +643,78 @@ object MlPipelines {
         col("rmse_oof"))
   }
 
+  /** Learning-curve card — [[oofClosedFormRidge]]'s closed form fitted
+    * on NESTED training fractions (25% ⊂ 50% ⊂ 100% of the train pool,
+    * hash-bucket defined so each curve point trains on a superset of the
+    * previous) and scored on ONE fixed held-out slice: the
+    * data-scaling read ("is more data still buying accuracy?") that
+    * decides whether the next 10× of corpus is worth ingesting.
+    *
+    * Scale shape: sufficient statistics are aggregated ONCE per hash
+    * bucket (a 20-row frame); every fraction's sums are conditional
+    * aggregations over that frame, so curve width never adds data
+    * scans. Bucket stats stay DECIMAL until the per-fraction reduction
+    * (two-level exact sums — addition-order-free); the holdout error
+    * pass fans each test row across the |fractions| broadcast params.
+    */
+  def learningCurveRidge(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, lambda: Double = 1.0): DataFrame = {
+    import graft.functions.Stats.dsum
+    val d = df.select(
+        SplitOps.hashBucket(col(idCol), 20).as("__b"),
+        col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"))
+      .withColumn("__test", pmod(col("__b"), lit(5L)) === 4L)
+    val bucketStats = d.filter(!col("__test"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(28,2)")).as("sx"),
+        sum(col("y").cast("decimal(28,2)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(28,4)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(28,4)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(28,4)")).as("syy"))
+    val params = Seq((25L, 5L), (50L, 10L), (100L, 20L)).map {
+      case (pct, th) =>
+        bucketStats.filter(col("__b") < th)
+          .agg(sum(col("n")).as("n_tr"),
+            sum(col("sx")).cast("double").as("sx"),
+            sum(col("sy")).cast("double").as("sy"),
+            sum(col("sxy")).cast("double").as("sxy"),
+            sum(col("sxx")).cast("double").as("sxx"),
+            sum(col("syy")).cast("double").as("syy"))
+          .select(lit(pct).as("fraction_pct"), col("n_tr"), col("sx"),
+            col("sy"), col("sxy"), col("sxx"), col("syy"))
+    }.reduce(_.unionByName(_))
+      .withColumn("__den0",
+        col("n_tr") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("__syyc",
+        col("syy") - col("sy") * col("sy") / col("n_tr"))
+      .withColumn("slope",
+        when(col("__den0") =!= 0.0 && col("__syyc") > 0.0,
+          (col("n_tr") * col("sxy") - col("sx") * col("sy")) /
+            (col("__den0") *
+              (lit(1.0) + lit(lambda) /
+                sqrt(col("__syyc") / col("n_tr"))))))
+      .withColumn("intercept",
+        when(col("slope").isNotNull,
+          (col("sy") - col("slope") * col("sx")) / col("n_tr")))
+      .select(col("fraction_pct"), col("n_tr"), col("slope"),
+        col("intercept"))
+    val errs = d.filter(col("__test"))
+      .crossJoin(broadcast(params))
+      .withColumn("err",
+        col("y") - (col("intercept") + col("slope") * col("x")))
+      .groupBy(col("fraction_pct"))
+      .agg(count(lit(1)).as("n_test"),
+        round(sqrt(dsum(col("err") * col("err"), 4) / count(lit(1))), 6)
+          .as("rmse_holdout"))
+    params.join(errs, "fraction_pct")
+      .select(col("fraction_pct"), col("n_tr").as("n_train"),
+        col("n_test"), round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"), col("rmse_holdout"))
+      .orderBy(col("fraction_pct"))
+  }
+
   /** Portable ridge-λ GRID SEARCH — the hash-checkable twin of the MLlib
     * CV grid (q106 / reference `train_ensemble.py:150-158`): the
     * [[oofClosedFormRidge]] closed form evaluated for EVERY λ of the grid

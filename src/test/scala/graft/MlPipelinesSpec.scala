@@ -613,4 +613,33 @@ class MlPipelinesSpec extends SparkSpec {
       math.max(1e-2, math.abs(m.intercept) * 1e-3),
       s"b0 cd=$b0 mllib=${m.intercept}")
   }
+
+  test("learningCurveRidge: exact line recovered at lambda 0, nested " +
+      "fractions grow the train set") {
+    val df = (1L to 400L).map(i => (i, i.toDouble % 37,
+      3.0 * (i.toDouble % 37) + 2.0)).toDF("id", "x", "y")
+    val rows = MlPipelines.learningCurveRidge(df, "id", "x", "y",
+      lambda = 0.0).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(25L, 50L, 100L))
+    val nTrains = rows.map(_.getLong(1)).toSeq
+    assert(nTrains == nTrains.sorted && nTrains.distinct == nTrains,
+      s"nested fractions must strictly grow: $nTrains")
+    // same fixed holdout for every curve point
+    assert(rows.map(_.getLong(2)).distinct.length == 1)
+    rows.foreach { r =>
+      assert(r.getDouble(3) == 3.0 && r.getDouble(4) == 2.0)
+      assert(r.getDouble(5) == 0.0, "perfect line has zero holdout RMSE")
+    }
+  }
+
+  test("learningCurveRidge: ridge shrinkage lowers the slope magnitude " +
+      "vs lambda 0") {
+    val df = (1L to 400L).map(i => (i, i.toDouble % 37,
+      3.0 * (i.toDouble % 37) + (i % 11).toDouble)).toDF("id", "x", "y")
+    val l0 = MlPipelines.learningCurveRidge(df, "id", "x", "y", 0.0)
+      .filter(col("fraction_pct") === 100L).head().getDouble(3)
+    val l5 = MlPipelines.learningCurveRidge(df, "id", "x", "y", 5.0)
+      .filter(col("fraction_pct") === 100L).head().getDouble(3)
+    assert(math.abs(l5) < math.abs(l0))
+  }
 }
