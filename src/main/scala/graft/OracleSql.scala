@@ -2821,6 +2821,59 @@ object OracleSql {
         |FROM p2 JOIN er USING (fraction_pct)
         |ORDER BY fraction_pct""".stripMargin,
 
+    // q261: Kruskal–Wallis replayed — tie-collapsed (value, group)
+    // counts, HUGEINT doubled rank sums, DECIMAL(38,6)-accumulated
+    // Σ R_j²/n_j, identical H/correction expression shapes.
+    "q261_kruskal_wallis" ->
+      """WITH vg AS (
+        |  SELECT CAST(value AS DOUBLE) AS v, event_type AS g,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY v, g),
+        |bv AS (
+        |  SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM vg GROUP BY v),
+        |r AS (
+        |  SELECT v, t,
+        |    CAST(SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) - t AS prev
+        |  FROM bv),
+        |pg AS (
+        |  SELECT vg.g, CAST(SUM(vg.c) AS BIGINT) AS n_j,
+        |    CAST(SUM(CAST(vg.c AS HUGEINT) *
+        |      (CAST(r.prev AS HUGEINT) * 2 + r.t + 1)) AS HUGEINT) AS r2
+        |  FROM vg JOIN r USING (v) GROUP BY vg.g),
+        |ti AS (
+        |  SELECT CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT)
+        |      AS ties,
+        |    CAST(SUM(t) AS BIGINT) AS n
+        |  FROM r),
+        |agg AS (
+        |  SELECT CAST(MAX(ti.n) AS BIGINT) AS n,
+        |    COUNT(*) AS n_groups,
+        |    MAX(ti.ties) AS tsum,
+        |    CAST(SUM(CAST(
+        |      (CAST(pg.r2 AS DOUBLE) / 2.0) *
+        |      (CAST(pg.r2 AS DOUBLE) / 2.0) /
+        |      CAST(pg.n_j AS DOUBLE)
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS rsum
+        |  FROM pg CROSS JOIN ti)
+        |SELECT n, n_groups,
+        |  ROUND(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) *
+        |    rsum - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h,
+        |  ROUND(1.0 - CAST(tsum AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      - CAST(n AS DOUBLE)), 6) AS tie_correction,
+        |  CASE WHEN 1.0 - CAST(tsum AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      - CAST(n AS DOUBLE)) > 0.0 THEN
+        |    ROUND((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+        |        + 1.0)) * rsum - 3.0 * (CAST(n AS DOUBLE) + 1.0)) /
+        |      (1.0 - CAST(tsum AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(n AS DOUBLE))), 6) END AS h_corrected
+        |FROM agg""".stripMargin,
+
     // q259: Mann–Whitney replayed — tie-collapsed values, doubled
     // midranks in HUGEINT (≡ Spark's decimal(38,0)), identical double
     // expression shapes for u/μ/σ/z/effect.

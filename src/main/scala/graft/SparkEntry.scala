@@ -3717,6 +3717,14 @@ object SparkEntry {
     SimilarityOps.clusterLabelCard(t(spark, dir, "embeddings"),
       "vec_id", "embedding", "label")
 
+  // ---------------------------------------------------------------- q261
+  // Kruskal–Wallis H across ALL event types: the k-sample screen
+  // before pairwise rank tests (q259) — exact doubled midranks, tie
+  // correction, the q115 prefix-sum shape.
+  def q261(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.kruskalWallis(
+      t(spark, dir, "events"), "value", "event_type")
+
   // ---------------------------------------------------------------- q260
   // Learning-curve card: q183's closed-form ridge fitted on NESTED
   // 25/50/100% hash-bucket fractions of the train pool, scored on one
@@ -4264,6 +4272,7 @@ object SparkEntry {
     "q258_trimmed_mean" -> (q258 _),
     "q259_mann_whitney" -> (q259 _),
     "q260_learning_curve" -> (q260 _),
+    "q261_kruskal_wallis" -> (q261 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

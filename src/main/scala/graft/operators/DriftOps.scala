@@ -241,6 +241,83 @@ object DriftOps {
     * windows, a ≤`buckets`-row offset frame — never a global ordered
     * window over the data.
     */
+  /** Kruskal–Wallis H — the k-sample extension of [[mannWhitneyU]]:
+    * "do ANY of these slices differ in location?" across every group at
+    * once (the one-shot screen before pairwise rank tests). Same exact
+    * doubled-midrank machinery on the tie-collapsed value frame: per
+    * group, 2R_j accumulates in DECIMAL(38,0); H and its tie-corrected
+    * form are assembled from the exact sums at the end:
+    *
+    *   H = 12/(n(n+1)) · Σ R_j²/n_j − 3(n+1),   H_corr = H / C,
+    *   C = 1 − Σ(t³−t)/(n³−n).
+    *
+    * Scale shape: the q115/q259 two-level prefix-sum shape for the
+    * distinct-value cumulative counts; groups pivot as one count
+    * aggregation keyed on (value, group) — bounded by |distinct values|
+    * × |groups|.
+    */
+  def kruskalWallis(df: DataFrame, valCol: String,
+      groupCol: String, buckets: Int = 32): DataFrame = {
+    val byVG = df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(valCol).cast("double").as("v"), col(groupCol).as("g"))
+      .groupBy(col("v"), col("g")).agg(count(lit(1)).as("c"))
+    val byVal = byVG.groupBy(col("v")).agg(sum(col("c")).as("t"))
+    val bounds = byVal.agg(min(col("v")).as("__lo"),
+      max(col("v")).as("__hi"))
+    val bucketed = byVal.crossJoin(broadcast(bounds))
+      .withColumn("__bkt",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(lit(buckets - 1),
+            floor((col("v") - col("__lo")) / (col("__hi") - col("__lo"))
+              * buckets).cast("int"))))
+    val wIn = Window.partitionBy(col("__bkt")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bucketed.withColumn("__cum_t", sum(col("t")).over(wIn))
+    val wOff = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("__bkt"))
+      .agg(sum(col("t")).as("__tt"))
+      .withColumn("__off", coalesce(sum(col("__tt")).over(wOff), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val ranked = cum.join(broadcast(offsets), "__bkt")
+      .withColumn("__prev", col("__off") + col("__cum_t") - col("t"))
+    // per-group doubled rank sums: 2R_j = Σ c·(2·prev + t + 1)
+    val perG = byVG.join(ranked.select(col("v"), col("t"), col("__prev")),
+        "v")
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("n_j"),
+        sum(dec(col("c")) *
+          (dec(col("__prev")) * lit(2) + dec(col("t")) + lit(1)))
+          .as("__r2"))
+    val ties = ranked.agg(
+      sum(dec(col("t")) * dec(col("t")) * dec(col("t")) - dec(col("t")))
+        .as("__ties"),
+      sum(col("t")).as("__n"))
+    val nD = col("__n").cast("double")
+    val h = perG.crossJoin(broadcast(ties))
+      .withColumn("__rj", col("__r2").cast("double") / lit(2.0))
+      .agg(max(col("__n")).as("n"),
+        count(lit(1)).as("n_groups"),
+        max(col("__ties")).as("__tsum"),
+        // decimal(38,6): R_j²/n_j reaches ~n³ — 10^32 of integer head-
+        // room covers any single-cluster corpus this card is sane for
+        sum(((col("__rj") * col("__rj") / col("n_j").cast("double")))
+          .cast("decimal(38,6)")).cast("double").as("__rsum"))
+    h.select(col("n"), col("n_groups"),
+        (lit(12.0) / (col("n").cast("double") *
+          (col("n").cast("double") + lit(1.0))) * col("__rsum") -
+          lit(3.0) * (col("n").cast("double") + lit(1.0))).as("__h"),
+        (lit(1.0) - col("__tsum").cast("double") /
+          (col("n").cast("double") * col("n").cast("double") *
+            col("n").cast("double") - col("n").cast("double")))
+          .as("__corr"))
+      .select(col("n"), col("n_groups"), round(col("__h"), 6).as("h"),
+        round(col("__corr"), 6).as("tie_correction"),
+        when(col("__corr") > 0.0, round(col("__h") / col("__corr"), 6))
+          .as("h_corrected"))
+  }
+
   def mannWhitneyU(df: DataFrame, valCol: String, groupCol: String,
       groupA: String, groupB: String, buckets: Int = 32): DataFrame = {
     val v = df

@@ -35,6 +35,27 @@ class MannWhitneySpec extends SparkSpec {
     assert(r.getDouble(7) == 0.777778)
   }
 
+  test("kruskalWallis: hand-computed H on three separated groups") {
+    // A={1,2} B={3,4} C={5,6}: R = 3,7,11 → H = 12/42·89.5 − 21
+    val df = Seq(1.0 -> "A", 2.0 -> "A", 3.0 -> "B", 4.0 -> "B",
+      5.0 -> "C", 6.0 -> "C").toDF("value", "g")
+    val r = DriftOps.kruskalWallis(df, "value", "g").head()
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 4.571429)
+    assert(r.getDouble(3) == 1.0)          // no ties
+    assert(r.getDouble(4) == 4.571429)
+  }
+
+  test("kruskalWallis: identical group distributions give H = 0 with " +
+      "tie correction applied") {
+    val df = Seq("A", "B", "C").flatMap(g =>
+      Seq(1.0 -> g, 2.0 -> g)).toDF("value", "g")
+    val r = DriftOps.kruskalWallis(df, "value", "g").head()
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getDouble(3) == 0.771429)     // 1 − 48/210
+    assert(r.getDouble(4) == 0.0)
+  }
+
   test("mannWhitneyU: symmetric samples give z = 0") {
     val r = run(Seq(1.0 -> "A", 3.0 -> "B", 5.0 -> "A", 7.0 -> "B",
       2.0 -> "B", 4.0 -> "A", 6.0 -> "B", 8.0 -> "A"))
