@@ -2821,6 +2821,49 @@ object OracleSql {
         |FROM p2 JOIN er USING (fraction_pct)
         |ORDER BY fraction_pct""".stripMargin,
 
+    // q262: concentration card replayed — tie-collapsed mass frame,
+    // HUGEINT Lorenz sums, rank-split boundaries, identical division
+    // shapes.
+    "q262_concentration" ->
+      """WITH m AS (
+        |  SELECT CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS v
+        |  FROM documents),
+        |bv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM m GROUP BY v),
+        |r AS (
+        |  SELECT v, c,
+        |    CAST(SUM(c) OVER w AS BIGINT) - c AS prev_c,
+        |    CAST(SUM(CAST(v AS HUGEINT) * c) OVER w AS HUGEINT)
+        |      - CAST(v AS HUGEINT) * c AS prev_m
+        |  FROM bv
+        |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW)),
+        |a AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(v AS HUGEINT) * c) AS HUGEINT) AS s,
+        |    CAST(SUM(CAST(v AS HUGEINT) *
+        |      (2 * CAST(c AS HUGEINT) * prev_c +
+        |       CAST(c AS HUGEINT) * (c + 1))) AS HUGEINT) AS g2
+        |  FROM r),
+        |t1 AS (
+        |  SELECT ROUND(1.0 - CAST(r.prev_m +
+        |      (k.rr - r.prev_c) * CAST(r.v AS HUGEINT) AS DOUBLE) /
+        |    CAST(a.s AS DOUBLE), 6) AS top1_share
+        |  FROM r, a, (SELECT n - n // 100 AS rr FROM a) k
+        |  WHERE r.prev_c < k.rr AND k.rr <= r.prev_c + r.c),
+        |t10 AS (
+        |  SELECT ROUND(1.0 - CAST(r.prev_m +
+        |      (k.rr - r.prev_c) * CAST(r.v AS HUGEINT) AS DOUBLE) /
+        |    CAST(a.s AS DOUBLE), 6) AS top10_share
+        |  FROM r, a, (SELECT n - n // 10 AS rr FROM a) k
+        |  WHERE r.prev_c < k.rr AND k.rr <= r.prev_c + r.c)
+        |SELECT a.n AS n_rows, CAST(a.s AS BIGINT) AS total_mass,
+        |  ROUND(CAST(a.g2 AS DOUBLE) /
+        |      (CAST(a.n AS DOUBLE) * CAST(a.s AS DOUBLE)) -
+        |    (CAST(a.n AS DOUBLE) + 1.0) / CAST(a.n AS DOUBLE), 6)
+        |    AS gini,
+        |  t1.top1_share, t10.top10_share
+        |FROM a, t1, t10""".stripMargin,
+
     // q261: Kruskal–Wallis replayed — tie-collapsed (value, group)
     // counts, HUGEINT doubled rank sums, DECIMAL(38,6)-accumulated
     // Σ R_j²/n_j, identical H/correction expression shapes.

@@ -3717,6 +3717,15 @@ object SparkEntry {
     SimilarityOps.clusterLabelCard(t(spark, dir, "embeddings"),
       "vec_id", "embedding", "label")
 
+  // ---------------------------------------------------------------- q262
+  // Corpus-concentration card: Gini + top-1%/10% token share of the
+  // per-doc token mass — the inequality audit for mega-doc dominance.
+  // Exact Lorenz arithmetic on the tie-collapsed mass frame; q115's
+  // prefix-sum shape; rank-split tie mass at the share boundaries.
+  def q262(spark: SparkSession, dir: String): DataFrame =
+    ProfileOps.concentrationCard(t(spark, dir, "documents"),
+      size(split(trim(col("text")), " ")).cast("long"))
+
   // ---------------------------------------------------------------- q261
   // Kruskal–Wallis H across ALL event types: the k-sample screen
   // before pairwise rank tests (q259) — exact doubled midranks, tie
@@ -4273,6 +4282,7 @@ object SparkEntry {
     "q259_mann_whitney" -> (q259 _),
     "q260_learning_curve" -> (q260 _),
     "q261_kruskal_wallis" -> (q261 _),
+    "q262_concentration" -> (q262 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

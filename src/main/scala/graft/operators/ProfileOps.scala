@@ -258,6 +258,90 @@ object ProfileOps {
       .orderBy(col(groupCol))
   }
 
+  /** Corpus-concentration card: Gini coefficient and top-1%/top-10%
+    * token share of a per-row mass column (tokens per document) — the
+    * inequality audit that says whether a handful of mega-documents
+    * carry the corpus (they dominate training mix, dedup cost, and
+    * shard skew alike). Lorenz arithmetic runs EXACTLY on the
+    * tie-collapsed mass frame:
+    *
+    *   2·Σᵢ i·xᵢ = Σ_v v·(2·c·prev + c·(c+1))   (sorted-rank mass)
+    *   G = that/(n·S) − (n+1)/n
+    *
+    * and each top-share boundary is rank arithmetic on the cumulative
+    * frame (tie mass split by rank, the trimmed-mean convention) — no
+    * sort of the data, no doubles until the final divisions.
+    *
+    * Scale shape: one mass aggregation collapses the corpus to its
+    * distinct mass values; prefix sums run the two-level bucket shape
+    * (q115/q259); the share lookups are broadcast-joined rank probes.
+    */
+  def concentrationCard(df: DataFrame, massCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = 32
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val byV = df.select(massCol.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val bounds = byV.agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
+    val bucketed = byV.crossJoin(broadcast(bounds))
+      .withColumn("__bkt",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(lit(buckets - 1),
+            floor((col("v") - col("__lo")).cast("double") /
+              (col("__hi") - col("__lo")).cast("double") * buckets)
+              .cast("int"))))
+    val wIn = Window.partitionBy(col("__bkt")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum0 = bucketed
+      .withColumn("__cum_c", sum(col("c")).over(wIn))
+      .withColumn("__cum_m", sum(dec(col("v")) * dec(col("c"))).over(wIn))
+    val wOff = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("__bkt"))
+      .agg(sum(col("c")).as("__tc"),
+        sum(dec(col("v")) * dec(col("c"))).as("__tm"))
+      .withColumn("__off_c",
+        coalesce(sum(col("__tc")).over(wOff), lit(0L)))
+      .withColumn("__off_m",
+        coalesce(sum(col("__tm")).over(wOff), dec(lit(0L))))
+      .select(col("__bkt"), col("__off_c"), col("__off_m"))
+    val cum = cum0.join(broadcast(offsets), "__bkt")
+      .withColumn("__prev_c", col("__off_c") + col("__cum_c") - col("c"))
+      .withColumn("__prev_m",
+        col("__off_m") + col("__cum_m") - dec(col("v")) * dec(col("c")))
+    val agg = cum.agg(
+      sum(col("c")).as("n"),
+      sum(dec(col("v")) * dec(col("c"))).as("s"),
+      // 2·Σ i·x over sorted ranks, exact: v·(2·c·prev + c·(c+1))
+      sum(dec(col("v")) * (dec(lit(2)) * dec(col("c")) * dec(col("__prev_c"))
+        + dec(col("c")) * (dec(col("c")) + lit(1)))).as("g2"))
+    // top-share probes: mass of the (n − ⌊n/den⌋) smallest rows, tie
+    // mass split by rank; share = 1 − small/S
+    def topShare(den: Long, name: String): DataFrame = {
+      val nk = agg.select(col("n"), col("s"),
+        (col("n") - ((col("n") - pmod(col("n"), lit(den)))
+          .cast("decimal(38,0)") / lit(den)).cast("long")).as("__r"))
+      cum.crossJoin(broadcast(nk))
+        .filter(col("__prev_c") < col("__r") &&
+          col("__r") <= col("__prev_c") + col("c"))
+        .select((when(col("__r") === 0L, dec(lit(0L))).otherwise(
+          col("__prev_m") +
+            (dec(col("__r")) - dec(col("__prev_c"))) * dec(col("v"))))
+          .as("__small"), col("s").as("__s2"))
+        .select(round(lit(1.0) - col("__small").cast("double") /
+          col("__s2").cast("double"), 6).as(name))
+    }
+    agg.select(col("n").as("n_rows"),
+        col("s").cast("long").as("total_mass"),
+        round(col("g2").cast("double") /
+          (col("n").cast("double") * col("s").cast("double")) -
+          (col("n").cast("double") + lit(1.0)) / col("n").cast("double"),
+          6).as("gini"))
+      .crossJoin(broadcast(topShare(100L, "top1_share")))
+      .crossJoin(broadcast(topShare(10L, "top10_share")))
+  }
+
   /** t-closeness audit (Li et al. 2007) — the third rung of the privacy
     * ladder after k-anonymity ([[kAnonymityCard]]) and l-diversity
     * ([[lDiversityCard]]): a quasi-group can be large AND diverse yet

@@ -57,6 +57,26 @@ class PrivacyOpsSpec extends SparkSpec {
     assert(approx(n1 / 4.0, n4, 1e-5))
   }
 
+  test("concentrationCard: hand-computed Gini and top shares on a " +
+      "head-heavy corpus") {
+    // 99 docs of mass 1 + one of mass 901: G = 2·95050/100000 − 1.01
+    val df = (Seq.fill(99)(1L) :+ 901L).zipWithIndex
+      .map { case (m, i) => (i.toLong, m) }.toDF("id", "mass")
+    val r = ProfileOps.concentrationCard(df, col("mass")).head()
+    assert(r.getLong(0) == 100L && r.getLong(1) == 1000L)
+    assert(r.getDouble(2) == 0.891)
+    assert(r.getDouble(3) == 0.901)  // top-1% = the mega-doc
+    assert(r.getDouble(4) == 0.91)   // top-10% adds 9 unit docs
+  }
+
+  test("concentrationCard: equal masses give Gini 0 and proportional " +
+      "shares") {
+    val df = (1L to 50L).map(i => (i, 7L)).toDF("id", "mass")
+    val r = ProfileOps.concentrationCard(df, col("mass")).head()
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getDouble(4) == 0.1)    // top-10% of equal docs holds 10%
+  }
+
   test("tClosenessCard: hand-computed TVD on skewed groups") {
     // global dist {a:4, b:4}; each group holds only one value →
     // TVD = ½(|1−½| + |0−½|) = 0.5 per group, both above t = 1/5
