@@ -2821,6 +2821,60 @@ object OracleSql {
         |FROM p2 JOIN er USING (fraction_pct)
         |ORDER BY fraction_pct""".stripMargin,
 
+    // q264: OOV drift replayed — same exact id-half split, top-100
+    // early vocab on (count DESC, token), conditional sums on the
+    // (token, half) frame.
+    "q264_oov_drift" ->
+      """WITH b AS (
+        |  SELECT CAST(MIN(doc_id) AS BIGINT) AS mn,
+        |    CAST(MAX(doc_id) AS BIGINT) AS mx FROM documents),
+        |tk AS (
+        |  SELECT doc_id * 2 > b.mn + b.mx AS late, u.tok AS tok
+        |  FROM documents, b,
+        |    UNNEST(string_split(trim(text), ' ')) AS u(tok)),
+        |bt AS (
+        |  SELECT tok,
+        |    CAST(SUM(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM tk GROUP BY tok),
+        |v AS (
+        |  SELECT tok, 1 AS iv FROM bt WHERE ca > 0
+        |  ORDER BY ca DESC, tok LIMIT 100)
+        |SELECT CAST(100 AS BIGINT) AS vocab_size,
+        |  CAST(SUM(ca) AS BIGINT) AS n_tokens_early,
+        |  ROUND(CAST(SUM(CASE WHEN v.iv IS NULL THEN ca ELSE 0 END)
+        |      AS DOUBLE) / CAST(SUM(ca) AS DOUBLE), 6) AS oov_rate_early,
+        |  CAST(SUM(cb) AS BIGINT) AS n_tokens_late,
+        |  ROUND(CAST(SUM(CASE WHEN v.iv IS NULL THEN cb ELSE 0 END)
+        |      AS DOUBLE) / CAST(SUM(cb) AS DOUBLE), 6) AS oov_rate_late,
+        |  CAST(SUM(CASE WHEN ca = 0 AND cb > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new_types_late
+        |FROM bt LEFT JOIN v USING (tok)""".stripMargin,
+
+    // q263: token shard plan replayed — plain global prefix sum on the
+    // DuckDB side (the Spark side's two-level bucket sum is the scale
+    // path, same values), exact `//` floor divisions.
+    "q263_token_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tok,
+        |    CAST(SUM(tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) - tok AS start
+        |  FROM t)
+        |SELECT start // 4096 AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+        |  CAST(4096 AS BIGINT) AS target_tokens,
+        |  ROUND(CAST(SUM(tok) - 4096 AS DOUBLE) / 4096.0, 6)
+        |    AS deviation_frac
+        |FROM c
+        |GROUP BY shard
+        |ORDER BY shard""".stripMargin,
+
     // q262: concentration card replayed — tie-collapsed mass frame,
     // HUGEINT Lorenz sums, rank-split boundaries, identical division
     // shapes.

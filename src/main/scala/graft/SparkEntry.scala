@@ -3717,6 +3717,24 @@ object SparkEntry {
     SimilarityOps.clusterLabelCard(t(spark, dir, "embeddings"),
       "vec_id", "embedding", "label")
 
+  // ---------------------------------------------------------------- q264
+  // OOV drift vs a frozen vocab: the early id-half's top-100 tokens
+  // become the frozen vocabulary; each half's OOV rate + new token
+  // types in the late half — tokenizer rot measured before perplexity
+  // moves.
+  def q264(spark: SparkSession, dir: String): DataFrame =
+    TextOps.oovDriftCard(t(spark, dir, "documents"), "doc_id", "text",
+      vocabSize = 100)
+
+  // ---------------------------------------------------------------- q263
+  // Token-balanced shard plan: docs assigned to shards by global token
+  // offset (4096-token target, docs never split) — the token-budgeted
+  // sibling of q242's count shards; per-shard mass + deviation. Same
+  // two-level prefix sum as q248.
+  def q263(spark: SparkSession, dir: String): DataFrame =
+    SplitOps.tokenShardPlan(t(spark, dir, "documents"), "doc_id",
+      "text", shardTokens = 4096L, bucketWidth = 100)
+
   // ---------------------------------------------------------------- q262
   // Corpus-concentration card: Gini + top-1%/10% token share of the
   // per-doc token mass — the inequality audit for mega-doc dominance.
@@ -4283,6 +4301,8 @@ object SparkEntry {
     "q260_learning_curve" -> (q260 _),
     "q261_kruskal_wallis" -> (q261 _),
     "q262_concentration" -> (q262 _),
+    "q263_token_shards" -> (q263 _),
+    "q264_oov_drift" -> (q264 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

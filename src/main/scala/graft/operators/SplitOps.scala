@@ -311,6 +311,52 @@ object SplitOps {
       .orderBy(col("source"))
   }
 
+  /** Token-balanced shard plan: documents assigned to output shards by
+    * their GLOBAL token offset (shard = ⌊startOffset/shardTokens⌋, docs
+    * never split) — the byte/token-budgeted sibling of the count-based
+    * [[epochShardManifest]], i.e. the write plan that keeps every
+    * training shard near the same token mass no matter how skewed the
+    * per-doc lengths are. One row per shard: docs, tokens, and the
+    * deviation from the target.
+    *
+    * Scale shape: the global offset is the [[packingCard]] two-level
+    * prefix sum (per-bucket totals broadcast, wide window PER BUCKET);
+    * the shard aggregation keys on shard id. Exact decimal floor
+    * divisions throughout.
+    */
+  def tokenShardPlan(docs: DataFrame, idCol: String, textCol: String,
+      shardTokens: Long, bucketWidth: Int = 1000): DataFrame = {
+    require(shardTokens >= 1 && bucketWidth >= 1,
+      "need shardTokens >= 1 and bucketWidth >= 1")
+    import org.apache.spark.sql.expressions.Window
+    def fdiv(x: Column, m: Column): Column =
+      ((x - pmod(x, m)).cast("decimal(38,0)") / m).cast("long")
+    val perDoc = docs.select(col(idCol).as("__id"),
+        size(split(trim(col(textCol)), " ")).cast("long").as("__tok"))
+      .withColumn("__bkt", fdiv(col("__id"), lit(bucketWidth.toLong)))
+    val wB = Window.partitionBy(lit(1)).orderBy(col("__bkt"))
+    val offsets = perDoc.groupBy(col("__bkt"))
+      .agg(sum(col("__tok")).as("__bsum"))
+      .withColumn("__off", coalesce(sum(col("__bsum")).over(
+        wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    val wD = Window.partitionBy(col("__bkt")).orderBy(col("__id"))
+    perDoc.join(broadcast(offsets), Seq("__bkt"))
+      .withColumn("__start", col("__off") + sum(col("__tok")).over(
+        wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)) -
+        col("__tok"))
+      .withColumn("shard", fdiv(col("__start"), lit(shardTokens)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
+      .withColumn("target_tokens", lit(shardTokens))
+      .withColumn("deviation_frac", round(
+        (col("n_tokens") - lit(shardTokens)).cast("double") /
+          lit(shardTokens.toDouble), 6))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        col("target_tokens"), col("deviation_frac"))
+      .orderBy(col("shard"))
+  }
+
   def stratifiedExactSample(df: DataFrame, stratumCol: String,
       keyCol: String, num: Int, den: Int, salt: Long = 0L,
       literalStrataMax: Int = 100): DataFrame = {

@@ -1061,6 +1061,57 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** OOV drift vs a FROZEN vocabulary: the top-`vocabSize` tokens of the
+    * EARLY id-half become the tokenizer's frozen vocab (the production
+    * shape: vocabularies are trained once and then age); the card
+    * reports each half's out-of-vocab token rate and the count of
+    * entirely new token types in the late half — rising OOV is the
+    * earliest tokenizer-rot signal, before perplexity moves.
+    *
+    * Scale shape: one token explosion, one count aggregation; the vocab
+    * is a bounded TakeOrdered head broadcast back; everything else is
+    * conditional sums on the (token, half) count frame.
+    */
+  def oovDriftCard(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 100): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    val bounds = docs.agg(min(col(idCol)).cast("long").as("__mn"),
+      max(col(idCol)).cast("long").as("__mx"))
+    val toks = docs.crossJoin(broadcast(bounds))
+      .select((col(idCol).cast("long") * 2 > col("__mn") + col("__mx"))
+        .as("__late"),
+        explode(split(trim(col(textCol)), " ")).as("__tok"))
+    val byTok = toks.groupBy(col("__tok"))
+      .agg(sum(when(!col("__late"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("__late"), 1L).otherwise(0L)).as("cb"))
+    val vocab = byTok.filter(col("ca") > 0L)
+      .orderBy(col("ca").desc, col("__tok"))
+      .limit(vocabSize)
+      .select(col("__tok"), lit(1L).as("__in_vocab"))
+    byTok.join(broadcast(vocab.select(col("__tok"), col("__in_vocab"))),
+        Seq("__tok"), "left")
+      .withColumn("__iv", coalesce(col("__in_vocab"), lit(0L)))
+      .agg(
+        sum(col("ca")).as("n_tokens_early"),
+        sum(col("cb")).as("n_tokens_late"),
+        sum(when(col("__iv") === 0L, col("ca")).otherwise(0L))
+          .as("__oov_a"),
+        sum(when(col("__iv") === 0L, col("cb")).otherwise(0L))
+          .as("__oov_b"),
+        sum(when(col("ca") === 0L && col("cb") > 0L, 1L).otherwise(0L))
+          .as("n_new_types_late"))
+      .withColumn("vocab_size", lit(vocabSize.toLong))
+      .withColumn("oov_rate_early", round(
+        col("__oov_a").cast("double") / col("n_tokens_early").cast("double"),
+        6))
+      .withColumn("oov_rate_late", round(
+        col("__oov_b").cast("double") / col("n_tokens_late").cast("double"),
+        6))
+      .select(col("vocab_size"), col("n_tokens_early"),
+        col("oov_rate_early"), col("n_tokens_late"), col("oov_rate_late"),
+        col("n_new_types_late"))
+  }
+
   /** Heaps'-law vocabulary-growth card: distinct-token count V(N) as the
     * corpus grows through id-order checkpoints (prefix percentiles of
     * the doc-id range), with the empirical Heaps exponent

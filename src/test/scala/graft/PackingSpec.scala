@@ -33,4 +33,25 @@ class PackingSpec extends SparkSpec {
     val narrow = SplitOps.packingCard(docs, "doc_id", "text", 5, 1).head()
     assert(wide == narrow)
   }
+
+  test("tokenShardPlan: docs land in the shard of their start offset, " +
+      "mass partitions exactly") {
+    // token counts 3,4,1,6 → starts 0,3,7,8; shardTokens 5 →
+    // shards 0,0,1,1
+    val rows = SplitOps.tokenShardPlan(docs, "doc_id", "text",
+      shardTokens = 5L, bucketWidth = 2).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(2L, 2L))   // n_docs
+    assert(rows.map(_.getLong(2)).toSeq == Seq(7L, 7L))   // n_tokens
+    assert(rows.map(_.getLong(2)).sum == 14L)
+    assert(rows.head.getDouble(4) == 0.4)                 // (7−5)/5
+  }
+
+  test("tokenShardPlan: plan is invariant to the prefix-sum bucket width") {
+    val a = SplitOps.tokenShardPlan(docs, "doc_id", "text", 5L, 1000)
+      .collect().toSeq
+    val b = SplitOps.tokenShardPlan(docs, "doc_id", "text", 5L, 1)
+      .collect().toSeq
+    assert(a == b)
+  }
 }

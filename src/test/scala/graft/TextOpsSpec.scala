@@ -295,6 +295,19 @@ class TextOpsSpec extends SparkSpec {
     assert(repFps.agg(min(col("fp_pos"))).head().getLong(0) == 3L)
   }
 
+  test("oovDriftCard: frozen early vocab, hand-computed OOV rates") {
+    // early = ids 1,2; vocab(top-2) = {aa, bb}; cc is early-OOV,
+    // dd/ee are late-OOV and entirely new types
+    val docs = Seq((1L, "aa aa bb"), (2L, "cc"), (3L, "aa dd"),
+      (4L, "dd ee")).toDF("doc_id", "text")
+    val r = graft.operators.TextOps.oovDriftCard(docs, "doc_id", "text",
+      vocabSize = 2).head()
+    assert(r.getLong(0) == 2L)
+    assert(r.getLong(1) == 4L && r.getDouble(2) == 0.25)
+    assert(r.getLong(3) == 4L && r.getDouble(4) == 0.75)
+    assert(r.getLong(5) == 2L)
+  }
+
   test("pmiCollocations: a planted exclusive pair wins over a frequent " +
       "independent pair") {
     // "aa bb" always and only together (c12=c1=c2=5); "xx" pairs with
