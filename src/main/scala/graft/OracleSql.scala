@@ -3068,35 +3068,10 @@ object OracleSql {
     // q248: packing card replayed — same whitespace token count, plain
     // global window prefix sum (DuckDB side; the Spark side's two-level
     // bucket sum is the scale path, same values), exact `//` floor divs.
-    "q248_packing_card" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tok
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, tok,
-        |    CAST(SUM(tok) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS BIGINT) AS cum_end
-        |  FROM t),
-        |f AS (
-        |  SELECT tok, cum_end,
-        |    CASE WHEN tok > 0 THEN
-        |      (cum_end - 1) // 512 - (cum_end - tok) // 512 + 1
-        |    ELSE 0 END AS frag
-        |  FROM c)
-        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(SUM(tok) AS BIGINT) AS total_tokens,
-        |  CAST(512 AS BIGINT) AS context_len,
-        |  CAST((SUM(tok) + 511) // 512 AS BIGINT) AS n_contexts,
-        |  CAST(SUM(CASE WHEN frag >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_docs_split,
-        |  CAST(SUM(frag) AS BIGINT) AS n_fragments,
-        |  CAST(((SUM(tok) + 511) // 512) * 512 - SUM(tok) AS BIGINT)
-        |    AS tail_waste_tokens,
-        |  ROUND(SUM(CASE WHEN frag >= 2 THEN 1 ELSE 0 END) /
-        |    CAST(COUNT(*) AS DOUBLE), 6) AS split_frac
-        |FROM f""".stripMargin,
+    // q265 shares it verbatim: the id-range-wave streamed partials sum
+    // to the batch card exactly (stream ≡ batch is the contract).
+    "q248_packing_card" -> q248PackingSql,
+    "q265_stream_packing" -> q248PackingSql,
 
     // q247: embedding drift replayed — hash-half slices, per-dim exact
     // decimal means, decimal reductions over dims (order-free), rounded
@@ -6926,6 +6901,41 @@ object OracleSql {
       |  CAST(n_list AS BIGINT) AS n_list
       |FROM sized WHERE rank <= 8
       |ORDER BY centroid_id, rank""".stripMargin
+
+  /** Shared q248/q265 oracle: the packing card — plain global window
+    * prefix sum in DuckDB; the Spark batch side's two-level bucket sum
+    * and the streaming side's wave-offset partials land on identical
+    * values.
+    */
+  private def q248PackingSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, tok,
+      |    CAST(SUM(tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum_end
+      |  FROM t),
+      |f AS (
+      |  SELECT tok, cum_end,
+      |    CASE WHEN tok > 0 THEN
+      |      (cum_end - 1) // 512 - (cum_end - tok) // 512 + 1
+      |    ELSE 0 END AS frag
+      |  FROM c)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(tok) AS BIGINT) AS total_tokens,
+      |  CAST(512 AS BIGINT) AS context_len,
+      |  CAST((SUM(tok) + 511) // 512 AS BIGINT) AS n_contexts,
+      |  CAST(SUM(CASE WHEN frag >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_docs_split,
+      |  CAST(SUM(frag) AS BIGINT) AS n_fragments,
+      |  CAST(((SUM(tok) + 511) // 512) * 512 - SUM(tok) AS BIGINT)
+      |    AS tail_waste_tokens,
+      |  ROUND(SUM(CASE WHEN frag >= 2 THEN 1 ELSE 0 END) /
+      |    CAST(COUNT(*) AS DOUBLE), 6) AS split_frac
+      |FROM f""".stripMargin
 
   /** q251 oracle: cluster-occupancy drift replayed — q241's full-corpus
     * portable draw/assignment, q247's hash-half slices, Laplace-smoothed

@@ -3717,6 +3717,51 @@ object SparkEntry {
     SimilarityOps.clusterLabelCard(t(spark, dir, "embeddings"),
       "vec_id", "embedding", "label")
 
+  // ---------------------------------------------------------------- q265
+  // Streaming twin of q248 (SHARED oracle): the corpus ingested as 3
+  // id-RANGE waves (the append-log order); pass 1 records wave token
+  // totals, pass 2 emits additive partial cards against the frozen
+  // earlier-wave offsets; the summed card equals batch exactly.
+  def q265(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_TMP_ROOT",
+          System.getProperty("java.io.tmpdir"))),
+      "graft_q265_")
+    try {
+      val e = t(spark, dir, "documents")
+      val b = e.agg(min(col("doc_id")).cast("long"),
+        max(col("doc_id")).cast("long")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val span = mx - mn + 1L
+      val (t1, t2) = (mn + span / 3, mn + 2L * span / 3)
+      val tagged = e.withColumn("__w",
+        when(col("doc_id") <= t1, 0)
+          .when(col("doc_id") <= t2, 1).otherwise(2))
+      val wavesDir = s"$root/waves"
+      new java.io.File(wavesDir).mkdirs()
+      (0 until 3).foreach { w =>
+        val tmp = s"$root/w$w"
+        tagged.filter(col("__w") === w).drop("__w")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(wavesDir, f"wave$w%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        require(dst.setLastModified(1000000L * (w + 1)),
+          s"could not stamp $dst")
+      }
+      val res = graft.streaming.StreamingOps.streamingPackingCard(
+        spark, wavesDir, "doc_id", "text", contextLen = 512,
+        s"$root/store", bucketWidth = 100)
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      res.collect().foreach(rows.add)
+      spark.createDataFrame(rows, res.schema)
+    } finally {
+      graft.tools.FsUtils.deleteRecursively(root)
+    }
+  }
+
   // ---------------------------------------------------------------- q264
   // OOV drift vs a frozen vocab: the early id-half's top-100 tokens
   // become the frozen vocabulary; each half's OOV rate + new token
@@ -4303,6 +4348,7 @@ object SparkEntry {
     "q262_concentration" -> (q262 _),
     "q263_token_shards" -> (q263 _),
     "q264_oov_drift" -> (q264 _),
+    "q265_stream_packing" -> (q265 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

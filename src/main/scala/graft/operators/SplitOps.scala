@@ -556,9 +556,22 @@ object SplitOps {
     * scale).
     */
   def packingCard(docs: DataFrame, idCol: String, textCol: String,
-      contextLen: Int = 512, bucketWidth: Int = 1000): DataFrame = {
-    require(contextLen >= 1 && bucketWidth >= 1,
-      "need contextLen >= 1 and bucketWidth >= 1")
+      contextLen: Int = 512, bucketWidth: Int = 1000): DataFrame =
+    packingCardFinish(
+      packingCardPartial(docs, idCol, textCol, contextLen, bucketWidth,
+        globalOffset = 0L),
+      contextLen)
+
+  /** The additive partial sums behind [[packingCard]]: fragment counts
+    * computed with every start shifted by `globalOffset` — the hook the
+    * streaming twin uses to fold id-range ingest waves into the exact
+    * batch card (each wave's offset is the frozen sum of earlier wave
+    * totals; all four outputs are additive across waves).
+    */
+  def packingCardPartial(docs: DataFrame, idCol: String, textCol: String,
+      contextLen: Int, bucketWidth: Int, globalOffset: Long): DataFrame = {
+    require(contextLen >= 1 && bucketWidth >= 1 && globalOffset >= 0,
+      "need contextLen >= 1, bucketWidth >= 1, globalOffset >= 0")
     import org.apache.spark.sql.expressions.Window
     def fdiv(x: Column, m: Column): Column =
       ((x - pmod(x, m)).cast("decimal(38,0)") / m).cast("long")
@@ -574,8 +587,9 @@ object SplitOps {
       .select(col("__bkt"), col("__off"))
     val wD = Window.partitionBy(col("__bkt")).orderBy(col("__id"))
     val cum = perDoc.join(broadcast(offsets), Seq("__bkt"))
-      .withColumn("__cumEnd", col("__off") + sum(col("__tok")).over(
-        wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__cumEnd", lit(globalOffset) + col("__off") +
+        sum(col("__tok")).over(
+          wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       // a doc spanning tokens (cumPrev, cumEnd] occupies contexts
       // floor(cumPrev/L) .. floor((cumEnd-1)/L) — fragment count is the
       // context-index span + 1
@@ -583,11 +597,25 @@ object SplitOps {
         fdiv(col("__cumEnd") - 1L, L) -
           fdiv(col("__cumEnd") - col("__tok"), L) + 1L).otherwise(0L))
     cum.agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("__tok")).as("total_tokens"),
-        sum(when(col("__frag") >= 2L, 1L).otherwise(0L))
-          .as("n_docs_split"),
-        sum(col("__frag")).as("n_fragments"))
+      count(lit(1)).as("n_docs"),
+      sum(col("__tok")).as("total_tokens"),
+      sum(when(col("__frag") >= 2L, 1L).otherwise(0L))
+        .as("n_docs_split"),
+      sum(col("__frag")).as("n_fragments"))
+  }
+
+  /** Finishing for [[packingCard]]: sum the (additive) partials and
+    * derive the context count and tail waste from the exact totals.
+    */
+  def packingCardFinish(partials: DataFrame, contextLen: Int): DataFrame = {
+    def fdiv(x: Column, m: Column): Column =
+      ((x - pmod(x, m)).cast("decimal(38,0)") / m).cast("long")
+    val L = lit(contextLen.toLong)
+    partials.agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("total_tokens")).as("total_tokens"),
+        sum(col("n_docs_split")).as("n_docs_split"),
+        sum(col("n_fragments")).as("n_fragments"))
       .withColumn("context_len", L)
       .withColumn("n_contexts",
         fdiv(col("total_tokens") + L - 1L, L))

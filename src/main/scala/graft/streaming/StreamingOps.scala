@@ -825,6 +825,63 @@ object StreamingOps {
       sink, "complete")
       .orderBy(col("source"))
 
+  /** Streaming sequence-packing card ≡ batch (q248's twin) — the
+    * append-only-ingest shape of a GLOBAL prefix computation: waves are
+    * id-ordered ranges (ids grow with ingest time — the natural
+    * append-log order), so
+    *
+    *   1. **Offset pass** — each micro-batch records its token total
+    *      batchId-keyed (bounded state: one row per batch);
+    *   2. **Fragment pass** — each batch re-computes its docs' global
+    *      start offsets from the FROZEN earlier-wave totals and emits
+    *      its partial card (docs, tokens, fragments, splits) — all four
+    *      ADDITIVE, so the summed card equals the batch card exactly.
+    *
+    * Finishing derives contexts/tail-waste from the exact totals; the
+    * card shares q248's oracle.
+    */
+  def streamingPackingCard(spark: SparkSession, wavesDir: String,
+      idCol: String, textCol: String, contextLen: Int,
+      storeRoot: String, bucketWidth: Int = 1000): DataFrame = {
+    import graft.operators.SplitOps
+    val schema = spark.read.parquet(wavesDir).schema
+    val pass1: (DataFrame, Long) => Unit = (batch, batchId) => {
+      batch.select(
+          size(split(trim(col(textCol)), " ")).cast("long").as("__tok"))
+        .agg(sum(col("__tok")).as("total"),
+          count(lit(1)).as("n_docs"))
+        .withColumn("batch_id", lit(batchId))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$storeRoot/totals/batch=$batchId")
+    }
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(wavesDir)
+      .writeStream.outputMode("append").foreachBatch(pass1)
+      .option("checkpointLocation", s"$storeRoot/ckpt1")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val totals = spark.read.parquet(s"$storeRoot/totals")
+      .select(col("batch_id").cast("long").as("batch_id"), col("total"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pass2: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val waveOffset = totals.filter(_._1 < batchId).values.sum
+      // the in-wave prefix machinery is the batch packingCard's; the
+      // frozen wave offset shifts every start by a constant, which the
+      // fragment arithmetic absorbs exactly
+      val card = SplitOps.packingCardPartial(batch, idCol, textCol,
+        contextLen, bucketWidth, waveOffset)
+      card.withColumn("batch_id", lit(batchId))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$storeRoot/partials/batch=$batchId")
+    }
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(wavesDir)
+      .writeStream.outputMode("append").foreachBatch(pass2)
+      .option("checkpointLocation", s"$storeRoot/ckpt2")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val partials = spark.read.parquet(s"$storeRoot/partials")
+    SplitOps.packingCardFinish(partials, contextLen)
+  }
+
   /** Streaming cluster-occupancy drift ≡ batch (q251's twin) in the
     * TWO-PASS streaming shape a corpus-wide portable quantizer needs:
     *
