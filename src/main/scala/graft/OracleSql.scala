@@ -2363,7 +2363,8 @@ object OracleSql {
     "q115_ks_two_sample" ->
       """WITH v AS (
         |  SELECT value AS v, event_type = 'click' AS is_a
-        |  FROM events WHERE event_type IN ('click', 'view')),
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
         |g AS (
         |  SELECT v,
         |    SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
@@ -2700,12 +2701,14 @@ object OracleSql {
     "q255_pmi_collocations" ->
       """WITH t AS (
         |  SELECT string_split(trim(text), ' ') AS toks FROM documents),
-        |w AS (SELECT u.w AS w FROM t, UNNEST(toks) AS u(w)),
+        |w AS (SELECT u.w AS w FROM t, UNNEST(toks) AS u(w)
+        |      WHERE u.w <> ''),
         |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY w),
         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w),
         |bgl AS (
         |  SELECT toks[i] AS w1, toks[i + 1] AS w2
-        |  FROM t, UNNEST(range(1, len(toks))) AS r(i)),
+        |  FROM t, UNNEST(range(1, len(toks))) AS r(i)
+        |  WHERE toks[i] <> '' AND toks[i + 1] <> ''),
         |bg AS (
         |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
         |  FROM bgl GROUP BY w1, w2 HAVING COUNT(*) >= 5),
@@ -2978,7 +2981,8 @@ object OracleSql {
       """WITH v AS (
         |  SELECT CAST(value AS DOUBLE) AS v,
         |    event_type = 'click' AS is_a
-        |  FROM events WHERE event_type IN ('click', 'view')),
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
         |bv AS (
         |  SELECT v,
         |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
@@ -6687,7 +6691,8 @@ object OracleSql {
   private def q237DpHistogramSql: String =
     s"""WITH h AS (
        |  SELECT o_orderpriority, COUNT(*) AS n_true
-       |  FROM orders GROUP BY o_orderpriority),
+       |  FROM orders WHERE o_orderpriority IS NOT NULL
+       |  GROUP BY o_orderpriority),
        |hx AS (
        |  SELECT o_orderpriority, n_true,
        |    ${hexPoly15("MD5(o_orderpriority)")} AS x

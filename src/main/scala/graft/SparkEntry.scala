@@ -3247,14 +3247,29 @@ object SparkEntry {
       e, "vec_id", "embedding", nlist = 8)
     val assigned = SimilarityOps.ivfAssign(
       e, "vec_id", "embedding", cents, simRound = Some(6))
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index"
-    SimilarityOps.writeIvfIndex(assigned, cents, root)
-    val (idxAssigned, idxCents) = SimilarityOps.readIvfIndex(spark, root)
-    SimilarityOps.ivfSearchBatch(idxAssigned, "vec_id",
-        e.filter(col("vec_id") < 20), "vec_id", "embedding",
-        idxCents, nprobe = 3, k = 3, excludeSameId = true,
-        simRound = Some(6), pruneByList = true)
-      .orderBy(col("q_id"), col("rank"))
+    // Run-private scratch root (GRAFT_TMP_ROOT overrides tmpdir), removed
+    // after the result is pinned — concurrent bench/verify runs on one
+    // host each get their own index; nothing races on a shared path.
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_TMP_ROOT", System.getProperty("java.io.tmpdir"))),
+      "graft_ivf_index_")
+    try {
+      SimilarityOps.writeIvfIndex(assigned, cents, root.toString)
+      val (idxAssigned, idxCents) = SimilarityOps.readIvfIndex(spark, root.toString)
+      val res = SimilarityOps.ivfSearchBatch(idxAssigned, "vec_id",
+          e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          idxCents, nprobe = 3, k = 3, excludeSameId = true,
+          simRound = Some(6), pruneByList = true)
+        .orderBy(col("q_id"), col("rank"))
+      // Pin locally before deleting the backing files (q86 convention):
+      // a k-per-query frame, harness materialization only.
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      res.collect().foreach(rows.add)
+      spark.createDataFrame(rows, res.schema)
+    } finally {
+      graft.tools.FsUtils.deleteRecursively(root)
+    }
   }
 
   // ---------------------------------------------------------------- q227

@@ -137,8 +137,10 @@ object DriftOps {
     */
   def ksTwoSample(df: DataFrame, valCol: String, groupCol: String,
       groupA: String, groupB: String, buckets: Int = 32): DataFrame = {
+    // NULL values have no ECDF position — drop them (the kruskalWallis
+    // convention), else they form a null grid point and skew n_a/n_b.
     val v = df
-      .filter(col(groupCol).isin(groupA, groupB))
+      .filter(col(groupCol).isin(groupA, groupB) && col(valCol).isNotNull)
       .select(col(valCol).cast("double").as("v"),
         (col(groupCol) === groupA).as("__is_a"))
     // collapse ties first: the grid the ECDF is evaluated on
@@ -320,8 +322,11 @@ object DriftOps {
 
   def mannWhitneyU(df: DataFrame, valCol: String, groupCol: String,
       groupA: String, groupB: String, buckets: Int = 32): DataFrame = {
+    // NULL values carry no rank — drop them (the kruskalWallis
+    // convention), else they enter n_a/n_b, rank sums, and the tie
+    // correction as a null 'value' in the tie-collapsed frame.
     val v = df
-      .filter(col(groupCol).isin(groupA, groupB))
+      .filter(col(groupCol).isin(groupA, groupB) && col(valCol).isNotNull)
       .select(col(valCol).cast("double").as("v"),
         (col(groupCol) === groupA).as("__is_a"))
     val byVal = v.groupBy(col("v"))

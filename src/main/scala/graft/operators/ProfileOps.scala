@@ -218,18 +218,27 @@ object ProfileOps {
         col("worst_disclosure"))
   }
 
-  /** Differentially-private histogram release (Dwork et al. 2006
-    * Laplace mechanism) with SEEDED portable noise: each group's draw
-    * comes from the 60-bit MD5 polynomial of its key pushed through the
-    * engine-portable two-round congruential generator (the
-    * [[SplitOps.prioritySample]] family — replayable in plain SQL), and
-    * Laplace noise b = 1/ε via the inverse CDF
-    * X = −b·sgn(v)·ln(1−2|v|), v = u − ½ ∈ (−½, ½) strictly
-    * (u = (x₂ + 0.5)/p₂ keeps the log argument positive). Disjoint
-    * groups → parallel composition: the whole histogram costs ε, not
-    * |groups|·ε. The card carries the true counts alongside the noisy
-    * release — it is the CALIBRATION view (what error did ε buy);
-    * the releasable projection is (group, n_noisy, eps).
+  /** Laplace-mechanism histogram SIMULATION (Dwork et al. 2006) — a
+    * calibration card, NOT a privacy mechanism. The noise is derived
+    * deterministically from the PUBLIC group key (60-bit MD5 polynomial
+    * through the engine-portable two-round congruential generator, the
+    * [[SplitOps.prioritySample]] family), so anyone can recompute each
+    * group's draw and invert n_noisy back to n_true exactly: NOTHING
+    * here is differentially private. The seeding exists so the draw is
+    * replayable in plain SQL for the oracle gate; a production release
+    * would swap the key-seeded draw for a run-secret source of
+    * randomness — portability and privacy are mutually exclusive in
+    * this operator, and this implementation chooses portability. What
+    * the card legitimately answers is the CALIBRATION question: for a
+    * given ε, what error magnitude does Laplace(1/ε) noise impose on
+    * counts of this histogram's shape. Mechanics: b = 1/ε via the
+    * inverse CDF X = −b·sgn(v)·ln(1−2|v|), v = u − ½ ∈ (−½, ½)
+    * strictly (u = (x₂ + 0.5)/p₂ keeps the log argument positive);
+    * disjoint groups → parallel composition (one histogram costs ε,
+    * not |groups|·ε) — properties a real release would inherit.
+    *
+    * NULL group keys are excluded (an MD5 of NULL has no draw; a real
+    * release would pre-coalesce them into an explicit bucket).
     *
     * Scale shape: one count aggregation over the data; noise is a
     * per-group stateless projection on the |groups|-row frame.
@@ -239,8 +248,9 @@ object ProfileOps {
     require(eps > 0.0, "eps must be positive")
     val p1 = 1000003L
     val p2 = 9999991L
-    val h = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_true"))
-    val hx = conv(substring(md5(col(groupCol)), 1, 15), 16, 10)
+    val h = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_true"))
+    val hx = conv(substring(md5(col(groupCol).cast("string")), 1, 15), 16, 10)
       .cast("long")
     val hdiv = (hx.cast("decimal(38,0)") / lit(p1)).cast("long")
     val x1 = pmod(pmod(hx, lit(p1)) * lit(2654435761L), lit(p1))

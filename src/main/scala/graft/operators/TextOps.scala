@@ -996,7 +996,14 @@ object TextOps {
     require(minCount >= 1 && k >= 1, "need minCount >= 1 and k >= 1")
     import org.apache.spark.sql.expressions.Window
     val toks = tokens(col(textCol))
+    // Consecutive spaces split to "" tokens — exclude them from the
+    // unigram stream AND from bigram membership (the bpeMerges /
+    // dsirSelection convention), else "" pollutes counts and empty-
+    // member bigrams survive the contains(" ") gate (concat_ws keeps
+    // empty strings). A bigram spanning a dropped "" is NOT re-formed:
+    // positions stay those of the raw token array.
     val words = docs.select(explode(toks).as("w"))
+      .filter(col("w") =!= "")
     val uni = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
     val tot = words.agg(count(lit(1)).as("n"))
     val bg = docs.select(
@@ -1009,6 +1016,7 @@ object TextOps {
     val scored = bg
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
       .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
       .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
       .crossJoin(broadcast(tot))
