@@ -3077,6 +3077,125 @@ object OracleSql {
     "q248_packing_card" -> q248PackingSql,
     "q265_stream_packing" -> q248PackingSql,
 
+    // q266: Welch's t replayed — identical per-row decimal moment casts
+    // (value DECIMAL(28,2), square DECIMAL(38,4)), identical double
+    // parenthesization for mean/variance/t/Satterthwaite df.
+    "q266_welch_t" ->
+      """WITH v AS (
+        |  SELECT CAST(value AS DOUBLE) AS v, event_type = 'click' AS is_a
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+        |a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(SUM(CASE WHEN is_a THEN CAST(v AS DECIMAL(28,2)) END)
+        |      AS DOUBLE) AS sa,
+        |    CAST(SUM(CASE WHEN NOT is_a THEN CAST(v AS DECIMAL(28,2)) END)
+        |      AS DOUBLE) AS sb,
+        |    CAST(SUM(CASE WHEN is_a THEN CAST(v * v AS DECIMAL(38,4)) END)
+        |      AS DOUBLE) AS qa,
+        |    CAST(SUM(CASE WHEN NOT is_a
+        |      THEN CAST(v * v AS DECIMAL(38,4)) END) AS DOUBLE) AS qb
+        |  FROM v),
+        |p AS (
+        |  SELECT n_a, n_b,
+        |    sa / CAST(n_a AS DOUBLE) AS ma,
+        |    sb / CAST(n_b AS DOUBLE) AS mb,
+        |    (qa - sa * sa / CAST(n_a AS DOUBLE)) /
+        |      (CAST(n_a AS DOUBLE) - 1.0) AS va,
+        |    (qb - sb * sb / CAST(n_b AS DOUBLE)) /
+        |      (CAST(n_b AS DOUBLE) - 1.0) AS vb
+        |  FROM a WHERE n_a > 1 AND n_b > 1)
+        |SELECT n_a, n_b,
+        |  ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+        |  ROUND(va, 6) AS var_a, ROUND(vb, 6) AS var_b,
+        |  ROUND((ma - mb) / SQRT(va / CAST(n_a AS DOUBLE) +
+        |    vb / CAST(n_b AS DOUBLE)), 6) AS t_welch,
+        |  ROUND((va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)) *
+        |      (va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)) /
+        |    ((va / CAST(n_a AS DOUBLE)) * (va / CAST(n_a AS DOUBLE)) /
+        |        (CAST(n_a AS DOUBLE) - 1.0) +
+        |      (vb / CAST(n_b AS DOUBLE)) * (vb / CAST(n_b AS DOUBLE)) /
+        |        (CAST(n_b AS DOUBLE) - 1.0)), 6) AS df_welch
+        |FROM p""".stripMargin,
+
+    // q267: CUSUM replayed — exact decimal daily/prefix masses, per-row
+    // double deviations from exact terms (no running double sum), the
+    // chi-square contribution convention for sigma, earliest-argmax tie
+    // order (|dev| DESC, day).
+    "q267_cusum_changepoint" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(28,2))) AS td
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY day),
+        |c AS (
+        |  SELECT day, td,
+        |    SUM(td) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS ck,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k
+        |  FROM d),
+        |t AS (
+        |  SELECT CAST(SUM(td) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(CAST(td AS DOUBLE) * CAST(td AS DOUBLE)
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS q,
+        |    CAST(COUNT(*) AS BIGINT) AS dd
+        |  FROM d),
+        |dev AS (
+        |  SELECT c.day, c.k, t.dd, t.s,
+        |    SQRT((t.q - t.s * t.s / CAST(t.dd AS DOUBLE)) /
+        |      CAST(t.dd AS DOUBLE)) AS sigma,
+        |    CAST(c.ck AS DOUBLE) -
+        |      CAST(c.k AS DOUBLE) * (t.s / CAST(t.dd AS DOUBLE)) AS dv
+        |  FROM c CROSS JOIN t)
+        |SELECT dd AS n_days, ROUND(s, 6) AS total_mass,
+        |  ROUND(sigma, 6) AS sigma_daily,
+        |  ROUND(ABS(dv) / (sigma * SQRT(CAST(dd AS DOUBLE))), 6)
+        |    AS cusum_stat,
+        |  day AS changepoint_day,
+        |  ROUND(CAST(k AS DOUBLE) / CAST(dd AS DOUBLE), 6)
+        |    AS changepoint_frac
+        |FROM dev WHERE sigma > 0.0
+        |ORDER BY ABS(dv) DESC, day LIMIT 1""".stripMargin,
+
+    // q268: Cochran–Armitage replayed — exact HUGEINT score moments
+    // (≡ Spark's decimal(38,0)), identical double assembly for
+    // p̄/T/Var/z.
+    "q268_cochran_armitage" ->
+      """WITH c0 AS (
+        |  SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS s,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |cat AS (
+        |  SELECT s, CAST(COUNT(*) AS BIGINT) AS n_i,
+        |    CAST(SUM(y) AS BIGINT) AS k_i
+        |  FROM c0 WHERE s IS NOT NULL GROUP BY s),
+        |a AS (
+        |  SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+        |    CAST(SUM(k_i) AS BIGINT) AS k,
+        |    CAST(COUNT(*) AS BIGINT) AS n_categories,
+        |    CAST(SUM(CAST(s AS HUGEINT) * k_i) AS DOUBLE) AS sk,
+        |    CAST(SUM(CAST(s AS HUGEINT) * n_i) AS DOUBLE) AS sn,
+        |    CAST(SUM(CAST(s AS HUGEINT) * s * n_i) AS DOUBLE) AS ssn
+        |  FROM cat)
+        |SELECT n, k, n_categories,
+        |  ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_bar,
+        |  ROUND(sk - (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) * sn, 6)
+        |    AS t_stat,
+        |  ROUND((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    (ssn - sn * sn / CAST(n AS DOUBLE)), 6) AS var_t,
+        |  CASE WHEN (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (ssn - sn * sn / CAST(n AS DOUBLE)) > 0.0
+        |    THEN ROUND((sk - (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) * sn) /
+        |      SQRT((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |        (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |        (ssn - sn * sn / CAST(n AS DOUBLE))), 6) END AS z_trend
+        |FROM a WHERE k > 0 AND k < n""".stripMargin,
+
     // q247: embedding drift replayed — hash-half slices, per-dim exact
     // decimal means, decimal reductions over dims (order-free), rounded
     // cosine/L2/top-shift finishing.

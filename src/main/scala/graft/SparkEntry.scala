@@ -3732,6 +3732,36 @@ object SparkEntry {
     SimilarityOps.clusterLabelCard(t(spark, dir, "embeddings"),
       "vec_id", "embedding", "label")
 
+  // ---------------------------------------------------------------- q268
+  // Cochran–Armitage trend: is the 'F'-status rate monotone across the
+  // ordered priority scores 1..5 — the dose-response screen χ² (q100)
+  // cannot answer. Exact integer score moments; one category
+  // aggregation.
+  def q268(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.cochranArmitage(
+      t(spark, dir, "orders"),
+      substring(col("o_orderpriority"), 1, 1).cast("int"),
+      col("o_orderstatus") === "F")
+
+  // ---------------------------------------------------------------- q267
+  // CUSUM change-point over the daily event-value mass: max
+  // standardized deviation of the cumulative daily total from its
+  // linear expectation + the argmax day — WHEN the mix moved, where
+  // PSI (q82 family) only says THAT it moved. Exact decimal prefix
+  // masses; arithmetic on the bounded day frame.
+  def q267(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.cusumChangePoint(
+      t(spark, dir, "events"), "ts", "value")
+
+  // ---------------------------------------------------------------- q266
+  // Welch's unequal-variance t (click vs view value): the parametric
+  // mean-shift member of the drift battery next to q259's rank test
+  // and q115's KS shape test — exact decimal moments, one conditional
+  // aggregation, Welch–Satterthwaite df.
+  def q266(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.welchTTest(
+      t(spark, dir, "events"), "value", "event_type", "click", "view")
+
   // ---------------------------------------------------------------- q265
   // Streaming twin of q248 (SHARED oracle): the corpus ingested as 3
   // id-RANGE waves (the append-log order); pass 1 records wave token
@@ -4364,6 +4394,9 @@ object SparkEntry {
     "q263_token_shards" -> (q263 _),
     "q264_oov_drift" -> (q264 _),
     "q265_stream_packing" -> (q265 _),
+    "q266_welch_t" -> (q266 _),
+    "q267_cusum_changepoint" -> (q267 _),
+    "q268_cochran_armitage" -> (q268 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

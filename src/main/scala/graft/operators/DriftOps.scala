@@ -380,4 +380,174 @@ object DriftOps {
       round((ub - mu) / sigma, 6).as("z"),
       round(ub * lit(2.0) / (na * nb) - lit(1.0), 6).as("rank_biserial"))
   }
+
+  /** Welch's unequal-variance two-sample t-test (Welch 1947) — the
+    * parametric MEAN-shift member of the drift battery next to
+    * [[mannWhitneyU]]'s rank test and [[ksTwoSample]]'s shape test:
+    * t = (x̄_A − x̄_B)/√(s²_A/n_A + s²_B/n_B) with the
+    * Welch–Satterthwaite degrees of freedom. No pooled-variance
+    * assumption, so a drifted variance cannot masquerade as a mean
+    * shift.
+    *
+    * Exactness: per-group Σx and Σx² accumulate as exact per-row
+    * DECIMAL casts (the [[graft.functions.Stats.dsum]] contract —
+    * `scale` must cover the value's decimal precision, `scale2` its
+    * square's), so every moment is partition-order-free; doubles
+    * appear only in the mean/variance/t/df assembly at the end, in
+    * one fixed parenthesization both engines replay.
+    *
+    * Scale shape: ONE conditional aggregation over the filtered scan —
+    * no shuffle wider than a single 1-row frame, no window, no join.
+    */
+  def welchTTest(df: DataFrame, valCol: String, groupCol: String,
+      groupA: String, groupB: String, scale: Int = 2,
+      scale2: Int = 4): DataFrame = {
+    val v = df
+      .filter(col(groupCol).isin(groupA, groupB) && col(valCol).isNotNull)
+      .select(col(valCol).cast("double").as("v"),
+        (col(groupCol) === groupA).as("__is_a"))
+    val agg = v.agg(
+        sum(when(col("__is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__is_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__is_a"), col("v")).cast(s"decimal(28,$scale)"))
+          .cast("double").as("__sa"),
+        sum(when(!col("__is_a"), col("v")).cast(s"decimal(28,$scale)"))
+          .cast("double").as("__sb"),
+        sum(when(col("__is_a"), col("v") * col("v"))
+          .cast(s"decimal(38,$scale2)")).cast("double").as("__qa"),
+        sum(when(!col("__is_a"), col("v") * col("v"))
+          .cast(s"decimal(38,$scale2)")).cast("double").as("__qb"))
+      .filter(col("n_a") > 1 && col("n_b") > 1)
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val va = (col("__qa") - col("__sa") * col("__sa") / naD) /
+      (naD - lit(1.0))
+    val vb = (col("__qb") - col("__sb") * col("__sb") / nbD) /
+      (nbD - lit(1.0))
+    val proj = agg.select(col("n_a"), col("n_b"),
+      (col("__sa") / naD).as("__ma"), (col("__sb") / nbD).as("__mb"),
+      va.as("__va"), vb.as("__vb"))
+    val sea = col("__va") / col("n_a").cast("double")
+    val seb = col("__vb") / col("n_b").cast("double")
+    val se2 = sea + seb
+    proj.select(
+      col("n_a"), col("n_b"),
+      round(col("__ma"), 6).as("mean_a"),
+      round(col("__mb"), 6).as("mean_b"),
+      round(col("__va"), 6).as("var_a"),
+      round(col("__vb"), 6).as("var_b"),
+      round((col("__ma") - col("__mb")) / sqrt(se2), 6).as("t_welch"),
+      round(se2 * se2 /
+        (sea * sea / (col("n_a").cast("double") - lit(1.0)) +
+         seb * seb / (col("n_b").cast("double") - lit(1.0))), 6)
+        .as("df_welch"))
+  }
+
+  /** CUSUM change-point scan (Page 1954 / the Brownian-bridge form) over
+    * a per-day mass series: the largest standardized deviation of the
+    * cumulative daily total from its linear expectation,
+    *
+    *   dev_k = C_k − k·S/D,   stat = max_k |dev_k| / (σ̂_T·√D),
+    *
+    * with the (earliest) argmax day reported as the change point — the
+    * level-shift detector that says WHEN an ingest mix moved, where
+    * [[psi]] only says THAT it moved. Days are observed days (a gap day
+    * carries no evidence about level).
+    *
+    * Exactness: daily totals and their cumulative prefix accumulate as
+    * exact DECIMALs (order-free); σ̂_T comes from per-day decimal-cast
+    * square contributions on identical doubles (the [[RobustStats
+    * .chiSquare]] contribution convention); every dev_k is assembled
+    * per-row from exact terms — no running double sum anywhere, so no
+    * engine's window-accumulation order can perturb the statistic.
+    *
+    * Scale shape: one (day) count/sum aggregation over the scan; all
+    * later arithmetic lives on the bounded day frame (≤ calendar span),
+    * where a single-partition ordered window is driver-scale by
+    * construction — the same bounded-frame exemption as the per-bucket
+    * offset frames above.
+    */
+  def cusumChangePoint(df: DataFrame, tsCol: String, valCol: String,
+      scale: Int = 2): DataFrame = {
+    val daily = df.filter(col(valCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valCol).cast(s"decimal(28,$scale)")).as("td"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wK = Window.orderBy(col("day"))
+    val cum = daily
+      .withColumn("ck", sum(col("td")).over(wCum))
+      .withColumn("k", row_number().over(wK).cast("long"))
+    val tot = daily.agg(
+      sum(col("td")).cast("double").as("__s"),
+      sum((col("td").cast("double") * col("td").cast("double"))
+        .cast("decimal(38,6)")).cast("double").as("__q"),
+      count(lit(1)).as("__d"))
+    val dD = col("__d").cast("double")
+    val sigma = sqrt((col("__q") - col("__s") * col("__s") / dD) / dD)
+    val dev = cum.crossJoin(broadcast(tot))
+      .withColumn("__dev",
+        col("ck").cast("double") -
+          col("k").cast("double") * (col("__s") / dD))
+      .withColumn("__sigma", sigma)
+      .filter(col("__sigma") > 0.0)
+    dev
+      .orderBy(abs(col("__dev")).desc, col("day"))
+      .limit(1)
+      .select(
+        col("__d").as("n_days"),
+        round(col("__s"), 6).as("total_mass"),
+        round(col("__sigma"), 6).as("sigma_daily"),
+        round(abs(col("__dev")) / (col("__sigma") * sqrt(dD)), 6)
+          .as("cusum_stat"),
+        col("day").as("changepoint_day"),
+        round(col("k").cast("double") / dD, 6).as("changepoint_frac"))
+  }
+
+  /** Cochran–Armitage trend test (Cochran 1954, Armitage 1955): is a
+    * binary outcome's rate monotonically trending across ORDERED
+    * categories — the dose-response screen a χ² of independence cannot
+    * answer (χ² ignores the ordering). With per-category score s_i,
+    * trials n_i, successes k_i, N = Σn_i, p̄ = ΣK/N:
+    *
+    *   T = Σ s_i·k_i − p̄·Σ s_i·n_i
+    *   Var(T) = p̄(1−p̄)·(Σ s_i²·n_i − (Σ s_i·n_i)²/N)
+    *   z = T/√Var(T)
+    *
+    * Exactness: every Σ is an exact BIGINT/decimal moment of integer
+    * counts and integer scores; p̄ and the final assembly are the only
+    * doubles, in one fixed parenthesization.
+    *
+    * Scale shape: one (category) count aggregation over the scan, then
+    * arithmetic on the |categories|-row frame.
+    */
+  def cochranArmitage(df: DataFrame, scoreExpr: Column,
+      successExpr: Column): DataFrame = {
+    val cat = df.select(scoreExpr.cast("long").as("s"),
+        when(successExpr, 1L).otherwise(0L).as("y"))
+      .filter(col("s").isNotNull)
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n_i"), sum(col("y")).as("k_i"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val agg = cat.agg(
+        sum(col("n_i")).as("n"),
+        sum(col("k_i")).as("k"),
+        count(lit(1)).as("n_categories"),
+        sum(dec(col("s")) * dec(col("k_i"))).cast("double").as("__sk"),
+        sum(dec(col("s")) * dec(col("n_i"))).cast("double").as("__sn"),
+        sum(dec(col("s")) * dec(col("s")) * dec(col("n_i")))
+          .cast("double").as("__ssn"))
+      .filter(col("k") > 0 && col("k") < col("n"))
+    val nD = col("n").cast("double")
+    val pbar = col("k").cast("double") / nD
+    val tStat = col("__sk") - pbar * col("__sn")
+    val varT = pbar * (lit(1.0) - pbar) *
+      (col("__ssn") - col("__sn") * col("__sn") / nD)
+    agg.select(
+      col("n"), col("k"), col("n_categories"),
+      round(pbar, 6).as("p_bar"),
+      round(tStat, 6).as("t_stat"),
+      round(varT, 6).as("var_t"),
+      when(varT > 0.0, round(tStat / sqrt(varT), 6)).as("z_trend"))
+  }
 }

@@ -186,4 +186,89 @@ class DriftAndAuditSpec extends SparkSpec {
       .agg(sum("obs_p")).collect().head.getDouble(0)
     assert(math.abs(shares - 1.0) < 1e-5)
   }
+
+  test("welchTTest: hand-computed moments, t, and Satterthwaite df") {
+    // A = [1,2,3,4]: mean 2.5, var 5/3; B = [2,4,6,8,10]: mean 6, var 10
+    val rows = Seq(1, 2, 3, 4).map(v => ("a", v.toDouble)) ++
+      Seq(2, 4, 6, 8, 10).map(v => ("b", v.toDouble))
+    val df = rows.toDF("g", "v")
+    val r = DriftOps.welchTTest(df, "v", "g", "a", "b").collect().head
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (va, vb) = (5.0 / 3.0, 10.0)
+    val se2 = va / 4.0 + vb / 5.0
+    assert(r.getLong(0) == 4L && r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 2.5 && r.getDouble(3) == 6.0)
+    assert(r.getDouble(4) == r6(va) && r.getDouble(5) == r6(vb))
+    assert(r.getDouble(6) == r6((2.5 - 6.0) / math.sqrt(se2)))
+    assert(r.getDouble(7) == r6(se2 * se2 /
+      ((va / 4.0) * (va / 4.0) / 3.0 + (vb / 5.0) * (vb / 5.0) / 4.0)))
+  }
+
+  test("welchTTest: null values excluded, partitioning-invariant") {
+    val rows = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("a", None),
+      ("b", Some(2.0)), ("b", Some(6.0)), ("b", None))
+    val df = rows.toDF("g", "v")
+    val r1 = DriftOps.welchTTest(df, "v", "g", "a", "b").collect().head
+    val r2 = DriftOps.welchTTest(df.repartition(7), "v", "g", "a", "b")
+      .collect().head
+    assert(r1 == r2)
+    assert(r1.getLong(0) == 2L && r1.getLong(1) == 2L)
+    assert(r1.getDouble(2) == 2.0 && r1.getDouble(3) == 4.0)
+  }
+
+  test("cusumChangePoint: level shift found at the shift day") {
+    // 10 days at 10.0 then 10 days at 20.0 → argmax |dev| at day 10,
+    // stat = 50/(5·√20), frac = 0.5
+    val df = (0 until 20).map { d =>
+      (d.toLong * 86400000000L, if (d < 10) 10.0 else 20.0)
+    }.toDF("us", "v").withColumn("ts", timestamp_micros(col("us")))
+    val r = DriftOps.cusumChangePoint(df, "ts", "v").collect().head
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == 20L)
+    assert(r.getDouble(1) == 300.0)
+    assert(r.getDouble(2) == 5.0)
+    assert(r.getDouble(3) == r6(50.0 / (5.0 * math.sqrt(20.0))))
+    assert(r.getDate(4).toString == "1970-01-10")
+    assert(r.getDouble(5) == 0.5)
+  }
+
+  test("cusumChangePoint: constant series has sigma 0 and empty result") {
+    val df = (0 until 5).map(d => (d.toLong * 86400000000L, 7.0))
+      .toDF("us", "v").withColumn("ts", timestamp_micros(col("us")))
+    assert(DriftOps.cusumChangePoint(df, "ts", "v").collect().isEmpty)
+  }
+
+  test("cochranArmitage: hand-computed monotone trend") {
+    // s=1,2,3 with 10 trials each and 1/5/9 successes:
+    // p̄=.5, T=38−.5·60=8, Var=.25·(140−120)=5, z=8/√5
+    val rows = (1 to 3).flatMap { s =>
+      val k = Seq(1, 5, 9)(s - 1)
+      (0 until 10).map(i => (s.toString + "-PRI", i < k))
+    }
+    val df = rows.toDF("pri", "succ")
+    val r = DriftOps.cochranArmitage(df,
+      substring(col("pri"), 1, 1).cast("int"), col("succ")).collect().head
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == 30L && r.getLong(1) == 15L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 0.5)
+    assert(r.getDouble(4) == 8.0)
+    assert(r.getDouble(5) == 5.0)
+    assert(r.getDouble(6) == r6(8.0 / math.sqrt(5.0)))
+  }
+
+  test("cochranArmitage: flat rates give z 0; degenerate all-success empty") {
+    val flat = (1 to 3).flatMap(s =>
+      (0 until 10).map(i => (s.toString, i < 5))).toDF("pri", "succ")
+    val r = DriftOps.cochranArmitage(flat,
+      substring(col("pri"), 1, 1).cast("int"), col("succ")).collect().head
+    assert(r.getDouble(4) == 0.0 && r.getDouble(6) == 0.0)
+    val allS = (1 to 3).flatMap(s =>
+      (0 until 4).map(_ => (s.toString, true))).toDF("pri", "succ")
+    assert(DriftOps.cochranArmitage(allS,
+      substring(col("pri"), 1, 1).cast("int"), col("succ"))
+      .collect().isEmpty)
+  }
 }
