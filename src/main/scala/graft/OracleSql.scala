@@ -1383,13 +1383,16 @@ object OracleSql {
         |cm AS (SELECT c, CAST(SUM(o) AS BIGINT) AS cmv FROM cells GROUP BY c),
         |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
         |  COUNT(DISTINCT r) AS nr, COUNT(DISTINCT c) AS nc FROM cells),
+        |grid AS (
+        |  SELECT rm.r, cm.c, rm.rmv, cm.cmv, COALESCE(cells.o, 0) AS o
+        |  FROM rm CROSS JOIN cm
+        |  LEFT JOIN cells ON rm.r = cells.r AND cm.c = cells.c),
         |contrib AS (
         |  SELECT CAST((o - e) * (o - e) / e AS DECIMAL(28,10)) AS ct,
         |    n, nr, nc
-        |  FROM (SELECT cells.o,
+        |  FROM (SELECT grid.o,
         |          (rmv * cmv) / CAST(n AS DOUBLE) AS e, n, nr, nc
-        |        FROM cells JOIN rm USING (r) JOIN cm USING (c)
-        |        CROSS JOIN tot))
+        |        FROM grid CROSS JOIN tot))
         |SELECT ANY_VALUE(n) AS n,
         |  CAST((ANY_VALUE(nr) - 1) * (ANY_VALUE(nc) - 1) AS BIGINT) AS dof,
         |  ROUND(CAST(SUM(ct) AS DOUBLE), 6) AS chi2
@@ -3076,6 +3079,109 @@ object OracleSql {
     // to the batch card exactly (stream ≡ batch is the contract).
     "q248_packing_card" -> q248PackingSql,
     "q265_stream_packing" -> q248PackingSql,
+
+    // q269: daily-count ACF replayed — calendar spine with zero-filled
+    // gap days, HUGEINT lag moments (≡ Spark's decimal(38,0)), the
+    // textbook estimator in one shared double shape per lag.
+    "q269_daily_acf" ->
+      """WITH counts AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY day),
+        |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM counts),
+        |days AS (
+        |  SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |series AS (
+        |  SELECT CAST(date_diff('day', b.lo, d.day) AS BIGINT) AS i,
+        |    COALESCE(c.x, 0) AS x
+        |  FROM days d CROSS JOIN b LEFT JOIN counts c ON d.day = c.day),
+        |tot AS (
+        |  SELECT CAST(SUM(x) AS DOUBLE) AS s0,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS s2,
+        |    CAST(COUNT(*) AS BIGINT) AS d
+        |  FROM series),
+        |lags AS (SELECT UNNEST(range(1, 8)) AS l),
+        |p AS (
+        |  SELECT l.l, s1.x AS x, s2.x AS x2
+        |  FROM series s1 CROSS JOIN lags l
+        |  JOIN series s2 ON s2.i = s1.i + l.l),
+        |a AS (
+        |  SELECT l, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x2) AS DOUBLE) AS nl,
+        |    CAST(SUM(x) AS DOUBLE) AS al,
+        |    CAST(SUM(x2) AS DOUBLE) AS bl
+        |  FROM p GROUP BY l)
+        |SELECT CAST(l AS BIGINT) AS lag, n_pairs,
+        |  ROUND((nl - (s0 / CAST(d AS DOUBLE)) * (al + bl) +
+        |    CAST(n_pairs AS DOUBLE) * (s0 / CAST(d AS DOUBLE)) *
+        |      (s0 / CAST(d AS DOUBLE))) /
+        |    (s2 - CAST(d AS DOUBLE) * (s0 / CAST(d AS DOUBLE)) *
+        |      (s0 / CAST(d AS DOUBLE))), 6) AS acf
+        |FROM a CROSS JOIN tot
+        |ORDER BY lag""".stripMargin,
+
+    // q270: Wilson intervals replayed — exact n/k counts, shared z
+    // literal, identical center/half parenthesization.
+    "q270_wilson_intervals" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM orders GROUP BY o_orderpriority),
+        |w AS (
+        |  SELECT o_orderpriority, n, k,
+        |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |    CAST(n AS DOUBLE) AS nd,
+        |    1.959964 * 1.959964 AS zz
+        |  FROM g),
+        |c AS (
+        |  SELECT o_orderpriority, n, k, p,
+        |    (p + zz / (2.0 * nd)) / (1.0 + zz / nd) AS center,
+        |    1.959964 * SQRT(p * (1.0 - p) / nd + zz / (4.0 * nd * nd)) /
+        |      (1.0 + zz / nd) AS half
+        |  FROM w)
+        |SELECT o_orderpriority, n, k,
+        |  ROUND(p, 6) AS p_hat,
+        |  ROUND(center - half, 6) AS ci_lo,
+        |  ROUND(center + half, 6) AS ci_hi,
+        |  ROUND(2.0 * half, 6) AS ci_width
+        |FROM c ORDER BY o_orderpriority""".stripMargin,
+
+    // q271: Cramér/Tschuprow replayed — q100's decimal-contribution χ²
+    // plus the normalized effect sizes in identical double shapes.
+    "q271_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT event_type AS r, user_id % 7 AS c,
+        |    CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM events GROUP BY r, c),
+        |rm AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rm FROM cells GROUP BY r),
+        |cm AS (SELECT c, CAST(SUM(o) AS BIGINT) AS cm FROM cells GROUP BY c),
+        |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT r) AS BIGINT) AS nr,
+        |  CAST(COUNT(DISTINCT c) AS BIGINT) AS nc FROM cells),
+        |grid AS (
+        |  SELECT rm.r, cm.c, rm.rm, cm.cm, COALESCE(cells.o, 0) AS o
+        |  FROM rm CROSS JOIN cm
+        |  LEFT JOIN cells ON rm.r = cells.r AND cm.c = cells.c),
+        |a AS (
+        |  SELECT MAX(n) AS n, MAX(nr) AS n_rows_cat, MAX(nc) AS n_cols_cat,
+        |    CAST(SUM(CAST((o - e) * (o - e) / e AS DECIMAL(28,10)))
+        |      AS DOUBLE) AS chi2
+        |  FROM (
+        |    SELECT grid.o, (grid.rm * grid.cm) / CAST(nn.n AS DOUBLE) AS e,
+        |      nn.n, nn.nr, nn.nc
+        |    FROM grid CROSS JOIN nn))
+        |SELECT n, n_rows_cat, n_cols_cat,
+        |  (n_rows_cat - 1) * (n_cols_cat - 1) AS dof,
+        |  ROUND(chi2, 6) AS chi2,
+        |  ROUND(SQRT(chi2 / (CAST(n AS DOUBLE) *
+        |    (LEAST(CAST(n_rows_cat AS DOUBLE), CAST(n_cols_cat AS DOUBLE))
+        |      - 1.0))), 6) AS cramers_v,
+        |  ROUND(SQRT(chi2 / (CAST(n AS DOUBLE) *
+        |    SQRT((CAST(n_rows_cat AS DOUBLE) - 1.0) *
+        |      (CAST(n_cols_cat AS DOUBLE) - 1.0)))), 6) AS tschuprow_t
+        |FROM a WHERE n_rows_cat > 1 AND n_cols_cat > 1""".stripMargin,
 
     // q266: Welch's t replayed — identical per-row decimal moment casts
     // (value DECIMAL(28,2), square DECIMAL(38,4)), identical double

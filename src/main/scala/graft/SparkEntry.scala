@@ -3732,6 +3732,32 @@ object SparkEntry {
     SimilarityOps.clusterLabelCard(t(spark, dir, "embeddings"),
       "vec_id", "embedding", "label")
 
+  // ---------------------------------------------------------------- q271
+  // Cramér's V / Tschuprow's T over event_type × (user_id mod 7): the
+  // association STRENGTH card a bare χ² (q100) hides at scale — at
+  // 100 TB χ² rejects independence for trivially weak effects; V says
+  // whether anyone should care. chiSquare's decimal-contribution shape.
+  def q271(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.RobustStats.contingencyAssociation(
+      t(spark, dir, "events"),
+      col("event_type"), pmod(col("user_id"), lit(7)))
+
+  // ---------------------------------------------------------------- q270
+  // Wilson 95% score intervals for the 'F'-status rate per order
+  // priority — the small-n-honest binomial band (Wald collapses at
+  // p̂∈{0,1}); one count aggregation + stateless interval projection.
+  def q270(spark: SparkSession, dir: String): DataFrame =
+    MetricQueries.wilsonRateCard(t(spark, dir, "orders"),
+      "o_orderpriority", col("o_orderstatus") === "F")
+
+  // ---------------------------------------------------------------- q269
+  // Daily-event-count autocorrelation at lags 1..7 — the seasonality /
+  // persistence probe of ingest volume (strong lag-7 = weekly rhythm).
+  // Gap days are zero-volume observations via a calendar spine; exact
+  // integer moments, bounded day-frame joins.
+  def q269(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.dailyCountAcf(t(spark, dir, "events"), "ts", maxLag = 7)
+
   // ---------------------------------------------------------------- q268
   // Cochran–Armitage trend: is the 'F'-status rate monotone across the
   // ordered priority scores 1..5 — the dose-response screen χ² (q100)
@@ -4397,6 +4423,9 @@ object SparkEntry {
     "q266_welch_t" -> (q266 _),
     "q267_cusum_changepoint" -> (q267 _),
     "q268_cochran_armitage" -> (q268 _),
+    "q269_daily_acf" -> (q269 _),
+    "q270_wilson_intervals" -> (q270 _),
+    "q271_cramers_v" -> (q271 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -367,4 +367,39 @@ object MetricQueries {
         round(col("__iv"), 6).as("iv_total"))
       .orderBy(col("bin"))
   }
+
+  /** Wilson score interval (Wilson 1927) per group for a binary rate —
+    * the small-n-honest confidence band a Wald interval gets wrong
+    * (Wald collapses to width 0 at p̂ ∈ {0,1}; Wilson never leaves
+    * (0,1)). With z the normal quantile:
+    *
+    *   center = (p̂ + z²/2n)/(1 + z²/n)
+    *   half   = z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n)
+    *
+    * Exactness: n and k are exact counts; p̂ and the interval assembly
+    * are the only doubles, in one fixed parenthesization with z as a
+    * shared literal.
+    *
+    * Scale shape: one (group) count aggregation over the scan; the
+    * interval is a stateless projection on the |groups|-row frame.
+    */
+  def wilsonRateCard(df: DataFrame, groupCol: String,
+      successExpr: Column, z: Double = 1.959964): DataFrame = {
+    val g = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(when(successExpr, 1L).otherwise(0L)).as("k"))
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val zz = lit(z) * lit(z)
+    val denom = lit(1.0) + zz / nD
+    val center = (p + zz / (lit(2.0) * nD)) / denom
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      zz / (lit(4.0) * nD * nD)) / denom
+    g.select(col(groupCol), col("n"), col("k"),
+        round(p, 6).as("p_hat"),
+        round(center - half, 6).as("ci_lo"),
+        round(center + half, 6).as("ci_hi"),
+        round(lit(2.0) * half, 6).as("ci_width"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -340,9 +340,12 @@ object RobustStats {
 
   /** Pearson chi-square test of independence over a two-way contingency
     * table: `rowExpr` × `colExpr` observed counts, expected counts from the
-    * margins, χ² = Σ (o−e)²/e. Everything is one count aggregation plus
-    * broadcast joins of the tiny margin frames; each cell's contribution is
-    * cast to an exact decimal before the final sum so χ² is partition-
+    * margins, χ² = Σ (o−e)²/e over the FULL r×c grid — a structural zero
+    * (o=0, e>0) still contributes e, and dropping it would understate χ²
+    * exactly when association is strongest. Everything is one count
+    * aggregation plus broadcast joins of the tiny margin frames (the grid
+    * is their cross product, bounded by |r|·|c|); each cell's contribution
+    * is cast to an exact decimal before the final sum so χ² is partition-
     * order-free and engine-portable.
     */
   def chiSquare(df: DataFrame, rowExpr: Column, colExpr: Column): DataFrame = {
@@ -352,7 +355,9 @@ object RobustStats {
     val colM = cells.groupBy(col("c")).agg(sum(col("o")).as("cm"))
     val n = cells.agg(sum(col("o")).as("n"),
       countDistinct(col("r")).as("nr"), countDistinct(col("c")).as("nc"))
-    cells.join(broadcast(rowM), "r").join(broadcast(colM), "c")
+    rowM.crossJoin(colM)
+      .join(cells, Seq("r", "c"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
       .crossJoin(broadcast(n))
       .withColumn("e", (col("rm") * col("cm")) / col("n").cast("double"))
       .withColumn("contrib",
@@ -405,5 +410,58 @@ object RobustStats {
         round(col("__hy"), 6).as("h_col"),
         round(when(col("__hx") * col("__hy") > 0d,
           col("__mi") / sqrt(col("__hx") * col("__hy"))), 6).as("nmi"))
+  }
+
+  /** Effect-size card for a two-way contingency table: [[chiSquare]]'s
+    * χ² normalized into Cramér's V = √(χ²/(n·(min(r,c)−1))) and
+    * Tschuprow's T = √(χ²/(n·√((r−1)(c−1)))) — the association
+    * STRENGTHS a bare χ² p-value hides at scale (with n in the
+    * billions, χ² rejects independence for trivially weak
+    * associations; V is what says whether anyone should care).
+    *
+    * Same scale shape as [[chiSquare]]: one contingency count
+    * aggregation, broadcast margin joins, decimal-cast cell
+    * contributions so χ² is partition-order-free.
+    */
+  def contingencyAssociation(df: DataFrame, rowExpr: Column,
+      colExpr: Column): DataFrame = {
+    val cells = df.select(rowExpr.as("r"), colExpr.as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("o"))
+    val rowM = cells.groupBy(col("r")).agg(sum(col("o")).as("rm"))
+    val colM = cells.groupBy(col("c")).agg(sum(col("o")).as("cm"))
+    val n = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("r")).as("nr"), countDistinct(col("c")).as("nc"))
+    // Full r×c grid, not just observed cells: a structural zero (o=0,
+    // e>0) still contributes e to χ² — dropping it understates the
+    // statistic exactly when association is strongest. The grid is the
+    // margin cross product (bounded by |r|·|c|), with observed counts
+    // left-joined in.
+    val grid = rowM.crossJoin(colM)
+      .join(cells, Seq("r", "c"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val agg = grid
+      .crossJoin(broadcast(n))
+      .withColumn("e", (col("rm") * col("cm")) / col("n").cast("double"))
+      .withColumn("contrib",
+        ((col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+          .cast("decimal(28,10)"))
+      .agg(
+        first(col("n")).as("n"),
+        first(col("nr")).as("n_rows_cat"),
+        first(col("nc")).as("n_cols_cat"),
+        sum(col("contrib")).cast("double").as("__chi2"))
+      .filter(col("n_rows_cat") > 1 && col("n_cols_cat") > 1)
+    val nD = col("n").cast("double")
+    val rD = col("n_rows_cat").cast("double")
+    val cD = col("n_cols_cat").cast("double")
+    agg.select(
+      col("n"), col("n_rows_cat"), col("n_cols_cat"),
+      ((col("n_rows_cat") - 1) * (col("n_cols_cat") - 1)).as("dof"),
+      round(col("__chi2"), 6).as("chi2"),
+      round(sqrt(col("__chi2") /
+        (nD * (least(rD, cD) - lit(1.0)))), 6).as("cramers_v"),
+      round(sqrt(col("__chi2") /
+        (nD * sqrt((rD - lit(1.0)) * (cD - lit(1.0))))), 6)
+        .as("tschuprow_t"))
   }
 }

@@ -389,4 +389,58 @@ object TimeSeriesOps {
         col("ewma_micro").cast("double") / lit(1000000.0))
       .drop("__num", "__den")
   }
+
+  /** Sample autocorrelation of the DAILY EVENT COUNT at lags 1..`maxLag`
+    * — the seasonality/persistence probe of an ingest volume series
+    * (a strong lag-7 says weekly rhythm; slow decay says trending
+    * volume, the thing naive day-over-day alerts misfire on). Gap days
+    * count as 0 (a missing day IS a zero-volume observation for a
+    * count series), via an explicit calendar spine.
+    *
+    * Exactness: counts are integers, so every moment — Σx, Σx², and
+    * each lag's Σx·x₊ₗ / partial sums — is an exact DECIMAL reduction;
+    * the textbook estimator assembles them per lag in one fixed double
+    * shape: r_l = (Σxᵢxᵢ₊ₗ − μ(Aₗ+Bₗ) + (D−l)μ²)/(Σx² − Dμ²), μ = Σx/D.
+    *
+    * Scale shape: one (day) count aggregation over the scan; the
+    * calendar spine, the lag frame, and the self-equi-join all live on
+    * the bounded day frame (≤ calendar span × maxLag rows).
+    */
+  def dailyCountAcf(df: DataFrame, tsCol: String,
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val counts = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val bounds = counts.agg(min(col("day")).as("__lo"),
+      max(col("day")).as("__hi"))
+    val series = bounds
+      .select(col("__lo"), explode(sequence(col("__lo"), col("__hi")))
+        .as("day"))
+      .join(counts, Seq("day"), "left")
+      .select(datediff(col("day"), col("__lo")).cast("long").as("i"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val tot = series.agg(
+      sum(col("x")).cast("double").as("__s0"),
+      sum(dec(col("x")) * dec(col("x"))).cast("double").as("__s2"),
+      count(lit(1)).as("__d"))
+    val lags = bounds.select(
+      explode(sequence(lit(1), lit(maxLag))).as("l"))
+    val pairs = series.crossJoin(broadcast(lags))
+      .withColumn("i2", col("i") + col("l"))
+      .join(series.select(col("i").as("i2"), col("x").as("x2")), "i2")
+    val perLag = pairs.groupBy(col("l"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(dec(col("x")) * dec(col("x2"))).cast("double").as("__nl"),
+        sum(col("x")).cast("double").as("__al"),
+        sum(col("x2")).cast("double").as("__bl"))
+    val dD = col("__d").cast("double")
+    val mu = col("__s0") / dD
+    perLag.crossJoin(broadcast(tot))
+      .select(col("l").cast("long").as("lag"), col("n_pairs"),
+        round((col("__nl") - mu * (col("__al") + col("__bl")) +
+          col("n_pairs").cast("double") * mu * mu) /
+          (col("__s2") - dD * mu * mu), 6).as("acf"))
+      .orderBy(col("lag"))
+  }
 }

@@ -66,4 +66,29 @@ class AssociationSpec extends SparkSpec {
     assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0)
     assert(r.isNullAt(4))
   }
+
+  test("contingencyAssociation: perfect 2x2 association has V = T = 1") {
+    // diagonal-only table: χ² = n, min dim 2 → V = √(n/n·1) = 1
+    val df = (Seq.fill(6)(("a", 0)) ++ Seq.fill(4)(("b", 1)))
+      .toDF("r", "c")
+    val r = RobustStats.contingencyAssociation(df, col("r"), col("c"))
+      .collect().head
+    assert(r.getLong(0) == 10L && r.getLong(3) == 1L)
+    assert(r.getDouble(4) == 10.0) // χ² = n for a perfect 2×2
+    assert(r.getDouble(5) == 1.0 && r.getDouble(6) == 1.0)
+  }
+
+  test("contingencyAssociation: independent table has V = 0; " +
+    "degenerate single level is empty") {
+    // product structure: P(r,c) = P(r)P(c) exactly → every o == e
+    val df = (for { r <- Seq("a", "b"); c <- 0 to 2; i <- 0 until 4 }
+      yield (r, c)).toDF("r", "c")
+    val out = RobustStats.contingencyAssociation(df, col("r"), col("c"))
+      .collect().head
+    assert(out.getDouble(4) == 0.0 && out.getDouble(5) == 0.0)
+    assert(out.getLong(3) == 2L)
+    val deg = Seq(("a", 0), ("a", 1)).toDF("r", "c")
+    assert(RobustStats.contingencyAssociation(deg, col("r"), col("c"))
+      .collect().isEmpty)
+  }
 }

@@ -145,4 +145,30 @@ class MetricQueriesSpec extends SparkSpec {
     val fr = MetricQueries.woeIv(flat, col("b"), col("y") === 1).collect()
     assert(fr.forall(_.getAs[Double]("iv_total") == 0.0))
   }
+
+  test("wilsonRateCard: hand-computed interval, stays inside (0,1)") {
+    // group g: n=10, k=3 → p̂=.3; z=1.959964
+    val df = ((0 until 3).map(_ => ("g", true)) ++
+      (0 until 7).map(_ => ("g", false)) ++
+      (0 until 4).map(_ => ("h", true))).toDF("grp", "s")
+    val out = MetricQueries.wilsonRateCard(df, "grp", col("s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val z = 1.959964; val zz = z * z; val n = 10.0; val p = 0.3
+    val denom = 1.0 + zz / n
+    val center = (p + zz / (2.0 * n)) / denom
+    val half = z * math.sqrt(p * (1.0 - p) / n + zz / (4.0 * n * n)) / denom
+    val g = out("g")
+    assert(g.getLong(1) == 10L && g.getLong(2) == 3L)
+    assert(g.getDouble(3) == 0.3)
+    assert(g.getDouble(4) == r6(center - half))
+    assert(g.getDouble(5) == r6(center + half))
+    // all-success group: Wald width would be 0; Wilson's lower bound
+    // stays strictly inside (0,1) and its upper bound is exactly 1 at
+    // p̂ = 1 (center + half telescopes to (1+z²/n)/(1+z²/n))
+    val h = out("h")
+    assert(h.getDouble(4) > 0.0 && h.getDouble(4) < 1.0)
+    assert(h.getDouble(5) == 1.0 && h.getDouble(6) > 0.0)
+  }
 }

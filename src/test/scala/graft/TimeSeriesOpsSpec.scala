@@ -77,4 +77,43 @@ class TimeSeriesOpsSpec extends SparkSpec {
     val b = TimeSeriesOps.deltaStats(shuffled, "k", "ts", "id", "v").head()
     assert(a.toSeq == b.toSeq)
   }
+
+  test("dailyCountAcf: alternating series — negative lag-1, positive lag-2") {
+    // counts 2,0,2,0,... over 8 days (gap days are the zeros — only
+    // even days carry events); textbook acf of a period-2 square wave
+    val rows = for {
+      d <- 0 until 8 if d % 2 == 0
+      i <- 0 until 2
+    } yield (d.toLong * 86400000000L + i, "e")
+    val df = rows.toDF("us", "e")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val acf = TimeSeriesOps.dailyCountAcf(df, "ts", maxLag = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // D=7 observed spine (day 0..6): 2,0,2,0,2,0,2 → μ=8/7
+    // lag1: pairs 6, Σxx2=0; lag2: pairs 5, Σxx2=12 (2·2 × 3)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mu = 8.0 / 7.0
+    val den = 16.0 - 7.0 * mu * mu
+    assert(acf(1L)._1 == 6L)
+    assert(acf(1L)._2 == r6((0.0 - mu * (6.0 + 6.0) + 6.0 * mu * mu) / den))
+    assert(acf(2L)._1 == 5L)
+    assert(acf(2L)._2 == r6((12.0 - mu * (6.0 + 6.0) + 5.0 * mu * mu) / den))
+  }
+
+  test("dailyCountAcf: calendar spine zero-fills a hole, " +
+    "partitioning-invariant") {
+    // events on days 0 and 2 only → spine day 1 contributes x=0
+    val rows = Seq(0L, 2L).flatMap(d =>
+      (0 until 3).map(i => (d * 86400000000L + i, "e")))
+    val df = rows.toDF("us", "e")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val a = TimeSeriesOps.dailyCountAcf(df, "ts", maxLag = 2).collect()
+    val b = TimeSeriesOps.dailyCountAcf(df.repartition(5), "ts", maxLag = 2)
+      .collect()
+    assert(a.toSeq == b.toSeq)
+    // lag-2 pair set is exactly (day0, day2): n_pairs = 1
+    assert(a.find(_.getLong(0) == 2L).get.getLong(1) == 1L)
+  }
 }
