@@ -3080,6 +3080,110 @@ object OracleSql {
     "q248_packing_card" -> q248PackingSql,
     "q265_stream_packing" -> q248PackingSql,
 
+    // q272: Poisson bootstrap replayed — the q135-family two-round
+    // congruential draw seeded by (row id, replicate), shared Poisson(1)
+    // CDF literals, means rounded to 6 BEFORE ranking, ceil(α·64) order
+    // statistics with b tiebreak, decimal-summed SE over rounded means.
+    "q272_poisson_bootstrap" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS g,
+        |    l_orderkey * 10 + l_linenumber AS id,
+        |    CAST(l_extendedprice AS DOUBLE) AS x
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |reps AS (SELECT UNNEST(range(1, 65)) AS b),
+        |draw AS (
+        |  SELECT g, x, b,
+        |    ((((((id + b) % 1000003) * 2654435761) % 1000003)
+        |      + id // 1000003) % 9999991) * 22695477 % 9999991 AS x2
+        |  FROM base CROSS JOIN reps),
+        |wts AS (
+        |  SELECT g, x, b,
+        |    CASE
+        |      WHEN u < 0.36787944117144233 THEN 0
+        |      WHEN u < 0.7357588823428847 THEN 1
+        |      WHEN u < 0.9196986029286058 THEN 2
+        |      WHEN u < 0.9810118431238463 THEN 3
+        |      WHEN u < 0.9963401531726563 THEN 4
+        |      WHEN u < 0.9994058151824183 THEN 5
+        |      WHEN u < 0.999916758850712 THEN 6
+        |      WHEN u < 0.9999897508033253 THEN 7
+        |      WHEN u < 0.999998874797402 THEN 8
+        |      ELSE 9 END AS w
+        |  FROM (SELECT g, x, b,
+        |    (CAST(x2 AS DOUBLE) + 0.5) / 9999991.0 AS u FROM draw)),
+        |rep_m AS (
+        |  SELECT g, b,
+        |    ROUND(CAST(SUM(CAST(w * x AS DECIMAL(28,2))) AS DOUBLE) /
+        |      CAST(SUM(w) AS DOUBLE), 6) AS m
+        |  FROM wts GROUP BY g, b
+        |  HAVING SUM(w) > 0),
+        |ranked AS (
+        |  SELECT g, b, m,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY m, b) AS rn
+        |  FROM rep_m),
+        |ci AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_reps,
+        |    MAX(CASE WHEN rn = 2 THEN m END) AS boot_lo,
+        |    MAX(CASE WHEN rn = 63 THEN m END) AS boot_hi,
+        |    CAST(SUM(CAST(m AS DECIMAL(38,6))) AS DOUBLE) AS sm,
+        |    CAST(SUM(CAST(m * m AS DECIMAL(38,12))) AS DOUBLE) AS qm
+        |  FROM ranked GROUP BY g),
+        |full_m AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,2))) AS DOUBLE) AS sx
+        |  FROM base GROUP BY g)
+        |SELECT f.g AS l_returnflag, f.n_rows,
+        |  ROUND(f.sx / CAST(f.n_rows AS DOUBLE), 6) AS mean_full,
+        |  c.n_reps, c.boot_lo, c.boot_hi,
+        |  ROUND(SQRT((c.qm - c.sm * c.sm / CAST(c.n_reps AS DOUBLE)) /
+        |    (CAST(c.n_reps AS DOUBLE) - 1.0)), 6) AS boot_se
+        |FROM full_m f JOIN ci c USING (g)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // q273: Theil–Sen replayed — same calendar spine as q269, all day
+    // pairs on the bounded frame, (slope, i, j) rank order, middle-rank
+    // average median (`//` floor ranks), exact OLS moments.
+    "q273_theil_sen" ->
+      """WITH counts AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY day),
+        |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM counts),
+        |days AS (
+        |  SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |series AS (
+        |  SELECT CAST(date_diff('day', b.lo, d.day) AS BIGINT) AS i,
+        |    COALESCE(c.x, 0) AS x
+        |  FROM days d CROSS JOIN b LEFT JOIN counts c ON d.day = c.day),
+        |pairs AS (
+        |  SELECT s1.i AS i, s2.i AS j,
+        |    CAST(s2.x - s1.x AS DOUBLE) / CAST(s2.i - s1.i AS DOUBLE)
+        |      AS slope
+        |  FROM series s1 JOIN series s2 ON s2.i > s1.i),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs),
+        |ranked AS (
+        |  SELECT slope, ROW_NUMBER() OVER (ORDER BY slope, i, j) AS rn
+        |  FROM pairs),
+        |med AS (
+        |  SELECT MAX(m.n_pairs) AS n_pairs,
+        |    SUM(r.slope) / COUNT(*) AS ts
+        |  FROM ranked r CROSS JOIN m
+        |  WHERE r.rn = (m.n_pairs + 1) // 2 OR r.rn = (m.n_pairs + 2) // 2),
+        |ols AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(x) AS DOUBLE) AS sx,
+        |    CAST(SUM(i) AS DOUBLE) AS si,
+        |    CAST(SUM(CAST(i AS HUGEINT) * x) AS DOUBLE) AS six,
+        |    CAST(SUM(CAST(i AS HUGEINT) * i) AS DOUBLE) AS sii
+        |  FROM series)
+        |SELECT o.n_days, m2.n_pairs,
+        |  ROUND(m2.ts, 6) AS theil_sen_slope,
+        |  ROUND((o.six - o.si * o.sx / CAST(o.n_days AS DOUBLE)) /
+        |    (o.sii - o.si * o.si / CAST(o.n_days AS DOUBLE)), 6)
+        |    AS ols_slope
+        |FROM ols o CROSS JOIN med m2""".stripMargin,
+
     // q269: daily-count ACF replayed — calendar spine with zero-filled
     // gap days, HUGEINT lag moments (≡ Spark's decimal(38,0)), the
     // textbook estimator in one shared double shape per lag.

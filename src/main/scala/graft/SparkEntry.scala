@@ -3732,6 +3732,27 @@ object SparkEntry {
     SimilarityOps.clusterLabelCard(t(spark, dir, "embeddings"),
       "vec_id", "embedding", "label")
 
+  // ---------------------------------------------------------------- q273
+  // Theil–Sen daily-volume trend: median of all pairwise day slopes
+  // (29% breakdown — one crazy ingest day cannot move it) next to the
+  // OLS slope it robustifies. The quadratic lives on the bounded day
+  // spine only; the data collapses in one count aggregation.
+  def q273(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.RobustStats.theilSenDailyTrend(
+      t(spark, dir, "events"), "ts")
+
+  // ---------------------------------------------------------------- q272
+  // Poisson-bootstrap 95% CI + SE for mean l_extendedprice per return
+  // flag — the 100 TB bootstrap (Chamandy et al. 2012): every row draws
+  // its own Poisson(1) replicate weights from the seeded two-round
+  // congruential generator, so all 64 replicates are ONE scan + one
+  // keyed aggregation, no resample shuffle.
+  def q272(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.RobustStats.poissonBootstrapMeans(
+      t(spark, dir, "lineitem"),
+      col("l_orderkey") * 10 + col("l_linenumber"),
+      "l_extendedprice", "l_returnflag")
+
   // ---------------------------------------------------------------- q271
   // Cramér's V / Tschuprow's T over event_type × (user_id mod 7): the
   // association STRENGTH card a bare χ² (q100) hides at scale — at
@@ -4426,6 +4447,8 @@ object SparkEntry {
     "q269_daily_acf" -> (q269 _),
     "q270_wilson_intervals" -> (q270 _),
     "q271_cramers_v" -> (q271 _),
+    "q272_poisson_bootstrap" -> (q272 _),
+    "q273_theil_sen" -> (q273 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

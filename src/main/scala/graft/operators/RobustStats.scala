@@ -464,4 +464,156 @@ object RobustStats {
         (nD * sqrt((rD - lit(1.0)) * (cD - lit(1.0))))), 6)
         .as("tschuprow_t"))
   }
+
+  /** Poisson(1) CDF as double literals (Σ e⁻¹/k! for k = 0..8; draws
+    * past 8 truncate to weight 9 — P ≈ 1.1e-6, irrelevant to a CI).
+    * Shared verbatim with the SQL oracle so the inverse-CDF weights are
+    * bit-identical across engines.
+    */
+  private val poissonCdf1: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253, 0.999998874797402)
+
+  /** Poisson bootstrap (Chamandy et al. 2012) confidence intervals for
+    * per-group means — THE bootstrap that survives 100 TB: classical
+    * resampling needs a shuffle per replicate; here every row draws its
+    * own replicate multiplicities w ~ Poisson(1) independently (valid
+    * because Binomial(n, 1/n) → Poisson(1) for large n), so all `reps`
+    * replicates are one scan + one keyed aggregation with map-side
+    * partial combine. The draws are the engine-portable two-round
+    * congruential generator seeded by (row id, replicate) — the
+    * [[SplitOps.prioritySample]] family with the replicate index as
+    * salt and the (x₂+0.5)/p₂ strictly-interior u of the q237
+    * convention — pushed through the Poisson(1) inverse CDF as shared
+    * double literals.
+    *
+    * Replicate means are rounded to 6 decimals FIRST, so the rank
+    * selection (percentile CI: ceil(α·B) order statistics, b-index
+    * tiebreak) and the decimal-summed bootstrap SE are exact on
+    * identical values in every engine. A replicate whose total weight
+    * is 0 (vanishing probability beyond toy groups) is dropped and
+    * `n_reps` says so.
+    *
+    * Scale shape: one B-row broadcast cross join over the scan (no
+    * data shuffle — partial aggregation collapses to |groups|·B rows
+    * per partition), one keyed aggregation, then all ranking on the
+    * |groups|·B frame.
+    */
+  def poissonBootstrapMeans(df: DataFrame, idExpr: Column, valCol: String,
+      groupCol: String, reps: Int = 64, scale: Int = 2): DataFrame = {
+    require(reps >= 8, "need reps >= 8 for the percentile ranks")
+    val p1 = 1000003L
+    val p2 = 9999991L
+    val base = df.filter(col(valCol).isNotNull)
+      .select(col(groupCol).as("g"), idExpr.cast("long").as("__id"),
+        col(valCol).cast("double").as("x"))
+    val bFrame = base.sparkSession.range(1, reps + 1)
+      .select(col("id").as("b"))
+    val idDiv = (col("__id").cast("decimal(38,0)") / lit(p1)).cast("long")
+    val x1 = pmod(pmod(col("__id") + col("b"), lit(p1)) *
+      lit(2654435761L), lit(p1))
+    val x2 = pmod(pmod(x1 + idDiv, lit(p2)) * lit(22695477L), lit(p2))
+    val u = (x2.cast("double") + lit(0.5)) / lit(p2.toDouble)
+    // first-match CASE from the SMALLEST threshold up (u < cdf(0) → 0,
+    // else u < cdf(1) → 1, …) — the inverse-CDF semantics
+    val w = poissonCdf1.zipWithIndex.tail
+      .foldLeft(when(u < poissonCdf1.head, lit(0L))) {
+        case (acc, (t, k)) => acc.when(u < t, lit(k.toLong))
+      }
+      .otherwise(lit(9L))
+    val repAgg = base.crossJoin(broadcast(bFrame))
+      .withColumn("__w", w)
+      .groupBy(col("g"), col("b"))
+      .agg(
+        sum((col("__w").cast("double") * col("x"))
+          .cast(s"decimal(28,$scale)")).cast("double").as("__swx"),
+        sum(col("__w")).as("__sw"))
+      .filter(col("__sw") > 0)
+      .withColumn("m", round(col("__swx") / col("__sw").cast("double"), 6))
+    val loR = math.max(1, math.ceil(0.025 * reps).toInt)
+    val hiR = math.ceil(0.975 * reps).toInt
+    val wRank = Window.partitionBy(col("g")).orderBy(col("m"), col("b"))
+    val ci = repAgg.withColumn("__rn", row_number().over(wRank))
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("n_reps"),
+        max(when(col("__rn") === loR, col("m"))).as("boot_lo"),
+        max(when(col("__rn") === hiR, col("m"))).as("boot_hi"),
+        sum(col("m").cast("decimal(38,6)")).cast("double").as("__sm"),
+        sum((col("m") * col("m")).cast("decimal(38,12)"))
+          .cast("double").as("__qm"))
+    val full = base.groupBy(col("g")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("x").cast(s"decimal(28,$scale)")).cast("double").as("__sx"))
+    val rD = col("n_reps").cast("double")
+    full.join(ci, "g")
+      .select(col("g").as(groupCol), col("n_rows"),
+        round(col("__sx") / col("n_rows").cast("double"), 6)
+          .as("mean_full"),
+        col("n_reps"), col("boot_lo"), col("boot_hi"),
+        round(sqrt((col("__qm") - col("__sm") * col("__sm") / rD) /
+          (rD - lit(1.0))), 6).as("boot_se"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Theil–Sen trend of a daily count series (Theil 1950, Sen 1968):
+    * the median of all pairwise day slopes — a 29%-breakdown trend
+    * estimate that one crazy ingest day cannot move, reported next to
+    * the OLS slope it robustifies (their gap IS the outlier alarm).
+    * Gap days are zero-volume observations via the calendar spine (the
+    * [[TimeSeriesOps.dailyCountAcf]] convention).
+    *
+    * Exactness: counts and day indexes are integers, so every pair
+    * slope is one double division of exact terms; the median is an
+    * order-statistic average on (slope, i, j) ranks — no accumulation
+    * anywhere. OLS comes from exact decimal moments in one fixed
+    * double shape.
+    *
+    * Scale shape: the data collapses to the bounded day frame in one
+    * count aggregation; the O(D²) pair frame lives entirely on that
+    * bounded spine (366 days → 67k pairs — driver-scale forever), so
+    * the quadratic never touches row counts.
+    */
+  def theilSenDailyTrend(df: DataFrame, tsCol: String): DataFrame = {
+    val counts = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val series = counts
+      .agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+      .select(col("__lo"), explode(sequence(col("__lo"), col("__hi")))
+        .as("day"))
+      .join(counts, Seq("day"), "left")
+      .select(datediff(col("day"), col("__lo")).cast("long").as("i"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val pairs = series.select(col("i"), col("x"))
+      .join(series.select(col("i").as("j"), col("x").as("x2")),
+        col("j") > col("i"))
+      .select(col("i"), col("j"),
+        ((col("x2") - col("x")).cast("double") /
+          (col("j") - col("i")).cast("double")).as("slope"))
+    val wRank = Window.orderBy(col("slope"), col("i"), col("j"))
+    val ranked = pairs.withColumn("__rn", row_number().over(wRank))
+    val m = pairs.agg(count(lit(1)).as("n_pairs"))
+    // Column./ on longs is TRUE division (double) — the middle ranks
+    // need floor division, as the oracle's `//`
+    val med = ranked.crossJoin(broadcast(m))
+      .filter(col("__rn") === floor((col("n_pairs") + 1) / 2) ||
+        col("__rn") === floor((col("n_pairs") + 2) / 2))
+      .groupBy(col("n_pairs"))
+      .agg((sum(col("slope")) / count(lit(1))).as("__ts"))
+    val ols = series.agg(
+        count(lit(1)).as("n_days"),
+        sum(col("x")).cast("double").as("__sx"),
+        sum(col("i")).cast("double").as("__si"),
+        sum(dec(col("i")) * dec(col("x"))).cast("double").as("__six"),
+        sum(dec(col("i")) * dec(col("i"))).cast("double").as("__sii"))
+    val dD = col("n_days").cast("double")
+    ols.crossJoin(broadcast(med))
+      .select(col("n_days"), col("n_pairs"),
+        round(col("__ts"), 6).as("theil_sen_slope"),
+        round((col("__six") - col("__si") * col("__sx") / dD) /
+          (col("__sii") - col("__si") * col("__si") / dD), 6)
+          .as("ols_slope"))
+  }
 }
