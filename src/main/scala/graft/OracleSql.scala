@@ -3290,46 +3290,45 @@ object OracleSql {
     // q266: Welch's t replayed — identical per-row decimal moment casts
     // (value DECIMAL(28,2), square DECIMAL(38,4)), identical double
     // parenthesization for mean/variance/t/Satterthwaite df.
-    "q266_welch_t" ->
-      """WITH v AS (
-        |  SELECT CAST(value AS DOUBLE) AS v, event_type = 'click' AS is_a
-        |  FROM events
-        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
-        |a AS (
-        |  SELECT
-        |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-        |    CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_b,
-        |    CAST(SUM(CASE WHEN is_a THEN CAST(v AS DECIMAL(28,2)) END)
-        |      AS DOUBLE) AS sa,
-        |    CAST(SUM(CASE WHEN NOT is_a THEN CAST(v AS DECIMAL(28,2)) END)
-        |      AS DOUBLE) AS sb,
-        |    CAST(SUM(CASE WHEN is_a THEN CAST(v * v AS DECIMAL(38,4)) END)
-        |      AS DOUBLE) AS qa,
-        |    CAST(SUM(CASE WHEN NOT is_a
-        |      THEN CAST(v * v AS DECIMAL(38,4)) END) AS DOUBLE) AS qb
-        |  FROM v),
-        |p AS (
-        |  SELECT n_a, n_b,
-        |    sa / CAST(n_a AS DOUBLE) AS ma,
-        |    sb / CAST(n_b AS DOUBLE) AS mb,
-        |    (qa - sa * sa / CAST(n_a AS DOUBLE)) /
-        |      (CAST(n_a AS DOUBLE) - 1.0) AS va,
-        |    (qb - sb * sb / CAST(n_b AS DOUBLE)) /
-        |      (CAST(n_b AS DOUBLE) - 1.0) AS vb
-        |  FROM a WHERE n_a > 1 AND n_b > 1)
-        |SELECT n_a, n_b,
-        |  ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
-        |  ROUND(va, 6) AS var_a, ROUND(vb, 6) AS var_b,
-        |  ROUND((ma - mb) / SQRT(va / CAST(n_a AS DOUBLE) +
-        |    vb / CAST(n_b AS DOUBLE)), 6) AS t_welch,
-        |  ROUND((va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)) *
-        |      (va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)) /
-        |    ((va / CAST(n_a AS DOUBLE)) * (va / CAST(n_a AS DOUBLE)) /
-        |        (CAST(n_a AS DOUBLE) - 1.0) +
-        |      (vb / CAST(n_b AS DOUBLE)) * (vb / CAST(n_b AS DOUBLE)) /
-        |        (CAST(n_b AS DOUBLE) - 1.0)), 6) AS df_welch
-        |FROM p""".stripMargin,
+    // q275 shares it verbatim: the streamed moment frame is additive
+    // state that equals the batch moments exactly (stream ≡ batch).
+    "q266_welch_t" -> q266WelchSql,
+    "q275_stream_welch" -> q266WelchSql,
+
+    // q274: cross-entropy matrix replayed — same token stream, matched-
+    // pair closed form (unmatched words contribute ln(1)=0), decimal
+    // contribution sums, exp on the identical unrounded entropy.
+    "q274_cross_entropy" ->
+      """WITH t AS (
+        |  SELECT source, string_split(trim(text), ' ') AS toks
+        |  FROM documents),
+        |w AS (SELECT source AS src, u.w AS w FROM t, UNNEST(toks) AS u(w)
+        |      WHERE u.w <> ''),
+        |c AS (SELECT src, w, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM w GROUP BY src, w),
+        |n AS (SELECT src, CAST(SUM(c) AS BIGINT) AS nt FROM c GROUP BY src),
+        |v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM c),
+        |matched AS (
+        |  SELECT b.src AS src_from, a.src AS src_to,
+        |    CAST(SUM(CAST(CAST(b.c AS DOUBLE) *
+        |      LN(CAST(a.c AS DOUBLE) + 1.0) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS t_ab
+        |  FROM c b JOIN c a ON b.w = a.w
+        |  GROUP BY b.src, a.src),
+        |pairs AS (
+        |  SELECT nb.src AS src_from, na.src AS src_to,
+        |    nb.nt AS nb, na.nt AS na,
+        |    COALESCE(m.t_ab, 0.0) AS t_ab
+        |  FROM n nb CROSS JOIN n na
+        |  LEFT JOIN matched m
+        |    ON m.src_from = nb.src AND m.src_to = na.src)
+        |SELECT src_from, src_to, nb AS n_tokens_from,
+        |  ROUND(LN(CAST(na + v.v AS DOUBLE)) -
+        |    t_ab / CAST(nb AS DOUBLE), 6) AS h_cross,
+        |  ROUND(EXP(LN(CAST(na + v.v AS DOUBLE)) -
+        |    t_ab / CAST(nb AS DOUBLE)), 6) AS ppl_cross
+        |FROM pairs CROSS JOIN v
+        |ORDER BY src_from, src_to""".stripMargin,
 
     // q267: CUSUM replayed — exact decimal daily/prefix masses, per-row
     // double deviations from exact terms (no running double sum), the
@@ -7241,6 +7240,47 @@ object OracleSql {
     * and the streaming side's wave-offset partials land on identical
     * values.
     */
+  private def q266WelchSql: String =
+    """WITH v AS (
+        |  SELECT CAST(value AS DOUBLE) AS v, event_type = 'click' AS is_a
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+        |a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(SUM(CASE WHEN is_a THEN CAST(v AS DECIMAL(28,2)) END)
+        |      AS DOUBLE) AS sa,
+        |    CAST(SUM(CASE WHEN NOT is_a THEN CAST(v AS DECIMAL(28,2)) END)
+        |      AS DOUBLE) AS sb,
+        |    CAST(SUM(CASE WHEN is_a THEN CAST(v * v AS DECIMAL(38,4)) END)
+        |      AS DOUBLE) AS qa,
+        |    CAST(SUM(CASE WHEN NOT is_a
+        |      THEN CAST(v * v AS DECIMAL(38,4)) END) AS DOUBLE) AS qb
+        |  FROM v),
+        |p AS (
+        |  SELECT n_a, n_b,
+        |    sa / CAST(n_a AS DOUBLE) AS ma,
+        |    sb / CAST(n_b AS DOUBLE) AS mb,
+        |    (qa - sa * sa / CAST(n_a AS DOUBLE)) /
+        |      (CAST(n_a AS DOUBLE) - 1.0) AS va,
+        |    (qb - sb * sb / CAST(n_b AS DOUBLE)) /
+        |      (CAST(n_b AS DOUBLE) - 1.0) AS vb
+        |  FROM a WHERE n_a > 1 AND n_b > 1)
+        |SELECT n_a, n_b,
+        |  ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+        |  ROUND(va, 6) AS var_a, ROUND(vb, 6) AS var_b,
+        |  ROUND((ma - mb) / SQRT(va / CAST(n_a AS DOUBLE) +
+        |    vb / CAST(n_b AS DOUBLE)), 6) AS t_welch,
+        |  ROUND((va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)) *
+        |      (va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)) /
+        |    ((va / CAST(n_a AS DOUBLE)) * (va / CAST(n_a AS DOUBLE)) /
+        |        (CAST(n_a AS DOUBLE) - 1.0) +
+        |      (vb / CAST(n_b AS DOUBLE)) * (vb / CAST(n_b AS DOUBLE)) /
+        |        (CAST(n_b AS DOUBLE) - 1.0)), 6) AS df_welch
+        |FROM p""".stripMargin
+
   private def q248PackingSql: String =
     """WITH t AS (
       |  SELECT doc_id,

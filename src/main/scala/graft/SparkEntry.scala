@@ -3732,6 +3732,30 @@ object SparkEntry {
     SimilarityOps.clusterLabelCard(t(spark, dir, "embeddings"),
       "vec_id", "embedding", "label")
 
+  // ---------------------------------------------------------------- q275
+  // Streaming twin of q266 (SHARED oracle): the Welch moment frame —
+  // two counts + four exact decimal sums — is pure additive state in
+  // one complete-mode global aggregation (1 row, bounded forever);
+  // the same welchFromMoments finisher lands on the batch answer
+  // bit-for-bit under any micro-batching.
+  def q275(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.streaming.StreamingOps.streamingWelchTTest(
+      spark, dir, "events.parquet", "value", "event_type",
+      "click", "view",
+      graft.streaming.StreamSink.Memory("q275_welch"),
+      prepare = Tables.normalizeEventTs)
+  }
+
+  // ---------------------------------------------------------------- q274
+  // Cross-source unigram cross-entropy matrix: H(b‖a) of each source's
+  // tokens under every source's add-1-smoothed LM — which sources can
+  // share a mixing bucket, measured. One closed form per ordered pair
+  // (unmatched words contribute ln(1)=0 — no outer join).
+  def q274(spark: SparkSession, dir: String): DataFrame =
+    TextOps.crossSourceCrossEntropy(t(spark, dir, "documents"),
+      "source", "text")
+
   // ---------------------------------------------------------------- q273
   // Theil–Sen daily-volume trend: median of all pairwise day slopes
   // (29% breakdown — one crazy ingest day cannot move it) next to the
@@ -4449,6 +4473,8 @@ object SparkEntry {
     "q271_cramers_v" -> (q271 _),
     "q272_poisson_bootstrap" -> (q272 _),
     "q273_theil_sen" -> (q273 _),
+    "q274_cross_entropy" -> (q274 _),
+    "q275_stream_welch" -> (q275 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

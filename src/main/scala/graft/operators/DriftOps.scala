@@ -401,23 +401,42 @@ object DriftOps {
     */
   def welchTTest(df: DataFrame, valCol: String, groupCol: String,
       groupA: String, groupB: String, scale: Int = 2,
+      scale2: Int = 4): DataFrame =
+    welchFromMoments(welchMoments(df, valCol, groupCol, groupA, groupB,
+      scale, scale2))
+
+  /** The additive moment state behind [[welchTTest]] — counts and exact
+    * per-row decimal sums of v and v² per group, in one conditional
+    * aggregation. Every column is a sum, so the frame is streamable in
+    * complete mode and any snapshot finishes via [[welchFromMoments]]
+    * (the batch ≡ stream contract of the streaming-sketch family).
+    */
+  def welchMoments(df: DataFrame, valCol: String, groupCol: String,
+      groupA: String, groupB: String, scale: Int = 2,
       scale2: Int = 4): DataFrame = {
     val v = df
       .filter(col(groupCol).isin(groupA, groupB) && col(valCol).isNotNull)
       .select(col(valCol).cast("double").as("v"),
         (col(groupCol) === groupA).as("__is_a"))
-    val agg = v.agg(
-        sum(when(col("__is_a"), 1L).otherwise(0L)).as("n_a"),
-        sum(when(!col("__is_a"), 1L).otherwise(0L)).as("n_b"),
-        sum(when(col("__is_a"), col("v")).cast(s"decimal(28,$scale)"))
-          .cast("double").as("__sa"),
-        sum(when(!col("__is_a"), col("v")).cast(s"decimal(28,$scale)"))
-          .cast("double").as("__sb"),
-        sum(when(col("__is_a"), col("v") * col("v"))
-          .cast(s"decimal(38,$scale2)")).cast("double").as("__qa"),
-        sum(when(!col("__is_a"), col("v") * col("v"))
-          .cast(s"decimal(38,$scale2)")).cast("double").as("__qb"))
-      .filter(col("n_a") > 1 && col("n_b") > 1)
+    v.agg(
+      sum(when(col("__is_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("__is_a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__is_a"), col("v")).cast(s"decimal(28,$scale)"))
+        .cast("double").as("__sa"),
+      sum(when(!col("__is_a"), col("v")).cast(s"decimal(28,$scale)"))
+        .cast("double").as("__sb"),
+      sum(when(col("__is_a"), col("v") * col("v"))
+        .cast(s"decimal(38,$scale2)")).cast("double").as("__qa"),
+      sum(when(!col("__is_a"), col("v") * col("v"))
+        .cast(s"decimal(38,$scale2)")).cast("double").as("__qb"))
+  }
+
+  /** Finish a [[welchMoments]] frame into the Welch report — the one
+    * fixed double parenthesization both engines (and the streaming
+    * twin) replay.
+    */
+  def welchFromMoments(moments: DataFrame): DataFrame = {
+    val agg = moments.filter(col("n_a") > 1 && col("n_b") > 1)
     val naD = col("n_a").cast("double")
     val nbD = col("n_b").cast("double")
     val va = (col("__qa") - col("__sa") * col("__sa") / naD) /

@@ -1193,4 +1193,58 @@ object TextOps {
         col("heaps_beta"))
       .orderBy(col("pct"))
   }
+
+  /** Cross-source unigram cross-entropy matrix — the domain-shift audit
+    * of a multi-source corpus: H(b‖a) is the expected surprisal of
+    * source b's tokens under source a's add-1-smoothed unigram LM
+    * (smoothed over the GLOBAL vocab V, so every source is scored on
+    * the same support). A high H(b‖a) − H(b‖b) gap says a model tuned
+    * on a will pay for it on b — which sources can share a mixing
+    * bucket, measured. The whole matrix reduces to ONE closed form per
+    * ordered pair:
+    *
+    *   H(b‖a) = ln(N_a + V) − (Σ_{w ∈ a∩b} c_b(w)·ln(c_a(w)+1)) / N_b
+    *
+    * because unmatched words contribute ln(0+1) = 0 to the sum — no
+    * outer join, no missing-mass bookkeeping.
+    *
+    * Exactness: counts are exact; each matched term is one double
+    * (c_b·ln(c_a+1)) cast to decimal before the sum (order-free); the
+    * final assembly is fixed-shape. Perplexity is exp of the unrounded
+    * entropy.
+    *
+    * Scale shape: one token-count aggregation, one vocab equi-join on
+    * the word key (each word meets only its own |sources|² pair block),
+    * one (pair) aggregation; the matrix frame is |sources|² rows.
+    */
+  def crossSourceCrossEntropy(docs: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val w = docs.select(col(srcCol).as("src"), explode(toks).as("w"))
+      .filter(col("w") =!= "")
+    val c = w.groupBy(col("src"), col("w")).agg(count(lit(1)).as("c"))
+    val n = c.groupBy(col("src")).agg(sum(col("c")).as("nt"))
+    val v = c.agg(countDistinct(col("w")).as("v"))
+    val matched = c.select(col("src").as("src_from"), col("w"),
+        col("c").as("cb"))
+      .join(c.select(col("src").as("src_to"), col("w"),
+        col("c").as("ca")), "w")
+      .groupBy(col("src_from"), col("src_to"))
+      .agg(sum((col("cb").cast("double") *
+        log(col("ca").cast("double") + lit(1.0)))
+        .cast("decimal(38,12)")).cast("double").as("__t"))
+    // every ordered pair exists even with disjoint vocabularies
+    val pairs = n.select(col("src").as("src_from"), col("nt").as("__nb"))
+      .crossJoin(n.select(col("src").as("src_to"), col("nt").as("__na")))
+      .join(matched, Seq("src_from", "src_to"), "left")
+      .withColumn("__t", coalesce(col("__t"), lit(0.0)))
+      .crossJoin(broadcast(v))
+    val h = log((col("__na") + col("v")).cast("double")) -
+      col("__t") / col("__nb").cast("double")
+    pairs.select(col("src_from"), col("src_to"),
+        col("__nb").as("n_tokens_from"),
+        round(h, 6).as("h_cross"),
+        round(exp(h), 6).as("ppl_cross"))
+      .orderBy(col("src_from"), col("src_to"))
+  }
 }

@@ -608,6 +608,30 @@ object StreamingOps {
       .orderBy(col("grp"))
   }
 
+  /** Streaming Welch's t ≡ batch (q266's twin — the drift battery joins
+    * the streaming-sketch family): the
+    * [[graft.operators.DriftOps.welchMoments]] frame is pure additive
+    * state — two counts and four exact per-row decimal sums — maintained
+    * as one complete-mode global aggregation (1 row, bounded forever, no
+    * watermark), so the streamed moments equal the batch moments EXACTLY
+    * under any micro-batching (decimal sums commute with batching), and
+    * the SAME [[graft.operators.DriftOps.welchFromMoments]] finisher
+    * yields the bit-identical report the shared q266 oracle checks.
+    */
+  def streamingWelchTTest(spark: SparkSession, dir: String,
+      fileName: String, valCol: String, groupCol: String,
+      groupA: String, groupB: String, sink: StreamSink,
+      prepare: DataFrame => DataFrame = identity): DataFrame = {
+    val moments = graft.operators.DriftOps.welchMoments(
+      prepare(fileStream(spark, dir, fileName)),
+      valCol, groupCol, groupA, groupB)
+    val sunk = runToSink(spark, moments, sink, "complete")
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    sunk.collect().foreach(rows.add)
+    graft.operators.DriftOps.welchFromMoments(
+      spark.createDataFrame(rows, sunk.schema))
+  }
+
   /** Streaming dedup-on-ingest — the production shape of the WHOLE dedup
     * family in one stage, chaining q216's persisted band-store admission
     * with q225's Levenshtein verification inside `foreachBatch`: each

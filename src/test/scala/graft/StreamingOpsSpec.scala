@@ -277,4 +277,23 @@ class StreamingOpsSpec extends SparkSpec {
     val stream = SparkEntry.q213(spark, dir).collect().map(_.toString).toSeq
     assert(batch == stream, s"batch=$batch\nstream=$stream")
   }
+
+  test("streamingWelchTTest converges to the batch Welch report exactly") {
+    val d = Files.createTempDirectory("graft_welch_stream").toString
+    val rows = (1 to 40).map(i =>
+      ("c", (i % 7).toDouble + 0.25)) ++
+      (1 to 30).map(i => ("v", (i % 5).toDouble * 1.5)) ++
+      Seq(("x", 99.0)) // a third group the filter must drop
+    val df = rows.toDF("event_type", "value")
+    df.coalesce(2).write.mode("overwrite").parquet(s"$d/ev.parquet")
+    val batch = graft.operators.DriftOps.welchTTest(
+      spark.read.parquet(s"$d/ev.parquet"), "value", "event_type",
+      "c", "v").collect().toSeq
+    val stream = StreamingOps.streamingWelchTTest(
+      spark, d, "ev.parquet", "value", "event_type", "c", "v",
+      StreamSink.Memory(s"spec_welch_${System.nanoTime()}"))
+      .collect().toSeq
+    assert(batch.nonEmpty)
+    assert(stream == batch, s"batch=$batch\nstream=$stream")
+  }
 }

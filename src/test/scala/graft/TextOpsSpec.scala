@@ -355,4 +355,36 @@ class TextOpsSpec extends SparkSpec {
         r.getLong(2) + r.getLong(3))
     }
   }
+
+  test("crossSourceCrossEntropy: hand-computed 2x2 matrix") {
+    // A: "x x y" → {x:2, y:1}, N=3; B: "x z" → {x:1, z:1}, N=2; V=3
+    val df = Seq(("A", "x x y"), ("B", "x z")).toDF("source", "text")
+    val out = TextOps.crossSourceCrossEntropy(df, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln = (x: Double) => math.log(x)
+    assert(out(("A", "A"))._1 == 3L)
+    assert(out(("A", "A"))._2 ==
+      r6(ln(6.0) - (2.0 * ln(3.0) + ln(2.0)) / 3.0))
+    assert(out(("A", "B"))._2 == r6(ln(5.0) - 2.0 * ln(2.0) / 3.0))
+    assert(out(("B", "A"))._2 == r6(ln(6.0) - ln(3.0) / 2.0))
+    assert(out(("B", "B"))._2 == r6(ln(5.0) - (ln(2.0) + ln(2.0)) / 2.0))
+    // self-entropy must be the cheapest model for each source
+    assert(out(("A", "A"))._2 < out(("A", "B"))._2)
+    assert(out(("B", "B"))._2 < out(("B", "A"))._2)
+  }
+
+  test("crossSourceCrossEntropy: disjoint vocabularies still emit pairs") {
+    val df = Seq(("A", "x x"), ("B", "z")).toDF("source", "text")
+    val out = TextOps.crossSourceCrossEntropy(df, "source", "text")
+      .collect()
+    assert(out.length == 4)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // H(A‖B) has no matched words: ln(N_B + V) = ln(1 + 2) exactly
+    val ab = out.find(r => r.getString(0) == "A" && r.getString(1) == "B").get
+    assert(ab.getDouble(3) == r6(math.log(3.0)))
+  }
 }
