@@ -3295,6 +3295,141 @@ object OracleSql {
     "q266_welch_t" -> q266WelchSql,
     "q275_stream_welch" -> q266WelchSql,
 
+    // q276: BH-FDR replayed — exact decimal group/total moments (rest =
+    // total − group), one-vs-rest Welch z, the shared Abramowitz–Stegun
+    // 26.2.17 tail polynomial, (p, g) rank order, k* = max passing rank.
+    "q276_bh_fdr" ->
+      """WITH d AS (
+        |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |grp AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    SUM(CAST(v AS DECIMAL(28,2))) AS sd,
+        |    SUM(CAST(v * v AS DECIMAL(38,4))) AS qd
+        |  FROM d GROUP BY g),
+        |tot AS (
+        |  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+        |    SUM(sd) AS st, SUM(qd) AS qt
+        |  FROM grp),
+        |mo AS (
+        |  SELECT g, n_g,
+        |    CAST(n_g AS DOUBLE) AS ng, CAST(n - n_g AS DOUBLE) AS nr,
+        |    CAST(sd AS DOUBLE) AS sa, CAST(qd AS DOUBLE) AS qa,
+        |    CAST(st - sd AS DOUBLE) AS sr, CAST(qt - qd AS DOUBLE) AS qr
+        |  FROM grp CROSS JOIN tot
+        |  WHERE n_g > 1 AND n - n_g > 1),
+        |zz AS (
+        |  SELECT g, n_g,
+        |    sa / ng AS ma, sr / nr AS mr,
+        |    (qa - sa * sa / ng) / (ng - 1.0) AS va,
+        |    (qr - sr * sr / nr) / (nr - 1.0) AS vr,
+        |    ng, nr
+        |  FROM mo),
+        |zs AS (
+        |  SELECT g, n_g, ma, mr,
+        |    (ma - mr) / SQRT(va / ng + vr / nr) AS z
+        |  FROM zz WHERE va / ng + vr / nr > 0.0),
+        |ps AS (
+        |  SELECT g, n_g, ma, mr, z,
+        |    ROUND(2.0 * (EXP(-ABS(z) * ABS(z) / 2.0) /
+        |      2.5066282746310002) *
+        |      ((1.0 / (1.0 + 0.2316419 * ABS(z))) * (0.319381530 +
+        |        (1.0 / (1.0 + 0.2316419 * ABS(z))) * (-0.356563782 +
+        |        (1.0 / (1.0 + 0.2316419 * ABS(z))) * (1.781477937 +
+        |        (1.0 / (1.0 + 0.2316419 * ABS(z))) * (-1.821255978 +
+        |        (1.0 / (1.0 + 0.2316419 * ABS(z))) * 1.330274429))))),
+        |      9) AS p_value
+        |  FROM zs),
+        |rk AS (
+        |  SELECT g, n_g, ma, mr, z, p_value,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY p_value, g) AS BIGINT)
+        |      AS rank,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS m
+        |  FROM ps),
+        |crit AS (
+        |  SELECT *, ROUND(0.05 * CAST(rank AS DOUBLE) /
+        |    CAST(m AS DOUBLE), 9) AS bh_critical
+        |  FROM rk),
+        |k AS (
+        |  SELECT COALESCE(MAX(CASE WHEN p_value <= bh_critical
+        |    THEN rank END), 0) AS kstar
+        |  FROM crit)
+        |SELECT g AS event_type, n_g, ROUND(ma, 6) AS mean_g,
+        |  ROUND(mr, 6) AS mean_rest, ROUND(z, 6) AS z, p_value, rank,
+        |  bh_critical, rank <= k.kstar AS rejected
+        |FROM crit CROSS JOIN k
+        |ORDER BY rank""".stripMargin,
+
+    // q277: confident learning replayed — q203's NB parameter CTEs, the
+    // rounded-term decimal softmax (order-free denominator), per-class
+    // thresholds as mean own-label probability, threshold-cleared argmax
+    // into the confident joint.
+    "q277_confident_learning" ->
+      """WITH d AS (
+        |  SELECT l_returnflag AS cls, CAST(l_quantity AS DOUBLE) AS x1,
+        |    CAST(l_discount AS DOUBLE) AS x2,
+        |    ((l_orderkey % 1000003) * 2654435761) % 10 AS b
+        |  FROM lineitem),
+        |tr AS (SELECT * FROM d WHERE b < 7),
+        |nt AS (SELECT COUNT(*) AS n FROM tr),
+        |p AS (
+        |  SELECT cls, COUNT(*) AS nc,
+        |    CAST(SUM(CAST(x1 AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(x1 * x1 AS DECIMAL(28,12))) AS DOUBLE) AS q1,
+        |    CAST(SUM(CAST(x2 AS DECIMAL(28,12))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(x2 * x2 AS DECIMAL(28,12))) AS DOUBLE) AS q2
+        |  FROM tr GROUP BY cls),
+        |pp AS (
+        |  SELECT cls,
+        |    ROUND(CAST(nc AS DOUBLE) / (SELECT n FROM nt), 9) AS prior,
+        |    ROUND(s1 / nc, 9) AS mu1,
+        |    ROUND(GREATEST((q1 - s1 * s1 / nc) / (nc - 1),
+        |      0.000000001), 9) AS v1,
+        |    ROUND(s2 / nc, 9) AS mu2,
+        |    ROUND(GREATEST((q2 - s2 * s2 / nc) / (nc - 1),
+        |      0.000000001), 9) AS v2
+        |  FROM p),
+        |g AS (
+        |  SELECT cls AS given, x1, x2, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM d WHERE b >= 7 GROUP BY cls, x1, x2),
+        |s AS (
+        |  SELECT g.given, g.x1, g.x2, g.n, pp.cls AS cand,
+        |    ROUND(LN(pp.prior)
+        |      - 0.5 * (LN(6.283185307179586 * pp.v1)
+        |        + ((g.x1 - pp.mu1) * (g.x1 - pp.mu1)) / pp.v1)
+        |      - 0.5 * (LN(6.283185307179586 * pp.v2)
+        |        + ((g.x2 - pp.mu2) * (g.x2 - pp.mu2)) / pp.v2), 6) AS sc
+        |  FROM g, pp),
+        |e AS (
+        |  SELECT given, x1, x2, n, cand,
+        |    ROUND(EXP(sc - MAX(sc) OVER
+        |      (PARTITION BY given, x1, x2)), 12) AS ev
+        |  FROM s),
+        |pr AS (
+        |  SELECT given, x1, x2, n, cand,
+        |    ROUND(ev / CAST(SUM(CAST(ev AS DECIMAL(38,12))) OVER
+        |      (PARTITION BY given, x1, x2) AS DOUBLE), 6) AS pb
+        |  FROM e),
+        |th AS (
+        |  SELECT cand,
+        |    ROUND(CAST(SUM(CAST(n * pb AS DECIMAL(38,6))) AS DOUBLE) /
+        |      CAST(SUM(n) AS DOUBLE), 6) AS t
+        |  FROM pr WHERE given = cand GROUP BY cand),
+        |cleared AS (
+        |  SELECT pr.given, pr.x1, pr.x2, pr.n, pr.cand, pr.pb,
+        |    ROW_NUMBER() OVER (PARTITION BY pr.given, pr.x1, pr.x2
+        |      ORDER BY pr.pb DESC, pr.cand) AS rn
+        |  FROM pr JOIN th ON pr.cand = th.cand
+        |  WHERE pr.pb >= th.t),
+        |joint AS (
+        |  SELECT given, cand AS suspected, CAST(SUM(n) AS BIGINT)
+        |    AS n_rows
+        |  FROM cleared WHERE rn = 1 GROUP BY given, cand)
+        |SELECT j.given, j.suspected, j.n_rows, th.t AS t_suspected
+        |FROM joint j JOIN th ON j.suspected = th.cand
+        |ORDER BY j.given, j.suspected""".stripMargin,
+
     // q274: cross-entropy matrix replayed — same token stream, matched-
     // pair closed form (unmatched words contribute ln(1)=0), decimal
     // contribution sums, exp on the identical unrounded entropy.

@@ -3732,6 +3732,27 @@ object SparkEntry {
     SimilarityOps.clusterLabelCard(t(spark, dir, "embeddings"),
       "vec_id", "embedding", "label")
 
+  // ---------------------------------------------------------------- q277
+  // Confident-learning label-noise audit (Northcutt et al. 2021) over
+  // q203's NB probabilities: per-class confidence thresholds, the
+  // confident joint (given → suspected) on the held-out split — WHICH
+  // labels to re-annotate first. Softmax denominators accumulate as
+  // exact decimals of rounded terms (order-free).
+  def q277(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.confidentLearningCard(
+      t(spark, dir, "lineitem"), "l_orderkey", "l_returnflag",
+      "l_quantity", "l_discount")
+
+  // ---------------------------------------------------------------- q276
+  // Benjamini–Hochberg FDR over the per-event-type one-vs-rest Welch z
+  // battery — multiple-comparisons discipline for segment drift
+  // monitors: rejections are ranks ≤ k* = max{k: p(k) ≤ αk/m}. Normal
+  // tail via the shared Abramowitz–Stegun polynomial (fixed-shape
+  // doubles, bit-identical across engines).
+  def q276(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.bhFdrCard(
+      t(spark, dir, "events"), "value", "event_type")
+
   // ---------------------------------------------------------------- q275
   // Streaming twin of q266 (SHARED oracle): the Welch moment frame —
   // two counts + four exact decimal sums — is pure additive state in
@@ -4475,6 +4496,8 @@ object SparkEntry {
     "q273_theil_sen" -> (q273 _),
     "q274_cross_entropy" -> (q274 _),
     "q275_stream_welch" -> (q275 _),
+    "q276_bh_fdr" -> (q276 _),
+    "q277_confident_learning" -> (q277 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

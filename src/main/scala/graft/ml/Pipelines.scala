@@ -1756,4 +1756,103 @@ object MlPipelines {
       .agg(count(lit(1)).as("n_rows"))
       .orderBy(col("actual"), col("predicted"))
   }
+
+  /** Confident-learning label-noise audit (Northcutt et al. 2021) over
+    * [[gaussianNbPortable]]'s classifier: estimate WHICH labels are
+    * wrong, not just how many. On the held-out split, each row gets
+    * calibrated-ish class probabilities (softmax over the NB
+    * log-posteriors); per-class confidence thresholds t_j are the mean
+    * predicted probability of class j among rows LABELED j; a row
+    * joins the confident joint at cell (given, suspected) where
+    * suspected = argmax over classes whose probability clears their own
+    * threshold (rows clearing none abstain — the paper's rule). The
+    * off-diagonal mass IS the estimated label-noise rate, per
+    * (given → suspected) direction — the audit that says which slice of
+    * a labeled corpus to re-annotate first.
+    *
+    * Portability: log-posteriors round to 6 before the softmax; each
+    * exp term rounds to 12 and the denominator accumulates those
+    * rounded terms in exact decimal (order-free — a raw double Σ over
+    * a window would depend on engine accumulation order); probabilities
+    * and thresholds round to 6. Every comparison thereafter is on
+    * identical doubles.
+    *
+    * Scale shape: one exact-decimal parameter aggregation (train), one
+    * scoring scan grouped by distinct feature combos with multiplicity,
+    * a |classes|-row threshold frame broadcast back, one (given,
+    * suspected) count — no shuffle wider than the distinct-combo frame.
+    */
+  def confidentLearningCard(df: DataFrame, keyCol: String,
+      classCol: String, f1: String, f2: String,
+      trainBuckets: Int = 7): DataFrame = {
+    import graft.functions.Stats.dsum
+    def r9(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val d = df.select(col(classCol).cast("string").as("cls"),
+      col(f1).cast("double").as("x1"), col(f2).cast("double").as("x2"),
+      SplitOps.hashBucket(col(keyCol), 10).as("__b"))
+    val train = d.filter(col("__b") < trainBuckets)
+    val test = d.filter(col("__b") >= trainBuckets)
+      .groupBy(col("cls"), col("x1"), col("x2"))
+      .agg(count(lit(1)).as("n"))
+    val params = train.groupBy(col("cls")).agg(
+        count(lit(1)).as("nc"),
+        dsum(col("x1"), 12).as("s1"), dsum(col("x1") * col("x1"), 12).as("q1"),
+        dsum(col("x2"), 12).as("s2"), dsum(col("x2") * col("x2"), 12).as("q2"))
+      .orderBy(col("cls")).collect()
+    val nTrain = params.map(_.getLong(1)).sum
+    require(nTrain > 0, "confidentLearningCard: empty training split")
+    case class P(cls: String, prior: Double, mu1: Double, v1: Double,
+      mu2: Double, v2: Double)
+    val ps = params.map { r =>
+      val (nc, s1, q1, s2, q2) = (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      require(nc > 1, s"class ${r.getString(0)} needs >1 train rows")
+      P(r.getString(0), r9(nc.toDouble / nTrain), r9(s1 / nc),
+        r9(math.max((q1 - s1 * s1 / nc) / (nc - 1), 1e-9)),
+        r9(s2 / nc),
+        r9(math.max((q2 - s2 * s2 / nc) / (nc - 1), 1e-9)))
+    }
+    def score(p: P): org.apache.spark.sql.Column =
+      round(log(lit(p.prior))
+        - lit(0.5) * (log(lit(6.283185307179586) * lit(p.v1))
+          + ((col("x1") - lit(p.mu1)) * (col("x1") - lit(p.mu1))) / lit(p.v1))
+        - lit(0.5) * (log(lit(6.283185307179586) * lit(p.v2))
+          + ((col("x2") - lit(p.mu2)) * (col("x2") - lit(p.mu2))) / lit(p.v2)),
+        6)
+    val smax = greatest(ps.map(score).toSeq: _*)
+    // per-class exp terms rounded to 12; the softmax denominator is
+    // their EXACT decimal sum (order-free in any engine)
+    val es = ps.map(p => round(exp(score(p) - smax), 12))
+    val denom = es.map(_.cast("decimal(38,12)")).reduce(_ + _)
+      .cast("double")
+    val longFrame = test.select(col("cls").as("given"), col("x1"),
+        col("x2"), col("n"),
+        explode(array(ps.zip(es).map { case (p, e) =>
+          struct(lit(p.cls).as("cand"), round(e / denom, 6).as("p"))
+        }: _*)).as("__c"))
+      .select(col("given"), col("x1"), col("x2"), col("n"),
+        col("__c.cand").as("cand"), col("__c.p").as("p"))
+    val thresholds = longFrame.filter(col("given") === col("cand"))
+      .groupBy(col("cand"))
+      .agg(round(
+        sum((col("n").cast("double") * col("p")).cast("decimal(38,6)"))
+          .cast("double") / sum(col("n")).cast("double"), 6).as("t"))
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("given"), col("x1"), col("x2"))
+      .orderBy(col("p").desc, col("cand"))
+    val joint = longFrame.join(broadcast(thresholds), "cand")
+      .filter(col("p") >= col("t"))
+      .withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1)
+      .groupBy(col("given"), col("cand").as("suspected"))
+      .agg(sum(col("n")).as("n_rows"))
+    joint.join(broadcast(thresholds
+        .select(col("cand").as("suspected"), col("t").as("t_suspected"))),
+        "suspected")
+      .select(col("given"), col("suspected"), col("n_rows"),
+        col("t_suspected"))
+      .orderBy(col("given"), col("suspected"))
+  }
 }

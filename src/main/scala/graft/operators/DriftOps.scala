@@ -523,6 +523,77 @@ object DriftOps {
         round(col("k").cast("double") / dD, 6).as("changepoint_frac"))
   }
 
+  /** Benjamini–Hochberg FDR screen (Benjamini & Hochberg 1995) over the
+    * per-group one-vs-rest Welch z battery — the multiple-comparisons
+    * discipline a per-segment drift monitor needs: test EVERY segment's
+    * mean against the rest, then control the expected fraction of false
+    * alarms at `alpha` instead of alarming on raw p < 0.05 across
+    * hundreds of segments. Rejections are ranks ≤ k* where
+    * k* = max{k : p₍ₖ₎ ≤ α·k/m}.
+    *
+    * p-values use the Abramowitz–Stegun 26.2.17 polynomial for the
+    * normal tail (2·φ(|z|)·poly(t), |err| < 7.5e-8) — an APPROXIMATION
+    * by construction, but a fixed-shape double computation with shared
+    * literal coefficients, so both engines produce the identical value
+    * and the gate checks it bit-for-bit. Group and rest moments come
+    * from ONE exact-decimal aggregation (rest = totals − group, decimal
+    * subtraction, exact).
+    *
+    * Scale shape: one (group) aggregation over the scan; ranking and
+    * the BH threshold live on the |groups|-row frame.
+    */
+  def bhFdrCard(df: DataFrame, valCol: String, groupCol: String,
+      alpha: Double = 0.05, scale: Int = 2, scale2: Int = 4): DataFrame = {
+    val d = df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valCol).cast("double").as("v"))
+    val grp = d.groupBy(col("g")).agg(
+      count(lit(1)).as("n_g"),
+      sum(col("v").cast(s"decimal(28,$scale)")).as("__sd"),
+      sum((col("v") * col("v")).cast(s"decimal(38,$scale2)")).as("__qd"))
+    val tot = grp.agg(sum(col("n_g")).as("__n"),
+      sum(col("__sd")).as("__st"), sum(col("__qd")).as("__qt"))
+    val ngD = col("n_g").cast("double")
+    val nrD = (col("__n") - col("n_g")).cast("double")
+    val sa = col("__sd").cast("double")
+    val qa = col("__qd").cast("double")
+    val sr = (col("__st") - col("__sd")).cast("double")
+    val qr = (col("__qt") - col("__qd")).cast("double")
+    val ma = sa / ngD
+    val mr = sr / nrD
+    val va = (qa - sa * sa / ngD) / (ngD - lit(1.0))
+    val vr = (qr - sr * sr / nrD) / (nrD - lit(1.0))
+    val se2 = va / ngD + vr / nrD
+    val z = (ma - mr) / sqrt(se2)
+    val az = abs(z)
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) +
+        t * lit(1.330274429)))))
+    val phi = exp(-az * az / lit(2.0)) / lit(2.5066282746310002)
+    val scored = grp.crossJoin(broadcast(tot))
+      .filter(col("n_g") > 1 && (col("__n") - col("n_g")) > 1)
+      .filter(se2 > 0.0)
+      .select(col("g"), col("n_g"),
+        round(ma, 6).as("mean_g"), round(mr, 6).as("mean_rest"),
+        round(z, 6).as("z"),
+        round(lit(2.0) * phi * poly, 9).as("p_value"))
+    val m = scored.agg(count(lit(1)).as("__m"))
+    val wR = Window.orderBy(col("p_value"), col("g"))
+    val ranked = scored
+      .withColumn("rank", row_number().over(wR).cast("long"))
+      .crossJoin(broadcast(m))
+      .withColumn("bh_critical", round(lit(alpha) *
+        col("rank").cast("double") / col("__m").cast("double"), 9))
+    val kstar = ranked
+      .agg(coalesce(max(when(col("p_value") <= col("bh_critical"),
+        col("rank"))), lit(0L)).as("__k"))
+    ranked.crossJoin(broadcast(kstar))
+      .select(col("g").as(groupCol), col("n_g"), col("mean_g"),
+        col("mean_rest"), col("z"), col("p_value"), col("rank"),
+        col("bh_critical"), (col("rank") <= col("__k")).as("rejected"))
+      .orderBy(col("rank"))
+  }
+
   /** Cochran–Armitage trend test (Cochran 1954, Armitage 1955): is a
     * binary outcome's rate monotonically trending across ORDERED
     * categories — the dose-response screen a χ² of independence cannot

@@ -259,6 +259,45 @@ class DriftAndAuditSpec extends SparkSpec {
     assert(r.getDouble(6) == r6(8.0 / math.sqrt(5.0)))
   }
 
+  test("bhFdrCard: shifted group tops the ranking and rejects") {
+    // A sits at 100, B and C interleave around 3 — A's one-vs-rest z is
+    // huge. (B and C legitimately ALSO reject here: A contaminates
+    // their rest means — the one-vs-rest contract, not a bug.)
+    val rows = (0 until 40).map(i => ("A", 100.0 + (i % 3))) ++
+      (0 until 40).map(i => ("B", (i % 7).toDouble)) ++
+      (0 until 40).map(i => ("C", ((i + 3) % 7).toDouble))
+    val df = rows.toDF("g", "v")
+    val out = DriftOps.bhFdrCard(df, "v", "g")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size == 3)
+    val a = out("A")
+    assert(a.getAs[Long]("rank") == 1L)
+    assert(a.getAs[Boolean]("rejected"))
+    assert(a.getAs[Double]("p_value") < 1e-6)
+    out.values.foreach { r =>
+      val p = r.getAs[Double]("p_value")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+    assert(out.values.map(_.getAs[Long]("rank")).toSet == Set(1L, 2L, 3L))
+    val again = DriftOps.bhFdrCard(df.repartition(9), "v", "g").collect()
+    assert(again.map(_.toString).sorted.sameElements(
+      out.values.map(_.toString).toArray.sorted))
+  }
+
+  test("bhFdrCard: identical groups reject nothing, p near 1") {
+    // all three groups carry the SAME value multiset → every group mean
+    // equals its rest mean exactly → z = 0, p ≈ 1, zero rejections
+    val rows = for { g <- Seq("A", "B", "C"); i <- 0 until 30 }
+      yield (g, (i % 7).toDouble)
+    val out = DriftOps.bhFdrCard(rows.toDF("g", "v"), "v", "g").collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getAs[Double]("z") == 0.0)
+      assert(r.getAs[Double]("p_value") > 0.9)
+      assert(!r.getAs[Boolean]("rejected"))
+    }
+  }
+
   test("cochranArmitage: flat rates give z 0; degenerate all-success empty") {
     val flat = (1 to 3).flatMap(s =>
       (0 until 10).map(i => (s.toString, i < 5))).toDF("pri", "succ")

@@ -642,4 +642,51 @@ class MlPipelinesSpec extends SparkSpec {
       .filter(col("fraction_pct") === 100L).head().getDouble(3)
     assert(math.abs(l5) < math.abs(l0))
   }
+
+  test("confidentLearningCard: planted label flips land off-diagonal") {
+    // hashBucket(k, 10) is k % 10 for small keys (the splitter caveat),
+    // so: train = residues 0..6 (kept CLEAN so the fit is sound), test =
+    // 7..9. Half of residue 8 (true class "lo") wears the wrong "hi"
+    // label while keeping lo-features → those rows must surface at
+    // (hi → lo); the clean half anchors t_lo. Features vary via k/10 so
+    // no residue pins a constant feature value.
+    val rows = (0L until 400L).map { k =>
+      val trueCls = if (k % 2 == 0) "lo" else "hi"
+      val flipped = k % 10 == 8 && (k / 10) % 2 == 0
+      val given = if (!flipped) trueCls else "hi"
+      val base = if (trueCls == "lo") 0.0 else 100.0
+      (k, given, base + ((k / 10) % 5).toDouble,
+        base + ((k / 10 + 2) % 5).toDouble)
+    }
+    val df = rows.toDF("k", "cls", "x1", "x2")
+    val out = MlPipelines.confidentLearningCard(df, "k", "cls", "x1", "x2")
+      .collect()
+    val cells = out.map(r => (r.getString(0), r.getString(1)) ->
+      r.getLong(2)).toMap
+    assert(cells.contains(("hi", "lo")), s"cells: $cells")
+    assert(cells(("hi", "lo")) == 20L, s"cells: $cells")
+    assert(cells(("lo", "lo")) == 20L, s"cells: $cells")
+    assert(cells(("hi", "hi")) == 80L, s"cells: $cells")
+    assert(!cells.contains(("lo", "hi")), s"cells: $cells")
+    // thresholds are probabilities
+    out.foreach { r =>
+      val t = r.getDouble(3)
+      assert(t > 0.0 && t <= 1.0)
+    }
+  }
+
+  test("confidentLearningCard: clean labels stay diagonal-only") {
+    val rows = (0L until 300L).map { k =>
+      val cls = if (k % 2 == 0) "lo" else "hi"
+      val base = if (cls == "lo") 0.0 else 100.0
+      (k, cls, base + ((k / 10) % 5).toDouble,
+        base + ((k / 10 + 1) % 5).toDouble)
+    }
+    val df = rows.toDF("k", "cls", "x1", "x2")
+    val out = MlPipelines.confidentLearningCard(df, "k", "cls", "x1", "x2")
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getString(0) == r.getString(1)),
+      s"unexpected off-diagonal: ${out.mkString(";")}")
+  }
 }
