@@ -3295,6 +3295,106 @@ object OracleSql {
     "q266_welch_t" -> q266WelchSql,
     "q275_stream_welch" -> q266WelchSql,
 
+    // q278: dow seasonality replayed — epoch-day weekday arithmetic,
+    // exact decimal daily masses, ANOVA-identity SS terms with decimal
+    // square contributions on identical doubles.
+    "q278_seasonal_dow" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(28,2))) AS td
+        |  FROM events WHERE value IS NOT NULL GROUP BY day),
+        |dd AS (
+        |  SELECT day, td,
+        |    CAST((date_diff('day', DATE '1970-01-01', day) + 3) % 7
+        |      AS BIGINT) AS dow
+        |  FROM d),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS dcount,
+        |    CAST(SUM(td) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(CAST(td AS DOUBLE) * CAST(td AS DOUBLE)
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS q
+        |  FROM dd),
+        |pw AS (
+        |  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(td) AS DOUBLE) AS sw
+        |  FROM dd GROUP BY dow),
+        |pw2 AS (
+        |  SELECT dow, n_days, sw / CAST(n_days AS DOUBLE) AS mw FROM pw),
+        |ssb AS (
+        |  SELECT CAST(SUM(CAST(CAST(n_days AS DOUBLE) * mw * mw
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS ssbraw
+        |  FROM pw2)
+        |SELECT dow, n_days, ROUND(mw, 6) AS mean_mass,
+        |  ROUND(mw / (s / CAST(dcount AS DOUBLE)), 6) AS seasonal_index,
+        |  ROUND((ssbraw - CAST(dcount AS DOUBLE) *
+        |      (s / CAST(dcount AS DOUBLE)) * (s / CAST(dcount AS DOUBLE))) /
+        |    (q - CAST(dcount AS DOUBLE) *
+        |      (s / CAST(dcount AS DOUBLE)) * (s / CAST(dcount AS DOUBLE))),
+        |    6) AS strength
+        |FROM pw2 CROSS JOIN tot CROSS JOIN ssb
+        |ORDER BY dow""".stripMargin,
+
+    // q279: embedding outliers replayed — q247's dim-explode shape,
+    // round-9 per-dim stats, decimal term sums per vector, (D² DESC,
+    // id) top-10.
+    "q279_embedding_outliers" ->
+      """WITH dims AS (
+        |  SELECT vec_id, u.s.d AS d, u.s.v AS v
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |        FROM embeddings),
+        |    UNNEST(list_transform(emb,
+        |      (x, i) -> struct_pack(d := i - 1, v := x))) AS u(s)),
+        |st AS (
+        |  SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(v * v AS DECIMAL(38,16))) AS DOUBLE) AS q
+        |  FROM dims GROUP BY d HAVING COUNT(*) > 1),
+        |pp AS (
+        |  SELECT d, ROUND(s / CAST(n AS DOUBLE), 9) AS mu,
+        |    ROUND(GREATEST((q - s * s / CAST(n AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) - 1.0), 0.000000001), 9) AS vr
+        |  FROM st),
+        |sc AS (
+        |  SELECT dims.vec_id, CAST(COUNT(*) AS BIGINT) AS n_dims,
+        |    CAST(SUM(CAST(((v - mu) * (v - mu)) / vr AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS d2
+        |  FROM dims JOIN pp USING (d) GROUP BY dims.vec_id)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY d2 DESC, vec_id)
+        |    AS BIGINT) AS rank,
+        |  vec_id, n_dims, ROUND(d2, 6) AS mahalanobis2,
+        |  ROUND(d2 / CAST(n_dims AS DOUBLE), 6) AS score_per_dim
+        |FROM sc ORDER BY d2 DESC, vec_id LIMIT 10""".stripMargin,
+
+    // q280: HRW resize replayed — salted two-round congruential weights,
+    // packed h·64+b argmax (ties toward higher shard id identically),
+    // one keyed MAX aggregation, movement counts.
+    "q280_hrw_resize" ->
+      """WITH keys AS (
+        |  SELECT DISTINCT CAST(user_id AS BIGINT) AS k FROM events),
+        |shards AS (SELECT UNNEST(range(0, 17)) AS b),
+        |a AS (
+        |  SELECT k, b,
+        |    ((((((k + b * 104729) % 1000003) * 2654435761) % 1000003)
+        |      + (k + b * 104729) // 1000003) % 9999991) * 22695477
+        |      % 9999991 * 64 + b AS pk
+        |  FROM keys CROSS JOIN shards),
+        |g AS (
+        |  SELECT k,
+        |    MAX(CASE WHEN b < 16 THEN pk END) AS pkf,
+        |    MAX(pk) AS pkt
+        |  FROM a GROUP BY k)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(CASE WHEN pkf % 64 <> pkt % 64 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_moved_hrw,
+        |  ROUND(CAST(SUM(CASE WHEN pkf % 64 <> pkt % 64 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS frac_moved_hrw,
+        |  ROUND(1.0 / 17.0, 6) AS expected_hrw,
+        |  CAST(SUM(CASE WHEN k % 16 <> k % 17 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_moved_mod,
+        |  ROUND(CAST(SUM(CASE WHEN k % 16 <> k % 17 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS frac_moved_mod
+        |FROM g""".stripMargin,
+
     // q276: BH-FDR replayed — exact decimal group/total moments (rest =
     // total − group), one-vs-rest Welch z, the shared Abramowitz–Stegun
     // 26.2.17 tail polynomial, (p, g) rank order, k* = max passing rank.

@@ -3732,6 +3732,31 @@ object SparkEntry {
     SimilarityOps.clusterLabelCard(t(spark, dir, "embeddings"),
       "vec_id", "embedding", "label")
 
+  // ---------------------------------------------------------------- q280
+  // HRW shard-resize movement card over distinct user ids: measured
+  // moved-key fraction for rendezvous hashing (≈1/nTo) vs naive mod
+  // (≈ everything) when 16 shards become 17 — the resize cost of a
+  // bucketed 100 TB layout, quantified on the real key population.
+  def q280(spark: SparkSession, dir: String): DataFrame =
+    SplitOps.hrwShardMovementCard(t(spark, dir, "events"), "user_id")
+
+  // ---------------------------------------------------------------- q279
+  // Diagonal-Mahalanobis embedding outliers: per-dim exact-decimal
+  // stats (q247's accumulators), per-vector D² with decimal term sums,
+  // TakeOrdered top-10 — the whole-corpus anomaly screen before any
+  // clustering.
+  def q279(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.embeddingOutlierCard(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", k = 10)
+
+  // ---------------------------------------------------------------- q278
+  // Day-of-week seasonality card of the daily event-value mass:
+  // multiplicative index per weekday + ANOVA R² strength — whether
+  // day-over-day alerts need dow-adjustment. Weekday from pure
+  // epoch-day arithmetic (0=Monday), immune to locale dayofweek().
+  def q278(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.seasonalDowCard(t(spark, dir, "events"), "ts", "value")
+
   // ---------------------------------------------------------------- q277
   // Confident-learning label-noise audit (Northcutt et al. 2021) over
   // q203's NB probabilities: per-class confidence thresholds, the
@@ -4498,6 +4523,9 @@ object SparkEntry {
     "q275_stream_welch" -> (q275 _),
     "q276_bh_fdr" -> (q276 _),
     "q277_confident_learning" -> (q277 _),
+    "q278_seasonal_dow" -> (q278 _),
+    "q279_embedding_outliers" -> (q279 _),
+    "q280_hrw_resize" -> (q280 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -1458,4 +1458,63 @@ object SimilarityOps {
         col("rank"), col(idCol), col("n_list"))
       .orderBy(col("centroid_id"), col("rank"))
   }
+
+  /** Diagonal-Mahalanobis embedding outlier card: per-dimension means
+    * and variances from ONE exact-decimal pass ([[embeddingDriftCard]]'s
+    * accumulator shape), then each vector's standardized squared
+    * distance D² = Σ_d (v_d − μ_d)²/σ²_d and the top-k — the cheap
+    * whole-corpus anomaly screen before any clustering (a D² far above
+    * the dimension count says broken embedding, wrong modality, or
+    * truncation). Diagonal covariance by design: the full d×d matrix
+    * is the PCA card's job (q191); the diagonal is one broadcast frame
+    * at any d.
+    *
+    * Exactness: per-dim stats round to 9 (the NB parameter convention)
+    * before broadcast; per-vector scores accumulate per-dim terms in
+    * exact decimal (dimension order can never move a score); top-k ties
+    * break on id.
+    *
+    * Scale shape: one exploded (dim, value) aggregation (d-row frame
+    * broadcast back), one per-vector decimal sum keyed on the vector id
+    * (map-side combinable), TakeOrdered top-k — never a global sort.
+    */
+  def embeddingOutlierCard(embeddings: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val dims = embeddings
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("d", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val stats = dims.groupBy(col("d"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("v").cast("decimal(28,12)")).cast("double").as("__s"),
+        sum((col("v") * col("v")).cast("decimal(38,16)"))
+          .cast("double").as("__q"))
+      .filter(col("__n") > 1)
+      .select(col("d"),
+        round(col("__s") / col("__n").cast("double"), 9).as("mu"),
+        round(greatest(
+          (col("__q") - col("__s") * col("__s") /
+            col("__n").cast("double")) /
+            (col("__n").cast("double") - lit(1.0)),
+          lit(1e-9)), 9).as("vr"))
+    val scored = dims.join(broadcast(stats), "d")
+      .withColumn("__t",
+        (((col("v") - col("mu")) * (col("v") - col("mu"))) / col("vr"))
+          .cast("decimal(38,12)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dims"),
+        sum(col("__t")).cast("double").as("__d2"))
+    // TakeOrdered top-k first; the rank window runs on the k-row result
+    scored
+      .orderBy(col("__d2").desc, col(idCol))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__d2").desc, col(idCol))).cast("long"))
+      .select(col("rank"), col(idCol), col("n_dims"),
+        round(col("__d2"), 6).as("mahalanobis2"),
+        round(col("__d2") / col("n_dims").cast("double"), 6)
+          .as("score_per_dim"))
+      .orderBy(col("rank"))
+  }
 }

@@ -628,4 +628,61 @@ object SplitOps {
         col("n_contexts"), col("n_docs_split"), col("n_fragments"),
         col("tail_waste_tokens"), col("split_frac"))
   }
+
+  /** Shard-resize movement card: when a cluster grows `nFrom` → `nTo`
+    * shards, what fraction of keys actually move — measured for
+    * rendezvous (highest-random-weight, Thaler & Ravishankar 1996)
+    * hashing against naive `key mod n`. HRW's contract is that ONLY
+    * keys whose new-shard draw wins move (≈ 1/nTo), while mod hashing
+    * reshuffles almost everything — the difference IS the cost of a
+    * resize on a bucketed 100 TB layout, and this card puts a number
+    * on it for the actual key population.
+    *
+    * Portability: per-(key, shard) weights are the engine-portable
+    * two-round congruential draw (q218's salted family); the per-key
+    * argmax is MAX over the packed value h·64 + shard (ties — h
+    * collisions across shards — break toward the higher shard id,
+    * identically everywhere).
+    *
+    * Scale shape: one nTo-row broadcast cross join over the distinct
+    * keys, one keyed MAX aggregation (map-side combinable), one count —
+    * no window, no sort.
+    */
+  def hrwShardMovementCard(df: DataFrame, keyCol: String,
+      nFrom: Int = 16, nTo: Int = 17): DataFrame = {
+    require(nFrom >= 1 && nTo > nFrom && nTo <= 63,
+      "need 1 <= nFrom < nTo <= 63 (packing headroom)")
+    val p1 = 1000003L
+    val p2 = 9999991L
+    val keys = df.select(col(keyCol).cast("long").as("k")).distinct()
+    val shards = keys.sparkSession.range(0, nTo).select(col("id").as("b"))
+    val s = col("k") + col("b") * lit(104729L)
+    val sDiv = (s.cast("decimal(38,0)") / lit(p1)).cast("long")
+    val x1 = pmod(pmod(s, lit(p1)) * lit(2654435761L), lit(p1))
+    val h = pmod(pmod(x1 + sDiv, lit(p2)) * lit(22695477L), lit(p2))
+    val assigned = keys.crossJoin(broadcast(shards))
+      .withColumn("__pk", h * lit(64L) + col("b"))
+      .groupBy(col("k"))
+      .agg(
+        max(when(col("b") < nFrom, col("__pk"))).as("__pkFrom"),
+        max(col("__pk")).as("__pkTo"))
+      .select(col("k"),
+        pmod(col("__pkFrom"), lit(64L)).as("hrw_from"),
+        pmod(col("__pkTo"), lit(64L)).as("hrw_to"),
+        pmod(col("k"), lit(nFrom.toLong)).as("mod_from"),
+        pmod(col("k"), lit(nTo.toLong)).as("mod_to"))
+    assigned.agg(
+        count(lit(1)).as("n_keys"),
+        sum(when(col("hrw_from") =!= col("hrw_to"), 1L).otherwise(0L))
+          .as("n_moved_hrw"),
+        sum(when(col("mod_from") =!= col("mod_to"), 1L).otherwise(0L))
+          .as("n_moved_mod"))
+      .select(col("n_keys"), col("n_moved_hrw"),
+        round(col("n_moved_hrw").cast("double") /
+          col("n_keys").cast("double"), 6).as("frac_moved_hrw"),
+        round(lit(1.0) / lit(nTo.toDouble), 6).as("expected_hrw"),
+        col("n_moved_mod"),
+        round(col("n_moved_mod").cast("double") /
+          col("n_keys").cast("double"), 6).as("frac_moved_mod"))
+  }
 }

@@ -443,4 +443,52 @@ object TimeSeriesOps {
           (col("__s2") - dD * mu * mu), 6).as("acf"))
       .orderBy(col("lag"))
   }
+
+  /** Day-of-week seasonality card over a daily mass series: the
+    * multiplicative index mean(dow)/mean(all) per weekday plus the
+    * one-way-ANOVA seasonality strength R² = SS_between/SS_total — how
+    * much of daily volume variance the weekly rhythm explains (the
+    * number that says whether day-over-day alerts need dow-adjustment).
+    * Weekday comes from pure epoch-day arithmetic — (days-since-epoch
+    * + 3) mod 7, 0 = Monday — so no engine's locale-dependent
+    * dayofweek() can disagree.
+    *
+    * Exactness: daily masses are exact decimals; SS terms use the
+    * ANOVA identity (SS_between = Σ n_w·m_w² − D·μ², SS_total =
+    * Σ T_d² − D·μ²) with decimal-cast square contributions on
+    * identical doubles — no residual pass over the data.
+    *
+    * Scale shape: one (day) aggregation over the scan, everything
+    * after on the bounded day frame; the card is 7 rows.
+    */
+  def seasonalDowCard(df: DataFrame, tsCol: String, valCol: String,
+      scale: Int = 2): DataFrame = {
+    val daily = df.filter(col(valCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valCol).cast(s"decimal(28,$scale)")).as("td"))
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("1970-01-01").cast("date")) + 3,
+          lit(7)).cast("long"))
+    val tot = daily.agg(
+      count(lit(1)).as("__d"),
+      sum(col("td")).cast("double").as("__s"),
+      sum((col("td").cast("double") * col("td").cast("double"))
+        .cast("decimal(38,6)")).cast("double").as("__q"))
+    val perDow = daily.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("td")).cast("double").as("__sw"))
+      .withColumn("__mw", col("__sw") / col("n_days").cast("double"))
+    val dD = col("__d").cast("double")
+    val mu = col("__s") / dD
+    val ssb = perDow.agg(
+      sum((col("n_days").cast("double") * col("__mw") * col("__mw"))
+        .cast("decimal(38,6)")).cast("double").as("__ssbRaw"))
+    perDow.crossJoin(broadcast(tot)).crossJoin(broadcast(ssb))
+      .select(col("dow"), col("n_days"),
+        round(col("__mw"), 6).as("mean_mass"),
+        round(col("__mw") / mu, 6).as("seasonal_index"),
+        round((col("__ssbRaw") - dD * mu * mu) /
+          (col("__q") - dD * mu * mu), 6).as("strength"))
+      .orderBy(col("dow"))
+  }
 }

@@ -343,4 +343,26 @@ class SimilarityOpsSpec extends SparkSpec {
       per.map(_.getLong(2)).sum == 20L)
     assert(total.getLong(1) == 20L && total.getLong(2) == 20L)
   }
+
+  test("embeddingOutlierCard: planted far vector ranks first") {
+    val dim = 4
+    val rows = (0L until 30L).map { i =>
+      val base = (0 until dim).map(d => ((i + d) % 5).toFloat / 10f)
+      (i, base.toArray)
+    } :+ (99L, Array.fill(dim)(50f)) // the broken embedding
+    val df = rows.toDF("vec_id", "embedding")
+    val out = SimilarityOps.embeddingOutlierCard(df, "vec_id",
+      "embedding", k = 5).collect()
+    assert(out.length == 5)
+    val top = out.head
+    assert(top.getLong(0) == 1L && top.getLong(1) == 99L)
+    assert(top.getLong(2) == dim.toLong)
+    // the planted vector's D² dwarfs every normal one's
+    assert(top.getDouble(3) > 10.0 * out(1).getDouble(3))
+    // ranks are 1..5 in order
+    assert(out.map(_.getLong(0)).toSeq == (1L to 5L))
+    // scores are non-increasing
+    val scores = out.map(_.getDouble(3)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
 }

@@ -134,4 +134,20 @@ class SplitOpsSpec extends SparkSpec {
     assert(viaLiteral == viaJoin)
     assert(viaLiteral.nonEmpty)
   }
+
+  test("hrwShardMovementCard: HRW moves ~1/17 of keys, mod moves ~all") {
+    val df = (0L until 5000L).map(k => Tuple1(k)).toDF("k")
+    val r = SplitOps.hrwShardMovementCard(df, "k").collect().head
+    assert(r.getLong(0) == 5000L)
+    val hrwFrac = r.getDouble(2)
+    val modFrac = r.getDouble(5)
+    // 1/17 ≈ 0.0588 — allow generous sampling noise either side
+    assert(hrwFrac > 0.03 && hrwFrac < 0.1, s"hrw frac $hrwFrac")
+    assert(r.getDouble(3) == 0.058824)
+    // mod 16→17: only k ≡ same residue mod both survives (~1/17 stay)
+    assert(modFrac > 0.85, s"mod frac $modFrac")
+    // duplicate keys collapse: same card from a duplicated frame
+    val dup = df.union(df)
+    assert(SplitOps.hrwShardMovementCard(dup, "k").collect().head == r)
+  }
 }

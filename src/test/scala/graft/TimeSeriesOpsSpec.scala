@@ -116,4 +116,27 @@ class TimeSeriesOpsSpec extends SparkSpec {
     // lag-2 pair set is exactly (day0, day2): n_pairs = 1
     assert(a.find(_.getLong(0) == 2L).get.getLong(1) == 1L)
   }
+
+  test("seasonalDowCard: two clean weeks — exact indices, strength 1") {
+    // days 4..17 since epoch = Mon 1970-01-05 .. Sun 1970-01-18; Mondays
+    // carry mass 10, the rest 1 → zero within-dow variance → R² = 1
+    val rows = (4 until 18).map { d =>
+      val dow = (d + 3) % 7
+      (d.toLong * 86400000000L, if (dow == 0) 10.0 else 1.0)
+    }
+    val df = rows.toDF("us", "v")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = TimeSeriesOps.seasonalDowCard(df, "ts", "v")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.size == 7)
+    assert(out.values.forall(_.getLong(1) == 2L))
+    val mu = 32.0 / 14.0
+    assert(out(0L).getDouble(2) == 10.0)
+    assert(out(0L).getDouble(3) == r6(10.0 / mu))
+    assert(out(1L).getDouble(3) == r6(1.0 / mu))
+    out.values.foreach(r => assert(r.getDouble(4) == 1.0,
+      s"strength ${r.getDouble(4)}"))
+  }
 }
