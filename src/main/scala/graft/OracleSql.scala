@@ -3569,40 +3569,75 @@ object OracleSql {
     // double deviations from exact terms (no running double sum), the
     // chi-square contribution convention for sigma, earliest-argmax tie
     // order (|dev| DESC, day).
-    "q267_cusum_changepoint" ->
-      """WITH d AS (
-        |  SELECT CAST(ts AS DATE) AS day,
-        |    SUM(CAST(value AS DECIMAL(28,2))) AS td
-        |  FROM events WHERE value IS NOT NULL
-        |  GROUP BY day),
-        |c AS (
-        |  SELECT day, td,
-        |    SUM(td) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
-        |      AND CURRENT ROW) AS ck,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k
-        |  FROM d),
-        |t AS (
-        |  SELECT CAST(SUM(td) AS DOUBLE) AS s,
-        |    CAST(SUM(CAST(CAST(td AS DOUBLE) * CAST(td AS DOUBLE)
-        |      AS DECIMAL(38,6))) AS DOUBLE) AS q,
-        |    CAST(COUNT(*) AS BIGINT) AS dd
-        |  FROM d),
-        |dev AS (
-        |  SELECT c.day, c.k, t.dd, t.s,
-        |    SQRT((t.q - t.s * t.s / CAST(t.dd AS DOUBLE)) /
-        |      CAST(t.dd AS DOUBLE)) AS sigma,
-        |    CAST(c.ck AS DOUBLE) -
-        |      CAST(c.k AS DOUBLE) * (t.s / CAST(t.dd AS DOUBLE)) AS dv
-        |  FROM c CROSS JOIN t)
-        |SELECT dd AS n_days, ROUND(s, 6) AS total_mass,
-        |  ROUND(sigma, 6) AS sigma_daily,
-        |  ROUND(ABS(dv) / (sigma * SQRT(CAST(dd AS DOUBLE))), 6)
-        |    AS cusum_stat,
-        |  day AS changepoint_day,
-        |  ROUND(CAST(k AS DOUBLE) / CAST(dd AS DOUBLE), 6)
-        |    AS changepoint_frac
-        |FROM dev WHERE sigma > 0.0
-        |ORDER BY ABS(dv) DESC, day LIMIT 1""".stripMargin,
+    // q281 shares q267's SQL verbatim: the streamed per-day decimal
+    // mass frame is additive state equal to the batch masses exactly.
+    "q267_cusum_changepoint" -> q267CusumSql,
+    "q281_stream_cusum" -> q267CusumSql,
+
+    // q282: overdispersion replayed — q269's calendar spine, exact
+    // HUGEINT moments, fixed-shape VMR / dispersion χ².
+    "q282_overdispersion" ->
+      """WITH counts AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY day),
+        |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM counts),
+        |days AS (
+        |  SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |series AS (
+        |  SELECT COALESCE(c.x, 0) AS x
+        |  FROM days d LEFT JOIN counts c ON d.day = c.day),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(x) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS q
+        |  FROM series)
+        |SELECT n_days,
+        |  ROUND(s / CAST(n_days AS DOUBLE), 6) AS mean_daily,
+        |  ROUND((q - s * s / CAST(n_days AS DOUBLE)) /
+        |    (CAST(n_days AS DOUBLE) - 1.0), 6) AS var_daily,
+        |  ROUND(((q - s * s / CAST(n_days AS DOUBLE)) /
+        |    (CAST(n_days AS DOUBLE) - 1.0)) /
+        |    (s / CAST(n_days AS DOUBLE)), 6) AS vmr,
+        |  ROUND((CAST(n_days AS DOUBLE) - 1.0) *
+        |    ((q - s * s / CAST(n_days AS DOUBLE)) /
+        |      (CAST(n_days AS DOUBLE) - 1.0)) /
+        |    (s / CAST(n_days AS DOUBLE)), 6) AS chi2_dispersion
+        |FROM a WHERE n_days > 1 AND s > 0.0""".stripMargin,
+
+    // q283: Good–Turing replayed — same empty-token-filtered stream,
+    // count-of-counts, r+1 self-join on the card frame, fixed-shape
+    // divisions.
+    "q283_good_turing" ->
+      """WITH t AS (
+        |  SELECT string_split(trim(text), ' ') AS toks FROM documents),
+        |w AS (SELECT u.w AS w FROM t, UNNEST(toks) AS u(w)
+        |      WHERE u.w <> ''),
+        |c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS r FROM w GROUP BY w),
+        |ff AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_types
+        |       FROM c GROUP BY r),
+        |tot AS (SELECT CAST(SUM(r) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS v FROM c),
+        |low AS (
+        |  SELECT r, n_types FROM ff
+        |  QUALIFY ROW_NUMBER() OVER (ORDER BY r) <= 10),
+        |card AS (
+        |  SELECT f.r, f.n_types, f2.n_types AS nt_next
+        |  FROM low f LEFT JOIN ff f2 ON f2.r = f.r + 1)
+        |SELECT r, n_types,
+        |  ROUND(CAST(r AS DOUBLE) * CAST(n_types AS DOUBLE) /
+        |    CAST(n AS DOUBLE), 6) AS mass,
+        |  ROUND(CAST(n_types AS DOUBLE) / CAST(v AS DOUBLE), 6)
+        |    AS type_share,
+        |  CASE WHEN nt_next IS NOT NULL THEN
+        |    ROUND((CAST(r AS DOUBLE) + 1.0) * CAST(nt_next AS DOUBLE) /
+        |      CAST(n_types AS DOUBLE), 6) END AS r_star,
+        |  ROUND(CASE WHEN r = 1 THEN
+        |    CAST(n_types AS DOUBLE) / CAST(n AS DOUBLE) END, 6)
+        |    AS p0_unseen
+        |FROM card CROSS JOIN tot
+        |ORDER BY r""".stripMargin,
 
     // q268: Cochran–Armitage replayed — exact HUGEINT score moments
     // (≡ Spark's decimal(38,0)), identical double assembly for
@@ -7475,6 +7510,41 @@ object OracleSql {
     * and the streaming side's wave-offset partials land on identical
     * values.
     */
+  private def q267CusumSql: String =
+    """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(28,2))) AS td
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY day),
+        |c AS (
+        |  SELECT day, td,
+        |    SUM(td) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS ck,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k
+        |  FROM d),
+        |t AS (
+        |  SELECT CAST(SUM(td) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(CAST(td AS DOUBLE) * CAST(td AS DOUBLE)
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS q,
+        |    CAST(COUNT(*) AS BIGINT) AS dd
+        |  FROM d),
+        |dev AS (
+        |  SELECT c.day, c.k, t.dd, t.s,
+        |    SQRT((t.q - t.s * t.s / CAST(t.dd AS DOUBLE)) /
+        |      CAST(t.dd AS DOUBLE)) AS sigma,
+        |    CAST(c.ck AS DOUBLE) -
+        |      CAST(c.k AS DOUBLE) * (t.s / CAST(t.dd AS DOUBLE)) AS dv
+        |  FROM c CROSS JOIN t)
+        |SELECT dd AS n_days, ROUND(s, 6) AS total_mass,
+        |  ROUND(sigma, 6) AS sigma_daily,
+        |  ROUND(ABS(dv) / (sigma * SQRT(CAST(dd AS DOUBLE))), 6)
+        |    AS cusum_stat,
+        |  day AS changepoint_day,
+        |  ROUND(CAST(k AS DOUBLE) / CAST(dd AS DOUBLE), 6)
+        |    AS changepoint_frac
+        |FROM dev WHERE sigma > 0.0
+        |ORDER BY ABS(dv) DESC, day LIMIT 1""".stripMargin
+
   private def q266WelchSql: String =
     """WITH v AS (
         |  SELECT CAST(value AS DOUBLE) AS v, event_type = 'click' AS is_a

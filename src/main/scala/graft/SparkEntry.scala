@@ -3732,6 +3732,32 @@ object SparkEntry {
     SimilarityOps.clusterLabelCard(t(spark, dir, "embeddings"),
       "vec_id", "embedding", "label")
 
+  // ---------------------------------------------------------------- q283
+  // Good–Turing frequency-of-frequencies: N_r for r=1..10, unseen-mass
+  // estimate p0=N1/N, smoothed r* — whether the corpus/vocab is
+  // saturating. Exact counting end to end.
+  def q283(spark: SparkSession, dir: String): DataFrame =
+    TextOps.goodTuringCard(t(spark, dir, "documents"), "text")
+
+  // ---------------------------------------------------------------- q282
+  // Daily-count overdispersion: VMR + index-of-dispersion χ² against
+  // the Poisson null — whether rate alerts can use Poisson bands.
+  // Calendar-spine zero days; exact integer moments.
+  def q282(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.overdispersionCard(t(spark, dir, "events"), "ts")
+
+  // ---------------------------------------------------------------- q281
+  // Streaming twin of q267 (SHARED oracle): per-day decimal masses as
+  // complete-mode additive state (bounded by the calendar span), the
+  // same cusumFromDaily finisher — stream ≡ batch bit-for-bit.
+  def q281(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.streaming.StreamingOps.streamingCusumChangePoint(
+      spark, dir, "events.parquet", "ts", "value",
+      graft.streaming.StreamSink.Memory("q281_cusum"),
+      prepare = Tables.normalizeEventTs)
+  }
+
   // ---------------------------------------------------------------- q280
   // HRW shard-resize movement card over distinct user ids: measured
   // moved-key fraction for rendezvous hashing (≈1/nTo) vs naive mod
@@ -4526,6 +4552,9 @@ object SparkEntry {
     "q278_seasonal_dow" -> (q278 _),
     "q279_embedding_outliers" -> (q279 _),
     "q280_hrw_resize" -> (q280 _),
+    "q281_stream_cusum" -> (q281 _),
+    "q282_overdispersion" -> (q282 _),
+    "q283_good_turing" -> (q283 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -487,10 +487,24 @@ object DriftOps {
     * offset frames above.
     */
   def cusumChangePoint(df: DataFrame, tsCol: String, valCol: String,
-      scale: Int = 2): DataFrame = {
-    val daily = df.filter(col(valCol).isNotNull)
+      scale: Int = 2): DataFrame =
+    cusumFromDaily(cusumDailyMasses(df, tsCol, valCol, scale))
+
+  /** The additive state behind [[cusumChangePoint]]: exact decimal
+    * per-day masses — one (day) aggregation whose rows are pure sums,
+    * so the frame is streamable in complete mode and any snapshot
+    * finishes via [[cusumFromDaily]] (the batch ≡ stream contract).
+    */
+  def cusumDailyMasses(df: DataFrame, tsCol: String, valCol: String,
+      scale: Int = 2): DataFrame =
+    df.filter(col(valCol).isNotNull)
       .groupBy(to_date(col(tsCol)).as("day"))
       .agg(sum(col(valCol).cast(s"decimal(28,$scale)")).as("td"))
+
+  /** Finish a [[cusumDailyMasses]] frame into the CUSUM report — all
+    * arithmetic on the bounded day frame, no second data scan.
+    */
+  def cusumFromDaily(daily: DataFrame): DataFrame = {
     val wCum = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wK = Window.orderBy(col("day"))

@@ -1247,4 +1247,60 @@ object TextOps {
         round(exp(h), 6).as("ppl_cross"))
       .orderBy(col("src_from"), col("src_to"))
   }
+
+  /** Good–Turing frequency-of-frequencies card (Good 1953): for the
+    * `maxR` SMALLEST observed token counts r, the number of types N_r
+    * seen exactly r times, their probability mass r·N_r/N, the Turing
+    * estimate of UNSEEN mass p₀ = N₁/N (how much of the distribution
+    * the corpus has not shown yet — whether the vocab/LM is
+    * saturating), and the smoothed count r* = (r+1)·N_{r+1}/N_r. A fat
+    * N₁ means more crawl moves the LM; a thin one means the corpus has
+    * converged. Selecting the smallest observed counts (not r ≤ maxR)
+    * keeps the card non-empty on a synthetic/deduped corpus whose
+    * rarest token still appears thousands of times; r* is null where
+    * r+1 is unobserved, and a null p₀ column (no singletons anywhere)
+    * is itself the "vocabulary closed" signal.
+    *
+    * Exactness: everything is exact integer counting until the final
+    * per-row divisions (fixed shape, round 6).
+    *
+    * Scale shape: one token count aggregation, one count-of-counts
+    * aggregation (the frame collapses to |distinct r| rows), a
+    * broadcast totals row, and a self-join on r+1 within the tiny
+    * card frame.
+    */
+  def goodTuringCard(docs: DataFrame, textCol: String,
+      maxR: Int = 10): DataFrame = {
+    require(maxR >= 1, "maxR must be >= 1")
+    val w = docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+    val counts = w.groupBy(col("w")).agg(count(lit(1)).as("r"))
+    val freqOfFreq = counts.groupBy(col("r"))
+      .agg(count(lit(1)).as("n_types"))
+    val tot = counts.agg(
+      sum(col("r")).as("__n"), count(lit(1)).as("__v"))
+    // smallest maxR observed counts — the card frame is bounded by the
+    // distinct count values, so the rank window is driver-scale
+    val low = freqOfFreq
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("r"))))
+      .filter(col("__rn") <= maxR)
+    val card = low
+      .join(freqOfFreq.select((col("r") - 1).as("r"),
+        col("n_types").as("__ntNext")), Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+    card.select(col("r"), col("n_types"),
+        round(col("r").cast("double") * col("n_types").cast("double") /
+          col("__n").cast("double"), 6).as("mass"),
+        round(col("n_types").cast("double") / col("__v").cast("double"),
+          6).as("type_share"),
+        when(col("__ntNext").isNotNull,
+          round((col("r").cast("double") + lit(1.0)) *
+            col("__ntNext").cast("double") /
+            col("n_types").cast("double"), 6)).as("r_star"),
+        round(when(col("r") === 1L,
+          col("n_types").cast("double") / col("__n").cast("double"))
+          .otherwise(lit(null)), 6).as("p0_unseen"))
+      .orderBy(col("r"))
+  }
 }

@@ -491,4 +491,43 @@ object TimeSeriesOps {
           (col("__q") - dD * mu * mu), 6).as("strength"))
       .orderBy(col("dow"))
   }
+
+  /** Overdispersion card for the daily event-count series: the
+    * variance-to-mean ratio and the index-of-dispersion statistic
+    * χ² = (D−1)·s²/x̄ (≈ χ²_{D−1} under a Poisson arrival null). VMR ≫ 1
+    * says bursty/clumped ingest — the fact that decides whether rate
+    * alerts can use Poisson bands or need the empirical spread. Gap
+    * days are zero-count observations via the [[dailyCountAcf]]
+    * calendar spine.
+    *
+    * Exactness: integer counts → Σx and Σx² are exact decimals; mean,
+    * variance and the statistic assemble in one fixed double shape.
+    *
+    * Scale shape: one (day) count aggregation; everything after on the
+    * bounded day frame; the card is 1 row.
+    */
+  def overdispersionCard(df: DataFrame, tsCol: String): DataFrame = {
+    val counts = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val series = counts
+      .agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
+      .join(counts, Seq("day"), "left")
+      .select(coalesce(col("x"), lit(0L)).as("x"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val agg = series.agg(
+        count(lit(1)).as("n_days"),
+        sum(col("x")).cast("double").as("__s"),
+        sum(dec(col("x")) * dec(col("x"))).cast("double").as("__q"))
+      .filter(col("n_days") > 1 && col("__s") > 0.0)
+    val dD = col("n_days").cast("double")
+    val mean = col("__s") / dD
+    val variance = (col("__q") - col("__s") * col("__s") / dD) /
+      (dD - lit(1.0))
+    agg.select(col("n_days"),
+      round(mean, 6).as("mean_daily"),
+      round(variance, 6).as("var_daily"),
+      round(variance / mean, 6).as("vmr"),
+      round((dD - lit(1.0)) * variance / mean, 6).as("chi2_dispersion"))
+  }
 }

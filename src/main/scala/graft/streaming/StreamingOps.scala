@@ -632,6 +632,28 @@ object StreamingOps {
       spark.createDataFrame(rows, sunk.schema))
   }
 
+  /** Streaming CUSUM change-point ≡ batch (q267's twin): the per-day
+    * decimal mass frame ([[graft.operators.DriftOps.cusumDailyMasses]])
+    * is pure additive state — one complete-mode (day) aggregation whose
+    * state is bounded by the calendar span — and the SAME
+    * [[graft.operators.DriftOps.cusumFromDaily]] finisher lands on the
+    * batch report bit-for-bit under any micro-batching (decimal sums
+    * commute with batching). The monitor shape: keep the day masses
+    * fresh in the stream, re-finish the bounded frame whenever the
+    * change-point question is asked.
+    */
+  def streamingCusumChangePoint(spark: SparkSession, dir: String,
+      fileName: String, tsCol: String, valCol: String, sink: StreamSink,
+      prepare: DataFrame => DataFrame = identity): DataFrame = {
+    val daily = graft.operators.DriftOps.cusumDailyMasses(
+      prepare(fileStream(spark, dir, fileName)), tsCol, valCol)
+    val sunk = runToSink(spark, daily, sink, "complete")
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    sunk.collect().foreach(rows.add)
+    graft.operators.DriftOps.cusumFromDaily(
+      spark.createDataFrame(rows, sunk.schema))
+  }
+
   /** Streaming dedup-on-ingest — the production shape of the WHOLE dedup
     * family in one stage, chaining q216's persisted band-store admission
     * with q225's Levenshtein verification inside `foreachBatch`: each

@@ -296,4 +296,25 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch.nonEmpty)
     assert(stream == batch, s"batch=$batch\nstream=$stream")
   }
+
+  test("streamingCusumChangePoint converges to the batch report exactly") {
+    val d = Files.createTempDirectory("graft_cusum_stream").toString
+    val rows = (0 until 20).flatMap { day =>
+      val level = if (day < 10) 2 else 5
+      (0 until level).map(i =>
+        (day.toLong * 86400000000L + i, 1.5 + (i % 3)))
+    }
+    val df = rows.toDF("us", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    df.coalesce(3).write.mode("overwrite").parquet(s"$d/ev.parquet")
+    val batch = graft.operators.DriftOps.cusumChangePoint(
+      spark.read.parquet(s"$d/ev.parquet"), "ts", "value")
+      .collect().toSeq
+    val stream = StreamingOps.streamingCusumChangePoint(
+      spark, d, "ev.parquet", "ts", "value",
+      StreamSink.Memory(s"spec_cusum_${System.nanoTime()}"))
+      .collect().toSeq
+    assert(batch.nonEmpty)
+    assert(stream == batch, s"batch=$batch\nstream=$stream")
+  }
 }

@@ -387,4 +387,24 @@ class TextOpsSpec extends SparkSpec {
     val ab = out.find(r => r.getString(0) == "A" && r.getString(1) == "B").get
     assert(ab.getDouble(3) == r6(math.log(3.0)))
   }
+
+  test("goodTuringCard: hand-counted frequency of frequencies") {
+    // tokens: a×3, b×2, c×1, d×1 → N=7, V=4; N1=2, N2=1, N3=1
+    val df = Seq("a a a b", "b c d").toDF("text")
+    val out = TextOps.goodTuringCard(df, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L).getLong(1) == 2L)
+    assert(out(2L).getLong(1) == 1L && out(3L).getLong(1) == 1L)
+    assert(out(1L).getDouble(2) == r6(2.0 / 7.0)) // mass of singletons
+    // r* (1) = 2·N2/N1 = 1; r*(2) = 3·N3/N2 = 3; r*(3) null (no N4)
+    assert(out(1L).getDouble(4) == 1.0)
+    assert(out(2L).getDouble(4) == 3.0)
+    assert(out(3L).isNullAt(4))
+    // p0 = N1/N on the r=1 row only
+    assert(out(1L).getDouble(5) == r6(2.0 / 7.0))
+    assert(out(2L).isNullAt(5))
+  }
 }

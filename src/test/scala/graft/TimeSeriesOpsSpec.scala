@@ -139,4 +139,24 @@ class TimeSeriesOpsSpec extends SparkSpec {
     out.values.foreach(r => assert(r.getDouble(4) == 1.0,
       s"strength ${r.getDouble(4)}"))
   }
+
+  test("overdispersionCard: constant days VMR 0, bursty days VMR >> 1") {
+    // constant 3/day over 6 days: variance 0
+    val flat = (0 until 6).flatMap(d =>
+      (0 until 3).map(i => (d.toLong * 86400000000L + i, "e")))
+      .toDF("us", "e").withColumn("ts", timestamp_micros(col("us")))
+    val f = TimeSeriesOps.overdispersionCard(flat, "ts").collect().head
+    assert(f.getLong(0) == 6L)
+    assert(f.getDouble(1) == 3.0 && f.getDouble(2) == 0.0)
+    assert(f.getDouble(3) == 0.0)
+    // burst: day 0 has 10 events, days 1..4 none (spine zero-fills) —
+    // mean 2, var = (100 - 20)/4 = 20, VMR 10, χ² = 40
+    val burst = (0 until 10).map(i => (i.toLong, "e")) :+
+      (4L * 86400000000L, "e")
+    val bdf = (burst.take(10) :+ (4L * 86400000000L, "e"))
+      .toDF("us", "e").withColumn("ts", timestamp_micros(col("us")))
+    val b = TimeSeriesOps.overdispersionCard(bdf, "ts").collect().head
+    assert(b.getLong(0) == 5L)
+    assert(b.getDouble(3) > 5.0, s"vmr ${b.getDouble(3)}")
+  }
 }
