@@ -3088,16 +3088,18 @@ object OracleSql {
       """WITH base AS (
         |  SELECT l_returnflag AS g,
         |    l_orderkey * 10 + l_linenumber AS id,
-        |    CAST(l_extendedprice AS DOUBLE) AS x
+        |    CAST(l_extendedprice AS DOUBLE) AS x,
+        |    CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 100.0, 0)
+        |      AS BIGINT) AS xc
         |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
         |reps AS (SELECT UNNEST(range(1, 65)) AS b),
         |draw AS (
-        |  SELECT g, x, b,
+        |  SELECT g, xc, b,
         |    ((((((id + b) % 1000003) * 2654435761) % 1000003)
         |      + id // 1000003) % 9999991) * 22695477 % 9999991 AS x2
         |  FROM base CROSS JOIN reps),
         |wts AS (
-        |  SELECT g, x, b,
+        |  SELECT g, xc, b,
         |    CASE
         |      WHEN u < 0.36787944117144233 THEN 0
         |      WHEN u < 0.7357588823428847 THEN 1
@@ -3109,12 +3111,12 @@ object OracleSql {
         |      WHEN u < 0.9999897508033253 THEN 7
         |      WHEN u < 0.999998874797402 THEN 8
         |      ELSE 9 END AS w
-        |  FROM (SELECT g, x, b,
+        |  FROM (SELECT g, xc, b,
         |    (CAST(x2 AS DOUBLE) + 0.5) / 9999991.0 AS u FROM draw)),
         |rep_m AS (
         |  SELECT g, b,
-        |    ROUND(CAST(SUM(CAST(w * x AS DECIMAL(28,2))) AS DOUBLE) /
-        |      CAST(SUM(w) AS DOUBLE), 6) AS m
+        |    ROUND(CAST(SUM(w * xc) AS DOUBLE) /
+        |      (CAST(SUM(w) AS DOUBLE) * 100.0), 6) AS m
         |  FROM wts GROUP BY g, b
         |  HAVING SUM(w) > 0),
         |ranked AS (

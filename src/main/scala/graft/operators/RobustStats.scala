@@ -503,34 +503,59 @@ object RobustStats {
   def poissonBootstrapMeans(df: DataFrame, idExpr: Column, valCol: String,
       groupCol: String, reps: Int = 64, scale: Int = 2): DataFrame = {
     require(reps >= 8, "need reps >= 8 for the percentile ranks")
+    require(scale <= 6, "micro-unit packing covers scale <= 6")
     val p1 = 1000003L
     val p2 = 9999991L
+    val unit = math.pow(10.0, scale)
+    // Hot-path layout: the ×reps cross join must carry CHEAP per-pair
+    // work only. id div p1 (a decimal division) is per-ROW — hoisted
+    // out; the value is packed once into exact integer micro-units
+    // (x·10^scale is within half an ulp of an integer for a
+    // scale-decimal measure, so the round is exact recovery), making
+    // the per-(row, rep) weighted sum a LONG sum instead of 38M-row
+    // decimal accumulation.
     val base = df.filter(col(valCol).isNotNull)
       .select(col(groupCol).as("g"), idExpr.cast("long").as("__id"),
         col(valCol).cast("double").as("x"))
-    val bFrame = base.sparkSession.range(1, reps + 1)
-      .select(col("id").as("b"))
-    val idDiv = (col("__id").cast("decimal(38,0)") / lit(p1)).cast("long")
+      .withColumn("__xc", round(col("x") * lit(unit), 0).cast("long"))
+      .withColumn("__idDiv",
+        (col("__id").cast("decimal(38,0)") / lit(p1)).cast("long"))
     val x1 = pmod(pmod(col("__id") + col("b"), lit(p1)) *
       lit(2654435761L), lit(p1))
-    val x2 = pmod(pmod(x1 + idDiv, lit(p2)) * lit(22695477L), lit(p2))
+    val x2 = pmod(pmod(x1 + col("__idDiv"), lit(p2)) * lit(22695477L),
+      lit(p2))
     val u = (x2.cast("double") + lit(0.5)) / lit(p2.toDouble)
     // first-match CASE from the SMALLEST threshold up (u < cdf(0) → 0,
-    // else u < cdf(1) → 1, …) — the inverse-CDF semantics
+    // else u < cdf(1) → 1, …) — the inverse-CDF semantics. The CASE
+    // reads the MATERIALIZED __u column: a when-chain over the raw
+    // expression would re-evaluate the whole congruential chain once
+    // per branch (9× the pmod work per row — measured, it dominated).
     val w = poissonCdf1.zipWithIndex.tail
-      .foldLeft(when(u < poissonCdf1.head, lit(0L))) {
-        case (acc, (t, k)) => acc.when(u < t, lit(k.toLong))
+      .foldLeft(when(col("__u") < poissonCdf1.head, lit(0L))) {
+        case (acc, (t, k)) => acc.when(col("__u") < t, lit(k.toLong))
       }
       .otherwise(lit(9L))
-    val repAgg = base.crossJoin(broadcast(bFrame))
+    // Long headroom: Σ w·xc ≤ n·9·(max·10^scale) — overflows past
+    // ~10¹¹ rows·10⁷ micro-units PER GROUP, where ANSI mode fails LOUD
+    // (never silent wraparound); raise to a decimal sum if a deployment
+    // ever crosses that.
+    //
+    // Replicate via explode(sequence(1, reps)), NOT a broadcast cross
+    // join: projections above BroadcastNestedLoopJoin fall out of
+    // whole-stage codegen and the draw ran interpreted — measured 6×
+    // slower than the generator path on identical data.
+    val repAgg = base
+      .select(col("g"), col("__id"), col("__xc"), col("__idDiv"),
+        explode(sequence(lit(1), lit(reps))).as("b"))
+      .withColumn("__u", u)
       .withColumn("__w", w)
       .groupBy(col("g"), col("b"))
       .agg(
-        sum((col("__w").cast("double") * col("x"))
-          .cast(s"decimal(28,$scale)")).cast("double").as("__swx"),
+        sum(col("__w") * col("__xc")).as("__swx"),
         sum(col("__w")).as("__sw"))
       .filter(col("__sw") > 0)
-      .withColumn("m", round(col("__swx") / col("__sw").cast("double"), 6))
+      .withColumn("m", round(col("__swx").cast("double") /
+        (col("__sw").cast("double") * lit(unit)), 6))
     val loR = math.max(1, math.ceil(0.025 * reps).toInt)
     val hiR = math.ceil(0.975 * reps).toInt
     val wRank = Window.partitionBy(col("g")).orderBy(col("m"), col("b"))
