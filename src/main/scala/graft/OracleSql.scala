@@ -3571,6 +3571,106 @@ object OracleSql {
     // double deviations from exact terms (no running double sum), the
     // chi-square contribution convention for sigma, earliest-argmax tie
     // order (|dev| DESC, day).
+    // q284: SPRT replayed — first-half baseline from exact decimal
+    // moments, monitor-window decimal prefix masses, identical LLR
+    // shape and ln-bound literals, first-crossing decision by MIN(k).
+    "q284_sprt_monitor" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(28,2))) AS td
+        |  FROM events WHERE value IS NOT NULL GROUP BY day),
+        |ix AS (
+        |  SELECT day, td,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS dd
+        |  FROM d),
+        |sp AS (
+        |  SELECT *, dd // 2 AS split FROM ix
+        |  WHERE dd // 2 >= 2 AND dd - dd // 2 >= 1),
+        |base AS (
+        |  SELECT MAX(split) AS n_base, MAX(dd) AS n_days,
+        |    CAST(SUM(td) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(CAST(td AS DOUBLE) * CAST(td AS DOUBLE)
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS q
+        |  FROM sp WHERE i <= split),
+        |st0 AS (
+        |  SELECT n_days, n_base,
+        |    s / CAST(n_base AS DOUBLE) AS mu0,
+        |    SQRT((q - s * s / CAST(n_base AS DOUBLE)) /
+        |      (CAST(n_base AS DOUBLE) - 1.0)) AS sigma0
+        |  FROM base),
+        |st AS (SELECT * FROM st0 WHERE sigma0 > 0.0),
+        |mon AS (
+        |  SELECT day, CAST(i - split AS BIGINT) AS k,
+        |    SUM(td) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS ck
+        |  FROM sp WHERE i > split),
+        |w AS (
+        |  SELECT mon.day, mon.k, st.n_days, st.n_base, st.mu0, st.sigma0,
+        |    (st.sigma0 / (st.sigma0 * st.sigma0)) *
+        |      (CAST(mon.ck AS DOUBLE) - CAST(mon.k AS DOUBLE) * st.mu0 -
+        |        CAST(mon.k AS DOUBLE) * (st.sigma0 / 2.0)) AS llr
+        |  FROM mon CROSS JOIN st),
+        |w2 AS (
+        |  SELECT *,
+        |    CASE WHEN llr >= LN((1.0 - 0.05) / 0.05) THEN 'drift'
+        |         WHEN llr <= LN(0.05 / (1.0 - 0.05)) THEN 'no_drift'
+        |    END AS status
+        |  FROM w),
+        |fc AS (SELECT MIN(CASE WHEN status IS NOT NULL THEN k END)
+        |       AS kdec FROM w2),
+        |lk AS (SELECT MAX(k) AS kmax FROM w2),
+        |fin AS (
+        |  SELECT n_days, n_base, ROUND(mu0, 6) AS mu0,
+        |    ROUND(sigma0, 6) AS sigma0, k AS n_monitor,
+        |    ROUND(llr, 6) AS llr_final
+        |  FROM w2 CROSS JOIN lk WHERE k = kmax),
+        |dec AS (
+        |  SELECT k AS k_decision, day AS decision_day, status AS decision
+        |  FROM w2 CROSS JOIN fc WHERE k = kdec)
+        |SELECT f.n_days, f.n_base, f.n_monitor, f.mu0, f.sigma0,
+        |  f.llr_final, COALESCE(d2.decision, 'undecided') AS decision,
+        |  d2.k_decision, d2.decision_day
+        |FROM fin f LEFT JOIN dec d2 ON TRUE""".stripMargin,
+
+    // q285: RBO replayed — q13's quality expression, deterministic
+    // (score DESC, id) ranks, max-rank overlap counts per depth,
+    // exp/ln geometric weights, decimal term sums.
+    "q285_rank_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    ROUND(LEAST(len(toks) / 100.0, 1.0) *
+        |      (1.0 - len(list_filter(toks, x -> x = 'the' OR x = 'a')) /
+        |        CAST(len(toks) AS DOUBLE)), 6) AS quality_score
+        |  FROM t),
+        |ra AS (
+        |  SELECT doc_id, CAST(ROW_NUMBER() OVER
+        |    (ORDER BY quality_score DESC, doc_id) AS BIGINT) AS ia
+        |  FROM q QUALIFY ia <= 50),
+        |rb AS (
+        |  SELECT doc_id, CAST(ROW_NUMBER() OVER
+        |    (ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS ib
+        |  FROM q QUALIFY ib <= 50),
+        |j AS (SELECT GREATEST(ia, ib) AS m FROM ra JOIN rb USING (doc_id)),
+        |dep AS (SELECT CAST(UNNEST(range(1, 51)) AS BIGINT) AS i),
+        |xi AS (
+        |  SELECT i, CAST(SUM(CASE WHEN m IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS x
+        |  FROM dep LEFT JOIN j ON j.m <= dep.i GROUP BY i),
+        |terms AS (
+        |  SELECT i, x, CAST(EXP((CAST(i AS DOUBLE) - 1.0) * LN(0.9)) *
+        |    CAST(x AS DOUBLE) / CAST(i AS DOUBLE) AS DECIMAL(38,12)) AS t
+        |  FROM xi)
+        |SELECT CAST(50 AS BIGINT) AS depth, 0.9 AS p,
+        |  ROUND((1.0 - 0.9) * CAST(SUM(t) AS DOUBLE), 6) AS rbo,
+        |  MAX(CASE WHEN i = 50 THEN x END) AS overlap_at_depth,
+        |  ROUND(CAST(MAX(CASE WHEN i = 50 THEN x END) AS DOUBLE) / 50.0,
+        |    6) AS agreement_at_depth
+        |FROM terms""".stripMargin,
+
     // q281 shares q267's SQL verbatim: the streamed per-day decimal
     // mass frame is additive state equal to the batch masses exactly.
     "q267_cusum_changepoint" -> q267CusumSql,

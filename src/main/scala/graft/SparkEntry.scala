@@ -3732,6 +3732,28 @@ object SparkEntry {
     SimilarityOps.clusterLabelCard(t(spark, dir, "embeddings"),
       "vec_id", "embedding", "label")
 
+  // ---------------------------------------------------------------- q285
+  // Rank-biased overlap between the quality-score and token-count
+  // orderings of the corpus top-50 — do two curation rankings agree
+  // where it matters (geometric top-weighting, p=0.9)? exp/ln powers,
+  // decimal term sums, two TakeOrdered selections only.
+  def q285(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.withQuality(t(spark, dir, "documents"), "text",
+      Seq("the", "a"))
+    graft.metrics.RankMetrics.rankBiasedOverlap(q, "doc_id",
+      Seq(col("quality_score").desc, col("doc_id")),
+      Seq(col("n_tokens").desc, col("doc_id")))
+  }
+
+  // ---------------------------------------------------------------- q284
+  // Wald SPRT mean-shift monitor: baseline μ0/σ0 from the first half
+  // of days, one-sigma alternative, exact decimal prefix masses, the
+  // first ln((1−β)/α) / ln(β/(1−α)) crossing = the decision day —
+  // WHEN the evidence sufficed, with α/β control (q267 says where).
+  def q284(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.sprtMeanShift(
+      t(spark, dir, "events"), "ts", "value")
+
   // ---------------------------------------------------------------- q283
   // Good–Turing frequency-of-frequencies: N_r for r=1..10, unseen-mass
   // estimate p0=N1/N, smoothed r* — whether the corpus/vocab is
@@ -4555,6 +4577,8 @@ object SparkEntry {
     "q281_stream_cusum" -> (q281 _),
     "q282_overdispersion" -> (q282 _),
     "q283_good_turing" -> (q283 _),
+    "q284_sprt_monitor" -> (q284 _),
+    "q285_rank_overlap" -> (q285 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

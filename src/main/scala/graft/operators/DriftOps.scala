@@ -537,6 +537,88 @@ object DriftOps {
         round(col("k").cast("double") / dD, 6).as("changepoint_frac"))
   }
 
+  /** Wald sequential probability ratio test (Wald 1945) for a mean
+    * shift in the daily mass series — the SEQUENTIAL member of the
+    * drift battery: where CUSUM ([[cusumChangePoint]]) retrospectively
+    * locates a change, SPRT walks the monitoring window day by day and
+    * says WHEN the evidence first sufficed to call drift (or to accept
+    * stability), with α/β error control built into the stopping bounds
+    * ln((1−β)/α) and ln(β/(1−α)). Baseline μ₀/σ₀ come from the first
+    * half of the days; the tested alternative is the standard
+    * one-sigma shift μ₁ = μ₀ + σ₀; the log-likelihood ratio after k
+    * monitored days reduces to
+    *
+    *   LLR_k = (δ/σ₀²)·(C_k − k·μ₀ − k·δ/2),   δ = σ₀,
+    *
+    * with C_k the EXACT decimal prefix mass of the monitoring window —
+    * no running double sum (the [[cusumChangePoint]] discipline), so
+    * the first crossing is engine-deterministic.
+    *
+    * Scale shape: one (day) aggregation over the scan; the baseline
+    * stats, the LLR walk and the crossing scan all live on the bounded
+    * day frame.
+    */
+  def sprtMeanShift(df: DataFrame, tsCol: String, valCol: String,
+      alpha: Double = 0.05, beta: Double = 0.05,
+      scale: Int = 2): DataFrame = {
+    val daily = cusumDailyMasses(df, tsCol, valCol, scale)
+    val wK = Window.orderBy(col("day"))
+    val idx = daily.withColumn("i", row_number().over(wK).cast("long"))
+    val d = idx.agg(count(lit(1)).as("__d"))
+    val split = idx.crossJoin(broadcast(d))
+      .withColumn("__split", floor(col("__d") / 2))
+      .filter(col("__split") >= 2 && col("__d") - col("__split") >= 1)
+    val base = split.filter(col("i") <= col("__split"))
+      .agg(max(col("__split")).as("n_base"),
+        max(col("__d")).as("n_days"),
+        sum(col("td")).cast("double").as("__s"),
+        sum((col("td").cast("double") * col("td").cast("double"))
+          .cast("decimal(38,6)")).cast("double").as("__q"))
+    val nbD = col("n_base").cast("double")
+    val stats = base.select(col("n_days"), col("n_base"),
+        (col("__s") / nbD).as("__mu0"),
+        sqrt((col("__q") - col("__s") * col("__s") / nbD) /
+          (nbD - lit(1.0))).as("__sigma0"))
+      .filter(col("__sigma0") > 0.0)
+    val monitor = split.filter(col("i") > col("__split"))
+      .withColumn("k", (col("i") - col("__split")).cast("long"))
+      .withColumn("ck", sum(col("td")).over(
+        Window.orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(stats))
+    val kD = col("k").cast("double")
+    val delta = col("__sigma0")
+    val llr = (delta / (col("__sigma0") * col("__sigma0"))) *
+      (col("ck").cast("double") - kD * col("__mu0") -
+        kD * (delta / lit(2.0)))
+    val lnA = log((lit(1.0) - lit(beta)) / lit(alpha))
+    val lnB = log(lit(beta) / (lit(1.0) - lit(alpha)))
+    val walked = monitor
+      .withColumn("__llr", llr)
+      .withColumn("__status",
+        when(col("__llr") >= lnA, lit("drift"))
+          .when(col("__llr") <= lnB, lit("no_drift")))
+    val firstCross = walked
+      .agg(min(when(col("__status").isNotNull, col("k"))).as("__kdec"))
+    val lastK = walked.agg(max(col("k")).as("__kmax"))
+    val finalRow = walked.crossJoin(broadcast(lastK))
+      .filter(col("k") === col("__kmax"))
+      .select(col("n_days"), col("n_base"),
+        round(col("__mu0"), 6).as("mu0"),
+        round(col("__sigma0"), 6).as("sigma0"),
+        col("__kmax").as("n_monitor"),
+        round(col("__llr"), 6).as("llr_final"))
+    val decision = walked.crossJoin(broadcast(firstCross))
+      .filter(col("k") === col("__kdec"))
+      .select(col("k").as("k_decision"), col("day").as("decision_day"),
+        col("__status").as("decision"))
+    finalRow.join(broadcast(decision), lit(true), "left")
+      .select(col("n_days"), col("n_base"), col("n_monitor"),
+        col("mu0"), col("sigma0"), col("llr_final"),
+        coalesce(col("decision"), lit("undecided")).as("decision"),
+        col("k_decision"), col("decision_day"))
+  }
+
   /** Benjamini–Hochberg FDR screen (Benjamini & Hochberg 1995) over the
     * per-group one-vs-rest Welch z battery — the multiple-comparisons
     * discipline a per-segment drift monitor needs: test EVERY segment's

@@ -298,6 +298,38 @@ class DriftAndAuditSpec extends SparkSpec {
     }
   }
 
+  test("sprtMeanShift: big shift decides drift on the first monitor day") {
+    // baseline days alternate 9/11 (μ0=10, σ0≈1.054); monitor days sit
+    // at 20 → LLR_1 ≈ 8.98 ≥ ln(19) → decision at k=1
+    val rows = (0 until 20).map { d =>
+      val v = if (d < 10) (if (d % 2 == 0) 9.0 else 11.0) else 20.0
+      (d.toLong * 86400000000L, v)
+    }
+    val df = rows.toDF("us", "v")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val r = DriftOps.sprtMeanShift(df, "ts", "v").collect().head
+    assert(r.getLong(0) == 20L && r.getLong(1) == 10L && r.getLong(2) == 10L)
+    assert(r.getDouble(3) == 10.0) // mu0
+    assert(r.getString(6) == "drift")
+    assert(r.getLong(7) == 1L)
+    assert(r.getDate(8).toString == "1970-01-11")
+    assert(r.getDouble(5) > math.log(19.0))
+  }
+
+  test("sprtMeanShift: stable series accepts no_drift; constant is empty") {
+    val rows = (0 until 20).map { d =>
+      (d.toLong * 86400000000L, if (d % 2 == 0) 9.0 else 11.0)
+    }
+    val df = rows.toDF("us", "v")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val r = DriftOps.sprtMeanShift(df, "ts", "v").collect().head
+    assert(r.getString(6) == "no_drift")
+    assert(r.getDouble(5) < 0.0)
+    val const = (0 until 20).map(d => (d.toLong * 86400000000L, 5.0))
+      .toDF("us", "v").withColumn("ts", timestamp_micros(col("us")))
+    assert(DriftOps.sprtMeanShift(const, "ts", "v").collect().isEmpty)
+  }
+
   test("cochranArmitage: flat rates give z 0; degenerate all-success empty") {
     val flat = (1 to 3).flatMap(s =>
       (0 until 10).map(i => (s.toString, i < 5))).toDF("pri", "succ")

@@ -98,4 +98,34 @@ class RankMetricsSpec extends SparkSpec {
     assert(r.getAs[Double]("mrr") == r6(1.0 / 2.0))   // q1 rr=1, q2 rr=0
     assert(r.getAs[Double]("mean_ap") == r6(ap1 / 2.0))
   }
+
+  test("rankBiasedOverlap: identical rankings give 1 - p^d, disjoint 0") {
+    import org.apache.spark.sql.functions.col
+    val df = (0L until 100L).map(i => (i, i.toDouble, -i.toDouble))
+      .toDF("id", "s1", "s2")
+    val same = RankMetrics.rankBiasedOverlap(df, "id",
+      Seq(col("s1").desc, col("id")), Seq(col("s1").desc, col("id")))
+      .collect().head
+    // replicate the engine arithmetic: exp/ln power, X_i = i, 12-dec
+    // term truncation, decimal sum, ×(1−p), round 6
+    val expect = {
+      val terms = (1 to 50).map { i =>
+        // engine shape: (exp(..) * x) / i with x = i, left-associative
+        BigDecimal(math.exp((i - 1).toDouble * math.log(0.9)) *
+            i.toDouble / i.toDouble)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      BigDecimal((1.0 - 0.9) * terms.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(same.getAs[Double]("rbo") == expect)
+    assert(same.getAs[Long]("overlap_at_depth") == 50L)
+    assert(same.getAs[Double]("agreement_at_depth") == 1.0)
+    // s1 vs s2 rank the 100 items in opposite orders → disjoint top-50
+    val disj = RankMetrics.rankBiasedOverlap(df, "id",
+      Seq(col("s1").desc, col("id")), Seq(col("s2").desc, col("id")))
+      .collect().head
+    assert(disj.getAs[Double]("rbo") == 0.0)
+    assert(disj.getAs[Long]("overlap_at_depth") == 0L)
+  }
 }
