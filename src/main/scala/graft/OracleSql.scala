@@ -3400,7 +3400,14 @@ object OracleSql {
     // q276: BH-FDR replayed — exact decimal group/total moments (rest =
     // total − group), one-vs-rest Welch z, the shared Abramowitz–Stegun
     // 26.2.17 tail polynomial, (p, g) rank order, k* = max passing rank.
-    "q276_bh_fdr" ->
+    // q288 shares q276's SQL verbatim: the streamed per-group moment
+    // frame is additive state equal to the batch moments exactly.
+    "q276_bh_fdr" -> q276BhFdrSql,
+    "q288_stream_bhfdr" -> q276BhFdrSql,
+
+    // q286: ANOVA F replayed — the shared per-group decimal moments,
+    // ANOVA-identity SS terms with decimal contributions, fixed F/η².
+    "q286_anova_f" ->
       """WITH d AS (
         |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
         |  FROM events
@@ -3410,58 +3417,83 @@ object OracleSql {
         |    SUM(CAST(v AS DECIMAL(28,2))) AS sd,
         |    SUM(CAST(v * v AS DECIMAL(38,4))) AS qd
         |  FROM d GROUP BY g),
-        |tot AS (
+        |a AS (
         |  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
-        |    SUM(sd) AS st, SUM(qd) AS qt
-        |  FROM grp),
-        |mo AS (
-        |  SELECT g, n_g,
-        |    CAST(n_g AS DOUBLE) AS ng, CAST(n - n_g AS DOUBLE) AS nr,
-        |    CAST(sd AS DOUBLE) AS sa, CAST(qd AS DOUBLE) AS qa,
-        |    CAST(st - sd AS DOUBLE) AS sr, CAST(qt - qd AS DOUBLE) AS qr
-        |  FROM grp CROSS JOIN tot
-        |  WHERE n_g > 1 AND n - n_g > 1),
-        |zz AS (
-        |  SELECT g, n_g,
-        |    sa / ng AS ma, sr / nr AS mr,
-        |    (qa - sa * sa / ng) / (ng - 1.0) AS va,
-        |    (qr - sr * sr / nr) / (nr - 1.0) AS vr,
-        |    ng, nr
-        |  FROM mo),
-        |zs AS (
-        |  SELECT g, n_g, ma, mr,
-        |    (ma - mr) / SQRT(va / ng + vr / nr) AS z
-        |  FROM zz WHERE va / ng + vr / nr > 0.0),
-        |ps AS (
-        |  SELECT g, n_g, ma, mr, z,
-        |    ROUND(2.0 * (EXP(-ABS(z) * ABS(z) / 2.0) /
-        |      2.5066282746310002) *
-        |      ((1.0 / (1.0 + 0.2316419 * ABS(z))) * (0.319381530 +
-        |        (1.0 / (1.0 + 0.2316419 * ABS(z))) * (-0.356563782 +
-        |        (1.0 / (1.0 + 0.2316419 * ABS(z))) * (1.781477937 +
-        |        (1.0 / (1.0 + 0.2316419 * ABS(z))) * (-1.821255978 +
-        |        (1.0 / (1.0 + 0.2316419 * ABS(z))) * 1.330274429))))),
-        |      9) AS p_value
-        |  FROM zs),
-        |rk AS (
-        |  SELECT g, n_g, ma, mr, z, p_value,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY p_value, g) AS BIGINT)
-        |      AS rank,
-        |    CAST(COUNT(*) OVER () AS BIGINT) AS m
-        |  FROM ps),
-        |crit AS (
-        |  SELECT *, ROUND(0.05 * CAST(rank AS DOUBLE) /
-        |    CAST(m AS DOUBLE), 9) AS bh_critical
-        |  FROM rk),
-        |k AS (
-        |  SELECT COALESCE(MAX(CASE WHEN p_value <= bh_critical
-        |    THEN rank END), 0) AS kstar
-        |  FROM crit)
-        |SELECT g AS event_type, n_g, ROUND(ma, 6) AS mean_g,
-        |  ROUND(mr, 6) AS mean_rest, ROUND(z, 6) AS z, p_value, rank,
-        |  bh_critical, rank <= k.kstar AS rejected
-        |FROM crit CROSS JOIN k
-        |ORDER BY rank""".stripMargin,
+        |    CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(sd) AS DOUBLE) AS s, CAST(SUM(qd) AS DOUBLE) AS q,
+        |    CAST(SUM(CAST((CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) /
+        |      CAST(n_g AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS sb
+        |  FROM grp)
+        |SELECT n, k,
+        |  ROUND(sb - s * s / CAST(n AS DOUBLE), 6) AS ss_between,
+        |  ROUND(q - sb, 6) AS ss_within,
+        |  CASE WHEN q - sb > 0.0 THEN
+        |    ROUND(((sb - s * s / CAST(n AS DOUBLE)) /
+        |      (CAST(k AS DOUBLE) - 1.0)) /
+        |      ((q - sb) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+        |  END AS f_stat,
+        |  ROUND((sb - s * s / CAST(n AS DOUBLE)) /
+        |    ((sb - s * s / CAST(n AS DOUBLE)) + (q - sb)), 6)
+        |    AS eta_squared
+        |FROM a WHERE k > 1 AND n > k""".stripMargin,
+
+    // q287: Levene replayed — round-9 group means broadcast back,
+    // |x−mean| decimal moments on identical doubles, the q286 ANOVA
+    // identity on z.
+    "q287_levene" ->
+      """WITH d AS (
+        |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |m AS (
+        |  SELECT g, ROUND(CAST(SUM(CAST(v AS DECIMAL(28,2))) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 9) AS mg
+        |  FROM d GROUP BY g HAVING COUNT(*) > 1),
+        |z AS (SELECT d.g, ABS(d.v - m.mg) AS z FROM d JOIN m USING (g)),
+        |grp AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    SUM(CAST(z AS DECIMAL(38,8))) AS sd,
+        |    SUM(CAST(z * z AS DECIMAL(38,10))) AS qd
+        |  FROM z GROUP BY g),
+        |a AS (
+        |  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(sd) AS DOUBLE) AS s, CAST(SUM(qd) AS DOUBLE) AS q,
+        |    CAST(SUM(CAST((CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) /
+        |      CAST(n_g AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS sb
+        |  FROM grp)
+        |SELECT n, k,
+        |  ROUND(s / CAST(n AS DOUBLE), 6) AS mean_abs_dev,
+        |  CASE WHEN q - sb > 0.0 THEN
+        |    ROUND(((sb - s * s / CAST(n AS DOUBLE)) /
+        |      (CAST(k AS DOUBLE) - 1.0)) /
+        |      ((q - sb) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+        |  END AS f_levene
+        |FROM a WHERE k > 1 AND n > k""".stripMargin,
+
+    // q289: vocabulary richness replayed — exact counts, fixed-shape
+    // Chao1 / coverage / Herdan arithmetic.
+    "q289_vocab_richness" ->
+      """WITH t AS (
+        |  SELECT string_split(trim(text), ' ') AS toks FROM documents),
+        |w AS (SELECT u.w AS w FROM t, UNNEST(toks) AS u(w)
+        |      WHERE u.w <> ''),
+        |c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS r FROM w GROUP BY w),
+        |a AS (
+        |  SELECT CAST(SUM(r) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM c)
+        |SELECT n_tokens, n_types, f1, f2,
+        |  ROUND(CAST(n_types AS DOUBLE) + CAST(f1 AS DOUBLE) *
+        |    (CAST(f1 AS DOUBLE) - 1.0) /
+        |    (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6) AS chao1,
+        |  ROUND(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    AS coverage,
+        |  ROUND(LN(CAST(n_types AS DOUBLE)) /
+        |    LN(CAST(n_tokens AS DOUBLE)), 6) AS herdan_c
+        |FROM a WHERE n_tokens > 1""".stripMargin,
 
     // q277: confident learning replayed — q203's NB parameter CTEs, the
     // rounded-term decimal softmax (order-free denominator), per-class
@@ -7612,6 +7644,69 @@ object OracleSql {
     * and the streaming side's wave-offset partials land on identical
     * values.
     */
+  private def q276BhFdrSql: String =
+    """WITH d AS (
+        |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |grp AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    SUM(CAST(v AS DECIMAL(28,2))) AS sd,
+        |    SUM(CAST(v * v AS DECIMAL(38,4))) AS qd
+        |  FROM d GROUP BY g),
+        |tot AS (
+        |  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+        |    SUM(sd) AS st, SUM(qd) AS qt
+        |  FROM grp),
+        |mo AS (
+        |  SELECT g, n_g,
+        |    CAST(n_g AS DOUBLE) AS ng, CAST(n - n_g AS DOUBLE) AS nr,
+        |    CAST(sd AS DOUBLE) AS sa, CAST(qd AS DOUBLE) AS qa,
+        |    CAST(st - sd AS DOUBLE) AS sr, CAST(qt - qd AS DOUBLE) AS qr
+        |  FROM grp CROSS JOIN tot
+        |  WHERE n_g > 1 AND n - n_g > 1),
+        |zz AS (
+        |  SELECT g, n_g,
+        |    sa / ng AS ma, sr / nr AS mr,
+        |    (qa - sa * sa / ng) / (ng - 1.0) AS va,
+        |    (qr - sr * sr / nr) / (nr - 1.0) AS vr,
+        |    ng, nr
+        |  FROM mo),
+        |zs AS (
+        |  SELECT g, n_g, ma, mr,
+        |    (ma - mr) / SQRT(va / ng + vr / nr) AS z
+        |  FROM zz WHERE va / ng + vr / nr > 0.0),
+        |ps AS (
+        |  SELECT g, n_g, ma, mr, z,
+        |    ROUND(2.0 * (EXP(-ABS(z) * ABS(z) / 2.0) /
+        |      2.5066282746310002) *
+        |      ((1.0 / (1.0 + 0.2316419 * ABS(z))) * (0.319381530 +
+        |        (1.0 / (1.0 + 0.2316419 * ABS(z))) * (-0.356563782 +
+        |        (1.0 / (1.0 + 0.2316419 * ABS(z))) * (1.781477937 +
+        |        (1.0 / (1.0 + 0.2316419 * ABS(z))) * (-1.821255978 +
+        |        (1.0 / (1.0 + 0.2316419 * ABS(z))) * 1.330274429))))),
+        |      9) AS p_value
+        |  FROM zs),
+        |rk AS (
+        |  SELECT g, n_g, ma, mr, z, p_value,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY p_value, g) AS BIGINT)
+        |      AS rank,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS m
+        |  FROM ps),
+        |crit AS (
+        |  SELECT *, ROUND(0.05 * CAST(rank AS DOUBLE) /
+        |    CAST(m AS DOUBLE), 9) AS bh_critical
+        |  FROM rk),
+        |k AS (
+        |  SELECT COALESCE(MAX(CASE WHEN p_value <= bh_critical
+        |    THEN rank END), 0) AS kstar
+        |  FROM crit)
+        |SELECT g AS event_type, n_g, ROUND(ma, 6) AS mean_g,
+        |  ROUND(mr, 6) AS mean_rest, ROUND(z, 6) AS z, p_value, rank,
+        |  bh_critical, rank <= k.kstar AS rejected
+        |FROM crit CROSS JOIN k
+        |ORDER BY rank""".stripMargin
+
   private def q267CusumSql: String =
     """WITH d AS (
         |  SELECT CAST(ts AS DATE) AS day,

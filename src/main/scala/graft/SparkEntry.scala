@@ -3732,6 +3732,40 @@ object SparkEntry {
     SimilarityOps.clusterLabelCard(t(spark, dir, "embeddings"),
       "vec_id", "embedding", "label")
 
+  // ---------------------------------------------------------------- q289
+  // Vocabulary-richness card: V, N, f1/f2, bias-corrected Chao1 lower
+  // bound on true vocabulary, Good's coverage 1−f1/N, Herdan's C —
+  // how much lexicon the crawl has NOT seen yet, in one row.
+  def q289(spark: SparkSession, dir: String): DataFrame =
+    TextOps.vocabRichnessCard(t(spark, dir, "documents"), "text")
+
+  // ---------------------------------------------------------------- q288
+  // Streaming twin of q276 (SHARED oracle): the per-group moment frame
+  // is additive complete-mode state (|segments| rows); the same
+  // bhFdrFromMoments finisher re-ranks the fleet on demand.
+  def q288(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.streaming.StreamingOps.streamingBhFdr(
+      spark, dir, "events.parquet", "value", "event_type", alpha = 0.05,
+      graft.streaming.StreamSink.Memory("q288_bhfdr"),
+      prepare = Tables.normalizeEventTs)
+  }
+
+  // ---------------------------------------------------------------- q287
+  // Levene variance-equality across event types: the VARIANCE member
+  // of the drift battery (means q266, shape q115, location q259) —
+  // ANOVA on |x − mean_g|, exact decimal two-pass moments.
+  def q287(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.leveneTest(
+      t(spark, dir, "events"), "value", "event_type")
+
+  // ---------------------------------------------------------------- q286
+  // One-way ANOVA F + η² across event types: the k-sample parametric
+  // screen with the effect size an F-test alone hides at scale.
+  def q286(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.anovaF(
+      t(spark, dir, "events"), "value", "event_type")
+
   // ---------------------------------------------------------------- q285
   // Rank-biased overlap between the quality-score and token-count
   // orderings of the corpus top-50 — do two curation rankings agree
@@ -4579,6 +4613,10 @@ object SparkEntry {
     "q283_good_turing" -> (q283 _),
     "q284_sprt_monitor" -> (q284 _),
     "q285_rank_overlap" -> (q285 _),
+    "q286_anova_f" -> (q286 _),
+    "q287_levene" -> (q287 _),
+    "q288_stream_bhfdr" -> (q288 _),
+    "q289_vocab_richness" -> (q289 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -639,13 +639,31 @@ object DriftOps {
     * the BH threshold live on the |groups|-row frame.
     */
   def bhFdrCard(df: DataFrame, valCol: String, groupCol: String,
-      alpha: Double = 0.05, scale: Int = 2, scale2: Int = 4): DataFrame = {
+      alpha: Double = 0.05, scale: Int = 2, scale2: Int = 4): DataFrame =
+    bhFdrFromMoments(
+      bhFdrMoments(df, valCol, groupCol, scale, scale2), alpha, groupCol)
+
+  /** The additive per-group moment state behind [[bhFdrCard]] — counts
+    * and exact per-row decimal sums of v and v², streamable in complete
+    * mode ([[welchMoments]]' contract, one row per group); any snapshot
+    * finishes via [[bhFdrFromMoments]].
+    */
+  def bhFdrMoments(df: DataFrame, valCol: String, groupCol: String,
+      scale: Int = 2, scale2: Int = 4): DataFrame = {
     val d = df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).as("g"), col(valCol).cast("double").as("v"))
-    val grp = d.groupBy(col("g")).agg(
+    d.groupBy(col("g")).agg(
       count(lit(1)).as("n_g"),
       sum(col("v").cast(s"decimal(28,$scale)")).as("__sd"),
       sum((col("v") * col("v")).cast(s"decimal(38,$scale2)")).as("__qd"))
+  }
+
+  /** Finish a [[bhFdrMoments]] frame into the BH-FDR report — the one
+    * fixed shape the batch, streaming, and SQL paths all replay.
+    */
+  def bhFdrFromMoments(grp: DataFrame, alpha: Double = 0.05,
+      outName: String = "g"): DataFrame = {
+    val groupCol = outName
     val tot = grp.agg(sum(col("n_g")).as("__n"),
       sum(col("__sd")).as("__st"), sum(col("__qd")).as("__qt"))
     val ngD = col("n_g").cast("double")
@@ -688,6 +706,98 @@ object DriftOps {
         col("mean_rest"), col("z"), col("p_value"), col("rank"),
         col("bh_critical"), (col("rank") <= col("__k")).as("rejected"))
       .orderBy(col("rank"))
+  }
+
+  /** One-way ANOVA F over per-group means (Fisher): does ANY group's
+    * mean differ — the k-sample parametric screen before pairwise
+    * Welch tests, with η² = SSB/SST as the effect size (the variance
+    * share group membership explains — at 100 TB an F-test rejects for
+    * trivial effects; η² says whether to care, the [[RobustStats
+    * .contingencyAssociation]] lesson for means).
+    *
+    * Exactness: one exact-decimal (group) moment aggregation;
+    * SSB = Σ S_g²/n_g − S²/N via the ANOVA identity with per-group
+    * decimal-cast contributions; SSW = Q − Σ S_g²/n_g. Fixed double
+    * shapes thereafter.
+    *
+    * Scale shape: one (group) aggregation over the scan; everything
+    * after on the |groups|-row frame.
+    */
+  def anovaF(df: DataFrame, valCol: String, groupCol: String,
+      scale: Int = 2, scale2: Int = 4): DataFrame = {
+    val grp = bhFdrMoments(df, valCol, groupCol, scale, scale2)
+    val agg = grp.agg(
+        sum(col("n_g")).as("n"),
+        count(lit(1)).as("k"),
+        sum(col("__sd")).cast("double").as("__s"),
+        sum(col("__qd")).cast("double").as("__q"),
+        sum(((col("__sd").cast("double") * col("__sd").cast("double")) /
+          col("n_g").cast("double")).cast("decimal(38,6)"))
+          .cast("double").as("__sb"))
+      .filter(col("k") > 1 && col("n") > col("k"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val ssb = col("__sb") - col("__s") * col("__s") / nD
+    val ssw = col("__q") - col("__sb")
+    agg.select(col("n"), col("k"),
+      round(ssb, 6).as("ss_between"),
+      round(ssw, 6).as("ss_within"),
+      when(ssw > 0.0,
+        round((ssb / (kD - lit(1.0))) / (ssw / (nD - kD)), 6))
+        .as("f_stat"),
+      round(ssb / (ssb + ssw), 6).as("eta_squared"))
+  }
+
+  /** Levene's variance-equality test (Levene 1960, mean-centered): the
+    * VARIANCE member of the drift battery — [[welchTTest]] sees mean
+    * shifts, [[ksTwoSample]] shapes, [[mannWhitneyU]] locations; this
+    * one alarms when a segment's SPREAD moved (tails widening is how
+    * data-quality rot usually shows first). Mechanically: one-way
+    * ANOVA ([[anovaF]]'s identity) on z = |x − x̄_g|.
+    *
+    * Exactness: pass 1 — exact decimal group means, rounded to 9 (the
+    * NB parameter convention) and broadcast back; pass 2 — z moments
+    * accumulate as decimal casts of identical per-row doubles; the F
+    * assembly is fixed-shape.
+    *
+    * Scale shape: two scans (means, then centered moments) with a
+    * broadcast join between — no shuffle of the data beyond the two
+    * keyed aggregations.
+    */
+  def leveneTest(df: DataFrame, valCol: String, groupCol: String,
+      scale: Int = 2): DataFrame = {
+    val d = df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valCol).cast("double").as("v"))
+    val means = d.groupBy(col("g"))
+      .agg(count(lit(1)).as("__nm"),
+        sum(col("v").cast(s"decimal(28,$scale)")).cast("double").as("__sm"))
+      .filter(col("__nm") > 1)
+      .select(col("g"),
+        round(col("__sm") / col("__nm").cast("double"), 9).as("__m"))
+    val z = d.join(broadcast(means), "g")
+      .withColumn("__z", abs(col("v") - col("__m")))
+    val grp = z.groupBy(col("g")).agg(
+      count(lit(1)).as("n_g"),
+      sum(col("__z").cast("decimal(38,8)")).as("__sd"),
+      sum((col("__z") * col("__z")).cast("decimal(38,10)")).as("__qd"))
+    val agg = grp.agg(
+        sum(col("n_g")).as("n"),
+        count(lit(1)).as("k"),
+        sum(col("__sd")).cast("double").as("__s"),
+        sum(col("__qd")).cast("double").as("__q"),
+        sum(((col("__sd").cast("double") * col("__sd").cast("double")) /
+          col("n_g").cast("double")).cast("decimal(38,6)"))
+          .cast("double").as("__sb"))
+      .filter(col("k") > 1 && col("n") > col("k"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val ssb = col("__sb") - col("__s") * col("__s") / nD
+    val ssw = col("__q") - col("__sb")
+    agg.select(col("n"), col("k"),
+      round(col("__s") / nD, 6).as("mean_abs_dev"),
+      when(ssw > 0.0,
+        round((ssb / (kD - lit(1.0))) / (ssw / (nD - kD)), 6))
+        .as("f_levene"))
   }
 
   /** Cochran–Armitage trend test (Cochran 1954, Armitage 1955): is a

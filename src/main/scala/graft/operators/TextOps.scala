@@ -1303,4 +1303,40 @@ object TextOps {
           .otherwise(lit(null)), 6).as("p0_unseen"))
       .orderBy(col("r"))
   }
+
+  /** Vocabulary-richness card: the species-estimation view of a corpus
+    * — observed types V, tokens N, singleton/doubleton counts f₁/f₂,
+    * the bias-corrected Chao1 lower bound on TRUE vocabulary size
+    * V + f₁(f₁−1)/(2(f₂+1)) (Chao 1984), Good's sample coverage
+    * 1 − f₁/N, and Herdan's C = ln V/ln N. Together: how much
+    * vocabulary the crawl has NOT seen yet and whether more data still
+    * grows the lexicon — [[goodTuringCard]] gives the spectrum, this
+    * card the headline numbers.
+    *
+    * Exactness: all counts exact; the three derived numbers are fixed-
+    * shape double arithmetic.
+    *
+    * Scale shape: one token count aggregation, one 1-row reduction.
+    */
+  def vocabRichnessCard(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("r"))
+    val agg = counts.agg(
+        sum(col("r")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("r") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("r") === 2L, 1L).otherwise(0L)).as("f2"))
+      .filter(col("n_tokens") > 1)
+    val f1D = col("f1").cast("double")
+    val f2D = col("f2").cast("double")
+    agg.select(col("n_tokens"), col("n_types"), col("f1"), col("f2"),
+      round(col("n_types").cast("double") +
+        f1D * (f1D - lit(1.0)) / (lit(2.0) * (f2D + lit(1.0))), 6)
+        .as("chao1"),
+      round(lit(1.0) - f1D / col("n_tokens").cast("double"), 6)
+        .as("coverage"),
+      round(log(col("n_types").cast("double")) /
+        log(col("n_tokens").cast("double")), 6).as("herdan_c"))
+  }
 }

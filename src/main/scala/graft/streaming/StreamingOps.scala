@@ -654,6 +654,28 @@ object StreamingOps {
       spark.createDataFrame(rows, sunk.schema))
   }
 
+  /** Streaming BH-FDR drift screen ≡ batch (q276's twin): the per-group
+    * moment frame ([[graft.operators.DriftOps.bhFdrMoments]] — one row
+    * per group, every column a count or exact decimal sum) is additive
+    * complete-mode state; the SAME
+    * [[graft.operators.DriftOps.bhFdrFromMoments]] finisher (one-vs-rest
+    * Welch z, shared normal-tail polynomial, BH ranking) lands on the
+    * batch report bit-for-bit under any micro-batching. The monitor
+    * shape for a segment fleet: keep |segments| rows of state fresh,
+    * re-rank whenever the alarm question is asked.
+    */
+  def streamingBhFdr(spark: SparkSession, dir: String, fileName: String,
+      valCol: String, groupCol: String, alpha: Double, sink: StreamSink,
+      prepare: DataFrame => DataFrame = identity): DataFrame = {
+    val moments = graft.operators.DriftOps.bhFdrMoments(
+      prepare(fileStream(spark, dir, fileName)), valCol, groupCol)
+    val sunk = runToSink(spark, moments, sink, "complete")
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    sunk.collect().foreach(rows.add)
+    graft.operators.DriftOps.bhFdrFromMoments(
+      spark.createDataFrame(rows, sunk.schema), alpha, groupCol)
+  }
+
   /** Streaming dedup-on-ingest — the production shape of the WHOLE dedup
     * family in one stage, chaining q216's persisted band-store admission
     * with q225's Levenshtein verification inside `foreachBatch`: each

@@ -298,6 +298,44 @@ class DriftAndAuditSpec extends SparkSpec {
     }
   }
 
+  test("anovaF: hand-computed two-group table") {
+    // A=[1,2,3], B=[4,5,6]: SSB=13.5, SSW=4, F=13.5, η²=13.5/17.5
+    val df = (Seq(1, 2, 3).map(v => ("A", v.toDouble)) ++
+      Seq(4, 5, 6).map(v => ("B", v.toDouble))).toDF("g", "v")
+    val r = DriftOps.anovaF(df, "v", "g").collect().head
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 13.5 && r.getDouble(3) == 4.0)
+    assert(r.getDouble(4) == 13.5)
+    assert(r.getDouble(5) == r6(13.5 / 17.5))
+  }
+
+  test("anovaF: identical groups give F 0; single group empty") {
+    val same = (Seq("A", "B").flatMap(g =>
+      Seq(1.0, 2.0, 3.0).map(v => (g, v)))).toDF("g", "v")
+    val r = DriftOps.anovaF(same, "v", "g").collect().head
+    assert(r.getDouble(2) == 0.0 && r.getDouble(4) == 0.0)
+    val one = Seq(("A", 1.0), ("A", 2.0)).toDF("g", "v")
+    assert(DriftOps.anovaF(one, "v", "g").collect().isEmpty)
+  }
+
+  test("leveneTest: hand-computed spread difference") {
+    // A=[0,10,5] → z=[5,5,0]; B=[4,6,5] → z=[1,1,0]
+    // SSB(z)=10.6667, SSW(z)=17.3333 → F=2.461538, MAD=2
+    val df = (Seq(0, 10, 5).map(v => ("A", v.toDouble)) ++
+      Seq(4, 6, 5).map(v => ("B", v.toDouble))).toDF("g", "v")
+    val r = DriftOps.leveneTest(df, "v", "g").collect().head
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 2.0)
+    val ssb = (100.0 / 3.0 + 4.0 / 3.0) - 144.0 / 6.0
+    val ssw = 52.0 - (100.0 / 3.0 + 4.0 / 3.0)
+    assert(math.abs(r.getDouble(3) - (ssb / 1.0) / (ssw / 4.0)) < 1e-5,
+      s"f ${r.getDouble(3)}")
+  }
+
   test("sprtMeanShift: big shift decides drift on the first monitor day") {
     // baseline days alternate 9/11 (μ0=10, σ0≈1.054); monitor days sit
     // at 20 → LLR_1 ≈ 8.98 ≥ ln(19) → decision at k=1

@@ -317,4 +317,22 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch.nonEmpty)
     assert(stream == batch, s"batch=$batch\nstream=$stream")
   }
+
+  test("streamingBhFdr converges to the batch report exactly") {
+    val d = Files.createTempDirectory("graft_bhfdr_stream").toString
+    val rows = (1 to 60).map(i => ("a", 50.0 + (i % 3))) ++
+      (1 to 60).map(i => ("b", (i % 7).toDouble)) ++
+      (1 to 60).map(i => ("c", ((i + 2) % 7).toDouble))
+    val df = rows.toDF("event_type", "value")
+    df.coalesce(3).write.mode("overwrite").parquet(s"$d/ev.parquet")
+    val batch = graft.operators.DriftOps.bhFdrCard(
+      spark.read.parquet(s"$d/ev.parquet"), "value", "event_type")
+      .collect().toSeq
+    val stream = StreamingOps.streamingBhFdr(
+      spark, d, "ev.parquet", "value", "event_type", alpha = 0.05,
+      StreamSink.Memory(s"spec_bhfdr_${System.nanoTime()}"))
+      .collect().toSeq
+    assert(batch.length == 3)
+    assert(stream == batch, s"batch=$batch\nstream=$stream")
+  }
 }

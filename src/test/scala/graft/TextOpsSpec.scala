@@ -407,4 +407,21 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1L).getDouble(5) == r6(2.0 / 7.0))
     assert(out(2L).isNullAt(5))
   }
+
+  test("vocabRichnessCard: hand-computed Chao1 and coverage") {
+    // a×3, b×2, c×1, d×1 → N=7, V=4, f1=2, f2=1
+    val df = Seq("a a a b", "b c d").toDF("text")
+    val r = TextOps.vocabRichnessCard(df, "text").collect().head
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == 7L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 1L)
+    assert(r.getDouble(4) == r6(4.0 + 2.0 * 1.0 / (2.0 * 2.0)))
+    assert(r.getDouble(5) == r6(1.0 - 2.0 / 7.0))
+    assert(r.getDouble(6) == r6(math.log(4.0) / math.log(7.0)))
+    // no singletons → chao1 = V exactly, coverage 1
+    val closed = Seq("x x y y").toDF("text")
+    val c = TextOps.vocabRichnessCard(closed, "text").collect().head
+    assert(c.getDouble(4) == 2.0 && c.getDouble(5) == 1.0)
+  }
 }
