@@ -3189,7 +3189,15 @@ object OracleSql {
     // q269: daily-count ACF replayed — calendar spine with zero-filled
     // gap days, HUGEINT lag moments (≡ Spark's decimal(38,0)), the
     // textbook estimator in one shared double shape per lag.
-    "q269_daily_acf" ->
+    // q292 shares q269's SQL verbatim: the streamed (day, count) frame
+    // is additive state equal to the batch counts exactly.
+    "q269_daily_acf" -> q269AcfSql,
+    "q292_stream_acf" -> q269AcfSql,
+
+    // q290: segmented trend replayed — q269's spine, exact prefix
+    // moments in one window, identical per-candidate OLS shapes,
+    // (rounded SSE, day) argmin.
+    "q290_segmented_trend" ->
       """WITH counts AS (
         |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
         |  FROM events GROUP BY day),
@@ -3199,33 +3207,147 @@ object OracleSql {
         |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
         |  FROM b),
         |series AS (
-        |  SELECT CAST(date_diff('day', b.lo, d.day) AS BIGINT) AS i,
-        |    COALESCE(c.x, 0) AS x
+        |  SELECT d.day, CAST(date_diff('day', b.lo, d.day) AS BIGINT)
+        |    AS i, COALESCE(c.x, 0) AS x
         |  FROM days d CROSS JOIN b LEFT JOIN counts c ON d.day = c.day),
+        |pre AS (
+        |  SELECT day, i, x,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS p_n,
+        |    SUM(x) OVER w AS p_x,
+        |    SUM(CAST(x AS HUGEINT) * x) OVER w AS p_xx,
+        |    SUM(i) OVER w AS p_i,
+        |    SUM(CAST(i AS HUGEINT) * i) OVER w AS p_ii,
+        |    SUM(CAST(i AS HUGEINT) * x) OVER w AS p_ix
+        |  FROM series
+        |  WINDOW w AS (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW)),
         |tot AS (
-        |  SELECT CAST(SUM(x) AS DOUBLE) AS s0,
-        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS s2,
-        |    CAST(COUNT(*) AS BIGINT) AS d
-        |  FROM series),
-        |lags AS (SELECT UNNEST(range(1, 8)) AS l),
-        |p AS (
-        |  SELECT l.l, s1.x AS x, s2.x AS x2
-        |  FROM series s1 CROSS JOIN lags l
-        |  JOIN series s2 ON s2.i = s1.i + l.l),
-        |a AS (
-        |  SELECT l, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-        |    CAST(SUM(CAST(x AS HUGEINT) * x2) AS DOUBLE) AS nl,
-        |    CAST(SUM(x) AS DOUBLE) AS al,
-        |    CAST(SUM(x2) AS DOUBLE) AS bl
-        |  FROM p GROUP BY l)
-        |SELECT CAST(l AS BIGINT) AS lag, n_pairs,
-        |  ROUND((nl - (s0 / CAST(d AS DOUBLE)) * (al + bl) +
-        |    CAST(n_pairs AS DOUBLE) * (s0 / CAST(d AS DOUBLE)) *
-        |      (s0 / CAST(d AS DOUBLE))) /
-        |    (s2 - CAST(d AS DOUBLE) * (s0 / CAST(d AS DOUBLE)) *
-        |      (s0 / CAST(d AS DOUBLE))), 6) AS acf
-        |FROM a CROSS JOIN tot
-        |ORDER BY lag""".stripMargin,
+        |  SELECT MAX(p_n) AS tn, MAX(p_x) AS tx, MAX(p_xx) AS txx,
+        |    MAX(p_i) AS ti, MAX(p_ii) AS tii, MAX(p_ix) AS tix
+        |  FROM pre),
+        |cand AS (
+        |  SELECT * FROM pre CROSS JOIN tot
+        |  WHERE p_n >= 2 AND tn - p_n >= 2),
+        |s1 AS (
+        |  SELECT day, tn,
+        |    CAST(p_ii AS DOUBLE) - CAST(p_i AS DOUBLE) *
+        |      CAST(p_i AS DOUBLE) / CAST(p_n AS DOUBLE) AS denl,
+        |    CAST(p_ix AS DOUBLE) - CAST(p_i AS DOUBLE) *
+        |      CAST(p_x AS DOUBLE) / CAST(p_n AS DOUBLE) AS numl,
+        |    CAST(p_xx AS DOUBLE) - CAST(p_x AS DOUBLE) *
+        |      CAST(p_x AS DOUBLE) / CAST(p_n AS DOUBLE) AS sstl,
+        |    CAST(tii - p_ii AS DOUBLE) - CAST(ti - p_i AS DOUBLE) *
+        |      CAST(ti - p_i AS DOUBLE) / CAST(tn - p_n AS DOUBLE) AS denr,
+        |    CAST(tix - p_ix AS DOUBLE) - CAST(ti - p_i AS DOUBLE) *
+        |      CAST(tx - p_x AS DOUBLE) / CAST(tn - p_n AS DOUBLE) AS numr,
+        |    CAST(txx - p_xx AS DOUBLE) - CAST(tx - p_x AS DOUBLE) *
+        |      CAST(tx - p_x AS DOUBLE) / CAST(tn - p_n AS DOUBLE) AS sstr,
+        |    CAST(tii AS DOUBLE) - CAST(ti AS DOUBLE) *
+        |      CAST(ti AS DOUBLE) / CAST(tn AS DOUBLE) AS dent,
+        |    CAST(tix AS DOUBLE) - CAST(ti AS DOUBLE) *
+        |      CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE) AS numt,
+        |    CAST(txx AS DOUBLE) - CAST(tx AS DOUBLE) *
+        |      CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE) AS sstt
+        |  FROM cand),
+        |s2 AS (
+        |  SELECT day, tn AS n_days,
+        |    ROUND(numl / denl, 6) AS slope_left,
+        |    ROUND(numr / denr, 6) AS slope_right,
+        |    ROUND((sstl - (numl / denl) * (numl / denl) * denl) +
+        |      (sstr - (numr / denr) * (numr / denr) * denr), 6) AS sse_two,
+        |    ROUND(sstt - (numt / dent) * (numt / dent) * dent, 6)
+        |      AS sse_single
+        |  FROM s1)
+        |SELECT n_days, day AS breakpoint_day, slope_left, slope_right,
+        |  sse_single, sse_two,
+        |  ROUND(CASE WHEN sse_single > 0.0 THEN
+        |    (sse_single - sse_two) / sse_single END, 6)
+        |    AS sse_reduction_frac
+        |FROM s2 ORDER BY sse_two, day LIMIT 1""".stripMargin,
+
+    // q291: pairwise rank matrix replayed — zero-filled per-group
+    // cumulative counts on the shared value spine, one spine self-join
+    // for every pair's doubled rank sums, shared normal-tail polynomial,
+    // BH ranking on the pair frame.
+    "q291_pairwise_rank_matrix" ->
+      """WITH d AS (
+        |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |bvg AS (SELECT v, g, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM d GROUP BY v, g),
+        |spine AS (SELECT DISTINCT v FROM bvg),
+        |gs AS (SELECT DISTINCT g FROM bvg),
+        |full_f AS (
+        |  SELECT s.v, gr.g, COALESCE(b.c, 0) AS c
+        |  FROM spine s CROSS JOIN gs gr
+        |  LEFT JOIN bvg b ON b.v = s.v AND b.g = gr.g),
+        |f AS (
+        |  SELECT v, g, c,
+        |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) - c AS BIGINT) AS prev
+        |  FROM full_f),
+        |pr AS (
+        |  SELECT a.v, a.g AS g_a, a.c AS ca, a.prev AS pa,
+        |    b.g AS g_b, b.c AS cb, b.prev AS pb
+        |  FROM f a JOIN f b ON a.v = b.v AND a.g < b.g),
+        |agg AS (
+        |  SELECT g_a, g_b,
+        |    CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) AS BIGINT) AS n_b,
+        |    CAST(SUM(CAST(cb AS HUGEINT) *
+        |      (CAST(pa + pb AS HUGEINT) * 2 + (ca + cb) + 1))
+        |      AS HUGEINT) AS r2b,
+        |    CAST(SUM(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb)
+        |      - (ca + cb)) AS HUGEINT) AS ties
+        |  FROM pr GROUP BY g_a, g_b
+        |  HAVING SUM(ca) > 0 AND SUM(cb) > 0),
+        |zs AS (
+        |  SELECT g_a, g_b, n_a, n_b,
+        |    ((CAST(r2b AS DOUBLE) - CAST(n_b AS DOUBLE) *
+        |      (CAST(n_b AS DOUBLE) + 1.0)) / 2.0 -
+        |      CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
+        |    SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+        |      ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
+        |        CAST(ties AS DOUBLE) /
+        |        ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+        |          (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))))
+        |      AS zraw,
+        |    SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+        |      ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
+        |        CAST(ties AS DOUBLE) /
+        |        ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+        |          (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))))
+        |      AS sigma
+        |  FROM agg),
+        |ps AS (
+        |  SELECT g_a, g_b, n_a, n_b, ROUND(zraw, 6) AS z,
+        |    ROUND(2.0 * (EXP(-ABS(zraw) * ABS(zraw) / 2.0) /
+        |      2.5066282746310002) *
+        |      ((1.0 / (1.0 + 0.2316419 * ABS(zraw))) * (0.319381530 +
+        |        (1.0 / (1.0 + 0.2316419 * ABS(zraw))) * (-0.356563782 +
+        |        (1.0 / (1.0 + 0.2316419 * ABS(zraw))) * (1.781477937 +
+        |        (1.0 / (1.0 + 0.2316419 * ABS(zraw))) * (-1.821255978 +
+        |        (1.0 / (1.0 + 0.2316419 * ABS(zraw))) * 1.330274429))))),
+        |      9) AS p_value
+        |  FROM zs WHERE sigma > 0.0),
+        |rk AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p_value, g_a, g_b)
+        |      AS BIGINT) AS rank,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS m
+        |  FROM ps),
+        |crit AS (
+        |  SELECT *, ROUND(0.05 * CAST(rank AS DOUBLE) /
+        |    CAST(m AS DOUBLE), 9) AS bh_critical
+        |  FROM rk),
+        |k AS (
+        |  SELECT COALESCE(MAX(CASE WHEN p_value <= bh_critical
+        |    THEN rank END), 0) AS kstar
+        |  FROM crit)
+        |SELECT g_a, g_b, n_a, n_b, z, p_value, rank, bh_critical,
+        |  rank <= k.kstar AS rejected
+        |FROM crit CROSS JOIN k
+        |ORDER BY rank""".stripMargin,
 
     // q270: Wilson intervals replayed — exact n/k counts, shared z
     // literal, identical center/half parenthesization.
@@ -7644,6 +7766,44 @@ object OracleSql {
     * and the streaming side's wave-offset partials land on identical
     * values.
     */
+  private def q269AcfSql: String =
+    """WITH counts AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY day),
+        |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM counts),
+        |days AS (
+        |  SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |series AS (
+        |  SELECT CAST(date_diff('day', b.lo, d.day) AS BIGINT) AS i,
+        |    COALESCE(c.x, 0) AS x
+        |  FROM days d CROSS JOIN b LEFT JOIN counts c ON d.day = c.day),
+        |tot AS (
+        |  SELECT CAST(SUM(x) AS DOUBLE) AS s0,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS s2,
+        |    CAST(COUNT(*) AS BIGINT) AS d
+        |  FROM series),
+        |lags AS (SELECT UNNEST(range(1, 8)) AS l),
+        |p AS (
+        |  SELECT l.l, s1.x AS x, s2.x AS x2
+        |  FROM series s1 CROSS JOIN lags l
+        |  JOIN series s2 ON s2.i = s1.i + l.l),
+        |a AS (
+        |  SELECT l, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x2) AS DOUBLE) AS nl,
+        |    CAST(SUM(x) AS DOUBLE) AS al,
+        |    CAST(SUM(x2) AS DOUBLE) AS bl
+        |  FROM p GROUP BY l)
+        |SELECT CAST(l AS BIGINT) AS lag, n_pairs,
+        |  ROUND((nl - (s0 / CAST(d AS DOUBLE)) * (al + bl) +
+        |    CAST(n_pairs AS DOUBLE) * (s0 / CAST(d AS DOUBLE)) *
+        |      (s0 / CAST(d AS DOUBLE))) /
+        |    (s2 - CAST(d AS DOUBLE) * (s0 / CAST(d AS DOUBLE)) *
+        |      (s0 / CAST(d AS DOUBLE))), 6) AS acf
+        |FROM a CROSS JOIN tot
+        |ORDER BY lag""".stripMargin
+
   private def q276BhFdrSql: String =
     """WITH d AS (
         |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v

@@ -3732,6 +3732,34 @@ object SparkEntry {
     SimilarityOps.clusterLabelCard(t(spark, dir, "embeddings"),
       "vec_id", "embedding", "label")
 
+  // ---------------------------------------------------------------- q292
+  // Streaming twin of q269 (SHARED oracle): the (day, count) frame is
+  // additive complete-mode state; the same spine/lag finisher lands on
+  // the batch ACF bit-for-bit.
+  def q292(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.streaming.StreamingOps.streamingDailyAcf(
+      spark, dir, "events.parquet", "ts", maxLag = 7,
+      graft.streaming.StreamSink.Memory("q292_acf"),
+      prepare = Tables.normalizeEventTs)
+  }
+
+  // ---------------------------------------------------------------- q291
+  // Pairwise Mann–Whitney z matrix with BH control across ALL event-
+  // type pairs from ONE pass (per-group cumulative counts on the shared
+  // value spine) — the post-hoc step after q261's Kruskal–Wallis:
+  // WHICH pairs differ, FDR-controlled.
+  def q291(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.pairwiseRankMatrix(
+      t(spark, dir, "events"), "value", "event_type")
+
+  // ---------------------------------------------------------------- q290
+  // Two-segment trend fit of daily volume: least-squares breakpoint
+  // (slope change — what CUSUM's level detector smears), exact prefix
+  // moments on the calendar spine, SSE-reduction evidence weight.
+  def q290(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.segmentedTrendFit(t(spark, dir, "events"), "ts")
+
   // ---------------------------------------------------------------- q289
   // Vocabulary-richness card: V, N, f1/f2, bias-corrected Chao1 lower
   // bound on true vocabulary, Good's coverage 1−f1/N, Herdan's C —
@@ -4617,6 +4645,9 @@ object SparkEntry {
     "q287_levene" -> (q287 _),
     "q288_stream_bhfdr" -> (q288 _),
     "q289_vocab_richness" -> (q289 _),
+    "q290_segmented_trend" -> (q290 _),
+    "q291_pairwise_rank_matrix" -> (q291 _),
+    "q292_stream_acf" -> (q292 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -708,6 +708,93 @@ object DriftOps {
       .orderBy(col("rank"))
   }
 
+  /** Pairwise Mann–Whitney z matrix with Benjamini–Hochberg control —
+    * the post-hoc step after [[kruskalWallis]] says "something
+    * differs": WHICH segment pairs differ in location, with the
+    * G(G−1)/2 simultaneous tests FDR-controlled (the Dunn-test shape,
+    * on exact midranks). ALL pairs come from ONE pass: per-group
+    * zero-filled cumulative counts on the shared distinct-value spine
+    * give every pair's doubled rank sums by a single spine self-join —
+    * no per-pair rescan of the data.
+    *
+    * Exactness: [[mannWhitneyU]]'s doubled-midrank decimals per pair;
+    * the normal tail is the shared Abramowitz–Stegun polynomial
+    * ([[bhFdrCard]]); ranks and the BH threshold live on the pair
+    * frame.
+    *
+    * Scale shape: one (value, group) count aggregation over the scan;
+    * the spine × groups frame is |distinct values|·G rows (bounded by
+    * the value domain — 2-decimal measures cap it independently of row
+    * count), the pair join |distinct values|·G² — all far from data
+    * scale.
+    */
+  def pairwiseRankMatrix(df: DataFrame, valCol: String, groupCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    val d = df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(valCol).cast("double").as("v"))
+    val byVG = d.groupBy(col("v"), col("g")).agg(count(lit(1)).as("c"))
+    val spine = byVG.select(col("v")).distinct()
+    val groups = byVG.select(col("g")).distinct()
+    val full = spine.crossJoin(broadcast(groups))
+      .join(byVG, Seq("v", "g"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val f = full.withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("prev", col("cum") - col("c"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val pairRows = f.select(col("v"), col("g").as("g_a"),
+        col("c").as("ca"), col("prev").as("pa"))
+      .join(f.select(col("v"), col("g").as("g_b"),
+        col("c").as("cb"), col("prev").as("pb")), "v")
+      .filter(col("g_a") < col("g_b"))
+    val t = col("ca") + col("cb")
+    val agg = pairRows.groupBy(col("g_a"), col("g_b"))
+      .agg(
+        sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum(dec(col("cb")) *
+          (dec(col("pa") + col("pb")) * lit(2) + dec(t) + lit(1)))
+          .as("__r2b"),
+        sum(dec(t) * dec(t) * dec(t) - dec(t)).as("__ties"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val n = na + nb
+    val ub = (col("__r2b").cast("double") - nb * (nb + lit(1.0))) /
+      lit(2.0)
+    val mu = na * nb / lit(2.0)
+    val sigma = sqrt(na * nb / lit(12.0) *
+      ((n + lit(1.0)) - col("__ties").cast("double") /
+        (n * (n - lit(1.0)))))
+    val z = (ub - mu) / sigma
+    val az = abs(z)
+    val tPoly = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = tPoly * (lit(0.319381530) + tPoly * (lit(-0.356563782) +
+      tPoly * (lit(1.781477937) + tPoly * (lit(-1.821255978) +
+        tPoly * lit(1.330274429)))))
+    val phi = exp(-az * az / lit(2.0)) / lit(2.5066282746310002)
+    val scored = agg.filter(sigma > 0.0)
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        round(z, 6).as("z"),
+        round(lit(2.0) * phi * poly, 9).as("p_value"))
+    val m = scored.agg(count(lit(1)).as("__m"))
+    val wR = Window.orderBy(col("p_value"), col("g_a"), col("g_b"))
+    val ranked = scored
+      .withColumn("rank", row_number().over(wR).cast("long"))
+      .crossJoin(broadcast(m))
+      .withColumn("bh_critical", round(lit(alpha) *
+        col("rank").cast("double") / col("__m").cast("double"), 9))
+    val kstar = ranked
+      .agg(coalesce(max(when(col("p_value") <= col("bh_critical"),
+        col("rank"))), lit(0L)).as("__k"))
+    ranked.crossJoin(broadcast(kstar))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"), col("z"),
+        col("p_value"), col("rank"), col("bh_critical"),
+        (col("rank") <= col("__k")).as("rejected"))
+      .orderBy(col("rank"))
+  }
+
   /** One-way ANOVA F over per-group means (Fisher): does ANY group's
     * mean differ — the k-sample parametric screen before pairwise
     * Welch tests, with η² = SSB/SST as the effect size (the variance

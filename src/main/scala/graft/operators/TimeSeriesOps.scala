@@ -407,10 +407,19 @@ object TimeSeriesOps {
     * the bounded day frame (≤ calendar span × maxLag rows).
     */
   def dailyCountAcf(df: DataFrame, tsCol: String,
+      maxLag: Int = 7): DataFrame =
+    dailyCountAcfFromCounts(
+      df.groupBy(to_date(col(tsCol)).as("day")).agg(count(lit(1)).as("x")),
+      maxLag)
+
+  /** Finish a (day, x) daily-count frame into the ACF card — the count
+    * frame is pure additive state (streamable in complete mode; the
+    * batch ≡ stream contract), everything here runs on the bounded day
+    * spine.
+    */
+  def dailyCountAcfFromCounts(counts: DataFrame,
       maxLag: Int = 7): DataFrame = {
     require(maxLag >= 1, "maxLag must be >= 1")
-    val counts = df.groupBy(to_date(col(tsCol)).as("day"))
-      .agg(count(lit(1)).as("x"))
     val bounds = counts.agg(min(col("day")).as("__lo"),
       max(col("day")).as("__hi"))
     val series = bounds
@@ -490,6 +499,87 @@ object TimeSeriesOps {
         round((col("__ssbRaw") - dD * mu * mu) /
           (col("__q") - dD * mu * mu), 6).as("strength"))
       .orderBy(col("dow"))
+  }
+
+  /** Two-segment trend fit of the daily event-count series: the least-
+    * squares breakpoint — argmin over candidate split days of
+    * SSE_left + SSE_right, each segment its own OLS line — next to
+    * [[graft.operators.DriftOps.cusumChangePoint]]'s LEVEL-shift
+    * detector, this finds a change in SLOPE (ramp-up starts, growth
+    * stalls) that CUSUM smears. The SSE-reduction fraction vs the
+    * single global line is the evidence weight.
+    *
+    * Exactness: the day spine carries integer counts, so every prefix
+    * moment (Σx, Σx², Σi, Σi², Σi·x) is an exact decimal window sum;
+    * each candidate's slopes/SSEs assemble per-row from exact terms in
+    * one fixed double shape; argmin ties break toward the earliest day.
+    *
+    * Scale shape: one (day) count aggregation over the scan; prefix
+    * windows, the candidate scan and the argmin all live on the
+    * bounded calendar spine.
+    */
+  def segmentedTrendFit(df: DataFrame, tsCol: String): DataFrame = {
+    val counts = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val series = counts
+      .agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+      .select(col("__lo"), explode(sequence(col("__lo"), col("__hi")))
+        .as("day"))
+      .join(counts, Seq("day"), "left")
+      .select(col("day"),
+        datediff(col("day"), col("__lo")).cast("long").as("i"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val wCum = Window.orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = series
+      .withColumn("p_n", count(lit(1)).over(wCum))
+      .withColumn("p_x", sum(col("x")).over(wCum))
+      .withColumn("p_xx", sum(dec(col("x")) * dec(col("x"))).over(wCum))
+      .withColumn("p_i", sum(col("i")).over(wCum))
+      .withColumn("p_ii", sum(dec(col("i")) * dec(col("i"))).over(wCum))
+      .withColumn("p_ix", sum(dec(col("i")) * dec(col("x"))).over(wCum))
+    val tot = pre.agg(
+      max(col("p_n")).as("__tn"), max(col("p_x")).as("__tx"),
+      max(col("p_xx")).as("__txx"), max(col("p_i")).as("__ti"),
+      max(col("p_ii")).as("__tii"), max(col("p_ix")).as("__tix"))
+    // closed-form OLS pieces for a segment given its exact moments
+    def seg(n: Column, si: Column, sii: Column, sx: Column, sxx: Column,
+        six: Column): (Column, Column) = {
+      val nD = n.cast("double")
+      val den = sii.cast("double") - si.cast("double") *
+        si.cast("double") / nD
+      val slope = (six.cast("double") - si.cast("double") *
+        sx.cast("double") / nD) / den
+      val sse = (sxx.cast("double") - sx.cast("double") *
+        sx.cast("double") / nD) - slope * slope * den
+      (slope, sse)
+    }
+    val cand = pre.crossJoin(broadcast(tot))
+      // left = 0..i (needs ≥2 days with distinct i), right = the rest
+      .filter(col("p_n") >= 2 && col("__tn") - col("p_n") >= 2)
+    val (slL, sseL) = seg(col("p_n"), col("p_i"), col("p_ii"),
+      col("p_x"), col("p_xx"), col("p_ix"))
+    val (slR, sseR) = seg(col("__tn") - col("p_n"),
+      col("__ti") - col("p_i"), col("__tii") - col("p_ii"),
+      col("__tx") - col("p_x"), col("__txx") - col("p_xx"),
+      col("__tix") - col("p_ix"))
+    val (slT, sseT) = seg(col("__tn"), col("__ti"), col("__tii"),
+      col("__tx"), col("__txx"), col("__tix"))
+    val scored = cand.select(col("day"), col("i"),
+      round(slL, 6).as("slope_left"), round(slR, 6).as("slope_right"),
+      round(sseL + sseR, 6).as("sse_two"),
+      round(sseT, 6).as("sse_single"),
+      col("__tn").as("n_days"))
+    scored
+      .orderBy(col("sse_two"), col("day"))
+      .limit(1)
+      .select(col("n_days"), col("day").as("breakpoint_day"),
+        col("slope_left"), col("slope_right"),
+        col("sse_single"), col("sse_two"),
+        round(when(col("sse_single") > 0.0,
+          (col("sse_single") - col("sse_two")) / col("sse_single")),
+          6).as("sse_reduction_frac"))
   }
 
   /** Overdispersion card for the daily event-count series: the

@@ -676,6 +676,26 @@ object StreamingOps {
       spark.createDataFrame(rows, sunk.schema), alpha, groupCol)
   }
 
+  /** Streaming daily-count ACF ≡ batch (q269's twin): the (day, count)
+    * frame is additive complete-mode state bounded by the calendar
+    * span; the SAME [[graft.operators.TimeSeriesOps
+    * .dailyCountAcfFromCounts]] finisher (calendar spine, lag joins,
+    * exact moments) lands on the batch card bit-for-bit under any
+    * micro-batching.
+    */
+  def streamingDailyAcf(spark: SparkSession, dir: String,
+      fileName: String, tsCol: String, maxLag: Int, sink: StreamSink,
+      prepare: DataFrame => DataFrame = identity): DataFrame = {
+    val counts = prepare(fileStream(spark, dir, fileName))
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val sunk = runToSink(spark, counts, sink, "complete")
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    sunk.collect().foreach(rows.add)
+    graft.operators.TimeSeriesOps.dailyCountAcfFromCounts(
+      spark.createDataFrame(rows, sunk.schema), maxLag)
+  }
+
   /** Streaming dedup-on-ingest — the production shape of the WHOLE dedup
     * family in one stage, chaining q216's persisted band-store admission
     * with q225's Levenshtein verification inside `foreachBatch`: each

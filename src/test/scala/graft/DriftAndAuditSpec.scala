@@ -298,6 +298,28 @@ class DriftAndAuditSpec extends SparkSpec {
     }
   }
 
+  test("pairwiseRankMatrix: pair z matches mannWhitneyU, BH picks " +
+    "the shifted pairs") {
+    // A and B interleave the same values; C sits far above both
+    val rows = (0 until 30).map(i => ("A", (i % 5).toDouble)) ++
+      (0 until 30).map(i => ("B", ((i + 2) % 5).toDouble)) ++
+      (0 until 30).map(i => ("C", 50.0 + (i % 3)))
+    val df = rows.toDF("g", "v")
+    val out = DriftOps.pairwiseRankMatrix(df, "v", "g")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size == 3)
+    assert(out(("A", "C")).getAs[Boolean]("rejected"))
+    assert(out(("B", "C")).getAs[Boolean]("rejected"))
+    assert(!out(("A", "B")).getAs[Boolean]("rejected"))
+    // the pair machinery must agree with the dedicated two-sample
+    // operator bit-for-bit
+    val mwu = DriftOps.mannWhitneyU(df, "v", "g", "A", "B").collect().head
+    val ab = out(("A", "B"))
+    assert(ab.getAs[Long]("n_a") == mwu.getAs[Long]("n_a"))
+    assert(ab.getAs[Double]("z") == mwu.getAs[Double]("z"),
+      s"pair z ${ab.getAs[Double]("z")} vs mwu ${mwu.getAs[Double]("z")}")
+  }
+
   test("anovaF: hand-computed two-group table") {
     // A=[1,2,3], B=[4,5,6]: SSB=13.5, SSW=4, F=13.5, η²=13.5/17.5
     val df = (Seq(1, 2, 3).map(v => ("A", v.toDouble)) ++

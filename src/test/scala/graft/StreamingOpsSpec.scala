@@ -335,4 +335,24 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch.length == 3)
     assert(stream == batch, s"batch=$batch\nstream=$stream")
   }
+
+  test("streamingDailyAcf converges to the batch card exactly") {
+    val d = Files.createTempDirectory("graft_acf_stream").toString
+    val rows = (0 until 14).flatMap { day =>
+      (0 until (if (day % 2 == 0) 4 else 1)).map(i =>
+        (day.toLong * 86400000000L + i, "e"))
+    }
+    val df = rows.toDF("us", "e")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    df.coalesce(2).write.mode("overwrite").parquet(s"$d/ev.parquet")
+    val batch = graft.operators.TimeSeriesOps.dailyCountAcf(
+      spark.read.parquet(s"$d/ev.parquet"), "ts", maxLag = 3)
+      .collect().toSeq
+    val stream = StreamingOps.streamingDailyAcf(
+      spark, d, "ev.parquet", "ts", maxLag = 3,
+      StreamSink.Memory(s"spec_acf_${System.nanoTime()}"))
+      .collect().toSeq
+    assert(batch.length == 3)
+    assert(stream == batch, s"batch=$batch\nstream=$stream")
+  }
 }

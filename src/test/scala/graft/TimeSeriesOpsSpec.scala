@@ -140,6 +140,24 @@ class TimeSeriesOpsSpec extends SparkSpec {
       s"strength ${r.getDouble(4)}"))
   }
 
+  test("segmentedTrendFit: flat-then-ramp recovered exactly") {
+    // days 0..9 carry 5 events, days 10..19 carry 5 + 3(d−10):
+    // perfect two-segment fit at breakpoint day 9, slopes 0 and 3
+    val rows = (0 until 20).flatMap { d =>
+      val n = if (d < 10) 5 else 5 + 3 * (d - 10)
+      (0 until n).map(i => (d.toLong * 86400000000L + i, "e"))
+    }
+    val df = rows.toDF("us", "e")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val r = TimeSeriesOps.segmentedTrendFit(df, "ts").collect().head
+    assert(r.getLong(0) == 20L)
+    assert(r.getDate(1).toString == "1970-01-10")
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 3.0)
+    assert(r.getDouble(5) == 0.0) // sse_two
+    assert(r.getDouble(4) > 0.0)  // single line cannot fit
+    assert(r.getDouble(6) == 1.0) // full SSE reduction
+  }
+
   test("overdispersionCard: constant days VMR 0, bursty days VMR >> 1") {
     // constant 3/day over 6 days: variance 0
     val flat = (0 until 6).flatMap(d =>
