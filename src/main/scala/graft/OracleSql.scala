@@ -3194,6 +3194,127 @@ object OracleSql {
     "q269_daily_acf" -> q269AcfSql,
     "q292_stream_acf" -> q269AcfSql,
 
+    // q293: Hill estimator replayed — (count DESC, token) top-51,
+    // rank-51 cutoff, LN-difference terms in decimal, k/Σ.
+    "q293_hill_tail" ->
+      """WITH t AS (
+        |  SELECT string_split(trim(text), ' ') AS toks FROM documents),
+        |w AS (SELECT u.w AS w FROM t, UNNEST(toks) AS u(w)
+        |      WHERE u.w <> ''),
+        |c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY w),
+        |top AS (
+        |  SELECT w, c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w)
+        |    AS BIGINT) AS rank
+        |  FROM c QUALIFY rank <= 51),
+        |cr AS (SELECT MAX(rank) AS cr FROM top HAVING MAX(rank) >= 3),
+        |cut AS (SELECT top.c AS ck1, cr.cr FROM top CROSS JOIN cr
+        |        WHERE top.rank = cr.cr),
+        |terms AS (
+        |  SELECT CAST(LN(CAST(top.c AS DOUBLE)) -
+        |    LN(CAST(cut.ck1 AS DOUBLE)) AS DECIMAL(38,12)) AS t2,
+        |    cut.ck1
+        |  FROM top CROSS JOIN cut WHERE top.rank < cut.cr)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS k, ck1 AS c_tail_cutoff,
+        |  CASE WHEN CAST(SUM(t2) AS DOUBLE) > 0.0 THEN
+        |    ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(t2) AS DOUBLE), 6)
+        |  END AS hill_alpha
+        |FROM terms GROUP BY ck1""".stripMargin,
+
+    // q294: bigram entropy replayed — q255's pair set and empty-token
+    // discipline, decimal entropy terms on identical doubles.
+    "q294_bigram_entropy" ->
+      """WITH t AS (
+        |  SELECT string_split(trim(text), ' ') AS toks FROM documents),
+        |w AS (SELECT u.w AS w FROM t, UNNEST(toks) AS u(w)
+        |      WHERE u.w <> ''),
+        |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+        |        FROM w GROUP BY w),
+        |n1 AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1 FROM uni),
+        |hu AS (
+        |  SELECT -CAST(SUM(CAST(
+        |    (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) *
+        |    LN(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |    AS DECIMAL(38,12))) AS DOUBLE) AS hu
+        |  FROM uni CROSS JOIN n1),
+        |bgl AS (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM t, UNNEST(range(1, len(toks))) AS r(i)
+        |  WHERE toks[i] <> '' AND toks[i + 1] <> ''),
+        |bg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        |       FROM bgl GROUP BY w1, w2),
+        |n2 AS (SELECT CAST(SUM(c12) AS BIGINT) AS n2 FROM bg),
+        |hc AS (
+        |  SELECT n2, -CAST(SUM(CAST(
+        |    (CAST(c12 AS DOUBLE) / CAST(n2 AS DOUBLE)) *
+        |    LN(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))
+        |    AS DECIMAL(38,12))) AS DOUBLE) AS hc
+        |  FROM bg JOIN uni ON bg.w1 = uni.w CROSS JOIN n2
+        |  GROUP BY n2)
+        |SELECT hc.n2 AS n_bigrams, ROUND(hu.hu, 6) AS h_unigram,
+        |  ROUND(hc.hc, 6) AS h_conditional,
+        |  ROUND(hu.hu - hc.hc, 6) AS predictability_gain
+        |FROM hc CROSS JOIN hu""".stripMargin,
+
+    // q295: burstiness replayed — broadcast top-20 vocabulary,
+    // (token, doc) counts, zeros through the closed form, fixed VMR.
+    "q295_token_burstiness" ->
+      """WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM documents),
+        |t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |  FROM documents),
+        |w AS (SELECT doc_id, u.w AS w FROM t, UNNEST(toks) AS u(w)
+        |      WHERE u.w <> ''),
+        |topk AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS corpus_count
+        |  FROM w GROUP BY w
+        |  QUALIFY ROW_NUMBER() OVER (ORDER BY corpus_count DESC, w)
+        |    <= 20),
+        |pd AS (
+        |  SELECT w.w, tk.corpus_count, w.doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_td
+        |  FROM w JOIN topk tk ON w.w = tk.w
+        |  GROUP BY w.w, tk.corpus_count, w.doc_id),
+        |st AS (
+        |  SELECT w, corpus_count, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+        |    CAST(SUM(n_td) AS BIGINT) AS s,
+        |    CAST(SUM(CAST(n_td AS HUGEINT) * n_td) AS DOUBLE) AS q
+        |  FROM pd GROUP BY w, corpus_count)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY corpus_count DESC, w)
+        |    AS BIGINT) AS rank,
+        |  w AS token, corpus_count, doc_freq,
+        |  ROUND(CAST(s AS DOUBLE) / CAST(d AS DOUBLE), 6) AS mean_per_doc,
+        |  CASE WHEN CAST(s AS DOUBLE) / CAST(d AS DOUBLE) > 0.0 THEN
+        |    ROUND(((q - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+        |      CAST(d AS DOUBLE)) / (CAST(d AS DOUBLE) - 1.0)) /
+        |      (CAST(s AS DOUBLE) / CAST(d AS DOUBLE)), 6)
+        |  END AS vmr
+        |FROM st CROSS JOIN nd WHERE d > 1
+        |ORDER BY rank""".stripMargin,
+
+    // q296: mix diversity replayed — per-source decimal entropy /
+    // Simpson terms, fixed exp/share shapes.
+    "q296_mix_diversity" ->
+      """WITH s AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+        |  FROM documents WHERE source IS NOT NULL GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM s),
+        |terms AS (
+        |  SELECT n, n_s,
+        |    CAST((CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      LN(CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      AS DECIMAL(38,12)) AS h,
+        |    CAST((CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      AS DECIMAL(38,12)) AS sp
+        |  FROM s CROSS JOIN tot)
+        |SELECT n AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_sources,
+        |  ROUND(-CAST(SUM(h) AS DOUBLE), 6) AS entropy,
+        |  ROUND(EXP(-CAST(SUM(h) AS DOUBLE)), 6) AS effective_sources,
+        |  ROUND(CAST(SUM(sp) AS DOUBLE), 6) AS simpson_index,
+        |  ROUND(CAST(MAX(n_s) AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS top_source_share
+        |FROM terms GROUP BY n""".stripMargin,
+
     // q290: segmented trend replayed — q269's spine, exact prefix
     // moments in one window, identical per-candidate OLS shapes,
     // (rounded SSE, day) argmin.

@@ -3732,6 +3732,34 @@ object SparkEntry {
     SimilarityOps.clusterLabelCard(t(spark, dir, "embeddings"),
       "vec_id", "embedding", "label")
 
+  // ---------------------------------------------------------------- q296
+  // Source-mix diversity: entropy, EFFECTIVE source count exp(H),
+  // Simpson index, top-source share — is the corpus diverse or one
+  // crawl wearing twenty names, in one row.
+  def q296(spark: SparkSession, dir: String): DataFrame =
+    TextOps.mixDiversityCard(t(spark, dir, "documents"), "source")
+
+  // ---------------------------------------------------------------- q295
+  // Token burstiness (Church & Gale): per-doc VMR of the top-20 corpus
+  // tokens — content words clump, function words ride the Poisson
+  // line; zeros enter through the closed form, never an explosion.
+  def q295(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tokenBurstiness(t(spark, dir, "documents"), "doc_id", "text")
+
+  // ---------------------------------------------------------------- q294
+  // Conditional bigram entropy H(w2|w1) vs unigram H(w): the
+  // predictability-gain card — how many nats one token of context
+  // buys, without training a model (q133's perplexity needs one).
+  def q294(spark: SparkSession, dir: String): DataFrame =
+    TextOps.conditionalBigramEntropy(t(spark, dir, "documents"), "text")
+
+  // ---------------------------------------------------------------- q293
+  // Hill tail-index of the token-frequency distribution over the
+  // top-50 counts — the principled heavy-tail exponent next to q140's
+  // log-log Zipf regression (the regression is biased by the body).
+  def q293(spark: SparkSession, dir: String): DataFrame =
+    TextOps.hillTailIndex(t(spark, dir, "documents"), "text")
+
   // ---------------------------------------------------------------- q292
   // Streaming twin of q269 (SHARED oracle): the (day, count) frame is
   // additive complete-mode state; the same spine/lag finisher lands on
@@ -4648,6 +4676,10 @@ object SparkEntry {
     "q290_segmented_trend" -> (q290 _),
     "q291_pairwise_rank_matrix" -> (q291 _),
     "q292_stream_acf" -> (q292 _),
+    "q293_hill_tail" -> (q293 _),
+    "q294_bigram_entropy" -> (q294 _),
+    "q295_token_burstiness" -> (q295 _),
+    "q296_mix_diversity" -> (q296 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

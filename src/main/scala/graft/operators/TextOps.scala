@@ -1339,4 +1339,190 @@ object TextOps {
       round(log(col("n_types").cast("double")) /
         log(col("n_tokens").cast("double")), 6).as("herdan_c"))
   }
+
+  /** Hill tail-index estimator (Hill 1975) over the token-frequency
+    * distribution: α̂ = k / Σ_{i=1..k} ln(c₍ᵢ₎/c₍ₖ₊₁₎) on the top-k
+    * counts — the principled heavy-tail exponent next to the log-log
+    * regression Zipf fit (regression slope is biased by the mid-rank
+    * body; Hill reads the tail alone). α ≈ 1 is the classic Zipfian
+    * corpus; α drifting up says head tokens are flattening (dedup or
+    * templating at work).
+    *
+    * Exactness: counts exact; the k log-ratio terms are per-row doubles
+    * summed in decimal on the (k+1)-row frame; ties with the cutoff
+    * contribute ln 1 = 0 exactly.
+    *
+    * Scale shape: one token count aggregation, one TakeOrdered top-
+    * (k+1), everything after on that tiny frame.
+    */
+  def hillTailIndex(docs: DataFrame, textCol: String,
+      k: Int = 50): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // adaptive tail size: k_eff = min(k, V−1) — a small-vocabulary
+    // (synthetic/deduped) corpus still gets its tail estimate instead
+    // of an empty card; the LAST selected rank is the cutoff
+    val top = counts.orderBy(col("c").desc, col("w")).limit(k + 1)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("c").desc, col("w"))).cast("long"))
+    val cutRank = top.agg(max(col("rank")).as("__cr"))
+      .filter(col("__cr") >= 3)
+    val cutoff = top.crossJoin(broadcast(cutRank))
+      .filter(col("rank") === col("__cr"))
+      .select(col("c").as("__ck1"), col("__cr"))
+    val terms = top.crossJoin(broadcast(cutoff))
+      .filter(col("rank") < col("__cr"))
+      .select((log(col("c").cast("double")) -
+        log(col("__ck1").cast("double"))).cast("decimal(38,12)").as("__t"),
+        col("__ck1"))
+    terms.groupBy(col("__ck1"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("__t")).cast("double").as("__s"))
+      .select(col("k"), col("__ck1").as("c_tail_cutoff"),
+        when(col("__s") > 0.0,
+          round(col("k").cast("double") / col("__s"), 6))
+          .as("hill_alpha"))
+  }
+
+  /** Conditional bigram entropy card: H(w₂|w₁) = −Σ (c₁₂/N₂)·ln(c₁₂/c₁)
+    * against the unigram entropy H(w) — the PREDICTABILITY-GAIN view of
+    * a corpus (how many nats one token of context buys). A gain
+    * collapsing toward zero says near-random token soup; a gain near
+    * H(w) says heavily templated text — both are curation signals the
+    * perplexity gates (q133/q212) only see through a trained model.
+    *
+    * Exactness: exact counts; each entropy term is one fixed-shape
+    * double cast to decimal before the sum (order-free); the bigram
+    * stream uses the [[pmiCollocations]] empty-token discipline.
+    *
+    * Scale shape: one token explosion + one bigram explosion, two
+    * count aggregations, one broadcast-joined term scan over the
+    * bigram vocabulary.
+    */
+  def conditionalBigramEntropy(docs: DataFrame,
+      textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val words = docs.select(explode(toks).as("w"))
+      .filter(col("w") =!= "")
+    val uni = words.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val uniTot = uni.agg(sum(col("c1")).as("__n1"))
+    val hUni = uni.crossJoin(broadcast(uniTot))
+      .select(((col("c1").cast("double") / col("__n1").cast("double")) *
+        log(col("c1").cast("double") / col("__n1").cast("double")))
+        .cast("decimal(38,12)").as("__t"))
+      .agg((-sum(col("__t")).cast("double")).as("__hu"))
+    val bg = docs.select(
+        explode(transform(
+          sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+          i => concat_ws(" ", slice(toks, i, lit(2))))).as("bg"))
+      .filter(col("bg").contains(" "))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val bgTot = bg.agg(sum(col("c12")).as("__n2"))
+    val hCond = bg
+      .join(uni.select(col("w").as("w1"), col("c1")), "w1")
+      .crossJoin(broadcast(bgTot))
+      .select(((col("c12").cast("double") / col("__n2").cast("double")) *
+        log(col("c12").cast("double") / col("c1").cast("double")))
+        .cast("decimal(38,12)").as("__t"), col("__n2"))
+      .groupBy(col("__n2"))
+      .agg((-sum(col("__t")).cast("double")).as("__hc"))
+    hCond.crossJoin(broadcast(hUni))
+      .select(col("__n2").as("n_bigrams"),
+        round(col("__hu"), 6).as("h_unigram"),
+        round(col("__hc"), 6).as("h_conditional"),
+        round(col("__hu") - col("__hc"), 6).as("predictability_gain"))
+  }
+
+  /** Token burstiness card (the Church & Gale 1995 observation): for
+    * the top-k corpus tokens, the variance-to-mean ratio of the
+    * per-document count — content words CLUMP (one doc mentions them
+    * many times, most never), function words spread evenly (VMR ≈ 1,
+    * the Poisson line). A "content-like" stopword or a "function-like"
+    * topic token is a tokenizer/boilerplate smell.
+    *
+    * Exactness: per-(token, doc) counts are exact; absent docs
+    * contribute their zeros through the closed form (Σ over nonzero
+    * rows + the known document total D), so no zero-filled explosion
+    * exists; VMR assembles in one fixed double shape.
+    *
+    * Scale shape: one (token, doc) count aggregation restricted to the
+    * broadcast top-k vocabulary, one per-token reduction, rank on the
+    * k-row card.
+    */
+  def tokenBurstiness(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 20): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.agg(count(lit(1)).as("__d"))
+    val words = docs.select(col(idCol).as("__doc"),
+        explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+    val topK = words.groupBy(col("w")).agg(count(lit(1)).as("corpus_count"))
+      .orderBy(col("corpus_count").desc, col("w")).limit(k)
+    val perDoc = words.join(broadcast(topK), "w")
+      .groupBy(col("w"), col("corpus_count"), col("__doc"))
+      .agg(count(lit(1)).as("n_td"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val stats = perDoc.groupBy(col("w"), col("corpus_count"))
+      .agg(count(lit(1)).as("doc_freq"),
+        sum(col("n_td")).as("__s"),
+        sum(dec(col("n_td")) * dec(col("n_td"))).cast("double").as("__q"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("__d") > 1)
+    val dD = col("__d").cast("double")
+    val mean = col("__s").cast("double") / dD
+    val variance = (col("__q") - col("__s").cast("double") *
+      col("__s").cast("double") / dD) / (dD - lit(1.0))
+    stats
+      .select(col("w").as("token"), col("corpus_count"), col("doc_freq"),
+        round(mean, 6).as("mean_per_doc"),
+        when(mean > 0.0, round(variance / mean, 6)).as("vmr"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("corpus_count").desc, col("token")))
+        .cast("long"))
+      .select(col("rank"), col("token"), col("corpus_count"),
+        col("doc_freq"), col("mean_per_doc"), col("vmr"))
+      .orderBy(col("rank"))
+  }
+
+  /** Source-mix diversity card: Shannon entropy of the document-source
+    * distribution, its exponential (the EFFECTIVE number of sources —
+    * 20 listed sources behaving like 3.2 is a concentration alarm),
+    * the Simpson index Σp², and the top-source share. The one-row
+    * answer to "is this corpus actually diverse or one crawl wearing
+    * twenty names".
+    *
+    * Exactness: exact counts; entropy terms decimal-cast per source;
+    * fixed double shapes.
+    *
+    * Scale shape: one (source) count aggregation; the card reduces the
+    * |sources|-row frame.
+    */
+  def mixDiversityCard(docs: DataFrame, srcCol: String): DataFrame = {
+    val bySrc = docs.filter(col(srcCol).isNotNull)
+      .groupBy(col(srcCol)).agg(count(lit(1)).as("n_s"))
+    val tot = bySrc.agg(sum(col("n_s")).as("__n"))
+    val p = col("n_s").cast("double") / col("__n").cast("double")
+    bySrc.crossJoin(broadcast(tot))
+      .select(col("__n"), col("n_s"),
+        (p * log(p)).cast("decimal(38,12)").as("__h"),
+        (p * p).cast("decimal(38,12)").as("__sp"))
+      .groupBy(col("__n"))
+      .agg(count(lit(1)).as("n_sources"),
+        (-sum(col("__h")).cast("double")).as("__hh"),
+        sum(col("__sp")).cast("double").as("__simpson"),
+        max(col("n_s")).as("__top"))
+      .select(col("__n").as("n_docs"), col("n_sources"),
+        round(col("__hh"), 6).as("entropy"),
+        round(exp(col("__hh")), 6).as("effective_sources"),
+        round(col("__simpson"), 6).as("simpson_index"),
+        round(col("__top").cast("double") / col("__n").cast("double"),
+          6).as("top_source_share"))
+  }
 }

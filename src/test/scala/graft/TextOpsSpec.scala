@@ -424,4 +424,77 @@ class TextOpsSpec extends SparkSpec {
     val c = TextOps.vocabRichnessCard(closed, "text").collect().head
     assert(c.getDouble(4) == 2.0 && c.getDouble(5) == 1.0)
   }
+
+  test("hillTailIndex: hand-computed alpha on a tiny tail") {
+    // counts: a=8, b=4, c=2, d=1 → k=3, cutoff=1,
+    // α = 3/(ln8 + ln4 + ln2)
+    val df = Seq(("a " * 8) + ("b " * 4) + ("c c d")).toDF("text")
+    val r = TextOps.hillTailIndex(df, "text", k = 3).collect().head
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L)
+    val s = Seq(8.0, 4.0, 2.0).map(c =>
+      BigDecimal(math.log(c) - math.log(1.0))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    assert(r.getDouble(2) == r6(3.0 / s))
+    // all-equal top counts → Σ = 0 → alpha null
+    val flat = Seq("a b c d e f").toDF("text")
+    val f = TextOps.hillTailIndex(flat, "text", k = 3).collect().head
+    assert(f.isNullAt(2))
+  }
+
+  test("conditionalBigramEntropy: near-deterministic text, hand values") {
+    // 'a b a b …' (20 tokens): bigrams (a,b)×10 at ln(10/10)=0 and
+    // (b,a)×9 at ln(9/10) — the final b has no successor, so the
+    // estimator's only nonzero term is the boundary one; H(w) = ln 2
+    val df = Seq(Seq.fill(10)("a b").mkString(" ")).toDF("text")
+    val r = TextOps.conditionalBigramEntropy(df, "text").collect().head
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def t12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    assert(r.getLong(0) == 19L)
+    val hu = -Seq(10.0 / 20.0, 10.0 / 20.0)
+      .map(p => t12(p * math.log(p))).sum.toDouble
+    val hc = -(t12((10.0 / 19.0) * math.log(10.0 / 10.0)) +
+      t12((9.0 / 19.0) * math.log(9.0 / 10.0))).toDouble
+    assert(r.getDouble(1) == r6(hu))
+    assert(r.getDouble(2) == r6(hc))
+    assert(r.getDouble(3) == r6(hu - hc))
+    // context buys almost all of the entropy here
+    assert(r.getDouble(2) < 0.1 * r.getDouble(1))
+  }
+
+  test("tokenBurstiness: clumped token has higher VMR than spread one") {
+    // 'the' appears once in every doc (VMR 0 — perfectly even);
+    // 'topic' appears 4 times in one doc only (maximal clumping)
+    val docs = (1L to 8L).map { i =>
+      (i, if (i == 1L) "the topic topic topic topic" else "the filler" + i)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val out = TextOps.tokenBurstiness(df, "doc_id", "text", k = 2)
+      .collect().map(r => r.getString(1) -> r).toMap
+    assert(out.contains("the") && out.contains("topic"))
+    assert(out("the").getLong(3) == 8L) // doc_freq
+    assert(out("the").getDouble(5) == 0.0) // one per doc → VMR 0
+    assert(out("topic").getDouble(5) > 1.0,
+      s"topic vmr ${out("topic").getDouble(5)}")
+  }
+
+  test("mixDiversityCard: uniform sources maximize effective count") {
+    val uni = (for { s <- Seq("a", "b", "c", "d"); i <- 0 until 5 }
+      yield (s, i)).toDF("source", "i")
+    val r = TextOps.mixDiversityCard(uni, "source").collect().head
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == 20L && r.getLong(1) == 4L)
+    assert(r.getDouble(3) == 4.0) // effective sources = true count
+    assert(r.getDouble(4) == 0.25 && r.getDouble(5) == 0.25)
+    // skewed: one source dominates → effective sources collapse
+    val skew = ((0 until 17).map(i => ("a", i)) ++
+      Seq(("b", 1), ("c", 2), ("d", 3))).toDF("source", "i")
+    val s = TextOps.mixDiversityCard(skew, "source").collect().head
+    assert(s.getDouble(3) < 2.0, s"effective ${s.getDouble(3)}")
+    assert(s.getDouble(5) == r6(17.0 / 20.0))
+  }
 }
