@@ -3293,6 +3293,162 @@ object OracleSql {
 
     // q296: mix diversity replayed — per-source decimal entropy /
     // Simpson terms, fixed exp/share shapes.
+    // q297: Wasserstein-1 replayed — same distinct-value grid, exact
+    // cumulative counts, one fixed-shape double term per grid row
+    // (|F_A−F_B|·gap), DECIMAL(28,12) term sum.
+    "q297_wasserstein" ->
+      """WITH v AS (
+        |  SELECT value AS v, event_type = 'click' AS isa
+        |  FROM events
+        |  WHERE event_type IN ('click','view') AND value IS NOT NULL),
+        |g AS (
+        |  SELECT v,
+        |    CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM v GROUP BY v),
+        |c AS (
+        |  SELECT v,
+        |    SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b,
+        |    LEAD(v) OVER (ORDER BY v) AS nv
+        |  FROM g
+        |  WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb FROM g)
+        |SELECT na AS n_a, nb AS n_b,
+        |  ROUND(CAST(SUM(CAST(
+        |    CASE WHEN nv IS NOT NULL THEN
+        |      ABS(CAST(cum_a AS DOUBLE) / na - CAST(cum_b AS DOUBLE) / nb)
+        |        * (nv - v)
+        |    ELSE 0.0 END AS DECIMAL(28,12))) AS DOUBLE), 6) AS w1
+        |FROM c CROSS JOIN tot GROUP BY na, nb""".stripMargin,
+
+    // q298: energy distance replayed — inclusive prefix counts and
+    // DECIMAL(28,12)-quantized prefix value sums over the same grid,
+    // strictly-below moments by subtracting the own-row term, identical
+    // double shapes for the three pair-sum families.
+    "q298_energy_distance" ->
+      """WITH v AS (
+        |  SELECT value AS v, event_type = 'click' AS isa
+        |  FROM events
+        |  WHERE event_type IN ('click','view') AND value IS NOT NULL),
+        |g AS (
+        |  SELECT v,
+        |    CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM v GROUP BY v),
+        |c AS (
+        |  SELECT v, ca, cb,
+        |    SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b,
+        |    SUM(CAST(v * CAST(ca AS DOUBLE) AS DECIMAL(28,12))) OVER w
+        |      AS cum_sa,
+        |    SUM(CAST(v * CAST(cb AS DOUBLE) AS DECIMAL(28,12))) OVER w
+        |      AS cum_sb
+        |  FROM g
+        |  WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb FROM g),
+        |s AS (
+        |  SELECT na, nb,
+        |    CAST(SUM(CAST(
+        |      CAST(ca AS DOUBLE) * (CAST(cum_a - ca AS DOUBLE) * v -
+        |        CAST(cum_sa - CAST(v * CAST(ca AS DOUBLE)
+        |          AS DECIMAL(28,12)) AS DOUBLE))
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS spa,
+        |    CAST(SUM(CAST(
+        |      CAST(cb AS DOUBLE) * (CAST(cum_b - cb AS DOUBLE) * v -
+        |        CAST(cum_sb - CAST(v * CAST(cb AS DOUBLE)
+        |          AS DECIMAL(28,12)) AS DOUBLE))
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS spb,
+        |    CAST(SUM(CAST(
+        |      CAST(ca AS DOUBLE) * (CAST(cum_b - cb AS DOUBLE) * v -
+        |        CAST(cum_sb - CAST(v * CAST(cb AS DOUBLE)
+        |          AS DECIMAL(28,12)) AS DOUBLE)) +
+        |      CAST(cb AS DOUBLE) * (CAST(cum_a - ca AS DOUBLE) * v -
+        |        CAST(cum_sa - CAST(v * CAST(ca AS DOUBLE)
+        |          AS DECIMAL(28,12)) AS DOUBLE))
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS spx
+        |  FROM c CROSS JOIN tot GROUP BY na, nb),
+        |d AS (
+        |  SELECT na, nb,
+        |    spx / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS e_cross_raw,
+        |    2.0 * (spx / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) -
+        |      (2.0 * spa) / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE)) -
+        |      (2.0 * spb) / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE))
+        |      AS d_raw
+        |  FROM s)
+        |SELECT na AS n_a, nb AS n_b,
+        |  ROUND(e_cross_raw, 6) AS e_cross,
+        |  ROUND(d_raw, 6) AS e_dist,
+        |  ROUND(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) /
+        |    (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) * d_raw, 6) AS e_stat
+        |FROM d""".stripMargin,
+
+    // q299: log-rank replayed — q122's duration CTEs plus a parity
+    // cohort, reverse-cumulative risk sets over the per-day frame,
+    // hypergeometric expectation/variance in identical double shapes,
+    // DECIMAL(28,12) term sums.
+    "q299_log_rank" ->
+      """WITH h AS (SELECT MAX(epoch_us(ts)) AS hz FROM events),
+        |s AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS su
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS pu
+        |  FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.su
+        |  GROUP BY e.user_id),
+        |d AS (
+        |  SELECT (COALESCE(p.pu, h.hz) - s.su) // 86400000000 AS t,
+        |    p.pu IS NOT NULL AS ev, s.user_id % 2 = 0 AS isa
+        |  FROM s LEFT JOIN p ON s.user_id = p.user_id, h),
+        |byt AS (
+        |  SELECT t,
+        |    CAST(SUM(CASE WHEN isa AND ev THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS da,
+        |    CAST(SUM(CASE WHEN (NOT isa) AND ev THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS db,
+        |    CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+        |    CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS tb
+        |  FROM d GROUP BY t),
+        |risk AS (
+        |  SELECT t, da, db,
+        |    SUM(ta) OVER wr AS na, SUM(tb) OVER wr AS nb
+        |  FROM byt
+        |  WINDOW wr AS (ORDER BY t
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |ev AS (SELECT * FROM risk WHERE da + db > 0),
+        |agg AS (
+        |  SELECT
+        |    CAST(SUM(da) AS BIGINT) AS events_a,
+        |    CAST(SUM(db) AS BIGINT) AS events_b,
+        |    CAST(SUM(CAST(CAST(da AS DOUBLE) -
+        |      CAST(da + db AS DOUBLE) * CAST(na AS DOUBLE) /
+        |        CAST(na + nb AS DOUBLE)
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS oma,
+        |    CAST(SUM(CAST(
+        |      CAST(da + db AS DOUBLE) * CAST(na AS DOUBLE) /
+        |        CAST(na + nb AS DOUBLE)
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS ea,
+        |    CAST(SUM(CAST(
+        |      CASE WHEN na + nb > 1 THEN
+        |        CAST(da + db AS DOUBLE) *
+        |          (CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE)) *
+        |          (CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE)) *
+        |          ((CAST(na + nb AS DOUBLE) - CAST(da + db AS DOUBLE)) /
+        |            (CAST(na + nb AS DOUBLE) - 1.0))
+        |      ELSE 0.0 END AS DECIMAL(28,12))) AS DOUBLE) AS v
+        |  FROM ev)
+        |SELECT events_a, events_b,
+        |  ROUND(ea, 6) AS expected_a,
+        |  ROUND(oma, 6) AS obs_minus_exp_a,
+        |  ROUND(v, 6) AS var_sum,
+        |  CASE WHEN v > 0.0 THEN ROUND(oma * oma / v, 6) END AS chi2
+        |FROM agg""".stripMargin,
+
     "q296_mix_diversity" ->
       """WITH s AS (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s

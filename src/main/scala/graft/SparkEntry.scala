@@ -3739,6 +3739,53 @@ object SparkEntry {
   def q296(spark: SparkSession, dir: String): DataFrame =
     TextOps.mixDiversityCard(t(spark, dir, "documents"), "source")
 
+  // ---------------------------------------------------------------- q297
+  // Exact 1-D Wasserstein-1 (earth-mover) distance between click and
+  // view value distributions: the ECDF-gap integral, in value units —
+  // the drift magnitude KS (q115) can't give. Distributed prefix sums
+  // via the range-bucket scheme; DECIMAL term sums for portability.
+  def q297(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.wasserstein1d(
+      t(spark, dir, "events"), "value", "event_type", "click", "view")
+
+  // ---------------------------------------------------------------- q298
+  // Energy distance (Székely–Rizzo) between the same two populations:
+  // every pairwise-|difference| expectation computed in O(grid) from
+  // sorted prefix moments — never an O(n²) pair join — plus the scaled
+  // two-sample test statistic.
+  def q298(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.energyDistance(
+      t(spark, dir, "events"), "value", "event_type", "click", "view")
+
+  // ---------------------------------------------------------------- q299
+  // Log-rank (Mantel–Cox) test on q122's signup→purchase survival
+  // durations, cohorted by user-id parity: the hypothesis-test
+  // companion to the Kaplan–Meier curve, from the same per-day risk
+  // sets (aggregate-before-global-window rule throughout).
+  def q299(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val horizon = ev.agg(max(unix_micros(col("ts"))).as("__h"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("__s"))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(signup), "user_id")
+      .filter(unix_micros(col("ts")) >= col("__s"))
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("__p"))
+    val durations = signup
+      .join(firstPurchase, Seq("user_id"), "left")
+      .crossJoin(broadcast(horizon))
+      .select(
+        col("user_id"),
+        expr("coalesce(__p, __h) - __s").as("__dur_us"),
+        col("__p").isNotNull.as("__event"))
+      .select(expr("__dur_us div 86400000000").as("dur_days"),
+        col("__event"), (col("user_id") % 2 === 0).as("__cohort_a"))
+    graft.operators.SurvivalOps.logRankTest(
+      durations, "dur_days", "__event", col("__cohort_a"))
+  }
+
   // ---------------------------------------------------------------- q295
   // Token burstiness (Church & Gale): per-doc VMR of the top-20 corpus
   // tokens — content words clump, function words ride the Poisson
@@ -4680,6 +4727,9 @@ object SparkEntry {
     "q294_bigram_entropy" -> (q294 _),
     "q295_token_burstiness" -> (q295 _),
     "q296_mix_diversity" -> (q296 _),
+    "q297_wasserstein" -> (q297 _),
+    "q298_energy_distance" -> (q298 _),
+    "q299_log_rank" -> (q299 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -84,4 +84,70 @@ object SurvivalOps {
       .select(col("t"), col("n_risk"), col("n_event"), col("n_censored"),
         col("survival"))
   }
+
+  /** Two-sample log-rank (Mantel–Cox) test: are the survival curves of
+    * two cohorts the same? The hypothesis-test companion to
+    * [[kaplanMeier]] — at every event time t the observed group-A deaths
+    * d_A(t) are compared with the hypergeometric expectation
+    * e_A(t) = d(t)·n_A(t)/n(t) given the pooled risk sets, and
+    * χ² = (Σ(d_A − e_A))² / Σ Var_t with
+    * Var_t = d·(n_A/n)·(n_B/n)·(n−d)/(n−1).
+    *
+    * `groupExpr` must evaluate to a boolean (true = cohort A). Same grid
+    * contract as [[kaplanMeier]]: risk sets are reverse-cumulative sums
+    * over the per-duration aggregate (enforced ≤ `maxGridSize`), never
+    * over the data. Counts are exact BIGINTs; each event-time term is one
+    * fixed-shape double expression summed as DECIMAL(28,12) — engine-
+    * portable.
+    */
+  def logRankTest(df: DataFrame, durationCol: String, eventCol: String,
+      groupExpr: org.apache.spark.sql.Column,
+      maxGridSize: Long = 10000L): DataFrame = {
+    val approxGrid =
+      df.agg(approx_count_distinct(col(durationCol)).as("n"))
+        .head().getLong(0)
+    require(approxGrid <= maxGridSize,
+      s"logRankTest time grid too fine: ~$approxGrid distinct durations " +
+        s"exceed maxGridSize=$maxGridSize; coarsen the duration column " +
+        "(life-table bucketing) or raise maxGridSize deliberately.")
+    val byT = df
+      .select(col(durationCol).as("t"), col(eventCol).as("__ev"),
+        groupExpr.as("__is_a"))
+      .groupBy(col("t"))
+      .agg(
+        sum(when(col("__is_a") && col("__ev"), 1L).otherwise(0L)).as("da"),
+        sum(when(!col("__is_a") && col("__ev"), 1L).otherwise(0L)).as("db"),
+        sum(when(col("__is_a"), 1L).otherwise(0L)).as("ta"),
+        sum(when(!col("__is_a"), 1L).otherwise(0L)).as("tb"))
+    val wRisk = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risk = byT
+      .withColumn("na", sum(col("ta")).over(wRisk))
+      .withColumn("nb", sum(col("tb")).over(wRisk))
+      .filter(col("da") + col("db") > 0L)
+    val dTot = (col("da") + col("db")).cast("double")
+    val nTot = (col("na") + col("nb")).cast("double")
+    val naD = col("na").cast("double")
+    val nbD = col("nb").cast("double")
+    val expA = dTot * naD / nTot
+    val varT = when(col("na") + col("nb") > 1L,
+      dTot * (naD / nTot) * (nbD / nTot) *
+        ((nTot - dTot) / (nTot - lit(1.0)))).otherwise(lit(0.0))
+    def dsum12(c: org.apache.spark.sql.Column) =
+      graft.functions.Stats.dsum(c, 12)
+    val agg = risk.agg(
+      sum(col("da")).as("events_a"),
+      sum(col("db")).as("events_b"),
+      dsum12(col("da").cast("double") - expA).as("__oma"),
+      dsum12(expA).as("__ea"),
+      dsum12(varT).as("__v"))
+    agg.select(
+      col("events_a"), col("events_b"),
+      round(col("__ea"), 6).as("expected_a"),
+      round(col("__oma"), 6).as("obs_minus_exp_a"),
+      round(col("__v"), 6).as("var_sum"),
+      when(col("__v") > 0.0,
+        round(col("__oma") * col("__oma") / col("__v"), 6))
+        .as("chi2"))
+  }
 }
