@@ -3293,6 +3293,177 @@ object OracleSql {
 
     // q296: mix diversity replayed — per-source decimal entropy /
     // Simpson terms, fixed exp/share shapes.
+    // q300: DeLong replayed — midranks from exclusive prefix sums over
+    // the distinct-score grid (combined / within-pos / within-neg, the
+    // Spark midrank formula b + (c+1)/2), placement moments as
+    // DECIMAL(28,12) sums, identical variance assembly shapes.
+    "q300_delong_auc" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END
+        |    AS label,
+        |    (o_orderkey % 1000) / 1000.0 + o_totalprice / 1e6 AS score
+        |  FROM orders),
+        |g AS (
+        |  SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(label) AS BIGINT) AS pos
+        |  FROM d GROUP BY score),
+        |c AS (
+        |  SELECT score, cnt, pos,
+        |    COALESCE(SUM(cnt) OVER wb, 0) AS bg,
+        |    COALESCE(SUM(pos) OVER wb, 0) AS bp,
+        |    COALESCE(SUM(cnt - pos) OVER wb, 0) AS bn
+        |  FROM g
+        |  WINDOW wb AS (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |tot AS (
+        |  SELECT CAST(SUM(pos) AS BIGINT) AS n1,
+        |    CAST(SUM(cnt - pos) AS BIGINT) AS n0 FROM g),
+        |v AS (
+        |  SELECT cnt, pos, n1, n0,
+        |    (CAST(bg AS DOUBLE) + (cnt + 1) / 2.0 -
+        |      (CAST(bp AS DOUBLE) + (pos + 1) / 2.0))
+        |      / CAST(n0 AS DOUBLE) AS v10,
+        |    1.0 - (CAST(bg AS DOUBLE) + (cnt + 1) / 2.0 -
+        |      (CAST(bn AS DOUBLE) + (cnt - pos + 1) / 2.0))
+        |      / CAST(n1 AS DOUBLE) AS v01
+        |  FROM c CROSS JOIN tot),
+        |s AS (
+        |  SELECT n1, n0,
+        |    CAST(SUM(CAST(CASE WHEN pos > 0
+        |      THEN CAST(pos AS DOUBLE) * v10 ELSE 0.0 END
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS s10,
+        |    CAST(SUM(CAST(CASE WHEN pos > 0
+        |      THEN CAST(pos AS DOUBLE) * (v10 * v10) ELSE 0.0 END
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS s10sq,
+        |    CAST(SUM(CAST(CASE WHEN cnt - pos > 0
+        |      THEN CAST(cnt - pos AS DOUBLE) * v01 ELSE 0.0 END
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS s01,
+        |    CAST(SUM(CAST(CASE WHEN cnt - pos > 0
+        |      THEN CAST(cnt - pos AS DOUBLE) * (v01 * v01) ELSE 0.0 END
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS s01sq
+        |  FROM v GROUP BY n1, n0),
+        |a AS (
+        |  SELECT n1, n0,
+        |    s10 / CAST(n1 AS DOUBLE) AS auc10,
+        |    (s10sq - CAST(n1 AS DOUBLE) *
+        |      ((s10 / CAST(n1 AS DOUBLE)) * (s10 / CAST(n1 AS DOUBLE))))
+        |      / (CAST(n1 AS DOUBLE) - 1.0) AS var10,
+        |    (s01sq - CAST(n0 AS DOUBLE) *
+        |      ((s01 / CAST(n0 AS DOUBLE)) * (s01 / CAST(n0 AS DOUBLE))))
+        |      / (CAST(n0 AS DOUBLE) - 1.0) AS var01
+        |  FROM s WHERE n1 > 1 AND n0 > 1),
+        |f AS (
+        |  SELECT n1, n0, auc10,
+        |    SQRT(var10 / CAST(n1 AS DOUBLE) + var01 / CAST(n0 AS DOUBLE))
+        |      AS se
+        |  FROM a)
+        |SELECT CAST(n1 + n0 AS BIGINT) AS n, n1 AS n_pos,
+        |  ROUND(auc10, 6) AS auc,
+        |  ROUND(se, 6) AS se_delong,
+        |  ROUND(auc10 - 1.959963984540054 * se, 6) AS ci_lo,
+        |  ROUND(auc10 + 1.959963984540054 * se, 6) AS ci_hi
+        |FROM f""".stripMargin,
+
+    // q301: average precision replayed — descending inclusive
+    // cumulatives over the distinct-score grid equal Spark's
+    // n1 − ascending-exclusive form exactly (BIGINTs), identical
+    // per-threshold term shape, DECIMAL(28,12) sum.
+    "q301_average_precision" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END
+        |    AS label,
+        |    (o_orderkey % 1000) / 1000.0 + o_totalprice / 1e6 AS score
+        |  FROM orders),
+        |g AS (
+        |  SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(label) AS BIGINT) AS pos
+        |  FROM d GROUP BY score),
+        |tot AS (
+        |  SELECT CAST(SUM(pos) AS BIGINT) AS n1,
+        |    CAST(SUM(cnt - pos) AS BIGINT) AS n0 FROM g),
+        |c AS (
+        |  SELECT score, cnt, pos,
+        |    SUM(pos) OVER wd AS tp,
+        |    SUM(cnt - pos) OVER wd AS fp
+        |  FROM g
+        |  WINDOW wd AS (ORDER BY score DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT CAST(n1 + n0 AS BIGINT) AS n, n1 AS n_pos,
+        |  ROUND(CAST(SUM(CAST(CASE WHEN pos > 0
+        |    THEN (CAST(pos AS DOUBLE) / CAST(n1 AS DOUBLE)) *
+        |      (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+        |    ELSE 0.0 END AS DECIMAL(28,12))) AS DOUBLE), 6) AS pr_auc,
+        |  ROUND(CAST(n1 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE), 6)
+        |    AS prevalence
+        |FROM c CROSS JOIN tot
+        |WHERE n1 > 0
+        |GROUP BY n1, n0""".stripMargin,
+
+    // q302: Brier decomposition replayed — per-bin exact moments
+    // (DECIMAL p / p² / p·y sums), fixed-shape per-bin terms with the
+    // global mean joined in, DECIMAL term sums over the ≤20-bin frame.
+    "q302_brier_decomposition" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y,
+        |    (o_orderkey % 997) / 996.0 AS p
+        |  FROM orders),
+        |b AS (
+        |  SELECT LEAST(19, CAST(FLOOR(p * 20) AS INTEGER)) AS bin, p, y
+        |  FROM d),
+        |pb AS (
+        |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_k,
+        |    CAST(SUM(y) AS BIGINT) AS sy_k,
+        |    CAST(SUM(CAST(p AS DECIMAL(28,12))) AS DOUBLE) AS sp_k,
+        |    CAST(SUM(CAST(p * p AS DECIMAL(28,12))) AS DOUBLE) AS spp_k,
+        |    CAST(SUM(CAST(p * CAST(y AS DOUBLE) AS DECIMAL(28,12)))
+        |      AS DOUBLE) AS spy_k
+        |  FROM b GROUP BY bin),
+        |gl AS (
+        |  SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+        |    CAST(SUM(sy_k) AS BIGINT) AS sy,
+        |    CAST(SUM(CAST(spp_k AS DECIMAL(28,12))) AS DOUBLE) AS spp,
+        |    CAST(SUM(CAST(spy_k AS DECIMAL(28,12))) AS DOUBLE) AS spy
+        |  FROM pb),
+        |terms AS (
+        |  SELECT n, sy, spp, spy,
+        |    (CAST(n_k AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      ((sp_k / CAST(n_k AS DOUBLE) -
+        |        CAST(sy_k AS DOUBLE) / CAST(n_k AS DOUBLE)) *
+        |       (sp_k / CAST(n_k AS DOUBLE) -
+        |        CAST(sy_k AS DOUBLE) / CAST(n_k AS DOUBLE))) AS rel,
+        |    (CAST(n_k AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      ((CAST(sy_k AS DOUBLE) / CAST(n_k AS DOUBLE) -
+        |        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |       (CAST(sy_k AS DOUBLE) / CAST(n_k AS DOUBLE) -
+        |        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) AS res,
+        |    (CAST(n_k AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (spp_k / CAST(n_k AS DOUBLE) -
+        |        (sp_k / CAST(n_k AS DOUBLE)) *
+        |        (sp_k / CAST(n_k AS DOUBLE))) AS wvar,
+        |    (CAST(n_k AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (spy_k / CAST(n_k AS DOUBLE) -
+        |        (sp_k / CAST(n_k AS DOUBLE)) *
+        |        (CAST(sy_k AS DOUBLE) / CAST(n_k AS DOUBLE))) AS wcov
+        |  FROM pb CROSS JOIN gl),
+        |agg AS (
+        |  SELECT n, sy, spp, spy, CAST(COUNT(*) AS BIGINT) AS n_bins,
+        |    CAST(SUM(CAST(rel AS DECIMAL(28,12))) AS DOUBLE) AS srel,
+        |    CAST(SUM(CAST(res AS DECIMAL(28,12))) AS DOUBLE) AS sres,
+        |    CAST(SUM(CAST(wvar AS DECIMAL(28,12))) AS DOUBLE) AS swvar,
+        |    CAST(SUM(CAST(wcov AS DECIMAL(28,12))) AS DOUBLE) AS swcov
+        |  FROM terms GROUP BY n, sy, spp, spy)
+        |SELECT n, n_bins,
+        |  ROUND((spp - 2.0 * spy + CAST(sy AS DOUBLE))
+        |    / CAST(n AS DOUBLE), 6) AS brier,
+        |  ROUND(srel, 6) AS reliability,
+        |  ROUND(sres, 6) AS resolution,
+        |  ROUND((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    (1.0 - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |    AS uncertainty,
+        |  ROUND(swvar, 6) AS within_var,
+        |  ROUND(swcov, 6) AS within_cov
+        |FROM agg""".stripMargin,
+
     // q297: Wasserstein-1 replayed — same distinct-value grid, exact
     // cumulative counts, one fixed-shape double term per grid row
     // (|F_A−F_B|·gap), DECIMAL(28,12) term sum.

@@ -3739,6 +3739,44 @@ object SparkEntry {
   def q296(spark: SparkSession, dir: String): DataFrame =
     TextOps.mixDiversityCard(t(spark, dir, "documents"), "source")
 
+  // ---------------------------------------------------------------- q300
+  // DeLong variance + 95% CI for q46's ROC-AUC: placement values from
+  // three distributed midrank passes (combined / positives / negatives),
+  // joined per distinct score — the error bar without ever
+  // materializing per-row ranks.
+  def q300(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "orders")
+      .withColumn("label", (col("o_totalprice") > 150000).cast("int"))
+      .withColumn("score",
+        (col("o_orderkey") % 1000) / lit(1000.0) +
+          col("o_totalprice") / lit(1e6))
+    graft.metrics.RankMetrics.delongAuc(d, "score", "label")
+  }
+
+  // ---------------------------------------------------------------- q301
+  // Average precision (PR-AUC, step-wise) on the same scored frame:
+  // the imbalance-honest companion to q46, with the prevalence baseline
+  // it must beat. Descending cumulatives via the bucketed prefix scheme.
+  def q301(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "orders")
+      .withColumn("label", (col("o_totalprice") > 150000).cast("int"))
+      .withColumn("score",
+        (col("o_orderkey") % 1000) / lit(1000.0) +
+          col("o_totalprice") / lit(1e6))
+    graft.metrics.RankMetrics.averagePrecision(d, "score", "label")
+  }
+
+  // ---------------------------------------------------------------- q302
+  // Murphy decomposition of the Brier score over 20 probability bins:
+  // reliability / resolution / uncertainty plus the within-bin terms
+  // that close the identity exactly — q197's ECE, diagnosed.
+  def q302(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "orders")
+      .withColumn("label", (col("o_totalprice") > 150000).cast("int"))
+      .withColumn("prob", (col("o_orderkey") % 997) / lit(996.0))
+    graft.metrics.MetricQueries.brierDecomposition(d, "prob", "label")
+  }
+
   // ---------------------------------------------------------------- q297
   // Exact 1-D Wasserstein-1 (earth-mover) distance between click and
   // view value distributions: the ECDF-gap integral, in value units —
@@ -4730,6 +4768,9 @@ object SparkEntry {
     "q297_wasserstein" -> (q297 _),
     "q298_energy_distance" -> (q298 _),
     "q299_log_rank" -> (q299 _),
+    "q300_delong_auc" -> (q300 _),
+    "q301_average_precision" -> (q301 _),
+    "q302_brier_decomposition" -> (q302 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -402,4 +402,67 @@ object MetricQueries {
         round(lit(2.0) * half, 6).as("ci_width"))
       .orderBy(col(groupCol))
   }
+
+  /** Murphy decomposition of the Brier score over `nBins` equal-width
+    * probability bins: Brier = reliability − resolution + uncertainty
+    * + within-bin p-variance − 2·within-bin p,y-covariance (the exact
+    * identity for non-constant bins; the within terms vanish when each
+    * bin's forecasts are constant). The diagnosis behind q197's ECE:
+    * reliability is miscalibration, resolution is the discrimination the
+    * forecaster actually earns, uncertainty is the irreducible ȳ(1−ȳ).
+    *
+    * Scale shape: one hash aggregation to per-bin exact moments (p and
+    * p·y sums as DECIMAL(28,12), counts BIGINT); all assembly runs on
+    * the ≤ nBins-row frame with fixed-shape doubles — engine-portable.
+    * `probCol` must lie in [0,1]; the top edge folds into the last bin.
+    */
+  def brierDecomposition(df: DataFrame, probCol: String, labelCol: String,
+      nBins: Int = 20): DataFrame = {
+    val p = col(probCol).cast("double")
+    val y = col(labelCol).cast("long")
+    val binned = df.select(
+      least(lit(nBins - 1), floor(p * nBins).cast("int")).as("bin"),
+      p.as("__p"), y.as("__y"))
+    val perBin = binned.groupBy(col("bin")).agg(
+      count(lit(1)).as("n_k"),
+      sum(col("__y")).as("sy_k"),
+      dsum(col("__p"), 12).as("sp_k"),
+      dsum(col("__p") * col("__p"), 12).as("spp_k"),
+      dsum(col("__p") * col("__y").cast("double"), 12).as("spy_k"))
+    val glob = perBin.agg(
+      sum(col("n_k")).as("__n"), sum(col("sy_k")).as("__sy"),
+      sum(col("spp_k").cast("decimal(28,12)")).cast("double").as("__spp"),
+      sum(col("spy_k").cast("decimal(28,12)")).cast("double").as("__spy"))
+    val j = perBin.crossJoin(broadcast(glob))
+    val nD = col("__n").cast("double")
+    val nkD = col("n_k").cast("double")
+    val ybar = col("__sy").cast("double") / nD
+    val pbarK = col("sp_k") / nkD
+    val ybarK = col("sy_k").cast("double") / nkD
+    val w = nkD / nD
+    val rel = w * ((pbarK - ybarK) * (pbarK - ybarK))
+    val res = w * ((ybarK - ybar) * (ybarK - ybar))
+    val wvar = w * (col("spp_k") / nkD - pbarK * pbarK)
+    val wcov = w * (col("spy_k") / nkD - pbarK * ybarK)
+    val agg = j.groupBy(col("__n"), col("__sy"), col("__spp"), col("__spy"))
+      .agg(
+        count(lit(1)).as("n_bins"),
+        dsum(rel, 12).as("__rel"),
+        dsum(res, 12).as("__res"),
+        dsum(wvar, 12).as("__wvar"),
+        dsum(wcov, 12).as("__wcov"))
+    val brier =
+      (col("__spp") - lit(2.0) * col("__spy") + col("__sy").cast("double")) /
+        col("__n").cast("double")
+    val ybarG = col("__sy").cast("double") / col("__n").cast("double")
+    agg.select(
+      col("__n").as("n"),
+      col("n_bins"),
+      round(brier, 6).as("brier"),
+      round(col("__rel"), 6).as("reliability"),
+      round(col("__res"), 6).as("resolution"),
+      round(ybarG * (lit(1.0) - ybarG), 6).as("uncertainty"),
+      round(col("__wvar"), 6).as("within_var"),
+      round(col("__wcov"), 6).as("within_cov"))
+  }
 }

@@ -306,4 +306,130 @@ object RankMetrics {
         round(col("overlap_at_depth").cast("double") / lit(depth.toDouble),
           6).as("agreement_at_depth"))
   }
+
+  /** DeLong (1988) nonparametric variance and 95% CI for the binary
+    * ROC-AUC — the error bar the point estimate in [[binaryAuc]] lacks.
+    * Uses the fast placement form: for a positive with combined midrank R
+    * and within-positive midrank R⁺, V₁₀ = (R − R⁺)/n₀ (tie-correct);
+    * symmetrically V₀₁ = 1 − (R − R⁻)/n₁ for negatives. Then
+    * Var(AUC) = S₁₀/n₁ + S₀₁/n₀ with S the sample variances of the
+    * placements.
+    *
+    * Scale shape: three [[midranks]] passes (combined, positives,
+    * negatives), each O(distinct scores) after its hash aggregate, joined
+    * per distinct score — placements are never materialized per row.
+    * Placement moments accumulate as DECIMAL(28,12) of fixed-shape double
+    * terms (midranks are exact halves) — engine-portable.
+    */
+  def delongAuc(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val lbl = col(labelCol).cast("int")
+    val all = midranks(df, scoreCol, labelCol, Nil)
+    val posR = midranks(df.filter(lbl === 1), scoreCol, labelCol, Nil)
+      .select(col(scoreCol), col("midrank").as("__rp"))
+    val negR = midranks(df.filter(lbl === 0), scoreCol, labelCol, Nil)
+      .select(col(scoreCol), col("midrank").as("__rn"))
+    val totals = all.agg(sum(col("pos")).as("__n1"),
+      sum(col("cnt") - col("pos")).as("__n0"))
+    val j = all
+      .join(posR, Seq(scoreCol), "left")
+      .join(negR, Seq(scoreCol), "left")
+      .crossJoin(broadcast(totals))
+    val n1D = col("__n1").cast("double")
+    val n0D = col("__n0").cast("double")
+    val v10 = (col("midrank") - col("__rp")) / n0D
+    val v01 = lit(1.0) - (col("midrank") - col("__rn")) / n1D
+    val negCnt = col("cnt") - col("pos")
+    val agg = j.agg(
+      first(col("__n1")).as("__n1"),
+      first(col("__n0")).as("__n0"),
+      dsum(when(col("pos") > 0, col("pos").cast("double") * v10)
+        .otherwise(lit(0.0)), 12).as("__s10"),
+      dsum(when(col("pos") > 0,
+        col("pos").cast("double") * (v10 * v10))
+        .otherwise(lit(0.0)), 12).as("__s10sq"),
+      dsum(when(negCnt > 0, negCnt.cast("double") * v01)
+        .otherwise(lit(0.0)), 12).as("__s01"),
+      dsum(when(negCnt > 0,
+        negCnt.cast("double") * (v01 * v01))
+        .otherwise(lit(0.0)), 12).as("__s01sq"))
+    val m1D = col("__n1").cast("double")
+    val m0D = col("__n0").cast("double")
+    val auc10 = col("__s10") / m1D
+    val auc01 = col("__s01") / m0D
+    val var10 = (col("__s10sq") - m1D * (auc10 * auc10)) / (m1D - lit(1.0))
+    val var01 = (col("__s01sq") - m0D * (auc01 * auc01)) / (m0D - lit(1.0))
+    val varAuc = var10 / m1D + var01 / m0D
+    val se = sqrt(varAuc)
+    agg
+      .filter(col("__n1") > 1 && col("__n0") > 1)
+      .select(
+        (col("__n1") + col("__n0")).as("n"),
+        col("__n1").as("n_pos"),
+        round(auc10, 6).as("auc"),
+        round(se, 6).as("se_delong"),
+        round(auc10 - lit(1.959963984540054) * se, 6).as("ci_lo"),
+        round(auc10 + lit(1.959963984540054) * se, 6).as("ci_hi"))
+  }
+
+  /** Average precision (area under the precision–recall curve, the
+    * step-wise sklearn estimator, no interpolation): thresholds sweep the
+    * distinct scores descending and
+    * AP = Σ_s (pos_s/n₁) · (TP≥s / (TP≥s + FP≥s)).
+    * The PR companion to [[binaryAuc]] — the honest metric under class
+    * imbalance, graded against the prevalence baseline it must beat.
+    *
+    * Scale shape: one hash aggregate to the distinct-score frame, then
+    * the [[midranks]] bucketed prefix scheme for the descending
+    * cumulatives (exact BIGINTs; TP≥s = n₁ − pos-below ascending) — no
+    * single-partition stage; term sums as DECIMAL(28,12).
+    */
+  def averagePrecision(df: DataFrame, scoreCol: String, labelCol: String,
+      buckets: Int = 32): DataFrame = {
+    val byScore = df.groupBy(col(scoreCol))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(labelCol).cast("long")).as("pos"))
+    val bounds = df.agg(
+      min(col(scoreCol)).as("s_min"), max(col(scoreCol)).as("s_max"))
+    val bucketed = byScore.crossJoin(broadcast(bounds))
+      .withColumn("bkt",
+        when(col("s_max") <= col("s_min"), lit(0))
+          .otherwise(least(lit(buckets - 1),
+            floor((col(scoreCol) - col("s_min")) /
+              (col("s_max") - col("s_min")) * buckets).cast("int"))))
+      .drop("s_min", "s_max")
+    val wLocal = Window.partitionBy(col("bkt")).orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = bucketed
+      .withColumn("__below_p", coalesce(sum(col("pos")).over(wLocal), lit(0L)))
+      .withColumn("__below_n",
+        coalesce(sum(col("cnt") - col("pos")).over(wLocal), lit(0L)))
+    val wOff = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("bkt"))
+      .agg(sum(col("pos")).as("__tp"), sum(col("cnt") - col("pos")).as("__tn"))
+      .withColumn("__off_p", coalesce(sum(col("__tp")).over(wOff), lit(0L)))
+      .withColumn("__off_n", coalesce(sum(col("__tn")).over(wOff), lit(0L)))
+      .select(col("bkt"), col("__off_p"), col("__off_n"))
+    val totals = byScore.agg(
+      sum(col("pos")).as("__n1"), sum(col("cnt") - col("pos")).as("__n0"))
+    val g = local.join(broadcast(offsets), "bkt")
+      .crossJoin(broadcast(totals))
+      .withColumn("__tp_ge", col("__n1") - (col("__off_p") + col("__below_p")))
+      .withColumn("__fp_ge", col("__n0") - (col("__off_n") + col("__below_n")))
+    val term = when(col("pos") > 0,
+      (col("pos").cast("double") / col("__n1").cast("double")) *
+        (col("__tp_ge").cast("double") /
+          (col("__tp_ge") + col("__fp_ge")).cast("double")))
+      .otherwise(lit(0.0))
+    g.groupBy(col("__n1"), col("__n0"))
+      .agg(dsum(term, 12).as("__ap"))
+      .filter(col("__n1") > 0)
+      .select(
+        (col("__n1") + col("__n0")).as("n"),
+        col("__n1").as("n_pos"),
+        round(col("__ap"), 6).as("pr_auc"),
+        round(col("__n1").cast("double") /
+          (col("__n1") + col("__n0")).cast("double"), 6).as("prevalence"))
+  }
 }
