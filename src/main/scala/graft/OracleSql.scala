@@ -3293,6 +3293,161 @@ object OracleSql {
 
     // q296: mix diversity replayed — per-source decimal entropy /
     // Simpson terms, fixed exp/share shapes.
+    // q303: Huber IRLS replayed — the q189 recursive-CTE contract with
+    // Huber weights/loss in place of the logistic ones: per-round
+    // DECIMAL(28,12) weighted moments, round-9 weighted-LS params.
+    "q303_huber_irls" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |    l_extendedprice / 1000.0 AS y
+        |  FROM lineitem WHERE l_orderkey < 500),
+        |it(i, b0, b1, hl) AS (
+        |  SELECT 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+        |    CAST(NULL AS DOUBLE)
+        |  UNION ALL
+        |  SELECT i + 1,
+        |    ROUND((swxx * swy - swx * swxy) / (sw * swxx - swx * swx), 9),
+        |    ROUND((sw * swxy - swx * swy) / (sw * swxx - swx * swx), 9),
+        |    lm
+        |  FROM (
+        |    SELECT i, b0, b1,
+        |      CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE) AS sw,
+        |      CAST(SUM(CAST(w * x AS DECIMAL(28,12))) AS DOUBLE) AS swx,
+        |      CAST(SUM(CAST(w * y AS DECIMAL(28,12))) AS DOUBLE) AS swy,
+        |      CAST(SUM(CAST(w * x * x AS DECIMAL(28,12))) AS DOUBLE)
+        |        AS swxx,
+        |      CAST(SUM(CAST(w * x * y AS DECIMAL(28,12))) AS DOUBLE)
+        |        AS swxy,
+        |      ROUND(CAST(SUM(CAST(loss AS DECIMAL(28,12))) AS DOUBLE)
+        |        / COUNT(*), 6) AS lm
+        |    FROM (
+        |      SELECT it.i AS i, it.b0 AS b0, it.b1 AS b1, d.x AS x,
+        |        d.y AS y,
+        |        CASE WHEN ABS(d.y - (it.b0 + it.b1 * d.x)) <= 10.0
+        |          THEN 1.0
+        |          ELSE 10.0 / ABS(d.y - (it.b0 + it.b1 * d.x)) END AS w,
+        |        CASE WHEN ABS(d.y - (it.b0 + it.b1 * d.x)) <= 10.0
+        |          THEN (d.y - (it.b0 + it.b1 * d.x)) *
+        |            (d.y - (it.b0 + it.b1 * d.x)) / 2.0
+        |          ELSE 10.0 * (ABS(d.y - (it.b0 + it.b1 * d.x))
+        |            - 10.0 / 2.0) END AS loss
+        |      FROM it, d
+        |      WHERE it.i < 8)
+        |    GROUP BY i, b0, b1))
+        |SELECT i AS iter, ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1,
+        |  hl AS huber_loss
+        |FROM it WHERE i >= 1
+        |ORDER BY iter""".stripMargin,
+
+    // q304: linear SHAP replayed — one exact-decimal moment row, the
+    // same centered 2×2 solve with ROUND(·,9) params and means, second
+    // scan for the mean absolute deviations, identical share shapes.
+    "q304_linear_shap" ->
+      """WITH d AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS x1,
+        |    CAST(l_discount AS DOUBLE) AS x2,
+        |    l_extendedprice / 1000.0 AS y
+        |  FROM lineitem),
+        |mo AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x1 AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(x2 AS DECIMAL(28,12))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x1 * x1 AS DECIMAL(28,12))) AS DOUBLE) AS s11,
+        |    CAST(SUM(CAST(x2 * x2 AS DECIMAL(28,12))) AS DOUBLE) AS s22,
+        |    CAST(SUM(CAST(x1 * x2 AS DECIMAL(28,12))) AS DOUBLE) AS s12,
+        |    CAST(SUM(CAST(x1 * y AS DECIMAL(28,12))) AS DOUBLE) AS s1y,
+        |    CAST(SUM(CAST(x2 * y AS DECIMAL(28,12))) AS DOUBLE) AS s2y
+        |  FROM d),
+        |cen AS (
+        |  SELECT n,
+        |    s11 - s1 * s1 / CAST(n AS DOUBLE) AS c11,
+        |    s22 - s2 * s2 / CAST(n AS DOUBLE) AS c22,
+        |    s12 - s1 * s2 / CAST(n AS DOUBLE) AS c12,
+        |    s1y - s1 * sy / CAST(n AS DOUBLE) AS c1y,
+        |    s2y - s2 * sy / CAST(n AS DOUBLE) AS c2y,
+        |    ROUND(s1 / CAST(n AS DOUBLE), 9) AS m1,
+        |    ROUND(s2 / CAST(n AS DOUBLE), 9) AS m2
+        |  FROM mo),
+        |fit AS (
+        |  SELECT n, m1, m2,
+        |    ROUND((c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12), 9)
+        |      AS b1,
+        |    ROUND((c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12), 9)
+        |      AS b2
+        |  FROM cen),
+        |mad AS (
+        |  SELECT
+        |    CAST(SUM(CAST(ABS(x1 - m1) AS DECIMAL(28,12))) AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS mad1,
+        |    CAST(SUM(CAST(ABS(x2 - m2) AS DECIMAL(28,12))) AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS mad2,
+        |    ANY_VALUE(b1) AS b1, ANY_VALUE(b2) AS b2
+        |  FROM d CROSS JOIN fit GROUP BY n),
+        |rows_out AS (
+        |  SELECT 'l_quantity' AS feature, b1 AS b, mad1 AS mad,
+        |    ABS(b1) * mad1 + ABS(b2) * mad2 AS tot FROM mad
+        |  UNION ALL
+        |  SELECT 'l_discount' AS feature, b2 AS b, mad2 AS mad,
+        |    ABS(b1) * mad1 + ABS(b2) * mad2 AS tot FROM mad)
+        |SELECT feature, ROUND(b, 6) AS coef,
+        |  ROUND(ABS(b) * mad, 6) AS mean_abs_shap,
+        |  ROUND(ABS(b) * mad / tot, 6) AS shap_share
+        |FROM rows_out ORDER BY feature""".stripMargin,
+
+    // q305: drop-column importance replayed — same moment row and
+    // round-9 coefficients; full vs 1-feature R² in identical shapes.
+    "q305_drop_column_importance" ->
+      """WITH d AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS x1,
+        |    CAST(l_discount AS DOUBLE) AS x2,
+        |    l_extendedprice / 1000.0 AS y
+        |  FROM lineitem),
+        |mo AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x1 AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(x2 AS DECIMAL(28,12))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x1 * x1 AS DECIMAL(28,12))) AS DOUBLE) AS s11,
+        |    CAST(SUM(CAST(x2 * x2 AS DECIMAL(28,12))) AS DOUBLE) AS s22,
+        |    CAST(SUM(CAST(x1 * x2 AS DECIMAL(28,12))) AS DOUBLE) AS s12,
+        |    CAST(SUM(CAST(x1 * y AS DECIMAL(28,12))) AS DOUBLE) AS s1y,
+        |    CAST(SUM(CAST(x2 * y AS DECIMAL(28,12))) AS DOUBLE) AS s2y,
+        |    CAST(SUM(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE) AS syy
+        |  FROM d),
+        |cen AS (
+        |  SELECT
+        |    s11 - s1 * s1 / CAST(n AS DOUBLE) AS c11,
+        |    s22 - s2 * s2 / CAST(n AS DOUBLE) AS c22,
+        |    s12 - s1 * s2 / CAST(n AS DOUBLE) AS c12,
+        |    s1y - s1 * sy / CAST(n AS DOUBLE) AS c1y,
+        |    s2y - s2 * sy / CAST(n AS DOUBLE) AS c2y,
+        |    syy - sy * sy / CAST(n AS DOUBLE) AS sst
+        |  FROM mo),
+        |fit AS (
+        |  SELECT c11, c22, c12, c1y, c2y, sst,
+        |    ROUND((c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12), 9)
+        |      AS b1,
+        |    ROUND((c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12), 9)
+        |      AS b2
+        |  FROM cen),
+        |r2 AS (
+        |  SELECT
+        |    (b1 * c1y + b2 * c2y) / sst AS r2_full,
+        |    (c1y / c11) * c1y / sst AS r2_only1,
+        |    (c2y / c22) * c2y / sst AS r2_only2
+        |  FROM fit)
+        |SELECT 'l_quantity' AS dropped_feature,
+        |  ROUND(r2_full, 6) AS r2_full,
+        |  ROUND(r2_only2, 6) AS r2_without,
+        |  ROUND(r2_full - r2_only2, 6) AS importance FROM r2
+        |UNION ALL
+        |SELECT 'l_discount' AS dropped_feature,
+        |  ROUND(r2_full, 6) AS r2_full,
+        |  ROUND(r2_only1, 6) AS r2_without,
+        |  ROUND(r2_full - r2_only1, 6) AS importance FROM r2
+        |ORDER BY dropped_feature""".stripMargin,
+
     // q300: DeLong replayed — midranks from exclusive prefix sums over
     // the distinct-score grid (combined / within-pos / within-neg, the
     // Spark midrank formula b + (c+1)/2), placement moments as

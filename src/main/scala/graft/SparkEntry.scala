@@ -3739,6 +3739,38 @@ object SparkEntry {
   def q296(spark: SparkSession, dir: String): DataFrame =
     TextOps.mixDiversityCard(t(spark, dir, "documents"), "source")
 
+  // ---------------------------------------------------------------- q303
+  // Huber-IRLS robust regression (price-per-quantity line under a
+  // δ=10 robustness radius): the outlier-resistant member of the
+  // portable-fit family — fixed 8 Newton-weighted-LS rounds, round-9
+  // params, recursive-CTE oracle replay (the q189 contract).
+  def q303(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.huberIrlsPortable(
+      t(spark, dir, "lineitem").filter(col("l_orderkey") < 500)
+        .withColumn("y", col("l_extendedprice") / lit(1000.0)),
+      "l_quantity", "y", delta = 10.0, iters = 8)
+      .orderBy(col("iter"))
+
+  // ---------------------------------------------------------------- q304
+  // Linear-SHAP attribution card over the closed-form 2-feature OLS
+  // (quantity + discount → price): per-feature coefficient, E|φ|, and
+  // normalized share — model explanation without per-row attributions.
+  def q304(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.linearShapCard(
+      t(spark, dir, "lineitem")
+        .withColumn("y", col("l_extendedprice") / lit(1000.0)),
+      "l_quantity", "l_discount", "y")
+
+  // ---------------------------------------------------------------- q305
+  // Drop-column importance on the same closed-form surface: R² of the
+  // full fit vs each genuine 1-feature refit — all three fits from ONE
+  // exact-decimal moment row, zero extra scans.
+  def q305(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.dropColumnImportanceCard(
+      t(spark, dir, "lineitem")
+        .withColumn("y", col("l_extendedprice") / lit(1000.0)),
+      "l_quantity", "l_discount", "y")
+
   // ---------------------------------------------------------------- q300
   // DeLong variance + 95% CI for q46's ROC-AUC: placement values from
   // three distributed midrank passes (combined / positives / negatives),
@@ -4771,6 +4803,9 @@ object SparkEntry {
     "q300_delong_auc" -> (q300 _),
     "q301_average_precision" -> (q301 _),
     "q302_brier_decomposition" -> (q302 _),
+    "q303_huber_irls" -> (q303 _),
+    "q304_linear_shap" -> (q304 _),
+    "q305_drop_column_importance" -> (q305 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

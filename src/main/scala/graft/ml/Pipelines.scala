@@ -1855,4 +1855,174 @@ object MlPipelines {
         col("t_suspected"))
       .orderBy(col("given"), col("suspected"))
   }
+
+  /** Fixed-iteration Huber-IRLS robust regression y = b0 + b1·x — the
+    * outlier-resistant member of the portable-fit family (ridge q183,
+    * logistic IRLS q189, lasso CD q196): per-row weight 1 for |r| ≤ δ,
+    * δ/|r| beyond, refit by weighted least squares each round. Same
+    * portability contract as [[irlsLoop]]: DECIMAL(28,12) per-row sums,
+    * round-9 parameters per step, fixed-shape double assembly — the
+    * whole loop replays as a DuckDB recursive CTE. The trace carries the
+    * mean Huber loss (r²/2 inside, δ(|r|−δ/2) outside) per round.
+    */
+  def huberIrlsPortable(df: DataFrame, xCol: String, yCol: String,
+      delta: Double, iters: Int = 8): DataFrame = {
+    import graft.functions.Stats.dsum
+    require(iters >= 1 && delta > 0.0, "need iters >= 1, delta > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def r9(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val d = df.select(col(xCol).cast("double").as("x"),
+      col(yCol).cast("double").as("y")).persist()
+    try {
+      var b0 = 0.0
+      var b1 = 0.0
+      val trace = (1 to iters).map { i =>
+        val r = col("y") - (lit(b0) + lit(b1) * col("x"))
+        val w = when(abs(r) <= lit(delta), lit(1.0))
+          .otherwise(lit(delta) / abs(r))
+        val loss = when(abs(r) <= lit(delta), r * r / lit(2.0))
+          .otherwise(lit(delta) * (abs(r) - lit(delta) / lit(2.0)))
+        val m = d.agg(
+          count(lit(1)).as("n"),
+          dsum(w, 12).as("sw"),
+          dsum(w * col("x"), 12).as("swx"),
+          dsum(w * col("y"), 12).as("swy"),
+          dsum(w * col("x") * col("x"), 12).as("swxx"),
+          dsum(w * col("x") * col("y"), 12).as("swxy"),
+          dsum(loss, 12).as("sl")).head()
+        val n = m.getLong(0)
+        val (sw, swx, swy, swxx, swxy, sl) = (m.getDouble(1), m.getDouble(2),
+          m.getDouble(3), m.getDouble(4), m.getDouble(5), m.getDouble(6))
+        val det = sw * swxx - swx * swx
+        b1 = r9((sw * swxy - swx * swy) / det)
+        b0 = r9((swxx * swy - swx * swxy) / det)
+        val lm = new java.math.BigDecimal(sl / n)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        (i, b0, b1, lm)
+      }
+      trace.toDF("iter", "__b0", "__b1", "huber_loss")
+        .select(col("iter"), round(col("__b0"), 6).as("b0"),
+          round(col("__b1"), 6).as("b1"), col("huber_loss"))
+    } finally { d.unpersist(); () }
+  }
+
+  /** Shared closed-form 2-feature OLS moments: one exact-decimal
+    * aggregation to (n, Σx₁, Σx₂, Σy, Σx₁², Σx₂², Σx₁x₂, Σx₁y, Σx₂y,
+    * Σy²); centered sums and the 2×2 normal-equation solve are
+    * fixed-shape doubles on that one row — engine-portable, and the
+    * only contact with the data is the single scan.
+    */
+  private def ols2Moments(df: DataFrame, x1Col: String, x2Col: String,
+      yCol: String): DataFrame = {
+    import graft.functions.Stats.dsum
+    val d = df.select(col(x1Col).cast("double").as("x1"),
+      col(x2Col).cast("double").as("x2"), col(yCol).cast("double").as("y"))
+    d.agg(
+      count(lit(1)).as("n"),
+      dsum(col("x1"), 12).as("s1"),
+      dsum(col("x2"), 12).as("s2"),
+      dsum(col("y"), 12).as("sy"),
+      dsum(col("x1") * col("x1"), 12).as("s11"),
+      dsum(col("x2") * col("x2"), 12).as("s22"),
+      dsum(col("x1") * col("x2"), 12).as("s12"),
+      dsum(col("x1") * col("y"), 12).as("s1y"),
+      dsum(col("x2") * col("y"), 12).as("s2y"),
+      dsum(col("y") * col("y"), 12).as("syy"),
+      dsum(abs(col("x1")), 12).as("sa1"),
+      dsum(abs(col("x2")), 12).as("sa2"))
+  }
+
+  /** Linear-SHAP attribution card for the closed-form 2-feature OLS fit
+    * (independence form, Lundberg & Lee 2017 §4.1: φⱼ(x) = bⱼ·(xⱼ−x̄ⱼ)):
+    * per feature, the coefficient and the global importance
+    * E|φⱼ| = |bⱼ|·E|xⱼ−x̄ⱼ|, normalized to shares. Two scans total (one
+    * for moments + fit, one for the mean absolute deviations around the
+    * fitted means) — attributions are never materialized per row.
+    */
+  def linearShapCard(df: DataFrame, x1Col: String, x2Col: String,
+      yCol: String): DataFrame = {
+    import graft.functions.Stats.dsum
+    val m = ols2Moments(df, x1Col, x2Col, yCol).head()
+    val n = m.getLong(0)
+    val nD = n.toDouble
+    val (s1, s2, sy) = (m.getDouble(1), m.getDouble(2), m.getDouble(3))
+    val (s11, s22, s12) = (m.getDouble(4), m.getDouble(5), m.getDouble(6))
+    val (s1y, s2y) = (m.getDouble(7), m.getDouble(8))
+    val c11 = s11 - s1 * s1 / nD
+    val c22 = s22 - s2 * s2 / nD
+    val c12 = s12 - s1 * s2 / nD
+    val c1y = s1y - s1 * sy / nD
+    val c2y = s2y - s2 * sy / nD
+    val det = c11 * c22 - c12 * c12
+    // round-9 fixed point (the irlsLoop recipe): absorbs last-ulp
+    // engine differences before the parameters feed the second pass
+    def r9(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val b1 = r9((c22 * c1y - c12 * c2y) / det)
+    val b2 = r9((c11 * c2y - c12 * c1y) / det)
+    val (m1, m2) = (r9(s1 / nD), r9(s2 / nD))
+    val d = df.select(col(x1Col).cast("double").as("x1"),
+      col(x2Col).cast("double").as("x2"))
+    val mad = d.agg(
+      (dsum(abs(col("x1") - lit(m1)), 12) / lit(nD)).as("mad1"),
+      (dsum(abs(col("x2") - lit(m2)), 12) / lit(nD)).as("mad2"))
+    mad.select(
+        explode(array(
+          struct(lit(x1Col).as("feature"), lit(b1).as("__b"),
+            col("mad1").as("__mad")),
+          struct(lit(x2Col).as("feature"), lit(b2).as("__b"),
+            col("mad2").as("__mad")))).as("f"),
+        (abs(lit(b1)) * col("mad1") + abs(lit(b2)) * col("mad2"))
+          .as("__tot"))
+      .select(col("f.feature").as("feature"),
+        round(col("f.__b"), 6).as("coef"),
+        round(abs(col("f.__b")) * col("f.__mad"), 6).as("mean_abs_shap"),
+        round(abs(col("f.__b")) * col("f.__mad") / col("__tot"), 6)
+          .as("shap_share"))
+      .orderBy(col("feature"))
+  }
+
+  /** Drop-column feature importance on the same closed-form surface:
+    * R² of the full 2-feature OLS minus R² of each 1-feature refit
+    * (the other column dropped and the model genuinely refit — the
+    * honest variant permutation importance approximates). All three fits
+    * come from the ONE moment row of [[ols2Moments]]; zero extra scans.
+    */
+  def dropColumnImportanceCard(df: DataFrame, x1Col: String, x2Col: String,
+      yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = ols2Moments(df, x1Col, x2Col, yCol).head()
+    val nD = m.getLong(0).toDouble
+    val (s1, s2, sy) = (m.getDouble(1), m.getDouble(2), m.getDouble(3))
+    val (s11, s22, s12) = (m.getDouble(4), m.getDouble(5), m.getDouble(6))
+    val (s1y, s2y, syy) = (m.getDouble(7), m.getDouble(8), m.getDouble(9))
+    val c11 = s11 - s1 * s1 / nD
+    val c22 = s22 - s2 * s2 / nD
+    val c12 = s12 - s1 * s2 / nD
+    val c1y = s1y - s1 * sy / nD
+    val c2y = s2y - s2 * sy / nD
+    val sst = syy - sy * sy / nD
+    val det = c11 * c22 - c12 * c12
+    def r9(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val b1 = r9((c22 * c1y - c12 * c2y) / det)
+    val b2 = r9((c11 * c2y - c12 * c1y) / det)
+    val r2Full = (b1 * c1y + b2 * c2y) / sst
+    val r2Only1 = (c1y / c11) * c1y / sst
+    val r2Only2 = (c2y / c22) * c2y / sst
+    def r6(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    Seq(
+      (x1Col, r6(r2Full), r6(r2Only2), r6(r2Full - r2Only2)),
+      (x2Col, r6(r2Full), r6(r2Only1), r6(r2Full - r2Only1)))
+      .toDF("dropped_feature", "r2_full", "r2_without", "importance")
+      .orderBy(col("dropped_feature"))
+  }
 }
