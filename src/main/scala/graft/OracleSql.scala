@@ -3293,6 +3293,82 @@ object OracleSql {
 
     // q296: mix diversity replayed — per-source decimal entropy /
     // Simpson terms, fixed exp/share shapes.
+    // q306: MMR replayed — the greedy loop unrolled as a CTE chain
+    // (c0→p1→c1→…→p10), every selection on ROUND(0.7·rel − 0.3·ms, 6)
+    // with the id tie-break, cosines in the proven list_inner_product
+    // rounded-6 form. Generated by [[mmrOracleSql]].
+    "q306_mmr_selection" -> mmrOracleSql(10),
+
+    // q307: RAKE replayed — same \b-alternation stopword break (RE2
+    // subset, 'g' flag), empty-token filter, degree/frequency word
+    // scores, DECIMAL phrase sums, identical top-15 tie-break.
+    "q307_rake_keywords" ->
+      """WITH raw AS (
+        |  SELECT UNNEST(string_split(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]+', ' ', 'g'),
+        |    '\b(the|a|and|of|to|in|is|for|on|with)\b', '|', 'g'), '|'))
+        |    AS r
+        |  FROM documents),
+        |ph2 AS (
+        |  SELECT toks, array_to_string(toks, ' ') AS phrase,
+        |    CAST(len(toks) AS BIGINT) AS l
+        |  FROM (SELECT list_filter(string_split(r, ' '),
+        |      t -> t <> '') AS toks FROM raw)
+        |  WHERE len(toks) BETWEEN 1 AND 4),
+        |w AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+        |    CAST(SUM(l) AS BIGINT) AS deg
+        |  FROM (SELECT UNNEST(toks) AS w, l FROM ph2) GROUP BY w),
+        |dp AS (
+        |  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        |    ANY_VALUE(toks) AS toks
+        |  FROM ph2 GROUP BY phrase),
+        |ex AS (
+        |  SELECT phrase, n_occurrences, UNNEST(toks) AS tw FROM dp),
+        |scored AS (
+        |  SELECT phrase, n_occurrences,
+        |    CAST(SUM(CAST(ws AS DECIMAL(28,12))) AS DOUBLE) AS score
+        |  FROM (
+        |    SELECT e.phrase, e.n_occurrences,
+        |      CAST(w.deg AS DOUBLE) / CAST(w.freq AS DOUBLE) AS ws
+        |    FROM ex e JOIN w ON w.w = e.tw)
+        |  GROUP BY phrase, n_occurrences)
+        |SELECT phrase, n_occurrences, ROUND(score, 6) AS rake_score
+        |FROM scored
+        |ORDER BY rake_score DESC, n_occurrences DESC, phrase
+        |LIMIT 15""".stripMargin,
+
+    // q308: Holt replayed — q290's zero-filled day spine, then the
+    // level/trend recursion as a recursive CTE with ROUND(·,9) states
+    // and exact-complement literals (0.3/0.7, 0.1/0.9).
+    "q308_holt_smoothing" ->
+      """WITH RECURSIVE counts AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY day),
+        |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM counts),
+        |days AS (
+        |  SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |series AS (
+        |  SELECT CAST(date_diff('day', b.lo, d.day) AS BIGINT) AS i,
+        |    d.day AS day, CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+        |  FROM days d CROSS JOIN b LEFT JOIN counts c ON d.day = c.day),
+        |it(i, day, x, fitted, l, tr) AS (
+        |  SELECT i, day, x, CAST(NULL AS DOUBLE),
+        |    CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE)
+        |  FROM series WHERE i = 0
+        |  UNION ALL
+        |  SELECT s.i, s.day, s.x,
+        |    it.l + it.tr,
+        |    ROUND(0.3 * CAST(s.x AS DOUBLE) + 0.7 * (it.l + it.tr), 9),
+        |    ROUND(0.1 * (ROUND(0.3 * CAST(s.x AS DOUBLE)
+        |        + 0.7 * (it.l + it.tr), 9) - it.l) + 0.9 * it.tr, 9)
+        |  FROM it JOIN series s ON s.i = it.i + 1)
+        |SELECT day, x, ROUND(fitted, 6) AS fitted,
+        |  ROUND(l, 6) AS level, ROUND(tr, 6) AS trend
+        |FROM it ORDER BY day""".stripMargin,
+
     // q303: Huber IRLS replayed — the q189 recursive-CTE contract with
     // Huber weights/loss in place of the logistic ones: per-round
     // DECIMAL(28,12) weighted moments, round-9 weighted-LS params.
@@ -8768,4 +8844,50 @@ object OracleSql {
       |  CASE WHEN hc.h_cluster > 0.0 AND hl.h_label > 0.0 THEN
       |    ROUND(mi.mi / SQRT(hc.h_cluster * hl.h_label), 6) END AS nmi
       |FROM pur p, nl2, hc, hl, mi""".stripMargin
+
+  /** q306's greedy MMR loop unrolled: c0 scores every vector against the
+    * smallest-id anchor; each step picks argmax ROUND(0.7·rel−0.3·ms,6)
+    * (id tie-break) from c_{i−1} and folds the pick's rounded cosine
+    * into the survivors' running max-sim.
+    */
+  private def mmrOracleSql(k: Int): String = {
+    def cos(a: String, b: String): String =
+      s"ROUND(list_inner_product($a, $b) / " +
+        s"(SQRT(list_inner_product($a, $a)) * " +
+        s"SQRT(list_inner_product($b, $b))), 6)"
+    val steps = (1 to k).map { i =>
+      val prev = s"c${i - 1}"
+      val pick =
+        s"""p$i AS (
+           |  SELECT vec_id, emb, rel, ms FROM $prev
+           |  ORDER BY ROUND(0.7 * rel - 0.3 * ms, 6) DESC, vec_id
+           |  LIMIT 1)""".stripMargin
+      val next = if (i == k) "" else
+        s""",
+           |c$i AS (
+           |  SELECT c.vec_id, c.emb, c.rel,
+           |    GREATEST(c.ms, ${cos("c.emb", "p.emb")}) AS ms
+           |  FROM $prev c CROSS JOIN p$i p
+           |  WHERE c.vec_id <> p.vec_id)""".stripMargin
+      pick + next
+    }.mkString(",\n")
+    val out = (1 to k).map { i =>
+      s"""SELECT $i AS pick_rank, vec_id, rel AS relevance,
+         |  ROUND(ms, 6) AS max_sim,
+         |  ROUND(0.7 * rel - 0.3 * ms, 6) AS mmr_score FROM p$i"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |anc AS (SELECT emb FROM e ORDER BY vec_id LIMIT 1),
+       |c0 AS (
+       |  SELECT e.vec_id, e.emb,
+       |    ${cos("e.emb", "a.emb")} AS rel,
+       |    0.0 AS ms
+       |  FROM e CROSS JOIN anc a),
+       |$steps
+       |$out
+       |ORDER BY pick_rank""".stripMargin
+  }
 }

@@ -3739,6 +3739,31 @@ object SparkEntry {
   def q296(spark: SparkSession, dir: String): DataFrame =
     TextOps.mixDiversityCard(t(spark, dir, "documents"), "source")
 
+  // ---------------------------------------------------------------- q306
+  // Maximal-marginal-relevance selection: 10 greedy picks balancing
+  // anchor relevance (λ=0.7) against similarity to what's already
+  // chosen — the relevance-aware sibling of q219's k-center traversal,
+  // one linear argmax scan per pick, rounded-cosine portable.
+  def q306(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.mmrSelect(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", k = 10)
+
+  // ---------------------------------------------------------------- q307
+  // RAKE keyword extraction over the corpus: stopword-delimited
+  // candidate phrases scored by summed word degree/frequency — the
+  // phrase-level keyword miner next to q255's PMI collocations.
+  def q307(spark: SparkSession, dir: String): DataFrame =
+    TextOps.rakeKeywords(t(spark, dir, "documents"), "doc_id", "text")
+
+  // ---------------------------------------------------------------- q308
+  // Holt double-exponential smoothing of the daily event count: level +
+  // trend states with one-step-ahead fitted values — the adaptive-trend
+  // forecaster between q164's EWMA and q290's segmented OLS. Driver
+  // recursion over the bounded day spine (contract-enforced), recursive-
+  // CTE oracle.
+  def q308(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.holtLinear(t(spark, dir, "events"), "ts")
+
   // ---------------------------------------------------------------- q303
   // Huber-IRLS robust regression (price-per-quantity line under a
   // δ=10 robustness radius): the outlier-resistant member of the
@@ -4806,6 +4831,9 @@ object SparkEntry {
     "q303_huber_irls" -> (q303 _),
     "q304_linear_shap" -> (q304 _),
     "q305_drop_column_importance" -> (q305 _),
+    "q306_mmr_selection" -> (q306 _),
+    "q307_rake_keywords" -> (q307 _),
+    "q308_holt_smoothing" -> (q308 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

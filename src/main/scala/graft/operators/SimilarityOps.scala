@@ -1025,6 +1025,59 @@ object SimilarityOps {
     } finally { e.unpersist(); () }
   }
 
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998) —
+    * the relevance-AND-diversity picker of a data-curation pass, next to
+    * [[kCenterCoreset]]'s pure-diversity traversal: greedily take the
+    * item maximizing λ·rel − (1−λ)·max-sim-to-chosen, where rel is the
+    * rounded cosine to the deterministic anchor (the smallest-id vector
+    * — a fixed "query" both engines agree on) and max-sim updates
+    * against each pick. Ties break toward the smallest id.
+    *
+    * Scale shape: identical to the k-center loop — the chosen set lives
+    * at the driver, each of the k steps is ONE linear scan (argmax via
+    * max-struct aggregation, no sort) plus a constant-size broadcast
+    * update. Rounded-6 cosines make every selection engine-portable; the
+    * oracle replays the greedy loop as an unrolled CTE chain.
+    */
+  def mmrSelect(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, lambda: BigDecimal = BigDecimal("0.7")): DataFrame = {
+    require(k >= 1 && lambda > 0 && lambda < 1,
+      s"need k >= 1 and lambda in (0,1), got k=$k lambda=$lambda")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (lam, clam) = (lambda.toDouble, (BigDecimal(1) - lambda).toDouble)
+    val e0 = embeddings.select(col(idCol).cast("long").as("__id"),
+      col(vecCol).cast("array<double>").as("__emb"))
+    val anchor = e0.orderBy(col("__id")).limit(1).head().getSeq[Double](1)
+    val e = e0.withColumn("__rel",
+        round(cosineNative(col("__emb"), array(anchor.map(lit): _*)), 6))
+      .persist()
+    try {
+      def r6(v: Double): Double =
+        new java.math.BigDecimal(v)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      var state = e.withColumn("__ms", lit(0.0))
+      val picks = (1 to k).map { rank =>
+        val mmr = round(lit(lam) * col("__rel") - lit(clam) * col("__ms"), 6)
+        val top = state
+          .agg(max(struct(mmr.as("m"), (-col("__id")).as("negid"),
+            col("__rel").as("rel"), col("__ms").as("ms"))).as("__t"))
+          .select((-col("__t.negid")).as("id"), col("__t.rel"),
+            col("__t.ms"), col("__t.m"))
+          .head()
+        val (cid, rel, ms) = (top.getLong(0), top.getDouble(1),
+          top.getDouble(2))
+        val cEmb = e.filter(col("__id") === cid).head().getSeq[Double](1)
+        state = state.filter(col("__id") =!= cid)
+          .withColumn("__ms", greatest(col("__ms"),
+            round(cosineNative(col("__emb"), array(cEmb.map(lit): _*)), 6)))
+        (rank, cid, rel, r6(ms), r6(lam * rel - clam * ms))
+      }
+      picks.toDF("pick_rank", "vec_id", "relevance", "max_sim", "mmr_score")
+        .orderBy(col("pick_rank"))
+    } finally { e.unpersist(); () }
+  }
+
   /** Portable semi-supervised LABEL PROPAGATION (Zhu & Ghahramani 2002)
     * over the IVF neighbor graph — the multi-hop upgrade of
     * [[knnClassifyPortable]]'s single-hop vote, and the label-densification

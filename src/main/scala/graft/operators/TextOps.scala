@@ -1525,4 +1525,56 @@ object TextOps {
         round(col("__top").cast("double") / col("__n").cast("double"),
           6).as("top_source_share"))
   }
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * the maximal token runs between stopwords/punctuation; each word
+    * scores degree/frequency over all candidate instances (degree = Σ
+    * phrase length over phrases containing it), and a phrase scores the
+    * sum of its word scores. The phrase-level keyword miner next to the
+    * purely statistical collocations (q255 PMI) and TF-IDF terms (q69).
+    *
+    * The stopword break uses one \b-alternation regex (the RE2-safe
+    * subset — no lookahead), so consecutive stopwords collapse without
+    * consuming whitespace; empty tokens from the splits are filtered
+    * (the q255 lesson). Scale shape: explode → two hash aggregations →
+    * one equi-join back → TakeOrdered top-k; integer counts, one double
+    * division per word, DECIMAL phrase sums.
+    */
+  def rakeKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 15, maxPhraseLen: Int = 4): DataFrame = {
+    val stop = "the|a|and|of|to|in|is|for|on|with"
+    val broken = regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]+", " "),
+      "\\b(" + stop + ")\\b", "|")
+    val phrases = df
+      .select(explode(split(broken, "\\|")).as("__raw"))
+      .select(filter(split(col("__raw"), " "),
+        t => t =!= "").as("__toks"))
+      .filter(size(col("__toks")) >= 1 &&
+        size(col("__toks")) <= maxPhraseLen)
+      .select(col("__toks"),
+        array_join(col("__toks"), " ").as("phrase"),
+        size(col("__toks")).cast("long").as("__len"))
+    val words = phrases
+      .select(explode(col("__toks")).as("w"), col("__len"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+      .withColumn("__wscore",
+        col("__deg").cast("double") / col("__freq").cast("double"))
+    val distinctPhrases = phrases
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        first(col("__toks")).as("__toks"))
+    distinctPhrases
+      .select(col("phrase"), col("n_occurrences"),
+        explode(col("__toks")).as("w"))
+      .join(words.select(col("w"), col("__wscore")), "w")
+      .groupBy(col("phrase"), col("n_occurrences"))
+      .agg(graft.functions.Stats.dsum(col("__wscore"), 12).as("__score"))
+      .select(col("phrase"), col("n_occurrences"),
+        round(col("__score"), 6).as("rake_score"))
+      .orderBy(col("rake_score").desc, col("n_occurrences").desc,
+        col("phrase"))
+      .limit(k)
+  }
 }

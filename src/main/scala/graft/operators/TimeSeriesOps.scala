@@ -620,4 +620,70 @@ object TimeSeriesOps {
       round(variance / mean, 6).as("vmr"),
       round((dD - lit(1.0)) * variance / mean, 6).as("chi2_dispersion"))
   }
+
+  /** Holt double-exponential smoothing (level + linear trend) of the
+    * daily event count — the adaptive-trend forecaster between q164's
+    * flat EWMA and q290's global segmented OLS:
+    * ℓ_t = α·x_t + (1−α)(ℓ_{t−1}+b_{t−1}),
+    * b_t = β(ℓ_t − ℓ_{t−1}) + (1−β)b_{t−1}, init ℓ₁ = x₁, b₁ = 0.
+    * `fitted` is the one-step-ahead forecast ℓ_{t−1}+b_{t−1} the
+    * observation is judged against (null on day 1).
+    *
+    * Scale shape: the recursion is inherently sequential, so it runs on
+    * the DRIVER over the bounded zero-filled day spine (≤ `maxGridSize`
+    * rows, ENFORCED like kaplanMeier) — the data-proportional work is
+    * only the daily count aggregate. Portability: α/β are BigDecimal so
+    * the complements are exact literals; states round to 9 per step (the
+    * irlsLoop recipe), replayed by a recursive CTE.
+    */
+  def holtLinear(df: DataFrame, tsCol: String,
+      alpha: BigDecimal = BigDecimal("0.3"),
+      beta: BigDecimal = BigDecimal("0.1"),
+      maxGridSize: Long = 5000L): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      "alpha and beta must be in (0,1)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val bounds = counts.agg(min(col("day")).as("__lo"),
+      max(col("day")).as("__hi"))
+    val series = bounds
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
+      .join(counts, Seq("day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+    val rows = series.orderBy(col("day")).collect()
+    require(rows.length <= maxGridSize,
+      s"holtLinear day spine too long: ${rows.length} days exceed " +
+        s"maxGridSize=$maxGridSize; aggregate to a coarser grid or raise " +
+        "maxGridSize deliberately.")
+    val (aD, bD) = (alpha.toDouble, beta.toDouble)
+    val (caD, cbD) = ((BigDecimal(1) - alpha).toDouble,
+      (BigDecimal(1) - beta).toDouble)
+    def r9(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    var l = 0.0
+    var b = 0.0
+    val out = rows.zipWithIndex.map { case (r, i) =>
+      val day = r.getDate(0)
+      val x = r.getLong(1)
+      if (i == 0) {
+        l = x.toDouble; b = 0.0
+        (day, x, None: Option[Double], l, b)
+      } else {
+        val fit = l + b
+        val lNew = r9(aD * x.toDouble + caD * (l + b))
+        b = r9(bD * (lNew - l) + cbD * b)
+        l = lNew
+        (day, x, Some(fit), l, b)
+      }
+    }.toSeq
+    out.toDF("day", "x", "__fit", "__l", "__b")
+      .select(col("day"), col("x"),
+        round(col("__fit"), 6).as("fitted"),
+        round(col("__l"), 6).as("level"),
+        round(col("__b"), 6).as("trend"))
+      .orderBy(col("day"))
+  }
 }
