@@ -3293,6 +3293,124 @@ object OracleSql {
 
     // q296: mix diversity replayed — per-source decimal entropy /
     // Simpson terms, fixed exp/share shapes.
+    // q309: fairness card replayed — one (group) confusion-count
+    // aggregation, pooled rates by cross join, identical null-guarded
+    // ratio shapes and gaps.
+    "q309_fairness_card" ->
+      """WITH d AS (
+        |  SELECT o_orderpriority AS grp,
+        |    o_totalprice > 150000 AS y,
+        |    ((o_orderkey % 1000) / 1000.0 + o_totalprice / 1e6) > 0.65
+        |      AS p
+        |  FROM orders),
+        |c AS (
+        |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN y AND p THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tp,
+        |    CAST(SUM(CASE WHEN (NOT y) AND p THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN y AND (NOT p) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN (NOT y) AND (NOT p) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tn
+        |  FROM d GROUP BY grp),
+        |g AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |    CAST(SUM(tp) AS BIGINT) AS gtp,
+        |    CAST(SUM(fp) AS BIGINT) AS gfp,
+        |    CAST(SUM(fn) AS BIGINT) AS gfn,
+        |    CAST(SUM(tn) AS BIGINT) AS gtn
+        |  FROM c)
+        |SELECT grp AS o_orderpriority, n,
+        |  ROUND(CASE WHEN n > 0 THEN
+        |    CAST(tp + fp AS DOUBLE) / CAST(n AS DOUBLE) END, 6)
+        |    AS selection_rate,
+        |  ROUND(CASE WHEN n > 0 THEN
+        |    CAST(tp + fp AS DOUBLE) / CAST(n AS DOUBLE) END -
+        |    CASE WHEN nn > 0 THEN
+        |      CAST(gtp + gfp AS DOUBLE) / CAST(nn AS DOUBLE) END, 6)
+        |    AS dp_gap,
+        |  ROUND(CASE WHEN tp + fn > 0 THEN
+        |    CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END, 6) AS tpr,
+        |  ROUND(CASE WHEN tp + fn > 0 THEN
+        |    CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END -
+        |    CASE WHEN gtp + gfn > 0 THEN
+        |      CAST(gtp AS DOUBLE) / CAST(gtp + gfn AS DOUBLE) END, 6)
+        |    AS eo_gap,
+        |  ROUND(CASE WHEN fp + tn > 0 THEN
+        |    CAST(fp AS DOUBLE) / CAST(fp + tn AS DOUBLE) END, 6) AS fpr,
+        |  ROUND(CASE WHEN fp + tn > 0 THEN
+        |    CAST(fp AS DOUBLE) / CAST(fp + tn AS DOUBLE) END -
+        |    CASE WHEN gfp + gtn > 0 THEN
+        |      CAST(gfp AS DOUBLE) / CAST(gfp + gtn AS DOUBLE) END, 6)
+        |    AS fpr_gap,
+        |  ROUND(CASE WHEN tp + fp > 0 THEN
+        |    CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END, 6)
+        |    AS predictive_parity
+        |FROM c CROSS JOIN g
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // q310: POT/GPD replayed — exact milli-unit order statistic for the
+    // threshold, DECIMAL excess moments, identical ξ/σ/return-level
+    // shapes (exp∘ln for the power).
+    "q310_pot_gpd_tail" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(28,3)) * 1000 AS BIGINT)
+        |    AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY v),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM g),
+        |cum AS (
+        |  SELECT v, c, SUM(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        |  FROM g),
+        |u AS (
+        |  SELECT MIN(v) AS uv FROM cum CROSS JOIN t
+        |  WHERE cm >= GREATEST(1, (19 * n) // 20)),
+        |m AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS ne,
+        |    CAST(SUM(CAST(CAST(c AS DOUBLE) *
+        |      (CAST(v - uv AS DOUBLE) / 1000.0)
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(CAST(c AS DOUBLE) *
+        |      ((CAST(v - uv AS DOUBLE) / 1000.0) *
+        |       (CAST(v - uv AS DOUBLE) / 1000.0))
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS syy,
+        |    ANY_VALUE(uv) AS uv
+        |  FROM g CROSS JOIN u WHERE g.v > u.uv),
+        |a AS (
+        |  SELECT n, ne, uv,
+        |    sy / CAST(ne AS DOUBLE) AS mm,
+        |    (syy - sy * sy / CAST(ne AS DOUBLE)) /
+        |      (CAST(ne AS DOUBLE) - 1.0) AS s2
+        |  FROM m CROSS JOIN t WHERE ne > 1),
+        |f AS (
+        |  SELECT n, ne, uv, mm, s2,
+        |    0.5 * (1.0 - mm * mm / s2) AS xi
+        |  FROM a),
+        |f2 AS (
+        |  SELECT n, ne, uv, mm, xi,
+        |    mm * (1.0 - xi) AS sigma,
+        |    CAST(ne AS DOUBLE) / (CAST(n AS DOUBLE) * 0.001) AS ratio
+        |  FROM f)
+        |SELECT n,
+        |  ROUND(CAST(uv AS DOUBLE) / 1000.0, 6) AS threshold,
+        |  ne AS n_exceed,
+        |  ROUND(mm, 6) AS mean_excess,
+        |  ROUND(xi, 6) AS xi,
+        |  ROUND(sigma, 6) AS sigma,
+        |  ROUND(CASE WHEN ABS(xi) > 1e-9 THEN
+        |      CAST(uv AS DOUBLE) / 1000.0 +
+        |        sigma / xi * (EXP(xi * LN(ratio)) - 1.0)
+        |    ELSE CAST(uv AS DOUBLE) / 1000.0 + sigma * LN(ratio) END, 6)
+        |    AS ret_level
+        |FROM f2""".stripMargin,
+
+    // q311: hash-collision sweep replayed — hexPoly15(MD5(term)) into
+    // the two-round congruential draw (the q237 shape), bucket = draw
+    // mod dim, identical per-dim rollup.
+    "q311_hash_collision_sweep" -> q311HashCollisionSql,
+
     // q306: MMR replayed — the greedy loop unrolled as a CTE chain
     // (c0→p1→c1→…→p10), every selection on ROUND(0.7·rel − 0.3·ms, 6)
     // with the id tie-break, cosines in the proven list_inner_product
@@ -8844,6 +8962,47 @@ object OracleSql {
       |  CASE WHEN hc.h_cluster > 0.0 AND hl.h_label > 0.0 THEN
       |    ROUND(mi.mi / SQRT(hc.h_cluster * hl.h_label), 6) END AS nmi
       |FROM pur p, nl2, hc, hl, mi""".stripMargin
+
+  /** q311's vocabulary hash sweep: terms drawn through
+    * hexPoly15(MD5(term)) and the two-round congruential generator,
+    * bucketed mod each dim, rolled up to collision counts and mass.
+    */
+  private def q311HashCollisionSql: String =
+    s"""WITH tok AS (
+       |  SELECT u.w AS term
+       |  FROM (SELECT string_split(trim(lower(text)), ' ') AS toks
+       |        FROM documents) t, UNNEST(toks) AS u(w)
+       |  WHERE u.w <> ''),
+       |terms AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS occ
+       |  FROM tok GROUP BY term),
+       |hx AS (
+       |  SELECT term, occ, ${hexPoly15("MD5(term)")} AS x
+       |  FROM terms),
+       |d2 AS (
+       |  SELECT term, occ,
+       |    ((((((x % 1000003) * 2654435761) % 1000003)
+       |      + (x // 1000003)) % 9999991) * 22695477) % 9999991 AS x2
+       |  FROM hx),
+       |ex AS (
+       |  SELECT term, occ, x2, dim
+       |  FROM d2 CROSS JOIN (SELECT UNNEST([256, 1024, 4096]) AS dim)),
+       |pb AS (
+       |  SELECT dim, x2 % CAST(dim AS BIGINT) AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS bt,
+       |    CAST(SUM(occ) AS BIGINT) AS bm
+       |  FROM ex GROUP BY dim, bucket)
+       |SELECT dim,
+       |  CAST(SUM(bt) AS BIGINT) AS n_terms,
+       |  CAST(COUNT(*) AS BIGINT) AS buckets_used,
+       |  CAST(SUM(CASE WHEN bt >= 2 THEN bt ELSE 0 END) AS BIGINT)
+       |    AS colliding_terms,
+       |  ROUND(CAST(SUM(CASE WHEN bt >= 2 THEN bt ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(bt) AS DOUBLE), 6) AS collision_rate,
+       |  ROUND(CAST(SUM(CASE WHEN bt >= 2 THEN bm ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(bm) AS DOUBLE), 6) AS colliding_mass_share
+       |FROM pb GROUP BY dim
+       |ORDER BY dim""".stripMargin
 
   /** q306's greedy MMR loop unrolled: c0 scores every vector against the
     * smallest-id anchor; each step picks argmax ROUND(0.7·rel−0.3·ms,6)

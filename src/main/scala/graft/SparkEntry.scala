@@ -3739,6 +3739,38 @@ object SparkEntry {
   def q296(spark: SparkSession, dir: String): DataFrame =
     TextOps.mixDiversityCard(t(spark, dir, "documents"), "source")
 
+  // ---------------------------------------------------------------- q309
+  // Fairness audit over order priority as the protected attribute:
+  // per-group selection rate, TPR, FPR, precision and their gaps vs the
+  // pooled rates — the bias gate on q46's scored frame at a fixed 0.65
+  // threshold. One count aggregation; ratios of exact BIGINTs.
+  def q309(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "orders")
+      .withColumn("label", col("o_totalprice") > 150000)
+      .withColumn("score",
+        (col("o_orderkey") % 1000) / lit(1000.0) +
+          col("o_totalprice") / lit(1e6))
+    graft.metrics.MetricQueries.fairnessCard(d, "o_orderpriority",
+      col("label"), col("score") > 0.65)
+  }
+
+  // ---------------------------------------------------------------- q310
+  // Peaks-over-threshold GPD tail card on event values: excesses above
+  // the exact 95th percentile (integer milli-units), method-of-moments
+  // ξ/σ, and the extrapolated 1-in-1000 return level — the principled
+  // extreme-value sibling of the MAD gate.
+  def q310(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.RobustStats.potGpdTail(
+      t(spark, dir, "events"), "value")
+
+  // ---------------------------------------------------------------- q311
+  // Feature-hashing collision sweep: the corpus vocabulary hashed into
+  // 256/1024/4096 buckets via the portable congruential draw, with the
+  // collided-term count and the token MASS sitting in collided buckets
+  // — the hashing-trick sizing audit behind q232.
+  def q311(spark: SparkSession, dir: String): DataFrame =
+    TextOps.hashCollisionSweep(t(spark, dir, "documents"), "text")
+
   // ---------------------------------------------------------------- q306
   // Maximal-marginal-relevance selection: 10 greedy picks balancing
   // anchor relevance (λ=0.7) against similarity to what's already
@@ -4834,6 +4866,9 @@ object SparkEntry {
     "q306_mmr_selection" -> (q306 _),
     "q307_rake_keywords" -> (q307 _),
     "q308_holt_smoothing" -> (q308 _),
+    "q309_fairness_card" -> (q309 _),
+    "q310_pot_gpd_tail" -> (q310 _),
+    "q311_hash_collision_sweep" -> (q311 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

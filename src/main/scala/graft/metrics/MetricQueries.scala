@@ -403,6 +403,52 @@ object MetricQueries {
       .orderBy(col(groupCol))
   }
 
+  /** Fairness audit card over a protected-group column: per group the
+    * selection rate (demographic parity), TPR (equal opportunity), FPR
+    * (equalized odds' second arm), and precision (predictive parity),
+    * each with its gap against the pooled rate — the bias readout a
+    * model gate reads before a training set or a classifier ships.
+    *
+    * One (group × label × pred) count aggregation over the scan;
+    * everything else is fixed-shape ratios of exact BIGINTs on the
+    * |groups|-row frame (pooled rates joined by broadcast). Rates are
+    * null (never 0/0) when a group lacks the conditioning class.
+    */
+  def fairnessCard(df: DataFrame, groupCol: String, labelExpr: Column,
+      predExpr: Column): DataFrame = {
+    val cells = df.groupBy(col(groupCol).as("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(labelExpr && predExpr, 1L).otherwise(0L)).as("tp"),
+        sum(when(!labelExpr && predExpr, 1L).otherwise(0L)).as("fp"),
+        sum(when(labelExpr && !predExpr, 1L).otherwise(0L)).as("fn"),
+        sum(when(!labelExpr && !predExpr, 1L).otherwise(0L)).as("tn"))
+    val pooled = cells.agg(
+      sum(col("n")).as("__N"),
+      sum(col("tp")).as("__TP"), sum(col("fp")).as("__FP"),
+      sum(col("fn")).as("__FN"), sum(col("tn")).as("__TN"))
+    def rate(num: Column, den: Column): Column =
+      when(den > 0L, num.cast("double") / den.cast("double"))
+    val j = cells.crossJoin(broadcast(pooled))
+    val selRate = rate(col("tp") + col("fp"), col("n"))
+    val tpr = rate(col("tp"), col("tp") + col("fn"))
+    val fpr = rate(col("fp"), col("fp") + col("tn"))
+    val prec = rate(col("tp"), col("tp") + col("fp"))
+    val selAll = rate(col("__TP") + col("__FP"), col("__N"))
+    val tprAll = rate(col("__TP"), col("__TP") + col("__FN"))
+    val fprAll = rate(col("__FP"), col("__FP") + col("__TN"))
+    j.select(
+        col("grp").as(groupCol), col("n"),
+        round(selRate, 6).as("selection_rate"),
+        round(selRate - selAll, 6).as("dp_gap"),
+        round(tpr, 6).as("tpr"),
+        round(tpr - tprAll, 6).as("eo_gap"),
+        round(fpr, 6).as("fpr"),
+        round(fpr - fprAll, 6).as("fpr_gap"),
+        round(prec, 6).as("predictive_parity"))
+      .orderBy(col(groupCol))
+  }
+
   /** Murphy decomposition of the Brier score over `nBins` equal-width
     * probability bins: Brier = reliability − resolution + uncertainty
     * + within-bin p-variance − 2·within-bin p,y-covariance (the exact

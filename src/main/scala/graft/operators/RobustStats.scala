@@ -641,4 +641,85 @@ object RobustStats {
           (col("__sii") - col("__si") * col("__si") / dD), 6)
           .as("ols_slope"))
   }
+
+  /** Peaks-over-threshold extreme-value card: excesses above the
+    * empirical `qNum/qDen` quantile are fit to a generalized Pareto by
+    * method of moments (ξ = ½(1 − m²/s²), σ = m(1−ξ)), and the return
+    * level at tail probability `retP` extrapolates BEYOND the observed
+    * data — the principled "what does the 1-in-100k value look like"
+    * the MAD gate (q99/q208) cannot answer. Values quantize to exact
+    * integer milli-units (the EWMA decimal trick), so the threshold is
+    * an exact order statistic and every moment is engine-portable.
+    *
+    * Scale shape: one distinct-value aggregate, cumulative counts via
+    * the range-bucket prefix scheme (per-bucket windows + a buckets-row
+    * offset frame — no single-partition stage), then one excess-moment
+    * aggregate; pow() is avoided via exp(ξ·ln(·)), the proven portable
+    * pair.
+    */
+  def potGpdTail(df: DataFrame, valCol: String, qNum: Int = 19,
+      qDen: Int = 20, retP: Double = 0.001,
+      buckets: Int = 32): DataFrame = {
+    require(qNum > 0 && qDen > qNum, "need 0 < qNum/qDen < 1")
+    require(retP > 0.0 && retP < 1.0, "retP in (0,1)")
+    val v = df.filter(col(valCol).isNotNull)
+      .select((col(valCol).cast("decimal(28,3)") * lit(1000))
+        .cast("long").as("v"))
+    val byV = v.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val bounds = byV.agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
+    val bucketed = byV.crossJoin(broadcast(bounds))
+      .withColumn("__bkt",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(lit(buckets - 1),
+            (((col("v") - col("__lo")) * buckets) /
+              (col("__hi") - col("__lo") + lit(1))).cast("int"))))
+    val wIn = Window.partitionBy(col("__bkt")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("__bkt"))
+      .agg(sum(col("c")).as("__tc"))
+      .withColumn("__off", coalesce(sum(col("__tc")).over(wOff), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    val tot = byV.agg(sum(col("c")).as("__n"))
+    val cum = bucketed
+      .withColumn("__cumIn", sum(col("c")).over(wIn))
+      .join(broadcast(offsets), "__bkt")
+      .withColumn("__cum", col("__off") + col("__cumIn"))
+    val u = cum.crossJoin(broadcast(tot))
+      .filter(col("__cum") >=
+        greatest(lit(1L), expr(s"($qNum * __n) div $qDen")))
+      .agg(min(col("v")).as("__u"))
+    import graft.functions.Stats.dsum
+    val yD = (col("v") - col("__u")).cast("double") / lit(1000.0)
+    val mom = byV.crossJoin(broadcast(u))
+      .filter(col("v") > col("__u"))
+      .agg(
+        sum(col("c")).as("__ne"),
+        dsum(col("c").cast("double") * yD, 12).as("__sy"),
+        dsum(col("c").cast("double") * (yD * yD), 12).as("__syy"),
+        first(col("__u")).as("__u"))
+      .crossJoin(broadcast(tot))
+      .filter(col("__ne") > 1)
+    val neD = col("__ne").cast("double")
+    val nD = col("__n").cast("double")
+    val uD = col("__u").cast("double") / lit(1000.0)
+    val m = col("__sy") / neD
+    val s2 = (col("__syy") - col("__sy") * col("__sy") / neD) /
+      (neD - lit(1.0))
+    val xi = lit(0.5) * (lit(1.0) - m * m / s2)
+    val sigma = m * (lit(1.0) - xi)
+    val ratio = neD / (nD * lit(retP))
+    val ret = when(abs(xi) > 1e-9,
+      uD + sigma / xi * (exp(xi * log(ratio)) - lit(1.0)))
+      .otherwise(uD + sigma * log(ratio))
+    mom.select(
+      col("__n").as("n"),
+      round(uD, 6).as("threshold"),
+      col("__ne").as("n_exceed"),
+      round(m, 6).as("mean_excess"),
+      round(xi, 6).as("xi"),
+      round(sigma, 6).as("sigma"),
+      round(ret, 6).as("ret_level"))
+  }
 }

@@ -1540,6 +1540,57 @@ object TextOps {
     * one equi-join back → TakeOrdered top-k; integer counts, one double
     * division per word, DECIMAL phrase sums.
     */
+  /** Feature-hashing collision audit: the corpus vocabulary hashed into
+    * each candidate dimension (the hashing-trick sizes a model designer
+    * weighs), reporting how many distinct terms collide and how much
+    * token MASS sits in collided buckets — the quantity that actually
+    * degrades a hashed-features model (q232's hashed-vocab NB premise,
+    * measured). Uses the portable two-round congruential draw on
+    * MD5(term) (the q237 recipe), so the audit replays in SQL exactly.
+    *
+    * Scale shape: one token aggregation to the (term, occurrences)
+    * frame, a |dims|-way explode of THAT frame, one (dim, bucket)
+    * aggregation, one |dims|-row rollup. Nothing data-proportional
+    * beyond the first aggregate.
+    */
+  def hashCollisionSweep(df: DataFrame, textCol: String,
+      dims: Seq[Int] = Seq(256, 1024, 4096)): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 2), "dims must be >= 2")
+    val p1 = 1000003L
+    val p2 = 9999991L
+    val terms = df
+      .select(explode(split(trim(lower(col(textCol))), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("occ"))
+    val hx = conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long")
+    val hdiv = (hx.cast("decimal(38,0)") / lit(p1)).cast("long")
+    val x1 = pmod(pmod(hx, lit(p1)) * lit(2654435761L), lit(p1))
+    val x2 = pmod(pmod(x1 + hdiv, lit(p2)) * lit(22695477L), lit(p2))
+    val exploded = terms
+      .withColumn("__draw", x2)
+      .select(col("term"), col("occ"), col("__draw"),
+        explode(array(dims.map(d => lit(d)): _*)).as("dim"))
+      .withColumn("__bucket", pmod(col("__draw"), col("dim").cast("long")))
+    val perBucket = exploded.groupBy(col("dim"), col("__bucket"))
+      .agg(count(lit(1)).as("__bt"), sum(col("occ")).as("__bm"))
+    perBucket.groupBy(col("dim"))
+      .agg(
+        sum(col("__bt")).as("n_terms"),
+        count(lit(1)).as("buckets_used"),
+        sum(when(col("__bt") >= 2L, col("__bt")).otherwise(0L))
+          .as("colliding_terms"),
+        sum(col("__bm")).as("__mass"),
+        sum(when(col("__bt") >= 2L, col("__bm")).otherwise(0L))
+          .as("__cmass"))
+      .select(col("dim"), col("n_terms"), col("buckets_used"),
+        col("colliding_terms"),
+        round(col("colliding_terms").cast("double") /
+          col("n_terms").cast("double"), 6).as("collision_rate"),
+        round(col("__cmass").cast("double") /
+          col("__mass").cast("double"), 6).as("colliding_mass_share"))
+      .orderBy(col("dim"))
+  }
+
   def rakeKeywords(df: DataFrame, idCol: String, textCol: String,
       k: Int = 15, maxPhraseLen: Int = 4): DataFrame = {
     val stop = "the|a|and|of|to|in|is|for|on|with"
