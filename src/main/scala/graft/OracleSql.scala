@@ -3296,59 +3296,100 @@ object OracleSql {
     // q309: fairness card replayed — one (group) confusion-count
     // aggregation, pooled rates by cross join, identical null-guarded
     // ratio shapes and gaps.
-    "q309_fairness_card" ->
-      """WITH d AS (
-        |  SELECT o_orderpriority AS grp,
-        |    o_totalprice > 150000 AS y,
-        |    ((o_orderkey % 1000) / 1000.0 + o_totalprice / 1e6) > 0.65
-        |      AS p
-        |  FROM orders),
-        |c AS (
-        |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(SUM(CASE WHEN y AND p THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS tp,
-        |    CAST(SUM(CASE WHEN (NOT y) AND p THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS fp,
-        |    CAST(SUM(CASE WHEN y AND (NOT p) THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS fn,
-        |    CAST(SUM(CASE WHEN (NOT y) AND (NOT p) THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS tn
-        |  FROM d GROUP BY grp),
+    "q309_fairness_card" -> q309FairnessSql,
+
+    // q314 shares q309's oracle verbatim: the confusion cells are pure
+    // additive state, so the streamed complete-mode counts + the same
+    // finisher converge to the batch card exactly (stream ≡ batch is
+    // the contract under test).
+    "q314_stream_fairness" -> q309FairnessSql,
+
+    // q312: EB shrinkage replayed — per-group cells, DECIMAL rate
+    // moments over the group frame, identical MoM prior (ROUND 9) and
+    // shrinkage shapes, null prior surfaced on degenerate variance.
+    "q312_eb_shrinkage" ->
+      """WITH cells AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM documents WHERE source IS NOT NULL GROUP BY source),
+        |mom AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS g,
+        |    CAST(SUM(CAST(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS sp,
+        |    CAST(SUM(CAST((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS spp
+        |  FROM cells),
+        |pr AS (
+        |  SELECT
+        |    CASE WHEN v > 0 AND c > 0 THEN ROUND(m * c, 9) END AS alpha,
+        |    CASE WHEN v > 0 AND c > 0 THEN ROUND((1.0 - m) * c, 9) END
+        |      AS beta
+        |  FROM (
+        |    SELECT m, v, m * (1.0 - m) / v - 1.0 AS c FROM (
+        |      SELECT sp / CAST(g AS DOUBLE) AS m,
+        |        (spp - sp * sp / CAST(g AS DOUBLE)) /
+        |          (CAST(g AS DOUBLE) - 1.0) AS v
+        |      FROM mom WHERE g > 1)))
+        |SELECT source, n, k,
+        |  ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+        |  ROUND((CAST(k AS DOUBLE) + alpha) /
+        |    (CAST(n AS DOUBLE) + alpha + beta), 6) AS shrunk_rate,
+        |  ROUND(alpha, 6) AS alpha,
+        |  ROUND(beta, 6) AS beta
+        |FROM cells CROSS JOIN pr
+        |ORDER BY source""".stripMargin,
+
+    // q313: Wilcoxon signed-rank replayed — per-user DECIMAL paired
+    // means, rounded-6 differences, zero drops, exclusive-prefix
+    // midranks over |d|, identical W⁺/μ/σ shapes.
+    "q313_wilcoxon_signed_rank" ->
+      """WITH pk AS (
+        |  SELECT user_id,
+        |    COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS na,
+        |    COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS nb,
+        |    CAST(SUM(CASE WHEN event_type = 'click'
+        |      THEN CAST(value AS DECIMAL(28,12)) END) AS DOUBLE) /
+        |      COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS ma,
+        |    CAST(SUM(CASE WHEN event_type = 'view'
+        |      THEN CAST(value AS DECIMAL(28,12)) END) AS DOUBLE) /
+        |      COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS mb
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+        |  GROUP BY user_id),
+        |d AS (
+        |  SELECT ROUND(ma - mb, 6) AS d, ABS(ROUND(ma - mb, 6)) AS absd
+        |  FROM pk WHERE na > 0 AND nb > 0 AND ROUND(ma - mb, 6) <> 0.0),
         |g AS (
-        |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
-        |    CAST(SUM(tp) AS BIGINT) AS gtp,
-        |    CAST(SUM(fp) AS BIGINT) AS gfp,
-        |    CAST(SUM(fn) AS BIGINT) AS gfn,
-        |    CAST(SUM(tn) AS BIGINT) AS gtn
-        |  FROM c)
-        |SELECT grp AS o_orderpriority, n,
-        |  ROUND(CASE WHEN n > 0 THEN
-        |    CAST(tp + fp AS DOUBLE) / CAST(n AS DOUBLE) END, 6)
-        |    AS selection_rate,
-        |  ROUND(CASE WHEN n > 0 THEN
-        |    CAST(tp + fp AS DOUBLE) / CAST(n AS DOUBLE) END -
-        |    CASE WHEN nn > 0 THEN
-        |      CAST(gtp + gfp AS DOUBLE) / CAST(nn AS DOUBLE) END, 6)
-        |    AS dp_gap,
-        |  ROUND(CASE WHEN tp + fn > 0 THEN
-        |    CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END, 6) AS tpr,
-        |  ROUND(CASE WHEN tp + fn > 0 THEN
-        |    CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END -
-        |    CASE WHEN gtp + gfn > 0 THEN
-        |      CAST(gtp AS DOUBLE) / CAST(gtp + gfn AS DOUBLE) END, 6)
-        |    AS eo_gap,
-        |  ROUND(CASE WHEN fp + tn > 0 THEN
-        |    CAST(fp AS DOUBLE) / CAST(fp + tn AS DOUBLE) END, 6) AS fpr,
-        |  ROUND(CASE WHEN fp + tn > 0 THEN
-        |    CAST(fp AS DOUBLE) / CAST(fp + tn AS DOUBLE) END -
-        |    CASE WHEN gfp + gtn > 0 THEN
-        |      CAST(gfp AS DOUBLE) / CAST(gfp + gtn AS DOUBLE) END, 6)
-        |    AS fpr_gap,
-        |  ROUND(CASE WHEN tp + fp > 0 THEN
-        |    CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END, 6)
-        |    AS predictive_parity
-        |FROM c CROSS JOIN g
-        |ORDER BY o_orderpriority""".stripMargin,
+        |  SELECT absd, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM d GROUP BY absd),
+        |r AS (
+        |  SELECT absd,
+        |    CAST(COALESCE(SUM(cnt) OVER (ORDER BY absd
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS DOUBLE) + (cnt + 1) / 2.0 AS midrank
+        |  FROM g),
+        |j AS (SELECT d.d, r.midrank FROM d JOIN r ON d.absd = r.absd),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN d > 0.0
+        |      THEN CAST(midrank AS DECIMAL(28,1))
+        |      ELSE CAST(0 AS DECIMAL(28,1)) END) AS DOUBLE) AS wplus,
+        |    CAST(SUM(CAST(midrank * midrank AS DECIMAL(28,2)))
+        |      AS DOUBLE) AS sr2
+        |  FROM j)
+        |SELECT n_pairs,
+        |  ROUND(wplus, 6) AS w_plus,
+        |  ROUND(CAST(n_pairs AS DOUBLE) *
+        |    (CAST(n_pairs AS DOUBLE) + 1.0) / 4.0, 6) AS mu,
+        |  ROUND(SQRT(sr2 / 4.0), 6) AS sigma,
+        |  CASE WHEN sr2 > 0.0 THEN
+        |    ROUND((wplus - CAST(n_pairs AS DOUBLE) *
+        |      (CAST(n_pairs AS DOUBLE) + 1.0) / 4.0) /
+        |      SQRT(sr2 / 4.0), 6) END AS z
+        |FROM agg WHERE n_pairs > 0""".stripMargin,
+
 
     // q310: POT/GPD replayed — exact milli-unit order statistic for the
     // threshold, DECIMAL excess moments, identical ξ/σ/return-level
@@ -9049,4 +9090,61 @@ object OracleSql {
        |$out
        |ORDER BY pick_rank""".stripMargin
   }
+  /** q309's fairness-card SQL, shared verbatim by the q314 streaming
+    * twin (additive confusion cells; stream ≡ batch contract).
+    */
+  private def q309FairnessSql: String =
+      """WITH d AS (
+        |  SELECT o_orderpriority AS grp,
+        |    o_totalprice > 150000 AS y,
+        |    ((o_orderkey % 1000) / 1000.0 + o_totalprice / 1e6) > 0.65
+        |      AS p
+        |  FROM orders),
+        |c AS (
+        |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN y AND p THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tp,
+        |    CAST(SUM(CASE WHEN (NOT y) AND p THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN y AND (NOT p) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN (NOT y) AND (NOT p) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tn
+        |  FROM d GROUP BY grp),
+        |g AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |    CAST(SUM(tp) AS BIGINT) AS gtp,
+        |    CAST(SUM(fp) AS BIGINT) AS gfp,
+        |    CAST(SUM(fn) AS BIGINT) AS gfn,
+        |    CAST(SUM(tn) AS BIGINT) AS gtn
+        |  FROM c)
+        |SELECT grp AS o_orderpriority, n,
+        |  ROUND(CASE WHEN n > 0 THEN
+        |    CAST(tp + fp AS DOUBLE) / CAST(n AS DOUBLE) END, 6)
+        |    AS selection_rate,
+        |  ROUND(CASE WHEN n > 0 THEN
+        |    CAST(tp + fp AS DOUBLE) / CAST(n AS DOUBLE) END -
+        |    CASE WHEN nn > 0 THEN
+        |      CAST(gtp + gfp AS DOUBLE) / CAST(nn AS DOUBLE) END, 6)
+        |    AS dp_gap,
+        |  ROUND(CASE WHEN tp + fn > 0 THEN
+        |    CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END, 6) AS tpr,
+        |  ROUND(CASE WHEN tp + fn > 0 THEN
+        |    CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END -
+        |    CASE WHEN gtp + gfn > 0 THEN
+        |      CAST(gtp AS DOUBLE) / CAST(gtp + gfn AS DOUBLE) END, 6)
+        |    AS eo_gap,
+        |  ROUND(CASE WHEN fp + tn > 0 THEN
+        |    CAST(fp AS DOUBLE) / CAST(fp + tn AS DOUBLE) END, 6) AS fpr,
+        |  ROUND(CASE WHEN fp + tn > 0 THEN
+        |    CAST(fp AS DOUBLE) / CAST(fp + tn AS DOUBLE) END -
+        |    CASE WHEN gfp + gtn > 0 THEN
+        |      CAST(gfp AS DOUBLE) / CAST(gfp + gtn AS DOUBLE) END, 6)
+        |    AS fpr_gap,
+        |  ROUND(CASE WHEN tp + fp > 0 THEN
+        |    CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END, 6)
+        |    AS predictive_parity
+        |FROM c CROSS JOIN g
+        |ORDER BY o_orderpriority""".stripMargin
+
 }

@@ -3739,6 +3739,40 @@ object SparkEntry {
   def q296(spark: SparkSession, dir: String): DataFrame =
     TextOps.mixDiversityCard(t(spark, dir, "documents"), "source")
 
+  // ---------------------------------------------------------------- q312
+  // Empirical-Bayes shrinkage of per-source long-doc rates: beta prior
+  // by method of moments over the source rates, each source's rate
+  // shrunk (k+α)/(n+α+β) — the small-sample stabilizer behind every
+  // per-source quality ranking.
+  def q312(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ProfileOps.ebShrinkageCard(
+      t(spark, dir, "documents"), "source", col("n_chars") >= 200)
+
+  // ---------------------------------------------------------------- q313
+  // Wilcoxon signed-rank on per-user paired click-vs-view mean values:
+  // the PAIRED companion to q259's unpaired rank test — same-key
+  // differences midranked by the distributed bucketed scheme, tie-exact
+  // normal approximation.
+  def q313(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.wilcoxonSignedRank(
+      t(spark, dir, "events"), "user_id", "value", "event_type",
+      "click", "view")
+
+  // ---------------------------------------------------------------- q314
+  // Streaming twin of q309 (SHARED oracle): the per-group confusion
+  // cells are pure additive complete-mode state; the same
+  // fairnessFromCells finisher lands on the batch card bit-for-bit
+  // under any micro-batching — the always-fresh bias monitor.
+  def q314(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.streaming.StreamingOps.streamingFairnessCard(
+      spark, dir, "orders.parquet", "o_orderpriority",
+      col("o_totalprice") > 150000,
+      ((col("o_orderkey") % 1000) / lit(1000.0) +
+        col("o_totalprice") / lit(1e6)) > 0.65,
+      graft.streaming.StreamSink.Memory("q314_fairness"))
+  }
+
   // ---------------------------------------------------------------- q309
   // Fairness audit over order priority as the protected attribute:
   // per-group selection rate, TPR, FPR, precision and their gaps vs the
@@ -4869,6 +4903,9 @@ object SparkEntry {
     "q309_fairness_card" -> (q309 _),
     "q310_pot_gpd_tail" -> (q310 _),
     "q311_hash_collision_sweep" -> (q311 _),
+    "q312_eb_shrinkage" -> (q312 _),
+    "q313_wilcoxon_signed_rank" -> (q313 _),
+    "q314_stream_fairness" -> (q314 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

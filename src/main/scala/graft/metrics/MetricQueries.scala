@@ -415,14 +415,29 @@ object MetricQueries {
     * null (never 0/0) when a group lacks the conditioning class.
     */
   def fairnessCard(df: DataFrame, groupCol: String, labelExpr: Column,
-      predExpr: Column): DataFrame = {
-    val cells = df.groupBy(col(groupCol).as("grp"))
+      predExpr: Column): DataFrame =
+    fairnessFromCells(fairnessCells(df, groupCol, labelExpr, predExpr),
+      groupCol)
+
+  /** The fairness card's sufficient statistics: one confusion-count row
+    * per group — pure ADDITIVE state (counts sum across micro-batches),
+    * which is what makes the streaming twin share the batch oracle.
+    */
+  def fairnessCells(df: DataFrame, groupCol: String, labelExpr: Column,
+      predExpr: Column): DataFrame =
+    df.groupBy(col(groupCol).as("grp"))
       .agg(
         count(lit(1)).as("n"),
         sum(when(labelExpr && predExpr, 1L).otherwise(0L)).as("tp"),
         sum(when(!labelExpr && predExpr, 1L).otherwise(0L)).as("fp"),
         sum(when(labelExpr && !predExpr, 1L).otherwise(0L)).as("fn"),
         sum(when(!labelExpr && !predExpr, 1L).otherwise(0L)).as("tn"))
+
+  /** Assembly of the per-group rates/gaps from a [[fairnessCells]]
+    * frame — fixed-shape ratios of exact BIGINTs, shared verbatim by the
+    * batch card and the streaming twin.
+    */
+  def fairnessFromCells(cells: DataFrame, groupCol: String): DataFrame = {
     val pooled = cells.agg(
       sum(col("n")).as("__N"),
       sum(col("tp")).as("__TP"), sum(col("fp")).as("__FP"),

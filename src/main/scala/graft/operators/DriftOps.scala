@@ -934,6 +934,64 @@ object DriftOps {
       when(varT > 0.0, round(tStat / sqrt(varT), 6)).as("z_trend"))
   }
 
+  /** Wilcoxon signed-rank test on PAIRED means: per key, the difference
+    * of the two conditions' exact-decimal means (rounded to 6 so ranking
+    * is engine-portable), zero differences dropped (the standard
+    * convention), |d| midranked by the [[graft.metrics.RankMetrics]]
+    * distributed bucketed scheme, and
+    * z = (W⁺ − m(m+1)/4) / √(Σrᵢ²/4) — the tie-exact normal
+    * approximation. The PAIRED companion to [[mannWhitneyU]]'s
+    * independent-samples test: same-key before/after comparisons
+    * (per-user click vs view value here) where the between-key variance
+    * would drown an unpaired test.
+    *
+    * Exactness: midranks are exact halves (Σr over DECIMAL(28,1),
+    * Σr² over DECIMAL(28,2)); μ and σ assemble in fixed-shape doubles.
+    */
+  def wilcoxonSignedRank(df: DataFrame, keyCol: String, valCol: String,
+      condCol: String, condA: String, condB: String): DataFrame = {
+    import graft.functions.Stats.dsum
+    val perKey = df
+      .filter(col(condCol).isin(condA, condB) && col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(
+        count(when(col(condCol) === condA, 1)).as("__na"),
+        count(when(col(condCol) === condB, 1)).as("__nb"),
+        (dsum(when(col(condCol) === condA, col(valCol)), 12) /
+          count(when(col(condCol) === condA, 1))).as("__ma"),
+        (dsum(when(col(condCol) === condB, col(valCol)), 12) /
+          count(when(col(condCol) === condB, 1))).as("__mb"))
+      .filter(col("__na") > 0 && col("__nb") > 0)
+      .select(round(col("__ma") - col("__mb"), 6).as("__d"))
+      .filter(col("__d") =!= 0.0)
+      .select(col("__d"), abs(col("__d")).as("__absd"),
+        lit(0).as("__zero"))
+    val ranked = graft.metrics.RankMetrics.midranks(
+      perKey.select(col("__absd"), col("__zero")), "__absd", "__zero", Nil)
+      .select(col("__absd"), col("midrank"))
+    val joined = perKey.join(ranked, "__absd")
+    joined.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("__d") > 0.0, col("midrank").cast("decimal(28,1)"))
+          .otherwise(lit(0).cast("decimal(28,1)")))
+          .cast("double").as("__wplus"),
+        sum((col("midrank") * col("midrank")).cast("decimal(28,2)"))
+          .cast("double").as("__sr2"))
+      .filter(col("n_pairs") > 0)
+      .select(
+        col("n_pairs"),
+        round(col("__wplus"), 6).as("w_plus"),
+        round(col("n_pairs").cast("double") *
+          (col("n_pairs").cast("double") + lit(1.0)) / lit(4.0), 6)
+          .as("mu"),
+        round(sqrt(col("__sr2") / lit(4.0)), 6).as("sigma"),
+        when(col("__sr2") > 0.0,
+          round((col("__wplus") -
+            col("n_pairs").cast("double") *
+              (col("n_pairs").cast("double") + lit(1.0)) / lit(4.0)) /
+            sqrt(col("__sr2") / lit(4.0)), 6)).as("z"))
+  }
+
   /** Shared distributed ECDF grid for the integral-form two-sample
     * distances ([[wasserstein1d]], [[energyDistance]]): one row per
     * distinct value with per-group counts, inclusive cumulative counts,

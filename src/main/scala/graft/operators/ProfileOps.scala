@@ -414,4 +414,51 @@ object ProfileOps {
         col("n_groups_above_t"), col("n_rows_above_t"),
         col("frac_rows_above_t"))
   }
+
+  /** Empirical-Bayes (beta-binomial) shrinkage of per-group success
+    * rates: fit the beta prior by method of moments on the observed
+    * group rates (c = m(1−m)/v − 1, α = m·c, β = (1−m)·c, rounded to 9)
+    * and report each group's rate shrunk toward it,
+    * (k+α)/(n+α+β). The small-sample stabilizer of every per-source
+    * quality ranking (q253's capping, q181's canonical-by-quality):
+    * a 2/2 source stops outranking a 950/1000 one.
+    *
+    * Scale shape: one (group) count aggregation, one moment pass over
+    * the |groups|-row frame (DECIMAL sums of fixed-shape rate doubles),
+    * shrinkage as a stateless projection. Degenerate priors (zero
+    * between-group variance or non-positive c) yield null shrunk rates
+    * — surfaced, never a divide-by-zero.
+    */
+  def ebShrinkageCard(df: DataFrame, groupCol: String,
+      successExpr: Column): DataFrame = {
+    import graft.functions.Stats.dsum
+    val cells = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(successExpr, 1L).otherwise(0L)).as("k"))
+    val p = col("k").cast("double") / col("n").cast("double")
+    val mom = cells.agg(
+        count(lit(1)).as("__g"),
+        dsum(p, 12).as("__sp"),
+        dsum(p * p, 12).as("__spp"))
+      .filter(col("__g") > 1)
+    val gD = col("__g").cast("double")
+    val m = col("__sp") / gD
+    val v = (col("__spp") - col("__sp") * col("__sp") / gD) /
+      (gD - lit(1.0))
+    val c = m * (lit(1.0) - m) / v - lit(1.0)
+    val prior = mom.select(
+      when(v > 0.0 && c > 0.0, round(m * c, 9)).as("__alpha"),
+      when(v > 0.0 && c > 0.0, round((lit(1.0) - m) * c, 9)).as("__beta"))
+    cells.crossJoin(broadcast(prior))
+      .select(
+        col(groupCol), col("n"), col("k"),
+        round(p, 6).as("raw_rate"),
+        round((col("k").cast("double") + col("__alpha")) /
+          (col("n").cast("double") + col("__alpha") + col("__beta")), 6)
+          .as("shrunk_rate"),
+        round(col("__alpha"), 6).as("alpha"),
+        round(col("__beta"), 6).as("beta"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -632,6 +632,30 @@ object StreamingOps {
       spark.createDataFrame(rows, sunk.schema))
   }
 
+  /** Streaming fairness monitor ≡ batch (q309's twin): the per-group
+    * confusion-cell frame ([[graft.metrics.MetricQueries.fairnessCells]])
+    * is pure additive complete-mode state — |groups| rows of exact
+    * BIGINT counts — and the SAME
+    * [[graft.metrics.MetricQueries.fairnessFromCells]] finisher lands on
+    * the batch card bit-for-bit under any micro-batching. The production
+    * shape of a bias gate: counts stay forever-fresh in the stream; the
+    * rates/gaps re-assemble whenever the audit question is asked.
+    */
+  def streamingFairnessCard(spark: SparkSession, dir: String,
+      fileName: String, groupCol: String,
+      labelExpr: org.apache.spark.sql.Column,
+      predExpr: org.apache.spark.sql.Column, sink: StreamSink,
+      prepare: DataFrame => DataFrame = identity): DataFrame = {
+    val cells = graft.metrics.MetricQueries.fairnessCells(
+      prepare(fileStream(spark, dir, fileName)),
+      groupCol, labelExpr, predExpr)
+    val sunk = runToSink(spark, cells, sink, "complete")
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    sunk.collect().foreach(rows.add)
+    graft.metrics.MetricQueries.fairnessFromCells(
+      spark.createDataFrame(rows, sunk.schema), groupCol)
+  }
+
   /** Streaming CUSUM change-point ≡ batch (q267's twin): the per-day
     * decimal mass frame ([[graft.operators.DriftOps.cusumDailyMasses]])
     * is pure additive state — one complete-mode (day) aggregation whose
