@@ -3293,6 +3293,81 @@ object OracleSql {
 
     // q296: mix diversity replayed — per-source decimal entropy /
     // Simpson terms, fixed exp/share shapes.
+    // q315: HITS replayed — the exact-integer fixed point unrolled
+    // (8 rounds of auth/hub sums + BIGINT floor-normalization against
+    // the round max). Generated by [[hitsOracleSql]].
+    "q315_hits" -> hitsOracleSql(8),
+
+    // q316: GMM EM replayed — the q189 recursive-CTE contract with the
+    // two-component E-step (fixed-shape densities, underflow fallback
+    // γ=½), DECIMAL moments, round-9 M-step, closed-form init.
+    "q316_gmm_em" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT CAST(value AS DOUBLE) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |m0 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+        |  FROM d),
+        |init AS (
+        |  SELECT n,
+        |    ROUND(sx / CAST(n AS DOUBLE) -
+        |      SQRT((sxx - sx * sx / CAST(n AS DOUBLE)) /
+        |        (CAST(n AS DOUBLE) - 1.0)), 9) AS m1,
+        |    ROUND(sx / CAST(n AS DOUBLE) +
+        |      SQRT((sxx - sx * sx / CAST(n AS DOUBLE)) /
+        |        (CAST(n AS DOUBLE) - 1.0)), 9) AS m2,
+        |    ROUND((sxx - sx * sx / CAST(n AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) - 1.0), 9) AS v
+        |  FROM m0),
+        |it(i, pi, m1, m2, v1, v2, ll) AS (
+        |  SELECT 0, CAST(0.5 AS DOUBLE), m1, m2, v, v,
+        |    CAST(NULL AS DOUBLE)
+        |  FROM init
+        |  UNION ALL
+        |  SELECT i + 1,
+        |    ROUND(sg / CAST(n AS DOUBLE), 9),
+        |    ROUND(sgx / sg, 9),
+        |    ROUND(shx / sh, 9),
+        |    ROUND(sgxx / sg - (sgx / sg) * (sgx / sg), 9),
+        |    ROUND(shxx / sh - (shx / sh) * (shx / sh), 9),
+        |    llm
+        |  FROM (
+        |    SELECT i, n,
+        |      CAST(SUM(CAST(g AS DECIMAL(28,12))) AS DOUBLE) AS sg,
+        |      CAST(SUM(CAST(g * x AS DECIMAL(28,12))) AS DOUBLE) AS sgx,
+        |      CAST(SUM(CAST(g * (x * x) AS DECIMAL(28,12))) AS DOUBLE)
+        |        AS sgxx,
+        |      CAST(SUM(CAST(g2 AS DECIMAL(28,12))) AS DOUBLE) AS sh,
+        |      CAST(SUM(CAST(g2 * x AS DECIMAL(28,12))) AS DOUBLE) AS shx,
+        |      CAST(SUM(CAST(g2 * (x * x) AS DECIMAL(28,12))) AS DOUBLE)
+        |        AS shxx,
+        |      ROUND(CAST(SUM(CAST(LN(den) AS DECIMAL(28,12))) AS DOUBLE)
+        |        / n, 6) AS llm
+        |    FROM (
+        |      SELECT i, n, x,
+        |        CASE WHEN n1 + n2 > 0.0 THEN n1 / (n1 + n2)
+        |          ELSE 0.5 END AS g,
+        |        1.0 - CASE WHEN n1 + n2 > 0.0 THEN n1 / (n1 + n2)
+        |          ELSE 0.5 END AS g2,
+        |        n1 + n2 AS den
+        |      FROM (
+        |        SELECT it.i AS i, m.n AS n, d.x AS x,
+        |          it.pi * (EXP(-((d.x - it.m1) * (d.x - it.m1)) /
+        |            (2.0 * it.v1)) /
+        |            SQRT(6.283185307179586 * it.v1)) AS n1,
+        |          (1.0 - it.pi) * (EXP(-((d.x - it.m2) * (d.x - it.m2))
+        |            / (2.0 * it.v2)) /
+        |            SQRT(6.283185307179586 * it.v2)) AS n2
+        |        FROM it, d, m0 m WHERE it.i < 6))
+        |    GROUP BY i, n))
+        |SELECT i AS iter, ROUND(pi, 6) AS pi, ROUND(m1, 6) AS mu1,
+        |  ROUND(m2, 6) AS mu2, ROUND(v1, 6) AS var1,
+        |  ROUND(v2, 6) AS var2, ll AS log_lik
+        |FROM it WHERE i >= 1
+        |ORDER BY iter""".stripMargin,
+
     // q309: fairness card replayed — one (group) confusion-count
     // aggregation, pooled rates by cross join, identical null-guarded
     // ratio shapes and gaps.
@@ -9044,6 +9119,44 @@ object OracleSql {
        |    / CAST(SUM(bm) AS DOUBLE), 6) AS colliding_mass_share
        |FROM pb GROUP BY dim
        |ORDER BY dim""".stripMargin
+
+  /** q315's HITS fixed point unrolled: per round, auth raw sums from the
+    * previous hub frame, BIGINT floor-normalization against the round
+    * max, then the hub half symmetrically. Exact integers end to end.
+    * Every step CTE is MATERIALIZED: each round's score frame is
+    * referenced twice (raw sums + their max), so DuckDB's default CTE
+    * inlining would otherwise expand the plan 4^rounds-fold.
+    */
+  private def hitsOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""ar$r AS MATERIALIZED (
+         |  SELECT e.dst AS v, CAST(SUM(h.s) AS BIGINT) AS raw
+         |  FROM e JOIN h${r - 1} h ON e.src = h.v GROUP BY e.dst),
+         |a$r AS MATERIALIZED (
+         |  SELECT v, raw * 1000000 // (SELECT MAX(raw) FROM ar$r) AS s
+         |  FROM ar$r),
+         |hr$r AS MATERIALIZED (
+         |  SELECT e.src AS v, CAST(SUM(a.s) AS BIGINT) AS raw
+         |  FROM e JOIN a$r a ON e.dst = a.v GROUP BY e.src),
+         |h$r AS MATERIALIZED (
+         |  SELECT v, raw * 1000000 // (SELECT MAX(raw) FROM hr$r) AS s
+         |  FROM hr$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |h0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS v, CAST(1000000 AS BIGINT) AS s FROM e),
+       |$steps
+       |SELECT 'hub' AS side, v AS id, s AS score_fp,
+       |  ROUND(CAST(s AS DOUBLE) / 1000000.0, 6) AS score
+       |FROM (SELECT v, s FROM h$rounds ORDER BY s DESC, v LIMIT 10)
+       |UNION ALL
+       |SELECT 'authority' AS side, v AS id, s AS score_fp,
+       |  ROUND(CAST(s AS DOUBLE) / 1000000.0, 6) AS score
+       |FROM (SELECT v, s FROM a$rounds ORDER BY s DESC, v LIMIT 10)
+       |ORDER BY side, score_fp DESC, id""".stripMargin
+  }
 
   /** q306's greedy MMR loop unrolled: c0 scores every vector against the
     * smallest-id anchor; each step picks argmax ROUND(0.7·rel−0.3·ms,6)

@@ -3739,6 +3739,28 @@ object SparkEntry {
   def q296(spark: SparkSession, dir: String): DataFrame =
     TextOps.mixDiversityCard(t(spark, dir, "documents"), "source")
 
+  // ---------------------------------------------------------------- q315
+  // HITS hubs/authorities on the directed customer→part purchase graph
+  // (who are the broad buyers, which parts anchor the catalog) — the
+  // q118 exact-integer fixed-point contract with L∞ normalization;
+  // top-10 each side.
+  def q315(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+    graft.operators.GraphOps.hitsFixedPoint(
+      edges, "o_custkey", "l_partkey")
+  }
+
+  // ---------------------------------------------------------------- q316
+  // 1-D two-component Gaussian-mixture EM on event values: fixed 6
+  // rounds, DECIMAL E-step moments, round-9 M-step params, closed-form
+  // init (μ = mean ∓ sd) — the unsupervised member of the portable-fit
+  // family, with the per-round log-likelihood monotonicity trace.
+  def q316(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.gmm1dEmPortable(t(spark, dir, "events"), "value")
+
   // ---------------------------------------------------------------- q312
   // Empirical-Bayes shrinkage of per-source long-doc rates: beta prior
   // by method of moments over the source rates, each source's rate
@@ -4906,6 +4928,8 @@ object SparkEntry {
     "q312_eb_shrinkage" -> (q312 _),
     "q313_wilcoxon_signed_rank" -> (q313 _),
     "q314_stream_fairness" -> (q314 _),
+    "q315_hits" -> (q315 _),
+    "q316_gmm_em" -> (q316 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -1909,6 +1909,94 @@ object MlPipelines {
     } finally { d.unpersist(); () }
   }
 
+  /** Fixed-iteration 1-D two-component Gaussian-mixture EM — the
+    * unsupervised member of the portable-fit family (IRLS q189, Huber
+    * q303): responsibilities are fixed-shape doubles per row, the seven
+    * E-step moments accumulate as DECIMAL(28,12), and the M-step
+    * parameters round to 9 per iteration, so the whole fit replays as a
+    * DuckDB recursive CTE. Deterministic closed-form init
+    * (μ = mean ∓ sd, σ² = var, π = ½); a vanishing mixture denominator
+    * (double underflow on far outliers) falls back to γ = ½ in BOTH
+    * engines. Trace: per iteration the parameters and mean
+    * log-likelihood (the EM monotonicity certificate).
+    */
+  def gmm1dEmPortable(df: DataFrame, xCol: String,
+      iters: Int = 6): DataFrame = {
+    import graft.functions.Stats.dsum
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def r9(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val d = df.filter(col(xCol).isNotNull)
+      .select(col(xCol).cast("double").as("x")).persist()
+    try {
+      val m0 = d.agg(count(lit(1)).as("n"), dsum(col("x"), 12).as("sx"),
+        dsum(col("x") * col("x"), 12).as("sxx")).head()
+      val n = m0.getLong(0)
+      require(n > 1, s"need > 1 rows, got $n")
+      val nD = n.toDouble
+      val (sx, sxx) = (m0.getDouble(1), m0.getDouble(2))
+      val mean = sx / nD
+      val varAll = (sxx - sx * sx / nD) / (nD - 1.0)
+      // a zero-variance (constant) column has no mixture to fit, and a
+      // component whose variance collapses mid-fit would divide by zero
+      // in the next E-step density (loudly under ANSI; as silent inf in
+      // the SQL replay) — both are out of the portable-fit contract
+      require(varAll > 0.0,
+        s"gmm1dEmPortable needs non-degenerate variance, got $varAll")
+      val sd = math.sqrt(varAll)
+      var pi = 0.5
+      var mu1 = r9(mean - sd)
+      var mu2 = r9(mean + sd)
+      var v1 = r9(varAll)
+      var v2 = r9(varAll)
+      val twoPi = 6.283185307179586
+      val trace = (1 to iters).map { i =>
+        def dens(mu: Double, v: Double) =
+          exp(-((col("x") - lit(mu)) * (col("x") - lit(mu))) /
+            (lit(2.0) * lit(v))) / sqrt(lit(twoPi) * lit(v))
+        val n1 = lit(pi) * dens(mu1, v1)
+        val n2 = (lit(1.0) - lit(pi)) * dens(mu2, v2)
+        val den = n1 + n2
+        val g = when(den > 0.0, n1 / den).otherwise(lit(0.5))
+        val g2 = lit(1.0) - g
+        val r = d.agg(
+          dsum(g, 12).as("sg"),
+          dsum(g * col("x"), 12).as("sgx"),
+          dsum(g * (col("x") * col("x")), 12).as("sgxx"),
+          dsum(g2, 12).as("sh"),
+          dsum(g2 * col("x"), 12).as("shx"),
+          dsum(g2 * (col("x") * col("x")), 12).as("shxx"),
+          dsum(log(den), 12).as("ll")).head()
+        val (sg, sgx, sgxx) = (r.getDouble(0), r.getDouble(1),
+          r.getDouble(2))
+        val (sh, shx, shxx) = (r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))
+        pi = r9(sg / nD)
+        mu1 = r9(sgx / sg)
+        mu2 = r9(shx / sh)
+        v1 = r9(sgxx / sg - (sgx / sg) * (sgx / sg))
+        v2 = r9(shxx / sh - (shx / sh) * (shx / sh))
+        require(v1 > 0.0 && v2 > 0.0,
+          s"component variance collapsed at iteration $i: v1=$v1 v2=$v2")
+        val llm = new java.math.BigDecimal(r.getDouble(6) / n)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        (i, pi, mu1, mu2, v1, v2, llm)
+      }
+      trace.toDF("iter", "__pi", "__m1", "__m2", "__v1", "__v2",
+          "log_lik")
+        .select(col("iter"), round(col("__pi"), 6).as("pi"),
+          round(col("__m1"), 6).as("mu1"),
+          round(col("__m2"), 6).as("mu2"),
+          round(col("__v1"), 6).as("var1"),
+          round(col("__v2"), 6).as("var2"),
+          col("log_lik"))
+        .orderBy(col("iter"))
+    } finally { d.unpersist(); () }
+  }
+
   /** Shared closed-form 2-feature OLS moments: one exact-decimal
     * aggregation to (n, Σx₁, Σx₂, Σy, Σx₁², Σx₂², Σx₁x₂, Σx₁y, Σx₂y,
     * Σy²); centered sums and the 2×2 normal-equation solve are

@@ -186,4 +186,48 @@ object GraphOps {
     ranks.select(col("v"), col("rank_fp"),
       round(col("rank_fp").cast("double") / scale.toDouble, 6).as("rank"))
   }
+
+  /** HITS hubs/authorities (Kleinberg 1999) on a DIRECTED bipartite-ish
+    * edge set, in the [[pageRankFixedPoint]] exact-integer contract:
+    * scores live as BIGINT fixed-point (scale 10⁶), every iteration is
+    * two exact integer aggregations (auth = Σ in-hub, hub = Σ out-auth)
+    * each followed by an L∞ normalization via one BIGINT floor division
+    * against the broadcast max — no float touches an iterated value, so
+    * the trajectory is engine-portable bit-for-bit. The scale keeps
+    * score·10⁶ within BIGINT for in-degrees up to ~10⁶ at ~10⁶ scale —
+    * the overflow-audited envelope.
+    *
+    * Output: top-`k` hubs and top-`k` authorities (side, id, score_fp,
+    * score), ties toward the smaller id.
+    */
+  def hitsFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 8, k: Int = 10,
+      scale: Long = 1000000L): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("__src"),
+      col(dstCol).cast("long").as("__dst")).distinct().localCheckpoint()
+    var hubs = e.select(col("__src").as("v")).distinct()
+      .withColumn("s", lit(scale))
+    var auths: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val aRaw = e.join(hubs, e("__src") === hubs("v"))
+        .groupBy(col("__dst").as("v")).agg(sum(col("s")).as("raw"))
+      val aMax = aRaw.agg(max(col("raw")).as("__mx"))
+      auths = aRaw.crossJoin(broadcast(aMax))
+        .select(col("v"), expr(s"raw * $scale div __mx").as("s"))
+        .localCheckpoint()
+      val hRaw = e.join(auths, e("__dst") === auths("v"))
+        .groupBy(col("__src").as("v")).agg(sum(col("s")).as("raw"))
+      val hMax = hRaw.agg(max(col("raw")).as("__mx"))
+      hubs = hRaw.crossJoin(broadcast(hMax))
+        .select(col("v"), expr(s"raw * $scale div __mx").as("s"))
+        .localCheckpoint()
+    }
+    def top(side: String, d: DataFrame) = d
+      .orderBy(col("s").desc, col("v")).limit(k)
+      .select(lit(side).as("side"), col("v").as("id"),
+        col("s").as("score_fp"),
+        round(col("s").cast("double") / scale.toDouble, 6).as("score"))
+    top("hub", hubs).unionAll(top("authority", auths))
+      .orderBy(col("side"), col("score_fp").desc, col("id"))
+  }
 }
