@@ -3298,6 +3298,74 @@ object OracleSql {
     // the round max). Generated by [[hitsOracleSql]].
     "q315_hits" -> hitsOracleSql(8),
 
+    // q317: TextRank replayed — q255's tokenize/bigram machinery feeds
+    // the q118 unrolled exact-integer PageRank over the min-count-5
+    // word adjacency graph. Generated by [[textRankOracleSql]].
+    "q317_textrank" -> textRankOracleSql(10),
+
+    // q316 contract's survival sibling: Newton on the Breslow partial
+    // likelihood as a recursive CTE over the q299 per-time risk frame —
+    // binary covariate collapses risk sums to n0 + n1·e^β; DECIMAL
+    // score/information/log-lik sums, round-9 β per step.
+    "q318_cox_ph" ->
+      """WITH RECURSIVE h AS (SELECT MAX(epoch_us(ts)) AS hz FROM events),
+        |s AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS su
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS pu
+        |  FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.su
+        |  GROUP BY e.user_id),
+        |d AS (
+        |  SELECT (COALESCE(p.pu, h.hz) - s.su) // 86400000000 AS t,
+        |    p.pu IS NOT NULL AS ev, s.user_id % 2 = 0 AS x1
+        |  FROM s LEFT JOIN p ON s.user_id = p.user_id, h),
+        |byt AS (
+        |  SELECT t,
+        |    CAST(SUM(CASE WHEN x1 AND ev THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d1,
+        |    CAST(SUM(CASE WHEN (NOT x1) AND ev THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d0,
+        |    CAST(SUM(CASE WHEN x1 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+        |    CAST(SUM(CASE WHEN x1 THEN 0 ELSE 1 END) AS BIGINT) AS t0
+        |  FROM d GROUP BY t),
+        |riskf AS MATERIALIZED (
+        |  SELECT t, d1, d0,
+        |    SUM(t1) OVER wr AS n1, SUM(t0) OVER wr AS n0
+        |  FROM byt
+        |  WINDOW wr AS (ORDER BY t
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |ev AS MATERIALIZED (
+        |  SELECT CAST(d1 AS DOUBLE) AS d1d,
+        |    CAST(d1 + d0 AS DOUBLE) AS dd,
+        |    CAST(n1 AS DOUBLE) AS n1d, CAST(n0 AS DOUBLE) AS n0d
+        |  FROM riskf WHERE d1 + d0 > 0),
+        |it(i, beta, u, inf, ll) AS (
+        |  SELECT 0, CAST(0.0 AS DOUBLE), CAST(NULL AS DOUBLE),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |  UNION ALL
+        |  SELECT i + 1, ROUND(beta + u / inf, 9), u, inf, ll
+        |  FROM (
+        |    SELECT i, beta,
+        |      CAST(SUM(CAST(d1d - dd * n1d * EXP(beta) / den
+        |        AS DECIMAL(28,12))) AS DOUBLE) AS u,
+        |      CAST(SUM(CAST(dd * n0d * n1d * EXP(beta) / (den * den)
+        |        AS DECIMAL(28,12))) AS DOUBLE) AS inf,
+        |      CAST(SUM(CAST(d1d * beta - dd * LN(den)
+        |        AS DECIMAL(28,12))) AS DOUBLE) AS ll
+        |    FROM (
+        |      SELECT it.i AS i, it.beta AS beta, e.d1d, e.dd, e.n1d,
+        |        e.n0d, e.n0d + e.n1d * EXP(it.beta) AS den
+        |      FROM it, ev e WHERE it.i < 6)
+        |    GROUP BY i, beta))
+        |SELECT i AS iter, ROUND(beta, 6) AS beta,
+        |  ROUND(EXP(beta), 6) AS hazard_ratio,
+        |  ROUND(u, 6) AS score_u, ROUND(inf, 6) AS information,
+        |  ROUND(ll, 6) AS log_lik
+        |FROM it WHERE i >= 1
+        |ORDER BY iter""".stripMargin,
+
     // q316: GMM EM replayed — the q189 recursive-CTE contract with the
     // two-component E-step (fixed-shape densities, underflow fallback
     // γ=½), DECIMAL moments, round-9 M-step, closed-form init.
@@ -7572,6 +7640,54 @@ object OracleSql {
       s"""SELECT v AS vec_id, CAST(rank_fp AS BIGINT) AS rank_fp,
          |  ROUND(CAST(rank_fp AS DOUBLE) / 1000000000000.0, 6) AS rank
          |FROM pr$iterations ORDER BY vec_id""".stripMargin
+    base + iters + fin
+  }
+
+  /** q317's TextRank replayed: q255's tokenize/adjacent-pair machinery
+    * builds the min-count-5 word adjacency graph; the PageRank rounds
+    * are the q118 exact-integer unroll (BIGINT fixed point, floor
+    * divisions), MATERIALIZED per round; top-30 by (rank_fp, word).
+    */
+  private def textRankOracleSql(iterations: Int): String = {
+    val base =
+      """WITH t AS (
+        |  SELECT string_split(trim(text), ' ') AS toks FROM documents),
+        |voc AS MATERIALIZED (
+        |  SELECT u.w AS w FROM t, UNNEST(toks) AS u(w)
+        |  WHERE u.w <> '' GROUP BY u.w HAVING COUNT(*) >= 5),
+        |bgl AS (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM t, UNNEST(range(1, len(toks))) AS r(i)
+        |  WHERE toks[i] <> '' AND toks[i + 1] <> ''
+        |    AND toks[i] <> toks[i + 1]),
+        |e0 AS (
+        |  SELECT b.w1 AS src, b.w2 AS dst FROM bgl b
+        |  JOIN voc v1 ON b.w1 = v1.w JOIN voc v2 ON b.w2 = v2.w),
+        |sym AS MATERIALIZED (
+        |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |deg AS MATERIALIZED (
+        |  SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY src),
+        |pr0 AS MATERIALIZED (
+        |  SELECT v, CAST(1000000000000 AS BIGINT) AS rank_fp FROM deg)
+        |""".stripMargin
+    val iters = (1 to iterations).map { k =>
+      s""",pr$k AS MATERIALIZED (
+         |  SELECT sym.dst AS v,
+         |    150000000000 + SUM(pr${k - 1}.rank_fp * 85 // 100 // deg.d)
+         |      AS rank_fp
+         |  FROM pr${k - 1}
+         |  JOIN sym ON sym.src = pr${k - 1}.v
+         |  JOIN deg ON deg.v = pr${k - 1}.v
+         |  GROUP BY sym.dst)
+         |""".stripMargin
+    }.mkString
+    val fin =
+      s"""SELECT CAST(ROW_NUMBER() OVER (ORDER BY rank_fp DESC, v)
+         |    AS BIGINT) AS rank,
+         |  v AS word, CAST(rank_fp AS BIGINT) AS rank_fp,
+         |  ROUND(CAST(rank_fp AS DOUBLE) / 1000000000000.0, 6) AS score
+         |FROM pr$iterations
+         |ORDER BY rank_fp DESC, v LIMIT 30""".stripMargin
     base + iters + fin
   }
 

@@ -3761,6 +3761,50 @@ object SparkEntry {
   def q316(spark: SparkSession, dir: String): DataFrame =
     MlPipelines.gmm1dEmPortable(t(spark, dir, "events"), "value")
 
+  // ---------------------------------------------------------------- q317
+  // TextRank keywords: PageRank centrality over the corpus word-
+  // adjacency graph (vocab = tokens with count ≥ 5, edges = adjacent
+  // pairs) on the q118 exact-integer contract — the global-graph
+  // keyword card next to RAKE (q307) and PMI (q255).
+  def q317(spark: SparkSession, dir: String): DataFrame =
+    TextOps.textRankKeywords(t(spark, dir, "documents"), "text")
+
+  /** The q122/q299 signup→first-purchase duration frame: per signup
+    * user, days to first purchase (or censoring horizon), the observed
+    * flag, and the even/odd-id cohort covariate.
+    */
+  private def signupDurations(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val horizon = ev.agg(max(unix_micros(col("ts"))).as("__h"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("__s"))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(signup), "user_id")
+      .filter(unix_micros(col("ts")) >= col("__s"))
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("__p"))
+    signup
+      .join(firstPurchase, Seq("user_id"), "left")
+      .crossJoin(broadcast(horizon))
+      .select(
+        col("user_id"),
+        expr("coalesce(__p, __h) - __s").as("__dur_us"),
+        col("__p").isNotNull.as("__event"))
+      .select(expr("__dur_us div 86400000000").as("dur_days"),
+        col("__event"), (col("user_id") % 2 === 0).as("__cohort_a"))
+  }
+
+  // ---------------------------------------------------------------- q318
+  // Cox proportional-hazards fit (binary cohort covariate) on the
+  // q299 signup→purchase durations: fixed Newton steps on the Breslow
+  // partial likelihood in the portable-fit contract — the model-based
+  // hazard ratio next to q299's log-rank test (whose score test is
+  // this fit's first step at β=0).
+  def q318(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SurvivalOps.coxPhBinary(
+      signupDurations(spark, dir), "dur_days", "__event", col("__cohort_a"))
+
   // ---------------------------------------------------------------- q312
   // Empirical-Bayes shrinkage of per-source long-doc rates: beta prior
   // by method of moments over the source rates, each source's rate
@@ -4930,6 +4974,8 @@ object SparkEntry {
     "q314_stream_fairness" -> (q314 _),
     "q315_hits" -> (q315 _),
     "q316_gmm_em" -> (q316 _),
+    "q317_textrank" -> (q317 _),
+    "q318_cox_ph" -> (q318 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -150,4 +150,93 @@ object SurvivalOps {
         round(col("__oma") * col("__oma") / col("__v"), 6))
         .as("chi2"))
   }
+
+  /** Cox proportional-hazards fit for ONE binary covariate (Cox 1972,
+    * Breslow tie handling), run as fixed-iteration Newton–Raphson on the
+    * partial likelihood — the model-based sibling of [[logRankTest]]
+    * (whose score test is exactly this model's first Newton step at
+    * β = 0). With a binary covariate the risk-set statistics collapse to
+    * the log-rank per-time frame (d₁, d₀, n₁, n₀ per distinct event
+    * time): Σ_{i∈R} e^{βxᵢ} = n₀ + n₁·e^β, so each Newton step is ONE
+    * aggregation over that tiny frame —
+    *
+    *   U(β) = Σ_t [d₁ − d·n₁e^β/(n₀+n₁e^β)]        (score)
+    *   I(β) = Σ_t  d·n₀n₁e^β/(n₀+n₁e^β)²           (information)
+    *   ℓ(β) = Σ_t [d₁β − d·ln(n₀+n₁e^β)]           (Breslow partial ll)
+    *
+    * Portable-fit contract (the q189/q316 family): per-time terms are
+    * fixed-shape doubles, sums accumulate as DECIMAL(28,12), β rounds
+    * to 9 decimals per iteration — the trajectory replays exactly as a
+    * DuckDB recursive CTE. Trace row i: ℓ at the iteration's input β,
+    * then the updated β and its hazard ratio e^β.
+    *
+    * Scale shape: one keyed aggregation to the duration grid (guarded
+    * like [[logRankTest]]), a reverse-cumulative window over that grid
+    * only, then `iters` single-row aggregations over the persisted
+    * event-time frame.
+    */
+  def coxPhBinary(df: DataFrame, durationCol: String, eventCol: String,
+      covariateExpr: org.apache.spark.sql.Column, iters: Int = 6,
+      maxGridSize: Long = 10000L): DataFrame = {
+    require(iters >= 1, s"need at least one Newton step, got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions.Stats.dsum
+    val approxGrid =
+      df.agg(approx_count_distinct(col(durationCol)).as("n"))
+        .head().getLong(0)
+    require(approxGrid <= maxGridSize,
+      s"coxPhBinary time grid too fine: ~$approxGrid distinct durations " +
+        s"exceed maxGridSize=$maxGridSize; coarsen the duration column.")
+    val byT = df
+      .select(col(durationCol).as("t"), col(eventCol).as("__ev"),
+        covariateExpr.as("__x1"))
+      .groupBy(col("t"))
+      .agg(
+        sum(when(col("__x1") && col("__ev"), 1L).otherwise(0L)).as("d1"),
+        sum(when(!col("__x1") && col("__ev"), 1L).otherwise(0L)).as("d0"),
+        sum(when(col("__x1"), 1L).otherwise(0L)).as("t1"),
+        sum(when(!col("__x1"), 1L).otherwise(0L)).as("t0"))
+    val wRisk = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risk = byT
+      .withColumn("n1", sum(col("t1")).over(wRisk))
+      .withColumn("n0", sum(col("t0")).over(wRisk))
+      .filter(col("d1") + col("d0") > 0L)
+      .select(col("t"), col("d1"), col("d0"), col("n1"), col("n0"))
+      .persist()
+    try {
+      require(risk.limit(1).count() > 0, "no observed events to fit on")
+      def r9(v: Double): Double =
+        new java.math.BigDecimal(v)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      var beta = 0.0
+      val trace = (1 to iters).map { i =>
+        val eb = lit(math.exp(beta))
+        val d = (col("d1") + col("d0")).cast("double")
+        val n1d = col("n1").cast("double")
+        val n0d = col("n0").cast("double")
+        val den = n0d + n1d * eb
+        val r = risk.agg(
+          dsum(col("d1").cast("double") - d * n1d * eb / den, 12).as("u"),
+          dsum(d * n0d * n1d * eb / (den * den), 12).as("inf"),
+          dsum(col("d1").cast("double") * lit(beta) - d * log(den), 12)
+            .as("ll")).head()
+        val (u, inf, ll) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+        require(inf > 0.0,
+          s"information is $inf at iteration $i (degenerate covariate?)")
+        val llIn = new java.math.BigDecimal(ll)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        beta = r9(beta + u / inf)
+        (i, beta, u, inf, llIn)
+      }
+      trace.toDF("iter", "__b", "__u", "__i", "log_lik")
+        .select(col("iter"), round(col("__b"), 6).as("beta"),
+          round(exp(col("__b")), 6).as("hazard_ratio"),
+          round(col("__u"), 6).as("score_u"),
+          round(col("__i"), 6).as("information"),
+          col("log_lik"))
+        .orderBy(col("iter"))
+    } finally { risk.unpersist(); () }
+  }
 }

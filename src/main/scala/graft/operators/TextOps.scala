@@ -1033,6 +1033,59 @@ object TextOps {
       .orderBy(col("rank"))
   }
 
+  /** TextRank keywords (Mihalcea & Tarau 2004): PageRank over the word
+    * adjacency graph — vertices are corpus tokens with frequency ≥
+    * `minCount`, an undirected edge links words that appear adjacent
+    * anywhere in the corpus, and centrality in that graph IS the
+    * keyword score (frequent words that co-occur with many other
+    * frequent words). Runs on [[GraphOps.pageRankFixedPoint]]'s exact
+    * BIGINT fixed-point contract, so the whole walk — tokenize, edge
+    * build, 10 damped iterations — replays bit-for-bit in the SQL
+    * oracle. Complements [[pmiCollocations]] (pairwise surprise) and
+    * RAKE (stopword-delimited phrases) with a global-graph view.
+    *
+    * Scale shape: one token explode + one adjacent-pair explode (both
+    * linear in corpus tokens), two vocab equi-joins (broadcast-sized:
+    * vocab, not corpus), then PageRank on the vocab-sized graph — per
+    * iteration one equi-join + one hash aggregation, never quadratic
+    * in corpus size. Top-k via TakeOrdered.
+    */
+  def textRankKeywords(docs: DataFrame, textCol: String,
+      minCount: Long = 5L, k: Int = 30, iterations: Int = 10): DataFrame = {
+    require(minCount >= 1 && k >= 1 && iterations >= 1,
+      "need minCount >= 1, k >= 1, iterations >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col(textCol))
+    // the pmiCollocations empty-token discipline: "" from consecutive
+    // spaces joins neither the vocabulary nor any edge
+    val vocab = docs.select(explode(toks).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .select(col("w"))
+    val adj = docs.select(
+        explode(transform(
+          sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+          i => struct(element_at(toks, i).as("w1"),
+            element_at(toks, i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "" &&
+        col("w1") =!= col("w2"))
+      .join(vocab.select(col("w").as("w1")), "w1")
+      .join(vocab.select(col("w").as("w2")), "w2")
+    val pr = graft.operators.GraphOps.pageRankFixedPoint(
+      adj, "w1", "w2", iterations)
+    pr.orderBy(col("rank_fp").desc, col("v")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rank_fp").desc, col("v"))).cast("long"))
+      .select(col("rank"), col("v").as("word"), col("rank_fp"),
+        col("rank_fp").cast("double").divide(lit(1000000000000.0))
+          .as("__s"))
+      .select(col("rank"), col("word"), col("rank_fp"),
+        round(col("__s"), 6).as("score"))
+      .orderBy(col("rank"))
+  }
+
   /** Per-source frequency cap (the Common-Crawl-style domain cap): each
     * source keeps at most `cap` documents, highest [[withQuality]] score
     * first (doc-id tiebreak — the rounded score makes the order
