@@ -3303,6 +3303,170 @@ object OracleSql {
     // word adjacency graph. Generated by [[textRankOracleSql]].
     "q317_textrank" -> textRankOracleSql(10),
 
+    // q319: Lloyd k-means replayed — the q316 recursive-CTE contract
+    // with hard CASE assignment (ties to the lower cluster), per-
+    // cluster DECIMAL moments, round-9 centers, empty-cluster carry,
+    // WCSS at input centers; long (iter, cluster) output.
+    "q319_kmeans_1d" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT CAST(value AS DOUBLE) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM d),
+        |it(i, c1, c2, c3, n1, n2, n3, wcss) AS (
+        |  SELECT 0, ROUND(mn + 1 * (mx - mn) / 6, 9),
+        |    ROUND(mn + 3 * (mx - mn) / 6, 9),
+        |    ROUND(mn + 5 * (mx - mn) / 6, 9),
+        |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |    CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+        |  FROM b
+        |  UNION ALL
+        |  SELECT i + 1,
+        |    CASE WHEN n1x > 0 THEN ROUND(s1 / n1x, 9) ELSE c1 END,
+        |    CASE WHEN n2x > 0 THEN ROUND(s2 / n2x, 9) ELSE c2 END,
+        |    CASE WHEN n3x > 0 THEN ROUND(s3 / n3x, 9) ELSE c3 END,
+        |    n1x, n2x, n3x, w
+        |  FROM (
+        |    SELECT i, c1, c2, c3,
+        |      CAST(SUM(CASE WHEN a = 1 THEN CAST(x AS DECIMAL(28,12))
+        |        END) AS DOUBLE) AS s1,
+        |      CAST(SUM(CASE WHEN a = 2 THEN CAST(x AS DECIMAL(28,12))
+        |        END) AS DOUBLE) AS s2,
+        |      CAST(SUM(CASE WHEN a = 3 THEN CAST(x AS DECIMAL(28,12))
+        |        END) AS DOUBLE) AS s3,
+        |      CAST(SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |        AS n1x,
+        |      CAST(SUM(CASE WHEN a = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |        AS n2x,
+        |      CAST(SUM(CASE WHEN a = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |        AS n3x,
+        |      CAST(SUM(CAST((x - ca) * (x - ca) AS DECIMAL(28,12)))
+        |        AS DOUBLE) AS w
+        |    FROM (
+        |      SELECT it.i AS i, it.c1 AS c1, it.c2 AS c2, it.c3 AS c3,
+        |        d.x AS x,
+        |        CASE WHEN ABS(d.x - it.c1) <= ABS(d.x - it.c2)
+        |               AND ABS(d.x - it.c1) <= ABS(d.x - it.c3) THEN 1
+        |             WHEN ABS(d.x - it.c2) <= ABS(d.x - it.c3) THEN 2
+        |             ELSE 3 END AS a,
+        |        CASE WHEN ABS(d.x - it.c1) <= ABS(d.x - it.c2)
+        |               AND ABS(d.x - it.c1) <= ABS(d.x - it.c3) THEN it.c1
+        |             WHEN ABS(d.x - it.c2) <= ABS(d.x - it.c3) THEN it.c2
+        |             ELSE it.c3 END AS ca
+        |      FROM it, d WHERE it.i < 6)
+        |    GROUP BY i, c1, c2, c3))
+        |SELECT it.i AS iter, j.cluster AS cluster,
+        |  ROUND(CASE j.cluster WHEN 1 THEN it.c1 WHEN 2 THEN it.c2
+        |    ELSE it.c3 END, 6) AS center,
+        |  CASE j.cluster WHEN 1 THEN it.n1 WHEN 2 THEN it.n2
+        |    ELSE it.n3 END AS size,
+        |  ROUND(it.wcss, 6) AS wcss
+        |FROM it, (VALUES (1), (2), (3)) AS j(cluster)
+        |WHERE it.i >= 1
+        |ORDER BY iter, cluster""".stripMargin,
+
+    // q320: Friedman replayed — round-9 cell means, complete blocks
+    // via HAVING against the distinct-treatment count, within-block
+    // average ranks (min-rank + (t−1)/2), DECIMAL rank sums, the
+    // classical statistic with tie correction.
+    "q320_friedman" ->
+      """WITH cells AS (
+        |  SELECT user_id % 50 AS b, event_type AS trt,
+        |    ROUND(CAST(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(28,12)))
+        |      AS DOUBLE) / COUNT(*), 9) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |kk AS (SELECT CAST(COUNT(DISTINCT trt) AS BIGINT) AS k FROM cells),
+        |complete AS (
+        |  SELECT b FROM cells GROUP BY b
+        |  HAVING COUNT(*) = (SELECT k FROM kk)),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM complete),
+        |c AS (SELECT cells.* FROM cells JOIN complete USING (b)),
+        |rnk AS (
+        |  SELECT b, trt,
+        |    CAST(RANK() OVER (PARTITION BY b ORDER BY v) AS DOUBLE) +
+        |      (CAST(COUNT(*) OVER (PARTITION BY b, v) AS BIGINT) - 1)
+        |        / 2.0 AS r
+        |  FROM c),
+        |tie AS (
+        |  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tsum
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+        |        FROM c GROUP BY b, v)),
+        |byt AS (
+        |  SELECT trt, CAST(SUM(CAST(r AS DECIMAL(28,1))) AS DOUBLE) AS rj
+        |  FROM rnk GROUP BY trt),
+        |r2 AS (
+        |  SELECT CAST(SUM(CAST(rj * rj AS DECIMAL(28,2))) AS DOUBLE)
+        |    AS r2 FROM byt),
+        |fin AS (
+        |  SELECT nn.n AS n_blocks, kk.k AS k,
+        |    12.0 / (CAST(nn.n AS DOUBLE) * CAST(kk.k AS DOUBLE) *
+        |      (CAST(kk.k AS DOUBLE) + 1.0)) * r2.r2 -
+        |      3.0 * CAST(nn.n AS DOUBLE) * (CAST(kk.k AS DOUBLE) + 1.0)
+        |      AS q,
+        |    1.0 - CAST(tie.tsum AS DOUBLE) /
+        |      (CAST(nn.n AS DOUBLE) * CAST(kk.k AS DOUBLE) *
+        |        (CAST(kk.k AS DOUBLE) * CAST(kk.k AS DOUBLE) - 1.0))
+        |      AS corr
+        |  FROM nn, kk, r2, tie)
+        |SELECT n_blocks, k, ROUND(q, 6) AS q_stat,
+        |  ROUND(corr, 6) AS tie_correction,
+        |  CASE WHEN corr > 0.0 THEN ROUND(q / corr, 6) END
+        |    AS q_corrected
+        |FROM fin""".stripMargin,
+
+    // q321: lift/gains replayed — q46's scorer, midranks over distinct
+    // scores (below + (cnt+1)/2), bins by ceil-from-the-top, window
+    // cumulatives over the bin frame.
+    "q321_lift_gains" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END
+        |    AS label,
+        |    (o_orderkey % 1000) / 1000.0 + o_totalprice / 1e6 AS score
+        |  FROM orders),
+        |ms AS (
+        |  SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(label) AS BIGINT) AS pos
+        |  FROM d GROUP BY score),
+        |tot AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+        |    CAST(SUM(pos) AS BIGINT) AS p FROM ms),
+        |mr AS (
+        |  SELECT cnt, pos,
+        |    CAST(COALESCE(SUM(cnt) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS DOUBLE) + (cnt + 1) / 2.0 AS midrank
+        |  FROM ms),
+        |binned AS (
+        |  SELECT CAST(CEIL((CAST(tot.n AS DOUBLE) - midrank + 1.0) * 10 /
+        |      CAST(tot.n AS DOUBLE)) AS BIGINT) AS bin,
+        |    CAST(SUM(cnt) AS BIGINT) AS n,
+        |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |    MAX(tot.n) AS nt, MAX(tot.p) AS pt
+        |  FROM mr, tot GROUP BY 1),
+        |cum AS (
+        |  SELECT bin, n, n_pos, nt, pt,
+        |    CAST(SUM(n) OVER wc AS BIGINT) AS cum_n,
+        |    CAST(SUM(n_pos) OVER wc AS BIGINT) AS cum_pos
+        |  FROM binned
+        |  WINDOW wc AS (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT bin, n, n_pos,
+        |  ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS pos_rate,
+        |  CASE WHEN pt > 0 THEN ROUND(
+        |    (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |      (CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE)), 6) END AS lift,
+        |  cum_n, cum_pos,
+        |  CASE WHEN pt > 0 THEN ROUND(CAST(cum_pos AS DOUBLE) /
+        |    CAST(pt AS DOUBLE), 6) END AS cum_gain,
+        |  CASE WHEN pt > 0 THEN ROUND(
+        |    (CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)) /
+        |      (CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE)), 6) END
+        |    AS cum_lift
+        |FROM cum ORDER BY bin""".stripMargin,
+
     // q316 contract's survival sibling: Newton on the Breslow partial
     // likelihood as a recursive CTE over the q299 per-time risk frame —
     // binary covariate collapses risk sums to n0 + n1·e^β; DECIMAL

@@ -3805,6 +3805,38 @@ object SparkEntry {
     graft.operators.SurvivalOps.coxPhBinary(
       signupDurations(spark, dir), "dur_days", "__event", col("__cohort_a"))
 
+  // ---------------------------------------------------------------- q319
+  // 1-D k-means (k=3, 6 Lloyd rounds) on event values in the portable-
+  // fit contract — hard-assignment clustering next to q316's soft GMM,
+  // with the per-iteration WCSS monotonicity trace.
+  def q319(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.kmeans1dPortable(t(spark, dir, "events"), "value")
+
+  // ---------------------------------------------------------------- q320
+  // Friedman test: do event types differ in value once each user-
+  // bucket's baseline is ranked away? Blocks = user_id mod 50,
+  // treatments = event_type, cells = per-(block, type) mean; complete
+  // blocks only, tie-corrected — the repeated-measures member of the
+  // rank-test family (q259 Mann–Whitney, q261 Kruskal–Wallis, q313
+  // Wilcoxon).
+  def q320(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.friedmanTest(
+      t(spark, dir, "events").withColumn("__blk", col("user_id") % 50),
+      "__blk", "event_type", "value")
+
+  // ---------------------------------------------------------------- q321
+  // Lift / cumulative-gains deciles of the q46 order-value scorer:
+  // population deciles from distributed midranks (tied scores stay in
+  // one decile), per-decile lift over base rate and cumulative capture.
+  def q321(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "orders")
+      .withColumn("label", (col("o_totalprice") > 150000).cast("int"))
+      .withColumn("score",
+        (col("o_orderkey") % 1000) / lit(1000.0) +
+          col("o_totalprice") / lit(1e6))
+    graft.metrics.RankMetrics.liftGainsCard(d, "score", "label")
+  }
+
   // ---------------------------------------------------------------- q312
   // Empirical-Bayes shrinkage of per-source long-doc rates: beta prior
   // by method of moments over the source rates, each source's rate
@@ -4976,6 +5008,9 @@ object SparkEntry {
     "q316_gmm_em" -> (q316 _),
     "q317_textrank" -> (q317 _),
     "q318_cox_ph" -> (q318 _),
+    "q319_kmeans_1d" -> (q319 _),
+    "q320_friedman" -> (q320 _),
+    "q321_lift_gains" -> (q321 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

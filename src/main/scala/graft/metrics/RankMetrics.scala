@@ -432,4 +432,53 @@ object RankMetrics {
         round(col("__n1").cast("double") /
           (col("__n1") + col("__n0")).cast("double"), 6).as("prevalence"))
   }
+
+  /** Lift / cumulative-gains table: rows ranked by score descending and
+    * cut into `nBins` population bins (campaign deciles); per bin the
+    * positive rate, lift over base rate, and cumulative capture
+    * (gain = share of all positives caught by the top bins). The
+    * model-targeting readout next to [[binaryAuc]] (threshold-free) and
+    * averagePrecision (top-heavy): "mail decile 1 and you reach X% of
+    * converters at Y× random".
+    *
+    * Binning rides the distributed [[midranks]] machinery — a tie
+    * group's bin comes from its midrank from the top,
+    * ⌈(n − midrank + 1)·nBins/n⌉, so no global per-row sort exists and
+    * ties land deterministically in ONE bin (the classical "don't split
+    * tied scores across deciles" rule). Cumulatives are a window over
+    * the ≤ nBins-row frame.
+    */
+  def liftGainsCard(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"need nBins >= 2, got $nBins")
+    val mr = midranks(df, scoreCol, labelCol, Nil)
+    val totals = mr.agg(sum(col("cnt")).as("__n"),
+      sum(col("pos")).as("__p"))
+    val binned = mr.crossJoin(broadcast(totals))
+      .withColumn("bin",
+        ceil((col("__n").cast("double") - col("midrank") + lit(1.0)) *
+          lit(nBins) / col("__n").cast("double")).cast("long"))
+      .groupBy(col("bin"))
+      .agg(sum(col("cnt")).as("n"), sum(col("pos")).as("n_pos"),
+        max(col("__n")).as("__nt"), max(col("__p")).as("__pt"))
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = col("__pt").cast("double") / col("__nt").cast("double")
+    binned
+      .withColumn("cum_n", sum(col("n")).over(wCum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"),
+        when(col("__pt") > 0L, round(
+          (col("n_pos").cast("double") / col("n").cast("double")) / base,
+          6)).as("lift"),
+        col("cum_n"), col("cum_pos"),
+        when(col("__pt") > 0L, round(col("cum_pos").cast("double") /
+          col("__pt").cast("double"), 6)).as("cum_gain"),
+        when(col("__pt") > 0L, round(
+          (col("cum_pos").cast("double") / col("cum_n").cast("double")) /
+            base, 6)).as("cum_lift"))
+      .orderBy(col("bin"))
+  }
 }

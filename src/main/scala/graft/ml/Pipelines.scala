@@ -4,7 +4,7 @@ import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.feature.StandardScaler
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.ml.regression.LinearRegression
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import scala.collection.parallel.CollectionConverters._
 import graft.operators.SplitOps
@@ -1994,6 +1994,83 @@ object MlPipelines {
           round(col("__v2"), 6).as("var2"),
           col("log_lik"))
         .orderBy(col("iter"))
+    } finally { d.unpersist(); () }
+  }
+
+  /** Fixed-iteration 1-D k-means (Lloyd 1982) in the portable-fit
+    * contract (IRLS q189, GMM q316): deterministic equal-spaced init
+    * cⱼ = min + (2j−1)(max−min)/2k, hard nearest-center assignment with
+    * ties toward the lower cluster id, per-cluster DECIMAL(28,12) sum /
+    * BIGINT count moments, centers rounded to 9 per iteration — the
+    * whole trajectory replays as a DuckDB recursive CTE. An emptied
+    * cluster keeps its previous center (both engines). Trace: one row
+    * per (iteration, cluster) with the post-update center, the
+    * assignment-pass size, and the iteration's WCSS at its INPUT
+    * centers (the Lloyd monotonicity certificate).
+    *
+    * Scale shape: per iteration ONE single-row conditional aggregation
+    * over the persisted value column — assignment is a fixed-shape
+    * codegen'd CASE, never a materialized label column or a shuffle
+    * keyed on cluster.
+    */
+  def kmeans1dPortable(df: DataFrame, xCol: String, k: Int = 3,
+      iters: Int = 6): DataFrame = {
+    import graft.functions.Stats.dsum
+    require(k >= 2 && iters >= 1, s"need k >= 2 and iters >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def r9(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val d = df.filter(col(xCol).isNotNull)
+      .select(col(xCol).cast("double").as("x")).persist()
+    try {
+      val b = d.agg(count(lit(1)).as("n"), min(col("x")).as("mn"),
+        max(col("x")).as("mx")).head()
+      val (n, mn, mx) = (b.getLong(0), b.getDouble(1), b.getDouble(2))
+      require(n >= k, s"need at least k=$k rows, got $n")
+      require(mx > mn, "degenerate constant column: no clusters to fit")
+      var centers = (1 to k).map(j =>
+        r9(mn + (2 * j - 1) * (mx - mn) / (2 * k))).toArray
+      val trace = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Int, Double, Long, Double)]
+      for (i <- 1 to iters) {
+        // nearest center, ties to the lower cluster id: the CASE chain
+        // j wins iff |x−cⱼ| ≤ |x−cₗ| for every later l (earlier js
+        // already lost their own chain test)
+        def assignIs(j: Int): Column =
+          ((j + 1) to k).map(l =>
+            abs(col("x") - lit(centers(j - 1))) <=
+              abs(col("x") - lit(centers(l - 1))))
+            .reduceOption(_ && _).getOrElse(lit(true))
+        var assign: Column = when(assignIs(1), 1)
+        for (j <- 2 until k) assign = assign.when(assignIs(j), j)
+        assign = assign.otherwise(k)
+        val nearestC = (1 until k).foldLeft(when(assign === 1,
+          lit(centers(0)))) { (c, j) =>
+          c.when(assign === (j + 1), lit(centers(j)))
+        }
+        val aggs = (1 to k).flatMap { j =>
+          Seq(dsum(when(assign === j, col("x")), 12).as(s"s$j"),
+            sum(when(assign === j, 1L).otherwise(0L)).as(s"n$j"))
+        } :+ dsum((col("x") - nearestC) * (col("x") - nearestC), 12)
+          .as("wcss")
+        val r = d.agg(aggs.head, aggs.tail: _*).head()
+        val wcss = new java.math.BigDecimal(r.getAs[Double]("wcss"))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        val sizes = (1 to k).map(j => r.getAs[Long](s"n$j"))
+        centers = (1 to k).map { j =>
+          val nj = sizes(j - 1)
+          if (nj > 0L) r9(r.getAs[Double](s"s$j") / nj.toDouble)
+          else centers(j - 1)
+        }.toArray
+        (1 to k).foreach(j =>
+          trace += ((i, j, centers(j - 1), sizes(j - 1), wcss)))
+      }
+      trace.toSeq.toDF("iter", "cluster", "__c", "size", "wcss")
+        .select(col("iter"), col("cluster"),
+          round(col("__c"), 6).as("center"), col("size"), col("wcss"))
+        .orderBy(col("iter"), col("cluster"))
     } finally { d.unpersist(); () }
   }
 

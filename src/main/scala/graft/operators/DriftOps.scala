@@ -320,6 +320,73 @@ object DriftOps {
           .as("h_corrected"))
   }
 
+  /** Friedman test (Friedman 1937): the non-parametric repeated-measures
+    * ANOVA — do `treatCol`'s levels differ, once `blockCol`'s baseline
+    * is ranked away within each block? Cells are per-(block, treatment)
+    * means (DECIMAL sum / count, rounded to 9 so cell values — and thus
+    * ranks — are engine-portable); only COMPLETE blocks (all k
+    * treatments present) enter, the classical requirement. Within-block
+    * average ranks handle ties (min-rank + (t−1)/2), and the statistic
+    * carries the standard tie correction:
+    *
+    *   Q = [12/(nk(k+1))·ΣⱼRⱼ² − 3n(k+1)] / [1 − ΣT/(nk(k²−1))],
+    *   T = Σ_ties (t³−t) summed over tie groups in every block.
+    *
+    * Q ~ χ²(k−1) under H₀. Sits between [[kruskalWallis]] (independent
+    * groups) and q313's Wilcoxon signed-rank (k = 2 blocks = pairs).
+    *
+    * Scale shape: one keyed aggregation to the (block, treatment) cell
+    * frame; ranks are windows PARTITIONED BY block (k rows per
+    * partition — never a global window); the rest is k-row and
+    * single-row aggregation. Exact decimal rank sums (ranks are
+    * half-integers).
+    */
+  def friedmanTest(df: DataFrame, blockCol: String, treatCol: String,
+      valCol: String): DataFrame = {
+    val cells = df
+      .filter(col(valCol).isNotNull && col(blockCol).isNotNull &&
+        col(treatCol).isNotNull)
+      .groupBy(col(blockCol).as("b"), col(treatCol).as("trt"))
+      .agg(round(graft.functions.Stats.dsum(col(valCol).cast("double"), 12)
+        / count(lit(1)), 9).as("v"))
+    val k = cells.agg(countDistinct(col("trt")).as("k")).head().getLong(0)
+    require(k >= 2, s"need at least 2 treatments, got $k")
+    val complete = cells.groupBy(col("b"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") === k)
+      .select(col("b"))
+    val c = cells.join(complete, "b")
+    val wRank = Window.partitionBy(col("b")).orderBy(col("v"))
+    val wTie = Window.partitionBy(col("b"), col("v"))
+    val ranked = c
+      .withColumn("__t", count(lit(1)).over(wTie))
+      .withColumn("__r", rank().over(wRank).cast("double") +
+        (col("__t") - lit(1)).cast("double") / lit(2.0))
+    val ties = c.groupBy(col("b"), col("v"))
+      .agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("__tsum"))
+    val byTrt = ranked.groupBy(col("trt"))
+      .agg(graft.functions.Stats.dsum(col("__r"), 1).as("rj"))
+    val nRow = complete.agg(count(lit(1)).as("n")).head()
+    val n = nRow.getLong(0)
+    require(n >= 1, "no complete blocks to test on")
+    val nD = n.toDouble
+    val kD = k.toDouble
+    byTrt
+      .agg(graft.functions.Stats.dsum(col("rj") * col("rj"), 2)
+        .as("__r2"))
+      .crossJoin(broadcast(ties))
+      .select(
+        lit(n).as("n_blocks"), lit(k).as("k"),
+        (lit(12.0) / (nD * kD * (kD + 1.0)) * col("__r2") -
+          lit(3.0) * nD * (kD + 1.0)).as("__q"),
+        (lit(1.0) - col("__tsum").cast("double") /
+          (nD * kD * (kD * kD - 1.0))).as("__corr"))
+      .select(col("n_blocks"), col("k"), round(col("__q"), 6).as("q_stat"),
+        round(col("__corr"), 6).as("tie_correction"),
+        when(col("__corr") > 0.0, round(col("__q") / col("__corr"), 6))
+          .as("q_corrected"))
+  }
+
   def mannWhitneyU(df: DataFrame, valCol: String, groupCol: String,
       groupA: String, groupB: String, buckets: Int = 32): DataFrame = {
     // NULL values carry no rank — drop them (the kruskalWallis
