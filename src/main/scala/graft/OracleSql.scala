@@ -3364,6 +3364,88 @@ object OracleSql {
         |WHERE it.i >= 1
         |ORDER BY iter, cluster""".stripMargin,
 
+    // q322: Dunning keyness replayed — per-(source, term) counts vs
+    // rest-of-corpus, expected counts from source token totals, the
+    // 0·ln0-guarded G², deterministic top-30.
+    "q322_keyness" ->
+      """WITH w AS (
+        |  SELECT source, u.w AS w
+        |  FROM (SELECT source, string_split(trim(text), ' ') AS toks
+        |        FROM documents) t,
+        |    UNNEST(toks) AS u(w)
+        |  WHERE u.w <> ''),
+        |st AS (
+        |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS a
+        |  FROM w GROUP BY source, w),
+        |tt AS (
+        |  SELECT w, CAST(SUM(a) AS BIGINT) AS ab
+        |  FROM st GROUP BY w HAVING SUM(a) >= 5),
+        |srct AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+        |  FROM w GROUP BY source),
+        |tot AS (SELECT CAST(SUM(ns) AS BIGINT) AS n FROM srct),
+        |scored AS (
+        |  SELECT st.source, st.w, st.a, tt.ab - st.a AS b_rest,
+        |    ROUND(2.0 * (
+        |      CASE WHEN CAST(st.a AS DOUBLE) > 0.0
+        |        THEN CAST(st.a AS DOUBLE) * LN(CAST(st.a AS DOUBLE) /
+        |          (CAST(srct.ns AS DOUBLE) * CAST(tt.ab AS DOUBLE) /
+        |            CAST(tot.n AS DOUBLE)))
+        |        ELSE 0.0 END +
+        |      CASE WHEN CAST(tt.ab - st.a AS DOUBLE) > 0.0
+        |        THEN CAST(tt.ab - st.a AS DOUBLE) *
+        |          LN(CAST(tt.ab - st.a AS DOUBLE) /
+        |          (CAST(tot.n - srct.ns AS DOUBLE) * CAST(tt.ab AS DOUBLE)
+        |            / CAST(tot.n AS DOUBLE)))
+        |        ELSE 0.0 END), 6) AS g2,
+        |    CASE WHEN CAST(st.a AS DOUBLE) / CAST(srct.ns AS DOUBLE) >
+        |        CAST(tt.ab AS DOUBLE) / CAST(tot.n AS DOUBLE)
+        |      THEN 'over' ELSE 'under' END AS direction
+        |  FROM st JOIN tt USING (w) JOIN srct USING (source), tot)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY g2 DESC, source, w)
+        |    AS BIGINT) AS rank,
+        |  source, w AS term, a AS count_in_source, b_rest AS count_rest,
+        |  g2, direction
+        |FROM scored ORDER BY g2 DESC, source, w LIMIT 30""".stripMargin,
+
+    // q323: k-core peeling replayed — the q118 cosine graph, 8
+    // MATERIALIZED degree/survivor/restrict rounds, exact integers.
+    // Generated by [[kCoreOracleSql]].
+    "q323_kcore" -> kCoreOracleSql(7, 8),
+
+    // q324: readability replayed — same ". " sentence split, non-empty
+    // token count, [aeiouy]+ vowel-group syllables, identical Flesch
+    // constant folding, DECIMAL means per source.
+    "q324_readability" ->
+      """WITH p AS (
+        |  SELECT source,
+        |    CAST(len(string_split(text, '. ')) AS DOUBLE) AS s,
+        |    CAST(len(list_filter(string_split(trim(text), ' '),
+        |      x -> x <> '')) AS DOUBLE) AS w,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS DOUBLE) AS y
+        |  FROM documents
+        |  WHERE text IS NOT NULL
+        |    AND len(list_filter(string_split(trim(text), ' '),
+        |      x -> x <> '')) > 0),
+        |f AS (
+        |  SELECT source, w / s AS wps, y / w AS spw FROM p),
+        |g AS (
+        |  SELECT source, wps, spw,
+        |    206.835 - 1.015 * wps - 84.6 * spw AS fre,
+        |    0.39 * wps + 11.8 * spw - 15.59 AS fkgl
+        |  FROM f)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  ROUND(CAST(SUM(CAST(wps AS DECIMAL(28,12))) AS DOUBLE)
+        |    / COUNT(*), 6) AS avg_words_per_sentence,
+        |  ROUND(CAST(SUM(CAST(spw AS DECIMAL(28,12))) AS DOUBLE)
+        |    / COUNT(*), 6) AS avg_syllables_per_word,
+        |  ROUND(CAST(SUM(CAST(fre AS DECIMAL(28,12))) AS DOUBLE)
+        |    / COUNT(*), 6) AS avg_reading_ease,
+        |  ROUND(CAST(SUM(CAST(fkgl AS DECIMAL(28,12))) AS DOUBLE)
+        |    / COUNT(*), 6) AS avg_grade_level
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
     // q320: Friedman replayed — round-9 cell means, complete blocks
     // via HAVING against the distinct-treatment count, within-block
     // average ranks (min-rank + (t−1)/2), DECIMAL rank sums, the
@@ -7853,6 +7935,42 @@ object OracleSql {
          |FROM pr$iterations
          |ORDER BY rank_fp DESC, v LIMIT 30""".stripMargin
     base + iters + fin
+  }
+
+  /** q323's k-core peeling unrolled over the q118 cosine graph: per
+    * round a degree count, the ≥k survivor set, and the edge restrict —
+    * every step MATERIALIZED (each round's edge frame is referenced by
+    * both the degree count and the restrict join).
+    */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val base =
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id < 200),
+        |pairs AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE ROUND(list_inner_product(a.emb, b.emb) /
+        |      (SQRT(list_inner_product(a.emb, a.emb)) *
+        |       SQRT(list_inner_product(b.emb, b.emb))), 6) >= 0.2),
+        |k0 AS MATERIALIZED (
+        |  SELECT src, dst FROM pairs
+        |  UNION SELECT dst, src FROM pairs)
+        |""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s""",kp$r AS MATERIALIZED (
+         |  SELECT src AS v FROM k${r - 1}
+         |  GROUP BY src HAVING COUNT(*) >= $k),
+         |k$r AS MATERIALIZED (
+         |  SELECT g.src, g.dst FROM k${r - 1} g
+         |  JOIN kp$r a ON g.src = a.v
+         |  JOIN kp$r b ON g.dst = b.v)
+         |""".stripMargin
+    }.mkString
+    val fin =
+      s"""SELECT src AS vec_id, CAST(COUNT(*) AS BIGINT) AS degree
+         |FROM k$rounds GROUP BY src ORDER BY vec_id""".stripMargin
+    base + steps + fin
   }
 
   /** q198 oracle: robust winnowing replayed — word trigram 40-bit hashes,

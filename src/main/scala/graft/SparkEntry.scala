@@ -3837,6 +3837,32 @@ object SparkEntry {
     graft.metrics.RankMetrics.liftGainsCard(d, "score", "label")
   }
 
+  // ---------------------------------------------------------------- q322
+  // Dunning log-likelihood keyness: which terms characterize each
+  // document source vs the rest of the corpus (G² on the 2×2 term
+  // table, 0·ln0 = 0) — the source-profiling card next to q204's
+  // label-association χ².
+  def q322(spark: SparkSession, dir: String): DataFrame =
+    TextOps.keynessCard(t(spark, dir, "documents"), "source", "text")
+
+  // ---------------------------------------------------------------- q323
+  // 7-core of the q118 cosine-similarity graph by 8 exact-integer
+  // peeling rounds (k=7 sits inside the degree distribution, so the
+  // cascade genuinely peels): the dense backbone that survives once
+  // weakly-attached mirrors cascade away.
+  def q323(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.GraphOps.kCore(
+        cosineEdges(spark, dir, 0.2), "id_a", "id_b", k = 7)
+      .select(col("v").as("vec_id"), col("degree"))
+      .orderBy(col("vec_id"))
+
+  // ---------------------------------------------------------------- q324
+  // Flesch readability card per source: words/sentence, vowel-group
+  // syllables/word, Reading Ease and FK grade — the audience-level
+  // complement to q13's quality score.
+  def q324(spark: SparkSession, dir: String): DataFrame =
+    TextOps.readabilityCard(t(spark, dir, "documents"), "source", "text")
+
   // ---------------------------------------------------------------- q312
   // Empirical-Bayes shrinkage of per-source long-doc rates: beta prior
   // by method of moments over the source rates, each source's rate
@@ -5011,6 +5037,9 @@ object SparkEntry {
     "q319_kmeans_1d" -> (q319 _),
     "q320_friedman" -> (q320 _),
     "q321_lift_gains" -> (q321 _),
+    "q322_keyness" -> (q322 _),
+    "q323_kcore" -> (q323 _),
+    "q324_readability" -> (q324 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

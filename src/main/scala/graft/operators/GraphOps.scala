@@ -230,4 +230,45 @@ object GraphOps {
     top("hub", hubs).unionAll(top("authority", auths))
       .orderBy(col("side"), col("score_fp").desc, col("id"))
   }
+
+  /** k-core decomposition by iterative peeling (Seidman 1983), run for a
+    * FIXED number of rounds: each round drops every vertex whose degree
+    * in the surviving subgraph is < `k`, then restricts the edge set to
+    * survivors. `rounds` bounds the unrolled plan (and the oracle's CTE
+    * chain) — peeling converges when a round removes nothing, and for
+    * real graphs the cascade depth is small; a caller needing a
+    * certificate of convergence compares rounds r and r−1. All
+    * arithmetic is exact integer degree counting, so the surviving set
+    * is engine- and partition-order-portable by construction.
+    *
+    * The k-core is the standard "dense enough to matter" filter before
+    * community/centrality passes — peels leaf chains and weakly-attached
+    * mirrors off a near-duplicate graph far cheaper than clustering.
+    *
+    * Scale shape: per round one degree aggregation (shuffle keyed on
+    * vertex) + two semi-joins of the edge list against the ≤|V|-row
+    * survivor frame; `localCheckpoint` caps lineage depth.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int = 3, rounds: Int = 8): DataFrame = {
+    require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
+    val fwd = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    var sym = fwd
+      .union(fwd.select(col("__dst").as("__src"), col("__src").as("__dst")))
+      .distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = sym.groupBy(col("__src")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k)
+      val keepSrc = keep.select(col("__src").as("__v1"))
+      val keepDst = keep.select(col("__src").as("__v2"))
+      sym = sym
+        .join(keepSrc, col("__src") === col("__v1"), "leftsemi")
+        .join(keepDst, col("__dst") === col("__v2"), "leftsemi")
+        .localCheckpoint()
+    }
+    sym.groupBy(col("__src").as("v"))
+      .agg(count(lit(1)).as("degree"))
+      .orderBy(col("v"))
+  }
 }

@@ -1033,6 +1033,111 @@ object TextOps {
       .orderBy(col("rank"))
   }
 
+  /** Dunning log-likelihood keyness (Dunning 1993): for every (source,
+    * term), the G² statistic of the 2×2 contingency of term count in
+    * the source vs the rest of the corpus —
+    *
+    *   G² = 2·[a·ln(a/Eₐ) + b·ln(b/E_b)],  Eₐ = Nₛ(a+b)/N, E_b = Nᵣ(a+b)/N
+    *
+    * with the 0·ln0 = 0 convention. G² is the principled "what words
+    * characterize this source" ranking (χ² over-rates rare terms); the
+    * signed direction column says over- vs under-represented. The
+    * source-profiling sibling of [[chi2Tokens]]-style label association
+    * and the per-source input to corpus-mix debugging.
+    *
+    * Scale shape: one (source, term) count aggregation, a broadcast
+    * join against the per-source token totals (|sources| rows), pure
+    * codegen scoring, TakeOrdered top-k. Never a pairwise join.
+    */
+  def keynessCard(docs: DataFrame, srcCol: String, textCol: String,
+      minCount: Long = 5L, k: Int = 30): DataFrame = {
+    require(minCount >= 1 && k >= 1, "need minCount >= 1 and k >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col(srcCol).as("source"),
+        explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+    val bySrcTerm = words.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("a"))
+    val byTerm = bySrcTerm.groupBy(col("w"))
+      .agg(sum(col("a")).as("ab"))
+      .filter(col("ab") >= minCount)
+    val bySrc = words.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val tot = bySrc.agg(sum(col("ns")).as("n"))
+    val aD = col("a").cast("double")
+    val bD = (col("ab") - col("a")).cast("double")
+    val nsD = col("ns").cast("double")
+    val nrD = (col("n") - col("ns")).cast("double")
+    val abD = col("ab").cast("double")
+    val nD = col("n").cast("double")
+    val ea = nsD * abD / nD
+    val eb = nrD * abD / nD
+    val term = (c: org.apache.spark.sql.Column,
+        e: org.apache.spark.sql.Column) =>
+      when(c > 0.0, c * log(c / e)).otherwise(lit(0.0))
+    val scored = bySrcTerm
+      .join(byTerm, "w")
+      .join(broadcast(bySrc), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("g2", round(lit(2.0) * (term(aD, ea) + term(bD, eb)), 6))
+      .withColumn("direction",
+        when(aD / nsD > abD / nD, lit("over")).otherwise(lit("under")))
+    scored
+      .orderBy(col("g2").desc, col("source"), col("w"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("g2").desc, col("source"), col("w")))
+        .cast("long"))
+      .select(col("rank"), col("source"), col("w").as("term"),
+        col("a").as("count_in_source"), (col("ab") - col("a")).as("count_rest"),
+        col("g2"), col("direction"))
+      .orderBy(col("rank"))
+  }
+
+  /** Readability card per source: Flesch Reading Ease and Flesch–
+    * Kincaid grade from the classical proxies — sentences by ". "
+    * splits, words by the corpus tokenizer, syllables by maximal
+    * [aeiouy]+ vowel-group runs (the standard heuristic; exact
+    * hyphenation needs a dictionary). Per-document ratios are exact
+    * integer divisions; per-source means accumulate as DECIMAL(28,12).
+    * The audience-level complement to [[withQuality]]'s length/stopword
+    * gate: same corpus scan shape, a different axis of "is this
+    * training-worthy text".
+    *
+    * Scale shape: pure per-row regex/size expressions (one corpus
+    * scan, fully codegen) + one keyed aggregation to |sources| rows.
+    */
+  def readabilityCard(docs: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    val sentences = size(split(col(textCol), "\\. ")).cast("double")
+    val toks = filter(split(trim(col(textCol)), " "),
+      w => w =!= "")
+    val words = size(toks).cast("double")
+    val syllables = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0))).cast("double")
+    val perDoc = docs
+      .filter(col(textCol).isNotNull && size(toks) > 0)
+      .select(col(srcCol).as("source"), sentences.as("s"),
+        words.as("w"), syllables.as("y"))
+      .select(col("source"), (col("w") / col("s")).as("wps"),
+        (col("y") / col("w")).as("spw"))
+      .withColumn("fre", lit(206.835) - lit(1.015) * col("wps") -
+        lit(84.6) * col("spw"))
+      .withColumn("fkgl", lit(0.39) * col("wps") +
+        lit(11.8) * col("spw") - lit(15.59))
+    import graft.functions.Stats.dsum
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(dsum(col("wps"), 12) / count(lit(1)), 6)
+          .as("avg_words_per_sentence"),
+        round(dsum(col("spw"), 12) / count(lit(1)), 6)
+          .as("avg_syllables_per_word"),
+        round(dsum(col("fre"), 12) / count(lit(1)), 6)
+          .as("avg_reading_ease"),
+        round(dsum(col("fkgl"), 12) / count(lit(1)), 6)
+          .as("avg_grade_level"))
+      .orderBy(col("source"))
+  }
+
   /** TextRank keywords (Mihalcea & Tarau 2004): PageRank over the word
     * adjacency graph — vertices are corpus tokens with frequency ≥
     * `minCount`, an undirected edge links words that appear adjacent
