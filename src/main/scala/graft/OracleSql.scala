@@ -3367,46 +3367,98 @@ object OracleSql {
     // q322: Dunning keyness replayed — per-(source, term) counts vs
     // rest-of-corpus, expected counts from source token totals, the
     // 0·ln0-guarded G², deterministic top-30.
-    "q322_keyness" ->
-      """WITH w AS (
-        |  SELECT source, u.w AS w
-        |  FROM (SELECT source, string_split(trim(text), ' ') AS toks
-        |        FROM documents) t,
-        |    UNNEST(toks) AS u(w)
-        |  WHERE u.w <> ''),
-        |st AS (
-        |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS a
-        |  FROM w GROUP BY source, w),
-        |tt AS (
-        |  SELECT w, CAST(SUM(a) AS BIGINT) AS ab
-        |  FROM st GROUP BY w HAVING SUM(a) >= 5),
-        |srct AS (
-        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
-        |  FROM w GROUP BY source),
-        |tot AS (SELECT CAST(SUM(ns) AS BIGINT) AS n FROM srct),
-        |scored AS (
-        |  SELECT st.source, st.w, st.a, tt.ab - st.a AS b_rest,
-        |    ROUND(2.0 * (
-        |      CASE WHEN CAST(st.a AS DOUBLE) > 0.0
-        |        THEN CAST(st.a AS DOUBLE) * LN(CAST(st.a AS DOUBLE) /
-        |          (CAST(srct.ns AS DOUBLE) * CAST(tt.ab AS DOUBLE) /
-        |            CAST(tot.n AS DOUBLE)))
-        |        ELSE 0.0 END +
-        |      CASE WHEN CAST(tt.ab - st.a AS DOUBLE) > 0.0
-        |        THEN CAST(tt.ab - st.a AS DOUBLE) *
-        |          LN(CAST(tt.ab - st.a AS DOUBLE) /
-        |          (CAST(tot.n - srct.ns AS DOUBLE) * CAST(tt.ab AS DOUBLE)
-        |            / CAST(tot.n AS DOUBLE)))
-        |        ELSE 0.0 END), 6) AS g2,
-        |    CASE WHEN CAST(st.a AS DOUBLE) / CAST(srct.ns AS DOUBLE) >
-        |        CAST(tt.ab AS DOUBLE) / CAST(tot.n AS DOUBLE)
-        |      THEN 'over' ELSE 'under' END AS direction
-        |  FROM st JOIN tt USING (w) JOIN srct USING (source), tot)
-        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY g2 DESC, source, w)
-        |    AS BIGINT) AS rank,
-        |  source, w AS term, a AS count_in_source, b_rest AS count_rest,
-        |  g2, direction
-        |FROM scored ORDER BY g2 DESC, source, w LIMIT 30""".stripMargin,
+    "q322_keyness" -> keynessSql,
+
+    // q325: streaming twin of q322 — the (source, term) count frame is
+    // additive complete-mode state and the finisher is shared, so the
+    // batch oracle IS the stream oracle.
+    "q325_stream_keyness" -> keynessSql,
+
+    // q326: Mann–Kendall replayed — q273's calendar spine, exact-
+    // integer S over the pair join, tie-corrected variance, continuity-
+    // corrected z, τ_b vs tie-free time.
+    "q326_mann_kendall" ->
+      """WITH counts AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY day),
+        |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM counts),
+        |days AS (
+        |  SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |series AS (
+        |  SELECT CAST(date_diff('day', b.lo, d.day) AS BIGINT) AS i,
+        |    COALESCE(c.x, 0) AS x
+        |  FROM days d CROSS JOIN b LEFT JOIN counts c ON d.day = c.day),
+        |s AS (
+        |  SELECT CAST(SUM(CASE WHEN s2.x > s1.x THEN 1
+        |    WHEN s2.x < s1.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM series s1 JOIN series s2 ON s2.i > s1.i),
+        |ties AS (
+        |  SELECT
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum,
+        |    CAST(SUM(t * (t - 1)) AS BIGINT) AS tpair,
+        |    CAST(SUM(t) AS BIGINT) AS n
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+        |        FROM series GROUP BY x)),
+        |f AS (
+        |  SELECT s.s, ties.n,
+        |    (CAST(ties.n AS DOUBLE) * (CAST(ties.n AS DOUBLE) - 1.0) *
+        |      (2.0 * CAST(ties.n AS DOUBLE) + 5.0) -
+        |      CAST(ties.tsum AS DOUBLE)) / 18.0 AS vars,
+        |    CAST(ties.n AS DOUBLE) * (CAST(ties.n AS DOUBLE) - 1.0)
+        |      / 2.0 AS half,
+        |    CAST(ties.tpair AS DOUBLE) AS tpaird
+        |  FROM s, ties)
+        |SELECT n AS n_days, s AS s_stat, ROUND(vars, 6) AS var_s,
+        |  CASE WHEN s = 0 THEN 0.0
+        |    WHEN vars > 0.0 THEN ROUND(
+        |      (CAST(s AS DOUBLE) - SIGN(CAST(s AS DOUBLE))) /
+        |        SQRT(vars), 6) END AS z,
+        |  CASE WHEN half > 0.0 AND half - tpaird / 2.0 > 0.0
+        |    THEN ROUND(CAST(s AS DOUBLE) /
+        |      SQRT(half * (half - tpaird / 2.0)), 6) END AS tau_b
+        |FROM f""".stripMargin,
+
+    // q327: Pettitt replayed — same spine, 2·midrank exact integers
+    // (2·RANK + t − 1), the rank CUSUM against t(n+1), K with the
+    // earliest argmax, the classic exponential significance.
+    "q327_pettitt" ->
+      """WITH counts AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY day),
+        |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM counts),
+        |days AS (
+        |  SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |series AS (
+        |  SELECT CAST(date_diff('day', b.lo, d.day) AS BIGINT) AS i,
+        |    COALESCE(c.x, 0) AS x
+        |  FROM days d CROSS JOIN b LEFT JOIN counts c ON d.day = c.day),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM series),
+        |ranked AS (
+        |  SELECT i,
+        |    2 * CAST(RANK() OVER (ORDER BY x) AS BIGINT) +
+        |      (CAST(COUNT(*) OVER (PARTITION BY x) AS BIGINT) - 1) AS r2
+        |  FROM series),
+        |u AS (
+        |  SELECT r.i,
+        |    CAST(SUM(r.r2) OVER (ORDER BY r.i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) - (r.i + 1) * (nn.n + 1) AS u_t
+        |  FROM ranked r, nn),
+        |uf AS (SELECT u.* FROM u, nn WHERE u.i < nn.n - 1),
+        |kk AS (SELECT CAST(MAX(ABS(u_t)) AS BIGINT) AS k_stat FROM uf)
+        |SELECT nn.n AS n_days, kk.k_stat,
+        |  (SELECT MIN(i) FROM uf WHERE ABS(u_t) = kk.k_stat) AS t_star,
+        |  ROUND(LEAST(1.0, 2.0 * EXP(
+        |    -6.0 * CAST(kk.k_stat AS DOUBLE) * CAST(kk.k_stat AS DOUBLE)
+        |    / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE) *
+        |       CAST(nn.n AS DOUBLE) +
+        |       CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)))), 6)
+        |    AS p_approx
+        |FROM nn, kk""".stripMargin,
 
     // q323: k-core peeling replayed — the q118 cosine graph, 8
     // MATERIALIZED degree/survivor/restrict rounds, exact integers.
@@ -7936,6 +7988,52 @@ object OracleSql {
          |ORDER BY rank_fp DESC, v LIMIT 30""".stripMargin
     base + iters + fin
   }
+
+  /** q322's keyness replayed — per-(source, term) counts vs
+    * rest-of-corpus, expected counts from source token totals, the
+    * 0·ln0-guarded G², deterministic top-30. Shared verbatim by the
+    * q325 streaming twin (additive cells + shared finisher).
+    */
+  private def keynessSql: String =
+    """WITH w AS (
+      |  SELECT source, u.w AS w
+      |  FROM (SELECT source, string_split(trim(text), ' ') AS toks
+      |        FROM documents) t,
+      |    UNNEST(toks) AS u(w)
+      |  WHERE u.w <> ''),
+      |st AS (
+      |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS a
+      |  FROM w GROUP BY source, w),
+      |tt AS (
+      |  SELECT w, CAST(SUM(a) AS BIGINT) AS ab
+      |  FROM st GROUP BY w HAVING SUM(a) >= 5),
+      |srct AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+      |  FROM w GROUP BY source),
+      |tot AS (SELECT CAST(SUM(ns) AS BIGINT) AS n FROM srct),
+      |scored AS (
+      |  SELECT st.source, st.w, st.a, tt.ab - st.a AS b_rest,
+      |    ROUND(2.0 * (
+      |      CASE WHEN CAST(st.a AS DOUBLE) > 0.0
+      |        THEN CAST(st.a AS DOUBLE) * LN(CAST(st.a AS DOUBLE) /
+      |          (CAST(srct.ns AS DOUBLE) * CAST(tt.ab AS DOUBLE) /
+      |            CAST(tot.n AS DOUBLE)))
+      |        ELSE 0.0 END +
+      |      CASE WHEN CAST(tt.ab - st.a AS DOUBLE) > 0.0
+      |        THEN CAST(tt.ab - st.a AS DOUBLE) *
+      |          LN(CAST(tt.ab - st.a AS DOUBLE) /
+      |          (CAST(tot.n - srct.ns AS DOUBLE) * CAST(tt.ab AS DOUBLE)
+      |            / CAST(tot.n AS DOUBLE)))
+      |        ELSE 0.0 END), 6) AS g2,
+      |    CASE WHEN CAST(st.a AS DOUBLE) / CAST(srct.ns AS DOUBLE) >
+      |        CAST(tt.ab AS DOUBLE) / CAST(tot.n AS DOUBLE)
+      |      THEN 'over' ELSE 'under' END AS direction
+      |  FROM st JOIN tt USING (w) JOIN srct USING (source), tot)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY g2 DESC, source, w)
+      |    AS BIGINT) AS rank,
+      |  source, w AS term, a AS count_in_source, b_rest AS count_rest,
+      |  g2, direction
+      |FROM scored ORDER BY g2 DESC, source, w LIMIT 30""".stripMargin
 
   /** q323's k-core peeling unrolled over the q118 cosine graph: per
     * round a degree count, the ≥k survivor set, and the edge restrict —

@@ -3863,6 +3863,33 @@ object SparkEntry {
   def q324(spark: SparkSession, dir: String): DataFrame =
     TextOps.readabilityCard(t(spark, dir, "documents"), "source", "text")
 
+  // ---------------------------------------------------------------- q325
+  // Streaming twin of q322 (SHARED oracle): the (source, term) count
+  // frame is additive complete-mode state; the shared G² finisher
+  // lands on the batch keyness card bit-for-bit.
+  def q325(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.streamingKeyness(
+      spark, dir, "documents.parquet", "source", "text",
+      graft.streaming.StreamSink.Memory("q325_keyness"))
+
+  // ---------------------------------------------------------------- q326
+  // Mann–Kendall trend test on the daily event-count series (q273's
+  // spine): exact-integer S, tie-corrected variance, continuity-
+  // corrected z, τ_b vs time — "is the trend real" next to Theil–Sen's
+  // "how steep".
+  def q326(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.RobustStats.mannKendallDailyTrend(
+      t(spark, dir, "events"), "ts")
+
+  // ---------------------------------------------------------------- q327
+  // Pettitt rank change-point on the daily event-count series: exact-
+  // integer rank CUSUM, K = max|U_t| with earliest argmax, the classic
+  // 2·exp(−6K²/(n³+n²)) significance — the distribution-free sibling
+  // of q267's CUSUM.
+  def q327(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.RobustStats.pettittDailyChangePoint(
+      t(spark, dir, "events"), "ts")
+
   // ---------------------------------------------------------------- q312
   // Empirical-Bayes shrinkage of per-source long-doc rates: beta prior
   // by method of moments over the source rates, each source's rate
@@ -5040,6 +5067,9 @@ object SparkEntry {
     "q322_keyness" -> (q322 _),
     "q323_kcore" -> (q323 _),
     "q324_readability" -> (q324 _),
+    "q325_stream_keyness" -> (q325 _),
+    "q326_mann_kendall" -> (q326 _),
+    "q327_pettitt" -> (q327 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -642,6 +642,111 @@ object RobustStats {
           .as("ols_slope"))
   }
 
+  /** Mann–Kendall trend test (Mann 1945, Kendall 1975) on the daily
+    * event-count series over the full calendar spine (missing days
+    * count 0 — the [[theilSenDailyTrend]] series): S = Σ_{i<j}
+    * sign(xⱼ−xᵢ) as an exact integer over the bounded-frame pair join,
+    * the tie-corrected variance
+    * Var S = [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18, the continuity-
+    * corrected z, and Kendall's τ_b against time (time is tie-free).
+    * The hypothesis-test companion to [[theilSenDailyTrend]]'s slope:
+    * same spine, "is the trend real" next to "how steep".
+    *
+    * Scale shape: the q273 convention — aggregate to the calendar-
+    * bounded daily frame FIRST, then the O(days²) pair join runs on
+    * that tiny frame, never on events.
+    */
+  def mannKendallDailyTrend(df: DataFrame, tsCol: String): DataFrame = {
+    val counts = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val series = counts
+      .agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+      .select(col("__lo"), explode(sequence(col("__lo"), col("__hi")))
+        .as("day"))
+      .join(counts, Seq("day"), "left")
+      .select(datediff(col("day"), col("__lo")).cast("long").as("i"),
+        coalesce(col("x"), lit(0L)).as("x"))
+      .persist()
+    try {
+      val s = series
+        .join(series.select(col("i").as("j"), col("x").as("x2")),
+          col("j") > col("i"))
+        .agg(sum(when(col("x2") > col("x"), 1L)
+          .when(col("x2") < col("x"), -1L).otherwise(0L)).as("s"))
+      val ties = series.groupBy(col("x"))
+        .agg(count(lit(1)).as("t"))
+        .agg(count(lit(1)).as("__ng"),
+          sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+            .as("__tsum"),
+          sum(col("t") * (col("t") - 1)).as("__tpair"),
+          sum(col("t")).as("n"))
+      val nD = col("n").cast("double")
+      val varS = (nD * (nD - 1.0) * (lit(2.0) * nD + 5.0) -
+        col("__tsum").cast("double")) / lit(18.0)
+      val sD = col("s").cast("double")
+      val half = nD * (nD - 1.0) / 2.0
+      s.crossJoin(broadcast(ties))
+        .select(col("n").as("n_days"), col("s").as("s_stat"),
+          round(varS, 6).as("var_s"),
+          when(col("s") === 0L, lit(0.0))
+            .when(varS > 0.0, round(
+              (sD - signum(sD)) / sqrt(varS), 6)).as("z"),
+          when(half > 0.0 && half - col("__tpair").cast("double") / 2.0 > 0.0,
+            round(sD / sqrt(half *
+              (half - col("__tpair").cast("double") / 2.0)), 6))
+            .as("tau_b"))
+    } finally { series.unpersist(); () }
+  }
+
+  /** Pettitt change-point test (Pettitt 1979) on the daily event-count
+    * series: ranks of the daily counts (average midranks for ties —
+    * 2r is an exact integer), the rank-CUSUM
+    * Uₜ = 2·Σ_{i≤t} rᵢ − t(n+1) in exact BIGINTs, the statistic
+    * K = max_{t<n} |Uₜ| with the earliest argmax day, and the classic
+    * approximation p ≈ min(1, 2·exp(−6K²/(n³+n²))). The nonparametric
+    * sibling of q267's CUSUM (mean-shift on values) — this one is
+    * distribution-free on ranks.
+    *
+    * Scale shape: aggregate to the calendar-bounded daily frame, then
+    * windows over that tiny frame only.
+    */
+  def pettittDailyChangePoint(df: DataFrame, tsCol: String): DataFrame = {
+    val counts = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val series = counts
+      .agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+      .select(col("__lo"), explode(sequence(col("__lo"), col("__hi")))
+        .as("day"))
+      .join(counts, Seq("day"), "left")
+      .select(datediff(col("day"), col("__lo")).cast("long").as("i"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val wTie = Window.partitionBy(col("x"))
+    val wRank = Window.orderBy(col("x"))
+    // 2·midrank = 2·minrank + (t−1): exact integers end to end
+    val ranked = series
+      .withColumn("__t", count(lit(1)).over(wTie))
+      .withColumn("__r2", lit(2) * rank().over(wRank).cast("long") +
+        (col("__t") - lit(1)))
+    val n = series.count()
+    require(n >= 2, s"need at least 2 days, got $n")
+    val wCum = Window.orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = ranked
+      .withColumn("__cum2", sum(col("__r2")).over(wCum))
+      .select(col("i"), (col("__cum2") - (col("i") + 1) * lit(n + 1))
+        .as("u_t"))
+      .filter(col("i") < n - 1)
+    val nD = n.toDouble
+    val kFrame = u.agg(max(abs(col("u_t"))).as("k_stat"))
+    u.crossJoin(broadcast(kFrame))
+      .filter(abs(col("u_t")) === col("k_stat"))
+      .agg(max(col("k_stat")).as("k_stat"), min(col("i")).as("t_star"))
+      .select(lit(n).as("n_days"), col("k_stat"), col("t_star"),
+        round(least(lit(1.0), lit(2.0) * exp(lit(-6.0) *
+          col("k_stat").cast("double") * col("k_stat").cast("double") /
+          lit(nD * nD * nD + nD * nD))), 6).as("p_approx"))
+  }
+
   /** Peaks-over-threshold extreme-value card: excesses above the
     * empirical `qNum/qDen` quantile are fit to a generalized Pareto by
     * method of moments (ξ = ½(1 − m²/s²), σ = m(1−ξ)), and the return

@@ -1050,18 +1050,37 @@ object TextOps {
     * codegen scoring, TakeOrdered top-k. Never a pairwise join.
     */
   def keynessCard(docs: DataFrame, srcCol: String, textCol: String,
-      minCount: Long = 5L, k: Int = 30): DataFrame = {
-    require(minCount >= 1 && k >= 1, "need minCount >= 1 and k >= 1")
-    import org.apache.spark.sql.expressions.Window
-    val words = docs.select(col(srcCol).as("source"),
+      minCount: Long = 5L, k: Int = 30): DataFrame =
+    keynessFromCells(keynessCells(docs, srcCol, textCol), minCount, k)
+
+  /** The additive state behind [[keynessCard]]: one count per (source,
+    * term) — a complete-mode streaming aggregation's worth of state,
+    * bounded by |sources|·|vocab|. Everything downstream (per-term and
+    * per-source totals, G²) derives from this frame alone.
+    */
+  def keynessCells(docs: DataFrame, srcCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(srcCol).as("source"),
         explode(tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
-    val bySrcTerm = words.groupBy(col("source"), col("w"))
+      .groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("a"))
+
+  /** [[keynessCard]]'s finisher over a [[keynessCells]] frame — shared
+    * by the batch card and its streaming twin, so stream ≡ batch is an
+    * additivity argument (counts merge across micro-batches), not a
+    * re-implementation.
+    */
+  def keynessFromCells(cells: DataFrame, minCount: Long = 5L,
+      k: Int = 30): DataFrame = {
+    require(minCount >= 1 && k >= 1, "need minCount >= 1 and k >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val bySrcTerm = cells
     val byTerm = bySrcTerm.groupBy(col("w"))
       .agg(sum(col("a")).as("ab"))
       .filter(col("ab") >= minCount)
-    val bySrc = words.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val bySrc = bySrcTerm.groupBy(col("source"))
+      .agg(sum(col("a")).as("ns"))
     val tot = bySrc.agg(sum(col("ns")).as("n"))
     val aD = col("a").cast("double")
     val bD = (col("ab") - col("a")).cast("double")

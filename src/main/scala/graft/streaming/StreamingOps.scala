@@ -700,6 +700,28 @@ object StreamingOps {
       spark.createDataFrame(rows, sunk.schema), alpha, groupCol)
   }
 
+  /** Streaming Dunning keyness ≡ batch (q322's twin): the (source,
+    * term) count frame ([[graft.operators.TextOps.keynessCells]]) is
+    * pure additive complete-mode state — counts merge across
+    * micro-batches — and the SAME
+    * [[graft.operators.TextOps.keynessFromCells]] finisher (per-term /
+    * per-source totals, G², top-k) lands on the batch card bit-for-bit
+    * under any micro-batching. The monitor shape for a live corpus
+    * feed: keep the vocab-sized state fresh, re-rank "what words
+    * characterize this source" whenever asked.
+    */
+  def streamingKeyness(spark: SparkSession, dir: String, fileName: String,
+      srcCol: String, textCol: String, sink: StreamSink,
+      prepare: DataFrame => DataFrame = identity): DataFrame = {
+    val cells = graft.operators.TextOps.keynessCells(
+      prepare(fileStream(spark, dir, fileName)), srcCol, textCol)
+    val sunk = runToSink(spark, cells, sink, "complete")
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    sunk.collect().foreach(rows.add)
+    graft.operators.TextOps.keynessFromCells(
+      spark.createDataFrame(rows, sunk.schema))
+  }
+
   /** Streaming daily-count ACF ≡ batch (q269's twin): the (day, count)
     * frame is additive complete-mode state bounded by the calendar
     * span; the SAME [[graft.operators.TimeSeriesOps
