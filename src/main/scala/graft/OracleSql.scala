@@ -6456,6 +6456,208 @@ object OracleSql {
         |SELECT digit, n, obs_p, exp_p,
         |  ROUND(ABS(obs_p - exp_p), 6) AS abs_dev
         |FROM e ORDER BY digit""".stripMargin,
+    // q328: Jonckheere–Terpstra replayed — (value, group) counts,
+    // per-group zero-filled cumulative spine, exact-HUGEINT 2J off
+    // the ordered pair join, Hollander–Wolfe tie-corrected moments in
+    // the identical double parenthesization.
+    "q328_jonckheere" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+        |    CAST(o_totalprice AS DOUBLE) AS v
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+        |byvg AS (
+        |  SELECT v, g, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM d GROUP BY v, g),
+        |spine AS (SELECT DISTINCT v FROM byvg),
+        |grps AS (SELECT DISTINCT g FROM byvg),
+        |filled AS (
+        |  SELECT s.v, gr.g, COALESCE(b.c, 0) AS c
+        |  FROM spine s CROSS JOIN grps gr
+        |  LEFT JOIN byvg b ON s.v = b.v AND gr.g = b.g),
+        |f AS (
+        |  SELECT v, g, c,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+        |      AS prev
+        |  FROM filled),
+        |j AS (
+        |  SELECT CAST(SUM(CAST(b.c AS HUGEINT) *
+        |      (CAST(a.prev AS HUGEINT) * 2 + CAST(a.c AS HUGEINT)))
+        |    AS BIGINT) AS j2
+        |  FROM f a JOIN f b ON a.v = b.v
+        |  WHERE a.g < b.g),
+        |sizes AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n_g) AS BIGINT) AS n,
+        |    CAST(SUM(n_g * n_g) AS BIGINT) AS n2,
+        |    CAST(SUM(n_g * (n_g - 1) * (2 * n_g + 5)) AS BIGINT) AS na,
+        |    CAST(SUM(n_g * (n_g - 1) * (n_g - 2)) AS BIGINT) AS nb,
+        |    CAST(SUM(n_g * (n_g - 1)) AS BIGINT) AS nc
+        |  FROM (SELECT g, CAST(SUM(c) AS BIGINT) AS n_g
+        |        FROM byvg GROUP BY g)),
+        |ties AS (
+        |  SELECT
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS ta,
+        |    CAST(SUM(t * (t - 1) * (t - 2)) AS BIGINT) AS tb,
+        |    CAST(SUM(t * (t - 1)) AS BIGINT) AS tc
+        |  FROM (SELECT CAST(SUM(c) AS BIGINT) AS t
+        |        FROM byvg GROUP BY v)),
+        |m AS (
+        |  SELECT j.j2, sizes.n, sizes.k,
+        |    CAST(sizes.n AS DOUBLE) AS nd,
+        |    CAST(sizes.n2 AS DOUBLE) AS n2d,
+        |    CAST(sizes.na AS DOUBLE) AS nad,
+        |    CAST(sizes.nb AS DOUBLE) AS nbd,
+        |    CAST(sizes.nc AS DOUBLE) AS ncd,
+        |    CAST(ties.ta AS DOUBLE) AS tad,
+        |    CAST(ties.tb AS DOUBLE) AS tbd,
+        |    CAST(ties.tc AS DOUBLE) AS tcd
+        |  FROM j, sizes, ties),
+        |fin AS (
+        |  SELECT n, k,
+        |    CAST(j2 AS DOUBLE) / 2.0 AS jd,
+        |    (nd * nd - n2d) / 4.0 AS ej,
+        |    (nd * (nd - 1.0) * (2.0 * nd + 5.0) - nad - tad) / 72.0 +
+        |      nbd * tbd / (36.0 * nd * (nd - 1.0) * (nd - 2.0)) +
+        |      ncd * tcd / (8.0 * nd * (nd - 1.0)) AS varj
+        |  FROM m)
+        |SELECT n, k, ROUND(jd, 1) AS j_stat, ROUND(ej, 6) AS e_j,
+        |  ROUND(varj, 6) AS var_j,
+        |  CASE WHEN varj > 0.0
+        |    THEN ROUND((jd - ej) / SQRT(varj), 6) END AS z
+        |FROM fin""".stripMargin,
+
+    // q329: Cronbach's α replayed — one moment aggregation (exact
+    // DECIMAL(28,6) sums of items, squares, all 6 cross-products),
+    // then the identical double shapes: item variances in declared
+    // order, pair covariances/correlations in (i<j) order, α_raw and
+    // α_std with the same literal folding.
+    "q329_cronbach_alpha" ->
+      """WITH d AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS x0,
+        |    CAST(l_extendedprice AS DOUBLE) AS x1,
+        |    CAST(l_discount AS DOUBLE) AS x2,
+        |    CAST(l_tax AS DOUBLE) AS x3
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x0 AS DECIMAL(28,6))) AS DOUBLE) AS s0,
+        |    CAST(SUM(CAST(x0 * x0 AS DECIMAL(28,6))) AS DOUBLE) AS q0,
+        |    CAST(SUM(CAST(x1 AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(x1 * x1 AS DECIMAL(28,6))) AS DOUBLE) AS q1,
+        |    CAST(SUM(CAST(x2 AS DECIMAL(28,6))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(x2 * x2 AS DECIMAL(28,6))) AS DOUBLE) AS q2,
+        |    CAST(SUM(CAST(x3 AS DECIMAL(28,6))) AS DOUBLE) AS s3,
+        |    CAST(SUM(CAST(x3 * x3 AS DECIMAL(28,6))) AS DOUBLE) AS q3,
+        |    CAST(SUM(CAST(x0 * x1 AS DECIMAL(28,6))) AS DOUBLE) AS p0_1,
+        |    CAST(SUM(CAST(x0 * x2 AS DECIMAL(28,6))) AS DOUBLE) AS p0_2,
+        |    CAST(SUM(CAST(x0 * x3 AS DECIMAL(28,6))) AS DOUBLE) AS p0_3,
+        |    CAST(SUM(CAST(x1 * x2 AS DECIMAL(28,6))) AS DOUBLE) AS p1_2,
+        |    CAST(SUM(CAST(x1 * x3 AS DECIMAL(28,6))) AS DOUBLE) AS p1_3,
+        |    CAST(SUM(CAST(x2 * x3 AS DECIMAL(28,6))) AS DOUBLE) AS p2_3
+        |  FROM d),
+        |v AS (
+        |  SELECT n, CAST(n AS DOUBLE) AS nd,
+        |    q0 - s0 * s0 / CAST(n AS DOUBLE) AS v0,
+        |    q1 - s1 * s1 / CAST(n AS DOUBLE) AS v1,
+        |    q2 - s2 * s2 / CAST(n AS DOUBLE) AS v2,
+        |    q3 - s3 * s3 / CAST(n AS DOUBLE) AS v3,
+        |    p0_1 - s0 * s1 / CAST(n AS DOUBLE) AS c0_1,
+        |    p0_2 - s0 * s2 / CAST(n AS DOUBLE) AS c0_2,
+        |    p0_3 - s0 * s3 / CAST(n AS DOUBLE) AS c0_3,
+        |    p1_2 - s1 * s2 / CAST(n AS DOUBLE) AS c1_2,
+        |    p1_3 - s1 * s3 / CAST(n AS DOUBLE) AS c1_3,
+        |    p2_3 - s2 * s3 / CAST(n AS DOUBLE) AS c2_3
+        |  FROM m),
+        |f AS (
+        |  SELECT n,
+        |    v0 / (nd - 1.0) + v1 / (nd - 1.0) + v2 / (nd - 1.0) +
+        |      v3 / (nd - 1.0) AS sumvar,
+        |    (v0 + v1 + v2 + v3 + c0_1 * 2.0 + c0_2 * 2.0 + c0_3 * 2.0 +
+        |      c1_2 * 2.0 + c1_3 * 2.0 + c2_3 * 2.0) / (nd - 1.0)
+        |      AS totvar,
+        |    (c0_1 / SQRT(v0 * v1) + c0_2 / SQRT(v0 * v2) +
+        |      c0_3 / SQRT(v0 * v3) + c1_2 / SQRT(v1 * v2) +
+        |      c1_3 / SQRT(v1 * v3) + c2_3 / SQRT(v2 * v3)) / 6.0
+        |      AS rbar
+        |  FROM v)
+        |SELECT n, CAST(4 AS INTEGER) AS k,
+        |  ROUND((4.0 / 3.0) * (1.0 - sumvar / totvar), 6) AS alpha_raw,
+        |  ROUND(4.0 * rbar / (1.0 + 3.0 * rbar), 6) AS alpha_std,
+        |  ROUND(rbar, 6) AS mean_inter_item_r,
+        |  ROUND(sumvar, 6) AS sum_item_var,
+        |  ROUND(totvar, 6) AS total_var
+        |FROM f""".stripMargin,
+
+    // q330: PACF replayed — q269's spine/ACF card at 6 decimals for
+    // lags 1..4, then the Durbin–Levinson recursion UNROLLED with the
+    // identical ascending-j left-associated sums and round-9 at every
+    // φ (the portable-fit contract).
+    "q330_pacf" ->
+      """WITH counts AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY day),
+        |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM counts),
+        |days AS (
+        |  SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |series AS (
+        |  SELECT CAST(date_diff('day', b.lo, d.day) AS BIGINT) AS i,
+        |    COALESCE(c.x, 0) AS x
+        |  FROM days d CROSS JOIN b LEFT JOIN counts c ON d.day = c.day),
+        |tot AS (
+        |  SELECT CAST(SUM(x) AS DOUBLE) AS s0,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS s2,
+        |    CAST(COUNT(*) AS BIGINT) AS d
+        |  FROM series),
+        |lags AS (SELECT UNNEST(range(1, 5)) AS l),
+        |p AS (
+        |  SELECT l.l, s1.x AS x, s2.x AS x2
+        |  FROM series s1 CROSS JOIN lags l
+        |  JOIN series s2 ON s2.i = s1.i + l.l),
+        |a AS (
+        |  SELECT l, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x2) AS DOUBLE) AS nl,
+        |    CAST(SUM(x) AS DOUBLE) AS al,
+        |    CAST(SUM(x2) AS DOUBLE) AS bl
+        |  FROM p GROUP BY l),
+        |acf AS (
+        |  SELECT CAST(l AS BIGINT) AS lag,
+        |    ROUND((nl - (s0 / CAST(d AS DOUBLE)) * (al + bl) +
+        |      CAST(n_pairs AS DOUBLE) * (s0 / CAST(d AS DOUBLE)) *
+        |        (s0 / CAST(d AS DOUBLE))) /
+        |      (s2 - CAST(d AS DOUBLE) * (s0 / CAST(d AS DOUBLE)) *
+        |        (s0 / CAST(d AS DOUBLE))), 6) AS acf
+        |  FROM a CROSS JOIN tot),
+        |r AS (
+        |  SELECT MAX(CASE WHEN lag = 1 THEN acf END) AS r1,
+        |    MAX(CASE WHEN lag = 2 THEN acf END) AS r2,
+        |    MAX(CASE WHEN lag = 3 THEN acf END) AS r3,
+        |    MAX(CASE WHEN lag = 4 THEN acf END) AS r4
+        |  FROM acf),
+        |k1 AS (SELECT *, ROUND(r1, 9) AS p11 FROM r),
+        |k2 AS (SELECT *,
+        |  ROUND((r2 - p11 * r1) / (1.0 - p11 * r1), 9) AS p22 FROM k1),
+        |k2b AS (SELECT *, ROUND(p11 - p22 * p11, 9) AS p21 FROM k2),
+        |k3 AS (SELECT *,
+        |  ROUND((r3 - (p21 * r2 + p22 * r1)) /
+        |    (1.0 - (p21 * r1 + p22 * r2)), 9) AS p33 FROM k2b),
+        |k3b AS (SELECT *, ROUND(p21 - p33 * p22, 9) AS p31,
+        |  ROUND(p22 - p33 * p21, 9) AS p32 FROM k3),
+        |k4 AS (SELECT *,
+        |  ROUND((r4 - (p31 * r3 + p32 * r2 + p33 * r1)) /
+        |    (1.0 - (p31 * r1 + p32 * r2 + p33 * r3)), 9) AS p44
+        |  FROM k3b)
+        |SELECT CAST(lag AS BIGINT) AS lag, ROUND(pv, 6) AS pacf FROM (
+        |  SELECT 1 AS lag, p11 AS pv FROM k4
+        |  UNION ALL SELECT 2, p22 FROM k4
+        |  UNION ALL SELECT 3, p33 FROM k4
+        |  UNION ALL SELECT 4, p44 FROM k4)
+        |ORDER BY lag""".stripMargin,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which

@@ -3890,6 +3890,31 @@ object SparkEntry {
     graft.operators.RobustStats.pettittDailyChangePoint(
       t(spark, dir, "events"), "ts")
 
+  // ---------------------------------------------------------------- q328
+  // Jonckheere–Terpstra ordered-alternative test: does order value
+  // trend across the NATURALLY ORDERED priority levels ('1-URGENT' <
+  // … < '5-LOW')? Exact-integer 2J off one cumulative-count spine,
+  // full Hollander–Wolfe tie-corrected null moments.
+  def q328(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.jonckheereTerpstra(
+      t(spark, dir, "orders"), "o_totalprice", "o_orderpriority")
+
+  // ---------------------------------------------------------------- q329
+  // Cronbach's α over the lineitem measure battery — the internal-
+  // consistency / redundancy audit: raw α from exact-decimal item
+  // variances, standardized α from the mean pairwise Pearson r.
+  def q329(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ProfileOps.cronbachAlpha(t(spark, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
+  // ---------------------------------------------------------------- q330
+  // PACF of the daily event-count series via Durbin–Levinson on
+  // q269's 6-decimal ACF card (round-9 recursion, the portable-fit
+  // contract) — the AR-order picker next to q269's raw ACF.
+  def q330(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.pacfDurbinLevinson(t(spark, dir, "events"), "ts",
+      maxLag = 4)
+
   // ---------------------------------------------------------------- q312
   // Empirical-Bayes shrinkage of per-source long-doc rates: beta prior
   // by method of moments over the source rates, each source's rate
@@ -5070,6 +5095,9 @@ object SparkEntry {
     "q325_stream_keyness" -> (q325 _),
     "q326_mann_kendall" -> (q326 _),
     "q327_pettitt" -> (q327 _),
+    "q328_jonckheere" -> (q328 _),
+    "q329_cronbach_alpha" -> (q329 _),
+    "q330_pacf" -> (q330 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -862,6 +862,78 @@ object DriftOps {
       .orderBy(col("rank"))
   }
 
+  /** Jonckheere–Terpstra ordered-alternative test (Jonckheere 1954):
+    * does `valCol` TREND across the ordered levels of `groupCol`
+    * (ordered by its natural `<`)? J = Σ_{a<b} U_ab — the sum of
+    * pairwise Mann–Whitney counts over ordered group pairs, ties at ½
+    * — is far more powerful than [[kruskalWallis]] when the
+    * alternative is monotone. All pairs come from ONE pass on the
+    * [[pairwiseRankMatrix]] spine: per-group zero-filled cumulative
+    * counts give every pair's doubled U by a single spine self-join;
+    * 2J stays an exact BIGINT-decimal until the final halving. The
+    * null moments carry the full Hollander–Wolfe tie correction:
+    * E[J] = (N² − Σnᵢ²)/4 and Var[J] = A/72 + B/[36N(N−1)(N−2)] +
+    * C/[8N(N−1)] with A, B, C the standard group-size / tie-group
+    * polynomial sums — every one an exact integer aggregate.
+    *
+    * Scale shape: one (value, group) count aggregation; the spine ×
+    * groups frame is |distinct values|·G rows, the pair join
+    * |distinct values|·G² — never data-scale.
+    */
+  def jonckheereTerpstra(df: DataFrame, valCol: String,
+      groupCol: String): DataFrame = {
+    val d = df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(valCol).cast("double").as("v"))
+    val byVG = d.groupBy(col("v"), col("g")).agg(count(lit(1)).as("c"))
+    val spine = byVG.select(col("v")).distinct()
+    val groups = byVG.select(col("g")).distinct()
+    val full = spine.crossJoin(broadcast(groups))
+      .join(byVG, Seq("v", "g"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val f = full.withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("prev", col("cum") - col("c"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    // 2·J_ab mass at value v: c_b·(2·prev_a + c_a) — below-pairs twice
+    // plus tied pairs once
+    val j2 = f.select(col("v"), col("g").as("g_a"),
+        col("c").as("ca"), col("prev").as("pa"))
+      .join(f.select(col("v"), col("g").as("g_b"), col("c").as("cb")), "v")
+      .filter(col("g_a") < col("g_b"))
+      .agg(sum(dec(col("cb")) * (dec(col("pa")) * lit(2) + dec(col("ca"))))
+        .cast("long").as("j2"))
+    val sizes = byVG.groupBy(col("g")).agg(sum(col("c")).as("n_g"))
+      .agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("n_g") * col("n_g")).as("__n2"),
+        sum(col("n_g") * (col("n_g") - 1) *
+          (lit(2) * col("n_g") + 5)).as("__na"),
+        sum(col("n_g") * (col("n_g") - 1) * (col("n_g") - 2)).as("__nb"),
+        sum(col("n_g") * (col("n_g") - 1)).as("__nc"))
+    val ties = byVG.groupBy(col("v")).agg(sum(col("c")).as("t"))
+      .agg(sum(col("t") * (col("t") - 1) *
+          (lit(2) * col("t") + 5)).as("__ta"),
+        sum(col("t") * (col("t") - 1) * (col("t") - 2)).as("__tb"),
+        sum(col("t") * (col("t") - 1)).as("__tc"))
+    val nD = col("n").cast("double")
+    val a = nD * (nD - 1.0) * (lit(2.0) * nD + 5.0) -
+      col("__na").cast("double") - col("__ta").cast("double")
+    val b = col("__nb").cast("double") * col("__tb").cast("double")
+    val cc = col("__nc").cast("double") * col("__tc").cast("double")
+    val varJ = a / lit(72.0) +
+      b / (lit(36.0) * nD * (nD - 1.0) * (nD - 2.0)) +
+      cc / (lit(8.0) * nD * (nD - 1.0))
+    val ej = (nD * nD - col("__n2").cast("double")) / lit(4.0)
+    val jD = col("j2").cast("double") / lit(2.0)
+    j2.crossJoin(broadcast(sizes)).crossJoin(broadcast(ties))
+      .select(col("n"), col("k"),
+        round(jD, 1).as("j_stat"),
+        round(ej, 6).as("e_j"),
+        round(varJ, 6).as("var_j"),
+        when(varJ > 0.0, round((jD - ej) / sqrt(varJ), 6)).as("z"))
+  }
+
   /** One-way ANOVA F over per-group means (Fisher): does ANY group's
     * mean differ — the k-sample parametric screen before pairwise
     * Welch tests, with η² = SSB/SST as the effect size (the variance

@@ -461,4 +461,64 @@ object ProfileOps {
         round(col("__beta"), 6).as("beta"))
       .orderBy(col(groupCol))
   }
+
+  /** Cronbach's α internal-consistency card (Cronbach 1951) over a
+    * fixed item-column battery: the raw-score
+    * α = k/(k−1)·(1 − Σᵢvarᵢ/var_total) and the standardized
+    * α_std = k·r̄/(1 + (k−1)·r̄) from the mean pairwise Pearson r —
+    * "do these measures move together enough to sum into one score".
+    * For a feature battery it doubles as a redundancy audit: α near 1
+    * means the items are one signal wearing k hats.
+    *
+    * Exactness: ONE aggregation collects every first/second-order
+    * moment (item sums, squares, all k(k−1)/2 cross-products) as
+    * exact DECIMAL(28,6) sums — items with ≤ 2-decimal values make
+    * every product exact at 4 decimals — then fixed double shapes:
+    * variances and correlations in one deterministic parenthesization,
+    * Σvarᵢ and r̄ folded in declared item order. Rows with ANY null
+    * item drop (listwise deletion, the classical convention).
+    *
+    * Scale shape: one scan, one single-row aggregation; everything
+    * after is scalar.
+    */
+  def cronbachAlpha(df: DataFrame, items: Seq[String]): DataFrame = {
+    val k = items.size
+    require(k >= 2, s"need at least 2 items, got $k")
+    import graft.functions.Stats.dsum
+    val d = df.filter(items.map(col(_).isNotNull).reduce(_ && _))
+      .select(items.map(c => col(c).cast("double").as(c)): _*)
+    val pairs = for {
+      i <- items.indices; j <- (i + 1) until k
+    } yield (i, j)
+    val aggs =
+      items.zipWithIndex.flatMap { case (c, i) =>
+        Seq(dsum(col(c), 6).as(s"s$i"),
+          dsum(col(c) * col(c), 6).as(s"q$i"))
+      } ++ pairs.map { case (i, j) =>
+        dsum(col(items(i)) * col(items(j)), 6).as(s"p${i}_$j")
+      }
+    val m = d.agg(count(lit(1)).as("n"), aggs: _*)
+    val nD = col("n").cast("double")
+    def varRaw(i: Int) =
+      col(s"q$i") - col(s"s$i") * col(s"s$i") / nD
+    def covRaw(i: Int, j: Int) =
+      col(s"p${i}_$j") - col(s"s$i") * col(s"s$j") / nD
+    val sumVar = items.indices.map(i => varRaw(i) / (nD - 1.0))
+      .reduce(_ + _)
+    val totVar = (items.indices.map(varRaw) ++
+      pairs.map { case (i, j) => covRaw(i, j) * lit(2.0) })
+      .reduce(_ + _) / (nD - 1.0)
+    val rBar = pairs.map { case (i, j) =>
+      covRaw(i, j) / sqrt(varRaw(i) * varRaw(j))
+    }.reduce(_ + _) / lit(pairs.size.toDouble)
+    val kD = k.toDouble
+    m.select(col("n"), lit(k).as("k"),
+      round(lit(kD / (kD - 1.0)) * (lit(1.0) - sumVar / totVar), 6)
+        .as("alpha_raw"),
+      round(lit(kD) * rBar / (lit(1.0) + lit(kD - 1.0) * rBar), 6)
+        .as("alpha_std"),
+      round(rBar, 6).as("mean_inter_item_r"),
+      round(sumVar, 6).as("sum_item_var"),
+      round(totVar, 6).as("total_var"))
+  }
 }

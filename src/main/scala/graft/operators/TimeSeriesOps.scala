@@ -453,6 +453,54 @@ object TimeSeriesOps {
       .orderBy(col("lag"))
   }
 
+  /** Partial autocorrelation of the daily event-count series via the
+    * Durbin–Levinson recursion (Durbin 1960) on [[dailyCountAcf]]'s
+    * rounded ACF values: PACF(k) = φ_kk — the lag-k correlation with
+    * the shorter lags regressed away, the AR-order picker the raw ACF
+    * can't be (an AR(1) has geometric ACF at every lag but PACF
+    * support only at 1). Portable-fit contract: the recursion consumes
+    * the 6-decimal ACF card values and rounds every φ to 9, so the
+    * oracle replays the identical algebra in unrolled SQL; driver-side
+    * recursion over a maxLag-sized vector is free.
+    *
+    * Scale shape: one [[dailyCountAcf]] pass (calendar-bounded spine);
+    * the recursion is O(maxLag²) scalars on the driver.
+    */
+  def pacfDurbinLevinson(df: DataFrame, tsCol: String,
+      maxLag: Int = 4): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def r9(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val r = dailyCountAcf(df, tsCol, maxLag)
+      .orderBy(col("lag")).select(col("acf")).as[Double].collect()
+    require(r.length == maxLag,
+      s"ACF returned ${r.length} lags, expected $maxLag (series shorter" +
+        " than maxLag?)")
+    def rr(k: Int): Double = r(k - 1)
+    var phi = Array(r9(rr(1)))
+    val pacf = scala.collection.mutable.ArrayBuffer(phi(0))
+    for (k <- 2 to maxLag) {
+      // ascending-j left-assoc sums — the oracle writes the same order
+      val num = rr(k) -
+        (1 until k).foldLeft(0.0)((s, j) => s + phi(j - 1) * rr(k - j))
+      val den = 1.0 -
+        (1 until k).foldLeft(0.0)((s, j) => s + phi(j - 1) * rr(j))
+      val pkk = r9(num / den)
+      phi = ((1 until k).map(j =>
+        r9(phi(j - 1) - pkk * phi(k - j - 1))) :+ pkk).toArray
+      pacf += pkk
+    }
+    pacf.toSeq.zipWithIndex
+      .map { case (p, i) => (i + 1, p) }
+      .toDF("lag", "__p")
+      .select(col("lag").cast("long").as("lag"),
+        round(col("__p"), 6).as("pacf"))
+      .orderBy(col("lag"))
+  }
+
   /** Day-of-week seasonality card over a daily mass series: the
     * multiplicative index mean(dow)/mean(all) per weekday plus the
     * one-way-ANOVA seasonality strength R² = SS_between/SS_total — how
