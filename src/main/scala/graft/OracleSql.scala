@@ -6658,6 +6658,170 @@ object OracleSql {
         |  UNION ALL SELECT 3, p33 FROM k4
         |  UNION ALL SELECT 4, p44 FROM k4)
         |ORDER BY lag""".stripMargin,
+
+    // q331: Ljung–Box replayed — q269's ACF card, n = n_pairs + lag
+    // (gap-free spine), per-lag terms rounded to 12 and DECIMAL-summed
+    // over the lag window (order-independent), n(n+2) blow-up per row.
+    "q331_ljung_box" ->
+      """WITH counts AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY day),
+        |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM counts),
+        |days AS (
+        |  SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |series AS (
+        |  SELECT CAST(date_diff('day', b.lo, d.day) AS BIGINT) AS i,
+        |    COALESCE(c.x, 0) AS x
+        |  FROM days d CROSS JOIN b LEFT JOIN counts c ON d.day = c.day),
+        |tot AS (
+        |  SELECT CAST(SUM(x) AS DOUBLE) AS s0,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS s2,
+        |    CAST(COUNT(*) AS BIGINT) AS d
+        |  FROM series),
+        |lags AS (SELECT UNNEST(range(1, 8)) AS l),
+        |p AS (
+        |  SELECT l.l, s1.x AS x, s2.x AS x2
+        |  FROM series s1 CROSS JOIN lags l
+        |  JOIN series s2 ON s2.i = s1.i + l.l),
+        |a AS (
+        |  SELECT l, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x2) AS DOUBLE) AS nl,
+        |    CAST(SUM(x) AS DOUBLE) AS al,
+        |    CAST(SUM(x2) AS DOUBLE) AS bl
+        |  FROM p GROUP BY l),
+        |acf AS (
+        |  SELECT CAST(l AS BIGINT) AS lag, n_pairs,
+        |    ROUND((nl - (s0 / CAST(d AS DOUBLE)) * (al + bl) +
+        |      CAST(n_pairs AS DOUBLE) * (s0 / CAST(d AS DOUBLE)) *
+        |        (s0 / CAST(d AS DOUBLE))) /
+        |      (s2 - CAST(d AS DOUBLE) * (s0 / CAST(d AS DOUBLE)) *
+        |        (s0 / CAST(d AS DOUBLE))), 6) AS acf
+        |  FROM a CROSS JOIN tot),
+        |t2 AS (
+        |  SELECT lag, acf,
+        |    CAST(n_pairs + lag AS DOUBLE) AS nd,
+        |    CAST(SUM(CAST(ROUND(acf * acf /
+        |        (CAST(n_pairs + lag AS DOUBLE) - CAST(lag AS DOUBLE)),
+        |        12) AS DECIMAL(38,12))) OVER (ORDER BY lag
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE) AS cum
+        |  FROM acf)
+        |SELECT lag, acf, ROUND(nd * (nd + 2.0) * cum, 6) AS q_lb
+        |FROM t2 ORDER BY lag""".stripMargin,
+
+    // q332: Durbin–Watson replayed — exact integer OLS moments on the
+    // spine, identical b/a double shapes, per-row residual terms
+    // rounded to 8 and DECIMAL-summed.
+    "q332_durbin_watson" ->
+      """WITH counts AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY day),
+        |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM counts),
+        |days AS (
+        |  SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |series AS (
+        |  SELECT CAST(date_diff('day', b.lo, d.day) AS BIGINT) AS i,
+        |    COALESCE(c.x, 0) AS x
+        |  FROM days d CROSS JOIN b LEFT JOIN counts c ON d.day = c.day),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(i) AS DOUBLE) AS si,
+        |    CAST(SUM(CAST(i AS HUGEINT) * i) AS DOUBLE) AS sii,
+        |    CAST(SUM(x) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(i AS HUGEINT) * x) AS DOUBLE) AS six
+        |  FROM series),
+        |fit AS (
+        |  SELECT n,
+        |    (CAST(n AS DOUBLE) * six - si * sx) /
+        |      (CAST(n AS DOUBLE) * sii - si * si) AS bb, sx, si
+        |  FROM m),
+        |fit2 AS (
+        |  SELECT n, bb, (sx - bb * si) / CAST(n AS DOUBLE) AS aa
+        |  FROM fit),
+        |resid AS (
+        |  SELECT f.n, f.aa, f.bb, s.i,
+        |    CAST(s.x AS DOUBLE) - (f.aa + f.bb * CAST(s.i AS DOUBLE))
+        |      AS e
+        |  FROM series s CROSS JOIN fit2 f),
+        |terms AS (
+        |  SELECT n, aa, bb,
+        |    CAST(ROUND(e * e, 8) AS DECIMAL(38,8)) AS e2,
+        |    CASE WHEN LAG(e) OVER (ORDER BY i) IS NOT NULL
+        |      THEN CAST(ROUND((e - LAG(e) OVER (ORDER BY i)) *
+        |        (e - LAG(e) OVER (ORDER BY i)), 8) AS DECIMAL(38,8))
+        |    END AS d2
+        |  FROM resid),
+        |agg AS (
+        |  SELECT n, aa, bb,
+        |    CAST(SUM(e2) AS DOUBLE) AS sse,
+        |    CAST(SUM(d2) AS DOUBLE) AS ssd
+        |  FROM terms GROUP BY n, aa, bb)
+        |SELECT n AS n_days, ROUND(bb, 6) AS slope,
+        |  ROUND(aa, 6) AS intercept, ROUND(ssd / sse, 6) AS dw
+        |FROM agg""".stripMargin,
+
+    // q333: runs test replayed — explicit two-middle-rank median,
+    // strict above/below signs (median days drop), LAG sign changes,
+    // exact-integer null moments in identical double shapes.
+    "q333_runs_test" ->
+      """WITH counts AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY day),
+        |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM counts),
+        |days AS (
+        |  SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |series AS (
+        |  SELECT CAST(date_diff('day', b.lo, d.day) AS BIGINT) AS i,
+        |    COALESCE(c.x, 0) AS x
+        |  FROM days d CROSS JOIN b LEFT JOIN counts c ON d.day = c.day),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM series),
+        |ranked AS (
+        |  SELECT i, x,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY x, i) AS BIGINT) AS r
+        |  FROM series),
+        |med AS (
+        |  SELECT CAST(SUM(r2.x) AS DOUBLE) / COUNT(*) AS med
+        |  FROM ranked r2, nn
+        |  WHERE r2.r = CAST(FLOOR((nn.n + 1) / 2.0) AS BIGINT)
+        |     OR r2.r = CAST(FLOOR(nn.n / 2.0) AS BIGINT) + 1),
+        |signed AS (
+        |  SELECT s.i,
+        |    CASE WHEN CAST(s.x AS DOUBLE) > med.med THEN 1 ELSE 0 END
+        |      AS sg
+        |  FROM series s CROSS JOIN med
+        |  WHERE CAST(s.x AS DOUBLE) <> med.med),
+        |lagged AS (
+        |  SELECT sg, LAG(sg) OVER (ORDER BY i) AS pg FROM signed),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS nn2,
+        |    CAST(SUM(sg) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN pg IS NOT NULL AND pg <> sg
+        |      THEN 1 ELSE 0 END) AS BIGINT) + 1 AS runs
+        |  FROM lagged),
+        |f AS (
+        |  SELECT nn2, n1, runs,
+        |    CAST(nn2 AS DOUBLE) AS nd, CAST(n1 AS DOUBLE) AS n1d,
+        |    CAST(nn2 AS DOUBLE) - CAST(n1 AS DOUBLE) AS n2d
+        |  FROM agg),
+        |f2 AS (
+        |  SELECT nn2, n1, runs,
+        |    1.0 + 2.0 * n1d * n2d / nd AS er,
+        |    2.0 * n1d * n2d * (2.0 * n1d * n2d - nd) /
+        |      (nd * nd * (nd - 1.0)) AS vr
+        |  FROM f)
+        |SELECT nn2 AS n_days_used, n1 AS n_above,
+        |  nn2 - n1 AS n_below, runs,
+        |  ROUND(er, 6) AS e_runs, ROUND(vr, 6) AS var_runs,
+        |  CASE WHEN vr > 0.0
+        |    THEN ROUND((CAST(runs AS DOUBLE) - er) / SQRT(vr), 6)
+        |  END AS z
+        |FROM f2""".stripMargin,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which

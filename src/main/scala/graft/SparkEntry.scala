@@ -3915,6 +3915,29 @@ object SparkEntry {
     TimeSeriesOps.pacfDurbinLevinson(t(spark, dir, "events"), "ts",
       maxLag = 4)
 
+  // ---------------------------------------------------------------- q331
+  // Ljung–Box portmanteau on the daily event-count series: Q(h) per
+  // lag 1..7 off q269's ACF card — the whiteness test that closes the
+  // ACF/PACF triptych. Decimal-summed running terms keep the window
+  // reduction order-independent.
+  def q331(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.ljungBoxDailyCounts(t(spark, dir, "events"), "ts",
+      maxLag = 7)
+
+  // ---------------------------------------------------------------- q332
+  // Durbin–Watson on OLS-detrended daily counts: serial-correlation-
+  // in-residuals next to q331's raw-series whiteness; exact integer
+  // OLS moments, decimal-summed residual reductions.
+  def q332(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.durbinWatsonDailyTrend(t(spark, dir, "events"), "ts")
+
+  // ---------------------------------------------------------------- q333
+  // Wald–Wolfowitz runs test: do above/below-median days clump? Exact
+  // order-statistic median, sign-change run count, exact-integer null
+  // moments.
+  def q333(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.runsTestDailyCounts(t(spark, dir, "events"), "ts")
+
   // ---------------------------------------------------------------- q312
   // Empirical-Bayes shrinkage of per-source long-doc rates: beta prior
   // by method of moments over the source rates, each source's rate
@@ -5098,6 +5121,9 @@ object SparkEntry {
     "q328_jonckheere" -> (q328 _),
     "q329_cronbach_alpha" -> (q329 _),
     "q330_pacf" -> (q330 _),
+    "q331_ljung_box" -> (q331 _),
+    "q332_durbin_watson" -> (q332 _),
+    "q333_runs_test" -> (q333 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

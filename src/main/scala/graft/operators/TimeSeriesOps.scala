@@ -501,6 +501,153 @@ object TimeSeriesOps {
       .orderBy(col("lag"))
   }
 
+  /** Ljung–Box portmanteau test (Ljung & Box 1978) on the daily
+    * event-count series: Q(h) = n(n+2)·Σ_{k≤h} r_k²/(n−k) per lag h —
+    * "is there ANY autocorrelation left through lag h", the whiteness
+    * check that closes the ACF ([[dailyCountAcf]]) / PACF
+    * ([[pacfDurbinLevinson]]) triptych. n recovers exactly as
+    * n_pairs + lag on every ACF row (the spine is gap-free).
+    *
+    * Portability: each term r_k²/(n−k) is rounded to 12 and summed as
+    * DECIMAL(38,12) over the lag window — decimal addition is
+    * order-independent, so the running sum is identical under any
+    * window evaluation strategy (Spark sequential vs DuckDB segment
+    * tree); the n(n+2) blow-up happens once per row in doubles.
+    *
+    * Scale shape: one [[dailyCountAcf]] pass; everything else lives on
+    * the maxLag-row card.
+    */
+  def ljungBoxDailyCounts(df: DataFrame, tsCol: String,
+      maxLag: Int = 7): DataFrame = {
+    val acf = dailyCountAcf(df, tsCol, maxLag)
+    val n = (col("n_pairs") + col("lag")).cast("double")
+    val term = round(col("acf") * col("acf") /
+      (n - col("lag").cast("double")), 12)
+    val w = Window.orderBy(col("lag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    acf
+      .withColumn("__n", n)
+      .withColumn("__cum",
+        sum(term.cast("decimal(38,12)")).over(w).cast("double"))
+      .select(col("lag"), col("acf"),
+        round(col("__n") * (col("__n") + 2.0) * col("__cum"), 6)
+          .as("q_lb"))
+      .orderBy(col("lag"))
+  }
+
+  /** Durbin–Watson statistic (Durbin & Watson 1950) on the residuals
+    * of the daily event-count series OLS-detrended against day index:
+    * DW = Σ(e_t − e_{t−1})² / Σe_t² ∈ [0,4], ≈2 when residuals are
+    * white, →0 under positive serial correlation — the regression-
+    * flavored companion to [[ljungBoxDailyCounts]]. The OLS fit uses
+    * exact integer moments (counts × day indices) cast once to double
+    * in the textbook shape b = (nΣix − ΣiΣx)/(nΣi² − (Σi)²); per-row
+    * residual terms are rounded to 8 and decimal-summed so both
+    * reductions are order-independent.
+    *
+    * Scale shape: one count aggregation; spine-bounded window lag.
+    */
+  def durbinWatsonDailyTrend(df: DataFrame, tsCol: String): DataFrame = {
+    val counts = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val series = counts.agg(min(col("day")).as("__lo"),
+        max(col("day")).as("__hi"))
+      .select(col("__lo"), explode(sequence(col("__lo"), col("__hi")))
+        .as("day"))
+      .join(counts, Seq("day"), "left")
+      .select(datediff(col("day"), col("__lo")).cast("long").as("i"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val m = series.agg(count(lit(1)).as("n"),
+      sum(col("i")).cast("double").as("__si"),
+      sum(dec(col("i")) * dec(col("i"))).cast("double").as("__sii"),
+      sum(col("x")).cast("double").as("__sx"),
+      sum(dec(col("i")) * dec(col("x"))).cast("double").as("__six"))
+    val nD = col("n").cast("double")
+    val fit = m.select(col("n"),
+      ((nD * col("__six") - col("__si") * col("__sx")) /
+        (nD * col("__sii") - col("__si") * col("__si"))).as("__b"),
+      col("__sx"), col("__si"))
+      .select(col("n"), col("__b"),
+        ((col("__sx") - col("__b") * col("__si")) /
+          col("n").cast("double")).as("__a"))
+    val resid = series.crossJoin(broadcast(fit))
+      .withColumn("e", col("x").cast("double") -
+        (col("__a") + col("__b") * col("i").cast("double")))
+    val wLag = Window.orderBy(col("i"))
+    val terms = resid
+      .withColumn("__ep", lag(col("e"), 1).over(wLag))
+      .select(col("n"), col("__a"), col("__b"),
+        round(col("e") * col("e"), 8).cast("decimal(38,8)").as("__e2"),
+        when(col("__ep").isNotNull,
+          round((col("e") - col("__ep")) * (col("e") - col("__ep")), 8)
+            .cast("decimal(38,8)")).as("__d2"))
+    terms.groupBy(col("n"), col("__a"), col("__b"))
+      .agg(sum(col("__e2")).cast("double").as("__sse"),
+        sum(col("__d2")).cast("double").as("__ssd"))
+      .select(col("n").as("n_days"),
+        round(col("__b"), 6).as("slope"),
+        round(col("__a"), 6).as("intercept"),
+        round(col("__ssd") / col("__sse"), 6).as("dw"))
+  }
+
+  /** Wald–Wolfowitz runs test (1940) on the daily event-count series
+    * against its median: are above/below-median days RANDOMLY ordered,
+    * or do they clump (trend/cycle)? Median = mean of the two middle
+    * order statistics of the day frame (explicit ranks, no engine
+    * median()); days AT the median drop (the classical convention);
+    * R = 1 + #sign changes in day order, with the exact-integer null
+    * moments E[R] = 1 + 2n₁n₂/N and
+    * Var[R] = 2n₁n₂(2n₁n₂ − N)/(N²(N−1)).
+    *
+    * Scale shape: one count aggregation; ranks/lag on the bounded day
+    * spine only.
+    */
+  def runsTestDailyCounts(df: DataFrame, tsCol: String): DataFrame = {
+    val counts = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val series = counts.agg(min(col("day")).as("__lo"),
+        max(col("day")).as("__hi"))
+      .select(col("__lo"), explode(sequence(col("__lo"), col("__hi")))
+        .as("day"))
+      .join(counts, Seq("day"), "left")
+      .select(datediff(col("day"), col("__lo")).cast("long").as("i"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val wRank = Window.orderBy(col("x"), col("i"))
+    val ranked = series.withColumn("__r", row_number().over(wRank))
+    val nTot = series.agg(count(lit(1)).as("__n"))
+    val med = ranked.crossJoin(broadcast(nTot))
+      .filter(col("__r") === floor((col("__n") + 1) / 2) ||
+        col("__r") === floor(col("__n") / 2) + 1)
+      .agg((sum(col("x")).cast("double") / count(lit(1))).as("__med"))
+    val signed = series.crossJoin(broadcast(med))
+      .filter(col("x").cast("double") =!= col("__med"))
+      .withColumn("__s", (col("x").cast("double") > col("__med"))
+        .cast("int"))
+    val wLag = Window.orderBy(col("i"))
+    val runs = signed
+      .withColumn("__prev", lag(col("__s"), 1).over(wLag))
+      .agg(sum(lit(1)).as("__nn"),
+        sum(col("__s")).as("__n1"),
+        (sum(when(col("__prev").isNotNull &&
+          col("__prev") =!= col("__s"), 1L).otherwise(0L)) + 1L)
+          .as("__runs"))
+    val n1 = col("__n1").cast("double")
+    val nn = col("__nn").cast("double")
+    val n2 = nn - n1
+    val eR = lit(1.0) + lit(2.0) * n1 * n2 / nn
+    val varR = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - nn) /
+      (nn * nn * (nn - 1.0))
+    runs.select(col("__nn").as("n_days_used"),
+      col("__n1").as("n_above"),
+      (col("__nn") - col("__n1")).as("n_below"),
+      col("__runs").as("runs"),
+      round(eR, 6).as("e_runs"),
+      round(varR, 6).as("var_runs"),
+      when(varR > 0.0, round((col("__runs").cast("double") - eR) /
+        sqrt(varR), 6)).as("z"))
+  }
+
   /** Day-of-week seasonality card over a daily mass series: the
     * multiplicative index mean(dow)/mean(all) per weekday plus the
     * one-way-ANOVA seasonality strength R² = SS_between/SS_total — how
