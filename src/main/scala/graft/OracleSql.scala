@@ -6822,6 +6822,121 @@ object OracleSql {
         |    THEN ROUND((CAST(runs AS DOUBLE) - er) / SQRT(vr), 6)
         |  END AS z
         |FROM f2""".stripMargin,
+
+    // q334: Jarque–Bera replayed — the same four exact DECIMAL raw
+    // moments, central moments / S / K / JB in the identical double
+    // parenthesization (sqrt, not pow).
+    "q334_jarque_bera" ->
+      """WITH d AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(v AS DECIMAL(28,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(v * v AS DECIMAL(38,4))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(v * v * v AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+        |    CAST(SUM(CAST(v * v * v * v AS DECIMAL(38,8))) AS DOUBLE)
+        |      AS s4
+        |  FROM d),
+        |c AS (
+        |  SELECT n, CAST(n AS DOUBLE) AS nd,
+        |    s1 / CAST(n AS DOUBLE) AS mu, s2, s3, s4
+        |  FROM m),
+        |c2 AS (
+        |  SELECT n, nd, mu,
+        |    s2 / nd - mu * mu AS m2,
+        |    s3 / nd - 3.0 * mu * (s2 / nd) + 2.0 * mu * mu * mu AS m3,
+        |    s4 / nd - 4.0 * mu * (s3 / nd) + 6.0 * mu * mu * (s2 / nd)
+        |      - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM c),
+        |c3 AS (
+        |  SELECT n, nd, mu,
+        |    m3 / (m2 * SQRT(m2)) AS sk,
+        |    m4 / (m2 * m2) AS ku
+        |  FROM c2)
+        |SELECT n, ROUND(mu, 6) AS mean, ROUND(sk, 6) AS skewness,
+        |  ROUND(ku - 3.0, 6) AS ex_kurtosis,
+        |  ROUND(nd / 6.0 * (sk * sk + (ku - 3.0) * (ku - 3.0) / 4.0), 6)
+        |    AS jb
+        |FROM c3""".stripMargin,
+
+    // q335: Bartlett replayed — exact decimal group moments, round-9
+    // variances into LN (identical double inputs), per-term rounding +
+    // DECIMAL sums across groups, the same T assembly.
+    "q335_bartlett" ->
+      """WITH d AS (
+        |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |grp AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(CAST(v AS DECIMAL(28,2))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(v * v AS DECIMAL(38,4))) AS DOUBLE) AS q
+        |  FROM d GROUP BY g HAVING COUNT(*) > 1),
+        |wv AS (
+        |  SELECT n_g, CAST(n_g AS DOUBLE) AS ngd,
+        |    ROUND((q - s * s / CAST(n_g AS DOUBLE)) /
+        |      (CAST(n_g AS DOUBLE) - 1.0), 9) AS v
+        |  FROM grp),
+        |wf AS (SELECT * FROM wv WHERE v > 0.0),
+        |agg AS (
+        |  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(CAST(ROUND((ngd - 1.0) * v, 6)
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS ssw,
+        |    CAST(SUM(CAST(ROUND((ngd - 1.0) * LN(v), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS slnv,
+        |    CAST(SUM(CAST(ROUND(1.0 / (ngd - 1.0), 12)
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS sinv
+        |  FROM wf),
+        |f AS (
+        |  SELECT n, k, CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
+        |    ssw, slnv, sinv
+        |  FROM agg WHERE k > 1 AND n > k),
+        |f2 AS (
+        |  SELECT n, k, nd, kd, slnv, sinv,
+        |    ROUND(ssw / (nd - kd), 9) AS sp2
+        |  FROM f)
+        |SELECT n, k, ROUND(sp2, 6) AS pooled_var,
+        |  ROUND(((nd - kd) * LN(sp2) - slnv) /
+        |    (1.0 + (sinv - 1.0 / (nd - kd)) / (3.0 * (kd - 1.0))), 6)
+        |    AS t_stat,
+        |  k - 1 AS df
+        |FROM f2""".stripMargin,
+
+    // q336: McNemar replayed — per-customer bool-OR collapse, exact
+    // 2×2 cells, discordant χ² with and without the Edwards
+    // continuity correction.
+    "q336_mcnemar" ->
+      """WITH perkey AS (
+        |  SELECT o_custkey,
+        |    MAX(CASE WHEN o_orderpriority = '1-URGENT'
+        |      THEN 1 ELSE 0 END) AS a,
+        |    MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS b
+        |  FROM orders WHERE o_custkey IS NOT NULL
+        |  GROUP BY o_custkey),
+        |cells AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n11,
+        |    CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n10,
+        |    CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n01,
+        |    CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n00
+        |  FROM perkey),
+        |f AS (
+        |  SELECT *, CAST(n10 AS DOUBLE) AS bd, CAST(n01 AS DOUBLE) AS cd,
+        |    CAST(n10 AS DOUBLE) + CAST(n01 AS DOUBLE) AS disc
+        |  FROM cells)
+        |SELECT n_keys, n11, n10, n01, n00,
+        |  CASE WHEN disc > 0.0
+        |    THEN ROUND((bd - cd) * (bd - cd) / disc, 6) END AS chi2,
+        |  CASE WHEN disc > 0.0
+        |    THEN ROUND((ABS(bd - cd) - 1.0) * (ABS(bd - cd) - 1.0) /
+        |      disc, 6) END AS chi2_cc
+        |FROM f""".stripMargin,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which

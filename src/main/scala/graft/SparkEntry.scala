@@ -3938,6 +3938,31 @@ object SparkEntry {
   def q333(spark: SparkSession, dir: String): DataFrame =
     TimeSeriesOps.runsTestDailyCounts(t(spark, dir, "events"), "ts")
 
+  // ---------------------------------------------------------------- q334
+  // Jarque–Bera normality card on extended price: exact decimal raw
+  // moments Σx..Σx⁴, fixed-shape S/K assembly — the screen in front
+  // of the normality-assuming members of the test battery.
+  def q334(spark: SparkSession, dir: String): DataFrame =
+    ProfileOps.jarqueBera(t(spark, dir, "lineitem"), "l_extendedprice")
+
+  // ---------------------------------------------------------------- q335
+  // Bartlett variance homogeneity across event types — the parametric
+  // sibling of q287's Levene; per-group ln-variance terms rounded and
+  // decimal-summed so group order cannot move T.
+  def q335(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.bartlettTest(
+      t(spark, dir, "events"), "value", "event_type")
+
+  // ---------------------------------------------------------------- q336
+  // McNemar paired-binary per customer: "has an URGENT order" vs "has
+  // a filled order" — discordant-cell χ² with Edwards continuity
+  // correction, exact 2×2 integers.
+  def q336(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.mcnemarTest(
+      t(spark, dir, "orders"), "o_custkey",
+      col("o_orderpriority") === "1-URGENT",
+      col("o_orderstatus") === "F")
+
   // ---------------------------------------------------------------- q312
   // Empirical-Bayes shrinkage of per-source long-doc rates: beta prior
   // by method of moments over the source rates, each source's rate
@@ -5124,6 +5149,9 @@ object SparkEntry {
     "q331_ljung_box" -> (q331 _),
     "q332_durbin_watson" -> (q332 _),
     "q333_runs_test" -> (q333 _),
+    "q334_jarque_bera" -> (q334 _),
+    "q335_bartlett" -> (q335 _),
+    "q336_mcnemar" -> (q336 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -1026,6 +1026,105 @@ object DriftOps {
         .as("f_levene"))
   }
 
+  /** Bartlett's test (Bartlett 1937) for variance homogeneity across
+    * groups — the PARAMETRIC complement to [[leveneTest]] (sharper
+    * under near-normality, fragile to heavy tails; running both is the
+    * classical protocol):
+    *
+    *   T = [(N−k)·ln s_p² − Σ(nᵢ−1)·ln sᵢ²] /
+    *       [1 + (Σ 1/(nᵢ−1) − 1/(N−k)) / (3(k−1))]  ~ χ²(k−1)
+    *
+    * Exactness: per-group variances come from exact DECIMAL first/
+    * second moments in one fixed double shape and are rounded to 9 —
+    * ln then runs on identical double inputs in both engines (the
+    * proven exp/ln contract). Every cross-group Σ — (nᵢ−1)sᵢ²,
+    * (nᵢ−1)·ln sᵢ², 1/(nᵢ−1) — is rounded per-term and DECIMAL-summed,
+    * so group accumulation order cannot move the statistic.
+    * Zero-variance or singleton groups drop (ln s² undefined) — k and
+    * N count the RETAINED groups.
+    *
+    * Scale shape: one keyed aggregation over the scan, then arithmetic
+    * on the |groups|-row frame.
+    */
+  def bartlettTest(df: DataFrame, valCol: String, groupCol: String,
+      scale: Int = 2): DataFrame = {
+    val d = df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valCol).cast("double").as("v"))
+    val grp = d.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("v").cast(s"decimal(28,$scale)")).cast("double").as("__s"),
+        sum((col("v") * col("v")).cast(s"decimal(38,${2 * scale})"))
+          .cast("double").as("__q"))
+      .filter(col("n_g") > 1)
+    val ngD = col("n_g").cast("double")
+    val withVar = grp
+      .withColumn("__v",
+        round((col("__q") - col("__s") * col("__s") / ngD) /
+          (ngD - 1.0), 9))
+      .filter(col("__v") > 0.0)
+    val agg = withVar.agg(
+        sum(col("n_g")).as("n"),
+        count(lit(1)).as("k"),
+        sum(round((ngD - 1.0) * col("__v"), 6)
+          .cast("decimal(38,6)")).cast("double").as("__ssw"),
+        sum(round((ngD - 1.0) * log(col("__v")), 9)
+          .cast("decimal(38,9)")).cast("double").as("__slnv"),
+        sum(round(lit(1.0) / (ngD - 1.0), 12)
+          .cast("decimal(38,12)")).cast("double").as("__sinv"))
+      .filter(col("k") > 1 && col("n") > col("k"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val sp2 = round(col("__ssw") / (nD - kD), 9)
+    val num = (nD - kD) * log(sp2) - col("__slnv")
+    val den = lit(1.0) +
+      (col("__sinv") - lit(1.0) / (nD - kD)) / (lit(3.0) * (kD - 1.0))
+    agg.select(col("n"), col("k"),
+      round(sp2, 6).as("pooled_var"),
+      round(num / den, 6).as("t_stat"),
+      (col("k") - 1L).as("df"))
+  }
+
+  /** McNemar's test (McNemar 1947) on paired binary outcomes — one
+    * subject, two conditions: did the marginal rate CHANGE, judged
+    * only on the discordant pairs? χ² = (b−c)²/(b+c) plus the
+    * Edwards continuity-corrected (|b−c|−1)²/(b+c), b/c the discordant
+    * cell counts. Subjects collapse via bool-OR per key (does the key
+    * exhibit the condition at all), so the operator runs directly on
+    * event-grained data.
+    *
+    * Exactness: the 2×2 table is exact integers; the two statistics
+    * are one fixed double shape each.
+    *
+    * Scale shape: one keyed bool-OR aggregation, one 4-cell count.
+    */
+  def mcnemarTest(df: DataFrame, keyCol: String, condA: Column,
+      condB: Column): DataFrame = {
+    val perKey = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(max(when(condA, 1L).otherwise(0L)).as("a"),
+        max(when(condB, 1L).otherwise(0L)).as("b"))
+    val cells = perKey.agg(
+      count(lit(1)).as("n_keys"),
+      sum(when(col("a") === 1L && col("b") === 1L, 1L).otherwise(0L))
+        .as("n11"),
+      sum(when(col("a") === 1L && col("b") === 0L, 1L).otherwise(0L))
+        .as("n10"),
+      sum(when(col("a") === 0L && col("b") === 1L, 1L).otherwise(0L))
+        .as("n01"),
+      sum(when(col("a") === 0L && col("b") === 0L, 1L).otherwise(0L))
+        .as("n00"))
+    val bD = col("n10").cast("double")
+    val cD = col("n01").cast("double")
+    val disc = bD + cD
+    cells.select(col("n_keys"), col("n11"), col("n10"), col("n01"),
+      col("n00"),
+      when(disc > 0.0,
+        round((bD - cD) * (bD - cD) / disc, 6)).as("chi2"),
+      when(disc > 0.0,
+        round((abs(bD - cD) - 1.0) * (abs(bD - cD) - 1.0) / disc, 6))
+        .as("chi2_cc"))
+  }
+
   /** Cochran–Armitage trend test (Cochran 1954, Armitage 1955): is a
     * binary outcome's rate monotonically trending across ORDERED
     * categories — the dose-response screen a χ² of independence cannot

@@ -521,4 +521,47 @@ object ProfileOps {
       round(sumVar, 6).as("sum_item_var"),
       round(totVar, 6).as("total_var"))
   }
+
+  /** Jarque–Bera normality card (Jarque & Bera 1980):
+    * JB = n/6·(S² + (K−3)²/4) from the POPULATION skewness S and
+    * kurtosis K — "how far from Gaussian is this column", the screen
+    * in front of every normality-assuming test in the battery
+    * ([[graft.operators.DriftOps.bartlettTest]], ANOVA, Welch).
+    *
+    * Exactness: the four raw moments Σx..Σx⁴ accumulate as exact
+    * per-row DECIMAL casts (scale 4·s for the quartic — exact for
+    * ≤ s-decimal inputs); central moments, S = m₃/(m₂√m₂) (no pow —
+    * engine-portable sqrt), K = m₄/m₂² and JB assemble in one fixed
+    * double shape.
+    *
+    * Scale shape: one scan, one single-row aggregation.
+    */
+  def jarqueBera(df: DataFrame, valCol: String,
+      scale: Int = 2): DataFrame = {
+    val d = df.filter(col(valCol).isNotNull)
+      .select(col(valCol).cast("double").as("v"))
+    val m = d.agg(count(lit(1)).as("n"),
+      sum(col("v").cast(s"decimal(28,$scale)")).cast("double").as("s1"),
+      sum((col("v") * col("v")).cast(s"decimal(38,${2 * scale})"))
+        .cast("double").as("s2"),
+      sum((col("v") * col("v") * col("v"))
+        .cast(s"decimal(38,${3 * scale})")).cast("double").as("s3"),
+      sum((col("v") * col("v") * col("v") * col("v"))
+        .cast(s"decimal(38,${4 * scale})")).cast("double").as("s4"))
+    val nD = col("n").cast("double")
+    val mu = col("s1") / nD
+    val m2 = col("s2") / nD - mu * mu
+    val m3 = col("s3") / nD - lit(3.0) * mu * (col("s2") / nD) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("s4") / nD - lit(4.0) * mu * (col("s3") / nD) +
+      lit(6.0) * mu * mu * (col("s2") / nD) -
+      lit(3.0) * mu * mu * mu * mu
+    val skew = m3 / (m2 * sqrt(m2))
+    val kurt = m4 / (m2 * m2)
+    m.select(col("n"), round(mu, 6).as("mean"),
+      round(skew, 6).as("skewness"),
+      round(kurt - 3.0, 6).as("ex_kurtosis"),
+      round(nD / 6.0 * (skew * skew +
+        (kurt - 3.0) * (kurt - 3.0) / 4.0), 6).as("jb"))
+  }
 }
