@@ -3604,7 +3604,11 @@ object OracleSql {
     // q316 contract's survival sibling: Newton on the Breslow partial
     // likelihood as a recursive CTE over the q299 per-time risk frame —
     // binary covariate collapses risk sums to n0 + n1·e^β; DECIMAL
-    // score/information/log-lik sums, round-9 β per step.
+    // score/information/log-lik sums, round-9 β per step. score_u
+    // crosses zero at convergence and DuckDB's ROUND keeps IEEE −0.0
+    // where Spark's BigDecimal round never does — the `+ 0.0` folds
+    // −0.0 to +0.0 (exact no-op for every other value) so the driver's
+    // byte-hash can't split on a sign of zero (round-10 incident).
     "q318_cox_ph" ->
       """WITH RECURSIVE h AS (SELECT MAX(epoch_us(ts)) AS hz FROM events),
         |s AS (
@@ -3659,7 +3663,7 @@ object OracleSql {
         |    GROUP BY i, beta))
         |SELECT i AS iter, ROUND(beta, 6) AS beta,
         |  ROUND(EXP(beta), 6) AS hazard_ratio,
-        |  ROUND(u, 6) AS score_u, ROUND(inf, 6) AS information,
+        |  ROUND(u, 6) + 0.0 AS score_u, ROUND(inf, 6) AS information,
         |  ROUND(ll, 6) AS log_lik
         |FROM it WHERE i >= 1
         |ORDER BY iter""".stripMargin,
@@ -6937,6 +6941,131 @@ object OracleSql {
         |    THEN ROUND((ABS(bd - cd) - 1.0) * (ABS(bd - cd) - 1.0) /
         |      disc, 6) END AS chi2_cc
         |FROM f""".stripMargin,
+    // q337: the 2×2 cells are exact BIGINTs; every score reassembles in
+    // the identical double parenthesization (left-assoc products under
+    // one IEEE sqrt).
+    "q337_mcc_card" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS label,
+        |         CASE WHEN (o_orderkey % 7) < 3 THEN 1 ELSE 0 END AS pred
+        |  FROM orders),
+        |cells AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tn
+        |  FROM t),
+        |d AS (
+        |  SELECT tp, fp, fn, tn,
+        |    CAST(tp AS DOUBLE) AS tpd, CAST(fp AS DOUBLE) AS fpd,
+        |    CAST(fn AS DOUBLE) AS fnd, CAST(tn AS DOUBLE) AS tnd
+        |  FROM cells),
+        |s AS (
+        |  SELECT tp, fp, fn, tn, tpd, fpd, fnd, tnd,
+        |    tpd / (tpd + fpd) AS ppv, tpd / (tpd + fnd) AS tpr,
+        |    tnd / (tnd + fpd) AS tnr, tnd / (tnd + fnd) AS npv,
+        |    SQRT((tpd + fpd) * (tpd + fnd) * (tnd + fpd) * (tnd + fnd))
+        |      AS mden
+        |  FROM d)
+        |SELECT tp, fp, fn, tn,
+        |  CASE WHEN mden > 0.0
+        |    THEN ROUND((tpd * tnd - fpd * fnd) / mden, 6) END AS mcc,
+        |  CASE WHEN tpd + fpd > 0.0 AND tpd + fnd > 0.0
+        |    THEN ROUND(SQRT(ppv * tpr), 6) END AS fowlkes_mallows,
+        |  CASE WHEN tpd + fnd > 0.0 AND tnd + fpd > 0.0
+        |    THEN ROUND(tpr + tnr - 1.0, 6) END AS youden_j,
+        |  CASE WHEN tpd + fpd > 0.0 AND tnd + fnd > 0.0
+        |    THEN ROUND(ppv + npv - 1.0, 6) END AS markedness
+        |FROM s""".stripMargin,
+
+    // q338: Mood's median replayed — the same two-middle-order-stat
+    // median off the distinct-value cumulative frame, at-median drops,
+    // per-group cells exact, χ² terms rounded + decimal-summed.
+    "q338_moods_median" ->
+      """WITH d AS (
+        |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |byv AS (
+        |  SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY v),
+        |cum AS (
+        |  SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum FROM byv),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+        |med AS (
+        |  SELECT (MAX(CASE WHEN cum >= (n + 1) // 2
+        |      AND cum - c < (n + 1) // 2 THEN v END) +
+        |    MAX(CASE WHEN cum >= n // 2 + 1
+        |      AND cum - c < n // 2 + 1 THEN v END)) / 2.0 AS med
+        |  FROM cum, nn),
+        |cells AS (
+        |  SELECT g,
+        |    CAST(SUM(CASE WHEN v > med THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_above,
+        |    CAST(SUM(CASE WHEN v < med THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_below,
+        |    MAX(med) AS med
+        |  FROM d, med WHERE v <> med GROUP BY g),
+        |tot AS (
+        |  SELECT CAST(SUM(n_above) AS BIGINT) AS ta,
+        |    CAST(SUM(n_below) AS BIGINT) AS tb,
+        |    CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM cells),
+        |terms AS (
+        |  SELECT g, n_above, n_below, med, k,
+        |    ROUND(CAST(n_above + n_below AS DOUBLE) * CAST(ta AS DOUBLE) /
+        |      (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)), 6) AS e_above,
+        |    ROUND(
+        |      (CAST(n_above AS DOUBLE) -
+        |        CAST(n_above + n_below AS DOUBLE) * CAST(ta AS DOUBLE) /
+        |          (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))) *
+        |      (CAST(n_above AS DOUBLE) -
+        |        CAST(n_above + n_below AS DOUBLE) * CAST(ta AS DOUBLE) /
+        |          (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))) /
+        |      (CAST(n_above + n_below AS DOUBLE) * CAST(ta AS DOUBLE) /
+        |        (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))) +
+        |      (CAST(n_below AS DOUBLE) -
+        |        CAST(n_above + n_below AS DOUBLE) * CAST(tb AS DOUBLE) /
+        |          (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))) *
+        |      (CAST(n_below AS DOUBLE) -
+        |        CAST(n_above + n_below AS DOUBLE) * CAST(tb AS DOUBLE) /
+        |          (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))) /
+        |      (CAST(n_above + n_below AS DOUBLE) * CAST(tb AS DOUBLE) /
+        |        (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))), 9) AS term
+        |  FROM cells, tot),
+        |chi AS (
+        |  SELECT CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE) AS chi2
+        |  FROM terms)
+        |SELECT g, n_above, n_below, e_above,
+        |  ROUND(med, 6) AS pooled_median,
+        |  ROUND(chi2, 6) AS chi2, k - 1 AS df
+        |FROM terms, chi ORDER BY g""".stripMargin,
+
+    // q339: SCD2 replayed — identical run detection (IS DISTINCT FROM =
+    // Spark's null-safe <=>), identical (ts, event_id) total order.
+    "q339_scd2_history" ->
+      """WITH base AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    LAG(event_type) OVER w AS prev,
+        |    ROW_NUMBER() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs AS (
+        |  SELECT user_id, ts, event_id, event_type FROM base
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |hist AS (
+        |  SELECT user_id, event_type, ts AS valid_from,
+        |    LEAD(ts) OVER w2 AS valid_to,
+        |    CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version
+        |  FROM runs
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_type, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current, version
+        |FROM hist ORDER BY user_id, version""".stripMargin,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which

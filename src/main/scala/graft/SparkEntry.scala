@@ -3963,6 +3963,34 @@ object SparkEntry {
       col("o_orderpriority") === "1-URGENT",
       col("o_orderstatus") === "F")
 
+  // ---------------------------------------------------------------- q337
+  // Binary-classifier summary card on the q18 labeled orders: MCC,
+  // Fowlkes–Mallows, Youden's J, markedness — the imbalance-robust
+  // single-number scores the per-class table (q41) can't give. Exact
+  // 2×2 cells, fixed-shape double assembly.
+  def q337(spark: SparkSession, dir: String): DataFrame =
+    MetricQueries.binaryClassifierCard(
+      labeledOrders(spark, dir), "label", "pred")
+
+  // ---------------------------------------------------------------- q338
+  // Mood's median test: do event types share one median value? Exact
+  // two-middle-order-statistic pooled median over the distinct-value
+  // cumulative frame, at-median drops, 2×k χ² — the outlier-proof end
+  // of the k-sample location family (q261/q286/q287/q335).
+  def q338(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.moodsMedianTest(
+      t(spark, dir, "events"), "value", "event_type")
+
+  // ---------------------------------------------------------------- q339
+  // SCD type-2 history of each user's event_type: per-key validity
+  // intervals (valid_from / valid_to / is_current / version) built in
+  // two key-partitioned window passes — "what was, when" next to
+  // q70's latest-state compaction.
+  def q339(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CdcOps.scdType2(
+      t(spark, dir, "events"), "user_id", "ts", "event_id", "event_type")
+      .orderBy(col("user_id"), col("version"))
+
   // ---------------------------------------------------------------- q312
   // Empirical-Bayes shrinkage of per-source long-doc rates: beta prior
   // by method of moments over the source rates, each source's rate
@@ -5152,6 +5180,9 @@ object SparkEntry {
     "q334_jarque_bera" -> (q334 _),
     "q335_bartlett" -> (q335 _),
     "q336_mcnemar" -> (q336 _),
+    "q337_mcc_card" -> (q337 _),
+    "q338_moods_median" -> (q338 _),
+    "q339_scd2_history" -> (q339 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -16,6 +16,53 @@ object MetricQueries {
   def confusion(df: DataFrame, label: String, pred: String): DataFrame =
     df.groupBy(col(label), col(pred)).agg(count(lit(1)).as("n"))
 
+  /** Binary-classifier summary card beyond precision/recall: Matthews
+    * correlation (the balanced single-number score that survives class
+    * imbalance — Matthews 1975), Fowlkes–Mallows √(PPV·TPR), Youden's J
+    * (TPR + TNR − 1, the operating-point quality the ROC curve reads
+    * off), and markedness (PPV + NPV − 1) — the column-wise dual of J.
+    * Extends the reference's metric surface (`metrics.py:116-154` stops
+    * at per-class precision/recall).
+    *
+    * Exactness: the 2×2 cells are exact BIGINT counts; every derived
+    * number is a fixed-shape double expression over them (the MCC
+    * denominator takes one IEEE sqrt of a product of exact-long-to-
+    * double conversions — deterministic on any engine).
+    *
+    * Scale shape: ONE conditional aggregation over the scan; the card
+    * assembles on a 1-row frame.
+    */
+  def binaryClassifierCard(df: DataFrame, label: String,
+      pred: String): DataFrame = {
+    val y = col(label)
+    val p = col(pred)
+    val cells = df
+      .filter(y.isNotNull && p.isNotNull)
+      .agg(
+        sum(when(y === 1 && p === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(y === 0 && p === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when(y === 1 && p === 0, 1L).otherwise(0L)).as("fn"),
+        sum(when(y === 0 && p === 0, 1L).otherwise(0L)).as("tn"))
+    def d(c: Column): Column = c.cast("double")
+    val tp = d(col("tp")); val fp = d(col("fp"))
+    val fn = d(col("fn")); val tn = d(col("tn"))
+    val ppv = tp / (tp + fp)
+    val tpr = tp / (tp + fn)
+    val tnr = tn / (tn + fp)
+    val npv = tn / (tn + fn)
+    val mccDen = sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    cells.select(
+      col("tp"), col("fp"), col("fn"), col("tn"),
+      when(mccDen > 0.0,
+        round((tp * tn - fp * fn) / mccDen, 6)).as("mcc"),
+      when(tp + fp > 0.0 && tp + fn > 0.0,
+        round(sqrt(ppv * tpr), 6)).as("fowlkes_mallows"),
+      when(tp + fn > 0.0 && tn + fp > 0.0,
+        round(tpr + tnr - lit(1.0), 6)).as("youden_j"),
+      when(tp + fp > 0.0 && tn + fn > 0.0,
+        round(ppv + npv - lit(1.0), 6)).as("markedness"))
+  }
+
   /** Accuracy over (label, pred). */
   def accuracy(df: DataFrame, label: String, pred: String): Column =
     sum(when(col(label) === col(pred), 1).otherwise(0)) / count(lit(1))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Change-data-capture compaction: collapse an append-only change stream to
@@ -86,5 +87,42 @@ object CdcOps {
       ordCols: Seq[String], isDelete: DataFrame => org.apache.spark.sql.Column): DataFrame = {
     val latest = compactLatest(df, keys, ordCols)
     latest.filter(!isDelete(latest))
+  }
+
+  /** Slowly-changing-dimension type-2 history build: collapse a change
+    * stream into per-key VALIDITY INTERVALS of the tracked attribute —
+    * one row per (key, attribute run) with `valid_from` (first ts of
+    * the run), `valid_to` (start of the next run, null while current),
+    * `is_current`, and a per-key `version` counter. The warehouse-side
+    * complement of [[compactLatest]]: latest-state answers "what is",
+    * SCD2 answers "what was, when" — the as-of join's natural build
+    * side (`FuzzyJoins.asOfJoin` probes it).
+    *
+    * Consecutive rows with the SAME attribute value belong to one run
+    * (no spurious versions); ordering is total via (ts, tiebreak), so
+    * the result is deterministic under any partitioning.
+    *
+    * Scale shape: two window passes partitioned BY KEY (state for one
+    * key never crosses executors) — lag to mark run starts, lead to
+    * close intervals; no self-join, no driver state.
+    */
+  def scdType2(df: DataFrame, key: String, ts: String, tiebreak: String,
+      attr: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+    val runs = df
+      .select(col(key), col(ts), col(tiebreak), col(attr))
+      .withColumn("__prev", lag(col(attr), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      // run start = first row of the key, or an attribute change; a null
+      // attribute is a legitimate tracked value (null-safe comparison)
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(attr)))
+      .drop("__prev", "__rn")
+    val wk = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+    runs
+      .withColumn("version", row_number().over(wk).cast("long"))
+      .withColumn("valid_to", lead(col(ts), 1).over(wk))
+      .select(col(key), col(attr), col(ts).as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"),
+        col("version"))
   }
 }

@@ -1372,4 +1372,75 @@ object DriftOps {
       round(d, 6).as("e_dist"),
       round(naD * nbD / (naD + nbD) * d, 6).as("e_stat"))
   }
+
+  /** Mood's median test (Mood 1950): are the k groups' values drawn
+    * around ONE common median? The pooled median comes from the two
+    * middle order statistics over the distinct-value cumulative-count
+    * frame (no data sort, no engine `median()`); values exactly AT the
+    * pooled median drop (the classical convention, matching
+    * [[TimeSeriesOps.runsTestDailyCounts]]); the χ² statistic runs over
+    * the 2×k above/below table. The crudest — and most outlier-proof —
+    * member of the k-sample location family (q261 Kruskal–Wallis reads
+    * mean ranks, q286 ANOVA means; this reads only sides of the
+    * median).
+    *
+    * Exactness: order statistics and all 2×k cells are exact integers;
+    * expected cells and the χ² assembly are fixed-shape doubles.
+    *
+    * Scale shape: one distinct-value count aggregation (+ bounded-
+    * cardinality window over distinct values), one group aggregation.
+    */
+  def moodsMedianTest(df: DataFrame, valCol: String,
+      groupCol: String): DataFrame = {
+    val d = df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valCol).cast("double").as("v"))
+    val byV = d.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val wv = Window.orderBy(col("v"))
+    val cum = byV.withColumn("cum", sum(col("c")).over(wv))
+    val nTot = d.agg(count(lit(1)).as("__n"))
+    // two middle order statistics: ranks ⌊(n+1)/2⌋ and ⌊n/2⌋+1
+    // (Column./ is DOUBLE division — floor+cast gives the integer ranks)
+    val r1 = floor((col("__n") + 1L) / 2.0).cast("long")
+    val r2 = floor(col("__n") / 2.0).cast("long") + 1L
+    val med = cum.crossJoin(broadcast(nTot))
+      .select(
+        when(col("cum") >= r1 && col("cum") - col("c") < r1, col("v"))
+          .as("__v1"),
+        when(col("cum") >= r2 && col("cum") - col("c") < r2, col("v"))
+          .as("__v2"))
+      .agg(max(col("__v1")).as("__v1"), max(col("__v2")).as("__v2"))
+      .select(((col("__v1") + col("__v2")) / 2.0).as("__med"))
+    val cells = d.crossJoin(broadcast(med))
+      .filter(col("v") =!= col("__med"))
+      .groupBy(col("g"))
+      .agg(
+        sum(when(col("v") > col("__med"), 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("v") < col("__med"), 1L).otherwise(0L)).as("n_below"),
+        max(col("__med")).as("__med"))
+    val tot = cells.agg(
+      sum(col("n_above")).as("__ta"), sum(col("n_below")).as("__tb"),
+      count(lit(1)).as("__k"))
+    val withTot = cells.crossJoin(broadcast(tot))
+    val nD = (col("__ta") + col("__tb")).cast("double")
+    val rowN = (col("n_above") + col("n_below")).cast("double")
+    val ea = rowN * col("__ta").cast("double") / nD
+    val eb = rowN * col("__tb").cast("double") / nD
+    val term = round(
+      (col("n_above").cast("double") - ea) *
+        (col("n_above").cast("double") - ea) / ea +
+      (col("n_below").cast("double") - eb) *
+        (col("n_below").cast("double") - eb) / eb, 9)
+    val perG = withTot.select(col("g"), col("n_above"), col("n_below"),
+      col("__med"), col("__k"),
+      round(ea, 6).as("e_above"),
+      term.cast("decimal(38,9)").as("__t"))
+    val chi2 = perG.groupBy(col("__med"), col("__k"))
+      .agg(sum(col("__t")).cast("double").as("__chi2"))
+    perG.crossJoin(broadcast(chi2.select(col("__chi2"))))
+      .select(col("g"), col("n_above"), col("n_below"), col("e_above"),
+        round(col("__med"), 6).as("pooled_median"),
+        round(col("__chi2"), 6).as("chi2"),
+        (col("__k") - 1L).as("df"))
+      .orderBy(col("g"))
+  }
 }
