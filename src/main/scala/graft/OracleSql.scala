@@ -7066,6 +7066,127 @@ object OracleSql {
         |SELECT user_id, event_type, valid_from, valid_to,
         |  valid_to IS NULL AS is_current, version
         |FROM hist ORDER BY user_id, version""".stripMargin,
+    // q340: KPSS replayed — exact cumulative counts into S_t, the ACF
+    // pair moments into Bartlett-weighted autocovariances, identical
+    // double parenthesization throughout.
+    "q340_kpss" ->
+      (s"""WITH $dailySeriesCtes,
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+        |      AS DOUBLE) AS sxx
+        |  FROM series),
+        |cum AS (
+        |  SELECT i, x, SUM(x) OVER (ORDER BY i) AS cum FROM series),
+        |ssq AS (
+        |  SELECT CAST(SUM(CAST(ROUND(
+        |    (CAST(cum AS DOUBLE) - CAST(i + 1 AS DOUBLE) *
+        |      (sx / CAST(n AS DOUBLE))) *
+        |    (CAST(cum AS DOUBLE) - CAST(i + 1 AS DOUBLE) *
+        |      (sx / CAST(n AS DOUBLE))), 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS ss
+        |  FROM cum, tot),
+        |lagf AS (SELECT UNNEST(generate_series(1, 4)) AS l),
+        |pairs AS (
+        |  SELECT s.x AS x, s2.x AS x2, l.l
+        |  FROM series s CROSS JOIN lagf l
+        |  JOIN series s2 ON s2.i = s.i + l.l),
+        |perlag AS (
+        |  SELECT l, CAST(COUNT(*) AS BIGINT) AS np,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x2 AS DECIMAL(38,0)))
+        |      AS DOUBLE) AS nl,
+        |    CAST(SUM(x) AS DOUBLE) AS al, CAST(SUM(x2) AS DOUBLE) AS bl
+        |  FROM pairs GROUP BY l),
+        |lagsum AS (
+        |  SELECT COALESCE(CAST(SUM(CAST(ROUND(
+        |    (1.0 - CAST(l AS DOUBLE) / 5.0) *
+        |    ((nl - sx / CAST(n AS DOUBLE) * (al + bl) +
+        |      CAST(np AS DOUBLE) * (sx / CAST(n AS DOUBLE)) *
+        |        (sx / CAST(n AS DOUBLE))) / CAST(n AS DOUBLE)), 9)
+        |    AS DECIMAL(38,9))) AS DOUBLE), 0.0) AS wl
+        |  FROM perlag, tot)
+        |SELECT n AS n_days,
+        |  ROUND(sx / CAST(n AS DOUBLE), 6) AS mean,
+        |  ROUND((sxx - CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE)) *
+        |    (sx / CAST(n AS DOUBLE))) / CAST(n AS DOUBLE), 6) AS gamma0,
+        |  ROUND((sxx - CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE)) *
+        |    (sx / CAST(n AS DOUBLE))) / CAST(n AS DOUBLE) +
+        |    2.0 * wl, 6) AS lrv,
+        |  ROUND(ss / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |    ((sxx - CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE)) *
+        |      (sx / CAST(n AS DOUBLE))) / CAST(n AS DOUBLE) +
+        |      2.0 * wl), 6) AS eta
+        |FROM tot, ssq, lagsum""").stripMargin,
+
+    // q341: variance ratio replayed — overlapping q-sums as exact
+    // cumulative-count differences (same integers as Spark's window
+    // sums), the simple consistent estimator in identical shape.
+    "q341_variance_ratio" ->
+      (s"""WITH $dailySeriesCtes,
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+        |      AS DOUBLE) AS sxx
+        |  FROM series),
+        |cum AS (
+        |  SELECT i, x, SUM(x) OVER (ORDER BY i) AS c FROM series),
+        |qs AS (SELECT CAST(UNNEST([2, 4, 8]) AS BIGINT) AS q),
+        |wins AS (
+        |  SELECT q.q, CAST(a.c - COALESCE(bb.c, 0) AS BIGINT) AS m
+        |  FROM cum a CROSS JOIN qs q
+        |  LEFT JOIN cum bb ON bb.i = a.i - q.q
+        |  WHERE a.i >= q.q - 1),
+        |perq AS (
+        |  SELECT q, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |    CAST(SUM(m) AS DOUBLE) AS sm,
+        |    CAST(SUM(CAST(m AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0)))
+        |      AS DOUBLE) AS smm
+        |  FROM wins GROUP BY q)
+        |SELECT q, n_windows,
+        |  ROUND(sxx / CAST(n AS DOUBLE) -
+        |    sx / CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE)), 6)
+        |    AS var_1,
+        |  ROUND(smm / CAST(n_windows AS DOUBLE) -
+        |    sm / CAST(n_windows AS DOUBLE) *
+        |      (sm / CAST(n_windows AS DOUBLE)), 6) AS var_q,
+        |  ROUND((smm / CAST(n_windows AS DOUBLE) -
+        |    sm / CAST(n_windows AS DOUBLE) *
+        |      (sm / CAST(n_windows AS DOUBLE))) /
+        |    (CAST(q AS DOUBLE) *
+        |      (sxx / CAST(n AS DOUBLE) -
+        |        sx / CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE)))), 6)
+        |    AS vr
+        |FROM perq, tot ORDER BY q""").stripMargin,
+
+    // q342: Page–Hinkley replayed — running mean from exact cumulative
+    // counts, round-9 increments into an exact decimal running sum and
+    // running minimum; identical walk on any engine.
+    "q342_page_hinkley" ->
+      (s"""WITH $dailySeriesCtes,
+        |cumx AS (
+        |  SELECT i, x, SUM(x) OVER (ORDER BY i) AS cum FROM series),
+        |inc AS (
+        |  SELECT i, CAST(ROUND(CAST(x AS DOUBLE) -
+        |    CAST(cum AS DOUBLE) / CAST(i + 1 AS DOUBLE) - 0.0, 9)
+        |    AS DECIMAL(38,9)) AS inc
+        |  FROM cumx),
+        |mm AS (SELECT i, SUM(inc) OVER (ORDER BY i) AS m FROM inc),
+        |ph AS (
+        |  SELECT i, CAST(m - MIN(m) OVER (ORDER BY i) AS DOUBLE) AS ph,
+        |    m
+        |  FROM mm),
+        |best AS (SELECT MAX(ph) AS best FROM ph),
+        |tstar AS (
+        |  SELECT MIN(i) AS t_star FROM ph, best WHERE ph = best),
+        |tl AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days, MAX(ph) AS phmax,
+        |    CAST(ARG_MAX(m, i) AS DOUBLE) AS mfinal
+        |  FROM ph)
+        |SELECT n_days, 0.0 AS delta, ROUND(phmax, 6) AS ph_stat,
+        |  t_star, ROUND(mfinal, 6) AS m_final
+        |FROM tl, tstar""").stripMargin,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which
@@ -7087,6 +7208,25 @@ object OracleSql {
     (1 to 10).map(i =>
       s"(STRPOS('0123456789abcdef', SUBSTRING($hcol, $i, 1)) - 1) * ${BigInt(16).pow(10 - i)}")
       .mkString("(", "\n      + ", ")")
+
+  /** Shared CTE prelude: the gap-filled (i, x) daily event-count spine
+    * (exact zero counts on missing days) — the DuckDB replay of
+    * `TimeSeriesOps.dailyCountSeries`.
+    */
+  private def dailySeriesCtes: String =
+    """counts AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY day),
+      |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM counts),
+      |days AS (
+      |  SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+      |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM b),
+      |series AS (
+      |  SELECT CAST(date_diff('day', b.lo, d.day) AS BIGINT) AS i,
+      |    COALESCE(c.x, 0) AS x
+      |  FROM days d CROSS JOIN b LEFT JOIN counts c ON d.day = c.day)"""
+      .stripMargin
 
   private def hexPoly15(hcol: String): String =
     (1 to 15).map(i =>

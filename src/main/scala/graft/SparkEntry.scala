@@ -3991,6 +3991,28 @@ object SparkEntry {
       t(spark, dir, "events"), "user_id", "ts", "event_id", "event_type")
       .orderBy(col("user_id"), col("version"))
 
+  // ---------------------------------------------------------------- q340
+  // KPSS level-stationarity on the daily spine: partial sums of the
+  // demeaned counts over the Bartlett long-run variance (L=4) — the
+  // stationarity-as-null mirror of the unit-root side (q343 ADF).
+  def q340(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.kpssDailyCounts(t(spark, dir, "events"), "ts",
+      bandwidth = 4)
+
+  // ---------------------------------------------------------------- q341
+  // Variance-ratio card VR(2/4/8) on daily counts: overlapping q-day
+  // sums vs q× the 1-day variance — persistence/mean-reversion in one
+  // number per horizon, all moments exact integers.
+  def q341(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.varianceRatioDailyCounts(t(spark, dir, "events"), "ts")
+
+  // ---------------------------------------------------------------- q342
+  // Page–Hinkley monitor on daily counts: running-mean excursion peak
+  // and its first day — the one-pass sequential sibling of q267's
+  // global-mean CUSUM.
+  def q342(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.pageHinkleyDailyCounts(t(spark, dir, "events"), "ts")
+
   // ---------------------------------------------------------------- q312
   // Empirical-Bayes shrinkage of per-source long-doc rates: beta prior
   // by method of moments over the source rates, each source's rate
@@ -5183,6 +5205,9 @@ object SparkEntry {
     "q337_mcc_card" -> (q337 _),
     "q338_moods_median" -> (q338 _),
     "q339_scd2_history" -> (q339 _),
+    "q340_kpss" -> (q340 _),
+    "q341_variance_ratio" -> (q341 _),
+    "q342_page_hinkley" -> (q342 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -881,4 +881,184 @@ object TimeSeriesOps {
         round(col("__b"), 6).as("trend"))
       .orderBy(col("day"))
   }
+
+  /** Gap-filled (i, x) daily-count spine: day index from the calendar
+    * minimum, missing days as exact zero counts — the shared base of
+    * the whole daily-diagnostics family.
+    */
+  private def dailyCountSeries(df: DataFrame, tsCol: String): DataFrame = {
+    val counts = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    counts.agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+      .select(col("__lo"), explode(sequence(col("__lo"), col("__hi")))
+        .as("day"))
+      .join(counts, Seq("day"), "left")
+      .select(datediff(col("day"), col("__lo")).cast("long").as("i"),
+        coalesce(col("x"), lit(0L)).as("x"))
+  }
+
+  /** KPSS level-stationarity test (Kwiatkowski, Phillips, Schmidt & Shin
+    * 1992) on the daily event-count series: η = (Σ_t S_t²/n²) / s²(L),
+    * S_t the partial sums of the demeaned series and s²(L) the Bartlett-
+    * kernel long-run variance at bandwidth L. The null here is
+    * STATIONARITY — the mirror image of the unit-root tests ([[adfTest*]]
+    * has the unit root as the null), so running both brackets the series
+    * from two sides.
+    *
+    * Exactness: S_t = cumX_t − k·μ assembles from the EXACT integer
+    * cumulative count; every autocovariance Σx_t·x_{t+l} / A_l / B_l is
+    * an exact decimal reduction (the [[dailyCountAcf]] machinery); the
+    * Bartlett weights (1 − l/(L+1)) are finite binary-exact doubles only
+    * for L+1 a power of two — portability instead comes from rounding
+    * each weighted term to 9 before the decimal sum.
+    *
+    * Scale shape: one count aggregation; spine/lag/window work bounded
+    * by calendar days.
+    */
+  def kpssDailyCounts(df: DataFrame, tsCol: String,
+      bandwidth: Int = 4): DataFrame = {
+    require(bandwidth >= 0, "bandwidth must be >= 0")
+    val series = dailyCountSeries(df, tsCol)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val tot = series.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("__sx"),
+      sum(dec(col("x")) * dec(col("x"))).cast("double").as("__sxx"))
+    val nD = col("n").cast("double")
+    val mu = col("__sx") / nD
+    // partial sums of the demeaned series from the exact running count
+    val wCum = Window.orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sSq = series
+      .withColumn("__cum", sum(col("x")).over(wCum))
+      .withColumn("__k", col("i") + 1L)
+      .crossJoin(broadcast(tot))
+      .select(round(
+        (col("__cum").cast("double") - col("__k").cast("double") * mu) *
+        (col("__cum").cast("double") - col("__k").cast("double") * mu), 6)
+        .cast("decimal(38,6)").as("__s2"))
+      .agg(sum(col("__s2")).cast("double").as("__ss"))
+    // Bartlett-weighted autocovariances off the exact pair moments
+    val lags = series.limit(1)
+      .select(explode(sequence(lit(1), lit(bandwidth))).as("l"))
+    val pairs = series.crossJoin(broadcast(lags))
+      .withColumn("i2", col("i") + col("l"))
+      .join(series.select(col("i").as("i2"), col("x").as("x2")), "i2")
+    val perLag = pairs.groupBy(col("l"))
+      .agg(count(lit(1)).as("__np"),
+        sum(dec(col("x")) * dec(col("x2"))).cast("double").as("__nl"),
+        sum(col("x")).cast("double").as("__al"),
+        sum(col("x2")).cast("double").as("__bl"))
+    val gammaL = (col("__nl") - mu * (col("__al") + col("__bl")) +
+      col("__np").cast("double") * mu * mu) / nD
+    val wgt = lit(1.0) - col("l").cast("double") / lit(bandwidth + 1.0)
+    val lagSum = perLag.crossJoin(broadcast(tot))
+      .select(round(wgt * gammaL, 9).cast("decimal(38,9)").as("__t"))
+      .agg(coalesce(sum(col("__t")).cast("double"), lit(0.0)).as("__wl"))
+    val gamma0 = (col("__sxx") - nD * mu * mu) / nD
+    tot.crossJoin(sSq).crossJoin(lagSum)
+      .select(col("n").as("n_days"), round(mu, 6).as("mean"),
+        round(gamma0, 6).as("gamma0"),
+        round(gamma0 + lit(2.0) * col("__wl"), 6).as("lrv"),
+        round(col("__ss") / (nD * nD) /
+          (gamma0 + lit(2.0) * col("__wl")), 6).as("eta"))
+  }
+
+  /** Lo–MacKinlay-style variance-ratio card on the daily event-count
+    * series: VR(q) = Var(q-day overlapping sums)/(q·Var(x)) for q ∈
+    * `qs` — ≈1 for white noise, >1 under positive persistence, <1 under
+    * mean-reversion. The simple consistent estimator (population
+    * variances, overlapping windows, no bias correction) — documented
+    * shape, identical in the oracle.
+    *
+    * Exactness: window q-sums of integer counts are exact integers, so
+    * every moment (Σm, Σm², Σx, Σx²) is an exact decimal reduction and
+    * each VR assembles per-q in one fixed double shape.
+    *
+    * Scale shape: one count aggregation; one bounded-window pass per
+    * distinct q over the day spine.
+    */
+  def varianceRatioDailyCounts(df: DataFrame, tsCol: String,
+      qs: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(_ >= 2), "qs must all be >= 2")
+    val series = dailyCountSeries(df, tsCol).persist()
+    try {
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val tot = series.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("__sx"),
+        sum(dec(col("x")) * dec(col("x"))).cast("double").as("__sxx"))
+      val perQ = qs.distinct.sorted.map { q =>
+        val w = Window.orderBy(col("i"))
+          .rowsBetween(Window.currentRow, q - 1)
+        series
+          .withColumn("__m", sum(col("x")).over(w))
+          .withColumn("__cnt", count(lit(1)).over(w))
+          .filter(col("__cnt") === q.toLong) // complete windows only
+          .agg(count(lit(1)).as("n_windows"),
+            sum(col("__m")).cast("double").as("__sm"),
+            sum(dec(col("__m")) * dec(col("__m"))).cast("double")
+              .as("__smm"))
+          .select(lit(q.toLong).as("q"), col("n_windows"), col("__sm"),
+            col("__smm"))
+      }.reduce(_ unionByName _)
+      val nD = col("n").cast("double")
+      val mu = col("__sx") / nD
+      val var1 = col("__sxx") / nD - mu * mu
+      val nwD = col("n_windows").cast("double")
+      val qD = col("q").cast("double")
+      val varQ = col("__smm") / nwD -
+        (col("__sm") / nwD) * (col("__sm") / nwD)
+      perQ.crossJoin(broadcast(tot))
+        .select(col("q"), col("n_windows"),
+          round(var1, 6).as("var_1"),
+          round(varQ, 6).as("var_q"),
+          round(varQ / (qD * var1), 6).as("vr"))
+        .orderBy(col("q"))
+    } finally { series.unpersist(); () }
+  }
+
+  /** Page–Hinkley change monitor (Page 1954, Hinkley 1971) on the daily
+    * event-count series: m_t = Σ_{s≤t}(x_s − x̄_s − δ) with x̄_s the
+    * RUNNING mean, PH_t = m_t − min_{s≤t} m_s; the card reports the
+    * peak excursion and where it first happens — the sequential-drift
+    * sibling of q267's offline CUSUM (which uses the GLOBAL mean and
+    * needs the whole series; this shape is one-pass/streamable).
+    *
+    * Exactness: x̄_s = cumX_s/k from exact integers; each increment is
+    * one fixed double shape rounded to 9, the running m_t an exact
+    * decimal cumulative sum, the running minimum a decimal window min —
+    * every engine walks the identical sequence.
+    *
+    * Scale shape: one count aggregation; two cumulative windows on the
+    * bounded day spine.
+    */
+  def pageHinkleyDailyCounts(df: DataFrame, tsCol: String,
+      delta: BigDecimal = BigDecimal("0.0")): DataFrame = {
+    val series = dailyCountSeries(df, tsCol)
+    val wCum = Window.orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = series
+      .withColumn("__cum", sum(col("x")).over(wCum))
+      .withColumn("__k", col("i") + 1L)
+      .withColumn("__inc", round(
+        col("x").cast("double") -
+          col("__cum").cast("double") / col("__k").cast("double") -
+          lit(delta.toDouble), 9).cast("decimal(38,9)"))
+      .withColumn("__m", sum(col("__inc")).over(wCum))
+      .withColumn("__mmin", min(col("__m")).over(wCum))
+      .select(col("i"), (col("__m") - col("__mmin")).cast("double")
+        .as("__ph"), col("__m"))
+    val best = m.agg(max(col("__ph")).as("__best"))
+    val tStar = m.crossJoin(broadcast(best))
+      .filter(col("__ph") === col("__best"))
+      .agg(min(col("i")).as("t_star"))
+    val tail = m.agg(count(lit(1)).as("n_days"),
+      max(col("__ph")).as("__phmax"),
+      max_by(col("__m"), col("i")).cast("double").as("__mfinal"))
+    tail.crossJoin(tStar)
+      .select(col("n_days"), lit(delta.toDouble).as("delta"),
+        round(col("__phmax"), 6).as("ph_stat"), col("t_star"),
+        round(col("__mfinal"), 6).as("m_final"))
+  }
 }

@@ -90,6 +90,48 @@ class Round11OpsSpec extends SparkSpec {
       (2L, "C", ts(5), None, true, 1L)))
   }
 
+  // ------------------------------------------- q340-q342 daily spine
+
+  private def dailyEvents(counts: Seq[Int]) = {
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)(new Timestamp(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli))
+    }
+    rows.toDF("ts")
+  }
+
+  test("kpssDailyCounts matches the hand-worked 1,2,3,4 series") {
+    // mu=2.5; S=(-1.5,-2,-1.5,0) -> SS=8.5; gamma0=1.25;
+    // weighted lag terms 0.25-0.225-0.225 -> lrv=0.85; eta=0.625
+    val got = graft.operators.TimeSeriesOps.kpssDailyCounts(
+        dailyEvents(Seq(1, 2, 3, 4)), "ts", bandwidth = 4)
+      .select("n_days", "mean", "gamma0", "lrv", "eta")
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(got == ((4L, 2.5, 1.25, 0.85, 0.625)))
+  }
+
+  test("varianceRatioDailyCounts: a perfectly alternating series " +
+      "mean-reverts to vr = 0 at every even horizon") {
+    val got = graft.operators.TimeSeriesOps.varianceRatioDailyCounts(
+        dailyEvents(Seq(1, 3, 1, 3, 1, 3, 1, 3, 1, 3)), "ts")
+      .select("q", "n_windows", "var_1", "var_q", "vr")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    // var_1 = 1 (mean 2, values 1/3); every q-window sums to exactly 2q
+    assert(got == Seq((2L, 9L, 1.0, 0.0, 0.0), (4L, 7L, 1.0, 0.0, 0.0),
+      (8L, 3L, 1.0, 0.0, 0.0)))
+  }
+
+  test("pageHinkleyDailyCounts tracks a level shift's excursion") {
+    // 1,1,1 then 7,7,7: increments 0,0,0,4.5,3.6,3 -> m peaks 11.1 at
+    // i=5; the running min stays 0 so PH = m
+    val got = graft.operators.TimeSeriesOps.pageHinkleyDailyCounts(
+        dailyEvents(Seq(1, 1, 1, 7, 7, 7)), "ts")
+      .select("n_days", "delta", "ph_stat", "t_star", "m_final")
+      .as[(Long, Double, Double, Long, Double)].head()
+    assert(got == ((6L, 0.0, 11.1, 5L, 11.1)))
+  }
+
   test("scdType2 treats null attribute values as a tracked run") {
     val d = Seq(
       (1L, ts(1), 1L, None: Option[String]),
