@@ -7187,6 +7187,210 @@ object OracleSql {
         |SELECT n_days, 0.0 AS delta, ROUND(phmax, 6) AS ph_stat,
         |  t_star, ROUND(mfinal, 6) AS m_final
         |FROM tl, tstar""").stripMargin,
+    // q343: ADF replayed — exact integer lag/diff moments, Cramer 3×3
+    // in the identical det3 expansion, SSR via y'y − b'X'y, one sqrt.
+    "q343_adf" ->
+      (s"""WITH $dailySeriesCtes,
+        |l1 AS (
+        |  SELECT i, x, LAG(x) OVER (ORDER BY i) AS xl FROM series),
+        |l2 AS (
+        |  SELECT i, x, xl, x - xl AS dx,
+        |    LAG(x - xl) OVER (ORDER BY i) AS dxl
+        |  FROM l1),
+        |f AS (SELECT * FROM l2 WHERE dxl IS NOT NULL),
+        |mom AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(xl) AS DOUBLE) AS s1,
+        |    CAST(SUM(dxl) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(xl AS DECIMAL(38,0)) * CAST(xl AS DECIMAL(38,0)))
+        |      AS DOUBLE) AS s11,
+        |    CAST(SUM(CAST(xl AS DECIMAL(38,0)) *
+        |      CAST(dxl AS DECIMAL(38,0))) AS DOUBLE) AS s12,
+        |    CAST(SUM(CAST(dxl AS DECIMAL(38,0)) *
+        |      CAST(dxl AS DECIMAL(38,0))) AS DOUBLE) AS s22,
+        |    CAST(SUM(dx) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(xl AS DECIMAL(38,0)) * CAST(dx AS DECIMAL(38,0)))
+        |      AS DOUBLE) AS s1y,
+        |    CAST(SUM(CAST(dxl AS DECIMAL(38,0)) *
+        |      CAST(dx AS DECIMAL(38,0))) AS DOUBLE) AS s2y,
+        |    CAST(SUM(CAST(dx AS DECIMAL(38,0)) * CAST(dx AS DECIMAL(38,0)))
+        |      AS DOUBLE) AS syy
+        |  FROM f),
+        |dets AS (
+        |  SELECT m, CAST(m AS DOUBLE) AS md, s1, s2, s11, s12, s22,
+        |    sy, s1y, s2y, syy,
+        |    CAST(m AS DOUBLE) * (s11 * s22 - s12 * s12) -
+        |      s1 * (s1 * s22 - s12 * s2) +
+        |      s2 * (s1 * s12 - s11 * s2) AS det,
+        |    sy * (s11 * s22 - s12 * s12) -
+        |      s1 * (s1y * s22 - s12 * s2y) +
+        |      s2 * (s1y * s12 - s11 * s2y) AS det0,
+        |    CAST(m AS DOUBLE) * (s1y * s22 - s12 * s2y) -
+        |      sy * (s1 * s22 - s12 * s2) +
+        |      s2 * (s1 * s2y - s1y * s2) AS det1,
+        |    CAST(m AS DOUBLE) * (s11 * s2y - s1y * s12) -
+        |      s1 * (s1 * s2y - s1y * s2) +
+        |      sy * (s1 * s12 - s11 * s2) AS det2
+        |  FROM mom),
+        |bs AS (
+        |  SELECT m, md, s2, s22, sy, s1y, s2y, syy, det,
+        |    det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+        |  FROM dets),
+        |fin AS (
+        |  SELECT m, md, s2, s22, det, b0, b1, b2,
+        |    syy - (b0 * sy + b1 * s1y + b2 * s2y) AS ssr
+        |  FROM bs)
+        |SELECT m AS n_obs, ROUND(b0, 6) AS b0, ROUND(b1, 6) AS gamma,
+        |  ROUND(b2, 6) AS phi, ROUND(ssr, 6) AS ssr,
+        |  ROUND(b1 / SQRT(ssr / (md - 3.0) *
+        |    ((md * s22 - s2 * s2) / det)), 6) AS t_gamma
+        |FROM fin""").stripMargin,
+
+    // q344: Granger replayed — the shared click/purchase spine, the
+    // same det3 Cramer solve for the unrestricted fit, closed-form
+    // restricted fit, F in the identical shape.
+    "q344_granger" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type AS ty
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |counts AS (
+        |  SELECT day,
+        |    CAST(SUM(CASE WHEN ty = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS xc,
+        |    CAST(SUM(CASE WHEN ty = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ye
+        |  FROM d GROUP BY day),
+        |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM counts),
+        |days AS (
+        |  SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |series AS (
+        |  SELECT CAST(date_diff('day', b.lo, d2.day) AS BIGINT) AS i,
+        |    COALESCE(c.xc, 0) AS xc, COALESCE(c.ye, 0) AS ye
+        |  FROM days d2 CROSS JOIN b LEFT JOIN counts c ON d2.day = c.day),
+        |l1 AS (
+        |  SELECT i, xc, ye, LAG(ye) OVER (ORDER BY i) AS yl,
+        |    LAG(xc) OVER (ORDER BY i) AS xl
+        |  FROM series),
+        |f AS (SELECT * FROM l1 WHERE yl IS NOT NULL),
+        |mom AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(yl) AS DOUBLE) AS s1,
+        |    CAST(SUM(xl) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(yl AS DECIMAL(38,0)) * CAST(yl AS DECIMAL(38,0)))
+        |      AS DOUBLE) AS s11,
+        |    CAST(SUM(CAST(yl AS DECIMAL(38,0)) * CAST(xl AS DECIMAL(38,0)))
+        |      AS DOUBLE) AS s12,
+        |    CAST(SUM(CAST(xl AS DECIMAL(38,0)) * CAST(xl AS DECIMAL(38,0)))
+        |      AS DOUBLE) AS s22,
+        |    CAST(SUM(ye) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(yl AS DECIMAL(38,0)) * CAST(ye AS DECIMAL(38,0)))
+        |      AS DOUBLE) AS s1y,
+        |    CAST(SUM(CAST(xl AS DECIMAL(38,0)) * CAST(ye AS DECIMAL(38,0)))
+        |      AS DOUBLE) AS s2y,
+        |    CAST(SUM(CAST(ye AS DECIMAL(38,0)) * CAST(ye AS DECIMAL(38,0)))
+        |      AS DOUBLE) AS syy
+        |  FROM f),
+        |dets AS (
+        |  SELECT m, CAST(m AS DOUBLE) AS md, s1, s2, s11, s12, s22,
+        |    sy, s1y, s2y, syy,
+        |    CAST(m AS DOUBLE) * (s11 * s22 - s12 * s12) -
+        |      s1 * (s1 * s22 - s12 * s2) +
+        |      s2 * (s1 * s12 - s11 * s2) AS det,
+        |    sy * (s11 * s22 - s12 * s12) -
+        |      s1 * (s1y * s22 - s12 * s2y) +
+        |      s2 * (s1y * s12 - s11 * s2y) AS det0,
+        |    CAST(m AS DOUBLE) * (s1y * s22 - s12 * s2y) -
+        |      sy * (s1 * s22 - s12 * s2) +
+        |      s2 * (s1 * s2y - s1y * s2) AS det1,
+        |    CAST(m AS DOUBLE) * (s11 * s2y - s1y * s12) -
+        |      s1 * (s1 * s2y - s1y * s2) +
+        |      sy * (s1 * s12 - s11 * s2) AS det2
+        |  FROM mom),
+        |bs AS (
+        |  SELECT m, md, s1, s11, sy, s1y, s2y, syy,
+        |    det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+        |  FROM dets),
+        |rr AS (
+        |  SELECT m, md, sy, s1y, s2y, syy, b0, b1, b2,
+        |    (md * s1y - s1 * sy) / (md * s11 - s1 * s1) AS a1,
+        |    s1
+        |  FROM bs),
+        |fin AS (
+        |  SELECT m, md, b1, b2,
+        |    syy - (b0 * sy + b1 * s1y + b2 * s2y) AS ssr_u,
+        |    syy - (((sy - a1 * s1) / md) * sy + a1 * s1y) AS ssr_r
+        |  FROM rr)
+        |SELECT m AS n_obs, ROUND(b1, 6) AS b_ylag,
+        |  ROUND(b2, 6) AS b_xlag, ROUND(ssr_r, 6) AS ssr_r,
+        |  ROUND(ssr_u, 6) AS ssr_u,
+        |  ROUND((ssr_r - ssr_u) / (ssr_u / (md - 3.0)), 6) + 0.0
+        |    AS f_stat
+        |FROM fin""".stripMargin,
+
+    // q345: Cochrane–Orcutt replayed — the q332 OLS/residual prelude,
+    // ρ from round-8 decimal lag products, quasi-differenced stage-2
+    // moments through the same round-8 decimal sums.
+    "q345_cochrane_orcutt" ->
+      (s"""WITH $dailySeriesCtes,
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(i) AS DOUBLE) AS si,
+        |    CAST(SUM(CAST(i AS HUGEINT) * i) AS DOUBLE) AS sii,
+        |    CAST(SUM(x) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(i AS HUGEINT) * x) AS DOUBLE) AS six
+        |  FROM series),
+        |fit AS (
+        |  SELECT n,
+        |    (CAST(n AS DOUBLE) * six - si * sx) /
+        |      (CAST(n AS DOUBLE) * sii - si * si) AS bb, sx, si
+        |  FROM m),
+        |fit2 AS (
+        |  SELECT n, bb, (sx - bb * si) / CAST(n AS DOUBLE) AS aa
+        |  FROM fit),
+        |resid AS (
+        |  SELECT f.n, f.aa, f.bb, s.i, s.x,
+        |    CAST(s.x AS DOUBLE) - (f.aa + f.bb * CAST(s.i AS DOUBLE))
+        |      AS e
+        |  FROM series s CROSS JOIN fit2 f),
+        |lagd AS (
+        |  SELECT n, bb, i, x, e,
+        |    LAG(e) OVER (ORDER BY i) AS ep,
+        |    LAG(x) OVER (ORDER BY i) AS xp
+        |  FROM resid),
+        |rho AS (
+        |  SELECT
+        |    CAST(SUM(CAST(ROUND(e * ep, 8) AS DECIMAL(38,8)))
+        |      AS DOUBLE) /
+        |    CAST(SUM(CAST(ROUND(ep * ep, 8) AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS rho
+        |  FROM lagd WHERE ep IS NOT NULL),
+        |star AS (
+        |  SELECT n, bb, rho,
+        |    CAST(i AS DOUBLE) - rho * CAST(i - 1 AS DOUBLE) AS xs,
+        |    CAST(x AS DOUBLE) - rho * CAST(xp AS DOUBLE) AS ys
+        |  FROM lagd, rho WHERE xp IS NOT NULL),
+        |agg2 AS (
+        |  SELECT n, bb, rho, CAST(COUNT(*) AS BIGINT) AS m2,
+        |    CAST(SUM(CAST(ROUND(xs, 8) AS DECIMAL(38,8))) AS DOUBLE)
+        |      AS t1,
+        |    CAST(SUM(CAST(ROUND(xs * xs, 8) AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS t11,
+        |    CAST(SUM(CAST(ROUND(ys, 8) AS DECIMAL(38,8))) AS DOUBLE)
+        |      AS ty,
+        |    CAST(SUM(CAST(ROUND(xs * ys, 8) AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS t1y
+        |  FROM star GROUP BY n, bb, rho),
+        |fin AS (
+        |  SELECT n, bb, rho, t1, ty, CAST(m2 AS DOUBLE) AS md,
+        |    (CAST(m2 AS DOUBLE) * t1y - t1 * ty) /
+        |      (CAST(m2 AS DOUBLE) * t11 - t1 * t1) AS b2
+        |  FROM agg2)
+        |SELECT n AS n_days, ROUND(bb, 6) AS slope_ols,
+        |  ROUND(rho, 6) AS rho, ROUND(b2, 6) AS slope_co,
+        |  ROUND((ty - b2 * t1) / md, 6) AS intercept_co
+        |FROM fin""").stripMargin,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which

@@ -4013,6 +4013,28 @@ object SparkEntry {
   def q342(spark: SparkSession, dir: String): DataFrame =
     TimeSeriesOps.pageHinkleyDailyCounts(t(spark, dir, "events"), "ts")
 
+  // ---------------------------------------------------------------- q343
+  // Augmented Dickey–Fuller (1 lag, constant) on daily counts: Cramer-
+  // solved closed-form fit from exact integer moments, unit-root
+  // t-ratio — the null-side mirror of q340's KPSS.
+  def q343(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.adfTestDailyCounts(t(spark, dir, "events"), "ts")
+
+  // ---------------------------------------------------------------- q344
+  // Granger causality click→purchase on the shared daily spine:
+  // restricted-vs-unrestricted closed-form OLS, F for the lagged
+  // cross-term — "does yesterday's click count forecast purchases?".
+  def q344(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.grangerDailyCounts(t(spark, dir, "events"), "ts",
+      "event_type", "click", "purchase")
+
+  // ---------------------------------------------------------------- q345
+  // Cochrane–Orcutt AR(1) correction of the daily trend: ρ̂ from the
+  // q332 residuals, quasi-differenced refit — the repair for the
+  // serial correlation DW just measured.
+  def q345(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.cochraneOrcuttDailyTrend(t(spark, dir, "events"), "ts")
+
   // ---------------------------------------------------------------- q312
   // Empirical-Bayes shrinkage of per-source long-doc rates: beta prior
   // by method of moments over the source rates, each source's rate
@@ -5208,6 +5230,9 @@ object SparkEntry {
     "q340_kpss" -> (q340 _),
     "q341_variance_ratio" -> (q341 _),
     "q342_page_hinkley" -> (q342 _),
+    "q343_adf" -> (q343 _),
+    "q344_granger" -> (q344 _),
+    "q345_cochrane_orcutt" -> (q345 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -897,6 +897,201 @@ object TimeSeriesOps {
         coalesce(col("x"), lit(0L)).as("x"))
   }
 
+  /** 3×3 determinant in one fixed double shape (row-major args) —
+    * shared by every Cramer-solved 3-regressor OLS below so Spark and
+    * the oracle expand the identical expression tree.
+    */
+  private def det3(a: Column, b: Column, c: Column, d: Column, e: Column,
+      f: Column, g: Column, h: Column, i: Column): Column =
+    a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+  /** Augmented Dickey–Fuller test (Dickey & Fuller 1979; one augmented
+    * lag, with constant) on the daily event-count series:
+    * Δx_t = b₀ + γ·x_{t−1} + φ·Δx_{t−1} + ε_t, the unit-root t-ratio
+    * t(γ) read against the DF distribution — the unit-root-as-null
+    * companion of [[kpssDailyCounts]] (running both brackets the
+    * series). Fit is CLOSED FORM: every normal-equation moment is an
+    * exact decimal reduction of integer counts/lags/diffs, the 3×3
+    * solve is Cramer's rule in one fixed double shape ([[det3]]), and
+    * SSR comes from the y'y − b'X'y identity — no iteration, no
+    * libm beyond one sqrt.
+    *
+    * Scale shape: one count aggregation; two lag windows + one 1-row
+    * reduction on the bounded day spine.
+    */
+  def adfTestDailyCounts(df: DataFrame, tsCol: String): DataFrame = {
+    val series = dailyCountSeries(df, tsCol)
+    val w = Window.orderBy(col("i"))
+    val lagged = series
+      .withColumn("xl", lag(col("x"), 1).over(w))
+      .withColumn("dx", col("x") - col("xl"))
+      .withColumn("dxl", lag(col("dx"), 1).over(w))
+      .filter(col("dxl").isNotNull)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val m = lagged.agg(
+      count(lit(1)).as("m"),
+      sum(col("xl")).cast("double").as("s1"),
+      sum(col("dxl")).cast("double").as("s2"),
+      sum(dec(col("xl")) * dec(col("xl"))).cast("double").as("s11"),
+      sum(dec(col("xl")) * dec(col("dxl"))).cast("double").as("s12"),
+      sum(dec(col("dxl")) * dec(col("dxl"))).cast("double").as("s22"),
+      sum(col("dx")).cast("double").as("sy"),
+      sum(dec(col("xl")) * dec(col("dx"))).cast("double").as("s1y"),
+      sum(dec(col("dxl")) * dec(col("dx"))).cast("double").as("s2y"),
+      sum(dec(col("dx")) * dec(col("dx"))).cast("double").as("syy"))
+    val nD = col("m").cast("double")
+    val (s1, s2, s11, s12, s22) = (col("s1"), col("s2"), col("s11"),
+      col("s12"), col("s22"))
+    val (sy, s1y, s2y, syy) = (col("sy"), col("s1y"), col("s2y"),
+      col("syy"))
+    val det = det3(nD, s1, s2, s1, s11, s12, s2, s12, s22)
+    val b0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22) / det
+    val b1 = det3(nD, sy, s2, s1, s1y, s12, s2, s2y, s22) / det
+    val b2 = det3(nD, s1, sy, s1, s11, s1y, s2, s12, s2y) / det
+    val ssr = syy - (b0 * sy + b1 * s1y + b2 * s2y)
+    val s2e = ssr / (nD - lit(3.0))
+    val inv11 = (nD * s22 - s2 * s2) / det
+    m.select(col("m").as("n_obs"),
+      round(b0, 6).as("b0"),
+      round(b1, 6).as("gamma"),
+      round(b2, 6).as("phi"),
+      round(ssr, 6).as("ssr"),
+      round(b1 / sqrt(s2e * inv11), 6).as("t_gamma"))
+  }
+
+  /** Granger-causality F-test (Granger 1969; one lag, levels) between
+    * the daily count series of two event types on the SHARED calendar
+    * spine: does yesterday's `causeType` count improve today's
+    * `effectType` forecast beyond its own lag? Unrestricted
+    * y_t = b₀ + b₁y_{t−1} + b₂x_{t−1} (Cramer 3×3, [[det3]]) vs
+    * restricted y_t = a₀ + a₁y_{t−1}; F = (SSR_r − SSR_u)/(SSR_u/(m−3)).
+    * Exact integer moments throughout, one fixed double assembly.
+    *
+    * Scale shape: one filtered count aggregation per type (one scan),
+    * lag windows + 1-row reductions on the bounded day spine.
+    */
+  def grangerDailyCounts(df: DataFrame, tsCol: String, typeCol: String,
+      causeType: String, effectType: String): DataFrame = {
+    val d = df.filter(col(typeCol).isin(causeType, effectType))
+      .select(to_date(col(tsCol)).as("day"), col(typeCol).as("ty"))
+    val counts = d.groupBy(col("day"))
+      .agg(
+        sum(when(col("ty") === causeType, 1L).otherwise(0L)).as("xc"),
+        sum(when(col("ty") === effectType, 1L).otherwise(0L)).as("ye"))
+    val series = counts
+      .agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+      .select(col("__lo"), explode(sequence(col("__lo"), col("__hi")))
+        .as("day"))
+      .join(counts, Seq("day"), "left")
+      .select(datediff(col("day"), col("__lo")).cast("long").as("i"),
+        coalesce(col("xc"), lit(0L)).as("xc"),
+        coalesce(col("ye"), lit(0L)).as("ye"))
+    val w = Window.orderBy(col("i"))
+    val lagged = series
+      .withColumn("yl", lag(col("ye"), 1).over(w))
+      .withColumn("xl", lag(col("xc"), 1).over(w))
+      .filter(col("yl").isNotNull)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val m = lagged.agg(
+      count(lit(1)).as("m"),
+      sum(col("yl")).cast("double").as("s1"),
+      sum(col("xl")).cast("double").as("s2"),
+      sum(dec(col("yl")) * dec(col("yl"))).cast("double").as("s11"),
+      sum(dec(col("yl")) * dec(col("xl"))).cast("double").as("s12"),
+      sum(dec(col("xl")) * dec(col("xl"))).cast("double").as("s22"),
+      sum(col("ye")).cast("double").as("sy"),
+      sum(dec(col("yl")) * dec(col("ye"))).cast("double").as("s1y"),
+      sum(dec(col("xl")) * dec(col("ye"))).cast("double").as("s2y"),
+      sum(dec(col("ye")) * dec(col("ye"))).cast("double").as("syy"))
+    val nD = col("m").cast("double")
+    val (s1, s2, s11, s12, s22) = (col("s1"), col("s2"), col("s11"),
+      col("s12"), col("s22"))
+    val (sy, s1y, s2y, syy) = (col("sy"), col("s1y"), col("s2y"),
+      col("syy"))
+    val det = det3(nD, s1, s2, s1, s11, s12, s2, s12, s22)
+    val b0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22) / det
+    val b1 = det3(nD, sy, s2, s1, s1y, s12, s2, s2y, s22) / det
+    val b2 = det3(nD, s1, sy, s1, s11, s1y, s2, s12, s2y) / det
+    val ssrU = syy - (b0 * sy + b1 * s1y + b2 * s2y)
+    // restricted: y on [1, y_lag]
+    val a1 = (nD * s1y - s1 * sy) / (nD * s11 - s1 * s1)
+    val a0 = (sy - a1 * s1) / nD
+    val ssrR = syy - (a0 * sy + a1 * s1y)
+    m.select(col("m").as("n_obs"),
+      round(b1, 6).as("b_ylag"),
+      round(b2, 6).as("b_xlag"),
+      round(ssrR, 6).as("ssr_r"),
+      round(ssrU, 6).as("ssr_u"),
+      round((ssrR - ssrU) / (ssrU / (nD - lit(3.0))), 6).as("f_stat"))
+  }
+
+  /** Cochrane–Orcutt AR(1) correction (1949) of the daily-count trend
+    * fit: stage 1 = the [[durbinWatsonDailyTrend]] OLS, ρ̂ from its
+    * residual lag products, stage 2 = OLS on the quasi-differenced
+    * (x*, y*) = (i − ρ(i−1), y_t − ρy_{t−1}) — the serially-correlated
+    *-errors repair for the slope whose naive SEs the DW statistic just
+    * flagged. Residual products round to 8 into decimal sums (the DW
+    * convention); stage-2 moments likewise.
+    *
+    * Scale shape: one count aggregation; two window passes + two 1-row
+    * reductions on the bounded day spine.
+    */
+  def cochraneOrcuttDailyTrend(df: DataFrame, tsCol: String): DataFrame = {
+    val series = dailyCountSeries(df, tsCol)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val m = series.agg(count(lit(1)).as("n"),
+      sum(col("i")).cast("double").as("__si"),
+      sum(dec(col("i")) * dec(col("i"))).cast("double").as("__sii"),
+      sum(col("x")).cast("double").as("__sx"),
+      sum(dec(col("i")) * dec(col("x"))).cast("double").as("__six"))
+    val nD0 = col("n").cast("double")
+    val fit = m.select(col("n"),
+      ((nD0 * col("__six") - col("__si") * col("__sx")) /
+        (nD0 * col("__sii") - col("__si") * col("__si"))).as("__b"),
+      col("__sx"), col("__si"))
+      .select(col("n"), col("__b"),
+        ((col("__sx") - col("__b") * col("__si")) /
+          col("n").cast("double")).as("__a"))
+    val w = Window.orderBy(col("i"))
+    val resid = series.crossJoin(broadcast(fit))
+      .withColumn("e", col("x").cast("double") -
+        (col("__a") + col("__b") * col("i").cast("double")))
+      .withColumn("__ep", lag(col("e"), 1).over(w))
+      .withColumn("__xp", lag(col("x"), 1).over(w))
+    val rhoF = resid.filter(col("__ep").isNotNull)
+      .agg(
+        (sum(round(col("e") * col("__ep"), 8).cast("decimal(38,8)"))
+          .cast("double") /
+         sum(round(col("__ep") * col("__ep"), 8).cast("decimal(38,8)"))
+          .cast("double")).as("__rho"))
+    val star = resid.filter(col("__xp").isNotNull)
+      .crossJoin(broadcast(rhoF))
+      .select(
+        (col("i").cast("double") -
+          col("__rho") * (col("i") - 1L).cast("double")).as("xs"),
+        (col("x").cast("double") -
+          col("__rho") * col("__xp").cast("double")).as("ys"),
+        col("__rho"), col("__b"), col("n"))
+    val agg2 = star.groupBy(col("__rho"), col("__b"), col("n"))
+      .agg(count(lit(1)).as("m"),
+        sum(round(col("xs"), 8).cast("decimal(38,8)")).cast("double")
+          .as("t1"),
+        sum(round(col("xs") * col("xs"), 8).cast("decimal(38,8)"))
+          .cast("double").as("t11"),
+        sum(round(col("ys"), 8).cast("decimal(38,8)")).cast("double")
+          .as("ty"),
+        sum(round(col("xs") * col("ys"), 8).cast("decimal(38,8)"))
+          .cast("double").as("t1y"))
+    val mD = col("m").cast("double")
+    val b2 = (mD * col("t1y") - col("t1") * col("ty")) /
+      (mD * col("t11") - col("t1") * col("t1"))
+    agg2.select(col("n").as("n_days"),
+      round(col("__b"), 6).as("slope_ols"),
+      round(col("__rho"), 6).as("rho"),
+      round(b2, 6).as("slope_co"),
+      round((col("ty") - b2 * col("t1")) / mD, 6).as("intercept_co"))
+  }
+
   /** KPSS level-stationarity test (Kwiatkowski, Phillips, Schmidt & Shin
     * 1992) on the daily event-count series: η = (Σ_t S_t²/n²) / s²(L),
     * S_t the partial sums of the demeaned series and s²(L) the Bartlett-

@@ -132,6 +132,79 @@ class Round11OpsSpec extends SparkSpec {
     assert(got == ((6L, 0.0, 11.1, 5L, 11.1)))
   }
 
+  // ------------------------------------- q343-q345 closed-form OLS
+
+  test("adfTestDailyCounts matches the hand-solved 1,2,4,3,5,4 system") {
+    // m=4 obs; exact rationals: b0=57/14, gamma=-6/7, phi=-4/7,
+    // SSR=3/7, t = -sqrt(6)
+    val got = graft.operators.TimeSeriesOps.adfTestDailyCounts(
+        dailyEvents(Seq(1, 2, 4, 3, 5, 4)), "ts")
+      .select("n_obs", "b0", "gamma", "phi", "ssr", "t_gamma")
+      .as[(Long, Double, Double, Double, Double, Double)].head()
+    assert(got == ((4L, 4.071429, -0.857143, -0.571429, 0.428571,
+      -2.44949)))
+  }
+
+  test("grangerDailyCounts: a lagged copy is detected asymmetrically") {
+    // clicks cycle 1,2,3; purchases equal yesterday's clicks except one
+    // perturbed day - x->y F must dwarf y->x F
+    val clicks = Seq(1, 2, 3, 1, 2, 3, 1, 2, 3)
+    val purch = Seq(2, 1, 2, 3, 1, 2, 4, 1, 2) // y_t = x_{t-1}, one +1
+    val rows = clicks.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)((tsDay(d), "click")) } ++
+      purch.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c)((tsDay(d), "purchase")) }
+    val df = rows.toDF("ts", "event_type")
+    val fwd = graft.operators.TimeSeriesOps.grangerDailyCounts(
+        df, "ts", "event_type", "click", "purchase")
+      .select("n_obs", "f_stat").as[(Long, Double)].head()
+    val rev = graft.operators.TimeSeriesOps.grangerDailyCounts(
+        df, "ts", "event_type", "purchase", "click")
+      .select("n_obs", "f_stat").as[(Long, Double)].head()
+    assert(fwd._1 == 8L && rev._1 == 8L)
+    assert(fwd._2 > 10.0, s"forward F ${fwd._2} should be large")
+    assert(fwd._2 > 5.0 * math.abs(rev._2),
+      s"forward ${fwd._2} must dwarf reverse ${rev._2}")
+  }
+
+  test("cochraneOrcuttDailyTrend matches a plain-Scala replay") {
+    val counts = Seq(1, 4, 2, 6, 3, 8, 4, 9, 6, 11)
+    val got = graft.operators.TimeSeriesOps.cochraneOrcuttDailyTrend(
+        dailyEvents(counts), "ts")
+      .select("n_days", "slope_ols", "rho", "slope_co", "intercept_co")
+      .as[(Long, Double, Double, Double, Double)].head()
+    // independent local replay of the documented algebra
+    def r(v: Double, s: Int) = BigDecimal(v)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = counts.length
+    val i = (0 until n).map(_.toDouble)
+    val x = counts.map(_.toDouble)
+    val (si, sii) = (i.sum, i.map(v => v * v).sum)
+    val (sx, six) = (x.sum, i.zip(x).map { case (a, b) => a * b }.sum)
+    val b = (n * six - si * sx) / (n * sii - si * si)
+    val a = (sx - b * si) / n
+    val e = i.zip(x).map { case (ii, xx) => xx - (a + b * ii) }
+    val rho = e.zip(e.tail).map { case (p, c) => r(c * p, 8) }.sum /
+      e.init.map(p => r(p * p, 8)).sum
+    val xs = (1 until n).map(t => t - rho * (t - 1).toDouble)
+    val ys = (1 until n).map(t => x(t) - rho * x(t - 1))
+    val m = n - 1
+    val (t1, t11) = (xs.map(r(_, 8)).sum,
+      xs.map(v => r(v * v, 8)).sum)
+    val (ty, t1y) = (ys.map(r(_, 8)).sum,
+      xs.zip(ys).map { case (p, q) => r(p * q, 8) }.sum)
+    val b2 = (m * t1y - t1 * ty) / (m * t11 - t1 * t1)
+    assert(got._1 == n.toLong)
+    assert(got._2 == r(b, 6) && got._3 == r(rho, 6))
+    assert(got._4 == r(b2, 6))
+    assert(got._5 == r((ty - b2 * t1) / m, 6))
+    assert(got._3 < 0.0) // alternation -> negative serial correlation
+  }
+
+  private def tsDay(d: Int): Timestamp = new Timestamp(
+    java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+
   test("scdType2 treats null attribute values as a tracked run") {
     val d = Seq(
       (1L, ts(1), 1L, None: Option[String]),
