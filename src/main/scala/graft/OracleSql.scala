@@ -7391,6 +7391,158 @@ object OracleSql {
         |  ROUND(rho, 6) AS rho, ROUND(b2, 6) AS slope_co,
         |  ROUND((ty - b2 * t1) / md, 6) AS intercept_co
         |FROM fin""").stripMargin,
+    // q346: Chow replayed — exact integer segment moments via the
+    // i*2 < n midpoint flag, the same SSE = Syy_c − b²·Sii_c shape per
+    // fit, F assembled identically (+0.0 folds any −0.0).
+    "q346_chow" ->
+      (s"""WITH $dailySeriesCtes,
+        |n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM series),
+        |segd AS (
+        |  SELECT CASE WHEN i * 2 < n0 THEN 1 ELSE 0 END AS seg, i, x
+        |  FROM series, n0),
+        |moms AS (
+        |  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(i) AS DOUBLE) AS si,
+        |    CAST(SUM(CAST(i AS DECIMAL(38,0)) * CAST(i AS DECIMAL(38,0)))
+        |      AS DOUBLE) AS sii,
+        |    CAST(SUM(x) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+        |      AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(i AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+        |      AS DOUBLE) AS six
+        |  FROM segd GROUP BY seg),
+        |h AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n, SUM(si) AS si,
+        |    SUM(sii) AS sii, SUM(sx) AS sx, SUM(sxx) AS sxx,
+        |    SUM(six) AS six,
+        |    MAX(CASE WHEN seg = 1 THEN n END) AS nl,
+        |    MAX(CASE WHEN seg = 1 THEN si END) AS sil,
+        |    MAX(CASE WHEN seg = 1 THEN sii END) AS siil,
+        |    MAX(CASE WHEN seg = 1 THEN sx END) AS sxl,
+        |    MAX(CASE WHEN seg = 1 THEN sxx END) AS sxxl,
+        |    MAX(CASE WHEN seg = 1 THEN six END) AS sixl,
+        |    MAX(CASE WHEN seg = 0 THEN n END) AS nr,
+        |    MAX(CASE WHEN seg = 0 THEN si END) AS sir,
+        |    MAX(CASE WHEN seg = 0 THEN sii END) AS siir,
+        |    MAX(CASE WHEN seg = 0 THEN sx END) AS sxr,
+        |    MAX(CASE WHEN seg = 0 THEN sxx END) AS sxxr,
+        |    MAX(CASE WHEN seg = 0 THEN six END) AS sixr
+        |  FROM moms),
+        |d2 AS (
+        |  SELECT *, CAST(n AS DOUBLE) AS nd, CAST(nl AS DOUBLE) AS nld,
+        |    CAST(nr AS DOUBLE) AS nrd
+        |  FROM h),
+        |d3 AS (
+        |  SELECT *, sii - si * si / nd AS denp,
+        |    siil - sil * sil / nld AS denl,
+        |    siir - sir * sir / nrd AS denr
+        |  FROM d2),
+        |d4 AS (
+        |  SELECT *, (six - si * sx / nd) / denp AS slp,
+        |    (sixl - sil * sxl / nld) / denl AS sll,
+        |    (sixr - sir * sxr / nrd) / denr AS slr
+        |  FROM d3),
+        |d5 AS (
+        |  SELECT *, (sxx - sx * sx / nd) - slp * slp * denp AS ssep,
+        |    (sxxl - sxl * sxl / nld) - sll * sll * denl AS ssel,
+        |    (sxxr - sxr * sxr / nrd) - slr * slr * denr AS sser
+        |  FROM d4)
+        |SELECT n AS n_days, CAST(nl AS BIGINT) AS break_i,
+        |  ROUND(ssep, 6) AS ssr_pooled, ROUND(ssel, 6) AS ssr_left,
+        |  ROUND(sser, 6) AS ssr_right,
+        |  ROUND(((ssep - ssel - sser) / 2.0) /
+        |    ((ssel + sser) / (nd - 4.0)), 6) + 0.0 AS f_stat
+        |FROM d5""").stripMargin,
+
+    // q347: Breusch–Pagan replayed — the q332 OLS/residual prelude with
+    // si/sii carried through, round-8 decimal e²/i·e²/e⁴ sums, LM in
+    // the identical shape.
+    "q347_breusch_pagan" ->
+      (s"""WITH $dailySeriesCtes,
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(i) AS DOUBLE) AS si,
+        |    CAST(SUM(CAST(i AS HUGEINT) * i) AS DOUBLE) AS sii,
+        |    CAST(SUM(x) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(i AS HUGEINT) * x) AS DOUBLE) AS six
+        |  FROM series),
+        |fit AS (
+        |  SELECT n, si, sii,
+        |    (CAST(n AS DOUBLE) * six - si * sx) /
+        |      (CAST(n AS DOUBLE) * sii - si * si) AS bb, sx
+        |  FROM m),
+        |fit2 AS (
+        |  SELECT n, si, sii, bb,
+        |    (sx - bb * si) / CAST(n AS DOUBLE) AS aa
+        |  FROM fit),
+        |resid AS (
+        |  SELECT f.n, f.si, f.sii, s.i,
+        |    CAST(s.x AS DOUBLE) - (f.aa + f.bb * CAST(s.i AS DOUBLE))
+        |      AS e
+        |  FROM series s CROSS JOIN fit2 f),
+        |aux AS (
+        |  SELECT n, si, sii,
+        |    CAST(ROUND(e * e, 8) AS DECIMAL(38,8)) AS e2,
+        |    CAST(ROUND(CAST(i AS DOUBLE) * (e * e), 8)
+        |      AS DECIMAL(38,8)) AS ie2,
+        |    CAST(ROUND((e * e) * (e * e), 8) AS DECIMAL(38,8)) AS e4
+        |  FROM resid),
+        |agg AS (
+        |  SELECT n, si, sii, CAST(SUM(e2) AS DOUBLE) AS sg,
+        |    CAST(SUM(ie2) AS DOUBLE) AS sig,
+        |    CAST(SUM(e4) AS DOUBLE) AS sgg
+        |  FROM aux GROUP BY n, si, sii),
+        |fin AS (
+        |  SELECT n, CAST(n AS DOUBLE) AS nd,
+        |    sig - si * sg / CAST(n AS DOUBLE) AS sxy,
+        |    sii - si * si / CAST(n AS DOUBLE) AS sxx,
+        |    sgg - sg * sg / CAST(n AS DOUBLE) AS syy
+        |  FROM agg)
+        |SELECT n AS n_days,
+        |  ROUND(sxy * sxy / (sxx * syy), 6) AS r2_aux,
+        |  ROUND(nd * (sxy * sxy / (sxx * syy)), 6) AS lm_stat
+        |FROM fin""").stripMargin,
+
+    // q348: classical decomposition replayed — exact 7-sum MA trend,
+    // round-8 decimal detrended sums, centered indices, variance
+    // share; +0.0 folds any −0.0 the near-zero indices could round to.
+    "q348_seasonal_decomposition" ->
+      (s"""WITH $dailySeriesCtes,
+        |ma AS (
+        |  SELECT i, x,
+        |    SUM(x) OVER (ORDER BY i ROWS BETWEEN 3 PRECEDING AND
+        |      3 FOLLOWING) AS s7,
+        |    COUNT(*) OVER (ORDER BY i ROWS BETWEEN 3 PRECEDING AND
+        |      3 FOLLOWING) AS c7
+        |  FROM series),
+        |det AS (
+        |  SELECT i, i % 7 AS phase,
+        |    CAST(x AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0 AS d
+        |  FROM ma WHERE c7 = 7),
+        |byphase AS (
+        |  SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    CAST(SUM(CAST(ROUND(d, 8) AS DECIMAL(38,8))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE) AS raw
+        |  FROM det GROUP BY phase),
+        |ctr AS (
+        |  SELECT CAST(SUM(CAST(ROUND(raw, 8) AS DECIMAL(38,8)))
+        |      AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS mean
+        |  FROM byphase),
+        |idx AS (
+        |  SELECT phase, n_obs, raw, raw - mean AS ctr
+        |  FROM byphase, ctr),
+        |rem AS (
+        |  SELECT
+        |    CAST(SUM(CAST(ROUND(d * d, 8) AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS sd2,
+        |    CAST(SUM(CAST(ROUND((d - ctr) * (d - ctr), 8)
+        |      AS DECIMAL(38,8))) AS DOUBLE) AS sr2
+        |  FROM det JOIN idx USING (phase))
+        |SELECT phase, n_obs, ROUND(raw, 6) + 0.0 AS seasonal_raw,
+        |  ROUND(ctr, 6) + 0.0 AS seasonal_idx,
+        |  ROUND(1.0 - sr2 / sd2, 6) + 0.0 AS seasonal_strength
+        |FROM idx, rem ORDER BY phase""").stripMargin,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which

@@ -4035,6 +4035,29 @@ object SparkEntry {
   def q345(spark: SparkSession, dir: String): DataFrame =
     TimeSeriesOps.cochraneOrcuttDailyTrend(t(spark, dir, "events"), "ts")
 
+  // ---------------------------------------------------------------- q346
+  // Chow break test at the spine midpoint: pooled-vs-split closed-form
+  // OLS SSEs from one grouped exact-moment reduction — TESTS the break
+  // q290's exhaustive segmented fit SEARCHES for.
+  def q346(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.chowTestDailyCounts(t(spark, dir, "events"), "ts")
+
+  // ---------------------------------------------------------------- q347
+  // Breusch–Pagan on the q332 trend residuals: e² regressed on day
+  // index, LM = n·R² — does residual VARIANCE trend after the mean is
+  // removed (the scale sibling of DW's correlation check).
+  def q347(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.breuschPaganDailyTrend(t(spark, dir, "events"), "ts")
+
+  // ---------------------------------------------------------------- q348
+  // Classical additive decomposition (period 7): centered MA-7 trend,
+  // centered per-phase seasonal indices, remainder variance share —
+  // the decomposition behind q176's strength scalar and q278's raw
+  // day-of-week card.
+  def q348(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.seasonalDecompositionDailyCounts(
+      t(spark, dir, "events"), "ts")
+
   // ---------------------------------------------------------------- q312
   // Empirical-Bayes shrinkage of per-source long-doc rates: beta prior
   // by method of moments over the source rates, each source's rate
@@ -5233,6 +5256,9 @@ object SparkEntry {
     "q343_adf" -> (q343 _),
     "q344_granger" -> (q344 _),
     "q345_cochrane_orcutt" -> (q345 _),
+    "q346_chow" -> (q346 _),
+    "q347_breusch_pagan" -> (q347 _),
+    "q348_seasonal_decomposition" -> (q348 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

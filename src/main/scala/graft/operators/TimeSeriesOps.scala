@@ -1092,6 +1092,179 @@ object TimeSeriesOps {
       round((col("ty") - b2 * col("t1")) / mD, 6).as("intercept_co"))
   }
 
+  /** Chow structural-break test (Chow 1960) at the midpoint of the
+    * daily event-count trend: did (intercept, slope) change between the
+    * two halves? Three closed-form OLS fits — pooled, left, right —
+    * each SSE assembled from exact integer segment moments
+    * (SSE = Syy_c − b²·Sii_c, the [[segmentedTrendFit]] shape), then
+    * F = ((SSE_p − SSE_l − SSE_r)/2) / ((SSE_l + SSE_r)/(n − 4)).
+    * Complements q290's exhaustive-search segmented fit: q290 FINDS the
+    * best break, this TESTS a designated one.
+    *
+    * Scale shape: one count aggregation, ONE grouped reduction (the
+    * segment flag is the group key), a 1-row assembly.
+    */
+  def chowTestDailyCounts(df: DataFrame, tsCol: String): DataFrame = {
+    val series = dailyCountSeries(df, tsCol)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val n0 = series.agg(count(lit(1)).as("__n0"))
+    val seg = series.crossJoin(broadcast(n0))
+      // i < n/2 via exact integers (Column./ is double division)
+      .withColumn("__seg", (col("i") * lit(2L) < col("__n0")).cast("int"))
+      .groupBy(col("__seg"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("i")).cast("double").as("si"),
+        sum(dec(col("i")) * dec(col("i"))).cast("double").as("sii"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(dec(col("x")) * dec(col("x"))).cast("double").as("sxx"),
+        sum(dec(col("i")) * dec(col("x"))).cast("double").as("six"))
+    def sse(n: Column, si: Column, sii: Column, sx: Column, sxx: Column,
+        six: Column): Column = {
+      val nD = n.cast("double")
+      val den = sii - si * si / nD
+      val slope = (six - si * sx / nD) / den
+      (sxx - sx * sx / nD) - slope * slope * den
+    }
+    val halves = seg.groupBy()
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("si")).as("si"), sum(col("sii")).as("sii"),
+        sum(col("sx")).as("sx"), sum(col("sxx")).as("sxx"),
+        sum(col("six")).as("six"),
+        max(when(col("__seg") === 1, col("n"))).as("nl"),
+        max(when(col("__seg") === 1, col("si"))).as("sil"),
+        max(when(col("__seg") === 1, col("sii"))).as("siil"),
+        max(when(col("__seg") === 1, col("sx"))).as("sxl"),
+        max(when(col("__seg") === 1, col("sxx"))).as("sxxl"),
+        max(when(col("__seg") === 1, col("six"))).as("sixl"),
+        max(when(col("__seg") === 0, col("n"))).as("nr"),
+        max(when(col("__seg") === 0, col("si"))).as("sir"),
+        max(when(col("__seg") === 0, col("sii"))).as("siir"),
+        max(when(col("__seg") === 0, col("sx"))).as("sxr"),
+        max(when(col("__seg") === 0, col("sxx"))).as("sxxr"),
+        max(when(col("__seg") === 0, col("six"))).as("sixr"))
+    val sseP = sse(col("n"), col("si"), col("sii"), col("sx"),
+      col("sxx"), col("six"))
+    val sseL = sse(col("nl"), col("sil"), col("siil"), col("sxl"),
+      col("sxxl"), col("sixl"))
+    val sseR = sse(col("nr"), col("sir"), col("siir"), col("sxr"),
+      col("sxxr"), col("sixr"))
+    val nD = col("n").cast("double")
+    halves.select(col("n").cast("long").as("n_days"),
+      (col("nl").cast("long")).as("break_i"),
+      round(sseP, 6).as("ssr_pooled"),
+      round(sseL, 6).as("ssr_left"),
+      round(sseR, 6).as("ssr_right"),
+      round(((sseP - sseL - sseR) / lit(2.0)) /
+        ((sseL + sseR) / (nD - lit(4.0))), 6).as("f_stat"))
+  }
+
+  /** Breusch–Pagan heteroscedasticity test (1979) on the daily-count
+    * trend residuals: auxiliary regression of e² on the day index,
+    * LM = n·R²_aux — do the residuals' VARIANCES trend even after the
+    * mean does? (The DW/Cochrane–Orcutt family checks correlation;
+    * this checks scale.) Stage-1 fit is the exact-moment
+    * [[durbinWatsonDailyTrend]] OLS; e² terms round to 8 into decimal
+    * sums, R²_aux = Sxy²/(Sxx·Syy) in one fixed shape.
+    *
+    * Scale shape: one count aggregation, two 1-row reductions on the
+    * bounded day spine.
+    */
+  def breuschPaganDailyTrend(df: DataFrame, tsCol: String): DataFrame = {
+    val series = dailyCountSeries(df, tsCol)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val m = series.agg(count(lit(1)).as("n"),
+      sum(col("i")).cast("double").as("__si"),
+      sum(dec(col("i")) * dec(col("i"))).cast("double").as("__sii"),
+      sum(col("x")).cast("double").as("__sx"),
+      sum(dec(col("i")) * dec(col("x"))).cast("double").as("__six"))
+    val nD0 = col("n").cast("double")
+    val fit = m.select(col("n"), col("__si"), col("__sii"),
+      ((nD0 * col("__six") - col("__si") * col("__sx")) /
+        (nD0 * col("__sii") - col("__si") * col("__si"))).as("__b"),
+      col("__sx"))
+      .select(col("n"), col("__si"), col("__sii"), col("__b"),
+        ((col("__sx") - col("__b") * col("__si")) /
+          col("n").cast("double")).as("__a"))
+    val aux = series.crossJoin(broadcast(fit))
+      .withColumn("e", col("x").cast("double") -
+        (col("__a") + col("__b") * col("i").cast("double")))
+      .select(col("n"), col("__si"), col("__sii"),
+        round(col("e") * col("e"), 8).cast("decimal(38,8)").as("__e2"),
+        round(col("i").cast("double") * (col("e") * col("e")), 8)
+          .cast("decimal(38,8)").as("__ie2"),
+        round((col("e") * col("e")) * (col("e") * col("e")), 8)
+          .cast("decimal(38,8)").as("__e4"))
+      .groupBy(col("n"), col("__si"), col("__sii"))
+      .agg(sum(col("__e2")).cast("double").as("__sg"),
+        sum(col("__ie2")).cast("double").as("__sig"),
+        sum(col("__e4")).cast("double").as("__sgg"))
+    val nD = col("n").cast("double")
+    val sxyA = col("__sig") - col("__si") * col("__sg") / nD
+    val sxxA = col("__sii") - col("__si") * col("__si") / nD
+    val syyA = col("__sgg") - col("__sg") * col("__sg") / nD
+    val r2 = sxyA * sxyA / (sxxA * syyA)
+    aux.select(col("n").cast("long").as("n_days"),
+      round(r2, 6).as("r2_aux"),
+      round(nD * r2, 6).as("lm_stat"))
+  }
+
+  /** Classical additive seasonal decomposition (period 7) of the daily
+    * event-count series: centered 7-day moving-average trend (complete
+    * windows only), per-phase seasonal indices from the detrended
+    * means, indices centered to sum 0, and the seasonal-strength share
+    * 1 − Var(remainder)/Var(detrended) — the decomposition view behind
+    * q176's seasonal-strength scalar and q278's raw day-of-week card.
+    * Phase = day-index mod 7 (calendar-anchor-free, identical on any
+    * engine).
+    *
+    * Exactness: the MA-7 trend is an exact integer window sum over 7.0;
+    * detrended terms round to 8 into decimal sums for both the index
+    * means and the variance shares.
+    *
+    * Scale shape: one count aggregation; one bounded window + two
+    * grouped reductions on the day spine.
+    */
+  def seasonalDecompositionDailyCounts(df: DataFrame,
+      tsCol: String): DataFrame = {
+    val series = dailyCountSeries(df, tsCol)
+    val w7 = Window.orderBy(col("i")).rowsBetween(-3, 3)
+    val det = series
+      .withColumn("__s7", sum(col("x")).over(w7))
+      .withColumn("__c7", count(lit(1)).over(w7))
+      .filter(col("__c7") === 7L)
+      .select(col("i"), (col("i") % 7L).as("phase"),
+        (col("x").cast("double") -
+          col("__s7").cast("double") / lit(7.0)).as("__d"))
+      .persist()
+    try {
+      val byPhase = det.groupBy(col("phase"))
+        .agg(count(lit(1)).as("n_obs"),
+          (sum(round(col("__d"), 8).cast("decimal(38,8)")).cast("double") /
+            count(lit(1)).cast("double")).as("__raw"))
+      val centre = byPhase.agg(
+        (sum(round(col("__raw"), 8).cast("decimal(38,8)")).cast("double") /
+          count(lit(1)).cast("double")).as("__mean"))
+      val idx = byPhase.crossJoin(broadcast(centre))
+        .withColumn("__ctr", col("__raw") - col("__mean"))
+      val rem = det.join(idx.select(col("phase"), col("__ctr")), "phase")
+        .select(
+          round(col("__d") * col("__d"), 8).cast("decimal(38,8)")
+            .as("__d2"),
+          round((col("__d") - col("__ctr")) * (col("__d") - col("__ctr")),
+            8).cast("decimal(38,8)").as("__r2"))
+        .agg(sum(col("__d2")).cast("double").as("__sd2"),
+          sum(col("__r2")).cast("double").as("__sr2"))
+      idx.crossJoin(broadcast(rem))
+        .select(col("phase"), col("n_obs"),
+          round(col("__raw"), 6).as("seasonal_raw"),
+          round(col("__ctr"), 6).as("seasonal_idx"),
+          round(lit(1.0) - col("__sr2") / col("__sd2"), 6)
+            .as("seasonal_strength"))
+        .orderBy(col("phase"))
+    } finally { det.unpersist(); () }
+  }
+
   /** KPSS level-stationarity test (Kwiatkowski, Phillips, Schmidt & Shin
     * 1992) on the daily event-count series: η = (Σ_t S_t²/n²) / s²(L),
     * S_t the partial sums of the demeaned series and s²(L) the Bartlett-

@@ -201,6 +201,74 @@ class Round11OpsSpec extends SparkSpec {
     assert(got._3 < 0.0) // alternation -> negative serial correlation
   }
 
+  // ----------------------------- q346-q348 break/variance/seasonal
+
+  test("chowTestDailyCounts flags a slope break at the midpoint") {
+    // left: perfect slope +1; right: near-perfect slope -2 with one
+    // perturbed point -> SSE_l = 0, SSE_r small, F large
+    val counts = Seq(1, 2, 3, 4, 5, 10, 8, 6, 4, 3)
+    val got = graft.operators.TimeSeriesOps.chowTestDailyCounts(
+        dailyEvents(counts), "ts")
+      .select("n_days", "break_i", "ssr_pooled", "ssr_left",
+        "ssr_right", "f_stat")
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(got._1 == 10L && got._2 == 5L)
+    assert(got._4 == 0.0, "left half is exactly linear")
+    assert(got._5 > 0.0 && got._5 < 1.0)
+    assert(got._3 > got._4 + got._5, "pooled SSE must exceed split")
+    assert(got._6 > 20.0, s"break must be loud, F=${got._6}")
+  }
+
+  test("breuschPaganDailyTrend matches a plain-Scala replay") {
+    // variance grows with time: flat-ish first half, wild second half
+    val counts = Seq(5, 6, 5, 6, 5, 2, 12, 1, 14, 2)
+    val got = graft.operators.TimeSeriesOps.breuschPaganDailyTrend(
+        dailyEvents(counts), "ts")
+      .select("n_days", "r2_aux", "lm_stat")
+      .as[(Long, Double, Double)].head()
+    def r(v: Double, s: Int) = BigDecimal(v)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = counts.length
+    val i = (0 until n).map(_.toDouble)
+    val x = counts.map(_.toDouble)
+    val (si, sii) = (i.sum, i.map(v => v * v).sum)
+    val (sx, six) = (x.sum, i.zip(x).map(p => p._1 * p._2).sum)
+    val b = (n * six - si * sx) / (n * sii - si * si)
+    val a = (sx - b * si) / n
+    val e = i.zip(x).map { case (ii, xx) => xx - (a + b * ii) }
+    val g = e.map(v => v * v)
+    val (sg, sig, sgg) = (g.map(r(_, 8)).sum,
+      i.zip(g).map { case (ii, gg) => r(ii * gg, 8) }.sum,
+      g.map(v => r(v * v, 8)).sum)
+    val sxy = sig - si * sg / n
+    val sxx2 = sii - si * si / n
+    val syy = sgg - sg * sg / n
+    val r2 = sxy * sxy / (sxx2 * syy)
+    assert(got._1 == n.toLong)
+    assert(math.abs(got._2 - r2) < 1e-6 &&
+      math.abs(got._3 - n * r2) < 1e-5)
+    assert(got._2 > 0.3, "variance trend must be visible")
+  }
+
+  test("seasonalDecompositionDailyCounts recovers an exact period-7 " +
+      "pattern with strength 1") {
+    // x_i = (i mod 7) + 1 for 21 days: every complete MA-7 window
+    // averages 4, detrended = phase - 3 exactly, remainder 0
+    val got = graft.operators.TimeSeriesOps
+      .seasonalDecompositionDailyCounts(
+        dailyEvents((0 until 21).map(i => (i % 7) + 1)), "ts")
+      .select("phase", "n_obs", "seasonal_raw", "seasonal_idx",
+        "seasonal_strength")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    val expN = Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 2L,
+      5L -> 2L, 6L -> 2L)
+    assert(got.map(_._1) == (0L to 6L))
+    got.foreach { case (p, n, raw, idx, s) =>
+      assert(n == expN(p) && raw == p - 3.0 && idx == p - 3.0 &&
+        s == 1.0, s"phase $p: ($n, $raw, $idx, $s)")
+    }
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
