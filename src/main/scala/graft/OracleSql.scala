@@ -7543,6 +7543,151 @@ object OracleSql {
         |  ROUND(ctr, 6) + 0.0 AS seasonal_idx,
         |  ROUND(1.0 - sr2 / sd2, 6) + 0.0 AS seasonal_strength
         |FROM idx, rem ORDER BY phase""").stripMargin,
+    // q349: Kuiper replayed — the q297 grid, exact HUGEINT ECDF
+    // cross-products, one double division per direction.
+    "q349_kuiper" ->
+      """WITH v AS (
+        |  SELECT value AS v, event_type = 'click' AS isa
+        |  FROM events
+        |  WHERE event_type IN ('click','view') AND value IS NOT NULL),
+        |g AS (
+        |  SELECT v,
+        |    CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM v GROUP BY v),
+        |c AS (
+        |  SELECT v, ca, cb,
+        |    SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b
+        |  FROM g
+        |  WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb FROM g),
+        |m AS (
+        |  SELECT na, nb,
+        |    MAX(CAST(cum_a AS HUGEINT) * nb - CAST(cum_b AS HUGEINT) * na)
+        |      AS mp,
+        |    MAX(-(CAST(cum_a AS HUGEINT) * nb -
+        |      CAST(cum_b AS HUGEINT) * na)) AS mn
+        |  FROM c CROSS JOIN tot GROUP BY na, nb)
+        |SELECT na AS n_a, nb AS n_b,
+        |  ROUND(CAST(mp AS DOUBLE) /
+        |    (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS d_plus,
+        |  ROUND(CAST(mn AS DOUBLE) /
+        |    (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS d_minus,
+        |  ROUND((CAST(mp AS DOUBLE) + CAST(mn AS DOUBLE)) /
+        |    (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS v_stat
+        |FROM m""".stripMargin,
+
+    // q350: Cramér–von Mises replayed — the same closed-form tie-group
+    // deviation sums in HUGEINT, U·12 exact, T assembled identically
+    // (+0.0 folds a near-zero −0.0).
+    "q350_cramer_von_mises" ->
+      """WITH v AS (
+        |  SELECT value AS v, event_type = 'click' AS isa
+        |  FROM events
+        |  WHERE event_type IN ('click','view') AND value IS NOT NULL),
+        |g AS (
+        |  SELECT v,
+        |    CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM v GROUP BY v),
+        |c AS (
+        |  SELECT v, ca, cb,
+        |    SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b
+        |  FROM g
+        |  WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb FROM g),
+        |terms AS (
+        |  SELECT
+        |    3 * CAST(ca AS HUGEINT) *
+        |      (2 * (cum_a + cum_b - ca - cb) + (ca + cb) + 1 -
+        |        2 * (cum_a - ca)) *
+        |      (2 * (cum_a + cum_b - ca - cb) + (ca + cb) + 1 -
+        |        2 * (cum_a - ca)) -
+        |    6 * CAST(2 * (cum_a + cum_b - ca - cb) + (ca + cb) + 1 -
+        |        2 * (cum_a - ca) AS HUGEINT) * ca * (ca + 1) +
+        |    2 * CAST(ca AS HUGEINT) * (ca + 1) * (2 * ca + 1) AS sa,
+        |    3 * CAST(cb AS HUGEINT) *
+        |      (2 * (cum_a + cum_b - ca - cb) + (ca + cb) + 1 -
+        |        2 * (cum_b - cb)) *
+        |      (2 * (cum_a + cum_b - ca - cb) + (ca + cb) + 1 -
+        |        2 * (cum_b - cb)) -
+        |    6 * CAST(2 * (cum_a + cum_b - ca - cb) + (ca + cb) + 1 -
+        |        2 * (cum_b - cb) AS HUGEINT) * cb * (cb + 1) +
+        |    2 * CAST(cb AS HUGEINT) * (cb + 1) * (2 * cb + 1) AS sb
+        |  FROM c),
+        |agg AS (
+        |  SELECT CAST(SUM(sa) AS HUGEINT) AS ssa,
+        |    CAST(SUM(sb) AS HUGEINT) AS ssb
+        |  FROM terms),
+        |f AS (
+        |  SELECT na, nb, CAST(na AS DOUBLE) AS nad,
+        |    CAST(nb AS DOUBLE) AS nbd,
+        |    CAST(na * ssa + nb * ssb AS DOUBLE) / 12.0 AS u
+        |  FROM agg, tot)
+        |SELECT na AS n_a, nb AS n_b, ROUND(u, 6) AS u_stat,
+        |  ROUND(u / (nad * nbd * (nad + nbd)) -
+        |    (4.0 * nad * nbd - 1.0) / (6.0 * (nad + nbd)), 6) + 0.0
+        |    AS t_stat
+        |FROM f""".stripMargin,
+
+    // q351: Anderson–Darling replayed — doubled midrank integers, the
+    // identical per-term IEEE shape rounded to 6 into decimal sums.
+    "q351_anderson_darling" ->
+      """WITH v AS (
+        |  SELECT value AS v, event_type = 'click' AS isa
+        |  FROM events
+        |  WHERE event_type IN ('click','view') AND value IS NOT NULL),
+        |g AS (
+        |  SELECT v,
+        |    CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM v GROUP BY v),
+        |c AS (
+        |  SELECT v, ca, cb,
+        |    SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b
+        |  FROM g
+        |  WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb FROM g),
+        |terms AS (
+        |  SELECT na, nb,
+        |    CAST(ca + cb AS DOUBLE) AS ld,
+        |    CAST(na + nb AS DOUBLE) AS nd,
+        |    CAST(2 * (cum_a + cum_b) - (ca + cb) AS DOUBLE) AS b2,
+        |    CAST(2 * cum_a - ca AS DOUBLE) AS m2a,
+        |    CAST(2 * cum_b - cb AS DOUBLE) AS m2b
+        |  FROM c CROSS JOIN tot),
+        |t2 AS (
+        |  SELECT na, nb,
+        |    CAST(ROUND(ld / nd *
+        |      ((nd * m2a - CAST(na AS DOUBLE) * b2) *
+        |       (nd * m2a - CAST(na AS DOUBLE) * b2)) /
+        |      (2.0 * nd * b2 - b2 * b2 - nd * ld), 6)
+        |      AS DECIMAL(38,6)) AS ta,
+        |    CAST(ROUND(ld / nd *
+        |      ((nd * m2b - CAST(nb AS DOUBLE) * b2) *
+        |       (nd * m2b - CAST(nb AS DOUBLE) * b2)) /
+        |      (2.0 * nd * b2 - b2 * b2 - nd * ld), 6)
+        |      AS DECIMAL(38,6)) AS tb
+        |  FROM terms),
+        |agg AS (
+        |  SELECT na, nb, CAST(COUNT(*) AS BIGINT) AS n_grid,
+        |    CAST(SUM(ta) AS DOUBLE) AS ia, CAST(SUM(tb) AS DOUBLE) AS ib
+        |  FROM t2 GROUP BY na, nb)
+        |SELECT na AS n_a, nb AS n_b, n_grid,
+        |  ROUND((CAST(na + nb AS DOUBLE) - 1.0) /
+        |    CAST(na + nb AS DOUBLE) *
+        |    (ia / CAST(na AS DOUBLE) + ib / CAST(nb AS DOUBLE)), 6)
+        |    AS a2_stat
+        |FROM agg""".stripMargin,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which

@@ -4058,6 +4058,30 @@ object SparkEntry {
     TimeSeriesOps.seasonalDecompositionDailyCounts(
       t(spark, dir, "events"), "ts")
 
+  // ---------------------------------------------------------------- q349
+  // Kuiper two-sample on click-vs-view values: D⁺ + D⁻ over the shared
+  // ECDF grid — the two-tail-fair sup statistic next to q115's KS,
+  // exact integer cross-product numerators.
+  def q349(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.kuiperTwoSample(
+      t(spark, dir, "events"), "value", "event_type", "click", "view")
+
+  // ---------------------------------------------------------------- q350
+  // Cramér–von Mises two-sample: midrank U with every tie group's
+  // deviation sum collapsed in closed form, U·12 an exact integer off
+  // the cumulative grid — the integrated member of the ECDF battery.
+  def q350(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.cramerVonMisesTwoSample(
+      t(spark, dir, "events"), "value", "event_type", "click", "view")
+
+  // ---------------------------------------------------------------- q351
+  // Two-sample Anderson–Darling (midrank A²): tail-weighted ECDF gap,
+  // doubled midrank integers per grid value, round-6 decimal term
+  // sums — the tail-sensitive member of the battery.
+  def q351(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.andersonDarlingTwoSample(
+      t(spark, dir, "events"), "value", "event_type", "click", "view")
+
   // ---------------------------------------------------------------- q312
   // Empirical-Bayes shrinkage of per-source long-doc rates: beta prior
   // by method of moments over the source rates, each source's rate
@@ -5259,6 +5283,9 @@ object SparkEntry {
     "q346_chow" -> (q346 _),
     "q347_breusch_pagan" -> (q347 _),
     "q348_seasonal_decomposition" -> (q348 _),
+    "q349_kuiper" -> (q349 _),
+    "q350_cramer_von_mises" -> (q350 _),
+    "q351_anderson_darling" -> (q351 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -1373,6 +1373,119 @@ object DriftOps {
       round(naD * nbD / (naD + nbD) * d, 6).as("e_stat"))
   }
 
+  /** Kuiper two-sample test (Kuiper 1960): V = D⁺ + D⁻, the SUM of the
+    * largest ECDF exceedances in each direction — unlike KS's single
+    * sup (q115), V weights the distribution's two tails equally and is
+    * invariant under cyclic shifts, the right sup-statistic when drift
+    * can push mass out both ends. Same [[ecdfGrid]] distributed prefix
+    * scheme as KS/Wasserstein.
+    *
+    * Exactness: D⁺/D⁻ numerators are exact integer cross-products
+    * (cum_a·n_b − cum_b·n_a); one double division each at the end.
+    */
+  def kuiperTwoSample(df: DataFrame, valCol: String, groupCol: String,
+      groupA: String, groupB: String, buckets: Int = 32): DataFrame = {
+    val g = ecdfGrid(df, valCol, groupCol, groupA, groupB, buckets)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val diff = dec(col("cum_a")) * dec(col("__nb")) -
+      dec(col("cum_b")) * dec(col("__na"))
+    val agg = g.groupBy(col("__na"), col("__nb"))
+      .agg(max(diff).as("__mp"), max(-diff).as("__mn"))
+    val naD = col("__na").cast("double")
+    val nbD = col("__nb").cast("double")
+    agg.select(col("__na").as("n_a"), col("__nb").as("n_b"),
+      round(col("__mp").cast("double") / (naD * nbD), 6).as("d_plus"),
+      round(col("__mn").cast("double") / (naD * nbD), 6).as("d_minus"),
+      round((col("__mp").cast("double") + col("__mn").cast("double")) /
+        (naD * nbD), 6).as("v_stat"))
+  }
+
+  /** Cramér–von Mises two-sample test (Anderson 1962, midrank ties):
+    * T = U/(n_a·n_b·N) − (4n_a·n_b − 1)/(6N), with
+    * U = n_a·Σ_i(r_i − i)² + n_b·Σ_j(s_j − j)² over combined midranks —
+    * the INTEGRATED-squared-ECDF-gap member of the two-sample battery
+    * (KS sup q115, Kuiper two-sided sup, Wasserstein q297 mass, AD
+    * tail-weighted). Each tie group's deviation sum collapses in closed
+    * form (Σ_{k≤c}(d−k)², d the half-integer midrank offset), so U·12
+    * is an EXACT integer assembled from the grid's cumulative counts —
+    * no per-observation ranks ever materialize.
+    *
+    * Scale shape: the [[ecdfGrid]] distributed prefix scheme; one
+    * grouped decimal reduction over the distinct-value grid.
+    */
+  def cramerVonMisesTwoSample(df: DataFrame, valCol: String,
+      groupCol: String, groupA: String, groupB: String,
+      buckets: Int = 32): DataFrame = {
+    val g = ecdfGrid(df, valCol, groupCol, groupA, groupB, buckets)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val c = col("ca") + col("cb")
+    val cumNprev = (col("cum_a") + col("cum_b")) - c
+    // 2·(midrank − within-sample prefix): integer by construction
+    def d2(cumPrev: Column): Column =
+      lit(2L) * cumNprev + c + lit(1L) - lit(2L) * cumPrev
+    // 12·Σ_{k=1..cnt}(d − k)² as exact integers
+    def s12(cnt: Column, dd: Column): Column =
+      lit(3L) * dec(cnt) * dec(dd) * dec(dd) -
+        lit(6L) * dec(dd) * dec(cnt) * dec(cnt + 1L) +
+        lit(2L) * dec(cnt) * dec(cnt + 1L) * dec(lit(2L) * cnt + 1L)
+    val agg = g.groupBy(col("__na"), col("__nb"))
+      .agg(
+        sum(s12(col("ca"), d2(col("cum_a") - col("ca")))).as("__sa"),
+        sum(s12(col("cb"), d2(col("cum_b") - col("cb")))).as("__sb"))
+    val naD = col("__na").cast("double")
+    val nbD = col("__nb").cast("double")
+    val u12 = (dec(col("__na")) * col("__sa") +
+      dec(col("__nb")) * col("__sb")).cast("double")
+    val u = u12 / lit(12.0)
+    agg.select(col("__na").as("n_a"), col("__nb").as("n_b"),
+      round(u, 6).as("u_stat"),
+      round(u / (naD * nbD * (naD + nbD)) -
+        (lit(4.0) * naD * nbD - lit(1.0)) /
+          (lit(6.0) * (naD + nbD)), 6).as("t_stat"))
+  }
+
+  /** Two-sample Anderson–Darling test (Scholz & Stephens 1987, midrank
+    * version — the k=2 A²_akN): tail-weighted integrated ECDF gap,
+    * the member of the battery most sensitive to tail drift. Per
+    * distinct value the midrank quantities double to exact integers
+    * (M2 = 2·cumᵢ − cᵢ, B2 = 2·cumN − l), each term
+    * (l/N)·(N·M2 − nᵢ·B2)²/(2N·B2 − B2² − N·l) is one deterministic
+    * IEEE double shape, rounded to 6 into decimal per-sample sums.
+    *
+    * Scale shape: the [[ecdfGrid]] distributed prefix scheme; one
+    * grouped reduction.
+    */
+  def andersonDarlingTwoSample(df: DataFrame, valCol: String,
+      groupCol: String, groupA: String, groupB: String,
+      buckets: Int = 32): DataFrame = {
+    val g = ecdfGrid(df, valCol, groupCol, groupA, groupB, buckets)
+    val l = col("ca") + col("cb")
+    val cumN = col("cum_a") + col("cum_b")
+    val nTot = col("__na") + col("__nb")
+    val nD = nTot.cast("double")
+    val b2 = (lit(2L) * cumN - l).cast("double")
+    val lD = l.cast("double")
+    def term(cum: Column, cnt: Column, nI: Column): Column = {
+      val m2 = (lit(2L) * cum - cnt).cast("double")
+      val num = nD * m2 - nI.cast("double") * b2
+      lD / nD * (num * num) / (lit(2.0) * nD * b2 - b2 * b2 - nD * lD)
+    }
+    val agg = g.groupBy(col("__na"), col("__nb"))
+      .agg(
+        count(lit(1)).as("n_grid"),
+        sum(round(term(col("cum_a"), col("ca"), col("__na")), 6)
+          .cast("decimal(38,6)")).cast("double").as("__ia"),
+        sum(round(term(col("cum_b"), col("cb"), col("__nb")), 6)
+          .cast("decimal(38,6)")).cast("double").as("__ib"))
+    val naD = col("__na").cast("double")
+    val nbD = col("__nb").cast("double")
+    val nD2 = (col("__na") + col("__nb")).cast("double")
+    agg.select(col("__na").as("n_a"), col("__nb").as("n_b"),
+      col("n_grid"),
+      round((nD2 - lit(1.0)) / nD2 *
+        (col("__ia") / naD + col("__ib") / nbD), 6).as("a2_stat"))
+  }
+
   /** Mood's median test (Mood 1950): are the k groups' values drawn
     * around ONE common median? The pooled median comes from the two
     * middle order statistics over the distinct-value cumulative-count

@@ -269,6 +269,44 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------- q349-q351 two-sample ECDF battery
+
+  test("kuiperTwoSample: disjoint supports give V = 1") {
+    val d = (Seq(1.0, 2.0).map(("a", _)) ++ Seq(3.0, 4.0).map(("b", _)))
+      .toDF("g", "v")
+    val r = graft.operators.DriftOps.kuiperTwoSample(d, "v", "g", "a", "b")
+      .select("n_a", "n_b", "d_plus", "d_minus", "v_stat")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(r == ((2L, 2L, 1.0, 0.0, 1.0)))
+  }
+
+  test("cramerVonMisesTwoSample matches scipy on the untied and tied " +
+      "hand cases") {
+    val d1 = (Seq(1.0, 2.0).map(("a", _)) ++ Seq(3.0, 4.0).map(("b", _)))
+      .toDF("g", "v")
+    val r1 = graft.operators.DriftOps
+      .cramerVonMisesTwoSample(d1, "v", "g", "a", "b")
+      .select("u_stat", "t_stat").as[(Double, Double)].head()
+    assert(r1 == ((16.0, 0.375))) // scipy cramervonmises_2samp = 0.375
+    val d2 = (Seq(1.0, 1.0).map(("a", _)) ++ Seq(1.0, 2.0).map(("b", _)))
+      .toDF("g", "v")
+    val r2 = graft.operators.DriftOps
+      .cramerVonMisesTwoSample(d2, "v", "g", "a", "b")
+      .select("u_stat", "t_stat").as[(Double, Double)].head()
+    assert(r2 == ((12.0, 0.125))) // midrank ties, worked by hand
+  }
+
+  test("andersonDarlingTwoSample matches the hand-worked A2 = 19/11") {
+    val d = (Seq(1.0, 2.0).map(("a", _)) ++ Seq(3.0, 4.0).map(("b", _)))
+      .toDF("g", "v")
+    val r = graft.operators.DriftOps
+      .andersonDarlingTwoSample(d, "v", "g", "a", "b")
+      .select("n_a", "n_b", "n_grid", "a2_stat")
+      .as[(Long, Long, Long, Double)].head()
+    assert(r._1 == 2L && r._2 == 2L && r._3 == 4L)
+    assert(math.abs(r._4 - 19.0 / 11.0) < 1e-5, s"a2=${r._4}")
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
