@@ -7688,6 +7688,98 @@ object OracleSql {
         |    (ia / CAST(na AS DOUBLE) + ib / CAST(nb AS DOUBLE)), 6)
         |    AS a2_stat
         |FROM agg""".stripMargin,
+    // q352: link prediction replayed — the q139 cosine-edge prelude,
+    // wedge join on the shared neighbor, NOT EXISTS anti-join, round-9
+    // decimal Adamic–Adar terms, the same total (cn, id) order.
+    "q352_link_prediction" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id < 200),
+        |pairs AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE ROUND(list_inner_product(a.emb, b.emb) /
+        |      (SQRT(list_inner_product(a.emb, a.emb)) *
+        |       SQRT(list_inner_product(b.emb, b.emb))), 6) >= 0.2),
+        |sym AS (
+        |  SELECT src AS a, dst AS b FROM pairs
+        |  UNION ALL SELECT dst, src FROM pairs),
+        |deg AS (
+        |  SELECT a AS z, CAST(COUNT(*) AS BIGINT) AS dz
+        |  FROM sym GROUP BY a),
+        |thr AS (
+        |  SELECT s.a AS z, s.b AS u, d.dz
+        |  FROM sym s JOIN deg d ON s.a = d.z),
+        |cand AS (
+        |  SELECT t1.u AS u, t2.u AS w, CAST(COUNT(*) AS BIGINT) AS cn,
+        |    CAST(SUM(CAST(ROUND(1.0 / LN(CAST(t1.dz AS DOUBLE)), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS aa
+        |  FROM thr t1 JOIN thr t2 ON t1.z = t2.z AND t1.u < t2.u
+        |  GROUP BY t1.u, t2.u),
+        |nonadj AS (
+        |  SELECT c.* FROM cand c
+        |  WHERE NOT EXISTS (SELECT 1 FROM pairs p
+        |                    WHERE p.src = c.u AND p.dst = c.w)),
+        |wd AS (
+        |  SELECT n.u, n.w, n.cn, n.aa, d1.dz AS du, d2.dz AS dw
+        |  FROM nonadj n JOIN deg d1 ON n.u = d1.z
+        |  JOIN deg d2 ON n.w = d2.z)
+        |SELECT u AS id_a, w AS id_b, cn AS common_neighbors,
+        |  ROUND(CAST(cn AS DOUBLE) / CAST(du + dw - cn AS DOUBLE), 6)
+        |    AS jaccard,
+        |  ROUND(aa, 6) AS adamic_adar
+        |FROM wd ORDER BY cn DESC, u, w LIMIT 20""".stripMargin,
+
+    // q353: assortativity/transitivity replayed — exact HUGEINT stub
+    // moments over the same prelude, identical double assembly.
+    "q353_assortativity" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id < 200),
+        |pairs AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE ROUND(list_inner_product(a.emb, b.emb) /
+        |      (SQRT(list_inner_product(a.emb, a.emb)) *
+        |       SQRT(list_inner_product(b.emb, b.emb))), 6) >= 0.2),
+        |sym AS (
+        |  SELECT src AS a, dst AS b FROM pairs
+        |  UNION ALL SELECT dst, src FROM pairs),
+        |deg AS (
+        |  SELECT a AS z, CAST(COUNT(*) AS BIGINT) AS dz
+        |  FROM sym GROUP BY a),
+        |stubs AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(d1.dz + d2.dz) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(d1.dz AS HUGEINT) * d1.dz +
+        |      CAST(d2.dz AS HUGEINT) * d2.dz) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(d1.dz AS HUGEINT) * d2.dz) * 2 AS DOUBLE)
+        |      AS sxy
+        |  FROM pairs p JOIN deg d1 ON p.src = d1.z
+        |  JOIN deg d2 ON p.dst = d2.z),
+        |wedges AS (
+        |  SELECT CAST(SUM(CAST(dz AS HUGEINT) * (dz - 1)) AS DOUBLE)
+        |      AS w2,
+        |    CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |  FROM deg),
+        |tri AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        |    SELECT p1.src AS a, p1.dst AS b, p2.dst AS c
+        |    FROM pairs p1 JOIN pairs p2 ON p1.dst = p2.src
+        |    WHERE EXISTS (SELECT 1 FROM pairs p3
+        |                  WHERE p3.src = p1.src AND p3.dst = p2.dst))),
+        |f AS (
+        |  SELECT n_nodes, m, n_triangles, w2, sx, sxx, sxy,
+        |    CAST(m * 2 AS DOUBLE) AS m2d
+        |  FROM stubs, wedges, tri),
+        |f2 AS (SELECT *, sx / m2d AS mu FROM f)
+        |SELECT n_nodes, m AS n_edges, n_triangles,
+        |  CAST(w2 / 2.0 AS BIGINT) AS n_wedges,
+        |  ROUND(3.0 * CAST(n_triangles AS DOUBLE) / (w2 / 2.0), 6)
+        |    AS transitivity,
+        |  ROUND((sxy / m2d - mu * mu) / (sxx / m2d - mu * mu), 6) + 0.0
+        |    AS assortativity
+        |FROM f2""".stripMargin,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which

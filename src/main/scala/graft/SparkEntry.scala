@@ -4058,6 +4058,22 @@ object SparkEntry {
     TimeSeriesOps.seasonalDecompositionDailyCounts(
       t(spark, dir, "events"), "ts")
 
+  // ---------------------------------------------------------------- q352
+  // Link prediction on the cosine graph: common-neighbor / Jaccard /
+  // Adamic–Adar top-20 over non-adjacent pairs — "which near-dup pair
+  // did the 0.2 threshold miss"; banded wedge join, never all-pairs.
+  def q352(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.GraphOps.linkPredictionCard(
+      cosineEdges(spark, dir, 0.2), "id_a", "id_b", topK = 20)
+
+  // ---------------------------------------------------------------- q353
+  // Structural card of the cosine graph: Newman degree assortativity
+  // over the 2m stubs + global transitivity 3·tri/wedges — hubs-to-
+  // hubs mixing and closed-wedge fraction, exact integer moments.
+  def q353(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.GraphOps.assortativityCard(
+      cosineEdges(spark, dir, 0.2), "id_a", "id_b")
+
   // ---------------------------------------------------------------- q349
   // Kuiper two-sample on click-vs-view values: D⁺ + D⁻ over the shared
   // ECDF grid — the two-tail-fair sup statistic next to q115's KS,
@@ -5286,6 +5302,8 @@ object SparkEntry {
     "q349_kuiper" -> (q349 _),
     "q350_cramer_von_mises" -> (q350 _),
     "q351_anderson_darling" -> (q351 _),
+    "q352_link_prediction" -> (q352 _),
+    "q353_assortativity" -> (q353 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph operators for duplicate-cluster resolution. Near-dup detection
@@ -270,5 +270,115 @@ object GraphOps {
     sym.groupBy(col("__src").as("v"))
       .agg(count(lit(1)).as("degree"))
       .orderBy(col("v"))
+  }
+
+  /** Link prediction over the undirected graph: for every NON-adjacent
+    * pair sharing ≥1 neighbor, the three classic scores — common-
+    * neighbor count, neighborhood Jaccard, and Adamic–Adar
+    * Σ_z 1/ln(deg z) (Adamic & Adar 2003, rare shared neighbors count
+    * more) — top-`topK` candidates. The "which near-dup pair did the
+    * threshold MISS" view of the similarity graph: banded equi-join on
+    * the shared neighbor, never all-pairs.
+    *
+    * Exactness: counts/degrees exact; AA terms round to 9 into a
+    * decimal sum; Jaccard is one double division.
+    *
+    * Scale shape: one self-equi-join on the neighbor id (wedge
+    * enumeration — the [[triangleStats]] budget), one anti-join against
+    * the edge list, one TakeOrdered(topK).
+    */
+  def linkPredictionCard(edges: DataFrame, srcCol: String,
+      dstCol: String, topK: Int = 20): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val fwd = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+    val oriented = fwd
+      .select(least(col("__a"), col("__b")).as("a"),
+        greatest(col("__a"), col("__b")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val sym = oriented.union(
+      oriented.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("dz"))
+    // wedges through z: (u, w) with u < w, scored by z's degree
+    val throuZ = sym.select(col("a").as("z"), col("b").as("u"))
+      .join(deg, "z")
+    val pairs = throuZ
+      .join(throuZ.select(col("z"), col("u").as("w")), "z")
+      .filter(col("u") < col("w"))
+      .groupBy(col("u"), col("w"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(round(lit(1.0) / log(col("dz").cast("double")), 9)
+          .cast("decimal(38,9)")).cast("double").as("__aa"))
+    val candidates = pairs.join(
+      oriented.select(col("a").as("u"), col("b").as("w")),
+      Seq("u", "w"), "left_anti")
+    val withDeg = candidates
+      .join(deg.select(col("z").as("u"), col("dz").as("du")), "u")
+      .join(deg.select(col("z").as("w"), col("dz").as("dw")), "w")
+    withDeg
+      .select(col("u").as("id_a"), col("w").as("id_b"),
+        col("common_neighbors"),
+        round(col("common_neighbors").cast("double") /
+          (col("du") + col("dw") - col("common_neighbors"))
+            .cast("double"), 6).as("jaccard"),
+        round(col("__aa"), 6).as("adamic_adar"))
+      .orderBy(col("common_neighbors").desc, col("id_a"), col("id_b"))
+      .limit(topK)
+  }
+
+  /** One-row structural card of the undirected graph: degree
+    * assortativity (Newman 2002 — do hubs link to hubs?) over the 2m
+    * directed stubs, and global transitivity 3·triangles/wedges (the
+    * closed-wedge fraction; [[triangleStats]]' avg-local-clustering is
+    * the per-node mean, THIS is the edge-weighted global). Every
+    * moment — stub degree sums, products, wedge counts — is an exact
+    * integer; both ratios assemble in one fixed double shape.
+    *
+    * Scale shape: one degree aggregation, one broadcast-degree edge
+    * join, the [[triangleStats]] wedge/triangle joins; no all-pairs.
+    */
+  def assortativityCard(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val fwd = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+    val oriented = fwd
+      .select(least(col("__a"), col("__b")).as("a"),
+        greatest(col("__a"), col("__b")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val sym = oriented.union(
+      oriented.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val stubs = oriented
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .agg(count(lit(1)).as("m"),
+        sum(col("da") + col("db")).cast("double").as("__sx"),
+        sum(dec(col("da")) * dec(col("da")) +
+          dec(col("db")) * dec(col("db"))).cast("double").as("__sxx"),
+        (sum(dec(col("da")) * dec(col("db"))) * lit(2)).cast("double")
+          .as("__sxy"))
+    val wedgeTri = {
+      val wedges = deg.agg(
+        sum(dec(col("d")) * dec(col("d") - 1L)).cast("double")
+          .as("__w2"),
+        count(lit(1)).as("n_nodes"))
+      val w = oriented
+        .join(oriented.select(col("a").as("b"), col("b").as("c")), "b")
+        .select(col("a"), col("c"))
+      val tri = w.join(oriented.select(col("a"), col("b").as("c")),
+          Seq("a", "c"), "leftsemi")
+        .agg(count(lit(1)).as("n_triangles"))
+      wedges.crossJoin(tri)
+    }
+    val mD2 = (col("m") * lit(2L)).cast("double")
+    val mu = col("__sx") / mD2
+    val r = (col("__sxy") / mD2 - mu * mu) /
+      (col("__sxx") / mD2 - mu * mu)
+    stubs.crossJoin(wedgeTri)
+      .select(col("n_nodes"), col("m").as("n_edges"),
+        col("n_triangles"),
+        (col("__w2") / 2.0).cast("long").as("n_wedges"),
+        round(lit(3.0) * col("n_triangles").cast("double") /
+          (col("__w2") / lit(2.0)), 6).as("transitivity"),
+        round(r, 6).as("assortativity"))
   }
 }

@@ -307,6 +307,46 @@ class Round11OpsSpec extends SparkSpec {
     assert(math.abs(r._4 - 19.0 / 11.0) < 1e-5, s"a2=${r._4}")
   }
 
+  // ---------------------------------------- q352-q353 graph operators
+
+  test("linkPredictionCard scores the path graph's skip pairs") {
+    // 1-2-3-4: candidates (1,3) via 2 and (2,4) via 3, both cn=1,
+    // jaccard 0.5, AA = 1/ln 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val r = graft.operators.GraphOps.linkPredictionCard(edges, "s", "d")
+      .select("id_a", "id_b", "common_neighbors", "jaccard",
+        "adamic_adar")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(r == Seq((1L, 3L, 1L, 0.5, 1.442695),
+      (2L, 4L, 1L, 0.5, 1.442695)))
+  }
+
+  test("linkPredictionCard never proposes an existing edge") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("s", "d")
+    val got = graft.operators.GraphOps.linkPredictionCard(edges, "s", "d")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!got.contains((1L, 2L)) && !got.contains((2L, 3L)) &&
+      !got.contains((1L, 3L)))
+    assert(got.contains((1L, 4L)) && got.contains((2L, 4L)))
+  }
+
+  test("assortativityCard: a star is perfectly disassortative") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("s", "d")
+    val r = graft.operators.GraphOps.assortativityCard(edges, "s", "d")
+      .select("n_nodes", "n_edges", "n_triangles", "n_wedges",
+        "transitivity", "assortativity")
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(r == ((4L, 3L, 0L, 3L, 0.0, -1.0)))
+  }
+
+  test("assortativityCard: triangle + pendant has transitivity 3/5") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("s", "d")
+    val r = graft.operators.GraphOps.assortativityCard(edges, "s", "d")
+      .select("n_triangles", "n_wedges", "transitivity", "assortativity")
+      .as[(Long, Long, Double, Double)].head()
+    assert(r == ((1L, 5L, 0.6, -0.714286)))
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
