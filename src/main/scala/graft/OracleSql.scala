@@ -7780,6 +7780,111 @@ object OracleSql {
         |  ROUND((sxy / m2d - mu * mu) / (sxx / m2d - mu * mu), 6) + 0.0
         |    AS assortativity
         |FROM f2""".stripMargin,
+    // q354: lexical diversity replayed — the q289 spectrum prelude,
+    // exact HUGEINT spectrum moments, identical double shapes.
+    "q354_lexical_diversity" ->
+      """WITH t AS (
+        |  SELECT string_split(trim(text), ' ') AS toks FROM documents),
+        |w AS (SELECT u.w AS w FROM t, UNNEST(toks) AS u(w)
+        |      WHERE u.w <> ''),
+        |c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS r FROM w GROUP BY w),
+        |a AS (
+        |  SELECT CAST(SUM(r) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(CAST(r AS HUGEINT) * r) AS DOUBLE) AS sr2,
+        |    CAST(SUM(CAST(r AS HUGEINT) * (r - 1)) AS DOUBLE) AS sr11,
+        |    CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |    CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2
+        |  FROM c)
+        |SELECT n_tokens, n_types, v1, v2,
+        |  ROUND(10000.0 * (sr2 - CAST(n_tokens AS DOUBLE)) /
+        |    (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6)
+        |    AS yule_k,
+        |  ROUND(sr11 / (CAST(n_tokens AS DOUBLE) *
+        |    (CAST(n_tokens AS DOUBLE) - 1.0)), 6) AS simpson_d,
+        |  CASE WHEN v1 < n_types THEN
+        |    ROUND(100.0 * LN(CAST(n_tokens AS DOUBLE)) /
+        |      (1.0 - CAST(v1 AS DOUBLE) / CAST(n_types AS DOUBLE)), 6)
+        |  END AS honore_r,
+        |  ROUND(CAST(v2 AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
+        |    AS sichel_s
+        |FROM a WHERE n_tokens > 1""".stripMargin,
+
+    // q355: Kneser–Ney replayed — the q133 bigram prelude, exact
+    // context/continuation/type counts, the identical interpolated-P
+    // shape, round-9 weighted log terms into the decimal corpus sum.
+    "q355_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT tk[i] || ' ' || tk[i + 1] AS bg
+        |  FROM toks, unnest(range(1, GREATEST(len(tk), 1))) AS t(i)),
+        |c2 AS (
+        |  SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2,
+        |    string_split(bg, ' ')[1] AS w1,
+        |    string_split(bg, ' ')[-1] AS w2
+        |  FROM bg GROUP BY bg),
+        |ctx AS (
+        |  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+        |    CAST(COUNT(*) AS BIGINT) AS n1f
+        |  FROM c2 GROUP BY w1),
+        |cont AS (
+        |  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b
+        |  FROM c2 GROUP BY w2),
+        |ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM c2),
+        |sc AS (
+        |  SELECT c2.c2 AS c2c,
+        |    (CAST(c2.c2 AS DOUBLE) - 0.75) / CAST(ctx.c1 AS DOUBLE) +
+        |    0.75 * CAST(ctx.n1f AS DOUBLE) / CAST(ctx.c1 AS DOUBLE) *
+        |      (CAST(cont.n1b AS DOUBLE) / CAST(ty.nt AS DOUBLE)) AS p
+        |  FROM c2 JOIN ctx ON c2.w1 = ctx.w1
+        |  JOIN cont ON c2.w2 = cont.w2, ty),
+        |agg AS (
+        |  SELECT CAST(SUM(c2c) AS BIGINT) AS n_bigrams,
+        |    CAST(COUNT(*) AS BIGINT) AS n_bigram_types,
+        |    CAST(SUM(CAST(ROUND(CAST(c2c AS DOUBLE) * LN(p), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE) /
+        |      CAST(SUM(c2c) AS DOUBLE) AS avg
+        |  FROM sc)
+        |SELECT n_bigrams, n_bigram_types,
+        |  ROUND(avg, 6) AS avg_logp, ROUND(EXP(-avg), 6) AS ppl
+        |FROM agg""".stripMargin,
+
+    // q356: categorical distance replayed — exact cohort cells, round-9
+    // decimal term sums, one sqrt/ln each at the end.
+    "q356_categorical_distance" ->
+      """WITH d AS (
+        |  SELECT event_type AS cat, user_id % 2 = 0 AS isa
+        |  FROM events WHERE event_type IS NOT NULL),
+        |cells AS (
+        |  SELECT cat,
+        |    CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM d GROUP BY cat),
+        |tot AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb FROM cells),
+        |terms AS (
+        |  SELECT na, nb,
+        |    CAST(ROUND(ABS(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) -
+        |      CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)), 9)
+        |      AS DECIMAL(38,9)) AS tv,
+        |    CAST(ROUND(SQRT(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) *
+        |      (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))), 9)
+        |      AS DECIMAL(38,9)) AS bc
+        |  FROM cells, tot),
+        |agg AS (
+        |  SELECT na, nb, CAST(COUNT(*) AS BIGINT) AS n_categories,
+        |    CAST(SUM(tv) AS DOUBLE) AS stv,
+        |    CAST(SUM(bc) AS DOUBLE) AS sbc
+        |  FROM terms GROUP BY na, nb)
+        |SELECT na AS n_a, nb AS n_b, n_categories,
+        |  ROUND(0.5 * stv, 6) AS tv, ROUND(sbc, 6) AS bc,
+        |  ROUND(SQRT(GREATEST(0.0, 1.0 - sbc)), 6) AS hellinger,
+        |  CASE WHEN sbc > 0.0 THEN ROUND(-LN(sbc), 6) + 0.0 END
+        |    AS bhattacharyya
+        |FROM agg""".stripMargin,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which

@@ -4074,6 +4074,29 @@ object SparkEntry {
     graft.operators.GraphOps.assortativityCard(
       cosineEdges(spark, dir, 0.2), "id_a", "id_b")
 
+  // ---------------------------------------------------------------- q354
+  // Lexical-diversity card: Yule's K, Simpson's D, Honoré's R, Sichel's
+  // S off the exact token spectrum — the repeat-structure view next to
+  // q289's species estimates; template floods move K hard.
+  def q354(spark: SparkSession, dir: String): DataFrame =
+    TextOps.lexicalDiversityCard(t(spark, dir, "documents"), "text")
+
+  // ---------------------------------------------------------------- q355
+  // Interpolated Kneser–Ney bigram LM (D=0.75) self-scored on the
+  // corpus: continuation-count smoothing — the principled upgrade over
+  // q133's raw MLE bigram perplexity, all counts exact integers.
+  def q355(spark: SparkSession, dir: String): DataFrame =
+    TextOps.kneserNeyBigramCard(t(spark, dir, "documents"), "doc_id",
+      "text")
+
+  // ---------------------------------------------------------------- q356
+  // TV / Bhattacharyya / Hellinger between the event-type mixes of the
+  // even- and odd-user cohorts — the bounded/metric members of the
+  // categorical drift family (PSI q113, JS q177).
+  def q356(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.categoricalDistanceCard(
+      t(spark, dir, "events"), "event_type", col("user_id") % 2 === 0)
+
   // ---------------------------------------------------------------- q349
   // Kuiper two-sample on click-vs-view values: D⁺ + D⁻ over the shared
   // ECDF grid — the two-tail-fair sup statistic next to q115's KS,
@@ -5304,6 +5327,9 @@ object SparkEntry {
     "q351_anderson_darling" -> (q351 _),
     "q352_link_prediction" -> (q352 _),
     "q353_assortativity" -> (q353 _),
+    "q354_lexical_diversity" -> (q354 _),
+    "q355_kneser_ney" -> (q355 _),
+    "q356_categorical_distance" -> (q356 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

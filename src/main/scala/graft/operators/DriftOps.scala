@@ -1486,6 +1486,49 @@ object DriftOps {
         (col("__ia") / naD + col("__ib") / nbD), 6).as("a2_stat"))
   }
 
+  /** Categorical-distribution distance card between two cohorts: total
+    * variation ½Σ|p−q| (the fraction of mass that must MOVE — the
+    * tightest bound on any event-probability difference), Bhattacharyya
+    * coefficient Σ√(pq) with its distance −ln BC, and Hellinger
+    * √(1 − BC) (the metric one, bounded [0,1]) — the bounded/metric
+    * members of the categorical family next to PSI (q113, unbounded
+    * log-weighted) and JS divergence (q177).
+    *
+    * Exactness: cell counts exact; per-category terms are fixed double
+    * shapes rounded to 9 into decimal sums; one sqrt/ln at the end.
+    *
+    * Scale shape: one conditional count aggregation over the scan;
+    * everything else on the category-bounded frame.
+    */
+  def categoricalDistanceCard(df: DataFrame, catCol: String,
+      isA: Column): DataFrame = {
+    val d = df.filter(col(catCol).isNotNull)
+      .select(col(catCol).as("cat"), isA.as("__isa"))
+    val cells = d.groupBy(col("cat"))
+      .agg(sum(when(col("__isa"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("__isa"), 1L).otherwise(0L)).as("cb"))
+    val tot = cells.agg(sum(col("ca")).as("__na"),
+      sum(col("cb")).as("__nb"))
+    val p = col("ca").cast("double") / col("__na").cast("double")
+    val q = col("cb").cast("double") / col("__nb").cast("double")
+    val agg = cells.crossJoin(broadcast(tot))
+      .select(col("__na"), col("__nb"),
+        round(abs(p - q), 9).cast("decimal(38,9)").as("__tv"),
+        round(sqrt(p * q), 9).cast("decimal(38,9)").as("__bc"))
+      .groupBy(col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("__tv")).cast("double").as("__stv"),
+        sum(col("__bc")).cast("double").as("__sbc"))
+    agg.select(col("__na").as("n_a"), col("__nb").as("n_b"),
+      col("n_categories"),
+      round(lit(0.5) * col("__stv"), 6).as("tv"),
+      round(col("__sbc"), 6).as("bc"),
+      round(sqrt(greatest(lit(0.0), lit(1.0) - col("__sbc"))), 6)
+        .as("hellinger"),
+      when(col("__sbc") > 0.0, round(-log(col("__sbc")), 6) + lit(0.0))
+        .as("bhattacharyya"))
+  }
+
   /** Mood's median test (Mood 1950): are the k groups' values drawn
     * around ONE common median? The pooled median comes from the two
     * middle order statistics over the distinct-value cumulative-count

@@ -1805,4 +1805,100 @@ object TextOps {
         col("phrase"))
       .limit(k)
   }
+  /** Lexical-diversity card over the corpus token spectrum: Yule's K
+    * (Yule 1944 — repeat-rate scaled by 10⁴, length-robust), Simpson's
+    * D (probability two random tokens coincide), Honoré's R (hapax-
+    * driven richness), and Sichel's S (dis-legomena share) — the
+    * repeat-structure view next to [[vocabRichnessCard]]'s species
+    * estimates (Chao1/coverage read "how much is unseen", K/D read
+    * "how repetitive is what we HAVE" — template floods move K hard).
+    *
+    * Exactness: every spectrum moment (Σr²V_r, Σr(r−1)V_r, V₁, V₂) is
+    * an exact integer; K/D are fixed double shapes, R takes one ln.
+    *
+    * Scale shape: one token count aggregation + one spectrum
+    * reduction.
+    */
+  def lexicalDiversityCard(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("r"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val agg = counts.agg(
+        sum(col("r")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(dec(col("r")) * dec(col("r"))).cast("double").as("__sr2"),
+        sum(dec(col("r")) * dec(col("r") - 1L)).cast("double").as("__sr11"),
+        sum(when(col("r") === 1L, 1L).otherwise(0L)).as("v1"),
+        sum(when(col("r") === 2L, 1L).otherwise(0L)).as("v2"))
+      .filter(col("n_tokens") > 1)
+    val nD = col("n_tokens").cast("double")
+    val vD = col("n_types").cast("double")
+    val v1D = col("v1").cast("double")
+    agg.select(col("n_tokens"), col("n_types"), col("v1"), col("v2"),
+      round(lit(10000.0) * (col("__sr2") - nD) / (nD * nD), 6)
+        .as("yule_k"),
+      round(col("__sr11") / (nD * (nD - lit(1.0))), 6).as("simpson_d"),
+      when(col("v1") < col("n_types"),
+        round(lit(100.0) * log(nD) / (lit(1.0) - v1D / vD), 6))
+        .as("honore_r"),
+      round(col("v2").cast("double") / vD, 6).as("sichel_s"))
+  }
+
+  /** Interpolated Kneser-Ney bigram language model (Kneser & Ney 1995;
+    * absolute discount D) self-evaluated on the training corpus:
+    * P(w₂|w₁) = (c(w₁w₂) − D)/c(w₁·) + D·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/N₁₊(··)
+    * — the continuation-count smoother that fixed the "San Francisco
+    * problem" (frequent-but-context-bound words stop leaking mass), the
+    * principled upgrade over [[bigramPerplexity]]'s raw MLE (which
+    * assigns unseen transitions −∞) and q283's Good-Turing spectrum
+    * (which re-weights but doesn't interpolate).
+    *
+    * Exactness: every count — bigram, context total, forward/backward
+    * continuation type counts, type total — is an exact integer;
+    * each type's ln P is one fixed double shape weighted by its exact
+    * occurrence count, rounded to 9 into the decimal corpus sum.
+    *
+    * Scale shape: one bigram count aggregation, three derived count
+    * aggregations on the TYPE table (vocabulary-bounded), two hash
+    * joins back; no per-token state.
+    */
+  def kneserNeyBigramCard(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, "discount must be in (0,1)")
+    val toks = tokens(col(textCol))
+    val bigrams = df.select(col(idCol),
+        explode(transform(
+          sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+          i => concat_ws(" ", slice(toks, i, lit(2))))).as("bg"))
+      .filter(col("bg").contains(" "))
+    val bgCount = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("__c2"))
+      .withColumn("__w1", substring_index(col("bg"), " ", 1))
+      .withColumn("__w2", substring_index(col("bg"), " ", -1))
+    val ctx = bgCount.groupBy(col("__w1"))
+      .agg(sum(col("__c2")).as("__c1"), count(lit(1)).as("__n1f"))
+    val cont = bgCount.groupBy(col("__w2"))
+      .agg(count(lit(1)).as("__n1b"))
+    val types = bgCount.agg(count(lit(1)).as("__nt"))
+    val d = lit(discount)
+    val scored = bgCount
+      .join(ctx, "__w1").join(cont, "__w2")
+      .crossJoin(broadcast(types))
+    val c1D = col("__c1").cast("double")
+    val p = (col("__c2").cast("double") - d) / c1D +
+      d * col("__n1f").cast("double") / c1D *
+        (col("__n1b").cast("double") / col("__nt").cast("double"))
+    val agg = scored
+      .select(col("__c2"), col("__nt"),
+        round(col("__c2").cast("double") * log(p), 9)
+          .cast("decimal(38,9)").as("__t"))
+      .groupBy(col("__nt"))
+      .agg(sum(col("__c2")).as("n_bigrams"),
+        count(lit(1)).as("n_bigram_types"),
+        (sum(col("__t")).cast("double") /
+          sum(col("__c2")).cast("double")).as("__avg"))
+    agg.select(col("n_bigrams"), col("n_bigram_types"),
+      round(col("__avg"), 6).as("avg_logp"),
+      round(exp(-col("__avg")), 6).as("ppl"))
+  }
 }

@@ -347,6 +347,52 @@ class Round11OpsSpec extends SparkSpec {
     assert(r == ((1L, 5L, 0.6, -0.714286)))
   }
 
+  // --------------------------------- q354-q356 text/categorical cards
+
+  private def r6(v: Double) = BigDecimal(v)
+    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def r9(v: Double) = BigDecimal(v)
+    .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("lexicalDiversityCard matches the hand spectrum of 'a a a b b c'") {
+    val got = graft.operators.TextOps.lexicalDiversityCard(
+        Seq("a a a b b c").toDF("text"), "text")
+      .select("n_tokens", "n_types", "v1", "v2", "yule_k", "simpson_d",
+        "honore_r", "sichel_s")
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)]
+      .head()
+    assert(got._1 == 6L && got._2 == 3L && got._3 == 1L && got._4 == 1L)
+    assert(got._5 == r6(10000.0 * 8 / 36.0)) // K = 10^4 (14-6)/36
+    assert(got._6 == r6(8.0 / 30.0)) // D = (6+2)/30
+    assert(got._7 == r6(100.0 * math.log(6.0) / (1.0 - 1.0 / 3.0)))
+    assert(got._8 == r6(1.0 / 3.0))
+  }
+
+  test("kneserNeyBigramCard matches the hand-worked 'a b a b' model") {
+    // bigrams: "a b"x2, "b a"x1; P(b|a)=0.8125, P(a|b)=0.625
+    val got = graft.operators.TextOps.kneserNeyBigramCard(
+        Seq((1L, "a b a b")).toDF("doc_id", "text"), "doc_id", "text")
+      .select("n_bigrams", "n_bigram_types", "avg_logp", "ppl")
+      .as[(Long, Long, Double, Double)].head()
+    val avg = (r9(2.0 * math.log(0.8125)) + r9(1.0 * math.log(0.625))) / 3.0
+    assert(got == ((3L, 2L, r6(avg), r6(math.exp(-avg)))))
+  }
+
+  test("categoricalDistanceCard matches hand p=(3/4,1/4) vs q=(1/2,1/2)") {
+    val d = (Seq.fill(3)((2L, "x")) :+ (2L, "y")) ++
+      Seq((1L, "x"), (1L, "y")) // even user 2 = cohort A, odd user 1 = B
+    val got = graft.operators.DriftOps.categoricalDistanceCard(
+        d.toDF("user_id", "cat"), "cat", col("user_id") % 2 === 0)
+      .select("n_a", "n_b", "n_categories", "tv", "bc", "hellinger",
+        "bhattacharyya")
+      .as[(Long, Long, Long, Double, Double, Double, Double)].head()
+    val bc = r9(math.sqrt(0.75 * 0.5)) + r9(math.sqrt(0.25 * 0.5))
+    assert(got._1 == 4L && got._2 == 2L && got._3 == 2L)
+    assert(got._4 == 0.25 && got._5 == r6(bc))
+    assert(got._6 == r6(math.sqrt(1.0 - bc)))
+    assert(got._7 == r6(-math.log(bc)))
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
