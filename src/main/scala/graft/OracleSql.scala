@@ -7885,6 +7885,72 @@ object OracleSql {
         |  CASE WHEN sbc > 0.0 THEN ROUND(-LN(sbc), 6) + 0.0 END
         |    AS bhattacharyya
         |FROM agg""".stripMargin,
+    // q357: AMS F2 replayed — the same MD5 slice decode (hexPolySlice7),
+    // bucket/sign split, exact HUGEINT counter squares, rank-2 median.
+    // q358 is the streaming build of the SAME counters (additive state)
+    // and shares this oracle verbatim.
+    "q357_ams_f2" -> amsF2Sql,
+    "q358_stream_ams" -> amsF2Sql,
+
+    // q359: Hurst R/S replayed — integer block cumsums, the identical
+    // deviation/range/std shapes, round-8 decimal block sums, round-9
+    // decimal log–log OLS moments.
+    "q359_hurst" ->
+      (s"""WITH $dailySeriesCtes,
+        |ws AS (SELECT CAST(UNNEST([4, 8, 16, 32]) AS BIGINT) AS w),
+        |tagged AS (
+        |  SELECT w.w, s.i, s.x, s.i // w.w AS blk, s.i % w.w + 1 AS k
+        |  FROM series s CROSS JOIN ws w),
+        |fullb AS (
+        |  SELECT w, i, x, blk, k,
+        |    SUM(x) OVER (PARTITION BY w, blk) AS tot,
+        |    SUM(CAST(x AS HUGEINT) * x) OVER (PARTITION BY w, blk)
+        |      AS tsq,
+        |    COUNT(*) OVER (PARTITION BY w, blk) AS cnt,
+        |    SUM(x) OVER (PARTITION BY w, blk ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM tagged),
+        |blocks AS (
+        |  SELECT w, blk,
+        |    MAX(CAST(cum AS DOUBLE) - CAST(k AS DOUBLE) *
+        |      (CAST(tot AS DOUBLE) / CAST(w AS DOUBLE))) AS dmax,
+        |    MIN(CAST(cum AS DOUBLE) - CAST(k AS DOUBLE) *
+        |      (CAST(tot AS DOUBLE) / CAST(w AS DOUBLE))) AS dmin,
+        |    MAX(tot) AS tot, MAX(CAST(tsq AS DOUBLE)) AS tsq
+        |  FROM fullb WHERE cnt = w GROUP BY w, blk),
+        |rsb AS (
+        |  SELECT w,
+        |    SQRT((tsq - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE) /
+        |      CAST(w AS DOUBLE)) / CAST(w AS DOUBLE)) AS s,
+        |    ROUND((dmax - dmin) /
+        |      SQRT((tsq - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE) /
+        |        CAST(w AS DOUBLE)) / CAST(w AS DOUBLE)), 8) AS rs
+        |  FROM blocks),
+        |perw AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    CAST(SUM(CAST(rs AS DECIMAL(38,8))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE) AS mrs
+        |  FROM rsb WHERE s > 0.0 GROUP BY w),
+        |pts AS (
+        |  SELECT w, n_blocks, mrs,
+        |    CAST(ROUND(LN(CAST(w AS DOUBLE)), 9) AS DECIMAL(38,9))
+        |      AS lx,
+        |    CAST(ROUND(LN(mrs), 9) AS DECIMAL(38,9)) AS ly,
+        |    CAST(ROUND(LN(CAST(w AS DOUBLE)) * LN(CAST(w AS DOUBLE)), 9)
+        |      AS DECIMAL(38,9)) AS lxx,
+        |    CAST(ROUND(LN(CAST(w AS DOUBLE)) * LN(mrs), 9)
+        |      AS DECIMAL(38,9)) AS lxy
+        |  FROM perw WHERE mrs > 0.0),
+        |fit AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS np,
+        |    CAST(SUM(lx) AS DOUBLE) AS sx, CAST(SUM(ly) AS DOUBLE) AS sy,
+        |    CAST(SUM(lxx) AS DOUBLE) AS sxx,
+        |    CAST(SUM(lxy) AS DOUBLE) AS sxy
+        |  FROM pts)
+        |SELECT w, n_blocks, ROUND(mrs, 6) AS mean_rs,
+        |  ROUND((CAST(np AS DOUBLE) * sxy - sx * sy) /
+        |    (CAST(np AS DOUBLE) * sxx - sx * sx), 6) AS hurst
+        |FROM pts, fit ORDER BY w""").stripMargin,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which
@@ -7925,6 +7991,46 @@ object OracleSql {
       |    COALESCE(c.x, 0) AS x
       |  FROM days d CROSS JOIN b LEFT JOIN counts c ON d.day = c.day)"""
       .stripMargin
+
+  /** q357/q358 shared oracle: the AMS/count-sketch counter matrix and
+    * F2 card replayed — batch and streaming builds produce the SAME
+    * additive counters, so one SQL serves both.
+    */
+  private def amsF2Sql: String = {
+    val slices = (0 until 3).map { d =>
+      s"""SELECT $d AS r,
+         |    ${hexPolySlice7("hx", d)} % 64 AS b,
+         |    CASE WHEN (${hexPolySlice7("hx", d)} // 64) % 2 = 0
+         |      THEN 1 ELSE -1 END AS s
+         |  FROM h""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH k AS (
+       |  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS k
+       |  FROM events WHERE event_type IS NOT NULL),
+       |h AS (SELECT md5(k) AS hx FROM k),
+       |pr AS (
+       |  $slices),
+       |counters AS (
+       |  SELECT r, b, CAST(SUM(s) AS BIGINT) AS c
+       |  FROM pr GROUP BY r, b),
+       |perrow AS (
+       |  SELECT r, CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS est
+       |  FROM counters GROUP BY r),
+       |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM perrow),
+       |rk AS (
+       |  SELECT est, ROW_NUMBER() OVER (ORDER BY est, r) AS rk
+       |  FROM perrow),
+       |med AS (
+       |  SELECT est AS median_est FROM rk, nr
+       |  WHERE rk = CAST(FLOOR((nr + 1) / 2.0) AS BIGINT)),
+       |ex AS (
+       |  SELECT CAST(SUM(CAST(f AS HUGEINT) * f) AS BIGINT) AS f2_exact
+       |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS f FROM k GROUP BY k))
+       |SELECT r, est, median_est, f2_exact,
+       |  ROUND(CAST(median_est - f2_exact AS DOUBLE) /
+       |    CAST(f2_exact AS DOUBLE), 6) AS rel_err
+       |FROM perrow, med, ex ORDER BY r""".stripMargin
+  }
 
   private def hexPoly15(hcol: String): String =
     (1 to 15).map(i =>

@@ -4097,6 +4097,43 @@ object SparkEntry {
     graft.operators.DriftOps.categoricalDistanceCard(
       t(spark, dir, "events"), "event_type", col("user_id") % 2 === 0)
 
+  private def amsKeyed(df: DataFrame): DataFrame =
+    df.filter(col("event_type").isNotNull)
+      .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
+
+  private def amsExact(keyed: DataFrame): DataFrame =
+    keyed.groupBy(col("k")).agg(count(lit(1)).as("f"))
+      .agg(sum(col("f").cast("decimal(38,0)") *
+        col("f").cast("decimal(38,0)")).cast("long").as("f2_exact"))
+
+  // ---------------------------------------------------------------- q357
+  // AMS/count-sketch F2 of the (user, event_type) stream: 3×64 signed
+  // counters from disjoint MD5 slices, per-row estimates Σc², median
+  // row vs the exact second moment — join-size estimation in fixed
+  // memory; counters are additive (mergeable across days/partitions).
+  def q357(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = amsKeyed(t(spark, dir, "events"))
+    SketchOps.amsF2Card(
+      SketchOps.amsCounters(keyed, col("k")), amsExact(keyed))
+  }
+
+  // ---------------------------------------------------------------- q358
+  // Streaming twin of q357 (SHARED oracle): the counter matrix is pure
+  // additive bounded state (3×64 BIGINTs forever) in one complete-mode
+  // aggregation — streamed counters ≡ batch under any micro-batching.
+  def q358(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.streamingAmsF2(
+      spark, dir, "events.parquet", rows = 3, width = 64,
+      graft.streaming.StreamSink.Memory("q358_ams"), amsKeyed)
+
+  // ---------------------------------------------------------------- q359
+  // Hurst exponent by R/S analysis over dyadic windows 8..64: the
+  // long-memory scaling law behind q341's single-horizon variance
+  // ratios; exact block integers, log–log OLS slope.
+  def q359(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.hurstRsDailyCounts(t(spark, dir, "events"), "ts",
+      sizes = Seq(4, 8, 16, 32))
+
   // ---------------------------------------------------------------- q349
   // Kuiper two-sample on click-vs-view values: D⁺ + D⁻ over the shared
   // ECDF grid — the two-tail-fair sup statistic next to q115's KS,
@@ -5330,6 +5367,9 @@ object SparkEntry {
     "q354_lexical_diversity" -> (q354 _),
     "q355_kneser_ney" -> (q355 _),
     "q356_categorical_distance" -> (q356 _),
+    "q357_ams_f2" -> (q357 _),
+    "q358_stream_ams" -> (q358 _),
+    "q359_hurst" -> (q359 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

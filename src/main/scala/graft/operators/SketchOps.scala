@@ -342,4 +342,60 @@ object SketchOps {
             pow(lit(10.0), (col("e") - 2).cast("double")))
           .otherwise(col("m").cast("double") / 10.0).as("est"))
   }
+
+  /** Per-(row, bucket) AMS/count-sketch counters (Alon, Matias & Szegedy
+    * 1996; the bucketed "fast AMS" of Charikar et al.): each occurrence
+    * of a key adds its ±1 sign to one of `width` buckets in each of
+    * `rows` independent sketch rows. Row r reads its own disjoint
+    * 7-hex-digit slice of ONE MD5 digest (the [[bucketPairs]] trick):
+    * low bits → bucket, next bit → sign. Counters are exact BIGINT sums
+    * — ADDITIVE (mergeable across partitions/days/micro-batches), the
+    * F2 second-moment primitive: join-size / self-join-size estimation
+    * in fixed memory where the exact key dictionary doesn't fit.
+    */
+  def amsCounters(df: DataFrame, keyExpr: Column, rows: Int = 3,
+      width: Int = 64): DataFrame = {
+    require(rows >= 1 && rows * 7 <= 32,
+      s"rows must be in [1,4] (7 hex digits per slice of one MD5), got $rows")
+    require(width >= 2 && (width & (width - 1)) == 0 && width * 2 <= (1 << 28),
+      s"width must be a power of two below 2^27, got $width")
+    val log2w = Integer.numberOfTrailingZeros(width)
+    val digest = md5(keyExpr.cast("string"))
+    val pairs = array((0 until rows).map { d =>
+      val slice = conv(substring(digest, 1 + 7 * d, 7), 16, 10).cast("long")
+      struct(lit(d).as("r"),
+        pmod(slice, lit(width.toLong)).as("b"),
+        // sign = the bit just above the bucket bits (slice // width) % 2
+        when(pmod(shiftright(slice, log2w), lit(2L)) === 0L, lit(1L))
+          .otherwise(lit(-1L)).as("s"))
+    }: _*)
+    df.select(explode(pairs).as("p"))
+      .select(col("p.r").as("r"), col("p.b").as("b"), col("p.s").as("s"))
+      .groupBy(col("r"), col("b"))
+      .agg(sum(col("s")).as("c"))
+  }
+
+  /** Finish the AMS card: per-row F2 estimates Σ_b c², the median row
+    * (the variance-killing step — rows are independent), the exact F2
+    * for the audit column, and the relative error. `exact` is a 1-row
+    * frame with `f2_exact` (BIGINT).
+    */
+  def amsF2Card(counters: DataFrame, exact: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val perRow = counters.groupBy(col("r"))
+      .agg(sum(dec(col("c")) * dec(col("c"))).cast("long").as("est"))
+    val nRows = perRow.agg(count(lit(1)).as("__nr"))
+    val wMed = org.apache.spark.sql.expressions.Window
+      .orderBy(col("est"), col("r"))
+    val med = perRow.withColumn("__rk", row_number().over(wMed))
+      .crossJoin(broadcast(nRows))
+      .filter(col("__rk").cast("long") ===
+        floor((col("__nr") + 1L) / 2.0).cast("long"))
+      .select(col("est").as("median_est"))
+    perRow.crossJoin(broadcast(med)).crossJoin(broadcast(exact))
+      .select(col("r"), col("est"), col("median_est"), col("f2_exact"),
+        round((col("median_est") - col("f2_exact")).cast("double") /
+          col("f2_exact").cast("double"), 6).as("rel_err"))
+      .orderBy(col("r"))
+  }
 }

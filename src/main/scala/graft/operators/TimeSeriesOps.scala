@@ -1265,6 +1265,82 @@ object TimeSeriesOps {
     } finally { det.unpersist(); () }
   }
 
+  /** Hurst exponent by rescaled-range analysis (Hurst 1951; Mandelbrot
+    * & Wallis 1969) on the daily event-count series: for each window
+    * size w the series splits into ⌊n/w⌋ complete blocks; per block the
+    * range of cumulative deviations from the block mean over the block
+    * std gives R/S; H is the log–log OLS slope of mean R/S against w.
+    * H ≈ 0.5 = memoryless, > 0.5 = persistent (trends feed on
+    * themselves), < 0.5 = mean-reverting — the long-memory companion to
+    * the ACF/variance-ratio view (VR reads ONE horizon ratio, H fits
+    * the whole scaling law).
+    *
+    * Exactness: block sums/cumsums are exact integers; deviations,
+    * R, S are fixed double shapes; R/S rounds to 8 into decimal block
+    * sums; the final 4-point OLS uses round-9 decimal moments of
+    * ln w / ln(mean R/S).
+    *
+    * Scale shape: one count aggregation; one window pass over the
+    * (|sizes| × days) exploded spine partitioned BY (w, block).
+    */
+  def hurstRsDailyCounts(df: DataFrame, tsCol: String,
+      sizes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 2),
+      "window sizes must all be >= 2")
+    val series = dailyCountSeries(df, tsCol)
+    val ws = series.limit(1).select(
+      explode(lit(sizes.distinct.sorted.toArray)).as("w"))
+    val tagged = series.crossJoin(broadcast(ws))
+      .withColumn("blk", expr("i div w"))
+      .withColumn("k", expr("i % w") + 1L)
+    val wFull = Window.partitionBy(col("w"), col("blk"))
+    val wRun = Window.partitionBy(col("w"), col("blk")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val blocks = tagged
+      .withColumn("__tot", sum(col("x")).over(wFull))
+      .withColumn("__tsq", sum(dec(col("x")) * dec(col("x"))).over(wFull))
+      .withColumn("__cnt", count(lit(1)).over(wFull))
+      .filter(col("__cnt") === col("w").cast("long"))
+      .withColumn("__cum", sum(col("x")).over(wRun))
+      .withColumn("__d",
+        col("__cum").cast("double") - col("k").cast("double") *
+          (col("__tot").cast("double") / col("w").cast("double")))
+      .groupBy(col("w"), col("blk"))
+      .agg(max(col("__d")).as("__dmax"), min(col("__d")).as("__dmin"),
+        max(col("__tot")).as("__tot"),
+        max(col("__tsq").cast("double")).as("__tsq"))
+    val wD = col("w").cast("double")
+    val s = sqrt((col("__tsq") - col("__tot").cast("double") *
+      col("__tot").cast("double") / wD) / wD)
+    val rs = (col("__dmax") - col("__dmin")) / s
+    val perW = blocks
+      .filter(s > 0.0)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_blocks"),
+        (sum(round(rs, 8).cast("decimal(38,8)")).cast("double") /
+          count(lit(1)).cast("double")).as("__mrs"))
+      .filter(col("__mrs") > 0.0)
+    val pts = perW.select(col("w"), col("n_blocks"), col("__mrs"),
+      round(log(wD), 9).cast("decimal(38,9)").as("__lx"),
+      round(log(col("__mrs")), 9).cast("decimal(38,9)").as("__ly"),
+      round(log(wD) * log(wD), 9).cast("decimal(38,9)").as("__lxx"),
+      round(log(wD) * log(col("__mrs")), 9).cast("decimal(38,9)")
+        .as("__lxy"))
+    val fit = pts.agg(count(lit(1)).as("__np"),
+      sum(col("__lx")).cast("double").as("__sx"),
+      sum(col("__ly")).cast("double").as("__sy"),
+      sum(col("__lxx")).cast("double").as("__sxx"),
+      sum(col("__lxy")).cast("double").as("__sxy"))
+    val npD = col("__np").cast("double")
+    val hurst = (npD * col("__sxy") - col("__sx") * col("__sy")) /
+      (npD * col("__sxx") - col("__sx") * col("__sx"))
+    pts.crossJoin(broadcast(fit.select(round(hurst, 6).as("hurst"))))
+      .select(col("w").cast("long").as("w"), col("n_blocks"),
+        round(col("__mrs"), 6).as("mean_rs"), col("hurst"))
+      .orderBy(col("w"))
+  }
+
   /** KPSS level-stationarity test (Kwiatkowski, Phillips, Schmidt & Shin
     * 1992) on the daily event-count series: η = (Σ_t S_t²/n²) / s²(L),
     * S_t the partial sums of the demeaned series and s²(L) the Bartlett-

@@ -1105,4 +1105,30 @@ object StreamingOps {
       .agg(sum(col("n_a")).as("n_a"), sum(col("n_b")).as("n_b"))
     SimilarityOps.occupancyDriftFinish(cents, occ, nlist)
   }
+
+  /** Streaming AMS/count-sketch F2 build ≡ batch (q357's twin — the
+    * second-moment sketch joins the streaming family): the counter
+    * matrix is pure ADDITIVE state — `rows`×`width` signed BIGINT sums,
+    * bounded forever, maintained as one complete-mode aggregation — so
+    * the streamed counters equal the batch counters EXACTLY under any
+    * micro-batching (integer sums commute with batching), and the same
+    * [[graft.operators.SketchOps.amsF2Card]] finisher lands on the
+    * batch card bit-for-bit against the SHARED oracle.
+    */
+  def streamingAmsF2(spark: SparkSession, dir: String, fileName: String,
+      rows: Int, width: Int, sink: StreamSink,
+      prepare: DataFrame => DataFrame): DataFrame = {
+    import graft.operators.SketchOps
+    val keyed = prepare(fileStream(spark, dir, fileName))
+    val counters = SketchOps.amsCounters(keyed, col("k"), rows, width)
+    val sunk = runToSink(spark, counters, sink, "complete")
+    val rowsBuf = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    sunk.collect().foreach(rowsBuf.add)
+    val streamed = spark.createDataFrame(rowsBuf, sunk.schema)
+    val exact = prepare(spark.read.parquet(s"$dir/$fileName"))
+      .groupBy(col("k")).agg(count(lit(1)).as("f"))
+      .agg(sum(col("f").cast("decimal(38,0)") *
+        col("f").cast("decimal(38,0)")).cast("long").as("f2_exact"))
+    SketchOps.amsF2Card(streamed, exact)
+  }
 }

@@ -393,6 +393,58 @@ class Round11OpsSpec extends SparkSpec {
     assert(got._7 == r6(-math.log(bc)))
   }
 
+  // ----------------------------------- q357-q359 AMS sketch and Hurst
+
+  test("amsF2Card is exact on a single-key stream and counters merge " +
+      "additively") {
+    import graft.operators.SketchOps
+    val occ = Seq.fill(10)("kkk").toDF("k")
+    val card = SketchOps.amsF2Card(
+      SketchOps.amsCounters(occ, col("k")),
+      occ.groupBy("k").agg(count(lit(1)).as("f"))
+        .agg(sum(col("f") * col("f")).cast("long").as("f2_exact")))
+    val rows = card.select("est", "median_est", "f2_exact", "rel_err")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // one key -> each row holds +-10 in one bucket -> est = 100 exactly
+    assert(rows.map(_._1) == Seq(100L, 100L, 100L))
+    assert(rows.head._2 == 100L && rows.head._3 == 100L &&
+      rows.head._4 == 0.0)
+    // additivity: counters(full) == merge of counters(halves)
+    val all = Seq("a", "b", "a", "c", "b", "a").toDF("k")
+    val h1 = Seq("a", "b", "a").toDF("k")
+    val h2 = Seq("c", "b", "a").toDF("k")
+    val full = SketchOps.amsCounters(all, col("k"))
+      .orderBy("r", "b").collect().toSeq
+    val merged = SketchOps.amsCounters(h1, col("k"))
+      .unionByName(SketchOps.amsCounters(h2, col("k")))
+      .groupBy("r", "b").agg(sum("c").as("c"))
+      .orderBy("r", "b").collect().toSeq
+    assert(full == merged)
+  }
+
+  test("hurstRsDailyCounts: hand-worked R/S on the 1..8 ramp at w=4") {
+    // both blocks: R = 2, S = sqrt(1.25) -> R/S = 1.78885438
+    val got = graft.operators.TimeSeriesOps.hurstRsDailyCounts(
+        dailyEvents(1 to 8), "ts", sizes = Seq(2, 4))
+      .select("w", "n_blocks", "mean_rs")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(t => (t._1, t._2)) == Seq((2L, 4L), (4L, 2L)))
+    assert(got(1)._3 == 1.788854)
+  }
+
+  test("hurstRsDailyCounts separates trending from mean-reverting") {
+    val trend = graft.operators.TimeSeriesOps.hurstRsDailyCounts(
+        dailyEvents((1 to 64).map(i => i * 2)), "ts",
+        sizes = Seq(4, 8, 16))
+      .select("hurst").as[Double].head()
+    val revert = graft.operators.TimeSeriesOps.hurstRsDailyCounts(
+        dailyEvents((1 to 64).map(i => if (i % 2 == 0) 1 else 9)), "ts",
+        sizes = Seq(4, 8, 16))
+      .select("hurst").as[Double].head()
+    assert(trend > 0.85, s"ramp must look persistent, H=$trend")
+    assert(revert < 0.35, s"alternation must mean-revert, H=$revert")
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
