@@ -7951,6 +7951,132 @@ object OracleSql {
         |  ROUND((CAST(np AS DOUBLE) * sxy - sx * sy) /
         |    (CAST(np AS DOUBLE) * sxx - sx * sx), 6) AS hurst
         |FROM pts, fit ORDER BY w""").stripMargin,
+    // q360: Hosmer–Lemeshow replayed — the q321 midrank convention,
+    // ceil-decile bins, DECIMAL(28,6) expected sums, round-9 terms.
+    "q360_hosmer_lemeshow" ->
+      """WITH d AS (
+        |  SELECT ROUND((o_orderkey * 7 % 1000) / 1000.0, 6) AS p,
+        |    CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |ms AS (
+        |  SELECT p, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(y) AS BIGINT) AS pos
+        |  FROM d GROUP BY p),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM ms),
+        |mr AS (
+        |  SELECT p, cnt, pos,
+        |    CAST(COALESCE(SUM(cnt) OVER (ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS DOUBLE) + (cnt + 1) / 2.0 AS midrank
+        |  FROM ms),
+        |binned AS (
+        |  SELECT CAST(CEIL(midrank * 10 / CAST(tot.n AS DOUBLE))
+        |      AS BIGINT) AS bin,
+        |    CAST(SUM(cnt) AS BIGINT) AS n,
+        |    CAST(SUM(pos) AS BIGINT) AS obs_pos,
+        |    CAST(SUM(CAST(p * CAST(cnt AS DOUBLE) AS DECIMAL(28,6)))
+        |      AS DOUBLE) AS e
+        |  FROM mr, tot GROUP BY 1),
+        |terms AS (
+        |  SELECT bin, n, obs_pos, e,
+        |    CASE WHEN e > 0.0 AND e < CAST(n AS DOUBLE) THEN
+        |      CAST(ROUND((CAST(obs_pos AS DOUBLE) - e) *
+        |        (CAST(obs_pos AS DOUBLE) - e) /
+        |        (e * (1.0 - e / CAST(n AS DOUBLE))), 9)
+        |        AS DECIMAL(38,9))
+        |    END AS t
+        |  FROM binned),
+        |stat AS (
+        |  SELECT CAST(COUNT(t) AS BIGINT) AS k,
+        |    CAST(SUM(t) AS DOUBLE) AS hl
+        |  FROM terms)
+        |SELECT bin, n, obs_pos, ROUND(e, 6) AS exp_pos,
+        |  ROUND(hl, 6) AS hl_stat, k - 2 AS df
+        |FROM terms, stat ORDER BY bin""".stripMargin,
+
+    // q361: forecast yardstick replayed — exact integer error sums,
+    // round-9 decimal sMAPE terms, the identical ratio shapes.
+    "q361_forecast_accuracy" ->
+      (s"""WITH $dailySeriesCtes,
+        |lagd AS (
+        |  SELECT i, x, LAG(x, 1) OVER (ORDER BY i) AS l1,
+        |    LAG(x, 7) OVER (ORDER BY i) AS l7
+        |  FROM series),
+        |f AS (SELECT * FROM lagd WHERE l7 IS NOT NULL),
+        |m AS (
+        |  SELECT 'naive' AS model, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    CAST(SUM(ABS(x - l1)) AS DOUBLE) AS sae,
+        |    CAST(SUM(CAST(x - l1 AS DECIMAL(38,0)) *
+        |      CAST(x - l1 AS DECIMAL(38,0))) AS DOUBLE) AS sse,
+        |    CAST(SUM(CAST(CASE WHEN ABS(x) + ABS(l1) > 0 THEN
+        |      ROUND(2.0 * CAST(ABS(x - l1) AS DOUBLE) /
+        |        CAST(ABS(x) + ABS(l1) AS DOUBLE), 9) ELSE 0.0 END
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS ssm
+        |  FROM f
+        |  UNION ALL
+        |  SELECT 'seasonal_naive', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(ABS(x - l7)) AS DOUBLE),
+        |    CAST(SUM(CAST(x - l7 AS DECIMAL(38,0)) *
+        |      CAST(x - l7 AS DECIMAL(38,0))) AS DOUBLE),
+        |    CAST(SUM(CAST(CASE WHEN ABS(x) + ABS(l7) > 0 THEN
+        |      ROUND(2.0 * CAST(ABS(x - l7) AS DOUBLE) /
+        |        CAST(ABS(x) + ABS(l7) AS DOUBLE), 9) ELSE 0.0 END
+        |      AS DECIMAL(38,9))) AS DOUBLE)
+        |  FROM f),
+        |sc AS (
+        |  SELECT model, n_obs, sae / CAST(n_obs AS DOUBLE) AS mae,
+        |    SQRT(sse / CAST(n_obs AS DOUBLE)) AS rmse,
+        |    ssm / CAST(n_obs AS DOUBLE) AS smape
+        |  FROM m),
+        |base AS (
+        |  SELECT mae AS bmae, rmse AS brmse FROM sc
+        |  WHERE model = 'naive')
+        |SELECT model, n_obs, ROUND(mae, 6) AS mae,
+        |  ROUND(rmse, 6) AS rmse, ROUND(smape, 6) AS smape,
+        |  ROUND(mae / bmae, 6) AS mase,
+        |  ROUND(rmse / brmse, 6) AS theil_u
+        |FROM sc, base ORDER BY model""").stripMargin,
+
+    // q362: linear MMD² replayed — id-ordered cohort pairing, the
+    // list_inner_product distance shape rounded to 9 under the exp,
+    // round-9 h terms into the decimal mean.
+    "q362_mmd_linear" ->
+      """WITH d AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e,
+        |    label % 2 = 0 AS a
+        |  FROM embeddings),
+        |idx AS (
+        |  SELECT id, e, a,
+        |    ROW_NUMBER() OVER (PARTITION BY a ORDER BY id) - 1 AS r
+        |  FROM d),
+        |px AS (SELECT r // 2 AS pair, r % 2 AS pos, e, a FROM idx),
+        |x1 AS (SELECT pair, e AS ex1 FROM px WHERE a AND pos = 0),
+        |x2 AS (SELECT pair, e AS ex2 FROM px WHERE a AND pos = 1),
+        |y1 AS (SELECT pair, e AS ey1 FROM px WHERE NOT a AND pos = 0),
+        |y2 AS (SELECT pair, e AS ey2 FROM px WHERE NOT a AND pos = 1),
+        |quads AS (
+        |  SELECT x1.pair, ex1, ex2, ey1, ey2
+        |  FROM x1 JOIN x2 USING (pair) JOIN y1 USING (pair)
+        |  JOIN y2 USING (pair)),
+        |hs AS (
+        |  SELECT ROUND(
+        |    EXP(-1.0 * ROUND(list_inner_product(ex1, ex1) +
+        |      list_inner_product(ex2, ex2) -
+        |      2.0 * list_inner_product(ex1, ex2), 9)) +
+        |    EXP(-1.0 * ROUND(list_inner_product(ey1, ey1) +
+        |      list_inner_product(ey2, ey2) -
+        |      2.0 * list_inner_product(ey1, ey2), 9)) -
+        |    EXP(-1.0 * ROUND(list_inner_product(ex1, ex1) +
+        |      list_inner_product(ey2, ey2) -
+        |      2.0 * list_inner_product(ex1, ey2), 9)) -
+        |    EXP(-1.0 * ROUND(list_inner_product(ex2, ex2) +
+        |      list_inner_product(ey1, ey1) -
+        |      2.0 * list_inner_product(ex2, ey1), 9)), 9) AS h
+        |  FROM quads)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_quads,
+        |  ROUND(CAST(SUM(CAST(h AS DECIMAL(38,9))) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 6) AS mmd2_linear
+        |FROM hs""".stripMargin,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which

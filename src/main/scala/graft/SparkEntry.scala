@@ -4097,6 +4097,34 @@ object SparkEntry {
     graft.operators.DriftOps.categoricalDistanceCard(
       t(spark, dir, "events"), "event_type", col("user_id") % 2 === 0)
 
+  // ---------------------------------------------------------------- q360
+  // Hosmer–Lemeshow on the q224 raw scorer: deciles of predicted risk
+  // via distributed midranks, observed-vs-expected positives, the χ²
+  // calibration TEST behind q84/q197's descriptive reliability views.
+  def q360(spark: SparkSession, dir: String): DataFrame =
+    graft.metrics.RankMetrics.hosmerLemeshowCard(
+      t(spark, dir, "orders")
+        .withColumn("label", (col("o_totalprice") > 150000).cast("int"))
+        .withColumn("p",
+          round((col("o_orderkey") * 7 % 1000) / lit(1000.0), 6)),
+      "p", "label")
+
+  // ---------------------------------------------------------------- q361
+  // Forecast-accuracy yardstick: naive vs seasonal-naive on the daily
+  // spine with MAE/RMSE/sMAPE/MASE/Theil's U — the baseline rows any
+  // real forecaster (q111, q308) must beat.
+  def q361(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.forecastAccuracyCard(t(spark, dir, "events"), "ts")
+
+  // ---------------------------------------------------------------- q362
+  // Linear-time MMD² between even/odd-label embedding cohorts: RBF
+  // h-statistics over id-ordered quadruples — O(n) kernel two-sample
+  // drift where the U-statistic is O(n²).
+  def q362(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SimilarityOps.mmdLinearCard(
+      t(spark, dir, "embeddings"), "vec_id", "embedding",
+      col("label") % 2 === 0)
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5370,6 +5398,9 @@ object SparkEntry {
     "q357_ams_f2" -> (q357 _),
     "q358_stream_ams" -> (q358 _),
     "q359_hurst" -> (q359 _),
+    "q360_hosmer_lemeshow" -> (q360 _),
+    "q361_forecast_accuracy" -> (q361 _),
+    "q362_mmd_linear" -> (q362 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

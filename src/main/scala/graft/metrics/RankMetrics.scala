@@ -433,6 +433,54 @@ object RankMetrics {
           (col("__n1") + col("__n0")).cast("double"), 6).as("prevalence"))
   }
 
+  /** Hosmer–Lemeshow goodness-of-calibration test (1980): rows cut
+    * into `nBins` deciles of predicted RISK (ascending, by the
+    * [[midranks]] distributed scheme — tied scores land in one bin),
+    * per bin observed vs expected positives, Ĉ = Σ (O−E)²/(E(1−E/n))
+    * against χ²(k−2) — the TEST companion to the reliability diagram
+    * (q84 bins, q197 ECE summarize; this says whether the deviation is
+    * statistically real).
+    *
+    * Exactness: bin memberships from exact midranks; E = Σp per bin is
+    * an exact decimal sum at the score's true scale; each bin term is
+    * one fixed double shape rounded to 9 into the decimal statistic.
+    *
+    * Scale shape: the midranks distributed prefix scheme + one grouped
+    * reduction; no global per-row sort.
+    */
+  def hosmerLemeshowCard(df: DataFrame, scoreCol: String,
+      labelCol: String, nBins: Int = 10, scoreScale: Int = 6): DataFrame = {
+    require(nBins >= 2, s"need nBins >= 2, got $nBins")
+    val mr = midranks(df, scoreCol, labelCol, Nil)
+    val totals = mr.agg(sum(col("cnt")).as("__n"))
+    val binned = mr.crossJoin(broadcast(totals))
+      .withColumn("bin",
+        ceil(col("midrank") * lit(nBins) / col("__n").cast("double"))
+          .cast("long"))
+      .groupBy(col("bin"))
+      .agg(sum(col("cnt")).as("n"), sum(col("pos")).as("obs_pos"),
+        dsum(col(scoreCol) * col("cnt").cast("double"), scoreScale)
+          .as("__e"))
+    val nD = col("n").cast("double")
+    val oD = col("obs_pos").cast("double")
+    val term = when(col("__e") > 0.0 && col("__e") < nD,
+      round((oD - col("__e")) * (oD - col("__e")) /
+        (col("__e") * (lit(1.0) - col("__e") / nD)), 9)
+        .cast("decimal(38,9)"))
+    val stat = binned
+      .select(col("bin"), col("n"), col("obs_pos"), col("__e"),
+        term.as("__t"))
+      .groupBy()
+      .agg(count(col("__t")).as("__k"),
+        sum(col("__t")).cast("double").as("__hl"))
+    binned.crossJoin(broadcast(stat))
+      .select(col("bin"), col("n"), col("obs_pos"),
+        round(col("__e"), 6).as("exp_pos"),
+        round(col("__hl"), 6).as("hl_stat"),
+        (col("__k") - 2L).as("df"))
+      .orderBy(col("bin"))
+  }
+
   /** Lift / cumulative-gains table: rows ranked by score descending and
     * cut into `nBins` population bins (campaign deciles); per bin the
     * positive rate, lift over base rate, and cumulative capture

@@ -1570,4 +1570,50 @@ object SimilarityOps {
           .as("score_per_dim"))
       .orderBy(col("rank"))
   }
+
+  /** Linear-time MMD² (Gretton et al. 2012, §6 "MMD_l") between two
+    * embedding cohorts under an RBF kernel: deterministic id-ordered
+    * pairing inside each cohort, one h-statistic per quadruple
+    * h = k(x₁,x₂) + k(y₁,y₂) − k(x₁,y₂) − k(x₂,y₁), MMD²_l = mean h —
+    * O(n) where the full U-statistic is O(n²), THE scalable kernel
+    * two-sample test for embedding drift (q247 compares centroids;
+    * this sees any distribution change a characteristic kernel sees).
+    *
+    * Exactness: squared distances assemble from three [[dotNative]]
+    * passes (float→double exact, the proven list_inner_product parity
+    * surface), round to 9 before the exp, h rounds to 9 into the
+    * decimal sum.
+    *
+    * Scale shape: two row_number windows partitioned by cohort, three
+    * pair equi-joins on the pair index, one reduction. No all-pairs.
+    */
+  def mmdLinearCard(embeddings: DataFrame, idCol: String, vecCol: String,
+      isA: Column, gamma: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = embeddings
+      .select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("e"), isA.as("__a"))
+    val w = Window.partitionBy(col("__a")).orderBy(col("id"))
+    val idx = d.withColumn("__r", row_number().over(w) - 1)
+      .withColumn("pair", expr("__r div 2"))
+      .withColumn("pos", col("__r") % 2)
+    def side(a: Boolean, pos: Int, name: String) =
+      idx.filter(col("__a") === a && col("pos") === pos)
+        .select(col("pair"), col("e").as(name))
+    val quads = side(a = true, 0, "x1").join(side(a = true, 1, "x2"), "pair")
+      .join(side(a = false, 0, "y1"), "pair")
+      .join(side(a = false, 1, "y2"), "pair")
+    def k(a: Column, b: Column): Column =
+      exp(-lit(gamma) * round(
+        dotNative(a, a) + dotNative(b, b) -
+          lit(2.0) * dotNative(a, b), 9))
+    val h = round(
+      k(col("x1"), col("x2")) + k(col("y1"), col("y2")) -
+        k(col("x1"), col("y2")) - k(col("x2"), col("y1")), 9)
+    quads.agg(count(lit(1)).as("n_quads"),
+        sum(h.cast("decimal(38,9)")).cast("double").as("__sh"))
+      .select(col("n_quads"),
+        round(col("__sh") / col("n_quads").cast("double"), 6)
+          .as("mmd2_linear"))
+  }
 }

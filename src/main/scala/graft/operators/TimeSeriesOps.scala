@@ -1265,6 +1265,61 @@ object TimeSeriesOps {
     } finally { det.unpersist(); () }
   }
 
+  /** Forecast-accuracy card on the daily event-count series: the naive
+    * (ŷ_t = x_{t−1}) and seasonal-naive (ŷ_t = x_{t−7}) baselines
+    * scored on the shared evaluation window (t ≥ 7) with MAE, RMSE,
+    * sMAPE, MASE (MAE over the naive's MAE — Hyndman & Koehler 2006)
+    * and Theil's U₂ (RMSE ratio). Any real forecaster (q111 AR(1),
+    * q308 Holt) must beat these rows or it's decoration — this card is
+    * the yardstick the accuracy literature says to report against.
+    *
+    * Exactness: errors are exact integers (|e|, e² exact sums); sMAPE
+    * terms are fixed double shapes rounded to 9 into decimal sums.
+    *
+    * Scale shape: one count aggregation, one lag window, one grouped
+    * reduction on the bounded spine.
+    */
+  def forecastAccuracyCard(df: DataFrame, tsCol: String): DataFrame = {
+    val series = dailyCountSeries(df, tsCol)
+    val w = Window.orderBy(col("i"))
+    val lagged = series
+      .withColumn("l1", lag(col("x"), 1).over(w))
+      .withColumn("l7", lag(col("x"), 7).over(w))
+      .filter(col("l7").isNotNull)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def modelAgg(name: String, pred: Column) = {
+      val e = col("x") - pred
+      val sm = when(abs(col("x")) + abs(pred) > 0L,
+        round(lit(2.0) * abs(e).cast("double") /
+          (abs(col("x")) + abs(pred)).cast("double"), 9))
+        .otherwise(lit(0.0))
+      lagged.agg(
+        count(lit(1)).as("n_obs"),
+        sum(abs(e)).cast("double").as("__sae"),
+        sum(dec(e) * dec(e)).cast("double").as("__sse"),
+        sum(sm.cast("decimal(38,9)")).cast("double").as("__ssm"))
+        .select(lit(name).as("model"), col("n_obs"), col("__sae"),
+          col("__sse"), col("__ssm"))
+    }
+    val both = modelAgg("naive", col("l1"))
+      .unionByName(modelAgg("seasonal_naive", col("l7")))
+    val nD = col("n_obs").cast("double")
+    val scored = both.select(col("model"), col("n_obs"),
+      (col("__sae") / nD).as("__mae"),
+      sqrt(col("__sse") / nD).as("__rmse"),
+      (col("__ssm") / nD).as("__smape"))
+    val base = scored.filter(col("model") === "naive")
+      .select(col("__mae").as("__bmae"), col("__rmse").as("__brmse"))
+    scored.crossJoin(broadcast(base))
+      .select(col("model"), col("n_obs"),
+        round(col("__mae"), 6).as("mae"),
+        round(col("__rmse"), 6).as("rmse"),
+        round(col("__smape"), 6).as("smape"),
+        round(col("__mae") / col("__bmae"), 6).as("mase"),
+        round(col("__rmse") / col("__brmse"), 6).as("theil_u"))
+      .orderBy(col("model"))
+  }
+
   /** Hurst exponent by rescaled-range analysis (Hurst 1951; Mandelbrot
     * & Wallis 1969) on the daily event-count series: for each window
     * size w the series splits into ⌊n/w⌋ complete blocks; per block the

@@ -445,6 +445,66 @@ class Round11OpsSpec extends SparkSpec {
     assert(revert < 0.35, s"alternation must mean-revert, H=$revert")
   }
 
+  // --------------------------------------- q360-q362 eval/drift cards
+
+  test("hosmerLemeshowCard: a perfectly calibrated scorer gets HL = 0") {
+    val d = (Seq.fill(2)((0.2, 1)) ++ Seq.fill(8)((0.2, 0)) ++
+      Seq.fill(8)((0.8, 1)) ++ Seq.fill(2)((0.8, 0))).toDF("p", "y")
+    val r = graft.metrics.RankMetrics.hosmerLemeshowCard(d, "p", "y")
+      .select("bin", "n", "obs_pos", "exp_pos", "hl_stat", "df")
+      .as[(Long, Long, Long, Double, Double, Long)].collect().toSeq
+    assert(r == Seq((3L, 10L, 2L, 2.0, 0.0, 0L),
+      (8L, 10L, 8L, 8.0, 0.0, 0L)))
+  }
+
+  test("hosmerLemeshowCard flags an anti-calibrated scorer loudly") {
+    val d = (Seq.fill(9)((0.1, 1)) ++ Seq.fill(1)((0.1, 0)) ++
+      Seq.fill(1)((0.9, 1)) ++ Seq.fill(9)((0.9, 0))).toDF("p", "y")
+    val hl = graft.metrics.RankMetrics.hosmerLemeshowCard(d, "p", "y")
+      .select("hl_stat").as[Double].head()
+    // each bin: (9-1)^2/(1*(1-0.1)) = 71.111111 -> total 142.222222
+    assert(hl == 142.222222)
+  }
+
+  test("forecastAccuracyCard: seasonal-naive is exact on a period-7 " +
+      "pattern and the naive row self-normalizes") {
+    val got = graft.operators.TimeSeriesOps.forecastAccuracyCard(
+        dailyEvents((0 until 21).map(i => (i % 7) + 1)), "ts")
+      .select("model", "n_obs", "mae", "rmse", "smape", "mase",
+        "theil_u")
+      .as[(String, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    val naive = got.head
+    val seasonal = got(1)
+    assert(naive._1 == "naive" && seasonal._1 == "seasonal_naive")
+    assert(naive._2 == 14L && seasonal._2 == 14L)
+    assert(naive._6 == 1.0 && naive._7 == 1.0)
+    assert(seasonal._3 == 0.0 && seasonal._4 == 0.0 &&
+      seasonal._5 == 0.0 && seasonal._6 == 0.0 && seasonal._7 == 0.0)
+    assert(naive._3 > 1.0, "the naive baseline must show real error")
+  }
+
+  test("mmdLinearCard: identical cohorts give 0, separated cohorts " +
+      "don't") {
+    val vA = Seq(Array(1.0f, 0.0f), Array(0.0f, 1.0f),
+      Array(0.5f, 0.5f), Array(0.3f, 0.7f))
+    val same = (0 until 4).flatMap(i =>
+      Seq((2L * i, vA(i), 0), (2L * i + 1, vA(i), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val zero = graft.operators.SimilarityOps.mmdLinearCard(
+        same, "vec_id", "embedding", col("label") % 2 === 0)
+      .select("n_quads", "mmd2_linear").as[(Long, Double)].head()
+    assert(zero == ((2L, 0.0)))
+    val far = ((0 until 4).map(i => (i.toLong, Array(0.0f, 0.0f), 0)) ++
+      (4 until 8).map(i => (i.toLong, Array(3.0f, 4.0f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val sep = graft.operators.SimilarityOps.mmdLinearCard(
+        far, "vec_id", "embedding", col("label") % 2 === 0)
+      .select("mmd2_linear").as[Double].head()
+    // within-kernels are 1 (d=0), cross exp(-25) ~ 0 -> mmd2 ~ 2
+    assert(math.abs(sep - 2.0) < 1e-6, s"mmd2=$sep")
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
