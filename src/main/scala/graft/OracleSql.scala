@@ -7163,30 +7163,8 @@ object OracleSql {
     // q342: Page–Hinkley replayed — running mean from exact cumulative
     // counts, round-9 increments into an exact decimal running sum and
     // running minimum; identical walk on any engine.
-    "q342_page_hinkley" ->
-      (s"""WITH $dailySeriesCtes,
-        |cumx AS (
-        |  SELECT i, x, SUM(x) OVER (ORDER BY i) AS cum FROM series),
-        |inc AS (
-        |  SELECT i, CAST(ROUND(CAST(x AS DOUBLE) -
-        |    CAST(cum AS DOUBLE) / CAST(i + 1 AS DOUBLE) - 0.0, 9)
-        |    AS DECIMAL(38,9)) AS inc
-        |  FROM cumx),
-        |mm AS (SELECT i, SUM(inc) OVER (ORDER BY i) AS m FROM inc),
-        |ph AS (
-        |  SELECT i, CAST(m - MIN(m) OVER (ORDER BY i) AS DOUBLE) AS ph,
-        |    m
-        |  FROM mm),
-        |best AS (SELECT MAX(ph) AS best FROM ph),
-        |tstar AS (
-        |  SELECT MIN(i) AS t_star FROM ph, best WHERE ph = best),
-        |tl AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days, MAX(ph) AS phmax,
-        |    CAST(ARG_MAX(m, i) AS DOUBLE) AS mfinal
-        |  FROM ph)
-        |SELECT n_days, 0.0 AS delta, ROUND(phmax, 6) AS ph_stat,
-        |  t_star, ROUND(mfinal, 6) AS m_final
-        |FROM tl, tstar""").stripMargin,
+    "q342_page_hinkley" -> pageHinkleySql,
+    "q365_stream_page_hinkley" -> pageHinkleySql,
     // q343: ADF replayed — exact integer lag/diff moments, Cramer 3×3
     // in the identical det3 expansion, SSR via y'y − b'X'y, one sqrt.
     "q343_adf" ->
@@ -8077,6 +8055,71 @@ object OracleSql {
         |  ROUND(CAST(SUM(CAST(h AS DECIMAL(38,9))) AS DOUBLE) /
         |    CAST(COUNT(*) AS DOUBLE), 6) AS mmd2_linear
         |FROM hs""".stripMargin,
+    // q363: DP clipped mean replayed — the q237 two-round congruential
+    // draw seeded from the public literals, identical clipping and
+    // budget-split shapes.
+    "q363_dp_mean" ->
+      (s"""WITH a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(LEAST(GREATEST(CAST(value AS DOUBLE), 0.0),
+        |      200.0) AS DECIMAL(28,2))) AS DOUBLE) AS s
+        |  FROM events WHERE value IS NOT NULL),
+        |hs AS (
+        |  SELECT ${hexPoly15("MD5('dpmean:sum')")} AS x),
+        |hc AS (
+        |  SELECT ${hexPoly15("MD5('dpmean:count')")} AS x),
+        |ds AS (
+        |  SELECT (((((x % 1000003) * 2654435761) % 1000003) +
+        |    x // 1000003) % 9999991) * 22695477 % 9999991 AS x2
+        |  FROM hs),
+        |dc AS (
+        |  SELECT (((((x % 1000003) * 2654435761) % 1000003) +
+        |    x // 1000003) % 9999991) * 22695477 % 9999991 AS x2
+        |  FROM hc),
+        |nzs AS (
+        |  SELECT ROUND((CASE WHEN ((CAST(x2 AS DOUBLE) + 0.5) /
+        |      9999991.0 - 0.5) >= 0.0 THEN -1.0 ELSE 1.0 END *
+        |    LN(1.0 - 2.0 * ABS((CAST(x2 AS DOUBLE) + 0.5) / 9999991.0
+        |      - 0.5))) * 400.0, 6) AS nsum
+        |  FROM ds),
+        |nzc AS (
+        |  SELECT ROUND((CASE WHEN ((CAST(x2 AS DOUBLE) + 0.5) /
+        |      9999991.0 - 0.5) >= 0.0 THEN -1.0 ELSE 1.0 END *
+        |    LN(1.0 - 2.0 * ABS((CAST(x2 AS DOUBLE) + 0.5) / 9999991.0
+        |      - 0.5))) * 2.0, 6) AS ncnt
+        |  FROM dc),
+        |f AS (
+        |  SELECT n, s, s + nsum AS ns, CAST(n AS DOUBLE) + ncnt AS nc
+        |  FROM a, nzs, nzc)
+        |SELECT n, ROUND(s / CAST(n AS DOUBLE), 6) AS mean_true,
+        |  ROUND(ns, 6) AS noisy_sum, ROUND(nc, 6) AS noisy_count,
+        |  ROUND(ns / nc, 6) AS dp_mean, 1.0 AS eps,
+        |  ROUND(ABS(ROUND(ns / nc, 6) -
+        |    ROUND(s / CAST(n AS DOUBLE), 6)), 6) AS abs_err
+        |FROM f""").stripMargin,
+
+    // q364: uniqueness risk replayed — exact integer cell counting on
+    // the same (nation, segment, acctbal-bucket) quasi-identifier.
+    "q364_uniqueness_risk" ->
+      """WITH cells AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    FLOOR(c_acctbal / 100.0) AS bal_bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT CAST(SUM(c) AS BIGINT) AS n_records,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS k1_cells,
+        |  CAST(SUM(CASE WHEN c = 1 THEN c ELSE 0 END) AS BIGINT)
+        |    AS k1_records,
+        |  CAST(SUM(CASE WHEN c <= 2 THEN c ELSE 0 END) AS BIGINT)
+        |    AS k_le2_records,
+        |  CAST(MAX(c) AS BIGINT) AS max_cell,
+        |  ROUND(CAST(SUM(CASE WHEN c = 1 THEN c ELSE 0 END) AS DOUBLE) /
+        |    CAST(SUM(c) AS DOUBLE), 6) AS pct_unique,
+        |  ROUND(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS avg_cell
+        |FROM cells""".stripMargin,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which
@@ -8157,6 +8200,31 @@ object OracleSql {
        |    CAST(f2_exact AS DOUBLE), 6) AS rel_err
        |FROM perrow, med, ex ORDER BY r""".stripMargin
   }
+
+  private def pageHinkleySql: String =
+    (s"""WITH $dailySeriesCtes,
+        |cumx AS (
+        |  SELECT i, x, SUM(x) OVER (ORDER BY i) AS cum FROM series),
+        |inc AS (
+        |  SELECT i, CAST(ROUND(CAST(x AS DOUBLE) -
+        |    CAST(cum AS DOUBLE) / CAST(i + 1 AS DOUBLE) - 0.0, 9)
+        |    AS DECIMAL(38,9)) AS inc
+        |  FROM cumx),
+        |mm AS (SELECT i, SUM(inc) OVER (ORDER BY i) AS m FROM inc),
+        |ph AS (
+        |  SELECT i, CAST(m - MIN(m) OVER (ORDER BY i) AS DOUBLE) AS ph,
+        |    m
+        |  FROM mm),
+        |best AS (SELECT MAX(ph) AS best FROM ph),
+        |tstar AS (
+        |  SELECT MIN(i) AS t_star FROM ph, best WHERE ph = best),
+        |tl AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days, MAX(ph) AS phmax,
+        |    CAST(ARG_MAX(m, i) AS DOUBLE) AS mfinal
+        |  FROM ph)
+        |SELECT n_days, 0.0 AS delta, ROUND(phmax, 6) AS ph_stat,
+        |  t_star, ROUND(mfinal, 6) AS m_final
+        |FROM tl, tstar""").stripMargin
 
   private def hexPoly15(hcol: String): String =
     (1 to 15).map(i =>

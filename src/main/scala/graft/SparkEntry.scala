@@ -4125,6 +4125,35 @@ object SparkEntry {
       t(spark, dir, "embeddings"), "vec_id", "embedding",
       col("label") % 2 === 0)
 
+  // ---------------------------------------------------------------- q363
+  // DP clipped-mean calibration card: the q237 seeded-Laplace contract
+  // on the numeric mean — clip to [0,200], split ε across sum+count,
+  // release noisy_sum/noisy_count; portability-over-privacy documented.
+  def q363(spark: SparkSession, dir: String): DataFrame =
+    ProfileOps.dpClippedMean(t(spark, dir, "events"), "value",
+      hi = 200.0, eps = 1.0)
+
+  // ---------------------------------------------------------------- q364
+  // Re-identification risk card on (nation, segment, balance-bucket):
+  // how many customers are UNIQUE on the quasi-identifier — the
+  // attacker's-eye profile motivating q217/q236/q249's guarantees.
+  def q364(spark: SparkSession, dir: String): DataFrame =
+    ProfileOps.uniquenessRiskCard(t(spark, dir, "customer"),
+      Seq(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 100.0).as("bal_bucket")))
+
+  // ---------------------------------------------------------------- q365
+  // Streaming twin of q342 (SHARED oracle): the day-count frame is
+  // additive complete-mode state; the same pageHinkleyFromCounts
+  // finisher lands on the batch card bit-for-bit.
+  def q365(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.streaming.StreamingOps.streamingPageHinkley(
+      spark, dir, "events.parquet", "ts",
+      graft.streaming.StreamSink.Memory("q365_ph"),
+      prepare = Tables.normalizeEventTs)
+  }
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5401,6 +5430,9 @@ object SparkEntry {
     "q360_hosmer_lemeshow" -> (q360 _),
     "q361_forecast_accuracy" -> (q361 _),
     "q362_mmd_linear" -> (q362 _),
+    "q363_dp_mean" -> (q363 _),
+    "q364_uniqueness_risk" -> (q364 _),
+    "q365_stream_page_hinkley" -> (q365 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -268,6 +268,92 @@ object ProfileOps {
       .orderBy(col(groupCol))
   }
 
+  /** Laplace-mechanism clipped-mean SIMULATION — [[dpNoisyHistogram]]'s
+    * numeric sibling, same portability-over-privacy contract (the two
+    * draws are seeded from PUBLIC literals so the oracle can replay
+    * them; a production release would use run-secret randomness). The
+    * standard two-query mean: values clip to [0, `hi`] (sum sensitivity
+    * hi, count sensitivity 1), the budget splits ε/2 + ε/2, and the
+    * released mean is noisy_sum/noisy_count — the card answers the
+    * CALIBRATION question "what error does ε impose on a mean of this
+    * n and range".
+    *
+    * Exactness: the clipped sum is an exact decimal at the value's
+    * scale; both Laplace draws ride the proven two-round congruential
+    * inverse-CDF; everything after is fixed double shapes.
+    *
+    * Scale shape: one aggregation over the scan; noise on a 1-row frame.
+    */
+  def dpClippedMean(df: DataFrame, valCol: String, hi: Double,
+      eps: Double = 1.0, seed: String = "dpmean",
+      valScale: Int = 2): DataFrame = {
+    require(eps > 0.0 && hi > 0.0, "eps and hi must be positive")
+    val p1 = 1000003L
+    val p2 = 9999991L
+    def draw(tag: String): Column = {
+      val hx = conv(substring(md5(lit(s"$seed:$tag")), 1, 15), 16, 10)
+        .cast("long")
+      val hdiv = (hx.cast("decimal(38,0)") / lit(p1)).cast("long")
+      val x1 = pmod(pmod(hx, lit(p1)) * lit(2654435761L), lit(p1))
+      val x2 = pmod(pmod(x1 + hdiv, lit(p2)) * lit(22695477L), lit(p2))
+      val u = (x2.cast("double") + lit(0.5)) / lit(p2.toDouble)
+      val v = u - lit(0.5)
+      when(v >= 0.0, lit(-1.0)).otherwise(lit(1.0)) *
+        log(lit(1.0) - lit(2.0) * abs(v))
+    }
+    val clipped = least(greatest(col(valCol).cast("double"), lit(0.0)),
+      lit(hi))
+    val agg = df.filter(col(valCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Stats.dsum(clipped, valScale).as("__s"))
+    val halfEps = eps / 2.0
+    val noisySum = col("__s") + round(draw("sum") * lit(hi / halfEps), 6)
+    val noisyCnt = col("n").cast("double") +
+      round(draw("count") * lit(1.0 / halfEps), 6)
+    agg.select(col("n"),
+        round(col("__s") / col("n").cast("double"), 6).as("mean_true"),
+        round(noisySum, 6).as("noisy_sum"),
+        round(noisyCnt, 6).as("noisy_count"),
+        round(noisySum / noisyCnt, 6).as("dp_mean"),
+        lit(eps).as("eps"))
+      .withColumn("abs_err",
+        round(abs(col("dp_mean") - col("mean_true")), 6))
+  }
+
+  /** Re-identification risk card over a quasi-identifier combination:
+    * how many records are UNIQUE (cell size 1 — linkable by anyone
+    * holding the same attributes), in cells ≤ 2, the cell-size spread —
+    * the attacker's-eye summary that motivates the k-anonymity /
+    * l-diversity / t-closeness battery (q217/q236/q249 check a chosen
+    * k; this card says what the data's ACTUAL k profile is).
+    *
+    * Exactness: everything is exact integer counting; two ratios at
+    * the end.
+    *
+    * Scale shape: one grouped count over the scan + one reduction over
+    * the cell frame.
+    */
+  def uniquenessRiskCard(df: DataFrame,
+      quasiCols: Seq[Column]): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    val cells = df.groupBy(quasiCols: _*).agg(count(lit(1)).as("c"))
+    cells.agg(
+        sum(col("c")).as("n_records"),
+        count(lit(1)).as("n_cells"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("k1_cells"),
+        sum(when(col("c") === 1L, col("c")).otherwise(0L))
+          .as("k1_records"),
+        sum(when(col("c") <= 2L, col("c")).otherwise(0L))
+          .as("k_le2_records"),
+        max(col("c")).as("max_cell"))
+      .select(col("n_records"), col("n_cells"), col("k1_cells"),
+        col("k1_records"), col("k_le2_records"), col("max_cell"),
+        round(col("k1_records").cast("double") /
+          col("n_records").cast("double"), 6).as("pct_unique"),
+        round(col("n_records").cast("double") /
+          col("n_cells").cast("double"), 6).as("avg_cell"))
+  }
+
   /** Corpus-concentration card: Gini coefficient and top-1%/top-10%
     * token share of a per-row mass column (tokens per document) — the
     * inequality audit that says whether a handful of mega-documents

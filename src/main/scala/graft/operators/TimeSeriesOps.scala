@@ -886,16 +886,21 @@ object TimeSeriesOps {
     * minimum, missing days as exact zero counts — the shared base of
     * the whole daily-diagnostics family.
     */
-  private def dailyCountSeries(df: DataFrame, tsCol: String): DataFrame = {
-    val counts = df.groupBy(to_date(col(tsCol)).as("day"))
-      .agg(count(lit(1)).as("x"))
+  private def dailyCountSeries(df: DataFrame, tsCol: String): DataFrame =
+    dailySpineFromCounts(df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x")))
+
+  /** Gap-fill a (day, x) count frame into the (i, x) index spine —
+    * exposed separately so streaming twins can feed their additive
+    * count state through the identical finisher.
+    */
+  def dailySpineFromCounts(counts: DataFrame): DataFrame =
     counts.agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
       .select(col("__lo"), explode(sequence(col("__lo"), col("__hi")))
         .as("day"))
       .join(counts, Seq("day"), "left")
       .select(datediff(col("day"), col("__lo")).cast("long").as("i"),
         coalesce(col("x"), lit(0L)).as("x"))
-  }
 
   /** 3×3 determinant in one fixed double shape (row-major args) —
     * shared by every Cramer-solved 3-regressor OLS below so Spark and
@@ -1533,8 +1538,19 @@ object TimeSeriesOps {
     * bounded day spine.
     */
   def pageHinkleyDailyCounts(df: DataFrame, tsCol: String,
+      delta: BigDecimal = BigDecimal("0.0")): DataFrame =
+    pageHinkleyFromCounts(
+      df.groupBy(to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("x")), delta)
+
+  /** Finish a (day, x) count frame into the Page–Hinkley card — the
+    * count frame is pure additive state (streamable in complete mode;
+    * the batch ≡ stream contract), everything here runs on the bounded
+    * spine.
+    */
+  def pageHinkleyFromCounts(counts: DataFrame,
       delta: BigDecimal = BigDecimal("0.0")): DataFrame = {
-    val series = dailyCountSeries(df, tsCol)
+    val series = dailySpineFromCounts(counts)
     val wCum = Window.orderBy(col("i"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val m = series

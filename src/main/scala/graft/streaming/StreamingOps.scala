@@ -742,6 +742,27 @@ object StreamingOps {
       spark.createDataFrame(rows, sunk.schema), maxLag)
   }
 
+  /** Streaming Page–Hinkley ≡ batch (q342's twin — the sequential drift
+    * monitor joins the streaming family): the (day, count) frame is
+    * additive complete-mode state bounded by the calendar span; the
+    * SAME [[graft.operators.TimeSeriesOps.pageHinkleyFromCounts]]
+    * finisher (spine, running mean, decimal excursion walk) lands on
+    * the batch card bit-for-bit under any micro-batching — the
+    * always-fresh "has the daily level shifted" monitor.
+    */
+  def streamingPageHinkley(spark: SparkSession, dir: String,
+      fileName: String, tsCol: String, sink: StreamSink,
+      prepare: DataFrame => DataFrame = identity): DataFrame = {
+    val counts = prepare(fileStream(spark, dir, fileName))
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val sunk = runToSink(spark, counts, sink, "complete")
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    sunk.collect().foreach(rows.add)
+    graft.operators.TimeSeriesOps.pageHinkleyFromCounts(
+      spark.createDataFrame(rows, sunk.schema))
+  }
+
   /** Streaming dedup-on-ingest — the production shape of the WHOLE dedup
     * family in one stage, chaining q216's persisted band-store admission
     * with q225's Levenshtein verification inside `foreachBatch`: each

@@ -505,6 +505,49 @@ class Round11OpsSpec extends SparkSpec {
     assert(math.abs(sep - 2.0) < 1e-6, s"mmd2=$sep")
   }
 
+  // ------------------------------------ q363-q365 privacy + PH twin
+
+  test("dpClippedMean clips, is deterministic, and reports its own " +
+      "error honestly") {
+    val d = Seq(50.0, 100.0, 150.0, 300.0).toDF("value")
+    val run = () => graft.operators.ProfileOps
+      .dpClippedMean(d, "value", hi = 200.0, eps = 1.0)
+      .select("n", "mean_true", "dp_mean", "abs_err")
+      .as[(Long, Double, Double, Double)].head()
+    val a = run()
+    assert(a._1 == 4L && a._2 == 125.0) // 300 clips to 200
+    assert(a._4 == r6(math.abs(a._3 - a._2)))
+    assert(run() == a, "seeded draws must replay identically")
+  }
+
+  test("uniquenessRiskCard counts the k-profile of hand cells") {
+    val d = Seq(("a", 1), ("b", 1), ("c", 1), ("c", 1), ("d", 1),
+      ("d", 1), ("d", 1)).toDF("q1", "q2")
+    val r = graft.operators.ProfileOps.uniquenessRiskCard(
+        d, Seq(col("q1"), col("q2")))
+      .select("n_records", "n_cells", "k1_cells", "k1_records",
+        "k_le2_records", "max_cell", "pct_unique", "avg_cell")
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double)].head()
+    assert(r == ((7L, 4L, 2L, 2L, 4L, 3L, 0.285714, 1.75)))
+  }
+
+  test("streamingPageHinkley lands on the batch card bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ph_")
+    try {
+      val events = dailyEvents(Seq(3, 3, 3, 9, 9, 9, 2, 2))
+      events.coalesce(1).write.mode("overwrite")
+        .parquet(dir.resolve("ev.parquet").toString)
+      val stream = graft.streaming.StreamingOps.streamingPageHinkley(
+        spark, dir.toString, "ev.parquet", "ts",
+        graft.streaming.StreamSink.Memory("spec_ph")).collect().toSeq
+      val batch = graft.operators.TimeSeriesOps.pageHinkleyDailyCounts(
+        events, "ts").collect().toSeq
+      assert(stream == batch)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
