@@ -8120,6 +8120,107 @@ object OracleSql {
         |  ROUND(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
         |    AS avg_cell
         |FROM cells""".stripMargin,
+    // q366: periodogram replayed — identical angle/projection shapes,
+    // round-6 decimal term sums, round-9 entropy terms; cos/sin ride
+    // the engine-wide libm-agreement contract under rounding.
+    "q366_periodogram" ->
+      (s"""WITH $dailySeriesCtes,
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx
+        |  FROM series),
+        |freqs AS (
+        |  SELECT n, sx, CAST(UNNEST(generate_series(1,
+        |    LEAST(CAST(FLOOR(n / 2.0) AS BIGINT), 16))) AS BIGINT) AS k
+        |  FROM tot),
+        |terms AS (
+        |  SELECT f.k, f.n,
+        |    CAST(ROUND((CAST(s.x AS DOUBLE) -
+        |      f.sx / CAST(f.n AS DOUBLE)) *
+        |      COS(6.283185307179586 * CAST(f.k AS DOUBLE) *
+        |        CAST(s.i AS DOUBLE) / CAST(f.n AS DOUBLE)), 6)
+        |      AS DECIMAL(38,6)) AS ca,
+        |    CAST(ROUND((CAST(s.x AS DOUBLE) -
+        |      f.sx / CAST(f.n AS DOUBLE)) *
+        |      SIN(6.283185307179586 * CAST(f.k AS DOUBLE) *
+        |        CAST(s.i AS DOUBLE) / CAST(f.n AS DOUBLE)), 6)
+        |      AS DECIMAL(38,6)) AS sb
+        |  FROM series s CROSS JOIN freqs f),
+        |agg AS (
+        |  SELECT k, n, CAST(SUM(ca) AS DOUBLE) AS a,
+        |    CAST(SUM(sb) AS DOUBLE) AS b
+        |  FROM terms GROUP BY k, n),
+        |perk AS (
+        |  SELECT k, n,
+        |    ROUND((a * a + b * b) / CAST(n AS DOUBLE), 6) AS power
+        |  FROM agg),
+        |totp AS (
+        |  SELECT CAST(SUM(CAST(power AS DECIMAL(28,6))) AS DOUBLE) AS tp
+        |  FROM perk),
+        |wp AS (SELECT k, n, power, power / tp AS p FROM perk, totp),
+        |ent AS (
+        |  SELECT CAST(SUM(CAST(CASE WHEN p > 0.0
+        |      THEN ROUND(-p * LN(p), 9) ELSE 0.0 END
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS nk
+        |  FROM wp),
+        |mx AS (SELECT MAX(power) AS mx FROM perk),
+        |dom AS (
+        |  SELECT MIN(k) AS dk FROM perk, mx WHERE power = mx)
+        |SELECT k, power,
+        |  ROUND(CAST(n AS DOUBLE) / CAST(k AS DOUBLE), 6)
+        |    AS period_days,
+        |  ROUND(h / LN(CAST(nk AS DOUBLE)), 6) AS spectral_entropy,
+        |  dk AS dominant_k
+        |FROM wp, ent, dom ORDER BY k""").stripMargin,
+
+    // q367: ordinal association replayed — the identical cell
+    // self-join pair counts in HUGEINT, marginal tie counts, the same
+    // three coefficient shapes.
+    "q367_ordinal_association" ->
+      """WITH d AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS gx,
+        |    CAST(FLOOR(l_extendedprice / 10000.0) AS BIGINT) AS gy
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |cells AS (
+        |  SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM d GROUP BY gx, gy),
+        |pairs AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN b.gy > a.gy
+        |      THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS HUGEINT)
+        |      AS cc,
+        |    CAST(SUM(CASE WHEN b.gy < a.gy
+        |      THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS HUGEINT)
+        |      AS dd
+        |  FROM cells a JOIN cells b
+        |    ON b.gx > a.gx AND b.gy <> a.gy),
+        |txm AS (SELECT CAST(SUM(c) AS BIGINT) AS m FROM cells
+        |        GROUP BY gx),
+        |tym AS (SELECT CAST(SUM(c) AS BIGINT) AS m FROM cells
+        |        GROUP BY gy),
+        |tx AS (SELECT CAST(SUM(CAST(m AS HUGEINT) * (m - 1)) // 2
+        |  AS HUGEINT) AS tx FROM txm),
+        |ty AS (SELECT CAST(SUM(CAST(m AS HUGEINT) * (m - 1)) // 2
+        |  AS HUGEINT) AS ty FROM tym),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells)
+        |SELECT n, CAST(cc AS BIGINT) AS concordant,
+        |  CAST(dd AS BIGINT) AS discordant,
+        |  CAST(tx AS BIGINT) AS ties_x, CAST(ty AS BIGINT) AS ties_y,
+        |  ROUND((CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE)) /
+        |    SQRT((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0 -
+        |      CAST(tx AS DOUBLE)) *
+        |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0 -
+        |        CAST(ty AS DOUBLE))), 6) AS tau_b,
+        |  CASE WHEN CAST(cc AS DOUBLE) + CAST(dd AS DOUBLE) > 0.0 THEN
+        |    ROUND((CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE)) /
+        |      (CAST(cc AS DOUBLE) + CAST(dd AS DOUBLE)), 6) END
+        |    AS gamma,
+        |  ROUND((CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0 -
+        |      CAST(tx AS DOUBLE)), 6) AS somers_d_yx
+        |FROM pairs, tx, ty, tot""".stripMargin,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which

@@ -4154,6 +4154,23 @@ object SparkEntry {
       prepare = Tables.normalizeEventTs)
   }
 
+  // ---------------------------------------------------------------- q366
+  // Periodogram of daily volume: power at the Fourier frequencies,
+  // normalized spectral entropy, dominant period — DISCOVERS the
+  // seasonality q348's fixed-period decomposition assumes.
+  def q366(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.periodogramDailyCounts(t(spark, dir, "events"), "ts")
+
+  // ---------------------------------------------------------------- q367
+  // Ordinal association quantity × price-band on lineitem: Kendall
+  // τ_b / Goodman–Kruskal γ / Somers' d from one contingency-cell
+  // self-join — the ordinal sibling of q271's Cramér's V.
+  def q367(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.ordinalAssociationCard(
+      t(spark, dir, "lineitem"),
+      col("l_quantity").cast("long"),
+      floor(col("l_extendedprice") / 10000.0).cast("long"))
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5433,6 +5450,8 @@ object SparkEntry {
     "q363_dp_mean" -> (q363 _),
     "q364_uniqueness_risk" -> (q364 _),
     "q365_stream_page_hinkley" -> (q365 _),
+    "q366_periodogram" -> (q366 _),
+    "q367_ordinal_association" -> (q367 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

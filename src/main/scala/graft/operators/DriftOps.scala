@@ -1529,6 +1529,66 @@ object DriftOps {
         .as("bhattacharyya"))
   }
 
+  /** Ordinal-association card over two ordinal columns: Kendall's
+    * τ_b (tie-corrected), Goodman–Kruskal γ (tie-ignoring), and
+    * Somers' d_yx (asymmetric, y predicted from x) — the ORDINAL
+    * siblings of q271's nominal Cramér's V and q151's Spearman (rank
+    * correlation reads positions; these read pair concordance, which
+    * is what an ordinal scale actually licenses). Everything reduces
+    * to the contingency table: concordant/discordant pair counts come
+    * from one strict-upper-triangle self-join of the CELL frame
+    * (|cells|² work, never row pairs), tie counts from the marginals.
+    *
+    * Exactness: C, D, tie counts, N₀ are exact integers; the three
+    * coefficients are fixed double shapes with one sqrt.
+    *
+    * Scale shape: one grouped count (the contingency table), one
+    * broadcast cell self-join, two marginal reductions.
+    */
+  def ordinalAssociationCard(df: DataFrame, xCol: Column,
+      yCol: Column): DataFrame = {
+    val cells = df.select(xCol.as("gx"), yCol.as("gy"))
+      .filter(col("gx").isNotNull && col("gy").isNotNull)
+      .groupBy(col("gx"), col("gy")).agg(count(lit(1)).as("c"))
+      .persist()
+    try {
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val b = cells.select(col("gx").as("gx2"), col("gy").as("gy2"),
+        col("c").as("c2"))
+      val pairs = cells.join(broadcast(b),
+          col("gx2") > col("gx") &&
+            (col("gy2") > col("gy") || col("gy2") < col("gy")))
+        .agg(
+          sum(when(col("gy2") > col("gy"), dec(col("c")) * dec(col("c2")))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("__cc"),
+          sum(when(col("gy2") < col("gy"), dec(col("c")) * dec(col("c2")))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("__dd"))
+      def tieSum(kc: Column): Column =
+        sum(dec(col("m")) * dec(col("m") - 1L)).cast("decimal(38,0)")
+      val tx = cells.groupBy(col("gx")).agg(sum(col("c")).as("m"))
+        .agg((tieSum(col("m")) / lit(2)).cast("decimal(38,0)").as("__tx"))
+      val ty = cells.groupBy(col("gy")).agg(sum(col("c")).as("m"))
+        .agg((tieSum(col("m")) / lit(2)).cast("decimal(38,0)").as("__ty"))
+      val tot = cells.agg(sum(col("c")).as("__n"))
+      val out = pairs.crossJoin(tx).crossJoin(ty).crossJoin(tot)
+      val nD = col("__n").cast("double")
+      val n0 = nD * (nD - lit(1.0)) / lit(2.0)
+      val cD = col("__cc").cast("double")
+      val dD = col("__dd").cast("double")
+      val txD = col("__tx").cast("double")
+      val tyD = col("__ty").cast("double")
+      out.select(col("__n").as("n"),
+        col("__cc").cast("long").as("concordant"),
+        col("__dd").cast("long").as("discordant"),
+        col("__tx").cast("long").as("ties_x"),
+        col("__ty").cast("long").as("ties_y"),
+        round((cD - dD) / sqrt((n0 - txD) * (n0 - tyD)), 6).as("tau_b"),
+        when(cD + dD > 0.0, round((cD - dD) / (cD + dD), 6))
+          .as("gamma"),
+        round((cD - dD) / (n0 - txD), 6).as("somers_d_yx"))
+    } finally { cells.unpersist(); () }
+  }
+
   /** Mood's median test (Mood 1950): are the k groups' values drawn
     * around ONE common median? The pooled median comes from the two
     * middle order statistics over the distinct-value cumulative-count

@@ -1325,6 +1325,73 @@ object TimeSeriesOps {
       .orderBy(col("model"))
   }
 
+  /** Periodogram / spectral card of the daily event-count series:
+    * power P_k = (A_k² + B_k²)/n at the Fourier frequencies k = 1..n/2
+    * (A/B the cos/sin projections), normalized spectral entropy (how
+    * concentrated is the rhythm), and the dominant period — the
+    * frequency-domain reading of seasonality that q348's fixed
+    * period-7 decomposition ASSUMES and this card can DISCOVER.
+    *
+    * Portability: the angle 2πkt/n is a fixed double shape; each
+    * projection term x_t·cos/sin rounds to 6 into decimal sums (the
+    * engine-wide exp/ln-class reliance on libm agreement, here cos/sin
+    * — rounding absorbs ulp-level divergence); entropy terms round to
+    * 9.
+    *
+    * Scale shape: one count aggregation; the (n × n/2) term frame is
+    * calendar-bounded; one grouped reduction per frequency.
+    */
+  def periodogramDailyCounts(df: DataFrame, tsCol: String,
+      maxFreqs: Int = 16): DataFrame = {
+    require(maxFreqs >= 1, "maxFreqs must be >= 1")
+    val series = dailyCountSeries(df, tsCol)
+    val tot = series.agg(count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("__sx"))
+    val nD = col("n").cast("double")
+    val freqs = tot
+      .select(col("n"), col("__sx"),
+        explode(sequence(lit(1L),
+          least(floor(col("n") / 2.0).cast("long"),
+            lit(maxFreqs.toLong)))).as("k"))
+    val twoPi = 6.283185307179586
+    val angle = lit(twoPi) * col("k").cast("double") *
+      col("i").cast("double") / nD
+    // demeaned projections: subtracting the mean kills the k=0 leakage
+    val xc = col("x").cast("double") - col("__sx") / nD
+    val terms = series.crossJoin(broadcast(freqs))
+      .select(col("k"), col("n"), col("__sx"),
+        round(xc * cos(angle), 6).cast("decimal(38,6)").as("__ca"),
+        round(xc * sin(angle), 6).cast("decimal(38,6)").as("__sb"))
+    val perK = terms.groupBy(col("k"), col("n"))
+      .agg(sum(col("__ca")).cast("double").as("__a"),
+        sum(col("__sb")).cast("double").as("__b"))
+      .select(col("k"), col("n"),
+        round((col("__a") * col("__a") + col("__b") * col("__b")) /
+          col("n").cast("double"), 6).as("power"))
+    val totP = perK.agg(
+      graft.functions.Stats.dsum(col("power"), 6).as("__tp"))
+    val withP = perK.crossJoin(broadcast(totP))
+      .withColumn("__p", col("power") / col("__tp"))
+    val ent = withP
+      .select(when(col("__p") > 0.0,
+        round(-col("__p") * log(col("__p")), 9)).otherwise(lit(0.0))
+        .cast("decimal(38,9)").as("__e"))
+      .agg(sum(col("__e")).cast("double").as("__h"),
+        count(lit(1)).as("__nk"))
+    val dom = perK.agg(max(col("power")).as("__mx"))
+    val domK = perK.crossJoin(broadcast(dom))
+      .filter(col("power") === col("__mx"))
+      .agg(min(col("k")).as("__dk"))
+    withP.crossJoin(broadcast(ent)).crossJoin(broadcast(domK))
+      .select(col("k"), col("power"),
+        round(col("n").cast("double") / col("k").cast("double"), 6)
+          .as("period_days"),
+        round(col("__h") / log(col("__nk").cast("double")), 6)
+          .as("spectral_entropy"),
+        col("__dk").as("dominant_k"))
+      .orderBy(col("k"))
+  }
+
   /** Hurst exponent by rescaled-range analysis (Hurst 1951; Mandelbrot
     * & Wallis 1969) on the daily event-count series: for each window
     * size w the series splits into ⌊n/w⌋ complete blocks; per block the

@@ -548,6 +548,37 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  // -------------------------------- q366-q367 spectrum + ordinal assoc
+
+  test("periodogramDailyCounts finds the 7-day rhythm") {
+    val pattern = Seq(10, 13, 14, 12, 9, 7, 8) // rounded sinusoid
+    val got = graft.operators.TimeSeriesOps.periodogramDailyCounts(
+        dailyEvents((0 until 28).map(i => pattern(i % 7))), "ts")
+      .select("k", "period_days", "dominant_k", "spectral_entropy")
+      .as[(Long, Double, Long, Double)].collect().toSeq
+    assert(got.size == 14) // n/2 = 14 frequencies
+    assert(got.forall(_._3 == 4L), "dominant k must be n/period = 4")
+    assert(got.find(_._1 == 4L).get._2 == 7.0)
+    val h = got.head._4
+    assert(h > 0.0 && h < 0.7, s"a strong rhythm concentrates power: $h")
+  }
+
+  test("ordinalAssociationCard: perfect, tied, and reversed orders") {
+    def card(rows: Seq[(Int, Int)]) =
+      graft.operators.DriftOps.ordinalAssociationCard(
+          rows.toDF("x", "y"), col("x"), col("y"))
+        .select("n", "concordant", "discordant", "ties_x", "ties_y",
+          "tau_b", "gamma", "somers_d_yx")
+        .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
+        .head()
+    assert(card(Seq((1, 1), (2, 2), (3, 3))) ==
+      ((3L, 3L, 0L, 0L, 0L, 1.0, 1.0, 1.0)))
+    assert(card(Seq((1, 1), (1, 1), (2, 2))) ==
+      ((3L, 2L, 0L, 1L, 1L, 1.0, 1.0, 1.0)))
+    assert(card(Seq((1, 2), (2, 1))) ==
+      ((2L, 0L, 1L, 0L, 0L, -1.0, -1.0, -1.0)))
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
