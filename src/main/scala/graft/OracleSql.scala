@@ -8221,6 +8221,139 @@ object OracleSql {
         |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0 -
         |      CAST(tx AS DOUBLE)), 6) AS somers_d_yx
         |FROM pairs, tx, ty, tot""".stripMargin,
+    // q368: Brunner–Munzel replayed — half-integer midranks off the
+    // shared grid (DECIMAL(38,1) mean-rank sums), round-9 variance
+    // terms, the identical W / Satterthwaite shapes.
+    "q368_brunner_munzel" ->
+      """WITH v AS (
+        |  SELECT value AS v, event_type = 'click' AS isa
+        |  FROM events
+        |  WHERE event_type IN ('click','view') AND value IS NOT NULL),
+        |g AS (
+        |  SELECT v,
+        |    CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM v GROUP BY v),
+        |c AS (
+        |  SELECT v, ca, cb,
+        |    SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b
+        |  FROM g
+        |  WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb FROM g),
+        |mr AS (
+        |  SELECT ca, cb,
+        |    CAST(cum_a + cum_b - ca - cb AS DOUBLE) +
+        |      CAST(ca + cb + 1 AS DOUBLE) / 2.0 AS m,
+        |    CAST(cum_a - ca AS DOUBLE) + CAST(ca + 1 AS DOUBLE) / 2.0
+        |      AS ma,
+        |    CAST(cum_b - cb AS DOUBLE) + CAST(cb + 1 AS DOUBLE) / 2.0
+        |      AS mb
+        |  FROM c),
+        |means AS (
+        |  SELECT na, nb,
+        |    CAST(SUM(CAST(CAST(ca AS DOUBLE) * m AS DECIMAL(38,1)))
+        |      AS DOUBLE) / CAST(na AS DOUBLE) AS rca,
+        |    CAST(SUM(CAST(CAST(cb AS DOUBLE) * m AS DECIMAL(38,1)))
+        |      AS DOUBLE) / CAST(nb AS DOUBLE) AS rcb
+        |  FROM mr, tot GROUP BY na, nb),
+        |sums AS (
+        |  SELECT na, nb, rca, rcb,
+        |    CAST(SUM(CAST(ROUND(CAST(ca AS DOUBLE) *
+        |      ((m - ma - rca + (CAST(na AS DOUBLE) + 1.0) / 2.0) *
+        |       (m - ma - rca + (CAST(na AS DOUBLE) + 1.0) / 2.0)), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS ssa,
+        |    CAST(SUM(CAST(ROUND(CAST(cb AS DOUBLE) *
+        |      ((m - mb - rcb + (CAST(nb AS DOUBLE) + 1.0) / 2.0) *
+        |       (m - mb - rcb + (CAST(nb AS DOUBLE) + 1.0) / 2.0)), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS ssb
+        |  FROM mr, means GROUP BY na, nb, rca, rcb),
+        |f AS (
+        |  SELECT na, nb, rca, rcb, CAST(na AS DOUBLE) AS nad,
+        |    CAST(nb AS DOUBLE) AS nbd,
+        |    ssa / (CAST(na AS DOUBLE) - 1.0) AS sx,
+        |    ssb / (CAST(nb AS DOUBLE) - 1.0) AS sy
+        |  FROM sums),
+        |f2 AS (SELECT *, nad * sx + nbd * sy AS pooled FROM f)
+        |SELECT na AS n_a, nb AS n_b,
+        |  ROUND((rcb - (nbd + 1.0) / 2.0) / nad, 6) AS p_hat,
+        |  ROUND(nad * nbd * (rcb - rca) /
+        |    ((nad + nbd) * SQRT(pooled)), 6) AS w_stat,
+        |  ROUND((pooled * pooled) /
+        |    ((nad * sx) * (nad * sx) / (nad - 1.0) +
+        |      (nbd * sy) * (nbd * sy) / (nbd - 1.0)), 6) AS df
+        |FROM f2""".stripMargin,
+
+    // q369: Cochran's Q replayed — exact indicator cells, identical
+    // fixed-shape assembly.
+    "q369_cochran_q" ->
+      """WITH ind AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS t0,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS t1,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS t2
+        |  FROM events
+        |  WHERE event_type IN ('click','view','purchase')
+        |  GROUP BY user_id, CAST(ts AS DATE)),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+        |    CAST(SUM(t0) AS BIGINT) AS c0,
+        |    CAST(SUM(t1) AS BIGINT) AS c1,
+        |    CAST(SUM(t2) AS BIGINT) AS c2,
+        |    CAST(SUM(t0 + t1 + t2) AS BIGINT) AS tt,
+        |    CAST(SUM(CAST(t0 + t1 + t2 AS HUGEINT) * (t0 + t1 + t2))
+        |      AS BIGINT) AS r2
+        |  FROM ind)
+        |SELECT n_subjects, c0 AS c_click, c1 AS c_view,
+        |  c2 AS c_purchase, tt AS total_successes,
+        |  CASE WHEN 3.0 * CAST(tt AS DOUBLE) - CAST(r2 AS DOUBLE) > 0.0
+        |  THEN ROUND(3.0 * (3.0 - 1.0) *
+        |    ((CAST(c0 AS DOUBLE) - CAST(tt AS DOUBLE) / 3.0) *
+        |     (CAST(c0 AS DOUBLE) - CAST(tt AS DOUBLE) / 3.0) +
+        |     (CAST(c1 AS DOUBLE) - CAST(tt AS DOUBLE) / 3.0) *
+        |     (CAST(c1 AS DOUBLE) - CAST(tt AS DOUBLE) / 3.0) +
+        |     (CAST(c2 AS DOUBLE) - CAST(tt AS DOUBLE) / 3.0) *
+        |     (CAST(c2 AS DOUBLE) - CAST(tt AS DOUBLE) / 3.0)) /
+        |    (3.0 * CAST(tt AS DOUBLE) - CAST(r2 AS DOUBLE)), 6)
+        |  END AS q_stat,
+        |  CAST(2 AS BIGINT) AS df
+        |FROM agg""".stripMargin,
+
+    // q370: exponential-gap KS replayed — exact µs gaps and λ moments,
+    // centisecond grid, round-9 D sides, one exp per grid value.
+    "q370_exponential_gap_ks" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+        |l AS (
+        |  SELECT us - LAG(us) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS gap
+        |  FROM e),
+        |gaps AS (
+        |  SELECT gap, ROUND(CAST(gap AS DOUBLE) / 1e6, 2) AS v
+        |  FROM l WHERE gap IS NOT NULL),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(gap) AS DOUBLE) AS sus
+        |  FROM gaps),
+        |byv AS (
+        |  SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM gaps GROUP BY v),
+        |cum AS (
+        |  SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum FROM byv),
+        |sides AS (
+        |  SELECT n, sus, GREATEST(
+        |    ROUND(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE) -
+        |      (1.0 - EXP(-(CAST(n AS DOUBLE) / (sus / 1e6)) * v)), 9),
+        |    ROUND((1.0 - EXP(-(CAST(n AS DOUBLE) / (sus / 1e6)) * v)) -
+        |      CAST(cum - c AS DOUBLE) / CAST(n AS DOUBLE), 9)) AS d
+        |  FROM cum, tot)
+        |SELECT n AS n_gaps,
+        |  ROUND(CAST(n AS DOUBLE) / (sus / 1e6), 6) AS lambda_per_sec,
+        |  ROUND(MAX(d), 6) AS d_stat,
+        |  ROUND(SQRT(CAST(n AS DOUBLE)) * MAX(d), 6) AS sqrt_n_d
+        |FROM sides GROUP BY n, sus""".stripMargin,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which

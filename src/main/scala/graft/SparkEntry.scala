@@ -4171,6 +4171,34 @@ object SparkEntry {
       col("l_quantity").cast("long"),
       floor(col("l_extendedprice") / 10000.0).cast("long"))
 
+  // ---------------------------------------------------------------- q368
+  // Brunner–Munzel click-vs-view: the heteroscedasticity-robust rank
+  // test (relative effect + studentized W + Satterthwaite df) that
+  // replaces q259's Mann–Whitney when shapes differ under the null.
+  def q368(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.brunnerMunzelTest(
+      t(spark, dir, "events"), "value", "event_type", "click", "view")
+
+  // ---------------------------------------------------------------- q369
+  // Cochran's Q over per-USER-DAY click/view/purchase indicators: do
+  // the k related binary treatments share one daily rate — the
+  // k-treatment generalization of q336's McNemar, exact integer cells
+  // (user-day subjects keep within-subject variation alive; per-user
+  // every indicator saturates and Q is undefined).
+  def q369(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.cochranQTest(
+      t(spark, dir, "events"),
+      concat_ws(":", col("user_id"), to_date(col("ts"))), "event_type",
+      Seq("click", "view", "purchase"))
+
+  // ---------------------------------------------------------------- q370
+  // One-sample KS of per-user inter-arrival gaps against the fitted
+  // exponential: how far from Poisson is the arrival process — the
+  // timing-side model check next to q282's count overdispersion.
+  def q370(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.exponentialGapKs(
+      t(spark, dir, "events"), "user_id", "ts", "event_id")
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5452,6 +5480,9 @@ object SparkEntry {
     "q365_stream_page_hinkley" -> (q365 _),
     "q366_periodogram" -> (q366 _),
     "q367_ordinal_association" -> (q367 _),
+    "q368_brunner_munzel" -> (q368 _),
+    "q369_cochran_q" -> (q369 _),
+    "q370_exponential_gap_ks" -> (q370 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

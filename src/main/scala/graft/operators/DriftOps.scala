@@ -1589,6 +1589,122 @@ object DriftOps {
     } finally { cells.unpersist(); () }
   }
 
+  /** Brunner–Munzel test (2000): the heteroscedasticity-robust
+    * replacement for Mann–Whitney (q259 assumes equal shapes under the
+    * null; BM does not) — relative effect p̂ = P(X<Y) + ½P(X=Y) with a
+    * studentized statistic and Satterthwaite df from the within-sample
+    * rank variances. All rank quantities collapse onto the distinct-
+    * value grid: every tied observation shares its combined AND
+    * within-sample midrank, so the variance sums are per-value terms
+    * weighted by exact cell counts (the scipy `brunnermunzel`
+    * convention, midranks).
+    *
+    * Exactness: midranks are exact half-integers off the cumulative
+    * grid; mean ranks are single divisions; variance terms are fixed
+    * double shapes rounded to 9 into decimal sums.
+    *
+    * Scale shape: the [[ecdfGrid]] distributed prefix scheme + two
+    * grouped reductions.
+    */
+  def brunnerMunzelTest(df: DataFrame, valCol: String, groupCol: String,
+      groupA: String, groupB: String, buckets: Int = 32): DataFrame = {
+    val g = ecdfGrid(df, valCol, groupCol, groupA, groupB, buckets)
+      .persist()
+    try {
+      val c = col("ca") + col("cb")
+      val m = ((col("cum_a") + col("cum_b")) - c).cast("double") +
+        (c + lit(1L)).cast("double") / 2.0
+      val mA = (col("cum_a") - col("ca")).cast("double") +
+        (col("ca") + lit(1L)).cast("double") / 2.0
+      val mB = (col("cum_b") - col("cb")).cast("double") +
+        (col("cb") + lit(1L)).cast("double") / 2.0
+      def dsum1(e: Column): Column =
+        sum(e.cast("decimal(38,1)")).cast("double")
+      val means = g.groupBy(col("__na"), col("__nb"))
+        .agg(dsum1(col("ca").cast("double") * m).as("__sma"),
+          dsum1(col("cb").cast("double") * m).as("__smb"))
+        .select(col("__na"), col("__nb"),
+          (col("__sma") / col("__na").cast("double")).as("__rca"),
+          (col("__smb") / col("__nb").cast("double")).as("__rcb"))
+      val naD = col("__na").cast("double")
+      val nbD = col("__nb").cast("double")
+      val tA = m - mA - col("__rca") + (naD + lit(1.0)) / 2.0
+      val tB = m - mB - col("__rcb") + (nbD + lit(1.0)) / 2.0
+      val sums = g.join(broadcast(means), Seq("__na", "__nb"))
+        .groupBy(col("__na"), col("__nb"), col("__rca"), col("__rcb"))
+        .agg(
+          sum(round(col("ca").cast("double") * (tA * tA), 9)
+            .cast("decimal(38,9)")).cast("double").as("__ssa"),
+          sum(round(col("cb").cast("double") * (tB * tB), 9)
+            .cast("decimal(38,9)")).cast("double").as("__ssb"))
+      val sx = col("__ssa") / (naD - lit(1.0))
+      val sy = col("__ssb") / (nbD - lit(1.0))
+      val pooled = naD * sx + nbD * sy
+      val w = naD * nbD * (col("__rcb") - col("__rca")) /
+        ((naD + nbD) * sqrt(pooled))
+      val dfSat = (pooled * pooled) /
+        ((naD * sx) * (naD * sx) / (naD - lit(1.0)) +
+          (nbD * sy) * (nbD * sy) / (nbD - lit(1.0)))
+      sums.select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        round((col("__rcb") - (nbD + lit(1.0)) / 2.0) / naD, 6)
+          .as("p_hat"),
+        round(w, 6).as("w_stat"),
+        round(dfSat, 6).as("df"))
+    } finally { g.unpersist(); () }
+  }
+
+  /** Cochran's Q test (1950): do k related binary treatments have the
+    * same success rate across subjects? Here per-subject indicator
+    * rows (did user i ever fire treatment j) form the k×n 0/1 matrix;
+    * Q = k(k−1)·Σ_j(C_j − T/k)²/(k·T − ΣR_i²) against χ²(k−1) — the
+    * k-treatment generalization of q336's McNemar (k=2 reduces to it).
+    *
+    * Exactness: everything is exact integer counting until the final
+    * ratio.
+    *
+    * Scale shape: one per-(subject, treatment) aggregation, one
+    * per-subject row-total reduction, one k-row column frame.
+    */
+  def cochranQTest(df: DataFrame, subjectCol: Column, treatCol: String,
+      treatments: Seq[String]): DataFrame = {
+    require(treatments.size >= 2, "need >= 2 treatments")
+    val k = treatments.size
+    val indicators = df.filter(col(treatCol).isin(treatments: _*))
+      .groupBy(subjectCol.as("__subj"))
+      .agg(max(when(col(treatCol) === treatments.head, 1L)
+        .otherwise(0L)).as(s"__t_0"),
+        treatments.tail.zipWithIndex.map { case (t, i) =>
+          max(when(col(treatCol) === t, 1L).otherwise(0L))
+            .as(s"__t_${i + 1}")
+        }: _*)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val r = treatments.indices.map(i => col(s"__t_$i"))
+      .reduce(_ + _)
+    val aggCols = count(lit(1)).as("n_subjects") +:
+      (treatments.indices.map(i =>
+        sum(col(s"__t_$i")).as(s"__c_$i")) :+
+        sum(r).as("__T") :+
+        sum(dec(r) * dec(r)).cast("long").as("__R2"))
+    val agg = indicators.agg(aggCols.head, aggCols.tail: _*)
+    val kD = lit(k.toDouble)
+    val tD = col("__T").cast("double")
+    val meanC = tD / kD
+    val num = treatments.indices.map { i =>
+      val cD = col(s"__c_$i").cast("double")
+      (cD - meanC) * (cD - meanC)
+    }.reduce(_ + _)
+    val denom = kD * tD - col("__R2").cast("double")
+    val q = when(denom > 0.0,
+      kD * (kD - lit(1.0)) * num / denom)
+    val outCols = col("n_subjects") +:
+      (treatments.indices.map(i =>
+        col(s"__c_$i").as(s"c_${treatments(i)}")) :+
+        col("__T").cast("long").as("total_successes") :+
+        round(q, 6).as("q_stat") :+
+        lit((k - 1).toLong).as("df"))
+    agg.select(outCols: _*)
+  }
+
   /** Mood's median test (Mood 1950): are the k groups' values drawn
     * around ONE common median? The pooled median comes from the two
     * middle order statistics over the distinct-value cumulative-count

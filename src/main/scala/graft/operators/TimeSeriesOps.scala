@@ -1392,6 +1392,55 @@ object TimeSeriesOps {
       .orderBy(col("k"))
   }
 
+  /** One-sample Kolmogorov–Smirnov test of per-key inter-arrival gaps
+    * against the fitted exponential: if arrivals were Poisson, gaps are
+    * Exp(λ̂ = n/Σgaps) — D = sup|F̂ − F_exp| over the centisecond-
+    * quantized gap grid reads how far the process is from memoryless
+    * (bursty sessions push D up). The distributional sibling of q110's
+    * gap-outlier screen and the model-check behind any Poisson
+    * assumption (q282 overdispersion checks counts; this checks
+    * TIMING).
+    *
+    * Exactness: gaps are exact integer microseconds (λ̂'s moments
+    * exact); the ECDF runs on the quantized grid (identical on any
+    * engine); each D-side term rounds to 9 before the max; one exp per
+    * grid value.
+    *
+    * Scale shape: per-KEY lag windows (no global sort of events), one
+    * grid count aggregation, one grid-bounded cumulative window.
+    */
+  def exponentialGapKs(df: DataFrame, keyCol: String, tsCol: String,
+      tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tiebreak))
+    val gaps = df
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .select(col("__gap"),
+        round(col("__gap").cast("double") / lit(1e6), 2).as("v"))
+    val tot = gaps.agg(count(lit(1)).as("n"),
+      sum(col("__gap")).cast("double").as("__sus"))
+    val lambda = col("n").cast("double") / (col("__sus") / lit(1e6))
+    val byV = gaps.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val wv = Window.orderBy(col("v"))
+    val cum = byV.withColumn("cum", sum(col("c")).over(wv))
+      .crossJoin(broadcast(tot))
+    val nD = col("n").cast("double")
+    val f = lit(1.0) - exp(-lambda * col("v"))
+    val sides = cum.select(col("n"), col("__sus"),
+      greatest(
+        round(col("cum").cast("double") / nD - f, 9),
+        round(f - (col("cum") - col("c")).cast("double") / nD, 9))
+        .as("__d"))
+    sides.groupBy(col("n"), col("__sus"))
+      .agg(max(col("__d")).as("__dmax"))
+      .select(col("n").as("n_gaps"),
+        round(lambda, 6).as("lambda_per_sec"),
+        round(col("__dmax"), 6).as("d_stat"),
+        round(sqrt(nD) * col("__dmax"), 6).as("sqrt_n_d"))
+  }
+
   /** Hurst exponent by rescaled-range analysis (Hurst 1951; Mandelbrot
     * & Wallis 1969) on the daily event-count series: for each window
     * size w the series splits into ⌊n/w⌋ complete blocks; per block the

@@ -579,6 +579,52 @@ class Round11OpsSpec extends SparkSpec {
       ((2L, 0L, 1L, 0L, 0L, -1.0, -1.0, -1.0)))
   }
 
+  // ------------------------------- q368-q370 BM / Cochran / gap KS
+
+  test("brunnerMunzelTest reproduces the original paper's example") {
+    // Brunner & Munzel (2000) worked example (also scipy's doctest):
+    // W = 3.1374674823, df = 17.68...
+    val x = Seq(1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 2, 4, 1, 1)
+    val y = Seq(3, 3, 4, 3, 1, 2, 3, 1, 1, 5, 4)
+    val d = (x.map(("x", _)) ++ y.map(("y", _))).toDF("g", "v")
+    val r = graft.operators.DriftOps.brunnerMunzelTest(
+        d, "v", "g", "x", "y")
+      .select("n_a", "n_b", "p_hat", "w_stat", "df")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(r._1 == 14L && r._2 == 11L)
+    assert(math.abs(r._4 - 3.137467) < 1e-3, s"W=${r._4}")
+    assert(math.abs(r._5 - 17.683) < 0.05, s"df=${r._5}")
+    assert(r._3 > 0.7, s"y must dominate, p_hat=${r._3}")
+  }
+
+  test("cochranQTest matches the hand-worked 4-subject table") {
+    // indicators: a=(1,1,0) b=(1,0,0) c=(1,1,1) d=(0,1,0) -> Q = 24/9
+    val rows = Seq(("a", "t0"), ("a", "t1"), ("b", "t0"), ("c", "t0"),
+      ("c", "t1"), ("c", "t2"), ("d", "t1"))
+    val r = graft.operators.DriftOps.cochranQTest(
+        rows.toDF("s", "tr"), col("s"), "tr", Seq("t0", "t1", "t2"))
+      .select("n_subjects", "c_t0", "c_t1", "c_t2", "total_successes",
+        "q_stat", "df")
+      .as[(Long, Long, Long, Long, Long, Double, Long)].head()
+    assert(r == ((4L, 3L, 3L, 1L, 7L, 2.666667, 2L)))
+  }
+
+  test("exponentialGapKs: perfectly periodic arrivals are maximally " +
+      "non-exponential at the step") {
+    // 11 events 60s apart: one gap value, D = 1 - 1/e at the step
+    val rows = (0 to 10).map(m => (1L, new Timestamp(m * 60000L), m.toLong))
+      .toDF("user_id", "ts", "event_id")
+    val r = graft.operators.TimeSeriesOps.exponentialGapKs(
+        rows, "user_id", "ts", "event_id")
+      .select("n_gaps", "lambda_per_sec", "d_stat", "sqrt_n_d")
+      .as[(Long, Double, Double, Double)].head()
+    assert(r._1 == 10L)
+    assert(r._2 == r6(1.0 / 60.0))
+    val dExp = r9(1.0 - math.exp(-1.0))
+    assert(r._3 == r6(dExp))
+    assert(r._4 == r6(math.sqrt(10.0) * dExp))
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
