@@ -8354,6 +8354,120 @@ object OracleSql {
         |  ROUND(MAX(d), 6) AS d_stat,
         |  ROUND(SQRT(CAST(n AS DOUBLE)) * MAX(d), 6) AS sqrt_n_d
         |FROM sides GROUP BY n, sus""".stripMargin,
+    // q371: partial correlation replayed — the identical ten exact
+    // decimal moments and r shapes, one sqrt per correlation.
+    "q371_partial_correlation" ->
+      """WITH d AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y,
+        |    CAST(l_discount AS DOUBLE) AS z
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(28,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(z AS DECIMAL(28,2))) AS DOUBLE) AS sz,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(z * z AS DECIMAL(28,4))) AS DOUBLE) AS szz,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x * z AS DECIMAL(28,4))) AS DOUBLE) AS sxz,
+        |    CAST(SUM(CAST(y * z AS DECIMAL(28,4))) AS DOUBLE) AS syz
+        |  FROM d),
+        |r AS (
+        |  SELECT n,
+        |    (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |      SQRT((CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |        (CAST(n AS DOUBLE) * syy - sy * sy)) AS rxy,
+        |    (CAST(n AS DOUBLE) * sxz - sx * sz) /
+        |      SQRT((CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |        (CAST(n AS DOUBLE) * szz - sz * sz)) AS rxz,
+        |    (CAST(n AS DOUBLE) * syz - sy * sz) /
+        |      SQRT((CAST(n AS DOUBLE) * syy - sy * sy) *
+        |        (CAST(n AS DOUBLE) * szz - sz * sz)) AS ryz
+        |  FROM m)
+        |SELECT n, ROUND(rxy, 6) AS r_xy, ROUND(rxz, 6) AS r_xz,
+        |  ROUND(ryz, 6) AS r_yz,
+        |  ROUND((rxy - rxz * ryz) /
+        |    SQRT((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+        |    AS r_xy_given_z
+        |FROM r""".stripMargin,
+
+    // q372: effect sizes replayed — the q286 moment CTEs, the ω²/ε²/f
+    // shapes verbatim.
+    "q372_anova_effect_sizes" ->
+      """WITH d AS (
+        |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |grp AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    SUM(CAST(v AS DECIMAL(28,2))) AS sd,
+        |    SUM(CAST(v * v AS DECIMAL(38,4))) AS qd
+        |  FROM d GROUP BY g),
+        |a AS (
+        |  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(sd) AS DOUBLE) AS s, CAST(SUM(qd) AS DOUBLE) AS q,
+        |    CAST(SUM(CAST((CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) /
+        |      CAST(n_g AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS sb
+        |  FROM grp),
+        |f AS (
+        |  SELECT n, k, CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
+        |    sb - s * s / CAST(n AS DOUBLE) AS ssb, q - sb AS ssw
+        |  FROM a WHERE k > 1 AND n > k),
+        |f2 AS (
+        |  SELECT n, k, kd, ssb, ssw, ssb + ssw AS sst,
+        |    ssw / (nd - kd) AS msw, ssb / (ssb + ssw) AS eta
+        |  FROM f)
+        |SELECT n, k, ROUND(eta, 6) AS eta_squared,
+        |  ROUND((ssb - (kd - 1.0) * msw) / (sst + msw), 6)
+        |    AS omega_squared,
+        |  ROUND((ssb - (kd - 1.0) * msw) / sst, 6) AS epsilon_squared,
+        |  CASE WHEN eta < 1.0 THEN
+        |    ROUND(SQRT(eta / (1.0 - eta)), 6) END AS cohens_f
+        |FROM f2""".stripMargin,
+
+    // q373: entropy rate replayed — exact transition counts, round-9
+    // per-row and per-source terms into decimal sums, one ln at the
+    // end.
+    "q373_markov_entropy" ->
+      """WITH l AS (
+        |  SELECT event_type AS j,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS i
+        |  FROM events WHERE event_type IS NOT NULL),
+        |pairs AS (
+        |  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM l WHERE i IS NOT NULL GROUP BY i, j),
+        |marg AS (SELECT i, CAST(SUM(n) AS BIGINT) AS ni
+        |         FROM pairs GROUP BY i),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nt,
+        |    CAST(COUNT(DISTINCT i) AS BIGINT) AS k_states
+        |  FROM pairs),
+        |peri AS (
+        |  SELECT p.i, m.ni,
+        |    CAST(SUM(CAST(ROUND(-(CAST(p.n AS DOUBLE) /
+        |      CAST(m.ni AS DOUBLE) *
+        |      LN(CAST(p.n AS DOUBLE) / CAST(m.ni AS DOUBLE))), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS hi
+        |  FROM pairs p JOIN marg m ON p.i = m.i GROUP BY p.i, m.ni),
+        |h AS (
+        |  SELECT nt, k_states,
+        |    CAST(SUM(CAST(ROUND(CAST(ni AS DOUBLE) /
+        |      CAST(nt AS DOUBLE) * hi, 9) AS DECIMAL(38,9)))
+        |      AS DOUBLE) AS hh
+        |  FROM peri, tot GROUP BY nt, k_states)
+        |SELECT nt AS n_transitions, k_states,
+        |  ROUND(hh, 6) AS entropy_rate,
+        |  ROUND(LN(CAST(k_states AS DOUBLE)), 6) AS max_entropy,
+        |  CASE WHEN k_states > 1 THEN
+        |    ROUND(hh / LN(CAST(k_states AS DOUBLE)), 6) END
+        |    AS efficiency
+        |FROM h""".stripMargin,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which

@@ -4199,6 +4199,30 @@ object SparkEntry {
     TimeSeriesOps.exponentialGapKs(
       t(spark, dir, "events"), "user_id", "ts", "event_id")
 
+  // ---------------------------------------------------------------- q371
+  // Partial correlation quantity↔price given discount on lineitem: the
+  // confounder check q210's raw matrix can't make, three Pearson r's
+  // from one ten-moment exact-decimal aggregation.
+  def q371(spark: SparkSession, dir: String): DataFrame =
+    ProfileOps.partialCorrelation(t(spark, dir, "lineitem"),
+      "l_quantity", "l_extendedprice", "l_discount")
+
+  // ---------------------------------------------------------------- q372
+  // ANOVA effect sizes η²/ω²/ε²/Cohen's f for value-by-event-type: the
+  // MAGNITUDE companions to q286's F — does the grouping matter, not
+  // just is it significant.
+  def q372(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.anovaEffectSizes(
+      t(spark, dir, "events"), "value", "event_type")
+
+  // ---------------------------------------------------------------- q373
+  // Entropy rate of the per-user event-type Markov chain: how
+  // predictable is the next event given the current — the one-number
+  // summary of q114's transition matrix, with ln(k) normalization.
+  def q373(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.markovEntropyRate(
+      t(spark, dir, "events"), "user_id", "ts", "event_id", "event_type")
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5483,6 +5507,9 @@ object SparkEntry {
     "q368_brunner_munzel" -> (q368 _),
     "q369_cochran_q" -> (q369 _),
     "q370_exponential_gap_ks" -> (q370 _),
+    "q371_partial_correlation" -> (q371 _),
+    "q372_anova_effect_sizes" -> (q372 _),
+    "q373_markov_entropy" -> (q373 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -974,6 +974,41 @@ object DriftOps {
       round(ssb / (ssb + ssw), 6).as("eta_squared"))
   }
 
+  /** ANOVA effect-size card: η² (variance share — biased up in small
+    * samples), ω² (Hays 1963 — the near-unbiased estimate), ε²
+    * (Kelley 1935), and Cohen's f — the MAGNITUDE companions to
+    * [[anovaF]]'s significance (a huge n makes tiny effects
+    * "significant"; these say whether the group structure matters).
+    * Same exact decimal group moments, one fixed double assembly.
+    */
+  def anovaEffectSizes(df: DataFrame, valCol: String, groupCol: String,
+      scale: Int = 2, scale2: Int = 4): DataFrame = {
+    val grp = bhFdrMoments(df, valCol, groupCol, scale, scale2)
+    val agg = grp.agg(
+        sum(col("n_g")).as("n"),
+        count(lit(1)).as("k"),
+        sum(col("__sd")).cast("double").as("__s"),
+        sum(col("__qd")).cast("double").as("__q"),
+        sum(((col("__sd").cast("double") * col("__sd").cast("double")) /
+          col("n_g").cast("double")).cast("decimal(38,6)"))
+          .cast("double").as("__sb"))
+      .filter(col("k") > 1 && col("n") > col("k"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val ssb = col("__sb") - col("__s") * col("__s") / nD
+    val ssw = col("__q") - col("__sb")
+    val sst = ssb + ssw
+    val msw = ssw / (nD - kD)
+    val eta = ssb / sst
+    agg.select(col("n"), col("k"),
+      round(eta, 6).as("eta_squared"),
+      round((ssb - (kD - lit(1.0)) * msw) / (sst + msw), 6)
+        .as("omega_squared"),
+      round((ssb - (kD - lit(1.0)) * msw) / sst, 6).as("epsilon_squared"),
+      when(eta < 1.0, round(sqrt(eta / (lit(1.0) - eta)), 6))
+        .as("cohens_f"))
+  }
+
   /** Levene's variance-equality test (Levene 1960, mean-centered): the
     * VARIANCE member of the drift battery — [[welchTTest]] sees mean
     * shifts, [[ksTwoSample]] shapes, [[mannWhitneyU]] locations; this

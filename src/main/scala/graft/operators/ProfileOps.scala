@@ -354,6 +354,51 @@ object ProfileOps {
           col("n_cells").cast("double"), 6).as("avg_cell"))
   }
 
+  /** First-order partial correlation r_xy·z = (r_xy − r_xz·r_yz) /
+    * √((1−r_xz²)(1−r_yz²)): the x–y association with z's linear
+    * influence REMOVED — the confounder check q210's raw correlation
+    * matrix can't make (a strong r_xy that collapses given z was z's
+    * doing all along). All three Pearson r's assemble from ONE
+    * ten-moment exact-decimal aggregation.
+    *
+    * `scale` is the columns' true decimal precision (the dsum
+    * contract; cross-products are exact at 2·scale).
+    */
+  def partialCorrelation(df: DataFrame, xCol: String, yCol: String,
+      zCol: String, scale: Int = 2): DataFrame = {
+    import graft.functions.Stats.dsum
+    val d = df.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(zCol).isNotNull)
+      .select(col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"),
+        col(zCol).cast("double").as("z"))
+    val s2 = 2 * scale
+    val m = d.agg(count(lit(1)).as("n"),
+      dsum(col("x"), scale).as("sx"), dsum(col("y"), scale).as("sy"),
+      dsum(col("z"), scale).as("sz"),
+      dsum(col("x") * col("x"), s2).as("sxx"),
+      dsum(col("y") * col("y"), s2).as("syy"),
+      dsum(col("z") * col("z"), s2).as("szz"),
+      dsum(col("x") * col("y"), s2).as("sxy"),
+      dsum(col("x") * col("z"), s2).as("sxz"),
+      dsum(col("y") * col("z"), s2).as("syz"))
+    val nD = col("n").cast("double")
+    def r(sab: Column, sa: Column, sb: Column, saa: Column,
+        sbb: Column): Column =
+      (nD * sab - sa * sb) /
+        sqrt((nD * saa - sa * sa) * (nD * sbb - sb * sb))
+    val rxy = r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+    val rxz = r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
+    val ryz = r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
+    m.select(col("n"),
+      round(rxy, 6).as("r_xy"),
+      round(rxz, 6).as("r_xz"),
+      round(ryz, 6).as("r_yz"),
+      round((rxy - rxz * ryz) /
+        sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)), 6)
+        .as("r_xy_given_z"))
+  }
+
   /** Corpus-concentration card: Gini coefficient and top-1%/top-10%
     * token share of a per-row mass column (tokens per document) — the
     * inequality audit that says whether a handful of mega-documents

@@ -185,6 +185,51 @@ object TimeSeriesOps {
       .select(col("prev_state"), col("next_state"), col("n"), col("p"))
   }
 
+  /** Entropy rate of the per-key state Markov chain (Shannon 1948,
+    * H(X₂|X₁) under the empirical chain): H = −Σ_i π̂_i Σ_j p̂_ij ln p̂_ij
+    * with π̂ the empirical source distribution of transitions — how
+    * PREDICTABLE is the next event given the current one, the
+    * one-number summary of [[markovTransitions]]' full matrix (and the
+    * sequence-side sibling of q294's context-free bigram entropy).
+    * Efficiency = H/ln(k) ∈ [0,1] normalizes away the state count.
+    *
+    * Exactness: transition counts exact; per-row −(n_ij/n_i)·ln(p̂)
+    * terms round to 9 into decimal sums weighted by exact marginals.
+    *
+    * Scale shape: one key-partitioned lag window, one transition
+    * count aggregation; everything after on the k²-bounded matrix.
+    */
+  def markovEntropyRate(df: DataFrame, key: String, ts: String,
+      tiebreak: String, state: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+    val pairs = df
+      .filter(col(state).isNotNull)
+      .withColumn("__prev", lag(col(state), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("i"), col(state).as("j"))
+      .agg(count(lit(1)).as("n"))
+    val marg = pairs.groupBy(col("i")).agg(sum(col("n")).as("ni"))
+    val tot = pairs.agg(sum(col("n")).as("nt"),
+      countDistinct(col("i")).as("k_states"))
+    val p = col("n").cast("double") / col("ni").cast("double")
+    val rowTerm = round(-(p * log(p)), 9).cast("decimal(38,9)")
+    val perI = pairs.join(broadcast(marg), "i")
+      .groupBy(col("i"), col("ni"))
+      .agg(sum(rowTerm).cast("double").as("__hi"))
+    val h = perI.crossJoin(broadcast(tot))
+      .select(col("nt"), col("k_states"),
+        round(col("ni").cast("double") / col("nt").cast("double") *
+          col("__hi"), 9).cast("decimal(38,9)").as("__t"))
+      .groupBy(col("nt"), col("k_states"))
+      .agg(sum(col("__t")).cast("double").as("__h"))
+    h.select(col("nt").as("n_transitions"), col("k_states"),
+      round(col("__h"), 6).as("entropy_rate"),
+      round(log(col("k_states").cast("double")), 6).as("max_entropy"),
+      when(col("k_states") > 1,
+        round(col("__h") / log(col("k_states").cast("double")), 6))
+        .as("efficiency"))
+  }
+
   /** Single mean-shift changepoint per key, exact: bucket time into
     * integer hours, reduce each key to per-bucket sufficient statistics
     * (n, Σy, Σy²) — ONE keyed aggregation over the data — then evaluate

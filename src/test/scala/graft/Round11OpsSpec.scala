@@ -625,6 +625,54 @@ class Round11OpsSpec extends SparkSpec {
     assert(r._4 == r6(math.sqrt(10.0) * dExp))
   }
 
+  // --------------------------- q371-q373 partial corr / ANOVA / Markov
+
+  test("partialCorrelation: y = x + z is perfect given z, diluted raw") {
+    val rows = Seq((1, 10), (2, 10), (1, 20), (2, 20), (3, 10), (4, 10),
+      (3, 20), (4, 20)).map { case (x, z) => (x, x + z, z) }
+    val r = graft.operators.ProfileOps.partialCorrelation(
+        rows.toDF("x", "y", "z"), "x", "y", "z", scale = 0)
+      .select("n", "r_xy", "r_xy_given_z")
+      .as[(Long, Double, Double)].head()
+    assert(r._1 == 8L)
+    assert(r._3 > 0.999998, s"partial must be ~1, got ${r._3}")
+    assert(r._2 < 0.5, s"raw r is diluted by z, got ${r._2}")
+  }
+
+  test("anovaEffectSizes matches the hand-worked two-group case") {
+    val d = (Seq(1, 2, 3).map(("a", _)) ++ Seq(4, 5, 6).map(("b", _)))
+      .toDF("g", "v")
+    val r = graft.operators.DriftOps.anovaEffectSizes(d, "v", "g")
+      .select("n", "k", "eta_squared", "omega_squared",
+        "epsilon_squared", "cohens_f")
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(r._1 == 6L && r._2 == 2L)
+    assert(r._3 == r6(13.5 / 17.5) && r._4 == r6(12.5 / 18.5) &&
+      r._5 == r6(12.5 / 17.5))
+    assert(r._6 == r6(math.sqrt((13.5 / 17.5) / (4.0 / 17.5))))
+  }
+
+  test("markovEntropyRate: a deterministic cycle has H = 0, a fair " +
+      "branch has H = pi_A ln 2") {
+    def chain(states: Seq[String]) = states.zipWithIndex
+      .map { case (s, i) => (1L, ts(i), i.toLong, s) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val cyc = graft.operators.TimeSeriesOps.markovEntropyRate(
+        chain(Seq("A", "B", "A", "B", "A")), "user_id", "ts",
+        "event_id", "event_type")
+      .select("entropy_rate", "efficiency").as[(Double, Double)].head()
+    assert(cyc == ((0.0, 0.0)))
+    val br = graft.operators.TimeSeriesOps.markovEntropyRate(
+        chain(Seq("A", "B", "A", "C", "A", "B", "A", "C")), "user_id",
+        "ts", "event_id", "event_type")
+      .select("n_transitions", "k_states", "entropy_rate")
+      .as[(Long, Long, Double)].head()
+    // A->B 2, A->C 2 (H_A = ln 2), B/C deterministic; pi_A = 4/7
+    val hA = r9(-(0.5 * math.log(0.5))) * 2
+    assert(br._1 == 7L && br._2 == 3L)
+    assert(br._3 == r6(r9(4.0 / 7.0 * hA)))
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
