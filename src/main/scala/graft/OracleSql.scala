@@ -7484,43 +7484,8 @@ object OracleSql {
     // q348: classical decomposition replayed — exact 7-sum MA trend,
     // round-8 decimal detrended sums, centered indices, variance
     // share; +0.0 folds any −0.0 the near-zero indices could round to.
-    "q348_seasonal_decomposition" ->
-      (s"""WITH $dailySeriesCtes,
-        |ma AS (
-        |  SELECT i, x,
-        |    SUM(x) OVER (ORDER BY i ROWS BETWEEN 3 PRECEDING AND
-        |      3 FOLLOWING) AS s7,
-        |    COUNT(*) OVER (ORDER BY i ROWS BETWEEN 3 PRECEDING AND
-        |      3 FOLLOWING) AS c7
-        |  FROM series),
-        |det AS (
-        |  SELECT i, i % 7 AS phase,
-        |    CAST(x AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0 AS d
-        |  FROM ma WHERE c7 = 7),
-        |byphase AS (
-        |  SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_obs,
-        |    CAST(SUM(CAST(ROUND(d, 8) AS DECIMAL(38,8))) AS DOUBLE) /
-        |      CAST(COUNT(*) AS DOUBLE) AS raw
-        |  FROM det GROUP BY phase),
-        |ctr AS (
-        |  SELECT CAST(SUM(CAST(ROUND(raw, 8) AS DECIMAL(38,8)))
-        |      AS DOUBLE) /
-        |    CAST(COUNT(*) AS DOUBLE) AS mean
-        |  FROM byphase),
-        |idx AS (
-        |  SELECT phase, n_obs, raw, raw - mean AS ctr
-        |  FROM byphase, ctr),
-        |rem AS (
-        |  SELECT
-        |    CAST(SUM(CAST(ROUND(d * d, 8) AS DECIMAL(38,8)))
-        |      AS DOUBLE) AS sd2,
-        |    CAST(SUM(CAST(ROUND((d - ctr) * (d - ctr), 8)
-        |      AS DECIMAL(38,8))) AS DOUBLE) AS sr2
-        |  FROM det JOIN idx USING (phase))
-        |SELECT phase, n_obs, ROUND(raw, 6) + 0.0 AS seasonal_raw,
-        |  ROUND(ctr, 6) + 0.0 AS seasonal_idx,
-        |  ROUND(1.0 - sr2 / sd2, 6) + 0.0 AS seasonal_strength
-        |FROM idx, rem ORDER BY phase""").stripMargin,
+    "q348_seasonal_decomposition" -> seasonalDecompositionSql,
+    "q375_stream_seasonal" -> seasonalDecompositionSql,
     // q349: Kuiper replayed — the q297 grid, exact HUGEINT ECDF
     // cross-products, one double division per direction.
     "q349_kuiper" ->
@@ -8468,6 +8433,54 @@ object OracleSql {
         |    ROUND(hh / LN(CAST(k_states AS DOUBLE)), 6) END
         |    AS efficiency
         |FROM h""".stripMargin,
+    // q374: Poisson IRLS replayed — the q318 recursive-CTE contract:
+    // round-12 decimal working-response sums over the spine, round-9
+    // parameters per step, deviance at the entering parameters.
+    "q374_poisson_trend" ->
+      (s"""WITH RECURSIVE $dailySeriesCtes,
+        |m0 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx
+        |  FROM series),
+        |it(step, a, bb, dev) AS (
+        |  SELECT 0, ROUND(LN(sx / CAST(n AS DOUBLE)), 9),
+        |    CAST(0.0 AS DOUBLE), CAST(NULL AS DOUBLE)
+        |  FROM m0
+        |  UNION ALL
+        |  SELECT step + 1, ROUND((swz - bnew * swi) / sw, 9), bnew, dev
+        |  FROM (
+        |    SELECT step, sw, swi, swz, dev,
+        |      ROUND((sw * swiz - swi * swz) /
+        |        (sw * swii - swi * swi), 9) AS bnew
+        |    FROM (
+        |      SELECT step,
+        |        CAST(SUM(CAST(ROUND(mu, 12) AS DECIMAL(38,12)))
+        |          AS DOUBLE) AS sw,
+        |        CAST(SUM(CAST(ROUND(mu * sid, 12) AS DECIMAL(38,12)))
+        |          AS DOUBLE) AS swi,
+        |        CAST(SUM(CAST(ROUND(mu * sid * sid, 12)
+        |          AS DECIMAL(38,12))) AS DOUBLE) AS swii,
+        |        CAST(SUM(CAST(ROUND(mu * (eta + (xd - mu) / mu), 12)
+        |          AS DECIMAL(38,12))) AS DOUBLE) AS swz,
+        |        CAST(SUM(CAST(ROUND(mu * sid *
+        |          (eta + (xd - mu) / mu), 12) AS DECIMAL(38,12)))
+        |          AS DOUBLE) AS swiz,
+        |        CAST(SUM(CAST(ROUND(CASE WHEN x > 0 THEN
+        |          2.0 * (xd * LN(xd / mu) - (xd - mu))
+        |          ELSE 2.0 * mu END, 12) AS DECIMAL(38,12)))
+        |          AS DOUBLE) AS dev
+        |      FROM (
+        |        SELECT it.step AS step, s.x,
+        |          CAST(s.x AS DOUBLE) AS xd,
+        |          CAST(s.i AS DOUBLE) AS sid,
+        |          it.a + it.bb * CAST(s.i AS DOUBLE) AS eta,
+        |          EXP(it.a + it.bb * CAST(s.i AS DOUBLE)) AS mu
+        |        FROM it, series s WHERE it.step < 6)
+        |      GROUP BY step)))
+        |SELECT step AS iter, ROUND(a, 6) AS a, ROUND(bb, 6) AS b,
+        |  ROUND(EXP(bb), 6) AS rate_ratio_per_day,
+        |  ROUND(dev, 6) AS deviance
+        |FROM it WHERE step >= 1 ORDER BY iter""").stripMargin,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which
@@ -8573,6 +8586,44 @@ object OracleSql {
         |SELECT n_days, 0.0 AS delta, ROUND(phmax, 6) AS ph_stat,
         |  t_star, ROUND(mfinal, 6) AS m_final
         |FROM tl, tstar""").stripMargin
+
+  private def seasonalDecompositionSql: String =
+    (s"""WITH $dailySeriesCtes,
+        |ma AS (
+        |  SELECT i, x,
+        |    SUM(x) OVER (ORDER BY i ROWS BETWEEN 3 PRECEDING AND
+        |      3 FOLLOWING) AS s7,
+        |    COUNT(*) OVER (ORDER BY i ROWS BETWEEN 3 PRECEDING AND
+        |      3 FOLLOWING) AS c7
+        |  FROM series),
+        |det AS (
+        |  SELECT i, i % 7 AS phase,
+        |    CAST(x AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0 AS d
+        |  FROM ma WHERE c7 = 7),
+        |byphase AS (
+        |  SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    CAST(SUM(CAST(ROUND(d, 8) AS DECIMAL(38,8))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE) AS raw
+        |  FROM det GROUP BY phase),
+        |ctr AS (
+        |  SELECT CAST(SUM(CAST(ROUND(raw, 8) AS DECIMAL(38,8)))
+        |      AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS mean
+        |  FROM byphase),
+        |idx AS (
+        |  SELECT phase, n_obs, raw, raw - mean AS ctr
+        |  FROM byphase, ctr),
+        |rem AS (
+        |  SELECT
+        |    CAST(SUM(CAST(ROUND(d * d, 8) AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS sd2,
+        |    CAST(SUM(CAST(ROUND((d - ctr) * (d - ctr), 8)
+        |      AS DECIMAL(38,8))) AS DOUBLE) AS sr2
+        |  FROM det JOIN idx USING (phase))
+        |SELECT phase, n_obs, ROUND(raw, 6) + 0.0 AS seasonal_raw,
+        |  ROUND(ctr, 6) + 0.0 AS seasonal_idx,
+        |  ROUND(1.0 - sr2 / sd2, 6) + 0.0 AS seasonal_strength
+        |FROM idx, rem ORDER BY phase""").stripMargin
 
   private def hexPoly15(hcol: String): String =
     (1 to 15).map(i =>

@@ -4223,6 +4223,25 @@ object SparkEntry {
     TimeSeriesOps.markovEntropyRate(
       t(spark, dir, "events"), "user_id", "ts", "event_id", "event_type")
 
+  // ---------------------------------------------------------------- q374
+  // Poisson log-linear trend on daily counts: IRLS in the portable-fit
+  // contract — the CORRECT count-trend model next to q332's OLS line
+  // (never negative, variance grows with the mean); b exponentiates to
+  // a daily rate ratio; deviance trace pins convergence.
+  def q374(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.poissonTrendIrls(t(spark, dir, "events"), "ts")
+
+  // ---------------------------------------------------------------- q375
+  // Streaming twin of q348 (SHARED oracle): additive day-count state
+  // through the same seasonalDecompositionFromCounts finisher.
+  def q375(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.streaming.StreamingOps.streamingSeasonalDecomposition(
+      spark, dir, "events.parquet", "ts",
+      graft.streaming.StreamSink.Memory("q375_seasonal"),
+      prepare = Tables.normalizeEventTs)
+  }
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5510,6 +5529,8 @@ object SparkEntry {
     "q371_partial_correlation" -> (q371 _),
     "q372_anova_effect_sizes" -> (q372 _),
     "q373_markov_entropy" -> (q373 _),
+    "q374_poisson_trend" -> (q374 _),
+    "q375_stream_seasonal" -> (q375 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -185,6 +185,70 @@ object TimeSeriesOps {
       .select(col("prev_state"), col("next_state"), col("n"), col("p"))
   }
 
+  /** Poisson log-linear trend fit on the daily event-count series:
+    * x_t ~ Poisson(exp(a + b·i)) by IRLS in the portable-fit contract
+    * (q189/q316/q318 family) — fixed Newton/Fisher steps, per-row
+    * working-response terms rounded to 12 into exact decimal sums,
+    * round-9 parameters per step, the full iteration trace as the
+    * result. THE correct trend model for counts (the q332 OLS line can
+    * go negative and assumes constant variance; Poisson's variance
+    * grows with the mean) — b exponentiates to a daily rate ratio.
+    * Deviance 2Σ[x ln(x/μ) − (x − μ)] (x=0 → 2μ) tracks convergence.
+    *
+    * Scale shape: one count aggregation; per iteration ONE 5-sum
+    * reduction over the bounded spine; driver holds two scalars.
+    */
+  def poissonTrendIrls(df: DataFrame, tsCol: String,
+      iters: Int = 6): DataFrame = {
+    require(iters >= 1, "need at least one IRLS step")
+    val series = dailyCountSeries(df, tsCol).persist()
+    try {
+      val spark = df.sparkSession
+      import spark.implicits._
+      def r9(v: Double): Double =
+        new java.math.BigDecimal(v)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      def d12(c: Column): Column =
+        sum(round(c, 12).cast("decimal(38,12)")).cast("double")
+      val m0 = series.agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx")).head()
+      require(m0.getLong(0) > 0 && m0.getDouble(1) > 0.0,
+        "need a non-empty series with positive total count")
+      var a = r9(math.log(m0.getDouble(1) / m0.getLong(0).toDouble))
+      var b = 0.0
+      val iD = col("i").cast("double")
+      val xD = col("x").cast("double")
+      val trace = (1 to iters).map { it =>
+        val eta = lit(a) + lit(b) * iD
+        val mu = exp(eta)
+        val z = eta + (xD - mu) / mu
+        val r = series.agg(
+          d12(mu).as("sw"), d12(mu * iD).as("swi"),
+          d12(mu * iD * iD).as("swii"),
+          d12(mu * z).as("swz"), d12(mu * iD * z).as("swiz"),
+          d12(when(col("x") > 0L,
+            lit(2.0) * (xD * log(xD / mu) - (xD - mu)))
+            .otherwise(lit(2.0) * mu)).as("dev")).head()
+        val (sw, swi, swii, swz, swiz, dev) = (r.getDouble(0),
+          r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))
+        val den = sw * swii - swi * swi
+        require(den > 0.0, s"degenerate IRLS system at step $it")
+        b = r9((sw * swiz - swi * swz) / den)
+        a = r9((swz - b * swi) / sw)
+        val devIn = new java.math.BigDecimal(dev)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        (it, a, b, devIn)
+      }
+      trace.toDF("iter", "__a", "__b", "deviance")
+        .select(col("iter"), round(col("__a"), 6).as("a"),
+          round(col("__b"), 6).as("b"),
+          round(exp(col("__b")), 6).as("rate_ratio_per_day"),
+          col("deviance"))
+        .orderBy(col("iter"))
+    } finally { series.unpersist(); () }
+  }
+
   /** Entropy rate of the per-key state Markov chain (Shannon 1948,
     * H(X₂|X₁) under the empirical chain): H = −Σ_i π̂_i Σ_j p̂_ij ln p̂_ij
     * with π̂ the empirical source distribution of transitions — how
@@ -1276,8 +1340,17 @@ object TimeSeriesOps {
     * grouped reductions on the day spine.
     */
   def seasonalDecompositionDailyCounts(df: DataFrame,
-      tsCol: String): DataFrame = {
-    val series = dailyCountSeries(df, tsCol)
+      tsCol: String): DataFrame =
+    seasonalDecompositionFromCounts(
+      df.groupBy(to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("x")))
+
+  /** Finish a (day, x) count frame into the decomposition card — the
+    * count frame is pure additive state (streamable in complete mode;
+    * the batch ≡ stream contract).
+    */
+  def seasonalDecompositionFromCounts(counts: DataFrame): DataFrame = {
+    val series = dailySpineFromCounts(counts)
     val w7 = Window.orderBy(col("i")).rowsBetween(-3, 3)
     val det = series
       .withColumn("__s7", sum(col("x")).over(w7))

@@ -763,6 +763,25 @@ object StreamingOps {
       spark.createDataFrame(rows, sunk.schema))
   }
 
+  /** Streaming seasonal decomposition ≡ batch (q348's twin): the
+    * (day, count) frame is additive complete-mode state; the SAME
+    * [[graft.operators.TimeSeriesOps.seasonalDecompositionFromCounts]]
+    * finisher lands on the batch card bit-for-bit under any
+    * micro-batching — the always-fresh weekly-rhythm monitor.
+    */
+  def streamingSeasonalDecomposition(spark: SparkSession, dir: String,
+      fileName: String, tsCol: String, sink: StreamSink,
+      prepare: DataFrame => DataFrame = identity): DataFrame = {
+    val counts = prepare(fileStream(spark, dir, fileName))
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val sunk = runToSink(spark, counts, sink, "complete")
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    sunk.collect().foreach(rows.add)
+    graft.operators.TimeSeriesOps.seasonalDecompositionFromCounts(
+      spark.createDataFrame(rows, sunk.schema))
+  }
+
   /** Streaming dedup-on-ingest — the production shape of the WHOLE dedup
     * family in one stage, chaining q216's persisted band-store admission
     * with q225's Levenshtein verification inside `foreachBatch`: each

@@ -673,6 +673,47 @@ class Round11OpsSpec extends SparkSpec {
     assert(br._3 == r6(r9(4.0 / 7.0 * hA)))
   }
 
+  // ------------------------------- q374-q375 Poisson IRLS + twin
+
+  test("poissonTrendIrls: constant counts converge to a = ln c, b = 0, " +
+      "deviance 0") {
+    val last = graft.operators.TimeSeriesOps.poissonTrendIrls(
+        dailyEvents(Seq.fill(10)(5)), "ts")
+      .orderBy(col("iter").desc).limit(1)
+      .select("a", "b", "rate_ratio_per_day", "deviance")
+      .as[(Double, Double, Double, Double)].head()
+    assert(last == ((r6(math.log(5.0)), 0.0, 1.0, 0.0)))
+  }
+
+  test("poissonTrendIrls recovers an exact exponential growth curve") {
+    val last = graft.operators.TimeSeriesOps.poissonTrendIrls(
+        dailyEvents(Seq(1, 2, 4, 8, 16, 32)), "ts")
+      .orderBy(col("iter").desc).limit(1)
+      .select("b", "deviance").as[(Double, Double)].head()
+    assert(math.abs(last._1 - math.log(2.0)) < 1e-3, s"b=${last._1}")
+    assert(last._2 < 1e-3, s"deviance=${last._2}")
+  }
+
+  test("streamingSeasonalDecomposition lands on the batch card " +
+      "bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_seas_")
+    try {
+      val events = dailyEvents((0 until 21).map(i => (i % 7) + 2))
+      events.coalesce(1).write.mode("overwrite")
+        .parquet(dir.resolve("ev.parquet").toString)
+      val stream = graft.streaming.StreamingOps
+        .streamingSeasonalDecomposition(spark, dir.toString,
+          "ev.parquet", "ts",
+          graft.streaming.StreamSink.Memory("spec_seas"))
+        .collect().toSeq
+      val batch = graft.operators.TimeSeriesOps
+        .seasonalDecompositionDailyCounts(events, "ts").collect().toSeq
+      assert(stream == batch)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
