@@ -868,6 +868,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(!finalSection.contains("CartesianProduct"), p)
   }
 
+  test("q367 ordinal association: the cell self-join broadcasts — pair " +
+      "counting is |cells|² work, never a row shuffle join") {
+    val p = finalPlan(SparkEntry.q367(spark, dir))
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("BroadcastNestedLoopJoin") ||
+      finalSection.contains("BroadcastHashJoin"),
+      "cell pair join must broadcast the tiny cell frame:\n" + p)
+    assert(!finalSection.contains("SortMergeJoin"),
+      "no row-scale shuffle join in the pair count:\n" + p)
+  }
+
+  test("q357 AMS sketch: one hash aggregation over the exploded " +
+      "(row, bucket) pairs — no join before the counter matrix") {
+    val counters = graft.operators.SketchOps.amsCounters(
+      Tables.load(spark, dir, "events")
+        .filter(org.apache.spark.sql.functions.col("event_type").isNotNull)
+        .select(org.apache.spark.sql.functions.concat_ws(":",
+          org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("event_type")).as("k")),
+      org.apache.spark.sql.functions.col("k"))
+    val p = finalPlan(counters)
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!finalSection.contains("Join"),
+      "counter build is scan → explode → aggregate, no join:\n" + p)
+    val nShuffles =
+      "Exchange hashpartitioning".r.findAllIn(finalSection).length
+    assert(nShuffles <= 1,
+      s"one partial+final aggregation only; got $nShuffles shuffles:\n$p")
+  }
+
+  test("q370 gap KS: the lag window is KEY-partitioned — no global " +
+      "sort of the event stream") {
+    val p = finalPlan(SparkEntry.q370(spark, dir))
+    assert(p.contains("hashpartitioning(user_id"),
+      "gaps must partition by key:\n" + p)
+  }
+
   test("q235 BPE encode: scoring scan is join-free up to the per-doc aggregate") {
     // encode with a FIXED merge table (the apply side alone — q235
     // itself trains first, which adds the q234 control-loop jobs)
