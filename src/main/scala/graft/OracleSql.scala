@@ -8481,6 +8481,119 @@ object OracleSql {
         |  ROUND(EXP(bb), 6) AS rate_ratio_per_day,
         |  ROUND(dev, 6) AS deviance
         |FROM it WHERE step >= 1 ORDER BY iter""").stripMargin,
+    // q376: Nelson–Aalen replayed on q122's duration frame — exact
+    // integer risk sets, one double division per time point, ordered
+    // cumulative sums (both engines accumulate in t order).
+    "q376_nelson_aalen" ->
+      """WITH h AS (SELECT MAX(epoch_us(ts)) AS hz FROM events),
+        |s AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS su
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS pu
+        |  FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.su
+        |  GROUP BY e.user_id),
+        |d AS (
+        |  SELECT (COALESCE(p.pu, h.hz) - s.su) // 86400000000 AS t,
+        |    p.pu IS NOT NULL AS ev
+        |  FROM s LEFT JOIN p ON s.user_id = p.user_id, h),
+        |byt AS (
+        |  SELECT t,
+        |    SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS n_event,
+        |    SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS n_censored
+        |  FROM d GROUP BY t),
+        |na AS (
+        |  SELECT t, n_event, n_censored,
+        |    SUM(n_event + n_censored) OVER (ORDER BY t
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+        |  FROM byt),
+        |cum AS (
+        |  SELECT t, n_risk, n_event, n_censored,
+        |    SUM(CAST(n_event AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      OVER (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hh,
+        |    SUM(CAST(n_event AS DOUBLE) /
+        |        (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)))
+        |      OVER (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vv
+        |  FROM na)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(n_event AS BIGINT) AS n_event,
+        |  CAST(n_censored AS BIGINT) AS n_censored,
+        |  ROUND(hh, 6) AS cum_hazard,
+        |  ROUND(vv, 6) AS hazard_var,
+        |  ROUND(EXP(-hh), 6) AS breslow_survival
+        |FROM cum ORDER BY t""".stripMargin,
+    // q377: meta-analysis replayed — exact decimal per-arm moments
+    // (DECIMAL(18,2) values so the squares stay inside DuckDB's width-38
+    // ceiling), the q266 variance parenthesization, DECIMAL(28,12)
+    // stratum-level sums, τ² rounded to 9 before the random re-pool.
+    "q377_meta_analysis" ->
+      """WITH j AS (
+        |  SELECT c_nationkey AS study,
+        |    o_orderpriority IN ('1-URGENT', '2-HIGH') AS a,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |arm AS (
+        |  SELECT study, a, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(x) AS sx, SUM(x * x) AS sxx
+        |  FROM j GROUP BY study, a),
+        |st AS (
+        |  SELECT study,
+        |    MAX(CASE WHEN a THEN n END) AS n1,
+        |    MAX(CASE WHEN a THEN CAST(sx AS DOUBLE) END) AS sx1,
+        |    MAX(CASE WHEN a THEN CAST(sxx AS DOUBLE) END) AS sxx1,
+        |    MAX(CASE WHEN NOT a THEN n END) AS n0,
+        |    MAX(CASE WHEN NOT a THEN CAST(sx AS DOUBLE) END) AS sx0,
+        |    MAX(CASE WHEN NOT a THEN CAST(sxx AS DOUBLE) END) AS sxx0
+        |  FROM arm GROUP BY study
+        |  HAVING MAX(CASE WHEN a THEN n END) >= 2
+        |    AND MAX(CASE WHEN NOT a THEN n END) >= 2),
+        |es AS (
+        |  SELECT study,
+        |    sx1 / CAST(n1 AS DOUBLE) - sx0 / CAST(n0 AS DOUBLE) AS e,
+        |    (sxx1 - sx1 * sx1 / CAST(n1 AS DOUBLE)) /
+        |        (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE) +
+        |      (sxx0 - sx0 * sx0 / CAST(n0 AS DOUBLE)) /
+        |        (CAST(n0 AS DOUBLE) - 1.0) / CAST(n0 AS DOUBLE) AS se2
+        |  FROM st),
+        |sw AS (
+        |  SELECT study, e, se2, 1.0 / se2 AS w FROM es WHERE se2 > 0),
+        |pool AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k_studies,
+        |    CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE) AS swt,
+        |    CAST(SUM(CAST(w * e AS DECIMAL(28,12))) AS DOUBLE) AS swe,
+        |    CAST(SUM(CAST(w * e * e AS DECIMAL(28,12))) AS DOUBLE)
+        |      AS swee,
+        |    CAST(SUM(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE) AS sww
+        |  FROM sw),
+        |card AS (
+        |  SELECT k_studies, swe / swt AS fixed_e, SQRT(1.0 / swt) AS fse,
+        |    swee - swe * swe / swt AS q,
+        |    CAST(k_studies - 1 AS DOUBLE) AS dfk,
+        |    CASE WHEN k_studies > 1 THEN ROUND(GREATEST(0.0,
+        |      ((swee - swe * swe / swt) - CAST(k_studies - 1 AS DOUBLE)) /
+        |        (swt - sww / swt)), 9) ELSE 0.0 END AS tau2
+        |  FROM pool),
+        |rnd AS (
+        |  SELECT
+        |    CAST(SUM(CAST(1.0 / (se2 + tau2) AS DECIMAL(28,12)))
+        |      AS DOUBLE) AS swr,
+        |    CAST(SUM(CAST(1.0 / (se2 + tau2) * e AS DECIMAL(28,12)))
+        |      AS DOUBLE) AS swre
+        |  FROM sw, card)
+        |SELECT k_studies,
+        |  ROUND(fixed_e, 6) AS fixed_effect,
+        |  ROUND(fse, 6) AS fixed_se,
+        |  ROUND(q, 6) AS q_stat,
+        |  CASE WHEN q > 0 AND k_studies > 1
+        |    THEN ROUND(GREATEST(0.0, (q - dfk) / q), 6) + 0.0
+        |    ELSE 0.0 END AS i2,
+        |  ROUND(tau2, 6) + 0.0 AS tau2,
+        |  ROUND(swre / swr, 6) AS random_effect,
+        |  ROUND(SQRT(1.0 / swr), 6) AS random_se
+        |FROM card, rnd""".stripMargin,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which

@@ -1765,7 +1765,17 @@ object SparkEntry {
   // first subsequent purchase, right-censored at the corpus horizon. The
   // product-limit curve runs over the per-day aggregate only (q115's
   // aggregate-before-global rule).
-  def q122(spark: SparkSession, dir: String): DataFrame = {
+  def q122(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SurvivalOps
+      .kaplanMeier(signupPurchaseDurations(spark, dir), "dur_days",
+        "__event")
+      .orderBy(col("t"))
+
+  // shared by q122 (Kaplan–Meier) and q376 (Nelson–Aalen): days from
+  // each user's first signup to their first subsequent purchase,
+  // right-censored at the corpus horizon
+  private def signupPurchaseDurations(spark: SparkSession,
+      dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
     val horizon = ev.agg(max(unix_micros(col("ts"))).as("__h"))
     val signup = ev.filter(col("event_type") === "signup")
@@ -1776,15 +1786,14 @@ object SparkEntry {
       .filter(unix_micros(col("ts")) >= col("__s"))
       .groupBy(col("user_id"))
       .agg(min(unix_micros(col("ts"))).as("__p"))
-    val durations = signup
+    signup
       .join(firstPurchase, Seq("user_id"), "left")
       .crossJoin(broadcast(horizon))
       .select(
         expr("coalesce(__p, __h) - __s").as("__dur_us"),
         col("__p").isNotNull.as("__event"))
-      .select(expr("__dur_us div 86400000000").as("dur_days"), col("__event"))
-    graft.operators.SurvivalOps.kaplanMeier(durations, "dur_days", "__event")
-      .orderBy(col("t"))
+      .select(expr("__dur_us div 86400000000").as("dur_days"),
+        col("__event"))
   }
 
   // ---------------------------------------------------------------- q123
@@ -4242,6 +4251,33 @@ object SparkEntry {
       prepare = Tables.normalizeEventTs)
   }
 
+  // ---------------------------------------------------------------- q376
+  // Nelson–Aalen cumulative hazard on q122's signup→purchase durations:
+  // H(t) = Σ d/n with its variance and the Breslow survival — the
+  // additive hazard-scale view of the same censored frame (increments
+  // over disjoint windows sum; KM's product doesn't decompose).
+  def q376(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SurvivalOps
+      .nelsonAalen(signupPurchaseDurations(spark, dir), "dur_days",
+        "__event")
+      .orderBy(col("t"))
+
+  // ---------------------------------------------------------------- q377
+  // Meta-analysis of the urgent-vs-standard order-value effect across
+  // nations: per-nation mean differences pooled inverse-variance (fixed
+  // effect) and DerSimonian–Laird (random effects), with Cochran's Q,
+  // τ², and I² — "is this one effect or a mixture of per-segment
+  // effects" before anyone trusts the single pooled delta.
+  def q377(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val joined = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    graft.operators.DriftOps.metaAnalysisPool(
+      joined, "c_nationkey", "o_totalprice",
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+  }
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5531,6 +5567,8 @@ object SparkEntry {
     "q373_markov_entropy" -> (q373 _),
     "q374_poisson_trend" -> (q374 _),
     "q375_stream_seasonal" -> (q375 _),
+    "q376_nelson_aalen" -> (q376 _),
+    "q377_meta_analysis" -> (q377 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

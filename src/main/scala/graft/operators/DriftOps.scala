@@ -1810,4 +1810,102 @@ object DriftOps {
         (col("__k") - 1L).as("df"))
       .orderBy(col("g"))
   }
+
+  /** Inverse-variance meta-analysis of per-stratum two-arm mean
+    * differences (fixed effect + DerSimonian–Laird 1986 random
+    * effects): each stratum (`studyCol` value) contributes the effect
+    * e_i = x̄₁ − x̄₂ between `armExpr`-true and -false rows with
+    * SE²_i = s²₁/n₁ + s²₂/n₂; pooling gives the fixed effect
+    * Σwᵢeᵢ/Σwᵢ (wᵢ = 1/SE²ᵢ), Cochran's heterogeneity
+    * Q = Σwᵢeᵢ² − (Σwᵢeᵢ)²/Σwᵢ, the DL between-stratum variance
+    * τ² = max(0, (Q − (k−1))/(Σw − Σw²/Σw)), I², and the
+    * random-effects re-pool with wᵢ* = 1/(SE²ᵢ + τ²). The "is this
+    * effect one number or a mixture" card a per-segment experiment
+    * readout needs before trusting a single pooled delta.
+    *
+    * Exactness: per-arm Σx and Σx² accumulate as exact decimals (the
+    * value column must be decimal-typed or `scale` must cover it);
+    * per-stratum doubles assemble in one fixed parenthesization;
+    * stratum-level sums re-enter via the dsum(12) contract. Strata with
+    * an arm of size < 2 (SE undefined) are excluded in both engines.
+    *
+    * Scale shape: one (stratum, arm) aggregation, one k-row reduction,
+    * one broadcast of τ² back over the k-row frame — nothing wider
+    * than the stratum count ever sits in a window or on the driver.
+    */
+  def metaAnalysisPool(df: DataFrame, studyCol: String, valCol: String,
+      armExpr: Column, scale: Int = 2): DataFrame = {
+    import graft.functions.Stats.dsum
+    val sc2 = scale * 2
+    val perArm = df
+      .filter(col(valCol).isNotNull)
+      .groupBy(col(studyCol).as("study"), armExpr.as("__a"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valCol).cast(s"decimal(28,$scale)")).as("sx"),
+        sum(col(valCol).cast(s"decimal(28,$scale)") *
+          col(valCol).cast(s"decimal(28,$scale)")).as("sxx"))
+    def arm(a: Boolean, c: String, out: String) =
+      when(col("__a") === lit(a), col(c)).otherwise(lit(null)).as(out)
+    val perStudy = perArm
+      .groupBy(col("study"))
+      .agg(
+        max(arm(true, "n", "n1")).as("n1"),
+        max(arm(true, "sx", "sx1")).as("sx1"),
+        max(arm(true, "sxx", "sxx1")).as("sxx1"),
+        max(arm(false, "n", "n0")).as("n0"),
+        max(arm(false, "sx", "sx0")).as("sx0"),
+        max(arm(false, "sxx", "sxx0")).as("sxx0"))
+      .filter(col("n1") >= 2L && col("n0") >= 2L)
+    def meanV(sx: Column, n: Column) = sx.cast("double") / n.cast("double")
+    def varV(sxx: Column, sx: Column, n: Column) = {
+      val nD = n.cast("double")
+      (sxx.cast("double") - sx.cast("double") * sx.cast("double") / nD) /
+        (nD - lit(1.0))
+    }
+    val eff = meanV(col("sx1"), col("n1")) - meanV(col("sx0"), col("n0"))
+    val se2 = varV(col("sxx1"), col("sx1"), col("n1")) /
+        col("n1").cast("double") +
+      varV(col("sxx0"), col("sx0"), col("n0")) / col("n0").cast("double")
+    val studies = perStudy
+      .select(col("study"), eff.as("e"), se2.as("se2"),
+        (lit(1.0) / se2).as("w"))
+      .filter(col("se2") > 0.0)
+    val pooled = studies.agg(
+      count(lit(1)).as("k_studies"),
+      dsum(col("w"), 12).as("__sw"),
+      dsum(col("w") * col("e"), 12).as("__swe"),
+      dsum(col("w") * col("e") * col("e"), 12).as("__swee"),
+      dsum(col("w") * col("w"), 12).as("__sww"))
+    val qStat = col("__swee") - col("__swe") * col("__swe") / col("__sw")
+    val dfK = (col("k_studies") - lit(1L)).cast("double")
+    val tau2 = when(col("k_studies") > 1L,
+      greatest(lit(0.0),
+        (qStat - dfK) / (col("__sw") - col("__sww") / col("__sw"))))
+      .otherwise(lit(0.0))
+    val card = pooled.select(
+      col("k_studies"),
+      (col("__swe") / col("__sw")).as("__fixed"),
+      sqrt(lit(1.0) / col("__sw")).as("__fixed_se"),
+      qStat.as("__q"), dfK.as("__df"),
+      // round τ² BEFORE it re-enters the per-study weights so the
+      // random-effects pass starts from one agreed double in both engines
+      round(tau2, 9).as("__tau2"))
+    val rand = studies.crossJoin(broadcast(card.select(col("__tau2"))))
+      .select((lit(1.0) / (col("se2") + col("__tau2"))).as("wr"),
+        col("e"))
+      .agg(dsum(col("wr"), 12).as("__swr"),
+        dsum(col("wr") * col("e"), 12).as("__swre"))
+    card.crossJoin(broadcast(rand)).select(
+      col("k_studies"),
+      round(col("__fixed"), 6).as("fixed_effect"),
+      round(col("__fixed_se"), 6).as("fixed_se"),
+      round(col("__q"), 6).as("q_stat"),
+      when(col("__q") > 0.0 && col("k_studies") > 1L,
+        round(greatest(lit(0.0),
+          (col("__q") - col("__df")) / col("__q")), 6))
+        .otherwise(lit(0.0)).as("i2"),
+      round(col("__tau2"), 6).as("tau2"),
+      round(col("__swre") / col("__swr"), 6).as("random_effect"),
+      round(sqrt(lit(1.0) / col("__swr")), 6).as("random_se"))
+  }
 }

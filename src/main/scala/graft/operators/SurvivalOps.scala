@@ -85,6 +85,55 @@ object SurvivalOps {
         col("survival"))
   }
 
+  /** Nelson–Aalen cumulative-hazard estimator over the same
+    * right-censored frame as [[kaplanMeier]]: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ,
+    * with the Poisson-count variance Σ dᵢ/nᵢ² and the Breslow/
+    * Fleming–Harrington survival exp(−H). The hazard-scale companion of
+    * the product-limit curve — additive, so increments over disjoint
+    * time windows sum, which is what a per-epoch churn budget needs
+    * (KM's product does not decompose that way).
+    *
+    * Exactness: each dᵢ/nᵢ is one exact-integer ratio divided once;
+    * cumulation is an ORDERED window over the per-duration grid, so
+    * both engines accumulate in the identical t order — no
+    * partition-order sensitivity exists. Same enforced grid contract as
+    * [[kaplanMeier]] (windows only above the per-duration aggregate).
+    */
+  def nelsonAalen(df: DataFrame, durationCol: String,
+      eventCol: String, bucketWidth: Long = 1L,
+      maxGridSize: Long = 10000L): DataFrame = {
+    val tExpr =
+      if (bucketWidth <= 1L) col(durationCol)
+      else floor(col(durationCol).cast("long") / bucketWidth) * bucketWidth
+    val approxGrid =
+      df.agg(approx_count_distinct(tExpr).as("n")).head().getLong(0)
+    require(approxGrid <= maxGridSize,
+      s"nelsonAalen time grid too fine: ~$approxGrid distinct " +
+        s"(bucketed) durations exceed maxGridSize=$maxGridSize; pass a " +
+        "larger bucketWidth (life-table coarsening) or raise " +
+        "maxGridSize deliberately.")
+    val byT = df.groupBy(tExpr.as("t"))
+      .agg(
+        sum(when(col(eventCol), 1L).otherwise(0L)).as("n_event"),
+        sum(when(col(eventCol), 0L).otherwise(1L)).as("n_censored"))
+    val wRisk = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nD = col("n_risk").cast("double")
+    byT
+      .withColumn("n_risk",
+        sum(col("n_event") + col("n_censored")).over(wRisk))
+      .withColumn("__h",
+        sum(col("n_event").cast("double") / nD).over(wCum))
+      .withColumn("__v",
+        sum(col("n_event").cast("double") / (nD * nD)).over(wCum))
+      .select(col("t"), col("n_risk"), col("n_event"), col("n_censored"),
+        round(col("__h"), 6).as("cum_hazard"),
+        round(col("__v"), 6).as("hazard_var"),
+        round(exp(-col("__h")), 6).as("breslow_survival"))
+  }
+
   /** Two-sample log-rank (Mantel–Cox) test: are the survival curves of
     * two cohorts the same? The hypothesis-test companion to
     * [[kaplanMeier]] — at every event time t the observed group-A deaths

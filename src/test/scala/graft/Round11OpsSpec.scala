@@ -714,6 +714,91 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  // -------------------------------------------------- q376 Nelson–Aalen
+
+  test("nelsonAalen matches the hand-computed cumulative hazard") {
+    // durations: 1(ev), 2(cens), 3(ev), 3(ev), 5(cens)
+    // t=1: n=5 d=1 -> H=0.2, V=0.04; t=3: n=3 d=2 -> H=0.2+2/3, V=0.04+2/9
+    val d = Seq((1L, true), (2L, false), (3L, true), (3L, true),
+      (5L, false)).toDF("dur", "ev")
+    val r = graft.operators.SurvivalOps.nelsonAalen(d, "dur", "ev")
+      .orderBy("t")
+      .select("t", "n_risk", "n_event", "cum_hazard", "hazard_var",
+        "breslow_survival")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.map(x => (x._1, x._2, x._3)) ==
+      Seq((1L, 5L, 1L), (2L, 4L, 0L), (3L, 3L, 2L), (5L, 1L, 0L)))
+    assert(r(0)._4 == 0.2 && r(0)._5 == 0.04)
+    assert(r(2)._4 == r6(0.2 + 2.0 / 3) && r(2)._5 == r6(0.04 + 2.0 / 9))
+    assert(r(2)._6 == r6(math.exp(-(0.2 + 2.0 / 3))))
+  }
+
+  test("nelsonAalen Breslow survival dominates the Kaplan–Meier curve") {
+    // exp(-d/n) >= 1 - d/n termwise, so the Breslow curve sits on or
+    // above the product-limit estimate at every time point
+    val d = Seq((1L, true), (1L, true), (2L, false), (3L, true),
+      (4L, true), (6L, false), (7L, true)).toDF("dur", "ev")
+    val na = graft.operators.SurvivalOps.nelsonAalen(d, "dur", "ev")
+      .select("t", "breslow_survival")
+      .as[(Long, Double)].collect().toMap
+    val km = graft.operators.SurvivalOps.kaplanMeier(d, "dur", "ev")
+      .select("t", "survival")
+      .as[(Long, Double)].collect().toMap
+    assert(na.keySet == km.keySet)
+    na.foreach { case (t, s) => assert(s >= km(t) - 1e-9, s"t=$t") }
+  }
+
+  // -------------------------------------------------- q377 meta-analysis
+
+  test("metaAnalysisPool: homogeneous strata give tau2=0, fixed==random") {
+    // two strata, identical arm distributions -> identical effects,
+    // Q ~ 0 -> tau2 clamps to 0 and both pools agree
+    val rows = for {
+      s <- Seq("s1", "s2"); (a, vs) <- Seq(
+        (true, Seq(10.0, 12.0, 14.0)), (false, Seq(4.0, 6.0, 8.0)))
+      v <- vs
+    } yield (s, a, v)
+    val d = rows.toDF("study", "arm", "v")
+    val r = DriftOps.metaAnalysisPool(d, "study", "v", col("arm"),
+        scale = 6)
+      .select("k_studies", "fixed_effect", "tau2", "i2", "random_effect")
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(r._1 == 2L && r._2 == 6.0 && r._3 == 0.0 && r._4 == 0.0)
+    assert(r._5 == r._2)
+  }
+
+  test("metaAnalysisPool: heterogeneous strata widen the random-effects " +
+      "SE and pull the pool toward equal weights") {
+    // stratum effects 1 and 9 with equal within-stratum SEs: fixed and
+    // random pools agree on the midpoint, but tau2 > 0 inflates the SE
+    val rows =
+      Seq(("s1", true, 11.0), ("s1", true, 13.0), ("s1", false, 10.0),
+        ("s1", false, 12.0),
+        ("s2", true, 21.0), ("s2", true, 23.0), ("s2", false, 12.0),
+        ("s2", false, 14.0))
+    val d = rows.toDF("study", "arm", "v")
+    val r = DriftOps.metaAnalysisPool(d, "study", "v", col("arm"),
+        scale = 6)
+      .select("fixed_effect", "fixed_se", "tau2", "i2", "random_effect",
+        "random_se")
+      .as[(Double, Double, Double, Double, Double, Double)].head()
+    assert(r._1 == 5.0 && r._5 == 5.0) // equal weights either way
+    assert(r._3 > 0.0 && r._4 > 0.0)
+    assert(r._6 > r._2) // heterogeneity must widen the interval
+  }
+
+  test("metaAnalysisPool excludes strata with an arm smaller than 2") {
+    val d = Seq(("keep", true, 1.0), ("keep", true, 2.0),
+      ("keep", false, 5.0), ("keep", false, 7.0),
+      ("drop", true, 9.0), ("drop", false, 1.0), ("drop", false, 2.0))
+      .toDF("study", "arm", "v")
+    val r = DriftOps.metaAnalysisPool(d, "study", "v", col("arm"),
+      scale = 6).select("k_studies").as[Long].head()
+    assert(r == 1L)
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
