@@ -8594,6 +8594,130 @@ object OracleSql {
         |  ROUND(swre / swr, 6) AS random_effect,
         |  ROUND(SQRT(1.0 / swr), 6) AS random_se
         |FROM card, rnd""".stripMargin,
+    // q378: Ansari–Bradley replayed — the q259 value-collapsed rank
+    // frame, doubled both-ends scores as exact HUGEINT products,
+    // finite-population moments in one fixed double shape.
+    "q378_ansari_bradley" ->
+      """WITH v AS (
+        |  SELECT CAST(value AS DOUBLE) AS v,
+        |    event_type = 'click' AS is_a
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+        |bv AS (
+        |  SELECT v,
+        |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb,
+        |    CAST(COUNT(*) AS BIGINT) AS t
+        |  FROM v GROUP BY v),
+        |tot AS (SELECT CAST(SUM(t) AS BIGINT) AS n FROM bv),
+        |c AS (
+        |  SELECT bv.*, tot.n,
+        |    CAST(SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) - t AS prev
+        |  FROM bv, tot),
+        |sc AS (
+        |  SELECT ca, cb, t,
+        |    LEAST(prev * 2 + t + 1, (n + 1) * 2 - (prev * 2 + t + 1))
+        |      AS s2
+        |  FROM c),
+        |a AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) AS BIGINT) AS n_b,
+        |    CAST(SUM(CAST(ca AS HUGEINT) * s2) AS HUGEINT) AS ab2,
+        |    CAST(SUM(CAST(t AS HUGEINT) * s2) AS HUGEINT) AS ss2,
+        |    CAST(SUM(CAST(t AS HUGEINT) * s2 * s2) AS HUGEINT) AS s4,
+        |    CAST(SUM(CASE WHEN t > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_tied
+        |  FROM sc),
+        |f AS (
+        |  SELECT n_a, n_b, n_tied,
+        |    CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+        |    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nd,
+        |    CAST(ab2 AS DOUBLE) / 2.0 AS abd,
+        |    CAST(ss2 AS DOUBLE) /
+        |      (2.0 * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) AS mu,
+        |    CAST(s4 AS DOUBLE) / 4.0 AS sqsum
+        |  FROM a WHERE n_a > 0 AND n_b > 0)
+        |SELECT n_a, n_b, n_tied AS n_tied_values,
+        |  ROUND(abd, 6) AS ab_stat,
+        |  ROUND(nad * mu, 6) AS mu_ab,
+        |  ROUND(SQRT(nad * nbd / (nd * (nd - 1.0)) *
+        |    (sqsum - nd * mu * mu)), 6) AS sigma_ab,
+        |  CASE WHEN nad * nbd / (nd * (nd - 1.0)) *
+        |      (sqsum - nd * mu * mu) > 0
+        |    THEN ROUND((abd - nad * mu) /
+        |      SQRT(nad * nbd / (nd * (nd - 1.0)) *
+        |        (sqsum - nd * mu * mu)), 6) + 0.0 END AS z
+        |FROM f""".stripMargin,
+    // q379: pinball IRLS replayed — exact-integer OLS init, recursive
+    // CTE over (τ, step) with round-12 decimal weighted sums and
+    // round-9 params, mean pinball loss at the final parameters.
+    "q379_quantile_trend" ->
+      (s"""WITH RECURSIVE $dailySeriesCtes,
+        |m0 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(i AS HUGEINT)) AS DOUBLE) AS si,
+        |    CAST(SUM(CAST(i AS HUGEINT) * i) AS DOUBLE) AS sii,
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(i AS HUGEINT) * x) AS DOUBLE) AS six
+        |  FROM series),
+        |init AS (
+        |  SELECT n, si, sx,
+        |    ROUND((CAST(n AS DOUBLE) * six - si * sx) /
+        |      (CAST(n AS DOUBLE) * sii - si * si), 9) AS b0
+        |  FROM m0),
+        |init2 AS (
+        |  SELECT n, b0, ROUND((sx - b0 * si) / CAST(n AS DOUBLE), 9) AS a0
+        |  FROM init),
+        |taus(tau) AS (VALUES (0.25), (0.5), (0.75)),
+        |it(tau, step, a, bb) AS (
+        |  SELECT tau, 0, a0, b0 FROM init2, taus
+        |  UNION ALL
+        |  SELECT tau, step + 1, ROUND((swx - bnew * swi) / sw, 9), bnew
+        |  FROM (
+        |    SELECT tau, step, sw, swi, swx,
+        |      ROUND((sw * swix - swi * swx) /
+        |        (sw * swii - swi * swi), 9) AS bnew
+        |    FROM (
+        |      SELECT tau, step,
+        |        CAST(SUM(CAST(ROUND(w, 12) AS DECIMAL(38,12)))
+        |          AS DOUBLE) AS sw,
+        |        CAST(SUM(CAST(ROUND(w * sid, 12) AS DECIMAL(38,12)))
+        |          AS DOUBLE) AS swi,
+        |        CAST(SUM(CAST(ROUND(w * sid * sid, 12)
+        |          AS DECIMAL(38,12))) AS DOUBLE) AS swii,
+        |        CAST(SUM(CAST(ROUND(w * xd, 12) AS DECIMAL(38,12)))
+        |          AS DOUBLE) AS swx,
+        |        CAST(SUM(CAST(ROUND(w * sid * xd, 12)
+        |          AS DECIMAL(38,12))) AS DOUBLE) AS swix
+        |      FROM (
+        |        SELECT it.tau AS tau, it.step AS step,
+        |          CAST(s.i AS DOUBLE) AS sid, CAST(s.x AS DOUBLE) AS xd,
+        |          CASE WHEN CAST(s.x AS DOUBLE) -
+        |              (it.a + it.bb * CAST(s.i AS DOUBLE)) >= 0
+        |            THEN it.tau ELSE 1.0 - it.tau END /
+        |            GREATEST(1e-06, ABS(CAST(s.x AS DOUBLE) -
+        |              (it.a + it.bb * CAST(s.i AS DOUBLE)))) AS w
+        |        FROM it, series s WHERE it.step < 8)
+        |      GROUP BY tau, step))),
+        |fin AS (SELECT tau, a, bb FROM it WHERE step = 8),
+        |loss AS (
+        |  SELECT f.tau AS tau,
+        |    CAST(SUM(CAST(ROUND(CASE WHEN CAST(s.x AS DOUBLE) -
+        |        (f.a + f.bb * CAST(s.i AS DOUBLE)) >= 0
+        |      THEN f.tau * (CAST(s.x AS DOUBLE) -
+        |        (f.a + f.bb * CAST(s.i AS DOUBLE)))
+        |      ELSE (f.tau - 1.0) * (CAST(s.x AS DOUBLE) -
+        |        (f.a + f.bb * CAST(s.i AS DOUBLE))) END, 12)
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS lsum
+        |  FROM fin f, series s GROUP BY f.tau)
+        |SELECT f.tau AS tau, ROUND(f.a, 6) + 0.0 AS a,
+        |  ROUND(f.bb, 6) + 0.0 AS b,
+        |  ROUND(l.lsum / CAST(init2.n AS DOUBLE), 6) AS pinball_mean,
+        |  ROUND(init2.a0, 6) + 0.0 AS ols_a,
+        |  ROUND(init2.b0, 6) + 0.0 AS ols_b
+        |FROM fin f JOIN loss l ON f.tau = l.tau, init2
+        |ORDER BY tau""").stripMargin,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which

@@ -4278,6 +4278,23 @@ object SparkEntry {
       col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
   }
 
+  // ---------------------------------------------------------------- q378
+  // Ansari–Bradley dispersion test on click-vs-view event values: the
+  // rank answer to "did the variance move" next to q259's location test
+  // and q287's Levene — both-ends mid-rank scores (doubled, exact
+  // integers), finite-population moments under any tie pattern.
+  def q378(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.ansariBradley(
+      t(spark, dir, "events"), "value", "event_type", "click", "view")
+
+  // ---------------------------------------------------------------- q379
+  // Quantile trend lines on the daily count spine: pinball IRLS at
+  // τ ∈ {0.25, 0.5, 0.75} in the portable-fit contract — three slopes
+  // bound the trend's shape (diverging quartile slopes = the spread
+  // itself is trending); the τ=0.5 line is q332's robust twin.
+  def q379(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.quantileTrendIrls(t(spark, dir, "events"), "ts")
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5569,6 +5586,8 @@ object SparkEntry {
     "q375_stream_seasonal" -> (q375 _),
     "q376_nelson_aalen" -> (q376 _),
     "q377_meta_analysis" -> (q377 _),
+    "q378_ansari_bradley" -> (q378 _),
+    "q379_quantile_trend" -> (q379 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

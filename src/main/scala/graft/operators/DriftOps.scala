@@ -1811,6 +1811,88 @@ object DriftOps {
       .orderBy(col("g"))
   }
 
+  /** Ansari–Bradley two-sample dispersion test (Ansari & Bradley 1960):
+    * are the two groups equally SPREAD around a common center? Pooled
+    * values take mid-ranks from BOTH ends — score
+    * s = min(r, n+1−r) — so extreme values score low and central
+    * values high; a group with systematically LOW scores is the more
+    * dispersed one. The rank companion of [[leveneTest]] (means/
+    * variances) next to [[mannWhitneyU]]'s location test: the same
+    * drift battery slot, but answering "did the variance move" without
+    * any moment assumption.
+    *
+    * Ties use mid-rank scores; the normal approximation is the exact
+    * finite-population form (sampling n_a scores without replacement
+    * from the realized score multiset): E[AB] = n_a·s̄,
+    * Var[AB] = n_a·n_b·(Σs² − n·s̄²)/(n(n−1)) — correct under any tie
+    * pattern, no parity split needed.
+    *
+    * Exactness: mid-ranks and scores stay DOUBLED (2r, 2s — exact
+    * integers even at .5 mid-ranks); every sum is an exact decimal
+    * product aggregation; doubles appear once at the card assembly.
+    * Scale shape = [[mannWhitneyU]]: the rank cumulation runs over the
+    * value-collapsed frame, bucketed so no single task sees the whole
+    * domain.
+    */
+  def ansariBradley(df: DataFrame, valCol: String, groupCol: String,
+      groupA: String, groupB: String, buckets: Int = 32): DataFrame = {
+    val v = df
+      .filter(col(groupCol).isin(groupA, groupB) && col(valCol).isNotNull)
+      .select(col(valCol).cast("double").as("v"),
+        (col(groupCol) === groupA).as("__is_a"))
+    val byVal = v.groupBy(col("v"))
+      .agg(
+        sum(when(col("__is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("__is_a"), 1L).otherwise(0L)).as("cb"))
+      .withColumn("t", col("ca") + col("cb"))
+    val bounds = byVal.agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"),
+      sum(col("t")).as("__n"))
+    val bucketed = byVal.crossJoin(broadcast(bounds))
+      .withColumn("__bkt",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(lit(buckets - 1),
+            floor((col("v") - col("__lo")) / (col("__hi") - col("__lo"))
+              * buckets).cast("int"))))
+    val wIn = Window.partitionBy(col("__bkt")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bucketed.withColumn("__cum_t", sum(col("t")).over(wIn))
+    val wOff = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("__bkt"))
+      .agg(sum(col("t")).as("__tt"))
+      .withColumn("__off", coalesce(sum(col("__tt")).over(wOff), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val prev = col("__off") + col("__cum_t") - col("t")
+    // doubled mid-rank and doubled both-ends score (exact integers)
+    val mid2 = prev * lit(2L) + col("t") + lit(1L)
+    val s2c = least(mid2, (col("__n") + lit(1L)) * lit(2L) - mid2)
+    val agg = cum.join(broadcast(offsets), "__bkt")
+      .select(col("ca"), col("cb"), col("t"), s2c.as("__s2"))
+      .agg(
+        sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum(dec(col("ca")) * dec(col("__s2"))).as("__ab2"),
+        sum(dec(col("t")) * dec(col("__s2"))).as("__ss2"),
+        sum(dec(col("t")) * dec(col("__s2")) * dec(col("__s2")))
+          .as("__s4"),
+        sum(when(col("t") > 1L, 1L).otherwise(0L)).as("n_tied_values"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val nD = naD + nbD
+    val abD = col("__ab2").cast("double") / lit(2.0)
+    val mu = col("__ss2").cast("double") / (lit(2.0) * nD)
+    val ssq = col("__s4").cast("double") / lit(4.0) - nD * mu * mu
+    val varAb = naD * nbD / (nD * (nD - lit(1.0))) * ssq
+    agg.select(
+      col("n_a"), col("n_b"), col("n_tied_values"),
+      round(abD, 6).as("ab_stat"),
+      round(naD * mu, 6).as("mu_ab"),
+      round(sqrt(varAb), 6).as("sigma_ab"),
+      when(varAb > 0.0, round((abD - naD * mu) / sqrt(varAb), 6))
+        .as("z"))
+  }
+
   /** Inverse-variance meta-analysis of per-stratum two-arm mean
     * differences (fixed effect + DerSimonian–Laird 1986 random
     * effects): each stratum (`studyCol` value) contributes the effect

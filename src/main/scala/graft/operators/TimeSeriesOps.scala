@@ -198,6 +198,87 @@ object TimeSeriesOps {
     * Scale shape: one count aggregation; per iteration ONE 5-sum
     * reduction over the bounded spine; driver holds two scalars.
     */
+  /** Quantile (pinball) trend lines on the daily count spine: for each
+    * τ, the linear fit minimizing Σ ρ_τ(x − a − b·i) by smoothed IRLS —
+    * weights w = (τ if r ≥ 0 else 1−τ)/max(ε, |r|), fixed steps, the
+    * portable-fit contract (round-12 decimal working sums, round-9
+    * params per step; q189/q374 family). Three slopes bound the trend's
+    * SHAPE the way a single OLS line can't: diverging τ=0.25/0.75
+    * slopes mean the spread itself is trending, and the τ=0.5 line is
+    * the outlier-robust twin of q332's least-squares trend.
+    *
+    * Output per τ: final intercept/slope, the mean pinball loss at the
+    * fit, and the OLS init shared by all τ (the comparison row).
+    *
+    * Scale shape: one count aggregation to the bounded day spine;
+    * per (τ, step) ONE 5-sum reduction over that spine; driver holds
+    * two scalars per τ.
+    */
+  def quantileTrendIrls(df: DataFrame, tsCol: String,
+      taus: Seq[Double] = Seq(0.25, 0.5, 0.75), iters: Int = 8,
+      eps: Double = 1e-6): DataFrame = {
+    require(iters >= 1 && taus.nonEmpty &&
+      taus.forall(t => t > 0.0 && t < 1.0),
+      "need iters >= 1 and taus strictly inside (0,1)")
+    val series = dailyCountSeries(df, tsCol).persist()
+    try {
+      val spark = df.sparkSession
+      import spark.implicits._
+      def r9(v: Double): Double =
+        new java.math.BigDecimal(v)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      def d12(c: Column): Column =
+        sum(round(c, 12).cast("decimal(38,12)")).cast("double")
+      val iD = col("i").cast("double")
+      val xD = col("x").cast("double")
+      def dec0(c: Column): Column = c.cast("decimal(38,0)")
+      val m0 = series.agg(count(lit(1)).as("n"),
+        sum(dec0(col("i"))).cast("double").as("si"),
+        sum(dec0(col("i")) * dec0(col("i"))).cast("double").as("sii"),
+        sum(dec0(col("x"))).cast("double").as("sx"),
+        sum(dec0(col("i")) * dec0(col("x"))).cast("double").as("six"))
+        .head()
+      val nD = m0.getLong(0).toDouble
+      require(m0.getLong(0) >= 3, "need a spine of at least 3 days")
+      val (si, sii, sx, six) =
+        (m0.getDouble(1), m0.getDouble(2), m0.getDouble(3),
+          m0.getDouble(4))
+      val b0 = r9((nD * six - si * sx) / (nD * sii - si * si))
+      val a0 = r9((sx - b0 * si) / nD)
+      val rows = taus.map { tau =>
+        var a = a0
+        var b = b0
+        (1 to iters).foreach { it =>
+          val r = xD - (lit(a) + lit(b) * iD)
+          val w = when(r >= 0.0, lit(tau)).otherwise(lit(1.0) - lit(tau))
+            .divide(greatest(lit(eps), abs(r)))
+          val s = series.agg(
+            d12(w).as("sw"), d12(w * iD).as("swi"),
+            d12(w * iD * iD).as("swii"),
+            d12(w * xD).as("swx"), d12(w * iD * xD).as("swix")).head()
+          val (sw, swi, swii, swx, swix) = (s.getDouble(0),
+            s.getDouble(1), s.getDouble(2), s.getDouble(3),
+            s.getDouble(4))
+          val den = sw * swii - swi * swi
+          require(den > 0.0, s"degenerate pinball system at step $it")
+          b = r9((sw * swix - swi * swx) / den)
+          a = r9((swx - b * swi) / sw)
+        }
+        val rFin = xD - (lit(a) + lit(b) * iD)
+        val loss = series.agg(
+          d12(when(rFin >= 0.0, lit(tau) * rFin)
+            .otherwise((lit(tau) - lit(1.0)) * rFin))).head().getDouble(0)
+        (tau, a, b, loss / nD)
+      }
+      rows.toDF("tau", "__a", "__b", "__loss")
+        .select(col("tau"), round(col("__a"), 6).as("a"),
+          round(col("__b"), 6).as("b"),
+          round(col("__loss"), 6).as("pinball_mean"),
+          round(lit(a0), 6).as("ols_a"), round(lit(b0), 6).as("ols_b"))
+        .orderBy(col("tau"))
+    } finally { series.unpersist(); () }
+  }
+
   def poissonTrendIrls(df: DataFrame, tsCol: String,
       iters: Int = 6): DataFrame = {
     require(iters >= 1, "need at least one IRLS step")

@@ -799,6 +799,75 @@ class Round11OpsSpec extends SparkSpec {
     assert(r == 1L)
   }
 
+  // ------------------------------------------------ q378 Ansari–Bradley
+
+  test("ansariBradley matches the hand-worked 5-value pooled sample") {
+    // pooled sorted: 1,4,5,6,10 -> both-ends scores 1,2,3,2,1
+    // A = {1,10} (the extremes): AB=2, mu=1.8, E=3.6,
+    // Var = 2*3*(19-5*1.8^2)/(5*4) = 0.84
+    val d = (Seq(1.0, 10.0).map(("a", _)) ++
+      Seq(4.0, 5.0, 6.0).map(("b", _))).toDF("g", "v")
+    val r = DriftOps.ansariBradley(d, "v", "g", "a", "b")
+      .select("n_a", "n_b", "ab_stat", "mu_ab", "sigma_ab", "z")
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r._1 == 2L && r._2 == 3L)
+    assert(r._3 == 2.0 && r._4 == 3.6)
+    assert(r._5 == r6(math.sqrt(0.84)))
+    assert(r._6 == r6((2.0 - 3.6) / math.sqrt(0.84)))
+  }
+
+  test("ansariBradley: the more dispersed group scores low (negative z)") {
+    // A hugs the tails, B hugs the center of the pooled ordering
+    val d = (Seq(1.0, 2.0, 99.0, 100.0).map(("wide", _)) ++
+      Seq(49.0, 50.0, 51.0, 52.0).map(("tight", _))).toDF("g", "v")
+    val r = DriftOps.ansariBradley(d, "v", "g", "wide", "tight")
+      .select("z").as[Double].head()
+    assert(r < -1.0)
+  }
+
+  test("ansariBradley mid-rank scores under ties stay exact") {
+    // 4 copies of one value: each takes the mid-rank score; with n=4
+    // scores (doubled) are min(2r, 10-2r) at mid-rank 2.5 -> s=2.5 each
+    val d = (Seq(7.0, 7.0).map(("a", _)) ++
+      Seq(7.0, 7.0).map(("b", _))).toDF("g", "v")
+    val r = DriftOps.ansariBradley(d, "v", "g", "a", "b")
+      .select("ab_stat", "mu_ab", "n_tied_values")
+      .as[(Double, Double, Long)].head()
+    assert(r._1 == 5.0 && r._2 == 5.0 && r._3 == 1L)
+  }
+
+  // ---------------------------------------------- q379 quantile trend
+
+  test("quantileTrendIrls is exact on a constant series") {
+    // zero residuals at the OLS init -> uniform weights -> the WLS
+    // refit reproduces (a=c, b=0) and the pinball loss is 0 at every tau
+    val got = graft.operators.TimeSeriesOps
+      .quantileTrendIrls(dailyEvents(Seq.fill(12)(5)), "ts")
+      .select("tau", "a", "b", "pinball_mean", "ols_a", "ols_b")
+      .as[(Double, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(got.map(_._1) == Seq(0.25, 0.5, 0.75))
+    got.foreach { r =>
+      assert(r._2 == 5.0 && r._3 == 0.0 && r._4 == 0.0)
+      assert(r._5 == 5.0 && r._6 == 0.0)
+    }
+  }
+
+  test("quantileTrendIrls separates quartile slopes when the spread " +
+      "itself trends") {
+    // median stays near 20, but amplitude of the +/- swing grows with i
+    // -> upper-quartile slope above lower-quartile slope
+    val counts = (0 until 24).map(i =>
+      20 + (if (i % 2 == 0) i / 2 else -(i / 2)))
+    val got = graft.operators.TimeSeriesOps
+      .quantileTrendIrls(dailyEvents(counts), "ts")
+      .select("tau", "b").as[(Double, Double)].collect().toMap
+    assert(got(0.75) > got(0.25) + 0.1)
+    assert(got.values.forall(b => !b.isNaN))
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
