@@ -8718,6 +8718,13 @@ object OracleSql {
         |  ROUND(init2.b0, 6) + 0.0 AS ols_b
         |FROM fin f JOIN loss l ON f.tau = l.tau, init2
         |ORDER BY tau""").stripMargin,
+    // q380: KMV replayed — distinct 60-bit hashes, per-group rank ≤ 64,
+    // ALL merged from the kept sets (dedupe + re-rank), exact-integer
+    // kth hash, one double division. Streaming twin shares it: minK
+    // over deduplicated unions is idempotent, so any micro-batching
+    // lands on the same kept set.
+    "q380_kmv" -> q380KmvSql,
+    "q380_stream_kmv" -> q380KmvSql,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which
@@ -11735,6 +11742,46 @@ object OracleSql {
         |      (vb / CAST(n_b AS DOUBLE)) * (vb / CAST(n_b AS DOUBLE)) /
         |        (CAST(n_b AS DOUBLE) - 1.0)), 6) AS df_welch
         |FROM p""".stripMargin
+
+  private def q380KmvSql: String = {
+    val h = hexPoly15("MD5('kmv#' || CAST(k AS VARCHAR))")
+    s"""WITH keyed AS (
+       |  SELECT l_returnflag AS grp, l_orderkey AS k FROM lineitem),
+       |hashed AS (SELECT DISTINCT grp, $h AS h FROM keyed),
+       |rk AS (
+       |  SELECT grp, h,
+       |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS r
+       |  FROM hashed),
+       |kept AS (SELECT grp, r, h FROM rk WHERE r <= 64),
+       |allh AS (SELECT DISTINCT h FROM kept),
+       |allr AS (
+       |  SELECT 'ALL' AS grp, ROW_NUMBER() OVER (ORDER BY h) AS r, h
+       |  FROM allh),
+       |merged AS (
+       |  SELECT grp, r, h FROM kept
+       |  UNION ALL SELECT grp, r, h FROM allr WHERE r <= 64),
+       |agg AS (
+       |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |    CAST(MAX(h) AS BIGINT) AS kth_min_hash
+       |  FROM merged GROUP BY grp),
+       |est AS (
+       |  SELECT grp, n_kept, kth_min_hash,
+       |    ROUND(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+       |      ELSE CAST(63.0 AS DOUBLE) *
+       |        CAST(1152921504606846976 AS DOUBLE) /
+       |        CAST(kth_min_hash AS DOUBLE) END, 6) AS kmv_estimate
+       |  FROM agg),
+       |exact AS (
+       |  SELECT grp, CAST(COUNT(DISTINCT k) AS BIGINT) AS n_exact FROM (
+       |    SELECT grp, k FROM keyed
+       |    UNION ALL SELECT 'ALL' AS grp, k FROM keyed)
+       |  GROUP BY grp)
+       |SELECT e.grp AS grp, n_kept, kth_min_hash, kmv_estimate, n_exact,
+       |  ROUND((kmv_estimate - CAST(n_exact AS DOUBLE)) /
+       |    CAST(n_exact AS DOUBLE), 6) + 0.0 AS rel_err
+       |FROM est e JOIN exact x ON e.grp = x.grp
+       |ORDER BY grp""".stripMargin
+  }
 
   private def q248PackingSql: String =
     """WITH t AS (

@@ -4295,6 +4295,30 @@ object SparkEntry {
   def q379(spark: SparkSession, dir: String): DataFrame =
     TimeSeriesOps.quantileTrendIrls(t(spark, dir, "events"), "ts")
 
+  // ---------------------------------------------------------------- q380
+  // KMV k-minimum-values distinct sketch per returnflag + merged ALL:
+  // the third portable cardinality path next to exact countDistinct and
+  // the q162 HLL registers — the kept hashes are also a uniform sample
+  // of the distinct set (overlap/Jaccard questions HLL can't answer).
+  // ALL is merged from the per-group sketches, never from data.
+  def q380(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("grp"), col("l_orderkey").as("k"))
+    SketchOps.kmvDistinctCard(
+      SketchOps.kmvMinHashes(keyed, Seq("grp"), col("k")), keyed)
+  }
+
+  // q380's streaming twin (SHARED oracle): ≤64 sorted longs of state per
+  // group via mapGroupsWithState; minK over deduplicated unions is
+  // associative/commutative/idempotent, so any micro-batching (and
+  // update-mode re-emission) lands on the batch sketch exactly.
+  def q380stream(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.streamingKmvDistinct(
+      spark, dir, "lineitem.parquet",
+      graft.streaming.StreamSink.Memory("q380_kmv"),
+      prepare = _.select(col("l_returnflag").as("grp"),
+        col("l_orderkey").as("k")))
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5588,6 +5612,8 @@ object SparkEntry {
     "q377_meta_analysis" -> (q377 _),
     "q378_ansari_bradley" -> (q378 _),
     "q379_quantile_trend" -> (q379 _),
+    "q380_kmv" -> (q380 _),
+    "q380_stream_kmv" -> (q380stream _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -194,6 +194,82 @@ object SketchOps {
       .select((gs :+ col("n_registers_hit") :+ col("hll_estimate")): _*)
   }
 
+  /** KMV (k-minimum-values, Bar-Yossef et al. 2002) distinct sketch:
+    * the k smallest DISTINCT 60-bit MD5 hashes of `valueExpr` per
+    * group. The third portable cardinality sketch next to
+    * [[hllRegisters]] (fixed 64 registers) and exact countDistinct —
+    * KMV's niche is that the kept hashes are a uniform SAMPLE of the
+    * distinct values, so the same k longs also answer set-overlap
+    * questions (Jaccard of two sketches ≈ Jaccard of the kept-hash
+    * sets), which registers cannot.
+    *
+    * Merge contract: minK(A ∪ B) = minK(minK(A) ∪ minK(B)) — the
+    * union is deduplicated (hashes are value-deterministic, so the
+    * same value never double-counts), making per-shard sketches,
+    * incremental ingest, and cross-group rollups compose exactly.
+    * Everything is exact integer arithmetic both engines replay.
+    *
+    * Scale shape: one distinct aggregation collapses data to distinct
+    * (group, hash); the per-group top-k is a rank window over THAT
+    * frame — sort-based, spillable, never wider than the distinct set.
+    */
+  def kmvMinHashes(df: DataFrame, groupCols: Seq[String],
+      valueExpr: Column, k: Int = 64): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val gs = groupCols.map(col)
+    val h = md5Long60(concat(lit("kmv#"), valueExpr.cast("string")))
+    val dist = df.select((gs :+ h.as("h")): _*).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col("h"))
+    dist.withColumn("r", row_number().over(w).cast("long"))
+      .filter(col("r") <= k)
+      .select((gs :+ col("r") :+ col("h")): _*)
+  }
+
+  /** KMV estimate from a min-hash frame: with the full k kept,
+    * (k−1)·2⁶⁰/h₍ₖ₎ (hashes are uniform on [0, 2⁶⁰)); with fewer than
+    * k distinct hashes the sketch IS the distinct set and the count is
+    * exact. One double division per group, rounded 6.
+    */
+  def kmvEstimate(minHashes: DataFrame, groupCols: Seq[String],
+      k: Int = 64): DataFrame = {
+    val gs = groupCols.map(col)
+    minHashes.groupBy(gs: _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_min_hash"))
+      .select((gs :+ col("n_kept") :+ col("kth_min_hash") :+
+        round(when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) *
+            lit(math.pow(2, 60)) / col("kth_min_hash").cast("double")), 6)
+          .as("kmv_estimate")): _*)
+  }
+
+  /** KMV card shared by the batch query and its streaming twin: the
+    * cross-group "ALL" sketch is merged FROM the per-group kept hashes
+    * (dedupe + re-rank — the sketch-merge contract, no data re-scan),
+    * estimates come from [[kmvEstimate]], and the exact distinct count
+    * joins on for the measured relative error. `kept` must carry
+    * (grp, r, h); `keyed` must carry (grp, k) for the exact side.
+    */
+  def kmvDistinctCard(kept: DataFrame, keyed: DataFrame,
+      k: Int = 64): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("h"))
+    val allK = kept.select(col("h")).distinct()
+      .withColumn("r", row_number().over(wAll).cast("long"))
+      .filter(col("r") <= k)
+      .select(lit("ALL").as("grp"), col("r"), col("h"))
+    val est = kmvEstimate(
+      kept.select(col("grp"), col("r"), col("h")).unionByName(allK),
+      Seq("grp"), k)
+    val exact = keyed
+      .unionByName(keyed.withColumn("grp", lit("ALL")))
+      .groupBy(col("grp")).agg(countDistinct(col("k")).as("n_exact"))
+    est.join(exact, "grp")
+      .withColumn("rel_err",
+        round((col("kmv_estimate") - col("n_exact")) /
+          col("n_exact").cast("double"), 6))
+      .orderBy(col("grp"))
+  }
+
   /** Fully PORTABLE Bloom-filter bit positions for one key: `kHashes`
     * disjoint 7-hex-digit slices of ONE MD5 digest, each mod `mBits`,
     * deduplicated (two slices may collide into one bit — membership then

@@ -24,6 +24,11 @@ case class EwmaOut(user_id: Long, n_events: Long, ewma_last: Double)
 case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
+/** KMV sketch state per group: the ≤ k smallest distinct hashes, kept
+  * sorted — bounded at k longs forever, the streaming point of KMV.
+  */
+case class KmvSketch(hs: Seq[Long])
+
 /** Where a streaming op lands its result. `Memory` buffers on the driver —
   * the right default for the finite oracle/test replays, NOT a production
   * path. `Parquet` is the production shape: distributed append-mode writes
@@ -350,6 +355,48 @@ object StreamingOps {
         })
 
     runToSink(spark, sessions.toDF(), sink, "append")
+  }
+
+  /** Streaming KMV distinct sketch ≡ batch (q380's twin — the fifth
+    * member of the streaming-sketch family after quantile bins, Bloom
+    * bits, CMS counters, and HLL registers): per-group state is the
+    * ≤ k smallest distinct hashes (`mapGroupsWithState`, k longs
+    * bounded forever), each micro-batch folds in as
+    * minK(state ∪ batch) — and because minK over a deduplicated union
+    * is associative, commutative, AND idempotent, any micro-batching
+    * (and update-mode re-emission) lands on the batch sketch exactly:
+    * the finisher explodes every reported state, dedupes, and re-ranks,
+    * which is itself just one more KMV merge. Shares q380's oracle.
+    */
+  def streamingKmvDistinct(spark: SparkSession, dir: String,
+      fileName: String, sink: StreamSink,
+      prepare: DataFrame => DataFrame, k: Int = 64): DataFrame = {
+    import spark.implicits._
+    import graft.operators.SketchOps
+    val keyed = prepare(fileStream(spark, dir, fileName))
+    val hashed = keyed.select(col("grp").cast("string"),
+      conv(substring(md5(concat(lit("kmv#"), col("k").cast("string"))),
+        1, 15), 16, 10).cast("long").as("h"))
+      .as[(String, Long)]
+    val updated = hashed.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (grp: String, rows: Iterator[(String, Long)],
+            state: GroupState[KmvSketch]) => {
+          val prev = state.getOption.map(_.hs).getOrElse(Seq.empty[Long])
+          val merged = (prev ++ rows.map(_._2)).distinct.sorted.take(k)
+          state.update(KmvSketch(merged))
+          (grp, merged)
+        })
+    val sunk = runToSink(spark, updated.toDF("grp", "hs"), sink, "update")
+    val flat = sunk.select(col("grp"), explode(col("hs")).as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("h"))
+    val kept = flat.withColumn("r", row_number().over(w).cast("long"))
+      .filter(col("r") <= k)
+      .select(col("grp"), col("r"), col("h"))
+    SketchOps.kmvDistinctCard(kept,
+      prepare(spark.read.parquet(s"$dir/$fileName")), k)
   }
 
   /** Stateful running EWMA per key (`mapGroupsWithState` — the recurrence

@@ -868,6 +868,59 @@ class Round11OpsSpec extends SparkSpec {
     assert(got.values.forall(b => !b.isNaN))
   }
 
+  // ------------------------------------------------------- q380 KMV
+
+  test("kmvEstimate is exact below k and within sketch error above") {
+    import graft.operators.SketchOps
+    val small = (1 to 40).map(v => ("g", v)).toDF("grp", "k")
+    val sm = SketchOps.kmvEstimate(
+      SketchOps.kmvMinHashes(small, Seq("grp"), col("k")), Seq("grp"))
+      .select("n_kept", "kmv_estimate").as[(Long, Double)].head()
+    assert(sm._1 == 40L && sm._2 == 40.0)
+    val big = (1 to 5000).map(v => ("g", v)).toDF("grp", "k")
+    val bg = SketchOps.kmvEstimate(
+      SketchOps.kmvMinHashes(big, Seq("grp"), col("k")), Seq("grp"))
+      .select("n_kept", "kmv_estimate").as[(Long, Double)].head()
+    // k=64 -> relative sd ~ 1/sqrt(62) ~ 12.7%; 4 sigma is a safe gate
+    assert(bg._1 == 64L)
+    assert(math.abs(bg._2 / 5000.0 - 1.0) < 0.51, s"est=${bg._2}")
+  }
+
+  test("kmv sharded sketches merge to the whole-data sketch exactly") {
+    import graft.operators.SketchOps
+    val all = (1 to 2000).map(v => ("g", v))
+    // overlapping shards: dedup in the merge must not double-count
+    val shardA = all.filter(_._2 <= 1400).toDF("grp", "k")
+    val shardB = all.filter(_._2 >= 1000).toDF("grp", "k")
+    val ka = SketchOps.kmvMinHashes(shardA, Seq("grp"), col("k"))
+    val kb = SketchOps.kmvMinHashes(shardB, Seq("grp"), col("k"))
+    val mergedHs = ka.select("h").unionByName(kb.select("h")).distinct()
+      .orderBy("h").limit(64).as[Long].collect().toSeq
+    val whole = SketchOps.kmvMinHashes(all.toDF("grp", "k"), Seq("grp"),
+      col("k")).orderBy("r").select("h").as[Long].collect().toSeq
+    assert(mergedHs == whole)
+  }
+
+  test("streamingKmvDistinct lands on the batch card bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv_")
+    try {
+      val rows = (1 to 300).map(v => (if (v % 3 == 0) "a" else "b", v))
+        .toDF("grp", "k")
+      rows.coalesce(1).write.mode("overwrite")
+        .parquet(dir.resolve("kv.parquet").toString)
+      val stream = graft.streaming.StreamingOps
+        .streamingKmvDistinct(spark, dir.toString, "kv.parquet",
+          graft.streaming.StreamSink.Memory("spec_kmv"), identity)
+        .collect().toSeq
+      val batch = graft.operators.SketchOps.kmvDistinctCard(
+        graft.operators.SketchOps.kmvMinHashes(rows, Seq("grp"),
+          col("k")), rows).collect().toSeq
+      assert(stream == batch)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
