@@ -8725,6 +8725,10 @@ object OracleSql {
     // lands on the same kept set.
     "q380_kmv" -> q380KmvSql,
     "q380_stream_kmv" -> q380KmvSql,
+    // q381: Fisher exact replayed — the same Lanczos lnGamma expression
+    // tree (portable: +,*,/,LN only), log-space tail with exp(term−max)
+    // summed as DECIMAL(28,12), identical parenthesization throughout.
+    "q381_fisher_exact" -> q381FisherSql,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which
@@ -11781,6 +11785,74 @@ object OracleSql {
        |    CAST(n_exact AS DOUBLE), 6) + 0.0 AS rel_err
        |FROM est e JOIN exact x ON e.grp = x.grp
        |ORDER BY grp""".stripMargin
+  }
+
+  /** Portable log-gamma — the SAME Numerical Recipes Lanczos expression
+    * tree as [[graft.functions.Stats.lnGamma]], emitted as SQL text:
+    * identical literals, identical association, only +,*,/ and LN, so
+    * DuckDB reproduces Spark's doubles bit-for-bit (built-in `lgamma`s
+    * are engine-specific and NOT portable).
+    */
+  private def lnGammaSql(z: String): String =
+    s"(-(($z) + 5.5 - (($z) + 0.5) * LN(($z) + 5.5)) + " +
+      "LN(2.5066282746310005 * (1.000000000190015 + " +
+      s"76.18009172947146 / (($z) + 1.0) + " +
+      s"-86.50532032941677 / (($z) + 2.0) + " +
+      s"24.01409824083091 / (($z) + 3.0) + " +
+      s"-1.231739572450155 / (($z) + 4.0) + " +
+      s"1.208650973866179e-3 / (($z) + 5.0) + " +
+      s"-5.395239384953e-6 / (($z) + 6.0)) / ($z)))"
+
+  private def lnFactSql(x: String): String = lnGammaSql(s"($x) + 1.0")
+
+  private def lnChooseSql(n: String, k: String): String =
+    s"(${lnFactSql(n)} - ${lnFactSql(k)} - ${lnFactSql(s"($n) - ($k)")})"
+
+  private def q381FisherSql: String = {
+    def term(kd: String): String =
+      s"(${lnChooseSql("r1d", kd)} + " +
+        s"${lnChooseSql("(nd - r1d)", s"(c1d - $kd)")} - " +
+        s"${lnChooseSql("nd", "c1d")})"
+    s"""WITH m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+       |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS c1,
+       |    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |      AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS a
+       |  FROM orders),
+       |md AS (
+       |  SELECT n, r1, c1, a, CAST(n AS DOUBLE) AS nd,
+       |    CAST(r1 AS DOUBLE) AS r1d, CAST(c1 AS DOUBLE) AS c1d,
+       |    CAST(a AS DOUBLE) AS ad
+       |  FROM m),
+       |ks AS (
+       |  SELECT nd, r1d, c1d,
+       |    CAST(UNNEST(generate_series(a, LEAST(r1, c1))) AS DOUBLE)
+       |      AS kd
+       |  FROM md),
+       |terms AS (SELECT ${term("kd")} AS lt FROM ks),
+       |mx AS (
+       |  SELECT MAX(lt) AS mxv, CAST(COUNT(*) AS BIGINT) AS n_terms
+       |  FROM terms),
+       |s AS (
+       |  SELECT CAST(SUM(CAST(EXP(lt - mxv) AS DECIMAL(28,12)))
+       |      AS DOUBLE) AS sv,
+       |    MAX(mxv) AS mxv, MAX(n_terms) AS n_terms
+       |  FROM terms, mx)
+       |SELECT n, r1, c1, a AS a_obs,
+       |  ROUND(r1d * c1d / nd, 6) AS expected_a,
+       |  CASE WHEN ad > 0 AND r1d - ad > 0 AND c1d - ad > 0
+       |      AND nd - r1d - c1d + ad > 0
+       |    THEN ROUND(LN(ad * (nd - r1d - c1d + ad) /
+       |      ((r1d - ad) * (c1d - ad))), 6) + 0.0 END AS log_odds,
+       |  n_terms,
+       |  ROUND(mxv + LN(sv), 6) + 0.0 AS ln_p_right,
+       |  ROUND(EXP(mxv + LN(sv)), 6) AS p_right,
+       |  ROUND(EXP(mxv + LN(sv)) - 0.5 * EXP(${term("ad")}), 6) + 0.0
+       |    AS mid_p_right
+       |FROM md, s""".stripMargin
   }
 
   private def q248PackingSql: String =

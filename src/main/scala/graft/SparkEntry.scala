@@ -4319,6 +4319,17 @@ object SparkEntry {
       prepare = _.select(col("l_returnflag").as("grp"),
         col("l_orderkey").as("k")))
 
+  // ---------------------------------------------------------------- q381
+  // Fisher's exact right-tail test: is high order priority associated
+  // with finished status? The exact sibling of q100's chi-square —
+  // log-space hypergeometric tail via the portable Lanczos lnGamma, so
+  // the p-value stays meaningful (as ln p) down to 1e-300.
+  def q381(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.fisherExact2x2(
+      t(spark, dir, "orders"),
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+      col("o_orderstatus") === "F")
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5614,6 +5625,7 @@ object SparkEntry {
     "q379_quantile_trend" -> (q379 _),
     "q380_kmv" -> (q380 _),
     "q380_stream_kmv" -> (q380stream _),
+    "q381_fisher_exact" -> (q381 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -80,6 +80,34 @@ object Stats {
         ((n - lit(2.0)) * (n - lit(3.0))))
   }
 
+  /** Portable log-gamma for z > 0 — the Numerical Recipes `gammln`
+    * Lanczos form (g=5, 6 coefficients), spelled out as a FIXED
+    * expression tree of +, *, / and ln only, so Spark and any ANSI
+    * engine replaying the same text produce bit-identical doubles
+    * (built-in `lgamma`s differ per engine and are NOT portable).
+    * Absolute error ≲ 2e-10 in ln-space — invisible at the 6-decimal
+    * rounding every consumer applies. The factorial/binomial workhorse
+    * behind exact-test p-values: ln n! = lnGamma(n+1).
+    */
+  def lnGamma(z: Column): Column = {
+    val tmp = z + lit(5.5) - (z + lit(0.5)) * log(z + lit(5.5))
+    val ser = lit(1.000000000190015) +
+      lit(76.18009172947146) / (z + lit(1.0)) +
+      lit(-86.50532032941677) / (z + lit(2.0)) +
+      lit(24.01409824083091) / (z + lit(3.0)) +
+      lit(-1.231739572450155) / (z + lit(4.0)) +
+      lit(1.208650973866179e-3) / (z + lit(5.0)) +
+      lit(-5.395239384953e-6) / (z + lit(6.0))
+    -tmp + log(lit(2.5066282746310005) * ser / z)
+  }
+
+  /** ln(n!) via [[lnGamma]]. */
+  def lnFact(n: Column): Column = lnGamma(n + lit(1.0))
+
+  /** ln C(n, k) via three [[lnFact]]s — valid for 0 ≤ k ≤ n. */
+  def lnChoose(n: Column, k: Column): Column =
+    lnFact(n) - lnFact(k) - lnFact(n - k)
+
   /** Null-skipping horizontal (row-wise) mean over a set of columns —
     * reference computes `mean(axis=1)` over measurement pairs
     * (`/root/reference/src/data/loader.py:252-254`). Null when every input

@@ -1893,6 +1893,73 @@ object DriftOps {
         .as("z"))
   }
 
+  /** Fisher's EXACT right-tail test on the 2×2 table of two boolean
+    * expressions: P[X ≥ a] under the hypergeometric null with the
+    * observed margins — the test q100's chi-square approximates, exact
+    * at any cell size (including the small/skewed cells where chi-square
+    * breaks). Computed in log-space: ln-binomials via the portable
+    * [[graft.functions.Stats.lnGamma]] (a fixed Lanczos expression tree
+    * both engines replay bit-for-bit — built-in `lgamma`s are NOT
+    * portable), the tail summed as exp(termₖ − max) so a p-value of
+    * 1e-300 still reports its ln instead of underflowing silently.
+    * Mid-p (− half the point mass at a) comes free from the same
+    * margins. Also reports the sample log-odds ratio.
+    *
+    * Scale contract: the tail has min(r1,c1) − a + 1 terms — bounded by
+    * the SMALLER margin, not the data. That is the nature of an exact
+    * test: it is for tables with a modest minor margin; `maxTerms`
+    * (default 10⁶) fails fast with the fix (use q100's chi-square)
+    * when the support outgrows it. Under the cap the explode is one
+    * narrow frame off a 1-row aggregate, then two 1-row reductions.
+    */
+  def fisherExact2x2(df: DataFrame, rowExpr: Column, colExpr: Column,
+      maxTerms: Long = 1000000L): DataFrame = {
+    import graft.functions.Stats.{dsum, lnChoose}
+    val m = df.agg(
+      count(lit(1)).as("n"),
+      sum(when(rowExpr, 1L).otherwise(0L)).as("r1"),
+      sum(when(colExpr, 1L).otherwise(0L)).as("c1"),
+      sum(when(rowExpr && colExpr, 1L).otherwise(0L)).as("a"))
+    val h = m.head()
+    val (hn, hr1, hc1, ha) =
+      (h.getLong(0), h.getLong(1), h.getLong(2), h.getLong(3))
+    val support = math.min(hr1, hc1) - ha + 1
+    require(support >= 1 && support <= maxTerms,
+      s"fisherExact2x2 tail support $support exceeds maxTerms=$maxTerms " +
+        "(margins too large for an exact test — use the chi-square " +
+        "approximation) or the table is degenerate")
+    val nD = col("n").cast("double")
+    val r1D = col("r1").cast("double")
+    val c1D = col("c1").cast("double")
+    def termAt(kD: Column): Column =
+      lnChoose(r1D, kD) + lnChoose(nD - r1D, c1D - kD) -
+        lnChoose(nD, c1D)
+    val terms = m
+      .select(col("n"), col("r1"), col("c1"), col("a"),
+        explode(sequence(col("a"), least(col("r1"), col("c1"))))
+          .as("k"))
+      .select(termAt(col("k").cast("double")).as("lt"))
+    val mx = terms.agg(max(col("lt")).as("__mx"),
+      count(lit(1)).as("n_terms"))
+    val s = terms.crossJoin(broadcast(mx))
+      .agg(dsum(exp(col("lt") - col("__mx")), 12).as("__s"),
+        max(col("__mx")).as("__mx"), max(col("n_terms")).as("n_terms"))
+    val aD = col("a").cast("double")
+    val bD = r1D - aD
+    val cD = c1D - aD
+    val dD = nD - r1D - c1D + aD
+    val lnP = col("__mx") + log(col("__s"))
+    m.crossJoin(broadcast(s)).select(
+      col("n"), col("r1"), col("c1"), col("a").as("a_obs"),
+      round(r1D * c1D / nD, 6).as("expected_a"),
+      when(aD > 0.0 && bD > 0.0 && cD > 0.0 && dD > 0.0,
+        round(log(aD * dD / (bD * cD)), 6)).as("log_odds"),
+      col("n_terms"),
+      round(lnP, 6).as("ln_p_right"),
+      round(exp(lnP), 6).as("p_right"),
+      round(exp(lnP) - lit(0.5) * exp(termAt(aD)), 6).as("mid_p_right"))
+  }
+
   /** Inverse-variance meta-analysis of per-stratum two-arm mean
     * differences (fixed effect + DerSimonian–Laird 1986 random
     * effects): each stratum (`studyCol` value) contributes the effect

@@ -921,6 +921,49 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------- q381 Fisher exact
+
+  test("Stats.lnGamma tracks exact ln(n!) to 1e-8") {
+    val lnFactExact = (n: Int) =>
+      (1 to n).map(i => math.log(i.toDouble)).sum
+    Seq(1, 2, 5, 10, 100, 1000).foreach { n =>
+      val got = spark.range(1)
+        .select(graft.functions.Stats.lnFact(lit(n.toDouble)).as("v"))
+        .as[Double].head()
+      assert(math.abs(got - lnFactExact(n)) < 1e-8, s"n=$n got=$got")
+    }
+  }
+
+  test("fisherExact2x2 matches the exact BigInt hypergeometric tail") {
+    // table a=6 b=2 / c=1 d=7: n=16, r1=8, c1=7, right tail k in {6,7}
+    val rows = Seq.fill(6)((true, true)) ++ Seq.fill(2)((true, false)) ++
+      Seq.fill(1)((false, true)) ++ Seq.fill(7)((false, false))
+    val d = rows.toDF("r", "c")
+    def bc(n: Int, k: Int): BigInt =
+      (BigInt(1) to BigInt(k)).foldLeft(BigInt(1))((acc, i) =>
+        acc * (n - k + i.toInt) / i)
+    val denom = bc(16, 7).toDouble
+    val p6 = (bc(8, 6) * bc(8, 1)).toDouble / denom
+    val p7 = (bc(8, 7) * bc(8, 0)).toDouble / denom
+    val got = DriftOps.fisherExact2x2(d, col("r"), col("c"))
+      .select("n", "r1", "c1", "a_obs", "n_terms", "p_right",
+        "mid_p_right")
+      .as[(Long, Long, Long, Long, Long, Double, Double)].head()
+    assert(got._1 == 16L && got._2 == 8L && got._3 == 7L &&
+      got._4 == 6L && got._5 == 2L)
+    assert(math.abs(got._6 - (p6 + p7)) < 2e-6, s"p=${got._6}")
+    assert(math.abs(got._7 - (p6 + p7 - 0.5 * p6)) < 2e-6)
+  }
+
+  test("fisherExact2x2 refuses an over-wide tail support") {
+    val d = (1 to 100).map(i => (i % 2 == 0, i % 3 == 0)).toDF("r", "c")
+    val e = intercept[IllegalArgumentException] {
+      DriftOps.fisherExact2x2(d, col("r"), col("c"), maxTerms = 10L)
+        .head()
+    }
+    assert(e.getMessage.contains("maxTerms"))
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
