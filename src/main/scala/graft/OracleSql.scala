@@ -8729,6 +8729,10 @@ object OracleSql {
     // tree (portable: +,*,/,LN only), log-space tail with exp(term−max)
     // summed as DECIMAL(28,12), identical parenthesization throughout.
     "q381_fisher_exact" -> q381FisherSql,
+    // q382: RANSAC replayed — q179's congruential draws, round-9
+    // two-point params, inlier votes against the shared rounded
+    // threshold, HUGEINT refit moments.
+    "q382_ransac_trend" -> q382RansacSql,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which
@@ -11853,6 +11857,79 @@ object OracleSql {
        |  ROUND(EXP(mxv + LN(sv)) - 0.5 * EXP(${term("ad")}), 6) + 0.0
        |    AS mid_p_right
        |FROM md, s""".stripMargin
+  }
+
+  private def q382RansacSql: String = {
+    def drawSql(seed: String): String =
+      s"(((($seed) % 1000003) * 2654435761) % 1000003 + " +
+        s"($seed) // 1000003) % 9999991 * 22695477 % 9999991 % n"
+    s"""WITH $dailySeriesCtes,
+       |meta AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CASE WHEN COUNT(*) > 1
+       |      THEN ROUND(STDDEV_SAMP(CAST(x AS DOUBLE)), 6) END / 2.0
+       |      AS thr
+       |  FROM series),
+       |cd AS (
+       |  SELECT CAST(UNNEST(generate_series(0, 15)) AS BIGINT) AS cand,
+       |    n, thr
+       |  FROM meta),
+       |dr AS (
+       |  SELECT cand, n, thr,
+       |    ${drawSql("cand * 7919")} AS i0,
+       |    ${drawSql("cand * 7919 + 3571")} AS i1r
+       |  FROM cd),
+       |d2 AS (
+       |  SELECT cand, n, thr, i0,
+       |    CASE WHEN i1r = i0 THEN (i1r + 1) % n ELSE i1r END AS i1
+       |  FROM dr),
+       |pts0 AS (
+       |  SELECT d2.*, s0.x AS x0, s1.x AS x1
+       |  FROM d2 JOIN series s0 ON s0.i = d2.i0
+       |    JOIN series s1 ON s1.i = d2.i1),
+       |pts AS (
+       |  SELECT cand, n, thr, i0, i1,
+       |    ROUND((CAST(x1 AS DOUBLE) - CAST(x0 AS DOUBLE)) /
+       |      (CAST(i1 AS DOUBLE) - CAST(i0 AS DOUBLE)), 9) AS cand_slope,
+       |    ROUND(CAST(x0 AS DOUBLE) -
+       |      ROUND((CAST(x1 AS DOUBLE) - CAST(x0 AS DOUBLE)) /
+       |        (CAST(i1 AS DOUBLE) - CAST(i0 AS DOUBLE)), 9) *
+       |      CAST(i0 AS DOUBLE), 9) AS cand_intercept
+       |  FROM pts0),
+       |scored AS (
+       |  SELECT cand, n, thr, i0, i1, cand_slope, cand_intercept,
+       |    CAST(SUM(CASE WHEN ABS(CAST(s.x AS DOUBLE) -
+       |      (cand_intercept + cand_slope * CAST(s.i AS DOUBLE))) <= thr
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers,
+       |    CAST(SUM(CASE WHEN ABS(CAST(s.x AS DOUBLE) -
+       |      (cand_intercept + cand_slope * CAST(s.i AS DOUBLE))) <= thr
+       |      THEN CAST(s.i AS HUGEINT) END) AS DOUBLE) AS si,
+       |    CAST(SUM(CASE WHEN ABS(CAST(s.x AS DOUBLE) -
+       |      (cand_intercept + cand_slope * CAST(s.i AS DOUBLE))) <= thr
+       |      THEN CAST(s.i AS HUGEINT) * s.i END) AS DOUBLE) AS sii,
+       |    CAST(SUM(CASE WHEN ABS(CAST(s.x AS DOUBLE) -
+       |      (cand_intercept + cand_slope * CAST(s.i AS DOUBLE))) <= thr
+       |      THEN CAST(s.x AS HUGEINT) END) AS DOUBLE) AS sx,
+       |    CAST(SUM(CASE WHEN ABS(CAST(s.x AS DOUBLE) -
+       |      (cand_intercept + cand_slope * CAST(s.i AS DOUBLE))) <= thr
+       |      THEN CAST(s.i AS HUGEINT) * s.x END) AS DOUBLE) AS six
+       |  FROM series s CROSS JOIN pts
+       |  GROUP BY cand, n, thr, i0, i1, cand_slope, cand_intercept),
+       |best AS (
+       |  SELECT * FROM scored ORDER BY n_inliers DESC, cand LIMIT 1)
+       |SELECT n AS n_days, thr AS threshold, cand AS best_cand, i0, i1,
+       |  ROUND(cand_slope, 6) + 0.0 AS cand_slope,
+       |  ROUND(cand_intercept, 6) + 0.0 AS cand_intercept,
+       |  n_inliers,
+       |  ROUND(CAST(n_inliers AS DOUBLE) / CAST(n AS DOUBLE), 6)
+       |    AS inlier_frac,
+       |  ROUND((CAST(n_inliers AS DOUBLE) * six - si * sx) /
+       |    (CAST(n_inliers AS DOUBLE) * sii - si * si), 6) + 0.0
+       |    AS refit_slope,
+       |  ROUND((sx - (CAST(n_inliers AS DOUBLE) * six - si * sx) /
+       |      (CAST(n_inliers AS DOUBLE) * sii - si * si) * si) /
+       |    CAST(n_inliers AS DOUBLE), 6) + 0.0 AS refit_intercept
+       |FROM best""".stripMargin
   }
 
   private def q248PackingSql: String =

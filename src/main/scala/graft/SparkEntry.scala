@@ -4330,6 +4330,14 @@ object SparkEntry {
       col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
       col("o_orderstatus") === "F")
 
+  // ---------------------------------------------------------------- q382
+  // RANSAC trend line on the daily count spine: 16 seeded two-point
+  // models, consensus scoring at half the rounded std, OLS refit on the
+  // winner's inliers — the by-consensus member of the robust-trend
+  // family (Theil–Sen q273 by rank, Huber q303 by loss shape).
+  def q382(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.ransacTrendLine(t(spark, dir, "events"), "ts")
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5626,6 +5634,7 @@ object SparkEntry {
     "q380_kmv" -> (q380 _),
     "q380_stream_kmv" -> (q380stream _),
     "q381_fisher_exact" -> (q381 _),
+    "q382_ransac_trend" -> (q382 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

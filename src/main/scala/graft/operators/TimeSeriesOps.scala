@@ -198,6 +198,99 @@ object TimeSeriesOps {
     * Scale shape: one count aggregation; per iteration ONE 5-sum
     * reduction over the bounded spine; driver holds two scalars.
     */
+  /** RANSAC line fit on the daily count spine (Fischler & Bolles 1981):
+    * `nCandidates` two-point models from SEEDED engine-portable draws
+    * (the two-round congruential generator — q135/q179 family, no RNG
+    * state), each scored by its inlier count at a threshold of half the
+    * rounded sample std; the consensus winner is refit by OLS on its
+    * inliers only. The "fit the trend the outliers can't touch" member
+    * of the robust family: q273's Theil–Sen resists outliers by rank,
+    * Huber (q303) by loss shape — RANSAC by consensus, and it reports
+    * WHICH days were outvoted (inlier_frac).
+    *
+    * Portability: draws, indices and inlier counts are exact integers;
+    * candidate params round to 9 before the threshold comparison (both
+    * engines compare identical doubles against the identically-rounded
+    * threshold); refit moments are exact integer sums. Determinism is
+    * total — same data, same card, any engine, any partitioning.
+    *
+    * Scale shape: candidates × spine is a broadcast of `nCandidates`
+    * params against the bounded day spine (one conditional-sum
+    * aggregation); the winner is an order-limit over `nCandidates`
+    * rows. Nothing wider than the spine is ever touched.
+    */
+  def ransacTrendLine(df: DataFrame, tsCol: String,
+      nCandidates: Int = 16, salt: Long = 0L): DataFrame = {
+    require(nCandidates >= 2, "need at least 2 candidate models")
+    val series = dailyCountSeries(df, tsCol).persist()
+    try {
+      val p1 = 1000003L
+      val p2 = 9999991L
+      def draw(seed: Column, n: Column): Column = {
+        val x1 = pmod(pmod(seed, lit(p1)) * lit(2654435761L), lit(p1))
+        val x2 = pmod(pmod(x1 + (seed.cast("decimal(38,0)") / lit(p1))
+            .cast("long"), lit(p2)) * lit(22695477L), lit(p2))
+        pmod(x2, n)
+      }
+      val meta = series.agg(count(lit(1)).as("__n"),
+        (graft.functions.Stats.stdRounded(col("x").cast("double")) /
+          lit(2.0)).as("__thr"))
+      val cands = meta
+        .select(explode(sequence(lit(0L), lit(nCandidates - 1L)))
+          .as("cand"), col("__n"), col("__thr"))
+        .withColumn("__i0",
+          draw(col("cand") * lit(7919L) + lit(salt), col("__n")))
+        .withColumn("__i1r",
+          draw(col("cand") * lit(7919L) + lit(3571L) + lit(salt),
+            col("__n")))
+        .withColumn("__i1",
+          when(col("__i1r") === col("__i0"),
+            pmod(col("__i1r") + lit(1L), col("__n")))
+            .otherwise(col("__i1r")))
+      val s0 = series.select(col("i").as("__i0"), col("x").as("__x0"))
+      val s1 = series.select(col("i").as("__i1"), col("x").as("__x1"))
+      val withPts = cands.join(broadcast(s0), "__i0")
+        .join(broadcast(s1), "__i1")
+        .withColumn("cand_slope",
+          round((col("__x1").cast("double") - col("__x0").cast("double")) /
+            (col("__i1").cast("double") - col("__i0").cast("double")), 9))
+        .withColumn("cand_intercept",
+          round(col("__x0").cast("double") -
+            col("cand_slope") * col("__i0").cast("double"), 9))
+      def dec0(c: Column): Column = c.cast("decimal(38,0)")
+      val resid = col("x").cast("double") -
+        (col("cand_intercept") + col("cand_slope") * col("i").cast("double"))
+      val inl = abs(resid) <= col("__thr")
+      val scored = series.crossJoin(broadcast(withPts))
+        .groupBy(col("cand"), col("__n"), col("__thr"), col("__i0"),
+          col("__i1"), col("cand_slope"), col("cand_intercept"))
+        .agg(
+          sum(when(inl, 1L).otherwise(0L)).as("n_inliers"),
+          sum(when(inl, dec0(col("i")))).cast("double").as("__si"),
+          sum(when(inl, dec0(col("i")) * dec0(col("i"))))
+            .cast("double").as("__sii"),
+          sum(when(inl, dec0(col("x")))).cast("double").as("__sx"),
+          sum(when(inl, dec0(col("i")) * dec0(col("x"))))
+            .cast("double").as("__six"))
+      val best = scored
+        .orderBy(col("n_inliers").desc, col("cand")).limit(1)
+      val mD = col("n_inliers").cast("double")
+      val refitB = (mD * col("__six") - col("__si") * col("__sx")) /
+        (mD * col("__sii") - col("__si") * col("__si"))
+      best.select(
+        col("__n").as("n_days"), col("__thr").as("threshold"),
+        col("cand").as("best_cand"), col("__i0").as("i0"),
+        col("__i1").as("i1"),
+        round(col("cand_slope"), 6).as("cand_slope"),
+        round(col("cand_intercept"), 6).as("cand_intercept"),
+        col("n_inliers"),
+        round(mD / col("__n").cast("double"), 6).as("inlier_frac"),
+        round(refitB, 6).as("refit_slope"),
+        round((col("__sx") - refitB * col("__si")) / mD, 6)
+          .as("refit_intercept"))
+    } finally { series.unpersist(); () }
+  }
+
   /** Quantile (pinball) trend lines on the daily count spine: for each
     * τ, the linear fit minimizing Σ ρ_τ(x − a − b·i) by smoothed IRLS —
     * weights w = (τ if r ≥ 0 else 1−τ)/max(ε, |r|), fixed steps, the

@@ -964,6 +964,27 @@ class Round11OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("maxTerms"))
   }
 
+  // ------------------------------------------------ q382 RANSAC trend
+
+  test("ransacTrendLine recovers the planted line under gross outliers") {
+    // exact line x = 50 + 2i with two +500 spikes: the consensus
+    // winner's inlier set is exactly the 28 clean days, and the OLS
+    // refit on integers recovers slope 2 / intercept 50 EXACTLY
+    val counts = (0 until 30).map(i =>
+      if (i == 5 || i == 17) 50 + 2 * i + 500 else 50 + 2 * i)
+    val r = graft.operators.TimeSeriesOps
+      .ransacTrendLine(dailyEvents(counts), "ts")
+      .select("n_days", "n_inliers", "refit_slope", "refit_intercept",
+        "inlier_frac")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(r._1 == 30L)
+    assert(r._2 == 28L, s"inliers=${r._2}")
+    assert(r._3 == 2.0 && r._4 == 50.0)
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r._5 == r6(28.0 / 30.0))
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
