@@ -8733,6 +8733,98 @@ object OracleSql {
     // two-point params, inlier votes against the shared rounded
     // threshold, HUGEINT refit moments.
     "q382_ransac_trend" -> q382RansacSql,
+    // q383: theta replayed — q379's exact-integer OLS init, round-9
+    // SES recursion over the theta=2 series, fixed combination
+    // arithmetic per horizon step.
+    "q383_theta_forecast" ->
+      (s"""WITH RECURSIVE $dailySeriesCtes,
+        |m0 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(i AS HUGEINT)) AS DOUBLE) AS si,
+        |    CAST(SUM(CAST(i AS HUGEINT) * i) AS DOUBLE) AS sii,
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(i AS HUGEINT) * x) AS DOUBLE) AS six
+        |  FROM series),
+        |init AS (
+        |  SELECT n, si, sx,
+        |    ROUND((CAST(n AS DOUBLE) * six - si * sx) /
+        |      (CAST(n AS DOUBLE) * sii - si * si), 9) AS b0
+        |  FROM m0),
+        |init2 AS (
+        |  SELECT n, b0, ROUND((sx - b0 * si) / CAST(n AS DOUBLE), 9)
+        |    AS a0
+        |  FROM init),
+        |th AS (
+        |  SELECT s.i AS i,
+        |    2.0 * CAST(s.x AS DOUBLE) -
+        |      (a0 + b0 * CAST(s.i AS DOUBLE)) AS t2
+        |  FROM series s, init2),
+        |it(i, l) AS (
+        |  SELECT i, t2 FROM th WHERE i = 0
+        |  UNION ALL
+        |  SELECT th.i, ROUND(0.3 * th.t2 + 0.7 * it.l, 9)
+        |  FROM it JOIN th ON th.i = it.i + 1),
+        |lastl AS (SELECT l FROM it, init2 WHERE i = n - 1),
+        |hh AS (SELECT CAST(UNNEST(generate_series(1, 7)) AS BIGINT) AS h)
+        |SELECT hh.h AS h,
+        |  ROUND(a0 + b0 * (CAST(n AS DOUBLE) - 1.0 + CAST(hh.h AS DOUBLE)),
+        |    6) + 0.0 AS trend_component,
+        |  ROUND(l, 6) + 0.0 AS ses_component,
+        |  ROUND(0.5 * ((a0 + b0 * (CAST(n AS DOUBLE) - 1.0 +
+        |    CAST(hh.h AS DOUBLE))) + l), 6) + 0.0 AS forecast
+        |FROM hh, init2, lastl ORDER BY h""").stripMargin,
+    // q384: Croston replayed — demand days ranked over the gap-filled
+    // spine, p1 = d1+1 convention, round-9 twin SES recursion, the
+    // same 1 - 0.1/2 bias-correction arithmetic.
+    "q384_croston" ->
+      """WITH RECURSIVE counts AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' AND value > 200.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM events GROUP BY day),
+        |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM counts),
+        |days AS (
+        |  SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |series AS (
+        |  SELECT CAST(date_diff('day', b.lo, d.day) AS BIGINT) AS i,
+        |    COALESCE(c.x, 0) AS x
+        |  FROM days d CROSS JOIN b LEFT JOIN counts c ON d.day = c.day),
+        |dd AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY i) AS BIGINT) AS k,
+        |    i, x
+        |  FROM series WHERE x > 0),
+        |iv AS (
+        |  SELECT k, x,
+        |    CASE WHEN k = 1 THEN i + 1
+        |      ELSE i - LAG(i) OVER (ORDER BY k) END AS p
+        |  FROM dd),
+        |it(k, zh, ph) AS (
+        |  SELECT k, CAST(x AS DOUBLE), CAST(p AS DOUBLE)
+        |  FROM iv WHERE k = 1
+        |  UNION ALL
+        |  SELECT iv.k,
+        |    ROUND(0.1 * CAST(iv.x AS DOUBLE) + 0.9 * it.zh, 9),
+        |    ROUND(0.1 * CAST(iv.p AS DOUBLE) + 0.9 * it.ph, 9)
+        |  FROM it JOIN iv ON iv.k = it.k + 1),
+        |mx AS (SELECT MAX(k) AS mk FROM iv),
+        |fin AS (SELECT zh, ph FROM it, mx WHERE k = mk),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_demand_days,
+        |    CAST(SUM(CASE WHEN x > 0 THEN x ELSE 0 END) AS BIGINT)
+        |      AS total_demand
+        |  FROM series)
+        |SELECT n_days, n_demand_days, total_demand,
+        |  ROUND(zh, 6) AS size_hat,
+        |  ROUND(ph, 6) AS interval_hat,
+        |  ROUND(zh / ph, 6) AS croston_rate,
+        |  ROUND((1.0 - 0.1 / 2.0) * (zh / ph), 6) AS sba_rate,
+        |  ROUND(CAST(n_demand_days AS DOUBLE) /
+        |    CAST(n_days AS DOUBLE), 6) AS demand_frac
+        |FROM fin, tot""".stripMargin,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which

@@ -4338,6 +4338,23 @@ object SparkEntry {
   def q382(spark: SparkSession, dir: String): DataFrame =
     TimeSeriesOps.ransacTrendLine(t(spark, dir, "events"), "ts")
 
+  // ---------------------------------------------------------------- q383
+  // Theta-method 7-day forecast on the daily count spine: OLS-line
+  // extrapolation averaged with SES over the theta=2 series — the
+  // M3-winning combination sitting between q164's flat EWMA and q308's
+  // Holt trend.
+  def q383(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.thetaForecast(t(spark, dir, "events"), "ts")
+
+  // ---------------------------------------------------------------- q384
+  // Croston intermittent-demand card on the sparse series "days with
+  // high-value purchases": separate SES on demand sizes and intervals,
+  // rate + Syntetos-Boylan correction — the forecaster for
+  // mostly-zero series where level smoothers decay to noise.
+  def q384(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.crostonForecast(t(spark, dir, "events"), "ts",
+      col("event_type") === "purchase" && col("value") > lit(200.0))
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5635,6 +5652,8 @@ object SparkEntry {
     "q380_stream_kmv" -> (q380stream _),
     "q381_fisher_exact" -> (q381 _),
     "q382_ransac_trend" -> (q382 _),
+    "q383_theta_forecast" -> (q383 _),
+    "q384_croston" -> (q384 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

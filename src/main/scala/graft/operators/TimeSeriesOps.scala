@@ -1165,6 +1165,119 @@ object TimeSeriesOps {
       .orderBy(col("day"))
   }
 
+  /** Theta-method forecast (Assimakopoulos & Nikolopoulos 2000 — the
+    * M3-competition winner) on the daily count spine: the h-step
+    * forecast averages the extrapolated OLS line (θ=0, pure long-run
+    * trend) with SES applied to the θ=2 series 2x_t − line_t (double
+    * local curvature) — so it tracks the local level without losing
+    * the trend, which is exactly where q164's flat EWMA and q308's
+    * Holt each give up one half. One output row per horizon step.
+    *
+    * Portability: OLS init from exact integer sums, round-9 params,
+    * round-9 SES states (the [[holtLinear]] recipe; recursive-CTE
+    * replay). Scale shape: the recursion runs on the DRIVER over the
+    * bounded zero-filled spine (≤ `maxGridSize`, enforced); the
+    * data-proportional work is only the daily count aggregate.
+    */
+  def thetaForecast(df: DataFrame, tsCol: String,
+      alpha: BigDecimal = BigDecimal("0.3"), horizon: Int = 7,
+      maxGridSize: Long = 5000L): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
+    require(horizon >= 1, "need at least one forecast step")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = dailyCountSeries(df, tsCol).orderBy(col("i"))
+      .select(col("i"), col("x")).as[(Long, Long)].collect()
+    require(rows.length >= 3 && rows.length <= maxGridSize,
+      s"thetaForecast needs a spine of 3..$maxGridSize days, got " +
+        s"${rows.length}")
+    def r9(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val nD = rows.length.toDouble
+    val si = rows.map(_._1).sum.toDouble
+    val sii = rows.map(r => r._1 * r._1).sum.toDouble
+    val sx = rows.map(_._2).sum.toDouble
+    val six = rows.map(r => r._1 * r._2).sum.toDouble
+    val b0 = r9((nD * six - si * sx) / (nD * sii - si * si))
+    val a0 = r9((sx - b0 * si) / nD)
+    val aD = alpha.toDouble
+    val caD = (BigDecimal(1) - alpha).toDouble
+    var l = 0.0
+    rows.zipWithIndex.foreach { case ((i, x), idx) =>
+      val t2 = 2.0 * x.toDouble - (a0 + b0 * i.toDouble)
+      l = if (idx == 0) t2 else r9(aD * t2 + caD * l)
+    }
+    val ses = l
+    (1 to horizon).map { h =>
+      val lineH = a0 + b0 * (nD - 1.0 + h.toDouble)
+      (h.toLong, lineH, ses, 0.5 * (lineH + ses))
+    }.toDF("h", "__line", "__ses", "__f")
+      .select(col("h"),
+        round(col("__line"), 6).as("trend_component"),
+        round(col("__ses"), 6).as("ses_component"),
+        round(col("__f"), 6).as("forecast"))
+      .orderBy(col("h"))
+  }
+
+  /** Croston's method (1972) for INTERMITTENT demand — the forecaster
+    * for series that are mostly zeros, where SES/Holt/theta all decay
+    * toward a meaningless between-spike average: separate SES streams
+    * for the nonzero demand SIZES z_k and the inter-demand INTERVALS
+    * p_k, forecast rate ẑ/p̂ per day, plus the Syntetos–Boylan
+    * bias-corrected variant (1 − α/2)·ẑ/p̂. `demandExpr` marks which
+    * events count as demand; missing days are exact zeros.
+    *
+    * Conventions (replayed by the oracle): demands at spine indices
+    * d₁<d₂<…; p₁ = d₁+1 (first interval measured from the spine
+    * start), p_k = d_k − d_{k−1}; init ẑ = z₁, p̂ = p₁; round-9 states
+    * per step. Same driver-over-bounded-spine scale shape as
+    * [[holtLinear]] (enforced ≤ `maxGridSize`).
+    */
+  def crostonForecast(df: DataFrame, tsCol: String, demandExpr: Column,
+      alpha: BigDecimal = BigDecimal("0.1"),
+      maxGridSize: Long = 5000L): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sum(when(demandExpr, 1L).otherwise(0L)).as("x"))
+    val rows = dailySpineFromCounts(counts).orderBy(col("i"))
+      .select(col("i"), col("x")).as[(Long, Long)].collect()
+    require(rows.length <= maxGridSize,
+      s"crostonForecast day spine too long: ${rows.length} days exceed " +
+        s"maxGridSize=$maxGridSize")
+    val demands = rows.filter(_._2 > 0L)
+    require(demands.nonEmpty,
+      "crostonForecast needs at least one demand day")
+    def r9(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val aD = alpha.toDouble
+    val caD = (BigDecimal(1) - alpha).toDouble
+    var zh = demands.head._2.toDouble
+    var ph = (demands.head._1 + 1L).toDouble
+    demands.sliding(2).foreach {
+      case Array((iPrev, _), (iCur, xCur)) =>
+        zh = r9(aD * xCur.toDouble + caD * zh)
+        ph = r9(aD * (iCur - iPrev).toDouble + caD * ph)
+      case _ => ()
+    }
+    val rate = zh / ph
+    Seq((rows.length.toLong, demands.length.toLong,
+      demands.map(_._2).sum, zh, ph, rate,
+      (1.0 - aD / 2.0) * rate,
+      demands.length.toDouble / rows.length.toDouble))
+      .toDF("n_days", "n_demand_days", "total_demand", "__zh", "__ph",
+        "__rate", "__sba", "__frac")
+      .select(col("n_days"), col("n_demand_days"), col("total_demand"),
+        round(col("__zh"), 6).as("size_hat"),
+        round(col("__ph"), 6).as("interval_hat"),
+        round(col("__rate"), 6).as("croston_rate"),
+        round(col("__sba"), 6).as("sba_rate"),
+        round(col("__frac"), 6).as("demand_frac"))
+  }
+
   /** Gap-filled (i, x) daily-count spine: day index from the calendar
     * minimum, missing days as exact zero counts — the shared base of
     * the whole daily-diagnostics family.

@@ -985,6 +985,44 @@ class Round11OpsSpec extends SparkSpec {
     assert(r._5 == r6(28.0 / 30.0))
   }
 
+  // --------------------------------------------- q383/q384 forecasters
+
+  test("thetaForecast is exact on a constant series and tracks trend") {
+    val const = graft.operators.TimeSeriesOps
+      .thetaForecast(dailyEvents(Seq.fill(10)(7)), "ts")
+      .select("h", "trend_component", "ses_component", "forecast")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(const.map(_._1) == (1L to 7L))
+    const.foreach(r => assert(r._2 == 7.0 && r._3 == 7.0 && r._4 == 7.0))
+    val rising = graft.operators.TimeSeriesOps
+      .thetaForecast(dailyEvents((0 until 14).map(i => 5 + 2 * i)), "ts")
+      .select("h", "forecast").as[(Long, Double)].collect().toSeq
+      .sortBy(_._1)
+    rising.sliding(2).foreach {
+      case Seq(a, b) => assert(b._2 > a._2, "forecast must rise with h")
+      case _ => ()
+    }
+  }
+
+  test("crostonForecast matches the hand-worked intermittent series") {
+    // spine starts at the first event day; demands at i=0(4), 3(2), 7(6)
+    // zh: 4 -> 3.8 -> 4.02; ph: 1 -> 1.2 -> 1.48
+    val counts = Seq(0, 0, 4, 0, 0, 2, 0, 0, 0, 6)
+    val r = graft.operators.TimeSeriesOps
+      .crostonForecast(dailyEvents(counts), "ts", lit(true))
+      .select("n_days", "n_demand_days", "total_demand", "size_hat",
+        "interval_hat", "croston_rate", "sba_rate", "demand_frac")
+      .as[(Long, Long, Long, Double, Double, Double, Double, Double)]
+      .head()
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r._1 == 8L && r._2 == 3L && r._3 == 12L)
+    assert(r._4 == 4.02 && r._5 == 1.48)
+    assert(r._6 == r6(4.02 / 1.48))
+    assert(r._7 == r6((1.0 - 0.1 / 2.0) * (4.02 / 1.48)))
+    assert(r._8 == 0.375)
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
