@@ -8825,6 +8825,94 @@ object OracleSql {
         |  ROUND(CAST(n_demand_days AS DOUBLE) /
         |    CAST(n_days AS DOUBLE), 6) AS demand_frac
         |FROM fin, tot""".stripMargin,
+    // q385: Rocchio replayed — the q223 cosine/rank contract for both
+    // rounds, round-12 decimal centroids per (query, dim), the same
+    // q + 0.75·c expansion, macro means as decimal sums.
+    "q385_rocchio_prf" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 30),
+        |r1 AS (
+        |  SELECT q_id, n_id, rank FROM (
+        |    SELECT q.q_id, e.vec_id AS n_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+        |        ROUND(list_inner_product(e.emb, q.qe) /
+        |          (SQRT(list_inner_product(e.emb, e.emb)) *
+        |           SQRT(list_inner_product(q.qe, q.qe))), 6) DESC,
+        |        e.vec_id) AS rank
+        |    FROM e, q WHERE e.vec_id <> q.q_id)
+        |  WHERE rank <= 10),
+        |fb AS (
+        |  SELECT r1.q_id, e.emb FROM r1 JOIN e ON e.vec_id = r1.n_id
+        |  WHERE r1.rank <= 5),
+        |fbv0 AS (
+        |  SELECT q_id, emb, UNNEST(range(1, len(emb) + 1)) AS dim
+        |  FROM fb),
+        |fbv AS (SELECT q_id, dim, emb[dim] AS v FROM fbv0),
+        |cent AS (
+        |  SELECT q_id, dim,
+        |    CAST(SUM(CAST(ROUND(v, 12) AS DECIMAL(38,12))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE) AS c
+        |  FROM fbv GROUP BY q_id, dim),
+        |qv0 AS (
+        |  SELECT q_id, qe, UNNEST(range(1, len(qe) + 1)) AS dim FROM q),
+        |qv AS (SELECT q_id, dim, qe[dim] AS v FROM qv0),
+        |q2 AS (
+        |  SELECT q_id, list(qv.v + 0.75 * cent.c ORDER BY dim) AS qe2
+        |  FROM qv JOIN cent USING (q_id, dim) GROUP BY q_id),
+        |r2 AS (
+        |  SELECT q_id, n_id, rank FROM (
+        |    SELECT q2.q_id, e.vec_id AS n_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q2.q_id ORDER BY
+        |        ROUND(list_inner_product(e.emb, q2.qe2) /
+        |          (SQRT(list_inner_product(e.emb, e.emb)) *
+        |           SQRT(list_inner_product(q2.qe2, q2.qe2))), 6) DESC,
+        |        e.vec_id) AS rank
+        |    FROM e, q2 WHERE e.vec_id <> q2.q_id)
+        |  WHERE rank <= 10),
+        |p1 AS (
+        |  SELECT r1.q_id,
+        |    CAST(SUM(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END)
+        |        AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE) AS p
+        |  FROM r1 JOIN e ql ON ql.vec_id = r1.q_id
+        |    JOIN e nl ON nl.vec_id = r1.n_id
+        |  GROUP BY r1.q_id),
+        |p2 AS (
+        |  SELECT r2.q_id,
+        |    CAST(SUM(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END)
+        |        AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE) AS p
+        |  FROM r2 JOIN e ql ON ql.vec_id = r2.q_id
+        |    JOIN e nl ON nl.vec_id = r2.n_id
+        |  GROUP BY r2.q_id),
+        |ov AS (
+        |  SELECT r1.q_id, CAST(COUNT(*) AS BIGINT) AS novl
+        |  FROM r1 JOIN r2 ON r1.q_id = r2.q_id AND r1.n_id = r2.n_id
+        |  GROUP BY r1.q_id),
+        |perq AS (
+        |  SELECT p1.q_id, p1.p AS pb, p2.p AS pa,
+        |    CAST(COALESCE(ov.novl, 0) AS DOUBLE) / 10.0 AS ovf
+        |  FROM p1 JOIN p2 ON p1.q_id = p2.q_id
+        |    LEFT JOIN ov ON ov.q_id = p1.q_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  ROUND(CAST(SUM(CAST(ROUND(pb, 12) AS DECIMAL(38,12)))
+        |      AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 6) AS p_at_k_before,
+        |  ROUND(CAST(SUM(CAST(ROUND(pa, 12) AS DECIMAL(38,12)))
+        |      AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 6) AS p_at_k_after,
+        |  ROUND(CAST(SUM(CAST(ROUND(pa, 12) AS DECIMAL(38,12)))
+        |      AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) -
+        |    CAST(SUM(CAST(ROUND(pb, 12) AS DECIMAL(38,12)))
+        |      AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS p_at_k_delta,
+        |  ROUND(CAST(SUM(CAST(ROUND(ovf, 12) AS DECIMAL(38,12)))
+        |      AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 6) AS mean_overlap_at_k
+        |FROM perq""".stripMargin,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which

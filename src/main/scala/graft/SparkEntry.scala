@@ -4355,6 +4355,18 @@ object SparkEntry {
     TimeSeriesOps.crostonForecast(t(spark, dir, "events"), "ts",
       col("event_type") === "purchase" && col("value") > lit(200.0))
 
+  // ---------------------------------------------------------------- q385
+  // Rocchio pseudo-relevance feedback, measured: q223's holdout queries
+  // retrieve top-10, move toward the top-5 centroid (q' = q + 0.75·c),
+  // re-retrieve — macro P@10 before vs after and list overlap. The
+  // query-expansion step of the retrieval stack (BM25 q161, ANN q182,
+  // RRF q166, eval q223), with its win/loss made a number.
+  def q385(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    SimilarityOps.rocchioPrfCard(e, e.filter(col("vec_id") < 30),
+      "vec_id", "embedding", "label")
+  }
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5654,6 +5666,7 @@ object SparkEntry {
     "q382_ransac_trend" -> (q382 _),
     "q383_theta_forecast" -> (q383 _),
     "q384_croston" -> (q384 _),
+    "q385_rocchio_prf" -> (q385 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

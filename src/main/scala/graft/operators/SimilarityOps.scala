@@ -1616,4 +1616,83 @@ object SimilarityOps {
         round(col("__sh") / col("n_quads").cast("double"), 6)
           .as("mmd2_linear"))
   }
+
+  /** Rocchio pseudo-relevance feedback (Rocchio 1971) over the
+    * embedding corpus, measured: round 1 retrieves exact top-`k` per
+    * query; the top-`m` of those are treated as pseudo-relevant and the
+    * query moves toward their centroid (q' = q + β·centroid); round 2
+    * re-retrieves with q'. The card reports macro precision@k BEFORE vs
+    * AFTER (label match = relevance) and the mean top-k overlap — the
+    * "did feedback actually help, and how much did the lists move"
+    * readout that decides whether PRF ships in a retrieval stack.
+    *
+    * Portability: centroids are per-(query, dim) round-12 decimal sums
+    * (order-free), q' is one fixed zip_with, both retrieval rounds rank
+    * on the round-6 cosine (the q16/q223 contract). Scale shape: two
+    * broadcast-query corpus scans ([[knnJoin]]); the feedback frames
+    * are (queries × m) and (queries × dims) — broadcast-sized.
+    */
+  def rocchioPrfCard(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int = 10,
+      m: Int = 5, beta: Double = 0.75): DataFrame = {
+    require(k >= 1 && m >= 1 && m <= k, "need 1 <= m <= k")
+    val r1 = knnJoin(corpus, queries, idCol, vecCol, idCol, vecCol, k)
+      .persist()
+    try {
+      val fb = r1.filter(col("rank") <= m)
+        .join(corpus.select(col(idCol).as("n_id"),
+          col(vecCol).cast("array<double>").as("__ne")), Seq("n_id"))
+      val cent = fb
+        .select(col("q_id"), posexplode(col("__ne")).as(Seq("dim", "v")))
+        .groupBy(col("q_id"), col("dim"))
+        .agg((sum(round(col("v"), 12).cast("decimal(38,12)"))
+          .cast("double") / count(lit(1)).cast("double")).as("c"))
+      val centArr = cent.groupBy(col("q_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("c")))),
+          s => s.getField("c")).as("__ce"))
+      val q2 = queries
+        .select(col(idCol).as("q_id"),
+          col(vecCol).cast("array<double>").as("__qe"))
+        .join(centArr, Seq("q_id"))
+        .select(col("q_id"),
+          zip_with(col("__qe"), col("__ce"),
+            (a, b) => a + lit(beta) * b).as("__qe2"))
+      val r2 = knnJoin(corpus, q2, idCol, vecCol, "q_id", "__qe2", k)
+      val lbl = corpus.select(col(idCol).as("__id"),
+        col(labelCol).as("__l"))
+      def perQueryPrec(r: DataFrame, out: String) = r
+        .join(lbl.withColumnRenamed("__id", "q_id")
+          .withColumnRenamed("__l", "__ql"), Seq("q_id"))
+        .join(lbl.withColumnRenamed("__id", "n_id")
+          .withColumnRenamed("__l", "__nl"), Seq("n_id"))
+        .groupBy(col("q_id"))
+        .agg((sum(when(col("__ql") === col("__nl"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double")).as(out))
+      val ov = r1.select(col("q_id"), col("n_id"))
+        .join(r2.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("__novl"))
+      val perq = perQueryPrec(r1, "__p1")
+        .join(perQueryPrec(r2, "__p2"), Seq("q_id"))
+        .join(ov, Seq("q_id"), "left")
+        .select(col("q_id"), col("__p1"), col("__p2"),
+          (coalesce(col("__novl"), lit(0L)).cast("double") /
+            lit(k.toDouble)).as("__ov"))
+      def d12(c: Column): Column =
+        sum(round(c, 12).cast("decimal(38,12)")).cast("double")
+      perq.agg(count(lit(1)).as("n_queries"),
+        d12(col("__p1")).as("__s1"), d12(col("__p2")).as("__s2"),
+        d12(col("__ov")).as("__so"))
+        .select(col("n_queries"),
+          round(col("__s1") / col("n_queries").cast("double"), 6)
+            .as("p_at_k_before"),
+          round(col("__s2") / col("n_queries").cast("double"), 6)
+            .as("p_at_k_after"),
+          round(col("__s2") / col("n_queries").cast("double") -
+            col("__s1") / col("n_queries").cast("double"), 6)
+            .as("p_at_k_delta"),
+          round(col("__so") / col("n_queries").cast("double"), 6)
+            .as("mean_overlap_at_k"))
+    } finally { r1.unpersist(); () }
+  }
 }

@@ -1023,6 +1023,43 @@ class Round11OpsSpec extends SparkSpec {
     assert(r._8 == 0.375)
   }
 
+  // ------------------------------------------------ q385 Rocchio PRF
+
+  test("rocchioPrfCard with beta=0 is the identity (delta 0, overlap 1)") {
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Seq(1.0 + i * 0.01, 0.5, 0.1 * (i % 3)), i % 2))
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.operators.SimilarityOps.rocchioPrfCard(
+      vecs, vecs.filter(col("vec_id") < 5), "vec_id", "embedding",
+      "label", k = 5, m = 3, beta = 0.0)
+      .select("p_at_k_delta", "mean_overlap_at_k")
+      .as[(Double, Double)].head()
+    assert(r._1 == 0.0 && r._2 == 1.0)
+  }
+
+  test("rocchioPrfCard lifts precision when feedback reveals the " +
+      "relevant direction") {
+    // query (0.9,0.4,0.2,0) label 0: round 1 ranks B (dim 2) above the
+    // second relevant cluster A2 (dim 3); the top-5 pseudo-relevant A1
+    // docs carry a 0.3 A2 component, so q' = q + 0.75*centroid flips
+    // A2 above B and the after-list is all label 0
+    val a1 = (1 to 6).map(i =>
+      (i.toLong, Seq(1.0, 0.0, 0.3, 0.0), 0))
+    val b = (7 to 16).map(i => (i.toLong, Seq(0.0, 1.0, 0.0, 0.0), 1))
+    val a2 = (17 to 26).map(i => (i.toLong, Seq(0.0, 0.0, 1.0, 0.0), 0))
+    val qrow = Seq((0L, Seq(0.9, 0.4, 0.2, 0.0), 0))
+    val corpus = (qrow ++ a1 ++ b ++ a2)
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.operators.SimilarityOps.rocchioPrfCard(
+      corpus, corpus.filter(col("vec_id") === 0L), "vec_id",
+      "embedding", "label", k = 10, m = 5, beta = 0.75)
+      .select("n_queries", "p_at_k_before", "p_at_k_after",
+        "p_at_k_delta")
+      .as[(Long, Double, Double, Double)].head()
+    assert(r._1 == 1L)
+    assert(r._2 == 0.6 && r._3 == 1.0 && r._4 == 0.4, r.toString)
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
