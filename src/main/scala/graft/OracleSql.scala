@@ -8913,6 +8913,57 @@ object OracleSql {
         |      AS DOUBLE) /
         |    CAST(COUNT(*) AS DOUBLE), 6) AS mean_overlap_at_k
         |FROM perq""".stripMargin,
+    // q386: Quade replayed — q320's cell/rank CTEs, block-range
+    // mid-rank weights, .25-grid S terms through exact decimal sums.
+    "q386_quade" ->
+      """WITH cells AS (
+        |  SELECT user_id % 50 AS b, event_type AS trt,
+        |    ROUND(CAST(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(28,12)))
+        |      AS DOUBLE) / COUNT(*), 9) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |kk AS (SELECT CAST(COUNT(DISTINCT trt) AS BIGINT) AS k FROM cells),
+        |complete AS (
+        |  SELECT b FROM cells GROUP BY b
+        |  HAVING COUNT(*) = (SELECT k FROM kk)),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM complete),
+        |c AS (SELECT cells.* FROM cells JOIN complete USING (b)),
+        |rnk AS (
+        |  SELECT b, trt,
+        |    CAST(RANK() OVER (PARTITION BY b ORDER BY v) AS DOUBLE) +
+        |      (CAST(COUNT(*) OVER (PARTITION BY b, v) AS BIGINT) - 1)
+        |        / 2.0 AS r
+        |  FROM c),
+        |rg AS (SELECT b, MAX(v) - MIN(v) AS rgv FROM c GROUP BY b),
+        |bw AS (
+        |  SELECT b,
+        |    CAST(RANK() OVER (ORDER BY rgv) AS DOUBLE) +
+        |      (CAST(COUNT(*) OVER (PARTITION BY rgv) AS BIGINT) - 1)
+        |        / 2.0 AS q
+        |  FROM rg),
+        |sij AS (
+        |  SELECT rnk.trt AS trt,
+        |    bw.q * (rnk.r - (CAST(kk.k AS DOUBLE) + 1.0) / 2.0) AS s
+        |  FROM rnk JOIN bw USING (b), kk),
+        |byt AS (
+        |  SELECT trt,
+        |    CAST(SUM(CAST(s AS DECIMAL(28,2))) AS DOUBLE) AS s_j,
+        |    CAST(SUM(CAST(s * s AS DECIMAL(28,4))) AS DOUBLE) AS sii
+        |  FROM sij GROUP BY trt),
+        |card AS (
+        |  SELECT CAST(SUM(CAST(sii AS DECIMAL(28,4))) AS DOUBLE) AS a,
+        |    CAST(SUM(CAST(s_j * s_j AS DECIMAL(28,4))) AS DOUBLE) /
+        |      CAST(nn.n AS DOUBLE) AS bb
+        |  FROM byt, nn GROUP BY nn.n)
+        |SELECT trt, ROUND(s_j, 6) + 0.0 AS s_j, n AS n_blocks, k,
+        |  ROUND(a, 6) AS a_stat, ROUND(bb, 6) AS b_stat,
+        |  CASE WHEN a > bb
+        |    THEN ROUND((CAST(n AS DOUBLE) - 1.0) * bb / (a - bb), 6)
+        |    END AS f_stat,
+        |  k - 1 AS df1, (n - 1) * (k - 1) AS df2
+        |FROM byt, card, nn, kk ORDER BY trt""".stripMargin,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which

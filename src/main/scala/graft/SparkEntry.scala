@@ -4367,6 +4367,16 @@ object SparkEntry {
       "vec_id", "embedding", "label")
   }
 
+  // ---------------------------------------------------------------- q386
+  // Quade test on the same block design as q320's Friedman: blocks
+  // weighted by their range mid-rank, so flat blocks stop diluting the
+  // treatment signal — the power upgrade at small k, sharing q320's
+  // cell/rank machinery for a direct read-across.
+  def q386(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DriftOps.quadeTest(
+      t(spark, dir, "events").withColumn("__blk", col("user_id") % 50),
+      "__blk", "event_type", "value")
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5667,6 +5677,7 @@ object SparkEntry {
     "q383_theta_forecast" -> (q383 _),
     "q384_croston" -> (q384 _),
     "q385_rocchio_prf" -> (q385 _),
+    "q386_quade" -> (q386 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

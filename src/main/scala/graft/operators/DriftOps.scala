@@ -387,6 +387,82 @@ object DriftOps {
           .as("q_corrected"))
   }
 
+  /** Quade test (1979) — the weighted-blocks companion to
+    * [[friedmanTest]]: within-block mid-ranks as in Friedman, but each
+    * block is weighted by the mid-rank Q_i of its RANGE across blocks,
+    * so blocks where the treatments actually differ carry the decision
+    * and flat blocks stop diluting it (the power win over Friedman at
+    * small k). S_ij = Q_i·(r_ij − (k+1)/2), S_j = Σ_i S_ij,
+    * A = ΣΣ S²_ij, B = Σ_j S²_j / n, F = (n−1)·B/(A−B) on
+    * (k−1, (n−1)(k−1)) df. Output: one row per treatment with its S_j
+    * and the shared card columns.
+    *
+    * Exactness: cell means are the Friedman round-9 contract; ranks,
+    * block-range ranks, and S_ij live on the .25 grid (exactly
+    * representable doubles), accumulated via exact decimal sums —
+    * partition-order-free and engine-portable. Scale shape: same as
+    * Friedman (cell aggregation, windows over the per-block and
+    * per-(block-count) frames only) plus one window over the n-block
+    * range frame.
+    */
+  def quadeTest(df: DataFrame, blockCol: String, treatCol: String,
+      valCol: String): DataFrame = {
+    import graft.functions.Stats.dsum
+    val cells = df
+      .filter(col(valCol).isNotNull && col(blockCol).isNotNull &&
+        col(treatCol).isNotNull)
+      .groupBy(col(blockCol).as("b"), col(treatCol).as("trt"))
+      .agg(round(dsum(col(valCol).cast("double"), 12)
+        / count(lit(1)), 9).as("v"))
+    val k = cells.agg(countDistinct(col("trt")).as("k")).head().getLong(0)
+    require(k >= 2, s"need at least 2 treatments, got $k")
+    val complete = cells.groupBy(col("b"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") === k)
+      .select(col("b"))
+    val c = cells.join(complete, "b")
+    val wRank = Window.partitionBy(col("b")).orderBy(col("v"))
+    val wTie = Window.partitionBy(col("b"), col("v"))
+    val ranked = c
+      .withColumn("__t", count(lit(1)).over(wTie))
+      .withColumn("__r", rank().over(wRank).cast("double") +
+        (col("__t") - lit(1)).cast("double") / lit(2.0))
+    val ranges = c.groupBy(col("b"))
+      .agg((max(col("v")) - min(col("v"))).as("__rg"))
+    val wQ = Window.orderBy(col("__rg"))
+    val wQTie = Window.partitionBy(col("__rg"))
+    val blockW = ranges
+      .withColumn("__qt", count(lit(1)).over(wQTie))
+      .withColumn("__q", rank().over(wQ).cast("double") +
+        (col("__qt") - lit(1)).cast("double") / lit(2.0))
+      .select(col("b"), col("__q"))
+    val nRow = complete.agg(count(lit(1)).as("n")).head()
+    val n = nRow.getLong(0)
+    require(n >= 2, "need at least 2 complete blocks")
+    val kD = k.toDouble
+    val sij = ranked.join(broadcast(blockW), "b")
+      .withColumn("__s",
+        col("__q") * (col("__r") - lit((k + 1).toDouble / 2.0)))
+    val byTrt = sij.groupBy(col("trt"))
+      .agg(dsum(col("__s"), 2).as("s_j"),
+        dsum(col("__s") * col("__s"), 4).as("__sii"))
+    val card = byTrt.agg(
+      dsum(col("__sii"), 4).as("__a"),
+      dsum(col("s_j") * col("s_j"), 4).as("__b2"))
+      .select(col("__a"),
+        (col("__b2") / lit(n.toDouble)).as("__b"))
+    val nD = n.toDouble
+    byTrt.crossJoin(broadcast(card))
+      .select(col("trt"), round(col("s_j"), 6).as("s_j"),
+        lit(n).as("n_blocks"), lit(k).as("k"),
+        round(col("__a"), 6).as("a_stat"),
+        round(col("__b"), 6).as("b_stat"),
+        when(col("__a") > col("__b"),
+          round(lit(nD - 1.0) * col("__b") / (col("__a") - col("__b")),
+            6)).as("f_stat"),
+        lit(k - 1).as("df1"), lit((n - 1) * (k - 1)).as("df2"))
+      .orderBy(col("trt"))
+  }
+
   def mannWhitneyU(df: DataFrame, valCol: String, groupCol: String,
       groupA: String, groupB: String, buckets: Int = 32): DataFrame = {
     // NULL values carry no rank — drop them (the kruskalWallis

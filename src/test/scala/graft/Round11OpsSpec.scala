@@ -1060,6 +1060,32 @@ class Round11OpsSpec extends SparkSpec {
     assert(r._2 == 0.6 && r._3 == 1.0 && r._4 == 0.4, r.toString)
   }
 
+  // ---------------------------------------------------- q386 Quade
+
+  test("quadeTest matches the hand-worked 3x3 design with a flat block") {
+    // ranges 9,2,0 -> block weights 3,2,1; the flat block contributes
+    // S=0 (tied ranks center out) regardless of its weight
+    // S_j = (-5, 0, 5); A=26; B=50/3; F = 2*(50/3)/(26-50/3) = 25/7
+    val d = Seq(
+      ("b1", "t1", 1.0), ("b1", "t2", 2.0), ("b1", "t3", 10.0),
+      ("b2", "t1", 2.0), ("b2", "t2", 3.0), ("b2", "t3", 4.0),
+      ("b3", "t1", 5.0), ("b3", "t2", 5.0), ("b3", "t3", 5.0))
+      .toDF("blk", "trt", "v")
+    val r = DriftOps.quadeTest(d, "blk", "trt", "v")
+      .select("trt", "s_j", "a_stat", "b_stat", "f_stat", "df1", "df2")
+      .as[(String, Double, Double, Double, Double, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.map(x => (x._1, x._2)) ==
+      Seq(("t1", -5.0), ("t2", 0.0), ("t3", 5.0)))
+    r.foreach { x =>
+      assert(x._3 == 26.0 && x._4 == r6(50.0 / 3.0))
+      assert(x._5 == r6(25.0 / 7.0))
+      assert(x._6 == 2L && x._7 == 4L)
+    }
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
