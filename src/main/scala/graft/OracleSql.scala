@@ -8964,6 +8964,43 @@ object OracleSql {
         |    END AS f_stat,
         |  k - 1 AS df1, (n - 1) * (k - 1) AS df2
         |FROM byt, card, nn, kk ORDER BY trt""".stripMargin,
+    // q387: BFS replayed — the q118 cosine edge CTE, recursive
+    // expansion with UNION dedup bounded at 6 rounds, min-distance
+    // group, exact integer level counts.
+    "q387_bfs_hops" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id < 200),
+        |pairs AS (
+        |  SELECT a.vec_id AS s, b.vec_id AS t
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE ROUND(list_inner_product(a.emb, b.emb) /
+        |      (SQRT(list_inner_product(a.emb, a.emb)) *
+        |       SQRT(list_inner_product(b.emb, b.emb))), 6) >= 0.2),
+        |sym AS (
+        |  SELECT s, t FROM pairs UNION SELECT t, s FROM pairs),
+        |verts AS (SELECT DISTINCT s AS v FROM sym),
+        |srcs AS (SELECT v AS src FROM verts ORDER BY v LIMIT 4),
+        |bfs(src, v, d) AS (
+        |  SELECT src, src, CAST(0 AS BIGINT) FROM srcs
+        |  UNION
+        |  SELECT b.src, sym.t, b.d + 1
+        |  FROM bfs b JOIN sym ON sym.s = b.v WHERE b.d < 6),
+        |mind AS (
+        |  SELECT src, v, CAST(MIN(d) AS BIGINT) AS d
+        |  FROM bfs GROUP BY src, v),
+        |persrc AS (
+        |  SELECT src, CAST(COUNT(*) AS BIGINT) AS n_reached,
+        |    CAST(MAX(d) AS BIGINT) AS ecc_within_rounds
+        |  FROM mind GROUP BY src),
+        |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices FROM verts)
+        |SELECT m.src AS src, m.d AS d,
+        |  CAST(COUNT(*) AS BIGINT) AS n_at_distance,
+        |  p.n_reached, p.ecc_within_rounds, nv.n_vertices
+        |FROM mind m JOIN persrc p ON m.src = p.src, nv
+        |GROUP BY m.src, m.d, p.n_reached, p.ecc_within_rounds,
+        |  nv.n_vertices
+        |ORDER BY src, d""".stripMargin,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which

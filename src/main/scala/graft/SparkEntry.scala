@@ -4377,6 +4377,15 @@ object SparkEntry {
       t(spark, dir, "events").withColumn("__blk", col("user_id") % 50),
       "__blk", "event_type", "value")
 
+  // ---------------------------------------------------------------- q387
+  // Multi-source BFS over the cosine similarity graph: exact hop
+  // distances from the 4 smallest vertex ids, 6 rounds — the distance
+  // structure (ball growth, reach, islands) the q118/q315/q323 degree
+  // family can't see.
+  def q387(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.GraphOps.bfsHops(
+      cosineEdges(spark, dir, 0.2), "id_a", "id_b")
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5678,6 +5687,7 @@ object SparkEntry {
     "q384_croston" -> (q384 _),
     "q385_rocchio_prf" -> (q385 _),
     "q386_quade" -> (q386 _),
+    "q387_bfs_hops" -> (q387 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

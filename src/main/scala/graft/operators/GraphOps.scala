@@ -231,6 +231,62 @@ object GraphOps {
       .orderBy(col("side"), col("score_fp").desc, col("id"))
   }
 
+  /** Multi-source BFS distance card: exact shortest-path hop counts
+    * from the `nSources` smallest vertex ids, expanded for a FIXED
+    * number of rounds — the distance-structure view of the similarity
+    * graph that the degree family (PageRank/HITS/k-core) cannot give:
+    * how many hops until a near-dup cluster saturates, and whether the
+    * graph is one ball or several islands (n_reached vs n_vertices).
+    * Output: one row per (source, distance) with the level size, plus
+    * each source's reach and eccentricity-within-rounds.
+    *
+    * Exactness: distances are exact integers (min over discovered
+    * levels), sources are the deterministic smallest ids — fully
+    * engine- and partition-order-portable, no floats anywhere.
+    *
+    * Scale shape: per round ONE frontier equi-join (only rows at
+    * d = round−1 expand) and one (src, v) min-aggregation;
+    * `localCheckpoint` caps lineage. `rounds` bounds the unrolled plan
+    * exactly like [[kCore]]; real similarity graphs saturate in a few
+    * hops, and the card SHOWS the saturation so a caller knows whether
+    * the cap bound anything.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      nSources: Int = 4, rounds: Int = 6): DataFrame = {
+    require(nSources >= 1 && rounds >= 1,
+      "need nSources >= 1 and rounds >= 1")
+    val fwd = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    val sym = fwd
+      .union(fwd.select(col("__dst").as("__src"), col("__src").as("__dst")))
+      .distinct()
+      .localCheckpoint()
+    val verts = sym.select(col("__src").as("v")).distinct()
+    val srcs = verts.orderBy(col("v")).limit(nSources)
+      .select(col("v").as("src"))
+    var dist = srcs
+      .select(col("src"), col("src").as("v"), lit(0L).as("d"))
+      .localCheckpoint()
+    for (r <- 1 to rounds) {
+      val expand = dist.filter(col("d") === lit((r - 1).toLong))
+        .join(sym, col("v") === col("__src"))
+        .select(col("src"), col("__dst").as("v"), lit(r.toLong).as("d"))
+      dist = dist.unionByName(expand)
+        .groupBy(col("src"), col("v")).agg(min(col("d")).as("d"))
+        .localCheckpoint()
+    }
+    val nVerts = verts.agg(count(lit(1)).as("n_vertices"))
+    val perSrc = dist.groupBy(col("src"))
+      .agg(count(lit(1)).as("n_reached"),
+        max(col("d")).as("ecc_within_rounds"))
+    dist.groupBy(col("src"), col("d"))
+      .agg(count(lit(1)).as("n_at_distance"))
+      .join(broadcast(perSrc), "src")
+      .crossJoin(broadcast(nVerts))
+      .select(col("src"), col("d"), col("n_at_distance"),
+        col("n_reached"), col("ecc_within_rounds"), col("n_vertices"))
+      .orderBy(col("src"), col("d"))
+  }
+
   /** k-core decomposition by iterative peeling (Seidman 1983), run for a
     * FIXED number of rounds: each round drops every vertex whose degree
     * in the surviving subgraph is < `k`, then restricts the edge set to

@@ -1086,6 +1086,31 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------- q387 BFS hops
+
+  test("bfsHops walks a path graph and respects islands") {
+    // path 0-1-2-3-4 plus the island 5-6; sources = 4 smallest ids
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("a", "b")
+    val r = graft.operators.GraphOps.bfsHops(edges, "a", "b")
+      .select("src", "d", "n_at_distance", "n_reached",
+        "ecc_within_rounds", "n_vertices")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r.forall(_._6 == 7L))
+    // source 0 reaches the 5-node path, one vertex per level, ecc 4
+    val s0 = r.filter(_._1 == 0L)
+    assert(s0.map(x => (x._2, x._3)).sorted ==
+      (0L to 4L).map((_, 1L)))
+    assert(s0.forall(x => x._4 == 5L && x._5 == 4L))
+    // source 2 sits mid-path: levels 1,2,2 and ecc 2
+    val s2 = r.filter(_._1 == 2L)
+    assert(s2.map(x => (x._2, x._3)).sorted ==
+      Seq((0L, 1L), (1L, 2L), (2L, 2L)))
+    assert(s2.forall(x => x._4 == 5L && x._5 == 2L))
+    // the island is never reached from the path sources
+    assert(r.forall(_._4 == 5L))
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
