@@ -9001,6 +9001,81 @@ object OracleSql {
         |GROUP BY m.src, m.d, p.n_reached, p.ecc_within_rounds,
         |  nv.n_vertices
         |ORDER BY src, d""".stripMargin,
+    // q388: exact sign test replayed — integer day-over-day diffs, the
+    // q381 log-space binomial tail with the same Lanczos lnGamma text.
+    "q388_sign_test" -> q388SignTestSql,
+    // q389: capture-recapture replayed — q113 half-split capture flags,
+    // exact integer overlaps, one fixed double shape per estimator.
+    "q389_capture_recapture" ->
+      """WITH t AS (
+        |  SELECT user_id AS u, epoch_us(ts) AS tt FROM events
+        |  WHERE user_id IS NOT NULL),
+        |rng AS (SELECT MIN(tt) AS mn, MAX(tt) AS mx FROM t),
+        |f AS (
+        |  SELECT u,
+        |    MAX(CASE WHEN tt * 2 < mn + mx THEN 1 ELSE 0 END) AS a,
+        |    MAX(CASE WHEN tt * 2 >= mn + mx THEN 1 ELSE 0 END) AS b
+        |  FROM t, rng GROUP BY u),
+        |agg AS (
+        |  SELECT CAST(SUM(a) AS BIGINT) AS n1,
+        |    CAST(SUM(b) AS BIGINT) AS n2,
+        |    CAST(SUM(a * b) AS BIGINT) AS n_both,
+        |    CAST(COUNT(*) AS BIGINT) AS n_true
+        |  FROM f),
+        |d AS (
+        |  SELECT n1, n2, n_both, n_true,
+        |    CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+        |    CAST(n_both AS DOUBLE) AS md,
+        |    CAST(n_true AS DOUBLE) AS ntd
+        |  FROM agg)
+        |SELECT n1, n2, n_both, n_true,
+        |  CASE WHEN n_both > 0
+        |    THEN ROUND(n1d * n2d / md, 6) END AS lincoln_petersen,
+        |  ROUND((n1d + 1.0) * (n2d + 1.0) / (md + 1.0) - 1.0, 6)
+        |    AS chapman_estimate,
+        |  ROUND(SQRT((n1d + 1.0) * (n2d + 1.0) * (n1d - md) *
+        |    (n2d - md) / ((md + 1.0) * (md + 1.0) * (md + 2.0))), 6)
+        |    AS chapman_se,
+        |  ROUND(((n1d + 1.0) * (n2d + 1.0) / (md + 1.0) - 1.0 - ntd) /
+        |    ntd, 6) + 0.0 AS rel_err_vs_true
+        |FROM d""".stripMargin,
+    // q390: jackknife replayed — exact decimal per-stratum sums, fixed
+    // leave-one-out ratio shapes, DECIMAL(28,12) stratum-level moments.
+    "q390_jackknife_ratio" ->
+      """WITH j AS (
+        |  SELECT c_nationkey AS stratum,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_totalprice IS NOT NULL),
+        |per AS (
+        |  SELECT stratum, SUM(v) AS s, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM j GROUP BY stratum),
+        |tot AS (
+        |  SELECT SUM(s) AS ts, CAST(SUM(c) AS BIGINT) AS tc,
+        |    CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM per),
+        |loo AS (
+        |  SELECT k, ts, tc,
+        |    CAST(ts - s AS DOUBLE) / CAST(tc - c AS DOUBLE) AS ri
+        |  FROM per, tot),
+        |agg AS (
+        |  SELECT k, ts, tc,
+        |    CAST(SUM(CAST(ri AS DECIMAL(28,12))) AS DOUBLE) AS sr,
+        |    CAST(SUM(CAST(ri * ri AS DECIMAL(28,12))) AS DOUBLE) AS sr2
+        |  FROM loo GROUP BY k, ts, tc)
+        |SELECT k AS k_strata,
+        |  ROUND(CAST(ts AS DOUBLE) / CAST(tc AS DOUBLE), 6)
+        |    AS ratio_full,
+        |  ROUND(sr / CAST(k AS DOUBLE), 6) AS jack_mean,
+        |  ROUND(SQRT(GREATEST(0.0, (CAST(k AS DOUBLE) - 1.0) /
+        |    CAST(k AS DOUBLE) * (sr2 - CAST(k AS DOUBLE) *
+        |      (sr / CAST(k AS DOUBLE)) * (sr / CAST(k AS DOUBLE))))), 6)
+        |    AS jack_se,
+        |  ROUND(CAST(k AS DOUBLE) *
+        |      (CAST(ts AS DOUBLE) / CAST(tc AS DOUBLE)) -
+        |    (CAST(k AS DOUBLE) - 1.0) * (sr / CAST(k AS DOUBLE)), 6)
+        |    AS bias_corrected
+        |FROM agg""".stripMargin,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which
@@ -12199,6 +12274,40 @@ object OracleSql {
        |    CAST(n_inliers AS DOUBLE), 6) + 0.0 AS refit_intercept
        |FROM best""".stripMargin
   }
+
+  private def q388SignTestSql: String =
+    (s"""WITH $dailySeriesCtes,
+       |d AS (SELECT x - LAG(x) OVER (ORDER BY i) AS dd FROM series),
+       |m0 AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_pos,
+       |    CAST(SUM(CASE WHEN dd < 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_neg,
+       |    CAST(SUM(CASE WHEN dd = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_ties
+       |  FROM d WHERE dd IS NOT NULL),
+       |m1 AS (
+       |  SELECT n_pos, n_neg, n_ties, n_pos + n_neg AS m,
+       |    GREATEST(n_pos, n_neg) AS k
+       |  FROM m0),
+       |ks AS (
+       |  SELECT CAST(m AS DOUBLE) AS md,
+       |    CAST(UNNEST(generate_series(k, m)) AS DOUBLE) AS jd
+       |  FROM m1),
+       |terms AS (
+       |  SELECT (${lnChooseSql("md", "jd")} - md * LN(2.0)) AS lt
+       |  FROM ks),
+       |mx AS (SELECT MAX(lt) AS mxv FROM terms),
+       |s AS (
+       |  SELECT CAST(SUM(CAST(EXP(lt - mxv) AS DECIMAL(28,12)))
+       |      AS DOUBLE) AS sv,
+       |    MAX(mxv) AS mxv
+       |  FROM terms, mx)
+       |SELECT n_pos, n_neg, n_ties, m, k,
+       |  ROUND(EXP(mxv + LN(sv)), 6) AS p_right,
+       |  ROUND(LEAST(1.0, 2.0 * EXP(mxv + LN(sv))), 6) AS p_two_sided
+       |FROM m1, s""").stripMargin
 
   private def q248PackingSql: String =
     """WITH t AS (

@@ -4386,6 +4386,36 @@ object SparkEntry {
     graft.operators.GraphOps.bfsHops(
       cosineEdges(spark, dir, 0.2), "id_a", "id_b")
 
+  // ---------------------------------------------------------------- q388
+  // Exact sign test on day-over-day count changes: the small-m exact
+  // companion of q333's runs test and q326's Mann–Kendall — binomial
+  // tail via the portable Lanczos lnGamma, no asymptotics.
+  def q388(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.signTestDaily(t(spark, dir, "events"), "ts")
+
+  // ---------------------------------------------------------------- q389
+  // Capture–recapture population estimate: first/second half of the
+  // time range as two capture occasions, Lincoln–Petersen + Chapman
+  // with SE — extrapolates BEYOND the observed ids (no hash sketch
+  // can), with the true distinct count on the card so the closure
+  // error is measured.
+  def q389(spark: SparkSession, dir: String): DataFrame =
+    SketchOps.captureRecapture(t(spark, dir, "events"), "user_id", "ts")
+
+  // ---------------------------------------------------------------- q390
+  // Delete-one-nation jackknife for mean order value: the
+  // design-honest SE when observations cluster by stratum, plus the
+  // bias-corrected estimate — the error bar q01-style means silently
+  // get wrong under clustering.
+  def q390(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    graft.operators.RobustStats.jackknifeRatioByStratum(
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
+      "c_nationkey", "o_totalprice")
+  }
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5688,6 +5718,9 @@ object SparkEntry {
     "q385_rocchio_prf" -> (q385 _),
     "q386_quade" -> (q386 _),
     "q387_bfs_hops" -> (q387 _),
+    "q388_sign_test" -> (q388 _),
+    "q389_capture_recapture" -> (q389 _),
+    "q390_jackknife_ratio" -> (q390 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -827,4 +827,48 @@ object RobustStats {
       round(sigma, 6).as("sigma"),
       round(ret, 6).as("ret_level"))
   }
+
+  /** Delete-one-group jackknife for the mean (a ratio of exact sums):
+    * leave each stratum out, recompute R₍ᵢ₎ = (S − sᵢ)/(C − cᵢ), and
+    * report the jackknife SE √((k−1)/k · Σ(R₍ᵢ₎ − R̄)²) and the
+    * bias-corrected estimate k·R − (k−1)·R̄. THE design-honest error
+    * bar when observations cluster by stratum (nation, shard, source):
+    * the iid SE (σ/√n) assumes away exactly that clustering, and the
+    * gap between the two SEs is the design effect this card surfaces.
+    *
+    * Exactness: per-stratum sums are exact decimals; the k leave-out
+    * ratios are fixed double shapes; stratum-level moments accumulate
+    * via round-12 decimal sums (Σ(R−R̄)² expands algebraically to
+    * ΣR² − k·R̄², so one pass suffices). One keyed aggregation + two
+    * k-row reductions — nothing wider than the stratum count.
+    */
+  def jackknifeRatioByStratum(df: DataFrame, stratumCol: String,
+      valCol: String, scale: Int = 2): DataFrame = {
+    import graft.functions.Stats.dsum
+    val per = df.filter(col(valCol).isNotNull)
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(sum(col(valCol).cast(s"decimal(28,$scale)")).as("s"),
+        count(lit(1)).as("c"))
+    val tot = per.agg(sum(col("s")).as("__ts"), sum(col("c")).as("__tc"),
+      count(lit(1)).as("k"))
+    val loo = per.crossJoin(broadcast(tot))
+      .select(col("k"), col("__ts"), col("__tc"),
+        ((col("__ts") - col("s")).cast("double") /
+          (col("__tc") - col("c")).cast("double")).as("__ri"))
+    val kD = col("k").cast("double")
+    val full = col("__ts").cast("double") / col("__tc").cast("double")
+    val agg = loo.groupBy(col("k"), col("__ts"), col("__tc"))
+      .agg(dsum(col("__ri"), 12).as("__sr"),
+        dsum(col("__ri") * col("__ri"), 12).as("__sr2"))
+    val jackMean = col("__sr") / kD
+    val jackVar = (kD - lit(1.0)) / kD *
+      (col("__sr2") - kD * jackMean * jackMean)
+    agg.select(
+      col("k").as("k_strata"),
+      round(full, 6).as("ratio_full"),
+      round(jackMean, 6).as("jack_mean"),
+      round(sqrt(greatest(lit(0.0), jackVar)), 6).as("jack_se"),
+      round(kD * full - (kD - lit(1.0)) * jackMean, 6)
+        .as("bias_corrected"))
+  }
 }

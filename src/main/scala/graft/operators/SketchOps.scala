@@ -270,6 +270,55 @@ object SketchOps {
       .orderBy(col("grp"))
   }
 
+  /** Capture–recapture population estimate (Lincoln–Petersen +
+    * Chapman 1951): treat the first and second halves of the time range
+    * as two capture occasions; units seen in both are the "marked
+    * recaptures", and N̂ = n₁n₂/m (Chapman's (n₁+1)(n₂+1)/(m+1) − 1
+    * with its closed-form SE is the small-m-safe version). The "how
+    * big is the population we HAVEN'T fully seen" estimator — the
+    * ecology twin of the distinct-count sketches (q162 HLL, q380 KMV),
+    * except it extrapolates BEYOND the observed ids, which no hash
+    * sketch can. The card includes the true distinct count, so the
+    * closure-assumption error is measured, not assumed away.
+    *
+    * Exactness: capture flags and overlaps are exact integers off the
+    * q113 half-split convention (2·t < min+max, no division); the
+    * estimators are one fixed double shape. One scan for the range,
+    * one per-unit aggregation, one 1-row reduction.
+    */
+  def captureRecapture(df: DataFrame, unitCol: String,
+      tsCol: String): DataFrame = {
+    val withT = df.filter(col(unitCol).isNotNull)
+      .select(col(unitCol).as("u"), unix_micros(col(tsCol)).as("__t"))
+    val rng = withT.agg(min(col("__t")).as("__mn"), max(col("__t")).as("__mx"))
+    val flags = withT.crossJoin(broadcast(rng))
+      .groupBy(col("u"))
+      .agg(
+        max(when(col("__t") * 2 < col("__mn") + col("__mx"), 1L)
+          .otherwise(0L)).as("__a"),
+        max(when(col("__t") * 2 >= col("__mn") + col("__mx"), 1L)
+          .otherwise(0L)).as("__b"))
+    val agg = flags.agg(
+      sum(col("__a")).as("n1"), sum(col("__b")).as("n2"),
+      sum(col("__a") * col("__b")).as("n_both"),
+      count(lit(1)).as("n_true"))
+    val n1D = col("n1").cast("double")
+    val n2D = col("n2").cast("double")
+    val mD = col("n_both").cast("double")
+    val chapman = (n1D + lit(1.0)) * (n2D + lit(1.0)) / (mD + lit(1.0)) -
+      lit(1.0)
+    val chapVar = (n1D + lit(1.0)) * (n2D + lit(1.0)) * (n1D - mD) *
+      (n2D - mD) / ((mD + lit(1.0)) * (mD + lit(1.0)) * (mD + lit(2.0)))
+    agg.select(
+      col("n1"), col("n2"), col("n_both"), col("n_true"),
+      when(col("n_both") > 0L, round(n1D * n2D / mD, 6))
+        .as("lincoln_petersen"),
+      round(chapman, 6).as("chapman_estimate"),
+      round(sqrt(chapVar), 6).as("chapman_se"),
+      round((chapman - col("n_true").cast("double")) /
+        col("n_true").cast("double"), 6).as("rel_err_vs_true"))
+  }
+
   /** Fully PORTABLE Bloom-filter bit positions for one key: `kHashes`
     * disjoint 7-hex-digit slices of ONE MD5 digest, each mod `mBits`,
     * deduplicated (two slices may collide into one bit — membership then

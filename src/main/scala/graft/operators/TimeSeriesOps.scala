@@ -1278,6 +1278,49 @@ object TimeSeriesOps {
         round(col("__frac"), 6).as("demand_frac"))
   }
 
+  /** EXACT sign test on day-over-day changes of the daily count spine:
+    * are ups and downs balanced? n⁺/n⁻ from exact integer diffs (ties
+    * dropped, the standard convention), then the EXACT binomial tail
+    * P[X ≥ max(n⁺,n⁻)] under Bin(m, ½) in log space via the portable
+    * [[graft.functions.Stats.lnGamma]] — the small-m companion of
+    * q333's normal-approximation runs test and q326's Mann–Kendall
+    * (which need asymptotics this card doesn't).
+    *
+    * Scale shape: one spine aggregation, one lag window over the
+    * bounded spine, a tail explode of ≤ m+1 terms off a 1-row frame
+    * (m is the spine length, not the data), two 1-row reductions.
+    */
+  def signTestDaily(df: DataFrame, tsCol: String): DataFrame = {
+    import graft.functions.Stats.{dsum, lnChoose}
+    val series = dailyCountSeries(df, tsCol)
+    val w = Window.orderBy(col("i"))
+    val diffs = series
+      .withColumn("__prev", lag(col("x"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select((col("x") - col("__prev")).as("__d"))
+    val m0 = diffs.agg(
+      sum(when(col("__d") > 0L, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("__d") < 0L, 1L).otherwise(0L)).as("n_neg"),
+      sum(when(col("__d") === 0L, 1L).otherwise(0L)).as("n_ties"))
+      .withColumn("m", col("n_pos") + col("n_neg"))
+      .withColumn("k", greatest(col("n_pos"), col("n_neg")))
+    val mD = col("m").cast("double")
+    def termAt(jD: Column): Column =
+      lnChoose(mD, jD) - mD * log(lit(2.0))
+    val terms = m0
+      .select(col("m"), explode(sequence(col("k"), col("m"))).as("j"))
+      .select(termAt(col("j").cast("double")).as("lt"))
+    val mx = terms.agg(max(col("lt")).as("__mx"))
+    val s = terms.crossJoin(broadcast(mx))
+      .agg(dsum(exp(col("lt") - col("__mx")), 12).as("__s"),
+        max(col("__mx")).as("__mx"))
+    val lnP = col("__mx") + log(col("__s"))
+    m0.crossJoin(broadcast(s)).select(
+      col("n_pos"), col("n_neg"), col("n_ties"), col("m"), col("k"),
+      round(exp(lnP), 6).as("p_right"),
+      round(least(lit(1.0), lit(2.0) * exp(lnP)), 6).as("p_two_sided"))
+  }
+
   /** Gap-filled (i, x) daily-count spine: day index from the calendar
     * minimum, missing days as exact zero counts — the shared base of
     * the whole daily-diagnostics family.

@@ -1111,6 +1111,53 @@ class Round11OpsSpec extends SparkSpec {
     assert(r.forall(_._4 == 5L))
   }
 
+  // --------------------------------------- q388-q390 inference cards
+
+  test("signTestDaily: a strictly rising series gives the exact " +
+      "binomial tail") {
+    // 4 up-moves of 4: P[X >= 4 | Bin(4, 1/2)] = 1/16
+    val r = graft.operators.TimeSeriesOps
+      .signTestDaily(dailyEvents(Seq(1, 2, 3, 4, 5)), "ts")
+      .select("n_pos", "n_neg", "m", "k", "p_right", "p_two_sided")
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(r._1 == 4L && r._2 == 0L && r._3 == 4L && r._4 == 4L)
+    assert(r._5 == 0.0625 && r._6 == 0.125)
+  }
+
+  test("captureRecapture matches the hand-worked two-occasion table") {
+    // u1,u4 in both halves; u2 first only; u3 second only:
+    // n1=3, n2=3, m=2 -> LP=4.5, Chapman=16/3-1, SE=2/3, true=4
+    val ev = Seq((1L, tsDay(0)), (1L, tsDay(10)), (2L, tsDay(1)),
+      (3L, tsDay(9)), (4L, tsDay(2)), (4L, tsDay(8)))
+      .toDF("user_id", "ts")
+    val r = graft.operators.SketchOps
+      .captureRecapture(ev, "user_id", "ts")
+      .select("n1", "n2", "n_both", "n_true", "lincoln_petersen",
+        "chapman_estimate", "chapman_se")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r._1 == 3L && r._2 == 3L && r._3 == 2L && r._4 == 4L)
+    assert(r._5 == 4.5)
+    assert(r._6 == r6(16.0 / 3.0 - 1.0))
+    assert(r._7 == r6(math.sqrt(4.0 * 4.0 * 1.0 * 1.0 / (9.0 * 4.0))))
+  }
+
+  test("jackknifeRatioByStratum matches the hand-worked two-stratum " +
+      "case") {
+    // A: (1,1), B: (3,3,3): full=2.2, leave-outs (3,1) -> mean 2,
+    // var = (1/2)*(10 - 2*4) = 1, bias-corrected 2*2.2 - 2 = 2.4
+    val d = Seq(("a", 1.0), ("a", 1.0), ("b", 3.0), ("b", 3.0),
+      ("b", 3.0)).toDF("g", "v")
+    val r = graft.operators.RobustStats
+      .jackknifeRatioByStratum(d, "g", "v")
+      .select("k_strata", "ratio_full", "jack_mean", "jack_se",
+        "bias_corrected")
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(r._1 == 2L && r._2 == 2.2 && r._3 == 2.0)
+    assert(r._4 == 1.0 && r._5 == 2.4)
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
