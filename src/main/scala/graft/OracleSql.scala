@@ -9076,6 +9076,17 @@ object OracleSql {
         |    (CAST(k AS DOUBLE) - 1.0) * (sr / CAST(k AS DOUBLE)), 6)
         |    AS bias_corrected
         |FROM agg""".stripMargin,
+    // q391: randomized response replayed — hexPoly15 congruential
+    // draws per unit (both coins public-seeded), fixed unbiasing
+    // arithmetic.
+    "q391_randomized_response" -> q391RrSql,
+    // q392: NB-vs-Poisson replayed — exact decimal moments, the same
+    // Lanczos lnGamma likelihood text, round-12 decimal ll sums.
+    "q392_negbin_fit" -> q392NegbinSql,
+    // q393: Weibull plot replayed — q122's KM chain as a CTE, fixed ln
+    // transforms on the shared round-6 survival values, round-12
+    // decimal OLS moments.
+    "q393_weibull_fit" -> q393WeibullSql,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which
@@ -12308,6 +12319,151 @@ object OracleSql {
        |  ROUND(EXP(mxv + LN(sv)), 6) AS p_right,
        |  ROUND(LEAST(1.0, 2.0 * EXP(mxv + LN(sv))), 6) AS p_two_sided
        |FROM m1, s""").stripMargin
+
+  private def q391RrSql: String = {
+    def draw(tag: String): String = {
+      val hx = hexPoly15(s"MD5('rr:$tag:' || CAST(user_id AS VARCHAR))")
+      s"(CAST(((($hx % 1000003) * 2654435761) % 1000003 + " +
+        s"($hx) // 1000003) % 9999991 * 22695477 % 9999991 AS DOUBLE) " +
+        "+ 0.5) / 9999991.0"
+    }
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15
+       |      AS truth
+       |  FROM events GROUP BY user_id),
+       |r AS (
+       |  SELECT truth,
+       |    CASE WHEN ${draw("h")} < 0.75 THEN truth
+       |      ELSE ${draw("c")} < 0.5 END AS resp
+       |  FROM u),
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+       |    CAST(SUM(CASE WHEN resp THEN 1 ELSE 0 END) AS BIGINT) AS ny
+       |  FROM r),
+       |d AS (
+       |  SELECT n, nt, ny, CAST(n AS DOUBLE) AS nd,
+       |    CAST(ny AS DOUBLE) / CAST(n AS DOUBLE) AS y
+       |  FROM agg)
+       |SELECT n,
+       |  ROUND(CAST(nt AS DOUBLE) / nd, 6) AS true_rate,
+       |  ROUND(y, 6) AS observed_yes_rate,
+       |  ROUND((y - (1.0 - 0.75) / 2.0) / 0.75, 6) AS rr_estimate,
+       |  ROUND(SQRT(y * (1.0 - y) / nd) / 0.75, 6) AS rr_se,
+       |  ROUND(ABS((y - (1.0 - 0.75) / 2.0) / 0.75 -
+       |    CAST(nt AS DOUBLE) / nd), 6) AS abs_err,
+       |  CAST(0.75 AS DOUBLE) AS p_truth
+       |FROM d""".stripMargin
+  }
+
+  private def q392NegbinSql: String = {
+    val llp = s"xd * LN(m) - m - ${lnFactSql("xd")}"
+    val llnb = s"${lnGammaSql("xd + r")} - ${lnGammaSql("r")} - " +
+      s"${lnFactSql("xd")} + r * LN(r / (r + m)) + " +
+      "xd * LN(m / (r + m))"
+    s"""WITH $dailySeriesCtes,
+       |m0 AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx
+       |  FROM series),
+       |mom AS (
+       |  SELECT n, sx / CAST(n AS DOUBLE) AS m,
+       |    (sxx - sx * sx / CAST(n AS DOUBLE)) /
+       |      (CAST(n AS DOUBLE) - 1.0) AS v
+       |  FROM m0),
+       |mom2 AS (
+       |  SELECT n, m, v,
+       |    CASE WHEN v > m THEN m * m / (v - m) END AS r
+       |  FROM mom),
+       |xs AS (
+       |  SELECT CAST(s.x AS DOUBLE) AS xd, mom2.m, mom2.v, mom2.r
+       |  FROM series s, mom2),
+       |ll AS (
+       |  SELECT
+       |    CAST(SUM(CAST(ROUND($llp, 12) AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS llp,
+       |    CAST(SUM(CASE WHEN r > 0 THEN
+       |      CAST(ROUND($llnb, 12) AS DECIMAL(38,12)) END)
+       |      AS DOUBLE) AS llnb
+       |  FROM xs)
+       |SELECT mom2.n AS n_days, ROUND(m, 6) AS mean_daily,
+       |  ROUND(v, 6) AS var_daily,
+       |  ROUND(v / m, 6) AS vmr,
+       |  ROUND(r, 6) AS nb_size,
+       |  ROUND(llp, 6) AS ll_poisson,
+       |  ROUND(llnb, 6) AS ll_negbin,
+       |  ROUND(2.0 * (llnb - llp) - 2.0, 6) + 0.0 AS delta_aic
+       |FROM mom2, ll""".stripMargin
+  }
+
+  private def q393WeibullSql: String =
+    """WITH h AS (SELECT MAX(epoch_us(ts)) AS hz FROM events),
+      |s AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS su
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS pu
+      |  FROM events e JOIN s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.su
+      |  GROUP BY e.user_id),
+      |d AS (
+      |  SELECT (COALESCE(p.pu, h.hz) - s.su) // 86400000000 AS t,
+      |    p.pu IS NOT NULL AS ev
+      |  FROM s LEFT JOIN p ON s.user_id = p.user_id, h),
+      |byt AS (
+      |  SELECT t,
+      |    SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS n_event,
+      |    SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS n_censored
+      |  FROM d GROUP BY t),
+      |km AS (
+      |  SELECT t, n_event, n_censored,
+      |    SUM(n_event + n_censored) OVER (ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+      |  FROM byt),
+      |kmf AS (
+      |  SELECT t,
+      |    CASE WHEN n_event = n_risk THEN 0.0
+      |      ELSE ROUND(EXP(SUM(CASE WHEN n_event < n_risk
+      |        THEN LN(1.0 - CAST(n_event AS DOUBLE) / n_risk)
+      |        ELSE 0.0 END)
+      |      OVER (ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) END
+      |      AS survival
+      |  FROM km),
+      |pts AS (
+      |  SELECT LN(CAST(t AS DOUBLE)) AS z, LN(-LN(survival)) AS y
+      |  FROM kmf WHERE t > 0 AND survival > 0 AND survival < 1),
+      |mm AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+      |    CAST(SUM(CAST(ROUND(z, 12) AS DECIMAL(38,12))) AS DOUBLE)
+      |      AS sz,
+      |    CAST(SUM(CAST(ROUND(z * z, 12) AS DECIMAL(38,12)))
+      |      AS DOUBLE) AS szz,
+      |    CAST(SUM(CAST(ROUND(y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+      |      AS sy,
+      |    CAST(SUM(CAST(ROUND(y * y, 12) AS DECIMAL(38,12)))
+      |      AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(ROUND(z * y, 12) AS DECIMAL(38,12)))
+      |      AS DOUBLE) AS szy
+      |  FROM pts),
+      |fit AS (
+      |  SELECT n_points, CAST(n_points AS DOUBLE) AS nd,
+      |    (CAST(n_points AS DOUBLE) * szy - sz * sy) /
+      |      (CAST(n_points AS DOUBLE) * szz - sz * sz) AS slope,
+      |    sz, sy, szz, syy, szy
+      |  FROM mm WHERE n_points >= 3)
+      |SELECT n_points,
+      |  ROUND(slope, 6) AS shape_k,
+      |  ROUND(EXP(-((sy - slope * sz) / nd) / slope), 6)
+      |    AS scale_lambda,
+      |  CASE WHEN (nd * szz - sz * sz) * (nd * syy - sy * sy) > 0
+      |    THEN ROUND((nd * szy - sz * sy) * (nd * szy - sz * sy) /
+      |      ((nd * szz - sz * sz) * (nd * syy - sy * sy)), 6) END AS r2,
+      |  ROUND(EXP(-((sy - slope * sz) / nd) / slope) *
+      |    EXP(LN(LN(2.0)) / slope), 6) AS median_time
+      |FROM fit""".stripMargin
 
   private def q248PackingSql: String =
     """WITH t AS (

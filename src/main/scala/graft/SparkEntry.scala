@@ -4416,6 +4416,37 @@ object SparkEntry {
       "c_nationkey", "o_totalprice")
   }
 
+  // ---------------------------------------------------------------- q391
+  // Warner randomized response on "is this user a frequent purchaser":
+  // respondent-side local DP (q237/q363 noise the aggregate; this
+  // never collects the truth), unbiased back out of the noisy yes-rate
+  // with its SE and the measured error vs the true rate.
+  def q391(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        >= 15L).as("is_heavy"))
+    graft.operators.ProfileOps.randomizedResponse(
+      perUser, "user_id", "is_heavy")
+  }
+
+  // ---------------------------------------------------------------- q392
+  // Negative-binomial vs Poisson fit of the daily count distribution:
+  // MoM NB parameters, both exact log-likelihoods via the portable
+  // lnGamma, and the AIC gap — the diagnosis behind q282's
+  // overdispersion symptom.
+  def q392(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.negativeBinomialFit(t(spark, dir, "events"), "ts")
+
+  // ---------------------------------------------------------------- q393
+  // Weibull probability-plot fit of q122's Kaplan–Meier curve: shape,
+  // scale, R² and the parametric median — the two-number summary that
+  // closes the survival family.
+  def q393(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SurvivalOps.weibullFromKm(
+      graft.operators.SurvivalOps.kaplanMeier(
+        signupPurchaseDurations(spark, dir), "dur_days", "__event"))
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5721,6 +5752,9 @@ object SparkEntry {
     "q388_sign_test" -> (q388 _),
     "q389_capture_recapture" -> (q389 _),
     "q390_jackknife_ratio" -> (q390 _),
+    "q391_randomized_response" -> (q391 _),
+    "q392_negbin_fit" -> (q392 _),
+    "q393_weibull_fit" -> (q393 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -320,6 +320,58 @@ object ProfileOps {
         round(abs(col("dp_mean") - col("mean_true")), 6))
   }
 
+  /** Randomized-response SIMULATION (Warner 1965) — the oldest local-DP
+    * mechanism, completing the privacy battery's collection side
+    * (q237/q363 add noise at the AGGREGATE; this adds it at the
+    * RESPONDENT, so no raw truth ever needs to be collected): each unit
+    * answers truthfully with probability `pTruth`, otherwise flips a
+    * fair coin; the population rate unbiases as
+    * π̂ = (ŷ − (1−p)/2)/p with SE = √(ŷ(1−ŷ)/n)/p. The card carries the
+    * true rate, so the privacy-for-variance trade is measured.
+    *
+    * Same portability-over-privacy contract as [[dpClippedMean]]: both
+    * per-unit draws are seeded from the PUBLIC unit id through the
+    * two-round congruential generator, so the oracle replays every
+    * coin; a production release would use run-secret randomness.
+    *
+    * Scale shape: two per-row hash draws (projections, no shuffle) and
+    * one 1-row aggregation.
+    */
+  def randomizedResponse(perUnit: DataFrame, idCol: String,
+      truthCol: String, pTruth: Double = 0.75,
+      salt: String = "rr"): DataFrame = {
+    require(pTruth > 0.5 && pTruth < 1.0,
+      s"pTruth must be in (0.5, 1), got $pTruth")
+    val p1 = 1000003L
+    val p2 = 9999991L
+    def draw(tag: String): Column = {
+      val hx = conv(substring(md5(concat(lit(s"$salt:$tag:"),
+        col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+      val hdiv = (hx.cast("decimal(38,0)") / lit(p1)).cast("long")
+      val x1 = pmod(pmod(hx, lit(p1)) * lit(2654435761L), lit(p1))
+      val x2 = pmod(pmod(x1 + hdiv, lit(p2)) * lit(22695477L), lit(p2))
+      (x2.cast("double") + lit(0.5)) / lit(p2.toDouble)
+    }
+    val honest = draw("h") < lit(pTruth)
+    val coin = draw("c") < lit(0.5)
+    val resp = when(honest, col(truthCol)).otherwise(coin)
+    val agg = perUnit.filter(col(truthCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(truthCol), 1L).otherwise(0L)).as("__nt"),
+        sum(when(resp, 1L).otherwise(0L)).as("__ny"))
+    val nD = col("n").cast("double")
+    val y = col("__ny").cast("double") / nD
+    val est = (y - (lit(1.0) - lit(pTruth)) / lit(2.0)) / lit(pTruth)
+    val se = sqrt(y * (lit(1.0) - y) / nD) / lit(pTruth)
+    agg.select(col("n"),
+      round(col("__nt").cast("double") / nD, 6).as("true_rate"),
+      round(y, 6).as("observed_yes_rate"),
+      round(est, 6).as("rr_estimate"),
+      round(se, 6).as("rr_se"),
+      round(abs(est - col("__nt").cast("double") / nD), 6).as("abs_err"),
+      lit(pTruth).as("p_truth"))
+  }
+
   /** Re-identification risk card over a quasi-identifier combination:
     * how many records are UNIQUE (cell size 1 — linkable by anyone
     * holding the same attributes), in cells ≤ 2, the cell-size spread —

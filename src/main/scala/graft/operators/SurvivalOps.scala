@@ -134,6 +134,49 @@ object SurvivalOps {
         round(exp(-col("__h")), 6).as("breslow_survival"))
   }
 
+  /** Weibull fit of a [[kaplanMeier]] curve by the probability-plot
+    * regression: ln(−ln S(t)) is linear in ln t under Weibull, so OLS
+    * on the KM points (0 < S < 1, t > 0) yields shape k (slope) and
+    * scale λ = exp(−intercept/k) — the parametric summary of the
+    * survival family (KM q122 / Nelson–Aalen q376 / log-rank q299 /
+    * Cox q318): two numbers and a median instead of a curve, plus R²
+    * as the "is it even Weibull" check (k < 1 → cooling hazard,
+    * k > 1 → wear-out).
+    *
+    * Exactness: S is the KM round-6 value (identical in both engines),
+    * the transform is fixed ln shapes, OLS moments accumulate as
+    * round-12 decimals over the bounded duration grid.
+    */
+  def weibullFromKm(km: DataFrame): DataFrame = {
+    def d12(c: org.apache.spark.sql.Column) =
+      sum(round(c, 12).cast("decimal(38,12)")).cast("double")
+    val pts = km
+      .filter(col("t") > 0L && col("survival") > 0.0 &&
+        col("survival") < 1.0)
+      .select(log(col("t").cast("double")).as("z"),
+        log(-log(col("survival"))).as("y"))
+    val s = pts.agg(count(lit(1)).as("n_points"),
+      d12(col("z")).as("__sz"), d12(col("z") * col("z")).as("__szz"),
+      d12(col("y")).as("__sy"), d12(col("y") * col("y")).as("__syy"),
+      d12(col("z") * col("y")).as("__szy"))
+    val nD = col("n_points").cast("double")
+    val slope = (nD * col("__szy") - col("__sz") * col("__sy")) /
+      (nD * col("__szz") - col("__sz") * col("__sz"))
+    val intercept = (col("__sy") - slope * col("__sz")) / nD
+    val r2num = (nD * col("__szy") - col("__sz") * col("__sy")) *
+      (nD * col("__szy") - col("__sz") * col("__sy"))
+    val r2den = (nD * col("__szz") - col("__sz") * col("__sz")) *
+      (nD * col("__syy") - col("__sy") * col("__sy"))
+    val scale = exp(-intercept / slope)
+    s.filter(col("n_points") >= 3L).select(
+      col("n_points"),
+      round(slope, 6).as("shape_k"),
+      round(scale, 6).as("scale_lambda"),
+      when(r2den > 0.0, round(r2num / r2den, 6)).as("r2"),
+      round(scale * exp(log(log(lit(2.0))) / slope), 6)
+        .as("median_time"))
+  }
+
   /** Two-sample log-rank (Mantel–Cox) test: are the survival curves of
     * two cohorts the same? The hypothesis-test companion to
     * [[kaplanMeier]] — at every event time t the observed group-A deaths

@@ -1321,6 +1321,64 @@ object TimeSeriesOps {
       round(least(lit(1.0), lit(2.0) * exp(lnP)), 6).as("p_two_sided"))
   }
 
+  /** Negative-binomial vs Poisson fit of the daily count distribution —
+    * the model-based verdict on q282's overdispersion ratio: NB(r, θ)
+    * by method of moments (r = m²/(v−m), θ = r/(r+m)), then BOTH exact
+    * log-likelihoods via the portable
+    * [[graft.functions.Stats.lnGamma]] and the AIC gap. A VMR > 1
+    * says "overdispersed"; this card says how much better the
+    * two-parameter model actually explains the data — the difference
+    * between a symptom and a diagnosis.
+    *
+    * Exactness: moments from exact decimal sums in fixed double
+    * shapes (no rounding needed — both engines derive identical m, v,
+    * r); per-day likelihood terms are fixed lnGamma expressions summed
+    * as round-12 decimals. NB columns are null when v ≤ m (MoM
+    * undefined — the Poisson-or-underdispersed case), decided by the
+    * same comparison in both engines.
+    *
+    * Scale shape: one count aggregation, one 3-sum moment reduction,
+    * one likelihood reduction over the bounded spine.
+    */
+  def negativeBinomialFit(df: DataFrame, tsCol: String): DataFrame = {
+    import graft.functions.Stats.{lnFact, lnGamma}
+    def d12(c: Column): Column =
+      sum(round(c, 12).cast("decimal(38,12)")).cast("double")
+    val series = dailyCountSeries(df, tsCol)
+    val m0 = series.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).cast("double").as("__sx"),
+      sum(col("x").cast("decimal(38,0)") * col("x").cast("decimal(38,0)"))
+        .cast("double").as("__sxx"))
+    val nD = col("n").cast("double")
+    val mean = col("__sx") / nD
+    val variance = (col("__sxx") - col("__sx") * col("__sx") / nD) /
+      (nD - lit(1.0))
+    val moments = m0.select(col("n"), mean.as("__m"),
+      variance.as("__v"),
+      when(variance > mean, mean * mean / (variance - mean)).as("__r"))
+    val xD = col("x").cast("double")
+    val llP = xD * log(col("__m")) - col("__m") - lnFact(xD)
+    val llNb = lnGamma(xD + col("__r")) - lnGamma(col("__r")) -
+      lnFact(xD) + col("__r") * log(col("__r") / (col("__r") + col("__m"))) +
+      xD * log(col("__m") / (col("__r") + col("__m")))
+    val sums = series.crossJoin(broadcast(moments))
+      .agg(d12(llP).as("__llp"),
+        d12(when(col("__r") > 0.0, llNb)).as("__llnb"),
+        max(col("n")).as("n"), max(col("__m")).as("__m"),
+        max(col("__v")).as("__v"), max(col("__r")).as("__r"))
+    sums.select(
+      col("n").as("n_days"),
+      round(col("__m"), 6).as("mean_daily"),
+      round(col("__v"), 6).as("var_daily"),
+      round(col("__v") / col("__m"), 6).as("vmr"),
+      round(col("__r"), 6).as("nb_size"),
+      round(col("__llp"), 6).as("ll_poisson"),
+      round(col("__llnb"), 6).as("ll_negbin"),
+      // ΔAIC = AIC_poisson − AIC_NB = 2(ll_nb − ll_p) − 2; > 0 → NB wins
+      round(lit(2.0) * (col("__llnb") - col("__llp")) - lit(2.0), 6)
+        .as("delta_aic"))
+  }
+
   /** Gap-filled (i, x) daily-count spine: day index from the calendar
     * minimum, missing days as exact zero counts — the shared base of
     * the whole daily-diagnostics family.

@@ -1158,6 +1158,66 @@ class Round11OpsSpec extends SparkSpec {
     assert(r._4 == 1.0 && r._5 == 2.4)
   }
 
+  // ---------------------------------------- q391-q393 model cards
+
+  test("randomizedResponse unbiases the noisy rate within its SE") {
+    // 400 units, 25% true: the seeded coins are deterministic, so the
+    // estimate is a fixed number — assert the unbiasing identity and
+    // that it lands within 3 SE of the truth
+    val d = (1 to 400).map(i => (i.toLong, i % 4 == 0))
+      .toDF("user_id", "is_x")
+    val r = graft.operators.ProfileOps
+      .randomizedResponse(d, "user_id", "is_x")
+      .select("n", "true_rate", "observed_yes_rate", "rr_estimate",
+        "rr_se", "abs_err")
+      .as[(Long, Double, Double, Double, Double, Double)].head()
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r._1 == 400L && r._2 == 0.25)
+    assert(r._4 == r6((r._3 - 0.125) / 0.75))
+    assert(r._6 < 3.0 * r._5, s"err=${r._6} se=${r._5}")
+  }
+
+  test("negativeBinomialFit prefers NB on overdispersed counts and " +
+      "nulls it when MoM is undefined") {
+    // alternating 0/20: mean 10, var 2000/19 >> 10
+    val over = graft.operators.TimeSeriesOps
+      .negativeBinomialFit(
+        dailyEvents((0 until 20).map(i => if (i % 2 == 0) 0 else 20)),
+        "ts")
+      .select("vmr", "nb_size", "ll_poisson", "ll_negbin", "delta_aic")
+      .as[(Double, Double, Double, Double, Double)].head()
+    assert(over._1 > 5.0)
+    assert(over._2 > 0.0)
+    assert(over._4 > over._3, "NB must beat Poisson here")
+    assert(over._5 > 0.0)
+    // near-constant counts: v <= m, MoM undefined -> null NB columns
+    val under = graft.operators.TimeSeriesOps
+      .negativeBinomialFit(
+        dailyEvents((0 until 20).map(i => 10 + (i % 2))), "ts")
+      .select(col("nb_size").isNull, col("delta_aic").isNull)
+      .as[(Boolean, Boolean)].head()
+    assert(under._1 && under._2)
+  }
+
+  test("weibullFromKm recovers the planted shape on a Weibull sample") {
+    // inverse-CDF sample of Weibull(k=2, lambda=10), all events
+    val n = 200
+    val durs = (1 to n).map { i =>
+      val s = 1.0 - (i - 0.5) / n
+      (math.ceil(10.0 * math.sqrt(-math.log(s))).toLong, true)
+    }
+    val km = graft.operators.SurvivalOps
+      .kaplanMeier(durs.toDF("dur", "ev"), "dur", "ev")
+    val r = graft.operators.SurvivalOps.weibullFromKm(km)
+      .select("n_points", "shape_k", "scale_lambda", "r2")
+      .as[(Long, Double, Double, Double)].head()
+    assert(r._1 >= 10L)
+    assert(r._2 > 1.5 && r._2 < 2.5, s"shape=${r._2}")
+    assert(r._3 > 8.0 && r._3 < 12.0, s"scale=${r._3}")
+    assert(r._4 > 0.95, s"r2=${r._4}")
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
