@@ -9087,6 +9087,35 @@ object OracleSql {
     // transforms on the shared round-6 survival values, round-12
     // decimal OLS moments.
     "q393_weibull_fit" -> q393WeibullSql,
+    // q394: Davies-Bouldin replayed — the q252 draw/assignment CTEs,
+    // Euclidean distances in the fixed x·x − 2x·c + c·c shape,
+    // round-12 decimal scatter and mean sums.
+    "q394_davies_bouldin" -> q394DaviesBouldinSql,
+    // q395: turning points replayed — lag/lead over the spine, exact
+    // strict-extrema counts, one fixed moment shape.
+    "q395_turning_points" ->
+      (s"""WITH $dailySeriesCtes,
+        |t AS (
+        |  SELECT x, LAG(x) OVER (ORDER BY i) AS p,
+        |    LEAD(x) OVER (ORDER BY i) AS f
+        |  FROM series),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS interior,
+        |    CAST(SUM(CASE WHEN (p < x AND x > f) OR (p > x AND x < f)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_turning
+        |  FROM t WHERE p IS NOT NULL AND f IS NOT NULL),
+        |d AS (
+        |  SELECT interior + 2 AS n_days, n_turning,
+        |    CAST(interior + 2 AS DOUBLE) AS nd
+        |  FROM m)
+        |SELECT n_days, n_turning,
+        |  ROUND(2.0 * (nd - 2.0) / 3.0, 6) AS expected,
+        |  ROUND((16.0 * nd - 29.0) / 90.0, 6) AS variance,
+        |  CASE WHEN (16.0 * nd - 29.0) / 90.0 > 0
+        |    THEN ROUND((CAST(n_turning AS DOUBLE) -
+        |      2.0 * (nd - 2.0) / 3.0) /
+        |      SQRT((16.0 * nd - 29.0) / 90.0), 6) + 0.0 END AS z
+        |FROM d""").stripMargin,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which
@@ -12562,6 +12591,69 @@ object OracleSql {
     * cosines ranked per vector (top-2), DECIMAL(28,6) mean
     * accumulation.
     */
+  private def q394DaviesBouldinSql: String = {
+    def dist(a: String, b: String): String =
+      s"SQRT(GREATEST(0.0, list_inner_product($a, $a) - " +
+        s"2.0 * list_inner_product($a, $b) + " +
+        s"list_inner_product($b, $b)))"
+    s"""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings),
+      |drawn AS (
+      |  SELECT vec_id, emb,
+      |    ((((((vec_id % 1000003) * 2654435761) % 1000003)
+      |        + (vec_id // 1000003)) % 9999991) * 22695477) % 9999991 AS d
+      |  FROM e),
+      |cent AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY d, vec_id) - 1 AS INT)
+      |      AS centroid_id,
+      |    emb AS centroid
+      |  FROM (SELECT * FROM drawn ORDER BY d, vec_id LIMIT 8)),
+      |asg AS (
+      |  SELECT vec_id, emb, centroid_id, centroid FROM (
+      |    SELECT t.vec_id, t.emb, c.centroid_id, c.centroid,
+      |      ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+      |        ROUND(list_inner_product(t.emb, c.centroid) /
+      |          (SQRT(list_inner_product(t.emb, t.emb)) *
+      |           SQRT(list_inner_product(c.centroid, c.centroid))), 6)
+      |          DESC,
+      |        c.centroid_id) AS rn
+      |    FROM e t, cent c)
+      |  WHERE rn = 1),
+      |sc AS (
+      |  SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |    CAST(SUM(CAST(ROUND(${dist("emb", "centroid")}, 12)
+      |      AS DECIMAL(38,12))) AS DOUBLE) AS sd
+      |  FROM asg GROUP BY centroid_id),
+      |sc2 AS (
+      |  SELECT centroid_id, n_vecs, sd / CAST(n_vecs AS DOUBLE) AS si
+      |  FROM sc),
+      |pr AS (
+      |  SELECT a.centroid_id AS ci, b.centroid_id AS cj,
+      |    ${dist("a.centroid", "b.centroid")} AS m
+      |  FROM cent a JOIN cent b ON a.centroid_id <> b.centroid_id),
+      |ri AS (
+      |  SELECT pr.ci AS ci, s1.n_vecs, s1.si,
+      |    MAX((s1.si + s2.si) / pr.m) AS r_max,
+      |    MIN(pr.m) AS min_sep
+      |  FROM pr JOIN sc2 s1 ON s1.centroid_id = pr.ci
+      |    JOIN sc2 s2 ON s2.centroid_id = pr.cj
+      |  WHERE pr.m > 0
+      |  GROUP BY pr.ci, s1.n_vecs, s1.si),
+      |dbx AS (
+      |  SELECT CAST(SUM(CAST(ROUND(r_max, 12) AS DECIMAL(38,12)))
+      |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS db,
+      |    CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM ri)
+      |SELECT CAST(ci AS BIGINT) AS centroid_id, n_vecs,
+      |  ROUND(si, 6) AS scatter,
+      |  ROUND(min_sep, 6) AS min_separation,
+      |  ROUND(r_max, 6) AS db_component,
+      |  k AS k_clusters,
+      |  ROUND(db, 6) AS db_index
+      |FROM ri, dbx ORDER BY centroid_id""".stripMargin
+  }
+
   private def q252ClusterCohesionSql: String =
     """WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb

@@ -4447,6 +4447,22 @@ object SparkEntry {
       graft.operators.SurvivalOps.kaplanMeier(
         signupPurchaseDurations(spark, dir), "dur_days", "__event"))
 
+  // ---------------------------------------------------------------- q394
+  // Davies–Bouldin index of the portable-IVF clustering: the internal
+  // validity number completing the clustering-eval set (cohesion q252,
+  // label-NMI q256) — per-cluster components say which cluster drags
+  // the score.
+  def q394(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.daviesBouldinCard(t(spark, dir, "embeddings"),
+      "vec_id", "embedding")
+
+  // ---------------------------------------------------------------- q395
+  // Turning-point randomness test on daily counts: strict local
+  // extrema vs the iid expectation 2(n-2)/3 — the alternation view the
+  // runs test (levels) and sign test (direction balance) are blind to.
+  def q395(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.turningPointTest(t(spark, dir, "events"), "ts")
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5755,6 +5771,8 @@ object SparkEntry {
     "q391_randomized_response" -> (q391 _),
     "q392_negbin_fit" -> (q392 _),
     "q393_weibull_fit" -> (q393 _),
+    "q394_davies_bouldin" -> (q394 _),
+    "q395_turning_points" -> (q395 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

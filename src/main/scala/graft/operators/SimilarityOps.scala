@@ -1406,6 +1406,66 @@ object SimilarityOps {
       .orderBy(col("centroid_id"))
   }
 
+  /** Davies–Bouldin index (1979) of the portable-IVF clustering — the
+    * INTERNAL validity score completing the clustering-eval set
+    * (cohesion q252 is per-cluster margins, NMI q256 needs labels):
+    * DB = mean_i max_{j≠i} (S_i + S_j)/M_ij, where S is mean
+    * point-to-centroid Euclidean distance and M the centroid
+    * separation — low = tight, well-separated clusters, and the
+    * per-cluster component says WHICH cluster drags the score.
+    *
+    * Exactness: distances via the fused dot product in the fixed shape
+    * √(x·x − 2x·c + c·c) (both engines replay identical doubles),
+    * scatters and the final mean through round-12 decimal sums; empty
+    * clusters (no assigned vectors) are excluded in both engines.
+    *
+    * Scale shape: one assignment scan (broadcast centroids), one
+    * per-cluster reduction, then everything lives on nlist-sized
+    * frames (the nlist² pair frame is trivial).
+    */
+  def daviesBouldinCard(embeddings: DataFrame, idCol: String,
+      vecCol: String, nlist: Int = 8): DataFrame = {
+    def d12(c: Column): Column =
+      sum(round(c, 12).cast("decimal(38,12)")).cast("double")
+    def dist(a: Column, b: Column): Column =
+      sqrt(greatest(lit(0.0),
+        dotNative(a, a) - lit(2.0) * dotNative(a, b) + dotNative(b, b)))
+    val cents = ivfCentroidsPortable(embeddings, idCol, vecCol, nlist)
+    val withC = ivfAssign(embeddings, idCol, vecCol, cents,
+        simRound = Some(6))
+      .join(broadcast(cents), "centroid_id")
+    val scatter = withC
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        d12(dist(col("emb"), col("centroid"))).as("__sd"))
+      .withColumn("scatter", col("__sd") / col("n_vecs").cast("double"))
+    val pair = cents.select(col("centroid_id").as("ci"),
+        col("centroid").as("va"))
+      .join(cents.select(col("centroid_id").as("cj"),
+        col("centroid").as("vb")), col("ci") =!= col("cj"))
+      .select(col("ci"), col("cj"), dist(col("va"), col("vb")).as("m"))
+    val ri = pair
+      .join(broadcast(scatter.select(col("centroid_id").as("ci"),
+        col("scatter").as("si"), col("n_vecs"))), "ci")
+      .join(broadcast(scatter.select(col("centroid_id").as("cj"),
+        col("scatter").as("sj"))), "cj")
+      .filter(col("m") > 0.0)
+      .groupBy(col("ci"), col("n_vecs"), col("si"))
+      .agg(max((col("si") + col("sj")) / col("m")).as("r_max"),
+        min(col("m")).as("min_sep"))
+    val db = ri.agg(d12(col("r_max")).as("__sr"), count(lit(1)).as("__k"))
+      .select((col("__sr") / col("__k").cast("double")).as("__db"),
+        col("__k"))
+    ri.crossJoin(broadcast(db))
+      .select(col("ci").cast("long").as("centroid_id"), col("n_vecs"),
+        round(col("si"), 6).as("scatter"),
+        round(col("min_sep"), 6).as("min_separation"),
+        round(col("r_max"), 6).as("db_component"),
+        col("__k").as("k_clusters"),
+        round(col("__db"), 6).as("db_index"))
+      .orderBy(col("centroid_id"))
+  }
+
   /** Cluster-vs-label agreement card: the portable-IVF clustering
     * scored against a ground-truth label column with purity and NMI —
     * the external-validity eval that says whether unsupervised corpus

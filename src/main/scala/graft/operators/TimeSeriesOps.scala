@@ -1379,6 +1379,44 @@ object TimeSeriesOps {
         .as("delta_aic"))
   }
 
+  /** Turning-point randomness test on the daily count spine: count the
+    * STRICT local extrema (x_{t−1} < x_t > x_{t+1} or mirrored) among
+    * interior points; under iid the count is asymptotically normal
+    * with E = 2(n−2)/3 and Var = (16n−29)/90 (Kendall). Too FEW
+    * turning points → trend/momentum; too MANY → negative
+    * autocorrelation (over-alternation) — the third member of the
+    * randomness battery next to q333's runs test (levels vs median)
+    * and q388's sign test (up/down balance), each blind to what the
+    * others see. Ties produce no strict extremum (the plateau
+    * convention both engines share).
+    *
+    * Scale shape: one lag/lead window over the bounded spine, one
+    * 1-row reduction. All counts exact integers.
+    */
+  def turningPointTest(df: DataFrame, tsCol: String): DataFrame = {
+    val series = dailyCountSeries(df, tsCol)
+    val w = Window.orderBy(col("i"))
+    val t = series
+      .withColumn("__p", lag(col("x"), 1).over(w))
+      .withColumn("__f", lead(col("x"), 1).over(w))
+      .filter(col("__p").isNotNull && col("__f").isNotNull)
+      .agg(count(lit(1)).as("__interior"),
+        sum(when((col("__p") < col("x") && col("x") > col("__f")) ||
+          (col("__p") > col("x") && col("x") < col("__f")), 1L)
+          .otherwise(0L)).as("n_turning"))
+    val nD = (col("__interior") + lit(2L)).cast("double")
+    val e = lit(2.0) * (nD - lit(2.0)) / lit(3.0)
+    val v = (lit(16.0) * nD - lit(29.0)) / lit(90.0)
+    t.select(
+      (col("__interior") + lit(2L)).as("n_days"),
+      col("n_turning"),
+      round(e, 6).as("expected"),
+      round(v, 6).as("variance"),
+      when(v > 0.0,
+        round((col("n_turning").cast("double") - e) / sqrt(v), 6))
+        .as("z"))
+  }
+
   /** Gap-filled (i, x) daily-count spine: day index from the calendar
     * minimum, missing days as exact zero counts — the shared base of
     * the whole daily-diagnostics family.

@@ -1218,6 +1218,61 @@ class Round11OpsSpec extends SparkSpec {
     assert(r._4 > 0.95, s"r2=${r._4}")
   }
 
+  // --------------------------------------- q394/q395 validity cards
+
+  test("daviesBouldinCard: index is the mean component and tight " +
+      "orthogonal clusters score well") {
+    // the two smallest congruential draws over ids 0..79 are ids 0 and
+    // 11 — place them in DIFFERENT clusters so the 2 drawn centroids
+    // straddle the structure
+    val vecs = (0 until 80).map { i =>
+      val inB = i == 11 || i >= 40
+      if (inB) (i.toLong, Seq(0.0, 0.001 * i, 1.0))
+      else (i.toLong, Seq(1.0, 0.001 * i, 0.0))
+    }.toDF("vec_id", "embedding")
+    val rows = graft.operators.SimilarityOps
+      .daviesBouldinCard(vecs, "vec_id", "embedding", nlist = 2)
+      .select("db_component", "db_index", "k_clusters", "scatter",
+        "min_separation")
+      .as[(Double, Double, Long, Double, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    val meanComp = rows.map(_._1).sum / rows.length
+    assert(math.abs(rows.head._2 - meanComp) < 1e-5)
+    assert(rows.forall(_._3 == rows.length))
+    // tight clusters, wide separation -> every component well under 1
+    rows.foreach(r => assert(r._1 < 1.0, r.toString))
+  }
+
+  test("daviesBouldinCard on identical vectors yields no comparable " +
+      "pairs") {
+    val vecs = (0 until 10).map(i => (i.toLong, Seq(1.0, 2.0)))
+      .toDF("vec_id", "embedding")
+    val n = graft.operators.SimilarityOps
+      .daviesBouldinCard(vecs, "vec_id", "embedding", nlist = 2)
+      .count()
+    assert(n == 0L)
+  }
+
+  test("turningPointTest matches the hand-worked alternating series " +
+      "and ignores plateaus") {
+    // 1,3,2,4,1,5: interior 3,2,4,1 all strict extrema -> T=4
+    val r = graft.operators.TimeSeriesOps
+      .turningPointTest(dailyEvents(Seq(1, 3, 2, 4, 1, 5)), "ts")
+      .select("n_days", "n_turning", "expected", "variance", "z")
+      .as[(Long, Long, Double, Double, Double)].head()
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r._1 == 6L && r._2 == 4L)
+    assert(r._3 == r6(2.0 * 4.0 / 3.0))
+    assert(r._4 == r6(67.0 / 90.0))
+    assert(r._5 == r6((4.0 - 2.0 * 4.0 / 3.0) / math.sqrt(67.0 / 90.0)))
+    // plateau produces no strict extremum
+    val p = graft.operators.TimeSeriesOps
+      .turningPointTest(dailyEvents(Seq(1, 2, 2, 1)), "ts")
+      .select("n_turning").as[Long].head()
+    assert(p == 0L)
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
