@@ -9116,6 +9116,10 @@ object OracleSql {
         |      2.0 * (nd - 2.0) / 3.0) /
         |      SQRT((16.0 * nd - 29.0) / 90.0), 6) + 0.0 END AS z
         |FROM d""").stripMargin,
+    // q396: probit replayed — the q189 recursive-CTE contract with the
+    // same Zelen–Severo normCdf/normPdf expression text, clamped Φ,
+    // Fisher-scoring sums as DECIMAL(28,12).
+    "q396_probit" -> q396ProbitSql,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which
@@ -12313,6 +12317,71 @@ object OracleSql {
        |      (CAST(n_inliers AS DOUBLE) * sii - si * si) * si) /
        |    CAST(n_inliers AS DOUBLE), 6) + 0.0 AS refit_intercept
        |FROM best""".stripMargin
+  }
+
+  /** Portable standard-normal pdf/CDF — the SAME fixed expression trees
+    * as [[graft.functions.Stats.normPdf]]/normCdf (Zelen–Severo
+    * rational tail), emitted as SQL text with identical literals.
+    */
+  private def normPdfSql(x: String): String =
+    s"(EXP(-0.5 * ($x) * ($x)) / 2.5066282746310002)"
+
+  private def normCdfSql(x: String): String = {
+    def upper(ax: String): String = {
+      val k = s"(1.0 / (1.0 + 0.2316419 * ($ax)))"
+      s"(1.0 - ${normPdfSql(ax)} * (0.319381530 * $k + " +
+        s"-0.356563782 * $k * $k + " +
+        s"1.781477937 * $k * $k * $k + " +
+        s"-1.821255978 * $k * $k * $k * $k + " +
+        s"1.330274429 * $k * $k * $k * $k * $k))"
+    }
+    s"(CASE WHEN ($x) >= 0 THEN ${upper(s"ABS($x)")} " +
+      s"ELSE 1.0 - ${upper(s"ABS($x)")} END)"
+  }
+
+  private def q396ProbitSql: String = {
+    val eta = "it.b0 + it.b1 * d.x"
+    s"""WITH RECURSIVE d AS (
+       |  SELECT CAST(l_quantity AS DOUBLE) AS x,
+       |    CASE WHEN l_returnflag <> 'N' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM lineitem WHERE l_orderkey < 500),
+       |it(i, b0, b1, ll) AS (
+       |  SELECT 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+       |    CAST(NULL AS DOUBLE)
+       |  UNION ALL
+       |  SELECT i + 1,
+       |    ROUND(b0 + (swxx * g0 - swx * g1) / (sw * swxx - swx * swx), 9),
+       |    ROUND(b1 + (sw * g1 - swx * g0) / (sw * swxx - swx * swx), 9),
+       |    llm
+       |  FROM (
+       |    SELECT i, b0, b1,
+       |      CAST(SUM(CAST(ph * (y - cdf) / vv AS DECIMAL(28,12)))
+       |        AS DOUBLE) AS g0,
+       |      CAST(SUM(CAST(ph * (y - cdf) / vv * x AS DECIMAL(28,12)))
+       |        AS DOUBLE) AS g1,
+       |      CAST(SUM(CAST(ph * ph / vv AS DECIMAL(28,12))) AS DOUBLE)
+       |        AS sw,
+       |      CAST(SUM(CAST(ph * ph / vv * x AS DECIMAL(28,12)))
+       |        AS DOUBLE) AS swx,
+       |      CAST(SUM(CAST(ph * ph / vv * x * x AS DECIMAL(28,12)))
+       |        AS DOUBLE) AS swxx,
+       |      ROUND(CAST(SUM(CAST(y * LN(cdf) + (1.0 - y) * LN(1.0 - cdf)
+       |          AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS llm
+       |    FROM (
+       |      SELECT i, b0, b1, x, y, ph, cdf,
+       |        cdf * (1.0 - cdf) AS vv
+       |      FROM (
+       |        SELECT it.i AS i, it.b0 AS b0, it.b1 AS b1,
+       |          d.x AS x, d.y AS y,
+       |          ${normPdfSql(eta)} AS ph,
+       |          GREATEST(1e-10, LEAST(0.9999999999,
+       |            ${normCdfSql(eta)})) AS cdf
+       |        FROM it, d WHERE it.i < 6))
+       |    GROUP BY i, b0, b1))
+       |SELECT i AS iter, ROUND(b0, 6) + 0.0 AS b0,
+       |  ROUND(b1, 6) + 0.0 AS b1, ll AS log_loss
+       |FROM it WHERE i >= 1
+       |ORDER BY iter""".stripMargin
   }
 
   private def q388SignTestSql: String =

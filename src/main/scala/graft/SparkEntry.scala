@@ -4463,6 +4463,19 @@ object SparkEntry {
   def q395(spark: SparkSession, dir: String): DataFrame =
     TimeSeriesOps.turningPointTest(t(spark, dir, "events"), "ts")
 
+  // ---------------------------------------------------------------- q396
+  // Probit regression on q189's exact data: the link-function
+  // robustness check (agreement with the logistic fit at the classic
+  // 1.6 slope ratio says the verdict doesn't hinge on the link) — the
+  // portable normCdf/normPdf make the whole Fisher-scoring trajectory
+  // hash-checkable like q189.
+  def q396(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.irlsProbitPortable(
+      withReturnFlagBin(
+        t(spark, dir, "lineitem").filter(col("l_orderkey") < 500)),
+      "l_quantity", "l_returnflag_bin", iters = 6)
+      .orderBy(col("iter"))
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5773,6 +5786,7 @@ object SparkEntry {
     "q393_weibull_fit" -> (q393 _),
     "q394_davies_bouldin" -> (q394 _),
     "q395_turning_points" -> (q395 _),
+    "q396_probit" -> (q396 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

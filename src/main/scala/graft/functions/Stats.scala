@@ -104,6 +104,31 @@ object Stats {
   /** ln(n!) via [[lnGamma]]. */
   def lnFact(n: Column): Column = lnGamma(n + lit(1.0))
 
+  /** Standard normal pdf φ(x) — a fixed exp/÷ expression both engines
+    * replay bit-for-bit (√(2π) as one shared literal).
+    */
+  def normPdf(x: Column): Column =
+    exp(lit(-0.5) * x * x) / lit(2.5066282746310002)
+
+  /** Standard normal CDF via the Zelen–Severo rational tail
+    * (Abramowitz & Stegun 26.2.17): Φ(x) = 1 − φ(x)·Σbᵢkⁱ with
+    * k = 1/(1 + 0.2316419·|x|), reflected for x < 0. |ε| < 7.5e-8 —
+    * invisible at the 6-decimal rounding consumers apply — and, like
+    * [[lnGamma]], a fixed +,*,/ tree, so it is engine-PORTABLE where
+    * built-in erf/normal CDFs are not. The probit / z-test workhorse.
+    */
+  def normCdf(x: Column): Column = {
+    val ax = abs(x)
+    val k = lit(1.0) / (lit(1.0) + lit(0.2316419) * ax)
+    val poly = lit(0.319381530) * k +
+      lit(-0.356563782) * k * k +
+      lit(1.781477937) * k * k * k +
+      lit(-1.821255978) * k * k * k * k +
+      lit(1.330274429) * k * k * k * k * k
+    val upper = lit(1.0) - normPdf(ax) * poly
+    when(x >= 0.0, upper).otherwise(lit(1.0) - upper)
+  }
+
   /** ln C(n, k) via three [[lnFact]]s — valid for 0 ≤ k ≤ n. */
   def lnChoose(n: Column, k: Column): Column =
     lnFact(n) - lnFact(k) - lnFact(n - k)

@@ -904,6 +904,69 @@ object MlPipelines {
     } finally { d.unpersist(); () }
   }
 
+  /** Fixed-iteration PROBIT regression (Fisher scoring) — the
+    * normal-link sibling of [[irlsLogisticPortable]]: η = b₀ + b₁x,
+    * score Σ φ(η)(y − Φ(η))/(Φ(1−Φ)), information weights
+    * w = φ²/(Φ(1−Φ)), the same round-9 2×2 Newton replay. Runs on the
+    * portable [[graft.functions.Stats.normCdf]]/normPdf (fixed
+    * expression trees — built-in normal CDFs are engine-specific), so
+    * the whole trajectory is hash-checkable like q189's logistic.
+    * Φ clamps to [1e-10, 1−1e-10] identically in both engines so a
+    * separated point cannot blow the working weights or ln(0) the loss.
+    *
+    * Probit vs logit is the classic link-function robustness check:
+    * agreement (b̂_logit ≈ 1.6·b̂_probit) says the verdict doesn't
+    * hinge on the link; disagreement says the tails are doing the work.
+    */
+  def irlsProbitPortable(df: DataFrame, xCol: String, yCol: String,
+      iters: Int = 6): DataFrame = {
+    import graft.functions.Stats.{dsum, normCdf, normPdf}
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def r9(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val d = df.select(col(xCol).cast("double").as("x"),
+      col(yCol).cast("double").as("y")).persist()
+    try {
+      var b0 = 0.0
+      var b1 = 0.0
+      val trace = (1 to iters).map { i =>
+        val eta = lit(b0) + lit(b1) * col("x")
+        val phi = normPdf(eta)
+        val cdf = greatest(lit(1e-10),
+          least(lit(0.9999999999), normCdf(eta)))
+        val v = cdf * (lit(1.0) - cdf)
+        val u = phi * (col("y") - cdf) / v
+        val w = phi * phi / v
+        val r = d.agg(
+          count(lit(1)).as("n"),
+          dsum(u, 12).as("g0"),
+          dsum(u * col("x"), 12).as("g1"),
+          dsum(w, 12).as("sw"),
+          dsum(w * col("x"), 12).as("swx"),
+          dsum(w * col("x") * col("x"), 12).as("swxx"),
+          dsum(col("y") * log(cdf) +
+            (lit(1.0) - col("y")) * log(lit(1.0) - cdf), 12).as("ll"))
+          .head()
+        val n = r.getLong(0)
+        val (g0, g1, sw, swx, swxx, ll) = (r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+        val det = sw * swxx - swx * swx
+        require(det > 0.0, s"degenerate probit system at step $i")
+        b0 = r9(b0 + (swxx * g0 - swx * g1) / det)
+        b1 = r9(b1 + (sw * g1 - swx * g0) / det)
+        val llMean = new java.math.BigDecimal(ll / n)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        (i, b0, b1, llMean)
+      }
+      trace.toDF("iter", "__b0", "__b1", "log_loss")
+        .select(col("iter"), round(col("__b0"), 6).as("b0"),
+          round(col("__b1"), 6).as("b1"), col("log_loss"))
+    } finally { d.unpersist(); () }
+  }
+
   /** PLATT-SCALING calibration card — the parametric sibling of isotonic
     * calibration (q126) and the fix the ECE card (q197) calls for: a
     * 1-feature logistic (the [[irlsLoop]] fixed point — same round-9

@@ -1273,6 +1273,45 @@ class Round11OpsSpec extends SparkSpec {
     assert(p == 0L)
   }
 
+  // ------------------------------------------------- q396 probit
+
+  test("Stats.normCdf matches reference normal-CDF values to 1e-6") {
+    val pts = Seq(0.0 -> 0.5, 1.0 -> 0.8413447461, -1.0 -> 0.1586552539,
+      1.96 -> 0.9750021049, -2.5758293 -> 0.005, 3.0 -> 0.9986501020)
+    pts.foreach { case (x, want) =>
+      val got = spark.range(1)
+        .select(graft.functions.Stats.normCdf(lit(x)).as("v"))
+        .as[Double].head()
+      assert(math.abs(got - want) < 1e-6, s"x=$x got=$got want=$want")
+    }
+  }
+
+  test("irlsProbitPortable: symmetric data fixes b0=b1=0, informative " +
+      "data converges near the logistic slope / 1.6") {
+    val sym = Seq((1.0, 0.0), (1.0, 1.0), (-1.0, 0.0), (-1.0, 1.0))
+      .toDF("x", "y")
+    val s = graft.ml.MlPipelines.irlsProbitPortable(sym, "x", "y")
+      .orderBy(desc("iter")).select("b0", "b1")
+      .as[(Double, Double)].head()
+    assert(s._1 == 0.0 && s._2 == 0.0)
+    // smooth monotone relationship: probit and logit agree up to the
+    // classic ~1.6 link-scale factor
+    val rows = (0 until 200).map { i =>
+      val x = (i % 21).toDouble - 10.0
+      (x, if ((i * 7 + x * 13).toInt % 20 < 10 + x.toInt) 1.0 else 0.0)
+    }
+    val d = rows.toDF("x", "y")
+    val pb = graft.ml.MlPipelines.irlsProbitPortable(d, "x", "y",
+        iters = 8)
+      .orderBy(desc("iter")).select("b1").as[Double].head()
+    val lg = graft.ml.MlPipelines.irlsLogisticPortable(d, "x", "y",
+        iters = 8)
+      .orderBy(desc("iter")).select("b1").as[Double].head()
+    assert(pb > 0.0 && lg > 0.0)
+    val ratio = lg / pb
+    assert(ratio > 1.3 && ratio < 2.0, s"logit/probit slope ratio=$ratio")
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
