@@ -905,6 +905,50 @@ class PlanAuditSpec extends SparkSpec {
       "gaps must partition by key:\n" + p)
   }
 
+  test("q380 KMV: the rank window runs over the DISTINCT (grp, hash) " +
+      "frame and partitions by group") {
+    val p = finalPlan(SparkEntry.q380(spark, dir))
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("Window"),
+      "per-group top-k must be a rank window:\n" + p)
+    assert(finalSection.contains("hashpartitioning(grp"),
+      "the rank window must partition by grp (spillable per-group " +
+        "sort, never a global one):\n" + p)
+    assert(!finalSection.contains("CartesianProduct"), p)
+  }
+
+  test("q385 Rocchio: both retrieval rounds broadcast the query side " +
+      "against the corpus scan") {
+    val p = finalPlan(SparkEntry.q385(spark, dir))
+    val finalSection = p.split("== Initial Plan ==").head
+    val nBnl =
+      "BroadcastNestedLoopJoin".r.findAllIn(finalSection).length
+    assert(nBnl >= 2,
+      s"rounds 1 and 2 must each broadcast queries x corpus; got $nBnl:\n$p")
+    assert(!finalSection.contains("CartesianProduct"),
+      "no unbroadcast cross product anywhere in the PRF plan:\n" + p)
+  }
+
+  test("q390 jackknife: the nation dimension broadcasts and the data " +
+      "is scanned through ONE keyed aggregation") {
+    val p = finalPlan(SparkEntry.q390(spark, dir))
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("BroadcastHashJoin"),
+      "customer dim must broadcast onto orders:\n" + p)
+    assert(!finalSection.contains("SortMergeJoin"),
+      "no row-scale shuffle join:\n" + p)
+  }
+
+  test("q381 Fisher exact: the tail explode hangs off a 1-row " +
+      "aggregate — no row-scale join anywhere") {
+    val p = finalPlan(SparkEntry.q381(spark, dir))
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("Generate explode"),
+      "the hypergeometric support must be a sequence explode:\n" + p)
+    assert(!finalSection.contains("SortMergeJoin"),
+      "margins/terms frames are 1-row; every join must broadcast:\n" + p)
+  }
+
   test("q235 BPE encode: scoring scan is join-free up to the per-doc aggregate") {
     // encode with a FIXED merge table (the apply side alone — q235
     // itself trains first, which adds the q234 control-loop jobs)
