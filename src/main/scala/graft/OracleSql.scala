@@ -9120,6 +9120,21 @@ object OracleSql {
     // same Zelen–Severo normCdf/normPdf expression text, clamped Φ,
     // Fisher-scoring sums as DECIMAL(28,12).
     "q396_probit" -> q396ProbitSql,
+    // q397: the ORC round-trip's CLAIM is fidelity — the oracle is the
+    // same exact aggregate straight off the parquet table.
+    "q397_orc_roundtrip" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // q398: block bootstrap replayed — q179 congruential block starts,
+    // exact HUGEINT replicate moments, rank-exact order statistics.
+    "q398_block_bootstrap" -> q398BlockBootstrapSql,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which
@@ -12382,6 +12397,83 @@ object OracleSql {
        |  ROUND(b1, 6) + 0.0 AS b1, ll AS log_loss
        |FROM it WHERE i >= 1
        |ORDER BY iter""".stripMargin
+  }
+
+  private def q398BlockBootstrapSql: String = {
+    val seed = "(r * 31 + j * 7919)"
+    val drw = s"((($seed % 1000003) * 2654435761) % 1000003 + " +
+      s"$seed // 1000003) % 9999991 * 22695477 % 9999991 % (n - 6)"
+    s"""WITH $dailySeriesCtes,
+       |ff AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(i AS HUGEINT)) AS DOUBLE) AS fsi,
+       |    CAST(SUM(CAST(i AS HUGEINT) * i) AS DOUBLE) AS fsii,
+       |    CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS fsx,
+       |    CAST(SUM(CAST(i AS HUGEINT) * x) AS DOUBLE) AS fsix
+       |  FROM series),
+       |fit0 AS (
+       |  SELECT n, fsi, fsx,
+       |    ROUND((CAST(n AS DOUBLE) * fsix - fsi * fsx) /
+       |      (CAST(n AS DOUBLE) * fsii - fsi * fsi), 9) AS bf
+       |  FROM ff),
+       |fit AS (
+       |  SELECT n, bf,
+       |    ROUND((fsx - bf * fsi) / CAST(n AS DOUBLE), 9) AS af
+       |  FROM fit0),
+       |resid AS (
+       |  SELECT s.i AS i,
+       |    CAST(s.x AS DOUBLE) -
+       |      (af + bf * CAST(s.i AS DOUBLE)) AS e
+       |  FROM series s, fit),
+       |r0 AS (
+       |  SELECT CAST(UNNEST(generate_series(0, 31)) AS BIGINT) AS r),
+       |j0 AS (
+       |  SELECT r, n,
+       |    CAST(UNNEST(generate_series(0, (n + 6) // 7 - 1)) AS BIGINT)
+       |      AS j
+       |  FROM r0, fit),
+       |st AS (SELECT r, j, n, $drw AS s FROM j0),
+       |off AS (
+       |  SELECT r, j, s,
+       |    CAST(UNNEST(generate_series(0, 6)) AS BIGINT) AS o
+       |  FROM st),
+       |ps AS (SELECT r, j * 7 + o AS pos, s + o AS i FROM off),
+       |perr AS (
+       |  SELECT r, CAST(COUNT(*) AS BIGINT) AS m,
+       |    CAST(SUM(CAST(pos AS HUGEINT)) AS DOUBLE) AS sp,
+       |    CAST(SUM(CAST(pos AS HUGEINT) * pos) AS DOUBLE) AS spp,
+       |    CAST(SUM(CAST(ROUND(e, 12) AS DECIMAL(38,12))) AS DOUBLE)
+       |      AS se,
+       |    CAST(SUM(CAST(ROUND(CAST(pos AS DOUBLE) * e, 12)
+       |      AS DECIMAL(38,12))) AS DOUBLE) AS spe
+       |  FROM ps JOIN resid USING (i) GROUP BY r),
+       |sl AS (
+       |  SELECT r,
+       |    bf + (CAST(m AS DOUBLE) * spe - sp * se) /
+       |      (CAST(m AS DOUBLE) * spp - sp * sp) AS b
+       |  FROM perr, fit),
+       |rk AS (
+       |  SELECT r, b, ROW_NUMBER() OVER (ORDER BY b, r) AS rk FROM sl),
+       |agg AS (
+       |  SELECT
+       |    CAST(SUM(CAST(ROUND(b, 12) AS DECIMAL(38,12))) AS DOUBLE)
+       |      AS sb,
+       |    CAST(SUM(CAST(ROUND(b * b, 12) AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS sbb,
+       |    MAX(CASE WHEN rk = 2 THEN b END) AS lo,
+       |    MAX(CASE WHEN rk = 31 THEN b END) AS hi,
+       |    CAST(COUNT(*) AS BIGINT) AS n_boot
+       |  FROM rk)
+       |SELECT fit.n AS n_days, n_boot, CAST(7 AS BIGINT) AS block_len,
+       |  ROUND(bf, 6) + 0.0 AS slope_full,
+       |  ROUND(sb / CAST(n_boot AS DOUBLE), 6) + 0.0 AS boot_mean,
+       |  ROUND(SQRT(GREATEST(0.0,
+       |    (sbb - CAST(n_boot AS DOUBLE) * (sb / CAST(n_boot AS DOUBLE)) *
+       |      (sb / CAST(n_boot AS DOUBLE))) /
+       |    (CAST(n_boot AS DOUBLE) - 1.0))), 6) AS boot_se,
+       |  ROUND(lo, 6) + 0.0 AS ci_lo,
+       |  ROUND(hi, 6) + 0.0 AS ci_hi
+       |FROM fit, agg""".stripMargin
   }
 
   private def q388SignTestSql: String =

@@ -4476,6 +4476,48 @@ object SparkEntry {
       "l_quantity", "l_returnflag_bin", iters = 6)
       .orderBy(col("iter"))
 
+  // ---------------------------------------------------------------- q397
+  // ORC round-trip fidelity: lineitem columns written to ORC and read
+  // back, then the q01-style exact aggregate — hash-equal to the same
+  // aggregate straight off parquet, proving the second columnar format
+  // in the I/O matrix preserves types and values bit-for-bit. The
+  // scratch table is removed after the (materialized) read-back.
+  def q397(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_TMP_ROOT",
+          System.getProperty("java.io.tmpdir"))),
+      "graft_q397_")
+    try {
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        .write.mode("overwrite").orc(s"$root/li_orc")
+      val res = spark.read.orc(s"$root/li_orc")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          graft.functions.Stats.dsum(col("l_quantity"), 2).as("sum_qty"),
+          graft.functions.Stats.dsum(col("l_extendedprice"), 2)
+            .as("sum_price"))
+        .orderBy(col("l_returnflag"))
+      // materialize BEFORE the scratch dir disappears
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      res.collect().foreach(rows.add)
+      spark.createDataFrame(rows, res.schema)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }
+  }
+
+  // ---------------------------------------------------------------- q398
+  // Moving-block bootstrap CI for the daily trend slope: seeded blocks
+  // preserve short-range dependence inside each resample — the honest
+  // SE for autocorrelated days, next to q390's iid-cluster jackknife
+  // and q272's iid Poisson bootstrap.
+  def q398(spark: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.blockBootstrapTrend(t(spark, dir, "events"), "ts")
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5787,6 +5829,8 @@ object SparkEntry {
     "q394_davies_bouldin" -> (q394 _),
     "q395_turning_points" -> (q395 _),
     "q396_probit" -> (q396 _),
+    "q397_orc_roundtrip" -> (q397 _),
+    "q398_block_bootstrap" -> (q398 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

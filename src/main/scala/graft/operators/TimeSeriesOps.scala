@@ -1417,6 +1417,113 @@ object TimeSeriesOps {
         .as("z"))
   }
 
+  /** RESIDUAL moving-block bootstrap (Künsch 1989) for the daily trend
+    * slope: fit the OLS line once, then build `nBoot` replicate series
+    * as (trend at the new position) + (a seeded random BLOCK of
+    * consecutive residuals), refit each, and report the replicate
+    * mean/SE and the (2nd, 31st) order-statistic interval (≈90% at
+    * B=32). THE honest uncertainty for a trend on AUTOCORRELATED days:
+    * the iid jackknife/bootstrap understates the SE exactly when days
+    * are dependent, and residual blocks preserve that short-range
+    * dependence inside each resample — while resampling the RAW series
+    * (the naive MBB) would scramble block levels and destroy the very
+    * trend being measured (caught by this operator's spec).
+    *
+    * Exactness: block starts are exact congruential integers; the
+    * fitted line uses round-9 parameters so residuals are identical
+    * doubles in both engines; replicate moments accumulate as round-12
+    * decimals; order statistics are rank-exact.
+    *
+    * Scale shape: the replicate frame is (B × m blocks × L offsets)
+    * rows off a 1-row aggregate, one equi-join against the bounded
+    * spine, one (replicate)-keyed reduction, one rank window over B
+    * rows.
+    */
+  def blockBootstrapTrend(df: DataFrame, tsCol: String, nBoot: Int = 32,
+      blockLen: Int = 7, salt: Long = 0L): DataFrame = {
+    require(nBoot >= 8 && blockLen >= 2,
+      "need nBoot >= 8 and blockLen >= 2")
+    val series = dailyCountSeries(df, tsCol).persist()
+    try {
+      def r9(v: Double): Double =
+        new java.math.BigDecimal(v)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      def dec0(c: Column): Column = c.cast("decimal(38,0)")
+      val f = series.agg(count(lit(1)).as("n"),
+        sum(dec0(col("i"))).cast("double").as("si"),
+        sum(dec0(col("i")) * dec0(col("i"))).cast("double").as("sii"),
+        sum(dec0(col("x"))).cast("double").as("sx"),
+        sum(dec0(col("i")) * dec0(col("x"))).cast("double").as("six"))
+        .head()
+      val n = f.getLong(0)
+      require(n > blockLen, s"spine of $n days needs > blockLen days")
+      val nD = n.toDouble
+      val (si, sii, sx, six) =
+        (f.getDouble(1), f.getDouble(2), f.getDouble(3), f.getDouble(4))
+      val bFull = r9((nD * six - si * sx) / (nD * sii - si * si))
+      val aFull = r9((sx - bFull * si) / nD)
+      val mBlocks = ((n + blockLen - 1) / blockLen).toInt
+      val p1 = 1000003L
+      val p2 = 9999991L
+      def draw(seed: Column): Column = {
+        val x1 = pmod(pmod(seed, lit(p1)) * lit(2654435761L), lit(p1))
+        val x2 = pmod(pmod(x1 + (seed.cast("decimal(38,0)") / lit(p1))
+            .cast("long"), lit(p2)) * lit(22695477L), lit(p2))
+        pmod(x2, lit(n - blockLen + 1))
+      }
+      val resid = series.select(col("i"),
+        (col("x").cast("double") -
+          (lit(aFull) + lit(bFull) * col("i").cast("double"))).as("e"))
+      val blocks = series.sparkSession.range(1).select(
+          explode(sequence(lit(0L), lit(nBoot - 1L))).as("r"))
+        .select(col("r"),
+          explode(sequence(lit(0L), lit(mBlocks - 1L))).as("j"))
+        .select(col("r"), col("j"),
+          draw(col("r") * lit(31L) + col("j") * lit(7919L) + lit(salt))
+            .as("s"))
+        .select(col("r"), col("j"), col("s"),
+          explode(sequence(lit(0L), lit(blockLen - 1L))).as("o"))
+        .select(col("r"),
+          (col("j") * lit(blockLen.toLong) + col("o")).as("pos"),
+          (col("s") + col("o")).as("i"))
+      def d12s(c: Column): Column =
+        sum(round(c, 12).cast("decimal(38,12)")).cast("double")
+      val joined = blocks.join(resid, "i")
+      val perR = joined.groupBy(col("r"))
+        .agg(count(lit(1)).as("m"),
+          sum(dec0(col("pos"))).cast("double").as("sp"),
+          sum(dec0(col("pos")) * dec0(col("pos"))).cast("double")
+            .as("spp"),
+          d12s(col("e")).as("se"),
+          d12s(col("pos").cast("double") * col("e")).as("spe"))
+      val mD = col("m").cast("double")
+      val slopes = perR.select(col("r"),
+        (lit(bFull) + (mD * col("spe") - col("sp") * col("se")) /
+          (mD * col("spp") - col("sp") * col("sp"))).as("b"))
+      val w = Window.orderBy(col("b"), col("r"))
+      val ranked = slopes.withColumn("rk", row_number().over(w))
+      def d12(c: Column): Column =
+        sum(round(c, 12).cast("decimal(38,12)")).cast("double")
+      val agg = ranked.agg(
+        d12(col("b")).as("__sb"), d12(col("b") * col("b")).as("__sbb"),
+        max(when(col("rk") === 2, col("b"))).as("__lo"),
+        max(when(col("rk") === nBoot - 1, col("b"))).as("__hi"),
+        count(lit(1)).as("n_boot"))
+      val bD = col("n_boot").cast("double")
+      val bootMean = col("__sb") / bD
+      agg.select(
+        lit(n).as("n_days"), col("n_boot"),
+        lit(blockLen.toLong).as("block_len"),
+        round(lit(bFull), 6).as("slope_full"),
+        round(bootMean, 6).as("boot_mean"),
+        round(sqrt(greatest(lit(0.0),
+          (col("__sbb") - bD * bootMean * bootMean) / (bD - lit(1.0)))),
+          6).as("boot_se"),
+        round(col("__lo"), 6).as("ci_lo"),
+        round(col("__hi"), 6).as("ci_hi"))
+    } finally { series.unpersist(); () }
+  }
+
   /** Gap-filled (i, x) daily-count spine: day index from the calendar
     * minimum, missing days as exact zero counts — the shared base of
     * the whole daily-diagnostics family.

@@ -1312,6 +1312,46 @@ class Round11OpsSpec extends SparkSpec {
     assert(ratio > 1.3 && ratio < 2.0, s"logit/probit slope ratio=$ratio")
   }
 
+  // ------------------------------------- q397/q398 io + uncertainty
+
+  test("ORC round-trip preserves mixed types and values exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc_")
+    try {
+      val d = Seq((1L, "a", 1.0 / 3.0, true),
+        (2L, "b", -0.000001, false),
+        (3L, null.asInstanceOf[String], 9.87654321e18, true))
+        .toDF("id", "s", "v", "f")
+      d.write.mode("overwrite").orc(dir.resolve("t").toString)
+      val back = spark.read.orc(dir.resolve("t").toString)
+      // ORC read-back relaxes nullability; names and types must hold
+      assert(back.schema.map(f => (f.name, f.dataType)) ==
+        d.schema.map(f => (f.name, f.dataType)))
+      assert(back.orderBy("id").collect().toSeq ==
+        d.orderBy("id").collect().toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("blockBootstrapTrend: constant series gives zero slope, zero " +
+      "spread; rank interval brackets the replicate mean") {
+    val const = graft.operators.TimeSeriesOps
+      .blockBootstrapTrend(dailyEvents(Seq.fill(20)(6)), "ts")
+      .select("slope_full", "boot_mean", "boot_se", "ci_lo", "ci_hi")
+      .as[(Double, Double, Double, Double, Double)].head()
+    assert(const == ((0.0, 0.0, 0.0, 0.0, 0.0)))
+    val trend = graft.operators.TimeSeriesOps
+      .blockBootstrapTrend(
+        dailyEvents((0 until 28).map(i => 10 + 2 * i)), "ts")
+      .select("slope_full", "boot_mean", "boot_se", "ci_lo", "ci_hi")
+      .as[(Double, Double, Double, Double, Double)].head()
+    assert(trend._1 == 2.0) // exact OLS on the exact line
+    assert(trend._4 <= trend._2 && trend._2 <= trend._5)
+    assert(trend._3 >= 0.0)
+    // blocks preserve the local slope: replicates stay near the truth
+    assert(math.abs(trend._2 - 2.0) < 1.0, trend.toString)
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
