@@ -9135,6 +9135,10 @@ object OracleSql {
     // q398: block bootstrap replayed — q179 congruential block starts,
     // exact HUGEINT replicate moments, rank-exact order statistics.
     "q398_block_bootstrap" -> q398BlockBootstrapSql,
+    // q399: UCB1 replay replayed — round-9 normalized day×arm rewards,
+    // a 10-column state recursion with the argmax cascade, the same
+    // sequential reward/regret accumulation order.
+    "q399_ucb_replay" -> q399UcbReplaySql,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which
@@ -12474,6 +12478,94 @@ object OracleSql {
        |  ROUND(lo, 6) + 0.0 AS ci_lo,
        |  ROUND(hi, 6) + 0.0 AS ci_hi
        |FROM fit, agg""".stripMargin
+  }
+
+  private def q399UcbReplaySql: String = {
+    val arms = Seq("click", "error", "purchase", "signup", "view")
+    def u(i: Int): String =
+      s"CASE WHEN it.n$i > 0 THEN it.s$i / CAST(it.n$i AS DOUBLE) + " +
+        s"SQRT(2.0 * LN(CAST(it.t + 1 AS DOUBLE)) / " +
+        s"CAST(it.n$i AS DOUBLE)) ELSE 0.0 END"
+    val armCase = arms.zipWithIndex
+      .map { case (a, i) => s"WHEN ${i + 1} THEN '$a'" }.mkString(" ")
+    val rCase = (1 to 5).map(i => s"WHEN $i THEN r$i").mkString(" ")
+    s"""WITH RECURSIVE cells AS (
+       |  SELECT CAST(ts AS DATE) AS day, event_type AS arm,
+       |    CAST(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(28,12)))
+       |      AS DOUBLE) / COUNT(*) AS m
+       |  FROM events
+       |  WHERE event_type IN ('click', 'error', 'purchase', 'signup',
+       |    'view') AND value IS NOT NULL
+       |  GROUP BY day, arm),
+       |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM cells),
+       |days AS (
+       |  SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+       |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+       |  FROM b),
+       |mx AS (SELECT MAX(m) AS mxv FROM cells),
+       |grid AS (
+       |  SELECT CAST(date_diff('day', b.lo, d.day) AS BIGINT) + 1 AS t,
+       |${arms.zipWithIndex.map { case (a, i) =>
+           s"    COALESCE(MAX(CASE WHEN arm = '$a' " +
+             s"THEN ROUND(m / mxv, 9) END), 0.0) AS r${i + 1}"
+         }.mkString(",\n|")}
+       |  FROM days d CROSS JOIN b CROSS JOIN mx
+       |    LEFT JOIN cells c ON c.day = d.day
+       |  GROUP BY 1),
+       |it(t, n1, s1, n2, s2, n3, s3, n4, s4, n5, s5,
+       |    chosen, rew, cum) AS (
+       |  SELECT CAST(0 AS BIGINT),
+       |    0, CAST(0.0 AS DOUBLE), 0, CAST(0.0 AS DOUBLE),
+       |    0, CAST(0.0 AS DOUBLE), 0, CAST(0.0 AS DOUBLE),
+       |    0, CAST(0.0 AS DOUBLE),
+       |    0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+       |  UNION ALL
+       |  SELECT t,
+       |${(1 to 5).map(i =>
+           s"    n$i + CASE WHEN ch = $i THEN 1 ELSE 0 END,\n" +
+           s"|    s$i + CASE WHEN ch = $i THEN r$i ELSE 0.0 END"
+         ).mkString(",\n|")},
+       |    ch,
+       |    CASE ch $rCase END,
+       |    cum + CASE ch $rCase END
+       |  FROM (
+       |    SELECT g.t AS t, it.n1, it.s1, it.n2, it.s2, it.n3, it.s3,
+       |      it.n4, it.s4, it.n5, it.s5, it.cum AS cum,
+       |      g.r1 AS r1, g.r2 AS r2, g.r3 AS r3, g.r4 AS r4, g.r5 AS r5,
+       |      CASE WHEN it.t + 1 <= 5 THEN CAST(it.t + 1 AS INT)
+       |        WHEN ${u(1)} >= ${u(2)} AND ${u(1)} >= ${u(3)}
+       |          AND ${u(1)} >= ${u(4)} AND ${u(1)} >= ${u(5)} THEN 1
+       |        WHEN ${u(2)} >= ${u(3)} AND ${u(2)} >= ${u(4)}
+       |          AND ${u(2)} >= ${u(5)} THEN 2
+       |        WHEN ${u(3)} >= ${u(4)} AND ${u(3)} >= ${u(5)} THEN 3
+       |        WHEN ${u(4)} >= ${u(5)} THEN 4
+       |        ELSE 5 END AS ch
+       |    FROM it JOIN grid g ON g.t = it.t + 1)),
+       |tots AS (
+       |  SELECT
+       |${(1 to 5).map(i =>
+           s"    CAST(SUM(CAST(r$i AS DECIMAL(28,12))) AS DOUBLE) AS t$i"
+         ).mkString(",\n|")}
+       |  FROM grid),
+       |bsel AS (
+       |  SELECT CASE
+       |    WHEN t1 >= t2 AND t1 >= t3 AND t1 >= t4 AND t1 >= t5 THEN 1
+       |    WHEN t2 >= t3 AND t2 >= t4 AND t2 >= t5 THEN 2
+       |    WHEN t3 >= t4 AND t3 >= t5 THEN 3
+       |    WHEN t4 >= t5 THEN 4
+       |    ELSE 5 END AS ba
+       |  FROM tots),
+       |bcum AS (
+       |  SELECT t, SUM(CASE ba $rCase END) OVER (ORDER BY t
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bc
+       |  FROM grid, bsel)
+       |SELECT it.t AS t,
+       |  CASE chosen $armCase END AS chosen_arm,
+       |  ROUND(rew, 6) AS reward,
+       |  ROUND(cum, 6) AS cum_reward,
+       |  ROUND(bc - cum, 6) + 0.0 AS cum_regret
+       |FROM it JOIN bcum ON bcum.t = it.t
+       |WHERE it.t >= 1 ORDER BY t""".stripMargin
   }
 
   private def q388SignTestSql: String =

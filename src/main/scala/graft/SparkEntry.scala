@@ -4518,6 +4518,17 @@ object SparkEntry {
   def q398(spark: SparkSession, dir: String): DataFrame =
     TimeSeriesOps.blockBootstrapTrend(t(spark, dir, "events"), "ts")
 
+  // ---------------------------------------------------------------- q399
+  // UCB1 bandit replay over the daily per-event-type reward matrix:
+  // what would adaptive allocation have done on the logged days, and
+  // what did exploration cost vs the hindsight-best fixed arm — the
+  // policy-level judgment the static A/B battery (q121/q178/q218)
+  // can't give. Fully deterministic; the whole trajectory hash-checks.
+  def q399(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.BanditOps.ucbReplay(
+      t(spark, dir, "events"), "ts", "event_type", "value",
+      Seq("click", "error", "purchase", "signup", "view"))
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5831,6 +5842,7 @@ object SparkEntry {
     "q396_probit" -> (q396 _),
     "q397_orc_roundtrip" -> (q397 _),
     "q398_block_bootstrap" -> (q398 _),
+    "q399_ucb_replay" -> (q399 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

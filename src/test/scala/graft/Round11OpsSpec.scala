@@ -1352,6 +1352,34 @@ class Round11OpsSpec extends SparkSpec {
     assert(math.abs(trend._2 - 2.0) < 1.0, trend.toString)
   }
 
+  // ---------------------------------------------------- q399 UCB replay
+
+  test("ucbReplay locks onto a dominant arm and regret counts its " +
+      "exploration exactly") {
+    // arm a pays 1.0 (normalized) every day, arm b pays 0.2: each pull
+    // of b costs exactly 0.8 regret, so cum_regret == 0.8 * pulls(b)
+    val rows = (0 until 20).flatMap { d =>
+      Seq(("a", 10.0), ("a", 10.0), ("b", 2.0), ("b", 2.0))
+        .map { case (arm, v) => (tsDay(d), arm, v) }
+    }
+    val ev = rows.toDF("ts", "event_type", "value")
+    val r = graft.operators.BanditOps
+      .ucbReplay(ev, "ts", "event_type", "value", Seq("a", "b"))
+      .select("t", "chosen_arm", "cum_regret")
+      .as[(Long, String, Double)].collect().toSeq.sortBy(_._1)
+    val pullsB = r.count(_._2 == "b")
+    val pullsA = r.count(_._2 == "a")
+    assert(pullsA > pullsB, s"a=$pullsA b=$pullsB")
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.last._3 == r6(0.8 * pullsB), s"regret=${r.last._3}")
+    // regret is non-decreasing (b-pulls only add)
+    r.sliding(2).foreach {
+      case Seq(x, y) => assert(y._3 >= x._3 - 1e-9)
+      case _ => ()
+    }
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
