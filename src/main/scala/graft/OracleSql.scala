@@ -9139,6 +9139,10 @@ object OracleSql {
     // a 10-column state recursion with the argmax cascade, the same
     // sequential reward/regret accumulation order.
     "q399_ucb_replay" -> q399UcbReplaySql,
+    // q400: randomization test replayed — congruential per-(unit,perm)
+    // draws, fixed-size relabeling via per-perm rank, DECIMAL(28,12)
+    // mean shapes, exact extreme counting.
+    "q400_permutation_test" -> q400PermutationSql,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which
@@ -12566,6 +12570,58 @@ object OracleSql {
        |  ROUND(bc - cum, 6) + 0.0 AS cum_regret
        |FROM it JOIN bcum ON bcum.t = it.t
        |WHERE it.t >= 1 ORDER BY t""".stripMargin
+  }
+
+  private def q400PermutationSql: String = {
+    val seed = "(u * 31 + p * 7919)"
+    val drw = s"((($seed % 1000003) * 2654435761) % 1000003 + " +
+      s"$seed // 1000003) % 9999991 * 22695477 % 9999991"
+    s"""WITH uu AS (
+       |  SELECT user_id AS u,
+       |    CAST(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(28,12)))
+       |      AS DOUBLE) / COUNT(*) AS v,
+       |    user_id % 2 = 0 AS a
+       |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na
+       |  FROM uu),
+       |obs AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN a THEN CAST(v AS DECIMAL(28,12)) END)
+       |        AS DOUBLE) / CAST(na AS DOUBLE) -
+       |      CAST(SUM(CASE WHEN NOT a THEN CAST(v AS DECIMAL(28,12)) END)
+       |        AS DOUBLE) / CAST(n - na AS DOUBLE) AS od
+       |  FROM uu, m GROUP BY n, na),
+       |pm AS (
+       |  SELECT u, v,
+       |    CAST(UNNEST(generate_series(1, 64)) AS BIGINT) AS p
+       |  FROM uu),
+       |dr AS (SELECT u, v, p, $drw AS d FROM pm),
+       |rl AS (
+       |  SELECT p, v, n, na,
+       |    ROW_NUMBER() OVER (PARTITION BY p ORDER BY d, u) AS rn
+       |  FROM dr, m),
+       |pp AS (
+       |  SELECT p,
+       |    CAST(SUM(CASE WHEN rn <= na
+       |        THEN CAST(v AS DECIMAL(28,12)) END) AS DOUBLE) /
+       |      CAST(na AS DOUBLE) -
+       |      CAST(SUM(CASE WHEN NOT rn <= na
+       |        THEN CAST(v AS DECIMAL(28,12)) END) AS DOUBLE) /
+       |      CAST(n - na AS DOUBLE) AS pd
+       |  FROM rl GROUP BY p, n, na),
+       |card AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_perm,
+       |    CAST(SUM(CASE WHEN ABS(pd) >= ABS(od) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_extreme
+       |  FROM pp, obs)
+       |SELECT m.n AS n_units, m.na AS n_a, m.n - m.na AS n_b,
+       |  ROUND(od, 6) + 0.0 AS obs_diff,
+       |  n_perm, n_extreme,
+       |  ROUND(CAST(n_extreme + 1 AS DOUBLE) /
+       |    CAST(n_perm + 1 AS DOUBLE), 6) AS p_value
+       |FROM m, obs, card""".stripMargin
   }
 
   private def q388SignTestSql: String =

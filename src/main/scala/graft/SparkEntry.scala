@@ -4529,6 +4529,23 @@ object SparkEntry {
       t(spark, dir, "events"), "ts", "event_type", "value",
       Seq("click", "error", "purchase", "signup", "view"))
 
+  // ---------------------------------------------------------------- q400
+  // Seeded randomization test on the q121 experiment frame: does the
+  // parity split move the per-user mean event value? 64 exact
+  // fixed-size label permutations, two-sided p — the assumption-free
+  // member of the location battery (Welch trusts normality,
+  // Mann–Whitney changes the estimand; this tests THE mean under the
+  // randomization null alone).
+  def q400(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = t(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg((graft.functions.Stats.dsum(col("value").cast("double"), 12) /
+        count(lit(1))).as("mv"))
+    graft.operators.DriftOps.permutationTest(
+      perUser, "user_id", "mv", pmod(col("user_id"), lit(2)) === 0)
+  }
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5843,6 +5860,7 @@ object SparkEntry {
     "q397_orc_roundtrip" -> (q397 _),
     "q398_block_bootstrap" -> (q398 _),
     "q399_ucb_replay" -> (q399 _),
+    "q400_permutation_test" -> (q400 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -2036,6 +2036,79 @@ object DriftOps {
       round(exp(lnP) - lit(0.5) * exp(termAt(aD)), 6).as("mid_p_right"))
   }
 
+  /** Seeded randomization (permutation) test for a two-group mean
+    * difference (Fisher–Pitman): `nPerm` label permutations are built
+    * from engine-portable congruential draws — permutation p ranks the
+    * units by draw(id, p) and relabels the first n_A as pseudo-A, so
+    * group sizes are preserved EXACTLY — and the two-sided p-value is
+    * (1 + #{|Δ*| ≥ |Δ|})/(nPerm + 1). The assumption-free member of
+    * the location battery: Welch (q266) trusts normality of means,
+    * Mann–Whitney (q259) changes the estimand to ranks; this one tests
+    * THE mean difference under the randomization null alone.
+    *
+    * Portability: draws and ranks are exact integers, per-permutation
+    * means are round-12 decimal sums in one fixed shape, and the
+    * extreme-count compares identical doubles — the full trajectory
+    * hash-checks.
+    *
+    * Scale contract: each permutation ranks all n units in ONE ordered
+    * window partition, so this is for BOUNDED unit frames (per-user /
+    * per-entity aggregates) — enforced via `maxUnits`, like the
+    * survival-grid contracts. The (nPerm × n) frame itself is a
+    * projection + keyed window + keyed reduction, nothing driver-side.
+    */
+  def permutationTest(perUnit: DataFrame, idCol: String, valCol: String,
+      groupExpr: Column, nPerm: Int = 64, salt: Long = 0L,
+      maxUnits: Long = 1000000L): DataFrame = {
+    import graft.functions.Stats.dsum
+    require(nPerm >= 16, s"need nPerm >= 16, got $nPerm")
+    val d = perUnit.filter(col(valCol).isNotNull)
+      .select(col(idCol).cast("long").as("u"),
+        col(valCol).cast("double").as("v"), groupExpr.as("__a"))
+      .persist()
+    try {
+      val m = d.agg(count(lit(1)).as("n"),
+        sum(when(col("__a"), 1L).otherwise(0L)).as("na")).head()
+      val (n, na) = (m.getLong(0), m.getLong(1))
+      require(n <= maxUnits,
+        s"permutationTest unit frame of $n exceeds maxUnits=$maxUnits; " +
+          "aggregate to a bounded unit grain first")
+      require(na >= 2 && n - na >= 2, "need >= 2 units per group")
+      val naD = na.toDouble
+      val nbD = (n - na).toDouble
+      val obs = d.agg(
+        (dsum(when(col("__a"), col("v")), 12) / lit(naD) -
+          dsum(when(!col("__a"), col("v")), 12) / lit(nbD)).as("__obs"))
+      val p1 = 1000003L
+      val p2 = 9999991L
+      val seed = col("u") * lit(31L) + col("p") * lit(7919L) + lit(salt)
+      val x1 = pmod(pmod(seed, lit(p1)) * lit(2654435761L), lit(p1))
+      val x2 = pmod(pmod(x1 + (seed.cast("decimal(38,0)") / lit(p1))
+          .cast("long"), lit(p2)) * lit(22695477L), lit(p2))
+      val perms = d.select(col("u"), col("v"),
+          explode(sequence(lit(1L), lit(nPerm.toLong))).as("p"))
+        .withColumn("__d", x2)
+      val w = Window.partitionBy(col("p"))
+        .orderBy(col("__d"), col("u"))
+      val relabeled = perms
+        .withColumn("__pa", row_number().over(w) <= na)
+      val perPerm = relabeled.groupBy(col("p"))
+        .agg((dsum(when(col("__pa"), col("v")), 12) / lit(naD) -
+          dsum(when(!col("__pa"), col("v")), 12) / lit(nbD)).as("__pd"))
+      val card = perPerm.crossJoin(broadcast(obs))
+        .agg(count(lit(1)).as("n_perm"),
+          sum(when(abs(col("__pd")) >= abs(col("__obs")), 1L)
+            .otherwise(0L)).as("n_extreme"),
+          max(col("__obs")).as("__obs"))
+      card.select(
+        lit(n).as("n_units"), lit(na).as("n_a"), lit(n - na).as("n_b"),
+        round(col("__obs"), 6).as("obs_diff"),
+        col("n_perm"), col("n_extreme"),
+        round((col("n_extreme") + lit(1L)).cast("double") /
+          (col("n_perm") + lit(1L)).cast("double"), 6).as("p_value"))
+    } finally { d.unpersist(); () }
+  }
+
   /** Inverse-variance meta-analysis of per-stratum two-arm mean
     * differences (fixed effect + DerSimonian–Laird 1986 random
     * effects): each stratum (`studyCol` value) contributes the effect

@@ -1380,6 +1380,31 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  // -------------------------------------------- q400 permutation test
+
+  test("permutationTest: a planted separation gives the minimum " +
+      "attainable p, a degenerate null gives p = 1") {
+    // A sits 100 above B: no fixed-size relabeling can reach the
+    // observed diff, so n_extreme = 0 and p = 1/(B+1)
+    val sep = ((1 to 20).map(i => (i.toLong, 100.0 + i, true)) ++
+      (21 to 40).map(i => (i.toLong, 0.0 + i - 20, false)))
+      .toDF("uid", "v", "grp")
+    val r1 = DriftOps.permutationTest(sep, "uid", "v", col("grp"))
+      .select("n_a", "n_b", "n_extreme", "p_value")
+      .as[(Long, Long, Long, Double)].head()
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1._1 == 20L && r1._2 == 20L)
+    assert(r1._3 == 0L && r1._4 == r6(1.0 / 65.0))
+    // identical values: every relabeling ties the observed 0 -> p = 1
+    val nul = (1 to 40).map(i => (i.toLong, 7.0, i % 2 == 0))
+      .toDF("uid", "v", "grp")
+    val r2 = DriftOps.permutationTest(nul, "uid", "v", col("grp"))
+      .select("obs_diff", "n_extreme", "p_value")
+      .as[(Double, Long, Double)].head()
+    assert(r2._1 == 0.0 && r2._2 == 64L && r2._3 == 1.0)
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
