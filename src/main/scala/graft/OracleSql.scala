@@ -9143,6 +9143,9 @@ object OracleSql {
     // draws, fixed-size relabeling via per-perm rank, DECIMAL(28,12)
     // mean shapes, exact extreme counting.
     "q400_permutation_test" -> q400PermutationSql,
+    // q401: two-feature IRLS replayed — the q189 recursive-CTE
+    // contract with a 3×3 Cramer solve in the shared det3 shape.
+    "q401_logistic_2f" -> q401Logistic2Sql,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which
@@ -12622,6 +12625,72 @@ object OracleSql {
        |  ROUND(CAST(n_extreme + 1 AS DOUBLE) /
        |    CAST(n_perm + 1 AS DOUBLE), 6) AS p_value
        |FROM m, obs, card""".stripMargin
+  }
+
+  /** 3×3 determinant in the fixed [[graft]] det3 shape (row-major). */
+  private def det3Sql(a: String, b: String, c: String, d: String,
+      e: String, f: String, g: String, h: String, i: String): String =
+    s"(($a) * (($e) * ($i) - ($f) * ($h)) - " +
+      s"($b) * (($d) * ($i) - ($f) * ($g)) + " +
+      s"($c) * (($d) * ($h) - ($e) * ($g)))"
+
+  private def q401Logistic2Sql: String = {
+    val det = det3Sql("s0", "s1", "s2", "s1", "s11", "s12",
+      "s2", "s12", "s22")
+    val d0 = det3Sql("g0", "s1", "s2", "g1", "s11", "s12",
+      "g2", "s12", "s22")
+    val d1 = det3Sql("s0", "g0", "s2", "s1", "g1", "s12",
+      "s2", "g2", "s22")
+    val d2 = det3Sql("s0", "s1", "g0", "s1", "s11", "g1",
+      "s2", "s12", "g2")
+    s"""WITH RECURSIVE d AS (
+       |  SELECT CAST(l_quantity AS DOUBLE) AS x1,
+       |    CAST(l_discount AS DOUBLE) AS x2,
+       |    CASE WHEN l_returnflag <> 'N' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM lineitem WHERE l_orderkey < 500),
+       |it(i, b0, b1, b2, ll) AS (
+       |  SELECT 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+       |    CAST(0.0 AS DOUBLE), CAST(NULL AS DOUBLE)
+       |  UNION ALL
+       |  SELECT i + 1,
+       |    ROUND(b0 + $d0 / $det, 9),
+       |    ROUND(b1 + $d1 / $det, 9),
+       |    ROUND(b2 + $d2 / $det, 9),
+       |    llm
+       |  FROM (
+       |    SELECT i, b0, b1, b2,
+       |      CAST(SUM(CAST(y - p AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+       |      CAST(SUM(CAST((y - p) * x1 AS DECIMAL(28,12))) AS DOUBLE)
+       |        AS g1,
+       |      CAST(SUM(CAST((y - p) * x2 AS DECIMAL(28,12))) AS DOUBLE)
+       |        AS g2,
+       |      CAST(SUM(CAST(p * (1.0 - p) AS DECIMAL(28,12))) AS DOUBLE)
+       |        AS s0,
+       |      CAST(SUM(CAST(p * (1.0 - p) * x1 AS DECIMAL(28,12)))
+       |        AS DOUBLE) AS s1,
+       |      CAST(SUM(CAST(p * (1.0 - p) * x2 AS DECIMAL(28,12)))
+       |        AS DOUBLE) AS s2,
+       |      CAST(SUM(CAST(p * (1.0 - p) * x1 * x1 AS DECIMAL(28,12)))
+       |        AS DOUBLE) AS s11,
+       |      CAST(SUM(CAST(p * (1.0 - p) * x1 * x2 AS DECIMAL(28,12)))
+       |        AS DOUBLE) AS s12,
+       |      CAST(SUM(CAST(p * (1.0 - p) * x2 * x2 AS DECIMAL(28,12)))
+       |        AS DOUBLE) AS s22,
+       |      ROUND(CAST(SUM(CAST(y * LN(p) + (1.0 - y) * LN(1.0 - p)
+       |          AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS llm
+       |    FROM (
+       |      SELECT it.i AS i, it.b0 AS b0, it.b1 AS b1, it.b2 AS b2,
+       |        d.x1 AS x1, d.x2 AS x2, d.y AS y,
+       |        1.0 / (1.0 + EXP(-(it.b0 + it.b1 * d.x1 +
+       |          it.b2 * d.x2))) AS p
+       |      FROM it, d
+       |      WHERE it.i < 6)
+       |    GROUP BY i, b0, b1, b2))
+       |SELECT i AS iter, ROUND(b0, 6) + 0.0 AS b0,
+       |  ROUND(b1, 6) + 0.0 AS b1, ROUND(b2, 6) + 0.0 AS b2,
+       |  ll AS log_loss
+       |FROM it WHERE i >= 1
+       |ORDER BY iter""".stripMargin
   }
 
   private def q388SignTestSql: String =

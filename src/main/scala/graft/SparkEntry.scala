@@ -4546,6 +4546,17 @@ object SparkEntry {
       perUser, "user_id", "mv", pmod(col("user_id"), lit(2)) === 0)
   }
 
+  // ---------------------------------------------------------------- q401
+  // TWO-feature logistic on q189's slice (quantity + discount): the
+  // multivariable portable fit — adjusted coefficients from a 3×3
+  // Cramer-solved Fisher step each round, still hash-checked end to
+  // end via a recursive CTE.
+  def q401(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.irlsLogistic2Portable(
+      withReturnFlagBin(
+        t(spark, dir, "lineitem").filter(col("l_orderkey") < 500)),
+      "l_quantity", "l_discount", "l_returnflag_bin", iters = 6)
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5861,6 +5872,7 @@ object SparkEntry {
     "q398_block_bootstrap" -> (q398 _),
     "q399_ucb_replay" -> (q399 _),
     "q400_permutation_test" -> (q400 _),
+    "q401_logistic_2f" -> (q401 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -967,6 +967,85 @@ object MlPipelines {
     } finally { d.unpersist(); () }
   }
 
+  /** TWO-feature fixed-iteration IRLS logistic (intercept + x1 + x2) —
+    * the multivariable extension of [[irlsLogisticPortable]]: the same
+    * round-9 Newton contract, but each step solves the full 3×3 Fisher
+    * system by Cramer's rule in ONE fixed double shape (the det3
+    * convention the ADF/Granger closed forms already share), so the
+    * whole trajectory still replays as a recursive CTE. This is the
+    * step from "slope of one feature" to an actual multivariable
+    * model with hash-checkable coefficients — adjusted effects, not
+    * marginal ones.
+    *
+    * Scale shape: per iteration ONE 10-sum reduction over the scan
+    * (6 Hessian moments, 3 gradient terms, the loss); driver holds
+    * three scalars.
+    */
+  def irlsLogistic2Portable(df: DataFrame, x1Col: String, x2Col: String,
+      yCol: String, iters: Int = 6): DataFrame = {
+    import graft.functions.Stats.dsum
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def r9(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    def det3(a: Double, b: Double, c: Double, d: Double, e: Double,
+        f: Double, g: Double, h: Double, i: Double): Double =
+      a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    val d = df.select(col(x1Col).cast("double").as("x1"),
+      col(x2Col).cast("double").as("x2"),
+      col(yCol).cast("double").as("y")).persist()
+    try {
+      var b0 = 0.0
+      var b1 = 0.0
+      var b2 = 0.0
+      val trace = (1 to iters).map { it =>
+        val p = lit(1.0) /
+          (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("x1") +
+            lit(b2) * col("x2"))))
+        val w = p * (lit(1.0) - p)
+        val r = d.agg(
+          count(lit(1)).as("n"),
+          dsum(col("y") - p, 12).as("g0"),
+          dsum((col("y") - p) * col("x1"), 12).as("g1"),
+          dsum((col("y") - p) * col("x2"), 12).as("g2"),
+          dsum(w, 12).as("s0"),
+          dsum(w * col("x1"), 12).as("s1"),
+          dsum(w * col("x2"), 12).as("s2"),
+          dsum(w * col("x1") * col("x1"), 12).as("s11"),
+          dsum(w * col("x1") * col("x2"), 12).as("s12"),
+          dsum(w * col("x2") * col("x2"), 12).as("s22"),
+          dsum(col("y") * log(p) +
+            (lit(1.0) - col("y")) * log(lit(1.0) - p), 12).as("ll"))
+          .head()
+        val n = r.getLong(0)
+        val (g0, g1, g2) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+        val (s0, s1, s2) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+        val (s11, s12, s22) =
+          (r.getDouble(7), r.getDouble(8), r.getDouble(9))
+        val ll = r.getDouble(10)
+        val det = det3(s0, s1, s2, s1, s11, s12, s2, s12, s22)
+        require(math.abs(det) > 0.0,
+          s"degenerate 3x3 Fisher system at step $it")
+        val d0 = det3(g0, s1, s2, g1, s11, s12, g2, s12, s22)
+        val d1 = det3(s0, g0, s2, s1, g1, s12, s2, g2, s22)
+        val d2 = det3(s0, s1, g0, s1, s11, g1, s2, s12, g2)
+        b0 = r9(b0 + d0 / det)
+        b1 = r9(b1 + d1 / det)
+        b2 = r9(b2 + d2 / det)
+        val llMean = new java.math.BigDecimal(ll / n)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        (it, b0, b1, b2, llMean)
+      }
+      trace.toDF("iter", "__b0", "__b1", "__b2", "log_loss")
+        .select(col("iter"), round(col("__b0"), 6).as("b0"),
+          round(col("__b1"), 6).as("b1"),
+          round(col("__b2"), 6).as("b2"), col("log_loss"))
+        .orderBy(col("iter"))
+    } finally { d.unpersist(); () }
+  }
+
   /** PLATT-SCALING calibration card — the parametric sibling of isotonic
     * calibration (q126) and the fix the ECE card (q197) calls for: a
     * 1-feature logistic (the [[irlsLoop]] fixed point — same round-9

@@ -250,6 +250,34 @@ class MlPipelinesSpec extends SparkSpec {
       s"b1 irls=${trace(7).getDouble(2)} mllib=${m.coefficients(0)}")
   }
 
+  test("irlsLogistic2Portable converges to MLlib's two-feature fit") {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.VectorAssembler
+    val d = lineitem.withColumn("bin",
+      (col("l_returnflag") =!= "N").cast("double"))
+    val trace = MlPipelines.irlsLogistic2Portable(d, "l_quantity",
+      "l_discount", "bin", iters = 8).orderBy("iter").collect()
+    assert(trace.length == 8)
+    assert(approx(trace.head.getDouble(4), -math.log(2.0), 1e-4))
+    // converged to a fixed point
+    assert(math.abs(trace(7).getDouble(1) - trace(6).getDouble(1)) <= 1e-6)
+    assert(math.abs(trace(7).getDouble(2) - trace(6).getDouble(2)) <= 1e-6)
+    assert(math.abs(trace(7).getDouble(3) - trace(6).getDouble(3)) <= 1e-6)
+    val tr = new VectorAssembler()
+      .setInputCols(Array("l_quantity", "l_discount"))
+      .setOutputCol("features")
+      .transform(d.select(col("l_quantity").cast("double"),
+        col("l_discount").cast("double"), col("bin").as("label")))
+    val m = new LogisticRegression().setRegParam(0.0).setMaxIter(200)
+      .setTol(1e-9).fit(tr)
+    assert(approx(trace(7).getDouble(1), m.intercept, 1e-4),
+      s"b0 irls=${trace(7).getDouble(1)} mllib=${m.intercept}")
+    assert(approx(trace(7).getDouble(2), m.coefficients(0), 1e-4),
+      s"b1 irls=${trace(7).getDouble(2)} mllib=${m.coefficients(0)}")
+    assert(approx(trace(7).getDouble(3), m.coefficients(1), 1e-4),
+      s"b2 irls=${trace(7).getDouble(3)} mllib=${m.coefficients(1)}")
+  }
+
   test("powerIterationPC1: planted single-direction data recovers share 1 and the exact variance") {
     import spark.implicits._
     // all variance lives on dim 0: λ₁ = population var of x, share = 1
