@@ -9146,6 +9146,10 @@ object OracleSql {
     // q401: two-feature IRLS replayed — the q189 recursive-CTE
     // contract with a 3×3 Cramer solve in the shared det3 shape.
     "q401_logistic_2f" -> q401Logistic2Sql,
+    // q402: cartography replayed — q189's recursion supplies the six
+    // round-9 parameter pairs; confidence/variability are the same
+    // fixed per-example chains, zone thresholds on round-9 values.
+    "q402_training_cartography" -> q402CartographySql,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which
@@ -12691,6 +12695,80 @@ object OracleSql {
        |  ll AS log_loss
        |FROM it WHERE i >= 1
        |ORDER BY iter""".stripMargin
+  }
+
+  private def q402CartographySql: String = {
+    val vterm = (1 to 6)
+      .map(i => s"(p$i - cm) * (p$i - cm)").mkString(" + ")
+    s"""WITH RECURSIVE d AS (
+       |  SELECT l_orderkey AS k1, l_linenumber AS k2,
+       |    CAST(l_quantity AS DOUBLE) AS x,
+       |    CASE WHEN l_returnflag <> 'N' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM lineitem WHERE l_orderkey < 500),
+       |it(i, b0, b1, ll) AS (
+       |  SELECT 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+       |    CAST(NULL AS DOUBLE)
+       |  UNION ALL
+       |  SELECT i + 1,
+       |    ROUND(b0 + (swxx * g0 - swx * g1) / (sw * swxx - swx * swx), 9),
+       |    ROUND(b1 + (sw * g1 - swx * g0) / (sw * swxx - swx * swx), 9),
+       |    llm
+       |  FROM (
+       |    SELECT i, b0, b1,
+       |      CAST(SUM(CAST(y - p AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+       |      CAST(SUM(CAST((y - p) * x AS DECIMAL(28,12))) AS DOUBLE) AS g1,
+       |      CAST(SUM(CAST(p * (1.0 - p) AS DECIMAL(28,12))) AS DOUBLE)
+       |        AS sw,
+       |      CAST(SUM(CAST(p * (1.0 - p) * x AS DECIMAL(28,12))) AS DOUBLE)
+       |        AS swx,
+       |      CAST(SUM(CAST(p * (1.0 - p) * x * x AS DECIMAL(28,12)))
+       |        AS DOUBLE) AS swxx,
+       |      ROUND(CAST(SUM(CAST(y * LN(p) + (1.0 - y) * LN(1.0 - p)
+       |          AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS llm
+       |    FROM (
+       |      SELECT it.i AS i, it.b0 AS b0, it.b1 AS b1, d.x AS x, d.y AS y,
+       |        1.0 / (1.0 + EXP(-(it.b0 + it.b1 * d.x))) AS p
+       |      FROM it, d
+       |      WHERE it.i < 6)
+       |    GROUP BY i, b0, b1)),
+       |ps AS (
+       |  SELECT
+       |${(1 to 6).map(i =>
+           s"    MAX(CASE WHEN i = $i THEN b0 END) AS a$i,\n" +
+           s"|    MAX(CASE WHEN i = $i THEN b1 END) AS c$i")
+         .mkString(",\n|")}
+       |  FROM it WHERE i >= 1),
+       |pv AS (
+       |  SELECT
+       |${(1 to 6).map(i =>
+           s"    CASE WHEN d.y = 1.0 " +
+           s"THEN 1.0 / (1.0 + EXP(-(a$i + c$i * d.x))) " +
+           s"ELSE 1.0 - 1.0 / (1.0 + EXP(-(a$i + c$i * d.x))) END AS p$i")
+         .mkString(",\n|")}
+       |  FROM d, ps),
+       |cv0 AS (
+       |  SELECT p1, p2, p3, p4, p5, p6,
+       |    (p1 + p2 + p3 + p4 + p5 + p6) / 6.0 AS cm
+       |  FROM pv),
+       |cv AS (
+       |  SELECT ROUND(cm, 9) AS conf,
+       |    ROUND(($vterm) / 6.0, 9) AS vr
+       |  FROM cv0)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_examples,
+       |  CAST(SUM(CASE WHEN conf >= 0.7 AND vr < 0.15 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_easy,
+       |  CAST(SUM(CASE WHEN vr >= 0.15 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_ambiguous,
+       |  CAST(SUM(CASE WHEN conf <= 0.3 AND vr < 0.15 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hard,
+       |  CAST(SUM(CASE WHEN NOT (conf >= 0.7 AND vr < 0.15)
+       |    AND NOT (conf <= 0.3 AND vr < 0.15)
+       |    AND NOT vr >= 0.15 THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
+       |  ROUND(CAST(SUM(CAST(conf AS DECIMAL(28,12))) AS DOUBLE) /
+       |    COUNT(*), 6) AS mean_confidence,
+       |  ROUND(CAST(SUM(CAST(vr AS DECIMAL(28,12))) AS DOUBLE) /
+       |    COUNT(*), 6) AS mean_variability
+       |FROM cv""".stripMargin
   }
 
   private def q388SignTestSql: String =

@@ -4557,6 +4557,19 @@ object SparkEntry {
         t(spark, dir, "lineitem").filter(col("l_orderkey") < 500)),
       "l_quantity", "l_discount", "l_returnflag_bin", iters = 6)
 
+  // ---------------------------------------------------------------- q402
+  // Dataset cartography over q189's portable training trajectory:
+  // per-example confidence/variability across the 6 Newton steps,
+  // bucketed easy/ambiguous/hard — the curation map (ambiguous carries
+  // the signal, a fat hard region means label noise), fully
+  // deterministic because the trajectory is the round-9 fixed-point
+  // path.
+  def q402(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.trainingCartography(
+      withReturnFlagBin(
+        t(spark, dir, "lineitem").filter(col("l_orderkey") < 500)),
+      "l_quantity", "l_returnflag_bin", iters = 6)
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5873,6 +5886,7 @@ object SparkEntry {
     "q399_ucb_replay" -> (q399 _),
     "q400_permutation_test" -> (q400 _),
     "q401_logistic_2f" -> (q401 _),
+    "q402_training_cartography" -> (q402 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

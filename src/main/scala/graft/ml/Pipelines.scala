@@ -1046,6 +1046,61 @@ object MlPipelines {
     } finally { d.unpersist(); () }
   }
 
+  /** Dataset cartography (Swayamdipta et al. 2020) over the PORTABLE
+    * training trajectory: for every example, the mean correct-class
+    * probability (confidence) and its spread (variability) across the
+    * [[irlsLoop]] steps, bucketed into the easy-to-learn /
+    * hard-to-learn / ambiguous map that drives curation decisions
+    * (ambiguous examples carry the learning signal; a large hard
+    * region usually means label noise). Classically this needs
+    * checkpoint replays of a neural run; here the trajectory is the
+    * round-9 Newton fixed-point path, so the whole map is
+    * deterministic and hash-checked — the curation workflow itself,
+    * exercised end to end.
+    *
+    * Exactness: the per-step probabilities use the round-9 params both
+    * engines carry; confidence/variability are FIXED per-row chains
+    * over the `iters` steps (no aggregation order anywhere), rounded
+    * to 9 before the zone thresholds. One scan, one 1-row reduction.
+    */
+  def trainingCartography(df: DataFrame, xCol: String, yCol: String,
+      iters: Int = 6, confHi: Double = 0.7, confLo: Double = 0.3,
+      varHi: Double = 0.15): DataFrame = {
+    import graft.functions.Stats.dsum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (trace, _, _) =
+      irlsLoop(df, xCol, yCol, lit(1.0), iters)
+    val d = df.select(col(xCol).cast("double").as("x"),
+      col(yCol).cast("double").as("y"))
+    val pts = trace.map { case (_, b0, b1, _) =>
+      val p = lit(1.0) / (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("x"))))
+      when(col("y") === 1.0, p).otherwise(lit(1.0) - p)
+    }
+    val itD = iters.toDouble
+    val cm = pts.reduce(_ + _) / lit(itD)
+    val withCv = d
+      .withColumn("__cm", cm)
+      .withColumn("__conf", round(col("__cm"), 9))
+      .withColumn("__var", round(
+        pts.map(p => (p - col("__cm")) * (p - col("__cm")))
+          .reduce(_ + _) / lit(itD), 9))
+    val easy = col("__conf") >= confHi && col("__var") < varHi
+    val hard = col("__conf") <= confLo && col("__var") < varHi
+    val ambiguous = col("__var") >= varHi
+    withCv.agg(
+      count(lit(1)).as("n_examples"),
+      sum(when(easy, 1L).otherwise(0L)).as("n_easy"),
+      sum(when(ambiguous, 1L).otherwise(0L)).as("n_ambiguous"),
+      sum(when(hard, 1L).otherwise(0L)).as("n_hard"),
+      sum(when(!easy && !hard && !ambiguous, 1L).otherwise(0L))
+        .as("n_other"),
+      round(dsum(col("__conf"), 12) / count(lit(1)), 6)
+        .as("mean_confidence"),
+      round(dsum(col("__var"), 12) / count(lit(1)), 6)
+        .as("mean_variability"))
+  }
+
   /** PLATT-SCALING calibration card — the parametric sibling of isotonic
     * calibration (q126) and the fix the ECE card (q197) calls for: a
     * 1-feature logistic (the [[irlsLoop]] fixed point — same round-9

@@ -1405,6 +1405,22 @@ class Round11OpsSpec extends SparkSpec {
     assert(r2._1 == 0.0 && r2._2 == 64L && r2._3 == 1.0)
   }
 
+  // ------------------------------------------- q402 cartography
+
+  test("trainingCartography maps clean examples easy and planted " +
+      "label noise hard") {
+    val rows = (1 to 30).map(_ => (5.0, 1.0)) ++
+      (1 to 30).map(_ => (-5.0, 0.0)) ++
+      (1 to 3).map(_ => (5.0, 0.0)) // mislabeled
+    val d = rows.toDF("x", "y")
+    val r = graft.ml.MlPipelines.trainingCartography(d, "x", "y")
+      .select("n_examples", "n_easy", "n_hard", "n_ambiguous")
+      .as[(Long, Long, Long, Long)].head()
+    assert(r._1 == 63L)
+    assert(r._2 >= 55L, s"easy=${r._2}")
+    assert(r._3 >= 3L, s"hard=${r._3}")
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
