@@ -9150,6 +9150,79 @@ object OracleSql {
     // round-9 parameter pairs; confidence/variability are the same
     // fixed per-example chains, zone thresholds on round-9 values.
     "q402_training_cartography" -> q402CartographySql,
+    // q403: Aalen–Johansen replayed — q122's duration machinery with a
+    // cause column, shifted log-space S(s-), ordered CIF cumulation.
+    "q403_competing_risks" ->
+      """WITH h AS (SELECT MAX(epoch_us(ts)) AS hz FROM events),
+        |s AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS su
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS pu
+        |  FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.su
+        |  GROUP BY e.user_id),
+        |er AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS eu
+        |  FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'error' AND epoch_us(e.ts) >= s.su
+        |  GROUP BY e.user_id),
+        |d AS (
+        |  SELECT
+        |    (COALESCE(CASE WHEN p.pu IS NOT NULL
+        |        AND (er.eu IS NULL OR p.pu <= er.eu) THEN p.pu
+        |      ELSE er.eu END, h.hz) - s.su) // 86400000000 AS t,
+        |    CASE WHEN p.pu IS NOT NULL
+        |        AND (er.eu IS NULL OR p.pu <= er.eu) THEN 1
+        |      WHEN er.eu IS NOT NULL THEN 2 ELSE 0 END AS cause
+        |  FROM s LEFT JOIN p ON s.user_id = p.user_id
+        |    LEFT JOIN er ON s.user_id = er.user_id, h),
+        |byt AS (
+        |  SELECT t,
+        |    SUM(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS d1,
+        |    SUM(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS d2,
+        |    SUM(CASE WHEN cause = 0 THEN 1 ELSE 0 END) AS n_censored
+        |  FROM d GROUP BY t),
+        |cr AS (
+        |  SELECT t, d1, d2, n_censored,
+        |    SUM(d1 + d2 + n_censored) OVER (ORDER BY t
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS n_risk
+        |  FROM byt),
+        |st AS (
+        |  SELECT t, d1, d2, n_censored, n_risk,
+        |    CASE WHEN d1 + d2 < n_risk
+        |      THEN LN(1.0 - CAST(d1 + d2 AS DOUBLE) /
+        |        CAST(n_risk AS DOUBLE))
+        |      ELSE 0.0 END AS step
+        |  FROM cr),
+        |cum AS (
+        |  SELECT t, d1, d2, n_censored, n_risk,
+        |    EXP(COALESCE(SUM(step) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0))
+        |      AS sminus,
+        |    SUM(step) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cstep
+        |  FROM st)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d1 AS BIGINT) AS d_cause1,
+        |  CAST(d2 AS BIGINT) AS d_cause2,
+        |  CAST(n_censored AS BIGINT) AS n_censored,
+        |  CASE WHEN d1 + d2 = n_risk THEN 0.0
+        |    ELSE ROUND(EXP(cstep), 6) END AS survival,
+        |  ROUND(SUM(sminus * CAST(d1 AS DOUBLE) /
+        |      CAST(n_risk AS DOUBLE)) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |    AS cif_cause1,
+        |  ROUND(SUM(sminus * CAST(d2 AS DOUBLE) /
+        |      CAST(n_risk AS DOUBLE)) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |    AS cif_cause2
+        |FROM cum ORDER BY t""".stripMargin,
+    // q404: RFM replayed — the q259 per-value prev/midrank scheme per
+    // dimension, q321's descending bin formula for recency, exact
+    // decimal monetary sums.
+    "q404_rfm_segments" -> q404RfmSql,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which
@@ -12769,6 +12842,59 @@ object OracleSql {
        |  ROUND(CAST(SUM(CAST(vr AS DECIMAL(28,12))) AS DOUBLE) /
        |    COUNT(*), 6) AS mean_variability
        |FROM cv""".stripMargin
+  }
+
+  private def q404RfmSql: String = {
+    def midq(dim: String, desc: Boolean): String = {
+      val mid = s"CAST(prev AS DOUBLE) + CAST(cnt + 1 AS DOUBLE) / 2.0"
+      val q =
+        if (desc)
+          s"CEIL((CAST(n AS DOUBLE) - ($mid) + 1.0) * 5 / " +
+            "CAST(n AS DOUBLE))"
+        else s"CEIL(($mid) * 5 / CAST(n AS DOUBLE))"
+      s"""${dim}v AS (
+         |  SELECT $dim AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM pc GROUP BY $dim),
+         |${dim}c AS (
+         |  SELECT v, cnt,
+         |    CAST(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) - cnt AS prev
+         |  FROM ${dim}v),
+         |${dim}q AS (
+         |  SELECT v, CAST($q AS BIGINT) AS qq FROM ${dim}c, nn)"""
+        .stripMargin
+    }
+    s"""WITH hz AS (
+       |  SELECT MAX(epoch_us(o_orderdate)) AS h FROM orders),
+       |pc AS (
+       |  SELECT o_custkey AS cust,
+       |    (h - MAX(epoch_us(o_orderdate))) // 86400000000 AS recency,
+       |    CAST(COUNT(*) AS BIGINT) AS freq,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+       |      AS monetary
+       |  FROM orders, hz WHERE o_custkey IS NOT NULL
+       |  GROUP BY o_custkey, h),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pc),
+       |${midq("recency", desc = true)},
+       |${midq("freq", desc = false)},
+       |${midq("monetary", desc = false)},
+       |j AS (
+       |  SELECT pc.monetary AS monetary, rq.qq AS r, fq2.qq AS f,
+       |    mq.qq AS m
+       |  FROM pc
+       |    JOIN recencyq rq ON pc.recency = rq.v
+       |    JOIN freqq fq2 ON pc.freq = fq2.v
+       |    JOIN monetaryq mq ON pc.monetary = mq.v),
+       |cells AS (
+       |  SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       |    CAST(SUM(CAST(monetary AS DECIMAL(28,2))) AS DOUBLE) AS sm
+       |  FROM j GROUP BY r, f, m),
+       |tot AS (SELECT CAST(SUM(n_customers) AS BIGINT) AS nt FROM cells)
+       |SELECT r, f, m, n_customers,
+       |  ROUND(sm / CAST(n_customers AS DOUBLE), 6) AS mean_monetary,
+       |  ROUND(CAST(n_customers AS DOUBLE) / CAST(nt AS DOUBLE), 6)
+       |    AS share
+       |FROM cells, tot ORDER BY r, f, m""".stripMargin
   }
 
   private def q388SignTestSql: String =

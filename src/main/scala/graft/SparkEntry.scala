@@ -4570,6 +4570,51 @@ object SparkEntry {
         t(spark, dir, "lineitem").filter(col("l_orderkey") < 500)),
       "l_quantity", "l_returnflag_bin", iters = 6)
 
+  // ---------------------------------------------------------------- q403
+  // Competing-risks cumulative incidence: signup → first purchase vs
+  // first error, whichever strikes first — Aalen–Johansen CIFs per
+  // cause, the correct "converted by day t" when 1−KM-per-cause would
+  // overstate both.
+  def q403(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val horizon = ev.agg(max(unix_micros(col("ts"))).as("__h"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("__s"))
+    def firstOf(tp: String, alias: String) =
+      ev.filter(col("event_type") === tp)
+        .join(broadcast(signup), "user_id")
+        .filter(unix_micros(col("ts")) >= col("__s"))
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as(alias))
+    val purchaseFirst = col("__p").isNotNull &&
+      (col("__e").isNull || col("__p") <= col("__e"))
+    val subjects = signup
+      .join(firstOf("purchase", "__p"), Seq("user_id"), "left")
+      .join(firstOf("error", "__e"), Seq("user_id"), "left")
+      .crossJoin(broadcast(horizon))
+      .select(
+        (coalesce(when(purchaseFirst, col("__p"))
+          .otherwise(col("__e")), col("__h")) - col("__s")).as("__dur_us"),
+        when(purchaseFirst, 1)
+          .when(col("__e").isNotNull, 2).otherwise(0).as("cause"))
+      .select(expr("__dur_us div 86400000000").as("dur_days"),
+        col("cause"))
+    graft.operators.SurvivalOps
+      .competingRisks(subjects, "dur_days", "cause")
+      .orderBy(col("t"))
+  }
+
+  // ---------------------------------------------------------------- q404
+  // RFM segmentation of customers: recency/frequency/monetary
+  // quintiles from distributed midranks (ties share a quintile), one
+  // row per populated cell with size, share, mean order value — the
+  // classic customer-value map on the portable rank machinery.
+  def q404(spark: SparkSession, dir: String): DataFrame =
+    graft.metrics.RankMetrics.rfmSegments(
+      t(spark, dir, "orders"), "o_custkey", "o_orderdate",
+      "o_totalprice")
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5887,6 +5932,8 @@ object SparkEntry {
     "q400_permutation_test" -> (q400 _),
     "q401_logistic_2f" -> (q401 _),
     "q402_training_cartography" -> (q402 _),
+    "q403_competing_risks" -> (q403 _),
+    "q404_rfm_segments" -> (q404 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

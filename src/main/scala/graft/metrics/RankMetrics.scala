@@ -529,4 +529,65 @@ object RankMetrics {
             base, 6)).as("cum_lift"))
       .orderBy(col("bin"))
   }
+
+  /** RFM segmentation (recency / frequency / monetary quintiles) — the
+    * classic customer-value map, built on the distributed [[midranks]]
+    * machinery so tied values share a quintile and the codes are
+    * engine- and partition-order-portable. R scores 5 = most RECENT
+    * (descending bins, q321's formula); F and M score 5 = highest.
+    * One row per populated (r, f, m) cell with its size, share, and
+    * exact-decimal mean monetary value.
+    *
+    * Scale shape: one per-customer aggregation, three value-collapsed
+    * midrank passes (the bucketed no-global-sort scheme), three
+    * broadcast joins of the per-value quintile maps, one cell
+    * aggregation.
+    */
+  def rfmSegments(orders: DataFrame, custCol: String, tsCol: String,
+      amtCol: String, nBins: Int = 5): DataFrame = {
+    import graft.functions.Stats.dsum
+    require(nBins >= 2, s"need nBins >= 2, got $nBins")
+    val horizon = orders
+      .agg(max(unix_micros(col(tsCol).cast("timestamp"))).as("__hz"))
+    val perCust = orders
+      .filter(col(custCol).isNotNull)
+      .groupBy(col(custCol).as("cust"))
+      .agg(max(unix_micros(col(tsCol).cast("timestamp"))).as("__last"),
+        count(lit(1)).as("freq"),
+        sum(col(amtCol).cast("decimal(28,2)")).as("__m"))
+      .crossJoin(broadcast(horizon))
+      .select(col("cust"),
+        expr("(__hz - __last) div 86400000000").as("recency"),
+        col("freq"), col("__m").cast("double").as("monetary"))
+      .withColumn("__z", lit(0L))
+    def quintile(valCol: String, descending: Boolean): DataFrame = {
+      val mr = midranks(perCust, valCol, "__z", Nil)
+      val tot = mr.agg(sum(col("cnt")).as("__n"))
+      val q =
+        if (descending)
+          ceil((col("__n").cast("double") - col("midrank") + lit(1.0)) *
+            lit(nBins) / col("__n").cast("double"))
+        else
+          ceil(col("midrank") * lit(nBins) / col("__n").cast("double"))
+      mr.crossJoin(broadcast(tot))
+        .select(col(valCol), q.cast("long").as(s"${valCol}_q"))
+    }
+    val cells = perCust
+      .join(broadcast(quintile("recency", descending = true)), "recency")
+      .join(broadcast(quintile("freq", descending = false)), "freq")
+      .join(broadcast(quintile("monetary", descending = false)),
+        "monetary")
+      .groupBy(col("recency_q").as("r"), col("freq_q").as("f"),
+        col("monetary_q").as("m"))
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("monetary"), 2).as("__sm"))
+    val tot = cells.agg(sum(col("n_customers")).as("__nt"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("r"), col("f"), col("m"), col("n_customers"),
+        round(col("__sm") / col("n_customers").cast("double"), 6)
+          .as("mean_monetary"),
+        round(col("n_customers").cast("double") /
+          col("__nt").cast("double"), 6).as("share"))
+      .orderBy(col("r"), col("f"), col("m"))
+  }
 }

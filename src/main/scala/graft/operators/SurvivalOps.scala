@@ -177,6 +177,63 @@ object SurvivalOps {
         .as("median_time"))
   }
 
+  /** Competing-risks cumulative incidence (Aalen–Johansen, two causes):
+    * CIF_k(t) = Σ_{s≤t} Ŝ(s⁻)·d_k(s)/n(s), with Ŝ the overall KM on
+    * the combined event hazard. THE correct "probability a user
+    * converts / errors-out by day t" when the two outcomes compete —
+    * 1 − KM per cause overstates both (it treats the other cause as
+    * censoring, crediting time the subject no longer had). `causeCol`:
+    * 0 = censored, 1 / 2 = the competing causes.
+    *
+    * Exactness: d/n ratios are exact integer divisions; Ŝ(s⁻)
+    * accumulates in log space over the ordered per-duration grid (the
+    * q122 contract, shifted one row); CIF increments cumulate in the
+    * same ordered window — both engines replay the identical order.
+    * Same enforced grid contract as [[kaplanMeier]].
+    */
+  def competingRisks(df: DataFrame, durationCol: String,
+      causeCol: String, maxGridSize: Long = 10000L): DataFrame = {
+    val approxGrid =
+      df.agg(approx_count_distinct(col(durationCol)).as("n"))
+        .head().getLong(0)
+    require(approxGrid <= maxGridSize,
+      s"competingRisks time grid too fine: ~$approxGrid distinct " +
+        s"durations exceed maxGridSize=$maxGridSize; coarsen first.")
+    val byT = df.groupBy(col(durationCol).as("t"))
+      .agg(
+        sum(when(col(causeCol) === 1, 1L).otherwise(0L)).as("d1"),
+        sum(when(col(causeCol) === 2, 1L).otherwise(0L)).as("d2"),
+        sum(when(col(causeCol) === 0, 1L).otherwise(0L)).as("n_censored"))
+    val wRisk = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nD = col("n_risk").cast("double")
+    val dTot = col("d1") + col("d2")
+    byT
+      .withColumn("n_risk",
+        sum(dTot + col("n_censored")).over(wRisk))
+      .withColumn("__step",
+        when(dTot < col("n_risk"),
+          log(lit(1.0) - dTot.cast("double") / nD)).otherwise(lit(0.0)))
+      .withColumn("__sminus",
+        exp(coalesce(sum(col("__step")).over(wPrev), lit(0.0))))
+      .withColumn("survival",
+        when(dTot === col("n_risk"), lit(0.0))
+          .otherwise(round(exp(sum(col("__step")).over(wCum)), 6)))
+      .withColumn("cif_cause1",
+        round(sum(col("__sminus") * col("d1").cast("double") / nD)
+          .over(wCum), 6))
+      .withColumn("cif_cause2",
+        round(sum(col("__sminus") * col("d2").cast("double") / nD)
+          .over(wCum), 6))
+      .select(col("t"), col("n_risk"), col("d1").as("d_cause1"),
+        col("d2").as("d_cause2"), col("n_censored"), col("survival"),
+        col("cif_cause1"), col("cif_cause2"))
+  }
+
   /** Two-sample log-rank (Mantel–Cox) test: are the survival curves of
     * two cohorts the same? The hypothesis-test companion to
     * [[kaplanMeier]] — at every event time t the observed group-A deaths

@@ -1421,6 +1421,43 @@ class Round11OpsSpec extends SparkSpec {
     assert(r._3 >= 3L, s"hard=${r._3}")
   }
 
+  // --------------------------------------- q403/q404 survival + RFM
+
+  test("competingRisks matches the hand-worked three-subject table " +
+      "and the AJ identity") {
+    // t=1 cause1; t=2 cause2; t=3 censored
+    val d = Seq((1L, 1), (2L, 2), (3L, 0)).toDF("dur", "cause")
+    val r = graft.operators.SurvivalOps.competingRisks(d, "dur", "cause")
+      .orderBy("t")
+      .select("t", "n_risk", "survival", "cif_cause1", "cif_cause2")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(0) == ((1L, 3L, r6(2.0 / 3.0), r6(1.0 / 3.0), 0.0)))
+    assert(r(1) == ((2L, 2L, r6(1.0 / 3.0), r6(1.0 / 3.0),
+      r6(1.0 / 3.0))))
+    // censoring moves nothing; S + CIF1 + CIF2 == 1 throughout
+    assert(r(2)._3 == r(1)._3 && r(2)._4 == r(1)._4 &&
+      r(2)._5 == r(1)._5)
+    r.foreach(x => assert(math.abs(x._3 + x._4 + x._5 - 1.0) < 1e-5))
+  }
+
+  test("rfmSegments codes the best and worst customers 555 and 111") {
+    // customer i: i orders of amount 100*i, last on day i -> every
+    // dimension ranks i monotonically
+    val rows = (1 to 10).flatMap { i =>
+      (1 to i).map(_ => (i.toLong, tsDay(i), 100.0 * i))
+    }
+    val d = rows.toDF("cust", "ts", "amt")
+    val cells = graft.metrics.RankMetrics
+      .rfmSegments(d, "cust", "ts", "amt")
+      .select("r", "f", "m", "n_customers")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(cells.map(_._4).sum == 10L)
+    assert(cells.contains((5L, 5L, 5L, 2L)), cells.toString) // cust 9,10
+    assert(cells.contains((1L, 1L, 1L, 2L)), cells.toString) // cust 1,2
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
