@@ -9223,6 +9223,48 @@ object OracleSql {
     // dimension, q321's descending bin formula for recency, exact
     // decimal monetary sums.
     "q404_rfm_segments" -> q404RfmSql,
+    // q405: calibration slope replayed — q189's recursion on the
+    // clamped logit of the q197 scorer.
+    "q405_calibration_slope" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT LN(GREATEST(1e-6, LEAST(0.999999,
+        |      (o_orderkey * 7 % 1000) / CAST(1000.0 AS DOUBLE))) /
+        |    (1.0 - GREATEST(1e-6, LEAST(0.999999,
+        |      (o_orderkey * 7 % 1000) / CAST(1000.0 AS DOUBLE))))) AS x,
+        |    CASE WHEN o_totalprice > 150000 THEN 1.0 ELSE 0.0 END AS y
+        |  FROM orders),
+        |it(i, b0, b1, ll) AS (
+        |  SELECT 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+        |    CAST(NULL AS DOUBLE)
+        |  UNION ALL
+        |  SELECT i + 1,
+        |    ROUND(b0 + (swxx * g0 - swx * g1) / (sw * swxx - swx * swx), 9),
+        |    ROUND(b1 + (sw * g1 - swx * g0) / (sw * swxx - swx * swx), 9),
+        |    llm
+        |  FROM (
+        |    SELECT i, b0, b1,
+        |      CAST(SUM(CAST(y - p AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+        |      CAST(SUM(CAST((y - p) * x AS DECIMAL(28,12))) AS DOUBLE)
+        |        AS g1,
+        |      CAST(SUM(CAST(p * (1.0 - p) AS DECIMAL(28,12))) AS DOUBLE)
+        |        AS sw,
+        |      CAST(SUM(CAST(p * (1.0 - p) * x AS DECIMAL(28,12)))
+        |        AS DOUBLE) AS swx,
+        |      CAST(SUM(CAST(p * (1.0 - p) * x * x AS DECIMAL(28,12)))
+        |        AS DOUBLE) AS swxx,
+        |      ROUND(CAST(SUM(CAST(y * LN(p) + (1.0 - y) * LN(1.0 - p)
+        |          AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS llm
+        |    FROM (
+        |      SELECT it.i AS i, it.b0 AS b0, it.b1 AS b1, d.x AS x,
+        |        d.y AS y,
+        |        1.0 / (1.0 + EXP(-(it.b0 + it.b1 * d.x))) AS p
+        |      FROM it, d
+        |      WHERE it.i < 6)
+        |    GROUP BY i, b0, b1))
+        |SELECT i AS iter, ROUND(b0, 6) + 0.0 AS b0,
+        |  ROUND(b1, 6) + 0.0 AS b1, ll AS log_loss
+        |FROM it WHERE i >= 1
+        |ORDER BY iter""".stripMargin,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which

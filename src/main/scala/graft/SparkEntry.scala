@@ -4615,6 +4615,23 @@ object SparkEntry {
       t(spark, dir, "orders"), "o_custkey", "o_orderdate",
       "o_totalprice")
 
+  // ---------------------------------------------------------------- q405
+  // Calibration slope/intercept (logistic recalibration, Cox 1958):
+  // refit y on logit(score) — slope < 1 reads "overconfident",
+  // intercept ≠ 0 reads "base-rate shift". The third leg of the
+  // calibration family: q197 MEASURES miscalibration (ECE), q126/q224
+  // FIX it (isotonic/Platt), this one names WHICH kind it is. Reuses
+  // the q189 round-9 Newton contract on the logit-transformed score.
+  def q405(spark: SparkSession, dir: String): DataFrame = {
+    val s = (col("o_orderkey") * 7 % 1000) / lit(1000.0)
+    val sc = greatest(lit(1e-6), least(lit(0.999999), s))
+    val d = t(spark, dir, "orders")
+      .select(log(sc / (lit(1.0) - sc)).as("x"),
+        (col("o_totalprice") > 150000).cast("double").as("y"))
+    MlPipelines.irlsLogisticPortable(d, "x", "y", iters = 6)
+      .orderBy(col("iter"))
+  }
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5934,6 +5951,7 @@ object SparkEntry {
     "q402_training_cartography" -> (q402 _),
     "q403_competing_risks" -> (q403 _),
     "q404_rfm_segments" -> (q404 _),
+    "q405_calibration_slope" -> (q405 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -1458,6 +1458,40 @@ class Round11OpsSpec extends SparkSpec {
     assert(cells.contains((1L, 1L, 1L, 2L)), cells.toString) // cust 1,2
   }
 
+  // --------------------------------------- q405 calibration slope
+
+  test("calibration slope is ~1 for a calibrated scorer and ~0 for an " +
+      "uninformative one") {
+    // labels drawn (deterministically) AT the scorer's own rate
+    val p1a = 1000003L
+    val p2a = 9999991L
+    def u(i: Long): Double = {
+      val x1 = ((i % p1a) * 2654435761L) % p1a
+      val x2 = ((x1 + i / p1a) % p2a * 22695477L) % p2a
+      (x2.toDouble + 0.5) / p2a.toDouble
+    }
+    val rows = (1 to 2000).map { i =>
+      val s = math.min(0.95, math.max(0.05, (i % 100) / 100.0))
+      val y = if (u(i.toLong) < s) 1.0 else 0.0
+      (math.log(s / (1.0 - s)), y)
+    }
+    val d = rows.toDF("x", "y")
+    val cal = graft.ml.MlPipelines.irlsLogisticPortable(d, "x", "y",
+        iters = 8)
+      .orderBy(desc("iter")).select("b0", "b1")
+      .as[(Double, Double)].head()
+    assert(cal._2 > 0.8 && cal._2 < 1.2, s"slope=${cal._2}")
+    assert(math.abs(cal._1) < 0.2, s"intercept=${cal._1}")
+    // label independent of score -> slope collapses toward 0
+    val flat = rows.zipWithIndex.map { case ((x, _), i) =>
+      (x, if (i % 2 == 0) 1.0 else 0.0)
+    }.toDF("x", "y")
+    val f = graft.ml.MlPipelines.irlsLogisticPortable(flat, "x", "y",
+        iters = 8)
+      .orderBy(desc("iter")).select("b1").as[Double].head()
+    assert(math.abs(f) < 0.1, s"flat slope=$f")
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
