@@ -9265,6 +9265,42 @@ object OracleSql {
         |  ROUND(b1, 6) + 0.0 AS b1, ll AS log_loss
         |FROM it WHERE i >= 1
         |ORDER BY iter""".stripMargin,
+    // q406: Allen census replayed — exact integer span comparisons
+    // through the identical case cascade.
+    "q406_allen_census" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    MIN(epoch_us(ts)) AS a_s, MAX(epoch_us(ts)) AS ae
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |v AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    MIN(epoch_us(ts)) AS bs, MAX(epoch_us(ts)) AS be
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT a_s, ae, bs, be FROM c JOIN v USING (user_id, day)),
+        |r AS (
+        |  SELECT CASE
+        |    WHEN ae < bs THEN 'precedes'
+        |    WHEN be < a_s THEN 'preceded_by'
+        |    WHEN a_s = bs AND ae = be THEN 'equals'
+        |    WHEN ae = bs THEN 'meets'
+        |    WHEN be = a_s THEN 'met_by'
+        |    WHEN a_s = bs AND ae < be THEN 'starts'
+        |    WHEN a_s = bs AND ae > be THEN 'started_by'
+        |    WHEN ae = be AND a_s > bs THEN 'finishes'
+        |    WHEN ae = be AND a_s < bs THEN 'finished_by'
+        |    WHEN a_s > bs AND ae < be THEN 'during'
+        |    WHEN a_s < bs AND ae > be THEN 'contains'
+        |    WHEN a_s < bs AND ae > bs AND ae < be THEN 'overlaps'
+        |    WHEN a_s > bs AND a_s < be AND ae > be THEN 'overlapped_by'
+        |    ELSE 'other' END AS relation
+        |  FROM p),
+        |counts AS (
+        |  SELECT relation, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM r GROUP BY relation),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts)
+        |SELECT relation, n,
+        |  ROUND(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+        |FROM counts, tot ORDER BY relation""".stripMargin,
   ) ++ sqlSurface
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which

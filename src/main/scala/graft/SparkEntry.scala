@@ -4632,6 +4632,21 @@ object SparkEntry {
       .orderBy(col("iter"))
   }
 
+  // ---------------------------------------------------------------- q406
+  // Allen interval-algebra census: per (user, day), the click span vs
+  // the view span classified into the 13 temporal relations — the
+  // profiling step that says WHICH temporal-join predicate the data
+  // actually needs (the interval joins q05/q45/q63 each answer one).
+  def q406(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    def span(tp: String) = ev.filter(col("event_type") === tp)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(unix_micros(col("ts"))).as("s"),
+        max(unix_micros(col("ts"))).as("e"))
+    graft.operators.FuzzyJoins.allenCensus(
+      span("click"), span("view"), Seq("user_id", "day"), "s", "e")
+  }
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5952,6 +5967,7 @@ object SparkEntry {
     "q403_competing_risks" -> (q403 _),
     "q404_rfm_segments" -> (q404 _),
     "q405_calibration_slope" -> (q405 _),
+    "q406_allen_census" -> (q406 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

@@ -269,4 +269,56 @@ object FuzzyJoins {
     pairs.withColumn("score", round(score, 6))
       .filter(col("score") >= threshold)
   }
+
+  /** Allen interval-algebra census (Allen 1983): every matched pair of
+    * intervals classified into one of the 13 temporal relations
+    * (precedes/meets/overlaps/starts/during/finishes, their inverses,
+    * equals), counted with shares. The VOCABULARY behind the interval
+    * joins this library already runs (point-in-interval q05, as-of
+    * q63, period×interval q45): those ANSWER one relation; the census
+    * says which relations the data actually exhibits — the profiling
+    * step before choosing a temporal-join predicate. Intervals are
+    * [start, end] integer pairs; the 13 arms partition all cases
+    * (point intervals included), an `other` bucket would expose any
+    * hole. Classification is exact integer comparison — fully
+    * engine-portable.
+    *
+    * `a` and `b` must carry (keyCols..., `startCol`, `endCol`); pairs
+    * match on keyCols (ONE equi-join shuffle), then one grouped count
+    * over the 13-row relation frame.
+    */
+  def allenCensus(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      startCol: String, endCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one pairing key")
+    val la = a.select((keyCols.map(col) :+
+      col(startCol).as("__as") :+ col(endCol).as("__ae")): _*)
+    val lb = b.select((keyCols.map(col) :+
+      col(startCol).as("__bs") :+ col(endCol).as("__be")): _*)
+    val p = la.join(lb, keyCols)
+    val as = col("__as"); val ae = col("__ae")
+    val bs = col("__bs"); val be = col("__be")
+    val rel =
+      when(ae < bs, "precedes")
+        .when(be < as, "preceded_by")
+        .when(as === bs && ae === be, "equals")
+        .when(ae === bs, "meets")
+        .when(be === as, "met_by")
+        .when(as === bs && ae < be, "starts")
+        .when(as === bs && ae > be, "started_by")
+        .when(ae === be && as > bs, "finishes")
+        .when(ae === be && as < bs, "finished_by")
+        .when(as > bs && ae < be, "during")
+        .when(as < bs && ae > be, "contains")
+        .when(as < bs && ae > bs && ae < be, "overlaps")
+        .when(as > bs && as < be && ae > be, "overlapped_by")
+        .otherwise("other")
+    val counts = p.select(rel.as("relation"))
+      .groupBy(col("relation")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("__t"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("relation"), col("n"),
+        round(col("n").cast("double") / col("__t").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("relation"))
+  }
 }

@@ -1492,6 +1492,25 @@ class Round11OpsSpec extends SparkSpec {
     assert(math.abs(f) < 0.1, s"flat slope=$f")
   }
 
+  // ------------------------------------------- q406 Allen census
+
+  test("allenCensus classifies all 13 relations and leaves no hole") {
+    val aSpans = Seq(
+      (1L, 0L, 2L), (2L, 0L, 5L), (3L, 0L, 6L), (4L, 5L, 6L),
+      (5L, 6L, 7L), (6L, 6L, 8L), (7L, 5L, 8L), (8L, 9L, 10L),
+      (9L, 8L, 10L), (10L, 6L, 10L), (11L, 5L, 10L), (12L, 4L, 10L),
+      (13L, 4L, 8L)).toDF("k", "s", "e")
+    val bSpans = (1L to 13L).map(k => (k, 5L, 8L)).toDF("k", "s", "e")
+    val got = graft.operators.FuzzyJoins
+      .allenCensus(aSpans, bSpans, Seq("k"), "s", "e")
+      .select("relation", "n").as[(String, Long)].collect().toMap
+    val want = Seq("precedes", "meets", "overlaps", "starts", "during",
+      "finishes", "equals", "preceded_by", "met_by", "overlapped_by",
+      "started_by", "contains", "finished_by")
+    assert(got.keySet == want.toSet, got.toString)
+    assert(got.values.forall(_ == 1L))
+  }
+
   private def tsDay(d: Int): Timestamp = new Timestamp(
     java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
