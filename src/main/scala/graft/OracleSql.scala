@@ -9301,7 +9301,113 @@ object OracleSql {
         |SELECT relation, n,
         |  ROUND(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
         |FROM counts, tot ORDER BY relation""".stripMargin,
+
+    // q407: the exact-split CART fit UNROLLED level by level — per level,
+    // assignment LEFT JOIN on the previous level's 1-row-per-node winners,
+    // per-(node, feature, value) DECIMAL(28,12) cells, prefix-sum window
+    // over the aggregated frame, per-node round-2 gain argmax with the
+    // identical (gain desc, feat asc, value asc) tie-break — exactly the
+    // driver loop of MlPipelines.cartTreePortable, digit for digit.
+    "q407_cart_tree" -> q407CartTreeSql,
   ) ++ sqlSurface
+
+  /** q407 oracle builder: one CTE block per tree level (assignment a_k,
+    * node totals t_k, candidate cells c_k, prefix p_k, winners b_k), then
+    * split rows from b_1..b_D and leaf rows from the final assignment's
+    * totals (a row's final node is always a leaf; depth decodes from the
+    * heap-ordered id).
+    */
+  private def q407CartTreeSql: String = {
+    val depth = 3
+    val minLeaf = 5
+    def assignCte(k: Int): String =
+      if (k == 1)
+        """a1 AS (SELECT x1, x2, y, CAST(1 AS BIGINT) AS node FROM d)
+          |""".stripMargin
+      else
+        s""",a$k AS (
+           |  SELECT a.x1, a.x2, a.y,
+           |    CASE WHEN b.node IS NULL THEN a.node
+           |      WHEN (b.feat = 'l_quantity' AND a.x1 <= b.thr)
+           |        OR (b.feat = 'l_discount' AND a.x2 <= b.thr)
+           |      THEN 2 * a.node ELSE 2 * a.node + 1 END AS node
+           |  FROM a${k - 1} a LEFT JOIN b${k - 1} b ON a.node = b.node)
+           |""".stripMargin
+    def levelCtes(k: Int): String =
+      s""",t$k AS (
+         |  SELECT node, COUNT(*) AS nn,
+         |    CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sn
+         |  FROM a$k GROUP BY node),
+         |c$k AS (
+         |  SELECT node, feat, v, COUNT(*) AS nc,
+         |    SUM(CAST(y AS DECIMAL(28,12))) AS sc
+         |  FROM (
+         |    SELECT node, 'l_quantity' AS feat, x1 AS v, y FROM a$k
+         |    UNION ALL
+         |    SELECT node, 'l_discount' AS feat, x2 AS v, y FROM a$k)
+         |  GROUP BY node, feat, v),
+         |p$k AS (
+         |  SELECT node, feat, v,
+         |    SUM(nc) OVER w AS nl,
+         |    CAST(SUM(sc) OVER w AS DOUBLE) AS sl
+         |  FROM c$k
+         |  WINDOW w AS (PARTITION BY node, feat ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |b$k AS (
+         |  SELECT node, feat, v AS thr, nn, gain FROM (
+         |    SELECT p.node, p.feat, p.v, t.nn,
+         |      ROUND((p.sl * p.sl / p.nl +
+         |        (t.sn - p.sl) * (t.sn - p.sl) / (t.nn - p.nl)) / t.nn, 2)
+         |        AS gain,
+         |      ROW_NUMBER() OVER (PARTITION BY p.node
+         |        ORDER BY ROUND((p.sl * p.sl / p.nl +
+         |          (t.sn - p.sl) * (t.sn - p.sl) / (t.nn - p.nl)) / t.nn, 2)
+         |          DESC, p.feat ASC, p.v ASC) AS rk
+         |    FROM p$k p JOIN t$k t USING (node)
+         |    WHERE p.nl >= $minLeaf AND t.nn - p.nl >= $minLeaf)
+         |  WHERE rk = 1)
+         |""".stripMargin
+    val base =
+      s"""WITH d AS (
+         |  SELECT CAST(l_quantity AS DOUBLE) AS x1,
+         |    CAST(l_discount AS DOUBLE) AS x2,
+         |    CAST(l_quantity AS DOUBLE) *
+         |      (1.0 - CAST(l_discount AS DOUBLE)) * 1000.0 AS y
+         |  FROM lineitem
+         |  WHERE l_orderkey < 2000
+         |    AND ((l_orderkey % 1000003) * 2654435761) % 5 <> 0),
+         |""".stripMargin
+    val levels = (1 to depth).map(k => assignCte(k) + levelCtes(k)).mkString
+    val finalAssign = assignCte(depth + 1)
+    val finalTotals =
+      s""",t${depth + 1} AS (
+         |  SELECT node, COUNT(*) AS nn,
+         |    CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sn
+         |  FROM a${depth + 1} GROUP BY node)
+         |""".stripMargin
+    val depthCase =
+      """CASE WHEN node >= 8 THEN 3 WHEN node >= 4 THEN 2
+        |    WHEN node >= 2 THEN 1 ELSE 0 END""".stripMargin
+    val splitRows = (1 to depth).map { k =>
+      s"""  SELECT CAST(node AS BIGINT) AS node, ${k - 1} AS depth,
+         |    'split' AS kind, feat AS feature, thr AS threshold,
+         |    CAST(nn AS BIGINT) AS n_rows, gain,
+         |    CAST(NULL AS DOUBLE) AS prediction
+         |  FROM b$k""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val leafRows =
+      s"""  SELECT CAST(node AS BIGINT) AS node, $depthCase AS depth,
+         |    'leaf' AS kind, CAST(NULL AS VARCHAR) AS feature,
+         |    CAST(NULL AS DOUBLE) AS threshold, CAST(nn AS BIGINT) AS n_rows,
+         |    CAST(NULL AS DOUBLE) AS gain, ROUND(sn / nn, 6) AS prediction
+         |  FROM t${depth + 1}""".stripMargin
+    base + levels.stripPrefix(",") + finalAssign + finalTotals +
+      s"""SELECT * FROM (
+         |$splitRows
+         |  UNION ALL
+         |$leafRows)
+         |ORDER BY node""".stripMargin
+  }
 
   /** Shared by q113 (batch PSI) and q131 (its streaming twin, which
     * CONVERGES to the batch answer on a bounded replay).

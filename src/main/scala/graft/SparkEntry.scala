@@ -4647,6 +4647,23 @@ object SparkEntry {
       span("click"), span("view"), Seq("user_id", "day"), "s", "e")
   }
 
+  // ---------------------------------------------------------------- q407
+  // Portable exact-split CART regression tree (depth 3) — the split
+  // search inside the MLlib RF/GBT ensembles (q42/q59/q155; reference
+  // train_ensemble.py:137-139) made hash-checkable: distinct-value
+  // threshold candidates, round-2 variance-reduction gain argmax with
+  // deterministic tie-break, min-5-rows leaves, round-6 leaf means —
+  // the whole fit replays in unrolled level-by-level SQL. MLlib's
+  // DecisionTreeRegressor is pinned to it on a separable fixture
+  // (MlPipelinesSpec); the MLlib fits stay the production default.
+  def q407(spark: SparkSession, dir: String): DataFrame =
+    MlPipelines.cartTreePortable(
+      t(spark, dir, "lineitem").filter(col("l_orderkey") < 2000),
+      "l_orderkey", "l_quantity", "l_discount",
+      col("l_quantity").cast("double") *
+        (lit(1.0) - col("l_discount").cast("double")) * lit(1000.0),
+      maxDepth = 3, minLeaf = 5)
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5968,6 +5985,7 @@ object SparkEntry {
     "q404_rfm_segments" -> (q404 _),
     "q405_calibration_slope" -> (q405 _),
     "q406_allen_census" -> (q406 _),
+    "q407_cart_tree" -> (q407 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

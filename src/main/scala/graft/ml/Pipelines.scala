@@ -1831,6 +1831,163 @@ object MlPipelines {
     } finally { d.unpersist(); () }
   }
 
+  /** Portable exact-split CART regression tree — the hash-checkable twin of
+    * the MLlib `DecisionTreeRegressor` split search inside the RF/GBT
+    * ensembles (q42/q59/q155; reference `train_ensemble.py:137-139`,
+    * `trainer.py:262-320`): a fixed-depth tree grown level by level with an
+    * EXHAUSTIVE exact split search — per-feature threshold candidates are
+    * the distinct observed values (`x <= v` sends a row left), the winning
+    * split maximizes the round-2 per-row variance-reduction gain
+    * (sL²/nL + sR²/nR)/n with deterministic tie-break (gain desc, feature
+    * name asc, threshold asc), and children must keep `minLeaf` train rows.
+    * Leaf predictions are round-6 train means. The whole fit replays in
+    * unrolled SQL (one CTE block per level: assignment LEFT JOIN on the
+    * previous level's 1-row-per-node winners, per-(node,feature,value)
+    * DECIMAL(28,12) aggregates, prefix-sum window over the tiny aggregated
+    * frame, per-node argmax) — digit for digit, the q189/q194 contract.
+    *
+    * Scale shape: each level is ONE unioned scan aggregated down to
+    * (nodes × features × distinct values) cells — map-side combined,
+    * linear in data; the prefix-sum window partitions by (node, feature)
+    * over that aggregated frame only. The driver holds just the ≤2^depth
+    * winning splits per level (the q234 driver-argmax convention). At
+    * 100 TB the only knob is the candidate domain: quantize the feature to
+    * a fixed decimal grid first and the same code is a binned search —
+    * exactly MLlib's maxBins strategy.
+    *
+    * Returns one row per tree node: split nodes carry (feature, threshold,
+    * gain), leaves carry the round-6 prediction; node ids are heap-ordered
+    * (root 1, children 2n / 2n+1), depth derived from the id.
+    */
+  def cartTreePortable(df: DataFrame, keyCol: String,
+      f1: String, f2: String, yExpr: Column,
+      maxDepth: Int = 3, minLeaf: Int = 5,
+      kSplit: Int = 5, holdBucket: Int = 0): DataFrame = {
+    import graft.functions.Stats.dsum
+    import org.apache.spark.sql.expressions.Window
+    require(maxDepth >= 1 && maxDepth <= 4,
+      s"maxDepth must be in [1,4] (2^depth driver-held splits), got $maxDepth")
+    require(minLeaf >= 1, s"minLeaf must be positive, got $minLeaf")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = df.select(
+        (SplitOps.hashBucket(col(keyCol), kSplit) =!= holdBucket)
+          .as("is_train"),
+        col(f1).cast("double").as("x1"),
+        col(f2).cast("double").as("x2"),
+        yExpr.cast("double").as("y"))
+      .filter(col("is_train"))
+      .persist()
+    try {
+      def r6(v: Double): Double =
+        new java.math.BigDecimal(v)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      // chained node assignment: parents processed before children, so a
+      // later `when` only fires after the earlier one routed the row there
+      def nodeExpr(splits: Seq[(Long, String, Double)]): Column =
+        splits.foldLeft(lit(1L)) { case (e, (nd, f, thr)) =>
+          val x = if (f == f1) col("x1") else col("x2")
+          when(e === nd,
+            when(x <= lit(thr), lit(2 * nd)).otherwise(lit(2 * nd + 1)))
+            .otherwise(e)
+        }
+      var splits = Vector.empty[(Long, String, Double)]
+      // output rows: (node, depth, kind, feature, threshold, n_rows, gain,
+      // prediction)
+      var out = Vector.empty[(Long, Int, String, Option[String],
+        Option[Double], Long, Option[Double], Option[Double])]
+      var frontier = Set(1L)
+      (0 until maxDepth).foreach { depth =>
+        val assigned = d.withColumn("node", nodeExpr(splits))
+        val totals = assigned.groupBy("node")
+          .agg(count(lit(1)).as("nn"), dsum(col("y"), 12).as("sn"))
+        val longF = assigned
+          .select(col("node"), lit(f1).as("feat"), col("x1").as("v"),
+            col("y"))
+          .unionAll(assigned.select(col("node"), lit(f2).as("feat"),
+            col("x2").as("v"), col("y")))
+        val cells = longF.groupBy("node", "feat", "v")
+          .agg(count(lit(1)).as("nc"),
+            sum(col("y").cast("decimal(28,12)")).as("sc"))
+        val w = Window.partitionBy("node", "feat").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val scored = cells
+          .select(col("node"), col("feat"), col("v"),
+            sum(col("nc")).over(w).as("nl"),
+            sum(col("sc")).over(w).cast("double").as("sl"))
+          .join(broadcast(totals), "node")
+          .withColumn("nr", col("nn") - col("nl"))
+          .withColumn("sr", col("sn") - col("sl"))
+          .filter(col("nl") >= minLeaf && col("nr") >= minLeaf)
+          .withColumn("gain",
+            round((col("sl") * col("sl") / col("nl") +
+              col("sr") * col("sr") / col("nr")) / col("nn"), 2))
+        val winners = scored
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("node")
+              .orderBy(col("gain").desc, col("feat").asc, col("v").asc)))
+          .filter(col("rk") === 1)
+          .select("node", "feat", "v", "nn", "gain")
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+            r.getLong(3), r.getDouble(4)))
+          .sortBy(_._1)
+        val statRows = totals.collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        val won = winners.map(_._1).toSet
+        // frontier nodes that found no admissible split become leaves now
+        frontier.toSeq.sorted.filterNot(won.contains).foreach { nd =>
+          val (nn, sn) = statRows(nd)
+          out :+= ((nd, depth, "leaf", None, None, nn, None,
+            Some(r6(sn / nn))))
+        }
+        winners.foreach { case (nd, f, thr, nn, g) =>
+          out :+= ((nd, depth, "split", Some(f), Some(thr), nn, Some(g),
+            None))
+          splits :+= ((nd, f, thr))
+        }
+        frontier = winners.flatMap(w0 => Seq(2 * w0._1, 2 * w0._1 + 1)).toSet
+      }
+      if (frontier.nonEmpty) {
+        val finalStats = d.withColumn("node", nodeExpr(splits))
+          .groupBy("node")
+          .agg(count(lit(1)).as("nn"), dsum(col("y"), 12).as("sn"))
+          .collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        frontier.toSeq.sorted.foreach { nd =>
+          val (nn, sn) = finalStats(nd)
+          out :+= ((nd, maxDepth, "leaf", None, None, nn, None,
+            Some(r6(sn / nn))))
+        }
+      }
+      out.sortBy(_._1)
+        .toDF("node", "depth", "kind", "feature", "threshold", "n_rows",
+          "gain", "prediction")
+    } finally { d.unpersist(); () }
+  }
+
+  /** Per-row predictions of a `cartTreePortable` model — routes each row
+    * down the collected split chain and emits the leaf's round-6 mean.
+    * Used by the MLlib `DecisionTreeRegressor` pinning spec.
+    */
+  def cartPredict(model: DataFrame, f1: String, f2: String): Column = {
+    val rows = model.collect()
+    val splits = rows.filter(_.getString(2) == "split")
+      .map(r => (r.getLong(0), r.getString(3), r.getDouble(4)))
+      .sortBy(_._1)
+    val leaves = rows.filter(_.getString(2) == "leaf")
+      .map(r => (r.getLong(0), r.getDouble(7)))
+    val nodeE = splits.foldLeft(lit(1L)) { case (e, (nd, f, thr)) =>
+      val x = if (f == f1) col(f1).cast("double") else col(f2).cast("double")
+      when(e === nd,
+        when(x <= lit(thr), lit(2 * nd)).otherwise(lit(2 * nd + 1)))
+        .otherwise(e)
+    }
+    leaves.foldLeft(lit(null).cast("double")) { case (e, (nd, p)) =>
+      when(nodeE === nd, lit(p)).otherwise(e)
+    }
+  }
+
   /** K-fold OUT-OF-FOLD target encoding — the leakage-safe categorical
     * encoder (the high-cardinality-feature workhorse): a row in fold f is
     * encoded with its category's target mean computed from the OTHER

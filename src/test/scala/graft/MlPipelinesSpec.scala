@@ -278,6 +278,69 @@ class MlPipelinesSpec extends SparkSpec {
       s"b2 irls=${trace(7).getDouble(3)} mllib=${m.coefficients(1)}")
   }
 
+  // planted two-level fixture shared by the CART tests: the true tree is
+  //   x1 <= 5 ? (x2 <= 0.1 ? 10 : 20) : (x2 <= 0.2 ? 40 : 80)
+  // with region means far apart so every variance-gain argmax is unique
+  private lazy val cartFixture = {
+    val rows = (1L to 400L).map { id =>
+      val x1 = (id % 10 + 1).toDouble
+      val x2 = (id / 10 % 5).toDouble * 0.1
+      val y =
+        if (x1 <= 5.0) { if (x2 <= 0.1) 10.0 else 20.0 }
+        else { if (x2 <= 0.2) 40.0 else 80.0 }
+      (id, x1, x2, y)
+    }
+    rows.toDF("id", "x1", "x2", "y")
+  }
+
+  test("cartTreePortable recovers the planted tree and exact region means") {
+    val model = MlPipelines.cartTreePortable(cartFixture, "id", "x1", "x2",
+      col("y"), maxDepth = 2, minLeaf = 5).collect()
+    val byNode = model.map(r => r.getLong(0) -> r).toMap
+    // root splits on x1 at the planted boundary 5.0
+    assert(byNode(1L).getString(2) == "split")
+    assert(byNode(1L).getString(3) == "x1")
+    assert(byNode(1L).getDouble(4) == 5.0)
+    // both children split on x2 at their planted boundaries
+    assert(byNode(2L).getString(3) == "x2" &&
+      approx(byNode(2L).getDouble(4), 0.1, 1e-12))
+    assert(byNode(3L).getString(3) == "x2" &&
+      approx(byNode(3L).getDouble(4), 0.2, 1e-12))
+    // leaves carry the exact planted region means
+    assert(byNode(4L).getDouble(7) == 10.0)
+    assert(byNode(5L).getDouble(7) == 20.0)
+    assert(byNode(6L).getDouble(7) == 40.0)
+    assert(byNode(7L).getDouble(7) == 80.0)
+    // node ids are heap-ordered, n_rows conserved parent = left + right
+    assert(byNode(1L).getLong(5) ==
+      byNode(2L).getLong(5) + byNode(3L).getLong(5))
+  }
+
+  test("cartTreePortable predictions pin MLlib's DecisionTreeRegressor") {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.regression.DecisionTreeRegressor
+    val model = MlPipelines.cartTreePortable(cartFixture, "id", "x1", "x2",
+      col("y"), maxDepth = 3, minLeaf = 5)
+    // MLlib sees the IDENTICAL train rows (the same hash split the
+    // portable fit applies internally)
+    val train = cartFixture.filter(
+      graft.operators.SplitOps.hashBucket(col("id"), 5) =!= 0)
+    val tr = new VectorAssembler().setInputCols(Array("x1", "x2"))
+      .setOutputCol("features")
+      .transform(train.withColumnRenamed("y", "label"))
+    val dt = new DecisionTreeRegressor().setMaxDepth(3)
+      .setMinInstancesPerNode(5).fit(tr)
+    val scored = dt.transform(tr)
+      .withColumn("portable",
+        MlPipelines.cartPredict(model, "x1", "x2"))
+      .select("prediction", "portable").collect()
+    assert(scored.nonEmpty)
+    scored.foreach { r =>
+      assert(approx(r.getDouble(0), r.getDouble(1), 1e-6),
+        s"mllib=${r.getDouble(0)} portable=${r.getDouble(1)}")
+    }
+  }
+
   test("powerIterationPC1: planted single-direction data recovers share 1 and the exact variance") {
     import spark.implicits._
     // all variance lives on dim 0: λ₁ = population var of x, share = 1
