@@ -8,7 +8,10 @@ object Verify {
     // optional 3rd arg: comma-separated query-name filter (local iteration)
     val (sfDir, outDir, only) = args match {
       case Array(s, o) => (s, o, None)
-      case Array(s, o, f) => (s, o, Some(f.split(",").toSet))
+      case Array(s, o, rest @ _*) =>
+        (s, o, Some(rest.flatMap(_.split(",")).toSet))
+      case _ => sys.error(
+        "usage: graft.Verify <sfDir> <outDir> [queryName[,queryName...] ...]")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -539,8 +539,11 @@ object RankMetrics {
     * exact-decimal mean monetary value.
     *
     * Scale shape: one per-customer aggregation, three value-collapsed
-    * midrank passes (the bucketed no-global-sort scheme), three
-    * broadcast joins of the per-value quintile maps, one cell
+    * midrank passes (the bucketed no-global-sort scheme), then the
+    * per-value quintile maps join back — recency and frequency by
+    * broadcast (their value domains are bounded: days-since and order
+    * counts), monetary by shuffle equi-join (its distinct values are
+    * ~O(customers), too wide to pin on the driver), one cell
     * aggregation.
     */
   def rfmSegments(orders: DataFrame, custCol: String, tsCol: String,
@@ -575,8 +578,7 @@ object RankMetrics {
     val cells = perCust
       .join(broadcast(quintile("recency", descending = true)), "recency")
       .join(broadcast(quintile("freq", descending = false)), "freq")
-      .join(broadcast(quintile("monetary", descending = false)),
-        "monetary")
+      .join(quintile("monetary", descending = false), "monetary")
       .groupBy(col("recency_q").as("r"), col("freq_q").as("f"),
         col("monetary_q").as("m"))
       .agg(count(lit(1)).as("n_customers"),

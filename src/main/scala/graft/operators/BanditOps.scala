@@ -67,6 +67,8 @@ object BanditOps {
       .select(col("t0"), coalesce(col("arm"), lit(arms.head)).as("arm"),
         round(coalesce(col("m"), lit(0.0)) / col("__mx"), 9).as("r"))
     val rows = grid.collect()
+    require(rows.nonEmpty,
+      "ucbReplay needs at least one event day for the listed arms")
     val nDays = rows.map(_.getLong(0)).max + 1
     require(nDays >= k && nDays <= maxSteps,
       s"need between $k and $maxSteps days, got $nDays")

@@ -438,7 +438,6 @@ object DriftOps {
     val nRow = complete.agg(count(lit(1)).as("n")).head()
     val n = nRow.getLong(0)
     require(n >= 2, "need at least 2 complete blocks")
-    val kD = k.toDouble
     val sij = ranked.join(broadcast(blockW), "b")
       .withColumn("__s",
         col("__q") * (col("__r") - lit((k + 1).toDouble / 2.0)))
@@ -1675,7 +1674,7 @@ object DriftOps {
           sum(when(col("gy2") < col("gy"), dec(col("c")) * dec(col("c2")))
             .otherwise(lit(0).cast("decimal(38,0)"))).as("__dd"))
       def tieSum(kc: Column): Column =
-        sum(dec(col("m")) * dec(col("m") - 1L)).cast("decimal(38,0)")
+        sum(dec(kc) * dec(kc - 1L)).cast("decimal(38,0)")
       val tx = cells.groupBy(col("gx")).agg(sum(col("c")).as("m"))
         .agg((tieSum(col("m")) / lit(2)).cast("decimal(38,0)").as("__tx"))
       val ty = cells.groupBy(col("gy")).agg(sum(col("c")).as("m"))

@@ -252,11 +252,15 @@ object SketchOps {
     */
   def kmvDistinctCard(kept: DataFrame, keyed: DataFrame,
       k: Int = 64): DataFrame = {
-    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("h"))
+    // merged-ALL re-rank WITHOUT a global window: the input is the kept
+    // hashes only (≤ k × n_groups rows by construction), so one bounded
+    // collect_list aggregate sorts and slices the k smallest — no
+    // single-partition WindowExec in the plan
     val allK = kept.select(col("h")).distinct()
-      .withColumn("r", row_number().over(wAll).cast("long"))
-      .filter(col("r") <= k)
-      .select(lit("ALL").as("grp"), col("r"), col("h"))
+      .agg(slice(sort_array(collect_list(col("h"))), 1, k).as("hs"))
+      .select(posexplode(col("hs")).as(Seq("p", "h")))
+      .select(lit("ALL").as("grp"), (col("p") + 1).cast("long").as("r"),
+        col("h"))
     val est = kmvEstimate(
       kept.select(col("grp"), col("r"), col("h")).unionByName(allK),
       Seq("grp"), k)

@@ -224,6 +224,12 @@ object TimeSeriesOps {
     require(nCandidates >= 2, "need at least 2 candidate models")
     val series = dailyCountSeries(df, tsCol).persist()
     try {
+      // a 1–2 day spine degenerates: both draws collapse to the same
+      // index (0/0 NaN slope) and stddev_samp is NaN/NULL-divergent
+      // across engines — contract error, matching the >= 3 guard of the
+      // sibling spine fits (thetaForecast, quantileTrendIrls)
+      require(series.count() >= 3,
+        "ransacTrendLine needs a spine of at least 3 days")
       val p1 = 1000003L
       val p2 = 9999991L
       def draw(seed: Column, n: Column): Column = {

@@ -115,6 +115,19 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q380 KMV: merged-ALL re-rank carries no single-partition window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.q380(spark, dir).queryExecution.executedPlan
+      p.foreach {
+        case w: WindowExec =>
+          assert(w.partitionSpec.nonEmpty, s"global window in:\n$p")
+        case _ =>
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("minhash/simhash: one exchange, partial map-side aggregation, codegen") {
     import graft.operators.DedupOps
     val docs = Tables.load(spark, dir, "documents")
