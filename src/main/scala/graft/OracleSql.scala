@@ -141,14 +141,7 @@ object OracleSql {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
-    "q13_quality_score" ->
-      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
-        |SELECT doc_id,
-        |  CAST(len(toks) AS BIGINT) AS n_tokens,
-        |  ROUND(len(list_filter(toks, x -> x = 'the' OR x = 'a')) / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
-        |  ROUND(LEAST(len(toks) / 100.0, 1.0) * (1.0 - len(list_filter(toks, x -> x = 'the' OR x = 'a')) / CAST(len(toks) AS DOUBLE)), 6) AS quality_score
-        |FROM t
-        |ORDER BY doc_id""".stripMargin,
+    "q13_quality_score" -> textQualitySql,
 
     "q14_lang_id" ->
       """WITH t AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS toks FROM documents),
@@ -850,19 +843,7 @@ object OracleSql {
         |GROUP BY e.user_id
         |ORDER BY e.user_id""".stripMargin,
 
-    "q63_asof_join" ->
-      """WITH p AS (SELECT event_id, user_id, ts FROM events
-        |           WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, ts, MAX(event_id) AS click_id,
-        |        epoch_us(ts) AS click_ts_us,
-        |        arg_max(value, event_id) AS click_value
-        |      FROM events WHERE event_type = 'click'
-        |      GROUP BY user_id, ts)
-        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
-        |  c.click_id, c.click_ts_us, c.click_value
-        |FROM p ASOF LEFT JOIN c
-        |  ON p.user_id = c.user_id AND p.ts >= c.ts
-        |ORDER BY p.event_id""".stripMargin,
+    "q63_asof_join" -> asofSql,
 
     "q64_corpus_clean" ->
       """WITH s AS (
@@ -1419,21 +1400,7 @@ object OracleSql {
     // portable text shared with the q147 SQL-surface twin
     "q102_funnel" -> SqlText.funnel,
 
-    "q103_cohort_retention" ->
-      """WITH f AS (
-        |  SELECT user_id, date_trunc('week', MIN(ts)) AS cw
-        |  FROM events GROUP BY user_id),
-        |a AS (
-        |  SELECT e.user_id, f.cw,
-        |    (epoch_us(date_trunc('week', e.ts)) - epoch_us(f.cw))
-        |      // 604800000000 AS week_offset
-        |  FROM events e JOIN f USING (user_id))
-        |SELECT CAST(cw AS DATE) AS cohort_week,
-        |  CAST(week_offset AS BIGINT) AS week_offset,
-        |  COUNT(DISTINCT user_id) AS n_users
-        |FROM a WHERE week_offset <= 3
-        |GROUP BY cw, week_offset
-        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "q103_cohort_retention" -> retentionSql,
 
     "q108_stream_outer_join" ->
       """WITH h AS (
@@ -1520,57 +1487,9 @@ object OracleSql {
         |FROM prm JOIN e USING (event_type)
         |ORDER BY event_type""".stripMargin,
 
-    "q112_skew_report" ->
-      """WITH c AS (
-        |  SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id)
-        |SELECT CAST(SUM(c) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
-        |  ROUND(SUM(c) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_per_key,
-        |  ROUND(quantile_cont(c, 0.99), 6) AS p99_per_key,
-        |  CAST(MAX(c) AS BIGINT) AS max_per_key,
-        |  ROUND(MAX(c) / ROUND(SUM(c) / CAST(COUNT(*) AS DOUBLE), 6), 6)
-        |    AS skew_ratio
-        |FROM c""".stripMargin,
+    "q112_skew_report" -> skewReportSql,
 
-    "q104_column_profile" ->
-      """SELECT * FROM (
-        |  SELECT 'event_id' AS "column", COUNT(*) AS n_rows,
-        |    COUNT(*) FILTER (WHERE event_id IS NULL) AS n_null,
-        |    ROUND(COUNT(*) FILTER (WHERE event_id IS NULL) /
-        |      CAST(COUNT(*) AS DOUBLE), 6) AS null_frac,
-        |    COUNT(DISTINCT event_id) AS n_distinct
-        |  FROM events
-        |  UNION ALL
-        |  SELECT 'ts', COUNT(*), COUNT(*) FILTER (WHERE ts IS NULL),
-        |    ROUND(COUNT(*) FILTER (WHERE ts IS NULL) /
-        |      CAST(COUNT(*) AS DOUBLE), 6),
-        |    COUNT(DISTINCT epoch_us(ts))
-        |  FROM events
-        |  UNION ALL
-        |  SELECT 'user_id', COUNT(*), COUNT(*) FILTER (WHERE user_id IS NULL),
-        |    ROUND(COUNT(*) FILTER (WHERE user_id IS NULL) /
-        |      CAST(COUNT(*) AS DOUBLE), 6),
-        |    COUNT(DISTINCT user_id)
-        |  FROM events
-        |  UNION ALL
-        |  SELECT 'event_type', COUNT(*),
-        |    COUNT(*) FILTER (WHERE event_type IS NULL),
-        |    ROUND(COUNT(*) FILTER (WHERE event_type IS NULL) /
-        |      CAST(COUNT(*) AS DOUBLE), 6),
-        |    COUNT(DISTINCT event_type)
-        |  FROM events
-        |  UNION ALL
-        |  SELECT 'value', COUNT(*), COUNT(*) FILTER (WHERE value IS NULL),
-        |    ROUND(COUNT(*) FILTER (WHERE value IS NULL) /
-        |      CAST(COUNT(*) AS DOUBLE), 6),
-        |    COUNT(DISTINCT value)
-        |  FROM events
-        |  UNION ALL
-        |  SELECT 'props', COUNT(*), COUNT(*) FILTER (WHERE props IS NULL),
-        |    ROUND(COUNT(*) FILTER (WHERE props IS NULL) /
-        |      CAST(COUNT(*) AS DOUBLE), 6),
-        |    COUNT(DISTINCT props)
-        |  FROM events)
-        |ORDER BY "column"""".stripMargin,
+    "q104_column_profile" -> profileSql,
 
     "q113_psi_drift" -> psiSql,
 
@@ -9302,6 +9221,20 @@ object OracleSql {
         |  ROUND(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
         |FROM counts, tot ORDER BY relation""".stripMargin,
 
+    // q408–q417: the round-12 SQL-text surface. Portable strings serve
+    // verbatim (the q146 convention); dialect twins share the proven
+    // oracle of their DataFrame sibling via the private defs below.
+    "q408_sql_interval_join" -> SqlText.intervalJoin,
+    "q409_sql_asof_join" -> asofSql,
+    "q410_sql_weighted_median" -> SqlText.weightedMedian,
+    "q411_sql_profile" -> profileSql,
+    "q412_sql_retention" -> retentionSql,
+    "q413_sql_rollup" -> SqlText.rollup,
+    "q414_sql_topk" -> SqlText.topk,
+    "q415_sql_text_quality" -> textQualitySql,
+    "q416_sql_weekly_trend" -> SqlText.weeklyTrend,
+    "q417_sql_skew_report" -> skewReportSql,
+
     // q407: the exact-split CART fit UNROLLED level by level — per level,
     // assignment LEFT JOIN on the previous level's 1-row-per-node winners,
     // per-(node, feature, value) DECIMAL(28,12) cells, prefix-sum window
@@ -9310,6 +9243,106 @@ object OracleSql {
     // driver loop of MlPipelines.cartTreePortable, digit for digit.
     "q407_cart_tree" -> q407CartTreeSql,
   ) ++ sqlSurface
+
+  /** Shared by q63 (DataFrame as-of join) and q409 (its SQL-text twin,
+    * which emulates the as-of with a union-ordered carry-forward window):
+    * DuckDB's native ASOF LEFT JOIN after the same per-(user, ts) click
+    * collapse.
+    */
+  private def asofSql: String =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts, MAX(event_id) AS click_id,
+      |        epoch_us(ts) AS click_ts_us,
+      |        arg_max(value, event_id) AS click_value
+      |      FROM events WHERE event_type = 'click'
+      |      GROUP BY user_id, ts)
+      |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+      |  c.click_id, c.click_ts_us, c.click_value
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  /** Shared by q103 (DataFrame cohort retention) and q412 (SQL text). */
+  private def retentionSql: String =
+    """WITH f AS (
+      |  SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT e.user_id, f.cw,
+      |    (epoch_us(date_trunc('week', e.ts)) - epoch_us(f.cw))
+      |      // 604800000000 AS week_offset
+      |  FROM events e JOIN f USING (user_id))
+      |SELECT CAST(cw AS DATE) AS cohort_week,
+      |  CAST(week_offset AS BIGINT) AS week_offset,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM a WHERE week_offset <= 3
+      |GROUP BY cw, week_offset
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** Shared by q104 (DataFrame column profile) and q411 (SQL text). */
+  private def profileSql: String =
+    """SELECT * FROM (
+      |  SELECT 'event_id' AS "column", COUNT(*) AS n_rows,
+      |    COUNT(*) FILTER (WHERE event_id IS NULL) AS n_null,
+      |    ROUND(COUNT(*) FILTER (WHERE event_id IS NULL) /
+      |      CAST(COUNT(*) AS DOUBLE), 6) AS null_frac,
+      |    COUNT(DISTINCT event_id) AS n_distinct
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'ts', COUNT(*), COUNT(*) FILTER (WHERE ts IS NULL),
+      |    ROUND(COUNT(*) FILTER (WHERE ts IS NULL) /
+      |      CAST(COUNT(*) AS DOUBLE), 6),
+      |    COUNT(DISTINCT epoch_us(ts))
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'user_id', COUNT(*), COUNT(*) FILTER (WHERE user_id IS NULL),
+      |    ROUND(COUNT(*) FILTER (WHERE user_id IS NULL) /
+      |      CAST(COUNT(*) AS DOUBLE), 6),
+      |    COUNT(DISTINCT user_id)
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'event_type', COUNT(*),
+      |    COUNT(*) FILTER (WHERE event_type IS NULL),
+      |    ROUND(COUNT(*) FILTER (WHERE event_type IS NULL) /
+      |      CAST(COUNT(*) AS DOUBLE), 6),
+      |    COUNT(DISTINCT event_type)
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'value', COUNT(*), COUNT(*) FILTER (WHERE value IS NULL),
+      |    ROUND(COUNT(*) FILTER (WHERE value IS NULL) /
+      |      CAST(COUNT(*) AS DOUBLE), 6),
+      |    COUNT(DISTINCT value)
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'props', COUNT(*), COUNT(*) FILTER (WHERE props IS NULL),
+      |    ROUND(COUNT(*) FILTER (WHERE props IS NULL) /
+      |      CAST(COUNT(*) AS DOUBLE), 6),
+      |    COUNT(DISTINCT props)
+      |  FROM events)
+      |ORDER BY "column"""".stripMargin
+
+  /** Shared by q13 (DataFrame quality score) and q415 (SQL text). */
+  private def textQualitySql: String =
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  ROUND(len(list_filter(toks, x -> x = 'the' OR x = 'a')) / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
+      |  ROUND(LEAST(len(toks) / 100.0, 1.0) * (1.0 - len(list_filter(toks, x -> x = 'the' OR x = 'a')) / CAST(len(toks) AS DOUBLE)), 6) AS quality_score
+      |FROM t
+      |ORDER BY doc_id""".stripMargin
+
+  /** Shared by q112 (DataFrame skew report) and q417 (SQL text). */
+  private def skewReportSql: String =
+    """WITH c AS (
+      |  SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id)
+      |SELECT CAST(SUM(c) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+      |  ROUND(SUM(c) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_per_key,
+      |  ROUND(quantile_cont(c, 0.99), 6) AS p99_per_key,
+      |  CAST(MAX(c) AS BIGINT) AS max_per_key,
+      |  ROUND(MAX(c) / ROUND(SUM(c) / CAST(COUNT(*) AS DOUBLE), 6), 6)
+      |    AS skew_ratio
+      |FROM c""".stripMargin
 
   /** q407 oracle builder: one CTE block per tree level (assignment a_k,
     * node totals t_k, candidate cells c_k, prefix p_k, winners b_k), then

@@ -4664,6 +4664,62 @@ object SparkEntry {
         (lit(1.0) - col("l_discount").cast("double")) * lit(1000.0),
       maxDepth = 3, minLeaf = 5)
 
+  // ------------------------------------------- q408–q417: SQL-surface II
+  // Round-12 expansion of the SQL-text door (q146–q149/q153/q154/q167):
+  // the ten most user-facing remaining families served as PURE SQL TEXT —
+  // what a `spark.sql` analyst actually types. Five strings are
+  // engine-portable and double as their own DuckDB oracles; the other
+  // five share the proven oracle of their DataFrame sibling (dialect
+  // functions only). Catalyst plans text and DSL identically, so none of
+  // these pay a plan penalty (TakeOrdered for top-k, broadcast for the
+  // small sides, prefix windows stay value-collapsed).
+
+  private def sqlQ(spark: SparkSession, dir: String, text: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(text)
+  }
+
+  // Interval join + stats in SQL (q05 semantics; portable text).
+  def q408(spark: SparkSession, dir: String): DataFrame =
+    sqlQ(spark, dir, SqlText.intervalJoin)
+
+  // As-of join in SQL via union-ordered last-click carry-forward (q63
+  // semantics; the oracle stays DuckDB's native ASOF LEFT JOIN).
+  def q409(spark: SparkSession, dir: String): DataFrame =
+    sqlQ(spark, dir, SqlText.asofJoin)
+
+  // Weighted median in SQL (q101 semantics; portable text).
+  def q410(spark: SparkSession, dir: String): DataFrame =
+    sqlQ(spark, dir, SqlText.weightedMedian)
+
+  // Column profile in SQL (q104 semantics; dialect twin).
+  def q411(spark: SparkSession, dir: String): DataFrame =
+    sqlQ(spark, dir, SqlText.profile)
+
+  // Weekly cohort retention in SQL (q103 semantics; dialect twin).
+  def q412(spark: SparkSession, dir: String): DataFrame =
+    sqlQ(spark, dir, SqlText.retention)
+
+  // ROLLUP totals in SQL (q54 semantics; portable text).
+  def q413(spark: SparkSession, dir: String): DataFrame =
+    sqlQ(spark, dir, SqlText.rollup)
+
+  // Global top-k in SQL (q10 semantics; portable text).
+  def q414(spark: SparkSession, dir: String): DataFrame =
+    sqlQ(spark, dir, SqlText.topk)
+
+  // Text quality scoring in SQL (q13 semantics; dialect twin).
+  def q415(spark: SparkSession, dir: String): DataFrame =
+    sqlQ(spark, dir, SqlText.textQuality)
+
+  // Weekly trend in SQL (q07 semantics; portable text).
+  def q416(spark: SparkSession, dir: String): DataFrame =
+    sqlQ(spark, dir, SqlText.weeklyTrend)
+
+  // Per-key skew report in SQL (q112 semantics; dialect twin).
+  def q417(spark: SparkSession, dir: String): DataFrame =
+    sqlQ(spark, dir, SqlText.skewReport)
+
   private def amsKeyed(df: DataFrame): DataFrame =
     df.filter(col("event_type").isNotNull)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
@@ -5986,6 +6042,16 @@ object SparkEntry {
     "q405_calibration_slope" -> (q405 _),
     "q406_allen_census" -> (q406 _),
     "q407_cart_tree" -> (q407 _),
+    "q408_sql_interval_join" -> (q408 _),
+    "q409_sql_asof_join" -> (q409 _),
+    "q410_sql_weighted_median" -> (q410 _),
+    "q411_sql_profile" -> (q411 _),
+    "q412_sql_retention" -> (q412 _),
+    "q413_sql_rollup" -> (q413 _),
+    "q414_sql_topk" -> (q414 _),
+    "q415_sql_text_quality" -> (q415 _),
+    "q416_sql_weekly_trend" -> (q416 _),
+    "q417_sql_skew_report" -> (q417 _),
   )
 
   /** DuckDB oracle SQL per query (omitted for hash/MLlib-dependent ones →

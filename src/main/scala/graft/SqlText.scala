@@ -196,4 +196,226 @@ object SqlText {
       |SELECT doc_id, n_terms_hit, bm25 FROM scored
       |ORDER BY bm25 DESC, doc_id
       |LIMIT 15""".stripMargin
+
+  // ---- round-12 SQL-surface expansion: the ten most user-facing ---------
+  // families promoted to SQL text. Five are fully engine-portable (the
+  // string doubles as its own DuckDB oracle); five differ from their
+  // proven oracles only in dialect functions (epoch extraction, list ops,
+  // exact percentile) — every aggregation, decimal accumulation, rounding
+  // step and ORDER BY is semantically identical.
+
+  /** Point-in-interval join + per-anchor stats — q05's semantics (J2/A1)
+    * as portable SQL text: ±3-day windows around signup anchors,
+    * decimal-exact sums, min-support HAVING. Serves verbatim as its own
+    * oracle.
+    */
+  val intervalJoin: String =
+    """SELECT a.event_id AS anchor_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(e.value) AS avg_value,
+      |  MIN(e.value) AS min_value,
+      |  MAX(e.value) AS max_value,
+      |  CASE WHEN COUNT(e.value) > 1 THEN ROUND(STDDEV_SAMP(e.value), 6) END AS std_value,
+      |  COUNT(DISTINCT e.event_type) AS n_types
+      |FROM events e
+      |JOIN events a
+      |  ON a.event_type = 'signup'
+      | AND e.user_id = a.user_id
+      | AND e.ts >= a.ts - INTERVAL 3 DAY
+      | AND e.ts <= a.ts + INTERVAL 3 DAY
+      |GROUP BY a.event_id
+      |HAVING COUNT(*) >= 3
+      |ORDER BY anchor_id""".stripMargin
+
+  /** Weighted median per group — q101's semantics: value-collapsed
+    * decimal weights, prefix-sum window over the collapsed frame (never a
+    * global sort), first value whose cumulative weight crosses half.
+    * Portable verbatim.
+    */
+  val weightedMedian: String =
+    """WITH byval AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    SUM(CAST(l_quantity AS DECIMAL(28,4))) AS w
+      |  FROM lineitem GROUP BY l_returnflag, l_extendedprice),
+      |cum AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      |  FROM byval),
+      |tot AS (SELECT l_returnflag, SUM(w) AS tw FROM byval
+      |        GROUP BY l_returnflag)
+      |SELECT c.l_returnflag, MIN(c.l_extendedprice) AS weighted_median
+      |FROM cum c JOIN tot t USING (l_returnflag)
+      |WHERE c.cw * 2 >= t.tw
+      |GROUP BY c.l_returnflag
+      |ORDER BY c.l_returnflag""".stripMargin
+
+  /** Hierarchical ROLLUP totals — q54's semantics. Portable verbatim. */
+  val rollup: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Global top-k with a deterministic tiebreak — q10's semantics.
+    * Portable verbatim; Catalyst plans the text as TakeOrderedAndProject
+    * exactly like the DataFrame chain.
+    */
+  val topk: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Per-user weekly activity trend — q07's semantics (A5): weekly bucket
+    * means, then spread stats per user. Portable verbatim (both engines
+    * truncate weeks to Monday).
+    */
+  val weeklyTrend: String =
+    """WITH per AS (
+      |  SELECT user_id, date_trunc('week', ts) AS bucket,
+      |    CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS bucket_mean
+      |  FROM events
+      |  GROUP BY user_id, date_trunc('week', ts))
+      |SELECT user_id, COUNT(*) AS n_buckets,
+      |  CASE WHEN COUNT(bucket_mean) > 1 THEN ROUND(STDDEV_SAMP(bucket_mean), 6) END AS trend_std,
+      |  ROUND(MAX(bucket_mean) - MIN(bucket_mean), 6) AS trend_range
+      |FROM per
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** As-of (latest click at-or-before each purchase) join — q63's
+    * semantics through the SQL parser, WITHOUT an ASOF keyword: clicks
+    * collapse per (user, ts) exactly like the oracle's arg_max, then one
+    * union-ordered window carries the last click forward onto each
+    * purchase (clicks sort before purchases at equal ts — the >= bound).
+    * The oracle is DuckDB's native ASOF LEFT JOIN — two entirely
+    * different evaluation strategies, same rows.
+    */
+  val asofJoin: String =
+    """WITH c AS (
+      |  SELECT user_id, ts, MAX(event_id) AS click_id,
+      |    unix_micros(ts) AS click_ts_us,
+      |    MAX_BY(value, event_id) AS click_value
+      |  FROM events WHERE event_type = 'click'
+      |  GROUP BY user_id, ts),
+      |u AS (
+      |  SELECT user_id, ts, 0 AS pri, NULL AS event_id,
+      |    click_id, click_ts_us, click_value
+      |  FROM c
+      |  UNION ALL
+      |  SELECT user_id, ts, 1 AS pri, event_id,
+      |    NULL AS click_id, NULL AS click_ts_us, NULL AS click_value
+      |  FROM events WHERE event_type = 'purchase'),
+      |w AS (
+      |  SELECT user_id, ts, pri, event_id,
+      |    LAST_VALUE(click_id) IGNORE NULLS OVER win AS click_id,
+      |    LAST_VALUE(click_ts_us) IGNORE NULLS OVER win AS click_ts_us,
+      |    LAST_VALUE(click_value) IGNORE NULLS OVER win AS click_value
+      |  FROM u
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, pri
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id, unix_micros(ts) AS ts_us,
+      |  click_id, click_ts_us, click_value
+      |FROM w WHERE pri = 1
+      |ORDER BY event_id""".stripMargin
+
+  /** Weekly cohort retention — q103's semantics: first-activity cohort
+    * week per user, distinct actives per (cohort, week offset). Differs
+    * from the oracle only in epoch extraction (`unix_micros` vs
+    * `epoch_us`) and integer division (`DIV` vs `//`).
+    */
+  val retention: String =
+    """WITH f AS (
+      |  SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT e.user_id, f.cw,
+      |    (unix_micros(date_trunc('week', e.ts)) - unix_micros(f.cw))
+      |      DIV 604800000000 AS week_offset
+      |  FROM events e JOIN f USING (user_id))
+      |SELECT CAST(cw AS DATE) AS cohort_week,
+      |  CAST(week_offset AS BIGINT) AS week_offset,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM a WHERE week_offset <= 3
+      |GROUP BY cw, week_offset
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** Column profile of the events table — q104's semantics: one row per
+    * column with null counts/fraction and distinct cardinality. Differs
+    * from the oracle only in the identifier quoting (backticks) and
+    * `unix_micros` vs `epoch_us` for the timestamp distinct.
+    */
+  val profile: String =
+    """SELECT * FROM (
+      |  SELECT 'event_id' AS `column`, COUNT(*) AS n_rows,
+      |    COUNT(*) FILTER (WHERE event_id IS NULL) AS n_null,
+      |    ROUND(COUNT(*) FILTER (WHERE event_id IS NULL) /
+      |      CAST(COUNT(*) AS DOUBLE), 6) AS null_frac,
+      |    COUNT(DISTINCT event_id) AS n_distinct
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'ts', COUNT(*), COUNT(*) FILTER (WHERE ts IS NULL),
+      |    ROUND(COUNT(*) FILTER (WHERE ts IS NULL) /
+      |      CAST(COUNT(*) AS DOUBLE), 6),
+      |    COUNT(DISTINCT unix_micros(ts))
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'user_id', COUNT(*), COUNT(*) FILTER (WHERE user_id IS NULL),
+      |    ROUND(COUNT(*) FILTER (WHERE user_id IS NULL) /
+      |      CAST(COUNT(*) AS DOUBLE), 6),
+      |    COUNT(DISTINCT user_id)
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'event_type', COUNT(*),
+      |    COUNT(*) FILTER (WHERE event_type IS NULL),
+      |    ROUND(COUNT(*) FILTER (WHERE event_type IS NULL) /
+      |      CAST(COUNT(*) AS DOUBLE), 6),
+      |    COUNT(DISTINCT event_type)
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'value', COUNT(*), COUNT(*) FILTER (WHERE value IS NULL),
+      |    ROUND(COUNT(*) FILTER (WHERE value IS NULL) /
+      |      CAST(COUNT(*) AS DOUBLE), 6),
+      |    COUNT(DISTINCT value)
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'props', COUNT(*), COUNT(*) FILTER (WHERE props IS NULL),
+      |    ROUND(COUNT(*) FILTER (WHERE props IS NULL) /
+      |      CAST(COUNT(*) AS DOUBLE), 6),
+      |    COUNT(DISTINCT props)
+      |  FROM events)
+      |ORDER BY `column`""".stripMargin
+
+  /** Token-count + stopword-ratio quality score — q13's semantics.
+    * Differs from the oracle only in the list idiom (Spark
+    * `split`/`filter`/`size` vs DuckDB `string_split`/`list_filter`/
+    * `len`).
+    */
+  val textQuality: String =
+    """WITH t AS (SELECT doc_id, split(trim(text), ' ') AS toks FROM documents)
+      |SELECT doc_id,
+      |  CAST(size(toks) AS BIGINT) AS n_tokens,
+      |  ROUND(size(filter(toks, x -> x = 'the' OR x = 'a')) / CAST(size(toks) AS DOUBLE), 6) AS stop_ratio,
+      |  ROUND(LEAST(size(toks) / 100.0, 1.0) * (1.0 - size(filter(toks, x -> x = 'the' OR x = 'a')) / CAST(size(toks) AS DOUBLE)), 6) AS quality_score
+      |FROM t
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-key skew report — q112's semantics: row counts per user, p99 via
+    * exact interpolated percentile, max/avg skew ratio. Differs from the
+    * oracle only in the percentile name (Spark exact `percentile` vs
+    * DuckDB `quantile_cont` — both linear-interpolation on the sorted
+    * counts).
+    */
+  val skewReport: String =
+    """WITH c AS (
+      |  SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id)
+      |SELECT CAST(SUM(c) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+      |  ROUND(SUM(c) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_per_key,
+      |  ROUND(percentile(c, 0.99), 6) AS p99_per_key,
+      |  CAST(MAX(c) AS BIGINT) AS max_per_key,
+      |  ROUND(MAX(c) / ROUND(SUM(c) / CAST(COUNT(*) AS DOUBLE), 6), 6)
+      |    AS skew_ratio
+      |FROM c""".stripMargin
 }
