@@ -21,6 +21,13 @@ EXPLAINED = {
     "q155_early_stop":
         "MLlib GBT validated fits: tree count x per-tree pass both grow "
         "with data - fit cost, not plan cost (q42/q59 family)",
+    "q307_rake_keywords":
+        "phrase-universe growth, not plan shape: sf1gen Caesar-translates "
+        "each text copy, so DISTINCT phrases/words grow ~10x (not just "
+        "occurrences) - all three shuffles (phrase agg, word agg, "
+        "phrase-word score join) carry 10x distinct string keys; 5x wall "
+        "for 10x keys is sublinear, string-shuffle constants dominate "
+        "(absolute 3.8s; nothing pairwise anywhere in the plan)",
     "q188_semdedup_portable":
         "within-cluster pair stage: 10x corpus -> ~100x candidate pairs "
         "(n^2/nlist by SemDeDup semantics, q74 family); ~5x wall for "
