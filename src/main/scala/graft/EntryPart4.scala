@@ -407,6 +407,26 @@ private[graft] trait EntryPart4 extends EntryPart3 {
   def q417(spark: SparkSession, dir: String): DataFrame =
     sqlQ(spark, dir, SqlText.skewReport)
 
+  // ---------------------------------------------------------------- q418
+  // LSTM cell forward pass, hash-checked (reference M5 lstm.py:14-402):
+  // per-user T=8 sequence pivot, 8 unrolled steps of the full
+  // i/f/o/candidate gate recurrence on fixed round-9 weights, states
+  // re-rounded to 9 per step — replays in DuckDB as chained per-step
+  // CTEs (the q200 MLP-forward contract extended to recurrence).
+  // Training stays out of scope by SURVEY-sanctioned design.
+  def q418(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.SeqForward.lstmForward(
+      t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
+
+  // ---------------------------------------------------------------- q419
+  // Single-head scaled-dot-product attention forward at the last
+  // position, hash-checked (reference M6 transformer.py:16-496):
+  // round-9 q/k/v projections, max-shift softmax, attention-weighted
+  // value mix + weight entropy (the "where does it look" diagnostic).
+  def q419(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.SeqForward.attentionForward(
+      t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
+
   // ---------------------------------------------------------------- q357
   // AMS/count-sketch F2 of the (user, event_type) stream: 3×64 signed
   // counters from disjoint MD5 slices, per-row estimates Σc², median

@@ -2209,5 +2209,115 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
     // identical (gain desc, feat asc, value asc) tie-break — exactly the
     // driver loop of MlPipelines.cartTreePortable, digit for digit.
     "q407_cart_tree" -> q407CartTreeSql,
+
+    // q418/q419: the deep-sequence forward passes replayed — the same
+    // round-9 weight literals (emitted by graft.ml.SeqForward.fmt), the
+    // same per-step state rounding, the same fixed gate/softmax
+    // parenthesization; recurrence unrolls as chained per-step CTEs.
+    "q418_lstm_forward" -> q418LstmSql,
+    "q419_attention_forward" -> q419AttentionSql,
   )
+
+  /** Shared sequence-pivot prelude for q418/q419: per-user rank by
+    * (ts, event_id), first T values normalized round-9, full windows only.
+    */
+  private def seqPivotCtes: String = {
+    val T = graft.ml.SeqForward.T
+    val xs = (1 to T).map(t =>
+      s"    MAX(CASE WHEN rn = $t THEN x END) AS x$t").mkString(",\n")
+    s"""WITH r AS (
+       |  SELECT user_id,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS rn,
+       |    ROUND(CAST(value AS DOUBLE) / 500.0, 9) AS x
+       |  FROM events),
+       |p AS (
+       |  SELECT user_id,
+       |$xs
+       |  FROM r WHERE rn <= $T
+       |  GROUP BY user_id HAVING COUNT(*) = $T)
+       |""".stripMargin
+  }
+
+  protected def q418LstmSql: String = {
+    import graft.ml.SeqForward.{H, T, fmt, lstmParam}
+    def gate(g: Int, u: Int, t: Int): String =
+      s"${fmt(lstmParam(g, u, 0))} * x$t + ${fmt(lstmParam(g, u, 1))} * h1" +
+        s" + ${fmt(lstmParam(g, u, 2))} * h2 + ${fmt(lstmParam(g, u, 3))}"
+    def sig(z: String): String = s"1.0 / (1.0 + EXP(-($z)))"
+    def tanh(z: String): String =
+      s"(EXP(2.0 * ($z)) - 1.0) / (EXP(2.0 * ($z)) + 1.0)"
+    val xs = (1 to T).map(t => s"x$t").mkString(", ")
+    val steps = (1 to T).map { t =>
+      val cNew = (0 until H).map { u =>
+        s"    ROUND(${sig(gate(1, u, t))} * c${u + 1} + " +
+          s"${sig(gate(0, u, t))} * ${tanh(gate(3, u, t))}, 9) AS c${u + 1}"
+      }.mkString(",\n")
+      val hNew = (0 until H).map { u =>
+        s"    ROUND(${sig(gate(2, u, t))} * ${tanh(s"c${u + 1}")}, 9)" +
+          s" AS h${u + 1}"
+      }.mkString(",\n")
+      // two CTEs per step: the cell update reads the OLD h, the hidden
+      // update reads the NEW c — same staging as the Column expressions
+      s""",c$t AS (
+         |  SELECT user_id, $xs, h1, h2,
+         |$cNew
+         |  FROM s${t - 1}),
+         |s$t AS (
+         |  SELECT user_id, $xs, c1, c2,
+         |$hNew
+         |  FROM c$t)
+         |""".stripMargin
+    }.mkString
+    seqPivotCtes +
+      s""",s0 AS (
+         |  SELECT user_id, $xs,
+         |    CAST(0.0 AS DOUBLE) AS h1, CAST(0.0 AS DOUBLE) AS h2,
+         |    CAST(0.0 AS DOUBLE) AS c1, CAST(0.0 AS DOUBLE) AS c2
+         |  FROM p)
+         |""".stripMargin + steps +
+      s"""SELECT user_id,
+         |  ROUND(h1, 6) + 0.0 AS h1, ROUND(h2, 6) + 0.0 AS h2,
+         |  ROUND(c1, 6) + 0.0 AS c1, ROUND(c2, 6) + 0.0 AS c2
+         |FROM s$T ORDER BY user_id""".stripMargin
+  }
+
+  protected def q419AttentionSql: String = {
+    import graft.ml.SeqForward.{T, attnParam, fmt}
+    val (wq, bq) = (fmt(attnParam(0)), fmt(attnParam(1)))
+    val (wk, bk) = (fmt(attnParam(2)), fmt(attnParam(3)))
+    val (wv, bv) = (fmt(attnParam(4)), fmt(attnParam(5)))
+    val kvs = (1 to T).map(j =>
+      s"    ROUND($wk * x$j + $bk, 9) AS k$j," +
+        s" ROUND($wv * x$j + $bv, 9) AS v$j").mkString(",\n")
+    val ss = (1 to T).map(j => s"    q * k$j * 4.0 AS s$j").mkString(",\n")
+    val ws = (1 to T).map(j => s"    EXP(s$j - m) AS w$j").mkString(",\n")
+    val svCarry = (1 to T).map(j => s"s$j").mkString(", ")
+    val vCarry = (1 to T).map(j => s"v$j").mkString(", ")
+    val zSum = (1 to T).map(j => s"w$j").mkString(" + ")
+    val outSum = (1 to T).map(j => s"w$j * v$j").mkString(" + ")
+    val entSum = (1 to T).map(j =>
+      s"(w$j / z) * (LN(z) - (s$j - m))").mkString(" + ")
+    seqPivotCtes +
+      s""",a1 AS (
+         |  SELECT user_id, ROUND($wq * x$T + $bq, 9) AS q,
+         |$kvs
+         |  FROM p),
+         |a2 AS (
+         |  SELECT user_id, $vCarry,
+         |$ss
+         |  FROM a1),
+         |a3 AS (
+         |  SELECT *, GREATEST(${(1 to T).map(j => s"s$j").mkString(", ")}) AS m
+         |  FROM a2),
+         |a4 AS (
+         |  SELECT user_id, $vCarry, $svCarry, m,
+         |$ws
+         |  FROM a3),
+         |a5 AS (SELECT *, $zSum AS z FROM a4)
+         |SELECT user_id,
+         |  ROUND(($outSum) / z, 6) + 0.0 AS attn_out,
+         |  ROUND($entSum, 6) + 0.0 AS attn_entropy
+         |FROM a5 ORDER BY user_id""".stripMargin
+  }
 }

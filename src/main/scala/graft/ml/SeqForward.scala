@@ -1,0 +1,168 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hash-checked FORWARD passes of the two deep-sequence cells the reference
+  * trains (M5 LSTM `/root/reference/src/models/lstm.py:14-402`, M6
+  * Transformer `/root/reference/src/models/transformer.py:16-496`) — the
+  * q200 MLP-forward contract extended to recurrence and attention: fixed
+  * round-9 weights derived from a congruential draw (shared between the
+  * Spark plan and the DuckDB oracle builder as IDENTICAL decimal
+  * literals), per-step states re-rounded to 9 decimals (the q189
+  * portability recipe), gates/softmax evaluated with a fixed
+  * parenthesization both engines execute identically on identical doubles
+  * (exp matches across JVM/DuckDB on identical inputs — the proven q189
+  * contract). Training stays out of scope by SURVEY-sanctioned design
+  * (the reference's own EXPERIMENTS.md:54-69 shows these lose to
+  * aggregated features); what IS covered, hash-checked: sequence
+  * assembly, the full LSTM cell recurrence, and scaled-dot-product
+  * attention with the max-shift softmax.
+  *
+  * Scale shape: ONE window (per-user rank — partitioned, never global),
+  * one pivot aggregation to a fixed-width (T=8) row, then pure
+  * per-row projection arithmetic inside whole-stage codegen. No join, no
+  * driver loop, no data-proportional state: at 100 TB this is a scan.
+  */
+object SeqForward {
+
+  /** Sequence length (unroll depth) and hidden width. */
+  val T = 8
+  val H = 2
+
+  /** Deterministic round-9 parameter stream in (−0.5, 0.5): the two-round
+    * congruential draw over the parameter index (the prioritySample
+    * family — hashBucket alone degenerates, see SplitOps).
+    */
+  def param(k: Int): Double = {
+    val p1 = 1000003L
+    val p2 = 9999991L
+    val x1 = ((k.toLong % p1) * 2654435761L) % p1
+    val x2 = ((x1 + k.toLong / p1) % p2) * 22695477L % p2
+    val u = (x2.toDouble + 0.5) / p2.toDouble
+    new java.math.BigDecimal(u - 0.5)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  /** Plain-decimal literal text for a round-9 parameter — the SAME string
+    * the oracle SQL embeds, parsing to the SAME double in both engines.
+    */
+  def fmt(d: Double): String =
+    java.math.BigDecimal.valueOf(d).toPlainString
+
+  // LSTM parameter layout (scalar input, H hidden units): for each gate
+  // g ∈ {i, f, o, c} and unit h: w_x, w_h1, w_h2, bias → 4 gates × H × 4.
+  // Offsets are stable — the oracle builder reads the same indices.
+  def lstmParam(gate: Int, unit: Int, slot: Int): Double =
+    param(1 + gate * H * 4 + unit * 4 + slot)
+
+  // Attention parameters: q/k/v projections (w, b each) over the scalar
+  // input — 6 params starting at a disjoint offset.
+  def attnParam(k: Int): Double = param(101 + k)
+
+  /** Per-user fixed-length sequence pivot: rank events by (ts, event_id)
+    * inside each user (partitioned window), keep the first T, pivot to
+    * x1..xT columns, keep only users with a full window. `x` is
+    * round-9 value/500 — bounded in (0, 1), so every pre-activation stays
+    * far from exp overflow.
+    */
+  def sequencePivot(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val ranked = events
+      .select(col(userCol).as("user_id"),
+        row_number().over(w).as("rn"),
+        round(col(valCol).cast("double") / lit(500.0), 9).as("x"))
+      .filter(col("rn") <= T)
+    val aggs = (1 to T).map(t =>
+      max(when(col("rn") === t, col("x"))).as(s"x$t")) :+
+      count(lit(1)).as("__n")
+    ranked.groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("__n") === T)
+      .drop("__n")
+  }
+
+  private def sigmoid(z: Column): Column =
+    lit(1.0) / (lit(1.0) + exp(-z))
+
+  /** tanh spelled explicitly through exp so both engines execute the
+    * identical expression tree (arguments are bounded, no overflow).
+    */
+  private def tanhE(z: Column): Column =
+    (exp(lit(2.0) * z) - lit(1.0)) / (exp(lit(2.0) * z) + lit(1.0))
+
+  /** Unrolled LSTM forward over the pivoted sequence: T steps, H units,
+    * states re-rounded to 9 per step. Returns one row per user with the
+    * final hidden/cell states (round-6) — the sequence embedding a
+    * downstream head would consume.
+    */
+  def lstmForward(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valCol: String): DataFrame = {
+    val piv = sequencePivot(events, userCol, tsCol, idCol, valCol)
+    val xs = (1 to T).map(i => col(s"x$i"))
+    def gate(g: Int, u: Int, t: Int): Column =
+      lit(lstmParam(g, u, 0)) * col(s"x$t") +
+        lit(lstmParam(g, u, 1)) * col("h1") +
+        lit(lstmParam(g, u, 2)) * col("h2") +
+        lit(lstmParam(g, u, 3))
+    // each step is TWO staged projections (cell update reads the old h,
+    // hidden update reads the new c) — named columns per step keep the
+    // plan linear; a single nested Column tree re-inlines the state into
+    // every gate and grows exponentially with T (measured: heap blowup)
+    var d = piv.select(Seq(col("user_id")) ++ xs ++ Seq(
+      lit(0.0).as("h1"), lit(0.0).as("h2"),
+      lit(0.0).as("c1"), lit(0.0).as("c2")): _*)
+    (1 to T).foreach { t =>
+      val cNew = (0 until H).map { u =>
+        round(sigmoid(gate(1, u, t)) * col(s"c${u + 1}") +
+          sigmoid(gate(0, u, t)) * tanhE(gate(3, u, t)), 9)
+          .as(s"c${u + 1}")
+      }
+      d = d.select(Seq(col("user_id")) ++ xs ++
+        Seq(col("h1"), col("h2")) ++ cNew: _*)
+      val hNew = (0 until H).map { u =>
+        round(sigmoid(gate(2, u, t)) * tanhE(col(s"c${u + 1}")), 9)
+          .as(s"h${u + 1}")
+      }
+      d = d.select(Seq(col("user_id")) ++ xs ++
+        Seq(col("c1"), col("c2")) ++ hNew: _*)
+    }
+    d.select(col("user_id"),
+      round(col("h1"), 6).as("h1"), round(col("h2"), 6).as("h2"),
+      round(col("c1"), 6).as("c1"), round(col("c2"), 6).as("c2"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Single-head scaled-dot-product attention forward at the last
+    * position: q/k/v are round-9 affine projections of the scalar inputs,
+    * scores use the max-shift softmax (the established log-space trick),
+    * output is the attention-weighted value mix plus the weight entropy —
+    * the "where does the model look" diagnostic. One row per user.
+    */
+  def attentionForward(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valCol: String): DataFrame = {
+    val piv = sequencePivot(events, userCol, tsCol, idCol, valCol)
+    val (wq, bq) = (attnParam(0), attnParam(1))
+    val (wk, bk) = (attnParam(2), attnParam(3))
+    val (wv, bv) = (attnParam(4), attnParam(5))
+    val qLast = round(lit(wq) * col(s"x$T") + lit(bq), 9)
+    val kCols = (1 to T).map(j => round(lit(wk) * col(s"x$j") + lit(bk), 9))
+    val vCols = (1 to T).map(j => round(lit(wv) * col(s"x$j") + lit(bv), 9))
+    val sCols = kCols.map(k => qLast * k * lit(4.0))
+    val m = greatest(sCols: _*)
+    val wCols = sCols.map(s => exp(s - m))
+    val z = wCols.reduce(_ + _)
+    val out = wCols.zip(vCols).map { case (w, v) => w * v }.reduce(_ + _) / z
+    // Shannon entropy of the weights: Σ (w/z)·(ln z − s + m) — spelled so
+    // both engines evaluate ln once on the identical z
+    val ent = wCols.zip(sCols).map { case (w, s) =>
+      (w / z) * (log(z) - (s - m))
+    }.reduce(_ + _)
+    piv.select(col("user_id"),
+      round(out, 6).as("attn_out"),
+      round(ent, 6).as("attn_entropy"))
+      .orderBy(col("user_id"))
+  }
+}
