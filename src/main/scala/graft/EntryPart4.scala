@@ -427,6 +427,19 @@ private[graft] trait EntryPart4 extends EntryPart3 {
     graft.ml.SeqForward.attentionForward(
       t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
 
+  // ---------------------------------------------------------------- q420
+  // TRAINED recurrent model, hash-checked: 1-unit Elman RNN learns
+  // next-step prediction by 6 full-batch gradient steps, gradients from
+  // forward-mode RTRL sensitivities riding the staged recurrence —
+  // the whole training TRAJECTORY (params, clipped gradients, MSE
+  // descent) replays in DuckDB, closing the "trainable deep sequence
+  // model" gap at the smallest portable scale (reference M5
+  // trainer.py:262-320; full-width BiLSTM training stays out of scope
+  // by SURVEY-sanctioned design).
+  def q420(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.SeqForward.rnnRtrlTrain(
+      t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
+
   // ---------------------------------------------------------------- q357
   // AMS/count-sketch F2 of the (user, event_type) stream: 3×64 signed
   // counters from disjoint MD5 slices, per-row estimates Σc², median

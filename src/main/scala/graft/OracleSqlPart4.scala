@@ -2216,7 +2216,96 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
     // parenthesization; recurrence unrolls as chained per-step CTEs.
     "q418_lstm_forward" -> q418LstmSql,
     "q419_attention_forward" -> q419AttentionSql,
+
+    // q420: the RNN TRAINING trajectory replayed — params flow as columns
+    // through chained per-iteration CTE blocks (i_k → staged forward+RTRL
+    // → exact-decimal gradient aggregate → i_{k+1}); round-9 states,
+    // sensitivities, clipped gradients and updates match the driver loop
+    // of SeqForward.rnnRtrlTrain digit for digit.
+    "q420_rnn_rtrl_train" -> q420RnnSql,
   )
+
+  protected def q420RnnSql: String = {
+    import graft.ml.SeqForward.{T, fmt, rnnInit, rnnIters, rnnLr}
+    val xs = (1 to T).map(j => s"x$j").mkString(", ")
+    def tanh(z: String): String =
+      s"(EXP(2.0 * ($z)) - 1.0) / (EXP(2.0 * ($z)) + 1.0)"
+    val pivotXs = (1 to T).map(t =>
+      s"    MAX(CASE WHEN rn = $t THEN x END) AS x$t").mkString(",\n")
+    val head =
+      s"""WITH r AS (
+         |  SELECT user_id,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn,
+         |    ROUND(CAST(value AS DOUBLE) / 500.0, 9) AS x
+         |  FROM events),
+         |p AS (
+         |  SELECT user_id,
+         |$pivotXs,
+         |    MAX(CASE WHEN rn = ${T + 1} THEN x END) AS y
+         |  FROM r WHERE rn <= ${T + 1}
+         |  GROUP BY user_id HAVING COUNT(*) = ${T + 1}),
+         |i1 AS (
+         |  SELECT CAST(${fmt(rnnInit(0))} AS DOUBLE) AS wx,
+         |    CAST(${fmt(rnnInit(1))} AS DOUBLE) AS wh,
+         |    CAST(${fmt(rnnInit(2))} AS DOUBLE) AS b)
+         |""".stripMargin
+    val iters = (1 to rnnIters).map { k =>
+      val fwd = (1 to T).map { t =>
+        s""",f${k}h$t AS (
+           |  SELECT user_id, $xs, y, wx, wh, b,
+           |    ROUND(${tanh(s"wx * x$t + wh * h + b")}, 9) AS h,
+           |    h AS hprev, sx, sh, sb
+           |  FROM f${k}s${t - 1}),
+           |f${k}s$t AS (
+           |  SELECT user_id, $xs, y, wx, wh, b, h,
+           |    ROUND((1.0 - h * h) * (x$t + wh * sx), 9) AS sx,
+           |    ROUND((1.0 - h * h) * (hprev + wh * sh), 9) AS sh,
+           |    ROUND((1.0 - h * h) * (1.0 + wh * sb), 9) AS sb
+           |  FROM f${k}h$t)
+           |""".stripMargin
+      }.mkString
+      s""",f${k}s0 AS (
+         |  SELECT p.*, i.wx, i.wh, i.b,
+         |    CAST(0.0 AS DOUBLE) AS h, CAST(0.0 AS DOUBLE) AS sx,
+         |    CAST(0.0 AS DOUBLE) AS sh, CAST(0.0 AS DOUBLE) AS sb
+         |  FROM p CROSS JOIN i$k i)
+         |""".stripMargin + fwd +
+      s""",a$k AS (
+         |  SELECT wx, wh, b, COUNT(*) AS n,
+         |    SUM(CAST((h - y) * (h - y) AS DECIMAL(28,12))) AS see,
+         |    SUM(CAST((h - y) * sx AS DECIMAL(28,12))) AS sgx,
+         |    SUM(CAST((h - y) * sh AS DECIMAL(28,12))) AS sgh,
+         |    SUM(CAST((h - y) * sb AS DECIMAL(28,12))) AS sgb
+         |  FROM f${k}s$T GROUP BY wx, wh, b),
+         |g$k AS (
+         |  SELECT wx, wh, b, n, see,
+         |    GREATEST(-1.0, LEAST(1.0,
+         |      ROUND(CAST(sgx AS DOUBLE) * 2.0 / n, 9))) AS gx,
+         |    GREATEST(-1.0, LEAST(1.0,
+         |      ROUND(CAST(sgh AS DOUBLE) * 2.0 / n, 9))) AS gh,
+         |    GREATEST(-1.0, LEAST(1.0,
+         |      ROUND(CAST(sgb AS DOUBLE) * 2.0 / n, 9))) AS gb
+         |  FROM a$k),
+         |i${k + 1} AS (
+         |  SELECT ROUND(wx - $rnnLr * gx, 9) AS wx,
+         |    ROUND(wh - $rnnLr * gh, 9) AS wh,
+         |    ROUND(b - $rnnLr * gb, 9) AS b
+         |  FROM g$k),
+         |t$k AS (
+         |  SELECT $k AS iter, wx + 0.0 AS wx, wh + 0.0 AS wh, b + 0.0 AS b,
+         |    gx + 0.0 AS grad_wx, gh + 0.0 AS grad_wh, gb + 0.0 AS grad_b,
+         |    ROUND(CAST(see AS DOUBLE) / n, 6) + 0.0 AS mse
+         |  FROM g$k)
+         |""".stripMargin
+    }.mkString
+    val union = (1 to rnnIters).map(k => s"  SELECT * FROM t$k")
+      .mkString("\n  UNION ALL\n")
+    head + iters +
+      s"""SELECT * FROM (
+         |$union)
+         |ORDER BY iter""".stripMargin
+  }
 
   /** Shared sequence-pivot prelude for q418/q419: per-user rank by
     * (ts, event_id), first T values normalized round-9, full windows only.

@@ -135,6 +135,101 @@ object SeqForward {
       .orderBy(col("user_id"))
   }
 
+  // RNN training hyper-parameters (shared with the oracle builder)
+  val rnnIters = 6
+  val rnnLr = 0.2
+  def rnnInit(k: Int): Double = param(201 + k) // wx, wh, b
+
+  /** TRAINED recurrent model, hash-checked — the q189/q194 driver-argmax
+    * contract applied to sequence learning (reference M5's training loop,
+    * `trainer.py:262-320`, at the smallest portable scale): a 1-unit
+    * Elman RNN h_t = tanh(wx·x_t + wh·h_{t−1} + b) learns NEXT-STEP
+    * prediction (target = the (T+1)-th value) by `rnnIters` full-batch
+    * gradient steps. Gradients come from forward-mode RTRL: the
+    * sensitivities ∂h/∂wx, ∂h/∂wh, ∂h/∂b ride along the recurrence as
+    * three more staged columns, s_t = (1−h_t²)·(input_t + wh·s_{t−1}) —
+    * so each iteration is ONE scan + ONE exact-decimal aggregate, and the
+    * driver only holds 3 round-9 parameters (clip ±1 on the round-9
+    * gradient keeps tanh far from exp overflow). Replays in DuckDB as
+    * chained per-iteration CTE blocks where the params flow as columns
+    * (i_k → forward → aggregate → i_{k+1}) — the whole TRAINING
+    * trajectory, not just a forward pass, is oracle-checked digit for
+    * digit. Returns one row per iteration: params used, clipped round-9
+    * gradients, round-6 train MSE.
+    */
+  def rnnRtrlTrain(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def r9(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    def r6(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // pivot to T inputs + the (T+1)-th value as the target
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val ranked = events
+      .select(col(userCol).as("user_id"),
+        row_number().over(w).as("rn"),
+        round(col(valCol).cast("double") / lit(500.0), 9).as("x"))
+      .filter(col("rn") <= T + 1)
+    val aggs = (1 to T).map(t =>
+      max(when(col("rn") === t, col("x"))).as(s"x$t")) ++ Seq(
+      max(when(col("rn") === T + 1, col("x"))).as("y"),
+      count(lit(1)).as("__n"))
+    val piv = ranked.groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("__n") === T + 1)
+      .drop("__n")
+      .persist()
+    try {
+      val xs = (1 to T).map(i => col(s"x$i"))
+      val carry = Seq(col("user_id")) ++ xs ++ Seq(col("y"))
+      var (wx, wh, b) = (rnnInit(0), rnnInit(1), rnnInit(2))
+      val trace = (1 to rnnIters).map { it =>
+        var d = piv.select(carry ++ Seq(
+          lit(0.0).as("h"), lit(0.0).as("sx"),
+          lit(0.0).as("sh"), lit(0.0).as("sb")): _*)
+        (1 to T).foreach { t =>
+          // stage 1: the new state (old state carried as hprev)
+          d = d.select(carry ++ Seq(
+            round(tanhE(lit(wx) * col(s"x$t") + lit(wh) * col("h") +
+              lit(b)), 9).as("h"),
+            col("h").as("hprev"),
+            col("sx"), col("sh"), col("sb")): _*)
+          // stage 2: RTRL sensitivities from the NEW h and OLD carries
+          val damp = lit(1.0) - col("h") * col("h")
+          d = d.select(carry ++ Seq(col("h"),
+            round(damp * (col(s"x$t") + lit(wh) * col("sx")), 9).as("sx"),
+            round(damp * (col("hprev") + lit(wh) * col("sh")), 9).as("sh"),
+            round(damp * (lit(1.0) + lit(wh) * col("sb")), 9).as("sb")): _*)
+        }
+        val err = col("h") - col("y")
+        val row = d.agg(count(lit(1)).as("n"),
+          graft.functions.Stats.dsum(err * err, 12).as("see"),
+          graft.functions.Stats.dsum(err * col("sx"), 12).as("gx"),
+          graft.functions.Stats.dsum(err * col("sh"), 12).as("gh"),
+          graft.functions.Stats.dsum(err * col("sb"), 12).as("gb")).head()
+        val n = row.getLong(0)
+        require(n > 0, "rnnRtrlTrain needs at least one full sequence")
+        def clip(v: Double): Double = math.max(-1.0, math.min(1.0, v))
+        val gx = clip(r9(row.getDouble(2) * 2.0 / n))
+        val gh = clip(r9(row.getDouble(3) * 2.0 / n))
+        val gb = clip(r9(row.getDouble(4) * 2.0 / n))
+        val mse = r6(row.getDouble(1) / n)
+        val out = (it, wx, wh, b, gx, gh, gb, mse)
+        wx = r9(wx - rnnLr * gx)
+        wh = r9(wh - rnnLr * gh)
+        b = r9(b - rnnLr * gb)
+        out
+      }
+      trace.toDF("iter", "wx", "wh", "b", "grad_wx", "grad_wh", "grad_b",
+        "mse").orderBy(col("iter"))
+    } finally { piv.unpersist(); () }
+  }
+
   /** Single-head scaled-dot-product attention forward at the last
     * position: q/k/v are round-9 affine projections of the scalar inputs,
     * scores use the max-shift softmax (the established log-space trick),

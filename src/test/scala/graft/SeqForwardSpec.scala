@@ -88,6 +88,60 @@ class SeqForwardSpec extends SparkSpec {
     assert(row.getDouble(2) > 0.0)
   }
 
+  test("rnnRtrlTrain descends: MSE non-increasing, gradients shrink") {
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val tr = SeqForward.rnnRtrlTrain(events, "user_id", "ts", "event_id",
+      "value").collect()
+    assert(tr.length == SeqForward.rnnIters)
+    val mses = tr.map(_.getDouble(7)).toSeq
+    assert(mses == mses.sorted.reverse, s"MSE not non-increasing: $mses")
+    assert(mses.last < mses.head / 2.0,
+      s"training did not actually learn: $mses")
+    def gnorm(r: org.apache.spark.sql.Row) =
+      math.abs(r.getDouble(4)) + math.abs(r.getDouble(5)) +
+        math.abs(r.getDouble(6))
+    assert(gnorm(tr.last) < gnorm(tr.head))
+  }
+
+  test("RTRL sensitivities are true derivatives (finite differences)") {
+    // plain-Scala forward pass + RTRL on one sequence; compare the
+    // carried sensitivity against a central finite difference in wx/wh/b
+    val xs = (1 to SeqForward.T).map(t => r9(t * 50.0 / 500.0))
+    def forward(wx: Double, wh: Double, b: Double,
+        rounded: Boolean): Double = {
+      var h = 0.0
+      xs.foreach { x =>
+        val z = wx * x + wh * h + b
+        val t = (math.exp(2.0 * z) - 1.0) / (math.exp(2.0 * z) + 1.0)
+        h = if (rounded) r9(t) else t
+      }
+      h
+    }
+    def rtrl(wx: Double, wh: Double, b: Double): (Double, Double, Double) = {
+      var h = 0.0; var sx = 0.0; var sh = 0.0; var sb = 0.0
+      xs.foreach { x =>
+        val hPrev = h
+        val z = wx * x + wh * h + b
+        h = (math.exp(2.0 * z) - 1.0) / (math.exp(2.0 * z) + 1.0)
+        val damp = 1.0 - h * h
+        val nsx = damp * (x + wh * sx)
+        val nsh = damp * (hPrev + wh * sh)
+        val nsb = damp * (1.0 + wh * sb)
+        sx = nsx; sh = nsh; sb = nsb
+      }
+      (sx, sh, sb)
+    }
+    val (wx, wh, b) =
+      (SeqForward.rnnInit(0), SeqForward.rnnInit(1), SeqForward.rnnInit(2))
+    val (sx, sh, sb) = rtrl(wx, wh, b)
+    val eps = 1e-6
+    def fd(f: Double => Double): Double =
+      (f(eps) - f(-eps)) / (2.0 * eps)
+    assert(approx(sx, fd(e => forward(wx + e, wh, b, rounded = false)), 1e-4))
+    assert(approx(sh, fd(e => forward(wx, wh + e, b, rounded = false)), 1e-4))
+    assert(approx(sb, fd(e => forward(wx, wh, b + e, rounded = false)), 1e-4))
+  }
+
   test("forward passes carry no global window and no join") {
     import org.apache.spark.sql.execution.window.WindowExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
