@@ -440,6 +440,16 @@ private[graft] trait EntryPart4 extends EntryPart3 {
     graft.ml.SeqForward.rnnRtrlTrain(
       t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
 
+  // ---------------------------------------------------------------- q421
+  // Full transformer encoder block forward, hash-checked (reference M6
+  // transformer.py:16-496): scalar token embedding + polynomial
+  // positional encoding (sin/cos are not in the proven-portable set),
+  // Q/K/V attention with max-shift softmax, residual + LayerNorm, ReLU
+  // FFN + residual — every sub-layer the reference stacks, in order.
+  def q421(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.SeqForward.transformerBlockForward(
+      t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
+
   // ---------------------------------------------------------------- q357
   // AMS/count-sketch F2 of the (user, event_type) stream: 3×64 signed
   // counters from disjoint MD5 slices, per-row estimates Σc², median

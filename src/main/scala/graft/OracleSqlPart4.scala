@@ -2223,7 +2223,93 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
     // sensitivities, clipped gradients and updates match the driver loop
     // of SeqForward.rnnRtrlTrain digit for digit.
     "q420_rnn_rtrl_train" -> q420RnnSql,
+
+    // q421: the transformer encoder block replayed — identical round-9
+    // weight/positional literals, the same stage order (embed+PE → Q/K/V
+    // → scaled scores → max-shift softmax → residual → LayerNorm → ReLU
+    // FFN → residual) as CTE stages.
+    "q421_transformer_block" -> q421TransformerSql,
   )
+
+  protected def q421TransformerSql: String = {
+    import graft.ml.SeqForward.{T, blockParam, fmt, posEnc}
+    val p = (0 to 40).map(blockParam)
+    def emb(t: Int, d: Int): String =
+      s"ROUND(${fmt(p(2 * d))} * x$t + ${fmt(p(2 * d + 1))} + " +
+        s"${fmt(if (d == 0) posEnc(t)._1 else posEnc(t)._2)}, 9)"
+    def proj(off: Int, t: Int, dd: Int): String =
+      s"ROUND(${fmt(p(off + 2 * dd))} * e${t}_1 + " +
+        s"${fmt(p(off + 2 * dd + 1))} * e${t}_2 + ${fmt(p(off + 4 + dd))}, 9)"
+    val embCols = (1 to T).flatMap(t => Seq(
+      s"    ${emb(t, 0)} AS e${t}_1", s"    ${emb(t, 1)} AS e${t}_2"))
+      .mkString(",\n")
+    val kvCols = (1 to T).flatMap(j => Seq(
+      s"    ${proj(10, j, 0)} AS k${j}_1", s"    ${proj(10, j, 1)} AS k${j}_2",
+      s"    ${proj(16, j, 0)} AS v${j}_1", s"    ${proj(16, j, 1)} AS v${j}_2"))
+      .mkString(",\n")
+    val vCarry = (1 to T).flatMap(j => Seq(s"v${j}_1", s"v${j}_2"))
+      .mkString(", ")
+    val sCols = (1 to T).map(j =>
+      s"    (q1 * k${j}_1 + q2 * k${j}_2) * 0.707106781 AS s$j")
+      .mkString(",\n")
+    val sList = (1 to T).map(j => s"s$j").mkString(", ")
+    val wCols = (1 to T).map(j => s"    EXP(s$j - m) AS w$j").mkString(",\n")
+    val wList = (1 to T).map(j => s"w$j").mkString(", ")
+    val zSum = (1 to T).map(j => s"w$j").mkString(" + ")
+    def mix(dd: Int): String =
+      (1 to T).map(j => s"w$j * v${j}_$dd").mkString(" + ")
+    seqPivotCtes +
+      s""",b1 AS (
+         |  SELECT user_id,
+         |$embCols
+         |  FROM p),
+         |b2 AS (
+         |  SELECT user_id, e${T}_1, e${T}_2,
+         |    ${proj(4, T, 0)} AS q1, ${proj(4, T, 1)} AS q2,
+         |$kvCols
+         |  FROM b1),
+         |b3 AS (
+         |  SELECT user_id, e${T}_1, e${T}_2, $vCarry,
+         |$sCols
+         |  FROM b2),
+         |b4 AS (
+         |  SELECT *, GREATEST($sList) AS m FROM b3),
+         |b5 AS (
+         |  SELECT user_id, e${T}_1, e${T}_2, $vCarry,
+         |$wCols
+         |  FROM b4),
+         |b6 AS (
+         |  SELECT *, $zSum AS z FROM b5),
+         |b7 AS (
+         |  SELECT user_id,
+         |    e${T}_1 + (${mix(1)}) / z AS r1,
+         |    e${T}_2 + (${mix(2)}) / z AS r2
+         |  FROM b6),
+         |b8 AS (SELECT *, (r1 + r2) / 2.0 AS mu FROM b7),
+         |b9 AS (
+         |  SELECT *, ((r1 - mu) * (r1 - mu) + (r2 - mu) * (r2 - mu)) / 2.0
+         |    AS va
+         |  FROM b8),
+         |b10 AS (
+         |  SELECT user_id,
+         |    ROUND((r1 - mu) / SQRT(va + 1e-6), 9) AS ln1,
+         |    ROUND((r2 - mu) / SQRT(va + 1e-6), 9) AS ln2
+         |  FROM b9),
+         |b11 AS (
+         |  SELECT user_id, ln1, ln2,
+         |    GREATEST(0.0, ROUND(${fmt(p(22))} * ln1 + ${fmt(p(23))} * ln2
+         |      + ${fmt(p(26))}, 9)) AS hd1,
+         |    GREATEST(0.0, ROUND(${fmt(p(24))} * ln1 + ${fmt(p(25))} * ln2
+         |      + ${fmt(p(27))}, 9)) AS hd2
+         |  FROM b10)
+         |SELECT user_id,
+         |  ROUND(ln1 + ROUND(${fmt(p(28))} * hd1 + ${fmt(p(29))} * hd2
+         |    + ${fmt(p(32))}, 9), 6) + 0.0 AS out1,
+         |  ROUND(ln2 + ROUND(${fmt(p(30))} * hd1 + ${fmt(p(31))} * hd2
+         |    + ${fmt(p(33))}, 9), 6) + 0.0 AS out2,
+         |  ROUND(ln1, 6) + 0.0 AS ln1, ROUND(ln2, 6) + 0.0 AS ln2
+         |FROM b11 ORDER BY user_id""".stripMargin
+  }
 
   protected def q420RnnSql: String = {
     import graft.ml.SeqForward.{T, fmt, rnnInit, rnnIters, rnnLr}

@@ -230,6 +230,103 @@ object SeqForward {
     } finally { piv.unpersist(); () }
   }
 
+  // Transformer-block parameters: token embedding (2), Wq/Wk/Wv 2×2+2
+  // bias each, FFN W1 (2×2)+b1(2), W2 (2×2)+b2(2) — disjoint offsets.
+  def blockParam(k: Int): Double = param(301 + k)
+
+  /** Polynomial positional encoding — (t/T, (t/T)²), exact binary
+    * rationals for T = 8, so both engines hold identical doubles without
+    * touching sin/cos (which are NOT in the proven-portable function
+    * set; exp/ln/sqrt are).
+    */
+  def posEnc(t: Int): (Double, Double) = {
+    val u = t.toDouble / T.toDouble
+    (u, u * u)
+  }
+
+  /** Full transformer ENCODER BLOCK forward at the last position,
+    * hash-checked (reference M6 `transformer.py:16-496`): scalar token →
+    * d=2 embedding + polynomial positional encoding, single-head
+    * scaled-dot-product attention (round-9 Q/K/V projections, 1/√2 score
+    * scale, max-shift softmax), residual add, LayerNorm
+    * ((r−μ)/√(σ²+1e−6) over the 2 dims), then a ReLU FFN with its own
+    * residual — every sub-layer the reference's encoder stacks, in
+    * evaluation order, on fixed round-9 weights shared with the oracle
+    * builder. Same scale shape as the other forwards: one partitioned
+    * window, one pivot, pure codegen projections.
+    */
+  def transformerBlockForward(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, valCol: String): DataFrame = {
+    val piv = sequencePivot(events, userCol, tsCol, idCol, valCol)
+    val p = (0 to 40).map(blockParam)
+    // staged projections (the q418 lesson: a single nested Column tree
+    // re-inlines every sub-layer into the next and grows combinatorially;
+    // named columns per stage keep the plan linear — same staging as the
+    // oracle's CTE chain)
+    // stage 1: embeddings e_t = round9(we_d·x_t + be_d + pe_d(t))
+    def emb(t: Int, d: Int): Column =
+      round(lit(p(2 * d)) * col(s"x$t") + lit(p(2 * d + 1)) +
+        lit(if (d == 0) posEnc(t)._1 else posEnc(t)._2), 9)
+    var d = piv.select(Seq(col("user_id")) ++
+      (1 to T).flatMap(t => Seq(emb(t, 0).as(s"e${t}_1"),
+        emb(t, 1).as(s"e${t}_2"))): _*)
+    // stage 2: q (from e_T), per-position k/v — 2×2 projections + bias
+    def proj(off: Int, t: Int, dd: Int): Column =
+      round(lit(p(off + 2 * dd)) * col(s"e${t}_1") +
+        lit(p(off + 2 * dd + 1)) * col(s"e${t}_2") + lit(p(off + 4 + dd)), 9)
+    d = d.select(Seq(col("user_id"), col(s"e${T}_1"), col(s"e${T}_2"),
+      proj(4, T, 0).as("q1"), proj(4, T, 1).as("q2")) ++
+      (1 to T).flatMap(j => Seq(
+        proj(10, j, 0).as(s"k${j}_1"), proj(10, j, 1).as(s"k${j}_2"),
+        proj(16, j, 0).as(s"v${j}_1"), proj(16, j, 1).as(s"v${j}_2"))): _*)
+    // stage 3: scaled scores
+    val scale = 0.707106781 // round-9 1/sqrt(d_model)
+    val carryEV = Seq(col("user_id"), col(s"e${T}_1"), col(s"e${T}_2")) ++
+      (1 to T).flatMap(j => Seq(col(s"v${j}_1"), col(s"v${j}_2")))
+    d = d.select(carryEV ++ (1 to T).map(j =>
+      ((col("q1") * col(s"k${j}_1") + col("q2") * col(s"k${j}_2")) *
+        lit(scale)).as(s"s$j")): _*)
+    // stage 4: max-shift softmax weights + normalizer
+    d = d.select(carryEV ++ Seq(
+      greatest((1 to T).map(j => col(s"s$j")): _*).as("m")) ++
+      (1 to T).map(j => col(s"s$j")): _*)
+    d = d.select(carryEV ++ (1 to T).map(j =>
+      exp(col(s"s$j") - col("m")).as(s"w$j")): _*)
+    d = d.select(carryEV ++ (1 to T).map(j => col(s"w$j")) :+
+      (1 to T).map(j => col(s"w$j")).reduce(_ + _).as("z"): _*)
+    // stage 5: attention mix + residual
+    d = d.select(col("user_id"),
+      (col(s"e${T}_1") + (1 to T).map(j =>
+        col(s"w$j") * col(s"v${j}_1")).reduce(_ + _) / col("z")).as("r1"),
+      (col(s"e${T}_2") + (1 to T).map(j =>
+        col(s"w$j") * col(s"v${j}_2")).reduce(_ + _) / col("z")).as("r2"))
+    // stage 6: LayerNorm over the 2 dims
+    d = d.select(col("user_id"), col("r1"), col("r2"),
+      ((col("r1") + col("r2")) / lit(2.0)).as("mu"))
+    d = d.select(col("user_id"), col("r1"), col("r2"), col("mu"),
+      (((col("r1") - col("mu")) * (col("r1") - col("mu")) +
+        (col("r2") - col("mu")) * (col("r2") - col("mu"))) / lit(2.0))
+        .as("va"))
+    d = d.select(col("user_id"),
+      round((col("r1") - col("mu")) / sqrt(col("va") + lit(1e-6)), 9)
+        .as("ln1"),
+      round((col("r2") - col("mu")) / sqrt(col("va") + lit(1e-6)), 9)
+        .as("ln2"))
+    // stage 7: ReLU FFN (2→2→2) + residual
+    d = d.select(col("user_id"), col("ln1"), col("ln2"),
+      greatest(lit(0.0), round(lit(p(22)) * col("ln1") +
+        lit(p(23)) * col("ln2") + lit(p(26)), 9)).as("hd1"),
+      greatest(lit(0.0), round(lit(p(24)) * col("ln1") +
+        lit(p(25)) * col("ln2") + lit(p(27)), 9)).as("hd2"))
+    d.select(col("user_id"),
+      round(col("ln1") + round(lit(p(28)) * col("hd1") +
+        lit(p(29)) * col("hd2") + lit(p(32)), 9), 6).as("out1"),
+      round(col("ln2") + round(lit(p(30)) * col("hd1") +
+        lit(p(31)) * col("hd2") + lit(p(33)), 9), 6).as("out2"),
+      round(col("ln1"), 6).as("ln1"), round(col("ln2"), 6).as("ln2"))
+      .orderBy(col("user_id"))
+  }
+
   /** Single-head scaled-dot-product attention forward at the last
     * position: q/k/v are round-9 affine projections of the scalar inputs,
     * scores use the max-shift softmax (the established log-space trick),

@@ -142,6 +142,43 @@ class SeqForwardSpec extends SparkSpec {
     assert(approx(sb, fd(e => forward(wx, wh, b + e, rounded = false)), 1e-4))
   }
 
+  test("transformerBlockForward matches a plain-Scala replay of the block") {
+    val xs = (1 to SeqForward.T).map(t => r9(t * 50.0 / 500.0))
+    val p = (0 to 40).map(SeqForward.blockParam)
+    def emb(t: Int, d: Int): Double = {
+      val pe = if (d == 0) SeqForward.posEnc(t)._1 else SeqForward.posEnc(t)._2
+      r9(p(2 * d) * xs(t - 1) + p(2 * d + 1) + pe)
+    }
+    def proj(off: Int, e: (Double, Double), dd: Int): Double =
+      r9(p(off + 2 * dd) * e._1 + p(off + 2 * dd + 1) * e._2 + p(off + 4 + dd))
+    val eT = (emb(SeqForward.T, 0), emb(SeqForward.T, 1))
+    val q = (proj(4, eT, 0), proj(4, eT, 1))
+    val es = (1 to SeqForward.T).map(j => (emb(j, 0), emb(j, 1)))
+    val ks = es.map(e => (proj(10, e, 0), proj(10, e, 1)))
+    val vs = es.map(e => (proj(16, e, 0), proj(16, e, 1)))
+    val ss = ks.map(k => (q._1 * k._1 + q._2 * k._2) * 0.707106781)
+    val m = ss.max
+    val ws = ss.map(s => math.exp(s - m))
+    val z = ws.reduce(_ + _)
+    val r1 = eT._1 + ws.zip(vs).map { case (w, v) => w * v._1 }.sum / z
+    val r2 = eT._2 + ws.zip(vs).map { case (w, v) => w * v._2 }.sum / z
+    val mu = (r1 + r2) / 2.0
+    val va = ((r1 - mu) * (r1 - mu) + (r2 - mu) * (r2 - mu)) / 2.0
+    val ln1 = r9((r1 - mu) / math.sqrt(va + 1e-6))
+    val ln2 = r9((r2 - mu) / math.sqrt(va + 1e-6))
+    val hd1 = math.max(0.0, r9(p(22) * ln1 + p(23) * ln2 + p(26)))
+    val hd2 = math.max(0.0, r9(p(24) * ln1 + p(25) * ln2 + p(27)))
+    val out1 = r6(ln1 + r9(p(28) * hd1 + p(29) * hd2 + p(32)))
+    val out2 = r6(ln2 + r9(p(30) * hd1 + p(31) * hd2 + p(33)))
+    val row = SeqForward.transformerBlockForward(fixture, "user_id", "ts",
+      "event_id", "value").collect().head
+    assert(row.getDouble(1) == out1, s"out1 ${row.getDouble(1)} vs $out1")
+    assert(row.getDouble(2) == out2, s"out2 ${row.getDouble(2)} vs $out2")
+    // 2-dim LayerNorm invariant: the two normalized dims are exact
+    // mirror images (r1 − μ = −(r2 − μ) when d = 2)
+    assert(approx(row.getDouble(3), -row.getDouble(4), 1e-6))
+  }
+
   test("forward passes carry no global window and no join") {
     import org.apache.spark.sql.execution.window.WindowExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -149,7 +186,9 @@ class SeqForwardSpec extends SparkSpec {
       Seq(
         SeqForward.lstmForward(fixture, "user_id", "ts", "event_id", "value"),
         SeqForward.attentionForward(fixture, "user_id", "ts", "event_id",
-          "value")).foreach { df =>
+          "value"),
+        SeqForward.transformerBlockForward(fixture, "user_id", "ts",
+          "event_id", "value")).foreach { df =>
         val p = df.queryExecution.executedPlan
         p.foreach {
           case w: WindowExec =>
