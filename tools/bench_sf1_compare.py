@@ -21,6 +21,17 @@ EXPLAINED = {
     "q155_early_stop":
         "MLlib GBT validated fits: tree count x per-tree pass both grow "
         "with data - fit cost, not plan cost (q42/q59 family)",
+    "q04_suffix_join":
+        "output-quadratic by the suffix-collision design (q128 class): "
+        "the 2-digit suffix key has a FIXED 100-value domain, so 10x "
+        "customers x 10x suppliers -> 100x matched pairs (150k -> 15M) "
+        "before the per-supplier aggregate; ~7x wall for 100x join "
+        "output is strongly sublinear in output",
+    "q311_hash_collision_sweep":
+        "distinct-universe growth (q307 class): the Caesar-translated "
+        "sf1 corpus grows DISTINCT terms ~10x, and every pipeline stage "
+        "(term agg, per-dim bucket agg) is keyed on them; absolute 1.5s, "
+        "constant per-term work, nothing pairwise",
     "q307_rake_keywords":
         "phrase-universe growth, not plan shape: sf1gen Caesar-translates "
         "each text copy, so DISTINCT phrases/words grow ~10x (not just "
