@@ -91,6 +91,25 @@ object Bench {
     // are the auditable number.
     val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT")
       .map(_.trim.toInt).filter(_ >= 1).getOrElse(1)
+    // single-pass mode gets one UNTIMED warm-up pass (opt out with
+    // SPARK_GRAFT_BENCH_WARMUP=0): the table warm-up above covers disk
+    // reads but not JIT — a cold single pass reads JIT-heavy queries up
+    // to 3.7x high (q257: 37.4 s cold vs 10.1 s median), which poisons
+    // cross-round comparison. Repeat mode skips it: the median already
+    // absorbs the pass-1 JIT outlier. Cache is cleared after the warm-up
+    // so persisted operator state can't serve the timed pass (the same
+    // honesty rule as between repeat passes).
+    val warmup = sys.env.get("SPARK_GRAFT_BENCH_WARMUP")
+      .map(_.trim != "0").getOrElse(repeat == 1)
+    if (warmup) {
+      selected.foreach { case (name, fn) =>
+        try { fn(spark, sfDir).count(); () }
+        catch { case NonFatal(e) =>
+          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+        }
+      }
+      spark.catalog.clearCache()
+    }
     val seqStart = System.nanoTime()
     def runPass(pass: Int): Seq[(String, Double, Boolean, Int, Double)] =
       selected.toSeq.zipWithIndex.map { case ((name, fn), i) =>
@@ -116,7 +135,13 @@ object Bench {
     val results = passes.head
     // per-query stats across passes; a query that failed in ANY pass
     // reports -1 (failures must stay visible, never averaged away)
-    def med(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
+    // true median: average of the two middle samples for even pass counts
+    // (lower-middle alone would bias REPEAT=2/4 'medians' fast)
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s((s.size - 1) / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     val byName = selected.toSeq.map(_._1).map { name =>
       val ts = passes.map(_.find(_._1 == name).get)
       val ok = ts.forall(_._3)

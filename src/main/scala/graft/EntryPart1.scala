@@ -1007,11 +1007,13 @@ private[graft] trait EntryPart1 extends EntryBase {
   // Semantic dedup (SemDeDup): k-means clusters → within-cluster cosine
   // pairs → connected components → keep canonical. Per-label survivor
   // counts. Rows-only (k-means centroids aren't SQL-replicable); the
-  // operator's correctness is spec'd with planted duplicates.
+  // operator's correctness is spec'd with planted duplicates. nlist is
+  // adaptive (max(8, ⌈n/640⌉) — pins cluster size so pair work scales
+  // linearly; identical to the old fixed 8 at every local SF).
   def q74(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.semanticDedup(
         t(spark, dir, "embeddings"), "vec_id", "embedding",
-        nlist = 8, minCosine = 0.4)
+        minCosine = 0.4)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_kept"))
       .orderBy(col("label"))

@@ -1234,10 +1234,12 @@ private[graft] trait EntryPart2 extends EntryPart1 {
   // edge threshold, q67's recursive-CTE component replay, canonical keep.
   // Same survivor-count-per-label report as q74; the MLlib-centroid
   // default stays the quality path.
+  // nlist adaptive (⌈n/640⌉ cluster-size pinning, = 8 at every local SF;
+  // the oracle computes the same formula from COUNT(*))
   def q188(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.semanticDedupPortable(
         t(spark, dir, "embeddings"), "vec_id", "embedding",
-        nlist = 8, minCosine = 0.4)
+        minCosine = 0.4)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_kept"))
       .orderBy(col("label"))

@@ -450,6 +450,34 @@ private[graft] trait EntryPart4 extends EntryPart3 {
     graft.ml.SeqForward.transformerBlockForward(
       t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
 
+  // ---------------------------------------------------------------- q422
+  // Two-level coarse→fine IVF assignment card — the 100 TB assignment
+  // path ([[SimilarityOps.ivfAssignTwoLevel]], auto-engaged above 2048
+  // centroids) exercised explicitly at card scale: 12 portable centroids
+  // → 3 contiguous coarse blocks of 4 (reps = lowest-id member), each
+  // vector probes its best 2 blocks (round-6 cosine, block-id ties) and
+  // argmaxes over just those blocks' fine centroids. Per-fine-centroid
+  // occupancy + round-6 mean assigned cosine, hash-checked — so the plan
+  // that replaces the unbounded flat broadcast at scale is itself
+  // oracle-green, not just spec'd.
+  def q422(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val cents = SimilarityOps.ivfCentroidsPortable(
+      e, "vec_id", "embedding", nlist = 12)
+    val assigned = SimilarityOps.ivfAssignTwoLevel(
+      e, "vec_id", "embedding", cents, nlist = 12, coarseProbe = 2,
+      simRound = Some(6))
+    assigned.join(cents, Seq("centroid_id"))
+      .select(col("centroid_id"), col("vec_id"),
+        round(SimilarityOps.cosineNative(col("emb"), col("centroid")), 6)
+          .as("__cos"))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_assigned"),
+        min(col("vec_id")).as("min_vec_id"),
+        round(dsum(col("__cos"), 12) / count(lit(1)), 6).as("avg_cosine"))
+      .orderBy(col("centroid_id"))
+  }
+
   // ---------------------------------------------------------------- q357
   // AMS/count-sketch F2 of the (user, event_type) stream: 3×64 signed
   // counters from disjoint MD5 slices, per-row estimates Σc², median

@@ -1638,7 +1638,9 @@ private[graft] trait OracleSqlPart1 extends OracleDefs2 {
         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY d, vec_id) - 1 AS INT)
         |      AS centroid_id,
         |    emb AS centroid
-        |  FROM (SELECT * FROM drawn ORDER BY d, vec_id LIMIT 8)),
+        |  FROM drawn
+        |  QUALIFY ROW_NUMBER() OVER (ORDER BY d, vec_id) <=
+        |    GREATEST(8, CAST(CEIL(COUNT(*) OVER () / 640.0) AS BIGINT))),
         |assign AS (
         |  SELECT vec_id, emb, centroid_id FROM (
         |    SELECT e.vec_id, e.emb, c.centroid_id,

@@ -878,7 +878,8 @@ private[graft] trait OracleSqlPart3 extends OracleSqlPart2 {
         |    emb AS centroid
         |  FROM drawn
         |  QUALIFY ROW_NUMBER() OVER (ORDER BY d, vec_id) <=
-        |    GREATEST(8, CAST(CEIL(COUNT(*) OVER () / 640.0) AS BIGINT))),
+        |    GREATEST(8,
+        |      CAST(CEIL(SQRT(COUNT(*) OVER () * 3.0)) AS BIGINT))),
         |assign AS (
         |  SELECT vec_id, emb, centroid_id FROM (
         |    SELECT t.vec_id, t.emb, c.centroid_id,

@@ -2229,6 +2229,62 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
     // → scaled scores → max-shift softmax → residual → LayerNorm → ReLU
     // FFN → residual) as CTE stages.
     "q421_transformer_block" -> q421TransformerSql,
+
+    // q422: the two-level coarse→fine IVF assignment replayed — q182's
+    // congruential centroid draw, contiguous blocks of ⌈√12⌉=4 with
+    // lowest-id representatives, top-2 block probe then within-block
+    // argmax, both ranking round-6 cosines with id tie-breaks.
+    "q422_two_level_assign" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |drawn AS (
+        |  SELECT vec_id, emb,
+        |    ((((((vec_id % 1000003) * 2654435761) % 1000003)
+        |        + (vec_id // 1000003)) % 9999991) * 22695477) % 9999991 AS d
+        |  FROM e),
+        |cent AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY d, vec_id) - 1 AS INT)
+        |      AS centroid_id,
+        |    emb AS centroid
+        |  FROM (SELECT * FROM drawn ORDER BY d, vec_id LIMIT 12)),
+        |fine AS (
+        |  SELECT centroid_id, CAST(centroid_id // 4 AS BIGINT) AS coarse_id,
+        |    centroid
+        |  FROM cent),
+        |coarse AS (
+        |  SELECT coarse_id, centroid AS ccent FROM fine
+        |  WHERE centroid_id % 4 = 0),
+        |probed AS (
+        |  SELECT vec_id, emb, coarse_id FROM (
+        |    SELECT e.vec_id, e.emb, c.coarse_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |        ROUND(list_inner_product(e.emb, c.ccent) /
+        |          (SQRT(list_inner_product(e.emb, e.emb)) *
+        |           SQRT(list_inner_product(c.ccent, c.ccent))), 6) DESC,
+        |        c.coarse_id) AS rn
+        |    FROM e, coarse c)
+        |  WHERE rn <= 2),
+        |assign AS (
+        |  SELECT vec_id, centroid_id, cos FROM (
+        |    SELECT p.vec_id, f.centroid_id,
+        |      ROUND(list_inner_product(p.emb, f.centroid) /
+        |        (SQRT(list_inner_product(p.emb, p.emb)) *
+        |         SQRT(list_inner_product(f.centroid, f.centroid))), 6)
+        |        AS cos,
+        |      ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+        |        ROUND(list_inner_product(p.emb, f.centroid) /
+        |          (SQRT(list_inner_product(p.emb, p.emb)) *
+        |           SQRT(list_inner_product(f.centroid, f.centroid))), 6)
+        |          DESC,
+        |        f.centroid_id) AS rn
+        |    FROM probed p JOIN fine f USING (coarse_id))
+        |  WHERE rn = 1)
+        |SELECT centroid_id, COUNT(*) AS n_assigned,
+        |  MIN(vec_id) AS min_vec_id,
+        |  ROUND(CAST(SUM(CAST(cos AS DECIMAL(28,12))) AS DOUBLE)
+        |    / COUNT(*), 6) AS avg_cosine
+        |FROM assign GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
   )
 
   protected def q421TransformerSql: String = {
@@ -2337,18 +2393,26 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
          |    CAST(${fmt(rnnInit(2))} AS DOUBLE) AS b)
          |""".stripMargin
     val iters = (1 to rnnIters).map { k =>
+      // three stages per step so NO select list both reads and redefines
+      // a name (h-stage: fresh hn/hprev; g-stage: fresh sxn/shn/sbn;
+      // s-stage: pure rename back to the step-invariant names) — lateral
+      // alias shadowing is a dialect-resolution dependency worth avoiding
       val fwd = (1 to T).map { t =>
         s""",f${k}h$t AS (
-           |  SELECT user_id, $xs, y, wx, wh, b,
-           |    ROUND(${tanh(s"wx * x$t + wh * h + b")}, 9) AS h,
-           |    h AS hprev, sx, sh, sb
+           |  SELECT user_id, $xs, y, wx, wh, b, sx, sh, sb,
+           |    h AS hprev,
+           |    ROUND(${tanh(s"wx * x$t + wh * h + b")}, 9) AS hn
            |  FROM f${k}s${t - 1}),
+           |f${k}g$t AS (
+           |  SELECT user_id, $xs, y, wx, wh, b, hn,
+           |    ROUND((1.0 - hn * hn) * (x$t + wh * sx), 9) AS sxn,
+           |    ROUND((1.0 - hn * hn) * (hprev + wh * sh), 9) AS shn,
+           |    ROUND((1.0 - hn * hn) * (1.0 + wh * sb), 9) AS sbn
+           |  FROM f${k}h$t),
            |f${k}s$t AS (
-           |  SELECT user_id, $xs, y, wx, wh, b, h,
-           |    ROUND((1.0 - h * h) * (x$t + wh * sx), 9) AS sx,
-           |    ROUND((1.0 - h * h) * (hprev + wh * sh), 9) AS sh,
-           |    ROUND((1.0 - h * h) * (1.0 + wh * sb), 9) AS sb
-           |  FROM f${k}h$t)
+           |  SELECT user_id, $xs, y, wx, wh, b, hn AS h,
+           |    sxn AS sx, shn AS sh, sbn AS sb
+           |  FROM f${k}g$t)
            |""".stripMargin
       }.mkString
       s""",f${k}s0 AS (

@@ -1858,11 +1858,21 @@ object MlPipelines {
     * Returns one row per tree node: split nodes carry (feature, threshold,
     * gain), leaves carry the round-6 prediction; node ids are heap-ordered
     * (root 1, children 2n / 2n+1), depth derived from the id.
+    *
+    * CALLER CONTRACT on `gainRound`: the gain is rounded in ABSOLUTE
+    * decimals before the argmax, so with the default 2 digits a target
+    * whose per-row gains are all ≪ 0.01 collapses every candidate to
+    * equal round-2 gains and the "best" split degrades to the
+    * (feature asc, value asc) tie-break — deterministic and
+    * oracle-consistent, but a silent tree-quality footgun. Either scale y
+    * so gains are O(1) or larger (q407 multiplies its price target by
+    * 1000), or raise `gainRound` — and mirror the same digits in any SQL
+    * replay.
     */
   def cartTreePortable(df: DataFrame, keyCol: String,
       f1: String, f2: String, yExpr: Column,
       maxDepth: Int = 3, minLeaf: Int = 5,
-      kSplit: Int = 5, holdBucket: Int = 0): DataFrame = {
+      kSplit: Int = 5, holdBucket: Int = 0, gainRound: Int = 2): DataFrame = {
     import graft.functions.Stats.dsum
     import org.apache.spark.sql.expressions.Window
     require(maxDepth >= 1 && maxDepth <= 4,
@@ -1921,7 +1931,7 @@ object MlPipelines {
           .filter(col("nl") >= minLeaf && col("nr") >= minLeaf)
           .withColumn("gain",
             round((col("sl") * col("sl") / col("nl") +
-              col("sr") * col("sr") / col("nr")) / col("nn"), 2))
+              col("sr") * col("sr") / col("nr")) / col("nn"), gainRound))
         val winners = scored
           .withColumn("rk", row_number().over(
             Window.partitionBy("node")

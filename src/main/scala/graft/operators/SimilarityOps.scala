@@ -332,6 +332,88 @@ object SimilarityOps {
       .select(col(idCol), col("emb"), col("centroid_id"))
   }
 
+  /** Centroid-count threshold above which the flat broadcast-argmax
+    * assignment stops being the right plan: past it the centroid table is
+    * no longer trivially broadcast-sized and the n·nlist compare grows
+    * super-linearly, so [[ivfAssignAuto]] switches to the two-level
+    * coarse→fine path (n·O(√nlist) compares, coarse-bucket equi-join
+    * instead of an unbounded broadcast). 2048 × ~0.5 KB centroids ≈ 1 MB —
+    * comfortably under any executor broadcast budget; with the
+    * √(n·nprobe) adaptive nlist the switch engages around n·nprobe ≈ 4M
+    * vectors, far past every local SF but well inside 100 TB territory.
+    */
+  val flatAssignMaxCentroids: Int = 2048
+
+  /** Assignment dispatcher: flat argmax ([[ivfAssign]]) while the centroid
+    * table stays broadcast-small, the two-level coarse→fine path
+    * ([[ivfAssignTwoLevel]]) above [[flatAssignMaxCentroids]] — callers
+    * that computed an adaptive nlist pass it here so the plan switch needs
+    * no extra count.
+    */
+  def ivfAssignAuto(embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, nlist: Int,
+      simRound: Option[Int] = None): DataFrame =
+    if (nlist <= flatAssignMaxCentroids)
+      ivfAssign(embeddings, idCol, vecCol, centroids, simRound)
+    else ivfAssignTwoLevel(embeddings, idCol, vecCol, centroids, nlist,
+      simRound = simRound)
+
+  /** Two-level IVF assignment — the scale form of [[ivfAssign]] for
+    * centroid tables too large to broadcast-argmax. Fine centroids are
+    * grouped into ⌈√nlist⌉ contiguous COARSE blocks (block representative
+    * = the block's lowest-id fine centroid — deterministic, no extra
+    * fit); each vector first picks its best `coarseProbe` blocks against
+    * the ⌈√nlist⌉-row representative table (the only broadcast — O(√nlist)
+    * rows regardless of nlist), then argmaxes over just those blocks' fine
+    * centroids via an EQUI-JOIN on the block id (Spark picks
+    * broadcast/shuffle by size — nothing forces an unbounded broadcast).
+    * Compare count per vector: √nlist + coarseProbe·√nlist instead of
+    * nlist.
+    *
+    * The two-level argmax is approximate in the usual IVF sense (the true
+    * nearest fine centroid can live in an unprobed block; `coarseProbe`
+    * trades that recall against cost) but FULLY deterministic and
+    * engine-portable under `simRound`: block choice and fine argmax both
+    * rank rounded cosines with id tie-breaks, so a plain-SQL oracle
+    * replays every assignment digit for digit (q422).
+    */
+  def ivfAssignTwoLevel(embeddings: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, nlist: Int,
+      coarseProbe: Int = 2, simRound: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nlist >= 1, s"nlist must be positive, got $nlist")
+    require(coarseProbe >= 1,
+      s"coarseProbe must be positive, got $coarseProbe")
+    val groupSize = math.ceil(math.sqrt(nlist.toDouble)).toInt
+    def rnd(c: Column): Column = simRound.fold(c)(d => round(c, d))
+    // block id = centroid_id div groupSize; representative = lowest id in
+    // the block (centroid_id % groupSize == 0 — blocks are contiguous)
+    val fine = centroids
+      .withColumn("coarse_id",
+        (col("centroid_id").cast("long") / lit(groupSize)).cast("long"))
+    val coarse = fine
+      .filter(col("centroid_id").cast("long") % lit(groupSize) === 0)
+      .select(col("coarse_id"), col("centroid").as("coarse_centroid"))
+    val v = embeddings
+      .select(col(idCol), col(vecCol).cast("array<double>").as("emb"))
+    val wc = Window.partitionBy(col(idCol))
+      .orderBy(col("c_sim").desc, col("coarse_id").asc)
+    val probed = v.crossJoin(broadcast(coarse))
+      .withColumn("c_sim", rnd(cosineNative(col("emb"), col("coarse_centroid"))))
+      .withColumn("c_rn", row_number().over(wc))
+      .filter(col("c_rn") <= coarseProbe)
+      .select(col(idCol), col("emb"), col("coarse_id"))
+    val wf = Window.partitionBy(col(idCol))
+      .orderBy(col("sim").desc, col("centroid_id").asc)
+    probed
+      .join(fine.select(col("coarse_id"), col("centroid_id"), col("centroid")),
+        Seq("coarse_id"))
+      .withColumn("sim", rnd(cosineNative(col("emb"), col("centroid"))))
+      .withColumn("rn", row_number().over(wf))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("emb"), col("centroid_id"))
+  }
+
   /** Batched exact kNN join: top-`k` corpus neighbors for EVERY query row —
     * the set-valued generalization of the single-vector [[cosineScores]]+
     * [[topK]] path. The query side broadcasts (queries ≪ corpus), cosine
@@ -384,7 +466,8 @@ object SimilarityOps {
       centroids: DataFrame, nprobe: Int, k: Int,
       excludeSameId: Boolean = false,
       simRound: Option[Int] = None,
-      pruneByList: Boolean = false): DataFrame = {
+      pruneByList: Boolean = false,
+      broadcastProbes: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(queryId).as("q_id"),
       col(queryVec).cast("array<double>").as("qe"))
@@ -414,8 +497,14 @@ object SimilarityOps {
           .collect().map(_.get(0)).toSeq
         assigned.filter(col("centroid_id").isInCollection(listIds))
       } else assigned
+    // broadcastProbes: the probe table is queries·nprobe rows WITH query
+    // vectors — broadcast-right for a small query batch (the serving
+    // shape), wrong when queries ≈ corpus (the all-nodes graph builds set
+    // false and the centroid_id equi-join shuffles both sides instead of
+    // shipping the whole corpus to every executor)
     val candidates = scanned
-      .join(broadcast(probes), Seq("centroid_id"))
+      .join(if (broadcastProbes) broadcast(probes) else probes,
+        Seq("centroid_id"))
     val filtered =
       if (excludeSameId) candidates.filter(col("q_id") =!= col(idCol))
       else candidates
@@ -437,11 +526,19 @@ object SimilarityOps {
     * [[GraphOps.connectedComponents]] rounds; everything else is broadcast.
     */
   def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, minCosine: Double, kmeansIter: Int = 10): DataFrame = {
+      nlist: Int = 0, minCosine: Double, kmeansIter: Int = 10): DataFrame = {
     // few k-means rounds suffice: clusters only BUCKET the pair search, so
     // centroid quality affects cost, not correctness, and near-dups stay
-    // co-clustered long before convergence
-    val centroids = ivfCentroidsKMeans(embeddings, vecCol, nlist, kmeansIter)
+    // co-clustered long before convergence.
+    // nlist = 0 → adaptive max(8, ⌈n/640⌉): a FIXED nlist makes the
+    // within-cluster pair stage O(n²/nlist) — quadratic (the sf1 bench
+    // measured 5.9× wall at 10× data with nlist=8). Growing nlist with n
+    // pins the expected cluster size at ~640, so pair work is O(n·640) —
+    // linear. At n ≤ 5120 the formula reproduces the old nlist = 8.
+    val effNlist = if (nlist > 0) nlist
+      else math.max(8, math.ceil(embeddings.count() / 640.0).toInt)
+    val centroids = ivfCentroidsKMeans(embeddings, vecCol, effNlist,
+      kmeansIter)
     val assigned = ivfAssign(embeddings, idCol, vecCol, centroids)
     val l = assigned.select(col("centroid_id"), col(idCol).as("id_a"),
       col("emb").as("ea"))
@@ -472,8 +569,13 @@ object SimilarityOps {
     * [[GraphOps.connectedComponents]].
     */
   def semanticDedupPortable(embeddings: DataFrame, idCol: String,
-      vecCol: String, nlist: Int, minCosine: Double): DataFrame = {
-    val centroids = ivfCentroidsPortable(embeddings, idCol, vecCol, nlist)
+      vecCol: String, nlist: Int = 0, minCosine: Double): DataFrame = {
+    // nlist = 0 → the same adaptive ⌈n/640⌉ cluster-size pinning as
+    // [[semanticDedup]] (and the oracle SQL computes the identical
+    // formula from COUNT(*), so both engines stay in lockstep at any SF)
+    val effNlist = if (nlist > 0) nlist
+      else math.max(8, math.ceil(embeddings.count() / 640.0).toInt)
+    val centroids = ivfCentroidsPortable(embeddings, idCol, vecCol, effNlist)
     val assigned = ivfAssign(embeddings, idCol, vecCol, centroids,
       simRound = Some(6))
     val l = assigned.select(col("centroid_id"), col(idCol).as("id_a"),
@@ -1102,18 +1204,26 @@ object SimilarityOps {
     require(rounds >= 1, s"need at least one round, got $rounds")
     val b = SplitOps.hashBucket(col(idCol), 10)
     val all = embeddings.withColumn("__train", b < trainBuckets)
-    // nlist = 0 → adaptive max(8, ⌈n/640⌉): an ALL-NODES kNN graph joins
-    // every node against its nprobe lists, so a FIXED nlist makes the
-    // candidate count n·nprobe·(n/nlist) — quadratic (the sf1 bench
-    // measured 14× at 10× data). Growing nlist with n pins the per-list
-    // size and keeps the build linear; at the gate SFs (n ≤ 5120) the
-    // formula reproduces the old nlist = 8 exactly
+    // nlist = 0 → adaptive max(8, ⌈√(n·nprobe)⌉): an ALL-NODES kNN graph
+    // joins every node against its nprobe lists, so a FIXED nlist makes
+    // the candidate count n·nprobe·(n/nlist) — quadratic (the sf1 bench
+    // measured 14× at 10× data). The √ formula BALANCES assignment cost
+    // n·nlist against search cost n·nprobe·(n/nlist) — both sides land at
+    // n^1.5·√nprobe, the optimum for a one-level quantizer (the round-12
+    // ⌈n/640⌉ rule pinned list size but let assignment grow n·n/640 —
+    // quadratic from the other side). The oracle SQL computes the SAME
+    // formula from COUNT(*), so both engines stay in lockstep at any SF.
+    // Above [[flatAssignMaxCentroids]] centroids, [[ivfAssignAuto]]
+    // switches to the two-level coarse→fine assignment (n·√nlist) and the
+    // probe-side broadcast is dropped — the 100 TB path.
     val effNlist = if (nlist > 0) nlist
-      else math.max(8, math.ceil(all.count() / 640.0).toInt)
+      else math.max(8, math.ceil(math.sqrt(all.count() * nprobe.toDouble)).toInt)
     val cents = ivfCentroidsPortable(all, idCol, vecCol, effNlist)
-    val assigned = ivfAssign(all, idCol, vecCol, cents, simRound = Some(6))
+    val assigned = ivfAssignAuto(all, idCol, vecCol, cents, effNlist,
+      simRound = Some(6))
     val edges = ivfSearchBatch(assigned, idCol, all, idCol, vecCol, cents,
-        nprobe, kNbrs, excludeSameId = true, simRound = Some(6))
+        nprobe, kNbrs, excludeSameId = true, simRound = Some(6),
+        broadcastProbes = effNlist <= flatAssignMaxCentroids)
       .select(col("q_id"), col(idCol).as("__nbr"),
         greatest(col("cosine"), lit(0.0)).as("__w"))
       .persist()
@@ -1171,16 +1281,20 @@ object SimilarityOps {
     val b = SplitOps.hashBucket(col(idCol), 10)
     val train = embeddings.filter(b < trainBuckets)
     val test = embeddings.filter(b >= trainBuckets)
-    // nlist = 0 → adaptive max(8, ⌈n_train/640⌉): the query side is a
-    // constant FRACTION of the corpus here, so a fixed nlist is quadratic
-    // (see labelPropagationPortable); the formula reproduces nlist = 8 at
-    // the gate SFs
+    // nlist = 0 → adaptive max(8, ⌈√(n_train·nprobe)⌉): the query side is
+    // a constant FRACTION of the corpus here, so a fixed nlist is
+    // quadratic and the round-12 ⌈n/640⌉ rule made ASSIGNMENT quadratic
+    // instead — the √ formula balances both at n^1.5·√nprobe (see
+    // labelPropagationPortable). Mirrored in the q205 oracle SQL.
     val effNlist = if (nlist > 0) nlist
-      else math.max(8, math.ceil(train.count() / 640.0).toInt)
+      else math.max(8,
+        math.ceil(math.sqrt(train.count() * nprobe.toDouble)).toInt)
     val cents = ivfCentroidsPortable(train, idCol, vecCol, effNlist)
-    val assigned = ivfAssign(train, idCol, vecCol, cents, simRound = Some(6))
+    val assigned = ivfAssignAuto(train, idCol, vecCol, cents, effNlist,
+      simRound = Some(6))
     val nn = ivfSearchBatch(assigned, idCol, test, idCol, vecCol, cents,
-      nprobe, k, excludeSameId = false, simRound = Some(6))
+      nprobe, k, excludeSameId = false, simRound = Some(6),
+      broadcastProbes = effNlist <= flatAssignMaxCentroids)
     val nbrLabels = embeddings
       .select(col(idCol).as("__nid"), col(labelCol).as("__nlabel"))
     val votes = nn.join(nbrLabels, nn(idCol) === col("__nid"))

@@ -344,6 +344,81 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(total.getLong(1) == 20L && total.getLong(2) == 20L)
   }
 
+  test("ivfAssignTwoLevel ≡ flat argmax when every coarse block is probed") {
+    val rnd = new scala.util.Random(11)
+    val e = (0L until 200L).map(i =>
+      (i, Seq.fill(6)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val cents = SimilarityOps.ivfCentroidsPortable(e, "vec_id", "embedding",
+      nlist = 12)
+    // groupSize = ⌈√12⌉ = 4 → 3 coarse blocks; probing all 3 makes the
+    // within-block argmax range over EVERY fine centroid — exactly flat
+    val flat = SimilarityOps.ivfAssign(e, "vec_id", "embedding", cents,
+        simRound = Some(6))
+      .select("vec_id", "centroid_id").as[(Long, Int)].collect().toMap
+    val two = SimilarityOps.ivfAssignTwoLevel(e, "vec_id", "embedding",
+        cents, nlist = 12, coarseProbe = 3, simRound = Some(6))
+      .select("vec_id", "centroid_id").as[(Long, Int)].collect().toMap
+    assert(two == flat)
+  }
+
+  test("ivfAssignTwoLevel: one row per vector, centroid inside a probed block") {
+    val rnd = new scala.util.Random(12)
+    val e = (0L until 150L).map(i =>
+      (i, Seq.fill(6)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val cents = SimilarityOps.ivfCentroidsPortable(e, "vec_id", "embedding",
+      nlist = 12)
+    val two = SimilarityOps.ivfAssignTwoLevel(e, "vec_id", "embedding",
+      cents, nlist = 12, coarseProbe = 2, simRound = Some(6))
+    assert(two.count() == 150L)
+    assert(two.select("vec_id").distinct().count() == 150L)
+    // recompute each vector's top-2 coarse blocks independently and check
+    // the assigned fine centroid's block is among them
+    val centRows = cents.select("centroid_id", "centroid")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val reps = centRows.filter(_._1 % 4 == 0).map(c => (c._1 / 4, c._2))
+    val vecs = e.select($"vec_id",
+        $"embedding".cast("array<double>")).as[(Long, Seq[Double])]
+      .collect().toMap
+    val assigned = two.select("vec_id", "centroid_id")
+      .as[(Long, Int)].collect()
+    assigned.foreach { case (id, cid) =>
+      val top2 = reps.map { case (bid, rep) => (bid, cos(vecs(id), rep)) }
+        .sortBy { case (bid, s) => (-s, bid) }.take(2).map(_._1).toSet
+      assert(top2.contains(cid / 4),
+        s"vec $id assigned to block ${cid / 4} outside probed $top2")
+    }
+  }
+
+  test("adaptive SemDeDup nlist keeps candidate pairs linear in n") {
+    // the bucket stage of semanticDedupPortable at n and 2n: with
+    // nlist = max(8, ⌈n/640⌉) expected cluster size is pinned, so
+    // Σ c·(c-1)/2 candidate pairs grow ~linearly (a fixed nlist grows
+    // them ~quadratically — 4x here)
+    def pairsAt(n: Int): Double = {
+      val rnd = new scala.util.Random(7)
+      val e = (0L until n.toLong).map(i =>
+        (i, Seq.fill(4)(rnd.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding")
+      val nlist = math.max(8, math.ceil(n / 640.0).toInt)
+      val cents = SimilarityOps.ivfCentroidsPortable(e, "vec_id",
+        "embedding", nlist)
+      SimilarityOps.ivfAssign(e, "vec_id", "embedding", cents,
+          simRound = Some(6))
+        .groupBy("centroid_id").count()
+        .agg(sum($"count" * ($"count" - 1) / 2)).head().getDouble(0)
+    }
+    val p1 = pairsAt(6400)
+    val p2 = pairsAt(12800)
+    // linear → ratio ≈ 2; quadratic → 4. Allow draw-imbalance headroom.
+    assert(p2 / p1 < 3.0, s"pair growth ${p2 / p1} not linear ($p1 -> $p2)")
+  }
+
   test("embeddingOutlierCard: planted far vector ranks first") {
     val dim = 4
     val rows = (0L until 30L).map { i =>
