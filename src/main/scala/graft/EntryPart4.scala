@@ -478,6 +478,18 @@ private[graft] trait EntryPart4 extends EntryPart3 {
       .orderBy(col("centroid_id"))
   }
 
+  // ---------------------------------------------------------------- q423
+  // LR-schedule replay card (reference trainer.py:137-141,294): the
+  // per-day val-loss history drives a torch-semantics ReduceLROnPlateau
+  // (min mode, rel threshold 1e-4, patience 5, factor 0.5) replayed as an
+  // in-engine aggregate() fold — comparisons + exact halvings, so a
+  // DuckDB recursive CTE replays the whole trajectory — joined with the
+  // CosineAnnealingLR(T_max=100) closed form as shared round-12 literals
+  // (the q418–q421 convention; cos isn't cross-engine-portable).
+  def q423(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.LrSchedule.plateauCosineCard(
+      t(spark, dir, "events"), "ts", "value")
+
   // ---------------------------------------------------------------- q357
   // AMS/count-sketch F2 of the (user, event_type) stream: 3×64 signed
   // counters from disjoint MD5 slices, per-row estimates Σc², median

@@ -2285,7 +2285,51 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
         |  ROUND(CAST(SUM(CAST(cos AS DECIMAL(28,12))) AS DOUBLE)
         |    / COUNT(*), 6) AS avg_cosine
         |FROM assign GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
+
+    // q423: the plateau scheduler's whole state trajectory replayed as a
+    // recursive CTE (lr, best, bad-count carried per epoch — pure
+    // comparisons and exact halvings), cosine annealing joined as the
+    // SAME round-12 literals the Spark plan embeds.
+    "q423_lr_schedule" -> q423LrScheduleSql,
   )
+
+  protected def q423LrScheduleSql: String = {
+    import graft.ml.LrSchedule.{cosLr, fmt, maxEpochs, patience}
+    val csRows = (1 to maxEpochs)
+      .map(t => s"($t, ${fmt(cosLr(t))})").mkString(", ")
+    val better = "h.loss < st.best * (1.0 - 0.0001)"
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+       |    CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS s,
+       |    CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS s2
+       |  FROM events GROUP BY CAST(ts AS DATE)),
+       |hist AS (
+       |  SELECT epoch, ROUND((s2 - s * s / n) / n, 6) AS loss FROM (
+       |    SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS INT) AS epoch,
+       |      n, s, s2
+       |    FROM daily)
+       |  WHERE epoch <= $maxEpochs),
+       |st(epoch, loss, lr, best, bad, is_decay) AS (
+       |  SELECT 0, CAST(0.0 AS DOUBLE), CAST(0.001 AS DOUBLE),
+       |    CAST(1e300 AS DOUBLE), 0, 0
+       |  UNION ALL
+       |  SELECT h.epoch, h.loss,
+       |    CASE WHEN NOT ($better) AND st.bad + 1 > $patience
+       |      THEN st.lr * 0.5 ELSE st.lr END,
+       |    CASE WHEN $better THEN h.loss ELSE st.best END,
+       |    CASE WHEN $better THEN 0
+       |         WHEN st.bad + 1 > $patience THEN 0
+       |         ELSE st.bad + 1 END,
+       |    CASE WHEN NOT ($better) AND st.bad + 1 > $patience
+       |      THEN 1 ELSE 0 END
+       |  FROM st JOIN hist h ON h.epoch = st.epoch + 1),
+       |cs(epoch, lr_cosine) AS (VALUES $csRows)
+       |SELECT st.epoch, st.loss AS val_loss, st.lr AS lr_plateau,
+       |  st.bad AS bad_epochs, st.is_decay, cs.lr_cosine
+       |FROM st JOIN cs ON cs.epoch = st.epoch
+       |WHERE st.epoch >= 1
+       |ORDER BY st.epoch""".stripMargin
+  }
 
   protected def q421TransformerSql: String = {
     import graft.ml.SeqForward.{T, blockParam, fmt, posEnc}
