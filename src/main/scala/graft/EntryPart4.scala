@@ -478,6 +478,17 @@ private[graft] trait EntryPart4 extends EntryPart3 {
       .orderBy(col("centroid_id"))
   }
 
+  // ---------------------------------------------------------------- q424
+  // TWO-HEAD transformer encoder block forward, hash-checked (reference
+  // M6 transformer.py:62-133 head split, num_heads=4 at :196 — here
+  // d_model=2 splits into 2 heads of head_dim=1, same split/per-head
+  // softmax/concat/W_O arithmetic): per-head outputs exposed as
+  // head1_out/head2_out so head independence is queryable; residual +
+  // LayerNorm + ReLU FFN as q421.
+  def q424(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.SeqForward.multiHeadBlockForward(
+      t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
+
   // ---------------------------------------------------------------- q423
   // LR-schedule replay card (reference trainer.py:137-141,294): the
   // per-day val-loss history drives a torch-semantics ReduceLROnPlateau

@@ -2291,7 +2291,106 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
     // comparisons and exact halvings), cosine annealing joined as the
     // SAME round-12 literals the Spark plan embeds.
     "q423_lr_schedule" -> q423LrScheduleSql,
+
+    // q424: the two-head encoder block replayed — identical round-9
+    // literals from the disjoint mhParam bank, per-head score/softmax/mix
+    // stages (head_dim=1 ⇒ scale 1), round-9 head outputs at the concat
+    // boundary, W_O + residual + LayerNorm + FFN as q421's CTE chain.
+    "q424_multihead_attention" -> q424MultiHeadSql,
   )
+
+  protected def q424MultiHeadSql: String = {
+    import graft.ml.SeqForward.{T, fmt, mhParam, posEnc}
+    val p = (0 to 39).map(mhParam)
+    def emb(t: Int, d: Int): String =
+      s"ROUND(${fmt(p(2 * d))} * x$t + ${fmt(p(2 * d + 1))} + " +
+        s"${fmt(if (d == 0) posEnc(t)._1 else posEnc(t)._2)}, 9)"
+    def proj(off: Int, t: Int, dd: Int): String =
+      s"ROUND(${fmt(p(off + 2 * dd))} * e${t}_1 + " +
+        s"${fmt(p(off + 2 * dd + 1))} * e${t}_2 + ${fmt(p(off + 4 + dd))}, 9)"
+    val embCols = (1 to T).flatMap(t => Seq(
+      s"    ${emb(t, 0)} AS e${t}_1", s"    ${emb(t, 1)} AS e${t}_2"))
+      .mkString(",\n")
+    val kvCols = (1 to T).flatMap(j => Seq(
+      s"    ${proj(10, j, 0)} AS k${j}_1", s"    ${proj(10, j, 1)} AS k${j}_2",
+      s"    ${proj(16, j, 0)} AS v${j}_1", s"    ${proj(16, j, 1)} AS v${j}_2"))
+      .mkString(",\n")
+    val vCarry = (1 to T).flatMap(j => Seq(s"v${j}_1", s"v${j}_2"))
+      .mkString(", ")
+    val sCols = (1 to 2).flatMap(h => (1 to T).map(j =>
+      s"    q$h * k${j}_$h AS s${j}_$h")).mkString(",\n")
+    val mCols = (1 to 2).map(h =>
+      s"GREATEST(${(1 to T).map(j => s"s${j}_$h").mkString(", ")}) AS m$h")
+      .mkString(", ")
+    val wCols = (1 to 2).flatMap(h => (1 to T).map(j =>
+      s"    EXP(s${j}_$h - m$h) AS w${j}_$h")).mkString(",\n")
+    val wCarry = (1 to 2).flatMap(h => (1 to T).map(j => s"w${j}_$h"))
+      .mkString(", ")
+    val zCols = (1 to 2).map(h =>
+      (1 to T).map(j => s"w${j}_$h").mkString(" + ") + s" AS z$h")
+      .mkString(", ")
+    val oCols = (1 to 2).map(h =>
+      s"    ROUND((${(1 to T).map(j => s"w${j}_$h * v${j}_$h")
+        .mkString(" + ")}) / z$h, 9) AS o$h").mkString(",\n")
+    def outProj(dd: Int): String =
+      s"ROUND(${fmt(p(22 + 2 * dd))} * o1 + ${fmt(p(23 + 2 * dd))} * o2 " +
+        s"+ ${fmt(p(26 + dd))}, 9)"
+    seqPivotCtes +
+      s""",b1 AS (
+         |  SELECT user_id,
+         |$embCols
+         |  FROM p),
+         |b2 AS (
+         |  SELECT user_id, e${T}_1, e${T}_2,
+         |    ${proj(4, T, 0)} AS q1, ${proj(4, T, 1)} AS q2,
+         |$kvCols
+         |  FROM b1),
+         |b3 AS (
+         |  SELECT user_id, e${T}_1, e${T}_2, $vCarry,
+         |$sCols
+         |  FROM b2),
+         |b4 AS (
+         |  SELECT *, $mCols FROM b3),
+         |b5 AS (
+         |  SELECT user_id, e${T}_1, e${T}_2, $vCarry,
+         |$wCols
+         |  FROM b4),
+         |b6 AS (
+         |  SELECT *, $zCols FROM b5),
+         |b7 AS (
+         |  SELECT user_id, e${T}_1, e${T}_2,
+         |$oCols
+         |  FROM b6),
+         |b8 AS (
+         |  SELECT user_id, o1, o2,
+         |    e${T}_1 + ${outProj(0)} AS r1,
+         |    e${T}_2 + ${outProj(1)} AS r2
+         |  FROM b7),
+         |b9 AS (SELECT *, (r1 + r2) / 2.0 AS mu FROM b8),
+         |b10 AS (
+         |  SELECT *, ((r1 - mu) * (r1 - mu) + (r2 - mu) * (r2 - mu)) / 2.0
+         |    AS va
+         |  FROM b9),
+         |b11 AS (
+         |  SELECT user_id, o1, o2,
+         |    ROUND((r1 - mu) / SQRT(va + 1e-6), 9) AS ln1,
+         |    ROUND((r2 - mu) / SQRT(va + 1e-6), 9) AS ln2
+         |  FROM b10),
+         |b12 AS (
+         |  SELECT user_id, o1, o2, ln1, ln2,
+         |    GREATEST(0.0, ROUND(${fmt(p(28))} * ln1 + ${fmt(p(29))} * ln2
+         |      + ${fmt(p(32))}, 9)) AS hd1,
+         |    GREATEST(0.0, ROUND(${fmt(p(30))} * ln1 + ${fmt(p(31))} * ln2
+         |      + ${fmt(p(33))}, 9)) AS hd2
+         |  FROM b11)
+         |SELECT user_id,
+         |  ROUND(ln1 + ROUND(${fmt(p(34))} * hd1 + ${fmt(p(35))} * hd2
+         |    + ${fmt(p(38))}, 9), 6) + 0.0 AS out1,
+         |  ROUND(ln2 + ROUND(${fmt(p(36))} * hd1 + ${fmt(p(37))} * hd2
+         |    + ${fmt(p(39))}, 9), 6) + 0.0 AS out2,
+         |  ROUND(o1, 6) + 0.0 AS head1_out, ROUND(o2, 6) + 0.0 AS head2_out
+         |FROM b12 ORDER BY user_id""".stripMargin
+  }
 
   protected def q423LrScheduleSql: String = {
     import graft.ml.LrSchedule.{cosLr, fmt, maxEpochs, patience}

@@ -327,6 +327,105 @@ object SeqForward {
       .orderBy(col("user_id"))
   }
 
+  // Multi-head block parameters: a DISJOINT offset from the single-head
+  // block so the spec can vary one surface without touching the other.
+  // Layout (the proj(off) convention): 0-3 embedding, 4-9 Wq, 10-15 Wk,
+  // 16-21 Wv, 22-27 Wo (output projection), 28-33 FFN W1, 34-39 FFN W2.
+  def mhParam(k: Int): Double = param(401 + k)
+
+  /** TWO-HEAD transformer encoder block forward at the last position,
+    * hash-checked — the multi-head upgrade of [[transformerBlockForward]]
+    * (reference M6 `transformer.py:62-133` splits d_model across
+    * `num_heads=4` heads at `transformer.py:196`; here d_model=2 splits
+    * into 2 heads of head_dim=1, the same split/softmax-per-head/concat/
+    * output-projection arithmetic at the smallest portable width).
+    * Head h attends with dimension h of the shared Q/K/V projections:
+    * per-head scores q_h·k_{j,h} (head_dim=1 ⇒ torch's 1/√d_h scale is
+    * exactly 1), per-head max-shift softmax, per-head value mix — the
+    * heads are INDEPENDENT until the concat (the spec asserts it) — then
+    * W_O concat projection, residual + LayerNorm, ReLU FFN + residual.
+    * Per-head outputs are exposed as head1_out/head2_out so head
+    * independence is a queryable fact, not an implementation detail.
+    */
+  def multiHeadBlockForward(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, valCol: String): DataFrame = {
+    val piv = sequencePivot(events, userCol, tsCol, idCol, valCol)
+    val p = (0 to 39).map(mhParam)
+    def emb(t: Int, d: Int): Column =
+      round(lit(p(2 * d)) * col(s"x$t") + lit(p(2 * d + 1)) +
+        lit(if (d == 0) posEnc(t)._1 else posEnc(t)._2), 9)
+    var d = piv.select(Seq(col("user_id")) ++
+      (1 to T).flatMap(t => Seq(emb(t, 0).as(s"e${t}_1"),
+        emb(t, 1).as(s"e${t}_2"))): _*)
+    def proj(off: Int, t: Int, dd: Int): Column =
+      round(lit(p(off + 2 * dd)) * col(s"e${t}_1") +
+        lit(p(off + 2 * dd + 1)) * col(s"e${t}_2") + lit(p(off + 4 + dd)), 9)
+    d = d.select(Seq(col("user_id"), col(s"e${T}_1"), col(s"e${T}_2"),
+      proj(4, T, 0).as("q1"), proj(4, T, 1).as("q2")) ++
+      (1 to T).flatMap(j => Seq(
+        proj(10, j, 0).as(s"k${j}_1"), proj(10, j, 1).as(s"k${j}_2"),
+        proj(16, j, 0).as(s"v${j}_1"), proj(16, j, 1).as(s"v${j}_2"))): _*)
+    // per-head scores: head h uses dim h only; head_dim = 1 ⇒ scale 1
+    val carryEV = Seq(col("user_id"), col(s"e${T}_1"), col(s"e${T}_2")) ++
+      (1 to T).flatMap(j => Seq(col(s"v${j}_1"), col(s"v${j}_2")))
+    d = d.select(carryEV ++ (1 to 2).flatMap(h =>
+      (1 to T).map(j =>
+        (col(s"q$h") * col(s"k${j}_$h")).as(s"s${j}_$h"))): _*)
+    // per-head max-shift softmax
+    d = d.select(carryEV ++
+      (1 to 2).map(h =>
+        greatest((1 to T).map(j => col(s"s${j}_$h")): _*).as(s"m$h")) ++
+      (1 to 2).flatMap(h => (1 to T).map(j => col(s"s${j}_$h"))): _*)
+    d = d.select(carryEV ++ (1 to 2).flatMap(h =>
+      (1 to T).map(j =>
+        exp(col(s"s${j}_$h") - col(s"m$h")).as(s"w${j}_$h"))): _*)
+    d = d.select(carryEV ++
+      (1 to 2).flatMap(h => (1 to T).map(j => col(s"w${j}_$h"))) ++
+      (1 to 2).map(h =>
+        (1 to T).map(j => col(s"w${j}_$h")).reduce(_ + _).as(s"z$h")): _*)
+    // per-head value mix (head h mixes dim h of v) — round-9 per head so
+    // the concat boundary is a pinned cross-engine state
+    d = d.select(Seq(col("user_id"), col(s"e${T}_1"), col(s"e${T}_2")) ++
+      (1 to 2).map(h =>
+        round((1 to T).map(j => col(s"w${j}_$h") * col(s"v${j}_$h"))
+          .reduce(_ + _) / col(s"z$h"), 9).as(s"o$h")): _*)
+    // concat [o1, o2] → W_O projection + residual
+    def outProj(dd: Int): Column =
+      round(lit(p(22 + 2 * dd)) * col("o1") +
+        lit(p(23 + 2 * dd)) * col("o2") + lit(p(26 + dd)), 9)
+    d = d.select(col("user_id"), col("o1"), col("o2"),
+      (col(s"e${T}_1") + outProj(0)).as("r1"),
+      (col(s"e${T}_2") + outProj(1)).as("r2"))
+    // LayerNorm over the 2 dims
+    d = d.select(col("user_id"), col("o1"), col("o2"), col("r1"),
+      col("r2"), ((col("r1") + col("r2")) / lit(2.0)).as("mu"))
+    d = d.select(col("user_id"), col("o1"), col("o2"), col("r1"),
+      col("r2"), col("mu"),
+      (((col("r1") - col("mu")) * (col("r1") - col("mu")) +
+        (col("r2") - col("mu")) * (col("r2") - col("mu"))) / lit(2.0))
+        .as("va"))
+    d = d.select(col("user_id"), col("o1"), col("o2"),
+      round((col("r1") - col("mu")) / sqrt(col("va") + lit(1e-6)), 9)
+        .as("ln1"),
+      round((col("r2") - col("mu")) / sqrt(col("va") + lit(1e-6)), 9)
+        .as("ln2"))
+    // ReLU FFN (2→2→2) + residual
+    d = d.select(col("user_id"), col("o1"), col("o2"), col("ln1"),
+      col("ln2"),
+      greatest(lit(0.0), round(lit(p(28)) * col("ln1") +
+        lit(p(29)) * col("ln2") + lit(p(32)), 9)).as("hd1"),
+      greatest(lit(0.0), round(lit(p(30)) * col("ln1") +
+        lit(p(31)) * col("ln2") + lit(p(33)), 9)).as("hd2"))
+    d.select(col("user_id"),
+      round(col("ln1") + round(lit(p(34)) * col("hd1") +
+        lit(p(35)) * col("hd2") + lit(p(38)), 9), 6).as("out1"),
+      round(col("ln2") + round(lit(p(36)) * col("hd1") +
+        lit(p(37)) * col("hd2") + lit(p(39)), 9), 6).as("out2"),
+      round(col("o1"), 6).as("head1_out"),
+      round(col("o2"), 6).as("head2_out"))
+      .orderBy(col("user_id"))
+  }
+
   /** Single-head scaled-dot-product attention forward at the last
     * position: q/k/v are round-9 affine projections of the scalar inputs,
     * scores use the max-shift softmax (the established log-space trick),

@@ -179,6 +179,53 @@ class SeqForwardSpec extends SparkSpec {
     assert(approx(row.getDouble(3), -row.getDouble(4), 1e-6))
   }
 
+  test("multiHeadBlockForward: plain-Scala replay, heads provably independent") {
+    val xs = (1 to SeqForward.T).map(t => r9(t * 50.0 / 500.0))
+    val p = (0 to 39).map(SeqForward.mhParam)
+    def emb(t: Int, d: Int): Double = {
+      val pe = if (d == 0) SeqForward.posEnc(t)._1 else SeqForward.posEnc(t)._2
+      r9(p(2 * d) * xs(t - 1) + p(2 * d + 1) + pe)
+    }
+    def proj(off: Int, e: (Double, Double), dd: Int): Double =
+      r9(p(off + 2 * dd) * e._1 + p(off + 2 * dd + 1) * e._2 + p(off + 4 + dd))
+    val eT = (emb(SeqForward.T, 0), emb(SeqForward.T, 1))
+    val es = (1 to SeqForward.T).map(j => (emb(j, 0), emb(j, 1)))
+    // head replay takes ONLY that head's q scalar and k/v scalars — its
+    // argument list cannot see the other head's parameter slice, so
+    // equality with the engine's head output IS the independence proof
+    def headOut(qh: Double, khs: Seq[Double], vhs: Seq[Double]): Double = {
+      val ss = khs.map(k => qh * k) // head_dim = 1 → scale 1
+      val m = ss.max
+      val ws = ss.map(s => math.exp(s - m))
+      r9(ws.zip(vhs).map { case (w, v) => w * v }.sum / ws.sum)
+    }
+    val o1 = headOut(proj(4, eT, 0),
+      es.map(e => proj(10, e, 0)), es.map(e => proj(16, e, 0)))
+    val o2 = headOut(proj(4, eT, 1),
+      es.map(e => proj(10, e, 1)), es.map(e => proj(16, e, 1)))
+    // concat → W_O + residual → LayerNorm → FFN + residual
+    val r1 = eT._1 + r9(p(22) * o1 + p(23) * o2 + p(26))
+    val r2 = eT._2 + r9(p(24) * o1 + p(25) * o2 + p(27))
+    val mu = (r1 + r2) / 2.0
+    val va = ((r1 - mu) * (r1 - mu) + (r2 - mu) * (r2 - mu)) / 2.0
+    val ln1 = r9((r1 - mu) / math.sqrt(va + 1e-6))
+    val ln2 = r9((r2 - mu) / math.sqrt(va + 1e-6))
+    val hd1 = math.max(0.0, r9(p(28) * ln1 + p(29) * ln2 + p(32)))
+    val hd2 = math.max(0.0, r9(p(30) * ln1 + p(31) * ln2 + p(33)))
+    val out1 = r6(ln1 + r9(p(34) * hd1 + p(35) * hd2 + p(38)))
+    val out2 = r6(ln2 + r9(p(36) * hd1 + p(37) * hd2 + p(39)))
+    val row = SeqForward.multiHeadBlockForward(fixture, "user_id", "ts",
+      "event_id", "value").collect().head
+    assert(row.getDouble(1) == out1, s"out1 ${row.getDouble(1)} vs $out1")
+    assert(row.getDouble(2) == out2, s"out2 ${row.getDouble(2)} vs $out2")
+    assert(row.getDouble(3) == r6(o1), s"head1 ${row.getDouble(3)} vs $o1")
+    assert(row.getDouble(4) == r6(o2), s"head2 ${row.getDouble(4)} vs $o2")
+    // the heads see different parameter slices, so on this fixture their
+    // outputs must actually differ (a degenerate shared-head block would
+    // collapse them)
+    assert(row.getDouble(3) != row.getDouble(4))
+  }
+
   test("forward passes carry no global window and no join") {
     import org.apache.spark.sql.execution.window.WindowExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -188,6 +235,8 @@ class SeqForwardSpec extends SparkSpec {
         SeqForward.attentionForward(fixture, "user_id", "ts", "event_id",
           "value"),
         SeqForward.transformerBlockForward(fixture, "user_id", "ts",
+          "event_id", "value"),
+        SeqForward.multiHeadBlockForward(fixture, "user_id", "ts",
           "event_id", "value")).foreach { df =>
         val p = df.queryExecution.executedPlan
         p.foreach {
