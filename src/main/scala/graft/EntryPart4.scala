@@ -478,6 +478,17 @@ private[graft] trait EntryPart4 extends EntryPart3 {
       .orderBy(col("centroid_id"))
   }
 
+  // ---------------------------------------------------------------- q425
+  // TRAINED 1-unit LSTM, hash-checked: q420's RTRL recipe extended to
+  // the full gated cell (reference lstm.py:78-100) — ∂c/∂θ and ∂h/∂θ
+  // sensitivities for all 12 gate parameters ride the staged recurrence,
+  // full-batch clipped gradient steps, and the whole training TRAJECTORY
+  // (params, gradients, MSE descent) replays in DuckDB as chained
+  // per-iteration CTE blocks.
+  def q425(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.SeqForward.lstmRtrlTrain(
+      t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
+
   // ---------------------------------------------------------------- q424
   // TWO-HEAD transformer encoder block forward, hash-checked (reference
   // M6 transformer.py:62-133 head split, num_heads=4 at :196 — here

@@ -2297,7 +2297,155 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
     // stages (head_dim=1 ⇒ scale 1), round-9 head outputs at the concat
     // boundary, W_O + residual + LayerNorm + FFN as q421's CTE chain.
     "q424_multihead_attention" -> q424MultiHeadSql,
+
+    // q425: the 1-unit LSTM TRAINING trajectory replayed — params flow
+    // as columns through chained per-iteration CTE blocks, each step 5
+    // staged CTEs (gates → cell+∂c/∂θ → tanh c → hidden+∂h/∂θ → rename,
+    // no select both reads and redefines a name), exact-decimal gradient
+    // aggregates, clip ±1, round-9 updates — digit for digit against
+    // SeqForward.lstmRtrlTrain.
+    "q425_lstm_rtrl_train" -> q425LstmTrainSql,
   )
+
+  protected def q425LstmTrainSql: String = {
+    import graft.ml.SeqForward.{T, fmt, lstmTrainInit, lstmTrainIters, lstmTrainLr}
+    val gateNames = Seq("i", "f", "o", "g")
+    val pn = gateNames.flatMap(g => Seq(s"wx$g", s"wh$g", s"b$g"))
+    val pList = pn.mkString(", ")
+    def sig(z: String): String = s"1.0 / (1.0 + EXP(-($z)))"
+    def tanh(z: String): String =
+      s"(EXP(2.0 * ($z)) - 1.0) / (EXP(2.0 * ($z)) + 1.0)"
+    val xs = (1 to T).map(j => s"x$j").mkString(", ")
+    val scList = (0 until 12).map(i => s"sc$i").mkString(", ")
+    val shList = (0 until 12).map(i => s"sh$i").mkString(", ")
+    val scnList = (0 until 12).map(i => s"scn$i").mkString(", ")
+    // per-θ gate derivative: gate′·(u_θ + wh_gate·sh_θ), u only in θ's
+    // own gate — the same expression shape the Column side generates
+    def dgate(g: Int, i: Int, t: Int): String = {
+      val whCol = pn(3 * g + 1)
+      val chain0 = s"$whCol * sh$i"
+      val chain =
+        if (i / 3 != g) chain0
+        else i % 3 match {
+          case 0 => s"x$t + $chain0"
+          case 1 => s"hprev + $chain0"
+          case 2 => s"1.0 + $chain0"
+        }
+      val gn = gateNames(g)
+      g match {
+        case 3 => s"(1.0 - gg * gg) * ($chain)"
+        case _ => s"g$gn * (1.0 - g$gn) * ($chain)"
+      }
+    }
+    val pivotXs = (1 to T).map(t =>
+      s"    MAX(CASE WHEN rn = $t THEN x END) AS x$t").mkString(",\n")
+    val head =
+      s"""WITH r AS (
+         |  SELECT user_id,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn,
+         |    ROUND(CAST(value AS DOUBLE) / 500.0, 9) AS x
+         |  FROM events),
+         |p AS (
+         |  SELECT user_id,
+         |$pivotXs,
+         |    MAX(CASE WHEN rn = ${T + 1} THEN x END) AS y
+         |  FROM r WHERE rn <= ${T + 1}
+         |  GROUP BY user_id HAVING COUNT(*) = ${T + 1}),
+         |i1 AS (
+         |  SELECT ${pn.zipWithIndex.map { case (nm, k) =>
+        s"CAST(${fmt(lstmTrainInit(k))} AS DOUBLE) AS $nm" }
+        .mkString(",\n    ")})
+         |""".stripMargin
+    val iters = (1 to lstmTrainIters).map { k =>
+      val seed =
+        s""",l${k}e0 AS (
+           |  SELECT p.*, ${pn.map(nm => s"i.$nm").mkString(", ")},
+           |    CAST(0.0 AS DOUBLE) AS h, CAST(0.0 AS DOUBLE) AS c,
+           |    ${(0 until 12).map(i =>
+          s"CAST(0.0 AS DOUBLE) AS sc$i, CAST(0.0 AS DOUBLE) AS sh$i")
+          .mkString(",\n    ")}
+           |  FROM p CROSS JOIN i$k i)
+           |""".stripMargin
+      val steps = (1 to T).map { t =>
+        def a(g: Int): String =
+          s"${pn(3 * g)} * x$t + ${pn(3 * g + 1)} * h + ${pn(3 * g + 2)}"
+        val scnCols = (0 until 12).map(i =>
+          s"    ROUND(gf * sc$i + cprev * ${dgate(1, i, t)} + " +
+            s"gg * ${dgate(0, i, t)} + gi * ${dgate(3, i, t)}, 9) AS scn$i")
+          .mkString(",\n")
+        val shnCols = (0 until 12).map(i =>
+          s"    ROUND(go * (1.0 - tc * tc) * scn$i + " +
+            s"tc * ${dgate(2, i, t)}, 9) AS shn$i").mkString(",\n")
+        val renames = (0 until 12).map(i =>
+          s"scn$i AS sc$i, shn$i AS sh$i").mkString(", ")
+        s""",l${k}a$t AS (
+           |  SELECT user_id, $xs, y, $pList,
+           |    ROUND(${sig(a(0))}, 9) AS gi,
+           |    ROUND(${sig(a(1))}, 9) AS gf,
+           |    ROUND(${sig(a(2))}, 9) AS go,
+           |    ROUND(${tanh(a(3))}, 9) AS gg,
+           |    h AS hprev, c AS cprev,
+           |    $scList, $shList
+           |  FROM l${k}e${t - 1}),
+           |l${k}b$t AS (
+           |  SELECT user_id, $xs, y, $pList, gi, gf, go, gg, hprev,
+           |    ROUND(gf * cprev + gi * gg, 9) AS c,
+           |$scnCols,
+           |    $shList
+           |  FROM l${k}a$t),
+           |l${k}c$t AS (
+           |  SELECT *, ROUND(${tanh("c")}, 9) AS tc FROM l${k}b$t),
+           |l${k}d$t AS (
+           |  SELECT user_id, $xs, y, $pList,
+           |    ROUND(go * tc, 9) AS h, c,
+           |$shnCols,
+           |    $scnList
+           |  FROM l${k}c$t),
+           |l${k}e$t AS (
+           |  SELECT user_id, $xs, y, $pList, h, c,
+           |    $renames
+           |  FROM l${k}d$t)
+           |""".stripMargin
+      }.mkString
+      val gradAggs = (0 until 12).map(i =>
+        s"    SUM(CAST((h - y) * sh$i AS DECIMAL(28,12))) AS a$i")
+        .mkString(",\n")
+      val clips = (0 until 12).map(i =>
+        s"    GREATEST(-1.0, LEAST(1.0,\n" +
+          s"      ROUND(CAST(a$i AS DOUBLE) * 2.0 / n, 9))) AS gr$i")
+        .mkString(",\n")
+      val updates = pn.zipWithIndex.map { case (nm, i) =>
+        s"ROUND($nm - $lstmTrainLr * gr$i, 9) AS $nm" }.mkString(",\n    ")
+      val traceCols = pn.mkString(", ") + ",\n    " +
+        pn.zipWithIndex.map { case (nm, i) => s"gr$i AS g_$nm" }
+          .mkString(", ")
+      seed + steps +
+      s""",ag$k AS (
+         |  SELECT $pList, COUNT(*) AS n,
+         |    SUM(CAST((h - y) * (h - y) AS DECIMAL(28,12))) AS see,
+         |$gradAggs
+         |  FROM l${k}e$T GROUP BY $pList),
+         |gd$k AS (
+         |  SELECT $pList, n, see,
+         |$clips
+         |  FROM ag$k),
+         |i${k + 1} AS (
+         |  SELECT $updates
+         |  FROM gd$k),
+         |t$k AS (
+         |  SELECT $k AS iter, $traceCols,
+         |    ROUND(CAST(see AS DOUBLE) / n, 6) + 0.0 AS mse
+         |  FROM gd$k)
+         |""".stripMargin
+    }.mkString
+    val union = (1 to lstmTrainIters).map(k => s"  SELECT * FROM t$k")
+      .mkString("\n  UNION ALL\n")
+    head + iters +
+      s"""SELECT * FROM (
+         |$union)
+         |ORDER BY iter""".stripMargin
+  }
 
   protected def q424MultiHeadSql: String = {
     import graft.ml.SeqForward.{T, fmt, mhParam, posEnc}

@@ -142,6 +142,77 @@ class SeqForwardSpec extends SparkSpec {
     assert(approx(sb, fd(e => forward(wx, wh, b + e, rounded = false)), 1e-4))
   }
 
+  test("lstmRtrlTrain descends: monotone MSE, 10x drop, forget-bias init") {
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val tr = SeqForward.lstmRtrlTrain(events, "user_id", "ts", "event_id",
+      "value").collect()
+    assert(tr.length == SeqForward.lstmTrainIters)
+    val mses = tr.map(_.getAs[Double]("mse")).toSeq
+    assert(mses == mses.sorted.reverse, s"MSE not non-increasing: $mses")
+    assert(mses.last < mses.head / 2.0,
+      s"training did not actually learn: $mses")
+    // iteration 1 carries the pinned biases (forget 1.0, candidate 1.0)
+    assert(tr.head.getAs[Double]("bf") == 1.0)
+    assert(tr.head.getAs[Double]("bg") == 1.0)
+  }
+
+  test("LSTM RTRL sensitivities are true derivatives for all 12 parameters") {
+    // plain-Scala LSTM forward + RTRL on one sequence; the carried
+    // ∂h_T/∂θ must match a central finite difference in EVERY θ
+    val xs = (1 to SeqForward.T).map(t => r9(t * 50.0 / 500.0))
+    def sig(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    def th(z: Double) =
+      (math.exp(2.0 * z) - 1.0) / (math.exp(2.0 * z) + 1.0)
+    def forward(p: Seq[Double]): Double = {
+      var h = 0.0; var c = 0.0
+      xs.foreach { x =>
+        val a = (0 until 4).map(g => p(3 * g) * x + p(3 * g + 1) * h +
+          p(3 * g + 2))
+        val (gi, gf, go, gg) = (sig(a(0)), sig(a(1)), sig(a(2)), th(a(3)))
+        c = gf * c + gi * gg
+        h = go * th(c)
+      }
+      h
+    }
+    def rtrl(p: Seq[Double]): Seq[Double] = {
+      var h = 0.0; var c = 0.0
+      var sc = Array.fill(12)(0.0); var sh = Array.fill(12)(0.0)
+      xs.foreach { x =>
+        val a = (0 until 4).map(g => p(3 * g) * x + p(3 * g + 1) * h +
+          p(3 * g + 2))
+        val (gi, gf, go, gg) = (sig(a(0)), sig(a(1)), sig(a(2)), th(a(3)))
+        val (hprev, cprev) = (h, c)
+        def dg(g: Int, i: Int): Double = {
+          var ch = p(3 * g + 1) * sh(i)
+          if (i / 3 == g) ch += Seq(x, hprev, 1.0)(i % 3)
+          val damp = g match {
+            case 0 => gi * (1 - gi); case 1 => gf * (1 - gf)
+            case 2 => go * (1 - go); case 3 => 1 - gg * gg
+          }
+          damp * ch
+        }
+        c = gf * cprev + gi * gg
+        val scn = (0 until 12).map(i =>
+          gf * sc(i) + cprev * dg(1, i) + gg * dg(0, i) + gi * dg(3, i))
+        val tc = th(c)
+        h = go * tc
+        val shn = (0 until 12).map(i =>
+          go * (1 - tc * tc) * scn(i) + tc * dg(2, i))
+        sc = scn.toArray; sh = shn.toArray
+      }
+      sh.toSeq
+    }
+    val p0 = (0 until 12).map(SeqForward.lstmTrainInit)
+    val sens = rtrl(p0)
+    val eps = 1e-6
+    (0 until 12).foreach { i =>
+      val fd = (forward(p0.updated(i, p0(i) + eps)) -
+        forward(p0.updated(i, p0(i) - eps))) / (2.0 * eps)
+      assert(approx(sens(i), fd, 1e-4),
+        s"param $i: RTRL ${sens(i)} vs FD $fd")
+    }
+  }
+
   test("transformerBlockForward matches a plain-Scala replay of the block") {
     val xs = (1 to SeqForward.T).map(t => r9(t * 50.0 / 500.0))
     val p = (0 to 40).map(SeqForward.blockParam)
