@@ -237,13 +237,16 @@ private[graft] trait EntryPart1 extends EntryBase {
 
   // ---------------------------------------------------------------- q24
   // Null-skipping row-wise mean (reference A8) with a constructed null.
+  // rw_mean joins the ORDER BY: the synthetic lineitem carries duplicate
+  // (l_orderkey, l_linenumber) pairs, so without it the sort isn't total
+  // (the catalog-served run's different scan order exposed it).
   def q24(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .filter(col("l_orderkey") < 100)
       .select(col("l_orderkey"), col("l_linenumber"),
         round(rowMean(col("l_discount"), nullif(col("l_tax"), lit(0.02))), 6)
           .as("rw_mean"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("rw_mean"))
 
   // ---------------------------------------------------------------- q25
   // Distinct counting + timestamp extrema (reference A9/F7); dates cast so

@@ -267,7 +267,7 @@ private[graft] trait OracleSqlPart1 extends OracleDefs2 {
         |    END, 6) AS rw_mean
         |FROM lineitem
         |WHERE l_orderkey < 100
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, rw_mean""".stripMargin,
 
     "q25_distinct_count" ->
       """SELECT COUNT(*) AS n_orders,

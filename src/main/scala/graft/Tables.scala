@@ -125,12 +125,21 @@ object Tables {
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // Session-wide legacy conf so ns-typed parquet decodes as BIGINT (then
-    // conformed) instead of failing in the vectorized reader; harmless for
-    // µs-typed files. Applies to every table — round 6 proved any table can
-    // drift, not just events.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    conform(name, spark.read.parquet(s"$dir/$name.parquet"))
+    // Catalog mode (SPARK_GRAFT_CATALOG set + table materialized): serve
+    // the metastore-backed managed table in contract shape — the whole
+    // query surface then runs through the catalog without any query
+    // changing. Types/values are identical (materialize writes through
+    // this very loader), so conform is a no-op shape check.
+    graft.sources.CatalogTables.fromEnv(spark, name) match {
+      case Some(df) => conform(name, df)
+      case None =>
+        // Session-wide legacy conf so ns-typed parquet decodes as BIGINT
+        // (then conformed) instead of failing in the vectorized reader;
+        // harmless for µs-typed files. Applies to every table — round 6
+        // proved any table can drift, not just events.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        conform(name, spark.read.parquet(s"$dir/$name.parquet"))
+    }
   }
 
   /** Normalize the `ts` column to session-TZ TIMESTAMP regardless of the

@@ -14,10 +14,20 @@ object Verify {
         "usage: graft.Verify <sfDir> <outDir> [queryName[,queryName...] ...]")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_CATALOG=<root>: attach the persistent derby metastore at
+    // <root> and serve every table from the catalog (Tables.load hook) —
+    // the oracle gate then exercises the metastore path end to end
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
+    val spark = {
+      graft.sources.CatalogTables.envRoot.fold(builder0) { root =>
+        graft.sources.CatalogTables.hiveConfigs(root)
+          .foldLeft(builder0) { case (b, (k, v)) => b.config(k, v) }
+          .enableHiveSupport()
+      }
+    }
       // older testdata generations carried TIMESTAMP(NANOS) events; keep
       // the legacy conf on session-wide (harmless for µs-typed parquet —
       // Tables.normalizeEventTs adapts on the decoded schema either way)
