@@ -539,7 +539,10 @@ object SimilarityOps {
       else math.max(8, math.ceil(embeddings.count() / 640.0).toInt)
     val centroids = ivfCentroidsKMeans(embeddings, vecCol, effNlist,
       kmeansIter)
-    val assigned = ivfAssign(embeddings, idCol, vecCol, centroids)
+    // auto: adaptive nlist grows as n/640, so past the broadcast
+    // threshold assignment must switch to the two-level coarse path
+    val assigned = ivfAssignAuto(embeddings, idCol, vecCol, centroids,
+      effNlist)
     val l = assigned.select(col("centroid_id"), col(idCol).as("id_a"),
       col("emb").as("ea"))
     val r = assigned.select(col("centroid_id"), col(idCol).as("id_b"),
@@ -576,8 +579,8 @@ object SimilarityOps {
     val effNlist = if (nlist > 0) nlist
       else math.max(8, math.ceil(embeddings.count() / 640.0).toInt)
     val centroids = ivfCentroidsPortable(embeddings, idCol, vecCol, effNlist)
-    val assigned = ivfAssign(embeddings, idCol, vecCol, centroids,
-      simRound = Some(6))
+    val assigned = ivfAssignAuto(embeddings, idCol, vecCol, centroids,
+      effNlist, simRound = Some(6))
     val l = assigned.select(col("centroid_id"), col(idCol).as("id_a"),
       col("emb").as("ea"))
     val r = assigned.select(col("centroid_id"), col(idCol).as("id_b"),
