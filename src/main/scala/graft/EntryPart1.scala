@@ -1011,7 +1011,7 @@ private[graft] trait EntryPart1 extends EntryBase {
   // pairs → connected components → keep canonical. Per-label survivor
   // counts. Rows-only (k-means centroids aren't SQL-replicable); the
   // operator's correctness is spec'd with planted duplicates. nlist is
-  // adaptive (max(8, ⌈n/640⌉) — pins cluster size so pair work scales
+  // adaptive (max(8, ⌈n/250⌉) — pins cluster size so pair work scales
   // linearly; identical to the old fixed 8 at every local SF).
   def q74(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.semanticDedup(

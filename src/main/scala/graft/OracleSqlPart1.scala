@@ -1640,7 +1640,7 @@ private[graft] trait OracleSqlPart1 extends OracleDefs2 {
         |    emb AS centroid
         |  FROM drawn
         |  QUALIFY ROW_NUMBER() OVER (ORDER BY d, vec_id) <=
-        |    GREATEST(8, CAST(CEIL(COUNT(*) OVER () / 640.0) AS BIGINT))),
+        |    GREATEST(8, CAST(CEIL(COUNT(*) OVER () / 250.0) AS BIGINT))),
         |assign AS (
         |  SELECT vec_id, emb, centroid_id FROM (
         |    SELECT e.vec_id, e.emb, c.centroid_id,

@@ -530,13 +530,17 @@ object SimilarityOps {
     // few k-means rounds suffice: clusters only BUCKET the pair search, so
     // centroid quality affects cost, not correctness, and near-dups stay
     // co-clustered long before convergence.
-    // nlist = 0 → adaptive max(8, ⌈n/640⌉): a FIXED nlist makes the
+    // nlist = 0 → adaptive max(8, ⌈n/250⌉): a FIXED nlist makes the
     // within-cluster pair stage O(n²/nlist) — quadratic (the sf1 bench
     // measured 5.9× wall at 10× data with nlist=8). Growing nlist with n
-    // pins the expected cluster size at ~640, so pair work is O(n·640) —
-    // linear. At n ≤ 5120 the formula reproduces the old nlist = 8.
+    // pins the expected cluster size, so pair work is O(n·250) — linear.
+    // The pin is 250 (not 640) so it EQUALS the max()-floor cluster size
+    // at sf0.1 (2000/250 = 8): a larger divisor leaves a knee where
+    // cluster size still grows 2.5× across the 2k→20k window (measured
+    // 5.8× wall at 10× data — the max() floor, not the asymptote, was
+    // the cost). At n ≤ 2000 the formula reproduces the old nlist = 8.
     val effNlist = if (nlist > 0) nlist
-      else math.max(8, math.ceil(embeddings.count() / 640.0).toInt)
+      else math.max(8, math.ceil(embeddings.count() / 250.0).toInt)
     val centroids = ivfCentroidsKMeans(embeddings, vecCol, effNlist,
       kmeansIter)
     // auto: adaptive nlist grows as n/640, so past the broadcast
@@ -573,11 +577,11 @@ object SimilarityOps {
     */
   def semanticDedupPortable(embeddings: DataFrame, idCol: String,
       vecCol: String, nlist: Int = 0, minCosine: Double): DataFrame = {
-    // nlist = 0 → the same adaptive ⌈n/640⌉ cluster-size pinning as
+    // nlist = 0 → the same adaptive ⌈n/250⌉ cluster-size pinning as
     // [[semanticDedup]] (and the oracle SQL computes the identical
     // formula from COUNT(*), so both engines stay in lockstep at any SF)
     val effNlist = if (nlist > 0) nlist
-      else math.max(8, math.ceil(embeddings.count() / 640.0).toInt)
+      else math.max(8, math.ceil(embeddings.count() / 250.0).toInt)
     val centroids = ivfCentroidsPortable(embeddings, idCol, vecCol, effNlist)
     val assigned = ivfAssignAuto(embeddings, idCol, vecCol, centroids,
       effNlist, simRound = Some(6))

@@ -397,7 +397,7 @@ class SimilarityOpsSpec extends SparkSpec {
 
   test("adaptive SemDeDup nlist keeps candidate pairs linear in n") {
     // the bucket stage of semanticDedupPortable at n and 2n: with
-    // nlist = max(8, ⌈n/640⌉) expected cluster size is pinned, so
+    // nlist = max(8, ⌈n/250⌉) expected cluster size is pinned, so
     // Σ c·(c-1)/2 candidate pairs grow ~linearly (a fixed nlist grows
     // them ~quadratically — 4x here)
     def pairsAt(n: Int): Double = {
@@ -405,7 +405,7 @@ class SimilarityOpsSpec extends SparkSpec {
       val e = (0L until n.toLong).map(i =>
         (i, Seq.fill(4)(rnd.nextGaussian().toFloat)))
         .toDF("vec_id", "embedding")
-      val nlist = math.max(8, math.ceil(n / 640.0).toInt)
+      val nlist = math.max(8, math.ceil(n / 250.0).toInt)
       val cents = SimilarityOps.ivfCentroidsPortable(e, "vec_id",
         "embedding", nlist)
       SimilarityOps.ivfAssign(e, "vec_id", "embedding", cents,
