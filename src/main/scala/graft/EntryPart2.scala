@@ -1234,7 +1234,7 @@ private[graft] trait EntryPart2 extends EntryPart1 {
   // edge threshold, q67's recursive-CTE component replay, canonical keep.
   // Same survivor-count-per-label report as q74; the MLlib-centroid
   // default stays the quality path.
-  // nlist adaptive (⌈n/640⌉ cluster-size pinning, = 8 at every local SF;
+  // nlist adaptive (⌈n/250⌉ cluster-size pinning, = 8 at every local SF;
   // the oracle computes the same formula from COUNT(*))
   def q188(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.semanticDedupPortable(
