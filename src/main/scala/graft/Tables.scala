@@ -132,14 +132,22 @@ object Tables {
     // this very loader), so conform is a no-op shape check.
     graft.sources.CatalogTables.fromEnv(spark, name) match {
       case Some(df) => conform(name, df)
-      case None =>
-        // Session-wide legacy conf so ns-typed parquet decodes as BIGINT
-        // (then conformed) instead of failing in the vectorized reader;
-        // harmless for µs-typed files. Applies to every table — round 6
-        // proved any table can drift, not just events.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        conform(name, spark.read.parquet(s"$dir/$name.parquet"))
+      case None => loadParquet(spark, dir, name)
     }
+  }
+
+  /** Direct parquet load, bypassing the SPARK_GRAFT_CATALOG hook — the
+    * rebuild path: `CatalogTables.materialize(overwrite = true)` must read
+    * the SOURCE parquet, not the very catalog table it is about to
+    * overwrite (Spark forbids overwriting a table that is also read).
+    */
+  def loadParquet(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Session-wide legacy conf so ns-typed parquet decodes as BIGINT
+    // (then conformed) instead of failing in the vectorized reader;
+    // harmless for µs-typed files. Applies to every table — round 6
+    // proved any table can drift, not just events.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    conform(name, spark.read.parquet(s"$dir/$name.parquet"))
   }
 
   /** Normalize the `ts` column to session-TZ TIMESTAMP regardless of the

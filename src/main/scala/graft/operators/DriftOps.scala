@@ -1829,16 +1829,38 @@ object DriftOps {
     * Exactness: order statistics and all 2×k cells are exact integers;
     * expected cells and the χ² assembly are fixed-shape doubles.
     *
-    * Scale shape: one distinct-value count aggregation (+ bounded-
-    * cardinality window over distinct values), one group aggregation.
+    * Scale shape: one distinct-value count aggregation, then the
+    * [[kruskalWallis]] two-level prefix-sum over the distinct-value
+    * frame (deterministic range buckets + per-bucket keyed windows +
+    * a ≤`buckets`-row offset frame — the distinct-value count grows
+    * with n here, events.value is ~18% distinct, so NO unpartitioned
+    * ordered window may touch that frame), one group aggregation.
     */
   def moodsMedianTest(df: DataFrame, valCol: String,
-      groupCol: String): DataFrame = {
+      groupCol: String, buckets: Int = 32): DataFrame = {
     val d = df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).as("g"), col(valCol).cast("double").as("v"))
     val byV = d.groupBy(col("v")).agg(count(lit(1)).as("c"))
-    val wv = Window.orderBy(col("v"))
-    val cum = byV.withColumn("cum", sum(col("c")).over(wv))
+    // two-level prefix sum (q115/kruskalWallis shape): bucket by value
+    // range, cumulate inside each bucket, add the per-bucket offsets
+    val bounds = byV.agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
+    val bucketed = byV.crossJoin(broadcast(bounds))
+      .withColumn("__bkt",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(lit(buckets - 1),
+            floor((col("v") - col("__lo")) / (col("__hi") - col("__lo"))
+              * buckets).cast("int"))))
+    val wIn = Window.partitionBy(col("__bkt")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumIn = bucketed.withColumn("__cum_c", sum(col("c")).over(wIn))
+    val wOff = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("__bkt"))
+      .agg(sum(col("c")).as("__cc"))
+      .withColumn("__off", coalesce(sum(col("__cc")).over(wOff), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    val cum = cumIn.join(broadcast(offsets), "__bkt")
+      .withColumn("cum", col("__off") + col("__cum_c"))
     val nTot = d.agg(count(lit(1)).as("__n"))
     // two middle order statistics: ranks ⌊(n+1)/2⌋ and ⌊n/2⌋+1
     // (Column./ is DOUBLE division — floor+cast gives the integer ranks)

@@ -526,7 +526,7 @@ object SimilarityOps {
     * [[GraphOps.connectedComponents]] rounds; everything else is broadcast.
     */
   def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
-      nlist: Int = 0, minCosine: Double, kmeansIter: Int = 10): DataFrame = {
+      minCosine: Double, nlist: Int = 0, kmeansIter: Int = 10): DataFrame = {
     // few k-means rounds suffice: clusters only BUCKET the pair search, so
     // centroid quality affects cost, not correctness, and near-dups stay
     // co-clustered long before convergence.
@@ -543,7 +543,7 @@ object SimilarityOps {
       else math.max(8, math.ceil(embeddings.count() / 250.0).toInt)
     val centroids = ivfCentroidsKMeans(embeddings, vecCol, effNlist,
       kmeansIter)
-    // auto: adaptive nlist grows as n/640, so past the broadcast
+    // auto: adaptive nlist grows as n/250, so past the broadcast
     // threshold assignment must switch to the two-level coarse path
     val assigned = ivfAssignAuto(embeddings, idCol, vecCol, centroids,
       effNlist)
@@ -576,10 +576,15 @@ object SimilarityOps {
     * [[GraphOps.connectedComponents]].
     */
   def semanticDedupPortable(embeddings: DataFrame, idCol: String,
-      vecCol: String, nlist: Int = 0, minCosine: Double): DataFrame = {
+      vecCol: String, minCosine: Double, nlist: Int = 0): DataFrame = {
     // nlist = 0 → the same adaptive ⌈n/250⌉ cluster-size pinning as
-    // [[semanticDedup]] (and the oracle SQL computes the identical
-    // formula from COUNT(*), so both engines stay in lockstep at any SF)
+    // [[semanticDedup]] (the oracle SQL computes the identical formula
+    // from COUNT(*), so both engines stay in lockstep at the local/gate
+    // SFs where the FLAT assignment path runs; above
+    // [[flatAssignMaxCentroids]] the approximate two-level coarse path
+    // engages and the oracle no longer replays assignment — that path is
+    // gated by the forced-two-level q422 card plus SimilarityOpsSpec's
+    // coarseProbe ≡ flat unit test, not by this query's oracle)
     val effNlist = if (nlist > 0) nlist
       else math.max(8, math.ceil(embeddings.count() / 250.0).toInt)
     val centroids = ivfCentroidsPortable(embeddings, idCol, vecCol, effNlist)
@@ -1219,10 +1224,13 @@ object SimilarityOps {
     // n^1.5·√nprobe, the optimum for a one-level quantizer (the round-12
     // ⌈n/640⌉ rule pinned list size but let assignment grow n·n/640 —
     // quadratic from the other side). The oracle SQL computes the SAME
-    // formula from COUNT(*), so both engines stay in lockstep at any SF.
-    // Above [[flatAssignMaxCentroids]] centroids, [[ivfAssignAuto]]
-    // switches to the two-level coarse→fine assignment (n·√nlist) and the
-    // probe-side broadcast is dropped — the 100 TB path.
+    // formula from COUNT(*), so both engines stay in lockstep at the
+    // local/gate SFs where the FLAT assignment path runs. Above
+    // [[flatAssignMaxCentroids]] centroids, [[ivfAssignAuto]] switches to
+    // the approximate two-level coarse→fine assignment (n·√nlist) and the
+    // probe-side broadcast is dropped — the 100 TB path, where engine and
+    // oracle diverge by design; that path is gated by the forced-two-level
+    // q422 card plus SimilarityOpsSpec's coarseProbe ≡ flat unit test.
     val effNlist = if (nlist > 0) nlist
       else math.max(8, math.ceil(math.sqrt(all.count() * nprobe.toDouble)).toInt)
     val cents = ivfCentroidsPortable(all, idCol, vecCol, effNlist)

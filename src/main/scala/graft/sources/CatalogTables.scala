@@ -60,7 +60,10 @@ object CatalogTables {
     Tables.names.foreach { n =>
       val full = s"$db.$n"
       if (overwrite || !spark.catalog.tableExists(full)) {
-        val base = Tables.load(spark, dir, n)
+        // loadParquet, NOT load: with SPARK_GRAFT_CATALOG set, load would
+        // resolve from the catalog itself and overwrite=true would then
+        // overwrite a table being read — rebuild must hit the source files
+        val base = Tables.loadParquet(spark, dir, n)
         val w = partitionSpec.get(n) match {
           case Some((pcol, e)) =>
             base.withColumn(pcol, expr(e)).write.partitionBy(pcol)

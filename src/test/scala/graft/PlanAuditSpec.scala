@@ -449,6 +449,31 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q338 moods median: no unpartitioned window over the distinct-value frame") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.q338(spark, dir).queryExecution.executedPlan
+      val global = p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      // events.value is ~18% distinct — the distinct-value frame GROWS with
+      // n, so the cumulative counts must run the two-level shape: the only
+      // global window allowed is the per-bucket offset frame (≤ `buckets`
+      // rows, keyed on __bkt after a groupBy)
+      assert(global.nonEmpty, s"expected the bucket-offset window in:\n$p")
+      global.foreach { w =>
+        val outCols = w.child.output.map(_.name)
+        assert(outCols.exists(_.contains("__bkt")) && outCols.size <= 3,
+          s"global window over a non-bucket frame (${outCols.mkString(",")}):\n$p")
+      }
+      // and the in-bucket cumulation must be partitioned on the bucket key
+      val bucketed = p.collect {
+        case w: WindowExec if w.partitionSpec.nonEmpty => w
+      }
+      assert(bucketed.exists(_.partitionSpec.exists(_.toString.contains("__bkt"))),
+        s"expected a __bkt-partitioned cumulative window in:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q150 layout: date predicate prunes partitions at the scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.functions.{col, count, lit}

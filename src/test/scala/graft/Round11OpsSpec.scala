@@ -67,6 +67,31 @@ class Round11OpsSpec extends SparkSpec {
       ("b", 1L, 1L, 0.8, 5.0, 0.138889)))
   }
 
+  test("moodsMedianTest two-level prefix sum matches a brute-force median") {
+    // 500 values with ties spread across the full bucket range — exercises
+    // the bucketed cumulation (values land in many of the 32 buckets) and
+    // the ≤buckets-row offset frame, unlike the tiny fixtures above
+    val rnd = new scala.util.Random(11)
+    val vals = Seq.fill(501)(rnd.nextInt(97).toDouble)
+    val d = vals.zipWithIndex
+      .map { case (v, i) => (if (i % 3 == 0) "a" else "b", v) }
+      .toDF("g", "v")
+    val sorted = vals.sorted
+    val n = sorted.size
+    val med = (sorted((n + 1) / 2 - 1) + sorted(n / 2)) / 2.0
+    val rows = DriftOps.moodsMedianTest(d, "v", "g")
+      .select("g", "n_above", "n_below", "pooled_median")
+      .as[(String, Long, Long, Double)].collect()
+      .map { case (g, a, b, m) => g -> ((a, b, m)) }.toMap
+    def expect(g: String) = {
+      val gv = vals.zipWithIndex.collect {
+        case (v, i) if (if (i % 3 == 0) "a" else "b") == g => v }
+      (gv.count(_ > med).toLong, gv.count(_ < med).toLong, med)
+    }
+    assert(rows("a") == expect("a"), s"a: ${rows("a")} vs ${expect("a")}")
+    assert(rows("b") == expect("b"), s"b: ${rows("b")} vs ${expect("b")}")
+  }
+
   // --------------------------------------------------- q339 SCD type-2
 
   private def ts(m: Int): Timestamp = new Timestamp(m * 60000L)
