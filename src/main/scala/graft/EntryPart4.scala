@@ -489,6 +489,19 @@ private[graft] trait EntryPart4 extends EntryPart3 {
     graft.ml.SeqForward.lstmRtrlTrain(
       t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
 
+  // ---------------------------------------------------------------- q426
+  // TRAINED Elman RNN under the reference's DEFAULT optimizer, hash-
+  // checked (trainer.py:125-131 AdamW, weight_decay=0.01 at :89):
+  // q420's RTRL gradient machinery driven by AdamW — per-parameter
+  // first/second moments ride the iteration fold, bias correction
+  // divides by driver-literal 1−βᵗ factors, decoupled decay multiplies
+  // the WEIGHT (the gradient entering the moments stays raw). The whole
+  // optimizer trajectory replays in DuckDB — the last training-loop
+  // knob (schedules q423, early stop q155/q194, clipping q420/q425).
+  def q426(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.SeqForward.rnnAdamwTrain(
+      t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
+
   // ---------------------------------------------------------------- q424
   // TWO-HEAD transformer encoder block forward, hash-checked (reference
   // M6 transformer.py:62-133 head split, num_heads=4 at :196 — here

@@ -2305,6 +2305,13 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
     // aggregates, clip ±1, round-9 updates — digit for digit against
     // SeqForward.lstmRtrlTrain.
     "q425_lstm_rtrl_train" -> q425LstmTrainSql,
+
+    // q426: the AdamW OPTIMIZER trajectory replayed — q420's per-
+    // iteration CTE blocks extended with first/second-moment state
+    // (m/v flow as columns next to the params), bias correction divides
+    // by the driver-literal 1−βᵗ factors, decoupled decay multiplies
+    // the WEIGHT — digit for digit against SeqForward.rnnAdamwTrain.
+    "q426_rnn_adamw_train" -> q426AdamwSql,
   )
 
   protected def q425LstmTrainSql: String = {
@@ -2738,6 +2745,129 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
          |    gx + 0.0 AS grad_wx, gh + 0.0 AS grad_wh, gb + 0.0 AS grad_b,
          |    ROUND(CAST(see AS DOUBLE) / n, 6) + 0.0 AS mse
          |  FROM g$k)
+         |""".stripMargin
+    }.mkString
+    val union = (1 to rnnIters).map(k => s"  SELECT * FROM t$k")
+      .mkString("\n  UNION ALL\n")
+    head + iters +
+      s"""SELECT * FROM (
+         |$union)
+         |ORDER BY iter""".stripMargin
+  }
+
+  protected def q426AdamwSql: String = {
+    import graft.ml.SeqForward.{T, fmt, rnnInit, rnnIters, adamLr,
+      adamBeta1, adamBeta2, adamEps, adamWd, adamBc1, adamBc2}
+    val xs = (1 to T).map(j => s"x$j").mkString(", ")
+    def tanh(z: String): String =
+      s"(EXP(2.0 * ($z)) - 1.0) / (EXP(2.0 * ($z)) + 1.0)"
+    val pivotXs = (1 to T).map(t =>
+      s"    MAX(CASE WHEN rn = $t THEN x END) AS x$t").mkString(",\n")
+    val (b1, b2) = (fmt(adamBeta1), fmt(adamBeta2))
+    val (lr, wd, eps) = (fmt(adamLr), fmt(adamWd), fmt(adamEps))
+    val head =
+      s"""WITH r AS (
+         |  SELECT user_id,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn,
+         |    ROUND(CAST(value AS DOUBLE) / 500.0, 9) AS x
+         |  FROM events),
+         |p AS (
+         |  SELECT user_id,
+         |$pivotXs,
+         |    MAX(CASE WHEN rn = ${T + 1} THEN x END) AS y
+         |  FROM r WHERE rn <= ${T + 1}
+         |  GROUP BY user_id HAVING COUNT(*) = ${T + 1}),
+         |i1 AS (
+         |  SELECT CAST(${fmt(rnnInit(0))} AS DOUBLE) AS wx,
+         |    CAST(${fmt(rnnInit(1))} AS DOUBLE) AS wh,
+         |    CAST(${fmt(rnnInit(2))} AS DOUBLE) AS b,
+         |    CAST(0.0 AS DOUBLE) AS mx, CAST(0.0 AS DOUBLE) AS mh,
+         |    CAST(0.0 AS DOUBLE) AS mb, CAST(0.0 AS DOUBLE) AS vx,
+         |    CAST(0.0 AS DOUBLE) AS vh, CAST(0.0 AS DOUBLE) AS vb)
+         |""".stripMargin
+    val iters = (1 to rnnIters).map { k =>
+      // the q420 forward+RTRL CTE chain verbatim (gradients are shared by
+      // construction); the optimizer state stays in the 1-row i$k and
+      // re-joins at the update stage — moments never ride the data frame
+      val fwd = (1 to T).map { t =>
+        s""",f${k}h$t AS (
+           |  SELECT user_id, $xs, y, wx, wh, b, sx, sh, sb,
+           |    h AS hprev,
+           |    ROUND(${tanh(s"wx * x$t + wh * h + b")}, 9) AS hn
+           |  FROM f${k}s${t - 1}),
+           |f${k}g$t AS (
+           |  SELECT user_id, $xs, y, wx, wh, b, hn,
+           |    ROUND((1.0 - hn * hn) * (x$t + wh * sx), 9) AS sxn,
+           |    ROUND((1.0 - hn * hn) * (hprev + wh * sh), 9) AS shn,
+           |    ROUND((1.0 - hn * hn) * (1.0 + wh * sb), 9) AS sbn
+           |  FROM f${k}h$t),
+           |f${k}s$t AS (
+           |  SELECT user_id, $xs, y, wx, wh, b, hn AS h,
+           |    sxn AS sx, shn AS sh, sbn AS sb
+           |  FROM f${k}g$t)
+           |""".stripMargin
+      }.mkString
+      s""",f${k}s0 AS (
+         |  SELECT p.*, i.wx, i.wh, i.b,
+         |    CAST(0.0 AS DOUBLE) AS h, CAST(0.0 AS DOUBLE) AS sx,
+         |    CAST(0.0 AS DOUBLE) AS sh, CAST(0.0 AS DOUBLE) AS sb
+         |  FROM p CROSS JOIN i$k i)
+         |""".stripMargin + fwd +
+      s""",a$k AS (
+         |  SELECT wx, wh, b, COUNT(*) AS n,
+         |    SUM(CAST((h - y) * (h - y) AS DECIMAL(28,12))) AS see,
+         |    SUM(CAST((h - y) * sx AS DECIMAL(28,12))) AS sgx,
+         |    SUM(CAST((h - y) * sh AS DECIMAL(28,12))) AS sgh,
+         |    SUM(CAST((h - y) * sb AS DECIMAL(28,12))) AS sgb
+         |  FROM f${k}s$T GROUP BY wx, wh, b),
+         |g$k AS (
+         |  SELECT wx, wh, b, n, see,
+         |    GREATEST(-1.0, LEAST(1.0,
+         |      ROUND(CAST(sgx AS DOUBLE) * 2.0 / n, 9))) AS gx,
+         |    GREATEST(-1.0, LEAST(1.0,
+         |      ROUND(CAST(sgh AS DOUBLE) * 2.0 / n, 9))) AS gh,
+         |    GREATEST(-1.0, LEAST(1.0,
+         |      ROUND(CAST(sgb AS DOUBLE) * 2.0 / n, 9))) AS gb
+         |  FROM a$k),
+         |m$k AS (
+         |  SELECT g.*,
+         |    ROUND($b1 * i.mx + (1.0 - $b1) * g.gx, 9) AS mxn,
+         |    ROUND($b1 * i.mh + (1.0 - $b1) * g.gh, 9) AS mhn,
+         |    ROUND($b1 * i.mb + (1.0 - $b1) * g.gb, 9) AS mbn,
+         |    ROUND($b2 * i.vx + (1.0 - $b2) * g.gx * g.gx, 9) AS vxn,
+         |    ROUND($b2 * i.vh + (1.0 - $b2) * g.gh * g.gh, 9) AS vhn,
+         |    ROUND($b2 * i.vb + (1.0 - $b2) * g.gb * g.gb, 9) AS vbn
+         |  FROM g$k g CROSS JOIN i$k i),
+         |h$k AS (
+         |  SELECT m.*,
+         |    ROUND(mxn / ${fmt(adamBc1(k))}, 9) AS mhatx,
+         |    ROUND(mhn / ${fmt(adamBc1(k))}, 9) AS mhath,
+         |    ROUND(mbn / ${fmt(adamBc1(k))}, 9) AS mhatb,
+         |    ROUND(vxn / ${fmt(adamBc2(k))}, 9) AS vhatx,
+         |    ROUND(vhn / ${fmt(adamBc2(k))}, 9) AS vhath,
+         |    ROUND(vbn / ${fmt(adamBc2(k))}, 9) AS vhatb
+         |  FROM m$k m),
+         |s$k AS (
+         |  SELECT h.*,
+         |    ROUND(mhatx / (SQRT(vhatx) + $eps), 9) AS stx,
+         |    ROUND(mhath / (SQRT(vhath) + $eps), 9) AS sth,
+         |    ROUND(mhatb / (SQRT(vhatb) + $eps), 9) AS stb
+         |  FROM h$k h),
+         |i${k + 1} AS (
+         |  SELECT ROUND(wx * (1.0 - $lr * $wd) - $lr * stx, 9) AS wx,
+         |    ROUND(wh * (1.0 - $lr * $wd) - $lr * sth, 9) AS wh,
+         |    ROUND(b * (1.0 - $lr * $wd) - $lr * stb, 9) AS b,
+         |    mxn AS mx, mhn AS mh, mbn AS mb,
+         |    vxn AS vx, vhn AS vh, vbn AS vb
+         |  FROM s$k),
+         |t$k AS (
+         |  SELECT $k AS iter, wx + 0.0 AS wx, wh + 0.0 AS wh, b + 0.0 AS b,
+         |    gx + 0.0 AS grad_wx, gh + 0.0 AS grad_wh, gb + 0.0 AS grad_b,
+         |    mxn + 0.0 AS m_wx, mhn + 0.0 AS m_wh, mbn + 0.0 AS m_b,
+         |    vxn + 0.0 AS v_wx, vhn + 0.0 AS v_wh, vbn + 0.0 AS v_b,
+         |    ROUND(CAST(see AS DOUBLE) / n, 6) + 0.0 AS mse
+         |  FROM s$k)
          |""".stripMargin
     }.mkString
     val union = (1 to rnnIters).map(k => s"  SELECT * FROM t$k")

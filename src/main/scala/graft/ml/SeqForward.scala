@@ -140,6 +140,80 @@ object SeqForward {
   val rnnLr = 0.2
   def rnnInit(k: Int): Double = param(201 + k) // wx, wh, b
 
+  private def r9d(v: Double): Double =
+    new java.math.BigDecimal(v)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Next-step-prediction pivot shared by the trained trajectories:
+    * x1..xT inputs plus the (T+1)-th value as the target y, full windows
+    * only. One partitioned window + one pivot aggregation.
+    */
+  private def targetPivot(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, valCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val ranked = events
+      .select(col(userCol).as("user_id"),
+        row_number().over(w).as("rn"),
+        round(col(valCol).cast("double") / lit(500.0), 9).as("x"))
+      .filter(col("rn") <= T + 1)
+    val aggs = (1 to T).map(t =>
+      max(when(col("rn") === t, col("x"))).as(s"x$t")) ++ Seq(
+      max(when(col("rn") === T + 1, col("x"))).as("y"),
+      count(lit(1)).as("__n"))
+    ranked.groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("__n") === T + 1)
+      .drop("__n")
+  }
+
+  /** One full-batch RTRL gradient pass of the 1-unit Elman RNN at the
+    * given parameters: T staged recurrence steps carrying the three
+    * sensitivities, one exact-decimal aggregate. Returns the clipped
+    * (±1) round-9 gradients and the round-6 train MSE — the per-
+    * iteration body shared by [[rnnRtrlTrain]] (plain SGD steps) and
+    * [[rnnAdamwTrain]] (AdamW steps): the GRADIENT machinery is
+    * identical by construction, only the update rule differs.
+    */
+  private def rnnGradPass(piv: DataFrame, wx: Double, wh: Double,
+      b: Double): (Double, Double, Double, Double) = {
+    def r6(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val xs = (1 to T).map(i => col(s"x$i"))
+    val carry = Seq(col("user_id")) ++ xs ++ Seq(col("y"))
+    var d = piv.select(carry ++ Seq(
+      lit(0.0).as("h"), lit(0.0).as("sx"),
+      lit(0.0).as("sh"), lit(0.0).as("sb")): _*)
+    (1 to T).foreach { t =>
+      // stage 1: the new state (old state carried as hprev)
+      d = d.select(carry ++ Seq(
+        round(tanhE(lit(wx) * col(s"x$t") + lit(wh) * col("h") +
+          lit(b)), 9).as("h"),
+        col("h").as("hprev"),
+        col("sx"), col("sh"), col("sb")): _*)
+      // stage 2: RTRL sensitivities from the NEW h and OLD carries
+      val damp = lit(1.0) - col("h") * col("h")
+      d = d.select(carry ++ Seq(col("h"),
+        round(damp * (col(s"x$t") + lit(wh) * col("sx")), 9).as("sx"),
+        round(damp * (col("hprev") + lit(wh) * col("sh")), 9).as("sh"),
+        round(damp * (lit(1.0) + lit(wh) * col("sb")), 9).as("sb")): _*)
+    }
+    val err = col("h") - col("y")
+    val row = d.agg(count(lit(1)).as("n"),
+      graft.functions.Stats.dsum(err * err, 12).as("see"),
+      graft.functions.Stats.dsum(err * col("sx"), 12).as("gx"),
+      graft.functions.Stats.dsum(err * col("sh"), 12).as("gh"),
+      graft.functions.Stats.dsum(err * col("sb"), 12).as("gb")).head()
+    val n = row.getLong(0)
+    require(n > 0, "RTRL training needs at least one full sequence")
+    def clip(v: Double): Double = math.max(-1.0, math.min(1.0, v))
+    (clip(r9d(row.getDouble(2) * 2.0 / n)),
+      clip(r9d(row.getDouble(3) * 2.0 / n)),
+      clip(r9d(row.getDouble(4) * 2.0 / n)),
+      r6(row.getDouble(1) / n))
+  }
+
   /** TRAINED recurrent model, hash-checked — the q189/q194 driver-argmax
     * contract applied to sequence learning (reference M5's training loop,
     * `trainer.py:262-320`, at the smallest portable scale): a 1-unit
@@ -161,72 +235,101 @@ object SeqForward {
       idCol: String, valCol: String): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    def r9(v: Double): Double =
-      new java.math.BigDecimal(v)
-        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
-    def r6(v: Double): Double =
-      new java.math.BigDecimal(v)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-    // pivot to T inputs + the (T+1)-th value as the target
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
-    val ranked = events
-      .select(col(userCol).as("user_id"),
-        row_number().over(w).as("rn"),
-        round(col(valCol).cast("double") / lit(500.0), 9).as("x"))
-      .filter(col("rn") <= T + 1)
-    val aggs = (1 to T).map(t =>
-      max(when(col("rn") === t, col("x"))).as(s"x$t")) ++ Seq(
-      max(when(col("rn") === T + 1, col("x"))).as("y"),
-      count(lit(1)).as("__n"))
-    val piv = ranked.groupBy(col("user_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .filter(col("__n") === T + 1)
-      .drop("__n")
-      .persist()
+    val piv = targetPivot(events, userCol, tsCol, idCol, valCol).persist()
     try {
-      val xs = (1 to T).map(i => col(s"x$i"))
-      val carry = Seq(col("user_id")) ++ xs ++ Seq(col("y"))
       var (wx, wh, b) = (rnnInit(0), rnnInit(1), rnnInit(2))
       val trace = (1 to rnnIters).map { it =>
-        var d = piv.select(carry ++ Seq(
-          lit(0.0).as("h"), lit(0.0).as("sx"),
-          lit(0.0).as("sh"), lit(0.0).as("sb")): _*)
-        (1 to T).foreach { t =>
-          // stage 1: the new state (old state carried as hprev)
-          d = d.select(carry ++ Seq(
-            round(tanhE(lit(wx) * col(s"x$t") + lit(wh) * col("h") +
-              lit(b)), 9).as("h"),
-            col("h").as("hprev"),
-            col("sx"), col("sh"), col("sb")): _*)
-          // stage 2: RTRL sensitivities from the NEW h and OLD carries
-          val damp = lit(1.0) - col("h") * col("h")
-          d = d.select(carry ++ Seq(col("h"),
-            round(damp * (col(s"x$t") + lit(wh) * col("sx")), 9).as("sx"),
-            round(damp * (col("hprev") + lit(wh) * col("sh")), 9).as("sh"),
-            round(damp * (lit(1.0) + lit(wh) * col("sb")), 9).as("sb")): _*)
-        }
-        val err = col("h") - col("y")
-        val row = d.agg(count(lit(1)).as("n"),
-          graft.functions.Stats.dsum(err * err, 12).as("see"),
-          graft.functions.Stats.dsum(err * col("sx"), 12).as("gx"),
-          graft.functions.Stats.dsum(err * col("sh"), 12).as("gh"),
-          graft.functions.Stats.dsum(err * col("sb"), 12).as("gb")).head()
-        val n = row.getLong(0)
-        require(n > 0, "rnnRtrlTrain needs at least one full sequence")
-        def clip(v: Double): Double = math.max(-1.0, math.min(1.0, v))
-        val gx = clip(r9(row.getDouble(2) * 2.0 / n))
-        val gh = clip(r9(row.getDouble(3) * 2.0 / n))
-        val gb = clip(r9(row.getDouble(4) * 2.0 / n))
-        val mse = r6(row.getDouble(1) / n)
+        val (gx, gh, gb, mse) = rnnGradPass(piv, wx, wh, b)
         val out = (it, wx, wh, b, gx, gh, gb, mse)
-        wx = r9(wx - rnnLr * gx)
-        wh = r9(wh - rnnLr * gh)
-        b = r9(b - rnnLr * gb)
+        wx = r9d(wx - rnnLr * gx)
+        wh = r9d(wh - rnnLr * gh)
+        b = r9d(b - rnnLr * gb)
         out
       }
       trace.toDF("iter", "wx", "wh", "b", "grad_wx", "grad_wh", "grad_b",
         "mse").orderBy(col("iter"))
+    } finally { piv.unpersist(); () }
+  }
+
+  // AdamW hyper-parameters (the reference's DEFAULT optimizer:
+  // trainer.py:125-131 builds torch.optim.AdamW with betas (0.9, 0.999),
+  // eps 1e-8; weight_decay=0.01 at trainer.py:89). lr is scaled up from
+  // the reference's 1e-4 so six replayed full-batch steps exhibit real
+  // movement — rule fidelity, not lr fidelity, is what's under test.
+  val adamLr = 0.05
+  val adamBeta1 = 0.9
+  val adamBeta2 = 0.999
+  val adamEps = 1e-8
+  val adamWd = 0.01
+
+  /** Bias-correction denominators 1−β^t — driver-side constants embedded
+    * as identical literals in the oracle SQL (no cross-engine pow). */
+  def adamBc1(t: Int): Double = 1.0 - math.pow(adamBeta1, t)
+  def adamBc2(t: Int): Double = 1.0 - math.pow(adamBeta2, t)
+
+  /** One AdamW parameter update on round-9 state — the PURE step rule,
+    * shared by the [[rnnAdamwTrain]] driver fold and the spec (which
+    * pins the bias-correction factors and decay-on-weights semantics):
+    *
+    *   m' = β₁·m + (1−β₁)·g          (raw gradient — decay NEVER enters)
+    *   v' = β₂·v + (1−β₂)·g²
+    *   m̂ = m'/(1−β₁ᵗ),  v̂ = v'/(1−β₂ᵗ)      (bias correction)
+    *   θ' = θ·(1−lr·λ) − lr·m̂/(√v̂+ε)        (DECOUPLED weight decay)
+    *
+    * Every intermediate is re-rounded to 9 decimals — the q420 state-
+    * pinning recipe — so the whole optimizer state replays digit for
+    * digit in DuckDB. Returns (θ', m', v', m̂, v̂).
+    */
+  def adamwStep(theta: Double, g: Double, m: Double, v: Double,
+      t: Int): (Double, Double, Double, Double, Double) = {
+    val mN = r9d(adamBeta1 * m + (1.0 - adamBeta1) * g)
+    val vN = r9d(adamBeta2 * v + (1.0 - adamBeta2) * g * g)
+    val mHat = r9d(mN / adamBc1(t))
+    val vHat = r9d(vN / adamBc2(t))
+    val step = r9d(mHat / (math.sqrt(vHat) + adamEps))
+    val thetaN = r9d(theta * (1.0 - adamLr * adamWd) - adamLr * step)
+    (thetaN, mN, vN, mHat, vHat)
+  }
+
+  /** TRAINED Elman RNN under the reference's DEFAULT optimizer, hash-
+    * checked — [[rnnRtrlTrain]]'s RTRL gradient machinery (shared body:
+    * [[rnnGradPass]]) driven by [[adamwStep]] instead of plain SGD: per-
+    * parameter first/second-moment columns ride the iteration fold, bias
+    * correction divides by the driver-literal 1−βᵗ factors, and AdamW's
+    * decoupled weight decay (λ=0.01, `trainer.py:89`) multiplies the
+    * WEIGHT — the gradient entering the moments is the raw clipped RTRL
+    * gradient. The whole optimizer trajectory (params, gradients, both
+    * moment estimates, MSE descent) replays in DuckDB as chained per-
+    * iteration CTE blocks — closing the last training-loop knob with no
+    * replay (schedules: q423; early stop: q155/q194; clipping:
+    * q420/q425). One row per iteration: params used, clipped gradients,
+    * updated moments, round-6 train MSE. Same scale shape as q420: one
+    * scan + one aggregate per iteration, driver holds 9 optimizer values.
+    */
+  def rnnAdamwTrain(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val piv = targetPivot(events, userCol, tsCol, idCol, valCol).persist()
+    try {
+      var (wx, wh, b) = (rnnInit(0), rnnInit(1), rnnInit(2))
+      var (mx, mh, mb) = (0.0, 0.0, 0.0)
+      var (vx, vh, vb) = (0.0, 0.0, 0.0)
+      val trace = (1 to rnnIters).map { it =>
+        val (gx, gh, gb, mse) = rnnGradPass(piv, wx, wh, b)
+        val (wxN, mxN, vxN, _, _) = adamwStep(wx, gx, mx, vx, it)
+        val (whN, mhN, vhN, _, _) = adamwStep(wh, gh, mh, vh, it)
+        val (bN, mbN, vbN, _, _) = adamwStep(b, gb, mb, vb, it)
+        val out = (it, wx, wh, b, gx, gh, gb, mxN, mhN, mbN, vxN, vhN,
+          vbN, mse)
+        wx = wxN; wh = whN; b = bN
+        mx = mxN; mh = mhN; mb = mbN
+        vx = vxN; vh = vhN; vb = vbN
+        out
+      }
+      trace.toDF("iter", "wx", "wh", "b", "grad_wx", "grad_wh", "grad_b",
+        "m_wx", "m_wh", "m_b", "v_wx", "v_wh", "v_b", "mse")
+        .orderBy(col("iter"))
     } finally { piv.unpersist(); () }
   }
 
@@ -271,22 +374,7 @@ object SeqForward {
     def r6(v: Double): Double =
       new java.math.BigDecimal(v)
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
-    val ranked = events
-      .select(col(userCol).as("user_id"),
-        row_number().over(w).as("rn"),
-        round(col(valCol).cast("double") / lit(500.0), 9).as("x"))
-      .filter(col("rn") <= T + 1)
-    val aggs = (1 to T).map(t =>
-      max(when(col("rn") === t, col("x"))).as(s"x$t")) ++ Seq(
-      max(when(col("rn") === T + 1, col("x"))).as("y"),
-      count(lit(1)).as("__n"))
-    val piv = ranked.groupBy(col("user_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .filter(col("__n") === T + 1)
-      .drop("__n")
-      .persist()
+    val piv = targetPivot(events, userCol, tsCol, idCol, valCol).persist()
     try {
       val xs = (1 to T).map(i => col(s"x$i"))
       val carry = Seq(col("user_id")) ++ xs ++ Seq(col("y"))

@@ -142,6 +142,66 @@ class SeqForwardSpec extends SparkSpec {
     assert(approx(sb, fd(e => forward(wx, wh, b + e, rounded = false)), 1e-4))
   }
 
+  test("adamwStep: bias correction exactly undoes the t=1 moment damping") {
+    // at t=1 with zero moments, m' = (1-b1)*g and the correction divides
+    // by exactly (1-b1^1) — so mhat must equal the raw round-9 gradient
+    // (same for vhat and g^2); without bias correction mhat would be 0.1*g
+    val g = 0.237
+    val (_, m1, v1, mHat, vHat) = SeqForward.adamwStep(0.4, g, 0.0, 0.0, 1)
+    assert(m1 == r9((1.0 - SeqForward.adamBeta1) * g))
+    assert(mHat == r9(g), s"t=1 mhat $mHat must equal g $g")
+    assert(v1 == r9((1.0 - SeqForward.adamBeta2) * g * g))
+    assert(vHat == r9(r9((1.0 - SeqForward.adamBeta2) * g * g) /
+      SeqForward.adamBc2(1)))
+    // and the denominators really are 1 - beta^t, t flowing
+    assert(SeqForward.adamBc1(3) == 1.0 - 0.9 * 0.9 * 0.9)
+    assert(SeqForward.adamBc2(2) == 1.0 - 0.999 * 0.999)
+  }
+
+  test("adamwStep: decay applies to weights, never to the gradient moments") {
+    // zero gradient, zero moments -> the update is PURE decoupled decay:
+    // theta * (1 - lr*wd), no gradient-coupled term
+    val theta = 0.8
+    val (tN, m, v, _, _) = SeqForward.adamwStep(theta, 0.0, 0.0, 0.0, 4)
+    assert(m == 0.0 && v == 0.0)
+    assert(tN == r9(theta * (1.0 - SeqForward.adamLr * SeqForward.adamWd)))
+    // the moments are a function of the gradient ONLY — coupled (Adam-
+    // style) decay would fold wd*theta into g and make them theta-
+    // dependent; decoupled AdamW must not
+    val (_, mA, vA, _, _) = SeqForward.adamwStep(5.0, 0.3, 0.1, 0.02, 2)
+    val (_, mB, vB, _, _) = SeqForward.adamwStep(-7.0, 0.3, 0.1, 0.02, 2)
+    assert(mA == mB && vA == vB,
+      "moment estimates must not depend on the weight being decayed")
+  }
+
+  test("rnnAdamwTrain descends and shares q420's gradient machinery") {
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val tr = SeqForward.rnnAdamwTrain(events, "user_id", "ts", "event_id",
+      "value").collect()
+    assert(tr.length == SeqForward.rnnIters)
+    val mses = tr.map(_.getAs[Double]("mse")).toSeq
+    assert(mses.last < mses.head, s"AdamW did not learn: $mses")
+    // iteration 1 starts from the same init and the same full-batch RTRL
+    // gradients as q420 (shared rnnGradPass body) — first-row params and
+    // gradients must be IDENTICAL across the two optimizers
+    val sgd = SeqForward.rnnRtrlTrain(events, "user_id", "ts", "event_id",
+      "value").collect()
+    Seq("wx", "wh", "b", "grad_wx", "grad_wh", "grad_b", "mse").foreach {
+      c => assert(tr.head.getAs[Double](c) == sgd.head.getAs[Double](c),
+        s"iter-1 $c diverged between SGD and AdamW") }
+    // from iteration 2 on the trajectories diverge (different update rule)
+    assert(tr(1).getAs[Double]("wx") != sgd(1).getAs[Double]("wx"))
+    // replay the driver fold with the pure step function
+    var (wx, m, v) = (SeqForward.rnnInit(0), 0.0, 0.0)
+    tr.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Double]("wx") == wx, s"iter ${i + 1} wx drifted")
+      val st = SeqForward.adamwStep(wx, r.getAs[Double]("grad_wx"), m, v,
+        i + 1)
+      wx = st._1; m = st._2; v = st._3
+      assert(r.getAs[Double]("m_wx") == m && r.getAs[Double]("v_wx") == v)
+    }
+  }
+
   test("lstmRtrlTrain descends: monotone MSE, 10x drop, forget-bias init") {
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val tr = SeqForward.lstmRtrlTrain(events, "user_id", "ts", "event_id",
