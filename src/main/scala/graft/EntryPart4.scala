@@ -489,6 +489,51 @@ private[graft] trait EntryPart4 extends EntryPart3 {
     graft.ml.SeqForward.lstmRtrlTrain(
       t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
 
+  // ---------------------------------------------------------------- q427
+  // Attention-pooling forward over the q418 LSTM's full hidden
+  // trajectory, hash-checked (reference lstm.py:24-42 — the softmax-
+  // scored pooling the reference puts on top of every RNN): score MLP
+  // w2·tanh(a·h_t + b1) + b2 per step, max-shift softmax, weight-mixed
+  // pooled output; per-position weights exposed (w1..w8) so "where
+  // does the pooling look" is queryable.
+  def q427(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.SeqForward.attentionPoolingForward(
+      t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
+
+  // ---------------------------------------------------------------- q428
+  // Bidirectional LSTM forward, hash-checked (reference lstm.py:99-122,
+  // bidirectional=True, output dim 2x hidden): the q418 cell runs the
+  // sequence forward with the q418 weights and backward with an
+  // independent reverse draw (torch's weight_*_reverse), both
+  // interleaved in ONE staged plan; final states concat as
+  // (hf1,hf2,hb1,hb2) — torch's [h_fwd; h_bwd].
+  def q428(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.SeqForward.bidiLstmForward(
+      t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
+
+  // ---------------------------------------------------------------- q429
+  // The q421 encoder block on the reference's TRUE sinusoidal
+  // positional encoding (transformer.py:16-45), shipped the q423 way:
+  // sin/cos computed once driver-side, rounded to 9, embedded as
+  // identical literals in the Spark plan and the oracle SQL — closes
+  // the documented polynomial-PE divergence without widening the
+  // proven-portable function set.
+  def q429(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.SeqForward.transformerBlockForward(
+      t(spark, dir, "events"), "user_id", "ts", "event_id", "value",
+      pe = graft.ml.SeqForward.posEncSin)
+
+  // ---------------------------------------------------------------- q430
+  // Masked attention over SHORT windows (transformer.py:94-133 masking,
+  // dataset.py:287-298 pad/truncate): users with Tmin<=n<T events are
+  // admitted, missing positions carried as NULL (= −inf: exp→NULL→
+  // weight 0, GREATEST skips NULLs in both engines), q attends from
+  // the last VALID position. Full windows reproduce q419's unmasked
+  // arithmetic digit for digit (spec'd padding invariance).
+  def q430(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.SeqForward.maskedAttentionForward(
+      t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
+
   // ---------------------------------------------------------------- q426
   // TRAINED Elman RNN under the reference's DEFAULT optimizer, hash-
   // checked (trainer.py:125-131 AdamW, weight_decay=0.01 at :89):

@@ -2312,6 +2312,28 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
     // by the driver-literal 1−βᵗ factors, decoupled decay multiplies
     // the WEIGHT — digit for digit against SeqForward.rnnAdamwTrain.
     "q426_rnn_adamw_train" -> q426AdamwSql,
+
+    // q427: the attention-pooling layer replayed — q418's per-step CTE
+    // chain with each hidden state snapshotted, then the score MLP /
+    // max-shift softmax / weighted mix as staged CTEs, identical round-9
+    // literals from the disjoint poolParam bank.
+    "q427_attention_pooling" -> q427PoolingSql,
+
+    // q428: the bidirectional LSTM replayed — two interleaved q418
+    // chains (forward weights ascending, independent reverse-draw
+    // weights descending), concat exposed as hf/hb.
+    "q428_bidi_lstm" -> q428BidiSql,
+
+    // q429: the encoder block on the TRUE sinusoidal positional
+    // encoding — sin/cos shipped as shared round-9 literals (the q423
+    // recipe), the rest of the CTE chain identical to q421.
+    "q429_transformer_sin_pe" -> q429TransformerSinSql,
+
+    // q430: masked attention over short windows — NULL carries −inf
+    // through the same score/softmax CTEs (COALESCE(EXP(...),0) weights,
+    // NULL-skipping GREATEST shift in both engines), q from the last
+    // valid position.
+    "q430_masked_attention" -> q430MaskedAttnSql,
   )
 
   protected def q425LstmTrainSql: String = {
@@ -2585,12 +2607,22 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
        |ORDER BY st.epoch""".stripMargin
   }
 
-  protected def q421TransformerSql: String = {
-    import graft.ml.SeqForward.{T, blockParam, fmt, posEnc}
+  protected def q421TransformerSql: String =
+    transformerBlockSql(graft.ml.SeqForward.posEnc)
+
+  /** q429: the SAME encoder block replayed with the reference's TRUE
+    * sinusoidal positional encoding — sin/cos values shipped as shared
+    * round-9 literals (the q423 cosine-annealing recipe), never
+    * evaluated cross-engine. */
+  protected def q429TransformerSinSql: String =
+    transformerBlockSql(graft.ml.SeqForward.posEncSin)
+
+  private def transformerBlockSql(pe: Int => (Double, Double)): String = {
+    import graft.ml.SeqForward.{T, blockParam, fmt}
     val p = (0 to 40).map(blockParam)
     def emb(t: Int, d: Int): String =
       s"ROUND(${fmt(p(2 * d))} * x$t + ${fmt(p(2 * d + 1))} + " +
-        s"${fmt(if (d == 0) posEnc(t)._1 else posEnc(t)._2)}, 9)"
+        s"${fmt(if (d == 0) pe(t)._1 else pe(t)._2)}, 9)"
     def proj(off: Int, t: Int, dd: Int): String =
       s"ROUND(${fmt(p(off + 2 * dd))} * e${t}_1 + " +
         s"${fmt(p(off + 2 * dd + 1))} * e${t}_2 + ${fmt(p(off + 4 + dd))}, 9)"
@@ -2979,5 +3011,196 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
          |  ROUND(($outSum) / z, 6) + 0.0 AS attn_out,
          |  ROUND($entSum, 6) + 0.0 AS attn_entropy
          |FROM a5 ORDER BY user_id""".stripMargin
+  }
+
+  protected def q427PoolingSql: String = {
+    import graft.ml.SeqForward.{H, T, fmt, lstmParam, poolParam}
+    def gate(g: Int, u: Int, t: Int): String =
+      s"${fmt(lstmParam(g, u, 0))} * x$t + ${fmt(lstmParam(g, u, 1))} * h1" +
+        s" + ${fmt(lstmParam(g, u, 2))} * h2 + ${fmt(lstmParam(g, u, 3))}"
+    def sig(z: String): String = s"1.0 / (1.0 + EXP(-($z)))"
+    def tanh(z: String): String =
+      s"(EXP(2.0 * ($z)) - 1.0) / (EXP(2.0 * ($z)) + 1.0)"
+    val (a1p, a2p, b1p, w2p, b2p) = (fmt(poolParam(0)), fmt(poolParam(1)),
+      fmt(poolParam(2)), fmt(poolParam(3)), fmt(poolParam(4)))
+    val xs = (1 to T).map(t => s"x$t").mkString(", ")
+    def hist(upTo: Int): String = (1 to upTo)
+      .flatMap(t => Seq(s"ht${t}_1", s"ht${t}_2")) match {
+      case Seq() => ""
+      case cols => cols.mkString(", ", ", ", "")
+    }
+    // the q418 two-CTEs-per-step chain, with each step's hidden state
+    // SNAPSHOTTED into ht{t}_d columns (the hidden CTE also aliases hn)
+    val steps = (1 to T).map { t =>
+      val cNew = (0 until H).map { u =>
+        s"    ROUND(${sig(gate(1, u, t))} * c${u + 1} + " +
+          s"${sig(gate(0, u, t))} * ${tanh(gate(3, u, t))}, 9) AS c${u + 1}"
+      }.mkString(",\n")
+      val hNew = (0 until H).map { u =>
+        s"    ROUND(${sig(gate(2, u, t))} * ${tanh(s"c${u + 1}")}, 9)" +
+          s" AS h${u + 1}"
+      }.mkString(",\n")
+      val src = if (t == 1) "s0" else s"n${t - 1}"
+      s""",c$t AS (
+         |  SELECT user_id, $xs, h1, h2${hist(t - 1)},
+         |$cNew
+         |  FROM $src),
+         |s$t AS (
+         |  SELECT user_id, $xs, c1, c2${hist(t - 1)},
+         |$hNew
+         |  FROM c$t),
+         |n$t AS (
+         |  SELECT *, h1 AS ht${t}_1, h2 AS ht${t}_2 FROM s$t)
+         |""".stripMargin
+    }.mkString
+    val histAll = (1 to T).flatMap(t => Seq(s"ht${t}_1", s"ht${t}_2"))
+      .mkString(", ")
+    val uCols = (1 to T).map(t =>
+      s"    ROUND($a1p * ht${t}_1 + $a2p * ht${t}_2 + $b1p, 9) AS u$t")
+      .mkString(",\n")
+    val sCols = (1 to T).map(t =>
+      s"    ROUND($w2p * ${tanh(s"u$t")} + $b2p, 9) AS sc$t").mkString(",\n")
+    val eCols = (1 to T).map(t => s"    EXP(sc$t - m) AS e$t").mkString(",\n")
+    val zSum = (1 to T).map(t => s"e$t").mkString(" + ")
+    def mix(dd: Int): String =
+      (1 to T).map(t => s"e$t * ht${t}_$dd").mkString(" + ")
+    val wOut = (1 to T).map(t =>
+      s"  ROUND(e$t / z, 6) + 0.0 AS w$t").mkString(",\n")
+    seqPivotCtes +
+      s""",s0 AS (
+         |  SELECT user_id, $xs,
+         |    CAST(0.0 AS DOUBLE) AS h1, CAST(0.0 AS DOUBLE) AS h2,
+         |    CAST(0.0 AS DOUBLE) AS c1, CAST(0.0 AS DOUBLE) AS c2
+         |  FROM p)
+         |""".stripMargin + steps +
+      s""",p1 AS (
+         |  SELECT user_id, $histAll,
+         |$uCols
+         |  FROM n$T),
+         |p2 AS (
+         |  SELECT user_id, $histAll,
+         |$sCols
+         |  FROM p1),
+         |p3 AS (
+         |  SELECT *, GREATEST(${(1 to T).map(t => s"sc$t").mkString(", ")})
+         |    AS m
+         |  FROM p2),
+         |p4 AS (
+         |  SELECT user_id, $histAll,
+         |$eCols
+         |  FROM p3),
+         |p5 AS (SELECT *, $zSum AS z FROM p4)
+         |SELECT user_id,
+         |  ROUND((${mix(1)}) / z, 6) + 0.0 AS pooled1,
+         |  ROUND((${mix(2)}) / z, 6) + 0.0 AS pooled2,
+         |$wOut
+         |FROM p5 ORDER BY user_id""".stripMargin
+  }
+
+  protected def q428BidiSql: String = {
+    import graft.ml.SeqForward.{H, T, fmt, lstmParam, lstmParamRev}
+    def gate(pf: (Int, Int, Int) => Double, pre: String, g: Int, u: Int,
+        t: Int): String =
+      s"${fmt(pf(g, u, 0))} * x$t + ${fmt(pf(g, u, 1))} * ${pre}h1" +
+        s" + ${fmt(pf(g, u, 2))} * ${pre}h2 + ${fmt(pf(g, u, 3))}"
+    def sig(z: String): String = s"1.0 / (1.0 + EXP(-($z)))"
+    def tanh(z: String): String =
+      s"(EXP(2.0 * ($z)) - 1.0) / (EXP(2.0 * ($z)) + 1.0)"
+    val xs = (1 to T).map(t => s"x$t").mkString(", ")
+    val steps = (1 to T).map { s =>
+      val (tf, tb) = (s, T + 1 - s)
+      val cNew = ((0 until H).map { u =>
+        s"    ROUND(${sig(gate(lstmParam, "f", 1, u, tf))} * fc${u + 1} + " +
+          s"${sig(gate(lstmParam, "f", 0, u, tf))} * " +
+          s"${tanh(gate(lstmParam, "f", 3, u, tf))}, 9) AS fc${u + 1}"
+      } ++ (0 until H).map { u =>
+        s"    ROUND(${sig(gate(lstmParamRev, "b", 1, u, tb))} * bc${u + 1} + " +
+          s"${sig(gate(lstmParamRev, "b", 0, u, tb))} * " +
+          s"${tanh(gate(lstmParamRev, "b", 3, u, tb))}, 9) AS bc${u + 1}"
+      }).mkString(",\n")
+      val hNew = ((0 until H).map { u =>
+        s"    ROUND(${sig(gate(lstmParam, "f", 2, u, tf))} * " +
+          s"${tanh(s"fc${u + 1}")}, 9) AS fh${u + 1}"
+      } ++ (0 until H).map { u =>
+        s"    ROUND(${sig(gate(lstmParamRev, "b", 2, u, tb))} * " +
+          s"${tanh(s"bc${u + 1}")}, 9) AS bh${u + 1}"
+      }).mkString(",\n")
+      s""",c$s AS (
+         |  SELECT user_id, $xs, fh1, fh2, bh1, bh2,
+         |$cNew
+         |  FROM s${s - 1}),
+         |s$s AS (
+         |  SELECT user_id, $xs, fc1, fc2, bc1, bc2,
+         |$hNew
+         |  FROM c$s)
+         |""".stripMargin
+    }.mkString
+    seqPivotCtes +
+      s""",s0 AS (
+         |  SELECT user_id, $xs,
+         |    CAST(0.0 AS DOUBLE) AS fh1, CAST(0.0 AS DOUBLE) AS fh2,
+         |    CAST(0.0 AS DOUBLE) AS fc1, CAST(0.0 AS DOUBLE) AS fc2,
+         |    CAST(0.0 AS DOUBLE) AS bh1, CAST(0.0 AS DOUBLE) AS bh2,
+         |    CAST(0.0 AS DOUBLE) AS bc1, CAST(0.0 AS DOUBLE) AS bc2
+         |  FROM p)
+         |""".stripMargin + steps +
+      s"""SELECT user_id,
+         |  ROUND(fh1, 6) + 0.0 AS hf1, ROUND(fh2, 6) + 0.0 AS hf2,
+         |  ROUND(bh1, 6) + 0.0 AS hb1, ROUND(bh2, 6) + 0.0 AS hb2
+         |FROM s$T ORDER BY user_id""".stripMargin
+  }
+
+  protected def q430MaskedAttnSql: String = {
+    import graft.ml.SeqForward.{T, Tmin, attnParam, fmt}
+    val (wq, bq) = (fmt(attnParam(0)), fmt(attnParam(1)))
+    val (wk, bk) = (fmt(attnParam(2)), fmt(attnParam(3)))
+    val (wv, bv) = (fmt(attnParam(4)), fmt(attnParam(5)))
+    val pivotXs = (1 to T).map(t =>
+      s"    MAX(CASE WHEN rn = $t THEN x END) AS x$t").mkString(",\n")
+    val xq = "CASE n_valid " + (1 to T).map(t =>
+      s"WHEN $t THEN x$t").mkString(" ") + " END"
+    val kvs = (1 to T).map(j =>
+      s"    ROUND($wk * x$j + $bk, 9) AS k$j," +
+        s" ROUND($wv * x$j + $bv, 9) AS v$j").mkString(",\n")
+    // NULL is the −inf convention: a masked score exponentiates to NULL
+    // and coalesces to weight 0; GREATEST skips NULLs in both engines
+    val ss = (1 to T).map(j => s"    q * k$j * 4.0 AS s$j").mkString(",\n")
+    val es = (1 to T).map(j =>
+      s"    COALESCE(EXP(s$j - m), 0.0) AS e$j").mkString(",\n")
+    val vCarry = (1 to T).map(j => s"v$j").mkString(", ")
+    val zSum = (1 to T).map(j => s"e$j").mkString(" + ")
+    val outSum = (1 to T).map(j =>
+      s"COALESCE(e$j * v$j, 0.0)").mkString(" + ")
+    s"""WITH r AS (
+       |  SELECT user_id,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS rn,
+       |    ROUND(CAST(value AS DOUBLE) / 500.0, 9) AS x
+       |  FROM events),
+       |p AS (
+       |  SELECT user_id,
+       |$pivotXs,
+       |    COUNT(*) AS n_valid
+       |  FROM r WHERE rn <= $T
+       |  GROUP BY user_id HAVING COUNT(*) >= $Tmin),
+       |a1 AS (
+       |  SELECT user_id, n_valid, ROUND($wq * ($xq) + $bq, 9) AS q,
+       |$kvs
+       |  FROM p),
+       |a2 AS (
+       |  SELECT user_id, n_valid, $vCarry,
+       |$ss
+       |  FROM a1),
+       |a3 AS (
+       |  SELECT *, GREATEST(${(1 to T).map(j => s"s$j").mkString(", ")}) AS m
+       |  FROM a2),
+       |a4 AS (
+       |  SELECT user_id, n_valid, $vCarry,
+       |$es
+       |  FROM a3),
+       |a5 AS (SELECT *, $zSum AS z FROM a4)
+       |SELECT user_id, n_valid,
+       |  ROUND(($outSum) / z, 6) + 0.0 AS attn_out
+       |FROM a5 ORDER BY user_id""".stripMargin
   }
 }

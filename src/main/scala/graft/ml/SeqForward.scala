@@ -492,6 +492,22 @@ object SeqForward {
     (u, u * u)
   }
 
+  /** The reference's TRUE sinusoidal positional encoding
+    * (`transformer.py:16-45`: PE(pos,0)=sin(pos/10000⁰),
+    * PE(pos,1)=cos(pos/10000⁰) at d_model=2, torch positions 0-indexed
+    * so pos = t−1), shipped the q423 way: the values are computed ONCE
+    * driver-side, rounded to 9, and embedded as identical decimal
+    * literals in the Spark plan and the oracle SQL — sin/cos never
+    * execute cross-engine, so the proven-portable function set is not
+    * widened. Closes q421/q424's documented polynomial divergence.
+    */
+  def posEncSin(t: Int): (Double, Double) = {
+    def r9(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    (r9(math.sin((t - 1).toDouble)), r9(math.cos((t - 1).toDouble)))
+  }
+
   /** Full transformer ENCODER BLOCK forward at the last position,
     * hash-checked (reference M6 `transformer.py:16-496`): scalar token →
     * d=2 embedding + polynomial positional encoding, single-head
@@ -504,7 +520,8 @@ object SeqForward {
     * window, one pivot, pure codegen projections.
     */
   def transformerBlockForward(events: DataFrame, userCol: String,
-      tsCol: String, idCol: String, valCol: String): DataFrame = {
+      tsCol: String, idCol: String, valCol: String,
+      pe: Int => (Double, Double) = posEnc): DataFrame = {
     val piv = sequencePivot(events, userCol, tsCol, idCol, valCol)
     val p = (0 to 40).map(blockParam)
     // staged projections (the q418 lesson: a single nested Column tree
@@ -514,7 +531,7 @@ object SeqForward {
     // stage 1: embeddings e_t = round9(we_d·x_t + be_d + pe_d(t))
     def emb(t: Int, d: Int): Column =
       round(lit(p(2 * d)) * col(s"x$t") + lit(p(2 * d + 1)) +
-        lit(if (d == 0) posEnc(t)._1 else posEnc(t)._2), 9)
+        lit(if (d == 0) pe(t)._1 else pe(t)._2), 9)
     var d = piv.select(Seq(col("user_id")) ++
       (1 to T).flatMap(t => Seq(emb(t, 0).as(s"e${t}_1"),
         emb(t, 1).as(s"e${t}_2"))): _*)
@@ -702,6 +719,210 @@ object SeqForward {
     piv.select(col("user_id"),
       round(out, 6).as("attn_out"),
       round(ent, 6).as("attn_entropy"))
+      .orderBy(col("user_id"))
+  }
+
+  // Attention-pooling score MLP parameters (reference `lstm.py:24-42`:
+  // Linear(H → H/2) → Tanh → Linear(H/2 → 1); at H=2 that is a1,a2,b1
+  // then w2,b2) — disjoint offset so the other forwards are untouched.
+  def poolParam(k: Int): Double = param(601 + k)
+
+  /** Attention-pooling forward over the q418 LSTM's FULL hidden
+    * trajectory, hash-checked (reference `lstm.py:24-42` — the softmax-
+    * scored weighted pooling the reference puts on top of every RNN):
+    * the q418 recurrence runs with per-step states SNAPSHOTTED as
+    * ht{t}_d columns, the score MLP s_t = w₂·tanh(a·h_t + b₁) + b₂
+    * (round-9 staged) scores each step, max-shift softmax turns scores
+    * into weights, and the pooled output is the weight-mixed hidden
+    * state. Weights are exposed per position (w1..wT, round-6) so
+    * "where does the pooling look" is a queryable fact. `scoreParams`
+    * is injectable for the spec (uniform-score and planted-peak cases);
+    * the query runs the hash-drawn defaults. Same scale shape as q418:
+    * one partitioned window, one pivot, pure codegen projections.
+    */
+  def attentionPoolingForward(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, valCol: String,
+      scoreParams: Seq[Double] = (0 until 5).map(poolParam)): DataFrame = {
+    require(scoreParams.length == 5, "score MLP takes a1,a2,b1,w2,b2")
+    val Seq(a1, a2, b1, w2, b2) = scoreParams
+    val piv = sequencePivot(events, userCol, tsCol, idCol, valCol)
+    val xs = (1 to T).map(i => col(s"x$i"))
+    def gate(g: Int, u: Int, t: Int): Column =
+      lit(lstmParam(g, u, 0)) * col(s"x$t") +
+        lit(lstmParam(g, u, 1)) * col("h1") +
+        lit(lstmParam(g, u, 2)) * col("h2") +
+        lit(lstmParam(g, u, 3))
+    var hist: Seq[String] = Nil
+    var d = piv.select(Seq(col("user_id")) ++ xs ++ Seq(
+      lit(0.0).as("h1"), lit(0.0).as("h2"),
+      lit(0.0).as("c1"), lit(0.0).as("c2")): _*)
+    (1 to T).foreach { t =>
+      val histC = hist.map(col)
+      val cNew = (0 until H).map { u =>
+        round(sigmoid(gate(1, u, t)) * col(s"c${u + 1}") +
+          sigmoid(gate(0, u, t)) * tanhE(gate(3, u, t)), 9)
+          .as(s"c${u + 1}")
+      }
+      d = d.select(Seq(col("user_id")) ++ xs ++ histC ++
+        Seq(col("h1"), col("h2")) ++ cNew: _*)
+      val hNew = (0 until H).map { u =>
+        round(sigmoid(gate(2, u, t)) * tanhE(col(s"c${u + 1}")), 9)
+          .as(s"h${u + 1}")
+      }
+      d = d.select(Seq(col("user_id")) ++ xs ++ histC ++
+        Seq(col("c1"), col("c2")) ++ hNew: _*)
+      // snapshot this step's hidden state into the pooling history
+      d = d.select(col("*"), col("h1").as(s"ht${t}_1"),
+        col("h2").as(s"ht${t}_2"))
+      hist = hist ++ Seq(s"ht${t}_1", s"ht${t}_2")
+    }
+    val histC = hist.map(col)
+    // score MLP, round-9 staged: u_t = a·h_t + b1, s_t = w2·tanh(u_t) + b2
+    d = d.select(Seq(col("user_id")) ++ histC ++ (1 to T).map(t =>
+      round(lit(a1) * col(s"ht${t}_1") + lit(a2) * col(s"ht${t}_2") +
+        lit(b1), 9).as(s"u$t")): _*)
+    d = d.select(Seq(col("user_id")) ++ histC ++ (1 to T).map(t =>
+      round(lit(w2) * tanhE(col(s"u$t")) + lit(b2), 9).as(s"s$t")): _*)
+    // max-shift softmax
+    d = d.select(Seq(col("user_id")) ++ histC ++
+      Seq(greatest((1 to T).map(t => col(s"s$t")): _*).as("m")) ++
+      (1 to T).map(t => col(s"s$t")): _*)
+    d = d.select(Seq(col("user_id")) ++ histC ++ (1 to T).map(t =>
+      exp(col(s"s$t") - col("m")).as(s"e$t")): _*)
+    d = d.select(Seq(col("user_id")) ++ histC ++
+      (1 to T).map(t => col(s"e$t")) :+
+      (1 to T).map(t => col(s"e$t")).reduce(_ + _).as("z"): _*)
+    val outCols = Seq(col("user_id"),
+      round((1 to T).map(t => col(s"e$t") * col(s"ht${t}_1"))
+        .reduce(_ + _) / col("z"), 6).as("pooled1"),
+      round((1 to T).map(t => col(s"e$t") * col(s"ht${t}_2"))
+        .reduce(_ + _) / col("z"), 6).as("pooled2")) ++
+      (1 to T).map(t => round(col(s"e$t") / col("z"), 6).as(s"w$t"))
+    d.select(outCols: _*).orderBy(col("user_id"))
+  }
+
+  // Reverse-direction LSTM weights at a disjoint offset — torch keeps
+  // separate weight_*_reverse tensors for the backward direction
+  // (`lstm.py:99-122` bidirectional=True), so the draw is independent.
+  def lstmParamRev(gate: Int, unit: Int, slot: Int): Double =
+    param(621 + gate * H * 4 + unit * 4 + slot)
+
+  /** BIDIRECTIONAL LSTM forward, hash-checked (reference `lstm.py:99-122`:
+    * bidirectional=True, output dim 2×hidden): the q418 cell runs the
+    * sequence FORWARD with the q418 weights and, interleaved in the same
+    * staged plan, BACKWARD (step s reads x_{T+1−s}) with the independent
+    * reverse draw — final states concat to (hf1,hf2,hb1,hb2), exactly
+    * torch's [h_fwd; h_bwd] layout. `revParam` is injectable for the
+    * spec (sharing the forward weights makes "backward over the reversed
+    * sequence ≡ forward" a provable identity); the query runs the
+    * disjoint default draw. Still one window + one pivot + codegen.
+    */
+  def bidiLstmForward(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valCol: String,
+      revParam: (Int, Int, Int) => Double = lstmParamRev): DataFrame = {
+    val piv = sequencePivot(events, userCol, tsCol, idCol, valCol)
+    val xs = (1 to T).map(i => col(s"x$i"))
+    def gateF(g: Int, u: Int, t: Int): Column =
+      lit(lstmParam(g, u, 0)) * col(s"x$t") +
+        lit(lstmParam(g, u, 1)) * col("fh1") +
+        lit(lstmParam(g, u, 2)) * col("fh2") +
+        lit(lstmParam(g, u, 3))
+    def gateB(g: Int, u: Int, t: Int): Column =
+      lit(revParam(g, u, 0)) * col(s"x$t") +
+        lit(revParam(g, u, 1)) * col("bh1") +
+        lit(revParam(g, u, 2)) * col("bh2") +
+        lit(revParam(g, u, 3))
+    var d = piv.select(Seq(col("user_id")) ++ xs ++ Seq(
+      lit(0.0).as("fh1"), lit(0.0).as("fh2"),
+      lit(0.0).as("fc1"), lit(0.0).as("fc2"),
+      lit(0.0).as("bh1"), lit(0.0).as("bh2"),
+      lit(0.0).as("bc1"), lit(0.0).as("bc2")): _*)
+    (1 to T).foreach { s =>
+      val (tf, tb) = (s, T + 1 - s)
+      // stage 1: both cell updates read the OLD hidden states
+      val cNew =
+        (0 until H).map { u =>
+          round(sigmoid(gateF(1, u, tf)) * col(s"fc${u + 1}") +
+            sigmoid(gateF(0, u, tf)) * tanhE(gateF(3, u, tf)), 9)
+            .as(s"fc${u + 1}")
+        } ++ (0 until H).map { u =>
+          round(sigmoid(gateB(1, u, tb)) * col(s"bc${u + 1}") +
+            sigmoid(gateB(0, u, tb)) * tanhE(gateB(3, u, tb)), 9)
+            .as(s"bc${u + 1}")
+        }
+      d = d.select(Seq(col("user_id")) ++ xs ++ Seq(
+        col("fh1"), col("fh2"), col("bh1"), col("bh2")) ++ cNew: _*)
+      // stage 2: both hidden updates read the NEW cells
+      val hNew =
+        (0 until H).map { u =>
+          round(sigmoid(gateF(2, u, tf)) * tanhE(col(s"fc${u + 1}")), 9)
+            .as(s"fh${u + 1}")
+        } ++ (0 until H).map { u =>
+          round(sigmoid(gateB(2, u, tb)) * tanhE(col(s"bc${u + 1}")), 9)
+            .as(s"bh${u + 1}")
+        }
+      d = d.select(Seq(col("user_id")) ++ xs ++ Seq(
+        col("fc1"), col("fc2"), col("bc1"), col("bc2")) ++ hNew: _*)
+    }
+    d.select(col("user_id"),
+      round(col("fh1"), 6).as("hf1"), round(col("fh2"), 6).as("hf2"),
+      round(col("bh1"), 6).as("hb1"), round(col("bh2"), 6).as("hb2"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Minimum admitted window for the masked forward. */
+  val Tmin = 2
+
+  /** MASKED single-head attention over SHORT windows, hash-checked
+    * (reference `transformer.py:94-133` masks padded positions;
+    * `dataset.py:287-298` pads/truncates to fixed length): users with
+    * `Tmin ≤ n < T` events — dropped by every full-window forward — are
+    * admitted with their missing positions masked out of the softmax.
+    * The mask is carried as SQL NULL, which IS the −inf convention:
+    * a NULL score exponentiates to NULL and coalesces to weight 0,
+    * `greatest` skips NULLs in both engines (verified), so masked
+    * positions contribute nothing to the shift, the normalizer, or the
+    * mix — exactly softmax(score + −inf·mask). The query attends FROM
+    * the last VALID position (torch takes the last unpadded step).
+    * Padding invariance — adding masked positions never changes the
+    * output — is a spec'd property, and full windows reproduce
+    * [[attentionForward]]'s unmasked arithmetic digit for digit.
+    */
+  def maskedAttentionForward(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, valCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val ranked = events
+      .select(col(userCol).as("user_id"),
+        row_number().over(w).as("rn"),
+        round(col(valCol).cast("double") / lit(500.0), 9).as("x"))
+      .filter(col("rn") <= T)
+    val aggs = (1 to T).map(t =>
+      max(when(col("rn") === t, col("x"))).as(s"x$t")) :+
+      count(lit(1)).as("n_valid")
+    val piv = ranked.groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("n_valid") >= Tmin)
+    val (wq, bq) = (attnParam(0), attnParam(1))
+    val (wk, bk) = (attnParam(2), attnParam(3))
+    val (wv, bv) = (attnParam(4), attnParam(5))
+    // q projects the LAST VALID position's input
+    val xq = coalesce((1 to T).map(t =>
+      when(col("n_valid") === t, col(s"x$t"))): _*)
+    val q = round(lit(wq) * xq + lit(bq), 9)
+    val kCols = (1 to T).map(j =>
+      round(lit(wk) * col(s"x$j") + lit(bk), 9)) // NULL stays NULL
+    val vCols = (1 to T).map(j =>
+      round(lit(wv) * col(s"x$j") + lit(bv), 9))
+    val sCols = kCols.map(k => q * k * lit(4.0)) // masked → NULL (= −inf)
+    val m = greatest(sCols: _*) // skips NULLs in Spark AND DuckDB
+    val eCols = sCols.map(s => coalesce(exp(s - m), lit(0.0)))
+    val z = eCols.reduce(_ + _)
+    val out = eCols.zip(vCols).map { case (e, v) =>
+      coalesce(e * v, lit(0.0))
+    }.reduce(_ + _) / z
+    piv.select(col("user_id"), col("n_valid"),
+      round(out, 6).as("attn_out"))
       .orderBy(col("user_id"))
   }
 }

@@ -357,6 +357,174 @@ class SeqForwardSpec extends SparkSpec {
     assert(row.getDouble(3) != row.getDouble(4))
   }
 
+  // plain-Scala replay of the q418 LSTM hidden trajectory on `fixture`
+  private def lstmHiddenTrajectory: Seq[(Double, Double)] = {
+    def sig(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    def th(z: Double) =
+      (math.exp(2.0 * z) - 1.0) / (math.exp(2.0 * z) + 1.0)
+    val xs = (1 to SeqForward.T).map(t => r9(t * 50.0 / 500.0))
+    var h = Array(0.0, 0.0); var c = Array(0.0, 0.0)
+    xs.map { x =>
+      def gate(g: Int, u: Int): Double =
+        SeqForward.lstmParam(g, u, 0) * x +
+          SeqForward.lstmParam(g, u, 1) * h(0) +
+          SeqForward.lstmParam(g, u, 2) * h(1) +
+          SeqForward.lstmParam(g, u, 3)
+      val cNew = (0 until SeqForward.H).map(u =>
+        r9(sig(gate(1, u)) * c(u) + sig(gate(0, u)) * th(gate(3, u))))
+      val hNew = (0 until SeqForward.H).map(u =>
+        r9(sig(gate(2, u)) * th(cNew(u))))
+      c = cNew.toArray; h = hNew.toArray
+      (h(0), h(1))
+    }
+  }
+
+  test("attentionPoolingForward: uniform scores reduce to the plain mean") {
+    // w2 = 0 kills the score MLP's input dependence -> every position
+    // scores b2 -> softmax is exactly uniform -> pooled = mean of h_t
+    val hs = lstmHiddenTrajectory
+    val row = SeqForward.attentionPoolingForward(fixture, "user_id", "ts",
+      "event_id", "value",
+      scoreParams = Seq(0.3, -0.2, 0.1, 0.0, 0.7)).collect().head
+    val n = SeqForward.T.toDouble
+    assert(row.getAs[Double]("pooled1") == r6(hs.map(_._1).sum / n))
+    assert(row.getAs[Double]("pooled2") == r6(hs.map(_._2).sum / n))
+    (1 to SeqForward.T).foreach { t =>
+      assert(row.getAs[Double](s"w$t") == r6(1.0 / n),
+        s"weight w$t not uniform") }
+  }
+
+  test("attentionPoolingForward: a planted peak dominates the pooling") {
+    // s_t = 1000·tanh(h1_t): the position with the max first-unit state
+    // takes essentially all the softmax mass
+    val hs = lstmHiddenTrajectory
+    val best = hs.map(_._1).zipWithIndex.maxBy(_._1)._2 + 1
+    val row = SeqForward.attentionPoolingForward(fixture, "user_id", "ts",
+      "event_id", "value",
+      scoreParams = Seq(1.0, 0.0, 0.0, 1000.0, 0.0)).collect().head
+    assert(row.getAs[Double](s"w$best") > 0.99,
+      s"planted peak at $best did not dominate")
+    assert(math.abs(row.getAs[Double]("pooled1") - hs(best - 1)._1) < 1e-4)
+  }
+
+  test("attentionPoolingForward matches a plain-Scala replay (default params)") {
+    def th(z: Double) =
+      (math.exp(2.0 * z) - 1.0) / (math.exp(2.0 * z) + 1.0)
+    val hs = lstmHiddenTrajectory
+    val p = (0 until 5).map(SeqForward.poolParam)
+    val us = hs.map { case (h1, h2) => r9(p(0) * h1 + p(1) * h2 + p(2)) }
+    val ss = us.map(u => r9(p(3) * th(u) + p(4)))
+    val m = ss.max
+    val es = ss.map(s => math.exp(s - m))
+    val z = es.sum
+    val row = SeqForward.attentionPoolingForward(fixture, "user_id", "ts",
+      "event_id", "value").collect().head
+    assert(row.getAs[Double]("pooled1") ==
+      r6(es.zip(hs).map { case (e, h) => e * h._1 }.sum / z))
+    assert(row.getAs[Double]("pooled2") ==
+      r6(es.zip(hs).map { case (e, h) => e * h._2 }.sum / z))
+    (1 to SeqForward.T).foreach { t =>
+      assert(row.getAs[Double](s"w$t") == r6(es(t - 1) / z)) }
+  }
+
+  test("bidiLstmForward: backward over the reversed sequence equals forward") {
+    // share the forward weights across directions: the backward pass
+    // processes positions T..1, so on a TIME-REVERSED fixture it sees the
+    // original order and must reproduce the forward states exactly
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rev = (1 to 8).map { i =>
+      (7L, new java.sql.Timestamp(base.getTime + i * 60000L), i.toLong,
+        (9 - i) * 50.0) // values reversed in time
+    }.toDF("user_id", "ts", "event_id", "value")
+    val orig = fixture.filter(col("event_id") <= 8)
+    val fwd = SeqForward.bidiLstmForward(orig, "user_id", "ts",
+      "event_id", "value",
+      revParam = SeqForward.lstmParam).collect().head
+    val bwd = SeqForward.bidiLstmForward(rev, "user_id", "ts",
+      "event_id", "value",
+      revParam = SeqForward.lstmParam).collect().head
+    assert(bwd.getAs[Double]("hb1") == fwd.getAs[Double]("hf1"))
+    assert(bwd.getAs[Double]("hb2") == fwd.getAs[Double]("hf2"))
+    // and symmetrically: forward on the reversed fixture = backward on
+    // the original
+    assert(bwd.getAs[Double]("hf1") == fwd.getAs[Double]("hb1"))
+    assert(bwd.getAs[Double]("hf2") == fwd.getAs[Double]("hb2"))
+  }
+
+  test("bidiLstmForward: forward half equals the q418 trajectory; reverse draw differs") {
+    val hs = lstmHiddenTrajectory
+    val row = SeqForward.bidiLstmForward(fixture, "user_id", "ts",
+      "event_id", "value").collect().head
+    assert(row.getAs[Double]("hf1") == r6(hs.last._1))
+    assert(row.getAs[Double]("hf2") == r6(hs.last._2))
+    // the independent reverse draw must actually produce different states
+    assert(row.getAs[Double]("hb1") != row.getAs[Double]("hf1"))
+  }
+
+  test("posEncSin pins the reference's sinusoidal encoding literals") {
+    // transformer.py:16-45 at d_model=2: PE(pos,0)=sin(pos), PE(pos,1)=
+    // cos(pos) with torch 0-indexed positions; our t = pos+1
+    (1 to SeqForward.T).foreach { t =>
+      assert(SeqForward.posEncSin(t)._1 == r9(math.sin((t - 1).toDouble)))
+      assert(SeqForward.posEncSin(t)._2 == r9(math.cos((t - 1).toDouble)))
+    }
+    // position 0 is the identity anchor: (sin 0, cos 0) = (0, 1)
+    assert(SeqForward.posEncSin(1) == ((0.0, 1.0)))
+  }
+
+  test("sinusoidal-PE block differs from the polynomial block only through PE") {
+    // same weights, same fixture: the two encodings give different
+    // outputs (PE actually flows), and forcing the SAME pe function
+    // reproduces q421 exactly (nothing else changed in the plan)
+    val poly = SeqForward.transformerBlockForward(fixture, "user_id",
+      "ts", "event_id", "value").collect().head
+    val sin = SeqForward.transformerBlockForward(fixture, "user_id",
+      "ts", "event_id", "value",
+      pe = SeqForward.posEncSin).collect().head
+    assert(sin.getDouble(1) != poly.getDouble(1))
+    val polyAgain = SeqForward.transformerBlockForward(fixture, "user_id",
+      "ts", "event_id", "value",
+      pe = SeqForward.posEnc).collect().head
+    assert(polyAgain.getDouble(1) == poly.getDouble(1))
+    assert(polyAgain.getDouble(2) == poly.getDouble(2))
+  }
+
+  test("maskedAttentionForward: padding invariance and full-window parity") {
+    // a 5-event user: masked positions 6..8 must contribute NOTHING —
+    // the output equals a plain-Scala softmax over exactly 5 positions
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val short = (1 to 5).map { i =>
+      (3L, new java.sql.Timestamp(base.getTime + i * 60000L), i.toLong,
+        i * 40.0)
+    }.toDF("user_id", "ts", "event_id", "value")
+    val xs = (1 to 5).map(i => r9(i * 40.0 / 500.0))
+    val q = r9(SeqForward.attnParam(0) * xs.last + SeqForward.attnParam(1))
+    val ks = xs.map(x => r9(SeqForward.attnParam(2) * x +
+      SeqForward.attnParam(3)))
+    val vs = xs.map(x => r9(SeqForward.attnParam(4) * x +
+      SeqForward.attnParam(5)))
+    val ss = ks.map(k => q * k * 4.0)
+    val m = ss.max
+    val es = ss.map(s => math.exp(s - m))
+    val out = r6(es.zip(vs).map { case (e, v) => e * v }.sum / es.sum)
+    val row = SeqForward.maskedAttentionForward(short, "user_id", "ts",
+      "event_id", "value").collect().head
+    assert(row.getAs[Long]("n_valid") == 5L)
+    assert(row.getAs[Double]("attn_out") == out,
+      s"masked output ${row.getAs[Double]("attn_out")} vs replay $out")
+    // a FULL window reproduces the unmasked q419 arithmetic digit for digit
+    val full = SeqForward.maskedAttentionForward(fixture, "user_id", "ts",
+      "event_id", "value").collect().head
+    val unmasked = SeqForward.attentionForward(fixture, "user_id", "ts",
+      "event_id", "value").collect().head
+    assert(full.getAs[Double]("attn_out") ==
+      unmasked.getAs[Double]("attn_out"))
+    // sub-Tmin users stay out
+    assert(SeqForward.maskedAttentionForward(
+      short.filter(col("event_id") <= 1), "user_id", "ts", "event_id",
+      "value").count() == 0)
+  }
+
   test("forward passes carry no global window and no join") {
     import org.apache.spark.sql.execution.window.WindowExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -368,6 +536,12 @@ class SeqForwardSpec extends SparkSpec {
         SeqForward.transformerBlockForward(fixture, "user_id", "ts",
           "event_id", "value"),
         SeqForward.multiHeadBlockForward(fixture, "user_id", "ts",
+          "event_id", "value"),
+        SeqForward.attentionPoolingForward(fixture, "user_id", "ts",
+          "event_id", "value"),
+        SeqForward.bidiLstmForward(fixture, "user_id", "ts", "event_id",
+          "value"),
+        SeqForward.maskedAttentionForward(fixture, "user_id", "ts",
           "event_id", "value")).foreach { df =>
         val p = df.queryExecution.executedPlan
         p.foreach {
