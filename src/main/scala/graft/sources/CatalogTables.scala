@@ -75,6 +75,46 @@ object CatalogTables {
     }
   }
 
+  /** ANALYZE every managed table so the catalog carries rowCount and
+    * totalSize — the 100 TB posture: broadcast decisions and CBO join
+    * sizing must come from METADATA, not file listings (a partitioned
+    * CatalogFileIndex without stats reports the unbounded default size
+    * and can never broadcast; rowCount exists ONLY as a catalog stat).
+    */
+  def analyzeAll(spark: SparkSession, db: String = dbName): Unit =
+    Tables.names.foreach { n =>
+      spark.sql(s"ANALYZE TABLE $db.$n COMPUTE STATISTICS")
+    }
+
+  /** Append ONE new date partition to the managed events fact — the
+    * catalog-lifecycle "tomorrow's data lands" path: a day's worth of
+    * rows (cloned from the latest partition, ids offset past the
+    * current max, ts shifted so the `event_date = to_date(ts)` contract
+    * still holds) INSERTed INTO the partitioned table. Every consumer —
+    * `spark.table`, the contract view, the SQL surface — serves the new
+    * partition transparently, and a filter on the new date prunes to
+    * just it. Returns (new partition date, rows appended).
+    */
+  def appendEventsPartition(spark: SparkSession,
+      db: String = dbName, sample: Int = 100): (java.sql.Date, Long) = {
+    val t = spark.table(s"$db.events")
+    val mx = t.agg(max(col("event_date")).as("d"),
+      max(col("event_id")).as("i")).head()
+    val (day, maxId) = (mx.getDate(0), mx.getLong(1))
+    val newDay = java.sql.Date.valueOf(day.toLocalDate.plusDays(1))
+    val cols = Tables.contract("events").map { case (c, _) => c }
+    val rows = t.filter(col("event_date") === lit(day)).limit(sample)
+      .withColumn("event_id", col("event_id") + lit(maxId))
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 DAY"))
+      .withColumn("event_date", lit(newDay))
+      .select((cols :+ "event_date").map(col): _*)
+    val n = rows.count()
+    // insertInto is POSITION-based: contract order + partition col last,
+    // exactly the materialized layout
+    rows.write.mode("append").insertInto(s"$db.events")
+    (newDay, n)
+  }
+
   /** A catalog table in contract shape: partition column dropped, contract
     * column order restored (saveAsTable moves partition columns last).
     */

@@ -84,6 +84,32 @@ object CatalogInit {
       s"filesRead=$files of $parts partitions" +
       s" => ${if (ok) "METASTORE-PRUNED" else "AUDIT FAIL"}")
     if (!ok) sys.error("[catalog] partition pruning not metastore-backed")
+    // stats lifecycle: ANALYZE (idempotent — re-runs refresh), then audit
+    // that rowCount lives in the METASTORE and sizes a broadcast join —
+    // at 100 TB the join planner must read metadata, never list files
+    CatalogTables.analyzeAll(spark)
+    val nStats = spark.sharedState.externalCatalog.getTable(db, "nation")
+      .stats
+    val nRows = nStats.flatMap(_.rowCount).map(_.toLong).getOrElse(-1L)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val jq = spark.table(s"$db.customer")
+      .join(spark.table(s"$db.nation"),
+        col("c_nationkey") === org.apache.spark.sql.functions
+          .col("n_nationkey"))
+      .groupBy(org.apache.spark.sql.functions.col("n_name")).count()
+    jq.collect()
+    val bcast = jq.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.nonEmpty
+    val planRows = spark.table(s"$db.nation")
+      .queryExecution.optimizedPlan.stats.rowCount
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val statsOk = nRows > 0 && planRows.contains(BigInt(nRows)) && bcast
+    println(s"[catalog] stats audit: nation rowCount=$nRows " +
+      s"planRowCount=${planRows.getOrElse(-1)} broadcastJoin=$bcast" +
+      s" => ${if (statsOk) "STATS-SIZED" else "AUDIT FAIL"}")
+    if (!statsOk) sys.error("[catalog] join sizing not metastore-backed")
     spark.stop()
   }
 }

@@ -88,4 +88,71 @@ class CatalogSurfaceSpec extends SparkSpec {
       .filter(col("o_month") === lit(java.sql.Date.valueOf("1995-01-01"))))
     assert(mScan.partitionFilters.nonEmpty)
   }
+
+  test("ANALYZE stats land in the catalog and size joins from metadata") {
+    ready
+    val db = CatalogTables.dbName
+    CatalogTables.analyzeAll(spark)
+    // rowCount can ONLY come from a catalog stat — a file listing never
+    // carries it — so its presence in the catalog AND in the optimized
+    // plan proves join sizing is metadata-driven, the 100 TB posture
+    val nationRows = Tables.load(spark, dir, "nation").count()
+    val catStats = spark.sharedState.externalCatalog
+      .getTable(db, "nation").stats
+    assert(catStats.exists(_.rowCount.contains(BigInt(nationRows))),
+      s"ANALYZE did not persist rowCount: $catStats")
+    assert(catStats.exists(_.sizeInBytes > 0))
+    val oldCbo = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    // AQE's AdaptiveSparkPlanExec hides its final plan from collect();
+    // the static plan makes the broadcast decision visible
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val st = spark.table(s"$db.nation")
+        .queryExecution.optimizedPlan.stats
+      assert(st.rowCount.contains(BigInt(nationRows)),
+        s"catalog rowCount did not reach the plan: $st")
+      // the stats-sized dim side broadcasts in a fact ⋈ dim join
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      val j = spark.table(s"$db.customer")
+        .join(spark.table(s"$db.nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).count()
+      j.collect()
+      assert(j.queryExecution.executedPlan.collect {
+        case b: BroadcastHashJoinExec => b
+      }.nonEmpty, s"no broadcast join in:\n${j.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", oldCbo)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  // LAST in the suite by design: the append mutates the shared catalog
+  // fact, and the earlier tests assert parquet-parity counts
+  test("appending a date partition is served transparently with pruning") {
+    ready
+    val db = CatalogTables.dbName
+    val before = spark.sql(s"SHOW PARTITIONS $db.events").count()
+    val cntBefore = spark.table(s"$db.events").count()
+    val (newDay, n) = CatalogTables.appendEventsPartition(spark)
+    assert(n > 0)
+    assert(spark.sql(s"SHOW PARTITIONS $db.events").count() == before + 1,
+      "the append must register exactly one new partition")
+    // a filter on the new date prunes to just the appended partition...
+    val q = spark.table(s"$db.events")
+      .filter(col("event_date") === lit(newDay))
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("no file scan"))
+    assert(scan.partitionFilters.nonEmpty)
+    assert(q.count() == n)
+    // ...and every consumer serves the grown fact with no re-registration
+    assert(spark.table(s"$db.events").count() == cntBefore + n)
+    assert(CatalogTables.contractView(spark, "events").count() ==
+      cntBefore + n)
+    // the event_date = to_date(ts) derivation contract still holds
+    assert(q.filter(expr("to_date(ts)") =!= col("event_date")).count() == 0)
+  }
 }
