@@ -928,7 +928,8 @@ object StreamingOps {
     */
   def streamingIvfIngest(spark: SparkSession, wavesDir: String,
       idCol: String, vecCol: String, indexRoot: String, nlist: Int,
-      simRound: Option[Int] = Some(6)): Unit = {
+      simRound: Option[Int] = Some(6),
+      failAtBatch: Option[Long] = None): Unit = {
     import graft.operators.SimilarityOps
     val schema = spark.read.parquet(wavesDir).schema
     val stream = spark.readStream.schema(schema)
@@ -944,6 +945,16 @@ object StreamingOps {
       SimilarityOps.ivfAssign(batch, idCol, vecCol, cents, simRound)
         .write.mode("overwrite").partitionBy("centroid_id")
         .parquet(s"$indexRoot/assigned/batch=$batchId")
+      // fault injection for the recovery contract: die AFTER the sink
+      // write but BEFORE the checkpoint commit — the worst crash window.
+      // A restart from the checkpoint re-runs this batch (at-least-once)
+      // and its batchId-keyed overwrite replaces the orphaned partial
+      // state instead of duplicating it (the spec kills here and asserts
+      // convergence to the uninterrupted build).
+      failAtBatch.filter(_ == batchId).foreach { b =>
+        throw new IllegalStateException(
+          s"injected crash after batch $b sink write")
+      }
     }
     val q = stream.writeStream
       .outputMode("append")

@@ -93,6 +93,66 @@ class IvfIndexSpec extends SparkSpec {
       (0 until 8))
   }
 
+  test("streamingIvfIngest: kill mid-stream, resume from the checkpoint, converge") {
+    val b = graft.operators.SplitOps.hashBucket(col("vec_id"), 10)
+    val tagged = emb.withColumn("__w",
+      when(b < 3, 0).when(b < 6, 1).when(b < 8, 2).otherwise(3))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivf_resume").toString
+    val wavesDir = s"$root/waves"
+    new java.io.File(wavesDir).mkdirs()
+    (0 until 4).foreach { w =>
+      val tmp = s"$root/w$w"
+      tagged.filter(col("__w") === w).drop("__w")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(wavesDir, f"wave$w%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1000000L * (w + 1)))
+    }
+    // phase 1: the query DIES in the worst crash window — batch 2's sink
+    // write landed but its checkpoint commit never happened
+    val crashed = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] {
+      graft.streaming.StreamingOps.streamingIvfIngest(
+        spark, wavesDir, "vec_id", "embedding", s"$root/index", nlist = 8,
+        failAtBatch = Some(2L))
+    }
+    assert(crashed.getMessage.contains("injected crash"))
+    // the orphaned batch-2 state is on disk (sink wrote before the kill)
+    assert(new java.io.File(s"$root/index/assigned/batch=2").isDirectory)
+    val centsBefore = spark.read.parquet(s"$root/index/centroids")
+      .orderBy("centroid_id").collect().toSeq
+    // phase 2: restart from the SAME checkpoint — batches 0/1 are NOT
+    // reprocessed, batch 2 retries (overwriting its own orphaned state),
+    // batch 3 runs, and the quantizer is never redrawn
+    graft.streaming.StreamingOps.streamingIvfIngest(
+      spark, wavesDir, "vec_id", "embedding", s"$root/index", nlist = 8)
+    val centsAfter = spark.read.parquet(s"$root/index/centroids")
+      .orderBy("centroid_id").collect().toSeq
+    assert(centsAfter == centsBefore,
+      "resume must keep the frozen wave-0 quantizer, not redraw it")
+    // exactly one state directory per batch — the retry replaced, never
+    // duplicated
+    val batchDirs = new java.io.File(s"$root/index/assigned").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted.toSeq
+    assert(batchDirs == Seq("batch=0", "batch=1", "batch=2", "batch=3"))
+    // convergence: the recovered index equals the uninterrupted reference
+    val (streamed, _) = graft.streaming.StreamingOps
+      .readStreamedIvfIndex(spark, s"$root/index", "vec_id")
+    val w0cents = SimilarityOps.ivfCentroidsPortable(
+      tagged.filter(col("__w") === 0), "vec_id", "embedding", nlist = 8)
+    val ref = SimilarityOps.ivfAssign(emb, "vec_id", "embedding",
+        w0cents, simRound = Some(6))
+      .select(col("vec_id"), col("centroid_id"))
+      .as[(Long, Int)].collect().toSet
+    val got = streamed.select(col("vec_id"), col("centroid_id"))
+      .as[(Long, Int)].collect().toSet
+    assert(got == ref)
+    assert(got.size == emb.count(), "no row lost or duplicated by the crash")
+  }
+
   test("appendIvfIndex: incremental batches equal the frozen-centroid full build") {
     val batch1 = emb.filter(col("vec_id") < 60)
     val batch2 = emb.filter(col("vec_id") >= 60)
