@@ -874,12 +874,17 @@ private[graft] trait EntryPart1 extends EntryBase {
   // oracle.
   def q65(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // inner emission is watermark-independent → the trailing no-data
+    // eviction batch emits nothing and is skipped; state partitions are
+    // sized to the live state (~40k rows), not the session shuffle width
+    // (round-14 probe: 13.2s → 5.6s wall at sf0.1, results identical)
     val joined = graft.streaming.StreamingOps.streamStreamRangeJoin(
       spark, dir, "events.parquet", "user_id", "ts",
       col("event_type") === "purchase", col("event_type") === "click",
       rangeSeconds = 86400, "2 days",
       graft.streaming.StreamSink.Memory(s"q65_sink_${System.nanoTime()}"),
-      prepare = Tables.normalizeEventTs)
+      prepare = Tables.normalizeEventTs,
+      noDataBatch = false, stateParts = Some(8))
     joined.select(
       col("event_id").as("p_id"), col("event_id_r").as("c_id"),
       col("user_id"),

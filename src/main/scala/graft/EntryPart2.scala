@@ -178,7 +178,10 @@ private[graft] trait EntryPart2 extends EntryPart1 {
       col("event_type") === "purchase", col("event_type") === "click",
       rangeSeconds = 86400, "2 days",
       graft.streaming.StreamSink.Memory(s"q108_sink_${System.nanoTime()}"),
-      prepare = Tables.normalizeEventTs)
+      prepare = Tables.normalizeEventTs,
+      // state partitions sized to the live state, not the session
+      // shuffle width (the no-data batch stays: it emits the nulls)
+      stateParts = Some(8))
     // matured horizon from the static table (harness determinism filter —
     // a 1-row aggregate, broadcast into the predicate)
     val horizon = t(spark, dir, "events")

@@ -476,11 +476,48 @@ object StreamingOps {
     * Right-side columns come back suffixed `_r` (the two sides may share a
     * schema, as in a self-join on one event stream).
     */
+  /** Run `body` with the given session confs set, restoring (or
+    * unsetting) the previous values after — the streaming engine reads
+    * them at query START, and every runToSink query starts and finishes
+    * inside the call, so the override is scoped to exactly one query.
+    */
+  private def withTempConf[T](spark: SparkSession,
+      kvs: Seq[(String, String)])(body: => T): T = {
+    val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Stream-stream watermarked range join.
+    *
+    * Two tuning knobs, both measured on the bench drift (round-14 probe,
+    * sf0.1: 13.2 s → 5.6 s wall):
+    *
+    *   - `noDataBatch = false` skips the trailing no-data micro-batch.
+    *     For an INNER join that batch only EVICTS state and emits
+    *     nothing (emission is watermark-independent — the very property
+    *     that makes the finite replay hash the batch oracle), yet it
+    *     paid a full per-partition state-store commit round (~4 s at 32
+    *     partitions). Results are identical with it off. The OUTER
+    *     variant must keep it: null emission is watermark-driven.
+    *   - `stateParts` pins `spark.sql.shuffle.partitions` for this one
+    *     query: stream-join state lives in 4 stores × partitions, and
+    *     each partition pays a fixed commit cost per micro-batch — state
+    *     partitioning is a SIZING decision (rows of live state), not a
+    *     mirror of the session's batch shuffle width. At bench scale
+    *     (~40 k state rows) 8 partitions more than suffices; at 100 TB
+    *     you size it UP the same way, decoupled from the core count.
+    */
   def streamStreamRangeJoin(spark: SparkSession, dir: String, fileName: String,
       keyCol: String, tsCol: String,
       leftPred: org.apache.spark.sql.Column, rightPred: org.apache.spark.sql.Column,
       rangeSeconds: Long, watermark: String, sink: StreamSink,
-      prepare: DataFrame => DataFrame = identity): DataFrame = {
+      prepare: DataFrame => DataFrame = identity,
+      noDataBatch: Boolean = true,
+      stateParts: Option[Int] = None): DataFrame = {
     val l = prepare(fileStream(spark, dir, fileName))
       .filter(leftPred).withWatermark(tsCol, watermark)
     val rBase = prepare(fileStream(spark, dir, fileName)).filter(rightPred)
@@ -490,7 +527,13 @@ object StreamingOps {
     val cond = col(keyCol) === col(keyCol + "_r") &&
       col(tsCol + "_r") <= col(tsCol) &&
       col(tsCol + "_r") >= col(tsCol) - expr(s"INTERVAL $rangeSeconds SECONDS")
-    runToSink(spark, l.join(r, cond), sink, "append")
+    val kvs = Seq(
+      "spark.sql.streaming.noDataMicroBatches.enabled" ->
+        noDataBatch.toString) ++
+      stateParts.map(p => "spark.sql.shuffle.partitions" -> p.toString)
+    withTempConf(spark, kvs) {
+      runToSink(spark, l.join(r, cond), sink, "append")
+    }
   }
 
   /** LEFT-OUTER stream-stream range join: same shape as
@@ -509,7 +552,8 @@ object StreamingOps {
       fileName: String, keyCol: String, tsCol: String,
       leftPred: org.apache.spark.sql.Column, rightPred: org.apache.spark.sql.Column,
       rangeSeconds: Long, watermark: String, sink: StreamSink,
-      prepare: DataFrame => DataFrame = identity): DataFrame = {
+      prepare: DataFrame => DataFrame = identity,
+      stateParts: Option[Int] = None): DataFrame = {
     val l = prepare(fileStream(spark, dir, fileName))
       .filter(leftPred).withWatermark(tsCol, watermark)
     val rBase = prepare(fileStream(spark, dir, fileName)).filter(rightPred)
@@ -519,7 +563,14 @@ object StreamingOps {
     val cond = col(keyCol) === col(keyCol + "_r") &&
       col(tsCol + "_r") <= col(tsCol) &&
       col(tsCol + "_r") >= col(tsCol) - expr(s"INTERVAL $rangeSeconds SECONDS")
-    runToSink(spark, l.join(r, cond, "leftOuter"), sink, "append")
+    // no noDataBatch knob here ON PURPOSE: unmatched-left emission is
+    // watermark-DRIVEN, and the trailing no-data batch is what releases
+    // the matured unmatched rows — skipping it would drop them
+    val kvs = stateParts.map(p =>
+      "spark.sql.shuffle.partitions" -> p.toString).toSeq
+    withTempConf(spark, kvs) {
+      runToSink(spark, l.join(r, cond, "leftOuter"), sink, "append")
+    }
   }
 
   def streamStaticJoinStats(spark: SparkSession, dir: String, fileName: String,
