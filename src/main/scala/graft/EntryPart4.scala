@@ -534,6 +534,36 @@ private[graft] trait EntryPart4 extends EntryPart3 {
     graft.ml.SeqForward.maskedAttentionForward(
       t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
 
+  // ---------------------------------------------------------------- q431
+  // GRU cell forward, hash-checked (the reference's rnn_type="gru"
+  // variant, lstm.py:111 nn.GRU): torch gate semantics with the hidden
+  // bias INSIDE the reset product — r/z sigmoid gates, candidate
+  // n = tanh(W_in x + b_in + r*(W_hn h + b_hn)), h' = (1-z)*n + z*h —
+  // unrolled T steps on a disjoint round-9 draw.
+  def q431(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.SeqForward.gruForward(
+      t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
+
+  // ---------------------------------------------------------------- q432
+  // Two-layer stacked LSTM forward, hash-checked (the reference default
+  // depth: num_layers=2 at lstm.py:73): layer 2 consumes layer 1's full
+  // per-step hidden sequence (snapshotted columns) with its own disjoint
+  // draw; both layers' final states exposed.
+  def q432(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.SeqForward.stackedLstmForward(
+      t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
+
+  // ---------------------------------------------------------------- q433
+  // The reference model's WHOLE inference path, hash-checked end to end
+  // (lstm.py:59-230 HiveLSTM.forward): input Linear(1→2) + LayerNorm
+  // (torch ε=1e-5, learned γ/β) → bidirectional LSTM (per-position
+  // [h_fwd;h_bwd], dim 4) → attention pooling (Linear→Tanh→Linear
+  // scores, softmax, mix) → output Linear(4→2)+ReLU → regression head.
+  // A reference user can run model inference here and hash-match it.
+  def q433(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.SeqForward.hiveLstmForward(
+      t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
+
   // ---------------------------------------------------------------- q426
   // TRAINED Elman RNN under the reference's DEFAULT optimizer, hash-
   // checked (trainer.py:125-131 AdamW, weight_decay=0.01 at :89):

@@ -2334,6 +2334,21 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
     // NULL-skipping GREATEST shift in both engines), q from the last
     // valid position.
     "q430_masked_attention" -> q430MaskedAttnSql,
+
+    // q431: the GRU cell replayed — torch gate semantics (b_hn INSIDE
+    // the reset product), two CTEs per step (gates+hidden-side
+    // pre-activation from the old h, then candidate+interpolation).
+    "q431_gru_forward" -> q431GruSql,
+
+    // q432: the two-layer stack replayed — layer 1 is q418's chain with
+    // per-step snapshots, layer 2 the same gated recurrence over that
+    // 2-dim sequence with its own literal bank.
+    "q432_stacked_lstm" -> q432StackedLstmSql,
+
+    // q433: the WHOLE HiveLSTM inference path replayed — input Linear +
+    // LayerNorm CTEs, interleaved fwd/bwd recurrence with per-position
+    // snapshots, pooling MLP/softmax/mix, output Linear+ReLU, head.
+    "q433_hive_lstm_forward" -> q433HiveLstmSql,
   )
 
   protected def q425LstmTrainSql: String = {
@@ -3148,6 +3163,291 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
          |  ROUND(fh1, 6) + 0.0 AS hf1, ROUND(fh2, 6) + 0.0 AS hf2,
          |  ROUND(bh1, 6) + 0.0 AS hb1, ROUND(bh2, 6) + 0.0 AS hb2
          |FROM s$T ORDER BY user_id""".stripMargin
+  }
+
+  protected def q431GruSql: String = {
+    import graft.ml.SeqForward.{H, T, fmt, gruParam}
+    def sig(z: String): String = s"1.0 / (1.0 + EXP(-($z)))"
+    def tanh(z: String): String =
+      s"(EXP(2.0 * ($z)) - 1.0) / (EXP(2.0 * ($z)) + 1.0)"
+    def inSide(g: Int, u: Int, t: Int): String =
+      s"${fmt(gruParam(g, u, 0))} * x$t + ${fmt(gruParam(g, u, 3))}"
+    def hidSide(g: Int, u: Int): String =
+      s"${fmt(gruParam(g, u, 1))} * h1 + ${fmt(gruParam(g, u, 2))} * h2" +
+        s" + ${fmt(gruParam(g, u, 4))}"
+    val xs = (1 to T).map(t => s"x$t").mkString(", ")
+    val steps = (1 to T).map { t =>
+      val gates = (0 until H).flatMap { u =>
+        Seq(
+          s"    ROUND(${sig(s"${inSide(0, u, t)} + ${hidSide(0, u)}")}, 9)" +
+            s" AS r${u + 1}",
+          s"    ROUND(${sig(s"${inSide(1, u, t)} + ${hidSide(1, u)}")}, 9)" +
+            s" AS z${u + 1}",
+          s"    ROUND(${hidSide(2, u)}, 9) AS p${u + 1}")
+      }.mkString(",\n")
+      val hNew = (0 until H).map { u =>
+        s"    ROUND((1.0 - z${u + 1}) * " +
+          s"${tanh(s"${inSide(2, u, t)} + r${u + 1} * p${u + 1}")} + " +
+          s"z${u + 1} * hprev${u + 1}, 9) AS h${u + 1}"
+      }.mkString(",\n")
+      s""",g$t AS (
+         |  SELECT user_id, $xs, h1 AS hprev1, h2 AS hprev2,
+         |$gates
+         |  FROM s${t - 1}),
+         |s$t AS (
+         |  SELECT user_id, $xs,
+         |$hNew
+         |  FROM g$t)
+         |""".stripMargin
+    }.mkString
+    seqPivotCtes +
+      s""",s0 AS (
+         |  SELECT user_id, $xs,
+         |    CAST(0.0 AS DOUBLE) AS h1, CAST(0.0 AS DOUBLE) AS h2
+         |  FROM p)
+         |""".stripMargin + steps +
+      s"""SELECT user_id,
+         |  ROUND(h1, 6) + 0.0 AS h1, ROUND(h2, 6) + 0.0 AS h2
+         |FROM s$T ORDER BY user_id""".stripMargin
+  }
+
+  protected def q432StackedLstmSql: String = {
+    import graft.ml.SeqForward.{H, T, fmt, lstmParam, lstm2Param}
+    def sig(z: String): String = s"1.0 / (1.0 + EXP(-($z)))"
+    def tanh(z: String): String =
+      s"(EXP(2.0 * ($z)) - 1.0) / (EXP(2.0 * ($z)) + 1.0)"
+    def gate1(g: Int, u: Int, t: Int): String =
+      s"${fmt(lstmParam(g, u, 0))} * x$t + ${fmt(lstmParam(g, u, 1))} * h1" +
+        s" + ${fmt(lstmParam(g, u, 2))} * h2 + ${fmt(lstmParam(g, u, 3))}"
+    def gate2(g: Int, u: Int, t: Int): String =
+      s"${fmt(lstm2Param(g, u, 0))} * ht${t}_1 + " +
+        s"${fmt(lstm2Param(g, u, 1))} * ht${t}_2 + " +
+        s"${fmt(lstm2Param(g, u, 2))} * hh1 + " +
+        s"${fmt(lstm2Param(g, u, 3))} * hh2 + ${fmt(lstm2Param(g, u, 4))}"
+    val xs = (1 to T).map(t => s"x$t").mkString(", ")
+    def hist(upTo: Int): String = (1 to upTo)
+      .flatMap(t => Seq(s"ht${t}_1", s"ht${t}_2")) match {
+      case Seq() => ""
+      case cols => cols.mkString(", ", ", ", "")
+    }
+    val l1 = (1 to T).map { t =>
+      val cNew = (0 until H).map { u =>
+        s"    ROUND(${sig(gate1(1, u, t))} * c${u + 1} + " +
+          s"${sig(gate1(0, u, t))} * ${tanh(gate1(3, u, t))}, 9) AS c${u + 1}"
+      }.mkString(",\n")
+      val hNew = (0 until H).map { u =>
+        s"    ROUND(${sig(gate1(2, u, t))} * ${tanh(s"c${u + 1}")}, 9)" +
+          s" AS h${u + 1}"
+      }.mkString(",\n")
+      val src = if (t == 1) "s0" else s"n${t - 1}"
+      s""",c$t AS (
+         |  SELECT user_id, $xs, h1, h2${hist(t - 1)},
+         |$cNew
+         |  FROM $src),
+         |s$t AS (
+         |  SELECT user_id, $xs, c1, c2${hist(t - 1)},
+         |$hNew
+         |  FROM c$t),
+         |n$t AS (
+         |  SELECT *, h1 AS ht${t}_1, h2 AS ht${t}_2 FROM s$t)
+         |""".stripMargin
+    }.mkString
+    val histAll = (1 to T).flatMap(t => Seq(s"ht${t}_1", s"ht${t}_2"))
+      .mkString(", ")
+    val l2 = (1 to T).map { t =>
+      val cNew = (0 until H).map { u =>
+        s"    ROUND(${sig(gate2(1, u, t))} * cc${u + 1} + " +
+          s"${sig(gate2(0, u, t))} * ${tanh(gate2(3, u, t))}, 9)" +
+          s" AS cc${u + 1}"
+      }.mkString(",\n")
+      val hNew = (0 until H).map { u =>
+        s"    ROUND(${sig(gate2(2, u, t))} * ${tanh(s"cc${u + 1}")}, 9)" +
+          s" AS hh${u + 1}"
+      }.mkString(",\n")
+      s""",d$t AS (
+         |  SELECT user_id, l1_h1, l1_h2, $histAll, hh1, hh2,
+         |$cNew
+         |  FROM t${t - 1}),
+         |t$t AS (
+         |  SELECT user_id, l1_h1, l1_h2, $histAll, cc1, cc2,
+         |$hNew
+         |  FROM d$t)
+         |""".stripMargin
+    }.mkString
+    seqPivotCtes +
+      s""",s0 AS (
+         |  SELECT user_id, $xs,
+         |    CAST(0.0 AS DOUBLE) AS h1, CAST(0.0 AS DOUBLE) AS h2,
+         |    CAST(0.0 AS DOUBLE) AS c1, CAST(0.0 AS DOUBLE) AS c2
+         |  FROM p)
+         |""".stripMargin + l1 +
+      s""",t0 AS (
+         |  SELECT user_id, h1 AS l1_h1, h2 AS l1_h2, $histAll,
+         |    CAST(0.0 AS DOUBLE) AS hh1, CAST(0.0 AS DOUBLE) AS hh2,
+         |    CAST(0.0 AS DOUBLE) AS cc1, CAST(0.0 AS DOUBLE) AS cc2
+         |  FROM n$T)
+         |""".stripMargin + l2 +
+      s"""SELECT user_id,
+         |  ROUND(hh1, 6) + 0.0 AS l2_h1, ROUND(hh2, 6) + 0.0 AS l2_h2,
+         |  ROUND(l1_h1, 6) + 0.0 AS l1_h1, ROUND(l1_h2, 6) + 0.0 AS l1_h2
+         |FROM t$T ORDER BY user_id""".stripMargin
+  }
+
+  protected def q433HiveLstmSql: String = {
+    import graft.ml.SeqForward.{H, T, compParam, fmt}
+    val p = (0 to 113).map(compParam)
+    def sig(z: String): String = s"1.0 / (1.0 + EXP(-($z)))"
+    def tanh(z: String): String =
+      s"(EXP(2.0 * ($z)) - 1.0) / (EXP(2.0 * ($z)) + 1.0)"
+    val eps = fmt(1e-5)
+    val xs = (1 to T).map(t => s"x$t").mkString(", ")
+    // input projection + LayerNorm
+    val lCols = (1 to T).flatMap(t => Seq(
+      s"    ROUND(${fmt(p(0))} * x$t + ${fmt(p(1))}, 9) AS l${t}_1",
+      s"    ROUND(${fmt(p(2))} * x$t + ${fmt(p(3))}, 9) AS l${t}_2"))
+      .mkString(",\n")
+    val lList = (1 to T).flatMap(t => Seq(s"l${t}_1", s"l${t}_2"))
+      .mkString(", ")
+    val muCols = (1 to T).map(t =>
+      s"    (l${t}_1 + l${t}_2) / 2.0 AS mu$t").mkString(",\n")
+    val muList = (1 to T).map(t => s"mu$t").mkString(", ")
+    val vaCols = (1 to T).map(t =>
+      s"    ((l${t}_1 - mu$t) * (l${t}_1 - mu$t) + " +
+        s"(l${t}_2 - mu$t) * (l${t}_2 - mu$t)) / 2.0 AS va$t")
+      .mkString(",\n")
+    val eCols = (1 to T).flatMap(t => Seq(
+      s"    ROUND(${fmt(p(4))} * (l${t}_1 - mu$t) / SQRT(va$t + $eps)" +
+        s" + ${fmt(p(5))}, 9) AS e${t}_1",
+      s"    ROUND(${fmt(p(6))} * (l${t}_2 - mu$t) / SQRT(va$t + $eps)" +
+        s" + ${fmt(p(7))}, 9) AS e${t}_2")).mkString(",\n")
+    val eList = (1 to T).flatMap(t => Seq(s"e${t}_1", s"e${t}_2"))
+      .mkString(", ")
+    // bidirectional LSTM with per-position snapshots
+    def gateD(base: Int, pre: String, g: Int, u: Int, t: Int): String =
+      s"${fmt(p(base + g * H * 5 + u * 5))} * e${t}_1 + " +
+        s"${fmt(p(base + g * H * 5 + u * 5 + 1))} * e${t}_2 + " +
+        s"${fmt(p(base + g * H * 5 + u * 5 + 2))} * ${pre}h1 + " +
+        s"${fmt(p(base + g * H * 5 + u * 5 + 3))} * ${pre}h2 + " +
+        s"${fmt(p(base + g * H * 5 + u * 5 + 4))}"
+    def histNames(steps: Seq[Int]): Seq[String] = steps.sorted.flatMap(s =>
+      Seq(s"of${s}_1", s"of${s}_2", s"ob${T + 1 - s}_1", s"ob${T + 1 - s}_2"))
+    def hist(upTo: Int): String = histNames(1 to upTo) match {
+      case Seq() => ""
+      case cols => cols.mkString(", ", ", ", "")
+    }
+    val bidi = (1 to T).map { s =>
+      val (tf, tb) = (s, T + 1 - s)
+      val cNew = ((0 until H).map { u =>
+        s"    ROUND(${sig(gateD(8, "f", 1, u, tf))} * fc${u + 1} + " +
+          s"${sig(gateD(8, "f", 0, u, tf))} * " +
+          s"${tanh(gateD(8, "f", 3, u, tf))}, 9) AS fc${u + 1}"
+      } ++ (0 until H).map { u =>
+        s"    ROUND(${sig(gateD(48, "b", 1, u, tb))} * bc${u + 1} + " +
+          s"${sig(gateD(48, "b", 0, u, tb))} * " +
+          s"${tanh(gateD(48, "b", 3, u, tb))}, 9) AS bc${u + 1}"
+      }).mkString(",\n")
+      val hNew = ((0 until H).map { u =>
+        s"    ROUND(${sig(gateD(8, "f", 2, u, tf))} * " +
+          s"${tanh(s"fc${u + 1}")}, 9) AS fh${u + 1}"
+      } ++ (0 until H).map { u =>
+        s"    ROUND(${sig(gateD(48, "b", 2, u, tb))} * " +
+          s"${tanh(s"bc${u + 1}")}, 9) AS bh${u + 1}"
+      }).mkString(",\n")
+      val src = if (s == 1) "r0" else s"n${s - 1}"
+      s""",c$s AS (
+         |  SELECT user_id, $eList, fh1, fh2, bh1, bh2${hist(s - 1)},
+         |$cNew
+         |  FROM $src),
+         |s$s AS (
+         |  SELECT user_id, $eList, fc1, fc2, bc1, bc2${hist(s - 1)},
+         |$hNew
+         |  FROM c$s),
+         |n$s AS (
+         |  SELECT *, fh1 AS of${tf}_1, fh2 AS of${tf}_2,
+         |    bh1 AS ob${tb}_1, bh2 AS ob${tb}_2
+         |  FROM s$s)
+         |""".stripMargin
+    }.mkString
+    val histAll = histNames(1 to T).mkString(", ")
+    def o(t: Int): Seq[String] =
+      Seq(s"of${t}_1", s"of${t}_2", s"ob${t}_1", s"ob${t}_2")
+    val uCols = (1 to T).flatMap(t => (0 until 2).map { j =>
+      val terms = o(t).zipWithIndex.map { case (c, k) =>
+        s"${fmt(p(88 + 4 * j + k))} * $c" }.mkString(" + ")
+      s"    ROUND($terms + ${fmt(p(96 + j))}, 9) AS u${t}_${j + 1}"
+    }).mkString(",\n")
+    val sCols = (1 to T).map(t =>
+      s"    ROUND(${fmt(p(98))} * ${tanh(s"u${t}_1")} + " +
+        s"${fmt(p(99))} * ${tanh(s"u${t}_2")} + ${fmt(p(100))}, 9) AS sc$t")
+      .mkString(",\n")
+    val wCols = (1 to T).map(t => s"    EXP(sc$t - m) AS w$t")
+      .mkString(",\n")
+    val zSum = (1 to T).map(t => s"w$t").mkString(" + ")
+    val poolCols = Seq("of%d_1", "of%d_2", "ob%d_1", "ob%d_2")
+      .zipWithIndex.map { case (nm, k) =>
+        val mixed = (1 to T).map(t => s"w$t * ${nm.format(t)}")
+          .mkString(" + ")
+        s"    ROUND(($mixed) / z, 9) AS pool${k + 1}"
+      }.mkString(",\n")
+    val opCols = (0 until 2).map { j =>
+      val terms = (0 until 4).map(k =>
+        s"${fmt(p(101 + 4 * j + k))} * pool${k + 1}").mkString(" + ")
+      s"    GREATEST(0.0, ROUND($terms + ${fmt(p(109 + j))}, 9))" +
+        s" AS op${j + 1}"
+    }.mkString(",\n")
+    seqPivotCtes +
+      s""",il AS (
+         |  SELECT user_id,
+         |$lCols
+         |  FROM p),
+         |im AS (
+         |  SELECT user_id, $lList,
+         |$muCols
+         |  FROM il),
+         |iv AS (
+         |  SELECT user_id, $lList, $muList,
+         |$vaCols
+         |  FROM im),
+         |r0 AS (
+         |  SELECT user_id,
+         |$eCols,
+         |    CAST(0.0 AS DOUBLE) AS fh1, CAST(0.0 AS DOUBLE) AS fh2,
+         |    CAST(0.0 AS DOUBLE) AS fc1, CAST(0.0 AS DOUBLE) AS fc2,
+         |    CAST(0.0 AS DOUBLE) AS bh1, CAST(0.0 AS DOUBLE) AS bh2,
+         |    CAST(0.0 AS DOUBLE) AS bc1, CAST(0.0 AS DOUBLE) AS bc2
+         |  FROM iv)
+         |""".stripMargin + bidi +
+      s""",a1 AS (
+         |  SELECT user_id, $histAll,
+         |$uCols
+         |  FROM n$T),
+         |a2 AS (
+         |  SELECT user_id, $histAll,
+         |$sCols
+         |  FROM a1),
+         |a3 AS (
+         |  SELECT *, GREATEST(${(1 to T).map(t => s"sc$t").mkString(", ")})
+         |    AS m
+         |  FROM a2),
+         |a4 AS (
+         |  SELECT user_id, $histAll,
+         |$wCols
+         |  FROM a3),
+         |a5 AS (SELECT *, $zSum AS z FROM a4),
+         |a6 AS (
+         |  SELECT user_id,
+         |$poolCols
+         |  FROM a5),
+         |a7 AS (
+         |  SELECT user_id, pool1, pool2, pool3, pool4,
+         |$opCols
+         |  FROM a6)
+         |SELECT user_id,
+         |  ROUND(${fmt(p(111))} * op1 + ${fmt(p(112))} * op2 +
+         |    ${fmt(p(113))}, 6) + 0.0 AS pred,
+         |  ROUND(pool1, 6) + 0.0 AS pool1, ROUND(pool2, 6) + 0.0 AS pool2,
+         |  ROUND(pool3, 6) + 0.0 AS pool3, ROUND(pool4, 6) + 0.0 AS pool4
+         |FROM a7 ORDER BY user_id""".stripMargin
   }
 
   protected def q430MaskedAttnSql: String = {

@@ -870,6 +870,283 @@ object SeqForward {
       .orderBy(col("user_id"))
   }
 
+  // GRU parameters (torch nn.GRU, the reference's rnn_type="gru" at
+  // `lstm.py:111`): per gate g ∈ {r, z, n} and unit u: w_x, w_h1, w_h2,
+  // b_i, b_h — torch keeps SEPARATE input/hidden biases because for the
+  // candidate gate the hidden bias sits INSIDE the reset product:
+  // n = tanh(W_in·x + b_in + r ⊙ (W_hn·h + b_hn)). Disjoint offset.
+  def gruParam(gate: Int, unit: Int, slot: Int): Double =
+    param(701 + gate * H * 5 + unit * 5 + slot)
+
+  /** GRU forward, hash-checked — the reference's OTHER recurrent cell
+    * (`lstm.py:111` picks nn.GRU when rnn_type="gru"): T unrolled steps
+    * of the torch GRU semantics
+    *
+    *   r = σ(W_ir·x + b_ir + W_hr·h + b_hr)
+    *   z = σ(W_iz·x + b_iz + W_hz·h + b_hz)
+    *   n = tanh(W_in·x + b_in + r ⊙ (W_hn·h + b_hn))   (b_hn INSIDE r·)
+    *   h' = (1−z) ⊙ n + z ⊙ h
+    *
+    * with the q418 staging (reset/update/hidden-side pre-activation from
+    * the OLD h in one stage, the candidate + interpolation in the next),
+    * round-9 state pinning, same scale shape: one window, one pivot,
+    * codegen projections.
+    */
+  def gruForward(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valCol: String): DataFrame = {
+    val piv = sequencePivot(events, userCol, tsCol, idCol, valCol)
+    val xs = (1 to T).map(i => col(s"x$i"))
+    // slot layout: 0 wx, 1 wh1, 2 wh2, 3 b_i, 4 b_h
+    def inSide(g: Int, u: Int, t: Int): Column =
+      lit(gruParam(g, u, 0)) * col(s"x$t") + lit(gruParam(g, u, 3))
+    def hidSide(g: Int, u: Int): Column =
+      lit(gruParam(g, u, 1)) * col("h1") +
+        lit(gruParam(g, u, 2)) * col("h2") + lit(gruParam(g, u, 4))
+    var d = piv.select(Seq(col("user_id")) ++ xs ++ Seq(
+      lit(0.0).as("h1"), lit(0.0).as("h2")): _*)
+    (1 to T).foreach { t =>
+      // stage A: reset/update gates and the candidate's HIDDEN-side
+      // pre-activation, all from the OLD h (carried as hprev)
+      val gates = (0 until H).flatMap { u =>
+        Seq(
+          round(sigmoid(inSide(0, u, t) + hidSide(0, u)), 9).as(s"r${u + 1}"),
+          round(sigmoid(inSide(1, u, t) + hidSide(1, u)), 9).as(s"z${u + 1}"),
+          round(hidSide(2, u), 9).as(s"p${u + 1}"))
+      }
+      d = d.select(Seq(col("user_id")) ++ xs ++
+        (0 until H).map(u => col(s"h${u + 1}").as(s"hprev${u + 1}")) ++
+        gates: _*)
+      // stage B: candidate + interpolation toward the old state
+      val hNew = (0 until H).map { u =>
+        round((lit(1.0) - col(s"z${u + 1}")) *
+          tanhE(inSide(2, u, t) + col(s"r${u + 1}") * col(s"p${u + 1}")) +
+          col(s"z${u + 1}") * col(s"hprev${u + 1}"), 9).as(s"h${u + 1}")
+      }
+      d = d.select(Seq(col("user_id")) ++ xs ++ hNew: _*)
+    }
+    d.select(col("user_id"),
+      round(col("h1"), 6).as("h1"), round(col("h2"), 6).as("h2"))
+      .orderBy(col("user_id"))
+  }
+
+  // Layer-2 LSTM parameters (reference default num_layers=2,
+  // `lstm.py:73,115`): the second layer's input is the FIRST layer's
+  // 2-dim hidden sequence, so each gate/unit takes wx1, wx2, wh1, wh2, b.
+  def lstm2Param(gate: Int, unit: Int, slot: Int): Double =
+    param(801 + gate * H * 5 + unit * 5 + slot)
+
+  /** TWO-LAYER stacked LSTM forward, hash-checked (the reference's
+    * default depth: num_layers=2 at `lstm.py:73`, torch stacks cells so
+    * layer 2 consumes layer 1's full hidden SEQUENCE): layer 1 is the
+    * q418 cell with its per-step states snapshotted (the q427 history
+    * machinery), layer 2 runs the same gated recurrence over that 2-dim
+    * sequence with its own disjoint draw. Exposes both layers' final
+    * hidden states (torch's output is layer 2's sequence; layer 1's is
+    * the audit column). Same scale shape: one window, one pivot, pure
+    * codegen projections.
+    */
+  def stackedLstmForward(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, valCol: String): DataFrame = {
+    val piv = sequencePivot(events, userCol, tsCol, idCol, valCol)
+    val xs = (1 to T).map(i => col(s"x$i"))
+    def gate1(g: Int, u: Int, t: Int): Column =
+      lit(lstmParam(g, u, 0)) * col(s"x$t") +
+        lit(lstmParam(g, u, 1)) * col("h1") +
+        lit(lstmParam(g, u, 2)) * col("h2") +
+        lit(lstmParam(g, u, 3))
+    // ---- layer 1 with per-step snapshots (q427's history pattern)
+    var hist: Seq[String] = Nil
+    var d = piv.select(Seq(col("user_id")) ++ xs ++ Seq(
+      lit(0.0).as("h1"), lit(0.0).as("h2"),
+      lit(0.0).as("c1"), lit(0.0).as("c2")): _*)
+    (1 to T).foreach { t =>
+      val histC = hist.map(col)
+      val cNew = (0 until H).map { u =>
+        round(sigmoid(gate1(1, u, t)) * col(s"c${u + 1}") +
+          sigmoid(gate1(0, u, t)) * tanhE(gate1(3, u, t)), 9)
+          .as(s"c${u + 1}")
+      }
+      d = d.select(Seq(col("user_id")) ++ xs ++ histC ++
+        Seq(col("h1"), col("h2")) ++ cNew: _*)
+      val hNew = (0 until H).map { u =>
+        round(sigmoid(gate1(2, u, t)) * tanhE(col(s"c${u + 1}")), 9)
+          .as(s"h${u + 1}")
+      }
+      d = d.select(Seq(col("user_id")) ++ xs ++ histC ++
+        Seq(col("c1"), col("c2")) ++ hNew: _*)
+      d = d.select(col("*"), col("h1").as(s"ht${t}_1"),
+        col("h2").as(s"ht${t}_2"))
+      hist = hist ++ Seq(s"ht${t}_1", s"ht${t}_2")
+    }
+    // layer-1 final states ride along for the audit columns
+    val histC = hist.map(col)
+    d = d.select(Seq(col("user_id"),
+      col("h1").as(s"l1_h1"), col("h2").as(s"l1_h2")) ++ histC ++ Seq(
+      lit(0.0).as("H1"), lit(0.0).as("H2"),
+      lit(0.0).as("C1"), lit(0.0).as("C2")): _*)
+    // ---- layer 2 over the snapshotted sequence
+    def gate2(g: Int, u: Int, t: Int): Column =
+      lit(lstm2Param(g, u, 0)) * col(s"ht${t}_1") +
+        lit(lstm2Param(g, u, 1)) * col(s"ht${t}_2") +
+        lit(lstm2Param(g, u, 2)) * col("H1") +
+        lit(lstm2Param(g, u, 3)) * col("H2") +
+        lit(lstm2Param(g, u, 4))
+    val carry2 = Seq(col("user_id"), col("l1_h1"), col("l1_h2")) ++ histC
+    (1 to T).foreach { t =>
+      val cNew = (0 until H).map { u =>
+        round(sigmoid(gate2(1, u, t)) * col(s"C${u + 1}") +
+          sigmoid(gate2(0, u, t)) * tanhE(gate2(3, u, t)), 9)
+          .as(s"C${u + 1}")
+      }
+      d = d.select(carry2 ++ Seq(col("H1"), col("H2")) ++ cNew: _*)
+      val hNew = (0 until H).map { u =>
+        round(sigmoid(gate2(2, u, t)) * tanhE(col(s"C${u + 1}")), 9)
+          .as(s"H${u + 1}")
+      }
+      d = d.select(carry2 ++ Seq(col("C1"), col("C2")) ++ hNew: _*)
+    }
+    d.select(col("user_id"),
+      round(col("H1"), 6).as("l2_h1"), round(col("H2"), 6).as("l2_h2"),
+      round(col("l1_h1"), 6).as("l1_h1"),
+      round(col("l1_h2"), 6).as("l1_h2"))
+      .orderBy(col("user_id"))
+  }
+
+  // Composite HiveLSTM parameters (one disjoint bank for the whole
+  // model): 0-3 input Linear(1→2), 4-7 LayerNorm γ/β, 8-47 forward LSTM
+  // (2-dim input: wx1,wx2,wh1,wh2,b per gate/unit), 48-87 backward LSTM,
+  // 88-100 pooling MLP Linear(4→2)+Linear(2→1), 101-110 output
+  // Linear(4→2), 111-113 head Linear(2→1).
+  def compParam(k: Int): Double = param(901 + k)
+
+  /** The reference model's ENTIRE inference path, hash-checked end to
+    * end (`lstm.py:59-230` HiveLSTM.forward): input projection
+    * Linear(1→2) + LayerNorm (torch default ε=1e-5, learned γ/β) →
+    * single-layer bidirectional LSTM (per-position outputs are torch's
+    * [h_fwd(t); h_bwd(t)], dim 4) → attention pooling over the concat
+    * sequence (Linear(4→2) → Tanh → Linear(2→1) scores, softmax,
+    * weighted mix) → output projection Linear(4→2)+ReLU → regression
+    * head Linear(2→1). Every sub-layer in evaluation order on one
+    * disjoint round-9 draw — a user of the reference can run MODEL
+    * INFERENCE in this engine and hash-match it. Scale shape unchanged:
+    * one window, one pivot, staged codegen projections; at 100 TB this
+    * is a scan.
+    */
+  def hiveLstmForward(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valCol: String): DataFrame = {
+    val piv = sequencePivot(events, userCol, tsCol, idCol, valCol)
+    val p = (0 to 113).map(compParam)
+    val eps = 1e-5 // torch nn.LayerNorm default
+    // input projection
+    var d = piv.select(Seq(col("user_id")) ++ (1 to T).flatMap(t => Seq(
+      round(lit(p(0)) * col(s"x$t") + lit(p(1)), 9).as(s"l${t}_1"),
+      round(lit(p(2)) * col(s"x$t") + lit(p(3)), 9).as(s"l${t}_2"))): _*)
+    // LayerNorm over the 2 dims, learned γ/β
+    val lC = (1 to T).flatMap(t => Seq(col(s"l${t}_1"), col(s"l${t}_2")))
+    d = d.select(Seq(col("user_id")) ++ lC ++ (1 to T).map(t =>
+      ((col(s"l${t}_1") + col(s"l${t}_2")) / lit(2.0)).as(s"mu$t")): _*)
+    d = d.select(Seq(col("user_id")) ++ lC ++
+      (1 to T).map(t => col(s"mu$t")) ++ (1 to T).map(t =>
+      (((col(s"l${t}_1") - col(s"mu$t")) * (col(s"l${t}_1") - col(s"mu$t")) +
+        (col(s"l${t}_2") - col(s"mu$t")) * (col(s"l${t}_2") - col(s"mu$t")))
+        / lit(2.0)).as(s"va$t")): _*)
+    d = d.select(Seq(col("user_id")) ++ (1 to T).flatMap(t => Seq(
+      round(lit(p(4)) * (col(s"l${t}_1") - col(s"mu$t")) /
+        sqrt(col(s"va$t") + lit(eps)) + lit(p(5)), 9).as(s"e${t}_1"),
+      round(lit(p(6)) * (col(s"l${t}_2") - col(s"mu$t")) /
+        sqrt(col(s"va$t") + lit(eps)) + lit(p(7)), 9).as(s"e${t}_2"))): _*)
+    // bidirectional LSTM over the embedded sequence, per-step snapshots
+    def gateD(base: Int, pre: String, g: Int, u: Int, t: Int): Column =
+      lit(p(base + g * H * 5 + u * 5)) * col(s"e${t}_1") +
+        lit(p(base + g * H * 5 + u * 5 + 1)) * col(s"e${t}_2") +
+        lit(p(base + g * H * 5 + u * 5 + 2)) * col(s"${pre}h1") +
+        lit(p(base + g * H * 5 + u * 5 + 3)) * col(s"${pre}h2") +
+        lit(p(base + g * H * 5 + u * 5 + 4))
+    val eC = (1 to T).flatMap(t => Seq(col(s"e${t}_1"), col(s"e${t}_2")))
+    var hist: Seq[String] = Nil
+    d = d.select(Seq(col("user_id")) ++ eC ++ Seq(
+      lit(0.0).as("fh1"), lit(0.0).as("fh2"),
+      lit(0.0).as("fc1"), lit(0.0).as("fc2"),
+      lit(0.0).as("bh1"), lit(0.0).as("bh2"),
+      lit(0.0).as("bc1"), lit(0.0).as("bc2")): _*)
+    (1 to T).foreach { s =>
+      val (tf, tb) = (s, T + 1 - s)
+      val histC = hist.map(col)
+      val cNew =
+        (0 until H).map { u =>
+          round(sigmoid(gateD(8, "f", 1, u, tf)) * col(s"fc${u + 1}") +
+            sigmoid(gateD(8, "f", 0, u, tf)) *
+              tanhE(gateD(8, "f", 3, u, tf)), 9).as(s"fc${u + 1}")
+        } ++ (0 until H).map { u =>
+          round(sigmoid(gateD(48, "b", 1, u, tb)) * col(s"bc${u + 1}") +
+            sigmoid(gateD(48, "b", 0, u, tb)) *
+              tanhE(gateD(48, "b", 3, u, tb)), 9).as(s"bc${u + 1}")
+        }
+      d = d.select(Seq(col("user_id")) ++ eC ++ histC ++ Seq(
+        col("fh1"), col("fh2"), col("bh1"), col("bh2")) ++ cNew: _*)
+      val hNew =
+        (0 until H).map { u =>
+          round(sigmoid(gateD(8, "f", 2, u, tf)) *
+            tanhE(col(s"fc${u + 1}")), 9).as(s"fh${u + 1}")
+        } ++ (0 until H).map { u =>
+          round(sigmoid(gateD(48, "b", 2, u, tb)) *
+            tanhE(col(s"bc${u + 1}")), 9).as(s"bh${u + 1}")
+        }
+      d = d.select(Seq(col("user_id")) ++ eC ++ histC ++ Seq(
+        col("fc1"), col("fc2"), col("bc1"), col("bc2")) ++ hNew: _*)
+      // snapshot: the forward state IS position tf's output, the
+      // backward state IS position tb's output (it has consumed T..tb)
+      d = d.select(col("*"),
+        col("fh1").as(s"of${tf}_1"), col("fh2").as(s"of${tf}_2"),
+        col("bh1").as(s"ob${tb}_1"), col("bh2").as(s"ob${tb}_2"))
+      hist = hist ++ Seq(s"of${tf}_1", s"of${tf}_2", s"ob${tb}_1",
+        s"ob${tb}_2")
+    }
+    // attention pooling over the 4-dim concat o_t = [fwd(t); bwd(t)]
+    def oCols(t: Int): Seq[Column] = Seq(col(s"of${t}_1"),
+      col(s"of${t}_2"), col(s"ob${t}_1"), col(s"ob${t}_2"))
+    val histC = hist.map(col)
+    d = d.select(Seq(col("user_id")) ++ histC ++ (1 to T).flatMap(t =>
+      (0 until 2).map { j =>
+        round(oCols(t).zipWithIndex.map { case (c, k) =>
+          lit(p(88 + 4 * j + k)) * c }.reduce(_ + _) + lit(p(96 + j)), 9)
+          .as(s"u${t}_${j + 1}")
+      }): _*)
+    d = d.select(Seq(col("user_id")) ++ histC ++ (1 to T).map(t =>
+      round(lit(p(98)) * tanhE(col(s"u${t}_1")) +
+        lit(p(99)) * tanhE(col(s"u${t}_2")) + lit(p(100)), 9)
+        .as(s"s$t")): _*)
+    d = d.select(Seq(col("user_id")) ++ histC ++
+      Seq(greatest((1 to T).map(t => col(s"s$t")): _*).as("m")) ++
+      (1 to T).map(t => col(s"s$t")): _*)
+    d = d.select(Seq(col("user_id")) ++ histC ++ (1 to T).map(t =>
+      exp(col(s"s$t") - col("m")).as(s"w$t")): _*)
+    d = d.select(Seq(col("user_id")) ++ histC ++
+      (1 to T).map(t => col(s"w$t")) :+
+      (1 to T).map(t => col(s"w$t")).reduce(_ + _).as("z"): _*)
+    val poolNames = Seq("of%d_1", "of%d_2", "ob%d_1", "ob%d_2")
+    d = d.select(Seq(col("user_id")) ++ poolNames.zipWithIndex.map {
+      case (nm, k) =>
+        round((1 to T).map(t => col(s"w$t") * col(nm.format(t)))
+          .reduce(_ + _) / col("z"), 9).as(s"pool${k + 1}")
+    }: _*)
+    // output projection + ReLU, then the regression head
+    d = d.select(Seq(col("user_id")) ++
+      (1 to 4).map(k => col(s"pool$k")) ++ (0 until 2).map { j =>
+      greatest(lit(0.0), round((0 until 4).map(k =>
+        lit(p(101 + 4 * j + k)) * col(s"pool${k + 1}")).reduce(_ + _) +
+        lit(p(109 + j)), 9)).as(s"op${j + 1}")
+    }: _*)
+    d.select(col("user_id"),
+      round(lit(p(111)) * col("op1") + lit(p(112)) * col("op2") +
+        lit(p(113)), 6).as("pred"),
+      round(col("pool1"), 6).as("pool1"),
+      round(col("pool2"), 6).as("pool2"),
+      round(col("pool3"), 6).as("pool3"),
+      round(col("pool4"), 6).as("pool4"))
+      .orderBy(col("user_id"))
+  }
+
   /** Minimum admitted window for the masked forward. */
   val Tmin = 2
 

@@ -525,6 +525,125 @@ class SeqForwardSpec extends SparkSpec {
       "value").count() == 0)
   }
 
+  test("gruForward matches a plain-Scala replay with torch gate semantics") {
+    def sig(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    def th(z: Double) =
+      (math.exp(2.0 * z) - 1.0) / (math.exp(2.0 * z) + 1.0)
+    val xs = (1 to SeqForward.T).map(t => r9(t * 50.0 / 500.0))
+    var h = Array(0.0, 0.0)
+    xs.foreach { x =>
+      def inS(g: Int, u: Int) =
+        SeqForward.gruParam(g, u, 0) * x + SeqForward.gruParam(g, u, 3)
+      def hidS(g: Int, u: Int) =
+        SeqForward.gruParam(g, u, 1) * h(0) +
+          SeqForward.gruParam(g, u, 2) * h(1) + SeqForward.gruParam(g, u, 4)
+      val r = (0 until SeqForward.H).map(u => r9(sig(inS(0, u) + hidS(0, u))))
+      val z = (0 until SeqForward.H).map(u => r9(sig(inS(1, u) + hidS(1, u))))
+      val pp = (0 until SeqForward.H).map(u => r9(hidS(2, u)))
+      // torch semantics pinned: b_hn sits INSIDE the reset product (r·p
+      // where p = W_hn·h + b_hn), not outside it
+      h = (0 until SeqForward.H).map(u =>
+        r9((1.0 - z(u)) * th(inS(2, u) + r(u) * pp(u)) + z(u) * h(u)))
+        .toArray
+    }
+    val row = SeqForward.gruForward(fixture, "user_id", "ts", "event_id",
+      "value").collect().head
+    assert(row.getDouble(1) == r6(h(0)), s"h1 ${row.getDouble(1)} vs ${r6(h(0))}")
+    assert(row.getDouble(2) == r6(h(1)))
+    assert(math.abs(row.getDouble(1)) < 1.0 && math.abs(row.getDouble(2)) < 1.0)
+  }
+
+  test("stackedLstmForward: layer 1 equals q418, layer 2 consumes its sequence") {
+    def sig(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    def th(z: Double) =
+      (math.exp(2.0 * z) - 1.0) / (math.exp(2.0 * z) + 1.0)
+    val hs = lstmHiddenTrajectory // layer-1 per-step states
+    val row = SeqForward.stackedLstmForward(fixture, "user_id", "ts",
+      "event_id", "value").collect().head
+    assert(row.getAs[Double]("l1_h1") == r6(hs.last._1))
+    assert(row.getAs[Double]("l1_h2") == r6(hs.last._2))
+    // layer-2 replay over the layer-1 trajectory
+    var hh = Array(0.0, 0.0); var cc = Array(0.0, 0.0)
+    hs.foreach { case (i1, i2) =>
+      def g(g: Int, u: Int) =
+        SeqForward.lstm2Param(g, u, 0) * i1 +
+          SeqForward.lstm2Param(g, u, 1) * i2 +
+          SeqForward.lstm2Param(g, u, 2) * hh(0) +
+          SeqForward.lstm2Param(g, u, 3) * hh(1) +
+          SeqForward.lstm2Param(g, u, 4)
+      val cN = (0 until SeqForward.H).map(u =>
+        r9(sig(g(1, u)) * cc(u) + sig(g(0, u)) * th(g(3, u))))
+      val hN = (0 until SeqForward.H).map(u =>
+        r9(sig(g(2, u)) * th(cN(u))))
+      cc = cN.toArray; hh = hN.toArray
+    }
+    assert(row.getAs[Double]("l2_h1") == r6(hh(0)),
+      s"l2_h1 ${row.getAs[Double]("l2_h1")} vs ${r6(hh(0))}")
+    assert(row.getAs[Double]("l2_h2") == r6(hh(1)))
+    // depth actually does something: the layers end in different states
+    assert(row.getAs[Double]("l2_h1") != row.getAs[Double]("l1_h1"))
+  }
+
+  test("hiveLstmForward matches a plain-Scala replay of the whole model") {
+    def sig(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    def th(z: Double) =
+      (math.exp(2.0 * z) - 1.0) / (math.exp(2.0 * z) + 1.0)
+    val T = SeqForward.T
+    val p = (0 to 113).map(SeqForward.compParam)
+    val xs = (1 to T).map(t => r9(t * 50.0 / 500.0))
+    // input proj + LayerNorm
+    val es = xs.map { x =>
+      val l1 = r9(p(0) * x + p(1)); val l2 = r9(p(2) * x + p(3))
+      val mu = (l1 + l2) / 2.0
+      val va = ((l1 - mu) * (l1 - mu) + (l2 - mu) * (l2 - mu)) / 2.0
+      (r9(p(4) * (l1 - mu) / math.sqrt(va + 1e-5) + p(5)),
+        r9(p(6) * (l2 - mu) / math.sqrt(va + 1e-5) + p(7)))
+    }
+    // one LSTM direction over a given order of the embedded sequence
+    def run(base: Int, seq: Seq[(Double, Double)]): Seq[(Double, Double)] = {
+      var h = Array(0.0, 0.0); var c = Array(0.0, 0.0)
+      seq.map { case (e1, e2) =>
+        def g(g: Int, u: Int) =
+          p(base + g * 2 * 5 + u * 5) * e1 +
+            p(base + g * 2 * 5 + u * 5 + 1) * e2 +
+            p(base + g * 2 * 5 + u * 5 + 2) * h(0) +
+            p(base + g * 2 * 5 + u * 5 + 3) * h(1) +
+            p(base + g * 2 * 5 + u * 5 + 4)
+        val cN = (0 until 2).map(u =>
+          r9(sig(g(1, u)) * c(u) + sig(g(0, u)) * th(g(3, u))))
+        val hN = (0 until 2).map(u => r9(sig(g(2, u)) * th(cN(u))))
+        c = cN.toArray; h = hN.toArray
+        (h(0), h(1))
+      }
+    }
+    val fwd = run(8, es) // position t -> fwd(t)
+    val bwd = run(48, es.reverse).reverse // position t -> bwd(t)
+    val o = (0 until T).map(i =>
+      Seq(fwd(i)._1, fwd(i)._2, bwd(i)._1, bwd(i)._2))
+    // pooling
+    val ss = o.map { ot =>
+      val u1 = r9((0 until 4).map(k => p(88 + k) * ot(k)).sum + p(96))
+      val u2 = r9((0 until 4).map(k => p(92 + k) * ot(k)).sum + p(97))
+      r9(p(98) * th(u1) + p(99) * th(u2) + p(100))
+    }
+    val m = ss.max
+    val ws = ss.map(s => math.exp(s - m))
+    val z = ws.sum
+    val pool = (0 until 4).map(k =>
+      r9(ws.zip(o).map { case (w, ot) => w * ot(k) }.sum / z))
+    val op = (0 until 2).map(j => math.max(0.0,
+      r9((0 until 4).map(k => p(101 + 4 * j + k) * pool(k)).sum +
+        p(109 + j))))
+    val pred = r6(p(111) * op(0) + p(112) * op(1) + p(113))
+    val row = SeqForward.hiveLstmForward(fixture, "user_id", "ts",
+      "event_id", "value").collect().head
+    assert(row.getAs[Double]("pred") == pred,
+      s"pred ${row.getAs[Double]("pred")} vs $pred")
+    (0 until 4).foreach(k =>
+      assert(row.getAs[Double](s"pool${k + 1}") == r6(pool(k)),
+        s"pool${k + 1} mismatch"))
+  }
+
   test("forward passes carry no global window and no join") {
     import org.apache.spark.sql.execution.window.WindowExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -542,7 +661,13 @@ class SeqForwardSpec extends SparkSpec {
         SeqForward.bidiLstmForward(fixture, "user_id", "ts", "event_id",
           "value"),
         SeqForward.maskedAttentionForward(fixture, "user_id", "ts",
-          "event_id", "value")).foreach { df =>
+          "event_id", "value"),
+        SeqForward.gruForward(fixture, "user_id", "ts", "event_id",
+          "value"),
+        SeqForward.stackedLstmForward(fixture, "user_id", "ts",
+          "event_id", "value"),
+        SeqForward.hiveLstmForward(fixture, "user_id", "ts", "event_id",
+          "value")).foreach { df =>
         val p = df.queryExecution.executedPlan
         p.foreach {
           case w: WindowExec =>
