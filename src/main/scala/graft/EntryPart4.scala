@@ -564,6 +564,18 @@ private[graft] trait EntryPart4 extends EntryPart3 {
     graft.ml.SeqForward.hiveLstmForward(
       t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
 
+  // ---------------------------------------------------------------- q434
+  // The reference's SECOND model's whole inference path, hash-checked
+  // (transformer.py:180-330 HiveTransformer.forward): input Linear +
+  // LayerNorm, learned CLS token, absolute-position sinusoidal PE
+  // (shared literals), TWO stacked encoder blocks (full-sequence
+  // 2-head attention in block 1; block 2 computed at the CLS position,
+  // whose output is all CLS pooling reads), tanh-GELU FFNs (documented
+  // erf divergence), output Linear+GELU, regression head.
+  def q434(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.SeqForward.hiveTransformerForward(
+      t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
+
   // ---------------------------------------------------------------- q426
   // TRAINED Elman RNN under the reference's DEFAULT optimizer, hash-
   // checked (trainer.py:125-131 AdamW, weight_decay=0.01 at :89):

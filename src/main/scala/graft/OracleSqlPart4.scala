@@ -2349,6 +2349,13 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
     // LayerNorm CTEs, interleaved fwd/bwd recurrence with per-position
     // snapshots, pooling MLP/softmax/mix, output Linear+ReLU, head.
     "q433_hive_lstm_forward" -> q433HiveLstmSql,
+
+    // q434: the WHOLE HiveTransformer inference path replayed — CLS
+    // embedding and its block-1 q/k/v folded to shared literals, the
+    // full 9×9 two-head attention grid as CTE stages, post-norm
+    // residuals, tanh-GELU (documented erf divergence), block 2 at the
+    // CLS position, output Linear+GELU, head.
+    "q434_hive_transformer" -> q434HiveTransformerSql,
   )
 
   protected def q425LstmTrainSql: String = {
@@ -3448,6 +3455,328 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
          |  ROUND(pool1, 6) + 0.0 AS pool1, ROUND(pool2, 6) + 0.0 AS pool2,
          |  ROUND(pool3, 6) + 0.0 AS pool3, ROUND(pool4, 6) + 0.0 AS pool4
          |FROM a7 ORDER BY user_id""".stripMargin
+  }
+
+  protected def q434HiveTransformerSql: String = {
+    import graft.ml.SeqForward.{T, fmt, posEncCls, trParam}
+    val p = (0 to 102).map(trParam)
+    def r9v(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    def tanh(z: String): String =
+      s"(EXP(2.0 * ($z)) - 1.0) / (EXP(2.0 * ($z)) + 1.0)"
+    def gelu(x: String): String =
+      s"0.5 * $x * (1.0 + ${tanh(s"0.797884561 * ($x + 0.044715 * $x * $x * $x)")})"
+    val eps = fmt(1e-5)
+    val e0 = Seq(r9v(p(8) + posEncCls(0)._1), r9v(p(9) + posEncCls(0)._2))
+    val b1 = 10
+    def projLit(off: Int, e: Seq[Double], dd: Int): Double =
+      r9v(p(off + 2 * dd) * e.head + p(off + 2 * dd + 1) * e(1) +
+        p(off + 4 + dd))
+    val q0 = Seq(projLit(b1, e0, 0), projLit(b1, e0, 1))
+    val k0 = Seq(projLit(b1 + 6, e0, 0), projLit(b1 + 6, e0, 1))
+    val v0 = Seq(projLit(b1 + 12, e0, 0), projLit(b1 + 12, e0, 1))
+    // input Linear + LayerNorm + PE
+    val lCols = (1 to T).flatMap(t => Seq(
+      s"    ROUND(${fmt(p(0))} * x$t + ${fmt(p(1))}, 9) AS l${t}_1",
+      s"    ROUND(${fmt(p(2))} * x$t + ${fmt(p(3))}, 9) AS l${t}_2"))
+      .mkString(",\n")
+    val lList = (1 to T).flatMap(t => Seq(s"l${t}_1", s"l${t}_2"))
+      .mkString(", ")
+    val muCols = (1 to T).map(t =>
+      s"    (l${t}_1 + l${t}_2) / 2.0 AS mu$t").mkString(",\n")
+    val muList = (1 to T).map(t => s"mu$t").mkString(", ")
+    val vaCols = (1 to T).map(t =>
+      s"    ((l${t}_1 - mu$t) * (l${t}_1 - mu$t) + " +
+        s"(l${t}_2 - mu$t) * (l${t}_2 - mu$t)) / 2.0 AS va$t")
+      .mkString(",\n")
+    val eCols = (1 to T).flatMap(t => Seq(
+      s"    ROUND(${fmt(p(4))} * (l${t}_1 - mu$t) / SQRT(va$t + $eps)" +
+        s" + ${fmt(p(5))} + ${fmt(posEncCls(t)._1)}, 9) AS e${t}_1",
+      s"    ROUND(${fmt(p(6))} * (l${t}_2 - mu$t) / SQRT(va$t + $eps)" +
+        s" + ${fmt(p(7))} + ${fmt(posEncCls(t)._2)}, 9) AS e${t}_2"))
+      .mkString(",\n")
+    val eList = (1 to T).flatMap(t => Seq(s"e${t}_1", s"e${t}_2"))
+      .mkString(", ")
+    // block 1 projections
+    def proj(off: Int, i: Int, dd: Int): String =
+      s"ROUND(${fmt(p(off + 2 * dd))} * e${i}_1 + " +
+        s"${fmt(p(off + 2 * dd + 1))} * e${i}_2 + ${fmt(p(off + 4 + dd))}, 9)"
+    val qkvCols = (1 to T).flatMap(i => Seq(
+      s"    ${proj(b1, i, 0)} AS q${i}_1", s"    ${proj(b1, i, 1)} AS q${i}_2",
+      s"    ${proj(b1 + 6, i, 0)} AS k${i}_1",
+      s"    ${proj(b1 + 6, i, 1)} AS k${i}_2",
+      s"    ${proj(b1 + 12, i, 0)} AS v${i}_1",
+      s"    ${proj(b1 + 12, i, 1)} AS v${i}_2")).mkString(",\n")
+    def qh(i: Int, h: Int): String =
+      if (i == 0) fmt(q0(h - 1)) else s"q${i}_$h"
+    def kh(j: Int, h: Int): String =
+      if (j == 0) fmt(k0(h - 1)) else s"k${j}_$h"
+    def vh(j: Int, h: Int): String =
+      if (j == 0) fmt(v0(h - 1)) else s"v${j}_$h"
+    val vList = (1 to T).flatMap(j => Seq(s"v${j}_1", s"v${j}_2"))
+      .mkString(", ")
+    val sCols = (0 to T).flatMap(i => (1 to 2).flatMap(h =>
+      (0 to T).map(j =>
+        s"    ${qh(i, h)} * ${kh(j, h)} AS s${i}_${j}_$h")))
+      .mkString(",\n")
+    val sList = (0 to T).flatMap(i => (1 to 2).flatMap(h =>
+      (0 to T).map(j => s"s${i}_${j}_$h"))).mkString(", ")
+    val mCols = (0 to T).flatMap(i => (1 to 2).map(h =>
+      s"    GREATEST(${(0 to T).map(j => s"s${i}_${j}_$h").mkString(", ")})" +
+        s" AS m${i}_$h")).mkString(",\n")
+    val wCols = (0 to T).flatMap(i => (1 to 2).flatMap(h =>
+      (0 to T).map(j =>
+        s"    EXP(s${i}_${j}_$h - m${i}_$h) AS w${i}_${j}_$h")))
+      .mkString(",\n")
+    val wList = (0 to T).flatMap(i => (1 to 2).flatMap(h =>
+      (0 to T).map(j => s"w${i}_${j}_$h"))).mkString(", ")
+    val zCols = (0 to T).flatMap(i => (1 to 2).map(h =>
+      s"    ${(0 to T).map(j => s"w${i}_${j}_$h").mkString(" + ")}" +
+        s" AS z${i}_$h")).mkString(",\n")
+    val oCols = (0 to T).flatMap(i => (1 to 2).map(h =>
+      s"    ROUND((${(0 to T).map(j => s"w${i}_${j}_$h * ${vh(j, h)}")
+        .mkString(" + ")}) / z${i}_$h, 9) AS o${i}_$h")).mkString(",\n")
+    def eIn(i: Int, dd: Int): String =
+      if (i == 0) fmt(e0(dd - 1)) else s"e${i}_$dd"
+    val rCols = (0 to T).flatMap(i => Seq(
+      s"    ${eIn(i, 1)} + ROUND(${fmt(p(b1 + 18))} * o${i}_1 + " +
+        s"${fmt(p(b1 + 19))} * o${i}_2 + ${fmt(p(b1 + 22))}, 9) AS r${i}_1",
+      s"    ${eIn(i, 2)} + ROUND(${fmt(p(b1 + 20))} * o${i}_1 + " +
+        s"${fmt(p(b1 + 21))} * o${i}_2 + ${fmt(p(b1 + 23))}, 9) AS r${i}_2"))
+      .mkString(",\n")
+    def lnCtes(tag: String, pref: String, outPref: String, gOff: Int,
+        srcCte: String): String = {
+      val rList = (0 to T).flatMap(i =>
+        Seq(s"$pref${i}_1", s"$pref${i}_2")).mkString(", ")
+      val mus = (0 to T).map(i =>
+        s"    ($pref${i}_1 + $pref${i}_2) / 2.0 AS lmu$i").mkString(",\n")
+      val muL = (0 to T).map(i => s"lmu$i").mkString(", ")
+      val vas = (0 to T).map(i =>
+        s"    (($pref${i}_1 - lmu$i) * ($pref${i}_1 - lmu$i) + " +
+          s"($pref${i}_2 - lmu$i) * ($pref${i}_2 - lmu$i)) / 2.0 AS lva$i")
+        .mkString(",\n")
+      val outs = (0 to T).flatMap(i => Seq(
+        s"    ROUND(${fmt(p(gOff))} * ($pref${i}_1 - lmu$i) / " +
+          s"SQRT(lva$i + $eps) + ${fmt(p(gOff + 1))}, 9) AS $outPref${i}_1",
+        s"    ROUND(${fmt(p(gOff + 2))} * ($pref${i}_2 - lmu$i) / " +
+          s"SQRT(lva$i + $eps) + ${fmt(p(gOff + 3))}, 9) AS $outPref${i}_2"))
+        .mkString(",\n")
+      s""",${tag}a AS (
+         |  SELECT user_id, $rList,
+         |$mus
+         |  FROM $srcCte),
+         |${tag}b AS (
+         |  SELECT user_id, $rList, $muL,
+         |$vas
+         |  FROM ${tag}a),
+         |${tag}c AS (
+         |  SELECT user_id,
+         |$outs
+         |  FROM ${tag}b)
+         |""".stripMargin
+    }
+    val n1List = (0 to T).flatMap(i =>
+      Seq(s"n1_${i}_1", s"n1_${i}_2")).mkString(", ")
+    val fCols = (0 to T).flatMap(i => Seq(
+      s"    ROUND(${fmt(p(b1 + 28))} * n1_${i}_1 + " +
+        s"${fmt(p(b1 + 29))} * n1_${i}_2 + ${fmt(p(b1 + 32))}, 9) AS f${i}_1",
+      s"    ROUND(${fmt(p(b1 + 30))} * n1_${i}_1 + " +
+        s"${fmt(p(b1 + 31))} * n1_${i}_2 + ${fmt(p(b1 + 33))}, 9) AS f${i}_2"))
+      .mkString(",\n")
+    val gCols = (0 to T).flatMap(i => Seq(
+      s"    ROUND(${gelu(s"f${i}_1")}, 9) AS g${i}_1",
+      s"    ROUND(${gelu(s"f${i}_2")}, 9) AS g${i}_2")).mkString(",\n")
+    val r2Cols = (0 to T).flatMap(i => Seq(
+      s"    n1_${i}_1 + ROUND(${fmt(p(b1 + 34))} * g${i}_1 + " +
+        s"${fmt(p(b1 + 35))} * g${i}_2 + ${fmt(p(b1 + 38))}, 9) AS r${i}_1",
+      s"    n1_${i}_2 + ROUND(${fmt(p(b1 + 36))} * g${i}_1 + " +
+        s"${fmt(p(b1 + 37))} * g${i}_2 + ${fmt(p(b1 + 39))}, 9) AS r${i}_2"))
+      .mkString(",\n")
+    // block 2 at the CLS position
+    val b2 = 54
+    val b1oList = (0 to T).flatMap(i =>
+      Seq(s"b1o_${i}_1", s"b1o_${i}_2")).mkString(", ")
+    def proj2(off: Int, i: Int, dd: Int): String =
+      s"ROUND(${fmt(p(off + 2 * dd))} * b1o_${i}_1 + " +
+        s"${fmt(p(off + 2 * dd + 1))} * b1o_${i}_2 + " +
+        s"${fmt(p(off + 4 + dd))}, 9)"
+    val qkv2 = (Seq(
+      s"    ${proj2(b2, 0, 0)} AS Q_1", s"    ${proj2(b2, 0, 1)} AS Q_2") ++
+      (0 to T).flatMap(j => Seq(
+        s"    ${proj2(b2 + 6, j, 0)} AS K${j}_1",
+        s"    ${proj2(b2 + 6, j, 1)} AS K${j}_2",
+        s"    ${proj2(b2 + 12, j, 0)} AS V${j}_1",
+        s"    ${proj2(b2 + 12, j, 1)} AS V${j}_2"))).mkString(",\n")
+    val v2List = (0 to T).flatMap(j => Seq(s"V${j}_1", s"V${j}_2"))
+      .mkString(", ")
+    val s2Cols = (1 to 2).flatMap(h => (0 to T).map(j =>
+      s"    Q_$h * K${j}_$h AS S${j}_$h")).mkString(",\n")
+    val s2List = (1 to 2).flatMap(h => (0 to T).map(j => s"S${j}_$h"))
+      .mkString(", ")
+    val m2 = (1 to 2).map(h =>
+      s"    GREATEST(${(0 to T).map(j => s"S${j}_$h").mkString(", ")})" +
+        s" AS M_$h").mkString(",\n")
+    val w2Cols = (1 to 2).flatMap(h => (0 to T).map(j =>
+      s"    EXP(S${j}_$h - M_$h) AS W${j}_$h")).mkString(",\n")
+    val w2List = (1 to 2).flatMap(h => (0 to T).map(j => s"W${j}_$h"))
+      .mkString(", ")
+    val z2 = (1 to 2).map(h =>
+      s"    ${(0 to T).map(j => s"W${j}_$h").mkString(" + ")} AS Z_$h")
+      .mkString(",\n")
+    val o2 = (1 to 2).map(h =>
+      s"    ROUND((${(0 to T).map(j => s"W${j}_$h * V${j}_$h")
+        .mkString(" + ")}) / Z_$h, 9) AS O_$h").mkString(",\n")
+    seqPivotCtes +
+      s""",il AS (
+         |  SELECT user_id,
+         |$lCols
+         |  FROM p),
+         |im AS (
+         |  SELECT user_id, $lList,
+         |$muCols
+         |  FROM il),
+         |iv AS (
+         |  SELECT user_id, $lList, $muList,
+         |$vaCols
+         |  FROM im),
+         |ie AS (
+         |  SELECT user_id,
+         |$eCols
+         |  FROM iv),
+         |pj AS (
+         |  SELECT user_id, $eList,
+         |$qkvCols
+         |  FROM ie),
+         |sc AS (
+         |  SELECT user_id, $eList, $vList,
+         |$sCols
+         |  FROM pj),
+         |mx AS (
+         |  SELECT user_id, $eList, $vList, $sList,
+         |$mCols
+         |  FROM sc),
+         |we AS (
+         |  SELECT user_id, $eList, $vList,
+         |$wCols
+         |  FROM mx),
+         |zs AS (
+         |  SELECT user_id, $eList, $vList, $wList,
+         |$zCols
+         |  FROM we),
+         |om AS (
+         |  SELECT user_id, $eList,
+         |$oCols
+         |  FROM zs),
+         |rs AS (
+         |  SELECT user_id,
+         |$rCols
+         |  FROM om)
+         |""".stripMargin +
+      lnCtes("ln1", "r", "n1_", b1 + 24, "rs") +
+      s""",ff AS (
+         |  SELECT user_id, $n1List,
+         |$fCols
+         |  FROM ln1c),
+         |gg AS (
+         |  SELECT user_id, $n1List,
+         |$gCols
+         |  FROM ff),
+         |r2 AS (
+         |  SELECT user_id,
+         |$r2Cols
+         |  FROM gg)
+         |""".stripMargin +
+      lnCtes("ln2", "r", "b1o_", b1 + 40, "r2") +
+      s""",p2 AS (
+         |  SELECT user_id, $b1oList,
+         |$qkv2
+         |  FROM ln2c),
+         |s2 AS (
+         |  SELECT user_id, b1o_0_1, b1o_0_2, $v2List,
+         |$s2Cols
+         |  FROM p2),
+         |m2 AS (
+         |  SELECT user_id, b1o_0_1, b1o_0_2, $v2List, $s2List,
+         |$m2
+         |  FROM s2),
+         |w2 AS (
+         |  SELECT user_id, b1o_0_1, b1o_0_2, $v2List,
+         |$w2Cols
+         |  FROM m2),
+         |z2 AS (
+         |  SELECT user_id, b1o_0_1, b1o_0_2, $v2List, $w2List,
+         |$z2
+         |  FROM w2),
+         |o2 AS (
+         |  SELECT user_id, b1o_0_1, b1o_0_2,
+         |$o2
+         |  FROM z2),
+         |rr AS (
+         |  SELECT user_id,
+         |    b1o_0_1 + ROUND(${fmt(p(b2 + 18))} * O_1 + ${fmt(p(b2 + 19))}
+         |      * O_2 + ${fmt(p(b2 + 22))}, 9) AS R_1,
+         |    b1o_0_2 + ROUND(${fmt(p(b2 + 20))} * O_1 + ${fmt(p(b2 + 21))}
+         |      * O_2 + ${fmt(p(b2 + 23))}, 9) AS R_2
+         |  FROM o2),
+         |na AS (SELECT user_id, R_1, R_2, (R_1 + R_2) / 2.0 AS Lmu FROM rr),
+         |nb AS (
+         |  SELECT user_id, R_1, R_2, Lmu,
+         |    ((R_1 - Lmu) * (R_1 - Lmu) + (R_2 - Lmu) * (R_2 - Lmu)) / 2.0
+         |      AS Lva
+         |  FROM na),
+         |nc AS (
+         |  SELECT user_id,
+         |    ROUND(${fmt(p(b2 + 24))} * (R_1 - Lmu) / SQRT(Lva + $eps)
+         |      + ${fmt(p(b2 + 25))}, 9) AS N1_1,
+         |    ROUND(${fmt(p(b2 + 26))} * (R_2 - Lmu) / SQRT(Lva + $eps)
+         |      + ${fmt(p(b2 + 27))}, 9) AS N1_2
+         |  FROM nb),
+         |f2 AS (
+         |  SELECT user_id, N1_1, N1_2,
+         |    ROUND(${fmt(p(b2 + 28))} * N1_1 + ${fmt(p(b2 + 29))} * N1_2
+         |      + ${fmt(p(b2 + 32))}, 9) AS F_1,
+         |    ROUND(${fmt(p(b2 + 30))} * N1_1 + ${fmt(p(b2 + 31))} * N1_2
+         |      + ${fmt(p(b2 + 33))}, 9) AS F_2
+         |  FROM nc),
+         |g2 AS (
+         |  SELECT user_id, N1_1, N1_2,
+         |    ROUND(${gelu("F_1")}, 9) AS G_1,
+         |    ROUND(${gelu("F_2")}, 9) AS G_2
+         |  FROM f2),
+         |rb AS (
+         |  SELECT user_id,
+         |    N1_1 + ROUND(${fmt(p(b2 + 34))} * G_1 + ${fmt(p(b2 + 35))}
+         |      * G_2 + ${fmt(p(b2 + 38))}, 9) AS R_1,
+         |    N1_2 + ROUND(${fmt(p(b2 + 36))} * G_1 + ${fmt(p(b2 + 37))}
+         |      * G_2 + ${fmt(p(b2 + 39))}, 9) AS R_2
+         |  FROM g2),
+         |ca AS (SELECT user_id, R_1, R_2, (R_1 + R_2) / 2.0 AS Lmu FROM rb),
+         |cb AS (
+         |  SELECT user_id, R_1, R_2, Lmu,
+         |    ((R_1 - Lmu) * (R_1 - Lmu) + (R_2 - Lmu) * (R_2 - Lmu)) / 2.0
+         |      AS Lva
+         |  FROM ca),
+         |cc2 AS (
+         |  SELECT user_id,
+         |    ROUND(${fmt(p(b2 + 40))} * (R_1 - Lmu) / SQRT(Lva + $eps)
+         |      + ${fmt(p(b2 + 41))}, 9) AS CLS_1,
+         |    ROUND(${fmt(p(b2 + 42))} * (R_2 - Lmu) / SQRT(Lva + $eps)
+         |      + ${fmt(p(b2 + 43))}, 9) AS CLS_2
+         |  FROM cb),
+         |oph AS (
+         |  SELECT user_id, CLS_1, CLS_2,
+         |    ROUND(${fmt(p(98))} * CLS_1 + ${fmt(p(99))} * CLS_2
+         |      + ${fmt(p(100))}, 9) AS OPin
+         |  FROM cc2),
+         |opg AS (
+         |  SELECT user_id, CLS_1, CLS_2,
+         |    ROUND(${gelu("OPin")}, 9) AS OP
+         |  FROM oph)
+         |SELECT user_id,
+         |  ROUND(${fmt(p(101))} * OP + ${fmt(p(102))}, 6) + 0.0 AS pred,
+         |  ROUND(CLS_1, 6) + 0.0 AS cls1, ROUND(CLS_2, 6) + 0.0 AS cls2
+         |FROM opg ORDER BY user_id""".stripMargin
   }
 
   protected def q430MaskedAttnSql: String = {

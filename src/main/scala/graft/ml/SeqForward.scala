@@ -1147,6 +1147,264 @@ object SeqForward {
       .orderBy(col("user_id"))
   }
 
+  // Composite HiveTransformer parameters (one disjoint bank): 0-3 input
+  // Linear(1→2), 4-7 input LayerNorm γ/β, 8-9 CLS token, then per block
+  // (block 1 at 10, block 2 at 54): Wq 10-15, Wk 16-21, Wv 22-27,
+  // Wo 28-33, norm1 γβγβ 34-37, FFN W1 38-43, W2 44-49, norm2 γβγβ
+  // 50-53. Output Linear(2→1) 98-100, head Linear(1→1) 101-102.
+  def trParam(k: Int): Double = param(1101 + k)
+
+  /** Absolute-position sinusoidal PE for the CLS layout (CLS at pos 0,
+    * token t at pos t) — round-9 driver literals, the q429 recipe. */
+  def posEncCls(i: Int): (Double, Double) = {
+    def r9(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    (r9(math.sin(i.toDouble)), r9(math.cos(i.toDouble)))
+  }
+
+  /** Tanh-approximation GELU (Hendrycks & Gimpel 2016 eq. 4 — the
+    * BERT/GPT form): 0.5·x·(1 + tanh(√(2/π)·(x + 0.044715·x³))).
+    * DOCUMENTED DIVERGENCE from torch's exact-erf nn.GELU
+    * (`transformer.py:158,248`): erf is not in the proven cross-engine-
+    * portable function set (exp/ln/sqrt are), so the replay ships the
+    * published tanh form — same shape, ≤3e-4 absolute deviation on
+    * (−3,3), identical in both engines by the tanhE contract.
+    */
+  def geluTanh(x: Column): Column =
+    lit(0.5) * x * (lit(1.0) +
+      tanhE(lit(0.797884561) * (x + lit(0.044715) * x * x * x)))
+
+  /** The reference's SECOND model's ENTIRE inference path, hash-checked
+    * end to end (`transformer.py:180-330` HiveTransformer.forward):
+    * input Linear(1→2) + LayerNorm, learned CLS token prepended,
+    * absolute-position sinusoidal encoding (round-9 shared literals),
+    * TWO stacked encoder blocks — block 1 over the FULL 9-position
+    * sequence (2 heads of head_dim 1, per-row max-shift softmax, W_O,
+    * post-norm residuals, tanh-GELU FFN), block 2 computed at the CLS
+    * position (its query) against block 1's full output (CLS pooling
+    * reads only position 0 after the final block, `transformer.py:
+    * 312-318`) — then output Linear(2→1) + GELU and the regression
+    * head. The CLS embedding and its block-1 q/k/v are data-independent
+    * and fold into literals shared with the oracle. Same scale shape as
+    * every forward: one window, one pivot, staged codegen projections.
+    */
+  def hiveTransformerForward(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, valCol: String): DataFrame = {
+    val piv = sequencePivot(events, userCol, tsCol, idCol, valCol)
+    val p = (0 to 102).map(trParam)
+    val eps = 1e-5
+    def r9v(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    // CLS embedding is data-independent: fold to driver literals
+    val e0 = Seq(r9v(p(8) + posEncCls(0)._1), r9v(p(9) + posEncCls(0)._2))
+    // input Linear
+    var d = piv.select(Seq(col("user_id")) ++ (1 to T).flatMap(t => Seq(
+      round(lit(p(0)) * col(s"x$t") + lit(p(1)), 9).as(s"l${t}_1"),
+      round(lit(p(2)) * col(s"x$t") + lit(p(3)), 9).as(s"l${t}_2"))): _*)
+    // input LayerNorm + PE (CLS layout: token t sits at position t)
+    val lC = (1 to T).flatMap(t => Seq(col(s"l${t}_1"), col(s"l${t}_2")))
+    d = d.select(Seq(col("user_id")) ++ lC ++ (1 to T).map(t =>
+      ((col(s"l${t}_1") + col(s"l${t}_2")) / lit(2.0)).as(s"mu$t")): _*)
+    d = d.select(Seq(col("user_id")) ++ lC ++
+      (1 to T).map(t => col(s"mu$t")) ++ (1 to T).map(t =>
+      (((col(s"l${t}_1") - col(s"mu$t")) * (col(s"l${t}_1") - col(s"mu$t")) +
+        (col(s"l${t}_2") - col(s"mu$t")) * (col(s"l${t}_2") - col(s"mu$t")))
+        / lit(2.0)).as(s"va$t")): _*)
+    d = d.select(Seq(col("user_id")) ++ (1 to T).flatMap(t => Seq(
+      round(lit(p(4)) * (col(s"l${t}_1") - col(s"mu$t")) /
+        sqrt(col(s"va$t") + lit(eps)) + lit(p(5)) +
+        lit(posEncCls(t)._1), 9).as(s"e${t}_1"),
+      round(lit(p(6)) * (col(s"l${t}_2") - col(s"mu$t")) /
+        sqrt(col(s"va$t") + lit(eps)) + lit(p(7)) +
+        lit(posEncCls(t)._2), 9).as(s"e${t}_2"))): _*)
+    // ---- block 1 over positions 0..T (0 = CLS, literal-folded)
+    val b1 = 10
+    def projLit(off: Int, e: Seq[Double], dd: Int): Double =
+      r9v(p(off + 2 * dd) * e.head + p(off + 2 * dd + 1) * e(1) +
+        p(off + 4 + dd))
+    val q0 = Seq(projLit(b1, e0, 0), projLit(b1, e0, 1))
+    val k0 = Seq(projLit(b1 + 6, e0, 0), projLit(b1 + 6, e0, 1))
+    val v0 = Seq(projLit(b1 + 12, e0, 0), projLit(b1 + 12, e0, 1))
+    def proj(off: Int, i: Int, dd: Int): Column =
+      round(lit(p(off + 2 * dd)) * col(s"e${i}_1") +
+        lit(p(off + 2 * dd + 1)) * col(s"e${i}_2") + lit(p(off + 4 + dd)), 9)
+    val eC = (1 to T).flatMap(t => Seq(col(s"e${t}_1"), col(s"e${t}_2")))
+    d = d.select(Seq(col("user_id")) ++ eC ++ (1 to T).flatMap(i => Seq(
+      proj(b1, i, 0).as(s"q${i}_1"), proj(b1, i, 1).as(s"q${i}_2"),
+      proj(b1 + 6, i, 0).as(s"k${i}_1"), proj(b1 + 6, i, 1).as(s"k${i}_2"),
+      proj(b1 + 12, i, 0).as(s"v${i}_1"),
+      proj(b1 + 12, i, 1).as(s"v${i}_2"))): _*)
+    // per-head scores over the full (T+1)² grid (head_dim 1 ⇒ scale 1)
+    def qh(i: Int, h: Int): Column =
+      if (i == 0) lit(q0(h - 1)) else col(s"q${i}_$h")
+    def kh(j: Int, h: Int): Column =
+      if (j == 0) lit(k0(h - 1)) else col(s"k${j}_$h")
+    def vh(j: Int, h: Int): Column =
+      if (j == 0) lit(v0(h - 1)) else col(s"v${j}_$h")
+    val vC = (1 to T).flatMap(j => Seq(col(s"v${j}_1"), col(s"v${j}_2")))
+    val carry1 = Seq(col("user_id")) ++ eC ++ vC
+    d = d.select(carry1 ++ (0 to T).flatMap(i => (1 to 2).flatMap(h =>
+      (0 to T).map(j =>
+        (qh(i, h) * kh(j, h)).as(s"s${i}_${j}_$h")))): _*)
+    d = d.select(carry1 ++
+      (0 to T).flatMap(i => (1 to 2).flatMap(h =>
+        (0 to T).map(j => col(s"s${i}_${j}_$h")))) ++
+      (0 to T).flatMap(i => (1 to 2).map(h =>
+        greatest((0 to T).map(j => col(s"s${i}_${j}_$h")): _*)
+          .as(s"m${i}_$h"))): _*)
+    d = d.select(carry1 ++ (0 to T).flatMap(i => (1 to 2).flatMap(h =>
+      (0 to T).map(j =>
+        exp(col(s"s${i}_${j}_$h") - col(s"m${i}_$h"))
+          .as(s"w${i}_${j}_$h")))): _*)
+    d = d.select(carry1 ++
+      (0 to T).flatMap(i => (1 to 2).flatMap(h =>
+        (0 to T).map(j => col(s"w${i}_${j}_$h")))) ++
+      (0 to T).flatMap(i => (1 to 2).map(h =>
+        (0 to T).map(j => col(s"w${i}_${j}_$h")).reduce(_ + _)
+          .as(s"z${i}_$h"))): _*)
+    d = d.select(Seq(col("user_id")) ++ eC ++
+      (0 to T).flatMap(i => (1 to 2).map(h =>
+        round((0 to T).map(j => col(s"w${i}_${j}_$h") * vh(j, h))
+          .reduce(_ + _) / col(s"z${i}_$h"), 9).as(s"o${i}_$h"))): _*)
+    // W_O + residual + norm1 (post-norm, torch ε=1e-5, learned γ/β)
+    def eIn(i: Int, dd: Int): Column =
+      if (i == 0) lit(e0(dd - 1)) else col(s"e${i}_$dd")
+    val oC = (0 to T).flatMap(i => Seq(col(s"o${i}_1"), col(s"o${i}_2")))
+    d = d.select(Seq(col("user_id")) ++ (0 to T).flatMap(i => Seq(
+      (eIn(i, 1) + round(lit(p(b1 + 18)) * col(s"o${i}_1") +
+        lit(p(b1 + 19)) * col(s"o${i}_2") + lit(p(b1 + 22)), 9))
+        .as(s"r${i}_1"),
+      (eIn(i, 2) + round(lit(p(b1 + 20)) * col(s"o${i}_1") +
+        lit(p(b1 + 21)) * col(s"o${i}_2") + lit(p(b1 + 23)), 9))
+        .as(s"r${i}_2"))): _*)
+    def lnStage(pref: String, outPref: String, gOff: Int): Unit = {
+      val rC = (0 to T).flatMap(i =>
+        Seq(col(s"$pref${i}_1"), col(s"$pref${i}_2")))
+      d = d.select(Seq(col("user_id")) ++ rC ++ (0 to T).map(i =>
+        ((col(s"$pref${i}_1") + col(s"$pref${i}_2")) / lit(2.0))
+          .as(s"lmu$i")): _*)
+      d = d.select(Seq(col("user_id")) ++ rC ++
+        (0 to T).map(i => col(s"lmu$i")) ++ (0 to T).map(i =>
+        (((col(s"$pref${i}_1") - col(s"lmu$i")) *
+          (col(s"$pref${i}_1") - col(s"lmu$i")) +
+          (col(s"$pref${i}_2") - col(s"lmu$i")) *
+          (col(s"$pref${i}_2") - col(s"lmu$i"))) / lit(2.0))
+          .as(s"lva$i")): _*)
+      d = d.select(Seq(col("user_id")) ++ (0 to T).flatMap(i => Seq(
+        round(lit(p(gOff)) * (col(s"$pref${i}_1") - col(s"lmu$i")) /
+          sqrt(col(s"lva$i") + lit(eps)) + lit(p(gOff + 1)), 9)
+          .as(s"$outPref${i}_1"),
+        round(lit(p(gOff + 2)) * (col(s"$pref${i}_2") - col(s"lmu$i")) /
+          sqrt(col(s"lva$i") + lit(eps)) + lit(p(gOff + 3)), 9)
+          .as(s"$outPref${i}_2"))): _*)
+    }
+    lnStage("r", "n1_", b1 + 24)
+    // FFN: Linear(2→2) → tanh-GELU → Linear(2→2), residual, norm2
+    val n1C = (0 to T).flatMap(i =>
+      Seq(col(s"n1_${i}_1"), col(s"n1_${i}_2")))
+    d = d.select(Seq(col("user_id")) ++ n1C ++ (0 to T).flatMap(i => Seq(
+      round(lit(p(b1 + 28)) * col(s"n1_${i}_1") +
+        lit(p(b1 + 29)) * col(s"n1_${i}_2") + lit(p(b1 + 32)), 9)
+        .as(s"f${i}_1"),
+      round(lit(p(b1 + 30)) * col(s"n1_${i}_1") +
+        lit(p(b1 + 31)) * col(s"n1_${i}_2") + lit(p(b1 + 33)), 9)
+        .as(s"f${i}_2"))): _*)
+    d = d.select(Seq(col("user_id")) ++ n1C ++ (0 to T).flatMap(i => Seq(
+      round(geluTanh(col(s"f${i}_1")), 9).as(s"g${i}_1"),
+      round(geluTanh(col(s"f${i}_2")), 9).as(s"g${i}_2"))): _*)
+    d = d.select(Seq(col("user_id")) ++ (0 to T).flatMap(i => Seq(
+      (col(s"n1_${i}_1") + round(lit(p(b1 + 34)) * col(s"g${i}_1") +
+        lit(p(b1 + 35)) * col(s"g${i}_2") + lit(p(b1 + 38)), 9))
+        .as(s"r${i}_1"),
+      (col(s"n1_${i}_2") + round(lit(p(b1 + 36)) * col(s"g${i}_1") +
+        lit(p(b1 + 37)) * col(s"g${i}_2") + lit(p(b1 + 39)), 9))
+        .as(s"r${i}_2"))): _*)
+    lnStage("r", "b1o_", b1 + 40)
+    // ---- block 2, computed at the CLS position only (CLS pooling reads
+    // position 0 after the final block; block 2's OTHER positions feed
+    // nothing downstream and are provably dead — not computed)
+    val b2 = 54
+    val b1oC = (0 to T).flatMap(i =>
+      Seq(col(s"b1o_${i}_1"), col(s"b1o_${i}_2")))
+    def proj2(off: Int, i: Int, dd: Int): Column =
+      round(lit(p(off + 2 * dd)) * col(s"b1o_${i}_1") +
+        lit(p(off + 2 * dd + 1)) * col(s"b1o_${i}_2") +
+        lit(p(off + 4 + dd)), 9)
+    d = d.select(Seq(col("user_id")) ++ b1oC ++ Seq(
+      proj2(b2, 0, 0).as("Q_1"), proj2(b2, 0, 1).as("Q_2")) ++
+      (0 to T).flatMap(j => Seq(
+        proj2(b2 + 6, j, 0).as(s"K${j}_1"), proj2(b2 + 6, j, 1).as(s"K${j}_2"),
+        proj2(b2 + 12, j, 0).as(s"V${j}_1"),
+        proj2(b2 + 12, j, 1).as(s"V${j}_2"))): _*)
+    val vC2 = (0 to T).flatMap(j => Seq(col(s"V${j}_1"), col(s"V${j}_2")))
+    val cls1 = Seq(col("user_id"), col("b1o_0_1"), col("b1o_0_2")) ++ vC2
+    d = d.select(cls1 ++ (1 to 2).flatMap(h => (0 to T).map(j =>
+      (col(s"Q_$h") * col(s"K${j}_$h")).as(s"S${j}_$h"))): _*)
+    d = d.select(cls1 ++
+      (1 to 2).flatMap(h => (0 to T).map(j => col(s"S${j}_$h"))) ++
+      (1 to 2).map(h =>
+        greatest((0 to T).map(j => col(s"S${j}_$h")): _*).as(s"M_$h")): _*)
+    d = d.select(cls1 ++ (1 to 2).flatMap(h => (0 to T).map(j =>
+      exp(col(s"S${j}_$h") - col(s"M_$h")).as(s"W${j}_$h"))): _*)
+    d = d.select(cls1 ++
+      (1 to 2).flatMap(h => (0 to T).map(j => col(s"W${j}_$h"))) ++
+      (1 to 2).map(h =>
+        (0 to T).map(j => col(s"W${j}_$h")).reduce(_ + _).as(s"Z_$h")): _*)
+    d = d.select(Seq(col("user_id"), col("b1o_0_1"), col("b1o_0_2")) ++
+      (1 to 2).map(h =>
+        round((0 to T).map(j => col(s"W${j}_$h") * col(s"V${j}_$h"))
+          .reduce(_ + _) / col(s"Z_$h"), 9).as(s"O_$h")): _*)
+    d = d.select(col("user_id"),
+      (col("b1o_0_1") + round(lit(p(b2 + 18)) * col("O_1") +
+        lit(p(b2 + 19)) * col("O_2") + lit(p(b2 + 22)), 9)).as("R_1"),
+      (col("b1o_0_2") + round(lit(p(b2 + 20)) * col("O_1") +
+        lit(p(b2 + 21)) * col("O_2") + lit(p(b2 + 23)), 9)).as("R_2"))
+    def lnOne(pref: String, outPref: String, gOff: Int): Unit = {
+      d = d.select(col("user_id"), col(s"${pref}_1"), col(s"${pref}_2"),
+        ((col(s"${pref}_1") + col(s"${pref}_2")) / lit(2.0)).as("Lmu"))
+      d = d.select(col("user_id"), col(s"${pref}_1"), col(s"${pref}_2"),
+        col("Lmu"),
+        (((col(s"${pref}_1") - col("Lmu")) * (col(s"${pref}_1") - col("Lmu")) +
+          (col(s"${pref}_2") - col("Lmu")) * (col(s"${pref}_2") - col("Lmu")))
+          / lit(2.0)).as("Lva"))
+      d = d.select(col("user_id"),
+        round(lit(p(gOff)) * (col(s"${pref}_1") - col("Lmu")) /
+          sqrt(col("Lva") + lit(eps)) + lit(p(gOff + 1)), 9)
+          .as(s"${outPref}_1"),
+        round(lit(p(gOff + 2)) * (col(s"${pref}_2") - col("Lmu")) /
+          sqrt(col("Lva") + lit(eps)) + lit(p(gOff + 3)), 9)
+          .as(s"${outPref}_2"))
+    }
+    lnOne("R", "N1", b2 + 24)
+    d = d.select(col("user_id"), col("N1_1"), col("N1_2"),
+      round(lit(p(b2 + 28)) * col("N1_1") + lit(p(b2 + 29)) * col("N1_2") +
+        lit(p(b2 + 32)), 9).as("F_1"),
+      round(lit(p(b2 + 30)) * col("N1_1") + lit(p(b2 + 31)) * col("N1_2") +
+        lit(p(b2 + 33)), 9).as("F_2"))
+    d = d.select(col("user_id"), col("N1_1"), col("N1_2"),
+      round(geluTanh(col("F_1")), 9).as("G_1"),
+      round(geluTanh(col("F_2")), 9).as("G_2"))
+    d = d.select(col("user_id"),
+      (col("N1_1") + round(lit(p(b2 + 34)) * col("G_1") +
+        lit(p(b2 + 35)) * col("G_2") + lit(p(b2 + 38)), 9)).as("R_1"),
+      (col("N1_2") + round(lit(p(b2 + 36)) * col("G_1") +
+        lit(p(b2 + 37)) * col("G_2") + lit(p(b2 + 39)), 9)).as("R_2"))
+    lnOne("R", "CLS", b2 + 40)
+    // output Linear(2→1) + tanh-GELU, then the regression head
+    d = d.select(col("user_id"), col("CLS_1"), col("CLS_2"),
+      round(lit(p(98)) * col("CLS_1") + lit(p(99)) * col("CLS_2") +
+        lit(p(100)), 9).as("OPin"))
+    d = d.select(col("user_id"), col("CLS_1"), col("CLS_2"),
+      round(geluTanh(col("OPin")), 9).as("OP"))
+    d.select(col("user_id"),
+      round(lit(p(101)) * col("OP") + lit(p(102)), 6).as("pred"),
+      round(col("CLS_1"), 6).as("cls1"),
+      round(col("CLS_2"), 6).as("cls2"))
+      .orderBy(col("user_id"))
+  }
+
   /** Minimum admitted window for the masked forward. */
   val Tmin = 2
 

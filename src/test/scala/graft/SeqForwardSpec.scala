@@ -644,6 +644,78 @@ class SeqForwardSpec extends SparkSpec {
         s"pool${k + 1} mismatch"))
   }
 
+  test("hiveTransformerForward matches a plain-Scala replay of the whole model") {
+    def th(z: Double) =
+      (math.exp(2.0 * z) - 1.0) / (math.exp(2.0 * z) + 1.0)
+    def gelu(x: Double): Double =
+      0.5 * x * (1.0 + th(0.797884561 * (x + 0.044715 * x * x * x)))
+    val T = SeqForward.T
+    val p = (0 to 102).map(SeqForward.trParam)
+    val xs = (1 to T).map(t => r9(t * 50.0 / 500.0))
+    val eps = 1e-5
+    // input Linear + LayerNorm + PE; CLS at position 0
+    val e = Seq(r9(p(8) + SeqForward.posEncCls(0)._1),
+      r9(p(9) + SeqForward.posEncCls(0)._2)) +: xs.zipWithIndex.map {
+      case (x, i) =>
+        val t = i + 1
+        val l1 = r9(p(0) * x + p(1)); val l2 = r9(p(2) * x + p(3))
+        val mu = (l1 + l2) / 2.0
+        val va = ((l1 - mu) * (l1 - mu) + (l2 - mu) * (l2 - mu)) / 2.0
+        Seq(r9(p(4) * (l1 - mu) / math.sqrt(va + eps) + p(5) +
+          SeqForward.posEncCls(t)._1),
+          r9(p(6) * (l2 - mu) / math.sqrt(va + eps) + p(7) +
+            SeqForward.posEncCls(t)._2))
+    }
+    def ln(v: Seq[Double], gOff: Int): Seq[Double] = {
+      val mu = (v.head + v(1)) / 2.0
+      val va = ((v.head - mu) * (v.head - mu) +
+        (v(1) - mu) * (v(1) - mu)) / 2.0
+      Seq(r9(p(gOff) * (v.head - mu) / math.sqrt(va + eps) + p(gOff + 1)),
+        r9(p(gOff + 2) * (v(1) - mu) / math.sqrt(va + eps) + p(gOff + 3)))
+    }
+    def proj(off: Int, v: Seq[Double]): Seq[Double] = (0 until 2).map(dd =>
+      r9(p(off + 2 * dd) * v.head + p(off + 2 * dd + 1) * v(1) +
+        p(off + 4 + dd)))
+    // one encoder block over `seq`, outputs at the given positions
+    def block(base: Int, seq: Seq[Seq[Double]],
+        outAt: Seq[Int]): Seq[Seq[Double]] = {
+      val qs = seq.map(proj(base, _)); val ks = seq.map(proj(base + 6, _))
+      val vs = seq.map(proj(base + 12, _))
+      outAt.map { i =>
+        val o = (0 until 2).map { hIdx =>
+          val ss = ks.indices.map(j => qs(i)(hIdx) * ks(j)(hIdx))
+          val m = ss.max
+          val ws = ss.map(s => math.exp(s - m))
+          r9(ws.zip(vs.map(_(hIdx))).map { case (w, v) => w * v }.sum /
+            ws.sum)
+        }
+        val r = (0 until 2).map(dd => seq(i)(dd) +
+          r9(p(base + 18 + 2 * dd) * o(0) + p(base + 19 + 2 * dd) * o(1) +
+            p(base + 22 + dd)))
+        val n1 = ln(r, base + 24)
+        val f = (0 until 2).map(dd =>
+          r9(p(base + 28 + 2 * dd) * n1(0) + p(base + 29 + 2 * dd) * n1(1) +
+            p(base + 32 + dd)))
+        val g = f.map(x => r9(gelu(x)))
+        val r2 = (0 until 2).map(dd => n1(dd) +
+          r9(p(base + 34 + 2 * dd) * g(0) + p(base + 35 + 2 * dd) * g(1) +
+            p(base + 38 + dd)))
+        ln(r2, base + 40)
+      }
+    }
+    val b1out = block(10, e, 0 to T)
+    val cls = block(54, b1out, Seq(0)).head
+    val opIn = r9(p(98) * cls.head + p(99) * cls(1) + p(100))
+    val op = r9(gelu(opIn))
+    val pred = r6(p(101) * op + p(102))
+    val row = SeqForward.hiveTransformerForward(fixture, "user_id", "ts",
+      "event_id", "value").collect().head
+    assert(row.getAs[Double]("pred") == pred,
+      s"pred ${row.getAs[Double]("pred")} vs $pred")
+    assert(row.getAs[Double]("cls1") == r6(cls.head))
+    assert(row.getAs[Double]("cls2") == r6(cls(1)))
+  }
+
   test("forward passes carry no global window and no join") {
     import org.apache.spark.sql.execution.window.WindowExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -667,7 +739,9 @@ class SeqForwardSpec extends SparkSpec {
         SeqForward.stackedLstmForward(fixture, "user_id", "ts",
           "event_id", "value"),
         SeqForward.hiveLstmForward(fixture, "user_id", "ts", "event_id",
-          "value")).foreach { df =>
+          "value"),
+        SeqForward.hiveTransformerForward(fixture, "user_id", "ts",
+          "event_id", "value")).foreach { df =>
         val p = df.queryExecution.executedPlan
         p.foreach {
           case w: WindowExec =>
