@@ -576,6 +576,16 @@ private[graft] trait EntryPart4 extends EntryPart3 {
     graft.ml.SeqForward.hiveTransformerForward(
       t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
 
+  // ---------------------------------------------------------------- q435
+  // Packed-sequence LSTM forward (torch pack_padded_sequence,
+  // lstm.py:170-180): Tmin<=n<=T windows admitted, state updates are
+  // CASE-guarded no-ops past each user's true length — packing's "this
+  // sequence has left the batch" semantics with no sort/pack/unpack.
+  // Full windows reproduce q418 digit for digit (spec'd).
+  def q435(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.SeqForward.packedLstmForward(
+      t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
+
   // ---------------------------------------------------------------- q426
   // TRAINED Elman RNN under the reference's DEFAULT optimizer, hash-
   // checked (trainer.py:125-131 AdamW, weight_decay=0.01 at :89):

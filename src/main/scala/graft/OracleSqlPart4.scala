@@ -2356,6 +2356,11 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
     // residuals, tanh-GELU (documented erf divergence), block 2 at the
     // CLS position, output Linear+GELU, head.
     "q434_hive_transformer" -> q434HiveTransformerSql,
+
+    // q435: the packed-sequence LSTM replayed — q418's per-step CTEs
+    // with CASE-guarded no-op updates past each sequence's true length
+    // (torch pack_padded_sequence semantics without sort/pack/unpack).
+    "q435_packed_lstm" -> q435PackedLstmSql,
   )
 
   protected def q425LstmTrainSql: String = {
@@ -3777,6 +3782,63 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
          |  ROUND(${fmt(p(101))} * OP + ${fmt(p(102))}, 6) + 0.0 AS pred,
          |  ROUND(CLS_1, 6) + 0.0 AS cls1, ROUND(CLS_2, 6) + 0.0 AS cls2
          |FROM opg ORDER BY user_id""".stripMargin
+  }
+
+  protected def q435PackedLstmSql: String = {
+    import graft.ml.SeqForward.{H, T, Tmin, fmt, lstmParam}
+    def gate(g: Int, u: Int, t: Int): String =
+      s"${fmt(lstmParam(g, u, 0))} * x$t + ${fmt(lstmParam(g, u, 1))} * h1" +
+        s" + ${fmt(lstmParam(g, u, 2))} * h2 + ${fmt(lstmParam(g, u, 3))}"
+    def sig(z: String): String = s"1.0 / (1.0 + EXP(-($z)))"
+    def tanh(z: String): String =
+      s"(EXP(2.0 * ($z)) - 1.0) / (EXP(2.0 * ($z)) + 1.0)"
+    val xs = (1 to T).map(t => s"x$t").mkString(", ")
+    val pivotXs = (1 to T).map(t =>
+      s"    MAX(CASE WHEN rn = $t THEN x END) AS x$t").mkString(",\n")
+    val steps = (1 to T).map { t =>
+      val cNew = (0 until H).map { u =>
+        s"    CASE WHEN n_valid >= $t THEN " +
+          s"ROUND(${sig(gate(1, u, t))} * c${u + 1} + " +
+          s"${sig(gate(0, u, t))} * ${tanh(gate(3, u, t))}, 9) " +
+          s"ELSE c${u + 1} END AS c${u + 1}"
+      }.mkString(",\n")
+      val hNew = (0 until H).map { u =>
+        s"    CASE WHEN n_valid >= $t THEN " +
+          s"ROUND(${sig(gate(2, u, t))} * ${tanh(s"c${u + 1}")}, 9) " +
+          s"ELSE h${u + 1} END AS h${u + 1}"
+      }.mkString(",\n")
+      s""",c$t AS (
+         |  SELECT user_id, n_valid, $xs, h1, h2,
+         |$cNew
+         |  FROM s${t - 1}),
+         |s$t AS (
+         |  SELECT user_id, n_valid, $xs, c1, c2,
+         |$hNew
+         |  FROM c$t)
+         |""".stripMargin
+    }.mkString
+    s"""WITH r AS (
+       |  SELECT user_id,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS rn,
+       |    ROUND(CAST(value AS DOUBLE) / 500.0, 9) AS x
+       |  FROM events),
+       |p AS (
+       |  SELECT user_id,
+       |$pivotXs,
+       |    COUNT(*) AS n_valid
+       |  FROM r WHERE rn <= $T
+       |  GROUP BY user_id HAVING COUNT(*) >= $Tmin),
+       |s0 AS (
+       |  SELECT user_id, n_valid, $xs,
+       |    CAST(0.0 AS DOUBLE) AS h1, CAST(0.0 AS DOUBLE) AS h2,
+       |    CAST(0.0 AS DOUBLE) AS c1, CAST(0.0 AS DOUBLE) AS c2
+       |  FROM p)
+       |""".stripMargin + steps +
+      s"""SELECT user_id, n_valid,
+         |  ROUND(h1, 6) + 0.0 AS h1, ROUND(h2, 6) + 0.0 AS h2,
+         |  ROUND(c1, 6) + 0.0 AS c1, ROUND(c2, 6) + 0.0 AS c2
+         |FROM s$T ORDER BY user_id""".stripMargin
   }
 
   protected def q430MaskedAttnSql: String = {

@@ -1405,6 +1405,64 @@ object SeqForward {
       .orderBy(col("user_id"))
   }
 
+  /** PACKED-SEQUENCE LSTM forward, hash-checked (torch
+    * `pack_padded_sequence` at `lstm.py:170-180`: the RNN runs each
+    * sequence only over its true length; the sequence output is the
+    * state at the last VALID step): users with `Tmin ≤ n ≤ T` events
+    * are admitted, and at step t > n the state update is a NO-OP
+    * (CASE-guarded — exactly packing's "this sequence has left the
+    * batch" semantics, without the sort/pack/unpack machinery a
+    * columnar engine doesn't need). Full windows reproduce
+    * [[lstmForward]] digit for digit; a length-n user reproduces the
+    * n-step recurrence (spec'd both ways). Same q418 weights, so the
+    * packed path is directly comparable to the fixed-window one.
+    */
+  def packedLstmForward(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, valCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val ranked = events
+      .select(col(userCol).as("user_id"),
+        row_number().over(w).as("rn"),
+        round(col(valCol).cast("double") / lit(500.0), 9).as("x"))
+      .filter(col("rn") <= T)
+    val aggs = (1 to T).map(t =>
+      max(when(col("rn") === t, col("x"))).as(s"x$t")) :+
+      count(lit(1)).as("n_valid")
+    val piv = ranked.groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("n_valid") >= Tmin)
+    val xs = (1 to T).map(i => col(s"x$i"))
+    def gate(g: Int, u: Int, t: Int): Column =
+      lit(lstmParam(g, u, 0)) * col(s"x$t") +
+        lit(lstmParam(g, u, 1)) * col("h1") +
+        lit(lstmParam(g, u, 2)) * col("h2") +
+        lit(lstmParam(g, u, 3))
+    val carry = Seq(col("user_id"), col("n_valid"))
+    var d = piv.select(carry ++ xs ++ Seq(
+      lit(0.0).as("h1"), lit(0.0).as("h2"),
+      lit(0.0).as("c1"), lit(0.0).as("c2")): _*)
+    (1 to T).foreach { t =>
+      val live = col("n_valid") >= t
+      val cNew = (0 until H).map { u =>
+        when(live, round(sigmoid(gate(1, u, t)) * col(s"c${u + 1}") +
+          sigmoid(gate(0, u, t)) * tanhE(gate(3, u, t)), 9))
+          .otherwise(col(s"c${u + 1}")).as(s"c${u + 1}")
+      }
+      d = d.select(carry ++ xs ++ Seq(col("h1"), col("h2")) ++ cNew: _*)
+      val hNew = (0 until H).map { u =>
+        when(live, round(sigmoid(gate(2, u, t)) *
+          tanhE(col(s"c${u + 1}")), 9))
+          .otherwise(col(s"h${u + 1}")).as(s"h${u + 1}")
+      }
+      d = d.select(carry ++ xs ++ Seq(col("c1"), col("c2")) ++ hNew: _*)
+    }
+    d.select(col("user_id"), col("n_valid"),
+      round(col("h1"), 6).as("h1"), round(col("h2"), 6).as("h2"),
+      round(col("c1"), 6).as("c1"), round(col("c2"), 6).as("c2"))
+      .orderBy(col("user_id"))
+  }
+
   /** Minimum admitted window for the masked forward. */
   val Tmin = 2
 

@@ -716,6 +716,46 @@ class SeqForwardSpec extends SparkSpec {
     assert(row.getAs[Double]("cls2") == r6(cls(1)))
   }
 
+  test("packedLstmForward: packing semantics — state frozen past each length") {
+    def sig(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    def th(z: Double) =
+      (math.exp(2.0 * z) - 1.0) / (math.exp(2.0 * z) + 1.0)
+    // a 5-event user: the packed forward must equal the plain 5-step
+    // recurrence — steps 6..8 are no-ops
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val short = (1 to 5).map { i =>
+      (3L, new java.sql.Timestamp(base.getTime + i * 60000L), i.toLong,
+        i * 40.0)
+    }.toDF("user_id", "ts", "event_id", "value")
+    val xs = (1 to 5).map(i => r9(i * 40.0 / 500.0))
+    var h = Array(0.0, 0.0); var c = Array(0.0, 0.0)
+    xs.foreach { x =>
+      def gate(g: Int, u: Int): Double =
+        SeqForward.lstmParam(g, u, 0) * x +
+          SeqForward.lstmParam(g, u, 1) * h(0) +
+          SeqForward.lstmParam(g, u, 2) * h(1) +
+          SeqForward.lstmParam(g, u, 3)
+      val cN = (0 until SeqForward.H).map(u =>
+        r9(sig(gate(1, u)) * c(u) + sig(gate(0, u)) * th(gate(3, u))))
+      val hN = (0 until SeqForward.H).map(u => r9(sig(gate(2, u)) * th(cN(u))))
+      c = cN.toArray; h = hN.toArray
+    }
+    val row = SeqForward.packedLstmForward(short, "user_id", "ts",
+      "event_id", "value").collect().head
+    assert(row.getAs[Long]("n_valid") == 5L)
+    assert(row.getAs[Double]("h1") == r6(h(0)))
+    assert(row.getAs[Double]("h2") == r6(h(1)))
+    assert(row.getAs[Double]("c1") == r6(c(0)))
+    // a FULL window reproduces the fixed-window q418 forward exactly
+    val packed = SeqForward.packedLstmForward(fixture, "user_id", "ts",
+      "event_id", "value").collect().head
+    val fixed = SeqForward.lstmForward(fixture, "user_id", "ts",
+      "event_id", "value").collect().head
+    Seq("h1", "h2", "c1", "c2").foreach { cn =>
+      assert(packed.getAs[Double](cn) == fixed.getAs[Double](cn),
+        s"full-window packed $cn diverged from q418") }
+  }
+
   test("forward passes carry no global window and no join") {
     import org.apache.spark.sql.execution.window.WindowExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -741,6 +781,8 @@ class SeqForwardSpec extends SparkSpec {
         SeqForward.hiveLstmForward(fixture, "user_id", "ts", "event_id",
           "value"),
         SeqForward.hiveTransformerForward(fixture, "user_id", "ts",
+          "event_id", "value"),
+        SeqForward.packedLstmForward(fixture, "user_id", "ts",
           "event_id", "value")).foreach { df =>
         val p = df.queryExecution.executedPlan
         p.foreach {
