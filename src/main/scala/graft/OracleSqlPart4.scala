@@ -2890,13 +2890,30 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
          |      ROUND(CAST(sgb AS DOUBLE) * 2.0 / n, 9))) AS gb
          |  FROM a$k),
          |m$k AS (
+         |  -- the m/v state chains update in EXACT decimal (inputs are
+         |  -- 9-dec values, coefficients exact decimals): HALF_UP ties
+         |  -- are well-defined and match the engine's BigDecimal fold —
+         |  -- a double-side ROUND here breaks on true ties (0.1*g =
+         |  -- 0.0080679525 hit one at the sf0.01 gate)
          |  SELECT g.*,
-         |    ROUND($b1 * i.mx + (1.0 - $b1) * g.gx, 9) AS mxn,
-         |    ROUND($b1 * i.mh + (1.0 - $b1) * g.gh, 9) AS mhn,
-         |    ROUND($b1 * i.mb + (1.0 - $b1) * g.gb, 9) AS mbn,
-         |    ROUND($b2 * i.vx + (1.0 - $b2) * g.gx * g.gx, 9) AS vxn,
-         |    ROUND($b2 * i.vh + (1.0 - $b2) * g.gh * g.gh, 9) AS vhn,
-         |    ROUND($b2 * i.vb + (1.0 - $b2) * g.gb * g.gb, 9) AS vbn
+         |    CAST(ROUND($b1 * CAST(i.mx AS DECIMAL(12,9)) +
+         |      (1.0 - $b1) * CAST(g.gx AS DECIMAL(12,9)), 9) AS DOUBLE)
+         |      AS mxn,
+         |    CAST(ROUND($b1 * CAST(i.mh AS DECIMAL(12,9)) +
+         |      (1.0 - $b1) * CAST(g.gh AS DECIMAL(12,9)), 9) AS DOUBLE)
+         |      AS mhn,
+         |    CAST(ROUND($b1 * CAST(i.mb AS DECIMAL(12,9)) +
+         |      (1.0 - $b1) * CAST(g.gb AS DECIMAL(12,9)), 9) AS DOUBLE)
+         |      AS mbn,
+         |    CAST(ROUND($b2 * CAST(i.vx AS DECIMAL(12,9)) +
+         |      (1.0 - $b2) * CAST(g.gx AS DECIMAL(12,9)) *
+         |      CAST(g.gx AS DECIMAL(12,9)), 9) AS DOUBLE) AS vxn,
+         |    CAST(ROUND($b2 * CAST(i.vh AS DECIMAL(12,9)) +
+         |      (1.0 - $b2) * CAST(g.gh AS DECIMAL(12,9)) *
+         |      CAST(g.gh AS DECIMAL(12,9)), 9) AS DOUBLE) AS vhn,
+         |    CAST(ROUND($b2 * CAST(i.vb AS DECIMAL(12,9)) +
+         |      (1.0 - $b2) * CAST(g.gb AS DECIMAL(12,9)) *
+         |      CAST(g.gb AS DECIMAL(12,9)), 9) AS DOUBLE) AS vbn
          |  FROM g$k g CROSS JOIN i$k i),
          |h$k AS (
          |  SELECT m.*,
@@ -2914,9 +2931,13 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
          |    ROUND(mhatb / (SQRT(vhatb) + $eps), 9) AS stb
          |  FROM h$k h),
          |i${k + 1} AS (
-         |  SELECT ROUND(wx * (1.0 - $lr * $wd) - $lr * stx, 9) AS wx,
-         |    ROUND(wh * (1.0 - $lr * $wd) - $lr * sth, 9) AS wh,
-         |    ROUND(b * (1.0 - $lr * $wd) - $lr * stb, 9) AS b,
+         |  -- exact-decimal theta chain, same tie-proofing as m$k
+         |  SELECT CAST(ROUND(CAST(wx AS DECIMAL(12,9)) * (1.0 - $lr * $wd)
+         |      - $lr * CAST(stx AS DECIMAL(12,9)), 9) AS DOUBLE) AS wx,
+         |    CAST(ROUND(CAST(wh AS DECIMAL(12,9)) * (1.0 - $lr * $wd)
+         |      - $lr * CAST(sth AS DECIMAL(12,9)), 9) AS DOUBLE) AS wh,
+         |    CAST(ROUND(CAST(b AS DECIMAL(12,9)) * (1.0 - $lr * $wd)
+         |      - $lr * CAST(stb AS DECIMAL(12,9)), 9) AS DOUBLE) AS b,
          |    mxn AS mx, mhn AS mh, mbn AS mb,
          |    vxn AS vx, vhn AS vh, vbn AS vb
          |  FROM s$k),

@@ -276,18 +276,37 @@ object SeqForward {
     *   m̂ = m'/(1−β₁ᵗ),  v̂ = v'/(1−β₂ᵗ)      (bias correction)
     *   θ' = θ·(1−lr·λ) − lr·m̂/(√v̂+ε)        (DECOUPLED weight decay)
     *
-    * Every intermediate is re-rounded to 9 decimals — the q420 state-
-    * pinning recipe — so the whole optimizer state replays digit for
-    * digit in DuckDB. Returns (θ', m', v', m̂, v̂).
+    * The three LONG-LIVED state chains (m, v, θ) update in EXACT
+    * decimal arithmetic: their inputs are 9-decimal values and the
+    * coefficients (β, 1−β, 1−lr·λ, lr) are exact decimals, so the
+    * pre-round value is an exact finite decimal whose HALF_UP tie is
+    * well-defined and identical across engines (the oracle mirrors
+    * with DECIMAL casts). A double-side round here is NOT safe: the
+    * sf0.01 gate hit a true tie (0.1·g = 0.0080679525 exactly) that
+    * Java's exact-expansion HALF_UP and DuckDB's scaled-double ROUND
+    * broke in opposite directions, and the divergence compounded
+    * through the whole trajectory. The division/√-based transients
+    * (m̂, v̂, step) stay double-rounded — same residual risk every
+    * round-9 query carries. Returns (θ', m', v', m̂, v̂).
     */
   def adamwStep(theta: Double, g: Double, m: Double, v: Double,
       t: Int): (Double, Double, Double, Double, Double) = {
-    val mN = r9d(adamBeta1 * m + (1.0 - adamBeta1) * g)
-    val vN = r9d(adamBeta2 * v + (1.0 - adamBeta2) * g * g)
+    import java.math.{BigDecimal => JBD}
+    def bd(x: Double): JBD = JBD.valueOf(x)
+    def r9x(b: JBD): Double =
+      b.setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val one = JBD.ONE
+    val (b1, b2) = (bd(adamBeta1), bd(adamBeta2))
+    val mN = r9x(b1.multiply(bd(m))
+      .add(one.subtract(b1).multiply(bd(g))))
+    val vN = r9x(b2.multiply(bd(v))
+      .add(one.subtract(b2).multiply(bd(g)).multiply(bd(g))))
     val mHat = r9d(mN / adamBc1(t))
     val vHat = r9d(vN / adamBc2(t))
     val step = r9d(mHat / (math.sqrt(vHat) + adamEps))
-    val thetaN = r9d(theta * (1.0 - adamLr * adamWd) - adamLr * step)
+    val thetaN = r9x(bd(theta)
+      .multiply(one.subtract(bd(adamLr).multiply(bd(adamWd))))
+      .subtract(bd(adamLr).multiply(bd(step))))
     (thetaN, mN, vN, mHat, vHat)
   }
 
