@@ -158,6 +158,25 @@ class SeqForwardSpec extends SparkSpec {
     assert(SeqForward.adamBc2(2) == 1.0 - 0.999 * 0.999)
   }
 
+  test("adamwStep: true decimal ties resolve HALF_UP on the exact value") {
+    // the sf0.01 regression: g = 0.080679525 makes 0.1*g an EXACT
+    // 10-decimal tie (0.0080679525) whose nearest double sits BELOW it —
+    // a double-side round gives ...952 (Java) or ...953 (DuckDB's scaled
+    // ROUND) depending on the engine. The exact-decimal chain must give
+    // the true HALF_UP answer, ...953, everywhere.
+    val (_, m1, _, _, _) = SeqForward.adamwStep(0.4, 0.080679525, 0.0,
+      0.0, 1)
+    assert(m1 == 0.008067953,
+      s"tie resolved $m1 — the m chain is not exact-decimal")
+    // and the naive double round really does disagree (the trap exists):
+    // (1.0 - 0.9) is the double 0.09999999999999998, so the double
+    // product sits BELOW the exact tie and Java's exact-expansion
+    // HALF_UP goes down while DuckDB's scaled ROUND goes up
+    val naive = new java.math.BigDecimal((1.0 - 0.9) * 0.080679525)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(naive == 0.008067952, "trap vanished — revisit this spec")
+  }
+
   test("adamwStep: decay applies to weights, never to the gradient moments") {
     // zero gradient, zero moments -> the update is PURE decoupled decay:
     // theta * (1 - lr*wd), no gradient-coupled term
