@@ -1047,9 +1047,12 @@ object SeqForward {
     * weighted mix) → output projection Linear(4→2)+ReLU → regression
     * head Linear(2→1). Every sub-layer in evaluation order on one
     * disjoint round-9 draw — a user of the reference can run MODEL
-    * INFERENCE in this engine and hash-match it. Scale shape unchanged:
-    * one window, one pivot, staged codegen projections; at 100 TB this
-    * is a scan.
+    * INFERENCE in this engine and hash-match it. DOCUMENTED DIVERGENCE
+    * (width, like every replay's T=8/H=2): depth is scaled to ONE
+    * bidirectional layer vs the reference default num_layers=2
+    * (`lstm.py:73`); q432 pins the stacking arithmetic itself. Scale
+    * shape unchanged: one window, one pivot, staged codegen
+    * projections; at 100 TB this is a scan.
     */
   def hiveLstmForward(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, valCol: String): DataFrame = {
@@ -1205,8 +1208,12 @@ object SeqForward {
     * reads only position 0 after the final block, `transformer.py:
     * 312-318`) — then output Linear(2→1) + GELU and the regression
     * head. The CLS embedding and its block-1 q/k/v are data-independent
-    * and fold into literals shared with the oracle. Same scale shape as
-    * every forward: one window, one pivot, staged codegen projections.
+    * and fold into literals shared with the oracle. DOCUMENTED
+    * DIVERGENCES: tanh-GELU for torch's erf GELU (see [[geluTanh]]),
+    * and depth scaled to TWO encoder blocks vs the reference default
+    * num_layers=3 (`transformer.py:196`) — the block-stacking
+    * arithmetic is what block 2 pins. Same scale shape as every
+    * forward: one window, one pivot, staged codegen projections.
     */
   def hiveTransformerForward(events: DataFrame, userCol: String,
       tsCol: String, idCol: String, valCol: String): DataFrame = {

@@ -1838,8 +1838,14 @@ object DriftOps {
     */
   def moodsMedianTest(df: DataFrame, valCol: String,
       groupCol: String, buckets: Int = 32): DataFrame = {
+    // NaN must be excluded alongside NULL: floor(NaN).cast(int) is 0 in
+    // non-ANSI Spark, so a NaN value would land in bucket 0 and shift
+    // the cumulative ranks of every later bucket (the pre-bucketing
+    // global orderBy placed NaN last; the bucketed prefix-sum must not
+    // depend on engine-specific NaN placement at all)
     val d = df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).as("g"), col(valCol).cast("double").as("v"))
+      .filter(!isnan(col("v")))
     val byV = d.groupBy(col("v")).agg(count(lit(1)).as("c"))
     // two-level prefix sum (q115/kruskalWallis shape): bucket by value
     // range, cumulate inside each bucket, add the per-bucket offsets

@@ -108,10 +108,14 @@ object CatalogTables {
       .withColumn("ts", col("ts") + expr("INTERVAL 1 DAY"))
       .withColumn("event_date", lit(newDay))
       .select((cols :+ "event_date").map(col): _*)
-    val n = rows.count()
     // insertInto is POSITION-based: contract order + partition col last,
     // exactly the materialized layout
     rows.write.mode("append").insertInto(s"$db.events")
+    // the limit(sample) plan is not stable across evaluations, so the
+    // returned count comes from the WRITTEN partition (newDay is always
+    // fresh: it's max(event_date)+1), never from re-running the sample
+    val n = spark.table(s"$db.events")
+      .filter(col("event_date") === lit(newDay)).count()
     (newDay, n)
   }
 

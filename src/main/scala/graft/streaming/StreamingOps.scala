@@ -472,14 +472,16 @@ object StreamingOps {
     * that makes this run forever at ingest scale. Inner join: matches are
     * emitted as they form (the watermark governs eviction, not emission), so
     * the finite replay equals the batch join the oracle runs.
-    *
-    * Right-side columns come back suffixed `_r` (the two sides may share a
-    * schema, as in a self-join on one event stream).
     */
   /** Run `body` with the given session confs set, restoring (or
     * unsetting) the previous values after — the streaming engine reads
     * them at query START, and every runToSink query starts and finishes
-    * inside the call, so the override is scoped to exactly one query.
+    * inside the call, so the override is scoped to exactly one query
+    * IN TIME, not per-query: the confs are session-global while `body`
+    * runs, so a query started CONCURRENTLY on the same SparkSession
+    * would inherit them. Every caller today runs single-threaded (the
+    * bench concurrency streams exclude streaming queries); if that ever
+    * changes, scope the override via a dedicated session instead.
     */
   private def withTempConf[T](spark: SparkSession,
       kvs: Seq[(String, String)])(body: => T): T = {
@@ -491,7 +493,9 @@ object StreamingOps {
     }
   }
 
-  /** Stream-stream watermarked range join.
+  /** Stream-stream watermarked range join. Right-side columns come back
+    * suffixed `_r` (the two sides may share a schema, as in a self-join
+    * on one event stream).
     *
     * Two tuning knobs, both measured on the bench drift (round-14 probe,
     * sf0.1: 13.2 s → 5.6 s wall):
