@@ -586,6 +586,53 @@ private[graft] trait EntryPart4 extends EntryPart3 {
     graft.ml.SeqForward.packedLstmForward(
       t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
 
+  // ---------------------------------------------------------------- q436
+  // The reference's HEADLINE model's whole inference path, hash-checked
+  // (mlp.py:47-149 HiveMLP, classification — the 83.7% winner,
+  // EXPERIMENTS.md:11): input Linear(8→2) + LayerNorm → THREE residual
+  // blocks h = h + block(h) (block = Linear→LayerNorm→ReLU) →
+  // classification head + max-shift softmax. Probabilities, argmax
+  // class (tie → 0, torch argmax-first), trunk features exposed.
+  // With q433/q434 all three reference models now replay end to end.
+  def q436(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.SeqForward.hiveMlpForward(
+      t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
+
+  // ---------------------------------------------------------------- q437
+  // TRAINED weighted-cross-entropy classifier under AdamW, hash-checked
+  // (trainer.py:146-150 CrossEntropyLoss(weight=class_weights); weights
+  // = normalized inverse class frequency, trainer.py:352-366): miniature
+  // 2-class softmax over (x1, x8), closed-form CE gradients w_y·(p−y),
+  // torch weighted-mean reduction (÷ Σw, exact from counts), clip ±1,
+  // q426's exact-decimal AdamW chains. The whole trajectory (params,
+  // gradients, weighted loss descent) replays in DuckDB with the class
+  // weights computed IN SQL from the same counts.
+  def q437(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.SeqForward.ceWeightedAdamwTrain(
+      t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
+
+  // ---------------------------------------------------------------- q438
+  // DUAL-HEAD MLP forward, hash-checked (mlp.py:151-217 DualHeadMLP):
+  // the q436 trunk bank SHARED, simultaneous regression head
+  // (Linear(2→1)→ReLU→Linear(1→1)) AND classification logits in ONE
+  // plan — the reference's "exact frame count + high/low class in a
+  // single pass" shape. Spec pins trunk features against the
+  // single-head twin.
+  def q438(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.SeqForward.dualHeadMlpForward(
+      t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
+
+  // ---------------------------------------------------------------- q439
+  // The scripts/evaluate.py lifecycle as ONE plan, hash-checked
+  // (evaluate.py:124-176): HiveMLP whole-model forward → softmax +
+  // argmax → classification metric card (accuracy, confusion matrix,
+  // precision/recall/F1 from counts, balanced accuracy, log-loss,
+  // Brier) against the held-out (T+1)-th value binarized at ceThr —
+  // a REAL holdout, graded end to end in-engine.
+  def q439(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.SeqForward.mlpEvaluateCard(
+      t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
+
   // ---------------------------------------------------------------- q426
   // TRAINED Elman RNN under the reference's DEFAULT optimizer, hash-
   // checked (trainer.py:125-131 AdamW, weight_decay=0.01 at :89):

@@ -2350,6 +2350,25 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
     // snapshots, pooling MLP/softmax/mix, output Linear+ReLU, head.
     "q433_hive_lstm_forward" -> q433HiveLstmSql,
 
+    // q436: the WHOLE HiveMLP inference path replayed — the reference's
+    // HEADLINE model (input Linear + LayerNorm, three residual blocks,
+    // classification head + softmax); with q433/q434 all three models
+    // now hash-check end to end.
+    "q436_hive_mlp_forward" -> q436HiveMlpSql,
+
+    // q437: weighted-cross-entropy trained trajectory under AdamW —
+    // class weights computed IN SQL from the same counts, CE gradients
+    // from the closed form w·(p − y), q426's exact-decimal state chains.
+    "q437_ce_weighted_adamw" -> q437CeAdamwSql,
+
+    // q438: dual-head MLP forward — shared trunk, simultaneous
+    // regression output + classification logits in one plan.
+    "q438_dual_head_mlp" -> q438DualHeadSql,
+
+    // q439: the evaluate.py lifecycle as one plan — HiveMLP forward →
+    // argmax/softmax → metric card + confusion matrix on a real holdout.
+    "q439_evaluate_card" -> q439EvaluateCardSql,
+
     // q434: the WHOLE HiveTransformer inference path replayed — CLS
     // embedding and its block-1 q/k/v folded to shared literals, the
     // full 9×9 two-head attention grid as CTE stages, post-norm
@@ -3914,5 +3933,331 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
        |SELECT user_id, n_valid,
        |  ROUND(($outSum) / z, 6) + 0.0 AS attn_out
        |FROM a5 ORDER BY user_id""".stripMargin
+  }
+
+  /** The HiveMLP residual trunk as a CTE chain at the production shape
+    * (nFeat=8, hid=2, layers=3), mirroring `mlpTrunkGeneric` stage for
+    * stage: input Linear → LayerNorm (ε=1e-5, learned γ/β) → three
+    * residual Linear→LayerNorm→ReLU blocks. Reads x1..x8 (+ `carry`)
+    * from `src`; the returned chain's last CTE (`"b23"`) exposes
+    * user_id, carry, h1, h2.
+    */
+  private def mlpTrunkSqlCtes(src: String, carry: Seq[String]): String = {
+    import graft.ml.SeqForward.{fmt, mlpParam => mp}
+    val T = graft.ml.SeqForward.T
+    val eps = fmt(1e-5)
+    val cy = carry match {
+      case Seq() => ""
+      case cs => cs.mkString(", ", ", ", "")
+    }
+    // input Linear: W row-major (d=1 → 0..7, d=2 → 8..15), bias 16/17
+    def inLin(d: Int): String =
+      (1 to T).map(i => s"${fmt(mp(T * (d - 1) + (i - 1)))} * x$i")
+        .mkString(" + ") + s" + ${fmt(mp(T * 2 + (d - 1)))}"
+    def lnOut(d: Int, gOff: Int): String =
+      s"ROUND(${fmt(mp(gOff + 2 * (d - 1)))} * (q$d - mu) /" +
+        s" SQRT(va + $eps) + ${fmt(mp(gOff + 2 * (d - 1) + 1))}, 9)"
+    val input =
+      s""",t0 AS (
+         |  SELECT user_id$cy,
+         |    ROUND(${inLin(1)}, 9) AS q1,
+         |    ROUND(${inLin(2)}, 9) AS q2
+         |  FROM $src),
+         |t1 AS (SELECT *, (q1 + q2) / 2.0 AS mu FROM t0),
+         |t2 AS (SELECT *, ((q1 - mu) * (q1 - mu) +
+         |  (q2 - mu) * (q2 - mu)) / 2.0 AS va FROM t1),
+         |t3 AS (
+         |  SELECT user_id$cy,
+         |    ${lnOut(1, T * 2 + 2)} AS h1,
+         |    ${lnOut(2, T * 2 + 2)} AS h2
+         |  FROM t2)
+         |""".stripMargin
+    val blocks = (0 until graft.ml.SeqForward.mlpLayers).map { l =>
+      val base = T * 2 + 6 + l * 10
+      def blkLin(d: Int): String =
+        s"${fmt(mp(base + 2 * (d - 1)))} * h1 + " +
+          s"${fmt(mp(base + 2 * (d - 1) + 1))} * h2 + " +
+          fmt(mp(base + 4 + (d - 1)))
+      def res(d: Int): String =
+        s"ROUND(h$d + GREATEST(0.0, ${lnOut(d, base + 6)}), 9)"
+      val prev = if (l == 0) "t3" else s"b${l - 1}3"
+      s""",b${l}0 AS (
+         |  SELECT user_id$cy, h1, h2,
+         |    ROUND(${blkLin(1)}, 9) AS q1,
+         |    ROUND(${blkLin(2)}, 9) AS q2
+         |  FROM $prev),
+         |b${l}1 AS (SELECT *, (q1 + q2) / 2.0 AS mu FROM b${l}0),
+         |b${l}2 AS (SELECT *, ((q1 - mu) * (q1 - mu) +
+         |  (q2 - mu) * (q2 - mu)) / 2.0 AS va FROM b${l}1),
+         |b${l}3 AS (
+         |  SELECT user_id$cy,
+         |    ${res(1)} AS h1,
+         |    ${res(2)} AS h2
+         |  FROM b${l}2)
+         |""".stripMargin
+    }.mkString
+    input + blocks
+  }
+
+  /** Classification-head logits on the trunk output (shared text
+    * between q436/q438/q439): z_c = ROUND(W·h + b, 9) on the head bank
+    * at `off`.
+    */
+  private def mlpHeadZ(off: Int, c: Int): String = {
+    import graft.ml.SeqForward.{fmt, mlpParam => mp}
+    s"ROUND(${fmt(mp(off + 2 * (c - 1)))} * h1 + " +
+      s"${fmt(mp(off + 2 * (c - 1) + 1))} * h2 + " +
+      s"${fmt(mp(off + 4 + (c - 1)))}, 9)"
+  }
+
+  protected def q436HiveMlpSql: String = {
+    val off = graft.ml.SeqForward.mlpTrunkSize(
+      graft.ml.SeqForward.T, graft.ml.SeqForward.H,
+      graft.ml.SeqForward.mlpLayers)
+    seqPivotCtes + mlpTrunkSqlCtes("p", Nil) +
+      s""",hd AS (
+         |  SELECT user_id, h1, h2,
+         |    ${mlpHeadZ(off, 1)} AS z1,
+         |    ${mlpHeadZ(off, 2)} AS z2
+         |  FROM b23),
+         |sm AS (SELECT *, GREATEST(z1, z2) AS m FROM hd),
+         |sm2 AS (SELECT *, EXP(z1 - m) AS e1, EXP(z2 - m) AS e2 FROM sm)
+         |SELECT user_id,
+         |  ROUND(e1 / (e1 + e2), 6) + 0.0 AS prob1,
+         |  ROUND(e2 / (e1 + e2), 6) + 0.0 AS prob2,
+         |  CASE WHEN z1 >= z2 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(1 AS BIGINT) END AS pred_class,
+         |  ROUND(h1, 6) + 0.0 AS feat1, ROUND(h2, 6) + 0.0 AS feat2
+         |FROM sm2 ORDER BY user_id""".stripMargin
+  }
+
+  protected def q438DualHeadSql: String = {
+    import graft.ml.SeqForward.{fmt, mlpParam => mp}
+    val off = graft.ml.SeqForward.mlpTrunkSize(
+      graft.ml.SeqForward.T, graft.ml.SeqForward.H,
+      graft.ml.SeqForward.mlpLayers)
+    val ro = off + 6
+    seqPivotCtes + mlpTrunkSqlCtes("p", Nil) +
+      s""",hd AS (
+         |  SELECT user_id, h1, h2,
+         |    ${mlpHeadZ(off, 1)} AS z1,
+         |    ${mlpHeadZ(off, 2)} AS z2,
+         |    GREATEST(0.0, ROUND(${fmt(mp(ro))} * h1 +
+         |      ${fmt(mp(ro + 1))} * h2 + ${fmt(mp(ro + 2))}, 9)) AS rh
+         |  FROM b23)
+         |SELECT user_id,
+         |  ROUND(${fmt(mp(ro + 3))} * rh + ${fmt(mp(ro + 4))}, 6) + 0.0
+         |    AS reg_pred,
+         |  ROUND(z1, 6) + 0.0 AS logit1, ROUND(z2, 6) + 0.0 AS logit2,
+         |  ROUND(h1, 6) + 0.0 AS feat1, ROUND(h2, 6) + 0.0 AS feat2
+         |FROM hd ORDER BY user_id""".stripMargin
+  }
+
+  /** Target pivot + binarized label shared by q437/q439: x1..x8 plus
+    * yb = 1{y ≥ ceThr} from the held-out (T+1)-th value.
+    */
+  private def cePivotCtes: String = {
+    import graft.ml.SeqForward.{T, fmt, ceThr}
+    val pivotXs = (1 to T).map(t =>
+      s"    MAX(CASE WHEN rn = $t THEN x END) AS x$t").mkString(",\n")
+    val xs = (1 to T).map(t => s"x$t").mkString(", ")
+    s"""WITH r AS (
+       |  SELECT user_id,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS rn,
+       |    ROUND(CAST(value AS DOUBLE) / 500.0, 9) AS x
+       |  FROM events),
+       |p AS (
+       |  SELECT user_id,
+       |$pivotXs,
+       |    MAX(CASE WHEN rn = ${T + 1} THEN x END) AS y
+       |  FROM r WHERE rn <= ${T + 1}
+       |  GROUP BY user_id HAVING COUNT(*) = ${T + 1}),
+       |pb AS (
+       |  SELECT user_id, $xs,
+       |    CASE WHEN y >= ${fmt(ceThr)} THEN CAST(1 AS BIGINT)
+       |      ELSE CAST(0 AS BIGINT) END AS yb
+       |  FROM p)
+       |""".stripMargin
+  }
+
+  protected def q437CeAdamwSql: String = {
+    import graft.ml.SeqForward.{fmt, ceInit, rnnIters, adamBeta1,
+      adamBeta2, adamEps, adamLr, adamWd, adamBc1, adamBc2}
+    val (b1, b2) = (fmt(adamBeta1), fmt(adamBeta2))
+    val (lr, wd, eps) = (fmt(adamLr), fmt(adamWd), fmt(adamEps))
+    val pn = Seq("w0a", "w0b", "b0", "w1a", "w1b", "b1")
+    val head = cePivotCtes +
+      s""",wc AS (
+         |  SELECT SUM(CASE WHEN yb = 0 THEN 1 ELSE 0 END) AS n0,
+         |    SUM(CASE WHEN yb = 1 THEN 1 ELSE 0 END) AS n1
+         |  FROM pb),
+         |wv AS (
+         |  SELECT w0, w1, w0 * n0 + w1 * n1 AS sw FROM (
+         |    SELECT n0, n1,
+         |      CAST(n1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS w0,
+         |      CAST(n0 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS w1
+         |    FROM wc)),
+         |i1 AS (
+         |  SELECT ${pn.zipWithIndex.map { case (nm, i) =>
+              s"CAST(${fmt(ceInit(i))} AS DOUBLE) AS $nm" }.mkString(",\n    ")},
+         |    ${pn.map(nm => s"CAST(0.0 AS DOUBLE) AS m_$nm")
+              .mkString(",\n    ")},
+         |    ${pn.map(nm => s"CAST(0.0 AS DOUBLE) AS v_$nm")
+              .mkString(",\n    ")})
+         |""".stripMargin
+    val iters = (1 to rnnIters).map { k =>
+      // per-sample weighted CE gradient terms: the closed form
+      // w_y·(p_c − 1{y=c})·feature, exact-decimal summed; the weighted
+      // mean divides by sw = w0·n0 + w1·n1 (exact from the counts)
+      val wCase = "CASE WHEN yb = 0 THEN w0 ELSE w1 END"
+      val d0 = "(p0 - CASE WHEN yb = 0 THEN 1.0 ELSE 0.0 END)"
+      val d1 = "(p1 - CASE WHEN yb = 1 THEN 1.0 ELSE 0.0 END)"
+      val gTerms = Seq(s"$d0 * x1", s"$d0 * x8", s"$d0",
+        s"$d1 * x1", s"$d1 * x8", s"$d1")
+      val pCarry = pn.mkString(", ")
+      s""",f${k}a AS (
+         |  SELECT pb.user_id, pb.x1, pb.x8, pb.yb,
+         |    ${pn.map(nm => s"i.$nm").mkString(", ")},
+         |    wv.w0, wv.w1, wv.sw,
+         |    ROUND(i.w0a * pb.x1 + i.w0b * pb.x8 + i.b0, 9) AS z0,
+         |    ROUND(i.w1a * pb.x1 + i.w1b * pb.x8 + i.b1, 9) AS z1
+         |  FROM pb CROSS JOIN i$k i CROSS JOIN wv),
+         |f${k}b AS (SELECT *, GREATEST(z0, z1) AS m FROM f${k}a),
+         |f${k}c AS (SELECT *, EXP(z0 - m) AS e0, EXP(z1 - m) AS e1
+         |  FROM f${k}b),
+         |f${k}d AS (SELECT *, ROUND(e0 / (e0 + e1), 9) AS p0,
+         |  ROUND(e1 / (e0 + e1), 9) AS p1 FROM f${k}c),
+         |a$k AS (
+         |  SELECT $pCarry, sw, w0, w1,
+         |${gTerms.zipWithIndex.map { case (t, i) =>
+            s"    SUM(CAST(($wCase) * $t AS DECIMAL(28,12))) AS s$i" }
+            .mkString(",\n")},
+         |    SUM(CAST(-($wCase) *
+         |      LN(CASE WHEN yb = 0 THEN p0 ELSE p1 END)
+         |      AS DECIMAL(28,12))) AS lsum
+         |  FROM f${k}d GROUP BY $pCarry, sw, w0, w1),
+         |g$k AS (
+         |  SELECT a.*,
+         |${(0 until 6).map(i =>
+            s"    GREATEST(-1.0, LEAST(1.0, ROUND(CAST(s$i AS DOUBLE)" +
+              s" / sw, 9))) AS g$i").mkString(",\n")},
+         |    ROUND(CAST(lsum AS DOUBLE) / sw, 6) AS loss
+         |  FROM a$k a),
+         |m$k AS (
+         |  -- exact-decimal m/v chains (the q426 tie-proofing)
+         |  SELECT g.*,
+         |${pn.zipWithIndex.map { case (nm, i) =>
+            s"    CAST(ROUND($b1 * CAST(i.m_$nm AS DECIMAL(12,9)) +\n" +
+              s"      (1.0 - $b1) * CAST(g.g$i AS DECIMAL(12,9)), 9)" +
+              s" AS DOUBLE) AS mn_$nm" }.mkString(",\n")},
+         |${pn.zipWithIndex.map { case (nm, i) =>
+            s"    CAST(ROUND($b2 * CAST(i.v_$nm AS DECIMAL(12,9)) +\n" +
+              s"      (1.0 - $b2) * CAST(g.g$i AS DECIMAL(12,9)) *\n" +
+              s"      CAST(g.g$i AS DECIMAL(12,9)), 9) AS DOUBLE)" +
+              s" AS vn_$nm" }.mkString(",\n")}
+         |  FROM g$k g CROSS JOIN i$k i),
+         |h$k AS (
+         |  SELECT m.*,
+         |${pn.map(nm =>
+            s"    ROUND(mn_$nm / ${fmt(adamBc1(k))}, 9) AS mh_$nm")
+            .mkString(",\n")},
+         |${pn.map(nm =>
+            s"    ROUND(vn_$nm / ${fmt(adamBc2(k))}, 9) AS vh_$nm")
+            .mkString(",\n")}
+         |  FROM m$k m),
+         |s$k AS (
+         |  SELECT h.*,
+         |${pn.map(nm =>
+            s"    ROUND(mh_$nm / (SQRT(vh_$nm) + $eps), 9) AS st_$nm")
+            .mkString(",\n")}
+         |  FROM h$k h),
+         |i${k + 1} AS (
+         |  SELECT
+         |${pn.map(nm =>
+            s"    CAST(ROUND(CAST($nm AS DECIMAL(12,9)) * (1.0 - $lr * $wd)\n" +
+              s"      - $lr * CAST(st_$nm AS DECIMAL(12,9)), 9) AS DOUBLE)" +
+              s" AS $nm").mkString(",\n")},
+         |    ${pn.map(nm => s"mn_$nm AS m_$nm").mkString(", ")},
+         |    ${pn.map(nm => s"vn_$nm AS v_$nm").mkString(", ")}
+         |  FROM s$k),
+         |t$k AS (
+         |  SELECT $k AS iter,
+         |    ${pn.map(nm => s"$nm + 0.0 AS $nm").mkString(", ")},
+         |    ${pn.zipWithIndex.map { case (nm, i) =>
+              s"g$i + 0.0 AS g_$nm" }.mkString(", ")},
+         |    loss + 0.0 AS ce_loss,
+         |    ROUND(w0, 6) + 0.0 AS class_w0,
+         |    ROUND(w1, 6) + 0.0 AS class_w1
+         |  FROM s$k)
+         |""".stripMargin
+    }.mkString
+    val union = (1 to rnnIters).map(k => s"  SELECT * FROM t$k")
+      .mkString("\n  UNION ALL\n")
+    head + iters +
+      s"""SELECT * FROM (
+         |$union)
+         |ORDER BY iter""".stripMargin
+  }
+
+  protected def q439EvaluateCardSql: String = {
+    val off = graft.ml.SeqForward.mlpTrunkSize(
+      graft.ml.SeqForward.T, graft.ml.SeqForward.H,
+      graft.ml.SeqForward.mlpLayers)
+    cePivotCtes + mlpTrunkSqlCtes("pb", Seq("yb")) +
+      s""",hd AS (
+         |  SELECT user_id, yb,
+         |    ${mlpHeadZ(off, 1)} AS z1,
+         |    ${mlpHeadZ(off, 2)} AS z2
+         |  FROM b23),
+         |sm AS (SELECT *, GREATEST(z1, z2) AS m FROM hd),
+         |sm2 AS (
+         |  SELECT user_id, yb, EXP(z1 - m) AS e1, EXP(z2 - m) AS e2,
+         |    CASE WHEN z1 >= z2 THEN CAST(0 AS BIGINT)
+         |      ELSE CAST(1 AS BIGINT) END AS pred
+         |  FROM sm),
+         |pr AS (
+         |  SELECT yb, pred,
+         |    ROUND(e1 / (e1 + e2), 9) AS p0,
+         |    ROUND(e2 / (e1 + e2), 9) AS p1
+         |  FROM sm2),
+         |ag AS (
+         |  -- counts CAST to BIGINT: DuckDB SUM(int) is HUGEINT, which
+         |  -- round-trips to pandas as float and type-mismatches Spark's
+         |  -- longs at the hash compare
+         |  SELECT COUNT(*) AS n,
+         |    CAST(SUM(CASE WHEN pred = yb THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_correct,
+         |    CAST(SUM(CASE WHEN yb = 1 AND pred = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN yb = 0 AND pred = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN yb = 1 AND pred = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN yb = 0 AND pred = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tn,
+         |    CAST(SUM(CAST(-LN(CASE WHEN yb = 1 THEN p1 ELSE p0 END)
+         |      AS DECIMAL(28,12))) AS DOUBLE) AS llsum,
+         |    CAST(SUM(CAST((p1 - CAST(yb AS DOUBLE)) *
+         |      (p1 - CAST(yb AS DOUBLE)) AS DECIMAL(28,12)))
+         |      AS DOUBLE) AS brsum
+         |  FROM pr)
+         |SELECT n, tp, fp, fn, tn,
+         |  ROUND(CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0
+         |    AS accuracy,
+         |  CASE WHEN tp + fp > 0 THEN ROUND(CAST(tp AS DOUBLE) /
+         |    CAST(tp + fp AS DOUBLE), 6) + 0.0 END AS precision,
+         |  CASE WHEN tp + fn > 0 THEN ROUND(CAST(tp AS DOUBLE) /
+         |    CAST(tp + fn AS DOUBLE), 6) + 0.0 END AS recall,
+         |  CASE WHEN 2 * tp + fp + fn > 0 THEN
+         |    ROUND(2.0 * CAST(tp AS DOUBLE) /
+         |      CAST(2 * tp + fp + fn AS DOUBLE), 6) + 0.0 END AS f1,
+         |  CASE WHEN tp + fn > 0 AND tn + fp > 0 THEN
+         |    ROUND((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) +
+         |      CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE)) / 2.0, 6)
+         |      + 0.0 END AS balanced_accuracy,
+         |  ROUND(llsum / CAST(n AS DOUBLE), 6) + 0.0 AS log_loss,
+         |  ROUND(brsum / CAST(n AS DOUBLE), 6) + 0.0 AS brier
+         |FROM ag""".stripMargin
   }
 }

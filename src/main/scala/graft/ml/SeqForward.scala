@@ -1492,6 +1492,438 @@ object SeqForward {
   /** Minimum admitted window for the masked forward. */
   val Tmin = 2
 
+  // ------------------------------------------------------------------
+  // HiveMLP — the reference's HEADLINE model (mlp.py:47-149, the 83.7%
+  // configuration every experiment is measured against, EXPERIMENTS.md:11)
+  // ------------------------------------------------------------------
+
+  /** HiveMLP/DualHeadMLP parameter bank (disjoint offset). Trunk layout
+    * is the generic [[mlpTrunkGeneric]] one; at the production shape
+    * (nFeat=8, hid=2, layers=3) the trunk spans 0-51, the classification
+    * head (Linear(2→2), `mlp.py:103`) sits at 52-57, and the dual-head
+    * regression head (Linear(2→1)→ReLU→Linear(1→1), `mlp.py:189-193`
+    * with hidden_dim/2 = 1) at 58-62.
+    */
+  def mlpParam(k: Int): Double = param(1301 + k)
+
+  /** Reference default depth: num_layers=3 residual blocks (`mlp.py:63`). */
+  val mlpLayers = 3
+
+  /** Trunk parameter count for the [[mlpTrunkGeneric]] layout: input
+    * Linear nFeat·hid + hid, input LayerNorm 2·hid, then per block
+    * hid² + 3·hid. At (8, 2, 3): 52.
+    */
+  def mlpTrunkSize(nFeat: Int, hid: Int, layers: Int): Int =
+    nFeat * hid + 3 * hid + layers * (hid * hid + 3 * hid)
+
+  /** Residual-MLP trunk of the reference's headline model, GENERIC in
+    * shape (`mlp.py:87-100,126-130`): input Linear(nFeat→hid) +
+    * LayerNorm (torch default ε=1e-5, learned γ/β; eval mode so Dropout
+    * is identity, `mlp.py:90`) → `layers` residual blocks h = h +
+    * block(h) (`mlp.py:130`), block = Linear(hid→hid) → LayerNorm →
+    * ReLU (`mlp.py:39-43` evaluation order). Consumes pivoted features
+    * x1..x{nFeat}, returns user_id (+ `carry` columns, untouched) and
+    * the round-9 trunk features h1..h{hid}.
+    *
+    * Column-growth formula (the width-generalization contract, spec-
+    * measured): the widest stage carries |carry| + nFeat + hid columns
+    * (the input projection, which still holds the features); every
+    * block stage carries |carry| + 2·hid + 2 (h, the block linear, mu,
+    * va) — LINEAR in hid, independent of nFeat past the input, no
+    * combinatorial term. The production queries run (8, 2, 3) on the
+    * [[mlpParam]] bank; the spec runs wider shapes against a plain-
+    * Scala replay to show the recipe is miniature by CHOICE.
+    */
+  def mlpTrunkGeneric(piv: DataFrame, nFeat: Int, hid: Int, layers: Int,
+      p: Int => Double, carry: Seq[String] = Nil): DataFrame = {
+    val eps = 1e-5
+    val hs = (1 to hid)
+    val carryC = carry.map(col)
+    // input Linear: q_d = Σ_i W[d][i]·x_i + b_d (W row-major)
+    var d = piv.select(Seq(col("user_id")) ++ carryC ++ hs.map { dd =>
+      round((1 to nFeat).map(i =>
+        lit(p(nFeat * (dd - 1) + (i - 1))) * col(s"x$i")).reduce(_ + _) +
+        lit(p(nFeat * hid + (dd - 1))), 9).as(s"q$dd")
+    }: _*)
+    // LayerNorm over the hid dims (biased variance, as torch):
+    // γ_d = p(gOff + 2(d−1)), β_d = p(gOff + 2(d−1) + 1)
+    def lnStage(outPref: String, gOff: Int, keep: Seq[String]): Unit = {
+      val inC = hs.map(dd => col(s"q$dd"))
+      val keepC = keep.map(col)
+      d = d.select(Seq(col("user_id")) ++ carryC ++ keepC ++ inC :+
+        (inC.reduce(_ + _) / lit(hid.toDouble)).as("mu"): _*)
+      d = d.select(Seq(col("user_id")) ++ carryC ++ keepC ++ inC ++ Seq(
+        col("mu"),
+        (hs.map(dd => (col(s"q$dd") - col("mu")) *
+          (col(s"q$dd") - col("mu"))).reduce(_ + _) / lit(hid.toDouble))
+          .as("va")): _*)
+      d = d.select(Seq(col("user_id")) ++ carryC ++ keepC ++ hs.map(dd =>
+        round(lit(p(gOff + 2 * (dd - 1))) * (col(s"q$dd") - col("mu")) /
+          sqrt(col("va") + lit(eps)) + lit(p(gOff + 2 * (dd - 1) + 1)), 9)
+          .as(s"$outPref$dd")): _*)
+    }
+    lnStage("h", nFeat * hid + hid, Nil)
+    (0 until layers).foreach { l =>
+      val base = nFeat * hid + 3 * hid + l * (hid * hid + 3 * hid)
+      val hN = hs.map(dd => s"h$dd")
+      // block Linear from the current h
+      d = d.select(Seq(col("user_id")) ++ carryC ++ hN.map(col) ++
+        hs.map { dd =>
+          round(hs.map(k =>
+            lit(p(base + hid * (dd - 1) + (k - 1))) * col(s"h$k"))
+            .reduce(_ + _) + lit(p(base + hid * hid + (dd - 1))), 9)
+            .as(s"q$dd")
+        }: _*)
+      // block LayerNorm → r, then ReLU + residual back onto h
+      lnStage("r", base + hid * hid + hid, hN)
+      d = d.select(Seq(col("user_id")) ++ carryC ++ hs.map(dd =>
+        round(col(s"h$dd") + greatest(lit(0.0), col(s"r$dd")), 9)
+          .as(s"h$dd")): _*)
+    }
+    d
+  }
+
+  /** Classification head + max-shift softmax on a trunk output
+    * (`mlp.py:103,147`): z_c = Linear(hid→2) logits (round-9), then
+    * softmax probabilities. Shared by [[hiveMlpForward]],
+    * [[dualHeadMlpForward]] and [[mlpEvaluateCard]] so "same head" is
+    * true by construction. Appends z1, z2 (round-9) to the frame.
+    */
+  private def mlpClsLogits(trunk: DataFrame, hid: Int, off: Int,
+      p: Int => Double, carry: Seq[String]): DataFrame = {
+    val hs = (1 to hid)
+    trunk.select(Seq(col("user_id")) ++ carry.map(col) ++
+      hs.map(dd => col(s"h$dd")) ++ (1 to 2).map { c =>
+        round(hs.map(k =>
+          lit(p(off + hid * (c - 1) + (k - 1))) * col(s"h$k"))
+          .reduce(_ + _) + lit(p(off + hid * 2 + (c - 1))), 9).as(s"z$c")
+      }: _*)
+  }
+
+  /** The reference's HEADLINE model's ENTIRE inference path, hash-
+    * checked end to end (`mlp.py:47-149` HiveMLP, task_type=
+    * "classification" — the 83.7%-accuracy winner every other
+    * experiment is compared against, `EXPERIMENTS.md:11`): input
+    * Linear(8→2) + LayerNorm (`mlp.py:87-91`) → THREE residual blocks
+    * h = h + block(h) (`mlp.py:130`; block = Linear→LayerNorm→ReLU,
+    * `mlp.py:15-45`; the reference default num_layers=3, `mlp.py:63`)
+    * → classification head Linear(2→2) (`mlp.py:103`) → softmax
+    * probabilities (`mlp.py:147`, max-shift). The pivoted x1..x8 stand
+    * in for the aggregated statistical feature vector. Exposes the
+    * class probabilities, the argmax class (tie → class 0, torch
+    * argmax-first semantics), and the round-6 trunk features
+    * (return_features=True, `mlp.py:139`). With q433/q434 all THREE
+    * reference models now replay end to end — and this is the one that
+    * wins. DOCUMENTED DIVERGENCE: width only (nFeat=8, hid=2 vs the
+    * reference 243/256) — depth, block order, residual wiring, ε and
+    * softmax are the reference's own. Scale shape: one window, one
+    * pivot, staged codegen projections; at 100 TB this is a scan.
+    */
+  def hiveMlpForward(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valCol: String): DataFrame = {
+    val piv = sequencePivot(events, userCol, tsCol, idCol, valCol)
+    val trunk = mlpTrunkGeneric(piv, T, H, mlpLayers, mlpParam)
+    val off = mlpTrunkSize(T, H, mlpLayers)
+    var d = mlpClsLogits(trunk, H, off, mlpParam, Nil)
+    d = d.select(col("user_id"), col("h1"), col("h2"), col("z1"),
+      col("z2"), greatest(col("z1"), col("z2")).as("m"))
+    d = d.select(col("user_id"), col("h1"), col("h2"), col("z1"),
+      col("z2"),
+      exp(col("z1") - col("m")).as("e1"), exp(col("z2") - col("m")).as("e2"))
+    d.select(col("user_id"),
+      round(col("e1") / (col("e1") + col("e2")), 6).as("prob1"),
+      round(col("e2") / (col("e1") + col("e2")), 6).as("prob2"),
+      when(col("z1") >= col("z2"), lit(0L)).otherwise(lit(1L))
+        .as("pred_class"),
+      round(col("h1"), 6).as("feat1"), round(col("h2"), 6).as("feat2"))
+      .orderBy(col("user_id"))
+  }
+
+  /** DUAL-HEAD MLP forward, hash-checked (`mlp.py:151-217` DualHeadMLP:
+    * shared residual trunk, SIMULTANEOUS regression output and
+    * classification logits in one forward, `mlp.py:198-216`): the SAME
+    * trunk bank and classification head as [[hiveMlpForward]] (shared
+    * trunk ⇒ identical features, the spec pins it against the single-
+    * head twin), plus the regression head Linear(2→1)→ReLU→Linear(1→1)
+    * (`mlp.py:189-193`, hidden_dim/2 = 1 at hid=2). ONE plan emits both
+    * heads — the simultaneous-output shape the reference uses for
+    * "exact frame count + high/low class" in a single pass.
+    */
+  def dualHeadMlpForward(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, valCol: String): DataFrame = {
+    val piv = sequencePivot(events, userCol, tsCol, idCol, valCol)
+    val trunk = mlpTrunkGeneric(piv, T, H, mlpLayers, mlpParam)
+    val off = mlpTrunkSize(T, H, mlpLayers)
+    val ro = off + H * 2 + 2 // after the classification head: 58
+    var d = mlpClsLogits(trunk, H, off, mlpParam, Nil)
+    d = d.select(col("user_id"), col("h1"), col("h2"), col("z1"),
+      col("z2"),
+      greatest(lit(0.0), round(lit(mlpParam(ro)) * col("h1") +
+        lit(mlpParam(ro + 1)) * col("h2") + lit(mlpParam(ro + 2)), 9))
+        .as("rh"))
+    d.select(col("user_id"),
+      round(lit(mlpParam(ro + 3)) * col("rh") + lit(mlpParam(ro + 4)), 6)
+        .as("reg_pred"),
+      round(col("z1"), 6).as("logit1"), round(col("z2"), 6).as("logit2"),
+      round(col("h1"), 6).as("feat1"), round(col("h2"), 6).as("feat2"))
+      .orderBy(col("user_id"))
+  }
+
+  // Weighted-cross-entropy training hyper-parameters. The classifier is
+  // a miniature 2-class softmax over (x1, x8): z_c = w_cA·x1 + w_cB·x8
+  // + b_c — 6 parameters, init from a disjoint draw. The label is the
+  // held-out (T+1)-th value binarized at `ceThr` (≈ the observed mean,
+  // giving a real ~2:1 imbalance at both gate SFs so the weights BITE).
+  val ceThr = 0.12
+  def ceInit(k: Int): Double = param(1451 + k)
+
+  /** TRAINED weighted-cross-entropy classifier under AdamW, hash-
+    * checked — the reference's HEADLINE LOSS (`trainer.py:146-150`:
+    * `CrossEntropyLoss(weight=class_weights)`; weights = normalized
+    * inverse class frequency per `trainer.py:352-366`, which for two
+    * classes reduces to w_c = n_{1−c}/n) driven by the q426 AdamW
+    * machinery. Per iteration: one scan computes the staged round-9
+    * softmax probabilities, one exact-decimal aggregate forms the
+    * weighted CE gradients from the closed form ∂L/∂z_c = w_{yᵢ}·(p_c −
+    * 1{yᵢ=c}) (torch 'mean' reduction with weights divides by Σ w_{yᵢ},
+    * computed EXACTLY as w₀·n₀ + w₁·n₁ from the class counts — never a
+    * decimal cast of a raw-double sum), clip ±1 on the round-9
+    * gradient, then [[adamwStep]]'s exact-decimal parameter chain.
+    * The whole trajectory (params, gradients, weighted loss descent)
+    * replays in DuckDB as chained per-iteration CTE blocks with the
+    * class weights computed IN SQL from the same counts (identical
+    * IEEE division ⇒ identical doubles; they enter no long-lived
+    * chain). `weightsOverride` is injectable for the specs (uniform
+    * weights recover the unweighted case — scale-invariance of the
+    * weighted mean — and per-class gradient scaling is testable);
+    * the query runs the reference's inverse-frequency weights.
+    * One row per iteration: the 6 params used, their clipped
+    * gradients, round-6 weighted train CE, round-6 class weights.
+    * Scale shape: one scan + one aggregate per iteration, driver
+    * holds 18 optimizer values.
+    */
+  def ceWeightedAdamwTrain(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, valCol: String,
+      weightsOverride: Option[(Double, Double)] = None): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def r6(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val pivB = targetPivot(events, userCol, tsCol, idCol, valCol)
+      .select(col("user_id"), col("x1"), col("x8"),
+        when(col("y") >= lit(ceThr), lit(1)).otherwise(lit(0)).as("yb"))
+      .persist()
+    try {
+      val cRow = pivB.agg(
+        sum(when(col("yb") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("yb") === 1, 1L).otherwise(0L)).as("n1")).head()
+      val (n0, n1) = (cRow.getLong(0), cRow.getLong(1))
+      require(n0 > 0 && n1 > 0, "weighted CE needs both classes present")
+      // normalized inverse frequency (trainer.py:352-366): for 2 classes
+      // (1/n_c)/Σ(1/n_c) = n_{1−c}/n — raw IEEE division, identical in
+      // both engines on identical counts
+      val (w0, w1) = weightsOverride.getOrElse(
+        (n1.toDouble / (n0 + n1).toDouble, n0.toDouble / (n0 + n1).toDouble))
+      // torch weighted-mean denominator Σ w_{yᵢ} — exact from counts
+      val sw = w0 * n0 + w1 * n1
+      var th = (0 until 6).map(ceInit).toArray // w0a, w0b, b0, w1a, w1b, b1
+      var mo = Array.fill(6)(0.0)
+      var vo = Array.fill(6)(0.0)
+      val trace = (1 to rnnIters).map { it =>
+        var d = pivB.select(col("user_id"), col("x1"), col("x8"),
+          col("yb"),
+          round(lit(th(0)) * col("x1") + lit(th(1)) * col("x8") +
+            lit(th(2)), 9).as("z0"),
+          round(lit(th(3)) * col("x1") + lit(th(4)) * col("x8") +
+            lit(th(5)), 9).as("z1"))
+        d = d.select(col("user_id"), col("x1"), col("x8"), col("yb"),
+          col("z0"), col("z1"), greatest(col("z0"), col("z1")).as("m"))
+        d = d.select(col("user_id"), col("x1"), col("x8"), col("yb"),
+          exp(col("z0") - col("m")).as("e0"),
+          exp(col("z1") - col("m")).as("e1"))
+        d = d.select(col("user_id"), col("x1"), col("x8"), col("yb"),
+          round(col("e0") / (col("e0") + col("e1")), 9).as("p0"),
+          round(col("e1") / (col("e0") + col("e1")), 9).as("p1"))
+        val wr = when(col("yb") === 0, lit(w0)).otherwise(lit(w1))
+        val d0 = col("p0") - when(col("yb") === 0, lit(1.0)).otherwise(lit(0.0))
+        val d1 = col("p1") - when(col("yb") === 1, lit(1.0)).otherwise(lit(0.0))
+        val pTrue = when(col("yb") === 0, col("p0")).otherwise(col("p1"))
+        val row = d.agg(
+          graft.functions.Stats.dsum(wr * d0 * col("x1"), 12).as("g0"),
+          graft.functions.Stats.dsum(wr * d0 * col("x8"), 12).as("g1"),
+          graft.functions.Stats.dsum(wr * d0, 12).as("g2"),
+          graft.functions.Stats.dsum(wr * d1 * col("x1"), 12).as("g3"),
+          graft.functions.Stats.dsum(wr * d1 * col("x8"), 12).as("g4"),
+          graft.functions.Stats.dsum(wr * d1, 12).as("g5"),
+          graft.functions.Stats.dsum(-wr * log(pTrue), 12).as("lsum"))
+          .head()
+        def clip(v: Double): Double = math.max(-1.0, math.min(1.0, v))
+        val g = (0 until 6).map(i => clip(r9d(row.getDouble(i) / sw)))
+        val loss = r6(row.getDouble(6) / sw)
+        val out = (it, th.toSeq, g, loss)
+        (0 until 6).foreach { i =>
+          val (tN, mN, vN, _, _) = adamwStep(th(i), g(i), mo(i), vo(i), it)
+          th(i) = tN; mo(i) = mN; vo(i) = vN
+        }
+        out
+      }
+      val names = Seq("w0a", "w0b", "b0", "w1a", "w1b", "b1")
+      val rows = trace.map { case (it, ps, gs, loss) =>
+        org.apache.spark.sql.Row.fromSeq(
+          Seq(it) ++ ps ++ gs ++ Seq(loss, r6(w0), r6(w1)))
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("iter",
+          org.apache.spark.sql.types.IntegerType, nullable = false)) ++
+          (names ++ names.map("g_" + _) ++
+            Seq("ce_loss", "class_w0", "class_w1")).map(nm =>
+            org.apache.spark.sql.types.StructField(nm,
+              org.apache.spark.sql.types.DoubleType, nullable = false)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+        .orderBy(col("iter"))
+    } finally { pivB.unpersist(); () }
+  }
+
+  /** The `scripts/evaluate.py` lifecycle as ONE plan, hash-checked
+    * (`evaluate.py:124-176`): whole-model forward ([[hiveMlpForward]]'s
+    * trunk + head on the SAME bank) → softmax + argmax (`evaluate.py:
+    * 148-150`) → the classification metric block + confusion matrix
+    * (`evaluate.py:163-165` → metrics.py): one card row with n,
+    * accuracy, tp/fp/fn/tn, precision/recall/F1 (from counts, the
+    * X3 closed forms), balanced accuracy (X2), weighted-free log-loss
+    * and Brier (the probabilistic pair). Truth is the held-out
+    * (T+1)-th value binarized at [[ceThr]] — the same contract the CE
+    * trajectory trains against, so the card grades a REAL holdout.
+    * Undefined ratios (empty predicted-positive set) surface as NULL,
+    * as sklearn's zero_division would flag. Scale shape: one window,
+    * one pivot, one aggregation.
+    */
+  def mlpEvaluateCard(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valCol: String): DataFrame = {
+    val piv = targetPivot(events, userCol, tsCol, idCol, valCol)
+      .select(Seq(col("user_id")) ++ (1 to T).map(t => col(s"x$t")) :+
+        when(col("y") >= lit(ceThr), lit(1L)).otherwise(lit(0L))
+          .as("yb"): _*)
+    val trunk = mlpTrunkGeneric(piv, T, H, mlpLayers, mlpParam,
+      carry = Seq("yb"))
+    val off = mlpTrunkSize(T, H, mlpLayers)
+    var d = mlpClsLogits(trunk, H, off, mlpParam, carry = Seq("yb"))
+    d = d.select(col("user_id"), col("yb"), col("z1"), col("z2"),
+      greatest(col("z1"), col("z2")).as("m"))
+    d = d.select(col("user_id"), col("yb"),
+      exp(col("z1") - col("m")).as("e1"),
+      exp(col("z2") - col("m")).as("e2"),
+      when(col("z1") >= col("z2"), lit(0L)).otherwise(lit(1L)).as("pred"))
+    d = d.select(col("yb"), col("pred"),
+      round(col("e1") / (col("e1") + col("e2")), 9).as("p0"),
+      round(col("e2") / (col("e1") + col("e2")), 9).as("p1"))
+    val pTrue = when(col("yb") === 1, col("p1")).otherwise(col("p0"))
+    val agg = d.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("pred") === col("yb"), 1L).otherwise(0L)).as("n_correct"),
+      sum(when(col("yb") === 1 && col("pred") === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("yb") === 0 && col("pred") === 1, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("yb") === 1 && col("pred") === 0, 1L).otherwise(0L)).as("fn"),
+      sum(when(col("yb") === 0 && col("pred") === 0, 1L).otherwise(0L)).as("tn"),
+      graft.functions.Stats.dsum(-log(pTrue), 12).as("llsum"),
+      graft.functions.Stats.dsum(
+        (col("p1") - col("yb").cast("double")) *
+          (col("p1") - col("yb").cast("double")), 12).as("brsum"))
+    def dd(c: Column): Column = c.cast("double")
+    agg.select(
+      col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+      round(dd(col("n_correct")) / dd(col("n")), 6).as("accuracy"),
+      when(col("tp") + col("fp") > 0,
+        round(dd(col("tp")) / dd(col("tp") + col("fp")), 6)).as("precision"),
+      when(col("tp") + col("fn") > 0,
+        round(dd(col("tp")) / dd(col("tp") + col("fn")), 6)).as("recall"),
+      when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+        round(lit(2.0) * dd(col("tp")) /
+          dd(lit(2L) * col("tp") + col("fp") + col("fn")), 6)).as("f1"),
+      when(col("tp") + col("fn") > 0 && col("tn") + col("fp") > 0,
+        round((dd(col("tp")) / dd(col("tp") + col("fn")) +
+          dd(col("tn")) / dd(col("tn") + col("fp"))) / lit(2.0), 6))
+        .as("balanced_accuracy"),
+      round(col("llsum").cast("double") / dd(col("n")), 6).as("log_loss"),
+      round(col("brsum").cast("double") / dd(col("n")), 6).as("brier"))
+  }
+
+  // ------------------------------------------------------------------
+  // Width-generalization surface: the q418 staged-LSTM recipe, generic
+  // in (steps, width) — proof the production T=8/H=2 is a measured
+  // choice, not a construction limit.
+  // ------------------------------------------------------------------
+
+  /** [[sequencePivot]] generalized to an arbitrary window length. */
+  def sequencePivotN(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valCol: String, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val ranked = events
+      .select(col(userCol).as("user_id"),
+        row_number().over(w).as("rn"),
+        round(col(valCol).cast("double") / lit(500.0), 9).as("x"))
+      .filter(col("rn") <= n)
+    val aggs = (1 to n).map(t =>
+      max(when(col("rn") === t, col("x"))).as(s"x$t")) :+
+      count(lit(1)).as("__n")
+    ranked.groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("__n") === n)
+      .drop("__n")
+  }
+
+  /** The q418 LSTM forward, GENERIC in (steps, width): identical
+    * staging (two projections per step: cells from the old h, hiddens
+    * from the new c), identical round-9 state pinning, parameter
+    * accessor pf(gate, unit, slot) with slot 0 = w_x, 1..width = w_h,
+    * width+1 = bias — at (T, H, [[lstmParam]]) this IS [[lstmForward]]
+    * (the spec asserts column-for-column equality on data).
+    *
+    * Column-growth formula (spec-measured): every stage carries
+    * steps + 2·width + 1 columns; total projections 2·steps; per-gate
+    * expression size O(width). Linear in steps·width — the production
+    * miniature is a choice, not a ceiling.
+    */
+  def lstmForwardGeneric(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, valCol: String, steps: Int,
+      width: Int, pf: (Int, Int, Int) => Double): DataFrame = {
+    val piv = sequencePivotN(events, userCol, tsCol, idCol, valCol, steps)
+    val xs = (1 to steps).map(i => col(s"x$i"))
+    // left-assoc sum starting from the w_x term — the SAME association
+    // order as [[lstmForward]]'s hand-written gate, so the (T, H,
+    // lstmParam) instantiation is bit-identical, not just algebraically
+    // equal (double addition is not associative)
+    def gate(g: Int, u: Int, t: Int): Column =
+      ((lit(pf(g, u, 0)) * col(s"x$t")) +: (1 to width).map(k =>
+        lit(pf(g, u, k)) * col(s"h$k"))).reduce(_ + _) +
+        lit(pf(g, u, width + 1))
+    var d = piv.select(Seq(col("user_id")) ++ xs ++
+      (1 to width).flatMap(u => Seq(lit(0.0).as(s"h$u"),
+        lit(0.0).as(s"c$u"))): _*)
+    (1 to steps).foreach { t =>
+      val cNew = (0 until width).map { u =>
+        round(sigmoid(gate(1, u, t)) * col(s"c${u + 1}") +
+          sigmoid(gate(0, u, t)) * tanhE(gate(3, u, t)), 9)
+          .as(s"c${u + 1}")
+      }
+      d = d.select(Seq(col("user_id")) ++ xs ++
+        (1 to width).map(u => col(s"h$u")) ++ cNew: _*)
+      val hNew = (0 until width).map { u =>
+        round(sigmoid(gate(2, u, t)) * tanhE(col(s"c${u + 1}")), 9)
+          .as(s"h${u + 1}")
+      }
+      d = d.select(Seq(col("user_id")) ++ xs ++
+        (1 to width).map(u => col(s"c$u")) ++ hNew: _*)
+    }
+    d.select(Seq(col("user_id")) ++
+      (1 to width).map(u => round(col(s"h$u"), 6).as(s"h$u")) ++
+      (1 to width).map(u => round(col(s"c$u"), 6).as(s"c$u")): _*)
+      .orderBy(col("user_id"))
+  }
+
   /** MASKED single-head attention over SHORT windows, hash-checked
     * (reference `transformer.py:94-133` masks padded positions;
     * `dataset.py:287-298` pads/truncates to fixed length): users with

@@ -775,6 +775,406 @@ class SeqForwardSpec extends SparkSpec {
         s"full-window packed $cn diverged from q418") }
   }
 
+  // ---- HiveMLP (q436/q438): the headline model --------------------
+
+  /** Plain-Scala replay of the residual trunk + classification head on
+    * the fixture's pivoted features — shared by the q436/q438 specs.
+    */
+  private def mlpReplay: (Seq[Double], Double, Double) = {
+    val T = SeqForward.T
+    val p = (0 to 62).map(SeqForward.mlpParam)
+    val xs = (1 to T).map(t => r9(t * 50.0 / 500.0))
+    def ln(q: Seq[Double], gOff: Int): Seq[Double] = {
+      val mu = (q(0) + q(1)) / 2.0
+      val va = ((q(0) - mu) * (q(0) - mu) + (q(1) - mu) * (q(1) - mu)) / 2.0
+      (0 until 2).map(d =>
+        r9(p(gOff + 2 * d) * (q(d) - mu) / math.sqrt(va + 1e-5) +
+          p(gOff + 2 * d + 1)))
+    }
+    val in = (0 until 2).map(d =>
+      r9(xs.zipWithIndex.map { case (x, i) => p(T * d + i) * x }.sum +
+        p(T * 2 + d)))
+    var h = ln(in, T * 2 + 2)
+    (0 until SeqForward.mlpLayers).foreach { l =>
+      val base = T * 2 + 6 + l * 10
+      val q = (0 until 2).map(d =>
+        r9(p(base + 2 * d) * h(0) + p(base + 2 * d + 1) * h(1) +
+          p(base + 4 + d)))
+      val r = ln(q, base + 6)
+      h = (0 until 2).map(d => r9(h(d) + math.max(0.0, r(d))))
+    }
+    val off = SeqForward.mlpTrunkSize(T, 2, SeqForward.mlpLayers)
+    val z = (0 until 2).map(c =>
+      r9(p(off + 2 * c) * h(0) + p(off + 2 * c + 1) * h(1) +
+        p(off + 4 + c)))
+    (h, z(0), z(1))
+  }
+
+  test("hiveMlpForward matches a plain-Scala replay of the whole model") {
+    val (h, z1, z2) = mlpReplay
+    val m = math.max(z1, z2)
+    val (e1, e2) = (math.exp(z1 - m), math.exp(z2 - m))
+    val row = SeqForward.hiveMlpForward(fixture, "user_id", "ts",
+      "event_id", "value").collect().head
+    assert(row.getAs[Double]("prob1") == r6(e1 / (e1 + e2)),
+      s"prob1 ${row.getAs[Double]("prob1")} vs ${r6(e1 / (e1 + e2))}")
+    assert(row.getAs[Double]("prob2") == r6(e2 / (e1 + e2)))
+    assert(row.getAs[Long]("pred_class") == (if (z1 >= z2) 0L else 1L))
+    assert(row.getAs[Double]("feat1") == r6(h(0)))
+    assert(row.getAs[Double]("feat2") == r6(h(1)))
+    // softmax sanity: the two probabilities are a distribution
+    assert(approx(row.getAs[Double]("prob1") + row.getAs[Double]("prob2"),
+      1.0, 2e-6))
+  }
+
+  test("residual identity: a zero-weight block leaves the trunk state unchanged") {
+    // block with W = 0, b = 0: Linear gives (0,0); LayerNorm of a
+    // constant vector is 0/√ε = 0, so the block output is β; with
+    // β < 0 the ReLU zeroes it and h + block(h) = h — the residual
+    // path is REAL, not a re-derivation of h
+    val T = SeqForward.T
+    def pZero(k: Int): Double = {
+      val trunk0 = T * 2 + 6 // input proj + input LN params
+      if (k < trunk0) SeqForward.mlpParam(k)
+      else if (k < trunk0 + 6) 0.0 // block W + bias
+      else if (k == trunk0 + 7 || k == trunk0 + 9) -1.0 // β₁, β₂
+      else 1.0 // γ (irrelevant on a zero vector)
+    }
+    val piv = SeqForward.sequencePivot(fixture, "user_id", "ts",
+      "event_id", "value")
+    val withBlock = SeqForward.mlpTrunkGeneric(piv, T, 2, 1, pZero)
+      .collect().head
+    val noBlock = SeqForward.mlpTrunkGeneric(piv, T, 2, 0, pZero)
+      .collect().head
+    assert(withBlock.getAs[Double]("h1") == noBlock.getAs[Double]("h1"))
+    assert(withBlock.getAs[Double]("h2") == noBlock.getAs[Double]("h2"))
+    // and with β > 0 the block DOES move the state (the identity above
+    // is the residual wiring, not a degenerate always-identity)
+    def pPos(k: Int): Double =
+      if (k == T * 2 + 13 || k == T * 2 + 15) 1.0 else pZero(k)
+    val moved = SeqForward.mlpTrunkGeneric(piv, T, 2, 1, pPos)
+      .collect().head
+    assert(moved.getAs[Double]("h1") != noBlock.getAs[Double]("h1"))
+  }
+
+  test("dualHeadMlpForward shares the trunk with the single-head twin") {
+    val single = SeqForward.hiveMlpForward(fixture, "user_id", "ts",
+      "event_id", "value").collect().head
+    val dual = SeqForward.dualHeadMlpForward(fixture, "user_id", "ts",
+      "event_id", "value").collect().head
+    // identical trunk features — the shared backbone is shared in fact
+    assert(dual.getAs[Double]("feat1") == single.getAs[Double]("feat1"))
+    assert(dual.getAs[Double]("feat2") == single.getAs[Double]("feat2"))
+    // the classification head is the same bank: argmax of the dual
+    // logits equals the single-head predicted class
+    val cls = if (dual.getAs[Double]("logit1") >=
+      dual.getAs[Double]("logit2")) 0L else 1L
+    assert(cls == single.getAs[Long]("pred_class"))
+    // regression head replay on the shared features
+    val (h, _, _) = mlpReplay
+    val off = SeqForward.mlpTrunkSize(SeqForward.T, 2, SeqForward.mlpLayers)
+    val rh = math.max(0.0, r9(SeqForward.mlpParam(off + 6) * h(0) +
+      SeqForward.mlpParam(off + 7) * h(1) + SeqForward.mlpParam(off + 8)))
+    val reg = r6(SeqForward.mlpParam(off + 9) * rh +
+      SeqForward.mlpParam(off + 10))
+    assert(dual.getAs[Double]("reg_pred") == reg,
+      s"reg ${dual.getAs[Double]("reg_pred")} vs $reg")
+  }
+
+  // ---- weighted cross-entropy trajectory (q437) --------------------
+
+  // three users with 9+ ordered events each: one lands class 1
+  // (y = 0.9 ≥ ceThr), two land class 0 — a real 2:1 imbalance
+  private lazy val ceFixture = {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val a = (1 to 9).map(i => (1L,
+      new java.sql.Timestamp(base.getTime + i * 60000L), i.toLong, i * 50.0))
+    val b = (1 to 9).map(i => (2L,
+      new java.sql.Timestamp(base.getTime + i * 60000L), i.toLong, 30.0))
+    val c = (1 to 9).map(i => (3L,
+      new java.sql.Timestamp(base.getTime + i * 60000L), i.toLong,
+      20.0 + i))
+    (a ++ b ++ c).toDF("user_id", "ts", "event_id", "value")
+  }
+
+  /** Plain-Scala replay of one weighted-CE gradient pass at params th
+    * over rows (x1, x8, yb): returns the six UNCLIPPED normalized
+    * gradients and the weighted loss.
+    */
+  private def ceGradReplay(rows: Seq[(Double, Double, Int)],
+      th: Seq[Double], w0: Double, w1: Double): (Seq[Double], Double) = {
+    val n0 = rows.count(_._3 == 0); val n1 = rows.count(_._3 == 1)
+    val sw = w0 * n0 + w1 * n1
+    val per = rows.map { case (x1, x8, yb) =>
+      val z0 = r9(th(0) * x1 + th(1) * x8 + th(2))
+      val z1 = r9(th(3) * x1 + th(4) * x8 + th(5))
+      val m = math.max(z0, z1)
+      val (e0, e1) = (math.exp(z0 - m), math.exp(z1 - m))
+      val p0 = r9(e0 / (e0 + e1)); val p1 = r9(e1 / (e0 + e1))
+      val w = if (yb == 0) w0 else w1
+      val d0 = p0 - (if (yb == 0) 1.0 else 0.0)
+      val d1 = p1 - (if (yb == 1) 1.0 else 0.0)
+      (Seq(w * d0 * x1, w * d0 * x8, w * d0,
+        w * d1 * x1, w * d1 * x8, w * d1),
+        -w * math.log(if (yb == 0) p0 else p1))
+    }
+    ((0 until 6).map(i => per.map(_._1(i)).sum / sw),
+      per.map(_._2).sum / sw)
+  }
+
+  test("ceWeightedAdamwTrain matches a plain-Scala replay on the fixture") {
+    val tr = SeqForward.ceWeightedAdamwTrain(ceFixture, "user_id", "ts",
+      "event_id", "value").collect()
+    assert(tr.length == SeqForward.rnnIters)
+    // fixture pivot: x = value/500 at ranks 1..8, yb from rank 9
+    val rows = Seq(
+      (r9(50.0 / 500.0), r9(400.0 / 500.0), 1), // user 1: y = 0.9
+      (r9(30.0 / 500.0), r9(30.0 / 500.0), 0), // user 2: y = 0.06
+      (r9(21.0 / 500.0), r9(28.0 / 500.0), 0)) // user 3: y = 0.058
+    val (w0, w1) = (1.0 / 3.0, 2.0 / 3.0) // n1/(n0+n1), n0/(n0+n1)
+    assert(approx(tr.head.getAs[Double]("class_w0"), r6(w0), 1e-9))
+    assert(approx(tr.head.getAs[Double]("class_w1"), r6(w1), 1e-9))
+    var th = (0 until 6).map(SeqForward.ceInit)
+    var mo = Seq.fill(6)(0.0); var vo = Seq.fill(6)(0.0)
+    (1 to SeqForward.rnnIters).foreach { it =>
+      val row = tr(it - 1)
+      val names = Seq("w0a", "w0b", "b0", "w1a", "w1b", "b1")
+      names.zipWithIndex.foreach { case (nm, i) =>
+        assert(approx(row.getAs[Double](nm), th(i), 1e-9),
+          s"iter $it param $nm: ${row.getAs[Double](nm)} vs ${th(i)}")
+      }
+      val (gRaw, loss) = ceGradReplay(rows, th, w0, w1)
+      val g = gRaw.map(v => math.max(-1.0, math.min(1.0, r9(v))))
+      names.zipWithIndex.foreach { case (nm, i) =>
+        assert(approx(row.getAs[Double](s"g_$nm"), g(i), 1e-8),
+          s"iter $it grad $nm: ${row.getAs[Double](s"g_$nm")} vs ${g(i)}")
+      }
+      assert(approx(row.getAs[Double]("ce_loss"), r6(loss), 1e-6))
+      val stepped = (0 until 6).map(i =>
+        SeqForward.adamwStep(th(i), g(i), mo(i), vo(i), it))
+      th = stepped.map(_._1); mo = stepped.map(_._2); vo = stepped.map(_._3)
+    }
+  }
+
+  test("weighted CE: uniform weights recover the unweighted case (scale invariance)") {
+    def run(w: (Double, Double)) =
+      SeqForward.ceWeightedAdamwTrain(ceFixture, "user_id", "ts",
+        "event_id", "value", weightsOverride = Some(w)).collect()
+    val a = run((1.0, 1.0)); val b = run((0.5, 0.5))
+    val cols = Seq("w0a", "w0b", "b0", "w1a", "w1b", "b1",
+      "g_w0a", "g_w0b", "g_b0", "g_w1a", "g_w1b", "g_b1", "ce_loss")
+    a.zip(b).foreach { case (ra, rb) =>
+      cols.foreach { c =>
+        assert(approx(ra.getAs[Double](c), rb.getAs[Double](c), 1e-7),
+          s"$c: ${ra.getAs[Double](c)} vs ${rb.getAs[Double](c)}")
+      }
+    }
+  }
+
+  test("weighted CE: per-class gradient contributions scale by the class weights") {
+    // iteration-1 identity: g(w0,w1)·sw = w0·S0 + w1·S1 where S_c is
+    // the raw class-c gradient sum, recovered from single-class runs
+    // g(1,0)·n0 = S0 and g(0,1)·n1 = S1 — the weights enter the
+    // gradient EXACTLY linearly, per class, as torch's weighted CE
+    def iter1(w: (Double, Double)) =
+      SeqForward.ceWeightedAdamwTrain(ceFixture, "user_id", "ts",
+        "event_id", "value", weightsOverride = Some(w)).collect().head
+    val (n0, n1) = (2.0, 1.0)
+    val g10 = iter1((1.0, 0.0)); val g01 = iter1((0.0, 1.0))
+    val (w0, w1) = (0.3, 0.7)
+    val gw = iter1((w0, w1))
+    val sw = w0 * n0 + w1 * n1
+    Seq("g_w0a", "g_w0b", "g_b0", "g_w1a", "g_w1b", "g_b1").foreach { c =>
+      val lhs = gw.getAs[Double](c) * sw
+      val rhs = w0 * g10.getAs[Double](c) * n0 +
+        w1 * g01.getAs[Double](c) * n1
+      assert(math.abs(gw.getAs[Double](c)) < 1.0, s"$c clipped — identity void")
+      assert(approx(lhs, rhs, 1e-6), s"$c: $lhs vs $rhs")
+    }
+  }
+
+  test("CE gradient is the closed form p − y (finite differences)") {
+    val rows = Seq((0.1, 0.8, 1), (0.06, 0.06, 0), (0.042, 0.056, 0))
+    val (w0, w1) = (1.0 / 3.0, 2.0 / 3.0)
+    val th0 = (0 until 6).map(SeqForward.ceInit)
+    def lossAt(th: Seq[Double]): Double = {
+      val per = rows.map { case (x1, x8, yb) =>
+        val z0 = th(0) * x1 + th(1) * x8 + th(2)
+        val z1 = th(3) * x1 + th(4) * x8 + th(5)
+        val m = math.max(z0, z1)
+        val (e0, e1) = (math.exp(z0 - m), math.exp(z1 - m))
+        val p = if (yb == 0) e0 / (e0 + e1) else e1 / (e0 + e1)
+        val w = if (yb == 0) w0 else w1
+        -w * math.log(p)
+      }
+      per.sum / (w0 * 2 + w1 * 1)
+    }
+    // closed-form gradients WITHOUT the round-9 pinning (pure math)
+    val per = rows.map { case (x1, x8, yb) =>
+      val z0 = th0(0) * x1 + th0(1) * x8 + th0(2)
+      val z1 = th0(3) * x1 + th0(4) * x8 + th0(5)
+      val m = math.max(z0, z1)
+      val (e0, e1) = (math.exp(z0 - m), math.exp(z1 - m))
+      val p0 = e0 / (e0 + e1); val p1 = e1 / (e0 + e1)
+      val w = if (yb == 0) w0 else w1
+      val d0 = p0 - (if (yb == 0) 1.0 else 0.0)
+      val d1 = p1 - (if (yb == 1) 1.0 else 0.0)
+      Seq(w * d0 * x1, w * d0 * x8, w * d0, w * d1 * x1, w * d1 * x8,
+        w * d1)
+    }
+    val g = (0 until 6).map(i => per.map(_(i)).sum / (w0 * 2 + w1 * 1))
+    val eps = 1e-6
+    (0 until 6).foreach { i =>
+      val up = th0.updated(i, th0(i) + eps)
+      val dn = th0.updated(i, th0(i) - eps)
+      val fd = (lossAt(up) - lossAt(dn)) / (2 * eps)
+      assert(approx(fd, g(i), 1e-5), s"param $i: fd $fd vs closed ${g(i)}")
+    }
+  }
+
+  test("ceWeightedAdamwTrain actually learns on real data") {
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val tr = SeqForward.ceWeightedAdamwTrain(events, "user_id", "ts",
+      "event_id", "value").collect()
+    assert(tr.length == SeqForward.rnnIters)
+    val losses = tr.map(_.getAs[Double]("ce_loss")).toSeq
+    assert(losses.last < losses.head,
+      s"weighted CE did not descend: $losses")
+  }
+
+  // ---- evaluate.py card (q439) --------------------------------------
+
+  test("mlpEvaluateCard: confusion cells partition n and metrics follow from them") {
+    val card = SeqForward.mlpEvaluateCard(ceFixture, "user_id", "ts",
+      "event_id", "value").collect().head
+    val (n, tp, fp, fn, tn) = (card.getAs[Long]("n"),
+      card.getAs[Long]("tp"), card.getAs[Long]("fp"),
+      card.getAs[Long]("fn"), card.getAs[Long]("tn"))
+    assert(n == 3L) // the fixture's three full 9-windows
+    assert(tp + fp + fn + tn == n)
+    assert(card.getAs[Double]("accuracy") ==
+      r6((tp + tn).toDouble / n.toDouble))
+    if (tp + fp > 0)
+      assert(card.getAs[Double]("precision") ==
+        r6(tp.toDouble / (tp + fp).toDouble))
+    if (2 * tp + fp + fn > 0)
+      assert(card.getAs[Double]("f1") ==
+        r6(2.0 * tp / (2.0 * tp + fp + fn)))
+    // probabilistic pair present and finite
+    assert(card.getAs[Double]("log_loss") > 0.0)
+    val brier = card.getAs[Double]("brier")
+    assert(brier >= 0.0 && brier <= 1.0)
+  }
+
+  // ---- width generalization: miniature by CHOICE --------------------
+
+  test("lstmForwardGeneric at (T, H, lstmParam) is bit-identical to lstmForward") {
+    val a = SeqForward.lstmForward(fixture, "user_id", "ts", "event_id",
+      "value").collect().head
+    val b = SeqForward.lstmForwardGeneric(fixture, "user_id", "ts",
+      "event_id", "value", SeqForward.T, SeqForward.H,
+      SeqForward.lstmParam).collect().head
+    Seq("h1", "h2", "c1", "c2").foreach(c =>
+      assert(a.getAs[Double](c) == b.getAs[Double](c), s"$c differs"))
+  }
+
+  test("lstmForwardGeneric at (12, 4): plain-Scala replay holds at the wider shape") {
+    val steps = 12; val width = 4
+    def pf(g: Int, u: Int, s: Int): Double =
+      SeqForward.param(5000 + g * 200 + u * 20 + s)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val wide = (1 to 14).map { i =>
+      (7L, new java.sql.Timestamp(base.getTime + i * 60000L), i.toLong,
+        i * 30.0)
+    }.toDF("user_id", "ts", "event_id", "value")
+    def sig(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    def th(z: Double) =
+      (math.exp(2.0 * z) - 1.0) / (math.exp(2.0 * z) + 1.0)
+    val xs = (1 to steps).map(t => r9(t * 30.0 / 500.0))
+    var h = Array.fill(width)(0.0); var c = Array.fill(width)(0.0)
+    xs.foreach { x =>
+      def gate(g: Int, u: Int): Double =
+        ((pf(g, u, 0) * x) +: (1 to width).map(k =>
+          pf(g, u, k) * h(k - 1))).sum + pf(g, u, width + 1)
+      val cN = (0 until width).map(u =>
+        r9(sig(gate(1, u)) * c(u) + sig(gate(0, u)) * th(gate(3, u))))
+      val hN = (0 until width).map(u => r9(sig(gate(2, u)) * th(cN(u))))
+      c = cN.toArray; h = hN.toArray
+    }
+    val row = SeqForward.lstmForwardGeneric(wide, "user_id", "ts",
+      "event_id", "value", steps, width, pf).collect().head
+    (0 until width).foreach { u =>
+      assert(row.getAs[Double](s"h${u + 1}") == r6(h(u)), s"h${u + 1}")
+      assert(row.getAs[Double](s"c${u + 1}") == r6(c(u)), s"c${u + 1}")
+    }
+  }
+
+  test("staged builders generate plans LINEAR in the model shape") {
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    def maxProj(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case pr: Project => pr.projectList.size
+      }.max
+    // LSTM: widest authored stage carries user_id + steps features +
+    // old/new state pairs — steps + 2·width + 1. The overhead beyond
+    // that must be a CONSTANT across shapes (linear, no blowup).
+    def pf(g: Int, u: Int, s: Int): Double =
+      SeqForward.param(5000 + g * 200 + u * 20 + s)
+    val lstmOver = Seq((8, 2), (12, 4), (10, 6)).map { case (st, w) =>
+      val df = SeqForward.lstmForwardGeneric(fixture, "user_id", "ts",
+        "event_id", "value", st, w, pf)
+      maxProj(df) - (st + 2 * w + 1)
+    }
+    assert(lstmOver.distinct.size == 1,
+      s"LSTM stage width not linear in (steps, width): $lstmOver")
+    // MLP trunk: widest stage carries user_id + h + block-linear + mu +
+    // va — 2·hid + 3. Same constant-overhead assertion across widths
+    // (a 2-feature in-memory pivot so the source frame's own projection
+    // never dominates the measurement).
+    val pivSmall = Seq((5L, 0.1, 0.2)).toDF("user_id", "x1", "x2")
+    val mlpOver = Seq(2, 4, 6).map { hid =>
+      val df = SeqForward.mlpTrunkGeneric(pivSmall, 2, hid, 2,
+        k => SeqForward.param(6000 + k))
+      maxProj(df) - (2 * hid + 3)
+    }
+    assert(mlpOver.distinct.size == 1,
+      s"MLP stage width not linear in hid: $mlpOver")
+  }
+
+  test("mlpTrunkGeneric at (12, 4, 2): plain-Scala replay holds at the wider shape") {
+    val (nf, hid, layers) = (12, 4, 2)
+    def p(k: Int): Double = SeqForward.param(6000 + k)
+    // in-memory pivot row (the trunk consumes pivoted features directly)
+    val xs = (1 to nf).map(i => r9(i * 37.0 / 500.0))
+    val piv = Seq(Tuple1(5L)).toDF("user_id")
+      .select(Seq(col("user_id")) ++
+        xs.zipWithIndex.map { case (x, i) => lit(x).as(s"x${i + 1}") }: _*)
+    def ln(q: Seq[Double], gOff: Int): Seq[Double] = {
+      val mu = q.sum / hid.toDouble
+      val va = q.map(v => (v - mu) * (v - mu)).sum / hid.toDouble
+      (0 until hid).map(d =>
+        r9(p(gOff + 2 * d) * (q(d) - mu) / math.sqrt(va + 1e-5) +
+          p(gOff + 2 * d + 1)))
+    }
+    val in = (0 until hid).map(d =>
+      r9(xs.zipWithIndex.map { case (x, i) => p(nf * d + i) * x }.sum +
+        p(nf * hid + d)))
+    var h = ln(in, nf * hid + hid)
+    (0 until layers).foreach { l =>
+      val base = nf * hid + 3 * hid + l * (hid * hid + 3 * hid)
+      val q = (0 until hid).map(d =>
+        r9((0 until hid).map(k => p(base + hid * d + k) * h(k)).sum +
+          p(base + hid * hid + d)))
+      val r = ln(q, base + hid * hid + hid)
+      h = (0 until hid).map(d => r9(h(d) + math.max(0.0, r(d))))
+    }
+    val row = SeqForward.mlpTrunkGeneric(piv, nf, hid, layers, p)
+      .collect().head
+    (0 until hid).foreach(d =>
+      assert(approx(row.getAs[Double](s"h${d + 1}"), h(d), 1e-12),
+        s"h${d + 1}: ${row.getAs[Double](s"h${d + 1}")} vs ${h(d)}"))
+  }
+
   test("forward passes carry no global window and no join") {
     import org.apache.spark.sql.execution.window.WindowExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -802,7 +1202,16 @@ class SeqForwardSpec extends SparkSpec {
         SeqForward.hiveTransformerForward(fixture, "user_id", "ts",
           "event_id", "value"),
         SeqForward.packedLstmForward(fixture, "user_id", "ts",
-          "event_id", "value")).foreach { df =>
+          "event_id", "value"),
+        SeqForward.hiveMlpForward(fixture, "user_id", "ts", "event_id",
+          "value"),
+        SeqForward.dualHeadMlpForward(fixture, "user_id", "ts",
+          "event_id", "value"),
+        SeqForward.mlpEvaluateCard(fixture, "user_id", "ts", "event_id",
+          "value"),
+        SeqForward.lstmForwardGeneric(fixture, "user_id", "ts",
+          "event_id", "value", SeqForward.T, SeqForward.H,
+          SeqForward.lstmParam)).foreach { df =>
         val p = df.queryExecution.executedPlan
         p.foreach {
           case w: WindowExec =>
