@@ -20,6 +20,18 @@ object Bench {
     "q11_dedup_exact", "q13_quality_score", "q25_distinct_count",
     "q54_rollup", "q77_cube", "q93_star_join", "q102_funnel",
     "q113_psi_drift", "q151_spearman", "q154_sql_star_join")
+
+  /** Fixed 10-query host-noise canary: cheap, shape-diverse, run before
+    * the first timed pass and again after every pass. Same-code canary
+    * totals measured minutes apart expose the run's scheduling-noise
+    * floor, so cross-round comparisons can be normalized MECHANICALLY
+    * instead of argued by hand (this host has shown 1.25× same-code
+    * median drift across rounds — the round-14 postmortem).
+    */
+  private val canarySet: Seq[String] = Seq(
+    "q01_pricing_summary", "q02_filter_project", "q03_join_revenue",
+    "q11_dedup_exact", "q13_quality_score", "q25_distinct_count",
+    "q54_rollup", "q77_cube", "q93_star_join", "q102_funnel")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // parse once so both the master URL and the JSON artifact are validated
@@ -110,6 +122,22 @@ object Bench {
       }
       spark.catalog.clearCache()
     }
+    val canaryFns = canarySet.flatMap(n =>
+      SparkEntry.queries.get(n).map(n -> _))
+    // one timed canary sweep (sequential, warm tables): the per-run
+    // TOTAL is the noise-floor sample; failures inside the canary are
+    // reported as a 0-contribution (never abort the bench for it)
+    def runCanary(): Double = {
+      val t0 = System.nanoTime()
+      canaryFns.foreach { case (name, fn) =>
+        try { fn(spark, sfDir).count(); () }
+        catch { case NonFatal(e) =>
+          System.err.println(s"[bench] canary $name failed: ${e.getMessage}")
+        }
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaryRuns = scala.collection.mutable.ArrayBuffer[Double]()
     val seqStart = System.nanoTime()
     def runPass(pass: Int): Seq[(String, Double, Boolean, Int, Double)] =
       selected.toSeq.zipWithIndex.map { case ((name, fn), i) =>
@@ -123,6 +151,12 @@ object Bench {
         (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok,
           pass * selected.size + i, (t0 - seqStart) / 1e9)
       }
+    // one UNTIMED canary sweep first: in repeat mode there is no global
+    // warm-up pass, so the first timed canary would otherwise carry the
+    // canary queries' JIT cost and overstate the noise floor ~3×
+    // (measured at sf0.001: 8.9 s cold vs 3.0 s steady)
+    runCanary()
+    canaryRuns += runCanary()
     val passes = (0 until repeat).map { k =>
       // clear plan-matched cache entries between passes: operators that
       // persist their inputs (LSH sweep signatures, ingest wave stores)
@@ -130,7 +164,9 @@ object Bench {
       // median would measure a cache hit, not the query (measured: q257
       // 14.2 s cold vs 0.8 s cached)
       if (k > 0) spark.catalog.clearCache()
-      runPass(k)
+      val p = runPass(k)
+      canaryRuns += runCanary()
+      p
     }
     val results = passes.head
     // per-query stats across passes; a query that failed in ANY pass
@@ -217,6 +253,18 @@ object Bench {
 
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
+    // canary block: per-run totals of the fixed 10-query sweep (run
+    // repeat+1 times, interleaved with the passes) plus the spread —
+    // the run's own host-noise floor, so cross-round deltas can be
+    // normalized mechanically (a 1.2× canary spread says 1.2× query
+    // movement is noise, not regression)
+    val canarySpread =
+      if (canaryRuns.min > 0) math.round(canaryRuns.max / canaryRuns.min * 1000) / 1000.0
+      else -1.0
+    val canaryJson =
+      s"""{"queries":${canarySet.map(q => "\"" + q + "\"").mkString("[", ",", "]")},""" +
+      s""""runs_sec":${canaryRuns.map(t => math.round(t * 1000) / 1000.0).mkString("[", ",", "]")},""" +
+      s""""spread":$canarySpread}"""
     // the stdout line gets scraped (and sometimes truncated) by harnesses —
     // also write the full record as a machine-readable artifact so bench
     // runs diff cleanly round over round
@@ -225,9 +273,18 @@ object Bench {
     val cfg = s"""{"cpus":$cpus,"shuffle_partitions":$cpus,""" +
       s""""spark_version":"${spark.version}","n_queries":${results.size},""" +
       s""""repeat":$repeat}"""
+    val record =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","config":$cfg,"failed":$failed,"concurrency":$concJson,"canary":$canaryJson,"query_stats":$statsJson,"order":$order,"queries":$qs}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","config":$cfg,"failed":$failed,"concurrency":$concJson,"query_stats":$statsJson,"order":$order,"queries":$qs}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      record.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // repeat-mode runs ALSO land at a stable median-artifact name that a
+    // later single-pass gate run (the driver writes bench_results.json,
+    // repeat:1) can never shadow — the committed median-of-N protocol
+    // survives the working tree (round-14 verdict nit)
+    if (repeat >= 2 && artifact == "bench_results.json")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_median.json"),
+        record.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -75,6 +75,18 @@ def main():
     q1, q0 = med_queries(sf1), med_queries(sf01)
     print(f"sf1 total {sf1['value']:.1f}s over {len(q1)} queries; "
           f"failed: {sf1['failed']}")
+
+    # host-noise floor from the canary blocks (round-15 protocol): each
+    # artifact carries repeat+1 totals of a fixed 10-query sweep run
+    # between passes; the max/min spread bounds what per-query movement
+    # is attributable to host scheduling rather than plan changes
+    for tag, art in (("sf1", sf1), ("sf0.1", sf01)):
+        can = art.get("canary")
+        if isinstance(can, dict) and can.get("runs_sec"):
+            runs = ", ".join(f"{t:.1f}" for t in can["runs_sec"])
+            print(f"canary noise floor [{tag}]: spread x{can['spread']}"
+                  f" over runs [{runs}]s — per-query ratios inside the"
+                  f" spread are host noise, not regressions")
     rows = []
     for k, t1 in q1.items():
         t0 = q0.get(k)
