@@ -4221,6 +4221,18 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
          |    ROUND(e1 / (e1 + e2), 9) AS p0,
          |    ROUND(e2 / (e1 + e2), 9) AS p1
          |  FROM sm2),
+         |rk AS (
+         |  SELECT yb, p1, ROW_NUMBER() OVER (ORDER BY p1) AS rk FROM pr),
+         |rr AS (
+         |  SELECT yb, AVG(rk) OVER (PARTITION BY p1) AS arank FROM rk),
+         |aucv AS (
+         |  SELECT CASE WHEN SUM(yb) > 0 AND SUM(yb) < COUNT(*) THEN
+         |    ROUND(
+         |      (CAST(SUM(CASE WHEN yb = 1 THEN
+         |          CAST(arank AS DECIMAL(28,6)) END) AS DOUBLE)
+         |        - (SUM(yb) * (SUM(yb) + 1) / 2.0)) /
+         |      (SUM(yb) * (COUNT(*) - SUM(yb))), 6) + 0.0 END AS auc
+         |  FROM rr),
          |ag AS (
          |  -- counts CAST to BIGINT: DuckDB SUM(int) is HUGEINT, which
          |  -- round-trips to pandas as float and type-mismatches Spark's
@@ -4243,6 +4255,7 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
          |      AS DOUBLE) AS brsum
          |  FROM pr)
          |SELECT n, tp, fp, fn, tn,
+         |  auc,
          |  ROUND(CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0
          |    AS accuracy,
          |  CASE WHEN tp + fp > 0 THEN ROUND(CAST(tp AS DOUBLE) /
@@ -4258,6 +4271,6 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
          |      + 0.0 END AS balanced_accuracy,
          |  ROUND(llsum / CAST(n AS DOUBLE), 6) + 0.0 AS log_loss,
          |  ROUND(brsum / CAST(n AS DOUBLE), 6) + 0.0 AS brier
-         |FROM ag""".stripMargin
+         |FROM ag CROSS JOIN aucv""".stripMargin
   }
 }

@@ -1792,8 +1792,10 @@ object SeqForward {
     * 148-150`) → the classification metric block + confusion matrix
     * (`evaluate.py:163-165` → metrics.py): one card row with n,
     * accuracy, tp/fp/fn/tn, precision/recall/F1 (from counts, the
-    * X3 closed forms), balanced accuracy (X2), weighted-free log-loss
-    * and Brier (the probabilistic pair). Truth is the held-out
+    * X3 closed forms), balanced accuracy (X2), ROC-AUC over the class-1
+    * probability (X4 — the bucketed-midrank `binaryAuc`, no global
+    * per-row sort at any cardinality), weighted-free log-loss and
+    * Brier (the probabilistic pair). Truth is the held-out
     * (T+1)-th value binarized at [[ceThr]] — the same contract the CE
     * trajectory trains against, so the card grades a REAL holdout.
     * Undefined ratios (empty predicted-positive set) surface as NULL,
@@ -1819,6 +1821,11 @@ object SeqForward {
     d = d.select(col("yb"), col("pred"),
       round(col("e1") / (col("e1") + col("e2")), 9).as("p0"),
       round(col("e2") / (col("e1") + col("e2")), 9).as("p1"))
+    // ROC-AUC rides the same per-row frame through the distributed
+    // midrank machinery (one extra scan of the forward — a broadcast
+    // 1-row join back onto the card, never a per-row join)
+    val auc = graft.metrics.RankMetrics.binaryAuc(d, "p1", "yb")
+      .select(col("auc"))
     val pTrue = when(col("yb") === 1, col("p1")).otherwise(col("p0"))
     val agg = d.agg(
       count(lit(1)).as("n"),
@@ -1832,7 +1839,7 @@ object SeqForward {
         (col("p1") - col("yb").cast("double")) *
           (col("p1") - col("yb").cast("double")), 12).as("brsum"))
     def dd(c: Column): Column = c.cast("double")
-    agg.select(
+    agg.crossJoin(broadcast(auc)).select(
       col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
       round(dd(col("n_correct")) / dd(col("n")), 6).as("accuracy"),
       when(col("tp") + col("fp") > 0,
@@ -1846,6 +1853,7 @@ object SeqForward {
         round((dd(col("tp")) / dd(col("tp") + col("fn")) +
           dd(col("tn")) / dd(col("tn") + col("fp"))) / lit(2.0), 6))
         .as("balanced_accuracy"),
+      col("auc"),
       round(col("llsum").cast("double") / dd(col("n")), 6).as("log_loss"),
       round(col("brsum").cast("double") / dd(col("n")), 6).as("brier"))
   }

@@ -1064,6 +1064,10 @@ class SeqForwardSpec extends SparkSpec {
     assert(card.getAs[Double]("log_loss") > 0.0)
     val brier = card.getAs[Double]("brier")
     assert(brier >= 0.0 && brier <= 1.0)
+    // AUC defined (both classes present in the fixture) and in range
+    assert(!card.isNullAt(card.fieldIndex("auc")))
+    val auc = card.getAs[Double]("auc")
+    assert(auc >= 0.0 && auc <= 1.0)
   }
 
   // ---- width generalization: miniature by CHOICE --------------------
@@ -1207,8 +1211,8 @@ class SeqForwardSpec extends SparkSpec {
           "value"),
         SeqForward.dualHeadMlpForward(fixture, "user_id", "ts",
           "event_id", "value"),
-        SeqForward.mlpEvaluateCard(fixture, "user_id", "ts", "event_id",
-          "value"),
+        // (mlpEvaluateCard is NOT a forward pass: its AUC leg uses the
+        // midrank machinery's broadcast joins by design — own spec)
         SeqForward.lstmForwardGeneric(fixture, "user_id", "ts",
           "event_id", "value", SeqForward.T, SeqForward.H,
           SeqForward.lstmParam)).foreach { df =>
