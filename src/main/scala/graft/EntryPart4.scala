@@ -633,6 +633,27 @@ private[graft] trait EntryPart4 extends EntryPart3 {
     graft.ml.SeqForward.mlpEvaluateCard(
       t(spark, dir, "events"), "user_id", "ts", "event_id", "value")
 
+  // ---------------------------------------------------------------- q440
+  // DualHeadLSTM forward, hash-checked (lstm.py:243-340): the q433
+  // HiveLSTM trunk (input proj + LayerNorm → bidi LSTM → attention
+  // pooling → shared Linear(4→2)+ReLU projection) emitting the
+  // regression output AND classification softmax simultaneously in
+  // ONE plan; reg_pred is bit-identical to q433's pred (spec'd).
+  def q440(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.SeqForward.hiveLstmForward(
+      t(spark, dir, "events"), "user_id", "ts", "event_id", "value",
+      dualHead = true)
+
+  // ---------------------------------------------------------------- q441
+  // DualHeadTransformer forward, hash-checked (transformer.py:345-440):
+  // the q434 HiveTransformer trunk (CLS + PE → two stacked blocks →
+  // CLS pooling → shared Linear(2→1)+GELU projection) emitting both
+  // heads in one plan; reg_pred bit-identical to q434's pred (spec'd).
+  def q441(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.SeqForward.hiveTransformerForward(
+      t(spark, dir, "events"), "user_id", "ts", "event_id", "value",
+      dualHead = true)
+
   // ---------------------------------------------------------------- q426
   // TRAINED Elman RNN under the reference's DEFAULT optimizer, hash-
   // checked (trainer.py:125-131 AdamW, weight_decay=0.01 at :89):

@@ -2369,6 +2369,13 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
     // argmax/softmax → metric card + confusion matrix on a real holdout.
     "q439_evaluate_card" -> q439EvaluateCardSql,
 
+    // q440/q441: DualHeadLSTM and DualHeadTransformer — the shared
+    // trunks of q433/q434 emitting regression AND classification heads
+    // simultaneously in one plan (the dual-head story now covers all
+    // three reference model families).
+    "q440_dual_head_lstm" -> q440DualHeadLstmSql,
+    "q441_dual_head_transformer" -> q441DualHeadTransformerSql,
+
     // q434: the WHOLE HiveTransformer inference path replayed — CLS
     // embedding and its block-1 q/k/v folded to shared literals, the
     // full 9×9 two-head attention grid as CTE stages, post-norm
@@ -3345,7 +3352,14 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
          |FROM t$T ORDER BY user_id""".stripMargin
   }
 
-  protected def q433HiveLstmSql: String = {
+  protected def q433HiveLstmSql: String = hiveLstmSql(dual = false)
+  protected def q440DualHeadLstmSql: String = hiveLstmSql(dual = true)
+
+  /** Whole-HiveLSTM CTE chain; `dual = true` swaps the regression-only
+    * head for DualHeadLSTM's simultaneous reg + cls heads on the shared
+    * projection (`lstm.py:289-298`).
+    */
+  private def hiveLstmSql(dual: Boolean): String = {
     import graft.ml.SeqForward.{H, T, compParam, fmt}
     val p = (0 to 113).map(compParam)
     def sig(z: String): String = s"1.0 / (1.0 + EXP(-($z)))"
@@ -3494,15 +3508,45 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
          |  SELECT user_id, pool1, pool2, pool3, pool4,
          |$opCols
          |  FROM a6)
-         |SELECT user_id,
-         |  ROUND(${fmt(p(111))} * op1 + ${fmt(p(112))} * op2 +
-         |    ${fmt(p(113))}, 6) + 0.0 AS pred,
-         |  ROUND(pool1, 6) + 0.0 AS pool1, ROUND(pool2, 6) + 0.0 AS pool2,
-         |  ROUND(pool3, 6) + 0.0 AS pool3, ROUND(pool4, 6) + 0.0 AS pool4
-         |FROM a7 ORDER BY user_id""".stripMargin
+         |""".stripMargin +
+      (if (!dual)
+        s"""SELECT user_id,
+           |  ROUND(${fmt(p(111))} * op1 + ${fmt(p(112))} * op2 +
+           |    ${fmt(p(113))}, 6) + 0.0 AS pred,
+           |  ROUND(pool1, 6) + 0.0 AS pool1, ROUND(pool2, 6) + 0.0 AS pool2,
+           |  ROUND(pool3, 6) + 0.0 AS pool3, ROUND(pool4, 6) + 0.0 AS pool4
+           |FROM a7 ORDER BY user_id""".stripMargin
+      else {
+        val q = (114 to 119).map(graft.ml.SeqForward.compParam)
+        s""",d1 AS (
+           |  SELECT user_id, op1, op2,
+           |    ROUND(${fmt(q(0))} * op1 + ${fmt(q(1))} * op2 +
+           |      ${fmt(q(4))}, 9) AS z1,
+           |    ROUND(${fmt(q(2))} * op1 + ${fmt(q(3))} * op2 +
+           |      ${fmt(q(5))}, 9) AS z2
+           |  FROM a7),
+           |d2 AS (SELECT *, GREATEST(z1, z2) AS m FROM d1),
+           |d3 AS (SELECT *, EXP(z1 - m) AS e1, EXP(z2 - m) AS e2 FROM d2)
+           |SELECT user_id,
+           |  ROUND(${fmt(p(111))} * op1 + ${fmt(p(112))} * op2 +
+           |    ${fmt(p(113))}, 6) + 0.0 AS reg_pred,
+           |  ROUND(e1 / (e1 + e2), 6) + 0.0 AS prob1,
+           |  ROUND(e2 / (e1 + e2), 6) + 0.0 AS prob2,
+           |  CASE WHEN z1 >= z2 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST(1 AS BIGINT) END AS pred_class,
+           |  ROUND(op1, 6) + 0.0 AS shared1, ROUND(op2, 6) + 0.0 AS shared2
+           |FROM d3 ORDER BY user_id""".stripMargin
+      })
   }
 
-  protected def q434HiveTransformerSql: String = {
+  protected def q434HiveTransformerSql: String = hiveTransformerSql(dual = false)
+  protected def q441DualHeadTransformerSql: String = hiveTransformerSql(dual = true)
+
+  /** Whole-HiveTransformer CTE chain; `dual = true` swaps the
+    * regression-only head for DualHeadTransformer's simultaneous reg +
+    * cls heads on the shared GELU projection (`transformer.py:389-397`).
+    */
+  private def hiveTransformerSql(dual: Boolean): String = {
     import graft.ml.SeqForward.{T, fmt, posEncCls, trParam}
     val p = (0 to 102).map(trParam)
     def r9v(v: Double): Double =
@@ -3818,10 +3862,30 @@ private[graft] trait OracleSqlPart4 extends OracleSqlPart3 {
          |  SELECT user_id, CLS_1, CLS_2,
          |    ROUND(${gelu("OPin")}, 9) AS OP
          |  FROM oph)
-         |SELECT user_id,
-         |  ROUND(${fmt(p(101))} * OP + ${fmt(p(102))}, 6) + 0.0 AS pred,
-         |  ROUND(CLS_1, 6) + 0.0 AS cls1, ROUND(CLS_2, 6) + 0.0 AS cls2
-         |FROM opg ORDER BY user_id""".stripMargin
+         |""".stripMargin +
+      (if (!dual)
+        s"""SELECT user_id,
+           |  ROUND(${fmt(p(101))} * OP + ${fmt(p(102))}, 6) + 0.0 AS pred,
+           |  ROUND(CLS_1, 6) + 0.0 AS cls1, ROUND(CLS_2, 6) + 0.0 AS cls2
+           |FROM opg ORDER BY user_id""".stripMargin
+      else {
+        val q = (103 to 106).map(trParam)
+        s""",d1 AS (
+           |  SELECT user_id, OP,
+           |    ROUND(${fmt(q(0))} * OP + ${fmt(q(2))}, 9) AS z1,
+           |    ROUND(${fmt(q(1))} * OP + ${fmt(q(3))}, 9) AS z2
+           |  FROM opg),
+           |d2 AS (SELECT *, GREATEST(z1, z2) AS m FROM d1),
+           |d3 AS (SELECT *, EXP(z1 - m) AS e1, EXP(z2 - m) AS e2 FROM d2)
+           |SELECT user_id,
+           |  ROUND(${fmt(p(101))} * OP + ${fmt(p(102))}, 6) + 0.0 AS reg_pred,
+           |  ROUND(e1 / (e1 + e2), 6) + 0.0 AS prob1,
+           |  ROUND(e2 / (e1 + e2), 6) + 0.0 AS prob2,
+           |  CASE WHEN z1 >= z2 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST(1 AS BIGINT) END AS pred_class,
+           |  ROUND(OP, 6) + 0.0 AS shared1
+           |FROM d3 ORDER BY user_id""".stripMargin
+      })
   }
 
   protected def q435PackedLstmSql: String = {

@@ -1055,9 +1055,12 @@ object SeqForward {
     * projections; at 100 TB this is a scan.
     */
   def hiveLstmForward(events: DataFrame, userCol: String, tsCol: String,
-      idCol: String, valCol: String): DataFrame = {
+      idCol: String, valCol: String, dualHead: Boolean = false): DataFrame = {
     val piv = sequencePivot(events, userCol, tsCol, idCol, valCol)
-    val p = (0 to 113).map(compParam)
+    // 114-119: DualHeadLSTM classification head Linear(2→2)
+    // (`lstm.py:297-298`: reg + cls heads on the SHARED projection —
+    // which is exactly this model's output Linear(4→2)+ReLU stage)
+    val p = (0 to 119).map(compParam)
     val eps = 1e-5 // torch nn.LayerNorm default
     // input projection
     var d = piv.select(Seq(col("user_id")) ++ (1 to T).flatMap(t => Seq(
@@ -1159,14 +1162,40 @@ object SeqForward {
         lit(p(101 + 4 * j + k)) * col(s"pool${k + 1}")).reduce(_ + _) +
         lit(p(109 + j)), 9)).as(s"op${j + 1}")
     }: _*)
-    d.select(col("user_id"),
-      round(lit(p(111)) * col("op1") + lit(p(112)) * col("op2") +
-        lit(p(113)), 6).as("pred"),
-      round(col("pool1"), 6).as("pool1"),
-      round(col("pool2"), 6).as("pool2"),
-      round(col("pool3"), 6).as("pool3"),
-      round(col("pool4"), 6).as("pool4"))
-      .orderBy(col("user_id"))
+    if (!dualHead)
+      d.select(col("user_id"),
+        round(lit(p(111)) * col("op1") + lit(p(112)) * col("op2") +
+          lit(p(113)), 6).as("pred"),
+        round(col("pool1"), 6).as("pool1"),
+        round(col("pool2"), 6).as("pool2"),
+        round(col("pool3"), 6).as("pool3"),
+        round(col("pool4"), 6).as("pool4"))
+        .orderBy(col("user_id"))
+    else {
+      // DualHeadLSTM (`lstm.py:243-340`): SIMULTANEOUS regression and
+      // classification heads on the shared projection, one plan
+      d = d.select(col("user_id"), col("op1"), col("op2"),
+        round(lit(p(114)) * col("op1") + lit(p(115)) * col("op2") +
+          lit(p(118)), 9).as("z1"),
+        round(lit(p(116)) * col("op1") + lit(p(117)) * col("op2") +
+          lit(p(119)), 9).as("z2"))
+      d = d.select(col("user_id"), col("op1"), col("op2"), col("z1"),
+        col("z2"), greatest(col("z1"), col("z2")).as("m"))
+      d = d.select(col("user_id"), col("op1"), col("op2"), col("z1"),
+        col("z2"),
+        exp(col("z1") - col("m")).as("e1"),
+        exp(col("z2") - col("m")).as("e2"))
+      d.select(col("user_id"),
+        round(lit(p(111)) * col("op1") + lit(p(112)) * col("op2") +
+          lit(p(113)), 6).as("reg_pred"),
+        round(col("e1") / (col("e1") + col("e2")), 6).as("prob1"),
+        round(col("e2") / (col("e1") + col("e2")), 6).as("prob2"),
+        when(col("z1") >= col("z2"), lit(0L)).otherwise(lit(1L))
+          .as("pred_class"),
+        round(col("op1"), 6).as("shared1"),
+        round(col("op2"), 6).as("shared2"))
+        .orderBy(col("user_id"))
+    }
   }
 
   // Composite HiveTransformer parameters (one disjoint bank): 0-3 input
@@ -1216,9 +1245,14 @@ object SeqForward {
     * forward: one window, one pivot, staged codegen projections.
     */
   def hiveTransformerForward(events: DataFrame, userCol: String,
-      tsCol: String, idCol: String, valCol: String): DataFrame = {
+      tsCol: String, idCol: String, valCol: String,
+      dualHead: Boolean = false): DataFrame = {
     val piv = sequencePivot(events, userCol, tsCol, idCol, valCol)
-    val p = (0 to 102).map(trParam)
+    // 103-106: DualHeadTransformer classification head Linear(1→2)
+    // (`transformer.py:395-397`: reg + cls heads on shared_proj =
+    // Linear(d→d/2)+GELU — exactly this model's output-proj stage,
+    // d/2 = 1 at this width)
+    val p = (0 to 106).map(trParam)
     val eps = 1e-5
     def r9v(v: Double): Double =
       new java.math.BigDecimal(v)
@@ -1424,11 +1458,32 @@ object SeqForward {
         lit(p(100)), 9).as("OPin"))
     d = d.select(col("user_id"), col("CLS_1"), col("CLS_2"),
       round(geluTanh(col("OPin")), 9).as("OP"))
-    d.select(col("user_id"),
-      round(lit(p(101)) * col("OP") + lit(p(102)), 6).as("pred"),
-      round(col("CLS_1"), 6).as("cls1"),
-      round(col("CLS_2"), 6).as("cls2"))
-      .orderBy(col("user_id"))
+    if (!dualHead)
+      d.select(col("user_id"),
+        round(lit(p(101)) * col("OP") + lit(p(102)), 6).as("pred"),
+        round(col("CLS_1"), 6).as("cls1"),
+        round(col("CLS_2"), 6).as("cls2"))
+        .orderBy(col("user_id"))
+    else {
+      // DualHeadTransformer (`transformer.py:345-440`): both heads on
+      // the shared GELU projection in one plan
+      d = d.select(col("user_id"), col("OP"),
+        round(lit(p(103)) * col("OP") + lit(p(105)), 9).as("z1"),
+        round(lit(p(104)) * col("OP") + lit(p(106)), 9).as("z2"))
+      d = d.select(col("user_id"), col("OP"), col("z1"), col("z2"),
+        greatest(col("z1"), col("z2")).as("m"))
+      d = d.select(col("user_id"), col("OP"), col("z1"), col("z2"),
+        exp(col("z1") - col("m")).as("e1"),
+        exp(col("z2") - col("m")).as("e2"))
+      d.select(col("user_id"),
+        round(lit(p(101)) * col("OP") + lit(p(102)), 6).as("reg_pred"),
+        round(col("e1") / (col("e1") + col("e2")), 6).as("prob1"),
+        round(col("e2") / (col("e1") + col("e2")), 6).as("prob2"),
+        when(col("z1") >= col("z2"), lit(0L)).otherwise(lit(1L))
+          .as("pred_class"),
+        round(col("OP"), 6).as("shared1"))
+        .orderBy(col("user_id"))
+    }
   }
 
   /** PACKED-SEQUENCE LSTM forward, hash-checked (torch

@@ -881,6 +881,41 @@ class SeqForwardSpec extends SparkSpec {
       s"reg ${dual.getAs[Double]("reg_pred")} vs $reg")
   }
 
+  test("dual-head LSTM/Transformer: shared trunk pins reg_pred to the single-head twins") {
+    // DualHeadLSTM (lstm.py:243-340): the regression leg IS q433's head
+    // on the shared projection — bit-identical outputs prove the trunk
+    // is shared in fact, not re-derived
+    val lstmSingle = SeqForward.hiveLstmForward(fixture, "user_id", "ts",
+      "event_id", "value").collect().head
+    val lstmDual = SeqForward.hiveLstmForward(fixture, "user_id", "ts",
+      "event_id", "value", dualHead = true).collect().head
+    assert(lstmDual.getAs[Double]("reg_pred") ==
+      lstmSingle.getAs[Double]("pred"))
+    // classification leg: a true softmax distribution, argmax-consistent
+    val (p1l, p2l) = (lstmDual.getAs[Double]("prob1"),
+      lstmDual.getAs[Double]("prob2"))
+    assert(approx(p1l + p2l, 1.0, 2e-6))
+    assert(lstmDual.getAs[Long]("pred_class") ==
+      (if (p1l >= p2l) 0L else 1L))
+    // cls head replay from the shared projection (round-6 audit cols
+    // are rounded AFTER the head reads round-9 op — replay the head on
+    // the replayed trunk instead): reuse the q433 plain-Scala pipeline
+    // via the exposed shared1/shared2 only for sanity bounds
+    assert(math.abs(lstmDual.getAs[Double]("shared1")) < 10.0)
+    // DualHeadTransformer (transformer.py:345-440): same contract
+    val trSingle = SeqForward.hiveTransformerForward(fixture, "user_id",
+      "ts", "event_id", "value").collect().head
+    val trDual = SeqForward.hiveTransformerForward(fixture, "user_id",
+      "ts", "event_id", "value", dualHead = true).collect().head
+    assert(trDual.getAs[Double]("reg_pred") ==
+      trSingle.getAs[Double]("pred"))
+    val (p1t, p2t) = (trDual.getAs[Double]("prob1"),
+      trDual.getAs[Double]("prob2"))
+    assert(approx(p1t + p2t, 1.0, 2e-6))
+    assert(trDual.getAs[Long]("pred_class") ==
+      (if (p1t >= p2t) 0L else 1L))
+  }
+
   // ---- weighted cross-entropy trajectory (q437) --------------------
 
   // three users with 9+ ordered events each: one lands class 1
@@ -1211,6 +1246,10 @@ class SeqForwardSpec extends SparkSpec {
           "value"),
         SeqForward.dualHeadMlpForward(fixture, "user_id", "ts",
           "event_id", "value"),
+        SeqForward.hiveLstmForward(fixture, "user_id", "ts", "event_id",
+          "value", dualHead = true),
+        SeqForward.hiveTransformerForward(fixture, "user_id", "ts",
+          "event_id", "value", dualHead = true),
         // (mlpEvaluateCard is NOT a forward pass: its AUC leg uses the
         // midrank machinery's broadcast joins by design — own spec)
         SeqForward.lstmForwardGeneric(fixture, "user_id", "ts",
