@@ -1256,7 +1256,13 @@ object MlPipelines {
     import spark.implicits._
     val arr = col(vecCol).cast("array<double>")
     val n = embeddings.count()
-    val vals = embeddings.select(posexplode(arr).as(Seq("i", "v")))
+    // the pair stage below expands every row d²/2 ≈ 2080× — fan the
+    // compact embedding frame out first so the expansion runs wide
+    // (guide §8: shuffle pre-expansion rows; decimal sums are order-free)
+    val emb = graft.operators.ParOps.fanOut(
+      embeddings.select(arr.as("__arr")))
+    val earr = col("__arr")
+    val vals = emb.select(posexplode(earr).as(Seq("i", "v")))
     val mu = vals.groupBy(col("i"))
       .agg((dsum(col("v"), 8) / lit(n.toDouble)).as("mu"))
     // pair products generated per ROW from the array (nested transform +
@@ -1266,9 +1272,9 @@ object MlPipelines {
     // and the driver mirrors the entries; the triangle's sums are
     // numerically identical to the full matrix's, so the SQL replay
     // (which computes both triangles) lands on the same rounded values.
-    val pairs = embeddings
-      .select(explode(flatten(transform(arr, (x, i) =>
-        transform(slice(arr, i + lit(1), lit(dim) - i), (y, k) =>
+    val pairs = emb
+      .select(explode(flatten(transform(earr, (x, i) =>
+        transform(slice(earr, i + lit(1), lit(dim) - i), (y, k) =>
           struct(i.as("i"), (i + k).as("j"), (x * y).as("p")))))).as("t"))
       .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
     val cov = pairs.groupBy(col("i"), col("j"))

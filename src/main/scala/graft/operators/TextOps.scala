@@ -295,7 +295,11 @@ object TextOps {
   def bigramPerplexity(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
-    val bigrams = df.select(col(idCol),
+    // id-keyed fan-out before the per-token bigram expansion (guide §8);
+    // the final per-doc aggregate reuses the exchange
+    val bigrams = graft.operators.ParOps.fanOut(
+        df.select(col(idCol), col(textCol)), Seq(col(idCol)))
+      .select(col(idCol),
         explode(transform(
           sequence(lit(1), greatest(size(toks) - 1, lit(1))),
           i => concat_ws(" ", slice(toks, i, lit(2))))).as("bg"))
@@ -472,7 +476,9 @@ object TextOps {
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol).as("__id"), explode(grams).as("ngram"))
+    graft.operators.ParOps.fanOut(
+        df.select(col(idCol), col(textCol)), Seq(col(idCol)))
+      .select(col(idCol).as("__id"), explode(grams).as("ngram"))
       .groupBy(col("ngram"), col("__id"))
       .agg(count(lit(1)).as("__c"))
       .groupBy(col("ngram"))
@@ -539,7 +545,11 @@ object TextOps {
     require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
     val posCap = 1048576L // 2^20
     val toks = tokens(col(textCol))
-    val grams = df
+    // id-keyed fan-out BEFORE the k-gram expansion: provides exactly the
+    // hashpartitioning(id) the window below requires, so the post-explode
+    // exchange disappears AND the md5 grams compute wide (guide §2.4/§8)
+    val grams = graft.operators.ParOps.fanOut(
+        df.select(col(idCol), col(textCol)), Seq(col(idCol)))
       .filter(size(toks) >= k)
       .select(col(idCol),
         posexplode(transform(sequence(lit(1), size(toks) - (k - 1)),
