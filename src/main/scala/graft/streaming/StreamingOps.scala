@@ -115,21 +115,38 @@ object StreamingOps {
     * has no complete-mode file sink) — complete-mode ops stay on memory.
     */
   private def runToSink(spark: SparkSession, df: DataFrame, sink: StreamSink,
-      outputMode: String): DataFrame = sink match {
-    case StreamSink.Memory(name) =>
-      val q = df.writeStream.format("memory").queryName(name)
-        .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      spark.table(name)
-    case StreamSink.Parquet(path, ckpt, name) =>
-      require(outputMode == "append",
-        s"parquet sink supports append mode only, got $outputMode")
-      val q = df.writeStream.format("parquet")
-        .option("path", path).option("checkpointLocation", ckpt)
-        .queryName(name)
-        .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      spark.read.parquet(path)
+      outputMode: String): DataFrame = {
+    // State partitioning is a SIZING decision (rows of live state), not a
+    // mirror of the session's batch shuffle width — the round-14
+    // streamStreamRangeJoin lesson (its probe measured the per-partition
+    // state-store commit as the dominant micro-batch cost), applied to
+    // EVERY stateful streaming query: each micro-batch pays a fixed
+    // open+commit round per state partition, and at bench state volumes
+    // (≤ tens of thousands of live rows) 8 partitions more than suffice.
+    // Overridable via spark.graft.stream.stateParts; at 100 TB size it to
+    // live-state rows, decoupled from core count. Values are unaffected:
+    // every streamed aggregate here is keyed/additive, and the stream ≡
+    // batch twin oracles re-check that under any partitioning.
+    val stateParts = spark.conf.getOption("spark.graft.stream.stateParts")
+      .getOrElse("8")
+    withTempConf(spark, Seq("spark.sql.shuffle.partitions" -> stateParts)) {
+      sink match {
+        case StreamSink.Memory(name) =>
+          val q = df.writeStream.format("memory").queryName(name)
+            .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          spark.table(name)
+        case StreamSink.Parquet(path, ckpt, name) =>
+          require(outputMode == "append",
+            s"parquet sink supports append mode only, got $outputMode")
+          val q = df.writeStream.format("parquet")
+            .option("path", path).option("checkpointLocation", ckpt)
+            .queryName(name)
+            .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          spark.read.parquet(path)
+      }
+    }
   }
 
   def windowedEventStats(spark: SparkSession, dir: String, fileName: String,
@@ -534,7 +551,9 @@ object StreamingOps {
     val kvs = Seq(
       "spark.sql.streaming.noDataMicroBatches.enabled" ->
         noDataBatch.toString) ++
-      stateParts.map(p => "spark.sql.shuffle.partitions" -> p.toString)
+      // runToSink applies the family-wide state sizing; the per-call knob
+      // feeds it through the graft conf so an explicit value still wins
+      stateParts.map(p => "spark.graft.stream.stateParts" -> p.toString)
     withTempConf(spark, kvs) {
       runToSink(spark, l.join(r, cond), sink, "append")
     }
@@ -571,7 +590,7 @@ object StreamingOps {
     // watermark-DRIVEN, and the trailing no-data batch is what releases
     // the matured unmatched rows — skipping it would drop them
     val kvs = stateParts.map(p =>
-      "spark.sql.shuffle.partitions" -> p.toString).toSeq
+      "spark.graft.stream.stateParts" -> p.toString).toSeq
     withTempConf(spark, kvs) {
       runToSink(spark, l.join(r, cond, "leftOuter"), sink, "append")
     }

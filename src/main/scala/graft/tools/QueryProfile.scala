@@ -28,6 +28,7 @@ object QueryProfile {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.hugeMethodLimit", "8000") // JIT 8KB limit; see Bench
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -54,6 +55,36 @@ object QueryProfile {
     }
     val repeat = sys.env.get("SPARK_GRAFT_PROFILE_REPEAT")
       .map(_.trim.toInt).getOrElse(1)
+    // task-level accounting: jobs/stages/tasks, summed task run time and
+    // deserialize time — splits "driver overhead" from "executor work"
+    val nJobs = new java.util.concurrent.atomic.AtomicLong
+    val nStages = new java.util.concurrent.atomic.AtomicLong
+    val nTasks = new java.util.concurrent.atomic.AtomicLong
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val deserMs = new java.util.concurrent.atomic.AtomicLong
+    val resultMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          nJobs.incrementAndGet(); ()
+        }
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          nStages.incrementAndGet(); ()
+        }
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          nTasks.incrementAndGet()
+          val m = t.taskMetrics
+          if (m != null) {
+            taskMs.addAndGet(m.executorRunTime)
+            deserMs.addAndGet(m.executorDeserializeTime)
+            resultMs.addAndGet(m.resultSerializationTime)
+          }
+          ()
+        }
+      })
     wanted.foreach { name =>
       graft.SparkEntry.queries.get(name) match {
         case None => System.err.println(s"[profile] unknown query: $name")
@@ -78,7 +109,10 @@ object QueryProfile {
               }
               println(f"[profile] $name pass=$pass " +
                 f"build=${(t1 - t0) / 1e9}%.3f plan=${(t2 - t1) / 1e9}%.3f " +
-                f"exec=${(t3 - t2) / 1e9}%.3f total=${(t3 - t0) / 1e9}%.3f")
+                f"exec=${(t3 - t2) / 1e9}%.3f total=${(t3 - t0) / 1e9}%.3f " +
+                f"jobs=${nJobs.getAndSet(0)} stages=${nStages.getAndSet(0)} " +
+                f"tasks=${nTasks.getAndSet(0)} taskMs=${taskMs.getAndSet(0)} " +
+                f"deserMs=${deserMs.getAndSet(0)} resSerMs=${resultMs.getAndSet(0)}")
             } catch { case NonFatal(e) =>
               System.err.println(s"[profile] $name failed: ${e.getMessage}")
             }
