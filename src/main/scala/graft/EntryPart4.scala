@@ -1481,11 +1481,11 @@ private[graft] trait EntryPart4 extends EntryPart3 {
   // the search runs on exact longs. Output is one driver-sized card.
   def q175(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val scored = TextOps.withQuality(
+    val scored = graft.operators.ParOps.fanOut(TextOps.withQuality(
         t(spark, dir, "documents"), "text", Seq("the", "a"))
       .select(col("doc_id"),
-        round(col("quality_score") * 1000000.0, 0).cast("long").as("q_micro"))
-      .persist()
+        round(col("quality_score") * 1000000.0, 0).cast("long").as("q_micro")))
+      .persist() // quality scoring + counting-search scans run cores-wide
     try {
       val n = scored.count()
       // empty corpus: no percentile is answerable — the degenerate

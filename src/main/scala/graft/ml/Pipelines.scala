@@ -873,8 +873,13 @@ object MlPipelines {
     def r9(v: Double): Double =
       new java.math.BigDecimal(v)
         .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
-    val d = df.select(col(xCol).cast("double").as("x"),
-      col(yCol).cast("double").as("y")).persist()
+    // fanned out for the same reason as gmm1dEmPortable: the Newton
+    // aggregates dominate and must run cores-wide on big inputs (q224/
+    // q405 fit over full orders); the small q189/q192 frames pay a few
+    // extra tiny tasks per iteration, measured in the low tens of ms
+    val d = graft.operators.ParOps.fanOut(
+      df.select(col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"))).persist()
     try {
       var b0 = 0.0
       var b1 = 0.0
@@ -2299,8 +2304,11 @@ object MlPipelines {
     def r9(v: Double): Double =
       new java.math.BigDecimal(v)
         .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
-    val d = df.filter(col(xCol).isNotNull)
-      .select(col(xCol).cast("double").as("x")).persist()
+    // fan the value column out before persisting: the per-iteration
+    // aggregates are the hot path and a one-row-group scan would pin
+    // them to one core (decimal sums are order-free; guide §2.2)
+    val d = graft.operators.ParOps.fanOut(df.filter(col(xCol).isNotNull)
+      .select(col(xCol).cast("double").as("x"))).persist()
     try {
       val m0 = d.agg(count(lit(1)).as("n"), dsum(col("x"), 12).as("sx"),
         dsum(col("x") * col("x"), 12).as("sxx")).head()
@@ -2392,8 +2400,11 @@ object MlPipelines {
     def r9(v: Double): Double =
       new java.math.BigDecimal(v)
         .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
-    val d = df.filter(col(xCol).isNotNull)
-      .select(col(xCol).cast("double").as("x")).persist()
+    // fan the value column out before persisting: the per-iteration
+    // aggregates are the hot path and a one-row-group scan would pin
+    // them to one core (decimal sums are order-free; guide §2.2)
+    val d = graft.operators.ParOps.fanOut(df.filter(col(xCol).isNotNull)
+      .select(col(xCol).cast("double").as("x"))).persist()
     try {
       val b = d.agg(count(lit(1)).as("n"), min(col("x")).as("mn"),
         max(col("x")).as("mx")).head()

@@ -164,8 +164,11 @@ object GraphOps {
       .union(fwd.select(col("__dst").as("__src"), col("__src").as("__dst")))
       .distinct()
       .localCheckpoint()
+    // degree table is iteration-invariant — checkpoint it once instead of
+    // re-aggregating the edge list inside every iteration's join
     val outdeg = sym.groupBy(col("__src"))
       .agg(count(lit(1)).as("__deg"))
+      .localCheckpoint()
     val base = lit(scale * (dampDen - dampNum) / dampDen)
     var ranks = outdeg.select(col("__src").as("v"),
       lit(scale).as("rank_fp"), col("__deg"))
@@ -209,18 +212,24 @@ object GraphOps {
       .withColumn("s", lit(scale))
     var auths: DataFrame = null
     for (_ <- 1 to iterations) {
+      // checkpoint the RAW aggregate, not the normalized frame: the max
+      // for the L∞ normalization is a broadcast built from the same
+      // frame, so checkpointing after it would execute the join+agg
+      // twice per half-iteration (once to build the broadcast max, once
+      // for the checkpoint) — materializing first halves the heavy work;
+      // the normalization itself stays a lazy projection
       val aRaw = e.join(hubs, e("__src") === hubs("v"))
         .groupBy(col("__dst").as("v")).agg(sum(col("s")).as("raw"))
+        .localCheckpoint()
       val aMax = aRaw.agg(max(col("raw")).as("__mx"))
       auths = aRaw.crossJoin(broadcast(aMax))
         .select(col("v"), expr(s"raw * $scale div __mx").as("s"))
-        .localCheckpoint()
       val hRaw = e.join(auths, e("__dst") === auths("v"))
         .groupBy(col("__src").as("v")).agg(sum(col("s")).as("raw"))
+        .localCheckpoint()
       val hMax = hRaw.agg(max(col("raw")).as("__mx"))
       hubs = hRaw.crossJoin(broadcast(hMax))
         .select(col("v"), expr(s"raw * $scale div __mx").as("s"))
-        .localCheckpoint()
     }
     def top(side: String, d: DataFrame) = d
       .orderBy(col("s").desc, col("v")).limit(k)

@@ -39,6 +39,8 @@ object ParOps {
     * exchange), round-robin otherwise.
     */
   def fanOut(df: DataFrame, keys: Seq[Column] = Nil): DataFrame = {
+    // measurement kill-switch for A/B evidence (never set by the bench)
+    if (sys.env.contains("SPARK_GRAFT_NO_FANOUT")) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     // physical partition count of the frame as currently planned; cheap
     // for the scan-plus-projection frames this is applied to

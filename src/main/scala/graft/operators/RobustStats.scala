@@ -129,6 +129,9 @@ object RobustStats {
       // unbounded domain: the distinct-value window would funnel nd rows
       // through one partition — take the O(1)-memory counting search per
       // rank over the cached projection instead
+      // NOT fanned out (ParOps.fanOut): the counting search's scans are
+      // cheap long-compares, and 32-way tiny tasks cost more in per-task
+      // codegen lookups than they save (measured: 1.2k -> 73k task-ms)
       vals.persist()
       try ks.distinct.map(k => k -> kthSmallestByCounting(vals, "__v", k)).toMap
       finally { vals.unpersist(); () }

@@ -1097,8 +1097,9 @@ object SimilarityOps {
     require(k >= 2, s"need k >= 2, got $k")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val e = embeddings.select(col(idCol).cast("long").as("__id"),
-      col(vecCol).cast("array<double>").as("__emb")).persist()
+    val e = graft.operators.ParOps.fanOut(
+      embeddings.select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<double>").as("__emb"))).persist()
     try {
       // seed: rank-1 of the two-round congruential draw (q182's family)
       val p1 = 1000003L; val p2 = 9999991L
