@@ -114,8 +114,14 @@ object BpeOps {
     */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    val words = docs.select(col(idCol).as("id"),
-        explode(TextOps.tokens(col(textCol))).as("w"))
+    // fan out before the explode: the merge replay below is `rounds`
+    // chained lambda-HOF array rebuilds per word (CodegenFallback —
+    // interpreted), by far the heaviest per-row work in the text family;
+    // id-keyed so the final per-doc aggregate reuses the exchange
+    val words = graft.operators.ParOps.fanOut(
+        docs.select(col(idCol).as("id"), col(textCol).as("__t")),
+        Seq(col("id")))
+      .select(col("id"), explode(TextOps.tokens(col("__t"))).as("w"))
       .filter(col("w") =!= "")
       .withColumn("syms", concat(split(col("w"), ""), array(lit(EOW))))
     val encoded = merges.foldLeft(words) { case (d, (bl, br)) =>

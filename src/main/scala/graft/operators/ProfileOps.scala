@@ -149,7 +149,11 @@ object ProfileOps {
     require(cols.size >= 2, "need at least two columns")
     val spark = df.sparkSession
     import spark.implicits._
-    val d = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+    // fanned out (ParOps): k(k+3)/2 decimal accumulators per row is
+    // gmm-class per-row work, and a one-row-group scan would run the
+    // whole pass on one core (decimal sums are order-free)
+    val d = graft.operators.ParOps.fanOut(
+      df.select(cols.map(c => col(c).cast("double").as(c)): _*))
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i < j
     } yield (cols(i), cols(j))
