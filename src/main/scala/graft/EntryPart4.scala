@@ -1481,11 +1481,15 @@ private[graft] trait EntryPart4 extends EntryPart3 {
   // the search runs on exact longs. Output is one driver-sized card.
   def q175(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val scored = graft.operators.ParOps.fanOut(TextOps.withQuality(
+    // NOT fanned out (ParOps.fanOut): A/B at sf0.1 measured the fanned
+    // variant slower (1.33 s vs 0.93 s plain, median-of-5) — the scoring
+    // pass is one scan's worth of regex work, and the percentile jobs
+    // after it prefer the narrow persisted frame (the q404/q258 lesson)
+    val scored = TextOps.withQuality(
         t(spark, dir, "documents"), "text", Seq("the", "a"))
       .select(col("doc_id"),
-        round(col("quality_score") * 1000000.0, 0).cast("long").as("q_micro")))
-      .persist() // quality scoring + counting-search scans run cores-wide
+        round(col("quality_score") * 1000000.0, 0).cast("long").as("q_micro"))
+      .persist()
     try {
       val n = scored.count()
       // empty corpus: no percentile is answerable — the degenerate

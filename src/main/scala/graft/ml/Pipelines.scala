@@ -879,7 +879,11 @@ object MlPipelines {
     // extra tiny tasks per iteration, measured in the low tens of ms
     val d = graft.operators.ParOps.fanOut(
       df.select(col(xCol).cast("double").as("x"),
-        col(yCol).cast("double").as("y"))).persist()
+        col(yCol).cast("double").as("y")),
+      // weight 4 balances two callers sharing one size estimate (Filter
+      // does not shrink non-CBO stats): full-orders fits (q224/q405) want
+      // width, the 500-row id-bounded fits (q189/q192) want none
+      weight = 4.0).persist()
     try {
       var b0 = 0.0
       var b1 = 0.0
@@ -1263,11 +1267,15 @@ object MlPipelines {
     val n = embeddings.count()
     // the pair stage below expands every row d²/2 ≈ 2080× — fan the
     // compact embedding frame out first so the expansion runs wide
-    // (guide §8: shuffle pre-expansion rows; decimal sums are order-free)
-    val emb = graft.operators.ParOps.fanOut(
-      embeddings.select(arr.as("__arr")))
+    // (guide §8: shuffle pre-expansion rows; decimal sums are order-free).
+    // ONLY the pairs branch is fanned: the mu branch is a cheap
+    // posexplode+group, and feeding both consumers from one unpersisted
+    // fanned frame would execute the repartition shuffle (and the scan
+    // beneath it) twice per call (round-15 advice).
+    val slim = embeddings.select(arr.as("__arr"))
+    val emb = graft.operators.ParOps.fanOut(slim, weight = 64.0)
     val earr = col("__arr")
-    val vals = emb.select(posexplode(earr).as(Seq("i", "v")))
+    val vals = slim.select(posexplode(earr).as(Seq("i", "v")))
     val mu = vals.groupBy(col("i"))
       .agg((dsum(col("v"), 8) / lit(n.toDouble)).as("mu"))
     // pair products generated per ROW from the array (nested transform +
@@ -2308,7 +2316,8 @@ object MlPipelines {
     // aggregates are the hot path and a one-row-group scan would pin
     // them to one core (decimal sums are order-free; guide §2.2)
     val d = graft.operators.ParOps.fanOut(df.filter(col(xCol).isNotNull)
-      .select(col(xCol).cast("double").as("x"))).persist()
+      .select(col(xCol).cast("double").as("x")),
+      weight = 16.0).persist() // iters× exp/decimal E-step aggregates
     try {
       val m0 = d.agg(count(lit(1)).as("n"), dsum(col("x"), 12).as("sx"),
         dsum(col("x") * col("x"), 12).as("sxx")).head()
@@ -2404,7 +2413,8 @@ object MlPipelines {
     // aggregates are the hot path and a one-row-group scan would pin
     // them to one core (decimal sums are order-free; guide §2.2)
     val d = graft.operators.ParOps.fanOut(df.filter(col(xCol).isNotNull)
-      .select(col(xCol).cast("double").as("x"))).persist()
+      .select(col(xCol).cast("double").as("x")),
+      weight = 16.0).persist() // iters× k-way CASE-chain aggregates
     try {
       val b = d.agg(count(lit(1)).as("n"), min(col("x")).as("mn"),
         max(col("x")).as("mx")).head()

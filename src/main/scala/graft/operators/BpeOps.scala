@@ -114,13 +114,12 @@ object BpeOps {
     */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    // fan out before the explode: the merge replay below is `rounds`
-    // chained lambda-HOF array rebuilds per word (CodegenFallback —
-    // interpreted), by far the heaviest per-row work in the text family;
-    // id-keyed so the final per-doc aggregate reuses the exchange
-    val words = graft.operators.ParOps.fanOut(
-        docs.select(col(idCol).as("id"), col(textCol).as("__t")),
-        Seq(col("id")))
+    // NOT fanned out (ParOps.fanOut): despite the interpreted merge-replay
+    // being per-row heavy, A/B at sf0.1 measured the fan-out slower both
+    // warm-median and cold (fanned 3.68/4.26 s vs plain 3.06/3.46 s for
+    // q235/q243, median-of-5) — the round-15 3.98→3.58 reading was host
+    // noise, and the exchange's row-width cost exceeds the spread benefit
+    val words = docs.select(col(idCol).as("id"), col(textCol).as("__t"))
       .select(col("id"), explode(TextOps.tokens(col("__t"))).as("w"))
       .filter(col("w") =!= "")
       .withColumn("syms", concat(split(col("w"), ""), array(lit(EOW))))

@@ -153,7 +153,8 @@ object ProfileOps {
     // gmm-class per-row work, and a one-row-group scan would run the
     // whole pass on one core (decimal sums are order-free)
     val d = graft.operators.ParOps.fanOut(
-      df.select(cols.map(c => col(c).cast("double").as(c)): _*))
+      df.select(cols.map(c => col(c).cast("double").as(c)): _*),
+      weight = 4.0)
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i < j
     } yield (cols(i), cols(j))
