@@ -37,30 +37,16 @@ object Bench {
     // parse once so both the master URL and the JSON artifact are validated
     // (an unquoted non-numeric value would emit invalid JSON)
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.trim.toInt).getOrElse(4)
-    val spark = SparkSession.builder()
+    // shared engine configuration (EngineConf: codegen fallback + cache
+    // sizing + UTC) — one definition site with Verify/Sf1Bench/
+    // QueryProfile so the verified and timed paths match
+    val spark = EngineConf.common(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // UTC like every other entrypoint: the TIMESTAMP_NTZ → timestamp
-      // cast in Tables.normalizeEventTs is session-TZ-dependent, so an
-      // unpinned bench on a non-UTC host would bucket day-granularity
-      // windows differently than the gated Verify/spec sessions
-      .config("spark.sql.session.timeZone", "UTC")
       // FAIR scheduling so the concurrency section's streams share the
       // cores instead of FIFO-starving late submitters (no effect on the
       // single-threaded sequential section)
-      .config("spark.scheduler.mode", "FAIR")
-      // fall back from whole-stage codegen when the fused method would
-      // exceed ~8 KB of bytecode: HotSpot never JIT-compiles methods past
-      // its 8 KB HugeMethodLimit, so a fused staged-recurrence plan (q425:
-      // 38 stacked projections) runs in the BYTECODE INTERPRETER — measured
-      // 221 core-seconds of executor time at sf0.1, dropping to 128 with
-      // the fallback (per-operator codegen'd projections JIT fine). This is
-      // a JVM-interaction fix, identical at any scale factor or cluster
-      // size — not a local[32] tuning.
-      .config("spark.sql.codegen.hugeMethodLimit", "8000")
-      .config("spark.ui.enabled", "false")
+      .config("spark.scheduler.mode", "FAIR"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: touch every table once so first-scan + codegen setup cost

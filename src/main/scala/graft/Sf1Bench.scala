@@ -28,14 +28,9 @@ object Sf1Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.trim.toInt).getOrElse(32)
-    val spark = SparkSession.builder()
+    val spark = EngineConf.common(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.codegen.hugeMethodLimit", "8000") // JIT 8KB limit; see Bench
-      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", cpus.toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

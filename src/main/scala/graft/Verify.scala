@@ -17,10 +17,11 @@ object Verify {
     // SPARK_GRAFT_CATALOG=<root>: attach the persistent derby metastore at
     // <root> and serve every table from the catalog (Tables.load hook) —
     // the oracle gate then exercises the metastore path end to end
-    val builder0 = SparkSession.builder()
+    // shared engine configuration (EngineConf): Verify must run the SAME
+    // codegen/session configs as the bench it vouches for
+    val builder0 = EngineConf.common(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus))
     val spark = {
       graft.sources.CatalogTables.envRoot.fold(builder0) { root =>
         graft.sources.CatalogTables.hiveConfigs(root)
@@ -28,12 +29,6 @@ object Verify {
           .enableHiveSupport()
       }
     }
-      // older testdata generations carried TIMESTAMP(NANOS) events; keep
-      // the legacy conf on session-wide (harmless for µs-typed parquet —
-      // Tables.normalizeEventTs adapts on the decoded schema either way)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

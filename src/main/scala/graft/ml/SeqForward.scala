@@ -144,6 +144,41 @@ object SeqForward {
     new java.math.BigDecimal(v)
       .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** Persist a pivot-sized frame with AQE allowed to size the cached
+    * plan's partitioning (`canChangeCachedPlanOutputPartitioning`,
+    * scoped to the materialization and restored after): without it a
+    * cached post-shuffle frame keeps the full `shuffle.partitions`
+    * width, and every one of the trainers' per-iteration actions then
+    * pays per-TASK, per-OPERATOR codegen source generation across the
+    * ~30-Project recurrence chain on every partition — measured 62
+    * core-seconds per q425 run (240 tasks × ~260 ms of almost pure
+    * overhead for ~47 rows each). AQE sizes the cache to the DATA
+    * (1 partition at bench scale, many at cluster scale) — the
+    * scale-adaptive fix, not a hardcoded coalesce. The round-15 global
+    * experiment with this conf is not re-introduced: it stays OFF for
+    * everything else (it had coalesced the LSH sweep's persisted
+    * signature frames to 1 and serialized the sweep).
+    *
+    * Values are unaffected: every consumer aggregates with exact
+    * decimal sums (order- and partitioning-free by the repo contract).
+    */
+  private def aqeSizedPersist(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val p = df.persist()
+      p.count() // materialize while the conf is in force
+      p
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   /** Next-step-prediction pivot shared by the trained trajectories:
     * x1..xT inputs plus the (T+1)-th value as the target y, full windows
     * only. One partitioned window + one pivot aggregation.
@@ -246,7 +281,8 @@ object SeqForward {
       idCol: String, valCol: String): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val piv = targetPivot(events, userCol, tsCol, idCol, valCol).persist()
+    val piv = aqeSizedPersist(
+      targetPivot(events, userCol, tsCol, idCol, valCol))
     try {
       var (wx, wh, b) = (rnnInit(0), rnnInit(1), rnnInit(2))
       val trace = (1 to rnnIters).map { it =>
@@ -340,7 +376,8 @@ object SeqForward {
       idCol: String, valCol: String): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val piv = targetPivot(events, userCol, tsCol, idCol, valCol).persist()
+    val piv = aqeSizedPersist(
+      targetPivot(events, userCol, tsCol, idCol, valCol))
     try {
       var (wx, wh, b) = (rnnInit(0), rnnInit(1), rnnInit(2))
       var (mx, mh, mb) = (0.0, 0.0, 0.0)
@@ -405,40 +442,76 @@ object SeqForward {
       new java.math.BigDecimal(v)
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     val spark2 = events.sparkSession
-    val piv = targetPivot(events, userCol, tsCol, idCol, valCol).persist()
+    val piv = aqeSizedPersist(
+      targetPivot(events, userCol, tsCol, idCol, valCol))
+    // Cap whole-stage fusion eligibility at 40 fields FOR THIS OPERATOR
+    // (set around the six actions, restored in the finally): the 32
+    // stacked recurrence Projects otherwise fuse into one span whose
+    // generated method always exceeds HotSpot's 8 KB HugeMethodLimit, so
+    // the ~MB fused source is generated on EVERY action only to be
+    // discarded by the hugeMethodLimit fallback (janino compiles are
+    // cached; source GENERATION is not) — measured 18.9 s → 12.6 s warm
+    // for the full 6-iteration query. Execution is per-operator codegen
+    // either way, so this is pure driver-waste removal, identical at any
+    // data size; narrow spans (the aggregates) keep fusing.
+    val mfKey = "spark.sql.codegen.maxFields"
+    val mfOld = spark.conf.getOption(mfKey)
+    spark.conf.set(mfKey, "40")
     try {
       val xs = (1 to T).map(i => col(s"x$i"))
       var th = (0 until 12).map(lstmTrainInit).toArray
       val gateNames = Seq("i", "f", "o", "g")
       val paramNames = gateNames.flatMap(g => Seq(s"wx$g", s"wh$g", s"b$g"))
       // the 12 per-iteration parameters travel as a broadcast 1-row
-      // LocalRelation (columns p0..p11), NOT as literals: literal-bearing
-      // plans generate DIFFERENT whole-stage source per iteration, so all
-      // ~22 generated classes re-compile 6 times and thrash the 100-entry
-      // codegen cache (measured: 132 janino compiles, 1.7-4.2 s of the
-      // 3-7 s per-iteration cost). As data, the plan — and its generated
+      // LocalRelation, NOT as literals: literal-bearing plans generate
+      // DIFFERENT whole-stage source per iteration, so all ~22 generated
+      // classes re-compile 6 times and thrash the 100-entry codegen cache
+      // (measured: 132 janino compiles, 1.7-4.2 s of the 3-7 s
+      // per-iteration cost). As data, the plan — and its generated
       // code — is identical across iterations: 22 compiles total, 5 free
       // reuses. The arithmetic is unchanged (same doubles, same op order).
+      //
+      // They travel as ONE struct column (`ps`), not 12 top-level
+      // columns, and consumed inputs are DROPPED as the recurrence
+      // advances (x_t dies after step t's last use; user_id is never
+      // referenced after the pivot): with 6 sequential aggregates ×
+      // 32 stacked Projects, per-iteration DRIVER cost (optimizer +
+      // physical planning + per-operator codegen source generation over
+      // the whole tree) dominates the query — measured ~2.9 s/iteration
+      // — and both changes shrink every Project the driver has to
+      // analyze, optimize, and generate source for (~22 → ~10
+      // pass-through columns; same doubles, same operation order, no
+      // value change anywhere).
       def paramFrame(vals: Array[Double]): DataFrame =
         spark2.createDataFrame(
-          java.util.Arrays.asList(org.apache.spark.sql.Row.fromSeq(
-            vals.toSeq)),
-          org.apache.spark.sql.types.StructType((0 until 12).map(i =>
-            org.apache.spark.sql.types.StructField(s"p$i",
-              org.apache.spark.sql.types.DoubleType, nullable = false))))
-      val pCols = (0 until 12).map(i => col(s"p$i"))
-      val carry = Seq(col("user_id")) ++ xs ++ Seq(col("y")) ++ pCols
+          java.util.Arrays.asList(org.apache.spark.sql.Row(
+            org.apache.spark.sql.Row.fromSeq(vals.toSeq))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("ps",
+              org.apache.spark.sql.types.StructType((0 until 12).map(i =>
+                org.apache.spark.sql.types.StructField(s"p$i",
+                  org.apache.spark.sql.types.DoubleType,
+                  nullable = false))),
+              nullable = false))))
+      def pcol(i: Int): Column = col("ps").getField(s"p$i")
+      // live carry while executing step t (x_t still referenced by the
+      // gate/sensitivity expressions) and after it (x_t consumed)
+      def carryAt(t: Int): Seq[Column] =
+        (t to T).map(i => col(s"x$i")) ++ Seq(col("y"), col("ps"))
+      def carryNext(t: Int): Seq[Column] =
+        ((t + 1) to T).map(i => col(s"x$i")) ++ Seq(col("y"), col("ps"))
       val trace = (1 to lstmTrainIters).map { it =>
         var d = piv.crossJoin(broadcast(paramFrame(th)))
-          .select(carry ++ Seq(
+          .select(carryAt(1) ++ Seq(
           lit(0.0).as("h"), lit(0.0).as("c")) ++
           (0 until 12).flatMap(i =>
             Seq(lit(0.0).as(s"sc$i"), lit(0.0).as(s"sh$i"))): _*)
         (1 to T).foreach { t =>
           val x = col(s"x$t")
+          val carry = carryAt(t)
           def a(g: Int): Column =
-            col(s"p${3 * g}") * x + col(s"p${3 * g + 1}") * col("h") +
-              col(s"p${3 * g + 2}")
+            pcol(3 * g) * x + pcol(3 * g + 1) * col("h") +
+              pcol(3 * g + 2)
           val scShOld = (0 until 12).flatMap(i =>
             Seq(col(s"sc$i"), col(s"sh$i")))
           // stage A: round-9 gates from the OLD h; state renamed
@@ -452,7 +525,7 @@ object SeqForward {
           // term appears ONLY when θ belongs to that gate (both engines
           // generate the identical expression shape)
           def dgate(g: Int, i: Int): Column = {
-            val chain0 = col(s"p${3 * g + 1}") * col(s"sh$i")
+            val chain0 = pcol(3 * g + 1) * col(s"sh$i")
             val chain =
               if (i / 3 != g) chain0
               else i % 3 match {
@@ -486,8 +559,9 @@ object SeqForward {
           // stage D: new hidden + its 12 sensitivities (OLD sh feeds dO),
           // written straight to the step-invariant names (a select may
           // shadow its child's columns, so the former pure-rename stage E
-          // is folded in — one less Project to analyze/serialize per step)
-          d = d.select(carry ++ Seq(
+          // is folded in — one less Project to analyze/serialize per step);
+          // x_t is consumed here and leaves the carry
+          d = d.select(carryNext(t) ++ Seq(
             round(col("go") * col("tc"), 9).as("h"), col("c")) ++
             (0 until 12).map(i =>
               round(col("go") * (lit(1.0) - col("tc") * col("tc")) *
@@ -522,7 +596,13 @@ object SeqForward {
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema)
         .orderBy(col("iter"))
-    } finally { piv.unpersist(); () }
+    } finally {
+      mfOld match {
+        case Some(v) => spark.conf.set(mfKey, v)
+        case None => spark.conf.unset(mfKey)
+      }
+      piv.unpersist(); ()
+    }
   }
 
   // Transformer-block parameters: token embedding (2), Wq/Wk/Wv 2×2+2
@@ -1793,10 +1873,10 @@ object SeqForward {
     def r6(v: Double): Double =
       new java.math.BigDecimal(v)
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-    val pivB = targetPivot(events, userCol, tsCol, idCol, valCol)
-      .select(col("user_id"), col("x1"), col("x8"),
-        when(col("y") >= lit(ceThr), lit(1)).otherwise(lit(0)).as("yb"))
-      .persist()
+    val pivB = aqeSizedPersist(
+      targetPivot(events, userCol, tsCol, idCol, valCol)
+        .select(col("user_id"), col("x1"), col("x8"),
+          when(col("y") >= lit(ceThr), lit(1)).otherwise(lit(0)).as("yb")))
     try {
       val cRow = pivB.agg(
         sum(when(col("yb") === 0, 1L).otherwise(0L)).as("n0"),

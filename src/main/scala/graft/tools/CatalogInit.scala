@@ -24,12 +24,9 @@ object CatalogInit {
       case _ => sys.error("usage: graft.tools.CatalogInit <sfDir> <root>")
     }
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.trim.toInt).getOrElse(8)
-    val b0 = SparkSession.builder()
+    val b0 = graft.EngineConf.common(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", cpus.toString))
     val spark = CatalogTables.hiveConfigs(root)
       .foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }
       .enableHiveSupport()

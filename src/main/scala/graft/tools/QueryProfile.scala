@@ -22,14 +22,9 @@ object QueryProfile {
     val outDir = args(1)
     val wanted = args(2).split(",").map(_.trim).filter(_.nonEmpty)
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.trim.toInt).getOrElse(32)
-    val spark = SparkSession.builder()
+    val spark = graft.EngineConf.common(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.codegen.hugeMethodLimit", "8000") // JIT 8KB limit; see Bench
-      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", cpus.toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // diagnostic conf overrides, e.g. "spark.sql.codegen.wholeStage=false"
