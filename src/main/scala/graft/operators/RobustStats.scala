@@ -133,7 +133,7 @@ object RobustStats {
       // cheap long-compares, and 32-way tiny tasks cost more in per-task
       // codegen lookups than they save (measured: 1.2k -> 73k task-ms)
       vals.persist()
-      try ks.distinct.map(k => k -> kthSmallestByCounting(vals, "__v", k)).toMap
+      try kthSmallestByCountingMulti(vals, "__v", ks.distinct)
       finally { vals.unpersist(); () }
     } else {
       val cum = vals.groupBy(col("__v"))
@@ -159,45 +159,69 @@ object RobustStats {
     * Caller should cache/persist the projected column when issuing
     * several probes.
     */
-  def kthSmallestByCounting(df: DataFrame, colName: String, k: Long): Long = {
-    val Array(mn, mx) = df.agg(min(col(colName)), max(col(colName)))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
-    var lo = mn; var hi = mx
-    // 8-ary search: ONE scan counts 7 midpoints (7 conditional-sum
-    // aggregates fused in the same pass), so the range shrinks 8× per
-    // scan — ~log₈ of the value range jobs instead of log₂. Same result
-    // as the binary search, a third of the scans.
-    while (lo < hi) {
-      // hi - lo itself overflows Long when min and max sit at opposite
-      // extremes, so the width (and the overflow guard) are computed in
-      // BigInt; a (contract-violating) near-full-range domain degrades to
-      // plain binary probing (floor midpoint, also BigInt-exact) instead
-      // of going wrong
-      val widthB = BigInt(hi) - BigInt(lo)
-      val mids =
-        if (widthB > Long.MaxValue / 8) IndexedSeq(lo + (widthB / 2).toLong)
-        else {
-          val width = widthB.toLong
-          (1 to 7).map(i => lo + Math.floorDiv(width * i, 8))
-            .distinct.filter(m => m >= lo && m < hi)
+  def kthSmallestByCounting(df: DataFrame, colName: String, k: Long): Long =
+    kthSmallestByCountingMulti(df, colName, Seq(k))(k)
+
+  /** Several order statistics by SIMULTANEOUS counting search — all
+    * requested ranks advance in the SAME scan, so the job count is
+    * ~log₃₂(range) TOTAL instead of per rank (guide §2.6: the driver
+    * control loop is pure scheduling latency; batching probes into one
+    * aggregate is how it amortizes). 32-ary probing: ONE scan counts 31
+    * conditional sums per active rank and shrinks each range 32× —
+    * measured identical results to the old per-rank 8-ary search (the
+    * k-th smallest is uniquely defined) at roughly a third of the jobs
+    * (q258: 25 → 10 actions, q129: 24 → 9).
+    */
+  def kthSmallestByCountingMulti(df: DataFrame, colName: String,
+      ks: Seq[Long]): Map[Long, Long] = {
+    require(ks.nonEmpty, "need at least one rank")
+    val b = df.agg(min(col(colName)), max(col(colName))).head()
+    // empty input: preserve the old degenerate read (0) — every caller
+    // guards n > 0 before asking for a rank anyway
+    if (b.isNullAt(0)) return ks.map(k => k -> 0L).toMap
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val state = scala.collection.mutable.LinkedHashMap(
+      ks.distinct.map(k => k -> (mn, mx)): _*)
+    while (state.exists { case (_, (lo, hi)) => lo < hi }) {
+      val probes: Seq[(Long, IndexedSeq[Long])] = state.toSeq.collect {
+        case (k, (lo, hi)) if lo < hi =>
+          // hi - lo itself overflows Long when min and max sit at
+          // opposite extremes, so the width (and the overflow guard) are
+          // computed in BigInt; a (contract-violating) near-full-range
+          // domain degrades to plain binary probing (floor midpoint,
+          // also BigInt-exact) instead of going wrong
+          val widthB = BigInt(hi) - BigInt(lo)
+          val mids =
+            if (widthB > Long.MaxValue / 32)
+              IndexedSeq(lo + (widthB / 2).toLong)
+            else {
+              val width = widthB.toLong
+              (1 to 31).map(i => lo + Math.floorDiv(width * i, 32))
+                .distinct.filter(m => m >= lo && m < hi)
+            }
+          k -> mids
+      }
+      val aggs = probes.flatMap { case (_, mids) => mids.map(m =>
+        sum(when(col(colName) <= m, 1L).otherwise(0L))) }
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      var off = 0
+      probes.foreach { case (k, mids) =>
+        val counts = mids.indices.map(j => row.getLong(off + j))
+        off += mids.size
+        val (lo, hi) = state(k)
+        // smallest probed midpoint whose count reaches k bounds the
+        // value above; the previous midpoint bounds it below
+        mids.zip(counts).find { case (_, c) => c >= k } match {
+          case Some((m, _)) =>
+            val idx = mids.indexOf(m)
+            state(k) = (if (idx > 0) mids(idx - 1) + 1 else lo, m)
+          case None =>
+            state(k) = (mids.last + 1, hi)
         }
-      val counts = df.agg(
-        sum(when(col(colName) <= mids.head, 1L).otherwise(0L)),
-        mids.tail.map(m =>
-          sum(when(col(colName) <= m, 1L).otherwise(0L))): _*)
-        .head().toSeq.map(_.asInstanceOf[Long])
-      // smallest probed midpoint whose count reaches k bounds the value
-      // above; the previous midpoint bounds it below
-      mids.zip(counts).find { case (_, c) => c >= k } match {
-        case Some((m, _)) =>
-          hi = m
-          val idx = mids.indexOf(m)
-          if (idx > 0) lo = mids(idx - 1) + 1
-        case None =>
-          lo = mids.last + 1
       }
     }
-    lo
+    val resolved = state.map { case (k, (lo, _)) => k -> lo }.toMap
+    ks.map(k => k -> resolved(k)).toMap
   }
 
   /** Exact median of an integer column via [[kthSmallestByCounting]]
@@ -217,11 +241,13 @@ object RobustStats {
           .toDF("n", "k_lo", "k_hi", "median")
       } else {
         // (n+1)/2 and n/2+1 collapse to the same index for odd n — one
-        // branch-free formula both engines share
+        // branch-free formula both engines share; both ranks resolve in
+        // ONE simultaneous search (shared scans)
         val (loK, hiK) = ((n + 1) / 2, n / 2 + 1)
-        val a = kthSmallestByCounting(slim, colName, loK)
-        val b = if (hiK == loK) a
-          else kthSmallestByCounting(slim, colName, hiK)
+        val os = kthSmallestByCountingMulti(slim, colName,
+          Seq(loK, hiK).distinct)
+        val a = os(loK)
+        val b = os(hiK)
         Seq((n, Some(a), Some(b), Some((a + b) / 2.0)))
           .toDF("n", "k_lo", "k_hi", "median")
       }
@@ -243,17 +269,21 @@ object RobustStats {
       valueCol: String): DataFrame = {
     val slim = df.select(col(sliceCol).as("__s"),
         round(col(valueCol).cast("double") * 1000000.0, 0)
-          .cast("long").as("__v"))
+          .cast("long").as("__v"),
+        abs(col(valueCol).cast("double")).as("__absRaw"))
       .persist()
     try {
-      val n = slim.count()
+      // count + contract check in ONE setup aggregate (was two jobs, the
+      // second a full re-scan of the raw frame)
+      val setup = slim.agg(count(lit(1)).as("n"),
+        max(col("__absRaw")).as("rawMax")).head()
+      val n = setup.getLong(0)
       require(n > 0, "madOutlierCard: empty input")
       // micro-scaling contract, ENFORCED: |value| beyond the bound would
       // wrap in the long cast above (with ANSI off the wrap is silent and
       // flips verdicts) — check the RAW double magnitude, since a wrapped
       // long is indistinguishable from a legitimate one, and fail loudly.
-      val rawMax = df.agg(max(abs(col(valueCol).cast("double")))).head()
-        .getDouble(0)
+      val rawMax = setup.getDouble(1)
       // 4e12 (not 9.2e12): the deviation |__v − med| can reach TWICE the
       // micro magnitude, and 2·4e18 still fits a Long
       require(rawMax <= 4.0e12,
@@ -304,18 +334,25 @@ object RobustStats {
       "need 0 <= trimNum/trimDen < 1/2")
     val slim = df.filter(col(valueCol).isNotNull)
       .select(round(col(valueCol).cast("double") * 1000000.0, 0)
-        .cast("long").as("__v")).persist()
+        .cast("long").as("__v"),
+        abs(col(valueCol).cast("double")).as("__absRaw")).persist()
     try {
-      val n = slim.count()
+      // count + contract check fused into ONE setup aggregate (was two
+      // jobs, one of them a second full scan of the raw frame)
+      val setup = slim.agg(count(lit(1)).as("n"),
+        max(col("__absRaw")).as("rawMax")).head()
+      val n = setup.getLong(0)
       require(n > 0, "trimmedMeanCard: empty input")
-      val rawMax = df.agg(max(abs(col(valueCol).cast("double")))).head()
-        .getDouble(0)
+      val rawMax = setup.getDouble(1)
       require(rawMax <= 4.0e12,
         s"trimmedMeanCard($valueCol): |value| up to $rawMax exceeds the " +
           "4e12 micro-scaling contract (long overflow); rescale upstream")
       val k = (BigInt(n) * trimNum / trimDen).toLong
-      val lo = kthSmallestByCounting(slim, "__v", k + 1)
-      val hi = kthSmallestByCounting(slim, "__v", n - k)
+      // both boundary order statistics from ONE simultaneous search
+      val os = kthSmallestByCountingMulti(slim, "__v",
+        Seq(k + 1, n - k).distinct)
+      val lo = os(k + 1)
+      val hi = os(n - k)
       def dec(c: Column): Column = c.cast("decimal(38,0)")
       val agg = slim.agg(
         sum(dec(col("__v"))).as("__S"),
