@@ -490,19 +490,9 @@ private[graft] trait EntryPart3 extends EntryPart2 {
       val tagged = e.withColumn("__w",
         when(b < 4, 0).when(b < 7, 1).otherwise(2))
       val wavesDir = s"$root/waves"
-      new java.io.File(wavesDir).mkdirs()
-      (0 until 3).foreach { w =>
-        val tmp = s"$root/w$w"
-        tagged.filter(col("__w") === w).drop("__w")
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(wavesDir, f"wave$w%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        // distinct ascending mtimes pin micro-batch order = wave order
-        require(dst.setLastModified(1000000L * (w + 1)),
-          s"could not stamp $dst")
-      }
+      // all three wave fixtures in ONE job (was one scan+write per wave)
+      graft.tools.WaveFiles.writeStamped(tagged, "__w", 3, wavesDir,
+        root.toString)
       val idxRoot = s"$root/index"
       graft.streaming.StreamingOps.streamingIvfIngest(
         spark, wavesDir, "vec_id", "embedding", idxRoot, nlist = 8)
@@ -800,18 +790,9 @@ private[graft] trait EntryPart3 extends EntryPart2 {
       val tagged = e.withColumn("__w",
         when(b < 4, 0).when(b < 7, 1).otherwise(2))
       val wavesDir = s"$root/waves"
-      new java.io.File(wavesDir).mkdirs()
-      (0 until 3).foreach { w =>
-        val tmp = s"$root/w$w"
-        tagged.filter(col("__w") === w).drop("__w")
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(wavesDir, f"wave$w%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        require(dst.setLastModified(1000000L * (w + 1)),
-          s"could not stamp $dst")
-      }
+      // all three wave fixtures in ONE job (was one scan+write per wave)
+      graft.tools.WaveFiles.writeStamped(tagged, "__w", 3, wavesDir,
+        root.toString)
       val res = graft.streaming.StreamingOps.streamingClusterDrift(
           spark, wavesDir, "vec_id", "embedding",
           SplitOps.hashBucket(col("vec_id"), 20) >= 10,

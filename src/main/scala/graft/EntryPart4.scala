@@ -1250,18 +1250,9 @@ private[graft] trait EntryPart4 extends EntryPart3 {
         when(col("doc_id") <= t1, 0)
           .when(col("doc_id") <= t2, 1).otherwise(2))
       val wavesDir = s"$root/waves"
-      new java.io.File(wavesDir).mkdirs()
-      (0 until 3).foreach { w =>
-        val tmp = s"$root/w$w"
-        tagged.filter(col("__w") === w).drop("__w")
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(wavesDir, f"wave$w%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        require(dst.setLastModified(1000000L * (w + 1)),
-          s"could not stamp $dst")
-      }
+      // all three wave fixtures in ONE job (was one scan+write per wave)
+      graft.tools.WaveFiles.writeStamped(tagged, "__w", 3, wavesDir,
+        root.toString)
       val res = graft.streaming.StreamingOps.streamingPackingCard(
         spark, wavesDir, "doc_id", "text", contextLen = 512,
         s"$root/store", bucketWidth = 100)

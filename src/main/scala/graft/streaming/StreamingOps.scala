@@ -129,7 +129,24 @@ object StreamingOps {
     // batch twin oracles re-check that under any partitioning.
     val stateParts = spark.conf.getOption("spark.graft.stream.stateParts")
       .getOrElse("8")
-    withTempConf(spark, Seq("spark.sql.shuffle.partitions" -> stateParts)) {
+    // scope the override to STATEFUL queries: a stateless pass-through
+    // stream has no state store to size, and capping its (hypothetical)
+    // shuffles at 8 would be a pure de-parallelization; detect state by
+    // the stateful logical operators in the analyzed plan. Caveat (knob
+    // semantics): a query RESUMED from an existing checkpoint keeps the
+    // state partition count it was first run with — Structured Streaming
+    // fixes it at first run; the knob only sizes NEW checkpoints.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      Deduplicate, DeduplicateWithinWatermark, Distinct,
+      FlatMapGroupsWithState, Join}
+    val stateful = df.queryExecution.analyzed.collectFirst {
+      case _: Aggregate | _: Deduplicate | _: DeduplicateWithinWatermark |
+        _: Distinct | _: FlatMapGroupsWithState | _: Join => ()
+    }.isDefined
+    val tempConf =
+      if (stateful) Seq("spark.sql.shuffle.partitions" -> stateParts)
+      else Seq.empty
+    withTempConf(spark, tempConf) {
       sink match {
         case StreamSink.Memory(name) =>
           val q = df.writeStream.format("memory").queryName(name)
